@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet table loader for the warehouse layout: one parquet file (or
+  * directory) per table under a root dir. Mirrors the reference's
+  * one-database-per-market layout (reference main.py:153) collapsed onto a
+  * shared columnar store — at 100 TB the root would be an object-store
+  * prefix and each table a date/market-partitioned parquet dataset; the
+  * loader is path-based so that swap is transparent to every operator.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register all warehouse tables as temp views so every operator is also
+    * reachable via spark.sql — parity with the reference's dual pandas/SQL
+    * surface (SURVEY §7 step 8).
+    */
+  def registerViews(spark: SparkSession, dir: String, names: Seq[String]): Unit =
+    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+}

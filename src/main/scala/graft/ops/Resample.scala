@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Calendar OHLC resampling — the reference's flagship aggregation
+  * (downloader_wmy.py:39-58): day bars → weekly (Friday-anchored),
+  * month-end and year buckets with open→first, high→max, low→min,
+  * close→last, volume→sum, plus the lag-based period return.
+  *
+  * Spark-first design notes (100 TB posture):
+  *  - buckets are plain date expressions, so the groupBy is one hash
+  *    aggregate with map-side partial aggregation; no window/sort needed
+  *    for the bars themselves;
+  *  - ordered first/last inside a bucket uses min_by/max_by over a single
+  *    monotone ordering column, which stays inside whole-stage codegen
+  *    (no sort, no collect_list);
+  *  - the only shuffle is on (key, bucket) — high-cardinality,
+  *    well-distributed; returns then reuse the same (key) partitioning.
+  */
+object Resample {
+
+  /** Friday-anchored week-end label: smallest Friday >= d.
+    * pandas 'W-FRI' parity (downloader_wmy.py:44): buckets are labeled by
+    * their Friday end and empty buckets never materialize (groupBy only
+    * sees present rows). Spark dayofweek: Sun=1..Sat=7, Friday=6.
+    */
+  def weekEndFri(d: Column): Column =
+    date_add(d, ((lit(6) - dayofweek(d)) + lit(7)) % lit(7))
+
+  /** Month-end label — pandas 'M' parity (labels by period end). */
+  def monthEnd(d: Column): Column = last_day(d)
+
+  /** Year bucket label (first day of year; formatted at edges as needed). */
+  def yearStart(d: Column): Column = trunc(d, "year")
+
+  /** A strictly monotone per-row ordering surrogate: days-since-epoch
+    * majored with a unique tiebreak, so first/last inside a bucket is
+    * deterministic even when several rows share a date. Callers supply the
+    * tiebreak (e.g. ingest batch id, orderkey) — the reference gets this
+    * for free from pandas row order; a distributed engine must not rely on
+    * row order, ever.
+    */
+  def ordinal(date: Column, tiebreak: Column): Column =
+    datediff(date, to_date(lit("1970-01-01"))).cast("long") * lit(100000000L) +
+      tiebreak.cast("long")
+
+  /** OHLC resample into `bucket` labels. Output columns:
+    * (symbol, period, open, high, low, close, volume).
+    */
+  def ohlc(df: DataFrame, key: Column, bucket: Column, price: Column,
+           volume: Column, ord: Column): DataFrame =
+    df.groupBy(key.as("symbol"), bucket.as("period"))
+      .agg(
+        min_by(price, ord).as("open"),
+        max(price).as("high"),
+        min(price).as("low"),
+        max_by(price, ord).as("close"),
+        round(sum(volume), 2).as("volume"))
+
+  /** pct_change parity (downloader_wmy.py:54-58): (close - prev)/prev,
+    * rounded to 4, null on each key's first period. One shuffle on key;
+    * the window sort is per-key and tiny (periods per key).
+    */
+  def periodReturn(bars: DataFrame, key: String = "symbol",
+                   period: String = "period",
+                   close: String = "close"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(period))
+    bars.withColumn("return",
+      round(col(close) / lag(col(close), 1).over(w) - lit(1.0), 4))
+  }
+}
