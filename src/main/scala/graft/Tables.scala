@@ -11,8 +11,19 @@ import org.apache.spark.sql.functions._
   * loader is path-based so that swap is transparent to every operator.
   */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // The event feed carries TIMESTAMP(NANOS) parquet columns, which
+      // vanilla Spark 4 rejects (PARQUET_TYPE_ILLEGAL). Read nanos as
+      // long and convert to the engine's microsecond TimestampType at
+      // the scan edge so every downstream operator sees a plain
+      // timestamp column.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.withColumn("ts",
+        timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Register all warehouse tables as temp views so every operator is also
     * reachable via spark.sql — parity with the reference's dual pandas/SQL

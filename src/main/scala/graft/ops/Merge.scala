@@ -32,15 +32,17 @@ object Merge {
   }
 
   /** Merge an incoming batch into the existing table image: last writer
-    * wins per key, incoming preferred over existing at equal version.
+    * wins per key, incoming preferred over existing at equal version;
+    * optional content tiebreaks make the pick deterministic when the
+    * version itself collides (never rely on physical row order).
     */
   def upsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
-             versionCol: String): DataFrame =
+             versionCol: String, tiebreaks: Column*): DataFrame =
     keepLatest(
       existing.withColumn("__src", lit(0))
         .unionByName(incoming.withColumn("__src", lit(1))),
       keys,
-      struct(col(versionCol), col("__src"))
+      struct(Seq(col(versionCol), col("__src")) ++ tiebreaks: _*)
     ).drop("__src")
 
   /** Partition-scoped physical merge: only date-partitions present in the
