@@ -54,6 +54,56 @@ object SparkEntry {
        |  arg_max(px, ord) AS close, round(sum(vol), 2) AS volume
        |FROM ($barsSql) GROUP BY symbol, period""".stripMargin
 
+  /** documents ∪ planted near-duplicates (two extra tokens appended) —
+    * the dedup-operator test bed: every base doc has one known near-dup.
+    */
+  private def docsDup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionByName(d.select((col("doc_id") + 10000).as("doc_id"),
+      concat(col("text"), lit(" zz9 qq8")).as("text")))
+  }
+
+  private val docsDupSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL SELECT doc_id + 10000 AS doc_id, text || ' zz9 qq8' AS text
+      |FROM documents""".stripMargin
+
+  /** DuckDB tokenization in lockstep with Text.tokens. */
+  private val tokSql =
+    """list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')"""
+
+  /** DuckDB word-3-gram distinct shingles over a token list column tk. */
+  private val shingleSql =
+    """list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])"""
+
+  /** DuckDB portable 60-bit md5 hash of a string expr (Dedup.hashLong). */
+  private def h60(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
+  /** DuckDB MinHash signature over shingle list `sh` (Dedup.minhashSignature). */
+  private def minhashSql(k: Int): String =
+    s"""[coalesce(list_min(list_transform(sh,
+       |    s -> ((2*i+1) * (${h60("s")} % 2147483647) + 7 + 13*i) % 2147483647)),
+       |  2147483647) for i in range(0, $k)]""".stripMargin
+
+  /** DuckDB cosine between two FLOAT[] exprs, double precision
+    * (Similarity.cosine parity: cast-then-multiply, sequential sum).
+    */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(list_zip($a, $b),
+       |    q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)))
+       |  / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
+
+  private val AnnPlanes = Similarity.planeComponents(8, 64)
+
+  /** DuckDB LSH bucket with the identical plane literals. */
+  private val bucketSql: String = AnnPlanes.zipWithIndex.map { case (pl, p) =>
+    s"""(CASE WHEN list_sum(list_transform(list_zip(embedding, [${pl.mkString(",")}]),
+       |  q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))) > 0
+       |  THEN ${1L << p} ELSE 0 END)""".stripMargin
+  }.mkString("(", " + ", ")")
+
   // ---- the query inventory ----------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -234,7 +284,132 @@ object SparkEntry {
       t(s, dir, "supplier")
         .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"),
           row_number().over(w).as("rnk"))
-    })
+    }),
+
+    // ---- training-data-pipeline operators ------------------------------
+
+    // Text: token counting + corpus stats per language.
+    "q23_text_stats" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(Text.tokenCount(col("text"))), 2).as("avg_tokens"),
+          round(avg(length(col("text"))), 2).as("avg_chars"),
+          sum(Text.tokenCount(col("text"))).cast("long").as("total_tokens"))),
+
+    // Text: per-document quality scoring (length/stopword/diversity mix).
+    "q24_doc_quality" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val toks = Text.tokens(col("text"))
+      d.select(col("doc_id"),
+        Text.tokenCount(col("text")).as("n_tokens"),
+        round(Text.typeTokenRatio(toks), 4).as("ttr"),
+        round(Text.wordListRatio(toks, Text.StopwordsEn), 4).as("stop_ratio"),
+        Text.qualityScore(col("text")).as("score"))
+    }),
+
+    // Text: heuristic language-ID vs the labeled lang (confusion counts).
+    "q25_langid" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"), Text.langId(col("text")).as("predicted"))
+        .agg(count(lit(1)).as("n"))),
+
+    // Dedup: exact (fingerprint hash-groupBy) over a corpus with planted
+    // exact duplicates — keep-first semantics.
+    "q26_exact_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dup = d.unionByName(
+        d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+      dup.groupBy(Text.fingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+    }),
+
+    // Dedup: MinHash(16) + LSH(4 bands × 4 rows) candidate pairs with
+    // verified Jaccard — finds the planted near-dups without n² compares.
+    "q27_minhash_lsh" -> ((s, dir) => {
+      val sh = docsDup(s, dir).select(col("doc_id").as("id"),
+        Text.wordShingles(Text.tokens(col("text")), 3).as("sh"))
+      val sig = sh.select(col("id"), col("sh"),
+        Dedup.minhashSignature(col("sh"), 16).as("sig"))
+      Dedup.lshCandidatePairs(sig, "id", "sig", 4, 4)
+        .join(sig.select(col("id").as("ia"), col("sh").as("sha")), col("id_a") === col("ia"))
+        .join(sig.select(col("id").as("ib"), col("sh").as("shb")), col("id_b") === col("ib"))
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.jaccard(col("sha"), col("shb")), 4).as("jac"))
+    }),
+
+    // Dedup: n-gram Jaccard near-dup pairs via inverted shingle index.
+    "q28_jaccard_pairs" -> ((s, dir) => {
+      val sh = docsDup(s, dir).select(col("doc_id").as("id"),
+        Text.wordShingles(Text.tokens(col("text")), 3).as("shingles"))
+      Dedup.jaccardPairs(sh, "id", "shingles", 0.5)
+    }),
+
+    // Dedup: SimHash(32) near-dup pairs, banded join (exact for d<=3 by
+    // pigeonhole over 4 byte-bands).
+    "q29_simhash" -> ((s, dir) => {
+      val sk = docsDup(s, dir).select(col("doc_id").as("id"),
+        Dedup.simhash(Text.tokens(col("text")), 32).as("sk"))
+      val bands = sk.select(col("id"), col("sk"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sk"), 8 * b).bitwiseAND(255)): _*)).as(Seq("band", "bval")))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          Dedup.hamming(col("a.sk"), col("b.sk")).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+    }),
+
+    // Dedup: embedding-cosine near-dup pairs (planted perturbed copies).
+    "q30_embed_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val pert = e.select((col("id") + 10000).as("id"),
+        transform(col("vec"), (x, i) =>
+          when(i === 0, x.cast("double") + 0.5).otherwise(x.cast("double"))).as("vec"))
+      Similarity.cosineNearDupPairsExact(
+        e.select(col("id"), transform(col("vec"), x => x.cast("double")).as("vec"))
+          .unionByName(pert), 0.9)
+    }),
+
+    // Similarity: brute-force cosine top-5 neighbors for a query batch.
+    "q31_ann_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.bruteForceTopK(e.filter(col("id") < 20), e, 5)
+    }),
+
+    // Similarity: LSH-bucketed ANN (8 hyperplanes → 256 buckets).
+    "q32_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.lshTopK(e, AnnPlanes, 5)
+    }),
+
+    // Multimodal: binary payload plumbing — metadata sniff + frame
+    // sampling + per-frame stub feature, all without decoding.
+    "q33_multimodal" -> ((s, dir) => {
+      val blob = col("text").cast("binary")
+      val frames = Multimodal.sampleFrames(blob, 64, 32)
+      Multimodal.withBlobMetadata(
+          t(s, dir, "documents").select(col("doc_id"), col("text")), blob)
+        .withColumn("n_frames", size(frames))
+        .withColumn("f0_checksum",
+          when(size(frames) > 0,
+            Multimodal.frameChecksum(element_at(frames, 1), 32)))
+        .select("doc_id", "n_bytes", "header_hex", "n_frames", "f0_checksum")
+    }),
+
+    // Embedding stats: per-label per-dimension centroids (posexplode →
+    // (label, dim) hash-agg; the vector-column group-aggregate shape).
+    "q34_embed_centroids" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("x").cast("double")), 6).as("avg_val"),
+          count(lit(1)).as("n")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -375,7 +550,143 @@ object SparkEntry {
       """SELECT s_suppkey, s_nationkey, s_acctbal,
         |  row_number() OVER (PARTITION BY s_nationkey
         |    ORDER BY s_acctbal DESC, s_suppkey) AS rnk
-        |FROM supplier""".stripMargin
+        |FROM supplier""".stripMargin,
+
+    "q23_text_stats" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  round(avg(ntok), 2) AS avg_tokens,
+         |  round(avg(nch), 2) AS avg_chars,
+         |  CAST(sum(ntok) AS BIGINT) AS total_tokens
+         |FROM (SELECT lang, len($tokSql) AS ntok, length(text) AS nch
+         |      FROM documents)
+         |GROUP BY lang""".stripMargin,
+
+    "q24_doc_quality" ->
+      s"""SELECT doc_id, len(tk) AS n_tokens,
+         |  round(CASE WHEN len(tk) = 0 THEN 0.0
+         |    ELSE len(list_distinct(tk)) * 1.0 / len(tk) END, 4) AS ttr,
+         |  round(CASE WHEN len(tk) = 0 THEN 0.0
+         |    ELSE len(list_filter(tk, t -> t IN ('the','a','of','to','and'))) * 1.0 / len(tk) END, 4) AS stop_ratio,
+         |  round(0.4 * least(1.0, len(tk) / 100.0)
+         |    + 0.3 * (CASE WHEN len(tk) = 0 THEN 0.0
+         |        ELSE len(list_filter(tk, t -> t IN ('the','a','of','to','and'))) * 1.0 / len(tk) END)
+         |    + 0.3 * (CASE WHEN len(tk) = 0 THEN 0.0
+         |        ELSE len(list_distinct(tk)) * 1.0 / len(tk) END), 4) AS score
+         |FROM (SELECT doc_id, $tokSql AS tk FROM documents)""".stripMargin,
+
+    "q25_langid" ->
+      s"""WITH sc AS (
+         |  SELECT lang,
+         |    len(list_filter(tk, t -> t IN ('the','a','of','to','and'))) * 1.0 / len(tk) AS s_en,
+         |    len(list_filter(tk, t -> t IN ('der','die','das','und','ein'))) * 1.0 / len(tk) AS s_de,
+         |    len(list_filter(tk, t -> t IN ('el','la','de','y','que'))) * 1.0 / len(tk) AS s_es,
+         |    len(list_filter(tk, t -> t IN ('le','la','de','et','les'))) * 1.0 / len(tk) AS s_fr
+         |  FROM (SELECT lang, $tokSql AS tk FROM documents) WHERE len(tk) > 0)
+         |SELECT lang,
+         |  CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+         |    WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+         |    WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+         |    WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+         |    ELSE 'fr' END AS predicted,
+         |  count(*) AS n
+         |FROM sc GROUP BY 1, 2""".stripMargin,
+
+    "q26_exact_dedup" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
+        |  count(*) AS n_copies, min(doc_id) AS keep_id
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL SELECT doc_id + 10000, text FROM documents)
+        |GROUP BY 1""".stripMargin,
+
+    "q27_minhash_lsh" ->
+      s"""WITH u AS ($docsDupSql),
+         |tk AS (SELECT doc_id, $tokSql AS tk FROM u),
+         |sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+         |         ELSE $shingleSql END AS sh FROM tk),
+         |sig AS (SELECT doc_id, sh, ${minhashSql(16)} AS sig FROM sh)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jac
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  AND (a.sig[1:4] = b.sig[1:4] OR a.sig[5:8] = b.sig[5:8]
+         |    OR a.sig[9:12] = b.sig[9:12] OR a.sig[13:16] = b.sig[13:16])""".stripMargin,
+
+    "q28_jaccard_pairs" ->
+      s"""WITH u AS ($docsDupSql),
+         |tk AS (SELECT doc_id, $tokSql AS tk FROM u),
+         |sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+         |         ELSE $shingleSql END AS sh FROM tk)
+         |SELECT id_a, id_b, jac FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jac
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |WHERE jac >= 0.5""".stripMargin,
+
+    "q29_simhash" ->
+      s"""WITH u AS ($docsDupSql),
+         |sk AS (SELECT doc_id,
+         |  CAST(list_sum([CASE WHEN 2 * len(list_filter(tk, t -> ((${h60("t")} >> i) & 1) = 1)) > len(tk)
+         |    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END for i in range(0, 32)]) AS BIGINT) AS sk
+         |  FROM (SELECT doc_id, $tokSql AS tk FROM u))
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.sk, b.sk)) AS hamming
+         |FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sk, b.sk)) <= 3""".stripMargin,
+
+    "q30_embed_neardup" ->
+      s"""WITH e AS (
+         |  SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000 AS id,
+         |    [CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 0.5
+         |      ELSE CAST(embedding[i] AS DOUBLE) END
+         |     for i in range(1, len(embedding) + 1)] AS embedding
+         |  FROM embeddings)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
+         |FROM e a JOIN e b ON a.id < b.id
+         |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.9""".stripMargin,
+
+    "q31_ann_topk" ->
+      s"""SELECT query_id, neighbor_id, "rank", sim FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(${cosSql("q.embedding", "c.embedding")}, 6) AS sim,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${cosSql("q.embedding", "c.embedding")}, 6) DESC, c.vec_id) AS "rank"
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         |  WHERE q.vec_id < 20)
+         |WHERE "rank" <= 5""".stripMargin,
+
+    "q32_ann_lsh" ->
+      s"""WITH bk AS (SELECT vec_id AS id, embedding, $bucketSql AS bucket
+         |            FROM embeddings)
+         |SELECT query_id, neighbor_id, sim, "rank" FROM (
+         |  SELECT x.id AS query_id, y.id AS neighbor_id,
+         |    round(${cosSql("x.embedding", "y.embedding")}, 6) AS sim,
+         |    row_number() OVER (PARTITION BY x.id
+         |      ORDER BY round(${cosSql("x.embedding", "y.embedding")}, 6) DESC, y.id) AS "rank"
+         |  FROM bk x JOIN bk y ON x.bucket = y.bucket AND x.id != y.id)
+         |WHERE "rank" <= 5""".stripMargin,
+
+    "q33_multimodal" ->
+      """SELECT doc_id, octet_length(blob) AS n_bytes,
+        |  substr(hex(blob), 1, 16) AS header_hex,
+        |  CASE WHEN octet_length(blob) < 32 THEN 0
+        |    ELSE CAST(floor((octet_length(blob) - 32) / 64.0) + 1 AS INT) END AS n_frames,
+        |  CASE WHEN octet_length(blob) >= 32 THEN
+        |    CAST(list_sum([CAST('0x' || substr(hex(blob), (j-1)*2 + 1, 2) AS BIGINT)
+        |      for j in range(1, 33)]) AS BIGINT) END AS f0_checksum
+        |FROM (SELECT doc_id, CAST(text AS BLOB) AS blob FROM documents)""".stripMargin,
+
+    "q34_embed_centroids" ->
+      """SELECT label, pos, round(avg(x), 6) AS avg_val, count(*) AS n
+        |FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+        |        CAST(unnest(embedding) AS DOUBLE) AS x
+        |      FROM embeddings)
+        |GROUP BY 1, 2""".stripMargin
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

