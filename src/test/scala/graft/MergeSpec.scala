@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Merge
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batch(rows: (String, String, Double, Long)*) =
+    rows.toDF("symbol", "date", "close", "version")
+
+  test("upsert: newer version wins per key, old rows survive") {
+    val existing = batch(("A", "2024-01-01", 10.0, 0L), ("A", "2024-01-02", 11.0, 0L))
+    val incoming = batch(("A", "2024-01-02", 99.0, 1L), ("A", "2024-01-03", 12.0, 1L))
+    val out = Merge.upsert(existing, incoming, Seq("symbol", "date"), "version")
+      .select($"date", $"close").as[(String, Double)].collect().toSet
+    assert(out == Set(("2024-01-01", 10.0), ("2024-01-02", 99.0), ("2024-01-03", 12.0)))
+  }
+
+  test("upsert is idempotent: merging the same batch twice changes nothing") {
+    val b = batch(("A", "2024-01-01", 10.0, 1L), ("B", "2024-01-01", 20.0, 1L))
+    val once = Merge.upsert(b, b, Seq("symbol", "date"), "version")
+    assert(once.count() == 2)
+    val twice = Merge.upsert(once, b, Seq("symbol", "date"), "version")
+    assert(rowsOf(twice.select("symbol", "date", "close")) ==
+      rowsOf(b.select("symbol", "date", "close")))
+  }
+
+  test("keepLatest honours explicit tiebreaks deterministically") {
+    val df = Seq(("A", "2024-01-01", 1.0, 5L), ("A", "2024-01-01", 2.0, 5L))
+      .toDF("symbol", "date", "close", "v")
+    val kept = Merge.keepLatest(df, Seq("symbol", "date"), struct($"v", $"close"))
+      .select($"close").as[Double].collect().toSeq
+    assert(kept == Seq(2.0)) // equal version -> higher close wins
+  }
+
+  test("upsertIntoPath only rewrites touched date partitions") {
+    withTempDir { dir =>
+      val path = dir.getAbsolutePath + "/prices"
+      val b0 = batch(("A", "2024-01-01", 10.0, 0L), ("A", "2024-01-02", 11.0, 0L))
+      b0.write.partitionBy("date").parquet(path)
+      val day1 = new java.io.File(s"$path/date=2024-01-01")
+      val before = day1.listFiles().map(f => (f.getName, f.lastModified)).toSet
+
+      val inc = batch(("A", "2024-01-02", 99.0, 1L))
+      Merge.upsertIntoPath(inc, path, Seq("symbol", "date"), "version", "date")
+
+      val after = day1.listFiles().map(f => (f.getName, f.lastModified)).toSet
+      assert(before == after, "untouched partition must not be rewritten")
+      val out = spark.read.parquet(path)
+        .select($"date".cast("string"), $"close").as[(String, Double)].collect().toSet
+      assert(out == Set(("2024-01-01", 10.0), ("2024-01-02", 99.0)))
+    }
+  }
+}

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("blob metadata: byte length and hex header") {
+    val r = Multimodal.withBlobMetadata(
+        Seq("ABCD").toDF("text"), $"text".cast("binary"))
+      .select($"n_bytes", $"header_hex").as[(Int, String)].head()
+    assert(r == ((4, "41424344")))
+  }
+
+  test("byteAt decodes positional byte values") {
+    val df = Seq("AZ").toDF("text")
+    val r = df.select(
+      Multimodal.byteAt($"text".cast("binary"), lit(1)),
+      Multimodal.byteAt($"text".cast("binary"), lit(2))).as[(Int, Int)].head()
+    assert(r == ((65, 90)))
+  }
+
+  test("sampleFrames: stride windows in hex; short payloads give none") {
+    // 12 bytes, frameLen 4, stride 4 -> 3 frames
+    val r = Seq("ABCDEFGHIJKL", "AB").toDF("text")
+      .select(Multimodal.sampleFrames($"text".cast("binary"), 4, 4))
+      .as[Seq[String]].collect().toSeq
+    assert(r.head == Seq("41424344", "45464748", "494A4B4C"))
+    assert(r(1) == Seq())
+  }
+
+  test("frameChecksum sums the frame's byte values") {
+    val df = Seq("AB").toDF("text")
+      .select(Multimodal.sampleFrames($"text".cast("binary"), 2, 2).as("f"))
+    val r = df.select(Multimodal.frameChecksum(element_at($"f", 1), 2))
+      .as[Long].head()
+    assert(r == 65L + 66L)
+  }
+
+  test("decodeFeatures: typed mapPartitions stub decoder matches column math") {
+    val media = Seq((1L, "ABC".getBytes("UTF-8")), (2L, Array.empty[Byte]))
+      .toDS()
+    val r = Multimodal.decodeFeatures(media).collect().map(f =>
+      (f.doc_id, f.n_bytes, f.checksum, f.first_byte)).toSet
+    assert(r == Set((1L, 3, 65L + 66L + 67L, 65), (2L, 0, 0L, -1)))
+  }
+}

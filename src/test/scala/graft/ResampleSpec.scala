@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Resample
+import java.sql.Date
+
+class ResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  test("weekEndFri maps every day to its Friday-or-later week end") {
+    val dates = Seq(
+      "2024-01-01" -> "2024-01-05", // Monday -> that week's Friday
+      "2024-01-05" -> "2024-01-05", // Friday maps to itself
+      "2024-01-06" -> "2024-01-12", // Saturday starts the next W-FRI bucket
+      "2024-01-07" -> "2024-01-12", // Sunday too
+      "2023-12-30" -> "2024-01-05", // year straddle: Sat into next year's Friday
+      "2024-02-29" -> "2024-03-01"  // leap day (Thursday) -> next day Friday
+    )
+    val got = dates.map(_._1).toDF("s")
+      .select(Resample.weekEndFri(to_date($"s")).cast("string").as("we"))
+      .as[String].collect().toSeq
+    assert(got == dates.map(_._2))
+  }
+
+  test("monthEnd and yearStart labels") {
+    val got = Seq("2024-02-15", "2024-12-31", "2023-01-01").toDF("s")
+      .select(Resample.monthEnd(to_date($"s")).cast("string"),
+        Resample.yearStart(to_date($"s")).cast("string"))
+      .as[(String, String)].collect().toSeq
+    assert(got == Seq(("2024-02-29", "2024-01-01"),
+      ("2024-12-31", "2024-01-01"), ("2023-01-31", "2023-01-01")))
+  }
+
+  test("ohlc picks ordered first/last and aggregates high/low/volume") {
+    // one symbol, one W-FRI bucket (Mon..Fri), deliberately shuffled rows
+    val bars = Seq(
+      ("A", "2024-01-03", 12.0, 300L, 3L),
+      ("A", "2024-01-01", 10.0, 100L, 1L), // first by ord -> open
+      ("A", "2024-01-05", 11.0, 500L, 5L), // last by ord -> close
+      ("A", "2024-01-02", 15.0, 200L, 2L), // high
+      ("A", "2024-01-04", 9.0, 400L, 4L)   // low
+    ).toDF("symbol", "s", "px", "vol", "tb")
+      .select($"symbol", to_date($"s").as("d"), $"px", $"vol",
+        Resample.ordinal(to_date($"s"), $"tb").as("ord"))
+    val out = Resample.ohlc(bars, $"symbol", Resample.weekEndFri($"d"),
+      $"px", $"vol", $"ord")
+    val r = out.select($"period".cast("string"), $"open", $"high", $"low",
+      $"close", $"volume").as[(String, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(r == Seq(("2024-01-05", 10.0, 15.0, 9.0, 11.0, 1500.0)))
+  }
+
+  test("periodReturn: pct_change parity — first row null, round 4") {
+    val bars = Seq(("A", "2024-01-31", 100.0), ("A", "2024-02-29", 103.0),
+      ("A", "2024-03-31", 101.0), ("B", "2024-01-31", 50.0))
+      .toDF("symbol", "period", "close")
+    val r = Resample.periodReturn(bars)
+      .select($"symbol", $"period", $"return")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    assert(r == Set(
+      ("A", "2024-01-31", None),
+      ("A", "2024-02-29", Some(0.03)),
+      ("A", "2024-03-31", Some(-0.0194)),
+      ("B", "2024-01-31", None)))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine: identical vectors 1, orthogonal 0, opposite -1") {
+    val df = Seq(
+      (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f), 1.0),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 3.0f), 0.0),
+      (Seq(1.0f, 1.0f), Seq(-1.0f, -1.0f), -1.0)
+    ).toDF("a", "b", "want")
+    val bad = df.filter(round(Similarity.cosine($"a", $"b"), 9) =!= $"want")
+    assert(bad.count() == 0)
+  }
+
+  test("bruteForceTopK ranks by similarity with deterministic ties") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),  // closest to 0
+      (2L, Seq(0.5f, 0.5f)),
+      (3L, Seq(0.0f, 1.0f))   // farthest from 0
+    ).toDF("id", "vec")
+    val r = Similarity.bruteForceTopK(vecs.filter($"id" === 0), vecs, 3)
+      .orderBy($"rank").select($"neighbor_id").as[Long].collect().toSeq
+    assert(r == Seq(1L, 2L, 3L))
+  }
+
+  test("exact kernel matches the column-expression near-dup scan bit-for-bit") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian()))).toDF("id", "vec")
+    val hof = Similarity.cosineNearDupPairs(vecs, 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    val fast = Similarity.cosineNearDupPairsExact(vecs, 0.3, slices = 4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(hof.nonEmpty, "test corpus should produce at least one pair")
+    assert(hof == fast)
+  }
+
+  test("lshTopK only pairs within buckets and never pairs a vector with itself") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 50L).map(i =>
+      (i, Seq.fill(64)(rnd.nextGaussian().toFloat))).toDF("id", "vec")
+    val planes = Similarity.planeComponents(8, 64)
+    val r = Similarity.lshTopK(vecs, planes, 5)
+    val rows = r.as[(Long, Long, Double, Int)].collect()
+    assert(rows.forall { case (q, n, _, rk) => q != n && rk >= 1 && rk <= 5 })
+    // a perturbed copy of vector 0 must land in the same bucket as vector 0
+    val withDup = vecs.unionByName(
+      vecs.filter($"id" === 0).select(lit(999L).as("id"), $"vec"))
+    val dup = Similarity.lshTopK(withDup, planes, 5)
+      .filter($"query_id" === 999L && $"neighbor_id" === 0L)
+    assert(dup.count() == 1)
+  }
+}

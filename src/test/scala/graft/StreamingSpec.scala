@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hourlyRollup over a file stream (AvailableNow) matches the batch result") {
+    withTempDir { dir =>
+      val in = dir.getAbsolutePath + "/in"
+      val out = dir.getAbsolutePath + "/out"
+      val ckpt = dir.getAbsolutePath + "/ckpt"
+      // the 13:30 sentinel advances the watermark past the 11:00-12:00
+      // window end so every asserted window is emitted (append mode only
+      // releases a window once the watermark passes its end); the
+      // sentinel's own 13:00-14:00 window stays open in state.
+      val events = Seq(
+        ("2024-01-01 10:05:00", "click", 1.0),
+        ("2024-01-01 10:55:00", "click", 2.0),
+        ("2024-01-01 11:05:00", "click", 4.0),
+        ("2024-01-01 10:30:00", "view", 8.0),
+        ("2024-01-01 13:30:00", "sentinel", 0.0))
+        .toDF("s", "event_type", "value")
+        .select(to_timestamp($"s").as("ts"), $"event_type", $"value")
+      events.write.parquet(in)
+
+      val stream = spark.readStream.schema(events.schema).parquet(in)
+      Streams.runAvailableNow(
+        Streams.hourlyRollup(stream, watermark = "0 seconds"), out, ckpt)
+
+      val got = spark.read.parquet(out)
+        .select($"hour_start".cast("string"), $"event_type", $"n", $"value_sum")
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(got == Set(
+        ("2024-01-01 10:00:00", "click", 2L, 3.0),
+        ("2024-01-01 11:00:00", "click", 1L, 4.0),
+        ("2024-01-01 10:00:00", "view", 1L, 8.0)))
+    }
+  }
+
+  test("dedupByKey drops exact re-deliveries within the watermark") {
+    withTempDir { dir =>
+      val in = dir.getAbsolutePath + "/in"
+      val out = dir.getAbsolutePath + "/out"
+      val ckpt = dir.getAbsolutePath + "/ckpt"
+      val rows = Seq(
+        ("2024-01-02 00:00:00", "A", 10.0),
+        ("2024-01-02 00:00:00", "A", 10.0), // duplicate delivery
+        ("2024-01-03 00:00:00", "A", 11.0))
+        .toDF("s", "symbol", "close")
+        .select(to_timestamp($"s").as("ts"), $"symbol", $"close")
+      rows.write.parquet(in)
+
+      val stream = spark.readStream.schema(rows.schema).parquet(in)
+      Streams.runAvailableNow(
+        Streams.dedupByKey(stream, "ts", "7 days", Seq("symbol")), out, ckpt)
+
+      val got = spark.read.parquet(out)
+        .select($"ts".cast("string"), $"symbol", $"close")
+        .as[(String, String, Double)].collect().toSet
+      assert(got == Set(
+        ("2024-01-02 00:00:00", "A", 10.0),
+        ("2024-01-03 00:00:00", "A", 11.0)))
+    }
+  }
+
+  test("symbolRunningState tracks per-key incremental state across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[Streams.BarEvent]
+    val q = Streams.symbolRunningState(source.toDS())
+      .writeStream.format("memory").queryName("symstate")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def d(s: String) = java.sql.Date.valueOf(s)
+      source.addData(Streams.BarEvent("A", d("2024-01-01"), 10.0))
+      q.processAllAvailable()
+      source.addData(Streams.BarEvent("A", d("2024-01-03"), 8.0),
+        Streams.BarEvent("B", d("2024-01-02"), 5.0))
+      q.processAllAvailable()
+      val st = spark.sql("SELECT symbol, nRows, CAST(lastDate AS STRING), minClose FROM symstate")
+        .as[(String, Long, String, Double)].collect()
+        .groupBy(_._1).map { case (k, vs) => k -> vs.maxBy(_._2) }
+      assert(st("A") == (("A", 2L, "2024-01-03", 8.0)))
+      assert(st("B") == (("B", 1L, "2024-01-02", 5.0)))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Text}
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens: lowercased, whitespace-split, empty-safe") {
+    val r = Seq("  Hello   World ", "", "one").toDF("text")
+      .select(Text.tokens($"text")).as[Seq[String]].collect().toSeq
+    assert(r == Seq(Seq("hello", "world"), Seq(), Seq("one")))
+  }
+
+  test("fingerprint is whitespace/case insensitive, content sensitive") {
+    val fps = Seq("The  quick fox", "the quick  fox", "the quick cat")
+      .toDF("text").select(Text.fingerprint($"text")).as[String].collect()
+    assert(fps(0) == fps(1) && fps(1) != fps(2))
+  }
+
+  test("wordShingles: sliding distinct 3-grams; short docs empty") {
+    val r = Seq("a b c d", "a b").toDF("text")
+      .select(Text.wordShingles(Text.tokens($"text"), 3))
+      .as[Seq[String]].collect().toSeq
+    assert(r == Seq(Seq("a b c", "b c d"), Seq()))
+  }
+
+  test("langId picks the dominant stopword family") {
+    val r = Seq("the cat of a house", "der hund und das ein", "xyzzy plugh")
+      .toDF("text").select(Text.langId($"text")).as[String].collect().toSeq
+    assert(r == Seq("en", "de", "und"))
+  }
+
+  test("qualityScore stays in [0,1] and rewards diversity") {
+    val r = Seq("the a of to and the a of to and", // repetitive, all stopwords
+      "alpha beta gamma delta epsilon zeta").toDF("text")
+      .select(Text.qualityScore($"text")).as[Double].collect()
+    assert(r.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("jaccard golden value") {
+    // A={a,b,c,d}, B={b,c,d,e}: 3 shared / 5 union = 0.6
+    val df = Seq((Seq("a", "b", "c", "d"), Seq("b", "c", "d", "e"))).toDF("x", "y")
+    assert(df.select(round(Dedup.jaccard($"x", $"y"), 4)).as[Double].head() == 0.6)
+  }
+
+  test("jaccardPairs and jaccardPairsPrefix agree and find the known pair") {
+    val docs = Seq(
+      (1L, Seq("a b c", "b c d", "c d e", "d e f")),
+      (2L, Seq("a b c", "b c d", "c d e", "x y z")), // jac 3/5 with doc 1
+      (3L, Seq("p q r", "q r s", "r s t", "s t u"))
+    ).toDF("id", "shingles")
+    val want = Set((1L, 2L, 0.6))
+    val a = Dedup.jaccardPairs(docs, "id", "shingles", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val b = Dedup.jaccardPairsPrefix(docs, "id", "shingles", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a == want && b == want)
+  }
+
+  test("minhash: identical sets sign identically; LSH finds near-dups") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, "completely different content with nothing shared at all whatsoever here")
+    ).toDF("id", "text")
+      .select($"id", Text.wordShingles(Text.tokens($"text"), 3).as("sh"))
+    val sig = docs.select($"id", $"sh",
+      Dedup.minhashSignature($"sh", 16).as("sig"))
+    val sigs = sig.select($"id", $"sig").as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1).size == 16)
+    val cands = Dedup.lshCandidatePairs(sig, "id", "sig", 4, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
+  }
+
+  test("simhash: identical texts at distance 0, near texts close, far texts far") {
+    val sk = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (4L, "one two three four five six seven eight"))
+      .toDF("id", "text")
+      .select($"id", Dedup.simhash(Text.tokens($"text"), 32).as("sk"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sk(1), sk(2)) == 0)
+    assert(ham(sk(1), sk(3)) < ham(sk(1), sk(4)))
+  }
+
+  test("exact dedup keeps one representative per fingerprint") {
+    val docs = Seq((1L, "same  text"), (2L, "SAME TEXT"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val kept = docs.groupBy(Text.fingerprint($"text").as("fp"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n"))
+      .select($"keep_id", $"n").as[(Long, Long)].collect().toSet
+    assert(kept == Set((1L, 2L), (3L, 1L)))
+  }
+}
