@@ -329,8 +329,12 @@ object SparkEntry {
     "q27_minhash_lsh" -> ((s, dir) => {
       val sh = docsDup(s, dir).select(col("doc_id").as("id"),
         Text.wordShingles(Text.tokens(col("text")), 3).as("sh"))
+      // persist: the signature table feeds the LSH self-join and both
+      // verification joins — without it the tokenize+shingle+md5 chain
+      // re-runs once per reference (4 scans at sf0.1, no exchange reuse
+      // across broadcast sides).
       val sig = sh.select(col("id"), col("sh"),
-        Dedup.minhashSignature(col("sh"), 16).as("sig"))
+        Dedup.minhashSignature(col("sh"), 16).as("sig")).persist()
       Dedup.lshCandidatePairs(sig, "id", "sig", 4, 4)
         .join(sig.select(col("id").as("ia"), col("sh").as("sha")), col("id_a") === col("ia"))
         .join(sig.select(col("id").as("ib"), col("sh").as("shb")), col("id_b") === col("ib"))
@@ -342,6 +346,7 @@ object SparkEntry {
     "q28_jaccard_pairs" -> ((s, dir) => {
       val sh = docsDup(s, dir).select(col("doc_id").as("id"),
         Text.wordShingles(Text.tokens(col("text")), 3).as("shingles"))
+        .persist() // referenced by both self-join sides + the size lookup
       Dedup.jaccardPairs(sh, "id", "shingles", 0.5)
     }),
 
@@ -350,6 +355,7 @@ object SparkEntry {
     "q29_simhash" -> ((s, dir) => {
       val sk = docsDup(s, dir).select(col("doc_id").as("id"),
         Dedup.simhash(Text.tokens(col("text")), 32).as("sk"))
+        .persist() // sketch table feeds the banded self-join twice
       val bands = sk.select(col("id"), col("sk"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("sk"), 8 * b).bitwiseAND(255)): _*)).as(Seq("band", "bval")))

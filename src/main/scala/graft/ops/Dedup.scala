@@ -26,15 +26,9 @@ object Dedup {
   def hashLong(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Let-binding for column expressions: evaluate `value` once per row
-    * and reference it many times in `body`. Guards against Catalyst's
-    * projection collapse inlining an expensive subtree (md5 per element,
-    * a whole signature) into every use site — higher-order lambdas are
-    * interpreted, so duplicated evaluation is a real 10–60× cost, not a
-    * codegen-dedup'd no-op.
-    */
+  /** See Cols.bound — re-exported for local use. */
   def bound(value: Column)(body: Column => Column): Column =
-    transform(array(value), v => body(v)).getItem(0)
+    Cols.bound(value)(body)
 
   /** Base hashes of a shingle/token array: md5-hash mod P per element. */
   def elementHashes(elems: Column): Column =

@@ -50,33 +50,35 @@ object Text {
   /** Composite document-quality score in [0,1]:
     * 0.4·length saturation (100 tokens = full marks) +
     * 0.3·stopword density + 0.3·lexical diversity. Rounded to 4.
+    * Tokenization bound once (Cols.bound) — the three components share
+    * one token array instead of re-splitting per term.
     */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
-    round(
-      lit(0.4) * least(lit(1.0), size(toks).cast("double") / 100.0) +
-        lit(0.3) * wordListRatio(toks, StopwordsEn) +
-        lit(0.3) * typeTokenRatio(toks),
-      4)
-  }
+  def qualityScore(text: Column): Column =
+    Cols.bound(tokens(text)) { toks =>
+      round(
+        lit(0.4) * least(lit(1.0), size(toks).cast("double") / 100.0) +
+          lit(0.3) * wordListRatio(toks, StopwordsEn) +
+          lit(0.3) * typeTokenRatio(toks),
+        4)
+    }
 
   /** Deterministic language-ID: argmax of per-language stopword density,
     * ties and all-zero scores resolved in a fixed order (en,de,es,fr) with
     * fallback "und" (undetermined). One pass, no shuffle.
     */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val en = wordListRatio(toks, StopwordsEn)
-    val de = wordListRatio(toks, StopwordsDe)
-    val es = wordListRatio(toks, StopwordsEs)
-    val fr = wordListRatio(toks, StopwordsFr)
-    val top = greatest(en, de, es, fr)
-    when(top === 0.0, lit("und"))
-      .when(en === top, lit("en"))
-      .when(de === top, lit("de"))
-      .when(es === top, lit("es"))
-      .otherwise(lit("fr"))
-  }
+  def langId(text: Column): Column =
+    Cols.bound(tokens(text)) { toks =>
+      val en = wordListRatio(toks, StopwordsEn)
+      val de = wordListRatio(toks, StopwordsDe)
+      val es = wordListRatio(toks, StopwordsEs)
+      val fr = wordListRatio(toks, StopwordsFr)
+      val top = greatest(en, de, es, fr)
+      when(top === 0.0, lit("und"))
+        .when(en === top, lit("en"))
+        .when(de === top, lit("de"))
+        .when(es === top, lit("es"))
+        .otherwise(lit("fr"))
+    }
 
   /** Content fingerprint: md5 over whitespace-normalized lowercase text.
     * The exact-dedup key — identical logical content hashes identically
@@ -87,10 +89,16 @@ object Text {
 
   /** Word n-gram shingles (distinct), the MinHash/Jaccard input unit.
     * Documents shorter than n shingle to an empty array.
+    *
+    * The token array is bound once and windows are built from O(1)
+    * element_at lookups — a lambda that referenced the tokenize subtree
+    * (or sliced a copy per window) would cost O(n²) per document.
     */
   def wordShingles(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n))))))
+    Cols.bound(toks) { t =>
+      when(size(t) < n, array().cast("array<string>"))
+        .otherwise(array_distinct(
+          transform(sequence(lit(1), size(t) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*))))
+    }
 }
