@@ -415,7 +415,29 @@ object SparkEntry {
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy(col("label"), col("pos"))
         .agg(round(avg(col("x").cast("double")), 6).as("avg_val"),
-          count(lit(1)).as("n")))
+          count(lit(1)).as("n"))),
+
+    // A9/O2: failure accumulation with truncated sample list — the
+    // reference's fail_list[:N] report shape (collect_list + sort + slice).
+    "q35_fail_list" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .filter(col("c_acctbal") < 0)
+        .groupBy(col("c_nationkey").as("market"))
+        .agg(count(lit(1)).as("n_fails"),
+          concat_ws(",",
+            slice(sort_array(collect_list(col("c_name"))), 1, 5)).as("sample"))),
+
+    // S8: the dual SQL surface — tables registered as views, the query
+    // expressed in ANSI SQL via spark.sql (identical text to the oracle).
+    "q36_sql_surface" -> ((s, dir) => {
+      Tables.registerViews(s, dir, Seq("customer", "nation", "orders"))
+      s.sql(
+        """SELECT n_name, count(*) AS n_orders,
+          |  round(sum(o_totalprice), 2) AS total
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name""".stripMargin)
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -692,7 +714,20 @@ object SparkEntry {
         |FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
         |        CAST(unnest(embedding) AS DOUBLE) AS x
         |      FROM embeddings)
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q35_fail_list" ->
+      """SELECT c_nationkey AS market, count(*) AS n_fails,
+        |  array_to_string((list(c_name ORDER BY c_name))[1:5], ',') AS sample
+        |FROM customer WHERE c_acctbal < 0
+        |GROUP BY 1""".stripMargin,
+
+    "q36_sql_surface" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
