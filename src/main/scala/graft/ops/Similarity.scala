@@ -26,7 +26,19 @@ object Similarity {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  /** Cosine similarity — the native codegen'd Catalyst expression
+    * (graft.functions.CosineSimilarity). Same numerics as the
+    * composable HOF formulation `cosineHof`; ~10× faster per pair.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.NativeFunctions.cosineSim(a, b)
+
+  /** Built-ins-only cosine (higher-order functions). Kept as the
+    * portable reference implementation; a spec asserts bit-for-bit
+    * agreement with the native expression.
+    */
+  def cosineHof(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Brute-force cosine top-k: every query row (`queries`: id, vec)
     * against every candidate row (`candidates`: id, vec), keep the k

@@ -1,0 +1,78 @@
+// Lives under org.apache.spark.sql because the expression-extension
+// surface it needs (AbstractDataType for ExpectsInputTypes, the
+// Column<->Expression converters in classic.ExpressionUtils) is
+// private[sql]. This shim is the only file outside the graft package;
+// graft.functions re-exports the public face.
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for cosine similarity over two double
+  * arrays, with whole-stage codegen (`doGenCode` emits one fused Java
+  * loop). This replaces the composable-but-interpreted higher-order
+  * `aggregate`/`zip_with` formulation in hot paths: the HOF version
+  * allocates a lambda frame per element, the generated loop runs on
+  * primitive doubles — ~10× per-pair at dim 64.
+  *
+  * Numerics are kept IDENTICAL to the HOF/oracle definition: each of
+  * dot/‖a‖²/‖b‖² accumulates sequentially in ascending index order and
+  * the result is dot / (√‖a‖²·√‖b‖²), so rounded outputs match DuckDB's
+  * and the interpreted path bit-for-bit. Float inputs arrive via the
+  * implicit array<float>→array<double> cast (exact).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes
+  with Serializable {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "cosine_similarity"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toDoubleArray()
+    val y = b.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) { dot += x(i) * y(i); na += x(i) * x(i); nb += y(i) * y(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      s"""
+         |double[] $x = $a.toDoubleArray();
+         |double[] $y = $b.toDoubleArray();
+         |int $n = Math.min($x.length, $y.length);
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $x[$i] * $y[$i];
+         |  $na += $x[$i] * $x[$i];
+         |  $nb += $y[$i] * $y[$i];
+         |}
+         |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object NativeFunctions {
+  /** Column-facing wrapper for the native cosine expression. */
+  def cosineSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSimilarity(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

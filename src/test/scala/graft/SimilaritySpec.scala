@@ -6,6 +6,20 @@ import graft.ops.Similarity
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
+  test("native codegen cosine agrees bit-for-bit with the HOF formulation") {
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 200).map(_ =>
+      (Seq.fill(64)(rnd.nextGaussian().toFloat),
+        Seq.fill(64)(rnd.nextGaussian().toFloat))).toDF("a", "b")
+    val native = df.select(Similarity.cosine(
+      transform($"a", x => x.cast("double")),
+      transform($"b", x => x.cast("double")))).as[Double].collect()
+    val hof = df.select(Similarity.cosineHof(
+      transform($"a", x => x.cast("double")),
+      transform($"b", x => x.cast("double")))).as[Double].collect()
+    assert(native.toSeq == hof.toSeq) // exact equality, not approximate
+  }
+
   test("cosine: identical vectors 1, orthogonal 0, opposite -1") {
     val df = Seq(
       (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f), 1.0),
