@@ -437,6 +437,15 @@ object SparkEntry {
           |FROM orders JOIN customer ON o_custkey = c_custkey
           |JOIN nation ON c_nationkey = n_nationkey
           |GROUP BY n_name""".stripMargin)
+    }),
+
+    // Similarity: IVF-bucketed ANN (16 data-derived centroids, nprobe=1).
+    "q37_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("vec_id"), col("embedding").as("vec"))
+      val centroids = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("vec").as("cvec"))
+      Similarity.ivfTopK(e.select(col("id"), col("vec")), centroids, 5)
     })
   )
 
@@ -727,7 +736,25 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY n_name""".stripMargin
+        |GROUP BY n_name""".stripMargin,
+
+    "q37_ann_ivf" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |           WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT id, vec, cid AS cell FROM (
+         |    SELECT e.vec_id AS id, e.embedding AS vec, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.embedding", "c.cvec")}, 6) DESC, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN c)
+         |  WHERE rn = 1)
+         |SELECT query_id, neighbor_id, sim, "rank" FROM (
+         |  SELECT x.id AS query_id, y.id AS neighbor_id,
+         |    round(${cosSql("x.vec", "y.vec")}, 6) AS sim,
+         |    row_number() OVER (PARTITION BY x.id
+         |      ORDER BY round(${cosSql("x.vec", "y.vec")}, 6) DESC, y.id) AS "rank"
+         |  FROM assigned x JOIN assigned y ON x.cell = y.cell AND x.id != y.id)
+         |WHERE "rank" <= 5""".stripMargin
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

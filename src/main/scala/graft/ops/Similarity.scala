@@ -136,6 +136,41 @@ object Similarity {
       when(d > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF-style coarse quantization: assign every vector to its most
+    * similar centroid (deterministic argmax — similarity rounded to 6
+    * then centroid id as tiebreak). Centroids broadcast; one pass over
+    * the vectors. `centroids` carries (cid, cvec).
+    */
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid"))
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("csim", round(cosine(col("vec"), col("cvec")), 6))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("vec"), col("cid").as("cell"))
+  }
+
+  /** IVF approximate nearest neighbors (nprobe=1): compare only vectors
+    * sharing a centroid cell, then rank as in brute force. The inverted
+    * file IS the shuffle key — per-cell brute force, so cost scales with
+    * cell occupancy (n²/k for balanced cells), and the centroid set is
+    * the only broadcast. Recall grows with probe count; the single-probe
+    * variant keeps the oracle deterministic.
+    */
+  def ivfTopK(vecs: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
+    // persisted: both sides of the per-cell self-join read the assignment
+    // (otherwise the n×centroids scoring pass runs twice)
+    val assigned = ivfAssign(vecs, centroids).persist()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"),
+        round(cosine(col("a.vec"), col("b.vec")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Approximate nearest neighbors: compare only within LSH buckets, then
     * rank as in brute force. Recall < 1 by construction; the point is the
     * join shape — bucket id is the shuffle key, so cost scales with

@@ -75,4 +75,13 @@ object NativeFunctions {
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarity(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Expose the expression to the SQL surface:
+    * `SELECT cosine_similarity(a, b)` after registration.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_similarity",
+      exprs => CosineSimilarity(exprs.head, exprs(1)),
+      "scala_udf")
 }

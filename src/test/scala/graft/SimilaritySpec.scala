@@ -20,6 +20,31 @@ class SimilaritySpec extends SparkSpec {
     assert(native.toSeq == hof.toSeq) // exact equality, not approximate
   }
 
+  test("cosine_similarity is callable from the SQL surface after registration") {
+    graft.functions.NativeFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT round(cosine_similarity(array(1.0D, 2.0D), array(2.0D, 4.0D)), 9)")
+      .as[Double].head()
+    assert(r == 1.0)
+  }
+
+  test("ivfTopK: every neighbor shares the query's cell; planted dup found") {
+    val rnd = new scala.util.Random(5)
+    val vecs = (0L until 60L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat))).toDF("id", "vec")
+    val centroids = vecs.filter($"id" < 4)
+      .select($"id".as("cid"), $"vec".as("cvec"))
+    val r = Similarity.ivfTopK(vecs, centroids, 5)
+    assert(r.filter($"query_id" === $"neighbor_id").count() == 0)
+    // a duplicated vector must be its copy's top neighbor with sim 1
+    val withDup = vecs.unionByName(
+      vecs.filter($"id" === 7).select(lit(888L).as("id"), $"vec"))
+    val top = Similarity.ivfTopK(withDup, centroids, 5)
+      .filter($"query_id" === 888L && $"rank" === 1)
+      .select($"neighbor_id", $"sim").as[(Long, Double)].head()
+    assert(top == ((7L, 1.0)))
+  }
+
   test("cosine: identical vectors 1, orthogonal 0, opposite -1") {
     val df = Seq(
       (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f), 1.0),
