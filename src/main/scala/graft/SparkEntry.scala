@@ -446,7 +446,22 @@ object SparkEntry {
       val centroids = e.filter(col("vec_id") < 16)
         .select(col("vec_id").as("cid"), col("vec").as("cvec"))
       Similarity.ivfTopK(e.select(col("id"), col("vec")), centroids, 5)
-    })
+    }),
+
+    // Text: BPE-ish subword token counting vs whitespace words — the
+    // LLM-corpus budgeting measure.
+    "q38_bpe_tokens" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          sum(Text.bpeTokenCount(col("text"))).cast("long").as("total_bpe"),
+          sum(Text.tokenCount(col("text"))).cast("long").as("total_words"),
+          round(avg(Text.bpeTokenCount(col("text"))), 2).as("avg_bpe"))),
+
+    // Text: order-sensitive rolling-hash document fingerprint.
+    "q39_rolling_hash" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.rollingHash(Text.tokens(col("text"))).as("rh")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -737,6 +752,27 @@ object SparkEntry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+
+    "q38_bpe_tokens" ->
+      s"""SELECT lang,
+         |  CAST(sum(nb) AS BIGINT) AS total_bpe,
+         |  CAST(sum(nw) AS BIGINT) AS total_words,
+         |  round(avg(nb), 2) AS avg_bpe
+         |FROM (SELECT lang,
+         |        len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS nb,
+         |        len($tokSql) AS nw
+         |      FROM documents)
+         |GROUP BY lang""".stripMargin,
+
+    "q39_rolling_hash" -> {
+      val pows = graft.ops.Text.rollingHashPowers(graft.ops.Dedup.P)
+      s"""SELECT doc_id,
+         |  coalesce(CAST(list_sum(
+         |    [((${h60("tk[i]")} % 2147483647)
+         |       * ([${pows.mkString(",")}][len(tk) - i + 1]) % 2147483647)
+         |     for i in range(1, len(tk) + 1)]) % 2147483647 AS BIGINT), 0) AS rh
+         |FROM (SELECT doc_id, $tokSql AS tk FROM documents)""".stripMargin
+    },
 
     "q37_ann_ivf" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings

@@ -87,6 +87,47 @@ object Text {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /** BPE-ish subword tokenization: letter runs, digit runs, and single
+    * non-alphanumeric marks — the shape of a byte-pair pre-tokenizer's
+    * split pattern, engine-portable (no lookarounds). Feeds token-count
+    * estimation for LLM-corpus budgeting.
+    */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
+  /** Polynomial rolling-hash document fingerprint over the token stream:
+    * Σ H(tᵢ)·31^(n−1−i) mod P — the order-sensitive cousin of the md5
+    * fingerprint (re-ordered tokens hash differently). Expressed as a
+    * positional sum with precomputed power literals so the identical
+    * formula runs in any SQL engine; H is the portable 60-bit md5 hash
+    * mod P (Dedup.hashLong).
+    */
+  val RollingHashMaxTokens = 512
+
+  def rollingHashPowers(p: Long): Array[Long] = {
+    val out = new Array[Long](RollingHashMaxTokens)
+    out(0) = 1L
+    var i = 1
+    while (i < out.length) { out(i) = out(i - 1) * 31 % p; i += 1 }
+    out
+  }
+
+  def rollingHash(toks: Column): Column = {
+    val p = Dedup.P
+    val pows = rollingHashPowers(p)
+    Cols.bound(transform(toks, t => pmod(Dedup.hashLong(t), lit(p)))) { hs =>
+      Cols.bound(size(hs)) { n =>
+        aggregate(
+          zip_with(hs, slice(reverse(array(pows.map(lit(_)).toIndexedSeq: _*)),
+            lit(RollingHashMaxTokens + 1) - n, n),
+            (h, pw) => pmod(h * pw, lit(p))),
+          lit(0L), (acc, x) => pmod(acc + x, lit(p)))
+      }
+    }
+  }
+
   /** Word n-gram shingles (distinct), the MinHash/Jaccard input unit.
     * Documents shorter than n shingle to an empty array.
     *

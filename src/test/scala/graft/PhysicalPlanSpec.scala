@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape regression tests: the optimizations the 100 TB design
+  * depends on must be visible in the physical plan, not assumed.
+  */
+class PhysicalPlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  test("flagship resample is one exchange with map-side partial aggregation") {
+    val p = plan("q01_weekly_bars")
+    assert("(?m)^\\s*\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
+      s"expected exactly one shuffle:\n$p")
+    assert(p.contains("partial_min_by"), "partial aggregation must run map-side")
+  }
+
+  test("star join broadcasts the dimensions, never shuffles them") {
+    val p = plan("q08_region_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3,
+      "customer/nation/region must arrive via broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "no sort-merge join expected at dimension sizes")
+  }
+
+  test("filters reach the parquet scan (pushdown) and columns are pruned") {
+    val df = Tables(spark, dir, "lineitem")
+      .filter(col("l_quantity") > 30)
+      .select("l_partkey", "l_quantity")
+    val p = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"), p)
+    assert(p.contains("ReadSchema: struct<l_partkey:bigint,l_quantity:double>"),
+      "scan must read only the two projected columns")
+  }
+
+  test("rejection anti-join keeps the broadcast hint") {
+    val p = plan("q05_gap_detect")
+    // gap detection itself is a window over one shuffle; make sure no
+    // extra exchanges crept in beyond the window + aggregate pair
+    assert("(?m)^\\s*\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("whole-stage codegen covers the scan-project pipeline") {
+    val df = Tables(spark, dir, "lineitem")
+      .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val p = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    // codegen'd operators carry the "*(stageId)" marker in simple mode
+    assert(p.contains("*(1) Project"), p)
+  }
+}

@@ -38,6 +38,23 @@ class TextDedupSpec extends SparkSpec {
     assert(r.forall(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("bpeTokens splits letter runs, digit runs, and marks") {
+    val r = Seq("Hello, world42! It's x2.").toDF("text")
+      .select(Text.bpeTokens($"text")).as[Seq[String]].head()
+    assert(r == Seq("hello", ",", "world", "42", "!", "it", "'", "s", "x", "2", "."))
+  }
+
+  test("rollingHash is order-sensitive where the md5 fingerprint is not") {
+    val df = Seq("alpha beta gamma", "gamma beta alpha", "alpha beta gamma")
+      .toDF("text")
+    val rh = df.select(Text.rollingHash(Text.tokens($"text"))).as[Long].collect()
+    assert(rh(0) == rh(2) && rh(0) != rh(1))
+    assert(rh.forall(h => h >= 0 && h < graft.ops.Dedup.P))
+    val empty = Seq("").toDF("text")
+      .select(Text.rollingHash(Text.tokens($"text"))).as[Long].head()
+    assert(empty == 0L)
+  }
+
   test("jaccard golden value") {
     // A={a,b,c,d}, B={b,c,d,e}: 3 shared / 5 union = 0.6
     val df = Seq((Seq("a", "b", "c", "d"), Seq("b", "c", "d", "e"))).toDF("x", "y")
