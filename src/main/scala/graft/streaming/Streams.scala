@@ -66,6 +66,30 @@ object Streams {
       }
   }
 
+  /** Streaming MERGE: upsert each micro-batch into the partitioned
+    * parquet warehouse through foreachBatch — the continuous face of the
+    * reference's INSERT OR REPLACE ingest. Each batch is a partition-
+    * scoped merge (only the partitions the batch touches are rewritten),
+    * so a day's worth of late symbols costs one date-partition rewrite,
+    * not a table scan. Exactly-once per key comes from the version-column
+    * keep-latest semantics, which absorbs micro-batch replays after a
+    * checkpoint recovery (re-merging a batch is a no-op).
+    */
+  def mergeStream(in: DataFrame, tablePath: String, checkpoint: String,
+                  keys: Seq[String], versionCol: String,
+                  partitionCol: String): Unit = {
+    val q = in.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.Merge.upsertIntoPath(batch.toDF(), tablePath, keys,
+          versionCol, partitionCol)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drive any streaming DataFrame to a parquet sink with AvailableNow:
     * processes everything pending, then stops — the scheduled-batch
     * deployment mode (replaces the reference's GitHub Actions cron with

@@ -65,6 +65,33 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("mergeStream upserts micro-batches into the partitioned warehouse") {
+    withTempDir { dir =>
+      val in = dir.getAbsolutePath + "/in"
+      val table = dir.getAbsolutePath + "/table"
+      def rows(vs: ((String, String, Double, Long))*) =
+        vs.toSeq.toDF("date", "symbol", "close", "version")
+      // batch 1
+      rows(("2024-01-01", "A", 10.0, 1L), ("2024-01-02", "A", 11.0, 1L))
+        .write.parquet(in)
+      val schema = spark.read.parquet(in).schema
+      Streams.mergeStream(spark.readStream.schema(schema).parquet(in),
+        table, dir.getAbsolutePath + "/ckpt1",
+        Seq("date", "symbol"), "version", "date")
+      // batch 2: overwrites one key, adds one — separate stream run
+      rows(("2024-01-02", "A", 99.0, 2L), ("2024-01-03", "B", 12.0, 2L))
+        .write.mode("append").parquet(in)
+      Streams.mergeStream(spark.readStream.schema(schema).parquet(in),
+        table, dir.getAbsolutePath + "/ckpt2",
+        Seq("date", "symbol"), "version", "date")
+      val got = spark.read.parquet(table)
+        .select($"date", $"symbol", $"close").as[(String, String, Double)]
+        .collect().toSet
+      assert(got == Set(("2024-01-01", "A", 10.0),
+        ("2024-01-02", "A", 99.0), ("2024-01-03", "B", 12.0)))
+    }
+  }
+
   test("symbolRunningState tracks per-key incremental state across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
