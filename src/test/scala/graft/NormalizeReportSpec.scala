@@ -37,6 +37,33 @@ class NormalizeReportSpec extends SparkSpec {
     assert(r == Set(("m1", "OK"), ("m2", "LOW")))
   }
 
+  test("renderReport truncates the fail list with an 'and N more' suffix") {
+    val summary = Seq(("tw", 3L, java.sql.Date.valueOf("2024-03-01")))
+      .toDF("market", "success", "end_date")
+    val failures = (1 to 14).map(i => (s"SYM$i", "invalid_price"))
+      .toDF("key", "reason")
+    val text = Report.renderReport(summary, failures, sampleN = 10)
+    assert(text.contains("market=tw success=3 end_date=2024-03-01"))
+    assert(text.contains("...and 4 more"))
+    assert(text.linesIterator.count(_.contains("invalid_price")) == 10)
+    val empty = Report.renderReport(summary, failures.filter($"key" === "nope"))
+    assert(empty.contains("(no failures)"))
+  }
+
+  test("warehouse schemas expose the reference data model") {
+    import graft.Schemas
+    assert(Schemas.stockPrices.fieldNames.take(7).toSeq ==
+      Seq("date", "symbol", "open", "high", "low", "close", "volume"))
+    assert(Schemas.stockPrices("volume").dataType.typeName == "long")
+    assert(Schemas.stockPrices("date").dataType.typeName == "date")
+    assert(Schemas.periodBars.fieldNames.contains("return"))
+    // typed face round-trips through an Encoder
+    val ds = Seq(Schemas.PriceBar(java.sql.Date.valueOf("2024-01-02"),
+      "2330.TW", 1, 2, 0.5, 1.5, 100L)).toDS()
+    assert(ds.schema.fieldNames.toSeq ==
+      Schemas.stockPrices.fieldNames.take(7).toSeq)
+  }
+
   test("staleKeys flags symbols behind the global max date") {
     val df = Seq(("A", "2024-03-01"), ("B", "2023-12-01"), ("B", "2023-11-01"))
       .toDF("symbol", "s").select($"symbol", to_date($"s").as("d"))
