@@ -100,10 +100,14 @@ object Dedup {
                    threshold: Double): DataFrame = {
     val d = docs.select(col(id).as("id"), array_distinct(col(shingles)).as("sh"))
     val sizes = d.select(col("id"), size(col("sh")).as("n"))
-    val inv = d.select(col("id"),
+    val inv = d.select(col("id"), size(col("sh")).as("n"),
       explode(transform(col("sh"), s => hashLong(s))).as("h"))
+    // size-ratio precondition: jac >= θ forces θ·|A| <= |B| <= |A|/θ —
+    // incompatible pairs are dropped in the join, before the aggregate
     inv.as("a").join(inv.as("b"),
-        col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          col("b.n") * threshold <= col("a.n") &&
+          col("a.n") * threshold <= col("b.n"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
       .join(broadcast(sizes).as("sa"), col("id_a") === col("sa.id"))
