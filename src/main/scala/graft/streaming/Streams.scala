@@ -40,6 +40,21 @@ object Streams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("value_sum"))
 
+  /** Session windows: activity bursts per key separated by `gap` of
+    * silence (built-in session_window — state merges adjacent events,
+    * emits once the watermark passes session end + gap). Works
+    * identically over batch frames, which is how the spec goldens it.
+    */
+  def sessionRollup(events: DataFrame, key: String, gap: String,
+                    watermark: Option[String] = None): DataFrame = {
+    val in = watermark.map(events.withWatermark("ts", _)).getOrElse(events)
+    in.groupBy(session_window(col("ts"), gap), col(key))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("value_sum"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col(key), col("n"), col("value_sum"))
+  }
+
   /** Per-key running state for custom incremental logic that windowed
     * aggs can't express — the mapGroupsWithState path. Tracks per symbol:
     * row count, latest event date, and min close seen (the streaming

@@ -65,6 +65,23 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sessionRollup groups activity bursts split by the silence gap") {
+    val events = Seq(
+      ("2024-01-01 10:00:00", 7L, 1.0),
+      ("2024-01-01 10:03:00", 7L, 2.0),  // same session (< 5 min gap)
+      ("2024-01-01 10:20:00", 7L, 4.0),  // new session after 17 min silence
+      ("2024-01-01 10:01:00", 9L, 8.0))
+      .toDF("s", "user_id", "value")
+      .select(to_timestamp($"s").as("ts"), $"user_id", $"value")
+    val got = Streams.sessionRollup(events, "user_id", "5 minutes")
+      .select($"session_start".cast("string"), $"user_id", $"n", $"value_sum")
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("2024-01-01 10:00:00", 7L, 2L, 3.0),
+      ("2024-01-01 10:20:00", 7L, 1L, 4.0),
+      ("2024-01-01 10:01:00", 9L, 1L, 8.0)))
+  }
+
   test("mergeStream upserts micro-batches into the partitioned warehouse") {
     withTempDir { dir =>
       val in = dir.getAbsolutePath + "/in"
