@@ -439,6 +439,25 @@ object SparkEntry {
           |GROUP BY n_name""".stripMargin)
     }),
 
+    // Aggregate extension: hierarchical ROLLUP totals (subtotal rows
+    // carry NULL group keys, matching ANSI GROUP BY ROLLUP).
+    "q40_rollup" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .rollup(col("c_nationkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+    }),
+
+    // Aggregate extension: exact interpolated quantiles per group.
+    "q41_quantiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.95)"), 4).as("p95"),
+          count(lit(1)).as("n"))),
+
     // Similarity: IVF-bucketed ANN (16 data-derived centroids, nprobe=1).
     "q37_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -773,6 +792,19 @@ object SparkEntry {
          |     for i in range(1, len(tk) + 1)]) % 2147483647 AS BIGINT), 0) AS rh
          |FROM (SELECT doc_id, $tokSql AS tk FROM documents)""".stripMargin
     },
+
+    "q40_rollup" ->
+      """SELECT c_nationkey, o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY ROLLUP (c_nationkey, o_orderstatus)""".stripMargin,
+
+    "q41_quantiles" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "q37_ann_ivf" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
