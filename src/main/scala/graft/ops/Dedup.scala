@@ -100,8 +100,11 @@ object Dedup {
                    threshold: Double): DataFrame = {
     val d = docs.select(col(id).as("id"), array_distinct(col(shingles)).as("sh"))
     val sizes = d.select(col("id"), size(col("sh")).as("n"))
+    // persisted: both self-join sides consume the index — without this
+    // the explode + md5 pass over every shingle runs twice
     val inv = d.select(col("id"), size(col("sh")).as("n"),
       explode(transform(col("sh"), s => hashLong(s))).as("h"))
+      .persist()
     // size-ratio precondition: jac >= θ forces θ·|A| <= |B| <= |A|/θ —
     // incompatible pairs are dropped in the join, before the aggregate
     inv.as("a").join(inv.as("b"),
