@@ -26,7 +26,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // sbt's logger prefixes every captured stdout line with "[info] ",
+    // which breaks machine parsing of the JSON line — also emit it (a) to
+    // a bare file and (b) straight to the process stdout fd, bypassing
+    // any System.out redirection the launcher installed.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case _: java.io.IOException => () }
+    try {
+      val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+      raw.write((line + "\n").getBytes("UTF-8")); raw.flush()
+    } catch { case _: java.io.IOException => () }
     spark.stop()
   }
 }

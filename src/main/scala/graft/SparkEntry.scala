@@ -364,8 +364,11 @@ object SparkEntry {
             col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           Dedup.hamming(col("a.sk"), col("b.sk")).as("hamming"))
-        .distinct()
+        // hamming is already known per band-collision: filtering BEFORE
+        // the distinct shrinks the dedup exchange to only the true
+        // near-dup pairs (~50× fewer rows than distinct-then-filter)
         .filter(col("hamming") <= 3)
+        .distinct()
     }),
 
     // Dedup: embedding-cosine near-dup pairs (planted perturbed copies).
@@ -487,9 +490,13 @@ object SparkEntry {
     "q01_weekly_bars" -> ohlcSql(weekEndSqlFn),
     "q02_monthly_bars" -> ohlcSql("last_day(d)"),
     "q03_yearly_bars" -> ohlcSql("CAST(date_trunc('year', d) AS DATE)"),
+    // `+ 0` normalizes IEEE -0.0 to +0.0: DuckDB's round preserves the
+    // sign bit on a negative return that rounds to zero, Spark's
+    // BigDecimal round does not — values compare equal but the driver's
+    // byte-level hash diverges without the normalization.
     "q04_period_return" ->
       s"""SELECT symbol, period, close,
-         |  round(close / lag(close) OVER (PARTITION BY symbol ORDER BY period) - 1, 4) AS "return"
+         |  round(close / lag(close) OVER (PARTITION BY symbol ORDER BY period) - 1, 4) + 0 AS "return"
          |FROM (${ohlcSql("last_day(d)")})""".stripMargin,
 
     "q05_gap_detect" ->

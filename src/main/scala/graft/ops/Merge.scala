@@ -55,9 +55,15 @@ object Merge {
                      versionCol: String, partitionCol: String): Unit = {
     val spark = incoming.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // Only a definite path-not-found means "table absent". A transient FS
+    // or parse error must PROPAGATE — treating it as absent would rewrite
+    // the table with just the incoming batch and silently drop history.
     val exists = try {
       spark.read.parquet(tablePath).schema.nonEmpty
-    } catch { case _: Throwable => false }
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if e.getCondition == "PATH_NOT_FOUND" => false
+    }
     val merged =
       if (!exists) incoming
       else {

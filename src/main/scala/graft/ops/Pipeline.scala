@@ -68,8 +68,8 @@ object Pipeline {
     val priceRejects = Quality.invalidPriceKeys(withOrd, col("symbol"), col("close"))
     val gapRejects = Quality.gapKeys(withOrd, col("symbol"), col("date"),
       gapDays, gapSince)
-    val preRejects = priceRejects.unionByName(gapRejects)
-      .groupBy("key").agg(first(col("reason")).as("reason"))
+    val preRejects = Quality.firstReasonPerKey(
+      priceRejects.unionByName(gapRejects))
 
     val valid = Quality.excludeRejected(withOrd, col("symbol"), preRejects)
 
@@ -87,8 +87,8 @@ object Pipeline {
     val allPeriods = Seq(weekly, monthly, yearly).reduce(_.unionByName(_))
     val ohlcRejects = Quality.ohlcViolationKeys(allPeriods,
       col("symbol"), col("low"), col("close"), col("high"))
-    val rejections = preRejects.unionByName(ohlcRejects)
-      .groupBy("key").agg(first(col("reason")).as("reason"))
+    val rejections = Quality.firstReasonPerKey(
+      preRejects.unionByName(ohlcRejects))
 
     def finalize(df: DataFrame): DataFrame =
       Quality.excludeRejected(df, col("symbol"), ohlcRejects)

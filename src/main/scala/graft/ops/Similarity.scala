@@ -141,14 +141,19 @@ object Similarity {
     * then centroid id as tiebreak). Centroids broadcast; one pass over
     * the vectors. `centroids` carries (cid, cvec).
     */
-  def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("id")).orderBy(col("csim").desc, col("cid"))
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    // argmax as a min_by aggregate, not a window: the broadcast cross
+    // join keeps every centroid next to its row, so map-side partial
+    // aggregation collapses to ONE row per id before the exchange —
+    // n rows shuffle instead of n×centroids rows shuffled AND sorted.
+    // first(vec) is safe: all rows of a group carry the identical vec.
     vecs.crossJoin(broadcast(centroids))
       .withColumn("csim", round(cosine(col("vec"), col("cvec")), 6))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("id"), col("vec"), col("cid").as("cell"))
-  }
+      .groupBy(col("id"))
+      .agg(
+        first(col("vec")).as("vec"),
+        min_by(col("cid"), struct(negate(col("csim")), col("cid"))).as("cell"))
+      .select(col("id"), col("vec"), col("cell"))
 
   /** IVF approximate nearest neighbors (nprobe=1): compare only vectors
     * sharing a centroid cell, then rank as in brute force. The inverted

@@ -99,10 +99,26 @@ object Text {
 
   /** Polynomial rolling-hash document fingerprint over the token stream:
     * Σ H(tᵢ)·31^(n−1−i) mod P — the order-sensitive cousin of the md5
-    * fingerprint (re-ordered tokens hash differently). Expressed as a
-    * positional sum with precomputed power literals so the identical
-    * formula runs in any SQL engine; H is the portable 60-bit md5 hash
-    * mod P (Dedup.hashLong).
+    * fingerprint (re-ordered tokens hash differently). H is the portable
+    * 60-bit md5 hash mod P (Dedup.hashLong).
+    *
+    * Evaluated as a Horner fold (acc·31 + h mod P) — algebraically equal
+    * to the positional power sum for EVERY document length, with no
+    * precomputed power table to exhaust (the earlier table-driven form
+    * silently mis-hashed documents past 512 tokens). One interpreted
+    * fold per doc; the element hashes are the fold input, so each md5 is
+    * computed exactly once.
+    */
+  def rollingHash(toks: Column): Column = {
+    val p = Dedup.P
+    aggregate(transform(toks, t => pmod(Dedup.hashLong(t), lit(p))),
+      lit(0L), (acc, h) => pmod(acc * 31 + h, lit(p)))
+  }
+
+  /** Power table 31^i mod P for SQL engines whose comfortable idiom is the
+    * positional-sum form (the q39 oracle) — valid for documents up to
+    * `RollingHashMaxTokens` tokens; the engine-side `rollingHash` has no
+    * such cap.
     */
   val RollingHashMaxTokens = 512
 
@@ -112,20 +128,6 @@ object Text {
     var i = 1
     while (i < out.length) { out(i) = out(i - 1) * 31 % p; i += 1 }
     out
-  }
-
-  def rollingHash(toks: Column): Column = {
-    val p = Dedup.P
-    val pows = rollingHashPowers(p)
-    Cols.bound(transform(toks, t => pmod(Dedup.hashLong(t), lit(p)))) { hs =>
-      Cols.bound(size(hs)) { n =>
-        aggregate(
-          zip_with(hs, slice(reverse(array(pows.map(lit(_)).toIndexedSeq: _*)),
-            lit(RollingHashMaxTokens + 1) - n, n),
-            (h, pw) => pmod(h * pw, lit(p))),
-          lit(0L), (acc, x) => pmod(acc + x, lit(p)))
-      }
-    }
   }
 
   /** Word n-gram shingles (distinct), the MinHash/Jaccard input unit.
