@@ -47,6 +47,25 @@ class PhysicalPlanSpec extends SparkSpec {
     assert("(?m)^\\s*\\(\\d+\\) Exchange".r.findAllIn(p).size <= 2, p)
   }
 
+  test("IVF centroid assignment aggregates map-side — no window sort in the plan") {
+    val p = plan("q37_ann_ivf")
+    // the argmax is a min_by hash aggregate with map-side partials; a
+    // Window over the crossed (row × centroid) stream would shuffle and
+    // sort n×k rows instead of n partially-aggregated ones. The ranking
+    // window of ivfTopK itself remains, so scope the check to the
+    // assignment subplan.
+    val assignPlan = graft.ops.Similarity.ivfAssign(
+      Tables(spark, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec")),
+      Tables(spark, dir, "embeddings").filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec")))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!assignPlan.contains("Window"),
+      s"ivfAssign must not plan a Window:\n$assignPlan")
+    assert(assignPlan.contains("partial_min_by"),
+      s"argmax must partially aggregate map-side:\n$assignPlan")
+  }
+
   test("whole-stage codegen covers the scan-project pipeline") {
     val df = Tables(spark, dir, "lineitem")
       .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))

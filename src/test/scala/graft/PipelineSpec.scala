@@ -74,6 +74,22 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("multi-gate failure resolves to the reference's first-gate reason, every run") {
+    withTempDir { dir =>
+      // BOTH gates fail: a non-positive close AND a 20-day hole. The
+      // reference checks price before continuity (downloader_wmy.py:98-107)
+      // so the reported reason must be invalid_price — deterministically,
+      // not whichever union branch an unordered first() saw.
+      writeCsv(dir, "both_day.csv",
+        Seq("2024-01-02,10,12,9,-1,100", "2024-01-22,10,12,9,11,100"))
+      val reasons = (1 to 5).map { _ =>
+        Pipeline.dailySlice(Pipeline.ingestCsvDir(spark, dir.getAbsolutePath))
+          .rejections.as[(String, String)].collect().toSeq
+      }
+      assert(reasons.forall(_ == Seq(("BOTH", "invalid_price"))), reasons)
+    }
+  }
+
   test("dailySlice rejects OHLC-invariant violations on resampled bars") {
     withTempDir { dir =>
       // close of the last day exceeds every high -> weekly close > max(high)

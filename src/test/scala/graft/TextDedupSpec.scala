@@ -55,6 +55,26 @@ class TextDedupSpec extends SparkSpec {
     assert(empty == 0L)
   }
 
+  test("rollingHash matches the positional-sum model at 511/512/513+ tokens") {
+    // independent Scala model: H(t) = first 15 hex of md5 mod P, then
+    // Σ H(tᵢ)·31^(n−1−i) mod P — the Horner fold must equal it for any
+    // length, including past the old 512-token power-table cap.
+    val P = graft.ops.Dedup.P
+    def h(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % P
+    }
+    def model(toks: Seq[String]): Long =
+      toks.foldLeft(0L)((acc, t) => (acc * 31 + h(t)) % P)
+    for (n <- Seq(1, 511, 512, 513, 1500)) {
+      val toks = (0 until n).map(i => s"tok$i")
+      val got = Seq(toks.mkString(" ")).toDF("text")
+        .select(Text.rollingHash(Text.tokens($"text"))).as[Long].head()
+      assert(got == model(toks), s"n=$n")
+    }
+  }
+
   test("jaccard golden value") {
     // A={a,b,c,d}, B={b,c,d,e}: 3 shared / 5 union = 0.6
     val df = Seq((Seq("a", "b", "c", "d"), Seq("b", "c", "d", "e"))).toDF("x", "y")
