@@ -169,8 +169,19 @@ object Dedup {
     * md5-hash. Near-dup detection = small Hamming distance between
     * sketches; at scale candidate pairs come from banding the sketch
     * (split into chunks, join on equal chunk), same shape as LSH.
+    *
+    * Routed through the native codegen'd Catalyst expression
+    * (graftshim.SimHash): one JVM loop per doc instead of an
+    * interpreted per-token lambda fold — same values bit-for-bit
+    * (TextDedupSpec asserts parity with `simhashHof`).
     */
   def simhash(toks: Column, bits: Int): Column =
+    graft.functions.NativeFunctions.simHash(toks, bits)
+
+  /** Built-ins-only simhash — the portable reference formulation the
+    * native expression is verified against.
+    */
+  def simhashHof(toks: Column, bits: Int): Column =
     bound(transform(toks, t => hashLong(t)))(hs =>
       simhashFromHashes(hs, size(hs), bits))
 

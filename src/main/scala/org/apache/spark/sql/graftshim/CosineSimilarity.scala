@@ -76,12 +76,23 @@ object NativeFunctions {
     ExpressionUtils.column(CosineSimilarity(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
-  /** Expose the expression to the SQL surface:
-    * `SELECT cosine_similarity(a, b)` after registration.
+  /** Column-facing wrapper for the native simhash expression. */
+  def simHash(toks: Column, bits: Int): Column =
+    ExpressionUtils.column(SimHash(ExpressionUtils.expression(toks), bits))
+
+  /** Expose the expressions to the SQL surface:
+    * `SELECT cosine_similarity(a, b)`, `SELECT simhash(tokens, 32)`
+    * after registration.
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity",
       exprs => CosineSimilarity(exprs.head, exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash",
+      exprs => SimHash(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "scala_udf")
+  }
 }

@@ -126,6 +126,25 @@ class TextDedupSpec extends SparkSpec {
     assert(ham(sk(1), sk(3)) < ham(sk(1), sk(4)))
   }
 
+  test("native simhash equals the HOF fold bit-for-bit, and is SQL-callable") {
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox jumps over the lazy cat and dog",
+      "completely different text about spark catalyst expressions",
+      "single", "", "a a a a a b b c").toDF("text")
+    val pairs = docs
+      .select(Dedup.simhash(Text.tokens($"text"), 32).as("native"),
+        Dedup.simhashHof(Text.tokens($"text"), 32).as("hof"))
+      .as[(Long, Long)].collect()
+    assert(pairs.forall { case (n, h) => n == h }, pairs.mkString(","))
+    graft.functions.NativeFunctions.register(spark)
+    docs.createOrReplaceTempView("simhash_docs")
+    val sql = spark.sql(
+      """SELECT simhash(filter(split(lower(trim(text)), '\\s+'), t -> t != ''), 32)
+        |FROM simhash_docs""".stripMargin).as[Long].collect()
+    assert(sql.toSeq == pairs.map(_._1).toSeq)
+  }
+
   test("exact dedup keeps one representative per fingerprint") {
     val docs = Seq((1L, "same  text"), (2L, "SAME TEXT"), (3L, "other"))
       .toDF("doc_id", "text")
