@@ -71,45 +71,76 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
 
-  /** Exact all-pairs cosine near-dup scan, broadcast + primitive loops:
-    * the vector set is collected once (n·dim doubles — the "small side"
-    * bound of a broadcast join; ~5 MB for 10k×64), broadcast to
-    * executors, and each task scans a slice of row indices against the
-    * upper triangle with tight JVM double-array loops — ~60× faster than
-    * interpreted lambda expressions at sf0.1. The arithmetic order
-    * (sequential dot, dot/(‖a‖·‖b‖)) is identical to `cosine`, so
-    * results match bit-for-bit. Beyond broadcastable n, shard the
-    * vector set into B blocks and run the B² block pairs of this same
-    * kernel (blocked matrix product); the per-task kernel is unchanged.
+  /** Exact all-pairs cosine near-dup scan as a blocked B²-pair kernel —
+    * fully distributed, nothing ever materializes on the driver:
+    *
+    *  1. every vector is assigned to one of `blocks` shards by id
+    *     (floorMod — deterministic, id-distribution independent enough);
+    *  2. each shard packs into ONE row (ids, vectors, precomputed norms,
+    *     sorted by id) — task memory is bounded by the block size, which
+    *     the caller picks so ~n/B·dim doubles fit an executor core;
+    *  3. the B·(B+1)/2 ordered block pairs (a nested-loop self-join on
+    *     blk ≤ blk — B rows a side, trivially small) each run one tight
+    *     JVM double-array kernel: the upper triangle within a diagonal
+    *     block, the full cross product otherwise.
+    *
+    * This is the classic blocked matrix-product decomposition; at 100 TB
+    * the same plan holds — only `blocks` grows (tasks = B²/2, memory per
+    * task = 2 blocks). The arithmetic (sequential dot in ascending dim
+    * order, dot/(‖a‖·‖b‖), pairs emitted with id_a < id_b) is identical
+    * to `cosine` and to the previous broadcast formulation, so results
+    * match bit-for-bit.
     */
   def cosineNearDupPairsExact(vecs: DataFrame, threshold: Double,
-                              slices: Int = 64): DataFrame = {
+                              blocks: Int = 16): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val data = vecs.select(col("id").cast("long"), col("vec").cast("array<double>"))
-      .as[(Long, Array[Double])].collect().sortBy(_._1)
-    val n = data.length
-    val bc = spark.sparkContext.broadcast(data.map(_._2))
-    val bcIds = spark.sparkContext.broadcast(data.map(_._1))
-    val bcNorms = spark.sparkContext.broadcast(data.map { case (_, v) =>
-      var s = 0.0; var d = 0; while (d < v.length) { s += v(d) * v(d); d += 1 }
-      math.sqrt(s)
-    })
     val margin = threshold - 1e-7
-    spark.range(0, n).repartition(slices).as[Long].flatMap { i0 =>
-      val i = i0.toInt
-      val vs = bc.value; val ids = bcIds.value; val norms = bcNorms.value
-      val vi = vs(i); val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-      var j = i + 1
-      while (j < vs.length) {
-        val vj = vs(j); var dot = 0.0; var d = 0
-        while (d < vi.length) { dot += vi(d) * vj(d); d += 1 }
-        val c = dot / (norms(i) * norms(j))
-        if (c >= margin) out += ((ids(i), ids(j), c))
-        j += 1
+    val packed = vecs
+      .select(col("id").cast("long"), col("vec").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .groupByKey { case (id, _) => math.floorMod(id, blocks.toLong).toInt }
+      .mapGroups { (blk, it) =>
+        val rows = it.toArray.sortBy(_._1)
+        val norms = rows.map { case (_, v) =>
+          var s = 0.0; var d = 0
+          while (d < v.length) { s += v(d) * v(d); d += 1 }
+          math.sqrt(s)
+        }
+        (blk, rows.map(_._1), rows.map(_._2), norms)
       }
-      out
-    }.toDF("id_a", "id_b", "cos")
+      .toDF("blk", "ids", "vs", "ns")
+      .persist() // both sides of the block-pair join read the packed shards
+    val pairs = packed.as("x")
+      .join(packed.as("y"), col("x.blk") <= col("y.blk"))
+      .select(
+        col("x.blk"), col("x.ids"), col("x.vs"), col("x.ns"),
+        col("y.blk"), col("y.ids"), col("y.vs"), col("y.ns"))
+      .as[(Int, Array[Long], Array[Array[Double]], Array[Double],
+           Int, Array[Long], Array[Array[Double]], Array[Double])]
+      .flatMap { case (bx, xids, xvs, xns, by, yids, yvs, yns) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        val diagonal = bx == by
+        var i = 0
+        while (i < xids.length) {
+          val vi = xvs(i)
+          var j = if (diagonal) i + 1 else 0
+          while (j < yids.length) {
+            val vj = yvs(j)
+            var dot = 0.0; var d = 0
+            while (d < vi.length) { dot += vi(d) * vj(d); d += 1 }
+            val c = dot / (xns(i) * yns(j))
+            if (c >= margin) {
+              if (xids(i) < yids(j)) out += ((xids(i), yids(j), c))
+              else out += ((yids(j), xids(i), c))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+    pairs.toDF("id_a", "id_b", "cos")
       .withColumn("cos", round(col("cos"), 6))
       .filter(col("cos") >= threshold)
   }

@@ -73,10 +73,30 @@ class SimilaritySpec extends SparkSpec {
       (i, Seq.fill(16)(rnd.nextGaussian()))).toDF("id", "vec")
     val hof = Similarity.cosineNearDupPairs(vecs, 0.3)
       .as[(Long, Long, Double)].collect().toSet
-    val fast = Similarity.cosineNearDupPairsExact(vecs, 0.3, slices = 4)
-      .as[(Long, Long, Double)].collect().toSet
     assert(hof.nonEmpty, "test corpus should produce at least one pair")
-    assert(hof == fast)
+    // the blocked kernel must agree for any block count, including a
+    // single block (pure upper triangle) and a count above n
+    for (b <- Seq(1, 3, 64)) {
+      val fast = Similarity.cosineNearDupPairsExact(vecs, 0.3, blocks = b)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(hof == fast, s"blocks=$b")
+    }
+  }
+
+  test("exact kernel is fully distributed — no driver-side vector materialization") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 20L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian()))).toDF("id", "vec")
+    val plan = Similarity.cosineNearDupPairsExact(vecs, 0.3)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the old formulation collected the vectors and re-parallelized a
+    // Range of indices — its plan had no lineage to the input at all.
+    // The blocked kernel's plan must carry the input scan through the
+    // pack (MapGroups) and kernel (FlatMap/MapPartitions) operators.
+    assert(!plan.contains("Range"), plan)
+    assert(plan.contains("LocalTableScan") || plan.contains("Scan"), plan)
+    assert(plan.contains("MapGroups"), plan)
   }
 
   test("lshTopK only pairs within buckets and never pairs a vector with itself") {
