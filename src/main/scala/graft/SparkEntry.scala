@@ -839,7 +839,8 @@ object SparkEntry {
     * job graph.
     */
   def entry(spark: SparkSession): DataFrame = {
-    val dayBars = bars(spark, "/root/testdata/sf0.001")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_ENTRY_DIR", "/root/testdata/sf0.001")
+    val dayBars = bars(spark, dir)
       .groupBy(col("symbol"), col("d").as("date"))
       .agg(min_by(col("px"), col("ord")).as("open"), max(col("px")).as("high"),
         min(col("px")).as("low"), max_by(col("px"), col("ord")).as("close"),
