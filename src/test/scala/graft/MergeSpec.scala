@@ -52,4 +52,50 @@ class MergeSpec extends SparkSpec {
       assert(out == Set(("2024-01-01", 10.0), ("2024-01-02", 99.0)))
     }
   }
+
+  test("a merge that fails mid-write leaves the table intact and readable") {
+    withTempDir { dir =>
+      val path = dir.getAbsolutePath + "/prices"
+      val b0 = batch(("A", "2024-01-01", 10.0, 0L), ("A", "2024-01-02", 11.0, 0L))
+      Merge.upsertIntoPath(b0, path, Seq("symbol", "date"), "version", "date")
+      val before = spark.read.parquet(path)
+        .select($"date".cast("string"), $"close").as[(String, Double)].collect().toSet
+
+      // incoming batch that detonates during task execution — the write
+      // job fails after tasks have started producing output
+      val bomb = batch(("A", "2024-01-02", 99.0, 1L), ("A", "2024-01-03", 12.0, 1L))
+        .withColumn("close",
+          when($"close" === 12.0, raise_error(lit("disk full"))).otherwise($"close"))
+      intercept[Exception] {
+        Merge.upsertIntoPath(bomb, path, Seq("symbol", "date"), "version", "date")
+      }
+
+      // dynamic partition overwrite only swaps partitions at job commit,
+      // so the failed job must leave every original row readable
+      val after = spark.read.parquet(path)
+        .select($"date".cast("string"), $"close").as[(String, Double)].collect().toSet
+      assert(after == before, "failed merge must not corrupt the table")
+    }
+  }
+
+  test("a transient read failure aborts the merge instead of replacing the table") {
+    withTempDir { dir =>
+      val path = dir.getAbsolutePath + "/prices"
+      val b0 = batch(("A", "2024-01-01", 10.0, 0L))
+      Merge.upsertIntoPath(b0, path, Seq("symbol", "date"), "version", "date")
+      // corrupt the store: an unreadable footer is NOT path-not-found, so
+      // the probe must propagate instead of treating the table as absent
+      // (which would silently drop history)
+      val part = new java.io.File(s"$path/date=2024-01-01")
+      part.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val w = new java.io.FileOutputStream(f); w.write(Array.fill(8)(0x00.toByte)); w.close()
+      }
+      val inc = batch(("A", "2024-01-02", 11.0, 1L))
+      intercept[Exception] {
+        Merge.upsertIntoPath(inc, path, Seq("symbol", "date"), "version", "date")
+      }
+      // the (corrupt) original bytes are still there — nothing was replaced
+      assert(part.listFiles().exists(_.getName.endsWith(".parquet")))
+    }
+  }
 }
