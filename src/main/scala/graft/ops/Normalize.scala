@@ -66,4 +66,34 @@ object Normalize {
   /** P15: null-row drop on price columns (downloader_wmy.py:36). */
   def dropNullPrices(df: DataFrame, cols: Seq[String]): DataFrame =
     df.na.drop(cols)
+
+  /** P5: fallback date-column pick (downloader_us.py:119-120): the
+    * column literally named `date` when present, else the FIRST column
+    * positionally (yfinance frames lead with their datetime index).
+    */
+  def pickDateColumn(df: DataFrame): String =
+    if (df.columns.contains("date")) "date" else df.columns.head
+
+  /** P5 applied: normalize the picked column to DateType under the
+    * canonical `date` name (downloader_us.py:120-123).
+    */
+  def withNormalizedDate(df: DataFrame): DataFrame = {
+    val picked = pickDateColumn(df)
+    df.withColumn("date", to_date(col(picked)))
+  }
+
+  /** P7: config-level category skip — warrant categories never parse or
+    * persist (downloader_tw.py:49-52).
+    */
+  def skipCategory(name: String): Boolean =
+    name.toLowerCase.contains("warrant")
+
+  /** P13: JP common stock = exactly 4 digits (downloader_jp.py:97). */
+  def jpCommonStock(code: Column): Column = code.rlike("^[0-9]{4}$")
+
+  /** P16: header-cell cleanup — non-breaking spaces to spaces, trimmed
+    * (downloader_hk.py:77,85).
+    */
+  def cleanHeaderCell(c: Column): Column =
+    trim(regexp_replace(c, "\u00a0", " "))
 }

@@ -177,6 +177,24 @@ object ListAdapters {
         col("name"), col("sector"))
   }
 
+  /** The whole TWSE category sweep (downloader_tw.py:31-68): one
+    * pre-fetched HTML document per category config; warrant categories
+    * are skipped BEFORE parsing (P7, downloader_tw.py:49-52); each
+    * surviving category's list carries its config name as `market`, and
+    * the union dedups exactly as the reference's `set(stock_list)`.
+    */
+  def twStockLists(spark: SparkSession,
+                   categories: Seq[(String, String, String)]): DataFrame = {
+    val kept = categories.filterNot { case (cat, _, _) => Normalize.skipCategory(cat) }
+    require(kept.nonEmpty, "every category was skipped")
+    kept.map { case (cat, suffix, html) =>
+        twStockList(htmlTableDf(spark, html), suffix)
+          .withColumn("market", lit(cat))
+      }
+      .reduce(_.unionByName(_))
+      .dropDuplicates("symbol")
+  }
+
   // ---- S4: JPX fixed-column list ---------------------------------------
 
   /** JPX list semantics (downloader_jp.py:80-110): Excel-float code fix
@@ -191,7 +209,7 @@ object ListAdapters {
                   sectorCol: String = "33 Sector(name)"): DataFrame =
     df.filter(col(codeCol).isNotNull)
       .withColumn("code", trim(Normalize.excelIntFix(col(codeCol))))
-      .filter(col("code").rlike("^[0-9]{4}$"))
+      .filter(Normalize.jpCommonStock(col("code")))
       .withColumn("market", cleanCell(col(prodCol)))
       .filter(!col("market").startsWith("ETFs"))
       .select(concat(col("code"), lit(".T")).as("symbol"),

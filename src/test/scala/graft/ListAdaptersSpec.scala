@@ -91,6 +91,18 @@ class ListAdaptersSpec extends SparkSpec {
     assert(got == Set(("005930", "전기전자"), ("105560", "금융")))
   }
 
+  test("twStockLists skips warrant categories before parsing and dedups symbols") {
+    val html =
+      """<table><tr><th>有價證券代號</th><th>有價證券名稱</th></tr>
+        |<tr><td>2330</td><td>TSMC</td></tr></table>""".stripMargin
+    val got = ListAdapters.twStockLists(spark, Seq(
+      ("listed", ".TW", html),
+      ("warrant_call", ".TW", "<not even html"), // must never be parsed
+      ("etf", ".TW", html)))                      // duplicate symbol -> dedup
+      .select($"symbol", $"name").as[(String, String)].collect().toSeq
+    assert(got == Seq(("2330.TW", "TSMC")))
+  }
+
   test("fromCells pads ragged rows and disambiguates duplicate headers") {
     val df = ListAdapters.fromCells(spark,
       Seq("a", "a", ""), Seq(Seq("1", "2", "3"), Seq("only")))

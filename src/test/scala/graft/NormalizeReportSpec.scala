@@ -64,6 +64,27 @@ class NormalizeReportSpec extends SparkSpec {
       Schemas.stockPrices.fieldNames.take(7).toSeq)
   }
 
+  test("P5: date column picked by name, else first column positionally") {
+    val named = Seq(("x", "2024-01-02")).toDF("sym", "date")
+    assert(Normalize.pickDateColumn(named) == "date")
+    val positional = Seq(("2024-01-02 00:00:00", "x")).toDF("Datetime", "sym")
+    assert(Normalize.pickDateColumn(positional) == "Datetime")
+    val got = Normalize.withNormalizedDate(positional)
+      .select($"date".cast("string")).as[String].head()
+    assert(got == "2024-01-02")
+  }
+
+  test("P7/P13/P16: category skip, JP common stock, header cleanup") {
+    assert(Normalize.skipCategory("tw_Warrant_call"))
+    assert(!Normalize.skipCategory("listed"))
+    val codes = Seq("7203", "135A", "72030", "720").toDF("c")
+      .filter(Normalize.jpCommonStock($"c")).as[String].collect().toSeq
+    assert(codes == Seq("7203"))
+    val cleaned = Seq(" Stock Code ").toDF("h")
+      .select(Normalize.cleanHeaderCell($"h")).as[String].head()
+    assert(cleaned == "Stock Code")
+  }
+
   test("staleKeys flags symbols behind the global max date") {
     val df = Seq(("A", "2024-03-01"), ("B", "2023-12-01"), ("B", "2023-11-01"))
       .toDF("symbol", "s").select($"symbol", to_date($"s").as("d"))
