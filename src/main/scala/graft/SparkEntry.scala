@@ -483,7 +483,78 @@ object SparkEntry {
     // Text: order-sensitive rolling-hash document fingerprint.
     "q39_rolling_hash" -> ((s, dir) =>
       t(s, dir, "documents")
-        .select(col("doc_id"), Text.rollingHash(Text.tokens(col("text"))).as("rh")))
+        .select(col("doc_id"), Text.rollingHash(Text.tokens(col("text"))).as("rh"))),
+
+    // V3: the OHLC-invariant gate on resampled bars — closes inflated
+    // 1.5x for every 7th symbol so the violation set is non-trivial.
+    "q42_ohlc_gate" -> ((s, dir) => {
+      val weekly = Resample.ohlc(bars(s, dir), col("symbol"),
+        Resample.weekEndFri(col("d")), col("px"), col("vol"), col("ord"))
+        .withColumn("close",
+          when(pmod(col("symbol"), lit(7)) === 0, col("close") * 1.5)
+            .otherwise(col("close")))
+      Quality.ohlcViolationKeys(weekly, col("symbol"), col("low"),
+        col("close"), col("high"))
+    }),
+
+    // Streaming surface in batch clothing: session windows (30-minute
+    // inactivity gap) over the event feed — the same sessionRollup the
+    // streaming deployment runs, goldened against gaps-and-islands SQL.
+    "q43_session_windows" -> ((s, dir) => {
+      val sess = graft.streaming.Streams.sessionRollup(
+        t(s, dir, "events"), "user_id", "30 minutes")
+      sess.select(
+        unix_timestamp(col("session_start")).as("s_start"),
+        unix_timestamp(col("session_end")).as("s_end"),
+        col("user_id"), col("n"), col("value_sum"))
+    }),
+
+    // §2.12 typed-Aggregator surface: ordered first/last per symbol via
+    // the Dataset API. The (symbol, ord) pre-aggregate makes the winner
+    // unique before the typed fold (the synthetic lineitem has colliding
+    // ordinals — FIXTURES.md), so both engines pick identical rows.
+    "q44_typed_agg" -> ((s, dir) => {
+      import s.implicits._
+      val uniq = bars(s, dir).groupBy(col("symbol"), col("ord"))
+        .agg(max(col("px")).as("px"))
+      uniq.select(col("symbol"), col("ord"), col("px"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(r => graft.functions.TypedAggs.OrdVal(r._2, r._3))
+        .agg(graft.functions.TypedAggs.firstByOrd.toColumn.name("first_px"),
+          graft.functions.TypedAggs.lastByOrd.toColumn.name("last_px"))
+        .toDF("symbol", "first_px", "last_px")
+    }),
+
+    // A7: per-market success-rate audit row (round(rate, 2) parity with
+    // the run-audit formula, downloader audit + Pipeline.writeSlice).
+    "q45_success_rate" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("market"))
+        .agg(
+          count(lit(1)).as("total"),
+          sum(when(col("c_acctbal") >= 0, 1).otherwise(0)).as("success"))
+        .withColumn("rate",
+          round(col("success") * lit(100.0) / col("total"), 2))),
+
+    // P-dynamic: schema reconciliation on load — missing column appears
+    // as typed null, drifted type casts back, target order projected.
+    "q46_schema_reconcile" -> ((s, dir) => {
+      val target = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("source_file",
+          org.apache.spark.sql.types.StringType)))
+      val drifted = t(s, dir, "events")
+        .select(col("user_id").cast("int").as("user_id"),
+          col("value").cast("string").as("value"))
+      Pipeline.reconcileSchema(drifted, target)
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("value")), 2).as("value_sum"),
+          max(col("source_file")).as("sf"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -812,6 +883,51 @@ object SparkEntry {
         |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q42_ohlc_gate" ->
+      s"""SELECT DISTINCT symbol AS key, 'ohlc_logic_error' AS reason
+         |FROM (SELECT symbol,
+         |        CASE WHEN symbol % 7 = 0 THEN close * 1.5 ELSE close END AS close,
+         |        low, high
+         |      FROM (${ohlcSql(weekEndSqlFn)}))
+         |WHERE close > high OR close < low""".stripMargin,
+
+    // gaps-and-islands rendering of the 30-minute session window:
+    // session start = first event, end = last event + gap; Spark's
+    // unix_timestamp truncates to whole seconds, hence the floor.
+    "q43_session_windows" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS s_start,
+        |  CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS s_end,
+        |  user_id, count(*) AS n, round(sum(value), 2) AS value_sum
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    "q44_typed_agg" ->
+      s"""SELECT symbol, arg_min(px, ord) AS first_px, arg_max(px, ord) AS last_px
+         |FROM (SELECT symbol, ord, max(px) AS px FROM ($barsSql) GROUP BY 1, 2)
+         |GROUP BY symbol""".stripMargin,
+
+    "q45_success_rate" ->
+      """SELECT c_nationkey AS market, count(*) AS total,
+        |  CAST(sum(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS success,
+        |  round(sum(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END) * 100.0
+        |    / count(*), 2) AS rate
+        |FROM customer GROUP BY 1""".stripMargin,
+
+    "q46_schema_reconcile" ->
+      """SELECT user_id, round(sum(value), 2) AS value_sum,
+        |  CAST(NULL AS VARCHAR) AS sf
+        |FROM (SELECT CAST(CAST(user_id AS INTEGER) AS BIGINT) AS user_id,
+        |             CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value
+        |      FROM events)
+        |GROUP BY 1""".stripMargin,
 
     "q37_ann_ivf" ->
       s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
