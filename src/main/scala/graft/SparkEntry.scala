@@ -326,29 +326,32 @@ object SparkEntry {
 
     // Dedup: MinHash(16) + LSH(4 bands × 4 rows) candidate pairs with
     // verified Jaccard — finds the planted near-dups without n² compares.
+    // Shingling, hashing and the signature are the native expressions
+    // (one JVM pass per doc); verification intersects HASH sets, exact
+    // up to md5-60-bit collisions like the inverted Jaccard join.
     "q27_minhash_lsh" -> ((s, dir) => {
-      val sh = docsDup(s, dir).select(col("doc_id").as("id"),
-        Text.wordShingles(Text.tokens(col("text")), 3).as("sh"))
       // persist: the signature table feeds the LSH self-join and both
-      // verification joins — without it the tokenize+shingle+md5 chain
-      // re-runs once per reference (4 scans at sf0.1, no exchange reuse
-      // across broadcast sides).
-      val sig = sh.select(col("id"), col("sh"),
-        Dedup.minhashSignature(col("sh"), 16).as("sig")).persist()
+      // verification joins — without it the tokenize+shingle+hash chain
+      // re-runs once per reference (4 scans at sf0.1).
+      val sig = docsDup(s, dir).select(col("doc_id").as("id"),
+          Dedup.hashedShingles(Text.tokens(col("text")), 3).as("hs"))
+        .select(col("id"), col("hs"),
+          Dedup.minhashSignatureNative(col("hs"), 16).as("sig"))
+        .persist()
       Dedup.lshCandidatePairs(sig, "id", "sig", 4, 4)
-        .join(sig.select(col("id").as("ia"), col("sh").as("sha")), col("id_a") === col("ia"))
-        .join(sig.select(col("id").as("ib"), col("sh").as("shb")), col("id_b") === col("ib"))
+        .join(sig.select(col("id").as("ia"), col("hs").as("hsa")), col("id_a") === col("ia"))
+        .join(sig.select(col("id").as("ib"), col("hs").as("hsb")), col("id_b") === col("ib"))
         .select(col("id_a"), col("id_b"),
-          round(Dedup.jaccard(col("sha"), col("shb")), 4).as("jac"))
+          round(Dedup.jaccard(col("hsa"), col("hsb")), 4).as("jac"))
     }),
 
-    // Dedup: n-gram Jaccard near-dup pairs via inverted shingle index.
-    "q28_jaccard_pairs" -> ((s, dir) => {
-      val sh = docsDup(s, dir).select(col("doc_id").as("id"),
-        Text.wordShingles(Text.tokens(col("text")), 3).as("shingles"))
-        .persist() // referenced by both self-join sides + the size lookup
-      Dedup.jaccardPairs(sh, "id", "shingles", 0.5)
-    }),
+    // Dedup: n-gram Jaccard near-dup pairs via the hashed inverted
+    // shingle index (native shingle hashing; index persisted inside).
+    "q28_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairsHashed(
+        docsDup(s, dir).select(col("doc_id").as("id"),
+          Dedup.hashedShingles(Text.tokens(col("text")), 3).as("hs")),
+        "id", "hs", 0.5)),
 
     // Dedup: SimHash(32) near-dup pairs, banded join (exact for d<=3 by
     // pigeonhole over 4 byte-bands).

@@ -51,6 +51,21 @@ object Dedup {
   def minhashSignature(shingles: Column, k: Int): Column =
     minhashFromHashes(elementHashes(shingles), k)
 
+  /** Native hashed word shingles (graftshim.HashedShingles): the
+    * distinct 60-bit md5 hashes of every n-token window in one JVM pass —
+    * value-equal to `transform(array_distinct(Text.wordShingles(t, n)),
+    * hashLong)` (TextDedupSpec asserts it), ~an order of magnitude
+    * cheaper than materializing shingle strings through Column md5.
+    */
+  def hashedShingles(toks: Column, n: Int): Column =
+    graft.functions.NativeFunctions.hashedShingles(toks, n)
+
+  /** Native MinHash signature over hashed shingles — same universal-hash
+    * family as `minhashFromHashes`, one primitive loop per doc.
+    */
+  def minhashSignatureNative(hashedShingles: Column, k: Int): Column =
+    graft.functions.NativeFunctions.minhashSig(hashedShingles, k)
+
   /** LSH banding: signature of length bands·rowsPerBand → one bucket id
     * per band (md5 of the band's slice). Two documents collide iff some
     * band hashes identically.
@@ -97,14 +112,27 @@ object Dedup {
     * prefix. Input carries (`id`, `shingles`); output (id_a, id_b, jac).
     */
   def jaccardPairs(docs: DataFrame, id: String, shingles: String,
-                   threshold: Double): DataFrame = {
-    val d = docs.select(col(id).as("id"), array_distinct(col(shingles)).as("sh"))
-    val sizes = d.select(col("id"), size(col("sh")).as("n"))
-    // persisted: both self-join sides consume the index — without this
-    // the explode + md5 pass over every shingle runs twice
-    val inv = d.select(col("id"), size(col("sh")).as("n"),
-      explode(transform(col("sh"), s => hashLong(s))).as("h"))
+                   threshold: Double): DataFrame =
+    jaccardPairsHashed(
+      docs.select(col(id).as("id"),
+        transform(array_distinct(col(shingles)), s => hashLong(s)).as("hs")),
+      "id", "hs", threshold)
+
+  /** The inverted-join core over PRE-HASHED distinct shingles (see
+    * `hashedShingles`): explode the hash set, self-equi-join on the
+    * hash, count shared shingles per pair in one hash-aggregate, then
+    * jac = |∩|/|∪| against per-doc sizes derived FROM THE PERSISTED
+    * INDEX (no second pass over the shingling chain).
+    */
+  def jaccardPairsHashed(docs: DataFrame, id: String, hashedShingles: String,
+                         threshold: Double): DataFrame = {
+    // persisted: both self-join sides and the size lookup consume the
+    // index — without this the shingle-hash pass runs once per reference
+    val inv = docs.select(col(id).as("id"),
+        size(col(hashedShingles)).as("n"),
+        explode(col(hashedShingles)).as("h"))
       .persist()
+    val sizes = inv.select(col("id"), col("n")).distinct()
     // size-ratio precondition: jac >= θ forces θ·|A| <= |B| <= |A|/θ —
     // incompatible pairs are dropped in the join, before the aggregate
     inv.as("a").join(inv.as("b"),

@@ -80,6 +80,14 @@ object NativeFunctions {
   def simHash(toks: Column, bits: Int): Column =
     ExpressionUtils.column(SimHash(ExpressionUtils.expression(toks), bits))
 
+  /** Column-facing wrapper for the native hashed-shingles expression. */
+  def hashedShingles(toks: Column, n: Int): Column =
+    ExpressionUtils.column(HashedShingles(ExpressionUtils.expression(toks), n))
+
+  /** Column-facing wrapper for the native MinHash signature. */
+  def minhashSig(hashes: Column, k: Int): Column =
+    ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(hashes), k))
+
   /** Expose the expressions to the SQL surface:
     * `SELECT cosine_similarity(a, b)`, `SELECT simhash(tokens, 32)`
     * after registration.

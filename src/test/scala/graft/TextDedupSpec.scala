@@ -145,6 +145,26 @@ class TextDedupSpec extends SparkSpec {
     assert(sql.toSeq == pairs.map(_._1).toSeq)
   }
 
+  test("native hashed shingles and minhash equal the HOF formulations") {
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b c a b c a b c",   // repeated shingles -> distinct matters
+      "a b", "", "one two three").toDF("text")
+    val both = docs.select(
+      Dedup.hashedShingles(Text.tokens($"text"), 3).as("native"),
+      transform(array_distinct(Text.wordShingles(Text.tokens($"text"), 3)),
+        s => Dedup.hashLong(s)).as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(both.forall { case (n, h) => n == h }, both.mkString(";"))
+    val sigs = docs.select(
+      Dedup.minhashSignatureNative(
+        Dedup.hashedShingles(Text.tokens($"text"), 3), 16).as("native"),
+      Dedup.minhashSignature(
+        Text.wordShingles(Text.tokens($"text"), 3), 16).as("hof"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    assert(sigs.forall { case (n, h) => n == h }, sigs.mkString(";"))
+  }
+
   test("exact dedup keeps one representative per fingerprint") {
     val docs = Seq((1L, "same  text"), (2L, "SAME TEXT"), (3L, "other"))
       .toDF("doc_id", "text")
