@@ -1,0 +1,232 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.Merge
+
+/** A minimal transactional table format over plain parquet — the
+  * manifest/snapshot commit protocol that gives the K1 merge path the
+  * atomicity the reference gets per-row from SQLite (and plain
+  * dynamic-partition overwrite lacks: a failed overwrite there leaves
+  * the table half-rewritten).
+  *
+  * Layout:
+  * {{{
+  *   table/
+  *     data/<commit-uuid>/<pcol>=<value>/part-*.parquet   (immutable)
+  *     _manifests/v00000042.manifest                      (one per commit)
+  * }}}
+  *
+  * Protocol (Delta-lite):
+  *  - a commit first writes NEW data directories (never touching old
+  *    ones), then publishes a manifest listing the snapshot's COMPLETE
+  *    directory set, via write-temp + atomic rename-no-overwrite;
+  *  - readers list `_manifests` and take the highest version — a crash
+  *    anywhere before the rename leaves only unreferenced orphan data,
+  *    and the previous snapshot stays live;
+  *  - two racing writers target the same next version; the rename makes
+  *    exactly one win — the loser gets a ConcurrentCommitException and
+  *    retries on top of the winner's snapshot;
+  *  - old manifests remain readable (time travel) until `vacuum`.
+  *
+  * Scale posture: a merge commit rewrites only the partitions the batch
+  * touches and re-references every untouched directory from the prior
+  * manifest, so commit cost tracks the touched-partition volume plus one
+  * small manifest file — same economics as Merge.upsertIntoPath but
+  * atomic. Partition values ride in directory names; the read path
+  * re-injects the column by parsing `input_file_name()` (codegen'd
+  * regexp on the scan, no extra join), and partition pruning happens
+  * manifest-side before the scan ever starts.
+  */
+object Snapshot {
+
+  final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
+
+  /** One snapshot: the complete set of data directories (absolute),
+    * partition column name + catalog type ("" when unpartitioned).
+    */
+  final case class Manifest(version: Long, partitionCol: String,
+                            partitionType: String, dirs: Seq[String])
+
+  private def manifestDir(table: String): Path = Paths.get(table, "_manifests")
+
+  private def manifestPath(table: String, v: Long): Path =
+    manifestDir(table).resolve(f"v$v%08d.manifest")
+
+  private def parseVersion(name: String): Option[Long] =
+    if (name.startsWith("v") && name.endsWith(".manifest"))
+      name.stripPrefix("v").stripSuffix(".manifest").toLongOption
+    else None
+
+  def versions(table: String): Seq[Long] = {
+    val dir = manifestDir(table)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala
+      .flatMap(p => parseVersion(p.getFileName.toString)).toSeq.sorted
+  }
+
+  def latestVersion(table: String): Option[Long] = versions(table).lastOption
+
+  def readManifest(table: String, v: Long): Manifest = {
+    val lines = Files.readAllLines(manifestPath(table, v), UTF_8).asScala.toSeq
+    val header = lines.head.split("\t", -1)
+    require(header.length == 3 && header(0).toLong == v,
+      s"corrupt manifest v$v: ${lines.head}")
+    Manifest(v, header(1), header(2), lines.tail)
+  }
+
+  private def writeManifest(table: String, m: Manifest): Unit = {
+    Files.createDirectories(manifestDir(table))
+    val body = (s"${m.version}\t${m.partitionCol}\t${m.partitionType}" +: m.dirs)
+      .mkString("", "\n", "\n")
+    val tmp = manifestDir(table).resolve(
+      s".tmp-${java.util.UUID.randomUUID().toString}")
+    Files.write(tmp, body.getBytes(UTF_8))
+    // Publish = hard-link the fully-written temp onto the version name:
+    // link(2) atomically fails if the target exists, so exactly one
+    // writer wins a version. (POSIX rename(2) — ATOMIC_MOVE — would
+    // silently REPLACE the winner's manifest; on object stores / HDFS
+    // the equivalent primitive is rename-no-overwrite / put-if-absent.)
+    try Files.createLink(manifestPath(table, m.version), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new ConcurrentCommitException(
+          s"version ${m.version} of $table was committed concurrently")
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Write a NEW data directory set for `df` and return the dirs —
+    * nothing is published until the manifest rename.
+    */
+  private def writeData(df: DataFrame, table: String,
+                        partitionCol: Option[String]): Seq[String] = {
+    val commitId = java.util.UUID.randomUUID().toString
+    val dataRoot = Paths.get(table, "data", commitId)
+    partitionCol match {
+      case Some(pc) =>
+        df.write.partitionBy(pc).parquet(dataRoot.toString)
+        Files.list(dataRoot).iterator().asScala
+          .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
+          .map(_.toString).toSeq.sorted
+      case None =>
+        df.write.parquet(dataRoot.toString)
+        Seq(dataRoot.toString)
+    }
+  }
+
+  /** Publish `df` as the table's next snapshot, REPLACING prior content
+    * (the SCD-1 dimension-overwrite shape, K2). Returns the version.
+    */
+  def commit(df: DataFrame, table: String,
+             partitionCol: Option[String] = None): Long = {
+    val (pcName, pcType) = partitionCol match {
+      case Some(pc) => (pc, df.schema(pc).dataType.catalogString)
+      case None => ("", "")
+    }
+    val dirs = writeData(df, table, partitionCol)
+    val next = latestVersion(table).getOrElse(0L) + 1
+    writeManifest(table, Manifest(next, pcName, pcType, dirs))
+    next
+  }
+
+  /** Read a snapshot (latest by default; any retained version for time
+    * travel). The partition column is re-injected from the directory
+    * names on the scan — one codegen'd regexp, no join, no shuffle.
+    */
+  def read(spark: SparkSession, table: String,
+           version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(table)).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed snapshot"))
+    val m = readManifest(table, v)
+    if (m.dirs.isEmpty)
+      throw new IllegalArgumentException(s"$table v$v is an empty snapshot")
+    val df = spark.read.parquet(m.dirs: _*)
+    if (m.partitionCol.isEmpty) df
+    else df.withColumn(m.partitionCol,
+      regexp_extract(input_file_name(),
+        java.util.regex.Pattern.quote(m.partitionCol) + "=([^/]+)/", 1)
+        .cast(m.partitionType))
+  }
+
+  /** Manifest-side partition pruning: read only the directories whose
+    * partition value satisfies `keep` — the scan never opens the rest.
+    */
+  def readPruned(spark: SparkSession, table: String,
+                 keep: String => Boolean): DataFrame = {
+    val v = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed snapshot"))
+    val m = readManifest(table, v)
+    require(m.partitionCol.nonEmpty, s"$table is not partitioned")
+    val kept = m.dirs.filter(d => keep(partitionValueOf(d)))
+    if (kept.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        read(spark, table, Some(v)).schema)
+    else spark.read.parquet(kept: _*)
+      .withColumn(m.partitionCol,
+        regexp_extract(input_file_name(),
+          java.util.regex.Pattern.quote(m.partitionCol) + "=([^/]+)/", 1)
+          .cast(m.partitionType))
+  }
+
+  private def partitionValueOf(dir: String): String =
+    dir.substring(dir.lastIndexOf('=') + 1)
+
+  /** Atomic partition-scoped MERGE: keep-latest upsert of `incoming`
+    * into the touched partitions only; untouched directories carry over
+    * into the new manifest by reference. A crash at ANY point leaves the
+    * previous snapshot fully live.
+    */
+  def merge(incoming: DataFrame, table: String, keys: Seq[String],
+            versionCol: String, partitionCol: String): Long = {
+    latestVersion(table) match {
+      case None => commit(incoming, table, Some(partitionCol))
+      case Some(v) =>
+        val m = readManifest(table, v)
+        require(m.partitionCol == partitionCol,
+          s"partition mismatch: table has '${m.partitionCol}', merge got '$partitionCol'")
+        val touched = incoming.select(col(partitionCol).cast("string"))
+          .distinct().collect().map(_.getString(0)).toSet
+        val (touchedDirs, untouchedDirs) =
+          m.dirs.partition(d => touched.contains(partitionValueOf(d)))
+        val merged =
+          if (touchedDirs.isEmpty) incoming
+          else {
+            val spark = incoming.sparkSession
+            val existing = spark.read.parquet(touchedDirs: _*)
+              .withColumn(partitionCol,
+                regexp_extract(input_file_name(),
+                  java.util.regex.Pattern.quote(partitionCol) + "=([^/]+)/", 1)
+                  .cast(m.partitionType))
+            Merge.upsert(existing, incoming.select(existing.columns.map(col): _*),
+              keys, versionCol)
+          }
+        val newDirs = writeData(merged, table, Some(partitionCol))
+        writeManifest(table, Manifest(v + 1, partitionCol, m.partitionType,
+          (untouchedDirs ++ newDirs).sorted))
+        v + 1
+    }
+  }
+
+  /** Drop data directories no longer referenced by the newest
+    * `keepVersions` manifests (and the superseded manifests themselves) —
+    * the retention/VACUUM face of the format.
+    */
+  def vacuum(table: String, keepVersions: Int = 1): Unit = {
+    val vs = versions(table)
+    if (vs.size <= keepVersions) return
+    val (drop, keep) = vs.splitAt(vs.size - keepVersions)
+    val live = keep.flatMap(readManifest(table, _).dirs).toSet
+    val dead = drop.flatMap(readManifest(table, _).dirs).toSet -- live
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.toSeq.foreach(rm)
+      Files.deleteIfExists(p)
+    }
+    dead.foreach(d => rm(Paths.get(d)))
+    drop.foreach(v => Files.deleteIfExists(manifestPath(table, v)))
+  }
+}
