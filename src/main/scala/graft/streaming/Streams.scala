@@ -81,6 +81,60 @@ object Streams {
       }
   }
 
+  /** Stream-stream inner equi-join bounded by an event-time interval:
+    * rows pair when keys match AND the right timestamp falls within
+    * [left - within, left]. Both sides carry watermarks, so the join
+    * state store retains only rows young enough to still find a match —
+    * the bounded-state contract stream-stream joins require (without
+    * the interval, state grows forever). Same DataFrame expression runs
+    * in batch mode for goldening.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   watermark: String, within: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).as("l")
+    val r = right.withWatermark(rightTs, watermark).as("r")
+    l.join(r, expr(
+      s"l.$key = r.$key AND r.$rightTs >= l.$leftTs - INTERVAL $within" +
+        s" AND r.$rightTs <= l.$leftTs"))
+  }
+
+  final case class SessionEvent(userId: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionAgg(userId: Long, n: Long, valueSum: Double, lastTs: Long)
+  final case class SessionOut(userId: Long, n: Long, valueSum: Double)
+
+  /** Custom-state sessions with EVENT-TIME TIMEOUT — the
+    * flatMapGroupsWithState face of sessionRollup: accumulate per-user
+    * activity, arm a timeout at (last event + gap), and EMIT the session
+    * summary only when the watermark passes it (i.e. the session
+    * provably ended). State is removed on emission, so the store holds
+    * only open sessions — bounded by active users, not history.
+    */
+  def expiringSessions(events: Dataset[SessionEvent], watermark: String,
+                       gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionAgg, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, it, state: GroupState[SessionAgg]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, s.n, s.valueSum))
+          } else {
+            val prev = state.getOption.getOrElse(SessionAgg(uid, 0L, 0.0, 0L))
+            val next = it.foldLeft(prev) { (st, e) =>
+              SessionAgg(uid, st.n + 1, st.valueSum + e.value,
+                math.max(st.lastTs, e.ts.getTime))
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(next.lastTs + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming MERGE: upsert each micro-batch into the partitioned
     * parquet warehouse through foreachBatch — the continuous face of the
     * reference's INSERT OR REPLACE ingest. Each batch is a partition-

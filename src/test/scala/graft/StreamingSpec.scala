@@ -109,6 +109,63 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream interval join pairs keys within the time bound, drops the rest") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val orders = MemoryStream[(Long, String, Double)]
+    val events = MemoryStream[(Long, String, String)]
+    val l = orders.toDF().toDF("user_id", "ots", "amount")
+      .select($"user_id", to_timestamp($"ots").as("ots"), $"amount")
+    val r = events.toDF().toDF("user_id", "ets", "etype")
+      .select($"user_id", to_timestamp($"ets").as("ets"), $"etype")
+    val joined = Streams.intervalJoin(l, r, "user_id", "ots", "ets",
+      watermark = "0 seconds", within = "10 minutes")
+      .select($"l.user_id", $"amount", $"etype")
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    try {
+      // the click 5 min before the order joins; the one 30 min before
+      // falls outside the interval; user 9 never matches a key
+      orders.addData((7L, "2024-01-01 10:10:00", 42.0))
+      events.addData(
+        (7L, "2024-01-01 10:05:00", "click"),
+        (7L, "2024-01-01 09:40:00", "stale"),
+        (9L, "2024-01-01 10:05:00", "other"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, amount, etype FROM ssjoin")
+        .as[(Long, Double, String)].collect().toSet
+      assert(got == Set((7L, 42.0, "click")))
+    } finally q.stop()
+  }
+
+  test("expiringSessions emits a summary only when the watermark ends the session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[Streams.SessionEvent]
+    val q = Streams.expiringSessions(source.toDS(), "0 seconds",
+        gapMs = 5 * 60 * 1000)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      source.addData(
+        Streams.SessionEvent(1L, ts("2024-01-01 10:00:00"), 1.0),
+        Streams.SessionEvent(1L, ts("2024-01-01 10:01:00"), 2.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM sessions").count() == 0,
+        "session still open — nothing emitted")
+      // a much later event advances the watermark past 10:06 (10:01+gap);
+      // the NEXT batch fires the timeout for user 1
+      source.addData(Streams.SessionEvent(2L, ts("2024-01-01 10:30:00"), 9.0))
+      q.processAllAvailable()
+      source.addData(Streams.SessionEvent(2L, ts("2024-01-01 10:31:00"), 1.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT userId, n, valueSum FROM sessions")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == Set((1L, 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("symbolRunningState tracks per-key incremental state across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
