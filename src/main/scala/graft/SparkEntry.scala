@@ -553,10 +553,13 @@ object SparkEntry {
       val drifted = t(s, dir, "events")
         .select(col("user_id").cast("int").as("user_id"),
           col("value").cast("string").as("value"))
+      // count of null source_file proves the backfilled column exists
+      // while keeping the aggregate hash-based (max(string) would force
+      // a SortAggregate — needless sort at scale)
       Pipeline.reconcileSchema(drifted, target)
         .groupBy(col("user_id"))
         .agg(round(sum(col("value")), 2).as("value_sum"),
-          max(col("source_file")).as("sf"))
+          sum(when(col("source_file").isNull, 1).otherwise(0)).as("n_null_sf"))
     })
   )
 
@@ -926,7 +929,7 @@ object SparkEntry {
 
     "q46_schema_reconcile" ->
       """SELECT user_id, round(sum(value), 2) AS value_sum,
-        |  CAST(NULL AS VARCHAR) AS sf
+        |  count(*) AS n_null_sf
         |FROM (SELECT CAST(CAST(user_id AS INTEGER) AS BIGINT) AS user_id,
         |             CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value
         |      FROM events)
