@@ -192,6 +192,44 @@ object Dedup {
       .select("id_a", "id_b", "jac")
   }
 
+  /** PPJoin-style prefix filtering over PRE-HASHED shingles — the
+    * skew-proof Jaccard variant (see `jaccardPairsPrefix` for the
+    * theorem): index only each doc's n−⌈θ·n⌉+1 globally-rarest hashes
+    * (rarity = document frequency, ties by hash value — a total order),
+    * candidate-join on the prefix postings, size-ratio prune, then
+    * verify every candidate against the FULL hash sets. Identical
+    * output to `jaccardPairsHashed`; the candidate stream shrinks
+    * superlinearly because hot shingles never make a prefix.
+    */
+  def jaccardPairsPrefixHashed(docs: DataFrame, id: String,
+                               hashedShingles: String,
+                               threshold: Double): DataFrame = {
+    val d = docs.select(col(id).as("id"), col(hashedShingles).as("hs"))
+      .persist() // verification joins re-read the full hash sets
+    val inv = d.select(col("id"), explode(col("hs")).as("h"))
+    val freq = inv.groupBy("h").agg(count(lit(1)).as("f"))
+    val prefixLen = (size(col("sorted")) -
+      ceil(size(col("sorted")) * threshold) + 1).cast("int")
+    val pidx = inv.join(freq, "h")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("f"), col("h")))).as("rs"))
+      .select(col("id"), transform(col("rs"), r => r.getField("h")).as("sorted"))
+      .select(col("id"), size(col("sorted")).as("n"),
+        explode(slice(col("sorted"), lit(1), prefixLen)).as("h"))
+    val cands = pidx.as("a").join(pidx.as("b"),
+        col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
+          col("b.n") * threshold <= col("a.n") &&
+          col("a.n") * threshold <= col("b.n"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(d.select(col("id").as("id_a"), col("hs").as("hsa")), Seq("id_a"))
+      .join(d.select(col("id").as("id_b"), col("hs").as("hsb")), Seq("id_b"))
+      .withColumn("jac", round(jaccard(col("hsa"), col("hsb")), 4))
+      .filter(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+  }
+
   /** SimHash over a token multiset, `bits` wide (≤ 32): bit i of the
     * sketch is set iff more than half the tokens have bit i set in their
     * md5-hash. Near-dup detection = small Hamming distance between

@@ -165,6 +165,21 @@ class TextDedupSpec extends SparkSpec {
     assert(sigs.forall { case (n, h) => n == h }, sigs.mkString(";"))
   }
 
+  test("hashed prefix-filtered Jaccard equals the inverted join exactly") {
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog and then naps",
+      2L -> "the quick brown fox jumps over the lazy dog and then runs",
+      3L -> "a completely different document about catalyst expressions",
+      4L -> "the quick brown fox jumps over the lazy dog and then naps",
+      5L -> "short one").toDF("id", "text")
+      .select($"id", Dedup.hashedShingles(Text.tokens($"text"), 3).as("hs"))
+    val inverted = Dedup.jaccardPairsHashed(docs, "id", "hs", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val prefix = Dedup.jaccardPairsPrefixHashed(docs, "id", "hs", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inverted.nonEmpty && inverted == prefix)
+  }
+
   test("exact dedup keeps one representative per fingerprint") {
     val docs = Seq((1L, "same  text"), (2L, "SAME TEXT"), (3L, "other"))
       .toDF("doc_id", "text")
