@@ -73,4 +73,39 @@ object Multimodal {
       MediaFeatures(id, bytes.length, checksum, first)
     })
   }
+
+  /** A (stub) decoder with an expensive handle — stands in for a JNI /
+    * ffmpeg / tokenizer context whose construction dominates per-row
+    * costs if done naively. `open()` is what must be amortized.
+    */
+  final class StubDecoder private () extends Serializable {
+    def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[MediaFeatures] =
+      batch.map { case (id, bytes) =>
+        val checksum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+        val first = if (bytes.nonEmpty) bytes(0) & 0xff else -1
+        MediaFeatures(id, bytes.length, checksum, first)
+      }
+  }
+  object StubDecoder {
+    /** Executor-side open counter, observable from specs (local mode). */
+    val opened = new java.util.concurrent.atomic.AtomicInteger(0)
+    def open(): StubDecoder = { opened.incrementAndGet(); new StubDecoder }
+  }
+
+  /** Batched decode — the JVM face of the Arrow-batch (mapInArrow /
+    * mapInPandas) contract a Python stack would use: the decoder handle
+    * opens ONCE per partition, payloads stream through in bounded
+    * batches (vectorization unit; also the memory bound — at most
+    * `batchSize` payloads are resident per task), typed records come
+    * out. Identical results to the per-row path; only the batching
+    * shape differs.
+    */
+  def decodeFeaturesBatched(media: Dataset[(Long, Array[Byte])],
+                            batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val decoder = StubDecoder.open() // once per partition, NOT per row
+      it.grouped(batchSize).flatMap(batch => decoder.decodeBatch(batch.toSeq))
+    }
+  }
 }

@@ -45,4 +45,18 @@ class MultimodalSpec extends SparkSpec {
       (f.doc_id, f.n_bytes, f.checksum, f.first_byte)).toSet
     assert(r == Set((1L, 3, 65L + 66L + 67L, 65), (2L, 0, 0L, -1)))
   }
+
+  test("batched decode: one decoder open per partition, same results") {
+    val media = spark.range(0, 100).map(i =>
+      (i.toLong, s"payload-$i".getBytes("UTF-8"))).repartition(4)
+    val perRow = Multimodal.decodeFeatures(media).collect().toSet
+    Multimodal.StubDecoder.opened.set(0)
+    val batched = Multimodal.decodeFeaturesBatched(media, batchSize = 8)
+      .collect().toSet
+    assert(batched == perRow)
+    // 100 rows across 4 partitions, batch size 8: the decoder handle
+    // opened once per PARTITION, never per row or per batch
+    assert(Multimodal.StubDecoder.opened.get() == 4,
+      s"opened ${Multimodal.StubDecoder.opened.get()} times")
+  }
 }
