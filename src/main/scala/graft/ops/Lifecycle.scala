@@ -29,7 +29,8 @@ object Lifecycle {
       expectedMinSymbols: Long,
       asOf: String,
       gapDays: Int = 14,
-      gapSince: String = "2024-01-01")
+      gapSince: String = "2024-01-01",
+      useSnapshot: Boolean = false)
 
   /** One market's run outcome (get_db_summary shape, main.py:113-135). */
   final case class MarketSummary(
@@ -72,7 +73,25 @@ object Lifecycle {
     */
   def runMarket(spark: SparkSession, cfg: MarketConfig): (MarketSummary, DataFrame) = {
     val prices = pricesPath(cfg)
-    val ran = needsUpdate(spark, prices, cfg.asOf)
+    // With useSnapshot, the prices store is a transactional snapshot
+    // table (sources.Snapshot): merges publish atomically, a crashed run
+    // never half-rewrites the store, re-runs are idempotent versions.
+    def readStore(): Option[DataFrame] =
+      if (cfg.useSnapshot)
+        graft.sources.Snapshot.latestVersion(prices)
+          .map(_ => graft.sources.Snapshot.read(spark, prices))
+      else
+        try Some(spark.read.parquet(prices))
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+            if e.getCondition == "PATH_NOT_FOUND" => None
+        }
+    val ran = readStore() match {
+      case None => true
+      case Some(df) =>
+        val mx = df.agg(max(col("date"))).first()
+        mx.isNullAt(0) || mx.getDate(0).toString < cfg.asOf
+    }
     val rejections =
       if (!ran) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rejectionSchema)
@@ -82,14 +101,18 @@ object Lifecycle {
         val validBars = Quality.excludeRejected(
           bars.na.drop(Seq("open", "high", "low", "close")),
           col("symbol"), slice.rejections)
-        Merge.upsertIntoPath(
-          validBars.withColumn("version",
-            datediff(to_date(lit(cfg.asOf)), to_date(lit("1970-01-01"))).cast("long")),
-          prices, Seq("symbol", "date"), "version", "date")
+          .withColumn("version",
+            datediff(to_date(lit(cfg.asOf)), to_date(lit("1970-01-01"))).cast("long"))
+        if (cfg.useSnapshot)
+          graft.sources.Snapshot.merge(validBars, prices,
+            Seq("symbol", "date"), "version", "date")
+        else
+          Merge.upsertIntoPath(validBars, prices,
+            Seq("symbol", "date"), "version", "date")
         Pipeline.writeSlice(slice, s"${cfg.warehouseRoot}/${cfg.marketId}", cfg.marketId)
         slice.rejections
       }
-    val store = spark.read.parquet(prices)
+    val store = readStore().get
     val stats = Report.summaryStats(store, col("symbol"), col("date")).first()
     val success = stats.getLong(0)
     val endDate = Option(stats.getDate(1)).map(_.toString).getOrElse("N/A")

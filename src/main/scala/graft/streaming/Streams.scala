@@ -91,12 +91,15 @@ object Streams {
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
                    leftTs: String, rightTs: String,
-                   watermark: String, within: String): DataFrame = {
+                   watermark: String, within: String,
+                   joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark).as("l")
     val r = right.withWatermark(rightTs, watermark).as("r")
+    // left_outer additionally emits unmatched left rows (null-padded)
+    // once the watermark proves no in-interval match can still arrive
     l.join(r, expr(
       s"l.$key = r.$key AND r.$rightTs >= l.$leftTs - INTERVAL $within" +
-        s" AND r.$rightTs <= l.$leftTs"))
+        s" AND r.$rightTs <= l.$leftTs"), joinType)
   }
 
   final case class SessionEvent(userId: Long, ts: java.sql.Timestamp, value: Double)

@@ -50,6 +50,32 @@ class LifecycleSpec extends SparkSpec {
     }
   }
 
+  test("snapshot-backed lifecycle: atomic merges, versioned store, same summaries") {
+    withTempDir { tmp =>
+      val dir = new java.io.File(tmp, "csv")
+      writeCsv(dir, "2330_day.csv", Seq(
+        "2024-01-02,10,12,9,11,100", "2024-01-03,11,13,10,12,100"))
+      val root = tmp.getAbsolutePath + "/wh"
+      def cfg(asOf: String) = MarketConfig("tw", dir.getAbsolutePath, root, 1,
+        asOf, useSnapshot = true)
+
+      val (first, _) = Lifecycle.runMarket(spark, cfg("2024-01-03"))
+      assert(first.ranSync && first.totalRows == 2 && first.success == 1)
+      val prices = Lifecycle.pricesPath(cfg("2024-01-03"))
+      assert(graft.sources.Snapshot.latestVersion(prices).contains(1L))
+
+      // up-to-date -> gate skips, no new snapshot version
+      val (second, _) = Lifecycle.runMarket(spark, cfg("2024-01-03"))
+      assert(!second.ranSync)
+      assert(graft.sources.Snapshot.latestVersion(prices).contains(1L))
+
+      // newer asOf -> idempotent re-merge publishes version 2, same rows
+      val (third, _) = Lifecycle.runMarket(spark, cfg("2024-01-05"))
+      assert(third.ranSync && third.totalRows == 2)
+      assert(graft.sources.Snapshot.latestVersion(prices).contains(2L))
+    }
+  }
+
   test("freshness gate: an up-to-date store skips sync; a newer asOf re-runs idempotently") {
     withTempDir { tmp =>
       val dir = new java.io.File(tmp, "csv")

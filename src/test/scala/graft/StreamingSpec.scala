@@ -138,6 +138,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched orders null-padded after the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val orders = MemoryStream[(Long, String, Double)]
+    val events = MemoryStream[(Long, String, String)]
+    val l = orders.toDF().toDF("user_id", "ots", "amount")
+      .select($"user_id", to_timestamp($"ots").as("ots"), $"amount")
+    val r = events.toDF().toDF("user_id", "ets", "etype")
+      .select($"user_id", to_timestamp($"ets").as("ets"), $"etype")
+    val joined = Streams.intervalJoin(l, r, "user_id", "ots", "ets",
+      watermark = "0 seconds", within = "10 minutes", joinType = "left_outer")
+      .select($"l.user_id", $"amount", $"etype")
+    val q = joined.writeStream.format("memory").queryName("ssleft")
+      .outputMode("append").start()
+    try {
+      orders.addData(
+        (7L, "2024-01-01 10:10:00", 42.0),   // will match
+        (8L, "2024-01-01 10:10:00", 13.0))   // never matches
+      events.addData((7L, "2024-01-01 10:05:00", "click"))
+      q.processAllAvailable()
+      // push the watermark far past 10:10 so user 8 provably can't match
+      orders.addData((9L, "2024-01-01 12:00:00", 1.0))
+      events.addData((9L, "2024-01-01 11:59:00", "later"))
+      q.processAllAvailable()
+      orders.addData((9L, "2024-01-01 12:01:00", 1.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, amount, etype FROM ssleft WHERE user_id IN (7, 8)")
+        .as[(Long, Double, Option[String])].collect().toSet
+      assert(got == Set((7L, 42.0, Some("click")), (8L, 13.0, None)))
+    } finally q.stop()
+  }
+
   test("expiringSessions emits a summary only when the watermark ends the session") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
