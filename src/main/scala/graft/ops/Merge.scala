@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Keyed upsert — the single most load-bearing semantic in the reference
@@ -23,12 +22,22 @@ object Merge {
     * deterministically by preferring later input order via the version
     * column only — callers must make `version` unique per (keys) conflict
     * (e.g. batch_id * 1e6 + intra-batch ordinal).
+    *
+    * Shape: ONE hash aggregate — `max_by(struct(payload), version)` —
+    * not a row_number window. The window formulation shuffles every row
+    * and then SORTS each partition; the aggregate gets map-side partial
+    * combining (duplicates collapse before the exchange — exactly the
+    * re-delivery/overlap case upserts exist for) and no sort at all.
+    * Winner parity: lexicographic max over the version struct ==
+    * row_number over `version.desc` = 1.
     */
   def keepLatest(df: DataFrame, keys: Seq[String], version: Column): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(version.desc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val payload = df.columns.filterNot(keys.contains)
+    if (payload.isEmpty) df.dropDuplicates(keys)
+    else df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*), version).as("__kept"))
+      .select(df.columns.map(c =>
+        if (keys.contains(c)) col(c) else col(s"__kept.$c")).toIndexedSeq: _*)
   }
 
   /** Merge an incoming batch into the existing table image: last writer

@@ -66,6 +66,14 @@ class PhysicalPlanSpec extends SparkSpec {
       s"argmax must partially aggregate map-side:\n$assignPlan")
   }
 
+  test("keep-latest upsert aggregates map-side — no window sort in the plan") {
+    val p = plan("q06_dedup_keep_latest")
+    assert(!p.contains("Window"),
+      s"keepLatest must be a max_by aggregate, not a row_number window:\n$p")
+    assert(p.contains("partial_max_by"),
+      "duplicate absorption must begin map-side before the exchange")
+  }
+
   test("whole-stage codegen covers the scan-project pipeline") {
     val df = Tables(spark, dir, "lineitem")
       .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
