@@ -88,19 +88,25 @@ object NativeFunctions {
   def minhashSig(hashes: Column, k: Int): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(hashes), k))
 
-  /** Expose the expressions to the SQL surface:
-    * `SELECT cosine_similarity(a, b)`, `SELECT simhash(tokens, 32)`
-    * after registration.
+  /** The expression builders, shared by the session-local `register`
+    * and the `spark.sql.extensions` injector (`graft.GraftExtensions`).
     */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_similarity",
-      exprs => CosineSimilarity(exprs.head, exprs(1)),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash",
-      exprs => SimHash(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue()),
-      "scala_udf")
-  }
+  private[graftshim] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_similarity" -> (exprs => CosineSimilarity(exprs.head, exprs(1))),
+    "simhash" -> (exprs => SimHash(exprs.head, intArg(exprs, 1))),
+    "hashed_shingles" -> (exprs => HashedShingles(exprs.head, intArg(exprs, 1))),
+    "minhash_sig" -> (exprs => MinHashSig(exprs.head, intArg(exprs, 1))))
+
+  private def intArg(exprs: Seq[Expression], i: Int): Int =
+    exprs(i).eval().asInstanceOf[Number].intValue()
+
+  /** Expose the expressions to the SQL surface of an EXISTING session:
+    * `SELECT cosine_similarity(a, b)`, `simhash(tokens, 32)`,
+    * `hashed_shingles(tokens, 3)`, `minhash_sig(hashes, 16)`.
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "scala_udf")
+    }
 }
