@@ -540,6 +540,14 @@ object SparkEntry {
         .withColumn("rate",
           round(col("success") * lit(100.0) / col("total"), 2))),
 
+    // Skew: two-stage salted aggregation over a 3-value (maximally hot)
+    // grouping key — results must equal the plain aggregate exactly.
+    "q47_salted_agg" -> ((s, dir) =>
+      Skew.saltedSumCount(t(s, dir, "lineitem"),
+          col("l_returnflag"), col("l_quantity"), 8)
+        .select(col("key"), round(col("sum"), 2).as("qty_sum"),
+          col("count").as("n"))),
+
     // P-dynamic: schema reconciliation on load — missing column appears
     // as typed null, drifted type casts back, target order projected.
     "q46_schema_reconcile" -> ((s, dir) => {
@@ -926,6 +934,11 @@ object SparkEntry {
         |  round(sum(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END) * 100.0
         |    / count(*), 2) AS rate
         |FROM customer GROUP BY 1""".stripMargin,
+
+    "q47_salted_agg" ->
+      """SELECT l_returnflag AS key, round(sum(l_quantity), 2) AS qty_sum,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q46_schema_reconcile" ->
       """SELECT user_id, round(sum(value), 2) AS value_sum,
