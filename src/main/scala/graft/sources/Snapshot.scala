@@ -5,7 +5,8 @@ import java.nio.charset.StandardCharsets.UTF_8
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.Merge
+import org.apache.spark.sql.types.{DataType, StructType}
+import graft.ops.{Merge, Pipeline}
 
 /** A minimal transactional table format over plain parquet — the
   * manifest/snapshot commit protocol that gives the K1 merge path the
@@ -46,10 +47,18 @@ object Snapshot {
   final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
   /** One snapshot: the complete set of data directories (absolute),
-    * partition column name + catalog type ("" when unpartitioned).
+    * partition column name + catalog type ("" when unpartitioned), and
+    * the DATA schema (partition column excluded) as StructType JSON —
+    * the source of truth for reads, so directories written before a
+    * schema evolution read back with the evolved schema (absent
+    * columns null-fill at scan time).
     */
   final case class Manifest(version: Long, partitionCol: String,
-                            partitionType: String, dirs: Seq[String])
+                            partitionType: String, dataSchemaJson: String,
+                            dirs: Seq[String]) {
+    def dataSchema: StructType =
+      DataType.fromJson(dataSchemaJson).asInstanceOf[StructType]
+  }
 
   private def manifestDir(table: String): Path = Paths.get(table, "_manifests")
 
@@ -75,13 +84,13 @@ object Snapshot {
     val header = lines.head.split("\t", -1)
     require(header.length == 3 && header(0).toLong == v,
       s"corrupt manifest v$v: ${lines.head}")
-    Manifest(v, header(1), header(2), lines.tail)
+    Manifest(v, header(1), header(2), lines(1), lines.drop(2))
   }
 
   private def writeManifest(table: String, m: Manifest): Unit = {
     Files.createDirectories(manifestDir(table))
-    val body = (s"${m.version}\t${m.partitionCol}\t${m.partitionType}" +: m.dirs)
-      .mkString("", "\n", "\n")
+    val body = (Seq(s"${m.version}\t${m.partitionCol}\t${m.partitionType}",
+      m.dataSchemaJson) ++ m.dirs).mkString("", "\n", "\n")
     val tmp = manifestDir(table).resolve(
       s".tmp-${java.util.UUID.randomUUID().toString}")
     Files.write(tmp, body.getBytes(UTF_8))
@@ -127,9 +136,10 @@ object Snapshot {
       case Some(pc) => (pc, df.schema(pc).dataType.catalogString)
       case None => ("", "")
     }
+    val dataSchema = StructType(df.schema.filterNot(_.name == pcName))
     val dirs = writeData(df, table, partitionCol)
     val next = latestVersion(table).getOrElse(0L) + 1
-    writeManifest(table, Manifest(next, pcName, pcType, dirs))
+    writeManifest(table, Manifest(next, pcName, pcType, dataSchema.json, dirs))
     next
   }
 
@@ -144,7 +154,9 @@ object Snapshot {
     val m = readManifest(table, v)
     if (m.dirs.isEmpty)
       throw new IllegalArgumentException(s"$table v$v is an empty snapshot")
-    val df = spark.read.parquet(m.dirs: _*)
+    // explicit schema: directories predating a schema evolution
+    // null-fill the columns they lack
+    val df = spark.read.schema(m.dataSchema).parquet(m.dirs: _*)
     if (m.partitionCol.isEmpty) df
     else df.withColumn(m.partitionCol,
       regexp_extract(input_file_name(),
@@ -165,7 +177,7 @@ object Snapshot {
     if (kept.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         read(spark, table, Some(v)).schema)
-    else spark.read.parquet(kept: _*)
+    else spark.read.schema(m.dataSchema).parquet(kept: _*)
       .withColumn(m.partitionCol,
         regexp_extract(input_file_name(),
           java.util.regex.Pattern.quote(m.partitionCol) + "=([^/]+)/", 1)
@@ -179,6 +191,12 @@ object Snapshot {
     * into the touched partitions only; untouched directories carry over
     * into the new manifest by reference. A crash at ANY point leaves the
     * previous snapshot fully live.
+    *
+    * Schema evolution (Delta mergeSchema semantics): columns new in
+    * `incoming` append to the table schema; columns absent from
+    * `incoming` null-fill for its rows. Untouched directories are NOT
+    * rewritten — the evolved schema in the manifest null-fills their
+    * missing columns at read time.
     */
   def merge(incoming: DataFrame, table: String, keys: Seq[String],
             versionCol: String, partitionCol: String): Long = {
@@ -188,25 +206,32 @@ object Snapshot {
         val m = readManifest(table, v)
         require(m.partitionCol == partitionCol,
           s"partition mismatch: table has '${m.partitionCol}', merge got '$partitionCol'")
+        val incomingData = StructType(
+          incoming.schema.filterNot(_.name == partitionCol))
+        val evolved = StructType(m.dataSchema.fields ++
+          incomingData.fields.filterNot(f => m.dataSchema.fieldNames.contains(f.name)))
+        val targetFull = StructType(evolved.fields :+
+          incoming.schema(partitionCol))
+        val incomingR = Pipeline.reconcileSchema(incoming, targetFull)
         val touched = incoming.select(col(partitionCol).cast("string"))
           .distinct().collect().map(_.getString(0)).toSet
         val (touchedDirs, untouchedDirs) =
           m.dirs.partition(d => touched.contains(partitionValueOf(d)))
         val merged =
-          if (touchedDirs.isEmpty) incoming
+          if (touchedDirs.isEmpty) incomingR
           else {
             val spark = incoming.sparkSession
-            val existing = spark.read.parquet(touchedDirs: _*)
+            val existing = spark.read.schema(m.dataSchema).parquet(touchedDirs: _*)
               .withColumn(partitionCol,
                 regexp_extract(input_file_name(),
                   java.util.regex.Pattern.quote(partitionCol) + "=([^/]+)/", 1)
                   .cast(m.partitionType))
-            Merge.upsert(existing, incoming.select(existing.columns.map(col): _*),
-              keys, versionCol)
+            Merge.upsert(Pipeline.reconcileSchema(existing, targetFull),
+              incomingR, keys, versionCol)
           }
         val newDirs = writeData(merged, table, Some(partitionCol))
         writeManifest(table, Manifest(v + 1, partitionCol, m.partitionType,
-          (untouchedDirs ++ newDirs).sorted))
+          evolved.json, (untouchedDirs ++ newDirs).sorted))
         v + 1
     }
   }

@@ -97,13 +97,40 @@ class SnapshotSpec extends SparkSpec {
           .find(_.getName == "writeManifest").get
         method.setAccessible(true)
         try method.invoke(Snapshot, t, Snapshot.Manifest(2L, m1.partitionCol,
-          m1.partitionType, m1.dirs))
+          m1.partitionType, m1.dataSchemaJson, m1.dirs))
         catch {
           case e: java.lang.reflect.InvocationTargetException => throw e.getCause
         }
       }
       // the winner's content is untouched
       assert(content(t) == Set(("A", "2024-01-01", 10.0), ("B", "2024-01-01", 1.0)))
+    }
+  }
+
+  test("schema evolution: new incoming columns append; old dirs null-fill at read") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      Snapshot.commit(
+        batch(("A", "2024-01-01", 10.0, 0L), ("A", "2024-01-02", 11.0, 0L)),
+        t, Some("date"))
+      // merge a batch carrying an extra column, touching only day 2
+      val withAdj = batch(("A", "2024-01-02", 99.0, 1L))
+        .withColumn("adj_close", $"close" * 0.5)
+      Snapshot.merge(withAdj, t, Seq("symbol", "date"), "version", "date")
+      val got = Snapshot.read(spark, t)
+        .select($"date".cast("string"), $"close", $"adj_close")
+        .as[(String, Double, Option[Double])].collect().toSet
+      assert(got == Set(
+        ("2024-01-01", 10.0, None),          // untouched dir, null-filled
+        ("2024-01-02", 99.0, Some(49.5))))
+
+      // a later batch WITHOUT the new column null-fills its own rows
+      Snapshot.merge(batch(("B", "2024-01-03", 7.0, 2L)), t,
+        Seq("symbol", "date"), "version", "date")
+      val after = Snapshot.read(spark, t)
+        .select($"symbol", $"adj_close").as[(String, Option[Double])]
+        .collect().toSet
+      assert(after == Set(("A", None), ("A", Some(49.5)), ("B", None)))
     }
   }
 
