@@ -236,6 +236,32 @@ object Snapshot {
     }
   }
 
+  /** K5 compaction as a SNAPSHOT COMMIT: rewrite the current snapshot's
+    * data small-file-free and publish it as the next version — fully
+    * atomic (readers see either the fragmented or the compacted
+    * snapshot, never a mix), and the pre-compaction version stays
+    * readable until `vacuum`. Partitioned tables compact to ONE file
+    * per partition directory (clustered by the partition column);
+    * unpartitioned tables coalesce to `targetFiles`. This is the
+    * reference's per-run VACUUM (downloader_tw.py:126, main.py:192)
+    * with transactional semantics.
+    */
+  def compact(spark: SparkSession, table: String,
+              targetFiles: Int = 1): Long = {
+    val v = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed snapshot"))
+    val m = readManifest(table, v)
+    val df = read(spark, table, Some(v))
+    val compacted =
+      if (m.partitionCol.isEmpty) df.coalesce(targetFiles)
+      else df.repartition(col(m.partitionCol)) // one shuffle → one file per partition dir
+    val newDirs = writeData(compacted, table,
+      Option(m.partitionCol).filter(_.nonEmpty))
+    writeManifest(table, Manifest(v + 1, m.partitionCol, m.partitionType,
+      m.dataSchemaJson, newDirs))
+    v + 1
+  }
+
   /** Drop data directories no longer referenced by the newest
     * `keepVersions` manifests (and the superseded manifests themselves) —
     * the retention/VACUUM face of the format.

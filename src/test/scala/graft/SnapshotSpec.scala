@@ -134,6 +134,31 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("compaction publishes a small-file-free snapshot atomically") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      // several merges fragment day 1 across commit dirs
+      Snapshot.commit(batch(("A", "2024-01-01", 10.0, 0L)), t, Some("date"))
+      Snapshot.merge(batch(("B", "2024-01-01", 20.0, 1L)), t,
+        Seq("symbol", "date"), "version", "date")
+      Snapshot.merge(batch(("C", "2024-01-01", 30.0, 2L)), t,
+        Seq("symbol", "date"), "version", "date")
+      val before = content(t)
+
+      val v = Snapshot.compact(spark, t)
+      assert(v == 4)
+      assert(content(t) == before, "compaction must not change content")
+      // one directory, one data file
+      val m = Snapshot.readManifest(t, v)
+      assert(m.dirs.size == 1)
+      val files = new java.io.File(m.dirs.head).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"expected 1 file, got ${files.length}")
+      // pre-compaction version still time-travels until vacuum
+      assert(Snapshot.read(spark, t, Some(3L)).count() == 3)
+    }
+  }
+
   test("manifest-side pruning reads only the matching partition dirs") {
     withTempDir { dir =>
       val t = dir.getAbsolutePath + "/t"
