@@ -540,6 +540,21 @@ object SparkEntry {
         .withColumn("rate",
           round(col("success") * lit(100.0) / col("total"), 2))),
 
+    // Stream-stream interval join in batch clothing: for every event,
+    // count same-user events in the preceding 10 minutes (exclusive of
+    // self) — the same intervalJoin the streaming deployment runs.
+    "q48_interval_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val l = e.select(col("user_id"), col("ts").as("lts"))
+      val r = e.select(col("user_id"), col("ts").as("rts"), col("value"))
+      graft.streaming.Streams.intervalJoin(l, r, "user_id", "lts", "rts",
+          watermark = "0 seconds", within = "10 minutes")
+        .filter(col("rts") < col("lts")) // strict predecessors only
+        .groupBy(col("l.user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("value")), 2).as("pred_value_sum"))
+    }),
+
     // Skew: two-stage salted aggregation over a 3-value (maximally hot)
     // grouping key — results must equal the plain aggregate exactly.
     "q47_salted_agg" -> ((s, dir) =>
@@ -934,6 +949,15 @@ object SparkEntry {
         |  round(sum(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END) * 100.0
         |    / count(*), 2) AS rate
         |FROM customer GROUP BY 1""".stripMargin,
+
+    "q48_interval_join" ->
+      """SELECT l.user_id AS user_id, count(*) AS n_pairs,
+        |  round(sum(r.value), 2) AS pred_value_sum
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        |  AND r.ts >= l.ts - INTERVAL 10 MINUTE
+        |  AND r.ts < l.ts
+        |GROUP BY 1""".stripMargin,
 
     "q47_salted_agg" ->
       """SELECT l_returnflag AS key, round(sum(l_quantity), 2) AS qty_sum,

@@ -93,8 +93,12 @@ object Streams {
                    leftTs: String, rightTs: String,
                    watermark: String, within: String,
                    joinType: String = "inner"): DataFrame = {
-    val l = left.withWatermark(leftTs, watermark).as("l")
-    val r = right.withWatermark(rightTs, watermark).as("r")
+    // watermarks only exist on streams; the identical join expression
+    // runs in batch mode (which is how the oracle goldens it)
+    def wm(df: DataFrame, ts: String) =
+      if (df.isStreaming) df.withWatermark(ts, watermark) else df
+    val l = wm(left, leftTs).as("l")
+    val r = wm(right, rightTs).as("r")
     // left_outer additionally emits unmatched left rows (null-padded)
     // once the watermark proves no in-interval match can still arrive
     l.join(r, expr(
