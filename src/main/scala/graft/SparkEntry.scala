@@ -745,11 +745,12 @@ object SparkEntry {
          |    ELSE len(list_distinct(tk)) * 1.0 / len(tk) END, 4) AS ttr,
          |  round(CASE WHEN len(tk) = 0 THEN 0.0
          |    ELSE len(list_filter(tk, t -> t IN ('the','a','of','to','and'))) * 1.0 / len(tk) END, 4) AS stop_ratio,
-         |  round(0.4 * least(1.0, len(tk) / 100.0)
+         |  CAST(round(CAST(0.4 * least(1.0, len(tk) / 100.0)
          |    + 0.3 * (CASE WHEN len(tk) = 0 THEN 0.0
          |        ELSE len(list_filter(tk, t -> t IN ('the','a','of','to','and'))) * 1.0 / len(tk) END)
          |    + 0.3 * (CASE WHEN len(tk) = 0 THEN 0.0
-         |        ELSE len(list_distinct(tk)) * 1.0 / len(tk) END), 4) AS score
+         |        ELSE len(list_distinct(tk)) * 1.0 / len(tk) END)
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS score
          |FROM (SELECT doc_id, $tokSql AS tk FROM documents)""".stripMargin,
 
     "q25_langid" ->

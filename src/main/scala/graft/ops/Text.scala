@@ -55,11 +55,16 @@ object Text {
     */
   def qualityScore(text: Column): Column =
     Cols.bound(tokens(text)) { toks =>
+      // the 0.4/0.3-weighted sum of rationals can land a hair BELOW an
+      // exact .xxxx5 in binary while an engine that rounds via
+      // multiply-then-rint sees it AT the half — snapping through
+      // decimal(20,10) first makes the 4-place round engine-portable
+      // (observed: doc with score 0.49025 → 0.4902 vs 0.4903)
       round(
-        lit(0.4) * least(lit(1.0), size(toks).cast("double") / 100.0) +
+        (lit(0.4) * least(lit(1.0), size(toks).cast("double") / 100.0) +
           lit(0.3) * wordListRatio(toks, StopwordsEn) +
-          lit(0.3) * typeTokenRatio(toks),
-        4)
+          lit(0.3) * typeTokenRatio(toks)).cast("decimal(20,10)"),
+        4).cast("double")
     }
 
   /** Deterministic language-ID: argmax of per-language stopword density,
