@@ -35,7 +35,7 @@ object Merge {
     val payload = df.columns.filterNot(keys.contains)
     if (payload.isEmpty) df.dropDuplicates(keys)
     else df.groupBy(keys.map(col): _*)
-      .agg(max_by(struct(payload.map(col): _*), version).as("__kept"))
+      .agg(max_by(struct(payload.toIndexedSeq.map(col): _*), version).as("__kept"))
       .select(df.columns.map(c =>
         if (keys.contains(c)) col(c) else col(s"__kept.$c")).toIndexedSeq: _*)
   }

@@ -13,7 +13,7 @@ object Normalize {
     * downloader_tw.py:87-91 ×6).
     */
   def lowercaseColumns(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.toLowerCase): _*)
+    df.toDF(df.columns.toIndexedSeq.map(_.toLowerCase): _*)
 
   /** P9: null-ish sector normalization (downloader_us.py:80). */
   def normalizeSector(c: Column): Column =

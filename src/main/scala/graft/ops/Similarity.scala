@@ -161,7 +161,7 @@ object Similarity {
   def lshBucket(vec: Column, planes: Array[Array[Long]]): Column =
     planes.zipWithIndex.map { case (pl, p) =>
       val d = aggregate(
-        zip_with(vec, array(pl.map(v => lit(v.toDouble)): _*),
+        zip_with(vec, array(pl.toIndexedSeq.map(v => lit(v.toDouble)): _*),
           (x, c) => x.cast("double") * c),
         lit(0.0), (acc, x) => acc + x)
       when(d > 0, lit(1L << p)).otherwise(lit(0L))
