@@ -540,6 +540,14 @@ object SparkEntry {
         .withColumn("rate",
           round(col("success") * lit(100.0) / col("total"), 2))),
 
+    // Text: TF-IDF top-5 terms per document (explode -> tf/df hash
+    // aggs -> term join -> broadcast corpus size -> per-doc top-k).
+    "q49_tfidf" -> ((s, dir) =>
+      Text.tfidfTopTerms(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", col("text"), 5)
+        .withColumnRenamed("id", "doc_id")),
+
     // Stream-stream interval join in batch clothing: for every event,
     // count same-user events in the preceding 10 minutes (exclusive of
     // self) — the same intervalJoin the streaming deployment runs.
@@ -950,6 +958,20 @@ object SparkEntry {
         |  round(sum(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END) * 100.0
         |    / count(*), 2) AS rate
         |FROM customer GROUP BY 1""".stripMargin,
+
+    "q49_tfidf" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tk GROUP BY 1),
+         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |s AS (SELECT doc_id, tf.term,
+         |        CAST(round(CAST(tf * ln(n_docs * 1.0 / df) AS DECIMAL(20,10)), 4)
+         |          AS DOUBLE) AS tfidf
+         |      FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+         |SELECT doc_id, term, tfidf, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY tfidf DESC, term) AS rnk FROM s)
+         |WHERE rnk <= 5""".stripMargin,
 
     "q48_interval_join" ->
       """SELECT l.user_id AS user_id, count(*) AS n_pairs,

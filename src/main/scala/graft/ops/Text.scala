@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -133,6 +134,39 @@ object Text {
     var i = 1
     while (i < out.length) { out(i) = out(i - 1) * 31 % p; i += 1 }
     out
+  }
+
+  /** TF-IDF top-k terms per document — the corpus-relevance staple of a
+    * training-data pipeline (keyword extraction, topic balance audits).
+    *
+    * Scale shape: one explode + two hash aggregates (term frequency per
+    * doc, document frequency per term — both map-side partial), a
+    * shuffle equi-join on `term` (high-cardinality vocabulary key, no
+    * hot spots after stopwords spread across docs), the corpus size as
+    * a broadcast 1-row aggregate, and a per-doc top-k window (partition
+    * = doc, tiny sorts). Nothing driver-side.
+    *
+    * tfidf = tf · ln(N/df), snapped through decimal(20,10) before the
+    * 4-place round so engine libm ulp noise cannot flip the rounding.
+    * Deterministic ranking: score desc, then term.
+    */
+  def tfidfTopTerms(docs: DataFrame, id: String, text: Column,
+                    k: Int): DataFrame = {
+    val terms = docs.select(col(id).as("id"), explode(tokens(text)).as("term"))
+    val tf = terms.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = terms.distinct().groupBy("term")
+      .agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct(col(id)).as("n_docs"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round((col("tf") * log(col("n_docs").cast("double") / col("df")))
+          .cast("decimal(20,10)"), 4).cast("double"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("id"), col("term"), col("tfidf"), col("rnk"))
   }
 
   /** Word n-gram shingles (distinct), the MinHash/Jaccard input unit.
