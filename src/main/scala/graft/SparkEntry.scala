@@ -540,6 +540,32 @@ object SparkEntry {
         .withColumn("rate",
           round(col("success") * lit(100.0) / col("total"), 2))),
 
+    // Dedup: cluster formation — connected components over a chained
+    // exact-dup pair stream (3 copies per doc, edges chain consecutive
+    // ids, so components need MULTI-HOP label propagation); component
+    // id = min member = the canonical representative to keep.
+    "q50_dup_clusters" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dup = d
+        .unionByName(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        .unionByName(d.select((col("doc_id") + 20000).as("doc_id"), col("text")))
+      val fp = dup.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy("doc_id")
+      val edges = fp.withColumn("prev", lag(col("doc_id"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("id_a"), col("doc_id").as("id_b"))
+      Dedup.duplicateClusters(edges)
+    }),
+
+    // Sampling: deterministic 30% hash sample (pure function of the
+    // key — same rows on every run/engine), aggregated per language.
+    "q51_hash_sample" -> ((s, dir) =>
+      Sampling.hashSample(t(s, dir, "documents"), col("doc_id"), 30, 100)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(Text.tokenCount(col("text"))).cast("long").as("total_tokens"))),
+
     // Text: TF-IDF top-5 terms per document (explode -> tf/df hash
     // aggs -> term join -> broadcast corpus size -> per-doc top-k).
     "q49_tfidf" -> ((s, dir) =>
@@ -958,6 +984,24 @@ object SparkEntry {
         |  round(sum(CASE WHEN c_acctbal >= 0 THEN 1 ELSE 0 END) * 100.0
         |    / count(*), 2) AS rate
         |FROM customer GROUP BY 1""".stripMargin,
+
+    "q50_dup_clusters" ->
+      """WITH dup AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents
+        |  UNION ALL SELECT doc_id + 20000, text FROM documents),
+        |fp AS (SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM dup)
+        |SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY fp) AS component
+        |FROM fp""".stripMargin,
+
+    "q51_hash_sample" ->
+      s"""SELECT lang, count(*) AS n,
+         |  CAST(sum(len($tokSql)) AS BIGINT) AS total_tokens
+         |FROM documents
+         |WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 100 < 30
+         |GROUP BY 1""".stripMargin,
 
     "q49_tfidf" ->
       s"""WITH tk AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),

@@ -265,4 +265,53 @@ object Dedup {
 
   /** Hamming distance between two simhash sketches. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Duplicate-CLUSTER formation over a near-dup pair stream — the step
+    * every dedup pipeline needs after pair generation: connected
+    * components by iterative min-label propagation, so "keep one doc
+    * per duplicate cluster" becomes `component == id`.
+    *
+    * Scale shape: each iteration is one shuffle join of the (small,
+    * pairs-sized) edge list against the label table plus a hash
+    * aggregate — the standard large-graph CC recipe (label propagation
+    * converges in O(diameter) rounds; near-dup clusters are shallow).
+    * Labels persist per round and unpersist as soon as the next round
+    * materializes; convergence is detected by a changed-label count.
+    * Deterministic: the component id is the cluster's minimum member id.
+    *
+    * Input `pairs`: (id_a, id_b). Output: (id, component) for every id
+    * appearing in any pair.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each vertex adopts min(own label, neighbors' labels)
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("component")).as("nc"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nc"), col("component")))
+            .as("component"))
+        .persist()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.component") =!= col("o.component"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

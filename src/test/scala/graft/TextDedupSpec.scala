@@ -180,6 +180,29 @@ class TextDedupSpec extends SparkSpec {
     assert(inverted.nonEmpty && inverted == prefix)
   }
 
+  test("duplicateClusters: multi-hop chains collapse to min-id components") {
+    // two components: a 5-hop chain 1-2-3-4-5 (needs several label
+    // propagation rounds) and the pair 10-11; 1 and 10 are canonical
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("hashSample is deterministic and disjoint across bucket ranges") {
+    val df = (0L until 200L).toDF("id")
+    val a = graft.ops.Sampling.hashSample(df, $"id", 30, 100).as[Long].collect().toSet
+    val b = graft.ops.Sampling.hashSample(df, $"id", 30, 100).as[Long].collect().toSet
+    assert(a == b, "same rows every run")
+    assert(a.size > 30 && a.size < 90, s"~30% of 200, got ${a.size}")
+    // the complement buckets select exactly the rest
+    val rest = df.filter(graft.ops.Sampling.hashBucket($"id", 100) >= 30)
+      .as[Long].collect().toSet
+    assert((a ++ rest) == (0L until 200L).toSet && (a & rest).isEmpty)
+  }
+
   test("exact dedup keeps one representative per fingerprint") {
     val docs = Seq((1L, "same  text"), (2L, "SAME TEXT"), (3L, "other"))
       .toDF("doc_id", "text")
