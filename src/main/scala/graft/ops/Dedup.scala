@@ -266,6 +266,18 @@ object Dedup {
   /** Hamming distance between two simhash sketches. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** The end of the dedup pipeline: given any near-dup pair stream,
+    * drop every non-canonical cluster member (canonical = min id via
+    * `duplicateClusters`). Documents in no pair survive untouched; the
+    * removal is one anti-join on the (pairs-sized) non-canonical set.
+    */
+  def dedupByClusters(docs: DataFrame, id: String, pairs: DataFrame): DataFrame = {
+    val nonCanonical = duplicateClusters(pairs)
+      .filter(col("component") =!= col("id"))
+      .select(col("id").as(id))
+    docs.join(nonCanonical, Seq(id), "left_anti")
+  }
+
   /** Duplicate-CLUSTER formation over a near-dup pair stream — the step
     * every dedup pipeline needs after pair generation: connected
     * components by iterative min-label propagation, so "keep one doc

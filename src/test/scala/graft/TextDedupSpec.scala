@@ -191,6 +191,15 @@ class TextDedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("dedupByClusters keeps the canonical member and all singletons") {
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"), (11L, "b"),
+      (99L, "unique")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByClusters(docs, "doc_id", pairs)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 99L))
+  }
+
   test("hashSample is deterministic and disjoint across bucket ranges") {
     val df = (0L until 200L).toDF("id")
     val a = graft.ops.Sampling.hashSample(df, $"id", 30, 100).as[Long].collect().toSet
