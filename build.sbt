@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output defaults to sbt's logger, which prefixes every
+// line with "[info] " and breaks machine-parsing of Bench's JSON line
+// (BENCH_r01/r02 both came back "parsed": null). StdoutOutput makes the
+// child inherit sbt's real stdout, so the line lands unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -27,19 +27,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The run task is forked with OutputStrategy.StdoutOutput (build.sbt),
+    // so this line reaches the terminal without sbt's "[info] " prefix and
+    // the driver can machine-parse it. Also mirrored to a bare file.
     println(line)
-    // sbt's logger prefixes every captured stdout line with "[info] ",
-    // which breaks machine parsing of the JSON line — also emit it (a) to
-    // a bare file and (b) straight to the process stdout fd, bypassing
-    // any System.out redirection the launcher installed.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
         (line + "\n").getBytes("UTF-8"))
-    } catch { case _: java.io.IOException => () }
-    try {
-      val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
-      raw.write((line + "\n").getBytes("UTF-8")); raw.flush()
     } catch { case _: java.io.IOException => () }
     spark.stop()
   }
