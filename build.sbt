@@ -15,7 +15,6 @@ run / fork := true
 // line with "[info] " and breaks machine-parsing of Bench's JSON line
 // (BENCH_r01/r02 both came back "parsed": null). StdoutOutput makes the
 // child inherit sbt's real stdout, so the line lands unprefixed.
-run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

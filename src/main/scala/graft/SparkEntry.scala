@@ -925,15 +925,17 @@ object SparkEntry {
          |      FROM documents)
          |GROUP BY lang""".stripMargin,
 
-    "q39_rolling_hash" -> {
-      val pows = graft.ops.Text.rollingHashPowers(graft.ops.Dedup.P)
+    // Horner fold, same recurrence as Text.rollingHash — NO token cap on
+    // either side (the earlier positional power-table oracle silently
+    // went NULL→0 past 512 tokens, a parity trap; ADVICE round 2).
+    // list_reduce seeds with the first element, which equals the
+    // engine's (0*31 + h₁) mod P first step since h₁ < P.
+    "q39_rolling_hash" ->
       s"""SELECT doc_id,
-         |  coalesce(CAST(list_sum(
-         |    [((${h60("tk[i]")} % 2147483647)
-         |       * ([${pows.mkString(",")}][len(tk) - i + 1]) % 2147483647)
-         |     for i in range(1, len(tk) + 1)]) % 2147483647 AS BIGINT), 0) AS rh
-         |FROM (SELECT doc_id, $tokSql AS tk FROM documents)""".stripMargin
-    },
+         |  CAST(CASE WHEN len(tk) = 0 THEN 0 ELSE
+         |    list_reduce([${h60("t")} % 2147483647 for t in tk],
+         |                (acc, h) -> (acc * 31 + h) % 2147483647) END AS BIGINT) AS rh
+         |FROM (SELECT doc_id, $tokSql AS tk FROM documents)""".stripMargin,
 
     "q40_rollup" ->
       """SELECT c_nationkey, o_orderstatus, count(*) AS n,

@@ -310,15 +310,26 @@ object Dedup {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // each vertex adopts min(own label, neighbors' labels)
+      // each vertex adopts min(own label, neighbors' labels) ...
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("component")).as("nc"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      val adopted = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("nc"), col("component")))
             .as("component"))
+      // ... then pointer-jumps through its label's own label (every
+      // label is itself a vertex id, so the self-join always hits).
+      // Plain min-propagation needs O(diameter) rounds — a chain longer
+      // than maxIter hops would silently split one true cluster into
+      // several labels; doubling halves the remaining distance each
+      // round, so convergence is O(log diameter) and maxIter=20 covers
+      // chains of ~2^20 hops.
+      val next = adopted.as("a")
+        .join(adopted.as("b"), col("a.component") === col("b.id"), "left")
+        .select(col("a.id"),
+          coalesce(col("b.component"), col("a.component")).as("component"))
         .localCheckpoint(true)
       val changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
@@ -330,6 +341,10 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge within $maxIter rounds — " +
+        "the pair graph has a component deeper than 2^maxIter hops")
     labels
   }
 }

@@ -121,21 +121,6 @@ object Text {
       lit(0L), (acc, h) => pmod(acc * 31 + h, lit(p)))
   }
 
-  /** Power table 31^i mod P for SQL engines whose comfortable idiom is the
-    * positional-sum form (the q39 oracle) — valid for documents up to
-    * `RollingHashMaxTokens` tokens; the engine-side `rollingHash` has no
-    * such cap.
-    */
-  val RollingHashMaxTokens = 512
-
-  def rollingHashPowers(p: Long): Array[Long] = {
-    val out = new Array[Long](RollingHashMaxTokens)
-    out(0) = 1L
-    var i = 1
-    while (i < out.length) { out(i) = out(i - 1) * 31 % p; i += 1 }
-    out
-  }
-
   /** TF-IDF top-k terms per document — the corpus-relevance staple of a
     * training-data pipeline (keyword extraction, topic balance audits).
     *

@@ -3,7 +3,7 @@ package graft.sources
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.nio.charset.StandardCharsets.UTF_8
 import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 import graft.ops.{Merge, Pipeline}
@@ -46,6 +46,33 @@ object Snapshot {
 
   final class ConcurrentCommitException(msg: String) extends RuntimeException(msg)
 
+  /** Spark escapes partition values in directory names (':' → '%3A',
+    * null → __HIVE_DEFAULT_PARTITION__, see
+    * ExternalCatalogUtils.escapePathName); every comparison between an
+    * incoming VALUE and a directory SUFFIX must happen on one side of
+    * that encoding. Driver-side we unescape with the same utility Spark
+    * wrote the path with.
+    */
+  private val NullPartitionName =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+
+  private def escapeValue(v: String): String =
+    if (v == null) NullPartitionName
+    else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+
+  private def unescapeValue(suffix: String): String =
+    if (suffix == NullPartitionName) null
+    else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(suffix)
+
+  /** List a directory's entries eagerly, closing the OS handle —
+    * Files.list streams otherwise leak one descriptor per call in a
+    * long-running driver doing many commits/reads.
+    */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
   /** One snapshot: the complete set of data directories (absolute),
     * partition column name + catalog type ("" when unpartitioned), and
     * the DATA schema (partition column excluded) as StructType JSON —
@@ -73,8 +100,8 @@ object Snapshot {
   def versions(table: String): Seq[Long] = {
     val dir = manifestDir(table)
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .flatMap(p => parseVersion(p.getFileName.toString)).toSeq.sorted
+    else listDir(dir)
+      .flatMap(p => parseVersion(p.getFileName.toString)).sorted
   }
 
   def latestVersion(table: String): Option[Long] = versions(table).lastOption
@@ -118,9 +145,9 @@ object Snapshot {
     partitionCol match {
       case Some(pc) =>
         df.write.partitionBy(pc).parquet(dataRoot.toString)
-        Files.list(dataRoot).iterator().asScala
+        listDir(dataRoot)
           .filter(p => Files.isDirectory(p) && p.getFileName.toString.contains("="))
-          .map(_.toString).toSeq.sorted
+          .map(_.toString).sorted
       case None =>
         df.write.parquet(dataRoot.toString)
         Seq(dataRoot.toString)
@@ -158,10 +185,29 @@ object Snapshot {
     // null-fill the columns they lack
     val df = spark.read.schema(m.dataSchema).parquet(m.dirs: _*)
     if (m.partitionCol.isEmpty) df
-    else df.withColumn(m.partitionCol,
-      regexp_extract(input_file_name(),
-        java.util.regex.Pattern.quote(m.partitionCol) + "=([^/]+)/", 1)
-        .cast(m.partitionType))
+    else injectPartitionCol(df, m.partitionCol, m.partitionType)
+  }
+
+  /** Re-inject the partition column from the directory name on the scan —
+    * one codegen'd regexp + percent-decode, no join, no shuffle. The
+    * suffix extracted from input_file_name() carries TWO escape layers:
+    * Spark's partition escaping (':' → %3A) underneath the URI encoding
+    * input_file_name applies to the whole path ('%' → %25, space → %20).
+    * Decode twice; before each pass protect literal '+', which neither
+    * escaper touches but url_decode would turn into a space. A literal
+    * '%' in the value was escaped at both layers (%2525), so '%' only
+    * ever introduces an escape. __HIVE_DEFAULT_PARTITION__ maps to null.
+    */
+  private def injectPartitionCol(df: DataFrame, pc: String,
+                                 pcType: String): DataFrame = {
+    def pctDecode(c: Column): Column =
+      url_decode(regexp_replace(c, "\\+", "%2B"))
+    val raw = regexp_extract(input_file_name(),
+      java.util.regex.Pattern.quote(pc) + "=([^/]+)/", 1)
+    df.withColumn(pc,
+      when(raw === lit(NullPartitionName), lit(null).cast("string"))
+        .otherwise(pctDecode(pctDecode(raw)))
+        .cast(pcType))
   }
 
   /** Manifest-side partition pruning: read only the directories whose
@@ -177,15 +223,16 @@ object Snapshot {
     if (kept.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         read(spark, table, Some(v)).schema)
-    else spark.read.schema(m.dataSchema).parquet(kept: _*)
-      .withColumn(m.partitionCol,
-        regexp_extract(input_file_name(),
-          java.util.regex.Pattern.quote(m.partitionCol) + "=([^/]+)/", 1)
-          .cast(m.partitionType))
+    else injectPartitionCol(spark.read.schema(m.dataSchema).parquet(kept: _*),
+      m.partitionCol, m.partitionType)
   }
 
+  /** The UNESCAPED partition value a directory holds (null for the
+    * null-partition directory) — the form incoming values compare
+    * against and `readPruned`'s keep() receives.
+    */
   private def partitionValueOf(dir: String): String =
-    dir.substring(dir.lastIndexOf('=') + 1)
+    unescapeValue(dir.substring(dir.lastIndexOf('=') + 1))
 
   /** Atomic partition-scoped MERGE: keep-latest upsert of `incoming`
     * into the touched partitions only; untouched directories carry over
@@ -221,11 +268,9 @@ object Snapshot {
           if (touchedDirs.isEmpty) incomingR
           else {
             val spark = incoming.sparkSession
-            val existing = spark.read.schema(m.dataSchema).parquet(touchedDirs: _*)
-              .withColumn(partitionCol,
-                regexp_extract(input_file_name(),
-                  java.util.regex.Pattern.quote(partitionCol) + "=([^/]+)/", 1)
-                  .cast(m.partitionType))
+            val existing = injectPartitionCol(
+              spark.read.schema(m.dataSchema).parquet(touchedDirs: _*),
+              partitionCol, m.partitionType)
             Merge.upsert(Pipeline.reconcileSchema(existing, targetFull),
               incomingR, keys, versionCol)
           }
@@ -265,19 +310,40 @@ object Snapshot {
   /** Drop data directories no longer referenced by the newest
     * `keepVersions` manifests (and the superseded manifests themselves) —
     * the retention/VACUUM face of the format.
+    *
+    * Also reclaims ORPHAN commit directories under `table/data/` that no
+    * manifest references at all — the residue of crashed writers and of
+    * losers of a ConcurrentCommitException race, which would otherwise
+    * accumulate unboundedly under retries. Orphans younger than
+    * `orphanAgeMs` are left alone so vacuum never races an in-flight
+    * commit that has written data but not yet published its manifest.
     */
-  def vacuum(table: String, keepVersions: Int = 1): Unit = {
-    val vs = versions(table)
-    if (vs.size <= keepVersions) return
-    val (drop, keep) = vs.splitAt(vs.size - keepVersions)
-    val live = keep.flatMap(readManifest(table, _).dirs).toSet
-    val dead = drop.flatMap(readManifest(table, _).dirs).toSet -- live
+  def vacuum(table: String, keepVersions: Int = 1,
+             orphanAgeMs: Long = 3600000L): Unit = {
     def rm(p: Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.toSeq.foreach(rm)
+      if (Files.isDirectory(p)) listDir(p).foreach(rm)
       Files.deleteIfExists(p)
     }
+    val vs = versions(table)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    val live = keep.flatMap(readManifest(table, _).dirs).toSet
+    val dead = drop.flatMap(readManifest(table, _).dirs).toSet -- live
     dead.foreach(d => rm(Paths.get(d)))
     drop.foreach(v => Files.deleteIfExists(manifestPath(table, v)))
+    // orphan sweep: a commit dir is live iff some retained manifest
+    // references it (partitioned dirs are data/<uuid>/<pc>=<v>;
+    // unpartitioned, data/<uuid> itself)
+    val dataRoot = Paths.get(table, "data")
+    if (Files.isDirectory(dataRoot)) {
+      val liveCommits = live.map { d =>
+        val p = Paths.get(d)
+        if (p.getFileName.toString.contains("=")) p.getParent else p
+      }.map(_.toAbsolutePath.normalize)
+      val cutoff = System.currentTimeMillis() - orphanAgeMs
+      listDir(dataRoot)
+        .filterNot(p => liveCommits.contains(p.toAbsolutePath.normalize))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .foreach(rm)
+    }
   }
 }

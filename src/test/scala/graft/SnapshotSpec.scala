@@ -159,6 +159,60 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("partition values needing path-escaping (and null) roundtrip and merge correctly") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      // ':' escapes to %3A in directory names; null becomes
+      // __HIVE_DEFAULT_PARTITION__ — both must compare as VALUES, not
+      // as raw directory suffixes (ADVICE round 2, medium)
+      val rows = Seq(("A", "10:00", 1.0, 0L), ("B", "11:00", 2.0, 0L),
+        ("C", null.asInstanceOf[String], 3.0, 0L))
+        .toDF("symbol", "slot", "close", "version")
+      Snapshot.commit(rows, t, Some("slot"))
+      val back = Snapshot.read(spark, t)
+        .select($"symbol", $"slot", $"close")
+        .as[(String, Option[String], Double)].collect().toSet
+      assert(back == Set(("A", Some("10:00"), 1.0), ("B", Some("11:00"), 2.0),
+        ("C", None, 3.0)))
+
+      // merge touching ONLY the escaped partition must replace it (not
+      // duplicate it by treating the escaped dir as untouched)
+      Snapshot.merge(
+        Seq(("A", "10:00", 9.0, 1L)).toDF("symbol", "slot", "close", "version"),
+        t, Seq("symbol", "slot"), "version", "slot")
+      val after = Snapshot.read(spark, t)
+        .select($"symbol", $"slot", $"close")
+        .as[(String, Option[String], Double)].collect().toSet
+      assert(after == Set(("A", Some("10:00"), 9.0), ("B", Some("11:00"), 2.0),
+        ("C", None, 3.0)))
+
+      // pruning's keep() receives the unescaped value
+      val pruned = Snapshot.readPruned(spark, t, v => v != null && v == "10:00")
+      assert(pruned.select($"close").as[Double].collect().toSeq == Seq(9.0))
+    }
+  }
+
+  test("vacuum reclaims orphan commit dirs from crashed/losing writers") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      Snapshot.commit(batch(("A", "2024-01-01", 10.0, 0L)), t, Some("date"))
+      // simulate a crashed writer: data written, manifest never published
+      val orphan = new java.io.File(t, "data/deadbeef-orphan")
+      orphan.mkdirs()
+      new java.io.File(orphan, "part-00000.parquet").createNewFile()
+
+      Snapshot.vacuum(t, keepVersions = 1, orphanAgeMs = -1000L) // everything "old"
+      assert(!orphan.exists(), "unreferenced commit dir must be reclaimed")
+      assert(content(t) == Set(("A", "2024-01-01", 10.0)), "live data untouched")
+
+      // a YOUNG orphan (possible in-flight commit) survives the sweep
+      val young = new java.io.File(t, "data/young-inflight")
+      young.mkdirs()
+      Snapshot.vacuum(t, keepVersions = 1, orphanAgeMs = 3600000L)
+      assert(young.exists(), "orphans younger than the age threshold survive")
+    }
+  }
+
   test("manifest-side pruning reads only the matching partition dirs") {
     withTempDir { dir =>
       val t = dir.getAbsolutePath + "/t"

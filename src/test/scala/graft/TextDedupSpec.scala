@@ -191,6 +191,16 @@ class TextDedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("duplicateClusters: a chain far deeper than maxIter rounds still converges") {
+    // a 60-hop path needs 60 rounds of plain min-propagation — past the
+    // maxIter=20 cap, where the pre-doubling implementation silently
+    // split the cluster (ADVICE round 2). Pointer-jumping makes the
+    // label distance halve per round, so this converges in ~6 rounds.
+    val pairs = (1L until 61L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got.size == 61 && got.values.forall(_ == 1L))
+  }
+
   test("dedupByClusters keeps the canonical member and all singletons") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"), (11L, "b"),
       (99L, "unique")).toDF("doc_id", "text")
