@@ -558,6 +558,71 @@ object SparkEntry {
       Dedup.duplicateClusters(edges)
     }),
 
+    // Beyond-reference: backward as-of join — the latest 'view' at or
+    // before each 'purchase' per user (union-and-window: ONE shuffle on
+    // the key, no range-join candidate explosion). Oracle: DuckDB's
+    // native ASOF LEFT JOIN.
+    "q52_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val trades = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").as("trade_v"))
+      val quotes = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("value").as("quote_v"))
+      Asof.joinAsOf(trades, quotes, Seq("user_id"), "ts", "ts")
+        .select(col("event_id"), col("user_id"), col("trade_v"),
+          col("quote_v"))
+    }),
+
+    // Beyond-reference: rolling per-symbol indicators over the daily
+    // series — 20-bar moving average, 10-bar rate of change, running-max
+    // drawdown. One window partitioning serves all three frames; only
+    // exactly-reproducible aggregates (avg/max/lag), snapped through
+    // decimal(20,10) before the 4-place round.
+    "q53_rolling_indicators" -> ((s, dir) => {
+      val b = Merge.keepLatest(bars(s, dir), Seq("symbol", "d"),
+        struct(col("ord"), col("px"), col("vol")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("symbol").orderBy("d")
+      val w20 = w.rowsBetween(-19, 0)
+      val wRun = w.rowsBetween(Long.MinValue, 0)
+      b.select(col("symbol"), col("d"),
+        round(avg(col("px")).over(w20).cast("decimal(20,10)"), 4)
+          .cast("double").as("sma20"),
+        round((col("px") / lag(col("px"), 10).over(w) - 1)
+          .cast("decimal(20,10)"), 4).cast("double").as("roc10"),
+        round((col("px") / max(col("px")).over(wRun) - 1)
+          .cast("decimal(20,10)"), 4).cast("double").as("drawdown"))
+    }),
+
+    // Beyond-reference: pivot the event feed to one column per event
+    // type (explicit value list — a single pass, no values-discovery
+    // job; each cell a rounded sum).
+    "q54_event_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(round(sum(col("value")), 2))),
+
+    // Beyond-reference: per-vector int8 quantization of the embedding
+    // column (symmetric, scale = 127/max|x|) — the storage-halving step
+    // of a large-scale ANN pipeline. floor(x+0.5) not round(): floor is
+    // exact in IEEE so both engines pick identical integers.
+    "q55_embed_quantize" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          Cols.bound(array_max(transform(col("embedding"),
+            x => abs(x))).cast("double")) { amax =>
+            when(amax === 0d, array_repeat(lit(0L), size(col("embedding"))))
+              .otherwise(transform(col("embedding"),
+                x => floor(x.cast("double") * (lit(127.0) / amax) + 0.5)
+                  .cast("long")))
+          }.as("q"))
+        .select(col("vec_id"),
+          array_min(col("q")).as("q_min"), array_max(col("q")).as("q_max"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+          size(filter(col("q"), x => abs(x) === 127L)).as("n_sat"))),
+
     // Sampling: deterministic 30% hash sample (pure function of the
     // key — same rows on every run/engine), aggregated per language.
     "q51_hash_sample" -> ((s, dir) =>
@@ -1004,6 +1069,54 @@ object SparkEntry {
          |FROM documents
          |WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 100 < 30
          |GROUP BY 1""".stripMargin,
+
+    "q52_asof_join" ->
+      """WITH t AS (SELECT event_id, user_id, ts, value AS trade_v
+        |  FROM events WHERE event_type = 'purchase'),
+        |q AS (SELECT user_id, ts, value AS quote_v
+        |  FROM events WHERE event_type = 'view')
+        |SELECT event_id, t.user_id AS user_id, trade_v, quote_v
+        |FROM t ASOF LEFT JOIN q
+        |  ON t.user_id = q.user_id AND t.ts >= q.ts""".stripMargin,
+
+    "q53_rolling_indicators" ->
+      s"""WITH b AS (
+         |  SELECT symbol, d, px FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY symbol, d ORDER BY ord DESC, px DESC, vol DESC)
+         |    AS rn FROM ($barsSql)) WHERE rn = 1)
+         |SELECT symbol, d,
+         |  CAST(round(CAST(avg(px) OVER (PARTITION BY symbol ORDER BY d
+         |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS sma20,
+         |  CAST(round(CAST(px / lag(px, 10) OVER (PARTITION BY symbol ORDER BY d)
+         |    - 1 AS DECIMAL(20,10)), 4) AS DOUBLE) AS roc10,
+         |  CAST(round(CAST(px / max(px) OVER (PARTITION BY symbol ORDER BY d
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    - 1 AS DECIMAL(20,10)), 4) AS DOUBLE) AS drawdown
+         |FROM b""".stripMargin,
+
+    "q54_event_pivot" ->
+      """SELECT user_id,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+        |  round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS "view",
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+        |  round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+        |  round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS "error"
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q55_embed_quantize" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN amax = 0 THEN [CAST(0 AS BIGINT) for x in embedding]
+        |         ELSE [CAST(floor(CAST(x AS DOUBLE) * (127.0 / amax) + 0.5)
+        |                    AS BIGINT) for x in embedding] END AS q
+        |  FROM (SELECT vec_id, embedding,
+        |          CAST(list_max([abs(x) for x in embedding]) AS DOUBLE) AS amax
+        |        FROM embeddings))
+        |SELECT vec_id, list_min(q) AS q_min, list_max(q) AS q_max,
+        |  CAST(list_sum(q) AS BIGINT) AS q_sum,
+        |  CAST(len(list_filter(q, x -> abs(x) = 127)) AS INTEGER) AS n_sat
+        |FROM q""".stripMargin,
 
     "q49_tfidf" ->
       s"""WITH tk AS (SELECT doc_id, unnest($tokSql) AS term FROM documents),
