@@ -73,16 +73,29 @@ object Snapshot {
     try s.iterator().asScala.toSeq finally s.close()
   }
 
+  /** Per-directory file statistics, harvested from the parquet FOOTERS
+    * already written (no second pass over the data): exact row count and
+    * per-column min/max in a canonical string encoding (numbers as
+    * decimal strings, dates ISO — both orders agree with value order).
+    * A column absent from the maps has no usable stats (unknown), never
+    * "no rows" — consumers must stay conservative.
+    */
+  final case class DirStats(rows: Long, mins: Map[String, String],
+                            maxs: Map[String, String])
+
   /** One snapshot: the complete set of data directories (absolute),
-    * partition column name + catalog type ("" when unpartitioned), and
-    * the DATA schema (partition column excluded) as StructType JSON —
-    * the source of truth for reads, so directories written before a
-    * schema evolution read back with the evolved schema (absent
-    * columns null-fill at scan time).
+    * partition column name + catalog type ("" when unpartitioned), the
+    * DATA schema (partition column excluded) as StructType JSON — the
+    * source of truth for reads, so directories written before a schema
+    * evolution read back with the evolved schema (absent columns
+    * null-fill at scan time) — and optional per-directory stats (absent
+    * for dirs written before stats existed; carried by reference across
+    * merges exactly like the dirs themselves).
     */
   final case class Manifest(version: Long, partitionCol: String,
                             partitionType: String, dataSchemaJson: String,
-                            dirs: Seq[String]) {
+                            dirs: Seq[String],
+                            stats: Map[String, DirStats] = Map.empty) {
     def dataSchema: StructType =
       DataType.fromJson(dataSchemaJson).asInstanceOf[StructType]
   }
@@ -106,18 +119,49 @@ object Snapshot {
 
   def latestVersion(table: String): Option[Long] = versions(table).lastOption
 
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  /** Dir lines are `path` (no stats — pre-stats manifests parse
+    * unchanged) or `path TAB rows [TAB col TAB min TAB max]...` with
+    * URL-encoded stat fields so values may contain tabs.
+    */
   def readManifest(table: String, v: Long): Manifest = {
     val lines = Files.readAllLines(manifestPath(table, v), UTF_8).asScala.toSeq
     val header = lines.head.split("\t", -1)
     require(header.length == 3 && header(0).toLong == v,
       s"corrupt manifest v$v: ${lines.head}")
-    Manifest(v, header(1), header(2), lines(1), lines.drop(2))
+    val parsed = lines.drop(2).map { line =>
+      val f = line.split("\t", -1)
+      if (f.length < 2) (f(0), None)
+      else {
+        val triples = f.drop(2).grouped(3).collect {
+          case Array(c, mn, mx) => (dec(c), dec(mn), dec(mx))
+        }.toSeq
+        (f(0), Some(DirStats(f(1).toLong,
+          triples.map(t => t._1 -> t._2).toMap,
+          triples.map(t => t._1 -> t._3).toMap)))
+      }
+    }
+    Manifest(v, header(1), header(2), lines(1), parsed.map(_._1),
+      parsed.collect { case (d, Some(st)) => d -> st }.toMap)
   }
 
   private def writeManifest(table: String, m: Manifest): Unit = {
     Files.createDirectories(manifestDir(table))
+    val dirLines = m.dirs.map { d =>
+      m.stats.get(d) match {
+        case None => d
+        case Some(st) =>
+          val cols = st.mins.keys.toSeq.sorted.flatMap(c =>
+            Seq(enc(c), enc(st.mins(c)), enc(st.maxs(c))))
+          (Seq(d, st.rows.toString) ++ cols).mkString("\t")
+      }
+    }
     val body = (Seq(s"${m.version}\t${m.partitionCol}\t${m.partitionType}",
-      m.dataSchemaJson) ++ m.dirs).mkString("", "\n", "\n")
+      m.dataSchemaJson) ++ dirLines).mkString("", "\n", "\n")
     val tmp = manifestDir(table).resolve(
       s".tmp-${java.util.UUID.randomUUID().toString}")
     Files.write(tmp, body.getBytes(UTF_8))
@@ -135,14 +179,15 @@ object Snapshot {
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** Write a NEW data directory set for `df` and return the dirs —
-    * nothing is published until the manifest rename.
+  /** Write a NEW data directory set for `df` and return the dirs with
+    * their footer-derived stats — nothing is published until the
+    * manifest rename.
     */
   private def writeData(df: DataFrame, table: String,
-                        partitionCol: Option[String]): Seq[String] = {
+                        partitionCol: Option[String]): (Seq[String], Map[String, DirStats]) = {
     val commitId = java.util.UUID.randomUUID().toString
     val dataRoot = Paths.get(table, "data", commitId)
-    partitionCol match {
+    val dirs = partitionCol match {
       case Some(pc) =>
         df.write.partitionBy(pc).parquet(dataRoot.toString)
         listDir(dataRoot)
@@ -151,6 +196,139 @@ object Snapshot {
       case None =>
         df.write.parquet(dataRoot.toString)
         Seq(dataRoot.toString)
+    }
+    val dataSchema = StructType(
+      df.schema.filterNot(f => partitionCol.contains(f.name)))
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    (dirs, dirs.map(d => d -> dirStats(d, dataSchema, conf)).toMap)
+  }
+
+  /** Types whose parquet footer min/max we can decode into the canonical
+    * string encoding (decimal strings for numbers, ISO for dates, the
+    * value itself for strings) — both encodings sort like the values.
+    */
+  private def statsSupported(dt: DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | DateType | StringType => true
+      case _ => false
+    }
+  }
+
+  private def encodeStat(dt: DataType, v: Any): Option[String] = {
+    import org.apache.spark.sql.types._
+    val s = dt match {
+      case DateType =>
+        java.time.LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue).toString
+      case StringType =>
+        v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8
+      case _ => v.toString
+    }
+    dt match {
+      case DateType | StringType => Some(s)
+      case _ => // reject NaN/Infinity — not orderable in the decimal encoding
+        scala.util.Try { new java.math.BigDecimal(s); s }.toOption
+    }
+  }
+
+  /** Compare two canonical stat strings under the column's type order. */
+  private def statCompare(dt: DataType, a: String, b: String): Int = dt match {
+    case _: org.apache.spark.sql.types.NumericType =>
+      new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    case _ => a.compareTo(b) // ISO dates and strings
+  }
+
+  /** Harvest exact row counts and per-column min/max from the parquet
+    * footers of every file in `dir` — metadata-only reads, no data scan
+    * (the same trick Delta/Iceberg use, done at commit time so readers
+    * get stats for free from the manifest). A column with missing or
+    * undecodable stats in ANY block is dropped (unknown), an all-null
+    * block contributes nothing but doesn't poison the column.
+    */
+  private def dirStats(dir: String, schema: StructType,
+                       conf: org.apache.hadoop.conf.Configuration): DirStats = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    var rows = 0L
+    val mins = scala.collection.mutable.Map.empty[String, String]
+    val maxs = scala.collection.mutable.Map.empty[String, String]
+    val bad = scala.collection.mutable.Set.empty[String]
+    val tracked = schema.fields.filter(f => statsSupported(f.dataType))
+      .map(f => f.name -> f.dataType).toMap
+    val files = listDir(Paths.get(dir))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    files.foreach { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.toString), conf))
+      try {
+        reader.getFooter.getBlocks.asScala.foreach { block =>
+          rows += block.getRowCount
+          block.getColumns.asScala.foreach { chunk =>
+            val name = chunk.getPath.toDotString
+            tracked.get(name).foreach { dt =>
+              val st = chunk.getStatistics
+              if (st == null || st.isEmpty) bad += name
+              else if (st.hasNonNullValue) {
+                (encodeStat(dt, st.genericGetMin), encodeStat(dt, st.genericGetMax)) match {
+                  case (Some(mn), Some(mx)) =>
+                    if (!mins.contains(name) || statCompare(dt, mn, mins(name)) < 0)
+                      mins(name) = mn
+                    if (!maxs.contains(name) || statCompare(dt, mx, maxs(name)) > 0)
+                      maxs(name) = mx
+                  case _ => bad += name
+                }
+              } // all-null block: no contribution, not poisonous
+            }
+          }
+        }
+      } finally reader.close()
+    }
+    DirStats(rows, (mins -- bad).toMap, (maxs -- bad).toMap)
+  }
+
+  /** Exact `count(*)` from manifest stats alone — no scan, no Spark job.
+    * None when any directory predates stats (unknown ≠ zero).
+    */
+  def countStar(table: String, version: Option[Long] = None): Option[Long] = {
+    val v = version.orElse(latestVersion(table)).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed snapshot"))
+    val m = readManifest(table, v)
+    if (m.dirs.forall(m.stats.contains))
+      Some(m.dirs.map(m.stats(_).rows).sum)
+    else None
+  }
+
+  /** Stats-based data skipping on ANY tracked column (not just the
+    * partition column): read only directories whose [min,max] intersects
+    * [lo,hi] (each bound optional/inclusive, canonical string encoding —
+    * ISO for dates, decimal strings for numbers). Directories without
+    * stats for the column are conservatively kept. The caller still
+    * applies the real filter — this only shrinks the scan.
+    */
+  def readStatsPruned(spark: SparkSession, table: String, column: String,
+                      lo: Option[String], hi: Option[String]): DataFrame = {
+    val v = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed snapshot"))
+    val m = readManifest(table, v)
+    val dt = m.dataSchema.find(_.name == column).map(_.dataType).getOrElse(
+      throw new IllegalArgumentException(s"$table has no data column '$column'"))
+    val kept = m.dirs.filter { d =>
+      m.stats.get(d) match {
+        case Some(st) if st.mins.contains(column) =>
+          val aboveLo = lo.forall(l => statCompare(dt, st.maxs(column), l) >= 0)
+          val belowHi = hi.forall(h => statCompare(dt, st.mins(column), h) <= 0)
+          aboveLo && belowHi
+        case _ => true // unknown: must keep
+      }
+    }
+    if (kept.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        read(spark, table, Some(v)).schema)
+    else {
+      val df = spark.read.schema(m.dataSchema).parquet(kept: _*)
+      if (m.partitionCol.isEmpty) df
+      else injectPartitionCol(df, m.partitionCol, m.partitionType)
     }
   }
 
@@ -164,9 +342,10 @@ object Snapshot {
       case None => ("", "")
     }
     val dataSchema = StructType(df.schema.filterNot(_.name == pcName))
-    val dirs = writeData(df, table, partitionCol)
+    val (dirs, stats) = writeData(df, table, partitionCol)
     val next = latestVersion(table).getOrElse(0L) + 1
-    writeManifest(table, Manifest(next, pcName, pcType, dataSchema.json, dirs))
+    writeManifest(table,
+      Manifest(next, pcName, pcType, dataSchema.json, dirs, stats))
     next
   }
 
@@ -274,9 +453,10 @@ object Snapshot {
             Merge.upsert(Pipeline.reconcileSchema(existing, targetFull),
               incomingR, keys, versionCol)
           }
-        val newDirs = writeData(merged, table, Some(partitionCol))
+        val (newDirs, newStats) = writeData(merged, table, Some(partitionCol))
         writeManifest(table, Manifest(v + 1, partitionCol, m.partitionType,
-          evolved.json, (untouchedDirs ++ newDirs).sorted))
+          evolved.json, (untouchedDirs ++ newDirs).sorted,
+          m.stats.view.filterKeys(untouchedDirs.contains).toMap ++ newStats))
         v + 1
     }
   }
@@ -300,10 +480,10 @@ object Snapshot {
     val compacted =
       if (m.partitionCol.isEmpty) df.coalesce(targetFiles)
       else df.repartition(col(m.partitionCol)) // one shuffle → one file per partition dir
-    val newDirs = writeData(compacted, table,
+    val (newDirs, newStats) = writeData(compacted, table,
       Option(m.partitionCol).filter(_.nonEmpty))
     writeManifest(table, Manifest(v + 1, m.partitionCol, m.partitionType,
-      m.dataSchemaJson, newDirs))
+      m.dataSchemaJson, newDirs, newStats))
     v + 1
   }
 

@@ -213,6 +213,51 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("footer stats: countStar answers count(*) from the manifest alone") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      Snapshot.commit(
+        batch(("A", "2024-01-01", 10.0, 0L), ("B", "2024-01-01", 20.0, 0L),
+          ("A", "2024-01-02", 11.0, 0L)), t, Some("date"))
+      assert(Snapshot.countStar(t).contains(3L))
+      // merge: untouched dirs carry stats by reference, count stays exact
+      Snapshot.merge(batch(("C", "2024-01-02", 30.0, 1L)), t,
+        Seq("symbol", "date"), "version", "date")
+      assert(Snapshot.countStar(t).contains(4L))
+
+      // a manifest line without stats (pre-stats format) degrades to None
+      val m = Snapshot.readManifest(t, 2)
+      val method = Snapshot.getClass.getDeclaredMethods
+        .find(_.getName == "writeManifest").get
+      method.setAccessible(true)
+      method.invoke(Snapshot, t, Snapshot.Manifest(3L, m.partitionCol,
+        m.partitionType, m.dataSchemaJson, m.dirs))
+      assert(Snapshot.countStar(t).isEmpty, "unknown stats must not claim a count")
+      assert(Snapshot.read(spark, t).count() == 4L, "scan path unaffected")
+    }
+  }
+
+  test("footer stats: readStatsPruned skips dirs by non-partition column ranges") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      Snapshot.commit(
+        batch(("A", "2024-01-01", 10.0, 0L), ("A", "2024-01-02", 50.0, 0L),
+          ("A", "2024-01-03", 90.0, 0L)), t, Some("date"))
+      // close ranges per dir: [10], [50], [90] — prune on the DATA column
+      val pruned = Snapshot.readStatsPruned(spark, t, "close",
+        lo = Some("40"), hi = Some("60"))
+      assert(pruned.select($"close").as[Double].collect().toSeq == Seq(50.0))
+      val files = pruned.select(input_file_name()).as[String].collect().toSet
+      assert(files.size == 1, "only the one in-range directory is scanned")
+      // open-ended bound
+      val ge = Snapshot.readStatsPruned(spark, t, "close", Some("50"), None)
+      assert(ge.select($"close").as[Double].collect().toSet == Set(50.0, 90.0))
+      // symbol is a string column: stats prune works there too
+      val none = Snapshot.readStatsPruned(spark, t, "symbol", Some("B"), None)
+      assert(none.count() == 0)
+    }
+  }
+
   test("manifest-side pruning reads only the matching partition dirs") {
     withTempDir { dir =>
       val t = dir.getAbsolutePath + "/t"
