@@ -580,7 +580,9 @@ object SparkEntry {
     // exactly-reproducible aggregates (avg/max/lag), snapped through
     // decimal(20,10) before the 4-place round.
     "q53_rolling_indicators" -> ((s, dir) => {
-      val b = Merge.keepLatest(bars(s, dir), Seq("symbol", "d"),
+      // dedup INSIDE the symbol partitioning (keepLatestInSeries): the
+      // dedup and all three indicator windows share one exchange
+      val b = Merge.keepLatestInSeries(bars(s, dir), Seq("symbol"), Seq("d"),
         struct(col("ord"), col("px"), col("vol")))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("symbol").orderBy("d")

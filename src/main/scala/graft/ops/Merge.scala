@@ -40,6 +40,30 @@ object Merge {
         if (keys.contains(c)) col(c) else col(s"__kept.$c")).toIndexedSeq: _*)
   }
 
+  /** keep-latest for the case where a per-series window op CONSUMES the
+    * deduped rows: dedup inside the series partitioning instead of a
+    * separate (keys)-grouped aggregate, so the dedup and every
+    * downstream window over `seriesKeys` share ONE exchange.
+    *
+    * `keepLatest` would hash-partition on seriesKeys++subKeys and (its
+    * struct buffer forcing SortAggregate) sort twice before the window
+    * repartitions AGAIN on seriesKeys. Here: partition by seriesKeys,
+    * sort (subKeys asc, version desc), and keep each subKey-group's
+    * first row via a lag marker — same winner as keepLatest
+    * (lexicographic max of `version` per key), one shuffle total for
+    * dedup + window chain (q53's plan audit pins this).
+    */
+  def keepLatestInSeries(df: DataFrame, seriesKeys: Seq[String],
+                         subKeys: Seq[String], version: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(seriesKeys.map(col): _*)
+      .orderBy(subKeys.map(c => col(c).asc) :+ version.desc: _*)
+    val group = struct(subKeys.map(col): _*)
+    df.withColumn("__prev_grp", lag(group, 1).over(w))
+      .filter(col("__prev_grp").isNull || col("__prev_grp") =!= group)
+      .drop("__prev_grp")
+  }
+
   /** Merge an incoming batch into the existing table image: last writer
     * wins per key, incoming preferred over existing at equal version;
     * optional content tiebreaks make the pick deterministic when the

@@ -34,6 +34,22 @@ class MergeSpec extends SparkSpec {
     assert(kept == Seq(2.0)) // equal version -> higher close wins
   }
 
+  test("keepLatestInSeries picks the same winners as keepLatest") {
+    val df = Seq(
+      ("A", "2024-01-01", 1.0, 1L), ("A", "2024-01-01", 2.0, 3L),
+      ("A", "2024-01-01", 9.0, 2L), ("A", "2024-01-02", 4.0, 1L),
+      ("B", "2024-01-01", 5.0, 2L), ("B", "2024-01-01", 6.0, 2L))
+      .toDF("symbol", "date", "close", "v")
+    val viaAgg = Merge.keepLatest(df, Seq("symbol", "date"),
+      struct($"v", $"close"))
+      .select($"symbol", $"date", $"close", $"v").collect().toSet
+    val viaWindow = Merge.keepLatestInSeries(df, Seq("symbol"), Seq("date"),
+      struct($"v", $"close"))
+      .select($"symbol", $"date", $"close", $"v").collect().toSet
+    assert(viaWindow == viaAgg)
+    assert(viaWindow.size == 3)
+  }
+
   test("upsertIntoPath only rewrites touched date partitions") {
     withTempDir { dir =>
       val path = dir.getAbsolutePath + "/prices"

@@ -74,6 +74,22 @@ class PhysicalPlanSpec extends SparkSpec {
       "duplicate absorption must begin map-side before the exchange")
   }
 
+  test("as-of join is one shuffle, one sort, one window — no range-join explosion") {
+    val p = plan("q52_asof_join")
+    assert("(?m)^\\s*\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
+      s"expected exactly one shuffle:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "as-of must never fall back to a product join")
+  }
+
+  test("rolling indicators: dedup and all windows share a single exchange") {
+    val p = plan("q53_rolling_indicators")
+    assert("(?m)^\\s*\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
+      s"keepLatestInSeries + indicator windows must share one shuffle:\n$p")
+    assert("(?m)^\\s*\\(\\d+\\) Sort".r.findAllIn(p).size == 1,
+      s"the indicator window must reuse the dedup window's sort:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-project pipeline") {
     val df = Tables(spark, dir, "lineitem")
       .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
