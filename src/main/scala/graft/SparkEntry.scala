@@ -625,6 +625,20 @@ object SparkEntry {
           aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
           size(filter(col("q"), x => abs(x) === 127L)).as("n_sat"))),
 
+    // Beyond-reference: engine-portable HyperLogLog — approximate
+    // distinct parts per return flag next to the exact count. The
+    // register table is the shuffled payload (≤ m tiny rows per group),
+    // never the raw values; registers are md5-derived so any engine
+    // reproduces the estimate to the rounded digit.
+    "q56_hll_distinct" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("flag"), col("l_partkey"))
+      val approx = Sketch.hllDistinct(li, Seq("flag"), col("l_partkey"))
+      val exact = li.groupBy("flag")
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      exact.join(approx, "flag")
+    }),
+
     // Sampling: deterministic 30% hash sample (pure function of the
     // key — same rows on every run/engine), aggregated per language.
     "q51_hash_sample" -> ((s, dir) =>
@@ -1071,6 +1085,50 @@ object SparkEntry {
          |FROM documents
          |WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 100 < 30
          |GROUP BY 1""".stripMargin,
+
+    // Lockstep HLL: same md5 bucketing/rho, same exact fixed-point
+    // register sum (order-independent), same estimate arithmetic with
+    // every constant forced to DOUBLE (a bare 0.7213 would be DECIMAL
+    // in DuckDB and diverge).
+    "q56_hll_distinct" ->
+      """WITH h AS (
+        |  SELECT l_returnflag AS flag, md5(CAST(l_partkey AS VARCHAR)) AS hx
+        |  FROM lineitem),
+        |parts AS (
+        |  SELECT flag, hx, substr(hx, 4, 29) AS rest,
+        |    ltrim(substr(hx, 4, 29), '0') AS st
+        |  FROM h),
+        |reg AS (
+        |  SELECT flag, CAST('0x' || substr(hx, 1, 3) AS BIGINT) AS bucket,
+        |    max(CASE WHEN length(st) = 0 THEN 117
+        |        ELSE (length(rest) - length(st)) * 4 +
+        |          (CASE WHEN substr(st, 1, 1) = '1' THEN 3
+        |                WHEN substr(st, 1, 1) IN ('2','3') THEN 2
+        |                WHEN substr(st, 1, 1) IN ('4','5','6','7') THEN 1
+        |                ELSE 0 END) + 1 END) AS rho
+        |  FROM parts GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT flag, count(*) AS nb,
+        |    CAST(sum(CAST(floor(power(CAST(2.0 AS DOUBLE), 50 - rho))
+        |      AS BIGINT)) AS BIGINT) AS sum_fp
+        |  FROM reg GROUP BY 1),
+        |est AS (
+        |  SELECT flag,
+        |    CAST(round(CAST(CASE WHEN raw <= CAST(10240.0 AS DOUBLE) AND v > 0
+        |        THEN ln(CAST(4096.0 AS DOUBLE) / v) * CAST(4096.0 AS DOUBLE)
+        |        ELSE raw END AS DECIMAL(20,10)), 2) AS DOUBLE) AS n_approx
+        |  FROM (SELECT flag,
+        |      (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+        |         + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE)))
+        |        * CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+        |        * power(CAST(2.0 AS DOUBLE), 50)
+        |        / (sum_fp + (4096 - nb) * (CAST(1 AS BIGINT) << 50)) AS raw,
+        |      CAST(4096 - nb AS DOUBLE) AS v
+        |    FROM agg))
+        |SELECT x.flag AS flag, x.n_exact, e.n_approx
+        |FROM (SELECT l_returnflag AS flag, count(DISTINCT l_partkey) AS n_exact
+        |      FROM lineitem GROUP BY 1) x
+        |JOIN est e USING (flag)""".stripMargin,
 
     "q52_asof_join" ->
       """WITH t AS (SELECT event_id, user_id, ts, value AS trade_v

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Engine-portable HyperLogLog — approximate distinct counting as pure
+  * relational algebra over the md5 hash, so the SAME registers and the
+  * SAME estimate come out of any SQL engine (the q56 DuckDB oracle
+  * reproduces it to the last rounded digit). Spark's built-in
+  * `approx_count_distinct` is the everyday tool; this exists for
+  * pipelines that need sketches to be REPRODUCIBLE and MERGEABLE across
+  * engines and runs — sketch per day/partition, store the tiny register
+  * table, merge by max, estimate late.
+  *
+  * Shape at 100 TB: one narrow projection (bucket, rho) per row — all
+  * string ops on the md5 hex, fully codegen'd — then a hash aggregate to
+  * ≤ m rows per group. No distinct shuffle of the raw values (the whole
+  * point vs countDistinct): the exchange carries at most groups × m
+  * tiny rows. Merging day-sketches is a max-aggregate over register
+  * tables, never a rescan.
+  *
+  * Determinism details:
+  *  - bucket = first `bHex` hex chars of md5 (4·bHex bits);
+  *  - rho = leading-zero count of the REMAINING hex string + 1, derived
+  *    with string ops only (no floating log2, whose libm rounding could
+  *    disagree between engines near powers of two);
+  *  - the register sum Σ 2^−rho is accumulated as EXACT fixed-point
+  *    integers scaled by 2^50 (registers beyond rho=50 contribute 0 —
+  *    identically on every engine), so the raw-path estimate is
+  *    bit-deterministic regardless of aggregation order. Only the
+  *    linear-counting branch touches libm (one `ln`), absorbed by the
+  *    decimal snap before rounding.
+  */
+object Sketch {
+
+  /** Register table: `groups ++ (bucket, rho)` with rho = max over the
+    * group's values. `bHex` hex digits of bucket → m = 16^bHex registers.
+    */
+  def hllRegisters(df: DataFrame, groups: Seq[String], value: Column,
+                   bHex: Int = 3): DataFrame = {
+    val h = md5(value.cast("string"))
+    val rest = substring(h, bHex + 1, 32 - bHex)
+    val stripped = ltrim(rest, "0")
+    val firstNz = substring(stripped, 1, 1)
+    // extra zero BITS inside the first non-zero hex digit
+    val extra = when(firstNz === "1", 3)
+      .when(firstNz.isin("2", "3"), 2)
+      .when(firstNz.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    val rho = when(length(stripped) === 0, lit(4 * (32 - bHex) + 1))
+      .otherwise((length(rest) - length(stripped)) * 4 + extra + 1)
+    df.select(
+        groups.map(col) ++ Seq(
+          conv(substring(h, 1, bHex), 16, 10).cast("int").as("bucket"),
+          rho.cast("int").as("rho")): _*)
+      .groupBy(groups.map(col) :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** Merge two register tables (same groups/bHex): per-bucket max —
+    * the associative/commutative sketch union.
+    */
+  def hllMerge(a: DataFrame, b: DataFrame, groups: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(groups.map(col) :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("rho"))
+
+  /** Estimate distinct counts from a register table: standard HLL with
+    * the linear-counting small-range correction, rounded to 2 decimals
+    * through a decimal(20,10) snap.
+    */
+  def hllEstimate(registers: DataFrame, groups: Seq[String],
+                  bHex: Int = 3): DataFrame = {
+    val m = math.pow(16.0, bHex) // exact for bHex <= 7
+    // Σ 2^(50-rho) as exact integers: floor() pins the >50 underflow to
+    // 0 on engines that round rather than truncate their bigint cast
+    val term = floor(pow(lit(2.0), lit(50) - col("rho"))).cast("long")
+    registers
+      .groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("n_buckets"), sum(term).as("sum_fp"))
+      .select(
+        groups.map(col) ++ Seq(Cols.bound(
+          // alpha_m · m² · 2^50 / Σ2^(50-rho): every factor identical on
+          // every engine, the integer sum order-independent
+          (lit(0.7213) / (lit(1.0) + lit(1.079) / m)) * m * m * pow(lit(2.0), 50)
+            / (col("sum_fp") + (lit(m.toLong) - col("n_buckets")) * lit(1L << 50))
+        ) { raw =>
+          Cols.bound((lit(m.toLong) - col("n_buckets")).cast("double")) { v =>
+            round(when(raw <= 2.5 * m && v > 0, log(lit(m) / v) * m)
+              .otherwise(raw).cast("decimal(20,10)"), 2).cast("double")
+          }
+        }.as("n_approx")): _*)
+  }
+
+  /** One-shot convenience: registers → estimate. */
+  def hllDistinct(df: DataFrame, groups: Seq[String], value: Column,
+                  bHex: Int = 3): DataFrame =
+    hllEstimate(hllRegisters(df, groups, value, bHex), groups, bHex)
+}
