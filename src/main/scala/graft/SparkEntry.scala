@@ -639,6 +639,13 @@ object SparkEntry {
       exact.join(approx, "flag")
     }),
 
+    // Beyond-reference: one-job column profiler (ANALYZE) — per-column
+    // row/null/distinct counts + numeric min/max via a single melt +
+    // aggregate, not a job per column.
+    "q57_profile" -> ((s, dir) =>
+      Profile.profile(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))),
+
     // Sampling: deterministic 30% hash sample (pure function of the
     // key — same rows on every run/engine), aggregated per language.
     "q51_hash_sample" -> ((s, dir) =>
@@ -1129,6 +1136,20 @@ object SparkEntry {
         |FROM (SELECT l_returnflag AS flag, count(DISTINCT l_partkey) AS n_exact
         |      FROM lineitem GROUP BY 1) x
         |JOIN est e USING (flag)""".stripMargin,
+
+    "q57_profile" -> {
+      def one(c: String, numeric: Boolean) = {
+        val mn = if (numeric) s"min(CAST($c AS DOUBLE))" else "CAST(NULL AS DOUBLE)"
+        val mx = if (numeric) s"max(CAST($c AS DOUBLE))" else "CAST(NULL AS DOUBLE)"
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT CAST($c AS VARCHAR)) AS n_distinct,
+           |  $mn AS min_num, $mx AS max_num
+           |FROM documents""".stripMargin
+      }
+      Seq(one("doc_id", true), one("lang", false), one("source", false),
+        one("n_chars", true)).mkString("\nUNION ALL\n")
+    },
 
     "q52_asof_join" ->
       """WITH t AS (SELECT event_id, user_id, ts, value AS trade_v
