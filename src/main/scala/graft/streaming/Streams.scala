@@ -166,6 +166,38 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming distinct-count sketching: fold each micro-batch's HLL
+    * registers into a running register table (per-bucket max). The
+    * state is ≤ groups × m tiny rows — the estimate never rescans
+    * history — and because max is IDEMPOTENT, a micro-batch replayed
+    * after checkpoint recovery merges to the identical table (the same
+    * absorption argument as mergeStream's keep-latest). Query the
+    * running table any time with [[graft.ops.Sketch.hllEstimate]].
+    */
+  def sketchStream(in: DataFrame, registerPath: String, checkpoint: String,
+                   groups: Seq[String], value: org.apache.spark.sql.Column,
+                   bHex: Int = 3): Unit = {
+    val q = in.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val fresh = graft.ops.Sketch.hllRegisters(batch.toDF(), groups, value, bHex)
+        val merged =
+          if (new java.io.File(registerPath).exists())
+            graft.ops.Sketch.hllMerge(
+              spark.read.parquet(registerPath), fresh, groups)
+          else fresh
+        // materialize before overwriting the path we just read
+        merged.localCheckpoint(true)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(registerPath)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drive any streaming DataFrame to a parquet sink with AvailableNow:
     * processes everything pending, then stops — the scheduled-batch
     * deployment mode (replaces the reference's GitHub Actions cron with

@@ -109,6 +109,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sketchStream folds batches into a running register table; replays are no-ops") {
+    withTempDir { dir =>
+      val in = dir.getAbsolutePath + "/in"
+      val regs = dir.getAbsolutePath + "/regs"
+      def write(lo: Long, hi: Long, mode: String = "append"): Unit =
+        (lo to hi).map(i => ("g", i)).toDF("g", "v")
+          .write.mode(mode).parquet(in)
+      write(1L, 3000L, "overwrite")
+      val schema = spark.read.parquet(in).schema
+      Streams.sketchStream(spark.readStream.schema(schema).parquet(in),
+        regs, dir.getAbsolutePath + "/ck1", Seq("g"), $"v")
+      write(2000L, 5000L) // overlapping second batch
+      Streams.sketchStream(spark.readStream.schema(schema).parquet(in),
+        regs, dir.getAbsolutePath + "/ck2", Seq("g"), $"v")
+
+      val streamed = graft.ops.Sketch.hllEstimate(
+          spark.read.parquet(regs), Seq("g"))
+        .select($"n_approx").as[Double].head()
+      val direct = graft.ops.Sketch.hllDistinct(
+          (1L to 5000L).map(i => ("g", i)).toDF("g", "v"), Seq("g"), $"v")
+        .select($"n_approx").as[Double].head()
+      assert(streamed == direct,
+        "running register table must equal the one-shot sketch exactly")
+
+      // replaying ALL input against the existing table changes nothing
+      Streams.sketchStream(spark.readStream.schema(schema).parquet(in),
+        regs, dir.getAbsolutePath + "/ck3", Seq("g"), $"v")
+      val replayed = graft.ops.Sketch.hllEstimate(
+          spark.read.parquet(regs), Seq("g"))
+        .select($"n_approx").as[Double].head()
+      assert(replayed == streamed, "max-merge must absorb replays")
+    }
+  }
+
   test("stream-stream interval join pairs keys within the time bound, drops the rest") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
