@@ -646,6 +646,33 @@ object SparkEntry {
       Profile.profile(t(s, dir, "documents"),
         Seq("doc_id", "lang", "source", "n_chars"))),
 
+    // Beyond-reference: per-symbol EMA(α=0.1) — the recursive indicator
+    // no window frame expresses. One hash-collect per symbol, one
+    // ordered fold; identical fold order on both engines makes the
+    // doubles bit-identical with NO rounding. Scale: state is one
+    // array per symbol (bounded series), shuffle on the symbol key.
+    "q58_ema" -> ((s, dir) => {
+      val b = Merge.keepLatestInSeries(bars(s, dir), Seq("symbol"), Seq("d"),
+        struct(col("ord"), col("px"), col("vol")))
+      b.groupBy(col("symbol"))
+        .agg(sort_array(collect_list(struct(col("d"), col("px")))).as("ser"))
+        .select(col("symbol"), size(col("ser")).as("n_days"),
+          Cols.bound(transform(col("ser"), r => r("px"))) { px =>
+            aggregate(slice(px, lit(2), size(px) - 1), element_at(px, 1),
+              (acc, x) => lit(0.1) * x + lit(0.9) * acc)
+          }.as("ema"))
+    }),
+
+    // Beyond-reference: CUBE over (nation, order status) — all four
+    // grouping-set combinations in one pass (q40 covers ROLLUP).
+    "q59_cube" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .cube(col("c_nationkey"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))),
+
     // Sampling: deterministic 30% hash sample (pure function of the
     // key — same rows on every run/engine), aggregated per language.
     "q51_hash_sample" -> ((s, dir) =>
@@ -1150,6 +1177,27 @@ object SparkEntry {
       Seq(one("doc_id", true), one("lang", false), one("source", false),
         one("n_chars", true)).mkString("\nUNION ALL\n")
     },
+
+    // Same seed-with-first, fold-the-rest shape as the Spark aggregate;
+    // every constant cast to DOUBLE so the arithmetic is bit-identical.
+    "q58_ema" ->
+      s"""WITH b AS (
+         |  SELECT symbol, d, px FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY symbol, d ORDER BY ord DESC, px DESC, vol DESC)
+         |    AS rn FROM ($barsSql)) WHERE rn = 1),
+         |ser AS (
+         |  SELECT symbol, list(CAST(px AS DOUBLE) ORDER BY d) AS px
+         |  FROM b GROUP BY symbol)
+         |SELECT symbol, CAST(len(px) AS INTEGER) AS n_days,
+         |  list_reduce(px, (acc, x) ->
+         |    CAST(0.1 AS DOUBLE) * x + CAST(0.9 AS DOUBLE) * acc) AS ema
+         |FROM ser""".stripMargin,
+
+    "q59_cube" ->
+      """SELECT c_nationkey, o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE (c_nationkey, o_orderstatus)""".stripMargin,
 
     "q52_asof_join" ->
       """WITH t AS (SELECT event_id, user_id, ts, value AS trade_v
