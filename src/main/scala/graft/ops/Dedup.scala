@@ -307,6 +307,15 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
+    // Convergence witness: every step can only DECREASE a vertex's label
+    // (least-of-candidates, then jump to a label ≤ the current one), so
+    // the exact decimal sum of labels strictly decreases until fixpoint —
+    // one cheap aggregate over the checkpointed table instead of an
+    // old-vs-new join per round.
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)")))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -331,13 +340,11 @@ object Dedup {
         .select(col("a.id"),
           coalesce(col("b.component"), col("a.component")).as("component"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .count()
+      val curSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       iter += 1
     }
     edges.unpersist()
