@@ -166,6 +166,28 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** mergeStream's transactional sibling: each micro-batch lands as an
+    * ATOMIC snapshot commit (Snapshot.merge) — a crash mid-batch leaves
+    * the previous snapshot fully live, and readers never see a
+    * half-written batch. Replays after checkpoint recovery re-merge to
+    * identical content (keep-latest), just as a new vacuumable version.
+    */
+  def snapshotMergeStream(in: DataFrame, table: String, checkpoint: String,
+                          keys: Seq[String], versionCol: String,
+                          partitionCol: String): Unit = {
+    val q = in.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.Snapshot.merge(batch.toDF(), table, keys,
+            versionCol, partitionCol): Unit
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming distinct-count sketching: fold each micro-batch's HLL
     * registers into a running register table (per-bucket max). The
     * state is ≤ groups × m tiny rows — the estimate never rescans

@@ -109,6 +109,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("snapshotMergeStream lands each micro-batch as an atomic snapshot commit") {
+    withTempDir { dir =>
+      val in = dir.getAbsolutePath + "/in"
+      val table = dir.getAbsolutePath + "/table"
+      def rows(vs: ((String, String, Double, Long))*) =
+        vs.toSeq.toDF("date", "symbol", "close", "version")
+      rows(("2024-01-01", "A", 10.0, 1L), ("2024-01-02", "A", 11.0, 1L))
+        .write.parquet(in)
+      val schema = spark.read.parquet(in).schema
+      Streams.snapshotMergeStream(spark.readStream.schema(schema).parquet(in),
+        table, dir.getAbsolutePath + "/ck1", Seq("date", "symbol"),
+        "version", "date")
+      rows(("2024-01-02", "A", 99.0, 2L), ("2024-01-03", "B", 12.0, 2L))
+        .write.mode("append").parquet(in)
+      Streams.snapshotMergeStream(spark.readStream.schema(schema).parquet(in),
+        table, dir.getAbsolutePath + "/ck2", Seq("date", "symbol"),
+        "version", "date")
+      val got = graft.sources.Snapshot.read(spark, table)
+        .select($"date".cast("string"), $"symbol", $"close")
+        .as[(String, String, Double)].collect().toSet
+      assert(got == Set(("2024-01-01", "A", 10.0),
+        ("2024-01-02", "A", 99.0), ("2024-01-03", "B", 12.0)))
+      // each processed batch is one committed, time-travelable version
+      assert(graft.sources.Snapshot.versions(table).nonEmpty)
+      assert(graft.sources.Snapshot.countStar(table).contains(3L))
+    }
+  }
+
   test("sketchStream folds batches into a running register table; replays are no-ops") {
     withTempDir { dir =>
       val in = dir.getAbsolutePath + "/in"
