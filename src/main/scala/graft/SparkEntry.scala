@@ -673,6 +673,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(sum(col("o_totalprice")), 2).as("total"))),
 
+    // The dedup pipeline END-TO-END: pair stream → connected components
+    // → drop non-canonical members (anti-join) → corpus stats. The
+    // oracle derives survivors independently (min doc per fingerprint
+    // group), so the whole clusters+anti-join chain is value-checked,
+    // not just the cluster labels (q50).
+    "q60_dedup_pipeline" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+      val dup = d
+        .unionByName(d.select((col("doc_id") + 10000).as("doc_id"),
+          col("text"), col("lang")))
+        .unionByName(d.select((col("doc_id") + 20000).as("doc_id"),
+          col("text"), col("lang")))
+      val fp = dup.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy("doc_id")
+      val edges = fp.withColumn("prev", lag(col("doc_id"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("id_a"), col("doc_id").as("id_b"))
+      Dedup.dedupByClusters(dup, "doc_id", edges)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Text.tokenCount(col("text"))).cast("long").as("total_tokens"))
+    }),
+
     // Sampling: deterministic 30% hash sample (pure function of the
     // key — same rows on every run/engine), aggregated per language.
     "q51_hash_sample" -> ((s, dir) =>
@@ -1177,6 +1201,23 @@ object SparkEntry {
       Seq(one("doc_id", true), one("lang", false), one("source", false),
         one("n_chars", true)).mkString("\nUNION ALL\n")
     },
+
+    // Survivors derived independently of the engine's clustering: the
+    // canonical member of an exact-dup cluster is min(doc_id) per
+    // fingerprint, and singletons keep themselves.
+    "q60_dedup_pipeline" ->
+      s"""WITH dup AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL SELECT doc_id + 10000, text, lang FROM documents
+         |  UNION ALL SELECT doc_id + 20000, text, lang FROM documents),
+         |fp AS (SELECT doc_id, lang, text,
+         |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM dup),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(len($tokSql)) AS BIGINT) AS total_tokens
+         |FROM fp JOIN keep USING (doc_id)
+         |GROUP BY lang""".stripMargin,
 
     // Same seed-with-first, fold-the-rest shape as the Spark aggregate;
     // every constant cast to DOUBLE so the arithmetic is bit-identical.
