@@ -697,6 +697,46 @@ object SparkEntry {
           sum(Text.tokenCount(col("text"))).cast("long").as("total_tokens"))
     }),
 
+    // Beyond-reference: pairwise monthly-return correlation over the
+    // top-20 symbols by volume — the quant correlation matrix. Pearson
+    // from RAW SUMS (not the Welford-based corr() builtin, whose
+    // update order differs per engine); with returns ≤ |0.5| over ~70
+    // periods the sum noise is ~1e-15, far under the decimal snap.
+    "q61_return_corr" -> ((s, dir) => {
+      val monthly = Resample.ohlc(bars(s, dir), col("symbol"),
+        Resample.monthEnd(col("d")), col("px"), col("vol"), col("ord"))
+      val rets = Resample.periodReturn(monthly)
+        .filter(col("return").isNotNull)
+        .select(col("symbol"), col("period"), col("return").as("ret"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .orderBy(col("v").desc, col("symbol"))
+      val top = bars(s, dir).groupBy(col("symbol"))
+        .agg(round(sum(col("vol")), 2).as("v"))
+        .withColumn("rk", row_number().over(wTop))
+        .filter(col("rk") <= 20).select(col("symbol"))
+      val r = rets.join(broadcast(top), "symbol")
+      val pairs = r.as("a").join(r.as("b"),
+          col("a.period") === col("b.period") &&
+            col("a.symbol") < col("b.symbol"))
+        .select(col("a.symbol").as("s1"), col("b.symbol").as("s2"),
+          col("a.ret").as("x"), col("b.ret").as("y"))
+      pairs.groupBy(col("s1"), col("s2"))
+        .agg(count(lit(1)).as("n_periods"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("s1"), col("s2"), col("n_periods"),
+          Cols.bound(col("n_periods").cast("double")) { n =>
+            Cols.bound(sqrt(n * col("sxx") - col("sx") * col("sx")) *
+              sqrt(n * col("syy") - col("sy") * col("sy"))) { den =>
+              when(den > 0,
+                round(((n * col("sxy") - col("sx") * col("sy")) / den)
+                  .cast("decimal(20,10)"), 4).cast("double"))
+            }
+          }.as("corr"))
+    }),
+
     // Sampling: deterministic 30% hash sample (pure function of the
     // key — same rows on every run/engine), aggregated per language.
     "q51_hash_sample" -> ((s, dir) =>
@@ -1218,6 +1258,38 @@ object SparkEntry {
          |  CAST(sum(len($tokSql)) AS BIGINT) AS total_tokens
          |FROM fp JOIN keep USING (doc_id)
          |GROUP BY lang""".stripMargin,
+
+    // Pearson from raw sums in the SAME arithmetic order as the Spark
+    // side — never corr(), whose streaming update order is per-engine.
+    "q61_return_corr" ->
+      s"""WITH m AS (${ohlcSql("last_day(d)")}),
+         |r AS (
+         |  SELECT symbol, period,
+         |    round(close / lag(close) OVER (PARTITION BY symbol
+         |      ORDER BY period) - 1, 4) + 0 AS ret
+         |  FROM m),
+         |top AS (
+         |  SELECT symbol FROM (
+         |    SELECT symbol, round(sum(vol), 2) AS v,
+         |      row_number() OVER (ORDER BY round(sum(vol), 2) DESC, symbol) AS rk
+         |    FROM ($barsSql) GROUP BY symbol) WHERE rk <= 20),
+         |rr AS (SELECT r.* FROM r JOIN top USING (symbol)
+         |       WHERE ret IS NOT NULL),
+         |p AS (
+         |  SELECT a.symbol AS s1, b.symbol AS s2, a.ret AS x, b.ret AS y
+         |  FROM rr a JOIN rr b
+         |    ON a.period = b.period AND a.symbol < b.symbol),
+         |agg AS (
+         |  SELECT s1, s2, count(*) AS n_periods,
+         |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         |    sum(x * x) AS sxx, sum(y * y) AS syy
+         |  FROM p GROUP BY 1, 2)
+         |SELECT s1, s2, n_periods,
+         |  CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0
+         |    THEN CAST(round(CAST((n * sxy - sx * sy)
+         |        / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+         |      AS DECIMAL(20,10)), 4) AS DOUBLE) END AS corr
+         |FROM (SELECT *, CAST(n_periods AS DOUBLE) AS n FROM agg)""".stripMargin,
 
     // Same seed-with-first, fold-the-rest shape as the Spark aggregate;
     // every constant cast to DOUBLE so the arithmetic is bit-identical.
