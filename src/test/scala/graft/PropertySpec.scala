@@ -75,4 +75,32 @@ class PropertySpec extends SparkSpec {
       assert(rowsOf(again) == rowsOf(merged), "re-merging must be a no-op")
     }
   }
+
+  test("property: as-of join equals the brute-force per-row maximum") {
+    val tradeGen = Gen.listOfN(30, for {
+      sym <- Gen.oneOf("A", "B")
+      t <- Gen.choose(0L, 100L)
+    } yield (sym, t))
+    val quoteGen = Gen.listOfN(25, for {
+      sym <- Gen.oneOf("A", "B")
+      t <- Gen.choose(0L, 100L)
+      v <- Gen.choose(1.0, 9.0)
+    } yield (sym, t, v))
+    for ((ts, qsRaw) <- samples(Gen.zip(tradeGen, quoteGen), 4)) {
+      // unique (sym, t) on the right side — the documented precondition
+      val qs = qsRaw.groupBy(q => (q._1, q._2)).map(_._2.head).toSeq
+      val trades = ts.zipWithIndex
+        .map { case ((s, t), i) => (i.toLong, s, t) }
+        .toDF("tid", "sym", "t")
+      val quotes = qs.toDF("sym", "t", "qv")
+      val got = graft.ops.Asof.joinAsOf(trades, quotes, Seq("sym"), "t", "t")
+        .select($"tid", $"qv").as[(Long, Option[Double])].collect().toMap
+      ts.zipWithIndex.foreach { case ((s, t), i) =>
+        val expect = qs.filter(q => q._1 == s && q._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3)
+        assert(got(i.toLong) == expect,
+          s"trade ($s,$t): got ${got(i.toLong)}, want $expect")
+      }
+    }
+  }
 }
