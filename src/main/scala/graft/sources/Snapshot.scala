@@ -461,6 +461,27 @@ object Snapshot {
     }
   }
 
+  /** `merge` with the standard optimistic-concurrency loop: a writer
+    * losing the version race re-reads the winner's snapshot and re-merges
+    * on top of it. Safe because merge is keep-latest (re-applying the
+    * same batch over any newer snapshot converges); bounded so a
+    * livelocked table surfaces as an error, not an infinite loop.
+    */
+  def mergeRetrying(incoming: DataFrame, table: String, keys: Seq[String],
+                    versionCol: String, partitionCol: String,
+                    maxRetries: Int = 5): Long = {
+    var attempt = 0
+    while (true) {
+      try return merge(incoming, table, keys, versionCol, partitionCol)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** K5 compaction as a SNAPSHOT COMMIT: rewrite the current snapshot's
     * data small-file-free and publish it as the next version — fully
     * atomic (readers see either the fragmented or the compacted

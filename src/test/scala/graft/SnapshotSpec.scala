@@ -107,6 +107,28 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("mergeRetrying: concurrent writers all land; losers re-merge on the winner") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      Snapshot.commit(batch(("Z", "2024-01-01", 1.0, 0L)), t, Some("date"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writers = Seq("A", "B", "C", "D").map { sym =>
+        Future {
+          Snapshot.mergeRetrying(batch((sym, "2024-01-02", 10.0, 1L)), t,
+            Seq("symbol", "date"), "version", "date", maxRetries = 10)
+        }
+      }
+      Await.result(Future.sequence(writers), 120.seconds)
+      val syms = Snapshot.read(spark, t)
+        .select($"symbol").as[String].collect().toSet
+      assert(syms == Set("Z", "A", "B", "C", "D"),
+        "every concurrent writer's batch must be in the final snapshot")
+      assert(Snapshot.latestVersion(t).contains(5L), "four commits after v1")
+    }
+  }
+
   test("schema evolution: new incoming columns append; old dirs null-fill at read") {
     withTempDir { dir =>
       val t = dir.getAbsolutePath + "/t"
