@@ -737,6 +737,34 @@ object SparkEntry {
           }.as("corr"))
     }),
 
+    // Sampling: per-stratum deterministic rates — downsample dominant
+    // languages, keep the tail whole (corpus rebalancing).
+    "q62_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedHashSample(t(s, dir, "documents"), col("doc_id"),
+        col("lang"), Map("en" -> 20, "zh" -> 50), 100)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(Text.tokenCount(col("text"))).cast("long").as("total_tokens"))),
+
+    // Beyond-reference: engine-portable count-min sketch — point
+    // frequencies of probe terms from a d×w register table of exact
+    // integer sums (state ≤ d·w cells regardless of stream size,
+    // mergeable cellwise; never underestimates). Next to each estimate:
+    // the exact count it upper-bounds.
+    "q63_cm_frequencies" -> ((s, dir) => {
+      val terms = t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("term"))
+      val probes = s.createDataFrame(
+        Seq(Tuple1("the"), Tuple1("data"), Tuple1("market"), Tuple1("zzznope")))
+        .toDF("term")
+      val est = Sketch.cmEstimate(Sketch.cmRegisters(terms, col("term")),
+        probes, "term")
+      val exact = probes.join(terms.groupBy(col("term"))
+          .agg(count(lit(1)).as("cnt")), Seq("term"), "left")
+        .select(col("term"), coalesce(col("cnt"), lit(0L)).as("n_exact"))
+      est.join(exact, "term")
+    }),
+
     // Sampling: deterministic 30% hash sample (pure function of the
     // key — same rows on every run/engine), aggregated per language.
     "q51_hash_sample" -> ((s, dir) =>
@@ -1258,6 +1286,36 @@ object SparkEntry {
          |  CAST(sum(len($tokSql)) AS BIGINT) AS total_tokens
          |FROM fp JOIN keep USING (doc_id)
          |GROUP BY lang""".stripMargin,
+
+    "q62_stratified_sample" ->
+      s"""SELECT lang, count(*) AS n,
+         |  CAST(sum(len($tokSql)) AS BIGINT) AS total_tokens
+         |FROM documents
+         |WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 100 <
+         |  CASE lang WHEN 'en' THEN 20 WHEN 'zh' THEN 50 ELSE 100 END
+         |GROUP BY 1""".stripMargin,
+
+    "q63_cm_frequencies" -> {
+      def bucket(term: String) =
+        s"CAST(${h60(s"CAST(i AS VARCHAR) || '|' || $term")} % 1024 AS BIGINT)"
+      s"""WITH tk AS (SELECT unnest($tokSql) AS term FROM documents),
+         |rb AS (
+         |  SELECT i, ${bucket("term")} AS bucket, count(*) AS cnt
+         |  FROM tk, range(4) r(i) GROUP BY 1, 2),
+         |probes AS (
+         |  SELECT unnest(['the','data','market','zzznope']) AS term),
+         |pb AS (SELECT term, i, ${bucket("term")} AS bucket
+         |       FROM probes, range(4) r(i)),
+         |est AS (
+         |  SELECT term, min(coalesce(cnt, 0)) AS cm_est
+         |  FROM pb LEFT JOIN rb USING (i, bucket) GROUP BY term),
+         |exact AS (
+         |  SELECT p.term, CAST(coalesce(c.cnt, 0) AS BIGINT) AS n_exact
+         |  FROM probes p LEFT JOIN
+         |    (SELECT term, count(*) AS cnt FROM tk GROUP BY 1) c
+         |    USING (term))
+         |SELECT term, cm_est, n_exact FROM est JOIN exact USING (term)""".stripMargin
+    },
 
     // Pearson from raw sums in the SAME arithmetic order as the Spark
     // side — never corr(), whose streaming update order is per-engine.

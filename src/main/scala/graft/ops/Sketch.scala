@@ -96,4 +96,46 @@ object Sketch {
   def hllDistinct(df: DataFrame, groups: Seq[String], value: Column,
                   bHex: Int = 3): DataFrame =
     hllEstimate(hllRegisters(df, groups, value, bHex), groups, bHex)
+
+  // ----- Count-min: point-frequency estimation, same portability rules -----
+
+  /** Bucket of `v` under hash row `row` — md5 of "row|value", identical
+    * in any SQL engine.
+    */
+  private def cmBucket(v: Column, row: Int, w: Int): Column =
+    pmod(Dedup.hashLong(concat(lit(row.toString), lit("|"), v.cast("string"))),
+      lit(w.toLong))
+
+  private def cmCells(v: Column, d: Int, w: Int): Column =
+    explode(array((0 until d).map(i =>
+      struct(lit(i).as("row"), cmBucket(v, i, w).as("bucket"))): _*))
+
+  /** Count-min register table over an item stream: d hash rows × w
+    * buckets, cells hold EXACT integer sums — deterministic on any
+    * engine, mergeable by cellwise addition. State is ≤ d·w rows no
+    * matter the stream size; the shuffle carries (row, bucket) cells,
+    * never the items.
+    */
+  def cmRegisters(items: DataFrame, value: Column,
+                  d: Int = 4, w: Int = 1024): DataFrame =
+    items.select(cmCells(value, d, w).as("rb"))
+      .select(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Cellwise merge — sketch of a union equals sum of sketches. */
+  def cmMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("row"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point estimates for `probes`: min over the d cells a probe hashes
+    * to (absent cell = 0). Never underestimates the true count.
+    */
+  def cmEstimate(registers: DataFrame, probes: DataFrame, value: String,
+                 d: Int = 4, w: Int = 1024): DataFrame =
+    probes.select(col(value), cmCells(col(value), d, w).as("rb"))
+      .select(col(value), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .join(registers, Seq("row", "bucket"), "left")
+      .groupBy(col(value))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
 }

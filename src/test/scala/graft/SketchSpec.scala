@@ -31,6 +31,35 @@ class SketchSpec extends SparkSpec {
     assert(a == b, "duplicates must not move the estimate at all")
   }
 
+  test("count-min never underestimates and is exact for unique-bucket items") {
+    val items = (Seq.fill(500)("hot") ++ (1 to 200).map(i => s"t$i"))
+      .map(Tuple1(_)).toDF("v")
+    val reg = Sketch.cmRegisters(items, $"v")
+    val probes = Seq("hot", "t1", "absent").map(Tuple1(_)).toDF("v")
+    val est = Sketch.cmEstimate(reg, probes, "v")
+      .as[(String, Long)].collect().toMap
+    assert(est("hot") >= 500L, "CM must never underestimate")
+    assert(est("t1") >= 1L)
+    assert(est("absent") >= 0L)
+    // with 201 distinct items in 4x1024 cells, collisions are rare: the
+    // hot item's estimate should be exactly its count
+    assert(est("hot") == 500L, s"expected exact 500, got ${est("hot")}")
+  }
+
+  test("count-min merge equals the sketch of the concatenated stream") {
+    val a = (1 to 300).map(i => Tuple1(s"t${i % 40}")).toDF("v")
+    val b = (1 to 200).map(i => Tuple1(s"t${i % 25}")).toDF("v")
+    val probes = Seq("t0", "t7", "t39").map(Tuple1(_)).toDF("v")
+    val merged = Sketch.cmEstimate(
+        Sketch.cmMerge(Sketch.cmRegisters(a, $"v"), Sketch.cmRegisters(b, $"v")),
+        probes, "v")
+      .as[(String, Long)].collect().toMap
+    val direct = Sketch.cmEstimate(
+        Sketch.cmRegisters(a.unionByName(b), $"v"), probes, "v")
+      .as[(String, Long)].collect().toMap
+    assert(merged == direct)
+  }
+
   test("merged register tables equal the sketch of the union") {
     val left = (1L to 4000L).map(i => ("g", i)).toDF("g", "v")
     val right = (2000L to 7000L).map(i => ("g", i)).toDF("g", "v")
