@@ -765,6 +765,16 @@ object SparkEntry {
       est.join(exact, "term")
     }),
 
+    // Beyond-reference: mergeable histogram quantiles — the one-pass
+    // percentile path for 100 TB (exact percentiles need a full sort;
+    // q41 keeps the exact face). Registers are exact integer counts, so
+    // the interpolated estimate is deterministic on any engine.
+    "q64_hist_quantiles" -> ((s, dir) =>
+      Sketch.histQuantiles(
+        Sketch.histRegisters(t(s, dir, "orders"), Seq("o_orderstatus"),
+          col("o_totalprice"), 1000.0),
+        Seq("o_orderstatus"), 1000.0, Seq(0.5, 0.95))),
+
     // Sampling: deterministic 30% hash sample (pure function of the
     // key — same rows on every run/engine), aggregated per language.
     "q51_hash_sample" -> ((s, dir) =>
@@ -1286,6 +1296,33 @@ object SparkEntry {
          |  CAST(sum(len($tokSql)) AS BIGINT) AS total_tokens
          |FROM fp JOIN keep USING (doc_id)
          |GROUP BY lang""".stripMargin,
+
+    // Same register/locate/interpolate arithmetic; every literal forced
+    // to DOUBLE (DuckDB decimal-literal trap).
+    "q64_hist_quantiles" -> {
+      def q(t: String, name: String) =
+        s"""max(CASE WHEN CAST(cum AS DOUBLE) >= $t
+           |    AND CAST(cum - cnt AS DOUBLE) < $t
+           |  THEN bucket * CAST(1000.0 AS DOUBLE)
+           |    + CAST(1000.0 AS DOUBLE) * ($t - CAST(cum - cnt AS DOUBLE))
+           |      / CAST(cnt AS DOUBLE) END) AS $name""".stripMargin
+      s"""WITH reg AS (
+         |  SELECT o_orderstatus,
+         |    CAST(floor(o_totalprice / CAST(1000.0 AS DOUBLE)) AS BIGINT) AS bucket,
+         |    count(*) AS cnt
+         |  FROM orders GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT o_orderstatus, bucket, cnt,
+         |    sum(cnt) OVER (PARTITION BY o_orderstatus ORDER BY bucket) AS cum,
+         |    sum(cnt) OVER (PARTITION BY o_orderstatus) AS n
+         |  FROM reg),
+         |t AS (SELECT *, CAST(0.5 AS DOUBLE) * CAST(n AS DOUBLE) AS t50,
+         |        CAST(0.95 AS DOUBLE) * CAST(n AS DOUBLE) AS t95 FROM cum)
+         |SELECT o_orderstatus,
+         |  ${q("t50", "p50")},
+         |  ${q("t95", "p95")}
+         |FROM t GROUP BY 1""".stripMargin
+    },
 
     "q62_stratified_sample" ->
       s"""SELECT lang, count(*) AS n,

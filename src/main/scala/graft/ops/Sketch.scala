@@ -138,4 +138,49 @@ object Sketch {
       .join(registers, Seq("row", "bucket"), "left")
       .groupBy(col(value))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
+
+  // ----- Histogram quantiles: one-pass mergeable percentiles -----
+
+  /** Fixed-width histogram registers per group: (bucket, count). The
+    * one-pass alternative to exact percentiles (which need a full sort
+    * at 100 TB): state is one integer count per occupied bucket,
+    * mergeable by addition, and every register is an exact integer —
+    * the estimate is deterministic on any engine.
+    */
+  def histRegisters(df: DataFrame, groups: Seq[String], value: Column,
+                    width: Double): DataFrame =
+    df.groupBy(groups.map(col) :+
+        floor(value / width).cast("long").as("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Cellwise merge — histogram of a union equals the sum of histograms. */
+  def histMerge(a: DataFrame, b: DataFrame, groups: Seq[String]): DataFrame =
+    a.unionByName(b)
+      .groupBy(groups.map(col) :+ col("bucket"): _*)
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile estimates from histogram registers: for each p in (0,1],
+    * locate the bucket where the cumulative count first reaches p·n and
+    * interpolate linearly inside it. One window pass computes every
+    * requested quantile; each p's bucket condition selects exactly one
+    * row per group.
+    */
+  def histQuantiles(registers: DataFrame, groups: Seq[String], width: Double,
+                    ps: Seq[Double]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groups.map(col): _*).orderBy(col("bucket"))
+    val cum = registers
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(groups.map(col): _*)))
+    val qCols = ps.map { p =>
+      val target = lit(p) * col("n")
+      val before = (col("cum") - col("cnt")).cast("double")
+      max(when(col("cum").cast("double") >= target && before < target,
+        col("bucket") * width +
+          lit(width) * (target - before) / col("cnt").cast("double")))
+        .as(s"p${(p * 100).round}")
+    }
+    cum.groupBy(groups.map(col): _*).agg(qCols.head, qCols.tail: _*)
+  }
 }

@@ -60,6 +60,32 @@ class SketchSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("histogram quantiles land within one bucket width of the exact value") {
+    // uniform 0..9999: p50 ≈ 5000, p95 ≈ 9500
+    val df = (0 until 10000).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val got = Sketch.histQuantiles(
+        Sketch.histRegisters(df, Seq("g"), $"v", 100.0), Seq("g"), 100.0,
+        Seq(0.5, 0.95))
+      .select($"p50", $"p95").as[(Double, Double)].head()
+    assert(math.abs(got._1 - 5000.0) <= 100.0, s"p50 ${got._1}")
+    assert(math.abs(got._2 - 9500.0) <= 100.0, s"p95 ${got._2}")
+  }
+
+  test("histogram merge equals the histogram of the union") {
+    val a = (0 until 500).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val b = (250 until 900).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val merged = Sketch.histQuantiles(
+        Sketch.histMerge(Sketch.histRegisters(a, Seq("g"), $"v", 50.0),
+          Sketch.histRegisters(b, Seq("g"), $"v", 50.0), Seq("g")),
+        Seq("g"), 50.0, Seq(0.5))
+      .select($"p50").as[Double].head()
+    val direct = Sketch.histQuantiles(
+        Sketch.histRegisters(a.unionByName(b), Seq("g"), $"v", 50.0),
+        Seq("g"), 50.0, Seq(0.5))
+      .select($"p50").as[Double].head()
+    assert(merged == direct)
+  }
+
   test("merged register tables equal the sketch of the union") {
     val left = (1L to 4000L).map(i => ("g", i)).toDF("g", "v")
     val right = (2000L to 7000L).map(i => ("g", i)).toDF("g", "v")
