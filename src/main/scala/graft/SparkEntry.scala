@@ -775,6 +775,22 @@ object SparkEntry {
           col("o_totalprice"), 1000.0),
         Seq("o_orderstatus"), 1000.0, Seq(0.5, 0.95))),
 
+    // Skew: the complete salted JOIN — hot user keys spread over
+    // (key, salt) reducers, result provably equal to the plain join
+    // (the oracle IS the plain join). Disable broadcast for the salted
+    // side via hint-free shapes at real scale; here correctness is the
+    // checked contract.
+    "q65_salted_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val profile = e.groupBy(col("user_id"))
+        .agg(round(avg(col("value")), 4).as("user_avg"))
+      Skew.saltedJoin(e.select(col("user_id"), col("event_type"), col("value")),
+          profile, Seq("user_id"), 8)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value") - col("user_avg")), 2).as("dev_sum"))
+    }),
+
     // Sampling: deterministic 30% hash sample (pure function of the
     // key — same rows on every run/engine), aggregated per language.
     "q51_hash_sample" -> ((s, dir) =>
@@ -1323,6 +1339,17 @@ object SparkEntry {
          |  ${q("t95", "p95")}
          |FROM t GROUP BY 1""".stripMargin
     },
+
+    // The oracle is the PLAIN join — the salted formulation must be
+    // indistinguishable in value.
+    "q65_salted_join" ->
+      """WITH profile AS (
+        |  SELECT user_id, round(avg(value), 4) AS user_avg
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, count(*) AS n,
+        |  round(sum(value - user_avg), 2) AS dev_sum
+        |FROM events JOIN profile USING (user_id)
+        |GROUP BY 1""".stripMargin,
 
     "q62_stratified_sample" ->
       s"""SELECT lang, count(*) AS n,

@@ -40,4 +40,20 @@ object Skew {
       explode(sequence(lit(0), lit(salts - 1))))
     (bigSalted, smallSalted)
   }
+
+  /** The complete salted equi-join: result identical to
+    * `big.join(small, keys)` but the shuffle key is (keys, salt), so a
+    * hot key's rows spread over `salts` reducers instead of one. Each
+    * big-side row carries ONE salt and meets exactly the one matching
+    * replica of each small-side row — no duplicates, no loss. Use when
+    * the small side is too big to broadcast and AQE's skew split can't
+    * help (e.g. the skew is in a single partition-key value); cost is
+    * the `salts`× inflation of the small side. The salt is hash(), not
+    * rand(): deterministic under task retry, invisible in the result.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 salts: Int): DataFrame = {
+    val (b, s) = saltJoinSides(big, small, salts)
+    b.join(s, keys :+ "__salt").drop("__salt")
+  }
 }

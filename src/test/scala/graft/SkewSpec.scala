@@ -29,4 +29,17 @@ class SkewSpec extends SparkSpec {
     assert(joined.agg(sum($"v")).as[Long].head() ==
       direct.agg(sum($"v")).as[Long].head())
   }
+
+  test("saltedJoin is row-identical to the plain join, including multi-row matches") {
+    val big = ((1 to 3000).map(i => ("hot", i.toLong)) ++
+      (1 to 50).map(i => ("warm", i.toLong)) ++ Seq(("lonely", 1L)))
+      .toDF("k", "v")
+    // a key with TWO small-side rows: every big row must match both
+    val small = Seq(("hot", "H1"), ("hot", "H2"), ("warm", "W"))
+      .toDF("k", "tag")
+    val salted = rowsOf(Skew.saltedJoin(big, small, Seq("k"), 8))
+    val direct = rowsOf(big.join(small, Seq("k")))
+    assert(salted == direct)
+    assert(salted.size == 3000 * 2 + 50, "hot rows match both small rows")
+  }
 }
