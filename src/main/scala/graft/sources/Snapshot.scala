@@ -206,12 +206,19 @@ object Snapshot {
   /** Types whose parquet footer min/max we can decode into the canonical
     * string encoding (decimal strings for numbers, ISO for dates, the
     * value itself for strings) — both encodings sort like the values.
+    *
+    * Float/Double are EXCLUDED: parquet writers silently skip NaN when
+    * recording min/max, while Spark's comparison semantics order NaN
+    * above every value — trusting those stats would prune directories
+    * whose NaN rows a `col >= x` filter matches (SnapshotSpec pins the
+    * conservative behavior). Dates, integers and strings — the realistic
+    * pruning keys — keep full stats.
     */
   private def statsSupported(dt: DataType): Boolean = {
     import org.apache.spark.sql.types._
     dt match {
-      case ByteType | ShortType | IntegerType | LongType | FloatType |
-           DoubleType | DateType | StringType => true
+      case ByteType | ShortType | IntegerType | LongType |
+           DateType | StringType => true
       case _ => false
     }
   }

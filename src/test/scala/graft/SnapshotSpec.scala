@@ -262,21 +262,43 @@ class SnapshotSpec extends SparkSpec {
   test("footer stats: readStatsPruned skips dirs by non-partition column ranges") {
     withTempDir { dir =>
       val t = dir.getAbsolutePath + "/t"
+      // version ranges per dir: [10], [50], [90] — prune on a DATA column
       Snapshot.commit(
-        batch(("A", "2024-01-01", 10.0, 0L), ("A", "2024-01-02", 50.0, 0L),
-          ("A", "2024-01-03", 90.0, 0L)), t, Some("date"))
-      // close ranges per dir: [10], [50], [90] — prune on the DATA column
-      val pruned = Snapshot.readStatsPruned(spark, t, "close",
+        batch(("A", "2024-01-01", 10.0, 10L), ("A", "2024-01-02", 50.0, 50L),
+          ("A", "2024-01-03", 90.0, 90L)), t, Some("date"))
+      val pruned = Snapshot.readStatsPruned(spark, t, "version",
         lo = Some("40"), hi = Some("60"))
-      assert(pruned.select($"close").as[Double].collect().toSeq == Seq(50.0))
+      assert(pruned.select($"version").as[Long].collect().toSeq == Seq(50L))
       val files = pruned.select(input_file_name()).as[String].collect().toSet
       assert(files.size == 1, "only the one in-range directory is scanned")
       // open-ended bound
-      val ge = Snapshot.readStatsPruned(spark, t, "close", Some("50"), None)
-      assert(ge.select($"close").as[Double].collect().toSet == Set(50.0, 90.0))
+      val ge = Snapshot.readStatsPruned(spark, t, "version", Some("50"), None)
+      assert(ge.select($"version").as[Long].collect().toSet == Set(50L, 90L))
       // symbol is a string column: stats prune works there too
       val none = Snapshot.readStatsPruned(spark, t, "symbol", Some("B"), None)
       assert(none.count() == 0)
+    }
+  }
+
+  test("footer stats: NaN-poisoned columns drop their stats, never mis-prune") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      val df = Seq(("A", "2024-01-01", Double.NaN, 0L),
+        ("B", "2024-01-01", 5.0, 0L), ("C", "2024-01-02", 7.0, 0L))
+        .toDF("symbol", "date", "close", "version")
+        .withColumn("date", to_date($"date"))
+      Snapshot.commit(df, t, Some("date"))
+      // row counts stay exact; the NaN column is unknown, so pruning on
+      // it must keep every directory
+      assert(Snapshot.countStar(t).contains(3L))
+      val all = Snapshot.readStatsPruned(spark, t, "close",
+        Some("100"), Some("200"))
+      assert(all.count() == 3L,
+        "a column without orderable stats must never prune")
+      // the clean string column still prunes normally
+      val pruned = Snapshot.readStatsPruned(spark, t, "symbol",
+        Some("C"), None)
+      assert(pruned.select($"symbol").as[String].collect().toSeq == Seq("C"))
     }
   }
 
