@@ -791,6 +791,36 @@ object SparkEntry {
           round(sum(col("value") - col("user_avg")), 2).as("dev_sum"))
     }),
 
+    // Beyond-reference: Bloom-filter membership — pre-filter probes
+    // against a set too large to broadcast exactly, zero false
+    // negatives (the cheap side of an ingest-dedup anti-join).
+    "q66_bloom_membership" -> ((s, dir) => {
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+      val reg = Sketch.bloomRegisters(ids, col("doc_id"))
+      val probes = s.range(0, 1200).select(col("id").as("doc_id"))
+      Sketch.bloomMightContain(reg, probes, "doc_id")
+        .groupBy(col("might_contain"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Beyond-reference: keep-BEST dedup — per near-dup cluster keep the
+    // member with the most BPE tokens (the planted near-dups carry two
+    // extra tokens, so they beat their base copies), ties to smaller
+    // id. The oracle recomputes clusters independently via a recursive
+    // transitive closure and picks winners with a window.
+    "q67_dedup_keep_best" -> ((s, dir) => {
+      val dup = docsDup(s, dir)
+      val pairs = Dedup.jaccardPairsHashed(
+        dup.select(col("doc_id").as("id"),
+          Dedup.hashedShingles(Text.tokens(col("text")), 3).as("hs")),
+        "id", "hs", 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.dedupByClustersBest(dup, "doc_id", pairs,
+        Text.bpeTokenCount(col("text")))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+    }),
+
     // Sampling: deterministic 30% hash sample (pure function of the
     // key — same rows on every run/engine), aggregated per language.
     "q51_hash_sample" -> ((s, dir) =>
@@ -1339,6 +1369,60 @@ object SparkEntry {
          |  ${q("t95", "p95")}
          |FROM t GROUP BY 1""".stripMargin
     },
+
+    "q66_bloom_membership" -> {
+      val bkt = s"CAST(${h60("CAST(i AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)")} % 8192 AS BIGINT)"
+      s"""WITH reg AS (
+         |  SELECT DISTINCT i, $bkt AS bucket
+         |  FROM documents, range(5) r(i)),
+         |probes AS (SELECT range AS doc_id FROM range(0, 1200)),
+         |pb AS (SELECT doc_id, i, $bkt AS bucket
+         |       FROM probes, range(5) r(i)),
+         |m AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN hit IS NULL THEN 0 ELSE 1 END) = 5 AS might_contain
+         |  FROM pb LEFT JOIN (SELECT i, bucket, 1 AS hit FROM reg)
+         |    USING (i, bucket)
+         |  GROUP BY 1)
+         |SELECT might_contain, count(*) AS n FROM m GROUP BY 1""".stripMargin
+    },
+
+    // Clusters recomputed INDEPENDENTLY via recursive transitive
+    // closure; winners picked by a (quality desc, id asc) window.
+    "q67_dedup_keep_best" ->
+      s"""WITH RECURSIVE
+         |u AS ($docsDupSql),
+         |tk AS (SELECT doc_id, $tokSql AS tk, text FROM u),
+         |sh AS (SELECT doc_id, CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+         |         ELSE $shingleSql END AS sh FROM tk),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jac
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE jac >= 0.5),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |comp AS (
+         |  SELECT u.doc_id, least(u.doc_id, coalesce(mn.mn, u.doc_id)) AS c
+         |  FROM u LEFT JOIN
+         |    (SELECT s AS doc_id, min(d) AS mn FROM reach GROUP BY 1) mn
+         |    USING (doc_id)),
+         |q AS (
+         |  SELECT u.doc_id, c,
+         |    len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS q
+         |  FROM u JOIN comp USING (doc_id)),
+         |win AS (SELECT doc_id FROM (
+         |  SELECT doc_id, row_number() OVER (
+         |    PARTITION BY c ORDER BY q DESC, doc_id ASC) AS rn FROM q)
+         |  WHERE rn = 1)
+         |SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM win""".stripMargin,
 
     // The oracle is the PLAIN join — the salted formulation must be
     // indistinguishable in value.

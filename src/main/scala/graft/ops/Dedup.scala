@@ -278,6 +278,29 @@ object Dedup {
     docs.join(nonCanonical, Seq(id), "left_anti")
   }
 
+  /** dedupByClusters with a QUALITY policy: keep, per duplicate
+    * cluster, the member maximizing `quality` (ties to the smaller id)
+    * — "keep the best copy", the real training-corpus policy (longest
+    * document, highest quality score), where the min-id canonical of
+    * `dedupByClusters` is an arbitrary pick. Documents in no pair are
+    * their own singleton cluster and always survive.
+    *
+    * Scale shape: clusters (pairs-sized), one left join to attach
+    * components, one max_by hash aggregate per cluster, one semi-join
+    * back — nothing driver-side, no window sort.
+    */
+  def dedupByClustersBest(docs: DataFrame, id: String, pairs: DataFrame,
+                          quality: Column): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+      .select(col("id").as("__cid"), col("component"))
+    val winners = docs.join(clusters, col(id) === col("__cid"), "left")
+      .withColumn("__c", coalesce(col("component"), col(id)))
+      .groupBy(col("__c"))
+      .agg(max_by(col(id), struct(quality, -col(id))).as(id))
+      .select(id)
+    docs.join(winners, Seq(id), "left_semi")
+  }
+
   /** Duplicate-CLUSTER formation over a near-dup pair stream — the step
     * every dedup pipeline needs after pair generation: connected
     * components by iterative min-label propagation, so "keep one doc

@@ -139,6 +139,39 @@ object Sketch {
       .groupBy(col(value))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cm_est"))
 
+  // ----- Bloom filter: set membership, same portability rules -----
+
+  /** Bloom register table: the DISTINCT (row, bucket) cells the values
+    * hash into under k independent md5 hash rows over m buckets — the
+    * set-bit positions of a classic Bloom filter, stored relationally.
+    * Mergeable by union-distinct; state ≤ k·m tiny rows. The scale use:
+    * pre-filter a huge probe stream against a set too big to broadcast
+    * exactly (e.g. "already-ingested document ids") with zero false
+    * negatives, before the exact anti-join touches only survivors.
+    */
+  def bloomRegisters(df: DataFrame, value: Column,
+                     k: Int = 5, m: Int = 8192): DataFrame =
+    df.select(cmCells(value, k, m).as("rb"))
+      .select(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .distinct()
+
+  /** Union of two Bloom filters (same k/m): set union of cells. */
+  def bloomMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).distinct()
+
+  /** Membership test for `probes`: true iff ALL k cells are present —
+    * possibly-in-set (false positives shrink with m), never a false
+    * negative.
+    */
+  def bloomMightContain(registers: DataFrame, probes: DataFrame, value: String,
+                        k: Int = 5, m: Int = 8192): DataFrame =
+    probes.select(col(value), cmCells(col(value), k, m).as("rb"))
+      .select(col(value), col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .join(registers.withColumn("__hit", lit(1)),
+        Seq("row", "bucket"), "left")
+      .groupBy(col(value))
+      .agg((sum(coalesce(col("__hit"), lit(0))) === k).as("might_contain"))
+
   // ----- Histogram quantiles: one-pass mergeable percentiles -----
 
   /** Fixed-width histogram registers per group: (bucket, count). The

@@ -86,6 +86,24 @@ class SketchSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("bloom filter: zero false negatives; merge equals union") {
+    val in = (0L until 400L).map(Tuple1(_)).toDF("v")
+    val reg = Sketch.bloomRegisters(in, $"v")
+    val probes = (0L until 800L).map(Tuple1(_)).toDF("v")
+    val got = Sketch.bloomMightContain(reg, probes, "v")
+      .as[(Long, Boolean)].collect().toMap
+    (0L until 400L).foreach(i =>
+      assert(got(i), s"member $i must never be reported absent"))
+    val fp = (400L until 800L).count(got(_))
+    assert(fp < 40, s"false-positive count $fp implausibly high for k=5, m=8192")
+
+    val a = (0L until 200L).map(Tuple1(_)).toDF("v")
+    val b = (150L until 400L).map(Tuple1(_)).toDF("v")
+    val merged = rowsOf(Sketch.bloomMerge(
+      Sketch.bloomRegisters(a, $"v"), Sketch.bloomRegisters(b, $"v")))
+    assert(merged == rowsOf(Sketch.bloomRegisters(in.filter($"v" < 400), $"v")))
+  }
+
   test("merged register tables equal the sketch of the union") {
     val left = (1L to 4000L).map(i => ("g", i)).toDF("g", "v")
     val right = (2000L to 7000L).map(i => ("g", i)).toDF("g", "v")

@@ -210,6 +210,19 @@ class TextDedupSpec extends SparkSpec {
     assert(kept == Set(1L, 10L, 99L))
   }
 
+  test("dedupByClustersBest keeps the highest-quality member, ties to smaller id") {
+    val docs = Seq(
+      (1L, "short"), (2L, "much longer text here"), (3L, "mid text"),
+      (10L, "same len"), (11L, "same len"),
+      (99L, "lonely")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupByClustersBest(docs, "doc_id", pairs,
+        length($"text"))
+      .select($"doc_id").as[Long].collect().toSet
+    // cluster {1,2,3}: 2 has the longest text; {10,11}: equal length -> 10
+    assert(kept == Set(2L, 10L, 99L))
+  }
+
   test("hashSample is deterministic and disjoint across bucket ranges") {
     val df = (0L until 200L).toDF("id")
     val a = graft.ops.Sampling.hashSample(df, $"id", 30, 100).as[Long].collect().toSet
