@@ -20,8 +20,8 @@ import org.apache.spark.sql.types.NumericType
   */
 object Profile {
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val melted = df.select(explode(array(cols.map { c =>
+  private def melt(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(explode(array(cols.map { c =>
       val numeric = df.schema(c).dataType match {
         case _: NumericType => col(c).cast("double")
         case _ => lit(null).cast("double")
@@ -31,11 +31,34 @@ object Profile {
         numeric.as("nval"))
     }: _*)).as("m"))
       .select("m.*")
-    melted.groupBy(col("col_name")).agg(
+
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    melt(df, cols).groupBy(col("col_name")).agg(
       count(lit(1)).as("n_rows"),
       sum(when(col("sval").isNull, 1L).otherwise(0L)).as("n_nulls"),
       countDistinct(col("sval")).as("n_distinct"),
       min(col("nval")).as("min_num"),
       max(col("nval")).as("max_num"))
+
+  /** The profile-at-every-ingest variant: identical counts and bounds,
+    * but distinct cardinality comes from the mergeable HLL sketch —
+    * no (col_name, value) distinct shuffle, state ≤ cols × m registers.
+    * `n_distinct_approx` replaces the exact column.
+    */
+  def profileSketched(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val m = melt(df, cols)
+    val base = m.groupBy(col("col_name")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("sval").isNull, 1L).otherwise(0L)).as("n_nulls"),
+      min(col("nval")).as("min_num"),
+      max(col("nval")).as("max_num"))
+    val est = Sketch.hllEstimate(
+      Sketch.hllRegisters(m.filter(col("sval").isNotNull),
+        Seq("col_name"), col("sval")),
+      Seq("col_name"))
+      .withColumnRenamed("n_approx", "n_distinct_approx")
+    base.join(est, Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct_approx"), col("min_num"), col("max_num"))
   }
 }

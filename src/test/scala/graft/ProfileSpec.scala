@@ -17,4 +17,19 @@ class ProfileSpec extends SparkSpec {
     assert(got("s") == ("s", 4L, 1L, 2L, None, None),
       "string columns have no numeric bounds")
   }
+
+  test("sketched profiler tracks the exact one within a few percent") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, 5000)
+      .select($"id", (col("id") % 50).as("cat"))
+    val sk = Profile.profileSketched(df, Seq("id", "cat"))
+      .select($"col_name", $"n_rows", $"n_nulls", $"n_distinct_approx")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(sk("id")._2 == 5000L && sk("id")._3 == 0L)
+    assert(math.abs(sk("id")._4 - 5000.0) / 5000.0 < 0.05,
+      s"id distinct ${sk("id")._4}")
+    assert(math.abs(sk("cat")._4 - 50.0) / 50.0 < 0.05,
+      s"cat distinct ${sk("cat")._4}")
+  }
 }
