@@ -16,6 +16,12 @@ run / fork := true
 // (BENCH_r01/r02 both came back "parsed": null). StdoutOutput makes the
 // child inherit sbt's real stdout, so the line lands unprefixed.
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... but r03 STILL parsed null: sbt prints "[success] Total time: …"
+// AFTER the child's JSON line, and the harness reads the LAST stdout
+// line. Suppressing the success epilogue makes Bench's JSON line the
+// final line of the whole sbt invocation. (Bench also mirrors the line
+// to target/bench.json, parse-safe regardless of logger behavior.)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -36,15 +36,25 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min"}"""
-    // The run task is forked with OutputStrategy.StdoutOutput (build.sbt),
-    // so this line reaches the terminal without sbt's "[info] " prefix and
-    // the driver can machine-parse it. Also mirrored to a bare file.
-    println(line)
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-        (line + "\n").getBytes("UTF-8"))
-    } catch { case _: java.io.IOException => () }
+    // Parse contract (3 rounds of "parsed": null taught us the hard way):
+    //  - the forked child inherits sbt's real stdout (StdoutOutput), so the
+    //    line lands unprefixed;
+    //  - build.sbt sets showSuccess := false, so sbt prints NO epilogue
+    //    after it — the JSON line is the LAST line of the invocation;
+    //  - the line is ALSO mirrored to files (target/bench.json + /tmp)
+    //    so a harness that globs for a file wins regardless of logging.
+    // stop() BEFORE printing: Spark shutdown can log to the console, and
+    // nothing may land after the JSON line.
     spark.stop()
+    for (outFile <- Seq(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json"),
+        "target/bench.json")) {
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+          (line + "\n").getBytes("UTF-8"))
+      } catch { case _: java.io.IOException => () }
+    }
+    println(line)
+    System.out.flush()
   }
 }

@@ -708,12 +708,16 @@ object SparkEntry {
       val rets = Resample.periodReturn(monthly)
         .filter(col("return").isNotNull)
         .select(col("symbol"), col("period"), col("return").as("ret"))
-      val wTop = org.apache.spark.sql.expressions.Window
-        .orderBy(col("v").desc, col("symbol"))
+      // Top-20 via orderBy+limit → TakeOrderedAndProject: every partition
+      // computes its own top-20 and only those reach the driver-side
+      // merge — fully parallel. (A row_number over a global Window here
+      // funnels ALL per-symbol aggregates through ONE task; it was the
+      // codebase's only unpartitioned window.) Tiebreak (v desc, symbol)
+      // keeps the selection deterministic.
       val top = bars(s, dir).groupBy(col("symbol"))
         .agg(round(sum(col("vol")), 2).as("v"))
-        .withColumn("rk", row_number().over(wTop))
-        .filter(col("rk") <= 20).select(col("symbol"))
+        .orderBy(col("v").desc, col("symbol"))
+        .limit(20).select(col("symbol"))
       val r = rets.join(broadcast(top), "symbol")
       val pairs = r.as("a").join(r.as("b"),
           col("a.period") === col("b.period") &&

@@ -133,9 +133,20 @@ object Dedup {
         explode(col(hashedShingles)).as("h"))
       .persist()
     val sizes = inv.select(col("id"), col("n")).distinct()
+    // df pruning: a shingle held by exactly ONE document can never
+    // produce a pair, and in a natural corpus singleton shingles are the
+    // MAJORITY of the index. One hash-agg over the persisted index buys
+    // dropping them from BOTH sides of the self-join — smaller shuffle,
+    // and the shared-count aggregate is untouched (a pruned shingle
+    // contributes to no pair). Doc sizes (`n`) were captured before the
+    // explode, so the Jaccard denominator is unaffected.
+    val paired = inv.join(
+      inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select(col("h")),
+      "h")
     // size-ratio precondition: jac >= θ forces θ·|A| <= |B| <= |A|/θ —
     // incompatible pairs are dropped in the join, before the aggregate
-    inv.as("a").join(inv.as("b"),
+    paired.as("a").join(paired.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           col("b.n") * threshold <= col("a.n") &&
           col("a.n") * threshold <= col("b.n"))
@@ -216,6 +227,14 @@ object Dedup {
       .select(col("id"), transform(col("rs"), r => r.getField("h")).as("sorted"))
       .select(col("id"), size(col("sorted")).as("n"),
         explode(slice(col("sorted"), lit(1), prefixLen)).as("h"))
+      // df pruning: prefixes are by construction the RAREST shingles, so
+      // most prefix postings are df==1 — and a df==1 posting cannot
+      // collide with anything. Reusing the already-computed frequency
+      // table to drop them shrinks the candidate join's input to just
+      // the genuinely shared rare shingles. (Any qualifying pair shares
+      // an element inside both prefixes; that element has df >= 2, so no
+      // candidate is lost.)
+      .join(freq.filter(col("f") >= 2).select(col("h")), "h")
     val cands = pidx.as("a").join(pidx.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           col("b.n") * threshold <= col("a.n") &&
