@@ -35,14 +35,16 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min"}"""
-    // Parse contract (3 rounds of "parsed": null taught us the hard way):
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min"}"""
+    // Parse contract (4 rounds of "parsed": null taught us the hard way):
     //  - the forked child inherits sbt's real stdout (StdoutOutput), so the
-    //    line lands unprefixed;
-    //  - build.sbt sets showSuccess := false, so sbt prints NO epilogue
-    //    after it — the JSON line is the LAST line of the invocation;
-    //  - the line is ALSO mirrored to files (target/bench.json + /tmp)
-    //    so a harness that globs for a file wins regardless of logging.
+    //    line lands unprefixed; build.sbt sets showSuccess := false, so sbt
+    //    prints NO epilogue after it — our line is the LAST line;
+    //  - BUT the harness captures only a bounded tail (~2,000 chars) of
+    //    stdout, and the full per-query map is >2 KB, so the captured "last
+    //    line" starts mid-object and can never parse. Therefore the line
+    //    printed to stdout must be SHORT (<200 bytes): totals only, with a
+    //    pointer to the full per-query map mirrored on disk.
     // stop() BEFORE printing: Spark shutdown can log to the console, and
     // nothing may land after the JSON line.
     spark.stop()
@@ -51,10 +53,11 @@ object Bench {
         "target/bench.json")) {
       try {
         java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-          (line + "\n").getBytes("UTF-8"))
+          (full + "\n").getBytes("UTF-8"))
       } catch { case _: java.io.IOException => () }
     }
-    println(line)
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"runs":2,"agg":"min","queries_file":"target/bench.json"}"""
+    println(summary)
     System.out.flush()
   }
 }

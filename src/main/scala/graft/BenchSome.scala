@@ -1,0 +1,34 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Iteration helper: time a subset of SparkEntry.queries (args = query
+  * names; default prefix-match). Same session config as Bench; prints
+  * per-query seconds for `runs` passes (env SPARK_GRAFT_RUNS, default 2)
+  * so plan changes can be measured without the full 67-query sweep.
+  */
+object BenchSome {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try SparkEntry.queries("q14_summary_stats")(spark, sfDir).count()
+    catch { case _: Throwable => () }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => args.isEmpty || args.exists(n.startsWith))
+    for (r <- 1 to runs; name <- names) {
+      val t0 = System.nanoTime()
+      val n = try SparkEntry.queries(name)(spark, sfDir).count()
+              catch { case e: Throwable => println(s"$name FAILED: $e"); -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      println(f"run$r $name%-28s $dt%8.3f s  rows=$n")
+    }
+    spark.stop()
+  }
+}

@@ -345,10 +345,12 @@ object SparkEntry {
           round(Dedup.jaccard(col("hsa"), col("hsb")), 4).as("jac"))
     }),
 
-    // Dedup: n-gram Jaccard near-dup pairs via the hashed inverted
-    // shingle index (native shingle hashing; index persisted inside).
+    // Dedup: n-gram Jaccard near-dup pairs via PPJoin-style prefix
+    // filtering over the hashed shingle index — the skew-proof path
+    // (hot shingles never make a prefix, so no C(df,2) blowup; output
+    // identical to the plain inverted join, TextDedupSpec asserts it).
     "q28_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairsHashed(
+      Dedup.jaccardPairsPrefixHashed(
         docsDup(s, dir).select(col("doc_id").as("id"),
           Dedup.hashedShingles(Text.tokens(col("text")), 3).as("hs")),
         "id", "hs", 0.5)),
@@ -814,7 +816,7 @@ object SparkEntry {
     // transitive closure and picks winners with a window.
     "q67_dedup_keep_best" -> ((s, dir) => {
       val dup = docsDup(s, dir)
-      val pairs = Dedup.jaccardPairsHashed(
+      val pairs = Dedup.jaccardPairsPrefixHashed(
         dup.select(col("doc_id").as("id"),
           Dedup.hashedShingles(Text.tokens(col("text")), 3).as("hs")),
         "id", "hs", 0.5)

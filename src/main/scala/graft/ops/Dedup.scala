@@ -133,17 +133,12 @@ object Dedup {
         explode(col(hashedShingles)).as("h"))
       .persist()
     val sizes = inv.select(col("id"), col("n")).distinct()
-    // df pruning: a shingle held by exactly ONE document can never
-    // produce a pair, and in a natural corpus singleton shingles are the
-    // MAJORITY of the index. One hash-agg over the persisted index buys
-    // dropping them from BOTH sides of the self-join — smaller shuffle,
-    // and the shared-count aggregate is untouched (a pruned shingle
-    // contributes to no pair). Doc sizes (`n`) were captured before the
-    // explode, so the Jaccard denominator is unaffected.
-    val paired = inv.join(
-      inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2).select(col("h")),
-      "h")
+    // (A df==1 singleton-pruning pass was tried here — round 4 — and
+    // REVERTED: at sf0.1 the extra hash-agg + join over the index costs
+    // ~12% more than the C(df,2) work it saves on this corpus. For
+    // corpora with genuinely hot shingles use jaccardPairsPrefixHashed,
+    // whose prefix filter subsumes the benefit.)
+    val paired = inv
     // size-ratio precondition: jac >= θ forces θ·|A| <= |B| <= |A|/θ —
     // incompatible pairs are dropped in the join, before the aggregate
     paired.as("a").join(paired.as("b"),
@@ -219,22 +214,24 @@ object Dedup {
       .persist() // verification joins re-read the full hash sets
     val inv = d.select(col("id"), explode(col("hs")).as("h"))
     val freq = inv.groupBy("h").agg(count(lit(1)).as("f"))
-    val prefixLen = (size(col("sorted")) -
-      ceil(size(col("sorted")) * threshold) + 1).cast("int")
+    val prefixLen = (size(col("rs")) -
+      ceil(size(col("rs")) * threshold) + 1).cast("int")
+    // Rarity-sorted per-doc shingle list (ascending df, ties by hash — a
+    // total order), prefix sliced ARRAY-side. df==1 postings can collide
+    // with nothing, so they are dropped in the same array pass (any
+    // qualifying pair shares an element inside both prefixes, and that
+    // element has df >= 2 — no candidate is lost); doing it array-side
+    // replaces the former extra join against the frequency table.
+    // Persisted: the candidate self-join consumes this index twice, and
+    // without it the whole explode→freq-join→sort chain runs per side.
     val pidx = inv.join(freq, "h")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("f"), col("h")))).as("rs"))
-      .select(col("id"), transform(col("rs"), r => r.getField("h")).as("sorted"))
-      .select(col("id"), size(col("sorted")).as("n"),
-        explode(slice(col("sorted"), lit(1), prefixLen)).as("h"))
-      // df pruning: prefixes are by construction the RAREST shingles, so
-      // most prefix postings are df==1 — and a df==1 posting cannot
-      // collide with anything. Reusing the already-computed frequency
-      // table to drop them shrinks the candidate join's input to just
-      // the genuinely shared rare shingles. (Any qualifying pair shares
-      // an element inside both prefixes; that element has df >= 2, so no
-      // candidate is lost.)
-      .join(freq.filter(col("f") >= 2).select(col("h")), "h")
+      .select(col("id"), size(col("rs")).as("n"),
+        explode(transform(
+          filter(slice(col("rs"), lit(1), prefixLen), r => r.getField("f") >= 2),
+          r => r.getField("h"))).as("h"))
+      .persist()
     val cands = pidx.as("a").join(pidx.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           col("b.n") * threshold <= col("a.n") &&

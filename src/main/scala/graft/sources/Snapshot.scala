@@ -239,11 +239,24 @@ object Snapshot {
     }
   }
 
-  /** Compare two canonical stat strings under the column's type order. */
+  /** Compare two canonical stat strings under the column's type order.
+    * Strings compare by UNSIGNED UTF-8 BYTES — the order parquet footers
+    * record min/max in and the order Spark's UTF8String sorts by (code
+    * points). Java's String.compareTo orders by UTF-16 code units, which
+    * disagrees for supplementary-plane characters (surrogates 0xD800+)
+    * vs U+E000–U+FFFF: under it a footer max of "😀" would sort BELOW a
+    * probe of "" and readStatsPruned would skip a directory that
+    * contains matching rows — silent row loss (SnapshotSpec pins the
+    * case).
+    */
   private def statCompare(dt: DataType, a: String, b: String): Int = dt match {
     case _: org.apache.spark.sql.types.NumericType =>
       new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
-    case _ => a.compareTo(b) // ISO dates and strings
+    case org.apache.spark.sql.types.StringType =>
+      java.util.Arrays.compareUnsigned(
+        a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case _ => a.compareTo(b) // ISO dates (ASCII, both orders agree)
   }
 
   /** Harvest exact row counts and per-column min/max from the parquet

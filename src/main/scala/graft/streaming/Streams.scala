@@ -195,6 +195,18 @@ object Streams {
     * after checkpoint recovery merges to the identical table (the same
     * absorption argument as mergeStream's keep-latest). Query the
     * running table any time with [[graft.ops.Sketch.hllEstimate]].
+    *
+    * CRASH-ATOMIC update protocol: the merged table is fully written to
+    * a `.staged` sibling directory, then swapped live via two directory
+    * renames (live → `.retired`, staged → live) — the register path is
+    * never overwritten in place, so a crash at ANY point leaves a
+    * complete table at either the live or the retired path.
+    * [[recoverRegisters]] runs before every batch (and is safe to call
+    * any time): it restores a retired table orphaned between the two
+    * renames and discards half-written stages; the interrupted batch
+    * itself replays from the checkpoint and max-merges to the identical
+    * result. StreamingSpec kills a writer between the renames and
+    * asserts full recovery.
     */
   def sketchStream(in: DataFrame, registerPath: String, checkpoint: String,
                    groups: Seq[String], value: org.apache.spark.sql.Column,
@@ -205,19 +217,48 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         val spark = batch.sparkSession
+        recoverRegisters(registerPath)
+        val live = new java.io.File(registerPath)
+        val staged = new java.io.File(registerPath + ".staged")
+        val retired = new java.io.File(registerPath + ".retired")
         val fresh = graft.ops.Sketch.hllRegisters(batch.toDF(), groups, value, bHex)
         val merged =
-          if (new java.io.File(registerPath).exists())
+          if (live.exists())
             graft.ops.Sketch.hllMerge(
               spark.read.parquet(registerPath), fresh, groups)
           else fresh
-        // materialize before overwriting the path we just read
-        merged.localCheckpoint(true)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(registerPath)
+        // 1. full write beside the live table (which stays untouched)
+        merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(staged.getPath)
+        // 2. swap: two atomic directory renames
+        if (live.exists() && !live.renameTo(retired))
+          throw new java.io.IOException(s"could not retire $registerPath")
+        if (!staged.renameTo(live))
+          throw new java.io.IOException(s"could not publish $registerPath")
+        deleteRecursively(retired)
       }
       .start()
     q.awaitTermination()
+  }
+
+  /** Repair an interrupted [[sketchStream]] swap (idempotent, cheap):
+    * a complete retired table with no live sibling is restored; stray
+    * staged/retired leftovers are discarded (their batch replays).
+    */
+  def recoverRegisters(registerPath: String): Unit = {
+    val live = new java.io.File(registerPath)
+    val staged = new java.io.File(registerPath + ".staged")
+    val retired = new java.io.File(registerPath + ".retired")
+    if (!live.exists() && retired.exists() && !retired.renameTo(live))
+      throw new java.io.IOException(s"could not restore $registerPath")
+    deleteRecursively(staged)
+    deleteRecursively(retired)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+      .foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** Drive any streaming DataFrame to a parquet sink with AvailableNow:

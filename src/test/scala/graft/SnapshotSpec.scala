@@ -280,6 +280,33 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("footer stats: string stats compare in UTF-8 byte order (surrogates vs U+E000)") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      // One directory whose string column spans the collation trap:
+      // "" (private-use, UTF-8 ee 80 80) and "😀" (U+1F600,
+      // surrogate pair in UTF-16, UTF-8 f0 9f 98 80). Parquet footers
+      // record min="", max="😀" in UTF-8 byte order; Java's
+      // UTF-16 compareTo says "😀" < "", so a point probe for
+      // "" would conclude max < lo and PRUNE the directory —
+      // losing a matching row.
+      val df = Seq(("", "2024-01-01", 1.0, 0L),
+          ("😀", "2024-01-01", 2.0, 0L))
+        .toDF("symbol", "date", "close", "version")
+        .withColumn("date", to_date($"date"))
+      Snapshot.commit(df, t, Some("date"))
+      val hit = Snapshot.readStatsPruned(spark, t, "symbol",
+        lo = Some(""), hi = Some(""))
+      assert(hit.filter($"symbol" === "").count() == 1L,
+        "UTF-16 collation would have pruned the directory holding this row")
+      // and the order agrees with Spark's own: probes above the UTF-8
+      // max really do prune ("😁" > "😀" in both orders)
+      val miss = Snapshot.readStatsPruned(spark, t, "symbol",
+        lo = Some("😁"), hi = None)
+      assert(miss.count() == 0L)
+    }
+  }
+
   test("footer stats: NaN-poisoned columns drop their stats, never mis-prune") {
     withTempDir { dir =>
       val t = dir.getAbsolutePath + "/t"

@@ -171,6 +171,56 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("sketchStream survives a crash between the two swap renames") {
+    withTempDir { dir =>
+      val in = dir.getAbsolutePath + "/in"
+      val regs = dir.getAbsolutePath + "/regs"
+      (1L to 3000L).map(i => ("g", i)).toDF("g", "v")
+        .write.parquet(in)
+      val schema = spark.read.parquet(in).schema
+      Streams.sketchStream(spark.readStream.schema(schema).parquet(in),
+        regs, dir.getAbsolutePath + "/ck1", Seq("g"), $"v")
+
+      // Simulate the writer dying at the WORST point of the swap: the
+      // live table already retired, the staged table half-written, the
+      // checkpoint not advanced (so the batch will replay). Before the
+      // fix (in-place SaveMode.Overwrite) this state was a total loss of
+      // accumulated history.
+      val live = new java.io.File(regs)
+      val retired = new java.io.File(regs + ".retired")
+      val staged = new java.io.File(regs + ".staged")
+      assert(live.renameTo(retired))
+      staged.mkdirs()
+      java.nio.file.Files.writeString(
+        staged.toPath.resolve("part-00000.parquet"), "torn half-write")
+      assert(!live.exists())
+
+      // next run recovers the retired table, discards the torn stage,
+      // and replays the pending batch — nothing lost
+      (2000L to 5000L).map(i => ("g", i)).toDF("g", "v")
+        .write.mode("append").parquet(in)
+      Streams.sketchStream(spark.readStream.schema(schema).parquet(in),
+        regs, dir.getAbsolutePath + "/ck2", Seq("g"), $"v")
+      assert(!staged.exists() && !retired.exists())
+      val streamed = graft.ops.Sketch.hllEstimate(
+          spark.read.parquet(regs), Seq("g"))
+        .select($"n_approx").as[Double].head()
+      val direct = graft.ops.Sketch.hllDistinct(
+          (1L to 5000L).map(i => ("g", i)).toDF("g", "v"), Seq("g"), $"v")
+        .select($"n_approx").as[Double].head()
+      assert(streamed == direct,
+        "recovered register table must equal the one-shot sketch exactly")
+
+      // recoverRegisters alone is idempotent and restores an orphaned
+      // retired table even outside a stream run
+      assert(live.renameTo(retired))
+      Streams.recoverRegisters(regs)
+      assert(live.exists() && !retired.exists())
+      Streams.recoverRegisters(regs) // second call: no-op
+      assert(live.exists())
+    }
+  }
+
   test("stream-stream interval join pairs keys within the time bound, drops the rest") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
