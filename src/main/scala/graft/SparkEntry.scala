@@ -648,6 +648,15 @@ object SparkEntry {
       Profile.profile(t(s, dir, "documents"),
         Seq("doc_id", "lang", "source", "n_chars"))),
 
+    // Beyond-reference: the profile-at-every-ingest variant of q57 —
+    // same melt + single aggregate, but distinct cardinality from the
+    // mergeable HLL sketch (no (col,value) distinct shuffle; state is
+    // ≤ cols × 4096 registers). The oracle recomputes the identical
+    // register table and estimate arithmetic in DuckDB (q56 lockstep).
+    "q68_profile_sketched" -> ((s, dir) =>
+      Profile.profileSketched(t(s, dir, "documents"),
+        Seq("doc_id", "lang", "source", "n_chars"))),
+
     // Beyond-reference: per-symbol EMA(α=0.1) — the recursive indicator
     // no window frame expresses. One hash-collect per symbol, one
     // ordered fold; identical fold order on both engines makes the
@@ -1331,6 +1340,59 @@ object SparkEntry {
       Seq(one("doc_id", true), one("lang", false), one("source", false),
         one("n_chars", true)).mkString("\nUNION ALL\n")
     },
+
+    // profileSketched in lockstep: the same melt (col_name, string
+    // rendering) feeds the q56 HLL register/estimate arithmetic keyed by
+    // col_name; plain counts/bounds come from the same melted relation.
+    "q68_profile_sketched" ->
+      """WITH m AS (
+        |  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS sval,
+        |    CAST(doc_id AS DOUBLE) AS nval FROM documents
+        |  UNION ALL SELECT 'lang', lang, CAST(NULL AS DOUBLE) FROM documents
+        |  UNION ALL SELECT 'source', source, CAST(NULL AS DOUBLE) FROM documents
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR),
+        |    CAST(n_chars AS DOUBLE) FROM documents),
+        |base AS (
+        |  SELECT col_name, count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN sval IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    min(nval) AS min_num, max(nval) AS max_num
+        |  FROM m GROUP BY 1),
+        |h AS (SELECT col_name, md5(sval) AS hx FROM m WHERE sval IS NOT NULL),
+        |parts AS (
+        |  SELECT col_name, hx, substr(hx, 4, 29) AS rest,
+        |    ltrim(substr(hx, 4, 29), '0') AS st
+        |  FROM h),
+        |reg AS (
+        |  SELECT col_name, CAST('0x' || substr(hx, 1, 3) AS BIGINT) AS bucket,
+        |    max(CASE WHEN length(st) = 0 THEN 117
+        |        ELSE (length(rest) - length(st)) * 4 +
+        |          (CASE WHEN substr(st, 1, 1) = '1' THEN 3
+        |                WHEN substr(st, 1, 1) IN ('2','3') THEN 2
+        |                WHEN substr(st, 1, 1) IN ('4','5','6','7') THEN 1
+        |                ELSE 0 END) + 1 END) AS rho
+        |  FROM parts GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT col_name, count(*) AS nb,
+        |    CAST(sum(CAST(floor(power(CAST(2.0 AS DOUBLE), 50 - rho))
+        |      AS BIGINT)) AS BIGINT) AS sum_fp
+        |  FROM reg GROUP BY 1),
+        |est AS (
+        |  SELECT col_name,
+        |    CAST(round(CAST(CASE WHEN raw <= CAST(10240.0 AS DOUBLE) AND v > 0
+        |        THEN ln(CAST(4096.0 AS DOUBLE) / v) * CAST(4096.0 AS DOUBLE)
+        |        ELSE raw END AS DECIMAL(20,10)), 2) AS DOUBLE) AS n_approx
+        |  FROM (SELECT col_name,
+        |      (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+        |         + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE)))
+        |        * CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+        |        * power(CAST(2.0 AS DOUBLE), 50)
+        |        / (sum_fp + (4096 - nb) * (CAST(1 AS BIGINT) << 50)) AS raw,
+        |      CAST(4096 - nb AS DOUBLE) AS v
+        |    FROM agg))
+        |SELECT b.col_name AS col_name, b.n_rows, b.n_nulls,
+        |  coalesce(e.n_approx, CAST(0.0 AS DOUBLE)) AS n_distinct_approx,
+        |  b.min_num, b.max_num
+        |FROM base b LEFT JOIN est e USING (col_name)""".stripMargin,
 
     // Survivors derived independently of the engine's clustering: the
     // canonical member of an exact-dup cluster is min(doc_id) per

@@ -309,10 +309,16 @@ object Dedup {
                           quality: Column): DataFrame = {
     val clusters = duplicateClusters(pairs)
       .select(col("id").as("__cid"), col("component"))
+    // winner = min over (−quality, id): highest quality first, ties to
+    // the SMALLEST id — min_by over the struct keeps the tiebreak
+    // type-agnostic (string/date/numeric ids all order natively; only
+    // `quality` must be numeric, it is a score by contract). The former
+    // max_by(struct(quality, −id)) negated the id and so silently
+    // required numeric ids.
     val winners = docs.join(clusters, col(id) === col("__cid"), "left")
       .withColumn("__c", coalesce(col("component"), col(id)))
       .groupBy(col("__c"))
-      .agg(max_by(col(id), struct(quality, -col(id))).as(id))
+      .agg(min_by(col(id), struct(-quality, col(id))).as(id))
       .select(id)
     docs.join(winners, Seq(id), "left_semi")
   }
@@ -346,15 +352,9 @@ object Dedup {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
-    // Convergence witness: every step can only DECREASE a vertex's label
-    // (least-of-candidates, then jump to a label ≤ the current one), so
-    // the exact decimal sum of labels strictly decreases until fixpoint —
-    // one cheap aggregate over the checkpointed table instead of an
-    // old-vs-new join per round.
-    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)")))
-        .head().getDecimal(0)
-    var prevSum = labelSum(labels)
+    // labels is a projection of the checkpointed frame from round 2 on;
+    // unpersist must target the frame that owns the materialized blocks
+    var owned = labels
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -364,7 +364,7 @@ object Dedup {
         .groupBy(col("dst").as("id"))
         .agg(min(col("component")).as("nc"))
       val adopted = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("__prev"),
           least(col("component"), coalesce(col("nc"), col("component")))
             .as("component"))
       // ... then pointer-jumps through its label's own label (every
@@ -374,16 +374,22 @@ object Dedup {
       // several labels; doubling halves the remaining distance each
       // round, so convergence is O(log diameter) and maxIter=20 covers
       // chains of ~2^20 hops.
+      //
+      // Convergence witness: the round-START label rides along as
+      // __prev, so "did anything change" is an exact filter-count over
+      // the checkpointed result — no old-vs-new join, and unlike the
+      // earlier decimal-sum witness it is TYPE-AGNOSTIC (string/date
+      // ids work; a decimal cast of a string id yields null and NPEd).
       val next = adopted.as("a")
         .join(adopted.as("b"), col("a.component") === col("b.id"), "left")
-        .select(col("a.id"),
+        .select(col("a.id"), col("a.__prev"),
           coalesce(col("b.component"), col("a.component")).as("component"))
         .localCheckpoint(true)
-      val curSum = labelSum(next)
-      labels.unpersist()
-      labels = next
-      converged = curSum.compareTo(prevSum) == 0
-      prevSum = curSum
+      val nChanged = next.filter(col("component") =!= col("__prev")).count()
+      owned.unpersist()
+      owned = next
+      labels = next.select(col("id"), col("component"))
+      converged = nChanged == 0L
       iter += 1
     }
     edges.unpersist()

@@ -21,6 +21,14 @@ object Lifecycle {
   /** One market's run parameters (module_map + EXPECTED_MIN_STOCKS,
     * main.py:142-151; FORCE date range main.py:163-168). `asOf` is the
     * injected "today" so runs are deterministic and testable.
+    *
+    * `startDate`/`endDate` (inclusive, ISO) scope the ingest window —
+    * the hot/cold backfill semantics the reference intends but never
+    * wires (main.py:15-16 FORCE_START_DATE/END_DATE are dead config;
+    * the working contract is per-market hardcoded epochs, e.g.
+    * downloader_tw.py:80 hot=2023-01-01 / cold=1993-01-04). A "hot"
+    * run sets startDate to the hot epoch; a cold backfill widens it.
+    * None = unbounded on that side.
     */
   final case class MarketConfig(
       marketId: String,
@@ -30,7 +38,9 @@ object Lifecycle {
       asOf: String,
       gapDays: Int = 14,
       gapSince: String = "2024-01-01",
-      useSnapshot: Boolean = false)
+      useSnapshot: Boolean = false,
+      startDate: Option[String] = None,
+      endDate: Option[String] = None)
 
   /** One market's run outcome (get_db_summary shape, main.py:113-135). */
   final case class MarketSummary(
@@ -96,7 +106,16 @@ object Lifecycle {
       if (!ran) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rejectionSchema)
       else {
-        val bars = Pipeline.ingestCsvDir(spark, cfg.csvDir)
+        // Backfill window clamp BEFORE validation: the date predicates
+        // sit directly on the scan (pushed to the reader; at warehouse
+        // scale, to partition pruning), so a scoped hot run never reads
+        // or re-validates history, and the merge below only rewrites
+        // date partitions inside the window.
+        val bars = Seq(
+            cfg.startDate.map(d => col("date") >= to_date(lit(d))),
+            cfg.endDate.map(d => col("date") <= to_date(lit(d))))
+          .flatten
+          .foldLeft(Pipeline.ingestCsvDir(spark, cfg.csvDir))(_.filter(_))
         val slice = Pipeline.dailySlice(bars, cfg.gapDays, cfg.gapSince)
         val validBars = Quality.excludeRejected(
           bars.na.drop(Seq("open", "high", "low", "close")),

@@ -57,8 +57,11 @@ object Profile {
         Seq("col_name"), col("sval")),
       Seq("col_name"))
       .withColumnRenamed("n_approx", "n_distinct_approx")
+    // an all-null column has no registers (the sketch only sees non-null
+    // values) — report 0 like the exact profile, not a null estimate
     base.join(est, Seq("col_name"), "left")
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
-        col("n_distinct_approx"), col("min_num"), col("max_num"))
+        coalesce(col("n_distinct_approx"), lit(0.0)).as("n_distinct_approx"),
+        col("min_num"), col("max_num"))
   }
 }

@@ -538,12 +538,26 @@ object Snapshot {
     * accumulate unboundedly under retries. Orphans younger than
     * `orphanAgeMs` are left alone so vacuum never races an in-flight
     * commit that has written data but not yet published its manifest.
+    *
+    * An orphan's age is the NEWEST mtime found recursively under it, not
+    * the top directory's: a partitioned write creates the commit dir
+    * first and keeps appending files, so the top-dir mtime goes stale
+    * the moment the first partition subdir lands — aging by it would
+    * sweep a still-in-flight commit that merely runs longer than
+    * `orphanAgeMs`. Any file the writer touches refreshes the recursive
+    * age; `orphanAgeMs` therefore only needs to exceed the longest WRITE
+    * STALL (time between two file creations), not the whole write.
     */
   def vacuum(table: String, keepVersions: Int = 1,
              orphanAgeMs: Long = 3600000L): Unit = {
     def rm(p: Path): Unit = {
       if (Files.isDirectory(p)) listDir(p).foreach(rm)
       Files.deleteIfExists(p)
+    }
+    def newestMtime(p: Path): Long = {
+      val own = Files.getLastModifiedTime(p).toMillis
+      if (Files.isDirectory(p)) (own +: listDir(p).map(newestMtime)).max
+      else own
     }
     val vs = versions(table)
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
@@ -563,7 +577,7 @@ object Snapshot {
       val cutoff = System.currentTimeMillis() - orphanAgeMs
       listDir(dataRoot)
         .filterNot(p => liveCommits.contains(p.toAbsolutePath.normalize))
-        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .filter(p => newestMtime(p) < cutoff)
         .foreach(rm)
     }
   }

@@ -50,6 +50,42 @@ class LifecycleSpec extends SparkSpec {
     }
   }
 
+  test("backfill window: startDate/endDate clamp the ingest scan (hot vs cold)") {
+    withTempDir { tmp =>
+      val dir = new java.io.File(tmp, "csv")
+      writeCsv(dir, "2330_day.csv", Seq(
+        "2022-12-28,8,9,7,8.5,100", // pre-hot-epoch history
+        "2023-01-03,9,10,8,9.5,100",
+        "2024-01-02,10,12,9,11,100",
+        "2024-01-03,11,13,10,12,100"))
+      def cfg(root: String, start: Option[String], end: Option[String]) =
+        MarketConfig("tw", dir.getAbsolutePath, root, 1, asOf = "2024-01-05",
+          startDate = start, endDate = end)
+
+      // hot run: scoped to the hot epoch — pre-2023 rows never ingested
+      val rootHot = tmp.getAbsolutePath + "/hot"
+      val (hot, _) = Lifecycle.runMarket(spark,
+        cfg(rootHot, Some("2023-01-01"), None))
+      assert(hot.ranSync && hot.totalRows == 3)
+      val hotDates = spark.read.parquet(s"$rootHot/tw/prices")
+        .select($"date".cast("string")).as[String].collect().toSet
+      assert(hotDates == Set("2023-01-03", "2024-01-02", "2024-01-03"))
+
+      // cold backfill: unbounded window picks up the full history
+      val rootCold = tmp.getAbsolutePath + "/cold"
+      val (cold, _) = Lifecycle.runMarket(spark, cfg(rootCold, None, None))
+      assert(cold.totalRows == 4)
+
+      // a bounded historical slice clamps both ends
+      val rootSlice = tmp.getAbsolutePath + "/slice"
+      val (slice, _) = Lifecycle.runMarket(spark,
+        cfg(rootSlice, Some("2023-01-01"), Some("2023-12-31")))
+      val sliceDates = spark.read.parquet(s"$rootSlice/tw/prices")
+        .select($"date".cast("string")).as[String].collect().toSet
+      assert(slice.totalRows == 1 && sliceDates == Set("2023-01-03"))
+    }
+  }
+
   test("snapshot-backed lifecycle: atomic merges, versioned store, same summaries") {
     withTempDir { tmp =>
       val dir = new java.io.File(tmp, "csv")

@@ -32,4 +32,15 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(sk("cat")._4 - 50.0) / 50.0 < 0.05,
       s"cat distinct ${sk("cat")._4}")
   }
+
+  test("sketched profiler reports 0 (not null) for an all-null column") {
+    val df = Seq((1L, None: Option[String]), (2L, None))
+      .toDF("id", "dead")
+    val sk = Profile.profileSketched(df, Seq("id", "dead"))
+      .select($"col_name", $"n_nulls", $"n_distinct_approx")
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(sk("dead") == (("dead", 2L, 0.0)),
+      "the exact profiler reports n_distinct = 0 here; the sketch must agree")
+    assert(sk("id")._3 > 0.0)
+  }
 }

@@ -232,6 +232,23 @@ class SnapshotSpec extends SparkSpec {
       young.mkdirs()
       Snapshot.vacuum(t, keepVersions = 1, orphanAgeMs = 3600000L)
       assert(young.exists(), "orphans younger than the age threshold survive")
+
+      // a LONG-RUNNING in-flight commit: the top dir (and a partition
+      // subdir) were created hours ago, but the writer is still landing
+      // files — only the newest RECURSIVE mtime proves liveness. Aging
+      // by the top-dir mtime (the pre-fix behavior) would sweep it
+      // mid-write and corrupt the commit.
+      val slow = new java.io.File(t, "data/slow-inflight/date=2024-01-01")
+      slow.mkdirs()
+      val fresh = new java.io.File(slow, "part-00001.parquet")
+      fresh.createNewFile() // mtime = now
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 7200000L)
+      java.nio.file.Files.setLastModifiedTime(slow.getParentFile.toPath, old)
+      java.nio.file.Files.setLastModifiedTime(slow.toPath, old)
+      Snapshot.vacuum(t, keepVersions = 1, orphanAgeMs = 3600000L)
+      assert(fresh.exists(),
+        "an in-flight commit with any fresh file must survive the sweep")
     }
   }
 

@@ -223,6 +223,34 @@ class TextDedupSpec extends SparkSpec {
     assert(kept == Set(2L, 10L, 99L))
   }
 
+  test("cluster formation and keep-best work end-to-end with STRING doc ids") {
+    // the decimal-sum convergence witness and the -col(id) tiebreak both
+    // silently assumed numeric ids (a string id cast to decimal is null
+    // -> NPE; -"docA" is unresolvable) — this pins the type-agnostic
+    // replacements on the exact shapes that used to break
+    val pairs = Seq(("docA", "docB"), ("docB", "docC"), ("docX", "docY"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA",
+      "docX" -> "docX", "docY" -> "docX"))
+
+    val docs = Seq(
+      ("docA", "short"), ("docB", "much longer text here"), ("docC", "mid"),
+      ("docX", "same len"), ("docY", "same len"),
+      ("docZ", "lonely singleton")).toDF("doc_id", "text")
+    val kept = Dedup.dedupByClustersBest(docs, "doc_id", pairs,
+        length($"text"))
+      .select($"doc_id").as[String].collect().toSet
+    // {A,B,C}: B longest; {X,Y}: equal length -> lexicographically
+    // smaller docX; Z untouched singleton
+    assert(kept == Set("docB", "docX", "docZ"))
+
+    val canonical = Dedup.dedupByClusters(docs, "doc_id", pairs)
+      .select($"doc_id").as[String].collect().toSet
+    assert(canonical == Set("docA", "docX", "docZ"))
+  }
+
   test("hashSample is deterministic and disjoint across bucket ranges") {
     val df = (0L until 200L).toDF("id")
     val a = graft.ops.Sampling.hashSample(df, $"id", 30, 100).as[Long].collect().toSet
