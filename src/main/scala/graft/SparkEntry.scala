@@ -1695,8 +1695,15 @@ object SparkEntry {
     * .dailySlice), i.e. the reference's richest end-to-end query in one
     * job graph.
     */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = sys.env.getOrElse("SPARK_GRAFT_ENTRY_DIR", "/root/testdata/sf0.001")
+  def entry(spark: SparkSession): DataFrame =
+    entryFrom(spark,
+      sys.env.getOrElse("SPARK_GRAFT_ENTRY_DIR", "/root/testdata/sf0.001"))
+
+  /** entry() against an explicit fixture dir — the seam EntrySpec uses
+    * to prove the SPARK_GRAFT_ENTRY_DIR override actually redirects the
+    * scan (the env var feeds this parameter and nothing else).
+    */
+  private[graft] def entryFrom(spark: SparkSession, dir: String): DataFrame = {
     val dayBars = bars(spark, dir)
       .groupBy(col("symbol"), col("d").as("date"))
       .agg(min_by(col("px"), col("ord")).as("open"), max(col("px")).as("high"),

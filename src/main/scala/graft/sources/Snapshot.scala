@@ -95,9 +95,14 @@ object Snapshot {
   final case class Manifest(version: Long, partitionCol: String,
                             partitionType: String, dataSchemaJson: String,
                             dirs: Seq[String],
-                            stats: Map[String, DirStats] = Map.empty) {
+                            stats: Map[String, DirStats] = Map.empty,
+                            fileStats: Map[String, DirStats] = Map.empty) {
     def dataSchema: StructType =
       DataType.fromJson(dataSchemaJson).asInstanceOf[StructType]
+    /** Per-file stats grouped under their parent directory. */
+    def filesUnder(dir: String): Map[String, DirStats] =
+      fileStats.filter { case (f, _) =>
+        Paths.get(f).getParent.toString == dir }
   }
 
   private def manifestDir(table: String): Path = Paths.get(table, "_manifests")
@@ -126,42 +131,55 @@ object Snapshot {
 
   /** Dir lines are `path` (no stats — pre-stats manifests parse
     * unchanged) or `path TAB rows [TAB col TAB min TAB max]...` with
-    * URL-encoded stat fields so values may contain tabs.
+    * URL-encoded stat fields so values may contain tabs. Per-FILE stat
+    * lines are `F TAB path TAB rows [TAB col TAB min TAB max]...` —
+    * the `F` marker can't collide with a dir line, whose first field is
+    * an absolute path; manifests without them (pre-file-stats) parse
+    * unchanged with empty fileStats.
     */
   def readManifest(table: String, v: Long): Manifest = {
     val lines = Files.readAllLines(manifestPath(table, v), UTF_8).asScala.toSeq
     val header = lines.head.split("\t", -1)
     require(header.length == 3 && header(0).toLong == v,
       s"corrupt manifest v$v: ${lines.head}")
-    val parsed = lines.drop(2).map { line =>
+    def triples(fields: Seq[String]) = fields.grouped(3).collect {
+      case Seq(c, mn, mx) => (dec(c), dec(mn), dec(mx))
+    }.toSeq
+    def statsOf(rows: String, fields: Seq[String]) = {
+      val t = triples(fields)
+      DirStats(rows.toLong, t.map(x => x._1 -> x._2).toMap,
+        t.map(x => x._1 -> x._3).toMap)
+    }
+    val (fileLines, dirLines) = lines.drop(2).partition(_.startsWith("F\t"))
+    val parsed = dirLines.map { line =>
       val f = line.split("\t", -1)
       if (f.length < 2) (f(0), None)
-      else {
-        val triples = f.drop(2).grouped(3).collect {
-          case Array(c, mn, mx) => (dec(c), dec(mn), dec(mx))
-        }.toSeq
-        (f(0), Some(DirStats(f(1).toLong,
-          triples.map(t => t._1 -> t._2).toMap,
-          triples.map(t => t._1 -> t._3).toMap)))
-      }
+      else (f(0), Some(statsOf(f(1), f.drop(2).toSeq)))
     }
+    val fstats = fileLines.map { line =>
+      val f = line.split("\t", -1)
+      f(1) -> statsOf(f(2), f.drop(3).toSeq)
+    }.toMap
     Manifest(v, header(1), header(2), lines(1), parsed.map(_._1),
-      parsed.collect { case (d, Some(st)) => d -> st }.toMap)
+      parsed.collect { case (d, Some(st)) => d -> st }.toMap, fstats)
   }
 
   private def writeManifest(table: String, m: Manifest): Unit = {
     Files.createDirectories(manifestDir(table))
+    def statFields(st: DirStats): Seq[String] =
+      st.rows.toString +: st.mins.keys.toSeq.sorted.flatMap(c =>
+        Seq(enc(c), enc(st.mins(c)), enc(st.maxs(c))))
     val dirLines = m.dirs.map { d =>
       m.stats.get(d) match {
         case None => d
-        case Some(st) =>
-          val cols = st.mins.keys.toSeq.sorted.flatMap(c =>
-            Seq(enc(c), enc(st.mins(c)), enc(st.maxs(c))))
-          (Seq(d, st.rows.toString) ++ cols).mkString("\t")
+        case Some(st) => (d +: statFields(st)).mkString("\t")
       }
     }
+    val fileLines = m.fileStats.toSeq.sortBy(_._1).map { case (f, st) =>
+      (Seq("F", f) ++ statFields(st)).mkString("\t")
+    }
     val body = (Seq(s"${m.version}\t${m.partitionCol}\t${m.partitionType}",
-      m.dataSchemaJson) ++ dirLines).mkString("", "\n", "\n")
+      m.dataSchemaJson) ++ dirLines ++ fileLines).mkString("", "\n", "\n")
     val tmp = manifestDir(table).resolve(
       s".tmp-${java.util.UUID.randomUUID().toString}")
     Files.write(tmp, body.getBytes(UTF_8))
@@ -184,7 +202,7 @@ object Snapshot {
     * manifest rename.
     */
   private def writeData(df: DataFrame, table: String,
-                        partitionCol: Option[String]): (Seq[String], Map[String, DirStats]) = {
+                        partitionCol: Option[String]): (Seq[String], Map[String, DirStats], Map[String, DirStats]) = {
     val commitId = java.util.UUID.randomUUID().toString
     val dataRoot = Paths.get(table, "data", commitId)
     val dirs = partitionCol match {
@@ -200,7 +218,9 @@ object Snapshot {
     val dataSchema = StructType(
       df.schema.filterNot(f => partitionCol.contains(f.name)))
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
-    (dirs, dirs.map(d => d -> dirStats(d, dataSchema, conf)).toMap)
+    val harvested = dirs.map(d => d -> harvestDir(d, dataSchema, conf))
+    (dirs, harvested.map { case (d, (st, _)) => d -> st }.toMap,
+      harvested.flatMap(_._2._2).toMap)
   }
 
   /** Types whose parquet footer min/max we can decode into the canonical
@@ -262,23 +282,26 @@ object Snapshot {
   /** Harvest exact row counts and per-column min/max from the parquet
     * footers of every file in `dir` — metadata-only reads, no data scan
     * (the same trick Delta/Iceberg use, done at commit time so readers
-    * get stats for free from the manifest). A column with missing or
-    * undecodable stats in ANY block is dropped (unknown), an all-null
-    * block contributes nothing but doesn't poison the column.
+    * get stats for free from the manifest). Returns the directory
+    * envelope plus ONE stats entry per file (the file-level skipping
+    * granularity readStatsPruned uses). A column with missing or
+    * undecodable stats in ANY block is dropped from the DIR envelope
+    * (unknown) and from the affected file's entry; an all-null block
+    * contributes nothing but doesn't poison the column.
     */
-  private def dirStats(dir: String, schema: StructType,
-                       conf: org.apache.hadoop.conf.Configuration): DirStats = {
+  private def harvestDir(dir: String, schema: StructType,
+                         conf: org.apache.hadoop.conf.Configuration): (DirStats, Map[String, DirStats]) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    var rows = 0L
-    val mins = scala.collection.mutable.Map.empty[String, String]
-    val maxs = scala.collection.mutable.Map.empty[String, String]
-    val bad = scala.collection.mutable.Set.empty[String]
     val tracked = schema.fields.filter(f => statsSupported(f.dataType))
       .map(f => f.name -> f.dataType).toMap
     val files = listDir(Paths.get(dir))
       .filter(_.getFileName.toString.endsWith(".parquet"))
-    files.foreach { f =>
+    val perFile = files.map { f =>
+      var rows = 0L
+      val mins = scala.collection.mutable.Map.empty[String, String]
+      val maxs = scala.collection.mutable.Map.empty[String, String]
+      val bad = scala.collection.mutable.Set.empty[String]
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(f.toString), conf))
       try {
@@ -303,8 +326,28 @@ object Snapshot {
           }
         }
       } finally reader.close()
+      (f.toString, DirStats(rows, (mins -- bad).toMap, (maxs -- bad).toMap),
+        bad.toSet)
     }
-    DirStats(rows, (mins -- bad).toMap, (maxs -- bad).toMap)
+    // dir envelope: fold the per-file ranges; a column undecodable in
+    // ANY file is unknown at dir level (same semantics as the previous
+    // block-level fold)
+    val dirBad = perFile.flatMap(_._3).toSet
+    val dirMins = scala.collection.mutable.Map.empty[String, String]
+    val dirMaxs = scala.collection.mutable.Map.empty[String, String]
+    perFile.foreach { case (_, st, _) =>
+      st.mins.foreach { case (c, mn) =>
+        val dt = tracked(c)
+        if (!dirMins.contains(c) || statCompare(dt, mn, dirMins(c)) < 0)
+          dirMins(c) = mn
+        val mx = st.maxs(c)
+        if (!dirMaxs.contains(c) || statCompare(dt, mx, dirMaxs(c)) > 0)
+          dirMaxs(c) = mx
+      }
+    }
+    (DirStats(perFile.map(_._2.rows).sum,
+        (dirMins -- dirBad).toMap, (dirMaxs -- dirBad).toMap),
+      perFile.map(p => p._1 -> p._2).toMap)
   }
 
   /** Exact `count(*)` from manifest stats alone — no scan, no Spark job.
@@ -322,9 +365,12 @@ object Snapshot {
   /** Stats-based data skipping on ANY tracked column (not just the
     * partition column): read only directories whose [min,max] intersects
     * [lo,hi] (each bound optional/inclusive, canonical string encoding —
-    * ISO for dates, decimal strings for numbers). Directories without
-    * stats for the column are conservatively kept. The caller still
-    * applies the real filter — this only shrinks the scan.
+    * ISO for dates, decimal strings for numbers), then — where the
+    * manifest carries per-FILE stats (any commit since they exist) —
+    * only the intersecting FILES inside those directories. Directories/
+    * files without stats for the column are conservatively kept. The
+    * caller still applies the real filter — this only shrinks the scan.
+    * Pair with a `clusterBy` commit to make the per-file ranges tight.
     */
   def readStatsPruned(spark: SparkSession, table: String, column: String,
                       lo: Option[String], hi: Option[String]): DataFrame = {
@@ -333,20 +379,25 @@ object Snapshot {
     val m = readManifest(table, v)
     val dt = m.dataSchema.find(_.name == column).map(_.dataType).getOrElse(
       throw new IllegalArgumentException(s"$table has no data column '$column'"))
-    val kept = m.dirs.filter { d =>
-      m.stats.get(d) match {
-        case Some(st) if st.mins.contains(column) =>
-          val aboveLo = lo.forall(l => statCompare(dt, st.maxs(column), l) >= 0)
-          val belowHi = hi.forall(h => statCompare(dt, st.mins(column), h) <= 0)
-          aboveLo && belowHi
-        case _ => true // unknown: must keep
-      }
+    def intersects(st: DirStats): Boolean =
+      if (!st.mins.contains(column)) true // unknown: must keep
+      else lo.forall(l => statCompare(dt, st.maxs(column), l) >= 0) &&
+        hi.forall(h => statCompare(dt, st.mins(column), h) <= 0)
+    val keptDirs = m.dirs.filter(d => m.stats.get(d).forall(intersects))
+    // file-level refinement: a commit's file set is immutable, so the
+    // manifest's file entries under a dir ARE its complete file list —
+    // a dir with entries scans only the intersecting files (possibly
+    // none: the dir envelope can cover a range its files skip over)
+    val scanPaths = keptDirs.flatMap { d =>
+      val files = m.filesUnder(d)
+      if (files.isEmpty) Seq(d)
+      else files.collect { case (f, st) if intersects(st) => f }.toSeq.sorted
     }
-    if (kept.isEmpty)
+    if (scanPaths.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         read(spark, table, Some(v)).schema)
     else {
-      val df = spark.read.schema(m.dataSchema).parquet(kept: _*)
+      val df = spark.read.schema(m.dataSchema).parquet(scanPaths: _*)
       if (m.partitionCol.isEmpty) df
       else injectPartitionCol(df, m.partitionCol, m.partitionType)
     }
@@ -354,18 +405,40 @@ object Snapshot {
 
   /** Publish `df` as the table's next snapshot, REPLACING prior content
     * (the SCD-1 dimension-overwrite shape, K2). Returns the version.
+    *
+    * `clusterBy` range-partitions (and sorts) the data by the given
+    * column before writing, so each file covers a narrow, mostly
+    * disjoint value range — that is what turns the per-file footer
+    * stats into real skipping: after a random-order ingest every file
+    * spans nearly the full range and [[readStatsPruned]] can skip
+    * nothing; after a clustered commit a point probe touches one file.
+    * `clusterFiles` caps the file count (0 = the session's shuffle
+    * parallelism).
     */
   def commit(df: DataFrame, table: String,
-             partitionCol: Option[String] = None): Long = {
+             partitionCol: Option[String] = None,
+             clusterBy: Option[String] = None,
+             clusterFiles: Int = 0): Long = {
     val (pcName, pcType) = partitionCol match {
       case Some(pc) => (pc, df.schema(pc).dataType.catalogString)
       case None => ("", "")
     }
+    val clustered = clusterBy match {
+      case None => df
+      case Some(c) =>
+        // partition dirs split range-partitioned tasks further, so sort
+        // the partition column first to keep each task single-partition
+        val keys = (partitionCol.toSeq :+ c).distinct.map(col)
+        val ranged =
+          if (clusterFiles > 0) df.repartitionByRange(clusterFiles, keys: _*)
+          else df.repartitionByRange(keys: _*)
+        ranged.sortWithinPartitions(keys: _*)
+    }
     val dataSchema = StructType(df.schema.filterNot(_.name == pcName))
-    val (dirs, stats) = writeData(df, table, partitionCol)
+    val (dirs, stats, fstats) = writeData(clustered, table, partitionCol)
     val next = latestVersion(table).getOrElse(0L) + 1
     writeManifest(table,
-      Manifest(next, pcName, pcType, dataSchema.json, dirs, stats))
+      Manifest(next, pcName, pcType, dataSchema.json, dirs, stats, fstats))
     next
   }
 
@@ -473,10 +546,13 @@ object Snapshot {
             Merge.upsert(Pipeline.reconcileSchema(existing, targetFull),
               incomingR, keys, versionCol)
           }
-        val (newDirs, newStats) = writeData(merged, table, Some(partitionCol))
+        val (newDirs, newStats, newFStats) = writeData(merged, table, Some(partitionCol))
+        val untouchedSet = untouchedDirs.toSet
         writeManifest(table, Manifest(v + 1, partitionCol, m.partitionType,
           evolved.json, (untouchedDirs ++ newDirs).sorted,
-          m.stats.view.filterKeys(untouchedDirs.contains).toMap ++ newStats))
+          m.stats.view.filterKeys(untouchedSet.contains).toMap ++ newStats,
+          m.fileStats.view.filterKeys(f =>
+            untouchedSet.contains(Paths.get(f).getParent.toString)).toMap ++ newFStats))
         v + 1
     }
   }
@@ -521,10 +597,10 @@ object Snapshot {
     val compacted =
       if (m.partitionCol.isEmpty) df.coalesce(targetFiles)
       else df.repartition(col(m.partitionCol)) // one shuffle → one file per partition dir
-    val (newDirs, newStats) = writeData(compacted, table,
+    val (newDirs, newStats, newFStats) = writeData(compacted, table,
       Option(m.partitionCol).filter(_.nonEmpty))
     writeManifest(table, Manifest(v + 1, m.partitionCol, m.partitionType,
-      m.dataSchemaJson, newDirs, newStats))
+      m.dataSchemaJson, newDirs, newStats, newFStats))
     v + 1
   }
 

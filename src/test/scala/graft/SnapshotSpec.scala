@@ -346,6 +346,62 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("per-file stats + clustered commit: a point probe scans one file") {
+    withTempDir { dir =>
+      // 200 rows arriving in content-scrambled order, 4 files each.
+      // Unclustered: every file spans nearly the whole version range, so
+      // per-file stats can prune nothing. Clustered commit: files hold
+      // disjoint contiguous ranges, a point probe touches exactly one.
+      val rows = spark.range(0, 200)
+        .select(concat(lit("S"), $"id").as("symbol"),
+          to_date(lit("2024-01-01")).as("date"),
+          ($"id" * 1.5).as("close"), $"id".as("version"))
+        .orderBy(md5($"id".cast("string"))) // deterministic scramble
+      def prunedFiles(t: String): Set[String] =
+        Snapshot.readStatsPruned(spark, t, "version", Some("10"), Some("10"))
+          .select(input_file_name()).as[String].collect().toSet
+
+      val flat = dir.getAbsolutePath + "/flat"
+      Snapshot.commit(rows.repartition(4), flat, None)
+      assert(prunedFiles(flat).size == 4,
+        "random placement: every file's range covers version 10")
+
+      val clustered = dir.getAbsolutePath + "/clustered"
+      Snapshot.commit(rows, clustered, None,
+        clusterBy = Some("version"), clusterFiles = 4)
+      val m = Snapshot.readManifest(clustered, 1)
+      assert(m.fileStats.size == 4, s"expected 4 files, got ${m.fileStats.keys}")
+      assert(prunedFiles(clustered).size == 1,
+        "clustered placement: the probe scans a single file")
+      // the probe still returns exactly the matching row
+      val got = Snapshot.readStatsPruned(spark, clustered, "version",
+          Some("10"), Some("10"))
+        .filter($"version" === 10L).select($"symbol").as[String].collect().toSeq
+      assert(got == Seq("S10"))
+      // and a full read of the clustered snapshot is unharmed
+      assert(Snapshot.read(spark, clustered).count() == 200L)
+    }
+  }
+
+  test("merge carries untouched dirs' per-file stats by reference") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      Snapshot.commit(
+        batch(("A", "2024-01-01", 10.0, 0L), ("A", "2024-01-02", 11.0, 0L)),
+        t, Some("date"))
+      val before = Snapshot.readManifest(t, 1)
+      assert(before.fileStats.nonEmpty)
+      Snapshot.merge(batch(("A", "2024-01-02", 99.0, 1L)), t,
+        Seq("symbol", "date"), "version", "date")
+      val after = Snapshot.readManifest(t, 2)
+      val day1 = after.dirs.find(_.contains("2024-01-01")).get
+      assert(after.filesUnder(day1) == before.filesUnder(day1),
+        "untouched partition keeps its file entries verbatim")
+      assert(after.dirs.forall(d => after.filesUnder(d).nonEmpty),
+        "rewritten partition gets fresh file entries")
+    }
+  }
+
   test("manifest-side pruning reads only the matching partition dirs") {
     withTempDir { dir =>
       val t = dir.getAbsolutePath + "/t"
