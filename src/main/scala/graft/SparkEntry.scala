@@ -314,6 +314,40 @@ object SparkEntry {
         .groupBy(col("lang"), Text.langId(col("text")).as("predicted"))
         .agg(count(lit(1)).as("n"))),
 
+    // Text: structural-PII scrub — emails/phones planted on every 5th
+    // doc, redacted with a codegen'd regexp chain; the fingerprint of
+    // the redacted text proves the rewrite byte-exact cross-engine.
+    "q69_pii_redact" -> ((s, dir) => {
+      val seeded = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"),
+            lit(" contact alice.smith@example.com or 555-123-4567 now")))
+          .otherwise(col("text")).as("text"))
+      seeded.select(col("doc_id"),
+        Text.piiEmailCount(col("text")).as("n_emails"),
+        Text.piiPhoneCount(col("text")).as("n_phones"),
+        Text.fingerprint(Text.piiRedact(col("text"))).as("clean_fp"))
+    }),
+
+    // Dedup/eval hygiene: benchmark-contamination check — every 10th
+    // doc poses as the eval set; per corpus doc, how many of its
+    // distinct 3-gram shingles the benchmark contains (broadcast
+    // benchmark shingle set, no corpus-sized shuffle).
+    "q70_contamination" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        Dedup.hashedShingles(Text.tokens(col("text")), 3).as("hs"))
+      Dedup.contaminationOverlap(docs, "doc_id", "hs",
+        docs.filter(col("doc_id") % 10 === 0), "hs")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Text: in-document repetition (Gopher-style quality gate) —
+    // 1 − distinct/total 3-grams per doc.
+    "q71_repetition" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        greatest(Text.tokenCount(col("text")) - 2, lit(0)).as("n_grams"),
+        Text.repetitionScore(col("text"), 3).as("repetition"))),
+
     // Dedup: exact (fingerprint hash-groupBy) over a corpus with planted
     // exact duplicates — keep-first semantics.
     "q26_exact_dedup" -> ((s, dir) => {
@@ -1081,6 +1115,55 @@ object SparkEntry {
          |    ELSE 'fr' END AS predicted,
          |  count(*) AS n
          |FROM sc GROUP BY 1, 2""".stripMargin,
+
+    // Same seeded PII, same patterns (portable Java-regex/RE2 subset),
+    // same redact-then-count order; the fingerprint of the redacted
+    // text pins the rewrite byte-exact.
+    "q69_pii_redact" -> {
+      val e = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+      val p = """[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}"""
+      s"""WITH seeded AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN text || ' contact alice.smith@example.com or 555-123-4567 now'
+         |      ELSE text END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$e')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(
+         |    regexp_replace(text, '$e', '<EMAIL>', 'g'), '$p')) AS INT) AS n_phones,
+         |  md5(regexp_replace(trim(lower(
+         |    regexp_replace(regexp_replace(text, '$e', '<EMAIL>', 'g'),
+         |      '$p', '<PHONE>', 'g'))), '\\s+', ' ', 'g')) AS clean_fp
+         |FROM seeded""".stripMargin
+    },
+
+    // Contamination on STRING shingles (hash-free: counts agree with the
+    // 60-bit-hash engine path absent md5 collisions); docs too short to
+    // shingle report 0/0 via the left join.
+    "q70_contamination" ->
+      s"""WITH tokd AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |sh AS (SELECT doc_id, unnest($shingleSql) AS s FROM tokd),
+         |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 10 = 0),
+         |shared AS (
+         |  SELECT doc_id, count(*) AS n_shared
+         |  FROM sh JOIN bench USING (s) GROUP BY 1)
+         |SELECT t.doc_id, CAST(len($shingleSql) AS INT) AS n_shingles,
+         |  CAST(coalesce(sh2.n_shared, 0) AS BIGINT) AS n_shared
+         |FROM tokd t LEFT JOIN shared sh2 ON t.doc_id = sh2.doc_id""".stripMargin,
+
+    // All (non-distinct) 3-grams via the same 1-based inclusive-slice
+    // comprehension, minus list_distinct; decimal-snapped round.
+    "q71_repetition" ->
+      s"""SELECT doc_id,
+         |  CAST(greatest(len(tk) - 2, 0) AS INT) AS n_grams,
+         |  CASE WHEN len(tk) < 3 THEN 0.0
+         |    ELSE CAST(round(CAST(CAST(1.0 AS DOUBLE)
+         |      - CAST(len(list_distinct([array_to_string(tk[i:i+2], ' ')
+         |          for i in range(1, len(tk) - 1)])) AS DOUBLE)
+         |        / (len(tk) - 2) AS DECIMAL(20,10)), 4) AS DOUBLE)
+         |  END AS repetition
+         |FROM (SELECT doc_id, $tokSql AS tk FROM documents)""".stripMargin,
 
     "q26_exact_dedup" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,

@@ -246,6 +246,32 @@ object Dedup {
       .select("id_a", "id_b", "jac")
   }
 
+  /** Benchmark-contamination check — the decontamination pass every
+    * training corpus needs before an eval is trustworthy: for each
+    * corpus document, how many of its distinct n-gram shingles appear
+    * ANYWHERE in the benchmark set. Inputs are pre-hashed shingle
+    * arrays (see `hashedShingles`); output one row per corpus doc:
+    * (id, n_shingles, n_shared).
+    *
+    * Scale shape: the benchmark side collapses to its distinct shingle
+    * hashes and is BROADCAST (eval suites are tiny next to a corpus),
+    * so the check is one map-side hash join over the exploded corpus
+    * postings plus a hash aggregate on the doc id — no corpus-sized
+    * shuffle, no driver materialization.
+    */
+  def contaminationOverlap(docs: DataFrame, id: String, hashedShingles: String,
+                           bench: DataFrame, benchShingles: String): DataFrame = {
+    val postings = docs.select(col(id).as("id"),
+      explode(col(hashedShingles)).as("h"))
+    val benchSet = bench.select(explode(col(benchShingles)).as("h")).distinct()
+    val shared = postings.join(broadcast(benchSet), "h")
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+    docs.select(col(id).as("id"), size(col(hashedShingles)).as("n_shingles"))
+      .join(shared, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+  }
+
   /** SimHash over a token multiset, `bits` wide (≤ 32): bit i of the
     * sketch is set iff more than half the tokens have bit i set in their
     * md5-hash. Near-dup detection = small Hamming distance between

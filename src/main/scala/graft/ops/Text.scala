@@ -154,6 +154,50 @@ object Text {
       .select(col("id"), col("term"), col("tfidf"), col("rnk"))
   }
 
+  /** PII patterns safe to match structurally (emails, dashed/dotted
+    * phone numbers). Deliberately engine-portable: no lookarounds, no
+    * word boundaries — the same pattern string runs under Java regex
+    * and RE2, and both engines share greedy leftmost semantics here.
+    * Names/addresses need NER models and are out of scope for a regex
+    * scrubber (the honest contract: structural PII only).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "[0-9]{3}[-.][0-9]{3,4}[-.][0-9]{4}"
+
+  /** Redact structural PII: emails → <EMAIL>, phone numbers → <PHONE>.
+    * Pure codegen'd regexp_replace chain — the pre-training scrub pass,
+    * one pass over the scan, no shuffle.
+    */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  def piiEmailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+
+  /** Phone matches are counted AFTER email redaction so digit runs
+    * inside an address never double-count.
+    */
+  def piiPhoneCount(text: Column): Column =
+    size(regexp_extract_all(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      lit(PhonePattern), lit(0)))
+
+  /** In-document repetition score (the Gopher/RefinedWeb-style quality
+    * gate): 1 − distinct n-grams / total n-grams ∈ [0,1] — 0 for fully
+    * novel text, → 1 for degenerate repetition; 0 for docs shorter than
+    * n tokens. Snapped through decimal(20,10) before the 4-place round
+    * (engine-portable rounding, same as qualityScore).
+    */
+  def repetitionScore(text: Column, n: Int): Column =
+    Cols.bound(tokens(text)) { t =>
+      val total = size(t) - (n - 1)
+      when(size(t) < n, lit(0.0)).otherwise(
+        round((lit(1.0) - size(wordShingles(t, n)).cast("double") / total)
+          .cast("decimal(20,10)"), 4).cast("double"))
+    }
+
   /** Word n-gram shingles (distinct), the MinHash/Jaccard input unit.
     * Documents shorter than n shingle to an empty array.
     *

@@ -75,6 +75,57 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("piiRedact scrubs emails and phones; counts match; clean text unharmed") {
+    val docs = Seq(
+      (1L, "mail bob.jones+x@corp.example.org today"),
+      (2L, "call 555-123-4567 or 01-2345-6789 x"), // 2nd not a phone shape
+      (3L, "a@b.io and 800-555-0199 together"),
+      (4L, "no pii here at all")).toDF("doc_id", "text")
+    val got = docs.select($"doc_id",
+        graft.ops.Text.piiEmailCount($"text").as("e"),
+        graft.ops.Text.piiPhoneCount($"text").as("p"),
+        graft.ops.Text.piiRedact($"text").as("clean"))
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 1 && got(1L)._3 == 0 &&
+      got(1L)._4 == "mail <EMAIL> today")
+    assert(got(2L)._2 == 0 && got(2L)._3 == 1 &&
+      got(2L)._4 == "call <PHONE> or 01-2345-6789 x")
+    assert(got(3L)._2 == 1 && got(3L)._3 == 1 &&
+      got(3L)._4 == "<EMAIL> and <PHONE> together")
+    assert(got(4L) == ((4L, 0, 0, "no pii here at all")))
+  }
+
+  test("repetitionScore: 0 for novel/short text, rises toward 1 on loops") {
+    val docs = Seq(
+      (1L, "all tokens here are fully distinct words"),
+      (2L, "ab ab ab ab ab ab ab ab"), // one distinct 3-gram, 6 total
+      (3L, "too shrt")).toDF("doc_id", "text")
+    val got = docs.select($"doc_id",
+        graft.ops.Text.repetitionScore($"text", 3))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.0)
+    assert(got(2L) == 0.8333, s"1 - 1/6 rounded, got ${got(2L)}")
+    assert(got(3L) == 0.0, "below n tokens: defined as 0")
+  }
+
+  test("contaminationOverlap counts benchmark-shared shingles per doc") {
+    import graft.ops.{Dedup, Text}
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "a totally different sentence entirely here"),
+      (3L, "quick brown fox somewhere else"),
+      (4L, "xy zz")) // too short to shingle
+      .toDF("doc_id", "text")
+      .select($"doc_id", Dedup.hashedShingles(Text.tokens($"text"), 3).as("hs"))
+    val bench = docs.filter($"doc_id" === 1L)
+    val got = Dedup.contaminationOverlap(docs, "doc_id", "hs", bench, "hs")
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4, 4L)), "a benchmark member fully overlaps itself")
+    assert(got(2L) == ((2L, 4, 0L)))
+    assert(got(3L)._3 == 1L, "shares exactly 'quick brown fox'")
+    assert(got(4L) == ((4L, 0, 0L)), "unshingleable doc: 0/0, still present")
+  }
+
   test("jaccard golden value") {
     // A={a,b,c,d}, B={b,c,d,e}: 3 shared / 5 union = 0.6
     val df = Seq((Seq("a", "b", "c", "d"), Seq("b", "c", "d", "e"))).toDF("x", "y")
