@@ -348,6 +348,15 @@ object SparkEntry {
         greatest(Text.tokenCount(col("text")) - 2, lit(0)).as("n_grams"),
         Text.repetitionScore(col("text"), 3).as("repetition"))),
 
+    // Text: mean unigram surprisal per doc (LM-perplexity proxy) —
+    // corpus counts broadcast, per-term fixed-point snap so the sum is
+    // order-free cross-engine.
+    "q72_unigram_surprisal" -> ((s, dir) =>
+      Text.unigramSurprisal(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", col("text"))
+        .withColumnRenamed("id", "doc_id")),
+
     // Dedup: exact (fingerprint hash-groupBy) over a corpus with planted
     // exact duplicates — keep-first semantics.
     "q26_exact_dedup" -> ((s, dir) => {
@@ -1151,6 +1160,21 @@ object SparkEntry {
          |SELECT t.doc_id, CAST(len($shingleSql) AS INT) AS n_shingles,
          |  CAST(coalesce(sh2.n_shared, 0) AS BIGINT) AS n_shared
          |FROM tokd t LEFT JOIN shared sh2 ON t.doc_id = sh2.doc_id""".stripMargin,
+
+    // Identical fixed-point term snap (×1e6 BIGINT) before the per-doc
+    // sum → exact, order-free; same broadcast-free relational shape.
+    "q72_unigram_surprisal" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($tokSql) AS tok FROM documents),
+         |cf AS (SELECT tok, count(*) AS tf FROM toks GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_total FROM toks)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(round(CAST(
+         |    CAST(sum(CAST(round(-ln(CAST(tf AS DOUBLE) / n_total)
+         |        * CAST(1000000.0 AS DOUBLE)) AS BIGINT)) AS DOUBLE)
+         |      / (count(*) * CAST(1000000.0 AS DOUBLE))
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS avg_surprisal
+         |FROM toks JOIN cf USING (tok) CROSS JOIN tot
+         |GROUP BY doc_id""".stripMargin,
 
     // All (non-distinct) 3-grams via the same 1-based inclusive-slice
     // comprehension, minus list_distinct; decimal-snapped round.

@@ -198,6 +198,41 @@ object Text {
           .cast("decimal(20,10)"), 4).cast("double"))
     }
 
+  /** Per-document mean unigram surprisal −Σᵢ ln p(tokᵢ) / n, with
+    * p(tok) = corpus tf / corpus total — the cheap language-model
+    * perplexity proxy pipelines gate low-quality text on (a KenLM
+    * stand-in with an honest contract: unigram only). Output:
+    * (id, n_tokens, avg_surprisal), docs with ≥1 token.
+    *
+    * Scale shape: corpus counts are ONE hash aggregate (hot tokens like
+    * "the" collapse map-side before the shuffle) and come back as a
+    * BROADCAST — the corpus-sized posting stream is never shuffled on
+    * the skewed token key; the only other exchange is the per-doc
+    * aggregate on the well-distributed id. Vocabulary must fit a
+    * broadcast (tens of millions of types — fine); salt the join if a
+    * corpus ever breaks that.
+    *
+    * Cross-engine determinism: each term's surprisal is snapped to
+    * fixed-point (×10⁶, BIGINT) BEFORE the per-doc sum, so the sum is
+    * exact and order-free (NOTES lesson: never hash-compare an
+    * order-sensitive double sum); the mean then rounds through
+    * decimal(20,10) to 4 places.
+    */
+  def unigramSurprisal(docs: DataFrame, id: String, text: Column): DataFrame = {
+    val toks = docs.select(col(id).as("id"), explode(tokens(text)).as("tok"))
+    val cf = toks.groupBy("tok").agg(count(lit(1)).as("tf"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    toks.join(broadcast(cf), "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("surp_fp",
+        round(-log(col("tf").cast("double") / col("n_total")) * 1e6).cast("long"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("surp_fp")).as("fp"))
+      .select(col("id"), col("n_tokens"),
+        round((col("fp").cast("double") / (col("n_tokens") * 1e6))
+          .cast("decimal(20,10)"), 4).cast("double").as("avg_surprisal"))
+  }
+
   /** Word n-gram shingles (distinct), the MinHash/Jaccard input unit.
     * Documents shorter than n shingle to an empty array.
     *

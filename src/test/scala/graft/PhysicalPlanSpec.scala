@@ -90,6 +90,30 @@ class PhysicalPlanSpec extends SparkSpec {
       s"the indicator window must reuse the dedup window's sort:\n$p")
   }
 
+  test("contamination check broadcasts the benchmark shingle set") {
+    val p = plan("q70_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the benchmark side must arrive via broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("PII scrub and repetition score stay in one codegen'd scan pass") {
+    Seq("q69_pii_redact", "q71_repetition").foreach { q =>
+      val p = plan(q)
+      assert(!"(?m)^\\s*\\(\\d+\\) Exchange".r.findAllIn(p).hasNext,
+        s"$q is per-row — no shuffle belongs in its plan:\n$p")
+      assert(!p.contains("Window"), s"$q must not plan a Window:\n$p")
+    }
+  }
+
+  test("unigram surprisal never shuffles the posting stream on the token key") {
+    val p = plan("q72_unigram_surprisal")
+    assert(p.contains("BroadcastHashJoin"),
+      s"corpus counts must come back as a broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join on the skewed token key is the scale-killer:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-project pipeline") {
     val df = Tables(spark, dir, "lineitem")
       .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))

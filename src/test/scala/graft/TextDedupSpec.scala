@@ -126,6 +126,15 @@ class TextDedupSpec extends SparkSpec {
     assert(got(4L) == ((4L, 0, 0L)), "unshingleable doc: 0/0, still present")
   }
 
+  test("unigramSurprisal: golden values on a hand-computed corpus") {
+    // corpus = "a a a b": p(a)=3/4, p(b)=1/4
+    val docs = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val got = graft.ops.Text.unigramSurprisal(docs, "doc_id", $"text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 0.2877)), s"-ln(3/4)=0.28768..., got ${got(1L)}")
+    assert(got(2L) == ((2L, 1L, 1.3863)), s"-ln(1/4)=1.38629..., got ${got(2L)}")
+  }
+
   test("jaccard golden value") {
     // A={a,b,c,d}, B={b,c,d,e}: 3 shared / 5 union = 0.6
     val df = Seq((Seq("a", "b", "c", "d"), Seq("b", "c", "d", "e"))).toDF("x", "y")
