@@ -431,6 +431,25 @@ object SparkEntry {
           .unionByName(pert), 0.9)
     }),
 
+    // Dedup: SEMANTIC dedup end-to-end — embedding-cosine near-dup
+    // pairs (q30's blocked exact kernel) → duplicate clusters → keep
+    // the min-id canonical per cluster. The oracle recomputes clusters
+    // via recursive transitive closure (q67 pattern); the 1-row
+    // aggregate fingerprints the surviving set.
+    "q73_semantic_dedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+      val pert = t(s, dir, "embeddings").select((col("vec_id") + 10000).as("id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x.cast("double") + 0.5).otherwise(x.cast("double"))).as("vec"))
+      val all = e.unionByName(pert)
+      val pairs = Similarity.cosineNearDupPairsExact(all, 0.9)
+        .select(col("id_a"), col("id_b"))
+      Dedup.dedupByClusters(all.select(col("id")), "id", pairs)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("id")).cast("long").as("id_sum"))
+    }),
+
     // Similarity: brute-force cosine top-5 neighbors for a query batch.
     "q31_ann_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1247,6 +1266,39 @@ object SparkEntry {
          |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
          |FROM e a JOIN e b ON a.id < b.id
          |WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.9""".stripMargin,
+
+    // Same pair predicate as q30; clusters via recursive closure,
+    // survivors = ids equal to their component min.
+    "q73_semantic_dedup" ->
+      s"""WITH RECURSIVE
+         |e AS (
+         |  SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000 AS id,
+         |    [CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 0.5
+         |      ELSE CAST(embedding[i] AS DOUBLE) END
+         |     for i in range(1, len(embedding) + 1)] AS embedding
+         |  FROM embeddings),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM e a JOIN e b ON a.id < b.id
+         |  WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.9),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, ed.d FROM reach r JOIN edges ed ON r.d = ed.s),
+         |comp AS (
+         |  SELECT e.id, least(e.id, coalesce(mn.mn, e.id)) AS c
+         |  FROM e LEFT JOIN
+         |    (SELECT s AS id, min(d) AS mn FROM reach GROUP BY 1) mn
+         |    USING (id))
+         |SELECT CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(sum(id) AS BIGINT) AS id_sum
+         |FROM comp WHERE c = id""".stripMargin,
 
     "q31_ann_topk" ->
       s"""SELECT query_id, neighbor_id, "rank", sim FROM (

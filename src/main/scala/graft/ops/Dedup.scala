@@ -366,8 +366,12 @@ object Dedup {
     * appearing in any pair.
     */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // persist the INPUT before the symmetric union: its two branches
+    // are separate scans of `pairs`, and upstream pair generation (an
+    // inverted join or LSH pipeline) is far too expensive to run twice
+    val p = pairs.persist()
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
     // localCheckpoint (eager) rather than persist: it TRUNCATES the
     // logical plan each round. With persist alone the data is cached
@@ -419,6 +423,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    p.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"duplicateClusters did not converge within $maxIter rounds — " +
