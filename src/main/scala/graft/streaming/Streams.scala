@@ -261,6 +261,59 @@ object Streams {
     f.delete(): Unit
   }
 
+  /** Streaming corpus-hygiene gate — the continuous face of the
+    * text-quality operators (Text.qualityScore / repetitionScore,
+    * Dedup.contaminationOverlap): each micro-batch of documents is
+    * scored, checked against a STATIC benchmark shingle set
+    * (broadcast; eval suites are tiny), and routed — accepted rows
+    * append to `acceptPath`, rejects with a deterministic reason
+    * taxonomy (first failing gate wins: quality → repetition →
+    * contamination, mirroring the V5 gate-order contract) append to
+    * `rejectPath`. Both sinks are plain appends, so checkpoint
+    * replays re-append the same rows; downstream consumers dedup by
+    * doc id exactly as the warehouse absorbs re-deliveries.
+    */
+  def hygieneStream(in: DataFrame, benchDocs: DataFrame,
+                    acceptPath: String, rejectPath: String,
+                    checkpoint: String, minQuality: Double = 0.2,
+                    maxRepetition: Double = 0.5,
+                    maxSharedShingles: Long = 0L): Unit = {
+    import graft.ops.{Dedup, Text}
+    val bench = benchDocs.select(
+      Dedup.hashedShingles(Text.tokens(col("text")), 3).as("hs"))
+    val q = in.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val scored = batch.toDF()
+            .withColumn("quality", Text.qualityScore(col("text")))
+            .withColumn("repetition", Text.repetitionScore(col("text"), 3))
+            .withColumn("hs", Dedup.hashedShingles(Text.tokens(col("text")), 3))
+          val shared = Dedup.contaminationOverlap(
+            scored.select(col("doc_id").as("id"), col("hs")), "id", "hs",
+            bench, "hs")
+            .select(col("id").as("doc_id"), col("n_shared"))
+          val routed = scored.join(shared, "doc_id")
+            .withColumn("reason",
+              when(col("quality") < minQuality, lit("low_quality"))
+                .when(col("repetition") > maxRepetition, lit("repetitive"))
+                .when(col("n_shared") > maxSharedShingles, lit("contaminated")))
+            .persist()
+          routed.filter(col("reason").isNull)
+            .drop("hs", "reason")
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(acceptPath)
+          routed.filter(col("reason").isNotNull)
+            .select(col("doc_id"), col("reason"))
+            .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(rejectPath)
+          routed.unpersist(): Unit
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drive any streaming DataFrame to a parquet sink with AvailableNow:
     * processes everything pending, then stops — the scheduled-batch
     * deployment mode (replaces the reference's GitHub Actions cron with

@@ -221,6 +221,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("hygieneStream routes documents by the gate-order reason taxonomy") {
+    withTempDir { dir =>
+      val in = dir.getAbsolutePath + "/in"
+      val acc = dir.getAbsolutePath + "/accepted"
+      val rej = dir.getAbsolutePath + "/rejected"
+      val good = "the quick brown fox jumps over a lazy dog and then " +
+        "walks to the old stone bridge near town"
+      val docs = Seq(
+        (1L, good), // passes every gate
+        (2L, "x x x x x"), // low quality (short, zero stopwords, 1 type)
+        // repetitive 3-grams, but enough length/stopwords/diversity from
+        // the appended tail to clear the quality gate first
+        (3L, ("spam ham " * 30).trim + " the of and to a quick brown fox " +
+          good),
+        (4L, "completely novel words about the ancient stone bridge near " +
+          "town where the quick brown fox jumps over a lazy dog today"))
+        .toDF("doc_id", "text")
+      docs.write.parquet(in)
+      // the benchmark overlaps doc 4's opening 3-grams and nothing else
+      val bench = Seq((99L, "completely novel words about the ancient"))
+        .toDF("doc_id", "text")
+      val schema = docs.schema
+      Streams.hygieneStream(
+        spark.readStream.schema(schema).parquet(in), bench,
+        acc, rej, dir.getAbsolutePath + "/ck",
+        minQuality = 0.2, maxRepetition = 0.5)
+
+      val accepted = spark.read.parquet(acc)
+        .select($"doc_id").as[Long].collect().toSet
+      val rejected = spark.read.parquet(rej)
+        .select($"doc_id", $"reason").as[(Long, String)].collect().toMap
+      assert(accepted == Set(1L))
+      assert(rejected(2L) == "low_quality")
+      assert(rejected(3L) == "repetitive")
+      assert(rejected(4L) == "contaminated")
+      assert(accepted.intersect(rejected.keySet).isEmpty)
+    }
+  }
+
   test("stream-stream interval join pairs keys within the time bound, drops the rest") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
