@@ -357,6 +357,33 @@ object SparkEntry {
         "doc_id", col("text"))
         .withColumnRenamed("id", "doc_id")),
 
+    // Text: fixed-size token-window chunking with overlap (the
+    // context-length packing step of a training pipeline) — one
+    // codegen'd pass over the scan, zero shuffle; chunk_fp keeps the
+    // output compact and cross-engine checkable.
+    "q74_chunk_tokens" -> ((s, dir) =>
+      Text.chunkTokens(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", col("text"), 64, 48)
+        .withColumnRenamed("id", "doc_id")),
+
+    // Sampling: sequential token-budget shard packing — a global
+    // running sum realized as the two-level distributed prefix sum
+    // (bucketed window + broadcast per-bucket offsets); no stage runs
+    // a single-reducer window over the data.
+    "q75_pack_shards" -> ((s, dir) =>
+      Sampling.packByBudget(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        col("doc_id"), Text.tokenCount(col("text")), 2000L, 64L)),
+
+    // Sampling: temperature-scaled multilingual rebalancing (α = 0.5,
+    // the mC4/XLM-R rule) — stratum histogram broadcast back,
+    // fixed-point weight snap before the normalizing sum, keep
+    // decision via the deterministic hash bucket.
+    "q76_temperature_sample" -> ((s, dir) =>
+      Sampling.temperatureSample(t(s, dir, "documents"),
+        col("doc_id"), col("lang"), 1, 2, 100)),
+
     // Dedup: exact (fingerprint hash-groupBy) over a corpus with planted
     // exact duplicates — keep-first semantics.
     "q26_exact_dedup" -> ((s, dir) => {
@@ -1207,6 +1234,51 @@ object SparkEntry {
          |        / (len(tk) - 2) AS DECIMAL(20,10)), 4) AS DOUBLE)
          |  END AS repetition
          |FROM (SELECT doc_id, $tokSql AS tk FROM documents)""".stripMargin,
+
+    // Same 1-based slice windows: Spark sequence(1,len,stride) ==
+    // DuckDB range(1,len+1,stride) (inclusive vs exclusive stop);
+    // chunk_id = (start-1)/stride matches posexplode's 0-based pos.
+    "q74_chunk_tokens" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |st AS (SELECT doc_id, tk,
+         |         unnest(range(1, len(tk) + 1, 48)) AS start FROM tk)
+         |SELECT doc_id, CAST((start - 1) // 48 AS INT) AS chunk_id,
+         |  CAST(len(tk[start : start + 63]) AS INT) AS n_tokens,
+         |  md5(array_to_string(tk[start : start + 63], ' ')) AS chunk_fp
+         |FROM st""".stripMargin,
+
+    // The oracle is the textbook single-window prefix sum; the engine
+    // path's two-level decomposition must agree exactly (BIGINT token
+    // weights, double division exact below 2^53).
+    "q75_pack_shards" ->
+      s"""WITH w AS (SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS w
+         |           FROM documents)
+         |SELECT doc_id AS id, w AS weight,
+         |  CAST(floor((sum(w) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - w)
+         |    / 2000) AS BIGINT) AS shard
+         |FROM w""".stripMargin,
+
+    // Identical fixed-point sqrt snap (×1e6 BIGINT) before the
+    // normalizing sum; the remaining double chain is written in the
+    // same left-assoc order as the engine path so floor() agrees.
+    "q76_temperature_sample" ->
+      s"""WITH c AS (
+         |  SELECT lang AS stratum, count(*) AS n_rows,
+         |    CAST(round(sqrt(CAST(count(*) AS DOUBLE))
+         |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS w_fp
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT sum(n_rows) AS n_total, sum(w_fp) AS w_total FROM c),
+         |r AS (SELECT stratum, n_rows,
+         |    least(CAST(100 AS BIGINT), CAST(floor(
+         |      CAST(n_total * 1 AS DOUBLE) / 2 * w_fp / w_total / n_rows
+         |        * 100) AS BIGINT)) AS keep_buckets
+         |  FROM c CROSS JOIN tot)
+         |SELECT d.lang AS stratum, r.n_rows, r.keep_buckets,
+         |  CAST(sum(CASE WHEN ${h60("CAST(doc_id AS VARCHAR)")} % 100
+         |      < r.keep_buckets THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+         |FROM documents d JOIN r ON d.lang = r.stratum
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     "q26_exact_dedup" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,

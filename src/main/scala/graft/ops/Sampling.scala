@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic corpus sampling — reproducibility is the whole point at
@@ -24,6 +25,89 @@ object Sampling {
     */
   def hashBucket(key: Column, buckets: Int): Column =
     pmod(Dedup.hashLong(key.cast("string")), lit(buckets))
+
+  /** Sequential token-budget shard packing: rows ordered by `order`
+    * (a numeric key) are laid end-to-end and cut into shards of
+    * `budget` weight — shard = floor(weight-before-this-row / budget).
+    * The training-data sharding primitive (docs → ~equal-token output
+    * files); a row may straddle a boundary and lands in the shard its
+    * FIRST token falls in.
+    *
+    * Scale shape — a global running sum without a global window: the
+    * classic two-level distributed prefix sum.
+    *  1. rows get a coarse ordered bucket (`order / bucketWidth`), and
+    *     the intra-bucket running sum is a window PARTITIONED by bucket
+    *     (parallel, each sort bounded by bucket size);
+    *  2. per-bucket totals (one small aggregate, #buckets rows) get an
+    *     exclusive running offset on a single tiny partition and come
+    *     back as a BROADCAST join.
+    * No stage touches a single-reducer window over the data. Weights
+    * are summed as BIGINT (token counts) so the prefix sum is exact and
+    * order-free.
+    */
+  def packByBudget(df: DataFrame, order: Column, weight: Column,
+                   budget: Long, bucketWidth: Long): DataFrame = {
+    require(budget >= 1 && bucketWidth >= 1, "budget and bucketWidth must be >= 1")
+    val rows = df.select(order.as("__ord"), weight.cast("long").as("__w"),
+      floor(order / bucketWidth).as("__bkt"))
+    val intra = rows.withColumn("__intra",
+      sum(col("__w")).over(
+        Window.partitionBy(col("__bkt")).orderBy(col("__ord"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    // Exclusive per-bucket offsets: #buckets rows, one tiny ordered
+    // window — negligible next to the data pass, then broadcast back.
+    val offsets = rows.groupBy(col("__bkt")).agg(sum(col("__w")).as("__tot"))
+      .withColumn("__off",
+        coalesce(sum(col("__tot")).over(
+          Window.orderBy(col("__bkt"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__tot")
+    intra.join(broadcast(offsets), "__bkt")
+      .select(col("__ord").as("id"), col("__w").as("weight"),
+        floor((col("__off") + col("__intra") - col("__w")) / budget)
+          .cast("long").as("shard"))
+  }
+
+  /** Temperature-scaled multilingual sampling (the mC4/XLM-R corpus
+    * rebalancing rule): stratum weights w_s ∝ n_s^(1/2) (temperature
+    * α = 0.5 — sqrt, IEEE-exact in every engine, unlike pow), a target
+    * of `targetNum/targetDen · N` total rows redistributed as
+    * rate_s = min(1, target·w_s/n_s), realized via the deterministic
+    * hash-bucket sample so reruns pick the SAME rows.
+    *
+    * Cross-engine determinism: per-stratum sqrt is snapped to
+    * fixed-point (×10⁶ BIGINT) BEFORE the normalizing sum, so the sum
+    * is exact integer arithmetic and the final double division is one
+    * deterministic operation per stratum (NOTES lesson 11).
+    *
+    * Scale shape: stratum histogram = one map-side-combinable aggregate
+    * (few-row result, broadcast back); the keep decision is a codegen'd
+    * predicate per row. Output: per-stratum
+    * (stratum, n_rows, keep_buckets, n_sampled).
+    */
+  def temperatureSample(df: DataFrame, key: Column, stratum: Column,
+                        targetNum: Int, targetDen: Int,
+                        buckets: Int): DataFrame = {
+    val counts = df.groupBy(stratum.as("stratum"))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("w_fp", round(sqrt(col("n_rows").cast("double")) * 1e6).cast("long"))
+    val totals = counts.agg(sum(col("n_rows")).as("n_total"),
+      sum(col("w_fp")).as("w_total"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .withColumn("keep_buckets",
+        least(lit(buckets.toLong), floor(
+          (col("n_total") * targetNum).cast("double") / targetDen
+            * col("w_fp") / col("w_total") / col("n_rows") * buckets)
+          .cast("long")))
+      .select(col("stratum"), col("n_rows"), col("keep_buckets"))
+    df.select(stratum.as("stratum"), key.as("__k"))
+      .join(broadcast(rates), "stratum")
+      .groupBy(col("stratum"))
+      .agg(first(col("n_rows")).as("n_rows"),
+        first(col("keep_buckets")).as("keep_buckets"),
+        sum(when(hashBucket(col("__k"), buckets) < col("keep_buckets"), 1L)
+          .otherwise(0L)).as("n_sampled"))
+  }
 
   /** Per-stratum deterministic rates: e.g. downsample dominant languages
     * while keeping the tail — `rates` maps stratum value → kept buckets

@@ -233,6 +233,38 @@ object Text {
           .cast("decimal(20,10)"), 4).cast("double").as("avg_surprisal"))
   }
 
+  /** Fixed-size token-window chunking with overlap — the context-length
+    * packing primitive of an LLM training pipeline (a 100k-token document
+    * becomes ~2k overlapping training sequences). Output one row per
+    * chunk: (id, chunk_id, n_tokens, chunk_fp) where chunk_fp is the md5
+    * of the space-joined chunk (compact + cross-engine checkable; callers
+    * wanting the text swap `md5` for `array_join` at the same cost).
+    *
+    * Chunk starts are 1, 1+stride, 1+2·stride, … while ≤ token count, so
+    * the final chunk may be shorter than `size` (never empty) and every
+    * token belongs to ≥1 chunk when stride ≤ size. Zero-token documents
+    * emit no rows (inner explode of an empty start list).
+    *
+    * Scale shape: one codegen'd pass over the scan — tokenize, build the
+    * start list, explode, slice. No shuffle at all; the output inherits
+    * the input partitioning, so a downstream repartition is the caller's
+    * (budget-aware) choice. The token array is bound once per row.
+    */
+  def chunkTokens(docs: DataFrame, id: String, text: Column,
+                  chunkSize: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && chunkSize >= 1, "chunkSize and stride must be >= 1")
+    docs.select(col(id).as("id"), tokens(text).as("tk"))
+      .select(col("id"), col("tk"),
+        posexplode(
+          when(size(col("tk")) === 0, array().cast("array<int>"))
+            .otherwise(sequence(lit(1), size(col("tk")), lit(stride))))
+          .as(Seq("chunk_id", "start")))
+      .select(col("id"), col("chunk_id"),
+        size(slice(col("tk"), col("start"), lit(chunkSize))).as("n_tokens"),
+        md5(array_join(slice(col("tk"), col("start"), lit(chunkSize)), " "))
+          .as("chunk_fp"))
+  }
+
   /** Word n-gram shingles (distinct), the MinHash/Jaccard input unit.
     * Documents shorter than n shingle to an empty array.
     *

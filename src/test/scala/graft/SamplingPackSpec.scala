@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Sampling, Text}
+
+/** Chunking, shard packing and temperature sampling — the
+  * context-length / corpus-rebalancing primitives.
+  */
+class SamplingPackSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chunkTokens windows with overlap; short tail; empty doc emits none") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      (2L, "a b"),
+      (3L, "   ")).toDF("doc_id", "text")
+    val out = Text.chunkTokens(docs, "doc_id", $"text", 4, 3)
+      .select($"id", $"chunk_id", $"n_tokens")
+      .as[(Long, Int, Int)].collect().toSet
+    // doc 1: starts 1,4,7,10 -> sizes 4,4,4,1; doc 2: one short chunk;
+    // doc 3 tokenizes empty -> no rows at all
+    assert(out == Set(
+      (1L, 0, 4), (1L, 1, 4), (1L, 2, 4), (1L, 3, 1),
+      (2L, 0, 2)))
+    // stride <= size covers every token: total chunked tokens >= doc tokens
+    val covered = Text.chunkTokens(docs, "doc_id", $"text", 4, 3)
+      .groupBy($"id").agg(sum($"n_tokens").as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(covered(1L) >= 10 && covered(2L) >= 2)
+  }
+
+  test("chunkTokens fingerprints the exact token slice") {
+    val docs = Seq((7L, "alpha beta gamma")).toDF("doc_id", "text")
+    val fp = Text.chunkTokens(docs, "doc_id", $"text", 2, 2)
+      .orderBy($"chunk_id").select($"chunk_fp").as[String].collect()
+    val exp = docs.select(
+      md5(lit("alpha beta")).as("a"), md5(lit("gamma")).as("b"))
+      .as[(String, String)].head()
+    assert(fp.toSeq == Seq(exp._1, exp._2))
+  }
+
+  test("packByBudget equals the single-window prefix sum, any bucketWidth") {
+    val rows = (1L to 40L).map(i => (i, (i % 7) + 1)) // weights 1..7
+    val df = rows.toDF("id", "w")
+    // driver-side oracle: exclusive running sum / budget
+    var acc = 0L
+    val expected = rows.map { case (i, w) =>
+      val shard = acc / 9; acc += w; (i, w, shard)
+    }.toSet
+    for (bw <- Seq(1L, 5L, 1000L)) {
+      val got = Sampling.packByBudget(df, $"id", $"w", 9L, bw)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expected, s"bucketWidth=$bw")
+    }
+  }
+
+  test("packByBudget: big window is partitioned by bucket, offsets broadcast") {
+    val df = (1L to 100L).map(i => (i, 3L)).toDF("id", "w")
+    val plan = Sampling.packByBudget(df, $"id", $"w", 50L, 10L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__bkt"),
+      s"expected bucket-partitioned window, got:\n$plan")
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastHashJoin"),
+      "per-bucket offsets should come back broadcast")
+  }
+
+  test("temperatureSample flattens the stratum distribution deterministically") {
+    val docs = (1L to 100L).map { i =>
+      val lang = if (i <= 90) "en" else if (i <= 99) "de" else "sw"
+      (i, lang)
+    }.toDF("doc_id", "lang")
+    val out = Sampling.temperatureSample(docs, $"doc_id", $"lang", 1, 2, 100)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    // driver-side recompute of the fixed-point rate formula
+    val counts = Map("en" -> 90L, "de" -> 9L, "sw" -> 1L)
+    val wfp = counts.map { case (k, n) =>
+      k -> math.round(math.sqrt(n.toDouble) * 1e6)
+    }
+    val (nTot, wTot) = (counts.values.sum, wfp.values.sum)
+    counts.foreach { case (lang, n) =>
+      val kb = math.min(100L,
+        math.floor(nTot.toDouble * 1 / 2 * wfp(lang) / wTot / n * 100).toLong)
+      val (gotN, gotKb, gotSampled) = out(lang)
+      assert(gotN == n && gotKb == kb, s"$lang rate")
+      assert(gotSampled <= n && gotSampled >= 0)
+    }
+    // temperature 0.5 keeps the tail fully: tiny strata at 100 buckets
+    assert(out("sw")._2 == 100L, "singleton stratum kept whole")
+    // dominant stratum is downsampled below its share
+    assert(out("en")._2 < 100L, "dominant stratum downsampled")
+    // determinism: identical on re-run
+    val again = Sampling.temperatureSample(docs, $"doc_id", $"lang", 1, 2, 100)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(again == out)
+  }
+}
