@@ -384,6 +384,62 @@ object SparkEntry {
       Sampling.temperatureSample(t(s, dir, "documents"),
         col("doc_id"), col("lang"), 1, 2, 100)),
 
+    // Sampling: leakage-safe train/val/test split — exact-duplicate
+    // pairs → clusters → split by hash of the CANONICAL id, so no
+    // duplicate pair straddles a split boundary. The oracle's closure
+    // of same-fingerprint pairs is the fingerprint group, so canonical
+    // reduces to a window min — no recursion needed.
+    "q81_leakage_split" -> ((s, dir) => {
+      val d = docsDup(s, dir)
+      val fp = d.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      val pairs = fp.as("a").join(fp.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      Sampling.leakageSafeSplit(d.select(col("doc_id")), "doc_id", pairs,
+          Seq(("train", 80), ("val", 90), ("test", 100)), 100)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("canonical")).as("n_clusters"))
+    }),
+
+    // Events: strict ordered funnel view → click → purchase — deepest
+    // step per user via a fold over the time-sorted encoded sequence;
+    // one shuffle on user, histogram-then-join for the cumulative.
+    "q77_funnel" -> ((s, dir) =>
+      Events.funnelCounts(t(s, dir, "events"), col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click", "purchase"))),
+
+    // Events: 30-minute-gap sessionization (lag marker + running sum
+    // sharing one window spec → one exchange, one sort), aggregated per
+    // session. Session extent is reported via exact event ids, NOT raw
+    // epoch micros: the testdata's ns timestamps truncate to µs
+    // differently per engine (±1µs), which is harmless against the
+    // 1800s gap but would leak into a duration column.
+    "q78_sessionize" -> ((s, dir) =>
+      Events.sessionize(t(s, dir, "events"), col("user_id"), col("ts"),
+        col("event_id"), 1800L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("value_sum"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))),
+
+    // Events: weekly cohort retention triangle — first-event cohort via
+    // an unordered min window (no join back), distinct activity weeks.
+    "q79_cohort_retention" -> ((s, dir) =>
+      Events.cohortRetention(t(s, dir, "events"), col("user_id"), col("ts"))),
+
+    // Profiling: robust median/MAD outlier gate per order priority —
+    // the estimator outliers can't drag; multiply-form flag, no
+    // division, stats broadcast back between the two passes.
+    "q80_robust_outliers" -> ((s, dir) =>
+      Profile.robustOutliers(t(s, dir, "orders"),
+        col("o_orderpriority"), col("o_totalprice"), 3.0)
+        .select(col("g"), col("n"),
+          round(col("med").cast("decimal(20,10)"), 4).cast("double").as("med"),
+          round(col("mad").cast("decimal(20,10)"), 4).cast("double").as("mad"),
+          col("n_outliers"))),
+
     // Dedup: exact (fingerprint hash-groupBy) over a corpus with planted
     // exact duplicates — keep-first semantics.
     "q26_exact_dedup" -> ((s, dir) => {
@@ -1279,6 +1335,106 @@ object SparkEntry {
          |      < r.keep_buckets THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
          |FROM documents d JOIN r ON d.lang = r.stratum
          |GROUP BY 1, 2, 3""".stripMargin,
+
+    // Transitive closure of same-fp pairs == the fp group, so the
+    // canonical (cluster-min) id is a plain window min here; the hash
+    // route is the shared h60 % den.
+    "q81_leakage_split" ->
+      s"""WITH u AS ($docsDupSql),
+         |fp AS (SELECT doc_id,
+         |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM u),
+         |c AS (SELECT doc_id,
+         |    min(doc_id) OVER (PARTITION BY fp) AS canonical FROM fp),
+         |s AS (SELECT doc_id, canonical,
+         |    CASE WHEN ${h60("CAST(canonical AS VARCHAR)")} % 100 < 80
+         |        THEN 'train'
+         |      WHEN ${h60("CAST(canonical AS VARCHAR)")} % 100 < 90
+         |        THEN 'val'
+         |      ELSE 'test' END AS split
+         |  FROM c)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(DISTINCT canonical) AS BIGINT) AS n_clusters
+         |FROM s GROUP BY 1""".stripMargin,
+
+    // Same BIGINT encoding (epoch_us·8 + step index) and the same fold;
+    // list_prepend supplies the explicit 0 init Spark's aggregate() has.
+    "q77_funnel" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(ts) * 8 + CASE event_type WHEN 'view' THEN 1
+        |      WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 ELSE 0 END AS enc,
+        |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |      WHEN 'purchase' THEN 3 ELSE 0 END AS si
+        |  FROM events),
+        |u AS (SELECT user_id, list_sort(list(enc)) AS seq
+        |      FROM e WHERE si > 0 GROUP BY 1),
+        |r AS (SELECT user_id,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT), seq),
+        |          (acc, x) -> CASE WHEN x % 8 = acc + 1 THEN acc + 1
+        |            ELSE acc END) AS reached
+        |      FROM u)
+        |SELECT s.step, s.step_name,
+        |  CAST(coalesce(sum(CASE WHEN r.reached >= s.step THEN 1 ELSE 0 END),
+        |    0) AS BIGINT) AS n_users
+        |FROM (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+        |  s(step, step_name)
+        |LEFT JOIN r ON true
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Gaps-and-islands with the STRICT > gap rule (SessionBoundarySpec
+    // semantics); same (ts, event_id) tiebreak on both engines.
+    "q78_sessionize" ->
+      """WITH m AS (SELECT user_id, ts, event_id, value,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |        > 1800 * 1000000 THEN 1
+        |      WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |      ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, value, event_id,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM m)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS value_sum,
+        |  min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    // DuckDB date_trunc('week') is already a DATE; datediff between
+    // week starts is an exact multiple of 7.
+    "q79_cohort_retention" ->
+      """WITH f AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |    min(ts) OVER (PARTITION BY user_id) AS first_ts
+        |  FROM events),
+        |a AS (SELECT DISTINCT user_id, wk,
+        |    CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week
+        |  FROM f)
+        |SELECT cohort_week,
+        |  CAST(floor(datediff('day', cohort_week, wk) / 7) AS INT)
+        |    AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM a GROUP BY 1, 2""".stripMargin,
+
+    // median == quantile_cont(0.5) on both engines (interpolated
+    // midpoint); every float constant cast to DOUBLE; the flag compares
+    // the same multiply-form expression.
+    "q80_robust_outliers" ->
+      """WITH v AS (SELECT o_orderpriority AS g,
+        |    CAST(o_totalprice AS DOUBLE) AS v FROM orders),
+        |med AS (SELECT g, median(v) AS med FROM v GROUP BY 1),
+        |dev AS (SELECT v.g, v.v, med.med, abs(v.v - med.med) AS adev
+        |  FROM v JOIN med USING (g)),
+        |mad AS (SELECT g, median(adev) AS mad FROM dev GROUP BY 1)
+        |SELECT dev.g, CAST(round(CAST(dev.med AS DECIMAL(20,10)), 4)
+        |    AS DOUBLE) AS med,
+        |  CAST(round(CAST(mad.mad AS DECIMAL(20,10)), 4) AS DOUBLE) AS mad,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN dev.adev
+        |      > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad USING (g)
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q26_exact_dedup" ->
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,

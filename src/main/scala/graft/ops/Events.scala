@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics — funnel conversion, sessionization and
+  * cohort retention: the behavioral-analysis face of an events table
+  * (and, for a training pipeline, the interaction-log preprocessing
+  * that turns raw events into per-user sequences).
+  *
+  * Everything here shuffles exactly once on the user key and keeps all
+  * per-user work inside that partitioning — the shapes that survive a
+  * 1000-executor scale-up.
+  */
+object Events {
+
+  /** Ordered funnel: per user, the deepest step reached through a
+    * time-increasing walk of `steps` (step k counts only after steps
+    * 1..k-1 were hit in order — the strict product-funnel semantics,
+    * not mere per-step presence).
+    *
+    * The walk is a fold over the user's time-sorted events with the
+    * step index packed into the sort key (`epoch_us·8 + idx`, so ties
+    * at the same microsecond resolve to the earlier step first and the
+    * encoding stays one BIGINT — exact to ±36,000 years). One
+    * hash-aggregate on user builds the sorted sequence; the fold is a
+    * per-row lambda over it. Events at the same user are the only
+    * grouping — no window, no self-join, one shuffle.
+    *
+    * At 100 TB the per-user arrays are bounded by per-user event
+    * counts; a pathological mega-user would need a time-bucketed
+    * pre-fold, which composes on top of this same encoding.
+    */
+  def funnelReached(events: DataFrame, user: Column, ts: Column,
+                    step: Column, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 7,
+      "funnel depth must be 1..7 (3-bit step encoding)")
+    val stepIdx = steps.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (s, i)) => when(step === s, lit(i.toLong + 1L)).otherwise(acc)
+    }
+    events.select(user.as("user"), (unix_micros(ts) * 8 + stepIdx).as("enc"),
+        stepIdx.as("si"))
+      .filter(col("si") > 0)
+      .groupBy(col("user"))
+      .agg(sort_array(collect_list(col("enc"))).as("seq"))
+      .select(col("user"),
+        aggregate(col("seq"), lit(0L), (acc, x) =>
+          when(pmod(x, lit(8L)) === acc + 1L, acc + 1L).otherwise(acc))
+          .as("reached"))
+  }
+
+  /** Funnel step counts: for each step k, how many users reached depth
+    * ≥ k. The per-user table reduces to a ≤(k+1)-row histogram before
+    * the step join, so the cumulative sum runs over k² tiny rows.
+    */
+  def funnelCounts(events: DataFrame, user: Column, ts: Column,
+                   step: Column, steps: Seq[String]): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val hist = funnelReached(events, user, ts, step, steps)
+      .groupBy(col("reached")).agg(count(lit(1)).as("n"))
+    val stepDf = steps.zipWithIndex
+      .map { case (s, i) => (i + 1, s) }.toDF("step", "step_name")
+    stepDf.join(hist, hist("reached") >= stepDf("step"), "left")
+      .groupBy(col("step"), col("step_name"))
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_users"))
+  }
+
+  /** Gap-based sessionization: a new session starts when the gap to the
+    * user's previous event exceeds `gapSeconds`. Adds a 1-based
+    * `session_id` per user. `order` breaks timestamp ties
+    * deterministically (pass the event id).
+    *
+    * One shuffle + one sort: the running sum can't fuse into the lag's
+    * WindowExec (it consumes the marker), but both windows share the
+    * same (user, (ts, order)) spec, so the second reuses the first's
+    * partitioning and ordering — no extra exchange, no extra sort.
+    */
+  def sessionize(events: DataFrame, user: Column, ts: Column,
+                 order: Column, gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(user).orderBy(ts, order)
+    val prev = lag(unix_micros(ts), 1).over(w)
+    events
+      .withColumn("__new",
+        when(prev.isNull ||
+          unix_micros(ts) - prev > gapSeconds * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("__new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new")
+  }
+
+  /** Weekly cohort retention: users cohorted by the ISO week of their
+    * first event; for each (cohort_week, week_offset), the distinct
+    * users active that week. The first-event timestamp comes from an
+    * unordered min over the user partition — no join back, the
+    * activity rows and their cohort label materialize in one pass
+    * after a single shuffle on user.
+    */
+  def cohortRetention(events: DataFrame, user: Column, ts: Column): DataFrame = {
+    val w = Window.partitionBy(user)
+    events
+      .select(user.as("u"), to_date(date_trunc("week", ts)).as("wk"),
+        min(ts).over(w).as("first_ts"))
+      .select(col("u"), col("wk"),
+        to_date(date_trunc("week", col("first_ts"))).as("cohort_week"))
+      .distinct()
+      .select(col("u"), col("cohort_week"),
+        floor(datediff(col("wk"), col("cohort_week")) / 7).cast("int")
+          .as("week_offset"))
+      // (u, wk) is distinct already and offset is a function of wk, so a
+      // plain count is the distinct-user count — no second distinct agg
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
@@ -63,5 +63,35 @@ object Profile {
       .select(col("col_name"), col("n_rows"), col("n_nulls"),
         coalesce(col("n_distinct_approx"), lit(0.0)).as("n_distinct_approx"),
         col("min_num"), col("max_num"))
+  }
+
+  /** Robust per-group outlier detection: median/MAD (the estimator that
+    * survives the outliers it hunts — mean/stddev get dragged by the
+    * very points being flagged). A value is an outlier when
+    * |x − median| > k · 1.4826 · MAD (1.4826 scales MAD to σ under
+    * normality).
+    *
+    * Two aggregate passes over the data (median, then MAD of the
+    * deviations) with the per-group stats broadcast back between them —
+    * group cardinality is small by construction, the data never joins
+    * against itself. The flag is a multiply-form comparison (no
+    * division), so MAD = 0 degenerates safely to "any deviation flags".
+    *
+    * Exact medians sort within groups; for profile-at-every-ingest at
+    * 100 TB swap them for [[Sketch.histQuantiles]] registers (mergeable,
+    * one pass) and keep this exact face for verification.
+    */
+  def robustOutliers(df: DataFrame, group: Column, value: Column,
+                     k: Double = 3.0): DataFrame = {
+    val rows = df.select(group.as("g"), value.cast("double").as("v"))
+    val med = rows.groupBy(col("g")).agg(median(col("v")).as("med"))
+    val dev = rows.join(broadcast(med), "g")
+      .withColumn("adev", abs(col("v") - col("med")))
+    val mad = dev.groupBy(col("g")).agg(median(col("adev")).as("mad"))
+    dev.join(broadcast(mad), "g")
+      .groupBy(col("g"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("adev") > lit(k) * lit(1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
   }
 }

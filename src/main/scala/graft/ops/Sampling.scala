@@ -109,6 +109,40 @@ object Sampling {
           .otherwise(0L)).as("n_sampled"))
   }
 
+  /** Leakage-safe train/val/test split: near-duplicate documents must
+    * never straddle a split boundary (a test doc whose near-copy sits in
+    * train leaks the answer into evaluation). The clusters implied by
+    * `pairs` (id_a, id_b near-dup edges) are the leakage groups: every
+    * doc maps to its cluster's canonical (min) id — singletons to their
+    * own id — and the split decision hashes the CANONICAL id, so whole
+    * clusters land in one split together.
+    *
+    * `cuts` are ascending cumulative bucket thresholds over `den`, e.g.
+    * ("train",80),("val",90),("test",100).
+    *
+    * Scale shape: cluster formation is the pointer-jumping CC
+    * (O(log diameter) rounds); the canonical map joins on the doc key
+    * with the cluster table as the SMALL side (near-dup rate ≪ 1 in any
+    * real corpus); the split itself is a pure codegen'd hash predicate.
+    * Adding a corpus increment re-splits only clusters it touches.
+    */
+  def leakageSafeSplit(docs: DataFrame, id: String, pairs: DataFrame,
+                       cuts: Seq[(String, Int)], den: Int): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == den,
+      "cuts must be ascending cumulative thresholds ending at den")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted, "cuts must ascend")
+    val canon = Dedup.duplicateClusters(pairs)
+      .select(col("id").as(id), col("component"))
+    val withCanon = docs.join(canon, Seq(id), "left")
+      .withColumn("canonical", coalesce(col("component"), col(id)))
+      .drop("component")
+    val bucket = hashBucket(col("canonical").cast("string"), den)
+    val split = cuts.foldRight(lit(null).cast("string")) {
+      case ((name, cut), acc) => when(bucket < cut, lit(name)).otherwise(acc)
+    }
+    withCanon.withColumn("split", split)
+  }
+
   /** Per-stratum deterministic rates: e.g. downsample dominant languages
     * while keeping the tail — `rates` maps stratum value → kept buckets
     * of `rateDen`; strata not in the map keep everything.

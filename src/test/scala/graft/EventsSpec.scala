@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.{Events, Profile}
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel requires steps in time order, not mere presence") {
+    val ev = Seq(
+      // u1: full ordered funnel
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (1L, ts("2024-01-01 10:10:00"), "purchase"),
+      // u2: purchase BEFORE view/click -> only step 1 counts
+      (2L, ts("2024-01-01 09:00:00"), "purchase"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      // u3: view then purchase, no click -> depth 1
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 11:00:00"), "purchase"),
+      // u4: unrelated events only -> depth 0, not even step 1
+      (4L, ts("2024-01-01 10:00:00"), "error"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Events.funnelCounts(ev, $"user_id", $"ts", $"event_type",
+        Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(out == Map(1 -> 3L, 2 -> 1L, 3 -> 1L))
+  }
+
+  test("funnel resolves same-microsecond ties to the earlier step") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "click"),
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:00:01"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val reached = Events.funnelReached(ev, $"user_id", $"ts",
+        $"event_type", Seq("view", "click", "purchase"))
+      .select($"reached").as[Long].head()
+    // view and click at the same instant: view (idx 1) sorts first, so
+    // the walk still completes all three steps
+    assert(reached == 3L)
+  }
+
+  test("sessionize splits strictly-greater-than-gap, 1-based ids") {
+    val ev = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (1L, 11L, ts("2024-01-01 10:29:00")),  // 29 min: same session
+      (1L, 12L, ts("2024-01-01 10:59:00")),  // exactly 30 min: SAME (strict >)
+      (1L, 13L, ts("2024-01-01 11:29:01")),  // 30m01s: new session
+      (2L, 20L, ts("2024-01-01 00:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    val out = Events.sessionize(ev, $"user_id", $"ts", $"event_id", 1800L)
+      .select($"event_id", $"session_id").as[(Long, Long)]
+      .collect().toMap
+    assert(out == Map(10L -> 1L, 11L -> 1L, 12L -> 1L, 13L -> 2L, 20L -> 1L))
+  }
+
+  test("sessionize plans one exchange and one sort (windows share the spec)") {
+    val ev = Seq((1L, 10L, ts("2024-01-01 10:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    val plan = Events.sessionize(ev, $"user_id", $"ts", $"event_id", 1800L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"expected one exchange, got:\n$plan")
+    assert("\\+- Sort ".r.findAllIn(plan).size == 1,
+      s"expected one sort, got:\n$plan")
+  }
+
+  test("cohort retention counts distinct active users per week offset") {
+    val ev = Seq(
+      // u1 first event Tue Jan 2 (cohort week Mon Jan 1), active wk0 + wk2
+      (1L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-03 10:00:00")),  // same week, must not double-count
+      (1L, ts("2024-01-16 10:00:00")),
+      // u2 cohort week Jan 1 too, only wk0
+      (2L, ts("2024-01-05 10:00:00")),
+      // u3 cohort week Jan 8, active wk0 and wk1
+      (3L, ts("2024-01-08 10:00:00")),
+      (3L, ts("2024-01-17 10:00:00")))
+      .toDF("user_id", "ts")
+    val out = Events.cohortRetention(ev, $"user_id", $"ts")
+      .as[(java.sql.Date, Int, Long)].collect()
+      .map(r => (r._1.toString, r._2) -> r._3).toMap
+    assert(out == Map(
+      ("2024-01-01", 0) -> 2L, ("2024-01-01", 2) -> 1L,
+      ("2024-01-08", 0) -> 1L, ("2024-01-08", 1) -> 1L))
+  }
+
+  test("robustOutliers flags by median/MAD and survives outlier drag") {
+    // group a: tight cluster around 10 with one wild point; the mean/σ
+    // z-score of 100 would shrink under the outlier's own drag, the
+    // MAD flag does not. group b: all-identical -> MAD 0, any deviation
+    // flags (multiply-form, no division blowup).
+    val df = (Seq.fill(9)(("a", 10.0)) ++ Seq(("a", 100.0)) ++
+      Seq.fill(4)(("b", 5.0))).toDF("g", "v")
+    val out = Profile.robustOutliers(df, $"g", $"v", 3.0)
+      .select($"g", $"med", $"mad", $"n", $"n_outliers")
+      .as[(String, Double, Double, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out("a") == ((10.0, 0.0, 10L, 1L)))
+    assert(out("b") == ((5.0, 0.0, 4L, 0L)))
+  }
+}

@@ -65,6 +65,32 @@ class SamplingPackSpec extends SparkSpec {
       "per-bucket offsets should come back broadcast")
   }
 
+  test("leakageSafeSplit keeps whole clusters in one split, transitively") {
+    val docs = (1L to 60L).toDF("doc_id")
+    // chain 1-2, 2-3 (transitive cluster {1,2,3}); pair {10,11}; rest singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", pairs,
+        Seq(("train", 60), ("val", 80), ("test", 100)), 100)
+      .select($"doc_id", $"canonical", $"split")
+      .as[(Long, Long, String)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    // transitive chain shares a canonical and a split
+    assert(Set(1L, 2L, 3L).map(byId(_)._2).size == 1)
+    assert(Set(1L, 2L, 3L).map(byId(_)._3).size == 1)
+    assert(byId(10L)._3 == byId(11L)._3)
+    // singletons canonicalize to themselves; every doc gets a split
+    assert(byId(42L)._2 == 42L)
+    assert(out.length == 60 && out.forall(r =>
+      Set("train", "val", "test").contains(r._3)))
+    // split of a clustered doc equals the split its canonical would get
+    // alone — incremental re-splits are stable
+    val solo = Sampling.leakageSafeSplit(Seq(1L).toDF("doc_id"),
+        "doc_id", Seq.empty[(Long, Long)].toDF("id_a", "id_b"),
+        Seq(("train", 60), ("val", 80), ("test", 100)), 100)
+      .select($"split").as[String].head()
+    assert(byId(1L)._3 == solo && byId(3L)._3 == solo)
+  }
+
   test("temperatureSample flattens the stratum distribution deterministically") {
     val docs = (1L to 100L).map { i =>
       val lang = if (i <= 90) "en" else if (i <= 99) "de" else "sw"
