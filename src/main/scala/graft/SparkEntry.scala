@@ -384,6 +384,29 @@ object SparkEntry {
       Sampling.temperatureSample(t(s, dir, "documents"),
         col("doc_id"), col("lang"), 1, 2, 100)),
 
+    // Dedup: INCREMENTAL near-dup — a new crawl increment (half exact
+    // re-crawls, half token-sorted novel texts) probed against the
+    // existing corpus; old×old is never paired. Output per new doc:
+    // match count and the first (keep-first) match, -1 when novel.
+    "q82_incremental_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val inc = base.select((col("doc_id") + 10000).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(array_join(sort_array(Text.tokens(col("text"))), " "))
+          .as("text"))
+      def sh(df: DataFrame) = df.select(col("doc_id"),
+        Dedup.hashedShingles(Text.tokens(col("text")), 3).as("hs"))
+      val pairs = Dedup.jaccardPairsIncremental(sh(base), sh(inc),
+        "doc_id", "hs", 0.5)
+      inc.select(col("doc_id"))
+        .join(pairs.groupBy(col("id_new").as("doc_id"))
+          .agg(count(lit(1)).as("n_dups"), min(col("id_match")).as("first_dup")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+          coalesce(col("first_dup"), lit(-1L)).as("first_dup"))
+    }),
+
     // Sampling: leakage-safe train/val/test split — exact-duplicate
     // pairs → clusters → split by hash of the CANONICAL id, so no
     // duplicate pair straddles a split boundary. The oracle's closure
@@ -1335,6 +1358,37 @@ object SparkEntry {
          |      < r.keep_buckets THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
          |FROM documents d JOIN r ON d.lang = r.stratum
          |GROUP BY 1, 2, 3""".stripMargin,
+
+    // Brute-force new×(old ∪ earlier-new) on STRING shingles (q28
+    // pattern); the engine's prefix-index path must find exactly the
+    // same matches.
+    "q82_incremental_dedup" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |oldsh AS (SELECT doc_id, CASE WHEN len(tk) < 3
+         |    THEN CAST([] AS VARCHAR[]) ELSE $shingleSql END AS sh FROM tk),
+         |newtk AS (SELECT doc_id + 10000 AS doc_id,
+         |    CASE WHEN doc_id % 2 = 0 THEN tk ELSE list_sort(tk) END AS tk
+         |  FROM tk),
+         |newsh AS (SELECT doc_id, CASE WHEN len(tk) < 3
+         |    THEN CAST([] AS VARCHAR[]) ELSE $shingleSql END AS sh FROM newtk),
+         |pairs AS (
+         |  SELECT n.doc_id AS id_new, o.doc_id AS id_match
+         |  FROM newsh n JOIN oldsh o ON
+         |    round(len(list_intersect(n.sh, o.sh)) * 1.0 /
+         |      (len(n.sh) + len(o.sh) - len(list_intersect(n.sh, o.sh))), 4)
+         |      >= 0.5
+         |  UNION ALL
+         |  SELECT a.doc_id AS id_new, b.doc_id AS id_match
+         |  FROM newsh a JOIN newsh b ON a.doc_id > b.doc_id AND
+         |    round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+         |      >= 0.5)
+         |SELECT n.doc_id,
+         |  CAST(coalesce(p.n_dups, 0) AS BIGINT) AS n_dups,
+         |  CAST(coalesce(p.first_dup, -1) AS BIGINT) AS first_dup
+         |FROM newsh n LEFT JOIN (
+         |  SELECT id_new, count(*) AS n_dups, min(id_match) AS first_dup
+         |  FROM pairs GROUP BY 1) p ON n.doc_id = p.id_new""".stripMargin,
 
     // Transitive closure of same-fp pairs == the fp group, so the
     // canonical (cluster-min) id is a plain window min here; the hash

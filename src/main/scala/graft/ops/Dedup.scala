@@ -207,31 +207,41 @@ object Dedup {
     * output to `jaccardPairsHashed`; the candidate stream shrinks
     * superlinearly because hot shingles never make a prefix.
     */
+  /** Rarity-sorted PPJoin prefix index over a (id, hs[, carry…]) frame:
+    * one output row per retained prefix element — (id[, carry…], n, h).
+    * See [[jaccardPairsPrefixHashed]] for the retention argument.
+    * Rarity-sorted per-doc shingle list (ascending df, ties by hash — a
+    * total order), prefix sliced ARRAY-side. df==1 postings can collide
+    * with nothing, so they are dropped in the same array pass (any
+    * qualifying pair shares an element inside both prefixes, and that
+    * element has df >= 2 — no candidate is lost); doing it array-side
+    * replaces the former extra join against the frequency table.
+    */
+  private def prefixIndex(d: DataFrame, threshold: Double,
+                          carry: Seq[String]): DataFrame = {
+    val inv = d.select(col("id") +: carry.map(col) :+
+      explode(col("hs")).as("h"): _*)
+    val freq = inv.groupBy("h").agg(count(lit(1)).as("f"))
+    val prefixLen = (size(col("rs")) -
+      ceil(size(col("rs")) * threshold) + 1).cast("int")
+    inv.join(freq, "h")
+      .groupBy(("id" +: carry).map(col): _*)
+      .agg(sort_array(collect_list(struct(col("f"), col("h")))).as("rs"))
+      .select(col("id") +: carry.map(col) ++: Seq(
+        size(col("rs")).as("n"),
+        explode(transform(
+          filter(slice(col("rs"), lit(1), prefixLen), r => r.getField("f") >= 2),
+          r => r.getField("h"))).as("h")): _*)
+  }
+
   def jaccardPairsPrefixHashed(docs: DataFrame, id: String,
                                hashedShingles: String,
                                threshold: Double): DataFrame = {
     val d = docs.select(col(id).as("id"), col(hashedShingles).as("hs"))
       .persist() // verification joins re-read the full hash sets
-    val inv = d.select(col("id"), explode(col("hs")).as("h"))
-    val freq = inv.groupBy("h").agg(count(lit(1)).as("f"))
-    val prefixLen = (size(col("rs")) -
-      ceil(size(col("rs")) * threshold) + 1).cast("int")
-    // Rarity-sorted per-doc shingle list (ascending df, ties by hash — a
-    // total order), prefix sliced ARRAY-side. df==1 postings can collide
-    // with nothing, so they are dropped in the same array pass (any
-    // qualifying pair shares an element inside both prefixes, and that
-    // element has df >= 2 — no candidate is lost); doing it array-side
-    // replaces the former extra join against the frequency table.
     // Persisted: the candidate self-join consumes this index twice, and
     // without it the whole explode→freq-join→sort chain runs per side.
-    val pidx = inv.join(freq, "h")
-      .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("f"), col("h")))).as("rs"))
-      .select(col("id"), size(col("rs")).as("n"),
-        explode(transform(
-          filter(slice(col("rs"), lit(1), prefixLen), r => r.getField("f") >= 2),
-          r => r.getField("h"))).as("h"))
-      .persist()
+    val pidx = prefixIndex(d, threshold, Nil).persist()
     val cands = pidx.as("a").join(pidx.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           col("b.n") * threshold <= col("a.n") &&
@@ -244,6 +254,46 @@ object Dedup {
       .withColumn("jac", round(jaccard(col("hsa"), col("hsb")), 4))
       .filter(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
+  }
+
+  /** Incremental near-dup detection: a new crawl increment against the
+    * EXISTING corpus — the production dedup loop, where re-pairing
+    * old×old on every ingest would be quadratic in corpus age.
+    *
+    * Shape: one rarity-sorted prefix index over old ∪ new (document
+    * frequencies must count the union for the prefix theorem to hold),
+    * but only NEW docs probe it — the candidate join's left side is the
+    * increment, so old×old candidates are never generated. Pairs come
+    * back as (id_new, id_match, jac) where id_new is the DROP candidate:
+    * for new×old matches the new doc; for new×new matches the larger id
+    * (keep-first within the increment). `newDocs.join(pairs, anti)` is
+    * then the surviving increment. Id spaces must be disjoint.
+    */
+  def jaccardPairsIncremental(oldDocs: DataFrame, newDocs: DataFrame,
+                              id: String, hashedShingles: String,
+                              threshold: Double): DataFrame = {
+    val d = oldDocs
+      .select(col(id).as("id"), col(hashedShingles).as("hs"),
+        lit(false).as("is_new"))
+      .unionByName(newDocs.select(col(id).as("id"),
+        col(hashedShingles).as("hs"), lit(true).as("is_new")))
+      .persist()
+    val pidx = prefixIndex(d, threshold, Seq("is_new")).persist()
+    val cands = pidx.filter(col("is_new")).as("a").join(pidx.as("b"),
+        col("a.h") === col("b.h") &&
+          (!col("b.is_new") || col("a.id") > col("b.id")) &&
+          col("b.n") * threshold <= col("a.n") &&
+          col("a.n") * threshold <= col("b.n"))
+      .select(col("a.id").as("id_new"), col("b.id").as("id_match"))
+      .distinct()
+    cands
+      .join(d.select(col("id").as("id_new"), col("hs").as("hsa")),
+        Seq("id_new"))
+      .join(d.select(col("id").as("id_match"), col("hs").as("hsb")),
+        Seq("id_match"))
+      .withColumn("jac", round(jaccard(col("hsa"), col("hsb")), 4))
+      .filter(col("jac") >= threshold)
+      .select("id_new", "id_match", "jac")
   }
 
   /** Benchmark-contamination check — the decontamination pass every

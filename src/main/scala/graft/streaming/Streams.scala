@@ -314,6 +314,66 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Corpus-growing streaming dedup — the continuous face of
+    * [[graft.ops.Dedup.jaccardPairsIncremental]]: each micro-batch is
+    * an increment deduped against the ACCUMULATED corpus snapshot
+    * (old×old is never re-paired, so per-batch candidate cost tracks
+    * the increment, not corpus age²), and the survivors append to the
+    * corpus via an atomic snapshot merge partitioned by ingest batch.
+    *
+    * Shingle hashes are STORED with the corpus (`hs` column) so later
+    * batches never re-tokenize history; the per-batch index rebuild
+    * still reads the corpus once — the next evolution at 100 TB is a
+    * persistent posting-list snapshot, which this layout (stable ids,
+    * stored hashes, batch partitions) is shaped for.
+    *
+    * Crash replay is naturally idempotent WITHOUT relying on the
+    * checkpoint: a replayed survivor finds its own previously-committed
+    * copy at jaccard 1.0 and drops; a replayed reject re-matches
+    * whatever dropped it before; and the snapshot merge touches only
+    * the replayed batch's own partition.
+    */
+  def dedupStream(in: DataFrame, table: String, checkpoint: String,
+                  threshold: Double = 0.5): Unit = {
+    import graft.ops.{Dedup, Text}
+    import graft.sources.Snapshot
+    val q = in.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val fresh = batch.toDF().select(col("doc_id"), col("text"))
+            // cast to the DDL (containsNull=true) array form: the
+            // expression's containsNull=false schema won't round-trip
+            // through the manifest, and ARRAY casts only widen
+            .withColumn("hs",
+              Dedup.hashedShingles(Text.tokens(col("text")), 3)
+                .cast("array<bigint>"))
+            .persist()
+          val corpus = Snapshot.latestVersion(table) match {
+            case Some(_) => Snapshot.read(spark, table)
+              .select(col("doc_id"), col("hs"))
+            case None => fresh.select(col("doc_id"), col("hs")).limit(0)
+          }
+          val dropIds = Dedup.jaccardPairsIncremental(
+              corpus.withColumnRenamed("doc_id", "id"),
+              fresh.select(col("doc_id").as("id"), col("hs")),
+              "id", "hs", threshold)
+            .select(col("id_new").as("doc_id")).distinct()
+          val survivors = fresh.join(dropIds, Seq("doc_id"), "left_anti")
+            .withColumn("ingest_batch", lit(batchId))
+          if (!survivors.isEmpty)
+            Snapshot.merge(survivors, table, Seq("doc_id"), "doc_id",
+              "ingest_batch"): Unit
+          fresh.unpersist(): Unit
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drive any streaming DataFrame to a parquet sink with AvailableNow:
     * processes everything pending, then stops — the scheduled-batch
     * deployment mode (replaces the reference's GitHub Actions cron with

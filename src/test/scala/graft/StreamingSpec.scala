@@ -221,6 +221,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dedupStream grows the corpus, dropping near-dups of history") {
+    withTempDir { dir =>
+      val in1 = dir.getAbsolutePath + "/in1"
+      val in2 = dir.getAbsolutePath + "/in2"
+      val table = dir.getAbsolutePath + "/corpus"
+      val a = "the quick brown fox jumps over the lazy dog again and again"
+      // batch 1: A survives, B (near-dup of A, larger id) drops, C novel
+      Seq((1L, a), (2L, a + " today"),
+        (3L, "completely different content with nothing shared at all here"))
+        .toDF("doc_id", "text").write.parquet(in1)
+      val schema = spark.read.parquet(in1).schema
+      Streams.dedupStream(spark.readStream.schema(schema).parquet(in1),
+        table, dir.getAbsolutePath + "/ck1", 0.5)
+      val afterOne = graft.sources.Snapshot.read(spark, table)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(afterOne == Set(1L, 3L))
+      // batch 2 (separate stream+checkpoint, same table): a re-crawl of
+      // A drops against HISTORY, not just the current batch; E is novel
+      Seq((11L, a), (12L, "some brand new page about a fresh subject"))
+        .toDF("doc_id", "text").write.parquet(in2)
+      Streams.dedupStream(spark.readStream.schema(schema).parquet(in2),
+        table, dir.getAbsolutePath + "/ck2", 0.5)
+      val afterTwo = graft.sources.Snapshot.read(spark, table)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(afterTwo == Set(1L, 3L, 12L))
+      // shingle hashes rode along in the corpus (no re-tokenize of history)
+      val cols = graft.sources.Snapshot.read(spark, table).columns.toSet
+      assert(cols.contains("hs") && cols.contains("ingest_batch"))
+    }
+  }
+
   test("hygieneStream routes documents by the gate-order reason taxonomy") {
     withTempDir { dir =>
       val in = dir.getAbsolutePath + "/in"

@@ -155,6 +155,42 @@ class TextDedupSpec extends SparkSpec {
     assert(a == want && b == want)
   }
 
+  test("incremental jaccard equals the filtered symmetric result, no old-old") {
+    val mk = (rows: Seq[(Long, String)]) => rows.toDF("id", "text")
+      .select($"id", Dedup.hashedShingles(Text.tokens($"text"), 3).as("hs"))
+    // old corpus: two docs that near-dup EACH OTHER (old-old must stay
+    // unreported) and one unique
+    val old = mk(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again"),
+      (2L, "the quick brown fox jumps over the lazy dog again today"),
+      (3L, "completely different content with nothing shared at all")))
+    // increment: re-crawl of doc 1, near-dup pair within the increment,
+    // and a novel doc
+    val inc = mk(Seq(
+      (11L, "the quick brown fox jumps over the lazy dog again"),
+      (12L, "some brand new page about entirely fresh subject matter"),
+      (13L, "some brand new page about entirely fresh subject matter too"),
+      (14L, "nothing resembles this lonely novel document anywhere")))
+    val got = Dedup.jaccardPairsIncremental(old, inc, "id", "hs", 0.5)
+      .select($"id_new", $"id_match").as[(Long, Long)].collect().toSet
+    // symmetric ground truth over the union, re-keyed to drop-candidates
+    val sym = Dedup.jaccardPairsPrefixHashed(old.unionByName(inc), "id",
+        "hs", 0.5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .toSet[(Long, Long)]
+      .filter { case (a, b) => a > 10 || b > 10 } // at least one new
+      .map { case (a, b) =>
+        if (a > 10 && b > 10) (math.max(a, b), math.min(a, b))
+        else if (a > 10) (a, b) else (b, a)
+      }
+    assert(got == sym)
+    assert(got.contains((11L, 1L)) && got.contains((13L, 12L)))
+    // old-old pair (1,2) is a pair in the union but NOT here
+    assert(!got.exists { case (a, b) => a <= 10 && b <= 10 })
+    // novel docs appear in no pair
+    assert(!got.exists { case (a, b) => a == 14L || b == 14L })
+  }
+
   test("minhash: identical sets sign identically; LSH finds near-dups") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
