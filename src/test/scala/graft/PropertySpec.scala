@@ -103,4 +103,73 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: packByBudget shards are contiguous and conserve weight") {
+    val rowGen = Gen.listOfN(50, Gen.choose(1L, 40L))
+    for (ws <- samples(rowGen, 5)) {
+      val rows = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      val out = graft.ops.Sampling
+        .packByBudget(rows.toDF("id", "w"), $"id", $"w", 100L, 7L)
+        .as[(Long, Long, Long)].collect().sortBy(_._1)
+      // same rows, same weights
+      assert(out.map(r => r._1 -> r._2).toMap ==
+        rows.map(r => r._1.toLong -> r._2).toMap)
+      // shard ids are non-decreasing in id order and start at 0
+      assert(out.head._3 == 0L)
+      assert(out.zip(out.tail).forall { case (a, b) => a._3 <= b._3 })
+      // a shard's exclusive prefix stays under budget+max single weight:
+      // each shard's rows except the last fit the budget (first-token rule)
+      val byShard = out.groupBy(_._3)
+      byShard.foreach { case (_, rs) =>
+        val allButLast = rs.sortBy(_._1).dropRight(1).map(_._2).sum
+        assert(allButLast < 100L, "a row only straddles at the boundary")
+      }
+    }
+  }
+
+  test("property: chunkTokens covers every token exactly once at stride==size") {
+    val docGen = Gen.listOfN(6, Gen.choose(0, 40))
+    for (lens <- samples(docGen, 5)) {
+      val docs = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (1 to n).map(k => s"t$k").mkString(" "))
+      }
+      val out = graft.ops.Text
+        .chunkTokens(docs.toDF("doc_id", "text"), "doc_id", $"text", 7, 7)
+        .groupBy($"id").agg(sum($"n_tokens").as("s"), count(lit(1)).as("c"))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      docs.foreach { case (id, text) =>
+        val n = lens(id.toInt)
+        if (n == 0) assert(!out.contains(id), "empty doc emits no chunks")
+        else {
+          assert(out(id)._1 == n.toLong, "non-overlapping chunks partition")
+          assert(out(id)._2 == ((n + 6) / 7).toLong, "ceil(n/size) chunks")
+        }
+      }
+    }
+  }
+
+  test("property: funnel depth is monotone under event removal") {
+    val evGen = Gen.listOfN(40, for {
+      u <- Gen.choose(1L, 6L)
+      t <- Gen.choose(0, 5000)
+      s <- Gen.oneOf("view", "click", "purchase", "noise")
+    } yield (u, t, s))
+    for (evs <- samples(evGen, 4)) {
+      val df = evs.zipWithIndex.map { case ((u, t, s), i) =>
+        (u, new java.sql.Timestamp(1700000000000L + t * 1000L + i), s)
+      }.toDF("user_id", "ts", "step")
+      val full = graft.ops.Events.funnelReached(df, $"user_id", $"ts",
+          $"step", Seq("view", "click", "purchase"))
+        .as[(Long, Long)].collect().toMap
+      // dropping ALL clicks can only shrink the reached depth, to <= 1
+      val noClick = graft.ops.Events.funnelReached(
+          df.filter($"step" =!= "click"), $"user_id", $"ts",
+          $"step", Seq("view", "click", "purchase"))
+        .as[(Long, Long)].collect().toMap
+      noClick.foreach { case (u, d) =>
+        assert(d <= full.getOrElse(u, 0L), "removal never deepens")
+        assert(d <= 1L, "without step 2 nobody passes depth 1")
+      }
+    }
+  }
 }
