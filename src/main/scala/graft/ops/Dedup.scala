@@ -429,8 +429,15 @@ object Dedup {
     // deepening tree every iteration — measured super-linear slowdown
     // (1.7s → 25s/round by iteration 5 at sf0.1) that checkpointing
     // flattens to constant per-round cost.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // Seed with min(id, min(neighbor)) — the first adoption round fused
+    // into initialization (one aggregate instead of distinct+join+agg).
+    // Pair components (the common case in near-dup graphs) are already
+    // converged at the seed, so the loop exits after one verification
+    // round; longer chains save exactly one full iteration.
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("id"),
+        least(col("src"), col("nmin")).as("component"))
       .localCheckpoint(true)
     // labels is a projection of the checkpointed frame from round 2 on;
     // unpersist must target the frame that owns the materialized blocks
