@@ -425,6 +425,35 @@ object SparkEntry {
           countDistinct(col("canonical")).as("n_clusters"))
     }),
 
+    // Series: RANGE-frame rolling window — a 7-CALENDAR-DAY mean per
+    // symbol (range ≠ rows when dates gap or repeat). Prices snap to
+    // integer cents before the frame sum, so the windowed aggregate is
+    // exact and order-free on any engine.
+    "q83_range_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("symbol")).orderBy(col("day"))
+        .rangeBetween(-6, org.apache.spark.sql.expressions.Window.currentRow)
+      bars(s, dir)
+        .withColumn("day", datediff(col("d"), lit("1970-01-01").cast("date")))
+        .withColumn("px_c", round(col("px") * 100).cast("long"))
+        .select(col("symbol"), col("d"),
+          count(lit(1)).over(w).as("n_win"),
+          round((sum(col("px_c")).over(w).cast("double") / 100.0 /
+            count(lit(1)).over(w)).cast("decimal(20,10)"), 4)
+            .cast("double").as("avg7"))
+    }),
+
+    // Reshape: dense-rank top-3 per group — ties keep ALL rows at a
+    // rank (the output set is deterministic even when row_number would
+    // not be), one shuffle on the grouping key.
+    "q84_topn_per_group" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_totalprice"),
+          dense_rank().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("o_orderpriority"))
+            .orderBy(col("o_totalprice").desc)).as("rk"))
+        .filter(col("rk") <= 3)),
+
     // Events: strict ordered funnel view → click → purchase — deepest
     // step per user via a fold over the time-sorted encoded sequence;
     // one shuffle on user, histogram-then-join for the cumulative.
@@ -1389,6 +1418,27 @@ object SparkEntry {
          |FROM newsh n LEFT JOIN (
          |  SELECT id_new, count(*) AS n_dups, min(id_match) AS first_dup
          |  FROM pairs GROUP BY 1) p ON n.doc_id = p.id_new""".stripMargin,
+
+    // Integer-day RANGE frame (same -6..0 bounds); cent-snap before the
+    // sum keeps the frame aggregate order-free; count/avg written in
+    // the identical operation order.
+    "q83_range_window" ->
+      s"""SELECT symbol, d,
+         |  CAST(count(*) OVER w AS BIGINT) AS n_win,
+         |  CAST(round(CAST(CAST(sum(CAST(round(px * 100) AS BIGINT))
+         |        OVER w AS DOUBLE) / 100.0 / count(*) OVER w
+         |      AS DECIMAL(20,10)), 4) AS DOUBLE) AS avg7
+         |FROM (SELECT symbol, d,
+         |    date_diff('day', DATE '1970-01-01', d) AS day, px
+         |  FROM ($barsSql))
+         |WINDOW w AS (PARTITION BY symbol ORDER BY day
+         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q84_topn_per_group" ->
+      """SELECT o_orderpriority, o_totalprice,
+        |  CAST(dense_rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC) AS INT) AS rk
+        |FROM orders QUALIFY rk <= 3""".stripMargin,
 
     // Transitive closure of same-fp pairs == the fp group, so the
     // canonical (cluster-min) id is a plain window min here; the hash
