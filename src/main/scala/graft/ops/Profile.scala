@@ -71,11 +71,12 @@ object Profile {
     * |x − median| > k · 1.4826 · MAD (1.4826 scales MAD to σ under
     * normality).
     *
-    * Two aggregate passes over the data (median, then MAD of the
-    * deviations) with the per-group stats broadcast back between them —
-    * group cardinality is small by construction, the data never joins
-    * against itself. The flag is a multiply-form comparison (no
-    * division), so MAD = 0 degenerates safely to "any deviation flags".
+    * Three scans of the input (median, MAD of the deviations, then the
+    * flag count), each a plain aggregate with the per-group stats
+    * broadcast back — the data never joins against itself, and
+    * rescanning beats caching a data-sized intermediate at scale. The
+    * flag is a multiply-form comparison (no division), so MAD = 0
+    * degenerates safely to "any deviation flags".
     *
     * Exact medians sort within groups; for profile-at-every-ingest at
     * 100 TB swap them for [[Sketch.histQuantiles]] registers (mergeable,

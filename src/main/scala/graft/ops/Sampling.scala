@@ -44,6 +44,13 @@ object Sampling {
     * No stage touches a single-reducer window over the data. Weights
     * are summed as BIGINT (token counts) so the prefix sum is exact and
     * order-free.
+    *
+    * Requirements: `order` values must be UNIQUE (ties would make the
+    * intra-bucket running sum — and thus the straddling row's shard —
+    * order-dependent), and `bucketWidth` should be sized so
+    * max(order)/bucketWidth stays modest (the per-bucket offset table
+    * is a single tiny ordered window; millions of buckets would make
+    * it the bottleneck).
     */
   def packByBudget(df: DataFrame, order: Column, weight: Column,
                    budget: Long, bucketWidth: Long): DataFrame = {
