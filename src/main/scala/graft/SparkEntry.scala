@@ -425,6 +425,31 @@ object SparkEntry {
           countDistinct(col("canonical")).as("n_clusters"))
     }),
 
+    // Text: blocked fuzzy match (entity resolution) — part names with
+    // one char deleted at a key-determined position probe the clean
+    // names through the (first char, ±2 length) equi-join blocking;
+    // best match packed as dist·100000+id so min() is one exact BIGINT.
+    "q85_fuzzy_match" -> ((s, dir) => {
+      val parts = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      val len = length(col("p_name"))
+      val k = (col("p_partkey") % len).cast("int")
+      val probes = parts.select((col("p_partkey") + 20000).as("probe_id"),
+        concat(col("p_name").substr(lit(1), k),
+          col("p_name").substr(k + 2, len)).as("pn"))
+      val m = Text.fuzzyJoin(probes, parts, "probe_id", col("pn"),
+        "p_partkey", col("p_name"), 2)
+      probes.select(col("probe_id"))
+        .join(m.groupBy(col("probe_id"))
+          .agg(count(lit(1)).as("n_matches"),
+            min(col("dist").cast("long") * 100000 + col("ref_id")).as("bk")),
+          Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          coalesce(floor(col("bk") / 100000).cast("long"), lit(-1L))
+            .as("best_dist"),
+          coalesce(pmod(col("bk"), lit(100000L)), lit(-1L)).as("best_ref"))
+    }),
+
     // Series: RANGE-frame rolling window — a 7-CALENDAR-DAY mean per
     // symbol (range ≠ rows when dates gap or repeat). Prices snap to
     // integer cents before the frame sum, so the windowed aggregate is
@@ -1418,6 +1443,29 @@ object SparkEntry {
          |FROM newsh n LEFT JOIN (
          |  SELECT id_new, count(*) AS n_dups, min(id_match) AS first_dup
          |  FROM pairs GROUP BY 1) p ON n.doc_id = p.id_new""".stripMargin,
+
+    // Identical corruption, blocking predicate (first char + |Δlen|≤2
+    // == the exploded length band), levenshtein, and BIGINT best-key.
+    "q85_fuzzy_match" ->
+      """WITH probes AS (SELECT p_partkey + 20000 AS probe_id,
+        |    substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
+        |      || substr(p_name,
+        |        CAST(p_partkey % length(p_name) AS INT) + 2) AS pn
+        |  FROM part),
+        |m AS (SELECT probe_id,
+        |    count(*) AS n_matches,
+        |    min(CAST(levenshtein(pn, p_name) AS BIGINT) * 100000
+        |      + p_partkey) AS bk
+        |  FROM probes JOIN part ON
+        |    substr(pn, 1, 1) = substr(p_name, 1, 1)
+        |    AND abs(length(pn) - length(p_name)) <= 2
+        |    AND levenshtein(pn, p_name) <= 2
+        |  GROUP BY 1)
+        |SELECT p.probe_id,
+        |  CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
+        |  coalesce(m.bk // 100000, -1) AS best_dist,
+        |  coalesce(m.bk % 100000, -1) AS best_ref
+        |FROM probes p LEFT JOIN m ON p.probe_id = m.probe_id""".stripMargin,
 
     // Integer-day RANGE frame (same -6..0 bounds); cent-snap before the
     // sum keeps the frame aggregate order-free; count/avg written in

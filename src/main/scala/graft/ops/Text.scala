@@ -265,6 +265,37 @@ object Text {
           .as("chunk_fp"))
   }
 
+  /** Blocked fuzzy (edit-distance) join — the entity-resolution
+    * primitive: probe names match reference names within `maxDist`
+    * edits. All-pairs levenshtein is quadratic in the corpus; blocking
+    * on (first char, length) with the probe side exploded over the
+    * ±maxDist length band turns it into an EQUI-join — levenshtein
+    * runs only inside blocks, and the length part of the block key is
+    * sound because |len(a)−len(b)| ≤ maxDist is necessary for edit
+    * distance ≤ maxDist. First-char blocking trades recall for scale
+    * exactly like production ER blocking; a second pass with a
+    * different key (last char, sorted chars) composes for recall.
+    */
+  def fuzzyJoin(probes: DataFrame, refs: DataFrame, probeId: String,
+                probeName: Column, refId: String, refName: Column,
+                maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    val p = probes
+      .select(col(probeId).as("probe_id"), probeName.as("pn"))
+      .select(col("probe_id"), col("pn"),
+        substring(col("pn"), 1, 1).as("bc"),
+        explode(sequence(length(col("pn")) - maxDist,
+          length(col("pn")) + maxDist)).as("blen"))
+    val r = refs
+      .select(col(refId).as("ref_id"), refName.as("rn"))
+      .select(col("ref_id"), col("rn"),
+        substring(col("rn"), 1, 1).as("bc"), length(col("rn")).as("blen"))
+    p.join(r, Seq("bc", "blen"))
+      .withColumn("dist", levenshtein(col("pn"), col("rn")))
+      .filter(col("dist") <= maxDist)
+      .select(col("probe_id"), col("ref_id"), col("dist"))
+  }
+
   /** Word n-gram shingles (distinct), the MinHash/Jaccard input unit.
     * Documents shorter than n shingle to an empty array.
     *

@@ -347,6 +347,21 @@ class TextDedupSpec extends SparkSpec {
     assert(canonical == Set("docA", "docX", "docZ"))
   }
 
+  test("fuzzyJoin matches within maxDist through the blocking, misses outside") {
+    val refs = Seq((1L, "widget"), (2L, "wodget"), (3L, "gadget"),
+      (4L, "completely")).toDF("id", "name")
+    val probes = Seq(
+      (10L, "widgat"),   // dist 1 to widget, 2 to wodget; 3 to gadget
+      (11L, "idget"),    // first char deleted: blocking MISSES widget
+      (12L, "widgetxx"), // +2 len, dist 2 to widget
+      (13L, "zzzzzz"))   // nothing close
+      .toDF("id", "name")
+    val got = graft.ops.Text.fuzzyJoin(probes, refs, "id", $"name",
+        "id", $"name", 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((10L, 1L, 1), (10L, 2L, 2), (12L, 1L, 2)))
+  }
+
   test("hashSample is deterministic and disjoint across bucket ranges") {
     val df = (0L until 200L).toDF("id")
     val a = graft.ops.Sampling.hashSample(df, $"id", 30, 100).as[Long].collect().toSet
