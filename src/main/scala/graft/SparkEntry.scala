@@ -425,6 +425,28 @@ object SparkEntry {
           countDistinct(col("canonical")).as("n_clusters"))
     }),
 
+    // Quality: CUSUM drift per symbol (sequential ingest monitor) —
+    // integer-cent values, exact integer mean, fold state packed as
+    // S·2^20 + alarms so the whole recursion is bit-identical integer
+    // arithmetic on any engine.
+    "q86_cusum_drift" -> ((s, dir) => {
+      val b = Merge.keepLatestInSeries(bars(s, dir), Seq("symbol"), Seq("d"),
+        struct(col("ord"), col("px"), col("vol")))
+      Quality.cusumDrift(b, col("symbol"), col("d"),
+        round(col("px") * 100).cast("long"), 50L, 500L)
+        .withColumnRenamed("series", "symbol")
+    }),
+
+    // Quality: referential integrity — orphan fact rows whose order key
+    // has no parent; one anti-join, two exact counts.
+    "q87_ri_orphans" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").select(col("o_orderkey"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphan_rows"),
+          countDistinct(col("l_orderkey")).as("n_orphan_keys"))
+    }),
+
     // Text: blocked fuzzy match (entity resolution) — part names with
     // one char deleted at a key-determined position probe the clean
     // names through the (first char, ±2 length) equi-join blocking;
@@ -1443,6 +1465,39 @@ object SparkEntry {
          |FROM newsh n LEFT JOIN (
          |  SELECT id_new, count(*) AS n_dups, min(id_match) AS first_dup
          |  FROM pairs GROUP BY 1) p ON n.doc_id = p.id_new""".stripMargin,
+
+    // Same keep-latest series, same integer-cent fold with the packed
+    // (S·2^20 + alarms) state — DuckDB's // and % keep it exact.
+    "q86_cusum_drift" ->
+      s"""WITH b AS (
+         |  SELECT symbol, d, px FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY symbol, d ORDER BY ord DESC, px DESC, vol DESC)
+         |    AS rn FROM ($barsSql)) WHERE rn = 1),
+         |ser AS (
+         |  SELECT symbol,
+         |    list(CAST(round(px * 100) AS BIGINT) ORDER BY d) AS xs,
+         |    CAST(sum(CAST(round(px * 100) AS BIGINT)) AS BIGINT) AS sum_c,
+         |    count(*) AS n
+         |  FROM b GROUP BY symbol),
+         |f AS (SELECT symbol, CAST(n AS INT) AS n_obs,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), xs), (acc, x) ->
+         |      greatest(CAST(0 AS BIGINT),
+         |        acc // 1048576 + x - sum_c // n - 50) * 1048576
+         |      + acc % 1048576
+         |      + CASE WHEN greatest(CAST(0 AS BIGINT),
+         |          acc // 1048576 + x - sum_c // n - 50) > 500
+         |        THEN 1 ELSE 0 END) AS packed
+         |  FROM ser)
+         |SELECT symbol, n_obs,
+         |  packed // 1048576 AS cusum_final,
+         |  packed % 1048576 AS n_alarms
+         |FROM f""".stripMargin,
+
+    "q87_ri_orphans" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_orphan_rows,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orphan_keys
+        |FROM lineitem WHERE l_orderkey NOT IN
+        |  (SELECT o_orderkey FROM orders)""".stripMargin,
 
     // Identical corruption, blocking predicate (first char + |Δlen|≤2
     // == the exploded length band), levenshtein, and BIGINT best-key.

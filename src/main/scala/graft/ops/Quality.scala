@@ -79,6 +79,43 @@ object Quality {
   /** Remove all rows belonging to rejected keys — rejection key sets are
     * tiny relative to the fact table, so broadcast the anti-join side.
     */
+  /** CUSUM drift detector per series — the sequential data-quality
+    * monitor a training pipeline runs over ingest statistics:
+    * S_t = max(0, S_{t−1} + (x_t − μ − slack)), alarm when S_t exceeds
+    * `threshold`. Values are integer cents, μ is the exact per-series
+    * mean (`sum div n`), and the fold state packs (S, alarm count) into
+    * ONE BIGINT as S·2²⁰ + alarms — every engine evaluates the fold in
+    * exact integer arithmetic (dividing a multiple of 2²⁰ below 2⁵³ is
+    * lossless even through double division), so the result is
+    * bit-identical cross-engine. Requires S < 2³³ cents and < 2²⁰
+    * alarms per series.
+    *
+    * One shuffle on the series key; the fold is a per-row lambda over
+    * the collected ordered list (bounded by per-series length, same
+    * contract as the EMA fold).
+    */
+  def cusumDrift(df: DataFrame, series: Column, ord: Column,
+                 valueCents: Column, slackCents: Long,
+                 thresholdCents: Long): DataFrame = {
+    val G = 1048576L // 2^20
+    df.select(series.as("series"), ord.as("o"), valueCents.as("x"))
+      .groupBy(col("series"))
+      .agg(sort_array(collect_list(struct(col("o"), col("x")))).as("ser"),
+        sum(col("x")).as("sum_c"), count(lit(1)).as("n"))
+      .select(col("series"), col("n").cast("int").as("n_obs"),
+        aggregate(transform(col("ser"), r => r.getField("x")), lit(0L),
+          (acc, x) =>
+            greatest(lit(0L), floor(acc / G).cast("long") + x -
+              expr("sum_c div n") - slackCents) * G +
+              pmod(acc, lit(G)) +
+              when(greatest(lit(0L), floor(acc / G).cast("long") + x -
+                expr("sum_c div n") - slackCents) > thresholdCents, 1L)
+                .otherwise(0L)).as("packed"))
+      .select(col("series"), col("n_obs"),
+        floor(col("packed") / G).cast("long").as("cusum_final"),
+        pmod(col("packed"), lit(G)).as("n_alarms"))
+  }
+
   def excludeRejected(df: DataFrame, key: Column, rejections: DataFrame): DataFrame =
     df.join(broadcast(rejections.select(col("key"))),
       key === col("key"), "left_anti")

@@ -34,4 +34,24 @@ class QualitySpec extends SparkSpec {
     val clean = Quality.excludeRejected(bars, $"symbol", bad)
     assert(clean.select("symbol").as[String].collect().toSeq == Seq("A"))
   }
+
+  test("cusumDrift accumulates positive drift, resets at zero, counts alarms") {
+    // series A: values 100,100,100,400,400 -> mu = (1500/5)=220 exactly?
+    // 1500/5=300... hand-compute: mu = 1100 div 5 = 220 for the values
+    // below; slack 10, threshold 150.
+    val rows = Seq(
+      ("A", 1, 100L), ("A", 2, 100L), ("A", 3, 100L),
+      ("A", 4, 400L), ("A", 5, 400L),
+      // series B: flat -> mu == value, every step max(0, -slack) = 0
+      ("B", 1, 200L), ("B", 2, 200L), ("B", 3, 200L))
+      .toDF("sym", "o", "x")
+    // A: mu = 1100 div 5 = 220; steps (x - 230):
+    //   100 -> max(0, -130) = 0 (three times)
+    //   400 -> 170, alarm (>150); 400 -> 340, alarm
+    val out = Quality.cusumDrift(rows, $"sym", $"o", $"x", 10L, 150L)
+      .as[(String, Int, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("A") == ((5, 340L, 2L)))
+    assert(out("B") == ((3, 0L, 0L)))
+  }
 }
