@@ -425,6 +425,13 @@ object SparkEntry {
           countDistinct(col("canonical")).as("n_clusters"))
     }),
 
+    // Sampling: token-weighted corpus mixing — per-source keep rates
+    // steering each source to an equal token share, pure integer
+    // arithmetic end-to-end (no float snap anywhere).
+    "q88_mix_corpora" -> ((s, dir) =>
+      Sampling.mixUniformByTokens(t(s, dir, "documents"), col("doc_id"),
+        col("source"), Text.tokenCount(col("text")), 100)),
+
     // Quality: CUSUM drift per symbol (sequential ingest monitor) —
     // integer-cent values, exact integer mean, fold state packed as
     // S·2^20 + alarms so the whole recursion is bit-identical integer
@@ -1465,6 +1472,32 @@ object SparkEntry {
          |FROM newsh n LEFT JOIN (
          |  SELECT id_new, count(*) AS n_dups, min(id_match) AS first_dup
          |  FROM pairs GROUP BY 1) p ON n.doc_id = p.id_new""".stripMargin,
+
+    // Identical integer arithmetic: // is floor division but every
+    // operand is positive, matching Spark's div.
+    "q88_mix_corpora" ->
+      s"""WITH per AS (SELECT source, doc_id,
+         |    CAST(len($tokSql) AS BIGINT) AS w FROM documents),
+         |c AS (SELECT source, sum(w) AS w_s, count(*) AS n_docs
+         |  FROM per GROUP BY 1),
+         |t AS (SELECT CAST(sum(w_s) AS BIGINT) AS w_tot,
+         |    count(*) AS k_src FROM c),
+         |r AS (SELECT source, n_docs, w_s AS n_tokens,
+         |    CASE WHEN w_s = 0 THEN 100
+         |      ELSE least(100, (w_tot * 100) // (k_src * w_s)) END
+         |      AS keep_buckets
+         |  FROM c CROSS JOIN t)
+         |SELECT per.source,
+         |  CAST(min(r.n_docs) AS BIGINT) AS n_docs,
+         |  CAST(min(r.n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(min(r.keep_buckets) AS BIGINT) AS keep_buckets,
+         |  CAST(sum(CASE WHEN ${h60("CAST(per.doc_id AS VARCHAR)")} % 100
+         |      < r.keep_buckets THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_docs,
+         |  CAST(sum(CASE WHEN ${h60("CAST(per.doc_id AS VARCHAR)")} % 100
+         |      < r.keep_buckets THEN per.w ELSE 0 END) AS BIGINT)
+         |    AS n_kept_tokens
+         |FROM per JOIN r ON per.source = r.source
+         |GROUP BY 1""".stripMargin,
 
     // Same keep-latest series, same integer-cent fold with the packed
     // (S·2^20 + alarms) state — DuckDB's // and % keep it exact.

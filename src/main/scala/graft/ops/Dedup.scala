@@ -267,7 +267,11 @@ object Dedup {
     * back as (id_new, id_match, jac) where id_new is the DROP candidate:
     * for new×old matches the new doc; for new×new matches the larger id
     * (keep-first within the increment). `newDocs.join(pairs, anti)` is
-    * then the surviving increment. Id spaces must be disjoint.
+    * then the surviving increment. An id present in BOTH inputs (a
+    * replayed increment whose copy already committed) is resolved per
+    * side — its old and new copies pair once, at jaccard 1.0 for
+    * identical content — though a match id shared by both sides then
+    * yields one output row per side.
     */
   def jaccardPairsIncremental(oldDocs: DataFrame, newDocs: DataFrame,
                               id: String, hashedShingles: String,
@@ -284,13 +288,19 @@ object Dedup {
           (!col("b.is_new") || col("a.id") > col("b.id")) &&
           col("b.n") * threshold <= col("a.n") &&
           col("a.n") * threshold <= col("b.n"))
-      .select(col("a.id").as("id_new"), col("b.id").as("id_match"))
+      .select(col("a.id").as("id_new"), col("b.id").as("id_match"),
+        col("b.is_new").as("match_is_new"))
       .distinct()
+    // verification rejoins carry the side flag: an id present in BOTH
+    // inputs (a replayed increment probing a corpus that already holds
+    // its committed copy) resolves to exactly one row per side instead
+    // of fanning out across the duplicate
     cands
-      .join(d.select(col("id").as("id_new"), col("hs").as("hsa")),
-        Seq("id_new"))
-      .join(d.select(col("id").as("id_match"), col("hs").as("hsb")),
-        Seq("id_match"))
+      .join(d.filter(col("is_new"))
+        .select(col("id").as("id_new"), col("hs").as("hsa")), Seq("id_new"))
+      .join(d.select(col("id").as("id_match"), col("hs").as("hsb"),
+          col("is_new").as("match_is_new")),
+        Seq("id_match", "match_is_new"))
       .withColumn("jac", round(jaccard(col("hsa"), col("hsb")), 4))
       .filter(col("jac") >= threshold)
       .select("id_new", "id_match", "jac")

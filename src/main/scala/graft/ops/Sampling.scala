@@ -116,6 +116,45 @@ object Sampling {
           .otherwise(0L)).as("n_sampled"))
   }
 
+  /** Token-weighted corpus mixing: deterministic per-source keep rates
+    * that steer every source toward an EQUAL share of total tokens —
+    * the data-mixing step of corpus assembly, where row-count rates are
+    * the wrong lever because document lengths differ by source.
+    * keep_buckets_s = min(buckets, (w_tot · buckets) div (k · w_s)) —
+    * ALL integer arithmetic, so the rates are exact on any engine with
+    * no float snap at all; the keep decision is the deterministic hash
+    * bucket of the key. A zero-token source keeps everything.
+    *
+    * Scale shape: one map-side-combinable token histogram (k rows,
+    * broadcast back with the totals), then a codegen'd hash predicate
+    * per row. Output per source: docs/tokens before and after.
+    */
+  def mixUniformByTokens(df: DataFrame, key: Column, source: Column,
+                         tokens: Column, buckets: Int): DataFrame = {
+    val per = df.select(source.as("source"), key.as("__k"),
+      tokens.cast("long").as("__w"))
+    val counts = per.groupBy(col("source"))
+      .agg(sum(col("__w")).as("w_s"), count(lit(1)).as("n_docs"))
+    val totals = counts.agg(sum(col("w_s")).as("w_tot"),
+      count(lit(1)).as("k_src"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .withColumn("keep_buckets",
+        when(col("w_s") === 0, lit(buckets.toLong))
+          .otherwise(least(lit(buckets.toLong),
+            expr(s"(w_tot * $buckets) div (k_src * w_s)"))))
+      .select(col("source"), col("n_docs"), col("w_s").as("n_tokens"),
+        col("keep_buckets"))
+    per.join(broadcast(rates), "source")
+      .withColumn("__keep",
+        hashBucket(col("__k").cast("string"), buckets) < col("keep_buckets"))
+      .groupBy(col("source"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        first(col("n_tokens")).as("n_tokens"),
+        first(col("keep_buckets")).as("keep_buckets"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept_docs"),
+        sum(when(col("__keep"), col("__w")).otherwise(0L)).as("n_kept_tokens"))
+  }
+
   /** Leakage-safe train/val/test split: near-duplicate documents must
     * never straddle a split boundary (a test doc whose near-copy sits in
     * train leaks the answer into evaluation). The clusters implied by

@@ -65,6 +65,23 @@ class SamplingPackSpec extends SparkSpec {
       "per-bucket offsets should come back broadcast")
   }
 
+  test("mixUniformByTokens downsamples token-heavy sources, exact rates") {
+    // source a: 10 docs x 100 tokens = 1000; b: 10 x 10 = 100; total
+    // 1100 over 2 sources -> target 550 each: a keeps floor(1100*100/
+    // (2*1000))=55 buckets, b keeps min(100, 550/100*100)=100.
+    val docs = ((1L to 10L).map(i => (i, "a", ("t " * 100).trim)) ++
+      (11L to 20L).map(i => (i, "b", ("t " * 10).trim)))
+      .toDF("doc_id", "source", "text")
+    val out = Sampling.mixUniformByTokens(docs, $"doc_id", $"source",
+        Text.tokenCount($"text"), 100)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("a")._2 == 10L && out("a")._3 == 1000L && out("a")._4 == 55L)
+    assert(out("b")._4 == 100L, "light source keeps everything")
+    assert(out("b")._5 == 10L && out("b")._6 == 100L)
+    assert(out("a")._5 <= 10L && out("a")._6 == out("a")._5 * 100)
+  }
+
   test("leakageSafeSplit keeps whole clusters in one split, transitively") {
     val docs = (1L to 60L).toDF("doc_id")
     // chain 1-2, 2-3 (transitive cluster {1,2,3}); pair {10,11}; rest singletons

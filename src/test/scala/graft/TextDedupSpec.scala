@@ -189,6 +189,15 @@ class TextDedupSpec extends SparkSpec {
     assert(!got.exists { case (a, b) => a <= 10 && b <= 10 })
     // novel docs appear in no pair
     assert(!got.exists { case (a, b) => a == 14L || b == 14L })
+
+    // replay overlap: the same id on both sides (a committed increment
+    // replayed) pairs its own prior copy exactly once, at jac 1.0
+    val replay = Dedup.jaccardPairsIncremental(
+        old.unionByName(inc.filter($"id" === 11L)), // corpus already has 11
+        inc.filter($"id" === 11L), "id", "hs", 0.5)
+      .select($"id_new", $"id_match", $"jac")
+      .as[(Long, Long, Double)].collect()
+    assert(replay.count { case (a, b, j) => a == 11L && b == 11L && j == 1.0 } == 1)
   }
 
   test("minhash: identical sets sign identically; LSH finds near-dups") {
