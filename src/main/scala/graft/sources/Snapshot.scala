@@ -460,6 +460,39 @@ object Snapshot {
     else injectPartitionCol(df, m.partitionCol, m.partitionType)
   }
 
+  /** Version-to-version semantic diff (the CDC face of time travel):
+    * which keys were added, removed, or changed between two retained
+    * snapshots. Rows join FULL OUTER on `keys`; change detection
+    * compares a fingerprint over the columns COMMON to both versions
+    * (schema evolution adds columns — a column only one version has
+    * can't count as a change of rows that predate it). Null-safe: null
+    * renders as \u0002 (distinct from the empty string) and columns
+    * join with a \u0001 separator so values can't shift across column
+    * boundaries (values containing those control bytes excepted).
+    *
+    * One shuffle on the key columns; the fingerprint is a codegen'd
+    * md5 over the projected row, so the diff costs two scans + one
+    * join regardless of column count.
+    */
+  def diff(spark: SparkSession, table: String, v1: Long, v2: Long,
+           keys: Seq[String]): DataFrame = {
+    val a = read(spark, table, Some(v1))
+    val b = read(spark, table, Some(v2))
+    val common = a.columns.toSet.intersect(b.columns.toSet)
+      .diff(keys.toSet).toSeq.sorted
+    def fp(df: DataFrame) = md5(concat_ws("\u0001",
+      common.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
+    val l = a.select(keys.map(col) :+ fp(a).as("__fa"): _*)
+    val r = b.select(keys.map(col) :+ fp(b).as("__fb"): _*)
+    l.join(r, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__fa").isNull, lit("added"))
+          .when(col("__fb").isNull, lit("removed"))
+          .when(col("__fa") =!= col("__fb"), lit("changed")))
+      .filter(col("change_type").isNotNull)
+      .select(keys.map(col) :+ col("change_type"): _*)
+  }
+
   /** Re-inject the partition column from the directory name on the scan —
     * one codegen'd regexp + percent-decode, no join, no shuffle. The
     * suffix extracted from input_file_name() carries TWO escape layers:

@@ -148,6 +148,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: cusumDrift state stays in range; flat series never alarms") {
+    val serGen = Gen.listOfN(40, Gen.choose(100L, 5000L))
+    for (xs <- samples(serGen, 5)) {
+      val df = xs.zipWithIndex.map { case (x, i) => ("S", i, x) }
+        .toDF("sym", "o", "x")
+      val (n, s, a) = graft.ops.Quality
+        .cusumDrift(df, $"sym", $"o", $"x", 25L, 200L)
+        .as[(String, Int, Long, Long)].collect().head match {
+        case (_, n0, s0, a0) => (n0, s0, a0)
+      }
+      assert(n == xs.length && s >= 0L && a >= 0L && a <= xs.length)
+      // driver-side replay of the recursion must agree exactly
+      val mu = xs.sum / xs.length
+      var st = 0L; var alarms = 0L
+      xs.foreach { x =>
+        st = math.max(0L, st + x - mu - 25L)
+        if (st > 200L) alarms += 1
+      }
+      assert(s == st && a == alarms, s"exact replay: got ($s,$a), want ($st,$alarms)")
+      // a constant series drifts nowhere
+      val flat = Seq.fill(20)(("F", 1, 777L)).zipWithIndex
+        .map { case ((sym, _, x), i) => (sym, i, x) }.toDF("sym", "o", "x")
+      val fr = graft.ops.Quality.cusumDrift(flat, $"sym", $"o", $"x", 0L, 1L)
+        .as[(String, Int, Long, Long)].collect().head
+      assert(fr._3 == 0L && fr._4 == 0L)
+    }
+  }
+
+  test("property: mixUniformByTokens rates are exact and bounded") {
+    val srcGen = Gen.listOfN(30, Gen.zip(Gen.oneOf("a", "b", "c"),
+      Gen.choose(1, 200)))
+    for (docs <- samples(srcGen, 5)) {
+      val df = docs.zipWithIndex.map { case ((s, w), i) =>
+        (i.toLong, s, ("t " * w).trim)
+      }.toDF("doc_id", "source", "text")
+      val out = graft.ops.Sampling.mixUniformByTokens(df, $"doc_id",
+          $"source", graft.ops.Text.tokenCount($"text"), 100)
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+      val k = out.length
+      val wTot = out.map(_._3).sum
+      out.foreach { case (src, nDocs, nTok, kb, keptDocs, keptTok) =>
+        assert(kb >= 0L && kb <= 100L)
+        assert(kb == math.min(100L, (wTot * 100) / (k * nTok)),
+          s"$src rate formula")
+        assert(keptDocs <= nDocs && keptTok <= nTok)
+      }
+    }
+  }
+
   test("property: funnel depth is monotone under event removal") {
     val evGen = Gen.listOfN(40, for {
       u <- Gen.choose(1L, 6L)

@@ -383,6 +383,27 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("diff reports added/removed/changed keys between versions, null-safe") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      Snapshot.commit(
+        batch(("A", "2024-01-01", 10.0, 0L), ("B", "2024-01-01", 20.0, 0L),
+          ("C", "2024-01-02", 30.0, 0L)), t, Some("date"))
+      // v2: B's close changes, C unchanged, D appears; then drop A via
+      // a fresh commit (merge can't remove) — use commit for v2 state
+      Snapshot.commit(
+        batch(("B", "2024-01-01", 21.0, 1L), ("C", "2024-01-02", 30.0, 0L),
+          ("D", "2024-01-03", 40.0, 0L)), t, Some("date"))
+      val d = Snapshot.diff(spark, t, 1L, 2L, Seq("symbol", "date"))
+        .select($"symbol", $"change_type").as[(String, String)]
+        .collect().toMap
+      assert(d == Map("A" -> "removed", "B" -> "changed", "D" -> "added"),
+        s"got $d")
+      // version column changed for B too; C identical in both -> absent
+      assert(!d.contains("C"))
+    }
+  }
+
   test("merge carries untouched dirs' per-file stats by reference") {
     withTempDir { dir =>
       val t = dir.getAbsolutePath + "/t"
