@@ -114,6 +114,34 @@ class PhysicalPlanSpec extends SparkSpec {
       s"a sort-merge join on the skewed token key is the scale-killer:\n$p")
   }
 
+  test("chunking is a pure scan pass; funnel reduces before the step join") {
+    val p = plan("q74_chunk_tokens")
+    assert(!"(?m)^\\s*\\(\\d+\\) Exchange".r.findAllIn(p).hasNext,
+      s"chunking inherits the input partitioning — no shuffle:\n$p")
+    val f = plan("q77_funnel")
+    // the per-user table must collapse to the reached-histogram BEFORE
+    // meeting the step table (broadcast, not shuffled)
+    assert(f.contains("BroadcastNestedLoopJoin") || f.contains("BroadcastHashJoin"),
+      s"step table must broadcast:\n$f")
+    assert(!f.contains("SortMergeJoin"), f)
+  }
+
+  test("incremental dedup probes with equi-joins only — no cartesian") {
+    val p = plan("q82_incremental_dedup")
+    assert(!p.contains("CartesianProduct"), s"no cartesian product:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must stay an equi-join:\n$p")
+  }
+
+  test("mixing and temperature rates come back broadcast, never shuffled back") {
+    Seq("q88_mix_corpora", "q76_temperature_sample").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q per-stratum rates must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+    }
+  }
+
   test("whole-stage codegen covers the scan-project pipeline") {
     val df = Tables(spark, dir, "lineitem")
       .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
