@@ -515,6 +515,15 @@ object SparkEntry {
       Events.funnelCounts(t(s, dir, "events"), col("user_id"), col("ts"),
         col("event_type"), Seq("view", "click", "purchase"))),
 
+    // Events: conversion-window funnel — steps count only within 24h
+    // of the user's first view (first-touch anchor); the fold packs
+    // (anchor_us, reached) into one BIGINT decoded by bit shifts, so
+    // the recursion is exact integer arithmetic on both engines.
+    "q89_windowed_funnel" -> ((s, dir) =>
+      Events.funnelCountsWithin(t(s, dir, "events"), col("user_id"),
+        col("ts"), col("event_type"), Seq("view", "click", "purchase"),
+        86400L)),
+
     // Events: 30-minute-gap sessionization (lag marker + running sum
     // sharing one window spec → one exchange, one sort), aggregated per
     // session. Session extent is reported via exact event ids, NOT raw
@@ -1612,6 +1621,35 @@ object SparkEntry {
         |        list_reduce(list_prepend(CAST(0 AS BIGINT), seq),
         |          (acc, x) -> CASE WHEN x % 8 = acc + 1 THEN acc + 1
         |            ELSE acc END) AS reached
+        |      FROM u)
+        |SELECT s.step, s.step_name,
+        |  CAST(coalesce(sum(CASE WHEN r.reached >= s.step THEN 1 ELSE 0 END),
+        |    0) AS BIGINT) AS n_users
+        |FROM (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+        |  s(step, step_name)
+        |LEFT JOIN r ON true
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Same packed (anchor·8+reached) state; >> and % are the exact
+    // integer decode on BIGINT.
+    "q89_windowed_funnel" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(ts) * 8 + CASE event_type WHEN 'view' THEN 1
+        |      WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 ELSE 0 END AS enc,
+        |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |      WHEN 'purchase' THEN 3 ELSE 0 END AS si
+        |  FROM events),
+        |u AS (SELECT user_id, list_sort(list(enc)) AS seq
+        |      FROM e WHERE si > 0 GROUP BY 1),
+        |r AS (SELECT user_id,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT), seq),
+        |          (acc, x) -> CASE
+        |            WHEN acc % 8 = 0 AND x % 8 = 1
+        |              THEN (x >> 3) * 8 + 1
+        |            WHEN acc % 8 > 0 AND x % 8 = acc % 8 + 1
+        |              AND (x >> 3) - (acc >> 3) <= 86400000000
+        |              THEN (acc >> 3) * 8 + acc % 8 + 1
+        |            ELSE acc END) % 8 AS reached
         |      FROM u)
         |SELECT s.step, s.step_name,
         |  CAST(coalesce(sum(CASE WHEN r.reached >= s.step THEN 1 ELSE 0 END),

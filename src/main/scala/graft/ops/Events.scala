@@ -50,16 +50,60 @@ object Events {
           .as("reached"))
   }
 
+  /** Conversion-window funnel: like [[funnelReached]], but steps count
+    * only within `windowSeconds` of the user's FIRST step-1 event (the
+    * anchor does not restart on later step-1s — the strict "first
+    * touch" attribution). The fold state packs (anchor_us, reached)
+    * into one BIGINT as t·8+r and decodes with bit shifts — pure
+    * integer ops, exact at any epoch (no double division anywhere).
+    */
+  def funnelReachedWithin(events: DataFrame, user: Column, ts: Column,
+                          step: Column, steps: Seq[String],
+                          windowSeconds: Long): DataFrame = {
+    require(steps.nonEmpty && steps.size <= 7,
+      "funnel depth must be 1..7 (3-bit step encoding)")
+    val wUs = windowSeconds * 1000000L
+    val stepIdx = steps.zipWithIndex.foldLeft(lit(0L)) {
+      case (acc, (s, i)) => when(step === s, lit(i.toLong + 1L)).otherwise(acc)
+    }
+    events.select(user.as("user"), (unix_micros(ts) * 8 + stepIdx).as("enc"),
+        stepIdx.as("si"))
+      .filter(col("si") > 0)
+      .groupBy(col("user"))
+      .agg(sort_array(collect_list(col("enc"))).as("seq"))
+      .select(col("user"),
+        pmod(aggregate(col("seq"), lit(0L), (acc, x) =>
+          when(pmod(acc, lit(8L)) === 0L && pmod(x, lit(8L)) === 1L,
+            shiftleft(shiftright(x, 3), 3) + 1L)
+            .when(pmod(acc, lit(8L)) > 0L &&
+              pmod(x, lit(8L)) === pmod(acc, lit(8L)) + 1L &&
+              shiftright(x, 3) - shiftright(acc, 3) <= wUs,
+              shiftleft(shiftright(acc, 3), 3) + pmod(acc, lit(8L)) + 1L)
+            .otherwise(acc)), lit(8L)).as("reached"))
+  }
+
   /** Funnel step counts: for each step k, how many users reached depth
     * ≥ k. The per-user table reduces to a ≤(k+1)-row histogram before
     * the step join, so the cumulative sum runs over k² tiny rows.
     */
   def funnelCounts(events: DataFrame, user: Column, ts: Column,
-                   step: Column, steps: Seq[String]): DataFrame = {
-    val spark = events.sparkSession
+                   step: Column, steps: Seq[String]): DataFrame =
+    countsFrom(funnelReached(events, user, ts, step, steps), steps)
+
+  /** [[funnelCounts]] with the conversion-window semantics of
+    * [[funnelReachedWithin]].
+    */
+  def funnelCountsWithin(events: DataFrame, user: Column, ts: Column,
+                         step: Column, steps: Seq[String],
+                         windowSeconds: Long): DataFrame =
+    countsFrom(
+      funnelReachedWithin(events, user, ts, step, steps, windowSeconds),
+      steps)
+
+  private def countsFrom(reachedDf: DataFrame, steps: Seq[String]): DataFrame = {
+    val spark = reachedDf.sparkSession
     import spark.implicits._
-    val hist = funnelReached(events, user, ts, step, steps)
-      .groupBy(col("reached")).agg(count(lit(1)).as("n"))
+    val hist = reachedDf.groupBy(col("reached")).agg(count(lit(1)).as("n"))
     val stepDf = steps.zipWithIndex
       .map { case (s, i) => (i + 1, s) }.toDF("step", "step_name")
     stepDf.join(hist, hist("reached") >= stepDf("step"), "left")

@@ -45,6 +45,35 @@ class EventsSpec extends SparkSpec {
     assert(reached == 3L)
   }
 
+  test("windowed funnel: steps count only within the window of the first anchor") {
+    val ev = Seq(
+      // u1: purchase lands outside 1h of the first view -> depth 2
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:30:00"), "click"),
+      (1L, ts("2024-01-01 12:00:00"), "purchase"),
+      // u2: click outside the window -> depth 1
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 11:30:00"), "click"),
+      // u3: full funnel inside the window
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 10:20:00"), "click"),
+      (3L, ts("2024-01-01 10:40:00"), "purchase"),
+      // u4: a SECOND view does not restart the anchor (first touch):
+      // click is within 1h of the second view but not the first
+      (4L, ts("2024-01-01 08:00:00"), "view"),
+      (4L, ts("2024-01-01 09:00:00"), "view"),
+      (4L, ts("2024-01-01 09:30:00"), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val reached = Events.funnelReachedWithin(ev, $"user_id", $"ts",
+        $"event_type", Seq("view", "click", "purchase"), 3600L)
+      .as[(Long, Long)].collect().toMap
+    assert(reached == Map(1L -> 2L, 2L -> 1L, 3L -> 3L, 4L -> 1L))
+    val counts = Events.funnelCountsWithin(ev, $"user_id", $"ts",
+        $"event_type", Seq("view", "click", "purchase"), 3600L)
+      .as[(Int, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(counts == Map(1 -> 4L, 2 -> 2L, 3 -> 1L))
+  }
+
   test("sessionize splits strictly-greater-than-gap, 1-based ids") {
     val ev = Seq(
       (1L, 10L, ts("2024-01-01 10:00:00")),
