@@ -432,6 +432,30 @@ object SparkEntry {
       Sampling.mixUniformByTokens(t(s, dir, "documents"), col("doc_id"),
         col("source"), Text.tokenCount(col("text")), 100)),
 
+    // Quality: PSI distribution drift between two order populations —
+    // fixed bins, exact integer histograms, each (p−q)·ln(p/q) term
+    // snapped to ×1e6 BIGINT before the sum (order-free, the q72
+    // pattern); bins counted only where BOTH sides have mass.
+    "q90_psi_drift" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def hist(par: Int, as: String) =
+        o.filter(pmod(col("o_orderkey"), lit(2)) === par)
+          .groupBy(floor(col("o_totalprice") / 20000).cast("long").as("bin"))
+          .agg(count(lit(1)).as(as))
+      val r = hist(0, "n_r")
+      val c = hist(1, "n_c")
+      r.join(c, "bin")
+        .crossJoin(broadcast(r.agg(sum(col("n_r")).as("t_r"))))
+        .crossJoin(broadcast(c.agg(sum(col("n_c")).as("t_c"))))
+        .withColumn("term_fp", round(
+          (col("n_r") / col("t_r") - col("n_c") / col("t_c")) *
+            log((col("n_r") / col("t_r")) / (col("n_c") / col("t_c"))) *
+            1000000d).cast("long"))
+        .agg(count(lit(1)).as("n_bins"),
+          round((sum(col("term_fp")).cast("double") / 1000000d)
+            .cast("decimal(20,10)"), 4).cast("double").as("psi"))
+    }),
+
     // Quality: CUSUM drift per symbol (sequential ingest monitor) —
     // integer-cent values, exact integer mean, fold state packed as
     // S·2^20 + alarms so the whole recursion is bit-identical integer
@@ -1481,6 +1505,28 @@ object SparkEntry {
          |FROM newsh n LEFT JOIN (
          |  SELECT id_new, count(*) AS n_dups, min(id_match) AS first_dup
          |  FROM pairs GROUP BY 1) p ON n.doc_id = p.id_new""".stripMargin,
+
+    // Same operation order per term; every constant cast to DOUBLE;
+    // the ×1e6 BIGINT snap makes the sum order-free.
+    "q90_psi_drift" ->
+      """WITH r AS (SELECT CAST(floor(o_totalprice
+        |      / CAST(20000 AS DOUBLE)) AS BIGINT) AS bin,
+        |    count(*) AS n_r FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+        |c AS (SELECT CAST(floor(o_totalprice
+        |      / CAST(20000 AS DOUBLE)) AS BIGINT) AS bin,
+        |    count(*) AS n_c FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1),
+        |tr AS (SELECT CAST(sum(n_r) AS BIGINT) AS t_r FROM r),
+        |tc AS (SELECT CAST(sum(n_c) AS BIGINT) AS t_c FROM c),
+        |terms AS (SELECT
+        |    CAST(round((CAST(n_r AS DOUBLE) / t_r - CAST(n_c AS DOUBLE) / t_c)
+        |      * ln((CAST(n_r AS DOUBLE) / t_r) / (CAST(n_c AS DOUBLE) / t_c))
+        |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS term_fp
+        |  FROM r JOIN c USING (bin) CROSS JOIN tr CROSS JOIN tc)
+        |SELECT CAST(count(*) AS BIGINT) AS n_bins,
+        |  CAST(round(CAST(CAST(sum(term_fp) AS DOUBLE)
+        |    / CAST(1000000.0 AS DOUBLE) AS DECIMAL(20,10)), 4) AS DOUBLE)
+        |    AS psi
+        |FROM terms""".stripMargin,
 
     // Identical integer arithmetic: // is floor division but every
     // operand is positive, matching Spark's div.
