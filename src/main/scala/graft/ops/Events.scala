@@ -32,8 +32,11 @@ object Events {
     * counts; a pathological mega-user would need a time-bucketed
     * pre-fold, which composes on top of this same encoding.
     */
-  def funnelReached(events: DataFrame, user: Column, ts: Column,
-                    step: Column, steps: Seq[String]): DataFrame = {
+  /** Per-user time-sorted sequence of epoch_us·8 + step-index codes —
+    * the shared input of both funnel folds.
+    */
+  private def encodedSeq(events: DataFrame, user: Column, ts: Column,
+                         step: Column, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty && steps.size <= 7,
       "funnel depth must be 1..7 (3-bit step encoding)")
     val stepIdx = steps.zipWithIndex.foldLeft(lit(0L)) {
@@ -44,11 +47,15 @@ object Events {
       .filter(col("si") > 0)
       .groupBy(col("user"))
       .agg(sort_array(collect_list(col("enc"))).as("seq"))
+  }
+
+  def funnelReached(events: DataFrame, user: Column, ts: Column,
+                    step: Column, steps: Seq[String]): DataFrame =
+    encodedSeq(events, user, ts, step, steps)
       .select(col("user"),
         aggregate(col("seq"), lit(0L), (acc, x) =>
           when(pmod(x, lit(8L)) === acc + 1L, acc + 1L).otherwise(acc))
           .as("reached"))
-  }
 
   /** Conversion-window funnel: like [[funnelReached]], but steps count
     * only within `windowSeconds` of the user's FIRST step-1 event (the
@@ -60,17 +67,8 @@ object Events {
   def funnelReachedWithin(events: DataFrame, user: Column, ts: Column,
                           step: Column, steps: Seq[String],
                           windowSeconds: Long): DataFrame = {
-    require(steps.nonEmpty && steps.size <= 7,
-      "funnel depth must be 1..7 (3-bit step encoding)")
     val wUs = windowSeconds * 1000000L
-    val stepIdx = steps.zipWithIndex.foldLeft(lit(0L)) {
-      case (acc, (s, i)) => when(step === s, lit(i.toLong + 1L)).otherwise(acc)
-    }
-    events.select(user.as("user"), (unix_micros(ts) * 8 + stepIdx).as("enc"),
-        stepIdx.as("si"))
-      .filter(col("si") > 0)
-      .groupBy(col("user"))
-      .agg(sort_array(collect_list(col("enc"))).as("seq"))
+    encodedSeq(events, user, ts, step, steps)
       .select(col("user"),
         pmod(aggregate(col("seq"), lit(0L), (acc, x) =>
           when(pmod(acc, lit(8L)) === 0L && pmod(x, lit(8L)) === 1L,
