@@ -432,6 +432,18 @@ object SparkEntry {
       Sampling.mixUniformByTokens(t(s, dir, "documents"), col("doc_id"),
         col("source"), Text.tokenCount(col("text")), 100)),
 
+    // Sketch: join-size estimate from two count-min register tables —
+    // the AMS inner-product bound (min over rows of Σ cntA·cntB), next
+    // to the exact join size it upper-bounds. No join executed on the
+    // sketch path; all-integer registers keep it deterministic.
+    "q91_join_size_sketch" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").select(col("l_orderkey").as("k"))
+      val o = t(s, dir, "orders").select(col("o_orderkey").as("k"))
+      Sketch.cmJoinSizeEstimate(
+          Sketch.cmRegisters(l, col("k")), Sketch.cmRegisters(o, col("k")))
+        .crossJoin(l.join(o, "k").agg(count(lit(1)).as("n_exact")))
+    }),
+
     // Quality: PSI distribution drift between two order populations —
     // fixed bins, exact integer histograms, each (p−q)·ln(p/q) term
     // snapped to ×1e6 BIGINT before the sum (order-free, the q72
@@ -1505,6 +1517,29 @@ object SparkEntry {
          |FROM newsh n LEFT JOIN (
          |  SELECT id_new, count(*) AS n_dups, min(id_match) AS first_dup
          |  FROM pairs GROUP BY 1) p ON n.doc_id = p.id_new""".stripMargin,
+
+    // Identical register construction (q63's row|value md5 bucket);
+    // the inner product and min are exact integer arithmetic.
+    "q91_join_size_sketch" -> {
+      def bucket(v: String) =
+        s"CAST(${h60(s"CAST(i AS VARCHAR) || '|' || CAST($v AS VARCHAR)")} % 1024 AS BIGINT)"
+      s"""WITH ra AS (
+         |  SELECT i, ${bucket("l_orderkey")} AS bucket, count(*) AS ca
+         |  FROM lineitem, range(4) r(i) GROUP BY 1, 2),
+         |rb AS (
+         |  SELECT i, ${bucket("o_orderkey")} AS bucket, count(*) AS cb
+         |  FROM orders, range(4) r(i) GROUP BY 1, 2),
+         |rows_ AS (
+         |  SELECT i, sum(ca * cb) AS rowsum
+         |  FROM ra JOIN rb USING (i, bucket) GROUP BY 1),
+         |exact AS (
+         |  SELECT count(*) AS n_exact FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey)
+         |SELECT CAST(min(rowsum) AS BIGINT) AS join_size_est,
+         |  CAST(n_exact AS BIGINT) AS n_exact
+         |FROM rows_ CROSS JOIN exact
+         |GROUP BY n_exact""".stripMargin
+    },
 
     // Same operation order per term; every constant cast to DOUBLE;
     // the ×1e6 BIGINT snap makes the sum order-free.

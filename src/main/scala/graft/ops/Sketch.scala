@@ -128,6 +128,22 @@ object Sketch {
     a.unionByName(b).groupBy(col("row"), col("bucket"))
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Equi-join cardinality estimate from two count-min register tables
+    * (same d/w): |A ⋈ B| ≈ min over hash rows of Σ_bucket cntA·cntB.
+    * Each row's inner product equals the true join size plus
+    * NON-NEGATIVE collision noise, so the minimum never underestimates
+    * (the AMS/CM inner-product bound). All-integer, mergeable inputs,
+    * no join executed — the planning probe that decides broadcast vs
+    * shuffle vs skew-salt at 100 TB from d·w-cell state per side.
+    */
+  def cmJoinSizeEstimate(ra: DataFrame, rb: DataFrame): DataFrame =
+    ra.select(col("row"), col("bucket"), col("cnt").as("ca"))
+      .join(rb.select(col("row"), col("bucket"), col("cnt").as("cb")),
+        Seq("row", "bucket"))
+      .groupBy(col("row"))
+      .agg(sum(col("ca") * col("cb")).as("rowsum"))
+      .agg(min(col("rowsum")).as("join_size_est"))
+
   /** Point estimates for `probes`: min over the d cells a probe hashes
     * to (absent cell = 0). Never underestimates the true count.
     */

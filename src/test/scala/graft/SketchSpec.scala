@@ -118,4 +118,21 @@ class SketchSpec extends SparkSpec {
       .select($"n_approx").as[Double].head()
     assert(merged == direct, "sketch union must equal union sketch exactly")
   }
+
+  test("cm join-size estimate never underestimates; exact when collision-free") {
+    val a = Seq(1L, 1L, 1L, 2L, 3L).toDF("k")   // key 1 x3
+    val b = Seq(1L, 2L, 2L, 9L).toDF("k")        // join size 3*1 + 1*2 = 5
+    val est = Sketch.cmJoinSizeEstimate(
+        Sketch.cmRegisters(a, $"k"), Sketch.cmRegisters(b, $"k"))
+      .as[Long].head()
+    // 5 distinct keys over 4x1024 cells: collision-free -> exact
+    assert(est == 5L)
+    // a denser keyspace can only add non-negative collision noise
+    val a2 = (1L to 300L).toDF("k")
+    val b2 = (200L to 500L).toDF("k")
+    val est2 = Sketch.cmJoinSizeEstimate(
+        Sketch.cmRegisters(a2, $"k"), Sketch.cmRegisters(b2, $"k"))
+      .as[Long].head()
+    assert(est2 >= 101L, s"true join size 101, est $est2")
+  }
 }
