@@ -1532,12 +1532,15 @@ object SparkEntry {
          |rows_ AS (
          |  SELECT i, sum(ca * cb) AS rowsum
          |  FROM ra JOIN rb USING (i, bucket) GROUP BY 1),
+         |allrows AS (
+         |  SELECT r.i, coalesce(rows_.rowsum, 0) AS rowsum
+         |  FROM range(4) r(i) LEFT JOIN rows_ ON r.i = rows_.i),
          |exact AS (
          |  SELECT count(*) AS n_exact FROM lineitem
          |  JOIN orders ON l_orderkey = o_orderkey)
          |SELECT CAST(min(rowsum) AS BIGINT) AS join_size_est,
          |  CAST(n_exact AS BIGINT) AS n_exact
-         |FROM rows_ CROSS JOIN exact
+         |FROM allrows CROSS JOIN exact
          |GROUP BY n_exact""".stripMargin
     },
 

@@ -198,15 +198,6 @@ object Dedup {
       .select("id_a", "id_b", "jac")
   }
 
-  /** PPJoin-style prefix filtering over PRE-HASHED shingles — the
-    * skew-proof Jaccard variant (see `jaccardPairsPrefix` for the
-    * theorem): index only each doc's n−⌈θ·n⌉+1 globally-rarest hashes
-    * (rarity = document frequency, ties by hash value — a total order),
-    * candidate-join on the prefix postings, size-ratio prune, then
-    * verify every candidate against the FULL hash sets. Identical
-    * output to `jaccardPairsHashed`; the candidate stream shrinks
-    * superlinearly because hot shingles never make a prefix.
-    */
   /** Rarity-sorted PPJoin prefix index over a (id, hs[, carry…]) frame:
     * one output row per retained prefix element — (id[, carry…], n, h).
     * See [[jaccardPairsPrefixHashed]] for the retention argument.
@@ -234,6 +225,15 @@ object Dedup {
           r => r.getField("h"))).as("h")): _*)
   }
 
+  /** PPJoin-style prefix filtering over PRE-HASHED shingles — the
+    * skew-proof Jaccard variant (see `jaccardPairsPrefix` for the
+    * theorem): index only each doc's n−⌈θ·n⌉+1 globally-rarest hashes
+    * (rarity = document frequency, ties by hash value — a total order),
+    * candidate-join on the prefix postings, size-ratio prune, then
+    * verify every candidate against the FULL hash sets. Identical
+    * output to `jaccardPairsHashed`; the candidate stream shrinks
+    * superlinearly because hot shingles never make a prefix.
+    */
   def jaccardPairsPrefixHashed(docs: DataFrame, id: String,
                                hashedShingles: String,
                                threshold: Double): DataFrame = {
@@ -400,11 +400,16 @@ object Dedup {
     // type-agnostic (string/date/numeric ids all order natively; only
     // `quality` must be numeric, it is a score by contract). The former
     // max_by(struct(quality, −id)) negated the id and so silently
-    // required numeric ids.
+    // required numeric ids. A NULL quality must LOSE: struct ordering
+    // sorts null fields SMALLEST, so a bare −quality would make the
+    // null-scored doc the min — map null to +∞ instead (matching the
+    // old max_by behavior, where null sorted last and never won).
+    val rankQ = coalesce(-quality.cast("double"),
+      lit(Double.PositiveInfinity))
     val winners = docs.join(clusters, col(id) === col("__cid"), "left")
       .withColumn("__c", coalesce(col("component"), col(id)))
       .groupBy(col("__c"))
-      .agg(min_by(col(id), struct(-quality, col(id))).as(id))
+      .agg(min_by(col(id), struct(rankQ, col(id))).as(id))
       .select(id)
     docs.join(winners, Seq(id), "left_semi")
   }
@@ -428,8 +433,12 @@ object Dedup {
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // persist the INPUT before the symmetric union: its two branches
     // are separate scans of `pairs`, and upstream pair generation (an
-    // inverted join or LSH pipeline) is far too expensive to run twice
-    val p = pairs.persist()
+    // inverted join or LSH pipeline) is far too expensive to run twice.
+    // If the CALLER already persisted it, leave ownership there — the
+    // final unpersist must not evict a cache we did not create.
+    val callerCached =
+      pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val p = if (callerCached) pairs else pairs.persist()
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
@@ -490,7 +499,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    p.unpersist()
+    if (!callerCached) p.unpersist(): Unit
     if (!converged)
       throw new IllegalStateException(
         s"duplicateClusters did not converge within $maxIter rounds — " +

@@ -76,9 +76,6 @@ object Quality {
       .select(key.as("key")).distinct()
       .withColumn("reason", lit(ReasonOhlcLogic))
 
-  /** Remove all rows belonging to rejected keys — rejection key sets are
-    * tiny relative to the fact table, so broadcast the anti-join side.
-    */
   /** CUSUM drift detector per series — the sequential data-quality
     * monitor a training pipeline runs over ingest statistics:
     * S_t = max(0, S_{t−1} + (x_t − μ − slack)), alarm when S_t exceeds
@@ -116,6 +113,9 @@ object Quality {
         pmod(col("packed"), lit(G)).as("n_alarms"))
   }
 
+  /** Remove all rows belonging to rejected keys — rejection key sets are
+    * tiny relative to the fact table, so broadcast the anti-join side.
+    */
   def excludeRejected(df: DataFrame, key: Column, rejections: DataFrame): DataFrame =
     df.join(broadcast(rejections.select(col("key"))),
       key === col("key"), "left_anti")

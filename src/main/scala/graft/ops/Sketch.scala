@@ -136,13 +136,21 @@ object Sketch {
     * no join executed — the planning probe that decides broadcast vs
     * shuffle vs skew-salt at 100 TB from d·w-cell state per side.
     */
-  def cmJoinSizeEstimate(ra: DataFrame, rb: DataFrame): DataFrame =
-    ra.select(col("row"), col("bucket"), col("cnt").as("ca"))
+  def cmJoinSizeEstimate(ra: DataFrame, rb: DataFrame,
+                         d: Int = 4): DataFrame = {
+    val spark = ra.sparkSession
+    // every hash row participates in the min: a row whose sketches
+    // share NO bucket has inner product 0 (and proves the true join is
+    // empty) — dropping it from the inner join would overestimate
+    val rows = spark.range(d).select(col("id").cast("int").as("row"))
+    val sums = ra.select(col("row"), col("bucket"), col("cnt").as("ca"))
       .join(rb.select(col("row"), col("bucket"), col("cnt").as("cb")),
         Seq("row", "bucket"))
       .groupBy(col("row"))
       .agg(sum(col("ca") * col("cb")).as("rowsum"))
-      .agg(min(col("rowsum")).as("join_size_est"))
+    rows.join(sums, Seq("row"), "left")
+      .agg(min(coalesce(col("rowsum"), lit(0L))).as("join_size_est"))
+  }
 
   /** Point estimates for `probes`: min over the d cells a probe hashes
     * to (absent cell = 0). Never underestimates the true count.

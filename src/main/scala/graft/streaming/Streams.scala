@@ -211,6 +211,11 @@ object Streams {
   def sketchStream(in: DataFrame, registerPath: String, checkpoint: String,
                    groups: Seq[String], value: org.apache.spark.sql.Column,
                    bHex: Int = 3): Unit = {
+    // repair an interrupted swap BEFORE waiting on input: a crash
+    // between the two renames leaves the data one rename away, and a
+    // restart with no pending files would otherwise never run a batch
+    // (so never recover) while readers of registerPath fail meanwhile
+    recoverRegisters(registerPath)
     val q = in.writeStream
       .outputMode(OutputMode.Update)
       .option("checkpointLocation", checkpoint)
@@ -279,8 +284,12 @@ object Streams {
                     maxRepetition: Double = 0.5,
                     maxSharedShingles: Long = 0L): Unit = {
     import graft.ops.{Dedup, Text}
+    // the benchmark set is static: shingle it ONCE and persist, so each
+    // micro-batch broadcasts from the cache instead of re-running the
+    // tokenize→shingle→distinct pipeline per batch
     val bench = benchDocs.select(
       Dedup.hashedShingles(Text.tokens(col("text")), 3).as("hs"))
+      .persist()
     val q = in.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -312,6 +321,7 @@ object Streams {
       }
       .start()
     q.awaitTermination()
+    bench.unpersist(): Unit
   }
 
   /** Corpus-growing streaming dedup — the continuous face of
@@ -367,7 +377,14 @@ object Streams {
           if (!survivors.isEmpty)
             Snapshot.merge(survivors, table, Seq("doc_id"), "doc_id",
               "ingest_batch"): Unit
-          fresh.unpersist(): Unit
+          fresh.unpersist()
+          // the incremental op persists its corpus-sized union + prefix
+          // index internally and returns lazily, so their handles are
+          // out of reach here; without this, every micro-batch would
+          // pin another full corpus snapshot in the cache for the
+          // stream's lifetime. The merge above has materialized
+          // everything this batch needs.
+          spark.catalog.clearCache()
         }
       }
       .start()

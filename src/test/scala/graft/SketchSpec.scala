@@ -134,5 +134,12 @@ class SketchSpec extends SparkSpec {
         Sketch.cmRegisters(a2, $"k"), Sketch.cmRegisters(b2, $"k"))
       .as[Long].head()
     assert(est2 >= 101L, s"true join size 101, est $est2")
+    // disjoint keysets: any hash row without shared buckets proves the
+    // join is empty, and the min must see it — not drop it
+    val est3 = Sketch.cmJoinSizeEstimate(
+        Sketch.cmRegisters(Seq(1L, 2L).toDF("k"), $"k"),
+        Sketch.cmRegisters(Seq(900L, 901L).toDF("k"), $"k"))
+      .as[Long].head()
+    assert(est3 == 0L, s"disjoint sets must estimate 0, got $est3")
   }
 }

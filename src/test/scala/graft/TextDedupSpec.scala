@@ -351,6 +351,14 @@ class TextDedupSpec extends SparkSpec {
     // smaller docX; Z untouched singleton
     assert(kept == Set("docB", "docX", "docZ"))
 
+    // a NULL quality score must LOSE its cluster, never win it
+    val nq = Seq(("n1", Some(0.9)), ("n2", Option.empty[Double]))
+      .toDF("doc_id", "q")
+    val keptNq = Dedup.dedupByClustersBest(nq, "doc_id",
+        Seq(("n1", "n2")).toDF("id_a", "id_b"), $"q")
+      .select($"doc_id").as[String].collect().toSet
+    assert(keptNq == Set("n1"), s"null quality must not win: $keptNq")
+
     val canonical = Dedup.dedupByClusters(docs, "doc_id", pairs)
       .select($"doc_id").as[String].collect().toSet
     assert(canonical == Set("docA", "docX", "docZ"))
