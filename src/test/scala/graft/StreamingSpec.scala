@@ -218,6 +218,15 @@ class StreamingSpec extends SparkSpec {
       assert(live.exists() && !retired.exists())
       Streams.recoverRegisters(regs) // second call: no-op
       assert(live.exists())
+
+      // a RESTART with zero pending input must still repair the swap:
+      // recovery runs before the stream waits, not only inside a batch
+      // (ck2 has consumed every input file, so NO batch executes here)
+      assert(live.renameTo(retired))
+      Streams.sketchStream(spark.readStream.schema(schema).parquet(in),
+        regs, dir.getAbsolutePath + "/ck2", Seq("g"), $"v")
+      assert(live.exists() && !retired.exists(),
+        "pre-start recovery must restore the live table with no new data")
     }
   }
 
