@@ -444,6 +444,50 @@ object SparkEntry {
         .crossJoin(l.join(o, "k").agg(count(lit(1)).as("n_exact")))
     }),
 
+    // Join: point-in-interval range join via grid blocking — urgent
+    // orders' [orderdate, +3d] windows × lineitem ship days. A bare
+    // BETWEEN join is a BroadcastNestedLoopJoin (dead at scale); the
+    // 4-day grid makes it an equi-join on the cell id.
+    "q92_range_join" -> ((s, dir) => {
+      val epoch = lit("1970-01-01").cast("date")
+      val pts = t(s, dir, "lineitem").select(
+        datediff(to_date(col("l_shipdate")), epoch).as("pt_day"),
+        col("l_quantity").as("qty"))
+      val iv = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), epoch).as("lo_day"),
+          (datediff(to_date(col("o_orderdate")), epoch) + 3).as("hi_day"))
+      Joins.rangeJoin(pts, "pt_day", iv, "lo_day", "hi_day", 4L)
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_pts"),
+          round(sum(col("qty")), 2).as("qty_sum"))
+    }),
+
+    // Dedup: exact duplicate-span (substring-level) detection — the
+    // Lee-et-al boilerplate scrub over the planted-dup corpus; 8-token
+    // non-overlapping spans, corpus frequency ≥2 flags a span.
+    "q93_dup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(docsDup(s, dir), "doc_id", col("text"), 8)
+        .withColumnRenamed("id", "doc_id")),
+
+    // Frequent: exact heavy hitters (freq ≥ 1/50) over corpus tokens —
+    // two-pass Misra-Gries candidates + broadcast-verified exact
+    // counts; the oracle is the plain groupBy-having it must equal.
+    "q94_heavy_hitters" -> ((s, dir) =>
+      Frequent.heavyHitters(
+        t(s, dir, "documents")
+          .select(explode(Text.tokens(col("text"))).as("tok")),
+        col("tok"), 1, 50)),
+
+    // Series: exponentially time-decayed revenue per return flag,
+    // 90-day half-life anchored at the corpus max ship date — each
+    // term snaps to integer cents so the sum is exact and order-free.
+    "q95_decayed_sum" -> ((s, dir) =>
+      Resample.decayedSum(t(s, dir, "lineitem"), col("l_returnflag"),
+        to_date(col("l_shipdate")), col("l_extendedprice"),
+        lit("2001-11-04").cast("date"), 90)),
+
     // Quality: PSI distribution drift between two order populations —
     // fixed bins, exact integer histograms, each (p−q)·ln(p/q) term
     // snapped to ×1e6 BIGINT before the sum (order-free, the q72
@@ -1517,6 +1561,60 @@ object SparkEntry {
          |FROM newsh n LEFT JOIN (
          |  SELECT id_new, count(*) AS n_dups, min(id_match) AS first_dup
          |  FROM pairs GROUP BY 1) p ON n.doc_id = p.id_new""".stripMargin,
+
+    // The naive BETWEEN join the engine's grid blocking must equal.
+    "q92_range_join" ->
+      """SELECT o_orderkey, count(*) AS n_pts,
+        |  round(sum(l_quantity), 2) AS qty_sum
+        |FROM orders JOIN lineitem
+        |  ON CAST(l_shipdate AS DATE)
+        |    BETWEEN CAST(o_orderdate AS DATE)
+        |    AND CAST(o_orderdate AS DATE) + 3
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1""".stripMargin,
+
+    // q74's chunk windows at stride=size=8 over the planted-dup
+    // corpus; a span is duplicated iff its fingerprint count ≥ 2.
+    "q93_dup_spans" ->
+      s"""WITH d AS ($docsDupSql),
+         |tk AS (SELECT doc_id, $tokSql AS tk FROM d),
+         |st AS (SELECT doc_id, tk,
+         |    unnest(range(1, len(tk) + 1, 8)) AS start FROM tk),
+         |ch AS (SELECT doc_id,
+         |    md5(array_to_string(tk[start : start + 7], ' ')) AS fp
+         |  FROM st),
+         |fr AS (SELECT fp, count(*) AS fp_n FROM ch GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN fp_n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_spans,
+         |  CAST(round(CAST(CAST(sum(CASE WHEN fp_n >= 2 THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / count(*) AS DECIMAL(20,10)), 4) AS DOUBLE)
+         |    AS dup_ratio
+         |FROM ch JOIN fr USING (fp) GROUP BY 1""".stripMargin,
+
+    // The one-pass groupBy-having the two-pass MG path must equal.
+    "q94_heavy_hitters" ->
+      s"""WITH it AS (SELECT unnest($tokSql) AS item FROM documents),
+         |c AS (SELECT item, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM it WHERE item IS NOT NULL GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c)
+         |SELECT item, cnt FROM c CROSS JOIN tot
+         |WHERE cnt * 50 >= n * 1""".stripMargin,
+
+    // Same per-term arithmetic order: cents (exact) × one double pow,
+    // rounded to BIGINT before the sum.
+    "q95_decayed_sum" ->
+      """WITH f AS (SELECT l_returnflag AS grp,
+        |    date_diff('day', CAST(l_shipdate AS DATE),
+        |      DATE '2001-11-04') AS delta,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(round(cents * power(CAST(0.5 AS DOUBLE),
+        |      CAST(delta AS DOUBLE) / 90)) AS BIGINT)) AS DOUBLE)
+        |    / 100.0 AS decayed_sum
+        |FROM f WHERE delta >= 0 AND delta <= 1800
+        |GROUP BY 1""".stripMargin,
 
     // Identical register construction (q63's row|value md5 bucket);
     // the inner product and min are exact integer arithmetic.

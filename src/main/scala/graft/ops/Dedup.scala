@@ -332,6 +332,39 @@ object Dedup {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))
   }
 
+  /** Exact duplicate-SPAN detection — the substring-level dedup of
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al. 2022): a span is flagged when the identical n-token
+    * run occurs ≥2 times anywhere in the corpus (other docs or the
+    * same doc). Documents are cut into NON-overlapping n-token chunks
+    * (`Text.chunkTokens` with stride = n) and a chunk is duplicated
+    * iff its fingerprint's corpus frequency is ≥2. Output one row per
+    * doc: (id, n_spans, n_dup_spans, dup_ratio) — the per-document
+    * boilerplate score pipelines threshold on; zero-token docs emit
+    * no row (no spans to score).
+    *
+    * Scale shape: chunking is a no-shuffle codegen pass; corpus span
+    * frequencies are ONE hash aggregate on the 128-bit fingerprint
+    * (map-side combine collapses hot boilerplate before the shuffle,
+    * so the classic "same cookie banner in 10⁸ docs" skew never
+    * travels); the flag rides back on a fingerprint equi-join and the
+    * per-doc rollup shuffles on the well-distributed id. Nothing is
+    * quadratic in corpus size and no side is collected.
+    */
+  def duplicateSpans(docs: DataFrame, id: String, text: Column,
+                     n: Int): DataFrame = {
+    val chunks = Text.chunkTokens(docs, id, text, n, n)
+    val freq = chunks.groupBy(col("chunk_fp"))
+      .agg(count(lit(1)).as("fp_n"))
+    chunks.join(freq, Seq("chunk_fp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("fp_n") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col("id"), col("n_spans"), col("n_dup_spans"),
+        round((col("n_dup_spans").cast("double") / col("n_spans"))
+          .cast("decimal(20,10)"), 4).cast("double").as("dup_ratio"))
+  }
+
   /** SimHash over a token multiset, `bits` wide (≤ 32): bit i of the
     * sketch is set iff more than half the tokens have bit i set in their
     * md5-hash. Near-dup detection = small Hamming distance between

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Non-equi joins re-expressed as equi-joins so they scale.
+  *
+  * Spark plans a bare `p.t BETWEEN i.lo AND i.hi` join as
+  * BroadcastNestedLoopJoin (or a cartesian product when neither side
+  * fits a broadcast) — O(|points|·|intervals|) work that simply does
+  * not finish at warehouse scale. Bucketing both sides on a coarse
+  * grid turns the range predicate into an equi-join key: candidate
+  * pairs are generated only inside a bucket, and the exact predicate
+  * filters inside the (tiny) block, the same blocking idea as
+  * `Text.fuzzyJoin`.
+  */
+object Joins {
+
+  /** Range (point-in-interval) join: rows of `points` whose integral
+    * column `pt` falls in `[lo, hi]` of a row of `intervals`,
+    * inclusive both ends. Returns `points.columns ++
+    * intervals.columns` for every matching pair, each pair exactly
+    * once.
+    *
+    * Mechanics: a point lives in ONE grid cell `floor(pt/W)`; an
+    * interval is exploded to every cell its `[lo, hi]` span overlaps
+    * (`span/W + 1` rows, ≥1 even for empty/inverted intervals, which
+    * then match nothing). The equi-join on the cell id meets each
+    * (point, interval) pair in exactly the point's cell — no
+    * post-join dedup — and the exact `between` runs only inside the
+    * block.
+    *
+    * Scale shape: ONE shuffle per side on the cell id; the point side
+    * never expands. Pick `bucketWidth` near the MEDIAN interval span:
+    * the interval side then replicates ~2×, and a cell holds
+    * ~(points-per-width) candidates. Too-small W blows up the
+    * interval explode; too-big W degenerates toward all-pairs inside
+    * one cell. Dense hot cells (every point in one day) are ordinary
+    * aggregate-join skew — AQE skew-join or `Skew.saltedJoin` on the
+    * cell id composes on top, because the cell id is just an ordinary
+    * join key. `pt`/`lo`/`hi` must be integral (days, epoch seconds,
+    * …); floor semantics make negative values land in the right cell.
+    *
+    * Column names must be disjoint across the two inputs (same
+    * contract as Spark's own join with a column-name clash — callers
+    * project first).
+    */
+  def rangeJoin(points: DataFrame, ptCol: String,
+                intervals: DataFrame, loCol: String, hiCol: String,
+                bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    require(points.columns.toSet.intersect(intervals.columns.toSet).isEmpty,
+      "points and intervals must not share column names")
+    val w = lit(bucketWidth)
+    val p = points.withColumn("__cell", floor(col(ptCol).cast("long") / w))
+    val i = intervals.withColumn("__cell",
+      explode(sequence(floor(col(loCol).cast("long") / w),
+        greatest(floor(col(hiCol).cast("long") / w),
+          floor(col(loCol).cast("long") / w)))))
+    p.join(i, Seq("__cell"))
+      .filter(col(ptCol).between(col(loCol), col(hiCol)))
+      .drop("__cell")
+  }
+}

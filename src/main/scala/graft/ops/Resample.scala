@@ -79,6 +79,41 @@ object Resample {
     * rounded to 4, null on each key's first period. One shuffle on key;
     * the window sort is per-key and tiny (periods per key).
     */
+  /** Exponentially time-decayed sum per group — the recency-weighted
+    * rollup of monitoring / feature stores: a value `delta` days
+    * before `anchor` contributes value·2^(−delta/halfLifeDays).
+    * Output (group, n_rows, decayed_sum), with decayed_sum rounded to
+    * cents.
+    *
+    * Scale shape: ONE hash aggregate on the group key — the weight is
+    * a pure row-local expression (no window, no self-join, map-side
+    * partial aggregation collapses before the shuffle).
+    *
+    * Cross-engine determinism (NOTES lesson 11/15): each term snaps
+    * to integer CENTS after the decay multiply — value·100 is already
+    * exact for 2-dp money, and round() after one double pow/multiply
+    * is stable across engines away from exact .5 boundaries — so the
+    * SUM is exact BIGINT arithmetic, order-free on any engine. Rows
+    * after `anchor` or more than 20 half-lives stale contribute 0 and
+    * are dropped before the shuffle (2^-20 of a cent rounds to 0
+    * anyway; the filter keeps a mostly-cold 100 TB history out of the
+    * aggregate entirely and is partition-prunable on a date-
+    * partitioned table).
+    */
+  def decayedSum(df: DataFrame, group: Column, date: Column, value: Column,
+                 anchor: Column, halfLifeDays: Int): DataFrame = {
+    require(halfLifeDays >= 1, "halfLifeDays must be >= 1")
+    val delta = datediff(anchor, date)
+    df.filter(delta >= 0 && delta <= lit(20L * halfLifeDays))
+      .select(group.as("grp"),
+        round(round(value * 100).cast("long") *
+          pow(lit(0.5), delta.cast("double") / halfLifeDays))
+          .cast("long").as("term_c"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_rows"),
+        (sum(col("term_c")).cast("double") / 100.0).as("decayed_sum"))
+  }
+
   def periodReturn(bars: DataFrame, key: String = "symbol",
                    period: String = "period",
                    close: String = "close"): DataFrame = {

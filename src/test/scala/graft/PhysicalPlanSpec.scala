@@ -142,6 +142,26 @@ class PhysicalPlanSpec extends SparkSpec {
     }
   }
 
+  test("range join is an equi-join on the grid cell — never a nested loop") {
+    val p = plan("q92_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"grid blocking must remove the non-equi nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("heavy hitters verify pass semi-joins candidates via broadcast") {
+    val p = plan("q94_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"candidate set must come back broadcast, not shuffled:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("duplicate-span scoring joins hash-aggregated fingerprints — no cartesian") {
+    val p = plan("q93_dup_spans")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("whole-stage codegen covers the scan-project pipeline") {
     val df = Tables(spark, dir, "lineitem")
       .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
