@@ -447,12 +447,17 @@ object SparkEntry {
     // Join: point-in-interval range join via grid blocking — urgent
     // orders' [orderdate, +3d] windows × lineitem ship days. A bare
     // BETWEEN join is a BroadcastNestedLoopJoin (dead at scale); the
-    // 4-day grid makes it an equi-join on the cell id.
+    // 4-day grid makes it an equi-join on the cell id. The aggregate
+    // is distributive, so the point side pre-collapses to one partial
+    // row per DISTINCT day (~2.5k) before the join — pairs scale with
+    // intervals×span, not facts×span; partials sum in exact integer
+    // cents so the collapse can't reassociate a float sum.
     "q92_range_join" -> ((s, dir) => {
       val epoch = lit("1970-01-01").cast("date")
-      val pts = t(s, dir, "lineitem").select(
-        datediff(to_date(col("l_shipdate")), epoch).as("pt_day"),
-        col("l_quantity").as("qty"))
+      val pts = t(s, dir, "lineitem")
+        .groupBy(datediff(to_date(col("l_shipdate")), epoch).as("pt_day"))
+        .agg(count(lit(1)).as("d_n"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("d_qty_c"))
       val iv = t(s, dir, "orders")
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey"),
@@ -460,8 +465,8 @@ object SparkEntry {
           (datediff(to_date(col("o_orderdate")), epoch) + 3).as("hi_day"))
       Joins.rangeJoin(pts, "pt_day", iv, "lo_day", "hi_day", 4L)
         .groupBy(col("o_orderkey"))
-        .agg(count(lit(1)).as("n_pts"),
-          round(sum(col("qty")), 2).as("qty_sum"))
+        .agg(sum(col("d_n")).as("n_pts"),
+          round(sum(col("d_qty_c")).cast("double") / 100.0, 2).as("qty_sum"))
     }),
 
     // Dedup: exact duplicate-span (substring-level) detection — the
@@ -487,6 +492,68 @@ object SparkEntry {
       Resample.decayedSum(t(s, dir, "lineitem"), col("l_returnflag"),
         to_date(col("l_shipdate")), col("l_extendedprice"),
         lit("2001-11-04").cast("date"), 90)),
+
+    // Relational set ops: EXCEPT / INTERSECT customer segments between
+    // two order years — Catalyst plans these as anti/semi joins on the
+    // distinct sets, never a materialized set difference.
+    "q96_set_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def cust(yr: Int) = o
+        .filter(year(to_date(col("o_orderdate"))) === yr)
+        .select(col("o_custkey")).distinct()
+      val c95 = cust(1995)
+      val c96 = cust(1996)
+      c95.except(c96).select(lit("only_1995").as("segment"), col("o_custkey"))
+        .unionByName(c96.except(c95)
+          .select(lit("only_1996").as("segment"), col("o_custkey")))
+        .unionByName(c95.intersect(c96)
+          .select(lit("both").as("segment"), col("o_custkey")))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // Profiling: exact interpolated percentiles per group (median/p90)
+    // — one sort-aggregate per group key; snapped through
+    // decimal(20,10) so the interpolation rounds identically.
+    "q97_group_percentiles" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(percentile(col("o_totalprice"), lit(0.5))
+            .cast("decimal(20,10)"), 4).cast("double").as("p50"),
+          round(percentile(col("o_totalprice"), lit(0.9))
+            .cast("decimal(20,10)"), 4).cast("double").as("p90"))),
+
+    // Sampling: deterministic bottom-k — the k distinct docs with the
+    // smallest portable content-key hash form a reproducible uniform
+    // sample on any engine; orderBy+limit plans as
+    // TakeOrderedAndProject (per-partition top-k, no global sort).
+    "q98_bottomk_sample" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Dedup.hashLong(col("doc_id").cast("string")).as("h"))
+        .orderBy(col("h"), col("doc_id")).limit(25)),
+
+    // Series: day-of-week seasonality — per-symbol DOW mean price vs
+    // the symbol's overall mean, every mean an exact integer-cents
+    // rational, ONE double division at the end (engine-proof; dow is
+    // epoch-day mod 7 so no engine's week-start convention leaks in).
+    "q99_dow_seasonality" -> ((s, dir) => {
+      val b = bars(s, dir).select(col("symbol"),
+        pmod(datediff(col("d"), lit("1970-01-01").cast("date")), lit(7))
+          .as("dow"),
+        round(col("px") * 100).cast("long").as("px_c"))
+      val byDow = b.groupBy(col("symbol"), col("dow"))
+        .agg(count(lit(1)).as("n_dow"), sum(col("px_c")).as("s_dow"))
+      val bySym = b.groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n_all"), sum(col("px_c")).as("s_all"))
+      byDow.join(bySym, Seq("symbol"))
+        .filter(col("symbol") <= 50)
+        .select(col("symbol"), col("dow"), col("n_dow"),
+          round(((col("s_dow") * col("n_all")).cast("double") /
+            (col("n_dow") * col("s_all")).cast("double"))
+            .cast("decimal(20,10)"), 4).cast("double").as("ratio"))
+    }),
 
     // Quality: PSI distribution drift between two order populations —
     // fixed bins, exact integer histograms, each (p−q)·ln(p/q) term
@@ -1615,6 +1682,60 @@ object SparkEntry {
         |    / 100.0 AS decayed_sum
         |FROM f WHERE delta >= 0 AND delta <= 1800
         |GROUP BY 1""".stripMargin,
+
+    // Native EXCEPT/INTERSECT — Catalyst's anti/semi-join plans must
+    // produce the same distinct sets.
+    "q96_set_ops" ->
+      """WITH c95 AS (SELECT DISTINCT o_custkey FROM orders
+        |    WHERE year(CAST(o_orderdate AS DATE)) = 1995),
+        |c96 AS (SELECT DISTINCT o_custkey FROM orders
+        |    WHERE year(CAST(o_orderdate AS DATE)) = 1996),
+        |seg AS (
+        |  SELECT 'only_1995' AS segment, o_custkey
+        |  FROM (SELECT * FROM c95 EXCEPT SELECT * FROM c96)
+        |  UNION ALL
+        |  SELECT 'only_1996' AS segment, o_custkey
+        |  FROM (SELECT * FROM c96 EXCEPT SELECT * FROM c95)
+        |  UNION ALL
+        |  SELECT 'both' AS segment, o_custkey
+        |  FROM (SELECT * FROM c95 INTERSECT SELECT * FROM c96))
+        |SELECT segment, CAST(count(*) AS BIGINT) AS n_customers
+        |FROM seg GROUP BY 1""".stripMargin,
+
+    // quantile_cont uses the same h=(n-1)p interpolation as Spark's
+    // percentile; both sides snap through DECIMAL(20,10) before the
+    // 4-place round.
+    "q97_group_percentiles" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(round(CAST(quantile_cont(o_totalprice,
+        |    CAST(0.5 AS DOUBLE)) AS DECIMAL(20,10)), 4) AS DOUBLE) AS p50,
+        |  CAST(round(CAST(quantile_cont(o_totalprice,
+        |    CAST(0.9 AS DOUBLE)) AS DECIMAL(20,10)), 4) AS DOUBLE) AS p90
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // Same portable 60-bit md5 key; ties impossible (hash of distinct
+    // ids), doc_id tiebreak kept anyway.
+    "q98_bottomk_sample" ->
+      s"""SELECT doc_id, ${h60("CAST(doc_id AS VARCHAR)")} AS h
+         |FROM documents ORDER BY h, doc_id LIMIT 25""".stripMargin,
+
+    // Exact integer-cents rationals; ONE double division at the end,
+    // identical operand order.
+    "q99_dow_seasonality" ->
+      """WITH b AS (SELECT l_partkey AS symbol,
+        |    CAST(date_diff('day', DATE '1970-01-01',
+        |      CAST(l_shipdate AS DATE)) % 7 AS INTEGER) AS dow,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS px_c
+        |  FROM lineitem),
+        |d AS (SELECT symbol, dow, count(*) AS n_dow, sum(px_c) AS s_dow
+        |  FROM b GROUP BY 1, 2),
+        |a AS (SELECT symbol, count(*) AS n_all, sum(px_c) AS s_all
+        |  FROM b GROUP BY 1)
+        |SELECT d.symbol, d.dow, CAST(d.n_dow AS BIGINT) AS n_dow,
+        |  CAST(round(CAST(CAST(d.s_dow * a.n_all AS DOUBLE)
+        |    / CAST(d.n_dow * a.s_all AS DOUBLE) AS DECIMAL(20,10)), 4)
+        |    AS DOUBLE) AS ratio
+        |FROM d JOIN a USING (symbol) WHERE d.symbol <= 50""".stripMargin,
 
     // Identical register construction (q63's row|value md5 bucket);
     // the inner product and min are exact integer arithmetic.

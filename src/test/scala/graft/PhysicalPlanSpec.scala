@@ -162,6 +162,26 @@ class PhysicalPlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("set ops plan as anti/semi joins on distinct sets — no set materialization") {
+    val p = plan("q96_set_ops")
+    assert(p.contains("LeftAnti") && p.contains("LeftSemi"),
+      s"EXCEPT/INTERSECT must lower to anti/semi joins:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("bottom-k sample is a per-partition top-k, not a global sort") {
+    val p = plan("q98_bottomk_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must plan as TakeOrderedAndProject:\n$p")
+  }
+
+  test("range join pre-collapses the point side before the grid join") {
+    val p = plan("q92_range_join")
+    // the partial-per-day aggregate must sit below the join: the join's
+    // probe side carries the aggregated d_n/d_qty_c columns
+    assert(p.contains("d_qty_c"), s"point side must be pre-aggregated:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-project pipeline") {
     val df = Tables(spark, dir, "lineitem")
       .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
