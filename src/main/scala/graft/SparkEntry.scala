@@ -555,6 +555,12 @@ object SparkEntry {
             .cast("decimal(20,10)"), 4).cast("double").as("ratio"))
     }),
 
+    // Text: adjacent-bigram PMI collocations — the phrase-mining pass;
+    // bigram extraction is zero-shuffle, the (a,b) aggregate is the
+    // only corpus-sized exchange, unigrams ride back broadcast.
+    "q100_bigram_pmi" -> ((s, dir) =>
+      Text.bigramPmi(t(s, dir, "documents"), col("text"), 10L)),
+
     // Quality: PSI distribution drift between two order populations —
     // fixed bins, exact integer histograms, each (p−q)·ln(p/q) term
     // snapped to ×1e6 BIGINT before the sum (order-free, the q72
@@ -1682,6 +1688,28 @@ object SparkEntry {
         |    / 100.0 AS decayed_sum
         |FROM f WHERE delta >= 0 AND delta <= 1800
         |GROUP BY 1""".stripMargin,
+
+    // Same fixed-order double chain: each count divided by its own
+    // total first, then ln, then the decimal snap.
+    "q100_bigram_pmi" ->
+      s"""WITH tk AS (SELECT $tokSql AS tk FROM documents),
+         |bi AS (SELECT tk[i] AS a, tk[i + 1] AS b
+         |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM tk)),
+         |uni AS (SELECT unnest(tk) AS tok FROM tk),
+         |u AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_uni
+         |  FROM uni GROUP BY 1),
+         |nu AS (SELECT CAST(sum(n_uni) AS BIGINT) AS n_u FROM u),
+         |p AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+         |  FROM bi GROUP BY 1, 2),
+         |nb AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_b_tot FROM p)
+         |SELECT a, b, n_ab,
+         |  CAST(round(CAST(ln((CAST(n_ab AS DOUBLE) / n_b_tot)
+         |    / ((CAST(ua.n_uni AS DOUBLE) / n_u)
+         |      * (CAST(ub.n_uni AS DOUBLE) / n_u))) AS DECIMAL(20,10)), 4)
+         |    AS DOUBLE) AS pmi
+         |FROM p JOIN u ua ON p.a = ua.tok JOIN u ub ON p.b = ub.tok
+         |CROSS JOIN nu CROSS JOIN nb
+         |WHERE n_ab >= 10""".stripMargin,
 
     // Native EXCEPT/INTERSECT — Catalyst's anti/semi-join plans must
     // produce the same distinct sets.

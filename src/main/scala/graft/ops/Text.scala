@@ -265,6 +265,58 @@ object Text {
           .as("chunk_fp"))
   }
 
+  /** Adjacent-bigram PMI — collocation mining over a corpus: for every
+    * token bigram seen ≥ `minCount` times, pointwise mutual information
+    * ln(p(ab) / (p(a)·p(b))) with p(ab) over bigram occurrences and
+    * p(a), p(b) over unigram occurrences. High-PMI pairs are the
+    * multi-word expressions ("new york") tokenizer and phrase-mining
+    * passes promote. Output (a, b, n_ab, pmi), pmi rounded to 4.
+    *
+    * Scale shape: bigram extraction is a zero-shuffle codegen pass
+    * (token array bound once, O(1) element_at windows); the only
+    * corpus-sized shuffle is the hash aggregate on the (a,b) key —
+    * hot bigrams collapse map-side. Unigram counts and the two totals
+    * are vocabulary-sized and come back as BROADCASTs, never a
+    * shuffled join (q72's posting-stream rule). The `minCount` filter
+    * runs before the unigram joins, so the PMI arithmetic touches
+    * only surviving pairs.
+    *
+    * Cross-engine determinism: counts are exact integers; the PMI is
+    * ONE fixed-order double chain (each count divided by its total
+    * first — the ratios stay near 1 and never overflow, unlike the
+    * cross-multiplied integer form at corpus scale) snapped through
+    * decimal(20,10) before the 4-place round.
+    */
+  def bigramPmi(docs: DataFrame, text: Column,
+                minCount: Long): DataFrame = {
+    val tk = docs.select(tokens(text).as("tk"))
+    val bi = tk.select(explode(Cols.bound(col("tk")) { t =>
+        when(size(t) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(t) - 1),
+            i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+      }).as("ab"))
+      .select(split(col("ab"), " ").getItem(0).as("a"),
+        split(col("ab"), " ").getItem(1).as("b"))
+    val uni = tk.select(explode(col("tk")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_uni"))
+    val nUni = uni.agg(sum(col("n_uni")).as("n_u"))
+    val pairs = bi.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val nBi = pairs.agg(sum(col("n_ab")).as("n_b_tot"))
+    pairs.filter(col("n_ab") >= minCount)
+      .join(broadcast(uni.select(col("tok").as("a"),
+        col("n_uni").as("n_a"))), "a")
+      .join(broadcast(uni.select(col("tok").as("b"),
+        col("n_uni").as("n_b"))), "b")
+      .crossJoin(broadcast(nBi))
+      .crossJoin(broadcast(nUni))
+      .select(col("a"), col("b"), col("n_ab"),
+        round(log((col("n_ab").cast("double") / col("n_b_tot")) /
+          ((col("n_a").cast("double") / col("n_u")) *
+            (col("n_b").cast("double") / col("n_u"))))
+          .cast("decimal(20,10)"), 4).cast("double").as("pmi"))
+  }
+
   /** Blocked fuzzy (edit-distance) join — the entity-resolution
     * primitive: probe names match reference names within `maxDist`
     * edits. All-pairs levenshtein is quadratic in the corpus; blocking

@@ -106,6 +106,24 @@ class JoinsFrequentSpec extends SparkSpec {
     assert(!got.contains(5L))
   }
 
+  // ---- Text.bigramPmi ---------------------------------------------------------
+
+  test("bigramPmi: hand-computed collocation scores, minCount filter, short docs") {
+    val docs = Seq((1L, "x y x y"), (2L, "x y"), (3L, "z"), (4L, ""))
+      .toDF("doc_id", "text")
+    // bigrams: (x,y)×3, (y,x)×1; Nb=4; unigrams x=3 y=3 z=1, Nu=7
+    val got = graft.ops.Text.bigramPmi(docs, $"text", 1L)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got(("x", "y"))._3 == 3L && got(("y", "x"))._3 == 1L)
+    val pmiXY = math.log((3.0 / 4) / ((3.0 / 7) * (3.0 / 7)))
+    assert(math.abs(got(("x", "y"))._4 -
+      BigDecimal(pmiXY).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble) < 1e-9)
+    // minCount prunes the rare bigram; single-token and empty docs are safe
+    assert(graft.ops.Text.bigramPmi(docs, $"text", 2L).count() == 1L)
+  }
+
   // ---- Resample.decayedSum ---------------------------------------------------
 
   test("decayedSum: exact cents at whole half-lives, horizon and future cut") {

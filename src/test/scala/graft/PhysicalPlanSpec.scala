@@ -182,6 +182,13 @@ class PhysicalPlanSpec extends SparkSpec {
     assert(p.contains("d_qty_c"), s"point side must be pre-aggregated:\n$p")
   }
 
+  test("bigram PMI broadcasts unigram counts — only the pair key shuffles") {
+    val p = plan("q100_bigram_pmi")
+    assert(p.contains("BroadcastHashJoin"),
+      s"unigram/total tables must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("whole-stage codegen covers the scan-project pipeline") {
     val df = Tables(spark, dir, "lineitem")
       .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))

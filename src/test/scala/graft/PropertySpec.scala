@@ -197,6 +197,69 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: rangeJoin equals the naive between-join for random grids") {
+    val ptGen = Gen.listOfN(120, Gen.choose(-200L, 200L))
+    val ivGen = Gen.listOfN(40, for {
+      lo <- Gen.choose(-220L, 220L)
+      span <- Gen.choose(-3L, 40L) // negative span = inverted interval
+    } yield (lo, lo + span))
+    for (i <- 0 until 4) {
+      val pts = samples(ptGen, 1)(0).zipWithIndex
+        .map { case (p, j) => (j.toLong, p) }.toDF("pid", "pt")
+      val ivs = samples(ivGen, 1)(0).zipWithIndex
+        .map { case ((lo, hi), j) => (j.toLong, lo, hi) }
+        .toDF("iid", "lo", "hi")
+      val want = rowsOf(pts.crossJoin(ivs)
+        .filter($"pt".between($"lo", $"hi")))
+      val w = Seq(1L, 5L, 17L, 64L)(i)
+      val got = rowsOf(graft.ops.Joins
+        .rangeJoin(pts, "pt", ivs, "lo", "hi", w)
+        .select($"pid", $"pt", $"iid", $"lo", $"hi"))
+      assert(got == want, s"width=$w")
+    }
+  }
+
+  test("property: heavyHitters matches exact counting for random zipf streams") {
+    val gen = Gen.listOfN(600, Gen.frequency(
+      8 -> Gen.const("hot"), 4 -> Gen.const("warm"),
+      3 -> Gen.oneOf("c", "d", "e"),
+      1 -> Gen.choose(0, 200).map(i => s"tail$i")))
+    for (items <- samples(gen, 4); (num, den) <- Seq((1, 25), (1, 10))) {
+      val df = items.toDF("it").repartition(9)
+      val n = items.size.toLong
+      val want = items.groupBy(identity)
+        .map { case (k, v) => (k, v.size.toLong) }
+        .filter { case (_, c) => c * den >= n * num }.toSet
+      val got = graft.ops.Frequent.heavyHitters(df, $"it", num, den)
+        .as[(String, Long)].collect().toSet
+      assert(got == want, s"num=$num den=$den")
+    }
+  }
+
+  test("property: duplicateSpans ratio bounds; corpus self-union makes every span a dup") {
+    val docGen = Gen.listOfN(25, for {
+      n <- Gen.choose(1, 40)
+      ws <- Gen.listOfN(n, Gen.choose(0, 30).map(i => s"w$i"))
+    } yield ws.mkString(" "))
+    for (texts <- samples(docGen, 3)) {
+      val docs = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }
+        .toDF("doc_id", "text")
+      val scored = graft.ops.Dedup
+        .duplicateSpans(docs, "doc_id", $"text", 5)
+        .as[(Long, Long, Long, Double)].collect()
+      assert(scored.forall(r => r._3 >= 0 && r._3 <= r._2))
+      assert(scored.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+      // union with a shifted copy: every span now occurs >= 2 times
+      val doubled = docs.unionByName(
+        docs.select(($"doc_id" + 1000).as("doc_id"), $"text"))
+      val all = graft.ops.Dedup
+        .duplicateSpans(doubled, "doc_id", $"text", 5)
+        .as[(Long, Long, Long, Double)].collect()
+      assert(all.forall(r => r._3 == r._2 && r._4 == 1.0),
+        "self-union must flag every span")
+    }
+  }
+
   test("property: funnel depth is monotone under event removal") {
     val evGen = Gen.listOfN(40, for {
       u <- Gen.choose(1L, 6L)
