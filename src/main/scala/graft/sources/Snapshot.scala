@@ -403,6 +403,36 @@ object Snapshot {
     }
   }
 
+  /** Z-order (Morton) clustering key over k integral columns, `bits`
+    * bits each (bits·k ≤ 63): bit i of column j lands at position
+    * i·k + j, so consecutive key ranges are k-dimensional blocks.
+    * Committing with `clusterByKey = zorderKey(...)` makes the
+    * per-file [min,max] stats tight on EVERY participating column at
+    * once — `readStatsPruned` then skips files for a probe on ANY of
+    * them, where lexicographic `clusterBy` only serves the leading
+    * column (the classic multi-dim data-skipping layout; same idea as
+    * Delta/Iceberg Z-ordering, built from plain shift/and/or
+    * expressions inside codegen).
+    *
+    * Columns must already be non-negative integers in rank space
+    * (day numbers, ids, bucketed values); values ≥ 2^bits clamp to
+    * the top cell — map skewed/continuous domains through a quantile
+    * or fixed-width bucket first.
+    */
+  def zorderKey(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty && bits >= 1 && bits * cols.size <= 63,
+      "need 1..63/bits columns with bits >= 1")
+    val k = cols.size
+    val top = (1L << bits) - 1
+    val clamped = cols.map(c =>
+      least(greatest(c.cast("long"), lit(0L)), lit(top)))
+    (0 until bits).flatMap { i =>
+      clamped.zipWithIndex.map { case (c, j) =>
+        shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k + j)
+      }
+    }.reduce(_ bitwiseOR _)
+  }
+
   /** Publish `df` as the table's next snapshot, REPLACING prior content
     * (the SCD-1 dimension-overwrite shape, K2). Returns the version.
     *
@@ -418,14 +448,17 @@ object Snapshot {
   def commit(df: DataFrame, table: String,
              partitionCol: Option[String] = None,
              clusterBy: Option[String] = None,
-             clusterFiles: Int = 0): Long = {
+             clusterFiles: Int = 0,
+             clusterByKey: Option[Column] = None): Long = {
+    require(clusterBy.isEmpty || clusterByKey.isEmpty,
+      "pass clusterBy (a column) or clusterByKey (an expression), not both")
     val (pcName, pcType) = partitionCol match {
       case Some(pc) => (pc, df.schema(pc).dataType.catalogString)
       case None => ("", "")
     }
-    val clustered = clusterBy match {
-      case None => df
-      case Some(c) =>
+    val clustered = (clusterBy, clusterByKey) match {
+      case (None, None) => df
+      case (Some(c), _) =>
         // partition dirs split range-partitioned tasks further, so sort
         // the partition column first to keep each task single-partition
         val keys = (partitionCol.toSeq :+ c).distinct.map(col)
@@ -433,6 +466,17 @@ object Snapshot {
           if (clusterFiles > 0) df.repartitionByRange(clusterFiles, keys: _*)
           else df.repartitionByRange(keys: _*)
         ranged.sortWithinPartitions(keys: _*)
+      case (None, Some(key)) =>
+        // computed clustering key (e.g. zorderKey): range-cluster on it,
+        // then drop it — the key never reaches the data files, only the
+        // layout (and therefore the per-file stats of the REAL columns)
+        // remembers it
+        val withK = df.withColumn("__zck", key)
+        val keys = (partitionCol.toSeq.map(col) :+ col("__zck"))
+        val ranged =
+          if (clusterFiles > 0) withK.repartitionByRange(clusterFiles, keys: _*)
+          else withK.repartitionByRange(keys: _*)
+        ranged.sortWithinPartitions(keys: _*).drop("__zck")
     }
     val dataSchema = StructType(df.schema.filterNot(_.name == pcName))
     val (dirs, stats, fstats) = writeData(clustered, table, partitionCol)

@@ -383,6 +383,53 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("zorder commit: per-file stats prune on EITHER dimension; lexicographic only on the leading one") {
+    withTempDir { dir =>
+      // a 32×32 grid scrambled into random order, committed into 16 files
+      val grid = spark.range(0, 1024)
+        .select(($"id" % 32).as("x"), ($"id" / 32).cast("long").as("y"),
+          $"id".as("payload"))
+        .orderBy(md5($"id".cast("string")))
+      def filesFor(t: String, c: String): Int =
+        Snapshot.readStatsPruned(spark, t, c, Some("7"), Some("7"))
+          .select(input_file_name()).distinct().count().toInt
+
+      val lex = dir.getAbsolutePath + "/lex"
+      Snapshot.commit(grid, lex, None, clusterBy = Some("x"), clusterFiles = 16)
+      assert(filesFor(lex, "x") <= 2, "leading column prunes well")
+      assert(filesFor(lex, "y") >= 12,
+        "trailing column cannot prune a lexicographic layout")
+
+      val zed = dir.getAbsolutePath + "/zed"
+      Snapshot.commit(grid, zed, None, clusterFiles = 16,
+        clusterByKey = Some(Snapshot.zorderKey(Seq($"x", $"y"), 5)))
+      val m = Snapshot.readManifest(zed, 1)
+      assert(m.fileStats.size == 16, s"expected 16 files, got ${m.fileStats.size}")
+      // 16 files over a 32×32 z-curve = 8×8 blocks: any x=k or y=k line
+      // crosses exactly 4 blocks
+      assert(filesFor(zed, "x") <= 4, "z-order prunes the x probe")
+      assert(filesFor(zed, "y") <= 4, "z-order prunes the y probe")
+      // the clustering key never lands in the data
+      assert(Snapshot.read(spark, zed).columns.toSeq ==
+        Seq("x", "y", "payload"))
+      assert(Snapshot.read(spark, zed).count() == 1024L)
+      // probes still return exactly the matching rows
+      val got = Snapshot.readStatsPruned(spark, zed, "y", Some("7"), Some("7"))
+        .filter($"y" === 7L).count()
+      assert(got == 32L)
+    }
+  }
+
+  test("zorderKey: bit interleave is exact and clamps out-of-range values") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (-9L, 99L))
+      .toDF("a", "b")
+      .select(Snapshot.zorderKey(Seq($"a", $"b"), 3).as("z"))
+    // k=2: bit i of `a` -> position 2i, of `b` -> 2i+1
+    // (3,5)=a:011,b:101 -> z bits (b2 a2 b1 a1 b0 a0)=100111=39
+    // (-9,99) clamps to (0,7) -> b:111 -> 101010=42
+    assert(df.as[Long].collect().toSeq == Seq(0L, 1L, 2L, 39L, 42L))
+  }
+
   test("diff reports added/removed/changed keys between versions, null-safe") {
     withTempDir { dir =>
       val t = dir.getAbsolutePath + "/t"
