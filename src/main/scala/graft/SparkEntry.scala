@@ -571,18 +571,7 @@ object SparkEntry {
         o.filter(pmod(col("o_orderkey"), lit(2)) === par)
           .groupBy(floor(col("o_totalprice") / 20000).cast("long").as("bin"))
           .agg(count(lit(1)).as(as))
-      val r = hist(0, "n_r")
-      val c = hist(1, "n_c")
-      r.join(c, "bin")
-        .crossJoin(broadcast(r.agg(sum(col("n_r")).as("t_r"))))
-        .crossJoin(broadcast(c.agg(sum(col("n_c")).as("t_c"))))
-        .withColumn("term_fp", round(
-          (col("n_r") / col("t_r") - col("n_c") / col("t_c")) *
-            log((col("n_r") / col("t_r")) / (col("n_c") / col("t_c"))) *
-            1000000d).cast("long"))
-        .agg(count(lit(1)).as("n_bins"),
-          round((sum(col("term_fp")).cast("double") / 1000000d)
-            .cast("decimal(20,10)"), 4).cast("double").as("psi"))
+      Quality.psiBetween(hist(0, "n_r"), hist(1, "n_c"))
     }),
 
     // Quality: CUSUM drift per symbol (sequential ingest monitor) —

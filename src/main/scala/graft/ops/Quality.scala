@@ -113,6 +113,28 @@ object Quality {
         pmod(col("packed"), lit(G)).as("n_alarms"))
   }
 
+  /** Population-stability index between two histograms `ref` (bin, n_r)
+    * and `cur` (bin, n_c) → one row (n_bins, psi): Σ (p−q)·ln(p/q) over
+    * the bins where BOTH sides have mass, each term snapped to ×10⁶
+    * BIGINT before the sum (order-free; the q72 pattern), psi rounded
+    * to 4. Bin totals come back as BROADCASTs — histograms are
+    * bin-count-sized, never data-sized, so the whole comparison is
+    * metadata-cheap regardless of the corpus behind it. A disjoint
+    * pair yields n_bins = 0 and a null psi — the caller decides
+    * whether "no overlap" means maximal drift (driftStream does).
+    */
+  def psiBetween(ref: DataFrame, cur: DataFrame): DataFrame =
+    ref.join(cur, "bin")
+      .crossJoin(broadcast(ref.agg(sum(col("n_r")).as("t_r"))))
+      .crossJoin(broadcast(cur.agg(sum(col("n_c")).as("t_c"))))
+      .withColumn("term_fp", round(
+        (col("n_r") / col("t_r") - col("n_c") / col("t_c")) *
+          log((col("n_r") / col("t_r")) / (col("n_c") / col("t_c"))) *
+          1000000d).cast("long"))
+      .agg(count(lit(1)).as("n_bins"),
+        round((sum(col("term_fp")).cast("double") / 1000000d)
+          .cast("decimal(20,10)"), 4).cast("double").as("psi"))
+
   /** Remove all rows belonging to rejected keys — rejection key sets are
     * tiny relative to the fact table, so broadcast the anti-join side.
     */

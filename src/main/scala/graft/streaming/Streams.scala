@@ -324,6 +324,76 @@ object Streams {
     bench.unpersist(): Unit
   }
 
+  /** Streaming distribution-drift monitor — the continuous face of
+    * [[graft.ops.Quality.psiBetween]] (q90): each micro-batch's value
+    * histogram lands in a snapshot table PARTITIONED BY a
+    * content-derived batch fingerprint, and the ACCUMULATED histogram
+    * is PSI-scored against a static reference after every batch; one
+    * monitor row (batch_fp, n_rows, n_bins, psi, alarm) appends to
+    * `alarmPath` per batch.
+    *
+    * Exactness + replay-idempotence WITHOUT max-merge tricks: counts
+    * don't max-merge (a replayed batch would double-count a plain
+    * sum-fold), so each batch's histogram is keyed by a fingerprint of
+    * its content (order-free exact decimal sum of row hashes) and
+    * committed via the snapshot MERGE — a crash replay rewrites the
+    * SAME partition with the SAME rows, and the cumulative
+    * sum-over-partitions is unchanged. Re-delivery of a byte-identical
+    * batch is absorbed by the same mechanism (a monitor, not an
+    * accounting ledger — document scope). Alarm rows re-append on
+    * replay; consumers dedup by batch_fp, the hygieneStream contract.
+    *
+    * A disjoint-support histogram (n_bins = 0, psi null) alarms: zero
+    * overlap IS maximal drift.
+    */
+  def driftStream(in: DataFrame, value: org.apache.spark.sql.Column,
+                  binWidth: Double, refHist: DataFrame,
+                  registerTable: String, alarmPath: String,
+                  checkpoint: String, psiAlarm: Double = 0.2): Unit = {
+    import graft.ops.{Dedup, Quality}
+    import graft.sources.Snapshot
+    require(binWidth > 0, "binWidth must be positive")
+    val ref = refHist.select(col("bin"), col("n_r")).persist()
+    val q = in.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val vals = batch.toDF().select(value.as("v")).persist()
+          try {
+            val fpRow = vals.agg(
+              pmod(sum(Dedup.hashLong(col("v").cast("string"))
+                  .cast("decimal(38,0)")),
+                lit(1152921504606846976L)).cast("long").as("fp"),
+              count(lit(1)).as("n")).head()
+            val fp = "b" + fpRow.getLong(0)
+            val hist = vals
+              .groupBy(floor(col("v") / binWidth).cast("long").as("bin"))
+              .agg(count(lit(1)).as("n_c"))
+              .withColumn("batch_fp", lit(fp))
+            Snapshot.merge(hist, registerTable, Seq("batch_fp", "bin"),
+              "n_c", "batch_fp")
+            val cum = Snapshot.read(spark, registerTable)
+              .groupBy(col("bin")).agg(sum(col("n_c")).as("n_c"))
+            Quality.psiBetween(ref, cum)
+              .select(lit(fp).as("batch_fp"),
+                lit(fpRow.getLong(1)).as("n_rows"),
+                col("n_bins"),
+                col("psi"),
+                when(col("n_bins") === 0, lit(true))
+                  .otherwise(col("psi") >= psiAlarm).as("alarm"))
+              .write.mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(alarmPath)
+          } finally vals.unpersist(): Unit
+        }
+      }
+      .start()
+    q.awaitTermination()
+    ref.unpersist(): Unit
+  }
+
   /** Corpus-growing streaming dedup — the continuous face of
     * [[graft.ops.Dedup.jaccardPairsIncremental]]: each micro-batch is
     * an increment deduped against the ACCUMULATED corpus snapshot

@@ -230,6 +230,61 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("driftStream accumulates batch histograms and alarms on distribution shift") {
+    withTempDir { dir =>
+      val in = dir.getAbsolutePath + "/in"
+      val regs = dir.getAbsolutePath + "/regs"
+      val alarms = dir.getAbsolutePath + "/alarms"
+      val ck = dir.getAbsolutePath + "/ck"
+      // reference: uniform over bins 0..9 (binWidth 100)
+      val ref = (0 until 10).map(b => (b.toLong, 100L)).toDF("bin", "n_r")
+      def run(): Unit = Streams.driftStream(
+        spark.readStream.schema("v LONG").parquet(in),
+        $"v", 100.0, ref, regs, alarms, ck, psiAlarm = 0.2)
+
+      // batch 1: the reference distribution itself -> psi 0, no alarm
+      (0L until 1000L).toDF("v").write.mode("append").parquet(in)
+      run()
+      val r1 = spark.read.parquet(alarms)
+        .as[(String, Long, Long, Double, Boolean)].collect()
+      assert(r1.length == 1 && r1(0)._4 == 0.0 && !r1(0)._5)
+
+      // batch 2: shifted 700..1699 -> cumulative drifts past 0.2
+      (700L until 1700L).toDF("v").write.mode("append").parquet(in)
+      run() // same checkpoint: only the new files form batch 2
+      val rows = spark.read.parquet(alarms).orderBy($"psi")
+        .as[(String, Long, Long, Double, Boolean)].collect()
+      assert(rows.length == 2 && rows(1)._5, s"shift must alarm: ${rows.toSeq}")
+      // exactness: the streamed psi equals the direct batch computation
+      // over the expected cumulative histogram
+      val cum = ((0L until 1000L) ++ (700L until 1700L)).toDF("v")
+        .groupBy(floor($"v" / 100.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_c"))
+      val direct = graft.ops.Quality.psiBetween(ref, cum)
+        .select($"psi").as[Double].head()
+      assert(rows(1)._4 == direct)
+
+      // crash-style replay of batch 1 (same content, fresh checkpoint):
+      // the content fingerprint rewrites the SAME partition — cumulative
+      // histogram and psi unchanged, no double counting
+      val vBefore = graft.sources.Snapshot.latestVersion(regs).get
+      val replayIn = dir.getAbsolutePath + "/replay"
+      (0L until 1000L).toDF("v").write.parquet(replayIn)
+      Streams.driftStream(spark.readStream.schema("v LONG").parquet(replayIn),
+        $"v", 100.0, ref, regs, alarms, dir.getAbsolutePath + "/ck2", 0.2)
+      assert(graft.sources.Snapshot.latestVersion(regs).get > vBefore)
+      val cumAfter = graft.sources.Snapshot.read(spark, regs)
+        .groupBy($"bin").agg(sum($"n_c").as("n_c"))
+      val psiAfter = graft.ops.Quality.psiBetween(ref, cumAfter)
+        .select($"psi").as[Double].head()
+      assert(psiAfter == direct, "replayed batch must not double-count")
+      // the monitor appended a third row; consumers dedup by batch_fp
+      val fps = spark.read.parquet(alarms).select($"batch_fp")
+        .as[String].collect()
+      assert(fps.length == 3 && fps.toSet.size == 2)
+    }
+  }
+
   test("dedupStream grows the corpus, dropping near-dups of history") {
     withTempDir { dir =>
       val in1 = dir.getAbsolutePath + "/in1"
