@@ -555,6 +555,20 @@ object SparkEntry {
             .cast("decimal(20,10)"), 4).cast("double").as("ratio"))
     }),
 
+    // Dedup: asymmetric containment join — 12-token excerpts probe the
+    // full corpus for the documents that CONTAIN them (quote/excerpt
+    // detection, where Jaccard is blind); probe prefixes rarity-sorted
+    // by target df, targets fully indexed.
+    "q101_containment" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val tgt = d.select(col("doc_id"),
+        Dedup.hashedShingles(Text.tokens(col("text")), 3).as("hs"))
+      val probes = d.select((col("doc_id") + 20000).as("pid"),
+        Dedup.hashedShingles(slice(Text.tokens(col("text")), 1, 12), 3)
+          .as("hs"))
+      Dedup.containmentJoin(probes, "pid", "hs", tgt, "doc_id", "hs", 0.8)
+    }),
+
     // Text: adjacent-bigram PMI collocations — the phrase-mining pass;
     // bigram extraction is zero-shuffle, the (a,b) aggregate is the
     // only corpus-sized exchange, unigrams ride back broadcast.
@@ -1677,6 +1691,22 @@ object SparkEntry {
         |    / 100.0 AS decayed_sum
         |FROM f WHERE delta >= 0 AND delta <= 1800
         |GROUP BY 1""".stripMargin,
+
+    // Brute-force all-pairs containment on STRING shingles (q28's
+    // hash-transparency argument); same round-then-threshold order.
+    "q101_containment" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |tgt AS (SELECT doc_id AS id_t, CASE WHEN len(tk) < 3
+         |    THEN CAST([] AS VARCHAR[]) ELSE $shingleSql END AS sh FROM tk),
+         |ptk AS (SELECT doc_id + 20000 AS id_p, tk[1 : 12] AS tk FROM tk),
+         |prb AS (SELECT id_p, CASE WHEN len(tk) < 3
+         |    THEN CAST([] AS VARCHAR[]) ELSE $shingleSql END AS sh FROM ptk)
+         |SELECT id_p, id_t, cont FROM (
+         |  SELECT id_p, id_t,
+         |    round(len(list_intersect(p.sh, t.sh)) * 1.0 / len(p.sh), 4)
+         |      AS cont
+         |  FROM prb p CROSS JOIN tgt t WHERE len(p.sh) > 0)
+         |WHERE cont >= 0.8""".stripMargin,
 
     // Same fixed-order double chain: each count divided by its own
     // total first, then ln, then the decimal snap.

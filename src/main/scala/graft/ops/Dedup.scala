@@ -365,6 +365,65 @@ object Dedup {
           .cast("decimal(20,10)"), 4).cast("double").as("dup_ratio"))
   }
 
+  /** Asymmetric containment join — excerpt/quote detection: pairs
+    * (probe, target) where containment |P∩T| / |P| ≥ threshold, i.e.
+    * at least `threshold` of the PROBE's shingles appear in the
+    * target (a 40-shingle quote inside a 4000-shingle article scores
+    * 1.0 where Jaccard sees 0.01). Inputs are (id, hashedShingles)
+    * frames; output (id_p, id_t, cont), probes with zero shingles
+    * emit nothing (containment undefined).
+    *
+    * Prefix theorem, asymmetric form: c(P,T) ≥ t ⇒ |P∩T| ≥ ⌈t·|P|⌉,
+    * so ANY |P| − ⌈t·|P|⌉ + 1 shingles of P include one shared with
+    * T. Only the PROBE side can truncate to a prefix — the target's
+    * overlap FRACTION is unbounded below, so targets index in full.
+    * Probe prefixes are rarity-sorted by TARGET document frequency
+    * (candidate cost = Σ df_T over prefix elements, so hot target
+    * shingles stay out of probes' prefixes); probe shingles absent
+    * from every target (df_T = 0, the rarest) stay in the slice but
+    * drop from the postings — they can't witness a pair. Size prune:
+    * |T| ≥ ⌈t·|P|⌉ or the intersection can't reach the bound.
+    *
+    * Scale shape: the candidate join is probe-prefix × target-posting
+    * equi-join on the shingle hash; verification re-joins the two id
+    * frames and intersects arrays per candidate. Skew follows the
+    * prefix argument of [[jaccardPairsPrefixHashed]].
+    */
+  def containmentJoin(probes: DataFrame, probeId: String, probeShingles: String,
+                      targets: DataFrame, targetId: String,
+                      targetShingles: String, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    // persisted like jaccardPairsPrefixHashed's index: the verification
+    // joins re-read both frames; release is the caller's cache hygiene
+    val p = probes.select(col(probeId).as("id_p"),
+      array_distinct(col(probeShingles)).as("hsp")).persist()
+    val tgt = targets.select(col(targetId).as("id_t"),
+      array_distinct(col(targetShingles)).as("hst")).persist()
+    val tpost = tgt.select(col("id_t"), size(col("hst")).as("n_t"),
+      explode(col("hst")).as("h"))
+    val freq = tpost.groupBy("h").agg(count(lit(1)).as("f"))
+    val prefixLen = (size(col("rs")) -
+      ceil(size(col("rs")) * threshold) + 1).cast("int")
+    val ppost = p.select(col("id_p"), explode(col("hsp")).as("h"))
+      .join(freq, Seq("h"), "left").na.fill(0L, Seq("f"))
+      .groupBy("id_p")
+      .agg(sort_array(collect_list(struct(col("f"), col("h")))).as("rs"))
+      .select(col("id_p"), size(col("rs")).as("n_p"),
+        explode(transform(
+          filter(slice(col("rs"), lit(1), prefixLen),
+            r => r.getField("f") >= 1),
+          r => r.getField("h"))).as("h"))
+    val cands = ppost.join(tpost, "h")
+      .filter(col("n_t") >= ceil(col("n_p") * threshold))
+      .select("id_p", "id_t").distinct()
+    cands.join(p, "id_p").join(tgt, "id_t")
+      .withColumn("cont",
+        round(size(array_intersect(col("hsp"), col("hst"))).cast("double")
+          / size(col("hsp")), 4))
+      .filter(col("cont") >= threshold)
+      .select("id_p", "id_t", "cont")
+  }
+
   /** SimHash over a token multiset, `bits` wide (≤ 32): bit i of the
     * sketch is set iff more than half the tokens have bit i set in their
     * md5-hash. Near-dup detection = small Hamming distance between

@@ -285,6 +285,47 @@ class TextDedupSpec extends SparkSpec {
     assert(inverted.nonEmpty && inverted == prefix)
   }
 
+  test("containmentJoin equals brute force; sees excerpts Jaccard is blind to") {
+    val mk = (s: String) => Dedup.hashedShingles(Text.tokens(lit(s)), 3)
+    val long = "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14 t15 " +
+      "t16 t17 t18 t19 t20 t21 t22 t23 t24 t25"
+    val targets = Seq(
+      10L -> long,                          // contains the excerpt
+      11L -> "x1 x2 x3 x4 x5 x6 x7 x8 x9",  // unrelated
+      12L -> "t5 t6 t7 zz t9 t10")          // partial overlap
+      .toDF("tid", "txt")
+      .select($"tid", Dedup.hashedShingles(Text.tokens($"txt"), 3).as("hs"))
+    val probes = Seq(
+      1L -> "t5 t6 t7 t8 t9 t10",           // pure excerpt of 10
+      2L -> "x1 x2 x3 yy",                  // half in 11
+      3L -> "zz")                           // no shingles -> no row
+      .toDF("pid", "txt")
+      .select($"pid", Dedup.hashedShingles(Text.tokens($"txt"), 3).as("hs"))
+    val got = Dedup.containmentJoin(probes, "pid", "hs",
+        targets, "tid", "hs", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // brute force over the same hashed sets
+    val want = probes.select($"pid", $"hs".as("hsp"))
+      .crossJoin(targets.select($"tid", $"hs".as("hst")))
+      .filter(size($"hsp") > 0)
+      .select($"pid", $"tid",
+        round(size(array_intersect($"hsp", $"hst")).cast("double") /
+          size($"hsp"), 4).as("c"))
+      .filter($"c" >= 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == want)
+    // the excerpt is fully contained (1.0) while its Jaccard vs the
+    // long doc is far below any useful threshold
+    assert(got.contains((1L, 10L, 1.0)))
+    val jac = Dedup.jaccardPairsHashed(
+      probes.select($"pid".as("id"), $"hs")
+        .unionByName(targets.select($"tid".as("id"), $"hs")),
+      "id", "hs", 0.5).as[(Long, Long, Double)].collect().toSet
+    assert(!jac.exists(p => p._1 == 1L && p._2 == 10L),
+      "Jaccard at 0.5 must miss the excerpt pair")
+    assert(!got.exists(_._1 == 3L), "zero-shingle probes emit nothing")
+  }
+
   test("duplicateClusters: multi-hop chains collapse to min-id components") {
     // two components: a 5-hop chain 1-2-3-4-5 (needs several label
     // propagation rounds) and the pair 10-11; 1 and 10 are canonical
