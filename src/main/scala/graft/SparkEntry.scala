@@ -555,6 +555,32 @@ object SparkEntry {
             .cast("decimal(20,10)"), 4).cast("double").as("ratio"))
     }),
 
+    // Text: END-TO-END entity resolution — clean part names ∪ corrupted
+    // variants → blocked fuzzy pairs → connected components → canonical
+    // entity rollup; the record-linkage pipeline composed from q85's
+    // blocking and q50's clustering, singletons included.
+    "q102_entity_resolution" -> ((s, dir) => {
+      val parts = t(s, dir, "part")
+        .select(col("p_partkey").as("id"), col("p_name").as("name"))
+      val len = length(col("name"))
+      val k = (col("id") % len).cast("int")
+      val variants = parts.select((col("id") + 20000).as("id"),
+        concat(col("name").substr(lit(1), k),
+          col("name").substr(k + 2, len)).as("name"))
+      val e = parts.unionByName(variants)
+      val pairs = Text.fuzzyJoin(e, e, "id", col("name"),
+          "id", col("name"), 2)
+        .filter(col("probe_id") < col("ref_id"))
+        .select(col("probe_id").as("id_a"), col("ref_id").as("id_b"))
+      e.select(col("id"))
+        .join(Dedup.duplicateClusters(pairs), Seq("id"), "left")
+        .select(col("id"), coalesce(col("component"), col("id"))
+          .as("canonical"))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"))
+    }),
+
     // Dedup: asymmetric containment join — 12-token excerpts probe the
     // full corpus for the documents that CONTAIN them (quote/excerpt
     // detection, where Jaccard is blind); probe prefixes rarity-sorted
@@ -568,6 +594,33 @@ object SparkEntry {
           .as("hs"))
       Dedup.containmentJoin(probes, "pid", "hs", tgt, "doc_id", "hs", 0.8)
     }),
+
+    // Text: per-doc out-of-vocabulary rate against the corpus-induced
+    // vocabulary (q94's exact heavy hitters ARE the vocab) — the
+    // tokenizer-health gate; vocab rides back broadcast.
+    "q103_oov_rate" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      val vocab = Frequent.heavyHitters(toks, col("tok"), 1, 50)
+        .select(col("item").as("tok"), lit(1).as("iv"))
+      toks.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+          round((col("n_oov").cast("double") / col("n_tokens"))
+            .cast("decimal(20,10)"), 4).cast("double").as("oov_rate"))
+    }),
+
+    // Sampling: windowed revisit throttling — keep one bar per symbol
+    // per 30-day window, walking the day-sorted series with an exact
+    // packed-integer fold (the crawl re-visit rate limiter).
+    "q104_throttle_window" -> ((s, dir) =>
+      Sampling.throttleByWindow(
+        bars(s, dir).select(col("symbol"),
+          datediff(col("d"), lit("1970-01-01").cast("date")).as("day")),
+        col("symbol"), col("day"), 30)
+        .withColumnRenamed("k", "symbol")),
 
     // Text: adjacent-bigram PMI collocations — the phrase-mining pass;
     // bigram extraction is zero-shuffle, the (a,b) aggregate is the
@@ -1691,6 +1744,74 @@ object SparkEntry {
         |    / 100.0 AS decayed_sum
         |FROM f WHERE delta >= 0 AND delta <= 1800
         |GROUP BY 1""".stripMargin,
+
+    // q94's vocabulary CTE; OOV = token missing from it; same decimal
+    // snap on the rate.
+    "q103_oov_rate" ->
+      s"""WITH it AS (SELECT doc_id, unnest($tokSql) AS tok FROM documents),
+         |c AS (SELECT tok AS item, count(*) AS cnt FROM it GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+         |vocab AS (SELECT item FROM c CROSS JOIN tot WHERE cnt * 50 >= n)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN v.item IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_oov,
+         |  CAST(round(CAST(CAST(sum(CASE WHEN v.item IS NULL THEN 1 ELSE 0
+         |      END) AS DOUBLE) / count(*) AS DECIMAL(20,10)), 4) AS DOUBLE)
+         |    AS oov_rate
+         |FROM it LEFT JOIN vocab v ON it.tok = v.item
+         |GROUP BY 1""".stripMargin,
+
+    // Identical packed-state fold ((last+1)·2²¹ + kept); list_reduce
+    // supplies the explicit 0 init Spark's aggregate() has.
+    "q104_throttle_window" ->
+      s"""WITH b AS (SELECT symbol,
+         |    date_diff('day', DATE '1970-01-01', d) AS day
+         |  FROM ($barsSql)),
+         |g AS (SELECT symbol, CAST(count(*) AS BIGINT) AS n_obs,
+         |    list_sort(list(CAST(day AS BIGINT))) AS ds FROM b GROUP BY 1),
+         |f AS (SELECT symbol, n_obs,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), ds), (acc, d) ->
+         |      CASE WHEN acc // 2097152 = 0
+         |          OR d - (acc // 2097152 - 1) > 30
+         |        THEN (d + 1) * 2097152 + acc % 2097152 + 1
+         |        ELSE acc END) AS packed
+         |  FROM g)
+         |SELECT symbol, n_obs,
+         |  CAST(packed % 2097152 AS BIGINT) AS n_kept,
+         |  CAST(packed // 2097152 - 1 AS BIGINT) AS last_kept_day
+         |FROM f""".stripMargin,
+
+    // Same blocking predicate as the engine's fuzzyJoin (first char +
+    // ±2 length band + levenshtein ≤ 2), components via the q67-style
+    // recursive closure, singletons kept through the left join.
+    "q102_entity_resolution" ->
+      """WITH RECURSIVE
+        |p0 AS (SELECT p_partkey AS id, p_name AS name FROM part),
+        |pr AS (SELECT id + 20000 AS id,
+        |    substr(name, 1, CAST(id % length(name) AS INT))
+        |      || substr(name, CAST(id % length(name) AS INT) + 2) AS name
+        |  FROM p0),
+        |e AS (SELECT * FROM p0 UNION ALL SELECT * FROM pr),
+        |pairs AS (SELECT a.id AS id_a, b.id AS id_b
+        |  FROM e a JOIN e b ON a.id < b.id
+        |    AND substr(a.name, 1, 1) = substr(b.name, 1, 1)
+        |    AND abs(length(a.name) - length(b.name)) <= 2
+        |    AND levenshtein(a.name, b.name) <= 2),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e2.d FROM reach r JOIN edges e2 ON r.d = e2.s),
+        |comp AS (
+        |  SELECT e.id, least(e.id, coalesce(mn.mn, e.id)) AS canonical
+        |  FROM e LEFT JOIN
+        |    (SELECT s AS id, min(d) AS mn FROM reach GROUP BY 1) mn
+        |    USING (id))
+        |SELECT canonical, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(min(id) AS BIGINT) AS min_id,
+        |  CAST(max(id) AS BIGINT) AS max_id
+        |FROM comp GROUP BY 1""".stripMargin,
 
     // Brute-force all-pairs containment on STRING shingles (q28's
     // hash-transparency argument); same round-then-threshold order.

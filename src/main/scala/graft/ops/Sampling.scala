@@ -193,6 +193,40 @@ object Sampling {
     * while keeping the tail — `rates` maps stratum value → kept buckets
     * of `rateDen`; strata not in the map keep everything.
     */
+  /** Windowed revisit throttling — the crawl-dedup rate limiter: per
+    * key, walk the day-sorted observations and KEEP one only when more
+    * than `windowDays` elapsed since the last kept one (the first is
+    * always kept; a re-crawl 3 days into a 7-day window drops).
+    * Output (key, n_obs, n_kept, last_kept_day).
+    *
+    * The choice is inherently sequential (whether day d survives
+    * depends on which earlier days survived), so it is an ordered fold
+    * per key — same contract as the EMA/CUSUM folds: one shuffle on
+    * the key, state bounded by per-key history. The fold state packs
+    * (last_kept_day + 1, n_kept) into one BIGINT as (d+1)·2²¹ + n, so
+    * the recursion is exact integer arithmetic, bit-identical on any
+    * engine; day numbers must fit 2²⁰ (epoch days do until year 4840)
+    * and per-key observations 2²¹.
+    */
+  def throttleByWindow(df: DataFrame, key: Column, day: Column,
+                       windowDays: Int): DataFrame = {
+    require(windowDays >= 0, "windowDays must be >= 0")
+    val G = 2097152L // 2^21
+    df.select(key.as("k"), day.cast("long").as("d"))
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(col("d"))).as("ds"),
+        count(lit(1)).as("n_obs"))
+      .select(col("k"), col("n_obs"),
+        aggregate(col("ds"), lit(0L), (acc, d) =>
+          when(floor(acc / G) === 0L ||
+              d - (floor(acc / G).cast("long") - 1L) > windowDays,
+            (d + 1L) * G + pmod(acc, lit(G)) + 1L)
+            .otherwise(acc)).as("packed"))
+      .select(col("k"), col("n_obs"),
+        pmod(col("packed"), lit(G)).as("n_kept"),
+        (floor(col("packed") / G).cast("long") - 1L).as("last_kept_day"))
+  }
+
   def stratifiedHashSample(df: DataFrame, key: Column, stratum: Column,
                            rates: Map[String, Int], rateDen: Int): DataFrame = {
     val keep = rates.foldLeft(lit(rateDen)) { case (acc, (s, num)) =>

@@ -665,6 +665,63 @@ object Snapshot {
     * reference's per-run VACUUM (downloader_tw.py:126, main.py:192)
     * with transactional semantics.
     */
+  /** Transactional DELETE: publish a new version without the rows
+    * matching `predicate` (rows where the predicate is NULL are kept —
+    * SQL DELETE semantics). Returns the new version, or the current
+    * one unchanged when nothing matches (no empty commit).
+    *
+    * Partition-scoped like merge: one scan finds the touched partition
+    * values (the predicate may reference any column, including the
+    * partition column — pruning pushes down when it does), only the
+    * touched directories rewrite, untouched dirs carry into the new
+    * manifest by reference with their stats. A crash at any point
+    * leaves the previous snapshot fully live, and the deleted rows
+    * remain readable via time travel until vacuum. Unpartitioned
+    * tables rewrite whole (their dirs are commit-grained, not
+    * key-grained — partition the table if deletes must stay scoped).
+    */
+  def deleteWhere(spark: SparkSession, table: String,
+                  predicate: Column): Long = {
+    val v = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed snapshot"))
+    val m = readManifest(table, v)
+    val drop = coalesce(predicate, lit(false))
+    Option(m.partitionCol).filter(_.nonEmpty) match {
+      case None =>
+        if (read(spark, table, Some(v)).filter(drop).isEmpty) v
+        else {
+          val kept = read(spark, table, Some(v)).filter(!drop)
+          val (dirs, stats, fstats) = writeData(kept, table, None)
+          writeManifest(table, Manifest(v + 1, m.partitionCol,
+            m.partitionType, m.dataSchemaJson, dirs, stats, fstats))
+          v + 1
+        }
+      case Some(pc) =>
+        val touched = read(spark, table, Some(v)).filter(drop)
+          .select(col(pc).cast("string")).distinct()
+          .collect().map(r => Option(r.getString(0)).orNull).toSet
+        if (touched.isEmpty) v
+        else {
+          val (touchedDirs, untouchedDirs) =
+            m.dirs.partition(d => touched.contains(partitionValueOf(d)))
+          val kept = injectPartitionCol(
+            spark.read.schema(m.dataSchema).parquet(touchedDirs: _*),
+            pc, m.partitionType).filter(!drop)
+          val (newDirs, newStats, newFStats) =
+            writeData(kept, table, Some(pc))
+          val untouchedSet = untouchedDirs.toSet
+          writeManifest(table, Manifest(v + 1, m.partitionCol,
+            m.partitionType, m.dataSchemaJson,
+            (untouchedDirs ++ newDirs).sorted,
+            m.stats.view.filterKeys(untouchedSet.contains).toMap ++ newStats,
+            m.fileStats.view.filterKeys(f =>
+              untouchedSet.contains(Paths.get(f).getParent.toString))
+              .toMap ++ newFStats))
+          v + 1
+        }
+    }
+  }
+
   def compact(spark: SparkSession, table: String,
               targetFiles: Int = 1): Long = {
     val v = latestVersion(table).getOrElse(

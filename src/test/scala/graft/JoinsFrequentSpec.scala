@@ -124,6 +124,28 @@ class JoinsFrequentSpec extends SparkSpec {
     assert(graft.ops.Text.bigramPmi(docs, $"text", 2L).count() == 1L)
   }
 
+  // ---- Sampling.throttleByWindow ---------------------------------------------
+
+  test("throttleByWindow: strict gap, same-day dups drop, window 0 keeps distinct days") {
+    val df = Seq(
+      ("a", 100L), ("a", 100L),          // same-day revisit drops
+      ("a", 130L),                       // gap 30 == window -> drops
+      ("a", 131L),                       // gap 31 > 30 -> kept
+      ("a", 140L),                       // inside the NEW window -> drops
+      ("b", 5L))                         // first is always kept
+      .toDF("k", "day")
+    val got = graft.ops.Sampling
+      .throttleByWindow(df, $"k", $"day", 30)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 5L, 2L, 131L)))
+    assert(got("b") == (("b", 1L, 1L, 5L)))
+    val zero = graft.ops.Sampling
+      .throttleByWindow(df.filter($"k" === "a"), $"k", $"day", 0)
+      .as[(String, Long, Long, Long)].collect()
+    assert(zero.head == (("a", 5L, 4L, 140L)),
+      "window 0 keeps one row per distinct day")
+  }
+
   // ---- Resample.decayedSum ---------------------------------------------------
 
   test("decayedSum: exact cents at whole half-lives, horizon and future cut") {

@@ -430,6 +430,49 @@ class SnapshotSpec extends SparkSpec {
     assert(df.as[Long].collect().toSeq == Seq(0L, 1L, 2L, 39L, 42L))
   }
 
+  test("deleteWhere rewrites only touched partitions; null predicate keeps rows; time travel intact") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/table"
+      val rows = Seq(
+        ("A", "2024-01-01", 10.0, 1L), ("A", "2024-01-02", -5.0, 2L),
+        ("B", "2024-01-01", 20.0, 3L), ("C", "2024-01-01", 30.0, 4L))
+        .toDF("symbol", "date", "close", "version")
+        .withColumn("date", to_date($"date"))
+      Snapshot.commit(rows, t, Some("symbol"))
+      val m1 = Snapshot.readManifest(t, 1)
+
+      // delete negative closes -> touches only symbol=A
+      val v2 = Snapshot.deleteWhere(spark, t, $"close" < 0)
+      assert(v2 == 2L)
+      assert(content(t) == Set(("A", "2024-01-01", 10.0),
+        ("B", "2024-01-01", 20.0), ("C", "2024-01-01", 30.0)))
+      val m2 = Snapshot.readManifest(t, 2)
+      val untouched1 = m1.dirs.filterNot(_.contains("symbol=A")).toSet
+      assert(untouched1.subsetOf(m2.dirs.toSet),
+        "B/C dirs must carry by reference")
+      // time travel still sees the deleted row
+      assert(Snapshot.read(spark, t, Some(1L)).count() == 4L)
+
+      // a NULL predicate row is kept (SQL DELETE semantics)
+      val v3 = Snapshot.deleteWhere(spark, t,
+        when($"symbol" === "B", lit(null).cast("boolean"))
+          .otherwise($"close" > 25))
+      assert(v3 == 3L)
+      assert(content(t) == Set(("A", "2024-01-01", 10.0),
+        ("B", "2024-01-01", 20.0)))
+
+      // nothing matches -> no empty commit, version unchanged
+      assert(Snapshot.deleteWhere(spark, t, $"close" > 999) == 3L)
+      assert(Snapshot.latestVersion(t).get == 3L)
+
+      // unpartitioned table: full rewrite, same semantics
+      val u = dir.getAbsolutePath + "/flat"
+      Snapshot.commit(rows, u, None)
+      Snapshot.deleteWhere(spark, u, $"symbol" === "A")
+      assert(Snapshot.read(spark, u).count() == 2L)
+    }
+  }
+
   test("diff reports added/removed/changed keys between versions, null-safe") {
     withTempDir { dir =>
       val t = dir.getAbsolutePath + "/t"
