@@ -88,6 +88,20 @@ object NativeFunctions {
   def minhashSig(hashes: Column, k: Int): Column =
     ExpressionUtils.column(MinHashSig(ExpressionUtils.expression(hashes), k))
 
+  /** Column-facing wrapper for the fuzzy-join row signature. */
+  def fuzzySig(a: Column): Column =
+    ExpressionUtils.column(FuzzySig(ExpressionUtils.expression(a)))
+
+  /** Column-facing wrapper for the signature-pair Levenshtein bound. */
+  def sigBound(a: Column, b: Column): Column =
+    ExpressionUtils.column(SigBound(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column-facing wrapper for the thresholded Levenshtein verifier. */
+  def levWithin(a: Column, b: Column, k: Int): Column =
+    ExpressionUtils.column(LevWithin(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b), k))
+
   /** The expression builders, shared by the session-local `register`
     * and the `spark.sql.extensions` injector (`graft.GraftExtensions`).
     */
@@ -95,7 +109,10 @@ object NativeFunctions {
     "cosine_similarity" -> (exprs => CosineSimilarity(exprs.head, exprs(1))),
     "simhash" -> (exprs => SimHash(exprs.head, intArg(exprs, 1))),
     "hashed_shingles" -> (exprs => HashedShingles(exprs.head, intArg(exprs, 1))),
-    "minhash_sig" -> (exprs => MinHashSig(exprs.head, intArg(exprs, 1))))
+    "minhash_sig" -> (exprs => MinHashSig(exprs.head, intArg(exprs, 1))),
+    "fuzzy_sig" -> (exprs => FuzzySig(exprs.head)),
+    "sig_bound" -> (exprs => SigBound(exprs.head, exprs(1))),
+    "lev_within" -> (exprs => LevWithin(exprs.head, exprs(1), intArg(exprs, 2))))
 
   private def intArg(exprs: Seq[Expression], i: Int): Int =
     exprs(i).eval().asInstanceOf[Number].intValue()

@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.NativeFunctions
+import graft.ops.Text
+
+/** The blocked fuzzy-join stack: the native filter-verify expressions
+  * (lev_within ≡ levenshtein, sig_bound soundness), multi-pass blocking
+  * recall, the incremental probe composition, and the candidate-density
+  * guard.
+  */
+class FuzzyJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic corpus: ASCII words, multi-byte (2/3-byte UTF-8)
+  // strings, empties, and near-identical variants; 4-byte code points
+  // (surrogate pairs in Java strings, unsafe to slice by char index)
+  // get dedicated fixed pairs below instead
+  private val rnd = new scala.util.Random(42)
+  private val alphabet = "abcdefghij zX€日"
+  private def randStr(n: Int): String =
+    (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+
+  private lazy val randomPairs: Seq[(String, String)] = {
+    val base = (0 until 150).map(_ => randStr(1 + rnd.nextInt(12)))
+    val edited = base.map { s =>
+      // random single edit: delete, substitute, or insert
+      val i = if (s.isEmpty) 0 else rnd.nextInt(s.length)
+      rnd.nextInt(3) match {
+        case 0 if s.nonEmpty => s.substring(0, i) + s.substring(i + 1)
+        case 1 if s.nonEmpty =>
+          s.substring(0, i) + alphabet(rnd.nextInt(alphabet.length)) +
+            s.substring(i + 1)
+        case _ =>
+          s.substring(0, i) + alphabet(rnd.nextInt(alphabet.length)) +
+            s.substring(i)
+      }
+    }
+    // near pairs, far pairs, identical pairs, empty-vs-non-empty, and
+    // 4-byte-code-point pairs (one emoji = one edit unit)
+    base.zip(edited) ++ base.zip(base.reverse) ++ base.zip(base) ++
+      base.take(5).map(("", _)) ++ Seq(("", ""),
+        ("x😀y", "xy"), ("x😀y", "x😀y"), ("😀😀", "😀z😀"), ("a😀", "😀a"))
+  }
+
+  test("lev_within equals the built-in levenshtein for every threshold") {
+    val df = randomPairs.toDF("a", "b").persist()
+    try {
+      for (k <- 0 to 4) {
+        val bad = df.select(col("a"), col("b"),
+            NativeFunctions.levWithin(col("a"), col("b"), k).as("got"),
+            when(levenshtein(col("a"), col("b")) <= k,
+              levenshtein(col("a"), col("b"))).otherwise(-1).as("want"))
+          .filter(col("got") =!= col("want"))
+          .collect()
+        assert(bad.isEmpty,
+          s"k=$k mismatches: ${bad.take(5).mkString(", ")}")
+      }
+    } finally { df.unpersist(): Unit }
+  }
+
+  test("sig_bound is a sound Levenshtein lower bound") {
+    val bad = randomPairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        NativeFunctions.sigBound(
+          NativeFunctions.fuzzySig(col("a")),
+          NativeFunctions.fuzzySig(col("b"))).as("bound"),
+        levenshtein(col("a"), col("b")).as("lev"))
+      .filter(col("bound") > col("lev"))
+      .collect()
+    assert(bad.isEmpty, s"bound exceeded true distance: ${bad.take(5).mkString(", ")}")
+  }
+
+  test("fuzzyJoin matches the unblocked predicate inside its block") {
+    // every pair here shares (first char, ±2 length): blocking recalls
+    // all of them, so fuzzyJoin must equal brute-force lev<=2
+    val refs = Seq((1L, "widget"), (2L, "wodget"), (3L, "wadgets"))
+      .toDF("id", "name")
+    val probes = Seq((10L, "widgat"), (11L, "wzzzzz"), (12L, "widgetxx"))
+      .toDF("id", "name")
+    val got = Text.fuzzyJoin(probes, refs, "id", $"name", "id", $"name", 2)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = probes.as[(Long, String)].collect().flatMap { case (p, pn) =>
+      refs.as[(Long, String)].collect().flatMap { case (r, rn) =>
+        val d = levDp(pn, rn)
+        if (d <= 2) Some((p, r, d)) else None
+      }
+    }.toSet
+    assert(got == want)
+  }
+
+  test("multi-block recall: superset of single-block, complete at maxDist=1") {
+    // corrupt at the ANCHORS: deleting the first char escapes first-char
+    // blocking; deleting the last escapes last-char blocking
+    val refs = (0 until 40).map(i => (i.toLong, f"w${i}%02dxyz")).toDF("id", "name")
+    val probes = refs.as[(Long, String)].collect().map { case (i, s) =>
+      if (i % 2 == 0) (i + 100, s.substring(1)) else (i + 100, s.dropRight(1))
+    }.toSeq.toDF("id", "name")
+
+    val single = Text.fuzzyJoin(probes, refs, "id", $"name", "id", $"name", 1)
+      .as[(Long, Long, Int)].collect().toSet
+    val multi = Text.fuzzyJoinMultiBlock(probes, refs, "id", $"name",
+        "id", $"name", 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(single.subsetOf(multi), "multi-block recall must dominate")
+    assert(single.size < multi.size,
+      "anchor corruption must escape the single pass")
+
+    // ground truth: ALL-PAIRS levenshtein <= 1 (strings all length >= 2,
+    // where one edit cannot change both anchors)
+    val truth = probes.as[(Long, String)].collect().flatMap { case (p, pn) =>
+      refs.as[(Long, String)].collect().flatMap { case (r, rn) =>
+        val d = levDp(pn, rn)
+        if (d <= 1) Some((p, r, d)) else None
+      }
+    }.toSet
+    assert(multi == truth, "maxDist=1 multi-block must be recall-complete")
+  }
+
+  test("incremental fuzzy join = batch run minus old×old") {
+    val old = Seq((1L, "alpha"), (2L, "alphax"), (3L, "beta"))
+      .toDF("id", "name")
+    val batch = Seq((10L, "alpha"), (11L, "alpba"), (12L, "betax"),
+      (13L, "gamma")).toDF("id", "name")
+    val inc = Text.fuzzyJoinIncremental(old, batch, "id", $"name", 2)
+      .as[(Long, Long, Int)].collect().toSet
+    // reference: probe batch against everything, drop old×old (probe is
+    // always from batch) and keep within-batch pairs once (ref < probe)
+    val want = Text.fuzzyJoin(batch, old.unionByName(batch), "id", $"name",
+        "id", $"name", 2)
+      .filter(col("ref_id") < 10 || col("ref_id") < col("probe_id"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(inc == want)
+    assert(inc.nonEmpty && inc.exists(_._2 < 10) && inc.exists(_._2 >= 10),
+      "fixture must exercise both old and within-batch matches")
+  }
+
+  test("density guard rejects a pathological block and passes sane ones") {
+    // one hot block: same first char, same length -> n_probes*n_refs pairs
+    val hot = (0 until 60).map(i => (i.toLong, f"a${i}%03d")).toDF("id", "name")
+    val e = intercept[IllegalStateException] {
+      Text.fuzzyJoin(hot, hot, "id", $"name", "id", $"name", 1,
+        maxBlockPairs = 100L)
+    }
+    assert(e.getMessage.contains("maxBlockPairs"))
+    // generous limit: same inputs go through
+    val ok = Text.fuzzyJoin(hot, hot, "id", $"name", "id", $"name", 1,
+      maxBlockPairs = 1000000L)
+    assert(ok.count() >= 60L) // at least the self-pairs
+  }
+
+  test("fuzzyBlockStats reports per-block candidate volume") {
+    val probes = Seq((1L, "aa"), (2L, "ab"), (3L, "ba")).toDF("id", "name")
+    val refs = Seq((4L, "ac"), (5L, "bd")).toDF("id", "name")
+    val stats = Text.fuzzyBlockStats(probes, refs, "id", $"name",
+        "id", $"name", 0)
+      .as[(String, Int, Long, Long, Long)].collect().toSet
+    // block ("a", len 2): 2 probes x 1 ref; block ("b", len 2): 1 x 1
+    assert(stats == Set(("a", 2, 2L, 1L, 2L), ("b", 2, 1L, 1L, 1L)))
+  }
+
+  /** Plain reference Levenshtein (full DP, code points). */
+  private def levDp(a: String, b: String): Int = {
+    val s = a.codePoints().toArray
+    val t = b.codePoints().toArray
+    val d = Array.tabulate(s.length + 1)(i => i)
+    for (j <- 1 to t.length) {
+      var prev = d(0)
+      d(0) = j
+      for (i <- 1 to s.length) {
+        val tmp = d(i)
+        d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+          prev + (if (s(i - 1) == t(j - 1)) 0 else 1))
+        prev = tmp
+      }
+    }
+    d(s.length)
+  }
+}
