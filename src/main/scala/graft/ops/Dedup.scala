@@ -111,6 +111,36 @@ object Dedup {
     * jaccardPairsPrefix, which indexes only each doc's rare-shingle
     * prefix. Input carries (`id`, `shingles`); output (id_a, id_b, jac).
     */
+  /** Rational effective-threshold bounds shared by every prune below.
+    *
+    * Each pair-generation prune must be consistent with its VERIFY
+    * filter `round(x, 4) >= t`, which passes exact ratios down to
+    * teff = tceil4 − 5e-5 (half-up at the 4th decimal; tceil4 = t
+    * rounded up to 4 decimals). The naive `ceil(n * t)` had two
+    * defects (round-5 advice): the double product can land just above
+    * an integral value (100·0.57 → 57.000000000000007 → ceil 58),
+    * shortening prefixes and over-pruning, and it pruned on exact t
+    * while the verify rounds — near-boundary pairs diverged. Both
+    * close by computing ⌈n·teff⌉ in EXACT integer arithmetic over
+    * denominator 200000 (numer = 20·⌈t·10⁴⌉ − 10). The division is
+    * exact by magnitude: shingle counts are document-bounded
+    * (< 2^31), so n·numer < 2^53 and the quotient sits ≥ 5e-6 from
+    * any integer it could mis-round across — a million× one ulp.
+    */
+  private val RatDenom = 200000L
+  private def ratNumer(threshold: Double): Long =
+    math.max(0L, 20L * math.ceil(threshold * 10000 - 1e-9).toLong - 10L)
+
+  /** ⌈n·teff⌉ — the smallest shared-element count a qualifying pair
+    * can have; the matching prefix length is n − minShared + 1.
+    */
+  private def minShared(n: Column, numer: Long): Column =
+    floor((n.cast("long") * numer + (RatDenom - 1)) / RatDenom).cast("long")
+
+  /** Size-band prune `teff·|B| ≤ |A|` in exact integers. */
+  private def sizeBandLe(nb: Column, na: Column, numer: Long): Column =
+    nb.cast("long") * numer <= na.cast("long") * RatDenom
+
   def jaccardPairs(docs: DataFrame, id: String, shingles: String,
                    threshold: Double): DataFrame =
     jaccardPairsHashed(
@@ -139,12 +169,13 @@ object Dedup {
     // corpora with genuinely hot shingles use jaccardPairsPrefixHashed,
     // whose prefix filter subsumes the benefit.)
     val paired = inv
+    val numer = ratNumer(threshold)
     // size-ratio precondition: jac >= θ forces θ·|A| <= |B| <= |A|/θ —
     // incompatible pairs are dropped in the join, before the aggregate
     paired.as("a").join(paired.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
-          col("b.n") * threshold <= col("a.n") &&
-          col("a.n") * threshold <= col("b.n"))
+          sizeBandLe(col("b.n"), col("a.n"), numer) &&
+          sizeBandLe(col("a.n"), col("b.n"), numer))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("shared"))
       .join(broadcast(sizes).as("sa"), col("id_a") === col("sa.id"))
@@ -176,8 +207,9 @@ object Dedup {
     val d = docs.select(col(id).as("id"), array_distinct(col(shingles)).as("sh"))
     val inv = d.select(col("id"), explode(col("sh")).as("s"))
     val freq = inv.groupBy("s").agg(count(lit(1)).as("f"))
+    val numer = ratNumer(threshold)
     val prefixLen = (size(col("sorted_sh")) -
-      ceil(size(col("sorted_sh")) * threshold) + 1).cast("int")
+      minShared(size(col("sorted_sh")), numer) + 1).cast("int")
     val pidx = inv.join(freq, "s")
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("f"), col("s")))).as("rs"))
@@ -186,8 +218,8 @@ object Dedup {
         explode(slice(col("sorted_sh"), lit(1), prefixLen)).as("s"))
     val cands = pidx.as("a").join(pidx.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
-          col("b.n") * threshold <= col("a.n") &&
-          col("a.n") * threshold <= col("b.n"))
+          sizeBandLe(col("b.n"), col("a.n"), numer) &&
+          sizeBandLe(col("a.n"), col("b.n"), numer))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cands
@@ -214,7 +246,7 @@ object Dedup {
       explode(col("hs")).as("h"): _*)
     val freq = inv.groupBy("h").agg(count(lit(1)).as("f"))
     val prefixLen = (size(col("rs")) -
-      ceil(size(col("rs")) * threshold) + 1).cast("int")
+      minShared(size(col("rs")), ratNumer(threshold)) + 1).cast("int")
     inv.join(freq, "h")
       .groupBy(("id" +: carry).map(col): _*)
       .agg(sort_array(collect_list(struct(col("f"), col("h")))).as("rs"))
@@ -242,10 +274,11 @@ object Dedup {
     // Persisted: the candidate self-join consumes this index twice, and
     // without it the whole explode→freq-join→sort chain runs per side.
     val pidx = prefixIndex(d, threshold, Nil).persist()
+    val numer = ratNumer(threshold)
     val cands = pidx.as("a").join(pidx.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
-          col("b.n") * threshold <= col("a.n") &&
-          col("a.n") * threshold <= col("b.n"))
+          sizeBandLe(col("b.n"), col("a.n"), numer) &&
+          sizeBandLe(col("a.n"), col("b.n"), numer))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cands
@@ -283,11 +316,12 @@ object Dedup {
         col(hashedShingles).as("hs"), lit(true).as("is_new")))
       .persist()
     val pidx = prefixIndex(d, threshold, Seq("is_new")).persist()
+    val numer = ratNumer(threshold)
     val cands = pidx.filter(col("is_new")).as("a").join(pidx.as("b"),
         col("a.h") === col("b.h") &&
           (!col("b.is_new") || col("a.id") > col("b.id")) &&
-          col("b.n") * threshold <= col("a.n") &&
-          col("a.n") * threshold <= col("b.n"))
+          sizeBandLe(col("b.n"), col("a.n"), numer) &&
+          sizeBandLe(col("a.n"), col("b.n"), numer))
       .select(col("a.id").as("id_new"), col("b.id").as("id_match"),
         col("b.is_new").as("match_is_new"))
       .distinct()
@@ -402,8 +436,9 @@ object Dedup {
     val tpost = tgt.select(col("id_t"), size(col("hst")).as("n_t"),
       explode(col("hst")).as("h"))
     val freq = tpost.groupBy("h").agg(count(lit(1)).as("f"))
+    val numer = ratNumer(threshold)
     val prefixLen = (size(col("rs")) -
-      ceil(size(col("rs")) * threshold) + 1).cast("int")
+      minShared(size(col("rs")), numer) + 1).cast("int")
     val ppost = p.select(col("id_p"), explode(col("hsp")).as("h"))
       .join(freq, Seq("h"), "left").na.fill(0L, Seq("f"))
       .groupBy("id_p")
@@ -414,7 +449,7 @@ object Dedup {
             r => r.getField("f") >= 1),
           r => r.getField("h"))).as("h"))
     val cands = ppost.join(tpost, "h")
-      .filter(col("n_t") >= ceil(col("n_p") * threshold))
+      .filter(col("n_t").cast("long") >= minShared(col("n_p"), numer))
       .select("id_p", "id_t").distinct()
     cands.join(p, "id_p").join(tgt, "id_t")
       .withColumn("cont",
@@ -521,8 +556,28 @@ object Dedup {
     *
     * Input `pairs`: (id_a, id_b). Output: (id, component) for every id
     * appearing in any pair.
+    *
+    * `saltFactor` > 1 arms the HUB-SKEW hardening: on a star-shaped
+    * graph (one vertex in millions of pairs — a boilerplate dup, a
+    * crawler trap) two joins concentrate one key into one shuffle
+    * partition: the edge⋈label lookup (every hub edge carries the hub
+    * as `src`) and, worse, the pointer-jump self-join (every member of
+    * a converged mega-cluster shares the same `component` key, so the
+    * cluster's whole population lands on one task regardless of graph
+    * shape). Salting splits the BIG side of each join into `saltFactor`
+    * deterministic sub-keys (hash of the row's other column — no RNG,
+    * so replays/retries repartition identically) and explodes the
+    * single-row-per-key lookup side across them: per-partition load
+    * drops by saltFactor at the cost of replicating the (vertex-sized)
+    * lookup rows saltFactor×. Labels propagate identically — the spec
+    * pins salted ≡ unsalted on star and chain graphs. AQE's skew-join
+    * splitting covers the same risk adaptively when enabled; the
+    * explicit salt keeps the guarantee under static planning and
+    * bounded for the agg-side combiners.
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20,
+                        saltFactor: Int = 1): DataFrame = {
+    require(saltFactor >= 1, "saltFactor must be >= 1")
     // persist the INPUT before the symmetric union: its two branches
     // are separate scans of `pairs`, and upstream pair generation (an
     // inverted join or LSH pipeline) is far too expensive to run twice.
@@ -555,10 +610,23 @@ object Dedup {
     var owned = labels
     var iter = 0
     var converged = false
+    // replicate a one-row-per-key lookup table across the salt domain
+    def salted(lookup: DataFrame): DataFrame =
+      lookup.withColumn("__salt",
+        explode(sequence(lit(0), lit(saltFactor - 1))))
     while (iter < maxIter && !converged) {
       // each vertex adopts min(own label, neighbors' labels) ...
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
+      val edgeLabels =
+        if (saltFactor == 1)
+          edges.join(labels.withColumnRenamed("id", "src"), "src")
+        else
+          // hub vertices put millions of identical `src` keys on the
+          // edge side; the deterministic dst-hash salt fans them across
+          // saltFactor partitions (see scaladoc)
+          edges.withColumn("__salt", pmod(hash(col("dst")), lit(saltFactor)))
+            .join(salted(labels.withColumnRenamed("id", "src")),
+              Seq("src", "__salt"))
+      val neighborMin = edgeLabels
         .groupBy(col("dst").as("id"))
         .agg(min(col("component")).as("nc"))
       val adopted = labels.join(neighborMin, Seq("id"), "left")
@@ -578,8 +646,21 @@ object Dedup {
       // the checkpointed result — no old-vs-new join, and unlike the
       // earlier decimal-sum witness it is TYPE-AGNOSTIC (string/date
       // ids work; a decimal cast of a string id yields null and NPEd).
-      val next = adopted.as("a")
-        .join(adopted.as("b"), col("a.component") === col("b.id"), "left")
+      val jumped =
+        if (saltFactor == 1)
+          adopted.as("a")
+            .join(adopted.as("b"), col("a.component") === col("b.id"), "left")
+        else
+          // a converged mega-cluster sends its WHOLE population through
+          // one `component` join key; the id-hash salt bounds any one
+          // partition to population/saltFactor
+          adopted
+            .withColumn("__salt", pmod(hash(col("id")), lit(saltFactor)))
+            .as("a")
+            .join(salted(adopted.select(col("id"), col("component"))).as("b"),
+              col("a.component") === col("b.id") &&
+                col("a.__salt") === col("b.__salt"), "left")
+      val next = jumped
         .select(col("a.id"), col("a.__prev"),
           coalesce(col("b.component"), col("a.component")).as("component"))
         .localCheckpoint(true)

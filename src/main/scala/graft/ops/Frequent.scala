@@ -50,9 +50,17 @@ object Frequent {
     *     the union of partition summaries (≤ partitions·k rows, no
     *     shuffle of the data itself) is a SUPERSET of the answer.
     *  2. verify pass — exact counts of candidates only: the candidate
-    *     set rides back as a BROADCAST semi-join, so the groupBy
-    *     shuffles only rows matching a candidate, then the all-integer
-    *     threshold filters against the exact N.
+    *     set rides back as a semi-join, so the groupBy shuffles only
+    *     rows matching a candidate, then the all-integer threshold
+    *     filters against the exact N.
+    *
+    * Memory bound, precisely: the candidate set is ≤ partitions·k
+    * rows, NOT k — at num/den = 10⁻⁶ over 10⁴ partitions that is 10¹⁰,
+    * far past any driver/broadcast budget. The semi-join therefore
+    * broadcasts only while partitions·k stays comfortably inside a
+    * broadcast (≤ 4M candidate rows) and falls back to a shuffled
+    * semi-join beyond it — same result, the shuffle then carries the
+    * candidate-matching rows instead of the whole map.
     *
     * False positives die in the verify pass; false negatives cannot
     * exist (step 1); the result is exact, not approximate. Two scans
@@ -69,7 +77,10 @@ object Frequent {
       .mapPartitions(p => misraGries(p, k))(Encoders.STRING)
       .toDF("it").distinct()
     val total = items.agg(count(lit(1)).as("n_total"))
-    items.join(broadcast(cands), Seq("it"), "left_semi")
+    val candSide =
+      if (items.rdd.getNumPartitions.toLong * k <= 4000000L) broadcast(cands)
+      else cands
+    items.join(candSide, Seq("it"), "left_semi")
       .groupBy(col("it"))
       .agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(total))

@@ -51,12 +51,22 @@ object Joins {
     require(bucketWidth >= 1, "bucketWidth must be >= 1")
     require(points.columns.toSet.intersect(intervals.columns.toSet).isEmpty,
       "points and intervals must not share column names")
-    val w = lit(bucketWidth)
-    val p = points.withColumn("__cell", floor(col(ptCol).cast("long") / w))
+    // EXACT integer floor-division: `floor(c / w)` routes through
+    // double division and loses exactness past 2^53 — epoch micros or
+    // nanos (which the integral-domain contract invites) would land
+    // points in the WRONG cell and silently drop matches. Subtracting
+    // pmod first makes the dividend an exact multiple (pmod ≥ 0 also
+    // fixes negative-value flooring), and the decimal(38,0) divide is
+    // exact at any long magnitude; cast back truncates nothing.
+    def cellOf(c: org.apache.spark.sql.Column) = {
+      val cl = c.cast("long")
+      ((cl.cast("decimal(38,0)") - pmod(cl, lit(bucketWidth))) /
+        lit(bucketWidth)).cast("long")
+    }
+    val p = points.withColumn("__cell", cellOf(col(ptCol)))
     val i = intervals.withColumn("__cell",
-      explode(sequence(floor(col(loCol).cast("long") / w),
-        greatest(floor(col(hiCol).cast("long") / w),
-          floor(col(loCol).cast("long") / w)))))
+      explode(sequence(cellOf(col(loCol)),
+        greatest(cellOf(col(hiCol)), cellOf(col(loCol))))))
     p.join(i, Seq("__cell"))
       .filter(col(ptCol).between(col(loCol), col(hiCol)))
       .drop("__cell")

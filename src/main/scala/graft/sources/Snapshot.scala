@@ -470,7 +470,12 @@ object Snapshot {
         // computed clustering key (e.g. zorderKey): range-cluster on it,
         // then drop it — the key never reaches the data files, only the
         // layout (and therefore the per-file stats of the REAL columns)
-        // remembers it
+        // remembers it. A caller column named __zck would be silently
+        // overwritten here and then DROPPED from the written files while
+        // the manifest dataSchema (built from df.schema) still lists it.
+        require(!df.columns.contains("__zck"),
+          "clusterByKey reserves the working column name __zck; " +
+          "rename the input column")
         val withK = df.withColumn("__zck", key)
         val keys = (partitionCol.toSeq.map(col) :+ col("__zck"))
         val ranged =

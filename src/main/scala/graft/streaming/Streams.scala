@@ -334,14 +334,17 @@ object Streams {
     *
     * Exactness + replay-idempotence WITHOUT max-merge tricks: counts
     * don't max-merge (a replayed batch would double-count a plain
-    * sum-fold), so each batch's histogram is keyed by a fingerprint of
-    * its content (order-free exact decimal sum of row hashes) and
-    * committed via the snapshot MERGE — a crash replay rewrites the
-    * SAME partition with the SAME rows, and the cumulative
-    * sum-over-partitions is unchanged. Re-delivery of a byte-identical
-    * batch is absorbed by the same mechanism (a monitor, not an
-    * accounting ledger — document scope). Alarm rows re-append on
-    * replay; consumers dedup by batch_fp, the hygieneStream contract.
+    * sum-fold), so each batch's histogram is keyed by (epoch, content
+    * fingerprint) — the foreachBatch batchId, which Structured
+    * Streaming replays UNCHANGED after a crash, plus an order-free
+    * exact decimal sum of row hashes — and committed via the snapshot
+    * MERGE: a crash replay rewrites the SAME partition with the SAME
+    * rows and the cumulative sum-over-partitions is unchanged, while
+    * two legitimately DISTINCT but byte-identical batches (a
+    * constant-valued feed) carry different epochs and both count —
+    * content-only keying silently collapsed them (round-5 advice).
+    * Alarm rows re-append on replay; consumers dedup by batch_fp, the
+    * hygieneStream contract.
     *
     * A disjoint-support histogram (n_bins = 0, psi null) alarms: zero
     * overlap IS maximal drift.
@@ -358,7 +361,7 @@ object Streams {
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val vals = batch.toDF().select(value.as("v")).persist()
@@ -368,7 +371,7 @@ object Streams {
                   .cast("decimal(38,0)")),
                 lit(1152921504606846976L)).cast("long").as("fp"),
               count(lit(1)).as("n")).head()
-            val fp = "b" + fpRow.getLong(0)
+            val fp = "b" + batchId + "_" + fpRow.getLong(0)
             val hist = vals
               .groupBy(floor(col("v") / binWidth).cast("long").as("bin"))
               .agg(count(lit(1)).as("n_c"))

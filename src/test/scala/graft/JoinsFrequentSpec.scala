@@ -33,6 +33,28 @@ class JoinsFrequentSpec extends SparkSpec {
     }
   }
 
+  test("rangeJoin: exact cells beyond 2^53 (epoch-nano domain)") {
+    // double division loses integer exactness past 2^53: with the old
+    // floor(pt / w) a point and its own covering interval could land in
+    // DIFFERENT cells and the pair silently vanished. Epoch-nanos are
+    // ~1.7e18; stress the top of the long range on an odd width.
+    val base = Long.MaxValue - 1000L
+    val points = (0 until 20).map(i => (i.toLong, base + i * 7)).toDF("pid", "pt")
+    val intervals = (0 until 20).map { i =>
+      (100L + i, base + i * 7 - 1, base + i * 7 + 1)
+    }.toDF("iid", "lo", "hi")
+    val got = Joins.rangeJoin(points, "pt", intervals, "lo", "hi", 3L)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    val want = rowsOf(naiveRange(points, intervals)
+      .select($"pid", $"iid")).map(r => (r.getLong(0), r.getLong(1)))
+    assert(got == want && got.size == 20)
+    // negative domain too (floor, not truncate-toward-zero)
+    val npts = Seq((1L, Long.MinValue + 10L)).toDF("pid", "pt")
+    val nint = Seq((2L, Long.MinValue + 9L, Long.MinValue + 11L))
+      .toDF("iid", "lo", "hi")
+    assert(Joins.rangeJoin(npts, "pt", nint, "lo", "hi", 7L).count() == 1L)
+  }
+
   test("rangeJoin: inclusive bounds, empty intervals, multi-cell spans") {
     val points = Seq((1L, 0L), (2L, 5L), (3L, 9L), (4L, 10L)).toDF("pid", "pt")
     val intervals = Seq(

@@ -347,6 +347,27 @@ class TextDedupSpec extends SparkSpec {
     assert(got.size == 61 && got.values.forall(_ == 1L))
   }
 
+  test("duplicateClusters: salted path matches unsalted on a 1e5-spoke star") {
+    // hub-skew shape: vertex 0 joined to 100k spokes — every edge
+    // carries the hub key and, once converged, every vertex shares the
+    // hub's component label, so both skew-prone joins concentrate on
+    // one key; the salted path must produce the identical labeling
+    val spokes = 100000L
+    val pairs = spark.range(1, spokes + 1)
+      .select(lit(0L).as("id_a"), $"id".as("id_b"))
+    val salted = Dedup.duplicateClusters(pairs, saltFactor = 8)
+    assert(salted.count() == spokes + 1)
+    assert(salted.filter($"component" =!= 0L).count() == 0L,
+      "every spoke joins the hub's component")
+    // and on a multi-component chain graph, salted ≡ unsalted row-wise
+    val chain = ((1L until 40L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (200L, 201L))).toDF("id_a", "id_b")
+    val a = Dedup.duplicateClusters(chain).as[(Long, Long)].collect().toMap
+    val b = Dedup.duplicateClusters(chain, saltFactor = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("dedupByClusters keeps the canonical member and all singletons") {
     val docs = Seq((1L, "a"), (2L, "a"), (3L, "a"), (10L, "b"), (11L, "b"),
       (99L, "unique")).toDF("doc_id", "text")
