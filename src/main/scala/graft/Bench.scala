@@ -35,6 +35,22 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Cost-share tripwire (stderr, stdout keeps its strict contract):
+    // round 5's q102 quietly grew to 63% of the whole bench inside a
+    // green run — surface the top-5 shares every round and warn LOUDLY
+    // when any single query exceeds 20% of the total. Log, not crash:
+    // a hot query is a finding, not a failure. tools/bench_share.py
+    // runs the same check against target/bench.json after the fact.
+    if (total > 0) {
+      val top = results.toSeq.sortBy(-_._2).take(5)
+      System.err.println("[graft] bench top-5 by share: " + top.map {
+        case (n, t) => f"$n=${t}%.2fs(${100 * t / total}%.1f%%)"
+      }.mkString(", "))
+      top.filter(_._2 > 0.20 * total).foreach { case (n, t) =>
+        System.err.println(f"[graft] WARNING: $n takes ${100 * t / total}%.1f%% " +
+          "of the bench (>20% tripwire) — investigate before it hides in a green run")
+      }
+    }
     val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min"}"""
     // Parse contract (4 rounds of "parsed": null taught us the hard way):
     //  - the forked child inherits sbt's real stdout (StdoutOutput), so the

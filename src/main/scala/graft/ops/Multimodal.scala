@@ -74,11 +74,26 @@ object Multimodal {
     })
   }
 
-  /** A (stub) decoder with an expensive handle — stands in for a JNI /
-    * ffmpeg / tokenizer context whose construction dominates per-row
-    * costs if done naively. `open()` is what must be amortized.
+  /** The pluggable decode SEAM: a codec turns one payload batch into
+    * fixed-shape feature records. Implementations must be pure
+    * (payload bytes → features, no side effects) and serializable —
+    * the instance is constructed executor-side via the `open` factory
+    * passed to [[decodeFeaturesBatched]], once per partition. A real
+    * deployment implements this with JNI/ffmpeg/JPEG and changes
+    * NOTHING else: the pipeline (schema, batching, partitioning) is
+    * fixed, and MultimodalSpec proves output varies only through this
+    * trait by swapping a second decoder in.
     */
-  final class StubDecoder private () extends Serializable {
+  trait Decoder extends Serializable {
+    def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[MediaFeatures]
+  }
+
+  /** The (stub) default decoder with an expensive handle — stands in
+    * for a JNI / ffmpeg / tokenizer context whose construction
+    * dominates per-row costs if done naively. `open()` is what must be
+    * amortized.
+    */
+  final class StubDecoder private () extends Decoder {
     def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[MediaFeatures] =
       batch.map { case (id, bytes) =>
         val checksum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
@@ -101,10 +116,12 @@ object Multimodal {
     * shape differs.
     */
   def decodeFeaturesBatched(media: Dataset[(Long, Array[Byte])],
-                            batchSize: Int = 64): Dataset[MediaFeatures] = {
+                            batchSize: Int = 64,
+                            open: () => Decoder = () => StubDecoder.open())
+      : Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      val decoder = StubDecoder.open() // once per partition, NOT per row
+      val decoder = open() // once per partition, NOT per row
       it.grouped(batchSize).flatMap(batch => decoder.decodeBatch(batch.toSeq))
     }
   }

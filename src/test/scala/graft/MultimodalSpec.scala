@@ -59,4 +59,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.StubDecoder.opened.get() == 4,
       s"opened ${Multimodal.StubDecoder.opened.get()} times")
   }
+
+  test("decoder seam: swapping the codec changes output ONLY through the trait") {
+    // a second "golden" decoder standing in for a real codec: same
+    // contract, recognizably different features
+    class GoldenDecoder extends Multimodal.Decoder {
+      def decodeBatch(batch: Seq[(Long, Array[Byte])]) =
+        batch.map { case (id, bytes) =>
+          Multimodal.MediaFeatures(id, bytes.length, 4242L, 7)
+        }
+    }
+    val media = spark.range(0, 40).map(i =>
+      (i.toLong, s"payload-$i".getBytes("UTF-8"))).repartition(4)
+    val stub = Multimodal.decodeFeaturesBatched(media, batchSize = 8)
+    val golden = Multimodal.decodeFeaturesBatched(media, batchSize = 8,
+      open = () => new GoldenDecoder)
+    // the pipeline around the seam is unchanged: same schema, same row
+    // set keyed by (doc_id, n_bytes) — only the decoder-computed
+    // features differ, and exactly as the golden codec dictates
+    assert(stub.schema == golden.schema)
+    val s = stub.collect().map(f => f.doc_id -> f).toMap
+    val g = golden.collect().map(f => f.doc_id -> f).toMap
+    assert(s.keySet == g.keySet)
+    assert(s.keySet.forall(id => s(id).n_bytes == g(id).n_bytes))
+    assert(g.values.forall(f => f.checksum == 4242L && f.first_byte == 7))
+    assert(s.values.forall(f => f.checksum != 4242L))
+  }
 }

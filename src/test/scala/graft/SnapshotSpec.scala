@@ -107,6 +107,41 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("two raw writers racing one version: one wins, loser throws, chain stays linear") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      Snapshot.commit(batch(("Z", "2024-01-01", 1.0, 0L)), t, Some("date"))
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      // release both RAW merges (no retry loop) together: each reads
+      // latest=1 before the other can publish (the Spark data write
+      // sits between read and publish), so both target v2 and the
+      // manifest hard-link must arbitrate
+      val start = new java.util.concurrent.CountDownLatch(2)
+      def writer(sym: String): Future[Either[Throwable, Unit]] = Future {
+        start.countDown(); start.await()
+        try Right(Snapshot.merge(batch((sym, "2024-01-02", 10.0, 1L)), t,
+          Seq("symbol", "date"), "version", "date"): Unit)
+        catch { case e: Throwable => Left(e) }
+      }
+      val results = Await.result(
+        Future.sequence(Seq(writer("A"), writer("B"))), 120.seconds)
+      val (losers, winners) = results.partition(_.isLeft)
+      assert(winners.size == 1 && losers.size == 1,
+        s"exactly one writer must take v2, got $results")
+      assert(losers.head.left.exists(
+        _.isInstanceOf[Snapshot.ConcurrentCommitException]),
+        s"loser must see ConcurrentCommitException, got ${losers.head}")
+      // linear manifest chain: exactly versions 1,2 — no gap, no fork
+      assert(Snapshot.versions(t) == Seq(1L, 2L))
+      // and v2 holds the winner's row only (loser's data never published)
+      val day2 = Snapshot.read(spark, t).filter($"date" === "2024-01-02")
+        .select($"symbol").as[String].collect().toSeq
+      assert(day2.size == 1, s"one winner row, got $day2")
+    }
+  }
+
   test("mergeRetrying: concurrent writers all land; losers re-merge on the winner") {
     withTempDir { dir =>
       val t = dir.getAbsolutePath + "/t"
