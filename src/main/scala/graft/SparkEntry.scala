@@ -58,7 +58,14 @@ object SparkEntry {
     * the dedup-operator test bed: every base doc has one known near-dup.
     */
   private def docsDup(s: SparkSession, dir: String): DataFrame = {
+    // The documents scan is a single parquet task at bench scale while
+    // every consumer of this helper runs per-row md5 shingling /
+    // sketching — spread the TEXT across the cluster before the heavy
+    // projections (NOTES round-6 lesson: output-heavy stages need an
+    // explicit spread; this is one small shuffle of raw text, measured
+    // ~-30% on the prefix-join family).
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      .repartition(s.sessionState.conf.numShufflePartitions)
     d.unionByName(d.select((col("doc_id") + 10000).as("doc_id"),
       concat(col("text"), lit(" zz9 qq8")).as("text")))
   }
@@ -682,6 +689,56 @@ object SparkEntry {
           coalesce(col("n_old"), lit(0L)).as("n_old"),
           coalesce(col("n_new"), lit(0L)).as("n_new"),
           coalesce(pmod(col("bk"), lit(100000L)), lit(-1L)).as("best_ref"))
+    }),
+
+    // Text: blocking-recall ESTIMATOR — the production-ER pre-flight:
+    // all-pairs ground truth is unaffordable on the corpus but cheap on
+    // a deterministic sample (sample² work), so the blocked join's
+    // recall is measured there before committing the full run. Blocked
+    // output is a subset of truth by construction (same verify), so
+    // recall = blocked/truth.
+    "q107_blocking_recall" -> ((s, dir) => {
+      val sample = t(s, dir, "part")
+        .filter(pmod(col("p_partkey"), lit(40)) === 0)
+        .select(col("p_partkey").as("id"), col("p_name").as("name"))
+      val len = length(col("name"))
+      val k = (col("id") % len).cast("int")
+      val probes = sample.select((col("id") + 20000).as("id"),
+        concat(col("name").substr(lit(1), k),
+          col("name").substr(k + 2, len)).as("name"))
+      val blocked = Text.fuzzyJoin(probes, sample, "id", col("name"),
+        "id", col("name"), 1)
+      val truth = probes.select(col("id").as("pid"), col("name").as("pn"))
+        .crossJoin(sample.select(col("id").as("rid"), col("name").as("rn")))
+        .filter(levenshtein(col("pn"), col("rn")) <= 1)
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(broadcast(blocked.agg(count(lit(1)).as("n_blocked"))))
+        .select(col("n_true"), col("n_blocked"),
+          round((col("n_blocked").cast("double") / col("n_true"))
+            .cast("decimal(20,10)"), 4).cast("double").as("recall"))
+    }),
+
+    // Similarity: ANN recall ESTIMATOR — recall@5 of the IVF scale path
+    // against brute-force ground truth on a sampled query set (the same
+    // audit-on-a-sample pattern as q107, applied to the vector side).
+    "q108_ivf_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val centroids = e.filter(col("id") < 16)
+        .select(col("id").as("cid"), col("vec").as("cvec"))
+      val qs = e.filter(pmod(col("id"), lit(10)) === 0)
+      val truth = Similarity.bruteForceTopK(qs, e, 5)
+      val approx = Similarity.ivfTopK(e, centroids, 5)
+        .filter(pmod(col("query_id"), lit(10)) === 0)
+      val hits = truth.join(approx, Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      qs.select(col("id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round((coalesce(col("n_hit"), lit(0L)).cast("double") / 5)
+            .cast("decimal(20,10)"), 4).cast("double").as("recall_at_5"))
     }),
 
     // Text: adjacent-bigram PMI collocations — the phrase-mining pass;
@@ -1892,6 +1949,63 @@ object SparkEntry {
         |  CAST(coalesce(m.n_new, 0) AS BIGINT) AS n_new,
         |  coalesce(m.bk % 100000, -1) AS best_ref
         |FROM b LEFT JOIN m ON b.id = m.probe_id""".stripMargin,
+
+    // Truth = all-pairs lev<=1 on the sample; blocked = the engine's
+    // block predicate over the same pairs; blocked ⊆ truth.
+    "q107_blocking_recall" ->
+      """WITH s AS (SELECT p_partkey AS id, p_name AS name FROM part
+        |           WHERE p_partkey % 40 = 0),
+        |pr AS (SELECT id + 20000 AS id,
+        |    substr(name, 1, CAST(id % length(name) AS INT))
+        |      || substr(name, CAST(id % length(name) AS INT) + 2) AS name
+        |  FROM s),
+        |tr AS (SELECT count(*) AS n_true FROM pr, s
+        |       WHERE levenshtein(pr.name, s.name) <= 1),
+        |bl AS (SELECT count(*) AS n_blocked FROM pr JOIN s
+        |  ON substr(pr.name, 1, 1) = substr(s.name, 1, 1)
+        |    AND abs(length(pr.name) - length(s.name)) <= 1
+        |    AND levenshtein(pr.name, s.name) <= 1)
+        |SELECT CAST(n_true AS BIGINT) AS n_true,
+        |  CAST(n_blocked AS BIGINT) AS n_blocked,
+        |  CAST(round(CAST(CAST(n_blocked AS DOUBLE) / n_true
+        |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS recall
+        |FROM tr, bl""".stripMargin,
+
+    // q37's IVF derivation and q31's brute truth, intersected per
+    // sampled query; identical rounded-sim/id tiebreaks on both sides.
+    "q108_ivf_recall" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |           WHERE vec_id < 16),
+         |assigned AS (
+         |  SELECT id, vec, cid AS cell FROM (
+         |    SELECT e.vec_id AS id, e.embedding AS vec, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY round(${cosSql("e.embedding", "c.cvec")}, 6) DESC, c.cid) AS rn
+         |    FROM embeddings e CROSS JOIN c)
+         |  WHERE rn = 1),
+         |approx AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT x.id AS query_id, y.id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY x.id
+         |      ORDER BY round(${cosSql("x.vec", "y.vec")}, 6) DESC, y.id) AS rnk
+         |  FROM assigned x JOIN assigned y ON x.cell = y.cell AND x.id != y.id)
+         |  WHERE rnk <= 5 AND query_id % 10 = 0),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${cosSql("q.embedding", "c2.embedding")}, 6) DESC, c2.vec_id) AS rnk
+         |  FROM embeddings q JOIN embeddings c2 ON q.vec_id != c2.vec_id
+         |  WHERE q.vec_id % 10 = 0)
+         |  WHERE rnk <= 5),
+         |h AS (SELECT t.query_id, count(*) AS n_hit
+         |  FROM truth t JOIN approx a
+         |    ON t.query_id = a.query_id AND t.neighbor_id = a.neighbor_id
+         |  GROUP BY 1)
+         |SELECT q.vec_id AS query_id,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(round(CAST(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS recall_at_5
+         |FROM embeddings q LEFT JOIN h ON q.vec_id = h.query_id
+         |WHERE q.vec_id % 10 = 0""".stripMargin,
 
     // Same blocking predicate as the engine's fuzzyJoin (first char +
     // ±2 length band + levenshtein ≤ 2), asymmetric variants→clean

@@ -196,6 +196,21 @@ class PhysicalPlanSpec extends SparkSpec {
       s"prefix×posting candidates must stay an equi-join:\n$p")
   }
 
+  test("fuzzy join: equi-join on the block key, spread sides, filter-verify order") {
+    val p = plan("q102_entity_resolution")
+    // the verify work must never degenerate to a nested loop
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // both sides arrive hash-partitioned on the block key — the
+    // explicit fan-out spread (REPARTITION_BY_COL marks a user
+    // repartition, which AQE must not coalesce away)
+    assert("hashpartitioning\\(bc".r.findAllIn(p).size >= 2,
+      s"block-key repartition on both sides expected:\n$p")
+    // the cheap signature bound runs as a filter; the banded verifier
+    // computes the output distance
+    assert(p.contains("sig_bound") && p.contains("lev_within"), p)
+  }
+
   test("whole-stage codegen covers the scan-project pipeline") {
     val df = Tables(spark, dir, "lineitem")
       .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
