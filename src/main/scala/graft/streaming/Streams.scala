@@ -464,6 +464,58 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming entity resolution — the continuous face of
+    * [[graft.ops.Text.fuzzyJoinIncremental]], and the edit-distance
+    * sibling of [[dedupStream]]: each micro-batch of (rec_id, name)
+    * records resolves against the ACCUMULATED entity snapshot within
+    * `maxDist` edits (old×old is never re-paired — per-batch candidate
+    * cost tracks the increment, not snapshot age²); records matching
+    * no existing entity and no earlier record of their own batch
+    * become NEW entities and append via an atomic snapshot merge
+    * partitioned by ingest batch.
+    *
+    * Crash replay is idempotent without relying on the checkpoint: a
+    * replayed novel record finds its own previously-committed entity
+    * at distance 0 and resolves to it instead of duplicating; a
+    * replayed matched record re-matches whatever absorbed it before;
+    * the merge touches only the replayed batch's own partition.
+    */
+  def erStream(in: DataFrame, table: String, checkpoint: String,
+               maxDist: Int = 1): Unit = {
+    import graft.ops.Text
+    import graft.sources.Snapshot
+    val q = in.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val fresh = batch.toDF().select(col("rec_id"), col("name"))
+            .persist()
+          val entities = Snapshot.latestVersion(table) match {
+            case Some(_) => Snapshot.read(spark, table)
+              .select(col("rec_id"), col("name"))
+            case None => fresh.limit(0)
+          }
+          val matched = Text.fuzzyJoinIncremental(
+              entities.withColumnRenamed("rec_id", "id"),
+              fresh.withColumnRenamed("rec_id", "id"),
+              "id", col("name"), maxDist)
+            .select(col("probe_id").as("rec_id")).distinct()
+          val novel = fresh.join(matched, Seq("rec_id"), "left_anti")
+            .withColumn("ingest_batch", lit(batchId))
+          if (!novel.isEmpty)
+            Snapshot.merge(novel, table, Seq("rec_id"), "rec_id",
+              "ingest_batch"): Unit
+          fresh.unpersist()
+          spark.catalog.clearCache()
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drive any streaming DataFrame to a parquet sink with AvailableNow:
     * processes everything pending, then stops — the scheduled-batch
     * deployment mode (replaces the reference's GitHub Actions cron with

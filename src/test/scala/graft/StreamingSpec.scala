@@ -316,6 +316,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("erStream grows the entity snapshot; variants resolve, replays don't duplicate") {
+    withTempDir { dir =>
+      val in1 = dir.getAbsolutePath + "/in1"
+      val in2 = dir.getAbsolutePath + "/in2"
+      val table = dir.getAbsolutePath + "/entities"
+      // batch 1: two distinct entities + a within-batch variant of the
+      // first (one deletion, larger id) that must NOT become an entity
+      Seq((1L, "goldenrod lace"), (2L, "midnight chocolate"),
+        (3L, "goldenrd lace"))
+        .toDF("rec_id", "name").write.parquet(in1)
+      val schema = spark.read.parquet(in1).schema
+      Streams.erStream(spark.readStream.schema(schema).parquet(in1),
+        table, dir.getAbsolutePath + "/ck1", 1)
+      val afterOne = graft.sources.Snapshot.read(spark, table)
+        .select($"rec_id").as[Long].collect().toSet
+      assert(afterOne == Set(1L, 2L))
+      // batch 2: a re-keyed variant of entity 1 resolves against
+      // HISTORY; one genuinely new entity appends
+      Seq((11L, "goldenrod lacs"), (12L, "papaya spring wheat"))
+        .toDF("rec_id", "name").write.parquet(in2)
+      Streams.erStream(spark.readStream.schema(schema).parquet(in2),
+        table, dir.getAbsolutePath + "/ck2", 1)
+      val afterTwo = graft.sources.Snapshot.read(spark, table)
+        .select($"rec_id").as[Long].collect().toSet
+      assert(afterTwo == Set(1L, 2L, 12L))
+      // replay the SAME batch under a fresh checkpoint (a crash replay
+      // without offset state): every record re-resolves at distance 0
+      // against its committed entity — the snapshot must not grow
+      Streams.erStream(spark.readStream.schema(schema).parquet(in2),
+        table, dir.getAbsolutePath + "/ck3", 1)
+      val afterReplay = graft.sources.Snapshot.read(spark, table)
+        .select($"rec_id").as[Long].collect().toSet
+      assert(afterReplay == Set(1L, 2L, 12L))
+    }
+  }
+
   test("hygieneStream routes documents by the gate-order reason taxonomy") {
     withTempDir { dir =>
       val in = dir.getAbsolutePath + "/in"
