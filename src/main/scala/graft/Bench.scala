@@ -21,7 +21,14 @@ object Bench {
     val passes = (1 to 2).map { _ =>
       SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // toRdd.count() executes the query's OWN physical plan: a plain
+        // df.count() wraps the plan in an aggregate and the optimizer
+        // then PRUNES row-preserving final operators (a left join
+        // against a grouped-unique key disappears entirely — q85-shaped
+        // rollups measured 0.14 s while their join cost 35 s), which
+        // under-reports every such query.
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         // release per-query persisted intermediates so queries don't pay
         // for each other's cache memory (cleanup is not timed)

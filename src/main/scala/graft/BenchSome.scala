@@ -23,7 +23,10 @@ object BenchSome {
       .filter(n => args.isEmpty || args.exists(n.startsWith))
     for (r <- 1 to runs; name <- names) {
       val t0 = System.nanoTime()
-      val n = try SparkEntry.queries(name)(spark, sfDir).count()
+      // toRdd.count(): execute the plan as-is — see Bench.scala (plain
+      // count() prunes row-preserving final operators)
+      val n = try SparkEntry.queries(name)(spark, sfDir)
+                    .queryExecution.toRdd.count()
               catch { case e: Throwable => println(s"$name FAILED: $e"); -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()

@@ -718,6 +718,35 @@ object SparkEntry {
             .cast("decimal(20,10)"), 4).cast("double").as("recall"))
     }),
 
+    // Text: segment-blocked fuzzy match (PassJoin blocking) — q85's
+    // exact corruption (one deletion at a key-determined position,
+    // FIRST char included), but the k+1 segment pigeonhole is
+    // recall-complete at any maxDist where q85's first-char blocking
+    // provably loses the k=0 deletions; the ORACLE proves completeness
+    // by using NO block predicate at all: plain all-pairs
+    // levenshtein <= 1 truth.
+    "q109_fuzzy_segments" -> ((s, dir) => {
+      val parts = t(s, dir, "part")
+        .select(col("p_partkey").as("id"), col("p_name").as("name"))
+      val len = length(col("name"))
+      val k1 = (col("id") % len).cast("int")
+      val probes = parts.select((col("id") + 20000).as("probe_id"),
+        concat(col("name").substr(lit(1), k1),
+          col("name").substr(k1 + 2, len)).as("pn"))
+      val m = Text.fuzzyJoinSegments(probes, parts, "probe_id", col("pn"),
+        "id", col("name"), 1)
+      probes.select(col("probe_id"))
+        .join(m.groupBy(col("probe_id"))
+          .agg(count(lit(1)).as("n_matches"),
+            min(col("dist").cast("long") * 100000 + col("ref_id")).as("bk")),
+          Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          coalesce(floor(col("bk") / 100000).cast("long"), lit(-1L))
+            .as("best_dist"),
+          coalesce(pmod(col("bk"), lit(100000L)), lit(-1L)).as("best_ref"))
+    }),
+
     // Similarity: ANN recall ESTIMATOR — recall@5 of the IVF scale path
     // against brute-force ground truth on a sampled query set (the same
     // audit-on-a-sample pattern as q107, applied to the vector side).
@@ -1970,6 +1999,25 @@ object SparkEntry {
         |  CAST(round(CAST(CAST(n_blocked AS DOUBLE) / n_true
         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS recall
         |FROM tr, bl""".stripMargin,
+
+    // NO blocking predicate: plain all-pairs truth — recall-complete
+    // blocking means the engine's blocked result must equal it exactly.
+    "q109_fuzzy_segments" ->
+      """WITH p0 AS (SELECT p_partkey AS id, p_name AS name FROM part),
+        |probes AS (SELECT id + 20000 AS probe_id,
+        |    substr(name, 1, CAST(id % length(name) AS INT))
+        |      || substr(name, CAST(id % length(name) AS INT) + 2) AS pn
+        |  FROM p0),
+        |m AS (SELECT probe_id,
+        |    count(*) AS n_matches,
+        |    min(CAST(levenshtein(pn, name) AS BIGINT) * 100000 + id) AS bk
+        |  FROM probes JOIN p0 ON levenshtein(pn, name) <= 1
+        |  GROUP BY 1)
+        |SELECT p.probe_id,
+        |  CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
+        |  coalesce(m.bk // 100000, -1) AS best_dist,
+        |  coalesce(m.bk % 100000, -1) AS best_ref
+        |FROM probes p LEFT JOIN m ON p.probe_id = m.probe_id""".stripMargin,
 
     // q37's IVF derivation and q31's brute truth, intersected per
     // sampled query; identical rounded-sim/id tiebreaks on both sides.

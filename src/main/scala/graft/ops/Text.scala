@@ -480,6 +480,108 @@ object Text {
       .agg(min(col("dist")).as("dist"))
   }
 
+  /** Segment-partition blocked fuzzy join (the PassJoin blocking idea):
+    * RECALL-COMPLETE at ANY `maxDist`, unlike single-anchor blocking
+    * (complete never) or first∪last multi-block (complete only at
+    * maxDist = 1).
+    *
+    * Pigeonhole: split every REF name into maxDist+1 contiguous
+    * segments — k edits cannot touch all k+1 of them, so for any true
+    * pair some segment survives VERBATIM in the probe, shifted by at
+    * most k positions (net insertions−deletions before it). The probe
+    * side therefore enumerates, for every candidate ref length
+    * L ∈ [len±k] and every segment index, the substrings in the ±k
+    * position window — (2k+1)²·(k+1) keys per probe (18 at k=1, 75 at
+    * k=2), each joined EXACTLY on (segment text, index, L). Segment
+    * text is a far more selective key than any single-character block:
+    * candidates ≈ true pairs, and the clean all-pairs oracle (no block
+    * predicate at all) pins the completeness (q109, FuzzyJoinSpec).
+    *
+    * Refs shorter than k+1 cannot form k+1 non-empty segments; they
+    * route through a dedicated band join of the two degenerate-tiny
+    * sub-populations (names shorter than maxDist+1 characters).
+    *
+    * Scale shape: both exploded sides repartition on the block key
+    * (the fan-out lesson), the verify is the trimmed banded
+    * `lev_within`, and candidate dedup runs BEFORE verification.
+    */
+  def fuzzyJoinSegments(probes: DataFrame, refs: DataFrame, probeId: String,
+                        probeName: Column, refId: String, refName: Column,
+                        maxDist: Int): DataFrame = {
+    require(maxDist >= 1, "segment blocking needs maxDist >= 1 (use an " +
+      "equality join for exact matching)")
+    import graft.functions.NativeFunctions.levWithin
+    val k = maxDist
+    val kp1 = k + 1
+
+    // segment i of a length-L name (1-based start; the L mod (k+1)
+    // leftover chars go one-each to the FIRST segments)
+    def segLen(len: Column, i: Column): Column =
+      floor(len / kp1).cast("int") +
+        when(i < pmod(len, lit(kp1)), 1).otherwise(0)
+    def segStart(len: Column, i: Column): Column =
+      (i * floor(len / kp1).cast("int") +
+        least(i, pmod(len, lit(kp1))) + 1).cast("int")
+
+    import graft.functions.NativeFunctions.{fuzzySig, sigBound}
+    val rBase = refs.select(col(refId).as("ref_id"), refName.as("rn"))
+    val rLong = rBase.filter(length(col("rn")) >= kp1)
+      .select(col("ref_id"), col("rn"), fuzzySig(col("rn")).as("rsig"),
+        explode(transform(sequence(lit(0), lit(k)), i => {
+          val ln = length(col("rn"))
+          struct(col("rn").substr(segStart(ln, i), segLen(ln, i)).as("bc"),
+            i.cast("int").as("seg"), ln.as("blen"))
+        })).as("b"))
+      .select(col("ref_id"), col("rn"), col("rsig"),
+        col("b.bc"), col("b.seg"), col("b.blen"))
+
+    val pBase = probes.select(col(probeId).as("probe_id"), probeName.as("pn"))
+    val pLong = pBase
+      .select(col("probe_id"), col("pn"), fuzzySig(col("pn")).as("psig"),
+        explode(flatten(transform(sequence(lit(-k), lit(k)), dL => {
+          val pl = length(col("pn"))
+          val refLen = (pl + dL).cast("int")
+          flatten(transform(sequence(lit(0), lit(k)), i => {
+            val st = segStart(refLen, i)
+            val ln = segLen(refLen, i)
+            transform(sequence(lit(-k), lit(k)), s => {
+              val p0 = (st + s).cast("int")
+              struct(col("pn").substr(p0, ln).as("bc"),
+                i.cast("int").as("seg"), refLen.as("blen"),
+                (refLen >= kp1 && p0 >= 1 &&
+                  p0 + ln - 1 <= pl).as("ok"))
+            })
+          }))
+        }))).as("b"))
+      .filter(col("b.ok"))
+      .select(col("probe_id"), col("pn"), col("psig"),
+        col("b.bc"), col("b.seg"), col("b.blen"))
+
+    val shufN = probes.sparkSession.sessionState.conf.numShufflePartitions
+    // verify INLINE in the join stage (sig prefilter + banded DP, the
+    // fuzzyPass shape — a pair duplicated across (segment, shift) keys
+    // re-verifies at ~µs, far cheaper than a candidate-level distinct
+    // that shuffles the raw candidate stream), then dedup only the
+    // SURVIVORS: same pair → same dist, so groupBy-min is the dedup
+    val candLong = pLong
+      .repartition(shufN, col("bc"), col("seg"), col("blen"))
+      .join(rLong.repartition(shufN, col("bc"), col("seg"), col("blen")),
+        Seq("bc", "seg", "blen"))
+      .filter(sigBound(col("psig"), col("rsig")) <= k)
+      .select(col("probe_id"), col("pn"), col("ref_id"), col("rn"))
+
+    val candShort = pBase.filter(length(col("pn")) <= 2 * k)
+      .join(rBase.filter(length(col("rn")) <= k),
+        abs(length(col("pn")) - length(col("rn"))) <= k)
+      .select(col("probe_id"), col("pn"), col("ref_id"), col("rn"))
+
+    candLong.unionByName(candShort)
+      .withColumn("dist", levWithin(col("pn"), col("rn"), k))
+      .filter(col("dist").between(0, k))
+      .groupBy(col("probe_id"), col("ref_id"))
+      .agg(min(col("dist")).as("dist"))
+  }
+
   /** Incremental fuzzy entity resolution — the q82/jaccardPairsIncremental
     * pattern on the edit-distance path: a NEW batch of records probes the
     * accumulated entity snapshot plus itself; old×old is never re-paired,

@@ -117,6 +117,44 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(multi == truth, "maxDist=1 multi-block must be recall-complete")
   }
 
+  test("segment blocking is recall-COMPLETE at maxDist 1 and 2 (vs all-pairs truth)") {
+    // random refs incl. strings shorter than maxDist+1 (the dedicated
+    // short path) and multi-byte chars; probes are random corruptions
+    // with edits ANYWHERE (anchors included) plus unrelated strings
+    val refs = ((0 until 60).map(i => (i.toLong, randStr(2 + rnd.nextInt(10)))) ++
+      Seq((90L, ""), (91L, "a"), (92L, "ab"), (93L, "日a")))
+      .toDF("id", "name")
+    val probeRows = refs.as[(Long, String)].collect().map { case (i, s) =>
+      val corrupted = (0 until (1 + (i % 2).toInt)).foldLeft(s) { (x, _) =>
+        if (x.isEmpty) "q"
+        else {
+          val j = rnd.nextInt(x.length)
+          rnd.nextInt(3) match {
+            case 0 => x.substring(0, j) + x.substring(j + 1)
+            case 1 => x.substring(0, j) + "z" + x.substring(j + 1)
+            case _ => x.substring(0, j) + "y" + x.substring(j)
+          }
+        }
+      }
+      (i + 1000, corrupted)
+    }.toSeq ++ Seq((2000L, "totally unrelated and long"), (2001L, ""))
+    val probes = probeRows.toDF("id", "name")
+
+    for (k <- Seq(1, 2)) {
+      val got = Text.fuzzyJoinSegments(probes, refs, "id", $"name",
+          "id", $"name", k)
+        .as[(Long, Long, Int)].collect().toSet
+      val truth = probeRows.flatMap { case (p, pn) =>
+        refs.as[(Long, String)].collect().flatMap { case (r, rn) =>
+          val d = levDp(pn, rn)
+          if (d <= k) Some((p, r, d)) else None
+        }
+      }.toSet
+      assert(got == truth,
+        s"k=$k: missing=${(truth -- got).take(5)} extra=${(got -- truth).take(5)}")
+    }
+  }
+
   test("incremental fuzzy join = batch run minus old×old") {
     val old = Seq((1L, "alpha"), (2L, "alphax"), (3L, "beta"))
       .toDF("id", "name")
