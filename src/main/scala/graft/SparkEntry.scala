@@ -396,7 +396,10 @@ object SparkEntry {
     // existing corpus; old×old is never paired. Output per new doc:
     // match count and the first (keep-first) match, -1 when novel.
     "q82_incremental_dedup" -> ((s, dir) => {
+      // spread the 1-task text scan before the per-row shingling
+      // (docsDup's fan-out lesson; both derived sides inherit it)
       val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
       val inc = base.select((col("doc_id") + 10000).as("doc_id"),
         when(col("doc_id") % 2 === 0, col("text"))
           .otherwise(array_join(sort_array(Text.tokens(col("text"))), " "))
@@ -1024,8 +1027,10 @@ object SparkEntry {
     "q33_multimodal" -> ((s, dir) => {
       val blob = col("text").cast("binary")
       val frames = Multimodal.sampleFrames(blob, 64, 32)
+      // per-row hex/frame extraction on a 1-task scan — spread first
       Multimodal.withBlobMetadata(
-          t(s, dir, "documents").select(col("doc_id"), col("text")), blob)
+          t(s, dir, "documents").select(col("doc_id"), col("text"))
+            .repartition(s.sessionState.conf.numShufflePartitions), blob)
         .withColumn("n_frames", size(frames))
         .withColumn("f0_checksum",
           when(size(frames) > 0,
