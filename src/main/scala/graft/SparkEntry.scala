@@ -568,7 +568,8 @@ object SparkEntry {
     // Text: END-TO-END entity resolution — corrupted variants probe the
     // CLEAN reference names ASYMMETRICALLY (q85's shape): each variant
     // resolves to its best clean match (min dist, then min ref id, one
-    // exact BIGINT min over dist·100000+id), canonical = best ref;
+    // exact lexicographic min over a (dist, id) struct — domain-safe
+    // for any id range, unlike arithmetic packing), canonical = ref;
     // unmatched records stay their own entity. One cluster per true
     // entity — symmetric clean∪variant self-pairing + transitive
     // closure chains near-identical names into mega-clusters and goes
@@ -588,12 +589,13 @@ object SparkEntry {
       val best = Text.fuzzyJoin(variants, parts, "id", col("name"),
           "id", col("name"), 2, maxBlockPairs = 50000000L)
         .groupBy(col("probe_id"))
-        .agg(min(col("dist").cast("long") * 100000 + col("ref_id")).as("bk"))
+        .agg(min(struct(col("dist").cast("long").as("d"),
+              col("ref_id").cast("long").as("r"))).as("bk"))
       val assigned = parts.select(col("id"), col("id").as("canonical"))
         .unionByName(variants.select(col("id"))
           .join(best, col("id") === col("probe_id"), "left")
           .select(col("id"),
-            coalesce(pmod(col("bk"), lit(100000L)), col("id"))
+            coalesce(col("bk.r"), col("id"))
               .as("canonical")))
       assigned.groupBy(col("canonical"))
         .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_id"),
@@ -659,13 +661,14 @@ object SparkEntry {
       probes.select(col("probe_id"))
         .join(m.groupBy(col("probe_id"))
           .agg(count(lit(1)).as("n_matches"),
-            min(col("dist").cast("long") * 100000 + col("ref_id")).as("bk")),
+            min(struct(col("dist").cast("long").as("d"),
+              col("ref_id").cast("long").as("r"))).as("bk")),
           Seq("probe_id"), "left")
         .select(col("probe_id"),
           coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-          coalesce(floor(col("bk") / 100000).cast("long"), lit(-1L))
+          coalesce(col("bk.d"), lit(-1L))
             .as("best_dist"),
-          coalesce(pmod(col("bk"), lit(100000L)), lit(-1L)).as("best_ref"))
+          coalesce(col("bk.r"), lit(-1L)).as("best_ref"))
     }),
 
     // Text: INCREMENTAL entity resolution — the daily-ingest shape: a
@@ -686,12 +689,13 @@ object SparkEntry {
         .join(inc.groupBy(col("probe_id")).agg(
             sum(when(col("ref_id") < 20000, 1L).otherwise(0L)).as("n_old"),
             sum(when(col("ref_id") >= 20000, 1L).otherwise(0L)).as("n_new"),
-            min(col("dist").cast("long") * 100000 + col("ref_id")).as("bk")),
+            min(struct(col("dist").cast("long").as("d"),
+              col("ref_id").cast("long").as("r"))).as("bk")),
           Seq("probe_id"), "left")
         .select(col("probe_id"),
           coalesce(col("n_old"), lit(0L)).as("n_old"),
           coalesce(col("n_new"), lit(0L)).as("n_new"),
-          coalesce(pmod(col("bk"), lit(100000L)), lit(-1L)).as("best_ref"))
+          coalesce(col("bk.r"), lit(-1L)).as("best_ref"))
     }),
 
     // Text: blocking-recall ESTIMATOR — the production-ER pre-flight:
@@ -741,13 +745,14 @@ object SparkEntry {
       probes.select(col("probe_id"))
         .join(m.groupBy(col("probe_id"))
           .agg(count(lit(1)).as("n_matches"),
-            min(col("dist").cast("long") * 100000 + col("ref_id")).as("bk")),
+            min(struct(col("dist").cast("long").as("d"),
+              col("ref_id").cast("long").as("r"))).as("bk")),
           Seq("probe_id"), "left")
         .select(col("probe_id"),
           coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-          coalesce(floor(col("bk") / 100000).cast("long"), lit(-1L))
+          coalesce(col("bk.d"), lit(-1L))
             .as("best_dist"),
-          coalesce(pmod(col("bk"), lit(100000L)), lit(-1L)).as("best_ref"))
+          coalesce(col("bk.r"), lit(-1L)).as("best_ref"))
     }),
 
     // Similarity: ANN recall ESTIMATOR — recall@5 of the IVF scale path
@@ -817,7 +822,9 @@ object SparkEntry {
     // Text: blocked fuzzy match (entity resolution) — part names with
     // one char deleted at a key-determined position probe the clean
     // names through the (first char, ±2 length) equi-join blocking;
-    // best match packed as dist·100000+id so min() is one exact BIGINT.
+    // best match = min((dist, id)) struct: one exact lexicographic min,
+    // valid for any id domain (arithmetic dist·K+id packing silently
+    // corrupts once ids reach K — ruled out by construction here).
     "q85_fuzzy_match" -> ((s, dir) => {
       val parts = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
       val len = length(col("p_name"))
@@ -830,13 +837,14 @@ object SparkEntry {
       probes.select(col("probe_id"))
         .join(m.groupBy(col("probe_id"))
           .agg(count(lit(1)).as("n_matches"),
-            min(col("dist").cast("long") * 100000 + col("ref_id")).as("bk")),
+            min(struct(col("dist").cast("long").as("d"),
+              col("ref_id").cast("long").as("r"))).as("bk")),
           Seq("probe_id"), "left")
         .select(col("probe_id"),
           coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-          coalesce(floor(col("bk") / 100000).cast("long"), lit(-1L))
+          coalesce(col("bk.d"), lit(-1L))
             .as("best_dist"),
-          coalesce(pmod(col("bk"), lit(100000L)), lit(-1L)).as("best_ref"))
+          coalesce(col("bk.r"), lit(-1L)).as("best_ref"))
     }),
 
     // Series: RANGE-frame rolling window — a 7-CALENDAR-DAY mean per
@@ -1944,8 +1952,8 @@ object SparkEntry {
         |  FROM part),
         |m AS (SELECT probe_id,
         |    count(*) AS n_matches,
-        |    min(CAST(levenshtein(pn, p_name) AS BIGINT) * 100000
-        |      + p_partkey) AS bk
+        |    min({'d': CAST(levenshtein(pn, p_name) AS BIGINT),
+        |        'r': CAST(p_partkey AS BIGINT)}) AS bk
         |  FROM probes JOIN part ON
         |    (substr(pn, 1, 1) = substr(p_name, 1, 1)
         |     OR substr(pn, length(pn)) = substr(p_name, length(p_name)))
@@ -1954,8 +1962,8 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT p.probe_id,
         |  CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
-        |  coalesce(m.bk // 100000, -1) AS best_dist,
-        |  coalesce(m.bk % 100000, -1) AS best_ref
+        |  coalesce((m.bk).d, -1) AS best_dist,
+        |  coalesce((m.bk).r, -1) AS best_ref
         |FROM probes p LEFT JOIN m ON p.probe_id = m.probe_id""".stripMargin,
 
     // Batch probes snapshot ∪ earlier-batch rows: the ref side is old
@@ -1976,12 +1984,12 @@ object SparkEntry {
         |m AS (SELECT probe_id,
         |    sum(CASE WHEN ref_id < 20000 THEN 1 ELSE 0 END) AS n_old,
         |    sum(CASE WHEN ref_id >= 20000 THEN 1 ELSE 0 END) AS n_new,
-        |    min(CAST(dist AS BIGINT) * 100000 + ref_id) AS bk
+        |    min({'d': CAST(dist AS BIGINT), 'r': CAST(ref_id AS BIGINT)}) AS bk
         |  FROM pairs GROUP BY 1)
         |SELECT b.id AS probe_id,
         |  CAST(coalesce(m.n_old, 0) AS BIGINT) AS n_old,
         |  CAST(coalesce(m.n_new, 0) AS BIGINT) AS n_new,
-        |  coalesce(m.bk % 100000, -1) AS best_ref
+        |  coalesce((m.bk).r, -1) AS best_ref
         |FROM b LEFT JOIN m ON b.id = m.probe_id""".stripMargin,
 
     // Truth = all-pairs lev<=1 on the sample; blocked = the engine's
@@ -2015,13 +2023,13 @@ object SparkEntry {
         |  FROM p0),
         |m AS (SELECT probe_id,
         |    count(*) AS n_matches,
-        |    min(CAST(levenshtein(pn, name) AS BIGINT) * 100000 + id) AS bk
+        |    min({'d': CAST(levenshtein(pn, name) AS BIGINT), 'r': CAST(id AS BIGINT)}) AS bk
         |  FROM probes JOIN p0 ON levenshtein(pn, name) <= 1
         |  GROUP BY 1)
         |SELECT p.probe_id,
         |  CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
-        |  coalesce(m.bk // 100000, -1) AS best_dist,
-        |  coalesce(m.bk % 100000, -1) AS best_ref
+        |  coalesce((m.bk).d, -1) AS best_dist,
+        |  coalesce((m.bk).r, -1) AS best_ref
         |FROM probes p LEFT JOIN m ON p.probe_id = m.probe_id""".stripMargin,
 
     // q37's IVF derivation and q31's brute truth, intersected per
@@ -2070,8 +2078,8 @@ object SparkEntry {
         |      || substr(name, CAST(id % length(name) AS INT) + 2) AS name
         |  FROM p0),
         |m AS (SELECT pr.id AS vid,
-        |    min(CAST(levenshtein(pr.name, p0.name) AS BIGINT) * 100000
-        |      + p0.id) AS bk
+        |    min({'d': CAST(levenshtein(pr.name, p0.name) AS BIGINT),
+        |        'r': CAST(p0.id AS BIGINT)}) AS bk
         |  FROM pr JOIN p0 ON substr(pr.name, 1, 1) = substr(p0.name, 1, 1)
         |    AND abs(length(pr.name) - length(p0.name)) <= 2
         |    AND levenshtein(pr.name, p0.name) <= 2
@@ -2079,7 +2087,7 @@ object SparkEntry {
         |assigned AS (
         |  SELECT id, id AS canonical FROM p0
         |  UNION ALL
-        |  SELECT pr.id, coalesce(m.bk % 100000, pr.id) AS canonical
+        |  SELECT pr.id, coalesce((m.bk).r, pr.id) AS canonical
         |  FROM pr LEFT JOIN m ON pr.id = m.vid)
         |SELECT canonical, CAST(count(*) AS BIGINT) AS n_members,
         |  CAST(min(id) AS BIGINT) AS min_id,
@@ -2295,8 +2303,8 @@ object SparkEntry {
         |  FROM part),
         |m AS (SELECT probe_id,
         |    count(*) AS n_matches,
-        |    min(CAST(levenshtein(pn, p_name) AS BIGINT) * 100000
-        |      + p_partkey) AS bk
+        |    min({'d': CAST(levenshtein(pn, p_name) AS BIGINT),
+        |        'r': CAST(p_partkey AS BIGINT)}) AS bk
         |  FROM probes JOIN part ON
         |    substr(pn, 1, 1) = substr(p_name, 1, 1)
         |    AND abs(length(pn) - length(p_name)) <= 2
@@ -2304,8 +2312,8 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT p.probe_id,
         |  CAST(coalesce(m.n_matches, 0) AS BIGINT) AS n_matches,
-        |  coalesce(m.bk // 100000, -1) AS best_dist,
-        |  coalesce(m.bk % 100000, -1) AS best_ref
+        |  coalesce((m.bk).d, -1) AS best_dist,
+        |  coalesce((m.bk).r, -1) AS best_ref
         |FROM probes p LEFT JOIN m ON p.probe_id = m.probe_id""".stripMargin,
 
     // Integer-day RANGE frame (same -6..0 bounds); cent-snap before the

@@ -420,21 +420,23 @@ object Text {
     blockHistogram(p, r)
   }
 
-  private def blockHistogram(p: DataFrame, r: DataFrame): DataFrame =
-    p.groupBy(col("bc"), col("blen"))
+  private def blockHistogram(p: DataFrame, r: DataFrame,
+                             keys: Seq[String] = Seq("bc", "blen")): DataFrame =
+    p.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_probes"))
-      .join(r.groupBy(col("bc"), col("blen"))
-        .agg(count(lit(1)).as("n_refs")), Seq("bc", "blen"))
-      .select(col("bc"), col("blen"), col("n_probes"), col("n_refs"),
-        (col("n_probes") * col("n_refs")).as("n_pairs"))
+      .join(r.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n_refs")), keys)
+      .select(keys.map(col) ++ Seq(col("n_probes"), col("n_refs"),
+        (col("n_probes") * col("n_refs")).as("n_pairs")): _*)
 
   /** Density guard: log total candidate volume + the hottest blocks,
     * throw if any block exceeds the limit. The collect is bounded (one
     * aggregate row + 3 top blocks).
     */
   private def guardBlockDensity(p: DataFrame, r: DataFrame,
-                                maxBlockPairs: Long): Unit = {
-    val stats = blockHistogram(p, r).persist()
+                                maxBlockPairs: Long,
+                                keys: Seq[String] = Seq("bc", "blen")): Unit = {
+    val stats = blockHistogram(p, r, keys).persist()
     try {
       val tot = stats.agg(coalesce(sum(col("n_pairs")), lit(0L)).as("t"),
         coalesce(max(col("n_pairs")), lit(0L)).as("m")).collect()(0)
@@ -444,7 +446,8 @@ object Text {
         s"hottest block $hottest (limit $maxBlockPairs)")
       if (hottest > maxBlockPairs) {
         val top = stats.orderBy(col("n_pairs").desc).limit(3).collect()
-          .map(x => s"('${x.get(0)}',${x.get(1)})=${x.get(4)}")
+          .map(x => keys.indices.map(i => s"'${x.get(i)}'")
+            .mkString("(", ",", s")=${x.get(keys.size + 2)}"))
           .mkString(", ")
         throw new IllegalStateException(
           s"fuzzyJoin block density exceeds maxBlockPairs=$maxBlockPairs: " +
@@ -507,7 +510,7 @@ object Text {
     */
   def fuzzyJoinSegments(probes: DataFrame, refs: DataFrame, probeId: String,
                         probeName: Column, refId: String, refName: Column,
-                        maxDist: Int): DataFrame = {
+                        maxDist: Int, maxBlockPairs: Long = 0L): DataFrame = {
     require(maxDist >= 1, "segment blocking needs maxDist >= 1 (use an " +
       "equality join for exact matching)")
     import graft.functions.NativeFunctions.levWithin
@@ -557,6 +560,14 @@ object Text {
       .select(col("probe_id"), col("pn"), col("psig"),
         col("b.bc"), col("b.seg"), col("b.blen"))
 
+    // Segment keys are far more selective than single-char blocks, but
+    // a constant vocabulary (every name sharing the same k+1 segments)
+    // still degenerates to |P|·|R| — same pre-flight as fuzzyPass, on
+    // the finer (segment text, index, target length) key.
+    if (maxBlockPairs > 0L)
+      guardBlockDensity(pLong, rLong, maxBlockPairs,
+        Seq("bc", "seg", "blen"))
+
     val shufN = probes.sparkSession.sessionState.conf.numShufflePartitions
     // verify INLINE in the join stage (sig prefilter + banded DP, the
     // fuzzyPass shape — a pair duplicated across (segment, shift) keys
@@ -599,6 +610,25 @@ object Text {
     val vsOld = fuzzyJoin(batch, oldRefs, id, name, id, name,
       maxDist, maxBlockPairs)
     val vsNew = fuzzyJoin(batch, batch, id, name, id, name,
+      maxDist, maxBlockPairs)
+      .filter(col("ref_id") < col("probe_id"))
+    vsOld.unionByName(vsNew)
+  }
+
+  /** [[fuzzyJoinIncremental]] with RECALL-COMPLETE segment blocking:
+    * same (batch×old) ∪ (batch×earlier-of-batch) pair contract, but
+    * both passes route through [[fuzzyJoinSegments]], so no true pair
+    * within `maxDist` is lost to the block predicate — the variant a
+    * continuous ER stream should sit on (first-char blocking misses
+    * every record whose FIRST character was edited; q107 measures
+    * exactly that loss).
+    */
+  def fuzzyJoinIncrementalSegments(oldRefs: DataFrame, batch: DataFrame,
+                                   id: String, name: Column, maxDist: Int,
+                                   maxBlockPairs: Long = 0L): DataFrame = {
+    val vsOld = fuzzyJoinSegments(batch, oldRefs, id, name, id, name,
+      maxDist, maxBlockPairs)
+    val vsNew = fuzzyJoinSegments(batch, batch, id, name, id, name,
       maxDist, maxBlockPairs)
       .filter(col("ref_id") < col("probe_id"))
     vsOld.unionByName(vsNew)

@@ -465,14 +465,18 @@ object Streams {
   }
 
   /** Streaming entity resolution — the continuous face of
-    * [[graft.ops.Text.fuzzyJoinIncremental]], and the edit-distance
-    * sibling of [[dedupStream]]: each micro-batch of (rec_id, name)
-    * records resolves against the ACCUMULATED entity snapshot within
-    * `maxDist` edits (old×old is never re-paired — per-batch candidate
-    * cost tracks the increment, not snapshot age²); records matching
-    * no existing entity and no earlier record of their own batch
-    * become NEW entities and append via an atomic snapshot merge
-    * partitioned by ingest batch.
+    * [[graft.ops.Text.fuzzyJoinIncrementalSegments]], and the
+    * edit-distance sibling of [[dedupStream]]: each micro-batch of
+    * (rec_id, name) records resolves against the ACCUMULATED entity
+    * snapshot within `maxDist` edits (old×old is never re-paired —
+    * per-batch candidate cost tracks the increment, not snapshot
+    * age²); records matching no existing entity and no earlier record
+    * of their own batch become NEW entities and append via an atomic
+    * snapshot merge partitioned by ingest batch. Blocking is the
+    * RECALL-COMPLETE segment pigeonhole — an edit anywhere in the
+    * name, first character included, still finds its entity (the
+    * round-6 single-pass first-char blocking silently duplicated any
+    * entity whose probe lost its leading character).
     *
     * Crash replay is idempotent without relying on the checkpoint: a
     * replayed novel record finds its own previously-committed entity
@@ -498,7 +502,7 @@ object Streams {
               .select(col("rec_id"), col("name"))
             case None => fresh.limit(0)
           }
-          val matched = Text.fuzzyJoinIncremental(
+          val matched = Text.fuzzyJoinIncrementalSegments(
               entities.withColumnRenamed("rec_id", "id"),
               fresh.withColumnRenamed("rec_id", "id"),
               "id", col("name"), maxDist)
@@ -508,8 +512,10 @@ object Streams {
           if (!novel.isEmpty)
             Snapshot.merge(novel, table, Seq("rec_id"), "rec_id",
               "ingest_batch"): Unit
-          fresh.unpersist()
-          spark.catalog.clearCache()
+          // fresh is the only cache this batch created (the fuzzy ops
+          // persist nothing across calls) — a clearCache() here would
+          // evict caller-owned tables from the shared session.
+          fresh.unpersist(): Unit
         }
       }
       .start()

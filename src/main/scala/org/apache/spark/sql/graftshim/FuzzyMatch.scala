@@ -166,11 +166,17 @@ object FuzzyMatchUtil {
     * again). Distances count CODE POINTS, matching the built-in
     * `levenshtein` and DuckDB's.
     */
-  def levWithin(a: UTF8String, b: UTF8String, k: Int): Int = {
+  def levWithin(a: UTF8String, b: UTF8String, k0: Int): Int = {
     val xa = a.getBytes
     val xb = b.getBytes
     val na = xa.length
     val nb = xb.length
+    // Distance never exceeds the longer length (in code points ≤ in
+    // bytes), so clamping k to the byte length loses nothing and keeps
+    // `inf = k + 1` below overflow-free for any caller-supplied k
+    // (lev_within is SQL-registered — k arrives unvalidated).
+    val maxLen = if (na > nb) na else nb
+    val k = if (k0 > maxLen) maxLen else k0
     // common prefix (bytes), then back up to a code point boundary:
     // prefixes are byte-identical so boundaries coincide below lo
     var lo = 0

@@ -173,6 +173,49 @@ class FuzzyJoinSpec extends SparkSpec {
       "fixture must exercise both old and within-batch matches")
   }
 
+  test("lev_within survives k = Int.MaxValue (clamped, no overflow)") {
+    // inf = k+1 would overflow to Int.MinValue and corrupt the DP;
+    // the clamp bounds k by the longer byte length first
+    val bad = randomPairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        NativeFunctions.levWithin(col("a"), col("b"), Int.MaxValue)
+          .as("got"),
+        levenshtein(col("a"), col("b")).as("want"))
+      .filter(col("got") =!= col("want"))
+      .collect()
+    assert(bad.isEmpty, s"mismatches: ${bad.take(5).mkString(", ")}")
+  }
+
+  test("segment blocking density guard fires on a constant vocabulary") {
+    // every name identical -> every (segment, index, length) key is one
+    // hot block of n_probes*n_refs candidates
+    val const = (0 until 50).map(i => (i.toLong, "samename"))
+      .toDF("id", "name")
+    val e = intercept[IllegalStateException] {
+      Text.fuzzyJoinSegments(const, const, "id", $"name", "id", $"name", 1,
+        maxBlockPairs = 100L)
+    }
+    assert(e.getMessage.contains("maxBlockPairs"))
+    val ok = Text.fuzzyJoinSegments(const, const, "id", $"name",
+      "id", $"name", 1, maxBlockPairs = 1000000L)
+    assert(ok.count() == 50L * 50L) // all-pairs at dist 0
+  }
+
+  test("incremental-segments recalls a first-character edit; " +
+      "first-char incremental provably cannot") {
+    val old = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+    // probe 10 lost its FIRST char: invisible to first-char blocking
+    val batch = Seq((10L, "lpha"), (11L, "betax")).toDF("id", "name")
+    val seg = Text.fuzzyJoinIncrementalSegments(old, batch, "id", $"name", 1)
+      .as[(Long, Long, Int)].collect().toSet
+    val fc = Text.fuzzyJoinIncremental(old, batch, "id", $"name", 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(seg.contains((10L, 1L, 1)), s"segments missed the pair: $seg")
+    assert(!fc.contains((10L, 1L, 1)), "fixture no longer demonstrates " +
+      "the first-char recall gap")
+    assert(seg.contains((11L, 2L, 1)) && fc.contains((11L, 2L, 1)))
+  }
+
   test("density guard rejects a pathological block and passes sane ones") {
     // one hot block: same first char, same length -> n_probes*n_refs pairs
     val hot = (0 until 60).map(i => (i.toLong, f"a${i}%03d")).toDF("id", "name")
