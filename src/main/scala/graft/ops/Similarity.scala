@@ -45,6 +45,13 @@ object Similarity {
     * nearest per query. Queries are broadcast — the big side streams once
     * with no shuffle; ranking is deterministic (rounded sim desc, then
     * candidate id).
+    *
+    * CONTRACT: `queries` must be a bounded, driver-broadcastable set —
+    * a query batch or a fixed-SIZE sample (bottom-k by hash, never a
+    * corpus fraction: a fraction grows with the corpus and turns the
+    * broadcast into the corpus itself). Rule of thumb ≤ ~10⁴ rows ×
+    * dim ≤ ~10³ doubles; for query sets beyond that, use `ivfSearch`
+    * and raise nprobe until recall suffices.
     */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
@@ -205,6 +212,60 @@ object Similarity {
         round(cosine(col("a.vec"), col("b.vec")), 6).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** The nprobe nearest centroid cells per query (deterministic: rounded
+    * similarity desc, then centroid id). One row per (query, probed
+    * cell) — the probe-side fan-out is exactly ≤ nprobe×, pinned by
+    * SimilaritySpec. Centroids broadcast; the window partitions by
+    * query id (no global sort).
+    */
+  def ivfProbeCells(queries: DataFrame, centroids: DataFrame,
+                    nprobe: Int): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("csim").desc, col("cid"))
+    queries.select(col("id").as("qid"), col("vec").as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("csim", round(cosine(col("qv"), col("cvec")), 6))
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid").as("cell"), col("pr"))
+  }
+
+  /** Multi-probe IVF search: an explicit QUERY set probes its `nprobe`
+    * nearest cells and ranks only the corpus vectors assigned there —
+    * the scale shape for auditing/serving a bounded probe set against
+    * an arbitrarily large corpus (the probe filter lives INSIDE the
+    * search: nothing corpus-sized is ranked and then discarded).
+    *
+    * Each corpus vector belongs to exactly ONE cell, so a (query,
+    * neighbor) pair arises at most once — no candidate dedup needed.
+    * Raising nprobe grows each query's candidate set monotonically,
+    * hence recall@k is monotone in nprobe (candidates nest, and true
+    * top-k members always outrank non-members under the shared
+    * (rounded sim, id) order); at nprobe = |centroids| the candidate
+    * set is the whole corpus minus the query itself and the result
+    * EQUALS bruteForceTopK (SimilaritySpec pins both).
+    *
+    * Pass a pre-computed `ivfAssign(corpus, centroids)` as `corpus`
+    * with `preAssigned = true` to amortize assignment across calls.
+    */
+  def ivfSearch(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                k: Int, nprobe: Int = 1,
+                preAssigned: Boolean = false): DataFrame = {
+    val assigned =
+      if (preAssigned) corpus else ivfAssign(corpus, centroids)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    ivfProbeCells(queries, centroids, nprobe)
+      .join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
+        round(cosine(col("qv"), col("vec")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
   }
 
   /** Approximate nearest neighbors: compare only within LSH buckets, then

@@ -45,6 +45,57 @@ class SimilaritySpec extends SparkSpec {
     assert(top == ((7L, 1.0)))
   }
 
+  test("ivfProbeCells fans out to exactly min(nprobe, centroids) cells " +
+      "per query") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat))).toDF("id", "vec")
+    val centroids = vecs.filter($"id" < 6)
+      .select($"id".as("cid"), $"vec".as("cvec"))
+    for (np <- Seq(1, 3, 6, 9)) {
+      val perQuery = Similarity.ivfProbeCells(vecs, centroids, np)
+        .groupBy($"qid").count().select($"count").distinct()
+        .as[Long].collect().toSet
+      assert(perQuery == Set(math.min(np, 6).toLong),
+        s"nprobe=$np fan-out: $perQuery")
+    }
+  }
+
+  test("ivfSearch recall is monotone in nprobe and reaches brute force " +
+      "at nprobe = |centroids|") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 80L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat))).toDF("id", "vec")
+    val centroids = vecs.filter($"id" < 8)
+      .select($"id".as("cid"), $"vec".as("cvec"))
+    val queries = vecs.filter($"id" % 5 === 0)
+    val truth = Similarity.bruteForceTopK(queries, vecs, 5)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    var prevHits = -1L
+    for (np <- Seq(1, 2, 4, 8)) {
+      val approx = Similarity.ivfSearch(queries, vecs, centroids, 5, np)
+        .select($"query_id", $"neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      val hits = approx.count(truth.contains).toLong
+      assert(hits >= prevHits, s"recall fell at nprobe=$np")
+      prevHits = hits
+      if (np == 8) assert(approx == truth,
+        "probing every cell must equal brute force")
+    }
+  }
+
+  test("q107/q108 audit size is CONSTANT across corpus scales " +
+      "(fixed-size samples, not fractions)") {
+    for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      // 100 sampled queries × 3 nprobe tiers regardless of corpus rows
+      assert(SparkEntry.queries("q108_ivf_recall")(spark, sf).count()
+        == 300L, s"q108 audit grew with the corpus at $sf")
+      assert(SparkEntry.queries("q107_blocking_recall")(spark, sf).count()
+        == 1L)
+    }
+  }
+
   test("cosine: identical vectors 1, orthogonal 0, opposite -1") {
     val df = Seq(
       (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f), 1.0),
