@@ -796,6 +796,25 @@ object SparkEntry {
             .cast("decimal(20,10)"), 4).cast("double").as("recall_at_5"))
     }),
 
+    // Similarity: IVF centroid TRAINING (Lloyd's lite) — per-cell
+    // occupancy + the ×1e6 fixed-point spherical-kmeans objective
+    // under the seed centroids (iter 1) and under the once-trained
+    // per-dim means (iter 2). The means snap components to fixed point
+    // BEFORE summing, so the trained centroid values — and hence the
+    // iter-2 assignment — are bit-identical on any engine.
+    "q110_kmeans" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val c0 = e.filter(col("id") < 16)
+        .select(col("id").as("cid"), col("vec").as("cvec"))
+      val c1 = Similarity.kmeansStep(e, c0)
+      Similarity.ivfCellStats(e, c0).withColumn("iter", lit(1))
+        .unionByName(
+          Similarity.ivfCellStats(e, c1).withColumn("iter", lit(2)))
+        .select(col("iter"), col("cell").as("cid"), col("n_members"),
+          col("obj_fp"))
+    }),
+
     // Text: adjacent-bigram PMI collocations — the phrase-mining pass;
     // bigram extraction is zero-shuffle, the (a,b) aggregate is the
     // only corpus-sized exchange, unigrams ride back broadcast.
@@ -2110,6 +2129,44 @@ object SparkEntry {
          |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS recall_at_5
          |FROM q CROSS JOIN np
          |LEFT JOIN h ON q.id = h.query_id AND np.nprobe = h.nprobe""".stripMargin,
+
+    // Lloyd unrolled once in CTEs: a0 = assignment under the seeds,
+    // c1 = per-dim fixed-point means, a1 = assignment under c1; both
+    // stats tiers from the same rounded-sim/id tiebreaks as the engine.
+    "q110_kmeans" ->
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cvec
+         |            FROM embeddings WHERE vec_id < 16),
+         |a0 AS (SELECT id, vec, cell, csim FROM (
+         |  SELECT e.vec_id AS id, e.embedding AS vec, c.cid AS cell,
+         |    round(${cosSql("e.embedding", "c.cvec")}, 6) AS csim,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${cosSql("e.embedding", "c.cvec")}, 6) DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN c0 c)
+         |  WHERE rn = 1),
+         |c1 AS (SELECT cell AS cid, list(m ORDER BY pos) AS cvec FROM (
+         |  SELECT cell, pos,
+         |    CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS m FROM (
+         |    SELECT cell, pos, sum(xfp) AS s, count(*) AS n FROM (
+         |      SELECT cell, generate_subscripts(vec, 1) - 1 AS pos,
+         |        CAST(round(CAST(unnest(vec) AS DOUBLE) * 1e6) AS BIGINT)
+         |          AS xfp
+         |      FROM a0)
+         |    GROUP BY 1, 2))
+         |  GROUP BY 1),
+         |a1 AS (SELECT id, cell, csim FROM (
+         |  SELECT e.vec_id AS id, c.cid AS cell,
+         |    round(${cosSql("e.embedding", "c.cvec")}, 6) AS csim,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${cosSql("e.embedding", "c.cvec")}, 6) DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN c1 c)
+         |  WHERE rn = 1)
+         |SELECT 1 AS iter, cell AS cid, count(*) AS n_members,
+         |  CAST(sum(CAST(round(csim * 1e6) AS BIGINT)) AS BIGINT) AS obj_fp
+         |FROM a0 GROUP BY 2
+         |UNION ALL
+         |SELECT 2 AS iter, cell AS cid, count(*) AS n_members,
+         |  CAST(sum(CAST(round(csim * 1e6) AS BIGINT)) AS BIGINT) AS obj_fp
+         |FROM a1 GROUP BY 2""".stripMargin,
 
     // Same blocking predicate as the engine's fuzzyJoin (first char +
     // ±2 length band + levenshtein ≤ 2), asymmetric variants→clean

@@ -180,6 +180,14 @@ object Similarity {
     * the vectors. `centroids` carries (cid, cvec).
     */
   def ivfAssign(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssignScored(vecs, centroids).select(col("id"), col("vec"), col("cell"))
+
+  /** [[ivfAssign]] keeping the winning similarity: (id, vec, cell,
+    * csim) — the quantization-quality signal k-means training and cell
+    * diagnostics consume (csim = max over centroids, independent of
+    * the id tiebreak).
+    */
+  def ivfAssignScored(vecs: DataFrame, centroids: DataFrame): DataFrame =
     // argmax as a min_by aggregate, not a window: the broadcast cross
     // join keeps every centroid next to its row, so map-side partial
     // aggregation collapses to ONE row per id before the exchange —
@@ -190,8 +198,58 @@ object Similarity {
       .groupBy(col("id"))
       .agg(
         first(col("vec")).as("vec"),
-        min_by(col("cid"), struct(negate(col("csim")), col("cid"))).as("cell"))
-      .select(col("id"), col("vec"), col("cell"))
+        min_by(col("cid"), struct(negate(col("csim")), col("cid"))).as("cell"),
+        max(col("csim")).as("csim"))
+
+  /** One Lloyd's iteration: assign every vector to its nearest centroid,
+    * then recompute each non-empty cell's centroid as the per-dimension
+    * mean. The mean is an exact integer rational — components snap to
+    * ×10⁶ fixed point BEFORE the sum, so the aggregate is order-free
+    * and the resulting centroid values are bit-identical on any engine
+    * (one double division per dimension at the end, identical operand
+    * order). Cells that attract no vectors die (standard Lloyd).
+    *
+    * Scale shape: assignment is the broadcast-centroid pass; the mean
+    * is a posexplode → (cell, dim) hash aggregate (map-side partial
+    * combine collapses to cells×dim rows before the exchange) — no
+    * driver-side vector materialization anywhere, so the corpus size
+    * only affects the scan.
+    */
+  def kmeansStep(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssign(vecs, centroids)
+      .select(col("cell"), posexplode(col("vec")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(round(col("col").cast("double") * 1e6).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"),
+        (col("s").cast("double") / (col("n").cast("double") * 1e6))
+          .as("m")))).as("pm"))
+      .select(col("cell").as("cid"),
+        transform(col("pm"), x => x.getField("m")).as("cvec"))
+
+  /** `iters` Lloyd's iterations from `init` (deterministic: seeding is
+    * the caller's explicit init set, every step is exact fixed-point
+    * arithmetic). Returns the final (cid, cvec) centroid table — small
+    * by construction, broadcast by the next assignment.
+    */
+  def kmeansTrain(vecs: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    var c = init
+    for (_ <- 1 to iters) c = kmeansStep(vecs, c)
+    c
+  }
+
+  /** Per-cell occupancy and quantization objective under a centroid
+    * set: (cell, n_members, obj_fp) where obj_fp is the ×10⁶
+    * fixed-point sum of winning similarities — exact, order-free, and
+    * monotone in clustering quality (spherical k-means maximizes it).
+    */
+  def ivfCellStats(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssignScored(vecs, centroids)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(round(col("csim") * 1e6).cast("long")).as("obj_fp"))
 
   /** IVF approximate nearest neighbors (nprobe=1): compare only vectors
     * sharing a centroid cell, then rank as in brute force. The inverted

@@ -85,6 +85,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeansTrain: objective improves per iteration and centroids " +
+      "converge to planted cluster means") {
+    val rnd = new scala.util.Random(13)
+    // two tight clusters around orthogonal axes + deliberately poor
+    // seeds (one cluster member each, so the means must move)
+    def around(axis: Int): Seq[Float] =
+      Seq.tabulate(8)(d => (if (d == axis) 10f else 0f) +
+        rnd.nextGaussian().toFloat * 0.1f)
+    val vecs = ((0L until 30L).map(i => (i, around(0))) ++
+      (30L until 60L).map(i => (i, around(3)))).toDF("id", "vec")
+    val init = vecs.filter($"id" === 0 || $"id" === 30)
+      .select($"id".as("cid"), $"vec".as("cvec"))
+    def objective(c: org.apache.spark.sql.DataFrame): Long =
+      Similarity.ivfCellStats(vecs, c)
+        .agg(sum($"obj_fp")).as[Long].head()
+    val o0 = objective(init)
+    val c1 = Similarity.kmeansTrain(vecs, init, 1)
+    val o1 = objective(c1)
+    val c2 = Similarity.kmeansTrain(vecs, init, 2)
+    val o2 = objective(c2)
+    assert(o1 >= o0 && o2 >= o1, s"objective regressed: $o0, $o1, $o2")
+    // trained centroid ≈ cluster mean: the axis component dominates
+    val cents = c2.select($"cid", $"cvec").as[(Long, Seq[Double])]
+      .collect().toMap
+    assert(cents.keySet == Set(0L, 30L))
+    assert(cents(0L).head > 9.5 && cents(0L)(3) < 0.5)
+    assert(cents(30L)(3) > 9.5 && cents(30L).head < 0.5)
+  }
+
   test("q107/q108 audit size is CONSTANT across corpus scales " +
       "(fixed-size samples, not fractions)") {
     for (sf <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
