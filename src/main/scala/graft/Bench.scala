@@ -1,6 +1,37 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** Times each query by executing its OWN physical plan. A query that
+    * throws is recorded with its wall-time-to-failure AND returned in
+    * the error set — a breaking query must never bench as a fast green
+    * number (the CORRECTNESS harness catches breakage independently,
+    * but target/bench.json is read on its own and round-6's silent
+    * `catch { -1L }` would have let one hide). Extracted from main so
+    * BenchSpec can drive it with a deliberately failing query.
+    */
+  def timeQueries(spark: SparkSession, sfDir: String,
+                  qs: Map[String, (SparkSession, String) => DataFrame])
+      : (Map[String, Double], Set[String]) = {
+    val errs = scala.collection.mutable.LinkedHashSet[String]()
+    val times = qs.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      // toRdd.count() executes the query's OWN physical plan: a plain
+      // df.count() wraps the plan in an aggregate and the optimizer
+      // then PRUNES row-preserving final operators (a left join
+      // against a grouped-unique key disappears entirely — q85-shaped
+      // rollups measured 0.14 s while their join cost 35 s), which
+      // under-reports every such query.
+      try { fn(spark, sfDir).queryExecution.toRdd.count(); () }
+      catch { case _: Throwable => errs += name }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release per-query persisted intermediates so queries don't pay
+      // for each other's cache memory (cleanup is not timed)
+      spark.catalog.clearCache()
+      name -> dt
+    }
+    (times, errs.toSet)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,29 +49,17 @@ object Bench {
     // spikes that randomly slow single queries 3-10x (documented in
     // NOTES); the min of two spaced measurements is far closer to the
     // engine's actual cost than any single draw. Labeled in the JSON.
-    val passes = (1 to 2).map { _ =>
-      SparkEntry.queries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        // toRdd.count() executes the query's OWN physical plan: a plain
-        // df.count() wraps the plan in an aggregate and the optimizer
-        // then PRUNES row-preserving final operators (a left join
-        // against a grouped-unique key disappears entirely — q85-shaped
-        // rollups measured 0.14 s while their join cost 35 s), which
-        // under-reports every such query.
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // release per-query persisted intermediates so queries don't pay
-        // for each other's cache memory (cleanup is not timed)
-        spark.catalog.clearCache()
-        name -> dt
-      }
+    val passes = (1 to 2).map(_ => timeQueries(spark, sfDir, SparkEntry.queries))
+    val results = passes.head._1.map { case (name, t1) =>
+      name -> math.min(t1, passes(1)._1(name))
     }
-    val results = passes.head.map { case (name, t1) =>
-      name -> math.min(t1, passes(1)(name))
-    }
+    // A failure in EITHER pass flags the query: deterministic breakage
+    // fails both, and even a transient failure means the min time below
+    // covers less than the query's real work.
+    val errors = passes.flatMap(_._2).distinct.sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // Cost-share tripwire (stderr, stdout keeps its strict contract):
     // round 5's q102 quietly grew to 63% of the whole bench inside a
@@ -58,7 +77,10 @@ object Bench {
           "of the bench (>20% tripwire) — investigate before it hides in a green run")
       }
     }
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":2,"agg":"min"}"""
+    errors.foreach(n => System.err.println(
+      s"[graft] ERROR: $n FAILED during bench — its recorded time is " +
+        "time-to-failure, not query cost"))
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","runs":2,"agg":"min"}"""
     // Parse contract (4 rounds of "parsed": null taught us the hard way):
     //  - the forked child inherits sbt's real stdout (StdoutOutput), so the
     //    line lands unprefixed; build.sbt sets showSuccess := false, so sbt
@@ -79,7 +101,7 @@ object Bench {
           (full + "\n").getBytes("UTF-8"))
       } catch { case _: java.io.IOException => () }
     }
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"runs":2,"agg":"min","queries_file":"target/bench.json"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"runs":2,"agg":"min","queries_file":"target/bench.json"}"""
     println(summary)
     System.out.flush()
   }

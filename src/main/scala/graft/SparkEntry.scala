@@ -575,9 +575,15 @@ object SparkEntry {
     // closure chains near-identical names into mega-clusters and goes
     // quadratic in corpus density (round-5 verdict: 12M edges, 65
     // clusters for 40k entities, 115 s); the asymmetric probe is both
-    // the meaningful ER output and the 100×-scale shape. The density
-    // guard is ARMED (50M pairs/block) so a pathological vocabulary
-    // fails loudly instead of silently blowing up.
+    // the meaningful ER output and the 100×-scale shape. Blocking is
+    // the RECALL-COMPLETE segment pigeonhole (the corruption deletes
+    // exactly one character, so every variant's true source sits at
+    // distance exactly 1 — first-char blocking provably lost every
+    // variant whose LEADING character was the one deleted, and q107
+    // existed to measure that loss); the oracle therefore uses NO
+    // block predicate at all: plain all-pairs levenshtein <= 1 truth.
+    // The density guard is ARMED (50M pairs/block) so a pathological
+    // vocabulary fails loudly instead of silently blowing up.
     "q102_entity_resolution" -> ((s, dir) => {
       val parts = t(s, dir, "part")
         .select(col("p_partkey").as("id"), col("p_name").as("name"))
@@ -586,8 +592,8 @@ object SparkEntry {
       val variants = parts.select((col("id") + 20000).as("id"),
         concat(col("name").substr(lit(1), k),
           col("name").substr(k + 2, len)).as("name"))
-      val best = Text.fuzzyJoin(variants, parts, "id", col("name"),
-          "id", col("name"), 2, maxBlockPairs = 50000000L)
+      val best = Text.fuzzyJoinSegments(variants, parts, "id", col("name"),
+          "id", col("name"), 1, maxBlockPairs = 50000000L)
         .groupBy(col("probe_id"))
         .agg(min(struct(col("dist").cast("long").as("d"),
               col("ref_id").cast("long").as("r"))).as("bk"))
@@ -813,6 +819,31 @@ object SparkEntry {
           Similarity.ivfCellStats(e, c1).withColumn("iter", lit(2)))
         .select(col("iter"), col("cell").as("cid"), col("n_members"),
           col("obj_fp"))
+    }),
+
+    // Multimodal: REAL format decode through the Decoder seam — each
+    // doc's text synthesizes an actual RIFF/WAVE PCM16 payload
+    // (samples are a fixed arithmetic function of the doc's code
+    // points) executor-side, and the default FormatDecoder sniffs the
+    // magic bytes and REALLY parses the container (chunk walk, fmt +
+    // data, little-endian PCM16) — the oracle recomputes the decoded
+    // sample features from the same construction arithmetic, so a
+    // parse that misreads any header field or sample byte hash-fails.
+    // Payloads are born and decoded inside one mapPartitions chain:
+    // no shuffle ever carries the binary column.
+    "q111_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
+        .as[(Long, String)]
+      val media = docs.map { case (id, text) =>
+        val n = math.min(text.length, 64)
+        val samples = Array.tabulate(n)(i =>
+          (((text.charAt(i).toInt * 37 + i) % 4096) - 2048).toShort)
+        (id, Multimodal.wavBytes(samples))
+      }
+      Multimodal.decodeFeaturesBatched(media).toDF()
     }),
 
     // Text: adjacent-bigram PMI collocations — the phrase-mining pass;
@@ -2168,9 +2199,28 @@ object SparkEntry {
          |  CAST(sum(CAST(round(csim * 1e6) AS BIGINT)) AS BIGINT) AS obj_fp
          |FROM a1 GROUP BY 2""".stripMargin,
 
-    // Same blocking predicate as the engine's fuzzyJoin (first char +
-    // ±2 length band + levenshtein ≤ 2), asymmetric variants→clean
-    // probe, BIGINT-packed best match, singletons via the left join.
+    // Recomputes the DECODED features from the payload-construction
+    // arithmetic: n_bytes = 44-byte canonical WAV header + 2 bytes per
+    // PCM16 sample; checksum = sum of the signed sample values;
+    // first_byte = the first sample. The engine must round-trip the
+    // same numbers through real RIFF bytes to match.
+    "q111_wav_decode" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CAST(least(length(text), 64) AS INT) AS n FROM documents),
+        |s AS (SELECT doc_id, n,
+        |    list_transform(range(1, n + 1), i ->
+        |      ((unicode(substr(text, CAST(i AS INT), 1)) * 37 + (i - 1))
+        |        % 4096) - 2048) AS smp
+        |  FROM d)
+        |SELECT doc_id, CAST(44 + 2 * n AS INT) AS n_bytes,
+        |  CAST(coalesce(list_sum(smp), 0) AS BIGINT) AS checksum,
+        |  CAST(coalesce(smp[1], -1) AS INT) AS first_byte
+        |FROM s""".stripMargin,
+
+    // NO blocking predicate (the engine's segment blocking is
+    // recall-complete, so blocked must equal unblocked truth):
+    // all-pairs levenshtein ≤ 1, asymmetric variants→clean probe,
+    // struct-min best match, singletons via the left join.
     "q102_entity_resolution" ->
       """WITH p0 AS (SELECT p_partkey AS id, p_name AS name FROM part),
         |pr AS (SELECT id + 20000 AS id,
@@ -2180,9 +2230,7 @@ object SparkEntry {
         |m AS (SELECT pr.id AS vid,
         |    min({'d': CAST(levenshtein(pr.name, p0.name) AS BIGINT),
         |        'r': CAST(p0.id AS BIGINT)}) AS bk
-        |  FROM pr JOIN p0 ON substr(pr.name, 1, 1) = substr(p0.name, 1, 1)
-        |    AND abs(length(pr.name) - length(p0.name)) <= 2
-        |    AND levenshtein(pr.name, p0.name) <= 2
+        |  FROM pr JOIN p0 ON levenshtein(pr.name, p0.name) <= 1
         |  GROUP BY 1),
         |assigned AS (
         |  SELECT id, id AS canonical FROM p0

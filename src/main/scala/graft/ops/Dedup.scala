@@ -305,17 +305,29 @@ object Dedup {
     * side — its old and new copies pair once, at jaccard 1.0 for
     * identical content — though a match id shared by both sides then
     * yields one output row per side.
+    *
+    * Cache ownership: the op persists its doc union and prefix index
+    * internally (both corpus-sized) and returns LAZILY, so their
+    * handles are out of the caller's reach. A long-lived caller (a
+    * streaming loop calling this per micro-batch) passes
+    * `registerCache` to receive every frame this call persists and
+    * unpersists them once the result is consumed — the alternative, a
+    * session-wide clearCache(), evicts caller-owned tables too.
     */
   def jaccardPairsIncremental(oldDocs: DataFrame, newDocs: DataFrame,
                               id: String, hashedShingles: String,
-                              threshold: Double): DataFrame = {
+                              threshold: Double,
+                              registerCache: DataFrame => Unit = _ => ())
+      : DataFrame = {
     val d = oldDocs
       .select(col(id).as("id"), col(hashedShingles).as("hs"),
         lit(false).as("is_new"))
       .unionByName(newDocs.select(col(id).as("id"),
         col(hashedShingles).as("hs"), lit(true).as("is_new")))
       .persist()
+    registerCache(d)
     val pidx = prefixIndex(d, threshold, Seq("is_new")).persist()
+    registerCache(pidx)
     val numer = ratNumer(threshold)
     val cands = pidx.filter(col("is_new")).as("a").join(pidx.as("b"),
         col("a.h") === col("b.h") &&

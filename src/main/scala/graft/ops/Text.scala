@@ -422,10 +422,17 @@ object Text {
 
   private def blockHistogram(p: DataFrame, r: DataFrame,
                              keys: Seq[String] = Seq("bc", "blen")): DataFrame =
-    p.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n_probes"))
-      .join(r.groupBy(keys.map(col): _*)
-        .agg(count(lit(1)).as("n_refs")), keys)
+    // ONE shuffle, not three (probe-agg + ref-agg + join): tag each
+    // side, aggregate conditional counts in a single hash agg — the
+    // guard is a pre-flight that runs eagerly before the real join, so
+    // its cost is pure overhead and the map-side partial aggregation
+    // collapses each side's explosion before anything moves
+    p.select(keys.map(col) :+ lit(1L).as("side"): _*)
+      .unionByName(r.select(keys.map(col) :+ lit(0L).as("side"): _*))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("side")).as("n_probes"),
+        sum(lit(1L) - col("side")).as("n_refs"))
+      .filter(col("n_probes") > 0 && col("n_refs") > 0)
       .select(keys.map(col) ++ Seq(col("n_probes"), col("n_refs"),
         (col("n_probes") * col("n_refs")).as("n_pairs")): _*)
 
@@ -436,26 +443,27 @@ object Text {
   private def guardBlockDensity(p: DataFrame, r: DataFrame,
                                 maxBlockPairs: Long,
                                 keys: Seq[String] = Seq("bc", "blen")): Unit = {
-    val stats = blockHistogram(p, r, keys).persist()
-    try {
-      val tot = stats.agg(coalesce(sum(col("n_pairs")), lit(0L)).as("t"),
-        coalesce(max(col("n_pairs")), lit(0L)).as("m")).collect()(0)
-      val (total, hottest) = (tot.getLong(0), tot.getLong(1))
-      System.err.println(
-        s"[graft] fuzzyJoin density: $total candidate pairs, " +
-        s"hottest block $hottest (limit $maxBlockPairs)")
-      if (hottest > maxBlockPairs) {
-        val top = stats.orderBy(col("n_pairs").desc).limit(3).collect()
-          .map(x => keys.indices.map(i => s"'${x.get(i)}'")
-            .mkString("(", ",", s")=${x.get(keys.size + 2)}"))
-          .mkString(", ")
-        throw new IllegalStateException(
-          s"fuzzyJoin block density exceeds maxBlockPairs=$maxBlockPairs: " +
-          s"hottest blocks $top of $total total candidate pairs — " +
-          "split the block key (fuzzyJoinMultiBlock / a finer prefix) " +
-          "or raise the limit")
-      }
-    } finally { stats.unpersist(): Unit }
+    // no persist: the happy path reads the histogram ONCE (total+max in
+    // one aggregate job); only the throw path recomputes it for the
+    // top-3 diagnostic, and a failing run's last act may be slow
+    val stats = blockHistogram(p, r, keys)
+    val tot = stats.agg(coalesce(sum(col("n_pairs")), lit(0L)).as("t"),
+      coalesce(max(col("n_pairs")), lit(0L)).as("m")).collect()(0)
+    val (total, hottest) = (tot.getLong(0), tot.getLong(1))
+    System.err.println(
+      s"[graft] fuzzyJoin density: $total candidate pairs, " +
+      s"hottest block $hottest (limit $maxBlockPairs)")
+    if (hottest > maxBlockPairs) {
+      val top = stats.orderBy(col("n_pairs").desc).limit(3).collect()
+        .map(x => keys.indices.map(i => s"'${x.get(i)}'")
+          .mkString("(", ",", s")=${x.get(keys.size + 2)}"))
+        .mkString(", ")
+      throw new IllegalStateException(
+        s"fuzzyJoin block density exceeds maxBlockPairs=$maxBlockPairs: " +
+        s"hottest blocks $top of $total total candidate pairs — " +
+        "split the block key (fuzzyJoinMultiBlock / a finer prefix) " +
+        "or raise the limit")
+    }
   }
 
   /** Multi-pass blocked fuzzy join — the recall composition the

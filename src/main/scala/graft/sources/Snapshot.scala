@@ -743,6 +743,38 @@ object Snapshot {
     v + 1
   }
 
+  /** Collapse a partitioned snapshot's accumulated partition DIRECTORIES
+    * into one — the compaction face a per-micro-batch append stream
+    * needs. `compact` keeps one file per partition dir, but a stream
+    * that merges a fresh partition value every batch (erStream/
+    * snapshotMergeStream tag by ingest batch) grows one DIR per batch,
+    * so file count still tracks stream age; this re-tags every row's
+    * partition value to `intoValue`, writes `targetFiles` files under a
+    * single directory, and commits atomically as the next version.
+    *
+    * Caller contract: readers must not depend on the ORIGINAL partition
+    * values for correctness (erStream qualifies — replayed records
+    * re-resolve by fuzzy content match, never by partition lookup;
+    * after compaction a replayed batch's records match their committed
+    * entities at distance 0 and write nothing at all).
+    */
+  def compactInto(spark: SparkSession, table: String, intoValue: Column,
+                  targetFiles: Int = 1): Long = {
+    val v = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed snapshot"))
+    val m = readManifest(table, v)
+    require(m.partitionCol.nonEmpty,
+      s"$table is not partitioned — use compact()")
+    val df = read(spark, table, Some(v))
+      .withColumn(m.partitionCol, intoValue.cast(m.partitionType))
+      .repartition(targetFiles)
+    val (newDirs, newStats, newFStats) =
+      writeData(df, table, Some(m.partitionCol))
+    writeManifest(table, Manifest(v + 1, m.partitionCol, m.partitionType,
+      m.dataSchemaJson, newDirs, newStats, newFStats))
+    v + 1
+  }
+
   /** Drop data directories no longer referenced by the newest
     * `keepVersions` manifests (and the superseded manifests themselves) —
     * the retention/VACUUM face of the format.

@@ -415,9 +415,16 @@ object Streams {
     * copy at jaccard 1.0 and drops; a replayed reject re-matches
     * whatever dropped it before; and the snapshot merge touches only
     * the replayed batch's own partition.
+    *
+    * Compaction: same policy as [[erStream]] — when the manifest holds
+    * ≥ `compactEvery` per-batch partition dirs, collapse them into one
+    * via [[graft.sources.Snapshot.compactInto]]. Replay-safe for the
+    * same reason replay is idempotent at all: a replayed survivor is
+    * re-detected against the COMPACTED corpus by content (jaccard 1.0
+    * with its committed copy), never by partition lookup.
     */
   def dedupStream(in: DataFrame, table: String, checkpoint: String,
-                  threshold: Double = 0.5): Unit = {
+                  threshold: Double = 0.5, compactEvery: Int = 16): Unit = {
     import graft.ops.{Dedup, Text}
     import graft.sources.Snapshot
     val q = in.writeStream
@@ -440,24 +447,28 @@ object Streams {
               .select(col("doc_id"), col("hs"))
             case None => fresh.select(col("doc_id"), col("hs")).limit(0)
           }
+          // the incremental op persists corpus-sized frames internally;
+          // collect their handles so THIS batch releases exactly what
+          // it created (a clearCache() here would evict caller-owned
+          // tables from the shared session)
+          val created = scala.collection.mutable.ArrayBuffer
+            .empty[org.apache.spark.sql.DataFrame]
           val dropIds = Dedup.jaccardPairsIncremental(
               corpus.withColumnRenamed("doc_id", "id"),
               fresh.select(col("doc_id").as("id"), col("hs")),
-              "id", "hs", threshold)
+              "id", "hs", threshold, registerCache = created += _)
             .select(col("id_new").as("doc_id")).distinct()
           val survivors = fresh.join(dropIds, Seq("doc_id"), "left_anti")
             .withColumn("ingest_batch", lit(batchId))
           if (!survivors.isEmpty)
             Snapshot.merge(survivors, table, Seq("doc_id"), "doc_id",
               "ingest_batch"): Unit
+          if (compactEvery > 0) Snapshot.latestVersion(table).foreach { v =>
+            if (Snapshot.readManifest(table, v).dirs.size >= compactEvery)
+              Snapshot.compactInto(spark, table, lit(batchId)): Unit
+          }
           fresh.unpersist()
-          // the incremental op persists its corpus-sized union + prefix
-          // index internally and returns lazily, so their handles are
-          // out of reach here; without this, every micro-batch would
-          // pin another full corpus snapshot in the cache for the
-          // stream's lifetime. The merge above has materialized
-          // everything this batch needs.
-          spark.catalog.clearCache()
+          created.foreach(_.unpersist(): Unit)
         }
       }
       .start()
@@ -483,9 +494,21 @@ object Streams {
     * at distance 0 and resolves to it instead of duplicating; a
     * replayed matched record re-matches whatever absorbed it before;
     * the merge touches only the replayed batch's own partition.
+    *
+    * Compaction policy: each merge appends one `ingest_batch` partition
+    * directory, so after N batches the entity snapshot is N small
+    * files — unbounded over a stream's lifetime. Whenever the manifest
+    * holds ≥ `compactEvery` partition directories, the batch collapses
+    * them into ONE via [[graft.sources.Snapshot.compactInto]] (re-tag
+    * to the current batch id, single dir, single file). Keying the
+    * trigger to the DIRECTORY COUNT (not a batch counter) makes it
+    * restart-robust: a resumed stream inherits the bound, not a fresh
+    * counter. Replay idempotence survives compaction because replayed
+    * records re-resolve by content (distance-0 self-match), never by
+    * partition lookup. `compactEvery = 0` disables.
     */
   def erStream(in: DataFrame, table: String, checkpoint: String,
-               maxDist: Int = 1): Unit = {
+               maxDist: Int = 1, compactEvery: Int = 16): Unit = {
     import graft.ops.Text
     import graft.sources.Snapshot
     val q = in.writeStream
@@ -512,6 +535,10 @@ object Streams {
           if (!novel.isEmpty)
             Snapshot.merge(novel, table, Seq("rec_id"), "rec_id",
               "ingest_batch"): Unit
+          if (compactEvery > 0) Snapshot.latestVersion(table).foreach { v =>
+            if (Snapshot.readManifest(table, v).dirs.size >= compactEvery)
+              Snapshot.compactInto(spark, table, lit(batchId)): Unit
+          }
           // fresh is the only cache this batch created (the fuzzy ops
           // persist nothing across calls) — a clearCache() here would
           // evict caller-owned tables from the shared session.

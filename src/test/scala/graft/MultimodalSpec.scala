@@ -50,14 +50,71 @@ class MultimodalSpec extends SparkSpec {
     val media = spark.range(0, 100).map(i =>
       (i.toLong, s"payload-$i".getBytes("UTF-8"))).repartition(4)
     val perRow = Multimodal.decodeFeatures(media).collect().toSet
-    Multimodal.StubDecoder.opened.set(0)
+    Multimodal.FormatDecoder.opened.set(0)
+    // non-WAV payloads: the sniffing default falls back to the stub
+    // arithmetic, so the batched path must equal the per-row stub path
     val batched = Multimodal.decodeFeaturesBatched(media, batchSize = 8)
       .collect().toSet
     assert(batched == perRow)
     // 100 rows across 4 partitions, batch size 8: the decoder handle
     // opened once per PARTITION, never per row or per batch
-    assert(Multimodal.StubDecoder.opened.get() == 4,
-      s"opened ${Multimodal.StubDecoder.opened.get()} times")
+    assert(Multimodal.FormatDecoder.opened.get() == 4,
+      s"opened ${Multimodal.FormatDecoder.opened.get()} times")
+  }
+
+  test("wavBytes → parseWav round-trips header fields and every sample") {
+    val samples = Array.tabulate(300)(i => ((i * 211) % 4096 - 2048).toShort)
+    val w = Multimodal.parseWav(Multimodal.wavBytes(samples, 16000))
+    assert(w.isDefined)
+    assert(w.get.sampleRate == 16000 && w.get.channels == 1)
+    assert(w.get.samples.toSeq == samples.toSeq)
+  }
+
+  test("parseWav walks chunks: an interposed LIST chunk is skipped") {
+    val samples = Array[Short](100, -200, 300)
+    val canonical = Multimodal.wavBytes(samples)
+    // splice an odd-sized LIST chunk (body 5 bytes + pad) between the
+    // fmt and data chunks; sizes in the RIFF header grow accordingly
+    val listChunk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ "INFOx".getBytes("US-ASCII") ++
+      Array[Byte](0) // pad byte for the odd size
+    val spliced = canonical.slice(0, 36) ++ listChunk ++
+      canonical.slice(36, canonical.length)
+    val riffLen = spliced.length - 8
+    spliced(4) = (riffLen & 0xff).toByte
+    spliced(5) = ((riffLen >> 8) & 0xff).toByte
+    spliced(6) = ((riffLen >> 16) & 0xff).toByte
+    spliced(7) = ((riffLen >> 24) & 0xff).toByte
+    val w = Multimodal.parseWav(spliced)
+    assert(w.isDefined && w.get.samples.toSeq == samples.toSeq)
+  }
+
+  test("parseWav rejects malformed / unsupported payloads instead of crashing") {
+    assert(Multimodal.parseWav("not audio at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseWav(Array.empty[Byte]).isEmpty)
+    // truncated: data chunk claims more bytes than exist
+    val truncated = Multimodal.wavBytes(Array[Short](1, 2, 3)).dropRight(2)
+    assert(Multimodal.parseWav(truncated).isEmpty)
+    // 8-bit PCM is unsupported → None (fallback, not garbage samples)
+    val b = Multimodal.wavBytes(Array[Short](1))
+    b(34) = 8 // bitsPerSample low byte
+    assert(Multimodal.parseWav(b).isEmpty)
+  }
+
+  test("FormatDecoder really decodes WAV features, stub-falls-back otherwise") {
+    val samples = Array[Short](1000, -2000, 500)
+    val wav = Multimodal.wavBytes(samples)
+    val plain = "plain".getBytes("UTF-8")
+    val media = Seq((1L, wav), (2L, plain)).toDS().repartition(1)
+    val r = Multimodal.decodeFeaturesBatched(media)
+      .collect().map(f => f.doc_id -> f).toMap
+    // WAV: checksum is the SIGNED sample sum (impossible to get from
+    // unsigned byte arithmetic), first_byte the first decoded sample
+    assert(r(1L).checksum == -500L && r(1L).first_byte == 1000)
+    assert(r(1L).n_bytes == wav.length)
+    // non-WAV: identical to the stub byte features
+    assert(r(2L).checksum == plain.map(_ & 0xff).sum.toLong)
+    assert(r(2L).first_byte == 'p'.toInt)
   }
 
   test("decoder seam: swapping the codec changes output ONLY through the trait") {

@@ -216,6 +216,38 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("compactInto collapses accumulated partition dirs into one") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      // a per-batch append stream's shape: each merge lands a NEW
+      // partition value, so dirs (and files) grow one per batch
+      Snapshot.commit(batch(("A", "2024-01-01", 10.0, 0L)), t, Some("date"))
+      Snapshot.merge(batch(("B", "2024-01-02", 20.0, 1L)), t,
+        Seq("symbol", "date"), "version", "date")
+      Snapshot.merge(batch(("C", "2024-01-03", 30.0, 2L)), t,
+        Seq("symbol", "date"), "version", "date")
+      assert(Snapshot.readManifest(t, 3L).dirs.size == 3)
+      val before = Snapshot.read(spark, t)
+        .select($"symbol", $"close", $"version")
+        .collect().map(_.toSeq).toSet
+
+      val v = Snapshot.compactInto(spark, t,
+        org.apache.spark.sql.functions.lit("2024-01-03"))
+      val m = Snapshot.readManifest(t, v)
+      assert(m.dirs.size == 1)
+      val files = new java.io.File(m.dirs.head).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"expected 1 file, got ${files.length}")
+      // non-partition content survives; the partition value is re-tagged
+      val after = Snapshot.read(spark, t)
+        .select($"symbol", $"close", $"version")
+        .collect().map(_.toSeq).toSet
+      assert(after == before)
+      assert(Snapshot.read(spark, t).select($"date").distinct()
+        .collect().map(_.get(0).toString).toSeq == Seq("2024-01-03"))
+    }
+  }
+
   test("partition values needing path-escaping (and null) roundtrip and merge correctly") {
     withTempDir { dir =>
       val t = dir.getAbsolutePath + "/t"

@@ -316,6 +316,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dedupStream compaction bounds corpus partitions; re-crawls still drop") {
+    import graft.sources.Snapshot
+    withTempDir { dir =>
+      val in = dir.getAbsolutePath + "/in"
+      val table = dir.getAbsolutePath + "/corpus"
+      val ck = dir.getAbsolutePath + "/ck"
+      def wave(i: Int) = Seq((i * 10L,
+        s"wave $i page about topic${i.toString * 4} and subject${i.toString * 4}"))
+        .toDF("doc_id", "text")
+      wave(1).write.parquet(in)
+      val schema = spark.read.parquet(in).schema
+      Streams.dedupStream(spark.readStream.schema(schema).parquet(in),
+        table, ck, 0.5, compactEvery = 3)
+      for (i <- 2 to 5) {
+        wave(i).write.mode("append").parquet(in)
+        Streams.dedupStream(spark.readStream.schema(schema).parquet(in),
+          table, ck, 0.5, compactEvery = 3)
+      }
+      val m = Snapshot.readManifest(table, Snapshot.latestVersion(table).get)
+      assert(m.dirs.size <= 3, s"dirs not bounded: ${m.dirs.size}")
+      val docs = Snapshot.read(spark, table)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(docs == Set(10L, 20L, 30L, 40L, 50L))
+      // a re-crawl of wave 1 against the COMPACTED corpus drops by
+      // content (jaccard 1.0 with its committed copy)
+      val in2 = dir.getAbsolutePath + "/in2"
+      wave(1).select(($"doc_id" + 100).as("doc_id"), $"text")
+        .write.parquet(in2)
+      Streams.dedupStream(spark.readStream.schema(schema).parquet(in2),
+        table, dir.getAbsolutePath + "/ck2", 0.5, compactEvery = 3)
+      val after = Snapshot.read(spark, table)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(after == docs)
+    }
+  }
+
   test("erStream grows the entity snapshot; variants resolve, replays don't duplicate") {
     withTempDir { dir =>
       val in1 = dir.getAbsolutePath + "/in1"
@@ -349,6 +385,49 @@ class StreamingSpec extends SparkSpec {
       val afterReplay = graft.sources.Snapshot.read(spark, table)
         .select($"rec_id").as[Long].collect().toSet
       assert(afterReplay == Set(1L, 2L, 12L))
+    }
+  }
+
+  test("erStream compaction bounds snapshot files; replay stays idempotent") {
+    import graft.sources.Snapshot
+    withTempDir { dir =>
+      val in = dir.getAbsolutePath + "/in"
+      val table = dir.getAbsolutePath + "/entities"
+      val ck = dir.getAbsolutePath + "/ck"
+      def parquetFiles(): Int = {
+        val m = Snapshot.readManifest(table, Snapshot.latestVersion(table).get)
+        m.dirs.map(d => new java.io.File(d).listFiles()
+          .count(_.getName.endsWith(".parquet"))).sum
+      }
+      // 5 waves of mutually-distant entities (repeated digits keep every
+      // cross-wave distance > maxDist), SHARED checkpoint so each wave is
+      // a new batch id → each merge appends a fresh ingest_batch dir
+      def wave(i: Int) = Seq((i * 10L, s"entity ${i.toString * 3} brick"))
+        .toDF("rec_id", "name")
+      wave(1).write.parquet(in)
+      val schema = spark.read.parquet(in).schema
+      Streams.erStream(spark.readStream.schema(schema).parquet(in),
+        table, ck, 1, compactEvery = 3)
+      for (i <- 2 to 5) {
+        wave(i).write.mode("append").parquet(in)
+        Streams.erStream(spark.readStream.schema(schema).parquet(in),
+          table, ck, 1, compactEvery = 3)
+      }
+      // without compaction this is 5 dirs / 5 files; the dir-count
+      // trigger collapses at ≥3, so the bound holds at any stream age
+      val m = Snapshot.readManifest(table, Snapshot.latestVersion(table).get)
+      assert(m.dirs.size <= 3, s"dirs not bounded: ${m.dirs.size}")
+      assert(parquetFiles() <= 3, s"files not bounded: ${parquetFiles()}")
+      val entities = Snapshot.read(spark, table)
+        .select($"rec_id").as[Long].collect().toSet
+      assert(entities == Set(10L, 20L, 30L, 40L, 50L))
+      // full replay under a fresh checkpoint: every record self-matches
+      // at distance 0 against the COMPACTED snapshot — no growth
+      Streams.erStream(spark.readStream.schema(schema).parquet(in),
+        table, dir.getAbsolutePath + "/ck2", 1, compactEvery = 3)
+      val replayed = Snapshot.read(spark, table)
+        .select($"rec_id").as[Long].collect().toSet
+      assert(replayed == entities)
     }
   }
 

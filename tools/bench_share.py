@@ -5,8 +5,12 @@ total, and WARN loudly when any single query exceeds the threshold
 (default 20%). Round 5's q102 grew to 63% of the bench inside a green
 run — this is the check that makes that impossible to miss.
 
+Also surfaces the bench's per-query error flags: a query that threw
+during the bench has a recorded time (time-to-failure) that must not be
+read as query cost.
+
 Exit code: 0 always (a hot query is a finding, not a failure) unless
---strict is passed, then 1 when the tripwire fires.
+--strict is passed, then 1 when the tripwire fires OR any query errored.
 """
 import argparse
 import json
@@ -39,4 +43,12 @@ for name, t in hot:
         "in a green run",
         file=sys.stderr,
     )
-sys.exit(1 if (hot and args.strict) else 0)
+
+errors = d.get("errors", []) if isinstance(d, dict) else []
+for name in errors:
+    print(
+        f"ERROR: {name} FAILED during the bench — its recorded time is "
+        "time-to-failure, not query cost",
+        file=sys.stderr,
+    )
+sys.exit(1 if ((hot or errors) and args.strict) else 0)
