@@ -821,6 +821,41 @@ object SparkEntry {
           col("obj_fp"))
     }),
 
+    // Similarity: the COMPLETE ANN story end-to-end — train centroids
+    // in-engine (one exact fixed-point Lloyd step from the id<16
+    // seed), then measure recall@5 of multi-probe IVF (nprobe=2) on
+    // the fixed 100-query sample under the SEED vs the TRAINED
+    // centroids. Everything composes the audited kernels: kmeansTrain
+    // (q110), ivfSearch with the probe filter inside (q108),
+    // bruteForceTopK's bounded-sample truth. Trained centroids ride
+    // the same broadcast path as the seed; audit cost stays constant
+    // in corpus size (fixed-size sample, fixed centroid count).
+    "q112_ivf_trained_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val c0 = e.filter(col("id") < 16)
+        .select(col("id").as("cid"), col("vec").as("cvec"))
+      val c1 = Similarity.kmeansTrain(e, c0, 1)
+      val qs = e.select(col("id"), col("vec"),
+          Dedup.hashLong(col("id").cast("string")).as("h"))
+        .orderBy(col("h"), col("id")).limit(100)
+        .select(col("id"), col("vec"))
+      val truth = Similarity.bruteForceTopK(qs, e, 5)
+      val hits = Seq(0 -> c0, 1 -> c1).map { case (tag, c) =>
+        val approx = Similarity.ivfSearch(qs, e, c, 5, nprobe = 2)
+        truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+          .withColumn("trained", lit(tag))
+      }.reduce(_.unionByName(_))
+      qs.select(col("id").as("query_id"))
+        .withColumn("trained", explode(array(lit(0), lit(1))))
+        .join(hits, Seq("query_id", "trained"), "left")
+        .select(col("query_id"), col("trained"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round((coalesce(col("n_hit"), lit(0L)).cast("double") / 5)
+            .cast("decimal(20,10)"), 4).cast("double").as("recall_at_5"))
+    }),
+
     // Multimodal: REAL format decode through the Decoder seam — each
     // doc's text synthesizes an actual RIFF/WAVE PCM16 payload
     // (samples are a fixed arithmetic function of the doc's code
@@ -2198,6 +2233,79 @@ object SparkEntry {
          |SELECT 2 AS iter, cell AS cid, count(*) AS n_members,
          |  CAST(sum(CAST(round(csim * 1e6) AS BIGINT)) AS BIGINT) AS obj_fp
          |FROM a1 GROUP BY 2""".stripMargin,
+
+    // q110's trained-centroid CTE (one exact fixed-point Lloyd step)
+    // composed with q108's multi-probe search machinery, at nprobe=2,
+    // under both centroid sets; identical rounded-sim/id tiebreaks.
+    "q112_ivf_trained_recall" ->
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cvec
+         |            FROM embeddings WHERE vec_id < 16),
+         |a0 AS (SELECT id, vec, cell FROM (
+         |  SELECT e.vec_id AS id, e.embedding AS vec, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${cosSql("e.embedding", "c.cvec")}, 6) DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN c0 c)
+         |  WHERE rn = 1),
+         |c1 AS (SELECT cell AS cid, list(m ORDER BY pos) AS cvec FROM (
+         |  SELECT cell, pos,
+         |    CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS m FROM (
+         |    SELECT cell, pos, sum(xfp) AS s, count(*) AS n FROM (
+         |      SELECT cell, generate_subscripts(vec, 1) - 1 AS pos,
+         |        CAST(round(CAST(unnest(vec) AS DOUBLE) * 1e6) AS BIGINT)
+         |          AS xfp
+         |      FROM a0)
+         |    GROUP BY 1, 2))
+         |  GROUP BY 1),
+         |a1 AS (SELECT id, vec, cell FROM (
+         |  SELECT e.vec_id AS id, e.embedding AS vec, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${cosSql("e.embedding", "c.cvec")}, 6) DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN c1 c)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+         |      ORDER BY ${h60("CAST(vec_id AS VARCHAR)")}, vec_id
+         |      LIMIT 100),
+         |qc0 AS (SELECT qid, qv, cell FROM (
+         |  SELECT q.id AS qid, q.vec AS qv, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY q.id
+         |      ORDER BY round(${cosSql("q.vec", "c.cvec")}, 6) DESC, c.cid) AS pr
+         |  FROM q CROSS JOIN c0 c)
+         |  WHERE pr <= 2),
+         |qc1 AS (SELECT qid, qv, cell FROM (
+         |  SELECT q.id AS qid, q.vec AS qv, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY q.id
+         |      ORDER BY round(${cosSql("q.vec", "c.cvec")}, 6) DESC, c.cid) AS pr
+         |  FROM q CROSS JOIN c1 c)
+         |  WHERE pr <= 2),
+         |approx AS (
+         |  SELECT 0 AS trained, qid, nid FROM (
+         |    SELECT qc.qid, a.id AS nid, row_number() OVER (PARTITION BY qc.qid
+         |      ORDER BY round(${cosSql("qc.qv", "a.vec")}, 6) DESC, a.id) AS rnk
+         |    FROM qc0 qc JOIN a0 a ON qc.cell = a.cell AND qc.qid != a.id)
+         |    WHERE rnk <= 5
+         |  UNION ALL
+         |  SELECT 1 AS trained, qid, nid FROM (
+         |    SELECT qc.qid, a.id AS nid, row_number() OVER (PARTITION BY qc.qid
+         |      ORDER BY round(${cosSql("qc.qv", "a.vec")}, 6) DESC, a.id) AS rnk
+         |    FROM qc1 qc JOIN a1 a ON qc.cell = a.cell AND qc.qid != a.id)
+         |    WHERE rnk <= 5),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.id AS query_id, c2.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.id
+         |      ORDER BY round(${cosSql("q.vec", "c2.embedding")}, 6) DESC, c2.vec_id) AS rnk
+         |  FROM q JOIN embeddings c2 ON q.id != c2.vec_id)
+         |  WHERE rnk <= 5),
+         |h AS (SELECT a.trained, t.query_id, count(*) AS n_hit
+         |  FROM truth t JOIN approx a
+         |    ON t.query_id = a.qid AND t.neighbor_id = a.nid
+         |  GROUP BY 1, 2),
+         |tr AS (SELECT unnest([0, 1]) AS trained)
+         |SELECT q.id AS query_id, tr.trained,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(round(CAST(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS recall_at_5
+         |FROM q CROSS JOIN tr
+         |LEFT JOIN h ON q.id = h.query_id AND tr.trained = h.trained""".stripMargin,
 
     // Recomputes the DECODED features from the payload-construction
     // arithmetic: n_bytes = 44-byte canonical WAV header + 2 bytes per
