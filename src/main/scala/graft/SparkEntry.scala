@@ -784,6 +784,11 @@ object SparkEntry {
           Dedup.hashLong(col("id").cast("string")).as("h"))
         .orderBy(col("h"), col("id")).limit(100)
         .select(col("id"), col("vec"))
+      // truth/assigned are consumed once per nprobe tier (3×) but must
+      // NOT be persisted: within one plan Spark's ReusedExchange already
+      // computes each identical subtree once, while an InMemoryRelation
+      // would BLOCK that reuse and pay columnar cache-compression of the
+      // vector columns (measured: persist made this query 3× slower)
       val truth = Similarity.bruteForceTopK(qs, e, 5)
       val assigned = Similarity.ivfAssign(e, centroids)
       val hits = Seq(1, 2, 4).map { np =>
@@ -840,6 +845,8 @@ object SparkEntry {
           Dedup.hashLong(col("id").cast("string")).as("h"))
         .orderBy(col("h"), col("id")).limit(100)
         .select(col("id"), col("vec"))
+      // no persist on truth: ReusedExchange shares the subtree across
+      // both centroid-set branches of this one plan (see q108)
       val truth = Similarity.bruteForceTopK(qs, e, 5)
       val hits = Seq(0 -> c0, 1 -> c1).map { case (tag, c) =>
         val approx = Similarity.ivfSearch(qs, e, c, 5, nprobe = 2)

@@ -236,7 +236,16 @@ object Similarity {
   def kmeansTrain(vecs: DataFrame, init: DataFrame, iters: Int): DataFrame = {
     require(iters >= 0, "iters must be >= 0")
     var c = init
-    for (_ <- 1 to iters) c = kmeansStep(vecs, c)
+    // localCheckpoint (eager) each round: the centroid table is tiny
+    // (k rows) but its LINEAGE is a full corpus aggregate per
+    // iteration. Within a single downstream plan, ReusedExchange
+    // already dedups the identical subtrees (measured ≈ equal on
+    // q112), but the checkpoint (a) bounds the logical plan depth —
+    // without it iteration i nests i corpus aggregates and Catalyst
+    // re-analyzes the deepening tree each round, the duplicateClusters
+    // super-linear pathology — and (b) pins the k rows for callers
+    // that run SEVERAL separate actions against one trained set.
+    for (_ <- 1 to iters) c = kmeansStep(vecs, c).localCheckpoint(true)
     c
   }
 

@@ -112,6 +112,12 @@ class SimilaritySpec extends SparkSpec {
     assert(cents.keySet == Set(0L, 30L))
     assert(cents(0L).head > 9.5 && cents(0L)(3) < 0.5)
     assert(cents(30L)(3) > 9.5 && cents(30L).head < 0.5)
+    // lineage is TRUNCATED per iteration (localCheckpoint): the trained
+    // table is k pinned rows, so a consumer that reads it 2-3 times
+    // (assignment + probe scoring) never re-runs the training cascade
+    val plan = c2.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Aggregate") && !plan.contains("Generate"),
+      s"trained centroids still carry corpus lineage:\n$plan")
   }
 
   test("q107/q108 audit size is CONSTANT across corpus scales " +
