@@ -273,6 +273,9 @@ object Dedup {
       .persist() // verification joins re-read the full hash sets
     // Persisted: the candidate self-join consumes this index twice, and
     // without it the whole explode→freq-join→sort chain runs per side.
+    // (Re-measured round 7 against the ReusedExchange rule — lesson 23
+    // does NOT apply here: dropping the persist was ~1.5 s SLOWER at
+    // sf0.1, the multi-exchange freq-join chain doesn't unify.)
     val pidx = prefixIndex(d, threshold, Nil).persist()
     val numer = ratNumer(threshold)
     val cands = pidx.as("a").join(pidx.as("b"),

@@ -268,9 +268,11 @@ object Similarity {
     * variant keeps the oracle deterministic.
     */
   def ivfTopK(vecs: DataFrame, centroids: DataFrame, k: Int): DataFrame = {
-    // persisted: both sides of the per-cell self-join read the assignment
-    // (otherwise the n×centroids scoring pass runs twice)
-    val assigned = ivfAssign(vecs, centroids).persist()
+    // deliberately NOT persisted: both self-join sides shuffle the same
+    // assignment subtree on `cell`, and ReusedExchange computes that
+    // identical exchange once per execution — persisting here measured
+    // ~25% SLOWER (columnar caching of the vector column, lesson 23)
+    val assigned = ivfAssign(vecs, centroids)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     assigned.as("a").join(assigned.as("b"),
