@@ -704,12 +704,15 @@ object SparkEntry {
           coalesce(col("bk.r"), lit(-1L)).as("best_ref"))
     }),
 
-    // Text: blocking-recall ESTIMATOR — the production-ER pre-flight:
-    // all-pairs ground truth is unaffordable on the corpus but cheap on
-    // a deterministic sample (sample² work), so the blocked join's
-    // recall is measured there before committing the full run. Blocked
-    // output is a subset of truth by construction (same verify), so
-    // recall = blocked/truth.
+    // Text: blocking-recall ESTIMATOR — the pre-flight that decides
+    // whether a CHEAP single-anchor blocking suffices before paying
+    // for the recall-complete segment path: all-pairs ground truth is
+    // unaffordable on the corpus but cheap on a deterministic sample
+    // (sample² work), so the blocked join's recall is measured there.
+    // It audits first-char blocking exactly because that scheme is
+    // lossy (q102 itself moved to segments after this estimator
+    // quantified the loss). Blocked output is a subset of truth by
+    // construction (same verify), so recall = blocked/truth.
     "q107_blocking_recall" -> ((s, dir) => {
       // fixed-SIZE deterministic sample (bottom-500 by md5, q98's
       // kernel) — a fixed FRACTION would make the sample² audit

@@ -171,6 +171,16 @@ object Streams {
     * the previous snapshot fully live, and readers never see a
     * half-written batch. Replays after checkpoint recovery re-merge to
     * identical content (keep-latest), just as a new vacuumable version.
+    *
+    * Small-file growth: unlike [[erStream]]/[[dedupStream]], no
+    * automatic compaction is wired here — `partitionCol` is
+    * caller-chosen and usually MEANINGFUL (a date), and replay
+    * correctness relies on merge touching only a batch's own
+    * partitions, so collapsing values is not universally safe. When
+    * the partition is a per-batch ingest tag, run
+    * [[graft.sources.Snapshot.compactInto]] on the caller's own
+    * cadence; when it is a real dimension, [[graft.sources.Snapshot
+    * .compact]] (one file per partition dir) is the safe bound.
     */
   def snapshotMergeStream(in: DataFrame, table: String, checkpoint: String,
                           keys: Seq[String], versionCol: String,
