@@ -866,6 +866,29 @@ object SparkEntry {
             .cast("decimal(20,10)"), 4).cast("double").as("recall_at_5"))
     }),
 
+    // Multimodal: the IMAGE sibling of q111 — each doc's text paints a
+    // real 7×4 24-bit BMP (odd width, so every row carries 3 pad
+    // bytes; written bottom-up as the format demands), and the default
+    // FormatDecoder sniffs 'BM' and truly parses it: pixel features
+    // only match the oracle if the parser un-flips rows, skips
+    // padding, and reads BGR in order. Same no-shuffle payload
+    // lifecycle as q111.
+    "q113_bmp_decode" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
+        .as[(Long, String)]
+      val media = docs.map { case (id, text) =>
+        val pixels = Array.tabulate(28) { i =>
+          val cp = text.charAt(i).toInt
+          ((cp % 256) << 16) | (((cp * 7) % 256) << 8) | ((cp * 13) % 256)
+        }
+        (id, Multimodal.bmpBytes(7, 4, pixels))
+      }
+      Multimodal.decodeFeaturesBatched(media).toDF()
+    }),
+
     // Multimodal: REAL format decode through the Decoder seam — each
     // doc's text synthesizes an actual RIFF/WAVE PCM16 payload
     // (samples are a fixed arithmetic function of the doc's code
@@ -2316,6 +2339,24 @@ object SparkEntry {
          |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS recall_at_5
          |FROM q CROSS JOIN tr
          |LEFT JOIN h ON q.id = h.query_id AND tr.trained = h.trained""".stripMargin,
+
+    // Recomputes the decoded PIXEL features from the construction
+    // arithmetic: n_bytes = 54-byte headers + 4 rows × (21 + 3 pad);
+    // checksum = Σ (r+g+b) over the 28 pixels; first_byte = top-left
+    // red channel. The engine must round-trip through real padded
+    // bottom-up BMP bytes to match.
+    "q113_bmp_decode" ->
+      """WITH s AS (SELECT doc_id,
+        |    list_transform(range(1, 29), i ->
+        |      (unicode(substr(text, CAST(i AS INT), 1)) % 256)
+        |      + ((unicode(substr(text, CAST(i AS INT), 1)) * 7) % 256)
+        |      + ((unicode(substr(text, CAST(i AS INT), 1)) * 13) % 256)) AS ch,
+        |    unicode(substr(text, 1, 1)) % 256 AS r0
+        |  FROM documents)
+        |SELECT doc_id, CAST(54 + 4 * 24 AS INT) AS n_bytes,
+        |  CAST(list_sum(ch) AS BIGINT) AS checksum,
+        |  CAST(r0 AS INT) AS first_byte
+        |FROM s""".stripMargin,
 
     // Recomputes the DECODED features from the payload-construction
     // arithmetic: n_bytes = 44-byte canonical WAV header + 2 bytes per

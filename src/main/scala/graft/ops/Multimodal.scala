@@ -184,13 +184,94 @@ object Multimodal {
     }
   }
 
+  /** Canonical 24-bit BMP writer: BITMAPFILEHEADER + BITMAPINFOHEADER +
+    * BOTTOM-UP rows of BGR pixels, each row padded to a 4-byte
+    * boundary. `pixels` is TOP-DOWN row-major 0xRRGGBB — the writer
+    * performs the flip and padding the format demands, which is
+    * exactly what makes [[parseBmp]] a real decoder test: features
+    * computed from the decoded pixels only match if the parser undoes
+    * both correctly and skips the pad bytes.
+    */
+  def bmpBytes(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
+    require(pixels.length == width * height, "pixels must be width*height")
+    val rowLen = width * 3
+    val pad = (4 - rowLen % 4) % 4
+    val dataLen = (rowLen + pad) * height
+    val bb = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+    bb.putInt(0).putInt(54) // reserved, pixel-data offset
+    bb.putInt(40).putInt(width).putInt(height) // positive height = bottom-up
+    bb.putShort(1).putShort(24) // planes, bits per pixel
+    bb.putInt(0).putInt(dataLen) // BI_RGB, image size
+    bb.putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 DPI, palette
+    for (y <- height - 1 to 0 by -1) { // bottom-up
+      for (x <- 0 until width) {
+        val p = pixels(y * width + x)
+        bb.put((p & 0xff).toByte) // B
+        bb.put(((p >> 8) & 0xff).toByte) // G
+        bb.put(((p >> 16) & 0xff).toByte) // R
+      }
+      for (_ <- 0 until pad) bb.put(0.toByte)
+    }
+    bb.array()
+  }
+
+  /** A decoded BMP: dimensions + TOP-DOWN row-major 0xRRGGBB pixels. */
+  final case class BmpPixels(width: Int, height: Int, pixels: Array[Int])
+
+  /** Pure-JVM BMP parser (the image sibling of [[parseWav]]):
+    * uncompressed 24-bit BI_RGB only, honors the header's pixel-data
+    * offset, un-flips bottom-up rows, skips per-row padding. None on
+    * anything malformed or unsupported — callers fall back.
+    */
+  def parseBmp(bytes: Array[Byte]): Option[BmpPixels] = {
+    def u16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+    def i32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+      ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    if (bytes.length < 54 || bytes(0) != 'B'.toByte || bytes(1) != 'M'.toByte)
+      return None
+    val dataOff = i32(10)
+    val hdrSize = i32(14)
+    val width = i32(18)
+    val heightRaw = i32(22)
+    val bpp = u16(28)
+    val compression = i32(30)
+    if (hdrSize < 40 || bpp != 24 || compression != 0) return None
+    if (width <= 0 || heightRaw == 0) return None
+    val bottomUp = heightRaw > 0
+    val height = math.abs(heightRaw)
+    val rowLen = width * 3
+    val stride = rowLen + (4 - rowLen % 4) % 4
+    if (dataOff < 54 || dataOff.toLong + stride.toLong * height > bytes.length)
+      return None
+    val pixels = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val srcRow = if (bottomUp) height - 1 - y else y
+      val ro = dataOff + srcRow * stride
+      var x = 0
+      while (x < width) {
+        val o = ro + x * 3
+        pixels(y * width + x) = ((bytes(o + 2) & 0xff) << 16) |
+          ((bytes(o + 1) & 0xff) << 8) | (bytes(o) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    Some(BmpPixels(width, height, pixels))
+  }
+
   /** The DEFAULT decoder: per-payload magic-number sniffing. A payload
     * that parses as RIFF/WAVE PCM16 is REALLY decoded — checksum is the
     * sum of the decoded sample VALUES (signed) and first_byte the first
-    * decoded sample, i.e. features of the audio, not of its container
-    * bytes; anything else (and any malformed/unsupported WAV) falls
-    * back to the stub byte arithmetic, so mixed-modality columns and
-    * corrupt rows flow through the same pipeline without a crash.
+    * decoded sample; one that parses as 24-bit BMP decodes to pixels —
+    * checksum is the sum of all decoded R+G+B channel values (pad bytes
+    * excluded, rows un-flipped) and first_byte the TOP-LEFT pixel's red
+    * channel. Features of the media, not of its container bytes.
+    * Anything else (and any malformed/unsupported payload) falls back
+    * to the stub byte arithmetic, so mixed-modality columns and corrupt
+    * rows flow through the same pipeline without a crash.
     */
   final class FormatDecoder private () extends Decoder {
     def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[MediaFeatures] =
@@ -200,10 +281,18 @@ object Multimodal {
             val checksum = w.samples.foldLeft(0L)((a, s) => a + s)
             val first = if (w.samples.nonEmpty) w.samples(0).toInt else -1
             MediaFeatures(id, bytes.length, checksum, first)
-          case None =>
-            val checksum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
-            val first = if (bytes.nonEmpty) bytes(0) & 0xff else -1
-            MediaFeatures(id, bytes.length, checksum, first)
+          case None => parseBmp(bytes) match {
+            case Some(b) =>
+              val checksum = b.pixels.foldLeft(0L)((a, p) =>
+                a + ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff))
+              val first =
+                if (b.pixels.nonEmpty) (b.pixels(0) >> 16) & 0xff else -1
+              MediaFeatures(id, bytes.length, checksum, first)
+            case None =>
+              val checksum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+              val first = if (bytes.nonEmpty) bytes(0) & 0xff else -1
+              MediaFeatures(id, bytes.length, checksum, first)
+          }
         }
       }
   }

@@ -101,6 +101,40 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseWav(b).isEmpty)
   }
 
+  test("bmpBytes → parseBmp round-trips dimensions and every pixel") {
+    // odd width forces 3 pad bytes per row; distinct channel values per
+    // pixel catch any BGR/RGB or row-order confusion
+    val px = Array.tabulate(7 * 4)(i => ((i * 11) % 256) << 16 |
+      ((i * 29) % 256) << 8 | ((i * 53) % 256))
+    val b = Multimodal.parseBmp(Multimodal.bmpBytes(7, 4, px))
+    assert(b.isDefined)
+    assert(b.get.width == 7 && b.get.height == 4)
+    assert(b.get.pixels.toSeq == px.toSeq)
+  }
+
+  test("parseBmp rejects malformed / unsupported images") {
+    assert(Multimodal.parseBmp("BMnot really a bitmap".getBytes("UTF-8")).isEmpty)
+    val good = Multimodal.bmpBytes(3, 2, Array.fill(6)(0xffffff))
+    assert(Multimodal.parseBmp(good.dropRight(4)).isEmpty) // truncated
+    val bpp8 = good.clone(); bpp8(28) = 8 // 8-bit unsupported
+    assert(Multimodal.parseBmp(bpp8).isEmpty)
+    val rle = good.clone(); rle(30) = 1 // BI_RLE8 compression
+    assert(Multimodal.parseBmp(rle).isEmpty)
+  }
+
+  test("FormatDecoder decodes BMP pixel features (pads excluded, rows unflipped)") {
+    // 0x010203 + 0x0A0B0C: checksum = 1+2+3+10+11+12 = 39; the pad
+    // bytes (width 1 → 1 zero pad byte per row... width 1 row = 3
+    // bytes + 1 pad) must not leak into the sum
+    val px = Array(0x010203, 0x0A0B0C) // 1 wide, 2 tall
+    val bmp = Multimodal.bmpBytes(1, 2, px)
+    val media = Seq((1L, bmp)).toDS().repartition(1)
+    val r = Multimodal.decodeFeaturesBatched(media).collect().head
+    assert(r.checksum == 39L)
+    assert(r.first_byte == 0x01) // TOP-left red channel, despite bottom-up storage
+    assert(r.n_bytes == bmp.length)
+  }
+
   test("FormatDecoder really decodes WAV features, stub-falls-back otherwise") {
     val samples = Array[Short](1000, -2000, 500)
     val wav = Multimodal.wavBytes(samples)
