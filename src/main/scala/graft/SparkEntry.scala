@@ -866,6 +866,36 @@ object SparkEntry {
             .cast("decimal(20,10)"), 4).cast("double").as("recall_at_5"))
     }),
 
+    // Dedup: INCREMENTAL MinHash+LSH — q82's crawl-increment scenario
+    // on the LSH path: only new docs probe the band-bucket index over
+    // old ∪ new (old×old never pairs), candidates verified with exact
+    // Jaccard on the hashed shingle sets. The production shape when
+    // the corpus is banded once and increments arrive forever.
+    "q114_incremental_lsh" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val inc = base.select((col("doc_id") + 10000).as("doc_id"),
+        when(col("doc_id") % 2 === 0, col("text"))
+          .otherwise(array_join(sort_array(Text.tokens(col("text"))), " "))
+          .as("text"))
+      // persist: each signature table feeds the banded join and a
+      // verification join (divergent consumers — the q27 rationale)
+      def sg(df: DataFrame) = df.select(col("doc_id").as("id"),
+          Dedup.hashedShingles(Text.tokens(col("text")), 3).as("hs"))
+        .select(col("id"), col("hs"),
+          Dedup.minhashSignatureNative(col("hs"), 16).as("sig"))
+        .persist()
+      val so = sg(base); val sn = sg(inc)
+      val both = so.unionByName(sn)
+      Dedup.lshCandidatePairsIncremental(so, sn, "id", "sig", 4, 4)
+        .join(sn.select(col("id").as("id_new"), col("hs").as("hsa")),
+          Seq("id_new"))
+        .join(both.select(col("id").as("id_match"), col("hs").as("hsb")),
+          Seq("id_match"))
+        .select(col("id_new"), col("id_match"),
+          round(Dedup.jaccard(col("hsa"), col("hsb")), 4).as("jac"))
+    }),
+
     // Multimodal: the IMAGE sibling of q111 — each doc's text paints a
     // real 7×4 24-bit BMP (odd width, so every row carries 3 pad
     // bytes; written bottom-up as the format demands), and the default
@@ -2339,6 +2369,32 @@ object SparkEntry {
          |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS recall_at_5
          |FROM q CROSS JOIN tr
          |LEFT JOIN h ON q.id = h.query_id AND tr.trained = h.trained""".stripMargin,
+
+    // Slice-equality banding (md5-bucket equality ≡ slice equality, the
+    // q27 transparency argument) with the incremental asymmetry: new
+    // probes old ∪ earlier-new; exact Jaccard on string shingles.
+    "q114_incremental_lsh" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |oldsh AS (SELECT doc_id, CASE WHEN len(tk) < 3
+         |    THEN CAST([] AS VARCHAR[]) ELSE $shingleSql END AS sh FROM tk),
+         |newtk AS (SELECT doc_id + 10000 AS doc_id,
+         |    CASE WHEN doc_id % 2 = 0 THEN tk ELSE list_sort(tk) END AS tk
+         |  FROM tk),
+         |newsh AS (SELECT doc_id, CASE WHEN len(tk) < 3
+         |    THEN CAST([] AS VARCHAR[]) ELSE $shingleSql END AS sh FROM newtk),
+         |sigo AS (SELECT doc_id, sh, ${minhashSql(16)} AS sig, 0 AS is_new
+         |  FROM oldsh),
+         |sign AS (SELECT doc_id, sh, ${minhashSql(16)} AS sig, 1 AS is_new
+         |  FROM newsh),
+         |allsig AS (SELECT * FROM sigo UNION ALL SELECT * FROM sign)
+         |SELECT a.doc_id AS id_new, b.doc_id AS id_match,
+         |  round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+         |    AS jac
+         |FROM sign a JOIN allsig b
+         |  ON (b.is_new = 0 OR b.doc_id < a.doc_id)
+         |  AND (a.sig[1:4] = b.sig[1:4] OR a.sig[5:8] = b.sig[5:8]
+         |    OR a.sig[9:12] = b.sig[9:12] OR a.sig[13:16] = b.sig[13:16])""".stripMargin,
 
     // Recomputes the decoded PIXEL features from the construction
     // arithmetic: n_bytes = 54-byte headers + 4 rows × (21 + 3 pad);

@@ -90,6 +90,30 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental LSH candidates: only NEW docs probe the band-bucket
+    * index over old ∪ new — old×old never pairs, so per-ingest cost
+    * tracks the increment (the jaccardPairsIncremental shape on the
+    * MinHash path, where re-banding history is cheap but re-PAIRING it
+    * is the quadratic trap). Within the increment, keep-first order:
+    * the larger id is the probe (id_match < id_new for new×new).
+    * Inputs carry (`id`, `sig`); output distinct (id_new, id_match).
+    */
+  def lshCandidatePairsIncremental(oldDocs: DataFrame, newDocs: DataFrame,
+                                   id: String, sig: String,
+                                   bands: Int, rowsPerBand: Int): DataFrame = {
+    def ex(df: DataFrame, isNew: Boolean) = df.select(col(id).as("id"),
+        lit(isNew).as("is_new"),
+        posexplode(lshBandBuckets(col(sig), bands, rowsPerBand))
+          .as(Seq("band", "bucket")))
+    val all = ex(oldDocs, isNew = false).unionByName(ex(newDocs, isNew = true))
+    all.filter(col("is_new")).as("a").join(all.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          (!col("b.is_new") || col("b.id") < col("a.id")))
+      .select(col("a.id").as("id_new"), col("b.id").as("id_match"))
+      .distinct()
+  }
+
   /** Exact Jaccard over two distinct-shingle arrays (intersection bound
     * once — array_intersect on big string arrays is the dominant cost of
     * candidate verification).

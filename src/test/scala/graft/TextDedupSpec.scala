@@ -217,6 +217,29 @@ class TextDedupSpec extends SparkSpec {
     assert(!cands.contains((1L, 3L)) && !cands.contains((2L, 3L)))
   }
 
+  test("incremental LSH candidates = batch-over-union minus old×old") {
+    def text(seed: Int) = (0 until 20).map(i =>
+      s"w${(seed * 31 + i * 7) % 13}").mkString(" ")
+    val mk = (ids: Seq[Long]) => ids.map(i => (i, text(i.toInt % 6)))
+      .toDF("id", "text")
+      .select($"id", Text.wordShingles(Text.tokens($"text"), 3).as("sh"))
+      .select($"id", $"sh", Dedup.minhashSignature($"sh", 16).as("sig"))
+    val old = mk(0L until 12L)
+    val inc = mk(12L until 20L) // seeds repeat → cross old/new dups
+    val incr = Dedup.lshCandidatePairsIncremental(old, inc, "id", "sig", 4, 4)
+      .as[(Long, Long)].collect().toSet
+    // reference: full batch over the union, pairs oriented (bigger id
+    // probes), then drop every pair wholly inside the old corpus
+    val batch = Dedup.lshCandidatePairs(old.unionByName(inc), "id", "sig", 4, 4)
+      .select(greatest($"id_a", $"id_b").as("id_new"),
+        least($"id_a", $"id_b").as("id_match"))
+      .as[(Long, Long)].collect().toSet
+      .filter(p => p._1 >= 12L)
+    assert(incr == batch, s"incr=${incr.size} batch=${batch.size}")
+    assert(incr.nonEmpty) // the seed overlap really produced dups
+    assert(incr.forall { case (n, m) => n >= 12L && m < n })
+  }
+
   test("simhash: identical texts at distance 0, near texts close, far texts far") {
     val sk = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
