@@ -428,13 +428,16 @@ object Streams {
     *
     * Compaction: same policy as [[erStream]] — when the manifest holds
     * ≥ `compactEvery` per-batch partition dirs, collapse them into one
-    * via [[graft.sources.Snapshot.compactInto]]. Replay-safe for the
-    * same reason replay is idempotent at all: a replayed survivor is
-    * re-detected against the COMPACTED corpus by content (jaccard 1.0
-    * with its committed copy), never by partition lookup.
+    * via [[graft.sources.Snapshot.compactInto]], and `vacuumKeep > 0`
+    * additionally drops superseded versions (disk, not just manifest,
+    * stays bounded). Replay-safe for the same reason replay is
+    * idempotent at all: a replayed survivor is re-detected against the
+    * COMPACTED corpus by content (jaccard 1.0 with its committed
+    * copy), never by partition lookup or old versions.
     */
   def dedupStream(in: DataFrame, table: String, checkpoint: String,
-                  threshold: Double = 0.5, compactEvery: Int = 16): Unit = {
+                  threshold: Double = 0.5, compactEvery: Int = 16,
+                  vacuumKeep: Int = 0): Unit = {
     import graft.ops.{Dedup, Text}
     import graft.sources.Snapshot
     val q = in.writeStream
@@ -474,8 +477,10 @@ object Streams {
             Snapshot.merge(survivors, table, Seq("doc_id"), "doc_id",
               "ingest_batch"): Unit
           if (compactEvery > 0) Snapshot.latestVersion(table).foreach { v =>
-            if (Snapshot.readManifest(table, v).dirs.size >= compactEvery)
-              Snapshot.compactInto(spark, table, lit(batchId)): Unit
+            if (Snapshot.readManifest(table, v).dirs.size >= compactEvery) {
+              Snapshot.compactInto(spark, table, lit(batchId))
+              if (vacuumKeep > 0) Snapshot.vacuum(table, vacuumKeep)
+            }
           }
           fresh.unpersist()
           created.foreach(_.unpersist(): Unit)
@@ -516,9 +521,18 @@ object Streams {
     * counter. Replay idempotence survives compaction because replayed
     * records re-resolve by content (distance-0 self-match), never by
     * partition lookup. `compactEvery = 0` disables.
+    *
+    * Retention: compaction bounds the LIVE manifest, but superseded
+    * versions keep their data directories for time travel, so DISK
+    * usage still tracks stream age. `vacuumKeep > 0` runs
+    * [[graft.sources.Snapshot.vacuum]] after each compaction, keeping
+    * that many newest versions — the right policy for an
+    * infinite-lifetime stream table, where replay safety comes from
+    * content matching, never from old versions.
     */
   def erStream(in: DataFrame, table: String, checkpoint: String,
-               maxDist: Int = 1, compactEvery: Int = 16): Unit = {
+               maxDist: Int = 1, compactEvery: Int = 16,
+               vacuumKeep: Int = 0): Unit = {
     import graft.ops.Text
     import graft.sources.Snapshot
     val q = in.writeStream
@@ -546,8 +560,10 @@ object Streams {
             Snapshot.merge(novel, table, Seq("rec_id"), "rec_id",
               "ingest_batch"): Unit
           if (compactEvery > 0) Snapshot.latestVersion(table).foreach { v =>
-            if (Snapshot.readManifest(table, v).dirs.size >= compactEvery)
-              Snapshot.compactInto(spark, table, lit(batchId)): Unit
+            if (Snapshot.readManifest(table, v).dirs.size >= compactEvery) {
+              Snapshot.compactInto(spark, table, lit(batchId))
+              if (vacuumKeep > 0) Snapshot.vacuum(table, vacuumKeep)
+            }
           }
           // fresh is the only cache this batch created (the fuzzy ops
           // persist nothing across calls) — a clearCache() here would

@@ -407,17 +407,27 @@ class StreamingSpec extends SparkSpec {
       wave(1).write.parquet(in)
       val schema = spark.read.parquet(in).schema
       Streams.erStream(spark.readStream.schema(schema).parquet(in),
-        table, ck, 1, compactEvery = 3)
+        table, ck, 1, compactEvery = 3, vacuumKeep = 1)
       for (i <- 2 to 5) {
         wave(i).write.mode("append").parquet(in)
         Streams.erStream(spark.readStream.schema(schema).parquet(in),
-          table, ck, 1, compactEvery = 3)
+          table, ck, 1, compactEvery = 3, vacuumKeep = 1)
       }
       // without compaction this is 5 dirs / 5 files; the dir-count
       // trigger collapses at ≥3, so the bound holds at any stream age
       val m = Snapshot.readManifest(table, Snapshot.latestVersion(table).get)
       assert(m.dirs.size <= 3, s"dirs not bounded: ${m.dirs.size}")
       assert(parquetFiles() <= 3, s"files not bounded: ${parquetFiles()}")
+      // vacuumKeep bounds the DISK, not just the live manifest: data
+      // files of superseded versions are reclaimed at each compaction
+      def allParquetOnDisk(): Int = {
+        def walk(f: java.io.File): Int =
+          if (f.isDirectory) f.listFiles().map(walk).sum
+          else if (f.getName.endsWith(".parquet")) 1 else 0
+        walk(new java.io.File(table + "/data"))
+      }
+      assert(allParquetOnDisk() <= 5,
+        s"disk not bounded: ${allParquetOnDisk()} parquet files on disk")
       val entities = Snapshot.read(spark, table)
         .select($"rec_id").as[Long].collect().toSet
       assert(entities == Set(10L, 20L, 30L, 40L, 50L))
