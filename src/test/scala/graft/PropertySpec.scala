@@ -284,4 +284,30 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: WAV and BMP writers round-trip through their parsers") {
+    import graft.ops.Multimodal
+    val wavGen = for {
+      n <- Gen.choose(0, 500)
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      s <- Gen.listOfN(n, Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt))
+    } yield (rate, s.map(_.toShort).toArray)
+    for ((rate, smp) <- samples(wavGen, 20)) {
+      val w = Multimodal.parseWav(Multimodal.wavBytes(smp, rate))
+      assert(w.isDefined)
+      assert(w.get.sampleRate == rate && w.get.channels == 1)
+      assert(w.get.samples.toSeq == smp.toSeq)
+    }
+    val bmpGen = for {
+      w <- Gen.choose(1, 9) // odd widths exercise every pad length
+      h <- Gen.choose(1, 9)
+      px <- Gen.listOfN(w * h, Gen.choose(0, 0xffffff))
+    } yield (w, h, px.toArray)
+    for ((w, h, px) <- samples(bmpGen, 20)) {
+      val b = Multimodal.parseBmp(Multimodal.bmpBytes(w, h, px))
+      assert(b.isDefined)
+      assert(b.get.width == w && b.get.height == h)
+      assert(b.get.pixels.toSeq == px.toSeq)
+    }
+  }
 }
