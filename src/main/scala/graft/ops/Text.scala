@@ -557,10 +557,20 @@ object Text {
             val ln = segLen(refLen, i)
             transform(sequence(lit(-k), lit(k)), s => {
               val p0 = (st + s).cast("int")
+              // shift-budget prune (sound): if ref segment i survives
+              // verbatim at probe offset s, the edits BEFORE it number
+              // ≥ |s| (each shifts the start by ≤ 1) and the edits
+              // after it ≥ |dL + s| (they must close the remaining
+              // length gap: probe−ref length = −dL), so a true pair
+              // needs |s| + |dL + s| ≤ k. Cuts enumerated keys per
+              // probe from (2k+1)²(k+1) to Σ_d (k−|d|+1)(k+1): 18→10
+              // at k=1, 75→33 at k=2. FuzzyJoinSpec's all-pairs
+              // property pins that recall is untouched.
               struct(col("pn").substr(p0, ln).as("bc"),
                 i.cast("int").as("seg"), refLen.as("blen"),
                 (refLen >= kp1 && p0 >= 1 &&
-                  p0 + ln - 1 <= pl).as("ok"))
+                  p0 + ln - 1 <= pl &&
+                  abs(s) + abs(dL + s) <= k).as("ok"))
             })
           }))
         }))).as("b"))
