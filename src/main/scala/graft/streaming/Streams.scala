@@ -490,6 +490,115 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming LSH dedup over a PERSISTENT banded-index snapshot — the
+    * 100 TB evolution [[dedupStream]]'s scaladoc promises: dedupStream
+    * re-reads the whole corpus and rebuilds its prefix index every
+    * micro-batch (per-batch cost grows with corpus AGE), whereas here
+    * the (band, bucket, doc_id) posting list lives in its OWN snapshot
+    * table, appended incrementally — per-batch cost is the increment's
+    * banding, one equi-join of its postings against the stored index,
+    * and a verification join that touches only matched candidate ids.
+    * History is never re-banded, never re-tokenized, never re-paired.
+    *
+    * Two snapshot tables, each committed atomically per batch (corpus
+    * first, then index — a crash between them leaves committed docs
+    * whose postings are missing, and the REPLAY re-appends postings
+    * for records that resolve at jaccard 1.0 to themselves... which
+    * merge dedups by (band, bucket, doc_id) keys, so the index
+    * converges instead of duplicating):
+    *  - `table`:      (doc_id, hs, sig, ingest_batch) — survivors
+    *  - `indexTable`: (band, bucket, doc_id, ingest_batch) — postings
+    *
+    * LSH is the approximate path: a true near-dup pair is dropped only
+    * if NO band collides (the standard S-curve miss probability);
+    * exact duplicates always collide (equal signatures ⇒ equal bands).
+    * Same compaction + retention policy as [[dedupStream]].
+    */
+  def lshDedupStream(in: DataFrame, table: String, indexTable: String,
+                     checkpoint: String, threshold: Double = 0.5,
+                     bands: Int = 4, rowsPerBand: Int = 4,
+                     compactEvery: Int = 16, vacuumKeep: Int = 0): Unit = {
+    import graft.ops.{Dedup, Text}
+    import graft.sources.Snapshot
+    val q = in.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val fresh = batch.toDF().select(col("doc_id"), col("text"))
+            .withColumn("hs",
+              Dedup.hashedShingles(Text.tokens(col("text")), 3)
+                .cast("array<bigint>"))
+            .withColumn("sig",
+              Dedup.minhashSignatureNative(col("hs"), bands * rowsPerBand)
+                .cast("array<bigint>"))
+            .drop("text").persist()
+          val freshPostings = fresh.select(col("doc_id"),
+            posexplode(Dedup.lshBandBuckets(col("sig"), bands, rowsPerBand))
+              .as(Seq("band", "bucket")))
+          val stored = Snapshot.latestVersion(indexTable) match {
+            case Some(_) => Snapshot.read(spark, indexTable)
+              .select(col("band"), col("bucket"), col("doc_id"))
+            case None => freshPostings.limit(0)
+          }
+          // candidates: fresh postings probe stored ∪ earlier-fresh
+          // (old×old never pairs — the incremental asymmetry)
+          val cands = freshPostings.as("a")
+            .join(stored.as("b").unionByName(freshPostings.as("b")),
+              col("a.band") === col("b.band") &&
+                col("a.bucket") === col("b.bucket") &&
+                col("a.doc_id") > col("b.doc_id"))
+            .select(col("a.doc_id").as("doc_id"),
+              col("b.doc_id").as("id_match"))
+            .distinct()
+          // verify on full hash sets: fresh side from this batch, match
+          // side from the corpus snapshot ∪ this batch — the join
+          // touches only candidate ids, not the corpus at large
+          val matchHs = (Snapshot.latestVersion(table) match {
+            case Some(_) => Snapshot.read(spark, table)
+              .select(col("doc_id"), col("hs"))
+            case None => fresh.select(col("doc_id"), col("hs")).limit(0)
+          }).unionByName(fresh.select(col("doc_id"), col("hs")))
+          val dropIds = cands
+            .join(fresh.select(col("doc_id"), col("hs").as("hsa")),
+              Seq("doc_id"))
+            .join(matchHs.select(col("doc_id").as("id_match"),
+              col("hs").as("hsb")), Seq("id_match"))
+            .filter(round(Dedup.jaccard(col("hsa"), col("hsb")), 4)
+              >= threshold)
+            .select(col("doc_id")).distinct()
+          val survivors = fresh.join(dropIds, Seq("doc_id"), "left_anti")
+            .withColumn("ingest_batch", lit(batchId)).persist()
+          if (!survivors.isEmpty) {
+            Snapshot.merge(survivors.drop("sig")
+                .select(col("doc_id"), col("hs"), col("ingest_batch")),
+              table, Seq("doc_id"), "doc_id", "ingest_batch")
+            Snapshot.merge(survivors.select(col("doc_id"),
+                posexplode(Dedup.lshBandBuckets(col("sig"), bands,
+                  rowsPerBand)).as(Seq("band", "bucket")),
+                col("ingest_batch"))
+                .select(col("band"), col("bucket"), col("doc_id"),
+                  col("ingest_batch")),
+              indexTable, Seq("band", "bucket", "doc_id"), "doc_id",
+              "ingest_batch"): Unit
+          }
+          for (t <- Seq(table, indexTable) if compactEvery > 0)
+            Snapshot.latestVersion(t).foreach { v =>
+              if (Snapshot.readManifest(t, v).dirs.size >= compactEvery) {
+                Snapshot.compactInto(spark, t, lit(batchId))
+                if (vacuumKeep > 0) Snapshot.vacuum(t, vacuumKeep)
+              }
+            }
+          survivors.unpersist()
+          fresh.unpersist(): Unit
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming entity resolution — the continuous face of
     * [[graft.ops.Text.fuzzyJoinIncrementalSegments]], and the
     * edit-distance sibling of [[dedupStream]]: each micro-batch of

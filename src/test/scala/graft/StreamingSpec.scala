@@ -316,6 +316,48 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("lshDedupStream dedups via the persistent banded index; replays converge") {
+    import graft.sources.Snapshot
+    withTempDir { dir =>
+      val in1 = dir.getAbsolutePath + "/in1"
+      val in2 = dir.getAbsolutePath + "/in2"
+      val table = dir.getAbsolutePath + "/corpus"
+      val index = dir.getAbsolutePath + "/index"
+      val a = "the quick brown fox jumps over the lazy dog again and again"
+      Seq((1L, a), (2L, a), // 2 is an exact dup of 1 (LSH always catches)
+        (3L, "completely different content with nothing shared at all here"))
+        .toDF("doc_id", "text").write.parquet(in1)
+      val schema = spark.read.parquet(in1).schema
+      Streams.lshDedupStream(spark.readStream.schema(schema).parquet(in1),
+        table, index, dir.getAbsolutePath + "/ck1", 0.5)
+      val afterOne = Snapshot.read(spark, table)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(afterOne == Set(1L, 3L))
+      // the index holds postings for SURVIVORS only, bands×1 per doc
+      val postings = Snapshot.read(spark, index)
+        .select($"doc_id").as[Long].collect()
+      assert(postings.toSet == Set(1L, 3L))
+      assert(postings.length == 2 * 4) // 4 bands each
+      // batch 2: an exact re-crawl of 1 drops AGAINST THE STORED INDEX
+      // (its text was never re-read from the corpus); one novel doc
+      Seq((11L, a), (12L, "some brand new page about a fresh subject"))
+        .toDF("doc_id", "text").write.parquet(in2)
+      Streams.lshDedupStream(spark.readStream.schema(schema).parquet(in2),
+        table, index, dir.getAbsolutePath + "/ck2", 0.5)
+      val afterTwo = Snapshot.read(spark, table)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(afterTwo == Set(1L, 3L, 12L))
+      // replay batch 2 under a fresh checkpoint: 12 finds ITSELF in the
+      // index at jaccard 1.0 — neither corpus nor index grows
+      Streams.lshDedupStream(spark.readStream.schema(schema).parquet(in2),
+        table, index, dir.getAbsolutePath + "/ck3", 0.5)
+      assert(Snapshot.read(spark, table)
+        .select($"doc_id").as[Long].collect().toSet == afterTwo)
+      assert(Snapshot.read(spark, index)
+        .select($"doc_id").as[Long].collect().length == 3 * 4)
+    }
+  }
+
   test("dedupStream compaction bounds corpus partitions; re-crawls still drop") {
     import graft.sources.Snapshot
     withTempDir { dir =>
