@@ -403,6 +403,53 @@ object Snapshot {
     }
   }
 
+  /** Point-lookup pruned read: scan only the files whose footer
+    * [min,max] can contain AT LEAST ONE of `keys` (canonical string
+    * encoding, like [[readStatsPruned]]'s bounds) — the candidate-
+    * verification scan shape: a dedup/ER batch matches a bounded id
+    * set against a huge corpus snapshot, and with a `clusterBy(id)`
+    * commit the per-file ranges are disjoint, so the scan touches
+    * O(|keys|) files no matter how large the corpus grows. Files
+    * without stats are conservatively kept; the caller still applies
+    * the real membership filter.
+    */
+  def readForKeys(spark: SparkSession, table: String, column: String,
+                  keys: Seq[String]): DataFrame = {
+    val v = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed snapshot"))
+    val m = readManifest(table, v)
+    val dt = m.dataSchema.find(_.name == column).map(_.dataType).getOrElse(
+      throw new IllegalArgumentException(s"$table has no data column '$column'"))
+    // sort once; per file range, one binary search instead of |keys|
+    val sorted = keys.distinct.sortWith(statCompare(dt, _, _) < 0).toIndexedSeq
+    def anyKeyIn(st: DirStats): Boolean =
+      if (!st.mins.contains(column)) true // unknown: must keep
+      else {
+        val (lo, hi) = (st.mins(column), st.maxs(column))
+        // first key >= lo; in-range iff it's also <= hi
+        var l = 0; var r = sorted.size
+        while (l < r) {
+          val mid = (l + r) / 2
+          if (statCompare(dt, sorted(mid), lo) < 0) l = mid + 1 else r = mid
+        }
+        l < sorted.size && statCompare(dt, sorted(l), hi) <= 0
+      }
+    val keptDirs = m.dirs.filter(d => m.stats.get(d).forall(anyKeyIn))
+    val scanPaths = keptDirs.flatMap { d =>
+      val files = m.filesUnder(d)
+      if (files.isEmpty) Seq(d)
+      else files.collect { case (f, st) if anyKeyIn(st) => f }.toSeq.sorted
+    }
+    if (scanPaths.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        read(spark, table, Some(v)).schema)
+    else {
+      val df = spark.read.schema(m.dataSchema).parquet(scanPaths: _*)
+      if (m.partitionCol.isEmpty) df
+      else injectPartitionCol(df, m.partitionCol, m.partitionType)
+    }
+  }
+
   /** Z-order (Morton) clustering key over k integral columns, `bits`
     * bits each (bits·k ≤ 63): bit i of column j lands at position
     * i·k + j, so consecutive key ranges are k-dimensional blocks.

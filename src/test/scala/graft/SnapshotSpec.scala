@@ -450,6 +450,31 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("readForKeys: a scattered key set scans only its own files") {
+    withTempDir { dir =>
+      val rows = spark.range(0, 200)
+        .select(concat(lit("S"), $"id").as("symbol"),
+          to_date(lit("2024-01-01")).as("date"),
+          ($"id" * 1.5).as("close"), $"id".as("version"))
+        .orderBy(md5($"id".cast("string")))
+      val t = dir.getAbsolutePath + "/t"
+      Snapshot.commit(rows, t, None, clusterBy = Some("version"),
+        clusterFiles = 4)
+      // keys in two different 50-row files: scan exactly those two
+      val hit = Snapshot.readForKeys(spark, t, "version", Seq("7", "160"))
+      assert(hit.select(input_file_name()).distinct().count() == 2)
+      assert(hit.filter($"version".isin(7L, 160L))
+        .select($"symbol").as[String].collect().toSet == Set("S7", "S160"))
+      // keys all inside one file: one file scanned
+      val one = Snapshot.readForKeys(spark, t, "version",
+        Seq("10", "11", "12"))
+      assert(one.select(input_file_name()).distinct().count() == 1)
+      // keys beyond every range: empty scan, schema intact
+      val none = Snapshot.readForKeys(spark, t, "version", Seq("9999"))
+      assert(none.count() == 0 && none.columns.contains("version"))
+    }
+  }
+
   test("zorder commit: per-file stats prune on EITHER dimension; lexicographic only on the leading one") {
     withTempDir { dir =>
       // a 32×32 grid scrambled into random order, committed into 16 files
