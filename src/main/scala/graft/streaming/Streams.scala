@@ -497,7 +497,9 @@ object Streams {
     * the (band, bucket, doc_id) posting list lives in its OWN snapshot
     * table, appended incrementally — per-batch cost is the increment's
     * banding, one equi-join of its postings against the stored index,
-    * and a verification join that touches only matched candidate ids.
+    * and a verification read that opens only the corpus FILES whose
+    * footer id-range can hold a matched candidate (Snapshot.readForKeys
+    * point-lookup pruning; full-scan fallback past 64k candidates).
     * History is never re-banded, never re-tokenized, never re-paired.
     *
     * Two snapshot tables, each committed atomically per batch (corpus
@@ -554,14 +556,29 @@ object Streams {
               col("b.doc_id").as("id_match"))
             .distinct()
           // verify on full hash sets: fresh side from this batch, match
-          // side from the corpus snapshot ∪ this batch — the join
-          // touches only candidate ids, not the corpus at large
-          val matchHs = (Snapshot.latestVersion(table) match {
-            case Some(_) => Snapshot.read(spark, table)
-              .select(col("doc_id"), col("hs"))
+          // side from the corpus snapshot ∪ this batch. When the
+          // candidate id set is bounded, the corpus side becomes a
+          // POINT-LOOKUP scan (readForKeys): only files whose footer
+          // id-range can hold a matched id are opened — O(candidates)
+          // files at any corpus size, instead of a full corpus scan
+          // per batch. Unbounded candidate sets (a pathological batch)
+          // fall back to the full scan rather than a huge collect.
+          val candsP = cands.persist()
+          val corpusHs = Snapshot.latestVersion(table) match {
+            case Some(_) =>
+              val ids = candsP.select(col("id_match")).distinct()
+                .limit(65537).collect().map(_.getLong(0))
+              if (ids.length <= 65536)
+                Snapshot.readForKeys(spark, table, "doc_id",
+                    ids.map(_.toString).toSeq)
+                  .select(col("doc_id"), col("hs"))
+              else Snapshot.read(spark, table)
+                .select(col("doc_id"), col("hs"))
             case None => fresh.select(col("doc_id"), col("hs")).limit(0)
-          }).unionByName(fresh.select(col("doc_id"), col("hs")))
-          val dropIds = cands
+          }
+          val matchHs = corpusHs
+            .unionByName(fresh.select(col("doc_id"), col("hs")))
+          val dropIds = candsP
             .join(fresh.select(col("doc_id"), col("hs").as("hsa")),
               Seq("doc_id"))
             .join(matchHs.select(col("doc_id").as("id_match"),
@@ -592,6 +609,7 @@ object Streams {
               }
             }
           survivors.unpersist()
+          candsP.unpersist()
           fresh.unpersist(): Unit
         }
       }
