@@ -804,17 +804,29 @@ object Snapshot {
     * re-resolve by fuzzy content match, never by partition lookup;
     * after compaction a replayed batch's records match their committed
     * entities at distance 0 and write nothing at all).
+    *
+    * `clusterBy`: range-cluster the rewritten files on a column while
+    * compacting. Without it a round-robin repartition makes every file
+    * span the full key range, erasing the per-file footer stats that
+    * [[readForKeys]] point-lookups rely on; with it compaction is the
+    * moment the stream's accumulated files get TIGHT disjoint ranges.
     */
   def compactInto(spark: SparkSession, table: String, intoValue: Column,
-                  targetFiles: Int = 1): Long = {
+                  targetFiles: Int = 1,
+                  clusterBy: Option[String] = None): Long = {
     val v = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed snapshot"))
     val m = readManifest(table, v)
     require(m.partitionCol.nonEmpty,
       s"$table is not partitioned — use compact()")
-    val df = read(spark, table, Some(v))
+    val retagged = read(spark, table, Some(v))
       .withColumn(m.partitionCol, intoValue.cast(m.partitionType))
-      .repartition(targetFiles)
+    val df = clusterBy match {
+      case Some(c) => retagged
+        .repartitionByRange(targetFiles, col(c))
+        .sortWithinPartitions(col(c))
+      case None => retagged.repartition(targetFiles)
+    }
     val (newDirs, newStats, newFStats) =
       writeData(df, table, Some(m.partitionCol))
     writeManifest(table, Manifest(v + 1, m.partitionCol, m.partitionType,

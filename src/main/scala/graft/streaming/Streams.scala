@@ -601,10 +601,17 @@ object Streams {
               indexTable, Seq("band", "bucket", "doc_id"), "doc_id",
               "ingest_batch"): Unit
           }
+          // corpus compaction RANGE-CLUSTERS on doc_id: that is what
+          // keeps per-file footer id-ranges disjoint, so the next
+          // batches' readForKeys verification stays a point lookup
+          // even after history collapses into one partition dir
           for (t <- Seq(table, indexTable) if compactEvery > 0)
             Snapshot.latestVersion(t).foreach { v =>
               if (Snapshot.readManifest(t, v).dirs.size >= compactEvery) {
-                Snapshot.compactInto(spark, t, lit(batchId))
+                if (t == table)
+                  Snapshot.compactInto(spark, t, lit(batchId),
+                    targetFiles = compactEvery, clusterBy = Some("doc_id"))
+                else Snapshot.compactInto(spark, t, lit(batchId))
                 if (vacuumKeep > 0) Snapshot.vacuum(t, vacuumKeep)
               }
             }

@@ -450,6 +450,29 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("compactInto(clusterBy) keeps point lookups pruned after collapse") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      // three per-batch partitions with interleaved ids — the stream
+      // shape; collapse them into 3 range-clustered files
+      for (b <- 0 until 3)
+        Snapshot.merge(spark.range(0, 90)
+            .filter($"id" % 3 === b)
+            .select($"id".as("doc_id"), ($"id" * 2).as("payload"),
+              lit(b).as("ingest_batch")),
+          t, Seq("doc_id"), "doc_id", "ingest_batch")
+      val v = Snapshot.compactInto(spark, t,
+        org.apache.spark.sql.functions.lit(2L), targetFiles = 3,
+        clusterBy = Some("doc_id"))
+      assert(Snapshot.readManifest(t, v).dirs.size == 1)
+      // without clustering every file would span ~[0,89] and a point
+      // probe would open all 3; range-clustered it opens exactly 1
+      val hit = Snapshot.readForKeys(spark, t, "doc_id", Seq("5"))
+      assert(hit.select(input_file_name()).distinct().count() == 1)
+      assert(Snapshot.read(spark, t).count() == 90)
+    }
+  }
+
   test("readForKeys: a scattered key set scans only its own files") {
     withTempDir { dir =>
       val rows = spark.range(0, 200)
