@@ -944,6 +944,51 @@ object SparkEntry {
       Multimodal.decodeFeaturesBatched(media).toDF()
     }),
 
+    // Multimodal: image RESIZE stage — q113's 7×4 BMP payloads run the
+    // full decode → nearest-neighbor 3×2 downsample → re-encode →
+    // re-decode round trip (two independent parses of two different
+    // real BMP layouts: the 7-wide input rows carry 3 pad bytes, the
+    // re-encoded 3-wide rows carry 3 again). Features come from the
+    // RESIZED pixels, so the oracle's integer source-index map (x·7/3,
+    // y·4/2) must match the engine's resampler exactly.
+    "q115_bmp_resize" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
+        .as[(Long, String)]
+      val media = docs.map { case (id, text) =>
+        val pixels = Array.tabulate(28) { i =>
+          val cp = text.charAt(i).toInt
+          ((cp % 256) << 16) | (((cp * 7) % 256) << 8) | ((cp * 13) % 256)
+        }
+        (id, Multimodal.bmpBytes(7, 4, pixels))
+      }
+      Multimodal.decodeFeaturesBatched(
+        Multimodal.resizeImagesBatched(media, 3, 2)).toDF()
+    }),
+
+    // Multimodal: audio FRAME features — q111's WAV payloads decoded and
+    // split into fixed 16-sample frames (trailing partial dropped), one
+    // integer feature row per frame: zero-crossing count + Σ|sample|
+    // energy. The frame-sample + feature-extract stages of an audio
+    // training pipeline, fused with the decode in one mapPartitions —
+    // only (doc, frame, int, long) rows ever leave the scan stage.
+    "q116_wav_frames" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
+        .as[(Long, String)]
+      val media = docs.map { case (id, text) =>
+        val n = math.min(text.length, 64)
+        val samples = Array.tabulate(n)(i =>
+          (((text.charAt(i).toInt * 37 + i) % 4096) - 2048).toShort)
+        (id, Multimodal.wavBytes(samples))
+      }
+      Multimodal.wavFrameFeaturesBatched(media, 16).toDF()
+    }),
+
     // Text: adjacent-bigram PMI collocations — the phrase-mining pass;
     // bigram extraction is zero-shuffle, the (a,b) aggregate is the
     // only corpus-sized exchange, unigrams ride back broadcast.
@@ -2413,6 +2458,50 @@ object SparkEntry {
         |  CAST(list_sum(ch) AS BIGINT) AS checksum,
         |  CAST(r0 AS INT) AS first_byte
         |FROM s""".stripMargin,
+
+    // Recomputes the RESIZED pixel features from the construction
+    // arithmetic plus the nearest-neighbor index map: output (x,y) of
+    // the 3×2 target reads source (x·7/3, y·4/2) — flat 1-based index
+    // 14·(y·4/2 ≠ 0) + x·7/3 + 1 → {1,3,5,15,17,19}; n_bytes is the
+    // re-encoded 3×2 BMP (54 + 2 rows × (9 + 3 pad) = 78); first_byte
+    // the resized top-left red channel (= source pixel 1's red).
+    "q115_bmp_resize" ->
+      """WITH s AS (SELECT doc_id,
+        |    list_transform(range(1, 29), i ->
+        |      (unicode(substr(text, CAST(i AS INT), 1)) % 256)
+        |      + ((unicode(substr(text, CAST(i AS INT), 1)) * 7) % 256)
+        |      + ((unicode(substr(text, CAST(i AS INT), 1)) * 13) % 256)) AS ch,
+        |    unicode(substr(text, 1, 1)) % 256 AS r0
+        |  FROM documents)
+        |SELECT doc_id, CAST(78 AS INT) AS n_bytes,
+        |  CAST(list_sum(list_transform(range(0, 6), i ->
+        |    ch[CAST((i // 3) * 2 * 7 + ((i % 3) * 7) // 3 + 1 AS INT)]))
+        |    AS BIGINT) AS checksum,
+        |  CAST(r0 AS INT) AS first_byte
+        |FROM s""".stripMargin,
+
+    // Recomputes the per-FRAME features from the sample-construction
+    // arithmetic: samples s_i = ((cp_{i+1}·37 + i) % 4096) − 2048 split
+    // into 16-sample frames (partial tail dropped); zero_cross counts
+    // sign flips between consecutive samples inside the frame (zero is
+    // non-negative), energy = Σ|s| — all integer-exact on both engines.
+    "q116_wav_frames" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CAST(least(length(text), 64) AS INT) AS n FROM documents),
+        |s AS (SELECT doc_id, n,
+        |    list_transform(range(1, n + 1), i ->
+        |      ((unicode(substr(text, CAST(i AS INT), 1)) * 37 + (i - 1))
+        |        % 4096) - 2048) AS smp
+        |  FROM d),
+        |f AS (SELECT doc_id, CAST(unnest(range(0, n // 16)) AS INT)
+        |    AS frame, smp FROM s)
+        |SELECT doc_id, frame,
+        |  CAST(len([i for i in range(2, 17)
+        |    IF (smp[frame * 16 + i - 1] < 0) != (smp[frame * 16 + i] < 0)])
+        |    AS INT) AS zero_cross,
+        |  CAST(list_sum(list_transform(smp[frame * 16 + 1 : frame * 16 + 16],
+        |    x -> abs(x))) AS BIGINT) AS energy
+        |FROM f""".stripMargin,
 
     // Recomputes the DECODED features from the payload-construction
     // arithmetic: n_bytes = 44-byte canonical WAV header + 2 bytes per

@@ -262,6 +262,97 @@ object Multimodal {
     Some(BmpPixels(width, height, pixels))
   }
 
+  /** Nearest-neighbor resample to `outW`×`outH` (pure pixel function):
+    * output (x,y) reads source (x·W/outW, y·H/outH) — integer floor, the
+    * standard nearest-neighbor index map, exact in integer arithmetic so
+    * any engine recomputing the map picks identical source pixels.
+    */
+  def resizeNearest(b: BmpPixels, outW: Int, outH: Int): BmpPixels = {
+    require(outW > 0 && outH > 0, "resize target must be positive")
+    val px = new Array[Int](outW * outH)
+    var y = 0
+    while (y < outH) {
+      val sy = y * b.height / outH
+      var x = 0
+      while (x < outW) {
+        px(y * outW + x) = b.pixels(sy * b.width + x * b.width / outW)
+        x += 1
+      }
+      y += 1
+    }
+    BmpPixels(outW, outH, px)
+  }
+
+  /** Image RESIZE stage: decode → nearest-neighbor resample → re-encode,
+    * one payload batch at a time inside a single mapPartitions (payloads
+    * never cross a shuffle; at most `batchSize` are resident per task).
+    * Emits a media column again — stages compose: a downstream
+    * [[decodeFeaturesBatched]] re-parses the resized bytes, so the full
+    * decode→transform→encode→decode round trip is exercised, exactly the
+    * shape a thumbnail/downsample pass has in a 100 TB image pipeline.
+    * Payloads that do not parse as 24-bit BMP pass through UNCHANGED
+    * (the fall-back convention of [[FormatDecoder]]: corrupt or
+    * other-modality rows flow on rather than killing the pipeline).
+    */
+  def resizeImagesBatched(media: Dataset[(Long, Array[Byte])],
+                          outW: Int, outH: Int,
+                          batchSize: Int = 64): Dataset[(Long, Array[Byte])] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map { case (id, bytes) =>
+        parseBmp(bytes) match {
+          case Some(b) =>
+            val r = resizeNearest(b, outW, outH)
+            (id, bmpBytes(r.width, r.height, r.pixels))
+          case None => (id, bytes)
+        }
+      })
+    }
+  }
+
+  /** One frame of decoded audio: integer features only — zero-crossing
+    * count (sign flips between consecutive samples, zero counted as
+    * non-negative) and energy = Σ|sample| — both exact, order-free, and
+    * recomputable by any engine from the same samples.
+    */
+  final case class FrameFeatures(doc_id: Long, frame: Int,
+                                 zero_cross: Int, energy: Long)
+
+  /** Audio FRAME-FEATURE stage: decode WAV → split the sample stream
+    * into consecutive windows of `frameLen` samples (trailing partial
+    * frame dropped — fixed-shape frames are the tensor contract) → one
+    * integer feature row per frame. Decode and framing fuse in one
+    * mapPartitions; only the small typed rows flow downstream. Payloads
+    * that do not parse as PCM16 WAV emit NO frames (fall-back-by-
+    * omission: a corrupt payload contributes silence, not a crash).
+    */
+  def wavFrameFeaturesBatched(media: Dataset[(Long, Array[Byte])],
+                              frameLen: Int,
+                              batchSize: Int = 64): Dataset[FrameFeatures] = {
+    require(frameLen > 0, "frameLen must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.flatMap { case (id, bytes) =>
+        parseWav(bytes).iterator.flatMap { w =>
+          val n = w.samples.length / frameLen
+          (0 until n).iterator.map { f =>
+            var zc = 0; var en = 0L
+            var j = f * frameLen
+            val end = j + frameLen
+            while (j < end) {
+              val s = w.samples(j).toInt
+              en += math.abs(s)
+              if (j > f * frameLen &&
+                  ((w.samples(j - 1) < 0) != (s < 0))) zc += 1
+              j += 1
+            }
+            FrameFeatures(id, f, zc, en)
+          }
+        }
+      })
+    }
+  }
+
   /** The DEFAULT decoder: per-payload magic-number sniffing. A payload
     * that parses as RIFF/WAVE PCM16 is REALLY decoded — checksum is the
     * sum of the decoded sample VALUES (signed) and first_byte the first

@@ -151,6 +151,49 @@ class MultimodalSpec extends SparkSpec {
     assert(r(2L).first_byte == 'p'.toInt)
   }
 
+  test("resizeNearest picks floor-mapped source pixels") {
+    // 4×2 → 2×1: out (x,0) reads source (x·4/2, 0·2/1) = (2x, 0)
+    val src = Multimodal.BmpPixels(4, 2,
+      Array(0x10, 0x20, 0x30, 0x40, 0x50, 0x60, 0x70, 0x80))
+    val r = Multimodal.resizeNearest(src, 2, 1)
+    assert(r.width == 2 && r.height == 1)
+    assert(r.pixels.toSeq == Seq(0x10, 0x30))
+    // upscale 1×1 → 3×3 replicates the single pixel
+    val up = Multimodal.resizeNearest(Multimodal.BmpPixels(1, 1, Array(0x7f)), 3, 3)
+    assert(up.pixels.toSeq == Seq.fill(9)(0x7f))
+  }
+
+  test("resizeImagesBatched: BMP round-trip resizes; non-BMP passes through") {
+    val px = Array.tabulate(7 * 4)(i => ((i * 11) % 256) << 16 |
+      ((i * 29) % 256) << 8 | ((i * 53) % 256))
+    val bmp = Multimodal.bmpBytes(7, 4, px)
+    val plain = "not an image".getBytes("UTF-8")
+    val media = Seq((1L, bmp), (2L, plain)).toDS().repartition(1)
+    val out = Multimodal.resizeImagesBatched(media, 3, 2)
+      .collect().toMap
+    val r = Multimodal.parseBmp(out(1L)).get
+    assert(r.width == 3 && r.height == 2)
+    // floor map: sx ∈ {0,2,4}, sy ∈ {0,2}
+    val expect = for (y <- Seq(0, 2); x <- Seq(0, 2, 4)) yield px(y * 7 + x)
+    assert(r.pixels.toSeq == expect)
+    assert(out(2L).toSeq == plain.toSeq) // untouched bytes
+  }
+
+  test("wavFrameFeaturesBatched: exact frame features, tail dropped, corrupt silent") {
+    // 10 samples, frameLen 4 → 2 full frames, 2-sample tail dropped
+    val s = Array[Short](5, -3, 2, -1, /*f1*/ 0, -7, 7, 0, /*tail*/ 9, 9)
+    val media = Seq((1L, Multimodal.wavBytes(s)),
+      (2L, "corrupt".getBytes("UTF-8"))).toDS().repartition(1)
+    val fr = Multimodal.wavFrameFeaturesBatched(media, 4)
+      .collect().sortBy(_.frame)
+    assert(fr.map(_.doc_id).toSeq == Seq(1L, 1L)) // corrupt doc: no rows
+    // f0: 5,-3,2,-1 → 3 sign flips, energy 11
+    assert(fr(0).zero_cross == 3 && fr(0).energy == 11L)
+    // f1: 0,-7,7,0 → flips at 0→-7 and -7→7 (0 is non-negative; 7→0 is not
+    // a flip) = 2; energy 14
+    assert(fr(1).zero_cross == 2 && fr(1).energy == 14L)
+  }
+
   test("decoder seam: swapping the codec changes output ONLY through the trait") {
     // a second "golden" decoder standing in for a real codec: same
     // contract, recognizably different features
