@@ -102,6 +102,14 @@ object SparkEntry {
        |  / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        |   * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))))""".stripMargin
 
+  /** DuckDB squared L2 between two FLOAT[] exprs, double precision
+    * (Similarity.sqDist parity: cast-then-subtract, sequential sum).
+    */
+  private def sqdSql(a: String, b: String): String =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       |  q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))
+       |     * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))))""".stripMargin
+
   private val AnnPlanes = Similarity.planeComponents(8, 64)
 
   /** DuckDB LSH bucket with the identical plane literals. */
@@ -861,6 +869,41 @@ object SparkEntry {
         .withColumn("trained", explode(array(lit(0), lit(1))))
         .join(hits, Seq("query_id", "trained"), "left")
         .select(col("query_id"), col("trained"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round((coalesce(col("n_hit"), lit(0L)).cast("double") / 5)
+            .cast("decimal(20,10)"), 4).cast("double").as("recall_at_5"))
+    }),
+
+    // Similarity: PRODUCT QUANTIZATION (IVF-PQ's memory half) — the
+    // 64-dim embeddings split into m=8 subspaces, a per-subspace
+    // codebook (16 codewords, id<16 seed) takes one exact fixed-point
+    // Lloyd step, the corpus PQ-encodes to 8 code bytes per vector
+    // (the 100 TB resident-index story: bytes instead of floats), and
+    // the fixed 100-query sample ranks by asymmetric distance — per-
+    // subspace LUT sums over codes only, corpus floats never touched
+    // after encode. Output: recall@5 of ADC vs exact-L2 truth.
+    "q117_pq_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val sv = Similarity.subVectors(e, 8)
+      val cb1 = Similarity.pqTrainStep(sv, Similarity.pqSeedCodebook(e, 8, 16))
+      val codes = Similarity.pqAssign(sv, cb1)
+        .select(col("id"), col("sub"), col("code"))
+      val qs = e.select(col("id"), col("vec"),
+          Dedup.hashLong(col("id").cast("string")).as("h"))
+        .orderBy(col("h"), col("id")).limit(100)
+        .select(col("id"), col("vec"))
+      // cb1 feeds both the encode and the LUT: ReusedExchange computes
+      // the training aggregate once per execution — no persist (lesson
+      // 23; persisting measured slower on the q108/q112 siblings)
+      val truth = Similarity.bruteForceTopKL2(qs, e, 5)
+      val approx = Similarity.pqAdcTopK(qs, codes, cb1, 8, 5)
+      val hits = truth.join(approx, Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      qs.select(col("id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
           coalesce(col("n_hit"), lit(0L)).as("n_hit"),
           round((coalesce(col("n_hit"), lit(0L)).cast("double") / 5)
             .cast("decimal(20,10)"), 4).cast("double").as("recall_at_5"))
@@ -2414,6 +2457,78 @@ object SparkEntry {
          |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS recall_at_5
          |FROM q CROSS JOIN tr
          |LEFT JOIN h ON q.id = h.query_id AND tr.trained = h.trained""".stripMargin,
+
+    // Unrolls the whole PQ pipeline in CTEs: subvector slices, seed
+    // codebook (id<8), one keyed fixed-point Lloyd step (q110's c1
+    // pattern with the subspace in the key), re-assignment = codes,
+    // per-query LUT (distances snapped to ×1e6 BIGINT — the m-term ADC
+    // sum is then order-free), rank by (adc, id), recall vs exact-L2
+    // truth. Identical rounding and tiebreaks to the engine throughout.
+    "q117_pq_recall" ->
+      s"""WITH subs AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS sub),
+         |sv AS (SELECT e.vec_id AS id, s.sub,
+         |    e.embedding[CAST(s.sub * 8 + 1 AS INT):CAST((s.sub + 1) * 8 AS INT)]
+         |      AS svec
+         |  FROM embeddings e CROSS JOIN subs s),
+         |cb0 AS (SELECT sub, id AS cid, svec AS cvec FROM sv WHERE id < 16),
+         |a0 AS (SELECT id, sub, svec, code FROM (
+         |  SELECT v.id, v.sub, v.svec, c.cid AS code,
+         |    row_number() OVER (PARTITION BY v.id, v.sub
+         |      ORDER BY round(${sqdSql("v.svec", "c.cvec")}, 6), c.cid) AS rn
+         |  FROM sv v JOIN cb0 c ON v.sub = c.sub)
+         |  WHERE rn = 1),
+         |cb1 AS (SELECT sub, code AS cid, list(m ORDER BY pos) AS cvec FROM (
+         |  SELECT sub, code, pos,
+         |    CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS m FROM (
+         |    SELECT sub, code, pos, sum(xfp) AS s, count(*) AS n FROM (
+         |      SELECT sub, code, generate_subscripts(svec, 1) - 1 AS pos,
+         |        CAST(round(CAST(unnest(svec) AS DOUBLE) * 1e6) AS BIGINT)
+         |          AS xfp
+         |      FROM a0)
+         |    GROUP BY 1, 2, 3))
+         |  GROUP BY 1, 2),
+         |codes AS (SELECT id, sub, code FROM (
+         |  SELECT v.id, v.sub, c.cid AS code,
+         |    row_number() OVER (PARTITION BY v.id, v.sub
+         |      ORDER BY round(${sqdSql("v.svec", "c.cvec")}, 6), c.cid) AS rn
+         |  FROM sv v JOIN cb1 c ON v.sub = c.sub)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+         |      ORDER BY ${h60("CAST(vec_id AS VARCHAR)")}, vec_id
+         |      LIMIT 100),
+         |qsv AS (SELECT q.id AS qid, s.sub,
+         |    q.vec[CAST(s.sub * 8 + 1 AS INT):CAST((s.sub + 1) * 8 AS INT)]
+         |      AS svec
+         |  FROM q CROSS JOIN subs s),
+         |lut AS (SELECT v.qid, v.sub, c.cid,
+         |    CAST(round(round(${sqdSql("v.svec", "c.cvec")}, 6) * 1e6) AS BIGINT)
+         |      AS dfp
+         |  FROM qsv v JOIN cb1 c ON v.sub = c.sub),
+         |ad AS (SELECT l.qid, k.id, sum(l.dfp) AS adist
+         |  FROM codes k JOIN lut l ON k.sub = l.sub AND k.code = l.cid
+         |  WHERE l.qid != k.id
+         |  GROUP BY 1, 2),
+         |approx AS (SELECT qid, id FROM (
+         |  SELECT qid, id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adist, id) AS rnk
+         |  FROM ad)
+         |  WHERE rnk <= 5),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.id AS query_id, e.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.id
+         |      ORDER BY round(${sqdSql("q.vec", "e.embedding")}, 6), e.vec_id)
+         |      AS rnk
+         |  FROM q JOIN embeddings e ON q.id != e.vec_id)
+         |  WHERE rnk <= 5),
+         |h AS (SELECT t.query_id, count(*) AS n_hit
+         |  FROM truth t JOIN approx a
+         |    ON t.query_id = a.qid AND t.neighbor_id = a.id
+         |  GROUP BY 1)
+         |SELECT q.id AS query_id,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(round(CAST(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS recall_at_5
+         |FROM q LEFT JOIN h ON q.id = h.query_id""".stripMargin,
 
     // Slice-equality banding (md5-bucket equality ≡ slice equality, the
     // q27 transparency argument) with the incremental asymmetry: new

@@ -337,6 +337,131 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Squared L2 distance in double precision (float inputs cast first,
+    * sequential sum in dimension order — the PQ metric; cosine ranks by
+    * angle, PQ's codebooks quantize Euclidean cells).
+    */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) =>
+      (x.cast("double") - y.cast("double")) *
+        (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** The `m` equal subvector slices of each vector: (id, sub, svec) with
+    * sub ∈ [0, m). Pure narrow projection — the product-quantization
+    * decomposition step. Vector length must be divisible by m (enforced
+    * per row: a ragged vector would silently mis-slice).
+    */
+  def subVectors(vecs: DataFrame, m: Int): DataFrame = {
+    require(m >= 1, "m must be >= 1")
+    val dlen = (size(col("vec")) / m).cast("int")
+    vecs.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("vec"), j * dlen + 1, dlen))))
+      .select(col("id"), col("pos").cast("int").as("sub"),
+        col("col").as("svec"))
+  }
+
+  /** Deterministic PQ seed codebook: the subvectors of the `ksub`
+    * smallest-id vectors, per subspace — (sub, cid, cvec) with cid the
+    * source id (same convention as q110's id<k centroid seed; k-means++
+    * style seeding would go here, the training step is seed-agnostic).
+    */
+  def pqSeedCodebook(vecs: DataFrame, m: Int, ksub: Int): DataFrame =
+    subVectors(vecs.filter(col("id") < ksub), m)
+      .select(col("sub"), col("id").as("cid"), col("svec").as("cvec"))
+
+  /** Assign every subvector to its nearest codeword WITHIN its subspace
+    * (deterministic argmin: squared L2 rounded to 6, then codeword id).
+    * The codebook (m·ksub rows) broadcasts; the argmin is a min_by
+    * aggregate so map-side partial combine collapses to one row per
+    * (id, sub) before any exchange — n·m rows shuffle, not n·m·ksub.
+    */
+  def pqAssign(sv: DataFrame, codebook: DataFrame): DataFrame =
+    sv.join(broadcast(codebook), Seq("sub"))
+      .withColumn("d", round(sqDist(col("svec"), col("cvec")), 6))
+      .groupBy(col("id"), col("sub"))
+      .agg(first(col("svec")).as("svec"),
+        min_by(col("cid"), struct(col("d"), col("cid"))).as("code"),
+        min(col("d")).as("qerr"))
+
+  /** One KEYED Lloyd's iteration per subspace — [[kmeansStep]] with
+    * (sub, code) as the cell key: each codeword moves to the per-dim
+    * mean of its assigned subvectors, components snapped to ×10⁶ fixed
+    * point BEFORE the sum (order-free, bit-identical across engines).
+    * Codewords that attract nothing die, exactly as in Lloyd.
+    */
+  def pqTrainStep(sv: DataFrame, codebook: DataFrame): DataFrame =
+    pqAssign(sv, codebook)
+      .select(col("sub"), col("code"), posexplode(col("svec")))
+      .groupBy(col("sub"), col("code"), col("pos"))
+      .agg(sum(round(col("col").cast("double") * 1e6).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .groupBy(col("sub"), col("code"))
+      .agg(array_sort(collect_list(struct(col("pos"),
+        (col("s").cast("double") / (col("n").cast("double") * 1e6))
+          .as("m")))).as("pm"))
+      .select(col("sub"), col("code").as("cid"),
+        transform(col("pm"), x => x.getField("m")).as("cvec"))
+
+  /** PQ-encode a corpus: (id, sub, code) — m small integers per vector
+    * instead of the full float array, the 100 TB memory story (64 dims
+    * × 4 bytes → m=4 bytes per vector, a 64× compression of the
+    * resident index; the floats stay in cold storage).
+    */
+  def pqEncode(vecs: DataFrame, codebook: DataFrame, m: Int): DataFrame =
+    pqAssign(subVectors(vecs, m), codebook)
+      .select(col("id"), col("sub"), col("code"))
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query computes
+    * a lookup table of exact subspace distances to every codeword (one
+    * broadcast of |q|·m·ksub small rows), and a corpus vector's
+    * approximate distance is the SUM of its m table entries — the scan
+    * touches only the integer codes, never the corpus floats. Per-entry
+    * distances snap to ×10⁶ fixed point so the m-term sum is order-free
+    * (`adist_fp`); ranking is deterministic (adist_fp asc, neighbor id).
+    *
+    * CONTRACT: `queries` must be a bounded set (the bruteForceTopK
+    * rule) — the LUT broadcast is |queries|·m·ksub rows.
+    */
+  def pqAdcTopK(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
+                m: Int, k: Int): DataFrame = {
+    val lut = subVectors(queries, m)
+      .select(col("id").as("qid"), col("sub"), col("svec"))
+      .join(codebook, Seq("sub"))
+      .select(col("qid"), col("sub"), col("cid"),
+        round(round(sqDist(col("svec"), col("cvec")), 6) * 1e6)
+          .cast("long").as("dfp"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_fp"), col("neighbor_id"))
+    codes.join(broadcast(lut),
+        codes("sub") === lut("sub") && codes("code") === lut("cid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("dfp")).as("adist_fp"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
+        col("adist_fp"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adist_fp")
+  }
+
+  /** Exact squared-L2 top-k (the PQ ground truth; [[bruteForceTopK]]'s
+    * contract and shape, with the Euclidean metric and ascending order).
+    */
+  def bruteForceTopKL2(queries: DataFrame, candidates: DataFrame,
+                       k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+    val c = candidates.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist", round(sqDist(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "dist")
+  }
+
   /** Approximate nearest neighbors: compare only within LSH buckets, then
     * rank as in brute force. Recall < 1 by construction; the point is the
     * join shape — bucket id is the shuffle key, so cost scales with

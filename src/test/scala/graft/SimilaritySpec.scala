@@ -131,6 +131,55 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("subVectors slices every vector into m contiguous pieces") {
+    val vecs = Seq((0L, (0 until 8).map(_.toFloat)),
+      (1L, (10 until 18).map(_.toFloat))).toDF("id", "vec")
+    val sv = Similarity.subVectors(vecs, 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getSeq[Float](2)).toMap
+    assert(sv((0L, 0)) == Seq(0f, 1f) && sv((0L, 3)) == Seq(6f, 7f))
+    assert(sv((1L, 2)) == Seq(14f, 15f))
+    assert(sv.size == 8)
+  }
+
+  test("pq: codes live in the codebook domain; zero quantization error " +
+      "makes ADC EQUAL exact L2 ranking") {
+    val rnd = new scala.util.Random(11)
+    // 12 distinct vectors; codebook seeded from ALL of them (ksub = n)
+    // → every subvector quantizes to itself, ADC distances are the
+    // exact subspace sums = exact squared L2 (up to the shared fixed-
+    // point snap), so the ranking must match bruteForceTopKL2 exactly
+    val vecs = (0L until 12L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("id", "vec")
+    val cb0 = Similarity.pqSeedCodebook(vecs, 4, 12)
+    val codes = Similarity.pqEncode(vecs, cb0, 4)
+    assert(codes.filter($"code" < 0 || $"code" >= 12).count() == 0)
+    assert(codes.count() == 12 * 4)
+    // self-quantization: vector i's code in every subspace is i
+    assert(codes.filter($"code" =!= $"id").count() == 0)
+    val adc = Similarity.pqAdcTopK(vecs, codes, cb0, 4, 3)
+      .select("query_id", "neighbor_id", "rank")
+    val exact = Similarity.bruteForceTopKL2(vecs, vecs, 3)
+      .select("query_id", "neighbor_id", "rank")
+    assert(adc.except(exact).count() == 0 && exact.except(adc).count() == 0)
+  }
+
+  test("pqTrainStep lowers total quantization error (keyed Lloyd)") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("id", "vec")
+    val sv = Similarity.subVectors(vecs, 2)
+    val cb0 = Similarity.pqSeedCodebook(vecs, 2, 4)
+    val cb1 = Similarity.pqTrainStep(sv, cb0)
+    def err(cb: org.apache.spark.sql.DataFrame): Double =
+      Similarity.pqAssign(sv, cb).agg(sum($"qerr")).as[Double].head()
+    // Lloyd monotonicity: re-assignment under the moved codewords can
+    // only lower (or keep) the total squared quantization error
+    assert(err(cb1) <= err(cb0) + 1e-9)
+    // trained codebook keeps the subspace key structure
+    val subs = cb1.select("sub").distinct().as[Int].collect().toSet
+    assert(subs.subsetOf(Set(0, 1)))
+  }
+
   test("cosine: identical vectors 1, orthogonal 0, opposite -1") {
     val df = Seq(
       (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f), 1.0),
