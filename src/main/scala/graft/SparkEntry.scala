@@ -909,6 +909,40 @@ object SparkEntry {
             .cast("decimal(20,10)"), 4).cast("double").as("recall_at_5"))
     }),
 
+    // Similarity: IVF-PQ END TO END — q117's trained PQ codebook under
+    // an L2 coarse quantizer: the corpus routes to 16 cells, encodes to
+    // 8 code bytes, and the fixed 100-query sample probes nprobe ∈
+    // {2, 4} cells, ranking only those cells' members by LUT-summed
+    // asymmetric distance. recall@5 vs exact-L2 truth, per nprobe —
+    // monotone by candidate nesting; per-query cost = probed occupancy
+    // × 8 lookups, independent of corpus size once assigned+encoded.
+    "q118_ivfpq_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val sv = Similarity.subVectors(e, 8)
+      val cb1 = Similarity.pqTrainStep(sv, Similarity.pqSeedCodebook(e, 8, 16))
+      val ivfC = e.filter(col("id") < 16)
+        .select(col("id").as("cid"), col("vec").as("cvec"))
+      val qs = e.select(col("id"), col("vec"),
+          Dedup.hashLong(col("id").cast("string")).as("h"))
+        .orderBy(col("h"), col("id")).limit(100)
+        .select(col("id"), col("vec"))
+      val truth = Similarity.bruteForceTopKL2(qs, e, 5)
+      val hits = Seq(2, 4).map { np =>
+        val approx = Similarity.ivfPqSearch(qs, e, ivfC, cb1, 8, 5, np)
+        truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+          .withColumn("nprobe", lit(np))
+      }.reduce(_.unionByName(_))
+      qs.select(col("id").as("query_id"))
+        .withColumn("nprobe", explode(array(lit(2), lit(4))))
+        .join(hits, Seq("query_id", "nprobe"), "left")
+        .select(col("query_id"), col("nprobe"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round((coalesce(col("n_hit"), lit(0L)).cast("double") / 5)
+            .cast("decimal(20,10)"), 4).cast("double").as("recall_at_5"))
+    }),
+
     // Dedup: INCREMENTAL MinHash+LSH — q82's crawl-increment scenario
     // on the LSH path: only new docs probe the band-bucket index over
     // old ∪ new (old×old never pairs), candidates verified with exact
@@ -2529,6 +2563,95 @@ object SparkEntry {
          |  CAST(round(CAST(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5
          |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS recall_at_5
          |FROM q LEFT JOIN h ON q.id = h.query_id""".stripMargin,
+
+    // q117's PQ CTE chain under an L2 coarse tier: cell assignment and
+    // query probes by round(sqdist,6) asc with cid tiebreaks, candidates
+    // restricted to probed cells, ADC rank by (fixed-point LUT sum, id),
+    // recall vs the exact-L2 truth — per nprobe ∈ {2,4}.
+    "q118_ivfpq_recall" ->
+      s"""WITH subs AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS sub),
+         |sv AS (SELECT e.vec_id AS id, s.sub,
+         |    e.embedding[CAST(s.sub * 8 + 1 AS INT):CAST((s.sub + 1) * 8 AS INT)]
+         |      AS svec
+         |  FROM embeddings e CROSS JOIN subs s),
+         |cb0 AS (SELECT sub, id AS cid, svec AS cvec FROM sv WHERE id < 16),
+         |a0 AS (SELECT id, sub, svec, code FROM (
+         |  SELECT v.id, v.sub, v.svec, c.cid AS code,
+         |    row_number() OVER (PARTITION BY v.id, v.sub
+         |      ORDER BY round(${sqdSql("v.svec", "c.cvec")}, 6), c.cid) AS rn
+         |  FROM sv v JOIN cb0 c ON v.sub = c.sub)
+         |  WHERE rn = 1),
+         |cb1 AS (SELECT sub, code AS cid, list(m ORDER BY pos) AS cvec FROM (
+         |  SELECT sub, code, pos,
+         |    CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS m FROM (
+         |    SELECT sub, code, pos, sum(xfp) AS s, count(*) AS n FROM (
+         |      SELECT sub, code, generate_subscripts(svec, 1) - 1 AS pos,
+         |        CAST(round(CAST(unnest(svec) AS DOUBLE) * 1e6) AS BIGINT)
+         |          AS xfp
+         |      FROM a0)
+         |    GROUP BY 1, 2, 3))
+         |  GROUP BY 1, 2),
+         |codes AS (SELECT id, sub, code FROM (
+         |  SELECT v.id, v.sub, c.cid AS code,
+         |    row_number() OVER (PARTITION BY v.id, v.sub
+         |      ORDER BY round(${sqdSql("v.svec", "c.cvec")}, 6), c.cid) AS rn
+         |  FROM sv v JOIN cb1 c ON v.sub = c.sub)
+         |  WHERE rn = 1),
+         |ivfc AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |         WHERE vec_id < 16),
+         |acell AS (SELECT id, cell FROM (
+         |  SELECT e.vec_id AS id, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${sqdSql("e.embedding", "c.cvec")}, 6), c.cid)
+         |      AS rn
+         |  FROM embeddings e CROSS JOIN ivfc c)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+         |      ORDER BY ${h60("CAST(vec_id AS VARCHAR)")}, vec_id
+         |      LIMIT 100),
+         |qsv AS (SELECT q.id AS qid, s.sub,
+         |    q.vec[CAST(s.sub * 8 + 1 AS INT):CAST((s.sub + 1) * 8 AS INT)]
+         |      AS svec
+         |  FROM q CROSS JOIN subs s),
+         |lut AS (SELECT v.qid, v.sub, c.cid,
+         |    CAST(round(round(${sqdSql("v.svec", "c.cvec")}, 6) * 1e6) AS BIGINT)
+         |      AS dfp
+         |  FROM qsv v JOIN cb1 c ON v.sub = c.sub),
+         |np AS (SELECT unnest([2, 4]) AS nprobe),
+         |qc AS (SELECT n.nprobe, x.qid, x.cell FROM np n, (
+         |  SELECT q.id AS qid, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY q.id
+         |      ORDER BY round(${sqdSql("q.vec", "c.cvec")}, 6), c.cid) AS pr
+         |  FROM q CROSS JOIN ivfc c) x
+         |  WHERE x.pr <= n.nprobe),
+         |ad AS (SELECT qc.nprobe, qc.qid, a.id, sum(l.dfp) AS adist
+         |  FROM qc JOIN acell a ON qc.cell = a.cell AND qc.qid != a.id
+         |  JOIN codes k ON k.id = a.id
+         |  JOIN lut l ON l.qid = qc.qid AND l.sub = k.sub AND l.cid = k.code
+         |  GROUP BY 1, 2, 3),
+         |approx AS (SELECT nprobe, qid, id FROM (
+         |  SELECT nprobe, qid, id,
+         |    row_number() OVER (PARTITION BY nprobe, qid
+         |      ORDER BY adist, id) AS rnk
+         |  FROM ad)
+         |  WHERE rnk <= 5),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.id AS query_id, e.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.id
+         |      ORDER BY round(${sqdSql("q.vec", "e.embedding")}, 6), e.vec_id)
+         |      AS rnk
+         |  FROM q JOIN embeddings e ON q.id != e.vec_id)
+         |  WHERE rnk <= 5),
+         |h AS (SELECT a.nprobe, t.query_id, count(*) AS n_hit
+         |  FROM truth t JOIN approx a
+         |    ON t.query_id = a.qid AND t.neighbor_id = a.id
+         |  GROUP BY 1, 2)
+         |SELECT q.id AS query_id, CAST(n.nprobe AS INT) AS nprobe,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(round(CAST(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS recall_at_5
+         |FROM q CROSS JOIN np n
+         |LEFT JOIN h ON q.id = h.query_id AND n.nprobe = h.nprobe""".stripMargin,
 
     // Slice-equality banding (md5-bucket equality ≡ slice equality, the
     // q27 transparency argument) with the incremental asymmetry: new

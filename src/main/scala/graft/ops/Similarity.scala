@@ -446,6 +446,80 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "adist_fp")
   }
 
+  /** [[ivfAssign]] under the EUCLIDEAN metric (squared L2 rounded to 6
+    * asc, centroid id tiebreak) — the coarse quantizer that composes
+    * coherently with PQ's L2 codebooks in [[ivfPqSearch]]. Same plan
+    * shape as the cosine variant: broadcast centroids, min_by argmin,
+    * map-side collapse to one row per id.
+    */
+  def ivfAssignL2(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("cd", round(sqDist(col("vec"), col("cvec")), 6))
+      .groupBy(col("id"))
+      .agg(first(col("vec")).as("vec"),
+        min_by(col("cid"), struct(col("cd"), col("cid"))).as("cell"))
+
+  /** [[ivfProbeCells]] under the Euclidean metric: the nprobe NEAREST
+    * cells per query by squared L2 (asc, centroid id tiebreak).
+    */
+  def ivfProbeCellsL2(queries: DataFrame, centroids: DataFrame,
+                      nprobe: Int): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cd"), col("cid"))
+    queries.select(col("id").as("qid"), col("vec").as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cd", round(sqDist(col("qv"), col("cvec")), 6))
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qv"), col("cid").as("cell"), col("pr"))
+  }
+
+  /** IVF-PQ search — the canonical 100 TB ANN shape, end to end and
+    * all-Euclidean: a coarse quantizer ([[ivfAssignL2]], broadcast
+    * `centroids`) routes every corpus vector to one cell; the corpus is
+    * PQ-encoded ([[pqEncode]], `m` code bytes per vector); each query
+    * probes its `nprobe` nearest cells and ranks ONLY those cells'
+    * members, by asymmetric distance over the codes (per-query LUT,
+    * fixed-point sums — [[pqAdcTopK]]'s arithmetic exactly). Per-query
+    * cost is probed-cell occupancy × m table lookups; the corpus floats
+    * are touched only at assign/encode time, never per query.
+    *
+    * Candidate sets nest as nprobe grows, and at nprobe = |centroids|
+    * the result EQUALS the full [[pqAdcTopK]] scan (spec-pinned) — the
+    * recall knob is explicit, monotone, and bounded by the PQ scan's
+    * own quality.
+    */
+  def ivfPqSearch(queries: DataFrame, corpus: DataFrame,
+                  centroids: DataFrame, codebook: DataFrame,
+                  m: Int, k: Int, nprobe: Int = 1): DataFrame = {
+    val assigned = ivfAssignL2(corpus, centroids).select(col("id"), col("cell"))
+    val codes = pqEncode(corpus, codebook, m)
+    val lut = subVectors(queries, m)
+      .select(col("id").as("lqid"), col("sub"), col("svec"))
+      .join(codebook, Seq("sub"))
+      .select(col("lqid"), col("sub"), col("cid"),
+        round(round(sqDist(col("svec"), col("cvec")), 6) * 1e6)
+          .cast("long").as("dfp"))
+    val cand = ivfProbeCellsL2(queries, centroids, nprobe)
+      .select(col("qid"), col("cell"))
+      .join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_fp"), col("neighbor_id"))
+    cand.join(codes, Seq("id"))
+      .join(broadcast(lut),
+        col("qid") === col("lqid") &&
+          codes("sub") === lut("sub") && codes("code") === lut("cid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("dfp")).as("adist_fp"))
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
+        col("adist_fp"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adist_fp")
+  }
+
   /** Exact squared-L2 top-k (the PQ ground truth; [[bruteForceTopK]]'s
     * contract and shape, with the Euclidean metric and ascending order).
     */

@@ -180,6 +180,36 @@ class SimilaritySpec extends SparkSpec {
     assert(subs.subsetOf(Set(0, 1)))
   }
 
+  test("ivfPqSearch: neighbors come only from probed cells; at nprobe = " +
+      "|centroids| it EQUALS the full ADC scan") {
+    val rnd = new scala.util.Random(17)
+    val vecs = (0L until 50L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("id", "vec")
+    val cents = vecs.filter($"id" < 4)
+      .select($"id".as("cid"), $"vec".as("cvec"))
+    val cb = Similarity.pqTrainStep(Similarity.subVectors(vecs, 2),
+      Similarity.pqSeedCodebook(vecs, 2, 6))
+    // probed-cell containment at nprobe=1: every neighbor's cell is the
+    // query's single probed cell
+    val assigned = Similarity.ivfAssignL2(vecs, cents)
+      .select($"id", $"cell")
+    val probe1 = Similarity.ivfProbeCellsL2(vecs, cents, 1)
+      .select($"qid".as("query_id"), $"cell".as("probed"))
+    val r1 = Similarity.ivfPqSearch(vecs, vecs, cents, cb, 2, 3, 1)
+    val breach = r1.join(assigned.withColumnRenamed("id", "neighbor_id"),
+        Seq("neighbor_id"))
+      .join(probe1, Seq("query_id"))
+      .filter($"cell" =!= $"probed")
+    assert(breach.count() == 0)
+    // candidate sets nest: recall can only grow with nprobe
+    val full = Similarity.pqAdcTopK(vecs,
+      Similarity.pqEncode(vecs, cb, 2), cb, 2, 3)
+      .select("query_id", "neighbor_id", "rank", "adist_fp")
+    val rAll = Similarity.ivfPqSearch(vecs, vecs, cents, cb, 2, 3, 4)
+      .select("query_id", "neighbor_id", "rank", "adist_fp")
+    assert(rAll.except(full).count() == 0 && full.except(rAll).count() == 0)
+  }
+
   test("cosine: identical vectors 1, orthogonal 0, opposite -1") {
     val df = Seq(
       (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f), 1.0),
