@@ -337,11 +337,19 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
-  /** Squared L2 distance in double precision (float inputs cast first,
-    * sequential sum in dimension order — the PQ metric; cosine ranks by
-    * angle, PQ's codebooks quantize Euclidean cells).
+  /** Squared L2 distance — the native codegen'd Catalyst expression
+    * (graftshim.SquaredL2; the PQ metric: cosine ranks by angle, PQ's
+    * codebooks quantize Euclidean cells). Same numerics as the
+    * composable HOF formulation [[sqDistHof]]; a spec asserts
+    * bit-for-bit agreement.
     */
   def sqDist(a: Column, b: Column): Column =
+    graft.functions.NativeFunctions.squaredL2(a, b)
+
+  /** Built-ins-only squared L2 (higher-order functions, sequential sum
+    * in dimension order) — the portable reference implementation.
+    */
+  def sqDistHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) =>
       (x.cast("double") - y.cast("double")) *
         (x.cast("double") - y.cast("double"))),

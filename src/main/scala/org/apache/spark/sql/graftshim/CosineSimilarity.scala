@@ -70,10 +70,66 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression for SQUARED L2 distance over two double
+  * arrays ([[CosineSimilarity]]'s Euclidean sibling, same codegen
+  * rationale — the PQ/IVF-PQ hot path evaluates it per candidate
+  * pair). Numerics identical to the interpreted HOF definition and the
+  * DuckDB oracle: (x[i]−y[i])² accumulated sequentially in ascending
+  * index order; float inputs arrive via the exact array<float>→
+  * array<double> implicit cast.
+  */
+case class SquaredL2(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes
+  with Serializable {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "squared_l2"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toDoubleArray()
+    val y = b.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var s = 0.0; var i = 0
+    while (i < n) { val d = x(i) - y(i); s += d * d; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      s"""
+         |double[] $x = $a.toDoubleArray();
+         |double[] $y = $b.toDoubleArray();
+         |int $n = Math.min($x.length, $y.length);
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $x[$i] - $y[$i];
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SquaredL2 =
+    copy(left = newLeft, right = newRight)
+}
+
 object NativeFunctions {
   /** Column-facing wrapper for the native cosine expression. */
   def cosineSim(a: Column, b: Column): Column =
     ExpressionUtils.column(CosineSimilarity(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Column-facing wrapper for the native squared-L2 expression. */
+  def squaredL2(a: Column, b: Column): Column =
+    ExpressionUtils.column(SquaredL2(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
   /** Column-facing wrapper for the native simhash expression. */
@@ -107,6 +163,7 @@ object NativeFunctions {
     */
   private[graftshim] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_similarity" -> (exprs => CosineSimilarity(exprs.head, exprs(1))),
+    "squared_l2" -> (exprs => SquaredL2(exprs.head, exprs(1))),
     "simhash" -> (exprs => SimHash(exprs.head, intArg(exprs, 1))),
     "hashed_shingles" -> (exprs => HashedShingles(exprs.head, intArg(exprs, 1))),
     "minhash_sig" -> (exprs => MinHashSig(exprs.head, intArg(exprs, 1))),

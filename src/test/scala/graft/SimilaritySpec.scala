@@ -131,6 +131,17 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("native codegen squared-L2 agrees bit-for-bit with the HOF formulation") {
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 200).map(_ =>
+      (Seq.fill(64)(rnd.nextGaussian().toFloat),
+        Seq.fill(64)(rnd.nextGaussian().toFloat))).toDF("a", "b")
+    val native = df.select(Similarity.sqDist($"a", $"b")).as[Double].collect()
+    val hof = df.select(Similarity.sqDistHof($"a", $"b")).as[Double].collect()
+    assert(native.toSeq == hof.toSeq) // exact equality, not approximate
+    assert(native.forall(_ >= 0.0))
+  }
+
   test("subVectors slices every vector into m contiguous pieces") {
     val vecs = Seq((0L, (0 until 8).map(_.toFloat)),
       (1L, (10 until 18).map(_.toFloat))).toDF("id", "vec")
