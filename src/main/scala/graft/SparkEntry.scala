@@ -943,6 +943,21 @@ object SparkEntry {
             .cast("decimal(20,10)"), 4).cast("double").as("recall_at_5"))
     }),
 
+    // Similarity: INCREMENTAL exact embedding near-dup — the q82/q114
+    // asymmetry on the cosine modality, completing the incremental
+    // family (jaccard q82, LSH q114, fuzzy q106): an increment (half
+    // exact copies, half reversed-vector strangers) scans old ∪ new
+    // with the blocked pair kernel, old×old never computed. Work is
+    // |new|·|corpus| dots across Bn·Ba bounded-memory block tasks.
+    "q119_incremental_cosine" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val inc = e.select((col("id") + 10000).as("id"),
+        when(pmod(col("id"), lit(2)) === 0, col("vec"))
+          .otherwise(reverse(col("vec"))).as("vec"))
+      Similarity.cosineNearDupPairsIncremental(e, inc, 0.95, 16)
+    }),
+
     // Dedup: INCREMENTAL MinHash+LSH — q82's crawl-increment scenario
     // on the LSH path: only new docs probe the band-bucket index over
     // old ∪ new (old×old never pairs), candidates verified with exact
@@ -2563,6 +2578,24 @@ object SparkEntry {
          |  CAST(round(CAST(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5
          |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS recall_at_5
          |FROM q LEFT JOIN h ON q.id = h.query_id""".stripMargin,
+
+    // The incremental asymmetry in SQL: new side joins old ∪ new with
+    // new×old always emitted (new on the left) and new×new once
+    // (id_new < id_match); same double cosine and round-to-6 filter.
+    "q119_incremental_cosine" ->
+      s"""WITH o AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
+         |n AS (SELECT vec_id + 10000 AS id,
+         |    CASE WHEN vec_id % 2 = 0 THEN embedding
+         |         ELSE list_reverse(embedding) END AS vec
+         |  FROM embeddings),
+         |allv AS (SELECT id, vec, 0 AS isn FROM o
+         |         UNION ALL SELECT id, vec, 1 AS isn FROM n)
+         |SELECT a.id AS id_new, b.id AS id_match,
+         |  round(${cosSql("a.vec", "b.vec")}, 6) AS cos
+         |FROM n a JOIN allv b
+         |  ON a.id != b.id AND (b.isn = 0 OR a.id < b.id)
+         |WHERE round(${cosSql("a.vec", "b.vec")}, 6) >= CAST(0.95 AS DOUBLE)"""
+        .stripMargin,
 
     // q117's PQ CTE chain under an L2 coarse tier: cell assignment and
     // query probes by round(sqdist,6) asc with cid tiebreaks, candidates

@@ -103,20 +103,7 @@ object Similarity {
     val spark = vecs.sparkSession
     import spark.implicits._
     val margin = threshold - 1e-7
-    val packed = vecs
-      .select(col("id").cast("long"), col("vec").cast("array<double>"))
-      .as[(Long, Array[Double])]
-      .groupByKey { case (id, _) => math.floorMod(id, blocks.toLong).toInt }
-      .mapGroups { (blk, it) =>
-        val rows = it.toArray.sortBy(_._1)
-        val norms = rows.map { case (_, v) =>
-          var s = 0.0; var d = 0
-          while (d < v.length) { s += v(d) * v(d); d += 1 }
-          math.sqrt(s)
-        }
-        (blk, rows.map(_._1), rows.map(_._2), norms)
-      }
-      .toDF("blk", "ids", "vs", "ns")
+    val packed = packBlocks(vecs, blocks)
       .persist() // both sides of the block-pair join read the packed shards
     val pairs = packed.as("x")
       .join(packed.as("y"), col("x.blk") <= col("y.blk"))
@@ -148,6 +135,105 @@ object Similarity {
         out
       }
     pairs.toDF("id_a", "id_b", "cos")
+      .withColumn("cos", round(col("cos"), 6))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Pack vectors into `blocks` id-sharded single-row bundles
+    * (ids asc, precomputed norms) — the unit of the blocked all-pairs
+    * kernels; task memory is bounded by the block size.
+    */
+  private def packBlocks(vecs: DataFrame, blocks: Int) = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs
+      .select(col("id").cast("long"), col("vec").cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .groupByKey { case (id, _) => math.floorMod(id, blocks.toLong).toInt }
+      .mapGroups { (blk, it) =>
+        val rows = it.toArray.sortBy(_._1)
+        val norms = rows.map { case (_, v) =>
+          var s = 0.0; var d = 0
+          while (d < v.length) { s += v(d) * v(d); d += 1 }
+          math.sqrt(s)
+        }
+        (blk, rows.map(_._1), rows.map(_._2), norms)
+      }
+      .toDF("blk", "ids", "vs", "ns")
+  }
+
+  /** INCREMENTAL exact cosine near-dup: `newVecs` (a crawl increment)
+    * against `oldVecs` ∪ `newVecs`, emitting every pair at cosine ≥
+    * threshold with a new vector on the LEFT — old×old is NEVER
+    * computed (the q82/q114 asymmetry on the embedding modality). Same
+    * blocked kernel, norms, and double arithmetic as
+    * [[cosineNearDupPairsExact]], so incremental ≡ batch minus
+    * old-only pairs (spec-pinned). Work is |new|·|old ∪ new| dot
+    * products across Bn·Ba block-pair tasks — the increment size, not
+    * the corpus size, drives the new work.
+    *
+    * New×new pairs emit once (id_new < id_match); new×old pairs emit
+    * as (new, old) regardless of id order. Id spaces must be disjoint.
+    */
+  def cosineNearDupPairsIncremental(oldVecs: DataFrame, newVecs: DataFrame,
+                                    threshold: Double,
+                                    blocks: Int = 16): DataFrame = {
+    val spark = oldVecs.sparkSession
+    import spark.implicits._
+    val margin = threshold - 1e-7
+    // the all side carries one is-new boolean per packed vector — no
+    // driver-side id set, the flags shuffle with their block
+    val flagged = oldVecs
+      .select(col("id").cast("long"), col("vec").cast("array<double>"),
+        lit(false).as("isn"))
+      .unionByName(newVecs.select(col("id").cast("long"),
+        col("vec").cast("array<double>"), lit(true).as("isn")))
+      .as[(Long, Array[Double], Boolean)]
+      .groupByKey { case (id, _, _) => math.floorMod(id, blocks.toLong).toInt }
+      .mapGroups { (blk, it) =>
+        val rows = it.toArray.sortBy(_._1)
+        val norms = rows.map { case (_, v, _) =>
+          var s = 0.0; var d = 0
+          while (d < v.length) { s += v(d) * v(d); d += 1 }
+          math.sqrt(s)
+        }
+        (blk, rows.map(_._1), rows.map(_._2), norms, rows.map(_._3))
+      }
+      .toDF("blk", "ids", "vs", "ns", "isn")
+    // both packed sides are read by every opposing block: persist
+    // (divergent consumers across Bn·Ba tasks, the q28-index rationale)
+    val np = packBlocks(newVecs, blocks).persist()
+    val ap = flagged.persist()
+    val pairs = np.as("x").crossJoin(ap.as("y"))
+      .select(col("x.ids").as("xids"), col("x.vs").as("xvs"),
+        col("x.ns").as("xns"), col("y.ids").as("yids"),
+        col("y.vs").as("yvs"), col("y.ns").as("yns"),
+        col("y.isn").as("yisn"))
+      .as[(Array[Long], Array[Array[Double]], Array[Double],
+           Array[Long], Array[Array[Double]], Array[Double],
+           Array[Boolean])]
+      .flatMap { case (xids, xvs, xns, yids, yvs, yns, yisn) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < xids.length) {
+          val vi = xvs(i)
+          var j = 0
+          while (j < yids.length) {
+            // new×new emits once (i < j); new×old always emits
+            if (xids(i) != yids(j) && (!yisn(j) || xids(i) < yids(j))) {
+              val vj = yvs(j)
+              var dot = 0.0; var d = 0
+              while (d < vi.length) { dot += vi(d) * vj(d); d += 1 }
+              val c = dot / (xns(i) * yns(j))
+              if (c >= margin) out += ((xids(i), yids(j), c))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+    pairs.toDF("id_new", "id_match", "cos")
       .withColumn("cos", round(col("cos"), 6))
       .filter(col("cos") >= threshold)
   }

@@ -221,6 +221,31 @@ class SimilaritySpec extends SparkSpec {
     assert(rAll.except(full).count() == 0 && full.except(rAll).count() == 0)
   }
 
+  test("incremental cosine near-dup ≡ batch minus old-only pairs") {
+    val rnd = new scala.util.Random(23)
+    val old = (0L until 30L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat))).toDF("id", "vec")
+    // increment: copies of old 0/1/2 (planted near-dups) + 3 strangers
+    val nw = old.filter($"id" < 3)
+      .select(($"id" + 100).as("id"), $"vec")
+      .unionByName((200L until 203L).map(i =>
+        (i, Seq.fill(16)(rnd.nextGaussian().toFloat))).toDF("id", "vec"))
+    val inc = Similarity.cosineNearDupPairsIncremental(old, nw, 0.9, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch over the union, then drop old-only pairs and re-orient:
+    // batch emits id_a < id_b, so a mixed pair always has the OLD id
+    // first — flip it; a new×new pair keeps its orientation
+    val batch = Similarity.cosineNearDupPairsExact(
+        old.unionByName(nw), 0.9, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = batch.filter(_._2 >= 100L)
+      .map { case (a, b, c) => if (a >= 100L) (a, b, c) else (b, a, c) }
+      .toSet
+    assert(inc == expected)
+    assert(inc.nonEmpty) // the planted copies surface at cos 1.0
+    assert(inc.forall(_._1 >= 100L)) // a new vector is always on the left
+  }
+
   test("cosine: identical vectors 1, orthogonal 0, opposite -1") {
     val df = Seq(
       (Seq(1.0f, 2.0f), Seq(1.0f, 2.0f), 1.0),
