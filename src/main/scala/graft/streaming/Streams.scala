@@ -624,6 +624,116 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming EMBEDDING dedup over a persistent IVF cell index — the
+    * vector-modality sibling of [[lshDedupStream]]: each micro-batch of
+    * (doc_id, vec) rows is coarse-quantized against a FROZEN centroid
+    * set, candidates are the same-cell members of the accumulated
+    * corpus (∪ earlier rows of the own batch; old×old never pairs),
+    * and the exact double cosine verifies each candidate on vectors
+    * read back from the corpus snapshot — a point-lookup scan when the
+    * candidate id set is bounded ([[graft.sources.Snapshot.readForKeys]]
+    * footer pruning; full-scan fallback past 64k), so per-batch cost
+    * tracks cell occupancy of the increment, not corpus age.
+    *
+    * The coarse model trains ONCE, on first contact: the first batch's
+    * `centroidsK` lowest-id vectors seed `modelTable`, frozen
+    * thereafter (deterministic ⇒ a replayed first batch re-derives the
+    * identical seed and the keyed merge converges). Like LSH banding
+    * this path is approximate — a cross-cell near-dup pair can slip —
+    * but assignment is deterministic, so an EXACT duplicate always
+    * lands in its copy's cell and always drops.
+    *
+    * Tables (each an atomic per-batch snapshot merge):
+    *  - `modelTable`: (cid, cvec) — the frozen L2 centroids
+    *  - `table`: (doc_id, vec, cell, ingest_batch) — survivors, with
+    *    their cell stored so history is never re-assigned
+    * Compaction/retention: [[lshDedupStream]]'s policy, corpus
+    * range-clustered on doc_id to keep point lookups pruned.
+    */
+  def annDedupStream(in: DataFrame, table: String, modelTable: String,
+                     checkpoint: String, threshold: Double = 0.99,
+                     centroidsK: Int = 16, compactEvery: Int = 16,
+                     vacuumKeep: Int = 0): Unit = {
+    import graft.ops.Similarity
+    import graft.sources.Snapshot
+    val q = in.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val fresh0 = batch.toDF()
+            .select(col("doc_id"), col("vec").cast("array<float>"))
+          if (Snapshot.latestVersion(modelTable).isEmpty) {
+            val seed = fresh0.orderBy(col("doc_id")).limit(centroidsK)
+              .select(col("doc_id").as("cid"), col("vec").as("cvec"),
+                lit(0L).as("ingest_batch"))
+            Snapshot.merge(seed, modelTable, Seq("cid"), "cid",
+              "ingest_batch"): Unit
+          }
+          val centroids = Snapshot.read(spark, modelTable)
+            .select(col("cid"), col("cvec"))
+          val fresh = Similarity.ivfAssignL2(
+              fresh0.select(col("doc_id").as("id"), col("vec")), centroids)
+            .select(col("id").as("doc_id"),
+              col("vec").cast("array<float>").as("vec"), col("cell"))
+            .persist()
+          val storedCells = Snapshot.latestVersion(table) match {
+            case Some(_) => Snapshot.read(spark, table)
+              .select(col("doc_id"), col("cell"))
+            case None => fresh.select(col("doc_id"), col("cell")).limit(0)
+          }
+          val freshCells = fresh.select(col("doc_id"), col("cell"))
+          val candsP = freshCells.as("a")
+            .join(storedCells.as("b").unionByName(freshCells.as("b")),
+              col("a.cell") === col("b.cell") &&
+                col("a.doc_id") > col("b.doc_id"))
+            .select(col("a.doc_id").as("doc_id"),
+              col("b.doc_id").as("id_match"))
+            .distinct().persist()
+          val corpusVecs = Snapshot.latestVersion(table) match {
+            case Some(_) =>
+              val ids = candsP.select(col("id_match")).distinct()
+                .limit(65537).collect().map(_.getLong(0))
+              if (ids.length <= 65536)
+                Snapshot.readForKeys(spark, table, "doc_id",
+                    ids.map(_.toString).toSeq)
+                  .select(col("doc_id"), col("vec"))
+              else Snapshot.read(spark, table)
+                .select(col("doc_id"), col("vec"))
+            case None => fresh.select(col("doc_id"), col("vec")).limit(0)
+          }
+          val matchVecs = corpusVecs
+            .unionByName(fresh.select(col("doc_id"), col("vec")))
+          val dropIds = candsP
+            .join(fresh.select(col("doc_id"), col("vec").as("va")),
+              Seq("doc_id"))
+            .join(matchVecs.select(col("doc_id").as("id_match"),
+              col("vec").as("vb")), Seq("id_match"))
+            .filter(round(Similarity.cosine(col("va"), col("vb")), 6)
+              >= threshold)
+            .select(col("doc_id")).distinct()
+          val survivors = fresh.join(dropIds, Seq("doc_id"), "left_anti")
+            .withColumn("ingest_batch", lit(batchId))
+          if (!survivors.isEmpty)
+            Snapshot.merge(survivors, table, Seq("doc_id"), "doc_id",
+              "ingest_batch"): Unit
+          if (compactEvery > 0) Snapshot.latestVersion(table).foreach { v =>
+            if (Snapshot.readManifest(table, v).dirs.size >= compactEvery) {
+              Snapshot.compactInto(spark, table, lit(batchId),
+                targetFiles = compactEvery, clusterBy = Some("doc_id"))
+              if (vacuumKeep > 0) Snapshot.vacuum(table, vacuumKeep)
+            }
+          }
+          candsP.unpersist()
+          fresh.unpersist(): Unit
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming entity resolution — the continuous face of
     * [[graft.ops.Text.fuzzyJoinIncrementalSegments]], and the
     * edit-distance sibling of [[dedupStream]]: each micro-batch of

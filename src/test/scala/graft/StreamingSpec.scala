@@ -394,6 +394,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("annDedupStream dedups embeddings via the frozen cell index; replays converge") {
+    import graft.sources.Snapshot
+    withTempDir { dir =>
+      val in1 = dir.getAbsolutePath + "/in1"
+      val in2 = dir.getAbsolutePath + "/in2"
+      val table = dir.getAbsolutePath + "/corpus"
+      val model = dir.getAbsolutePath + "/model"
+      val va = Seq(1f, 0f, 0f, 0f)
+      val vb = Seq(0f, 1f, 0f, 0f)
+      val vc = Seq(0f, 0f, 1f, 0f)
+      // ids 1,2 seed the two centroids (distinct); 3 is an exact copy
+      // of 1 — deterministic assignment co-cells it with 1, cos 1 drops
+      Seq((1L, va), (2L, vb), (3L, va)).toDF("doc_id", "vec")
+        .write.parquet(in1)
+      val schema = spark.read.parquet(in1).schema
+      Streams.annDedupStream(spark.readStream.schema(schema).parquet(in1),
+        table, model, dir.getAbsolutePath + "/ck1", 0.99, centroidsK = 2)
+      assert(Snapshot.read(spark, table)
+        .select($"doc_id").as[Long].collect().toSet == Set(1L, 2L))
+      // the model froze on first contact: exactly 2 centroids
+      assert(Snapshot.read(spark, model).count() == 2)
+      // batch 2: a re-crawl of va drops against the STORED corpus via
+      // its cell; an orthogonal novel vector survives
+      Seq((11L, va), (12L, vc)).toDF("doc_id", "vec").write.parquet(in2)
+      Streams.annDedupStream(spark.readStream.schema(schema).parquet(in2),
+        table, model, dir.getAbsolutePath + "/ck2", 0.99, centroidsK = 2)
+      val afterTwo = Snapshot.read(spark, table)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(afterTwo == Set(1L, 2L, 12L))
+      // replay batch 2 under a fresh checkpoint: 12 finds ITSELF at
+      // cos 1.0 in its own cell — the corpus does not grow
+      Streams.annDedupStream(spark.readStream.schema(schema).parquet(in2),
+        table, model, dir.getAbsolutePath + "/ck3", 0.99, centroidsK = 2)
+      assert(Snapshot.read(spark, table)
+        .select($"doc_id").as[Long].collect().toSet == afterTwo)
+      // survivors carry their frozen cell assignment
+      assert(Snapshot.read(spark, table).select($"cell").as[Long]
+        .collect().toSet.subsetOf(Set(1L, 2L)))
+    }
+  }
+
   test("erStream grows the entity snapshot; variants resolve, replays don't duplicate") {
     withTempDir { dir =>
       val in1 = dir.getAbsolutePath + "/in1"
