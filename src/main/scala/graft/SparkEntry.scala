@@ -943,6 +943,21 @@ object SparkEntry {
             .cast("decimal(20,10)"), 4).cast("double").as("recall_at_5"))
     }),
 
+    // Similarity/Quality: embedding OUTLIER gate — vectors whose cell
+    // affinity is > 2σ below their cell's mean (the "belongs nowhere"
+    // rows a pipeline drops before training). The z-test runs on exact
+    // integers (×1e6 affinities, decimal(38,0) moments, D² vs
+    // 4(nΣ²−Σ²)) — no float mean/σ, so the flag is bit-identical on
+    // any engine; per-cell stats broadcast back over one assignment
+    // shuffle.
+    "q120_embedding_outliers" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val centroids = e.filter(col("id") < 16)
+        .select(col("id").as("cid"), col("vec").as("cvec"))
+      Similarity.cellOutliers(e, centroids)
+    }),
+
     // Similarity: INCREMENTAL exact embedding near-dup — the q82/q114
     // asymmetry on the cosine modality, completing the incremental
     // family (jaccard q82, LSH q114, fuzzy q106): an increment (half
@@ -2578,6 +2593,33 @@ object SparkEntry {
          |  CAST(round(CAST(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5
          |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS recall_at_5
          |FROM q LEFT JOIN h ON q.id = h.query_id""".stripMargin,
+
+    // The identical integer z-test in SQL: HUGEINT moments per cell
+    // (exact), D = Σ − n·fp, flag iff D > 0 AND D² > 4(n·Σ² − Σ²);
+    // assignment tiebreaks as everywhere (rounded cosine desc, cid).
+    "q120_embedding_outliers" ->
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cvec
+         |            FROM embeddings WHERE vec_id < 16),
+         |a AS (SELECT id, cell, csim FROM (
+         |  SELECT e.vec_id AS id, c.cid AS cell,
+         |    round(${cosSql("e.embedding", "c.cvec")}, 6) AS csim,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${cosSql("e.embedding", "c.cvec")}, 6) DESC,
+         |        c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN c0 c)
+         |  WHERE rn = 1),
+         |f AS (SELECT id, cell, CAST(round(csim * 1e6) AS BIGINT) AS fp
+         |  FROM a),
+         |g AS (SELECT cell, CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(sum(fp) AS HUGEINT) AS s,
+         |    CAST(sum(CAST(fp AS HUGEINT) * fp) AS HUGEINT) AS ss
+         |  FROM f GROUP BY 1)
+         |SELECT f.id, f.cell, CAST(f.fp AS DOUBLE) / 1e6 AS csim,
+         |  CASE WHEN (g.s - g.n * f.fp) > 0
+         |        AND (g.s - g.n * f.fp) * (g.s - g.n * f.fp)
+         |          > 4 * (g.n * g.ss - g.s * g.s)
+         |       THEN 1 ELSE 0 END AS is_outlier
+         |FROM f JOIN g USING (cell)""".stripMargin,
 
     // The incremental asymmetry in SQL: new side joins old ∪ new with
     // new×old always emitted (new on the left) and new×new once

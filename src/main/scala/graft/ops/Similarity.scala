@@ -287,6 +287,37 @@ object Similarity {
         min_by(col("cid"), struct(negate(col("csim")), col("cid"))).as("cell"),
         max(col("csim")).as("csim"))
 
+  /** Embedding-quality gate: flag vectors whose centroid affinity sits
+    * more than two standard deviations BELOW their cell's mean — the
+    * "doesn't belong anywhere" outliers a training-data pipeline drops
+    * or routes for review. All decisive arithmetic is exact: affinities
+    * snap to ×10⁶ fixed point, per-cell (n, Σ, Σ²) aggregate as
+    * decimal(38,0) (exact to 10³⁸ — safe for ~10¹² rows/cell), and the
+    * z-test compares integers: csim < mean − 2σ ⇔ D := Σ − n·fp > 0 ∧
+    * D² > 4(n·Σ² − Σ²) — no float mean/σ ever computed, so any engine
+    * agrees bit-for-bit. Per-cell stats broadcast back (16ish rows);
+    * one corpus shuffle total (the assignment's). On a healthy corpus
+    * the gate is expected mostly quiet (a 2σ tail needs genuine
+    * strays); SimilaritySpec plants one and proves it fires.
+    */
+  def cellOutliers(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val scored = ivfAssignScored(vecs, centroids)
+      .withColumn("fp", round(col("csim") * 1e6).cast("long"))
+    val stats = scored.groupBy(col("cell"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("fp").cast(dec)).as("s"),
+        sum(col("fp").cast(dec) * col("fp").cast(dec)).as("ss"))
+    scored.join(broadcast(stats), Seq("cell"))
+      .withColumn("dd", col("s") - col("n") * col("fp").cast(dec))
+      .select(col("id"), col("cell"),
+        (col("fp").cast("double") / 1e6).as("csim"),
+        when(col("dd") > 0 &&
+            col("dd") * col("dd") >
+              lit(4).cast(dec) * (col("n") * col("ss") - col("s") * col("s")),
+          1).otherwise(0).as("is_outlier"))
+  }
+
   /** One Lloyd's iteration: assign every vector to its nearest centroid,
     * then recompute each non-empty cell's centroid as the per-dimension
     * mean. The mean is an exact integer rational — components snap to

@@ -221,6 +221,23 @@ class SimilaritySpec extends SparkSpec {
     assert(rAll.except(full).count() == 0 && full.except(rAll).count() == 0)
   }
 
+  test("cellOutliers fires on a planted stray, stays quiet on the tight cluster") {
+    val rnd = new scala.util.Random(29)
+    val base = Seq.fill(16)(rnd.nextGaussian().toFloat * 0.1f + 1f)
+    // 30 tiny jitters of one direction (affinity ≈ 1, tiny σ) + one
+    // stray pointing elsewhere that still assigns to the same best cell
+    val cluster = (0L until 30L).map(i =>
+      (i, base.map(v => v + (rnd.nextGaussian() * 0.001).toFloat)))
+    val stray = Seq((99L, base.map(-_).updated(0, 5f)))
+    val vecs = (cluster ++ stray).toDF("id", "vec")
+    val cents = vecs.filter($"id" === 0L)
+      .select($"id".as("cid"), $"vec".as("cvec"))
+    val r = Similarity.cellOutliers(vecs, cents)
+      .collect().map(x => x.getLong(0) -> x.getInt(3)).toMap
+    assert(r(99L) == 1) // the stray is > 2σ below its cell mean
+    assert((0L until 30L).forall(r(_) == 0)) // the cluster is clean
+  }
+
   test("incremental cosine near-dup ≡ batch minus old-only pairs") {
     val rnd = new scala.util.Random(23)
     val old = (0L until 30L).map(i =>
