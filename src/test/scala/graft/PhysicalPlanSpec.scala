@@ -218,6 +218,32 @@ class PhysicalPlanSpec extends SparkSpec {
     assert(p.contains("sig_bound") && p.contains("lev_within"), p)
   }
 
+  test("PQ recall: LUT and codebook ride broadcasts; the only nested " +
+      "loops are the bounded-sample truth/LUT crossings") {
+    val p = plan("q117_pq_recall")
+    assert(!p.contains("CartesianProduct"), p)
+    // every BroadcastNestedLoopJoin must involve the bounded 100-row
+    // query sample (truth join + subVector slicing of the sample) —
+    // never corpus×corpus. The codes×LUT ADC join and the corpus-side
+    // codebook joins are broadcast HASH joins on (sub[, code]).
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"codebook/LUT joins must be broadcast equi-joins:\n$p")
+    // the ADC aggregate collapses map-side before its exchange: a
+    // partial_sum on the fixed-point LUT distances must appear
+    assert(p.contains("partial_sum"), s"map-side ADC combine expected:\n$p")
+  }
+
+  test("IVF-PQ: probed-cell candidate generation is an equi-join on cell") {
+    val p = plan("q118_ivfpq_recall")
+    assert(!p.contains("CartesianProduct"), p)
+    // the candidate stream (probes × assigned corpus) joins on the
+    // cell key — hash-partitioned or broadcast, never nested-loop over
+    // the corpus; nested loops only touch the bounded query sample
+    assert(p.contains("cell"), p)
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"cell/codebook equi-joins expected:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-project pipeline") {
     val df = Tables(spark, dir, "lineitem")
       .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
