@@ -943,6 +943,41 @@ object SparkEntry {
             .cast("decimal(20,10)"), 4).cast("double").as("recall_at_5"))
     }),
 
+    // Similarity: RESIDUAL IVF-PQ (the canonical form) — the coarse
+    // tier takes one exact L2 Lloyd step (means are the within-cell
+    // variance minimizers — the step that makes residuals SMALL), PQ
+    // codebooks train on vec − centroid(cell) residuals so codewords
+    // spend their bits on within-cell spread, per-cell query residuals
+    // build the LUT, and the ADC join on (cell, sub, code) restricts
+    // candidates to probed cells with no separate candidate join.
+    // recall@5 at nprobe=2 vs exact-L2 truth: 0.16 vs q118's 0.134
+    // non-residual tier at the same nprobe — the residual win, which
+    // INVERTS to 0.08 if the coarse tier stays untrained (loose cells
+    // ⇒ residual variance ≈ 2× raw; measured, see NOTES).
+    "q121_ivfpq_residual" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val c0 = e.filter(col("id") < 16)
+        .select(col("id").as("cid"), col("vec").as("cvec"))
+      val ivfC = Similarity.kmeansStepL2(e, c0).localCheckpoint(true)
+      val qs = e.select(col("id"), col("vec"),
+          Dedup.hashLong(col("id").cast("string")).as("h"))
+        .orderBy(col("h"), col("id")).limit(100)
+        .select(col("id"), col("vec"))
+      val truth = Similarity.bruteForceTopKL2(qs, e, 5)
+      val approx = Similarity.ivfPqSearchResidual(qs, e, ivfC, 8, 16, 5, 2,
+        seedFrom = 16L)
+      val hits = truth.join(approx, Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      qs.select(col("id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round((coalesce(col("n_hit"), lit(0L)).cast("double") / 5)
+            .cast("decimal(20,10)"), 4).cast("double").as("recall_at_5"))
+    }),
+
     // Similarity/Quality: embedding OUTLIER gate — vectors whose cell
     // affinity is > 2σ below their cell's mean (the "belongs nowhere"
     // rows a pipeline drops before training). The z-test runs on exact
@@ -2570,6 +2605,123 @@ object SparkEntry {
          |  FROM qsv v JOIN cb1 c ON v.sub = c.sub),
          |ad AS (SELECT l.qid, k.id, sum(l.dfp) AS adist
          |  FROM codes k JOIN lut l ON k.sub = l.sub AND k.code = l.cid
+         |  WHERE l.qid != k.id
+         |  GROUP BY 1, 2),
+         |approx AS (SELECT qid, id FROM (
+         |  SELECT qid, id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adist, id) AS rnk
+         |  FROM ad)
+         |  WHERE rnk <= 5),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.id AS query_id, e.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.id
+         |      ORDER BY round(${sqdSql("q.vec", "e.embedding")}, 6), e.vec_id)
+         |      AS rnk
+         |  FROM q JOIN embeddings e ON q.id != e.vec_id)
+         |  WHERE rnk <= 5),
+         |h AS (SELECT t.query_id, count(*) AS n_hit
+         |  FROM truth t JOIN approx a
+         |    ON t.query_id = a.qid AND t.neighbor_id = a.id
+         |  GROUP BY 1)
+         |SELECT q.id AS query_id,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(round(CAST(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS recall_at_5
+         |FROM q LEFT JOIN h ON q.id = h.query_id""".stripMargin,
+
+    // Residual chain in SQL: L2 cell assignment → residual lists
+    // (double-exact float subtract) → sliced residual subvectors →
+    // seed/trained residual codebooks (the keyed fixed-point Lloyd
+    // CTE) → codes WITH cell → per-probed-cell query residual LUT →
+    // ADC join on (cell, sub, code) → rank → recall vs exact truth.
+    "q121_ivfpq_residual" ->
+      s"""WITH subs AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS sub),
+         |c0 AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+         |       WHERE vec_id < 16),
+         |acell0 AS (SELECT id, vec, cell FROM (
+         |  SELECT e.vec_id AS id, e.embedding AS vec, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${sqdSql("e.embedding", "c.cvec")}, 6), c.cid)
+         |      AS rn
+         |  FROM embeddings e CROSS JOIN c0 c)
+         |  WHERE rn = 1),
+         |ivfc AS (SELECT cell AS cid, list(m ORDER BY pos) AS cvec FROM (
+         |  SELECT cell, pos,
+         |    CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS m FROM (
+         |    SELECT cell, pos, sum(xfp) AS s, count(*) AS n FROM (
+         |      SELECT cell, generate_subscripts(vec, 1) - 1 AS pos,
+         |        CAST(round(CAST(unnest(vec) AS DOUBLE) * 1e6) AS BIGINT)
+         |          AS xfp
+         |      FROM acell0)
+         |    GROUP BY 1, 2))
+         |  GROUP BY 1),
+         |acell AS (SELECT id, cell FROM (
+         |  SELECT e.vec_id AS id, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${sqdSql("e.embedding", "c.cvec")}, 6), c.cid)
+         |      AS rn
+         |  FROM embeddings e CROSS JOIN ivfc c)
+         |  WHERE rn = 1),
+         |r AS (SELECT a.id, a.cell,
+         |    list_transform(list_zip(e.embedding, c.cvec),
+         |      p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS vec
+         |  FROM acell a JOIN embeddings e ON a.id = e.vec_id
+         |  JOIN ivfc c ON a.cell = c.cid),
+         |sv AS (SELECT r.id, s.sub,
+         |    r.vec[CAST(s.sub * 8 + 1 AS INT):CAST((s.sub + 1) * 8 AS INT)]
+         |      AS svec
+         |  FROM r CROSS JOIN subs s),
+         |cb0 AS (SELECT sub, id - 16 AS cid, svec AS cvec FROM sv
+         |        WHERE id >= 16 AND id < 32),
+         |a0 AS (SELECT id, sub, svec, code FROM (
+         |  SELECT v.id, v.sub, v.svec, c.cid AS code,
+         |    row_number() OVER (PARTITION BY v.id, v.sub
+         |      ORDER BY round(${sqdSql("v.svec", "c.cvec")}, 6), c.cid) AS rn
+         |  FROM sv v JOIN cb0 c ON v.sub = c.sub)
+         |  WHERE rn = 1),
+         |cb1 AS (SELECT sub, code AS cid, list(m ORDER BY pos) AS cvec FROM (
+         |  SELECT sub, code, pos,
+         |    CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS m FROM (
+         |    SELECT sub, code, pos, sum(xfp) AS s, count(*) AS n FROM (
+         |      SELECT sub, code, generate_subscripts(svec, 1) - 1 AS pos,
+         |        CAST(round(CAST(unnest(svec) AS DOUBLE) * 1e6) AS BIGINT)
+         |          AS xfp
+         |      FROM a0)
+         |    GROUP BY 1, 2, 3))
+         |  GROUP BY 1, 2),
+         |codes AS (SELECT k.id, k.sub, k.code, a.cell FROM (
+         |  SELECT id, sub, code FROM (
+         |    SELECT v.id, v.sub, c.cid AS code,
+         |      row_number() OVER (PARTITION BY v.id, v.sub
+         |        ORDER BY round(${sqdSql("v.svec", "c.cvec")}, 6), c.cid) AS rn
+         |    FROM sv v JOIN cb1 c ON v.sub = c.sub)
+         |    WHERE rn = 1) k
+         |  JOIN acell a ON k.id = a.id),
+         |q AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+         |      ORDER BY ${h60("CAST(vec_id AS VARCHAR)")}, vec_id
+         |      LIMIT 100),
+         |qc AS (SELECT qid, cell FROM (
+         |  SELECT q.id AS qid, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY q.id
+         |      ORDER BY round(${sqdSql("q.vec", "c.cvec")}, 6), c.cid) AS pr
+         |  FROM q CROSS JOIN ivfc c)
+         |  WHERE pr <= 2),
+         |qr AS (SELECT qc.qid, qc.cell,
+         |    list_transform(list_zip(q.vec, c.cvec),
+         |      p -> CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) AS vec
+         |  FROM qc JOIN q ON qc.qid = q.id
+         |  JOIN ivfc c ON qc.cell = c.cid),
+         |qsv AS (SELECT qr.qid, qr.cell, s.sub,
+         |    qr.vec[CAST(s.sub * 8 + 1 AS INT):CAST((s.sub + 1) * 8 AS INT)]
+         |      AS svec
+         |  FROM qr CROSS JOIN subs s),
+         |lut AS (SELECT v.qid, v.cell, v.sub, c.cid,
+         |    CAST(round(round(${sqdSql("v.svec", "c.cvec")}, 6) * 1e6) AS BIGINT)
+         |      AS dfp
+         |  FROM qsv v JOIN cb1 c ON v.sub = c.sub),
+         |ad AS (SELECT l.qid, k.id, sum(l.dfp) AS adist
+         |  FROM codes k JOIN lut l
+         |    ON k.cell = l.cell AND k.sub = l.sub AND k.code = l.cid
          |  WHERE l.qid != k.id
          |  GROUP BY 1, 2),
          |approx AS (SELECT qid, id FROM (

@@ -318,6 +318,33 @@ object Similarity {
           1).otherwise(0).as("is_outlier"))
   }
 
+  /** Per-cell exact fixed-point per-dim means — the Lloyd update step
+    * shared by the cosine and L2 assignment variants: components snap
+    * to ×10⁶ BEFORE the sum (order-free, bit-identical cross-engine);
+    * empty cells die.
+    */
+  private def cellMeans(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cell"), posexplode(col("vec")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(round(col("col").cast("double") * 1e6).cast("long")).as("s"),
+        count(lit(1)).as("n"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"),
+        (col("s").cast("double") / (col("n").cast("double") * 1e6))
+          .as("m")))).as("pm"))
+      .select(col("cell").as("cid"),
+        transform(col("pm"), x => x.getField("m")).as("cvec"))
+
+  /** One EUCLIDEAN Lloyd's iteration ([[kmeansStep]] with the L2
+    * assignment): each centroid moves to the per-dim mean of its
+    * L2-nearest members — the mean is exactly the within-cell
+    * variance minimizer, so this is the step that makes residual PQ
+    * residuals small. Same exact fixed-point arithmetic.
+    */
+  def kmeansStepL2(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    cellMeans(ivfAssignL2(vecs, centroids))
+
   /** One Lloyd's iteration: assign every vector to its nearest centroid,
     * then recompute each non-empty cell's centroid as the per-dimension
     * mean. The mean is an exact integer rational — components snap to
@@ -333,17 +360,7 @@ object Similarity {
     * only affects the scan.
     */
   def kmeansStep(vecs: DataFrame, centroids: DataFrame): DataFrame =
-    ivfAssign(vecs, centroids)
-      .select(col("cell"), posexplode(col("vec")))
-      .groupBy(col("cell"), col("pos"))
-      .agg(sum(round(col("col").cast("double") * 1e6).cast("long")).as("s"),
-        count(lit(1)).as("n"))
-      .groupBy(col("cell"))
-      .agg(array_sort(collect_list(struct(col("pos"),
-        (col("s").cast("double") / (col("n").cast("double") * 1e6))
-          .as("m")))).as("pm"))
-      .select(col("cell").as("cid"),
-        transform(col("pm"), x => x.getField("m")).as("cvec"))
+    cellMeans(ivfAssign(vecs, centroids))
 
   /** `iters` Lloyd's iterations from `init` (deterministic: seeding is
     * the caller's explicit init set, every step is exact fixed-point
@@ -488,13 +505,20 @@ object Similarity {
   }
 
   /** Deterministic PQ seed codebook: the subvectors of the `ksub`
-    * smallest-id vectors, per subspace — (sub, cid, cvec) with cid the
-    * source id (same convention as q110's id<k centroid seed; k-means++
-    * style seeding would go here, the training step is seed-agnostic).
+    * vectors with ids in [seedFrom, seedFrom + ksub), per subspace —
+    * (sub, cid, cvec) with cid = id − seedFrom (same convention as
+    * q110's id<k centroid seed; k-means++ seeding would go here, the
+    * training step is seed-agnostic). `seedFrom` matters when seeding
+    * from RESIDUALS: the coarse centroids' own residuals are zero
+    * vectors, so a residual codebook must seed past the centroid ids
+    * or every codeword collapses to the same point.
     */
-  def pqSeedCodebook(vecs: DataFrame, m: Int, ksub: Int): DataFrame =
-    subVectors(vecs.filter(col("id") < ksub), m)
-      .select(col("sub"), col("id").as("cid"), col("svec").as("cvec"))
+  def pqSeedCodebook(vecs: DataFrame, m: Int, ksub: Int,
+                     seedFrom: Long = 0L): DataFrame =
+    subVectors(vecs.filter(col("id") >= seedFrom &&
+        col("id") < seedFrom + ksub), m)
+      .select(col("sub"), (col("id") - seedFrom).as("cid"),
+        col("svec").as("cvec"))
 
   /** Assign every subvector to its nearest codeword WITHIN its subspace
     * (deterministic argmin: squared L2 rounded to 6, then codeword id).
@@ -636,6 +660,81 @@ object Similarity {
       .join(broadcast(lut),
         col("qid") === col("lqid") &&
           codes("sub") === lut("sub") && codes("code") === lut("cid"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("dfp")).as("adist_fp"))
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
+        col("adist_fp"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "adist_fp")
+  }
+
+  /** RESIDUAL IVF-PQ search — the canonical form: PQ quantizes the
+    * residual `vec − centroid(cell)` instead of the raw vector, so the
+    * codebook spends its codewords on the (much smaller) within-cell
+    * spread — recall at equal bits is strictly better in practice.
+    * Everything is trained in-engine and exact:
+    *
+    *  1. coarse-assign the corpus ([[ivfAssignL2]], broadcast
+    *     centroids) and form residuals (double-exact float subtract);
+    *  2. train per-subspace residual codebooks (seed = lowest-id
+    *     residual subvectors, one keyed fixed-point Lloyd step —
+    *     [[pqTrainStep]]);
+    *  3. encode every corpus residual (m codes) — codes carry their
+    *     cell;
+    *  4. each query probes `nprobe` nearest cells, forms a PER-CELL
+    *     query residual, and builds the (cell, sub, codeword) distance
+    *     LUT (fixed-point ×10⁶ BIGINT entries);
+    *  5. the ADC join on (cell, sub, code) implicitly restricts
+    *     candidates to probed cells — no separate candidate join; each
+    *     matched (query, neighbor) sums exactly m order-free terms.
+    *
+    * Ranking is deterministic (adist_fp asc, neighbor id). LUT size is
+    * |queries|·nprobe·m·ksub rows — bounded-query contract as always.
+    */
+  def ivfPqSearchResidual(queries: DataFrame, corpus: DataFrame,
+                          centroids: DataFrame, m: Int, ksub: Int,
+                          k: Int, nprobe: Int = 1,
+                          seedFrom: Long = 0L): DataFrame = {
+    val assigned = ivfAssignL2(corpus, centroids)
+    val resid = assigned.join(broadcast(centroids),
+        col("cell") === col("cid"))
+      .select(col("id"), col("cell"),
+        zip_with(col("vec"), col("cvec"),
+          (x, y) => x.cast("double") - y.cast("double")).as("vec"))
+    // seedFrom must skip the CENTROID id range: the centroids' own
+    // residuals are zero vectors — seeding on them collapses every
+    // codeword onto the origin and the trained codebook with it
+    // (measured: recall 0.052 vs 0.134 non-residual before the skip)
+    val sv = subVectors(resid.select(col("id"), col("vec")), m)
+    val cbr = pqTrainStep(sv,
+      pqSeedCodebook(resid.select(col("id"), col("vec")), m, ksub,
+        seedFrom))
+    val codes = pqAssign(sv, cbr)
+      .select(col("id"), col("sub"), col("code"))
+      .join(resid.select(col("id"), col("cell")), Seq("id"))
+    val probeResid = ivfProbeCellsL2(queries, centroids, nprobe)
+      .join(broadcast(centroids), col("cell") === col("cid"))
+      .select(col("qid"), col("cell"),
+        zip_with(col("qv"), col("cvec"),
+          (x, y) => x.cast("double") - y.cast("double")).as("qr"))
+    val dlen = (size(col("qr")) / m).cast("int")
+    val lut = probeResid
+      .select(col("qid"), col("cell"),
+        posexplode(transform(sequence(lit(0), lit(m - 1)),
+          j => slice(col("qr"), j * dlen + 1, dlen))))
+      .select(col("qid"), col("cell"), col("pos").cast("int").as("sub"),
+        col("col").as("svec"))
+      .join(cbr, Seq("sub"))
+      .select(col("qid"), col("cell").as("lcell"), col("sub"), col("cid"),
+        round(round(sqDist(col("svec"), col("cvec")), 6) * 1e6)
+          .cast("long").as("dfp"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist_fp"), col("neighbor_id"))
+    codes.join(broadcast(lut),
+        codes("cell") === lut("lcell") && codes("sub") === lut("sub") &&
+          codes("code") === lut("cid"))
+      .filter(col("qid") =!= col("id"))
       .groupBy(col("qid"), col("id"))
       .agg(sum(col("dfp")).as("adist_fp"))
       .select(col("qid").as("query_id"), col("id").as("neighbor_id"),

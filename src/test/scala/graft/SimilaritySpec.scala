@@ -238,6 +238,22 @@ class SimilaritySpec extends SparkSpec {
     assert((0L until 30L).forall(r(_) == 0)) // the cluster is clean
   }
 
+  test("kmeansStepL2 lowers total within-cell squared distance") {
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 60L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("id", "vec")
+    val c0 = vecs.filter($"id" < 4)
+      .select($"id".as("cid"), $"vec".as("cvec"))
+    val c1 = Similarity.kmeansStepL2(vecs, c0)
+    def obj(c: org.apache.spark.sql.DataFrame): Double =
+      Similarity.ivfAssignL2(vecs, c)
+        .join(broadcast(c), $"cell" === $"cid")
+        .agg(sum(Similarity.sqDist($"vec", $"cvec"))).as[Double].head()
+    // the mean is the L2 variance minimizer: one Lloyd step can only
+    // shrink the objective under re-assignment
+    assert(obj(c1) <= obj(c0) + 1e-9)
+  }
+
   test("incremental cosine near-dup ≡ batch minus old-only pairs") {
     val rnd = new scala.util.Random(23)
     val old = (0L until 30L).map(i =>
