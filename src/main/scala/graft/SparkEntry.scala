@@ -1131,6 +1131,34 @@ object SparkEntry {
       Multimodal.wavFrameFeaturesBatched(media, 16).toDF()
     }),
 
+    // Multimodal: VIDEO frame-sampling — each doc's text paints a
+    // 4-frame 7×4 "video" (an MBMP container: length-prefixed real BMP
+    // frames, MJPEG's shape), and the sampler walks the container,
+    // pixel-decodes ONLY every 2nd frame (frames 0 and 2 — un-sampled
+    // frames are never parsed), and emits the decoded features per
+    // sampled frame. Frame f's pixels derive from the text with an
+    // f-offset, so a sampler that miscounts offsets, strides, or
+    // decodes the wrong frame hash-fails.
+    "q122_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
+        .as[(Long, String)]
+      val media = docs.map { case (id, text) =>
+        val frames = (0 until 4).map { f =>
+          val pixels = Array.tabulate(28) { i =>
+            val cp = text.charAt(i).toInt
+            (((cp + f) % 256) << 16) | (((cp * 7 + f) % 256) << 8) |
+              ((cp * 13 + f) % 256)
+          }
+          Multimodal.bmpBytes(7, 4, pixels)
+        }
+        (id, Multimodal.mbmpBytes(frames))
+      }
+      Multimodal.videoFrameSampleBatched(media, 2).toDF()
+    }),
+
     // Text: adjacent-bigram PMI collocations — the phrase-mining pass;
     // bigram extraction is zero-shuffle, the (a,b) aggregate is the
     // only corpus-sized exchange, unigrams ride back broadcast.
@@ -2923,6 +2951,23 @@ object SparkEntry {
         |  CAST(list_sum(ch) AS BIGINT) AS checksum,
         |  CAST(r0 AS INT) AS first_byte
         |FROM s""".stripMargin,
+
+    // Recomputes the SAMPLED frames' decoded features from the
+    // construction arithmetic: frames {0, 2} of 4 at stride 2; frame
+    // f's checksum = Σ_i ((cp+f)%256 + (cp·7+f)%256 + (cp·13+f)%256),
+    // first_byte = (cp_1+f)%256 — per (doc, frame) row.
+    "q122_video_frames" ->
+      """WITH f AS (SELECT doc_id, text,
+        |    CAST(unnest([0, 2]) AS INT) AS frame FROM documents)
+        |SELECT doc_id, frame,
+        |  CAST(list_sum(list_transform(range(1, 29), i ->
+        |    ((unicode(substr(text, CAST(i AS INT), 1)) + frame) % 256)
+        |    + ((unicode(substr(text, CAST(i AS INT), 1)) * 7 + frame) % 256)
+        |    + ((unicode(substr(text, CAST(i AS INT), 1)) * 13 + frame) % 256)))
+        |    AS BIGINT) AS checksum,
+        |  CAST((unicode(substr(text, 1, 1)) + frame) % 256 AS INT)
+        |    AS first_byte
+        |FROM f""".stripMargin,
 
     // Recomputes the RESIZED pixel features from the construction
     // arithmetic plus the nearest-neighbor index map: output (x,y) of

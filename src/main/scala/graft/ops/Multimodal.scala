@@ -353,6 +353,86 @@ object Multimodal {
     }
   }
 
+  /** Length-prefixed frame-sequence container ("MBMP"): 4-byte magic +
+    * u32 frame count + per frame (u32 length + payload bytes) — the
+    * video stand-in (MJPEG's shape: an indexable sequence of
+    * independently-decodable frames). Little-endian throughout.
+    */
+  def mbmpBytes(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val total = 8 + frames.map(4 + _.length).sum
+    val bb = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("MBMP".getBytes("US-ASCII")).putInt(frames.length)
+    frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+    bb.array()
+  }
+
+  /** Walk an MBMP container into its frame payloads. None on anything
+    * malformed (bad magic, truncated frame, count mismatch) — callers
+    * fall back, per the decoder convention.
+    */
+  def parseMbmp(bytes: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    if (bytes.length < 8 ||
+        new String(bytes, 0, 4, "US-ASCII") != "MBMP") return None
+    def u32(o: Int): Long = (bytes(o) & 0xffL) | ((bytes(o + 1) & 0xffL) << 8) |
+      ((bytes(o + 2) & 0xffL) << 16) | ((bytes(o + 3) & 0xffL) << 24)
+    val n = u32(4)
+    if (n > Int.MaxValue) return None
+    val out = Seq.newBuilder[Array[Byte]]
+    var off = 8
+    var i = 0L
+    while (i < n) {
+      if (off + 4 > bytes.length) return None
+      val len = u32(off)
+      if (len > Int.MaxValue || off + 4 + len > bytes.length) return None
+      out += java.util.Arrays.copyOfRange(bytes, off + 4, off + 4 + len.toInt)
+      off = off + 4 + len.toInt
+      i += 1
+    }
+    if (off != bytes.length) return None
+    Some(out.result())
+  }
+
+  /** VIDEO frame-sampling stage: walk the MBMP container, decode every
+    * `stride`-th frame through the real BMP parser, emit one feature
+    * row per SAMPLED frame (checksum = Σ(r+g+b) of the decoded pixels,
+    * first_byte = top-left red — [[FormatDecoder]]'s image features).
+    * Container walk + frame decode + feature fold fuse in one
+    * mapPartitions; the (typically large) payload never shuffles and
+    * un-sampled frames are never pixel-decoded — the frame-sample
+    * economics a 100 TB video pipeline depends on. Malformed
+    * containers, and frames that fail the BMP parse, emit nothing.
+    */
+  def videoFrameSampleBatched(media: Dataset[(Long, Array[Byte])],
+                              stride: Int,
+                              batchSize: Int = 64): Dataset[SampledFrame] = {
+    require(stride > 0, "stride must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.flatMap { case (id, bytes) =>
+        parseMbmp(bytes).iterator.flatMap { frames =>
+          frames.iterator.zipWithIndex
+            .filter { case (_, f) => f % stride == 0 }
+            .flatMap { case (payload, f) =>
+              parseBmp(payload).map { b =>
+                val checksum = b.pixels.foldLeft(0L)((a, p) =>
+                  a + ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff))
+                val first =
+                  if (b.pixels.nonEmpty) (b.pixels(0) >> 16) & 0xff else -1
+                SampledFrame(id, f, checksum, first)
+              }
+            }
+        }
+      })
+    }
+  }
+
+  /** One sampled, decoded video frame: the image features of
+    * [[FormatDecoder]] at a frame index.
+    */
+  final case class SampledFrame(doc_id: Long, frame: Int,
+                                checksum: Long, first_byte: Int)
+
   /** The DEFAULT decoder: per-payload magic-number sniffing. A payload
     * that parses as RIFF/WAVE PCM16 is REALLY decoded — checksum is the
     * sum of the decoded sample VALUES (signed) and first_byte the first

@@ -194,6 +194,42 @@ class MultimodalSpec extends SparkSpec {
     assert(fr(1).zero_cross == 2 && fr(1).energy == 14L)
   }
 
+  test("mbmpBytes → parseMbmp round-trips every frame; malformed rejected") {
+    val f1 = Array[Byte](1, 2, 3)
+    val f2 = Array[Byte]() // empty frame is legal
+    val f3 = "frame".getBytes("UTF-8")
+    val c = Multimodal.mbmpBytes(Seq(f1, f2, f3))
+    val r = Multimodal.parseMbmp(c)
+    assert(r.isDefined && r.get.size == 3)
+    assert(r.get(0).toSeq == f1.toSeq && r.get(1).isEmpty
+      && r.get(2).toSeq == f3.toSeq)
+    assert(Multimodal.parseMbmp("MBMPxxxx".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseMbmp(c.dropRight(1)).isEmpty) // truncated
+    assert(Multimodal.parseMbmp(c :+ 0.toByte).isEmpty) // trailing junk
+  }
+
+  test("videoFrameSampleBatched decodes only stride-matched frames") {
+    // 4 frames, 1×1 pixels with per-frame red channel; frame 1 is
+    // CORRUPT (not a BMP) but is never touched at stride 2
+    val frames = Seq(
+      Multimodal.bmpBytes(1, 1, Array(0x110000)),
+      "corrupt frame".getBytes("UTF-8"),
+      Multimodal.bmpBytes(1, 1, Array(0x330000)),
+      Multimodal.bmpBytes(1, 1, Array(0x440000)))
+    val media = Seq((7L, Multimodal.mbmpBytes(frames)),
+      (8L, "not a container".getBytes("UTF-8"))).toDS().repartition(1)
+    val out = Multimodal.videoFrameSampleBatched(media, 2)
+      .collect().sortBy(_.frame)
+    assert(out.map(f => (f.doc_id, f.frame, f.checksum, f.first_byte)).toSeq
+      == Seq((7L, 0, 0x11L, 0x11), (7L, 2, 0x33L, 0x33)))
+    // a corrupt SAMPLED frame emits nothing but doesn't kill the doc
+    val media2 = Seq((9L, Multimodal.mbmpBytes(
+      Seq("bad".getBytes("UTF-8"), frames(3))))).toDS().repartition(1)
+    val out2 = Multimodal.videoFrameSampleBatched(media2, 1)
+      .collect().sortBy(_.frame)
+    assert(out2.map(f => (f.frame, f.first_byte)).toSeq == Seq((1, 0x44)))
+  }
+
   test("decoder seam: swapping the codec changes output ONLY through the trait") {
     // a second "golden" decoder standing in for a real codec: same
     // contract, recognizably different features
