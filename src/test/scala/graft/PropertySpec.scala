@@ -310,4 +310,30 @@ class PropertySpec extends SparkSpec {
       assert(b.get.pixels.toSeq == px.toSeq)
     }
   }
+
+  test("property: MBMP container round-trips any frame sequence; " +
+      "resize preserves exact source pixels") {
+    import graft.ops.Multimodal
+    val framesGen = Gen.choose(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 40).flatMap(len =>
+        Gen.listOfN(len, Gen.choose(-128, 127).map(_.toByte)))))
+    for (frames <- samples(framesGen, 20)) {
+      val arrs = frames.map(_.toArray)
+      val r = Multimodal.parseMbmp(Multimodal.mbmpBytes(arrs))
+      assert(r.isDefined && r.get.size == arrs.size)
+      assert(r.get.zip(arrs).forall { case (a, b) => a.toSeq == b.toSeq })
+    }
+    // nearest-neighbor resize: every output pixel IS some source pixel
+    // at the floor-mapped index — checked against an independent map
+    val rzGen = for {
+      w <- Gen.choose(1, 8); h <- Gen.choose(1, 8)
+      ow <- Gen.choose(1, 8); oh <- Gen.choose(1, 8)
+      px <- Gen.listOfN(w * h, Gen.choose(0, 0xffffff))
+    } yield (w, h, ow, oh, px.toArray)
+    for ((w, h, ow, oh, px) <- samples(rzGen, 30)) {
+      val r = Multimodal.resizeNearest(Multimodal.BmpPixels(w, h, px), ow, oh)
+      for (y <- 0 until oh; x <- 0 until ow)
+        assert(r.pixels(y * ow + x) == px((y * h / oh) * w + (x * w / ow)))
+    }
+  }
 }
