@@ -241,10 +241,17 @@ object Multimodal {
     if (width <= 0 || heightRaw == 0) return None
     val bottomUp = heightRaw > 0
     val height = math.abs(heightRaw)
-    val rowLen = width * 3
-    val stride = rowLen + (4 - rowLen % 4) % 4
-    if (dataOff < 54 || dataOff.toLong + stride.toLong * height > bytes.length)
+    // stride/pixel-count in LONG arithmetic: width near Int.MaxValue/3
+    // overflows width*3 to a negative stride that slips past the bounds
+    // guard and crashes pixel indexing — the contract is None, not throw
+    val rowLenL = width.toLong * 3L
+    val strideL = rowLenL + (4L - rowLenL % 4L) % 4L
+    if (dataOff < 54 || dataOff.toLong + strideL * height > bytes.length)
       return None
+    // implied by the guard (3·W·H ≤ stride·H ≤ payload ≤ Int.MaxValue),
+    // made explicit so the allocation below can never overflow
+    if (width.toLong * height > Int.MaxValue) return None
+    val stride = strideL.toInt
     val pixels = new Array[Int](width * height)
     var y = 0
     while (y < height) {

@@ -174,10 +174,17 @@ object Similarity {
     *
     * New×new pairs emit once (id_new < id_match); new×old pairs emit
     * as (new, old) regardless of id order. Id spaces must be disjoint.
+    *
+    * Both packed sides persist internally (each is read by Bn·Ba
+    * block-pair tasks); `registerCache` receives them so a long-lived
+    * caller (a streaming loop) can unpersist once the result is
+    * consumed — the jaccardPairsIncremental contract.
     */
   def cosineNearDupPairsIncremental(oldVecs: DataFrame, newVecs: DataFrame,
                                     threshold: Double,
-                                    blocks: Int = 16): DataFrame = {
+                                    blocks: Int = 16,
+                                    registerCache: DataFrame => Unit = _ => ())
+      : DataFrame = {
     val spark = oldVecs.sparkSession
     import spark.implicits._
     val margin = threshold - 1e-7
@@ -203,7 +210,9 @@ object Similarity {
     // both packed sides are read by every opposing block: persist
     // (divergent consumers across Bn·Ba tasks, the q28-index rationale)
     val np = packBlocks(newVecs, blocks).persist()
+    registerCache(np)
     val ap = flagged.persist()
+    registerCache(ap)
     val pairs = np.as("x").crossJoin(ap.as("y"))
       .select(col("x.ids").as("xids"), col("x.vs").as("xvs"),
         col("x.ns").as("xns"), col("y.ids").as("yids"),
@@ -496,7 +505,13 @@ object Similarity {
     */
   def subVectors(vecs: DataFrame, m: Int): DataFrame = {
     require(m >= 1, "m must be >= 1")
-    val dlen = (size(col("vec")) / m).cast("int")
+    // enforced, not assumed: integer division would silently drop the
+    // trailing dims of a ragged vector from every downstream distance
+    val sz = size(col("vec"))
+    val dlen = when(sz % m === 0, (sz / m).cast("int"))
+      .otherwise(raise_error(concat(
+        lit(s"subVectors: vector length not divisible by m=$m, got "),
+        sz.cast("string"))).cast("int"))
     vecs.select(col("id"),
         posexplode(transform(sequence(lit(0), lit(m - 1)),
           j => slice(col("vec"), j * dlen + 1, dlen))))

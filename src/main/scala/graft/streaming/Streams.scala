@@ -546,12 +546,22 @@ object Streams {
             case None => freshPostings.limit(0)
           }
           // candidates: fresh postings probe stored ∪ earlier-fresh
-          // (old×old never pairs — the incremental asymmetry)
+          // (old×old never pairs — the incremental asymmetry). A fresh
+          // doc pairs with a STORED near-dup regardless of id order
+          // (ids are opaque; history always wins) — the id-order
+          // constraint applies only WITHIN the increment, where it
+          // fixes keep-first semantics and halves new×new pairs. The
+          // self-pair exclusion keeps replays convergent: a re-played
+          // committed doc finds its own postings at jaccard 1.0 and
+          // must survive again (the keyed merge dedups), not drop.
           val cands = freshPostings.as("a")
-            .join(stored.as("b").unionByName(freshPostings.as("b")),
+            .join(stored.withColumn("is_new", lit(false)).as("b")
+                .unionByName(
+                  freshPostings.withColumn("is_new", lit(true)).as("b")),
               col("a.band") === col("b.band") &&
                 col("a.bucket") === col("b.bucket") &&
-                col("a.doc_id") > col("b.doc_id"))
+                col("a.doc_id") =!= col("b.doc_id") &&
+                (!col("b.is_new") || col("a.doc_id") > col("b.doc_id")))
             .select(col("a.doc_id").as("doc_id"),
               col("b.doc_id").as("id_match"))
             .distinct()
@@ -685,10 +695,16 @@ object Streams {
             case None => fresh.select(col("doc_id"), col("cell")).limit(0)
           }
           val freshCells = fresh.select(col("doc_id"), col("cell"))
+          // fresh×stored pairs unconditionally (history wins whatever
+          // the id order); id-order only within the increment; self-
+          // pairs excluded so replays converge — see lshDedupStream
           val candsP = freshCells.as("a")
-            .join(storedCells.as("b").unionByName(freshCells.as("b")),
+            .join(storedCells.withColumn("is_new", lit(false)).as("b")
+                .unionByName(
+                  freshCells.withColumn("is_new", lit(true)).as("b")),
               col("a.cell") === col("b.cell") &&
-                col("a.doc_id") > col("b.doc_id"))
+                col("a.doc_id") =!= col("b.doc_id") &&
+                (!col("b.is_new") || col("a.doc_id") > col("b.doc_id")))
             .select(col("a.doc_id").as("doc_id"),
               col("b.doc_id").as("id_match"))
             .distinct().persist()

@@ -122,6 +122,25 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.parseBmp(rle).isEmpty)
   }
 
+  test("parseBmp returns None (not a crash) on overflow-crafted dimensions") {
+    def putI32(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = (v & 0xff).toByte; b(o + 1) = ((v >> 8) & 0xff).toByte
+      b(o + 2) = ((v >> 16) & 0xff).toByte; b(o + 3) = ((v >> 24) & 0xff).toByte
+    }
+    val good = Multimodal.bmpBytes(3, 2, Array.fill(6)(0x123456))
+    // width near Int.MaxValue/3: width*3 overflows Int to a negative
+    // stride, which slipped past the old bounds guard
+    val wide = good.clone(); putI32(wide, 18, Int.MaxValue / 3 + 1)
+    assert(Multimodal.parseBmp(wide).isEmpty)
+    // width*height overflows Int while each row alone looks plausible
+    val tall = good.clone()
+    putI32(tall, 18, 0x10000); putI32(tall, 22, 0x10000)
+    assert(Multimodal.parseBmp(tall).isEmpty)
+    // negative data offset
+    val negOff = good.clone(); putI32(negOff, 10, -8)
+    assert(Multimodal.parseBmp(negOff).isEmpty)
+  }
+
   test("FormatDecoder decodes BMP pixel features (pads excluded, rows unflipped)") {
     // 0x010203 + 0x0A0B0C: checksum = 1+2+3+10+11+12 = 39; the pad
     // bytes (width 1 → 1 zero pad byte per row... width 1 row = 3

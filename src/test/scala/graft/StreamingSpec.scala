@@ -435,6 +435,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dedup streams drop a new doc whose id is SMALLER than its stored near-dup") {
+    // ids are opaque: a multi-source or hash-derived id stream delivers
+    // them in arbitrary order. History must win regardless — the
+    // id-order constraint applies only within an increment.
+    import graft.sources.Snapshot
+    withTempDir { dir =>
+      val a = "the quick brown fox jumps over the lazy dog again and again"
+      // LSH path: batch 1 commits id 10; batch 2's id 5 is an exact dup
+      val in1 = dir.getAbsolutePath + "/l1"
+      val in2 = dir.getAbsolutePath + "/l2"
+      val table = dir.getAbsolutePath + "/lcorpus"
+      val index = dir.getAbsolutePath + "/lindex"
+      Seq((10L, a), (20L, "completely different content with nothing shared at all"))
+        .toDF("doc_id", "text").write.parquet(in1)
+      val schema = spark.read.parquet(in1).schema
+      Streams.lshDedupStream(spark.readStream.schema(schema).parquet(in1),
+        table, index, dir.getAbsolutePath + "/lck1", 0.5)
+      Seq((5L, a)).toDF("doc_id", "text").write.parquet(in2)
+      Streams.lshDedupStream(spark.readStream.schema(schema).parquet(in2),
+        table, index, dir.getAbsolutePath + "/lck2", 0.5)
+      assert(Snapshot.read(spark, table)
+        .select($"doc_id").as[Long].collect().toSet == Set(10L, 20L))
+      // ANN path: same shape over embeddings
+      val va = Seq(1f, 0f, 0f, 0f)
+      val vb = Seq(0f, 1f, 0f, 0f)
+      val ain1 = dir.getAbsolutePath + "/a1"
+      val ain2 = dir.getAbsolutePath + "/a2"
+      val atable = dir.getAbsolutePath + "/acorpus"
+      val model = dir.getAbsolutePath + "/amodel"
+      Seq((10L, va), (20L, vb)).toDF("doc_id", "vec").write.parquet(ain1)
+      val aschema = spark.read.parquet(ain1).schema
+      Streams.annDedupStream(spark.readStream.schema(aschema).parquet(ain1),
+        atable, model, dir.getAbsolutePath + "/ack1", 0.99, centroidsK = 2)
+      Seq((5L, va)).toDF("doc_id", "vec").write.parquet(ain2)
+      Streams.annDedupStream(spark.readStream.schema(aschema).parquet(ain2),
+        atable, model, dir.getAbsolutePath + "/ack2", 0.99, centroidsK = 2)
+      assert(Snapshot.read(spark, atable)
+        .select($"doc_id").as[Long].collect().toSet == Set(10L, 20L))
+    }
+  }
+
   test("erStream grows the entity snapshot; variants resolve, replays don't duplicate") {
     withTempDir { dir =>
       val in1 = dir.getAbsolutePath + "/in1"
