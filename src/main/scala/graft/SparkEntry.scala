@@ -928,12 +928,17 @@ object SparkEntry {
         .orderBy(col("h"), col("id")).limit(100)
         .select(col("id"), col("vec"))
       val truth = Similarity.bruteForceTopKL2(qs, e, 5)
-      val hits = Seq(2, 4).map { np =>
-        val approx = Similarity.ivfPqSearch(qs, e, ivfC, cb1, 8, 5, np)
-        truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
-          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
-          .withColumn("nprobe", lit(np))
-      }.reduce(_.unionByName(_))
+      // BOTH tiers from one assign/encode/ADC pass (candidate nesting:
+      // tier np = probe-rank ≤ np) — the per-tier loop recomputed the
+      // heavy subtrees once per tier and measured 4× the single-tier
+      // q117 on the same kernels
+      val approx = Similarity.ivfPqSearchTiered(qs, e, ivfC, cb1, 8, 5,
+        Seq(2, 4))
+      val hits = approx
+        .join(truth.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id"), col("nprobe"))
+        .agg(count(lit(1)).as("n_hit"))
       qs.select(col("id").as("query_id"))
         .withColumn("nprobe", explode(array(lit(2), lit(4))))
         .join(hits, Seq("query_id", "nprobe"), "left")

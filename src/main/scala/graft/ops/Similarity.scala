@@ -684,6 +684,57 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "adist_fp")
   }
 
+  /** [[ivfPqSearch]] at SEVERAL nprobe tiers in ONE pass — the recall-
+    * sweep shape (every IVF evaluation wants recall at 2–4 tiers). A
+    * naive per-tier loop rebuilds assign + encode + LUT + ADC once per
+    * tier; but candidate sets NEST as nprobe grows, so one ADC pass at
+    * max(nprobes) carrying each candidate's probe rank `pr` (the rank
+    * of its cell among the query's nearest) contains every tier: tier
+    * np is exactly the candidates with pr ≤ np, filtered BEFORE the
+    * per-tier ranking. One assign, one encode, one LUT, one ADC
+    * aggregate in the plan regardless of tier count; the tier fan-out
+    * (explode × |nprobes|) happens on the already-collapsed
+    * (query, neighbor) rows. Per tier, results are bit-identical to
+    * [[ivfPqSearch]] at that nprobe (spec-pinned).
+    *
+    * Output adds an `nprobe` column; same contract otherwise.
+    */
+  def ivfPqSearchTiered(queries: DataFrame, corpus: DataFrame,
+                        centroids: DataFrame, codebook: DataFrame,
+                        m: Int, k: Int, nprobes: Seq[Int]): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(_ >= 1),
+      "nprobes must be non-empty positive")
+    val assigned = ivfAssignL2(corpus, centroids).select(col("id"), col("cell"))
+    val codes = pqEncode(corpus, codebook, m)
+    val lut = subVectors(queries, m)
+      .select(col("id").as("lqid"), col("sub"), col("svec"))
+      .join(codebook, Seq("sub"))
+      .select(col("lqid"), col("sub"), col("cid"),
+        round(round(sqDist(col("svec"), col("cvec")), 6) * 1e6)
+          .cast("long").as("dfp"))
+    val cand = ivfProbeCellsL2(queries, centroids, nprobes.max)
+      .select(col("qid"), col("cell"), col("pr"))
+      .join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+    val w = Window.partitionBy(col("query_id"), col("nprobe"))
+      .orderBy(col("adist_fp"), col("neighbor_id"))
+    cand.join(codes, Seq("id"))
+      .join(broadcast(lut),
+        col("qid") === col("lqid") &&
+          codes("sub") === lut("sub") && codes("code") === lut("cid"))
+      .groupBy(col("qid"), col("id"))
+      // pr is functionally determined by (qid, id) — one cell per
+      // corpus id, one rank per (query, cell); min is just the safe agg
+      .agg(sum(col("dfp")).as("adist_fp"), min(col("pr")).as("pr"))
+      .withColumn("nprobe", explode(array(nprobes.map(n => lit(n)): _*)))
+      .filter(col("pr") <= col("nprobe"))
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
+        col("nprobe"), col("adist_fp"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "nprobe", "rank", "adist_fp")
+  }
+
   /** RESIDUAL IVF-PQ search — the canonical form: PQ quantizes the
     * residual `vec − centroid(cell)` instead of the raw vector, so the
     * codebook spends its codewords on the (much smaller) within-cell

@@ -242,6 +242,29 @@ class PhysicalPlanSpec extends SparkSpec {
     assert(p.contains("cell"), p)
     assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size >= 2,
       s"cell/codebook equi-joins expected:\n$p")
+    // BOTH nprobe tiers ride ONE assign + ONE ADC pass (tier = probe-
+    // rank filter on already-aggregated rows): exactly one coarse-
+    // assign min_by (the struct(cd…) argmin) and one ADC sum(dfp) may
+    // appear — a per-tier loop duplicates both (measured 4× the bench
+    // cost of the single-tier q117 on the same kernels)
+    assert("partial_min_by\\([^)]*struct\\(cd,".r.findAllIn(p).size == 1,
+      s"exactly one coarse-assign subtree expected:\n$p")
+    assert("partial_sum\\(dfp".r.findAllIn(p).size == 1,
+      s"exactly one ADC aggregation expected:\n$p")
+  }
+
+  test("residual IVF-PQ: ADC is ONE broadcast equi-join on (cell, sub, code)") {
+    val p = plan("q121_ivfpq_residual")
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-cell LUT arrives broadcast and the join keys carry the
+    // cell: probed-cell candidate restriction is IMPLICIT in this one
+    // join — no separate candidate join exists, and dropping the
+    // broadcast hint would degrade it to a sort-merge join on a
+    // corpus-sized stream (this regex would then fail)
+    val adc = ("(?s)BroadcastHashJoin\\s*\\n" +
+      "Left keys \\[3\\]: \\[cell#\\d+L, sub#\\d+, code#\\d+L\\]").r
+    assert(adc.findAllIn(p).size == 1,
+      s"exactly one broadcast (cell, sub, code) ADC join expected:\n$p")
   }
 
   test("whole-stage codegen covers the scan-project pipeline") {

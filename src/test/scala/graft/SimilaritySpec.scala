@@ -221,6 +221,27 @@ class SimilaritySpec extends SparkSpec {
     assert(rAll.except(full).count() == 0 && full.except(rAll).count() == 0)
   }
 
+  test("ivfPqSearchTiered tier np is bit-identical to ivfPqSearch at that nprobe") {
+    val rnd = new scala.util.Random(23)
+    val vecs = (0L until 60L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian().toFloat))).toDF("id", "vec")
+    val cents = vecs.filter($"id" < 5)
+      .select($"id".as("cid"), $"vec".as("cvec"))
+    val cb = Similarity.pqTrainStep(Similarity.subVectors(vecs, 2),
+      Similarity.pqSeedCodebook(vecs, 2, 6))
+    val qs = vecs.filter($"id" % 7 === 0)
+    val tiered = Similarity.ivfPqSearchTiered(qs, vecs, cents, cb, 2, 3,
+      Seq(1, 2, 4))
+    for (np <- Seq(1, 2, 4)) {
+      val tier = tiered.filter($"nprobe" === np)
+        .select("query_id", "neighbor_id", "rank", "adist_fp")
+      val direct = Similarity.ivfPqSearch(qs, vecs, cents, cb, 2, 3, np)
+        .select("query_id", "neighbor_id", "rank", "adist_fp")
+      assert(tier.except(direct).count() == 0 &&
+        direct.except(tier).count() == 0, s"tier $np diverged")
+    }
+  }
+
   test("cellOutliers fires on a planted stray, stays quiet on the tight cluster") {
     val rnd = new scala.util.Random(29)
     val base = Seq.fill(16)(rnd.nextGaussian().toFloat * 0.1f + 1f)
