@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** Host-speed calibration probe: a FIXED synthetic CPU-bound job —
+    * xxhash64 over a constant generated range (no I/O, no shuffle,
+    * constant rows, fixed 32-way parallelism regardless of the session
+    * master) summed to one value. Identical work every round, so its
+    * wall time measures the HOST, not the engine: round-over-round
+    * per-query deltas divide by the calib ratio to separate host drift
+    * from plan changes (round 7's +35% on the shared subset was
+    * unfalsifiable without this). Recorded as calib_s in bench.json.
+    */
+  def calibrate(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions.{sum, xxhash64, col, lit}
+    val t0 = System.nanoTime()
+    // each term bounded to ~1e9 so the 2^28-term sum stays far inside
+    // a long even under ANSI overflow checking
+    spark.range(0L, 1L << 28, 1L, 32)
+      .select(sum(xxhash64(col("id")) % lit(1000000007L))).collect(): Unit
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Times each query by executing its OWN physical plan. A query that
     * throws is recorded with its wall-time-to-failure AND returned in
     * the error set — a breaking query must never bench as a fast green
@@ -45,6 +64,10 @@ object Bench {
     // charged for one-time initialization (~4 s of JIT + classloading).
     try SparkEntry.queries("q14_summary_stats")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // calibration: one unrecorded run JITs the probe's own codegen,
+    // then min of two spaced measurements (the per-query policy)
+    calibrate(spark)
+    val calib = math.min(calibrate(spark), calibrate(spark))
     // Two full passes, per-query MIN: the host carries background load
     // spikes that randomly slow single queries 3-10x (documented in
     // NOTES); the min of two spaced measurements is far closer to the
@@ -80,7 +103,7 @@ object Bench {
     errors.foreach(n => System.err.println(
       s"[graft] ERROR: $n FAILED during bench — its recorded time is " +
         "time-to-failure, not query cost"))
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","runs":2,"agg":"min"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","runs":2,"agg":"min","calib_s":$calib}"""
     // Parse contract (4 rounds of "parsed": null taught us the hard way):
     //  - the forked child inherits sbt's real stdout (StdoutOutput), so the
     //    line lands unprefixed; build.sbt sets showSuccess := false, so sbt
@@ -101,7 +124,7 @@ object Bench {
           (full + "\n").getBytes("UTF-8"))
       } catch { case _: java.io.IOException => () }
     }
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"runs":2,"agg":"min","queries_file":"target/bench.json"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"runs":2,"agg":"min","calib_s":$calib,"queries_file":"target/bench.json"}"""
     println(summary)
     System.out.flush()
   }

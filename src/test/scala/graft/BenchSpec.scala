@@ -28,6 +28,15 @@ class BenchSpec extends SparkSpec {
     assert(times.values.forall(_ >= 0.0)) // time-to-failure still recorded
   }
 
+  test("calibration probe runs the fixed CPU-bound job and returns " +
+      "a positive wall time") {
+    // work content is pinned by construction (constant range, fixed
+    // slices); the only testable contracts are that it completes and
+    // reports elapsed wall time — never a timing bound (host noise)
+    val c = Bench.calibrate(spark)
+    assert(c > 0.0)
+  }
+
   test("a query whose plan fails at construction is also flagged") {
     val explodes: (SparkSession, String) => DataFrame =
       (_, _) => throw new IllegalStateException("bad query builder")
