@@ -110,6 +110,36 @@ object SparkEntry {
        |  q -> (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))
        |     * (CAST(q[1] AS DOUBLE) - CAST(q[2] AS DOUBLE))))""".stripMargin
 
+  /** DuckDB L2 corpus assignment CTE body under centroid CTE `cent`:
+    * rn=1 argmin by (rounded squared L2 asc, cid) over embeddings —
+    * Similarity.ivfAssignL2Scored parity, keeping the winning cd.
+    */
+  private def l2aSql(cent: String): String =
+    s"""SELECT id, vec, cell, cd FROM (
+       |  SELECT e.vec_id AS id, e.embedding AS vec, c.cid AS cell,
+       |    round(${sqdSql("e.embedding", "c.cvec")}, 6) AS cd,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(${sqdSql("e.embedding", "c.cvec")}, 6), c.cid)
+       |      AS rn
+       |  FROM embeddings e CROSS JOIN $cent c)
+       |  WHERE rn = 1""".stripMargin
+
+  /** DuckDB fixed-point per-dim cell means over assignment CTE
+    * `assign` (id, vec, cell) — the exact Lloyd update
+    * (Similarity.cellMeans parity: ×1e6 snap BEFORE the sum).
+    */
+  private def l2MeanSql(assign: String): String =
+    s"""SELECT cell AS cid, list(m ORDER BY pos) AS cvec FROM (
+       |  SELECT cell, pos,
+       |    CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * 1e6) AS m FROM (
+       |    SELECT cell, pos, sum(xfp) AS s, count(*) AS n FROM (
+       |      SELECT cell, generate_subscripts(vec, 1) - 1 AS pos,
+       |        CAST(round(CAST(unnest(vec) AS DOUBLE) * 1e6) AS BIGINT)
+       |          AS xfp
+       |      FROM $assign)
+       |    GROUP BY 1, 2))
+       |  GROUP BY 1""".stripMargin
+
   private val AnnPlanes = Similarity.planeComponents(8, 64)
 
   /** DuckDB LSH bucket with the identical plane literals. */
@@ -983,6 +1013,63 @@ object SparkEntry {
             .cast("decimal(20,10)"), 4).cast("double").as("recall_at_5"))
     }),
 
+    // Similarity: MULTI-ITERATION Euclidean k-means — per-cell
+    // occupancy and the ×1e6 fixed-point SSE objective under the seed
+    // (iter 0), after one Lloyd step (iter 1), and after three
+    // (iter 3). Lloyd guarantees the total SSE is non-increasing
+    // (assignment argmins, the mean minimizes within-cell SSE) — a
+    // spec pins it; the oracle unrolls the exact fixed-point steps.
+    // c3 continues FROM c1 (two more steps), so training cost is 3
+    // corpus aggregates, not 4.
+    "q124_kmeans_l2_train" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val c0 = e.filter(col("id") < 16)
+        .select(col("id").as("cid"), col("vec").as("cvec"))
+      val c1 = Similarity.kmeansTrainL2(e, c0, 1)
+      val c3 = Similarity.kmeansTrainL2(e, c1, 2)
+      Seq(0 -> c0, 1 -> c1, 3 -> c3).map { case (i, c) =>
+        Similarity.ivfCellStatsL2(e, c).withColumn("iter", lit(i))
+      }.reduce(_.unionByName(_))
+        .select(col("iter"), col("cell").as("cid"), col("n_members"),
+          col("sse_fp"))
+    }),
+
+    // Similarity: plain-IVF L2 recall under 1 vs 3 trained Lloyd
+    // steps — q112's trained-recall audit under the Euclidean metric
+    // (bruteForceTopKL2 truth on the fixed 100-query sample,
+    // ivfSearchL2 at nprobe=2 under each centroid set). Reports the
+    // recall a better-trained coarse tier buys; the SSE guarantee
+    // lives in q124, recall itself is measured, not promised.
+    "q125_ivf_l2_trained_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val c0 = e.filter(col("id") < 16)
+        .select(col("id").as("cid"), col("vec").as("cvec"))
+      val c1 = Similarity.kmeansTrainL2(e, c0, 1)
+      val c3 = Similarity.kmeansTrainL2(e, c1, 2)
+      val qs = e.select(col("id"), col("vec"),
+          Dedup.hashLong(col("id").cast("string")).as("h"))
+        .orderBy(col("h"), col("id")).limit(100)
+        .select(col("id"), col("vec"))
+      // no persist on truth: ReusedExchange shares the subtree across
+      // both centroid-set branches of this one plan (see q108)
+      val truth = Similarity.bruteForceTopKL2(qs, e, 5)
+      val hits = Seq(1 -> c1, 3 -> c3).map { case (tag, c) =>
+        val approx = Similarity.ivfSearchL2(qs, e, c, 5, nprobe = 2)
+        truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+          .withColumn("iters", lit(tag))
+      }.reduce(_.unionByName(_))
+      qs.select(col("id").as("query_id"))
+        .withColumn("iters", explode(array(lit(1), lit(3))))
+        .join(hits, Seq("query_id", "iters"), "left")
+        .select(col("query_id"), col("iters"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round((coalesce(col("n_hit"), lit(0L)).cast("double") / 5)
+            .cast("decimal(20,10)"), 4).cast("double").as("recall_at_5"))
+    }),
+
     // Similarity/Quality: embedding OUTLIER gate — vectors whose cell
     // affinity is > 2σ below their cell's mean (the "belongs nowhere"
     // rows a pipeline drops before training). The z-test runs on exact
@@ -1383,9 +1470,12 @@ object SparkEntry {
           .unionByName(pert), 0.9)
     }),
 
-    // Dedup: SEMANTIC dedup end-to-end — embedding-cosine near-dup
-    // pairs (q30's blocked exact kernel) → duplicate clusters → keep
-    // the min-id canonical per cluster. The oracle recomputes clusters
+    // Dedup: semantic dedup AUDIT variant — embedding-cosine near-dup
+    // pairs via q30's blocked EXACT kernel (intrinsically all-pairs;
+    // the ground-truth role) → duplicate clusters → keep the min-id
+    // canonical per cluster. The scale PIPELINE path is q123, which
+    // swaps in the IVF-cell-blocked candidate kernel and measures its
+    // recall against this exact truth. The oracle recomputes clusters
     // via recursive transitive closure (q67 pattern); the 1-row
     // aggregate fingerprints the surviving set.
     "q73_semantic_dedup" -> ((s, dir) => {
@@ -1400,6 +1490,37 @@ object SparkEntry {
       Dedup.dedupByClusters(all.select(col("id")), "id", pairs)
         .agg(count(lit(1)).as("n_kept"),
           sum(col("id")).cast("long").as("id_sum"))
+    }),
+
+    // Dedup: semantic dedup PIPELINE path — the ANN-blocked batch
+    // kernel (IVF multi-probe cells → same-cell candidate equi-join →
+    // exact cosine verify; Σ occupancy² work, no packed-block cross
+    // join) feeds the cluster dedup, and the q73/q30 exact kernel
+    // runs alongside as ground truth for a measured pair-recall
+    // column. One audit row: surviving-set fingerprint under the
+    // blocked pairs + blocked/exact pair counts + recall.
+    "q123_semantic_dedup_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+      val pert = t(s, dir, "embeddings").select((col("vec_id") + 10000).as("id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, x.cast("double") + 0.5).otherwise(x.cast("double"))).as("vec"))
+      val all = e.unionByName(pert)
+      val centroids = e.filter(col("id") < 16)
+        .select(col("id").as("cid"), col("vec").as("cvec"))
+      val blocked = Similarity.cosineNearDupPairsCellBlocked(
+        all, centroids, 0.9, nprobe = 2).select(col("id_a"), col("id_b"))
+      val exact = Similarity.cosineNearDupPairsExact(all, 0.9)
+        .select(col("id_a"), col("id_b"))
+      Dedup.dedupByClusters(all.select(col("id")), "id", blocked)
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("id")).cast("long").as("id_sum"))
+        .crossJoin(blocked.agg(count(lit(1)).as("n_pairs_blocked")))
+        .crossJoin(exact.agg(count(lit(1)).as("n_pairs_exact")))
+        .withColumn("pair_recall",
+          round((col("n_pairs_blocked").cast("double") /
+            col("n_pairs_exact").cast("double")).cast("decimal(20,10)"), 4)
+            .cast("double"))
     }),
 
     // Similarity: brute-force cosine top-5 neighbors for a query batch.
@@ -2779,6 +2900,96 @@ object SparkEntry {
          |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS recall_at_5
          |FROM q LEFT JOIN h ON q.id = h.query_id""".stripMargin,
 
+    // Three exact fixed-point L2 Lloyd steps unrolled in CTEs
+    // (assignment aN under cN, mean cN+1 from aN); per-cell stats from
+    // the kept winning distance cd under iters 0, 1, 3 — identical
+    // rounding/tiebreaks to ivfAssignL2Scored / ivfCellStatsL2.
+    "q124_kmeans_l2_train" ->
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cvec
+         |            FROM embeddings WHERE vec_id < 16),
+         |a0 AS (${l2aSql("c0")}),
+         |c1 AS (${l2MeanSql("a0")}),
+         |a1 AS (${l2aSql("c1")}),
+         |c2 AS (${l2MeanSql("a1")}),
+         |a2 AS (${l2aSql("c2")}),
+         |c3 AS (${l2MeanSql("a2")}),
+         |a3 AS (${l2aSql("c3")})
+         |SELECT 0 AS iter, cell AS cid, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(CAST(round(cd * 1e6) AS BIGINT)) AS BIGINT) AS sse_fp
+         |FROM a0 GROUP BY 2
+         |UNION ALL
+         |SELECT 1 AS iter, cell AS cid, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(CAST(round(cd * 1e6) AS BIGINT)) AS BIGINT) AS sse_fp
+         |FROM a1 GROUP BY 2
+         |UNION ALL
+         |SELECT 3 AS iter, cell AS cid, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(sum(CAST(round(cd * 1e6) AS BIGINT)) AS BIGINT) AS sse_fp
+         |FROM a3 GROUP BY 2""".stripMargin,
+
+    // q124's unrolled training CTEs feeding q112's recall audit under
+    // the Euclidean metric: probe 2 L2-nearest cells per sampled
+    // query, rank same-cell corpus members by rounded squared L2
+    // (asc, id), hits against the brute-force L2 truth.
+    "q125_ivf_l2_trained_recall" ->
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cvec
+         |            FROM embeddings WHERE vec_id < 16),
+         |a0 AS (${l2aSql("c0")}),
+         |c1 AS (${l2MeanSql("a0")}),
+         |a1 AS (${l2aSql("c1")}),
+         |c2 AS (${l2MeanSql("a1")}),
+         |a2 AS (${l2aSql("c2")}),
+         |c3 AS (${l2MeanSql("a2")}),
+         |a3 AS (${l2aSql("c3")}),
+         |q AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+         |      ORDER BY ${h60("CAST(vec_id AS VARCHAR)")}, vec_id
+         |      LIMIT 100),
+         |s1 AS (SELECT qid, nid FROM (
+         |  SELECT qc.qid, a.id AS nid,
+         |    row_number() OVER (PARTITION BY qc.qid
+         |      ORDER BY round(${sqdSql("qc.qv", "a.vec")}, 6), a.id) AS rnk
+         |  FROM (SELECT qid, qv, cell FROM (
+         |    SELECT q.id AS qid, q.vec AS qv, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY q.id
+         |        ORDER BY round(${sqdSql("q.vec", "c.cvec")}, 6), c.cid) AS pr
+         |    FROM q CROSS JOIN c1 c) WHERE pr <= 2) qc
+         |  JOIN a1 a ON qc.cell = a.cell AND qc.qid != a.id)
+         |  WHERE rnk <= 5),
+         |s3 AS (SELECT qid, nid FROM (
+         |  SELECT qc.qid, a.id AS nid,
+         |    row_number() OVER (PARTITION BY qc.qid
+         |      ORDER BY round(${sqdSql("qc.qv", "a.vec")}, 6), a.id) AS rnk
+         |  FROM (SELECT qid, qv, cell FROM (
+         |    SELECT q.id AS qid, q.vec AS qv, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY q.id
+         |        ORDER BY round(${sqdSql("q.vec", "c.cvec")}, 6), c.cid) AS pr
+         |    FROM q CROSS JOIN c3 c) WHERE pr <= 2) qc
+         |  JOIN a3 a ON qc.cell = a.cell AND qc.qid != a.id)
+         |  WHERE rnk <= 5),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.id AS query_id, c2.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.id
+         |      ORDER BY round(${sqdSql("q.vec", "c2.embedding")}, 6),
+         |        c2.vec_id) AS rnk
+         |  FROM q JOIN embeddings c2 ON q.id != c2.vec_id)
+         |  WHERE rnk <= 5),
+         |h AS (
+         |  SELECT 1 AS iters, t.query_id, count(*) AS n_hit
+         |  FROM truth t JOIN s1 ON t.query_id = s1.qid
+         |    AND t.neighbor_id = s1.nid
+         |  GROUP BY 2
+         |  UNION ALL
+         |  SELECT 3 AS iters, t.query_id, count(*) AS n_hit
+         |  FROM truth t JOIN s3 ON t.query_id = s3.qid
+         |    AND t.neighbor_id = s3.nid
+         |  GROUP BY 2),
+         |it AS (SELECT unnest([1, 3]) AS iters)
+         |SELECT q.id AS query_id, it.iters,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(round(CAST(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS recall_at_5
+         |FROM q CROSS JOIN it
+         |LEFT JOIN h ON q.id = h.query_id AND it.iters = h.iters""".stripMargin,
+
     // The identical integer z-test in SQL: HUGEINT moments per cell
     // (exact), D = Σ − n·fp, flag iff D > 0 AND D² > 4(n·Σ² − Σ²);
     // assignment tiebreaks as everywhere (rounded cosine desc, cid).
@@ -3524,6 +3735,64 @@ object SparkEntry {
          |SELECT CAST(count(*) AS BIGINT) AS n_kept,
          |  CAST(sum(id) AS BIGINT) AS id_sum
          |FROM comp WHERE c = id""".stripMargin,
+
+    // q123 = q73 with the candidate pairs restricted to vectors
+    // sharing one of their 2 nearest coarse cells (the engine's
+    // IVF-cell-blocked kernel): qc mirrors ivfProbeCells (rounded-
+    // cos/cid probe ranking), bp the same-cell verify, the closure
+    // runs over the BLOCKED pairs, and ep (plain all-pairs truth)
+    // only feeds the recall ratio.
+    "q123_semantic_dedup_ann" ->
+      s"""WITH RECURSIVE
+         |e AS (
+         |  SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000 AS id,
+         |    [CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 0.5
+         |      ELSE CAST(embedding[i] AS DOUBLE) END
+         |     for i in range(1, len(embedding) + 1)] AS embedding
+         |  FROM embeddings),
+         |ct AS (
+         |  SELECT vec_id AS cid,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+         |  FROM embeddings WHERE vec_id < 16),
+         |qc AS (SELECT qid, qv, cell FROM (
+         |  SELECT v.id AS qid, v.embedding AS qv, ct.cid AS cell,
+         |    row_number() OVER (PARTITION BY v.id
+         |      ORDER BY round(${cosSql("v.embedding", "ct.cvec")}, 6) DESC,
+         |        ct.cid) AS pr
+         |  FROM e v CROSS JOIN ct)
+         |  WHERE pr <= 2),
+         |bp AS (SELECT DISTINCT a.qid AS id_a, b.qid AS id_b
+         |  FROM qc a JOIN qc b ON a.cell = b.cell AND a.qid < b.qid
+         |  WHERE round(${cosSql("a.qv", "b.qv")}, 6) >= 0.9),
+         |ep AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM e a JOIN e b ON a.id < b.id
+         |  WHERE round(${cosSql("a.embedding", "b.embedding")}, 6) >= 0.9),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM bp
+         |          UNION SELECT id_b, id_a FROM bp),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, ed.d FROM reach r JOIN edges ed ON r.d = ed.s),
+         |comp AS (
+         |  SELECT e.id, least(e.id, coalesce(mn.mn, e.id)) AS cc
+         |  FROM e LEFT JOIN
+         |    (SELECT s AS id, min(d) AS mn FROM reach GROUP BY 1) mn
+         |    USING (id)),
+         |k AS (SELECT CAST(count(*) AS BIGINT) AS n_kept,
+         |        CAST(sum(id) AS BIGINT) AS id_sum
+         |      FROM comp WHERE cc = id),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs_blocked FROM bp),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs_exact FROM ep)
+         |SELECT k.n_kept, k.id_sum, nb.n_pairs_blocked, ne.n_pairs_exact,
+         |  CAST(round(CAST(CAST(nb.n_pairs_blocked AS DOUBLE)
+         |    / CAST(ne.n_pairs_exact AS DOUBLE) AS DECIMAL(20,10)), 4)
+         |    AS DOUBLE) AS pair_recall
+         |FROM k, nb, ne""".stripMargin,
 
     "q31_ann_topk" ->
       s"""SELECT query_id, neighbor_id, "rank", sim FROM (

@@ -247,6 +247,44 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** ANN-BLOCKED batch semantic near-dup — the scale twin of
+    * [[cosineNearDupPairsExact]] and the batch shape of the streaming
+    * `annDedupStream` path: every vector multi-probes its `nprobe`
+    * nearest coarse cells ([[ivfProbeCells]], broadcast centroids),
+    * candidate pairs are vectors SHARING a probed cell (equi-join on
+    * cell — per-cell work is occupancy², the corpus shuffles once on
+    * cell, never the packed-block cross join), and every candidate is
+    * verified by the exact rounded double cosine. A pair sharing
+    * several probed cells verifies once per shared cell (≤ nprobe
+    * repeats) and the threshold filter runs BEFORE the distinct, so
+    * only true near-dup pairs reach the dedup exchange (the q29
+    * filter-before-distinct lesson).
+    *
+    * Guarantees: result ⊆ [[cosineNearDupPairsExact]] at the same
+    * threshold (identical cosine arithmetic, rounding, and filter —
+    * spec-pinned), and an EXACT duplicate always pairs (identical
+    * vectors probe identical cells, assignment is deterministic). A
+    * cross-cell near-dup can slip — recall is the audited tradeoff
+    * (q123 measures it against the exact kernel), and probed-cell
+    * sets grow monotonically with nprobe, so recall is monotone in
+    * nprobe.
+    *
+    * At 100 TB this is the semantic-dedup PIPELINE path: Σ_cell
+    * occupancy² work versus the exact kernel's intrinsic n²/2 — the
+    * exact kernel stays the oracle/audit role.
+    */
+  def cosineNearDupPairsCellBlocked(vecs: DataFrame, centroids: DataFrame,
+                                    threshold: Double,
+                                    nprobe: Int = 2): DataFrame = {
+    val probed = ivfProbeCells(vecs, centroids, nprobe)
+    probed.as("a").join(probed.as("b"),
+        col("a.cell") === col("b.cell") && col("a.qid") < col("b.qid"))
+      .select(col("a.qid").as("id_a"), col("b.qid").as("id_b"),
+        round(cosine(col("a.qv"), col("b.qv")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+      .distinct()
+  }
+
   /** Deterministic pseudo-random hyperplanes: component (p,j) is an LCG
     * over (p·dim+j) mapped to [-1000, 1000]. Precomputed as plain Longs
     * so the identical literals appear in any engine's plan (reproducible
@@ -622,6 +660,71 @@ object Similarity {
       .groupBy(col("id"))
       .agg(first(col("vec")).as("vec"),
         min_by(col("cid"), struct(col("cd"), col("cid"))).as("cell"))
+
+  /** [[ivfAssignL2]] keeping the winning squared distance: (id, vec,
+    * cell, cd) — cd is the min over centroids of the rounded squared
+    * L2, the quantization-error signal the SSE objective sums.
+    */
+  def ivfAssignL2Scored(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(centroids))
+      .withColumn("cd", round(sqDist(col("vec"), col("cvec")), 6))
+      .groupBy(col("id"))
+      .agg(first(col("vec")).as("vec"),
+        min_by(col("cid"), struct(col("cd"), col("cid"))).as("cell"),
+        min(col("cd")).as("cd"))
+
+  /** Per-cell occupancy and the EUCLIDEAN k-means objective under a
+    * centroid set: (cell, n_members, sse_fp) where sse_fp is the ×10⁶
+    * fixed-point sum of winning squared distances — exact, order-free,
+    * and the quantity Lloyd's algorithm is guaranteed to not increase
+    * (assignment picks the argmin; the mean minimizes within-cell SSE).
+    */
+  def ivfCellStatsL2(vecs: DataFrame, centroids: DataFrame): DataFrame =
+    ivfAssignL2Scored(vecs, centroids)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(round(col("cd") * 1e6).cast("long")).as("sse_fp"))
+
+  /** `iters` EUCLIDEAN Lloyd's iterations from `init` —
+    * [[kmeansTrain]] with the L2 assignment ([[kmeansStepL2]]), the
+    * same localCheckpoint-per-iteration pattern (bounds the logical
+    * plan depth: iteration i would otherwise nest i corpus
+    * aggregates) and the same exact fixed-point means. The total SSE
+    * ([[ivfCellStatsL2]] summed) is non-increasing per iteration up
+    * to the ×10⁶ snapping — spec-pinned over 3 iterations.
+    */
+  def kmeansTrainL2(vecs: DataFrame, init: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    var c = init
+    for (_ <- 1 to iters) c = kmeansStepL2(vecs, c).localCheckpoint(true)
+    c
+  }
+
+  /** [[ivfSearch]] under the EUCLIDEAN metric: queries probe their
+    * `nprobe` L2-nearest cells ([[ivfProbeCellsL2]]) and rank only
+    * the corpus vectors assigned there ([[ivfAssignL2]]) by rounded
+    * squared distance (asc, neighbor id) — the plain-IVF sibling of
+    * [[ivfPqSearch]] when the corpus floats are affordable. Same
+    * nesting guarantee: candidates grow monotonically with nprobe,
+    * and at nprobe = |centroids| the result equals
+    * [[bruteForceTopKL2]] (spec-pinned).
+    */
+  def ivfSearchL2(queries: DataFrame, corpus: DataFrame,
+                  centroids: DataFrame, k: Int, nprobe: Int = 1,
+                  preAssigned: Boolean = false): DataFrame = {
+    val assigned =
+      if (preAssigned) corpus else ivfAssignL2(corpus, centroids)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    ivfProbeCellsL2(queries, centroids, nprobe)
+      .join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
+        round(sqDist(col("qv"), col("vec")), 6).as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "dist")
+  }
 
   /** [[ivfProbeCells]] under the Euclidean metric: the nprobe NEAREST
     * cells per query by squared L2 (asc, centroid id tiebreak).

@@ -253,6 +253,33 @@ class PhysicalPlanSpec extends SparkSpec {
       s"exactly one ADC aggregation expected:\n$p")
   }
 
+  test("ANN-blocked semantic dedup kernel: candidates equi-join on cell, " +
+      "no packed-block cross join") {
+    // pin the KERNEL's plan, not q123's: the query deliberately embeds
+    // the exact O(n²) kernel as recall truth, which owns a bounded
+    // packed-block nested loop by design. The pipeline kernel itself
+    // must block on the cell key.
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val centroids = e.filter(col("id") < 16)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    val p = graft.ops.Similarity.cosineNearDupPairsCellBlocked(
+        e, centroids, 0.9, nprobe = 2)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested loops are the broadcast centroid fan-outs of
+    // ivfProbeCells (16 rows, one per self-join side); the candidate
+    // self-join must be a shuffled equi-join on the cell key
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"only the centroid broadcasts may nested-loop:\n$p")
+    assert("Left keys(?: \\[\\d+\\])?: \\[cell#".r.findAllIn(p).nonEmpty,
+      s"candidate join must key on cell:\n$p")
+    // the pair distinct is a hash aggregate with no agg functions,
+    // running over the already-threshold-filtered pairs
+    assert("(?s)HashAggregate.*Functions: \\[\\]".r.findFirstIn(p).nonEmpty, p)
+  }
+
   test("residual IVF-PQ: ADC is ONE broadcast equi-join on (cell, sub, code)") {
     val p = plan("q121_ivfpq_residual")
     assert(!p.contains("CartesianProduct"), p)

@@ -45,6 +45,75 @@ class SimilaritySpec extends SparkSpec {
     assert(top == ((7L, 1.0)))
   }
 
+  test("cellBlocked near-dup pairs: ⊆ exact kernel, exact dup always " +
+      "caught, all-cells probing ≡ exact") {
+    val rnd = new scala.util.Random(11)
+    val base = (0L until 60L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian())))
+    // plant: 70 = exact copy of 3 (must ALWAYS pair — deterministic
+    // assignment sends identical vectors to identical cells); 71 = a
+    // near copy of 5 (cos ≈ 1 ≥ 0.9)
+    val v5 = base(5)._2
+    val rows = base ++ Seq((70L, base(3)._2),
+      (71L, v5.updated(0, v5.head + 0.05)))
+    val vecs = rows.toDF("id", "vec")
+    val centroids = vecs.filter($"id" < 6)
+      .select($"id".as("cid"), $"vec".as("cvec"))
+    val exact = Similarity.cosineNearDupPairsExact(vecs, 0.9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val blocked = Similarity.cosineNearDupPairsCellBlocked(
+        vecs, centroids, 0.9, nprobe = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(blocked.subsetOf(exact),
+      s"blocked must never invent a pair: ${blocked -- exact}")
+    assert(blocked.contains((3L, 70L)), s"exact duplicate missed: $blocked")
+    // probing EVERY cell makes the blocking complete: any two vectors
+    // share all 6 cells, so candidates = all pairs and the result
+    // equals the exact kernel bit-for-bit
+    val full = Similarity.cosineNearDupPairsCellBlocked(
+        vecs, centroids, 0.9, nprobe = 6)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(full == exact, s"all-cells probing must equal exact: " +
+      s"missing ${exact -- full}, extra ${full -- exact}")
+  }
+
+  test("kmeansTrainL2: total SSE objective is non-increasing per iteration") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0L until 200L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian()))).toDF("id", "vec")
+    val c0 = vecs.filter($"id" < 8)
+      .select($"id".as("cid"), $"vec".as("cvec"))
+    // Lloyd's guarantee: assignment argmins, the mean minimizes
+    // within-cell SSE — so the total objective can only go down
+    // (up to the ×1e6 fixed-point snap, far below the per-step drop)
+    var c = c0
+    var prev = Long.MaxValue
+    for (i <- 0 to 3) {
+      val sse = Similarity.ivfCellStatsL2(vecs, c)
+        .agg(sum($"sse_fp")).as[Long].head()
+      assert(sse <= prev, s"SSE increased at iteration $i: $prev -> $sse")
+      prev = sse
+      c = Similarity.kmeansTrainL2(vecs, c, 1)
+    }
+  }
+
+  test("ivfSearchL2 at nprobe=|centroids| equals bruteForceTopKL2") {
+    val rnd = new scala.util.Random(17)
+    val vecs = (0L until 50L).map(i =>
+      (i, Seq.fill(8)(rnd.nextGaussian()))).toDF("id", "vec")
+    val cents = vecs.filter($"id" < 5)
+      .select($"id".as("cid"), $"vec".as("cvec"))
+    val qs = vecs.filter($"id" % 7 === 0)
+    val full = Similarity.ivfSearchL2(qs, vecs, cents, 5, nprobe = 5)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val truth = Similarity.bruteForceTopKL2(qs, vecs, 5)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(full == truth,
+      s"missing ${truth -- full}, extra ${full -- truth}")
+  }
+
   test("ivfProbeCells fans out to exactly min(nprobe, centroids) cells " +
       "per query") {
     val rnd = new scala.util.Random(7)
