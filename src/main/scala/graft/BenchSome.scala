@@ -19,6 +19,10 @@ object BenchSome {
     spark.sparkContext.setLogLevel("WARN")
     try SparkEntry.queries("q14_summary_stats")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // same host-speed probe as the full bench, so subset measurements
+    // are comparable across sessions/hosts
+    Bench.calibrate(spark)
+    println(f"calib_s ${math.min(Bench.calibrate(spark), Bench.calibrate(spark))}%.3f")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => args.isEmpty || args.exists(n.startsWith))
     for (r <- 1 to runs; name <- names) {

@@ -518,7 +518,8 @@ object Text {
     */
   def fuzzyJoinSegments(probes: DataFrame, refs: DataFrame, probeId: String,
                         probeName: Column, refId: String, refName: Column,
-                        maxDist: Int, maxBlockPairs: Long = 0L): DataFrame = {
+                        maxDist: Int, maxBlockPairs: Long = 0L,
+                        registerCache: DataFrame => Unit = _ => ()): DataFrame = {
     require(maxDist >= 1, "segment blocking needs maxDist >= 1 (use an " +
       "equality join for exact matching)")
     import graft.functions.NativeFunctions.levWithin
@@ -582,16 +583,34 @@ object Text {
     // a constant vocabulary (every name sharing the same k+1 segments)
     // still degenerates to |P|·|R| — same pre-flight as fuzzyPass, on
     // the finer (segment text, index, target length) key.
-    if (maxBlockPairs > 0L)
+    //
+    // The guard is a SECOND action over the exploded sides, and the
+    // segment enumeration is interpreted HOF lambdas (the expensive
+    // part of either pass) — so when the guard runs, persist both
+    // sides: the guard's histogram materializes them once and the
+    // main join reads the cache (cross-action reuse, where persist
+    // earns its cost — lesson 23's exception). registerCache lets a
+    // long-lived caller (the streaming ER loop) release them; batch
+    // harnesses clear the cache between queries.
+    if (maxBlockPairs > 0L) {
+      pLong.persist(); registerCache(pLong)
+      rLong.persist(); registerCache(rLong)
       guardBlockDensity(pLong, rLong, maxBlockPairs,
         Seq("bc", "seg", "blen"))
+    }
 
     val shufN = probes.sparkSession.sessionState.conf.numShufflePartitions
     // verify INLINE in the join stage (sig prefilter + banded DP, the
     // fuzzyPass shape — a pair duplicated across (segment, shift) keys
     // re-verifies at ~µs, far cheaper than a candidate-level distinct
     // that shuffles the raw candidate stream), then dedup only the
-    // SURVIVORS: same pair → same dist, so groupBy-min is the dedup
+    // SURVIVORS: same pair → same dist, so groupBy-min is the dedup.
+    // (Measured against the alternative — drop names from the exploded
+    // sides, distinct the sig-surviving id pairs, re-attach names by
+    // broadcast for the DP verify: on the templated-vocabulary corpus
+    // 6.4M TRUE pairs survive, the distinct's map-side combine saves
+    // nothing the groupBy-min here doesn't already save, and the two
+    // extra joins cost more than the string width they remove.)
     val candLong = pLong
       .repartition(shufN, col("bc"), col("seg"), col("blen"))
       .join(rLong.repartition(shufN, col("bc"), col("seg"), col("blen")),
@@ -643,11 +662,13 @@ object Text {
     */
   def fuzzyJoinIncrementalSegments(oldRefs: DataFrame, batch: DataFrame,
                                    id: String, name: Column, maxDist: Int,
-                                   maxBlockPairs: Long = 0L): DataFrame = {
+                                   maxBlockPairs: Long = 0L,
+                                   registerCache: DataFrame => Unit = _ => ())
+      : DataFrame = {
     val vsOld = fuzzyJoinSegments(batch, oldRefs, id, name, id, name,
-      maxDist, maxBlockPairs)
+      maxDist, maxBlockPairs, registerCache)
     val vsNew = fuzzyJoinSegments(batch, batch, id, name, id, name,
-      maxDist, maxBlockPairs)
+      maxDist, maxBlockPairs, registerCache)
       .filter(col("ref_id") < col("probe_id"))
     vsOld.unionByName(vsNew)
   }
