@@ -17,6 +17,46 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Default cap for [[guardBoundedQueries]] — the scaladoc rule of
+    * thumb (~10⁴ query rows) that every broadcast-side search carries.
+    */
+  val DefaultMaxQueries: Long = 10000L
+
+  /** Runtime enforcement of the bounded-query contract shared by every
+    * search that BROADCASTS its query side ([[bruteForceTopK]] /
+    * [[bruteForceTopKL2]] broadcast the queries themselves;
+    * [[pqAdcTopK]] / [[ivfPqSearch]] / [[ivfPqSearchTiered]] /
+    * [[ivfPqSearchResidual]] broadcast a |queries|·m·ksub LUT). A
+    * caller that passes the corpus as queries would broadcast the
+    * corpus — the exact failure the contract forbids — so the guard
+    * fails fast instead.
+    *
+    * Cost: a plan whose row count is statically bounded under the cap
+    * (a LIMIT-built sample — Catalyst exposes it as `maxRows`) passes
+    * for FREE, no job runs; our sample builders (`bottom-k by hash +
+    * limit`) all hit this path. Otherwise one pre-flight action counts
+    * at most cap+1 rows (`limit(cap+1).count()` — never a full scan of
+    * an oversized set). The static bound can only ACCEPT, never
+    * reject: `maxRows` over-approximates (a filter inherits its
+    * child's bound), so rejection always comes from the real count.
+    * `cap <= 0` disables, for callers that own the scale decision
+    * (e.g. a probe side already guarded upstream).
+    */
+  def guardBoundedQueries(queries: DataFrame, cap: Long,
+                          what: String): Unit = {
+    if (cap <= 0L) return
+    if (queries.queryExecution.optimizedPlan.maxRows.exists(_ <= cap)) return
+    val n =
+      queries.limit((math.min(cap, Int.MaxValue - 2L) + 1L).toInt).count()
+    require(n <= cap,
+      s"$what: bounded-query contract violated — query set has " +
+      s"more than $cap " +
+      s"rows against maxQueries=$cap. The query side becomes a broadcast " +
+      "(query vectors or the ADC lookup table); pass a fixed-SIZE sample " +
+      "(bottom-k by hash + limit, as in the recall queries), or raise " +
+      "maxQueries deliberately / set it <= 0 after sizing the broadcast.")
+  }
+
   /** Element-wise product-sum in double precision (float inputs are cast
     * first, so each product is exact).
     */
@@ -53,7 +93,9 @@ object Similarity {
     * dim ≤ ~10³ doubles; for query sets beyond that, use `ivfSearch`
     * and raise nprobe until recall suffices.
     */
-  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                     maxQueries: Long = DefaultMaxQueries): DataFrame = {
+    guardBoundedQueries(queries, maxQueries, "bruteForceTopK")
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
     val c = candidates.select(col("id").as("neighbor_id"), col("vec").as("cv"))
     val w = Window.partitionBy(col("query_id"))
@@ -627,7 +669,9 @@ object Similarity {
     * rule) — the LUT broadcast is |queries|·m·ksub rows.
     */
   def pqAdcTopK(queries: DataFrame, codes: DataFrame, codebook: DataFrame,
-                m: Int, k: Int): DataFrame = {
+                m: Int, k: Int,
+                maxQueries: Long = DefaultMaxQueries): DataFrame = {
+    guardBoundedQueries(queries, maxQueries, "pqAdcTopK")
     val lut = subVectors(queries, m)
       .select(col("id").as("qid"), col("sub"), col("svec"))
       .join(codebook, Seq("sub"))
@@ -759,7 +803,9 @@ object Similarity {
     */
   def ivfPqSearch(queries: DataFrame, corpus: DataFrame,
                   centroids: DataFrame, codebook: DataFrame,
-                  m: Int, k: Int, nprobe: Int = 1): DataFrame = {
+                  m: Int, k: Int, nprobe: Int = 1,
+                  maxQueries: Long = DefaultMaxQueries): DataFrame = {
+    guardBoundedQueries(queries, maxQueries, "ivfPqSearch")
     val assigned = ivfAssignL2(corpus, centroids).select(col("id"), col("cell"))
     val codes = pqEncode(corpus, codebook, m)
     val lut = subVectors(queries, m)
@@ -804,9 +850,11 @@ object Similarity {
     */
   def ivfPqSearchTiered(queries: DataFrame, corpus: DataFrame,
                         centroids: DataFrame, codebook: DataFrame,
-                        m: Int, k: Int, nprobes: Seq[Int]): DataFrame = {
+                        m: Int, k: Int, nprobes: Seq[Int],
+                        maxQueries: Long = DefaultMaxQueries): DataFrame = {
     require(nprobes.nonEmpty && nprobes.forall(_ >= 1),
       "nprobes must be non-empty positive")
+    guardBoundedQueries(queries, maxQueries, "ivfPqSearchTiered")
     val assigned = ivfAssignL2(corpus, centroids).select(col("id"), col("cell"))
     val codes = pqEncode(corpus, codebook, m)
     val lut = subVectors(queries, m)
@@ -864,7 +912,9 @@ object Similarity {
   def ivfPqSearchResidual(queries: DataFrame, corpus: DataFrame,
                           centroids: DataFrame, m: Int, ksub: Int,
                           k: Int, nprobe: Int = 1,
-                          seedFrom: Long = 0L): DataFrame = {
+                          seedFrom: Long = 0L,
+                          maxQueries: Long = DefaultMaxQueries): DataFrame = {
+    guardBoundedQueries(queries, maxQueries, "ivfPqSearchResidual")
     val assigned = ivfAssignL2(corpus, centroids)
     val resid = assigned.join(broadcast(centroids),
         col("cell") === col("cid"))
@@ -917,7 +967,9 @@ object Similarity {
     * contract and shape, with the Euclidean metric and ascending order).
     */
   def bruteForceTopKL2(queries: DataFrame, candidates: DataFrame,
-                       k: Int): DataFrame = {
+                       k: Int,
+                       maxQueries: Long = DefaultMaxQueries): DataFrame = {
+    guardBoundedQueries(queries, maxQueries, "bruteForceTopKL2")
     val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
     val c = candidates.select(col("id").as("neighbor_id"), col("vec").as("cv"))
     val w = Window.partitionBy(col("query_id"))

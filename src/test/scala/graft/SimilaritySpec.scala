@@ -438,4 +438,44 @@ class SimilaritySpec extends SparkSpec {
       .filter($"query_id" === 999L && $"neighbor_id" === 0L)
     assert(dup.count() == 1)
   }
+
+  test("bounded-query guard: corpus-as-queries fails fast, bounded sets " +
+      "pass, cap<=0 disables") {
+    val rnd = new scala.util.Random(17)
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat))).toDF("id", "vec")
+    // RDD-backed plan (no static row bound anywhere in the tree) → the
+    // guard's eager bounded count fires and rejects
+    val rddVecs = spark.createDataFrame(spark.sparkContext.parallelize(
+      (0L until 40L).map(i => (i, Seq.fill(16)(rnd.nextGaussian())))))
+      .toDF("id", "vec")
+    assert(rddVecs.queryExecution.optimizedPlan.maxRows.isEmpty)
+    val eager = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(rddVecs, vecs, 3, maxQueries = 10L)
+    }
+    assert(eager.getMessage.contains("more than 10"))
+    // LIMIT-derived plan over the cap → still rejected (by the real
+    // count; the static bound only ever fast-accepts)
+    val overLimit = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopKL2(vecs.limit(30), vecs, 3, maxQueries = 10L)
+    }
+    assert(overLimit.getMessage.contains("bruteForceTopKL2"))
+    // a sample inside the cap passes on both paths
+    assert(Similarity.bruteForceTopK(vecs.limit(5), vecs, 3,
+      maxQueries = 10L).count() == 15)
+    assert(Similarity.bruteForceTopK(vecs.filter($"id" < 5), vecs, 3,
+      maxQueries = 10L).count() == 15)
+    // cap <= 0 disables — the caller owns the broadcast sizing
+    assert(Similarity.bruteForceTopK(vecs, vecs, 1,
+      maxQueries = 0L).count() == 40)
+    // the LUT builders share the guard
+    val cb = Similarity.pqTrainStep(
+      Similarity.subVectors(vecs, 4),
+      Similarity.pqSeedCodebook(vecs, 4, 8))
+    val codes = Similarity.pqEncode(vecs, cb, 4)
+    val adc = intercept[IllegalArgumentException] {
+      Similarity.pqAdcTopK(vecs, codes, cb, 4, 3, maxQueries = 10L)
+    }
+    assert(adc.getMessage.contains("pqAdcTopK"))
+  }
 }
