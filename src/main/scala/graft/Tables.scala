@@ -13,15 +13,27 @@ import org.apache.spark.sql.functions._
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
-      // The event feed carries TIMESTAMP(NANOS) parquet columns, which
-      // vanilla Spark 4 rejects (PARQUET_TYPE_ILLEGAL). Read nanos as
-      // long and convert to the engine's microsecond TimestampType at
-      // the scan edge so every downstream operator sees a plain
-      // timestamp column.
+      // Some event-feed drops carry TIMESTAMP(NANOS) parquet columns,
+      // which vanilla Spark 4 rejects (PARQUET_TYPE_ILLEGAL) unless
+      // nanosAsLong is set — in which case `ts` surfaces as LongType
+      // nanos. Newer drops are plain timestamp[us]. Branch on the type
+      // the scan actually produced so both generations of files load,
+      // and every downstream operator sees a microsecond timestamp.
+      // nanosAsLong is inert for µs files, so setting it is safe.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.withColumn("ts",
-        timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts",
+            timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+        case _: org.apache.spark.sql.types.TimestampNTZType =>
+          // Downstream operators (unix_micros, window ranges) expect the
+          // session-zoned TimestampType the old nanos path produced; the
+          // engine runs UTC sessions so the instant is preserved.
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw // already TimestampType
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
