@@ -630,17 +630,17 @@ object SparkEntry {
       val variants = parts.select((col("id") + 20000).as("id"),
         concat(col("name").substr(lit(1), k),
           col("name").substr(k + 2, len)).as("name"))
-      val best = Text.fuzzyJoinSegments(variants, parts, "id", col("name"),
-          "id", col("name"), 1, maxBlockPairs = 50000000L)
-        .groupBy(col("probe_id"))
-        .agg(min(struct(col("dist").cast("long").as("d"),
-              col("ref_id").cast("long").as("r"))).as("bk"))
+      // fused resolve-to-best: the per-probe lexicographic min runs at
+      // string level inside the operator, so the copy-level pair set
+      // (6.4M rows on this duplicate-heavy corpus) never materializes
+      val best = Text.fuzzyResolveBest(variants, parts, "id", col("name"),
+        "id", col("name"), 1, maxBlockPairs = 50000000L)
       val assigned = parts.select(col("id"), col("id").as("canonical"))
         .unionByName(variants.select(col("id"))
-          .join(best, col("id") === col("probe_id"), "left")
+          .join(best.select(col("probe_id"), col("ref_id").cast("long")),
+            col("id") === col("probe_id"), "left")
           .select(col("id"),
-            coalesce(col("bk.r"), col("id"))
-              .as("canonical")))
+            coalesce(col("ref_id"), col("id")).as("canonical")))
       assigned.groupBy(col("canonical"))
         .agg(count(lit(1)).as("n_members"), min(col("id")).as("min_id"),
           max(col("id")).as("max_id"))
@@ -793,19 +793,17 @@ object SparkEntry {
       val probes = parts.select((col("id") + 20000).as("probe_id"),
         concat(col("name").substr(lit(1), k1),
           col("name").substr(k1 + 2, len)).as("pn"))
-      val m = Text.fuzzyJoinSegments(probes, parts, "probe_id", col("pn"),
+      // fused resolve-to-best (see q102): n_matches is still the
+      // copy-level pair count, aggregated from per-name multiplicities
+      val m = Text.fuzzyResolveBest(probes, parts, "probe_id", col("pn"),
         "id", col("name"), 1)
       probes.select(col("probe_id"))
-        .join(m.groupBy(col("probe_id"))
-          .agg(count(lit(1)).as("n_matches"),
-            min(struct(col("dist").cast("long").as("d"),
-              col("ref_id").cast("long").as("r"))).as("bk")),
-          Seq("probe_id"), "left")
+        .join(m, Seq("probe_id"), "left")
         .select(col("probe_id"),
           coalesce(col("n_matches"), lit(0L)).as("n_matches"),
-          coalesce(col("bk.d"), lit(-1L))
+          coalesce(col("dist").cast("long"), lit(-1L))
             .as("best_dist"),
-          coalesce(col("bk.r"), lit(-1L)).as("best_ref"))
+          coalesce(col("ref_id").cast("long"), lit(-1L)).as("best_ref"))
     }),
 
     // Similarity: ANN recall ESTIMATOR — recall@5 of the multi-probe

@@ -372,7 +372,16 @@ object Text {
       .select(col(refId).as("ref_id"), refName.as("rn"))
       .select(col("ref_id"), col("rn"), fuzzySig(col("rn")).as("rsig"),
         keyOf(col("rn")).as("bc"), length(col("rn")).as("blen"))
-    if (maxBlockPairs > 0L) guardBlockDensity(p, r, maxBlockPairs)
+    // hot-block degrade: salt any block over the limit (same candidate
+    // set, bounded task sizes) instead of aborting
+    val (pJ, rJ, joinKeys) =
+      (if (maxBlockPairs > 0L) resolveBlockSalts(p, r, maxBlockPairs)
+       else None) match {
+        case Some(hot) =>
+          val (ps, rs) = applyBlockSalts(p, r, hot, Seq("bc", "blen"), "rn")
+          (ps, rs, Seq("bc", "blen", "salt"))
+        case None => (p, r, Seq("bc", "blen"))
+      }
     // The blocked join FANS OUT ~10²–10³ pairs per input row, which
     // input-size-based scheduling cannot see: small sides read as 1–2
     // scan tasks (and AQE would coalesce them further), so the per-pair
@@ -389,8 +398,8 @@ object Text {
     // hit the trimmed, banded, early-exit lev_within verifier. Measured
     // at sf0.1 part names / maxDist=2: 41.5M candidates, 10M past the
     // bound, 6.2M true pairs.
-    p.repartition(shufN, col("bc"), col("blen"))
-      .join(r.repartition(shufN, col("bc"), col("blen")), Seq("bc", "blen"))
+    pJ.repartition(shufN, joinKeys.map(col): _*)
+      .join(rJ.repartition(shufN, joinKeys.map(col): _*), joinKeys)
       .filter(sigBound(col("psig"), col("rsig")) <= maxDist)
       .withColumn("dist", levWithin(col("pn"), col("rn"), maxDist))
       .filter(col("dist").between(0, maxDist))
@@ -436,16 +445,26 @@ object Text {
       .select(keys.map(col) ++ Seq(col("n_probes"), col("n_refs"),
         (col("n_probes") * col("n_refs")).as("n_pairs")): _*)
 
-  /** Density guard: log total candidate volume + the hottest blocks,
-    * throw if any block exceeds the limit. The collect is bounded (one
-    * aggregate row + 3 top blocks).
+  /** Density guard: log total candidate volume, and DEGRADE (never
+    * abort) on hot blocks. A block whose candidate count exceeds
+    * `maxBlockPairs` is returned with a salt factor
+    * c = ⌈n_pairs / maxBlockPairs⌉; the caller splits that block's
+    * work across c join keys (`applyBlockSalts`), so a skewed key
+    * vocabulary turns into bounded-size parallel tasks instead of a
+    * pipeline-killing exception or a straggler/OOM task. The candidate
+    * SET is untouched — salting re-partitions the same pairs — so
+    * output is identical to the unguarded join (FuzzyJoinSpec pins
+    * this with an adversarial constant-segment vocabulary).
+    *
+    * Returns None when no block is hot (the happy path pays one
+    * histogram aggregate and the join runs unchanged). The driver-side
+    * footprint is one aggregate row; the hot-block map itself stays a
+    * DataFrame and rides to the join as a broadcast.
     */
-  private def guardBlockDensity(p: DataFrame, r: DataFrame,
+  private def resolveBlockSalts(p: DataFrame, r: DataFrame,
                                 maxBlockPairs: Long,
-                                keys: Seq[String] = Seq("bc", "blen")): Unit = {
-    // no persist: the happy path reads the histogram ONCE (total+max in
-    // one aggregate job); only the throw path recomputes it for the
-    // top-3 diagnostic, and a failing run's last act may be slow
+                                keys: Seq[String] = Seq("bc", "blen"))
+      : Option[DataFrame] = {
     val stats = blockHistogram(p, r, keys)
     val tot = stats.agg(coalesce(sum(col("n_pairs")), lit(0L)).as("t"),
       coalesce(max(col("n_pairs")), lit(0L)).as("m")).collect()(0)
@@ -453,17 +472,36 @@ object Text {
     System.err.println(
       s"[graft] fuzzyJoin density: $total candidate pairs, " +
       s"hottest block $hottest (limit $maxBlockPairs)")
-    if (hottest > maxBlockPairs) {
-      val top = stats.orderBy(col("n_pairs").desc).limit(3).collect()
-        .map(x => keys.indices.map(i => s"'${x.get(i)}'")
-          .mkString("(", ",", s")=${x.get(keys.size + 2)}"))
-        .mkString(", ")
-      throw new IllegalStateException(
-        s"fuzzyJoin block density exceeds maxBlockPairs=$maxBlockPairs: " +
-        s"hottest blocks $top of $total total candidate pairs — " +
-        "split the block key (fuzzyJoinMultiBlock / a finer prefix) " +
-        "or raise the limit")
+    if (hottest <= maxBlockPairs) None
+    else {
+      System.err.println(
+        s"[graft] fuzzyJoin degrading: salting blocks over " +
+        s"$maxBlockPairs candidate pairs (hottest $hottest)")
+      Some(stats.filter(col("n_pairs") > maxBlockPairs)
+        .select(keys.map(col) :+
+          ceil(col("n_pairs").cast("double") / maxBlockPairs)
+            .cast("long").as("salt_c"): _*))
     }
+  }
+
+  /** Split hot blocks across `salt_c` sub-keys: every ref row of a hot
+    * block lands in ONE salt bucket (hash of its name), every probe row
+    * replicates across ALL of them — each candidate pair meets exactly
+    * once, in a task bounded by ~maxBlockPairs/salt_c pairs. Cold
+    * blocks ride through with salt 0 on both sides.
+    */
+  private def applyBlockSalts(p: DataFrame, r: DataFrame, hot: DataFrame,
+                              keys: Seq[String], rName: String)
+      : (DataFrame, DataFrame) = {
+    val pS = p.join(broadcast(hot), keys, "left")
+      .withColumn("salt",
+        explode(sequence(lit(0L), coalesce(col("salt_c"), lit(1L)) - 1)))
+      .drop("salt_c")
+    val rS = r.join(broadcast(hot), keys, "left")
+      .withColumn("salt",
+        pmod(xxhash64(col(rName)), coalesce(col("salt_c"), lit(1L))))
+      .drop("salt_c")
+    (pS, rS)
   }
 
   /** Multi-pass blocked fuzzy join — the recall composition the
@@ -512,14 +550,78 @@ object Text {
     * route through a dedicated band join of the two degenerate-tiny
     * sub-populations (names shorter than maxDist+1 characters).
     *
-    * Scale shape: both exploded sides repartition on the block key
-    * (the fan-out lesson), the verify is the trimmed banded
-    * `lev_within`, and candidate dedup runs BEFORE verification.
+    * Scale shape: both sides collapse to DISTINCT strings before
+    * enumeration and verify — duplicate-heavy vocabularies (hundreds
+    * of copies per name in templated/real-world ER corpora) would
+    * otherwise pay the segment enumeration and the DP verify once per
+    * COPY-pair instead of once per string-pair (measured at sf0.1:
+    * 34.7M copy-level candidates collapse to ~40k string-level ones).
+    * Verified string matches fan back out to id pairs through two
+    * equi-joins on the name, so the pair contract is unchanged. The
+    * exploded sides repartition on the block key (the fan-out lesson)
+    * and the verify is the trimmed banded `lev_within`.
     */
   def fuzzyJoinSegments(probes: DataFrame, refs: DataFrame, probeId: String,
                         probeName: Column, refId: String, refName: Column,
                         maxDist: Int, maxBlockPairs: Long = 0L,
                         registerCache: DataFrame => Unit = _ => ()): DataFrame = {
+    val (strPairs, pAll, rAll) = segmentStringMatches(probes, refs, probeId,
+      probeName, refId, refName, maxDist, maxBlockPairs, registerCache)
+    // multiplicity expansion: every (probe copy, ref copy) of a matched
+    // string pair is an output pair
+    strPairs
+      .join(pAll, Seq("pn"))
+      .join(rAll, Seq("rn"))
+      .select(col("probe_id"), col("ref_id"), col("dist"))
+  }
+
+  /** Asymmetric best-match resolution over segment blocking — the fused
+    * production-ER primitive: each probe RECORD resolves to its
+    * lexicographically best (dist, ref_id) reference match within
+    * `maxDist`, plus the total match count (copy-level, i.e. what
+    * `fuzzyJoinSegments(...).groupBy(probe_id).count` would report).
+    * Probes with no match emit no row.
+    *
+    * Same recall-complete candidate generation as [[fuzzyJoinSegments]],
+    * but the per-probe aggregation runs at STRING level BEFORE the
+    * multiplicity expansion: per matched ref name only its min id and
+    * copy count travel, so a duplicate-heavy corpus never materializes
+    * the copy-level pair set (6.4M rows for 20k records on the q102
+    * corpus — the round-7/8 cost of resolving through the pair
+    * operator). Correctness: for a fixed dist, the min ref_id over all
+    * copies of all matched names equals the min over names of each
+    * name's min id — so the string-level lexicographic min is the
+    * record-level one.
+    */
+  def fuzzyResolveBest(probes: DataFrame, refs: DataFrame, probeId: String,
+                       probeName: Column, refId: String, refName: Column,
+                       maxDist: Int, maxBlockPairs: Long = 0L,
+                       registerCache: DataFrame => Unit = _ => ()): DataFrame = {
+    val (strPairs, pAll, rAll) = segmentStringMatches(probes, refs, probeId,
+      probeName, refId, refName, maxDist, maxBlockPairs, registerCache)
+    val rByName = rAll.groupBy(col("rn"))
+      .agg(min(col("ref_id")).as("r_min"), count(lit(1)).as("n_copies"))
+    val bestByString = strPairs.join(rByName, Seq("rn"))
+      .groupBy(col("pn"))
+      .agg(min(struct(col("dist").as("d"), col("r_min").as("r"))).as("bk"),
+        sum(col("n_copies")).as("n_matches"))
+    pAll.join(bestByString, Seq("pn"))
+      .select(col("probe_id"), col("bk.d").as("dist"),
+        col("bk.r").as("ref_id"), col("n_matches"))
+  }
+
+  /** Shared kernel of [[fuzzyJoinSegments]] / [[fuzzyResolveBest]]:
+    * distinct-string collapse, segment enumeration, hot-block-salted
+    * candidate join, inline verify. Returns the STRING-level matches
+    * (pn, rn, dist) plus the id-level projections (probe_id, pn) /
+    * (ref_id, rn) for the caller's expansion or aggregation.
+    */
+  private def segmentStringMatches(probes: DataFrame, refs: DataFrame,
+                                   probeId: String, probeName: Column,
+                                   refId: String, refName: Column,
+                                   maxDist: Int, maxBlockPairs: Long,
+                                   registerCache: DataFrame => Unit)
+      : (DataFrame, DataFrame, DataFrame) = {
     require(maxDist >= 1, "segment blocking needs maxDist >= 1 (use an " +
       "equality join for exact matching)")
     import graft.functions.NativeFunctions.levWithin
@@ -536,20 +638,25 @@ object Text {
         least(i, pmod(len, lit(kp1))) + 1).cast("int")
 
     import graft.functions.NativeFunctions.{fuzzySig, sigBound}
-    val rBase = refs.select(col(refId).as("ref_id"), refName.as("rn"))
+    // id-level inputs (for the final multiplicity expansion) and their
+    // distinct-string projections (everything expensive runs on these)
+    val pAll = probes.select(col(probeId).as("probe_id"), probeName.as("pn"))
+    val rAll = refs.select(col(refId).as("ref_id"), refName.as("rn"))
+    val pBase = pAll.select(col("pn")).distinct()
+    val rBase = rAll.select(col("rn")).distinct()
+
     val rLong = rBase.filter(length(col("rn")) >= kp1)
-      .select(col("ref_id"), col("rn"), fuzzySig(col("rn")).as("rsig"),
+      .select(col("rn"), fuzzySig(col("rn")).as("rsig"),
         explode(transform(sequence(lit(0), lit(k)), i => {
           val ln = length(col("rn"))
           struct(col("rn").substr(segStart(ln, i), segLen(ln, i)).as("bc"),
             i.cast("int").as("seg"), ln.as("blen"))
         })).as("b"))
-      .select(col("ref_id"), col("rn"), col("rsig"),
+      .select(col("rn"), col("rsig"),
         col("b.bc"), col("b.seg"), col("b.blen"))
 
-    val pBase = probes.select(col(probeId).as("probe_id"), probeName.as("pn"))
     val pLong = pBase
-      .select(col("probe_id"), col("pn"), fuzzySig(col("pn")).as("psig"),
+      .select(col("pn"), fuzzySig(col("pn")).as("psig"),
         explode(flatten(transform(sequence(lit(-k), lit(k)), dL => {
           val pl = length(col("pn"))
           val refLen = (pl + dL).cast("int")
@@ -576,7 +683,7 @@ object Text {
           }))
         }))).as("b"))
       .filter(col("b.ok"))
-      .select(col("probe_id"), col("pn"), col("psig"),
+      .select(col("pn"), col("psig"),
         col("b.bc"), col("b.seg"), col("b.blen"))
 
     // Segment keys are far more selective than single-char blocks, but
@@ -592,42 +699,47 @@ object Text {
     // earns its cost — lesson 23's exception). registerCache lets a
     // long-lived caller (the streaming ER loop) release them; batch
     // harnesses clear the cache between queries.
-    if (maxBlockPairs > 0L) {
+    val salts = if (maxBlockPairs > 0L) {
       pLong.persist(); registerCache(pLong)
       rLong.persist(); registerCache(rLong)
-      guardBlockDensity(pLong, rLong, maxBlockPairs,
+      resolveBlockSalts(pLong, rLong, maxBlockPairs,
         Seq("bc", "seg", "blen"))
+    } else None
+    // hot-block degrade (same candidate set, bounded task sizes): salt
+    // any (segment, index, length) block over the limit
+    val (pJ, rJ, joinKeys) = salts match {
+      case Some(hot) =>
+        val (ps, rs) = applyBlockSalts(pLong, rLong, hot,
+          Seq("bc", "seg", "blen"), "rn")
+        (ps, rs, Seq("bc", "seg", "blen", "salt"))
+      case None => (pLong, rLong, Seq("bc", "seg", "blen"))
     }
 
     val shufN = probes.sparkSession.sessionState.conf.numShufflePartitions
     // verify INLINE in the join stage (sig prefilter + banded DP, the
-    // fuzzyPass shape — a pair duplicated across (segment, shift) keys
-    // re-verifies at ~µs, far cheaper than a candidate-level distinct
-    // that shuffles the raw candidate stream), then dedup only the
-    // SURVIVORS: same pair → same dist, so groupBy-min is the dedup.
-    // (Measured against the alternative — drop names from the exploded
-    // sides, distinct the sig-surviving id pairs, re-attach names by
-    // broadcast for the DP verify: on the templated-vocabulary corpus
-    // 6.4M TRUE pairs survive, the distinct's map-side combine saves
-    // nothing the groupBy-min here doesn't already save, and the two
-    // extra joins cost more than the string width they remove.)
-    val candLong = pLong
-      .repartition(shufN, col("bc"), col("seg"), col("blen"))
-      .join(rLong.repartition(shufN, col("bc"), col("seg"), col("blen")),
-        Seq("bc", "seg", "blen"))
+    // fuzzyPass shape — a STRING pair duplicated across (segment,
+    // shift) keys re-verifies at ~µs, far cheaper than a candidate-
+    // level distinct that shuffles the raw candidate stream), then
+    // dedup only the SURVIVORS: same pair → same dist, so groupBy-min
+    // is the dedup.
+    val candLong = pJ
+      .repartition(shufN, joinKeys.map(col): _*)
+      .join(rJ.repartition(shufN, joinKeys.map(col): _*), joinKeys)
       .filter(sigBound(col("psig"), col("rsig")) <= k)
-      .select(col("probe_id"), col("pn"), col("ref_id"), col("rn"))
+      .select(col("pn"), col("rn"))
 
     val candShort = pBase.filter(length(col("pn")) <= 2 * k)
       .join(rBase.filter(length(col("rn")) <= k),
         abs(length(col("pn")) - length(col("rn"))) <= k)
-      .select(col("probe_id"), col("pn"), col("ref_id"), col("rn"))
+      .select(col("pn"), col("rn"))
 
-    candLong.unionByName(candShort)
+    // string-level verified matches
+    val strPairs = candLong.unionByName(candShort)
       .withColumn("dist", levWithin(col("pn"), col("rn"), k))
       .filter(col("dist").between(0, k))
-      .groupBy(col("probe_id"), col("ref_id"))
+      .groupBy(col("pn"), col("rn"))
       .agg(min(col("dist")).as("dist"))
+    (strPairs, pAll, rAll)
   }
 
   /** Incremental fuzzy entity resolution — the q82/jaccardPairsIncremental

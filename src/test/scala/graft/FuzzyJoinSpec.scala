@@ -186,19 +186,31 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(bad.isEmpty, s"mismatches: ${bad.take(5).mkString(", ")}")
   }
 
-  test("segment blocking density guard fires on a constant vocabulary") {
-    // every name identical -> every (segment, index, length) key is one
-    // hot block of n_probes*n_refs candidates
+  test("segment density guard degrades hot blocks, output = unguarded") {
+    // a constant vocabulary collapses to ONE distinct string (no hot
+    // block possible), so the adversarial case is DISTINCT strings
+    // sharing a segment: "aaaa"+unique suffix puts all 60 names in the
+    // one (bc="aaaa", seg=0, blen=8) block -> 3600 candidate pairs,
+    // far over the 100-pair limit. The guard must SALT that block and
+    // still return exactly the unguarded pair set.
+    val hot = (0 until 60).map(i => (i.toLong, f"aaaa${i}%04d"))
+      .toDF("id", "name")
+    val guarded = Text.fuzzyJoinSegments(hot, hot, "id", $"name",
+        "id", $"name", 1, maxBlockPairs = 100L)
+      .as[(Long, Long, Int)].collect().toSet
+    val unguarded = Text.fuzzyJoinSegments(hot, hot, "id", $"name",
+        "id", $"name", 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(guarded == unguarded,
+      s"salted output diverged: only-guarded=${(guarded -- unguarded).take(5)} " +
+        s"only-unguarded=${(unguarded -- guarded).take(5)}")
+    assert(guarded.contains((0L, 0L, 0))) // self-pairs survive salting
+    // copy-heavy duplicates still collapse instead of going hot
     val const = (0 until 50).map(i => (i.toLong, "samename"))
       .toDF("id", "name")
-    val e = intercept[IllegalStateException] {
-      Text.fuzzyJoinSegments(const, const, "id", $"name", "id", $"name", 1,
-        maxBlockPairs = 100L)
-    }
-    assert(e.getMessage.contains("maxBlockPairs"))
     val ok = Text.fuzzyJoinSegments(const, const, "id", $"name",
-      "id", $"name", 1, maxBlockPairs = 1000000L)
-    assert(ok.count() == 50L * 50L) // all-pairs at dist 0
+      "id", $"name", 1, maxBlockPairs = 100L)
+    assert(ok.count() == 50L * 50L) // all-pairs at dist 0, no blow-up
   }
 
   test("incremental-segments recalls a first-character edit; " +
@@ -216,18 +228,44 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(seg.contains((11L, 2L, 1)) && fc.contains((11L, 2L, 1)))
   }
 
-  test("density guard rejects a pathological block and passes sane ones") {
-    // one hot block: same first char, same length -> n_probes*n_refs pairs
+  test("first-char density guard salts a pathological block, output = unguarded") {
+    // one hot block: same first char, same length -> 60x60 candidates
+    // over the 100-pair limit; the guard salts it instead of throwing
     val hot = (0 until 60).map(i => (i.toLong, f"a${i}%03d")).toDF("id", "name")
-    val e = intercept[IllegalStateException] {
-      Text.fuzzyJoin(hot, hot, "id", $"name", "id", $"name", 1,
+    val guarded = Text.fuzzyJoin(hot, hot, "id", $"name", "id", $"name", 1,
         maxBlockPairs = 100L)
-    }
-    assert(e.getMessage.contains("maxBlockPairs"))
-    // generous limit: same inputs go through
-    val ok = Text.fuzzyJoin(hot, hot, "id", $"name", "id", $"name", 1,
-      maxBlockPairs = 1000000L)
-    assert(ok.count() >= 60L) // at least the self-pairs
+      .as[(Long, Long, Int)].collect().toSet
+    val unguarded = Text.fuzzyJoin(hot, hot, "id", $"name", "id", $"name", 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(guarded == unguarded,
+      s"salted output diverged: only-guarded=${(guarded -- unguarded).take(5)} " +
+        s"only-unguarded=${(unguarded -- guarded).take(5)}")
+    assert(guarded.count(p => p._1 == p._2) == 60) // every self-pair present
+  }
+
+  test("fuzzyResolveBest = pair-operator rollup (duplicate-heavy corpus)") {
+    // copies of few names on both sides, plus an unmatched probe: the
+    // fused operator must agree with groupBy-min/count over the pair set
+    val refs = Seq((5L, "alpha"), (3L, "alpha"), (7L, "beta"), (9L, "betz"),
+      (11L, "gamma")).toDF("id", "name")
+    val probes = Seq((20L, "alphax"), (21L, "alphax"), (22L, "betz"),
+      (23L, "nomatch")).toDF("id", "name")
+    val pairs = Text.fuzzyJoinSegments(probes, refs, "id", $"name",
+      "id", $"name", 1)
+    val viaPairs = pairs.groupBy($"probe_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min(struct($"dist".as("d"), $"ref_id".as("r"))).as("bk"))
+      .select($"probe_id", $"bk.d".as("dist"), $"bk.r".as("ref_id"),
+        $"n_matches")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val fused = Text.fuzzyResolveBest(probes, refs, "id", $"name",
+        "id", $"name", 1)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(fused == viaPairs, s"fused=$fused viaPairs=$viaPairs")
+    // spot-check the tie rule: alphax matches alpha copies (ids 3,5) at
+    // dist 1 -> best ref 3, n_matches 2
+    assert(fused.contains((20L, 1, 3L, 2L)))
+    assert(!fused.exists(_._1 == 23L)) // no row for unmatched probes
   }
 
   test("fuzzyBlockStats reports per-block candidate volume") {
