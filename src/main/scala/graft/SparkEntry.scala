@@ -23,6 +23,33 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** q123's vector corpus: embeddings plus a first-dimension-perturbed
+    * copy (the planted near-dup population).
+    */
+  private[graft] def q123Vectors(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id").as("id"),
+      transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val pert = t(s, dir, "embeddings").select((col("vec_id") + 10000).as("id"),
+      transform(col("embedding"), (x, i) =>
+        when(i === 0, x.cast("double") + 0.5).otherwise(x.cast("double"))).as("vec"))
+    e.unionByName(pert)
+  }
+
+  /** q123's PIPELINE leg — the pair set that feeds cluster dedup. This
+    * MUST stay on the ANN-blocked cell kernel; the exact O(n²) kernel
+    * appears in q123 only as recall ground truth. Exposed so
+    * PhysicalPlanSpec can pin the leg's plan (the full query hides it
+    * behind dedupByClusters' checkpoint): no object ops, candidates
+    * equi-joined on the cell key.
+    */
+  private[graft] def q123BlockedPairs(s: SparkSession, dir: String): DataFrame = {
+    val all = q123Vectors(s, dir)
+    val centroids = all.filter(col("id") < 16)
+      .select(col("id").as("cid"), col("vec").as("cvec"))
+    Similarity.cosineNearDupPairsCellBlocked(all, centroids, 0.9, nprobe = 2)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** lineitem projected as a bar series: symbol/date/px/vol plus a unique
     * monotone ordinal for deterministic first/last (SURVEY §2.5 A1).
     */
@@ -1498,16 +1525,8 @@ object SparkEntry {
     // column. One audit row: surviving-set fingerprint under the
     // blocked pairs + blocked/exact pair counts + recall.
     "q123_semantic_dedup_ann" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"),
-        transform(col("embedding"), x => x.cast("double")).as("vec"))
-      val pert = t(s, dir, "embeddings").select((col("vec_id") + 10000).as("id"),
-        transform(col("embedding"), (x, i) =>
-          when(i === 0, x.cast("double") + 0.5).otherwise(x.cast("double"))).as("vec"))
-      val all = e.unionByName(pert)
-      val centroids = e.filter(col("id") < 16)
-        .select(col("id").as("cid"), col("vec").as("cvec"))
-      val blocked = Similarity.cosineNearDupPairsCellBlocked(
-        all, centroids, 0.9, nprobe = 2).select(col("id_a"), col("id_b"))
+      val all = q123Vectors(s, dir)
+      val blocked = q123BlockedPairs(s, dir)
       val exact = Similarity.cosineNearDupPairsExact(all, 0.9)
         .select(col("id_a"), col("id_b"))
       Dedup.dedupByClusters(all.select(col("id")), "id", blocked)

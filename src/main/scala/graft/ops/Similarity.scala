@@ -319,13 +319,46 @@ object Similarity {
                                     threshold: Double,
                                     nprobe: Int = 2): DataFrame = {
     val probed = ivfProbeCells(vecs, centroids, nprobe)
-    probed.as("a").join(probed.as("b"),
-        col("a.cell") === col("b.cell") && col("a.qid") < col("b.qid"))
-      .select(col("a.qid").as("id_a"), col("b.qid").as("id_b"),
-        round(cosine(col("a.qv"), col("b.qv")), 6).as("cos"))
+      .select(col("qid").as("id"), col("cell"), col("qv"))
+    sameCellCandidates(
+        probed.select(col("id"), col("cell"), col("qv").as("va")),
+        probed.select(col("id"), col("cell"), col("qv").as("vb"),
+          lit(true).as("is_new")),
+        probeCarry = Seq("va"), indexCarry = Seq("vb"))
+      .select(col("id_match").as("id_a"), col("id_new").as("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
       .distinct()
   }
+
+  /** Shared same-cell candidate generator of the ANN dedup family — the
+    * ONE place the "candidates = vectors sharing a (probed) cell, under
+    * the incremental id-order contract" join lives, consumed by both
+    * the batch [[cosineNearDupPairsCellBlocked]] and the streaming
+    * `annDedupStream` (graft.streaming.Streams), so a recall fix to
+    * the candidate rule lands in both.
+    *
+    * `probe` carries (id, cell, probeCarry...); `index` carries
+    * (id, cell, is_new, indexCarry...). A probe pairs with every OLD
+    * index row sharing the cell, and with SMALLER-id NEW rows
+    * (keep-first within an increment); self-pairs never emit. For the
+    * fully-batch case every index row is new, which degenerates to the
+    * classic id-ordered self-join. Output: (id_new, id_match) plus the
+    * carried columns, NOT deduplicated — the batch caller filters on
+    * the verified similarity BEFORE its distinct (only true pairs
+    * reach the dedup exchange), the stream caller distincts the id
+    * pairs and verifies on vectors re-read from the corpus snapshot.
+    */
+  def sameCellCandidates(probe: DataFrame, index: DataFrame,
+                         probeCarry: Seq[String] = Nil,
+                         indexCarry: Seq[String] = Nil): DataFrame =
+    probe.as("a").join(index.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.id") =!= col("b.id") &&
+          (!col("b.is_new") || col("a.id") > col("b.id")))
+      .select(col("a.id").as("id_new") +: col("b.id").as("id_match") +:
+        (probeCarry.map(c => col("a." + c).as(c)) ++
+          indexCarry.map(c => col("b." + c).as(c))): _*)
 
   /** Deterministic pseudo-random hyperplanes: component (p,j) is an LCG
     * over (p·dim+j) mapped to [-1000, 1000]. Precomputed as plain Longs

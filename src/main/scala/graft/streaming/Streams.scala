@@ -697,16 +697,18 @@ object Streams {
           val freshCells = fresh.select(col("doc_id"), col("cell"))
           // fresh×stored pairs unconditionally (history wins whatever
           // the id order); id-order only within the increment; self-
-          // pairs excluded so replays converge — see lshDedupStream
-          val candsP = freshCells.as("a")
-            .join(storedCells.withColumn("is_new", lit(false)).as("b")
-                .unionByName(
-                  freshCells.withColumn("is_new", lit(true)).as("b")),
-              col("a.cell") === col("b.cell") &&
-                col("a.doc_id") =!= col("b.doc_id") &&
-                (!col("b.is_new") || col("a.doc_id") > col("b.doc_id")))
-            .select(col("a.doc_id").as("doc_id"),
-              col("b.doc_id").as("id_match"))
+          // pairs excluded so replays converge — see lshDedupStream.
+          // The candidate rule itself is the batch kernel's
+          // (Similarity.sameCellCandidates), so recall fixes land in
+          // both paths.
+          val candsP = Similarity.sameCellCandidates(
+              freshCells.select(col("doc_id").as("id"), col("cell")),
+              storedCells.select(col("doc_id").as("id"), col("cell"))
+                .withColumn("is_new", lit(false))
+                .unionByName(freshCells
+                  .select(col("doc_id").as("id"), col("cell"))
+                  .withColumn("is_new", lit(true))))
+            .select(col("id_new").as("doc_id"), col("id_match"))
             .distinct().persist()
           val corpusVecs = Snapshot.latestVersion(table) match {
             case Some(_) =>

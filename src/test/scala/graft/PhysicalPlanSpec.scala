@@ -280,6 +280,39 @@ class PhysicalPlanSpec extends SparkSpec {
     assert("(?s)HashAggregate.*Functions: \\[\\]".r.findFirstIn(p).nonEmpty, p)
   }
 
+  test("q123: exact kernel appears ONLY under the recall branch") {
+    // The exact O(n²) kernel's physical signature is its object ops
+    // (packBlocks MapGroups + pair-enumeration MapPartitions). q123
+    // embeds it deliberately as recall ground truth, but the PIPELINE
+    // leg — the pair set feeding dedupByClusters, exposed as
+    // q123BlockedPairs because the full query hides it behind the
+    // cluster checkpoint — must stay on the cell-blocked kernel:
+    // zero object ops, candidates equi-joined on the cell key.
+    val marker = "(?m)^\\(\\d+\\) (?:Flat)?MapGroups".r
+    val marker2 = "(?m)^\\(\\d+\\) MapPartitions".r
+    val leg = SparkEntry.q123BlockedPairs(spark, dir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(marker.findAllIn(leg).isEmpty && marker2.findAllIn(leg).isEmpty,
+      s"pipeline leg routed through an object-op kernel:\n$leg")
+    assert("Left keys(?: \\[\\d+\\])?: \\[cell#".r.findAllIn(leg).nonEmpty,
+      s"pipeline leg must candidate-join on cell:\n$leg")
+    // self-validation: the markers DO fire on the exact kernel, so the
+    // zero-count above distinguishes the two shapes
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val exactPlan = graft.ops.Similarity.cosineNearDupPairsExact(e, 0.9)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(marker.findAllIn(exactPlan).nonEmpty &&
+      marker2.findAllIn(exactPlan).nonEmpty,
+      s"marker regexes no longer detect the exact kernel:\n$exactPlan")
+    // and the full query's lazy legs still carry exactly one exact
+    // kernel instance (the n_pairs_exact recall branch)
+    val p = plan("q123_semantic_dedup_ann")
+    assert(marker2.findAllIn(p).size == 1,
+      s"exactly one exact pair-enumeration expected in q123:\n$p")
+  }
+
   test("residual IVF-PQ: ADC is ONE broadcast equi-join on (cell, sub, code)") {
     val p = plan("q121_ivfpq_residual")
     assert(!p.contains("CartesianProduct"), p)
