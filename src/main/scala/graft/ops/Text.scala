@@ -359,18 +359,22 @@ object Text {
                         maxBlockPairs: Long): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
     import graft.functions.NativeFunctions.{fuzzySig, sigBound, levWithin}
+    // distinct-string collapse (the fuzzyJoinSegments shape): block,
+    // prefilter and DP-verify once per STRING pair, then fan verified
+    // matches back out to id pairs by multiplicity — duplicate-heavy
+    // vocabularies otherwise pay the verify once per copy-pair
+    val pAll = probes.select(col(probeId).as("probe_id"), probeName.as("pn"))
+    val rAll = refs.select(col(refId).as("ref_id"), refName.as("rn"))
     // the 64-bit histogram signature is computed per ROW on the small
     // pre-join sides and carried through the join — the per-PAIR
     // prefilter below then touches only two longs
-    val p = probes
-      .select(col(probeId).as("probe_id"), probeName.as("pn"))
-      .select(col("probe_id"), col("pn"), fuzzySig(col("pn")).as("psig"),
+    val p = pAll.select(col("pn")).distinct()
+      .select(col("pn"), fuzzySig(col("pn")).as("psig"),
         keyOf(col("pn")).as("bc"),
         explode(sequence(length(col("pn")) - maxDist,
           length(col("pn")) + maxDist)).as("blen"))
-    val r = refs
-      .select(col(refId).as("ref_id"), refName.as("rn"))
-      .select(col("ref_id"), col("rn"), fuzzySig(col("rn")).as("rsig"),
+    val r = rAll.select(col("rn")).distinct()
+      .select(col("rn"), fuzzySig(col("rn")).as("rsig"),
         keyOf(col("rn")).as("bc"), length(col("rn")).as("blen"))
     // hot-block degrade: salt any block over the limit (same candidate
     // set, bounded task sizes) instead of aborting
@@ -403,6 +407,9 @@ object Text {
       .filter(sigBound(col("psig"), col("rsig")) <= maxDist)
       .withColumn("dist", levWithin(col("pn"), col("rn"), maxDist))
       .filter(col("dist").between(0, maxDist))
+      .select(col("pn"), col("rn"), col("dist"))
+      .join(pAll, Seq("pn"))
+      .join(rAll, Seq("rn"))
       .select(col("probe_id"), col("ref_id"), col("dist"))
   }
 
