@@ -456,6 +456,17 @@ object SparkEntry {
       Sampling.temperatureSample(t(s, dir, "documents"),
         col("doc_id"), col("lang"), 1, 2, 100)),
 
+    // Sampling: weighted WITHOUT-replacement draw (Efraimidis–Spirakis
+    // priorities from deterministic hash uniforms) — quality-weighted
+    // subcorpus selection: 20 docs per language, weight = token count,
+    // so long documents win proportionally more often, reproducibly on
+    // any engine.
+    "q126_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(t(s, dir, "documents"),
+          col("lang"), col("doc_id"), Text.tokenCount(col("text")), 20, 42L)
+        .select(col("stratum").as("lang"), col("id").as("doc_id"),
+          col("priority"))),
+
     // Dedup: INCREMENTAL near-dup — a new crawl increment (half exact
     // re-crawls, half token-sorted novel texts) probed against the
     // existing corpus; old×old is never paired. Output per new doc:
@@ -3367,6 +3378,25 @@ object SparkEntry {
     "q98_bottomk_sample" ->
       s"""SELECT doc_id, ${h60("CAST(doc_id AS VARCHAR)")} AS h
          |FROM documents ORDER BY h, doc_id LIMIT 25""".stripMargin,
+
+    // Efraimidis–Spirakis priorities in lockstep: same md5-derived
+    // uniform, same double arithmetic order, priority snapped through
+    // DECIMAL(20,8) on both sides before it decides the order.
+    "q126_weighted_sample" ->
+      s"""WITH t AS (
+         |  SELECT lang, doc_id,
+         |    CAST(round(CAST(-ln((CAST(h AS DOUBLE) + 1.0)
+         |        / 1.152921504606846977e18)
+         |      / CAST(ntok AS DOUBLE) AS DECIMAL(20,8)), 8) AS DOUBLE)
+         |      AS priority
+         |  FROM (SELECT lang, doc_id,
+         |      ${h60("'42|' || CAST(doc_id AS VARCHAR)")} AS h,
+         |      len($tokSql) AS ntok FROM documents)
+         |  WHERE ntok > 0)
+         |SELECT lang, doc_id, priority FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY lang ORDER BY priority, doc_id) AS rn
+         |  FROM t) WHERE rn <= 20""".stripMargin,
 
     // Exact integer-cents rationals; ONE double division at the end,
     // identical operand order.

@@ -26,6 +26,45 @@ object Sampling {
   def hashBucket(key: Column, buckets: Int): Column =
     pmod(Dedup.hashLong(key.cast("string")), lit(buckets))
 
+  /** Weighted sampling WITHOUT replacement per stratum — deterministic
+    * Efraimidis–Spirakis (A-Res): row i draws u_i ∈ (0,1) as a pure
+    * function of (seed, key) via the portable 60-bit md5 hash and gets
+    * priority p_i = −ln(u_i)/w_i; the k SMALLEST priorities of a
+    * stratum are distributed exactly as a weighted without-replacement
+    * draw (heavier rows win proportionally more often). Deterministic
+    * u ⇒ the same sample on every run, cluster layout, and engine —
+    * the auditable quality-weighted subcorpus draw (weight = quality
+    * score or token count) that the uniform [[hashSample]] can't
+    * express.
+    *
+    * Cross-engine determinism: the DECISIVE priority snaps through
+    * decimal(20,8) with the key as tiebreak, so a 1-ulp ln()/division
+    * divergence between libm implementations can't reorder the cut —
+    * the q24-score snap lesson applied to an ORDER key.
+    *
+    * Scale shape: priorities are row-local (no weight normalization,
+    * no global state, trivially mergeable); selection is one window
+    * top-k per stratum — a single shuffle on the stratum key, the
+    * per-group sort bounded by stratum size. For a stratum-free global
+    * draw pass a literal stratum. Rows with weight ≤ 0 are excluded
+    * (their priority is undefined).
+    */
+  def weightedSample(df: DataFrame, stratum: Column, key: Column,
+                     weight: Column, k: Int, seed: Long): DataFrame = {
+    val u = (Dedup.hashLong(concat(lit(seed.toString), lit("|"),
+      key.cast("string"))).cast("double") + lit(1.0)) /
+      lit(1.152921504606846977e18) // 2^60 + 1: u ∈ (0, 1), never 0 or 1
+    val priority = round((negate(log(u)) / weight.cast("double"))
+      .cast("decimal(20,8)"), 8).cast("double")
+    df.filter(weight.cast("double") > 0)
+      .select(stratum.as("stratum"), key.as("id"), priority.as("priority"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("stratum"))
+          .orderBy(col("priority"), col("id"))))
+      .filter(col("__rn") <= k)
+      .select(col("stratum"), col("id"), col("priority"))
+  }
+
   /** Sequential token-budget shard packing: rows ordered by `order`
     * (a numeric key) are laid end-to-end and cut into shards of
     * `budget` weight — shard = floor(weight-before-this-row / budget).

@@ -108,6 +108,56 @@ class SamplingPackSpec extends SparkSpec {
     assert(byId(1L)._3 == solo && byId(3L)._3 == solo)
   }
 
+  test("weightedSample matches the reference A-Res computation") {
+    import graft.ops.Sampling
+    val rows = Seq((1L, "a", 10L), (2L, "a", 1L), (3L, "a", 5L),
+      (4L, "a", 2L), (5L, "b", 7L), (6L, "b", 3L))
+    val df = rows.toDF("id", "grp", "w")
+    val got = Sampling.weightedSample(df, $"grp", $"id", $"w", 2, 42L)
+      .as[(String, Long, Double)].collect().toSet
+    // reference: same hash, same priority formula, same snap, in Scala
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16)
+    }
+    val ref = rows.map { case (id, g, w) =>
+      val u = (h60(s"42|$id").toDouble + 1.0) / 1.152921504606846977e18
+      val p = BigDecimal(-math.log(u) / w)
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (g, id, p)
+    }.groupBy(_._1).flatMap { case (_, rs) =>
+      rs.sortBy(r => (r._3, r._2)).take(2)
+    }.toSet
+    assert(got == ref, s"got=$got ref=$ref")
+  }
+
+  test("weightedSample: heavier rows win more often; determinism; w<=0 excluded") {
+    import graft.ops.Sampling
+    // one heavy row among 49 light ones: across 40 seeds the heavy row
+    // should make the top-5 far more often than any light row's 10%
+    // expectation under uniform sampling
+    val df = (1L to 50L).map(i => (i, "g", if (i == 7L) 500L else 1L))
+      .toDF("id", "grp", "w")
+    val hits = (1 to 40).count { seed =>
+      Sampling.weightedSample(df, $"grp", $"id", $"w", 5, seed.toLong)
+        .filter($"id" === 7L).count() == 1L
+    }
+    assert(hits >= 30, s"heavy row sampled only $hits/40 times")
+    // determinism: identical frame for identical seed
+    val a = Sampling.weightedSample(df, $"grp", $"id", $"w", 5, 9L)
+      .collect().toSet
+    val b = Sampling.weightedSample(df, $"grp", $"id", $"w", 5, 9L)
+      .collect().toSet
+    assert(a == b)
+    // non-positive weights never sampled, even with k >= group size
+    val z = Seq((1L, "g", 0L), (2L, "g", -3L), (3L, "g", 1L))
+      .toDF("id", "grp", "w")
+    val kept = Sampling.weightedSample(z, $"grp", $"id", $"w", 10, 1L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+  }
+
   test("temperatureSample flattens the stratum distribution deterministically") {
     val docs = (1L to 100L).map { i =>
       val lang = if (i <= 90) "en" else if (i <= 99) "de" else "sw"
