@@ -11,7 +11,9 @@ import org.apache.spark.sql.SparkSessionExtensions
   *
   * Injected functions: cosine_similarity, simhash, hashed_shingles,
   * minhash_sig (all codegen'd Catalyst expressions; see
-  * org.apache.spark.sql.graftshim).
+  * org.apache.spark.sql.graftshim). Injected optimizer rules:
+  * [[graft.plans.BandedLevenshteinRule]] (unbounded levenshtein
+  * comparisons → banded early-exit kernel).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =

@@ -15,13 +15,17 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * the session-local `NativeFunctions.register(spark)` call.
   */
 object GraftExtensionsShim {
-  def inject(ext: SparkSessionExtensions): Unit =
+  def inject(ext: SparkSessionExtensions): Unit = {
     NativeFunctions.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         builder))
     }
+    // optimizer: unbounded levenshtein-vs-literal comparisons run the
+    // banded early-exit kernel instead (graft.plans.BandedLevenshteinRule)
+    ext.injectOptimizerRule(_ => graft.plans.BandedLevenshteinRule)
+  }
 
   /** Apply the injector to an EXISTING session's function registry —
     * what Spark's session builder does with the injected functions at

@@ -22,4 +22,54 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(2) == 2) // "a b c", "b c d"
     assert(r.getInt(3) == 16)
   }
+
+  test("BandedLevenshteinRule rewrites every comparison shape, results equal") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // RDD-backed (LogicalRDD), so ConvertToLocalRelation cannot fold
+    // the whole projection away before the rewrite is observable
+    val fixture = spark.createDataFrame(spark.sparkContext.parallelize(
+      Seq[(java.lang.Long, String, String)](
+        (1L, "kitten", "sitting"), (2L, "abc", "abc"), (3L, "abc", "abd"),
+        (4L, "", "ab"), (5L, null, "x"), (6L, "y", null),
+        (7L, "short", "muchlongerstring"), (8L, "aa", "aaa")), 2))
+      .toDF("id", "a", "b")
+    val exprs = Seq(
+      "levenshtein(a, b) <= 1", "1 >= levenshtein(a, b)",
+      "levenshtein(a, b) < 2", "2 > levenshtein(a, b)",
+      "levenshtein(a, b) = 3", "3 = levenshtein(a, b)",
+      "levenshtein(a, b) > 1", "1 <= levenshtein(a, b)",
+      "levenshtein(a, b) >= 2", "2 < levenshtein(a, b)")
+    // plain session: rule off; rule session: injected via the
+    // experimental hook (the in-process stand-in for the static
+    // spark.sql.extensions conf)
+    val before = spark.experimental.extraOptimizations
+    try {
+      spark.experimental.extraOptimizations =
+        before :+ graft.plans.BandedLevenshteinRule
+      exprs.foreach { e =>
+        val df = fixture.select($"id", expr(e).as("flag"))
+        val optimized = df.queryExecution.optimizedPlan.toString
+        assert(optimized.contains("lev_within") &&
+          !optimized.toLowerCase.contains("levenshtein("),
+          s"'$e' not rewritten:\n$optimized")
+        // equality vs the unrewritten evaluation, nulls included
+        spark.experimental.extraOptimizations = before
+        val plain = fixture.select($"id", expr(e).as("flag")).collect()
+          .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+        spark.experimental.extraOptimizations =
+          before :+ graft.plans.BandedLevenshteinRule
+        val rewritten = df.collect()
+          .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+        assert(rewritten == plain, s"'$e' diverged")
+      }
+      // negatives: projection without comparison, negative threshold,
+      // and Spark's own 3-arg thresholded form stay untouched
+      Seq("levenshtein(a, b)", "levenshtein(a, b) <= -1",
+        "levenshtein(a, b, 2) <= 1").foreach { e =>
+        val p = fixture.select(expr(e)).queryExecution.optimizedPlan.toString
+        assert(!p.contains("lev_within"), s"'$e' wrongly rewritten:\n$p")
+      }
+    } finally spark.experimental.extraOptimizations = before
+  }
 }
