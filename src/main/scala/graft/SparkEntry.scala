@@ -467,6 +467,23 @@ object SparkEntry {
         .select(col("stratum").as("lang"), col("id").as("doc_id"),
           col("priority"))),
 
+    // Dedup: line-level boilerplate scrub (CCNet/RefinedWeb cleaning) —
+    // multi-line docs are built in-query (a headline line + the body;
+    // every 2nd doc carries a planted cookie-banner line), then every
+    // line appearing in ≥ 20 distinct docs is dropped corpus-wide. The
+    // clean-text md5 proves the rewrite byte-exact cross-engine.
+    "q127_boilerplate_scrub" -> ((s, dir) => {
+      val toks = Text.tokens(col("text"))
+      val headline = array_join(slice(toks, 1, 5), " ")
+      val lined = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0,
+          concat_ws("\n", headline,
+            lit("ACCEPT COOKIES TO CONTINUE"), col("text")))
+          .otherwise(concat_ws("\n", headline, col("text"))).as("t"))
+      Dedup.scrubBoilerplateLines(lined, "doc_id", col("t"), 20)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Dedup: INCREMENTAL near-dup — a new crawl increment (half exact
     // re-crawls, half token-sorted novel texts) probed against the
     // existing corpus; old×old is never paired. Output per new doc:
@@ -3378,6 +3395,36 @@ object SparkEntry {
     "q98_bottomk_sample" ->
       s"""SELECT doc_id, ${h60("CAST(doc_id AS VARCHAR)")} AS h
          |FROM documents ORDER BY h, doc_id LIMIT 25""".stripMargin,
+
+    // Same line construction, same trimmed-line md5 document
+    // frequency, same ordered reassembly (parallel unnest zips the
+    // line list with its subscripts in DuckDB).
+    "q127_boilerplate_scrub" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 2 = 0
+         |      THEN l1 || chr(10) || 'ACCEPT COOKIES TO CONTINUE'
+         |        || chr(10) || text
+         |      ELSE l1 || chr(10) || text END AS t
+         |  FROM (SELECT doc_id, text,
+         |      array_to_string(($tokSql)[1:5], ' ') AS l1
+         |    FROM documents)),
+         |ls AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM d),
+         |ln AS (
+         |  SELECT doc_id, unnest(l) AS line,
+         |    unnest(range(1, len(l) + 1)) AS pos
+         |  FROM ls),
+         |fr AS (
+         |  SELECT md5(trim(line)) AS lfp,
+         |    count(DISTINCT doc_id) AS line_df
+         |  FROM ln GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+         |  CAST(sum(CASE WHEN line_df >= 20 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dropped,
+         |  md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+         |    FILTER (WHERE line_df < 20), '')) AS clean_fp
+         |FROM ln JOIN fr ON fr.lfp = md5(trim(ln.line))
+         |GROUP BY doc_id""".stripMargin,
 
     // Efraimidis–Spirakis priorities in lockstep: same md5-derived
     // uniform, same double arithmetic order, priority snapped through

@@ -424,6 +424,41 @@ object Dedup {
     * per-doc rollup shuffles on the well-distributed id. Nothing is
     * quadratic in corpus size and no side is collected.
     */
+  /** Line-level boilerplate scrub — the CCNet/RefinedWeb cleaning pass
+    * that token-span dedup ([[duplicateSpans]]) doesn't cover: a LINE
+    * (newline-delimited) is boilerplate when its trimmed form appears
+    * in ≥ `minDf` DISTINCT documents corpus-wide (cookie banners, nav
+    * menus, footers), and is dropped from every document it appears
+    * in. Output one row per doc: (id, n_lines, n_dropped, clean_fp) —
+    * clean_fp the md5 of the scrubbed text with original line order
+    * preserved, so the rewrite is verifiable byte-exact cross-engine.
+    *
+    * Scale shape: lines explode with their position in one codegen
+    * pass; document frequency is ONE distinct-count aggregate on the
+    * line fingerprint (map-side combine collapses the hot boilerplate
+    * lines before the shuffle — the "same cookie banner in 10⁸ docs"
+    * skew never travels); the flag rides back on a fingerprint
+    * equi-join and each doc reassembles with a per-id
+    * sort_array(collect_list(struct(pos, line))). Shuffles only on the
+    * well-distributed fingerprint and id keys; nothing quadratic,
+    * nothing collected.
+    */
+  def scrubBoilerplateLines(docs: DataFrame, id: String, text: Column,
+                            minDf: Int): DataFrame = {
+    val lines = docs.select(col(id).as("id"),
+        posexplode(split(text, "\n")).as(Seq("pos", "line")))
+      .withColumn("lfp", md5(trim(col("line"))))
+    val lineDf = lines.groupBy(col("lfp"))
+      .agg(countDistinct(col("id")).as("line_df"))
+    lines.join(lineDf, Seq("lfp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("line_df") >= minDf, 1L).otherwise(0L)).as("n_dropped"),
+        md5(array_join(transform(sort_array(collect_list(
+            when(col("line_df") < minDf, struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n")).as("clean_fp"))
+  }
+
   def duplicateSpans(docs: DataFrame, id: String, text: Column,
                      n: Int): DataFrame = {
     val chunks = Text.chunkTokens(docs, id, text, n, n)

@@ -484,4 +484,31 @@ class TextDedupSpec extends SparkSpec {
       .select($"keep_id", $"n").as[(Long, Long)].collect().toSet
     assert(kept == Set((1L, 2L), (3L, 1L)))
   }
+
+  test("scrubBoilerplateLines drops corpus-frequent lines, keeps order") {
+    // banner appears in 3 docs (>= minDf 3), unique lines survive in
+    // their original positions; trimming unifies "  banner" with
+    // "banner"
+    val docs = Seq(
+      (1L, "alpha\nBANNER\nbody one"),
+      (2L, "beta\n  BANNER\nbody two"),
+      (3L, "BANNER\ngamma"),
+      (4L, "delta\nepsilon")).toDF("doc_id", "text")
+    val got = Dedup.scrubBoilerplateLines(docs, "doc_id", $"text", 3)
+      .as[(Long, Long, Long, String)].collect()
+      .map { case (a, b, c, d) => a -> ((b, c, d)) }.toMap
+    def m(s: String) = {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      digest.map("%02x".format(_)).mkString
+    }
+    assert(got(1L) == (3L, 1L, m("alpha\nbody one")))
+    assert(got(2L) == (3L, 1L, m("beta\nbody two")))
+    assert(got(3L) == (2L, 1L, m("gamma")))
+    assert(got(4L) == (2L, 0L, m("delta\nepsilon")))
+    // below the threshold nothing is scrubbed
+    val none = Dedup.scrubBoilerplateLines(docs, "doc_id", $"text", 4)
+      .agg(sum($"n_dropped")).as[Long].collect()(0)
+    assert(none == 0L)
+  }
 }
