@@ -1123,6 +1123,70 @@ object SparkEntry {
             .cast("decimal(20,10)"), 4).cast("double").as("recall_at_5"))
     }),
 
+    // Similarity: SCALAR QUANTIZATION (SQ8) — the compression tier
+    // between raw floats and PQ codes: one per-dim min/max pass (d-row
+    // aggregate, broadcast back), every vector snaps to d 8-bit bin
+    // indices (4× resident-index compression), and the fixed 100-query
+    // sample ranks corpus rows by exact-query-vs-reconstruction squared
+    // L2 — the scan touches only the codes plus the one stats row.
+    // Output: recall@5 of the SQ8 scan vs exact-L2 truth.
+    "q128_sq8_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val st = Similarity.sqStats(e)
+      val codes = Similarity.sqEncode(e, st)
+      val qs = e.select(col("id"), col("vec"),
+          Dedup.hashLong(col("id").cast("string")).as("h"))
+        .orderBy(col("h"), col("id")).limit(100)
+        .select(col("id"), col("vec"))
+      // no persist: the stats row is a ReusedExchange across the encode
+      // and decode consumers of this one plan (see q108)
+      val truth = Similarity.bruteForceTopKL2(qs, e, 5)
+      val approx = Similarity.sqTopK(qs, codes, st, 5)
+      val hits = truth.join(approx, Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      qs.select(col("id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round((coalesce(col("n_hit"), lit(0L)).cast("double") / 5)
+            .cast("decimal(20,10)"), 4).cast("double").as("recall_at_5"))
+    }),
+
+    // Similarity: TRUNCATED-DIMENSION retrieval cascade (matryoshka) —
+    // stage 1 shortlists per query by cosine over only the FIRST 16 of
+    // 64 dims (at scale: a 4× cheaper scan, the prefix laid out as its
+    // own column), stage 2 reranks the shortlist by full-dim cosine.
+    // Both shortlist tiers (10, 30) share ONE stage-1 ranking — tier
+    // membership is just prank <= R, the q108 multi-probe trick — so
+    // recall-vs-cost is measured from a single pass. Output: recall@5
+    // per query per shortlist depth vs exact cosine truth.
+    "q129_matryoshka_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = e.select(col("id"), col("vec"),
+          Dedup.hashLong(col("id").cast("string")).as("h"))
+        .orderBy(col("h"), col("id")).limit(100)
+        .select(col("id"), col("vec"))
+      val cand = Similarity.truncatedCandidates(qs, e, 16, 30)
+      val truth = Similarity.bruteForceTopK(qs, e, 5)
+      val hits = Seq(10, 30).map { r =>
+        val approx = Similarity.rerankExact(qs, e,
+          cand.filter(col("prank") <= r), 5)
+        truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+          .withColumn("shortlist", lit(r))
+      }.reduce(_.unionByName(_))
+      qs.select(col("id").as("query_id"))
+        .withColumn("shortlist", explode(array(lit(10), lit(30))))
+        .join(hits, Seq("query_id", "shortlist"), "left")
+        .select(col("query_id"), col("shortlist"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round((coalesce(col("n_hit"), lit(0L)).cast("double") / 5)
+            .cast("decimal(20,10)"), 4).cast("double").as("recall_at_5"))
+    }),
+
     // Similarity/Quality: embedding OUTLIER gate — vectors whose cell
     // affinity is > 2σ below their cell's mean (the "belongs nowhere"
     // rows a pipeline drops before training). The z-test runs on exact
@@ -3039,6 +3103,108 @@ object SparkEntry {
          |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS recall_at_5
          |FROM q CROSS JOIN it
          |LEFT JOIN h ON q.id = h.query_id AND it.iters = h.iters""".stripMargin,
+
+    // SQ8 unrolled in CTEs: per-dim min/max lists, codes via the same
+    // fixed-association ((x−mn)/(mx−mn))·255 snap, reconstruction
+    // mn + (code/255)·(mx−mn), rank by rounded squared L2 to the
+    // reconstruction (asc, id) against brute-force L2 truth.
+    "q128_sq8_recall" ->
+      s"""WITH st AS (
+         |  SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+         |  FROM (
+         |    SELECT pos, min(x) AS mn, max(x) AS mx FROM (
+         |      SELECT generate_subscripts(embedding, 1) AS pos,
+         |        CAST(unnest(embedding) AS DOUBLE) AS x
+         |      FROM embeddings)
+         |    GROUP BY 1)),
+         |dec AS (
+         |  SELECT e.vec_id AS id,
+         |    list_transform(
+         |      list_zip(list_transform(list_zip(e.embedding, st.mns, st.mxs),
+         |        q -> CASE WHEN q[3] > q[2]
+         |          THEN CAST(round((CAST(q[1] AS DOUBLE) - q[2])
+         |            / (q[3] - q[2]) * 255.0) AS INT)
+         |          ELSE 0 END), st.mns, st.mxs),
+         |      q -> q[2] + CAST(q[1] AS DOUBLE) / 255.0 * (q[3] - q[2]))
+         |      AS dv
+         |  FROM embeddings e CROSS JOIN st),
+         |q AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+         |      ORDER BY ${h60("CAST(vec_id AS VARCHAR)")}, vec_id
+         |      LIMIT 100),
+         |approx AS (SELECT qid, nid FROM (
+         |  SELECT q.id AS qid, d.id AS nid,
+         |    row_number() OVER (PARTITION BY q.id
+         |      ORDER BY round(${sqdSql("q.vec", "d.dv")}, 6), d.id) AS rnk
+         |  FROM q JOIN dec d ON q.id != d.id)
+         |  WHERE rnk <= 5),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.id AS query_id, c2.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.id
+         |      ORDER BY round(${sqdSql("q.vec", "c2.embedding")}, 6),
+         |        c2.vec_id) AS rnk
+         |  FROM q JOIN embeddings c2 ON q.id != c2.vec_id)
+         |  WHERE rnk <= 5),
+         |h AS (SELECT t.query_id, count(*) AS n_hit
+         |  FROM truth t JOIN approx a
+         |    ON t.query_id = a.qid AND t.neighbor_id = a.nid
+         |  GROUP BY 1)
+         |SELECT q.id AS query_id,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(round(CAST(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS recall_at_5
+         |FROM q LEFT JOIN h ON q.id = h.query_id""".stripMargin,
+
+    // Matryoshka cascade in CTEs: ONE prefix-cosine ranking (first 16
+    // list elements, same rounded-sim/id tiebreaks), tier membership is
+    // prank <= R, each tier reranks by full-dim cosine, hits against
+    // the full-dim cosine truth.
+    "q129_matryoshka_rerank" ->
+      s"""WITH q AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+         |      ORDER BY ${h60("CAST(vec_id AS VARCHAR)")}, vec_id
+         |      LIMIT 100),
+         |cand AS (SELECT qid, nid, prank FROM (
+         |  SELECT q.id AS qid, e.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.id
+         |      ORDER BY round(${cosSql("q.vec[1:16]", "e.embedding[1:16]")}, 6)
+         |        DESC, e.vec_id) AS prank
+         |  FROM q JOIN embeddings e ON q.id != e.vec_id)
+         |  WHERE prank <= 30),
+         |rr AS (
+         |  SELECT 10 AS shortlist, qid, nid FROM (
+         |    SELECT c.qid, c.nid, row_number() OVER (PARTITION BY c.qid
+         |      ORDER BY round(${cosSql("q.vec", "e.embedding")}, 6) DESC,
+         |        c.nid) AS rnk
+         |    FROM cand c JOIN q ON q.id = c.qid
+         |      JOIN embeddings e ON e.vec_id = c.nid
+         |    WHERE c.prank <= 10)
+         |    WHERE rnk <= 5
+         |  UNION ALL
+         |  SELECT 30 AS shortlist, qid, nid FROM (
+         |    SELECT c.qid, c.nid, row_number() OVER (PARTITION BY c.qid
+         |      ORDER BY round(${cosSql("q.vec", "e.embedding")}, 6) DESC,
+         |        c.nid) AS rnk
+         |    FROM cand c JOIN q ON q.id = c.qid
+         |      JOIN embeddings e ON e.vec_id = c.nid
+         |    WHERE c.prank <= 30)
+         |    WHERE rnk <= 5),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.id AS query_id, c2.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.id
+         |      ORDER BY round(${cosSql("q.vec", "c2.embedding")}, 6) DESC,
+         |        c2.vec_id) AS rnk
+         |  FROM q JOIN embeddings c2 ON q.id != c2.vec_id)
+         |  WHERE rnk <= 5),
+         |h AS (SELECT a.shortlist, t.query_id, count(*) AS n_hit
+         |  FROM truth t JOIN rr a
+         |    ON t.query_id = a.qid AND t.neighbor_id = a.nid
+         |  GROUP BY 1, 2),
+         |sl AS (SELECT unnest([10, 30]) AS shortlist)
+         |SELECT q.id AS query_id, sl.shortlist,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(round(CAST(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS recall_at_5
+         |FROM q CROSS JOIN sl
+         |LEFT JOIN h ON q.id = h.query_id AND sl.shortlist = h.shortlist""".stripMargin,
 
     // The identical integer z-test in SQL: HUGEINT moments per cell
     // (exact), D = Σ − n·fp, flag iff D > 0 AND D² > 4(n·Σ² − Σ²);

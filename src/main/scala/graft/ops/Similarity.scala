@@ -1014,6 +1014,129 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "dist")
   }
 
+  // ---- scalar quantization (SQ8) ----------------------------------------
+
+  /** Per-dimension corpus min/max for scalar quantization: ONE row
+    * (mns: array<double>, mxs: array<double>), dimension order. A single
+    * map-side-combining aggregate over the exploded corpus — d·P partial
+    * rows shuffle (d = dims, P = partitions), never n·d — then the d
+    * final rows collapse into broadcastable arrays. At 100 TB this is
+    * the one cheap full pass every quantizer needs anyway; the stats row
+    * then rides a broadcast to every encoder/decoder.
+    */
+  def sqStats(vecs: DataFrame): DataFrame =
+    vecs.select(posexplode(col("vec")))
+      .groupBy(col("pos"))
+      .agg(min(col("col").cast("double")).as("mn"),
+        max(col("col").cast("double")).as("mx"))
+      .groupBy()
+      .agg(
+        array_sort(collect_list(struct(col("pos"), col("mn")))).as("pm"),
+        array_sort(collect_list(struct(col("pos"), col("mx")))).as("px"))
+      .select(transform(col("pm"), x => x.getField("mn")).as("mns"),
+        transform(col("px"), x => x.getField("mx")).as("mxs"))
+
+  /** SQ8-encode: every component snaps to its 8-bit bin index within the
+    * per-dim [mn, mx] range — (id, codes: array<int>), d bytes of
+    * information per vector instead of d floats (the 4× resident-index
+    * compression tier below PQ's m bytes). Codes are
+    * round(((x − mn) / (mx − mn)) · 255); a constant dimension
+    * (mx == mn) encodes as 0. Deterministic: double arithmetic in a
+    * fixed association, half-up rounding on non-negative values.
+    */
+  def sqEncode(vecs: DataFrame, stats: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(stats))
+      .select(col("id"),
+        transform(arrays_zip(col("vec"), col("mns"), col("mxs")), q => {
+          val x = q.getField("vec").cast("double")
+          val mn = q.getField("mns")
+          val mx = q.getField("mxs")
+          when(mx > mn, round((x - mn) / (mx - mn) * lit(255.0)).cast("int"))
+            .otherwise(lit(0))
+        }).as("codes"))
+
+  /** Asymmetric SQ8 top-k: the corpus is its CODES (+ the one broadcast
+    * stats row); each code dequantizes to its bin's reconstruction point
+    * mn + (code/255)·(mx − mn) on the fly, and exact double-precision
+    * queries rank corpus rows by squared L2 to the reconstruction
+    * (rounded to 6, neighbor-id tiebreak). The scan reads d bytes per
+    * corpus vector instead of d floats — the SQ8 memory story; compose
+    * with an IVF coarse tier exactly as PQ does when the corpus no
+    * longer fits a full scan.
+    *
+    * CONTRACT: `queries` bounded (the [[bruteForceTopK]] rule) — they
+    * broadcast against the streaming code scan.
+    */
+  def sqTopK(queries: DataFrame, codes: DataFrame, stats: DataFrame,
+             k: Int, maxQueries: Long = DefaultMaxQueries): DataFrame = {
+    guardBoundedQueries(queries, maxQueries, "sqTopK")
+    val dec = codes.crossJoin(broadcast(stats))
+      .select(col("id").as("neighbor_id"),
+        transform(arrays_zip(col("codes"), col("mns"), col("mxs")), q =>
+          q.getField("mns") +
+            q.getField("codes").cast("double") / lit(255.0) *
+              (q.getField("mxs") - q.getField("mns"))).as("dv"))
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col("neighbor_id"))
+    broadcast(q).join(dec, col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist", round(sqDistHof(col("qv"), col("dv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "dist")
+  }
+
+  // ---- truncated-dimension (matryoshka) retrieval -----------------------
+
+  /** Stage-1 shortlist of a truncated-dimension retrieval cascade: rank
+    * the corpus per query by cosine over only the FIRST `prefixDims`
+    * components and keep the top `shortlist` — (qid, id, prank). At
+    * 100 TB the point is IO: a columnar store can lay the prefix out as
+    * its own column, so the coarse scan reads prefixDims/d of the
+    * vector bytes, and only shortlist·|q| full vectors are ever touched
+    * by the exact stage ([[rerankExact]]). Deterministic: rounded
+    * prefix-cosine desc, candidate id.
+    *
+    * CONTRACT: `queries` bounded — their prefixes broadcast.
+    */
+  def truncatedCandidates(queries: DataFrame, corpus: DataFrame,
+                          prefixDims: Int, shortlist: Int,
+                          maxQueries: Long = DefaultMaxQueries): DataFrame = {
+    guardBoundedQueries(queries, maxQueries, "truncatedCandidates")
+    val q = queries.select(col("id").as("qid"),
+      slice(col("vec"), 1, prefixDims).as("qp"))
+    val c = corpus.select(col("id"),
+      slice(col("vec"), 1, prefixDims).as("vp"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("psim").desc, col("id"))
+    broadcast(q).join(c, col("qid") =!= col("id"))
+      .withColumn("psim", round(cosine(col("qp"), col("vp")), 6))
+      .withColumn("prank", row_number().over(w))
+      .filter(col("prank") <= shortlist)
+      .select("qid", "id", "prank")
+  }
+
+  /** Stage-2 exact rerank: join the stage-1 candidate ids back to their
+    * FULL vectors (an equi-join on id — at scale a point-lookup-friendly
+    * pattern, the corpus streams once and only candidate rows survive
+    * the join) and rank by full-dimension cosine, top `k` per query.
+    * Queries broadcast; output matches [[bruteForceTopK]]'s shape so
+    * recall audits compose identically.
+    */
+  def rerankExact(queries: DataFrame, corpus: DataFrame,
+                  candidates: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("qid"), col("vec").as("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    candidates.join(corpus.select(col("id"), col("vec").as("cv")), Seq("id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** Approximate nearest neighbors: compare only within LSH buckets, then
     * rank as in brute force. Recall < 1 by construction; the point is the
     * join shape — bucket id is the shuffle key, so cost scales with

@@ -478,4 +478,72 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(adc.getMessage.contains("pqAdcTopK"))
   }
+
+  test("sq8: codes in [0,255], constant dims encode 0, identical vectors " +
+      "share codes, planted dup is its copy's top neighbor") {
+    val rnd = new scala.util.Random(23)
+    val base = (0L until 50L).map(i =>
+      // dim 0 constant across the corpus → mx == mn → code 0 branch
+      (i, 1.5f +: Seq.fill(15)(rnd.nextGaussian().toFloat)))
+    val rows = base ++ Seq((90L, base(7)._2)) // 90 = exact copy of 7
+    val vecs = rows.toDF("id", "vec")
+    val st = Similarity.sqStats(vecs)
+    val codes = Similarity.sqEncode(vecs, st)
+    val flat = codes.select(explode($"codes")).as[Int].collect()
+    assert(flat.forall(c => c >= 0 && c <= 255))
+    assert(codes.filter($"id" === 90L || $"id" === 7L)
+      .select($"codes".cast("string")).distinct().count() == 1)
+    assert(codes.select(element_at($"codes", 1)).distinct()
+      .as[Int].collect().toSeq == Seq(0))
+    // identical codes → identical reconstruction: the copy's decoded
+    // point is the nearest any corpus row can sit to the query, so it
+    // must be the top-1 neighbor
+    val top = Similarity.sqTopK(vecs.filter($"id" === 90L), codes, st, 1)
+      .select($"neighbor_id").as[Long].head()
+    assert(top == 7L)
+  }
+
+  test("sq8 recall: 8-bit bins approximate exact L2 top-5 closely") {
+    val rnd = new scala.util.Random(29)
+    val vecs = (0L until 80L).map(i =>
+      (i, Seq.fill(16)(rnd.nextGaussian().toFloat))).toDF("id", "vec")
+    val qs = vecs.filter($"id" < 10)
+    val st = Similarity.sqStats(vecs)
+    val codes = Similarity.sqEncode(vecs, st)
+    val truth = Similarity.bruteForceTopKL2(qs, vecs, 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.sqTopK(qs, codes, st, 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    // 256 bins over a ~±4σ range is a fine grid: expect near-total
+    // agreement, and assert a conservative floor so the test is stable
+    val recall = (truth & approx).size.toDouble / truth.size
+    assert(recall >= 0.9, s"sq8 recall@5 $recall")
+  }
+
+  test("matryoshka rerank: shortlist=corpus equals bruteForceTopK; " +
+      "candidates carry a dense deterministic prank") {
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 60L).map(i =>
+      (i, Seq.fill(32)(rnd.nextGaussian().toFloat))).toDF("id", "vec")
+    val qs = vecs.filter($"id" < 8)
+    // shortlist covering the whole corpus → stage 1 prunes nothing and
+    // the cascade must equal exact brute force bit-for-bit
+    val cand = Similarity.truncatedCandidates(qs, vecs, 8, 60)
+    val full = Similarity.rerankExact(qs, vecs, cand, 5)
+      .select($"query_id", $"neighbor_id", $"rank", $"sim")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val brute = Similarity.bruteForceTopK(qs, vecs, 5)
+      .select($"query_id", $"neighbor_id", $"rank", $"sim")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(full == brute)
+    // pranks are dense 1..shortlist per query, never the query itself
+    val byQ = cand.groupBy($"qid").agg(count(lit(1)).as("n"),
+      max($"prank").as("mx")).as[(Long, Long, Int)].collect()
+    assert(byQ.forall { case (_, n, mx) => n == 59 && mx == 59 })
+    assert(cand.filter($"qid" === $"id").count() == 0)
+    // a tight shortlist is a subset of the corpus-wide rerank's pool
+    val tight = Similarity.rerankExact(qs, vecs,
+      Similarity.truncatedCandidates(qs, vecs, 8, 10), 5)
+    assert(tight.count() == 8 * 5)
+  }
 }
