@@ -1080,7 +1080,9 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col("neighbor_id"))
     broadcast(q).join(dec, col("query_id") =!= col("neighbor_id"))
-      .withColumn("dist", round(sqDistHof(col("qv"), col("dv")), 6))
+      // native codegen'd SquaredL2 — bit-identical to the HOF/oracle
+      // formulation (spec-pinned) and ~10× cheaper in the |q|·n hot loop
+      .withColumn("dist", round(sqDist(col("qv"), col("dv")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "dist")

@@ -327,6 +327,33 @@ class PhysicalPlanSpec extends SparkSpec {
       s"exactly one broadcast (cell, sub, code) ADC join expected:\n$p")
   }
 
+  test("SQ8 recall: distance is the native codegen'd squared_l2, stats " +
+      "and queries ride broadcasts, no cartesian") {
+    val p = plan("q128_sq8_recall")
+    assert(!p.contains("CartesianProduct"), p)
+    // the |q|·n hot loop must evaluate the native expression, not an
+    // interpreted HOF aggregate-over-zip lambda
+    assert(p.contains("squared_l2"), s"native distance expected:\n$p")
+    // the one-row stats frame and the bounded query sample are the only
+    // nested-loop participants (encode/decode cross + truth/approx scans)
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size <= 4,
+      s"only stats-row/query-sample crossings may nested-loop:\n$p")
+  }
+
+  test("matryoshka rerank: stage-2 joins candidates to the corpus on id " +
+      "(equi), nested loops only in stage-1/truth bounded scans") {
+    val p = plan("q129_matryoshka_rerank")
+    assert(!p.contains("CartesianProduct"), p)
+    // stage-1 shortlist scan + truth scan broadcast the 100-row sample;
+    // the rerank joins (candidates×corpus on id, candidates×queries on
+    // qid) must be equi-joins — at scale they are the point lookups
+    assert("Left keys(?: \\[\\d+\\])?: \\[id#".r.findAllIn(p).nonEmpty ||
+      "\\[codegen id : \\d+\\]".r.findAllIn(p).nonEmpty,
+      s"rerank corpus join must key on id:\n$p")
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"rerank query/corpus equi-joins expected:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-project pipeline") {
     val df = Tables(spark, dir, "lineitem")
       .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
