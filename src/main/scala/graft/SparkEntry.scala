@@ -23,6 +23,30 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** q130/q131's crawl-URL corpus: documents with an in-query URL whose
+    * noise axes (scheme case, www, default port, tracking params, param
+    * order slot, trailing slash, fragment) all collapse under
+    * [[Web.canonicalizeUrl]] — doc_ids sharing (source, doc_id%50, an
+    * id param) land on one canonical URL, giving real dedup groups.
+    */
+  private[graft] def docUrls(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("text"),
+      concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://www."))
+          .otherwise(lit("http://")),
+        lit("cdn."), col("source"), lit("-site.net"),
+        when(col("doc_id") % 7 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("?utm_source=feed&id="),
+            (col("doc_id") % 50).cast("string"), lit("&ref=rss")))
+          .otherwise(when(col("doc_id") % 5 === 0,
+            concat(lit("?id="), (col("doc_id") % 50).cast("string")))
+            .otherwise(lit(""))),
+        when(col("doc_id") % 6 === 0, lit("#sec")).otherwise(lit("")))
+        .as("url"))
+
   /** q123's vector corpus: embeddings plus a first-dimension-perturbed
     * copy (the planted near-dup population).
     */
@@ -105,6 +129,48 @@ object SparkEntry {
   /** DuckDB tokenization in lockstep with Text.tokens. */
   private val tokSql =
     """list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')"""
+
+  /** DuckDB CTE chain for q130/q131: build the in-query crawl URLs
+    * (docUrls parity) and reduce them to Web.canonicalizeUrl's canonical
+    * form + host — terminal CTE `cu(doc_id, text, host, canonical_url)`.
+    */
+  private val urlCanonCtes: String =
+    s"""u AS (SELECT doc_id, text,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://www.' ELSE 'http://' END) ||
+       |    'cdn.' || source || '-site.net' ||
+       |    (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END) ||
+       |    '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
+       |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+       |    (CASE WHEN doc_id % 3 = 0
+       |          THEN '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR) ||
+       |            '&ref=rss'
+       |        WHEN doc_id % 5 = 0 THEN '?id=' || CAST(doc_id % 50 AS VARCHAR)
+       |        ELSE '' END) ||
+       |    (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+       |  FROM documents),
+       |s1 AS (SELECT doc_id, text,
+       |    regexp_replace(regexp_replace(url, '#.*$$', ''),
+       |      '(?i)^https?://', '') AS ns
+       |  FROM u),
+       |s2 AS (SELECT doc_id, text,
+       |    regexp_replace(regexp_replace(
+       |      lower(regexp_extract(ns, '^([^/?]+)', 1)),
+       |      '^www\\.', ''), ':(80|443)$$', '') AS host,
+       |    regexp_replace(ns, '^[^/?]+', '') AS rest FROM s1),
+       |s3 AS (SELECT doc_id, text, host,
+       |    regexp_replace(regexp_replace(rest, '\\?.*$$', ''), '/$$', '')
+       |      AS path,
+       |    CASE WHEN contains(rest, '?')
+       |      THEN regexp_replace(rest, '^[^?]*\\?', '') ELSE '' END AS qs
+       |  FROM s2),
+       |cu AS (SELECT doc_id, text, host,
+       |    host || path || CASE WHEN len(kept) > 0
+       |      THEN '?' || array_to_string(kept, '&') ELSE '' END
+       |      AS canonical_url
+       |  FROM (SELECT *, list_sort(list_filter(string_split(qs, '&'),
+       |      p -> p <> '' AND NOT regexp_matches(p,
+       |        '^(utm_[^=]*|ref|fbclid|gclid)(=|$$)'))) AS kept FROM s3))"""
+      .stripMargin
 
   /** DuckDB word-3-gram distinct shingles over a token list column tk. */
   private val shingleSql =
@@ -482,6 +548,29 @@ object SparkEntry {
           .otherwise(concat_ws("\n", headline, col("text"))).as("t"))
       Dedup.scrubBoilerplateLines(lined, "doc_id", col("t"), 20)
         .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Web: URL-level dedup — canonicalize crawl URLs (scheme/www/port/
+    // fragment/tracking-param/param-order/trailing-slash noise all
+    // collapse) and keep ONE doc per canonical URL, longest-first. The
+    // entire canonicalization is codegen'd string expressions in the
+    // scan pass; the only shuffle is the hash-aggregate on the
+    // canonical key — the shuffle the dedup needs anyway at 100 TB.
+    "q130_url_dedup" -> ((s, dir) => {
+      val u = docUrls(s, dir)
+      Web.dedupByCanonicalUrl(u, col("doc_id"), col("url"),
+        -Text.tokenCount(col("text")))
+    }),
+
+    // Web: DOMAIN-level quality gate — per registered domain, doc count
+    // and fixed-point mean quality score, flagging domains whose mean
+    // sits below 0.5 (the spam-domain drop list a crawl pipeline
+    // anti-joins against). ONE aggregate on the domain key; the flag
+    // compares exact integers scaled by the count, no float division.
+    "q131_domain_quality" -> ((s, dir) => {
+      val u = docUrls(s, dir)
+      Web.domainQualityGate(u, col("url"),
+        Text.qualityScore(col("text")), 0.5)
     }),
 
     // Dedup: INCREMENTAL near-dup — a new crawl increment (half exact
@@ -3591,6 +3680,46 @@ object SparkEntry {
          |    FILTER (WHERE line_df < 20), '')) AS clean_fp
          |FROM ln JOIN fr ON fr.lfp = md5(trim(ln.line))
          |GROUP BY doc_id""".stripMargin,
+
+    // The same canonicalization chain as the engine (shared CTE block),
+    // keep-longest via DuckDB struct-min ≙ Spark min_by(struct) — the
+    // (-token-count, id) lexicographic winner.
+    "q130_url_dedup" ->
+      s"""WITH $urlCanonCtes,
+         |tk AS (SELECT doc_id, canonical_url,
+         |    len($tokSql) AS n_tok FROM cu)
+         |SELECT canonical_url,
+         |  (min({'o': -n_tok, 'i': doc_id})).i AS kept_id,
+         |  CAST(count(*) AS BIGINT) AS n_urls
+         |FROM tk GROUP BY 1""".stripMargin,
+
+    // Registered domain = last two host labels; the q24 quality score
+    // snapped ×1e6 to BIGINT per doc BEFORE the sum, so the domain mean
+    // and the flag compare exact integers on both engines.
+    "q131_domain_quality" ->
+      s"""WITH $urlCanonCtes,
+         |sc AS (SELECT regexp_extract(host, '([^.]+\\.[^.]+)$$', 1)
+         |      AS domain,
+         |    CAST(round(CAST(round(CAST(
+         |      0.4 * least(1.0, len(tk) / 100.0)
+         |      + 0.3 * (CASE WHEN len(tk) = 0 THEN 0.0
+         |          ELSE len(list_filter(tk,
+         |            t -> t IN ('the','a','of','to','and'))) * 1.0 / len(tk)
+         |          END)
+         |      + 0.3 * (CASE WHEN len(tk) = 0 THEN 0.0
+         |          ELSE len(list_distinct(tk)) * 1.0 / len(tk) END)
+         |      AS DECIMAL(20,10)), 4) AS DOUBLE) * 1e6) AS BIGINT) AS qfp
+         |  FROM (SELECT host, $tokSql AS tk FROM cu)),
+         |g AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(qfp) AS BIGINT) AS qsum
+         |  FROM sc GROUP BY 1)
+         |SELECT domain, n_docs,
+         |  CAST(round(CAST(CAST(qsum AS DOUBLE)
+         |    / (CAST(n_docs AS DOUBLE) * 1e6)
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS mean_quality,
+         |  CAST(qsum AS DOUBLE)
+         |    < CAST(0.5 AS DOUBLE) * CAST(n_docs AS DOUBLE) * 1e6 AS flagged
+         |FROM g""".stripMargin,
 
     // Efraimidis–Spirakis priorities in lockstep: same md5-derived
     // uniform, same double arithmetic order, priority snapped through

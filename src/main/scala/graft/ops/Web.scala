@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL hygiene for crawl-scale corpora: canonicalization (the dedup key
+  * a CommonCrawl-style pipeline groups on before any content pass) and
+  * registered-domain extraction (the aggregation key for domain-level
+  * quality gates). Reference analog: the per-market symbol
+  * canonicalization family (reference utils.py code cleanup) applied to
+  * the web axis every LLM data pipeline adds.
+  *
+  * Everything is a pure column expression (regex + array built-ins — no
+  * UDF, stays inside whole-stage codegen), so canonicalization runs in
+  * the scan pass and the only shuffle is the GROUP BY on the canonical
+  * key — which at 100 TB is exactly the shuffle the dedup needs anyway.
+  */
+object Web {
+
+  /** Tracking query parameters dropped during canonicalization — the
+    * parameters that vary per crawl visit without changing content.
+    */
+  val TrackingParams = "^(utm_[^=]*|ref|fbclid|gclid)(=|$)"
+
+  /** Canonical form of a URL, the grouping key for URL-level dedup:
+    *   - scheme dropped (http ≡ https), case-insensitively
+    *   - host lowercased, leading `www.` and explicit `:80`/`:443`
+    *     default ports dropped (path case is PRESERVED — it is
+    *     significant on most servers)
+    *   - fragment dropped
+    *   - tracking parameters ([[TrackingParams]]) dropped; the
+    *     surviving query parameters sort bytewise so param order never
+    *     splits a group
+    *   - trailing slash on the path dropped
+    *
+    * Deterministic: regex rewrites plus a bytewise `array_sort` — no
+    * locale, no normalization table.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    // fragment, then scheme
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val noScheme = regexp_replace(noFrag, "(?i)^https?://", "")
+    val host = lower(regexp_extract(noScheme, "^([^/?]+)", 1))
+    val cleanHost = regexp_replace(
+      regexp_replace(host, "^www\\.", ""), ":(80|443)$", "")
+    val rest = regexp_replace(noScheme, "^[^/?]+", "")
+    val path = regexp_replace(
+      regexp_replace(rest, "\\?.*$", ""), "/$", "")
+    val qs = when(rest.contains("?"),
+      regexp_replace(rest, "^[^?]*\\?", "")).otherwise(lit(""))
+    val kept = array_sort(filter(split(qs, "&"),
+      p => p =!= "" && !p.rlike(TrackingParams)))
+    concat(cleanHost, path,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit("")))
+  }
+
+  /** Naive registered domain: the last two dot-labels of the canonical
+    * host (`a.b.example.com → example.com`). A production system keys
+    * on the public-suffix list; the two-label rule is the deterministic
+    * stand-in with the same plan shape (the PSL would broadcast as a
+    * lookup map).
+    */
+  def registeredDomain(url: Column): Column = {
+    val host = regexp_extract(canonicalizeUrl(url), "^([^/?]+)", 1)
+    regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+  }
+
+  /** URL-level dedup: one row per canonical URL, keeping the row whose
+    * `ord` is SMALLEST (deterministic keep-best: pass quality descending
+    * via negation, recency via a negated epoch, …, with the id as final
+    * tiebreak in the struct). Output: canonical_url, kept id, duplicate
+    * count. One hash-aggregate on the canonical key — map-side partial
+    * combine collapses per-partition duplicates before the shuffle.
+    */
+  def dedupByCanonicalUrl(df: DataFrame, idCol: Column, urlCol: Column,
+                          ord: Column): DataFrame =
+    df.select(idCol.as("id"), canonicalizeUrl(urlCol).as("canonical_url"),
+        ord.as("ord"))
+      .groupBy(col("canonical_url"))
+      .agg(min_by(col("id"), struct(col("ord"), col("id"))).as("kept_id"),
+        count(lit(1)).as("n_urls"))
+
+  /** Domain-level quality gate: per registered domain, document count
+    * and the mean of a per-doc quality column snapped to ×10⁶ fixed
+    * point BEFORE the sum (order-free, bit-identical cross-engine — the
+    * kmeans/cellMeans convention), flagging domains whose mean falls
+    * below `minMeanQuality`. The whole gate is ONE aggregate on the
+    * domain key; at 100 TB the flagged-domain set is small enough to
+    * broadcast back as an anti-join filter.
+    */
+  def domainQualityGate(df: DataFrame, urlCol: Column, quality: Column,
+                        minMeanQuality: Double): DataFrame =
+    df.select(registeredDomain(urlCol).as("domain"),
+        round(quality * 1e6).cast("long").as("qfp"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("qfp")).as("qsum"))
+      .select(col("domain"), col("n_docs"),
+        round((col("qsum").cast("double") /
+          (col("n_docs").cast("double") * 1e6))
+          .cast("decimal(20,10)"), 4).cast("double").as("mean_quality"),
+        (col("qsum").cast("double") <
+          lit(minMeanQuality) * col("n_docs").cast("double") * 1e6)
+          .as("flagged"))
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Web
+
+class WebSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("url").select(Web.canonicalizeUrl($"url")).as[String]
+      .collect().toSeq
+
+  test("canonicalizeUrl collapses every noise axis to one form") {
+    val variants = Seq(
+      "HTTPS://www.cdn.a-site.net:443/p/12/?utm_source=feed&id=12&ref=rss#sec",
+      "http://cdn.a-site.net/p/12?id=12",
+      "https://CDN.a-site.net:80/p/12/?id=12&utm_campaign=x",
+      "cdn.a-site.net/p/12?fbclid=abc&id=12")
+    assert(canon(variants: _*).distinct == Seq("cdn.a-site.net/p/12?id=12"))
+  }
+
+  test("canonicalizeUrl: param order sorts, non-tracking params survive, " +
+      "path case preserved, bare host stable") {
+    assert(canon("http://x.com/A/B?z=1&a=2") == Seq("x.com/A/B?a=2&z=1"))
+    assert(canon("http://x.com") == Seq("x.com"))
+    assert(canon("x.com/p?utm_a=1&utm_b=2") == Seq("x.com/p"))
+    // idempotent: canonicalizing a canonical form is the identity
+    val once = canon("HTTPS://www.x.com:443/p/?b=2&a=1#f").head
+    assert(canon(once) == Seq(once))
+  }
+
+  test("registeredDomain keeps the last two labels") {
+    val d = Seq("https://a.b.example.com/x", "http://example.com/y")
+      .toDF("url").select(Web.registeredDomain($"url")).as[String]
+      .collect().toSeq
+    assert(d == Seq("example.com", "example.com"))
+  }
+
+  test("dedupByCanonicalUrl keeps the smallest ord (longest doc) per group") {
+    val df = Seq(
+      (1L, "http://x.com/p?id=1", 5),
+      (2L, "HTTPS://www.x.com/p/?id=1&utm_source=a", 9),
+      (3L, "http://x.com/q", 2)).toDF("doc_id", "url", "len")
+    val r = Web.dedupByCanonicalUrl(df, $"doc_id", $"url", -$"len")
+      .orderBy($"canonical_url")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(r == Seq(("x.com/p?id=1", 2L, 2L), ("x.com/q", 3L, 1L)))
+  }
+
+  test("domainQualityGate flags only domains with mean below the floor") {
+    val df = Seq(
+      (1L, "http://good.com/a", 0.9), (2L, "http://good.com/b", 0.7),
+      (3L, "http://bad.com/a", 0.2), (4L, "http://bad.com/b", 0.3))
+      .toDF("doc_id", "url", "q")
+    val r = Web.domainQualityGate(df, $"url", $"q", 0.5)
+      .orderBy($"domain")
+      .select($"domain", $"n_docs", $"mean_quality", $"flagged")
+      .as[(String, Long, Double, Boolean)].collect().toSeq
+    assert(r == Seq(("bad.com", 2L, 0.25, true), ("good.com", 2L, 0.8, false)))
+  }
+}
