@@ -29,23 +29,24 @@ object SparkEntry {
     * [[Web.canonicalizeUrl]] — doc_ids sharing (source, doc_id%50, an
     * id param) land on one canonical URL, giving real dedup groups.
     */
+  private def crawlUrl(id: Column, source: Column): Column =
+    concat(
+      when(id % 2 === 0, lit("HTTPS://www.")).otherwise(lit("http://")),
+      lit("cdn."), source, lit("-site.net"),
+      when(id % 7 === 0, lit(":443")).otherwise(lit("")),
+      lit("/p/"), (id % 50).cast("string"),
+      when(id % 4 === 0, lit("/")).otherwise(lit("")),
+      when(id % 3 === 0,
+        concat(lit("?utm_source=feed&id="),
+          (id % 50).cast("string"), lit("&ref=rss")))
+        .otherwise(when(id % 5 === 0,
+          concat(lit("?id="), (id % 50).cast("string")))
+          .otherwise(lit(""))),
+      when(id % 6 === 0, lit("#sec")).otherwise(lit("")))
+
   private[graft] def docUrls(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"), col("text"),
-      concat(
-        when(col("doc_id") % 2 === 0, lit("HTTPS://www."))
-          .otherwise(lit("http://")),
-        lit("cdn."), col("source"), lit("-site.net"),
-        when(col("doc_id") % 7 === 0, lit(":443")).otherwise(lit("")),
-        lit("/p/"), (col("doc_id") % 50).cast("string"),
-        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
-        when(col("doc_id") % 3 === 0,
-          concat(lit("?utm_source=feed&id="),
-            (col("doc_id") % 50).cast("string"), lit("&ref=rss")))
-          .otherwise(when(col("doc_id") % 5 === 0,
-            concat(lit("?id="), (col("doc_id") % 50).cast("string")))
-            .otherwise(lit(""))),
-        when(col("doc_id") % 6 === 0, lit("#sec")).otherwise(lit("")))
-        .as("url"))
+      crawlUrl(col("doc_id"), col("source")).as("url"))
 
   /** q123's vector corpus: embeddings plus a first-dimension-perturbed
     * copy (the planted near-dup population).
@@ -130,47 +131,60 @@ object SparkEntry {
   private val tokSql =
     """list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')"""
 
-  /** DuckDB CTE chain for q130/q131: build the in-query crawl URLs
-    * (docUrls parity) and reduce them to Web.canonicalizeUrl's canonical
-    * form + host — terminal CTE `cu(doc_id, text, host, canonical_url)`.
+  /** DuckDB crawl-URL expression — SparkEntry.crawlUrl parity over an
+    * id expression and a source expression.
     */
-  private val urlCanonCtes: String =
-    s"""u AS (SELECT doc_id, text,
-       |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://www.' ELSE 'http://' END) ||
-       |    'cdn.' || source || '-site.net' ||
-       |    (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END) ||
-       |    '/p/' || CAST(doc_id % 50 AS VARCHAR) ||
-       |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
-       |    (CASE WHEN doc_id % 3 = 0
-       |          THEN '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR) ||
+  private def urlSql(id: String, src: String): String =
+    s"""((CASE WHEN $id % 2 = 0 THEN 'HTTPS://www.' ELSE 'http://' END) ||
+       |    'cdn.' || $src || '-site.net' ||
+       |    (CASE WHEN $id % 7 = 0 THEN ':443' ELSE '' END) ||
+       |    '/p/' || CAST($id % 50 AS VARCHAR) ||
+       |    (CASE WHEN $id % 4 = 0 THEN '/' ELSE '' END) ||
+       |    (CASE WHEN $id % 3 = 0
+       |          THEN '?utm_source=feed&id=' || CAST($id % 50 AS VARCHAR) ||
        |            '&ref=rss'
-       |        WHEN doc_id % 5 = 0 THEN '?id=' || CAST(doc_id % 50 AS VARCHAR)
+       |        WHEN $id % 5 = 0 THEN '?id=' || CAST($id % 50 AS VARCHAR)
        |        ELSE '' END) ||
-       |    (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
-       |  FROM documents),
-       |s1 AS (SELECT doc_id, text,
+       |    (CASE WHEN $id % 6 = 0 THEN '#sec' ELSE '' END))""".stripMargin
+
+  /** DuckDB CTE chain applying Web.canonicalizeUrl to the rows of
+    * `fromSql` (must yield doc_id, text, url) — terminal CTE
+    * `${tag}cu(doc_id, text, host, canonical_url)`. `tag` prefixes every
+    * CTE name so two chains (corpus + increment) can share one WITH.
+    */
+  private def urlChainSql(tag: String, fromSql: String): String =
+    s"""${tag}u AS ($fromSql),
+       |${tag}s1 AS (SELECT doc_id, text,
        |    regexp_replace(regexp_replace(url, '#.*$$', ''),
        |      '(?i)^https?://', '') AS ns
-       |  FROM u),
-       |s2 AS (SELECT doc_id, text,
+       |  FROM ${tag}u),
+       |${tag}s2 AS (SELECT doc_id, text,
        |    regexp_replace(regexp_replace(
        |      lower(regexp_extract(ns, '^([^/?]+)', 1)),
        |      '^www\\.', ''), ':(80|443)$$', '') AS host,
-       |    regexp_replace(ns, '^[^/?]+', '') AS rest FROM s1),
-       |s3 AS (SELECT doc_id, text, host,
+       |    regexp_replace(ns, '^[^/?]+', '') AS rest FROM ${tag}s1),
+       |${tag}s3 AS (SELECT doc_id, text, host,
        |    regexp_replace(regexp_replace(rest, '\\?.*$$', ''), '/$$', '')
        |      AS path,
        |    CASE WHEN contains(rest, '?')
        |      THEN regexp_replace(rest, '^[^?]*\\?', '') ELSE '' END AS qs
-       |  FROM s2),
-       |cu AS (SELECT doc_id, text, host,
+       |  FROM ${tag}s2),
+       |${tag}cu AS (SELECT doc_id, text, host,
        |    host || path || CASE WHEN len(kept) > 0
        |      THEN '?' || array_to_string(kept, '&') ELSE '' END
        |      AS canonical_url
        |  FROM (SELECT *, list_sort(list_filter(string_split(qs, '&'),
        |      p -> p <> '' AND NOT regexp_matches(p,
-       |        '^(utm_[^=]*|ref|fbclid|gclid)(=|$$)'))) AS kept FROM s3))"""
-      .stripMargin
+       |        '^(utm_[^=]*|ref|fbclid|gclid)(=|$$)'))) AS kept
+       |    FROM ${tag}s3))""".stripMargin
+
+  /** The q130/q131 corpus chain: crawl URLs over documents, terminal
+    * CTE `cu`.
+    */
+  private val urlCanonCtes: String = urlChainSql("",
+    s"""SELECT doc_id, text,
+       |    ${urlSql("doc_id", "source")} AS url
+       |  FROM documents""".stripMargin)
 
   /** DuckDB word-3-gram distinct shingles over a token list column tk. */
   private val shingleSql =
@@ -571,6 +585,29 @@ object SparkEntry {
       val u = docUrls(s, dir)
       Web.domainQualityGate(u, col("url"),
         Text.qualityScore(col("text")), 0.5)
+    }),
+
+    // Events: within-session event-type TRANSITION MATRIX (the Markov
+    // summary a behavior-sequence pipeline trains on) — consecutive
+    // pairs inside 30-min sessions, session boundaries hard (last event
+    // of a session never pairs into the next), per-from-type
+    // probability on the aggregated |types|² matrix, not the events.
+    "q132_session_transitions" -> ((s, dir) =>
+      Events.sessionTransitions(t(s, dir, "events"), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"), 1800L)),
+
+    // Web: incremental crawl NOVELTY per domain — a new increment
+    // (every 4th doc rehosted on an unseen domain; the rest re-crawled
+    // URL noise over known content) anti-joined on the canonical key
+    // against the existing corpus, the frontier-prioritization signal.
+    "q133_url_novelty" -> ((s, dir) => {
+      val corpus = docUrls(s, dir)
+      val inc = t(s, dir, "documents")
+        .select((col("doc_id") + 10000).as("nid"),
+          when(col("doc_id") % 4 === 0, concat(col("source"), lit("x")))
+            .otherwise(col("source")).as("src"))
+        .select(crawlUrl(col("nid"), col("src")).as("url"))
+      Web.urlNoveltyByDomain(corpus, inc, col("url"))
     }),
 
     // Dedup: INCREMENTAL near-dup — a new crawl increment (half exact
@@ -3720,6 +3757,67 @@ object SparkEntry {
          |  CAST(qsum AS DOUBLE)
          |    < CAST(0.5 AS DOUBLE) * CAST(n_docs AS DOUBLE) * 1e6 AS flagged
          |FROM g""".stripMargin,
+
+    // q78's session CTE + a lead within (user, session): boundaries are
+    // hard because the lead window partitions on the session id; the
+    // probability normalizes on the aggregated matrix.
+    "q132_session_transitions" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |        > 1800 * 1000000 THEN 1
+        |      WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |      ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, event_id, event_type,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM m),
+        |pr AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id, session_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM s),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(round(CAST(CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
+        |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS p
+        |FROM c""".stripMargin,
+
+    // Corpus and increment each run the shared canonicalization chain
+    // (tags c/i); novelty = distinct increment canonicals NOT IN the
+    // corpus canonical set, rolled up on the registered domain.
+    "q133_url_novelty" ->
+      s"""WITH ${urlChainSql("c",
+              s"""SELECT doc_id, text,
+                 |    ${urlSql("doc_id", "source")} AS url
+                 |  FROM documents""".stripMargin)},
+         |${urlChainSql("i",
+              s"""SELECT nid AS doc_id, text,
+                 |    ${urlSql("nid", "src")} AS url
+                 |  FROM (SELECT doc_id + 10000 AS nid, text,
+                 |      CASE WHEN doc_id % 4 = 0 THEN source || 'x'
+                 |        ELSE source END AS src
+                 |    FROM documents)""".stripMargin)},
+         |cd AS (SELECT DISTINCT canonical_url FROM ccu),
+         |ci AS (SELECT canonical_url, regexp_extract(
+         |      regexp_extract(canonical_url, '^([^/?]+)', 1),
+         |      '([^.]+\\.[^.]+)$$', 1) AS domain
+         |  FROM (SELECT DISTINCT canonical_url FROM icu)),
+         |nv AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_novel
+         |  FROM ci WHERE canonical_url NOT IN
+         |    (SELECT canonical_url FROM cd)
+         |  GROUP BY 1),
+         |al AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_urls
+         |  FROM ci GROUP BY 1)
+         |SELECT al.domain, al.n_urls,
+         |  CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+         |  CAST(round(CAST(CAST(coalesce(nv.n_novel, 0) AS DOUBLE)
+         |    / CAST(al.n_urls AS DOUBLE)
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS novelty_rate
+         |FROM al LEFT JOIN nv ON al.domain = nv.domain""".stripMargin,
 
     // Efraimidis–Spirakis priorities in lockstep: same md5-derived
     // uniform, same double arithmetic order, priority snapped through

@@ -156,4 +156,35 @@ object Events {
       .groupBy(col("cohort_week"), col("week_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Within-session event-type transition matrix (the Markov-chain
+    * summary a behavior-sequence pipeline trains against): consecutive
+    * (from_type → to_type) pairs inside each [[sessionize]] session,
+    * counted corpus-wide, with the per-from-type transition probability
+    * snapped through decimal(20,10) before the 4-place round.
+    *
+    * Session boundaries are hard: the last event of a session never
+    * pairs with the first of the next. One shuffle on the user key
+    * covers sessionize AND the lead (the (user, session) window's
+    * clustering is satisfied by the user hash; only a sort is added);
+    * the transition count then aggregates on the (from, to) key, whose
+    * domain is |event types|² — tiny at any corpus scale — so the final
+    * probability window runs on the aggregated matrix, not the events.
+    */
+  def sessionTransitions(events: DataFrame, user: Column, ts: Column,
+                         order: Column, etype: Column,
+                         gapSeconds: Long): DataFrame = {
+    val sess = sessionize(events, user, ts, order, gapSeconds)
+    val w = Window.partitionBy(user, col("session_id")).orderBy(ts, order)
+    val counts = sess
+      .select(etype.as("from_type"), lead(etype, 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy(col("from_type"))
+    counts.withColumn("p",
+      round((col("n").cast("double") /
+        sum(col("n")).over(wf).cast("double")).cast("decimal(20,10)"), 4)
+        .cast("double"))
+  }
 }

@@ -81,6 +81,36 @@ object Web {
       .agg(min_by(col("id"), struct(col("ord"), col("id"))).as("kept_id"),
         count(lit(1)).as("n_urls"))
 
+  /** Incremental crawl novelty: the canonical URLs of a new crawl
+    * increment anti-joined against the existing corpus' canonical set,
+    * rolled up per registered domain — the frontier-prioritization
+    * signal (a domain yielding nothing new gets demoted). Both sides
+    * collapse to DISTINCT canonical keys before the anti-join, so the
+    * join carries one row per URL, not per fetch; the anti-join
+    * shuffles on the canonical key — at 100 TB that is a hash lookup
+    * against the URL index the crawler maintains anyway.
+    */
+  def urlNoveltyByDomain(corpus: DataFrame, increment: DataFrame,
+                         urlCol: Column): DataFrame = {
+    def canonDomain(df: DataFrame): DataFrame = df
+      .select(canonicalizeUrl(urlCol).as("canonical_url"))
+      .distinct()
+      .withColumn("domain", regexp_extract(
+        regexp_extract(col("canonical_url"), "^([^/?]+)", 1),
+        "([^.]+\\.[^.]+)$", 1))
+    val corp = canonDomain(corpus).select("canonical_url")
+    val inc = canonDomain(increment)
+    val novel = inc.join(corp, Seq("canonical_url"), "left_anti")
+      .groupBy(col("domain")).agg(count(lit(1)).as("n_novel"))
+    inc.groupBy(col("domain")).agg(count(lit(1)).as("n_urls"))
+      .join(novel, Seq("domain"), "left")
+      .select(col("domain"), col("n_urls"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round((coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_urls").cast("double")).cast("decimal(20,10)"), 4)
+          .cast("double").as("novelty_rate"))
+  }
+
   /** Domain-level quality gate: per registered domain, document count
     * and the mean of a per-doc quality column snapped to ×10⁶ fixed
     * point BEFORE the sum (order-free, bit-identical cross-engine — the

@@ -119,6 +119,30 @@ class EventsSpec extends SparkSpec {
       ("2024-01-08", 0) -> 1L, ("2024-01-08", 1) -> 1L))
   }
 
+  test("sessionTransitions: pairs stop at session boundaries, " +
+      "probabilities normalize per from-type") {
+    val ev = Seq(
+      // u1 session 1: view -> click -> view (2 transitions)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:05:00"), 2L, "click"),
+      (1L, ts("2024-01-01 10:10:00"), 3L, "view"),
+      // u1 session 2 (2h gap): buy alone — the view->buy hop across the
+      // boundary must NOT appear
+      (1L, ts("2024-01-01 12:30:00"), 4L, "buy"),
+      // u2 one session: view -> buy
+      (2L, ts("2024-01-01 10:00:00"), 5L, "view"),
+      (2L, ts("2024-01-01 10:01:00"), 6L, "buy"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Events.sessionTransitions(ev, $"user_id", $"ts",
+        $"event_id", $"event_type", 1800L)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out == Map(
+      ("view", "click") -> ((1L, 0.5)),
+      ("view", "buy") -> ((1L, 0.5)),
+      ("click", "view") -> ((1L, 1.0))))
+  }
+
   test("robustOutliers flags by median/MAD and survives outlier drag") {
     // group a: tight cluster around 10 with one wild point; the mean/σ
     // z-score of 100 would shrink under the outlier's own drag, the

@@ -47,6 +47,27 @@ class WebSpec extends SparkSpec {
     assert(r == Seq(("x.com/p?id=1", 2L, 2L), ("x.com/q", 3L, 1L)))
   }
 
+  test("urlNoveltyByDomain: noise-only re-crawls count zero novelty, " +
+      "unseen canonicals count once per distinct URL") {
+    val corpus = Seq(
+      (1L, "http://x.com/a"), (2L, "http://x.com/b"),
+      (3L, "http://y.com/a")).toDF("doc_id", "url")
+    val inc = Seq(
+      // x.com/a again under noise → not novel
+      (10L, "HTTPS://www.x.com/a/?utm_source=z"),
+      // x.com/c twice with different noise → ONE novel canonical
+      (11L, "http://x.com/c?id=1"),
+      (12L, "https://x.com/c/?id=1&fbclid=q"),
+      // z.com entirely new
+      (13L, "http://z.com/a")).toDF("doc_id", "url")
+    val out = Web.urlNoveltyByDomain(corpus, inc, $"url")
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      "x.com" -> ((2L, 1L, 0.5)), // {x.com/a, x.com/c?id=1}, c novel
+      "z.com" -> ((1L, 1L, 1.0))))
+  }
+
   test("domainQualityGate flags only domains with mean below the floor") {
     val df = Seq(
       (1L, "http://good.com/a", 0.9), (2L, "http://good.com/b", 0.7),
