@@ -48,6 +48,17 @@ object SparkEntry {
     t(s, dir, "documents").select(col("doc_id"), col("text"),
       crawlUrl(col("doc_id"), col("source")).as("url"))
 
+  /** q133/q134's crawl increment: every 4th doc rehosted on an unseen
+    * domain (`sourcex`), the rest re-crawled URL noise over known
+    * content.
+    */
+  private[graft] def incUrls(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select((col("doc_id") + 10000).as("nid"),
+        when(col("doc_id") % 4 === 0, concat(col("source"), lit("x")))
+          .otherwise(col("source")).as("src"))
+      .select(crawlUrl(col("nid"), col("src")).as("url"))
+
   /** q123's vector corpus: embeddings plus a first-dimension-perturbed
     * copy (the planted near-dup population).
     */
@@ -600,14 +611,36 @@ object SparkEntry {
     // (every 4th doc rehosted on an unseen domain; the rest re-crawled
     // URL noise over known content) anti-joined on the canonical key
     // against the existing corpus, the frontier-prioritization signal.
-    "q133_url_novelty" -> ((s, dir) => {
+    "q133_url_novelty" -> ((s, dir) =>
+      Web.urlNoveltyByDomain(docUrls(s, dir), incUrls(s, dir), col("url"))),
+
+    // Web/Sketch: BLOOM-GATED crawl novelty — the q133 signal at
+    // sketch cost: the corpus canonical set folds into k·m bloom cells
+    // (state independent of corpus size; at 100 TB the exact URL index
+    // no longer broadcasts, the bloom does), the increment probes it,
+    // and the exact anti-join rides along as in-query truth so the
+    // false-positive cost of the sketch (novel URLs the bloom thinks
+    // it has seen) is measured, not assumed. Zero false negatives by
+    // construction: n_novel_bloom <= n_novel_exact always.
+    "q134_bloom_url_novelty" -> ((s, dir) => {
       val corpus = docUrls(s, dir)
-      val inc = t(s, dir, "documents")
-        .select((col("doc_id") + 10000).as("nid"),
-          when(col("doc_id") % 4 === 0, concat(col("source"), lit("x")))
-            .otherwise(col("source")).as("src"))
-        .select(crawlUrl(col("nid"), col("src")).as("url"))
-      Web.urlNoveltyByDomain(corpus, inc, col("url"))
+        .select(Web.canonicalizeUrl(col("url")).as("cu")).distinct()
+      val inc = incUrls(s, dir)
+        .select(Web.canonicalizeUrl(col("url")).as("cu")).distinct()
+        .withColumn("domain", regexp_extract(
+          regexp_extract(col("cu"), "^([^/?]+)", 1),
+          "([^.]+\\.[^.]+)$", 1))
+      val reg = Sketch.bloomRegisters(corpus, col("cu"))
+      val bloom = Sketch.bloomMightContain(reg, inc.select(col("cu")), "cu")
+      val exact = inc.join(corpus, Seq("cu"), "left_anti")
+        .select(col("cu"), lit(1L).as("novel_exact"))
+      inc.join(bloom, Seq("cu"))
+        .join(exact, Seq("cu"), "left")
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_urls"),
+          sum(coalesce(col("novel_exact"), lit(0L))).as("n_novel_exact"),
+          sum(when(!col("might_contain"), lit(1L)).otherwise(lit(0L)))
+            .as("n_novel_bloom"))
     }),
 
     // Dedup: INCREMENTAL near-dup — a new crawl increment (half exact
@@ -3818,6 +3851,50 @@ object SparkEntry {
          |    / CAST(al.n_urls AS DOUBLE)
          |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS novelty_rate
          |FROM al LEFT JOIN nv ON al.domain = nv.domain""".stripMargin,
+
+    // q66's relational bloom (same k=5 hash rows over m=8192 buckets,
+    // same md5 bucket function keyed on the canonical string) over the
+    // q133 canonical chains; the exact NOT IN rides along as truth.
+    "q134_bloom_url_novelty" -> {
+      val bkt = s"CAST(${h60("CAST(i AS VARCHAR) || '|' || canonical_url")}" +
+        " % 8192 AS BIGINT)"
+      s"""WITH ${urlChainSql("c",
+              s"""SELECT doc_id, text,
+                 |    ${urlSql("doc_id", "source")} AS url
+                 |  FROM documents""".stripMargin)},
+         |${urlChainSql("i",
+              s"""SELECT nid AS doc_id, text,
+                 |    ${urlSql("nid", "src")} AS url
+                 |  FROM (SELECT doc_id + 10000 AS nid, text,
+                 |      CASE WHEN doc_id % 4 = 0 THEN source || 'x'
+                 |        ELSE source END AS src
+                 |    FROM documents)""".stripMargin)},
+         |cd AS (SELECT DISTINCT canonical_url FROM ccu),
+         |ci AS (SELECT canonical_url, regexp_extract(
+         |      regexp_extract(canonical_url, '^([^/?]+)', 1),
+         |      '([^.]+\\.[^.]+)$$', 1) AS domain
+         |  FROM (SELECT DISTINCT canonical_url FROM icu)),
+         |reg AS (SELECT DISTINCT i, $bkt AS bucket
+         |  FROM cd, range(5) r(i)),
+         |pb AS (SELECT canonical_url, i, $bkt AS bucket
+         |  FROM ci, range(5) r(i)),
+         |mb AS (SELECT canonical_url,
+         |    sum(CASE WHEN hit IS NULL THEN 0 ELSE 1 END) = 5
+         |      AS might_contain
+         |  FROM pb LEFT JOIN (SELECT i, bucket, 1 AS hit FROM reg)
+         |    USING (i, bucket)
+         |  GROUP BY 1),
+         |ex AS (SELECT canonical_url, 1 AS novel_exact FROM ci
+         |  WHERE canonical_url NOT IN (SELECT canonical_url FROM cd))
+         |SELECT ci.domain, CAST(count(*) AS BIGINT) AS n_urls,
+         |  CAST(sum(coalesce(ex.novel_exact, 0)) AS BIGINT)
+         |    AS n_novel_exact,
+         |  CAST(sum(CASE WHEN NOT mb.might_contain THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_novel_bloom
+         |FROM ci JOIN mb USING (canonical_url)
+         |  LEFT JOIN ex USING (canonical_url)
+         |GROUP BY 1""".stripMargin
+    },
 
     // Efraimidis–Spirakis priorities in lockstep: same md5-derived
     // uniform, same double arithmetic order, priority snapped through
