@@ -490,6 +490,59 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming crawl-frontier dedup — the continuous face of
+    * [[graft.ops.Web.dedupByCanonicalUrl]]: each micro-batch of fetched
+    * URLs canonicalizes in its scan pass (pure codegen'd string
+    * expressions), collapses within-batch duplicates to the smallest-id
+    * fetch per canonical key, anti-joins the ACCUMULATED frontier
+    * snapshot on the canonical key (the URL-index lookup a crawler
+    * performs anyway — an equi-join, never content comparison), and
+    * appends only first-seen URLs.
+    *
+    * Replay is idempotent WITHOUT the checkpoint: a replayed survivor
+    * finds its own committed canonical key in the frontier and drops;
+    * the snapshot merge touches only the replayed batch's partition.
+    * Compaction mirrors [[dedupStream]]'s policy.
+    */
+  def urlDedupStream(in: DataFrame, table: String, checkpoint: String,
+                     compactEvery: Int = 16, vacuumKeep: Int = 0): Unit = {
+    import graft.ops.Web
+    import graft.sources.Snapshot
+    val q = in.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val fresh = batch.toDF()
+            .select(col("doc_id"), col("url"),
+              Web.canonicalizeUrl(col("url")).as("canonical_url"))
+            .groupBy(col("canonical_url"))
+            .agg(min(col("doc_id")).as("doc_id"),
+              min_by(col("url"), col("doc_id")).as("url"))
+          val survivors = (Snapshot.latestVersion(table) match {
+            case Some(_) =>
+              fresh.join(Snapshot.read(spark, table)
+                  .select(col("canonical_url")),
+                Seq("canonical_url"), "left_anti")
+            case None => fresh
+          }).withColumn("ingest_batch", lit(batchId))
+          if (!survivors.isEmpty)
+            Snapshot.merge(survivors, table, Seq("canonical_url"),
+              "doc_id", "ingest_batch"): Unit
+          if (compactEvery > 0) Snapshot.latestVersion(table).foreach { v =>
+            if (Snapshot.readManifest(table, v).dirs.size >= compactEvery) {
+              Snapshot.compactInto(spark, table, lit(batchId))
+              if (vacuumKeep > 0) Snapshot.vacuum(table, vacuumKeep)
+            }
+          }
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming LSH dedup over a PERSISTENT banded-index snapshot — the
     * 100 TB evolution [[dedupStream]]'s scaladoc promises: dedupStream
     * re-reads the whole corpus and rebuilds its prefix index every

@@ -358,6 +358,46 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("urlDedupStream keeps one fetch per canonical key across batches " +
+      "and replays") {
+    withTempDir { dir =>
+      val in1 = dir.getAbsolutePath + "/in1"
+      val in2 = dir.getAbsolutePath + "/in2"
+      val table = dir.getAbsolutePath + "/frontier"
+      // batch 1: two noise variants of one URL (smaller id wins) + one
+      // distinct URL
+      Seq((5L, "HTTPS://www.x.com/a/?utm_source=z"),
+        (3L, "http://x.com/a"),
+        (4L, "http://y.com/b?id=1"))
+        .toDF("doc_id", "url").write.parquet(in1)
+      val schema = spark.read.parquet(in1).schema
+      Streams.urlDedupStream(spark.readStream.schema(schema).parquet(in1),
+        table, dir.getAbsolutePath + "/ck1")
+      val afterOne = graft.sources.Snapshot.read(spark, table)
+        .select($"canonical_url", $"doc_id").as[(String, Long)]
+        .collect().toMap
+      assert(afterOne == Map("x.com/a" -> 3L, "y.com/b?id=1" -> 4L))
+      // batch 2: a re-crawl of x.com/a under NEW noise drops against
+      // history; z.com/c is first-seen
+      Seq((10L, "https://x.com/a?fbclid=k"), (11L, "http://z.com/c"))
+        .toDF("doc_id", "url").write.parquet(in2)
+      Streams.urlDedupStream(spark.readStream.schema(schema).parquet(in2),
+        table, dir.getAbsolutePath + "/ck2")
+      val afterTwo = graft.sources.Snapshot.read(spark, table)
+        .select($"canonical_url", $"doc_id").as[(String, Long)]
+        .collect().toMap
+      assert(afterTwo == Map("x.com/a" -> 3L, "y.com/b?id=1" -> 4L,
+        "z.com/c" -> 11L))
+      // replay batch 2 with a FRESH checkpoint: survivors re-detect
+      // their committed keys and drop — no duplicates, same frontier
+      Streams.urlDedupStream(spark.readStream.schema(schema).parquet(in2),
+        table, dir.getAbsolutePath + "/ck2b")
+      val afterReplay = graft.sources.Snapshot.read(spark, table)
+        .select($"canonical_url").as[String].collect().toSeq
+      assert(afterReplay.sorted == Seq("x.com/a", "y.com/b?id=1", "z.com/c"))
+    }
+  }
+
   test("dedupStream compaction bounds corpus partitions; re-crawls still drop") {
     import graft.sources.Snapshot
     withTempDir { dir =>
