@@ -197,6 +197,25 @@ object SparkEntry {
        |    ${urlSql("doc_id", "source")} AS url
        |  FROM documents""".stripMargin)
 
+  /** One DuckDB PageRank iteration from CTE `prev` into CTEs
+    * `${tag}c`/`$tag` — Graph.pageRank parity: per-edge contribution
+    * snapped ×1e9 pre-sum, damped update in the same association.
+    * Expects CTEs e(src, dst), od(src, outdeg), nodes(id), nc(nn).
+    */
+  private def prIterSql(prev: String, tag: String): String =
+    s"""${tag}c AS (SELECT dst,
+       |    sum(CAST(round(pr / CAST(outdeg AS DOUBLE) * 1e9) AS BIGINT))
+       |      AS s
+       |  FROM e JOIN $prev p ON e.src = p.id JOIN od USING (src)
+       |  GROUP BY 1),
+       |$tag AS (SELECT nodes.id,
+       |    (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+       |      / CAST(nn AS DOUBLE)
+       |    + CAST(0.85 AS DOUBLE)
+       |      * (CAST(coalesce(s, 0) AS DOUBLE) / 1e9) AS pr
+       |  FROM nodes CROSS JOIN nc
+       |  LEFT JOIN ${tag}c ON nodes.id = ${tag}c.dst)""".stripMargin
+
   /** DuckDB word-3-gram distinct shingles over a token list column tk. */
   private val shingleSql =
     """list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])"""
@@ -613,6 +632,27 @@ object SparkEntry {
     // against the existing corpus, the frontier-prioritization signal.
     "q133_url_novelty" -> ((s, dir) =>
       Web.urlNoveltyByDomain(docUrls(s, dir), incUrls(s, dir), col("url"))),
+
+    // Graph: PAGERANK over a deterministic synthetic link graph (every
+    // doc links to 3 computed neighbors) — 3 damped iterations, the
+    // per-edge contribution snapped ×1e9 pre-sum so ranks are
+    // bit-identical cross-engine; top-20 by (rounded rank desc, id)
+    // via sort+limit (TakeOrderedAndProject — per-partition top-k,
+    // never a single-partition global sort).
+    "q135_pagerank" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val nc = docs.agg(count(lit(1)).as("nn"))
+      val edges = docs.crossJoin(broadcast(nc))
+        .select(col("doc_id").as("src"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"), col("nn"))
+        .select(col("src"),
+          ((col("src") * 7 + col("k") * 13) % col("nn")).as("dst"))
+      Graph.pageRank(edges, 3)
+        .select(col("id").as("doc_id"),
+          round(col("pr").cast("decimal(20,10)"), 8).cast("double")
+            .as("pr"))
+        .orderBy(col("pr").desc, col("doc_id")).limit(20)
+    }),
 
     // Web/Sketch: BLOOM-GATED crawl novelty — the q133 signal at
     // sketch cost: the corpus canonical set folds into k·m bloom cells
@@ -3851,6 +3891,29 @@ object SparkEntry {
          |    / CAST(al.n_urls AS DOUBLE)
          |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS novelty_rate
          |FROM al LEFT JOIN nv ON al.domain = nv.domain""".stripMargin,
+
+    // Three unrolled Lloyd-style CTE iterations of the damped update;
+    // (1.0 − 0.85) is COMPUTED on both sides (an 0.15 literal is not
+    // the same double), contributions snap ×1e9 pre-sum.
+    "q135_pagerank" ->
+      s"""WITH docs AS (SELECT doc_id FROM documents),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM docs),
+         |e AS (SELECT doc_id AS src, (doc_id * 7 + k * 13) % nn AS dst
+         |  FROM docs CROSS JOIN nc
+         |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+         |  FROM e GROUP BY 1),
+         |p0 AS (SELECT id, CAST(1.0 AS DOUBLE) / CAST(nn AS DOUBLE) AS pr
+         |  FROM nodes CROSS JOIN nc),
+         |${prIterSql("p0", "p1")},
+         |${prIterSql("p1", "p2")},
+         |${prIterSql("p2", "p3")}
+         |SELECT id AS doc_id,
+         |  CAST(round(CAST(pr AS DECIMAL(20,10)), 8) AS DOUBLE) AS pr
+         |FROM p3
+         |ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
 
     // q66's relational bloom (same k=5 hash rows over m=8192 buckets,
     // same md5 bucket function keyed on the canonical string) over the

@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-analysis operators over an edge list — the web-graph side of a
+  * crawl corpus (reference analog: none; this is the beyond-reference
+  * graph family next to [[Dedup.duplicateClusters]]' connected
+  * components). PageRank is the canonical ITERATIVE Spark workload:
+  * each iteration is one join (ranks × edges) + one aggregate on the
+  * destination key, so an iteration's cost is an equi-join shuffle on
+  * the edge's dst — the shape that scales to billions of edges. Here
+  * iterations unroll into one plan (fine for the handful an audit
+  * runs); a production 50-iteration run would checkpoint/persist each
+  * round to cut the lineage, which changes nothing semantically.
+  *
+  * Determinism: per-edge contributions snap to ×10⁹ fixed point BEFORE
+  * the per-destination sum (order-free — the kmeans/cellMeans
+  * convention), and the rank update arithmetic keeps one fixed
+  * association, so ranks are bit-identical on any engine.
+  */
+object Graph {
+
+  /** `iters` PageRank iterations over `edges` (src, dst) with damping
+    * `d`: pr⁰ = 1/N; prⁱ⁺¹(v) = (1−d)/N + d·Σ_{(u,v)∈E} prⁱ(u)/out(u),
+    * the per-edge term snapped to ×1e9 fixed point pre-sum. Nodes are
+    * the union of both endpoint sets; sink nodes (no out-edges)
+    * contribute nothing (their mass leaks — the plain formulation);
+    * nodes with no in-edges hold the (1−d)/N base. Output: (id, pr).
+    */
+  def pageRank(edges: DataFrame, iters: Int, d: Double = 0.85): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    // N rides a one-row broadcast into every rank expression
+    val nc = nodes.agg(count(lit(1)).as("n"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    var pr = nodes.crossJoin(broadcast(nc))
+      .select(col("id"), (lit(1.0) / col("n").cast("double")).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(pr, col("src") === col("id"))
+        .join(broadcast(outdeg), Seq("src"))
+        .select(col("dst"),
+          round(col("pr") / col("outdeg").cast("double") * lit(1e9))
+            .cast("long").as("cfp"))
+        .groupBy(col("dst")).agg(sum(col("cfp")).as("s"))
+      pr = nodes.crossJoin(broadcast(nc))
+        .join(contrib, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (lit(1.0 - d) / col("n").cast("double") +
+            lit(d) * (coalesce(col("s"), lit(0L)).cast("double") / lit(1e9)))
+            .as("pr"))
+    }
+    pr
+  }
+}

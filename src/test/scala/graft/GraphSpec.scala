@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: a cycle stays uniform and mass is conserved") {
+    // 0 -> 1 -> 2 -> 0: perfectly symmetric, pr stays 1/3 every iter
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val pr = Graph.pageRank(edges, 4).as[(Long, Double)].collect().toMap
+    assert(pr.values.forall(v => math.abs(v - 1.0 / 3) < 1e-9))
+    assert(math.abs(pr.values.sum - 1.0) < 1e-6)
+  }
+
+  test("pageRank matches an independent fixed-point reference " +
+      "bit-for-bit; no-inlink nodes hold the exact base") {
+    // independent reference: same snapped update, plain Scala
+    def ref(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val n = nodes.size
+      val out = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
+      var pr = nodes.map(_ -> 1.0 / n).toMap
+      for (_ <- 1 to iters) {
+        val s = scala.collection.mutable.Map[Long, Long]()
+          .withDefaultValue(0L)
+        for ((u, v) <- edges) s(v) += math.round(pr(u) / out(u) * 1e9)
+        pr = nodes.map(v =>
+          v -> ((1.0 - 0.85) / n + 0.85 * (s(v).toDouble / 1e9))).toMap
+      }
+      pr
+    }
+    // 1,2,3 link to 0; 0 links to 1 and 2. 2-cycle oscillation decays
+    // under damping; the reference reproduces every intermediate state
+    val es = Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L), (0L, 2L))
+    val pr = Graph.pageRank(es.toDF("src", "dst"), 8)
+      .as[(Long, Double)].collect().toMap
+    assert(pr == ref(es, 8)) // exact equality, not approximate
+    // node 3 has no in-links: exactly the (1-d)/N base every iteration
+    assert(pr(3L) == (1.0 - 0.85) / 4)
+  }
+
+  test("pageRank iterations are deterministic: same input, identical bits") {
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 200).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)).toDF("src", "dst")
+    val a = Graph.pageRank(edges, 3).as[(Long, Double)].collect().sorted
+    val b = Graph.pageRank(edges, 3).as[(Long, Double)].collect().sorted
+    assert(a.toSeq == b.toSeq) // exact, not approximate
+  }
+}
