@@ -59,6 +59,20 @@ object SparkEntry {
           .otherwise(col("source")).as("src"))
       .select(crawlUrl(col("nid"), col("src")).as("url"))
 
+  /** q135/q136's synthetic link graph: every doc links to its 3
+    * computed neighbors (doc_id·7 + k·13 mod N) — deterministic,
+    * self-loops possible and mirrored in the oracle.
+    */
+  private[graft] def docLinkEdges(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val nc = docs.agg(count(lit(1)).as("nn"))
+    docs.crossJoin(broadcast(nc))
+      .select(col("doc_id").as("src"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("k"), col("nn"))
+      .select(col("src"),
+        ((col("src") * 7 + col("k") * 13) % col("nn")).as("dst"))
+  }
+
   /** q123's vector corpus: embeddings plus a first-dimension-perturbed
     * copy (the planted near-dup population).
     */
@@ -215,6 +229,29 @@ object SparkEntry {
        |      * (CAST(coalesce(s, 0) AS DOUBLE) / 1e9) AS pr
        |  FROM nodes CROSS JOIN nc
        |  LEFT JOIN ${tag}c ON nodes.id = ${tag}c.dst)""".stripMargin
+
+  /** One DuckDB HITS iteration from hub CTE `hubPrev` into CTEs
+    * `${tag}a` (auth) and `${tag}h` (hub) — Graph.hits parity: ×1e9
+    * snapped contributions, L1 normalization by the exact integer
+    * total. Expects CTEs e(src, dst) and nodes(id).
+    */
+  private def hitsIterSql(hubPrev: String, tag: String): String =
+    s"""${tag}ac AS (SELECT dst,
+       |    sum(CAST(round(hub * 1e9) AS BIGINT)) AS s
+       |  FROM e JOIN $hubPrev hp ON e.src = hp.id GROUP BY 1),
+       |${tag}at AS (SELECT CAST(sum(s) AS BIGINT) AS t FROM ${tag}ac),
+       |${tag}a AS (SELECT nodes.id,
+       |    CAST(coalesce(s, 0) AS DOUBLE) / CAST(t AS DOUBLE) AS auth
+       |  FROM nodes CROSS JOIN ${tag}at
+       |  LEFT JOIN ${tag}ac ON nodes.id = ${tag}ac.dst),
+       |${tag}hc AS (SELECT src,
+       |    sum(CAST(round(auth * 1e9) AS BIGINT)) AS s
+       |  FROM e JOIN ${tag}a ap ON e.dst = ap.id GROUP BY 1),
+       |${tag}ht AS (SELECT CAST(sum(s) AS BIGINT) AS t FROM ${tag}hc),
+       |${tag}h AS (SELECT nodes.id,
+       |    CAST(coalesce(s, 0) AS DOUBLE) / CAST(t AS DOUBLE) AS hub
+       |  FROM nodes CROSS JOIN ${tag}ht
+       |  LEFT JOIN ${tag}hc ON nodes.id = ${tag}hc.src)""".stripMargin
 
   /** DuckDB word-3-gram distinct shingles over a token list column tk. */
   private val shingleSql =
@@ -639,20 +676,26 @@ object SparkEntry {
     // bit-identical cross-engine; top-20 by (rounded rank desc, id)
     // via sort+limit (TakeOrderedAndProject — per-partition top-k,
     // never a single-partition global sort).
-    "q135_pagerank" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"))
-      val nc = docs.agg(count(lit(1)).as("nn"))
-      val edges = docs.crossJoin(broadcast(nc))
-        .select(col("doc_id").as("src"),
-          explode(array(lit(1L), lit(2L), lit(3L))).as("k"), col("nn"))
-        .select(col("src"),
-          ((col("src") * 7 + col("k") * 13) % col("nn")).as("dst"))
-      Graph.pageRank(edges, 3)
+    "q135_pagerank" -> ((s, dir) =>
+      Graph.pageRank(docLinkEdges(s, dir), 3)
         .select(col("id").as("doc_id"),
           round(col("pr").cast("decimal(20,10)"), 8).cast("double")
             .as("pr"))
-        .orderBy(col("pr").desc, col("doc_id")).limit(20)
-    }),
+        .orderBy(col("pr").desc, col("doc_id")).limit(20)),
+
+    // Graph: HITS hubs/authorities (2 iterations) on the same link
+    // graph — the L1 normalizer is a one-row broadcast aggregate and
+    // every normalized score is a ratio of two EXACT ×1e9 integers, so
+    // scores are bit-identical cross-engine; top-20 authorities via
+    // sort+limit.
+    "q136_hits" -> ((s, dir) =>
+      Graph.hits(docLinkEdges(s, dir), 2)
+        .select(col("id").as("doc_id"),
+          round(col("hub").cast("decimal(20,10)"), 8).cast("double")
+            .as("hub"),
+          round(col("auth").cast("decimal(20,10)"), 8).cast("double")
+            .as("auth"))
+        .orderBy(col("auth").desc, col("doc_id")).limit(20)),
 
     // Web/Sketch: BLOOM-GATED crawl novelty — the q133 signal at
     // sketch cost: the corpus canonical set folds into k·m bloom cells
@@ -3914,6 +3957,25 @@ object SparkEntry {
          |  CAST(round(CAST(pr AS DECIMAL(20,10)), 8) AS DOUBLE) AS pr
          |FROM p3
          |ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
+
+    // Two unrolled HITS iterations; hub then auth both from the LAST
+    // iteration, same sort+limit cutoff as the engine.
+    "q136_hits" ->
+      s"""WITH docs AS (SELECT doc_id FROM documents),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM docs),
+         |e AS (SELECT doc_id AS src, (doc_id * 7 + k * 13) % nn AS dst
+         |  FROM docs CROSS JOIN nc
+         |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |h0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS hub FROM nodes),
+         |${hitsIterSql("h0", "i1")},
+         |${hitsIterSql("i1h", "i2")}
+         |SELECT i2h.id AS doc_id,
+         |  CAST(round(CAST(hub AS DECIMAL(20,10)), 8) AS DOUBLE) AS hub,
+         |  CAST(round(CAST(auth AS DECIMAL(20,10)), 8) AS DOUBLE) AS auth
+         |FROM i2h JOIN i2a ON i2h.id = i2a.id
+         |ORDER BY 3 DESC, 1 LIMIT 20""".stripMargin,
 
     // q66's relational bloom (same k=5 hash rows over m=8192 buckets,
     // same md5 bucket function keyed on the canonical string) over the

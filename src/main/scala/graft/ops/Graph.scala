@@ -54,4 +54,45 @@ object Graph {
     }
     pr
   }
+
+  /** `iters` HITS iterations over `edges` (src, dst): authority(v) =
+    * Σ_{u→v} hub(u), hub(u) = Σ_{u→v} authority(v), each L1-normalized.
+    * Contributions snap ×1e9 pre-sum, so every normalized score is a
+    * ratio of two EXACT integers — bit-identical on any engine without
+    * ever normalizing through a float total. The normalizer is a
+    * one-row aggregate riding a broadcast (the same shape as
+    * [[pageRank]]'s N); per-iteration cost is two equi-join shuffles
+    * (auth on dst, hub on src). Output: (id, hub, auth).
+    */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    var hub = nodes.select(col("id"), lit(1.0).as("hub"))
+    var auth = nodes.select(col("id"), lit(1.0).as("auth"))
+    for (_ <- 1 to iters) {
+      val as = e.join(hub, col("src") === col("id"))
+        .select(col("dst"),
+          round(col("hub") * lit(1e9)).cast("long").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      val at = as.agg(sum(col("s")).as("t"))
+      auth = nodes.crossJoin(broadcast(at))
+        .join(as, col("id") === col("dst"), "left")
+        .select(col("id"),
+          (coalesce(col("s"), lit(0L)).cast("double") /
+            col("t").cast("double")).as("auth"))
+      val hs = e.join(auth, col("dst") === col("id"))
+        .select(col("src"),
+          round(col("auth") * lit(1e9)).cast("long").as("c"))
+        .groupBy(col("src")).agg(sum(col("c")).as("s"))
+      val ht = hs.agg(sum(col("s")).as("t"))
+      hub = nodes.crossJoin(broadcast(ht))
+        .join(hs, col("id") === col("src"), "left")
+        .select(col("id"),
+          (coalesce(col("s"), lit(0L)).cast("double") /
+            col("t").cast("double")).as("hub"))
+    }
+    hub.join(auth, Seq("id")).select(col("id"), col("hub"), col("auth"))
+  }
 }

@@ -41,6 +41,40 @@ class GraphSpec extends SparkSpec {
     assert(pr(3L) == (1.0 - 0.85) / 4)
   }
 
+  test("hits matches an independent fixed-point reference bit-for-bit; " +
+      "norms stay ~1") {
+    def ref(edges: Seq[(Long, Long)], iters: Int)
+        : Map[Long, (Double, Double)] = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      var hub = nodes.map(_ -> 1.0).toMap
+      var auth = nodes.map(_ -> 1.0).toMap
+      for (_ <- 1 to iters) {
+        val as = scala.collection.mutable.Map[Long, Long]()
+          .withDefaultValue(0L)
+        for ((u, v) <- edges) as(v) += math.round(hub(u) * 1e9)
+        val at = as.values.sum
+        auth = nodes.map(v => v -> as(v).toDouble / at.toDouble).toMap
+        val hs = scala.collection.mutable.Map[Long, Long]()
+          .withDefaultValue(0L)
+        for ((u, v) <- edges) hs(u) += math.round(auth(v) * 1e9)
+        val ht = hs.values.sum
+        hub = nodes.map(u => u -> hs(u).toDouble / ht.toDouble).toMap
+      }
+      nodes.map(v => v -> ((hub(v), auth(v)))).toMap
+    }
+    // 0 links to everything (pure hub), 1..3 link only to 3 (authority)
+    val es = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 3L), (2L, 3L),
+      (3L, 3L))
+    val out = Graph.hits(es.toDF("src", "dst"), 2)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out == ref(es, 2)) // exact equality, not approximate
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-9)
+    // 3 is the top authority; 0 the top hub
+    assert(out.maxBy(_._2._2)._1 == 3L)
+    assert(out.maxBy(_._2._1)._1 == 0L)
+  }
+
   test("pageRank iterations are deterministic: same input, identical bits") {
     val rnd = new scala.util.Random(7)
     val edges = (0 until 200).map(_ =>
