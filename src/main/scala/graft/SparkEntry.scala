@@ -697,6 +697,47 @@ object SparkEntry {
             .as("auth"))
         .orderBy(col("auth").desc, col("doc_id")).limit(20)),
 
+    // Multimodal×Dedup: PERCEPTUAL image near-dup — every doc renders
+    // to a real 8×7 BMP (every 5th doc also plants a copy with 3 low
+    // bits of one red channel flipped), payloads decode through the
+    // real parser inside mapPartitions (bytes never shuffle), each
+    // image fingerprints to a 56-bit integer average-hash, and pairs
+    // at hamming ≤ 2 surface via 4×14-bit banding — recall-COMPLETE
+    // for ≤ 2 differing bits by pigeonhole (≥ 2 of 4 bands intact), so
+    // the banded engine result equals the oracle's all-pairs truth.
+    "q137_image_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
+        .as[(Long, String)]
+      val media = docs.flatMap { case (id, text0) =>
+        val tx = if (text0.isEmpty) "x" else text0
+        def px(perturb: Boolean) = Array.tabulate(56) { i =>
+          val cp = tx.charAt(i % tx.length).toInt
+          val r0 = cp % 256
+          val r = if (perturb && i == 0) r0 ^ 7 else r0
+          (r << 16) | (((cp * 7) % 256) << 8) | ((cp * 13) % 256)
+        }
+        val base = (id, Multimodal.bmpBytes(8, 7, px(perturb = false)))
+        if (id % 5 == 0)
+          Seq(base, (id + 20000, Multimodal.bmpBytes(8, 7, px(perturb = true))))
+        else Seq(base)
+      }
+      // the hash table feeds both sides of the banded self-join (q29)
+      val hs = Multimodal.imageHashesBatched(media).persist()
+      val bands = hs.select(col("id"), col("hash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("hash"), 14 * b).bitwiseAND(lit(0x3FFFL))): _*))
+          .as(Seq("band", "bval")))
+      bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          Dedup.hamming(col("a.hash"), col("b.hash")).as("hamming"))
+        .filter(col("hamming") <= 2)
+        .distinct()
+    }),
+
     // Web/Sketch: BLOOM-GATED crawl novelty — the q133 signal at
     // sketch cost: the corpus canonical set folds into k·m bloom cells
     // (state independent of corpus size; at 100 TB the exact URL index
@@ -3976,6 +4017,41 @@ object SparkEntry {
          |  CAST(round(CAST(auth AS DECIMAL(20,10)), 8) AS DOUBLE) AS auth
          |FROM i2h JOIN i2a ON i2h.id = i2a.id
          |ORDER BY 3 DESC, 1 LIMIT 20""".stripMargin,
+
+    // The aHash recomputed from the CONSTRUCTION arithmetic (q113's
+    // convention — the oracle never parses BMP bytes): same integer
+    // gray/mean/threshold chain, perturbed copy flips 3 red bits of
+    // pixel 0; truth is the all-pairs hamming ≤ 2 scan, which the
+    // engine's recall-complete 4-band blocking must equal exactly.
+    "q137_image_phash_dedup" ->
+      s"""WITH base AS (SELECT doc_id,
+         |    CASE WHEN length(text) = 0 THEN 'x' ELSE text END AS t
+         |  FROM documents),
+         |cps AS (SELECT doc_id,
+         |    list_transform(range(0, 56), i -> unicode(substr(t,
+         |      CAST(i % length(t) AS INT) + 1, 1))) AS cp
+         |  FROM base),
+         |gs AS (
+         |  SELECT doc_id,
+         |    list_transform(cp, c ->
+         |      ((c % 256) + ((c * 7) % 256) + ((c * 13) % 256)) // 3) AS g
+         |  FROM cps
+         |  UNION ALL
+         |  SELECT doc_id + 20000 AS doc_id,
+         |    [((xor(cp[1] % 256, 7)) + ((cp[1] * 7) % 256)
+         |       + ((cp[1] * 13) % 256)) // 3] ||
+         |      list_transform(cp[2:56], c ->
+         |        ((c % 256) + ((c * 7) % 256) + ((c * 13) % 256)) // 3) AS g
+         |  FROM cps WHERE doc_id % 5 = 0),
+         |hs AS (SELECT doc_id,
+         |    CAST(list_sum([CASE WHEN g[i + 1] > (list_sum(g) // 56)
+         |        THEN (CAST(1 AS BIGINT) << i) ELSE 0 END
+         |      for i in range(0, 56)]) AS BIGINT) AS h
+         |  FROM gs)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.h, b.h)) AS hamming
+         |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.h, b.h)) <= 2""".stripMargin,
 
     // q66's relational bloom (same k=5 hash rows over m=8192 buckets,
     // same md5 bucket function keyed on the canonical string) over the

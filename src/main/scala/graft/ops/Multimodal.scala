@@ -290,6 +290,41 @@ object Multimodal {
     BmpPixels(outW, outH, px)
   }
 
+  /** 56-bit average-hash (aHash) of decoded pixels: per-pixel gray =
+    * (r+g+b)/3 integer division, threshold at the integer mean of all
+    * grays, bit i set iff gray(i) > mean — pure integer arithmetic, so
+    * the perceptual fingerprint is bit-identical on any engine. One
+    * flipped low channel bit moves the hash 0–1 bits; distinct images
+    * land far apart — the hamming-banded near-dup key for images.
+    */
+  def averageHash(b: BmpPixels): Long = {
+    val g = b.pixels.map(p =>
+      (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3)
+    val mean = g.sum / g.length
+    var h = 0L
+    var i = 0
+    while (i < g.length && i < 63) {
+      if (g(i) > mean) h |= 1L << i
+      i += 1
+    }
+    h
+  }
+
+  /** Decode → [[averageHash]] per payload, batched like every media
+    * stage (payloads never cross a shuffle; at most `batchSize`
+    * resident per task). Undecodable payloads emit hash −1 — flow on,
+    * never crash (the [[FormatDecoder]] convention).
+    */
+  def imageHashesBatched(media: Dataset[(Long, Array[Byte])],
+                         batchSize: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.map { case (id, bytes) =>
+        (id, parseBmp(bytes).map(averageHash).getOrElse(-1L))
+      })
+    }.toDF("id", "hash")
+  }
+
   /** Image RESIZE stage: decode → nearest-neighbor resample → re-encode,
     * one payload batch at a time inside a single mapPartitions (payloads
     * never cross a shuffle; at most `batchSize` are resident per task).

@@ -274,4 +274,31 @@ class MultimodalSpec extends SparkSpec {
     assert(g.values.forall(f => f.checksum == 4242L && f.first_byte == 7))
     assert(s.values.forall(f => f.checksum != 4242L))
   }
+
+  test("averageHash: stable under tiny channel noise, far for distinct " +
+      "images, undecodable hashes to -1") {
+    import spark.implicits._
+    def img(seed: Int, tweakR: Int = 0) = Multimodal.bmpBytes(8, 7,
+      Array.tabulate(56) { i =>
+        val cp = seed * 31 + i * 17
+        val r = (cp % 256) ^ (if (i == 0) tweakR else 0)
+        (r << 16) | (((cp * 7) % 256) << 8) | ((cp * 13) % 256)
+      })
+    val media = Seq(
+      (1L, img(3)), (2L, img(3, tweakR = 7)), // near-dup pair
+      (3L, img(99)),                          // distinct
+      (4L, Array[Byte](1, 2, 3)))             // undecodable
+      .toDS()
+    val h = Multimodal.imageHashesBatched(media)
+      .as[(Long, Long)].collect().toMap
+    assert(h(4L) == -1L)
+    assert(java.lang.Long.bitCount(h(1L) ^ h(2L)) <= 1,
+      "3 flipped red bits must move the hash at most 1 bit")
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > 8,
+      "distinct images must land far apart")
+    // decode→hash agrees with hashing the constructed pixels directly
+    val direct = Multimodal.averageHash(
+      Multimodal.parseBmp(img(3)).get)
+    assert(h(1L) == direct)
+  }
 }
