@@ -697,6 +697,15 @@ object SparkEntry {
             .as("auth"))
         .orderBy(col("auth").desc, col("doc_id")).limit(20)),
 
+    // Text: BIGRAM-LM quality scoring — the corpus trains an add-one
+    // bigram model in-query and every doc scores its mean negative
+    // log-likelihood (the perplexity filter of LLM data pipelines);
+    // per-occurrence terms snap ×1e6 pre-sum so the mean is a ratio of
+    // exact integers.
+    "q138_bigram_nll" -> ((s, dir) =>
+      Text.bigramNll(t(s, dir, "documents"), "doc_id", col("text"))
+        .withColumnRenamed("id", "doc_id")),
+
     // Multimodal×Dedup: PERCEPTUAL image near-dup — every doc renders
     // to a real 8×7 BMP (every 5th doc also plants a copy with 3 low
     // bits of one red channel flipped), payloads decode through the
@@ -4017,6 +4026,29 @@ object SparkEntry {
          |  CAST(round(CAST(auth AS DECIMAL(20,10)), 8) AS DOUBLE) AS auth
          |FROM i2h JOIN i2a ON i2h.id = i2a.id
          |ORDER BY 3 DESC, 1 LIMIT 20""".stripMargin,
+
+    // The same in-query bigram model: counts and V are exact integers,
+    // each occurrence's -ln term snapped x1e6 pre-sum (q126's ln
+    // convention), mean through the DECIMAL(20,10) snap.
+    "q138_bigram_nll" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |bg AS (SELECT doc_id, r['a'] AS a, r['b'] AS b FROM (
+         |  SELECT doc_id, unnest([{'a': tk[i + 1], 'b': tk[i + 2]}
+         |      for i in range(0, len(tk) - 1)]) AS r
+         |  FROM tk)),
+         |cb AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY 1, 2),
+         |ca AS (SELECT a, count(*) AS ca FROM bg GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS v FROM
+         |  (SELECT unnest(tk) AS w FROM tk)),
+         |terms AS (SELECT bg.doc_id,
+         |    CAST(round(-ln(CAST(cab + 1 AS DOUBLE)
+         |      / CAST(ca + v AS DOUBLE)) * 1e6) AS BIGINT) AS tfp
+         |  FROM bg JOIN cb USING (a, b) JOIN ca USING (a) CROSS JOIN v)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(round(CAST(CAST(sum(tfp) AS DOUBLE)
+         |    / (CAST(count(*) AS DOUBLE) * 1e6)
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS avg_nll
+         |FROM terms GROUP BY 1""".stripMargin,
 
     // The aHash recomputed from the CONSTRUCTION arithmetic (q113's
     // convention — the oracle never parses BMP bytes): same integer

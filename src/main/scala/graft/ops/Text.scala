@@ -806,4 +806,51 @@ object Text {
           transform(sequence(lit(1), size(t) - (n - 1)),
             i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*))))
     }
+
+  /** Per-document add-one-smoothed BIGRAM negative log-likelihood —
+    * the perplexity-style quality score an LLM pipeline trains a cheap
+    * n-gram LM for (boilerplate and word-salad both score high; docs
+    * shorter than 2 tokens drop out): the corpus trains in-query
+    * (bigram counts c(a,b), context counts c(a) = bigrams starting at
+    * a, vocabulary size V), and every occurrence scores
+    * −ln((c(a,b)+1)/(c(a)+V)).
+    *
+    * Determinism across engines: each occurrence's term snaps to ×10⁶
+    * fixed point BEFORE the per-doc sum (log's last-ulp libm wiggle is
+    * absorbed by the snap — the q126 −ln convention), so the mean NLL
+    * is a ratio of exact integers. Shuffles: one on the bigram key
+    * (count + score join), one on the context key, one per-doc
+    * aggregate — each the join a 100 TB LM-scoring pass needs anyway;
+    * V rides a one-row broadcast.
+    */
+  def bigramNll(docs: DataFrame, idCol: String, text: Column): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), tokens(text).as("tk"))
+    val bigrams = toks
+      .select(col("id"), explode(Cols.bound(col("tk")) { t =>
+        when(size(t) < 2,
+          array().cast("array<struct<a:string,b:string>>"))
+          .otherwise(transform(sequence(lit(1), size(t) - 1),
+            i => struct(element_at(t, i).as("a"),
+              element_at(t, i + 1).as("b"))))
+      }).as("bg"))
+      .select(col("id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val cb = bigrams.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cab"))
+    val ca = bigrams.groupBy(col("a")).agg(count(lit(1)).as("ca"))
+    val v = toks.select(explode(col("tk")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bigrams
+      .join(cb, Seq("a", "b"))
+      .join(ca, Seq("a"))
+      .crossJoin(broadcast(v))
+      .select(col("id"),
+        round(-log((col("cab") + 1).cast("double") /
+          (col("ca") + col("v")).cast("double")) * lit(1e6))
+          .cast("long").as("tfp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round((sum(col("tfp")).cast("double") /
+          (count(lit(1)).cast("double") * 1e6)).cast("decimal(20,10)"), 4)
+          .cast("double").as("avg_nll"))
+  }
 }

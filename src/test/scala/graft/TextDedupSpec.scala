@@ -135,6 +135,22 @@ class TextDedupSpec extends SparkSpec {
     assert(got(2L) == ((2L, 1L, 1.3863)), s"-ln(1/4)=1.38629..., got ${got(2L)}")
   }
 
+  test("bigramNll: golden values on a hand-computed corpus; short docs " +
+      "drop out") {
+    // corpus bigrams: "a b" ×2, "b a" ×1 (doc1: a b a b → (a,b),(b,a),(a,b))
+    // c(a,·)=2, c(b,·)=1, V=3 ({a, b, x} — doc2's token counts toward V)
+    // doc1 terms: -ln(3/5) [(a,b): (2+1)/(2+3)], -ln(1/2) [(b,a): (1+1)/(1+3)], -ln(3/5)
+    val docs = Seq((1L, "a b a b"), (2L, "x")).toDF("doc_id", "text")
+    val got = graft.ops.Text.bigramNll(docs, "doc_id", $"text")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val expect = BigDecimal(
+      (math.round(-math.log(3.0 / 5) * 1e6) * 2 +
+        math.round(-math.log(1.0 / 2) * 1e6)).toDouble / (3 * 1e6))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((1L, 3L, expect)), s"got ${got(1L)}, want $expect")
+    assert(!got.contains(2L), "a 1-token doc has no bigrams and drops out")
+  }
+
   test("jaccard golden value") {
     // A={a,b,c,d}, B={b,c,d,e}: 3 shared / 5 union = 0.6
     val df = Seq((Seq("a", "b", "c", "d"), Seq("b", "c", "d", "e"))).toDF("x", "y")
