@@ -1479,6 +1479,25 @@ object SparkEntry {
             .cast("decimal(20,10)"), 4).cast("double").as("recall_at_5"))
     }),
 
+    // Similarity: retrieval SCORECARD — RR and NDCG@5 of the
+    // matryoshka cascade (shortlist 10) against exact cosine truth,
+    // per query: the rank-sensitive metrics recall@k can't see.
+    // Discount terms 1e6/log2(rank+1) snap to integers pre-sum, so
+    // every NDCG is a ratio of exact integers.
+    "q139_ann_ranking_metrics" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val qs = e.select(col("id"), col("vec"),
+          Dedup.hashLong(col("id").cast("string")).as("h"))
+        .orderBy(col("h"), col("id")).limit(100)
+        .select(col("id"), col("vec"))
+      val truth = Similarity.bruteForceTopK(qs, e, 5)
+      val approx = Similarity.rerankExact(qs, e,
+        Similarity.truncatedCandidates(qs, e, 16, 10), 5)
+      Similarity.rankingMetrics(truth, approx)
+        .withColumnRenamed("ndcg", "ndcg_at_5")
+    }),
+
     // Similarity/Quality: embedding OUTLIER gate — vectors whose cell
     // affinity is > 2σ below their cell's mean (the "belongs nowhere"
     // rows a pipeline drops before training). The z-test runs on exact
@@ -3497,6 +3516,52 @@ object SparkEntry {
          |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS recall_at_5
          |FROM q CROSS JOIN sl
          |LEFT JOIN h ON q.id = h.query_id AND sl.shortlist = h.shortlist""".stripMargin,
+
+    // q129's shortlist-10 rerank with ranks kept, truth with ranks
+    // kept; RR and NDCG from the same 1e6/log2 integer discounts.
+    "q139_ann_ranking_metrics" ->
+      s"""WITH q AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+         |      ORDER BY ${h60("CAST(vec_id AS VARCHAR)")}, vec_id
+         |      LIMIT 100),
+         |cand AS (SELECT qid, nid FROM (
+         |  SELECT q.id AS qid, e.vec_id AS nid,
+         |    row_number() OVER (PARTITION BY q.id
+         |      ORDER BY round(${cosSql("q.vec[1:16]", "e.embedding[1:16]")}, 6)
+         |        DESC, e.vec_id) AS prank
+         |  FROM q JOIN embeddings e ON q.id != e.vec_id)
+         |  WHERE prank <= 10),
+         |ap AS (SELECT qid, nid, rnk FROM (
+         |  SELECT c.qid, c.nid, row_number() OVER (PARTITION BY c.qid
+         |    ORDER BY round(${cosSql("q.vec", "e.embedding")}, 6) DESC,
+         |      c.nid) AS rnk
+         |  FROM cand c JOIN q ON q.id = c.qid
+         |    JOIN embeddings e ON e.vec_id = c.nid)
+         |  WHERE rnk <= 5),
+         |truth AS (SELECT query_id, neighbor_id, rnk FROM (
+         |  SELECT q.id AS query_id, c2.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.id
+         |      ORDER BY round(${cosSql("q.vec", "c2.embedding")}, 6) DESC,
+         |        c2.vec_id) AS rnk
+         |  FROM q JOIN embeddings c2 ON q.id != c2.vec_id)
+         |  WHERE rnk <= 5),
+         |per AS (SELECT a.qid, min(a.rnk) AS first_rel,
+         |    CAST(sum(CAST(round(1e6 / log2(a.rnk + 1)) AS BIGINT))
+         |      AS BIGINT) AS dcg_fp
+         |  FROM ap a JOIN truth t
+         |    ON a.qid = t.query_id AND a.nid = t.neighbor_id
+         |  GROUP BY 1),
+         |ideal AS (SELECT query_id,
+         |    CAST(sum(CAST(round(1e6 / log2(rnk + 1)) AS BIGINT))
+         |      AS BIGINT) AS idcg_fp
+         |  FROM truth GROUP BY 1)
+         |SELECT ideal.query_id,
+         |  CAST(round(CAST(
+         |    coalesce(round(1e6 / CAST(first_rel AS DOUBLE)), 0) / 1e6
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS rr,
+         |  CAST(round(CAST(CAST(coalesce(dcg_fp, 0) AS DOUBLE)
+         |    / CAST(idcg_fp AS DOUBLE)
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS ndcg_at_5
+         |FROM ideal LEFT JOIN per ON ideal.query_id = per.qid""".stripMargin,
 
     // The identical integer z-test in SQL: HUGEINT moments per cell
     // (exact), D = Σ − n·fp, flag iff D > 0 AND D² > 4(n·Σ² − Σ²);

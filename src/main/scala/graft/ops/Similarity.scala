@@ -1139,6 +1139,45 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Ranking-quality metrics of an approximate top-k against exact
+    * truth — per query: RR (reciprocal rank of the first relevant
+    * result; 0 when none of the approx results are relevant) and
+    * NDCG (binary relevance = membership in the exact top-k; ideal
+    * DCG from the truth ranks themselves). The standard retrieval
+    * scorecard the recall@k family doesn't capture (recall treats
+    * rank 1 and rank k the same; NDCG doesn't).
+    *
+    * Both inputs carry (query_id, neighbor_id, rank) — the shared
+    * shape of [[bruteForceTopK]]/[[ivfSearch]]/[[rerankExact]]/
+    * [[pqAdcTopK]], so any approximate searcher composes. Per-rank
+    * discount terms 10⁶/log2(rank+1) snap to integers pre-sum (the
+    * ln convention), so DCG ratios are ratios of exact integers. One
+    * equi-join on (query, neighbor) + two per-query aggregates —
+    * audit-sized all the way down.
+    */
+  def rankingMetrics(truth: DataFrame, approx: DataFrame): DataFrame = {
+    val t = truth.select(col("query_id"), col("neighbor_id"),
+      col("rank").as("trank"))
+    val a = approx.select(col("query_id"), col("neighbor_id"),
+      col("rank").as("arank"))
+    val dterm = (r: Column) =>
+      round(lit(1e6) / log2(r + 1)).cast("long")
+    val per = a.join(t, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id"))
+      .agg(min(col("arank")).as("first_rel"),
+        sum(dterm(col("arank"))).as("dcg_fp"))
+    val ideal = t.groupBy(col("query_id"))
+      .agg(sum(dterm(col("trank"))).as("idcg_fp"))
+    ideal.join(per, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round((coalesce(round(lit(1e6) / col("first_rel").cast("double")),
+          lit(0.0)) / lit(1e6)).cast("decimal(20,10)"), 4)
+          .cast("double").as("rr"),
+        round((coalesce(col("dcg_fp"), lit(0L)).cast("double") /
+          col("idcg_fp").cast("double")).cast("decimal(20,10)"), 4)
+          .cast("double").as("ndcg"))
+  }
+
   /** Approximate nearest neighbors: compare only within LSH buckets, then
     * rank as in brute force. Recall < 1 by construction; the point is the
     * join shape — bucket id is the shuffle key, so cost scales with

@@ -520,6 +520,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"sq8 recall@5 $recall")
   }
 
+  test("rankingMetrics: perfect ranking scores 1/1, a swap lowers NDCG " +
+      "but not RR, a total miss scores 0/0") {
+    def df(rows: (Long, Long, Int)*) =
+      rows.toDF("query_id", "neighbor_id", "rank")
+    val truth = df((1L, 10L, 1), (1L, 11L, 2),
+      (2L, 20L, 1), (2L, 21L, 2),
+      (3L, 30L, 1), (3L, 31L, 2))
+    // q1: identical ranking; q2: both relevant docs found but pushed to
+    // ranks 2 and 3 behind an irrelevant rank-1; q3: nothing relevant
+    val approx = df((1L, 10L, 1), (1L, 11L, 2),
+      (2L, 99L, 1), (2L, 21L, 2), (2L, 20L, 3),
+      (3L, 98L, 1), (3L, 97L, 2))
+    val m = Similarity.rankingMetrics(truth, approx)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(m(1L) == ((1.0, 1.0)))
+    assert(m(2L)._1 == 0.5) // first relevant at rank 2
+    // dcg = 1e6/log2(3) + 1e6/log2(4) ints; idcg = 1e6/log2(2) + 1e6/log2(3)
+    val d = math.round(1e6 / (math.log(3) / math.log(2))) +
+      math.round(1e6 / 2.0)
+    val i = math.round(1e6 / 1.0) +
+      math.round(1e6 / (math.log(3) / math.log(2)))
+    val want = BigDecimal(d.toDouble / i.toDouble)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(m(2L)._2 == want, s"ndcg ${m(2L)._2} want $want")
+    assert(m(3L) == ((0.0, 0.0)))
+  }
+
   test("matryoshka rerank: shortlist=corpus equals bruteForceTopK; " +
       "candidates carry a dense deterministic prank") {
     val rnd = new scala.util.Random(31)
