@@ -663,6 +663,17 @@ object SparkEntry {
       Events.sessionTransitions(t(s, dir, "events"), col("user_id"),
         col("ts"), col("event_id"), col("event_type"), 1800L)),
 
+    // Events: LAST-TOUCH ATTRIBUTION — every purchase credits the
+    // user's most recent preceding click/view (ts then event_id
+    // tiebreak via a struct-max running window — deterministic, no
+    // join back); purchases with no preceding touch land in 'none'.
+    // One shuffle on the user key; the rollup runs on the 3-row
+    // attributed_type domain.
+    "q140_last_touch_attribution" -> ((s, dir) =>
+      Events.lastTouchAttribution(t(s, dir, "events"), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"), col("value"),
+        Seq("click", "view"), "purchase")),
+
     // Web: incremental crawl NOVELTY per domain — a new increment
     // (every 4th doc rehosted on an unseen domain; the rest re-crawled
     // URL noise over known content) anti-joined on the canonical key
@@ -3988,6 +3999,22 @@ object SparkEntry {
          |  CAST(qsum AS DOUBLE)
          |    < CAST(0.5 AS DOUBLE) * CAST(n_docs AS DOUBLE) * 1e6 AS flagged
          |FROM g""".stripMargin,
+
+    // The same struct-max running window (ROWS … 1 PRECEDING) — DuckDB
+    // struct comparison is field-order lexicographic like Spark's.
+    "q140_last_touch_attribution" ->
+      """WITH m AS (SELECT event_type, value,
+        |    max(CASE WHEN event_type IN ('click', 'view')
+        |      THEN {'tts': ts, 'tid': event_id, 'ttype': event_type}
+        |      END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS touch
+        |  FROM events)
+        |SELECT coalesce((touch).ttype, 'none') AS attributed_type,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  round(sum(value), 2) AS value_sum
+        |FROM m WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
 
     // q78's session CTE + a lead within (user, session): boundaries are
     // hard because the lead window partitions on the session id; the

@@ -157,6 +157,32 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Last-touch attribution: every `convType` event credits the same
+    * user's most recent PRECEDING event whose type is in `touchTypes`
+    * (most recent = struct-max on (ts, order) over the running window —
+    * deterministic, no join back; conversions with no preceding touch
+    * attribute to 'none'). Output: attributed_type, n conversions,
+    * value sum (rounded 2 — the order-dependent-double convention).
+    * One shuffle on the user key; the rollup runs on the tiny
+    * touch-type domain.
+    */
+  def lastTouchAttribution(events: DataFrame, user: Column, ts: Column,
+                           order: Column, etype: Column, value: Column,
+                           touchTypes: Seq[String],
+                           convType: String): DataFrame = {
+    val w = Window.partitionBy(user).orderBy(ts, order)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = max(when(etype.isInCollection(touchTypes),
+      struct(ts.as("tts"), order.as("tid"), etype.as("ttype")))).over(w)
+    events.withColumn("touch", touch)
+      .filter(etype === convType)
+      .select(value.as("v"),
+        coalesce(col("touch.ttype"), lit("none")).as("attributed_type"))
+      .groupBy(col("attributed_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("v")), 2).as("value_sum"))
+  }
+
   /** Within-session event-type transition matrix (the Markov-chain
     * summary a behavior-sequence pipeline trains against): consecutive
     * (from_type → to_type) pairs inside each [[sessionize]] session,

@@ -143,6 +143,31 @@ class EventsSpec extends SparkSpec {
       ("click", "view") -> ((1L, 1.0))))
   }
 
+  test("lastTouchAttribution credits the latest preceding touch; " +
+      "untouched conversions land in none") {
+    val ev = Seq(
+      // u1: view then click then purchase → click wins (latest)
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (1L, ts("2024-01-01 10:05:00"), 2L, "click", 0.0),
+      (1L, ts("2024-01-01 10:10:00"), 3L, "purchase", 10.0),
+      // u1 second purchase: still the same click (no new touch)
+      (1L, ts("2024-01-01 10:20:00"), 4L, "purchase", 5.0),
+      // u2: purchase BEFORE any touch → none; later view→purchase
+      (2L, ts("2024-01-01 09:00:00"), 5L, "purchase", 7.0),
+      (2L, ts("2024-01-01 09:30:00"), 6L, "view", 0.0),
+      (2L, ts("2024-01-01 09:45:00"), 7L, "purchase", 2.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val r = Events.lastTouchAttribution(ev, $"user_id", $"ts",
+        $"event_id", $"event_type", $"value",
+        Seq("click", "view"), "purchase")
+      .as[(String, Long, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r == Map(
+      "click" -> ((2L, 15.0)),
+      "view" -> ((1L, 2.0)),
+      "none" -> ((1L, 7.0))))
+  }
+
   test("robustOutliers flags by median/MAD and survives outlier drag") {
     // group a: tight cluster around 10 with one wild point; the mean/σ
     // z-score of 100 would shrink under the outlier's own drag, the
