@@ -717,6 +717,25 @@ object SparkEntry {
       Text.bigramNll(t(s, dir, "documents"), "doc_id", col("text"))
         .withColumnRenamed("id", "doc_id")),
 
+    // Text/IR: POSITIONAL PHRASE SEARCH — build the inverted index
+    // (token, doc, pos), derive the corpus' top bigram in-query, and
+    // find its exact-phrase occurrences via the (id, pos+1) adjacency
+    // equi-join; posting sides prune to the phrase's own tokens via a
+    // broadcast semi-join first, so only those postings shuffle.
+    "q141_phrase_search" -> ((s, dir) => {
+      val post = Text.postings(t(s, dir, "documents"), "doc_id",
+        col("text"))
+      val top = post.as("x")
+        .join(post.as("y"),
+          col("x.id") === col("y.id") && col("y.pos") === col("x.pos") + 1)
+        .groupBy(col("x.token").as("a"), col("y.token").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .select(col("a"), col("b"))
+      Text.bigramPhraseMatches(post, top)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Multimodal×Dedup: PERCEPTUAL image near-dup — every doc renders
     // to a real 8×7 BMP (every 5th doc also plants a copy with 3 low
     // bits of one red channel flipped), payloads decode through the
@@ -4118,6 +4137,27 @@ object SparkEntry {
          |  CAST(round(CAST(auth AS DECIMAL(20,10)), 8) AS DOUBLE) AS auth
          |FROM i2h JOIN i2a ON i2h.id = i2a.id
          |ORDER BY 3 DESC, 1 LIMIT 20""".stripMargin,
+
+    // The same index: postings from generate_subscripts, top bigram
+    // from the comprehension (consecutive-pair enumeration — identical
+    // pair set to the engine's adjacency self-join), same (n desc, a,
+    // b) tie-break, same (doc, pos+1) adjacency.
+    "q141_phrase_search" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |pg AS (SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos,
+         |    unnest(tk) AS token FROM tk),
+         |bgc AS (SELECT r['a'] AS a, r['b'] AS b, count(*) AS n FROM (
+         |  SELECT unnest([{'a': tk[i + 1], 'b': tk[i + 2]}
+         |      for i in range(0, len(tk) - 1)]) AS r
+         |  FROM tk) GROUP BY 1, 2),
+         |top AS (SELECT a, b FROM bgc ORDER BY n DESC, a, b LIMIT 1),
+         |m AS (SELECT top.a, top.b, p1.doc_id, p1.pos
+         |  FROM pg p1 JOIN top ON p1.token = top.a
+         |  JOIN pg p2 ON p2.doc_id = p1.doc_id
+         |    AND p2.pos = p1.pos + 1 AND p2.token = top.b)
+         |SELECT a, b, doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+         |  CAST(min(pos) AS INT) AS first_pos
+         |FROM m GROUP BY 1, 2, 3""".stripMargin,
 
     // The same in-query bigram model: counts and V are exact integers,
     // each occurrence's -ln term snapped x1e6 pre-sum (q126's ln

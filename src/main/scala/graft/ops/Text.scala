@@ -807,6 +807,39 @@ object Text {
             i => concat_ws(" ", (0 until n).map(k => element_at(t, i + k)): _*))))
     }
 
+  /** Positional postings — the inverted-index build: one (token, id,
+    * pos) row per token occurrence. At 100 TB this is THE text-search
+    * layout: partitioned by token, a phrase/adjacency query touches
+    * only its own tokens' postings.
+    */
+  def postings(docs: DataFrame, idCol: String, text: Column): DataFrame =
+    docs.select(col(idCol).as("id"),
+        posexplode(tokens(text)).as(Seq("pos", "token")))
+
+  /** Exact BIGRAM-phrase occurrences from positional postings: the
+    * phrase arrives as a ONE-ROW frame (a, b) — data-derived (e.g. the
+    * corpus' top bigram) or constant — and rides broadcasts. Both
+    * posting sides prune to the phrase's own tokens via a broadcast
+    * semi-join BEFORE the adjacency join, so only those tokens'
+    * postings ever shuffle (the positional-index economics); adjacency
+    * is the equi-join on (id, pos+1). Output per matching doc:
+    * (a, b, id, n_matches, first_pos).
+    */
+  def bigramPhraseMatches(post: DataFrame, phrase: DataFrame): DataFrame = {
+    val toks = phrase.select(explode(array(col("a"), col("b"))).as("token"))
+    val pruned = post.join(broadcast(toks), Seq("token"), "left_semi")
+    pruned.as("p1")
+      .join(broadcast(phrase), col("p1.token") === col("a"))
+      .join(pruned.as("p2"),
+        col("p1.id") === col("p2.id") &&
+          col("p2.pos") === col("p1.pos") + 1 &&
+          col("p2.token") === col("b"))
+      .select(col("a"), col("b"), col("p1.id").as("id"),
+        col("p1.pos").as("pos"))
+      .groupBy(col("a"), col("b"), col("id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+  }
+
   /** Per-document add-one-smoothed BIGRAM negative log-likelihood —
     * the perplexity-style quality score an LLM pipeline trains a cheap
     * n-gram LM for (boilerplate and word-salad both score high; docs

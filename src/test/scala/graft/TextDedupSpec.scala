@@ -151,6 +151,25 @@ class TextDedupSpec extends SparkSpec {
     assert(!got.contains(2L), "a 1-token doc has no bigrams and drops out")
   }
 
+  test("bigramPhraseMatches: adjacency only, overlaps count, " +
+      "cross-doc-boundary pairs impossible") {
+    val docs = Seq(
+      (1L, "x quick fox quick fox y"), // 2 matches at pos 1 and 3
+      (2L, "quick y fox"),             // tokens present, never adjacent
+      (3L, "fox quick"),               // reversed order — no match
+      (4L, "quick quick quick"))       // overlapping self-phrase
+      .toDF("doc_id", "text")
+    val post = graft.ops.Text.postings(docs, "doc_id", $"text")
+    def run(a: String, b: String) =
+      graft.ops.Text.bigramPhraseMatches(post,
+        Seq((a, b)).toDF("a", "b"))
+        .select($"id", $"n_matches", $"first_pos")
+        .as[(Long, Long, Int)].collect().toSet
+    assert(run("quick", "fox") == Set((1L, 2L, 1)))
+    assert(run("quick", "quick") == Set((4L, 2L, 0)))
+    assert(run("y", "fox") == Set((2L, 1L, 1)))
+  }
+
   test("jaccard golden value") {
     // A={a,b,c,d}, B={b,c,d,e}: 3 shared / 5 union = 0.6
     val df = Seq((Seq("a", "b", "c", "d"), Seq("b", "c", "d", "e"))).toDF("x", "y")
