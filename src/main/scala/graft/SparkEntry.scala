@@ -777,6 +777,67 @@ object SparkEntry {
         .distinct()
     }),
 
+    // Graph: per-node TRIANGLE counts on the undirected link graph —
+    // degree-ordered orientation bounds wedge enumeration by the
+    // oriented out-degree (O(√m) on any graph), each triangle found
+    // once via a pure equi-join closure check; per-node credit is an
+    // explode of the 3 corners + one hash aggregate.
+    "q142_triangles" -> ((s, dir) =>
+      Graph.triangleCounts(docLinkEdges(s, dir))
+        .withColumnRenamed("id", "doc_id")),
+
+    // Graph: multi-source BFS hop counts (≤ 3 hops from the seed set
+    // doc_id % 97 = 0) — per round ONE frontier×edges equi-join + one
+    // min-aggregate; settled nodes never re-expand, so each edge is
+    // walked at most once per round it borders the frontier.
+    "q143_bfs_reach" -> ((s, dir) => {
+      val seeds = t(s, dir, "documents")
+        .filter(col("doc_id") % 97 === 0).select(col("doc_id").as("id"))
+      Graph.shortestHops(docLinkEdges(s, dir), seeds, 3)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Text/IR: Okapi BM25 top-20 — the query is data-derived (the 3
+    // highest-df tokens, df desc then token); only the query terms'
+    // postings ever shuffle (broadcast semi-join prune), per-term
+    // scores snap ×1e6 pre-sum so the ranking cutoff is exact, and the
+    // top-k is TakeOrderedAndProject.
+    "q144_bm25" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val q = docs
+        .select(explode(array_distinct(Text.tokens(col("text")))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token")).limit(3)
+        .select(col("token"))
+      Text.bm25(docs, "doc_id", col("text"), q, 20)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Events: TIME-TO-CONVERSION percentiles per weekly cohort — first
+    // view → first at-or-after purchase lag, exact integer micros until
+    // the final seconds division; the percentile sort-agg runs on one
+    // row per CONVERTED user, never on raw events.
+    "q145_conversion_lag" -> ((s, dir) =>
+      Events.conversionLag(t(s, dir, "events"), col("user_id"), col("ts"),
+        col("event_type"), "view", "purchase")),
+
+    // Events: top behavior TRIGRAMS within sessions (the
+    // sequence-mining summary) — one user-key shuffle covers
+    // sessionize + both leads; count aggregates on the ≤|types|³ 3-gram
+    // key; top-20 via sort+limit.
+    "q146_path_trigrams" -> ((s, dir) =>
+      Events.sessionPathTrigrams(t(s, dir, "events"), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"), 1800L, 20)),
+
+    // Profiling: per-group WINSORIZED stats — exact interpolated
+    // p01/p99 bounds rounded to the cents fixed point, clamp + count +
+    // mean all in exact integer arithmetic (the winsorized mean is a
+    // ratio of exact integers; no float accumulates).
+    "q147_winsorized_stats" -> ((s, dir) =>
+      Profile.winsorizedStats(t(s, dir, "lineitem"), col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long"), 0.01, 0.99)
+        .withColumnRenamed("g", "l_returnflag")),
+
     // Web/Sketch: BLOOM-GATED crawl novelty — the q133 signal at
     // sketch cost: the corpus canonical set folds into k·m bloom cells
     // (state independent of corpus size; at 100 TB the exact URL index
@@ -4216,6 +4277,157 @@ object SparkEntry {
          |  bit_count(xor(a.h, b.h)) AS hamming
          |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.h, b.h)) <= 2""".stripMargin,
+
+    // All-pairs truth: the undirected a<b<c triple join finds each
+    // triangle once; per-node credit unions the 3 corners. The engine's
+    // degree-ordered orientation must reproduce this set exactly.
+    "q142_triangles" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM docs),
+        |e AS (SELECT doc_id AS src, (doc_id * 7 + k * 13) % nn AS dst
+        |  FROM docs CROSS JOIN nc
+        |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+        |ue AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM e WHERE src <> dst),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM ue e1 JOIN ue e2 ON e2.u = e1.v
+        |  JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |GROUP BY 1""".stripMargin,
+
+    // Three unrolled frontier expansions; the min-fold per round keeps
+    // hops minimal exactly like the engine's groupBy-min.
+    "q143_bfs_reach" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM docs),
+        |e AS (SELECT doc_id AS src, (doc_id * 7 + k * 13) % nn AS dst
+        |  FROM docs CROSS JOIN nc
+        |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+        |d0 AS (SELECT doc_id AS id, 0 AS hops FROM documents
+        |  WHERE doc_id % 97 = 0),
+        |f1 AS (SELECT e.dst AS id, 1 AS hops FROM e
+        |  JOIN d0 ON e.src = d0.id),
+        |d1 AS (SELECT id, min(hops) AS hops FROM
+        |  (SELECT * FROM d0 UNION ALL SELECT * FROM f1) GROUP BY 1),
+        |f2 AS (SELECT e.dst AS id, 2 AS hops FROM e
+        |  JOIN (SELECT id FROM d1 WHERE hops = 1) f ON e.src = f.id),
+        |d2 AS (SELECT id, min(hops) AS hops FROM
+        |  (SELECT * FROM d1 UNION ALL SELECT * FROM f2) GROUP BY 1),
+        |f3 AS (SELECT e.dst AS id, 3 AS hops FROM e
+        |  JOIN (SELECT id FROM d2 WHERE hops = 2) f ON e.src = f.id),
+        |d3 AS (SELECT id, min(hops) AS hops FROM
+        |  (SELECT * FROM d2 UNION ALL SELECT * FROM f3) GROUP BY 1)
+        |SELECT id AS doc_id, CAST(hops AS INT) AS hops FROM d3""".stripMargin,
+
+    // Same df-derived query terms, same BM25 chain with every literal
+    // forced DOUBLE and k1+1 COMPUTED (a 2.2 literal is not the same
+    // double as 1.2+1.0); per-term snap ×1e6 pre-sum, top-k on the
+    // exact integer score.
+    "q144_bm25" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |lens AS (SELECT doc_id, CAST(len(tk) AS INT) AS dl FROM tk),
+         |corpus AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+         |    CAST(sum(dl) AS BIGINT) AS dlt FROM lens),
+         |dfall AS (SELECT token, CAST(count(*) AS BIGINT) AS dfw FROM
+         |  (SELECT DISTINCT doc_id, unnest(tk) AS token FROM tk)
+         |  GROUP BY 1),
+         |q AS (SELECT token, dfw FROM dfall ORDER BY dfw DESC, token
+         |  LIMIT 3),
+         |occ AS (SELECT doc_id, unnest(tk) AS token FROM tk),
+         |tf AS (SELECT o.doc_id, o.token, CAST(count(*) AS BIGINT) AS tf
+         |  FROM occ o JOIN q ON o.token = q.token GROUP BY 1, 2),
+         |terms AS (SELECT tf.doc_id,
+         |    CAST(round(
+         |      ln(CAST(1.0 AS DOUBLE) + (nn - dfw + CAST(0.5 AS DOUBLE))
+         |        / (dfw + CAST(0.5 AS DOUBLE)))
+         |      * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         |      / (tf + CAST(1.2 AS DOUBLE) * ((CAST(1.0 AS DOUBLE)
+         |          - CAST(0.75 AS DOUBLE))
+         |        + CAST(0.75 AS DOUBLE) * dl * CAST(nn AS DOUBLE)
+         |          / CAST(dlt AS DOUBLE)))
+         |      * 1e6) AS BIGINT) AS sfp
+         |  FROM tf JOIN q USING (token) JOIN lens USING (doc_id)
+         |  CROSS JOIN corpus),
+         |sc AS (SELECT doc_id, CAST(sum(sfp) AS BIGINT) AS sfp,
+         |    CAST(count(*) AS BIGINT) AS n_terms
+         |  FROM terms GROUP BY 1)
+         |SELECT doc_id, n_terms,
+         |  CAST(round(CAST(CAST(sfp AS DOUBLE) / 1e6
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS score
+         |FROM sc ORDER BY sfp DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Same unordered-min first-view anchor, same at-or-after first
+    // purchase, quantile_cont over exact integer micros.
+    "q145_conversion_lag" ->
+      """WITH a AS (SELECT user_id, event_type, epoch_us(ts) AS tus,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id) AS first_from
+        |  FROM events),
+        |pu AS (SELECT user_id, first_from, min(tus) AS first_to
+        |  FROM a WHERE event_type = 'purchase'
+        |    AND first_from IS NOT NULL AND tus >= first_from
+        |  GROUP BY 1, 2),
+        |l AS (SELECT make_timestamp(first_from) AS ft,
+        |    first_to - first_from AS lag_us FROM pu)
+        |SELECT CAST(date_trunc('week', ft) AS DATE) AS cohort_week,
+        |  CAST(count(*) AS BIGINT) AS n_converted,
+        |  CAST(round(CAST(quantile_cont(lag_us, CAST(0.5 AS DOUBLE))
+        |    / 1e6 AS DECIMAL(20,10)), 4) AS DOUBLE) AS p50_s,
+        |  CAST(round(CAST(quantile_cont(lag_us, CAST(0.9 AS DOUBLE))
+        |    / 1e6 AS DECIMAL(20,10)), 4) AS DOUBLE) AS p90_s
+        |FROM l GROUP BY 1""".stripMargin,
+
+    // q132's session CTE + two leads inside (user, session); same
+    // (n desc, e1, e2, e3) cutoff.
+    "q146_path_trigrams" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |        > 1800 * 1000000 THEN 1
+        |      WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |      ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, event_id, event_type,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM m),
+        |tg AS (SELECT event_type AS e1,
+        |    lead(event_type, 1) OVER w2 AS e2,
+        |    lead(event_type, 2) OVER w2 AS e3
+        |  FROM s WINDOW w2 AS (PARTITION BY user_id, session_id
+        |    ORDER BY ts, event_id)),
+        |c AS (SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+        |  FROM tg WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |  GROUP BY 1, 2, 3)
+        |SELECT e1, e2, e3, n FROM c
+        |ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
+
+    // Same cents fixed point: percentile bounds round to cents, clamp
+    // and sum in exact integers, mean through the DECIMAL snap.
+    "q147_winsorized_stats" ->
+      """WITH r AS (SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS vc
+        |  FROM lineitem),
+        |b AS (SELECT g,
+        |    CAST(round(quantile_cont(vc, CAST(0.01 AS DOUBLE)))
+        |      AS BIGINT) AS lo_c,
+        |    CAST(round(quantile_cont(vc, CAST(0.99 AS DOUBLE)))
+        |      AS BIGINT) AS hi_c
+        |  FROM r GROUP BY 1)
+        |SELECT g AS l_returnflag, lo_c, hi_c,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN vc < lo_c THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(sum(CASE WHEN vc > hi_c THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi,
+        |  CAST(round(CAST(
+        |    CAST(sum(least(greatest(vc, lo_c), hi_c)) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE) * 100.0)
+        |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS win_mean
+        |FROM r JOIN b USING (g) GROUP BY 1, 2, 3""".stripMargin,
 
     // q66's relational bloom (same k=5 hash rows over m=8192 buckets,
     // same md5 bucket function keyed on the canonical string) over the

@@ -213,4 +213,65 @@ object Events {
         sum(col("n")).over(wf).cast("double")).cast("decimal(20,10)"), 4)
         .cast("double"))
   }
+
+  /** Time-to-conversion distribution: per user, the lag from the FIRST
+    * `fromType` event to the first `toType` event at-or-after it;
+    * converted users cohort by the ISO week of their first `fromType`
+    * and each cohort reports exact interpolated lag percentiles.
+    *
+    * The first-touch anchor is an unordered min window over the user
+    * partition (no join back), the conversion scan filters against it
+    * in the same partitioning, and the per-user reduction reuses that
+    * shuffle (groupBy on the window's own key adds no exchange). The
+    * percentile sort-aggregate runs on one row per CONVERTED user,
+    * grouped by cohort week — at 100 TB that's the users table, not
+    * the events table. Lags stay exact integer microseconds until the
+    * final seconds division.
+    */
+  def conversionLag(events: DataFrame, user: Column, ts: Column,
+                    etype: Column, fromType: String,
+                    toType: String): DataFrame = {
+    val anchored = events
+      .select(user.as("u"), etype.as("et"), unix_micros(ts).as("tus"))
+      .withColumn("first_from",
+        min(when(col("et") === fromType, col("tus")))
+          .over(Window.partitionBy(col("u"))))
+    val perUser = anchored
+      .filter(col("et") === toType && col("first_from").isNotNull &&
+        col("tus") >= col("first_from"))
+      .groupBy(col("u"), col("first_from"))
+      .agg(min(col("tus")).as("first_to"))
+      .select(col("u"),
+        timestamp_micros(col("first_from")).as("ft"),
+        (col("first_to") - col("first_from")).as("lag_us"))
+    perUser
+      .groupBy(to_date(date_trunc("week", col("ft"))).as("cohort_week"))
+      .agg(count(lit(1)).as("n_converted"),
+        round((percentile(col("lag_us"), lit(0.5)) / lit(1e6))
+          .cast("decimal(20,10)"), 4).cast("double").as("p50_s"),
+        round((percentile(col("lag_us"), lit(0.9)) / lit(1e6))
+          .cast("decimal(20,10)"), 4).cast("double").as("p90_s"))
+  }
+
+  /** Top behavior trigrams: within-session consecutive event-type
+    * 3-grams (the sequence-mining summary a next-action model trains
+    * on), counted corpus-wide. Session boundaries are hard — a 3-gram
+    * never spans sessions. One shuffle on the user key covers
+    * [[sessionize]] and both leads (same window spec); the count
+    * aggregates on the 3-gram key (≤ |types|³ rows) and the top-k is
+    * sort+limit — TakeOrderedAndProject, never a global sort.
+    */
+  def sessionPathTrigrams(events: DataFrame, user: Column, ts: Column,
+                          order: Column, etype: Column, gapSeconds: Long,
+                          k: Int): DataFrame = {
+    val sess = sessionize(events, user, ts, order, gapSeconds)
+    val w = Window.partitionBy(user, col("session_id")).orderBy(ts, order)
+    sess.select(etype.as("e1"), lead(etype, 1).over(w).as("e2"),
+        lead(etype, 2).over(w).as("e3"))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(k)
+  }
 }

@@ -95,4 +95,73 @@ object Graph {
     }
     hub.join(auth, Seq("id")).select(col("id"), col("hub"), col("auth"))
   }
+
+  /** Per-node triangle counts over an UNDIRECTED reading of `edges`
+    * (src, dst): self-loops dropped, direction and duplicates collapsed
+    * to one (u < v) edge. Enumeration is degree-ordered: every edge is
+    * oriented from its lower-(degree, id) endpoint, wedges enumerate
+    * only from oriented out-neighborhoods, and the closing edge is the
+    * equi-join back against the oriented edge set — each triangle
+    * materializes exactly once, and per-wedge work is bounded by the
+    * ORIENTED out-degree (O(√m) on any graph), not the raw degree. A
+    * hub with a million followers contributes no wedges from the hub
+    * side; the naive neighbor self-join would square it. Per-node
+    * credit is an explode of each triangle's 3 corners + one hash
+    * aggregate. Output: (id, n_triangles), nodes in ≥ 1 triangle.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val ue = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val deg = ue.select(col("u").as("id"))
+      .unionByName(ue.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // orient each edge from the (deg, id)-smaller endpoint, carrying
+    // the head's degree so wedge legs can sort by the SAME key
+    val oe = ue
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          struct(col("u").as("a"), col("v").as("b"), col("dv").as("db")))
+          .otherwise(
+            struct(col("v").as("a"), col("u").as("b"), col("du").as("db")))
+          .as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"), col("e.db").as("db"))
+    // wedges (a; b, c) from a's oriented out-neighbors, legs ordered by
+    // the orientation key (deg, id) — so the closing b–c edge is
+    // oriented b→c exactly, and the closure check is a pure equi-join
+    val tri = oe.as("x").join(oe.as("y"),
+        col("x.a") === col("y.a") &&
+          struct(col("x.db"), col("x.b")) < struct(col("y.db"), col("y.b")))
+      .select(col("x.a").as("ta"), col("x.b").as("tb"), col("y.b").as("tc"))
+      .join(oe.as("z"),
+        col("z.a") === col("tb") && col("z.b") === col("tc"), "left_semi")
+    tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Minimal hop counts from a seed set via `maxHops` rounds of
+    * frontier expansion (multi-source BFS): each round expands ONLY the
+    * nodes first reached in the previous round (the frontier), so a
+    * node's edges are walked once no matter how many rounds run —
+    * the settled set never re-expands. Per round: one equi-join shuffle
+    * (frontier × edges on src) + one min-aggregate on the reached key.
+    * Output: (id, hops), nodes within `maxHops` of any seed.
+    */
+  def shortestHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = edges.select(col("src"), col("dst"))
+    var dist = seeds.select(col("id")).distinct()
+      .select(col("id"), lit(0).as("hops"))
+    for (h <- 1 to maxHops) {
+      val next = dist.filter(col("hops") === h - 1)
+        .join(e, col("id") === col("src"))
+        .select(col("dst").as("id"), lit(h).as("hops"))
+      dist = dist.unionByName(next)
+        .groupBy(col("id")).agg(min(col("hops")).as("hops"))
+    }
+    dist
+  }
 }

@@ -95,4 +95,40 @@ object Profile {
         sum(when(col("adev") > lit(k) * lit(1.4826) * col("mad"), 1L)
           .otherwise(0L)).as("n_outliers"))
   }
+
+  /** Per-group winsorized statistics — the tail-clipping feature
+    * normalization of a training pipeline: exact interpolated
+    * [pLo, pHi] percentile bounds per group, values clamped to them,
+    * and the clipped mean reported next to the clip counts.
+    *
+    * `valueCents` must be an exact integer column (cents, micros —
+    * whatever the domain's fixed point is). The percentile bounds
+    * round to that SAME fixed point, so clamping and summing stay in
+    * exact integer arithmetic — the winsorized mean is a ratio of two
+    * exact integers and cross-engine bit-identical; no float ever
+    * accumulates. Two passes, both on the group key: the percentile
+    * sort-aggregate (one row per group, broadcast back) and the
+    * clamp + hash-aggregate. At 100 TB the exact percentile pass is
+    * the cost ceiling — swap in [[Sketch.histQuantiles]] bounds for
+    * the sketched variant; the clamp pass is unchanged.
+    */
+  def winsorizedStats(df: DataFrame, group: Column, valueCents: Column,
+                      pLo: Double, pHi: Double): DataFrame = {
+    val rows = df.select(group.as("g"), valueCents.cast("long").as("vc"))
+    val bounds = rows.groupBy(col("g")).agg(
+      round(percentile(col("vc"), lit(pLo))).cast("long").as("lo_c"),
+      round(percentile(col("vc"), lit(pHi))).cast("long").as("hi_c"))
+    rows.join(broadcast(bounds), "g")
+      .select(col("g"), col("lo_c"), col("hi_c"),
+        least(greatest(col("vc"), col("lo_c")), col("hi_c")).as("wc"),
+        when(col("vc") < col("lo_c"), 1L).otherwise(0L).as("clip_lo"),
+        when(col("vc") > col("hi_c"), 1L).otherwise(0L).as("clip_hi"))
+      .groupBy(col("g"), col("lo_c"), col("hi_c"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("clip_lo")).as("n_clip_lo"),
+        sum(col("clip_hi")).as("n_clip_hi"),
+        round((sum(col("wc")).cast("double") /
+          (count(lit(1)).cast("double") * 100.0))
+          .cast("decimal(20,10)"), 4).cast("double").as("win_mean"))
+  }
 }

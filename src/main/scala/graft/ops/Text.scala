@@ -886,4 +886,56 @@ object Text {
           (count(lit(1)).cast("double") * 1e6)).cast("decimal(20,10)"), 4)
           .cast("double").as("avg_nll"))
   }
+
+  /** Okapi BM25 top-k retrieval: score every document against
+    * `queryTerms` (a small one-column `token` frame — data-derived or
+    * constant) and keep the best `k` by (score desc, id).
+    *
+    * The inverted-index economics, expressed relationally: per-doc
+    * lengths materialize in the scan pass, occurrences PRUNE to the
+    * query's own tokens via a broadcast semi-join BEFORE anything
+    * shuffles (only matching postings move — at 100 TB the other
+    * 99.99% of the index never leaves the scan), tf aggregates on the
+    * (doc, token) key, df and the corpus stats ride one-row/tiny
+    * broadcasts back. Each (doc, term) BM25 term — idf ·
+    * tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with idf = ln(1 + (N−df+0.5)
+    * /(df+0.5)) — snaps ×10⁶ pre-sum (the −ln convention), so a doc's
+    * score is an exact integer and the top-k cutoff is engine-portable;
+    * the k rows come from sort+limit (TakeOrderedAndProject, never a
+    * global sort). Ranking needs dl for every doc but only matched
+    * docs score, so dl joins AFTER the per-doc sum — one row per
+    * matched doc, not per posting.
+    */
+  def bm25(docs: DataFrame, idCol: String, text: Column,
+           queryTerms: DataFrame, k: Int,
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val lens = docs.select(col(idCol).as("id"), tokenCount(text).as("dl"),
+      tokens(text).as("tk"))
+    // N and total length in ONE row; avgdl enters every term as the
+    // exact ratio dl_total/N so both engines divide the same integers
+    val corpus = lens.agg(count(lit(1)).as("nn"), sum(col("dl")).as("dlt"))
+    val occ = lens.select(col("id"), col("dl"), explode(col("tk")).as("token"))
+      .join(broadcast(queryTerms.select(col("token"))), Seq("token"),
+        "left_semi")
+    val tf = occ.groupBy(col("id"), col("dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val terms = tf.join(broadcast(df), Seq("token"))
+      .crossJoin(broadcast(corpus))
+      .select(col("id"),
+        round(
+          log(lit(1.0) + (col("nn") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5))) *
+            (col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) +
+              lit(b) * col("dl") * col("nn").cast("double") /
+                col("dlt").cast("double"))) * lit(1e6))
+          .cast("long").as("sfp"))
+    terms.groupBy(col("id"))
+      .agg(sum(col("sfp")).as("sfp"), count(lit(1)).as("n_terms"))
+      .orderBy(col("sfp").desc, col("id")).limit(k)
+      .select(col("id"), col("n_terms"),
+        round((col("sfp").cast("double") / lit(1e6))
+          .cast("decimal(20,10)"), 4).cast("double").as("score"))
+  }
 }

@@ -168,6 +168,56 @@ class EventsSpec extends SparkSpec {
       "none" -> ((1L, 7.0))))
   }
 
+  test("conversionLag: first-view anchor, at-or-after first purchase, " +
+      "non-converters and pre-view purchasers drop out") {
+    val ev = Seq(
+      // u1: view 10:00, purchases 10:30 and 11:00 → lag 1800 s
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:30:00"), "purchase"),
+      (1L, ts("2024-01-01 11:00:00"), "purchase"),
+      // u2: purchase BEFORE the only view → no conversion
+      (2L, ts("2024-01-01 09:00:00"), "purchase"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      // u3: view only → no conversion
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      // u4: SECOND view is not the anchor — lag from the FIRST view
+      (4L, ts("2024-01-01 08:00:00"), "view"),
+      (4L, ts("2024-01-01 09:00:00"), "view"),
+      (4L, ts("2024-01-01 09:10:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Events.conversionLag(ev, $"user_id", $"ts", $"event_type",
+        "view", "purchase")
+      .as[(java.sql.Date, Long, Double, Double)].collect()
+    assert(out.length == 1)
+    val (_, n, p50, p90) = out.head
+    // lags: u1 1800 s, u4 4200 s → p50 = 3000, p90 = 0.9-interpolated
+    assert(n == 2L)
+    assert(p50 == 3000.0)
+    assert(p90 == 1800.0 + 0.9 * (4200.0 - 1800.0))
+  }
+
+  test("sessionPathTrigrams: 3-grams never span a session boundary") {
+    val ev = Seq(
+      // one session: a b c d → trigrams abc, bcd
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "b"),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "c"),
+      (1L, ts("2024-01-01 10:03:00"), 4L, "d"),
+      // same user, >30 min gap: b c | (new session) a b c
+      (2L, ts("2024-01-01 10:00:00"), 5L, "b"),
+      (2L, ts("2024-01-01 10:01:00"), 6L, "c"),
+      (2L, ts("2024-01-01 11:00:00"), 7L, "a"),
+      (2L, ts("2024-01-01 11:01:00"), 8L, "b"),
+      (2L, ts("2024-01-01 11:02:00"), 9L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Events.sessionPathTrigrams(ev, $"user_id", $"ts",
+        $"event_id", $"event_type", 1800L, 10)
+      .as[(String, String, String, Long)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    // u2's pre-gap "b c" never chains into the post-gap "a": no bca/cab
+    assert(out == Map(("a", "b", "c") -> 2L, ("b", "c", "d") -> 1L))
+  }
+
   test("robustOutliers flags by median/MAD and survives outlier drag") {
     // group a: tight cluster around 10 with one wild point; the mean/σ
     // z-score of 100 would shrink under the outlier's own drag, the

@@ -83,4 +83,53 @@ class GraphSpec extends SparkSpec {
     val b = Graph.pageRank(edges, 3).as[(Long, Double)].collect().sorted
     assert(a.toSeq == b.toSeq) // exact, not approximate
   }
+
+  test("triangleCounts: K4 gives 3 per node; direction, duplicates and " +
+      "self-loops are noise") {
+    // K4 as a messy directed multigraph: some edges doubled, reversed,
+    // plus self-loops — the undirected collapse must see plain K4
+    val k4 = for {
+      a <- 0L to 3L; b <- 0L to 3L if a != b
+    } yield (a, b)
+    val noisy = (k4 ++ Seq((0L, 0L), (2L, 2L), (1L, 0L), (3L, 2L)))
+      .toDF("src", "dst")
+    val out = Graph.triangleCounts(noisy).as[(Long, Long)].collect().toMap
+    assert(out == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("triangleCounts equals the brute-force triple scan on a random " +
+      "graph; triangle-free graphs yield nothing") {
+    val rnd = new scala.util.Random(11)
+    val es = (0 until 300).map(_ =>
+      (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)).distinct
+    val ue = es.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct.toSet
+    val nodes = ue.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val ref = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      a <- nodes; b <- nodes if a < b && ue((a, b))
+      c <- nodes if b < c && ue((b, c)) && ue((a, c))
+    } { ref(a) += 1; ref(b) += 1; ref(c) += 1 }
+    val out = Graph.triangleCounts(es.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == ref.toMap)
+    // a path graph has no triangles: empty output, not zero rows per node
+    val path = (0L until 10L).sliding(2).map(s => (s(0), s(1))).toSeq
+    assert(Graph.triangleCounts(path.toDF("src", "dst")).count() == 0)
+  }
+
+  test("shortestHops: minimal hop counts, settled nodes keep their first " +
+      "round, beyond-maxHops nodes are absent") {
+    // 0→1→2→3→4 chain plus a shortcut 0→3: node 3 is 1 hop, not 3
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 3L))
+      .toDF("src", "dst")
+    val out = Graph.shortestHops(es,
+      Seq(0L).toDF("id"), 2).as[(Long, Int)].collect().toMap
+    assert(out == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 1, 4L -> 2))
+    // multi-source: nearest seed wins; cycles don't loop forever
+    val es2 = Seq((0L, 1L), (1L, 0L), (1L, 2L), (9L, 2L)).toDF("src", "dst")
+    val out2 = Graph.shortestHops(es2,
+      Seq(0L, 9L).toDF("id"), 3).as[(Long, Int)].collect().toMap
+    assert(out2 == Map(0L -> 0, 9L -> 0, 1L -> 1, 2L -> 1))
+  }
 }

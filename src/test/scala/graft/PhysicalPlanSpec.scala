@@ -354,6 +354,40 @@ class PhysicalPlanSpec extends SparkSpec {
       s"rerank query/corpus equi-joins expected:\n$p")
   }
 
+  test("triangles and BFS enumerate via equi-joins; the only nested " +
+      "loops are the one-row count crosses") {
+    for (q <- Seq("q142_triangles", "q143_bfs_reach")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      // docLinkEdges' one-row N broadcast is the only BNLJ shape allowed;
+      // a conditioned nested loop would mean the closure/frontier check
+      // lost its equi-join form
+      assert(!"BroadcastNestedLoopJoin (Inner|LeftSemi|LeftOuter|RightOuter)"
+        .r.findFirstIn(p).isDefined, s"$q: conditioned nested loop:\n$p")
+    }
+  }
+
+  test("bm25 prunes postings via broadcast semi-join and top-ks with " +
+      "TakeOrderedAndProject") {
+    val p = plan("q144_bm25")
+    assert(p.contains("BroadcastHashJoin LeftSemi"),
+      s"query-term prune must be a broadcast semi-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition, not a global sort:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"),
+      s"all joins are broadcast-sized here:\n$p")
+  }
+
+  test("path trigrams: sessionize and both leads share one user " +
+      "exchange; the count runs on the 3-gram key") {
+    val p = plan("q146_path_trigrams")
+    val exchanges = "(?m)^\\s*\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"expected user shuffle + trigram agg only, got $exchanges:\n$p")
+    assert("(?m)^\\s*\\(\\d+\\) Sort".r.findAllIn(p).size <= 2, p)
+  }
+
   test("whole-stage codegen covers the scan-project pipeline") {
     val df = Tables(spark, dir, "lineitem")
       .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))

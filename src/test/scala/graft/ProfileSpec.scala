@@ -43,4 +43,24 @@ class ProfileSpec extends SparkSpec {
       "the exact profiler reports n_distinct = 0 here; the sketch must agree")
     assert(sk("id")._3 > 0.0)
   }
+
+  test("winsorizedStats: bounds clamp exactly, clip counts split " +
+      "below/above, mean is the exact clipped ratio") {
+    // 10 values 100..1000 cents: p10 = 190, p90 = 910 (exact
+    // h = (n-1)p interpolation), so 100 clips up and 1000 clips down
+    val df = (1 to 10).map(i => ("a", i * 100L)).toDF("g", "vc")
+    val out = Profile.winsorizedStats(df, $"g", $"vc", 0.10, 0.90)
+      .as[(String, Long, Long, Long, Long, Long, Double)].collect()
+    assert(out.length == 1)
+    val (_, lo, hi, n, nLo, nHi, mean) = out.head
+    assert((lo, hi) == ((190L, 910L)))
+    assert((n, nLo, nHi) == ((10L, 1L, 1L)))
+    // winsorized sum = 190 + 200..900 + 910 = 5500 cents
+    assert(mean == 5500.0 / 10 / 100)
+    // degenerate group: constant values — bounds equal, nothing clips
+    val c = Seq.fill(4)(("b", 500L)).toDF("g", "vc")
+    val cc = Profile.winsorizedStats(c, $"g", $"vc", 0.01, 0.99)
+      .as[(String, Long, Long, Long, Long, Long, Double)].head()
+    assert(cc == (("b", 500L, 500L, 4L, 0L, 0L, 5.0)))
+  }
 }

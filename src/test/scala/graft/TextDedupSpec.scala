@@ -546,4 +546,35 @@ class TextDedupSpec extends SparkSpec {
       .agg(sum($"n_dropped")).as[Long].collect()(0)
     assert(none == 0L)
   }
+
+  test("bm25: matches the hand formula exactly; unmatched docs are " +
+      "absent; rarer terms outrank common ones") {
+    val docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "durian cherry cherry fig")).toDF("doc_id", "text")
+    val out = Text.bm25(docs, "doc_id", $"text",
+        Seq("apple", "durian").toDF("token"), 10)
+      .as[(Long, Long, Double)].collect().toList
+    // same arithmetic order as the engine expression, term snap x1e6
+    def term(tf: Long, df: Long, dl: Int): Long = {
+      val nn = 3L; val dlt = 9L
+      math.round(math.log(1.0 + (nn - df + 0.5) / (df + 0.5)) *
+        (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * ((1.0 - 0.75) +
+          0.75 * dl * nn.toDouble / dlt.toDouble)) * 1e6)
+    }
+    def score(terms: Long*): Double =
+      BigDecimal(terms.sum / 1e6).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc3 matches 'durian' (df=1, rarer -> higher idf than 'apple')
+    val expect = List(
+      3L -> (1L, score(term(1, 1, 4))),
+      1L -> (1L, score(term(2, 2, 3))),
+      2L -> (1L, score(term(1, 2, 2))))
+    assert(out.map(r => r._1 -> ((r._2, r._3))) == expect,
+      s"got $out")
+    // the df=1 term outranks the df=2 term at equal tf
+    assert(out.head._1 == 3L)
+  }
 }
