@@ -838,6 +838,54 @@ object SparkEntry {
           round(col("l_extendedprice") * 100).cast("long"), 0.01, 0.99)
         .withColumnRenamed("g", "l_returnflag")),
 
+    // Text: all-pairs sparse TF-IDF cosine ≥ 0.6 — the lexical
+    // similarity primitive next to the embedding family; ubiquitous
+    // terms (df > N/5) pruned from the similarity domain up front
+    // (declared stopword economics — bounds posting-join work at Σdf²),
+    // every weight and dot product an exact fixed-point integer.
+    "q148_sparse_cosine" -> ((s, dir) =>
+      Text.sparseCosinePairs(
+        t(s, dir, "documents").select(col("doc_id"), col("text"))
+          .repartition(s.sessionState.conf.numShufflePartitions),
+        "doc_id", col("text"), 0.6, 1, 5)),
+
+    // Resample: calendar densification + forward fill over the daily
+    // bar series (symbols ≤ 50) — per-symbol day grid from sequence(),
+    // fill via last(ignoreNulls) in the series window; the rollup
+    // checksums the filled values so every carried cell is verified
+    // without shipping span-many rows.
+    "q149_gap_fill" -> ((s, dir) => {
+      val daily = bars(s, dir).filter(col("symbol") <= 50)
+        .groupBy(col("symbol"), col("d"))
+        .agg(max(round(col("px") * 100).cast("long")).as("px_c"))
+      Resample.gapFillForward(daily, col("symbol"), col("d"), col("px_c"))
+        .groupBy(col("s").as("symbol"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("is_filled"), 1L).otherwise(0L)).as("n_filled"),
+          round(sum(col("value_c")).cast("double") / 100.0, 2)
+            .as("filled_sum"))
+    }),
+
+    // Join: interval×interval OVERLAP join — urgent-order windows
+    // [d, d+3] × high-priority windows [d, d+2] on the 4-day grid;
+    // each true pair meets once in the cell of max(lo_a, lo_b), so no
+    // post-join dedup shuffle exists. Rolled up per urgent order.
+    "q150_interval_overlap" -> ((s, dir) => {
+      val epoch = lit("1970-01-01").cast("date")
+      val o = t(s, dir, "orders")
+      def iv(prio: String, span: Int, p: String) =
+        o.filter(col("o_orderpriority") === prio)
+          .select(col("o_orderkey").as(s"${p}_key"),
+            datediff(to_date(col("o_orderdate")), epoch).as(s"${p}_lo"),
+            (datediff(to_date(col("o_orderdate")), epoch) + span)
+              .as(s"${p}_hi"))
+      Joins.intervalOverlapJoin(iv("1-URGENT", 3, "a"), "a_lo", "a_hi",
+          iv("2-HIGH", 2, "b"), "b_lo", "b_hi", 4L)
+        .groupBy(col("a_key").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          min(col("b_key")).as("first_b"))
+    }),
+
     // Web/Sketch: BLOOM-GATED crawl novelty — the q133 signal at
     // sketch cost: the corpus canonical set folds into k·m bloom cells
     // (state independent of corpus size; at 100 TB the exact URL index
@@ -4428,6 +4476,83 @@ object SparkEntry {
         |    / (CAST(count(*) AS DOUBLE) * 100.0)
         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS win_mean
         |FROM r JOIN b USING (g) GROUP BY 1, 2, 3""".stripMargin,
+
+    // Same fixed-point chain: ×1e6 weight snap, exact 128-bit square
+    // sum under the norm, ×1e6 re-snap, integer ×1e12 dot product and
+    // integer threshold — the df > N/5 stopword prune via the exact
+    // integer cross-multiply on both sides.
+    "q148_sparse_cosine" ->
+      s"""WITH tf AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id AS id, unnest($tokSql) AS term
+         |    FROM documents) GROUP BY 1, 2),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |  FROM tf GROUP BY 1),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |w AS (SELECT id, term, CAST(round(tf
+         |      * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1e6)
+         |    AS BIGINT) AS wfp
+         |  FROM tf JOIN dfq USING (term) CROSS JOIN nd
+         |  WHERE df * 5 <= n_docs * 1),
+         |norms AS (SELECT id, sqrt(CAST(sum(wfp * wfp) AS DOUBLE)) AS norm
+         |  FROM w GROUP BY 1),
+         |nw AS (SELECT id, term,
+         |    CAST(round(CAST(wfp AS DOUBLE) / norm * 1e6) AS BIGINT)
+         |      AS nwfp
+         |  FROM w JOIN norms USING (id)),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    CAST(sum(a.nwfp * b.nwfp) AS BIGINT) AS sfp
+         |  FROM nw a JOIN nw b ON a.term = b.term AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  CAST(round(CAST(CAST(sfp AS DOUBLE) / 1e12
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS sim
+         |FROM p WHERE sfp >= 600000000000""".stripMargin,
+
+    // Same per-symbol grid (generate_series ≙ sequence) and the same
+    // IGNORE NULLS forward-fill window; the checksum divides the exact
+    // cent sum once.
+    "q149_gap_fill" ->
+      s"""WITH obs AS (SELECT symbol, d,
+         |    max(CAST(round(px * 100) AS BIGINT)) AS vc
+         |  FROM ($barsSql) WHERE symbol <= 50 GROUP BY 1, 2),
+         |span AS (SELECT symbol, min(d) AS d0, max(d) AS d1
+         |  FROM obs GROUP BY 1),
+         |grid AS (SELECT symbol,
+         |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+         |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+         |  FROM span),
+         |f AS (SELECT g.symbol, g.d, o.vc,
+         |    last_value(o.vc IGNORE NULLS) OVER (PARTITION BY g.symbol
+         |      ORDER BY g.d ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS value_c
+         |  FROM grid g LEFT JOIN obs o
+         |    ON o.symbol = g.symbol AND o.d = g.d)
+         |SELECT symbol, CAST(count(*) AS BIGINT) AS n_days,
+         |  CAST(sum(CASE WHEN vc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_filled,
+         |  round(CAST(sum(value_c) AS DOUBLE) / 100.0, 2) AS filled_sum
+         |FROM f GROUP BY 1""".stripMargin,
+
+    // Truth is the plain inequality join (DuckDB's IEJoin handles it);
+    // the engine's grid blocking + canonical-cell dedup must reproduce
+    // the pair set exactly.
+    "q150_interval_overlap" ->
+      """WITH a AS (SELECT o_orderkey AS a_key,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS a_lo,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      + 3 AS a_hi
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |b AS (SELECT o_orderkey AS b_key,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS b_lo,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      + 2 AS b_hi
+        |  FROM orders WHERE o_orderpriority = '2-HIGH')
+        |SELECT a_key AS o_orderkey, CAST(count(*) AS BIGINT) AS n_overlaps,
+        |  min(b_key) AS first_b
+        |FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
+        |GROUP BY 1""".stripMargin,
 
     // q66's relational bloom (same k=5 hash rows over m=8192 buckets,
     // same md5 bucket function keyed on the canonical string) over the

@@ -71,4 +71,45 @@ object Joins {
       .filter(col(ptCol).between(col(loCol), col(hiCol)))
       .drop("__cell")
   }
+
+  /** Interval×interval OVERLAP join: pairs (a, b) with
+    * `[loA, hiA] ∩ [loB, hiB] ≠ ∅` (inclusive ends), each pair exactly
+    * once. The genuinely-two-sided sibling of [[rangeJoin]]: both
+    * sides explode to their covered grid cells, the equi-join on the
+    * cell id generates candidates, and the exact overlap predicate
+    * (`loA ≤ hiB && loB ≤ hiA`) verifies inside the block.
+    *
+    * Dedup without a distinct: an overlapping pair co-occurs in every
+    * cell their spans share, so the join keeps only the canonical
+    * meeting cell — the one holding `max(loA, loB)`, the start of the
+    * overlap, which both sides necessarily cover. One row per true
+    * pair, no post-join shuffle.
+    *
+    * Scale shape: each side replicates ~span/W + 1; candidate volume
+    * is Σ_cell |A_cell|·|B_cell| — the same skew surface as
+    * [[rangeJoin]] (AQE/salting composes on the cell key). Both
+    * bounds must be integral; column names disjoint.
+    */
+  def intervalOverlapJoin(a: DataFrame, loACol: String, hiACol: String,
+                          b: DataFrame, loBCol: String, hiBCol: String,
+                          bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    require(a.columns.toSet.intersect(b.columns.toSet).isEmpty,
+      "the two interval frames must not share column names")
+    def cellOf(c: org.apache.spark.sql.Column) = {
+      val cl = c.cast("long")
+      ((cl.cast("decimal(38,0)") - pmod(cl, lit(bucketWidth))) /
+        lit(bucketWidth)).cast("long")
+    }
+    def exploded(df: DataFrame, lo: String, hi: String, cell: String) =
+      df.withColumn(cell,
+        explode(sequence(cellOf(col(lo)),
+          greatest(cellOf(col(hi)), cellOf(col(lo))))))
+    val ea = exploded(a, loACol, hiACol, "__cell")
+    val eb = exploded(b, loBCol, hiBCol, "__cellb")
+    ea.join(eb, col("__cell") === col("__cellb"))
+      .filter(col(loACol) <= col(hiBCol) && col(loBCol) <= col(hiACol) &&
+        col("__cell") === cellOf(greatest(col(loACol), col(loBCol))))
+      .drop("__cell", "__cellb")
+  }
 }

@@ -121,4 +121,42 @@ object Resample {
     bars.withColumn("return",
       round(col(close) / lag(col(close), 1).over(w) - lit(1.0), 4))
   }
+
+  /** Calendar densification + forward fill: expand each series to every
+    * day of its own [min, max] date span and carry the last observed
+    * value across the gaps — the trading-calendar alignment step
+    * before any same-grid cross-series math (correlation, spread,
+    * index construction).
+    *
+    * The day grid comes from `sequence()` over the per-series span
+    * (generated, not joined against a calendar table), the observed
+    * rows land on it via a per-series equi-join, and the fill is
+    * `last(value, ignoreNulls)` over the date-ordered series window —
+    * one shuffle on the series key covers the span aggregate, the
+    * join and the fill window. Values should arrive as exact integers
+    * (cents) so downstream sums stay exact; `is_filled` marks carried
+    * rows. Gap days before the first observation stay null only when
+    * the span starts with one — impossible here since the span is the
+    * series' own min. Output: (series, d, value_c, is_filled).
+    *
+    * At 100 TB the explode multiplies rows by span/observation density
+    * — the fill's window is the same single shuffle, but callers
+    * should aggregate or re-partition before writing; a mega-series
+    * with a decades-long span fans out exactly span-many rows, never
+    * more.
+    */
+  def gapFillForward(bars: DataFrame, series: Column, d: Column,
+                     valueCents: Column): DataFrame = {
+    val obs = bars.select(series.as("s"), d.as("d"),
+      valueCents.cast("long").as("vc"))
+    val grid = obs.groupBy(col("s"))
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("s"), explode(sequence(col("d0"), col("d1"))).as("d"))
+    val w = Window.partitionBy(col("s")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("s", "d"), "left")
+      .select(col("s"), col("d"),
+        last(col("vc"), ignoreNulls = true).over(w).as("value_c"),
+        col("vc").isNull.as("is_filled"))
+  }
 }

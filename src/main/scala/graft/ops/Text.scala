@@ -938,4 +938,58 @@ object Text {
         round((col("sfp").cast("double") / lit(1e6))
           .cast("decimal(20,10)"), 4).cast("double").as("score"))
   }
+
+  /** All-pairs sparse TF-IDF cosine similarity ≥ `minSim` via the
+    * inverted index — the lexical near-dup/similarity primitive next
+    * to the embedding family: weights are L2-normalized tf·ln(N/df),
+    * candidate pairs come from the (term → docs) posting join, and a
+    * pair's similarity is the exact sum of its shared terms' weight
+    * products.
+    *
+    * Scale contract: posting-join work is Σ_term df², so ubiquitous
+    * terms are PRUNED from the similarity domain up front —
+    * `df · dfPruneDen > N · dfPruneNum` drops a term everywhere
+    * (declared semantics, not an approximation of the unpruned
+    * result; the integer cross-multiply keeps the cutoff exact). This
+    * is the stopword economics every APSS system applies; tightening
+    * the fraction trades recall on boilerplate overlap for a hard
+    * df² bound. A production run would add prefix filtering on top —
+    * same output, smaller candidate set.
+    *
+    * Determinism: raw weights snap ×10⁶ to BIGINT; the norm is
+    * √(Σ wfp²) with the square-sum in DECIMAL(38,0) (wfp² ≈ 10¹⁷ —
+    * a long sum overflows at 19 terms); normalized weights re-snap
+    * ×10⁶ so each pair's dot product is an exact ×10¹² integer and
+    * the `minSim` cutoff compares integers. Output: (id_a, id_b, sim)
+    * with id_a < id_b.
+    */
+  def sparseCosinePairs(docs: DataFrame, idCol: String, text: Column,
+                        minSim: Double, dfPruneNum: Int,
+                        dfPruneDen: Int): DataFrame = {
+    val terms = docs.select(col(idCol).as("id"), explode(tokens(text)).as("term"))
+    val tf = terms.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val wts = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * dfPruneDen <= col("n_docs") * dfPruneNum)
+      .select(col("id"), col("term"),
+        round(col("tf") * log(col("n_docs").cast("double") /
+          col("df").cast("double")) * lit(1e6)).cast("long").as("wfp"))
+    val norms = wts.groupBy(col("id"))
+      .agg(sqrt(sum((col("wfp") * col("wfp")).cast("decimal(38,0)"))
+        .cast("double")).as("norm"))
+    val nw = wts.join(norms, "id")
+      .select(col("id"), col("term"),
+        round(col("wfp").cast("double") / col("norm") * lit(1e6))
+          .cast("long").as("nwfp"))
+    nw.as("a").join(nw.as("b"),
+        col("a.term") === col("b.term") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum(col("a.nwfp") * col("b.nwfp")).as("sfp"))
+      .filter(col("sfp") >= math.round(minSim * 1e12))
+      .select(col("id_a"), col("id_b"),
+        round((col("sfp").cast("double") / lit(1e12))
+          .cast("decimal(20,10)"), 4).cast("double").as("sim"))
+  }
 }

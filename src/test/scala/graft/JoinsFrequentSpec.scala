@@ -79,6 +79,39 @@ class JoinsFrequentSpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlapJoin equals the brute-force inequality join — " +
+      "each pair exactly once, touch/containment/negative domains") {
+    val rnd = new scala.util.Random(19)
+    val as = (0 until 60).map { i =>
+      val lo = rnd.nextInt(60).toLong - 30
+      (i.toLong, lo, lo + rnd.nextInt(8))
+    }
+    val bs = (0 until 60).map { i =>
+      val lo = rnd.nextInt(60).toLong - 30
+      (i.toLong, lo, lo + rnd.nextInt(8))
+    }
+    val truth = (for {
+      (ak, alo, ahi) <- as; (bk, blo, bhi) <- bs
+      if alo <= bhi && blo <= ahi
+    } yield (ak, bk)).toSet
+    for (w <- Seq(1L, 3L, 7L)) {
+      val got = Joins.intervalOverlapJoin(
+          as.toDF("a_key", "a_lo", "a_hi"), "a_lo", "a_hi",
+          bs.toDF("b_key", "b_lo", "b_hi"), "b_lo", "b_hi", w)
+        .select($"a_key", $"b_key").as[(Long, Long)].collect()
+      assert(got.toSet == truth, s"w=$w")
+      assert(got.length == truth.size,
+        s"w=$w: pair must appear exactly once (canonical-cell dedup)")
+    }
+    // boundary touch counts (hi_a == lo_b), disjoint doesn't
+    val t = Joins.intervalOverlapJoin(
+        Seq((1L, 0L, 5L)).toDF("a_key", "a_lo", "a_hi"), "a_lo", "a_hi",
+        Seq((9L, 5L, 7L), (8L, 6L, 7L)).toDF("b_key", "b_lo", "b_hi"),
+        "b_lo", "b_hi", 4L)
+      .select($"b_key").as[Long].collect().toSet
+    assert(t == Set(9L))
+  }
+
   // ---- Frequent.heavyHitters ------------------------------------------------
 
   test("heavyHitters equals groupBy-having exactly, across thresholds and partitionings") {

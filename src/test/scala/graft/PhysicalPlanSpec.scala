@@ -388,6 +388,35 @@ class PhysicalPlanSpec extends SparkSpec {
     assert("(?m)^\\s*\\(\\d+\\) Sort".r.findAllIn(p).size <= 2, p)
   }
 
+  test("sparse cosine pairs come from the posting equi-join — no " +
+      "cartesian, stats ride broadcasts") {
+    val p = plan("q148_sparse_cosine")
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested loop allowed is the one-row N cross
+    assert(!"BroadcastNestedLoopJoin (Inner|LeftSemi|LeftOuter)"
+      .r.findFirstIn(p).isDefined, s"conditioned nested loop:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "df must arrive broadcast")
+  }
+
+  test("interval overlap join blocks on the grid cell — an equi-join, " +
+      "never a nested loop") {
+    val p = plan("q150_interval_overlap")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the BETWEEN pair predicate must ride the cell equi-join:\n$p")
+  }
+
+  test("gap fill: grid, join and fill window share the series " +
+      "shuffle") {
+    val p = plan("q149_gap_fill")
+    // daily dedup agg + (span agg reuses it) + final rollup; the fill
+    // window must NOT add its own exchange beyond the series key
+    val exchanges = "(?m)^\\s*\\(\\d+\\) Exchange".r.findAllIn(p).size
+    assert(exchanges <= 4, s"gap-fill grew extra shuffles ($exchanges):\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("whole-stage codegen covers the scan-project pipeline") {
     val df = Tables(spark, dir, "lineitem")
       .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))

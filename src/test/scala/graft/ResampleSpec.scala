@@ -66,4 +66,25 @@ class ResampleSpec extends SparkSpec {
       ("A", "2024-03-31", Some(-0.0194)),
       ("B", "2024-01-31", None)))
   }
+
+  test("gapFillForward: per-series day grid, carried values flagged, " +
+      "spans independent per series") {
+    val d = java.sql.Date.valueOf(_: String)
+    val bars = Seq(
+      ("A", d("2024-01-01"), 100L),
+      ("A", d("2024-01-04"), 107L), // 2nd/3rd filled with 100
+      ("B", d("2024-02-10"), 50L)) // single-day span: no fill
+      .toDF("symbol", "dt", "px_c")
+    val out = Resample.gapFillForward(bars, $"symbol", $"dt", $"px_c")
+      .as[(String, java.sql.Date, Long, Boolean)].collect()
+      .map(r => (r._1, r._2.toString) -> ((r._3, r._4))).toMap
+    assert(out == Map(
+      ("A", "2024-01-01") -> ((100L, false)),
+      ("A", "2024-01-02") -> ((100L, true)),
+      ("A", "2024-01-03") -> ((100L, true)),
+      ("A", "2024-01-04") -> ((107L, false)),
+      ("B", "2024-02-10") -> ((50L, false))))
+    // B's grid never bleeds into A's span — 5 rows total, not 41+1
+    assert(out.size == 5)
+  }
 }

@@ -577,4 +577,26 @@ class TextDedupSpec extends SparkSpec {
     // the df=1 term outranks the df=2 term at equal tf
     assert(out.head._1 == 3L)
   }
+
+  test("sparseCosinePairs: identical docs hit 1.0, disjoint docs are " +
+      "absent, pruned ubiquitous terms don't create pairs") {
+    val docs = Seq(
+      (1L, "red fox jumps high"),
+      (2L, "red fox jumps high"),   // identical to 1 → sim 1.0
+      (3L, "blue whale swims deep"), // disjoint content
+      (4L, "red tree"))              // shares only 'red' with 1/2
+      .toDF("doc_id", "text")
+    // df prune at > N/2: 'red' has df 3 of 4 → pruned everywhere
+    val out = Text.sparseCosinePairs(docs, "doc_id", $"text", 0.1, 1, 2)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out.keySet == Set((1L, 2L)),
+      s"only the identical pair survives: $out")
+    assert(out((1L, 2L)) == 1.0)
+    // without the prune, 'red' links 4 to 1 and 2 (weakly — idf of a
+    // df-3 term is small, so the threshold drops to catch it)
+    val all = Text.sparseCosinePairs(docs, "doc_id", $"text", 0.04, 1, 1)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(all == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
 }
