@@ -886,6 +886,30 @@ object SparkEntry {
           min(col("b_key")).as("first_b"))
     }),
 
+    // Quality: exact two-sample KOLMOGOROV–SMIRNOV drift statistic
+    // (returned-vs-normal price distributions) — distributed-exact
+    // ECDFs via the two-level prefix sum, the sup as a max over exact
+    // DECIMAL cross-products, one double division at the end.
+    "q151_ks_drift" -> ((s, dir) =>
+      Quality.ksStatistic(
+        t(s, dir, "lineitem").filter(col("l_returnflag").isin("R", "N"))
+          .select((col("l_returnflag") === "R").as("t"),
+            round(col("l_extendedprice") * 100).cast("long").as("vc")),
+        col("t"), col("vc"), 100000L)),
+
+    // Profiling: per-symbol OLS TREND (slope + Pearson r of price over
+    // time) — five exact DECIMAL moment sums in one aggregate pass,
+    // normal equations on exact integers, one double division per
+    // output; degenerate series yield null, not ±∞.
+    "q152_ols_trend" -> ((s, dir) =>
+      Profile.olsTrend(
+        bars(s, dir).filter(col("symbol") <= 200)
+          .select(col("symbol"),
+            datediff(col("d"), lit("1970-01-01").cast("date")).as("xd"),
+            round(col("px") * 100).cast("long").as("yc")),
+        col("symbol"), col("xd"), col("yc"))
+        .withColumnRenamed("g", "symbol")),
+
     // Web/Sketch: BLOOM-GATED crawl novelty — the q133 signal at
     // sketch cost: the corpus canonical set folds into k·m bloom cells
     // (state independent of corpus size; at 100 TB the exact URL index
@@ -4553,6 +4577,55 @@ object SparkEntry {
         |  min(b_key) AS first_b
         |FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
         |GROUP BY 1""".stripMargin,
+
+    // The pooled-ECDF sup over one ordered window (single-threaded
+    // truth ≙ the engine's two-level prefix sum); the cross-products
+    // stay exact (HUGEINT ≙ DECIMAL(38,0)), one double division.
+    "q151_ks_drift" ->
+      """WITH r AS (SELECT l_returnflag = 'R' AS t,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+        |  FROM lineitem WHERE l_returnflag IN ('R', 'N')),
+        |n AS (SELECT
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM r),
+        |bv AS (SELECT v,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN NOT t THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM r GROUP BY 1),
+        |c AS (SELECT sum(c1) OVER (ORDER BY v) AS cum1,
+        |    sum(c2) OVER (ORDER BY v) AS cum2 FROM bv)
+        |SELECT n1, n2,
+        |  CAST(round(CAST(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS ks
+        |FROM c CROSS JOIN n GROUP BY 1, 2""".stripMargin,
+
+    // Same five HUGEINT moment sums (≙ DECIMAL(38,0)), same normal-
+    // equation integers, same single double division / sqrt chain.
+    "q152_ols_trend" ->
+      s"""WITH b AS (SELECT symbol,
+         |    date_diff('day', DATE '1970-01-01', d) AS x,
+         |    CAST(round(px * 100) AS BIGINT) AS y
+         |  FROM ($barsSql) WHERE symbol <= 200),
+         |m AS (SELECT symbol, CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+         |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+         |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+         |  FROM b GROUP BY 1)
+         |SELECT symbol, n,
+         |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+         |    CAST(round(CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / CAST(n * sxx - sx * sx AS DOUBLE)
+         |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS slope,
+         |  CASE WHEN n * sxx - sx * sx = 0
+         |      OR n * syy - sy * sy = 0 THEN NULL ELSE
+         |    CAST(round(CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+         |        * CAST(n * syy - sy * sy AS DOUBLE))
+         |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS r
+         |FROM m""".stripMargin,
 
     // q66's relational bloom (same k=5 hash rows over m=8192 buckets,
     // same md5 bucket function keyed on the canonical string) over the

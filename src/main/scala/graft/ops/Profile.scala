@@ -131,4 +131,40 @@ object Profile {
           (count(lit(1)).cast("double") * 100.0))
           .cast("decimal(20,10)"), 4).cast("double").as("win_mean"))
   }
+
+  /** Per-group closed-form OLS trend (slope + Pearson r of y over x) —
+    * the per-series drift/trend summary of a monitoring pipeline, in
+    * ONE map-side-combinable aggregate pass: the five moment sums
+    * (Σx, Σy, Σx², Σy², Σxy) accumulate in DECIMAL(38,0) from exact
+    * integer inputs (x·y at epoch-day × cent scale overflows a long
+    * corpus-wide), the normal-equation numerator and denominators stay
+    * exact integers, and each output is ONE double division (slope) or
+    * division-by-√ (r) on both engines. Degenerate groups (constant x
+    * or constant y) yield null rather than ±∞. `x` and `yCents` must
+    * be integral. Output: (g, n, slope, r).
+    */
+  def olsTrend(df: DataFrame, group: Column, x: Column,
+               yCents: Column): DataFrame = {
+    val d18 = (c: Column) => c.cast("decimal(18,0)")
+    val rows = df.select(group.as("g"), x.cast("long").as("x"),
+      yCents.cast("long").as("y"))
+    val m = rows.groupBy(col("g")).agg(
+      count(lit(1)).as("n"),
+      sum(d18(col("x"))).as("sx"),
+      sum(d18(col("y"))).as("sy"),
+      sum(d18(col("x")) * d18(col("x"))).as("sxx"),
+      sum(d18(col("y")) * d18(col("y"))).as("syy"),
+      sum(d18(col("x")) * d18(col("y"))).as("sxy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val denx = col("n") * col("sxx") - col("sx") * col("sx")
+    val deny = col("n") * col("syy") - col("sy") * col("sy")
+    m.select(col("g"), col("n"),
+      when(denx === 0, lit(null))
+        .otherwise(round((num.cast("double") / denx.cast("double"))
+          .cast("decimal(20,10)"), 6).cast("double")).as("slope"),
+      when(denx === 0 || deny === 0, lit(null))
+        .otherwise(round((num.cast("double") /
+          sqrt(denx.cast("double") * deny.cast("double")))
+          .cast("decimal(20,10)"), 6).cast("double")).as("r"))
+  }
 }

@@ -141,4 +141,58 @@ object Quality {
   def excludeRejected(df: DataFrame, key: Column, rejections: DataFrame): DataFrame =
     df.join(broadcast(rejections.select(col("key"))),
       key === col("key"), "left_anti")
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic — the distribution
+    * drift gate with a rigorous footing next to the binned PSI:
+    * D = sup_v |F₁(v) − F₂(v)| over the pooled empirical CDFs, where
+    * `tag` splits rows into the two samples.
+    *
+    * Distributed-exact ECDF: rows collapse to one row per DISTINCT
+    * value (both samples' counts side by side), and the running counts
+    * come from the TWO-LEVEL prefix sum (per-bucket window + broadcast
+    * exclusive bucket offsets — the packByBudget shape), so no stage
+    * ever sorts the full value domain in one partition. The sup turns
+    * into a max over |cum₁·n₂ − cum₂·n₁| computed in DECIMAL(38,0)
+    * (exact at any sample size; the long cross-product overflows near
+    * n ≈ 3·10⁹) with ONE double division at the end. `values` must be
+    * integral (cents, micros). Output: one row (n1, n2, ks).
+    */
+  def ksStatistic(df: DataFrame, tag: Column, valueCents: Column,
+                  bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    val rows = df.select(tag.as("__t"), valueCents.cast("long").as("__v"))
+    val byV = rows.groupBy(col("__v"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("c2"))
+      // exact integer bucket id (the rangeJoin floor-division trick)
+      .withColumn("__bkt",
+        ((col("__v").cast("decimal(38,0)") -
+          pmod(col("__v"), lit(bucketWidth))) / lit(bucketWidth))
+          .cast("long"))
+    val wIntra = Window.partitionBy(col("__bkt")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val intra = byV
+      .withColumn("i1", sum(col("c1")).over(wIntra))
+      .withColumn("i2", sum(col("c2")).over(wIntra))
+    val wOff = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = byV.groupBy(col("__bkt"))
+      .agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
+      .select(col("__bkt"),
+        coalesce(sum(col("t1")).over(wOff), lit(0L)).as("o1"),
+        coalesce(sum(col("t2")).over(wOff), lit(0L)).as("o2"))
+    val n = rows.agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("n1"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("n2"))
+    intra.join(broadcast(offsets), "__bkt")
+      .crossJoin(broadcast(n))
+      .select(col("n1"), col("n2"),
+        abs((col("o1") + col("i1")).cast("decimal(38,0)") * col("n2") -
+          (col("o2") + col("i2")).cast("decimal(38,0)") * col("n1"))
+          .as("dfp"))
+      .groupBy(col("n1"), col("n2"))
+      .agg(round((max(col("dfp")).cast("double") /
+        (col("n1").cast("double") * col("n2").cast("double")))
+        .cast("decimal(20,10)"), 6).cast("double").as("ks"))
+  }
 }

@@ -63,4 +63,25 @@ class ProfileSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Long, Long, Double)].head()
     assert(cc == (("b", 500L, 500L, 4L, 0L, 0L, 5.0)))
   }
+
+  test("olsTrend: exact slope/r on a perfect line, r sign on a falling " +
+      "one, degenerate groups go null") {
+    val rows =
+      // a: y = 2x + 5 exactly → slope 2, r 1
+      (1L to 5L).map(x => ("a", x, 2 * x + 5)) ++
+      // b: y = -3x + 100 → slope -3, r -1
+      (1L to 4L).map(x => ("b", x, -3 * x + 100)) ++
+      // c: constant y → slope 0, r null (deny = 0)
+      (1L to 3L).map(x => ("c", x, 7L)) ++
+      // d: constant x → both null (denx = 0)
+      Seq(("d", 2L, 1L), ("d", 2L, 9L))
+    val out = Profile.olsTrend(rows.toDF("g", "x", "y"), $"g", $"x", $"y")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(out("a") == ((5L, Some(2.0), Some(1.0))))
+    assert(out("b") == ((4L, Some(-3.0), Some(-1.0))))
+    assert(out("c") == ((3L, Some(0.0), None)))
+    assert(out("d") == ((2L, None, None)))
+  }
 }

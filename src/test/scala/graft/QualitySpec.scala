@@ -54,4 +54,27 @@ class QualitySpec extends SparkSpec {
     assert(out("A") == ((5, 340L, 2L)))
     assert(out("B") == ((3, 0L, 0L)))
   }
+
+  test("ksStatistic: disjoint supports hit 1.0, identical samples 0.0, " +
+      "interleaved is the hand value; bucket width never matters") {
+    def ks(rows: Seq[(Boolean, Long)], w: Long) =
+      Quality.ksStatistic(rows.toDF("t", "v"), $"t", $"v", w)
+        .as[(Long, Long, Double)].head()
+    val disjoint = Seq((true, 1L), (true, 2L), (true, 3L),
+      (false, 10L), (false, 11L))
+    val same = Seq((true, 5L), (true, 7L), (false, 5L), (false, 7L))
+    // A={1,3}, B={2,4}: ECDF gaps 1/2 at v∈{1,3}, so D = 0.5
+    val inter = Seq((true, 1L), (true, 3L), (false, 2L), (false, 4L))
+    for (w <- Seq(1L, 3L, 1000L)) {
+      assert(ks(disjoint, w) == ((3L, 2L, 1.0)), s"w=$w")
+      assert(ks(same, w) == ((2L, 2L, 0.0)), s"w=$w")
+      assert(ks(inter, w) == ((2L, 2L, 0.5)), s"w=$w")
+    }
+    // duplicate values collapse into one ECDF step, ties across samples
+    // cancel: A={1,1,9}, B={1,5}: D at v=1 is |2/3-1/2|=1/6; at v=5
+    // |2/3-1|=1/3 -> 0.333333 after the 6-place round
+    val dup = Seq((true, 1L), (true, 1L), (true, 9L),
+      (false, 1L), (false, 5L))
+    assert(ks(dup, 4L) == ((3L, 2L, 0.333333)))
+  }
 }
