@@ -253,6 +253,65 @@ object SparkEntry {
        |  FROM nodes CROSS JOIN ${tag}ht
        |  LEFT JOIN ${tag}hc ON nodes.id = ${tag}hc.src)""".stripMargin
 
+  /** q144's complete BM25 oracle statement, parameterized by the top-k
+    * cutoff so the RRF fusion (q154) reuses the IDENTICAL ranking at a
+    * different depth. Every float literal forced DOUBLE, k1+1 computed,
+    * per-term ×1e6 snap, ranking on the exact integer sum.
+    */
+  private def bm25OracleSql(k: Int): String =
+    s"""WITH tk AS (SELECT doc_id, $tokSql AS tk FROM documents),
+       |lens AS (SELECT doc_id, CAST(len(tk) AS INT) AS dl FROM tk),
+       |corpus AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+       |    CAST(sum(dl) AS BIGINT) AS dlt FROM lens),
+       |dfall AS (SELECT token, CAST(count(*) AS BIGINT) AS dfw FROM
+       |  (SELECT DISTINCT doc_id, unnest(tk) AS token FROM tk)
+       |  GROUP BY 1),
+       |q AS (SELECT token, dfw FROM dfall ORDER BY dfw DESC, token
+       |  LIMIT 3),
+       |occ AS (SELECT doc_id, unnest(tk) AS token FROM tk),
+       |tf AS (SELECT o.doc_id, o.token, CAST(count(*) AS BIGINT) AS tf
+       |  FROM occ o JOIN q ON o.token = q.token GROUP BY 1, 2),
+       |terms AS (SELECT tf.doc_id,
+       |    CAST(round(
+       |      ln(CAST(1.0 AS DOUBLE) + (nn - dfw + CAST(0.5 AS DOUBLE))
+       |        / (dfw + CAST(0.5 AS DOUBLE)))
+       |      * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+       |      / (tf + CAST(1.2 AS DOUBLE) * ((CAST(1.0 AS DOUBLE)
+       |          - CAST(0.75 AS DOUBLE))
+       |        + CAST(0.75 AS DOUBLE) * dl * CAST(nn AS DOUBLE)
+       |          / CAST(dlt AS DOUBLE)))
+       |      * 1e6) AS BIGINT) AS sfp
+       |  FROM tf JOIN q USING (token) JOIN lens USING (doc_id)
+       |  CROSS JOIN corpus),
+       |sc AS (SELECT doc_id, CAST(sum(sfp) AS BIGINT) AS sfp,
+       |    CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM terms GROUP BY 1)
+       |SELECT doc_id, n_terms,
+       |  CAST(round(CAST(CAST(sfp AS DOUBLE) / 1e6
+       |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS score,
+       |  row_number() OVER (ORDER BY sfp DESC, doc_id) AS "rank"
+       |FROM sc ORDER BY sfp DESC, doc_id LIMIT $k""".stripMargin
+
+  /** One DuckDB personalized-PageRank iteration (Graph
+    * .personalizedPageRank parity): seed-concentrated base term,
+    * ×1e9 snapped contributions. Expects CTEs e(src, dst),
+    * od(src, outdeg) and tg(id, is_seed, ns).
+    */
+  private def pprIterSql(prev: String, tag: String): String =
+    s"""${tag}c AS (SELECT dst,
+       |    sum(CAST(round(pr / CAST(outdeg AS DOUBLE) * 1e9) AS BIGINT))
+       |      AS s
+       |  FROM e JOIN $prev p ON e.src = p.id JOIN od USING (src)
+       |  GROUP BY 1),
+       |$tag AS (SELECT tg.id,
+       |    (CASE WHEN tg.is_seed THEN
+       |        (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+       |          / CAST(tg.ns AS DOUBLE)
+       |      ELSE CAST(0.0 AS DOUBLE) END
+       |    + CAST(0.85 AS DOUBLE)
+       |      * (CAST(coalesce(s, 0) AS DOUBLE) / 1e9)) AS pr
+       |  FROM tg LEFT JOIN ${tag}c ON tg.id = ${tag}c.dst)""".stripMargin
+
   /** DuckDB word-3-gram distinct shingles over a token list column tk. */
   private val shingleSql =
     """list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])"""
@@ -909,6 +968,51 @@ object SparkEntry {
             round(col("px") * 100).cast("long").as("yc")),
         col("symbol"), col("xd"), col("yc"))
         .withColumnRenamed("g", "symbol")),
+
+    // Graph: PERSONALIZED PageRank (TrustRank) from the q143 seed set —
+    // teleport mass concentrates on the trusted seeds, so ranks measure
+    // seed proximity (the crawl-prioritization / spam-demotion signal);
+    // same ×1e9 pre-sum snap and iteration shape as q135.
+    "q153_trustrank" -> ((s, dir) => {
+      val seeds = t(s, dir, "documents")
+        .filter(col("doc_id") % 97 === 0).select(col("doc_id").as("id"))
+      Graph.personalizedPageRank(docLinkEdges(s, dir), seeds, 3)
+        .select(col("id").as("doc_id"),
+          round(col("pr").cast("decimal(20,10)"), 8).cast("double")
+            .as("ppr"))
+        .orderBy(col("ppr").desc, col("doc_id")).limit(20)
+    }),
+
+    // IR: HYBRID RETRIEVAL via reciprocal-rank fusion — the lexical
+    // leg (BM25 top-50, q144's ranking) and the semantic leg (exact
+    // cosine top-50 from query vector 0) fuse as
+    // Σ round(1e9/(60+rank)): exact integer scores, full-outer so
+    // single-leg hits rank too, top-20 via sort+limit. The RAG-stack
+    // retrieval pattern as one relational plan.
+    "q154_rrf_fusion" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val qterms = docs
+        .select(explode(array_distinct(Text.tokens(col("text")))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token")).limit(3)
+        .select(col("token"))
+      val lex = Text.bm25(docs, "doc_id", col("text"), qterms, 50)
+        .select(col("id"), col("rank").as("rt"))
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val sem = Similarity.bruteForceTopK(e.filter(col("id") === 0), e, 50)
+        .select(col("neighbor_id").as("id"), col("rank").as("rv"))
+      lex.join(sem, Seq("id"), "full_outer")
+        .select(col("id").as("doc_id"), col("rt"), col("rv"),
+          (coalesce(round(lit(1e9) / (lit(60) + col("rt"))).cast("long"),
+            lit(0L)) +
+           coalesce(round(lit(1e9) / (lit(60) + col("rv"))).cast("long"),
+             lit(0L))).as("sfp"))
+        .orderBy(col("sfp").desc, col("doc_id")).limit(20)
+        .select(col("doc_id"), col("rt"), col("rv"),
+          round((col("sfp").cast("double") / lit(1e9))
+            .cast("decimal(20,10)"), 6).cast("double").as("rrf"))
+    }),
 
     // Web/Sketch: BLOOM-GATED crawl novelty — the q133 signal at
     // sketch cost: the corpus canonical set folds into k·m bloom cells
@@ -4397,38 +4501,7 @@ object SparkEntry {
     // forced DOUBLE and k1+1 COMPUTED (a 2.2 literal is not the same
     // double as 1.2+1.0); per-term snap ×1e6 pre-sum, top-k on the
     // exact integer score.
-    "q144_bm25" ->
-      s"""WITH tk AS (SELECT doc_id, $tokSql AS tk FROM documents),
-         |lens AS (SELECT doc_id, CAST(len(tk) AS INT) AS dl FROM tk),
-         |corpus AS (SELECT CAST(count(*) AS BIGINT) AS nn,
-         |    CAST(sum(dl) AS BIGINT) AS dlt FROM lens),
-         |dfall AS (SELECT token, CAST(count(*) AS BIGINT) AS dfw FROM
-         |  (SELECT DISTINCT doc_id, unnest(tk) AS token FROM tk)
-         |  GROUP BY 1),
-         |q AS (SELECT token, dfw FROM dfall ORDER BY dfw DESC, token
-         |  LIMIT 3),
-         |occ AS (SELECT doc_id, unnest(tk) AS token FROM tk),
-         |tf AS (SELECT o.doc_id, o.token, CAST(count(*) AS BIGINT) AS tf
-         |  FROM occ o JOIN q ON o.token = q.token GROUP BY 1, 2),
-         |terms AS (SELECT tf.doc_id,
-         |    CAST(round(
-         |      ln(CAST(1.0 AS DOUBLE) + (nn - dfw + CAST(0.5 AS DOUBLE))
-         |        / (dfw + CAST(0.5 AS DOUBLE)))
-         |      * (tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
-         |      / (tf + CAST(1.2 AS DOUBLE) * ((CAST(1.0 AS DOUBLE)
-         |          - CAST(0.75 AS DOUBLE))
-         |        + CAST(0.75 AS DOUBLE) * dl * CAST(nn AS DOUBLE)
-         |          / CAST(dlt AS DOUBLE)))
-         |      * 1e6) AS BIGINT) AS sfp
-         |  FROM tf JOIN q USING (token) JOIN lens USING (doc_id)
-         |  CROSS JOIN corpus),
-         |sc AS (SELECT doc_id, CAST(sum(sfp) AS BIGINT) AS sfp,
-         |    CAST(count(*) AS BIGINT) AS n_terms
-         |  FROM terms GROUP BY 1)
-         |SELECT doc_id, n_terms,
-         |  CAST(round(CAST(CAST(sfp AS DOUBLE) / 1e6
-         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS score
-         |FROM sc ORDER BY sfp DESC, doc_id LIMIT 20""".stripMargin,
+    "q144_bm25" -> bm25OracleSql(20),
 
     // Same unordered-min first-view anchor, same at-or-after first
     // purchase, quantile_cont over exact integer micros.
@@ -4626,6 +4699,59 @@ object SparkEntry {
          |        * CAST(n * syy - sy * sy AS DOUBLE))
          |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS r
          |FROM m""".stripMargin,
+
+    // Three unrolled personalized iterations; the seed-concentrated
+    // base is a CASE inside the update, (1.0 − 0.85) computed on both
+    // sides, ×1e9 snapped contributions.
+    "q153_trustrank" ->
+      s"""WITH docs AS (SELECT doc_id FROM documents),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM docs),
+         |e AS (SELECT doc_id AS src, (doc_id * 7 + k * 13) % nn AS dst
+         |  FROM docs CROSS JOIN nc
+         |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+         |  FROM e GROUP BY 1),
+         |sd AS (SELECT doc_id AS id FROM documents WHERE doc_id % 97 = 0),
+         |scnt AS (SELECT CAST(count(*) AS BIGINT) AS ns FROM sd),
+         |tg AS (SELECT nodes.id, sd.id IS NOT NULL AS is_seed, ns
+         |  FROM nodes CROSS JOIN scnt LEFT JOIN sd ON nodes.id = sd.id),
+         |pp0 AS (SELECT id, CASE WHEN is_seed
+         |    THEN CAST(1.0 AS DOUBLE) / CAST(ns AS DOUBLE)
+         |    ELSE CAST(0.0 AS DOUBLE) END AS pr FROM tg),
+         |${pprIterSql("pp0", "pp1")},
+         |${pprIterSql("pp1", "pp2")},
+         |${pprIterSql("pp2", "pp3")}
+         |SELECT id AS doc_id,
+         |  CAST(round(CAST(pr AS DECIMAL(20,10)), 8) AS DOUBLE) AS ppr
+         |FROM pp3
+         |ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
+
+    // The lexical leg IS q144's statement at k=50; the semantic leg is
+    // q31's brute ranking for query 0; fusion sums exact
+    // round(1e9/(60+rank)) integers, full-outer so single-leg docs
+    // score too.
+    "q154_rrf_fusion" ->
+      s"""WITH lex AS (SELECT doc_id AS id, "rank" AS rt
+         |  FROM (${bm25OracleSql(50)})),
+         |sem AS (SELECT neighbor_id AS id, rv FROM (
+         |  SELECT c.vec_id AS neighbor_id,
+         |    row_number() OVER (ORDER BY
+         |      round(${cosSql("q.embedding", "c.embedding")}, 6) DESC,
+         |      c.vec_id) AS rv
+         |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+         |  WHERE q.vec_id = 0)
+         |  WHERE rv <= 50),
+         |f AS (SELECT coalesce(l.id, s.id) AS doc_id, l.rt, s.rv,
+         |    (coalesce(CAST(round(1e9 / (60 + l.rt)) AS BIGINT), 0)
+         |     + coalesce(CAST(round(1e9 / (60 + s.rv)) AS BIGINT), 0))
+         |      AS sfp
+         |  FROM lex l FULL JOIN sem s ON l.id = s.id)
+         |SELECT doc_id, rt, rv,
+         |  CAST(round(CAST(CAST(sfp AS DOUBLE) / 1e9
+         |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS rrf
+         |FROM f ORDER BY sfp DESC, doc_id LIMIT 20""".stripMargin,
 
     // q66's relational bloom (same k=5 hash rows over m=8192 buckets,
     // same md5 bucket function keyed on the canonical string) over the

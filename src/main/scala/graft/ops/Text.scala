@@ -934,9 +934,15 @@ object Text {
     terms.groupBy(col("id"))
       .agg(sum(col("sfp")).as("sfp"), count(lit(1)).as("n_terms"))
       .orderBy(col("sfp").desc, col("id")).limit(k)
+      // rank assigned AFTER the top-k cut: a k-row single-partition
+      // window, never a global sort of the corpus; ordering on the
+      // EXACT integer sum so ranks are engine-portable at ties
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("sfp").desc, col("id"))))
       .select(col("id"), col("n_terms"),
         round((col("sfp").cast("double") / lit(1e6))
-          .cast("decimal(20,10)"), 4).cast("double").as("score"))
+          .cast("decimal(20,10)"), 4).cast("double").as("score"),
+        col("rank"))
   }
 
   /** All-pairs sparse TF-IDF cosine similarity ≥ `minSim` via the

@@ -84,6 +84,37 @@ class GraphSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq) // exact, not approximate
   }
 
+  test("personalizedPageRank matches an independent reference " +
+      "bit-for-bit; unreachable nodes hold exactly zero") {
+    def ref(edges: Seq[(Long, Long)], seeds: Set[Long], iters: Int)
+        : Map[Long, Double] = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val out = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
+      val ns = seeds.size
+      var pr = nodes.map(v =>
+        v -> (if (seeds(v)) 1.0 / ns else 0.0)).toMap
+      for (_ <- 1 to iters) {
+        val s = scala.collection.mutable.Map[Long, Long]()
+          .withDefaultValue(0L)
+        for ((u, v) <- edges) s(v) += math.round(pr(u) / out(u) * 1e9)
+        pr = nodes.map(v => v ->
+          ((if (seeds(v)) (1.0 - 0.85) / ns else 0.0) +
+            0.85 * (s(v).toDouble / 1e9))).toMap
+      }
+      pr
+    }
+    // 9 is upstream-only of nothing reaching it: stays exactly 0.0
+    val es = Seq((0L, 1L), (1L, 2L), (2L, 0L), (1L, 3L), (9L, 0L))
+    val seeds = Seq(0L, 3L)
+    val pr = Graph.personalizedPageRank(
+        es.toDF("src", "dst"), seeds.toDF("id"), 5)
+      .as[(Long, Double)].collect().toMap
+    assert(pr == ref(es, seeds.toSet, 5)) // exact equality
+    assert(pr(9L) == 0.0)
+    // seed 3 (a sink, no outlinks) still holds its teleport base
+    assert(pr(3L) >= (1.0 - 0.85) / 2)
+  }
+
   test("triangleCounts: K4 gives 3 per node; direction, duplicates and " +
       "self-loops are noise") {
     // K4 as a messy directed multigraph: some edges doubled, reversed,

@@ -417,6 +417,14 @@ class PhysicalPlanSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("RRF fusion: both legs top-k before fusing; final cut is " +
+      "TakeOrderedAndProject") {
+    val p = plan("q154_rrf_fusion")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("FullOuter"), "fusion must keep single-leg docs")
+  }
+
   test("whole-stage codegen covers the scan-project pipeline") {
     val df = Tables(spark, dir, "lineitem")
       .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))

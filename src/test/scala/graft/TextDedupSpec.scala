@@ -555,7 +555,9 @@ class TextDedupSpec extends SparkSpec {
       (3L, "durian cherry cherry fig")).toDF("doc_id", "text")
     val out = Text.bm25(docs, "doc_id", $"text",
         Seq("apple", "durian").toDF("token"), 10)
-      .as[(Long, Long, Double)].collect().toList
+      .as[(Long, Long, Double, Int)].collect().toList
+    assert(out.map(_._4) == List(1, 2, 3), "ranks follow the exact sum")
+    val noRank = out.map(r => (r._1, r._2, r._3))
     // same arithmetic order as the engine expression, term snap x1e6
     def term(tf: Long, df: Long, dl: Int): Long = {
       val nn = 3L; val dlt = 9L
@@ -572,7 +574,7 @@ class TextDedupSpec extends SparkSpec {
       3L -> (1L, score(term(1, 1, 4))),
       1L -> (1L, score(term(2, 2, 3))),
       2L -> (1L, score(term(1, 2, 2))))
-    assert(out.map(r => r._1 -> ((r._2, r._3))) == expect,
+    assert(noRank.map(r => r._1 -> ((r._2, r._3))) == expect,
       s"got $out")
     // the df=1 term outranks the df=2 term at equal tf
     assert(out.head._1 == 3L)
