@@ -66,6 +66,11 @@ object SparkEntry {
   private[graft] def docLinkEdges(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"))
     val nc = docs.agg(count(lit(1)).as("nn"))
+    // NOT persisted: the graph queries reference this subtree 6–12×
+    // per plan, but a persist here was MEASURED SLOWER at sf0.1
+    // (q136 3.0→5.3 s, q142 1.1→1.8 s, q135 1.3→1.6 s) — the
+    // InMemoryRelation's columnar round-trip costs more than the
+    // recomputed 3-rows/doc projection chain (NOTES lesson 23 again).
     docs.crossJoin(broadcast(nc))
       .select(col("doc_id").as("src"),
         explode(array(lit(1L), lit(2L), lit(3L))).as("k"), col("nn"))
@@ -981,6 +986,58 @@ object SparkEntry {
           round(col("pr").cast("decimal(20,10)"), 8).cast("double")
             .as("ppr"))
         .orderBy(col("ppr").desc, col("doc_id")).limit(20)
+    }),
+
+    // Similarity: contrastive HARD-NEGATIVE mining over the planted-dup
+    // corpus — per query, the 5 most-similar candidates BELOW the 0.9
+    // dup threshold (the q123 near-dup gate): planted duplicates are
+    // false negatives and never mined; rank k is the k-th non-dup.
+    "q155_hard_negatives" -> ((s, dir) => {
+      val all = q123Vectors(s, dir)
+      Similarity.hardNegatives(all.filter(col("id") < 10), all, 0.9, 5)
+    }),
+
+    // Dedup: TEMPLATE-SKELETON collapse — generated numeric variants
+    // ("order 123 total 45" vs "order 999 total 7") share a skeleton
+    // after digit runs fold to '#'; one hash-aggregate on the skeleton
+    // fingerprint finds every template family, keep = min id.
+    "q156_template_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
+      val docs = base.select(col("doc_id"),
+          concat(col("text"), lit(" order 123 total 45")).as("t"))
+        .unionByName(base.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" order 999 total 7")).as("t")))
+      docs.groupBy(md5(Dedup.templateSkeleton(col("t"))).as("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("kept_id"))
+        .filter(col("n_docs") >= 2)
+    }),
+
+    // Storage/agg: INCREMENTAL AGGREGATE MAINTENANCE — yesterday's
+    // aggregate snapshot + today's increment re-aggregate to the
+    // up-to-date state without rescanning history (count/sum are
+    // mergeable partials; the full-rescan truth rides along as an
+    // in-query audit column). The incremental-warehouse contract every
+    // daily 100 TB rollup depends on.
+    "q157_incremental_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_returnflag").as("g"),
+        to_date(col("l_shipdate")).as("d"),
+        round(col("l_quantity") * 100).cast("long").as("qc"))
+      val cutoff = lit("1998-06-01").cast("date")
+      def part(df: DataFrame) = df.groupBy(col("g"))
+        .agg(count(lit(1)).as("n"), sum(col("qc")).as("qsum"))
+      val merged = part(li.filter(col("d") < cutoff))
+        .unionByName(part(li.filter(col("d") >= cutoff)))
+        .groupBy(col("g"))
+        .agg(sum(col("n")).as("n"), sum(col("qsum")).as("qsum"))
+      val full = part(li)
+        .select(col("g"), col("n").as("fn"), col("qsum").as("fq"))
+      merged.join(full, Seq("g"))
+        .select(col("g").as("l_returnflag"), col("n"),
+          round(col("qsum").cast("double") / 100.0, 2).as("qty_sum"),
+          (col("n") === col("fn") && col("qsum") === col("fq"))
+            .as("matches_full"))
     }),
 
     // IR: HYBRID RETRIEVAL via reciprocal-rank fusion — the lexical
@@ -4727,6 +4784,74 @@ object SparkEntry {
          |  CAST(round(CAST(pr AS DECIMAL(20,10)), 8) AS DOUBLE) AS ppr
          |FROM pp3
          |ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
+
+    // q31's brute ranking over the q123 perturbed corpus with the dup
+    // gate applied before row_number — rank k is the k-th non-dup on
+    // both engines.
+    "q155_hard_negatives" ->
+      s"""WITH e AS (
+         |  SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000 AS id,
+         |    [CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 0.5
+         |      ELSE CAST(embedding[i] AS DOUBLE) END
+         |     for i in range(1, len(embedding) + 1)] AS v
+         |  FROM embeddings)
+         |SELECT query_id, neighbor_id, "rank", sim FROM (
+         |  SELECT q.id AS query_id, c.id AS neighbor_id,
+         |    round(${cosSql("q.v", "c.v")}, 6) AS sim,
+         |    row_number() OVER (PARTITION BY q.id
+         |      ORDER BY round(${cosSql("q.v", "c.v")}, 6) DESC, c.id)
+         |      AS "rank"
+         |  FROM e q JOIN e c ON q.id != c.id
+         |  WHERE q.id < 10 AND round(${cosSql("q.v", "c.v")}, 6)
+         |    < CAST(0.9 AS DOUBLE))
+         |WHERE "rank" <= 5""".stripMargin,
+
+    // Same skeleton chain — fingerprint normalization then digit-run
+    // fold, both regexp_replace calls GLOBAL ('g').
+    "q156_template_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text || ' order 123 total 45' AS t
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000 AS doc_id, text || ' order 999 total 7'
+        |    AS t
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |s AS (SELECT doc_id,
+        |    md5(regexp_replace(
+        |      regexp_replace(trim(lower(t)), '\s+', ' ', 'g'),
+        |      '[0-9]+', '#', 'g')) AS fp
+        |  FROM d)
+        |SELECT fp, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id)
+        |  AS kept_id
+        |FROM s GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    // Snapshot-partial + increment-partial re-aggregated must equal the
+    // full rescan — the audit column checks it in-query.
+    "q157_incremental_agg" ->
+      """WITH li AS (SELECT l_returnflag AS g, CAST(l_shipdate AS DATE)
+        |    AS d, CAST(round(l_quantity * 100) AS BIGINT) AS qc
+        |  FROM lineitem),
+        |snap AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(qc) AS BIGINT) AS qsum
+        |  FROM li WHERE d < DATE '1998-06-01' GROUP BY 1),
+        |inc AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(qc) AS BIGINT) AS qsum
+        |  FROM li WHERE d >= DATE '1998-06-01' GROUP BY 1),
+        |merged AS (SELECT g, CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(qsum) AS BIGINT) AS qsum
+        |  FROM (SELECT * FROM snap UNION ALL SELECT * FROM inc)
+        |  GROUP BY 1),
+        |f AS (SELECT g, CAST(count(*) AS BIGINT) AS fn,
+        |    CAST(sum(qc) AS BIGINT) AS fq
+        |  FROM li GROUP BY 1)
+        |SELECT merged.g AS l_returnflag, merged.n,
+        |  round(CAST(qsum AS DOUBLE) / 100.0, 2) AS qty_sum,
+        |  (merged.n = f.fn AND merged.qsum = f.fq) AS matches_full
+        |FROM merged JOIN f ON merged.g = f.g""".stripMargin,
 
     // The lexical leg IS q144's statement at k=50; the semantic leg is
     // q31's brute ranking for query 0; fusion sums exact

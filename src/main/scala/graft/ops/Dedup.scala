@@ -753,4 +753,18 @@ object Dedup {
         "the pair graph has a component deeper than 2^maxIter hops")
     labels
   }
+
+  /** Template SKELETON of a text: digit runs collapse to `#` after the
+    * fingerprint normalization (lowercase, whitespace fold) — the
+    * instruction/log-template collapse of LLM-data dedup, where
+    * thousands of generated variants differ only in the numbers they
+    * mention ("order 123 total 45" ≡ "order 999 total 7"). Group on
+    * `md5(templateSkeleton(text))` for exact-template dedup; a pure
+    * codegen'd scan-pass expression (the portable regex subset — no
+    * lookarounds), zero shuffle.
+    */
+  def templateSkeleton(text: Column): Column =
+    regexp_replace(
+      regexp_replace(trim(lower(text)), "\\s+", " "),
+      "[0-9]+", "#")
 }

@@ -107,6 +107,33 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** Contrastive HARD-NEGATIVE mining: for each query, the top-k most
+    * similar candidates whose cosine stays BELOW `dupThreshold` — the
+    * highest-value negatives for embedding/reranker training (random
+    * negatives are trivially separable; near-dups above the threshold
+    * would be false negatives and are excluded, as is the query
+    * itself). Same bounded-query brute ranking as [[bruteForceTopK]]
+    * with the dup gate applied BEFORE ranking, so rank k is the k-th
+    * non-dup. At corpus scale the exact scan swaps for any searcher in
+    * this family (IVF/PQ/LSH) — the gate composes on the candidate
+    * stream unchanged. Output: (query_id, neighbor_id, rank, sim).
+    */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame,
+                    dupThreshold: Double, k: Int,
+                    maxQueries: Long = DefaultMaxQueries): DataFrame = {
+    guardBoundedQueries(queries, maxQueries, "hardNegatives")
+    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
+    val c = candidates.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .filter(col("sim") < dupThreshold)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "sim")
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ threshold, composable
     * column form. All-pairs via interpreted lambda expressions — fine for
     * candidate verification on thousands of rows, NOT the n² scan path

@@ -391,6 +391,28 @@ class SimilaritySpec extends SparkSpec {
     assert(r == Seq(1L, 2L, 3L))
   }
 
+  test("hardNegatives: near-dups above the threshold never mine; rank " +
+      "is the k-th NON-dup") {
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)),
+      (1L, Seq(1.0, 0.001)), // planted near-dup of 0: cos ≈ 1 → excluded
+      (2L, Seq(0.9, 0.1)),   // the true hardest negative
+      (3L, Seq(0.5, 0.5)),
+      (4L, Seq(0.0, 1.0))).toDF("id", "vec")
+    val out = Similarity.hardNegatives(
+        vecs.filter($"id" === 0), vecs, 0.999, 2)
+      .orderBy($"rank")
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    assert(out.map(_._2) == Seq(2L, 3L), s"got $out")
+    assert(out.map(_._3) == Seq(1, 2),
+      "ranks renumber over the non-dup stream, not the raw ranking")
+    // with the gate off (threshold > any sim) the dup mines at rank 1
+    val all = Similarity.hardNegatives(
+        vecs.filter($"id" === 0), vecs, 1.1, 1)
+      .select($"neighbor_id").as[Long].head()
+    assert(all == 1L)
+  }
+
   test("exact kernel matches the column-expression near-dup scan bit-for-bit") {
     val rnd = new scala.util.Random(7)
     val vecs = (0L until 40L).map(i =>

@@ -601,4 +601,20 @@ class TextDedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
     assert(all == Set((1L, 2L), (1L, 4L), (2L, 4L)))
   }
+
+  test("templateSkeleton: digit runs fold to # after whitespace/case " +
+      "normalization; digit-free texts pass through normalized") {
+    val r = Seq(
+      "Order 123  Total 45",
+      "order 999 total 7",
+      "order xyz total",
+      "v2.1.33 build 7")
+      .toDF("text").select(Dedup.templateSkeleton($"text"))
+      .as[String].collect().toSeq
+    assert(r(0) == "order # total #")
+    assert(r(1) == "order # total #")
+    assert(r(0) == r(1), "numeric variants share one skeleton")
+    assert(r(2) == "order xyz total")
+    assert(r(3) == "v#.#.# build #")
+  }
 }
