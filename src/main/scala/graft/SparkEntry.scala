@@ -988,6 +988,37 @@ object SparkEntry {
         .orderBy(col("ppr").desc, col("doc_id")).limit(20)
     }),
 
+    // Events: LINEAR multi-touch attribution — each purchase splits its
+    // value equally across ALL preceding touches (vs q140's last-touch
+    // winner-take-all): per-conversion share snapped ×1e6, distributed
+    // via the per-user suffix-sum window; no-touch purchases report as
+    // 'none'. Two windows, one user shuffle.
+    "q158_linear_attribution" -> ((s, dir) =>
+      Events.linearAttribution(t(s, dir, "events"), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"), col("value"),
+        Seq("click", "view"), "purchase")),
+
+    // Quality/storage: order-free TABLE CHECKSUM — the replica
+    // reconciliation primitive: XOR of portable 60-bit row hashes +
+    // count; a reshuffled, reordered, repartitioned copy of the same
+    // content must produce the identical pair (audited in-query).
+    "q159_table_checksum" -> ((s, dir) => {
+      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "qc")
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").as("qc"))
+      val a = Quality.tableChecksum(li, cols)
+      val shuffled = li.repartition(7, col("l_orderkey"))
+      val replica = shuffled.filter(col("l_orderkey") % 2 === 0)
+        .unionByName(shuffled.filter(col("l_orderkey") % 2 =!= 0))
+      val b = Quality.tableChecksum(replica, cols)
+        .select(col("n_rows").as("nb"), col("checksum").as("cb"))
+      a.crossJoin(b)
+        .select(col("n_rows"), col("checksum"),
+          (col("n_rows") === col("nb") && col("checksum") === col("cb"))
+            .as("replica_matches"))
+    }),
+
     // Similarity: contrastive HARD-NEGATIVE mining over the planted-dup
     // corpus — per query, the 5 most-similar candidates BELOW the 0.9
     // dup threshold (the q123 near-dup gate): planted duplicates are
@@ -4784,6 +4815,50 @@ object SparkEntry {
          |  CAST(round(CAST(pr AS DECIMAL(20,10)), 8) AS DOUBLE) AS ppr
          |FROM pp3
          |ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
+
+    // Same two windows: rows-to-−1 touch count, ×1e6 share snap per
+    // conversion, rows +1-to-∞ suffix sum per touch.
+    "q158_linear_attribution" ->
+      """WITH w AS (SELECT user_id, ts, event_id, event_type, value,
+        |    count(CASE WHEN event_type IN ('click', 'view') THEN 1 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS nprior
+        |  FROM events),
+        |c AS (SELECT *,
+        |    CASE WHEN event_type = 'purchase' AND nprior > 0
+        |      THEN CAST(round(value / nprior * 1e6) AS BIGINT)
+        |      ELSE 0 END AS share_fp
+        |  FROM w),
+        |s AS (SELECT *,
+        |    sum(share_fp) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS credit_fp
+        |  FROM c)
+        |SELECT event_type AS touch_type,
+        |  CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(round(CAST(CAST(sum(credit_fp) AS DOUBLE) / 1e6
+        |    AS DECIMAL(20,10)), 2) AS DOUBLE) AS credit
+        |FROM s WHERE event_type IN ('click', 'view') GROUP BY 1
+        |UNION ALL
+        |SELECT 'none' AS touch_type,
+        |  CAST(count(*) AS BIGINT) AS n_touches,
+        |  coalesce(round(sum(value), 2), CAST(0.0 AS DOUBLE)) AS credit
+        |FROM c WHERE event_type = 'purchase' AND nprior = 0""".stripMargin,
+
+    // The same md5-based 60-bit row hash XOR-folded; the oracle's two
+    // sides are trivially identical — the engine's replica leg is the
+    // order/partitioning-invariance audit.
+    "q159_table_checksum" ->
+      s"""WITH r AS (SELECT concat_ws(chr(1), l_orderkey, l_linenumber,
+         |    l_returnflag, CAST(round(l_quantity * 100) AS BIGINT)) AS s
+         |  FROM lineitem),
+         |h AS (SELECT ${h60("s")} AS h FROM r)
+         |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(bit_xor(h) AS BIGINT) AS checksum,
+         |  true AS replica_matches
+         |FROM h""".stripMargin,
 
     // q31's brute ranking over the q123 perturbed corpus with the dup
     // gate applied before row_number — rank k is the k-th non-dup on

@@ -253,6 +253,52 @@ object Events {
           .cast("decimal(20,10)"), 4).cast("double").as("p90_s"))
   }
 
+  /** LINEAR multi-touch attribution — the equal-split sibling of
+    * [[lastTouchAttribution]]: every `convType` event divides its value
+    * equally across ALL the user's preceding `touchTypes` events, so a
+    * touch's credit is Σ over later conversions of value/n_touches.
+    *
+    * Two windows over ONE user shuffle: each conversion counts its
+    * preceding touches (rows-to-−1 count) and snaps its per-touch
+    * share ×10⁶ BEFORE distribution (exact integer credits from there
+    * on); each touch then collects the shares of every LATER
+    * conversion via the suffix sum (rows +1-to-∞) — correct because a
+    * touch precedes exactly the conversions whose windows include it.
+    * Conversions with no preceding touch credit nobody (reported via
+    * the unattributed row). Output per touch type: n_touches,
+    * credit (rounded 2).
+    */
+  def linearAttribution(events: DataFrame, user: Column, ts: Column,
+                        order: Column, etype: Column, value: Column,
+                        touchTypes: Seq[String],
+                        convType: String): DataFrame = {
+    val wPrior = Window.partitionBy(user).orderBy(ts, order)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAfter = Window.partitionBy(user).orderBy(ts, order)
+      .rowsBetween(1, Window.unboundedFollowing)
+    val isTouch = etype.isInCollection(touchTypes)
+    val withN = events.withColumn("__nprior",
+      count(when(isTouch, lit(1))).over(wPrior))
+    val withCredit = withN.withColumn("__share_fp",
+      when(etype === convType && col("__nprior") > 0,
+        round(value / col("__nprior") * lit(1e6)).cast("long"))
+        .otherwise(lit(0L)))
+    val collected = withCredit.withColumn("__credit_fp",
+      sum(col("__share_fp")).over(wAfter))
+    val touches = collected.filter(isTouch)
+      .groupBy(etype.as("touch_type"))
+      .agg(count(lit(1)).as("n_touches"),
+        round((sum(col("__credit_fp")).cast("double") / lit(1e6))
+          .cast("decimal(20,10)"), 2).cast("double").as("credit"))
+    val unattributed = withCredit
+      .filter(etype === convType && col("__nprior") === 0)
+      .agg(count(lit(1)).as("n_touches"),
+        round(sum(value), 2).as("credit"))
+      .select(lit("none").as("touch_type"), col("n_touches"),
+        coalesce(col("credit"), lit(0.0)).as("credit"))
+    touches.unionByName(unattributed)
+  }
+
   /** Top behavior trigrams: within-session consecutive event-type
     * 3-grams (the sequence-mining summary a next-action model trains
     * on), counted corpus-wide. Session boundaries are hard — a 3-gram

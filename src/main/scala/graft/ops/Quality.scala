@@ -142,6 +142,29 @@ object Quality {
     df.join(broadcast(rejections.select(col("key"))),
       key === col("key"), "left_anti")
 
+  /** Order-free table CHECKSUM for replica/rebuild reconciliation: the
+    * XOR of a portable 60-bit row hash plus the row count — two tables
+    * with equal content produce equal checksums REGARDLESS of row
+    * order, partitioning or file layout, so a migrated/compacted/
+    * re-clustered copy verifies against its source with one aggregate
+    * per side and a one-row compare (never a sort or a join of the two
+    * tables). XOR (not sum) keeps the fold exact in a plain BIGINT at
+    * any row count.
+    *
+    * Contract: `cols` stringify via concat_ws — project floats to a
+    * fixed-point string first (engine float→string rendering is not
+    * portable), and note concat_ws skips nulls (a null column and an
+    * empty string collide; substitute sentinels upstream if the domain
+    * needs the distinction). XOR is also insensitive to a row
+    * appearing an EVEN number of times on one side — pair it with the
+    * row count, which catches every duplication the XOR can miss
+    * except exact count-preserving swaps of already-equal rows.
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(Dedup.hashLong(
+        concat_ws("\u0001", cols.map(col): _*)).as("h"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("checksum"))
+
   /** Exact two-sample Kolmogorov–Smirnov statistic — the distribution
     * drift gate with a rigorous footing next to the binned PSI:
     * D = sup_v |F₁(v) − F₂(v)| over the pooled empirical CDFs, where

@@ -168,6 +168,31 @@ class EventsSpec extends SparkSpec {
       "none" -> ((1L, 7.0))))
   }
 
+  test("linearAttribution splits each purchase equally over ALL prior " +
+      "touches; orphan purchases report as none") {
+    val ev = Seq(
+      // u1: view, click, then a 30.0 purchase → 15 each; then another
+      // view and a 12.0 purchase over 3 touches → 4 each
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "click", 0.0),
+      (1L, ts("2024-01-01 10:02:00"), 3L, "purchase", 30.0),
+      (1L, ts("2024-01-01 10:03:00"), 4L, "view", 0.0),
+      (1L, ts("2024-01-01 10:04:00"), 5L, "purchase", 12.0),
+      // u2: purchase with no prior touch → 'none'
+      (2L, ts("2024-01-01 09:00:00"), 6L, "purchase", 7.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Events.linearAttribution(ev, $"user_id", $"ts",
+        $"event_id", $"event_type", $"value", Seq("click", "view"),
+        "purchase")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // view: 15 + 4 (first view) + 4 (second view) = 23; click: 15 + 4
+    assert(out == Map(
+      "view" -> ((2L, 23.0)),
+      "click" -> ((1L, 19.0)),
+      "none" -> ((1L, 7.0))))
+  }
+
   test("conversionLag: first-view anchor, at-or-after first purchase, " +
       "non-converters and pre-view purchasers drop out") {
     val ev = Seq(

@@ -77,4 +77,23 @@ class QualitySpec extends SparkSpec {
       (false, 1L), (false, 5L))
     assert(ks(dup, 4L) == ((3L, 2L, 0.333333)))
   }
+
+  test("tableChecksum: invariant under order/partitioning, sensitive " +
+      "to any changed or duplicated row") {
+    val rows = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    def ck(df: org.apache.spark.sql.DataFrame) =
+      Quality.tableChecksum(df, Seq("k", "v")).as[(Long, Long)].head()
+    val base = ck(rows)
+    assert(ck(rows.orderBy($"k".desc)) == base)
+    assert(ck(rows.repartition(13, $"v")) == base)
+    // one changed value flips the checksum but not the count
+    val mutated = ck(rows.withColumn("v",
+      when($"k" === 50L, lit("vX")).otherwise($"v")))
+    assert(mutated._1 == base._1 && mutated._2 != base._2)
+    // a row duplicated twice XORs itself out — the count catches it
+    val doubled = ck(rows.unionAll(rows.filter($"k" === 7L))
+      .unionAll(rows.filter($"k" === 7L)))
+    assert(doubled._2 == base._2 && doubled._1 == base._1 + 2,
+      "even-count duplication is invisible to XOR; n_rows must differ")
+  }
 }
