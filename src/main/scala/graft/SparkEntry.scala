@@ -988,6 +988,52 @@ object SparkEntry {
         .orderBy(col("ppr").desc, col("doc_id")).limit(20)
     }),
 
+    // Events: CUMULATIVE UNIQUE USERS per day — running countDistinct
+    // without a distinct-in-window: each user reduces to a first-seen
+    // day (one hash agg on the user key), days aggregate to new-user
+    // counts, and the running sum walks the tiny day-count table. The
+    // growth-curve query at any event volume.
+    "q160_cumulative_uniques" -> ((s, dir) => {
+      val firstSeen = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("d0"))
+      val perDay = firstSeen.groupBy(col("d0").as("d"))
+        .agg(count(lit(1)).as("new_users"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      perDay.withColumn("cum_users", sum(col("new_users")).over(w))
+    }),
+
+    // Joins/stats: MARKET-BASKET lift — suppliers co-occurring in an
+    // order (the association-rule mining shape): per-order item set
+    // self-joins on the order key (work Σ k², k = items/order — never
+    // corpus²), pair supports aggregate on the (a, b) key, and lift =
+    // n·n_ab/(n_a·n_b) computes on exact integers with one double
+    // division. Top-20 by (lift, pair) among pairs with support ≥ 5.
+    "q161_basket_lift" -> ((s, dir) => {
+      val items = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("pk"))
+        .distinct()
+      val n = t(s, dir, "orders").agg(count(lit(1)).as("n_orders"))
+      val supp = items.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+      val pairs = items.as("x").join(items.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .groupBy(col("x.pk").as("a"), col("y.pk").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 5)
+      pairs
+        .join(supp.select(col("pk").as("a"), col("n_item").as("n_a")), "a")
+        .join(supp.select(col("pk").as("b"), col("n_item").as("n_b")), "b")
+        .crossJoin(broadcast(n))
+        .select(col("a"), col("b"), col("n_ab"),
+          round(((col("n_orders") * col("n_ab")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"))
+            .cast("decimal(20,10)"), 4).cast("double").as("lift"))
+        .orderBy(col("lift").desc, col("a"), col("b")).limit(20)
+    }),
+
     // Events: LINEAR multi-touch attribution — each purchase splits its
     // value equally across ALL preceding touches (vs q140's last-touch
     // winner-take-all): per-conversion share snapped ×1e6, distributed
@@ -4815,6 +4861,43 @@ object SparkEntry {
          |  CAST(round(CAST(pr AS DECIMAL(20,10)), 8) AS DOUBLE) AS ppr
          |FROM pp3
          |ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
+
+    // Per-user first-seen day → per-day new users → running sum over
+    // the aggregated day table.
+    "q160_cumulative_uniques" ->
+      """WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS d0
+        |  FROM events GROUP BY 1),
+        |pd AS (SELECT d0 AS d, CAST(count(*) AS BIGINT) AS new_users
+        |  FROM fs GROUP BY 1)
+        |SELECT d, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM pd""".stripMargin,
+
+    // Same distinct item sets, pair supports from the a<b self-join,
+    // lift on exact integers with one double division; same
+    // (lift desc, a, b) cutoff.
+    "q161_basket_lift" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok,
+        |    l_suppkey AS pk FROM lineitem),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_orders FROM orders),
+        |supp AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_item
+        |  FROM items GROUP BY 1),
+        |pairs AS (SELECT x.pk AS a, y.pk AS b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM items x JOIN items y
+        |    ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT a, b, n_ab,
+        |  CAST(round(CAST(CAST(n_orders * n_ab AS DOUBLE)
+        |    / CAST(sa.n_item * sb.n_item AS DOUBLE)
+        |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS lift
+        |FROM pairs
+        |JOIN supp sa ON pairs.a = sa.pk
+        |JOIN supp sb ON pairs.b = sb.pk
+        |CROSS JOIN n
+        |ORDER BY lift DESC, a, b LIMIT 20""".stripMargin,
 
     // Same two windows: rows-to-−1 touch count, ×1e6 share snap per
     // conversion, rows +1-to-∞ suffix sum per touch.
