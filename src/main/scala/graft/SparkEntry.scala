@@ -988,6 +988,62 @@ object SparkEntry {
         .orderBy(col("ppr").desc, col("doc_id")).limit(20)
     }),
 
+    // Text/safety: BLOCKLIST GATE — per-doc occurrence and distinct-term
+    // counts against a broadcast-literal blocklist, flag at ≥ 2
+    // occurrences: the safety-filtering pass of a training pipeline as
+    // one codegen'd scan projection, zero shuffle.
+    "q162_blocklist_gate" -> ((s, dir) => {
+      val bl = array(lit("the"), lit("of"), lit("and"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          size(filter(col("tk"), t => array_contains(bl, t)))
+            .as("n_occurrences"),
+          size(array_intersect(array_distinct(col("tk")), bl))
+            .as("n_terms"))
+        .withColumn("blocked", col("n_occurrences") >= 2)
+    }),
+
+    // Sampling: WATERFILLING token-budget allocation across sources —
+    // the corpus-mixture planning step: every source below the water
+    // level contributes everything, the rest cap at the level L chosen
+    // so the total hits the budget. Closed form on the SORTED m-row
+    // source table (prefix sums + the first feasible level), so the
+    // only data-sized work is the token aggregate; allocation per
+    // source = min(n, L) with one double division for L.
+    "q163_waterfill_mix" -> ((s, dir) => {
+      val srcs = t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(Text.tokenCount(col("text")).cast("long")).as("n_tok"))
+      val tot = srcs.agg(sum(col("n_tok")).as("total"),
+        count(lit(1)).as("m"))
+      val W = org.apache.spark.sql.expressions.Window
+      val ranked = srcs.crossJoin(broadcast(tot))
+        .withColumn("budget", expr("(total * 2) div 5")) // 40%, exact ints
+        .withColumn("k", row_number().over(
+          W.orderBy(col("n_tok"), col("source"))))
+        .withColumn("pfx", coalesce(sum(col("n_tok")).over(
+          W.orderBy(col("n_tok"), col("source"))
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      // L_k = (B − prefix_k)/(m − k + 1), feasible when L_k ≤ n_k; the
+      // first feasible row fixes the level. The k = m row is always a
+      // valid fallback: when B ≥ total its L ≥ max n, so every source
+      // fits — without it an over-budget call would collapse to zero
+      // rows instead of allocating everything.
+      val lvl = ranked
+        .withColumn("lk", (col("budget") - col("pfx")).cast("double") /
+          (col("m") - col("k") + 1).cast("double"))
+        .filter(col("lk") <= col("n_tok").cast("double") ||
+          col("k") === col("m"))
+        .orderBy(col("k")).limit(1)
+        .select(col("lk").as("level"))
+      ranked.crossJoin(broadcast(lvl))
+        .select(col("source"), col("n_tok"),
+          round(least(col("n_tok").cast("double"), col("level"))
+            .cast("decimal(20,10)"), 2).cast("double").as("allocation"),
+          (col("n_tok").cast("double") <= col("level")).as("saturated"))
+    }),
+
     // Events: CUMULATIVE UNIQUE USERS per day — running countDistinct
     // without a distinct-in-window: each user reduces to a first-seen
     // day (one hash agg on the user key), days aggregate to new-user
@@ -4861,6 +4917,45 @@ object SparkEntry {
          |  CAST(round(CAST(pr AS DECIMAL(20,10)), 8) AS DOUBLE) AS ppr
          |FROM pp3
          |ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
+
+    // Same literal blocklist, same occurrence/distinct-term split.
+    "q162_blocklist_gate" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS tk FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(tk,
+         |    t -> t IN ('the', 'of', 'and'))) AS INT) AS n_occurrences,
+         |  CAST(len(list_filter(list_distinct(tk),
+         |    t -> t IN ('the', 'of', 'and'))) AS INT) AS n_terms,
+         |  len(list_filter(tk, t -> t IN ('the', 'of', 'and'))) >= 2
+         |    AS blocked
+         |FROM tk""".stripMargin,
+
+    // Same sorted prefix-sum chain; budget in exact integer division
+    // (div ≙ //), level = first feasible (B − prefix)/(m − k + 1).
+    "q163_waterfill_mix" ->
+      s"""WITH srcs AS (SELECT source, CAST(sum(len(tk)) AS BIGINT)
+         |    AS n_tok
+         |  FROM (SELECT source, $tokSql AS tk FROM documents)
+         |  GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total,
+         |    CAST(count(*) AS BIGINT) AS m FROM srcs),
+         |rk AS (SELECT source, n_tok, m, (total * 2) // 5 AS budget,
+         |    row_number() OVER (ORDER BY n_tok, source) AS k,
+         |    coalesce(sum(n_tok) OVER (ORDER BY n_tok, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS pfx
+         |  FROM srcs CROSS JOIN tot),
+         |lvl AS (SELECT CAST(budget - pfx AS DOUBLE)
+         |      / CAST(m - k + 1 AS DOUBLE) AS level
+         |  FROM rk
+         |  WHERE CAST(budget - pfx AS DOUBLE) / CAST(m - k + 1 AS DOUBLE)
+         |    <= CAST(n_tok AS DOUBLE) OR k = m
+         |  ORDER BY k LIMIT 1)
+         |SELECT source, n_tok,
+         |  CAST(round(CAST(least(CAST(n_tok AS DOUBLE), level)
+         |    AS DECIMAL(20,10)), 2) AS DOUBLE) AS allocation,
+         |  CAST(n_tok AS DOUBLE) <= level AS saturated
+         |FROM rk CROSS JOIN lvl""".stripMargin,
 
     // Per-user first-seen day → per-day new users → running sum over
     // the aggregated day table.
