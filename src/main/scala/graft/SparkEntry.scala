@@ -988,6 +988,64 @@ object SparkEntry {
         .orderBy(col("ppr").desc, col("doc_id")).limit(20)
     }),
 
+    // Stats: 2-D PARETO FRONTIER (skyline) — parts undominated on
+    // (cheaper price, bigger size): on DISTINCT value pairs sorted
+    // (price asc, size desc), every earlier row is strictly better in
+    // one dimension, so frontier membership is ONE running-max window
+    // — O(n log n), no dominance self-join. At scale the window
+    // composes with the q75 two-level prefix pattern; here the
+    // distinct-pair table is already small.
+    "q164_pareto_frontier" -> ((s, dir) => {
+      val pts = t(s, dir, "part")
+        .groupBy(round(col("p_retailprice") * 100).cast("long")
+            .as("price_c"), col("p_size"))
+        .agg(count(lit(1)).as("n_parts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("price_c").asc, col("p_size").desc)
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      pts.withColumn("maxs", max(col("p_size")).over(w))
+        .filter(col("maxs").isNull || col("p_size") > col("maxs"))
+        .select(col("price_c"), col("p_size"), col("n_parts"))
+    }),
+
+    // Stats: A/B CONVERSION z-test — users split by id parity, per-arm
+    // distinct users and converters in one pass, two-proportion z on
+    // exact integer counts with one double chain (identical op order
+    // in the oracle).
+    "q165_ab_test" -> ((s, dir) => {
+      val perUser = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("converted"))
+        .select((col("user_id") % 2).as("arm"), col("converted"))
+      val arms = perUser.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("conv"))
+      val a = arms.filter(col("arm") === 0)
+        .select(col("n").as("n_a"), col("conv").as("conv_a"))
+      val b = arms.filter(col("arm") === 1)
+        .select(col("n").as("n_b"), col("conv").as("conv_b"))
+      a.crossJoin(b).select(col("n_a"), col("conv_a"), col("n_b"),
+        col("conv_b"),
+        // degenerate pools (nobody or everybody converted) have a zero
+        // denominator — report null, not an ANSI division error
+        when(col("conv_a") + col("conv_b") === 0 ||
+            col("conv_a") + col("conv_b") === col("n_a") + col("n_b"),
+          lit(null))
+          .otherwise(
+            round((((col("conv_a").cast("double") /
+              col("n_a").cast("double")) -
+              (col("conv_b").cast("double") / col("n_b").cast("double"))) /
+              sqrt(((col("conv_a") + col("conv_b")).cast("double") /
+                (col("n_a") + col("n_b")).cast("double")) *
+                (lit(1.0) -
+                  (col("conv_a") + col("conv_b")).cast("double") /
+                    (col("n_a") + col("n_b")).cast("double")) *
+                (lit(1.0) / col("n_a").cast("double") +
+                  lit(1.0) / col("n_b").cast("double"))))
+              .cast("decimal(20,10)"), 4).cast("double")).as("z"))
+    }),
+
     // Text/safety: BLOCKLIST GATE — per-doc occurrence and distinct-term
     // counts against a broadcast-literal blocklist, flag at ≥ 2
     // occurrences: the safety-filtering pass of a training pipeline as
@@ -4917,6 +4975,46 @@ object SparkEntry {
          |  CAST(round(CAST(pr AS DECIMAL(20,10)), 8) AS DOUBLE) AS ppr
          |FROM pp3
          |ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
+
+    // Same distinct-pair running-max window (ROWS frame over the same
+    // two-key sort).
+    "q164_pareto_frontier" ->
+      """WITH pts AS (SELECT CAST(round(p_retailprice * 100) AS BIGINT)
+        |    AS price_c, p_size, CAST(count(*) AS BIGINT) AS n_parts
+        |  FROM part GROUP BY 1, 2),
+        |m AS (SELECT price_c, p_size, n_parts,
+        |    max(p_size) OVER (ORDER BY price_c ASC, p_size DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS maxs
+        |  FROM pts)
+        |SELECT price_c, p_size, n_parts FROM m
+        |WHERE maxs IS NULL OR p_size > maxs""".stripMargin,
+
+    // Same per-user conversion reduction and the identical double op
+    // order in the z chain.
+    "q165_ab_test" ->
+      """WITH pu AS (SELECT user_id % 2 AS arm,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM events GROUP BY user_id),
+        |arms AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(converted) AS BIGINT) AS conv
+        |  FROM pu GROUP BY 1),
+        |a AS (SELECT n AS n_a, conv AS conv_a FROM arms WHERE arm = 0),
+        |b AS (SELECT n AS n_b, conv AS conv_b FROM arms WHERE arm = 1)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+        |    THEN NULL ELSE
+        |  CAST(round(CAST(
+        |    ((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |      - (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)))
+        |    / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+        |        / CAST(n_a + n_b AS DOUBLE))
+        |      * (CAST(1.0 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE)
+        |        / CAST(n_a + n_b AS DOUBLE))
+        |      * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+        |        + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE)))
+        |    AS DECIMAL(20,10)), 4) AS DOUBLE) END AS z
+        |FROM a CROSS JOIN b""".stripMargin,
 
     // Same literal blocklist, same occurrence/distinct-term split.
     "q162_blocklist_gate" ->
