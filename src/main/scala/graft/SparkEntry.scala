@@ -988,6 +988,55 @@ object SparkEntry {
         .orderBy(col("ppr").desc, col("doc_id")).limit(20)
     }),
 
+    // Sketch: SLIDING-WINDOW distinct users via mergeable HLL — raw
+    // events fold to per-hour registers ONCE; each hour's registers
+    // serve every 3-hour window containing it (explode 3 offsets +
+    // per-bucket max — the sketch-union sliding-window pattern, events
+    // never re-scanned per window). Exact distincts ride along as the
+    // in-query error audit.
+    "q166_sliding_distinct" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(date_trunc("hour", col("ts")).as("h"), col("user_id"))
+      val offs = explode(array(lit(0), lit(1), lit(2))).as("off")
+      val wcol = (col("h") + expr("make_interval(0,0,0,0,off,0,0)")).as("w")
+      val winReg = Sketch.hllRegisters(ev, Seq("h"), col("user_id"))
+        .select(col("h"), col("bucket"), col("rho"), offs)
+        .select(wcol, col("bucket"), col("rho"))
+        .groupBy(col("w"), col("bucket")).agg(max(col("rho")).as("rho"))
+      val approx = Sketch.hllEstimate(winReg, Seq("w"))
+      val exact = ev.select(col("h"), col("user_id"), offs)
+        .select(wcol, col("user_id"))
+        .groupBy(col("w"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(approx, "w")
+    }),
+
+    // Stats: exact WEIGHTED MEDIAN per group — smallest value whose
+    // running weight reaches half the total, all in exact integer
+    // arithmetic (2·cum ≥ total, no division): the robust center a
+    // quantity-weighted price summary needs. Values aggregate to one
+    // row per distinct value before the window.
+    "q167_weighted_median" -> ((s, dir) => {
+      val rows = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("g"),
+        round(col("l_extendedprice") * 100).cast("long").as("v"),
+        round(col("l_quantity") * 100).cast("long").as("wt"))
+      val byV = rows.groupBy(col("g"), col("v"))
+        .agg(sum(col("wt")).as("wsum"))
+      val W = org.apache.spark.sql.expressions.Window
+      val cum = sum(col("wsum")).over(
+        W.partitionBy(col("g")).orderBy(col("v"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+      val tot = byV.groupBy(col("g")).agg(sum(col("wsum")).as("tw"))
+      byV.withColumn("cum", cum)
+        .join(broadcast(tot), "g")
+        .filter(col("cum") * 2 >= col("tw"))
+        .groupBy(col("g"), col("tw"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("g").as("l_returnflag"), col("tw").as("total_w"),
+          round(col("mv").cast("double") / 100.0, 2).as("w_median"))
+    }),
+
     // Stats: 2-D PARETO FRONTIER (skyline) — parts undominated on
     // (cheaper price, bigger size): on DISTINCT value pairs sorted
     // (price asc, size desc), every earlier row is strictly better in
@@ -4975,6 +5024,74 @@ object SparkEntry {
          |  CAST(round(CAST(pr AS DECIMAL(20,10)), 8) AS DOUBLE) AS ppr
          |FROM pp3
          |ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
+
+    // q56's register chain grouped by the exploded window label; the
+    // exact side explodes the same 3 offsets.
+    "q166_sliding_distinct" ->
+      """WITH ev AS (SELECT date_trunc('hour', ts) AS h, user_id
+        |  FROM events),
+        |hh AS (SELECT h, md5(CAST(user_id AS VARCHAR)) AS hx FROM ev),
+        |parts AS (SELECT h, hx, substr(hx, 4, 29) AS rest,
+        |    ltrim(substr(hx, 4, 29), '0') AS st
+        |  FROM hh),
+        |reg AS (SELECT h,
+        |    CAST('0x' || substr(hx, 1, 3) AS BIGINT) AS bucket,
+        |    max(CASE WHEN length(st) = 0 THEN 117
+        |        ELSE (length(rest) - length(st)) * 4 +
+        |          (CASE WHEN substr(st, 1, 1) = '1' THEN 3
+        |                WHEN substr(st, 1, 1) IN ('2','3') THEN 2
+        |                WHEN substr(st, 1, 1) IN ('4','5','6','7') THEN 1
+        |                ELSE 0 END) + 1 END) AS rho
+        |  FROM parts GROUP BY 1, 2),
+        |winreg AS (SELECT h + off * INTERVAL 1 HOUR AS w, bucket,
+        |    max(rho) AS rho
+        |  FROM reg CROSS JOIN (SELECT unnest([0, 1, 2]) AS off)
+        |  GROUP BY 1, 2),
+        |agg AS (SELECT w, count(*) AS nb,
+        |    CAST(sum(CAST(floor(power(CAST(2.0 AS DOUBLE), 50 - rho))
+        |      AS BIGINT)) AS BIGINT) AS sum_fp
+        |  FROM winreg GROUP BY 1),
+        |est AS (SELECT w,
+        |    CAST(round(CAST(CASE WHEN raw <= CAST(10240.0 AS DOUBLE)
+        |        AND v > 0
+        |        THEN ln(CAST(4096.0 AS DOUBLE) / v) * CAST(4096.0 AS DOUBLE)
+        |        ELSE raw END AS DECIMAL(20,10)), 2) AS DOUBLE) AS n_approx
+        |  FROM (SELECT w,
+        |      (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+        |         + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE)))
+        |        * CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+        |        * power(CAST(2.0 AS DOUBLE), 50)
+        |        / (sum_fp + (4096 - nb) * (CAST(1 AS BIGINT) << 50)) AS raw,
+        |      CAST(4096 - nb AS DOUBLE) AS v
+        |    FROM agg)),
+        |ex AS (SELECT h + off * INTERVAL 1 HOUR AS w,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        |  FROM ev CROSS JOIN (SELECT unnest([0, 1, 2]) AS off)
+        |  GROUP BY 1)
+        |SELECT ex.w, ex.n_exact, est.n_approx
+        |FROM ex JOIN est ON ex.w = est.w""".stripMargin,
+
+    // Same distinct-value cumulative weights, same integer 2·cum ≥
+    // total crossing.
+    "q167_weighted_median" ->
+      """WITH r AS (SELECT l_returnflag AS g,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS wt
+        |  FROM lineitem),
+        |bv AS (SELECT g, v, CAST(sum(wt) AS BIGINT) AS wsum
+        |  FROM r GROUP BY 1, 2),
+        |t AS (SELECT g, CAST(sum(wsum) AS BIGINT) AS tw
+        |  FROM bv GROUP BY 1),
+        |c AS (SELECT g, v,
+        |    CAST(sum(wsum) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM bv)
+        |SELECT c.g AS l_returnflag, t.tw AS total_w,
+        |  round(CAST(min(c.v) AS DOUBLE) / 100.0, 2) AS w_median
+        |FROM c JOIN t ON c.g = t.g
+        |WHERE c.cum * 2 >= t.tw
+        |GROUP BY 1, 2""".stripMargin,
 
     // Same distinct-pair running-max window (ROWS frame over the same
     // two-key sort).
