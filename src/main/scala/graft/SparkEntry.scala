@@ -988,6 +988,60 @@ object SparkEntry {
         .orderBy(col("ppr").desc, col("doc_id")).limit(20)
     }),
 
+    // Text: cross-source VOCABULARY OVERLAP — Jaccard of the token
+    // sets of every source pair (the corpus-comparison signal behind
+    // mixture planning): (source, token) distincts self-join on the
+    // token key, so work is Σ_token (#sources containing it)² — bounded
+    // by the source count squared, never corpus²; top-15 pairs by
+    // overlap.
+    "q168_vocab_overlap" -> ((s, dir) => {
+      val st = t(s, dir, "documents")
+        .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+        .distinct()
+      val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n_tok"))
+      val inter = st.as("x").join(st.as("y"),
+          col("x.tok") === col("y.tok") && col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("a"), col("y.source").as("b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("a"),
+          col("n_tok").as("n_a"))), "a")
+        .join(broadcast(sizes.select(col("source").as("b"),
+          col("n_tok").as("n_b"))), "b")
+        .select(col("a"), col("b"), col("n_inter"),
+          round((col("n_inter").cast("double") /
+            (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+            .cast("decimal(20,10)"), 4).cast("double").as("jaccard"))
+        .orderBy(col("jaccard").desc, col("a"), col("b")).limit(15)
+    }),
+
+    // Quality: EXPECTATIONS SUITE — a declarative battery of data
+    // contracts (null rate, domain membership, range bounds, positive
+    // amounts) evaluated in ONE aggregate pass over the fact table and
+    // melted to a (check, n_violations, passed) report: the
+    // Great-Expectations shape without a pass per check.
+    "q169_expectations" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def viol(name: String, bad: Column) =
+        struct(lit(name).as("check"),
+          sum(when(bad, 1L).otherwise(0L)).as("n_violations"))
+      li.agg(count(lit(1)).as("n_rows"),
+          array(
+            viol("quantity_in_1_50",
+              col("l_quantity") < 1 || col("l_quantity") > 50),
+            viol("price_positive", col("l_extendedprice") <= 0),
+            viol("returnflag_domain",
+              !col("l_returnflag").isin("A", "N", "R")),
+            viol("shipdate_not_null", col("l_shipdate").isNull),
+            viol("discount_in_0_1",
+              col("l_discount") < 0 || col("l_discount") > 1))
+            .as("checks"))
+        .select(col("n_rows"), explode(col("checks")).as("c"))
+        .select(col("c.check").as("check"),
+          col("n_rows"), col("c.n_violations").as("n_violations"),
+          (col("c.n_violations") === 0).as("passed"))
+    }),
+
     // Sketch: SLIDING-WINDOW distinct users via mergeable HLL — raw
     // events fold to per-hour registers ONCE; each hour's registers
     // serve every 3-hour window containing it (explode 3 offsets +
@@ -5024,6 +5078,51 @@ object SparkEntry {
          |  CAST(round(CAST(pr AS DECIMAL(20,10)), 8) AS DOUBLE) AS ppr
          |FROM pp3
          |ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
+
+    // Same distinct (source, token) sets, same a<b intersection join,
+    // same (jaccard desc, a, b) cutoff.
+    "q168_vocab_overlap" ->
+      s"""WITH st AS (SELECT DISTINCT source, unnest(tk) AS tok
+         |  FROM (SELECT source, $tokSql AS tk FROM documents)),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tok
+         |  FROM st GROUP BY 1),
+         |inter AS (SELECT x.source AS a, y.source AS b,
+         |    CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM st x JOIN st y
+         |    ON x.tok = y.tok AND x.source < y.source
+         |  GROUP BY 1, 2)
+         |SELECT a, b, n_inter,
+         |  CAST(round(CAST(CAST(n_inter AS DOUBLE)
+         |    / CAST(sa.n_tok + sb.n_tok - n_inter AS DOUBLE)
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sz sa ON inter.a = sa.source
+         |JOIN sz sb ON inter.b = sb.source
+         |ORDER BY jaccard DESC, a, b LIMIT 15""".stripMargin,
+
+    // The same five contracts as conditional counts in one pass.
+    "q169_expectations" ->
+      """WITH agg AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+        |    CAST(sum(CASE WHEN l_extendedprice <= 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+        |    CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+        |    CAST(sum(CASE WHEN l_shipdate IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v5
+        |  FROM lineitem)
+        |SELECT r['c'] AS "check", n_rows,
+        |  r['v'] AS n_violations, r['v'] = 0 AS passed
+        |FROM (SELECT n_rows, unnest([
+        |    {'c': 'quantity_in_1_50', 'v': v1},
+        |    {'c': 'price_positive', 'v': v2},
+        |    {'c': 'returnflag_domain', 'v': v3},
+        |    {'c': 'shipdate_not_null', 'v': v4},
+        |    {'c': 'discount_in_0_1', 'v': v5}]) AS r
+        |  FROM agg)""".stripMargin,
 
     // q56's register chain grouped by the exploded window label; the
     // exact side explodes the same 3 offsets.
