@@ -1176,33 +1176,7 @@ object SparkEntry {
       val srcs = t(s, dir, "documents")
         .groupBy(col("source"))
         .agg(sum(Text.tokenCount(col("text")).cast("long")).as("n_tok"))
-      val tot = srcs.agg(sum(col("n_tok")).as("total"),
-        count(lit(1)).as("m"))
-      val W = org.apache.spark.sql.expressions.Window
-      val ranked = srcs.crossJoin(broadcast(tot))
-        .withColumn("budget", expr("(total * 2) div 5")) // 40%, exact ints
-        .withColumn("k", row_number().over(
-          W.orderBy(col("n_tok"), col("source"))))
-        .withColumn("pfx", coalesce(sum(col("n_tok")).over(
-          W.orderBy(col("n_tok"), col("source"))
-            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-      // L_k = (B − prefix_k)/(m − k + 1), feasible when L_k ≤ n_k; the
-      // first feasible row fixes the level. The k = m row is always a
-      // valid fallback: when B ≥ total its L ≥ max n, so every source
-      // fits — without it an over-budget call would collapse to zero
-      // rows instead of allocating everything.
-      val lvl = ranked
-        .withColumn("lk", (col("budget") - col("pfx")).cast("double") /
-          (col("m") - col("k") + 1).cast("double"))
-        .filter(col("lk") <= col("n_tok").cast("double") ||
-          col("k") === col("m"))
-        .orderBy(col("k")).limit(1)
-        .select(col("lk").as("level"))
-      ranked.crossJoin(broadcast(lvl))
-        .select(col("source"), col("n_tok"),
-          round(least(col("n_tok").cast("double"), col("level"))
-            .cast("decimal(20,10)"), 2).cast("double").as("allocation"),
-          (col("n_tok").cast("double") <= col("level")).as("saturated"))
+      Sampling.waterfillAllocation(srcs, col("source"), col("n_tok"), 2, 5)
     }),
 
     // Events: CUMULATIVE UNIQUE USERS per day — running countDistinct

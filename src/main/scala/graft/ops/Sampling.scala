@@ -273,4 +273,46 @@ object Sampling {
     }
     df.filter(hashBucket(key, rateDen) < keep)
   }
+
+  /** WATERFILLING budget allocation — the corpus-mixture planning
+    * step: given per-source counts and a budget of
+    * `budgetNum/budgetDen` of the total, sources below the water level
+    * L contribute everything and the rest cap at L, with L the unique
+    * level making the allocations sum to the budget. Closed form over
+    * the SORTED m-row source table: with prefix sums P_k,
+    * L_k = (B − P_k)/(m − k + 1), and the first k where L_k ≤ n_k
+    * fixes the level. The k = m row is always a valid fallback — an
+    * over-budget call (B ≥ total) allocates everything instead of
+    * collapsing to zero rows. Only the upstream count aggregate is
+    * data-sized; everything here runs on m rows. Budget arithmetic is
+    * exact integer division; L is one double division. Output:
+    * (source, n_tok, allocation, saturated).
+    */
+  def waterfillAllocation(counts: DataFrame, group: Column, n: Column,
+                          budgetNum: Int, budgetDen: Int): DataFrame = {
+    require(budgetNum >= 0 && budgetDen >= 1, "budget must be >= 0")
+    val srcs = counts.select(group.as("source"), n.cast("long").as("n_tok"))
+    val tot = srcs.agg(sum(col("n_tok")).as("total"),
+      count(lit(1)).as("m"))
+    val ranked = srcs.crossJoin(broadcast(tot))
+      .withColumn("budget",
+        expr(s"(total * $budgetNum) div $budgetDen"))
+      .withColumn("k", row_number().over(
+        Window.orderBy(col("n_tok"), col("source"))))
+      .withColumn("pfx", coalesce(sum(col("n_tok")).over(
+        Window.orderBy(col("n_tok"), col("source"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val lvl = ranked
+      .withColumn("lk", (col("budget") - col("pfx")).cast("double") /
+        (col("m") - col("k") + 1).cast("double"))
+      .filter(col("lk") <= col("n_tok").cast("double") ||
+        col("k") === col("m"))
+      .orderBy(col("k")).limit(1)
+      .select(col("lk").as("level"))
+    ranked.crossJoin(broadcast(lvl))
+      .select(col("source"), col("n_tok"),
+        round(least(col("n_tok").cast("double"), col("level"))
+          .cast("decimal(20,10)"), 2).cast("double").as("allocation"),
+        (col("n_tok").cast("double") <= col("level")).as("saturated"))
+  }
 }

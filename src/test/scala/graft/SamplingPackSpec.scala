@@ -190,4 +190,33 @@ class SamplingPackSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
     assert(again == out)
   }
+
+  test("waterfillAllocation: small sources fully taken, big ones " +
+      "capped at the level; the sum hits the budget") {
+    val counts = Seq(("a", 10L), ("b", 20L), ("c", 100L), ("d", 200L))
+      .toDF("source", "n")
+    // budget = 330/2 = 165: a, b fit (30); level over {c, d} =
+    // (165 - 30)/2 = 67.5 — both capped
+    val out = Sampling.waterfillAllocation(counts, $"source", $"n", 1, 2)
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      "a" -> ((10L, 10.0, true)), "b" -> ((20L, 20.0, true)),
+      "c" -> ((100L, 67.5, false)), "d" -> ((200L, 67.5, false))))
+    assert(out.values.map(_._2).sum == 165.0, "allocations sum to budget")
+  }
+
+  test("waterfillAllocation over-budget allocates everything; zero " +
+      "budget allocates nothing") {
+    val counts = Seq(("a", 10L), ("b", 20L)).toDF("source", "n")
+    // budget = 3x total: the k = m fallback level exceeds max n
+    val all = Sampling.waterfillAllocation(counts, $"source", $"n", 3, 1)
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(all == Map("a" -> ((10L, 10.0, true)), "b" -> ((20L, 20.0, true))))
+    val none = Sampling.waterfillAllocation(counts, $"source", $"n", 0, 1)
+      .as[(String, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(none == Map("a" -> 0.0, "b" -> 0.0))
+  }
 }
