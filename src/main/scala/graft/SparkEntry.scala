@@ -1098,19 +1098,11 @@ object SparkEntry {
     // — O(n log n), no dominance self-join. At scale the window
     // composes with the q75 two-level prefix pattern; here the
     // distinct-pair table is already small.
-    "q164_pareto_frontier" -> ((s, dir) => {
-      val pts = t(s, dir, "part")
-        .groupBy(round(col("p_retailprice") * 100).cast("long")
-            .as("price_c"), col("p_size"))
-        .agg(count(lit(1)).as("n_parts"))
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("price_c").asc, col("p_size").desc)
-        .rowsBetween(
-          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      pts.withColumn("maxs", max(col("p_size")).over(w))
-        .filter(col("maxs").isNull || col("p_size") > col("maxs"))
-        .select(col("price_c"), col("p_size"), col("n_parts"))
-    }),
+    "q164_pareto_frontier" -> ((s, dir) =>
+      Profile.paretoFrontier2D(t(s, dir, "part"),
+          round(col("p_retailprice") * 100).cast("long"), col("p_size"))
+        .select(col("cost").as("price_c"), col("gain").as("p_size"),
+          col("n_rows").as("n_parts"))),
 
     // Stats: A/B CONVERSION z-test — users split by id parity, per-arm
     // distinct users and converters in one pass, two-proportion z on

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
@@ -130,6 +131,30 @@ object Profile {
         round((sum(col("wc")).cast("double") /
           (count(lit(1)).cast("double") * 100.0))
           .cast("decimal(20,10)"), 4).cast("double").as("win_mean"))
+  }
+
+  /** 2-D PARETO FRONTIER (skyline): the (cost, gain) value pairs not
+    * strictly dominated by any other — lower cost and higher gain both
+    * better. Works on DISTINCT pairs sorted (cost asc, gain desc):
+    * every earlier row is strictly better in at least one dimension
+    * (cheaper, or equal-cost with strictly more gain — equality in
+    * both is impossible on distinct pairs), so membership is ONE
+    * running-max window over the sorted pairs instead of a dominance
+    * self-join. Duplicate input rows collapse into the pair's
+    * `n_rows`. Both columns must be orderable scalars. At corpus scale
+    * the distinct-pair table is value-domain-sized; if even that is
+    * huge, the window composes with the two-level prefix pattern.
+    * Output: (cost, gain, n_rows), frontier members only.
+    */
+  def paretoFrontier2D(df: DataFrame, cost: Column,
+                       gain: Column): DataFrame = {
+    val pts = df.groupBy(cost.as("cost"), gain.as("gain"))
+      .agg(count(lit(1)).as("n_rows"))
+    val w = Window.orderBy(col("cost").asc, col("gain").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("__maxg", max(col("gain")).over(w))
+      .filter(col("__maxg").isNull || col("gain") > col("__maxg"))
+      .select(col("cost"), col("gain"), col("n_rows"))
   }
 
   /** Per-group closed-form OLS trend (slope + Pearson r of y over x) —

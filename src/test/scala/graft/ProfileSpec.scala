@@ -64,6 +64,30 @@ class ProfileSpec extends SparkSpec {
     assert(cc == (("b", 500L, 500L, 4L, 0L, 0L, 5.0)))
   }
 
+  test("paretoFrontier2D equals brute-force strict dominance on random " +
+      "points; duplicates collapse; equal-cost ties keep only the best") {
+    val rnd = new scala.util.Random(23)
+    val pts = (0 until 300).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+    val distinct = pts.distinct
+    val truth = distinct.filter { case (c, g) =>
+      !distinct.exists { case (c2, g2) =>
+        c2 <= c && g2 >= g && (c2 < c || g2 > g)
+      }
+    }.toSet
+    val out = Profile.paretoFrontier2D(pts.toDF("c", "g"), $"c", $"g")
+      .as[(Long, Long, Long)].collect()
+    assert(out.map(r => (r._1, r._2)).toSet == truth)
+    // n_rows carries the duplicate multiplicity
+    val counts = pts.groupBy(identity).map { case (k, v) => k -> v.size }
+    assert(out.forall(r => counts((r._1, r._2)) == r._3))
+    // all-identical input: one frontier row with the full count
+    val same = Profile.paretoFrontier2D(
+        Seq.fill(5)((3L, 3L)).toDF("c", "g"), $"c", $"g")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(same == Seq((3L, 3L, 5L)))
+  }
+
   test("olsTrend: exact slope/r on a perfect line, r sign on a falling " +
       "one, degenerate groups go null") {
     val rows =
