@@ -1141,6 +1141,68 @@ object SparkEntry {
               .cast("decimal(20,10)"), 4).cast("double")).as("z"))
     }),
 
+    // Stats/eval: exact ROC AUC (ties-aware Mann–Whitney) of the event
+    // value as a purchase predictor — the scorer-quality summary of a
+    // filtering pipeline, via the KS two-level prefix sum (no
+    // single-partition sort of the score domain) and an exact-integer
+    // rank-sum numerator; one double division at the end.
+    "q170_auc" -> ((s, dir) =>
+      Profile.aucExact(t(s, dir, "events"),
+        col("event_type") === "purchase",
+        round(col("value") * 100).cast("long"), 1000L)),
+
+    // Privacy: K-ANONYMITY generalization ladder over customer
+    // quasi-identifiers (nation, segment, balance bucket) — for each
+    // balance generalization width (cents; 0 drops the column), the
+    // re-identifiable row count and whether k=5 holds: the
+    // release-gating sweep in ONE exploded shuffle.
+    "q171_k_anonymity" -> ((s, dir) =>
+      Profile.kAnonymityLadder(t(s, dir, "customer"),
+          Seq(col("c_nationkey"), col("c_mktsegment")),
+          round(col("c_acctbal") * 100).cast("long"),
+          Seq(100L, 10000L, 1000000L, 0L), 5)
+        .orderBy(col("width"))),
+
+    // Joins/scale: BLOOM-FILTERED runtime join — the semi-join
+    // reduction a 100 TB fact×dim join wants: the selective dim side
+    // folds to ≤ k·m bloom cells (broadcastable at any dim size), the
+    // probe side prefilters map-side with zero false negatives, and
+    // the exact join touches only survivors. The false-positive count
+    // and the surviving-key revenue are audited in-query.
+    "q172_bloom_join" -> ((s, dir) => {
+      val dim = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderdate") >= lit("1995-06-01").cast("date"))
+        .select(col("o_orderkey"))
+      val reg = Sketch.bloomRegisters(dim, col("o_orderkey"))
+      val probes = t(s, dir, "lineitem").select(col("l_orderkey")).distinct()
+      val pass = Sketch.bloomMightContain(reg, probes, "l_orderkey")
+        .filter(col("might_contain")).select(col("l_orderkey"))
+      val matched = pass
+        .join(dim, pass("l_orderkey") === dim("o_orderkey"))
+        .select(col("l_orderkey"))
+      val rev = t(s, dir, "lineitem")
+        .join(matched, "l_orderkey", "left_semi")
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .cast("long").as("rev_c"))
+      val counts = probes.agg(count(lit(1)).as("n_probe_keys"))
+        .crossJoin(pass.agg(count(lit(1)).as("n_pass")))
+        .crossJoin(matched.agg(count(lit(1)).as("n_match")))
+      counts.crossJoin(rev)
+        .select(col("n_probe_keys"), col("n_pass"), col("n_match"),
+          (col("n_pass") - col("n_match")).as("n_false_pos"), col("rev_c"))
+    }),
+
+    // Sampling/scale: RANGE-PARTITION boundary planning — the
+    // deterministic bottom-k-by-md5 sample → integer-rank boundaries →
+    // per-part row counts/extents audit of how a global sort would
+    // partition o_totalprice into 8 ranges.
+    "q173_range_bounds" -> ((s, dir) =>
+      Sampling.rangePartitionAudit(t(s, dir, "orders"),
+          col("o_orderkey"), round(col("o_totalprice") * 100).cast("long"),
+          8, 200)
+        .orderBy(col("part"))),
+
     // Text/safety: BLOCKLIST GATE — per-doc occurrence and distinct-term
     // counts against a broadcast-literal blocklist, flag at ≥ 2
     // occurrences: the safety-filtering pass of a training pipeline as
@@ -5197,6 +5259,106 @@ object SparkEntry {
         |        + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE)))
         |    AS DECIMAL(20,10)), 4) AS DOUBLE) END AS z
         |FROM a CROSS JOIN b""".stripMargin,
+
+    // Same distinct-score counts, same exclusive running negative
+    // count (the single ordered window IS the two-level sum's value),
+    // same exact-integer rank-sum numerator and final division.
+    "q170_auc" ->
+      """WITH r AS (SELECT (event_type = 'purchase') AS y,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |bv AS (SELECT v,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+        |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS q
+        |  FROM r GROUP BY 1),
+        |c AS (SELECT p, q,
+        |    COALESCE(CAST(sum(q) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS nb
+        |  FROM bv)
+        |SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+        |  CAST(sum(q) AS BIGINT) AS n_neg,
+        |  CASE WHEN sum(p) = 0 OR sum(q) = 0 THEN NULL ELSE
+        |    CAST(round(CAST(CAST(sum(CAST(p AS HUGEINT)
+        |        * (2 * nb + q)) AS DOUBLE)
+        |      / (CAST(2.0 AS DOUBLE) * CAST(sum(p) AS DOUBLE)
+        |        * CAST(sum(q) AS DOUBLE))
+        |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS auc
+        |FROM c""".stripMargin,
+
+    // Same exploded widths, same pmod floor-division bucket, same
+    // group-size gates.
+    "q171_k_anonymity" ->
+      """WITH lv AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS v, width
+        |  FROM customer
+        |  CROSS JOIN (SELECT unnest([CAST(100 AS BIGINT),
+        |    CAST(10000 AS BIGINT), CAST(1000000 AS BIGINT),
+        |    CAST(0 AS BIGINT)]) AS width)),
+        |g AS (SELECT width, c_nationkey, c_mktsegment,
+        |    CASE WHEN width = 0 THEN CAST(-1 AS BIGINT)
+        |      ELSE (v - ((v % width) + width) % width) / width END AS gb,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM lv GROUP BY 1, 2, 3, 4)
+        |SELECT width, CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_risky_groups,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_risky_rows,
+        |  sum(CASE WHEN n < 5 THEN n ELSE 0 END) = 0 AS meets_k
+        |FROM g GROUP BY 1 ORDER BY width""".stripMargin,
+
+    // Same md5 bloom cells (q66's chain) over the filtered dim keys,
+    // same pass/match/fp splits, revenue in exact cents.
+    "q172_bloom_join" -> {
+      val dimBkt = s"CAST(${h60("CAST(i AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)")} % 8192 AS BIGINT)"
+      val prbBkt = s"CAST(${h60("CAST(i AS VARCHAR) || '|' || CAST(l_orderkey AS VARCHAR)")} % 8192 AS BIGINT)"
+      s"""WITH dim AS (SELECT o_orderkey FROM orders
+         |  WHERE o_orderpriority = '1-URGENT'
+         |    AND CAST(o_orderdate AS DATE) >= DATE '1995-06-01'),
+         |reg AS (SELECT DISTINCT i, $dimBkt AS bucket
+         |  FROM dim, range(5) r(i)),
+         |probes AS (SELECT DISTINCT l_orderkey FROM lineitem),
+         |pb AS (SELECT l_orderkey, i, $prbBkt AS bucket
+         |  FROM probes, range(5) r(i)),
+         |m AS (SELECT l_orderkey,
+         |    sum(CASE WHEN hit IS NULL THEN 0 ELSE 1 END) = 5 AS mc
+         |  FROM pb LEFT JOIN (SELECT i, bucket, 1 AS hit FROM reg)
+         |    USING (i, bucket)
+         |  GROUP BY 1),
+         |pass AS (SELECT l_orderkey FROM m WHERE mc),
+         |mt AS (SELECT l_orderkey FROM pass
+         |  JOIN dim ON l_orderkey = o_orderkey),
+         |rev AS (SELECT CAST(sum(CAST(round(l_extendedprice * 100)
+         |    AS BIGINT)) AS BIGINT) AS rev_c
+         |  FROM lineitem WHERE l_orderkey IN (SELECT l_orderkey FROM mt))
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM probes) AS n_probe_keys,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM pass) AS n_pass,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM mt) AS n_match,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM pass)
+         |    - (SELECT CAST(count(*) AS BIGINT) FROM mt) AS n_false_pos,
+         |  rev_c
+         |FROM rev""".stripMargin
+    },
+
+    // Same md5 bottom-k sample, same ⌈i·n/p⌉ integer ranks, same
+    // strictly-below part assignment.
+    "q173_range_bounds" ->
+      """WITH r AS (SELECT md5(CAST(o_orderkey AS VARCHAR)) AS h,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |smp AS (SELECT v FROM r ORDER BY h LIMIT 200),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM smp),
+        |rk AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM smp),
+        |b AS (SELECT rk.v AS bv
+        |  FROM range(1, 8) t(i) CROSS JOIN nn
+        |  JOIN rk ON rk.rn = (i * nn.n + 7) // 8),
+        |pt AS (SELECT r.v,
+        |    (SELECT count(*) FROM b WHERE b.bv < r.v) AS part
+        |  FROM r)
+        |SELECT CAST(part AS INTEGER) AS part,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(v) AS min_c, max(v) AS max_c
+        |FROM pt GROUP BY 1 ORDER BY part""".stripMargin,
 
     // Same literal blocklist, same occurrence/distinct-term split.
     "q162_blocklist_gate" ->

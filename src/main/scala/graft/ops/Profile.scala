@@ -192,4 +192,85 @@ object Profile {
           sqrt(denx.cast("double") * deny.cast("double")))
           .cast("decimal(20,10)"), 6).cast("double")).as("r"))
   }
+
+  /** Exact ROC AUC (ties-aware Mann–Whitney) — the classifier-quality
+    * summary a filtering pipeline reports for its quality/toxicity
+    * scorers, computed without ever sorting the corpus in one
+    * partition: rows collapse to one row per DISTINCT score (positive
+    * and negative counts side by side), negatives-strictly-below come
+    * from the ksStatistic two-level prefix sum (per-bucket exclusive
+    * window + broadcast bucket offsets), and
+    * AUC = Σ_v p_v·(2·negBelow_v + negAt_v) / (2·P·N) accumulates in
+    * DECIMAL(38,0) — exact integers end to end, ties contribute the
+    * standard ½, ONE double division at the end so the value is
+    * bit-identical on any engine. `scoreCents` must be integral.
+    * Output: one row (n_pos, n_neg, auc); auc null if a class is empty.
+    */
+  def aucExact(df: DataFrame, label: Column, scoreCents: Column,
+               bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    val rows = df.select(label.as("__y"), scoreCents.cast("long").as("__v"))
+    val byV = rows.groupBy(col("__v"))
+      .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("p"),
+        sum(when(!col("__y"), 1L).otherwise(0L)).as("q"))
+      .withColumn("__bkt",
+        ((col("__v").cast("decimal(38,0)") -
+          pmod(col("__v"), lit(bucketWidth))) / lit(bucketWidth))
+          .cast("long"))
+    val wIntra = Window.partitionBy(col("__bkt")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val intra = byV.withColumn("ib",
+      coalesce(sum(col("q")).over(wIntra), lit(0L)))
+    // offsets table is value-domain/bucketWidth sized — tiny; the
+    // single-partition window is over buckets, never rows
+    val wOff = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = byV.groupBy(col("__bkt")).agg(sum(col("q")).as("tq"))
+      .select(col("__bkt"),
+        coalesce(sum(col("tq")).over(wOff), lit(0L)).as("ob"))
+    intra.join(broadcast(offsets), "__bkt")
+      .agg(sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
+        sum(col("p").cast("decimal(38,0)") *
+          (lit(2L) * (col("ob") + col("ib")) + col("q"))
+            .cast("decimal(38,0)")).as("num2"))
+      .select(col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null))
+          .otherwise(round((col("num2").cast("double") /
+            (lit(2.0) * col("n_pos").cast("double") *
+              col("n_neg").cast("double"))).cast("decimal(20,10)"), 6)
+            .cast("double")).as("auc"))
+  }
+
+  /** K-anonymity generalization ladder — the privacy gate a
+    * training-data release needs: for each candidate generalization of
+    * the numeric quasi-identifier (bucket width w; w = 0 drops the
+    * column entirely), how many rows sit in a quasi-identifier group
+    * smaller than k (re-identifiable), and does the level meet k?
+    * ONE shuffle for every level: rows explode over the (few) widths,
+    * group sizes aggregate map-side-combinably on (width, QI...,
+    * generalized bucket), and the per-level report is a second tiny
+    * aggregate. Negative values bucket by true floor division (pmod),
+    * matching SQL's ((v % w) + w) % w chain. Output per width:
+    * (width, n_groups, n_risky_groups, n_risky_rows, meets_k).
+    */
+  def kAnonymityLadder(df: DataFrame, qi: Seq[Column], numCents: Column,
+                       widths: Seq[Long], k: Int): DataFrame = {
+    require(widths.nonEmpty && k >= 1)
+    val lvl = df.select((qi :+ numCents.cast("long").as("__v") :+
+        explode(array(widths.map(lit): _*)).as("width")): _*)
+      .withColumn("__g",
+        when(col("width") === 0L, lit(-1L)) // column generalized away
+          .otherwise(((col("__v").cast("decimal(38,0)") -
+            pmod(col("__v"), col("width"))) / col("width")).cast("long")))
+    val qiNames = lvl.columns.filter(c => c != "__v" && c != "width" &&
+      c != "__g").toSeq
+    val groups = lvl.groupBy((col("width") +: qiNames.map(col) :+
+        col("__g")): _*)
+      .agg(count(lit(1)).as("n"))
+    groups.groupBy(col("width"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("n_risky_groups"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_risky_rows"))
+      .withColumn("meets_k", col("n_risky_rows") === 0L)
+  }
 }

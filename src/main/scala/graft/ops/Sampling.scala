@@ -315,4 +315,44 @@ object Sampling {
           .cast("decimal(20,10)"), 2).cast("double").as("allocation"),
         (col("n_tok").cast("double") <= col("level")).as("saturated"))
   }
+
+  /** Range-partition boundary planning + balance audit — how a 100 TB
+    * global sort (or range-bucketed layout) picks its partition
+    * boundaries, made deterministic and oracle-checkable: a fixed-SIZE
+    * bottom-k-by-md5 sample of the rows (TakeOrderedAndProject — k
+    * rows cross the wire no matter the corpus size, and the sample is
+    * a pure function of the unique `ordKey` so every engine draws the
+    * SAME rows), boundary i = the sample value at integer rank
+    * ⌈i·n/parts⌉ (value-at-rank is deterministic under ties), and the
+    * audit assigns every row to part = #boundaries strictly below its
+    * value via one broadcast sorted array — rows equal to a boundary
+    * go DOWN, so assignment is total and deterministic. Duplicate
+    * boundary values (tiny or skewed samples) simply leave some parts
+    * empty. Only the scan + final aggregate are data-sized; sample
+    * ranking runs on ≤ k rows. Output per non-empty part:
+    * (part, n_rows, min_c, max_c).
+    */
+  def rangePartitionAudit(df: DataFrame, ordKey: Column, valueCents: Column,
+                          parts: Int, sampleK: Int): DataFrame = {
+    require(parts >= 2 && sampleK >= parts, "need sampleK >= parts >= 2")
+    val rows = df.select(md5(ordKey.cast("string")).as("__h"),
+      valueCents.cast("long").as("__v"))
+    val smp = rows.orderBy(col("__h")).limit(sampleK).select(col("__v"))
+    val n1 = smp.agg(count(lit(1)).as("n"))
+    val rk = smp.withColumn("rn",
+      row_number().over(Window.orderBy(col("__v"))))
+    val idx = df.sparkSession.range(1, parts).select(col("id").as("i"))
+    val bounds = idx.crossJoin(broadcast(n1))
+      .withColumn("rn", floor((col("i") * col("n") +
+        lit(parts - 1)).cast("double") / lit(parts.toDouble)).cast("int"))
+      .join(rk, "rn")
+      .select(col("__v").as("bv"))
+    val bArr = bounds.agg(sort_array(collect_list(col("bv"))).as("bs"))
+    rows.crossJoin(broadcast(bArr))
+      .withColumn("part",
+        size(filter(col("bs"), b => col("__v") > b)))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n_rows"), min(col("__v")).as("min_c"),
+        max(col("__v")).as("max_c"))
+  }
 }

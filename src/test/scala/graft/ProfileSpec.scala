@@ -108,4 +108,56 @@ class ProfileSpec extends SparkSpec {
     assert(out("c") == ((3L, Some(0.0), None)))
     assert(out("d") == ((2L, None, None)))
   }
+
+  test("aucExact equals the pairwise definition (ties = 1/2), is " +
+      "bucket-width invariant, and nulls on a one-class sample") {
+    val rnd = new scala.util.Random(31)
+    // heavy ties: scores from a small domain so every tie path runs
+    val rows = (0 until 400).map(_ =>
+      (rnd.nextBoolean(), rnd.nextInt(25).toLong))
+    val pos = rows.filter(_._1).map(_._2)
+    val neg = rows.filterNot(_._1).map(_._2)
+    val truth = pos.flatMap(p => neg.map(n =>
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0)).sum /
+      (pos.size.toDouble * neg.size.toDouble)
+    val df = rows.toDF("y", "v")
+    val got = Profile.aucExact(df, $"y", $"v", 7L)
+      .as[(Long, Long, Double)].head()
+    assert(got._1 == pos.size && got._2 == neg.size)
+    assert(math.abs(got._3 - truth) < 1e-6, s"auc ${got._3} vs $truth")
+    // two-level decomposition must not depend on the bucket width
+    val w1 = Profile.aucExact(df, $"y", $"v", 1L)
+      .as[(Long, Long, Double)].head()
+    assert(w1 == got)
+    // perfect separation → 1.0; one-class sample → null auc
+    val sep = Seq((true, 10L), (true, 9L), (false, 1L), (false, 2L))
+    assert(Profile.aucExact(sep.toDF("y", "v"), $"y", $"v", 3L)
+      .as[(Long, Long, Double)].head()._3 == 1.0)
+    val one = Seq((true, 1L), (true, 2L)).toDF("y", "v")
+    assert(Profile.aucExact(one, $"y", $"v", 3L)
+      .select($"auc").collect().head.isNullAt(0))
+  }
+
+  test("kAnonymityLadder: coarser widths absorb risky rows, width 0 " +
+      "drops the column, negative values floor-bucket") {
+    // group key "a": balances 5, 15 → width 10 splits them into two
+    // singleton groups (risky at k=2); width 100 merges them (safe).
+    // group key "b": -5 and -15 must land in buckets -1 and -2 under
+    // width 10 (floor, not truncation toward zero).
+    val df = Seq(
+      ("a", 5L), ("a", 15L),
+      ("b", -5L), ("b", -15L))
+      .toDF("g", "v")
+    val out = Profile.kAnonymityLadder(df, Seq($"g"), $"v",
+        Seq(10L, 100L, 0L), 2)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(10L) == ((10L, 4L, 4L, 4L, false)),
+      "width 10: four singleton groups, all risky")
+    // width 100: a's pair share bucket 0, but b's -5 (bucket -1) and
+    // -15 (bucket -1) also merge — both groups reach k
+    assert(out(100L) == ((100L, 2L, 0L, 0L, true)))
+    assert(out(0L) == ((0L, 2L, 0L, 0L, true)),
+      "width 0 generalizes the numeric away entirely")
+  }
 }

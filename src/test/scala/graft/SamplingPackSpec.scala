@@ -219,4 +219,26 @@ class SamplingPackSpec extends SparkSpec {
       .map(r => r._1 -> r._3).toMap
     assert(none == Map("a" -> 0.0, "b" -> 0.0))
   }
+
+  test("rangePartitionAudit: total partition (every row exactly once), " +
+      "ordered disjoint ranges, exact balance under a full sample") {
+    val rnd = new scala.util.Random(47)
+    val rows = (1L to 400L).map(k => (k, rnd.nextInt(100000).toLong))
+    val df = rows.toDF("k", "v")
+    val out = Sampling.rangePartitionAudit(df, col("k"), col("v"), 8, 64)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._2).sum == 400L, "every row lands in exactly one part")
+    // ranges are disjoint and ordered: each part's max below next min
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, s"parts overlap: $a vs $b")
+    case _ => ()
+    }
+    // full sample (k = n) on DISTINCT values with p | n → perfectly
+    // equal parts (boundaries are the exact quantiles)
+    val dv = (1L to 400L).map(k => (k, k * 7L)).toDF("k", "v")
+    val eq = Sampling.rangePartitionAudit(dv, col("k"), col("v"), 8, 400)
+      .as[(Int, Long, Long, Long)].collect()
+    assert(eq.length == 8 && eq.forall(_._2 == 50L),
+      s"full-sample split must be exactly balanced: ${eq.mkString(",")}")
+  }
 }
