@@ -317,6 +317,40 @@ object SparkEntry {
        |      * (CAST(coalesce(s, 0) AS DOUBLE) / 1e9)) AS pr
        |  FROM tg LEFT JOIN ${tag}c ON tg.id = ${tag}c.dst)""".stripMargin
 
+  /** One DuckDB label-propagation iteration (Graph.labelPropagation
+    * parity): neighbor-majority vote, ties to the smallest label,
+    * isolated nodes keep their own. Expects CTE eu(src, dst) holding
+    * BOTH directions of each undirected edge, self-loops removed.
+    */
+  private def lpaIterSql(prev: String, tag: String): String =
+    s"""${tag}v AS (SELECT eu.dst AS id, p.lbl, count(*) AS c
+       |  FROM eu JOIN $prev p ON eu.src = p.id GROUP BY 1, 2),
+       |${tag}w AS (SELECT id, lbl AS new_lbl FROM (
+       |  SELECT id, lbl, row_number() OVER (PARTITION BY id
+       |    ORDER BY c DESC, lbl ASC) AS rn FROM ${tag}v) WHERE rn = 1),
+       |$tag AS (SELECT p.id, coalesce(w.new_lbl, p.lbl) AS lbl
+       |  FROM $prev p LEFT JOIN ${tag}w w ON p.id = w.id)""".stripMargin
+
+  /** One DuckDB BPE merge-learning round (Text.bpeLearnMerges parity):
+    * count adjacent symbol pairs weighted by word count, pick the
+    * (count desc, a, b) best, fuse it in every word via the literal
+    * paren-framed replace. `prev` holds (w, cnt) with w framed as
+    * "(c1)(c2)…"; exposes ${tag}b (a, b, pc) and $tag (w, cnt).
+    */
+  private def bpeIterSql(prev: String, tag: String): String =
+    s"""${tag}s AS (SELECT string_split(w[2:-2], ')(') AS s, cnt
+       |  FROM $prev),
+       |${tag}i AS (SELECT s, cnt, unnest(range(1, len(s))) AS i
+       |  FROM ${tag}s),
+       |${tag}c AS (SELECT s[i] AS a, s[i+1] AS b,
+       |    CAST(sum(cnt) AS BIGINT) AS pc
+       |  FROM ${tag}i GROUP BY 1, 2),
+       |${tag}b AS (SELECT a, b, pc FROM ${tag}c
+       |  ORDER BY pc DESC, a, b LIMIT 1),
+       |$tag AS (SELECT replace(w, '(' || a || ')(' || b || ')',
+       |    '(' || a || b || ')') AS w, cnt
+       |  FROM $prev CROSS JOIN ${tag}b)""".stripMargin
+
   /** DuckDB word-3-gram distinct shingles over a token list column tk. */
   private val shingleSql =
     """list_distinct([array_to_string(tk[i:i+2], ' ') for i in range(1, len(tk) - 1)])"""
@@ -1202,6 +1236,39 @@ object SparkEntry {
           col("o_orderkey"), round(col("o_totalprice") * 100).cast("long"),
           8, 200)
         .orderBy(col("part"))),
+
+    // Text/tokenizer: BPE MERGE LEARNING — three greedy merge rounds
+    // over the corpus vocabulary (distinct words with counts collapse
+    // FIRST, so per-round work is vocabulary-sized): the distributed
+    // core of tokenizer training, with the paren-framed literal-replace
+    // trick making merge application engine-exact.
+    "q175_bpe_train" -> ((s, dir) => {
+      val wc = t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z0-9]+$"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      Text.bpeLearnMerges(wc, 3).orderBy(col("round"))
+    }),
+
+    // Similarity/PCA: exact fixed-point GRAMIAN of the embedding
+    // corpus — the distributed half of tall-skinny PCA/whitening
+    // (compute XᵀX in one map-side-combinable pass, eigen-solve the
+    // d² matrix locally); cells are exact integers, so the moment
+    // matrix is bit-identical on any engine.
+    "q176_gramian" -> ((s, dir) =>
+      Similarity.gramianFixedPoint(t(s, dir, "embeddings"),
+          col("embedding"), 1000)
+        .select(col("i"), col("j"), col("g").cast("double").as("g"))),
+
+    // Graph: LABEL-PROPAGATION communities over the doc-link graph —
+    // two synchronous neighbor-majority sweeps (deterministic LPA:
+    // id-seeded labels, min-label tiebreak), reported as the top-20
+    // communities by size. Per round one edge equi-join + one (node,
+    // label) count — PageRank economics, no transitive closure.
+    "q174_label_prop" -> ((s, dir) =>
+      Graph.labelPropagation(docLinkEdges(s, dir), 2)
+        .groupBy(col("community")).agg(count(lit(1)).as("n_members"))
+        .orderBy(col("n_members").desc, col("community")).limit(20)),
 
     // Text/safety: BLOCKLIST GATE — per-doc occurrence and distinct-term
     // counts against a broadcast-literal blocklist, flag at ≥ 2
@@ -5359,6 +5426,55 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  min(v) AS min_c, max(v) AS max_c
         |FROM pt GROUP BY 1 ORDER BY part""".stripMargin,
+
+    // Same collapsed vocabulary, same paren framing, three unrolled
+    // merge rounds with the identical (pc desc, a, b) greedy pick.
+    "q175_bpe_train" ->
+      s"""WITH wc AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest($tokSql) AS tok FROM documents)
+         |  WHERE regexp_matches(tok, '^[a-z0-9]+${"$"}')
+         |  GROUP BY 1),
+         |w0 AS (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS w, cnt
+         |  FROM wc),
+         |${bpeIterSql("w0", "w1")},
+         |${bpeIterSql("w1", "w2")},
+         |${bpeIterSql("w2", "w3")}
+         |SELECT 1 AS round, a AS sym_a, b AS sym_b, pc AS pair_count
+         |  FROM w1b
+         |UNION ALL SELECT 2, a, b, pc FROM w2b
+         |UNION ALL SELECT 3, a, b, pc FROM w3b
+         |ORDER BY round""".stripMargin,
+
+    // Same ×1000 snap (double-cast first), same per-row outer-product
+    // enumeration, exact integer cells cast to double at the end.
+    "q176_gramian" ->
+      """WITH c AS (SELECT list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS c
+        |  FROM embeddings),
+        |ii AS (SELECT c, unnest(range(1, len(c) + 1)) AS i FROM c),
+        |p AS (SELECT i, c[i] AS ci, unnest(range(1, len(c) + 1)) AS j, c
+        |  FROM ii)
+        |SELECT CAST(i - 1 AS INTEGER) AS i, CAST(j - 1 AS INTEGER) AS j,
+        |  CAST(CAST(sum(ci * c[j]) AS HUGEINT) AS DOUBLE) AS g
+        |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // Two unrolled LPA sweeps over the same generated edge set (both
+    // directions, self-loops out), same (size desc, community) cutoff.
+    "q174_label_prop" ->
+      s"""WITH docs AS (SELECT doc_id FROM documents),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM docs),
+         |e AS (SELECT doc_id AS src, (doc_id * 7 + k * 13) % nn AS dst
+         |  FROM docs CROSS JOIN nc
+         |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+         |eu AS (SELECT src, dst FROM e WHERE src <> dst
+         |  UNION ALL SELECT dst, src FROM e WHERE src <> dst),
+         |nodes AS (SELECT DISTINCT src AS id FROM eu),
+         |l0 AS (SELECT id, id AS lbl FROM nodes),
+         |${lpaIterSql("l0", "l1")},
+         |${lpaIterSql("l1", "l2")}
+         |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+         |FROM l2 GROUP BY 1
+         |ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
 
     // Same literal blocklist, same occurrence/distinct-term split.
     "q162_blocklist_gate" ->

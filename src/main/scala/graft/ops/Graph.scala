@@ -210,4 +210,35 @@ object Graph {
     }
     dist
   }
+
+  /** Synchronous label-propagation community detection — `iters`
+    * rounds of: every node adopts the label most frequent among its
+    * (undirected) neighbors, ties to the SMALLEST label, isolated
+    * nodes keep their own. Labels start as node ids, so the result is
+    * deterministic on any engine (plain LPA's random update order is
+    * replaced by the synchronous sweep + total-order tiebreak). Per
+    * round: one equi-join shuffle (labels × edges on the source key) +
+    * one count aggregate on (node, label) + one argmin — the same
+    * per-iteration economics as [[pageRank]], scaling to billions of
+    * edges. Output: (id, community).
+    */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val ue = edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val e = ue.unionByName(
+      ue.select(col("dst").as("src"), col("src").as("dst")))
+    val nodes = e.select(col("src").as("id")).distinct()
+    var lab = nodes.select(col("id"), col("id").as("lbl"))
+    for (_ <- 1 to iters) {
+      val votes = e.join(lab, col("src") === col("id"))
+        .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
+      val win = votes.groupBy(col("dst"))
+        .agg(min_by(col("lbl"), struct((-col("c")).as("nc"), col("lbl")))
+          .as("new_lbl"))
+      lab = lab.join(win, col("id") === col("dst"), "left")
+        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+    }
+    lab.select(col("id"), col("lbl").as("community"))
+  }
 }

@@ -1222,4 +1222,45 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** d×d Gramian of a vector corpus in exact fixed point — the one-pass
+    * moment matrix behind PCA / whitening of an embedding column:
+    * components snap to ×`scale` integers at the scan, each row emits
+    * its d² outer products via two generators (no self-join — the
+    * second explode re-walks the row's own array), and cells accumulate
+    * in DECIMAL(38,0) through a map-side-combinable (i, j) aggregate,
+    * so at most d² partial cells per partition cross the wire no matter
+    * the corpus size. The eigen-solve on the collected d² matrix is a
+    * DRIVER-side step ([[topEigen]]) — the canonical tall-skinny PCA
+    * split: distribute XᵀX, solve locally. G[i][j] = Σ_rows cᵢ·cⱼ,
+    * exact integers, bit-identical on any engine.
+    * Output: (i, j, g), d² rows, 0-based dims.
+    */
+  def gramianFixedPoint(vecs: DataFrame, vec: Column, scale: Int): DataFrame =
+    vecs.select(transform(vec,
+        x => round(x.cast("double") * scale).cast("long")).as("c"))
+      .select(col("c"), posexplode(col("c")).as(Seq("i", "ci")))
+      .select(col("i"), col("ci"), posexplode(col("c")).as(Seq("j", "cj")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("ci") * col("cj")).cast("decimal(38,0)")).as("g"))
+
+  /** Driver-side power iteration for the top eigenpair of a (tiny,
+    * symmetric, collected) Gramian — d² doubles, the local half of the
+    * [[gramianFixedPoint]] PCA split. Deterministic: starts from the
+    * all-ones direction. Returns (unit eigenvector, eigenvalue as the
+    * Rayleigh quotient).
+    */
+  def topEigen(g: Array[Array[Double]], iters: Int): (Array[Double], Double) = {
+    val d = g.length
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => g(i)(j) * v(j)).sum)
+      val n = math.sqrt(w.map(x => x * x).sum)
+      if (n > 0) v = w.map(_ / n)
+    }
+    val gv = Array.tabulate(d)(i => (0 until d).map(j => g(i)(j) * v(j)).sum)
+    val lambda = (0 until d).map(i => v(i) * gv(i)).sum
+    (v, lambda)
+  }
 }

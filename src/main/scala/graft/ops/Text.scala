@@ -103,6 +103,56 @@ object Text {
 
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
 
+  /** Byte-pair-encoding MERGE LEARNING — the distributed core of
+    * tokenizer training: `rounds` greedy rounds of (count all adjacent
+    * symbol pairs across the corpus, weighted by word frequency; pick
+    * the most frequent pair, ties to the lexicographically smallest;
+    * rewrite every word with the pair fused). Input is the DISTINCT
+    * word table (`w`, `cnt`) — duplicate words collapse before any
+    * per-symbol work (the q28 collapse-first economics), so each round
+    * is one explode + one hash aggregate over vocabulary-sized data,
+    * never corpus-sized.
+    *
+    * Words are framed as "(c1)(c2)…": applying a merge is then a
+    * LITERAL string replace of "(a)(b)" → "(ab)". Adjacent matches
+    * share no boundary characters under this framing, so left-to-right
+    * non-overlapping replacement is well-defined and identical on any
+    * engine (a space-separated framing is NOT: consecutive pairs share
+    * the separator and replace() semantics diverge). Pair counting
+    * enumerates every adjacent pair including overlapping runs
+    * ("aaa" counts (a,a) twice) — the classic BPE counting rule.
+    * Symbols must match ^[a-z0-9]+$ so the frame chars stay unambiguous.
+    * Output: one row per round (round, sym_a, sym_b, pair_count).
+    */
+  def bpeLearnMerges(wordCounts: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    var words = wordCounts
+      .select(regexp_replace(col("w"), "(.)", "($1)").as("w"), col("cnt"))
+    val perRound = (1 to rounds).map { r =>
+      val pairs = words.select(col("cnt"),
+        explode(Cols.bound(
+          split(expr("substring(w, 2, length(w) - 2)"), "\\)\\("))(s =>
+          when(size(s) >= 2,
+            transform(sequence(lit(0), size(s) - 2), i =>
+              struct(element_at(s, i + 1).as("a"),
+                element_at(s, i + 2).as("b"))))
+            .otherwise(array()
+              .cast("array<struct<a:string,b:string>>")))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"), col("cnt"))
+      val best = pairs.groupBy(col("a"), col("b"))
+        .agg(sum(col("cnt")).as("pc"))
+        .orderBy(col("pc").desc, col("a"), col("b")).limit(1)
+      words = words.crossJoin(broadcast(best))
+        .select(replace(col("w"),
+          concat(lit("("), col("a"), lit(")("), col("b"), lit(")")),
+          concat(lit("("), col("a"), col("b"), lit(")"))).as("w"),
+          col("cnt"))
+      best.select(lit(r).as("round"), col("a").as("sym_a"),
+        col("b").as("sym_b"), col("pc").as("pair_count"))
+    }
+    perRound.reduce(_.unionByName(_))
+  }
+
   /** Polynomial rolling-hash document fingerprint over the token stream:
     * Σ H(tᵢ)·31^(n−1−i) mod P — the order-sensitive cousin of the md5
     * fingerprint (re-ordered tokens hash differently). H is the portable

@@ -163,4 +163,45 @@ class GraphSpec extends SparkSpec {
       Seq(0L, 9L).toDF("id"), 3).as[(Long, Int)].collect().toMap
     assert(out2 == Map(0L -> 0, 9L -> 0, 1L -> 1, 2L -> 1))
   }
+
+  test("labelPropagation matches an independent synchronous-sweep " +
+      "reference on a random graph; dense cliques keep their min id") {
+    // independent reference: same synchronous majority/min-tie sweep
+    def ref(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val ue = edges.filter(e => e._1 != e._2)
+      val adj = (ue ++ ue.map(_.swap)).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2) }
+      var lab = adj.keys.map(v => v -> v).toMap
+      for (_ <- 1 to iters) {
+        val prev = lab
+        lab = adj.map { case (v, ns) =>
+          val votes = ns.map(prev).groupBy(identity)
+            .map { case (l, o) => l -> o.size }
+          val best = votes.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+          v -> best
+        }
+      }
+      lab
+    }
+    val rnd = new scala.util.Random(53)
+    val es = (0 until 300).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    for (it <- Seq(1, 2, 3)) {
+      val out = Graph.labelPropagation(es.toDF("src", "dst"), it)
+        .as[(Long, Long)].collect().toMap
+      assert(out == ref(es, it), s"iter $it diverged from reference")
+    }
+    // an isolated dense clique converges to its min id and stays there
+    def clique(ids: Seq[Long]) = for { a <- ids; b <- ids if a < b }
+      yield (a, b)
+    val cl = Graph.labelPropagation(
+      clique(Seq(5L, 6L, 7L, 8L)).toDF("src", "dst"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(cl.values.forall(_ == 5L), s"clique labels: $cl")
+    // self-loops are ignored entirely
+    val self = Graph.labelPropagation(
+      Seq((1L, 1L), (1L, 2L)).toDF("src", "dst"), 2)
+      .as[(Long, Long)].collect().toMap
+    assert(self.keySet == Set(1L, 2L))
+  }
 }

@@ -596,4 +596,45 @@ class SimilaritySpec extends SparkSpec {
       Similarity.truncatedCandidates(qs, vecs, 8, 10), 5)
     assert(tight.count() == 8 * 5)
   }
+
+  test("gramianFixedPoint matches the local outer-product sum exactly; " +
+      "topEigen recovers a planted dominant direction") {
+    val rnd = new scala.util.Random(41)
+    val d = 8
+    // planted direction u: most variance along it, small isotropic noise
+    val u = {
+      val raw = Array.fill(d)(rnd.nextGaussian())
+      val n = math.sqrt(raw.map(x => x * x).sum); raw.map(_ / n)
+    }
+    val data = (0 until 300).map { _ =>
+      val a = rnd.nextGaussian() * 5.0
+      Array.tabulate(d)(i => (a * u(i) + rnd.nextGaussian() * 0.1).toFloat)
+    }
+    val df = data.map(v => Tuple1(v.toSeq)).toDF("embedding")
+    val got = Similarity.gramianFixedPoint(df, col("embedding"), 1000)
+      .select($"i", $"j", $"g".cast("long"))
+      .as[(Int, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // local truth on the SAME snapped integers
+    val snapped = data.map(v => v.map(x => math.round(x.toDouble * 1000)))
+    for (i <- 0 until d; j <- 0 until d) {
+      val want = snapped.map(r => r(i) * r(j)).sum
+      assert(got((i, j)) == want, s"G[$i][$j]")
+    }
+    // symmetric by construction
+    for (i <- 0 until d; j <- 0 until d)
+      assert(got((i, j)) == got((j, i)))
+    // power iteration on the collected matrix finds the planted axis
+    val gm = Array.tabulate(d, d)((i, j) => got((i, j)).toDouble)
+    val (v, lambda) = Similarity.topEigen(gm, 50)
+    val align = math.abs((0 until d).map(i => v(i) * u(i)).sum)
+    assert(align > 0.99, s"eigenvector alignment $align")
+    assert(lambda > 0, "top eigenvalue of a Gramian is positive")
+    // Rayleigh quotient of the returned vector is a fixed point:
+    // G·v ≈ λ·v
+    val gv = Array.tabulate(d)(i => (0 until d).map(j => gm(i)(j) * v(j)).sum)
+    val resid = math.sqrt((0 until d).map(i =>
+      math.pow(gv(i) - lambda * v(i), 2)).sum) / lambda
+    assert(resid < 1e-6, s"eigen residual $resid")
+  }
 }

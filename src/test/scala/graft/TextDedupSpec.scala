@@ -617,4 +617,32 @@ class TextDedupSpec extends SparkSpec {
     assert(r(2) == "order xyz total")
     assert(r(3) == "v#.#.# build #")
   }
+
+  test("bpeLearnMerges: greedy weighted picks, merged symbols compose " +
+      "in later rounds, overlapping runs count classic-BPE style") {
+    // round 1: "ab" appears in abc (×3) and xab (×2) → (a,b) weight 5
+    // beats (b,c) 3 and (x,a) 2.
+    // round 2: after fusing, words are (ab)(c)×3, (x)(ab)×2 —
+    // (ab,c) 3 beats (x,ab) 2: the new symbol participates.
+    val wc = Seq(("abc", 3L), ("xab", 2L)).toDF("w", "cnt")
+    val out = Text.bpeLearnMerges(wc, 2)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1, "a", "b", 5L)), s"round 1: ${out(0)}")
+    assert(out(1) == ((2, "ab", "c", 3L)), s"round 2: ${out(1)}")
+    // overlapping run: "aaa" counts (a,a) twice per word (classic BPE
+    // counting); fusion is left-to-right non-overlapping, so round 2's
+    // top pair over the rewritten (aa)(a) is (aa, a)
+    val runs = Seq(("aaa", 4L), ("bc", 3L)).toDF("w", "cnt")
+    val r2 = Text.bpeLearnMerges(runs, 2)
+      .as[(Int, String, String, Long)].collect().sortBy(_._1)
+    assert(r2(0) == ((1, "a", "a", 8L)),
+      s"overlapping (a,a) pairs count twice per word: ${r2(0)}")
+    assert(r2(1) == ((2, "aa", "a", 4L)), s"round 2 on fused runs: ${r2(1)}")
+    // tie-break: equal counts resolve to the lexicographically
+    // smallest (a, b)
+    val tie = Seq(("dc", 1L), ("ba", 1L)).toDF("w", "cnt")
+    val t1 = Text.bpeLearnMerges(tie, 1)
+      .as[(Int, String, String, Long)].head()
+    assert(t1 == ((1, "b", "a", 1L)), s"tie goes to smallest pair: $t1")
+  }
 }
