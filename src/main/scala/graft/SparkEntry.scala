@@ -1260,6 +1260,34 @@ object SparkEntry {
           col("embedding"), 1000)
         .select(col("i"), col("j"), col("g").cast("double").as("g"))),
 
+    // Text/mixture: pairwise source KL DIVERGENCE — add-one-smoothed
+    // token distributions compared over the union vocabulary; work is
+    // |pairs|·|vocab|, never corpus²; per-term ×1e9 snap keeps the sum
+    // order-free.
+    "q177_source_kl" -> ((s, dir) =>
+      Text.sourceKlDivergence(t(s, dir, "documents"),
+          col("source"), col("text"))
+        .orderBy(col("kl").desc, col("source_a"), col("source_b"))
+        .limit(25)),
+
+    // Stats/eval: exact equal-count CALIBRATION bins — conversion rate
+    // per score decile with the bin assignment from exact global ranks
+    // (the aucExact two-level prefix sum), ties never straddle a
+    // boundary.
+    "q178_calibration" -> ((s, dir) =>
+      Profile.calibrationBins(t(s, dir, "events"),
+          col("event_type") === "purchase",
+          round(col("value") * 100).cast("long"), 10, 1000L)
+        .orderBy(col("bin"))),
+
+    // Events: TIME-DECAY attribution — completes the attribution
+    // family (last-touch q140, linear q158): per-pair 2^(−Δt/7d)
+    // weights snapped ×1e6 pre-sum, bounded per-user pair join.
+    "q179_decay_attribution" -> ((s, dir) =>
+      Events.timeDecayAttribution(t(s, dir, "events"), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"), col("value"),
+        Seq("click", "view"), "purchase", 7.0)),
+
     // Graph: LABEL-PROPAGATION communities over the doc-link graph —
     // two synchronous neighbor-majority sweeps (deterministic LPA:
     // id-seeded labels, min-label tiebreak), reported as the top-20
@@ -5457,6 +5485,100 @@ object SparkEntry {
         |SELECT CAST(i - 1 AS INTEGER) AS i, CAST(j - 1 AS INTEGER) AS j,
         |  CAST(CAST(sum(ci * c[j]) AS HUGEINT) AS DOUBLE) AS g
         |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // Same smoothed probabilities (identical double op order), same
+    // per-term ×1e9 snap, same (kl desc, a, b) cutoff.
+    "q177_source_kl" ->
+      s"""WITH tk AS (SELECT source, unnest($tokSql) AS tok
+         |  FROM documents),
+         |cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM tk GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n
+         |  FROM cnt GROUP BY 1),
+         |voc AS (SELECT DISTINCT tok FROM cnt),
+         |vc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
+         |pr AS (SELECT x.source AS sa, x.n AS na, y.source AS sb,
+         |    y.n AS nb
+         |  FROM tot x JOIN tot y ON x.source <> y.source),
+         |sup AS (SELECT sa, na, sb, nb, tok, v
+         |  FROM pr CROSS JOIN voc CROSS JOIN vc),
+         |j AS (SELECT sa, sb,
+         |    CAST(coalesce(a.c, 0) + 1 AS DOUBLE)
+         |      / CAST(na + v AS DOUBLE) AS pa,
+         |    CAST(coalesce(b.c, 0) + 1 AS DOUBLE)
+         |      / CAST(nb + v AS DOUBLE) AS pb
+         |  FROM sup
+         |  LEFT JOIN cnt a ON a.source = sup.sa AND a.tok = sup.tok
+         |  LEFT JOIN cnt b ON b.source = sup.sb AND b.tok = sup.tok),
+         |t AS (SELECT sa, sb,
+         |    CAST(round(pa * ln(pa / pb) * 1e9) AS BIGINT) AS tf
+         |  FROM j)
+         |SELECT sa AS source_a, sb AS source_b,
+         |  CAST(round(CAST(CAST(sum(tf) AS DOUBLE) / 1e9
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS kl
+         |FROM t GROUP BY 1, 2
+         |ORDER BY kl DESC, source_a, source_b LIMIT 25""".stripMargin,
+
+    // Same distinct-value counts, same exclusive running count, same
+    // ⌊below·bins/N⌋ integer bin, one rate division per bin.
+    "q178_calibration" ->
+      """WITH r AS (SELECT (event_type = 'purchase') AS y,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |bv AS (SELECT v, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS pos
+        |  FROM r GROUP BY 1),
+        |cb AS (SELECT v, c, pos,
+        |    COALESCE(CAST(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS below
+        |  FROM bv),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM r)
+        |SELECT CAST((below * 10) // n AS INTEGER) AS bin,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST(round(CAST(CAST(sum(pos) AS DOUBLE)
+        |    / CAST(sum(c) AS DOUBLE) AS DECIMAL(20,10)), 4) AS DOUBLE)
+        |    AS rate,
+        |  min(v) AS lo_c, max(v) AS hi_c
+        |FROM cb CROSS JOIN nn GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // Same pair join (strict (ts, id) order), same ×1e6 weight snap
+    // before the per-conversion total, same ×1e4 per-pair credit snap.
+    "q179_decay_attribution" ->
+      """WITH tch AS (SELECT user_id AS u, event_type AS tt,
+        |    epoch_us(ts) AS tus, event_id AS tord
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |cv AS (SELECT user_id AS u, epoch_us(ts) AS cus,
+        |    event_id AS cord, CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events WHERE event_type = 'purchase'),
+        |pr AS (SELECT cv.u, cv.cus, cv.cord, cv.vc, tch.tt, tch.tus
+        |  FROM cv JOIN tch ON cv.u = tch.u
+        |  WHERE tch.tus < cv.cus
+        |    OR (tch.tus = cv.cus AND tch.tord < cv.cord)),
+        |pw AS (SELECT *, CAST(round(pow(CAST(0.5 AS DOUBLE),
+        |      CAST(cus - tus AS DOUBLE) / CAST(86400000000 AS DOUBLE)
+        |        / CAST(7.0 AS DOUBLE)) * 1e6) AS BIGINT) AS w_fp
+        |  FROM pr),
+        |sw AS (SELECT u, cus, cord, CAST(sum(w_fp) AS BIGINT) AS sw_fp
+        |  FROM pw GROUP BY 1, 2, 3),
+        |cr AS (SELECT pw.tt,
+        |    CAST(round(CAST(vc AS DOUBLE) * CAST(w_fp AS DOUBLE)
+        |      / CAST(sw_fp AS DOUBLE) * 1e4) AS BIGINT) AS credit_fp
+        |  FROM pw JOIN sw ON pw.u = sw.u AND pw.cus = sw.cus
+        |    AND pw.cord = sw.cord),
+        |bt AS (SELECT tt AS touch_type,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(round(CAST(CAST(sum(credit_fp) AS DOUBLE) / 1e6
+        |      AS DECIMAL(20,10)), 2) AS DOUBLE) AS credit
+        |  FROM cr GROUP BY 1),
+        |orp AS (SELECT 'none' AS touch_type,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    coalesce(CAST(round(CAST(CAST(sum(vc) AS DOUBLE)
+        |      / CAST(100.0 AS DOUBLE) AS DECIMAL(20,10)), 2) AS DOUBLE),
+        |      CAST(0.0 AS DOUBLE)) AS credit
+        |  FROM cv WHERE NOT EXISTS (SELECT 1 FROM pr
+        |    WHERE pr.u = cv.u AND pr.cus = cv.cus AND pr.cord = cv.cord))
+        |SELECT * FROM bt UNION ALL SELECT * FROM orp""".stripMargin,
 
     // Two unrolled LPA sweeps over the same generated edge set (both
     // directions, self-loops out), same (size desc, community) cutoff.

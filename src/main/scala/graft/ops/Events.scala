@@ -299,6 +299,61 @@ object Events {
     touches.unionByName(unattributed)
   }
 
+  /** TIME-DECAY multi-touch attribution — the third member of the
+    * attribution family (last-touch q140 winner-take-all, linear q158
+    * equal split): each conversion's value splits over its prior
+    * touches proportionally to 2^(−Δt/halfLife), so recent touches earn
+    * more. Weights vary per (touch, conversion) pair, so this is a
+    * bounded per-user pair join (touches × conversions inside one user
+    * — work Σ_u t_u·c_u, the q161 within-key economics), not a window
+    * suffix sum. Determinism: the one pow() per pair snaps to ×1e6
+    * BEFORE the per-conversion weight total (exact integer Σ), each
+    * pair's credit is one double chain snapped to ×1e4 cents pre-sum,
+    * and the final per-type credit is one division. Conversions with
+    * no prior touch report under 'none'. Output:
+    * (touch_type, n_pairs, credit).
+    */
+  def timeDecayAttribution(events: DataFrame, user: Column, ts: Column,
+                           order: Column, etype: Column, value: Column,
+                           touchTypes: Seq[String], convType: String,
+                           halfLifeDays: Double): DataFrame = {
+    val isTouch = etype.isInCollection(touchTypes)
+    val touches = events.filter(isTouch)
+      .select(user.as("u"), etype.as("tt"),
+        unix_micros(ts).as("tus"), order.as("tord"))
+    val convs = events.filter(etype === convType)
+      .select(user.as("u"), unix_micros(ts).as("cus"), order.as("cord"),
+        round(value * 100).cast("long").as("vc"))
+    // strict time order with the order column as the total tiebreak —
+    // the same (ts, order) discipline as linearAttribution's windows
+    val pairsRaw = convs.join(touches, Seq("u"))
+      .filter(col("tus") < col("cus") ||
+        (col("tus") === col("cus") && col("tord") < col("cord")))
+    val pairs = pairsRaw.withColumn("w_fp",
+      round(pow(lit(0.5),
+        (col("cus") - col("tus")).cast("double") /
+          lit(86400000000.0) / lit(halfLifeDays)) * lit(1e6))
+        .cast("long"))
+    val perConv = pairs.groupBy(col("u"), col("cus"), col("cord"))
+      .agg(sum(col("w_fp")).as("sw_fp"))
+    val credited = pairs.join(perConv, Seq("u", "cus", "cord"))
+      .withColumn("credit_fp",
+        round(col("vc").cast("double") * col("w_fp").cast("double") /
+          col("sw_fp").cast("double") * lit(1e4)).cast("long"))
+    val byType = credited.groupBy(col("tt").as("touch_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round((sum(col("credit_fp")).cast("double") / lit(1e6))
+          .cast("decimal(20,10)"), 2).cast("double").as("credit"))
+    val orphan = convs.join(pairsRaw.select(col("u"), col("cus"),
+        col("cord")).distinct(), Seq("u", "cus", "cord"), "left_anti")
+      .agg(count(lit(1)).as("n_pairs"),
+        round((sum(col("vc")).cast("double") / lit(100.0))
+          .cast("decimal(20,10)"), 2).cast("double").as("credit"))
+      .select(lit("none").as("touch_type"), col("n_pairs"),
+        coalesce(col("credit"), lit(0.0)).as("credit"))
+    byType.unionByName(orphan)
+  }
+
   /** Top behavior trigrams: within-session consecutive event-type
     * 3-grams (the sequence-mining summary a next-action model trains
     * on), counted corpus-wide. Session boundaries are hard — a 3-gram

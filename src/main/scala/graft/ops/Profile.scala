@@ -241,6 +241,50 @@ object Profile {
             .cast("double")).as("auc"))
   }
 
+  /** Exact equal-count CALIBRATION bins — "are high scores actually
+    * better?": rows land in `bins` quantile bins of the score by EXACT
+    * global rank (bin = ⌊rowsStrictlyBelow·bins/N⌋ — value-level, so
+    * ties never straddle a boundary), and each bin reports its
+    * observed positive rate next to its score range. The global rank
+    * comes from the same two-level prefix sum as [[aucExact]] (no
+    * single-partition sort of the score domain); everything is exact
+    * integers except the one rate division per bin. `scoreCents` must
+    * be integral. Output per non-empty bin:
+    * (bin, n_rows, n_pos, rate, lo_c, hi_c).
+    */
+  def calibrationBins(df: DataFrame, label: Column, scoreCents: Column,
+                      bins: Int, bucketWidth: Long): DataFrame = {
+    require(bins >= 2 && bucketWidth >= 1)
+    val rows = df.select(label.as("__y"), scoreCents.cast("long").as("__v"))
+    val byV = rows.groupBy(col("__v"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("pos"))
+      .withColumn("__bkt",
+        ((col("__v").cast("decimal(38,0)") -
+          pmod(col("__v"), lit(bucketWidth))) / lit(bucketWidth))
+          .cast("long"))
+    val wIntra = Window.partitionBy(col("__bkt")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val intra = byV.withColumn("ib",
+      coalesce(sum(col("c")).over(wIntra), lit(0L)))
+    val wOff = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = byV.groupBy(col("__bkt")).agg(sum(col("c")).as("tc"))
+      .select(col("__bkt"),
+        coalesce(sum(col("tc")).over(wOff), lit(0L)).as("ob"))
+    val n = rows.agg(count(lit(1)).as("nn"))
+    intra.join(broadcast(offsets), "__bkt")
+      .crossJoin(broadcast(n))
+      .withColumn("bin",
+        expr(s"((ob + ib) * $bins) div nn").cast("int"))
+      .groupBy(col("bin"))
+      .agg(sum(col("c")).as("n_rows"), sum(col("pos")).as("n_pos"),
+        round((sum(col("pos")).cast("double") /
+          sum(col("c")).cast("double")).cast("decimal(20,10)"), 4)
+          .cast("double").as("rate"),
+        min(col("__v")).as("lo_c"), max(col("__v")).as("hi_c"))
+  }
+
   /** K-anonymity generalization ladder — the privacy gate a
     * training-data release needs: for each candidate generalization of
     * the numeric quasi-identifier (bucket width w; w = 0 drops the

@@ -103,6 +103,51 @@ object Text {
 
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
 
+  /** Pairwise KL divergence between per-source token distributions —
+    * the information-theoretic corpus-comparison signal next to the
+    * binned PSI (q90) and the set-level vocabulary Jaccard (q168):
+    * KL(a‖b) = Σ_t p_a(t)·ln(p_a(t)/p_b(t)) over the UNION vocabulary
+    * with add-one smoothing (so zero counts never divide by zero and
+    * the sum is finite). Work is |source pairs|·|vocabulary| — bounded
+    * by the vocabulary, never the corpus; the only corpus-sized stage
+    * is the (source, token) count. Each term snaps to ×1e9 fixed
+    * point pre-sum (order-free — the q72 surprisal convention; the
+    * one ln per term is the only libm call and its argument is an
+    * exact integer ratio). Output: (source_a, source_b, kl) for every
+    * ORDERED pair (KL is asymmetric).
+    */
+  def sourceKlDivergence(docs: DataFrame, source: Column,
+                         text: Column): DataFrame = {
+    val tok = docs.select(source.as("source"),
+      explode(tokens(text)).as("tok"))
+    val cnt = tok.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val voc = cnt.select(col("tok")).distinct()
+    val vc = voc.agg(count(lit(1)).as("v"))
+    val pairs = tot.as("x").join(tot.as("y"),
+        col("x.source") =!= col("y.source"))
+      .select(col("x.source").as("sa"), col("x.n").as("na"),
+        col("y.source").as("sb"), col("y.n").as("nb"))
+    val sup = voc.crossJoin(broadcast(pairs)).crossJoin(broadcast(vc))
+    val j = sup
+      .join(cnt.select(col("source").as("sa"), col("tok"),
+        col("c").as("ca")), Seq("sa", "tok"), "left")
+      .join(cnt.select(col("source").as("sb"), col("tok"),
+        col("c").as("cb")), Seq("sb", "tok"), "left")
+      .select(col("sa"), col("sb"),
+        ((coalesce(col("ca"), lit(0L)) + 1).cast("double") /
+          (col("na") + col("v")).cast("double")).as("pa"),
+        ((coalesce(col("cb"), lit(0L)) + 1).cast("double") /
+          (col("nb") + col("v")).cast("double")).as("pb"))
+    j.select(col("sa"), col("sb"),
+        round(col("pa") * log(col("pa") / col("pb")) * lit(1e9))
+          .cast("long").as("tf"))
+      .groupBy(col("sa").as("source_a"), col("sb").as("source_b"))
+      .agg(round((sum(col("tf")).cast("double") / lit(1e9))
+        .cast("decimal(20,10)"), 4).cast("double").as("kl"))
+  }
+
   /** Byte-pair-encoding MERGE LEARNING — the distributed core of
     * tokenizer training: `rounds` greedy rounds of (count all adjacent
     * symbol pairs across the corpus, weighted by word frequency; pick

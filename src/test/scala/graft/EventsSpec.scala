@@ -243,6 +243,32 @@ class EventsSpec extends SparkSpec {
     assert(out == Map(("a", "b", "c") -> 2L, ("b", "c", "d") -> 1L))
   }
 
+  test("timeDecayAttribution: weights halve per half-life, credit " +
+      "conserves the converted value, orphans report under 'none'") {
+    // u1: click 14 days before, view 7 days before, click at T-0h —
+    // weights 0.25 : 0.5 : 1.0 → shares 1/7, 2/7, 4/7 of $7.00.
+    // u2: purchase with no prior touch → 'none' bucket, full $3.00.
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "click", 0.0),
+      (1L, ts("2024-01-08 00:00:00"), 2L, "view", 0.0),
+      (1L, ts("2024-01-15 00:00:00"), 3L, "click", 0.0),
+      (1L, ts("2024-01-15 00:00:00"), 4L, "purchase", 7.0),
+      (2L, ts("2024-01-02 00:00:00"), 5L, "purchase", 3.0),
+      (2L, ts("2024-01-03 00:00:00"), 6L, "click", 0.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Events.timeDecayAttribution(ev, $"user_id", $"ts",
+        $"event_id", $"event_type", $"value",
+        Seq("click", "view"), "purchase", 7.0)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // clicks: (0.25 + 1.0)/1.75 of 7.00 = 5.00; view: 0.5/1.75 = 2.00
+    assert(out("click") == ((2L, 5.0)), s"click: ${out("click")}")
+    assert(out("view") == ((1L, 2.0)), s"view: ${out("view")}")
+    assert(out("none") == ((1L, 3.0)), "post-conversion touches don't count")
+    // conservation: attributed + orphan credit = total converted value
+    assert(math.abs(out.values.map(_._2).sum - 10.0) < 1e-6)
+  }
+
   test("robustOutliers flags by median/MAD and survives outlier drag") {
     // group a: tight cluster around 10 with one wild point; the mean/σ
     // z-score of 100 would shrink under the outlier's own drag, the

@@ -138,6 +138,33 @@ class ProfileSpec extends SparkSpec {
       .select($"auc").collect().head.isNullAt(0))
   }
 
+  test("calibrationBins: every row in exactly one bin, bins are ordered " +
+      "disjoint score ranges, uniform distinct scores split equally, " +
+      "rates match hand counts") {
+    val rnd = new scala.util.Random(61)
+    val rows = (0 until 500).map(_ =>
+      (rnd.nextBoolean(), rnd.nextInt(40).toLong))
+    val out = Profile.calibrationBins(rows.toDF("y", "v"), $"y", $"v",
+        5, 7L)
+      .as[(Int, Long, Long, Double, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._2).sum == 500L)
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a._6 <= b._5, s"ranges overlap: $a $b")
+      case _ => ()
+    }
+    // rate per bin equals the hand count over the same value range
+    out.foreach { case (_, n, np, rate, lo, hi) =>
+      val inBin = rows.filter(r => r._2 >= lo && r._2 <= hi)
+      assert(inBin.size == n && inBin.count(_._1) == np)
+      assert(math.abs(rate - np.toDouble / n) < 1e-4)
+    }
+    // 100 distinct uniform values into 5 bins → exactly 20 rows each
+    val uni = (1L to 100L).map(v => (v % 3 == 0, v))
+    val eq = Profile.calibrationBins(uni.toDF("y", "v"), $"y", $"v", 5, 9L)
+      .as[(Int, Long, Long, Double, Long, Long)].collect()
+    assert(eq.length == 5 && eq.forall(_._2 == 20L))
+  }
+
   test("kAnonymityLadder: coarser widths absorb risky rows, width 0 " +
       "drops the column, negative values floor-bucket") {
     // group key "a": balances 5, 15 → width 10 splits them into two

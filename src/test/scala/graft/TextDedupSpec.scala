@@ -618,6 +618,25 @@ class TextDedupSpec extends SparkSpec {
     assert(r(3) == "v#.#.# build #")
   }
 
+  test("sourceKlDivergence: zero against an identical distribution, " +
+      "non-negative everywhere, larger for more-divergent sources") {
+    val docs = Seq(
+      ("a", "x x x y"), ("a2", "x x x y"),          // a ≡ a2
+      ("b", "x y y y"),                             // mild shift
+      ("c", "z z z z"))                             // disjoint support
+      .flatMap { case (s, t) => Seq((s, t)) }
+      .toDF("source", "text")
+    val kl = graft.ops.Text.sourceKlDivergence(docs, $"source", $"text")
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(kl((("a", "a2"))) == 0.0, "identical distributions → KL 0")
+    assert(kl.values.forall(_ >= 0.0), s"Gibbs: KL >= 0, got $kl")
+    assert(kl(("a", "c")) > kl(("a", "b")),
+      "disjoint support diverges more than a mild shift")
+    // asymmetry is preserved (ordered pairs both present)
+    assert(kl.contains(("b", "a")) && kl.contains(("a", "b")))
+  }
+
   test("bpeLearnMerges: greedy weighted picks, merged symbols compose " +
       "in later rounds, overlapping runs count classic-BPE style") {
     // round 1: "ab" appears in abc (×3) and xab (×2) → (a,b) weight 5
