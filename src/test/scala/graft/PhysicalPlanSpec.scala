@@ -425,6 +425,55 @@ class PhysicalPlanSpec extends SparkSpec {
     assert(p.contains("FullOuter"), "fusion must keep single-leg docs")
   }
 
+  test("bloom-filtered join: bloom cells and survivors join by hash " +
+      "equi-join; nested loops only in one-row count crossings") {
+    val p = plan("q172_bloom_join")
+    assert(!p.contains("CartesianProduct"), p)
+    // probe×register membership and survivor×dim joins are equi-joins
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size +
+      "\\(\\d+\\) ShuffledHashJoin".r.findAllIn(p).size +
+      "\\(\\d+\\) SortMergeJoin".r.findAllIn(p).size >= 2,
+      s"bloom membership + exact join must be equi-joins:\n$p")
+    // the four one-row aggregates (counts + revenue) are the only
+    // permitted nested-loop participants
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size <= 4,
+      s"only one-row count frames may nested-loop:\n$p")
+  }
+
+  test("range-bound planning: the sample is a per-partition top-k " +
+      "(TakeOrderedAndProject), boundaries ride one broadcast array") {
+    val p = plan("q173_range_bounds")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"bottom-k-by-md5 sample must never global-sort:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("gramian: no join at all — per-row generators feed ONE " +
+      "map-side-combinable aggregate exchange") {
+    val p = plan("q176_gramian")
+    assert(!p.contains("Join"), s"outer products must not self-join:\n$p")
+    assert("(?m)^\\s*\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
+      s"exactly one shuffle (the d² aggregate):\n$p")
+    assert(p.contains("partial_sum"), "cells must combine map-side")
+  }
+
+  test("AUC and calibration: bucket offsets arrive broadcast; the " +
+      "distinct-score stream never sort-merge-joins") {
+    for (q <- Seq("q170_auc", "q178_calibration")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"), s"$q:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q offsets join:\n$p")
+    }
+  }
+
+  test("label propagation: every sweep is equi-join + hash aggregate — " +
+      "no cartesian, no window sort over nodes") {
+    val p = plan("q174_label_prop")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("(?m)^\\s*\\(\\d+\\) Window".r.findAllIn(p).isEmpty,
+      s"argmax must be min_by aggregate, not a ranking window:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-project pipeline") {
     val df = Tables(spark, dir, "lineitem")
       .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
