@@ -331,6 +331,30 @@ object SparkEntry {
        |$tag AS (SELECT p.id, coalesce(w.new_lbl, p.lbl) AS lbl
        |  FROM $prev p LEFT JOIN ${tag}w w ON p.id = w.id)""".stripMargin
 
+  /** DuckDB HLL estimate CTE pair over a register CTE `regCte`
+    * (Sketch.hllEstimate parity at bHex = 3): emits `${out}g`
+    * (grouped register sums) and `$out` ($keys, est). The q166 window
+    * chain generalized to any group keys.
+    */
+  private def hllEstSql(regCte: String, keys: String, out: String): String =
+    s"""${out}g AS (SELECT $keys, count(*) AS nb,
+       |    CAST(sum(CAST(floor(power(CAST(2.0 AS DOUBLE), 50 - rho))
+       |      AS BIGINT)) AS BIGINT) AS sum_fp
+       |  FROM $regCte GROUP BY $keys),
+       |$out AS (SELECT $keys,
+       |    CAST(round(CAST(CASE WHEN raw <= CAST(10240.0 AS DOUBLE)
+       |        AND v > 0
+       |        THEN ln(CAST(4096.0 AS DOUBLE) / v) * CAST(4096.0 AS DOUBLE)
+       |        ELSE raw END AS DECIMAL(20,10)), 2) AS DOUBLE) AS est
+       |  FROM (SELECT $keys,
+       |      (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+       |         + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE)))
+       |        * CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+       |        * power(CAST(2.0 AS DOUBLE), 50)
+       |        / (sum_fp + (4096 - nb) * (CAST(1 AS BIGINT) << 50)) AS raw,
+       |      CAST(4096 - nb AS DOUBLE) AS v
+       |    FROM ${out}g))""".stripMargin
+
   /** One DuckDB BPE merge-learning round (Text.bpeLearnMerges parity):
     * count adjacent symbol pairs weighted by word count, pick the
     * (count desc, a, b) best, fuse it in every word via the literal
@@ -1287,6 +1311,36 @@ object SparkEntry {
       Events.timeDecayAttribution(t(s, dir, "events"), col("user_id"),
         col("ts"), col("event_id"), col("event_type"), col("value"),
         Seq("click", "view"), "purchase", 7.0)),
+
+    // Sketch/mixture: SKETCHED vocabulary overlap — per-source HLL
+    // registers built ONCE serve every pair: pair-union distincts come
+    // from per-bucket register max (the mergeable-sketch property, the
+    // q166 trick on the source axis) and intersections from
+    // inclusion-exclusion. State is ≤ m registers/source at ANY corpus
+    // size — the scale path where q168's exact token self-join becomes
+    // the audit.
+    "q180_sketched_overlap" -> ((s, dir) => {
+      val st = t(s, dir, "documents")
+        .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+      val reg = Sketch.hllRegisters(st, Seq("source"), col("tok"))
+      val singles = Sketch.hllEstimate(reg, Seq("source"))
+      val pairs = singles.as("x").join(singles.as("y"),
+          col("x.source") < col("y.source"))
+        .select(col("x.source").as("a"), col("x.n_approx").as("n_a"),
+          col("y.source").as("b"), col("y.n_approx").as("n_b"))
+      val members = pairs.select(col("a"), col("b"),
+        explode(array(col("a"), col("b"))).as("source"))
+      val uReg = members.join(reg, Seq("source"))
+        .groupBy(col("a"), col("b"), col("bucket"))
+        .agg(max(col("rho")).as("rho"))
+      val uEst = Sketch.hllEstimate(uReg, Seq("a", "b"))
+        .withColumnRenamed("n_approx", "n_union")
+      pairs.join(uEst, Seq("a", "b"))
+        .select(col("a"), col("b"), col("n_a"), col("n_b"), col("n_union"),
+          round((col("n_a") + col("n_b") - col("n_union"))
+            .cast("decimal(20,10)"), 2).cast("double").as("n_inter_est"))
+        .orderBy(col("n_inter_est").desc, col("a"), col("b")).limit(15)
+    }),
 
     // Graph: LABEL-PROPAGATION communities over the doc-link graph —
     // two synchronous neighbor-majority sweeps (deterministic LPA:
@@ -5579,6 +5633,39 @@ object SparkEntry {
         |  FROM cv WHERE NOT EXISTS (SELECT 1 FROM pr
         |    WHERE pr.u = cv.u AND pr.cus = cv.cus AND pr.cord = cv.cord))
         |SELECT * FROM bt UNION ALL SELECT * FROM orp""".stripMargin,
+
+    // Same per-source registers (q166's md5 chain keyed by source),
+    // same pair-union bucket max, same estimate formula both levels.
+    "q180_sketched_overlap" ->
+      s"""WITH st AS (SELECT source, unnest($tokSql) AS tok
+         |  FROM documents),
+         |hh AS (SELECT source, md5(tok) AS hx FROM st),
+         |parts AS (SELECT source, hx, substr(hx, 4, 29) AS rest,
+         |    ltrim(substr(hx, 4, 29), '0') AS st
+         |  FROM hh),
+         |reg AS (SELECT source,
+         |    CAST('0x' || substr(hx, 1, 3) AS BIGINT) AS bucket,
+         |    max(CASE WHEN length(st) = 0 THEN 117
+         |        ELSE (length(rest) - length(st)) * 4 +
+         |          (CASE WHEN substr(st, 1, 1) = '1' THEN 3
+         |                WHEN substr(st, 1, 1) IN ('2','3') THEN 2
+         |                WHEN substr(st, 1, 1) IN ('4','5','6','7') THEN 1
+         |                ELSE 0 END) + 1 END) AS rho
+         |  FROM parts GROUP BY 1, 2),
+         |${hllEstSql("reg", "source", "se")},
+         |pr AS (SELECT x.source AS a, x.est AS n_a,
+         |    y.source AS b, y.est AS n_b
+         |  FROM se x JOIN se y ON x.source < y.source),
+         |mem AS (SELECT a, b, a AS source FROM pr
+         |  UNION ALL SELECT a, b, b FROM pr),
+         |ureg AS (SELECT a, b, bucket, max(rho) AS rho
+         |  FROM mem JOIN reg USING (source) GROUP BY 1, 2, 3),
+         |${hllEstSql("ureg", "a, b", "ue")}
+         |SELECT pr.a, pr.b, n_a, n_b, ue.est AS n_union,
+         |  CAST(round(CAST(n_a + n_b - ue.est AS DECIMAL(20,10)), 2)
+         |    AS DOUBLE) AS n_inter_est
+         |FROM pr JOIN ue ON pr.a = ue.a AND pr.b = ue.b
+         |ORDER BY n_inter_est DESC, pr.a, pr.b LIMIT 15""".stripMargin,
 
     // Two unrolled LPA sweeps over the same generated edge set (both
     // directions, self-loops out), same (size desc, community) cutoff.

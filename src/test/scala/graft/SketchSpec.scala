@@ -142,4 +142,37 @@ class SketchSpec extends SparkSpec {
       .as[Long].head()
     assert(est3 == 0L, s"disjoint sets must estimate 0, got $est3")
   }
+
+  test("HLL pair-union registers + inclusion-exclusion track a planted " +
+      "overlap within a few percent; identical sets intersect fully") {
+    // sources A = [0, 3000), B = [2000, 5000): |A∩B| = 1000
+    val rows = (0L until 3000L).map(("A", _)) ++
+      (2000L until 5000L).map(("B", _))
+    val df = rows.toDF("src", "v")
+    val reg = Sketch.hllRegisters(df, Seq("src"), col("v"))
+    val singles = Sketch.hllEstimate(reg, Seq("src"))
+      .as[(String, Double)].collect().toMap
+    // union registers = per-bucket max across the two sources
+    val uEst = Sketch.hllEstimate(
+      reg.groupBy(col("bucket")).agg(max(col("rho")).as("rho")), Nil)
+      .as[Double].head()
+    val inter = singles("A") + singles("B") - uEst
+    assert(math.abs(singles("A") - 3000.0) / 3000.0 < 0.05)
+    assert(math.abs(uEst - 5000.0) / 5000.0 < 0.05)
+    assert(math.abs(inter - 1000.0) / 1000.0 < 0.25,
+      s"inclusion-exclusion intersection $inter vs 1000")
+    // identical sets: union estimate EQUALS the single estimate, so
+    // the intersection estimate equals it too (registers are identical)
+    val same = (0L until 2000L).map(("C", _)) ++
+      (0L until 2000L).map(("D", _))
+    val reg2 = Sketch.hllRegisters(same.toDF("src", "v"),
+      Seq("src"), col("v"))
+    val s2 = Sketch.hllEstimate(reg2, Seq("src"))
+      .as[(String, Double)].collect().toMap
+    val u2 = Sketch.hllEstimate(
+      reg2.groupBy(col("bucket")).agg(max(col("rho")).as("rho")), Nil)
+      .as[Double].head()
+    assert(u2 == s2("C") && u2 == s2("D"),
+      "identical register sets must union to themselves")
+  }
 }
