@@ -1342,6 +1342,35 @@ object SparkEntry {
         .orderBy(col("n_inter_est").desc, col("a"), col("b")).limit(15)
     }),
 
+    // Dedup/leakage: CROSS-SOURCE span-contamination matrix — which
+    // source pairs share verbatim 8-token spans: distinct (source, fp)
+    // first, so the fp self-join is Σ_fp (#sources)² work; top-15
+    // most-contaminated pairs.
+    "q181_cross_contamination" -> ((s, dir) =>
+      Dedup.crossSourceSpanMatrix(t(s, dir, "documents"), "doc_id",
+          col("source"), col("text"), 8)
+        .orderBy(col("n_shared_spans").desc, col("source_a"),
+          col("source_b"))
+        .limit(15)),
+
+    // Stats: THEIL-SEN robust trend per symbol — the median of
+    // pairwise slopes shrugs off the outliers that drag q152's OLS:
+    // series pre-collapse to monthly last-price points (bounding the
+    // per-group pair count), slopes snap ×1e6 pre-median, the median
+    // is the exact q167 integer crossing.
+    "q182_theil_sen" -> ((s, dir) => {
+      val m = bars(s, dir).filter(col("symbol") <= 100)
+        .select(col("symbol"),
+          (year(col("d")) * 12 + month(col("d")) - 1).as("xm"),
+          round(col("px") * 100).cast("long").as("pxc"),
+          col("d"), col("ord"))
+      val monthly = m.groupBy(col("symbol"), col("xm"))
+        .agg(max_by(col("pxc"),
+          struct(col("d"), col("ord"), col("pxc"))).as("yc"))
+      Profile.theilSenTrend(monthly, col("symbol"), col("xm"), col("yc"))
+        .withColumnRenamed("g", "symbol")
+    }),
+
     // Graph: LABEL-PROPAGATION communities over the doc-link graph —
     // two synchronous neighbor-majority sweeps (deterministic LPA:
     // id-seeded labels, min-label tiebreak), reported as the top-20
@@ -5666,6 +5695,56 @@ object SparkEntry {
          |    AS DOUBLE) AS n_inter_est
          |FROM pr JOIN ue ON pr.a = ue.a AND pr.b = ue.b
          |ORDER BY n_inter_est DESC, pr.a, pr.b LIMIT 15""".stripMargin,
+
+    // q93's chunk chain with the source attached; distinct (source,
+    // fp) before the self-join, same (n desc, a, b) cutoff.
+    "q181_cross_contamination" ->
+      s"""WITH tk AS (SELECT doc_id, source, $tokSql AS tk
+         |  FROM documents),
+         |st AS (SELECT doc_id, source, tk,
+         |    unnest(range(1, len(tk) + 1, 8)) AS start FROM tk),
+         |ch AS (SELECT DISTINCT source,
+         |    md5(array_to_string(tk[start : start + 7], ' ')) AS fp
+         |  FROM st),
+         |pr AS (SELECT x.source AS source_a, y.source AS source_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared_spans
+         |  FROM ch x JOIN ch y
+         |    ON x.fp = y.fp AND x.source < y.source
+         |  GROUP BY 1, 2)
+         |SELECT * FROM pr
+         |ORDER BY n_shared_spans DESC, source_a, source_b
+         |LIMIT 15""".stripMargin,
+
+    // Same monthly-last collapse (full (d, ord, px) tiebreak), same
+    // ×1e6 slope snap, same exact integer median crossing.
+    "q182_theil_sen" ->
+      s"""WITH b AS ($barsSql),
+         |m AS (SELECT symbol, year(d) * 12 + month(d) - 1 AS xm,
+         |    CAST(round(px * 100) AS BIGINT) AS pxc, d, ord
+         |  FROM b WHERE symbol <= 100),
+         |mm AS (SELECT symbol, xm, pxc AS yc FROM (
+         |    SELECT symbol, xm, pxc, row_number() OVER (
+         |      PARTITION BY symbol, xm
+         |      ORDER BY d DESC, ord DESC, pxc DESC) AS rn FROM m)
+         |  WHERE rn = 1),
+         |pr AS (SELECT a.symbol AS g,
+         |    CAST(round((CAST(b2.yc - a.yc AS DOUBLE)
+         |      / CAST(b2.xm - a.xm AS DOUBLE)) * 1e6) AS BIGINT) AS s_fp
+         |  FROM mm a JOIN mm b2
+         |    ON a.symbol = b2.symbol AND a.xm < b2.xm),
+         |bv AS (SELECT g, s_fp, CAST(count(*) AS BIGINT) AS c
+         |  FROM pr GROUP BY 1, 2),
+         |t AS (SELECT g, CAST(sum(c) AS BIGINT) AS tw FROM bv GROUP BY 1),
+         |cc AS (SELECT g, s_fp,
+         |    CAST(sum(c) OVER (PARTITION BY g ORDER BY s_fp
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum
+         |  FROM bv)
+         |SELECT cc.g AS symbol, t.tw AS n_pairs,
+         |  CAST(round(CAST(CAST(min(cc.s_fp) AS DOUBLE) / 1e6
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS ts_slope
+         |FROM cc JOIN t USING (g) WHERE cc.cum * 2 >= t.tw
+         |GROUP BY 1, 2""".stripMargin,
 
     // Two unrolled LPA sweeps over the same generated edge set (both
     // directions, self-loops out), same (size desc, community) cutoff.

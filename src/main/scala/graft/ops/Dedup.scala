@@ -473,6 +473,28 @@ object Dedup {
           .cast("decimal(20,10)"), 4).cast("double").as("dup_ratio"))
   }
 
+  /** Cross-source span-contamination matrix — which source pairs share
+    * verbatim n-token spans (the train/test-leakage signal at the
+    * SOURCE level, next to q70's benchmark-vs-corpus gate): span
+    * fingerprints fold to DISTINCT (source, fp) first, so the fp
+    * self-join's work is Σ_fp (#sources containing fp)² — bounded by
+    * the source count squared per fingerprint, never corpus². Spans
+    * ride [[Text.chunkTokens]]' stride-n windows (the q93 machinery).
+    * Output: (source_a, source_b, n_shared_spans) for a < b.
+    */
+  def crossSourceSpanMatrix(docs: DataFrame, id: String, source: Column,
+                            text: Column, n: Int): DataFrame = {
+    val srcMap = docs.select(col(id).as("id"), source.as("__src"))
+    val sf = Text.chunkTokens(docs, id, text, n, n)
+      .join(srcMap, "id")
+      .select(col("__src").as("src"), col("chunk_fp").as("fp"))
+      .distinct()
+    sf.as("x").join(sf.as("y"),
+        col("x.fp") === col("y.fp") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("source_a"), col("y.src").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+  }
+
   /** Asymmetric containment join — excerpt/quote detection: pairs
     * (probe, target) where containment |P∩T| / |P| ≥ threshold, i.e.
     * at least `threshold` of the PROBE's shingles appear in the

@@ -193,6 +193,42 @@ object Profile {
           .cast("decimal(20,10)"), 6).cast("double")).as("r"))
   }
 
+  /** Theil–Sen robust trend — the median of all pairwise slopes, the
+    * estimator that keeps its value under up to ~29% outliers where
+    * [[olsTrend]]'s least squares drags: every (xᵢ < xⱼ) pair's slope
+    * snaps to ×1e6 fixed point (one double division per pair,
+    * deterministic), and the median is the exact integer 2·cum ≥ total
+    * crossing (the weighted-median convention, lower median on even
+    * counts) over a group-partitioned window. Work is Σ_g n_g² — the
+    * caller bounds n_g by pre-collapsing the series (e.g. to monthly
+    * points) exactly as a 100 TB run would. Equal-x pairs are skipped
+    * (slope undefined). Output: (g, n_pairs, ts_slope); single-point
+    * groups emit nothing.
+    */
+  def theilSenTrend(df: DataFrame, group: Column, x: Column,
+                    yCents: Column): DataFrame = {
+    val rows = df.select(group.as("g"), x.cast("long").as("x"),
+      yCents.cast("long").as("y"))
+    val pairs = rows.as("a").join(rows.as("b"),
+        col("a.g") === col("b.g") && col("a.x") < col("b.x"))
+      .select(col("a.g").as("g"),
+        round(((col("b.y") - col("a.y")).cast("double") /
+          (col("b.x") - col("a.x")).cast("double")) * lit(1e6))
+          .cast("long").as("s_fp"))
+    val byV = pairs.groupBy(col("g"), col("s_fp")).agg(count(lit(1)).as("c"))
+    val tot = byV.groupBy(col("g")).agg(sum(col("c")).as("tw"))
+    val w = Window.partitionBy(col("g")).orderBy(col("s_fp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byV.withColumn("cum", sum(col("c")).over(w))
+      .join(broadcast(tot), "g")
+      .filter(col("cum") * 2 >= col("tw"))
+      .groupBy(col("g"), col("tw"))
+      .agg(min(col("s_fp")).as("m_fp"))
+      .select(col("g"), col("tw").as("n_pairs"),
+        round((col("m_fp").cast("double") / lit(1e6))
+          .cast("decimal(20,10)"), 4).cast("double").as("ts_slope"))
+  }
+
   /** Exact ROC AUC (ties-aware Mann–Whitney) — the classifier-quality
     * summary a filtering pipeline reports for its quality/toxicity
     * scorers, computed without ever sorting the corpus in one

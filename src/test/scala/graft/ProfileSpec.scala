@@ -138,6 +138,36 @@ class ProfileSpec extends SparkSpec {
       .select($"auc").collect().head.isNullAt(0))
   }
 
+  test("theilSenTrend matches the brute-force median-of-slopes, shrugs " +
+      "off an outlier that drags OLS, and skips equal-x pairs") {
+    // perfect line y = 3x + 2 with ONE wild outlier at x=6
+    val pts = (1L to 5L).map(x => ("a", x, 3 * x + 2)) :+ (("a", 6L, 1000L))
+    val df = pts.toDF("g", "x", "y")
+    val out = Profile.theilSenTrend(df, $"g", $"x", $"y")
+      .as[(String, Long, Double)].head()
+    // brute force with the same ×1e6 snap + lower-median convention
+    def brute(ps: Seq[(Long, Long)]): Double = {
+      val slopes = (for {
+        (xi, yi) <- ps; (xj, yj) <- ps if xi < xj
+      } yield math.round((yj - yi).toDouble / (xj - xi) * 1e6)).sorted
+      slopes(((slopes.size + 1) / 2) - 1) / 1e6
+    }
+    val want = brute(pts.map(p => (p._2, p._3)))
+    assert(out._2 == 15L, "C(6,2) slope pairs")
+    assert(math.abs(out._3 - want) < 1e-9, s"${out._3} vs $want")
+    assert(out._3 == 3.0, "the robust slope ignores the single outlier")
+    // OLS on the same data is dragged far off 3
+    val ols = Profile.olsTrend(df, $"g", $"x", $"y")
+      .as[(String, Long, Option[Double], Option[Double])].head()
+    assert(math.abs(ols._3.get - 3.0) > 10, s"OLS drags: ${ols._3}")
+    // equal-x pairs are skipped: duplicated x contributes no pair with
+    // itself, and a single-point group emits nothing
+    val dup = Seq(("b", 1L, 5L), ("b", 1L, 9L), ("c", 1L, 1L))
+      .toDF("g", "x", "y")
+    val rows = Profile.theilSenTrend(dup, $"g", $"x", $"y").collect()
+    assert(rows.isEmpty, "no defined slopes -> no output")
+  }
+
   test("calibrationBins: every row in exactly one bin, bins are ordered " +
       "disjoint score ranges, uniform distinct scores split equally, " +
       "rates match hand counts") {

@@ -618,6 +618,25 @@ class TextDedupSpec extends SparkSpec {
     assert(r(3) == "v#.#.# build #")
   }
 
+  test("crossSourceSpanMatrix: planted verbatim spans count once per " +
+      "source pair regardless of repetition; disjoint sources absent") {
+    val span = (1 to 8).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "A", span),                      // the planted span
+      (2L, "B", span),                      // shared with A
+      (3L, "B", span),                      // SAME span again in B —
+                                            // distinct-first: counts once
+      (4L, "C", (9 to 16).map(i => s"v$i").mkString(" ")), // disjoint
+      (5L, "A", span))                      // repetition inside A too
+      .toDF("doc_id", "source", "text")
+    val out = Dedup.crossSourceSpanMatrix(docs, "doc_id", $"source",
+        $"text", 8)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out == Map(("A", "B") -> 1L),
+      s"one shared fingerprint, C disjoint: $out")
+  }
+
   test("sourceKlDivergence: zero against an identical distribution, " +
       "non-negative everywhere, larger for more-divergent sources") {
     val docs = Seq(
