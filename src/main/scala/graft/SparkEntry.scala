@@ -1371,6 +1371,26 @@ object SparkEntry {
         .withColumnRenamed("g", "symbol")
     }),
 
+    // Multimodal: image PATCHIFY — 8×4 synthesized BMPs decode through
+    // the real parser and split into a 2×2 grid of 4×2 tiles, one
+    // exact integer brightness sum per tile (the patch-embedding prep
+    // shape; tiles, never payloads, cross the shuffle).
+    "q183_image_patches" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
+        .as[(Long, String)]
+      val media = docs.map { case (id, text) =>
+        val pixels = Array.tabulate(32) { i =>
+          val cp = text.charAt(i).toInt
+          ((cp % 256) << 16) | (((cp * 7) % 256) << 8) | ((cp * 13) % 256)
+        }
+        (id, Multimodal.bmpBytes(8, 4, pixels))
+      }
+      Multimodal.patchBrightness(media, 4, 2)
+    }),
+
     // Graph: LABEL-PROPAGATION communities over the doc-link graph —
     // two synchronous neighbor-majority sweeps (deterministic LPA:
     // id-seeded labels, min-label tiebreak), reported as the top-20
@@ -5745,6 +5765,25 @@ object SparkEntry {
          |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS ts_slope
          |FROM cc JOIN t USING (g) WHERE cc.cum * 2 >= t.tw
          |GROUP BY 1, 2""".stripMargin,
+
+    // Recomputes each tile's brightness sum from the construction
+    // arithmetic (the q113 convention — a decode that misreads any
+    // header field, row flip, or padding byte hash-fails): per-pixel
+    // brightness keyed by the top-down row-major index, grouped by
+    // the ⌊r/2⌋, ⌊c/4⌋ tile.
+    "q183_image_patches" ->
+      """WITH px AS (SELECT doc_id, text,
+        |    CAST(unnest(range(0, 32)) AS INT) AS i FROM documents),
+        |v AS (SELECT doc_id, i // 8 AS r, i % 8 AS c,
+        |    (unicode(substr(text, CAST(i + 1 AS INT), 1)) % 256)
+        |    + ((unicode(substr(text, CAST(i + 1 AS INT), 1)) * 7) % 256)
+        |    + ((unicode(substr(text, CAST(i + 1 AS INT), 1)) * 13) % 256)
+        |      AS br
+        |  FROM px)
+        |SELECT doc_id, CAST(r // 2 AS INT) AS tile_r,
+        |  CAST(c // 4 AS INT) AS tile_c,
+        |  CAST(sum(br) AS BIGINT) AS px_sum
+        |FROM v GROUP BY 1, 2, 3""".stripMargin,
 
     // Two unrolled LPA sweeps over the same generated edge set (both
     // directions, self-loops out), same (size desc, community) cutoff.

@@ -325,6 +325,39 @@ object Multimodal {
     }.toDF("id", "hash")
   }
 
+  /** PATCHIFY stage — the vision-model data-prep shape (split each
+    * image into a tileW×tileH grid and summarize every tile): decodes
+    * through the REAL BMP parser and emits one row per tile with the
+    * exact integer R+G+B brightness sum (order-free, engine-exact;
+    * a mean is one division away and left to the caller so the
+    * compared value stays integral). Payloads are decoded inside the
+    * same task that holds them — tiles, not pixels or payloads, are
+    * what crosses the shuffle, a width·height → (w/tileW)·(h/tileH)
+    * reduction. Images whose dimensions don't divide evenly drop the
+    * ragged remainder (the standard patchify crop); corrupt payloads
+    * emit nothing. Output: (doc_id, tile_r, tile_c, px_sum).
+    */
+  def patchBrightness(media: Dataset[(Long, Array[Byte])],
+                      tileW: Int, tileH: Int): DataFrame = {
+    require(tileW >= 1 && tileH >= 1, "tile dims must be >= 1")
+    import media.sparkSession.implicits._
+    media.flatMap { case (id, bytes) =>
+      parseBmp(bytes).toSeq.flatMap { b =>
+        for {
+          tr <- 0 until b.height / tileH
+          tc <- 0 until b.width / tileW
+        } yield {
+          var sum = 0L
+          for (dr <- 0 until tileH; dc <- 0 until tileW) {
+            val p = b.pixels((tr * tileH + dr) * b.width + tc * tileW + dc)
+            sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          }
+          (id, tr, tc, sum)
+        }
+      }
+    }.toDF("doc_id", "tile_r", "tile_c", "px_sum")
+  }
+
   /** Image RESIZE stage: decode → nearest-neighbor resample → re-encode,
     * one payload batch at a time inside a single mapPartitions (payloads
     * never cross a shuffle; at most `batchSize` are resident per task).

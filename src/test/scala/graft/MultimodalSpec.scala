@@ -301,4 +301,27 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.parseBmp(img(3)).get)
     assert(h(1L) == direct)
   }
+
+  test("patchBrightness: tile sums match hand math, ragged edges crop, " +
+      "corrupt payloads emit nothing") {
+    import spark.implicits._
+    // 5×3 image, pixel (r, c) = r*16 + c in every channel: tile (4×2)
+    // grid keeps only tile (0, 0) — rows 0-1, cols 0-3; col 4 and row
+    // 2 are the cropped ragged remainder
+    val px = Array.tabulate(15) { i =>
+      val v = (i / 5) * 16 + (i % 5)
+      (v << 16) | (v << 8) | v
+    }
+    val good = Multimodal.bmpBytes(5, 3, px)
+    val media = Seq(
+      (1L, good),
+      (2L, Array[Byte](1, 2, 3))) // not a BMP
+      .toDS()
+    val out = Multimodal.patchBrightness(media, 4, 2)
+      .as[(Long, Int, Int, Long)].collect()
+    val want = (for (r <- 0 until 2; c <- 0 until 4)
+      yield 3L * (r * 16 + c)).sum
+    assert(out.toSeq == Seq((1L, 0, 0, want)),
+      s"one surviving tile with the exact sum: ${out.toSeq}")
+  }
 }
