@@ -234,8 +234,8 @@ object Profile {
     * scorers, computed without ever sorting the corpus in one
     * partition: rows collapse to one row per DISTINCT score (positive
     * and negative counts side by side), negatives-strictly-below come
-    * from the ksStatistic two-level prefix sum (per-bucket exclusive
-    * window + broadcast bucket offsets), and
+    * from the shared [[Ranks.withRunningBelow]] two-level prefix
+    * kernel, and
     * AUC = Σ_v p_v·(2·negBelow_v + negAt_v) / (2·P·N) accumulates in
     * DECIMAL(38,0) — exact integers end to end, ties contribute the
     * standard ½, ONE double division at the end so the value is
@@ -244,30 +244,14 @@ object Profile {
     */
   def aucExact(df: DataFrame, label: Column, scoreCents: Column,
                bucketWidth: Long): DataFrame = {
-    require(bucketWidth >= 1, "bucketWidth must be >= 1")
     val rows = df.select(label.as("__y"), scoreCents.cast("long").as("__v"))
     val byV = rows.groupBy(col("__v"))
       .agg(sum(when(col("__y"), 1L).otherwise(0L)).as("p"),
         sum(when(!col("__y"), 1L).otherwise(0L)).as("q"))
-      .withColumn("__bkt",
-        ((col("__v").cast("decimal(38,0)") -
-          pmod(col("__v"), lit(bucketWidth))) / lit(bucketWidth))
-          .cast("long"))
-    val wIntra = Window.partitionBy(col("__bkt")).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val intra = byV.withColumn("ib",
-      coalesce(sum(col("q")).over(wIntra), lit(0L)))
-    // offsets table is value-domain/bucketWidth sized — tiny; the
-    // single-partition window is over buckets, never rows
-    val wOff = Window.orderBy(col("__bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = byV.groupBy(col("__bkt")).agg(sum(col("q")).as("tq"))
-      .select(col("__bkt"),
-        coalesce(sum(col("tq")).over(wOff), lit(0L)).as("ob"))
-    intra.join(broadcast(offsets), "__bkt")
+    Ranks.withRunningBelow(byV, "__v", bucketWidth, Seq("q"))
       .agg(sum(col("p")).as("n_pos"), sum(col("q")).as("n_neg"),
         sum(col("p").cast("decimal(38,0)") *
-          (lit(2L) * (col("ob") + col("ib")) + col("q"))
+          (lit(2L) * col("q_below") + col("q"))
             .cast("decimal(38,0)")).as("num2"))
       .select(col("n_pos"), col("n_neg"),
         when(col("n_pos") === 0 || col("n_neg") === 0, lit(null))
@@ -282,7 +266,7 @@ object Profile {
     * global rank (bin = ⌊rowsStrictlyBelow·bins/N⌋ — value-level, so
     * ties never straddle a boundary), and each bin reports its
     * observed positive rate next to its score range. The global rank
-    * comes from the same two-level prefix sum as [[aucExact]] (no
+    * comes from the shared [[Ranks.withRunningBelow]] kernel (no
     * single-partition sort of the score domain); everything is exact
     * integers except the one rate division per bin. `scoreCents` must
     * be integral. Output per non-empty bin:
@@ -290,29 +274,16 @@ object Profile {
     */
   def calibrationBins(df: DataFrame, label: Column, scoreCents: Column,
                       bins: Int, bucketWidth: Long): DataFrame = {
-    require(bins >= 2 && bucketWidth >= 1)
+    require(bins >= 2, "bins must be >= 2")
     val rows = df.select(label.as("__y"), scoreCents.cast("long").as("__v"))
     val byV = rows.groupBy(col("__v"))
       .agg(count(lit(1)).as("c"),
         sum(when(col("__y"), 1L).otherwise(0L)).as("pos"))
-      .withColumn("__bkt",
-        ((col("__v").cast("decimal(38,0)") -
-          pmod(col("__v"), lit(bucketWidth))) / lit(bucketWidth))
-          .cast("long"))
-    val wIntra = Window.partitionBy(col("__bkt")).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val intra = byV.withColumn("ib",
-      coalesce(sum(col("c")).over(wIntra), lit(0L)))
-    val wOff = Window.orderBy(col("__bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = byV.groupBy(col("__bkt")).agg(sum(col("c")).as("tc"))
-      .select(col("__bkt"),
-        coalesce(sum(col("tc")).over(wOff), lit(0L)).as("ob"))
     val n = rows.agg(count(lit(1)).as("nn"))
-    intra.join(broadcast(offsets), "__bkt")
+    Ranks.withRunningBelow(byV, "__v", bucketWidth, Seq("c"))
       .crossJoin(broadcast(n))
       .withColumn("bin",
-        expr(s"((ob + ib) * $bins) div nn").cast("int"))
+        expr(s"(c_below * $bins) div nn").cast("int"))
       .groupBy(col("bin"))
       .agg(sum(col("c")).as("n_rows"), sum(col("pos")).as("n_pos"),
         round((sum(col("pos")).cast("double") /

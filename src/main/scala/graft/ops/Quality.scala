@@ -172,9 +172,9 @@ object Quality {
     *
     * Distributed-exact ECDF: rows collapse to one row per DISTINCT
     * value (both samples' counts side by side), and the running counts
-    * come from the TWO-LEVEL prefix sum (per-bucket window + broadcast
-    * exclusive bucket offsets — the packByBudget shape), so no stage
-    * ever sorts the full value domain in one partition. The sup turns
+    * come from the shared [[Ranks.withRunningBelow]] two-level prefix
+    * kernel, so no stage ever sorts the full value domain in one
+    * partition. The sup turns
     * into a max over |cum₁·n₂ − cum₂·n₁| computed in DECIMAL(38,0)
     * (exact at any sample size; the long cross-product overflows near
     * n ≈ 3·10⁹) with ONE double division at the end. `values` must be
@@ -182,36 +182,20 @@ object Quality {
     */
   def ksStatistic(df: DataFrame, tag: Column, valueCents: Column,
                   bucketWidth: Long): DataFrame = {
-    require(bucketWidth >= 1, "bucketWidth must be >= 1")
     val rows = df.select(tag.as("__t"), valueCents.cast("long").as("__v"))
     val byV = rows.groupBy(col("__v"))
       .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("c1"),
         sum(when(!col("__t"), 1L).otherwise(0L)).as("c2"))
-      // exact integer bucket id (the rangeJoin floor-division trick)
-      .withColumn("__bkt",
-        ((col("__v").cast("decimal(38,0)") -
-          pmod(col("__v"), lit(bucketWidth))) / lit(bucketWidth))
-          .cast("long"))
-    val wIntra = Window.partitionBy(col("__bkt")).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val intra = byV
-      .withColumn("i1", sum(col("c1")).over(wIntra))
-      .withColumn("i2", sum(col("c2")).over(wIntra))
-    val wOff = Window.orderBy(col("__bkt"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = byV.groupBy(col("__bkt"))
-      .agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"))
-      .select(col("__bkt"),
-        coalesce(sum(col("t1")).over(wOff), lit(0L)).as("o1"),
-        coalesce(sum(col("t2")).over(wOff), lit(0L)).as("o2"))
+    // inclusive cum = strictly-below (the shared Ranks kernel) + own
+    val run = Ranks.withRunningBelow(byV, "__v", bucketWidth,
+      Seq("c1", "c2"))
     val n = rows.agg(
       sum(when(col("__t"), 1L).otherwise(0L)).as("n1"),
       sum(when(!col("__t"), 1L).otherwise(0L)).as("n2"))
-    intra.join(broadcast(offsets), "__bkt")
-      .crossJoin(broadcast(n))
+    run.crossJoin(broadcast(n))
       .select(col("n1"), col("n2"),
-        abs((col("o1") + col("i1")).cast("decimal(38,0)") * col("n2") -
-          (col("o2") + col("i2")).cast("decimal(38,0)") * col("n1"))
+        abs((col("c1_below") + col("c1")).cast("decimal(38,0)") * col("n2") -
+          (col("c2_below") + col("c2")).cast("decimal(38,0)") * col("n1"))
           .as("dfp"))
       .groupBy(col("n1"), col("n2"))
       .agg(round((max(col("dfp")).cast("double") /

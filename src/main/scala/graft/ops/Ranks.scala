@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The TWO-LEVEL distributed prefix sum — the one kernel behind every
+  * exact global-rank statistic in the engine (KS drift, AUC,
+  * calibration bins): given one row per DISTINCT value with integer
+  * count columns, attach for each count column its EXCLUSIVE running
+  * sum over ascending value order ("how much weight sits strictly
+  * below this value"), without ever sorting the full value domain in
+  * one partition.
+  *
+  * Decomposition: values bucket by exact floor division (pmod, so
+  * negative values bucket correctly); level 1 is a per-bucket
+  * exclusive window (parallel across buckets), level 2 broadcasts the
+  * tiny per-bucket totals' exclusive running sums (the only
+  * single-partition window walks buckets — value-domain/bucketWidth
+  * rows, never data rows). below = intra + bucket offset, exact
+  * integers throughout, identical to a single global window by
+  * associativity.
+  */
+object Ranks {
+
+  /** Attach `<c>_below` (exclusive running sum ordered by `valueCol`
+    * ascending) for every count column `c` in `countCols`. Input must
+    * have one row per distinct `valueCol` (long-typed); output keeps
+    * all input columns.
+    */
+  def withRunningBelow(byV: DataFrame, valueCol: String, bucketWidth: Long,
+                       countCols: Seq[String]): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    require(countCols.nonEmpty, "need at least one count column")
+    val b = byV.withColumn("__bkt",
+      ((col(valueCol).cast("decimal(38,0)") -
+        pmod(col(valueCol), lit(bucketWidth))) / lit(bucketWidth))
+        .cast("long"))
+    val wIntra = Window.partitionBy(col("__bkt")).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val intra = countCols.foldLeft(b)((df, c) =>
+      df.withColumn(s"__i_$c", coalesce(sum(col(c)).over(wIntra), lit(0L))))
+    val wOff = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val aggs = countCols.map(c => sum(col(c)).as(s"__t_$c"))
+    val offs = b.groupBy(col("__bkt"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("__bkt") +: countCols.map(c =>
+        coalesce(sum(col(s"__t_$c")).over(wOff), lit(0L)).as(s"__o_$c")): _*)
+    val joined = intra.join(broadcast(offs), "__bkt")
+    val withBelow = countCols.foldLeft(joined)((df, c) =>
+      df.withColumn(s"${c}_below", col(s"__i_$c") + col(s"__o_$c")))
+    withBelow.drop(("__bkt" +: countCols.flatMap(c =>
+      Seq(s"__i_$c", s"__o_$c"))): _*)
+  }
+}
