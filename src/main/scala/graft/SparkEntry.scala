@@ -1391,6 +1391,45 @@ object SparkEntry {
       Multimodal.patchBrightness(media, 4, 2)
     }),
 
+    // Stats/rigor: delete-one-block JACKKNIFE standard error of the
+    // mean price — uncertainty for a corpus metric without resampling
+    // rows: B=20 deterministic hash blocks, leave-one-out means snap
+    // ×1e6, variance from exact integer moments.
+    "q184_block_jackknife" -> ((s, dir) =>
+      Profile.blockJackknifeMean(t(s, dir, "lineitem"),
+        col("l_orderkey") * 10 + col("l_linenumber"),
+        round(col("l_extendedprice") * 100).cast("long"), 20)),
+
+    // Profiling: BENFORD first-digit audit — the fabricated-data
+    // smell test: first significant digit of price cents (exact via
+    // the integer's string head) vs log10(1+1/d), with per-digit χ²
+    // contributions.
+    "q185_benford" -> ((s, dir) => {
+      val v = t(s, dir, "lineitem")
+        .select(round(col("l_extendedprice") * 100).cast("long").as("v"))
+        .filter(col("v") > 0)
+      val counts = v
+        .select(substring(col("v").cast("string"), 1, 1).cast("int")
+          .as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum(col("n")).as("nn"))
+      val expd = log(10.0,
+        lit(1.0) + lit(1.0) / col("digit").cast("double"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          round((col("n").cast("double") / col("nn").cast("double"))
+            .cast("decimal(20,10)"), 6).cast("double").as("obs_share"),
+          round(expd.cast("decimal(20,10)"), 6).cast("double")
+            .as("benford_share"),
+          round((((col("n").cast("double") -
+            col("nn").cast("double") * expd) *
+            (col("n").cast("double") -
+              col("nn").cast("double") * expd)) /
+            (col("nn").cast("double") * expd))
+            .cast("decimal(20,10)"), 4).cast("double").as("chi2"))
+        .orderBy(col("digit"))
+    }),
+
     // Graph: LABEL-PROPAGATION communities over the doc-link graph —
     // two synchronous neighbor-majority sweeps (deterministic LPA:
     // id-seeded labels, min-label tiebreak), reported as the top-20
@@ -5784,6 +5823,68 @@ object SparkEntry {
         |  CAST(c // 4 AS INT) AS tile_c,
         |  CAST(sum(br) AS BIGINT) AS px_sum
         |FROM v GROUP BY 1, 2, 3""".stripMargin,
+
+    // Same md5 hash blocks, same ×1e6 leave-one-out snap, same exact
+    // integer moment algebra, same final double chain.
+    "q184_block_jackknife" -> {
+      val keySql = "CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)"
+      s"""WITH r AS (SELECT ${h60(keySql)} % 20 AS b,
+         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+         |  FROM lineitem),
+         |pb AS (SELECT b, CAST(count(*) AS BIGINT) AS nb,
+         |    CAST(sum(v) AS BIGINT) AS sb
+         |  FROM r GROUP BY 1),
+         |t AS (SELECT CAST(sum(nb) AS BIGINT) AS n,
+         |    CAST(sum(sb) AS BIGINT) AS s,
+         |    CAST(count(*) AS BIGINT) AS bb FROM pb),
+         |m AS (SELECT n, s, bb,
+         |    CAST(round(CAST(s - sb AS DOUBLE) / CAST(n - nb AS DOUBLE)
+         |      * 1e6) AS BIGINT) AS m_fp
+         |  FROM pb CROSS JOIN t WHERE nb < n),
+         |a AS (SELECT n, s, bb,
+         |    CAST(sum(CAST(m_fp AS HUGEINT)) AS HUGEINT) AS sm,
+         |    CAST(sum(CAST(m_fp AS HUGEINT) * CAST(m_fp AS HUGEINT))
+         |      AS HUGEINT) AS sm2
+         |  FROM m GROUP BY 1, 2, 3)
+         |SELECT n AS n_rows, bb AS n_blocks,
+         |  CAST(round(CAST(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+         |    / CAST(100.0 AS DOUBLE) AS DECIMAL(20,10)), 6) AS DOUBLE)
+         |    AS mean,
+         |  CAST(round(CAST(sqrt(CAST(bb - 1 AS DOUBLE)
+         |      * CAST(bb * sm2 - sm * sm AS DOUBLE)
+         |      / CAST(bb * bb AS DOUBLE) / 1e12)
+         |    / CAST(100.0 AS DOUBLE) AS DECIMAL(20,10)), 6) AS DOUBLE)
+         |    AS se
+         |FROM a""".stripMargin
+    },
+
+    // Same first-digit-of-cents-string extraction, same log10
+    // expected share, same χ² op order.
+    "q185_benford" ->
+      """WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    AS v FROM lineitem
+        |  WHERE CAST(round(l_extendedprice * 100) AS BIGINT) > 0),
+        |c AS (SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT)
+        |    AS digit, CAST(count(*) AS BIGINT) AS n
+        |  FROM v GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM c)
+        |SELECT digit, n,
+        |  CAST(round(CAST(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)
+        |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS obs_share,
+        |  CAST(round(CAST(log(CAST(1.0 AS DOUBLE)
+        |    + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE))
+        |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS benford_share,
+        |  CAST(round(CAST(
+        |    ((CAST(n AS DOUBLE) - CAST(nn AS DOUBLE)
+        |       * log(CAST(1.0 AS DOUBLE)
+        |         + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)))
+        |     * (CAST(n AS DOUBLE) - CAST(nn AS DOUBLE)
+        |       * log(CAST(1.0 AS DOUBLE)
+        |         + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE))))
+        |    / (CAST(nn AS DOUBLE) * log(CAST(1.0 AS DOUBLE)
+        |       + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)))
+        |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS chi2
+        |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
 
     // Two unrolled LPA sweeps over the same generated edge set (both
     // directions, self-loops out), same (size desc, community) cutoff.

@@ -292,6 +292,47 @@ object Profile {
         min(col("__v")).as("lo_c"), max(col("__v")).as("hi_c"))
   }
 
+  /** Delete-one-block JACKKNIFE standard error of a corpus mean — the
+    * "how sure are we?" companion every reported metric needs at
+    * 100 TB, where resampling-by-rows is unaffordable: rows fold to B
+    * deterministic hash blocks (one map-side-combinable aggregate —
+    * the ONLY data-sized stage), each leave-one-block-out mean snaps
+    * to ×1e6 fixed point (one double division per block), and the
+    * jackknife variance (B−1)/B·Σ(m_b−m̄)² comes from exact integer
+    * moments (B·Σm² − (Σm)² in DECIMAL(38,0)) with one double chain at
+    * the end — deterministic on any engine, no random number ever
+    * drawn. Output: one row (n_rows, n_blocks, mean, se).
+    */
+  def blockJackknifeMean(df: DataFrame, key: Column, valueCents: Column,
+                         blocks: Int): DataFrame = {
+    require(blocks >= 2, "need at least 2 blocks")
+    val rows = df.select(Sampling.hashBucket(key, blocks).as("b"),
+      valueCents.cast("long").as("v"))
+    val perB = rows.groupBy(col("b"))
+      .agg(count(lit(1)).as("nb"), sum(col("v")).as("sb"))
+    val tot = perB.agg(sum(col("nb")).as("n"), sum(col("sb")).as("s"),
+      count(lit(1)).as("bb"))
+    val m = perB.crossJoin(broadcast(tot))
+      .filter(col("nb") < col("n")) // degenerate single-block corpus
+      .select(col("n"), col("s"), col("bb"),
+        round((col("s") - col("sb")).cast("double") /
+          (col("n") - col("nb")).cast("double") * lit(1e6))
+          .cast("long").as("m_fp"))
+    m.groupBy(col("n"), col("s"), col("bb"))
+      .agg(sum(col("m_fp").cast("decimal(38,0)")).as("sm"),
+        sum((col("m_fp").cast("decimal(38,0)") *
+          col("m_fp").cast("decimal(38,0)"))).as("sm2"))
+      .select(col("n").as("n_rows"), col("bb").as("n_blocks"),
+        round((col("s").cast("double") / col("n").cast("double") /
+          lit(100.0)).cast("decimal(20,10)"), 6).cast("double").as("mean"),
+        round((sqrt(
+          (col("bb") - 1).cast("double") *
+            (col("bb").cast("decimal(38,0)") * col("sm2") -
+              col("sm") * col("sm")).cast("double") /
+            (col("bb") * col("bb")).cast("double") / lit(1e12)) /
+          lit(100.0)).cast("decimal(20,10)"), 6).cast("double").as("se"))
+  }
+
   /** K-anonymity generalization ladder — the privacy gate a
     * training-data release needs: for each candidate generalization of
     * the numeric quasi-identifier (bucket width w; w = 0 drops the

@@ -168,6 +168,38 @@ class ProfileSpec extends SparkSpec {
     assert(rows.isEmpty, "no defined slopes -> no output")
   }
 
+  test("blockJackknifeMean: zero se on a constant column, algebra " +
+      "matches a local jackknife over the same blocks, mean is exact") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // constant column: every leave-one-out mean identical → se 0
+    val const = (1L to 200L).map(k => (k, 500L)).toDF("k", "v")
+    val c = Profile.blockJackknifeMean(const, col("k"), col("v"), 10)
+      .as[(Long, Long, Double, Double)].head()
+    assert(c == ((200L, 10L, 5.0, 0.0)))
+    // varied data: recompute locally from the SAME hash blocks
+    val rnd = new scala.util.Random(71)
+    val data = (1L to 300L).map(k => (k, rnd.nextInt(10000).toLong))
+    val df = data.toDF("k", "v")
+    val blocks = df.select(
+        graft.ops.Sampling.hashBucket(col("k"), 12).as("b"), col("v"))
+      .as[(Long, Long)].collect()
+    val byB = blocks.groupBy(_._1).toSeq.map { case (_, vs) =>
+      (vs.size.toLong, vs.map(_._2).sum) }
+    val (n, s) = (byB.map(_._1).sum, byB.map(_._2).sum)
+    val mfp = byB.filter(_._1 < n).map { case (nb, sb) =>
+      math.round((s - sb).toDouble / (n - nb) * 1e6) }
+    val bb = mfp.size
+    val want = math.sqrt((bb - 1).toDouble *
+      (bb.toDouble * mfp.map(m => BigInt(m) * BigInt(m)).sum.toDouble -
+        BigDecimal(mfp.sum).pow(2).toDouble) / (bb.toDouble * bb) /
+      1e12) / 100.0
+    val got = Profile.blockJackknifeMean(df, col("k"), col("v"), 12)
+      .as[(Long, Long, Double, Double)].head()
+    assert(got._1 == 300L && got._2 == bb.toLong)
+    assert(math.abs(got._4 - want) < 1e-5, s"se ${got._4} vs $want")
+    assert(math.abs(got._3 - s.toDouble / n / 100.0) < 1e-6)
+  }
+
   test("calibrationBins: every row in exactly one bin, bins are ordered " +
       "disjoint score ranges, uniform distinct scores split equally, " +
       "rates match hand counts") {
