@@ -1430,6 +1430,18 @@ object SparkEntry {
         .orderBy(col("digit"))
     }),
 
+    // Text/tokenizer: BPE COMPRESSION CURVE — total corpus symbols
+    // after each learned merge (round 0 = character baseline): the
+    // sequence-length-per-vocabulary-size trade a tokenizer budget
+    // decision reads.
+    "q186_bpe_compression" -> ((s, dir) => {
+      val wc = t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z0-9]+$"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      Text.bpeCompressionCurve(wc, 3).orderBy(col("round"))
+    }),
+
     // Graph: LABEL-PROPAGATION communities over the doc-link graph —
     // two synchronous neighbor-majority sweeps (deterministic LPA:
     // id-seeded labels, min-label tiebreak), reported as the top-20
@@ -5885,6 +5897,29 @@ object SparkEntry {
         |       + CAST(1.0 AS DOUBLE) / CAST(digit AS DOUBLE)))
         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS chi2
         |FROM c CROSS JOIN t ORDER BY digit""".stripMargin,
+
+    // The q175 unrolled merge chain, with per-round total symbol
+    // counts read off each words CTE.
+    "q186_bpe_compression" ->
+      s"""WITH wc AS (SELECT tok AS w, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest($tokSql) AS tok FROM documents)
+         |  WHERE regexp_matches(tok, '^[a-z0-9]+${"$"}')
+         |  GROUP BY 1),
+         |w0 AS (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS w, cnt
+         |  FROM wc),
+         |${bpeIterSql("w0", "w1")},
+         |${bpeIterSql("w1", "w2")},
+         |${bpeIterSql("w2", "w3")}
+         |SELECT 0 AS round, CAST(sum(cnt *
+         |    len(string_split(w[2:-2], ')('))) AS BIGINT)
+         |    AS total_symbols FROM w0
+         |UNION ALL SELECT 1, CAST(sum(cnt *
+         |    len(string_split(w[2:-2], ')('))) AS BIGINT) FROM w1
+         |UNION ALL SELECT 2, CAST(sum(cnt *
+         |    len(string_split(w[2:-2], ')('))) AS BIGINT) FROM w2
+         |UNION ALL SELECT 3, CAST(sum(cnt *
+         |    len(string_split(w[2:-2], ')('))) AS BIGINT) FROM w3
+         |ORDER BY round""".stripMargin,
 
     // Two unrolled LPA sweeps over the same generated edge set (both
     // directions, self-loops out), same (size desc, community) cutoff.

@@ -171,32 +171,73 @@ object Text {
     */
   def bpeLearnMerges(wordCounts: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    var words = wordCounts
-      .select(regexp_replace(col("w"), "(.)", "($1)").as("w"), col("cnt"))
+    var words = bpeFrame(wordCounts)
     val perRound = (1 to rounds).map { r =>
-      val pairs = words.select(col("cnt"),
-        explode(Cols.bound(
-          split(expr("substring(w, 2, length(w) - 2)"), "\\)\\("))(s =>
-          when(size(s) >= 2,
-            transform(sequence(lit(0), size(s) - 2), i =>
-              struct(element_at(s, i + 1).as("a"),
-                element_at(s, i + 2).as("b"))))
-            .otherwise(array()
-              .cast("array<struct<a:string,b:string>>")))).as("p"))
-        .select(col("p.a").as("a"), col("p.b").as("b"), col("cnt"))
-      val best = pairs.groupBy(col("a"), col("b"))
-        .agg(sum(col("cnt")).as("pc"))
-        .orderBy(col("pc").desc, col("a"), col("b")).limit(1)
-      words = words.crossJoin(broadcast(best))
-        .select(replace(col("w"),
-          concat(lit("("), col("a"), lit(")("), col("b"), lit(")")),
-          concat(lit("("), col("a"), col("b"), lit(")"))).as("w"),
-          col("cnt"))
+      val best = bpeBestPair(words)
+      words = bpeApplyMerge(words, best)
       best.select(lit(r).as("round"), col("a").as("sym_a"),
         col("b").as("sym_b"), col("pc").as("pair_count"))
     }
     perRound.reduce(_.unionByName(_))
   }
+
+  /** BPE COMPRESSION CURVE — the companion audit to
+    * [[bpeLearnMerges]]: after each greedy merge round, the corpus's
+    * total symbol count (Σ word_count · symbols_per_word), i.e. how
+    * much sequence length the learned vocabulary buys. Round 0 is the
+    * character baseline. Same per-round economics as the learner
+    * (vocabulary-sized work only). Output: (round, total_symbols).
+    */
+  def bpeCompressionCurve(wordCounts: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    def total(words: DataFrame, r: Int) =
+      words.agg(sum(col("cnt") *
+          size(split(expr("substring(w, 2, length(w) - 2)"), "\\)\\(")))
+          .as("total_symbols"))
+        .select(lit(r).as("round"), col("total_symbols"))
+    var words = bpeFrame(wordCounts)
+    val rows = total(words, 0) +: (1 to rounds).map { r =>
+      words = bpeApplyMerge(words, bpeBestPair(words))
+      total(words, r)
+    }
+    rows.reduce(_.unionByName(_))
+  }
+
+  /** Frame every symbol in parens: "ab" → "(a)(b)" (see
+    * [[bpeLearnMerges]] for why this framing makes merges exact).
+    */
+  private def bpeFrame(wordCounts: DataFrame): DataFrame =
+    wordCounts
+      .select(regexp_replace(col("w"), "(.)", "($1)").as("w"), col("cnt"))
+
+  /** The weighted-majority adjacent pair of a framed word table, ties
+    * to the lexicographically smallest (a, b). One row (a, b, pc).
+    */
+  private def bpeBestPair(words: DataFrame): DataFrame = {
+    val pairs = words.select(col("cnt"),
+      explode(Cols.bound(
+        split(expr("substring(w, 2, length(w) - 2)"), "\\)\\("))(s =>
+        when(size(s) >= 2,
+          transform(sequence(lit(0), size(s) - 2), i =>
+            struct(element_at(s, i + 1).as("a"),
+              element_at(s, i + 2).as("b"))))
+          .otherwise(array()
+            .cast("array<struct<a:string,b:string>>")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"), col("cnt"))
+    pairs.groupBy(col("a"), col("b"))
+      .agg(sum(col("cnt")).as("pc"))
+      .orderBy(col("pc").desc, col("a"), col("b")).limit(1)
+  }
+
+  /** Fuse `best`'s pair in every framed word (literal replace — see
+    * [[bpeLearnMerges]]).
+    */
+  private def bpeApplyMerge(words: DataFrame, best: DataFrame): DataFrame =
+    words.crossJoin(broadcast(best))
+      .select(replace(col("w"),
+        concat(lit("("), col("a"), lit(")("), col("b"), lit(")")),
+        concat(lit("("), col("a"), col("b"), lit(")"))).as("w"),
+        col("cnt"))
 
   /** Polynomial rolling-hash document fingerprint over the token stream:
     * Σ H(tᵢ)·31^(n−1−i) mod P — the order-sensitive cousin of the md5

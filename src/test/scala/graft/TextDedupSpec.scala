@@ -683,4 +683,22 @@ class TextDedupSpec extends SparkSpec {
       .as[(Int, String, String, Long)].head()
     assert(t1 == ((1, "b", "a", 1L)), s"tie goes to smallest pair: $t1")
   }
+
+  test("bpeCompressionCurve: monotone non-increasing totals, each " +
+      "round saves exactly the merged pair's occurrence count") {
+    // abc×3, xab×2: round 1 merges (a,b) weight 5 → saves 5 symbols;
+    // round 2 merges (ab,c) weight 3 → saves 3 more
+    val wc = Seq(("abc", 3L), ("xab", 2L)).toDF("w", "cnt")
+    val out = Text.bpeCompressionCurve(wc, 2)
+      .as[(Int, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((0, 15L)), "baseline: 3·3 + 2·3 characters")
+    assert(out(1) == ((1, 10L)), "each (a,b) fusion drops one symbol")
+    assert(out(2) == ((2, 7L)))
+    // an overlapping run fuses left-to-right: "aaaa"×1 merging (a,a)
+    // saves floor(4/2) = 2 symbols in one round
+    val run = Seq(("aaaa", 1L)).toDF("w", "cnt")
+    val r = Text.bpeCompressionCurve(run, 1)
+      .as[(Int, Long)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq((0, 4L), (1, 2L)))
+  }
 }
