@@ -1442,6 +1442,43 @@ object SparkEntry {
       Text.bpeCompressionCurve(wc, 3).orderBy(col("round"))
     }),
 
+    // Similarity/QA: EMBEDDING CENTROID DRIFT — per label, the cosine
+    // between the centroids of two deterministic hash halves of the
+    // corpus (the self-consistency audit an embedding refresh runs:
+    // a healthy label's halves agree, cos ≈ 1). Cosine is
+    // scale-invariant, so it computes directly on the ×1000-snapped
+    // per-dim SUM vectors — counts never divide, everything is exact
+    // integers until one double chain per label.
+    "q187_centroid_drift" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("label"),
+          Sampling.hashBucket(col("vec_id"), 2).as("half"),
+          posexplode(transform(col("embedding"),
+            x => round(x.cast("double") * 1000).cast("long")))
+            .as(Seq("d", "c")))
+      val byDim = e.groupBy(col("label"), col("half"), col("d"))
+        .agg(sum(col("c")).as("s"))
+      val j = byDim.filter(col("half") === 0)
+        .select(col("label"), col("d"), col("s").as("sa"))
+        .join(byDim.filter(col("half") === 1)
+          .select(col("label"), col("d"), col("s").as("sb")),
+          Seq("label", "d"))
+      val cos = j.groupBy(col("label"))
+        .agg(sum(col("sa").cast("decimal(38,0)") * col("sb")).as("dot"),
+          sum(col("sa").cast("decimal(38,0)") * col("sa")).as("na2"),
+          sum(col("sb").cast("decimal(38,0)") * col("sb")).as("nb2"))
+        .select(col("label"),
+          round((col("dot").cast("double") /
+            sqrt(col("na2").cast("double") * col("nb2").cast("double")))
+            .cast("decimal(20,10)"), 6).cast("double").as("cos_halves"))
+      val counts = t(s, dir, "embeddings")
+        .select(col("label"), Sampling.hashBucket(col("vec_id"), 2).as("half"))
+        .groupBy(col("label"))
+        .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_b"))
+      counts.join(cos, Seq("label")).orderBy(col("label"))
+    }),
+
     // Graph: LABEL-PROPAGATION communities over the doc-link graph —
     // two synchronous neighbor-majority sweeps (deterministic LPA:
     // id-seeded labels, min-label tiebreak), reported as the top-20
@@ -5920,6 +5957,42 @@ object SparkEntry {
          |UNION ALL SELECT 3, CAST(sum(cnt *
          |    len(string_split(w[2:-2], ')('))) AS BIGINT) FROM w3
          |ORDER BY round""".stripMargin,
+
+    // Same md5 halves, same snapped per-dim sums, same exact-integer
+    // dot/norm algebra with one double chain per label.
+    "q187_centroid_drift" -> {
+      val halfSql = s"${h60("CAST(vec_id AS VARCHAR)")} % 2"
+      s"""WITH ex AS (SELECT label, vec_id, embedding,
+         |    unnest(range(1, len(embedding) + 1)) AS i
+         |  FROM embeddings),
+         |e AS (SELECT label, $halfSql AS half, i,
+         |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+         |      AS c
+         |  FROM ex),
+         |bd AS (SELECT label, half, i, CAST(sum(c) AS BIGINT) AS s
+         |  FROM e GROUP BY 1, 2, 3),
+         |j AS (SELECT a.label, a.s AS sa, b.s AS sb
+         |  FROM bd a JOIN bd b
+         |    ON a.label = b.label AND a.i = b.i
+         |   AND a.half = 0 AND b.half = 1),
+         |p AS (SELECT label,
+         |    CAST(sum(CAST(sa AS HUGEINT) * sb) AS HUGEINT) AS dot,
+         |    CAST(sum(CAST(sa AS HUGEINT) * sa) AS HUGEINT) AS na2,
+         |    CAST(sum(CAST(sb AS HUGEINT) * sb) AS HUGEINT) AS nb2
+         |  FROM j GROUP BY 1),
+         |cn AS (SELECT label,
+         |    CAST(sum(CASE WHEN $halfSql = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN $halfSql = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_b
+         |  FROM embeddings GROUP BY 1)
+         |SELECT cn.label AS label, n_a, n_b,
+         |  CAST(round(CAST(CAST(dot AS DOUBLE)
+         |    / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE))
+         |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS cos_halves
+         |FROM cn JOIN p ON cn.label = p.label
+         |ORDER BY label""".stripMargin
+    },
 
     // Two unrolled LPA sweeps over the same generated edge set (both
     // directions, self-loops out), same (size desc, community) cutoff.

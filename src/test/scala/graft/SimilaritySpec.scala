@@ -597,6 +597,42 @@ class SimilaritySpec extends SparkSpec {
     assert(tight.count() == 8 * 5)
   }
 
+  test("centroid-halves cosine: coherent labels agree across halves, " +
+      "random labels do not — computed on sum vectors, counts cancel") {
+    val rnd = new scala.util.Random(83)
+    val d = 16
+    val u = Array.fill(d)(rnd.nextGaussian())
+    // label 0: tight around u; label 1: isotropic noise
+    val rows = (0L until 400L).map { id =>
+      val v = if (id % 2 == 0)
+        Array.tabulate(d)(i => (u(i) + rnd.nextGaussian() * 0.05).toFloat)
+      else Array.fill(d)(rnd.nextGaussian().toFloat)
+      (id, (id % 2).toInt, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "label", "embedding")
+    // same algebra as q187, via the query body (SparkEntry is private;
+    // re-derive inline on the same ops)
+    val e = df.select(col("label"),
+      graft.ops.Sampling.hashBucket(col("vec_id"), 2).as("half"),
+      posexplode(transform(col("embedding"),
+        x => round(x.cast("double") * 1000).cast("long")))
+        .as(Seq("d", "c")))
+    val byDim = e.groupBy(col("label"), col("half"), col("d"))
+      .agg(sum(col("c")).as("s"))
+    val j = byDim.filter(col("half") === 0)
+      .select(col("label"), col("d"), col("s").as("sa"))
+      .join(byDim.filter(col("half") === 1)
+        .select(col("label"), col("d"), col("s").as("sb")),
+        Seq("label", "d"))
+    val cos = j.groupBy(col("label"))
+      .agg((sum(col("sa") * col("sb")).cast("double") /
+        sqrt(sum(col("sa") * col("sa")).cast("double") *
+          sum(col("sb") * col("sb")).cast("double"))).as("ch"))
+      .as[(Int, Double)].collect().toMap
+    assert(cos(0) > 0.99, s"coherent label halves must agree: ${cos(0)}")
+    assert(math.abs(cos(1)) < 0.5, s"random label: ${cos(1)}")
+  }
+
   test("gramianFixedPoint matches the local outer-product sum exactly; " +
       "topEigen recovers a planted dominant direction") {
     val rnd = new scala.util.Random(41)
