@@ -355,6 +355,22 @@ object SparkEntry {
        |      CAST(4096 - nb AS DOUBLE) AS v
        |    FROM ${out}g))""".stripMargin
 
+  /** DuckDB equal-count bin-map CTE (Profile.equalCountBinMap parity
+    * for the q188 RFM chains): value-level exclusive running counts
+    * over CTE `pu`'s column `metric`, bin = ⌊below·bins/nn⌋. Expects
+    * CTE nn(nn). Emits `${out}v`, `${out}b`, `$out(v, bin)`.
+    */
+  private def rfmBinSql(metric: String, bins: Int, out: String): String =
+    s"""${out}v AS (SELECT $metric AS v, CAST(count(*) AS BIGINT) AS c
+       |  FROM pu GROUP BY 1),
+       |${out}b AS (SELECT v,
+       |    COALESCE(CAST(sum(c) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+       |      AS BIGINT), 0) AS below
+       |  FROM ${out}v),
+       |$out AS (SELECT v, CAST((below * $bins) // nn AS INTEGER) AS bin
+       |  FROM ${out}b CROSS JOIN nn)""".stripMargin
+
   /** One DuckDB BPE merge-learning round (Text.bpeLearnMerges parity):
     * count adjacent symbol pairs weighted by word count, pick the
     * (count desc, a, b) best, fuse it in every word via the literal
@@ -1477,6 +1493,37 @@ object SparkEntry {
         .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n_a"),
           sum(when(col("half") === 1, 1L).otherwise(0L)).as("n_b"))
       counts.join(cos, Seq("label")).orderBy(col("label"))
+    }),
+
+    // Events/segmentation: RFM QUINTILES — per-user recency/frequency/
+    // monetary scores binned by exact global quantiles (three uses of
+    // the shared Ranks kernel; the (v, bin) maps come back broadcast),
+    // segments reported with exact-integer monetary means.
+    "q188_rfm" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val maxD = ev.agg(max(to_date(col("ts"))).as("d0"))
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(max(to_date(col("ts"))).as("last_d"),
+          count(lit(1)).as("freq"),
+          sum(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L))
+            .as("mon"))
+        .crossJoin(broadcast(maxD))
+        .select(col("user_id"),
+          datediff(col("d0"), col("last_d")).cast("long").as("rec"),
+          col("freq"), col("mon"))
+      def binJoin(df: DataFrame, c: String, w: Long, out: String) =
+        df.join(broadcast(Profile.equalCountBinMap(
+            perUser.select(col(c)), col(c), 5, w)
+          .select(col("v").as(c), col("bin").as(out))), Seq(c))
+      val binned = binJoin(binJoin(binJoin(perUser,
+        "rec", 10L, "r_bin"), "freq", 10L, "f_bin"), "mon", 10000L, "m_bin")
+      binned.groupBy(col("r_bin"), col("f_bin"), col("m_bin"))
+        .agg(count(lit(1)).as("n_users"),
+          round((sum(col("mon")).cast("double") /
+            count(lit(1)).cast("double") / lit(100.0))
+            .cast("decimal(20,10)"), 2).cast("double").as("avg_monetary"))
+        .orderBy(col("r_bin"), col("f_bin"), col("m_bin"))
     }),
 
     // Graph: LABEL-PROPAGATION communities over the doc-link graph —
@@ -5993,6 +6040,33 @@ object SparkEntry {
          |FROM cn JOIN p ON cn.label = p.label
          |ORDER BY label""".stripMargin
     },
+
+    // Same per-user reductions, same three exclusive-running-count bin
+    // maps, same exact-integer monetary means.
+    "q188_rfm" ->
+      s"""WITH mx AS (SELECT max(CAST(ts AS DATE)) AS d0 FROM events),
+         |pu AS (SELECT user_id,
+         |    CAST(date_diff('day', max(CAST(ts AS DATE)),
+         |      (SELECT d0 FROM mx)) AS BIGINT) AS rec,
+         |    CAST(count(*) AS BIGINT) AS freq,
+         |    CAST(sum(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(round(value * 100) AS BIGINT)
+         |      ELSE 0 END) AS BIGINT) AS mon
+         |  FROM events GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM pu),
+         |${rfmBinSql("rec", 5, "rb")},
+         |${rfmBinSql("freq", 5, "fb")},
+         |${rfmBinSql("mon", 5, "mb")}
+         |SELECT rb.bin AS r_bin, fb.bin AS f_bin, mb.bin AS m_bin,
+         |  CAST(count(*) AS BIGINT) AS n_users,
+         |  CAST(round(CAST(CAST(sum(mon) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) / CAST(100.0 AS DOUBLE)
+         |    AS DECIMAL(20,10)), 2) AS DOUBLE) AS avg_monetary
+         |FROM pu
+         |JOIN rb ON pu.rec = rb.v
+         |JOIN fb ON pu.freq = fb.v
+         |JOIN mb ON pu.mon = mb.v
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // Two unrolled LPA sweeps over the same generated edge set (both
     // directions, self-loops out), same (size desc, community) cutoff.

@@ -261,6 +261,25 @@ object Profile {
             .cast("double")).as("auc"))
   }
 
+  /** Value → exact equal-count bin MAP — the reusable face of the
+    * quantile-binning rule ([[calibrationBins]], RFM scoring): each
+    * DISTINCT value maps to bin ⌊rowsStrictlyBelow·bins/N⌋ via the
+    * shared [[Ranks.withRunningBelow]] kernel; ties share a bin by
+    * construction. The result is a value-domain-sized (v, bin) table —
+    * broadcastable back onto the rows that produced it.
+    */
+  def equalCountBinMap(df: DataFrame, value: Column, bins: Int,
+                       bucketWidth: Long): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val rows = df.select(value.cast("long").as("__v"))
+    val byV = rows.groupBy(col("__v")).agg(count(lit(1)).as("c"))
+    val n = rows.agg(count(lit(1)).as("nn"))
+    Ranks.withRunningBelow(byV, "__v", bucketWidth, Seq("c"))
+      .crossJoin(broadcast(n))
+      .select(col("__v").as("v"),
+        expr(s"(c_below * $bins) div nn").cast("int").as("bin"))
+  }
+
   /** Exact equal-count CALIBRATION bins — "are high scores actually
     * better?": rows land in `bins` quantile bins of the score by EXACT
     * global rank (bin = ⌊rowsStrictlyBelow·bins/N⌋ — value-level, so

@@ -200,6 +200,21 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(got._3 - s.toDouble / n / 100.0) < 1e-6)
   }
 
+  test("equalCountBinMap: distinct uniform values split evenly, ties " +
+      "share a bin, map covers every input value") {
+    import org.apache.spark.sql.functions.col
+    val uni = (1L to 100L).map(Tuple1(_)).toDF("v")
+    val m = Profile.equalCountBinMap(uni, col("v"), 5, 9L)
+      .as[(Long, Int)].collect().toMap
+    assert(m.size == 100 && (1L to 100L).forall(m.contains))
+    assert((1L to 100L).groupBy(m).values.forall(_.size == 20))
+    // all-equal values: everything lands in bin 0
+    val same = Seq.fill(7)(Tuple1(3L)).toDF("v")
+    val s = Profile.equalCountBinMap(same, col("v"), 5, 9L)
+      .as[(Long, Int)].collect().toSeq
+    assert(s == Seq((3L, 0)))
+  }
+
   test("calibrationBins: every row in exactly one bin, bins are ordered " +
       "disjoint score ranges, uniform distinct scores split equally, " +
       "rates match hand counts") {
