@@ -1526,6 +1526,43 @@ object SparkEntry {
         .orderBy(col("r_bin"), col("f_bin"), col("m_bin"))
     }),
 
+    // Sampling/planning: DATA-SELECTION CURVE — "keep the top X% by
+    // quality: how many tokens do I get?": docs bin into exact quality
+    // deciles (best = bin 0, via the shared equal-count kernel on the
+    // negated score), each bin reports its token mass and the running
+    // cumulative share — the curve a quality-threshold decision reads.
+    "q189_selection_curve" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        round(Text.qualityScore(col("text")) * 1e4).cast("long").as("sfp"),
+        Text.tokenCount(col("text")).cast("long").as("ntok"))
+      val neg = docs.select((-col("sfp")).as("nv"), col("ntok"))
+      val bm = Profile.equalCountBinMap(neg.select(col("nv")),
+        col("nv"), 10, 100L)
+      val per = neg
+        .join(broadcast(bm.select(col("v").as("nv"), col("bin"))), Seq("nv"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tokens"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val tot = per.agg(sum(col("tokens")).as("tt"))
+      per.withColumn("cum_tokens", sum(col("tokens")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("bin"), col("n_docs"), col("tokens"),
+          col("cum_tokens"),
+          round((col("cum_tokens").cast("double") / col("tt").cast("double"))
+            .cast("decimal(20,10)"), 4).cast("double").as("cum_share"))
+        .orderBy(col("bin"))
+    }),
+
+    // Text/LM: HELD-OUT bigram perplexity with back-off — train on one
+    // hash half, score the other: unseen bigrams genuinely back off to
+    // smoothed unigrams (λ = 0.7), the real LM-based quality gate.
+    "q190_heldout_perplexity" -> ((s, dir) =>
+      Text.heldoutBigramNll(t(s, dir, "documents"), "doc_id",
+        col("text"), 0.7)),
+
     // Graph: LABEL-PROPAGATION communities over the doc-link graph —
     // two synchronous neighbor-majority sweeps (deterministic LPA:
     // id-seeded labels, min-label tiebreak), reported as the top-20
@@ -6067,6 +6104,87 @@ object SparkEntry {
          |JOIN fb ON pu.freq = fb.v
          |JOIN mb ON pu.mon = mb.v
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // q24's score snapped ×1e4, negated into the q188 bin-map CTE
+    // (best docs = bin 0), same running token shares.
+    "q189_selection_curve" ->
+      s"""WITH sc AS (SELECT
+         |    CAST(round(CAST(round(CAST(0.4 * least(1.0, len(tk) / 100.0)
+         |      + 0.3 * (CASE WHEN len(tk) = 0 THEN 0.0
+         |          ELSE len(list_filter(tk,
+         |            t -> t IN ('the','a','of','to','and'))) * 1.0
+         |            / len(tk) END)
+         |      + 0.3 * (CASE WHEN len(tk) = 0 THEN 0.0
+         |          ELSE len(list_distinct(tk)) * 1.0 / len(tk) END)
+         |      AS DECIMAL(20,10)), 4) AS DOUBLE) * 10000) AS BIGINT)
+         |      AS sfp,
+         |    CAST(len(tk) AS BIGINT) AS ntok
+         |  FROM (SELECT $tokSql AS tk FROM documents)),
+         |pu AS (SELECT -sfp AS nv, ntok FROM sc),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM pu),
+         |${rfmBinSql("nv", 10, "qb")},
+         |per AS (SELECT qb.bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(ntok) AS BIGINT) AS tokens
+         |  FROM pu JOIN qb ON pu.nv = qb.v GROUP BY 1),
+         |t AS (SELECT CAST(sum(tokens) AS BIGINT) AS tt FROM per)
+         |SELECT bin, n_docs, tokens,
+         |  CAST(sum(tokens) OVER (ORDER BY bin
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS cum_tokens,
+         |  CAST(round(CAST(CAST(sum(tokens) OVER (ORDER BY bin
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS DOUBLE) / CAST(tt AS DOUBLE) AS DECIMAL(20,10)), 4)
+         |    AS DOUBLE) AS cum_share
+         |FROM per CROSS JOIN t ORDER BY bin""".stripMargin,
+
+    // Same md5 halves, same train-side counts, same interpolated
+    // λ·p₂ + (1−λ)·p₁ chain with the ×1e6 per-term snap.
+    "q190_heldout_perplexity" -> {
+      val half = s"${h60("CAST(doc_id AS VARCHAR)")} % 2"
+      s"""WITH tg AS (SELECT doc_id, $tokSql AS tk, $half = 0 AS tr
+         |  FROM documents),
+         |bgx AS (SELECT doc_id, tr, tk,
+         |    unnest(range(1, len(tk))) AS i FROM tg),
+         |bg AS (SELECT doc_id, tr, tk[i] AS a, tk[i+1] AS b FROM bgx),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
+         |  FROM (SELECT unnest(tk) AS w FROM tg WHERE tr) GROUP BY 1),
+         |tv AS (SELECT CAST(sum(cw) AS BIGINT) AS tt,
+         |    CAST(count(*) AS BIGINT) AS v FROM uni),
+         |cb AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab
+         |  FROM bg WHERE tr GROUP BY 1, 2),
+         |ca2 AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca
+         |  FROM cb GROUP BY 1),
+         |nd AS (SELECT
+         |    CAST(sum(CASE WHEN tr THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_train_docs,
+         |    CAST(sum(CASE WHEN tr THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_heldout_docs
+         |  FROM tg),
+         |terms AS (SELECT
+         |    CAST(round(-ln(CAST(0.7 AS DOUBLE)
+         |      * (CASE WHEN cab IS NULL OR ca IS NULL
+         |          THEN CAST(0.0 AS DOUBLE)
+         |          ELSE CAST(cab AS DOUBLE) / CAST(ca AS DOUBLE) END)
+         |      + CAST(0.3 AS DOUBLE)
+         |      * (CAST(coalesce(u.cw, 0) + 1 AS DOUBLE)
+         |        / CAST(tt + v AS DOUBLE))) * 1e6) AS BIGINT) AS tfp,
+         |    CASE WHEN cab IS NULL THEN 1 ELSE 0 END AS bo
+         |  FROM (SELECT * FROM bg WHERE NOT tr) h
+         |  LEFT JOIN cb USING (a, b)
+         |  LEFT JOIN ca2 USING (a)
+         |  LEFT JOIN uni u ON u.w = h.b
+         |  CROSS JOIN tv)
+         |SELECT n_train_docs, n_heldout_docs,
+         |  CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(round(CAST(CAST(sum(tfp) AS DOUBLE)
+         |    / (CAST(count(*) AS DOUBLE) * 1e6) AS DECIMAL(20,10)), 4)
+         |    AS DOUBLE) AS avg_nll,
+         |  CAST(round(CAST(CAST(sum(bo) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS DECIMAL(20,10)), 4)
+         |    AS DOUBLE) AS backoff_rate
+         |FROM terms CROSS JOIN nd
+         |GROUP BY 1, 2""".stripMargin
+    },
 
     // Two unrolled LPA sweeps over the same generated edge set (both
     // directions, self-loops out), same (size desc, community) cutoff.

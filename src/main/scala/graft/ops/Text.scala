@@ -1023,6 +1023,73 @@ object Text {
           .cast("double").as("avg_nll"))
   }
 
+  /** HELD-OUT bigram perplexity with interpolated back-off — the
+    * language-model quality score as it is actually used in a data
+    * pipeline: the model TRAINS on one deterministic hash half of the
+    * corpus and SCORES the other, so unseen bigrams are real and the
+    * back-off path (λ·p₂ + (1−λ)·p₁, add-one-smoothed unigrams with
+    * the train vocabulary as V) genuinely fires — [[bigramNll]]'s
+    * self-scoring never exercises it. Per-term −ln snaps ×1e6 pre-sum
+    * (order-free); `backoff_rate` reports how often p₂ was absent.
+    * Corpus-sized work: one token scan + bigram/unigram hash
+    * aggregates + the posting joins on the (a, b)/(a)/(b) keys.
+    * Output: one row (n_train_docs, n_heldout_docs, n_bigrams,
+    * avg_nll, backoff_rate).
+    */
+  def heldoutBigramNll(docs: DataFrame, idCol: String, text: Column,
+                       lam: Double = 0.7): DataFrame = {
+    // λ = 1 would make an unseen bigram's probability exactly 0 and
+    // its −ln infinite; the unigram floor must keep positive weight
+    require(lam > 0.0 && lam < 1.0, "lam must be in (0, 1)")
+    val tagged = docs.select(col(idCol).as("id"), tokens(text).as("tk"),
+      (Sampling.hashBucket(col(idCol), 2) === 0).as("is_train"))
+    val bg = tagged
+      .select(col("id"), col("is_train"), explode(Cols.bound(col("tk")) {
+        t =>
+          when(size(t) < 2,
+            array().cast("array<struct<a:string,b:string>>"))
+            .otherwise(transform(sequence(lit(1), size(t) - 1),
+              i => struct(element_at(t, i).as("a"),
+                element_at(t, i + 1).as("b"))))
+      }).as("bgp"))
+      .select(col("id"), col("is_train"),
+        col("bgp.a").as("a"), col("bgp.b").as("b"))
+    val uni = tagged.filter(col("is_train"))
+      .select(explode(col("tk")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val tv = uni.agg(sum(col("cw")).as("tt"), count(lit(1)).as("v"))
+    val cb = bg.filter(col("is_train")).groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cab"))
+    val ca2 = cb.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    val nd = tagged.agg(
+      sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train_docs"),
+      sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_heldout_docs"))
+    val p2 = when(col("cab").isNull || col("ca").isNull, lit(0.0))
+      .otherwise(col("cab").cast("double") / col("ca").cast("double"))
+    val p1 = (coalesce(col("cb1"), lit(0L)) + 1).cast("double") /
+      (col("tt") + col("v")).cast("double")
+    bg.filter(!col("is_train"))
+      .join(cb, Seq("a", "b"), "left")
+      .join(ca2, Seq("a"), "left")
+      .join(uni.select(col("w").as("b"), col("cw").as("cb1")),
+        Seq("b"), "left")
+      .crossJoin(broadcast(tv))
+      .select(
+        round(-log(lit(lam) * p2 + lit(1.0 - lam) * p1) * lit(1e6))
+          .cast("long").as("tfp"),
+        when(col("cab").isNull, 1L).otherwise(0L).as("bo"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round((sum(col("tfp")).cast("double") /
+          (count(lit(1)).cast("double") * 1e6)).cast("decimal(20,10)"), 4)
+          .cast("double").as("avg_nll"),
+        round((sum(col("bo")).cast("double") /
+          count(lit(1)).cast("double")).cast("decimal(20,10)"), 4)
+          .cast("double").as("backoff_rate"))
+      .crossJoin(broadcast(nd))
+      .select(col("n_train_docs"), col("n_heldout_docs"),
+        col("n_bigrams"), col("avg_nll"), col("backoff_rate"))
+  }
+
   /** Okapi BM25 top-k retrieval: score every document against
     * `queryTerms` (a small one-column `token` frame — data-derived or
     * constant) and keep the best `k` by (score desc, id).

@@ -637,6 +637,32 @@ class TextDedupSpec extends SparkSpec {
       s"one shared fingerprint, C disjoint: $out")
   }
 
+  test("heldoutBigramNll: back-off fires on unseen bigrams, term math " +
+      "matches local computation, degenerate lambda rejected") {
+    import graft.ops.Sampling
+    // pick ids that land in opposite deterministic halves
+    val halves = spark.range(1, 50)
+      .select(col("id"), Sampling.hashBucket(col("id"), 2).as("h"))
+      .as[(Long, Long)].collect().toMap
+    val trainId = halves.collectFirst { case (i, 0L) => i }.get
+    val hoId = halves.collectFirst { case (i, 1L) => i }.get
+    val docs = Seq((trainId, "a b a b"), (hoId, "a b z"))
+      .toDF("doc_id", "text")
+    val out = Text.heldoutBigramNll(docs, "doc_id", col("text"), 0.7)
+      .as[(Long, Long, Long, Double, Double)].head()
+    // train: uni a:2 b:2 (T=4, V=2); bigrams (a,b):2, (b,a):1
+    // heldout (a,b): p2 = 2/2, p1(b) = 3/6 → p = .7 + .3·.5
+    // heldout (b,z): UNSEEN → p2 = 0, p1(z) = 1/6 → p = .3/6
+    val t1 = math.round(-math.log(0.7 * 1.0 + 0.3 * (3.0 / 6)) * 1e6)
+    val t2 = math.round(-math.log(0.3 * (1.0 / 6)) * 1e6)
+    val want = BigDecimal((t1 + t2) / (2.0 * 1e6))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == ((1L, 1L, 2L, want, 0.5)), s"$out vs nll $want")
+    intercept[IllegalArgumentException] {
+      Text.heldoutBigramNll(docs, "doc_id", col("text"), 1.0)
+    }
+  }
+
   test("sourceKlDivergence: zero against an identical distribution, " +
       "non-negative everywhere, larger for more-divergent sources") {
     val docs = Seq(
