@@ -1563,6 +1563,14 @@ object SparkEntry {
       Text.heldoutBigramNll(t(s, dir, "documents"), "doc_id",
         col("text"), 0.7)),
 
+    // Dedup: CONTENT-DEFINED chunking stats — boundaries fall after
+    // hash-selected tokens (mod 8), so chunk fingerprints survive
+    // local insertions where fixed-stride spans re-align; corpus-level
+    // cross-doc duplication mass.
+    "q191_cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcChunkStats(t(s, dir, "documents"), "doc_id",
+        col("text"), 8)),
+
     // Graph: LABEL-PROPAGATION communities over the doc-link graph —
     // two synchronous neighbor-majority sweeps (deterministic LPA:
     // id-seeded labels, min-label tiebreak), reported as the top-20
@@ -6185,6 +6193,37 @@ object SparkEntry {
          |FROM terms CROSS JOIN nd
          |GROUP BY 1, 2""".stripMargin
     },
+
+    // Same hash-selected cut tokens, same strictly-before chunk ids,
+    // same ordered chunk-text fingerprints and cross-doc splits.
+    "q191_cdc_chunks" ->
+      s"""WITH tx AS (SELECT doc_id, i, tk[i] AS tok
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) + 1)) AS i
+         |    FROM (SELECT doc_id, $tokSql AS tk FROM documents))),
+         |ct AS (SELECT doc_id, i, tok,
+         |    CASE WHEN ${h60("tok")} % 8 = 0 THEN 1 ELSE 0 END AS is_cut
+         |  FROM tx),
+         |ch AS (SELECT doc_id, i, tok,
+         |    COALESCE(sum(is_cut) OVER (PARTITION BY doc_id ORDER BY i
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS chunk
+         |  FROM ct),
+         |cg AS (SELECT doc_id, chunk, CAST(count(*) AS BIGINT) AS n_tok,
+         |    md5(string_agg(tok, ' ' ORDER BY i)) AS fp
+         |  FROM ch GROUP BY 1, 2),
+         |bf AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_occ,
+         |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS tok_mass
+         |  FROM cg GROUP BY 1)
+         |SELECT CAST(sum(n_occ) AS BIGINT) AS n_chunks,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_crossdoc_fp,
+         |  CAST(round(CAST(CAST(sum(CASE WHEN n_docs >= 2
+         |      THEN tok_mass ELSE 0 END) AS DOUBLE)
+         |    / CAST(sum(tok_mass) AS DOUBLE) AS DECIMAL(20,10)), 4)
+         |    AS DOUBLE) AS dup_token_share
+         |FROM bf""".stripMargin,
 
     // Two unrolled LPA sweeps over the same generated edge set (both
     // directions, self-loops out), same (size desc, community) cutoff.

@@ -495,6 +495,54 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_spans"))
   }
 
+  /** CONTENT-DEFINED chunking dedup stats — the insertion-robust
+    * sibling of the fixed-stride span family ([[duplicateSpans]]):
+    * chunk boundaries fall AFTER any token whose portable hash is
+    * ≡ 0 (mod `modulus`), so inserting one token near the front only
+    * perturbs its own chunk — every later boundary (and fingerprint)
+    * survives, where a stride-n window re-aligns EVERY span. The
+    * storage-dedup trick (rsync/CDC) applied to text. Work: one token
+    * scan, a per-doc position window (docs are bounded — the window
+    * partitions by doc), and hash aggregates on the chunk fingerprint.
+    * Output: one row (n_chunks, n_distinct, n_crossdoc_fp,
+    * dup_token_share) — fingerprints seen in ≥ 2 DISTINCT docs count
+    * as cross-doc, and dup_token_share is the token mass inside them.
+    */
+  def cdcChunkStats(docs: DataFrame, id: String, text: Column,
+                    modulus: Int): DataFrame = {
+    require(modulus >= 2, "modulus must be >= 2")
+    val toks = docs
+      .select(col(id).as("id"),
+        posexplode(Text.tokens(text)).as(Seq("pos", "tok")))
+    val cut = toks.withColumn("is_cut",
+      when(pmod(hashLong(col("tok")), lit(modulus.toLong)) === 0, 1L)
+        .otherwise(0L))
+    // chunk = number of cuts STRICTLY BEFORE this token: a cut token
+    // closes its own chunk, the next token starts a new one
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val chunks = cut
+      .withColumn("chunk", coalesce(sum(col("is_cut")).over(w), lit(0L)))
+      .groupBy(col("id"), col("chunk"))
+      .agg(count(lit(1)).as("n_tok"),
+        md5(concat_ws(" ",
+          sort_array(collect_list(struct(col("pos"), col("tok"))))
+            .getField("tok"))).as("fp"))
+    val byFp = chunks.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("id")).as("n_docs"),
+        sum(col("n_tok")).as("tok_mass"))
+    byFp.agg(sum(col("n_occ")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_crossdoc_fp"),
+        round((sum(when(col("n_docs") >= 2, col("tok_mass"))
+          .otherwise(0L)).cast("double") /
+          sum(col("tok_mass")).cast("double")).cast("decimal(20,10)"), 4)
+          .cast("double").as("dup_token_share"))
+  }
+
   /** Asymmetric containment join — excerpt/quote detection: pairs
     * (probe, target) where containment |P∩T| / |P| ≥ threshold, i.e.
     * at least `threshold` of the PROBE's shingles appear in the

@@ -637,6 +637,34 @@ class TextDedupSpec extends SparkSpec {
       s"one shared fingerprint, C disjoint: $out")
   }
 
+  test("cdcChunkStats: chunk fingerprints survive a front insertion " +
+      "where fixed-stride spans re-align; all-token conservation") {
+    val rnd = new scala.util.Random(91)
+    val words = Seq.fill(60)("w" + rnd.nextInt(5000))
+    val a = words.mkString(" ")
+    val b = ("zzz" +: words).mkString(" ") // one token inserted at front
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val cdc = Dedup.cdcChunkStats(docs, "doc_id", col("text"), 8)
+      .as[(Long, Long, Long, Double)].head()
+    // conservation: chunk token masses must sum to the corpus tokens
+    assert(cdc._1 >= 2, "at least one chunk per doc")
+    assert(cdc._4 > 0.5,
+      s"CDC keeps most mass shared after the insertion: $cdc")
+    // fixed-stride spans on the same pair re-align: per-doc dup ratio
+    // collapses (only spans before ... none, the offset shifts all)
+    val spans = Dedup.duplicateSpans(docs, "doc_id", col("text"), 8)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(spans(1L) < cdc._4,
+      s"stride spans lose alignment: ${spans(1L)} vs CDC ${cdc._4}")
+    // identical docs: every chunk cross-doc, share = 1
+    val same = Seq((1L, a), (2L, a)).toDF("doc_id", "text")
+    val s2 = Dedup.cdcChunkStats(same, "doc_id", col("text"), 8)
+      .as[(Long, Long, Long, Double)].head()
+    assert(s2._4 == 1.0 && s2._2 == s2._3,
+      s"identical docs: all fingerprints cross-doc: $s2")
+  }
+
   test("heldoutBigramNll: back-off fires on unseen bigrams, term math " +
       "matches local computation, degenerate lambda rejected") {
     import graft.ops.Sampling
