@@ -1571,6 +1571,33 @@ object SparkEntry {
       Dedup.cdcChunkStats(t(s, dir, "documents"), "doc_id",
         col("text"), 8)),
 
+    // Dedup/pipeline: the DEDUP CASCADE survivors report — how many
+    // docs each successive deterministic dedup stage keeps (exact
+    // fingerprint → template skeleton → canonical URL), each stage
+    // keeping the min doc_id of its group: the shrinkage audit a
+    // pipeline publishes with every corpus build.
+    "q192_dedup_cascade" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      def keepMin(df: DataFrame, key: Column) =
+        df.groupBy(key.as("__k"))
+          .agg(min_by(struct(col("doc_id"), col("text"), col("source")),
+            col("doc_id")).as("r"))
+          .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"),
+            col("r.source").as("source"))
+      val s1 = keepMin(base, Text.fingerprint(col("text")))
+      val s2 = keepMin(s1, md5(Dedup.templateSkeleton(col("text"))))
+      val s3 = keepMin(s2,
+        Web.canonicalizeUrl(crawlUrl(col("doc_id"), col("source"))))
+      def stage(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_surviving"))
+          .select(lit(name).as("stage"), col("n_surviving"))
+      stage("0_input", base).unionByName(stage("1_exact", s1))
+        .unionByName(stage("2_template", s2))
+        .unionByName(stage("3_url", s3))
+        .orderBy(col("stage"))
+    }),
+
     // Graph: LABEL-PROPAGATION communities over the doc-link graph —
     // two synchronous neighbor-majority sweeps (deterministic LPA:
     // id-seeded labels, min-label tiebreak), reported as the top-20
@@ -6224,6 +6251,30 @@ object SparkEntry {
          |    / CAST(sum(tok_mass) AS DOUBLE) AS DECIMAL(20,10)), 4)
          |    AS DOUBLE) AS dup_token_share
          |FROM bf""".stripMargin,
+
+    // Same three keep-min stages (exact fp, digit-folded skeleton fp,
+    // canonical URL via the q130 chain over stage-2 survivors).
+    "q192_dedup_cascade" ->
+      s"""WITH b AS (SELECT doc_id, text, source FROM documents),
+         |s1 AS (SELECT doc_id, text, source FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY
+         |      md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+         |      ORDER BY doc_id) AS rn FROM b) WHERE rn = 1),
+         |s2 AS (SELECT doc_id, text, source FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY
+         |      md5(regexp_replace(regexp_replace(trim(lower(text)),
+         |        '\\s+', ' ', 'g'), '[0-9]+', '#', 'g'))
+         |      ORDER BY doc_id) AS rn FROM s1) WHERE rn = 1),
+         |${urlChainSql("cas",
+           s"""SELECT doc_id, text,
+              |    ${urlSql("doc_id", "source")} AS url FROM s2""".stripMargin)}
+         |SELECT '0_input' AS stage, CAST(count(*) AS BIGINT)
+         |    AS n_surviving FROM b
+         |UNION ALL SELECT '1_exact', CAST(count(*) AS BIGINT) FROM s1
+         |UNION ALL SELECT '2_template', CAST(count(*) AS BIGINT) FROM s2
+         |UNION ALL SELECT '3_url',
+         |  CAST(count(DISTINCT canonical_url) AS BIGINT) FROM cascu
+         |ORDER BY stage""".stripMargin,
 
     // Two unrolled LPA sweeps over the same generated edge set (both
     // directions, self-loops out), same (size desc, community) cutoff.
