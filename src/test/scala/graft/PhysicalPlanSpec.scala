@@ -474,6 +474,35 @@ class PhysicalPlanSpec extends SparkSpec {
       s"argmax must be min_by aggregate, not a ranking window:\n$p")
   }
 
+  test("RFM: the three bin maps come back broadcast — the user table " +
+      "never sort-merge-joins a value-domain table") {
+    val p = plan("q188_rfm")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"three broadcast value→bin joins expected:\n$p")
+  }
+
+  test("held-out perplexity: posting joins are equi-joins, no cartesian") {
+    val p = plan("q190_heldout_perplexity")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"only the one-row tv/nd frames may nested-loop:\n$p")
+  }
+
+  test("CDC chunking: one doc-partitioned window, no join anywhere") {
+    val p = plan("q191_cdc_chunks")
+    assert(!p.contains("Join"), s"cut→chunk→fingerprint is join-free:\n$p")
+    assert("(?m)^\\s*\\(\\d+\\) Window".r.findAllIn(p).size == 1,
+      s"exactly one (per-doc) window:\n$p")
+  }
+
+  test("dedup cascade: three keep-min stages are pure hash aggregates " +
+      "— no join, no window ranking") {
+    val p = plan("q192_dedup_cascade")
+    assert(!p.contains("Join"), s"keep-min must be min_by aggregation:\n$p")
+    assert("(?m)^\\s*\\(\\d+\\) Window".r.findAllIn(p).isEmpty, p)
+  }
+
   test("whole-stage codegen covers the scan-project pipeline") {
     val df = Tables(spark, dir, "lineitem")
       .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
