@@ -317,6 +317,21 @@ object SparkEntry {
        |      * (CAST(coalesce(s, 0) AS DOUBLE) / 1e9)) AS pr
        |  FROM tg LEFT JOIN ${tag}c ON tg.id = ${tag}c.dst)""".stripMargin
 
+  /** One DuckDB temporal-BFS round (Graph.temporalEarliestArrival
+    * parity): candidates from time-respecting expansion, merge by
+    * min arrival. Expects CTE e(src, dst, ts); full expansion each
+    * round (≡ the engine's frontier-only form — see the scaladoc).
+    */
+  private def tbfsIterSql(prev: String, tag: String): String =
+    s"""${tag}c AS (SELECT e.dst AS id, CAST(min(e.ts) AS BIGINT)
+       |    AS arrival
+       |  FROM $prev JOIN e ON $prev.id = e.src AND e.ts >= $prev.arrival
+       |  GROUP BY 1),
+       |$tag AS (SELECT id, min(arrival) AS arrival FROM (
+       |    SELECT id, arrival FROM $prev
+       |    UNION ALL SELECT id, arrival FROM ${tag}c) GROUP BY 1)"""
+      .stripMargin
+
   /** One DuckDB label-propagation iteration (Graph.labelPropagation
     * parity): neighbor-majority vote, ties to the smallest label,
     * isolated nodes keep their own. Expects CTE eu(src, dst) holding
@@ -1597,6 +1612,25 @@ object SparkEntry {
         .unionByName(stage("3_url", s3))
         .orderBy(col("stage"))
     }),
+
+    // Graph: TIME-RESPECTING earliest arrival — temporal BFS where
+    // every hop departs no earlier than the previous arrived; improved
+    // nodes only re-expand (frontier economics), merge = min-arrival.
+    "q193_temporal_bfs" -> ((s, dir) => {
+      val e = docLinkEdges(s, dir)
+        .withColumn("ts", (col("src") * 31 + col("dst") * 17) % 1000)
+      val seeds = t(s, dir, "documents")
+        .filter(col("doc_id") % 97 === 0).select(col("doc_id").as("id"))
+      Graph.temporalEarliestArrival(e, seeds, 3)
+        .orderBy(col("arrival"), col("id")).limit(25)
+        .select(col("id").as("doc_id"), col("arrival"))
+    }),
+
+    // Graph: degree ASSORTATIVITY — do hubs link to hubs? Pearson r of
+    // endpoint degrees over the symmetrized edge list, on olsTrend's
+    // exact moment algebra.
+    "q194_assortativity" -> ((s, dir) =>
+      Graph.degreeAssortativity(docLinkEdges(s, dir))),
 
     // Graph: LABEL-PROPAGATION communities over the doc-link graph —
     // two synchronous neighbor-majority sweeps (deterministic LPA:
@@ -6275,6 +6309,63 @@ object SparkEntry {
          |UNION ALL SELECT '3_url',
          |  CAST(count(DISTINCT canonical_url) AS BIGINT) FROM cascu
          |ORDER BY stage""".stripMargin,
+
+    // Three unrolled time-respecting rounds (full expansion, which the
+    // min-merge makes equivalent to the engine's frontier-only form).
+    "q193_temporal_bfs" ->
+      s"""WITH docs AS (SELECT doc_id FROM documents),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM docs),
+         |e0 AS (SELECT doc_id AS src, (doc_id * 7 + k * 13) % nn AS dst
+         |  FROM docs CROSS JOIN nc
+         |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+         |e AS (SELECT src, dst,
+         |    CAST((src * 31 + dst * 17) % 1000 AS BIGINT) AS ts
+         |  FROM e0),
+         |a0 AS (SELECT doc_id AS id, CAST(0 AS BIGINT) AS arrival
+         |  FROM documents WHERE doc_id % 97 = 0),
+         |${tbfsIterSql("a0", "a1")},
+         |${tbfsIterSql("a1", "a2")},
+         |${tbfsIterSql("a2", "a3")}
+         |SELECT id AS doc_id, arrival FROM a3
+         |ORDER BY arrival, id LIMIT 25""".stripMargin,
+
+    // Same symmetrized degree pairs, same five-moment normal-equation
+    // algebra (q152's), same null guards.
+    "q194_assortativity" ->
+      s"""WITH docs AS (SELECT doc_id FROM documents),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM docs),
+         |e AS (SELECT doc_id AS src, (doc_id * 7 + k * 13) % nn AS dst
+         |  FROM docs CROSS JOIN nc
+         |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+         |ue AS (SELECT DISTINCT least(src, dst) AS u,
+         |    greatest(src, dst) AS v
+         |  FROM e WHERE src <> dst),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+         |  FROM (SELECT u AS id FROM ue UNION ALL SELECT v FROM ue)
+         |  GROUP BY 1),
+         |sym AS (SELECT u, v FROM ue UNION ALL SELECT v, u FROM ue),
+         |p AS (SELECT du.deg AS x, dv.deg AS y
+         |  FROM sym JOIN deg du ON sym.u = du.id
+         |  JOIN deg dv ON sym.v = dv.id),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+         |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+         |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+         |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+         |  FROM p)
+         |SELECT n,
+         |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+         |    CAST(round(CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / CAST(n * sxx - sx * sx AS DOUBLE)
+         |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS slope,
+         |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+         |    THEN NULL ELSE
+         |    CAST(round(CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+         |        * CAST(n * syy - sy * sy AS DOUBLE))
+         |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS r
+         |FROM m""".stripMargin,
 
     // Two unrolled LPA sweeps over the same generated edge set (both
     // directions, self-loops out), same (size desc, community) cutoff.

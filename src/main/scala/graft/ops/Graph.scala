@@ -211,6 +211,67 @@ object Graph {
     dist
   }
 
+  /** TIME-RESPECTING earliest arrival (temporal BFS) — reachability
+    * when every hop must depart no earlier than the previous hop
+    * arrived (event-propagation / information-flow semantics; plain
+    * BFS overcounts by using edges "backwards in time"). State per
+    * node is its EARLIEST arrival — earlier dominates (any
+    * continuation legal from a later arrival is legal from an earlier
+    * one), so the merge is a min-aggregate, and only IMPROVED nodes
+    * re-expand (the [[shortestHops]] frontier economics: an edge set
+    * is re-walked only when its source's arrival improves). Expanding
+    * settled nodes would add only dominated candidates, so
+    * frontier-only ≡ full expansion round for round. Per round: one
+    * equi-join shuffle + one min-aggregate. Seeds start at arrival 0.
+    * Output: (id, arrival), nodes reachable within `rounds` hops.
+    */
+  def temporalEarliestArrival(edges: DataFrame, seeds: DataFrame,
+                              rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges.select(col("src"), col("dst"), col("ts"))
+    var best = seeds.select(col("id")).distinct()
+      .select(col("id"), lit(0L).as("arrival"))
+    var frontier = best
+    for (_ <- 1 to rounds) {
+      val cand = frontier.join(e, col("id") === col("src"))
+        .filter(col("ts") >= col("arrival"))
+        .groupBy(col("dst")).agg(min(col("ts")).as("cand_arrival"))
+      val joined = cand.join(best, cand("dst") === best("id"), "left")
+      frontier = joined
+        .filter(col("arrival").isNull ||
+          col("cand_arrival") < col("arrival"))
+        .select(col("dst").as("id"), col("cand_arrival").as("arrival"))
+      best = best.unionByName(frontier)
+        .groupBy(col("id")).agg(min(col("arrival")).as("arrival"))
+    }
+    best
+  }
+
+  /** Degree ASSORTATIVITY — the Pearson correlation of endpoint
+    * degrees over the (symmetrized) edge list: positive means hubs
+    * link to hubs (social-graph shape), negative means hubs link to
+    * leaves (web/star shape). Both orientations of every undirected
+    * edge enter (the standard convention), and the correlation reuses
+    * [[Profile.olsTrend]]'s exact DECIMAL moment algebra under a
+    * constant group. Output: one row (n, slope, r) where n = 2·|E|.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val ue = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val deg = ue.select(col("u").as("id"))
+      .unionByName(ue.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val sym = ue.unionByName(
+      ue.select(col("v").as("u"), col("u").as("v")))
+    val pairs = sym
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), Seq("v"))
+    Profile.olsTrend(pairs, lit(1), col("du"), col("dv"))
+      .select(col("n"), col("slope"), col("r"))
+  }
+
   /** Synchronous label-propagation community detection — `iters`
     * rounds of: every node adopts the label most frequent among its
     * (undirected) neighbors, ties to the SMALLEST label, isolated

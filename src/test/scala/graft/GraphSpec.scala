@@ -164,6 +164,38 @@ class GraphSpec extends SparkSpec {
     assert(out2 == Map(0L -> 0, 9L -> 0, 1L -> 1, 2L -> 1))
   }
 
+  test("temporalEarliestArrival: time-respecting paths only, improved " +
+      "arrivals re-expand and unlock edges plain BFS order would miss") {
+    // 0→1@10 but also 0→4@1→1@3: node 1's arrival improves to 3 in
+    // round 2, which makes 1→2@5 legal (5 ≥ 3) in round 3 — under the
+    // direct path alone it is NOT (5 < 10)
+    val es = Seq((0L, 1L, 10L), (1L, 2L, 5L), (0L, 4L, 1L),
+      (4L, 1L, 3L), (1L, 3L, 20L)).toDF("src", "dst", "ts")
+    val seeds = Seq(0L).toDF("id")
+    val r3 = Graph.temporalEarliestArrival(es, seeds, 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r3 == Map(0L -> 0L, 1L -> 3L, 4L -> 1L, 2L -> 5L, 3L -> 20L),
+      s"r3: $r3")
+    // after only 2 rounds the improving path hasn't reached node 2 yet
+    val r2 = Graph.temporalEarliestArrival(es, seeds, 2)
+      .as[(Long, Long)].collect().toMap
+    assert(!r2.contains(2L), s"node 2 needs the round-3 re-expansion: $r2")
+    assert(r2(1L) == 3L, "the improvement itself lands in round 2")
+  }
+
+  test("degreeAssortativity: a star is perfectly disassortative (r = " +
+      "-1), a regular clique has undefined correlation (null)") {
+    val star = (1L to 5L).map(l => (0L, l)).toDF("src", "dst")
+    val s = Graph.degreeAssortativity(star).collect().head
+    assert(s.getLong(0) == 10L, "5 undirected edges × both orientations")
+    assert(s.getDouble(2) == -1.0, s"star r: $s")
+    // K4: every degree 3 → zero variance → slope/r null
+    val k4 = (for { a <- 0L to 3L; b <- 0L to 3L if a < b }
+      yield (a, b)).toDF("src", "dst")
+    val k = Graph.degreeAssortativity(k4).collect().head
+    assert(k.isNullAt(1) && k.isNullAt(2), s"clique: $k")
+  }
+
   test("labelPropagation matches an independent synchronous-sweep " +
       "reference on a random graph; dense cliques keep their min id") {
     // independent reference: same synchronous majority/min-tie sweep
