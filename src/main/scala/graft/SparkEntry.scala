@@ -1613,6 +1613,14 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // Profiling/scale: JOIN-KEY SKEW report — rows-per-key
+    // concentration for the lineitem join key (hottest share + exact
+    // Gini via the grouped closed form on the shared rank kernel):
+    // what a plan reads before choosing salting or AQE skew handling.
+    "q195_key_skew" -> ((s, dir) =>
+      Profile.keySkewReport(t(s, dir, "lineitem"), col("l_orderkey"),
+        10L)),
+
     // Graph: TIME-RESPECTING earliest arrival — temporal BFS where
     // every hop departs no earlier than the previous arrived; improved
     // nodes only re-expand (frontier economics), merge = min-arrival.
@@ -6309,6 +6317,33 @@ object SparkEntry {
          |UNION ALL SELECT '3_url',
          |  CAST(count(DISTINCT canonical_url) AS BIGINT) FROM cascu
          |ORDER BY stage""".stripMargin,
+
+    // Same (load, #keys) collapse, same exclusive running key count,
+    // same grouped position-sum B and one-double-chain Gini.
+    "q195_key_skew" ->
+      """WITH pk AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS v
+        |  FROM lineitem GROUP BY 1),
+        |bv AS (SELECT v, CAST(count(*) AS BIGINT) AS c
+        |  FROM pk GROUP BY 1),
+        |rb AS (SELECT v, c,
+        |    COALESCE(CAST(sum(c) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT), 0) AS kb
+        |  FROM bv),
+        |m AS (SELECT CAST(sum(c) AS BIGINT) AS n_keys,
+        |    CAST(sum(CAST(v AS HUGEINT) * c) AS HUGEINT) AS s,
+        |    max(v) AS vmax,
+        |    CAST(sum(CAST(v AS HUGEINT) * (CAST(c AS HUGEINT) * kb
+        |      + (c * (c + 1)) // 2)) AS HUGEINT) AS b
+        |  FROM rb)
+        |SELECT n_keys, CAST(s AS BIGINT) AS n_rows,
+        |  CAST(round(CAST(CAST(vmax AS DOUBLE) / CAST(s AS DOUBLE)
+        |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS max_key_share,
+        |  CAST(round(CAST(CAST(2.0 AS DOUBLE) * CAST(b AS DOUBLE)
+        |    / (CAST(n_keys AS DOUBLE) * CAST(s AS DOUBLE))
+        |    - CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE)
+        |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS gini
+        |FROM m""".stripMargin,
 
     // Three unrolled time-respecting rounds (full expansion, which the
     // min-merge makes equivalent to the engine's frontier-only form).

@@ -229,6 +229,39 @@ object Profile {
           .cast("decimal(20,10)"), 4).cast("double").as("ts_slope"))
   }
 
+  /** JOIN-KEY SKEW report with exact Gini — the pre-shuffle diagnostic
+    * a 100 TB join plan reads before choosing salting/AQE: rows-per-key
+    * collapse to a (rows-per-key value, #keys) table, the hottest key's
+    * share comes from exact integers, and the Gini concentration index
+    * uses the grouped closed form B = Σ_v v·(c·K_below + c(c+1)/2)
+    * (keys with equal load are consecutive in the sorted order, so
+    * their position-sum is exact without materializing per-key ranks),
+    * with K_below from the shared [[Ranks.withRunningBelow]] kernel —
+    * G = 2B/(n·S) − (n+1)/n in ONE double chain. Output: one row
+    * (n_keys, n_rows, max_key_share, gini).
+    */
+  def keySkewReport(df: DataFrame, key: Column,
+                    bucketWidth: Long): DataFrame = {
+    val perKey = df.groupBy(key.as("__k")).agg(count(lit(1)).as("v"))
+    val byV = perKey.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    Ranks.withRunningBelow(byV, "v", bucketWidth, Seq("c"))
+      .agg(sum(col("c")).as("n_keys"),
+        sum(col("v").cast("decimal(38,0)") * col("c")).as("s"),
+        max(col("v")).as("vmax"),
+        sum(col("v").cast("decimal(38,0)") *
+          (col("c").cast("decimal(38,0)") * col("c_below") +
+            expr("(c * (c + 1)) div 2").cast("decimal(38,0)")))
+          .as("b"))
+      .select(col("n_keys"), col("s").cast("long").as("n_rows"),
+        round((col("vmax").cast("double") / col("s").cast("double"))
+          .cast("decimal(20,10)"), 6).cast("double").as("max_key_share"),
+        round((lit(2.0) * col("b").cast("double") /
+          (col("n_keys").cast("double") * col("s").cast("double")) -
+          (col("n_keys") + 1).cast("double") /
+            col("n_keys").cast("double")).cast("decimal(20,10)"), 6)
+          .cast("double").as("gini"))
+  }
+
   /** Exact ROC AUC (ties-aware Mann–Whitney) — the classifier-quality
     * summary a filtering pipeline reports for its quality/toxicity
     * scorers, computed without ever sorting the corpus in one

@@ -200,6 +200,30 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(got._3 - s.toDouble / n / 100.0) < 1e-6)
   }
 
+  test("keySkewReport: Gini 0 on uniform keys, matches the classic " +
+      "per-key formula on skewed data, max share exact") {
+    import org.apache.spark.sql.functions.col
+    // uniform: 50 keys × 4 rows → Gini exactly 0
+    val uni = (0 until 200).map(i => Tuple1(i % 50L)).toDF("k")
+    val u = Profile.keySkewReport(uni, col("k"), 10L)
+      .as[(Long, Long, Double, Double)].head()
+    assert(u == ((50L, 200L, 0.02, 0.0)), s"uniform: $u")
+    // skewed: loads 1,1,2,6 → brute force over per-key ranks
+    val rows = Seq.fill(1)(1L) ++ Seq.fill(1)(2L) ++
+      Seq.fill(2)(3L) ++ Seq.fill(6)(4L)
+    val df = rows.map(Tuple1(_)).toDF("k")
+    val got = Profile.keySkewReport(df, col("k"), 10L)
+      .as[(Long, Long, Double, Double)].head()
+    val loads = Seq(1L, 1L, 2L, 6L).sorted
+    val n = loads.size; val s = loads.sum
+    val bB = loads.zipWithIndex.map { case (x, i) => (i + 1).toLong * x }.sum
+    val gini = BigDecimal(2.0 * bB / (n.toDouble * s) - (n + 1.0) / n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._1 == 4L && got._2 == 10L)
+    assert(got._3 == 0.6, "hottest key holds 6/10 of the rows")
+    assert(got._4 == gini, s"gini ${got._4} vs $gini")
+  }
+
   test("equalCountBinMap: distinct uniform values split evenly, ties " +
       "share a bin, map covers every input value") {
     import org.apache.spark.sql.functions.col
