@@ -1613,6 +1613,45 @@ object SparkEntry {
         .orderBy(col("stage"))
     }),
 
+    // Series: ROLLING REGRESSION — per-symbol OLS slope over the
+    // trailing 30 daily observations, reported at each series' end:
+    // moment sums ride ONE partitioned window (exact DECIMAL(38,0)
+    // from integer day×cent inputs, q152's algebra windowed), the
+    // series pre-collapses to one row per (symbol, day) so the window
+    // order is total and the trailing frame deterministic.
+    "q196_rolling_beta" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = bars(s, dir).filter(col("symbol") <= 100)
+        .select(col("symbol"), col("d"), col("ord"),
+          round(col("px") * 100).cast("long").as("y"))
+        .groupBy(col("symbol"), col("d"))
+        .agg(max_by(col("y"), struct(col("ord"), col("y"))).as("y"))
+        .withColumn("x",
+          datediff(col("d"), lit("1970-01-01").cast("date")).cast("long"))
+      val w = W.partitionBy(col("symbol")).orderBy(col("d"))
+        .rowsBetween(-29, 0)
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val rolled = daily.select(col("symbol"), col("d"),
+        count(lit(1)).over(w).as("n"),
+        sum(d38(col("x"))).over(w).as("sx"),
+        sum(d38(col("y"))).over(w).as("sy"),
+        sum(d38(col("x")) * d38(col("x"))).over(w).as("sxx"),
+        sum(d38(col("x")) * d38(col("y"))).over(w).as("sxy"))
+      val last = rolled.groupBy(col("symbol"))
+        .agg(max_by(struct(col("n"), col("sx"), col("sy"), col("sxx"),
+          col("sxy")), col("d")).as("r"))
+        .select(col("symbol"), col("r.n").as("n_window"),
+          col("r.sx").as("sx"), col("r.sy").as("sy"),
+          col("r.sxx").as("sxx"), col("r.sxy").as("sxy"))
+      val num = last("n_window") * col("sxy") - col("sx") * col("sy")
+      val den = last("n_window") * col("sxx") - col("sx") * col("sx")
+      last.select(col("symbol"), col("n_window"),
+          when(den === 0, lit(null))
+            .otherwise(round((num.cast("double") / den.cast("double"))
+              .cast("decimal(20,10)"), 6).cast("double")).as("beta"))
+        .orderBy(col("symbol"))
+    }),
+
     // Profiling/scale: JOIN-KEY SKEW report — rows-per-key
     // concentration for the lineitem join key (hottest share + exact
     // Gini via the grouped closed form on the shared rank kernel):
@@ -6317,6 +6356,38 @@ object SparkEntry {
          |UNION ALL SELECT '3_url',
          |  CAST(count(DISTINCT canonical_url) AS BIGINT) FROM cascu
          |ORDER BY stage""".stripMargin,
+
+    // Same daily collapse (full (ord, y) tiebreak), same windowed
+    // moment sums, same end-of-series pick and normal-equation chain.
+    "q196_rolling_beta" ->
+      s"""WITH b AS ($barsSql),
+         |f AS (SELECT symbol, d, ord,
+         |    CAST(round(px * 100) AS BIGINT) AS y
+         |  FROM b WHERE symbol <= 100),
+         |daily AS (SELECT symbol, d, y,
+         |    CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS x
+         |  FROM (SELECT symbol, d, y, row_number() OVER (
+         |      PARTITION BY symbol, d ORDER BY ord DESC, y DESC) AS rn
+         |    FROM f) WHERE rn = 1),
+         |r AS (SELECT symbol, d,
+         |    CAST(count(*) OVER win AS BIGINT) AS n,
+         |    CAST(sum(CAST(x AS HUGEINT)) OVER win AS HUGEINT) AS sx,
+         |    CAST(sum(CAST(y AS HUGEINT)) OVER win AS HUGEINT) AS sy,
+         |    CAST(sum(CAST(x AS HUGEINT) * x) OVER win AS HUGEINT)
+         |      AS sxx,
+         |    CAST(sum(CAST(x AS HUGEINT) * y) OVER win AS HUGEINT)
+         |      AS sxy
+         |  FROM daily
+         |  WINDOW win AS (PARTITION BY symbol ORDER BY d
+         |    ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)),
+         |l AS (SELECT symbol, n, sx, sy, sxx, sxy, row_number() OVER (
+         |    PARTITION BY symbol ORDER BY d DESC) AS rn FROM r)
+         |SELECT symbol, n AS n_window,
+         |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+         |    CAST(round(CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / CAST(n * sxx - sx * sx AS DOUBLE)
+         |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS beta
+         |FROM l WHERE rn = 1 ORDER BY symbol""".stripMargin,
 
     // Same (load, #keys) collapse, same exclusive running key count,
     // same grouped position-sum B and one-double-chain Gini.
