@@ -503,6 +503,35 @@ class PhysicalPlanSpec extends SparkSpec {
     assert("(?m)^\\s*\\(\\d+\\) Window".r.findAllIn(p).isEmpty, p)
   }
 
+  test("temporal BFS: every round is an equi-join on src + min " +
+      "aggregate — the time constraint is a post-join filter, " +
+      "never a nested loop") {
+    val p = plan("q193_temporal_bfs")
+    assert(!p.contains("CartesianProduct"), p)
+    // docLinkEdges crosses the one-row node count into every edge
+    // rebuild (the q143 convention) — but every frontier×edges round
+    // must be a HASH equi-join on src, so the expansion joins
+    // dominate the nested-loop count
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size +
+      "\\(\\d+\\) ShuffledHashJoin".r.findAllIn(p).size +
+      "\\(\\d+\\) SortMergeJoin".r.findAllIn(p).size >= 3,
+      s"three rounds of src equi-joins expected:\n$p")
+  }
+
+  test("key-skew report: bucket offsets broadcast, no sort-merge join") {
+    val p = plan("q195_key_skew")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), s"offsets join:\n$p")
+  }
+
+  test("rolling beta: one partitioned window, no join, windowed sums " +
+      "combine into the per-symbol pick without extra shuffles") {
+    val p = plan("q196_rolling_beta")
+    assert(!p.contains("Join"), s"pure window+aggregate chain:\n$p")
+    assert("(?m)^\\s*\\(\\d+\\) Window".r.findAllIn(p).size == 1,
+      s"exactly one window:\n$p")
+  }
+
   test("whole-stage codegen covers the scan-project pipeline") {
     val df = Tables(spark, dir, "lineitem")
       .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
