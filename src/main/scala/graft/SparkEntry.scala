@@ -1652,6 +1652,30 @@ object SparkEntry {
         .orderBy(col("symbol"))
     }),
 
+    // Profiling: per-source DATASET CARD — the one-pass summary a
+    // corpus release ships per source: docs, token mass, quality mean
+    // (×1e4-snapped scores summed exactly, one division per source),
+    // language share, and within-source exact-dup count (docs minus
+    // distinct fingerprints). One scan, one hash aggregate.
+    "q197_dataset_card" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          Text.tokenCount(col("text")).cast("long").as("ntok"),
+          round(Text.qualityScore(col("text")) * 1e4).cast("long")
+            .as("qfp"),
+          Text.fingerprint(col("text")).as("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          round((sum(col("qfp")).cast("double") /
+            count(lit(1)).cast("double") / lit(1e4))
+            .cast("decimal(20,10)"), 4).cast("double").as("avg_quality"),
+          round((sum(when(col("lang") === "en", 1L).otherwise(0L))
+            .cast("double") / count(lit(1)).cast("double"))
+            .cast("decimal(20,10)"), 4).cast("double").as("pct_en"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"))
+        .orderBy(col("source"))),
+
     // Profiling/scale: JOIN-KEY SKEW report — rows-per-key
     // concentration for the lineitem join key (hottest share + exact
     // Gini via the grouped closed form on the shared rank kernel):
@@ -6388,6 +6412,35 @@ object SparkEntry {
          |      / CAST(n * sxx - sx * sx AS DOUBLE)
          |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS beta
          |FROM l WHERE rn = 1 ORDER BY symbol""".stripMargin,
+
+    // Same one-pass reductions: q24's score ×1e4 summed exactly, lang
+    // share and dup counts as exact integers.
+    "q197_dataset_card" ->
+      s"""WITH d AS (SELECT source, lang,
+         |    CAST(len(tk) AS BIGINT) AS ntok,
+         |    CAST(round(CAST(round(CAST(0.4 * least(1.0, len(tk) / 100.0)
+         |      + 0.3 * (CASE WHEN len(tk) = 0 THEN 0.0
+         |          ELSE len(list_filter(tk,
+         |            t -> t IN ('the','a','of','to','and'))) * 1.0
+         |            / len(tk) END)
+         |      + 0.3 * (CASE WHEN len(tk) = 0 THEN 0.0
+         |          ELSE len(list_distinct(tk)) * 1.0 / len(tk) END)
+         |      AS DECIMAL(20,10)), 4) AS DOUBLE) * 10000) AS BIGINT)
+         |      AS qfp,
+         |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+         |      AS fp
+         |  FROM (SELECT source, lang, text, $tokSql AS tk
+         |    FROM documents))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |  CAST(round(CAST(CAST(sum(qfp) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) / 1e4 AS DECIMAL(20,10)), 4)
+         |    AS DOUBLE) AS avg_quality,
+         |  CAST(round(CAST(CAST(sum(CASE WHEN lang = 'en' THEN 1
+         |      ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS pct_en,
+         |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups
+         |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
 
     // Same (load, #keys) collapse, same exclusive running key count,
     // same grouped position-sum B and one-double-chain Gini.
