@@ -1413,8 +1413,11 @@ object SparkEntry {
         .repartition(s.sessionState.conf.numShufflePartitions)
         .as[(Long, String)]
       val media = docs.map { case (id, text) =>
+        // pad short texts with spaces so charAt never throws on a
+        // sub-32-char document (the oracle rpads identically)
+        val t32 = if (text.length >= 32) text else (text + " " * 32)
         val pixels = Array.tabulate(32) { i =>
-          val cp = text.charAt(i).toInt
+          val cp = t32.charAt(i).toInt
           ((cp % 256) << 16) | (((cp * 7) % 256) << 8) | ((cp * 13) % 256)
         }
         (id, Multimodal.bmpBytes(8, 4, pixels))
@@ -5970,9 +5973,9 @@ object SparkEntry {
         |  FROM cv JOIN tch ON cv.u = tch.u
         |  WHERE tch.tus < cv.cus
         |    OR (tch.tus = cv.cus AND tch.tord < cv.cord)),
-        |pw AS (SELECT *, CAST(round(pow(CAST(0.5 AS DOUBLE),
+        |pw AS (SELECT *, greatest(CAST(round(pow(CAST(0.5 AS DOUBLE),
         |      CAST(cus - tus AS DOUBLE) / CAST(86400000000 AS DOUBLE)
-        |        / CAST(7.0 AS DOUBLE)) * 1e6) AS BIGINT) AS w_fp
+        |        / CAST(7.0 AS DOUBLE)) * 1e6) AS BIGINT), 1) AS w_fp
         |  FROM pr),
         |sw AS (SELECT u, cus, cord, CAST(sum(w_fp) AS BIGINT) AS sw_fp
         |  FROM pw GROUP BY 1, 2, 3),
@@ -6084,7 +6087,7 @@ object SparkEntry {
     // brightness keyed by the top-down row-major index, grouped by
     // the ⌊r/2⌋, ⌊c/4⌋ tile.
     "q183_image_patches" ->
-      """WITH px AS (SELECT doc_id, text,
+      """WITH px AS (SELECT doc_id, rpad(text, 32, ' ') AS text,
         |    CAST(unnest(range(0, 32)) AS INT) AS i FROM documents),
         |v AS (SELECT doc_id, i // 8 AS r, i % 8 AS c,
         |    (unicode(substr(text, CAST(i + 1 AS INT), 1)) % 256)

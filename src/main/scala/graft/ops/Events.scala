@@ -329,11 +329,18 @@ object Events {
     val pairsRaw = convs.join(touches, Seq("u"))
       .filter(col("tus") < col("cus") ||
         (col("tus") === col("cus") && col("tord") < col("cord")))
+    // Δt beyond ~21 half-lives rounds the ×1e6 weight to 0; a
+    // conversion whose EVERY touch rounds to 0 would make sw_fp=0 and
+    // credit_fp = round(NaN) → 0 (Spark) vs a CAST error (DuckDB) —
+    // the value silently vanishes from both 'none' and the touch rows.
+    // Clamp each weight to ≥1 so far-past touches split the value
+    // evenly (the linear-attribution limit) instead of dropping it;
+    // the oracle applies the identical greatest(..., 1).
     val pairs = pairsRaw.withColumn("w_fp",
-      round(pow(lit(0.5),
+      greatest(round(pow(lit(0.5),
         (col("cus") - col("tus")).cast("double") /
           lit(86400000000.0) / lit(halfLifeDays)) * lit(1e6))
-        .cast("long"))
+        .cast("long"), lit(1L)))
     val perConv = pairs.groupBy(col("u"), col("cus"), col("cord"))
       .agg(sum(col("w_fp")).as("sw_fp"))
     val credited = pairs.join(perConv, Seq("u", "cus", "cord"))

@@ -9,10 +9,20 @@ import org.apache.spark.sql.functions._
   * components). PageRank is the canonical ITERATIVE Spark workload:
   * each iteration is one join (ranks × edges) + one aggregate on the
   * destination key, so an iteration's cost is an equi-join shuffle on
-  * the edge's dst — the shape that scales to billions of edges. Here
-  * iterations unroll into one plan (fine for the handful an audit
-  * runs); a production 50-iteration run would checkpoint/persist each
-  * round to cut the lineage, which changes nothing semantically.
+  * the edge's dst — the shape that scales to billions of edges.
+  *
+  * Lineage control: every [[ckptEvery]] rounds (and at the final
+  * round) the working frame localCheckpoints (EAGER) and the previous
+  * checkpoint unpersists — the measured [[Dedup.duplicateClusters]]
+  * pattern (plan nesting there went 1.7 s → 25 s/round by iteration 5
+  * without it). Loops at or under the cadence (the pinned 2–3
+  * iteration audit runs) keep their single-plan shape and pay zero
+  * checkpoint overhead; only longer runs persist the loop-invariant
+  * frames (edges, node base, out-degrees), because with per-cadence
+  * jobs the reuse is genuinely cross-action (inside ONE plan a persist
+  * would instead block ReusedExchange — measured 3× on q108).
+  * Checkpointing changes no value: every per-edge contribution snaps
+  * to fixed point pre-sum, so sums are order- and partitioning-free.
   *
   * Determinism: per-edge contributions snap to ×10⁹ fixed point BEFORE
   * the per-destination sum (order-free — the kmeans/cellMeans
@@ -20,6 +30,20 @@ import org.apache.spark.sql.functions._
   * association, so ranks are bit-identical on any engine.
   */
 object Graph {
+
+  /** Checkpoint cadence for the iterative loops (see object scaladoc). */
+  private val ckptEvery = 3
+
+  /** Round-boundary lineage truncation: eager localCheckpoint of the
+    * working frame, releasing the previous round's blocks. Returns the
+    * checkpointed frame and the new "owned" handle.
+    */
+  private def truncate(df: DataFrame,
+                       owned: Option[DataFrame]): (DataFrame, Option[DataFrame]) = {
+    val c = df.localCheckpoint(true)
+    owned.foreach(_.unpersist())
+    (c, Some(c))
+  }
 
   /** `iters` PageRank iterations over `edges` (src, dst) with damping
     * `d`: pr⁰ = 1/N; prⁱ⁺¹(v) = (1−d)/N + d·Σ_{(u,v)∈E} prⁱ(u)/out(u),
@@ -30,28 +54,38 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int, d: Double = 0.85): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val e = edges.select(col("src"), col("dst"))
+    val big = iters > ckptEvery
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = if (big) e0.persist() else e0
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
     // N rides a one-row broadcast into every rank expression
     val nc = nodes.agg(count(lit(1)).as("n"))
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    var pr = nodes.crossJoin(broadcast(nc))
+    val outdeg0 = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val outdeg = if (big) outdeg0.persist() else outdeg0
+    val base0 = nodes.crossJoin(broadcast(nc))
+    val base = if (big) base0.persist() else base0
+    var pr = base
       .select(col("id"), (lit(1.0) / col("n").cast("double")).as("pr"))
-    for (_ <- 1 to iters) {
+    var owned: Option[DataFrame] = None
+    for (r <- 1 to iters) {
       val contrib = e.join(pr, col("src") === col("id"))
         .join(broadcast(outdeg), Seq("src"))
         .select(col("dst"),
           round(col("pr") / col("outdeg").cast("double") * lit(1e9))
             .cast("long").as("cfp"))
         .groupBy(col("dst")).agg(sum(col("cfp")).as("s"))
-      pr = nodes.crossJoin(broadcast(nc))
+      pr = base
         .join(contrib, col("id") === col("dst"), "left")
         .select(col("id"),
           (lit(1.0 - d) / col("n").cast("double") +
             lit(d) * (coalesce(col("s"), lit(0L)).cast("double") / lit(1e9)))
             .as("pr"))
+      if (big && (r % ckptEvery == 0 || r == iters)) {
+        val (c, o) = truncate(pr, owned); pr = c; owned = o
+      }
     }
+    if (big) { e.unpersist(); outdeg.unpersist(); base.unpersist(): Unit }
     pr
   }
 
@@ -66,12 +100,17 @@ object Graph {
     */
   def hits(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val e = edges.select(col("src"), col("dst"))
-    val nodes = e.select(col("src").as("id"))
+    val big = iters > ckptEvery
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = if (big) e0.persist() else e0
+    val nodes0 = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
+    val nodes = if (big) nodes0.persist() else nodes0
     var hub = nodes.select(col("id"), lit(1.0).as("hub"))
     var auth = nodes.select(col("id"), lit(1.0).as("auth"))
-    for (_ <- 1 to iters) {
+    var ownedH: Option[DataFrame] = None
+    var ownedA: Option[DataFrame] = None
+    for (r <- 1 to iters) {
       val as = e.join(hub, col("src") === col("id"))
         .select(col("dst"),
           round(col("hub") * lit(1e9)).cast("long").as("c"))
@@ -92,7 +131,12 @@ object Graph {
         .select(col("id"),
           (coalesce(col("s"), lit(0L)).cast("double") /
             col("t").cast("double")).as("hub"))
+      if (big && (r % ckptEvery == 0 || r == iters)) {
+        val (ca, oa) = truncate(auth, ownedA); auth = ca; ownedA = oa
+        val (ch, oh) = truncate(hub, ownedH); hub = ch; ownedH = oh
+      }
     }
+    if (big) { e.unpersist(); nodes.unpersist(): Unit }
     hub.join(auth, Seq("id")).select(col("id"), col("hub"), col("auth"))
   }
 
@@ -111,21 +155,26 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame, iters: Int,
                            d: Double = 0.85): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val e = edges.select(col("src"), col("dst"))
+    val big = iters > ckptEvery
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = if (big) e0.persist() else e0
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id"))).distinct()
     val sd = seeds.select(col("id")).distinct()
     val sc = sd.agg(count(lit(1)).as("ns"))
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val tagged = nodes
+    val outdeg0 = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val outdeg = if (big) outdeg0.persist() else outdeg0
+    val tagged0 = nodes
       .join(broadcast(sd.withColumn("__s", lit(1))), Seq("id"), "left")
       .crossJoin(broadcast(sc))
       .select(col("id"), (coalesce(col("__s"), lit(0)) === 1).as("is_seed"),
         col("ns"))
+    val tagged = if (big) tagged0.persist() else tagged0
     var pr = tagged.select(col("id"),
       when(col("is_seed"), lit(1.0) / col("ns").cast("double"))
         .otherwise(lit(0.0)).as("pr"))
-    for (_ <- 1 to iters) {
+    var owned: Option[DataFrame] = None
+    for (r <- 1 to iters) {
       val contrib = e.join(pr, col("src") === col("id"))
         .join(broadcast(outdeg), Seq("src"))
         .select(col("dst"),
@@ -138,7 +187,11 @@ object Graph {
             .otherwise(lit(0.0)) +
             lit(d) * (coalesce(col("s"), lit(0L)).cast("double") / lit(1e9)))
             .as("pr"))
+      if (big && (r % ckptEvery == 0 || r == iters)) {
+        val (c, o) = truncate(pr, owned); pr = c; owned = o
+      }
     }
+    if (big) { e.unpersist(); outdeg.unpersist(); tagged.unpersist(): Unit }
     pr
   }
 
@@ -198,16 +251,23 @@ object Graph {
     */
   def shortestHops(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
-    val e = edges.select(col("src"), col("dst"))
+    val big = maxHops > ckptEvery
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = if (big) e0.persist() else e0
     var dist = seeds.select(col("id")).distinct()
       .select(col("id"), lit(0).as("hops"))
+    var owned: Option[DataFrame] = None
     for (h <- 1 to maxHops) {
       val next = dist.filter(col("hops") === h - 1)
         .join(e, col("id") === col("src"))
         .select(col("dst").as("id"), lit(h).as("hops"))
       dist = dist.unionByName(next)
         .groupBy(col("id")).agg(min(col("hops")).as("hops"))
+      if (big && (h % ckptEvery == 0 || h == maxHops)) {
+        val (c, o) = truncate(dist, owned); dist = c; owned = o
+      }
     }
+    if (big) e.unpersist(): Unit
     dist
   }
 
@@ -228,11 +288,15 @@ object Graph {
   def temporalEarliestArrival(edges: DataFrame, seeds: DataFrame,
                               rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    val e = edges.select(col("src"), col("dst"), col("ts"))
+    val big = rounds > ckptEvery
+    val e0 = edges.select(col("src"), col("dst"), col("ts"))
+    val e = if (big) e0.persist() else e0
     var best = seeds.select(col("id")).distinct()
       .select(col("id"), lit(0L).as("arrival"))
     var frontier = best
-    for (_ <- 1 to rounds) {
+    var ownedB: Option[DataFrame] = None
+    var ownedF: Option[DataFrame] = None
+    for (r <- 1 to rounds) {
       val cand = frontier.join(e, col("id") === col("src"))
         .filter(col("ts") >= col("arrival"))
         .groupBy(col("dst")).agg(min(col("ts")).as("cand_arrival"))
@@ -243,7 +307,14 @@ object Graph {
         .select(col("dst").as("id"), col("cand_arrival").as("arrival"))
       best = best.unionByName(frontier)
         .groupBy(col("id")).agg(min(col("arrival")).as("arrival"))
+      if (big && (r % ckptEvery == 0 || r == rounds)) {
+        // frontier first: the next best already embeds this frontier,
+        // so both must truncate together or the lineage keeps nesting
+        val (cf, of) = truncate(frontier, ownedF); frontier = cf; ownedF = of
+        val (cb, ob) = truncate(best, ownedB); best = cb; ownedB = ob
+      }
     }
+    if (big) e.unpersist(): Unit
     best
   }
 
@@ -274,8 +345,11 @@ object Graph {
 
   /** Synchronous label-propagation community detection — `iters`
     * rounds of: every node adopts the label most frequent among its
-    * (undirected) neighbors, ties to the SMALLEST label, isolated
-    * nodes keep their own. Labels start as node ids, so the result is
+    * (undirected) neighbors, ties to the SMALLEST label. The node set
+    * is the endpoints of NON-self-loop edges — a node with no edges,
+    * or only self-loops, has no neighbors to vote and is absent from
+    * the output (left-join it back as its own singleton community if
+    * the caller needs full coverage). Labels start as node ids, so the result is
     * deterministic on any engine (plain LPA's random update order is
     * replaced by the synchronous sweep + total-order tiebreak). Per
     * round: one equi-join shuffle (labels × edges on the source key) +
@@ -285,13 +359,16 @@ object Graph {
     */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    val big = iters > ckptEvery
     val ue = edges.filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
-    val e = ue.unionByName(
+    val e0 = ue.unionByName(
       ue.select(col("dst").as("src"), col("src").as("dst")))
+    val e = if (big) e0.persist() else e0
     val nodes = e.select(col("src").as("id")).distinct()
     var lab = nodes.select(col("id"), col("id").as("lbl"))
-    for (_ <- 1 to iters) {
+    var owned: Option[DataFrame] = None
+    for (r <- 1 to iters) {
       val votes = e.join(lab, col("src") === col("id"))
         .groupBy(col("dst"), col("lbl")).agg(count(lit(1)).as("c"))
       val win = votes.groupBy(col("dst"))
@@ -299,7 +376,11 @@ object Graph {
           .as("new_lbl"))
       lab = lab.join(win, col("id") === col("dst"), "left")
         .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+      if (big && (r % ckptEvery == 0 || r == iters)) {
+        val (c, o) = truncate(lab, owned); lab = c; owned = o
+      }
     }
+    if (big) e.unpersist(): Unit
     lab.select(col("id"), col("lbl").as("community"))
   }
 }

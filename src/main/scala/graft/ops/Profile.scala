@@ -135,24 +135,50 @@ object Profile {
 
   /** 2-D PARETO FRONTIER (skyline): the (cost, gain) value pairs not
     * strictly dominated by any other — lower cost and higher gain both
-    * better. Works on DISTINCT pairs sorted (cost asc, gain desc):
-    * every earlier row is strictly better in at least one dimension
-    * (cheaper, or equal-cost with strictly more gain — equality in
-    * both is impossible on distinct pairs), so membership is ONE
-    * running-max window over the sorted pairs instead of a dominance
-    * self-join. Duplicate input rows collapse into the pair's
-    * `n_rows`. Both columns must be orderable scalars. At corpus scale
-    * the distinct-pair table is value-domain-sized; if even that is
-    * huge, the window composes with the two-level prefix pattern.
+    * better. A pair survives iff its gain exceeds the best gain at any
+    * strictly lower cost (and it is its cost's best — equal-cost ties
+    * lose to the higher gain), so membership is an EXCLUSIVE prefix
+    * max over cost order, never a dominance self-join. The prefix max
+    * runs two-level (the [[Ranks.withRunningBelow]] decomposition with
+    * max for sum): per-cost candidates collapse first (hash
+    * aggregate), costs bucket by exact floor division, level 1 is a
+    * per-bucket exclusive running max (parallel across buckets), level
+    * 2 broadcasts the exclusive running max of the tiny per-bucket
+    * totals — the only single-partition window walks BUCKETS
+    * (cost-domain/bucketWidth rows), never the distinct-pair table,
+    * which at corpus scale is value-domain-sized. Duplicate input rows
+    * collapse into the pair's `n_rows`. Both columns must be integral
+    * (the engine's fixed-point convention — snap floats ×10ᵏ first).
     * Output: (cost, gain, n_rows), frontier members only.
     */
-  def paretoFrontier2D(df: DataFrame, cost: Column,
-                       gain: Column): DataFrame = {
-    val pts = df.groupBy(cost.as("cost"), gain.as("gain"))
+  def paretoFrontier2D(df: DataFrame, cost: Column, gain: Column,
+                       bucketWidth: Long = 1L << 16): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    val pts = df.groupBy(cost.cast("long").as("cost"),
+        gain.cast("long").as("gain"))
       .agg(count(lit(1)).as("n_rows"))
-    val w = Window.orderBy(col("cost").asc, col("gain").desc)
+    // only a cost's best gain can make the frontier; gains are unique
+    // within a cost after the distinct-pair collapse, so max_by is
+    // deterministic
+    val cand = pts.groupBy(col("cost")).agg(
+      max(col("gain")).as("gain"),
+      max_by(col("n_rows"), col("gain")).as("n_rows"))
+    val b = cand.withColumn("__bkt",
+      ((col("cost").cast("decimal(38,0)") -
+        pmod(col("cost"), lit(bucketWidth))) / lit(bucketWidth))
+        .cast("long"))
+    val wIntra = Window.partitionBy(col("__bkt")).orderBy(col("cost"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    pts.withColumn("__maxg", max(col("gain")).over(w))
+    val intra = b.withColumn("__i", max(col("gain")).over(wIntra))
+    val wOff = Window.orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = b.groupBy(col("__bkt")).agg(max(col("gain")).as("__t"))
+      .select(col("__bkt"), max(col("__t")).over(wOff).as("__o"))
+    // greatest() skips nulls: first-in-bucket rows carry a null intra
+    // max, the first bucket a null offset, the global first row both —
+    // exactly the "no prior point" frontier-by-default case
+    intra.join(broadcast(offs), "__bkt")
+      .withColumn("__maxg", greatest(col("__i"), col("__o")))
       .filter(col("__maxg").isNull || col("gain") > col("__maxg"))
       .select(col("cost"), col("gain"), col("n_rows"))
   }

@@ -1225,24 +1225,49 @@ object Similarity {
 
   /** d×d Gramian of a vector corpus in exact fixed point — the one-pass
     * moment matrix behind PCA / whitening of an embedding column:
-    * components snap to ×`scale` integers at the scan, each row emits
-    * its d² outer products via two generators (no self-join — the
-    * second explode re-walks the row's own array), and cells accumulate
-    * in DECIMAL(38,0) through a map-side-combinable (i, j) aggregate,
-    * so at most d² partial cells per partition cross the wire no matter
-    * the corpus size. The eigen-solve on the collected d² matrix is a
-    * DRIVER-side step ([[topEigen]]) — the canonical tall-skinny PCA
-    * split: distribute XᵀX, solve locally. G[i][j] = Σ_rows cᵢ·cⱼ,
+    * components snap to ×`scale` integers at the scan, then ONE typed
+    * partial aggregate ([[graft.functions.TypedAggs.gramian]]) folds
+    * each row's d(d+1)/2 upper-triangular outer products into a
+    * per-partition primitive long array — n·d² multiply-adds with no
+    * exploded rows and no hash-map probes (the former double-posexplode
+    * pushed n·d² ROWS through a hash aggregate: 10⁵–10⁷ per vector at
+    * production widths d=512–4096). Partials merge by element-wise
+    * array addition, so exactly d(d+1)/2 longs per partition cross the
+    * one exchange; the d² output rows unfold from the ONE-row result
+    * by an integer-indexed sequence explode (post-aggregate, trivial).
+    * Overflow throws via add/multiplyExact instead of wrapping (shard
+    * + sum shards past ~9·10¹² unit-norm rows at scale 10³ — see the
+    * aggregator scaladoc). The eigen-solve on the collected d² matrix
+    * is a DRIVER-side step ([[topEigen]]) — the canonical tall-skinny
+    * PCA split: distribute XᵀX, solve locally. G[i][j] = Σ_rows cᵢ·cⱼ,
     * exact integers, bit-identical on any engine.
-    * Output: (i, j, g), d² rows, 0-based dims.
+    * Output: (i, j, g DECIMAL(38,0)), d² rows, 0-based dims; empty
+    * input yields zero rows.
     */
-  def gramianFixedPoint(vecs: DataFrame, vec: Column, scale: Int): DataFrame =
-    vecs.select(transform(vec,
+  def gramianFixedPoint(vecs: DataFrame, vec: Column, scale: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val snapped = vecs.select(transform(vec,
         x => round(x.cast("double") * scale).cast("long")).as("c"))
-      .select(col("c"), posexplode(col("c")).as(Seq("i", "ci")))
-      .select(col("i"), col("ci"), posexplode(col("c")).as(Seq("j", "cj")))
-      .groupBy(col("i"), col("j"))
-      .agg(sum((col("ci") * col("cj")).cast("decimal(38,0)")).as("g"))
+      .as[Array[Long]]
+    // typed select: the Aggregator column binds the input encoder here;
+    // the result Dataset[GramTri] exposes (d, tri) as its schema
+    val one = snapped
+      .select(graft.functions.TypedAggs.gramian.toColumn)
+      .filter(col("d") > 0)
+    // triangle cell (min(i,j), max(i,j)) lives at lo·d − lo(lo−1)/2 +
+    // (hi − lo); exact integer arithmetic, 1-based for element_at
+    val lo = least(col("i"), col("j"))
+    val hi = greatest(col("i"), col("j"))
+    val idx = lo * col("d") - lo * (lo - lit(1)) / lit(2) + (hi - lo)
+    one.select(col("d"), col("tri"),
+        explode(sequence(lit(0), col("d") - 1)).as("i"))
+      .select(col("d"), col("tri"), col("i"),
+        explode(sequence(lit(0), col("d") - 1)).as("j"))
+      .select(col("i").cast("int").as("i"), col("j").cast("int").as("j"),
+        element_at(col("tri"), (idx + 1).cast("int"))
+          .cast("decimal(38,0)").as("g"))
+  }
 
   /** Driver-side power iteration for the top eigenpair of a (tiny,
     * symmetric, collected) Gramian — d² doubles, the local half of the

@@ -1088,6 +1088,11 @@ object Text {
       .crossJoin(broadcast(nd))
       .select(col("n_train_docs"), col("n_heldout_docs"),
         col("n_bigrams"), col("avg_nll"), col("backoff_rate"))
+      // a corpus whose held-out half has no bigram (everything hashed
+      // to train, or held-out docs all single-token) aggregates to one
+      // all-null row here while a grouped oracle yields ZERO rows —
+      // drop the degenerate row so both engines agree on emptiness
+      .filter(col("n_bigrams") > 0)
   }
 
   /** Okapi BM25 top-k retrieval: score every document against

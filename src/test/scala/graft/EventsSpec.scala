@@ -269,6 +269,29 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(out.values.map(_._2).sum - 10.0) < 1e-6)
   }
 
+  test("timeDecayAttribution: touches past ~21 half-lives clamp to the " +
+      "minimum weight instead of vanishing — value is conserved, not " +
+      "silently dropped (and never divides by a zero weight sum)") {
+    // both touches are 200 days stale at a 7-day half-life: raw ×1e6
+    // weights round to 0; unclamped, sw_fp = 0 → credit = round(NaN)
+    // → the $5.00 evaporates. Clamped to 1 each, they split evenly.
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "click", 0.0),
+      (1L, ts("2024-01-02 00:00:00"), 2L, "view", 0.0),
+      (1L, ts("2024-07-20 00:00:00"), 3L, "purchase", 5.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val out = Events.timeDecayAttribution(ev, $"user_id", $"ts",
+        $"event_id", $"event_type", $"value",
+        Seq("click", "view"), "purchase", 7.0)
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out("click") == ((1L, 2.5)), s"click: ${out.get("click")}")
+    assert(out("view") == ((1L, 2.5)), s"view: ${out.get("view")}")
+    assert(out("none") == ((0L, 0.0)), "the conversion has prior touches")
+    assert(math.abs(out.values.map(_._2).sum - 5.0) < 1e-6,
+      "conservation must hold even when every weight underflows")
+  }
+
   test("robustOutliers flags by median/MAD and survives outlier drag") {
     // group a: tight cluster around 10 with one wild point; the mean/σ
     // z-score of 100 would shrink under the outlier's own drag, the

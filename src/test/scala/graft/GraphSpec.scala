@@ -235,5 +235,43 @@ class GraphSpec extends SparkSpec {
       Seq((1L, 1L), (1L, 2L)).toDF("src", "dst"), 2)
       .as[(Long, Long)].collect().toMap
     assert(self.keySet == Set(1L, 2L))
+    // the big-iters checkpoint path (iters > cadence) changes no label
+    val smallBig = Graph.labelPropagation(es.toDF("src", "dst"), 5)
+      .as[(Long, Long)].collect().toMap
+    assert(smallBig == ref(es, 5), "checkpointed sweep diverged")
+  }
+
+  test("long iteration runs keep lineage bounded: a 12-round pageRank " +
+      "returns a checkpoint-truncated plan with reference-exact values") {
+    def ref(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val n = nodes.size
+      val out = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
+      var pr = nodes.map(_ -> 1.0 / n).toMap
+      for (_ <- 1 to iters) {
+        val s = scala.collection.mutable.Map[Long, Long]()
+          .withDefaultValue(0L)
+        for ((u, v) <- edges) s(v) += math.round(pr(u) / out(u) * 1e9)
+        pr = nodes.map(v =>
+          v -> ((1.0 - 0.85) / n + 0.85 * (s(v).toDouble / 1e9))).toMap
+      }
+      pr
+    }
+    val rnd = new scala.util.Random(71)
+    val es = (0 until 500).map(_ =>
+      (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val pr12 = Graph.pageRank(es.toDF("src", "dst"), 12)
+    // the final round checkpoints, so the RETURNED plan is a leaf over
+    // the materialized RDD — not 12 nested join/aggregate rounds; this
+    // is the guard against the measured super-linear re-analysis wall
+    // (Dedup.duplicateClusters: 1.7 s → 25 s/round by iteration 5)
+    val logical = pr12.queryExecution.logical.toString()
+    assert(logical.contains("LogicalRDD"),
+      s"expected checkpoint-truncated lineage, got:\n$logical")
+    assert(logical.linesIterator.size <= 5,
+      s"expected a leaf-sized plan, got:\n$logical")
+    assert(pr12.as[(Long, Double)].collect().toMap == ref(es, 12),
+      "checkpointed pageRank diverged from the exact reference")
   }
 }

@@ -448,13 +448,28 @@ class PhysicalPlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("gramian: no join at all — per-row generators feed ONE " +
-      "map-side-combinable aggregate exchange") {
+  test("gramian: ONE typed partial-aggregate exchange — no exploded " +
+      "rows on the scan side, no join; unfold generators run strictly " +
+      "ABOVE the aggregate") {
     val p = plan("q176_gramian")
     assert(!p.contains("Join"), s"outer products must not self-join:\n$p")
+    assert(!p.contains("PosExplode") && !p.contains("posexplode"),
+      s"the n·d² row explosion must be gone:\n$p")
     assert("(?m)^\\s*\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
-      s"exactly one shuffle (the d² aggregate):\n$p")
-    assert(p.contains("partial_sum"), "cells must combine map-side")
+      s"exactly one shuffle (the typed partial aggregate):\n$p")
+    // formatted-plan ids follow execution order (scan = low ids); every
+    // Generate (the d² unfold of the ONE-row triangle) must come after
+    // the aggregate pair, i.e. never between scan and aggregate
+    def ids(node: String): Seq[Int] =
+      s"(?m)^\\s*\\((\\d+)\\) $node".r.findAllMatchIn(p)
+        .map(_.group(1).toInt).toSeq
+    val aggIds = ids("ObjectHashAggregate") ++ ids("SortAggregate") ++
+      ids("HashAggregate")
+    val genIds = ids("Generate")
+    assert(aggIds.nonEmpty, s"typed aggregate missing:\n$p")
+    assert(genIds.size == 2, s"exactly the two unfold explodes:\n$p")
+    assert(genIds.forall(_ > aggIds.max),
+      s"unfold must sit above the aggregate, not on the scan side:\n$p")
   }
 
   test("AUC and calibration: bucket offsets arrive broadcast; the " +
@@ -522,6 +537,26 @@ class PhysicalPlanSpec extends SparkSpec {
     val p = plan("q195_key_skew")
     assert(!p.contains("SortMergeJoin"), p)
     assert(p.contains("BroadcastHashJoin"), s"offsets join:\n$p")
+  }
+
+  test("pareto frontier: the distinct-pair running max is BUCKET-" +
+      "partitioned; only the tiny bucket-offset table rides an " +
+      "unpartitioned window, and offsets come back broadcast") {
+    val p = plan("q164_pareto_frontier")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), s"offsets join:\n$p")
+    val winSpecs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
+    assert(winSpecs.size == 2, s"intra + offset windows expected:\n$p")
+    // the data-sized distinct-pair window must carry __bkt as a
+    // PARTITION key (spec "(__bkt#…, cost#… ASC"); the only
+    // unpartitioned window ORDERS by __bkt (spec "(__bkt#… ASC") —
+    // i.e. it walks the tiny bucket table, never the pair table
+    assert(winSpecs.count(s =>
+      "windowspecdefinition\\(__bkt#\\d+L?, ".r.findPrefixOf(s).isDefined) == 1,
+      s"the pair-table window must partition by bucket:\n$winSpecs")
+    assert(winSpecs.count(s =>
+      "windowspecdefinition\\(__bkt#\\d+L? ASC".r.findPrefixOf(s).isDefined) == 1,
+      s"exactly one (bucket-walk) unpartitioned window:\n$winSpecs")
   }
 
   test("rolling beta: one partitioned window, no join, windowed sums " +

@@ -86,6 +86,18 @@ class ProfileSpec extends SparkSpec {
         Seq.fill(5)((3L, 3L)).toDF("c", "g"), $"c", $"g")
       .as[(Long, Long, Long)].collect().toSeq
     assert(same == Seq((3L, 3L, 5L)))
+    // a tiny bucket width forces the REAL two-level path (many buckets,
+    // broadcast offsets, cross-bucket prefix max) — same frontier; also
+    // covers negative costs (pmod bucketing) via a shifted copy
+    val multi = Profile.paretoFrontier2D(pts.toDF("c", "g"), $"c", $"g", 4L)
+      .as[(Long, Long, Long)].collect()
+    assert(multi.map(r => (r._1, r._2)).toSet == truth)
+    assert(multi.forall(r => counts((r._1, r._2)) == r._3))
+    val shifted = pts.map { case (c, g) => (c - 10, g) }
+    val negTruth = truth.map { case (c, g) => (c - 10, g) }
+    val neg = Profile.paretoFrontier2D(shifted.toDF("c", "g"), $"c", $"g", 4L)
+      .as[(Long, Long, Long)].collect()
+    assert(neg.map(r => (r._1, r._2)).toSet == negTruth)
   }
 
   test("olsTrend: exact slope/r on a perfect line, r sign on a falling " +

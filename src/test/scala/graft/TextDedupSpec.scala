@@ -689,6 +689,14 @@ class TextDedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Text.heldoutBigramNll(docs, "doc_id", col("text"), 1.0)
     }
+    // degenerate corpora yield ZERO rows (matching a grouped oracle),
+    // not one all-null row: (a) every doc hashes to the train half;
+    // (b) the held-out half has only sub-2-token docs
+    val allTrain = Seq((trainId, "a b a b")).toDF("doc_id", "text")
+    assert(Text.heldoutBigramNll(allTrain, "doc_id", col("text")).isEmpty)
+    val hoTiny = Seq((trainId, "a b a b"), (hoId, "a"))
+      .toDF("doc_id", "text")
+    assert(Text.heldoutBigramNll(hoTiny, "doc_id", col("text")).isEmpty)
   }
 
   test("sourceKlDivergence: zero against an identical distribution, " +
