@@ -1560,7 +1560,8 @@ object SparkEntry {
         .join(broadcast(bm.select(col("v").as("nv"), col("bin"))), Seq("nv"))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("tokens"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("bin"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(Cols.onePartitionKey(col("bin"))).orderBy(col("bin"))
         .rowsBetween(
           org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
@@ -1757,7 +1758,8 @@ object SparkEntry {
         .agg(min(to_date(col("ts"))).as("d0"))
       val perDay = firstSeen.groupBy(col("d0").as("d"))
         .agg(count(lit(1)).as("new_users"))
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(Cols.onePartitionKey(col("d"))).orderBy(col("d"))
         .rowsBetween(
           org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)

@@ -20,4 +20,19 @@ object Cols {
     */
   def bound(value: Column)(body: Column => Column): Column =
     transform(array(value), v => body(v)).getItem(0)
+
+  /** A constant-valued single-partition window key that SURVIVES the
+    * optimizer. The engine's bounded-table windows (bucket offsets,
+    * m-row source tables, post-limit ranks) deliberately run in one
+    * partition; leaving their partition spec empty makes WindowExec
+    * log "No Partition Defined" on every execution, drowning the one
+    * warning that WOULD signal an accidental data-sized global window.
+    * A literal key doesn't help — constant folding strips foldable
+    * partition expressions and the warning fires anyway — so this key
+    * derives the constant from a data column: pmod(xxhash64(c), 1) is
+    * 0 on every row but non-foldable. Execution is identical to the
+    * empty spec (one hash partition, same global order); use ONLY on
+    * frames documented to be bounded.
+    */
+  def onePartitionKey(c: Column): Column = pmod(xxhash64(c), lit(1))
 }

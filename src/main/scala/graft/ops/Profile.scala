@@ -170,7 +170,8 @@ object Profile {
     val wIntra = Window.partitionBy(col("__bkt")).orderBy(col("cost"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val intra = b.withColumn("__i", max(col("gain")).over(wIntra))
-    val wOff = Window.orderBy(col("__bkt"))
+    val wOff = Window.partitionBy(Cols.onePartitionKey(col("__bkt")))
+      .orderBy(col("__bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = b.groupBy(col("__bkt")).agg(max(col("gain")).as("__t"))
       .select(col("__bkt"), max(col("__t")).over(wOff).as("__o"))

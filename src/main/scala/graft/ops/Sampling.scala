@@ -105,7 +105,8 @@ object Sampling {
     val offsets = rows.groupBy(col("__bkt")).agg(sum(col("__w")).as("__tot"))
       .withColumn("__off",
         coalesce(sum(col("__tot")).over(
-          Window.orderBy(col("__bkt"))
+          Window.partitionBy(Cols.onePartitionKey(col("__bkt")))
+            .orderBy(col("__bkt"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .drop("__tot")
     intra.join(broadcast(offsets), "__bkt")
@@ -298,9 +299,11 @@ object Sampling {
       .withColumn("budget",
         expr(s"(total * $budgetNum) div $budgetDen"))
       .withColumn("k", row_number().over(
-        Window.orderBy(col("n_tok"), col("source"))))
+        Window.partitionBy(Cols.onePartitionKey(col("source")))
+          .orderBy(col("n_tok"), col("source"))))
       .withColumn("pfx", coalesce(sum(col("n_tok")).over(
-        Window.orderBy(col("n_tok"), col("source"))
+        Window.partitionBy(Cols.onePartitionKey(col("source")))
+          .orderBy(col("n_tok"), col("source"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
     val lvl = ranked
       .withColumn("lk", (col("budget") - col("pfx")).cast("double") /
@@ -340,7 +343,8 @@ object Sampling {
     val smp = rows.orderBy(col("__h")).limit(sampleK).select(col("__v"))
     val n1 = smp.agg(count(lit(1)).as("n"))
     val rk = smp.withColumn("rn",
-      row_number().over(Window.orderBy(col("__v"))))
+      row_number().over(Window.partitionBy(Cols.onePartitionKey(col("__v")))
+        .orderBy(col("__v"))))
     val idx = df.sparkSession.range(1, parts).select(col("id").as("i"))
     val bounds = idx.crossJoin(broadcast(n1))
       .withColumn("rn", floor((col("i") * col("n") +

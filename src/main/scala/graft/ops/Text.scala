@@ -1146,7 +1146,8 @@ object Text {
       // window, never a global sort of the corpus; ordering on the
       // EXACT integer sum so ranks are engine-portable at ties
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("sfp").desc, col("id"))))
+        Window.partitionBy(Cols.onePartitionKey(col("id")))
+          .orderBy(col("sfp").desc, col("id"))))
       .select(col("id"), col("n_terms"),
         round((col("sfp").cast("double") / lit(1e6))
           .cast("decimal(20,10)"), 4).cast("double").as("score"),

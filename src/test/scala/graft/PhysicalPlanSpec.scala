@@ -548,15 +548,17 @@ class PhysicalPlanSpec extends SparkSpec {
     val winSpecs = "windowspecdefinition\\([^)]*".r.findAllIn(p).toSeq
     assert(winSpecs.size == 2, s"intra + offset windows expected:\n$p")
     // the data-sized distinct-pair window must carry __bkt as a
-    // PARTITION key (spec "(__bkt#…, cost#… ASC"); the only
-    // unpartitioned window ORDERS by __bkt (spec "(__bkt#… ASC") —
-    // i.e. it walks the tiny bucket table, never the pair table
+    // PARTITION key (spec "(__bkt#…, cost#… ASC"); the bucket-walk
+    // window partitions on the projected constant key (_w0 =
+    // Cols.onePartitionKey) and ORDERS by __bkt — it sees the tiny
+    // bucket table only, and no window runs with an EMPTY spec
     assert(winSpecs.count(s =>
       "windowspecdefinition\\(__bkt#\\d+L?, ".r.findPrefixOf(s).isDefined) == 1,
       s"the pair-table window must partition by bucket:\n$winSpecs")
     assert(winSpecs.count(s =>
-      "windowspecdefinition\\(__bkt#\\d+L? ASC".r.findPrefixOf(s).isDefined) == 1,
-      s"exactly one (bucket-walk) unpartitioned window:\n$winSpecs")
+      "windowspecdefinition\\(_w\\d+#\\d+L?, __bkt#\\d+L? ASC".r
+        .findPrefixOf(s).isDefined) == 1,
+      s"exactly one (bucket-walk) single-partition window:\n$winSpecs")
   }
 
   test("rolling beta: one partitioned window, no join, windowed sums " +
