@@ -125,6 +125,18 @@ object Bench {
           (full + "\n").getBytes("UTF-8"))
       } catch { case _: java.io.IOException => () }
     }
+    // target/bench.json is overwritten on every run, and the round
+    // artifact (BENCH_rN.json) keeps only the stdout totals — so the
+    // per-query map that round-over-round diffs depend on used to
+    // survive only by luck. Append each run (timestamped) to a
+    // committed history log; ~6 KB per run, grep by ts or sf.
+    try {
+      val stamped = s"""{"ts":"${java.time.Instant.now()}",""" + full.tail
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
+        (stamped + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case _: java.io.IOException => () }
     val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"runs":2,"agg":"min","calib_s":$calib,"queries_file":"target/bench.json"}"""
     println(summary)
     System.out.flush()

@@ -3547,7 +3547,9 @@ object SparkEntry {
     // id. The oracle recomputes clusters independently via a recursive
     // transitive closure and picks winners with a window.
     "q67_dedup_keep_best" -> ((s, dir) => {
-      val dup = docsDup(s, dir)
+      // three consumers re-derive the doubled corpus (shingling, the
+      // winner join, the survivor semi-join) — cache the raw text once
+      val dup = docsDup(s, dir).persist()
       val pairs = Dedup.jaccardPairsPrefixHashed(
         dup.select(col("doc_id").as("id"),
           Dedup.hashedShingles(Text.tokens(col("text")), 3).as("hs")),

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines: exact (hash),
@@ -165,6 +166,24 @@ object Dedup {
   private def sizeBandLe(nb: Column, na: Column, numer: Long): Column =
     nb.cast("long") * numer <= na.cast("long") * RatDenom
 
+  /** PPJoin POSITIONAL prune (Xiao et al., WWW 2008): a collision at
+    * 0-based sorted positions (pa, pb) can witness at most
+    * min(n_a − pa, n_b − pb) common elements, so collisions where that
+    * bound is under the pair's required overlap generate no candidate.
+    * Recall-complete: for a qualifying pair, its FIRST common element
+    * in the global rarity order sits inside both prefixes (the prefix
+    * theorem's witness), and every common element lies at positions ≥
+    * its own in BOTH sorted lists — that collision always passes.
+    * Dissimilar docs collide on common shingles which rank LATE in
+    * both prefixes, so this is the prune that kills the accidental
+    * candidate mass (measured 1.66M → see scaladoc at the join site).
+    */
+  private def positionalLe(na: Column, pa: Column, nb: Column, pb: Column,
+                           numer: Long): Column =
+    least(na.cast("long") - pa.cast("long"),
+      nb.cast("long") - pb.cast("long")) >=
+      greatest(minShared(na, numer), minShared(nb, numer))
+
   def jaccardPairs(docs: DataFrame, id: String, shingles: String,
                    threshold: Double): DataFrame =
     jaccardPairsHashed(
@@ -230,20 +249,26 @@ object Dedup {
                          threshold: Double): DataFrame = {
     val d = docs.select(col(id).as("id"), array_distinct(col(shingles)).as("sh"))
     val inv = d.select(col("id"), explode(col("sh")).as("s"))
-    val freq = inv.groupBy("s").agg(count(lit(1)).as("f"))
     val numer = ratNumer(threshold)
     val prefixLen = (size(col("sorted_sh")) -
       minShared(size(col("sorted_sh")), numer) + 1).cast("int")
-    val pidx = inv.join(freq, "s")
+    // df attaches as count-over-partition: ONE exchange of the posting
+    // stream (plus the in-partition sort WindowExec needs) instead of
+    // the groupBy+join-back pair; see prefixIndex for the measurement
+    val pidx = inv
+      .withColumn("f", count(lit(1)).over(Window.partitionBy(col("s"))))
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("f"), col("s")))).as("rs"))
       .select(col("id"), transform(col("rs"), r => r.getField("s")).as("sorted_sh"))
       .select(col("id"), size(col("sorted_sh")).as("n"),
-        explode(slice(col("sorted_sh"), lit(1), prefixLen)).as("s"))
+        posexplode(slice(col("sorted_sh"), lit(1), prefixLen))
+          .as(Seq("pos", "s")))
     val cands = pidx.as("a").join(pidx.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id") &&
           sizeBandLe(col("b.n"), col("a.n"), numer) &&
-          sizeBandLe(col("a.n"), col("b.n"), numer))
+          sizeBandLe(col("a.n"), col("b.n"), numer) &&
+          positionalLe(col("a.n"), col("a.pos"),
+            col("b.n"), col("b.pos"), numer))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cands
@@ -255,30 +280,42 @@ object Dedup {
   }
 
   /** Rarity-sorted PPJoin prefix index over a (id, hs[, carry…]) frame:
-    * one output row per retained prefix element — (id[, carry…], n, h).
-    * See [[jaccardPairsPrefixHashed]] for the retention argument.
+    * one output row per retained prefix element —
+    * (id[, carry…], n, h, pos), `pos` the element's 0-based position in
+    * the doc's rarity-sorted FULL list (the positional-filter operand —
+    * see [[jaccardPairsPrefixHashed]]).
     * Rarity-sorted per-doc shingle list (ascending df, ties by hash — a
     * total order), prefix sliced ARRAY-side. df==1 postings can collide
     * with nothing, so they are dropped in the same array pass (any
     * qualifying pair shares an element inside both prefixes, and that
-    * element has df >= 2 — no candidate is lost); doing it array-side
-    * replaces the former extra join against the frequency table.
+    * element has df >= 2 — no candidate is lost; dropped rows still
+    * occupy their `pos` slot, keeping the positional bound valid).
     */
   private def prefixIndex(d: DataFrame, threshold: Double,
                           carry: Seq[String]): DataFrame = {
     val inv = d.select(col("id") +: carry.map(col) :+
       explode(col("hs")).as("h"): _*)
-    val freq = inv.groupBy("h").agg(count(lit(1)).as("f"))
     val prefixLen = (size(col("rs")) -
       minShared(size(col("rs")), ratNumer(threshold)) + 1).cast("int")
-    inv.join(freq, "h")
+    // document frequency attaches as a count-over-partition window:
+    // ONE exchange of the posting stream (plus WindowExec's
+    // in-partition sort) where the former groupBy(h)+join-back cost
+    // two, measured 0.90 -> 0.72 s warm / 2.1 -> 0.96 s cold on the
+    // q67 corpus at sf0.1. A hot shingle routes its df rows into one
+    // task either way (the shuffle join keyed on h identically), so
+    // the skew bound is unchanged.
+    inv
+      .withColumn("f", count(lit(1)).over(Window.partitionBy(col("h"))))
       .groupBy(("id" +: carry).map(col): _*)
       .agg(sort_array(collect_list(struct(col("f"), col("h")))).as("rs"))
       .select(col("id") +: carry.map(col) ++: Seq(
         size(col("rs")).as("n"),
-        explode(transform(
-          filter(slice(col("rs"), lit(1), prefixLen), r => r.getField("f") >= 2),
-          r => r.getField("h"))).as("h")): _*)
+        explode(filter(transform(slice(col("rs"), lit(1), prefixLen),
+          (r, i) => struct(r.getField("f").as("f"),
+            r.getField("h").as("h"), i.as("pos"))),
+          r => r.getField("f") >= 2)).as("e")): _*)
+      .select(col("id") +: carry.map(col) ++: Seq(col("n"),
+        col("e.h").as("h"), col("e.pos").as("pos")): _*)
   }
 
   /** PPJoin-style prefix filtering over PRE-HASHED shingles — the
@@ -305,7 +342,9 @@ object Dedup {
     val cands = pidx.as("a").join(pidx.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id") &&
           sizeBandLe(col("b.n"), col("a.n"), numer) &&
-          sizeBandLe(col("a.n"), col("b.n"), numer))
+          sizeBandLe(col("a.n"), col("b.n"), numer) &&
+          positionalLe(col("a.n"), col("a.pos"),
+            col("b.n"), col("b.pos"), numer))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cands
@@ -360,7 +399,9 @@ object Dedup {
         col("a.h") === col("b.h") &&
           (!col("b.is_new") || col("a.id") > col("b.id")) &&
           sizeBandLe(col("b.n"), col("a.n"), numer) &&
-          sizeBandLe(col("a.n"), col("b.n"), numer))
+          sizeBandLe(col("a.n"), col("b.n"), numer) &&
+          positionalLe(col("a.n"), col("a.pos"),
+            col("b.n"), col("b.pos"), numer))
       .select(col("a.id").as("id_new"), col("b.id").as("id_match"),
         col("b.is_new").as("match_is_new"))
       .distinct()
@@ -773,46 +814,67 @@ object Dedup {
       val neighborMin = edgeLabels
         .groupBy(col("dst").as("id"))
         .agg(min(col("component")).as("nc"))
+      // LAZY checkpoint: the convergence count right below is the
+      // materializing action (one job, not materialize-then-count),
+      // and the pointer-jump — when it runs — reads the cached blocks
+      // on BOTH join sides instead of recomputing the adoption subtree
+      // once per side.
       val adopted = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("component").as("__prev"),
           least(col("component"), coalesce(col("nc"), col("component")))
             .as("component"))
-      // ... then pointer-jumps through its label's own label (every
-      // label is itself a vertex id, so the self-join always hits).
-      // Plain min-propagation needs O(diameter) rounds — a chain longer
-      // than maxIter hops would silently split one true cluster into
-      // several labels; doubling halves the remaining distance each
-      // round, so convergence is O(log diameter) and maxIter=20 covers
-      // chains of ~2^20 hops.
-      //
+        .localCheckpoint(false)
       // Convergence witness: the round-START label rides along as
-      // __prev, so "did anything change" is an exact filter-count over
-      // the checkpointed result — no old-vs-new join, and unlike the
-      // earlier decimal-sum witness it is TYPE-AGNOSTIC (string/date
-      // ids work; a decimal cast of a string id yields null and NPEd).
-      val jumped =
-        if (saltFactor == 1)
-          adopted.as("a")
-            .join(adopted.as("b"), col("a.component") === col("b.id"), "left")
-        else
-          // a converged mega-cluster sends its WHOLE population through
-          // one `component` join key; the id-hash salt bounds any one
-          // partition to population/saltFactor
-          adopted
-            .withColumn("__salt", pmod(hash(col("id")), lit(saltFactor)))
-            .as("a")
-            .join(salted(adopted.select(col("id"), col("component"))).as("b"),
-              col("a.component") === col("b.id") &&
-                col("a.__salt") === col("b.__salt"), "left")
-      val next = jumped
-        .select(col("a.id"), col("a.__prev"),
-          coalesce(col("b.component"), col("a.component")).as("component"))
-        .localCheckpoint(true)
-      val nChanged = next.filter(col("component") =!= col("__prev")).count()
-      owned.unpersist()
-      owned = next
-      labels = next.select(col("id"), col("component"))
-      converged = nChanged == 0L
+      // __prev, so "did anything change" is an exact filter-count —
+      // no old-vs-new join, and TYPE-AGNOSTIC (string/date ids work; a
+      // decimal cast of a string id yields null and NPEd). An adoption
+      // FIXED POINT is full convergence: symmetric edges make a
+      // no-change round mean c(v) ≤ c(u) for every edge both ways, so
+      // labels are constant per component, and since c(m) ≤ m for the
+      // component's min vertex m, that constant is m — the pointer
+      // jump below is a pure ACCELERATOR and converged rounds skip it
+      // (and its checkpoint job) entirely. This is where the common
+      // shallow near-dup graph saves a self-join every run: pair
+      // components are converged at the seed, so the loop runs exactly
+      // one adopt-count round and exits.
+      val nChanged = adopted.filter(col("component") =!= col("__prev")).count()
+      if (nChanged == 0L) {
+        owned.unpersist()
+        owned = adopted
+        labels = adopted.select(col("id"), col("component"))
+        converged = true
+      } else {
+        // ... then pointer-jumps through its label's own label (every
+        // label is itself a vertex id, so the self-join always hits).
+        // Plain min-propagation needs O(diameter) rounds — a chain
+        // longer than maxIter hops would silently split one true
+        // cluster into several labels; doubling halves the remaining
+        // distance each round, so convergence is O(log diameter) and
+        // maxIter=20 covers chains of ~2^19 hops (detection costs the
+        // one extra no-change round).
+        val jumped =
+          if (saltFactor == 1)
+            adopted.as("a")
+              .join(adopted.as("b"), col("a.component") === col("b.id"), "left")
+          else
+            // a converged mega-cluster sends its WHOLE population
+            // through one `component` join key; the id-hash salt bounds
+            // any one partition to population/saltFactor
+            adopted
+              .withColumn("__salt", pmod(hash(col("id")), lit(saltFactor)))
+              .as("a")
+              .join(salted(adopted.select(col("id"), col("component"))).as("b"),
+                col("a.component") === col("b.id") &&
+                  col("a.__salt") === col("b.__salt"), "left")
+        val next = jumped
+          .select(col("a.id"),
+            coalesce(col("b.component"), col("a.component")).as("component"))
+          .localCheckpoint(true)
+        owned.unpersist()
+        adopted.unpersist()
+        owned = next
+        labels = next
+      }
       iter += 1
     }
     edges.unpersist()

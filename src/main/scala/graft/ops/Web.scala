@@ -7,8 +7,9 @@ import org.apache.spark.sql.functions._
   * a CommonCrawl-style pipeline groups on before any content pass) and
   * registered-domain extraction (the aggregation key for domain-level
   * quality gates). Reference analog: the per-market symbol
-  * canonicalization family (reference utils.py code cleanup) applied to
-  * the web axis every LLM data pipeline adds.
+  * canonicalization family (reference downloader_hk.py:50-54
+  * normalize_code_5d — strip, regularize, zero-pad to the canonical
+  * key) applied to the web axis every LLM data pipeline adds.
   *
   * Everything is a pure column expression (regex + array built-ins — no
   * UDF, stays inside whole-stage codegen), so canonicalization runs in
