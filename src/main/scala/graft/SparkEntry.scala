@@ -1680,6 +1680,47 @@ object SparkEntry {
           (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"))
         .orderBy(col("source"))),
 
+    // Web/PSL: public-suffix-aware registered domains — each host's
+    // label-suffixes probe the broadcast PSL via ONE equi-join, the
+    // longest match is the public suffix (no match → last-label default
+    // = the two-label fallback), rolled up to per-domain doc counts.
+    "q198_psl_domains" -> ((s, dir) => {
+      import s.implicits._
+      val psl = Seq("co.uk", "github.io", "ca.us").toDF("suffix")
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("app-"), col("source"), lit(".github.io")))
+            .when(col("doc_id") % 4 === 1,
+              concat(lit("www."), col("source"), lit("-ltd.co.uk")))
+            .when(col("doc_id") % 4 === 2,
+              concat(lit("cdn."), col("source"), lit("-site.net")))
+            .otherwise(concat(lit("mail."), col("source"), lit(".ca.us"))),
+          lit("/p/"), (col("doc_id") % 7).cast("string")).as("url"))
+      Web.registeredDomainsPsl(urls, "doc_id", col("url"), psl)
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // Scale/skew: the q195 diagnose→mitigate loop CLOSED — the
+    // key-skew report on a manufactured hot key (every 10th orderkey
+    // collapses to 0 → ~10% share → salt factor ⌈0.1·32⌉ = 4) picks
+    // the salt factor and the salted equi-join runs with it; the
+    // result is identical to the plain join, which IS the oracle —
+    // only the shuffle layout changes.
+    "q199_auto_salted_join" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 10 === 0, 0L)
+          .otherwise(col("l_orderkey")).as("k"),
+        round(col("l_extendedprice") * 100).cast("long").as("pc"))
+      val small = s.range(0, 2000)
+        .select(col("id").as("k"), (col("id") % 7).as("grp"))
+      Skew.autoSaltedJoin(big, small, Seq("k"),
+        s.sessionState.conf.numShufflePartitions, 16L)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("pc")).as("price_c"))
+    }),
+
     // Profiling/scale: JOIN-KEY SKEW report — rows-per-key
     // concentration for the lineitem join key (hottest share + exact
     // Gini via the grouped closed form on the shared rank kernel):
@@ -6448,6 +6489,43 @@ object SparkEntry {
          |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS pct_en,
          |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups
          |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // Independent PSL computation: last-2/last-3 label split by
+    // membership of the host's 2-label tail in the same literal
+    // suffix set (every fixture host is 3+ labels with at most a
+    // 2-label public suffix, so the CASE is the full rule here).
+    "q198_psl_domains" ->
+      """WITH u AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |        THEN 'app-' || source || '.github.io'
+        |      WHEN doc_id % 4 = 1 THEN 'www.' || source || '-ltd.co.uk'
+        |      WHEN doc_id % 4 = 2 THEN 'cdn.' || source || '-site.net'
+        |      ELSE 'mail.' || source || '.ca.us' END AS host0
+        |  FROM documents),
+        |h AS (SELECT doc_id, regexp_replace(host0, '^www\\.', '')
+        |    AS host FROM u),
+        |l AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM h),
+        |d AS (SELECT doc_id, host,
+        |    CASE WHEN array_to_string(ls[len(ls)-1:], '.')
+        |        IN ('co.uk', 'github.io', 'ca.us')
+        |      THEN array_to_string(ls[len(ls)-2:], '.')
+        |      ELSE array_to_string(ls[len(ls)-1:], '.') END AS domain
+        |  FROM l)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM d GROUP BY 1""".stripMargin,
+
+    // The PLAIN join + aggregate — salting must be invisible in the
+    // values.
+    "q199_auto_salted_join" ->
+      """WITH big AS (SELECT CASE WHEN l_orderkey % 10 = 0 THEN 0
+        |      ELSE l_orderkey END AS k,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+        |  FROM lineitem),
+        |small AS (SELECT CAST(range AS BIGINT) AS k,
+        |    CAST(range % 7 AS BIGINT) AS grp FROM range(0, 2000))
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(pc) AS BIGINT) AS price_c
+        |FROM big JOIN small USING (k) GROUP BY 1""".stripMargin,
 
     // Same (load, #keys) collapse, same exclusive running key count,
     // same grouped position-sum B and one-double-chain Gini.

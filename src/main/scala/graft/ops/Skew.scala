@@ -56,4 +56,40 @@ object Skew {
     val (b, s) = saltJoinSides(big, small, salts)
     b.join(s, keys :+ "__salt").drop("__salt")
   }
+
+  /** Salt factor from [[Profile.keySkewReport]]'s one-row diagnostic —
+    * the diagnose→mitigate loop closed: a key holding share σ of the
+    * big side's rows fills σ·P of the target parallelism P when
+    * unsalted, so spreading it evenly needs ⌈σ·P⌉ partial keys; a key
+    * at or under 1/P needs none (factor 1). Reading the report is a
+    * ONE-ROW driver collect (the bounded-collect convention); a
+    * production deployment amortizes it from maintained table stats
+    * instead of a per-join pre-pass.
+    */
+  def autoSaltFactor(report: DataFrame, parallelism: Int): Int = {
+    require(parallelism >= 1, "parallelism must be >= 1")
+    val r = report.select(col("max_key_share")).collect()
+    val share =
+      if (r.isEmpty || r.head.isNullAt(0)) 0.0 else r.head.getDouble(0)
+    math.max(1, math.min(parallelism, math.ceil(share * parallelism).toInt))
+  }
+
+  /** Diagnose-then-join: run the key-skew report on the big side's
+    * join key, derive the salt factor, and dispatch — the plain
+    * equi-join when the key is flat (factor 1, zero overhead beyond
+    * the diagnostic), the salted join otherwise. Result identical to
+    * `big.join(small, keys)` either way; only the shuffle layout
+    * changes. `bucketWidth` feeds the report's two-level prefix kernel
+    * (rows-per-key value domain / width ≈ bucket count).
+    */
+  def autoSaltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                     parallelism: Int, bucketWidth: Long = 16L): DataFrame = {
+    val keyCol =
+      if (keys.size == 1) col(keys.head)
+      else struct(keys.map(col): _*)
+    val report = Profile.keySkewReport(big, keyCol, bucketWidth)
+    val salts = autoSaltFactor(report, parallelism)
+    if (salts <= 1) big.join(small, keys)
+    else saltedJoin(big, small, keys, salts)
+  }
 }

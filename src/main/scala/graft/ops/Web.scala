@@ -67,6 +67,61 @@ object Web {
     regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
   }
 
+  /** Public-suffix-aware registered domain over a URL frame — the PSL
+    * upgrade of [[registeredDomain]] for hosts under multi-label
+    * suffixes (`shop.example.co.uk → example.co.uk`, `a.b.github.io →
+    * b.github.io`). `psl` is the public-suffix table (one `suffix`
+    * column; plain entries like "co.uk" or single-level wildcards like
+    * "*.compute.example" meaning any ONE extra label is public too) —
+    * REFERENCE data (≤ ~10k rows), broadcast by hint. Exception rules
+    * ("!…") are not modeled.
+    *
+    * Matching: each canonical host's dotted label-suffixes (plus, for
+    * each, its "*."-wildcarded form) probe the suffix set via ONE
+    * broadcast equi-join (an OR-of-forms join predicate would refuse a
+    * hash join — probing both forms as separate slim rows keeps it
+    * equi); the LONGEST match is the public suffix; no match → the
+    * last label alone (the PSL default rule, which reproduces the
+    * naive two-label fallback). Registered domain = public suffix plus
+    * one preceding label; null when the host IS a public suffix.
+    *
+    * Shape: one candidate explode (≤ 2·labels slim rows per URL — no
+    * payload rides along), the broadcast probe, one hash aggregate
+    * back on (id, host) — the only shuffle, sized by the candidate
+    * stream, never by the suffix list. Output: (id, host, domain).
+    */
+  def registeredDomainsPsl(df: DataFrame, id: String, urlCol: Column,
+                           psl: DataFrame): DataFrame = {
+    val host = regexp_extract(canonicalizeUrl(urlCol), "^([^/?]+)", 1)
+    val hosts = df.select(col(id).as("id"), host.as("host"))
+      .withColumn("__labels", split(col("host"), "\\."))
+      .withColumn("__k", size(col("__labels")))
+    val probes = hosts.select(col("id"), col("host"), col("__k"),
+      explode(filter(flatten(transform(sequence(lit(1), col("__k")), i => {
+        val exact = array_join(
+          slice(col("__labels"), -i, i), ".")
+        val wild = when(i >= 2, concat(lit("*."),
+          array_join(slice(col("__labels"), -(i - lit(1)), i - lit(1)), ".")))
+          .otherwise(lit(null).cast("string"))
+        array(struct(i.as("i"), exact.as("probe")),
+          struct(i.as("i"), wild.as("probe")))
+      })), s => s.getField("probe").isNotNull)).as("c"))
+      .select(col("id"), col("host"), col("__k"),
+        col("c.i").as("i"), col("c.probe").as("probe"))
+    val entries = psl.select(lower(trim(col("suffix"))).as("probe"),
+      lit(1).as("__hit"))
+    val psLen = probes
+      .join(broadcast(entries), Seq("probe"), "left")
+      .groupBy(col("id"), col("host"), col("__k"))
+      .agg(coalesce(max(when(col("__hit") === 1, col("i"))), lit(1))
+        .as("__ps"))
+    psLen.select(col("id"), col("host"),
+      when(col("__k") > col("__ps"),
+        array_join(slice(split(col("host"), "\\."),
+          -(col("__ps") + lit(1)), col("__ps") + lit(1)), "."))
+        .otherwise(lit(null).cast("string")).as("domain"))
+  }
+
   /** URL-level dedup: one row per canonical URL, keeping the row whose
     * `ord` is SMALLEST (deterministic keep-best: pass quality descending
     * via negation, recency via a negated epoch, …, with the id as final

@@ -539,6 +539,36 @@ class PhysicalPlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), s"offsets join:\n$p")
   }
 
+  test("PSL domains: the suffix probe is a BROADCAST equi-join; the " +
+      "only shuffle is the per-host aggregate") {
+    val p = plan("q198_psl_domains")
+    assert(p.contains("BroadcastHashJoin"), s"PSL must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("auto-salted join: at production parallelism the diagnostic " +
+      "picks a salt factor > 1 and the join key carries the salt; at " +
+      "low parallelism it dispatches to the plain join") {
+    // q199's shape with the parallelism pinned (the query itself reads
+    // the session's shuffle partitions — 4 in tests, 32 in the bench)
+    val big = Tables(spark, dir, "lineitem").select(
+      when(col("l_orderkey") % 10 === 0, 0L)
+        .otherwise(col("l_orderkey")).as("k"),
+      round(col("l_extendedprice") * 100).cast("long").as("pc"))
+    val small = spark.range(0, 2000)
+      .select(col("id").as("k"), (col("id") % 7).as("grp"))
+    val salted = graft.ops.Skew.autoSaltedJoin(big, small, Seq("k"), 32)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(salted.contains("__salt"),
+      s"a ~10%-hot key at parallelism 32 must salt:\n$salted")
+    assert(!salted.contains("CartesianProduct"), salted)
+    val plain = graft.ops.Skew.autoSaltedJoin(big, small, Seq("k"), 4)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!plain.contains("__salt"),
+      s"share 0.1 at parallelism 4 needs no salt:\n$plain")
+  }
+
   test("pareto frontier: the distinct-pair running max is BUCKET-" +
       "partitioned; only the tiny bucket-offset table rides an " +
       "unpartitioned window, and offsets come back broadcast") {

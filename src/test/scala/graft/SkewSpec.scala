@@ -42,4 +42,32 @@ class SkewSpec extends SparkSpec {
     assert(salted == direct)
     assert(salted.size == 3000 * 2 + 50, "hot rows match both small rows")
   }
+
+  test("autoSaltFactor scales with the hot key's share and clamps to " +
+      "[1, parallelism]; flat keys get factor 1") {
+    import graft.ops.Profile
+    // hot key: 500 of 1000 rows → share 0.5 → ⌈0.5·16⌉ = 8
+    val hot = ((1 to 500).map(_ => 0L) ++ (501L to 1000L)).toDF("k")
+    val rHot = Profile.keySkewReport(hot, $"k", 16L)
+    assert(Skew.autoSaltFactor(rHot, 16) == 8)
+    // everything one key → share 1.0 → clamp to parallelism
+    val all = Seq.fill(100)(7L).toDF("k")
+    assert(Skew.autoSaltFactor(Profile.keySkewReport(all, $"k", 16L), 16) == 16)
+    // flat: 1000 distinct keys, share 1/1000 → factor 1
+    val flat = (1L to 1000L).toDF("k")
+    assert(Skew.autoSaltFactor(Profile.keySkewReport(flat, $"k", 16L), 16) == 1)
+  }
+
+  test("autoSaltedJoin equals the plain join on both dispatch paths " +
+      "(flat → unsalted, hot → salted)") {
+    val small = Seq((0L, "zero"), (5L, "five"), (9L, "nine")).toDF("k", "tag")
+    val hotBig = ((1 to 800).map(_ => 0L) ++ (1L to 200L).map(_ % 10))
+      .toDF("k").withColumn("v", col("k") * 3 + 1)
+    val flatBig = (1L to 500L).map(i => (i % 10, i)).toDF("k", "v")
+    for (big <- Seq(hotBig, flatBig)) {
+      val auto = rowsOf(Skew.autoSaltedJoin(big, small, Seq("k"), 16))
+      val direct = rowsOf(big.join(small, Seq("k")))
+      assert(auto == direct)
+    }
+  }
 }

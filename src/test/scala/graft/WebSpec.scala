@@ -36,6 +36,32 @@ class WebSpec extends SparkSpec {
     assert(d == Seq("example.com", "example.com"))
   }
 
+  test("registeredDomainsPsl: longest suffix wins, wildcards match one " +
+      "extra label, no-match falls back to two labels, a bare public " +
+      "suffix yields null") {
+    val psl = Seq("co.uk", "github.io", "*.compute.example")
+      .toDF("suffix")
+    val urls = Seq(
+      (1L, "https://shop.some-corp.co.uk/x"),      // 3-label under co.uk
+      (2L, "http://a.b.github.io/y"),              // deep under github.io
+      (3L, "https://www.plain.net/z"),             // no PSL → 2-label rule
+      (4L, "http://co.uk/"),                       // host IS a suffix
+      (5L, "https://vm1.eu1.compute.example/q"),   // wildcard: eu1 public
+      (6L, "http://localhost/p"))                  // single label
+      .toDF("doc_id", "url")
+    val out = Web.registeredDomainsPsl(urls, "doc_id", $"url", psl)
+      .as[(Long, String, Option[String])].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(out(1L) == Some("some-corp.co.uk"))
+    assert(out(2L) == Some("b.github.io"))
+    assert(out(3L) == Some("plain.net"))
+    assert(out(4L) == None, "a public suffix has no registered domain")
+    // "*.compute.example" makes eu1.compute.example public → one more
+    // label is the registered domain
+    assert(out(5L) == Some("vm1.eu1.compute.example"))
+    assert(out(6L) == None, "single label under the default rule")
+  }
+
   test("dedupByCanonicalUrl keeps the smallest ord (longest doc) per group") {
     val df = Seq(
       (1L, "http://x.com/p?id=1", 5),
