@@ -132,6 +132,11 @@ object NativeFunctions {
     ExpressionUtils.column(SquaredL2(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Column-facing wrapper for the native set-intersection count. */
+  def intersectCountLong(a: Column, b: Column): Column =
+    ExpressionUtils.column(IntersectCountLong(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** Column-facing wrapper for the native simhash expression. */
   def simHash(toks: Column, bits: Int): Column =
     ExpressionUtils.column(SimHash(ExpressionUtils.expression(toks), bits))
@@ -164,6 +169,7 @@ object NativeFunctions {
   private[graftshim] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_similarity" -> (exprs => CosineSimilarity(exprs.head, exprs(1))),
     "squared_l2" -> (exprs => SquaredL2(exprs.head, exprs(1))),
+    "intersect_count" -> (exprs => IntersectCountLong(exprs.head, exprs(1))),
     "simhash" -> (exprs => SimHash(exprs.head, intArg(exprs, 1))),
     "hashed_shingles" -> (exprs => HashedShingles(exprs.head, intArg(exprs, 1))),
     "minhash_sig" -> (exprs => MinHashSig(exprs.head, intArg(exprs, 1))),

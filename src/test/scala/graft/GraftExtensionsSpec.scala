@@ -21,6 +21,29 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getLong(1) != 0L)
     assert(r.getInt(2) == 2) // "a b c", "b c d"
     assert(r.getInt(3) == 16)
+    val ic = session.sql(
+      "SELECT intersect_count(array(3L, 1L, 2L, 2L), array(2L, 5L, 3L))")
+      .collect()(0)
+    assert(ic.getInt(0) == 2) // {2, 3} — duplicates count once
+  }
+
+  test("intersect_count equals size(array_intersect) on random long " +
+      "arrays with duplicates, empties and disjoint sets") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val rows = (1 to 300).map { _ =>
+      def arr(n: Int) = Seq.fill(n)(rnd.nextInt(40).toLong)
+      (arr(rnd.nextInt(60)), arr(rnd.nextInt(60)))
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+
+      ((Seq(100L, 101L), Seq(200L, 201L)))
+    val df = rows.toDF("a", "b")
+    val bad = df.select(
+        graft.functions.NativeFunctions.intersectCountLong($"a", $"b")
+          .as("native"),
+        size(array_intersect($"a", $"b")).as("builtin"))
+      .filter($"native" =!= $"builtin")
+    assert(bad.isEmpty, bad.collect().mkString("\n"))
   }
 
   test("BandedLevenshteinRule rewrites every comparison shape, results equal") {
