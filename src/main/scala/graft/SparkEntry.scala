@@ -1680,6 +1680,33 @@ object SparkEntry {
           (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"))
         .orderBy(col("source"))),
 
+    // Dedup: COUNT-PRESERVING dedup — canonical per cluster + the
+    // cluster multiplicity as a weight column, so weighted token mass
+    // equals the raw corpus total (exact-dup clusters; the invariant
+    // the oracle recomputes from fingerprint groups) instead of
+    // silently down-weighting popular content.
+    "q200_dedup_weights" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val dup = d
+        .unionByName(d.select((col("doc_id") + 10000).as("doc_id"),
+          col("text"), col("lang")))
+        .unionByName(d.select((col("doc_id") + 20000).as("doc_id"),
+          col("text"), col("lang")))
+      val fp = dup.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("fp").orderBy("doc_id")
+      val edges = fp.withColumn("prev", lag(col("doc_id"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("id_a"), col("doc_id").as("id_b"))
+      Dedup.dedupWithWeights(dup, "doc_id", edges)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("weight")).cast("long").as("n_represented"),
+          sum(col("weight") * Text.tokenCount(col("text")))
+            .cast("long").as("weighted_tokens"))
+    }),
+
     // Web/PSL: public-suffix-aware registered domains — each host's
     // label-suffixes probe the broadcast PSL via ONE equi-join, the
     // longest match is the public suffix (no match → last-label default
@@ -6489,6 +6516,26 @@ object SparkEntry {
          |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS pct_en,
          |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups
          |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // Independent reconstruction from fingerprint groups: canonical =
+    // min id, weight = group size; weighted token mass must equal the
+    // raw tripled-corpus totals.
+    "q200_dedup_weights" ->
+      s"""WITH dup AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL SELECT doc_id + 10000, text, lang FROM documents
+         |  UNION ALL SELECT doc_id + 20000, text, lang FROM documents),
+         |fp AS (SELECT doc_id, lang, text,
+         |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM dup),
+         |grp AS (SELECT fp, min(doc_id) AS doc_id,
+         |    CAST(count(*) AS BIGINT) AS weight
+         |  FROM fp GROUP BY fp)
+         |SELECT lang, count(*) AS n_kept,
+         |  CAST(sum(weight) AS BIGINT) AS n_represented,
+         |  CAST(sum(weight * len($tokSql)) AS BIGINT) AS weighted_tokens
+         |FROM fp JOIN grp USING (doc_id, fp)
+         |GROUP BY lang""".stripMargin,
 
     // Independent PSL computation: last-2/last-3 label split by
     // membership of the host's 2-label tail in the same literal

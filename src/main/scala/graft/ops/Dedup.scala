@@ -706,6 +706,39 @@ object Dedup {
     docs.join(nonCanonical, Seq(id), "left_anti")
   }
 
+  /** COUNT-PRESERVING dedup: one canonical document per duplicate
+    * cluster, carrying the cluster's multiplicity as `weight` — the
+    * unbiased-sampling correction of an LLM data pipeline (plain
+    * dedup silently DOWN-weights popular content; training mixtures
+    * and corpus statistics re-weight by this column instead).
+    * Canonical = the cluster's min id; documents in no pair survive
+    * with weight 1. `pairs` is expected to reference `docs` ids (every
+    * in-engine pair generator guarantees it); a foreign id appearing
+    * only in `pairs` contributes no weight (weights count actual
+    * document rows), and if a foreign id were a cluster's MINIMUM the
+    * cluster would have no canonical row to attach to — don't do that.
+    * Output: the canonical rows with every `docs` column plus
+    * `weight`.
+    *
+    * Scale shape: the [[dedupByClustersBest]] economics with a count
+    * in place of the argmax — clusters (pairs-sized) attach by one
+    * left join, multiplicities are one hash aggregate on the
+    * component key, and the canonical id (= the component itself)
+    * re-attaches its payload with one equi-join. Token-mass
+    * conservation (Σ weight·tokens(canonical) = Σ tokens(corpus) for
+    * exact-dup clusters) is the invariant the q200 oracle pins.
+    */
+  def dedupWithWeights(docs: DataFrame, id: String, pairs: DataFrame): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+      .select(col("id").as("__cid"), col("component"))
+    val weights = docs.select(col(id))
+      .join(clusters, col(id) === col("__cid"), "left")
+      .select(coalesce(col("component"), col(id)).as(id))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("weight"))
+    docs.join(weights, Seq(id))
+  }
+
   /** dedupByClusters with a QUALITY policy: keep, per duplicate
     * cluster, the member maximizing `quality` (ties to the smaller id)
     * — "keep the best copy", the real training-corpus policy (longest

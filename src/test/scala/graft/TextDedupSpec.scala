@@ -448,6 +448,23 @@ class TextDedupSpec extends SparkSpec {
     assert(kept == Set(2L, 10L, 99L))
   }
 
+  test("dedupWithWeights: canonical per cluster carries the multiplicity, " +
+      "unpaired docs weigh 1, pair-only ids contribute nothing") {
+    val docs = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"),   // one chained cluster of 3
+      (10L, "b"), (11L, "b"),            // cluster of 2
+      (99L, "lonely")).toDF("doc_id", "text")
+    // 77 appears only in pairs, not in docs — weights count doc ROWS
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 77L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.dedupWithWeights(docs, "doc_id", pairs)
+      .select($"doc_id", $"text", $"weight")
+      .as[(Long, String, Long)].collect().toSet
+    assert(out == Set((1L, "a", 3L), (10L, "b", 2L), (99L, "lonely", 1L)))
+    // count preservation: weights sum back to the corpus size
+    assert(out.toSeq.map(_._3).sum == 6L)
+  }
+
   test("cluster formation and keep-best work end-to-end with STRING doc ids") {
     // the decimal-sum convergence witness and the -col(id) tiebreak both
     // silently assumed numeric ids (a string id cast to decimal is null
