@@ -1183,10 +1183,10 @@ object SparkEntry {
     // Stats: 2-D PARETO FRONTIER (skyline) — parts undominated on
     // (cheaper price, bigger size): on DISTINCT value pairs sorted
     // (price asc, size desc), every earlier row is strictly better in
-    // one dimension, so frontier membership is ONE running-max window
-    // — O(n log n), no dominance self-join. At scale the window
-    // composes with the q75 two-level prefix pattern; here the
-    // distinct-pair table is already small.
+    // one dimension, so frontier membership is an EXCLUSIVE prefix max
+    // — computed two-level (per-cost collapse, bucket-partitioned
+    // running max, broadcast bucket offsets), never a dominance
+    // self-join; inputs are integral by contract (cents / sizes).
     "q164_pareto_frontier" -> ((s, dir) =>
       Profile.paretoFrontier2D(t(s, dir, "part"),
           round(col("p_retailprice") * 100).cast("long"), col("p_size"))
@@ -2784,7 +2784,7 @@ object SparkEntry {
         .join(both.select(col("id").as("id_match"), col("hs").as("hsb")),
           Seq("id_match"))
         .select(col("id_new"), col("id_match"),
-          round(Dedup.jaccard(col("hsa"), col("hsb")), 4).as("jac"))
+          round(Dedup.jaccardHashed(col("hsa"), col("hsb")), 4).as("jac"))
     }),
 
     // Multimodal: the IMAGE sibling of q111 — each doc's text paints a
@@ -3081,7 +3081,7 @@ object SparkEntry {
         .join(sig.select(col("id").as("ia"), col("hs").as("hsa")), col("id_a") === col("ia"))
         .join(sig.select(col("id").as("ib"), col("hs").as("hsb")), col("id_b") === col("ib"))
         .select(col("id_a"), col("id_b"),
-          round(Dedup.jaccard(col("hsa"), col("hsb")), 4).as("jac"))
+          round(Dedup.jaccardHashed(col("hsa"), col("hsb")), 4).as("jac"))
     }),
 
     // Dedup: n-gram Jaccard near-dup pairs via PPJoin-style prefix

@@ -121,6 +121,12 @@ object Graph {
         .select(col("id"),
           (coalesce(col("s"), lit(0L)).cast("double") /
             col("t").cast("double")).as("auth"))
+      // auth truncates BEFORE hub is built from it: hub's checkpoint
+      // job then reads auth's cached blocks instead of re-deriving the
+      // whole auth subtree a second time
+      if (big && (r % ckptEvery == 0 || r == iters)) {
+        val (ca, oa) = truncate(auth, ownedA); auth = ca; ownedA = oa
+      }
       val hs = e.join(auth, col("dst") === col("id"))
         .select(col("src"),
           round(col("auth") * lit(1e9)).cast("long").as("c"))
@@ -132,7 +138,6 @@ object Graph {
           (coalesce(col("s"), lit(0L)).cast("double") /
             col("t").cast("double")).as("hub"))
       if (big && (r % ckptEvery == 0 || r == iters)) {
-        val (ca, oa) = truncate(auth, ownedA); auth = ca; ownedA = oa
         val (ch, oh) = truncate(hub, ownedH); hub = ch; ownedH = oh
       }
     }
@@ -305,12 +310,18 @@ object Graph {
         .filter(col("arrival").isNull ||
           col("cand_arrival") < col("arrival"))
         .select(col("dst").as("id"), col("cand_arrival").as("arrival"))
+      // frontier truncates BEFORE best is built from it, so best's
+      // checkpoint job reads the cached frontier instead of re-deriving
+      // the expansion subtree; after the FINAL round the frontier is
+      // dead, so its truncation there would be one wasted
+      // materialization job — best's own checkpoint still bounds the
+      // returned lineage
+      if (big && (r % ckptEvery == 0 || r == rounds) && r < rounds) {
+        val (cf, of) = truncate(frontier, ownedF); frontier = cf; ownedF = of
+      }
       best = best.unionByName(frontier)
         .groupBy(col("id")).agg(min(col("arrival")).as("arrival"))
       if (big && (r % ckptEvery == 0 || r == rounds)) {
-        // frontier first: the next best already embeds this frontier,
-        // so both must truncate together or the lineage keeps nesting
-        val (cf, of) = truncate(frontier, ownedF); frontier = cf; ownedF = of
         val (cb, ob) = truncate(best, ownedB); best = cb; ownedB = ob
       }
     }

@@ -154,6 +154,16 @@ object Profile {
   def paretoFrontier2D(df: DataFrame, cost: Column, gain: Column,
                        bucketWidth: Long = 1L << 16): DataFrame = {
     require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    // the integral contract must fail LOUDLY: a silent cast('long')
+    // would truncate double costs (0.4 and 0.6 merge at 0) or null out
+    // strings, returning a wrong frontier instead of an error
+    df.select(cost.as("cost"), gain.as("gain")).schema.fields.foreach { f =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      require(Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(f.dataType),
+        s"paretoFrontier2D needs integral columns (snap floats ×10^k " +
+          s"first); '${f.name}' is ${f.dataType.simpleString}")
+    }
     val pts = df.groupBy(cost.cast("long").as("cost"),
         gain.cast("long").as("gain"))
       .agg(count(lit(1)).as("n_rows"))

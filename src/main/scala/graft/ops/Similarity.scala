@@ -1247,8 +1247,15 @@ object Similarity {
   def gramianFixedPoint(vecs: DataFrame, vec: Column, scale: Int): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
+    // null VECTORS skip (exactly like the former posexplode, which
+    // emitted no rows for them) and null ELEMENTS snap to 0 (the former
+    // sum() ignored their null products — identical cell values, since
+    // a 0 component contributes 0 to every cell); without these the
+    // primitive-array encoder would throw where the old plan degraded
     val snapped = vecs.select(transform(vec,
-        x => round(x.cast("double") * scale).cast("long")).as("c"))
+        x => coalesce(round(x.cast("double") * scale).cast("long"),
+          lit(0L))).as("c"))
+      .filter(col("c").isNotNull)
       .as[Array[Long]]
     // typed select: the Aggregator column binds the input encoder here;
     // the result Dataset[GramTri] exposes (d, tri) as its schema

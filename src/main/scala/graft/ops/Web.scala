@@ -88,7 +88,10 @@ object Web {
     * Shape: one candidate explode (≤ 2·labels slim rows per URL — no
     * payload rides along), the broadcast probe, one hash aggregate
     * back on (id, host) — the only shuffle, sized by the candidate
-    * stream, never by the suffix list. Output: (id, host, domain).
+    * stream, never by the suffix list. Output: ONE row per DISTINCT
+    * (id, host) — `id` is a row key by contract; duplicate (id, url)
+    * input rows collapse (use the per-row [[registeredDomain]]
+    * expression where multiplicity must survive).
     */
   def registeredDomainsPsl(df: DataFrame, id: String, urlCol: Column,
                            psl: DataFrame): DataFrame = {

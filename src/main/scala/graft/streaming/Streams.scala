@@ -646,7 +646,7 @@ object Streams {
               Seq("doc_id"))
             .join(matchHs.select(col("doc_id").as("id_match"),
               col("hs").as("hsb")), Seq("id_match"))
-            .filter(round(Dedup.jaccard(col("hsa"), col("hsb")), 4)
+            .filter(round(Dedup.jaccardHashed(col("hsa"), col("hsb")), 4)
               >= threshold)
             .select(col("doc_id")).distinct()
           val survivors = fresh.join(dropIds, Seq("doc_id"), "left_anti")
