@@ -1688,11 +1688,15 @@ object SparkEntry {
     "q200_dedup_weights" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("text"), col("lang"))
+      // three consumers (fingerprint chain, weight count, payload
+      // re-attach) re-derive the tripled corpus — cache it once (q67's
+      // convention)
       val dup = d
         .unionByName(d.select((col("doc_id") + 10000).as("doc_id"),
           col("text"), col("lang")))
         .unionByName(d.select((col("doc_id") + 20000).as("doc_id"),
           col("text"), col("lang")))
+        .persist()
       val fp = dup.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("fp").orderBy("doc_id")
