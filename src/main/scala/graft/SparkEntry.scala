@@ -1711,6 +1711,54 @@ object SparkEntry {
             .cast("long").as("weighted_tokens"))
     }),
 
+    // Stats: exact tie-aware SPEARMAN rank correlation of price vs
+    // quantity — quantity's tiny integer domain is almost ALL ties, so
+    // the doubled mid-rank (2·below + count + 1, exact integers from
+    // the shared two-level kernel) is what makes the answer
+    // well-defined; Pearson's exact moment algebra runs on the ranks.
+    "q201_spearman" -> ((s, dir) =>
+      Profile.spearmanExact(t(s, dir, "lineitem"),
+        round(col("l_extendedprice") * 100).cast("long"),
+        col("l_quantity").cast("long"), 100000L)),
+
+    // Stats: CHI-SQUARE independence of lang × source — the
+    // composition-drift gate; cells via one hash aggregate, each term
+    // through the division-free (n·o − rt·ct)²/(n·rt·ct) identity on
+    // exact DECIMAL integers, ×1e6 snap pre-sum.
+    "q202_chi2_independence" -> ((s, dir) =>
+      Profile.chiSquareIndependence(t(s, dir, "documents"),
+        col("lang"), col("source"))),
+
+    // Stats: KAPLAN–MEIER time-to-first-purchase — per-user durations
+    // (hours from first event; no purchase = right-censored at the
+    // last event) in ONE user-key aggregate, then the survival curve
+    // from two passes of the shared rank kernel (at-risk counts +
+    // the ×1e6-snapped ln-hazard running sum).
+    "q203_kaplan_meier" -> ((s, dir) => {
+      val perUser = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(min(unix_micros(col("ts"))).as("t0"),
+          max(unix_micros(col("ts"))).as("t1"),
+          min(when(col("event_type") === "purchase",
+            unix_micros(col("ts")))).as("tp"))
+      val obs = perUser.select(
+        expr("(coalesce(tp, t1) - t0) div 3600000000").as("dur_h"),
+        col("tp").isNotNull.as("ev"))
+      Profile.kaplanMeier(obs, col("dur_h"), col("ev"), 24L)
+    }),
+
+    // Series: per-symbol AUTOCORRELATION at lags 1–3 — the series
+    // pre-collapses to one exact-cents row per (symbol, day) (q196's
+    // total-order lesson), all three lags ride one ordered window,
+    // correlations on exact DECIMAL moments.
+    "q204_acf" -> ((s, dir) => {
+      val series = bars(s, dir)
+        .groupBy(col("symbol"), col("d"))
+        .agg(sum(round(col("px") * 100).cast("long")).as("px_c"))
+      Resample.acf(series, col("symbol"), col("d"), col("px_c"), 3)
+        .select(col("series").as("symbol"), col("lag"), col("n"),
+          col("acf"))
+    }),
+
     // Web/PSL: public-suffix-aware registered domains — each host's
     // label-suffixes probe the broadcast PSL via ONE equi-join, the
     // longest match is the public suffix (no match → last-label default
@@ -6540,6 +6588,127 @@ object SparkEntry {
          |  CAST(sum(weight * len($tokSql)) AS BIGINT) AS weighted_tokens
          |FROM fp JOIN grp USING (doc_id, fp)
          |GROUP BY lang""".stripMargin,
+
+    // Independent double-rank construction (window rank + tie count),
+    // same HUGEINT moments and one-double chain as q194.
+    "q201_spearman" ->
+      """WITH r AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    AS x, CAST(l_quantity AS BIGINT) AS y FROM lineitem),
+        |bx AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1),
+        |rx AS (SELECT x, 2 * COALESCE(CAST(sum(c) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS BIGINT), 0) + c + 1 AS drx FROM bx),
+        |by_ AS (SELECT y, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1),
+        |ry AS (SELECT y, 2 * COALESCE(CAST(sum(c) OVER (ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS BIGINT), 0) + c + 1 AS dry FROM by_),
+        |j AS (SELECT drx, dry FROM r JOIN rx USING (x) JOIN ry USING (y)),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(drx AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(dry AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(drx AS HUGEINT) * drx) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(dry AS HUGEINT) * dry) AS HUGEINT) AS syy,
+        |    CAST(sum(CAST(drx AS HUGEINT) * dry) AS HUGEINT) AS sxy
+        |  FROM j)
+        |SELECT n,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+        |    THEN NULL ELSE
+        |    CAST(round(CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |        * CAST(n * syy - sy * sy AS DOUBLE))
+        |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS spearman
+        |FROM m""".stripMargin,
+
+    // Same division-free per-cell identity, same ×1e6 snap; the grid
+    // is the margins' cross product so EMPTY cells contribute e.
+    "q202_chi2_independence" ->
+      """WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt
+        |  FROM cells GROUP BY 1),
+        |ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct
+        |  FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS na,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS nb FROM cells),
+        |grid AS (SELECT lang, source, rt, ct, COALESCE(o, 0) AS o
+        |  FROM rt CROSS JOIN ct LEFT JOIN cells USING (lang, source)),
+        |terms AS (SELECT nn, na, nb,
+        |    CAST(round(1e6 * CAST((CAST(nn AS HUGEINT) * o
+        |        - CAST(rt AS HUGEINT) * ct)
+        |        * (CAST(nn AS HUGEINT) * o - CAST(rt AS HUGEINT) * ct)
+        |        AS DOUBLE)
+        |      / CAST(CAST(nn AS HUGEINT) * rt * ct AS DOUBLE))
+        |      AS BIGINT) AS term_fp
+        |  FROM grid CROSS JOIN tot)
+        |SELECT nn AS n, na AS n_a, nb AS n_b,
+        |  (na - 1) * (nb - 1) AS dof,
+        |  CAST(round(CAST(CAST(sum(term_fp) AS DOUBLE) / 1e6
+        |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS chi2
+        |FROM terms GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // Independent KM: window prefix count for at-risk, running ln-sum
+    // for the product; same −1e8 sentinel where everyone at risk fails.
+    "q203_kaplan_meier" ->
+      """WITH pu AS (SELECT user_id, min(epoch_us(ts)) AS t0,
+        |    max(epoch_us(ts)) AS t1,
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts)
+        |      END) AS tp
+        |  FROM events GROUP BY 1),
+        |obs AS (SELECT (COALESCE(tp, t1) - t0) // 3600000000 AS t,
+        |    (tp IS NOT NULL) AS e FROM pu),
+        |byt AS (SELECT t, CAST(count(*) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |  FROM obs GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM obs),
+        |rk AS (SELECT t, c, d, COALESCE(CAST(sum(c) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS BIGINT), 0) AS cb FROM byt),
+        |ev AS (SELECT t, n - cb AS n_risk, d,
+        |    CASE WHEN d = n - cb THEN CAST(-100000000 AS BIGINT)
+        |      ELSE CAST(round(1e6 * ln(CAST(n - cb - d AS DOUBLE)
+        |        / CAST(n - cb AS DOUBLE))) AS BIGINT) END AS lf
+        |  FROM rk CROSS JOIN nn WHERE d > 0)
+        |SELECT t, n_risk, d AS n_events,
+        |  CAST(round(CAST(exp(CAST(sum(lf) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) / 1e6) AS DECIMAL(20,10)), 4) AS DOUBLE)
+        |    AS survival
+        |FROM ev""".stripMargin,
+
+    // Lag windows over the same (symbol, day) collapse, HUGEINT
+    // moments, q194's double chain.
+    "q204_acf" ->
+      """WITH srs AS (SELECT l_partkey AS symbol,
+        |    CAST(l_shipdate AS DATE) AS d,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |      AS BIGINT) AS v
+        |  FROM lineitem GROUP BY 1, 2),
+        |lagd AS (SELECT symbol, v AS y,
+        |    lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+        |    lag(v, 3) OVER w AS l3
+        |  FROM srs WINDOW w AS (PARTITION BY symbol ORDER BY d)),
+        |p AS (SELECT symbol, 1 AS lag, l1 AS x, y FROM lagd
+        |    WHERE l1 IS NOT NULL
+        |  UNION ALL SELECT symbol, 2, l2, y FROM lagd
+        |    WHERE l2 IS NOT NULL
+        |  UNION ALL SELECT symbol, 3, l3, y FROM lagd
+        |    WHERE l3 IS NOT NULL),
+        |m AS (SELECT symbol, lag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT symbol, lag, n,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+        |    THEN NULL ELSE
+        |    CAST(round(CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |        * CAST(n * syy - sy * sy AS DOUBLE))
+        |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS acf
+        |FROM m""".stripMargin,
 
     // Independent PSL computation: last-2/last-3 label split by
     // membership of the host's 2-label tail in the same literal

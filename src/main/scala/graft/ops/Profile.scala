@@ -422,6 +422,115 @@ object Profile {
           lit(100.0)).cast("decimal(20,10)"), 6).cast("double").as("se"))
   }
 
+  /** Exact tie-aware SPEARMAN rank correlation — the monotone-trend
+    * companion to [[olsTrend]]'s Pearson r (does higher quality come
+    * with more tokens, regardless of the curve's shape?): each
+    * variable's rows collapse to one row per DISTINCT value, the
+    * shared [[Ranks.withRunningBelow]] kernel attaches
+    * rows-strictly-below (no single-partition sort of either value
+    * domain), and the tie-midpoint rank enters DOUBLED
+    * (2·below + count_at + 1 — the exact integer 2·avg-rank, so tied
+    * rows share a rank with no fractional arithmetic). The value→rank
+    * maps are value-domain-sized and join back on the value key; the
+    * correlation itself is [[olsTrend]]'s exact DECIMAL moment algebra
+    * over the integer double-ranks with its one double chain at the
+    * end. `xCents`/`yCents` must be integral. Output: one row
+    * (n, spearman).
+    */
+  def spearmanExact(df: DataFrame, xCents: Column, yCents: Column,
+                    bucketWidth: Long): DataFrame = {
+    val rows = df.select(xCents.cast("long").as("__x"),
+      yCents.cast("long").as("__y"))
+    def drMap(v: String): DataFrame = {
+      val byV = rows.groupBy(col(s"__$v")).agg(count(lit(1)).as("c"))
+      Ranks.withRunningBelow(byV, s"__$v", bucketWidth, Seq("c"))
+        .select(col(s"__$v"),
+          (lit(2L) * col("c_below") + col("c") + lit(1L)).as(s"__dr$v"))
+    }
+    val ranked = rows.join(drMap("x"), Seq("__x"))
+      .join(drMap("y"), Seq("__y"))
+    olsTrend(ranked, lit(1), col("__drx"), col("__dry"))
+      .select(col("n"), col("r").as("spearman"))
+  }
+
+  /** Chi-square INDEPENDENCE test between two categorical columns —
+    * "is language independent of source?", the composition-drift gate
+    * a corpus release runs per ingest. One data-sized hash aggregate
+    * builds the contingency cells; row/column/grand totals derive from
+    * the cells (category-domain-sized, broadcast back), and each
+    * cell's term uses the division-free identity
+    * (o−e)²/e = (n·o − rt·ct)² / (n·rt·ct) on exact DECIMAL(38,0)
+    * integers, snapped ×1e6 per cell BEFORE the order-free sum — one
+    * double division per cell, one final /1e6. EMPTY cells still
+    * contribute (their term is e itself), so the grid is the margins'
+    * cross product with observed counts left-joined on — never just
+    * the observed cells. Output: one row (n, n_a, n_b, dof, chi2).
+    */
+  def chiSquareIndependence(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df.select(a.as("__a"), b.as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy(col("__a")).agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy(col("__b")).agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("nn"),
+      countDistinct(col("__a")).as("na"), countDistinct(col("__b")).as("nb"))
+    rt.crossJoin(broadcast(ct)) // the FULL |A|×|B| contingency grid
+      .join(cells, Seq("__a", "__b"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .select(col("nn"), col("na"), col("nb"),
+        round(lit(1e6) *
+          ((d38(col("nn")) * col("o") - d38(col("rt")) * col("ct")) *
+            (d38(col("nn")) * col("o") - d38(col("rt")) * col("ct")))
+            .cast("double") /
+          (d38(col("nn")) * col("rt") * col("ct")).cast("double"))
+          .cast("long").as("term_fp"))
+      .groupBy(col("nn"), col("na"), col("nb"))
+      .agg(sum(col("term_fp")).as("s_fp"))
+      .select(col("nn").as("n"), col("na").as("n_a"), col("nb").as("n_b"),
+        ((col("na") - 1) * (col("nb") - 1)).as("dof"),
+        round((col("s_fp").cast("double") / lit(1e6))
+          .cast("decimal(20,10)"), 4).cast("double").as("chi2"))
+  }
+
+  /** KAPLAN–MEIER survival estimate — retention/time-to-event over
+    * right-censored observations (one row per subject: duration +
+    * did-the-event-happen flag), computed with NO single-partition
+    * pass over the duration domain: subjects collapse to one row per
+    * DISTINCT duration, at-risk counts come from the shared
+    * [[Ranks.withRunningBelow]] kernel (n_risk = N − strictly-below),
+    * and the survival product runs as a SECOND pass of the same kernel
+    * over the ×1e6-snapped ln(1 − d/n) hazard terms (exclusive-below +
+    * own = inclusive cumulative sum — associative, never a global
+    * window). A time where every at-risk subject fails (d = n_risk,
+    * ln 0 = −∞) contributes the exact integer sentinel −1e8 (e^-100):
+    * survival rounds to 0 there and stays 0 after, on any engine.
+    * Output per distinct EVENT time: (t, n_risk, n_events, survival).
+    */
+  def kaplanMeier(df: DataFrame, duration: Column, event: Column,
+                  bucketWidth: Long): DataFrame = {
+    val rows = df.select(duration.cast("long").as("__t"),
+      when(event, 1L).otherwise(0L).as("__e"))
+    val byT = rows.groupBy(col("__t"))
+      .agg(count(lit(1)).as("c"), sum(col("__e")).as("d"))
+    val n = rows.agg(count(lit(1)).as("nn"))
+    val ev = Ranks.withRunningBelow(byT, "__t", bucketWidth, Seq("c"))
+      .crossJoin(broadcast(n))
+      .withColumn("n_risk", col("nn") - col("c_below"))
+      .filter(col("d") > 0)
+      .withColumn("lnterm_fp",
+        when(col("d") === col("n_risk"), lit(-100000000L))
+          .otherwise(round(lit(1e6) *
+            log((col("n_risk") - col("d")).cast("double") /
+              col("n_risk").cast("double"))).cast("long")))
+      .select(col("__t"), col("n_risk"), col("d"), col("lnterm_fp"))
+    Ranks.withRunningBelow(ev, "__t", bucketWidth, Seq("lnterm_fp"))
+      .select(col("__t").as("t"), col("n_risk"), col("d").as("n_events"),
+        round(exp((col("lnterm_fp_below") + col("lnterm_fp"))
+          .cast("double") / lit(1e6)).cast("decimal(20,10)"), 4)
+          .cast("double").as("survival"))
+  }
+
   /** K-anonymity generalization ladder — the privacy gate a
     * training-data release needs: for each candidate generalization of
     * the numeric quasi-identifier (bucket width w; w = 0 drops the

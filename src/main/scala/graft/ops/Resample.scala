@@ -159,4 +159,48 @@ object Resample {
         last(col("vc"), ignoreNulls = true).over(w).as("value_c"),
         col("vc").isNull.as("is_filled"))
   }
+
+  /** Per-series AUTOCORRELATION function at lags 1..maxLag — the
+    * "does yesterday predict today?" correlogram a feature pipeline
+    * reads before choosing lag features or differencing. All maxLag
+    * lagged copies ride ONE ordered window over the series shuffle
+    * (then unpivot to (series, lag) pairs — no per-lag re-sort), and
+    * each (series, lag)'s correlation is the exact DECIMAL(38,0)
+    * moment algebra of [[Profile.olsTrend]] (Σx, Σy, Σx², Σy², Σxy on
+    * integer cents, one double chain per output row). The caller
+    * pre-collapses to one row per (series, ord) — a ROWS-adjacent lag
+    * is only deterministic under a TOTAL order (q196's lesson).
+    * Output: (series, lag, n, acf); degenerate (constant) windows
+    * yield null.
+    */
+  def acf(df: DataFrame, series: Column, ord: Column, valueCents: Column,
+          maxLag: Int): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val d18 = (c: Column) => c.cast("decimal(18,0)")
+    val w = Window.partitionBy(col("__s")).orderBy(col("__o"))
+    val rows = df.select(series.as("__s"), ord.as("__o"),
+      valueCents.cast("long").as("__v"))
+    val lagged = (1 to maxLag).foldLeft(rows)((d, k) =>
+      d.withColumn(s"__l$k", lag(col("__v"), k).over(w)))
+    val pairs = lagged.select(col("__s"), col("__v"),
+        explode(array((1 to maxLag).map(k =>
+          struct(lit(k).as("lag"), col(s"__l$k").as("vl"))): _*)).as("p"))
+      .select(col("__s"), col("p.lag").as("lag"),
+        col("p.vl").as("x"), col("__v").as("y"))
+      .filter(col("x").isNotNull)
+    val m = pairs.groupBy(col("__s"), col("lag")).agg(
+      count(lit(1)).as("n"),
+      sum(d18(col("x"))).as("sx"), sum(d18(col("y"))).as("sy"),
+      sum(d18(col("x")) * d18(col("x"))).as("sxx"),
+      sum(d18(col("y")) * d18(col("y"))).as("syy"),
+      sum(d18(col("x")) * d18(col("y"))).as("sxy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val denx = col("n") * col("sxx") - col("sx") * col("sx")
+    val deny = col("n") * col("syy") - col("sy") * col("sy")
+    m.select(col("__s").as("series"), col("lag"), col("n"),
+      when(denx === 0 || deny === 0, lit(null))
+        .otherwise(round((num.cast("double") /
+          sqrt(denx.cast("double") * deny.cast("double")))
+          .cast("decimal(20,10)"), 6).cast("double")).as("acf"))
+  }
 }

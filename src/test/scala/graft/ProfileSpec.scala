@@ -300,4 +300,67 @@ class ProfileSpec extends SparkSpec {
     assert(out(0L) == ((0L, 2L, 0L, 0L, true)),
       "width 0 generalizes the numeric away entirely")
   }
+
+  test("spearmanExact: monotone nonlinear = 1, reversal = -1, ties " +
+      "use exact mid-ranks") {
+    // y = x^3 is monotone but far from linear: Pearson < 1, Spearman = 1
+    val cubic = (1L to 20L).map(v => (v, v * v * v)).toDF("x", "y")
+    val up = Profile.spearmanExact(cubic, $"x", $"y", 5L)
+      .as[(Long, Double)].collect().head
+    assert(up == ((20L, 1.0)))
+    val dn = Profile.spearmanExact(cubic, $"x", -$"y", 5L)
+      .as[(Long, Double)].collect().head
+    assert(dn._2 == -1.0)
+    // ties: x 1..4 vs y [10,10,20,20] — scipy's tie-aware value is
+    // 16/sqrt(320) = 0.894427 (mid-ranks 1.5,1.5,3.5,3.5 on y)
+    val tied = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L))
+      .toDF("x", "y")
+    val t = Profile.spearmanExact(tied, $"x", $"y", 2L)
+      .as[(Long, Double)].collect().head
+    assert(t == ((4L, 0.894427)))
+    // constant y → null, not a division error
+    val const = Seq((1L, 5L), (2L, 5L)).toDF("x", "y")
+    val c = Profile.spearmanExact(const, $"x", $"y", 2L)
+      .as[(Long, Option[Double])].collect().head
+    assert(c == ((2L, None)))
+  }
+
+  test("chiSquareIndependence: balanced = 0, perfect 2x2 " +
+      "dependence = n, dof counts categories") {
+    // perfectly balanced 2x2 (every cell 5): independent, chi2 = 0
+    val bal = (for { a <- Seq("x", "y"); b <- Seq("u", "v");
+      _ <- 1 to 5 } yield (a, b)).toDF("a", "b")
+    val g0 = Profile.chiSquareIndependence(bal, $"a", $"b")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(g0 == ((20L, 2L, 2L, 1L, 0.0)))
+    // diagonal 2x2 ([[10,0],[0,10]]): chi2 = n = 20
+    val diag = ((1 to 10).map(_ => ("x", "u")) ++
+      (1 to 10).map(_ => ("y", "v"))).toDF("a", "b")
+    val g1 = Profile.chiSquareIndependence(diag, $"a", $"b")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(g1._5 == 20.0 && g1._4 == 1L)
+    // 3x2 dof = (3-1)(2-1) = 2
+    val wide = Seq(("x", "u"), ("y", "u"), ("z", "v")).toDF("a", "b")
+    assert(Profile.chiSquareIndependence(wide, $"a", $"b")
+      .as[(Long, Long, Long, Long, Double)].collect().head._4 == 2L)
+  }
+
+  test("kaplanMeier: textbook curve with censoring, all-fail sentinel " +
+      "pins survival 0") {
+    // durations (t, event): censored rows thin the at-risk set without
+    // contributing a factor. S(1)=4/5, S(2)=4/5*3/4=0.6, S(3)=0.3.
+    val obs = Seq((1L, true), (2L, true), (2L, false), (3L, true),
+      (4L, false)).toDF("t", "e")
+    val km = Profile.kaplanMeier(obs, $"t", $"e", 2L)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(km.map(r => (r._1, r._2, r._3, r._4)).toSeq == Seq(
+      (1L, 5L, 1L, 0.8), (2L, 4L, 1L, 0.6), (3L, 2L, 1L, 0.3)),
+      s"got ${km.toSeq}")
+    // the last at-risk subject failing drives survival to exact 0 and
+    // it stays 0 (the -1e8 ln sentinel, never a NaN/-Inf)
+    val fatal = Seq((1L, true), (2L, true)).toDF("t", "e")
+    val kf = Profile.kaplanMeier(fatal, $"t", $"e", 2L)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(kf.map(r => (r._1, r._4)).toSeq == Seq((1L, 0.5), (2L, 0.0)))
+  }
 }

@@ -87,4 +87,23 @@ class ResampleSpec extends SparkSpec {
     // B's grid never bleeds into A's span — 5 rows total, not 41+1
     assert(out.size == 5)
   }
+
+  test("acf: alternating series pins lag parity, constant series " +
+      "yields null, symbols stay isolated") {
+    // A alternates 100/200: lag1 = perfect anti-correlation, lag2 =
+    // perfect correlation, lag3 = anti again; pair counts 5/4/3
+    val a = (0 to 5).map(i => ("A", i.toLong,
+      if (i % 2 == 0) 100L else 200L))
+    val b = (0 to 4).map(i => ("B", i.toLong, 100L)) // constant
+    val out = Resample.acf((a ++ b).toDF("s", "o", "v"),
+        $"s", $"o", $"v", 3)
+      .as[(String, Int, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(out(("A", 1)) == ((5L, Some(-1.0))))
+    assert(out(("A", 2)) == ((4L, Some(1.0))))
+    assert(out(("A", 3)) == ((3L, Some(-1.0))))
+    assert(out(("B", 1)) == ((4L, None)),
+      "constant series: zero variance, null not a division error")
+    assert(out.size == 6)
+  }
 }
