@@ -1746,6 +1746,57 @@ object SparkEntry {
       Profile.kaplanMeier(obs, col("dur_h"), col("ev"), 24L)
     }),
 
+    // Text/ER: SORTED-NEIGHBORHOOD blocking — part names plus their
+    // single-deletion variants rank once (two-level prefix ranking on
+    // the name vocabulary), names within 8 positions pair, the banded
+    // lev kernel verifies. The third blocking family next to
+    // first-char (q85) and segments (q109); |vocab|·window candidates,
+    // hot-block-proof by construction.
+    "q205_sorted_neighborhood" -> ((s, dir) => {
+      val parts = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      val len = length(col("p_name"))
+      val k = (col("p_partkey") % len).cast("int")
+      val names = parts.select(col("p_name").as("nm"))
+        .unionByName(parts.select(
+          concat(col("p_name").substr(lit(1), k),
+            col("p_name").substr(k + 2, len)).as("nm")))
+      Text.sortedNeighborhoodPairs(names, col("nm"), 8, 2)
+    }),
+
+    // Dedup/planning: MinHash-LSH PARAMETER PLANNER — every (b, r)
+    // split of a 16-hash signature scored on an observed LABELED pair
+    // sample (planted near-dups = true, shifted-neighbor pairs =
+    // false): expected recall vs expected wasted-verify rate, the two
+    // numbers a 100 TB banding choice trades. Pair sims are exact
+    // |∩|/|∪| ratios via the native sorted-merge intersect.
+    "q206_lsh_plan" -> ((s, dir) => {
+      val d = docsDup(s, dir).select(col("doc_id").as("id"),
+        Dedup.hashedShingles(Text.tokens(col("text")), 3).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .persist() // three consumers: base, planted probe, neighbor probe
+      val base = d.filter(col("id") < 10000)
+      val planted = d.filter(col("id") >= 10000)
+        .select((col("id") - 10000).as("id"), col("hs").as("hs_b"))
+      val neigh = base.select((col("id") - 1).as("id"),
+        col("hs").as("hs_b"))
+      val truePairs = base.join(planted, Seq("id"))
+        .select(Dedup.jaccardHashed(col("hs"), col("hs_b")).as("s"),
+          lit(true).as("tp"))
+      val falsePairs = base.join(neigh, Seq("id"))
+        .select(Dedup.jaccardHashed(col("hs"), col("hs_b")).as("s"),
+          lit(false).as("tp"))
+      Dedup.lshPlan(truePairs.unionByName(falsePairs), col("s"),
+        col("tp"), 16)
+    }),
+
+    // Text: DISTINGUISHING TERMS per source (log-odds, informative
+    // Dirichlet prior, Monroe et al. 2008) — top-5 tokens whose
+    // prior-smoothed z marks them as over-represented vs the REST of
+    // the corpus; the "what is this source made of" curation read.
+    "q207_log_odds_terms" -> ((s, dir) =>
+      Text.logOddsTerms(t(s, dir, "documents"), col("source"),
+        col("text"), 5)),
+
     // Series: per-symbol AUTOCORRELATION at lags 1–3 — the series
     // pre-collapses to one exact-cents row per (symbol, day) (q196's
     // total-order lesson), all three lags ride one ordered window,
@@ -6675,6 +6726,108 @@ object SparkEntry {
         |    AS DOUBLE) / 1e6) AS DECIMAL(20,10)), 4) AS DOUBLE)
         |    AS survival
         |FROM ev""".stripMargin,
+
+    // Independent SN construction: ONE global row_number over the
+    // distinct name vocabulary (the engine's two-level ranking must
+    // equal it exactly), rank-distance range join, real levenshtein.
+    "q205_sorted_neighborhood" ->
+      """WITH vars AS (SELECT p_name AS nm FROM part
+        |  UNION ALL SELECT
+        |    substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
+        |      || substr(p_name,
+        |        CAST(p_partkey % length(p_name) AS INT) + 2) AS nm
+        |  FROM part),
+        |nm AS (SELECT DISTINCT nm FROM vars),
+        |rk AS (SELECT nm, row_number() OVER (ORDER BY nm) - 1 AS rk
+        |  FROM nm),
+        |c AS (SELECT a.nm AS name_a, b.nm AS name_b,
+        |    CAST(b.rk - a.rk AS BIGINT) AS rank_gap,
+        |    CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+        |  FROM rk a JOIN rk b ON b.rk > a.rk AND b.rk - a.rk <= 7)
+        |SELECT name_a, name_b, rank_gap, dist FROM c
+        |WHERE dist <= 2""".stripMargin,
+
+    // Same labeled pair population (planted +10000 near-dups true,
+    // +1-neighbor pairs false), exact |∩|/|∪| over the same 60-bit
+    // hashed shingles, same S-curve and ×1e6 snap.
+    "q206_lsh_plan" ->
+      s"""WITH d2 AS ($docsDupSql),
+         |tk AS (SELECT doc_id, $tokSql AS tk FROM d2),
+         |shl AS (SELECT doc_id, CASE WHEN len(tk) < 3
+         |    THEN CAST([] AS VARCHAR[]) ELSE $shingleSql END AS sh
+         |  FROM tk),
+         |hs AS (SELECT doc_id,
+         |    list_transform(sh, s -> ${h60("s")}) AS hs
+         |  FROM shl WHERE len(sh) > 0),
+         |tp AS (SELECT a.hs AS ha, b.hs AS hb, TRUE AS tp
+         |  FROM hs a JOIN hs b ON b.doc_id = a.doc_id + 10000
+         |  WHERE a.doc_id < 10000),
+         |fp AS (SELECT a.hs AS ha, b.hs AS hb, FALSE AS tp
+         |  FROM hs a JOIN hs b ON b.doc_id = a.doc_id + 1
+         |  WHERE a.doc_id < 10000 AND b.doc_id < 10000),
+         |prs AS (SELECT CAST(len(list_intersect(ha, hb)) AS BIGINT)
+         |    AS inter, CAST(len(ha) AS BIGINT) AS la,
+         |    CAST(len(hb) AS BIGINT) AS lb, tp
+         |  FROM (SELECT * FROM tp UNION ALL SELECT * FROM fp)),
+         |sims AS (SELECT CAST(inter AS DOUBLE) / (la + lb - inter)
+         |    AS s, tp FROM prs),
+         |cfg AS (SELECT unnest([1, 2, 4, 8, 16]) AS r),
+         |terms AS (SELECT CAST(16 // r AS INT) AS bands,
+         |    CAST(r AS INT) AS rows_per_band, tp,
+         |    CAST(round(1e6 * (CAST(1 AS DOUBLE)
+         |      - power(CAST(1 AS DOUBLE) - power(s, r), 16 // r)))
+         |      AS BIGINT) AS p_fp
+         |  FROM sims CROSS JOIN cfg)
+         |SELECT bands, rows_per_band,
+         |  CAST(sum(CASE WHEN tp THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_true,
+         |  CAST(sum(CASE WHEN tp THEN 0 ELSE 1 END) AS BIGINT)
+         |    AS n_false,
+         |  CAST(round(CAST(CAST(sum(CASE WHEN tp THEN p_fp END)
+         |      AS DOUBLE)
+         |    / CAST(sum(CASE WHEN tp THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / 1e6 AS DECIMAL(20,10)), 6) AS DOUBLE) AS exp_recall,
+         |  CAST(round(CAST(CAST(sum(CASE WHEN tp THEN NULL ELSE p_fp
+         |      END) AS DOUBLE)
+         |    / CAST(sum(CASE WHEN tp THEN 0 ELSE 1 END) AS DOUBLE)
+         |    / 1e6 AS DECIMAL(20,10)), 6) AS DOUBLE) AS exp_fp_rate
+         |FROM terms GROUP BY 1, 2""".stripMargin,
+
+    // Independent log-odds chain: same add-one Dirichlet smoothing,
+    // same (1e6·δ/√var) snap, same (z desc, term) top-5 cut.
+    "q207_log_odds_terms" ->
+      s"""WITH tok AS (SELECT source AS src, unnest($tokSql) AS tok
+         |  FROM documents),
+         |ysw AS (SELECT src, tok, CAST(count(*) AS BIGINT) AS ysw
+         |  FROM tok GROUP BY 1, 2),
+         |yw AS (SELECT tok, CAST(sum(ysw) AS BIGINT) AS yw
+         |  FROM ysw GROUP BY 1),
+         |ns AS (SELECT src, CAST(sum(ysw) AS BIGINT) AS ns
+         |  FROM ysw GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ysw) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT tok) AS BIGINT) AS v FROM ysw),
+         |sc AS (SELECT src, tok, ysw,
+         |    ln(CAST(ysw + 1 AS DOUBLE)
+         |        / CAST(ns + v - ysw - 1 AS DOUBLE))
+         |      - ln(CAST(yw - ysw + 1 AS DOUBLE)
+         |        / CAST(n - ns + v - (yw - ysw) - 1 AS DOUBLE))
+         |      AS delta,
+         |    CAST(1 AS DOUBLE) / CAST(ysw + 1 AS DOUBLE)
+         |      + CAST(1 AS DOUBLE) / CAST(yw - ysw + 1 AS DOUBLE)
+         |      AS var
+         |  FROM ysw JOIN yw USING (tok) JOIN ns USING (src)
+         |  CROSS JOIN tot),
+         |zf AS (SELECT src, tok, ysw,
+         |    CAST(round(1e6 * delta / sqrt(var)) AS BIGINT) AS z_fp
+         |  FROM sc),
+         |rkd AS (SELECT src, tok, ysw, z_fp, row_number() OVER
+         |    (PARTITION BY src ORDER BY z_fp DESC, tok) AS rnk
+         |  FROM zf)
+         |SELECT src AS source, CAST(rnk AS INT) AS rnk, tok AS term,
+         |  ysw AS n_in_source,
+         |  CAST(round(CAST(CAST(z_fp AS DOUBLE) / 1e6
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS z
+         |FROM rkd WHERE rnk <= 5""".stripMargin,
 
     // Lag windows over the same (symbol, day) collapse, HUGEINT
     // moments, q194's double chain.

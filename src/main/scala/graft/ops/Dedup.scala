@@ -115,6 +115,45 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash-LSH PARAMETER PLANNER — choose (bands, rowsPerBand)
+    * BEFORE committing a 100 TB corpus to one banding: for every
+    * (b, r) split of a `sigLen`-hash signature, the analytic S-curve
+    * P(candidate | s) = 1 − (1 − sʳ)ᵇ is averaged over an OBSERVED,
+    * labeled pair-similarity sample (`sim` ∈ [0,1], `isTrue` = is
+    * this a pair we want), yielding the expected recall on true pairs
+    * and the expected candidate (wasted-verify) rate on false pairs —
+    * the two numbers that trade against each other when picking r.
+    * Work: |pairs|·d(sigLen) rows through one hash aggregate; each
+    * per-pair probability snaps ×1e6 pre-sum so both means are ratios
+    * of exact integers. Output per config: (bands, rows_per_band,
+    * n_true, n_false, exp_recall, exp_fp_rate); an empty class yields
+    * null, not a division error.
+    */
+  def lshPlan(pairs: DataFrame, sim: Column, isTrue: Column,
+              sigLen: Int): DataFrame = {
+    require(sigLen >= 1, "sigLen must be >= 1")
+    val configs = (1 to sigLen).filter(sigLen % _ == 0)
+    val rows = pairs.select(sim.cast("double").as("s"), isTrue.as("tp"),
+        explode(array(configs.map(r =>
+          struct(lit(sigLen / r).as("b"), lit(r).as("r"))): _*)).as("c"))
+      .select(col("c.b").as("bands"), col("c.r").as("rows_per_band"),
+        col("tp"),
+        round(lit(1e6) * (lit(1.0) -
+          pow(lit(1.0) - pow(col("s"), col("c.r")), col("c.b"))))
+          .cast("long").as("p_fp"))
+    rows.groupBy(col("bands"), col("rows_per_band"))
+      .agg(sum(when(col("tp"), 1L).otherwise(0L)).as("n_true"),
+        sum(when(!col("tp"), 1L).otherwise(0L)).as("n_false"),
+        round((sum(when(col("tp"), col("p_fp"))).cast("double") /
+          sum(when(col("tp"), 1L).otherwise(0L)).cast("double") /
+          lit(1e6)).cast("decimal(20,10)"), 6).cast("double")
+          .as("exp_recall"),
+        round((sum(when(!col("tp"), col("p_fp"))).cast("double") /
+          sum(when(!col("tp"), 1L).otherwise(0L)).cast("double") /
+          lit(1e6)).cast("decimal(20,10)"), 6).cast("double")
+          .as("exp_fp_rate"))
+  }
+
   /** Exact Jaccard over two distinct-shingle arrays (intersection bound
     * once — array_intersect on big string arrays is the dominant cost of
     * candidate verification).

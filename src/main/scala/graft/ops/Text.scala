@@ -148,6 +148,53 @@ object Text {
         .cast("decimal(20,10)"), 4).cast("double").as("kl"))
   }
 
+  /** DISTINGUISHING TERMS per source via log-odds with an informative
+    * Dirichlet prior (Monroe–Colaresi–Quinn 2008, "Fightin' Words") —
+    * the data-curation read on "what makes this source different":
+    * per (source, token), δ = ln((y_sw+1)/(n_s+V−y_sw−1)) −
+    * ln((y_rest+1)/(n_rest+V−y_rest−1)) against the REST of the
+    * corpus, scaled to a z-score by the prior-smoothed variance
+    * 1/(y_sw+1) + 1/(y_rest+1); raw TF-IDF-style ratios overweight
+    * rare tokens — the z-scaling is the point of the method. All
+    * counts are exact integers off two hash aggregates (token-key,
+    * then source-key — never corpus²); z snaps ×1e6 per (source,
+    * token); top-k per source ranks the vocabulary-sized score table
+    * by (z desc, term) under a per-source window (q84's top-N-per-group
+    * economics). Output: (source, rnk, term, n_in_source, z).
+    */
+  def logOddsTerms(docs: DataFrame, source: Column, text: Column,
+                   topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val tok = docs.select(source.as("src"), explode(tokens(text)).as("tok"))
+    val ysw = tok.groupBy(col("src"), col("tok"))
+      .agg(count(lit(1)).as("ysw"))
+    val yw = ysw.groupBy(col("tok")).agg(sum(col("ysw")).as("yw"))
+    val ns = ysw.groupBy(col("src")).agg(sum(col("ysw")).as("ns"))
+    val tot = ysw.agg(sum(col("ysw")).as("n"),
+      countDistinct(col("tok")).as("v"))
+    val scored = ysw.join(yw, Seq("tok"))
+      .join(broadcast(ns), Seq("src")).crossJoin(broadcast(tot))
+      .withColumn("yrest", col("yw") - col("ysw"))
+      .withColumn("delta",
+        log((col("ysw") + 1).cast("double") /
+          (col("ns") + col("v") - col("ysw") - 1).cast("double")) -
+          log((col("yrest") + 1).cast("double") /
+            (col("n") - col("ns") + col("v") - col("yrest") - 1)
+              .cast("double")))
+      .withColumn("z_fp",
+        round(lit(1e6) * col("delta") /
+          sqrt(lit(1.0) / (col("ysw") + 1).cast("double") +
+            lit(1.0) / (col("yrest") + 1).cast("double"))).cast("long"))
+    val w = Window.partitionBy(col("src"))
+      .orderBy(col("z_fp").desc, col("tok"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("src").as("source"), col("rnk"), col("tok").as("term"),
+        col("ysw").as("n_in_source"),
+        round((col("z_fp").cast("double") / lit(1e6))
+          .cast("decimal(20,10)"), 4).cast("double").as("z"))
+  }
+
   /** Byte-pair-encoding MERGE LEARNING — the distributed core of
     * tokenizer training: `rounds` greedy rounds of (count all adjacent
     * symbol pairs across the corpus, weighted by word frequency; pick
@@ -926,6 +973,59 @@ object Text {
       maxDist, maxBlockPairs, registerCache)
       .filter(col("ref_id") < col("probe_id"))
     vsOld.unionByName(vsNew)
+  }
+
+  /** SORTED-NEIGHBORHOOD blocking (Hernández–Stolfo) — the third
+    * classic ER blocking family beside first-char equi-blocks and
+    * PassJoin segments: sort the name vocabulary once and pair only
+    * names within `window` POSITIONS of each other. Distributed-exact
+    * ranking without a global sort partition: distinct names bucket by
+    * their 2-char prefix (prefix order is consistent with full
+    * lexicographic order, so per-bucket `row_number` + the broadcast
+    * exclusive bucket-count offsets reproduce the global rank — the
+    * [[graft.ops.Ranks]] two-level shape on a string domain), then
+    * ⌊rank/window⌋ blocks equi-join (each left name probes its own and
+    * the NEXT block — by construction that covers every pair less than
+    * `window` ranks apart, each pair exactly once via the right side's
+    * home block), and survivors verify through the banded early-exit
+    * `lev_within` kernel. Output: one row per matched DISTINCT-name
+    * pair (name_a before name_b in sort order, rank_gap, dist).
+    *
+    * Recall is positional — a true match > `window` ranks away (e.g. a
+    * FIRST-letter typo) is missed; that is SN's declared trade, bought
+    * back by multi-key sweeps exactly as `fuzzyJoinMultiBlock` does for
+    * char blocking. Work is |vocab|·window candidates, immune to the
+    * hot-block quadratic blowup the density guard exists for.
+    */
+  def sortedNeighborhoodPairs(names: DataFrame, name: Column,
+                              window: Int, maxDist: Int): DataFrame = {
+    require(window >= 2, "window must be >= 2")
+    require(maxDist >= 0, "maxDist must be >= 0")
+    import graft.functions.NativeFunctions.levWithin
+    val dn = names.select(name.as("n")).distinct()
+      .withColumn("bc", substring(col("n"), 1, 2))
+    val wIntra = Window.partitionBy(col("bc")).orderBy(col("n"))
+    val wOff = Window.partitionBy(Cols.onePartitionKey(col("bc")))
+      .orderBy(col("bc")).rowsBetween(Window.unboundedPreceding, -1)
+    val offs = dn.groupBy(col("bc")).agg(count(lit(1)).as("c"))
+      .select(col("bc"),
+        coalesce(sum(col("c")).over(wOff), lit(0L)).as("off"))
+    val ranked = dn.withColumn("rn0", row_number().over(wIntra))
+      .join(broadcast(offs), Seq("bc"))
+      .select(col("n"), (col("off") + col("rn0") - 1).as("rk"))
+      .withColumn("blk", expr(s"rk div $window"))
+    val probes = ranked.select(col("n").as("name_a"), col("rk").as("ra"),
+      explode(array(col("blk"), col("blk") + 1)).as("jb"))
+    val rhs = ranked.select(col("n").as("name_b"), col("rk").as("rb"),
+      col("blk").as("jb"))
+    probes.join(rhs, Seq("jb"))
+      .filter(col("rb") > col("ra") &&
+        col("rb") - col("ra") <= window - 1)
+      .withColumn("dist",
+        levWithin(col("name_a"), col("name_b"), maxDist).cast("long"))
+      .filter(col("dist").between(0, maxDist))
+      .select(col("name_a"), col("name_b"),
+        (col("rb") - col("ra")).as("rank_gap"), col("dist"))
   }
 
   /** Word n-gram shingles (distinct), the MinHash/Jaccard input unit.

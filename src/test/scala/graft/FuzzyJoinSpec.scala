@@ -278,6 +278,31 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(stats == Set(("a", 2, 2L, 1L, 2L), ("b", 2, 1L, 1L, 1L)))
   }
 
+  test("sortedNeighborhoodPairs: two-level rank = global sort, window " +
+      "bounds pairing, lev verifies — brute-force parity") {
+    import graft.ops.Text
+    // vocabulary spans several 2-char prefix buckets on purpose; the
+    // near-identical names ("kite"/"kitf"/"kitz") sort adjacent and
+    // must pair; "apple" vs "apply" likewise; far names must not,
+    // even when similar ("zebra" vs "aebra": first-letter edit, >w apart)
+    val names = Seq("apple", "apply", "aebra", "banana", "bandana",
+      "kite", "kitf", "kitz", "zebra", "zebrb").map(Tuple1(_))
+      .toDF("nm")
+    val w = 3
+    val got = Text.sortedNeighborhoodPairs(names, $"nm", w, 2)
+      .as[(String, String, Long, Long)].collect().toSet
+    // brute force: global sort, pair within w-1 positions, lev <= 2
+    val sorted = names.as[String].collect().distinct.sorted
+    val want = (for {
+      i <- sorted.indices; j <- (i + 1) until math.min(i + w, sorted.length)
+      d = levDp(sorted(i), sorted(j)) if d <= 2
+    } yield (sorted(i), sorted(j), (j - i).toLong, d.toLong)).toSet
+    assert(got == want, s"got $got\nwant $want")
+    assert(got.contains(("kite", "kitf", 1L, 1L)))
+    assert(!got.exists(p => p._1 == "aebra" && p._2 == "zebra"),
+      "SN's declared positional miss: first-letter edits rank far apart")
+  }
+
   /** Plain reference Levenshtein (full DP, code points). */
   private def levDp(a: String, b: String): Int = {
     val s = a.codePoints().toArray

@@ -780,4 +780,52 @@ class TextDedupSpec extends SparkSpec {
       .as[(Int, Long)].collect().sortBy(_._1)
     assert(r.toSeq == Seq((0, 4L), (1, 2L)))
   }
+
+  test("lshPlan: S-curve endpoints pin recall 1/0, hand value at " +
+      "s=0.5, every divisor config present") {
+    import graft.ops.Dedup
+    // identical pairs (s=1) always candidate; disjoint pairs (s=0)
+    // never; a 0.5 pair under (b=1, r=16) passes with p = 0.5^16
+    val pairs = Seq((1.0, true), (1.0, true), (0.0, false))
+      .toDF("s", "tp")
+    val out = Dedup.lshPlan(pairs, $"s", $"tp", 16)
+      .as[(Int, Int, Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out.keySet == Set((16, 1), (8, 2), (4, 4), (2, 8), (1, 16)))
+    out.values.foreach { r =>
+      assert(r._3 == 2L && r._4 == 1L)
+      assert(r._5 == 1.0, s"s=1 pairs must always be candidates: $r")
+      assert(r._6 == 0.0, s"s=0 pairs never collide: $r")
+    }
+    val half = Dedup.lshPlan(Seq((0.5, true)).toDF("s", "tp"),
+        $"s", $"tp", 16)
+      .as[(Int, Int, Long, Long, Double, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // b=1, r=16: p = 0.5^16 = 1.52587890625e-5 → ×1e6 snap = 15
+    assert(half((1, 16))._5 == 0.000015)
+    // b=16, r=1: p = 1 - 0.5^16 → snapped 999985
+    assert(half((16, 1))._5 == 0.999985)
+    assert(half((1, 16))._6.isEmpty,
+      "no false pairs → null fp rate, not a division error")
+  }
+
+  test("logOddsTerms: planted source-exclusive token tops its source, " +
+      "z sign separates over/under-representation") {
+    // source A's docs repeat 'qqq' heavily; B shares the common tokens
+    val docs = Seq(
+      ("A", "qqq qqq qqq common words here"),
+      ("A", "qqq qqq common words there"),
+      ("B", "common words here and there again"),
+      ("B", "common words everywhere again")).toDF("src", "text")
+    val out = Text.logOddsTerms(docs, $"src", $"text", 3)
+      .as[(String, Int, String, Long, Double)].collect()
+    val byKey = out.map(r => (r._1, r._2) -> r).toMap
+    assert(byKey(("A", 1))._3 == "qqq", s"got ${out.toSeq}")
+    assert(byKey(("A", 1))._4 == 5L)
+    assert(byKey(("A", 1))._5 > 0.0)
+    // 'qqq' never appears in B, so it cannot enter B's top-k positively
+    assert(!out.filter(_._1 == "B").exists(r => r._3 == "qqq" && r._5 > 0))
+    // exactly topK rows per source
+    assert(out.count(_._1 == "A") == 3 && out.count(_._1 == "B") == 3)
+  }
 }
