@@ -2983,6 +2983,28 @@ object SparkEntry {
       Multimodal.wavFrameFeaturesBatched(media, 16).toDF()
     }),
 
+    // Multimodal: Walsh–Hadamard SEQUENCY energy — q111's WAV payloads
+    // decoded, framed (16 samples), and transformed against the ±1
+    // square-wave bases entirely in integer arithmetic; per (doc, k)
+    // one Σc_k² energy row. The spectral-feature stage of an audio
+    // pipeline with none of FFT's cross-engine float drift; the oracle
+    // recomputes every coefficient from the definition
+    // c_k = Σ_j s_j·(−1)^popcount(k AND j).
+    "q208_wht_energy" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
+        .as[(Long, String)]
+      val media = docs.map { case (id, text) =>
+        val n = math.min(text.length, 64)
+        val samples = Array.tabulate(n)(i =>
+          (((text.charAt(i).toInt * 37 + i) % 4096) - 2048).toShort)
+        (id, Multimodal.wavBytes(samples))
+      }
+      Multimodal.wavSequencyEnergyBatched(media, 16).toDF()
+    }),
+
     // Multimodal: VIDEO frame-sampling — each doc's text paints a
     // 4-frame 7×4 "video" (an MBMP container: length-prefixed real BMP
     // frames, MJPEG's shape), and the sampler walks the container,
@@ -5135,6 +5157,30 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(smp[frame * 16 + 1 : frame * 16 + 16],
         |    x -> abs(x))) AS BIGINT) AS energy
         |FROM f""".stripMargin,
+
+    // Recomputes every WHT coefficient from the definition (popcount
+    // parity sign over the k AND j grid) on the same synthesized
+    // sample lists, squares and sums across frames — the engine's
+    // butterfly must land on identical integers.
+    "q208_wht_energy" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    CAST(least(length(text), 64) AS INT) AS n FROM documents),
+        |s AS (SELECT doc_id, n,
+        |    list_transform(range(1, n + 1), i ->
+        |      ((unicode(substr(text, CAST(i AS INT), 1)) * 37 + (i - 1))
+        |        % 4096) - 2048) AS smp
+        |  FROM d),
+        |f AS (SELECT doc_id, CAST(unnest(range(0, n // 16)) AS INT)
+        |    AS frame, smp FROM s),
+        |ks AS (SELECT CAST(unnest(range(0, 16)) AS INT) AS k),
+        |c AS (SELECT doc_id, frame, k,
+        |    CAST(list_sum(list_transform(range(0, 16), j ->
+        |      smp[frame * 16 + CAST(j AS INT) + 1]
+        |        * (1 - 2 * (bit_count(CAST(k AS BIGINT)
+        |            & CAST(j AS BIGINT)) % 2)))) AS BIGINT) AS coef
+        |  FROM f CROSS JOIN ks)
+        |SELECT doc_id, k, CAST(sum(coef * coef) AS BIGINT) AS energy
+        |FROM c GROUP BY 1, 2""".stripMargin,
 
     // Recomputes the DECODED features from the payload-construction
     // arithmetic: n_bytes = 44-byte canonical WAV header + 2 bytes per

@@ -428,6 +428,78 @@ object Multimodal {
     }
   }
 
+  /** Per-coefficient spectral energy of a doc's audio: `k` indexes the
+    * Walsh–Hadamard coefficient in NATURAL (Hadamard) order, `energy`
+    * = Σ over the doc's frames of c_k² — exact integers end to end.
+    */
+  final case class SequencyEnergy(doc_id: Long, k: Int, energy: Long)
+
+  /** Walsh–Hadamard SEQUENCY-energy stage — the integer-exact spectral
+    * feature a JVM-only pipeline can stand behind (no FFT floats to
+    * drift cross-engine): decode WAV → consecutive `frameLen`-sample
+    * frames (power of two; trailing partial dropped) → unnormalized
+    * fast WHT per frame (integer butterflies, O(frameLen·log) — the
+    * transform of the frame against all ±1 square-wave bases) → per
+    * coefficient k the squared value c_k² accumulates across the doc's
+    * frames into ONE energy row per (doc, k). Coefficients use natural
+    * Hadamard indexing, c_k = Σ_j s_j·(−1)^popcount(k AND j), so any
+    * engine can recompute them from the raw samples without agreeing
+    * on a sequency permutation. Decode, framing, transform, and the
+    * per-doc accumulation all fuse in one mapPartitions — `frameLen`
+    * rows per doc leave the scan stage, payloads never shuffle.
+    * Overflow posture: |c_k| ≤ frameLen·32768, c_k² ≤ 2⁶²/frameLen²
+    * for frameLen ≤ 2¹⁵ — Long-safe at any realistic frame size.
+    * Non-PCM16 payloads emit no rows (fall-back-by-omission, the
+    * [[wavFrameFeaturesBatched]] contract).
+    */
+  def wavSequencyEnergyBatched(media: Dataset[(Long, Array[Byte])],
+                               frameLen: Int,
+                               batchSize: Int = 64)
+      : Dataset[SequencyEnergy] = {
+    require(frameLen > 0 && (frameLen & (frameLen - 1)) == 0,
+      "frameLen must be a positive power of two")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.flatMap { case (id, bytes) =>
+        parseWav(bytes).iterator.flatMap { w =>
+          val nFrames = w.samples.length / frameLen
+          if (nFrames == 0) Iterator.empty
+          else {
+            val acc = new Array[Long](frameLen)
+            val c = new Array[Long](frameLen)
+            var f = 0
+            while (f < nFrames) {
+              var j = 0
+              while (j < frameLen) {
+                c(j) = w.samples(f * frameLen + j).toLong; j += 1
+              }
+              // in-place fast WHT, natural (Hadamard) output order
+              var h = 1
+              while (h < frameLen) {
+                var i = 0
+                while (i < frameLen) {
+                  var k = i
+                  while (k < i + h) {
+                    val x = c(k); val y = c(k + h)
+                    c(k) = x + y; c(k + h) = x - y
+                    k += 1
+                  }
+                  i += 2 * h
+                }
+                h *= 2
+              }
+              j = 0
+              while (j < frameLen) { acc(j) += c(j) * c(j); j += 1 }
+              f += 1
+            }
+            (0 until frameLen).iterator.map(k =>
+              SequencyEnergy(id, k, acc(k)))
+          }
+        }
+      })
+    }
+  }
+
   /** Length-prefixed frame-sequence container ("MBMP"): 4-byte magic +
     * u32 frame count + per frame (u32 length + payload bytes) — the
     * video stand-in (MJPEG's shape: an indexable sequence of

@@ -213,6 +213,32 @@ class MultimodalSpec extends SparkSpec {
     assert(fr(1).zero_cross == 2 && fr(1).energy == 14L)
   }
 
+  test("wavSequencyEnergyBatched: butterfly equals the popcount-parity " +
+      "definition, frames accumulate, DC/parseval checks, corrupt silent") {
+    // 9 samples, frameLen 4 → 2 full frames, 1-sample tail dropped
+    val s = Array[Short](5, -3, 2, -1, 7, 0, -2, 4, 99)
+    val media = Seq((1L, Multimodal.wavBytes(s)),
+      (2L, "nope".getBytes("UTF-8"))).toDS().repartition(1)
+    val out = Multimodal.wavSequencyEnergyBatched(media, 4)
+      .collect().sortBy(_.k)
+    assert(out.map(_.doc_id).distinct.toSeq == Seq(1L))
+    assert(out.map(_.k).toSeq == (0 until 4).toSeq)
+    // reference: c_k = Σ_j s_j·(−1)^popcount(k&j), per frame, squared-sum
+    def coef(fr: Array[Short], k: Int): Long =
+      fr.indices.map(j => fr(j).toLong *
+        (if (java.lang.Integer.bitCount(k & j) % 2 == 0) 1 else -1)).sum
+    val frames = Seq(s.slice(0, 4), s.slice(4, 8))
+    val want = (0 until 4).map(k =>
+      frames.map(f => { val c = coef(f, k); c * c }).sum)
+    assert(out.map(_.energy).toSeq == want)
+    // Parseval (unnormalized WHT): Σ_k c_k² = n·Σ_j s_j² per frame
+    val parseval = frames.map(f => 4L * f.map(v => v.toLong * v).sum).sum
+    assert(out.map(_.energy).sum == parseval)
+    // k=0 is the DC energy: (Σ samples)² per frame
+    assert(out(0).energy == frames.map(f =>
+      { val t = f.map(_.toLong).sum; t * t }).sum)
+  }
+
   test("mbmpBytes → parseMbmp round-trips every frame; malformed rejected") {
     val f1 = Array[Byte](1, 2, 3)
     val f2 = Array[Byte]() // empty frame is legal
