@@ -1797,6 +1797,16 @@ object SparkEntry {
       Text.logOddsTerms(t(s, dir, "documents"), col("source"),
         col("text"), 5)),
 
+    // Text/stats: ZIPF rank-frequency fit — is this corpus shaped like
+    // natural language (slope ≈ −1) or like generated/templated spam?
+    // The vocabulary aggregates once (hash agg on the token key), the
+    // head cut is sort+limit (TakeOrderedAndProject — never a global
+    // sort), and the 100-row head ranks under one explicit constant
+    // partition; ln(rank)/ln(count) snap ×1e6 so the regression runs
+    // on olsTrend's exact DECIMAL moment algebra.
+    "q209_zipf_fit" -> ((s, dir) =>
+      Text.zipfFit(t(s, dir, "documents"), col("text"), 100)),
+
     // Series: per-symbol AUTOCORRELATION at lags 1–3 — the series
     // pre-collapses to one exact-cents row per (symbol, day) (q196's
     // total-order lesson), all three lags ride one ordered window,
@@ -6874,6 +6884,39 @@ object SparkEntry {
          |  CAST(round(CAST(CAST(z_fp AS DOUBLE) / 1e6
          |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS z
          |FROM rkd WHERE rnk <= 5""".stripMargin,
+
+    // Same (cnt desc, tok) head cut and ranking, same ×1e6 ln snaps,
+    // q152's HUGEINT moment algebra and rounding chain.
+    "q209_zipf_fit" ->
+      s"""WITH tok AS (SELECT unnest($tokSql) AS tok FROM documents),
+         |vf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM tok GROUP BY 1),
+         |top AS (SELECT tok, cnt FROM vf ORDER BY cnt DESC, tok
+         |  LIMIT 100),
+         |rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok)
+         |    AS rnk FROM top),
+         |pts AS (SELECT
+         |    CAST(round(1e6 * ln(CAST(rnk AS DOUBLE))) AS BIGINT) AS x,
+         |    CAST(round(1e6 * ln(CAST(cnt AS DOUBLE))) AS BIGINT) AS y
+         |  FROM rk),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+         |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+         |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+         |  FROM pts)
+         |SELECT 'top100' AS corpus, n,
+         |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+         |    CAST(round(CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / CAST(n * sxx - sx * sx AS DOUBLE)
+         |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS slope,
+         |  CASE WHEN n * sxx - sx * sx = 0
+         |      OR n * syy - sy * sy = 0 THEN NULL ELSE
+         |    CAST(round(CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+         |      / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+         |        * CAST(n * syy - sy * sy AS DOUBLE))
+         |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS r
+         |FROM m""".stripMargin,
 
     // Lag windows over the same (symbol, day) collapse, HUGEINT
     // moments, q194's double chain.

@@ -195,6 +195,33 @@ object Text {
           .cast("decimal(20,10)"), 4).cast("double").as("z"))
   }
 
+  /** ZIPF rank-frequency fit over the corpus vocabulary — the "is this
+    * corpus shaped like natural language" read (slope ≈ −1 on organic
+    * text; templated/generated corpora run flat or cliffy): ln(rank)
+    * vs ln(count) OLS over the `topN` most frequent tokens. The
+    * vocabulary aggregates in ONE hash aggregate; the head cut is
+    * sort+limit (TakeOrderedAndProject — never a global sort); the
+    * topN-row head ranks under one explicit constant partition; both
+    * logs snap ×1e6 so the regression is [[graft.ops.Profile.olsTrend]]'s
+    * exact DECIMAL moment algebra. Output: (corpus='topN', n, slope, r).
+    */
+  def zipfFit(docs: DataFrame, text: Column, topN: Int): DataFrame = {
+    require(topN >= 2, "topN must be >= 2")
+    val vf = docs.select(explode(tokens(text)).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val top = vf.orderBy(col("cnt").desc, col("tok")).limit(topN)
+    val w = Window.partitionBy(Cols.onePartitionKey(col("tok")))
+      .orderBy(col("cnt").desc, col("tok"))
+    val pts = top.withColumn("rnk", row_number().over(w))
+      .select(round(log(col("rnk").cast("double")) * lit(1e6))
+        .cast("long").as("lx"),
+        round(log(col("cnt").cast("double")) * lit(1e6))
+          .cast("long").as("ly"))
+    Profile.olsTrend(pts.withColumn("g", lit(s"top$topN")), col("g"),
+      col("lx"), col("ly"))
+      .withColumnRenamed("g", "corpus")
+  }
+
   /** Byte-pair-encoding MERGE LEARNING — the distributed core of
     * tokenizer training: `rounds` greedy rounds of (count all adjacent
     * symbol pairs across the corpus, weighted by word frequency; pick

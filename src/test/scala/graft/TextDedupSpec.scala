@@ -809,6 +809,32 @@ class TextDedupSpec extends SparkSpec {
       "no false pairs → null fp rate, not a division error")
   }
 
+  test("zipfFit: exact-power-law corpus fits slope -1 with r -1, " +
+      "uniform corpus fits slope 0, topN caps the head") {
+    import graft.ops.Text
+    // token t_r appears exactly round(e^8/r) times → ln(cnt) is an
+    // affine function of -ln(rank) up to the count rounding, so the
+    // snapped regression must land within rounding error of -1 / -1
+    val zipf = (1 to 20).flatMap(r =>
+      Seq.fill(math.round(math.exp(8.0) / r).toInt)(s"t$r%02d"))
+    val zdocs = zipf.grouped(500).map(g => Tuple1(g.mkString(" ")))
+      .toSeq.toDF("text")
+    val zf = Text.zipfFit(zdocs, $"text", 20)
+      .as[(String, Long, Option[Double], Option[Double])].collect().head
+    assert(zf._1 == "top20" && zf._2 == 20L)
+    assert(math.abs(zf._3.get + 1.0) < 0.001, s"slope ${zf._3}")
+    assert(zf._4.get < -0.999)
+    // uniform: every token equally frequent → ln(cnt) constant → slope 0
+    val uni = (1 to 10).flatMap(r => Seq.fill(50)(s"u$r"))
+    val udocs = uni.grouped(100).map(g => Tuple1(g.mkString(" ")))
+      .toSeq.toDF("text")
+    val uf = Text.zipfFit(udocs, $"text", 5)
+      .as[(String, Long, Option[Double], Option[Double])].collect().head
+    assert(uf._1 == "top5" && uf._2 == 5L)
+    assert(uf._3.get == 0.0)
+    assert(uf._4.isEmpty, "constant counts: r undefined (deny = 0)")
+  }
+
   test("logOddsTerms: planted source-exclusive token tops its source, " +
       "z sign separates over/under-representation") {
     // source A's docs repeat 'qqq' heavily; B shares the common tokens
