@@ -1807,6 +1807,15 @@ object SparkEntry {
     "q209_zipf_fit" -> ((s, dir) =>
       Text.zipfFit(t(s, dir, "documents"), col("text"), 100)),
 
+    // Stats: per-source KENDALL τ-b between token count and char
+    // length — pairwise order agreement under heavy ties (many docs
+    // share a token count), on the distinct (x, y) cell grid, never
+    // row pairs.
+    "q210_kendall_tau" -> ((s, dir) =>
+      Profile.kendallTauB(t(s, dir, "documents"), col("source"),
+        Text.tokenCount(col("text")), length(col("text")))
+        .withColumnRenamed("g", "source")),
+
     // Series: per-symbol AUTOCORRELATION at lags 1–3 — the series
     // pre-collapses to one exact-cents row per (symbol, day) (q196's
     // total-order lesson), all three lags ride one ordered window,
@@ -6917,6 +6926,44 @@ object SparkEntry {
          |        * CAST(n * syy - sy * sy AS DOUBLE))
          |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS r
          |FROM m""".stripMargin,
+
+    // Independent formulation on the same cell grid: canonical-order
+    // cell self-join for C/D mass, doubled marginal tie terms, the
+    // 2(C−D)/√ double chain with the same DECIMAL(20,10) snap.
+    "q210_kendall_tau" ->
+      s"""WITH r AS (SELECT source AS g,
+         |    CAST(len($tokSql) AS BIGINT) AS x,
+         |    CAST(length(text) AS BIGINT) AS y FROM documents),
+         |cells AS (SELECT g, x, y, CAST(count(*) AS BIGINT) AS w
+         |  FROM r GROUP BY 1, 2, 3),
+         |prs AS (SELECT a.g AS g,
+         |    sum(CASE WHEN a.x < b.x AND a.y < b.y
+         |      THEN CAST(a.w AS HUGEINT) * b.w ELSE 0 END) AS cc,
+         |    sum(CASE WHEN a.x < b.x AND a.y > b.y
+         |      THEN CAST(a.w AS HUGEINT) * b.w ELSE 0 END) AS dd
+         |  FROM cells a JOIN cells b ON a.g = b.g
+         |    AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+         |  GROUP BY 1),
+         |t1 AS (SELECT g, sum(CAST(t AS HUGEINT) * (t - 1)) AS n1d
+         |  FROM (SELECT g, x, CAST(sum(w) AS BIGINT) AS t
+         |    FROM cells GROUP BY 1, 2) GROUP BY 1),
+         |t2 AS (SELECT g, sum(CAST(t AS HUGEINT) * (t - 1)) AS n2d
+         |  FROM (SELECT g, y, CAST(sum(w) AS BIGINT) AS t
+         |    FROM cells GROUP BY 1, 2) GROUP BY 1),
+         |nn AS (SELECT g, CAST(sum(w) AS BIGINT) AS n
+         |  FROM cells GROUP BY 1)
+         |SELECT nn.g AS source, nn.n,
+         |  CAST(coalesce(cc, 0) AS BIGINT) AS concordant,
+         |  CAST(coalesce(dd, 0) AS BIGINT) AS discordant,
+         |  CASE WHEN CAST(n AS HUGEINT) * (n - 1) - n1d = 0
+         |      OR CAST(n AS HUGEINT) * (n - 1) - n2d = 0 THEN NULL
+         |    ELSE CAST(round(CAST(
+         |      CAST(2 * (coalesce(cc, 0) - coalesce(dd, 0)) AS DOUBLE)
+         |      / sqrt(CAST(CAST(n AS HUGEINT) * (n - 1) - n1d AS DOUBLE)
+         |        * CAST(CAST(n AS HUGEINT) * (n - 1) - n2d AS DOUBLE))
+         |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS tau_b
+         |FROM nn JOIN t1 USING (g) JOIN t2 USING (g)
+         |LEFT JOIN prs USING (g)""".stripMargin,
 
     // Lag windows over the same (symbol, day) collapse, HUGEINT
     // moments, q194's double chain.

@@ -325,6 +325,44 @@ class ProfileSpec extends SparkSpec {
     assert(c == ((2L, None)))
   }
 
+  test("kendallTauB equals the brute-force pairwise definition with " +
+      "ties, hits +/-1 on monotone data, nulls on constants") {
+    val rnd = new scala.util.Random(77)
+    val rows = Seq.fill(60)(("r", rnd.nextInt(6).toLong,
+        rnd.nextInt(5).toLong)) ++
+      (1L to 8L).map(i => ("up", i, i * 3 + 1)) ++
+      (1L to 8L).map(i => ("dn", i, 100 - i)) ++
+      Seq.fill(5)(("cx", 2L, 0L)).zipWithIndex
+        .map { case ((g, x, _), i) => (g, x, i.toLong) }
+    val out = Profile.kendallTauB(rows.toDF("g", "x", "y"),
+        $"g", $"x", $"y")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1),
+        r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    // brute force on the random group: all unordered row pairs
+    val rg = rows.filter(_._1 == "r")
+    val prs = for {
+      i <- rg.indices; j <- (i + 1) until rg.size
+    } yield (rg(i), rg(j))
+    val bc = prs.count { case (a, b) =>
+      (a._2 - b._2) * (a._3 - b._3) > 0 }
+    val bd = prs.count { case (a, b) =>
+      (a._2 - b._2) * (a._3 - b._3) < 0 }
+    val n1d = rg.groupBy(_._2).values.map(v =>
+      v.size.toLong * (v.size - 1)).sum
+    val n2d = rg.groupBy(_._3).values.map(v =>
+      v.size.toLong * (v.size - 1)).sum
+    val n0d = rg.size.toLong * (rg.size - 1)
+    val wantTau = BigDecimal(2.0 * (bc - bd) /
+        math.sqrt((n0d - n1d).toDouble * (n0d - n2d).toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out("r")._1 == 60L && out("r")._2 == bc.toLong &&
+      out("r")._3 == bd.toLong)
+    assert(out("r")._4.contains(wantTau))
+    assert(out("up")._4.contains(1.0) && out("dn")._4.contains(-1.0))
+    assert(out("cx")._4.isEmpty, "constant x: tau undefined")
+  }
+
   test("chiSquareIndependence: balanced = 0, perfect 2x2 " +
       "dependence = n, dof counts categories") {
     // perfectly balanced 2x2 (every cell 5): independent, chi2 = 0
