@@ -1807,6 +1807,48 @@ object SparkEntry {
     "q209_zipf_fit" -> ((s, dir) =>
       Text.zipfFit(t(s, dir, "documents"), col("text"), 100)),
 
+    // Text/ER: BLOCKING-RECALL scorecard — the three blocking families
+    // (PassJoin segments = recall-complete truth, first-char
+    // equi-blocks, sorted-neighborhood window 8) run over ONE shared
+    // distinct name vocabulary; per family the canonical matched-pair
+    // count and its recall vs truth. The eval a pipeline runs BEFORE
+    // committing a blocking key to a 100 TB ER job — q206's planner
+    // read, for the edit-distance family.
+    "q211_blocking_recall" -> ((s, dir) => {
+      val parts = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      val len = length(col("p_name"))
+      val kk = (col("p_partkey") % len).cast("int")
+      val names = parts.select(col("p_name").as("nm"))
+        .unionByName(parts.select(
+          concat(col("p_name").substr(lit(1), kk),
+            col("p_name").substr(kk + 2, len)).as("nm")))
+        .distinct()
+        .persist() // three family consumers share the vocabulary
+      val ids = names.select(col("nm").as("id"), col("nm"))
+      def canon(df: DataFrame): DataFrame =
+        df.filter(col("probe_id") < col("ref_id"))
+          .select(col("probe_id").as("a"), col("ref_id").as("b"))
+          .distinct()
+      val truth = canon(Text.fuzzyJoinSegments(ids, ids, "id",
+        col("nm"), "id", col("nm"), 2)).persist() // count + denominator
+      val firstChar = canon(Text.fuzzyJoin(ids, ids, "id", col("nm"),
+        "id", col("nm"), 2))
+      val sn = Text.sortedNeighborhoodPairs(names, col("nm"), 8, 2)
+        .select(col("name_a").as("a"), col("name_b").as("b")).distinct()
+      def cnt(df: DataFrame, fam: String): DataFrame =
+        df.agg(count(lit(1)).as("n_pairs"))
+          .select(lit(fam).as("family"), col("n_pairs"))
+      val counts = cnt(truth, "segments")
+        .unionByName(cnt(firstChar, "first_char"))
+        .unionByName(cnt(sn, "sorted_neighborhood"))
+      counts.crossJoin(broadcast(
+          truth.agg(count(lit(1)).as("n_truth"))))
+        .select(col("family"), col("n_pairs"),
+          round((col("n_pairs").cast("double") /
+            col("n_truth").cast("double")).cast("decimal(20,10)"), 6)
+            .cast("double").as("recall"))
+    }),
+
     // Stats: per-source KENDALL τ-b between token count and char
     // length — pairwise order agreement under heavy ties (many docs
     // share a token count), on the distinct (x, y) cell grid, never
@@ -6926,6 +6968,40 @@ object SparkEntry {
          |        * CAST(n * syy - sy * sy AS DOUBLE))
          |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS r
          |FROM m""".stripMargin,
+
+    // Truth = brute-force all-pairs levenshtein <= 2 on the distinct
+    // vocabulary (the engine's segment blocking must equal it —
+    // recall 1 by construction); first-char adds the equal-head
+    // predicate; SN reuses q205's global-rank window construction.
+    "q211_blocking_recall" ->
+      """WITH vars AS (SELECT p_name AS nm FROM part
+        |  UNION ALL SELECT
+        |    substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
+        |      || substr(p_name,
+        |        CAST(p_partkey % length(p_name) AS INT) + 2) AS nm
+        |  FROM part),
+        |nm AS (SELECT DISTINCT nm FROM vars),
+        |tr AS (SELECT a.nm AS a, b.nm AS b FROM nm a JOIN nm b
+        |  ON a.nm < b.nm AND levenshtein(a.nm, b.nm) <= 2),
+        |fc AS (SELECT * FROM tr
+        |  WHERE substr(a, 1, 1) = substr(b, 1, 1)),
+        |rk AS (SELECT nm, row_number() OVER (ORDER BY nm) - 1 AS rk
+        |  FROM nm),
+        |snp AS (SELECT ra.nm AS a, rb.nm AS b FROM rk ra JOIN rk rb
+        |  ON rb.rk > ra.rk AND rb.rk - ra.rk <= 7
+        |    AND levenshtein(ra.nm, rb.nm) <= 2),
+        |cts AS (SELECT 'segments' AS family,
+        |    CAST(count(*) AS BIGINT) AS n_pairs FROM tr
+        |  UNION ALL SELECT 'first_char', CAST(count(*) AS BIGINT)
+        |    FROM fc
+        |  UNION ALL SELECT 'sorted_neighborhood',
+        |    CAST(count(*) AS BIGINT) FROM snp),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM tr)
+        |SELECT family, n_pairs,
+        |  CAST(round(CAST(CAST(n_pairs AS DOUBLE)
+        |    / CAST(n_truth AS DOUBLE) AS DECIMAL(20,10)), 6)
+        |    AS DOUBLE) AS recall
+        |FROM cts CROSS JOIN tot""".stripMargin,
 
     // Independent formulation on the same cell grid: canonical-order
     // cell self-join for C/D mass, doubled marginal tie terms, the
