@@ -1729,6 +1729,14 @@ object SparkEntry {
       Profile.chiSquareIndependence(t(s, dir, "documents"),
         col("lang"), col("source"))),
 
+    // Stats: MUTUAL INFORMATION lang↔source — how many nats of one
+    // field the other carries (the cross-field number a "which
+    // metadata predicts what" ranking compares); observed cells only,
+    // ×1e9 term snaps, normalized MI rides along.
+    "q212_mutual_information" -> ((s, dir) =>
+      Profile.mutualInformation(t(s, dir, "documents"),
+        col("lang"), col("source"))),
+
     // Stats: KAPLAN–MEIER time-to-first-purchase — per-user durations
     // (hours from first event; no purchase = right-censored at the
     // last event) in ONE user-key aggregate, then the survival curve
@@ -6804,6 +6812,35 @@ object SparkEntry {
         |  CAST(round(CAST(CAST(sum(term_fp) AS DOUBLE) / 1e6
         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS chi2
         |FROM terms GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // Observed cells only (o·ln(0) = 0 convention — the opposite of
+    // chi2's empty-cell grid), same ×1e9 per-cell snap, MI and the
+    // ln(min(|A|,|B|))-normalized coefficient off one exact term sum.
+    "q212_mutual_information" ->
+      """WITH cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt
+        |  FROM cells GROUP BY 1),
+        |ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct
+        |  FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS nn,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS na,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS nb FROM cells),
+        |terms AS (SELECT nn, na, nb,
+        |    CAST(round(1e9 * CAST(o AS DOUBLE)
+        |      * ln(CAST(CAST(nn AS HUGEINT) * o AS DOUBLE)
+        |        / CAST(CAST(rt AS HUGEINT) * ct AS DOUBLE)))
+        |      AS BIGINT) AS term_fp
+        |  FROM cells JOIN rt USING (lang) JOIN ct USING (source)
+        |  CROSS JOIN tot)
+        |SELECT nn AS n, na AS n_a, nb AS n_b,
+        |  CAST(round(CAST(CAST(sum(term_fp) AS DOUBLE) / nn / 1e9
+        |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS mi,
+        |  CASE WHEN least(na, nb) <= 1 THEN NULL ELSE
+        |    CAST(round(CAST(CAST(sum(term_fp) AS DOUBLE) / nn / 1e9
+        |      / ln(CAST(least(na, nb) AS DOUBLE))
+        |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS nmi
+        |FROM terms GROUP BY 1, 2, 3""".stripMargin,
 
     // Independent KM: window prefix count for at-risk, running ln-sum
     // for the product; same −1e8 sentinel where everyone at risk fails.

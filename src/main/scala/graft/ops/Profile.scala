@@ -516,6 +516,51 @@ object Profile {
           .cast("decimal(20,10)"), 6).cast("double")).as("tau_b"))
   }
 
+  /** MUTUAL INFORMATION between two categorical columns — the
+    * feature-selection companion to [[chiSquareIndependence]] (χ²
+    * answers "are they dependent at all"; MI measures HOW MANY nats
+    * of one the other carries, the number a "which metadata field
+    * predicts quality" ranking compares across fields). Same scale
+    * shape: one data-sized hash aggregate to the contingency cells,
+    * margins derive from the cells and broadcast back. Only OBSERVED
+    * cells contribute (o·ln(0)=0 by convention, so the grid here is
+    * the observed cells, not the margins' cross product — the exact
+    * opposite of χ²'s empty-cell rule, documented on both). Each
+    * cell's o·ln(n·o/(rt·ct)) term snaps ×1e9 pre-sum; MI is the
+    * exact term sum over n with one final division. Also reports the
+    * normalized MI/ln(min(|A|,|B|)) ∈ [0,1] coefficient (null when
+    * min(|A|,|B|) = 1 — a constant column carries nothing). Output:
+    * one row (n, n_a, n_b, mi, nmi).
+    */
+  def mutualInformation(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df.select(a.as("__a"), b.as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy(col("__a")).agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy(col("__b")).agg(sum(col("o")).as("ct"))
+    val tot = cells.agg(sum(col("o")).as("nn"),
+      countDistinct(col("__a")).as("na"), countDistinct(col("__b")).as("nb"))
+    cells
+      .join(broadcast(rt), Seq("__a"))
+      .join(broadcast(ct), Seq("__b"))
+      .crossJoin(broadcast(tot))
+      .select(col("nn"), col("na"), col("nb"),
+        round(lit(1e9) * col("o").cast("double") *
+          log((d38(col("nn")) * col("o")).cast("double") /
+            (d38(col("rt")) * col("ct")).cast("double")))
+          .cast("long").as("term_fp"))
+      .groupBy(col("nn"), col("na"), col("nb"))
+      .agg(sum(col("term_fp")).as("s_fp"))
+      .select(col("nn").as("n"), col("na").as("n_a"), col("nb").as("n_b"),
+        round((col("s_fp").cast("double") / col("nn").cast("double") /
+          lit(1e9)).cast("decimal(20,10)"), 6).cast("double").as("mi"),
+        when(least(col("na"), col("nb")) <= 1, lit(null))
+          .otherwise(round((col("s_fp").cast("double") /
+            col("nn").cast("double") / lit(1e9) /
+            log(least(col("na"), col("nb")).cast("double")))
+            .cast("decimal(20,10)"), 6).cast("double")).as("nmi"))
+  }
+
   /** Chi-square INDEPENDENCE test between two categorical columns —
     * "is language independent of source?", the composition-drift gate
     * a corpus release runs per ingest. One data-sized hash aggregate

@@ -383,6 +383,36 @@ class ProfileSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double)].collect().head._4 == 2L)
   }
 
+  test("mutualInformation: independent = 0, determined = ln|A| " +
+      "(nmi 1), textbook half-coupled value, constant column null") {
+    // independent: every (a, b) cell equally likely
+    val ind = for (a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 5)
+      yield (a, b)
+    val mi0 = Profile.mutualInformation(ind.toDF("a", "b"), $"a", $"b")
+      .collect().head
+    assert(mi0.getLong(0) == 20L && mi0.getDouble(3) == 0.0 &&
+      mi0.getDouble(4) == 0.0)
+    // fully determined (b = f(a), bijective): MI = H(A) = ln 2, nmi 1
+    val det = Seq.fill(6)(("x", "p")) ++ Seq.fill(6)(("y", "q"))
+    val mi1 = Profile.mutualInformation(det.toDF("a", "b"), $"a", $"b")
+      .collect().head
+    assert(math.abs(mi1.getDouble(3) - math.log(2.0)) < 1e-5)
+    assert(math.abs(mi1.getDouble(4) - 1.0) < 1e-5)
+    // textbook 2x2: P(a,b) = [[1/2, 1/4], [0, 1/4]] →
+    // MI = (1/2)ln(4/3) + (1/4)ln(2/3) + (1/4)ln 2 exactly
+    val mix = Seq.fill(2)(("x", "p")) ++ Seq(("x", "q"), ("y", "q"))
+    val mi2 = Profile.mutualInformation(mix.toDF("a", "b"), $"a", $"b")
+      .collect().head
+    val want = 0.5 * math.log(4.0 / 3) + 0.25 * math.log(2.0 / 3) +
+      0.25 * math.log(2.0)
+    assert(math.abs(mi2.getDouble(3) - want) < 1e-5)
+    // constant B: mi 0, nmi null (min domain = 1)
+    val con = Seq(("x", "p"), ("y", "p"), ("x", "p"))
+    val mi3 = Profile.mutualInformation(con.toDF("a", "b"), $"a", $"b")
+      .collect().head
+    assert(mi3.getDouble(3) == 0.0 && mi3.isNullAt(4))
+  }
+
   test("kaplanMeier: textbook curve with censoring, all-fail sentinel " +
       "pins survival 0") {
     // durations (t, event): censored rows thin the at-risk set without
