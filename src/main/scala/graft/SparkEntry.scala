@@ -1823,22 +1823,29 @@ object SparkEntry {
     // committing a blocking key to a 100 TB ER job — q206's planner
     // read, for the edit-distance family.
     "q211_blocking_recall" -> ((s, dir) => {
-      val parts = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      // a deterministic quarter of parts: the scorecard's recall read
+      // is population-stable, and the truth family's complete pair
+      // set is the expensive leg — sample the vocabulary, not the op
+      val parts = t(s, dir, "part")
+        .filter(col("p_partkey") % 4 === 0)
+        .select(col("p_partkey"), col("p_name"))
       val len = length(col("p_name"))
       val kk = (col("p_partkey") % len).cast("int")
+      // all consumers live in ONE plan — ReusedExchange dedups the
+      // shared vocabulary/truth subtrees; persist() would block it
+      // (the q108/q210 lesson)
       val names = parts.select(col("p_name").as("nm"))
         .unionByName(parts.select(
           concat(col("p_name").substr(lit(1), kk),
             col("p_name").substr(kk + 2, len)).as("nm")))
         .distinct()
-        .persist() // three family consumers share the vocabulary
       val ids = names.select(col("nm").as("id"), col("nm"))
       def canon(df: DataFrame): DataFrame =
         df.filter(col("probe_id") < col("ref_id"))
           .select(col("probe_id").as("a"), col("ref_id").as("b"))
           .distinct()
       val truth = canon(Text.fuzzyJoinSegments(ids, ids, "id",
-        col("nm"), "id", col("nm"), 2)).persist() // count + denominator
+        col("nm"), "id", col("nm"), 2))
       val firstChar = canon(Text.fuzzyJoin(ids, ids, "id", col("nm"),
         "id", col("nm"), 2))
       val sn = Text.sortedNeighborhoodPairs(names, col("nm"), 8, 2)
@@ -1860,10 +1867,14 @@ object SparkEntry {
     // Stats: per-source KENDALL τ-b between token count and char
     // length — pairwise order agreement under heavy ties (many docs
     // share a token count), on the distinct (x, y) cell grid, never
-    // row pairs.
+    // row pairs. Length enters in 16-char buckets: kendallTauB's work
+    // is Σ|cells|², so the CALLER bounds the value domains (the
+    // theilSenTrend pre-collapse contract) — raw char length is
+    // near-unique per doc and would re-inflate the grid to row pairs.
     "q210_kendall_tau" -> ((s, dir) =>
       Profile.kendallTauB(t(s, dir, "documents"), col("source"),
-        Text.tokenCount(col("text")), length(col("text")))
+        Text.tokenCount(col("text")),
+        floor(length(col("text")) / lit(16)))
         .withColumnRenamed("g", "source")),
 
     // Series: per-symbol AUTOCORRELATION at lags 1–3 — the series
@@ -7011,12 +7022,14 @@ object SparkEntry {
     // recall 1 by construction); first-char adds the equal-head
     // predicate; SN reuses q205's global-rank window construction.
     "q211_blocking_recall" ->
-      """WITH vars AS (SELECT p_name AS nm FROM part
+      """WITH p4 AS (SELECT p_partkey, p_name FROM part
+        |  WHERE p_partkey % 4 = 0),
+        |vars AS (SELECT p_name AS nm FROM p4
         |  UNION ALL SELECT
         |    substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
         |      || substr(p_name,
         |        CAST(p_partkey % length(p_name) AS INT) + 2) AS nm
-        |  FROM part),
+        |  FROM p4),
         |nm AS (SELECT DISTINCT nm FROM vars),
         |tr AS (SELECT a.nm AS a, b.nm AS b FROM nm a JOIN nm b
         |  ON a.nm < b.nm AND levenshtein(a.nm, b.nm) <= 2),
@@ -7046,7 +7059,7 @@ object SparkEntry {
     "q210_kendall_tau" ->
       s"""WITH r AS (SELECT source AS g,
          |    CAST(len($tokSql) AS BIGINT) AS x,
-         |    CAST(length(text) AS BIGINT) AS y FROM documents),
+         |    CAST(length(text) // 16 AS BIGINT) AS y FROM documents),
          |cells AS (SELECT g, x, y, CAST(count(*) AS BIGINT) AS w
          |  FROM r GROUP BY 1, 2, 3),
          |prs AS (SELECT a.g AS g,

@@ -475,12 +475,14 @@ object Profile {
   def kendallTauB(df: DataFrame, group: Column, x: Column,
                   y: Column): DataFrame = {
     val d38 = (c: Column) => c.cast("decimal(38,0)")
+    // four consumers (both pair-join sides + both marginal collapses)
+    // all live in ONE plan: ReusedExchange dedups the identical cell
+    // aggregate — persist() here would BLOCK that reuse (the measured
+    // q108 lesson) and serialize the consumers against the cache
     val cells = df.select(group.as("g"), x.cast("long").as("x"),
         y.cast("long").as("y"))
       .groupBy(col("g"), col("x"), col("y"))
       .agg(count(lit(1)).as("w"))
-      // four consumers: both pair-join sides + both marginal collapses
-      .persist()
     val pairs = cells.as("a").join(cells.as("b"),
         col("a.g") === col("b.g") &&
           (col("a.x") < col("b.x") ||
