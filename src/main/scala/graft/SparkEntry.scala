@@ -3289,6 +3289,47 @@ object SparkEntry {
           round(Dedup.jaccardHashed(col("hsa"), col("hsb")), 4).as("jac"))
     }),
 
+    // Dedup/eval: EMPIRICAL LSH audit — q206 plans a banding from the
+    // analytic S-curve; this MEASURES the production 4×4 banding on a
+    // deterministic half-corpus: candidate pairs vs exact-Jaccard
+    // truth (the recall-complete prefix kernel), empirical recall and
+    // wasted-verify rate. The sample is keyed on the BASE id so each
+    // planted near-dup pair survives or drops atomically — recall on
+    // a pair sample is unbiased, the standard audit economics at
+    // corpus scales where exact truth over everything is unaffordable.
+    "q213_lsh_audit" -> ((s, dir) => {
+      val d = docsDup(s, dir)
+        .filter((col("doc_id") % 10000) % 4 === 0)
+        .select(col("doc_id").as("id"),
+          Dedup.hashedShingles(Text.tokens(col("text")), 3).as("hs"))
+        .filter(size(col("hs")) > 0)
+        .persist() // feeds the signature chain AND the exact kernel
+      val sig = d.select(col("id"),
+        Dedup.minhashSignatureNative(col("hs"), 16).as("sig"))
+      val truth = Dedup.jaccardPairsPrefixHashed(d, "id", "hs", 0.5)
+        .select(col("id_a"), col("id_b"))
+      val cand = Dedup.lshCandidatePairs(sig, "id", "sig", 4, 4)
+      // one full-outer pair-key join carries all three counts into a
+      // single aggregate — no semi-join pass, no per-count crossJoins
+      cand.withColumn("is_cand", lit(1L))
+        .join(truth.withColumn("is_true", lit(1L)),
+          Seq("id_a", "id_b"), "full")
+        .agg(sum(coalesce(col("is_true"), lit(0L))).as("n_truth"),
+          sum(coalesce(col("is_cand"), lit(0L))).as("n_cand"),
+          sum(when(col("is_cand").isNotNull && col("is_true").isNotNull,
+            1L).otherwise(0L)).as("n_hits"))
+        .select(lit(4).as("bands"), lit(4).as("rows_per_band"),
+          col("n_truth"), col("n_cand"), col("n_hits"),
+          when(col("n_truth") === 0, lit(null)).otherwise(
+            round((col("n_hits").cast("double") /
+              col("n_truth").cast("double")).cast("decimal(20,10)"), 6)
+              .cast("double")).as("recall"),
+          when(col("n_cand") === 0, lit(null)).otherwise(
+            round(((col("n_cand") - col("n_hits")).cast("double") /
+              col("n_cand").cast("double")).cast("decimal(20,10)"), 6)
+              .cast("double")).as("waste_rate"))
+    }),
+
     // Dedup: n-gram Jaccard near-dup pairs via PPJoin-style prefix
     // filtering over the hashed shingle index — the skew-proof path
     // (hot shingles never make a prefix, so no C(df,2) blowup; output
@@ -7857,6 +7898,45 @@ object SparkEntry {
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |  AND (a.sig[1:4] = b.sig[1:4] OR a.sig[5:8] = b.sig[5:8]
          |    OR a.sig[9:12] = b.sig[9:12] OR a.sig[13:16] = b.sig[13:16])""".stripMargin,
+
+    // Same half-corpus, q28's brute-force truth, q27's band-equality
+    // candidate rule, exact integer counts and the two snapped ratios.
+    "q213_lsh_audit" ->
+      s"""WITH u AS (SELECT * FROM ($docsDupSql)
+         |  WHERE (doc_id % 10000) % 4 = 0),
+         |tk AS (SELECT doc_id, $tokSql AS tk FROM u),
+         |shl AS (SELECT doc_id, CASE WHEN len(tk) < 3
+         |    THEN CAST([] AS VARCHAR[]) ELSE $shingleSql END AS sh
+         |  FROM tk),
+         |hs AS (SELECT doc_id, sh FROM shl WHERE len(sh) > 0),
+         |sig AS (SELECT doc_id, sh, ${minhashSql(16)} AS sig FROM hs),
+         |truth AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+         |  WHERE round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+         |    4) >= 0.5),
+         |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  AND (a.sig[1:4] = b.sig[1:4] OR a.sig[5:8] = b.sig[5:8]
+         |    OR a.sig[9:12] = b.sig[9:12]
+         |    OR a.sig[13:16] = b.sig[13:16])),
+         |hits AS (SELECT c.* FROM cand c JOIN truth t
+         |  ON c.id_a = t.id_a AND c.id_b = t.id_b),
+         |cts AS (SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_cand,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hits)
+         |SELECT CAST(4 AS INT) AS bands, CAST(4 AS INT) AS rows_per_band,
+         |  n_truth, n_cand, n_hits,
+         |  CASE WHEN n_truth = 0 THEN NULL ELSE
+         |    CAST(round(CAST(CAST(n_hits AS DOUBLE)
+         |      / CAST(n_truth AS DOUBLE) AS DECIMAL(20,10)), 6)
+         |      AS DOUBLE) END AS recall,
+         |  CASE WHEN n_cand = 0 THEN NULL ELSE
+         |    CAST(round(CAST(CAST(n_cand - n_hits AS DOUBLE)
+         |      / CAST(n_cand AS DOUBLE) AS DECIMAL(20,10)), 6)
+         |      AS DOUBLE) END AS waste_rate
+         |FROM cts""".stripMargin,
 
     "q28_jaccard_pairs" ->
       s"""WITH u AS ($docsDupSql),
