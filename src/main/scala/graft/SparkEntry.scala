@@ -3330,6 +3330,28 @@ object SparkEntry {
               .cast("double")).as("waste_rate"))
     }),
 
+    // Quality/stats: per-source drift screen under FDR CONTROL — every
+    // source's quality distribution KS-tested against the rest of the
+    // corpus (leave-one-out, grid-derived rest ECDF — one pass, no
+    // m× corpus replication), Smirnov asymptotic p = 2e^(−2D²n₁n₂/n),
+    // then Benjamini–Hochberg at α=0.05 decides WHICH sources to flag
+    // — the multiple-testing gate 20 simultaneous screens need.
+    "q214_drift_fdr" -> ((s, dir) => {
+      val ks = Quality.ksLeaveOneOut(
+        t(s, dir, "documents").select(col("source"), col("text")),
+        col("source"),
+        round(Text.qualityScore(col("text")) * 1e4).cast("long"),
+        1000L)
+      val tests = ks.withColumn("p",
+        least(lit(1.0), round((lit(2.0) *
+          exp(lit(-2.0) * col("ks") * col("ks") *
+            col("n1").cast("double") * col("n2").cast("double") /
+            (col("n1") + col("n2")).cast("double")))
+          .cast("decimal(20,10)"), 6).cast("double")))
+      Profile.bhFdr(tests, col("p"), 0.05, col("g"))
+        .withColumnRenamed("g", "source")
+    }),
+
     // Dedup: n-gram Jaccard near-dup pairs via PPJoin-style prefix
     // filtering over the hashed shingle index — the skew-proof path
     // (hot shingles never make a prefix, so no C(df,2) blowup; output
@@ -7937,6 +7959,62 @@ object SparkEntry {
          |      / CAST(n_cand AS DOUBLE) AS DECIMAL(20,10)), 6)
          |      AS DOUBLE) END AS waste_rate
          |FROM cts""".stripMargin,
+
+    // Same ×1e4 quality integers, window-cumulative grid ECDFs per
+    // source, the same exact |F1·n2 − F2·n1| sup, the same exp/round
+    // p chain, and BH's integer step-up rule (p_fp·m ≤ 50000·rank).
+    "q214_drift_fdr" ->
+      s"""WITH sc AS (SELECT source,
+         |    CAST(round(CAST(round(CAST(0.4 * least(1.0, len(tk) / 100.0)
+         |      + 0.3 * (CASE WHEN len(tk) = 0 THEN 0.0
+         |          ELSE len(list_filter(tk,
+         |            t -> t IN ('the','a','of','to','and'))) * 1.0
+         |            / len(tk) END)
+         |      + 0.3 * (CASE WHEN len(tk) = 0 THEN 0.0
+         |          ELSE len(list_distinct(tk)) * 1.0 / len(tk) END)
+         |      AS DECIMAL(20,10)), 4) AS DOUBLE) * 10000) AS BIGINT)
+         |      AS v
+         |  FROM (SELECT source, $tokSql AS tk FROM documents)),
+         |gv AS (SELECT source AS g, v, CAST(count(*) AS BIGINT) AS c1
+         |  FROM sc GROUP BY 1, 2),
+         |vv AS (SELECT v, CAST(sum(c1) AS BIGINT) AS ct
+         |  FROM gv GROUP BY 1),
+         |gs AS (SELECT DISTINCT g FROM gv),
+         |grid AS (SELECT g, v, ct, coalesce(c1, 0) AS c1
+         |  FROM gs CROSS JOIN vv LEFT JOIN gv USING (g, v)),
+         |cum AS (SELECT g, v,
+         |    sum(c1) OVER (PARTITION BY g ORDER BY v) AS k1,
+         |    sum(ct - c1) OVER (PARTITION BY g ORDER BY v) AS k2
+         |  FROM grid),
+         |ns AS (SELECT g, CAST(sum(c1) AS BIGINT) AS n1
+         |  FROM gv GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM sc),
+         |ksq AS (SELECT g, n1, nn - n1 AS n2,
+         |    CAST(round(CAST(CAST(max(abs(CAST(k1 AS HUGEINT)
+         |        * (nn - n1) - CAST(k2 AS HUGEINT) * n1)) AS DOUBLE)
+         |      / (CAST(n1 AS DOUBLE) * CAST(nn - n1 AS DOUBLE))
+         |      AS DECIMAL(20,10)), 6) AS DOUBLE) AS ks
+         |  FROM cum JOIN ns USING (g) CROSS JOIN tot
+         |  GROUP BY 1, 2, 3),
+         |tests AS (SELECT g, n1, n2, ks,
+         |    least(CAST(1.0 AS DOUBLE), CAST(round(CAST(
+         |      CAST(2 AS DOUBLE) * exp(CAST(-2 AS DOUBLE) * ks * ks
+         |        * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+         |        / CAST(n1 + n2 AS DOUBLE))
+         |      AS DECIMAL(20,10)), 6) AS DOUBLE)) AS p
+         |  FROM ksq),
+         |ranked AS (SELECT *,
+         |    CAST(round(p * 1e6) AS BIGINT) AS pfp,
+         |    row_number() OVER (ORDER BY CAST(round(p * 1e6) AS BIGINT),
+         |      g) AS rnk,
+         |    count(*) OVER () AS m FROM tests),
+         |dec AS (SELECT *,
+         |    max(CASE WHEN pfp * m <= 50000 * rnk THEN rnk ELSE 0 END)
+         |      OVER () AS kstar
+         |  FROM ranked)
+         |SELECT g AS source, n1, n2, ks, p, CAST(rnk AS INT) AS rnk,
+         |  rnk <= kstar AS rejected
+         |FROM dec""".stripMargin,
 
     "q28_jaccard_pairs" ->
       s"""WITH u AS ($docsDupSql),

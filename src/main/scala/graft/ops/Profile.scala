@@ -518,6 +518,43 @@ object Profile {
           .cast("decimal(20,10)"), 6).cast("double")).as("tau_b"))
   }
 
+  /** BENJAMINI–HOCHBERG FDR control over a battery of hypothesis
+    * tests — the multiple-testing gate between "m per-group drift
+    * screens" and "which groups do we actually flag" (at m tests even
+    * pure noise hands you α·m naive rejections; BH caps the expected
+    * FALSE-discovery fraction at α instead). The tests table is
+    * m rows — the number of HYPOTHESES, bounded by construction — so
+    * it ranks under one explicit constant partition (the bounded-frame
+    * window convention, not the data-sized rank kernel). The decision
+    * rule is exact integers end to end: p snaps ×1e6 (callers pass
+    * p already rounded ≤ 6 places), the step-up condition is
+    * p_fp·m ≤ α_fp·rank, and k* = the largest satisfying rank (one
+    * running max over the same bounded frame); REJECT every rank ≤ k*
+    * (including ties and any non-satisfying p below the crossing —
+    * the step-up shape). Ties order by (p, tie) for determinism;
+    * rejection is tie-stable because equal p at the boundary share
+    * the k* side. Output: input columns + (rnk, rejected).
+    */
+  def bhFdr(tests: DataFrame, p: Column, alpha: Double,
+            tie: Column): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0,1)")
+    val alphaFp = math.round(alpha * 1e6)
+    val withP = tests.withColumn("__pfp",
+      round(p.cast("double") * lit(1e6)).cast("long"))
+    val wRank = Window.partitionBy(Cols.onePartitionKey(tie))
+      .orderBy(col("__pfp"), tie)
+    val wAll = Window.partitionBy(Cols.onePartitionKey(tie))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    withP
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("__kstar",
+        max(when(col("__pfp") * col("__m") <= lit(alphaFp) * col("rnk"),
+          col("rnk")).otherwise(0L)).over(wAll))
+      .withColumn("rejected", col("rnk") <= col("__kstar"))
+      .drop("__pfp", "__m", "__kstar")
+  }
+
   /** MUTUAL INFORMATION between two categorical columns — the
     * feature-selection companion to [[chiSquareIndependence]] (χ²
     * answers "are they dependent at all"; MI measures HOW MANY nats

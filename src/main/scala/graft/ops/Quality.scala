@@ -202,4 +202,46 @@ object Quality {
         (col("n1").cast("double") * col("n2").cast("double")))
         .cast("decimal(20,10)"), 6).cast("double").as("ks"))
   }
+
+  /** Per-group LEAVE-ONE-OUT two-sample KS — every group's value
+    * distribution against the REST of the data in one pass (the
+    * "which source drifted from the corpus" screen that feeds a
+    * multiple-testing gate like [[graft.ops.Profile.bhFdr]]). The rest
+    * ECDF is derived, never re-scanned: per-(group, value) counts plus
+    * the global per-value totals give c2 = total − c1 on a
+    * groups × |value-domain| GRID (every group must see every observed
+    * value — the sup can sit at a value the group itself never takes),
+    * so the work is m·|domain| like sourceKlDivergence, never
+    * m·corpus. Running sums ride the grouped two-level kernel
+    * ([[graft.ops.Ranks.withRunningBelowBy]]); the sup is exact
+    * DECIMAL cross-products with one double division per group.
+    * `valueCents` must be integral. Output per group:
+    * (g, n1, n2, ks).
+    */
+  def ksLeaveOneOut(df: DataFrame, group: Column, valueCents: Column,
+                    bucketWidth: Long): DataFrame = {
+    val rows = df.select(group.as("g"), valueCents.cast("long").as("__v"))
+    val byGV = rows.groupBy(col("g"), col("__v"))
+      .agg(count(lit(1)).as("c1"))
+    val byV = byGV.groupBy(col("__v")).agg(sum(col("c1")).as("ct"))
+    val groups = byGV.select(col("g")).distinct()
+    val grid = byV.crossJoin(broadcast(groups))
+      .join(byGV, Seq("g", "__v"), "left")
+      .withColumn("c1", coalesce(col("c1"), lit(0L)))
+      .withColumn("c2", col("ct") - col("c1"))
+    val run = Ranks.withRunningBelowBy(grid, "g", "__v", bucketWidth,
+      Seq("c1", "c2"))
+    val n1 = byGV.groupBy(col("g")).agg(sum(col("c1")).as("n1"))
+    val nTot = byV.agg(sum(col("ct")).as("nn"))
+    run.join(broadcast(n1), Seq("g")).crossJoin(broadcast(nTot))
+      .select(col("g"), col("n1"), (col("nn") - col("n1")).as("n2"),
+        abs((col("c1_below") + col("c1")).cast("decimal(38,0)") *
+          (col("nn") - col("n1")) -
+          (col("c2_below") + col("c2")).cast("decimal(38,0)") * col("n1"))
+          .as("dfp"))
+      .groupBy(col("g"), col("n1"), col("n2"))
+      .agg(round((max(col("dfp")).cast("double") /
+        (col("n1").cast("double") * col("n2").cast("double")))
+        .cast("decimal(20,10)"), 6).cast("double").as("ks"))
+  }
 }

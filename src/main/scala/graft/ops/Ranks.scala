@@ -60,4 +60,40 @@ object Ranks {
     withBelow.drop(("__bkt" +: countCols.flatMap(c =>
       Seq(s"__i_$c", s"__o_$c"))): _*)
   }
+
+  /** GROUPED [[withRunningBelow]]: the same two-level prefix sum, run
+    * independently per `groupCol` — the kernel behind per-group ECDFs
+    * (grouped KS, per-segment calibration). Intra windows partition by
+    * (group, bucket); the offset pass partitions by GROUP ordered by
+    * bucket (group-many modest partitions, never one global one) and
+    * the (group × bucket)-sized offset frame broadcasts back. Input:
+    * one row per distinct (`groupCol`, `valueCol`).
+    */
+  def withRunningBelowBy(byV: DataFrame, groupCol: String,
+                         valueCol: String, bucketWidth: Long,
+                         countCols: Seq[String]): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    require(countCols.nonEmpty, "need at least one count column")
+    val b = byV.withColumn("__bkt",
+      ((col(valueCol).cast("decimal(38,0)") -
+        pmod(col(valueCol), lit(bucketWidth))) / lit(bucketWidth))
+        .cast("long"))
+    val wIntra = Window.partitionBy(col(groupCol), col("__bkt"))
+      .orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val intra = countCols.foldLeft(b)((df, c) =>
+      df.withColumn(s"__i_$c", coalesce(sum(col(c)).over(wIntra), lit(0L))))
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val aggs = countCols.map(c => sum(col(c)).as(s"__t_$c"))
+    val offs = b.groupBy(col(groupCol), col("__bkt"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(groupCol) +: col("__bkt") +: countCols.map(c =>
+        coalesce(sum(col(s"__t_$c")).over(wOff), lit(0L)).as(s"__o_$c")): _*)
+    val joined = intra.join(broadcast(offs), Seq(groupCol, "__bkt"))
+    val withBelow = countCols.foldLeft(joined)((df, c) =>
+      df.withColumn(s"${c}_below", col(s"__i_$c") + col(s"__o_$c")))
+    withBelow.drop(("__bkt" +: countCols.flatMap(c =>
+      Seq(s"__i_$c", s"__o_$c"))): _*)
+  }
 }

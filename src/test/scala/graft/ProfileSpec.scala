@@ -383,6 +383,32 @@ class ProfileSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double)].collect().head._4 == 2L)
   }
 
+  test("bhFdr: textbook step-up — a non-satisfying p BELOW the " +
+      "crossing still rejects; none rejected under flat noise; " +
+      "all rejected when all tiny") {
+    // classic: m=5, alpha=0.25. p=(0.01, 0.04, 0.2, 0.5, 0.9):
+    // i=1: 0.01<=0.05 T; i=2: 0.04<=0.10 T; i=3: 0.2>0.15 F; k*=2
+    val a = Seq(("t1", 0.01), ("t2", 0.04), ("t3", 0.2),
+      ("t4", 0.5), ("t5", 0.9))
+    val outA = Profile.bhFdr(a.toDF("id", "p"), $"p", 0.25, $"id")
+      .as[(String, Double, Int, Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(outA == Map("t1" -> true, "t2" -> true, "t3" -> false,
+      "t4" -> false, "t5" -> false))
+    // step-up: p=(0.03, 0.06, 0.07) at alpha=0.1 — i=2 FAILS
+    // (0.06 > 0.0667? no wait 2*0.1/3=0.0667, 0.06<=0.0667 T)...
+    // use p=(0.02, 0.09, 0.095): i=1 T (0.0333), i=2 F (0.09>0.0667),
+    // i=3 T (0.095 <= 0.1) -> k*=3, ALL rejected incl. the failing i=2
+    val b = Seq(("u1", 0.02), ("u2", 0.09), ("u3", 0.095))
+    val outB = Profile.bhFdr(b.toDF("id", "p"), $"p", 0.1, $"id")
+      .as[(String, Double, Int, Boolean)].collect()
+    assert(outB.forall(_._4), s"step-up must reject all: ${outB.toSeq}")
+    // flat noise well above alpha: nothing rejected
+    val c = (1 to 10).map(i => (s"n$i", 0.3 + i * 0.05))
+    assert(Profile.bhFdr(c.toDF("id", "p"), $"p", 0.05, $"id")
+      .as[(String, Double, Int, Boolean)].collect().forall(!_._4))
+  }
+
   test("mutualInformation: independent = 0, determined = ln|A| " +
       "(nmi 1), textbook half-coupled value, constant column null") {
     // independent: every (a, b) cell equally likely

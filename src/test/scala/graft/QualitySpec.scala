@@ -78,6 +78,28 @@ class QualitySpec extends SparkSpec {
     assert(ks(dup, 4L) == ((3L, 2L, 0.333333)))
   }
 
+  test("ksLeaveOneOut: each group equals pairwise ksStatistic vs the " +
+      "rest, across bucket widths") {
+    val rnd = new scala.util.Random(41)
+    val rows = Seq("a", "b", "c").flatMap { g =>
+      val shift = if (g == "c") 50L else 0L // c genuinely drifts
+      Seq.fill(40)((g, rnd.nextInt(100).toLong + shift))
+    }
+    for (w <- Seq(1L, 7L, 1000L)) {
+      val got = Quality.ksLeaveOneOut(rows.toDF("g", "v"), $"g", $"v", w)
+        .as[(String, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      for (g <- Seq("a", "b", "c")) {
+        val tagged = rows.map { case (s, v) => (s == g, v) }
+        val want = Quality.ksStatistic(tagged.toDF("t", "v"),
+          $"t", $"v", w).as[(Long, Long, Double)].head()
+        assert(got(g) == ((want._1, want._2, want._3)), s"g=$g w=$w")
+      }
+      assert(got("c")._3 > got("a")._3 && got("c")._3 > got("b")._3,
+        "the planted drift group must carry the largest D")
+    }
+  }
+
   test("tableChecksum: invariant under order/partitioning, sensitive " +
       "to any changed or duplicated row") {
     val rows = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
