@@ -2792,6 +2792,19 @@ object SparkEntry {
           col("sse_fp"))
     }),
 
+    // Similarity/eval: SIMPLIFIED SILHOUETTE of the trained clustering
+    // — q124 proves SSE falls; this scores how SEPARATED the result
+    // is, per cell (the number an embedding-space "is k right" sweep
+    // compares). Same 2-iteration training as q124's c2 tier.
+    "q215_silhouette" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val c0 = e.filter(col("id") < 16)
+        .select(col("id").as("cid"), col("vec").as("cvec"))
+      Similarity.silhouetteSimplified(e,
+        Similarity.kmeansTrainL2(e, c0, 2))
+    }),
+
     // Similarity: plain-IVF L2 recall under 1 vs 3 trained Lloyd
     // steps — q112's trained-recall audit under the Euclidean metric
     // (bruteForceTopKL2 truth on the fixed 100-query sample,
@@ -4849,6 +4862,37 @@ object SparkEntry {
          |SELECT 3 AS iter, cell AS cid, CAST(count(*) AS BIGINT) AS n_members,
          |  CAST(sum(CAST(round(cd * 1e6) AS BIGINT)) AS BIGINT) AS sse_fp
          |FROM a3 GROUP BY 2""".stripMargin,
+
+    // q124's unrolled two-iteration training CTEs; both centroid
+    // distances per point via the ranked cross join, the same
+    // (b−a)/max snap, per-cell exact integer means.
+    "q215_silhouette" ->
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cvec
+         |            FROM embeddings WHERE vec_id < 16),
+         |a0 AS (${l2aSql("c0")}),
+         |c1 AS (${l2MeanSql("a0")}),
+         |a1 AS (${l2aSql("c1")}),
+         |c2 AS (${l2MeanSql("a1")}),
+         |cds AS (SELECT e.vec_id AS id, c.cid,
+         |    round(${sqdSql("e.embedding", "c.cvec")}, 6) AS cd,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${sqdSql("e.embedding", "c.cvec")}, 6),
+         |        c.cid) AS rnk
+         |  FROM embeddings e CROSS JOIN c2 c),
+         |ab AS (SELECT a.id, a.cid AS cell, sqrt(a.cd) AS da,
+         |    sqrt(b.cd) AS db
+         |  FROM cds a JOIN cds b ON a.id = b.id
+         |    AND a.rnk = 1 AND b.rnk = 2),
+         |sfp AS (SELECT cell, CAST(round(1e6 *
+         |    (CASE WHEN greatest(da, db) = 0 THEN CAST(0 AS DOUBLE)
+         |      ELSE (db - da) / greatest(da, db) END)) AS BIGINT)
+         |    AS sfp
+         |  FROM ab)
+         |SELECT cell AS cid, CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(round(CAST(CAST(sum(sfp) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) / 1e6
+         |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS mean_silhouette
+         |FROM sfp GROUP BY 1""".stripMargin,
 
     // q124's unrolled training CTEs feeding q112's recall audit under
     // the Euclidean metric: probe 2 L2-nearest cells per sampled

@@ -789,6 +789,46 @@ object Similarity {
       .agg(count(lit(1)).as("n_members"),
         sum(round(col("cd") * 1e6).cast("long")).as("sse_fp"))
 
+  /** SIMPLIFIED (centroid-based) SILHOUETTE per cluster — the
+    * clustering-quality read that decides k and flags incoherent
+    * cells: for each point a = distance to its OWN centroid, b =
+    * distance to the nearest OTHER centroid, s = (b−a)/max(a,b) ∈
+    * [−1, 1] (the classic silhouette with centroids standing in for
+    * mean member distance — O(n·k) instead of O(n²), the only form
+    * that scales). One broadcast-centroid pass; the per-point sorted
+    * distance pair comes from a k-element array sort (k = \|centroids\|,
+    * bounded), distances are the assignment's own rounded squared L2
+    * through one sqrt, and s snaps ×1e6 pre-sum so each cell's mean is
+    * a ratio of exact integers. A point sitting ON a duplicated
+    * centroid (max(a,b)=0) scores 0. Requires ≥ 2 centroids. Output
+    * per cell: (cid, n_members, mean_silhouette).
+    */
+  def silhouetteSimplified(vecs: DataFrame,
+                           centroids: DataFrame): DataFrame = {
+    val per = vecs.crossJoin(broadcast(centroids))
+      .withColumn("cd", round(sqDist(col("vec"), col("cvec")), 6))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("cd"), col("cid"))))
+        .as("ds"))
+      .select(col("id"),
+        col("ds")(0).getField("cid").as("cell"),
+        sqrt(col("ds")(0).getField("cd")).as("da"),
+        sqrt(col("ds")(1).getField("cd")).as("db"))
+    per
+      .withColumn("sfp", round(lit(1e6) *
+        when(greatest(col("da"), col("db")) === 0, lit(0.0))
+          .otherwise((col("db") - col("da")) /
+            greatest(col("da"), col("db")))).cast("long"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        round((sum(col("sfp")).cast("double") /
+          count(lit(1)).cast("double") / lit(1e6))
+          .cast("decimal(20,10)"), 6).cast("double")
+          .as("mean_silhouette"))
+      .select(col("cell").as("cid"), col("n_members"),
+        col("mean_silhouette"))
+  }
+
   /** `iters` EUCLIDEAN Lloyd's iterations from `init` —
     * [[kmeansTrain]] with the L2 assignment ([[kmeansStepL2]]), the
     * same localCheckpoint-per-iteration pattern (bounds the logical

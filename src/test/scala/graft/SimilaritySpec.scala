@@ -633,6 +633,36 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(cos(1)) < 0.5, s"random label: ${cos(1)}")
   }
 
+  test("silhouetteSimplified: tight separated clusters near 1, a " +
+      "midpoint scores 0, hand value on a 1-D example") {
+    // centroids at x=0 and x=100 (2-D vecs so the arrays are real);
+    // members hug their centroid -> s ~= (100-d)/100 per point
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(-1.0f, 0.0f)),   // cell A (x~0)
+      (3L, Seq(99.0f, 0.0f)), (4L, Seq(101.0f, 0.0f)), // cell B (x~100)
+      (5L, Seq(50.0f, 0.0f))                           // exact midpoint
+    ).toDF("id", "vec")
+    val cents = Seq((10L, Seq(0.0f, 0.0f)), (20L, Seq(100.0f, 0.0f)))
+      .toDF("cid", "cvec")
+    val out = Similarity.silhouetteSimplified(vecs, cents)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // cell A: ids 1,2 at d=1 vs 99/101 -> s = (99-1)/99, (101-1)/101;
+    // id 5 ties at 50/50 -> s=0, assigned to cid 10 (tiebreak)
+    val sA = BigDecimal((math.round(1e6 * 98.0 / 99) +
+        math.round(1e6 * 100.0 / 101) + 0L) / 3.0 / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(10L)._2 == 3L)
+    assert(out(10L)._3 == sA, s"got ${out(10L)._3}, want $sA")
+    assert(out(20L)._2 == 2L && out(20L)._3 > 0.97)
+    // duplicated centroid: a point ON it has a=b=0 -> s=0, not NaN
+    val dup = Similarity.silhouetteSimplified(
+      Seq((9L, Seq(5.0f, 5.0f))).toDF("id", "vec"),
+      Seq((1L, Seq(5.0f, 5.0f)), (2L, Seq(5.0f, 5.0f)))
+        .toDF("cid", "cvec"))
+      .as[(Long, Long, Double)].head()
+    assert(dup == ((1L, 1L, 0.0)))
+  }
+
   test("gramianFixedPoint matches the local outer-product sum exactly; " +
       "topEigen recovers a planted dominant direction") {
     val rnd = new scala.util.Random(41)
