@@ -1968,6 +1968,15 @@ object SparkEntry {
         .groupBy(col("community")).agg(count(lit(1)).as("n_members"))
         .orderBy(col("n_members").desc, col("community")).limit(20)),
 
+    // Graph: K-CORE (k=6) after 3 synchronous peel rounds — the
+    // backbone/fringe split on the doc-link graph; per-round induced
+    // degrees via endpoint semi-joins, the fixed-unroll contract of
+    // the other iterative graph ops.
+    "q216_kcore" -> ((s, dir) =>
+      Graph.kCoreRounds(docLinkEdges(s, dir), 6, 3)
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"),
+          sum(col("id")).cast("long").as("id_sum"))),
+
     // Text/safety: BLOCKLIST GATE — per-doc occurrence and distinct-term
     // counts against a broadcast-literal blocklist, flag at ≥ 2
     // occurrences: the safety-filtering pass of a training pipeline as
@@ -7355,6 +7364,34 @@ object SparkEntry {
 
     // Two unrolled LPA sweeps over the same generated edge set (both
     // directions, self-loops out), same (size desc, community) cutoff.
+    // Same symmetrized-distinct induced subgraph, three unrolled peel
+    // rounds, per-degree rollup with id-sum fingerprint.
+    "q216_kcore" ->
+      s"""WITH docs AS (SELECT doc_id FROM documents),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM docs),
+         |e0 AS (SELECT doc_id AS src, (doc_id * 7 + k * 13) % nn AS dst
+         |  FROM docs CROSS JOIN nc
+         |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+         |sym AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM e0 WHERE src <> dst
+         |  UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
+         |d1 AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |  FROM sym GROUP BY 1),
+         |a1 AS (SELECT src AS id, deg FROM d1 WHERE deg >= 6),
+         |e2 AS (SELECT s.src, s.dst FROM sym s
+         |  JOIN a1 x ON s.src = x.id JOIN a1 y ON s.dst = y.id),
+         |d2 AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |  FROM e2 GROUP BY 1),
+         |a2 AS (SELECT src AS id, deg FROM d2 WHERE deg >= 6),
+         |e3 AS (SELECT s.src, s.dst FROM sym s
+         |  JOIN a2 x ON s.src = x.id JOIN a2 y ON s.dst = y.id),
+         |d3 AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |  FROM e3 GROUP BY 1),
+         |a3 AS (SELECT src AS id, deg FROM d3 WHERE deg >= 6)
+         |SELECT deg, CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(sum(id) AS BIGINT) AS id_sum
+         |FROM a3 GROUP BY 1""".stripMargin,
+
     "q174_label_prop" ->
       s"""WITH docs AS (SELECT doc_id FROM documents),
          |nc AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM docs),

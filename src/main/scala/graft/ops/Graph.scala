@@ -368,6 +368,53 @@ object Graph {
     * per-iteration economics as [[pageRank]], scaling to billions of
     * edges. Output: (id, community).
     */
+  /** K-CORE membership after `rounds` synchronous peels — the
+    * degeneracy screen that separates a graph's connected backbone
+    * from its fringe (spam/link-farm detection reads it next to
+    * PageRank): each round computes every surviving node's degree in
+    * the INDUCED surviving subgraph (distinct neighbors, self-loops
+    * dropped, symmetrized) and drops nodes below `k`. The peel
+    * sequence is monotone, so a fixed `rounds` unroll yields a
+    * superset of the true k-core that EQUALS it once a round removes
+    * nothing — callers pin `rounds` to their graph's peel depth
+    * (GraphSpec pins convergence on chains), exactly the fixed-round
+    * contract of the other iterative ops here. Per round one pair of
+    * endpoint semi-joins + one degree aggregate; the symmetrized edge
+    * list persists across rounds, lineage truncates on the
+    * [[pageRank]] cadence. Output: surviving (id, deg) — deg is the
+    * final round's qualifying induced degree.
+    */
+  def kCoreRounds(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(rounds >= 1, "rounds must be >= 1")
+    val big = rounds > ckptEvery
+    val ue = edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    // NOT persisted: every round's consumer lives in the ONE output
+    // plan, where ReusedExchange dedups the identical distinct — a
+    // persist here blocks that and pays the InMemoryRelation columnar
+    // round-trip per round (the q108/q210 lesson; measured 4.4 → 1.8 s
+    // at sf0.1 on q216). Long runs' lineage is bounded by truncate.
+    val sym = ue.unionByName(
+        ue.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    var out = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= k).select(col("src").as("id"), col("deg"))
+    var owned: Option[DataFrame] = None
+    for (r <- 2 to rounds) {
+      val alive = out.select(col("id"))
+      val e = sym
+        .join(alive.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(alive.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      out = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("id"), col("deg"))
+      if (big && (r % ckptEvery == 0 || r == rounds)) {
+        val (c, o) = truncate(out, owned); out = c; owned = o
+      }
+    }
+    out
+  }
+
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val big = iters > ckptEvery

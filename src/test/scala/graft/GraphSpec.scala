@@ -241,6 +241,28 @@ class GraphSpec extends SparkSpec {
     assert(smallBig == ref(es, 5), "checkpointed sweep diverged")
   }
 
+  test("kCoreRounds: clique survives, pendant chain peels one hop per " +
+      "round, converged rounds are a fixed point, multi-edges collapse") {
+    // K4 on {0,1,2,3} (3-core) + chain 3-4-5-6 hanging off it
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a != b) yield (a, b)
+    val chain = Seq((3L, 4L), (4L, 5L), (5L, 6L))
+    // duplicates + a self loop must not inflate degrees
+    val edges = (k4 ++ chain ++ Seq((0L, 1L), (6L, 6L))).toDF("src", "dst")
+    def core(k: Int, r: Int): Map[Long, Long] =
+      Graph.kCoreRounds(edges, k, r).as[(Long, Long)].collect().toMap
+    // k=2, round 1: degrees 0:3 1:3 2:3 3:4 4:2 5:2 6:1 → 6 peels
+    assert(core(2, 1).keySet == Set(0L, 1L, 2L, 3L, 4L, 5L))
+    // round 2: 5 now has induced degree 1 → peels; round 3: 4 peels
+    assert(core(2, 2).keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(core(2, 3).keySet == Set(0L, 1L, 2L, 3L))
+    // round 4+ = fixed point (the true 2-core), degrees all within K4
+    assert(core(2, 4) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    assert(core(2, 6) == core(2, 4), "converged peel is a fixed point")
+    // the whole K4 is a 3-core; k=4 empties the graph
+    assert(core(3, 3).keySet == Set(0L, 1L, 2L, 3L))
+    assert(core(4, 2).isEmpty)
+  }
+
   test("long iteration runs keep lineage bounded: a 12-round pageRank " +
       "returns a checkpoint-truncated plan with reference-exact values") {
     def ref(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
