@@ -1968,6 +1968,15 @@ object SparkEntry {
         .groupBy(col("community")).agg(count(lit(1)).as("n_members"))
         .orderBy(col("n_members").desc, col("community")).limit(20)),
 
+    // Graph: TWO-HOP reach per node on the doc-link graph, rolled up
+    // as a (n_1hop, n_2hop) histogram with an id-sum fingerprint —
+    // the friend-of-friend feature at Σdeg² wedge cost.
+    "q217_two_hop" -> ((s, dir) =>
+      Graph.twoHopNeighborhood(docLinkEdges(s, dir))
+        .groupBy(col("n_1hop"), col("n_2hop"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("id")).cast("long").as("id_sum"))),
+
     // Graph: K-CORE (k=6) after 3 synchronous peel rounds — the
     // backbone/fringe split on the doc-link graph; per-round induced
     // degrees via endpoint semi-joins, the fixed-unroll contract of
@@ -7364,6 +7373,31 @@ object SparkEntry {
 
     // Two unrolled LPA sweeps over the same generated edge set (both
     // directions, self-loops out), same (size desc, community) cutoff.
+    // Same symmetrized-distinct adjacency; wedge join through the
+    // middle endpoint, direct-neighbor/self exclusion, per-node
+    // distinct counts, identical rollup.
+    "q217_two_hop" ->
+      s"""WITH docs AS (SELECT doc_id FROM documents),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM docs),
+         |e0 AS (SELECT doc_id AS src, (doc_id * 7 + k * 13) % nn AS dst
+         |  FROM docs CROSS JOIN nc
+         |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+         |sym AS (SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM e0 WHERE src <> dst
+         |  UNION ALL SELECT dst, src FROM e0 WHERE src <> dst)),
+         |oneh AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS n_1hop
+         |  FROM sym GROUP BY 1),
+         |wed AS (SELECT DISTINCT a.src AS id, b.dst AS nb
+         |  FROM sym a JOIN sym b ON a.dst = b.src AND b.dst <> a.src),
+         |twoh AS (SELECT w.id, CAST(count(*) AS BIGINT) AS n_2hop
+         |  FROM wed w ANTI JOIN sym s ON w.id = s.src AND w.nb = s.dst
+         |  GROUP BY 1),
+         |per AS (SELECT o.id, o.n_1hop, coalesce(t.n_2hop, 0) AS n_2hop
+         |  FROM oneh o LEFT JOIN twoh t ON o.id = t.id)
+         |SELECT n_1hop, n_2hop, CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(sum(id) AS BIGINT) AS id_sum
+         |FROM per GROUP BY 1, 2""".stripMargin,
+
     // Same symmetrized-distinct induced subgraph, three unrolled peel
     // rounds, per-degree rollup with id-sum fingerprint.
     "q216_kcore" ->

@@ -415,6 +415,37 @@ object Graph {
     out
   }
 
+  /** Distinct TWO-HOP neighborhood size per node — the
+    * friend-of-friend reach feature (graph-ML embeddings, influence
+    * screens, crawl-frontier prioritization): n_1hop = distinct
+    * neighbors, n_2hop = nodes exactly two hops away (distinct,
+    * excluding self and every direct neighbor — the classic
+    * \|N₂ \\ (N₁ ∪ {v})\| definition). One wedge equi-join on the
+    * middle endpoint (work Σ deg² — the [[triangleCounts]] economics;
+    * at hub-heavy degree distributions cap or sketch upstream), one
+    * distinct on the (id, nb) pair stream, the direct-edge exclusion
+    * as an anti-join on the same key shape. Output:
+    * (id, n_1hop, n_2hop).
+    */
+  def twoHopNeighborhood(edges: DataFrame): DataFrame = {
+    val ue = edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val sym = ue.unionByName(
+        ue.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val oneHop = sym.groupBy(col("src")).agg(count(lit(1)).as("n_1hop"))
+    val twoHop = sym.as("a").join(sym.as("b"),
+        col("a.dst") === col("b.src") && col("b.dst") =!= col("a.src"))
+      .select(col("a.src").as("id"), col("b.dst").as("nb"))
+      .distinct()
+      .join(sym.select(col("src").as("id"), col("dst").as("nb")),
+        Seq("id", "nb"), "left_anti")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_2hop"))
+    oneHop.select(col("src").as("id"), col("n_1hop"))
+      .join(twoHop, Seq("id"), "left")
+      .withColumn("n_2hop", coalesce(col("n_2hop"), lit(0L)))
+  }
+
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val big = iters > ckptEvery

@@ -263,6 +263,31 @@ class GraphSpec extends SparkSpec {
     assert(core(4, 2).isEmpty)
   }
 
+  test("twoHopNeighborhood: path graph exact counts, triangle has no " +
+      "2-hop-only nodes, direction ignored, hub reach") {
+    // path 0-1-2-3-4: endpoints reach 1 direct + 1 two-hop; middle 2
+    // reaches {1,3} direct + {0,4} two-hop
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val p = Graph.twoHopNeighborhood(path)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(p == Map(0L -> ((1L, 1L)), 1L -> ((2L, 1L)), 2L -> ((2L, 2L)),
+      3L -> ((2L, 1L)), 4L -> ((1L, 1L))))
+    // triangle: everyone is everyone's direct neighbor -> n_2hop 0
+    val tri = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    assert(Graph.twoHopNeighborhood(tri).as[(Long, Long, Long)]
+      .collect().forall(r => r._2 == 2L && r._3 == 0L))
+    // star center 0 with leaves 1..4: leaves see 1 direct + 3 two-hop
+    // (the other leaves), the center has no 2-hop-only nodes
+    val star = (1L to 4L).map(i => (0L, i)).toDF("src", "dst")
+    val st = Graph.twoHopNeighborhood(star)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(st(0L) == ((4L, 0L)))
+    assert((1L to 4L).forall(i => st(i) == ((1L, 3L))))
+  }
+
   test("long iteration runs keep lineage bounded: a 12-round pageRank " +
       "returns a checkpoint-truncated plan with reference-exact values") {
     def ref(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {
