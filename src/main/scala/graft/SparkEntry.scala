@@ -1968,6 +1968,52 @@ object SparkEntry {
         .groupBy(col("community")).agg(count(lit(1)).as("n_members"))
         .orderBy(col("n_members").desc, col("community")).limit(20)),
 
+    // Graph/eval: MODULARITY of the q174 label-propagation communities
+    // — did LPA find real structure? Q = Σ_c (e_c/m − (d_c/2m)²) on
+    // exact integers: per-community intra-edge counts and degree sums
+    // over the canonical distinct undirected edge set, numerator
+    // Σ(4m·e_c − d_c²) in DECIMAL, ONE double division by 4m².
+    "q219_modularity" -> ((s, dir) => {
+      val edges = docLinkEdges(s, dir)
+      // persisted: three consumers join the label table on DIFFERENT
+      // keys (a, b, id), so no shared exchange exists for
+      // ReusedExchange to dedup — without the persist the whole
+      // 2-round LPA chain re-runs per consumer (measured 3.4 → 2.9 s).
+      // The canonical edge set is NOT persisted: its distinct's
+      // exchange IS shared, and persisting it re-measured slower.
+      val lab = Graph.labelPropagation(edges, 2).persist()
+      val ue = edges.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .distinct()
+      val e2 = ue
+        .join(lab.select(col("id").as("a"), col("community").as("ca")),
+          Seq("a"))
+        .join(lab.select(col("id").as("b"), col("community").as("cb")),
+          Seq("b"))
+      val ec = e2.filter(col("ca") === col("cb"))
+        .groupBy(col("ca").as("c")).agg(count(lit(1)).as("e_c"))
+      val dc = ue.select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .join(lab, Seq("id"))
+        .groupBy(col("community").as("c")).agg(sum(col("deg")).as("d_c"))
+      val m = ue.agg(count(lit(1)).as("m_edges"))
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      dc.join(ec, Seq("c"), "left")
+        .withColumn("e_c", coalesce(col("e_c"), lit(0L)))
+        .crossJoin(broadcast(m))
+        .select(col("m_edges"),
+          (d38(lit(4)) * col("m_edges") * col("e_c") -
+            d38(col("d_c")) * col("d_c")).as("num"))
+        .groupBy(col("m_edges"))
+        .agg(count(lit(1)).as("n_comms"), sum(col("num")).as("s_num"))
+        .select(col("m_edges"), col("n_comms"),
+          round((col("s_num").cast("double") /
+            (d38(lit(4)) * col("m_edges") * col("m_edges"))
+              .cast("double")).cast("decimal(20,10)"), 6)
+            .cast("double").as("modularity"))
+    }),
+
     // Graph: TWO-HOP reach per node on the doc-link graph, rolled up
     // as a (n_1hop, n_2hop) histogram with an id-sum fingerprint —
     // the friend-of-friend feature at Σdeg² wedge cost.
@@ -2821,6 +2867,25 @@ object SparkEntry {
         .select(col("id").as("cid"), col("vec").as("cvec"))
       Similarity.silhouetteSimplified(e,
         Similarity.kmeansTrainL2(e, c0, 2))
+    }),
+
+    // Similarity/sampling: COVERAGE (diversity) downsample — one
+    // representative per trained IVF cell (closest to centroid, id
+    // tiebreak) plus the cell's occupancy and coverage RADIUS (max
+    // member distance, ×1e6): the k-center-flavored "keep the corpus'
+    // spread, not its density" reduction, and the radius is the
+    // quality bound a coverage-sampled training set quotes. One
+    // broadcast-centroid assignment pass, one cell aggregate.
+    "q218_coverage_sample" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val c0 = e.filter(col("id") < 16)
+        .select(col("id").as("cid"), col("vec").as("cvec"))
+      Similarity.ivfAssignL2Scored(e, Similarity.kmeansTrainL2(e, c0, 1))
+        .groupBy(col("cell"))
+        .agg(min_by(col("id"), struct(col("cd"), col("id"))).as("rep_id"),
+          count(lit(1)).as("n_members"),
+          max(round(col("cd") * 1e6).cast("long")).as("radius_fp"))
     }),
 
     // Similarity: plain-IVF L2 recall under 1 vs 3 trained Lloyd
@@ -4880,6 +4945,21 @@ object SparkEntry {
          |SELECT 3 AS iter, cell AS cid, CAST(count(*) AS BIGINT) AS n_members,
          |  CAST(sum(CAST(round(cd * 1e6) AS BIGINT)) AS BIGINT) AS sse_fp
          |FROM a3 GROUP BY 2""".stripMargin,
+
+    // One unrolled Lloyd iteration, struct-min representative pick
+    // (q102's arg-min pattern), exact ×1e6 radius.
+    "q218_coverage_sample" ->
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cvec
+         |            FROM embeddings WHERE vec_id < 16),
+         |a0 AS (${l2aSql("c0")}),
+         |c1 AS (${l2MeanSql("a0")}),
+         |a1 AS (${l2aSql("c1")})
+         |SELECT cell, CAST((min({'d': cd, 'i': id})).i AS BIGINT)
+         |    AS rep_id,
+         |  CAST(count(*) AS BIGINT) AS n_members,
+         |  CAST(max(CAST(round(cd * 1e6) AS BIGINT)) AS BIGINT)
+         |    AS radius_fp
+         |FROM a1 GROUP BY 1""".stripMargin,
 
     // q124's unrolled two-iteration training CTEs; both centroid
     // distances per point via the ranked cross join, the same
@@ -7373,6 +7453,42 @@ object SparkEntry {
 
     // Two unrolled LPA sweeps over the same generated edge set (both
     // directions, self-loops out), same (size desc, community) cutoff.
+    // q174's LPA CTEs verbatim; canonical distinct pairs, exact
+    // HUGEINT Σ(4m·e_c − d_c²), one division by 4m².
+    "q219_modularity" ->
+      s"""WITH docs AS (SELECT doc_id FROM documents),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM docs),
+         |e AS (SELECT doc_id AS src, (doc_id * 7 + k * 13) % nn AS dst
+         |  FROM docs CROSS JOIN nc
+         |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+         |eu AS (SELECT src, dst FROM e WHERE src <> dst
+         |  UNION ALL SELECT dst, src FROM e WHERE src <> dst),
+         |nodes AS (SELECT DISTINCT src AS id FROM eu),
+         |l0 AS (SELECT id, id AS lbl FROM nodes),
+         |${lpaIterSql("l0", "l1")},
+         |${lpaIterSql("l1", "l2")},
+         |ue2 AS (SELECT DISTINCT least(src, dst) AS a,
+         |    greatest(src, dst) AS b FROM e WHERE src <> dst),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m_edges FROM ue2),
+         |ej AS (SELECT la.lbl AS ca, lb.lbl AS cb FROM ue2
+         |  JOIN l2 la ON ue2.a = la.id JOIN l2 lb ON ue2.b = lb.id),
+         |ec AS (SELECT ca AS c, CAST(count(*) AS BIGINT) AS e_c
+         |  FROM ej WHERE ca = cb GROUP BY 1),
+         |dg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+         |  SELECT a AS id FROM ue2 UNION ALL SELECT b FROM ue2)
+         |  GROUP BY 1),
+         |dc AS (SELECT l2.lbl AS c, CAST(sum(dg.deg) AS BIGINT) AS d_c
+         |  FROM dg JOIN l2 ON dg.id = l2.id GROUP BY 1),
+         |terms AS (SELECT m_edges,
+         |    CAST(4 AS HUGEINT) * m_edges * coalesce(e_c, 0)
+         |      - CAST(d_c AS HUGEINT) * d_c AS num
+         |  FROM dc LEFT JOIN ec USING (c) CROSS JOIN mm)
+         |SELECT m_edges, CAST(count(*) AS BIGINT) AS n_comms,
+         |  CAST(round(CAST(CAST(sum(num) AS DOUBLE)
+         |    / CAST(CAST(4 AS HUGEINT) * m_edges * m_edges AS DOUBLE)
+         |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS modularity
+         |FROM terms GROUP BY 1""".stripMargin,
+
     // Same symmetrized-distinct adjacency; wedge join through the
     // middle endpoint, direct-neighbor/self exclusion, per-node
     // distinct counts, identical rollup.
