@@ -1815,6 +1815,16 @@ object SparkEntry {
     "q209_zipf_fit" -> ((s, dir) =>
       Text.zipfFit(t(s, dir, "documents"), col("text"), 100)),
 
+    // Text/stats: HEAPS' LAW vocabulary-growth fit over 10 doc-range
+    // checkpoints — how much new vocabulary does another 10× of this
+    // source buy? Units are word 3-SHINGLES (the synthetic token
+    // vocabulary saturates in bucket 0; the n-gram vocabulary keeps
+    // growing, so the curve stays informative). Cumulative distinct
+    // via each unit's first bucket, never a distinct-in-window.
+    "q220_heaps_fit" -> ((s, dir) =>
+      Text.heapsFit(t(s, dir, "documents"), col("doc_id"),
+        Text.wordShingles(Text.tokens(col("text")), 3), 10)),
+
     // Text/ER: BLOCKING-RECALL scorecard — the three blocking families
     // (PassJoin segments = recall-complete truth, first-char
     // equi-blocks, sorted-neighborhood window 8) run over ONE shared
@@ -7188,6 +7198,54 @@ object SparkEntry {
          |  CAST(round(CAST(CAST(z_fp AS DOUBLE) / 1e6
          |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS z
          |FROM rkd WHERE rnk <= 5""".stripMargin,
+
+    // Same floor-bucketing, first-bucket-per-token cumulative vocab,
+    // window running sums, the q152 moment/rounding chain on the
+    // ×1e6 ln points.
+    "q220_heaps_fit" ->
+      s"""WITH nn AS (SELECT CAST(max(doc_id) + 1 AS BIGINT) AS mx
+         |  FROM documents),
+         |tk AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |shl AS (SELECT doc_id, CASE WHEN len(tk) < 3
+         |    THEN CAST([] AS VARCHAR[]) ELSE $shingleSql END AS sh
+         |  FROM tk),
+         |tok AS (SELECT least(9, CAST(floor(doc_id * 10 / mx) AS INT))
+         |    AS bkt, unnest(sh) AS tok
+         |  FROM shl CROSS JOIN nn),
+         |pb AS (SELECT bkt, CAST(count(*) AS BIGINT) AS tc
+         |  FROM tok GROUP BY 1),
+         |fv AS (SELECT bkt, CAST(count(*) AS BIGINT) AS vc FROM (
+         |  SELECT tok, min(bkt) AS bkt FROM tok GROUP BY 1)
+         |  GROUP BY 1),
+         |pts AS (SELECT
+         |    sum(tc) OVER (ORDER BY bkt) AS n,
+         |    sum(coalesce(vc, 0)) OVER (ORDER BY bkt) AS v
+         |  FROM pb LEFT JOIN fv USING (bkt)),
+         |pp AS (SELECT
+         |    CAST(round(1e6 * ln(CAST(n AS DOUBLE))) AS BIGINT) AS x,
+         |    CAST(round(1e6 * ln(CAST(v AS DOUBLE))) AS BIGINT) AS y
+         |  FROM pts WHERE n > 0 AND v > 0),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         |    sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+         |    sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+         |    sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+         |  FROM pp),
+         |tot AS (SELECT CAST(max(n) AS BIGINT) AS n_units,
+         |    CAST(max(v) AS BIGINT) AS vocab FROM pts
+         |  WHERE n > 0 AND v > 0)
+         |SELECT m.n AS n_checkpoints, tot.n_units, tot.vocab,
+         |  CASE WHEN m.n * sxx - sx * sx = 0 THEN NULL ELSE
+         |    CAST(round(CAST(CAST(m.n * sxy - sx * sy AS DOUBLE)
+         |      / CAST(m.n * sxx - sx * sx AS DOUBLE)
+         |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS beta,
+         |  CASE WHEN m.n * sxx - sx * sx = 0
+         |      OR m.n * syy - sy * sy = 0 THEN NULL ELSE
+         |    CAST(round(CAST(CAST(m.n * sxy - sx * sy AS DOUBLE)
+         |      / sqrt(CAST(m.n * sxx - sx * sx AS DOUBLE)
+         |        * CAST(m.n * syy - sy * sy AS DOUBLE))
+         |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS r
+         |FROM m CROSS JOIN tot""".stripMargin,
 
     // Same (cnt desc, tok) head cut and ranking, same ×1e6 ln snaps,
     // q152's HUGEINT moment algebra and rounding chain.

@@ -222,6 +222,60 @@ object Text {
       .withColumnRenamed("g", "corpus")
   }
 
+  /** HEAPS' LAW fit — [[zipfFit]]'s companion corpus-shape read:
+    * vocabulary growth V(n) ≈ K·n^β against tokens seen, the number
+    * that predicts how much NEW vocabulary another 10× of this source
+    * buys (β ≈ 0.4–0.6 on organic text; templated corpora saturate,
+    * β → 0). The corpus splits into `checkpoints` equal doc-id-range
+    * buckets; per bucket the token mass and the NEW-vocabulary count
+    * (a token's first bucket = one min-aggregate on the token key —
+    * cumulative distinct without any distinct-in-window), both
+    * accumulated over the checkpoint-many rows under one constant
+    * partition; ln V vs ln n snaps ×1e6 into
+    * [[graft.ops.Profile.olsTrend]]'s exact moment algebra. Empty
+    * buckets (sparse id ranges) drop out. `units` is the per-doc
+    * ARRAY of vocabulary units — pass [[tokens]] for the classic
+    * token law, or [[wordShingles]] when the token vocabulary is too
+    * small to keep growing (n-gram vocabularies grow combinatorially,
+    * so the curve stays informative on narrow-vocab corpora). Output:
+    * one row (n_checkpoints, n_units, vocab, beta, r).
+    */
+  def heapsFit(docs: DataFrame, id: Column, units: Column,
+               checkpoints: Int): DataFrame = {
+    require(checkpoints >= 2, "checkpoints must be >= 2")
+    val nn = docs.agg((max(id) + 1).as("mx"))
+    val tok = docs.crossJoin(broadcast(nn))
+      // floor-of-double bucketing (not a bare int cast: Spark casts
+      // double→int by truncation, DuckDB by rounding — floor is the
+      // form both engines agree on exactly)
+      .select(least(lit(checkpoints - 1),
+          floor(id * checkpoints / col("mx")).cast("int")).as("bkt"),
+        explode(units).as("tok"))
+    val perBkt = tok.groupBy(col("bkt")).agg(count(lit(1)).as("tc"))
+    val newV = tok.groupBy(col("tok")).agg(min(col("bkt")).as("bkt"))
+      .groupBy(col("bkt")).agg(count(lit(1)).as("vc"))
+    val w = Window.partitionBy(Cols.onePartitionKey(col("bkt")))
+      .orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pts = perBkt.join(newV, Seq("bkt"), "left")
+      .withColumn("vc", coalesce(col("vc"), lit(0L)))
+      .withColumn("n", sum(col("tc")).over(w))
+      .withColumn("v", sum(col("vc")).over(w))
+      .filter(col("n") > 0 && col("v") > 0)
+    val fitted = Profile.olsTrend(
+      pts.select(lit("heaps").as("g"),
+        round(log(col("n").cast("double")) * lit(1e6))
+          .cast("long").as("lx"),
+        round(log(col("v").cast("double")) * lit(1e6))
+          .cast("long").as("ly")),
+      col("g"), col("lx"), col("ly"))
+    val tot = pts.agg(max(col("n")).as("n_units"),
+      max(col("v")).as("vocab"))
+    fitted.crossJoin(broadcast(tot))
+      .select(col("n").as("n_checkpoints"), col("n_units"),
+        col("vocab"), col("slope").as("beta"), col("r"))
+  }
+
   /** Byte-pair-encoding MERGE LEARNING — the distributed core of
     * tokenizer training: `rounds` greedy rounds of (count all adjacent
     * symbol pairs across the corpus, weighted by word frequency; pick

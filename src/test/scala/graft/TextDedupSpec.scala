@@ -835,6 +835,33 @@ class TextDedupSpec extends SparkSpec {
     assert(uf._4.isEmpty, "constant counts: r undefined (deny = 0)")
   }
 
+  test("heapsFit: every-unit-new corpus fits beta 1 exactly, saturated " +
+      "vocab flattens to 0, unit column is caller-controlled") {
+    import graft.ops.Text
+    // each doc contributes 10 BRAND-NEW tokens -> V = n exactly, beta 1
+    val fresh = (0 until 100).map(d =>
+      (d.toLong, (0 until 10).map(i => s"w${d}_$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val f = Text.heapsFit(fresh, $"doc_id", Text.tokens($"text"), 10)
+      .as[(Long, Long, Long, Option[Double], Option[Double])].head()
+    assert(f == ((10L, 1000L, 1000L, Some(1.0), Some(1.0))), s"got $f")
+    // a 3-word vocabulary: V pins to 3 from bucket 0 -> slope 0,
+    // r undefined
+    val flat = (0 until 100).map(d => (d.toLong, "a b c a b c"))
+      .toDF("doc_id", "text")
+    val g = Text.heapsFit(flat, $"doc_id", Text.tokens($"text"), 10)
+      .as[(Long, Long, Long, Option[Double], Option[Double])].head()
+    assert(g._3 == 3L && g._4 == Some(0.0) && g._5.isEmpty)
+    // shingle units: the same flat corpus has 4 distinct 2-shingles
+    // ('a b','b c','c a'... here: 'a b','b c','c a'? doc='a b c a b c'
+    // -> shingles {a b, b c, c a}) — the unit column swap changes the
+    // measured vocabulary
+    val h = Text.heapsFit(flat, $"doc_id",
+        Text.wordShingles(Text.tokens($"text"), 2), 10)
+      .as[(Long, Long, Long, Option[Double], Option[Double])].head()
+    assert(h._3 == 3L)
+  }
+
   test("logOddsTerms: planted source-exclusive token tops its source, " +
       "z sign separates over/under-representation") {
     // source A's docs repeat 'qqq' heavily; B shares the common tokens
