@@ -1825,6 +1825,40 @@ object SparkEntry {
       Text.heapsFit(t(s, dir, "documents"), col("doc_id"),
         Text.wordShingles(Text.tokens(col("text")), 3), 10)),
 
+    // Text/dedup: WINNOWING fingerprint overlap (Schleimer et al.,
+    // SIGMOD 2003 — the MOSS kernel): per doc the rightmost-min hash
+    // of every 4-window over positional 4-gram hashes, then the
+    // top-20 doc pairs by shared selected hashes. The sketch stores
+    // ~2/(w+1) of the gram stream yet GUARANTEES any shared run of
+    // ≥ w+k−1 tokens collides — the span-level near-dup audit a
+    // 100 TB corpus runs without ever joining full shingle sets.
+    // Ubiquitous fingerprints (df > 16) are dropped before pairing —
+    // the same df guard every MOSS deployment applies to boilerplate.
+    "q221_winnowing" -> ((s, dir) => {
+      val fps = Text.winnowingFingerprints(t(s, dir, "documents"),
+          col("doc_id"), col("text"), 4, 4)
+        .select(col("id"), col("h")).distinct()
+      val nf = fps.groupBy(col("id")).agg(count(lit(1)).as("nfp"))
+      val kept = fps.join(
+        fps.groupBy(col("h")).agg(count(lit(1)).as("dfh"))
+          .filter(col("dfh") <= 16).select(col("h")), "h")
+      val pairs = kept.as("a")
+        .join(kept.as("b"), col("a.h") === col("b.h") &&
+          col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+      pairs
+        .join(nf.select(col("id").as("doc_a"), col("nfp").as("nfp_a")), "doc_a")
+        .join(nf.select(col("id").as("doc_b"), col("nfp").as("nfp_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          col("nfp_a"), col("nfp_b"),
+          round((col("n_shared").cast("double") /
+            least(col("nfp_a"), col("nfp_b")).cast("double"))
+            .cast("decimal(20,10)"), 4).cast("double").as("containment"))
+        .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+    }),
+
     // Text/ER: BLOCKING-RECALL scorecard — the three blocking families
     // (PassJoin segments = recall-complete truth, first-char
     // equi-blocks, sorted-neighborhood window 8) run over ONE shared
@@ -7246,6 +7280,44 @@ object SparkEntry {
          |        * CAST(m.n * syy - sy * sy AS DOUBLE))
          |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS r
          |FROM m CROSS JOIN tot""".stripMargin,
+
+    // Same positional 4-gram hashes, full-window starts (short docs
+    // degrade to one global window at pos 0), rightmost-min via
+    // (h asc, pos desc) row_number, df ≤ 16 guard, same top-20 cut.
+    "q221_winnowing" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |gr AS (SELECT doc_id, r['p'] AS pos,
+         |    ${h60("r['g']")} AS h FROM (
+         |  SELECT doc_id, unnest([{'p': i,
+         |      'g': array_to_string(tk[i+1:i+4], ' ')}
+         |      for i in range(0, len(tk) - 3)]) AS r FROM tk)),
+         |n AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY 1),
+         |st AS (SELECT gr.doc_id, gr.pos AS ws
+         |  FROM gr JOIN n USING (doc_id)
+         |  WHERE gr.pos <= n.n - 4 OR (n.n < 4 AND gr.pos = 0)),
+         |sel AS (SELECT doc_id, h FROM (
+         |  SELECT st.doc_id, g2.h,
+         |    row_number() OVER (PARTITION BY st.doc_id, st.ws
+         |      ORDER BY g2.h ASC, g2.pos DESC) AS rn
+         |  FROM st JOIN gr g2 ON g2.doc_id = st.doc_id
+         |    AND g2.pos BETWEEN st.ws AND st.ws + 3)
+         |  WHERE rn = 1),
+         |fp AS (SELECT DISTINCT doc_id, h FROM sel),
+         |nf AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nfp
+         |  FROM fp GROUP BY 1),
+         |dfh AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 16),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM fp a JOIN dfh USING (h) JOIN fp b USING (h)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared, na.nfp AS nfp_a,
+         |  nb.nfp AS nfp_b,
+         |  CAST(round(CAST(CAST(n_shared AS DOUBLE)
+         |    / CAST(least(na.nfp, nb.nfp) AS DOUBLE)
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS containment
+         |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
+         |JOIN nf nb ON nb.doc_id = pr.doc_b
+         |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin,
 
     // Same (cnt desc, tok) head cut and ranking, same ×1e6 ln snaps,
     // q152's HUGEINT moment algebra and rounding chain.

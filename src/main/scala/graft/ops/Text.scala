@@ -1388,4 +1388,51 @@ object Text {
         round((col("sfp").cast("double") / lit(1e12))
           .cast("decimal(20,10)"), 4).cast("double").as("sim"))
   }
+
+  /** WINNOWING fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS kernel): hash every POSITIONAL token
+    * `k`-gram, slide a window of `w` consecutive gram hashes, and in
+    * each window select the minimum hash, ties broken by RIGHTMOST
+    * position. The selected set is the document's fingerprint sketch,
+    * with the paper's two guarantees: any shared token run of length
+    * ≥ w + k − 1 between two documents yields at least one shared
+    * selected hash (detection), and expected density is 2/(w+1) of
+    * the gram stream (compression) — the sketch a plagiarism /
+    * near-dup span system stores instead of full text.
+    *
+    * Shape: one positional-gram expansion inside the scan projection
+    * (the k-gram and its 60-bit md5 hash are pure codegen'd column
+    * expressions), then ONE shuffle on the doc key where both the
+    * per-doc gram count and the sliding `rowsBetween(0, w-1)` min
+    * ride the same partitioning. The rightmost-min tie break is the
+    * lexicographic struct min over (h, -pos) — no second pass.
+    * Windows are the n−w+1 FULL ones; documents with fewer than `w`
+    * grams (but ≥ 1) degrade to their single overall min, so every
+    * non-empty document keeps ≥ 1 fingerprint. Output one row per
+    * distinct selected (id, h, fpos) — position kept so callers can
+    * localize matched spans; hash-level matching should distinct on
+    * (id, h).
+    */
+  def winnowingFingerprints(docs: DataFrame, idCol: Column, text: Column,
+                            k: Int, w: Int): DataFrame = {
+    require(k >= 1, "gram size k must be >= 1")
+    require(w >= 1, "window size w must be >= 1")
+    val grams = docs.select(idCol.as("id"), tokens(text).as("tk"))
+      .select(col("id"), posexplode(Cols.bound(col("tk")) { t =>
+        when(size(t) < k, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(t) - (k - 1)),
+            i => concat_ws(" ", (0 until k).map(j => element_at(t, i + j)): _*)))
+      }))
+      .select(col("id"), col("pos"), Dedup.hashLong(col("col")).as("h"))
+    val wSlide = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    val wDoc = Window.partitionBy(col("id"))
+    grams
+      .withColumn("n", count(lit(1)).over(wDoc))
+      .withColumn("sel", min(struct(col("h"), (-col("pos")).as("np"))).over(wSlide))
+      .filter(col("pos") <= col("n") - w ||
+        (col("n") < w && col("pos") === 0))
+      .select(col("id"), col("sel.h").as("h"), (-col("sel.np")).as("fpos"))
+      .distinct()
+  }
 }
