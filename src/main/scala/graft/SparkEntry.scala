@@ -1859,6 +1859,22 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Stats/series: single CHANGE-POINT localization per order
+    // priority — daily revenue pre-collapses to the bounded (grp, day)
+    // grid (the q196 contract), then ONE prefix-sum window scores
+    // every split's between-segment SSE reduction and the argmax
+    // names the day the regime changed. CUSUM (q80) screens "did it
+    // drift"; this answers "WHERE did it break" — the localization
+    // read a 100 TB ingest-quality monitor runs after the screen
+    // fires.
+    "q222_changepoint" -> ((s, dir) =>
+      Profile.changePointSSE(
+        t(s, dir, "orders")
+          .groupBy(col("o_orderpriority").as("grp"),
+            col("o_orderdate").cast("date").as("day"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("vc")),
+        col("grp"), col("day"), col("vc"))),
+
     // Text/ER: BLOCKING-RECALL scorecard — the three blocking families
     // (PassJoin segments = recall-complete truth, first-char
     // equi-blocks, sorted-neighborhood window 8) run over ONE shared
@@ -7318,6 +7334,41 @@ object SparkEntry {
          |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
          |JOIN nf nb ON nb.doc_id = pr.doc_b
          |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    // Same daily-cents collapse, HUGEINT prefix/total sums, the same
+    // normalized-gain double expression term-for-term (×1e9 snap),
+    // same (gfp desc, ord) argmax tie break.
+    "q222_changepoint" ->
+      """WITH daily AS (SELECT o_orderpriority AS g,
+        |    CAST(o_orderdate AS DATE) AS ord,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |pre AS (SELECT g, ord, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY ord) AS i,
+        |    sum(CAST(v AS HUGEINT)) OVER (PARTITION BY g ORDER BY ord
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS si,
+        |    count(*) OVER (PARTITION BY g) AS n,
+        |    sum(CAST(v AS HUGEINT)) OVER (PARTITION BY g) AS st
+        |  FROM daily),
+        |sc AS (SELECT g, ord, i, n, si, st, st - si AS sr,
+        |    CAST(round((CAST(n * si * si AS DOUBLE)
+        |        / CAST(i * st * st AS DOUBLE)
+        |      + CAST(n * (st - si) * (st - si) AS DOUBLE)
+        |        / CAST((n - i) * st * st AS DOUBLE)
+        |      - CAST(1 AS DOUBLE)) * 1e9) AS BIGINT) AS gfp
+        |  FROM pre WHERE i < n AND st <> 0),
+        |pick AS (SELECT *, row_number() OVER (PARTITION BY g
+        |    ORDER BY gfp DESC, ord) AS rn FROM sc)
+        |SELECT g, CAST(n AS BIGINT) AS n_points, ord AS split_ord,
+        |  CAST(round(CAST(CAST(gfp AS DOUBLE) / 1e9
+        |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS gain_norm,
+        |  CAST(round(CAST(CAST(si AS DOUBLE) / CAST(i AS DOUBLE)
+        |    / CAST(100 AS DOUBLE) AS DECIMAL(20,10)), 2) AS DOUBLE)
+        |    AS mean_left,
+        |  CAST(round(CAST(CAST(sr AS DOUBLE) / CAST(n - i AS DOUBLE)
+        |    / CAST(100 AS DOUBLE) AS DECIMAL(20,10)), 2) AS DOUBLE)
+        |    AS mean_right
+        |FROM pick WHERE rn = 1""".stripMargin,
 
     // Same (cnt desc, tok) head cut and ranking, same ×1e6 ln snaps,
     // q152's HUGEINT moment algebra and rounding chain.

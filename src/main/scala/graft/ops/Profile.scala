@@ -710,4 +710,59 @@ object Profile {
         sum(when(col("n") < k, col("n")).otherwise(0L)).as("n_risky_rows"))
       .withColumn("meets_k", col("n_risky_rows") === 0L)
   }
+
+  /** Single CHANGE-POINT localization per group — the binary-
+    * segmentation step (the argmax companion to the CUSUM drift
+    * SCREEN): over an integer series pre-collapsed to one row per
+    * (group, ord) — the olsTrend/theilSenTrend pre-collapse contract —
+    * find the split maximizing the between-segment SSE reduction
+    * gain(i) = S_i²/i + (S−S_i)²/(n−i) − S²/n. One ordered window
+    * pass of prefix sums scores every candidate split from (i, S_i)
+    * alone: O(n) per group, never the O(n²) rescan.
+    *
+    * Determinism: prefix/total sums are exact DECIMAL(38,0); the
+    * NORMALIZED gain n·gain/S² (scale-free, so the ×1e9 snap is
+    * meaningful at any value magnitude) is two exact-integer ratios
+    * cast to double; argmax ties break on the earliest split. Output
+    * (g, n_points, split_ord = last ord of the left segment,
+    * gain_norm, mean_left, mean_right /100-scaled); groups with
+    * n < 2 or S = 0 emit nothing (declared).
+    */
+  def changePointSSE(df: DataFrame, group: Column, ord: Column,
+                     valueCents: Column): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val rows = df.select(group.as("g"), ord.as("ord"),
+      valueCents.cast("long").as("v"))
+    val wOrd = Window.partitionBy(col("g")).orderBy(col("ord"))
+    val wAll = Window.partitionBy(col("g"))
+    val pre = rows
+      .withColumn("i", row_number().over(wOrd))
+      .withColumn("si", sum(d38(col("v"))).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("st", sum(d38(col("v"))).over(wAll))
+    val scored = pre
+      .filter(col("i") < col("n") && col("st") =!= 0)
+      .withColumn("sr", col("st") - col("si"))
+      .withColumn("gfp", round((
+        (d38(col("n")) * col("si") * col("si")).cast("double") /
+          (d38(col("i")) * col("st") * col("st")).cast("double") +
+        (d38(col("n")) * col("sr") * col("sr")).cast("double") /
+          (d38(col("n") - col("i")) * col("st") * col("st")).cast("double") -
+        lit(1.0)) * lit(1e9)).cast("long"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("gfp").desc, col("ord"))))
+      .filter(col("rn") === 1)
+      .select(col("g"), col("n").as("n_points"),
+        col("ord").as("split_ord"),
+        round((col("gfp").cast("double") / lit(1e9))
+          .cast("decimal(20,10)"), 4).cast("double").as("gain_norm"),
+        round((col("si").cast("double") / col("i").cast("double") /
+          lit(100.0)).cast("decimal(20,10)"), 2).cast("double")
+          .as("mean_left"),
+        round((col("sr").cast("double") /
+          (col("n") - col("i")).cast("double") / lit(100.0))
+          .cast("decimal(20,10)"), 2).cast("double").as("mean_right"))
+  }
 }

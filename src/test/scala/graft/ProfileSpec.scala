@@ -457,4 +457,47 @@ class ProfileSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
     assert(kf.map(r => (r._1, r._4)).toSeq == Seq((1L, 0.5), (2L, 0.0)))
   }
+
+  test("changePointSSE: locates a planted level shift, flat series " +
+    "gains 0 at the earliest split, degenerate groups emit nothing") {
+    val rows =
+      // planted shift after ord 4: [10,10,10,10, 50,50,50,50]
+      (1 to 4).map(i => ("shift", i.toLong, 1000L)) ++
+      (5 to 8).map(i => ("shift", i.toLong, 5000L)) ++
+      // flat series: every split's normalized gain is exactly 0
+      (1 to 6).map(i => ("flat", i.toLong, 700L)) ++
+      // all-zero total and single-point groups: declared absent
+      (1 to 3).map(i => ("zero", i.toLong, 0L)) ++
+      Seq(("one", 1L, 42L))
+    val r = Profile.changePointSSE(rows.toDF("g", "ord", "v"),
+        $"g", $"ord", $"v")
+      .as[(String, Long, Long, Double, Double, Double)]
+      .collect().map(x => x._1 -> x).toMap
+    assert(!r.contains("zero") && !r.contains("one"))
+    val sh = r("shift")
+    assert(sh._3 == 4L && sh._5 == 10.0 && sh._6 == 50.0,
+      s"shift row: $sh")
+    assert(sh._4 > 0.3, s"gain should be large: $sh")
+    val fl = r("flat")
+    assert(fl._3 == 1L && fl._4 == 0.0, s"flat row: $fl")
+  }
+
+  test("changePointSSE argmax equals the brute-force best split") {
+    // a noisy-ish deterministic series with no clean shift
+    val vals = (1 to 30).map(i => (i * 37 % 11) * 100L + i * 13L)
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("g", "ord", "v")
+    val got = Profile.changePointSSE(df, $"g", $"ord", $"v")
+      .select($"split_ord").as[Long].head()
+    val n = vals.size
+    val s = vals.map(BigInt(_)).scanLeft(BigInt(0))(_ + _).tail
+    val st = s.last
+    def gain(i: Int): Double =
+      (BigInt(n) * s(i - 1) * s(i - 1)).toDouble /
+        (BigInt(i) * st * st).toDouble +
+      (BigInt(n) * (st - s(i - 1)) * (st - s(i - 1))).toDouble /
+        (BigInt(n - i) * st * st).toDouble - 1.0
+    val best = (1 until n).maxBy(i => (math.round(gain(i) * 1e9), -i))
+    assert(got == best - 1L, s"got $got want ${best - 1}")
+  }
 }
