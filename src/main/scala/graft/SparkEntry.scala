@@ -1859,6 +1859,35 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Stats/curation: QUANTILE NORMALIZATION of doc lengths across
+    // sources — every source's length distribution maps onto the
+    // pooled reference through a 100-bin quantile grid, the
+    // cross-source score-calibration step before any global quality
+    // threshold. Ranks ride the grouped/ungrouped two-level prefix
+    // kernels; only the 100-row grid ever broadcasts. Report: per
+    // source the row count, mean before/after, how many rows moved,
+    // and the normalized range.
+    "q223_quantile_norm" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      def m4(num: Column, den: Column): Column =
+        round((num.cast("double") / den.cast("double"))
+          .cast("decimal(20,10)"), 4).cast("double")
+      Profile.quantileNormalize(t(s, dir, "documents"),
+          col("source"), col("n_chars"), 100, 64L)
+        .groupBy(col("g"))
+        .agg(sum(col("cnt")).as("n"),
+          sum(d38(col("v")) * col("cnt")).as("sb"),
+          sum(d38(col("v_norm")) * col("cnt")).as("sa"),
+          sum(when(col("v") =!= col("v_norm"), col("cnt"))
+            .otherwise(0L)).as("n_changed"),
+          min(col("v_norm")).as("norm_min"),
+          max(col("v_norm")).as("norm_max"))
+        .select(col("g").as("source"), col("n"),
+          m4(col("sb"), col("n")).as("mean_before"),
+          m4(col("sa"), col("n")).as("mean_after"),
+          col("n_changed"), col("norm_min"), col("norm_max"))
+    }),
+
     // Stats/series: single CHANGE-POINT localization per order
     // priority — daily revenue pre-collapses to the bounded (grp, day)
     // grid (the q196 contract), then ONE prefix-sum window scores
@@ -7334,6 +7363,51 @@ object SparkEntry {
          |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
          |JOIN nf nb ON nb.doc_id = pr.doc_b
          |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    // Same upper-rank → 100-bin snap (exact subtract-mod ceil-div),
+    // same pooled-range reference lookup, same aggregate snaps.
+    "q223_quantile_norm" ->
+      """WITH rws AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents),
+        |gv AS (SELECT g, v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM rws GROUP BY 1, 2),
+        |rk AS (SELECT g, v, cnt,
+        |    CAST(coalesce(sum(cnt) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS below,
+        |    CAST(sum(cnt) OVER (PARTITION BY g) AS BIGINT) AS ng
+        |  FROM gv),
+        |bb AS (SELECT g, v, cnt,
+        |    CAST((((below + cnt) * 100 + ng - 1
+        |      - (((below + cnt) * 100 + ng - 1) % ng)) / ng)
+        |      AS BIGINT) AS b
+        |  FROM rk),
+        |pv AS (SELECT v, CAST(sum(cnt) AS BIGINT) AS cnt
+        |  FROM gv GROUP BY 1),
+        |pr AS (SELECT v, cnt,
+        |    CAST(coalesce(sum(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS below
+        |  FROM pv),
+        |nt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tot FROM pv),
+        |grid AS (SELECT CAST(t.b AS BIGINT) AS b,
+        |    CAST(((t.b * n_tot + 99 - ((t.b * n_tot + 99) % 100))
+        |      / 100) AS BIGINT) AS p
+        |  FROM range(1, 101) t(b) CROSS JOIN nt),
+        |ref AS (SELECT grid.b, pr.v AS v_norm FROM pr JOIN grid
+        |  ON grid.p > pr.below AND grid.p <= pr.below + pr.cnt),
+        |mp AS (SELECT g, v, cnt, v_norm FROM bb JOIN ref USING (b))
+        |SELECT g AS source, CAST(sum(cnt) AS BIGINT) AS n,
+        |  CAST(round(CAST(CAST(sum(CAST(v AS HUGEINT) * cnt)
+        |    AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+        |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS mean_before,
+        |  CAST(round(CAST(CAST(sum(CAST(v_norm AS HUGEINT) * cnt)
+        |    AS DOUBLE) / CAST(sum(cnt) AS DOUBLE)
+        |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS mean_after,
+        |  CAST(sum(CASE WHEN v <> v_norm THEN cnt ELSE 0 END)
+        |    AS BIGINT) AS n_changed,
+        |  min(v_norm) AS norm_min, max(v_norm) AS norm_max
+        |FROM mp GROUP BY 1""".stripMargin,
 
     // Same daily-cents collapse, HUGEINT prefix/total sums, the same
     // normalized-gain double expression term-for-term (×1e9 snap),

@@ -711,6 +711,60 @@ object Profile {
       .withColumn("meets_k", col("n_risky_rows") === 0L)
   }
 
+  /** QUANTILE NORMALIZATION across groups — map every value to the
+    * POOLED distribution's value at the same quantile, so each
+    * group's distribution becomes the shared reference (the
+    * microarray-normalization classic, and the cross-source score
+    * calibration step a mixed-corpus pipeline runs before a global
+    * quality threshold). Discrete convention: a value's quantile is
+    * its UPPER within-group rank r/n_g, snapped to a fixed grid of
+    * `bins` quantile bins; bin b's reference is the pooled value
+    * covering position ceil(b·N/bins).
+    *
+    * Scale shape: within-group ranks ride the GROUPED two-level
+    * prefix kernel and pooled ranks the ungrouped one (never a
+    * global sort partition); the bins-row grid broadcasts against
+    * the pooled range table (O(D·bins) distributed comparisons, the
+    * documented cost of an exact reference lookup), and the final
+    * bin→reference map broadcasts back onto the distinct (g, v)
+    * table. The bounded bin grid is also what keeps rank×N products
+    * inside exact integer range at any corpus size — rank·bins and
+    * bin·N, never rank·N. All divisions are exact floor-div on
+    * integers (subtract-mod form, quotients < 2⁵³). Output one row
+    * per distinct (g, v): (g, v, cnt, v_norm).
+    */
+  def quantileNormalize(df: DataFrame, group: Column, value: Column,
+                        bins: Int, bucketWidth: Long): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    // ceil(a/b) for positive integers, exact: floor((a+b-1)/b) via
+    // subtract-mod (the quotient is an exact integer, so the double
+    // division below 2^53 is exact)
+    def ceilDiv(a: Column, b: Column): Column = {
+      val t = a + b - lit(1L)
+      ((t - pmod(t, b)) / b).cast("long")
+    }
+    val rows = df.select(group.as("g"), value.cast("long").as("v"))
+    val byGV = rows.groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val ranked = Ranks.withRunningBelowBy(byGV, "g", "v", bucketWidth,
+        Seq("cnt"))
+      .join(byGV.groupBy(col("g")).agg(sum(col("cnt")).as("ng")), "g")
+      .withColumn("b",
+        ceilDiv((col("cnt_below") + col("cnt")) * bins, col("ng")))
+    val byV = byGV.groupBy(col("v")).agg(sum(col("cnt")).as("cnt"))
+    val pooled = Ranks.withRunningBelow(byV, "v", bucketWidth, Seq("cnt"))
+    val nTot = byV.agg(sum(col("cnt")).as("n_tot"))
+    val grid = df.sparkSession.range(1, bins + 1).toDF("b")
+      .crossJoin(broadcast(nTot))
+      .withColumn("p", ceilDiv(col("b") * col("n_tot"), lit(bins.toLong)))
+    val refMap = pooled.join(broadcast(grid),
+        col("p") > col("cnt_below") &&
+        col("p") <= col("cnt_below") + col("cnt"))
+      .select(col("b"), col("v").as("v_norm"))
+    ranked.join(broadcast(refMap), "b")
+      .select(col("g"), col("v"), col("cnt"), col("v_norm"))
+  }
+
   /** Single CHANGE-POINT localization per group — the binary-
     * segmentation step (the argmax companion to the CUSUM drift
     * SCREEN): over an integer series pre-collapsed to one row per

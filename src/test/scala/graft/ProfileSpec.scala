@@ -458,6 +458,32 @@ class ProfileSpec extends SparkSpec {
     assert(kf.map(r => (r._1, r._4)).toSeq == Seq((1L, 0.5), (2L, 0.0)))
   }
 
+  test("quantileNormalize: single group with bins = n is the identity") {
+    val df = (1 to 8).map(i => ("a", i.toLong * 10)).toDF("g", "v")
+    val m = Profile.quantileNormalize(df, $"g", $"v", 8, 4L)
+      .as[(String, Long, Long, Long)].collect()
+    assert(m.length == 8 && m.forall(r => r._2 == r._4))
+  }
+
+  test("quantileNormalize: equal-size groups land on the SAME pooled " +
+    "reference (the defining property), ties carry multiplicity") {
+    val rows = (1 to 5).map(i => ("a", i.toLong)) ++
+      (11 to 15).map(i => ("b", i.toLong)) ++
+      Seq(("a", 3L)) // tie: a has 3 twice -> cnt=2 on one distinct row
+    val m = Profile.quantileNormalize(
+        rows.toDF("g", "v"), $"g", $"v", 10, 4L)
+      .as[(String, Long, Long, Long)].collect()
+    val aTie = m.find(r => r._1 == "a" && r._2 == 3L).get
+    assert(aTie._3 == 2L)
+    // group b (5 distinct, cnt 1 each) must map exactly onto the
+    // pooled even-rank values: upper ranks 1..5 of 11 pooled rows
+    val bNorm = m.filter(_._1 == "b").sortBy(_._2).map(_._4).toSeq
+    // pooled sorted: 1,2,3,3,4,5,11,12,13,14,15 (N=11)
+    // b ranks r=1..5 -> bins ceil(10r/5)=2,4,6,8,10 ->
+    // positions ceil(b*11/10)=3,5,7,9,11 -> values 3,4,11,13,15
+    assert(bNorm == Seq(3L, 4L, 11L, 13L, 15L), s"got $bNorm")
+  }
+
   test("changePointSSE: locates a planted level shift, flat series " +
     "gains 0 at the earliest split, degenerate groups emit nothing") {
     val rows =
