@@ -2958,6 +2958,42 @@ object SparkEntry {
         Similarity.kmeansTrainL2(e, c0, 2))
     }),
 
+    // Similarity/graph: MUTUAL-kNN reciprocity per label — the
+    // directed exact top-5 cosine graph (bruteForceTopK's bounded
+    // audit contract), then each edge checks for its reverse via ONE
+    // leftsemi self-join (ReusedExchange dedups the shared kNN
+    // subtree — no persist, the q210/q216 lesson). Reciprocity is the
+    // standard manifold-quality read: mutual edges survive into
+    // mutual-kNN clustering, one-way edges mark hubness/boundary
+    // points. At corpus scale the exact kNN stream swaps for
+    // sameCellCandidates (q123's kernel) unchanged.
+    "q224_mutual_knn" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val knn = Similarity.bruteForceTopK(vecs, vecs, 5)
+      val mutual = knn.join(
+        knn.select(col("query_id").as("neighbor_id"),
+          col("neighbor_id").as("query_id")),
+        Seq("query_id", "neighbor_id"), "leftsemi")
+      val perNode = knn.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("deg"))
+        .join(mutual.groupBy(col("query_id"))
+          .agg(count(lit(1)).as("mdeg")), Seq("query_id"), "left")
+        .na.fill(0L, Seq("mdeg"))
+      perNode
+        .join(t(s, dir, "embeddings")
+          .select(col("vec_id").as("query_id"), col("label")), "query_id")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(col("deg")).as("n_edges"),
+          sum(col("mdeg")).as("n_mutual"))
+        .select(col("label"), col("n_nodes"), col("n_edges"),
+          col("n_mutual"),
+          round((col("n_mutual").cast("double") /
+            col("n_edges").cast("double")).cast("decimal(20,10)"), 4)
+            .cast("double").as("reciprocity"))
+    }),
+
     // Similarity/sampling: COVERAGE (diversity) downsample — one
     // representative per trained IVF cell (closest to centroid, id
     // tiebreak) plus the cell's occupancy and coverage RADIUS (max
@@ -7363,6 +7399,35 @@ object SparkEntry {
          |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
          |JOIN nf nb ON nb.doc_id = pr.doc_b
          |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    // Same rounded-cosine top-5 ranking (q31's chain), reverse-edge
+    // EXISTS for mutuality, same per-label aggregate and snap.
+    "q224_mutual_knn" ->
+      s"""WITH knn AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(${cosSql("q.embedding", "c.embedding")},
+         |        6) DESC, c.vec_id) AS rnk
+         |  FROM embeddings q JOIN embeddings c
+         |    ON q.vec_id != c.vec_id)
+         |  WHERE rnk <= 5),
+         |mut AS (SELECT a.query_id FROM knn a
+         |  WHERE EXISTS (SELECT 1 FROM knn b
+         |    WHERE b.query_id = a.neighbor_id
+         |      AND b.neighbor_id = a.query_id)),
+         |pn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS deg
+         |  FROM knn GROUP BY 1),
+         |pm AS (SELECT query_id, CAST(count(*) AS BIGINT) AS mdeg
+         |  FROM mut GROUP BY 1)
+         |SELECT e.label, CAST(count(*) AS BIGINT) AS n_nodes,
+         |  CAST(sum(deg) AS BIGINT) AS n_edges,
+         |  CAST(sum(coalesce(mdeg, 0)) AS BIGINT) AS n_mutual,
+         |  CAST(round(CAST(CAST(sum(coalesce(mdeg, 0)) AS DOUBLE)
+         |    / CAST(sum(deg) AS DOUBLE) AS DECIMAL(20,10)), 4)
+         |    AS DOUBLE) AS reciprocity
+         |FROM pn JOIN embeddings e ON e.vec_id = pn.query_id
+         |LEFT JOIN pm ON pm.query_id = pn.query_id
+         |GROUP BY 1""".stripMargin,
 
     // Same upper-rank → 100-bin snap (exact subtract-mod ceil-div),
     // same pooled-range reference lookup, same aggregate snaps.

@@ -703,4 +703,30 @@ class SimilaritySpec extends SparkSpec {
       math.pow(gv(i) - lambda * v(i), 2)).sum) / lambda
     assert(resid < 1e-6, s"eigen residual $resid")
   }
+
+  test("q224 mutual-kNN reciprocity on a planted two-pair geometry") {
+    // A,B mutually closest; C's nearest is D but D's nearest is B:
+    // with k=1 exactly half the directed edges are mutual
+    withTempDir { dir =>
+      val rows = Seq(
+        (0L, Seq(1.0f, 0.0f), 1),
+        (1L, Seq(1.0f, 0.01f), 1),
+        (2L, Seq(0.0f, 1.0f), 2),
+        (3L, Seq(0.7f, 0.7f), 2))
+      rows.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite")
+        .parquet(s"${dir.getAbsolutePath}/embeddings.parquet")
+      val vecs = spark.read
+        .parquet(s"${dir.getAbsolutePath}/embeddings.parquet")
+        .select($"vec_id".as("id"), $"embedding".as("vec"))
+      val knn = graft.ops.Similarity.bruteForceTopK(vecs, vecs, 1)
+      val mutual = knn.join(
+        knn.select($"query_id".as("neighbor_id"),
+          $"neighbor_id".as("query_id")),
+        Seq("query_id", "neighbor_id"), "leftsemi")
+      assert(knn.count() == 4 && mutual.count() == 2)
+      val got = mutual.select($"query_id").as[Long].collect().sorted.toSeq
+      assert(got == Seq(0L, 1L))
+    }
+  }
 }
