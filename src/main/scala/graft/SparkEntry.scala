@@ -1825,6 +1825,18 @@ object SparkEntry {
       Text.heapsFit(t(s, dir, "documents"), col("doc_id"),
         Text.wordShingles(Text.tokens(col("text")), 3), 10)),
 
+    // Text/stats: HILL TAIL-INDEX of the 3-shingle document-frequency
+    // distribution (k = 50) — zipfFit reads the head's slope, Hill
+    // reads how heavy the extreme tail is: α ≤ 2 says
+    // occurrence-weighted sampling has unbounded variance and needs
+    // frequency caps. Units are word 3-shingles (q220's convention —
+    // the 31-token synthetic vocabulary is too narrow to have a
+    // tail). One hash aggregate + a (k+1)-row TakeOrdered head; ln
+    // terms snap ×1e6.
+    "q225_hill_tail" -> ((s, dir) =>
+      Text.hillTailIndex(t(s, dir, "documents"),
+        Text.wordShingles(Text.tokens(col("text")), 3), 50)),
+
     // Text/dedup: WINNOWING fingerprint overlap (Schleimer et al.,
     // SIGMOD 2003 — the MOSS kernel): per doc the rightmost-min hash
     // of every 4-window over positional 4-gram hashes, then the
@@ -7399,6 +7411,33 @@ object SparkEntry {
          |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
          |JOIN nf nb ON nb.doc_id = pr.doc_b
          |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    // Same (cnt desc, u) top-51 cut, ×1e6 ln snaps pre-sum, one
+    // double division through the DECIMAL snap.
+    "q225_hill_tail" ->
+      s"""WITH tk AS (SELECT $tokSql AS tk FROM documents),
+         |tok AS (SELECT unnest(CASE WHEN len(tk) < 3
+         |    THEN CAST([] AS VARCHAR[]) ELSE $shingleSql END) AS u
+         |  FROM tk),
+         |vf AS (SELECT u, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM tok GROUP BY 1),
+         |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vocab FROM vf),
+         |top AS (SELECT u, cnt FROM vf ORDER BY cnt DESC, u LIMIT 51),
+         |rk AS (SELECT cnt,
+         |    row_number() OVER (ORDER BY cnt DESC, u) AS rnk,
+         |    CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT)
+         |      AS lfp
+         |  FROM top),
+         |tl AS (SELECT cnt AS x_tail, lfp AS lt FROM rk WHERE rnk = 51),
+         |s AS (SELECT x_tail, CAST(count(*) AS BIGINT) AS k,
+         |    CAST(sum(lfp - lt) AS BIGINT) AS sfp
+         |  FROM rk CROSS JOIN tl WHERE rnk <= 50 GROUP BY 1)
+         |SELECT n_vocab, k, x_tail,
+         |  CASE WHEN sfp = 0 THEN NULL ELSE
+         |    CAST(round(CAST(CAST(k AS DOUBLE) * 1e6
+         |      / CAST(sfp AS DOUBLE) AS DECIMAL(20,10)), 6) AS DOUBLE)
+         |    END AS alpha
+         |FROM s CROSS JOIN nv""".stripMargin,
 
     // Same rounded-cosine top-5 ranking (q31's chain), reverse-edge
     // EXISTS for mutuality, same per-label aggregate and snap.

@@ -1389,6 +1389,48 @@ object Text {
           .cast("decimal(20,10)"), 4).cast("double").as("sim"))
   }
 
+  /** HILL TAIL-INDEX estimator over a unit-frequency distribution —
+    * zipfFit's heavy-tail companion: α̂ = k / Σ_{i≤k}(ln x_(i) −
+    * ln x_(k+1)) over the top-(k+1) order statistics of the unit
+    * counts. Where zipfFit regresses the whole head's shape, Hill
+    * reads just how heavy the extreme tail is — the number that
+    * decides whether frequency-based sampling caps are needed (α ≤ 2
+    * means unbounded variance: a uniform-over-occurrences sample is
+    * dominated by a few units).
+    *
+    * Scale shape: one hash aggregate to unit counts, the order
+    * statistics via sort+limit (TakeOrderedAndProject — never a
+    * global sort), ranks under one constant partition on the bounded
+    * (k+1)-row head. Determinism: each ln snaps ×1e6 pre-sum, α is
+    * one double division snapped to 6dp. Output one row (n_vocab, k,
+    * x_tail, alpha); alpha is null when all top-(k+1) counts tie, and
+    * the result is empty when the vocabulary has ≤ k units (declared).
+    */
+  def hillTailIndex(docs: DataFrame, unit: Column, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val vf = docs.select(explode(unit).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("cnt"))
+    val nv = vf.agg(count(lit(1)).as("n_vocab"))
+    val top = vf.orderBy(col("cnt").desc, col("u")).limit(k + 1)
+    val w = Window.partitionBy(Cols.onePartitionKey(col("u")))
+      .orderBy(col("cnt").desc, col("u"))
+    val ranked = top.withColumn("rnk", row_number().over(w))
+      .withColumn("lfp",
+        round(log(col("cnt").cast("double")) * lit(1e6)).cast("long"))
+    val tailv = ranked.filter(col("rnk") === k + 1)
+      .select(col("cnt").as("x_tail"), col("lfp").as("lt"))
+    ranked.filter(col("rnk") <= k)
+      .crossJoin(broadcast(tailv))
+      .groupBy(col("x_tail"))
+      .agg(count(lit(1)).as("k"), sum(col("lfp") - col("lt")).as("sfp"))
+      .crossJoin(broadcast(nv))
+      .select(col("n_vocab"), col("k"), col("x_tail"),
+        when(col("sfp") === 0, lit(null)).otherwise(
+          round((col("k").cast("double") * lit(1e6) /
+            col("sfp").cast("double")).cast("decimal(20,10)"), 6)
+            .cast("double")).as("alpha"))
+  }
+
   /** WINNOWING fingerprint selection (Schleimer, Wilkerson & Aiken,
     * SIGMOD 2003 — the MOSS kernel): hash every POSITIONAL token
     * `k`-gram, slide a window of `w` consecutive gram hashes, and in

@@ -25,6 +25,28 @@ class TextDedupSpec extends SparkSpec {
     assert(r == Seq(Seq("a b c", "b c d"), Seq()))
   }
 
+  test("hillTailIndex matches the hand-computed estimator; all-tie " +
+    "head yields null alpha; small vocab yields nothing") {
+    // counts 8,4,2,1 with k=3: alpha = 3e6 / sum(round(1e6 ln x_i))
+    val doc = (Seq.fill(8)("a8") ++ Seq.fill(4)("b4") ++
+      Seq.fill(2)("c2") ++ Seq("d1")).mkString(" ")
+    val r = Text.hillTailIndex(Seq(doc).toDF("text"),
+        Text.tokens($"text"), 3)
+      .as[(Long, Long, Long, Option[Double])].head()
+    val sfp = Seq(8L, 4L, 2L).map(x => math.round(math.log(x) * 1e6)).sum
+    val want = BigDecimal(3e6 / sfp)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r == ((4L, 3L, 1L, Some(want))), s"got $r")
+    // uniform counts: every ln term is 0 -> alpha null
+    val u = Text.hillTailIndex(
+        Seq("x y z w v").toDF("text"), Text.tokens($"text"), 3)
+      .as[(Long, Long, Long, Option[Double])].head()
+    assert(u._4.isEmpty)
+    // vocab <= k: no (k+1)-th order statistic, empty result
+    assert(Text.hillTailIndex(Seq("p q").toDF("text"),
+      Text.tokens($"text"), 3).isEmpty)
+  }
+
   test("langId picks the dominant stopword family") {
     val r = Seq("the cat of a house", "der hund und das ein", "xyzzy plugh")
       .toDF("text").select(Text.langId($"text")).as[String].collect().toSeq
