@@ -1871,6 +1871,27 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Stats/curation: COHEN'S KAPPA between two quality gates — does
+    // the cheap length tier agree with the lexical-diversity tier
+    // beyond chance? Both raters are pure column expressions (length
+    // <250/<400 vs type-token-ratio ×1000 <400/<550, exact
+    // subtract-mod floor-div); κ's integer algebra runs on the
+    // observed 3×3 cell grid. The audit a pipeline runs before
+    // swapping one labeling heuristic for another.
+    "q226_kappa" -> ((s, dir) => {
+      val tk = Text.tokens(col("text"))
+      val d = size(array_distinct(tk)).cast("long") * 1000L
+      val tot = size(tk).cast("long")
+      val rfp = when(tot === 0L, 0L)
+        .otherwise(((d - pmod(d, tot)) / tot).cast("long"))
+      val rated = t(s, dir, "documents").select(
+        when(col("n_chars") < 250, 0L).when(col("n_chars") < 400, 1L)
+          .otherwise(2L).as("len_tier"),
+        when(rfp < 400L, 0L).when(rfp < 550L, 1L).otherwise(2L)
+          .as("ttr_tier"))
+      Profile.cohenKappa(rated, col("len_tier"), col("ttr_tier"))
+    }),
+
     // Stats/curation: QUANTILE NORMALIZATION of doc lengths across
     // sources — every source's length distribution maps onto the
     // pooled reference through a 100-bin quantile grid, the
@@ -7411,6 +7432,45 @@ object SparkEntry {
          |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
          |JOIN nf nb ON nb.doc_id = pr.doc_b
          |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    // Same tier thresholds, subtract-mod TTR floor-div, the same
+    // exact κ integer algebra through HUGEINT, same snaps.
+    "q226_kappa" ->
+      s"""WITH rated AS (SELECT
+         |    CASE WHEN n_chars < 250 THEN 0 WHEN n_chars < 400 THEN 1
+         |      ELSE 2 END AS a,
+         |    CASE WHEN rfp < 400 THEN 0 WHEN rfp < 550 THEN 1
+         |      ELSE 2 END AS b
+         |  FROM (SELECT n_chars,
+         |      CASE WHEN len(tk) = 0 THEN 0 ELSE
+         |        CAST(((CAST(len(list_distinct(tk)) AS BIGINT) * 1000
+         |          - (CAST(len(list_distinct(tk)) AS BIGINT) * 1000
+         |             % len(tk))) / len(tk)) AS BIGINT) END AS rfp
+         |    FROM (SELECT n_chars, $tokSql AS tk FROM documents))),
+         |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS o
+         |  FROM rated GROUP BY 1, 2),
+         |ra AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra
+         |  FROM cells GROUP BY 1),
+         |cb AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb
+         |  FROM cells GROUP BY 1),
+         |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         |ag AS (SELECT CAST(coalesce(sum(o), 0) AS BIGINT) AS agree
+         |  FROM cells WHERE a = b),
+         |sp AS (SELECT CAST(coalesce(sum(CAST(ra AS HUGEINT) * cb), 0)
+         |    AS HUGEINT) AS spc
+         |  FROM ra JOIN cb ON ra.a = cb.b)
+         |SELECT n, agree,
+         |  CAST(round(CAST(CAST(agree AS DOUBLE) / CAST(n AS DOUBLE)
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS po,
+         |  CAST(round(CAST(CAST(spc AS DOUBLE)
+         |    / CAST(CAST(n AS HUGEINT) * n AS DOUBLE)
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS pe,
+         |  CASE WHEN CAST(n AS HUGEINT) * n = spc THEN NULL ELSE
+         |    CAST(round(CAST(
+         |      CAST(CAST(n AS HUGEINT) * agree - spc AS DOUBLE)
+         |      / CAST(CAST(n AS HUGEINT) * n - spc AS DOUBLE)
+         |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS kappa
+         |FROM nn CROSS JOIN ag CROSS JOIN sp""".stripMargin,
 
     // Same (cnt desc, u) top-51 cut, ×1e6 ln snaps pre-sum, one
     // double division through the DECIMAL snap.

@@ -711,6 +711,48 @@ object Profile {
       .withColumn("meets_k", col("n_risky_rows") === 0L)
   }
 
+  /** COHEN'S KAPPA chance-corrected agreement between two categorical
+    * raters over the same rows — the inter-annotator/filter-agreement
+    * audit: when two quality gates both pass 80% of a corpus, raw
+    * agreement is high by chance alone; κ = (p_o − p_e)/(1 − p_e)
+    * subtracts the margins' product expectation. The read a pipeline
+    * takes before swapping one labeling heuristic for another.
+    *
+    * Shape: one hash aggregate to the observed (a, b) cell grid
+    * (never corpus²), margins re-aggregate from the cells, expected
+    * agreement joins margins on category equality (absent categories
+    * contribute 0 via the inner join). Exact integer algebra
+    * throughout: κ = (n·Σn_cc − Σr_c·c_c)/(n² − Σr_c·c_c) in
+    * DECIMAL(38,0), one double division snapped 6dp; p_o/p_e snap
+    * 4dp. Output one row (n, agree, po, pe, kappa); κ is null when
+    * p_e = 1 (a single category on both sides).
+    */
+  def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df.select(a.as("a"), b.as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("o"))
+    val ra = cells.groupBy(col("a")).agg(sum(col("o")).as("ra"))
+    val cb = cells.groupBy(col("b")).agg(sum(col("o")).as("cb"))
+    val n = cells.agg(sum(col("o")).as("n"))
+    val agree = cells.filter(col("a") === col("b"))
+      .agg(coalesce(sum(col("o")), lit(0L)).as("agree"))
+    val spc = ra.join(cb, col("a") === col("b"))
+      .agg(coalesce(sum(d38(col("ra")) * col("cb")),
+        lit(0).cast("decimal(38,0)")).as("spc"))
+    n.crossJoin(agree).crossJoin(spc)
+      .select(col("n"), col("agree"),
+        round((col("agree").cast("double") / col("n").cast("double"))
+          .cast("decimal(20,10)"), 4).cast("double").as("po"),
+        round((col("spc").cast("double") /
+          (d38(col("n")) * col("n")).cast("double"))
+          .cast("decimal(20,10)"), 4).cast("double").as("pe"),
+        when(d38(col("n")) * col("n") === col("spc"), lit(null))
+          .otherwise(round(
+            ((d38(col("n")) * col("agree") - col("spc")).cast("double") /
+             (d38(col("n")) * col("n") - col("spc")).cast("double"))
+            .cast("decimal(20,10)"), 6).cast("double")).as("kappa"))
+  }
+
   /** QUANTILE NORMALIZATION across groups — map every value to the
     * POOLED distribution's value at the same quantile, so each
     * group's distribution becomes the shared reference (the

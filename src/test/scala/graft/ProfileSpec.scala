@@ -458,6 +458,32 @@ class ProfileSpec extends SparkSpec {
     assert(kf.map(r => (r._1, r._4)).toSeq == Seq((1L, 0.5), (2L, 0.0)))
   }
 
+  test("cohenKappa: perfect = 1, textbook 2x2 value, " +
+    "independent-margins ~ 0, one-category = null") {
+    val perfect = Seq((0L, 0L), (1L, 1L), (2L, 2L)).toDF("a", "b")
+    val p = Profile.cohenKappa(perfect, $"a", $"b")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    assert(p._1 == 3L && p._2 == 3L && p._3 == 1.0 &&
+      p._5 == Some(1.0))
+    // textbook: cells yes/yes=20, yes/no=5, no/yes=10, no/no=15
+    // po=0.7, pe=(25*30 + 25*20)/2500=0.5, kappa=0.4
+    val tb = (Seq.fill(20)((1L, 1L)) ++ Seq.fill(5)((1L, 0L)) ++
+      Seq.fill(10)((0L, 1L)) ++ Seq.fill(15)((0L, 0L))).toDF("a", "b")
+    val t = Profile.cohenKappa(tb, $"a", $"b")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    assert(t == ((50L, 35L, 0.7, 0.5, Some(0.4))), s"got $t")
+    // single category both sides: pe = 1 -> kappa undefined (null)
+    val mono = Seq.fill(4)((7L, 7L)).toDF("a", "b")
+    val m = Profile.cohenKappa(mono, $"a", $"b")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    assert(m._5.isEmpty && m._3 == 1.0)
+    // disjoint categories: agree = 0 and pe = 0 -> kappa 0/(n^2) = 0
+    val dis = Seq((0L, 1L), (2L, 3L)).toDF("a", "b")
+    val d = Profile.cohenKappa(dis, $"a", $"b")
+      .as[(Long, Long, Double, Double, Option[Double])].head()
+    assert(d._2 == 0L && d._4 == 0.0 && d._5 == Some(0.0))
+  }
+
   test("quantileNormalize: single group with bins = n is the identity") {
     val df = (1 to 8).map(i => ("a", i.toLong * 10)).toDF("g", "v")
     val m = Profile.quantileNormalize(df, $"g", $"v", 8, 4L)
