@@ -1871,6 +1871,19 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Stats: deterministic BLOCK BOOTSTRAP percentile CI for the mean
+    // event value — users hash into 50 blocks (within-user dependence
+    // stays intact), 200 replicates redraw blocks with replacement
+    // via hashed (replicate, draw) selection — no RNG state, same
+    // answer on any engine/partitioning. One data-sized aggregate;
+    // everything after is bounded by reps×m. The jackknife (q170)
+    // gives the SE; this gives the full resampling distribution's
+    // exact 2.5/97.5 order statistics.
+    "q227_block_bootstrap" -> ((s, dir) =>
+      Profile.blockBootstrapMean(t(s, dir, "events"),
+        col("user_id"), round(col("value") * 100).cast("long"),
+        50, 200)),
+
     // Stats/curation: COHEN'S KAPPA between two quality gates — does
     // the cheap length tier agree with the lexical-diversity tier
     // beyond chance? Both raters are pure column expressions (length
@@ -7432,6 +7445,52 @@ object SparkEntry {
          |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
          |JOIN nf nb ON nb.doc_id = pr.doc_b
          |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    // Same md5-hash block/selection routing, micro-cent replicate
+    // snaps, exact ceil-div order-statistic picks, HUGEINT moments.
+    "q227_block_bootstrap" ->
+      s"""WITH rws AS (SELECT
+         |    ${h60("'u' || CAST(user_id AS VARCHAR)")} % 50 AS blk,
+         |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+         |blocks AS (SELECT blk, sum(CAST(v AS HUGEINT)) AS s,
+         |    CAST(count(*) AS BIGINT) AS c FROM rws GROUP BY 1),
+         |grid AS (SELECT t.b AS b,
+         |    ${h60("'r' || CAST(t.b AS VARCHAR) || ':' || CAST(u.i AS VARCHAR)")}
+         |      % 50 AS blk
+         |  FROM range(0, 200) t(b) CROSS JOIN range(0, 50) u(i)),
+         |reps AS (SELECT b, sum(s) AS ss, sum(c) AS cc
+         |  FROM grid JOIN blocks USING (blk) GROUP BY 1
+         |  HAVING sum(c) > 0),
+         |rm AS (SELECT b, CAST(round(CAST(ss AS DOUBLE)
+         |    / CAST(cc AS DOUBLE) * 1e6) AS BIGINT) AS mfp FROM reps),
+         |rk AS (SELECT b, mfp,
+         |    row_number() OVER (ORDER BY mfp, b) AS rn FROM rm),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS nb,
+         |    sum(CAST(mfp AS HUGEINT)) AS sx,
+         |    sum(CAST(mfp AS HUGEINT) * mfp) AS sxx FROM rm),
+         |ci AS (SELECT nb, sx, sxx,
+         |    max(CASE WHEN rn = CAST(((nb * 25 + 999)
+         |      - ((nb * 25 + 999) % 1000)) / 1000 AS BIGINT)
+         |      THEN mfp END) AS lofp,
+         |    max(CASE WHEN rn = CAST(((nb * 975 + 999)
+         |      - ((nb * 975 + 999) % 1000)) / 1000 AS BIGINT)
+         |      THEN mfp END) AS hifp
+         |  FROM rk CROSS JOIN st GROUP BY 1, 2, 3),
+         |fl AS (SELECT sum(CAST(v AS HUGEINT)) AS stt,
+         |    CAST(count(*) AS BIGINT) AS ct,
+         |    CAST(count(DISTINCT blk) AS BIGINT) AS nblk FROM rws)
+         |SELECT ct AS n_rows, nblk AS n_blocks, nb AS n_reps,
+         |  CAST(round(CAST(CAST(stt AS DOUBLE) / CAST(ct AS DOUBLE)
+         |    / CAST(100 AS DOUBLE) AS DECIMAL(20,10)), 4) AS DOUBLE)
+         |    AS mean_full,
+         |  CAST(round(CAST(CAST(lofp AS DOUBLE) / 1e8
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS ci_lo,
+         |  CAST(round(CAST(CAST(hifp AS DOUBLE) / 1e8
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS ci_hi,
+         |  CAST(round(CAST(sqrt(CAST(nb * sxx - sx * sx AS DOUBLE)
+         |    / CAST(nb * (nb - 1) AS DOUBLE)) / 1e8
+         |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS se
+         |FROM fl CROSS JOIN ci WHERE ct > 0""".stripMargin,
 
     // Same tier thresholds, subtract-mod TTR floor-div, the same
     // exact κ integer algebra through HUGEINT, same snaps.

@@ -711,6 +711,84 @@ object Profile {
       .withColumn("meets_k", col("n_risky_rows") === 0L)
   }
 
+  /** Deterministic BLOCK BOOTSTRAP percentile CI for the mean —
+    * [[blockJackknifeMean]]'s companion when the bias-corrected SE is
+    * not enough and the full resampling distribution is wanted
+    * (skewed metrics, ratio estimators). Rows hash into `m` key
+    * blocks (dependence within a key stays intact); each of `reps`
+    * replicates redraws m blocks WITH replacement, selection hashed
+    * from (replicate, draw) — no RNG state, identical on any engine
+    * and any re-run. Replicate means snap ×1e6 (micro-cents); the CI
+    * is the exact 2.5%/97.5% order statistics of the replicate means
+    * and the SE their exact-moment sample stddev.
+    *
+    * Shape: ONE data-sized aggregate to per-block (sum, count); the
+    * reps×m selection grid is constant-sized and joins the m-row
+    * block table — everything after the first aggregate is bounded,
+    * so reps scales freely. The final rank walks reps rows under one
+    * constant partition. Output one row: (n_rows, n_blocks, n_reps,
+    * mean_full, ci_lo, ci_hi, se) — money columns /100-scaled to 4dp
+    * (6dp for se); empty input yields an empty result.
+    */
+  def blockBootstrapMean(df: DataFrame, key: Column, valueCents: Column,
+                         m: Int, reps: Int): DataFrame = {
+    require(m >= 1 && reps >= 2, "need m >= 1 blocks and reps >= 2")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val spark = df.sparkSession
+    val rows = df.select(
+      pmod(Dedup.hashLong(concat(lit("u"), key.cast("string"))),
+        lit(m.toLong)).as("blk"),
+      valueCents.cast("long").as("v"))
+    val blocks = rows.groupBy(col("blk"))
+      .agg(sum(d38(col("v"))).as("s"), count(lit(1)).as("c"))
+    val grid = spark.range(0, reps).toDF("b")
+      .crossJoin(spark.range(0, m).toDF("i"))
+      .select(col("b"), pmod(Dedup.hashLong(concat(lit("r"),
+        col("b").cast("string"), lit(":"), col("i").cast("string"))),
+        lit(m.toLong)).as("blk"))
+    val repMeans = grid.join(blocks, "blk")
+      .groupBy(col("b"))
+      .agg(sum(col("s")).as("ss"), sum(col("c")).as("cc"))
+      .filter(col("cc") > 0)
+      .select(col("b"), round(col("ss").cast("double") /
+        col("cc").cast("double") * lit(1e6)).cast("long").as("mfp"))
+    val ranked = repMeans.withColumn("rn", row_number().over(
+      Window.partitionBy(Cols.onePartitionKey(col("b")))
+        .orderBy(col("mfp"), col("b"))))
+    // exact ceil-div picks: lo = ceil(0.025 nB), hi = ceil(0.975 nB)
+    def pick(q: Int): Column = {
+      val t = col("nb") * q + lit(999L)
+      (t - pmod(t, lit(1000L))) / lit(1000L)
+    }
+    val stats = repMeans.agg(count(lit(1)).as("nb"),
+      sum(d38(col("mfp"))).as("sx"),
+      sum(d38(col("mfp")) * col("mfp")).as("sxx"))
+    val ci = ranked.crossJoin(broadcast(stats))
+      .groupBy(col("nb"), col("sx"), col("sxx"))
+      .agg(max(when(col("rn") === pick(25).cast("long"), col("mfp")))
+          .as("lofp"),
+        max(when(col("rn") === pick(975).cast("long"), col("mfp")))
+          .as("hifp"))
+    val full = rows.agg(sum(d38(col("v"))).as("st"),
+      count(lit(1)).as("ct"), count_distinct(col("blk")).as("nblk"))
+      .filter(col("ct") > 0)
+    def money4(fp: Column): Column =
+      round((fp.cast("double") / lit(1e8)).cast("decimal(20,10)"), 4)
+        .cast("double")
+    full.crossJoin(broadcast(ci))
+      .select(col("ct").as("n_rows"), col("nblk").as("n_blocks"),
+        col("nb").as("n_reps"),
+        round((col("st").cast("double") / col("ct").cast("double") /
+          lit(100.0)).cast("decimal(20,10)"), 4).cast("double")
+          .as("mean_full"),
+        money4(col("lofp")).as("ci_lo"),
+        money4(col("hifp")).as("ci_hi"),
+        round((sqrt((d38(col("nb")) * col("sxx") -
+            col("sx") * col("sx")).cast("double") /
+            (d38(col("nb")) * (col("nb") - 1)).cast("double")) /
+          lit(1e8)).cast("decimal(20,10)"), 6).cast("double").as("se"))
+  }
+
   /** COHEN'S KAPPA chance-corrected agreement between two categorical
     * raters over the same rows — the inter-annotator/filter-agreement
     * audit: when two quality gates both pass 80% of a corpus, raw

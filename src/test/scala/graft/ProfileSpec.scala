@@ -458,6 +458,26 @@ class ProfileSpec extends SparkSpec {
     assert(kf.map(r => (r._1, r._4)).toSeq == Seq((1L, 0.5), (2L, 0.0)))
   }
 
+  test("blockBootstrapMean: constant data collapses the CI to the " +
+    "mean with se 0; mixed data brackets the mean; empty is empty") {
+    val const = (1 to 60).map(i => (i.toLong, 500L)).toDF("k", "v")
+    val c = Profile.blockBootstrapMean(const, $"k", $"v", 8, 50)
+      .as[(Long, Long, Long, Double, Double, Double, Double)].head()
+    assert(c._1 == 60L && c._3 == 50L)
+    assert(c._4 == 5.0 && c._5 == 5.0 && c._6 == 5.0 && c._7 == 0.0)
+    val mixed = (1 to 200).map(i => (i.toLong, (i % 17) * 100L))
+      .toDF("k", "v")
+    val x = Profile.blockBootstrapMean(mixed, $"k", $"v", 16, 100)
+      .as[(Long, Long, Long, Double, Double, Double, Double)].head()
+    assert(x._5 <= x._6, s"lo > hi: $x")
+    assert(x._5 <= x._4 + 2 && x._6 >= x._4 - 2,
+      s"CI should be near the mean: $x")
+    assert(x._7 > 0.0)
+    assert(Profile.blockBootstrapMean(
+      Seq.empty[(Long, Long)].toDF("k", "v"), $"k", $"v", 8, 50)
+      .isEmpty)
+  }
+
   test("cohenKappa: perfect = 1, textbook 2x2 value, " +
     "independent-margins ~ 0, one-category = null") {
     val perfect = Seq((0L, 0L), (1L, 1L), (2L, 2L)).toDF("a", "b")
