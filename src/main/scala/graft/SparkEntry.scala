@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.ops._
 
@@ -1871,6 +1872,81 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Stats/eval: DECILE LIFT table — event value as a purchase
+    // score: what do the top-d deciles actually capture vs the base
+    // rate? AUC (q182) summarizes the ranking; this is the acting
+    // read. Distinct scores rank on the two-level prefix kernel,
+    // tied scores take their worst decile (can't split — order-
+    // invariant), the cumulative walk runs on the 10-row tile table.
+    "q233_decile_lift" -> ((s, dir) =>
+      Profile.decileLift(t(s, dir, "events"),
+        round(col("value") * 100).cast("long"),
+        col("event_type") === "purchase", 10, 1024L)),
+
+    // Events: BURSTINESS of inter-event times per user (Goh–Barabási
+    // B = (σ−μ)/(σ+μ)): −1 = metronome, 0 = Poisson, →1 = heavy
+    // bursts — the temporal signature separating scripted/bot traffic
+    // from organic sessions. Gaps are exact integer µs off ONE
+    // user-key window; n cancels, so B = (√(nΣg²−(Σg)²) − Σg) /
+    // (√(nΣg²−(Σg)²) + Σg) on exact DECIMAL moments with one sqrt.
+    // Users need ≥ 4 gaps; an all-zero-gap user is null (declared).
+    "q231_burstiness" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val um = unix_micros(col("ts"))
+      val gaps = t(s, dir, "events")
+        .select(col("user_id"), (um - lag(um, 1).over(w)).as("g"))
+        .filter(col("g").isNotNull)
+      val r = sqrt((d38(col("n_gaps")) * col("sxx") -
+        col("sx") * col("sx")).cast("double"))
+      gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"), sum(d38(col("g"))).as("sx"),
+          sum(d38(col("g")) * col("g")).as("sxx"))
+        .filter(col("n_gaps") >= 4)
+        .select(col("user_id"), col("n_gaps"),
+          when(r + col("sx").cast("double") === 0.0, lit(null))
+            .otherwise(round(((r - col("sx").cast("double")) /
+              (r + col("sx").cast("double"))).cast("decimal(20,10)"), 4)
+              .cast("double")).as("b"))
+    }),
+
+    // Events: TRANSITION ENTROPY per state — how predictable is the
+    // next action given the current one? H(next|cur) per from-state
+    // over the session transition counts (q132's kernel reused, same
+    // one user-key shuffle); ×1e9 ln snaps pre-sum. States with
+    // entropy near ln(|types|) are noise, near-0 states are script
+    // steps — the sequence-mining read behind curriculum/session
+    // filtering.
+    "q230_transition_entropy" -> ((s, dir) => {
+      val tr = Events.sessionTransitions(t(s, dir, "events"),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        1800L)
+      val nf = tr.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("n_out"), count(lit(1)).as("n_next"))
+      tr.join(nf, "from_type")
+        .select(col("from_type"), col("n_out"), col("n_next"),
+          round(col("n").cast("double") / col("n_out").cast("double") *
+            log(col("n").cast("double") / col("n_out").cast("double")) *
+            lit(1e9)).cast("long").as("tfp"))
+        .groupBy(col("from_type"), col("n_out"), col("n_next"))
+        .agg((-sum(col("tfp"))).as("efp"))
+        .select(col("from_type"), col("n_out"), col("n_next"),
+          round((col("efp").cast("double") / lit(1e9))
+            .cast("decimal(20,10)"), 6).cast("double").as("entropy"))
+    }),
+
+    // Stats/ML: optimal DECISION-STUMP split — which event value
+    // threshold best separates purchases from everything else, by
+    // Gini impurity reduction over EVERY distinct cent value as a
+    // candidate. Both running label counts ride one two-level prefix
+    // pass; the argmax is a TakeOrdered head. The supervised
+    // counterpart of q222's unsupervised change-point.
+    "q229_gini_stump" -> ((s, dir) =>
+      Profile.giniSplitStump(t(s, dir, "events"),
+        round(col("value") * 100).cast("long"),
+        col("event_type") === "purchase", 1024L)),
+
     // Stats: deterministic BLOCK BOOTSTRAP percentile CI for the mean
     // event value — users hash into 50 blocks (within-user dependence
     // stays intact), 200 replicates redraw blocks with replacement
@@ -3002,6 +3078,86 @@ object SparkEntry {
         .select(col("id").as("cid"), col("vec").as("cvec"))
       Similarity.silhouetteSimplified(e,
         Similarity.kmeansTrainL2(e, c0, 2))
+    }),
+
+    // Similarity/eval: ADJUSTED RAND INDEX between two differently
+    // seeded k-means runs — the clustering STABILITY read (purity
+    // judges against labels; ARI judges the clustering against
+    // itself under seed perturbation: chance-corrected pair
+    // agreement). All pair counts collapse to the contingency-cell
+    // grid — Σn_ij(n_ij−1) algebra, never the n² point pairs; exact
+    // DECIMAL integers into one snapped division. den = 0 (both
+    // runs a single cluster) is null.
+    "q232_ari" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      def assignFrom(lo: Long, hi: Long) =
+        Similarity.ivfAssignL2Scored(e,
+            Similarity.kmeansTrainL2(e,
+              e.filter(col("id") >= lo && col("id") < hi)
+                .select(col("id").as("cid"), col("vec").as("cvec")), 2))
+          .select(col("id"), col("cell"))
+      val cells = assignFrom(0, 16)
+        .join(assignFrom(100, 116).withColumnRenamed("cell", "cellb"),
+          "id")
+        .groupBy(col("cell"), col("cellb")).agg(count(lit(1)).as("nij"))
+      val av = cells.groupBy(col("cell")).agg(sum(col("nij")).as("ai"))
+        .agg(sum(d38(col("ai")) * (col("ai") - 1)).as("a2"),
+          count(lit(1)).as("ka"))
+      val bv = cells.groupBy(col("cellb")).agg(sum(col("nij")).as("bi"))
+        .agg(sum(d38(col("bi")) * (col("bi") - 1)).as("b2"),
+          count(lit(1)).as("kb"))
+      val cv = cells.agg(sum(d38(col("nij")) * (col("nij") - 1)).as("c2"),
+        sum(col("nij")).as("n"))
+      val t2 = d38(col("n")) * (col("n") - 1)
+      val den = t2 * (col("a2") + col("b2")) -
+        lit(2) * col("a2") * col("b2")
+      cv.crossJoin(broadcast(av)).crossJoin(broadcast(bv))
+        .select(col("n"), col("ka"), col("kb"),
+          when(den === 0, lit(null)).otherwise(
+            round(((lit(2) * t2 * col("c2") -
+              lit(2) * col("a2") * col("b2")).cast("double") /
+              den.cast("double")).cast("decimal(20,10)"), 6)
+              .cast("double")).as("ari"))
+    }),
+
+    // Similarity/eval: CLUSTER PURITY + label-entropy scorecard — the
+    // external-validity companion to q215's silhouette (geometry):
+    // the trained IVF cells judged against the ground-truth labels.
+    // Per cell its majority label, purity share, and the label
+    // entropy (×1e9 ln snaps pre-sum); one broadcast-centroid
+    // assignment pass, one cell×label hash aggregate (never corpus²).
+    "q228_cluster_purity" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val c0 = e.filter(col("id") < 16)
+        .select(col("id").as("cid"), col("vec").as("cvec"))
+      val assign = Similarity.ivfAssignL2Scored(e,
+        Similarity.kmeansTrainL2(e, c0, 2)).select(col("id"), col("cell"))
+      val cl = assign.join(t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("label")), "id")
+        .groupBy(col("cell"), col("label")).agg(count(lit(1)).as("o"))
+      val nc = cl.groupBy(col("cell")).agg(sum(col("o")).as("n"))
+      val top = cl.withColumn("rn", row_number().over(
+          Window.partitionBy(col("cell"))
+            .orderBy(col("o").desc, col("label"))))
+        .filter(col("rn") === 1)
+        .select(col("cell"), col("label").as("top_label"),
+          col("o").as("n_top"))
+      val ent = cl.join(nc, "cell")
+        .select(col("cell"),
+          round(col("o").cast("double") / col("n").cast("double") *
+            log(col("o").cast("double") / col("n").cast("double")) *
+            lit(1e9)).cast("long").as("tfp"))
+        .groupBy(col("cell")).agg((-sum(col("tfp"))).as("efp"))
+      nc.join(top, "cell").join(ent, "cell")
+        .select(col("cell").as("cid"), col("n"), col("top_label"),
+          col("n_top"),
+          round((col("n_top").cast("double") / col("n").cast("double"))
+            .cast("decimal(20,10)"), 4).cast("double").as("purity"),
+          round((col("efp").cast("double") / lit(1e9))
+            .cast("decimal(20,10)"), 6).cast("double").as("entropy"))
     }),
 
     // Similarity/graph: MUTUAL-kNN reciprocity per label — the
@@ -7445,6 +7601,220 @@ object SparkEntry {
          |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
          |JOIN nf nb ON nb.doc_id = pr.doc_b
          |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    // Same descending-upper-rank decile snap (exact subtract-mod
+    // ceil-div), same cumulative walk and 4dp rate/lift snaps.
+    "q233_decile_lift" ->
+      """WITH rws AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |bv AS (SELECT v, CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(count(*) AS BIGINT) AS tot FROM rws GROUP BY 1),
+        |rk AS (SELECT v, pos, tot,
+        |    CAST(coalesce(sum(tot) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS tot_below
+        |  FROM bv),
+        |tt AS (SELECT CAST(sum(pos) AS BIGINT) AS npos,
+        |    CAST(sum(tot) AS BIGINT) AS n FROM bv),
+        |td AS (SELECT
+        |    CAST((((n - tot_below) * 10 + n - 1
+        |      - (((n - tot_below) * 10 + n - 1) % n)) / n) AS BIGINT)
+        |      AS decile,
+        |    pos, tot, npos, n
+        |  FROM rk CROSS JOIN tt),
+        |ag AS (SELECT decile, CAST(sum(tot) AS BIGINT) AS n_d,
+        |    CAST(sum(pos) AS BIGINT) AS pos_d,
+        |    CAST(max(npos) AS BIGINT) AS npos,
+        |    CAST(max(n) AS BIGINT) AS nn
+        |  FROM td GROUP BY 1),
+        |cm AS (SELECT decile, n_d, pos_d, npos, nn,
+        |    CAST(sum(n_d) OVER wc AS BIGINT) AS cum_n,
+        |    CAST(sum(pos_d) OVER wc AS BIGINT) AS cum_pos
+        |  FROM ag WINDOW wc AS (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT decile, n_d AS n, pos_d AS n_pos, cum_n, cum_pos,
+        |  CAST(round(CAST(CAST(cum_pos AS DOUBLE)
+        |    / CAST(cum_n AS DOUBLE) AS DECIMAL(20,10)), 4) AS DOUBLE)
+        |    AS cum_rate,
+        |  CASE WHEN npos = 0 THEN NULL ELSE
+        |    CAST(round(CAST(
+        |      CAST(CAST(cum_pos AS HUGEINT) * nn AS DOUBLE)
+        |      / CAST(CAST(cum_n AS HUGEINT) * npos AS DOUBLE)
+        |      AS DECIMAL(20,10)), 4) AS DOUBLE) END AS lift
+        |FROM cm""".stripMargin,
+
+    // Two independent two-iteration Lloyd chains (q215's helpers,
+    // different seed windows), the same contingency-cell pair algebra
+    // in HUGEINT, same snapped division and null-den convention.
+    "q232_ari" ->
+      s"""WITH c0a AS (SELECT vec_id AS cid, embedding AS cvec
+         |             FROM embeddings WHERE vec_id < 16),
+         |a0a AS (${l2aSql("c0a")}),
+         |c1a AS (${l2MeanSql("a0a")}),
+         |a1a AS (${l2aSql("c1a")}),
+         |c2a AS (${l2MeanSql("a1a")}),
+         |a2a AS (${l2aSql("c2a")}),
+         |c0b AS (SELECT vec_id AS cid, embedding AS cvec
+         |        FROM embeddings WHERE vec_id >= 100 AND vec_id < 116),
+         |a0b AS (${l2aSql("c0b")}),
+         |c1b AS (${l2MeanSql("a0b")}),
+         |a1b AS (${l2aSql("c1b")}),
+         |c2b AS (${l2MeanSql("a1b")}),
+         |a2b AS (${l2aSql("c2b")}),
+         |cl AS (SELECT x.cell AS ca, y.cell AS cb,
+         |    CAST(count(*) AS BIGINT) AS nij
+         |  FROM a2a x JOIN a2b y ON x.id = y.id GROUP BY 1, 2),
+         |av AS (SELECT sum(CAST(ai AS HUGEINT) * (ai - 1)) AS a2,
+         |    CAST(count(*) AS BIGINT) AS ka
+         |  FROM (SELECT ca, CAST(sum(nij) AS BIGINT) AS ai
+         |    FROM cl GROUP BY 1)),
+         |bv AS (SELECT sum(CAST(bi AS HUGEINT) * (bi - 1)) AS b2,
+         |    CAST(count(*) AS BIGINT) AS kb
+         |  FROM (SELECT cb, CAST(sum(nij) AS BIGINT) AS bi
+         |    FROM cl GROUP BY 1)),
+         |cv AS (SELECT sum(CAST(nij AS HUGEINT) * (nij - 1)) AS c2,
+         |    CAST(sum(nij) AS BIGINT) AS n FROM cl)
+         |SELECT n, ka, kb,
+         |  CASE WHEN CAST(n AS HUGEINT) * (n - 1) * (a2 + b2)
+         |      - 2 * a2 * b2 = 0 THEN NULL
+         |    ELSE CAST(round(CAST(
+         |      CAST(2 * CAST(n AS HUGEINT) * (n - 1) * c2
+         |        - 2 * a2 * b2 AS DOUBLE)
+         |      / CAST(CAST(n AS HUGEINT) * (n - 1) * (a2 + b2)
+         |        - 2 * a2 * b2 AS DOUBLE)
+         |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS ari
+         |FROM cv CROSS JOIN av CROSS JOIN bv""".stripMargin,
+
+    // Same (ts, event_id)-ordered µs gaps, HUGEINT moments, the same
+    // n-cancelled B expression with one sqrt, same 4dp snap.
+    "q231_burstiness" ->
+      """WITH g AS (SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS g
+        |  FROM events),
+        |mm AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    sum(CAST(g AS HUGEINT)) AS sx,
+        |    sum(CAST(g AS HUGEINT) * g) AS sxx
+        |  FROM g WHERE g IS NOT NULL GROUP BY 1
+        |  HAVING count(*) >= 4)
+        |SELECT user_id, n_gaps,
+        |  CASE WHEN sqrt(CAST(n_gaps * sxx - sx * sx AS DOUBLE))
+        |      + CAST(sx AS DOUBLE) = 0 THEN NULL
+        |    ELSE CAST(round(CAST(
+        |      (sqrt(CAST(n_gaps * sxx - sx * sx AS DOUBLE))
+        |        - CAST(sx AS DOUBLE))
+        |      / (sqrt(CAST(n_gaps * sxx - sx * sx AS DOUBLE))
+        |        + CAST(sx AS DOUBLE))
+        |      AS DECIMAL(20,10)), 4) AS DOUBLE) END AS b
+        |FROM mm""".stripMargin,
+
+    // q132's sessionize/lead chain verbatim, then the ×1e9 entropy
+    // snap per (from, to) cell and the per-state aggregate.
+    "q230_transition_entropy" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |        > 1800 * 1000000 THEN 1
+        |      WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |      ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, event_id, event_type,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM m),
+        |pr AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id, session_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM s),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |nf AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_out,
+        |    CAST(count(*) AS BIGINT) AS n_next FROM c GROUP BY 1),
+        |tm AS (SELECT c.from_type, nf.n_out, nf.n_next,
+        |    CAST(round(CAST(n AS DOUBLE) / CAST(n_out AS DOUBLE)
+        |      * ln(CAST(n AS DOUBLE) / CAST(n_out AS DOUBLE)) * 1e9)
+        |      AS BIGINT) AS tfp
+        |  FROM c JOIN nf USING (from_type))
+        |SELECT from_type, n_out, n_next,
+        |  CAST(round(CAST(CAST(-sum(tfp) AS DOUBLE) / 1e9
+        |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS entropy
+        |FROM tm GROUP BY 1, 2, 3""".stripMargin,
+
+    // Same inclusive-left prefix counts, the same ×1e9 weighted
+    // purity expression term-for-term, same (gfp desc, v) head.
+    "q229_gini_stump" ->
+      """WITH rws AS (SELECT CAST(round(value * 100) AS BIGINT) AS v,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |bv AS (SELECT v, CAST(sum(y) AS BIGINT) AS pos,
+        |    CAST(count(*) AS BIGINT) AS tot FROM rws GROUP BY 1),
+        |rk AS (SELECT v, pos, tot,
+        |    CAST(coalesce(sum(pos) OVER w, 0) AS BIGINT) AS pos_below,
+        |    CAST(coalesce(sum(tot) OVER w, 0) AS BIGINT) AS tot_below
+        |  FROM bv WINDOW w AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |tt AS (SELECT CAST(sum(pos) AS BIGINT) AS npos,
+        |    CAST(sum(tot) AS BIGINT) AS n FROM bv),
+        |sc AS (SELECT v, npos, n,
+        |    pos_below + pos AS posl, tot_below + tot AS nl,
+        |    npos - (pos_below + pos) AS posr,
+        |    n - (tot_below + tot) AS nr
+        |  FROM rk CROSS JOIN tt WHERE tot_below + tot < n),
+        |gg AS (SELECT v, npos, n,
+        |    CAST(round((CAST(CAST(posl AS HUGEINT) * posl
+        |        + CAST(nl - posl AS HUGEINT) * (nl - posl) AS DOUBLE)
+        |        / CAST(CAST(nl AS HUGEINT) * n AS DOUBLE)
+        |      + CAST(CAST(posr AS HUGEINT) * posr
+        |        + CAST(nr - posr AS HUGEINT) * (nr - posr) AS DOUBLE)
+        |        / CAST(CAST(nr AS HUGEINT) * n AS DOUBLE)) * 1e9)
+        |      AS BIGINT) AS gfp
+        |  FROM sc),
+        |best AS (SELECT *,
+        |    CAST(round(CAST(CAST(npos AS HUGEINT) * npos
+        |      + CAST(n - npos AS HUGEINT) * (n - npos) AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * n AS DOUBLE) * 1e9)
+        |      AS BIGINT) AS pfp
+        |  FROM gg ORDER BY gfp DESC, v LIMIT 1)
+        |SELECT n, npos AS n_pos, v AS threshold,
+        |  CAST(round(CAST(CAST(1000000000 - pfp AS DOUBLE) / 1e9
+        |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS gini_parent,
+        |  CAST(round(CAST(CAST(1000000000 - gfp AS DOUBLE) / 1e9
+        |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS gini_split,
+        |  CAST(round(CAST(CAST(gfp - pfp AS DOUBLE) / 1e9
+        |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS gain
+        |FROM best""".stripMargin,
+
+    // Same two-iteration Lloyd chain (q215's CTE helpers), same
+    // (o desc, label) majority pick and ×1e9 entropy snaps.
+    "q228_cluster_purity" ->
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cvec
+         |            FROM embeddings WHERE vec_id < 16),
+         |a0 AS (${l2aSql("c0")}),
+         |c1 AS (${l2MeanSql("a0")}),
+         |a1 AS (${l2aSql("c1")}),
+         |c2 AS (${l2MeanSql("a1")}),
+         |a2 AS (${l2aSql("c2")}),
+         |cl AS (SELECT a2.cell, e.label, CAST(count(*) AS BIGINT) AS o
+         |  FROM a2 JOIN embeddings e ON e.vec_id = a2.id
+         |  GROUP BY 1, 2),
+         |nc AS (SELECT cell, CAST(sum(o) AS BIGINT) AS n
+         |  FROM cl GROUP BY 1),
+         |top AS (SELECT cell, label AS top_label, o AS n_top FROM (
+         |  SELECT cell, label, o, row_number() OVER (PARTITION BY cell
+         |      ORDER BY o DESC, label) AS rn FROM cl) WHERE rn = 1),
+         |ent AS (SELECT cell,
+         |    CAST(-sum(CAST(round(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)
+         |      * ln(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9)
+         |      AS BIGINT)) AS BIGINT) AS efp
+         |  FROM cl JOIN nc USING (cell) GROUP BY 1)
+         |SELECT nc.cell AS cid, n, top_label, n_top,
+         |  CAST(round(CAST(CAST(n_top AS DOUBLE) / CAST(n AS DOUBLE)
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS purity,
+         |  CAST(round(CAST(CAST(efp AS DOUBLE) / 1e9
+         |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS entropy
+         |FROM nc JOIN top USING (cell) JOIN ent USING (cell)""".stripMargin,
 
     // Same md5-hash block/selection routing, micro-cent replicate
     // snaps, exact ceil-div order-statistic picks, HUGEINT moments.

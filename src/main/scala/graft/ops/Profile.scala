@@ -711,6 +711,117 @@ object Profile {
       .withColumn("meets_k", col("n_risky_rows") === 0L)
   }
 
+  /** DECILE LIFT / cumulative-gains table for a score against a
+    * binary label — the campaign-targeting companion to [[aucExact]]
+    * (AUC summarizes ranking quality in one number; the lift table
+    * says what acting on the top-d deciles actually captures).
+    * Rows land in deciles by descending score; a tied score's rows
+    * all take the decile of their last (worst) position — ties can't
+    * split, so the table is deterministic under any physical order.
+    *
+    * Scale shape: one hash aggregate to distinct scores, running
+    * counts via the two-level prefix kernel (descending upper rank =
+    * n − below), then everything lives on the ≤ `tiles`-row table:
+    * the cumulative walk is a constant-partition window over tiles
+    * rows. Exact integer counts; rates and lift snap 4dp. Output one
+    * row per non-empty decile: (decile, n, n_pos, cum_n, cum_pos,
+    * cum_rate, lift); lift is null when the corpus has no positives.
+    */
+  def decileLift(df: DataFrame, score: Column, label: Column,
+                 tiles: Int, bucketWidth: Long): DataFrame = {
+    require(tiles >= 1, "tiles must be >= 1")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    def ceilDiv(a: Column, b: Column): Column = {
+      val t = a + b - lit(1L)
+      ((t - pmod(t, b)) / b).cast("long")
+    }
+    val byV = df.select(score.cast("long").as("v"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .groupBy(col("v"))
+      .agg(sum(col("y")).as("pos"), count(lit(1)).as("tot"))
+    val ranked = Ranks.withRunningBelow(byV, "v", bucketWidth,
+      Seq("pos", "tot"))
+    val totals = byV.agg(sum(col("pos")).as("npos"),
+      sum(col("tot")).as("n"))
+    val tiled = ranked.crossJoin(broadcast(totals))
+      .withColumn("decile",
+        ceilDiv((col("n") - col("tot_below")) * tiles, col("n")))
+      .groupBy(col("decile"))
+      .agg(sum(col("tot")).as("n_d"), sum(col("pos")).as("pos_d"),
+        max(col("npos")).as("npos"), max(col("n")).as("nn"))
+    val wCum = Window.partitionBy(Cols.onePartitionKey(col("decile")))
+      .orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    tiled
+      .withColumn("cum_n", sum(col("n_d")).over(wCum))
+      .withColumn("cum_pos", sum(col("pos_d")).over(wCum))
+      .select(col("decile"), col("n_d").as("n"),
+        col("pos_d").as("n_pos"), col("cum_n"), col("cum_pos"),
+        round((col("cum_pos").cast("double") /
+          col("cum_n").cast("double")).cast("decimal(20,10)"), 4)
+          .cast("double").as("cum_rate"),
+        when(col("npos") === 0, lit(null)).otherwise(
+          round(((d38(col("cum_pos")) * col("nn")).cast("double") /
+            (d38(col("cum_n")) * col("npos")).cast("double"))
+            .cast("decimal(20,10)"), 4).cast("double")).as("lift"))
+  }
+
+  /** Optimal DECISION-STUMP split by GINI impurity reduction — the
+    * one-feature supervised learner (and the inner step of any
+    * distributed tree build): over candidate thresholds "x ≤ v" for
+    * every distinct v, pick the split minimizing the weighted child
+    * Gini impurity against a binary label. changePointSSE localizes
+    * an unsupervised regime shift; this finds the supervised
+    * boundary a label actually separates on.
+    *
+    * Scale shape: one hash aggregate to per-distinct-value (pos,
+    * tot), then BOTH running counts ride ONE two-level prefix pass
+    * ([[Ranks.withRunningBelow]] — never a value-domain
+    * single-partition window); every threshold scores from its
+    * inclusive-left counts alone and the argmax is a sort+limit head
+    * (TakeOrderedAndProject). Exact integer moments; the weighted
+    * purity (posL²+negL²)/(nL·n) + (posR²+negR²)/(nR·n) snaps ×1e9
+    * (maximizing purity = minimizing impurity), ties on the smallest
+    * threshold. Output one row: (n, n_pos, threshold, gini_parent,
+    * gini_split, gain); empty/single-value input yields empty.
+    */
+  def giniSplitStump(df: DataFrame, value: Column, label: Column,
+                     bucketWidth: Long): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val byV = df.select(value.cast("long").as("v"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .groupBy(col("v"))
+      .agg(sum(col("y")).as("pos"), count(lit(1)).as("tot"))
+    val ranked = Ranks.withRunningBelow(byV, "v", bucketWidth,
+      Seq("pos", "tot"))
+    val totals = byV.agg(sum(col("pos")).as("npos"),
+      sum(col("tot")).as("n"))
+    def purity(p: Column, m: Column, den: Column): Column =
+      (d38(p) * p + d38(m - p) * (m - p)).cast("double") /
+        den.cast("double")
+    val sc = ranked.crossJoin(broadcast(totals))
+      .withColumn("posl", col("pos_below") + col("pos"))
+      .withColumn("nl", col("tot_below") + col("tot"))
+      .filter(col("nl") < col("n"))
+      .withColumn("posr", col("npos") - col("posl"))
+      .withColumn("nr", col("n") - col("nl"))
+      .withColumn("gfp", round((
+        purity(col("posl"), col("nl"), d38(col("nl")) * col("n")) +
+        purity(col("posr"), col("nr"), d38(col("nr")) * col("n"))) *
+        lit(1e9)).cast("long"))
+    val pfp = round(purity(col("npos"), col("n"),
+      d38(col("n")) * col("n")) * lit(1e9)).cast("long")
+    def m6(fp: Column): Column =
+      round((fp.cast("double") / lit(1e9)).cast("decimal(20,10)"), 6)
+        .cast("double")
+    sc.orderBy(col("gfp").desc, col("v")).limit(1)
+      .select(col("n"), col("npos").as("n_pos"),
+        col("v").as("threshold"),
+        m6(lit(1000000000L) - pfp).as("gini_parent"),
+        m6(lit(1000000000L) - col("gfp")).as("gini_split"),
+        m6(col("gfp") - pfp).as("gain"))
+  }
+
   /** Deterministic BLOCK BOOTSTRAP percentile CI for the mean —
     * [[blockJackknifeMean]]'s companion when the bias-corrected SE is
     * not enough and the full resampling distribution is wanted

@@ -458,6 +458,57 @@ class ProfileSpec extends SparkSpec {
     assert(kf.map(r => (r._1, r._4)).toSeq == Seq((1L, 0.5), (2L, 0.0)))
   }
 
+  test("decileLift: a perfect ranking concentrates all response in " +
+    "decile 1 with lift 10; an all-tied score lands in decile 10") {
+    val df = (1 to 100).map(i => (i.toLong, i > 90)).toDF("v", "y")
+    val r = Profile.decileLift(df, $"v", $"y", 10, 16L)
+      .as[(Long, Long, Long, Long, Long, Double, Option[Double])]
+      .collect().sortBy(_._1)
+    assert(r.length == 10)
+    val d1 = r.head
+    assert(d1 == ((1L, 10L, 10L, 10L, 10L, 1.0, Some(10.0))),
+      s"got $d1")
+    assert(r.tail.forall(_._3 == 0L))
+    val last = r.last
+    assert(last._4 == 100L && last._5 == 10L && last._6 == 0.1 &&
+      last._7 == Some(1.0))
+    val tied = Seq.fill(8)((5L, true)).toDF("v", "y")
+    val tr = Profile.decileLift(tied, $"v", $"y", 10, 16L)
+      .as[(Long, Long, Long, Long, Long, Double, Option[Double])]
+      .collect()
+    assert(tr.length == 1 && tr.head._1 == 10L && tr.head._2 == 8L)
+  }
+
+  test("giniSplitStump: a separable label splits at the boundary " +
+    "with zero impurity; degenerate single-value input is empty") {
+    val df = (1 to 10).map(i => (i.toLong, i > 5)).toDF("v", "y")
+    val r = Profile.giniSplitStump(df, $"v", $"y", 4L)
+      .as[(Long, Long, Long, Double, Double, Double)].head()
+    assert(r == ((10L, 5L, 5L, 0.5, 0.0, 0.5)), s"got $r")
+    assert(Profile.giniSplitStump(Seq((3L, true)).toDF("v", "y"),
+      $"v", $"y", 4L).isEmpty)
+  }
+
+  test("giniSplitStump picks the brute-force best threshold") {
+    val rows = (1 to 60).map(i => ((i * 7 % 13).toLong, i * 5 % 3 == 0))
+    val got = Profile.giniSplitStump(rows.toDF("v", "y"), $"v", $"y", 4L)
+      .select($"threshold").as[Long].head()
+    val n = rows.size
+    val npos = rows.count(_._2)
+    def gfp(v: Long): Long = {
+      val (nl, posl) = (rows.count(_._1 <= v), rows.count(r => r._1 <= v && r._2))
+      val (nr, posr) = (n - nl, npos - posl)
+      math.round((
+        (posl.toDouble * posl + (nl - posl).toDouble * (nl - posl)) /
+          (nl.toDouble * n) +
+        (posr.toDouble * posr + (nr - posr).toDouble * (nr - posr)) /
+          (nr.toDouble * n)) * 1e9)
+    }
+    val cands = rows.map(_._1).distinct.sorted.dropRight(1)
+    val best = cands.maxBy(v => (gfp(v), -v))
+    assert(got == best, s"got $got want $best")
+  }
+
   test("blockBootstrapMean: constant data collapses the CI to the " +
     "mean with se 0; mixed data brackets the mean; empty is empty") {
     val const = (1 to 60).map(i => (i.toLong, 500L)).toDF("k", "v")
