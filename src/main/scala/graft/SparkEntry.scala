@@ -1872,6 +1872,84 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Graph: GLOBAL TRANSITIVITY + average LOCAL clustering
+    // coefficient — q142 counts per-node triangles; this closes them
+    // into the two canonical one-number reads: C = 3Δ/wedges
+    // (transitivity) and the Watts–Strogatz mean of per-node
+    // 2·tri/(deg·(deg−1)) over deg ≥ 2 nodes (×1e9 snaps pre-sum).
+    // Wedge mass is a degree aggregate — no extra join beyond the
+    // triangle kernel.
+    "q235_transitivity" -> ((s, dir) => {
+      val ue = docLinkEdges(s, dir).filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v"))
+        .distinct()
+      val deg = ue.select(col("u").as("id"))
+        .unionByName(ue.select(col("v").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      val nd = deg.join(Graph.triangleCounts(docLinkEdges(s, dir)),
+          Seq("id"), "left")
+        .na.fill(0L, Seq("n_triangles"))
+      val ag = nd.agg(count(lit(1)).as("n_nodes"),
+        sum(col("n_triangles")).as("s3"),
+        sum(col("deg") * (col("deg") - 1)).as("w2"))
+      val ne = ue.agg(count(lit(1)).as("n_edges"))
+      val lc = nd.filter(col("deg") >= 2)
+        .select(round(col("n_triangles").cast("double") * lit(2e9) /
+          (col("deg") * (col("deg") - 1)).cast("double")).cast("long")
+          .as("cfp"))
+        .agg(count(lit(1)).as("n2"), sum(col("cfp")).as("scfp"))
+      def m6(c: Column): Column =
+        round(c.cast("decimal(20,10)"), 6).cast("double")
+      ag.crossJoin(broadcast(ne)).crossJoin(broadcast(lc))
+        .select(col("n_nodes"), col("n_edges"),
+          ((col("s3") - pmod(col("s3"), lit(3L))).cast("double") / 3)
+            .cast("long").as("n_triangles"),
+          ((col("w2") - pmod(col("w2"), lit(2L))).cast("double") / 2)
+            .cast("long").as("n_wedges"),
+          when(col("w2") === 0, lit(null)).otherwise(
+            m6((col("s3") * 2).cast("double") /
+              col("w2").cast("double"))).as("transitivity"),
+          when(col("n2") === 0, lit(null)).otherwise(
+            m6(col("scfp").cast("double") /
+              (col("n2").cast("double") * lit(1e9)))).as("avg_local"))
+    }),
+
+    // Text/eval: CLASSIFICATION REPORT for the language-ID heuristic
+    // vs the declared lang — q25 gives the raw confusion counts; this
+    // derives the per-class report over the UNION of truth/predicted
+    // classes (full-outer margins: 'zh' is never predicted → null
+    // precision; 'und' has no truth support → null recall). F1 uses
+    // the exact identity 2·TP/(pred+support) — never composed from
+    // two already-rounded ratios.
+    "q234_langid_report" -> ((s, dir) => {
+      val rows = t(s, dir, "documents")
+        .filter(size(Text.tokens(col("text"))) > 0)
+        .select(col("lang").as("truth"),
+          Text.langId(col("text")).as("pred"))
+      val cells = rows.groupBy(col("truth"), col("pred"))
+        .agg(count(lit(1)).as("o"))
+      val sup = cells.groupBy(col("truth").as("cls"))
+        .agg(sum(col("o")).as("support"))
+      val prd = cells.groupBy(col("pred").as("cls"))
+        .agg(sum(col("o")).as("predicted"))
+      val diag = cells.filter(col("truth") === col("pred"))
+        .select(col("truth").as("cls"), col("o").as("tp"))
+      def snap4(num: Column, den: Column): Column =
+        round((num.cast("double") / den.cast("double"))
+          .cast("decimal(20,10)"), 4).cast("double")
+      sup.join(prd, Seq("cls"), "full_outer")
+        .join(diag, Seq("cls"), "left")
+        .na.fill(0L, Seq("support", "predicted", "tp"))
+        .select(col("cls"), col("support"), col("predicted"), col("tp"),
+          when(col("predicted") === 0, lit(null))
+            .otherwise(snap4(col("tp"), col("predicted"))).as("precision"),
+          when(col("support") === 0, lit(null))
+            .otherwise(snap4(col("tp"), col("support"))).as("recall"),
+          snap4(col("tp") * 2, col("predicted") + col("support"))
+            .as("f1"))
+    }),
+
     // Stats/eval: DECILE LIFT table — event value as a purchase
     // score: what do the top-d deciles actually capture vs the base
     // rate? AUC (q182) summarizes the ranking; this is the acting
@@ -7601,6 +7679,96 @@ object SparkEntry {
          |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
          |JOIN nf nb ON nb.doc_id = pr.doc_b
          |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    // q142's canonical triangle enumeration verbatim, the same
+    // degree/wedge aggregates, ×1e9 local-coefficient snaps.
+    "q235_transitivity" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM docs),
+        |e AS (SELECT doc_id AS src, (doc_id * 7 + k * 13) % nn AS dst
+        |  FROM docs CROSS JOIN nc
+        |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+        |ue AS (SELECT DISTINCT least(src, dst) AS u,
+        |    greatest(src, dst) AS v
+        |  FROM e WHERE src <> dst),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM ue e1 JOIN ue e2 ON e2.u = e1.v
+        |  JOIN ue e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+        |  SELECT u AS id FROM ue UNION ALL SELECT v FROM ue)
+        |  GROUP BY 1),
+        |tn AS (SELECT id, CAST(count(*) AS BIGINT) AS tri FROM (
+        |  SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri) GROUP BY 1),
+        |nd AS (SELECT deg.id, deg.deg, coalesce(tn.tri, 0) AS tri
+        |  FROM deg LEFT JOIN tn USING (id)),
+        |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(tri) AS BIGINT) AS s3,
+        |    CAST(sum(deg * (deg - 1)) AS BIGINT) AS w2 FROM nd),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM ue),
+        |lc AS (SELECT CAST(count(*) AS BIGINT) AS n2,
+        |    CAST(sum(CAST(round(CAST(tri AS DOUBLE) * 2e9
+        |      / CAST(deg * (deg - 1) AS DOUBLE)) AS BIGINT))
+        |      AS BIGINT) AS scfp
+        |  FROM nd WHERE deg >= 2)
+        |SELECT n_nodes, n_edges,
+        |  CAST(CAST(s3 - s3 % 3 AS DOUBLE) / 3 AS BIGINT)
+        |    AS n_triangles,
+        |  CAST(CAST(w2 - w2 % 2 AS DOUBLE) / 2 AS BIGINT) AS n_wedges,
+        |  CASE WHEN w2 = 0 THEN NULL ELSE
+        |    CAST(round(CAST(CAST(s3 * 2 AS DOUBLE)
+        |      / CAST(w2 AS DOUBLE) AS DECIMAL(20,10)), 6) AS DOUBLE)
+        |    END AS transitivity,
+        |  CASE WHEN n2 = 0 THEN NULL ELSE
+        |    CAST(round(CAST(CAST(scfp AS DOUBLE)
+        |      / (CAST(n2 AS DOUBLE) * 1e9) AS DECIMAL(20,10)), 6)
+        |      AS DOUBLE) END AS avg_local
+        |FROM ag CROSS JOIN ne CROSS JOIN lc""".stripMargin,
+
+    // q25's stopword-family scorer verbatim, then the full-outer
+    // class margins and the exact 2·TP/(pred+support) F1 identity.
+    "q234_langid_report" ->
+      s"""WITH sc AS (
+         |  SELECT lang,
+         |    len(list_filter(tk, t -> t IN ('the','a','of','to','and'))) * 1.0 / len(tk) AS s_en,
+         |    len(list_filter(tk, t -> t IN ('der','die','das','und','ein'))) * 1.0 / len(tk) AS s_de,
+         |    len(list_filter(tk, t -> t IN ('el','la','de','y','que'))) * 1.0 / len(tk) AS s_es,
+         |    len(list_filter(tk, t -> t IN ('le','la','de','et','les'))) * 1.0 / len(tk) AS s_fr
+         |  FROM (SELECT lang, $tokSql AS tk FROM documents)
+         |  WHERE len(tk) > 0),
+         |pr AS (SELECT lang AS truth,
+         |  CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+         |    WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+         |    WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+         |    WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+         |    ELSE 'fr' END AS pred
+         |  FROM sc),
+         |cells AS (SELECT truth, pred, CAST(count(*) AS BIGINT) AS o
+         |  FROM pr GROUP BY 1, 2),
+         |sup AS (SELECT truth AS cls, CAST(sum(o) AS BIGINT)
+         |    AS support FROM cells GROUP BY 1),
+         |prd AS (SELECT pred AS cls, CAST(sum(o) AS BIGINT)
+         |    AS predicted FROM cells GROUP BY 1),
+         |diag AS (SELECT truth AS cls, o AS tp FROM cells
+         |  WHERE truth = pred),
+         |j AS (SELECT cls, coalesce(support, 0) AS support,
+         |    coalesce(predicted, 0) AS predicted,
+         |    coalesce(tp, 0) AS tp
+         |  FROM sup FULL OUTER JOIN prd USING (cls)
+         |  LEFT JOIN diag USING (cls))
+         |SELECT cls, support, predicted, tp,
+         |  CASE WHEN predicted = 0 THEN NULL ELSE
+         |    CAST(round(CAST(CAST(tp AS DOUBLE)
+         |      / CAST(predicted AS DOUBLE) AS DECIMAL(20,10)), 4)
+         |      AS DOUBLE) END AS "precision",
+         |  CASE WHEN support = 0 THEN NULL ELSE
+         |    CAST(round(CAST(CAST(tp AS DOUBLE)
+         |      / CAST(support AS DOUBLE) AS DECIMAL(20,10)), 4)
+         |      AS DOUBLE) END AS recall,
+         |  CAST(round(CAST(CAST(tp * 2 AS DOUBLE)
+         |    / CAST(predicted + support AS DOUBLE)
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS f1
+         |FROM j""".stripMargin,
 
     // Same descending-upper-rank decile snap (exact subtract-mod
     // ceil-div), same cumulative walk and 4dp rate/lift snaps.
