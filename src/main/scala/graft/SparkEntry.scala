@@ -1872,6 +1872,17 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Sampling: NEYMAN-ALLOCATED stratified sample of event values by
+    // type — the design-optimal n_h ∝ N_h·σ_h budget split
+    // (proportional allocation wastes budget on low-variance strata),
+    // exact largest-remainder rounding on ×1e6 integer micro-shares,
+    // then the deterministic per-stratum bottom-alloc md5 draw with
+    // its sample-mean receipt.
+    "q236_neyman" -> ((s, dir) =>
+      Sampling.neymanAllocation(t(s, dir, "events"),
+        col("event_type"), round(col("value") * 100).cast("long"),
+        col("event_id"), 500)),
+
     // Graph: GLOBAL TRANSITIVITY + average LOCAL clustering
     // coefficient — q142 counts per-node triangles; this closes them
     // into the two canonical one-number reads: C = 3Δ/wedges
@@ -7679,6 +7690,56 @@ object SparkEntry {
          |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
          |JOIN nf nb ON nb.doc_id = pr.doc_b
          |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    // Same exact-moment σ, ×1e6 weight snap + integer micro-share
+    // largest-remainder split, same md5 bottom-alloc draw.
+    "q236_neyman" ->
+      s"""WITH rws AS (SELECT event_type AS h,
+         |    CAST(round(value * 100) AS BIGINT) AS v,
+         |    CAST(event_id AS VARCHAR) AS k FROM events),
+         |st AS (SELECT h, CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(v AS HUGEINT)) AS sx,
+         |    sum(CAST(v AS HUGEINT) * v) AS sxx
+         |  FROM rws GROUP BY 1),
+         |wt AS (SELECT h, n,
+         |    sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) / CAST(n AS DOUBLE)
+         |      AS sd,
+         |    CAST(round(CAST(n AS DOUBLE)
+         |      * (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+         |         / CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS wfp
+         |  FROM st),
+         |ws AS (SELECT CAST(sum(wfp) AS BIGINT) AS wsum FROM wt),
+         |sh AS (SELECT h, n, sd,
+         |    CASE WHEN wsum = 0 THEN 0 ELSE
+         |      CAST(round(CAST(500 AS DOUBLE) * CAST(wfp AS DOUBLE)
+         |        * 1e6 / CAST(wsum AS DOUBLE)) AS BIGINT) END AS qfp
+         |  FROM wt CROSS JOIN ws),
+         |bs AS (SELECT h, n, sd,
+         |    CAST((qfp - qfp % 1000000) / 1000000 AS BIGINT) AS base,
+         |    qfp % 1000000 AS rem
+         |  FROM sh),
+         |df_ AS (SELECT greatest(0, 500 - CAST(sum(base) AS BIGINT))
+         |    AS d FROM bs),
+         |al AS (SELECT h, n, sd,
+         |    base + (CASE WHEN row_number() OVER (ORDER BY rem DESC, h)
+         |      <= d THEN 1 ELSE 0 END) AS alloc
+         |  FROM bs CROSS JOIN df_),
+         |sm AS (SELECT r.h, CAST(count(*) AS BIGINT) AS n_sampled,
+         |    sum(CAST(v AS HUGEINT)) AS ssum
+         |  FROM (SELECT h, v, row_number() OVER (PARTITION BY h
+         |      ORDER BY ${h60("'s' || k")}, k) AS srn
+         |    FROM rws) r JOIN al ON al.h = r.h
+         |  WHERE r.srn <= al.alloc GROUP BY 1)
+         |SELECT al.h, al.n,
+         |  CAST(round(CAST(sd AS DECIMAL(20,10)), 4) AS DOUBLE)
+         |    AS sigma,
+         |  CAST(al.alloc AS BIGINT) AS alloc,
+         |  CAST(coalesce(sm.n_sampled, 0) AS BIGINT) AS n_sampled,
+         |  CASE WHEN coalesce(sm.n_sampled, 0) = 0 THEN NULL ELSE
+         |    CAST(round(CAST(CAST(ssum AS DOUBLE)
+         |      / CAST(sm.n_sampled AS DOUBLE) / CAST(100 AS DOUBLE)
+         |      AS DECIMAL(20,10)), 2) AS DOUBLE) END AS mean_sample
+         |FROM al LEFT JOIN sm ON sm.h = al.h""".stripMargin,
 
     // q142's canonical triangle enumeration verbatim, the same
     // degree/wedge aggregates, ×1e9 local-coefficient snaps.

@@ -359,4 +359,74 @@ object Sampling {
       .agg(count(lit(1)).as("n_rows"), min(col("__v")).as("min_c"),
         max(col("__v")).as("max_c"))
   }
+
+  /** NEYMAN-ALLOCATED stratified sample — the design-optimal budget
+    * split n_h ∝ N_h·σ_h (minimum-variance estimate of the stratified
+    * mean at a fixed total budget; proportional allocation wastes
+    * budget on low-variance strata). Per-stratum σ comes from exact
+    * integer moments; stratum weights snap ×1e6 so their total is an
+    * exact integer sum (a raw double Σ would be addition-order
+    * dependent); the budget then splits by the LARGEST-REMAINDER
+    * method on integer micro-shares — floor everyone, hand the
+    * leftover units to the largest remainders (stratum-key ties) —
+    * so allocations always total ≤ budget deterministically. The
+    * sample itself is the per-stratum bottom-alloc_h by md5 row-key
+    * hash (the fixed-SIZE deterministic sample convention).
+    *
+    * Shape: one data-sized aggregate for moments, the allocation
+    * algebra on the strata-row table (constant-partition remainder
+    * rank), then one stratum-partitioned selection window. Output
+    * one row per stratum: (h, n, sigma, alloc, n_sampled,
+    * mean_sample); single-value strata get σ = 0 and draw only the
+    * remainder round.
+    */
+  def neymanAllocation(df: DataFrame, stratum: Column, valueCents: Column,
+                       rowKey: Column, budget: Int): DataFrame = {
+    require(budget >= 1, "budget must be >= 1")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val rows = df.select(stratum.as("h"), valueCents.cast("long").as("v"),
+      rowKey.cast("string").as("k"))
+    val st = rows.groupBy(col("h")).agg(count(lit(1)).as("n"),
+      sum(d38(col("v"))).as("sx"), sum(d38(col("v")) * col("v")).as("sxx"))
+    val wts = st.withColumn("sd",
+        sqrt((d38(col("n")) * col("sxx") - col("sx") * col("sx"))
+          .cast("double")) / col("n").cast("double"))
+      .withColumn("wfp",
+        round(col("n").cast("double") * col("sd") * lit(1e6)).cast("long"))
+    val wsum = wts.agg(sum(col("wfp")).as("wsum"))
+    val shares = wts.crossJoin(broadcast(wsum))
+      .withColumn("qfp", when(col("wsum") === 0, lit(0L)).otherwise(
+        round(lit(budget.toDouble) * col("wfp").cast("double") * lit(1e6) /
+          col("wsum").cast("double")).cast("long")))
+      .withColumn("base", ((col("qfp") - pmod(col("qfp"), lit(1000000L))) /
+        lit(1000000L)).cast("long"))
+      .withColumn("rem", pmod(col("qfp"), lit(1000000L)))
+    val deficit = shares.agg(
+      greatest(lit(0L), lit(budget.toLong) - sum(col("base"))).as("d"))
+    val alloc = shares.crossJoin(broadcast(deficit))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(Cols.onePartitionKey(col("h")))
+          .orderBy(col("rem").desc, col("h"))))
+      .withColumn("alloc",
+        col("base") + when(col("rn") <= col("d"), 1L).otherwise(0L))
+      .select(col("h"), col("n"), col("sd"), col("alloc"))
+    val sampled = rows.join(alloc.select(col("h"), col("alloc")), "h")
+      .withColumn("srn", row_number().over(
+        Window.partitionBy(col("h"))
+          .orderBy(Dedup.hashLong(concat(lit("s"), col("k"))), col("k"))))
+      .filter(col("srn") <= col("alloc"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_sampled"), sum(d38(col("v"))).as("ssum"))
+    alloc.join(sampled, Seq("h"), "left")
+      .na.fill(0L, Seq("n_sampled"))
+      .select(col("h"), col("n"),
+        round(col("sd").cast("decimal(20,10)"), 4).cast("double")
+          .as("sigma"),
+        col("alloc"),
+        col("n_sampled"),
+        when(col("n_sampled") === 0, lit(null)).otherwise(
+          round((col("ssum").cast("double") /
+            col("n_sampled").cast("double") / lit(100.0))
+            .cast("decimal(20,10)"), 2).cast("double")).as("mean_sample"))
+  }
 }

@@ -241,4 +241,30 @@ class SamplingPackSpec extends SparkSpec {
     assert(eq.length == 8 && eq.forall(_._2 == 50L),
       s"full-sample split must be exactly balanced: ${eq.mkString(",")}")
   }
+
+  test("neymanAllocation: budget follows N_h*sigma_h — a zero-variance " +
+    "stratum draws nothing while the varying one takes the budget") {
+    val rows = (1 to 10).map(i => ("a", 100L, s"a$i")) ++
+      (1 to 10).map(i => ("b", if (i % 2 == 0) 200L else 0L, s"b$i"))
+    val r = Sampling.neymanAllocation(rows.toDF("h", "v", "k"),
+        $"h", $"v", $"k", 6)
+      .as[(String, Long, Double, Long, Long, Option[Double])]
+      .collect().map(x => x._1 -> x).toMap
+    assert(r("a")._4 == 0L && r("a")._5 == 0L && r("a")._6.isEmpty)
+    assert(r("b")._3 == 100.0) // population sigma of {0,200}^5 = 100
+    assert(r("b")._4 == 6L && r("b")._5 == 6L)
+    assert(r.values.map(_._4).sum <= 6L)
+  }
+
+  test("neymanAllocation: all-zero-variance strata fall back to the " +
+    "remainder round in stratum order, never exceeding the budget") {
+    val rows = (1 to 5).map(i => ("a", 7L, s"a$i")) ++
+      (1 to 5).map(i => ("b", 9L, s"b$i"))
+    val r = Sampling.neymanAllocation(rows.toDF("h", "v", "k"),
+        $"h", $"v", $"k", 1)
+      .as[(String, Long, Double, Long, Long, Option[Double])]
+      .collect().map(x => x._1 -> x).toMap
+    assert(r("a")._4 == 1L && r("b")._4 == 0L)
+    assert(r("a")._5 == 1L && r("a")._6 == Some(0.07))
+  }
 }
