@@ -1872,6 +1872,42 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Events/eval: HELD-OUT next-event prediction — the full
+    // train/fit/eval protocol natively: users hash-split 3:1, the
+    // train side fits the majority-next-state Markov table (q132's
+    // transition kernel), the held-out side scores it. Per state:
+    // weighted accuracy of the argmax rule; states unseen in
+    // training stay null — the coverage-vs-accuracy read any
+    // sequence-model baseline quotes.
+    "q237_markov_eval" -> ((s, dir) => {
+      val split = pmod(Dedup.hashLong(
+        concat(lit("m"), col("user_id").cast("string"))), lit(4L))
+      def trans(df: DataFrame) =
+        Events.sessionTransitions(df, col("user_id"), col("ts"),
+          col("event_id"), col("event_type"), 1800L)
+          .select(col("from_type"), col("to_type"), col("n"))
+      val ev = t(s, dir, "events")
+      val model = trans(ev.filter(split =!= 0))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("from_type"))
+            .orderBy(col("n").desc, col("to_type"))))
+        .filter(col("rn") === 1)
+        .select(col("from_type"), col("to_type").as("pred"))
+      trans(ev.filter(split === 0))
+        .join(model, Seq("from_type"), "left")
+        .groupBy(col("from_type"))
+        .agg(max(col("pred")).as("pred"),
+          sum(col("n")).as("n_test"),
+          sum(when(col("to_type") === col("pred"), col("n"))
+            .otherwise(0L)).as("n_correct"))
+        .select(col("from_type"), col("pred"), col("n_test"),
+          col("n_correct"),
+          when(col("pred").isNull, lit(null)).otherwise(
+            round((col("n_correct").cast("double") /
+              col("n_test").cast("double")).cast("decimal(20,10)"), 4)
+              .cast("double")).as("accuracy"))
+    }),
+
     // Sampling: NEYMAN-ALLOCATED stratified sample of event values by
     // type — the design-optimal n_h ∝ N_h·σ_h budget split
     // (proportional allocation wastes budget on low-variance strata),
@@ -7690,6 +7726,66 @@ object SparkEntry {
          |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
          |JOIN nf nb ON nb.doc_id = pr.doc_b
          |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    // q132's sessionize chain on each hash-split half, the same
+    // (n desc, to_type) majority rule and weighted-accuracy snap.
+    "q237_markov_eval" ->
+      s"""WITH ev AS (SELECT user_id, ts, event_id, event_type,
+         |    ${h60("'m' || CAST(user_id AS VARCHAR)")} % 4 AS sp
+         |  FROM events),
+         |mtr AS (SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+         |        > 1800 * 1000000 THEN 1
+         |      WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+         |      ELSE 0 END AS new_s
+         |  FROM ev WHERE sp <> 0
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |str AS (SELECT user_id, ts, event_id, event_type,
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS session_id
+         |  FROM mtr),
+         |ptr AS (SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id, session_id
+         |      ORDER BY ts, event_id) AS to_type
+         |  FROM str),
+         |ctr AS (SELECT from_type, to_type,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM ptr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |model AS (SELECT from_type, to_type AS pred FROM (
+         |  SELECT from_type, to_type, row_number() OVER (
+         |      PARTITION BY from_type ORDER BY n DESC, to_type) AS rn
+         |  FROM ctr) WHERE rn = 1),
+         |mte AS (SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+         |        > 1800 * 1000000 THEN 1
+         |      WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+         |      ELSE 0 END AS new_s
+         |  FROM ev WHERE sp = 0
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |ste AS (SELECT user_id, ts, event_id, event_type,
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS session_id
+         |  FROM mte),
+         |pte AS (SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id, session_id
+         |      ORDER BY ts, event_id) AS to_type
+         |  FROM ste),
+         |cte_ AS (SELECT from_type, to_type,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM pte WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT c.from_type, max(m.pred) AS pred,
+         |  CAST(sum(c.n) AS BIGINT) AS n_test,
+         |  CAST(sum(CASE WHEN c.to_type = m.pred THEN c.n ELSE 0 END)
+         |    AS BIGINT) AS n_correct,
+         |  CASE WHEN max(m.pred) IS NULL THEN NULL ELSE
+         |    CAST(round(CAST(
+         |      CAST(sum(CASE WHEN c.to_type = m.pred THEN c.n ELSE 0
+         |        END) AS DOUBLE) / CAST(sum(c.n) AS DOUBLE)
+         |      AS DECIMAL(20,10)), 4) AS DOUBLE) END AS accuracy
+         |FROM cte_ c LEFT JOIN model m ON m.from_type = c.from_type
+         |GROUP BY 1""".stripMargin,
 
     // Same exact-moment σ, ×1e6 weight snap + integer micro-share
     // largest-remainder split, same md5 bottom-alloc draw.
