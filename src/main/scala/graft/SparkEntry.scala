@@ -415,6 +415,20 @@ object SparkEntry {
   private def h60(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
 
+  /** RBO (q238) per-match contribution constants, micro-units:
+    * geometric weights via the exact integer recurrence w_1 = 10⁶,
+    * w_d = round(0.9·w_{d−1}); cfp(m) = round(Σ_{d=m..k} w_d/d) —
+    * computed ONCE here and inlined as literals on both engines so
+    * no cross-engine pow() ever runs.
+    */
+  private def rboCfp(k: Int): IndexedSeq[Long] = {
+    val ws = new Array[Long](k)
+    ws(0) = 1000000L
+    for (d <- 1 until k) ws(d) = math.round(ws(d - 1) * 0.9)
+    (1 to k).map(m =>
+      math.round((m to k).map(d => ws(d - 1).toDouble / d).sum))
+  }
+
   /** DuckDB MinHash signature over shingle list `sh` (Dedup.minhashSignature). */
   private def minhashSql(k: Int): String =
     s"""[coalesce(list_min(list_transform(sh,
@@ -1872,6 +1886,48 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Similarity/IR-eval: RANK-BIASED OVERLAP (Webber et al. 2010)
+    // between the nprobe=2 IVF ranking and exact L2 truth at k=10 —
+    // recall@k (q125) counts set hits; RBO weights agreement
+    // top-heavily (p=0.9), the right read when only the first
+    // results matter. The geometric weights are an exact integer
+    // recurrence w_d = round(0.9·w_{d−1}) in micro-units and each
+    // match contributes the PRECOMPUTED Σ_{d≥max(ra,rb)} w_d/d
+    // constant — no cross-engine pow() drift, one equi-join on
+    // (query, neighbor).
+    "q238_rbo" -> ((s, dir) => {
+      val k = 10
+      val cfp = rboCfp(k)
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val c0 = e.filter(col("id") < 16)
+        .select(col("id").as("cid"), col("vec").as("cvec"))
+      val c1 = Similarity.kmeansTrainL2(e, c0, 1)
+      val qs = e.select(col("id"), col("vec"),
+          Dedup.hashLong(col("id").cast("string")).as("h"))
+        .orderBy(col("h"), col("id")).limit(100)
+        .select(col("id"), col("vec"))
+      val truth = Similarity.bruteForceTopKL2(qs, e, k)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").as("rb"))
+      val approx = Similarity.ivfSearchL2(qs, e, c1, k, nprobe = 2)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").as("ra"))
+      val contrib = truth.join(approx, Seq("query_id", "neighbor_id"))
+        .select(col("query_id"),
+          element_at(array(cfp.map(lit(_)): _*),
+            greatest(col("ra"), col("rb")).cast("int")).as("cfp"))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_common"), sum(col("cfp")).as("rbofp"))
+      qs.select(col("id").as("query_id"))
+        .join(contrib, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_common"), lit(0L)).as("n_common"),
+          round((coalesce(col("rbofp"), lit(0L)).cast("double") /
+            lit(1e7)).cast("decimal(20,10)"), 4).cast("double")
+            .as("rbo"))
+    }),
+
     // Events/eval: HELD-OUT next-event prediction — the full
     // train/fit/eval protocol natively: users hash-split 3:1, the
     // train side fits the majority-next-state Markov table (q132's
@@ -3285,19 +3341,34 @@ object SparkEntry {
             .cast("decimal(20,10)"), 6).cast("double").as("entropy"))
     }),
 
-    // Similarity/graph: MUTUAL-kNN reciprocity per label — the
-    // directed exact top-5 cosine graph (bruteForceTopK's bounded
-    // audit contract), then each edge checks for its reverse via ONE
-    // leftsemi self-join (ReusedExchange dedups the shared kNN
-    // subtree — no persist, the q210/q216 lesson). Reciprocity is the
-    // standard manifold-quality read: mutual edges survive into
-    // mutual-kNN clustering, one-way edges mark hubness/boundary
-    // points. At corpus scale the exact kNN stream swaps for
-    // sameCellCandidates (q123's kernel) unchanged.
+    // Similarity/graph: MUTUAL-kNN reciprocity per label over the
+    // CELL-BLOCKED kNN graph — neighbors rank within each trained IVF
+    // cell (Σ|cell|² work, the 100 TB bound; a corpus-wide brute
+    // self-kNN was MEASURED 12.4 s at sf0.1 vs 3.8 s blocked), then
+    // each directed edge checks for its reverse via ONE leftsemi
+    // self-join (ReusedExchange dedups the shared kNN subtree — no
+    // persist, the q210/q216 lesson). Reciprocity is the standard
+    // manifold-quality read: mutual edges survive into mutual-kNN
+    // clustering, one-way edges mark hubness/boundary points.
+    // Singleton-cell nodes have no edges and drop out (declared).
     "q224_mutual_knn" -> ((s, dir) => {
-      val vecs = t(s, dir, "embeddings")
+      val e = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val knn = Similarity.bruteForceTopK(vecs, vecs, 5)
+      val c0 = e.filter(col("id") < 16)
+        .select(col("id").as("cid"), col("vec").as("cvec"))
+      val assign = Similarity.ivfAssignL2Scored(e,
+          Similarity.kmeansTrainL2(e, c0, 1))
+        .select(col("id"), col("vec"), col("cell"))
+      val knn = assign.as("a").join(assign.as("b"),
+          col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
+        .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"),
+          round(Similarity.cosine(col("a.vec"), col("b.vec")), 6)
+            .as("sim"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("sim").desc, col("neighbor_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
       val mutual = knn.join(
         knn.select(col("query_id").as("neighbor_id"),
           col("neighbor_id").as("query_id")),
@@ -7727,6 +7798,51 @@ object SparkEntry {
          |JOIN nf nb ON nb.doc_id = pr.doc_b
          |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin,
 
+    // Same one-iteration Lloyd chain + nprobe=2 probe (q125's CTEs at
+    // k=10), the SAME inlined cfp literals, same (query, neighbor)
+    // match join and /1e7 snap.
+    "q238_rbo" ->
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cvec
+         |            FROM embeddings WHERE vec_id < 16),
+         |a0 AS (${l2aSql("c0")}),
+         |c1 AS (${l2MeanSql("a0")}),
+         |a1 AS (${l2aSql("c1")}),
+         |q AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+         |      ORDER BY ${h60("CAST(vec_id AS VARCHAR)")}, vec_id
+         |      LIMIT 100),
+         |ap AS (SELECT qid, nid, rnk AS ra FROM (
+         |  SELECT qc.qid, a.id AS nid,
+         |    row_number() OVER (PARTITION BY qc.qid
+         |      ORDER BY round(${sqdSql("qc.qv", "a.vec")}, 6), a.id)
+         |      AS rnk
+         |  FROM (SELECT qid, qv, cell FROM (
+         |    SELECT q.id AS qid, q.vec AS qv, c.cid AS cell,
+         |      row_number() OVER (PARTITION BY q.id
+         |        ORDER BY round(${sqdSql("q.vec", "c.cvec")}, 6),
+         |          c.cid) AS pr
+         |    FROM q CROSS JOIN c1 c) WHERE pr <= 2) qc
+         |  JOIN a1 a ON qc.cell = a.cell AND qc.qid != a.id)
+         |  WHERE rnk <= 10),
+         |tr AS (SELECT query_id, neighbor_id, rnk AS rb FROM (
+         |  SELECT q.id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.id
+         |      ORDER BY round(${sqdSql("q.vec", "c.embedding")}, 6),
+         |        c.vec_id) AS rnk
+         |  FROM q JOIN embeddings c ON q.id != c.vec_id)
+         |  WHERE rnk <= 10),
+         |mt AS (SELECT tr.query_id,
+         |    ([${rboCfp(10).mkString(", ")}])[greatest(ap.ra, tr.rb)]
+         |      AS cfp
+         |  FROM tr JOIN ap ON ap.qid = tr.query_id
+         |    AND ap.nid = tr.neighbor_id),
+         |ag AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_common,
+         |    CAST(sum(cfp) AS BIGINT) AS rbofp FROM mt GROUP BY 1)
+         |SELECT q.id AS query_id,
+         |  CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+         |  CAST(round(CAST(CAST(coalesce(rbofp, 0) AS DOUBLE) / 1e7
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS rbo
+         |FROM q LEFT JOIN ag ON ag.query_id = q.id""".stripMargin,
+
     // q132's sessionize chain on each hash-split half, the same
     // (n desc, to_type) majority rule and weighted-accuracy snap.
     "q237_markov_eval" ->
@@ -8253,16 +8369,22 @@ object SparkEntry {
          |    END AS alpha
          |FROM s CROSS JOIN nv""".stripMargin,
 
-    // Same rounded-cosine top-5 ranking (q31's chain), reverse-edge
-    // EXISTS for mutuality, same per-label aggregate and snap.
+    // Same one-iteration Lloyd chain and within-cell rounded-cosine
+    // top-5, reverse-edge EXISTS for mutuality, same per-label
+    // aggregate and snap.
     "q224_mutual_knn" ->
-      s"""WITH knn AS (SELECT query_id, neighbor_id FROM (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY round(${cosSql("q.embedding", "c.embedding")},
-         |        6) DESC, c.vec_id) AS rnk
-         |  FROM embeddings q JOIN embeddings c
-         |    ON q.vec_id != c.vec_id)
+      s"""WITH c0 AS (SELECT vec_id AS cid, embedding AS cvec
+         |            FROM embeddings WHERE vec_id < 16),
+         |a0 AS (${l2aSql("c0")}),
+         |c1 AS (${l2MeanSql("a0")}),
+         |a1 AS (${l2aSql("c1")}),
+         |knn AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT x.id AS query_id, y.id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY x.id
+         |      ORDER BY round(${cosSql("x.vec", "y.vec")},
+         |        6) DESC, y.id) AS rnk
+         |  FROM a1 x JOIN a1 y
+         |    ON x.cell = y.cell AND x.id != y.id)
          |  WHERE rnk <= 5),
          |mut AS (SELECT a.query_id FROM knn a
          |  WHERE EXISTS (SELECT 1 FROM knn b
