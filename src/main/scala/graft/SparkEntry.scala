@@ -1886,6 +1886,16 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Sampling/curation: GREEDY SET COVER — which 3 sources together
+    // buy the most 3-shingle vocabulary? The classic 1−1/e
+    // maximum-coverage greedy, driver-coordinated over 3 single-row
+    // argmax rounds (anti-join against the covered set each round);
+    // the answer to "we can only license/ingest k sources — which".
+    "q239_set_cover" -> ((s, dir) =>
+      Sampling.greedySetCover(t(s, dir, "documents"), col("source"),
+          Text.wordShingles(Text.tokens(col("text")), 3), 3)
+        .withColumnRenamed("grp", "source")),
+
     // Similarity/IR-eval: RANK-BIASED OVERLAP (Webber et al. 2010)
     // between the nprobe=2 IVF ranking and exact L2 truth at k=10 —
     // recall@k (q125) counts set hits; RBO weights agreement
@@ -7797,6 +7807,45 @@ object SparkEntry {
          |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
          |JOIN nf nb ON nb.doc_id = pr.doc_b
          |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    // Three unrolled greedy rounds: same (count desc, src) argmax,
+    // same anti-membership against the covered set, same 4dp share.
+    "q239_set_cover" ->
+      s"""WITH tk AS (SELECT source AS src, $tokSql AS tk
+         |  FROM documents),
+         |sv AS (SELECT DISTINCT src, sh FROM (
+         |  SELECT src, unnest(CASE WHEN len(tk) < 3
+         |    THEN CAST([] AS VARCHAR[]) ELSE $shingleSql END) AS sh
+         |  FROM tk)),
+         |tot AS (SELECT CAST(count(DISTINCT sh) AS BIGINT) AS tot
+         |  FROM sv),
+         |c1 AS (SELECT src, CAST(count(*) AS BIGINT) AS c
+         |  FROM sv GROUP BY 1),
+         |r1 AS (SELECT src, c FROM c1 ORDER BY c DESC, src LIMIT 1),
+         |cov1 AS (SELECT DISTINCT sh FROM sv
+         |  WHERE src IN (SELECT src FROM r1)),
+         |c2 AS (SELECT src, CAST(count(*) AS BIGINT) AS c FROM sv
+         |  WHERE src NOT IN (SELECT src FROM r1)
+         |    AND sh NOT IN (SELECT sh FROM cov1) GROUP BY 1),
+         |r2 AS (SELECT src, c FROM c2 ORDER BY c DESC, src LIMIT 1),
+         |cov2 AS (SELECT DISTINCT sh FROM sv
+         |  WHERE src IN (SELECT src FROM r1 UNION ALL
+         |    SELECT src FROM r2)),
+         |c3 AS (SELECT src, CAST(count(*) AS BIGINT) AS c FROM sv
+         |  WHERE src NOT IN (SELECT src FROM r1 UNION ALL
+         |      SELECT src FROM r2)
+         |    AND sh NOT IN (SELECT sh FROM cov2) GROUP BY 1),
+         |r3 AS (SELECT src, c FROM c3 ORDER BY c DESC, src LIMIT 1),
+         |sel AS (SELECT 1 AS rnd, src, c FROM r1
+         |  UNION ALL SELECT 2, src, c FROM r2
+         |  UNION ALL SELECT 3, src, c FROM r3)
+         |SELECT CAST(rnd AS INT) AS "round", src AS source,
+         |  c AS n_new,
+         |  CAST(sum(c) OVER (ORDER BY rnd) AS BIGINT) AS n_cum,
+         |  CAST(round(CAST(CAST(sum(c) OVER (ORDER BY rnd) AS DOUBLE)
+         |    / CAST(tot AS DOUBLE) AS DECIMAL(20,10)), 4) AS DOUBLE)
+         |    AS coverage
+         |FROM sel CROSS JOIN tot""".stripMargin,
 
     // Same one-iteration Lloyd chain + nprobe=2 probe (q125's CTEs at
     // k=10), the SAME inlined cfp literals, same (query, neighbor)

@@ -360,6 +360,50 @@ object Sampling {
         max(col("__v")).as("max_c"))
   }
 
+  /** GREEDY SET COVER for source selection — pick `k` groups that
+    * together cover the most distinct units (vocabulary, domains,
+    * n-grams): each round takes the group adding the most UNCOVERED
+    * units (the classic 1−1/e-approximate maximum-coverage greedy) —
+    * the data-selection read "which 3 sources buy the most
+    * vocabulary". Driver-coordinated k-round loop (the bpeLearnMerges
+    * / power-iteration precedent): per round ONE anti-join +
+    * aggregate + single-row argmax collect; the distinct (group,
+    * unit) table persists across the k+1 actions (the documented
+    * legit cross-ACTION persist). Groups adding zero new units are
+    * never picked (their empty aggregate drops out) — rounds can end
+    * early. Output one row per pick: (round, grp, n_new, n_cum,
+    * coverage vs the full unit universe, 4dp).
+    */
+  def greedySetCover(df: DataFrame, group: Column, units: Column,
+                     k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = df.sparkSession
+    val sv = df.select(group.cast("string").as("grp"),
+      explode(units).as("u")).distinct().persist()
+    val tot = sv.select(col("u")).distinct().count()
+    val chosen = scala.collection.mutable.ArrayBuffer[(Int, String, Long)]()
+    for (r <- 1 to k) {
+      val names = chosen.map(_._2).toSeq
+      val inChosen =
+        if (names.isEmpty) lit(false) else col("grp").isin(names: _*)
+      val covered = sv.filter(inChosen).select(col("u")).distinct()
+      val best = sv.filter(!inChosen)
+        .join(covered, Seq("u"), "left_anti")
+        .groupBy(col("grp")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("grp"))
+        .limit(1).collect()
+      if (best.nonEmpty)
+        chosen += ((r, best(0).getString(0), best(0).getLong(1)))
+    }
+    val cums = chosen.scanLeft(0L)(_ + _._3).tail
+    val rows = chosen.zip(cums).map { case ((r, g, n), c) => (r, g, n, c) }
+    import spark.implicits._
+    rows.toSeq.toDF("round", "grp", "n_new", "n_cum")
+      .withColumn("coverage",
+        round((col("n_cum").cast("double") / lit(tot.toDouble))
+          .cast("decimal(20,10)"), 4).cast("double"))
+  }
+
   /** NEYMAN-ALLOCATED stratified sample — the design-optimal budget
     * split n_h ∝ N_h·σ_h (minimum-variance estimate of the stratified
     * mean at a fixed total budget; proportional allocation wastes

@@ -242,6 +242,21 @@ class SamplingPackSpec extends SparkSpec {
       s"full-sample split must be exactly balanced: ${eq.mkString(",")}")
   }
 
+  test("greedySetCover: textbook greedy picks, zero-gain groups are " +
+    "never picked and rounds end early") {
+    val rows = Seq(
+      ("a", Seq("1", "2", "3", "4")),
+      ("b", Seq("3", "4", "5")),
+      ("c", Seq("5", "6")))
+    val r = Sampling.greedySetCover(rows.toDF("g", "us"), $"g", $"us", 3)
+      .as[(Int, String, Long, Long, Double)].collect().sortBy(_._1)
+    // r1: a covers 4; r2: c adds {5,6}=2 (beats b's {5}=1);
+    // r3: b adds nothing -> dropped, only 2 rows
+    assert(r.length == 2, s"got ${r.mkString(",")}")
+    assert(r(0) == ((1, "a", 4L, 4L, 0.6667)))
+    assert(r(1) == ((2, "c", 2L, 6L, 1.0)))
+  }
+
   test("neymanAllocation: budget follows N_h*sigma_h — a zero-variance " +
     "stratum draws nothing while the varying one takes the budget") {
     val rows = (1 to 10).map(i => ("a", 100L, s"a$i")) ++
