@@ -1886,6 +1886,51 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Text/dedup: WINNOWING SPAN ALIGNMENT — q221 finds WHICH pairs
+    // overlap; this finds WHERE: matched fingerprint positions vote
+    // on the positional offset pos_a − pos_b, and the modal offset
+    // with its support is the alignment a span-level dedup/quote
+    // detector acts on (a high aligned_share means one contiguous
+    // lifted span, a flat vote means scattered boilerplate). Same
+    // df ≤ 16 guard; only the top-10 pairs (≥ 3 shared) align.
+    "q240_winnow_align" -> ((s, dir) => {
+      val fps = Text.winnowingFingerprints(t(s, dir, "documents"),
+        col("doc_id"), col("text"), 4, 4)
+      val fph = fps.select(col("id"), col("h")).distinct()
+      val hOk = fph.groupBy(col("h")).agg(count(lit(1)).as("dfh"))
+        .filter(col("dfh") <= 16).select(col("h"))
+      val kept = fph.join(hOk, "h")
+      val pairs = kept.as("a")
+        .join(kept.as("b"), col("a.h") === col("b.h") &&
+          col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+        .limit(10)
+      val fpsOk = fps.join(hOk, "h")
+      val votes = broadcast(pairs)
+        .join(fpsOk.as("x"), col("x.id") === col("doc_a"))
+        .join(fpsOk.as("y"), col("y.id") === col("doc_b") &&
+          col("x.h") === col("y.h"))
+        .groupBy(col("doc_a"), col("doc_b"), col("n_shared"),
+          (col("x.fpos") - col("y.fpos")).as("d"))
+        .agg(count(lit(1)).as("nv"))
+      votes
+        .withColumn("n_matches", sum(col("nv")).over(
+          Window.partitionBy(col("doc_a"), col("doc_b"))))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_a"), col("doc_b"))
+            .orderBy(col("nv").desc, col("d"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          col("n_matches"), col("d").as("offset_mode"),
+          col("nv").as("offset_support"),
+          round((col("nv").cast("double") /
+            col("n_matches").cast("double")).cast("decimal(20,10)"), 4)
+            .cast("double").as("aligned_share"))
+    }),
+
     // Sampling/curation: GREEDY SET COVER — which 3 sources together
     // buy the most 3-shingle vocabulary? The classic 1−1/e
     // maximum-coverage greedy, driver-coordinated over 3 single-row
@@ -7807,6 +7852,57 @@ object SparkEntry {
          |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
          |JOIN nf nb ON nb.doc_id = pr.doc_b
          |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    // q221's winnowing chain with the selected POSITION kept, the
+    // same df guard and pair cut, then the (nv desc, d) modal vote.
+    "q240_winnow_align" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |gr AS (SELECT doc_id, r['p'] AS pos,
+         |    ${h60("r['g']")} AS h FROM (
+         |  SELECT doc_id, unnest([{'p': i,
+         |      'g': array_to_string(tk[i+1:i+4], ' ')}
+         |      for i in range(0, len(tk) - 3)]) AS r FROM tk)),
+         |n AS (SELECT doc_id, count(*) AS n FROM gr GROUP BY 1),
+         |st AS (SELECT gr.doc_id, gr.pos AS ws
+         |  FROM gr JOIN n USING (doc_id)
+         |  WHERE gr.pos <= n.n - 4 OR (n.n < 4 AND gr.pos = 0)),
+         |sel AS (SELECT doc_id, h, pos FROM (
+         |  SELECT st.doc_id, g2.h, g2.pos,
+         |    row_number() OVER (PARTITION BY st.doc_id, st.ws
+         |      ORDER BY g2.h ASC, g2.pos DESC) AS rn
+         |  FROM st JOIN gr g2 ON g2.doc_id = st.doc_id
+         |    AND g2.pos BETWEEN st.ws AND st.ws + 3)
+         |  WHERE rn = 1),
+         |fpp AS (SELECT DISTINCT doc_id, h, pos FROM sel),
+         |fp AS (SELECT DISTINCT doc_id, h FROM fpp),
+         |hok AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 16),
+         |pr AS (SELECT doc_a, doc_b, n_shared FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM fp a JOIN hok USING (h) JOIN fp b USING (h)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |  WHERE n_shared >= 3
+         |  ORDER BY n_shared DESC, doc_a, doc_b LIMIT 10),
+         |vt AS (SELECT pr.doc_a, pr.doc_b, pr.n_shared,
+         |    x.pos - y.pos AS d, CAST(count(*) AS BIGINT) AS nv
+         |  FROM pr
+         |  JOIN (SELECT fpp.* FROM fpp JOIN hok USING (h)) x
+         |    ON x.doc_id = pr.doc_a
+         |  JOIN (SELECT fpp.* FROM fpp JOIN hok USING (h)) y
+         |    ON y.doc_id = pr.doc_b AND y.h = x.h
+         |  GROUP BY 1, 2, 3, 4),
+         |mx AS (SELECT doc_a, doc_b, n_shared, d, nv,
+         |    CAST(sum(nv) OVER (PARTITION BY doc_a, doc_b) AS BIGINT)
+         |      AS n_matches,
+         |    row_number() OVER (PARTITION BY doc_a, doc_b
+         |      ORDER BY nv DESC, d) AS rn
+         |  FROM vt)
+         |SELECT doc_a, doc_b, n_shared, n_matches,
+         |  CAST(d AS INT) AS offset_mode, nv AS offset_support,
+         |  CAST(round(CAST(CAST(nv AS DOUBLE)
+         |    / CAST(n_matches AS DOUBLE) AS DECIMAL(20,10)), 4)
+         |    AS DOUBLE) AS aligned_share
+         |FROM mx WHERE rn = 1""".stripMargin,
 
     // Three unrolled greedy rounds: same (count desc, src) argmax,
     // same anti-membership against the covered set, same 4dp share.
