@@ -1886,6 +1886,42 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Text/stats: GOOD–TURING unseen-mass estimate per source — the
+    // missing-species read Heaps' fit (q220) approaches from growth:
+    // P(next unit is NEW) ≈ n₁/N from the singleton count, plus the
+    // discounted r*(1) = 2·n₂/n₁ that a smoothed LM would assign
+    // singletons. Units are word 3-gram OCCURRENCES (positional, not
+    // per-doc-distinct — GT is an occurrence-count statistic; the
+    // 31-token synthetic vocabulary has no singletons). Two hash
+    // aggregates: unit counts, then count-of-counts; exact integer
+    // ratios snapped 4dp.
+    "q241_good_turing" -> ((s, dir) => {
+      val grams = Cols.bound(Text.tokens(col("text"))) { tk =>
+        when(size(tk) < 3, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(tk) - 2),
+            i => concat_ws(" ", element_at(tk, i),
+              element_at(tk, i + 1), element_at(tk, i + 2))))
+      }
+      val units = t(s, dir, "documents")
+        .select(col("source"), explode(grams).as("u"))
+      val vf = units.groupBy(col("source"), col("u"))
+        .agg(count(lit(1)).as("r"))
+      def snap4(num: Column, den: Column): Column =
+        round((num.cast("double") / den.cast("double"))
+          .cast("decimal(20,10)"), 4).cast("double")
+      vf.groupBy(col("source"))
+        .agg(sum(col("r")).as("n_units"),
+          count(lit(1)).as("vocab"),
+          sum(when(col("r") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("r") === 2, 1L).otherwise(0L)).as("n2"))
+        .select(col("source"), col("n_units"), col("vocab"),
+          col("n1"), col("n2"),
+          snap4(col("n1"), col("n_units")).as("p_unseen"),
+          when(col("n1") === 0, lit(null))
+            .otherwise(snap4(col("n2") * 2, col("n1")))
+            .as("r_star_1"))
+    }),
+
     // Text/dedup: WINNOWING SPAN ALIGNMENT — q221 finds WHICH pairs
     // overlap; this finds WHERE: matched fingerprint positions vote
     // on the positional offset pos_a − pos_b, and the modal offset
@@ -7852,6 +7888,34 @@ object SparkEntry {
          |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
          |JOIN nf nb ON nb.doc_id = pr.doc_b
          |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    // Same positional (non-distinct) 3-gram stream, the same two
+    // aggregates and exact-ratio snaps.
+    "q241_good_turing" ->
+      s"""WITH tk AS (SELECT source, $tokSql AS tk FROM documents),
+         |un AS (SELECT source, unnest(CASE WHEN len(tk) < 3
+         |    THEN CAST([] AS VARCHAR[])
+         |    ELSE [array_to_string(tk[i:i+2], ' ')
+         |      for i in range(1, len(tk) - 1)] END) AS u
+         |  FROM tk),
+         |vf AS (SELECT source, u, CAST(count(*) AS BIGINT) AS r
+         |  FROM un GROUP BY 1, 2),
+         |ag AS (SELECT source, CAST(sum(r) AS BIGINT) AS n_units,
+         |    CAST(count(*) AS BIGINT) AS vocab,
+         |    CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n1,
+         |    CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n2
+         |  FROM vf GROUP BY 1)
+         |SELECT source, n_units, vocab, n1, n2,
+         |  CAST(round(CAST(CAST(n1 AS DOUBLE)
+         |    / CAST(n_units AS DOUBLE) AS DECIMAL(20,10)), 4)
+         |    AS DOUBLE) AS p_unseen,
+         |  CASE WHEN n1 = 0 THEN NULL ELSE
+         |    CAST(round(CAST(CAST(n2 * 2 AS DOUBLE)
+         |      / CAST(n1 AS DOUBLE) AS DECIMAL(20,10)), 4) AS DOUBLE)
+         |    END AS r_star_1
+         |FROM ag""".stripMargin,
 
     // q221's winnowing chain with the selected POSITION kept, the
     // same df guard and pair cut, then the (nv desc, d) modal vote.
