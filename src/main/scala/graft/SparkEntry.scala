@@ -1886,6 +1886,36 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Systems/placement: CONSISTENT-HASHING ring audit — route every
+    // doc to 8 workers (32 vnodes each), then add a 9th and measure
+    // who moved: per worker its load share and the share of its keys
+    // that LEFT when w8 joined — the ≈1/9 stability property that
+    // justifies consistent hashing over mod-n for shard/cache
+    // placement. Ring tables broadcast; keys never meet keys.
+    "q242_consistent_hash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val w8 = (0 until 8).map(i => s"w$i")
+      val o8 = Skew.consistentHashOwners(docs, col("doc_id"), w8, 32)
+        .withColumnRenamed("owner", "o8")
+      val o9 = Skew.consistentHashOwners(docs, col("doc_id"),
+          w8 :+ "w8", 32)
+        .withColumnRenamed("owner", "o9")
+      val n = docs.agg(count(lit(1)).as("n_total"))
+      def snap4(num: Column, den: Column): Column =
+        round((num.cast("double") / den.cast("double"))
+          .cast("decimal(20,10)"), 4).cast("double")
+      o8.join(o9, "k")
+        .groupBy(col("o8").as("worker"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("o8") =!= col("o9"), 1L).otherwise(0L))
+            .as("n_moved_out"))
+        .crossJoin(broadcast(n))
+        .select(col("worker"), col("n_docs"),
+          snap4(col("n_docs"), col("n_total")).as("share"),
+          col("n_moved_out"),
+          snap4(col("n_moved_out"), col("n_docs")).as("moved_share"))
+    }),
+
     // Text/stats: GOOD–TURING unseen-mass estimate per source — the
     // missing-species read Heaps' fit (q220) approaches from growth:
     // P(next unit is NEW) ≈ n₁/N from the singleton count, plus the
@@ -7888,6 +7918,44 @@ object SparkEntry {
          |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
          |JOIN nf nb ON nb.doc_id = pr.doc_b
          |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    // Same md5 ring/key hashes, clockwise pick via the correlated
+    // (p, w)-ordered first point, same wrap rule and 4dp snaps.
+    "q242_consistent_hash" ->
+      s"""WITH r8 AS (SELECT 'w' || CAST(t.i AS VARCHAR) AS w,
+         |    ${h60("'ring:w' || CAST(t.i AS VARCHAR) || ':' || CAST(u.v AS VARCHAR)")}
+         |      AS p
+         |  FROM range(0, 8) t(i) CROSS JOIN range(0, 32) u(v)),
+         |r9 AS (SELECT 'w' || CAST(t.i AS VARCHAR) AS w,
+         |    ${h60("'ring:w' || CAST(t.i AS VARCHAR) || ':' || CAST(u.v AS VARCHAR)")}
+         |      AS p
+         |  FROM range(0, 9) t(i) CROSS JOIN range(0, 32) u(v)),
+         |dk AS (SELECT CAST(doc_id AS VARCHAR) AS k,
+         |    ${h60("'doc:' || CAST(doc_id AS VARCHAR)")} AS hd
+         |  FROM documents),
+         |o8 AS (SELECT k, coalesce(
+         |    (SELECT r.w FROM r8 r WHERE r.p >= d.hd
+         |     ORDER BY r.p, r.w LIMIT 1),
+         |    (SELECT w FROM r8 ORDER BY p, w LIMIT 1)) AS o8
+         |  FROM dk d),
+         |o9 AS (SELECT k, coalesce(
+         |    (SELECT r.w FROM r9 r WHERE r.p >= d.hd
+         |     ORDER BY r.p, r.w LIMIT 1),
+         |    (SELECT w FROM r9 ORDER BY p, w LIMIT 1)) AS o9
+         |  FROM dk d),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM dk)
+         |SELECT o8 AS worker, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(round(CAST(CAST(count(*) AS DOUBLE)
+         |    / CAST(n_total AS DOUBLE) AS DECIMAL(20,10)), 4)
+         |    AS DOUBLE) AS share,
+         |  CAST(sum(CASE WHEN o8 <> o9 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_moved_out,
+         |  CAST(round(CAST(
+         |    CAST(sum(CASE WHEN o8 <> o9 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS DECIMAL(20,10)), 4)
+         |    AS DOUBLE) AS moved_share
+         |FROM o8 JOIN o9 USING (k) CROSS JOIN nn
+         |GROUP BY o8, n_total""".stripMargin,
 
     // Same positional (non-distinct) 3-gram stream, the same two
     // aggregates and exact-ratio snaps.

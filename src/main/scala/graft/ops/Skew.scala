@@ -92,4 +92,39 @@ object Skew {
     if (salts <= 1) big.join(small, keys)
     else saltedJoin(big, small, keys, salts)
   }
+
+  /** CONSISTENT-HASHING owner assignment — the shard-placement
+    * primitive behind stable routing: `vnodes` virtual points per
+    * worker land on the 60-bit md5 ring, every key routes to the
+    * first point clockwise (≥ its own hash, wrapping to the ring
+    * minimum). The property a placement audit checks: adding one
+    * worker moves only ~1/(n+1) of the keys, vs ~all under plain
+    * mod-n. Deterministic — no RNG, identical on any engine.
+    *
+    * Shape: the ring is a workers×vnodes CONSTANT table that
+    * broadcasts; each key meets only the ring (never another key),
+    * and the clockwise pick is a lexicographic (point, worker)
+    * struct-min per key. Output: (k, owner).
+    */
+  def consistentHashOwners(df: DataFrame, key: Column,
+                           workers: Seq[String], vnodes: Int): DataFrame = {
+    require(workers.nonEmpty && vnodes >= 1, "need workers and vnodes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ring = workers.flatMap(w => (0 until vnodes).map(v => (w, v)))
+      .toDF("w", "v")
+      .select(col("w"), Dedup.hashLong(concat(lit("ring:"), col("w"),
+        lit(":"), col("v").cast("string"))).as("p"))
+    val wrap = ring.agg(
+      min_by(col("w"), struct(col("p"), col("w"))).as("w0"))
+    val keyed = df.select(key.cast("string").as("k"))
+      .withColumn("hd", Dedup.hashLong(concat(lit("doc:"), col("k"))))
+    val owned = keyed.join(broadcast(ring), col("p") >= col("hd"))
+      .groupBy(col("k"))
+      .agg(min(struct(col("p"), col("w"))).as("sel"))
+      .select(col("k"), col("sel.w").as("owner"))
+    keyed.select(col("k")).join(owned, Seq("k"), "left")
+      .crossJoin(broadcast(wrap))
+      .select(col("k"), coalesce(col("owner"), col("w0")).as("owner"))
+  }
 }

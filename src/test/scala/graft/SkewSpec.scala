@@ -70,4 +70,23 @@ class SkewSpec extends SparkSpec {
       assert(auto == direct)
     }
   }
+
+  test("consistentHashOwners: every key owned, and adding a worker " +
+    "only ever moves keys TO the new worker (the ring property)") {
+    import spark.implicits._
+    val keys = (1 to 500).map(_.toLong).toDF("id")
+    val w = (0 until 8).map(i => s"w$i")
+    val o8 = Skew.consistentHashOwners(keys, $"id", w, 32)
+      .withColumnRenamed("owner", "o8")
+    val o9 = Skew.consistentHashOwners(keys, $"id", w :+ "w8", 32)
+      .withColumnRenamed("owner", "o9")
+    val j = o8.join(o9, "k").as[(String, String, String)].collect()
+    assert(j.length == 500 && j.forall(r => r._2 != null && r._3 != null))
+    val moved = j.filter(r => r._2 != r._3)
+    assert(moved.nonEmpty && moved.forall(_._3 == "w8"),
+      s"moved keys must land on the new worker only: ${moved.take(3).mkString(",")}")
+    // ~1/9 expected; generous band
+    assert(moved.length > 10 && moved.length < 200,
+      s"moved=${moved.length}")
+  }
 }
