@@ -1886,6 +1886,34 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Sampling/curation: CURRICULUM INTERLEAVE — a global training
+    // order where consecutive positions round-robin across the three
+    // length tiers (every mini-batch sees every tier), shuffled
+    // within tier by hash: order = in-tier-rank·3 + tier. The in-tier
+    // rank rides the GROUPED two-level prefix kernel on the hash
+    // domain — no global sort and no data-sized window partition
+    // anywhere; the final cut is a TakeOrdered head. The "stream
+    // diverse batches without a shuffle pass per epoch" primitive.
+    "q243_curriculum_interleave" -> ((s, dir) => {
+      val rated = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("n_chars") < 250, 0L).when(col("n_chars") < 400, 1L)
+            .otherwise(2L).as("tier"),
+          Dedup.hashLong(concat(lit("c"),
+            col("doc_id").cast("string"))).as("h"))
+      val byV = rated.groupBy(col("tier"), col("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val rk = Ranks.withRunningBelowBy(byV, "tier", "h",
+        1000000000000000L, Seq("cnt"))
+      rated.join(rk, Seq("tier", "h"))
+        .withColumn("rwithin", row_number().over(
+          Window.partitionBy(col("tier"), col("h"))
+            .orderBy(col("doc_id"))))
+        .select(((col("cnt_below") + col("rwithin") - 1) * 3 +
+          col("tier")).as("order_idx"), col("doc_id"), col("tier"))
+        .orderBy(col("order_idx")).limit(30)
+    }),
+
     // Systems/placement: CONSISTENT-HASHING ring audit — route every
     // doc to 8 workers (32 vnodes each), then add a 9th and measure
     // who moved: per worker its load share and the share of its keys
@@ -7918,6 +7946,20 @@ object SparkEntry {
          |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
          |JOIN nf nb ON nb.doc_id = pr.doc_b
          |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    // Same tier thresholds and hash shuffle; in-tier rank as one
+    // (h, doc_id)-ordered row_number, same interleave arithmetic.
+    "q243_curriculum_interleave" ->
+      s"""WITH rt AS (SELECT doc_id,
+         |    CASE WHEN n_chars < 250 THEN 0 WHEN n_chars < 400 THEN 1
+         |      ELSE 2 END AS tier,
+         |    ${h60("'c' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents)
+         |SELECT CAST((row_number() OVER (PARTITION BY tier
+         |    ORDER BY h, doc_id) - 1) * 3 + tier AS BIGINT)
+         |    AS order_idx,
+         |  doc_id, CAST(tier AS BIGINT) AS tier
+         |FROM rt ORDER BY order_idx LIMIT 30""".stripMargin,
 
     // Same md5 ring/key hashes, clockwise pick via the correlated
     // (p, w)-ordered first point, same wrap rule and 4dp snaps.
