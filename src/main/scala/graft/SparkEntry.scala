@@ -1886,6 +1886,18 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Stats: MANN–WHITNEY U, each source's doc-length distribution vs
+    // the rest of the pool — the nonparametric location-shift screen
+    // beside the KS shape test. Exact tie-corrected midrank algebra on
+    // the distinct length domain (two-level prefix kernel, one
+    // (source, length) hash aggregate — never the n² pairs U is
+    // defined over); z and the rank-biserial effect size snap from
+    // exact DECIMAL(38,0) integers through one division + sqrt.
+    "q244_mann_whitney" -> ((s, dir) =>
+      Profile.mannWhitneyVsRest(t(s, dir, "documents"),
+          col("source"), col("n_chars"))
+        .withColumnRenamed("g", "source")),
+
     // Sampling/curation: CURRICULUM INTERLEAVE — a global training
     // order where consecutive positions round-robin across the three
     // length tiers (every mini-batch sees every tier), shuffled
@@ -7946,6 +7958,45 @@ object SparkEntry {
          |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
          |JOIN nf nb ON nb.doc_id = pr.doc_b
          |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    // Same exact midrank algebra: exclusive running pooled count as a
+    // plain window over the distinct value domain (the oracle may sort
+    // it globally — it is the engine that must not), tie term and
+    // variance in HUGEINT, identical one-division-one-sqrt z shape.
+    "q244_mann_whitney" ->
+      """WITH gv AS (SELECT source AS g, n_chars AS v,
+        |    CAST(count(*) AS BIGINT) AS n_gv
+        |  FROM documents GROUP BY 1, 2),
+        |bv AS (SELECT v, CAST(sum(n_gv) AS BIGINT) AS n_v
+        |  FROM gv GROUP BY 1),
+        |bl AS (SELECT v, n_v, CAST(coalesce(sum(n_v) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS n_v_below FROM bv),
+        |tot AS (SELECT CAST(sum(n_v) AS BIGINT) AS n_tot,
+        |    sum(CAST(n_v AS HUGEINT) * n_v * n_v - n_v) AS tie_t
+        |  FROM bv),
+        |r AS (SELECT g, CAST(sum(n_gv) AS BIGINT) AS n_g,
+        |    sum(CAST(n_gv AS HUGEINT) * (2 * n_v_below + n_v + 1)) AS r2
+        |  FROM gv JOIN bl USING (v) GROUP BY 1),
+        |x AS (SELECT g, n_g, n_tot - n_g AS n_o,
+        |    CAST(r2 - CAST(n_g AS HUGEINT) * (n_g + 1) AS BIGINT) AS u2,
+        |    CAST(n_g AS HUGEINT) * (n_tot - n_g) *
+        |      (CAST(n_tot + 1 AS HUGEINT) * n_tot * (n_tot - 1) - tie_t)
+        |      AS var_num,
+        |    CAST(n_tot AS HUGEINT) * (n_tot - 1) * 12 AS var_den
+        |  FROM r CROSS JOIN tot)
+        |SELECT g AS source, n_g, u2,
+        |  CASE WHEN n_o = 0 OR var_num = 0 THEN NULL ELSE
+        |    CAST(round(CAST(
+        |      CAST(u2 - CAST(n_g AS HUGEINT) * n_o AS DOUBLE) /
+        |      (sqrt(CAST(var_num AS DOUBLE) / CAST(var_den AS DOUBLE))
+        |        * 2.0) AS DECIMAL(20,10)), 4) AS DOUBLE) END AS z,
+        |  CASE WHEN n_o = 0 THEN NULL ELSE
+        |    CAST(round(CAST(
+        |      CAST(u2 - CAST(n_g AS HUGEINT) * n_o AS DOUBLE) /
+        |      CAST(CAST(n_g AS HUGEINT) * n_o AS DOUBLE)
+        |      AS DECIMAL(20,10)), 4) AS DOUBLE) END AS r_rb
+        |FROM x""".stripMargin,
 
     // Same tier thresholds and hash shuffle; in-tier rank as one
     // (h, doc_id)-ordered row_number, same interleave arithmetic.

@@ -1050,4 +1050,64 @@ object Profile {
           (col("n") - col("i")).cast("double") / lit(100.0))
           .cast("decimal(20,10)"), 2).cast("double").as("mean_right"))
   }
+
+  /** MANN–WHITNEY U rank-sum test, each group vs THE REST of the pool —
+    * the nonparametric "is this source's length/score distribution
+    * shifted?" screen that doesn't assume normality (the KS statistic's
+    * location-sensitive companion; together they cover shift and shape).
+    *
+    * Exact midrank algebra on the DISTINCT value domain: per distinct
+    * value v, below(v) = pooled count strictly below (the two-level
+    * prefix kernel — never a data-sized single-partition window), so a
+    * group's doubled rank-sum is 2R_g = Σ_v n_gv·(2·below(v)+n_v+1),
+    * an exact integer. U follows as 2U = 2R_g − n_g(n_g+1); the
+    * tie-corrected variance Var(U) = n1·n2·((N+1)·N(N−1) − Σ(t³−t)) /
+    * (12·N(N−1)) stays in DECIMAL(38,0) (N³·n1·n2 overflows a long at
+    * ~10⁵ rows) until the ONE division + sqrt that z needs; the
+    * rank-biserial effect size 2U/(n1n2) − 1 is a snapped exact
+    * rational. Work: one (group, value) hash aggregate — never the n²
+    * pairs the U statistic is defined over — plus the distinct-value
+    * prefix pass; the per-group tail is a broadcast-sized join.
+    */
+  def mannWhitneyVsRest(df: DataFrame, group: Column, value: Column,
+                        bucketWidth: Long = 64L): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val gv = df.select(group.as("g"), value.cast("long").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("n_gv"))
+    val byV = gv.groupBy(col("v")).agg(sum(col("n_gv")).as("n_v"))
+    val bl = Ranks.withRunningBelow(byV, "v", bucketWidth, Seq("n_v"))
+      .select(col("v"), col("n_v"), col("n_v_below"))
+    val tot = byV.agg(sum(col("n_v")).as("n_tot"),
+      sum(d38(col("n_v")) * col("n_v") * col("n_v") - col("n_v"))
+        .as("tie_t"))
+    val perG = gv.join(bl, "v")
+      .groupBy(col("g"))
+      .agg(sum(col("n_gv")).as("n_g"),
+        sum(d38(col("n_gv")) *
+          (col("n_v_below") * 2 + col("n_v") + 1)).as("r2"))
+    val withTot = perG.crossJoin(broadcast(tot))
+      .withColumn("n_o", col("n_tot") - col("n_g"))
+      .withColumn("u2",
+        (col("r2") - d38(col("n_g")) * (col("n_g") + 1)).cast("long"))
+      .withColumn("var_num",
+        d38(col("n_g")) * col("n_o") *
+          (d38(col("n_tot") + 1) * col("n_tot") * (col("n_tot") - 1) -
+            col("tie_t")))
+      .withColumn("var_den",
+        d38(col("n_tot")) * (col("n_tot") - 1) * 12)
+    val sd = sqrt(col("var_num").cast("double") /
+      col("var_den").cast("double"))
+    withTot.select(col("g"), col("n_g"), col("u2"),
+      when(col("n_o") === 0 || col("var_num") === 0, lit(null))
+        .otherwise(round(
+          ((col("u2") - d38(col("n_g")) * col("n_o")).cast("double") /
+            (sd * 2.0)).cast("decimal(20,10)"), 4).cast("double"))
+        .as("z"),
+      when(col("n_o") === 0, lit(null))
+        .otherwise(round(
+          ((col("u2") - d38(col("n_g")) * col("n_o")).cast("double") /
+            (d38(col("n_g")) * col("n_o")).cast("double"))
+            .cast("decimal(20,10)"), 4).cast("double"))
+        .as("r_rb"))
+  }
 }

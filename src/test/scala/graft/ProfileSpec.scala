@@ -623,4 +623,34 @@ class ProfileSpec extends SparkSpec {
     val best = (1 until n).maxBy(i => (math.round(gain(i) * 1e9), -i))
     assert(got == best - 1L, s"got $got want ${best - 1}")
   }
+
+  test("mannWhitneyVsRest 2U equals brute-force pairwise counting " +
+      "(2·wins + ties), with the degenerate cases nulled") {
+    // heavy ties on purpose: values are small ints across 3 groups
+    val vals = (1 to 60).map(i =>
+      (s"g${i % 3}", ((i * 7) % 10 + (i % 3)).toLong))
+    val df = vals.toDF("g", "v")
+    val got = Profile.mannWhitneyVsRest(df, $"g", $"v", bucketWidth = 4L)
+      .select($"g", $"n_g", $"u2").as[(String, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val mine = vals.filter(_._1 == g).map(_._2)
+      val rest = vals.filter(_._1 != g).map(_._2)
+      val u2 = mine.map(x =>
+        2L * rest.count(_ < x) + rest.count(_ == x)).sum
+      assert(got(g)._2 == mine.size.toLong && got(g)._3 == u2,
+        s"$g: got ${got(g)} want (${mine.size}, $u2)")
+    }
+    // one group only -> rest is empty -> z and r_rb null, u2 = 0
+    val solo = Profile.mannWhitneyVsRest(
+      Seq(("a", 1L), ("a", 2L)).toDF("g", "v"), $"g", $"v")
+      .as[(String, Long, Long, Option[Double], Option[Double])].head()
+    assert(solo == (("a", 2L, 0L, None, None)))
+    // all values tied -> var_num = 0 -> z null, r_rb defined (0)
+    val tied = Profile.mannWhitneyVsRest(
+      Seq(("a", 5L), ("b", 5L), ("b", 5L)).toDF("g", "v"), $"g", $"v")
+      .as[(String, Long, Long, Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(tied("a")._4.isEmpty && tied("a")._5 == Some(0.0))
+  }
 }
