@@ -1886,6 +1886,44 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Similarity/eval: CENTROID SEPARATION matrix — pairwise cosine
+    // between per-label embedding centroids (the embedding-space
+    // drift/slice-separation read; q34 emits the centroid components,
+    // this the geometry between them). Cosine is scale-invariant, so
+    // it runs on the EXACT ×1e6-snapped per-dim integer sum vectors —
+    // no float mean ever aggregates; DECIMAL(38,0) dot/norms through
+    // two sqrts and one division. One data-sized posexplode aggregate
+    // (map-side combine to labels×dims rows); everything after is
+    // labels×dims-sized.
+    "q246_centroid_separation" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val dims = t(s, dir, "embeddings")
+        .select(col("label").cast("long").as("g"),
+          posexplode(col("embedding")))
+        .groupBy(col("g"), col("pos"))
+        .agg(sum(round(col("col").cast("double") * 1e6).cast("long"))
+          .as("sv"), count(lit(1)).as("nn"))
+      val norms = dims.groupBy(col("g"))
+        .agg(sum(d38(col("sv")) * col("sv")).as("nrm2"),
+          max(col("nn")).as("n"))
+      val dots = dims.as("a").join(dims.as("b"),
+          col("a.pos") === col("b.pos") && col("a.g") < col("b.g"))
+        .groupBy(col("a.g").as("la"), col("b.g").as("lb"))
+        .agg(sum(d38(col("a.sv")) * col("b.sv")).as("dt"))
+      dots
+        .join(broadcast(norms.select(col("g").as("la"),
+          col("nrm2").as("na2"), col("n").as("n_a"))), "la")
+        .join(broadcast(norms.select(col("g").as("lb"),
+          col("nrm2").as("nb2"), col("n").as("n_b"))), "lb")
+        .select(col("la").as("label_a"), col("lb").as("label_b"),
+          col("n_a"), col("n_b"),
+          when(col("na2") === 0 || col("nb2") === 0, lit(null))
+            .otherwise(round((col("dt").cast("double") /
+              (sqrt(col("na2").cast("double")) *
+                sqrt(col("nb2").cast("double"))))
+              .cast("decimal(20,10)"), 4).cast("double")).as("cos_ab"))
+    }),
+
     // Text: SKIP-GRAM windowed co-occurrence PMI (±3 tokens) — the
     // word-embedding co-occurrence matrix where q100 sees only
     // adjacent bigrams. Pairs come straight off each token array in
@@ -7967,6 +8005,31 @@ object SparkEntry {
          |FROM pr JOIN nf na ON na.doc_id = pr.doc_a
          |JOIN nf nb ON nb.doc_id = pr.doc_b
          |ORDER BY n_shared DESC, doc_a, doc_b LIMIT 20""".stripMargin,
+
+    // Same ×1e6 per-component snap pre-sum; cosine on the integer sum
+    // vectors in HUGEINT, the identical two-sqrt one-division tail.
+    "q246_centroid_separation" ->
+      """WITH dm AS (SELECT g, pos, CAST(sum(sv) AS BIGINT) AS sv,
+        |    CAST(count(*) AS BIGINT) AS nn
+        |  FROM (SELECT label AS g,
+        |      generate_subscripts(embedding, 1) - 1 AS pos,
+        |      CAST(round(CAST(unnest(embedding) AS DOUBLE)
+        |        * CAST(1e6 AS DOUBLE)) AS BIGINT) AS sv
+        |    FROM embeddings) GROUP BY 1, 2),
+        |nr AS (SELECT g, sum(CAST(sv AS HUGEINT) * sv) AS nrm2,
+        |    max(nn) AS n FROM dm GROUP BY 1),
+        |dt AS (SELECT a.g AS la, b.g AS lb,
+        |    sum(CAST(a.sv AS HUGEINT) * b.sv) AS dt
+        |  FROM dm a JOIN dm b ON a.pos = b.pos AND a.g < b.g
+        |  GROUP BY 1, 2)
+        |SELECT CAST(la AS BIGINT) AS label_a,
+        |  CAST(lb AS BIGINT) AS label_b,
+        |  CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+        |  CASE WHEN na.nrm2 = 0 OR nb.nrm2 = 0 THEN NULL ELSE
+        |    CAST(round(CAST(CAST(dt.dt AS DOUBLE) /
+        |      (sqrt(CAST(na.nrm2 AS DOUBLE)) * sqrt(CAST(nb.nrm2 AS DOUBLE)))
+        |      AS DECIMAL(20,10)), 4) AS DOUBLE) END AS cos_ab
+        |FROM dt JOIN nr na ON na.g = dt.la JOIN nr nb ON nb.g = dt.lb""".stripMargin,
 
     // Same pair stream as three distance-d passes (d = 1..3) unioned
     // by a VALUES cross join, same (least, greatest) canonical form
