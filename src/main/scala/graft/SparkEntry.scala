@@ -1933,6 +1933,73 @@ object SparkEntry {
     "q245_skipgram_pmi" -> ((s, dir) =>
       Text.skipgramPmi(t(s, dir, "documents"), col("text"), 3, 25L)),
 
+    // Text/graph: TEXTRANK keyword scores (Mihalcea & Tarau 2004) —
+    // unweighted PageRank over the ±2-token co-occurrence word graph,
+    // the graph-centrality keyword extractor beside the frequency
+    // (q38) and log-odds (q212) term scores. Pairs ride q245's
+    // single-projection generator (no position self-join); the ≥25
+    // count threshold bounds the graph to the heavy vocab before any
+    // iteration; 3 damped rounds of the q135 kernel (×1e9 snapped
+    // contributions, bit-identical cross-engine); top-20 keywords via
+    // sort+limit (TakeOrderedAndProject, never a global sort).
+    "q247_textrank" -> ((s, dir) => {
+      val pairs = Text.skipgramPairs(t(s, dir, "documents"),
+          col("text"), 2)
+        .filter(col("a") =!= col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 25)
+      val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+        .unionByName(pairs.select(col("b").as("src"),
+          col("a").as("dst")))
+      Graph.pageRank(edges, 3)
+        .select(col("id").as("token"),
+          round(col("pr").cast("decimal(20,10)"), 8).cast("double")
+            .as("score"))
+        .orderBy(col("score").desc, col("token")).limit(20)
+    }),
+
+    // Reporting: CUBE corpus profile — all four (source × lang)
+    // grouping sets of the doc-count/char-mass profile in ONE pass
+    // (Spark's Expand: 4 set-tagged copies feed one partially-
+    // aggregated shuffle, never four scans), grouping flags
+    // disambiguate rolled-up cells from data NULLs. The multi-level
+    // rollup every corpus dashboard wants without re-scanning 100 TB
+    // per level.
+    "q248_cube_profile" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .cube(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          grouping(col("source")).cast("int").as("g_source"),
+          grouping(col("lang")).cast("int").as("g_lang"))),
+
+    // Reporting: PIVOT — event-type × weekday count matrix as ONE
+    // wide aggregate (Spark's pivot with an EXPLICIT value list stays
+    // a single groupBy — no distinct-scan to discover columns, the
+    // scale contract); absent cells coalesce to 0 on both engines.
+    "q249_pivot_weekday" -> ((s, dir) => {
+      val p = t(s, dir, "events")
+        .select(col("event_type"), dayofweek(col("ts")).as("dow"))
+        .groupBy(col("event_type"))
+        .pivot("dow", (1 to 7).map(i => i: Any))
+        .agg(count(lit(1)))
+      p.select(col("event_type") +:
+        (1 to 7).map(i =>
+          coalesce(col(s"`$i`"), lit(0L)).as(s"d$i")): _*)
+    }),
+
+    // Stats: 1-D WASSERSTEIN drift — each source's length distribution
+    // vs the rest over a 64-bin grid, the transport-cost companion to
+    // PSI/KL (q86/q185: how much mass disagrees) and KS (q90: max CDF
+    // gap): W1 integrates |ΔCDF| so it also sees HOW FAR the mass
+    // moved. One data-sized (source, bin) aggregate; the CDF algebra
+    // runs on the sources×64 grid in exact DECIMAL(38,0)
+    // cross-multiples.
+    "q250_wasserstein_drift" -> ((s, dir) =>
+      Profile.wassersteinVsRest(t(s, dir, "documents"), col("source"),
+          col("n_chars"), 64)
+        .withColumnRenamed("g", "source")),
+
     // Stats: MANN–WHITNEY U, each source's doc-length distribution vs
     // the rest of the pool — the nonparametric location-shift screen
     // beside the KS shape test. Exact tie-corrected midrank algebra on
@@ -8056,6 +8123,100 @@ object SparkEntry {
          |FROM p JOIN u ua ON p.a = ua.tok JOIN u ub ON p.b = ub.tok
          |CROSS JOIN nu CROSS JOIN np
          |WHERE n_ab >= 25""".stripMargin,
+
+    // q245's pair generator at window 2, self-pairs dropped, ≥25
+    // survivors symmetrized into a directed edge list, then three
+    // unrolled q135 PageRank iterations (string node ids join the same
+    // way), identical sort+limit cutoff.
+    "q247_textrank" ->
+      s"""WITH tk AS (SELECT $tokSql AS tk FROM documents),
+         |pr0 AS (SELECT least(tk[i], tk[i + d]) AS a,
+         |    greatest(tk[i], tk[i + d]) AS b
+         |  FROM (SELECT tk, unnest(range(1, len(tk))) AS i FROM tk)
+         |  CROSS JOIN (VALUES (1), (2)) dd(d)
+         |  WHERE i + d <= len(tk)),
+         |p AS (SELECT a, b FROM pr0 WHERE a <> b
+         |  GROUP BY 1, 2 HAVING count(*) >= 25),
+         |e AS (SELECT a AS src, b AS dst FROM p
+         |  UNION ALL SELECT b, a FROM p),
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+         |od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+         |  FROM e GROUP BY 1),
+         |p0 AS (SELECT id, CAST(1.0 AS DOUBLE) / CAST(nn AS DOUBLE) AS pr
+         |  FROM nodes CROSS JOIN nc),
+         |${prIterSql("p0", "p1")},
+         |${prIterSql("p1", "p2")},
+         |${prIterSql("p2", "p3")}
+         |SELECT id AS token,
+         |  CAST(round(CAST(pr AS DECIMAL(20,10)), 8) AS DOUBLE) AS score
+         |FROM p3
+         |ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin,
+
+    // GROUP BY CUBE with GROUPING() flags — same four grouping sets,
+    // same flag semantics (1 = rolled up).
+    "q248_cube_profile" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(GROUPING(source) AS INT) AS g_source,
+        |  CAST(GROUPING(lang) AS INT) AS g_lang
+        |FROM documents GROUP BY CUBE (source, lang)""".stripMargin,
+
+    // Manual CASE pivot; DuckDB dayofweek is Sunday=0, Spark's is
+    // Sunday=1 — the +1 aligns them.
+    "q249_pivot_weekday" ->
+      """WITH d AS (SELECT event_type, dayofweek(ts) + 1 AS dow
+        |  FROM events)
+        |SELECT event_type,
+        |  CAST(count(*) FILTER (WHERE dow = 1) AS BIGINT) AS d1,
+        |  CAST(count(*) FILTER (WHERE dow = 2) AS BIGINT) AS d2,
+        |  CAST(count(*) FILTER (WHERE dow = 3) AS BIGINT) AS d3,
+        |  CAST(count(*) FILTER (WHERE dow = 4) AS BIGINT) AS d4,
+        |  CAST(count(*) FILTER (WHERE dow = 5) AS BIGINT) AS d5,
+        |  CAST(count(*) FILTER (WHERE dow = 6) AS BIGINT) AS d6,
+        |  CAST(count(*) FILTER (WHERE dow = 7) AS BIGINT) AS d7
+        |FROM d GROUP BY 1""".stripMargin,
+
+    // Same integer bin width floor((max-min)/64)+1, dense 64-bin grid
+    // per source, HUGEINT CDF cross-multiples, one division at the
+    // end.
+    "q250_wasserstein_drift" ->
+      """WITH r AS (SELECT source AS g, n_chars AS v FROM documents),
+        |ext AS (SELECT min(v) AS vmin,
+        |    (max(v) - min(v)) // 64 + 1 AS w FROM r),
+        |gb AS (SELECT g, (v - vmin) // w AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_gb
+        |  FROM r CROSS JOIN ext GROUP BY 1, 2),
+        |gs AS (SELECT g, CAST(sum(n_gb) AS BIGINT) AS n_g
+        |  FROM gb GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_tot FROM gs),
+        |grid AS (SELECT g, n_g, b AS bin FROM gs
+        |  CROSS JOIN (SELECT unnest(range(0, 64)) AS b)),
+        |dg AS (SELECT grid.g, grid.n_g, grid.bin,
+        |    coalesce(gb.n_gb, 0) AS n_gb
+        |  FROM grid LEFT JOIN gb
+        |    ON gb.g = grid.g AND gb.bin = grid.bin),
+        |cg AS (SELECT g, n_g, bin, CAST(sum(n_gb) OVER (PARTITION BY g
+        |    ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |    ROW) AS BIGINT) AS cum_g FROM dg),
+        |bt AS (SELECT b AS bin, CAST(coalesce(t.n_b, 0) AS BIGINT)
+        |    AS n_b
+        |  FROM (SELECT unnest(range(0, 64)) AS b)
+        |  LEFT JOIN (SELECT bin, sum(n_gb) AS n_b FROM gb GROUP BY 1) t
+        |    ON t.bin = b),
+        |ct AS (SELECT bin, CAST(sum(n_b) OVER (ORDER BY bin
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cum_t FROM bt)
+        |SELECT g AS source, n_g,
+        |  CASE WHEN n_tot = n_g THEN NULL ELSE
+        |    CAST(round(CAST(CAST(sum(abs(
+        |        CAST(cum_g AS HUGEINT) * (n_tot - n_g)
+        |        - CAST(cum_t - cum_g AS HUGEINT) * n_g)) AS DOUBLE)
+        |      / CAST(CAST(n_g AS HUGEINT) * (n_tot - n_g) AS DOUBLE)
+        |      AS DECIMAL(20,10)), 4) AS DOUBLE) END AS w1
+        |FROM cg JOIN ct USING (bin) CROSS JOIN tot
+        |GROUP BY g, n_g, n_tot""".stripMargin,
 
     // Same exact midrank algebra: exclusive running pooled count as a
     // plain window over the distinct value domain (the oracle may sort

@@ -1110,4 +1110,72 @@ object Profile {
             .cast("decimal(20,10)"), 4).cast("double"))
         .as("r_rb"))
   }
+
+  /** 1-D WASSERSTEIN-1 (earth-mover) distance of each group's value
+    * distribution vs the REST of the pool, on a fixed `bins`-cell
+    * integer grid — the transport-cost drift metric beside PSI/KL
+    * (bin-mass disagreement) and KS (max CDF gap): W₁ = Σ_b |F_g(b) −
+    * F_rest(b)| in bin-width units, so it SEES how far mass moved,
+    * not just that it moved.
+    *
+    * Scale shape: ONE data-sized hash aggregate to (g, bin) counts;
+    * everything after lives on the groups×bins grid (dense via a
+    * bins-row range crossed with the group totals). CDF prefix sums
+    * are per-group windows over ≤`bins` rows (and one `bins`-row
+    * global frame on a non-foldable constant key — never a data-sized
+    * single-partition window). Exact integer algebra: the integer bin
+    * width ⌊(vmax−vmin)/bins⌋+1 guarantees bin ∈ [0, bins), the CDF
+    * comparison cross-multiplies in DECIMAL(38,0)
+    * (|cum_g·n_rest − cum_rest·n_g|, exact at any corpus size), and
+    * only the final ratio casts to double (DECIMAL(20,10)-snapped,
+    * 4dp). A group owning the whole pool (n_rest = 0) emits null.
+    * Output one row per group: (g, n_g, w1).
+    */
+  def wassersteinVsRest(df: DataFrame, group: Column, value: Column,
+                        bins: Int): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    // exact floor-div for nonnegative integers via subtract-mod (the
+    // quotient is an exact integer, so the double division is exact)
+    def floorDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val rows = df.select(group.as("g"), value.cast("long").as("v"))
+    val ext = rows.agg(min(col("v")).as("vmin"),
+        (floorDiv(max(col("v")) - min(col("v")), lit(bins.toLong)) + 1L)
+          .as("w"))
+    val gb = rows.crossJoin(broadcast(ext))
+      .select(col("g"), floorDiv(col("v") - col("vmin"), col("w")).as("bin"))
+      .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("n_gb"))
+    val gs = gb.groupBy(col("g")).agg(sum(col("n_gb")).as("n_g"))
+    val tot = gs.agg(sum(col("n_g")).as("n_tot"))
+    val binsDf = df.sparkSession.range(0, bins).toDF("bin")
+    val dense = gs.crossJoin(broadcast(binsDf))
+      .join(gb, Seq("g", "bin"), "left")
+      .na.fill(0L, Seq("n_gb"))
+    val cumG = dense.withColumn("cum_g",
+      sum(col("n_gb")).over(Window.partitionBy(col("g"))
+        .orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bt = binsDf
+      .join(gb.groupBy(col("bin")).agg(sum(col("n_gb")).as("n_b")),
+        Seq("bin"), "left")
+      .na.fill(0L, Seq("n_b"))
+      .withColumn("cum_t",
+        sum(col("n_b")).over(
+          Window.partitionBy(Cols.onePartitionKey(col("bin")))
+            .orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("bin"), col("cum_t"))
+    cumG.join(broadcast(bt), "bin")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("g"), col("n_g"), col("n_tot"))
+      .agg(sum(abs(d38(col("cum_g")) * (col("n_tot") - col("n_g")) -
+        d38(col("cum_t") - col("cum_g")) * col("n_g"))).as("num"))
+      .select(col("g"), col("n_g"),
+        when(col("n_tot") === col("n_g"), lit(null))
+          .otherwise(round((col("num").cast("double") /
+            (d38(col("n_g")) * (col("n_tot") - col("n_g")))
+              .cast("double")).cast("decimal(20,10)"), 4)
+            .cast("double")).as("w1"))
+  }
 }

@@ -600,14 +600,7 @@ object Text {
                   minCount: Long): DataFrame = {
     require(window >= 1, "window must be >= 1")
     val tk = docs.select(tokens(text).as("tk"))
-    val pr = tk.select(explode(Cols.bound(col("tk")) { t =>
-        when(size(t) < 2, array().cast("array<array<string>>"))
-          .otherwise(flatten(transform(sequence(lit(1), size(t) - 1),
-            i => transform(sequence(i + 1, least(i + window, size(t))),
-              j => array(element_at(t, i), element_at(t, j))))))
-      }).as("pr"))
-      .select(least(col("pr").getItem(0), col("pr").getItem(1)).as("a"),
-        greatest(col("pr").getItem(0), col("pr").getItem(1)).as("b"))
+    val pr = skipgramPairsOf(tk, window)
     val uni = tk.select(explode(col("tk")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n_uni"))
     val nUni = uni.agg(sum(col("n_uni")).as("n_u"))
@@ -627,6 +620,29 @@ object Text {
             (col("n_b").cast("double") / col("n_u"))))
           .cast("decimal(20,10)"), 4).cast("double").as("pmi"))
   }
+
+  /** The raw unordered skip-gram pair stream of [[skipgramPmi]] —
+    * every within-±`window` token co-occurrence as one (a, b) row with
+    * a = least, b = greatest. Public so graph consumers (TextRank's
+    * word graph) share the exact generation contract: pairs come off
+    * each row's token ARRAY in one projection (position i with
+    * partners i+1..i+window), ≤ window·tokens rows, no (doc, position)
+    * self-join.
+    */
+  def skipgramPairs(docs: DataFrame, text: Column, window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    skipgramPairsOf(docs.select(tokens(text).as("tk")), window)
+  }
+
+  private def skipgramPairsOf(tk: DataFrame, window: Int): DataFrame =
+    tk.select(explode(Cols.bound(col("tk")) { t =>
+        when(size(t) < 2, array().cast("array<array<string>>"))
+          .otherwise(flatten(transform(sequence(lit(1), size(t) - 1),
+            i => transform(sequence(i + 1, least(i + window, size(t))),
+              j => array(element_at(t, i), element_at(t, j))))))
+      }).as("pr"))
+      .select(least(col("pr").getItem(0), col("pr").getItem(1)).as("a"),
+        greatest(col("pr").getItem(0), col("pr").getItem(1)).as("b"))
 
   /** Blocked fuzzy (edit-distance) join — the entity-resolution
     * primitive: probe names match reference names within `maxDist`

@@ -653,4 +653,25 @@ class ProfileSpec extends SparkSpec {
       .collect().map(r => r._1 -> r).toMap
     assert(tied("a")._4.isEmpty && tied("a")._5 == Some(0.0))
   }
+
+  test("wassersteinVsRest: a pure +k shift reads k bins, identical " +
+      "distributions read 0, a solo group reads null") {
+    import org.apache.spark.sql.functions.col
+    // b is exactly a+4 at unit bin width: W1 must be 4.0 both ways
+    val df = ((0 to 3).map(v => ("a", v.toLong)) ++
+      (4 to 7).map(v => ("b", v.toLong))).toDF("g", "v")
+    val out = Profile.wassersteinVsRest(df, col("g"), col("v"), 8)
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("a") == (("a", 4L, Some(4.0))))
+    assert(out("b") == (("b", 4L, Some(4.0))))
+    val same = Seq(("x", 1L), ("x", 2L), ("y", 1L), ("y", 2L))
+      .toDF("g", "v")
+    val o2 = Profile.wassersteinVsRest(same, col("g"), col("v"), 4)
+      .as[(String, Long, Option[Double])].collect()
+    assert(o2.forall(_._3 == Some(0.0)))
+    val solo = Seq(("z", 5L), ("z", 9L)).toDF("g", "v")
+    assert(Profile.wassersteinVsRest(solo, col("g"), col("v"), 4)
+      .as[(String, Long, Option[Double])].head()._3.isEmpty)
+  }
 }
