@@ -2000,6 +2000,45 @@ object SparkEntry {
           col("n_chars"), 64)
         .withColumnRenamed("g", "source")),
 
+    // Curation: DISTRIBUTION-MATCHING downsample — thin every source
+    // so its length profile matches the pooled corpus profile over a
+    // 32-bin grid (the static DoReMi-style rebalance; q250 MEASURES
+    // the drift, this one REMOVES it). Per-(source, bin) keep ratio
+    // min(1, t_b·n_g/n_gb) applied as an exact integer cross-multiply
+    // on a per-row md5 micro-draw — no RNG; the ratio table broadcasts
+    // onto the rows so the thinning pass filters map-side.
+    "q251_profile_match" -> ((s, dir) =>
+      Sampling.profileMatchThinning(t(s, dir, "documents"),
+          col("source"), col("n_chars"), col("doc_id"), 32)
+        .withColumnRenamed("g", "source")),
+
+    // Stats: SIGN-FLIP randomization test — does a user's purchase
+    // value sit above their click value? Paired per-user mean diffs
+    // (µ-snapped longs), 64 deterministic md5-parity flip replicates
+    // manufacture the exchangeable null, add-one p-value. The exact-
+    // null companion to q171's parametric z-test; zero RNG, so the
+    // verdict is reproducible on any engine or cluster layout.
+    "q252_signflip_test" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("user_id"),
+          col("event_type"),
+          round(col("value") * 1e6).cast("long").as("vu"))
+      val pu = ev.groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", col("vu")))
+            .as("sp"),
+          count(when(col("event_type") === "purchase", lit(1)))
+            .as("np"),
+          sum(when(col("event_type") === "click", col("vu"))).as("sc"),
+          count(when(col("event_type") === "click", lit(1))).as("nc"))
+        .filter(col("np") > 0 && col("nc") > 0)
+        .select(col("user_id"),
+          round((col("sp").cast("double") / col("np").cast("double") -
+            col("sc").cast("double") / col("nc").cast("double"))
+            .cast("decimal(20,10)"), 0).cast("long").as("dm"))
+      Profile.signFlipTest(pu, col("user_id"), col("dm"), 64)
+    }),
+
     // Stats: MANN–WHITNEY U, each source's doc-length distribution vs
     // the rest of the pool — the nonparametric location-shift screen
     // beside the KS shape test. Exact tie-corrected midrank algebra on
@@ -8217,6 +8256,76 @@ object SparkEntry {
         |      AS DECIMAL(20,10)), 4) AS DOUBLE) END AS w1
         |FROM cg JOIN ct USING (bin) CROSS JOIN tot
         |GROUP BY g, n_g, n_tot""".stripMargin,
+
+    // Same 32-bin integer grid, same exact HUGEINT cross-multiply keep
+    // rule draw·N·n_gb < 1e6·n_b·n_g on the identical md5 micro-draw.
+    "q251_profile_match" ->
+      s"""WITH r AS (SELECT source AS g, n_chars AS v,
+         |    CAST(doc_id AS VARCHAR) AS k FROM documents),
+         |ext AS (SELECT min(v) AS vmin,
+         |    (max(v) - min(v)) // 32 + 1 AS w FROM r),
+         |b AS (SELECT g, k, (v - vmin) // w AS bin
+         |  FROM r CROSS JOIN ext),
+         |gb AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS n_gb
+         |  FROM b GROUP BY 1, 2),
+         |bt AS (SELECT bin, CAST(sum(n_gb) AS BIGINT) AS n_b
+         |  FROM gb GROUP BY 1),
+         |gs AS (SELECT g, CAST(sum(n_gb) AS BIGINT) AS n_g
+         |  FROM gb GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_tot FROM gs),
+         |st AS (SELECT g, bin, n_gb,
+         |    CAST(1000000 AS HUGEINT) * n_b * n_g AS num,
+         |    CAST(n_tot AS HUGEINT) * n_gb AS den
+         |  FROM gb JOIN bt USING (bin) JOIN gs USING (g)
+         |  CROSS JOIN tot),
+         |kp AS (SELECT b.g, b.bin, CAST(count(*) AS BIGINT) AS n_kept
+         |  FROM b JOIN st ON st.g = b.g AND st.bin = b.bin
+         |  WHERE CAST(${h60("'dm' || k")} % 1000000 AS HUGEINT) * den
+         |    < num
+         |  GROUP BY 1, 2)
+         |SELECT st.g AS source, st.bin, st.n_gb,
+         |  CAST(least(1000000, num // den) AS BIGINT) AS a_micro,
+         |  CAST(coalesce(kp.n_kept, 0) AS BIGINT) AS n_kept
+         |FROM st LEFT JOIN kp
+         |  ON kp.g = st.g AND kp.bin = st.bin""".stripMargin,
+
+    // Same µ-snapped paired diffs, same md5-parity flips over
+    // range(1, 65), identical add-one p.
+    "q252_signflip_test" ->
+      s"""WITH ev AS (SELECT user_id, event_type,
+         |    CAST(round(CAST(value AS DOUBLE) * CAST(1e6 AS DOUBLE))
+         |      AS BIGINT) AS vu
+         |  FROM events WHERE event_type IN ('purchase', 'click')),
+         |pu AS (SELECT user_id,
+         |    CAST(sum(vu) FILTER (WHERE event_type = 'purchase')
+         |      AS BIGINT) AS sp,
+         |    CAST(count(*) FILTER (WHERE event_type = 'purchase')
+         |      AS BIGINT) AS np,
+         |    CAST(sum(vu) FILTER (WHERE event_type = 'click')
+         |      AS BIGINT) AS sc,
+         |    CAST(count(*) FILTER (WHERE event_type = 'click')
+         |      AS BIGINT) AS nc
+         |  FROM ev GROUP BY 1 HAVING np > 0 AND nc > 0),
+         |d AS (SELECT CAST(user_id AS VARCHAR) AS u,
+         |    CAST(round(CAST(CAST(sp AS DOUBLE) / np
+         |      - CAST(sc AS DOUBLE) / nc AS DECIMAL(20,10)), 0)
+         |      AS BIGINT) AS dm
+         |  FROM pu),
+         |obs AS (SELECT CAST(sum(dm) AS BIGINT) AS t_obs,
+         |    CAST(count(*) AS BIGINT) AS n_units FROM d),
+         |fl AS (SELECT r, CAST(sum(CASE WHEN
+         |      ${h60("'sf' || u || ':' || CAST(r AS VARCHAR)")} % 2 = 0
+         |      THEN dm ELSE -dm END) AS BIGINT) AS t_r
+         |  FROM d CROSS JOIN (SELECT unnest(range(1, 65)) AS r)
+         |  GROUP BY 1)
+         |SELECT n_units, t_obs, CAST(count(*) AS BIGINT) AS m,
+         |  CAST(count(*) FILTER (WHERE abs(t_r) >= abs(t_obs))
+         |    AS BIGINT) AS n_extreme,
+         |  CAST(round(CAST(
+         |    CAST(1 + count(*) FILTER (WHERE abs(t_r) >= abs(t_obs))
+         |      AS DOUBLE) / (count(*) + 1) AS DECIMAL(20,10)), 4)
+         |    AS DOUBLE) AS p_value
+         |FROM fl CROSS JOIN obs GROUP BY 1, 2""".stripMargin,
 
     // Same exact midrank algebra: exclusive running pooled count as a
     // plain window over the distinct value domain (the oracle may sort

@@ -1178,4 +1178,49 @@ object Profile {
               .cast("double")).cast("decimal(20,10)"), 4)
             .cast("double")).as("w1"))
   }
+
+  /** Deterministic SIGN-FLIP randomization test on paired per-unit
+    * differences — the exact-null permutation companion to the
+    * parametric z/t tests (q171's A/B z-test assumes a normal null;
+    * this one MANUFACTURES the null from the data): under H₀ the sign
+    * of each unit's difference is exchangeable, so `reps` pseudo-
+    * samples flip every unit's sign by a 60-bit md5 parity of
+    * (unit, rep) and the p-value is the add-one-smoothed share of
+    * replicates with |T_r| ≥ |T_obs|, T = Σ±d. No RNG anywhere — the
+    * flips are pure functions of (unit, rep), identical on any
+    * engine, run, or cluster layout (the blockBootstrapMean hashed-
+    * selection convention).
+    *
+    * Scale shape: the units×reps flip stream is one projection off a
+    * broadcast reps range and feeds a map-side-combined aggregate to
+    * `reps` rows — no shuffle ever carries more than reps partials
+    * per task. Sums ride DECIMAL(38,0). Input contract: one row per
+    * unit with an INTEGER (pre-snapped) difference. Output one row:
+    * (n_units, t_obs, m, n_extreme, p_value).
+    */
+  def signFlipTest(pairs: DataFrame, unit: Column, diffMicro: Column,
+                   reps: Int = 64): DataFrame = {
+    require(reps >= 1, "reps must be >= 1")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val rows = pairs.select(unit.cast("string").as("u"),
+      diffMicro.cast("long").as("d"))
+    val obs = rows.agg(sum(d38(col("d"))).cast("long").as("t_obs"),
+      count(lit(1)).as("n_units"))
+    val repsDf = pairs.sparkSession.range(1, reps + 1).toDF("r")
+    val tr = rows.crossJoin(broadcast(repsDf))
+      .select(col("r"),
+        when(pmod(Dedup.hashLong(concat(lit("sf"), col("u"), lit(":"),
+          col("r").cast("string"))), lit(2L)) === 0, col("d"))
+          .otherwise(-col("d")).as("sd"))
+      .groupBy(col("r")).agg(sum(d38(col("sd"))).cast("long").as("t_r"))
+    tr.crossJoin(broadcast(obs))
+      .groupBy(col("n_units"), col("t_obs"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(abs(col("t_r")) >= abs(col("t_obs")), 1L)
+          .otherwise(0L)).as("n_extreme"))
+      .select(col("n_units"), col("t_obs"), col("m"), col("n_extreme"),
+        round(((col("n_extreme") + 1L).cast("double") /
+          (col("m") + 1L).cast("double")).cast("decimal(20,10)"), 4)
+          .cast("double").as("p_value"))
+  }
 }

@@ -473,4 +473,64 @@ object Sampling {
             col("n_sampled").cast("double") / lit(100.0))
             .cast("decimal(20,10)"), 2).cast("double")).as("mean_sample"))
   }
+
+  /** DISTRIBUTION-MATCHING downsample — thin each group so its value
+    * profile matches the POOLED corpus profile over a fixed
+    * `bins`-cell integer grid (the static DoReMi-style rebalance: no
+    * source may keep a length/quality shape the mixture doesn't
+    * have). Bin b of group g keeps each row with probability
+    * a_gb = min(1, t_b·n_g / n_gb) where t_b = n_b/N is the pooled
+    * bin share — i.e. over-represented bins thin down to the target
+    * share, under-represented bins keep everything (deficits are
+    * reported, not upsampled).
+    *
+    * Determinism: the keep decision is the exact integer
+    * cross-multiply draw·N·n_gb < 10⁶·n_b·n_g on a per-row 60-bit
+    * md5 micro-draw — no RNG, identical on any engine/layout, and
+    * products ride DECIMAL(38,0) so corpus-sized counts never wrap.
+    *
+    * Scale shape: one data-sized (g, bin) count aggregate, the
+    * groups×bins ratio table BROADCASTS back onto the rows (the
+    * second data pass filters map-side — no extra shuffle), and the
+    * kept-count audit is a second small aggregate. Output one row per
+    * (g, bin): (g, bin, n_gb, a_micro, n_kept).
+    */
+  def profileMatchThinning(df: DataFrame, group: Column, value: Column,
+                           rowKey: Column, bins: Int): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    def floorDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val rows = df.select(group.as("g"), value.cast("long").as("v"),
+      rowKey.cast("string").as("k"))
+    val ext = rows.agg(min(col("v")).as("vmin"),
+      (floorDiv(max(col("v")) - min(col("v")), lit(bins.toLong)) + 1L)
+        .as("w"))
+    val binned = rows.crossJoin(broadcast(ext))
+      .select(col("g"), col("k"),
+        floorDiv(col("v") - col("vmin"), col("w")).as("bin"))
+    val gb = binned.groupBy(col("g"), col("bin"))
+      .agg(count(lit(1)).as("n_gb"))
+    val bt = gb.groupBy(col("bin")).agg(sum(col("n_gb")).as("n_b"))
+    val gs = gb.groupBy(col("g")).agg(sum(col("n_gb")).as("n_g"))
+    val tot = gs.agg(sum(col("n_g")).as("n_tot"))
+    val stats = gb.join(bt, "bin").join(gs, "g")
+      .crossJoin(broadcast(tot))
+      .withColumn("num", d38(lit(1000000L)) * col("n_b") * col("n_g"))
+      .withColumn("den", d38(col("n_tot")) * col("n_gb"))
+      .withColumn("a_micro",
+        least(lit(1000000L),
+          ((col("num") - pmod(col("num"), col("den"))) / col("den"))
+            .cast("long")))
+    val kept = binned
+      .join(broadcast(stats.select(col("g"), col("bin"), col("num"),
+        col("den"))), Seq("g", "bin"))
+      .filter(d38(pmod(Dedup.hashLong(concat(lit("dm"), col("k"))),
+        lit(1000000L))) * col("den") < col("num"))
+      .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("n_kept"))
+    stats.join(kept, Seq("g", "bin"), "left")
+      .na.fill(0L, Seq("n_kept"))
+      .select(col("g"), col("bin"), col("n_gb"), col("a_micro"),
+        col("n_kept"))
+  }
 }

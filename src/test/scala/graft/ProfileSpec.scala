@@ -674,4 +674,26 @@ class ProfileSpec extends SparkSpec {
     assert(Profile.wassersteinVsRest(solo, col("g"), col("v"), 4)
       .as[(String, Long, Option[Double])].head()._3.isEmpty)
   }
+
+  test("signFlipTest: all-zero diffs give p = 1, t_obs and m are " +
+      "exact, and the flips are deterministic across runs") {
+    import org.apache.spark.sql.functions.col
+    val zero = (1 to 10).map(i => (s"u$i", 0L)).toDF("u", "d")
+    val rz = Profile.signFlipTest(zero, col("u"), col("d"), 32)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(rz == ((10L, 0L, 32L, 32L, 1.0)))
+    // mixed diffs: invariants + determinism (the null distribution
+    // is a pure function of (unit, rep), never of run or layout)
+    val mixed = Seq(("a", 5L), ("b", -3L), ("c", 9L), ("d", 2L),
+      ("e", -1L), ("f", 4L), ("g", 7L), ("h", -2L)).toDF("u", "d")
+    val r1 = Profile.signFlipTest(mixed, col("u"), col("d"), 64)
+      .as[(Long, Long, Long, Long, Double)].head()
+    val r2 = Profile.signFlipTest(mixed, col("u"), col("d"), 64)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(r1 == r2)
+    assert(r1._1 == 8L && r1._2 == 21L && r1._3 == 64L)
+    assert(r1._4 >= 0L && r1._4 <= 64L)
+    assert(math.abs(r1._5 - (r1._4 + 1).toDouble / 65.0) < 5e-5,
+      "p is the 4dp-rounded add-one share")
+  }
 }

@@ -282,4 +282,33 @@ class SamplingPackSpec extends SparkSpec {
     assert(r("a")._4 == 1L && r("b")._4 == 0L)
     assert(r("a")._5 == 1L && r("a")._6 == Some(0.07))
   }
+
+  test("profileMatchThinning: a solo source matches its own profile " +
+      "and keeps everything; under-represented bins keep ratio 1e6; " +
+      "kept never exceeds the bin count") {
+    // one source: target == own profile -> a_micro = 1e6, all kept
+    val solo = (1 to 40).map(i => ("s", (i % 4) * 10L, s"d$i"))
+      .toDF("g", "v", "k")
+    val r1 = Sampling.profileMatchThinning(solo, $"g", $"v", $"k", 4)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(r1.nonEmpty && r1.forall(x => x._4 == 1000000L && x._5 == x._3))
+    // two sources, disjoint value ranges: within each bin one source
+    // owns ALL the mass -> that source's a = n_b*n_g/(N*n_gb) =
+    // n_g/N < 1, the absent source has no row. Every bin of the
+    // skewed layout must thin toward the pooled share.
+    val skew = ((1 to 30).map(i => ("a", 0L, s"a$i")) ++
+      (1 to 10).map(i => ("b", 100L, s"b$i"))).toDF("g", "v", "k")
+    val r2 = Sampling.profileMatchThinning(skew, $"g", $"v", $"k", 2)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(x => (x._1, x._2) -> x).toMap
+    // a owns bin 0 entirely: a = 30*30/(40*30) = 0.75
+    assert(r2(("a", 0L))._4 == 750000L)
+    assert(r2(("b", 1L))._4 == 250000L)
+    assert(r2.values.forall(x => x._5 <= x._3))
+    // determinism: a second run returns the identical kept counts
+    val r3 = Sampling.profileMatchThinning(skew, $"g", $"v", $"k", 2)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(x => (x._1, x._2) -> x).toMap
+    assert(r2 == r3)
+  }
 }
