@@ -2039,6 +2039,63 @@ object SparkEntry {
       Profile.signFlipTest(pu, col("user_id"), col("dm"), 64)
     }),
 
+    // ER: GOLDEN-RECORD fusion (survivorship) — after clustering, a
+    // master record per cluster: modal attribute vote with the
+    // (count desc, value asc) tie rule, max char count, min id as the
+    // canonical key. The duplicated corpus plants attribute NOISE
+    // (mirror copies relabel source, every 3rd/5th doc's lang flips)
+    // so the vote genuinely fuses — including 3-way count ties on
+    // doc_id % 15 docs. Clusters ride the exact-fingerprint partition
+    // (≤ handful rows per fp window); the modal votes are per-cluster
+    // row_number over the tiny (cluster, attr) count table.
+    "q253_golden_record" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val c0 = d.select(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      val c1 = d.select((col("doc_id") + 10000).as("doc_id"),
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit("yy")).otherwise(col("lang"))
+          .as("lang"),
+        lit("mirror").as("source"),
+        (col("n_chars") + 2).as("n_chars"))
+      val c2 = d.select((col("doc_id") + 20000).as("doc_id"),
+        col("text"),
+        when(col("doc_id") % 5 === 0, lit("xx")).otherwise(col("lang"))
+          .as("lang"),
+        col("source"), col("n_chars"))
+      val cl = c0.unionByName(c1).unionByName(c2)
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), Text.fingerprint(col("text")).as("fp"))
+        .withColumn("cluster", min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+      def modal(attr: String): DataFrame =
+        cl.groupBy(col("cluster"), col(attr))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("cluster").orderBy(col("n").desc, col(attr))))
+          .filter(col("rn") === 1).select(col("cluster"), col(attr))
+      cl.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"),
+          max(col("n_chars")).as("n_chars_max"))
+        .join(modal("lang"), "cluster")
+        .join(modal("source"), "cluster")
+        .select(col("cluster"), col("n_members"), col("lang"),
+          col("source"), col("n_chars_max"))
+    }),
+
+    // Similarity/IR: MMR DIVERSIFIED re-ranking — greedy top-5 from
+    // each query's 20-candidate brute pool at λ = 0.7, the
+    // redundancy-penalized result page beside the pure-relevance
+    // top-k (q31). All-integer micro scoring (7·rel − 3·maxsim), 5
+    // driver-coordinated rounds with a ≤10-row collect each (the
+    // greedy q239 precedent).
+    "q254_mmr_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.mmrRerank(e.filter(col("id") < 10), e, 20, 5)
+    }),
+
     // Stats: MANN–WHITNEY U, each source's doc-length distribution vs
     // the rest of the pool — the nonparametric location-shift screen
     // beside the KS shape test. Exact tie-corrected midrank algebra on
@@ -8326,6 +8383,101 @@ object SparkEntry {
          |      AS DOUBLE) / (count(*) + 1) AS DECIMAL(20,10)), 4)
          |    AS DOUBLE) AS p_value
          |FROM fl CROSS JOIN obs GROUP BY 1, 2""".stripMargin,
+
+    // Same planted attribute noise (inner subqueries keep the CASE on
+    // the ORIGINAL doc_id — DuckDB lateral aliases would otherwise
+    // shadow it), same fingerprint clusters, same (n desc, value asc)
+    // modal vote.
+    "q253_golden_record" ->
+      """WITH c1s AS (SELECT doc_id, text,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'yy' ELSE lang END AS lang2,
+        |    n_chars FROM documents),
+        |c2s AS (SELECT doc_id, text,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END AS lang2,
+        |    source, n_chars FROM documents),
+        |dup AS (
+        |  SELECT doc_id, text, lang, source, n_chars FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text, lang2, 'mirror',
+        |    n_chars + 2 FROM c1s
+        |  UNION ALL SELECT doc_id + 20000, text, lang2, source,
+        |    n_chars FROM c2s),
+        |cl AS (SELECT doc_id, lang, source, n_chars,
+        |    min(doc_id) OVER (PARTITION BY fp) AS cluster
+        |  FROM (SELECT *,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |      AS fp FROM dup)),
+        |mlc AS (SELECT cluster, lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM cl GROUP BY 1, 2),
+        |ml AS (SELECT cluster, lang FROM (SELECT cluster, lang,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY n DESC, lang) AS rn FROM mlc) WHERE rn = 1),
+        |msc AS (SELECT cluster, source, CAST(count(*) AS BIGINT) AS n
+        |  FROM cl GROUP BY 1, 2),
+        |ms AS (SELECT cluster, source FROM (SELECT cluster, source,
+        |    row_number() OVER (PARTITION BY cluster
+        |      ORDER BY n DESC, source) AS rn FROM msc) WHERE rn = 1),
+        |b AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+        |    CAST(max(n_chars) AS BIGINT) AS n_chars_max
+        |  FROM cl GROUP BY 1)
+        |SELECT b.cluster, b.n_members, ml.lang, ms.source,
+        |  b.n_chars_max
+        |FROM b JOIN ml USING (cluster) JOIN ms USING (cluster)""".stripMargin,
+
+    // Same ×1e6 micro snap on the 6dp cosines, same integer
+    // 7·rel − 3·maxsim score, greedy rounds 2..5 unrolled (selu_r =
+    // picks so far, ms_r = per-candidate max sim to them, s_r = the
+    // round's (score desc, cid) argmax over the anti-joined rest).
+    "q254_mmr_rerank" -> {
+      def roundSql(r: Int): String = {
+        val pu = if (r == 2) "SELECT qid, cid FROM s1"
+        else s"SELECT * FROM selu${r - 1} UNION ALL SELECT qid, cid FROM s${r - 1}"
+        s"""selu$r AS ($pu),
+           |ms$r AS (SELECT sm.sqid, sm.a, CAST(max(sm.sim_m) AS BIGINT) AS m
+           |  FROM sims sm JOIN selu$r su
+           |    ON su.qid = sm.sqid AND su.cid = sm.b
+           |  GROUP BY 1, 2),
+           |s$r AS (SELECT qid, cid, rel_m, score FROM (
+           |  SELECT r0.qid, r0.cid, r0.rel_m,
+           |    7 * r0.rel_m - 3 * m.m AS score,
+           |    row_number() OVER (PARTITION BY r0.qid
+           |      ORDER BY 7 * r0.rel_m - 3 * m.m DESC, r0.cid) AS rn
+           |  FROM rel r0
+           |  JOIN ms$r m ON m.sqid = r0.qid AND m.a = r0.cid
+           |  LEFT JOIN selu$r su ON su.qid = r0.qid AND su.cid = r0.cid
+           |  WHERE su.cid IS NULL) WHERE rn = 1)""".stripMargin
+      }
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS vec
+         |  FROM embeddings),
+         |rel AS (SELECT qid, cid,
+         |    CAST(round(CAST(c AS DECIMAL(20,10)) * 1000000) AS BIGINT)
+         |      AS rel_m
+         |  FROM (SELECT q.id AS qid, c.id AS cid,
+         |      round(${cosSql("q.vec", "c.vec")}, 6) AS c,
+         |      row_number() OVER (PARTITION BY q.id
+         |        ORDER BY round(${cosSql("q.vec", "c.vec")}, 6) DESC,
+         |          c.id) AS rn
+         |    FROM e q JOIN e c ON q.id != c.id WHERE q.id < 10)
+         |  WHERE rn <= 20),
+         |pool AS (SELECT rel.qid, rel.cid, e.vec
+         |  FROM rel JOIN e ON e.id = rel.cid),
+         |sims AS (SELECT a.qid AS sqid, a.cid AS a, b.cid AS b,
+         |    CAST(round(CAST(round(${cosSql("a.vec", "b.vec")}, 6)
+         |      AS DECIMAL(20,10)) * 1000000) AS BIGINT) AS sim_m
+         |  FROM pool a JOIN pool b
+         |    ON a.qid = b.qid AND a.cid != b.cid),
+         |s1 AS (SELECT qid, cid, rel_m, 7 * rel_m AS score FROM (
+         |  SELECT qid, cid, rel_m, row_number() OVER (PARTITION BY qid
+         |    ORDER BY rel_m DESC, cid) AS rn FROM rel) WHERE rn = 1),
+         |${(2 to 5).map(roundSql).mkString(",\n")}
+         |SELECT qid AS query_id, CAST(pick_rank AS INT) AS pick_rank,
+         |  cid AS cand_id, rel_m AS rel_micro, score AS score_micro
+         |FROM (
+         |  SELECT qid, cid, rel_m, score, 1 AS pick_rank FROM s1
+         |  UNION ALL SELECT qid, cid, rel_m, score, 2 FROM s2
+         |  UNION ALL SELECT qid, cid, rel_m, score, 3 FROM s3
+         |  UNION ALL SELECT qid, cid, rel_m, score, 4 FROM s4
+         |  UNION ALL SELECT qid, cid, rel_m, score, 5 FROM s5)""".stripMargin
+    },
 
     // Same exact midrank algebra: exclusive running pooled count as a
     // plain window over the distinct value domain (the oracle may sort

@@ -107,6 +107,90 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "sim")
   }
 
+  /** MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell & Goldstein
+    * 1998) — diversified top-`k` from each query's `poolK` brute
+    * candidates: greedy picks argmax λ·rel(q,c) − (1−λ)·max_{s∈S}
+    * sim(c,s), so near-duplicate candidates can't crowd a result
+    * page the way a pure-relevance top-k lets them.
+    *
+    * Determinism: relevance and pool-pair cosines snap to ×10⁶ micro
+    * ints (6dp round → DECIMAL(20,10) → integer), λ enters as the
+    * exact rational lamNum/lamDen, so every MMR score is the pure
+    * integer lamNum·rel − (lamDen−lamNum)·maxsim and ties break on
+    * candidate id — the greedy trajectory is bit-identical on any
+    * engine.
+    *
+    * Scale shape: the candidate pool rides [[bruteForceTopK]]'s
+    * broadcast-query contract (swap in ivfSearch for corpus-scale
+    * candidate generation — the rerank composes unchanged); pool
+    * pairwise sims are queries·poolK² rows (bounded by contract);
+    * the k greedy rounds are driver-coordinated with a ≤|queries|-row
+    * collect per round (the greedySetCover precedent), each round one
+    * broadcast semi/anti join + argmax — the selected set never
+    * shuffles the data side. Output: (query_id, pick_rank, cand_id,
+    * rel_micro, score_micro).
+    */
+  def mmrRerank(queries: DataFrame, candidates: DataFrame, poolK: Int,
+                k: Int, lamNum: Int = 7, lamDen: Int = 10,
+                maxQueries: Long = DefaultMaxQueries): DataFrame = {
+    require(poolK >= k && k >= 1, "need poolK >= k >= 1")
+    require(lamNum >= 0 && lamNum <= lamDen, "need 0 <= lamNum <= lamDen")
+    val spark = queries.sparkSession
+    def snapMicro(c: Column): Column =
+      round(c.cast("decimal(20,10)") * 1000000).cast("long")
+    val rel = bruteForceTopK(queries, candidates, poolK, maxQueries)
+      .select(col("query_id").cast("long").as("qid"),
+        col("neighbor_id").cast("long").as("cid"),
+        snapMicro(col("sim")).as("rel_m"))
+      .persist()
+    val cv = candidates.select(col("id").cast("long").as("cid"),
+      col("vec").as("cvec"))
+    val pool = rel.select(col("qid"), col("cid")).join(cv, "cid")
+    val sims = pool.as("x").join(pool.as("y"),
+        col("x.qid") === col("y.qid") && col("x.cid") =!= col("y.cid"))
+      .select(col("x.qid").as("sqid"), col("x.cid").as("a"),
+        col("y.cid").as("b"),
+        snapMicro(round(cosine(col("x.cvec"), col("y.cvec")), 6))
+          .as("sim_m"))
+      .persist()
+    val mu = lamDen - lamNum
+    var selected = Vector.empty[(Long, Long, Long, Long, Int)]
+    for (r <- 1 to k) {
+      val scored =
+        if (selected.isEmpty)
+          rel.select(col("qid"), col("cid"), col("rel_m"),
+            (col("rel_m") * lamNum).as("score"))
+        else {
+          val sel = spark.createDataFrame(selected.map(s => (s._1, s._2)))
+            .toDF("pqid", "pcid")
+          val ms = sims
+            .join(broadcast(sel),
+              col("sqid") === col("pqid") && col("b") === col("pcid"))
+            .groupBy(col("sqid"), col("a"))
+            .agg(max(col("sim_m")).as("ms"))
+          rel.join(broadcast(sel),
+              col("qid") === col("pqid") && col("cid") === col("pcid"),
+              "left_anti")
+            .join(ms, col("qid") === col("sqid") && col("cid") === col("a"))
+            .select(col("qid"), col("cid"), col("rel_m"),
+              (col("rel_m") * lamNum - col("ms") * mu).as("score"))
+        }
+      val picks = scored
+        .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("cid"))))
+        .filter(col("rn") === 1)
+        .select(col("qid"), col("cid"), col("rel_m"), col("score"))
+        .collect()
+      selected = selected ++ picks.map(p =>
+        (p.getLong(0), p.getLong(1), p.getLong(2), p.getLong(3), r))
+    }
+    rel.unpersist()
+    sims.unpersist()
+    spark.createDataFrame(selected.map(s => (s._1, s._5, s._2, s._3, s._4)))
+      .toDF("query_id", "pick_rank", "cand_id", "rel_micro",
+        "score_micro")
+  }
+
   /** Contrastive HARD-NEGATIVE mining: for each query, the top-k most
     * similar candidates whose cosine stays BELOW `dupThreshold` — the
     * highest-value negatives for embedding/reranker training (random

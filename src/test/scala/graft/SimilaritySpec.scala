@@ -729,4 +729,22 @@ class SimilaritySpec extends SparkSpec {
       assert(got == Seq(0L, 1L))
     }
   }
+
+  test("mmrRerank: the redundant twin is demoted below a diverse " +
+      "candidate, ties break on id, scores are exact micro ints") {
+    // c1 and c2 are identical directions (rel 1.0, mutual sim 1.0);
+    // c3 is diverse (rel 0.8, sim-to-c1 0.8). At lambda = 0.3 the
+    // greedy order must be c1, c3, c2 — pure top-k would say c1, c2.
+    val cands = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.8f, 0.6f))).toDF("id", "vec")
+    val qs = Seq((100L, Array(1.0f, 0.0f))).toDF("id", "vec")
+    val got = Similarity.mmrRerank(qs, cands, 3, 3, 3, 10)
+      .as[(Long, Int, Long, Long, Long)].collect()
+      .sortBy(_._2).toSeq
+    assert(got == Seq(
+      (100L, 1, 1L, 1000000L, 3000000L),
+      (100L, 2, 3L, 800000L, -3200000L),
+      (100L, 3, 2L, 1000000L, -4000000L)))
+  }
 }
