@@ -2096,6 +2096,53 @@ object SparkEntry {
       Similarity.mmrRerank(e.filter(col("id") < 10), e, 20, 5)
     }),
 
+    // Text/ML: MULTINOMIAL NAIVE BAYES lang classifier — 3:1 hash
+    // split, add-one token likelihoods fit on train, held-out docs
+    // argmax-scored, confusion counts out. The supervised baseline
+    // beside q25's heuristic langId and q138's bigram LM; ×1e6
+    // integer log-weights keep every score an exact sum.
+    "q255_naive_bayes" -> ((s, dir) =>
+      Text.naiveBayesEval(t(s, dir, "documents"), "doc_id",
+          col("lang"), col("text"))
+        .withColumnRenamed("y", "lang")),
+
+    // Text/eval: CORPUS-OVERLAP precision (the self-BLEU corpus
+    // redundancy read): per source, the CLIPPED share of its bigram
+    // occurrences already covered by the rest of the corpus —
+    // Σ min(own_g, rest_g) / Σ own_g. High overlap = the source adds
+    // little content the pool doesn't have; the diversity dial a
+    // data-mixture tuner reads beside q88's token mixing. Two hash
+    // aggregates + one equi-join on the bigram key, exact integer
+    // clipping.
+    "q256_corpus_overlap" -> ((s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(col("source"), Text.tokens(col("text")).as("tk"))
+      val bg = tk.select(col("source"),
+        explode(when(size(col("tk")) < 2,
+            array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(col("tk")) - 1),
+            i => concat(element_at(col("tk"), i), lit(" "),
+              element_at(col("tk"), i + 1))))).as("g"))
+      val sb = bg.groupBy(col("source"), col("g"))
+        .agg(count(lit(1)).as("own"))
+      val tb = sb.groupBy(col("g")).agg(sum(col("own")).as("tot"))
+      sb.join(tb, "g")
+        .groupBy(col("source"))
+        .agg(sum(col("own")).as("n_bigrams"),
+          round((sum(least(col("own"), col("tot") - col("own")))
+            .cast("double") / sum(col("own")).cast("double"))
+            .cast("decimal(20,10)"), 4).cast("double").as("overlap"))
+    }),
+
+    // Stats/text: JENSEN–SHANNON divergence per source vs rest — the
+    // symmetric ln2-bounded drift read beside the directional KL
+    // (q185) and the binned PSI/W1 (q86/q250): mixture-referenced, no
+    // smoothing, 0·ln0 terms drop exactly. Vocabulary×sources term
+    // grid off one (source, token) aggregate, ×1e9 term snaps.
+    "q257_js_divergence" -> ((s, dir) =>
+      Text.sourceJsVsRest(t(s, dir, "documents"), col("source"),
+        col("text"))),
+
     // Stats: MANN–WHITNEY U, each source's doc-length distribution vs
     // the rest of the pool — the nonparametric location-shift screen
     // beside the KS shape test. Exact tie-corrected midrank algebra on
@@ -8478,6 +8525,111 @@ object SparkEntry {
          |  UNION ALL SELECT qid, cid, rel_m, score, 4 FROM s4
          |  UNION ALL SELECT qid, cid, rel_m, score, 5 FROM s5)""".stripMargin
     },
+
+    // Same 3:1 md5 split, same add-one ×1e6 integer log-weights,
+    // same seen/unseen score decomposition and (score desc, c) argmax.
+    "q255_naive_bayes" ->
+      s"""WITH tg AS (SELECT doc_id AS id, lang AS y, $tokSql AS tk,
+         |    ${h60("CAST(doc_id AS VARCHAR)")} % 4 <> 0 AS is_train
+         |  FROM documents),
+         |occ AS (SELECT id, y, is_train, unnest(tk) AS tok FROM tg),
+         |cw AS (SELECT y AS c, tok, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM occ WHERE is_train GROUP BY 1, 2),
+         |nc AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS n_c
+         |  FROM cw GROUP BY 1),
+         |vd AS (SELECT DISTINCT tok FROM cw),
+         |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vd),
+         |dc AS (SELECT y AS c, CAST(count(*) AS BIGINT) AS nd_c
+         |  FROM tg WHERE is_train GROUP BY 1),
+         |nd AS (SELECT CAST(sum(nd_c) AS BIGINT) AS nd FROM dc),
+         |cls AS (SELECT c,
+         |    CAST(round(ln(CAST(nd_c AS DOUBLE) / nd) * 1000000)
+         |      AS BIGINT) AS prior_m,
+         |    CAST(round(ln(CAST(1.0 AS DOUBLE) / (n_c + v)) * 1000000)
+         |      AS BIGINT) AS def_m
+         |  FROM nc JOIN dc USING (c) CROSS JOIN nd CROSS JOIN vv),
+         |w AS (SELECT cw.c, cw.tok,
+         |    CAST(round(ln(CAST(cnt + 1 AS DOUBLE) / (n_c + v))
+         |      * 1000000) AS BIGINT) AS w_m
+         |  FROM cw JOIN nc USING (c) CROSS JOIN vv),
+         |ho AS (SELECT id, tok FROM occ WHERE NOT is_train),
+         |seen AS (SELECT ho.id, w.c, CAST(sum(w.w_m) AS BIGINT)
+         |    AS s_seen
+         |  FROM ho JOIN w ON w.tok = ho.tok GROUP BY 1, 2),
+         |uns AS (SELECT ho.id, CAST(count(*) AS BIGINT) AS n_unseen
+         |  FROM ho LEFT JOIN vd ON vd.tok = ho.tok
+         |  WHERE vd.tok IS NULL GROUP BY 1),
+         |hd AS (SELECT id, y FROM tg WHERE NOT is_train),
+         |sc AS (SELECT hd.id, hd.y, cls.c,
+         |    cls.prior_m + coalesce(seen.s_seen, 0)
+         |      + coalesce(uns.n_unseen, 0) * cls.def_m AS score
+         |  FROM hd CROSS JOIN cls
+         |  LEFT JOIN seen ON seen.id = hd.id AND seen.c = cls.c
+         |  LEFT JOIN uns ON uns.id = hd.id),
+         |pr AS (SELECT id, y, c AS pred FROM (SELECT id, y, c,
+         |    row_number() OVER (PARTITION BY id
+         |      ORDER BY score DESC, c) AS rn FROM sc) WHERE rn = 1)
+         |SELECT y AS lang, pred, CAST(count(*) AS BIGINT) AS n
+         |FROM pr GROUP BY 1, 2""".stripMargin,
+
+    // Same adjacent-bigram stream (list comprehension ≡ the engine's
+    // transform), same exact integer clip.
+    "q256_corpus_overlap" ->
+      s"""WITH tk AS (SELECT source, $tokSql AS tk FROM documents),
+         |bg AS (SELECT source,
+         |    unnest([tk[i + 1] || ' ' || tk[i + 2]
+         |      for i in range(0, len(tk) - 1)]) AS g
+         |  FROM tk),
+         |sb AS (SELECT source, g, CAST(count(*) AS BIGINT) AS own
+         |  FROM bg GROUP BY 1, 2),
+         |tb AS (SELECT g, CAST(sum(own) AS BIGINT) AS tot
+         |  FROM sb GROUP BY 1)
+         |SELECT source, CAST(sum(own) AS BIGINT) AS n_bigrams,
+         |  CAST(round(CAST(
+         |    CAST(sum(least(own, tot - own)) AS DOUBLE) /
+         |    CAST(sum(own) AS DOUBLE) AS DECIMAL(20,10)), 4)
+         |    AS DOUBLE) AS overlap
+         |FROM sb JOIN tb USING (g) GROUP BY 1""".stripMargin,
+
+    // Same union-support grid, same ×1e9 half-terms with 0·ln0
+    // dropped by the CASE guards, every constant forced DOUBLE.
+    "q257_js_divergence" ->
+      s"""WITH tok AS (SELECT source, unnest($tokSql) AS tok
+         |  FROM documents),
+         |cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY 1, 2),
+         |tt AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ct
+         |  FROM cnt GROUP BY 1),
+         |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_g
+         |  FROM cnt GROUP BY 1),
+         |na AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_tot FROM ns),
+         |grid AS (SELECT ns.source, ns.n_g,
+         |    coalesce(cnt.c, 0) AS cg,
+         |    tt.ct - coalesce(cnt.c, 0) AS cr,
+         |    na.n_tot - ns.n_g AS n_r
+         |  FROM tt CROSS JOIN ns CROSS JOIN na
+         |  LEFT JOIN cnt ON cnt.source = ns.source
+         |    AND cnt.tok = tt.tok),
+         |tf AS (SELECT source, n_g,
+         |    CAST(round((
+         |      CASE WHEN cg > 0 THEN
+         |        (CAST(cg AS DOUBLE) / n_g) * ln((CAST(cg AS DOUBLE)
+         |          / n_g) / ((CAST(cg AS DOUBLE) / n_g
+         |          + CAST(cr AS DOUBLE) / n_r) / CAST(2.0 AS DOUBLE)))
+         |        ELSE CAST(0.0 AS DOUBLE) END
+         |      + CASE WHEN cr > 0 THEN
+         |        (CAST(cr AS DOUBLE) / n_r) * ln((CAST(cr AS DOUBLE)
+         |          / n_r) / ((CAST(cg AS DOUBLE) / n_g
+         |          + CAST(cr AS DOUBLE) / n_r) / CAST(2.0 AS DOUBLE)))
+         |        ELSE CAST(0.0 AS DOUBLE) END)
+         |      * CAST(0.5 AS DOUBLE) * CAST(1e9 AS DOUBLE)) AS BIGINT)
+         |      AS tf
+         |  FROM grid)
+         |SELECT source, n_g AS n_tokens,
+         |  CAST(round(CAST(CAST(sum(tf) AS DOUBLE)
+         |    / CAST(1e9 AS DOUBLE) AS DECIMAL(20,10)), 4) AS DOUBLE)
+         |    AS js
+         |FROM tf GROUP BY 1, 2""".stripMargin,
 
     // Same exact midrank algebra: exclusive running pooled count as a
     // plain window over the distinct value domain (the oracle may sort

@@ -148,6 +148,49 @@ object Text {
         .cast("decimal(20,10)"), 4).cast("double").as("kl"))
   }
 
+  /** JENSEN–SHANNON divergence of each source's token distribution vs
+    * the REST of the pool — the SYMMETRIC, ln2-bounded companion to
+    * [[sourceKlDivergence]] (KL explodes on disjoint support and
+    * depends on direction; JS is the mixture-referenced average both
+    * drift dashboards and mixture tuners actually plot):
+    * JS = ½Σ_t [p·ln(p/m) + q·ln(q/m)], m = (p+q)/2, with 0·ln0 = 0 —
+    * no smoothing needed, m > 0 on the union support by construction.
+    *
+    * Scale shape: the corpus-sized stage is the (source, token)
+    * count; the term grid is vocabulary × sources (the KL precedent)
+    * with the per-source totals broadcast. Each row's term snaps to
+    * ×1e9 fixed point pre-sum; the two ln calls take exact-integer-
+    * ratio arguments. Output: (source, n_tokens, js).
+    */
+  def sourceJsVsRest(docs: DataFrame, source: Column,
+                     text: Column): DataFrame = {
+    val tok = docs.select(source.as("source"),
+      explode(tokens(text)).as("tok"))
+    val cnt = tok.groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("tok")).agg(sum(col("c")).as("ct"))
+    val ns = cnt.groupBy(col("source")).agg(sum(col("c")).as("n_g"))
+    val nAll = ns.agg(sum(col("n_g")).as("n_tot"))
+    val grid = tot.crossJoin(broadcast(ns))
+      .crossJoin(broadcast(nAll))
+      .join(cnt, Seq("source", "tok"), "left")
+      .select(col("source"), col("n_g"),
+        coalesce(col("c"), lit(0L)).as("cg"),
+        (col("ct") - coalesce(col("c"), lit(0L))).as("cr"),
+        (col("n_tot") - col("n_g")).as("n_r"))
+    val pa = col("cg").cast("double") / col("n_g").cast("double")
+    val qb = col("cr").cast("double") / col("n_r").cast("double")
+    val m = (pa + qb) / lit(2.0)
+    grid
+      .select(col("source"), col("n_g"),
+        round((when(col("cg") > 0, pa * log(pa / m)).otherwise(lit(0.0))
+          + when(col("cr") > 0, qb * log(qb / m)).otherwise(lit(0.0)))
+          * lit(0.5) * lit(1e9)).cast("long").as("tf"))
+      .groupBy(col("source"), col("n_g").as("n_tokens"))
+      .agg(round((sum(col("tf")).cast("double") / lit(1e9))
+        .cast("decimal(20,10)"), 4).cast("double").as("js"))
+  }
+
   /** DISTINGUISHING TERMS per source via log-odds with an informative
     * Dirichlet prior (Monroe–Colaresi–Quinn 2008, "Fightin' Words") —
     * the data-curation read on "what makes this source different":
@@ -1539,5 +1582,76 @@ object Text {
         (col("n") < w && col("pos") === 0))
       .select(col("id"), col("sel.h").as("h"), (-col("sel.np")).as("fpos"))
       .distinct()
+  }
+
+  /** MULTINOMIAL NAIVE BAYES train/eval — the classic bag-of-words
+    * text classifier as a full in-engine protocol: docs hash-split
+    * 3:1, add-one-smoothed per-(class, token) log-probabilities fit
+    * on the train split, every held-out doc scored argmax_c
+    * [ln P(c) + Σ_tok ln P(tok|c)], confusion counts out. The
+    * supervised baseline beside the heuristic langId (q25) and the
+    * unsupervised bigram-LM (q138) — and the eval harness any
+    * replacement classifier must beat.
+    *
+    * Determinism: every log-probability snaps to a ×10⁶ integer
+    * weight BEFORE any sum (the bigramNll convention), scores are
+    * exact integer sums, argmax ties break on class name.
+    *
+    * Scale shape: training is one (class, token) hash aggregate;
+    * scoring joins held-out token OCCURRENCES to the weight table on
+    * the token key (|classes|× fan-out, map-side combinable to
+    * (doc, class) partials); unseen-token mass rides a per-doc count
+    * times the class default — no per-doc vocabulary scan. The
+    * doc×class score grid crosses a broadcast |classes|-row table.
+    * Output: (y, pred, n) held-out confusion counts.
+    */
+  def naiveBayesEval(docs: DataFrame, idCol: String, label: Column,
+                     text: Column): DataFrame = {
+    val tg = docs.select(col(idCol).as("id"), label.as("y"),
+      tokens(text).as("tk"),
+      (Sampling.hashBucket(col(idCol), 4) =!= 0).as("is_train"))
+    val occ = tg.select(col("id"), col("y"), col("is_train"),
+      explode(col("tk")).as("tok"))
+    val cw = occ.filter(col("is_train"))
+      .groupBy(col("y").as("c"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val nc = cw.groupBy(col("c")).agg(sum(col("cnt")).as("n_c"))
+    val vd = cw.select(col("tok")).distinct()
+    val vv = vd.agg(count(lit(1)).as("v"))
+    val dc = tg.filter(col("is_train"))
+      .groupBy(col("y").as("c")).agg(count(lit(1)).as("nd_c"))
+    val nd = dc.agg(sum(col("nd_c")).as("nd"))
+    val cls = nc.join(dc, "c").crossJoin(broadcast(nd))
+      .crossJoin(broadcast(vv))
+      .select(col("c"), col("n_c"), col("v"),
+        round(log(col("nd_c").cast("double") /
+          col("nd").cast("double")) * 1e6).cast("long").as("prior_m"),
+        round(log(lit(1.0) / (col("n_c") + col("v")).cast("double"))
+          * 1e6).cast("long").as("def_m"))
+    val wts = cw.join(nc, "c").crossJoin(broadcast(vv))
+      .select(col("c"), col("tok"),
+        round(log((col("cnt") + 1).cast("double") /
+          (col("n_c") + col("v")).cast("double")) * 1e6).cast("long")
+          .as("w_m"))
+    val ho = occ.filter(!col("is_train"))
+      .select(col("id"), col("tok"))
+    val seen = ho.join(wts, "tok")
+      .groupBy(col("id"), col("c")).agg(sum(col("w_m")).as("s_seen"))
+    val uns = ho.join(vd, Seq("tok"), "left_anti")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_unseen"))
+    val hd = tg.filter(!col("is_train")).select(col("id"), col("y"))
+    val sc = hd.crossJoin(broadcast(cls.select(col("c"),
+        col("prior_m"), col("def_m"))))
+      .join(seen, Seq("id", "c"), "left")
+      .join(uns, Seq("id"), "left")
+      .select(col("id"), col("y"), col("c"),
+        (col("prior_m") + coalesce(col("s_seen"), lit(0L)) +
+          coalesce(col("n_unseen"), lit(0L)) * col("def_m"))
+          .as("score"))
+    sc.withColumn("rn", row_number().over(Window.partitionBy(col("id"))
+        .orderBy(col("score").desc, col("c"))))
+      .filter(col("rn") === 1)
+      .groupBy(col("y"), col("c").as("pred"))
+      .agg(count(lit(1)).as("n"))
   }
 }
