@@ -2143,6 +2143,130 @@ object SparkEntry {
       Text.sourceJsVsRest(t(s, dir, "documents"), col("source"),
         col("text"))),
 
+    // Series: LEAD-LAG cross-correlation — Pearson r between the
+    // daily view series and the purchase series shifted by −3..+3
+    // days; the argmax lag says which stream LEADS (q83 correlates
+    // only at lag 0). One data-sized (day, type) aggregate; the lag
+    // sweep is a 7-way shifted equi-join on the tiny day grid, exact
+    // DECIMAL(38,0) moment algebra, one sqrt + one division per lag.
+    "q258_lead_lag" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val dd = t(s, dir, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val v = dd.filter(col("event_type") === "view")
+        .select(col("d"), col("n").as("x"))
+      val p = dd.filter(col("event_type") === "purchase")
+        .select(col("d").as("pd"), col("n").as("y"))
+      val lags = s.range(-3, 4).toDF("lag")
+        .select(col("lag").cast("int").as("lag"))
+      v.crossJoin(broadcast(lags))
+        .join(p, expr("pd = date_add(d, lag)"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+          sum(d38(col("x")) * col("y")).as("sxy"),
+          sum(d38(col("x")) * col("x")).as("sxx"),
+          sum(d38(col("y")) * col("y")).as("syy"))
+        .select(col("lag"), col("n_days"),
+          when(d38(col("n_days")) * col("sxx") === col("sx") * col("sx")
+            || d38(col("n_days")) * col("syy") === col("sy") * col("sy"),
+            lit(null))
+            .otherwise(round(
+              ((d38(col("n_days")) * col("sxy") - col("sx") * col("sy"))
+                .cast("double") /
+                (sqrt((d38(col("n_days")) * col("sxx") -
+                  col("sx") * col("sx")).cast("double")) *
+                 sqrt((d38(col("n_days")) * col("syy") -
+                  col("sy") * col("sy")).cast("double"))))
+              .cast("decimal(20,10)"), 4).cast("double")).as("r"))
+    }),
+
+    // Stats: SIMPSON'S PARADOX audit — the OLS slope of value-cents
+    // on hour-of-day, pooled vs per-event-type: a stratum whose slope
+    // SIGN disagrees with the pooled slope is the aggregation-bias
+    // red flag (the pooled trend would mislead). Exact integer moment
+    // algebra (the q147 OLS shape), ×1e6 slope snap, sign from the
+    // exact integers — never from the rounded double.
+    "q259_simpson_audit" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val rows = t(s, dir, "events")
+        .select(col("event_type").as("g"),
+          hour(col("ts")).cast("long").as("x"),
+          round(col("value") * 100).cast("long").as("y"))
+      def moments(df: DataFrame, keys: Seq[Column]): DataFrame =
+        df.groupBy(keys: _*)
+          .agg(count(lit(1)).as("n"),
+            sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+            sum(d38(col("x")) * col("y")).as("sxy"),
+            sum(d38(col("x")) * col("x")).as("sxx"))
+          .withColumn("num", d38(col("n")) * col("sxy") -
+            col("sx") * col("sy"))
+          .withColumn("den", d38(col("n")) * col("sxx") -
+            col("sx") * col("sx"))
+      val pooled = moments(rows.withColumn("g", lit("_all")),
+          Seq(col("g")))
+        .select(col("num").as("pnum"), col("den").as("pden"))
+      val strata = moments(rows, Seq(col("g")))
+      // sign off the EXACT decimal — a >2^53 numerator cast to double
+      // could round a hair past zero
+      def sgn(c: Column): Column =
+        when(c > 0, lit(1)).when(c < 0, lit(-1)).otherwise(lit(0))
+      strata.crossJoin(broadcast(pooled))
+        .select(col("g"), col("n"),
+          round((col("num").cast("double") / col("den").cast("double")
+            * 1e6).cast("decimal(20,10)"), 0).cast("long")
+            .as("slope_micro"),
+          sgn(col("num")).as("sign"),
+          sgn(col("pnum")).as("pooled_sign"),
+          (sgn(col("num")) =!= sgn(col("pnum"))).as("flip"))
+    }),
+
+    // Stats/eval: BRIER (Murphy) DECOMPOSITION — an hour-of-day
+    // purchase-rate predictor fit on a hash half, held-out Brier
+    // split into reliability − resolution + uncertainty over the
+    // constant-prediction groups (the WHY behind q178's calibration
+    // curve: miscalibration vs missing discrimination).
+    "q260_brier_decomposition" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(hour(col("ts")).as("h"),
+          (col("event_type") === "purchase").cast("long").as("y"),
+          Sampling.hashBucket(col("event_id"), 2).as("b"))
+      val tr = ev.filter(col("b") === 0).groupBy(col("h"))
+        .agg(count(lit(1)).as("nh"), sum(col("y")).as("ph"))
+        .select(col("h"),
+          round((col("ph").cast("double") / col("nh").cast("double")
+            * 1e6).cast("decimal(20,10)")).cast("long").as("p"))
+      Profile.brierDecomposition(
+        ev.filter(col("b") =!= 0).join(broadcast(tr), "h"),
+        col("p"), col("y"))
+    }),
+
+    // Text/stats: YULE'S K vocabulary-richness characteristic per
+    // source — K = 10⁴·(Σ_r r²V_r − N)/N², which collapses to the
+    // frequency-spectrum-free 10⁴·(Σc² − N)/N² over the (source,
+    // token) counts: length-robust repetitiveness beside Heaps'
+    // growth (q220), Zipf slope (q209) and Good–Turing mass (q241).
+    // One (source, token) aggregate + one per-source rollup, exact
+    // DECIMAL(38,0) moments, one snapped division.
+    "q261_yules_k" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      t(s, dir, "documents")
+        .select(col("source"), explode(Text.tokens(col("text")))
+          .as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(d38(col("c")) * col("c")).as("m2"))
+        .select(col("source"), col("n_tokens"), col("vocab"),
+          round((lit(1e4) * (col("m2") - col("n_tokens")).cast("double")
+            / (d38(col("n_tokens")) * col("n_tokens")).cast("double"))
+            .cast("decimal(20,10)"), 4).cast("double").as("yules_k"))
+    }),
+
     // Stats: MANN–WHITNEY U, each source's doc-length distribution vs
     // the rest of the pool — the nonparametric location-shift screen
     // beside the KS shape test. Exact tie-corrected midrank algebra on
@@ -8630,6 +8754,127 @@ object SparkEntry {
          |    / CAST(1e9 AS DOUBLE) AS DECIMAL(20,10)), 4) AS DOUBLE)
          |    AS js
          |FROM tf GROUP BY 1, 2""".stripMargin,
+
+    // DuckDB date + integer adds days; same exact HUGEINT moment
+    // algebra per lag, same degenerate-variance null guard.
+    "q258_lead_lag" ->
+      """WITH dd AS (SELECT CAST(ts AS DATE) AS d, event_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1, 2),
+        |v AS (SELECT d, n AS x FROM dd WHERE event_type = 'view'),
+        |p AS (SELECT d AS pd, n AS y FROM dd
+        |  WHERE event_type = 'purchase'),
+        |j AS (SELECT lag, x, y FROM v
+        |  CROSS JOIN (SELECT CAST(unnest(range(-3, 4)) AS INT) AS lag)
+        |  JOIN p ON pd = d + lag),
+        |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM j GROUP BY 1)
+        |SELECT lag, n_days,
+        |  CASE WHEN n_days * sxx = sx * sx OR n_days * syy = sy * sy
+        |    THEN NULL ELSE
+        |    CAST(round(CAST(CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+        |        * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)))
+        |      AS DECIMAL(20,10)), 4) AS DOUBLE) END AS r
+        |FROM m""".stripMargin,
+
+    // Same cents snap, same exact-integer slope sign (never the
+    // rounded double's), pooled row via the '_all' relabel.
+    "q259_simpson_audit" ->
+      """WITH rows_ AS (SELECT event_type AS g,
+        |    CAST(hour(ts) AS BIGINT) AS x,
+        |    CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS y
+        |  FROM events),
+        |ms AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM rows_ GROUP BY 1),
+        |mm AS (SELECT g, n, n * sxy - sx * sy AS num,
+        |    n * sxx - sx * sx AS den FROM ms),
+        |mp AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+        |    sum(sx) AS sx, sum(sy) AS sy, sum(sxy) AS sxy,
+        |    sum(sxx) AS sxx FROM ms),
+        |pp AS (SELECT n * sxy - sx * sy AS pnum FROM mp)
+        |SELECT g, n,
+        |  CAST(round(CAST(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+        |    * CAST(1e6 AS DOUBLE) AS DECIMAL(20,10)), 0) AS BIGINT)
+        |    AS slope_micro,
+        |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0
+        |    END AS INT) AS sign,
+        |  CAST(CASE WHEN pnum > 0 THEN 1 WHEN pnum < 0 THEN -1 ELSE 0
+        |    END AS INT) AS pooled_sign,
+        |  (CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END)
+        |    <> (CASE WHEN pnum > 0 THEN 1 WHEN pnum < 0 THEN -1
+        |      ELSE 0 END) AS flip
+        |FROM mm CROSS JOIN pp""".stripMargin,
+
+    // Same hash split, same ×1e6 rate snap, same per-group HUGEINT
+    // cross-multiples and ×1e9 term snaps before the tiny sum.
+    "q260_brier_decomposition" ->
+      s"""WITH ev AS (SELECT hour(ts) AS h,
+         |    CAST(event_type = 'purchase' AS BIGINT) AS y,
+         |    ${h60("CAST(event_id AS VARCHAR)")} % 2 AS b
+         |  FROM events),
+         |trn AS (SELECT h, CAST(round(CAST(CAST(sum(y) AS DOUBLE)
+         |    / count(*) * CAST(1e6 AS DOUBLE) AS DECIMAL(20,10)))
+         |    AS BIGINT) AS p
+         |  FROM ev WHERE b = 0 GROUP BY 1),
+         |ho AS (SELECT trn.p, ev.y FROM ev JOIN trn USING (h)
+         |  WHERE ev.b <> 0),
+         |g AS (SELECT p, CAST(count(*) AS BIGINT) AS nk,
+         |    CAST(sum(y) AS BIGINT) AS sk FROM ho GROUP BY 1),
+         |tot AS (SELECT CAST(sum(nk) AS BIGINT) AS n,
+         |    CAST(sum(sk) AS BIGINT) AS s1 FROM g),
+         |p0 AS (SELECT n, s1, nk,
+         |    CAST(nk AS HUGEINT) * p * p
+         |      - 2 * CAST(p AS HUGEINT) * 1000000 * sk
+         |      + CAST(1000000 AS HUGEINT) * 1000000 * sk AS bs,
+         |    CAST(p AS HUGEINT) * nk
+         |      - CAST(1000000 AS HUGEINT) * sk AS dl,
+         |    CAST(sk AS HUGEINT) * n
+         |      - CAST(s1 AS HUGEINT) * nk AS dr
+         |  FROM g CROSS JOIN tot),
+         |per AS (SELECT n, s1,
+         |    CAST(round(CAST(bs AS DOUBLE) / n / 1e12 * 1e9)
+         |      AS BIGINT) AS tb,
+         |    CAST(round(CAST(dl * dl AS DOUBLE)
+         |      / CAST(CAST(nk AS HUGEINT) * n AS DOUBLE)
+         |      / 1e12 * 1e9) AS BIGINT) AS tl,
+         |    CAST(round(CAST(dr * dr AS DOUBLE)
+         |      / CAST(CAST(nk AS HUGEINT) * n * n * n AS DOUBLE)
+         |      * 1e9) AS BIGINT) AS tr2
+         |  FROM p0)
+         |SELECT n,
+         |  CAST(round(CAST(CAST(sum(tb) AS DOUBLE) / 1e9
+         |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS brier,
+         |  CAST(round(CAST(CAST(sum(tl) AS DOUBLE) / 1e9
+         |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS reliability,
+         |  CAST(round(CAST(CAST(sum(tr2) AS DOUBLE) / 1e9
+         |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS resolution,
+         |  CAST(round(CAST(CAST(CAST(s1 AS HUGEINT) * (n - s1)
+         |      AS DOUBLE) / CAST(CAST(n AS HUGEINT) * n AS DOUBLE)
+         |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS uncertainty
+         |FROM per GROUP BY n, s1""".stripMargin,
+
+    // Same Σc²-collapsed spectrum identity, HUGEINT moments.
+    "q261_yules_k" ->
+      s"""WITH cnt AS (SELECT source, tok,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT source, unnest($tokSql) AS tok FROM documents)
+         |  GROUP BY 1, 2)
+         |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS vocab,
+         |  CAST(round(CAST(CAST(1e4 AS DOUBLE)
+         |    * CAST(sum(CAST(c AS HUGEINT) * c) - sum(c) AS DOUBLE)
+         |    / CAST(CAST(sum(c) AS HUGEINT) * CAST(sum(c) AS HUGEINT)
+         |      AS DOUBLE) AS DECIMAL(20,10)), 4) AS DOUBLE) AS yules_k
+         |FROM cnt GROUP BY 1""".stripMargin,
 
     // Same exact midrank algebra: exclusive running pooled count as a
     // plain window over the distinct value domain (the oracle may sort

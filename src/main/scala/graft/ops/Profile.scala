@@ -1179,6 +1179,65 @@ object Profile {
             .cast("double")).as("w1"))
   }
 
+  /** MURPHY DECOMPOSITION of the Brier score — reliability −
+    * resolution + uncertainty over the groups of identical predicted
+    * probability (the canonical partition: within a group the
+    * prediction is constant, so the identity is exact): REL = how far
+    * predictions sit from their group's event rate (miscalibration,
+    * lower better), RES = how far group rates spread from the base
+    * rate (discrimination, higher better), UNC = ō(1−ō). The "WHY is
+    * my Brier bad" read behind the q178 calibration curve.
+    *
+    * Input: one row per scored unit, `pMicro` the ×10⁶ integer
+    * predicted probability, `label` 0/1. Scale shape: ONE hash
+    * aggregate to the (p, n_k, s_k) group table; every component is
+    * an exact DECIMAL(38,0) cross-multiple per group
+    * (Δ = p·n_k − 10⁶·s_k, Δr = s_k·N − S·n_k), scaled to a ×10⁹
+    * per-group term snap before the final (tiny) sum — no
+    * order-dependent double accumulation over data-sized frames.
+    * Output one row: (n, brier, reliability, resolution,
+    * uncertainty), 6dp.
+    */
+  def brierDecomposition(df: DataFrame, pMicro: Column,
+                         label: Column): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    val rows = df.select(pMicro.cast("long").as("p"),
+      label.cast("long").as("y"))
+    val g = rows.groupBy(col("p"))
+      .agg(count(lit(1)).as("nk"), sum(col("y")).as("sk"))
+    val tot = g.agg(sum(col("nk")).as("n"), sum(col("sk")).as("s1"))
+    val per = g.crossJoin(broadcast(tot))
+      .withColumn("bs", d38(col("nk")) * col("p") * col("p")
+        - d38(lit(2L)) * col("p") * lit(1000000L) * col("sk")
+        + d38(lit(1000000L)) * lit(1000000L) * col("sk"))
+      .withColumn("dl", d38(col("p")) * col("nk")
+        - d38(lit(1000000L)) * col("sk"))
+      .withColumn("dr", d38(col("sk")) * col("n")
+        - d38(col("s1")) * col("nk"))
+      .select(col("n"), col("s1"),
+        round(col("bs").cast("double") / col("n").cast("double")
+          / lit(1e12) * lit(1e9)).cast("long").as("tb"),
+        round((col("dl") * col("dl")).cast("double") /
+          (d38(col("nk")) * col("n")).cast("double")
+          / lit(1e12) * lit(1e9)).cast("long").as("tl"),
+        round((col("dr") * col("dr")).cast("double") /
+          (d38(col("nk")) * col("n") * col("n") * col("n"))
+            .cast("double") * lit(1e9)).cast("long").as("tr"))
+    per.groupBy(col("n"), col("s1"))
+      .agg(sum(col("tb")).as("sb"), sum(col("tl")).as("sl"),
+        sum(col("tr")).as("sr"))
+      .select(col("n"),
+        round((col("sb").cast("double") / lit(1e9))
+          .cast("decimal(20,10)"), 6).cast("double").as("brier"),
+        round((col("sl").cast("double") / lit(1e9))
+          .cast("decimal(20,10)"), 6).cast("double").as("reliability"),
+        round((col("sr").cast("double") / lit(1e9))
+          .cast("decimal(20,10)"), 6).cast("double").as("resolution"),
+        round(((d38(col("s1")) * (col("n") - col("s1"))).cast("double") /
+          (d38(col("n")) * col("n")).cast("double"))
+          .cast("decimal(20,10)"), 6).cast("double").as("uncertainty"))
+  }
+
   /** Deterministic SIGN-FLIP randomization test on paired per-unit
     * differences — the exact-null permutation companion to the
     * parametric z/t tests (q171's A/B z-test assumes a normal null;
