@@ -2267,6 +2267,129 @@ object SparkEntry {
             .cast("decimal(20,10)"), 4).cast("double").as("yules_k"))
     }),
 
+    // Events/curation: RFM SEGMENTATION — every user scored 1–5 on
+    // recency (5 = most recent), frequency and monetary by EXACT
+    // quintile ranks (q178's below·5 ÷ N rule on the two-level prefix
+    // kernel — ties never straddle a boundary, no data-sized sort
+    // partition), then the ≤125-cell segment table with exact
+    // monetary means. The classic audience/cohort cut for any
+    // engagement warehouse.
+    "q262_rfm_segments" -> ((s, dir) => {
+      def floorDiv(a: Column, b: Column): Column =
+        ((a - pmod(a, b)) / b).cast("long")
+      val ev = t(s, dir, "events").select(col("user_id").as("u"),
+        to_date(col("ts")).as("d"),
+        round(col("value") * 100).cast("long").as("vc"))
+      val mx = ev.agg(max(col("d")).as("dmax"))
+      val usr = ev.crossJoin(broadcast(mx))
+        .groupBy(col("u"))
+        .agg(min(datediff(col("dmax"), col("d"))).cast("long").as("rec"),
+          count(lit(1)).as("freq"), sum(col("vc")).as("mon"))
+      val nn = usr.agg(count(lit(1)).as("n"))
+      def qscore(vcol: String): DataFrame = {
+        val byV = usr.groupBy(col(vcol).cast("long").as("v"))
+          .agg(count(lit(1)).as("cnt"))
+        Ranks.withRunningBelow(byV, "v", 64L, Seq("cnt"))
+          .crossJoin(broadcast(nn))
+          .select(col("v"),
+            (floorDiv(col("cnt_below") * 5, col("n")) + 1).cast("int")
+              .as("q"))
+      }
+      val r = qscore("rec")
+        .select(col("v").as("rec"), (lit(6) - col("q")).as("r_score"))
+      val f = qscore("freq")
+        .select(col("v").as("freq"), col("q").as("f_score"))
+      val m = qscore("mon")
+        .select(col("v").as("mon"), col("q").as("m_score"))
+      usr.join(broadcast(r), "rec").join(broadcast(f), "freq")
+        .join(m, "mon")
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_users"),
+          round((sum(col("mon")).cast("double") /
+            count(lit(1)).cast("double") / lit(100.0))
+            .cast("decimal(20,10)"), 2).cast("double")
+            .as("avg_monetary"))
+    }),
+
+    // Events/mining: pairwise ASSOCIATION RULES over per-user
+    // event-type baskets — support, confidence and lift for every
+    // ordered item pair (the market-basket classic; lift > 1 = the
+    // pair co-occurs beyond independence). One distinct (user, item)
+    // shuffle, pair generation is a per-basket self-join bounded by
+    // the item vocabulary (the 100 TB contract: baskets are small,
+    // the user key is the only data-sized shuffle), exact integer
+    // ratios snapped 4dp.
+    "q263_association_rules" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val ut = t(s, dir, "events")
+        .select(col("user_id").as("u"), col("event_type").as("it"))
+        .distinct()
+      val pairs = ut.as("x").join(ut.as("y"),
+          col("x.u") === col("y.u") && col("x.it") =!= col("y.it"))
+        .groupBy(col("x.it").as("a"), col("y.it").as("b"))
+        .agg(count(lit(1)).as("n_ab"))
+      val items = ut.groupBy(col("it")).agg(count(lit(1)).as("n_i"))
+      val nn = ut.select(col("u")).distinct().agg(count(lit(1)).as("n"))
+      pairs
+        .join(broadcast(items.select(col("it").as("a"),
+          col("n_i").as("n_a"))), "a")
+        .join(broadcast(items.select(col("it").as("b"),
+          col("n_i").as("n_b"))), "b")
+        .crossJoin(broadcast(nn))
+        .select(col("a"), col("b"), col("n_a"), col("n_b"), col("n_ab"),
+          round((col("n_ab").cast("double") / col("n").cast("double"))
+            .cast("decimal(20,10)"), 4).cast("double").as("support"),
+          round((col("n_ab").cast("double") / col("n_a").cast("double"))
+            .cast("decimal(20,10)"), 4).cast("double").as("confidence"),
+          round(((d38(col("n")) * col("n_ab")).cast("double") /
+            (d38(col("n_a")) * col("n_b")).cast("double"))
+            .cast("decimal(20,10)"), 4).cast("double").as("lift"))
+    }),
+
+    // Curation: MIXTURE-WEIGHT GRID SEARCH — held-out NLL of the
+    // interpolated unigram LM α·P_src0 + (1−α)·P_rest on src0's own
+    // held-out half, swept over α = 0%..100% in 10% steps: the
+    // in-engine answer to "how much in-domain mix helps" (the 1-D
+    // DoReMi sweep; read the argmin row off the 11-row curve). One
+    // (token, class) train aggregate; the held-out occurrence stream
+    // fans ×11 against a broadcast alpha grid and collapses in one
+    // map-side-combined aggregate; −ln terms snap ×1e6 pre-sum.
+    "q264_mixture_grid" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("source"),
+        Text.tokens(col("text")).as("tk"),
+        (Sampling.hashBucket(col("doc_id"), 2) === 0).as("tr"))
+      val occ = d.select(col("source"), col("tr"),
+        explode(col("tk")).as("tok"))
+      val cnt = occ.filter(col("tr")).groupBy(col("tok"))
+        .agg(sum(when(col("source") === "src0", 1L).otherwise(0L))
+            .as("c0"),
+          sum(when(col("source") =!= "src0", 1L).otherwise(0L))
+            .as("cr"))
+      val tots = cnt.agg(sum(col("c0")).as("n0"),
+        sum(col("cr")).as("nr"), count(lit(1)).as("v"))
+      val alphas = s.range(0, 11)
+        .select((col("id") * 10).cast("int").as("alpha_pct"))
+      val a = col("alpha_pct").cast("double") / lit(100.0)
+      occ.filter(!col("tr") && col("source") === "src0")
+        .select(col("tok"))
+        .join(cnt, Seq("tok"), "left")
+        .select(coalesce(col("c0"), lit(0L)).as("c0"),
+          coalesce(col("cr"), lit(0L)).as("cr"))
+        .crossJoin(broadcast(tots))
+        .crossJoin(broadcast(alphas))
+        .select(col("alpha_pct"),
+          round(-log(a * ((col("c0") + 1).cast("double") /
+              (col("n0") + col("v")).cast("double")) +
+            (lit(1.0) - a) * ((col("cr") + 1).cast("double") /
+              (col("nr") + col("v")).cast("double"))) * lit(1e6))
+            .cast("long").as("tf"))
+        .groupBy(col("alpha_pct"))
+        .agg(count(lit(1)).as("n_terms"),
+          round((sum(col("tf")).cast("double") /
+            (count(lit(1)).cast("double") * lit(1e6)))
+            .cast("decimal(20,10)"), 4).cast("double").as("avg_nll"))
+    }),
+
     // Stats: MANN–WHITNEY U, each source's doc-length distribution vs
     // the rest of the pool — the nonparametric location-shift screen
     // beside the KS shape test. Exact tie-corrected midrank algebra on
@@ -8875,6 +8998,103 @@ object SparkEntry {
          |    / CAST(CAST(sum(c) AS HUGEINT) * CAST(sum(c) AS HUGEINT)
          |      AS DOUBLE) AS DECIMAL(20,10)), 4) AS DOUBLE) AS yules_k
          |FROM cnt GROUP BY 1""".stripMargin,
+
+    // Same exact below·5 ÷ N quintile rule (the oracle may sort the
+    // distinct domains globally — the engine must not), same cents
+    // snap and date-difference recency.
+    "q262_rfm_segments" ->
+      """WITH ev AS (SELECT user_id AS u, CAST(ts AS DATE) AS d,
+        |    CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |mx AS (SELECT max(d) AS dmax FROM ev),
+        |usr AS (SELECT u, CAST(min(dmax - d) AS BIGINT) AS rec,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(vc) AS BIGINT) AS mon
+        |  FROM ev CROSS JOIN mx GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM usr),
+        |rq AS (SELECT v, CAST(6 - (below * 5 // n + 1) AS INT)
+        |    AS r_score
+        |  FROM (SELECT v, CAST(coalesce(sum(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS below
+        |    FROM (SELECT rec AS v, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM usr GROUP BY 1)) CROSS JOIN nn),
+        |fq AS (SELECT v, CAST(below * 5 // n + 1 AS INT) AS f_score
+        |  FROM (SELECT v, CAST(coalesce(sum(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS below
+        |    FROM (SELECT freq AS v, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM usr GROUP BY 1)) CROSS JOIN nn),
+        |mq AS (SELECT v, CAST(below * 5 // n + 1 AS INT) AS m_score
+        |  FROM (SELECT v, CAST(coalesce(sum(cnt) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS below
+        |    FROM (SELECT mon AS v, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM usr GROUP BY 1)) CROSS JOIN nn)
+        |SELECT rq.r_score, fq.f_score, mq.m_score,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(round(CAST(CAST(sum(usr.mon) AS DOUBLE) / count(*)
+        |    / CAST(100.0 AS DOUBLE) AS DECIMAL(20,10)), 2) AS DOUBLE)
+        |    AS avg_monetary
+        |FROM usr JOIN rq ON rq.v = usr.rec JOIN fq ON fq.v = usr.freq
+        |JOIN mq ON mq.v = usr.mon
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // Same distinct-basket pair join and exact HUGEINT lift ratio.
+    "q263_association_rules" ->
+      """WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS it
+        |  FROM events),
+        |pr AS (SELECT x.it AS a, y.it AS b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM ut x JOIN ut y ON x.u = y.u AND x.it <> y.it
+        |  GROUP BY 1, 2),
+        |im AS (SELECT it, CAST(count(*) AS BIGINT) AS n_i
+        |  FROM ut GROUP BY 1),
+        |nn AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n FROM ut)
+        |SELECT a, b, ia.n_i AS n_a, ib.n_i AS n_b, n_ab,
+        |  CAST(round(CAST(CAST(n_ab AS DOUBLE) / n AS DECIMAL(20,10)),
+        |    4) AS DOUBLE) AS support,
+        |  CAST(round(CAST(CAST(n_ab AS DOUBLE) / ia.n_i
+        |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS confidence,
+        |  CAST(round(CAST(CAST(CAST(n AS HUGEINT) * n_ab AS DOUBLE)
+        |    / CAST(CAST(ia.n_i AS HUGEINT) * ib.n_i AS DOUBLE)
+        |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS lift
+        |FROM pr JOIN im ia ON ia.it = pr.a JOIN im ib ON ib.it = pr.b
+        |CROSS JOIN nn""".stripMargin,
+
+    // Same split/models/alpha grid, identical double shape per term.
+    "q264_mixture_grid" ->
+      s"""WITH d AS (SELECT source, $tokSql AS tk,
+         |    ${h60("CAST(doc_id AS VARCHAR)")} % 2 = 0 AS tr
+         |  FROM documents),
+         |occ AS (SELECT source, tr, unnest(tk) AS tok FROM d),
+         |cnt AS (SELECT tok,
+         |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS c0,
+         |    CAST(sum(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS cr
+         |  FROM occ WHERE tr GROUP BY 1),
+         |tots AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+         |    CAST(sum(cr) AS BIGINT) AS nr,
+         |    CAST(count(*) AS BIGINT) AS v FROM cnt),
+         |ho AS (SELECT tok FROM occ
+         |  WHERE NOT tr AND source = 'src0'),
+         |tf AS (SELECT alpha_pct, CAST(round(-ln(
+         |      CAST(alpha_pct AS DOUBLE) / CAST(100.0 AS DOUBLE)
+         |        * (CAST(coalesce(c0, 0) + 1 AS DOUBLE) / (n0 + v))
+         |      + (CAST(1.0 AS DOUBLE) - CAST(alpha_pct AS DOUBLE)
+         |          / CAST(100.0 AS DOUBLE))
+         |        * (CAST(coalesce(cr, 0) + 1 AS DOUBLE) / (nr + v)))
+         |    * CAST(1e6 AS DOUBLE)) AS BIGINT) AS tf
+         |  FROM ho LEFT JOIN cnt USING (tok)
+         |  CROSS JOIN tots
+         |  CROSS JOIN (SELECT CAST(unnest(range(0, 11)) * 10 AS INT)
+         |    AS alpha_pct))
+         |SELECT alpha_pct, CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(round(CAST(CAST(sum(tf) AS DOUBLE)
+         |    / (count(*) * CAST(1e6 AS DOUBLE)) AS DECIMAL(20,10)), 4)
+         |    AS DOUBLE) AS avg_nll
+         |FROM tf GROUP BY 1""".stripMargin,
 
     // Same exact midrank algebra: exclusive running pooled count as a
     // plain window over the distinct value domain (the oracle may sort
