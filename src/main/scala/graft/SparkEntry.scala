@@ -2395,6 +2395,81 @@ object SparkEntry {
             .cast("decimal(20,10)"), 4).cast("double").as("avg_nll"))
     }),
 
+    // Warehouse: SCD TYPE-2 dimension history — the slowly-changing-
+    // dimension op the reference's SCD-1 upsert (K2/q06) can't
+    // express: each symbol's price band becomes validity INTERVALS
+    // (valid_from, valid_to = day before the next change, open +
+    // is_current for the live row). Run boundaries by lag-compare →
+    // prefix-sum run ids → one aggregate per run; everything rides
+    // the ONE symbol-key window exchange, run-table windows are
+    // per-symbol and tiny.
+    "q265_scd2_history" -> ((s, dir) => {
+      def floorDiv(a: Column, b: Column): Column =
+        ((a - pmod(a, b)) / b).cast("long")
+      val W = org.apache.spark.sql.expressions.Window
+      val b = Merge.keepLatestInSeries(
+          bars(s, dir).filter(col("symbol") <= 500), Seq("symbol"),
+          Seq("d"), struct(col("ord"), col("px"), col("vol")))
+        .select(col("symbol"), col("d"),
+          floorDiv(round(col("px") * 100).cast("long"), lit(2000L))
+            .as("band"))
+      val w = W.partitionBy("symbol").orderBy("d")
+      val runs = b
+        .withColumn("prev", lag(col("band"), 1).over(w))
+        .withColumn("chg", when(col("prev").isNull ||
+          col("prev") =!= col("band"), 1L).otherwise(0L))
+        .withColumn("run_id", sum(col("chg")).over(
+          w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+      runs.groupBy(col("symbol"), col("run_id"), col("band"))
+        .agg(min(col("d")).as("valid_from"),
+          count(lit(1)).as("n_days"))
+        .withColumn("nxt", lead(col("valid_from"), 1).over(
+          W.partitionBy("symbol").orderBy("run_id")))
+        .select(col("symbol"), col("band"), col("valid_from"),
+          coalesce(date_sub(col("nxt"), 1),
+            lit("9999-12-31").cast("date")).as("valid_to"),
+          col("n_days"), col("nxt").isNull.as("is_current"))
+    }),
+
+    // Events/mining: SEQUENTIAL PATTERN support (PrefixSpan-lite) —
+    // user support of every gap-allowed ORDERED pattern a>b and
+    // a>b>c over event-type sequences (q146's trigrams demand
+    // contiguity; funnels demand fixed steps — this is the general
+    // subsequence mine). The order-theoretic trick keeps it linear:
+    // a>b holds iff first(a) < last(b), and a>b>c iff SOME b
+    // occurrence sits strictly between first(a) and last(c) — so
+    // pairs need only the per-(user, type) extremes table (≤|Σ| rows
+    // per user) and triples one alphabet-bounded ×|Σ|² fan of the
+    // event stream. One user-key window exchange feeds everything.
+    "q266_sequence_patterns" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val pos = t(s, dir, "events")
+        .select(col("user_id").as("u"), col("event_type").as("ty"),
+          col("ts"), col("event_id"))
+        .withColumn("pos", row_number().over(
+          W.partitionBy("u").orderBy(col("ts"), col("event_id"))))
+      val ext = pos.groupBy(col("u"), col("ty"))
+        .agg(min(col("pos")).as("fp"), max(col("pos")).as("lp"))
+      val nn = ext.select(col("u")).distinct()
+        .agg(count(lit(1)).as("n"))
+      val pairs = ext.as("a").join(ext.as("b"),
+          col("a.u") === col("b.u") && col("a.fp") < col("b.lp"))
+        .groupBy(concat(col("a.ty"), lit(">"), col("b.ty")).as("pattern"))
+        .agg(count(lit(1)).as("n_users"))
+      val triples = pos.select(col("u"), col("ty").as("bt"), col("pos"))
+        .join(ext.select(col("u"), col("ty").as("at"), col("fp")), "u")
+        .join(ext.select(col("u"), col("ty").as("ct"), col("lp")), "u")
+        .filter(col("pos") > col("fp") && col("pos") < col("lp"))
+        .select(col("u"), col("at"), col("bt"), col("ct")).distinct()
+        .groupBy(concat(col("at"), lit(">"), col("bt"), lit(">"),
+          col("ct")).as("pattern"))
+        .agg(count(lit(1)).as("n_users"))
+      pairs.unionByName(triples).crossJoin(broadcast(nn))
+        .select(col("pattern"), col("n_users"),
+          round((col("n_users").cast("double") / col("n").cast("double"))
+            .cast("decimal(20,10)"), 4).cast("double").as("support"))
+    }),
+
     // Stats: MANN–WHITNEY U, each source's doc-length distribution vs
     // the rest of the pool — the nonparametric location-shift screen
     // beside the KS shape test. Exact tie-corrected midrank algebra on
@@ -9100,6 +9175,63 @@ object SparkEntry {
          |    / (count(*) * CAST(1e6 AS DOUBLE)) AS DECIMAL(20,10)), 4)
          |    AS DOUBLE) AS avg_nll
          |FROM tf GROUP BY 1""".stripMargin,
+
+    // Same keep-latest dedup (q53's rn rule), same 20-unit band, same
+    // lag-compare runs and lead(valid_from) − 1 day interval close.
+    "q265_scd2_history" ->
+      s"""WITH b AS (SELECT symbol, d,
+         |    CAST(round(CAST(px AS DOUBLE) * 100) AS BIGINT) // 2000
+         |      AS band
+         |  FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY symbol, d ORDER BY ord DESC, px DESC, vol
+         |    DESC) AS rn FROM ($barsSql) WHERE symbol <= 500)
+         |    WHERE rn = 1),
+         |r AS (SELECT symbol, d, band,
+         |    CASE WHEN lag(band) OVER w IS NULL
+         |      OR lag(band) OVER w <> band THEN 1 ELSE 0 END AS chg
+         |  FROM b WINDOW w AS (PARTITION BY symbol ORDER BY d)),
+         |ri AS (SELECT symbol, d, band,
+         |    CAST(sum(chg) OVER (PARTITION BY symbol ORDER BY d
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS run_id FROM r),
+         |iv AS (SELECT symbol, run_id, band, min(d) AS valid_from,
+         |    CAST(count(*) AS BIGINT) AS n_days
+         |  FROM ri GROUP BY 1, 2, 3),
+         |nx AS (SELECT *, lead(valid_from) OVER (PARTITION BY symbol
+         |    ORDER BY run_id) AS nxt FROM iv)
+         |SELECT symbol, CAST(band AS BIGINT) AS band, valid_from,
+         |  coalesce(nxt - 1, DATE '9999-12-31') AS valid_to, n_days,
+         |  nxt IS NULL AS is_current
+         |FROM nx""".stripMargin,
+
+    // Same (ts, event_id) position order, same first/last-occurrence
+    // order algebra for pairs and betweenness witness for triples.
+    "q266_sequence_patterns" ->
+      """WITH pos AS (SELECT user_id AS u, event_type AS ty,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS pos
+        |  FROM events),
+        |ext AS (SELECT u, ty, CAST(min(pos) AS BIGINT) AS fp,
+        |    CAST(max(pos) AS BIGINT) AS lp
+        |  FROM pos GROUP BY 1, 2),
+        |nn AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS n FROM ext),
+        |pr AS (SELECT a.ty || '>' || b.ty AS pattern,
+        |    CAST(count(*) AS BIGINT) AS n_users
+        |  FROM ext a JOIN ext b ON a.u = b.u AND a.fp < b.lp
+        |  GROUP BY 1),
+        |tr AS (SELECT at || '>' || bt || '>' || ct AS pattern,
+        |    CAST(count(*) AS BIGINT) AS n_users
+        |  FROM (SELECT DISTINCT p.u, ea.ty AS at, p.ty AS bt,
+        |      ec.ty AS ct
+        |    FROM pos p JOIN ext ea ON ea.u = p.u
+        |    JOIN ext ec ON ec.u = p.u
+        |    WHERE p.pos > ea.fp AND p.pos < ec.lp)
+        |  GROUP BY 1),
+        |u AS (SELECT * FROM pr UNION ALL SELECT * FROM tr)
+        |SELECT pattern, n_users,
+        |  CAST(round(CAST(CAST(n_users AS DOUBLE) / n
+        |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS support
+        |FROM u CROSS JOIN nn""".stripMargin,
 
     // Same exact midrank algebra: exclusive running pooled count as a
     // plain window over the distinct value domain (the oracle may sort
