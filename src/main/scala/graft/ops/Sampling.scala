@@ -495,20 +495,27 @@ object Sampling {
     * kept-count audit is a second small aggregate. Output one row per
     * (g, bin): (g, bin, n_gb, a_micro, n_kept).
     */
-  def profileMatchThinning(df: DataFrame, group: Column, value: Column,
-                           rowKey: Column, bins: Int): DataFrame = {
+  private def pmFloorDiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** Shared grid builder for the profile-match family: (binned rows
+    * (g, k, bin), stats (g, bin, n_gb, num, den, vmin, w)). vmin/w
+    * are the exact integer binning constants carried on every stats
+    * row so a STREAMING consumer can bin new rows identically.
+    */
+  private def profileGrid(df: DataFrame, group: Column, value: Column,
+                          rowKey: Column,
+                          bins: Int): (DataFrame, DataFrame) = {
     require(bins >= 2, "bins must be >= 2")
     val d38 = (c: Column) => c.cast("decimal(38,0)")
-    def floorDiv(a: Column, b: Column): Column =
-      ((a - pmod(a, b)) / b).cast("long")
     val rows = df.select(group.as("g"), value.cast("long").as("v"),
       rowKey.cast("string").as("k"))
     val ext = rows.agg(min(col("v")).as("vmin"),
-      (floorDiv(max(col("v")) - min(col("v")), lit(bins.toLong)) + 1L)
+      (pmFloorDiv(max(col("v")) - min(col("v")), lit(bins.toLong)) + 1L)
         .as("w"))
     val binned = rows.crossJoin(broadcast(ext))
       .select(col("g"), col("k"),
-        floorDiv(col("v") - col("vmin"), col("w")).as("bin"))
+        pmFloorDiv(col("v") - col("vmin"), col("w")).as("bin"))
     val gb = binned.groupBy(col("g"), col("bin"))
       .agg(count(lit(1)).as("n_gb"))
     val bt = gb.groupBy(col("bin")).agg(sum(col("n_gb")).as("n_b"))
@@ -518,17 +525,55 @@ object Sampling {
       .crossJoin(broadcast(tot))
       .withColumn("num", d38(lit(1000000L)) * col("n_b") * col("n_g"))
       .withColumn("den", d38(col("n_tot")) * col("n_gb"))
-      .withColumn("a_micro",
-        least(lit(1000000L),
-          ((col("num") - pmod(col("num"), col("den"))) / col("den"))
-            .cast("long")))
-    val kept = binned
+      .crossJoin(broadcast(ext))
+      .select(col("g"), col("bin"), col("n_gb"), col("num"),
+        col("den"), col("vmin"), col("w"))
+    (binned, stats)
+  }
+
+  /** The exact integer keep rule shared by the batch and streaming
+    * faces: keep row k of (g, bin) iff draw·den < num on the 60-bit
+    * md5 micro-draw of "dm"+k.
+    */
+  private[graft] def profileMatchRule(binned: DataFrame,
+                                      stats: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast("decimal(38,0)")
+    binned
       .join(broadcast(stats.select(col("g"), col("bin"), col("num"),
         col("den"))), Seq("g", "bin"))
       .filter(d38(pmod(Dedup.hashLong(concat(lit("dm"), col("k"))),
         lit(1000000L))) * col("den") < col("num"))
+  }
+
+  /** The profile-match ratio/constants table alone — feed this
+    * (collected or broadcast) to the STREAMING face, which must bin
+    * and thin new rows with the identical integer rule.
+    */
+  def profileMatchStats(df: DataFrame, group: Column, value: Column,
+                        bins: Int): DataFrame =
+    profileGrid(df, group, value, lit(""), bins)._2
+
+  /** The kept ROWS (g, bin, k) of [[profileMatchThinning]] — the
+    * materialized sample rather than the audit counts.
+    */
+  def profileMatchKept(df: DataFrame, group: Column, value: Column,
+                       rowKey: Column, bins: Int): DataFrame = {
+    val (binned, stats) = profileGrid(df, group, value, rowKey, bins)
+    profileMatchRule(binned, stats).select(col("g"), col("bin"),
+      col("k"))
+  }
+
+  def profileMatchThinning(df: DataFrame, group: Column, value: Column,
+                           rowKey: Column, bins: Int): DataFrame = {
+    val (binned, stats) = profileGrid(df, group, value, rowKey, bins)
+    val kept = profileMatchRule(binned, stats)
       .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("n_kept"))
-    stats.join(kept, Seq("g", "bin"), "left")
+    stats
+      .withColumn("a_micro",
+        least(lit(1000000L),
+          ((col("num") - pmod(col("num"), col("den"))) / col("den"))
+            .cast("long")))
+      .join(kept, Seq("g", "bin"), "left")
       .na.fill(0L, Seq("n_kept"))
       .select(col("g"), col("bin"), col("n_gb"), col("a_micro"),
         col("n_kept"))

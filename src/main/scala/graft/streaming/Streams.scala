@@ -543,6 +543,60 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming DISTRIBUTION-MATCH thinning — the streaming face of
+    * [[graft.ops.Sampling.profileMatchThinning]]: a batch-fit stats
+    * table (from `Sampling.profileMatchStats` — per-(g, bin) num/den
+    * ratios plus the exact binning constants vmin/w) broadcasts
+    * against every micro-batch; incoming rows bin with the SAME
+    * integer floor-div and thin with the SAME md5 cross-multiply
+    * draw·den < num, so the stream keeps EXACTLY the rows the batch
+    * op would have kept. Survivors merge into a snapshot table keyed
+    * by row key (idempotent under replay). Rows outside the fitted
+    * grid clamp to the edge bins; a (g, bin) cell the profile never
+    * saw passes through untouched — drift widens the output, it never
+    * silently loses data. Input contract: `in` has columns (g, v, k).
+    */
+  def profileThinStream(in: DataFrame, stats: DataFrame, bins: Int,
+                        table: String, checkpoint: String): Unit = {
+    import graft.ops.Dedup
+    import graft.sources.Snapshot
+    val statRows = stats.select(col("g"), col("bin"), col("num"),
+      col("den"), col("vmin"), col("w")).persist()
+    val q = in.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val cfg = statRows.select(col("vmin"), col("w")).limit(1)
+          val x = col("v") - col("vmin")
+          val binned = batch.toDF()
+            .select(col("g"), col("v").cast("long").as("v"),
+              col("k").cast("string").as("k"))
+            .crossJoin(broadcast(cfg))
+            .select(col("g"), col("k"),
+              least(lit(bins.toLong - 1), greatest(lit(0L),
+                ((x - pmod(x, col("w"))) / col("w")).cast("long")))
+                .as("bin"))
+          val kept = binned
+            .join(broadcast(statRows.select(col("g"), col("bin"),
+              col("num"), col("den"))), Seq("g", "bin"), "left")
+            .filter(col("den").isNull ||
+              pmod(Dedup.hashLong(concat(lit("dm"), col("k"))),
+                lit(1000000L)).cast("decimal(38,0)") * col("den")
+                < col("num"))
+            .select(col("k"), col("g"), col("bin"))
+            .withColumn("ingest_batch", lit(batchId))
+          if (!kept.isEmpty)
+            Snapshot.merge(kept, table, Seq("k"), "bin",
+              "ingest_batch"): Unit
+        }
+      }
+      .start()
+    q.awaitTermination()
+    statRows.unpersist(): Unit
+  }
+
   /** Streaming LSH dedup over a PERSISTENT banded-index snapshot — the
     * 100 TB evolution [[dedupStream]]'s scaladoc promises: dedupStream
     * re-reads the whole corpus and rebuilds its prefix index every

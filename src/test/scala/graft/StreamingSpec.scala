@@ -398,6 +398,53 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("profileThinStream keeps EXACTLY the rows the batch thinning " +
+      "keeps; unseen cells pass through; replays don't duplicate") {
+    import graft.ops.Sampling
+    withTempDir { dir =>
+      val in1 = dir.getAbsolutePath + "/in1"
+      val table = dir.getAbsolutePath + "/thinned"
+      // skewed fit corpus: source a over-represents low lengths
+      val fit = ((1 to 30).map(i => ("a", 0L, s"a$i")) ++
+        (1 to 10).map(i => ("b", 100L, s"b$i"))).toDF("g", "v", "k")
+      val stats = Sampling.profileMatchStats(fit, $"g", $"v", 2)
+      val batchKept = Sampling.profileMatchKept(fit, $"g", $"v", $"k", 2)
+        .select($"k").as[String].collect().toSet
+      assert(batchKept.nonEmpty && batchKept.size < 40,
+        "the skewed fixture must actually thin")
+      fit.write.parquet(in1)
+      val schema = spark.read.parquet(in1).schema
+      Streams.profileThinStream(
+        spark.readStream.schema(schema).parquet(in1), stats, 2,
+        table, dir.getAbsolutePath + "/ck1")
+      val streamed = graft.sources.Snapshot.read(spark, table)
+        .select($"k").as[String].collect().toSet
+      assert(streamed == batchKept,
+        "stream survivors must equal the batch rule's kept rows")
+      // batch 2: a group the profile never saw + an out-of-grid value
+      // (clamps to the edge bin, where group c is also unseen) — both
+      // pass through untouched
+      val in2 = dir.getAbsolutePath + "/in2"
+      Seq(("c", 50L, "c1"), ("c", 9999L, "c2")).toDF("g", "v", "k")
+        .write.parquet(in2)
+      Streams.profileThinStream(
+        spark.readStream.schema(schema).parquet(in2), stats, 2,
+        table, dir.getAbsolutePath + "/ck2")
+      val afterTwo = graft.sources.Snapshot.read(spark, table)
+        .select($"k").as[String].collect().toSet
+      assert(afterTwo == batchKept + "c1" + "c2")
+      // replay batch 1 with a fresh checkpoint: same keys merge onto
+      // themselves — no duplicates
+      Streams.profileThinStream(
+        spark.readStream.schema(schema).parquet(in1), stats, 2,
+        table, dir.getAbsolutePath + "/ck1b")
+      val replay = graft.sources.Snapshot.read(spark, table)
+      assert(replay.count() == replay.select($"k").distinct().count())
+      assert(replay.select($"k").as[String].collect().toSet ==
+        batchKept + "c1" + "c2")
+    }
+  }
+
   test("dedupStream compaction bounds corpus partitions; re-crawls still drop") {
     import graft.sources.Snapshot
     withTempDir { dir =>
