@@ -854,6 +854,62 @@ object Snapshot {
     * age; `orphanAgeMs` therefore only needs to exceed the longest WRITE
     * STALL (time between two file creations), not the whole write.
     */
+  // ---- TAGS: named refs pinning a snapshot version (the Iceberg
+  // tag semantic): a tag survives vacuum, so "golden" eval sets and
+  // audited releases stay time-travelable while untagged history is
+  // reclaimed. One small file per tag under _tags/, content = the
+  // version number; re-tagging moves the ref (last write wins —
+  // tags are refs, not commits, so the manifest's one-writer-wins
+  // link(2) discipline is deliberately NOT applied).
+
+  private def tagDir(table: String): Path = Paths.get(table, "_tags")
+
+  private def checkTagName(name: String): Unit =
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
+      c == '-' || c == '_' || c == '.'),
+      s"tag name '$name' must be [A-Za-z0-9._-]+")
+
+  /** Pin `name` to `version` (default: the latest committed). */
+  def tag(table: String, name: String,
+          version: Option[Long] = None): Long = {
+    checkTagName(name)
+    val v = version.orElse(latestVersion(table)).getOrElse(
+      throw new IllegalArgumentException(s"$table has no snapshot to tag"))
+    require(versions(table).contains(v),
+      s"cannot tag unknown version $v of $table")
+    Files.createDirectories(tagDir(table))
+    val tmp = Files.createTempFile(tagDir(table), s".$name", ".tmp")
+    Files.write(tmp, v.toString.getBytes(UTF_8))
+    Files.move(tmp, tagDir(table).resolve(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  /** All tags of the table: name → pinned version. */
+  def tags(table: String): Map[String, Long] = {
+    val d = tagDir(table)
+    if (!Files.isDirectory(d)) Map.empty
+    else listDir(d)
+      .filterNot(_.getFileName.toString.startsWith("."))
+      .flatMap { p =>
+        new String(Files.readAllBytes(p), UTF_8).trim.toLongOption
+          .map(p.getFileName.toString -> _)
+      }.toMap
+  }
+
+  /** Time travel by name: read the snapshot a tag pins. */
+  def readTag(spark: SparkSession, table: String, name: String): DataFrame = {
+    val v = tags(table).getOrElse(name,
+      throw new IllegalArgumentException(s"$table has no tag '$name'"))
+    read(spark, table, Some(v))
+  }
+
+  def dropTag(table: String, name: String): Unit = {
+    checkTagName(name)
+    Files.deleteIfExists(tagDir(table).resolve(name)): Unit
+  }
+
   def vacuum(table: String, keepVersions: Int = 1,
              orphanAgeMs: Long = 3600000L): Unit = {
     def rm(p: Path): Unit = {
@@ -866,7 +922,13 @@ object Snapshot {
       else own
     }
     val vs = versions(table)
-    val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    val (dropRaw, keepRaw) =
+      vs.splitAt(math.max(0, vs.size - keepVersions))
+    // tagged versions are pinned: their manifests and data survive
+    // any retention window until the tag is dropped
+    val pinned = tags(table).values.toSet
+    val keep = keepRaw ++ dropRaw.filter(pinned)
+    val drop = dropRaw.filterNot(pinned)
     val live = keep.flatMap(readManifest(table, _).dirs).toSet
     val dead = drop.flatMap(readManifest(table, _).dirs).toSet -- live
     dead.foreach(d => rm(Paths.get(d)))

@@ -81,6 +81,42 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("tags pin versions across vacuum; dropTag releases them; " +
+      "re-tagging moves the ref") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      Snapshot.commit(batch(("A", "2024-01-01", 10.0, 0L)), t, Some("date"))
+      assert(Snapshot.tag(t, "golden") == 1L)
+      Snapshot.merge(batch(("A", "2024-01-01", 42.0, 1L)), t,
+        Seq("symbol", "date"), "version", "date")
+      Snapshot.merge(batch(("B", "2024-01-02", 7.0, 2L)), t,
+        Seq("symbol", "date"), "version", "date")
+      assert(Snapshot.tags(t) == Map("golden" -> 1L))
+      // vacuum to 1 retained version: the tagged v1 must SURVIVE
+      Snapshot.vacuum(t, keepVersions = 1)
+      assert(Snapshot.versions(t) == Seq(1L, 3L),
+        "tagged v1 pinned, untagged v2 reclaimed")
+      assert(Snapshot.readTag(spark, t, "golden")
+        .select($"close").as[Double].collect().toSeq == Seq(10.0))
+      assert(content(t) == Set(("A", "2024-01-01", 42.0),
+        ("B", "2024-01-02", 7.0)))
+      // re-tag moves the ref to latest; dropping releases v1 to the
+      // next vacuum
+      assert(Snapshot.tag(t, "golden") == 3L)
+      Snapshot.vacuum(t, keepVersions = 1)
+      assert(Snapshot.versions(t) == Seq(3L))
+      intercept[Exception] { Snapshot.read(spark, t, Some(1L)) }
+      Snapshot.dropTag(t, "golden")
+      assert(Snapshot.tags(t).isEmpty)
+      // unknown version / bad names refuse
+      intercept[IllegalArgumentException] { Snapshot.tag(t, "x", Some(99L)) }
+      intercept[IllegalArgumentException] { Snapshot.tag(t, "a/b") }
+      intercept[IllegalArgumentException] {
+        Snapshot.readTag(spark, t, "absent")
+      }
+    }
+  }
+
   test("concurrent commits: exactly one writer wins a version") {
     withTempDir { dir =>
       val t = dir.getAbsolutePath + "/t"
