@@ -2431,6 +2431,45 @@ object SparkEntry {
           col("n_days"), col("nxt").isNull.as("is_current"))
     }),
 
+    // ER: JARO-WINKLER name resolution — the prefix-boosted,
+    // transposition-tolerant score record linkage prefers for NAMES
+    // (Levenshtein over-penalizes swapped syllables, under-rewards
+    // shared prefixes; q85 thresholds a distance, this RANKS in
+    // [0, 1]). A native codegen'd Catalyst expression pinned to
+    // DuckDB's jaro_winkler_similarity semantics (integer
+    // transposition floor, > 0.7 boost gate); first-char + ±2 length
+    // blocking keeps the verify join equi-shaped, ×1e6 micro snap,
+    // ≥ 0.9 gate, best match by (score desc, ref asc).
+    "q267_jaro_winkler" -> ((s, dir) => {
+      val parts = t(s, dir, "part").select(col("p_partkey"),
+        col("p_name"))
+      val len = length(col("p_name"))
+      val k = (col("p_partkey") % len).cast("int")
+      val probes = parts.select(
+        (col("p_partkey") + 20000).as("probe_id"),
+        concat(col("p_name").substr(lit(1), k),
+          col("p_name").substr(k + 2, len)).as("pn"))
+      val cand = probes.join(parts,
+          substring(col("pn"), 1, 1) === substring(col("p_name"), 1, 1)
+            && abs(length(col("pn")) - length(col("p_name"))) <= 2)
+        .withColumn("jw",
+          round(graft.functions.NativeFunctions
+            .jaroWinkler(col("pn"), col("p_name"))
+            .cast("decimal(20,10)") * 1000000).cast("long"))
+        .filter(col("jw") >= 900000)
+      probes.select(col("probe_id"))
+        .join(cand.groupBy(col("probe_id"))
+          .agg(count(lit(1)).as("n_cand"),
+            min(struct((lit(1000000L) - col("jw")).as("nj"),
+              col("p_partkey").cast("long").as("r"))).as("bk")),
+          Seq("probe_id"), "left")
+        .select(col("probe_id"),
+          coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+          coalesce(lit(1000000L) - col("bk.nj"), lit(-1L))
+            .as("best_jw_micro"),
+          coalesce(col("bk.r"), lit(-1L)).as("best_ref"))
+    }),
+
     // Events/mining: SEQUENTIAL PATTERN support (PrefixSpan-lite) —
     // user support of every gap-allowed ORDERED pattern a>b and
     // a>b>c over event-type sequences (q146's trigrams demand
@@ -9203,6 +9242,33 @@ object SparkEntry {
          |  coalesce(nxt - 1, DATE '9999-12-31') AS valid_to, n_days,
          |  nxt IS NULL AS is_current
          |FROM nx""".stripMargin,
+
+    // DuckDB's native jaro_winkler_similarity IS the oracle for the
+    // engine's expression — same blocking, snap, gate and best-match
+    // struct-min.
+    "q267_jaro_winkler" ->
+      """WITH probes AS (SELECT p_partkey + 20000 AS probe_id,
+        |    substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
+        |      || substr(p_name,
+        |        CAST(p_partkey % length(p_name) AS INT) + 2) AS pn
+        |  FROM part),
+        |cand AS (SELECT * FROM (SELECT probe_id, p_partkey,
+        |    CAST(round(CAST(jaro_winkler_similarity(pn, p_name)
+        |      AS DECIMAL(20,10)) * 1000000) AS BIGINT) AS jw
+        |  FROM probes JOIN part
+        |    ON substr(pn, 1, 1) = substr(p_name, 1, 1)
+        |    AND abs(length(pn) - length(p_name)) <= 2)
+        |  WHERE jw >= 900000),
+        |m AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_cand,
+        |    min({'nj': 1000000 - jw,
+        |        'r': CAST(p_partkey AS BIGINT)}) AS bk
+        |  FROM cand GROUP BY 1)
+        |SELECT p.probe_id,
+        |  CAST(coalesce(m.n_cand, 0) AS BIGINT) AS n_cand,
+        |  CAST(coalesce(1000000 - (m.bk).nj, -1) AS BIGINT)
+        |    AS best_jw_micro,
+        |  CAST(coalesce((m.bk).r, -1) AS BIGINT) AS best_ref
+        |FROM probes p LEFT JOIN m ON p.probe_id = m.probe_id""".stripMargin,
 
     // Same (ts, event_id) position order, same first/last-occurrence
     // order algebra for pairs and betweenness witness for triples.

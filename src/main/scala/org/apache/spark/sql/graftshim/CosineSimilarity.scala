@@ -163,6 +163,11 @@ object NativeFunctions {
     ExpressionUtils.column(LevWithin(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b), k))
 
+  /** Column-facing wrapper for the native Jaro-Winkler similarity. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    ExpressionUtils.column(JaroWinklerSim(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** The expression builders, shared by the session-local `register`
     * and the `spark.sql.extensions` injector (`graft.GraftExtensions`).
     */
@@ -175,7 +180,8 @@ object NativeFunctions {
     "minhash_sig" -> (exprs => MinHashSig(exprs.head, intArg(exprs, 1))),
     "fuzzy_sig" -> (exprs => FuzzySig(exprs.head)),
     "sig_bound" -> (exprs => SigBound(exprs.head, exprs(1))),
-    "lev_within" -> (exprs => LevWithin(exprs.head, exprs(1), intArg(exprs, 2))))
+    "lev_within" -> (exprs => LevWithin(exprs.head, exprs(1), intArg(exprs, 2))),
+    "jaro_winkler_sim" -> (exprs => JaroWinklerSim(exprs.head, exprs(1))))
 
   private def intArg(exprs: Seq[Expression], i: Int): Int =
     exprs(i).eval().asInstanceOf[Number].intValue()

@@ -303,6 +303,40 @@ class FuzzyJoinSpec extends SparkSpec {
       "SN's declared positional miss: first-letter edits rank far apart")
   }
 
+  test("jaro_winkler_sim matches DuckDB's jaro_winkler_similarity on " +
+      "pinned cases incl. the odd-transposition floor and boost gate") {
+    import org.apache.spark.sql.graftshim.JaroWinklerUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    // expected values probed from DuckDB 1.0 jaro_winkler_similarity
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("", "abc", 0.0), ("abc", "abc", 1.0), ("ab", "ba", 0.0),
+      ("crate", "trace", 0.7333333333333334),
+      ("dwayne", "duane", 0.8400000000000001),
+      ("frog", "fog", 0.9249999999999999),
+      ("elephant", "hippo", 0.44166666666666665),
+      ("ABC Corporation", "ABC Corp", 0.9066666666666666),
+      // odd mismatched-match count: the halving must FLOOR
+      ("abcxxx", "bcaxxx", 0.9444444444444445),
+      // common prefix but jaro <= 0.7: the boost must NOT fire
+      ("aaxxxxx", "aayyyyy", 0.5238095238095238),
+      ("kitten", "sitting", 0.746031746031746))
+    for ((a, b, want) <- cases) {
+      val got = JaroWinklerUtil.sim(UTF8String.fromString(a),
+        UTF8String.fromString(b))
+      assert(math.abs(got - want) < 1e-9, s"'$a' vs '$b': $got != $want")
+    }
+    // the codegen'd expression agrees with the util (and symmetry)
+    val df = cases.toDF("a", "b", "w")
+      .select(NativeFunctions.jaroWinkler($"a", $"b").as("j1"),
+        NativeFunctions.jaroWinkler($"b", $"a").as("j2"), $"w")
+      .as[(Double, Double, Double)].collect()
+    assert(df.forall(r => math.abs(r._1 - r._3) < 1e-9 &&
+      math.abs(r._1 - r._2) < 1e-12))
+  }
+
   /** Plain reference Levenshtein (full DP, code points). */
   private def levDp(a: String, b: String): Int = {
     val s = a.codePoints().toArray
