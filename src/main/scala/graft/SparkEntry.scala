@@ -2431,6 +2431,49 @@ object SparkEntry {
           col("n_days"), col("nxt").isNull.as("is_current"))
     }),
 
+    // Reporting: UNPIVOT (melt) — the wide per-user type×cents matrix
+    // (q54's pivot shape) melted back to long via Spark's native
+    // unpivot operator; null cells (type never seen for the user)
+    // drop, so pivot→unpivot is exactly the direct (user, type)
+    // aggregate — the oracle IS that identity. Completes the
+    // reshaping surface: cube (q248), pivot (q249), unpivot here.
+    "q268_unpivot" -> ((s, dir) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val wide = t(s, dir, "events").groupBy(col("user_id"))
+        .pivot("event_type", types.map(x => x: Any))
+        .agg(sum(round(col("value") * 100).cast("long")))
+      wide.unpivot(Array(col("user_id")),
+          types.map(x => col(s"`$x`")).toArray,
+          "event_type", "cents")
+        .filter(col("cents").isNotNull)
+    }),
+
+    // Series/quality: SEASONALITY-ADJUSTED anomaly days — daily event
+    // volume vs its weekday's mean, flagged when the residual exceeds
+    // 2σ of that weekday (a Monday is judged against Mondays; raw
+    // thresholds would flag every weekend). The flag is the PURE
+    // INTEGER inequality (c·n − S)² > 4·(n·ΣC² − S²) — resid and σ
+    // never materialize as floats, so the verdict is exact on any
+    // engine. One day aggregate + a 7-row broadcast.
+    "q269_seasonal_anomaly" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("dow", dayofweek(col("d")))
+      val g = daily.groupBy(col("dow"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"),
+          sum(d38(col("c")) * col("c")).as("m2"))
+      daily.join(broadcast(g), "dow")
+        .select(col("d"), col("dow"), col("c").as("n_events"),
+          round((col("sc").cast("double") / col("n").cast("double"))
+            .cast("decimal(20,10)"), 2).cast("double").as("expected"),
+          ((d38(col("c")) * col("n") - col("sc")) *
+            (d38(col("c")) * col("n") - col("sc")) >
+            (d38(col("n")) * col("m2") - d38(col("sc")) * col("sc"))
+              * 4).as("is_anomaly"))
+    }),
+
     // ER: JARO-WINKLER name resolution — the prefix-boosted,
     // transposition-tolerant score record linkage prefers for NAMES
     // (Levenshtein over-penalizes swapped syllables, under-rewards
@@ -9242,6 +9285,33 @@ object SparkEntry {
          |  coalesce(nxt - 1, DATE '9999-12-31') AS valid_to, n_days,
          |  nxt IS NULL AS is_current
          |FROM nx""".stripMargin,
+
+    // Same weekday grid (+1 aligns the Sunday conventions), same
+    // exact HUGEINT inequality.
+    "q269_seasonal_anomaly" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |dd AS (SELECT d, dayofweek(d) + 1 AS dow, c FROM daily),
+        |g AS (SELECT dow, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS sc,
+        |    sum(CAST(c AS HUGEINT) * c) AS m2
+        |  FROM dd GROUP BY 1)
+        |SELECT d, CAST(dow AS INT) AS dow, c AS n_events,
+        |  CAST(round(CAST(CAST(sc AS DOUBLE) / n AS DECIMAL(20,10)),
+        |    2) AS DOUBLE) AS expected,
+        |  (CAST(c AS HUGEINT) * n - sc) * (CAST(c AS HUGEINT) * n - sc)
+        |    > (CAST(n AS HUGEINT) * m2 - CAST(sc AS HUGEINT) * sc) * 4
+        |    AS is_anomaly
+        |FROM dd JOIN g USING (dow)""".stripMargin,
+
+    // The round-trip identity: pivot→unpivot with null cells dropped
+    // IS the direct (user, type) aggregate.
+    "q268_unpivot" ->
+      """SELECT user_id, event_type,
+        |  CAST(sum(CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // DuckDB's native jaro_winkler_similarity IS the oracle for the
     // engine's expression — same blocking, snap, gate and best-match
