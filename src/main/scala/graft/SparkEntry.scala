@@ -2448,6 +2448,131 @@ object SparkEntry {
         .filter(col("cents").isNotNull)
     }),
 
+    // Stats/robust: DETERMINISTIC RANSAC line fit — tokens vs chars
+    // per doc with 16 hash-drawn candidate pairs (two md5 argmins per
+    // candidate, zero RNG), inliers counted by the PURE INTEGER band
+    // test |dy·(x−x1) − dx·(y−y1)| ≤ tol·|dx|, winner by (inliers
+    // desc, candidate id). The breakdown-resistant fit beside OLS
+    // (q147, pulled by outliers) and Theil-Sen (q182, exact but
+    // pair-quadratic): candidate scoring is points×16 through one
+    // aggregate — linear, broadcast-only.
+    "q270_ransac_fit" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val pts = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").as("x"),
+          size(Text.tokens(col("text"))).cast("long").as("y"))
+      val cands = pts
+        .crossJoin(broadcast(s.range(1, 17).toDF("ci")))
+        .groupBy(col("ci"))
+        .agg(
+          min_by(struct(col("x").as("x1"), col("y").as("y1")),
+            Dedup.hashLong(concat(lit("ra"), col("ci").cast("string"),
+              lit(":"), col("doc_id").cast("string")))).as("pa"),
+          min_by(struct(col("x").as("x2"), col("y").as("y2")),
+            Dedup.hashLong(concat(lit("rb"), col("ci").cast("string"),
+              lit(":"), col("doc_id").cast("string")))).as("pb"))
+        .select(col("ci"), col("pa.x1").as("x1"), col("pa.y1").as("y1"),
+          (col("pb.x2") - col("pa.x1")).as("dx"),
+          (col("pb.y2") - col("pa.y1")).as("dy"))
+        .filter(col("dx") =!= 0)
+      val scored = pts.crossJoin(broadcast(cands))
+        .filter(abs(d38(col("dy")) * (col("x") - col("x1")) -
+          d38(col("dx")) * (col("y") - col("y1"))) <=
+          d38(lit(5L)) * abs(col("dx")))
+        .groupBy(col("ci"), col("dx"), col("dy"))
+        .agg(count(lit(1)).as("n_inliers"))
+      val nTot = pts.agg(count(lit(1)).as("n_points"))
+      scored.crossJoin(broadcast(nTot))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(Cols.onePartitionKey(col("ci")))
+            .orderBy(col("n_inliers").desc, col("ci"))))
+        .filter(col("rn") === 1)
+        .select(col("ci").cast("long").as("cand_id"), col("n_inliers"),
+          col("n_points"),
+          round((col("dy").cast("double") / col("dx").cast("double")
+            * 1e6).cast("decimal(20,10)"), 0).cast("long")
+            .as("slope_micro"),
+          round((col("n_inliers").cast("double") /
+            col("n_points").cast("double")).cast("decimal(20,10)"), 4)
+            .cast("double").as("inlier_share"))
+    }),
+
+    // Stats/eval: K-FOLD CROSS-VALIDATION of the hour-rate predictor
+    // (q260's model under the proper protocol) — 4 hash folds, each
+    // scored by the model fit on the OTHER three. The complement
+    // trick makes it ONE pass: per-(fold, hour) counts roll up to
+    // hour totals, and fold f's training stats are totals MINUS fold
+    // f — no per-fold rescan. Per-(fold, hour) Brier cells in exact
+    // DECIMAL(38,0), ×1e9 term snaps (q260's convention), 4-row
+    // fold table out.
+    "q271_kfold_cv" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val fh = t(s, dir, "events")
+        .select(hour(col("ts")).as("h"),
+          (col("event_type") === "purchase").cast("long").as("y"),
+          Sampling.hashBucket(col("event_id"), 4).as("f"))
+        .groupBy(col("f"), col("h"))
+        .agg(count(lit(1)).as("n_fh"), sum(col("y")).as("pos_fh"))
+      val hh = fh.groupBy(col("h"))
+        .agg(sum(col("n_fh")).as("n_h"), sum(col("pos_fh")).as("pos_h"))
+      val j = fh.join(hh, "h").filter(col("n_h") > col("n_fh"))
+        .withColumn("p",
+          round(((col("pos_h") - col("pos_fh")).cast("double") /
+            (col("n_h") - col("n_fh")).cast("double") * 1e6)
+            .cast("decimal(20,10)")).cast("long"))
+        .withColumn("bs", d38(col("n_fh")) * col("p") * col("p")
+          - d38(lit(2L)) * col("p") * lit(1000000L) * col("pos_fh")
+          + d38(lit(1000000L)) * lit(1000000L) * col("pos_fh"))
+      val nf = j.groupBy(col("f")).agg(sum(col("n_fh")).as("n_f"))
+      j.join(nf, "f")
+        .select(col("f"), col("n_f"),
+          round(col("bs").cast("double") / col("n_f").cast("double")
+            / lit(1e12) * lit(1e9)).cast("long").as("tb"))
+        .groupBy(col("f").as("fold"), col("n_f").as("n_scored"))
+        .agg(round((sum(col("tb")).cast("double") / lit(1e9))
+          .cast("decimal(20,10)"), 6).cast("double").as("brier"))
+    }),
+
+    // Stats/causal: DIFF-IN-DIFFERENCES — the 2×2 (treat × post)
+    // panel estimate (ȳ₁₁−ȳ₁₀)−(ȳ₀₁−ȳ₀₀) over value cents, hash
+    // cohort × calendar split: the causal-read companion to q171's
+    // raw A/B z (DiD nets out both the cohort baseline and the
+    // secular time trend). One 4-cell aggregate; means are exact
+    // integer ratios, the estimate one snapped double expression.
+    "q272_diff_in_diff" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        (col("user_id") % 2 === 0).as("tr"),
+        (dayofmonth(col("ts")) >= 16).as("po"),
+        round(col("value") * 100).cast("long").as("vc"))
+      def cell(t0: Boolean, p0: Boolean, c: Column): Column =
+        sum(when(col("tr") === t0 && col("po") === p0, c))
+      val m = (s0: Column, n0: Column) =>
+        s0.cast("double") / n0.cast("double")
+      ev.agg(
+          cell(true, true, lit(1L)).as("n11"),
+          cell(true, true, col("vc")).as("s11"),
+          cell(true, false, lit(1L)).as("n10"),
+          cell(true, false, col("vc")).as("s10"),
+          cell(false, true, lit(1L)).as("n01"),
+          cell(false, true, col("vc")).as("s01"),
+          cell(false, false, lit(1L)).as("n00"),
+          cell(false, false, col("vc")).as("s00"))
+        .select(col("n11"), col("n10"), col("n01"), col("n00"),
+          round((m(col("s11"), col("n11")) / 100.0)
+            .cast("decimal(20,10)"), 4).cast("double").as("mean_tp"),
+          round((m(col("s10"), col("n10")) / 100.0)
+            .cast("decimal(20,10)"), 4).cast("double").as("mean_tb"),
+          round((m(col("s01"), col("n01")) / 100.0)
+            .cast("decimal(20,10)"), 4).cast("double").as("mean_cp"),
+          round((m(col("s00"), col("n00")) / 100.0)
+            .cast("decimal(20,10)"), 4).cast("double").as("mean_cb"),
+          round(((m(col("s11"), col("n11")) - m(col("s10"), col("n10"))
+            - (m(col("s01"), col("n01")) - m(col("s00"), col("n00"))))
+            / 100.0).cast("decimal(20,10)"), 4).cast("double")
+            .as("did"))
+    }),
+
     // Series/quality: SEASONALITY-ADJUSTED anomaly days — daily event
     // volume vs its weekday's mean, flagged when the residual exceeds
     // 2σ of that weekday (a Monday is judged against Mondays; raw
@@ -9285,6 +9410,108 @@ object SparkEntry {
          |  coalesce(nxt - 1, DATE '9999-12-31') AS valid_to, n_days,
          |  nxt IS NULL AS is_current
          |FROM nx""".stripMargin,
+
+    // Same 2×2 cells, identical double shape for means and the
+    // estimate.
+    "q272_diff_in_diff" ->
+      """WITH ev AS (SELECT user_id % 2 = 0 AS tr,
+        |    day(ts) >= 16 AS po,
+        |    CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS vc
+        |  FROM events),
+        |c AS (SELECT
+        |    CAST(count(*) FILTER (WHERE tr AND po) AS BIGINT) AS n11,
+        |    CAST(sum(vc) FILTER (WHERE tr AND po) AS BIGINT) AS s11,
+        |    CAST(count(*) FILTER (WHERE tr AND NOT po) AS BIGINT)
+        |      AS n10,
+        |    CAST(sum(vc) FILTER (WHERE tr AND NOT po) AS BIGINT)
+        |      AS s10,
+        |    CAST(count(*) FILTER (WHERE NOT tr AND po) AS BIGINT)
+        |      AS n01,
+        |    CAST(sum(vc) FILTER (WHERE NOT tr AND po) AS BIGINT)
+        |      AS s01,
+        |    CAST(count(*) FILTER (WHERE NOT tr AND NOT po) AS BIGINT)
+        |      AS n00,
+        |    CAST(sum(vc) FILTER (WHERE NOT tr AND NOT po) AS BIGINT)
+        |      AS s00
+        |  FROM ev)
+        |SELECT n11, n10, n01, n00,
+        |  CAST(round(CAST(CAST(s11 AS DOUBLE) / n11 / 100.0
+        |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS mean_tp,
+        |  CAST(round(CAST(CAST(s10 AS DOUBLE) / n10 / 100.0
+        |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS mean_tb,
+        |  CAST(round(CAST(CAST(s01 AS DOUBLE) / n01 / 100.0
+        |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS mean_cp,
+        |  CAST(round(CAST(CAST(s00 AS DOUBLE) / n00 / 100.0
+        |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS mean_cb,
+        |  CAST(round(CAST((CAST(s11 AS DOUBLE) / n11
+        |    - CAST(s10 AS DOUBLE) / n10
+        |    - (CAST(s01 AS DOUBLE) / n01 - CAST(s00 AS DOUBLE) / n00))
+        |    / 100.0 AS DECIMAL(20,10)), 4) AS DOUBLE) AS did
+        |FROM c""".stripMargin,
+
+    // Same complement-trick training stats, same ×1e6 rate snap and
+    // ×1e9 Brier term snaps.
+    "q271_kfold_cv" ->
+      s"""WITH fh AS (SELECT hour(ts) AS h,
+         |    ${h60("CAST(event_id AS VARCHAR)")} % 4 AS f,
+         |    CAST(count(*) AS BIGINT) AS n_fh,
+         |    CAST(sum(CAST(event_type = 'purchase' AS BIGINT))
+         |      AS BIGINT) AS pos_fh
+         |  FROM events GROUP BY 1, 2),
+         |hh AS (SELECT h, CAST(sum(n_fh) AS BIGINT) AS n_h,
+         |    CAST(sum(pos_fh) AS BIGINT) AS pos_h FROM fh GROUP BY 1),
+         |j AS (SELECT f, n_fh, pos_fh,
+         |    CAST(round(CAST(CAST(pos_h - pos_fh AS DOUBLE)
+         |      / (n_h - n_fh) * CAST(1e6 AS DOUBLE)
+         |      AS DECIMAL(20,10))) AS BIGINT) AS p
+         |  FROM fh JOIN hh USING (h) WHERE n_h > n_fh),
+         |jb AS (SELECT f, n_fh,
+         |    CAST(n_fh AS HUGEINT) * p * p
+         |      - 2 * CAST(p AS HUGEINT) * 1000000 * pos_fh
+         |      + CAST(1000000 AS HUGEINT) * 1000000 * pos_fh AS bs
+         |  FROM j),
+         |nf AS (SELECT f, CAST(sum(n_fh) AS BIGINT) AS n_f
+         |  FROM jb GROUP BY 1)
+         |SELECT f AS fold, n_f AS n_scored,
+         |  CAST(round(CAST(CAST(sum(CAST(round(CAST(bs AS DOUBLE)
+         |    / n_f / 1e12 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+         |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS brier
+         |FROM jb JOIN nf USING (f) GROUP BY 1, 2""".stripMargin,
+
+    // Same hash-argmin candidate draws, same integer band inequality,
+    // same (inliers desc, ci) winner.
+    "q270_ransac_fit" ->
+      s"""WITH pts AS (SELECT doc_id, n_chars AS x,
+         |    CAST(len($tokSql) AS BIGINT) AS y FROM documents),
+         |cix AS (SELECT unnest(range(1, 17)) AS ci),
+         |cd0 AS (SELECT ci,
+         |    arg_min({'x1': x, 'y1': y}, ${h60(
+             "'ra' || CAST(ci AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")})
+         |      AS pa,
+         |    arg_min({'x2': x, 'y2': y}, ${h60(
+             "'rb' || CAST(ci AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)")})
+         |      AS pb
+         |  FROM pts CROSS JOIN cix GROUP BY 1),
+         |cands AS (SELECT ci, (pa).x1 AS x1, (pa).y1 AS y1,
+         |    (pb).x2 - (pa).x1 AS dx, (pb).y2 - (pa).y1 AS dy
+         |  FROM cd0 WHERE (pb).x2 - (pa).x1 <> 0),
+         |sc AS (SELECT ci, dx, dy, CAST(count(*) AS BIGINT)
+         |    AS n_inliers
+         |  FROM pts CROSS JOIN cands
+         |  WHERE abs(CAST(dy AS HUGEINT) * (x - x1)
+         |      - CAST(dx AS HUGEINT) * (y - y1))
+         |    <= 5 * abs(CAST(dx AS HUGEINT))
+         |  GROUP BY 1, 2, 3),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM pts)
+         |SELECT CAST(ci AS BIGINT) AS cand_id, n_inliers, n_points,
+         |  CAST(round(CAST(CAST(dy AS DOUBLE) / dx
+         |    * CAST(1e6 AS DOUBLE) AS DECIMAL(20,10)), 0) AS BIGINT)
+         |    AS slope_micro,
+         |  CAST(round(CAST(CAST(n_inliers AS DOUBLE) / n_points
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS inlier_share
+         |FROM (SELECT *, row_number() OVER (ORDER BY n_inliers DESC,
+         |    ci) AS rn FROM sc) CROSS JOIN nt
+         |WHERE rn = 1""".stripMargin,
 
     // Same weekday grid (+1 aligns the Sunday conventions), same
     // exact HUGEINT inequality.
