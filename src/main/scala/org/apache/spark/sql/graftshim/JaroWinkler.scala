@@ -21,9 +21,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * transpositions = ⌊mismatched matched positions / 2⌋ (INTEGER floor —
   * an odd mismatch count is possible and the halving truncates),
   * Winkler boost l·0.1·(1 − jaro) over the ≤4-char common prefix
-  * applied only when jaro > 0.7. Operates on UTF-16 code units
-  * (byte-identical to DuckDB on ASCII data; supplementary-plane text
-  * may differ — the ER corpus contract is ASCII identifiers/names).
+  * applied only when jaro > 0.7. Operates on UTF-8 BYTES (exactly
+  * what DuckDB compares on ASCII data; multi-byte text scores by
+  * bytes on both engines — the ER corpus contract is ASCII
+  * identifiers/names).
   *
   * O(|a|·window) time, two small boolean scratch arrays, no
   * allocation beyond them; codegen emits one static call per row.
@@ -50,11 +51,12 @@ case class JaroWinklerSim(left: Expression, right: Expression)
 }
 
 object JaroWinklerUtil {
+  /** Byte-wise (UTF-8 code units — DuckDB compares the same way on
+    * ASCII; no String materialization, two boolean scratch arrays).
+    */
   def sim(ua: UTF8String, ub: UTF8String): Double = {
-    val a = ua.toString
-    val b = ub.toString
-    val la = a.length
-    val lb = b.length
+    val la = ua.numBytes()
+    val lb = ub.numBytes()
     if (la == 0 || lb == 0) return 0.0
     val win = math.max(math.max(la, lb) / 2 - 1, 0)
     val am = new Array[Boolean](la)
@@ -62,11 +64,12 @@ object JaroWinklerUtil {
     var m = 0
     var i = 0
     while (i < la) {
+      val ca = ua.getByte(i)
       val hi = math.min(lb - 1, i + win)
       var j = math.max(0, i - win)
       var matched = false
       while (j <= hi && !matched) {
-        if (!bm(j) && a.charAt(i) == b.charAt(j)) {
+        if (!bm(j) && ca == ub.getByte(j)) {
           am(i) = true; bm(j) = true; m += 1; matched = true
         }
         j += 1
@@ -80,7 +83,7 @@ object JaroWinklerUtil {
     while (i < la) {
       if (am(i)) {
         while (!bm(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) mismatch += 1
+        if (ua.getByte(i) != ub.getByte(k)) mismatch += 1
         k += 1
       }
       i += 1
@@ -91,7 +94,7 @@ object JaroWinklerUtil {
     if (jaro > 0.7) {
       val maxl = math.min(4, math.min(la, lb))
       var l = 0
-      while (l < maxl && a.charAt(l) == b.charAt(l)) l += 1
+      while (l < maxl && ua.getByte(l) == ub.getByte(l)) l += 1
       jaro + l * 0.1 * (1.0 - jaro)
     } else jaro
   }

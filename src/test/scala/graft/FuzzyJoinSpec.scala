@@ -337,6 +337,39 @@ class FuzzyJoinSpec extends SparkSpec {
       math.abs(r._1 - r._2) < 1e-12))
   }
 
+  test("q267's sig prefilter is SOUND for the jw >= 0.9 gate: no " +
+      "near-pair above the gate is rejected") {
+    import org.apache.spark.sql.graftshim.{FuzzyMatchUtil, JaroWinklerUtil}
+    import org.apache.spark.unsafe.types.UTF8String
+    def u(s: String) = UTF8String.fromString(s)
+    val words = (1 to 300).map(i => randStr(6 + i % 12))
+    val nearPairs = words.zipWithIndex.flatMap { case (w, i) =>
+      val k = i % w.length
+      val del = w.substring(0, k) + w.substring(k + 1)
+      val tr = {
+        val j = i % (w.length - 1)
+        w.substring(0, j) + w.charAt(j + 1) + w.charAt(j) +
+          w.substring(j + 2)
+      }
+      Seq((w, del), (w, tr), (w, w))
+    }
+    var hits = 0
+    for ((a, b) <- nearPairs if a.nonEmpty && b.nonEmpty) {
+      val jw = JaroWinklerUtil.sim(u(a), u(b))
+      if (jw >= 0.9) {
+        hits += 1
+        val la = a.length; val lb = b.length
+        val ceilM = (3 * la * lb + 2 * (la + lb) - 1) / (2 * (la + lb))
+        val x = la + lb - 2 * ceilM
+        val sb = FuzzyMatchUtil.sigBound(FuzzyMatchUtil.sig(u(a)),
+          FuzzyMatchUtil.sig(u(b)))
+        assert(2 * sb - 1 <= x,
+          s"'$a' vs '$b' (jw=$jw) rejected: 2*$sb-1 > $x")
+      }
+    }
+    assert(hits > 300, s"fixture must exercise the gate (hits=$hits)")
+  }
+
   /** Plain reference Levenshtein (full DP, code points). */
   private def levDp(a: String, b: String): Int = {
     val s = a.codePoints().toArray
