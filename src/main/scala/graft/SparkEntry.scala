@@ -2448,6 +2448,164 @@ object SparkEntry {
         .filter(col("cents").isNotNull)
     }),
 
+    // Systems: MERKLE PARTITION TREE over the corpus — 64 hash-bucket
+    // leaves (order-free exact integer content sums → md5), parents
+    // md5(left || right) up to the root: two replicas compare roots,
+    // then walk ONE diverging path to localize the bad bucket in
+    // log₂(64) = 6 probes instead of a full diff (q159's single
+    // checksum says only THAT they differ). One data-sized bucket
+    // aggregate; the tree build is 6 rounds over ≤64 rows.
+    "q276_merkle_tree" -> ((s, dir) => {
+      def floorDiv(a: Column, b: Column): Column =
+        ((a - pmod(a, b)) / b).cast("long")
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val rows = t(s, dir, "documents").select(
+        Sampling.hashBucket(concat(lit("mk"),
+          col("doc_id").cast("string")), 64).as("bkt"),
+        Dedup.hashLong(concat_ws("|", col("doc_id"), col("source"),
+          col("lang"), col("n_chars"))).as("rh"))
+      val leaves = s.range(0, 64).toDF("idx")
+        .join(rows.groupBy(col("bkt").as("idx"))
+          .agg(sum(d38(col("rh"))).as("sx")), Seq("idx"), "left")
+        .select(col("idx"),
+          md5(coalesce(col("sx").cast("string"), lit("empty")))
+            .as("h"))
+      var out = leaves.select(lit(0).as("level"), col("idx"), col("h"))
+      var cur = leaves
+      for (lvl <- 1 to 6) {
+        cur = cur.groupBy(floorDiv(col("idx"), lit(2L)).as("idx"))
+          .agg(md5(concat(min_by(col("h"), col("idx")),
+            max_by(col("h"), col("idx")))).as("h"))
+        out = out.unionByName(
+          cur.select(lit(lvl).as("level"), col("idx"), col("h")))
+      }
+      out
+    }),
+
+    // Stats/preference: BRADLEY-TERRY strength fit — sources duel on
+    // 64 hash panels (a beats b on a panel iff its mean doc length
+    // wins by exact cross-multiply), two unrolled minorization
+    // iterations π' = W/Σ n_ab/(π_a+π_b) from π⁰ = 1 — the pairwise-
+    // preference → scalar-strength model behind ranking/reward
+    // pipelines, with q135's fixed-iteration determinism discipline:
+    // per-term ×1e9 snaps make every denominator an exact integer
+    // sum, shares renormalize on ×1e6-snapped strengths. The
+    // data-sized stage is one (source, panel) aggregate; everything
+    // after lives on the sources×sources duel table.
+    "q275_bradley_terry" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val sp = t(s, dir, "documents")
+        .select(col("source").as("g"),
+          Sampling.hashBucket(col("doc_id"), 64).as("p"),
+          col("n_chars").as("v"))
+        .groupBy(col("g"), col("p"))
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+      val duel = sp.as("x").join(sp.as("y"),
+          col("x.p") === col("y.p") && col("x.g") =!= col("y.g"))
+        .select(col("x.g").as("a"), col("y.g").as("b"),
+          (d38(col("x.sv")) * col("y.n") >
+            d38(col("y.sv")) * col("x.n")).as("win"))
+      val w = duel.groupBy(col("a"), col("b"))
+        .agg(sum(when(col("win"), 1L).otherwise(0L)).as("w"))
+      val m = w.as("u").join(w.as("v"),
+          col("u.a") === col("v.b") && col("u.b") === col("v.a"))
+        .select(col("u.a").as("a"), col("u.b").as("b"),
+          col("u.w").as("w_ab"), (col("u.w") + col("v.w")).as("n_ab"))
+        .filter(col("n_ab") > 0)
+      val wa = m.groupBy(col("a")).agg(sum(col("w_ab")).as("w_tot"))
+      def iter(pi: DataFrame): DataFrame = {
+        val terms = m
+          .join(pi.select(col("g").as("a"), col("pi").as("pa")), "a")
+          .join(pi.select(col("g").as("b"), col("pi").as("pb")), "b")
+          .select(col("a"),
+            round(lit(1e9) * col("n_ab").cast("double") /
+              (col("pa") + col("pb"))).cast("long").as("t"))
+          .groupBy(col("a")).agg(sum(col("t")).as("den"))
+        wa.join(terms, "a")
+          .select(col("a").as("g"),
+            (col("w_tot").cast("double") * lit(1e9) /
+              col("den").cast("double")).as("pi"))
+      }
+      val pi0 = wa.select(col("a").as("g"), lit(1.0).as("pi"))
+      val pi2 = iter(iter(pi0))
+      val pm = pi2.select(col("g"),
+        round(col("pi").cast("decimal(20,10)") * 1000000).cast("long")
+          .as("pm"))
+      val tot = pm.agg(sum(col("pm")).as("tot"))
+      pm.crossJoin(broadcast(tot))
+        .join(wa.select(col("a").as("g"), col("w_tot")), "g")
+        .select(col("g").as("source"), col("w_tot"),
+          round((col("pm").cast("double") / lit(1e6))
+            .cast("decimal(20,10)"), 4).cast("double").as("bt_pi"),
+          round((col("pm").cast("double") / col("tot").cast("double"))
+            .cast("decimal(20,10)"), 4).cast("double").as("share"))
+    }),
+
+    // Text/LM: KNESER-NEY CONTINUATION counts — for each head-of-
+    // vocab token, how many DISTINCT left contexts it follows vs its
+    // raw frequency: the KN insight ("Francisco" is frequent but
+    // follows only "San", so its unigram back-off weight should be
+    // tiny) as a corpus diagnostic beside the add-one/back-off LMs
+    // (q138/q190). One ordered-bigram distinct + two aggregates;
+    // p_raw and p_cont are exact integer ratios snapped 6dp.
+    "q273_kn_continuation" -> ((s, dir) => {
+      val tk = t(s, dir, "documents")
+        .select(Text.tokens(col("text")).as("tk"))
+      val bg = tk.select(explode(when(size(col("tk")) < 2,
+          array().cast("array<struct<a:string,b:string>>"))
+        .otherwise(transform(sequence(lit(1), size(col("tk")) - 1),
+          i => struct(element_at(col("tk"), i).as("a"),
+            element_at(col("tk"), i + 1).as("b"))))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+      val dist = bg.distinct()
+      val cont = dist.groupBy(col("b").as("token"))
+        .agg(count(lit(1)).as("n_contexts"))
+      val dd = dist.agg(count(lit(1)).as("d"))
+      val uni = tk.select(explode(col("tk")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      val nn = uni.agg(sum(col("c")).as("n"))
+      uni.join(cont, Seq("token"), "left")
+        .na.fill(0L, Seq("n_contexts"))
+        .crossJoin(broadcast(dd)).crossJoin(broadcast(nn))
+        .select(col("token"), col("c"), col("n_contexts"),
+          round((col("c").cast("double") / col("n").cast("double"))
+            .cast("decimal(20,10)"), 6).cast("double").as("p_raw"),
+          round((col("n_contexts").cast("double") /
+            col("d").cast("double")).cast("decimal(20,10)"), 6)
+            .cast("double").as("p_cont"))
+        .orderBy(col("c").desc, col("token")).limit(50)
+    }),
+
+    // Text/IR: PROXIMITY search — the general Boolean-retrieval
+    // within-k operator (q141's phrase search demands ADJACENCY):
+    // docs where the corpus' two most frequent tokens co-occur
+    // within ≤ 3 positions, with the window count and closest gap.
+    // Postings prune to the two probe tokens via broadcast semi-join
+    // BEFORE any shuffle (the q141 contract), then one (doc) x
+    // (doc) equi-join over the pruned streams.
+    "q274_proximity_search" -> ((s, dir) => {
+      val post = Text.postings(t(s, dir, "documents"), "doc_id",
+        col("text"))
+      val top2 = post.groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(2)
+        .select(col("token"),
+          row_number().over(Window
+            .partitionBy(Cols.onePartitionKey(col("token")))
+            .orderBy(col("n").desc, col("token"))).as("r"))
+      val p1 = post.join(broadcast(top2.filter(col("r") === 1)
+        .select(col("token"))), "token")
+      val p2 = post.join(broadcast(top2.filter(col("r") === 2)
+        .select(col("token"))), "token")
+      p1.as("x").join(p2.as("y"),
+          col("x.id") === col("y.id") &&
+            abs(col("x.pos") - col("y.pos")) <= 3)
+        .groupBy(col("x.id").as("doc_id"))
+        .agg(count(lit(1)).as("n_windows"),
+          min(abs(col("x.pos") - col("y.pos"))).cast("long")
+            .as("min_gap"))
+    }),
+
     // Stats/robust: DETERMINISTIC RANSAC line fit — tokens vs chars
     // per doc with 16 hash-drawn candidate pairs (two md5 argmins per
     // candidate, zero RNG), inliers counted by the PURE INTEGER band
@@ -9519,6 +9677,116 @@ object SparkEntry {
          |    / n_f / 1e12 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
          |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS brier
          |FROM jb JOIN nf USING (f) GROUP BY 1, 2""".stripMargin,
+
+    // Same order-free leaf sums, same md5(left || right) parents,
+    // arg_min/arg_max ≙ min_by/max_by child ordering.
+    "q276_merkle_tree" -> {
+      val lvls = (1 to 6).map(l =>
+        s"""l$l AS (SELECT idx // 2 AS idx,
+           |  md5(arg_min(h, idx) || arg_max(h, idx)) AS h
+           |  FROM l${l - 1} GROUP BY 1)""".stripMargin).mkString(",\n")
+      val sel = (1 to 6).map(l =>
+        s"UNION ALL SELECT $l, idx, h FROM l$l").mkString("\n")
+      s"""WITH rows_ AS (SELECT
+         |    ${h60("'mk' || CAST(doc_id AS VARCHAR)")} % 64 AS bkt,
+         |    ${h60("concat_ws('|', doc_id, source, lang, n_chars)")}
+         |      AS rh
+         |  FROM documents),
+         |ag AS (SELECT bkt AS idx,
+         |    CAST(sum(CAST(rh AS HUGEINT)) AS VARCHAR) AS sx
+         |  FROM rows_ GROUP BY 1),
+         |l0 AS (SELECT r AS idx, md5(coalesce(ag.sx, 'empty')) AS h
+         |  FROM (SELECT unnest(range(0, 64)) AS r)
+         |  LEFT JOIN ag ON ag.idx = r),
+         |$lvls
+         |SELECT CAST(0 AS INT) AS level, idx, h FROM l0
+         |$sel""".stripMargin
+    },
+
+    // Same panels, same exact cross-multiply duels, two identically
+    // unrolled iterations with ×1e9 term snaps, same ×1e6 share
+    // renormalization.
+    "q275_bradley_terry" ->
+      s"""WITH sp AS (SELECT source AS g,
+         |    ${h60("CAST(doc_id AS VARCHAR)")} % 64 AS p,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(n_chars) AS BIGINT) AS sv
+         |  FROM documents GROUP BY 1, 2),
+         |duel AS (SELECT x.g AS a, y.g AS b,
+         |    CAST(x.sv AS HUGEINT) * y.n > CAST(y.sv AS HUGEINT) * x.n
+         |      AS win
+         |  FROM sp x JOIN sp y ON x.p = y.p AND x.g <> y.g),
+         |w AS (SELECT a, b, CAST(sum(CASE WHEN win THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS w FROM duel GROUP BY 1, 2),
+         |m AS (SELECT u.a, u.b, u.w AS w_ab, u.w + v.w AS n_ab
+         |  FROM w u JOIN w v ON u.a = v.b AND u.b = v.a
+         |  WHERE u.w + v.w > 0),
+         |wa AS (SELECT a, CAST(sum(w_ab) AS BIGINT) AS w_tot
+         |  FROM m GROUP BY 1),
+         |t1 AS (SELECT a, CAST(sum(CAST(round(1e9
+         |      * CAST(n_ab AS DOUBLE)
+         |      / (CAST(1.0 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         |      AS BIGINT)) AS BIGINT) AS den
+         |  FROM m GROUP BY 1),
+         |p1 AS (SELECT wa.a AS g, CAST(w_tot AS DOUBLE) * 1e9 / den
+         |    AS pi FROM wa JOIN t1 ON t1.a = wa.a),
+         |t2 AS (SELECT m.a, CAST(sum(CAST(round(1e9
+         |      * CAST(n_ab AS DOUBLE) / (pa.pi + pb.pi))
+         |      AS BIGINT)) AS BIGINT) AS den
+         |  FROM m JOIN p1 pa ON pa.g = m.a JOIN p1 pb ON pb.g = m.b
+         |  GROUP BY 1),
+         |p2 AS (SELECT wa.a AS g, CAST(w_tot AS DOUBLE) * 1e9 / den
+         |    AS pi FROM wa JOIN t2 ON t2.a = wa.a),
+         |pm AS (SELECT g, CAST(round(CAST(pi AS DECIMAL(20,10))
+         |    * 1000000) AS BIGINT) AS pm FROM p2),
+         |tot AS (SELECT CAST(sum(pm) AS BIGINT) AS tot FROM pm)
+         |SELECT pm.g AS source, wa.w_tot,
+         |  CAST(round(CAST(CAST(pm AS DOUBLE) / 1e6
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS bt_pi,
+         |  CAST(round(CAST(CAST(pm AS DOUBLE) / tot
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS share
+         |FROM pm CROSS JOIN tot JOIN wa ON wa.a = pm.g""".stripMargin,
+
+    // Same ordered-bigram distinct and exact ratios.
+    "q273_kn_continuation" ->
+      s"""WITH tk AS (SELECT $tokSql AS tk FROM documents),
+         |bg AS (SELECT r['a'] AS a, r['b'] AS b FROM (
+         |  SELECT unnest([{'a': tk[i + 1], 'b': tk[i + 2]}
+         |      for i in range(0, len(tk) - 1)]) AS r FROM tk)),
+         |dist AS (SELECT DISTINCT a, b FROM bg),
+         |cont AS (SELECT b AS token, CAST(count(*) AS BIGINT)
+         |    AS n_contexts FROM dist GROUP BY 1),
+         |dd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM dist),
+         |uni AS (SELECT tok AS token, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(tk) AS tok FROM tk) GROUP BY 1),
+         |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni)
+         |SELECT token, c,
+         |  CAST(coalesce(cont.n_contexts, 0) AS BIGINT) AS n_contexts,
+         |  CAST(round(CAST(CAST(c AS DOUBLE) / n AS DECIMAL(20,10)),
+         |    6) AS DOUBLE) AS p_raw,
+         |  CAST(round(CAST(CAST(coalesce(cont.n_contexts, 0)
+         |    AS DOUBLE) / d AS DECIMAL(20,10)), 6) AS DOUBLE)
+         |    AS p_cont
+         |FROM uni LEFT JOIN cont USING (token)
+         |CROSS JOIN dd CROSS JOIN nn
+         |ORDER BY c DESC, token LIMIT 50""".stripMargin,
+
+    // Same top-2 probe derivation (n desc, token), same ≤3 window.
+    "q274_proximity_search" ->
+      s"""WITH pg AS (SELECT doc_id,
+         |    generate_subscripts(tk, 1) - 1 AS pos, unnest(tk) AS token
+         |  FROM (SELECT doc_id, $tokSql AS tk FROM documents)),
+         |tc AS (SELECT token, count(*) AS n FROM pg GROUP BY 1),
+         |t1 AS (SELECT token FROM tc ORDER BY n DESC, token LIMIT 1),
+         |t2 AS (SELECT token FROM (SELECT token, row_number() OVER (
+         |    ORDER BY n DESC, token) AS rn FROM tc) WHERE rn = 2)
+         |SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(min(abs(x.pos - y.pos)) AS BIGINT) AS min_gap
+         |FROM pg x JOIN t1 ON x.token = t1.token
+         |JOIN pg y ON y.doc_id = x.doc_id
+         |JOIN t2 ON y.token = t2.token
+         |WHERE abs(x.pos - y.pos) <= 3
+         |GROUP BY 1""".stripMargin,
 
     // Same hash-argmin candidate draws, same integer band inequality,
     // same (inliers desc, ci) winner.
