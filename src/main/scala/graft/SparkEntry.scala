@@ -2448,6 +2448,77 @@ object SparkEntry {
         .filter(col("cents").isNotNull)
     }),
 
+    // Privacy: DP CONTRIBUTION-BOUNDING audit — per event type, the
+    // USER-LEVEL sensitivity a differentially-private release must
+    // calibrate to: Δcount = max events one user contributes,
+    // Δsum = max value mass, the p99 contribution as the suggested
+    // clip bound (q178's exact below·100 ÷ N rank rule), and the
+    // mass share clipping at p99 would discard. k-anonymity (q171)
+    // asks who is identifiable; this asks how LOUD one user can be —
+    // the number the Laplace/Gaussian scale divides by. Exact
+    // integers end to end; one (user, type) aggregate.
+    "q277_dp_sensitivity" -> ((s, dir) => {
+      val ut = t(s, dir, "events")
+        .groupBy(col("event_type").as("t"), col("user_id").as("u"))
+        .agg(count(lit(1)).as("nu"),
+          sum(round(col("value") * 100).cast("long")).as("vu"))
+      val byV = ut.groupBy(col("t"), col("nu").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val ranked = Ranks.withRunningBelowBy(byV, "t", "v", 64L,
+        Seq("cnt"))
+      val ng = ut.groupBy(col("t")).agg(count(lit(1)).as("n_users"),
+        max(col("nu")).as("delta_count"), max(col("vu")).as("delta_sum"),
+        sum(col("nu")).as("n_events"))
+      // p99 clip: the smallest per-user count whose inclusive rank
+      // reaches ceil(0.99·n_users)
+      val c99 = ranked.join(ng.select(col("t"), col("n_users")), "t")
+        .filter((col("cnt_below") + col("cnt")) * 100 >=
+          col("n_users") * 99)
+        .groupBy(col("t")).agg(min(col("v")).as("clip99"))
+      val clipped = ut.join(broadcast(c99), "t")
+        .groupBy(col("t"))
+        .agg(sum(least(col("nu"), col("clip99"))).as("kept"))
+      ng.join(c99, "t").join(clipped, "t")
+        .select(col("t").as("event_type"), col("n_users"),
+          col("delta_count"), col("delta_sum"), col("clip99"),
+          round(((col("n_events") - col("kept")).cast("double") /
+            col("n_events").cast("double")).cast("decimal(20,10)"), 4)
+            .cast("double").as("share_clipped"))
+    }),
+
+    // Text/featurize: HASHING-TRICK collision audit — tokens hashed
+    // into 256 feature buckets (the feature-hashing featurizer);
+    // report the collision structure the trick trades for
+    // boundlessness: distinct tokens per bucket, share of colliding
+    // buckets, and the OCCURRENCE-mass share landing in colliding
+    // buckets (what actually blurs the features). Two aggregates on
+    // the (token) and (bucket) domains.
+    "q278_feature_hash_audit" -> ((s, dir) => {
+      val tokc = t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .withColumn("b", Sampling.hashBucket(concat(lit("fh"),
+          col("tok")), 256))
+      val bk = tokc.groupBy(col("b"))
+        .agg(count(lit(1)).as("n_toks"), sum(col("c")).as("mass"))
+      bk.agg(count(lit(1)).as("n_buckets_used"),
+          sum(col("n_toks")).as("vocab"),
+          sum(when(col("n_toks") > 1, 1L).otherwise(0L))
+            .as("n_colliding"),
+          sum(when(col("n_toks") > 1, col("mass")).otherwise(0L))
+            .as("mass_colliding"),
+          sum(col("mass")).as("mass_total"))
+        .select(col("n_buckets_used"), col("vocab"),
+          col("n_colliding"),
+          round((col("n_colliding").cast("double") /
+            col("n_buckets_used").cast("double"))
+            .cast("decimal(20,10)"), 4).cast("double")
+            .as("bucket_collision_rate"),
+          round((col("mass_colliding").cast("double") /
+            col("mass_total").cast("double")).cast("decimal(20,10)"),
+            4).cast("double").as("mass_collision_share"))
+    }),
+
     // Systems: MERKLE PARTITION TREE over the corpus — 64 hash-bucket
     // leaves (order-free exact integer content sums → md5), parents
     // md5(left || right) up to the root: two replicas compare roots,
@@ -9677,6 +9748,57 @@ object SparkEntry {
          |    / n_f / 1e12 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
          |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS brier
          |FROM jb JOIN nf USING (f) GROUP BY 1, 2""".stripMargin,
+
+    // Same (user, type) contribution table, same exact p99 rank rule
+    // and clip algebra.
+    "q277_dp_sensitivity" ->
+      """WITH ut AS (SELECT event_type AS t, user_id AS u,
+        |    CAST(count(*) AS BIGINT) AS nu,
+        |    CAST(sum(CAST(round(CAST(value AS DOUBLE) * 100)
+        |      AS BIGINT)) AS BIGINT) AS vu
+        |  FROM events GROUP BY 1, 2),
+        |bv AS (SELECT t, nu AS v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM ut GROUP BY 1, 2),
+        |bl AS (SELECT t, v, cnt, CAST(coalesce(sum(cnt) OVER (
+        |    PARTITION BY t ORDER BY v ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cnt_below
+        |  FROM bv),
+        |ng AS (SELECT t, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(max(nu) AS BIGINT) AS delta_count,
+        |    CAST(max(vu) AS BIGINT) AS delta_sum,
+        |    CAST(sum(nu) AS BIGINT) AS n_events
+        |  FROM ut GROUP BY 1),
+        |c99 AS (SELECT t, CAST(min(v) AS BIGINT) AS clip99
+        |  FROM bl JOIN ng USING (t)
+        |  WHERE (cnt_below + cnt) * 100 >= n_users * 99 GROUP BY 1),
+        |cl AS (SELECT t, CAST(sum(least(nu, clip99)) AS BIGINT)
+        |    AS kept
+        |  FROM ut JOIN c99 USING (t) GROUP BY 1)
+        |SELECT ng.t AS event_type, n_users, delta_count, delta_sum,
+        |  clip99,
+        |  CAST(round(CAST(CAST(n_events - kept AS DOUBLE) / n_events
+        |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS share_clipped
+        |FROM ng JOIN c99 USING (t) JOIN cl USING (t)""".stripMargin,
+
+    // Same 256-bucket md5 hashing, same collision aggregates.
+    "q278_feature_hash_audit" ->
+      s"""WITH tokc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest($tokSql) AS tok FROM documents)
+         |  GROUP BY 1),
+         |tb AS (SELECT ${h60("'fh' || tok")} % 256 AS b, c FROM tokc),
+         |bk AS (SELECT b, CAST(count(*) AS BIGINT) AS n_toks,
+         |    CAST(sum(c) AS BIGINT) AS mass FROM tb GROUP BY 1)
+         |SELECT CAST(count(*) AS BIGINT) AS n_buckets_used,
+         |  CAST(sum(n_toks) AS BIGINT) AS vocab,
+         |  CAST(sum(CASE WHEN n_toks > 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_colliding,
+         |  CAST(round(CAST(CAST(sum(CASE WHEN n_toks > 1 THEN 1
+         |    ELSE 0 END) AS DOUBLE) / count(*) AS DECIMAL(20,10)), 4)
+         |    AS DOUBLE) AS bucket_collision_rate,
+         |  CAST(round(CAST(CAST(sum(CASE WHEN n_toks > 1 THEN mass
+         |    ELSE 0 END) AS DOUBLE) / sum(mass) AS DECIMAL(20,10)),
+         |    4) AS DOUBLE) AS mass_collision_share
+         |FROM bk""".stripMargin,
 
     // Same order-free leaf sums, same md5(left || right) parents,
     // arg_min/arg_max ≙ min_by/max_by child ordering.
