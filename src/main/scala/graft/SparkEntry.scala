@@ -2448,6 +2448,71 @@ object SparkEntry {
         .filter(col("cents").isNotNull)
     }),
 
+    // Graph: EDGE EMBEDDEDNESS / weak-tie audit (Granovetter) — per
+    // undirected edge, the number of COMMON neighbors (its triangle
+    // support): support-0 edges are the weak ties/bridges information
+    // actually crosses, dense-support edges sit inside communities.
+    // The per-EDGE face of q142's per-node triangle counts — same
+    // wedge equi-join kernel, grouped on the edge; distribution out.
+    "q279_edge_embeddedness" -> ((s, dir) => {
+      val e = docLinkEdges(s, dir)
+      val und = e.filter(col("src") =!= col("dst"))
+        .select(least(col("src"), col("dst")).as("u"),
+          greatest(col("src"), col("dst")).as("v")).distinct()
+      val adj = und.select(col("u").as("a"), col("v").as("b"))
+        .unionByName(und.select(col("v").as("a"), col("u").as("b")))
+      val sup = und.as("e")
+        .join(adj.as("x"), col("e.u") === col("x.a"))
+        .join(adj.as("y"),
+          col("e.v") === col("y.a") && col("x.b") === col("y.b"))
+        .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+        .agg(count(lit(1)).as("support"))
+      val full = und.join(sup, Seq("u", "v"), "left")
+        .na.fill(0L, Seq("support"))
+      val tot = full.agg(count(lit(1)).as("n_und"))
+      full.groupBy(col("support")).agg(count(lit(1)).as("n_edges"))
+        .crossJoin(broadcast(tot))
+        .select(col("support"), col("n_edges"),
+          round((col("n_edges").cast("double") /
+            col("n_und").cast("double")).cast("decimal(20,10)"), 4)
+            .cast("double").as("share"))
+    }),
+
+    // Graph: TARGETED-ATTACK ROBUSTNESS — the 3-hop reach of the %97
+    // seed set before vs after removing the top-8 degree hubs (edges
+    // AND seeds touching a hub drop): the scale-free-network fragility
+    // read (Albert-Barabási) — random failures barely dent reach,
+    // hub removal craters it. Two runs of the q143 BFS kernel; hubs
+    // are an 8-row broadcast anti-join.
+    "q280_attack_robustness" -> ((s, dir) => {
+      val edges = docLinkEdges(s, dir)
+      val deg = edges.select(col("src").as("id"))
+        .unionByName(edges.select(col("dst").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+      val hubs = deg.orderBy(col("dg").desc, col("id")).limit(8)
+        .select(col("id"))
+      val seeds = t(s, dir, "documents")
+        .filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("id"))
+      val before = Graph.shortestHops(edges, seeds, 3)
+        .agg(count(lit(1)).as("reach_before"))
+      val e2 = edges
+        .join(broadcast(hubs.withColumnRenamed("id", "src")),
+          Seq("src"), "left_anti")
+        .join(broadcast(hubs.withColumnRenamed("id", "dst")),
+          Seq("dst"), "left_anti")
+      val s2 = seeds.join(broadcast(hubs), Seq("id"), "left_anti")
+      val after = Graph.shortestHops(e2, s2, 3)
+        .agg(count(lit(1)).as("reach_after"))
+      val nn = deg.agg(count(lit(1)).as("n_nodes"))
+      nn.crossJoin(before).crossJoin(after)
+        .select(col("n_nodes"), col("reach_before"), col("reach_after"),
+          round(((col("reach_before") - col("reach_after"))
+            .cast("double") / col("reach_before").cast("double"))
+            .cast("decimal(20,10)"), 4).cast("double")
+            .as("drop_share"))
+    }),
+
     // Privacy: DP CONTRIBUTION-BOUNDING audit — per event type, the
     // USER-LEVEL sensitivity a differentially-private release must
     // calibrate to: Δcount = max events one user contributes,
@@ -9748,6 +9813,75 @@ object SparkEntry {
          |    / n_f / 1e12 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
          |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS brier
          |FROM jb JOIN nf USING (f) GROUP BY 1, 2""".stripMargin,
+
+    // Same canonical undirected edge set and wedge join, same
+    // zero-fill.
+    "q279_edge_embeddedness" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM docs),
+        |e AS (SELECT doc_id AS src, (doc_id * 7 + k * 13) % nn AS dst
+        |  FROM docs CROSS JOIN nc
+        |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+        |und AS (SELECT DISTINCT least(src, dst) AS u,
+        |    greatest(src, dst) AS v FROM e WHERE src <> dst),
+        |adj AS (SELECT u AS a, v AS b FROM und
+        |  UNION ALL SELECT v, u FROM und),
+        |sup AS (SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS support
+        |  FROM und e JOIN adj x ON x.a = e.u
+        |  JOIN adj y ON y.a = e.v AND y.b = x.b
+        |  GROUP BY 1, 2),
+        |fl AS (SELECT und.u, und.v,
+        |    CAST(coalesce(s.support, 0) AS BIGINT) AS support
+        |  FROM und LEFT JOIN sup s ON s.u = und.u AND s.v = und.v),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_und FROM fl)
+        |SELECT support, CAST(count(*) AS BIGINT) AS n_edges,
+        |  CAST(round(CAST(CAST(count(*) AS DOUBLE) / n_und
+        |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS share
+        |FROM fl CROSS JOIN tot GROUP BY support, n_und""".stripMargin,
+
+    // Same degree-hub cut and two identically unrolled q143 BFS
+    // chains.
+    "q280_attack_robustness" -> {
+      def bfs(tag: String, eCte: String): String =
+        (1 to 3).map { h =>
+          s"""${tag}f$h AS (SELECT $eCte.dst AS id, $h AS hops
+             |  FROM $eCte JOIN (SELECT id FROM ${tag}d${h - 1}
+             |    WHERE hops = ${h - 1}) f ON $eCte.src = f.id),
+             |${tag}d$h AS (SELECT id, min(hops) AS hops FROM
+             |  (SELECT * FROM ${tag}d${h - 1}
+             |   UNION ALL SELECT * FROM ${tag}f$h) GROUP BY 1)""".stripMargin
+        }.mkString(",\n")
+      s"""WITH docs AS (SELECT doc_id FROM documents),
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM docs),
+         |e AS (SELECT doc_id AS src, (doc_id * 7 + k * 13) % nn AS dst
+         |  FROM docs CROSS JOIN nc
+         |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+         |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS dg FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+         |  GROUP BY 1),
+         |hubs AS (SELECT id FROM deg ORDER BY dg DESC, id LIMIT 8),
+         |s0 AS (SELECT doc_id AS id FROM documents
+         |  WHERE doc_id % 97 = 0),
+         |bd0 AS (SELECT id, 0 AS hops FROM s0),
+         |${bfs("b", "e")},
+         |e2 AS (SELECT e.src, e.dst FROM e
+         |  LEFT JOIN hubs h1 ON h1.id = e.src
+         |  LEFT JOIN hubs h2 ON h2.id = e.dst
+         |  WHERE h1.id IS NULL AND h2.id IS NULL),
+         |ad0 AS (SELECT s0.id, 0 AS hops FROM s0
+         |  LEFT JOIN hubs ON hubs.id = s0.id WHERE hubs.id IS NULL),
+         |${bfs("a", "e2")},
+         |nn2 AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+         |rb AS (SELECT CAST(count(*) AS BIGINT) AS reach_before
+         |  FROM bd3),
+         |ra AS (SELECT CAST(count(*) AS BIGINT) AS reach_after
+         |  FROM ad3)
+         |SELECT n_nodes, reach_before, reach_after,
+         |  CAST(round(CAST(CAST(reach_before - reach_after AS DOUBLE)
+         |    / reach_before AS DECIMAL(20,10)), 4) AS DOUBLE)
+         |    AS drop_share
+         |FROM nn2 CROSS JOIN rb CROSS JOIN ra""".stripMargin
+    },
 
     // Same (user, type) contribution table, same exact p99 rank rule
     // and clip algebra.
