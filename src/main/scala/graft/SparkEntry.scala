@@ -2448,6 +2448,101 @@ object SparkEntry {
         .filter(col("cents").isNotNull)
     }),
 
+    // Dedup/tuning: THRESHOLD SWEEP — the dedup-aggressiveness curve
+    // in ONE pass: pairs generate once at the loosest threshold
+    // (0.5, the recall-complete prefix kernel), then every 0.05-step
+    // threshold reads its pair count and droppable-doc count off the
+    // same stream (snapped ×1e4 integer jaccard vs th·500 — no float
+    // boundary ambiguity). The "how much does 0.8 vs 0.7 actually
+    // delete" question answered without re-running the join per
+    // candidate threshold.
+    "q281_threshold_sweep" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairsPrefixHashed(
+        docsDup(s, dir).select(col("doc_id").as("id"),
+          Dedup.hashedShingles(Text.tokens(col("text")), 3).as("hs")),
+        "id", "hs", 0.5)
+        .select(col("id_a"), col("id_b"),
+          round(col("jac") * 10000).cast("long").as("jm"))
+      val grid = s.range(10, 19)
+        .select((col("id") * 5).cast("int").as("th_pct"))
+      pairs.crossJoin(broadcast(grid))
+        .filter(col("jm") >= col("th_pct") * 100)
+        .groupBy(col("th_pct"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("id_b")).as("n_droppable"))
+    }),
+
+    // Systems: MERKLE DIFF localization — the walk q276's tree
+    // exists for: a replica whose every 503rd doc drifted (n_chars
+    // off by one) diffs against the base tree; ONLY the changed
+    // buckets' leaves and their log-depth ancestor paths surface.
+    // Emits the differing (level, idx) nodes of both trees — a dozen
+    // leaves localize in ~7·k nodes instead of a 64-bucket rescan.
+    "q282_merkle_diff" -> ((s, dir) => {
+      def floorDiv(a: Column, b: Column): Column =
+        ((a - pmod(a, b)) / b).cast("long")
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      def tree(rows: DataFrame): DataFrame = {
+        val leaves = s.range(0, 64).toDF("idx")
+          .join(rows.groupBy(col("bkt").as("idx"))
+            .agg(sum(d38(col("rh"))).as("sx")), Seq("idx"), "left")
+          .select(col("idx"),
+            md5(coalesce(col("sx").cast("string"), lit("empty")))
+              .as("h"))
+        var out = leaves.select(lit(0).as("level"), col("idx"),
+          col("h"))
+        var cur = leaves
+        for (lvl <- 1 to 6) {
+          cur = cur.groupBy(floorDiv(col("idx"), lit(2L)).as("idx"))
+            .agg(md5(concat(min_by(col("h"), col("idx")),
+              max_by(col("h"), col("idx")))).as("h"))
+          out = out.unionByName(
+            cur.select(lit(lvl).as("level"), col("idx"), col("h")))
+        }
+        out
+      }
+      def rowsOf(d: DataFrame): DataFrame = d.select(
+        Sampling.hashBucket(concat(lit("mk"),
+          col("doc_id").cast("string")), 64).as("bkt"),
+        Dedup.hashLong(concat_ws("|", col("doc_id"), col("source"),
+          col("lang"), col("nch"))).as("rh"))
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        col("source"), col("lang"), col("n_chars").as("nch"))
+      val drift = base.select(col("doc_id"), col("source"), col("lang"),
+        when(col("doc_id") % 503 === 0, col("nch") + 1)
+          .otherwise(col("nch")).as("nch"))
+      tree(rowsOf(base)).as("a")
+        .join(tree(rowsOf(drift)).as("b"),
+          col("a.level") === col("b.level") &&
+            col("a.idx") === col("b.idx"))
+        .filter(col("a.h") =!= col("b.h"))
+        .select(col("a.level").as("level"), col("a.idx").as("idx"),
+          col("a.h").as("h_base"), col("b.h").as("h_drift"))
+    }),
+
+    // Events/product: DAU / trailing-7-day WAU stickiness per day —
+    // the engagement-intensity ratio every product dashboard tracks:
+    // exact sliding DISTINCT via the (user, day) pair stream fanned
+    // ×7 onto its covered window days (q166 solves the same shape
+    // with mergeable HLL registers at scale; this is the exact
+    // small-window face). One distinct + one ×7 aggregate.
+    "q283_dau_wau" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id").as("u"), to_date(col("ts")).as("d"))
+        .distinct()
+      val dau = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+      val cover = ud.select(col("u"),
+          explode(sequence(lit(0), lit(6))).as("k"), col("d"))
+        .select(col("u"), date_add(col("d"), col("k")).as("d"))
+        .distinct()
+      val wau = cover.groupBy(col("d")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, "d")
+        .select(col("d"), col("dau"), col("wau"),
+          round((col("dau").cast("double") / col("wau").cast("double"))
+            .cast("decimal(20,10)"), 4).cast("double")
+            .as("stickiness"))
+    }),
+
     // Graph: EDGE EMBEDDEDNESS / weak-tie audit (Granovetter) — per
     // undirected edge, the number of COMMON neighbors (its triangle
     // support): support-0 edges are the weak ties/bridges information
@@ -9813,6 +9908,78 @@ object SparkEntry {
          |    / n_f / 1e12 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
          |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS brier
          |FROM jb JOIN nf USING (f) GROUP BY 1, 2""".stripMargin,
+
+    // Same one-pass pair stream (q28's oracle kernel), same ×1e4
+    // integer threshold compare.
+    "q281_threshold_sweep" ->
+      s"""WITH u AS ($docsDupSql),
+         |tk AS (SELECT doc_id, $tokSql AS tk FROM u),
+         |sh AS (SELECT doc_id, CASE WHEN len(tk) < 3
+         |    THEN CAST([] AS VARCHAR[])
+         |    ELSE $shingleSql END AS sh FROM tk),
+         |p AS (SELECT id_a, id_b,
+         |    CAST(round(jac * 10000) AS BIGINT) AS jm FROM (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |      (len(a.sh) + len(b.sh)
+         |        - len(list_intersect(a.sh, b.sh))), 4) AS jac
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE jac >= 0.5)
+         |SELECT th_pct, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(count(DISTINCT id_b) AS BIGINT) AS n_droppable
+         |FROM p CROSS JOIN (SELECT CAST(unnest(range(10, 19)) * 5
+         |    AS INT) AS th_pct)
+         |WHERE jm >= th_pct * 100 GROUP BY 1""".stripMargin,
+
+    // Two identical q276 chains over base and drifted rows; the diff
+    // join keeps only unequal nodes.
+    "q282_merkle_diff" -> {
+      def chain(tag: String, nchExpr: String): String = {
+        val rowsSql =
+          s"""SELECT ${h60("'mk' || CAST(doc_id AS VARCHAR)")} % 64
+             |    AS bkt,
+             |  ${h60(s"concat_ws('|', doc_id, source, lang, $nchExpr)")}
+             |    AS rh FROM documents""".stripMargin
+        val lvls = (1 to 6).map(l =>
+          s"""${tag}l$l AS (SELECT idx // 2 AS idx,
+             |  md5(arg_min(h, idx) || arg_max(h, idx)) AS h
+             |  FROM ${tag}l${l - 1} GROUP BY 1)""".stripMargin)
+          .mkString(",\n")
+        val sel = (1 to 6).map(l =>
+          s"UNION ALL SELECT $l, idx, h FROM ${tag}l$l").mkString(" ")
+        s"""${tag}ag AS (SELECT bkt AS idx,
+           |    CAST(sum(CAST(rh AS HUGEINT)) AS VARCHAR) AS sx
+           |  FROM ($rowsSql) GROUP BY 1),
+           |${tag}l0 AS (SELECT r AS idx,
+           |    md5(coalesce(${tag}ag.sx, 'empty')) AS h
+           |  FROM (SELECT unnest(range(0, 64)) AS r)
+           |  LEFT JOIN ${tag}ag ON ${tag}ag.idx = r),
+           |$lvls,
+           |${tag}t AS (SELECT CAST(0 AS INT) AS level, idx, h
+           |  FROM ${tag}l0 $sel)""".stripMargin
+      }
+      s"""WITH ${chain("a", "n_chars")},
+         |${chain("b",
+           "CASE WHEN doc_id % 503 = 0 THEN n_chars + 1 ELSE n_chars END")}
+         |SELECT a.level, a.idx, a.h AS h_base, b.h AS h_drift
+         |FROM at a JOIN bt b ON a.level = b.level AND a.idx = b.idx
+         |WHERE a.h <> b.h""".stripMargin
+    },
+
+    // Same (user, day) distinct and ×7 cover fan.
+    "q283_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE)
+        |    AS d FROM events),
+        |dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau
+        |  FROM ud GROUP BY 1),
+        |cover AS (SELECT DISTINCT u, d + CAST(k AS INT) AS d FROM ud
+        |  CROSS JOIN (SELECT unnest(range(0, 7)) AS k)),
+        |wau AS (SELECT d, CAST(count(*) AS BIGINT) AS wau
+        |  FROM cover GROUP BY 1)
+        |SELECT d, dau, wau,
+        |  CAST(round(CAST(CAST(dau AS DOUBLE) / wau
+        |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau USING (d)""".stripMargin,
 
     // Same canonical undirected edge set and wedge join, same
     // zero-fill.
