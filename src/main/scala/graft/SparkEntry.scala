@@ -2463,13 +2463,28 @@ object SparkEntry {
         "id", "hs", 0.5)
         .select(col("id_a"), col("id_b"),
           round(col("jac") * 10000).cast("long").as("jm"))
+        // persist IS right here despite the one-output-plan rule of
+        // thumb: the two consumers aggregate on DIFFERENT keys (jm vs
+        // id_b), so no exchange is identical and ReusedExchange can't
+        // dedup the pair generation (measured: 10.3 s without the
+        // persist, 4.4 s with — the divergent-consumer exception the
+        // NOTES item-80 lesson names)
+        .persist()
+      // collapse BEFORE the sweep: a pair-count histogram over the
+      // <=5001-value jm domain and a per-doc MAX-jm histogram (a doc
+      // is droppable at th iff its best pair reaches th) — the 9-way
+      // grid then joins two tiny frames, never the pair stream
+      val hist = pairs.groupBy(col("jm")).agg(count(lit(1)).as("np"))
+      val hb = pairs.groupBy(col("id_b")).agg(max(col("jm")).as("mj"))
+        .groupBy(col("mj")).agg(count(lit(1)).as("nb"))
       val grid = s.range(10, 19)
         .select((col("id") * 5).cast("int").as("th_pct"))
-      pairs.crossJoin(broadcast(grid))
-        .filter(col("jm") >= col("th_pct") * 100)
-        .groupBy(col("th_pct"))
-        .agg(count(lit(1)).as("n_pairs"),
-          countDistinct(col("id_b")).as("n_droppable"))
+      val np = grid.join(hist, col("jm") >= col("th_pct") * 100)
+        .groupBy(col("th_pct")).agg(sum(col("np")).as("n_pairs"))
+      val nd = grid.join(hb, col("mj") >= col("th_pct") * 100)
+        .groupBy(col("th_pct")).agg(sum(col("nb")).as("n_droppable"))
+      np.join(nd, "th_pct")
+        .select(col("th_pct"), col("n_pairs"), col("n_droppable"))
     }),
 
     // Systems: MERKLE DIFF localization — the walk q276's tree
@@ -2482,13 +2497,7 @@ object SparkEntry {
       def floorDiv(a: Column, b: Column): Column =
         ((a - pmod(a, b)) / b).cast("long")
       val d38 = (c: Column) => c.cast("decimal(38,0)")
-      def tree(rows: DataFrame): DataFrame = {
-        val leaves = s.range(0, 64).toDF("idx")
-          .join(rows.groupBy(col("bkt").as("idx"))
-            .agg(sum(d38(col("rh"))).as("sx")), Seq("idx"), "left")
-          .select(col("idx"),
-            md5(coalesce(col("sx").cast("string"), lit("empty")))
-              .as("h"))
+      def treeOf(leaves: DataFrame): DataFrame = {
         var out = leaves.select(lit(0).as("level"), col("idx"),
           col("h"))
         var cur = leaves
@@ -2501,18 +2510,27 @@ object SparkEntry {
         }
         out
       }
-      def rowsOf(d: DataFrame): DataFrame = d.select(
-        Sampling.hashBucket(concat(lit("mk"),
-          col("doc_id").cast("string")), 64).as("bkt"),
+      // ONE corpus scan computes BOTH row hashes; one aggregate
+      // yields both trees' leaf sums (the drifted replica is the
+      // same rows with every 503rd doc's n_chars off by one)
+      def rh(nch: Column): Column =
         Dedup.hashLong(concat_ws("|", col("doc_id"), col("source"),
-          col("lang"), col("nch"))).as("rh"))
-      val base = t(s, dir, "documents").select(col("doc_id"),
-        col("source"), col("lang"), col("n_chars").as("nch"))
-      val drift = base.select(col("doc_id"), col("source"), col("lang"),
-        when(col("doc_id") % 503 === 0, col("nch") + 1)
-          .otherwise(col("nch")).as("nch"))
-      tree(rowsOf(base)).as("a")
-        .join(tree(rowsOf(drift)).as("b"),
+          col("lang"), nch))
+      val sums = t(s, dir, "documents").select(
+          Sampling.hashBucket(concat(lit("mk"),
+            col("doc_id").cast("string")), 64).as("bkt"),
+          rh(col("n_chars")).as("rb"),
+          rh(when(col("doc_id") % 503 === 0, col("n_chars") + 1)
+            .otherwise(col("n_chars"))).as("rd"))
+        .groupBy(col("bkt").as("idx"))
+        .agg(sum(d38(col("rb"))).as("sb"), sum(d38(col("rd"))).as("sd"))
+      val dense = s.range(0, 64).toDF("idx")
+        .join(sums, Seq("idx"), "left")
+        .localCheckpoint(true) // 64 rows; both tree folds read it
+      def leaf(c: String): DataFrame = dense.select(col("idx"),
+        md5(coalesce(col(c).cast("string"), lit("empty"))).as("h"))
+      treeOf(leaf("sb")).as("a")
+        .join(treeOf(leaf("sd")).as("b"),
           col("a.level") === col("b.level") &&
             col("a.idx") === col("b.idx"))
         .filter(col("a.h") =!= col("b.h"))
