@@ -2448,6 +2448,46 @@ object SparkEntry {
         .filter(col("cents").isNotNull)
     }),
 
+    // Systems: CACHE-PLANNING curve — the hit rate a perfect N-entry
+    // LFU would achieve on the user-access stream, for N ∈ {1, 10,
+    // 100, 1000}: top-N mass read off the FREQUENCY-OF-FREQUENCY
+    // histogram (distinct-count domain, tiny) with exact partial-
+    // bucket algebra c·min(k, N − k_before) — never a global sort of
+    // the key table. The "how much memory buys how many hits" sizing
+    // read behind every hot-key mitigation (q94/q195 find the keys;
+    // this prices the cache).
+    "q284_cache_curve" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val hc = t(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .groupBy(col("n").as("c")).agg(count(lit(1)).as("k"))
+      val w = Window.partitionBy(Cols.onePartitionKey(col("c")))
+        .orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = hc
+        .withColumn("k_before", coalesce(sum(col("k")).over(w),
+          lit(0L)))
+        .withColumn("m_before",
+          coalesce(sum(d38(col("c")) * col("k")).over(w),
+            lit(0).cast("decimal(38,0)")))
+      val tot = hc.agg(sum(d38(col("c")) * col("k")).as("m_tot"),
+        sum(col("k")).as("n_keys"))
+      val grid = {
+        import s.implicits._
+        Seq(1L, 10L, 100L, 1000L).toDF("n_cache")
+      }
+      grid.join(cum, col("k_before") < col("n_cache"))
+        .groupBy(col("n_cache"))
+        .agg(sum(d38(col("c")) *
+          least(col("k"), col("n_cache") - col("k_before")))
+          .as("m_hit"))
+        .crossJoin(broadcast(tot))
+        .select(col("n_cache"), col("n_keys"),
+          round((col("m_hit").cast("double") /
+            col("m_tot").cast("double")).cast("decimal(20,10)"), 4)
+            .cast("double").as("hit_rate"))
+    }),
+
     // Dedup/tuning: THRESHOLD SWEEP — the dedup-aggressiveness curve
     // in ONE pass: pairs generate once at the loosest threshold
     // (0.5, the recall-complete prefix kernel), then every 0.05-step
@@ -9926,6 +9966,32 @@ object SparkEntry {
          |    / n_f / 1e12 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
          |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS brier
          |FROM jb JOIN nf USING (f) GROUP BY 1, 2""".stripMargin,
+
+    // Same frequency-of-frequency walk (the oracle may sort the tiny
+    // count domain globally), same exact partial-bucket algebra.
+    "q284_cache_curve" ->
+      """WITH kc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1),
+        |hc AS (SELECT n AS c, CAST(count(*) AS BIGINT) AS k
+        |  FROM kc GROUP BY 1),
+        |cum AS (SELECT c, k,
+        |    CAST(coalesce(sum(k) OVER (ORDER BY c DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS k_before
+        |  FROM hc),
+        |tot AS (SELECT sum(CAST(c AS HUGEINT) * k) AS m_tot,
+        |    CAST(sum(k) AS BIGINT) AS n_keys FROM hc)
+        |SELECT n_cache, n_keys,
+        |  CAST(round(CAST(CAST(sum(CAST(c AS HUGEINT)
+        |      * least(k, n_cache - k_before)) AS DOUBLE)
+        |    / CAST(m_tot AS DOUBLE) AS DECIMAL(20,10)), 4) AS DOUBLE)
+        |    AS hit_rate
+        |FROM cum
+        |JOIN (SELECT CAST(unnest([1, 10, 100, 1000]) AS BIGINT)
+        |    AS n_cache) g
+        |  ON k_before < n_cache
+        |CROSS JOIN tot
+        |GROUP BY n_cache, n_keys, m_tot""".stripMargin,
 
     // Same one-pass pair stream (q28's oracle kernel), same ×1e4
     // integer threshold compare.
