@@ -2448,6 +2448,94 @@ object SparkEntry {
         .filter(col("cents").isNotNull)
     }),
 
+    // Stats/causal: COVARIATE-BALANCE audit (standardized mean
+    // difference) — before reading q272's DiD as causal, check the
+    // hash cohorts are actually exchangeable: per covariate,
+    // SMD = (m_t − m_c)/√((v_t+v_c)/2), |SMD| < 0.1 = balanced (the
+    // propensity-matching diagnostic). One melt (Expand) + one
+    // (covariate, cohort) aggregate; moments exact, one snapped
+    // division.
+    "q285_covariate_balance" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val ev = t(s, dir, "events")
+        .select((col("user_id") % 2 === 0).as("tr"),
+          explode(array(
+            struct(lit("hour").as("cov"),
+              hour(col("ts")).cast("long").as("x")),
+            struct(lit("dow").as("cov"),
+              dayofweek(col("ts")).cast("long").as("x")),
+            struct(lit("value_cents").as("cov"),
+              round(col("value") * 100).cast("long").as("x"))))
+            .as("m"))
+        .select(col("tr"), col("m.cov").as("cov"), col("m.x").as("x"))
+      val g = ev.groupBy(col("cov"), col("tr"))
+        .agg(count(lit(1)).as("n"), sum(d38(col("x"))).as("sx"),
+          sum(d38(col("x")) * col("x")).as("ss"))
+      def side(t0: Boolean, c: String, out: String): Column =
+        max(when(col("tr") === t0, col(c))).as(out)
+      val wide = g.groupBy(col("cov"))
+        .agg(side(true, "n", "n_t"), side(true, "sx", "s_t"),
+          side(true, "ss", "ss_t"), side(false, "n", "n_c"),
+          side(false, "sx", "s_c"), side(false, "ss", "ss_c"))
+      def mean(sx: String, n: String): Column =
+        col(sx).cast("double") / col(n).cast("double")
+      def variance(n: String, sx: String, ss: String): Column =
+        (d38(col(n)) * col(ss) - col(sx) * col(sx)).cast("double") /
+          (d38(col(n)) * col(n)).cast("double")
+      val vsum = variance("n_t", "s_t", "ss_t") +
+        variance("n_c", "s_c", "ss_c")
+      wide.select(col("cov").as("covariate"), col("n_t"), col("n_c"),
+        when(vsum === 0.0, lit(null)).otherwise(
+          round(((mean("s_t", "n_t") - mean("s_c", "n_c")) /
+            sqrt(vsum / lit(2.0))).cast("decimal(20,10)"), 4)
+            .cast("double")).as("smd"))
+    }),
+
+    // Stats/eval: SEQUENTIAL PEEKING curve — the cumulative two-
+    // proportion z between the hash cohorts after each day: the
+    // methodological trap made visible (a fixed-horizon test "peeked"
+    // daily crosses 1.96 by chance long before the horizon — compare
+    // the crossed flags against the final day's verdict). Cumulative
+    // counts ride per-cohort windows over the tiny day grid; z is
+    // exact integers through one division + sqrt.
+    "q286_peeking_curve" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select((col("user_id") % 2 === 0).as("tr"),
+          to_date(col("ts")).as("d"),
+          (col("event_type") === "purchase").cast("long").as("y"))
+        .groupBy(col("tr"), col("d"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("cv"))
+      val w = Window.partitionBy(col("tr")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = daily
+        .withColumn("cn", sum(col("n")).over(w))
+        .withColumn("cc", sum(col("cv")).over(w))
+      def sideCol(t0: Boolean, c: String, out: String): Column =
+        max(when(col("tr") === t0, col(c))).as(out)
+      val wide = cum.groupBy(col("d"))
+        .agg(sideCol(true, "cn", "n_t"), sideCol(true, "cc", "c_t"),
+          sideCol(false, "cn", "n_c"), sideCol(false, "cc", "c_c"))
+        .filter(col("n_t").isNotNull && col("n_c").isNotNull)
+      val pt = col("c_t").cast("double") / col("n_t").cast("double")
+      val pc = col("c_c").cast("double") / col("n_c").cast("double")
+      val pb = (col("c_t") + col("c_c")).cast("double") /
+        (col("n_t") + col("n_c")).cast("double")
+      val z = (pt - pc) / sqrt(pb * (lit(1.0) - pb) *
+        (lit(1.0) / col("n_t").cast("double") +
+          lit(1.0) / col("n_c").cast("double")))
+      wide.select(col("d"), col("n_t"), col("n_c"),
+        when(col("c_t") + col("c_c") === 0 ||
+          col("c_t") + col("c_c") === col("n_t") + col("n_c"),
+          lit(null))
+          .otherwise(round(z.cast("decimal(20,10)"), 4)
+            .cast("double")).as("z"),
+        when(col("c_t") + col("c_c") === 0 ||
+          col("c_t") + col("c_c") === col("n_t") + col("n_c"),
+          lit(null))
+          .otherwise(abs(round(z.cast("decimal(20,10)"), 4)) >= 1.96)
+          .as("crossed"))
+    }),
+
     // Systems: CACHE-PLANNING curve — the hit rate a perfect N-entry
     // LFU would achieve on the user-access stream, for N ∈ {1, 10,
     // 100, 1000}: top-N mass read off the FREQUENCY-OF-FREQUENCY
@@ -9966,6 +10054,78 @@ object SparkEntry {
          |    / n_f / 1e12 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
          |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS brier
          |FROM jb JOIN nf USING (f) GROUP BY 1, 2""".stripMargin,
+
+    // Same three-covariate melt (UNION ALL ≡ the engine's Expand),
+    // same exact moments and SMD shape.
+    "q285_covariate_balance" ->
+      """WITH ev AS (
+        |  SELECT user_id % 2 = 0 AS tr, 'hour' AS cov,
+        |    CAST(hour(ts) AS BIGINT) AS x FROM events
+        |  UNION ALL SELECT user_id % 2 = 0, 'dow',
+        |    CAST(dayofweek(ts) + 1 AS BIGINT) FROM events
+        |  UNION ALL SELECT user_id % 2 = 0, 'value_cents',
+        |    CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT)
+        |  FROM events),
+        |g AS (SELECT cov, tr, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx,
+        |    sum(CAST(x AS HUGEINT) * x) AS ss
+        |  FROM ev GROUP BY 1, 2),
+        |wide AS (SELECT cov,
+        |    max(CASE WHEN tr THEN n END) AS n_t,
+        |    max(CASE WHEN tr THEN sx END) AS s_t,
+        |    max(CASE WHEN tr THEN ss END) AS ss_t,
+        |    max(CASE WHEN NOT tr THEN n END) AS n_c,
+        |    max(CASE WHEN NOT tr THEN sx END) AS s_c,
+        |    max(CASE WHEN NOT tr THEN ss END) AS ss_c
+        |  FROM g GROUP BY 1),
+        |v AS (SELECT *,
+        |    CAST(CAST(n_t AS HUGEINT) * ss_t - s_t * s_t AS DOUBLE)
+        |      / CAST(CAST(n_t AS HUGEINT) * n_t AS DOUBLE) AS v_t,
+        |    CAST(CAST(n_c AS HUGEINT) * ss_c - s_c * s_c AS DOUBLE)
+        |      / CAST(CAST(n_c AS HUGEINT) * n_c AS DOUBLE) AS v_c
+        |  FROM wide)
+        |SELECT cov AS covariate, n_t, n_c,
+        |  CASE WHEN v_t + v_c = 0 THEN NULL ELSE
+        |    CAST(round(CAST(
+        |      (CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c)
+        |      / sqrt((v_t + v_c) / CAST(2.0 AS DOUBLE))
+        |      AS DECIMAL(20,10)), 4) AS DOUBLE) END AS smd
+        |FROM v""".stripMargin,
+
+    // Same per-cohort cumulative windows over the day grid, same
+    // pooled-proportion z shape and 4dp snap before the 1.96 compare.
+    "q286_peeking_curve" ->
+      """WITH daily AS (SELECT user_id % 2 = 0 AS tr,
+        |    CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(event_type = 'purchase' AS BIGINT))
+        |      AS BIGINT) AS cv
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (SELECT tr, d, CAST(sum(n) OVER w AS BIGINT) AS cn,
+        |    CAST(sum(cv) OVER w AS BIGINT) AS cc
+        |  FROM daily WINDOW w AS (PARTITION BY tr ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |wide AS (SELECT d,
+        |    max(CASE WHEN tr THEN cn END) AS n_t,
+        |    max(CASE WHEN tr THEN cc END) AS c_t,
+        |    max(CASE WHEN NOT tr THEN cn END) AS n_c,
+        |    max(CASE WHEN NOT tr THEN cc END) AS c_c
+        |  FROM cum GROUP BY 1),
+        |zz AS (SELECT d, n_t, n_c, c_t, c_c,
+        |    CAST(round(CAST(
+        |      (CAST(c_t AS DOUBLE) / n_t - CAST(c_c AS DOUBLE) / n_c)
+        |      / sqrt((CAST(c_t + c_c AS DOUBLE) / (n_t + n_c))
+        |        * (CAST(1.0 AS DOUBLE)
+        |          - CAST(c_t + c_c AS DOUBLE) / (n_t + n_c))
+        |        * (CAST(1.0 AS DOUBLE) / n_t
+        |          + CAST(1.0 AS DOUBLE) / n_c))
+        |      AS DECIMAL(20,10)), 4) AS DOUBLE) AS z4
+        |  FROM wide WHERE n_t IS NOT NULL AND n_c IS NOT NULL)
+        |SELECT d, n_t, n_c,
+        |  CASE WHEN c_t + c_c = 0 OR c_t + c_c = n_t + n_c
+        |    THEN NULL ELSE z4 END AS z,
+        |  CASE WHEN c_t + c_c = 0 OR c_t + c_c = n_t + n_c
+        |    THEN NULL ELSE abs(z4) >= 1.96 END AS crossed
+        |FROM zz""".stripMargin,
 
     // Same frequency-of-frequency walk (the oracle may sort the tiny
     // count domain globally), same exact partial-bucket algebra.
