@@ -2448,6 +2448,87 @@ object SparkEntry {
         .filter(col("cents").isNotNull)
     }),
 
+    // Stats/causal: CLUSTER-ROBUST standard error — value-cents mean
+    // per cohort with the naive iid SE beside the USER-clustered SE
+    // (events of one user correlate; iid SEs overstate precision —
+    // the q171/q272 readings are honest only at the cluster-robust
+    // width). CR0 sandwich on exact per-user residual sums:
+    // Var_cl = Σ_u(s_u − n_u·m)²/N², design effect = Var_cl/Var_iid.
+    // One (cohort, user) aggregate; residual algebra in DECIMAL(38,0)
+    // cross-multiples (×N keeps it integer), two snapped divisions.
+    "q287_cluster_robust_se" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val ug = t(s, dir, "events")
+        .select((col("user_id") % 2 === 0).as("tr"), col("user_id"),
+          round(col("value") * 100).cast("long").as("vc"))
+        .groupBy(col("tr"), col("user_id"))
+        .agg(count(lit(1)).as("nu"), sum(col("vc")).as("su"),
+          sum(d38(col("vc")) * col("vc")).as("ssu"))
+      val tot = ug.groupBy(col("tr"))
+        .agg(count(lit(1)).as("n_users"), sum(col("nu")).as("n"),
+          sum(col("su")).as("sv"), sum(col("ssu")).as("ssv"))
+      // Σ_u (N·s_u − n_u·S)² — the ×N-scaled clustered residual mass,
+      // exact because every factor is an integer
+      val crm = ug.join(broadcast(tot), "tr")
+        .select(col("tr"),
+          ((d38(col("n")) * col("su") - d38(col("nu")) * col("sv")) *
+            (d38(col("n")) * col("su") - d38(col("nu")) * col("sv")))
+            .as("r2"))
+        .groupBy(col("tr")).agg(sum(col("r2")).as("crm"))
+      val xiid = d38(col("n")) * col("ssv") - col("sv") * col("sv")
+      tot.join(crm, "tr")
+        .select(col("tr").as("treat_cohort"), col("n_users"), col("n"),
+          round((col("sv").cast("double") / col("n").cast("double") /
+            lit(100.0)).cast("decimal(20,10)"), 2).cast("double")
+            .as("mean_value"),
+          round((sqrt(xiid.cast("double") /
+            (d38(col("n")) * col("n") * col("n")).cast("double")) /
+            lit(100.0)).cast("decimal(20,10)"), 4).cast("double")
+            .as("se_iid"),
+          round((sqrt(col("crm").cast("double") /
+            (d38(col("n")) * col("n") * col("n") * col("n"))
+              .cast("double")) / lit(100.0)).cast("decimal(20,10)"), 4)
+            .cast("double").as("se_cluster"),
+          round((col("crm").cast("double") /
+            (d38(col("n")) * xiid).cast("double"))
+            .cast("decimal(20,10)"), 2).cast("double")
+            .as("design_effect"))
+    }),
+
+    // Stats/eval: EXPECTED + MAXIMUM CALIBRATION ERROR — the two
+    // headline calibration numbers (ECE = Σ n_k|p̄_k − ō_k|/N, MCE =
+    // max_k gap) over q260's constant-prediction groups: ECE's
+    // numerator is the PURE INTEGER Σ|p·n_k − 10⁶·s_k| (one exact
+    // aggregate, one division); MCE snaps each group's gap ×1e9
+    // before the max.
+    "q288_calibration_error" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val ev = t(s, dir, "events")
+        .select(hour(col("ts")).as("h"),
+          (col("event_type") === "purchase").cast("long").as("y"),
+          Sampling.hashBucket(col("event_id"), 2).as("b"))
+      val tr = ev.filter(col("b") === 0).groupBy(col("h"))
+        .agg(count(lit(1)).as("nh"), sum(col("y")).as("ph"))
+        .select(col("h"),
+          round((col("ph").cast("double") / col("nh").cast("double")
+            * 1e6).cast("decimal(20,10)")).cast("long").as("p"))
+      val g = ev.filter(col("b") =!= 0).join(broadcast(tr), "h")
+        .groupBy(col("p"))
+        .agg(count(lit(1)).as("nk"), sum(col("y")).as("sk"))
+        .withColumn("dl", abs(d38(col("p")) * col("nk")
+          - d38(lit(1000000L)) * col("sk")))
+      g.agg(sum(col("nk")).as("n"), sum(col("dl")).as("sdl"),
+          max(round(col("dl").cast("double") /
+            col("nk").cast("double") / lit(1e6) * lit(1e9))
+            .cast("long")).as("mx"))
+        .select(col("n"),
+          round((col("sdl").cast("double") /
+            (col("n").cast("double") * lit(1e6)))
+            .cast("decimal(20,10)"), 6).cast("double").as("ece"),
+          round((col("mx").cast("double") / lit(1e9))
+            .cast("decimal(20,10)"), 6).cast("double").as("mce"))
+    }),
+
     // Stats/causal: COVARIATE-BALANCE audit (standardized mean
     // difference) — before reading q272's DiD as causal, check the
     // hash cohorts are actually exchangeable: per covariate,
@@ -10054,6 +10135,69 @@ object SparkEntry {
          |    / n_f / 1e12 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
          |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS brier
          |FROM jb JOIN nf USING (f) GROUP BY 1, 2""".stripMargin,
+
+    // Same ×N-scaled integer residual mass, same sandwich ratios.
+    "q287_cluster_robust_se" ->
+      """WITH ug AS (SELECT user_id % 2 = 0 AS tr, user_id,
+        |    CAST(count(*) AS BIGINT) AS nu,
+        |    CAST(sum(CAST(round(CAST(value AS DOUBLE) * 100)
+        |      AS BIGINT)) AS BIGINT) AS su,
+        |    sum(CAST(CAST(round(CAST(value AS DOUBLE) * 100)
+        |      AS BIGINT) AS HUGEINT)
+        |      * CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT))
+        |      AS ssu
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (SELECT tr, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(nu) AS BIGINT) AS n, CAST(sum(su) AS BIGINT)
+        |      AS sv, sum(ssu) AS ssv
+        |  FROM ug GROUP BY 1),
+        |crm AS (SELECT ug.tr,
+        |    sum((CAST(n AS HUGEINT) * su - CAST(nu AS HUGEINT) * sv)
+        |      * (CAST(n AS HUGEINT) * su - CAST(nu AS HUGEINT) * sv))
+        |      AS crm
+        |  FROM ug JOIN tot ON tot.tr = ug.tr GROUP BY 1)
+        |SELECT tot.tr AS treat_cohort, n_users, n,
+        |  CAST(round(CAST(CAST(sv AS DOUBLE) / n / 100.0
+        |    AS DECIMAL(20,10)), 2) AS DOUBLE) AS mean_value,
+        |  CAST(round(CAST(sqrt(
+        |      CAST(CAST(n AS HUGEINT) * ssv - CAST(sv AS HUGEINT) * sv
+        |        AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * n * n AS DOUBLE)) / 100.0
+        |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS se_iid,
+        |  CAST(round(CAST(sqrt(CAST(crm AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * n * n * n AS DOUBLE))
+        |      / 100.0 AS DECIMAL(20,10)), 4) AS DOUBLE)
+        |    AS se_cluster,
+        |  CAST(round(CAST(CAST(crm AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * ssv
+        |      - CAST(sv AS HUGEINT) * sv) AS DOUBLE)
+        |    AS DECIMAL(20,10)), 2) AS DOUBLE) AS design_effect
+        |FROM tot JOIN crm ON crm.tr = tot.tr""".stripMargin,
+
+    // Same q260 grouping, pure-integer ECE numerator, per-group ×1e9
+    // MCE snap before the max.
+    "q288_calibration_error" ->
+      s"""WITH ev AS (SELECT hour(ts) AS h,
+         |    CAST(event_type = 'purchase' AS BIGINT) AS y,
+         |    ${h60("CAST(event_id AS VARCHAR)")} % 2 AS b
+         |  FROM events),
+         |trn AS (SELECT h, CAST(round(CAST(CAST(sum(y) AS DOUBLE)
+         |    / count(*) * CAST(1e6 AS DOUBLE) AS DECIMAL(20,10)))
+         |    AS BIGINT) AS p
+         |  FROM ev WHERE b = 0 GROUP BY 1),
+         |g AS (SELECT p, CAST(count(*) AS BIGINT) AS nk,
+         |    CAST(sum(y) AS BIGINT) AS sk
+         |  FROM ev JOIN trn USING (h) WHERE ev.b <> 0 GROUP BY 1),
+         |dd AS (SELECT nk, abs(CAST(p AS HUGEINT) * nk
+         |    - CAST(1000000 AS HUGEINT) * sk) AS dl FROM g)
+         |SELECT CAST(sum(nk) AS BIGINT) AS n,
+         |  CAST(round(CAST(CAST(sum(dl) AS DOUBLE)
+         |    / (CAST(sum(nk) AS DOUBLE) * CAST(1e6 AS DOUBLE))
+         |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS ece,
+         |  CAST(round(CAST(CAST(max(CAST(round(CAST(dl AS DOUBLE)
+         |      / nk / 1e6 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
+         |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS mce
+         |FROM dd""".stripMargin,
 
     // Same three-covariate melt (UNION ALL ≡ the engine's Expand),
     // same exact moments and SMD shape.
