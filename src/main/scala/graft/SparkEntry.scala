@@ -2495,6 +2495,69 @@ object SparkEntry {
             .as("design_effect"))
     }),
 
+    // Text/trend: EPOCH TRENDING TERMS — log-odds shift of every
+    // ≥25-count token between the two hash epochs (the q207
+    // "fightin' words" kernel pointed at TIME instead of source):
+    // the top risers are what changed in the corpus between crawls.
+    // One (epoch, token) aggregate, ×1e4 ln snap, top-20 by
+    // (shift desc, token).
+    "q289_trending_terms" -> ((s, dir) => {
+      val occ = t(s, dir, "documents")
+        .select(Sampling.hashBucket(col("doc_id"), 2).as("ep"),
+          explode(Text.tokens(col("text"))).as("tok"))
+      val g = occ.groupBy(col("tok"))
+        .agg(sum(when(col("ep") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("ep") === 1, 1L).otherwise(0L)).as("c1"))
+        .filter(col("c0") + col("c1") >= 25)
+      val tots = g.agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+      g.crossJoin(broadcast(tots))
+        .select(col("tok").as("token"), col("c0"), col("c1"),
+          round((log((col("c1") + 1).cast("double") /
+              (col("n1") - col("c1") + 1).cast("double")) -
+            log((col("c0") + 1).cast("double") /
+              (col("n0") - col("c0") + 1).cast("double")))
+            .cast("decimal(20,10)"), 4).cast("double").as("log_odds"))
+        .orderBy(col("log_odds").desc, col("token")).limit(20)
+    }),
+
+    // Similarity/eval: RECALL@n CURVE — where in the IVF ranking the
+    // TRUE nearest neighbor actually sits, cumulated over n ∈ {1, 2,
+    // 5, 10, 20} (q108 reports recall at one k per nprobe; tuning
+    // reads the whole curve to pick the rerank depth). First-hit
+    // rank via one (query, neighbor) equi-join of truth@1 against
+    // the k=20 nprobe=2 ranking.
+    "q290_recall_curve" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val centroids = e.filter(col("id") < 16)
+        .select(col("id").as("cid"), col("vec").as("cvec"))
+      val qs = e.select(col("id"), col("vec"),
+          Dedup.hashLong(col("id").cast("string")).as("h"))
+        .orderBy(col("h"), col("id")).limit(100)
+        .select(col("id"), col("vec"))
+      val truth1 = Similarity.bruteForceTopK(qs, e, 1)
+        .select(col("query_id"), col("neighbor_id"))
+      val assigned = Similarity.ivfAssign(e, centroids)
+      val approx = Similarity.ivfSearch(qs, assigned, centroids, 20,
+        nprobe = 2, preAssigned = true)
+      val fh = truth1.join(approx.select(col("query_id"),
+        col("neighbor_id"), col("rank")), Seq("query_id",
+        "neighbor_id"))
+      val grid = {
+        import s.implicits._
+        Seq(1, 2, 5, 10, 20).toDF("n_at")
+      }
+      val nq = qs.agg(count(lit(1)).as("n_queries"))
+      grid.join(fh, col("rank") <= col("n_at"), "left")
+        .groupBy(col("n_at"))
+        .agg(count(col("query_id")).as("n_hit"))
+        .crossJoin(broadcast(nq))
+        .select(col("n_at"), col("n_hit"), col("n_queries"),
+          round((col("n_hit").cast("double") /
+            col("n_queries").cast("double")).cast("decimal(20,10)"), 4)
+            .cast("double").as("recall"))
+    }),
+
     // Stats/eval: EXPECTED + MAXIMUM CALIBRATION ERROR — the two
     // headline calibration numbers (ECE = Σ n_k|p̄_k − ō_k|/N, MCE =
     // max_k gap) over q260's constant-prediction groups: ECE's
@@ -10135,6 +10198,73 @@ object SparkEntry {
          |    / n_f / 1e12 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
          |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS brier
          |FROM jb JOIN nf USING (f) GROUP BY 1, 2""".stripMargin,
+
+    // Same hash epochs, add-one log-odds, ×1e4 snap.
+    "q289_trending_terms" ->
+      s"""WITH occ AS (SELECT
+         |    ${h60("CAST(doc_id AS VARCHAR)")} % 2 AS ep,
+         |    unnest($tokSql) AS tok FROM documents),
+         |g AS (SELECT tok,
+         |    CAST(sum(CASE WHEN ep = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c0,
+         |    CAST(sum(CASE WHEN ep = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c1
+         |  FROM occ GROUP BY 1 HAVING count(*) >= 25),
+         |tots AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+         |    CAST(sum(c1) AS BIGINT) AS n1 FROM g)
+         |SELECT tok AS token, c0, c1,
+         |  CAST(round(CAST(
+         |    ln(CAST(c1 + 1 AS DOUBLE) / (n1 - c1 + 1))
+         |    - ln(CAST(c0 + 1 AS DOUBLE) / (n0 - c0 + 1))
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS log_odds
+         |FROM g CROSS JOIN tots
+         |ORDER BY 4 DESC, 1 LIMIT 20""".stripMargin,
+
+    // q108's IVF chain at k=20/nprobe=2, truth@1, cumulative grid.
+    "q290_recall_curve" ->
+      s"""WITH c AS (SELECT vec_id AS cid, embedding AS cvec
+         |  FROM embeddings WHERE vec_id < 16),
+         |q AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+         |  ORDER BY ${h60("CAST(vec_id AS VARCHAR)")}, vec_id
+         |  LIMIT 100),
+         |assigned AS (SELECT id, vec, cid AS cell FROM (
+         |  SELECT e.vec_id AS id, e.embedding AS vec, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${cosSql("e.embedding", "c.cvec")}, 6)
+         |        DESC, c.cid) AS rn
+         |  FROM embeddings e CROSS JOIN c) WHERE rn = 1),
+         |qc AS (SELECT qid, qv, cell FROM (
+         |  SELECT q.id AS qid, q.vec AS qv, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY q.id
+         |      ORDER BY round(${cosSql("q.vec", "c.cvec")}, 6) DESC,
+         |        c.cid) AS pr
+         |  FROM q CROSS JOIN c) WHERE pr <= 2),
+         |ranked AS (SELECT qid, nid, rnk FROM (
+         |  SELECT qc.qid, a.id AS nid, row_number() OVER (
+         |      PARTITION BY qc.qid ORDER BY
+         |      round(${cosSql("qc.qv", "a.vec")}, 6) DESC, a.id)
+         |      AS rnk
+         |  FROM qc JOIN assigned a
+         |    ON qc.cell = a.cell AND qc.qid != a.id) WHERE rnk <= 20),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.id AS query_id, c2.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.id
+         |      ORDER BY round(${cosSql("q.vec", "c2.embedding")}, 6)
+         |        DESC, c2.vec_id) AS rnk
+         |  FROM q JOIN embeddings c2 ON q.id != c2.vec_id)
+         |  WHERE rnk <= 1),
+         |fh AS (SELECT t.query_id, r.rnk FROM truth t
+         |  JOIN ranked r ON r.qid = t.query_id
+         |    AND r.nid = t.neighbor_id),
+         |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM q)
+         |SELECT n_at, CAST(count(fh.query_id) AS BIGINT) AS n_hit,
+         |  n_queries,
+         |  CAST(round(CAST(CAST(count(fh.query_id) AS DOUBLE)
+         |    / n_queries AS DECIMAL(20,10)), 4) AS DOUBLE) AS recall
+         |FROM (SELECT CAST(unnest([1, 2, 5, 10, 20]) AS INT) AS n_at)
+         |LEFT JOIN fh ON fh.rnk <= n_at
+         |CROSS JOIN nq
+         |GROUP BY n_at, n_queries""".stripMargin,
 
     // Same ×N-scaled integer residual mass, same sandwich ratios.
     "q287_cluster_robust_se" ->
