@@ -35,4 +35,15 @@ class EntrySpec extends SparkSpec {
         "the override must fully determine the scanned input")
     }
   }
+
+  test("every query has an oracle and every oracle a query — the " +
+      "correctness gate covers the full surface") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty,
+      s"queries without oracle: ${(q -- o).toSeq.sorted.mkString(", ")}")
+    assert((o -- q).isEmpty,
+      s"orphan oracles: ${(o -- q).toSeq.sorted.mkString(", ")}")
+    assert(q.size >= 290, s"query surface shrank: ${q.size}")
+  }
 }
