@@ -2495,6 +2495,80 @@ object SparkEntry {
             .as("design_effect"))
     }),
 
+    // Text/preprocess: AUTOMATIC STOPWORD discovery — rank tokens by
+    // document-frequency share × cross-source distribution FLATNESS
+    // (normalized source entropy): a true stopword is everywhere and
+    // belongs to no one (q212's log-odds finds the opposite — the
+    // owned terms). Entropy terms snap ×1e9 pre-sum (q230), the
+    // composite score snaps 6dp BEFORE ranking so the cut is
+    // engine-stable.
+    "q291_stopword_discovery" -> ((s, dir) => {
+      val occ = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(Text.tokens(col("text"))).as("tok"))
+      val ts = occ.groupBy(col("tok"), col("source"))
+        .agg(count(lit(1)).as("c"))
+      val tt = ts.groupBy(col("tok")).agg(sum(col("c")).as("ct"))
+      val hh = ts.join(tt, "tok")
+        .select(col("tok"),
+          round(-(col("c").cast("double") / col("ct").cast("double")) *
+            log(col("c").cast("double") / col("ct").cast("double")) *
+            lit(1e9)).cast("long").as("tf"))
+        .groupBy(col("tok")).agg(sum(col("tf")).as("sh"))
+      val dfreq = occ.select(col("tok"), col("doc_id")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val nd = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val flat = (col("sh").cast("double") / lit(1e9)) /
+        log(lit(20.0))
+      val dshare = col("df").cast("double") / col("n_docs").cast("double")
+      tt.join(hh, "tok").join(dfreq, "tok").crossJoin(broadcast(nd))
+        .select(col("tok").as("token"), col("df"), col("ct").as("n_occ"),
+          round(flat.cast("decimal(20,10)"), 4).cast("double")
+            .as("flatness"),
+          round((dshare * flat).cast("decimal(20,10)"), 6)
+            .cast("double").as("score"))
+        .orderBy(col("score").desc, col("token")).limit(20)
+    }),
+
+    // Systems/curation: SHUFFLE-QUALITY audit of plain hash ordering
+    // — per source, the positional-gap dispersion index (var/mean)
+    // in the md5-rank global order: the check that "ORDER BY hash"
+    // actually interleaves sources (clumped gaps starve a training
+    // run of diversity mid-epoch; q243's round-robin is the
+    // constructive fix, gaps exactly k by design). Global ranks ride
+    // the bucketed prefix kernel over the hash domain; gaps are a
+    // per-source window; moments exact.
+    "q292_shuffle_quality" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val rated = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          Dedup.hashLong(concat(lit("sq"),
+            col("doc_id").cast("string"))).as("h"))
+      val byV = rated.groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      val rk = Ranks.withRunningBelow(byV, "h", 1000000000000000L,
+        Seq("cnt"))
+      val pos = rated.join(rk.select(col("h"), col("cnt_below")), "h")
+        .select(col("source"),
+          (col("cnt_below") + 1).as("pos"))
+      val gaps = pos.withColumn("g",
+          col("pos") - lag(col("pos"), 1).over(
+            Window.partitionBy(col("source")).orderBy(col("pos"))))
+        .filter(col("g").isNotNull)
+      gaps.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("sg"),
+          sum(d38(col("g")) * col("g")).as("sgg"))
+        .select(col("source"), col("n_gaps"),
+          round((col("sg").cast("double") /
+            col("n_gaps").cast("double")).cast("decimal(20,10)"), 2)
+            .cast("double").as("mean_gap"),
+          round(((d38(col("n_gaps")) * col("sgg") -
+            col("sg") * col("sg")).cast("double") /
+            (d38(col("n_gaps")) * col("n_gaps")).cast("double") /
+            (col("sg").cast("double") / col("n_gaps").cast("double")))
+            .cast("decimal(20,10)"), 4).cast("double")
+            .as("dispersion"))
+    }),
+
     // Text/trend: EPOCH TRENDING TERMS — log-odds shift of every
     // ≥25-count token between the two hash epochs (the q207
     // "fightin' words" kernel pointed at TIME instead of source):
@@ -10198,6 +10272,64 @@ object SparkEntry {
          |    / n_f / 1e12 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
          |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS brier
          |FROM jb JOIN nf USING (f) GROUP BY 1, 2""".stripMargin,
+
+    // Same ×1e9 entropy terms, same (df-share × flatness) composite
+    // snapped 6dp before the cut.
+    "q291_stopword_discovery" ->
+      s"""WITH occ AS (SELECT doc_id, source, unnest($tokSql) AS tok
+         |  FROM documents),
+         |ts AS (SELECT tok, source, CAST(count(*) AS BIGINT) AS c
+         |  FROM occ GROUP BY 1, 2),
+         |tt AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ct
+         |  FROM ts GROUP BY 1),
+         |hh AS (SELECT ts.tok, CAST(sum(CAST(round(
+         |      -(CAST(c AS DOUBLE) / ct) * ln(CAST(c AS DOUBLE) / ct)
+         |      * 1e9) AS BIGINT)) AS BIGINT) AS sh
+         |  FROM ts JOIN tt USING (tok) GROUP BY 1),
+         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM
+         |  (SELECT DISTINCT tok, doc_id FROM occ) GROUP BY 1),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents)
+         |SELECT tok AS token, df, ct AS n_occ,
+         |  CAST(round(CAST(CAST(sh AS DOUBLE) / 1e9
+         |    / ln(CAST(20.0 AS DOUBLE)) AS DECIMAL(20,10)), 4)
+         |    AS DOUBLE) AS flatness,
+         |  CAST(round(CAST(CAST(df AS DOUBLE) / n_docs
+         |    * (CAST(sh AS DOUBLE) / 1e9 / ln(CAST(20.0 AS DOUBLE)))
+         |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS score
+         |FROM tt JOIN hh USING (tok) JOIN dfq USING (tok)
+         |CROSS JOIN nd
+         |ORDER BY 5 DESC, 1 LIMIT 20""".stripMargin,
+
+    // Same md5 global ranks (the oracle may sort the hash domain
+    // globally), same per-source gaps and exact moment dispersion.
+    "q292_shuffle_quality" ->
+      s"""WITH rated AS (SELECT doc_id, source,
+         |    ${h60("'sq' || CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |rk AS (SELECT h, CAST(coalesce(sum(cnt) OVER (ORDER BY h
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS cnt_below
+         |  FROM (SELECT h, CAST(count(*) AS BIGINT) AS cnt
+         |    FROM rated GROUP BY 1)),
+         |pos AS (SELECT source, cnt_below + 1 AS pos
+         |  FROM rated JOIN rk USING (h)),
+         |gg AS (SELECT source, CAST(g AS BIGINT) AS g FROM (
+         |  SELECT source, pos - lag(pos) OVER (PARTITION BY source
+         |    ORDER BY pos) AS g FROM pos) WHERE g IS NOT NULL),
+         |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n_gaps,
+         |    CAST(sum(g) AS BIGINT) AS sg,
+         |    sum(CAST(g AS HUGEINT) * g) AS sgg FROM gg GROUP BY 1)
+         |SELECT source, n_gaps,
+         |  CAST(round(CAST(CAST(sg AS DOUBLE) / n_gaps
+         |    AS DECIMAL(20,10)), 2) AS DOUBLE) AS mean_gap,
+         |  CAST(round(CAST(
+         |    CAST(CAST(n_gaps AS HUGEINT) * sgg
+         |      - CAST(sg AS HUGEINT) * sg AS DOUBLE)
+         |    / CAST(CAST(n_gaps AS HUGEINT) * n_gaps AS DOUBLE)
+         |    / (CAST(sg AS DOUBLE) / n_gaps) AS DECIMAL(20,10)), 4)
+         |    AS DOUBLE) AS dispersion
+         |FROM m""".stripMargin,
 
     // Same hash epochs, add-one log-odds, ×1e4 snap.
     "q289_trending_terms" ->
