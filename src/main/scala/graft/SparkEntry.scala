@@ -2495,6 +2495,68 @@ object SparkEntry {
             .as("design_effect"))
     }),
 
+    // Dedup/provenance: CROSS-SOURCE DUPLICATION matrix — exact-
+    // fingerprint duplicate pairs bucketed by (source_a, source_b):
+    // WHO mirrors WHOM, the provenance read behind dedup priorities
+    // (q181 asks it of spans; this of whole documents). Per-
+    // fingerprint per-source counts keep the pair algebra n·(n−1)/2
+    // on the tiny (fp, source) groups — the corpus never self-joins.
+    "q293_dup_source_matrix" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      // the crawl-mirror scenario: every 3rd doc re-hosted verbatim
+      // on mirror1, every 7th on mirror2 (raw texts are unique, so
+      // the cross-source structure is planted and known)
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val corpus = base.select(col("source"), col("text"))
+        .unionByName(base.filter(col("doc_id") % 3 === 0)
+          .select(lit("mirror1").as("source"), col("text")))
+        .unionByName(base.filter(col("doc_id") % 7 === 0)
+          .select(lit("mirror2").as("source"), col("text")))
+      val fp = corpus
+        .select(col("source"), Text.fingerprint(col("text")).as("fp"))
+        .groupBy(col("fp"), col("source"))
+        .agg(count(lit(1)).as("c"))
+      val within = fp.filter(col("c") > 1)
+        .groupBy(col("source").as("source_a"))
+        .agg(sum(d38(col("c")) * (col("c") - 1) / 2).cast("long")
+          .as("n_pairs"))
+        .select(col("source_a"), col("source_a").as("source_b"),
+          col("n_pairs"))
+      val across = fp.as("x").join(fp.as("y"),
+          col("x.fp") === col("y.fp") &&
+            col("x.source") < col("y.source"))
+        .groupBy(col("x.source").as("source_a"),
+          col("y.source").as("source_b"))
+        .agg(sum(d38(col("x.c")) * col("y.c")).cast("long")
+          .as("n_pairs"))
+      within.unionByName(across).filter(col("n_pairs") > 0)
+    }),
+
+    // Curation/provenance: LICENSE PROPAGATION through duplicate
+    // clusters — a document inherits the MOST RESTRICTIVE tier in
+    // its exact-dup cluster (the license-contamination rule: one
+    // copyleft copy taints every mirror): tier from a deterministic
+    // source policy map, cluster max joined back, upgraded docs
+    // flagged. The q50 fingerprint clusters carrying a policy
+    // aggregate instead of a keep-rule.
+    "q294_license_propagation" -> ((s, dir) => {
+      val tier = pmod(
+        Dedup.hashLong(concat(lit("lic"), col("source"))), lit(3L))
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          Text.fingerprint(col("text")).as("fp"), tier.as("tier"))
+      val mx = d.groupBy(col("fp"))
+        .agg(max(col("tier")).as("cluster_tier"),
+          count(lit(1)).as("n_members"))
+      d.join(mx, "fp")
+        .groupBy(col("source"), col("tier").as("own_tier"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("cluster_tier") > col("tier"), 1L)
+            .otherwise(0L)).as("n_upgraded"),
+          max(col("cluster_tier")).as("max_seen_tier"))
+    }),
+
     // Text/preprocess: AUTOMATIC STOPWORD discovery — rank tokens by
     // document-frequency share × cross-source distribution FLATNESS
     // (normalized source entropy): a true stopword is everywhere and
@@ -10272,6 +10334,46 @@ object SparkEntry {
          |    / n_f / 1e12 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
          |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS brier
          |FROM jb JOIN nf USING (f) GROUP BY 1, 2""".stripMargin,
+
+    // Same per-(fp, source) count algebra (// is DuckDB integer
+    // division — / would go double).
+    "q293_dup_source_matrix" ->
+      """WITH corpus AS (
+        |  SELECT source, text FROM documents
+        |  UNION ALL SELECT 'mirror1', text FROM documents
+        |    WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT 'mirror2', text FROM documents
+        |    WHERE doc_id % 7 = 0),
+        |f0 AS (SELECT source,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |      AS fp FROM corpus),
+        |fc AS (SELECT fp, source, CAST(count(*) AS BIGINT) AS c
+        |  FROM f0 GROUP BY 1, 2),
+        |w AS (SELECT source AS source_a, source AS source_b,
+        |    CAST(sum(CAST(c AS HUGEINT) * (c - 1) // 2) AS BIGINT)
+        |      AS n_pairs
+        |  FROM fc WHERE c > 1 GROUP BY 1, 2),
+        |a AS (SELECT x.source AS source_a, y.source AS source_b,
+        |    CAST(sum(CAST(x.c AS HUGEINT) * y.c) AS BIGINT) AS n_pairs
+        |  FROM fc x JOIN fc y ON x.fp = y.fp AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT * FROM (SELECT * FROM w UNION ALL SELECT * FROM a)
+        |WHERE n_pairs > 0""".stripMargin,
+
+    // Same deterministic policy tiers and cluster-max inheritance.
+    "q294_license_propagation" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+         |      AS fp,
+         |    ${h60("'lic' || source")} % 3 AS tier FROM documents),
+         |mx AS (SELECT fp, CAST(max(tier) AS BIGINT) AS cluster_tier
+         |  FROM d GROUP BY 1)
+         |SELECT source, CAST(tier AS BIGINT) AS own_tier,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN cluster_tier > tier THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_upgraded,
+         |  CAST(max(cluster_tier) AS BIGINT) AS max_seen_tier
+         |FROM d JOIN mx USING (fp) GROUP BY 1, 2""".stripMargin,
 
     // Same ×1e9 entropy terms, same (df-share × flatness) composite
     // snapped 6dp before the cut.
