@@ -2495,6 +2495,39 @@ object SparkEntry {
             .as("design_effect"))
     }),
 
+    // Similarity/ML: kNN CLASSIFIER eval — 5-NN majority vote over
+    // the labeled embeddings for a 100-query hash panel, confusion
+    // counts out: the zero-training baseline any embedding-space
+    // classifier must beat (and the direct read on whether labels
+    // are SEPARABLE in the space — q232/q228 ask it of clusters,
+    // this of neighborhoods). Brute candidates on the bounded panel
+    // (swap ivfSearch at corpus scale); vote ties break on label.
+    "q295_knn_classifier" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("label").cast("long").as("lb"))
+      val e = emb.select(col("id"), col("vec"))
+      val qs = emb.select(col("id"), col("vec"), col("lb"),
+          Dedup.hashLong(concat(lit("kc"), col("id").cast("string")))
+            .as("h"))
+        .orderBy(col("h"), col("id")).limit(100)
+      val nn = Similarity.bruteForceTopK(
+          qs.select(col("id"), col("vec")), e, 5)
+        .join(emb.select(col("id").as("neighbor_id"),
+          col("lb").as("nl")), "neighbor_id")
+      val vote = nn.groupBy(col("query_id"), col("nl"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("c").desc, col("nl"))))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("nl").as("pred"))
+      qs.select(col("id").as("query_id"), col("lb").as("true_label"))
+        .join(vote, "query_id")
+        .groupBy(col("true_label"), col("pred"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // Dedup/provenance: CROSS-SOURCE DUPLICATION matrix — exact-
     // fingerprint duplicate pairs bucketed by (source_a, source_b):
     // WHO mirrors WHOM, the provenance read behind dedup priorities
@@ -10334,6 +10367,33 @@ object SparkEntry {
          |    / n_f / 1e12 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
          |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS brier
          |FROM jb JOIN nf USING (f) GROUP BY 1, 2""".stripMargin,
+
+    // Same hash panel, same (rounded-sim desc, id) 5-NN and
+    // (count desc, label) vote.
+    "q295_knn_classifier" ->
+      s"""WITH qs AS (SELECT vec_id AS id, embedding AS vec,
+         |    CAST(label AS BIGINT) AS lb FROM embeddings
+         |  ORDER BY ${h60("'kc' || CAST(vec_id AS VARCHAR)")}, vec_id
+         |  LIMIT 100),
+         |nn AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.id
+         |      ORDER BY round(${cosSql("q.vec", "c.embedding")}, 6)
+         |        DESC, c.vec_id) AS rnk
+         |  FROM qs q JOIN embeddings c ON q.id != c.vec_id)
+         |  WHERE rnk <= 5),
+         |nl AS (SELECT nn.query_id, CAST(e.label AS BIGINT) AS nl
+         |  FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id),
+         |vc AS (SELECT query_id, nl, CAST(count(*) AS BIGINT) AS c
+         |  FROM nl GROUP BY 1, 2),
+         |vote AS (SELECT query_id, nl AS pred FROM (
+         |  SELECT query_id, nl, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY c DESC, nl) AS rn
+         |  FROM vc) WHERE rn = 1)
+         |SELECT qs.lb AS true_label, vote.pred,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM qs JOIN vote ON vote.query_id = qs.id
+         |GROUP BY 1, 2""".stripMargin,
 
     // Same per-(fp, source) count algebra (// is DuckDB integer
     // division — / would go double).
