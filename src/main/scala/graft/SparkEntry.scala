@@ -2495,6 +2495,61 @@ object SparkEntry {
             .as("design_effect"))
     }),
 
+    // Dedup/trend: INCREMENTAL NOVELTY curve — treating doc_id as
+    // crawl order, the share of each arrival's shingles NEVER SEEN in
+    // any earlier doc, pooled per id-decile: the "is the crawl still
+    // finding new content" decay read (q134 asks it of URLs; this of
+    // CONTENT mass). First-seen is one min-aggregate on the shingle
+    // key; deciles are exact integer floor-division — no rank pass.
+    "q296_novelty_curve" -> ((s, dir) => {
+      def floorDiv(a: Column, b: Column): Column =
+        ((a - pmod(a, b)) / b).cast("long")
+      val ds = t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(
+          Dedup.hashedShingles(Text.tokens(col("text")), 3)))
+          .as("sh"))
+      val fs = ds.groupBy(col("sh")).agg(min(col("doc_id")).as("fid"))
+      val per = ds.join(fs, "sh")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when(col("fid") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+      val mx = t(s, dir, "documents").agg(max(col("doc_id")).as("mid"))
+      per.crossJoin(broadcast(mx))
+        .groupBy(floorDiv(col("doc_id") * 10, col("mid") + 1)
+          .as("decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_sh")).as("n_sh"),
+          sum(col("n_novel")).as("n_novel"))
+        .select(col("decile"), col("n_docs"), col("n_sh"),
+          col("n_novel"),
+          round((col("n_novel").cast("double") /
+            col("n_sh").cast("double")).cast("decimal(20,10)"), 4)
+            .cast("double").as("novelty"))
+    }),
+
+    // Similarity/eval: EMBEDDING-QUALITY AUC — over a 200-vector hash
+    // panel's pairs, can COSINE separate same-label from diff-label?
+    // The metric-learning eval in one number (q232/q295 ask it via
+    // clustering/kNN; this is threshold-free): snapped micro cosines
+    // as scores, label-equality as truth, the exact two-level-prefix
+    // AUC kernel — never the n² comparisons AUC is defined over
+    // (pairs here are panel-bounded; the kernel is what scales).
+    "q297_embedding_auc" -> ((s, dir) => {
+      val panel = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          col("label").cast("long").as("lb"),
+          Dedup.hashLong(concat(lit("ea"),
+            col("vec_id").cast("string"))).as("h"))
+        .orderBy(col("h"), col("id")).limit(200)
+        .select(col("id"), col("vec"), col("lb"))
+      val pairs = panel.as("a").join(panel.as("b"),
+          col("a.id") < col("b.id"))
+        .select((col("a.lb") === col("b.lb")).as("y"),
+          round(round(Similarity.cosine(col("a.vec"), col("b.vec")), 6)
+            .cast("decimal(20,10)") * 1000000).cast("long").as("sm"))
+      Profile.aucExact(pairs, col("y"), col("sm"), 1000000L)
+    }),
+
     // Similarity/ML: kNN CLASSIFIER eval — 5-NN majority vote over
     // the labeled embeddings for a 100-query hash panel, confusion
     // counts out: the zero-training baseline any embedding-space
@@ -10367,6 +10422,60 @@ object SparkEntry {
          |    / n_f / 1e12 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
          |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS brier
          |FROM jb JOIN nf USING (f) GROUP BY 1, 2""".stripMargin,
+
+    // Shingle strings key the same domain the engine's hashes do
+    // (grouping is representation-free); same floor-div deciles and
+    // pooled ratio.
+    "q296_novelty_curve" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |ds AS (SELECT doc_id, sh FROM (SELECT doc_id,
+         |    unnest(CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+         |      ELSE $shingleSql END) AS sh FROM tk)),
+         |fs AS (SELECT sh, CAST(min(doc_id) AS BIGINT) AS fid
+         |  FROM ds GROUP BY 1),
+         |per AS (SELECT ds.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+         |    CAST(sum(CASE WHEN fid = ds.doc_id THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_novel
+         |  FROM ds JOIN fs USING (sh) GROUP BY 1),
+         |mx AS (SELECT CAST(max(doc_id) AS BIGINT) AS mid
+         |  FROM documents)
+         |SELECT doc_id * 10 // (mid + 1) AS decile,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_sh) AS BIGINT) AS n_sh,
+         |  CAST(sum(n_novel) AS BIGINT) AS n_novel,
+         |  CAST(round(CAST(CAST(sum(n_novel) AS DOUBLE) / sum(n_sh)
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS novelty
+         |FROM per CROSS JOIN mx GROUP BY 1""".stripMargin,
+
+    // Same 200-vector panel pairs, same micro-cosine scores, q170's
+    // exact AUC algebra.
+    "q297_embedding_auc" ->
+      s"""WITH panel AS (SELECT vec_id AS id, embedding AS vec,
+         |    CAST(label AS BIGINT) AS lb FROM embeddings
+         |  ORDER BY ${h60("'ea' || CAST(vec_id AS VARCHAR)")}, vec_id
+         |  LIMIT 200),
+         |pr AS (SELECT (a.lb = b.lb) AS y,
+         |    CAST(round(CAST(round(${cosSql("a.vec", "b.vec")}, 6)
+         |      AS DECIMAL(20,10)) * 1000000) AS BIGINT) AS v
+         |  FROM panel a JOIN panel b ON a.id < b.id),
+         |bv AS (SELECT v,
+         |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS q
+         |  FROM pr GROUP BY 1),
+         |c AS (SELECT p, q,
+         |    COALESCE(CAST(sum(q) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS BIGINT), 0) AS nb
+         |  FROM bv)
+         |SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+         |  CAST(sum(q) AS BIGINT) AS n_neg,
+         |  CASE WHEN sum(p) = 0 OR sum(q) = 0 THEN NULL ELSE
+         |    CAST(round(CAST(CAST(sum(CAST(p AS HUGEINT)
+         |        * (2 * nb + q)) AS DOUBLE)
+         |      / (CAST(2.0 AS DOUBLE) * CAST(sum(p) AS DOUBLE)
+         |        * CAST(sum(q) AS DOUBLE))
+         |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS auc
+         |FROM c""".stripMargin,
 
     // Same hash panel, same (rounded-sim desc, id) 5-NN and
     // (count desc, label) vote.
