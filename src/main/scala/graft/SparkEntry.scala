@@ -2495,6 +2495,46 @@ object SparkEntry {
             .as("design_effect"))
     }),
 
+    // Curation/fairness: DEDUP BIAS audit — keep-lowest-id exact
+    // dedup on the mirrored corpus (q293's), measured as each
+    // source's share BEFORE vs AFTER: position-biased keep rules
+    // silently starve late/mirrored sources (mirrors lose every
+    // duel to their originals here — the worst case made visible).
+    // One fingerprint min-aggregate + two share tables.
+    "q298_dedup_bias" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val corpus = base
+        .unionByName(base.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            lit("mirror1").as("source"), col("text")))
+        .unionByName(base.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            lit("mirror2").as("source"), col("text")))
+        .select(col("doc_id"), col("source"),
+          Text.fingerprint(col("text")).as("fp"))
+      val keep = corpus.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keep_id"))
+      val before = corpus.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_before"))
+      val after = corpus.join(keep,
+          corpus("fp") === keep("fp") &&
+            corpus("doc_id") === keep("keep_id"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_after"))
+      val tots = before.agg(sum(col("n_before")).as("tb"))
+        .crossJoin(after.agg(sum(col("n_after")).as("ta")))
+      before.join(after, Seq("source"), "left")
+        .na.fill(0L, Seq("n_after"))
+        .crossJoin(broadcast(tots))
+        .select(col("source"), col("n_before"), col("n_after"),
+          round((col("n_before").cast("double") /
+            col("tb").cast("double")).cast("decimal(20,10)"), 4)
+            .cast("double").as("share_before"),
+          round((col("n_after").cast("double") /
+            col("ta").cast("double")).cast("decimal(20,10)"), 4)
+            .cast("double").as("share_after"))
+    }),
+
     // Dedup/trend: INCREMENTAL NOVELTY curve — treating doc_id as
     // crawl order, the share of each arrival's shingles NEVER SEEN in
     // any earlier doc, pooled per id-decile: the "is the crawl still
@@ -10422,6 +10462,36 @@ object SparkEntry {
          |    / n_f / 1e12 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
          |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS brier
          |FROM jb JOIN nf USING (f) GROUP BY 1, 2""".stripMargin,
+
+    // Same mirrored corpus and keep-min rule, same share tables.
+    "q298_dedup_bias" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, 'mirror1', text
+        |    FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL SELECT doc_id + 200000, 'mirror2', text
+        |    FROM documents WHERE doc_id % 7 = 0),
+        |f0 AS (SELECT doc_id, source,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+        |      AS fp FROM corpus),
+        |keep AS (SELECT fp, CAST(min(doc_id) AS BIGINT) AS keep_id
+        |  FROM f0 GROUP BY 1),
+        |bfr AS (SELECT source, CAST(count(*) AS BIGINT) AS n_before
+        |  FROM f0 GROUP BY 1),
+        |aft AS (SELECT source, CAST(count(*) AS BIGINT) AS n_after
+        |  FROM f0 JOIN keep ON keep.fp = f0.fp
+        |    AND keep.keep_id = f0.doc_id
+        |  GROUP BY 1),
+        |tt AS (SELECT (SELECT CAST(sum(n_before) AS BIGINT) FROM bfr)
+        |    AS tb,
+        |  (SELECT CAST(sum(n_after) AS BIGINT) FROM aft) AS ta)
+        |SELECT bfr.source, n_before,
+        |  CAST(coalesce(aft.n_after, 0) AS BIGINT) AS n_after,
+        |  CAST(round(CAST(CAST(n_before AS DOUBLE) / tb
+        |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS share_before,
+        |  CAST(round(CAST(CAST(coalesce(aft.n_after, 0) AS DOUBLE)
+        |    / ta AS DECIMAL(20,10)), 4) AS DOUBLE) AS share_after
+        |FROM bfr LEFT JOIN aft USING (source) CROSS JOIN tt""".stripMargin,
 
     // Shingle strings key the same domain the engine's hashes do
     // (grouping is representation-free); same floor-div deciles and
