@@ -2495,6 +2495,75 @@ object SparkEntry {
             .as("design_effect"))
     }),
 
+    // Stats/guardrail: SAMPLE-RATIO MISMATCH (SRM) check — the first
+    // A/B hygiene alarm: per day, χ²₁ = (n_t − n_c)²/(n_t + n_c)
+    // against the designed 50/50 split; a crossed day means broken
+    // RANDOMIZATION, and every effect estimate downstream of it is
+    // void (run before q171/q272/q286 ever get read). Pure integer
+    // numerator, one division, 3.84 = χ²₁ @ 95%.
+    "q299_srm_check" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L))
+            .as("n_t"),
+          sum(when(col("user_id") % 2 =!= 0, 1L).otherwise(0L))
+            .as("n_c"))
+      val chi2 = round((((d38(col("n_t")) - col("n_c")) *
+        (d38(col("n_t")) - col("n_c"))).cast("double") /
+        (col("n_t") + col("n_c")).cast("double"))
+        .cast("decimal(20,10)"), 4).cast("double")
+      daily.select(col("d"), col("n_t"), col("n_c"),
+        chi2.as("chi2"), (chi2 > 3.84).as("srm_alarm"))
+    }),
+
+    // Quality/meta: GATE REDUNDANCY matrix — pairwise overlap of the
+    // three cheap quality gates' REJECT sets (too-short, high
+    // repetition-proxy, blocklist-heavy): near-identical reject sets
+    // mean a gate adds cost, not filtering (the ablation read before
+    // adding filter #7 to a pipeline). One scan derives all three
+    // flags; the matrix is 3×3 over exact counts with Jaccard 4dp.
+    "q300_gate_overlap" -> ((s, dir) => {
+      // bound token subtree: three gate expressions share ONE
+      // tokenization per row (the Cols.bound interpreted-lambda
+      // lesson)
+      val fl = t(s, dir, "documents")
+        .select((col("n_chars") < 250).as("gs"),
+          Cols.bound(Text.tokens(col("text"))) { t0 =>
+            struct(
+              (size(array_distinct(t0)) * 3 < size(t0)).as("gr"),
+              (size(filter(t0, x => x.isin("the", "of", "and"))) * 5
+                >= size(t0)).as("gb"))
+          }.as("m"))
+        .select(col("gs"), col("m.gr").as("gr"), col("m.gb").as("gb"))
+      def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+      // one aggregate computes all six masses; the 3-row matrix then
+      // reads the checkpointed one-row frame (no re-scan per pair)
+      val a = fl.agg(cnt(col("gs")).as("ns"), cnt(col("gr")).as("nr"),
+          cnt(col("gb")).as("nb"),
+          cnt(col("gs") && col("gr")).as("nsr"),
+          cnt(col("gs") && col("gb")).as("nsb"),
+          cnt(col("gr") && col("gb")).as("nrb"))
+        .localCheckpoint(true)
+      def row(ga: String, gb: String, na: Column, nb: Column,
+              both: Column): DataFrame =
+        a.select(lit(ga).as("gate_a"), lit(gb).as("gate_b"),
+          na.as("n_a"), nb.as("n_b"), both.as("n_both"))
+      row("g_block", "g_repeat", col("nb"), col("nr"), col("nrb"))
+        .unionByName(row("g_block", "g_short", col("nb"), col("ns"),
+          col("nsb")))
+        .unionByName(row("g_repeat", "g_short", col("nr"), col("ns"),
+          col("nsr")))
+        .select(col("gate_a"), col("gate_b"), col("n_a"), col("n_b"),
+          col("n_both"),
+          when(col("n_a") + col("n_b") - col("n_both") === 0,
+            lit(null))
+            .otherwise(round((col("n_both").cast("double") /
+              (col("n_a") + col("n_b") - col("n_both"))
+                .cast("double")).cast("decimal(20,10)"), 4)
+              .cast("double")).as("jaccard"))
+    }),
+
     // Curation/fairness: DEDUP BIAS audit — keep-lowest-id exact
     // dedup on the mirrored corpus (q293's), measured as each
     // source's share BEFORE vs AFTER: position-biased keep rules
@@ -10462,6 +10531,58 @@ object SparkEntry {
          |    / n_f / 1e12 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
          |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS brier
          |FROM jb JOIN nf USING (f) GROUP BY 1, 2""".stripMargin,
+
+    // Same exact integer numerator, same snapped χ² and 3.84 gate.
+    "q299_srm_check" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_t,
+        |    CAST(sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_c
+        |  FROM events GROUP BY 1),
+        |z AS (SELECT d, n_t, n_c,
+        |    CAST(round(CAST(
+        |      CAST((CAST(n_t AS HUGEINT) - n_c)
+        |        * (CAST(n_t AS HUGEINT) - n_c) AS DOUBLE)
+        |      / (n_t + n_c) AS DECIMAL(20,10)), 4) AS DOUBLE) AS chi2
+        |  FROM daily)
+        |SELECT d, n_t, n_c, chi2, chi2 > 3.84 AS srm_alarm
+        |FROM z""".stripMargin,
+
+    // Same single-pass flags and pair masses, list_filter ≡ the
+    // engine's bound filter.
+    "q300_gate_overlap" ->
+      s"""WITH tk AS (SELECT n_chars, $tokSql AS tk FROM documents),
+         |fl AS (SELECT n_chars < 250 AS gs,
+         |    len(list_distinct(tk)) * 3 < len(tk) AS gr,
+         |    len(list_filter(tk, t -> t IN ('the', 'of', 'and'))) * 5
+         |      >= len(tk) AS gb
+         |  FROM tk),
+         |a AS (SELECT
+         |    CAST(sum(CASE WHEN gs THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS ns,
+         |    CAST(sum(CASE WHEN gr THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nr,
+         |    CAST(sum(CASE WHEN gb THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS nb,
+         |    CAST(sum(CASE WHEN gs AND gr THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS nsr,
+         |    CAST(sum(CASE WHEN gs AND gb THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS nsb,
+         |    CAST(sum(CASE WHEN gr AND gb THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS nrb
+         |  FROM fl),
+         |m AS (
+         |  SELECT 'g_block' AS gate_a, 'g_repeat' AS gate_b,
+         |    nb AS n_a, nr AS n_b, nrb AS n_both FROM a
+         |  UNION ALL SELECT 'g_block', 'g_short', nb, ns, nsb FROM a
+         |  UNION ALL SELECT 'g_repeat', 'g_short', nr, ns, nsr FROM a)
+         |SELECT gate_a, gate_b, n_a, n_b, n_both,
+         |  CASE WHEN n_a + n_b - n_both = 0 THEN NULL ELSE
+         |    CAST(round(CAST(CAST(n_both AS DOUBLE)
+         |      / (n_a + n_b - n_both) AS DECIMAL(20,10)), 4)
+         |      AS DOUBLE) END AS jaccard
+         |FROM m""".stripMargin,
 
     // Same mirrored corpus and keep-min rule, same share tables.
     "q298_dedup_bias" ->
