@@ -2495,6 +2495,55 @@ object SparkEntry {
             .as("design_effect"))
     }),
 
+    // Series/monitoring: DAILY QUANTILE BANDS — p10/p50/p90 of value
+    // cents per day by EXACT grouped ranks (the monitoring band every
+    // latency/value dashboard draws; approximate sketches drift,
+    // these are the true order statistics): the grouped two-level
+    // prefix kernel attaches per-day exclusive ranks, each band is
+    // the smallest value whose inclusive rank reaches ⌈q·n⌉ — one
+    // (day, value) aggregate, never a per-day sort partition of raw
+    // rows.
+    "q301_daily_bands" -> ((s, dir) => {
+      val byV = t(s, dir, "events")
+        .select(to_date(col("ts")).as("d"),
+          round(col("value") * 100).cast("long").as("v"))
+        .groupBy(col("d"), col("v")).agg(count(lit(1)).as("cnt"))
+      val rk = Ranks.withRunningBelowBy(byV, "d", "v", 1000L,
+          Seq("cnt"))
+        .join(byV.groupBy(col("d")).agg(sum(col("cnt")).as("n")), "d")
+      def band(q: Int, out: String): Column =
+        (min(when((col("cnt_below") + col("cnt")) * 100 >=
+          col("n") * q, col("v"))).cast("double") / 100.0)
+          .cast("decimal(20,10)")
+      rk.groupBy(col("d"), col("n"))
+        .agg(round(band(10, "p10"), 2).cast("double").as("p10"),
+          round(band(50, "p50"), 2).cast("double").as("p50"),
+          round(band(90, "p90"), 2).cast("double").as("p90"))
+        .select(col("d"), col("n").as("n_events"), col("p10"),
+          col("p50"), col("p90"))
+    }),
+
+    // Reporting/privacy: K-SUPPRESSED heatmap — the weekday × hour
+    // activity matrix with cells under k = 20 users SUPPRESSED (the
+    // small-cell rule every published dashboard applies; q171
+    // measures identifiability, this enforces the release policy):
+    // suppressed cells survive as rows with null counts so the
+    // consumer sees WHAT was withheld, never the value.
+    "q302_suppressed_heatmap" -> ((s, dir) => {
+      val cell = t(s, dir, "events")
+        .select(dayofweek(col("ts")).as("dow"),
+          hour(col("ts")).as("h"), col("user_id"))
+        .groupBy(col("dow"), col("h"))
+        .agg(count(lit(1)).as("n_events_raw"),
+          countDistinct(col("user_id")).as("n_users_raw"))
+      cell.select(col("dow"), col("h"),
+        (col("n_users_raw") >= 20).as("released"),
+        when(col("n_users_raw") >= 20, col("n_events_raw"))
+          .as("n_events"),
+        when(col("n_users_raw") >= 20, col("n_users_raw"))
+          .as("n_users"))
+    }),
+
     // Stats/guardrail: SAMPLE-RATIO MISMATCH (SRM) check — the first
     // A/B hygiene alarm: per day, χ²₁ = (n_t − n_c)²/(n_t + n_c)
     // against the designed 50/50 split; a crossed day means broken
@@ -10531,6 +10580,45 @@ object SparkEntry {
          |    / n_f / 1e12 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
          |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS brier
          |FROM jb JOIN nf USING (f) GROUP BY 1, 2""".stripMargin,
+
+    // Same exact inclusive-rank band rule (the oracle may sort each
+    // day globally), same cent→dollar snap.
+    "q301_daily_bands" ->
+      """WITH byv AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(round(CAST(value AS DOUBLE) * 100) AS BIGINT) AS v,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT d, v, cnt,
+        |    CAST(coalesce(sum(cnt) OVER (PARTITION BY d ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cnt_below
+        |  FROM byv),
+        |nn AS (SELECT d, CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM byv GROUP BY 1)
+        |SELECT rk.d, n AS n_events,
+        |  CAST(round(CAST(CAST(min(CASE WHEN (cnt_below + cnt) * 100
+        |      >= n * 10 THEN v END) AS DOUBLE) / 100.0
+        |    AS DECIMAL(20,10)), 2) AS DOUBLE) AS p10,
+        |  CAST(round(CAST(CAST(min(CASE WHEN (cnt_below + cnt) * 100
+        |      >= n * 50 THEN v END) AS DOUBLE) / 100.0
+        |    AS DECIMAL(20,10)), 2) AS DOUBLE) AS p50,
+        |  CAST(round(CAST(CAST(min(CASE WHEN (cnt_below + cnt) * 100
+        |      >= n * 90 THEN v END) AS DOUBLE) / 100.0
+        |    AS DECIMAL(20,10)), 2) AS DOUBLE) AS p90
+        |FROM rk JOIN nn ON nn.d = rk.d GROUP BY rk.d, n""".stripMargin,
+
+    // Same cells, same k = 20 release rule with null-suppressed
+    // values.
+    "q302_suppressed_heatmap" ->
+      """WITH cell AS (SELECT dayofweek(ts) + 1 AS dow, hour(ts) AS h,
+        |    CAST(count(*) AS BIGINT) AS ner,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS nur
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(dow AS INT) AS dow, CAST(h AS INT) AS h,
+        |  nur >= 20 AS released,
+        |  CASE WHEN nur >= 20 THEN ner END AS n_events,
+        |  CASE WHEN nur >= 20 THEN nur END AS n_users
+        |FROM cell""".stripMargin,
 
     // Same exact integer numerator, same snapped χ² and 3.84 gate.
     "q299_srm_check" ->
