@@ -2495,6 +2495,59 @@ object SparkEntry {
             .as("design_effect"))
     }),
 
+    // Events/robust: FUNNEL LATENCY BANDS — p25/p50/p75 of each
+    // user's first-view → first-subsequent-purchase lag (q145's mean
+    // hides the skew; the robust read is the quartile spread): one
+    // user-key aggregate pairs the firsts, the ungrouped prefix
+    // kernel ranks the exact second-valued lags, band = smallest lag
+    // at ⌈q·n⌉ inclusive rank.
+    "q303_funnel_latency_bands" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val fv = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+      val lags = ev.filter(col("event_type") === "purchase")
+        .join(fv, "user_id")
+        .filter(col("ts") >= col("tv"))
+        .groupBy(col("user_id"))
+        // exact MICROSECOND lags: per-second truncation before the
+        // subtract would disagree cross-engine on sub-second stamps
+        .agg(min(unix_micros(col("ts")) -
+          unix_micros(col("tv"))).as("lag_us"))
+      val byV = lags.groupBy(col("lag_us").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val rk = Ranks.withRunningBelow(byV, "v", 1000000000000L,
+        Seq("cnt"))
+      val nn = byV.agg(sum(col("cnt")).as("n"))
+      def band(q: Int): Column =
+        round((min(when((col("cnt_below") + col("cnt")) * 100 >=
+          col("n") * q, col("v"))).cast("double") / lit(1e6))
+          .cast("decimal(20,10)"), 2).cast("double")
+      rk.crossJoin(broadcast(nn))
+        .groupBy(col("n").as("n_users"))
+        .agg(band(25).as("p25_s"), band(50).as("p50_s"),
+          band(75).as("p75_s"))
+    }),
+
+    // Graph: RECIPROCITY — the share of directed edges whose reverse
+    // also exists (the mutual-follow/backlink rate; high reciprocity
+    // changes every diffusion estimate on the graph): one self
+    // equi-join of the distinct directed edge set against its own
+    // transpose, exact ratio.
+    "q304_reciprocity" -> ((s, dir) => {
+      val e = docLinkEdges(s, dir)
+        .filter(col("src") =!= col("dst")).distinct()
+      val mut = e.as("a").join(e.as("b"),
+          col("a.src") === col("b.dst") && col("a.dst") === col("b.src"))
+        .select(col("a.src"), col("a.dst"))
+      val nE = e.agg(count(lit(1)).as("n_edges"))
+      val nM = mut.agg(count(lit(1)).as("n_mutual"))
+      nE.crossJoin(nM)
+        .select(col("n_edges"), col("n_mutual"),
+          round((col("n_mutual").cast("double") /
+            col("n_edges").cast("double")).cast("decimal(20,10)"), 4)
+            .cast("double").as("reciprocity"))
+    }),
+
     // Series/monitoring: DAILY QUANTILE BANDS — p10/p50/p90 of value
     // cents per day by EXACT grouped ranks (the monitoring band every
     // latency/value dashboard draws; approximate sketches drift,
@@ -10580,6 +10633,51 @@ object SparkEntry {
          |    / n_f / 1e12 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
          |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS brier
          |FROM jb JOIN nf USING (f) GROUP BY 1, 2""".stripMargin,
+
+    // Same exact µs lag algebra and inclusive-rank band rule.
+    "q303_funnel_latency_bands" ->
+      """WITH fv AS (SELECT user_id, min(ts) AS tv FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |lg AS (SELECT e.user_id,
+        |    CAST(min(epoch_us(e.ts) - epoch_us(fv.tv)) AS BIGINT)
+        |      AS lag_us
+        |  FROM events e JOIN fv ON fv.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= fv.tv
+        |  GROUP BY 1),
+        |byv AS (SELECT lag_us AS v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lg GROUP BY 1),
+        |rk AS (SELECT v, cnt, CAST(coalesce(sum(cnt) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cnt_below FROM byv),
+        |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM byv)
+        |SELECT n AS n_users,
+        |  CAST(round(CAST(CAST(min(CASE WHEN (cnt_below + cnt) * 100
+        |      >= n * 25 THEN v END) AS DOUBLE) / 1e6
+        |    AS DECIMAL(20,10)), 2) AS DOUBLE) AS p25_s,
+        |  CAST(round(CAST(CAST(min(CASE WHEN (cnt_below + cnt) * 100
+        |      >= n * 50 THEN v END) AS DOUBLE) / 1e6
+        |    AS DECIMAL(20,10)), 2) AS DOUBLE) AS p50_s,
+        |  CAST(round(CAST(CAST(min(CASE WHEN (cnt_below + cnt) * 100
+        |      >= n * 75 THEN v END) AS DOUBLE) / 1e6
+        |    AS DECIMAL(20,10)), 2) AS DOUBLE) AS p75_s
+        |FROM rk CROSS JOIN nn GROUP BY n""".stripMargin,
+
+    // Same distinct directed edges against their transpose.
+    "q304_reciprocity" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM docs),
+        |e0 AS (SELECT doc_id AS src, (doc_id * 7 + k * 13) % nn AS dst
+        |  FROM docs CROSS JOIN nc
+        |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+        |m AS (SELECT a.src, a.dst FROM e a
+        |  JOIN e b ON a.src = b.dst AND a.dst = b.src)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_mutual,
+        |  CAST(round(CAST(
+        |    CAST((SELECT count(*) FROM m) AS DOUBLE)
+        |    / (SELECT count(*) FROM e) AS DECIMAL(20,10)), 4)
+        |    AS DOUBLE) AS reciprocity""".stripMargin,
 
     // Same exact inclusive-rank band rule (the oracle may sort each
     // day globally), same cent→dollar snap.
