@@ -2495,6 +2495,79 @@ object SparkEntry {
             .as("design_effect"))
     }),
 
+    // Text/provenance: WEIGHTED VOCAB CONTAINMENT — directional
+    // C(A⊂B) = Σ_{t∈A∩B} idf_t / Σ_{t∈A} idf_t per source pair
+    // (q168's Jaccard is symmetric and unweighted; containment says
+    // who SUBSUMES whom, idf stops stopwords from faking overlap):
+    // idf ×1e6-snapped per term so the masses are exact integer sums,
+    // one (source, token) distinct + a vocab-keyed pair join.
+    "q305_vocab_containment" -> ((s, dir) => {
+      val st = t(s, dir, "documents")
+        .select(col("source"), explode(array_distinct(
+          Text.tokens(col("text")))).as("tok"))
+        .distinct()
+      val dfq = t(s, dir, "documents")
+        .select(col("doc_id"), explode(array_distinct(
+          Text.tokens(col("text")))).as("tok"))
+        .distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val nd = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val w = dfq.crossJoin(broadcast(nd))
+        .select(col("tok"),
+          round(log(col("n_docs").cast("double") /
+            col("df").cast("double")) * 1e6).cast("long").as("wm"))
+      val sw = st.join(w, "tok")
+      val tot = sw.groupBy(col("source")).agg(sum(col("wm")).as("tw"))
+      val inter = sw.as("a").join(sw.as("b"),
+          col("a.tok") === col("b.tok") &&
+            col("a.source") =!= col("b.source"))
+        .groupBy(col("a.source").as("source_a"),
+          col("b.source").as("source_b"))
+        .agg(sum(col("a.wm")).as("iw"))
+      inter.join(tot.select(col("source").as("source_a"),
+          col("tw").as("tw_a")), "source_a")
+        .select(col("source_a"), col("source_b"),
+          round((col("iw").cast("double") / col("tw_a").cast("double"))
+            .cast("decimal(20,10)"), 4).cast("double")
+            .as("containment"))
+        .orderBy(col("containment").desc, col("source_a"),
+          col("source_b")).limit(30)
+    }),
+
+    // Events/LM: MARKOV STATIONARY MIX — three power-iteration steps
+    // of the session transition matrix from the uniform start (the
+    // "where do sessions settle" long-run read over q132's
+    // transitions; q237 predicts one step, this iterates): per-step
+    // contributions snap ×1e9 pre-sum (the q135 discipline), the
+    // |Σ|-row distribution joins the |Σ|²-cell matrix per step.
+    "q306_markov_stationary" -> ((s, dir) => {
+      val tr = Events.sessionTransitions(t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), 1800L)
+        .select(col("from_type"), col("to_type"), col("n"))
+      val rowTot = tr.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("rt"))
+      val p = tr.join(rowTot, "from_type")
+      val states = rowTot.select(col("from_type").as("st"))
+      val n0 = states.crossJoin(broadcast(
+        states.agg(count(lit(1)).as("k"))))
+        .select(col("st"), (lit(1.0) / col("k").cast("double"))
+          .as("pi"))
+      def step(cur: DataFrame): DataFrame =
+        p.join(cur.select(col("st").as("from_type"), col("pi")),
+            "from_type")
+          .select(col("to_type").as("st"),
+            round(col("pi") * (col("n").cast("double") /
+              col("rt").cast("double")) * lit(1e9)).cast("long")
+              .as("c"))
+          .groupBy(col("st")).agg((sum(col("c")).cast("double") /
+            lit(1e9)).as("pi"))
+      val pi3 = step(step(step(n0)))
+      pi3.select(col("st").as("state"),
+        round(col("pi").cast("decimal(20,10)"), 6).cast("double")
+          .as("pi"))
+    }),
+
     // Events/robust: FUNNEL LATENCY BANDS — p25/p50/p75 of each
     // user's first-view → first-subsequent-purchase lag (q145's mean
     // hides the skew; the robust read is the quartile spread): one
@@ -10633,6 +10706,79 @@ object SparkEntry {
          |    / n_f / 1e12 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
          |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS brier
          |FROM jb JOIN nf USING (f) GROUP BY 1, 2""".stripMargin,
+
+    // Same ×1e6 idf snaps and directional mass ratio.
+    "q305_vocab_containment" ->
+      s"""WITH st AS (SELECT DISTINCT source, tok FROM
+         |  (SELECT source, unnest(list_distinct($tokSql)) AS tok
+         |   FROM documents)),
+         |dfq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM
+         |  (SELECT DISTINCT doc_id, tok FROM
+         |    (SELECT doc_id, unnest(list_distinct($tokSql)) AS tok
+         |     FROM documents)) GROUP BY 1),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents),
+         |w AS (SELECT tok, CAST(round(ln(CAST(n_docs AS DOUBLE) / df)
+         |    * 1e6) AS BIGINT) AS wm
+         |  FROM dfq CROSS JOIN nd),
+         |sw AS (SELECT st.source, st.tok, w.wm
+         |  FROM st JOIN w USING (tok)),
+         |tot AS (SELECT source, CAST(sum(wm) AS BIGINT) AS tw
+         |  FROM sw GROUP BY 1),
+         |inter AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(sum(a.wm) AS BIGINT) AS iw
+         |  FROM sw a JOIN sw b ON a.tok = b.tok
+         |    AND a.source <> b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b,
+         |  CAST(round(CAST(CAST(iw AS DOUBLE) / tw AS DECIMAL(20,10)),
+         |    4) AS DOUBLE) AS containment
+         |FROM inter JOIN tot ON tot.source = inter.source_a
+         |ORDER BY 3 DESC, 1, 2 LIMIT 30""".stripMargin,
+
+    // q132's transition chain + three unrolled ×1e9-snapped power
+    // steps from the uniform start.
+    "q306_markov_stationary" -> {
+      def stepSql(prev: String, tag: String): String =
+        s"""$tag AS (SELECT c.to_type AS s,
+           |  CAST(sum(CAST(round($prev.pi
+           |    * (CAST(c.n AS DOUBLE) / rt.rt) * 1e9) AS BIGINT))
+           |    AS DOUBLE) / 1e9 AS pi
+           |  FROM ctr c JOIN rt ON rt.from_type = c.from_type
+           |  JOIN $prev ON $prev.s = c.from_type GROUP BY 1)""".stripMargin
+      s"""WITH m AS (SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+         |        > 1800 * 1000000 THEN 1
+         |      WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+         |      ELSE 0 END AS new_s
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sx AS (SELECT user_id, ts, event_id, event_type,
+         |    sum(new_s) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS session_id
+         |  FROM m),
+         |pr AS (SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id, session_id
+         |      ORDER BY ts, event_id) AS to_type
+         |  FROM sx),
+         |ctr AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT)
+         |    AS n
+         |  FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |rt AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS rt
+         |  FROM ctr GROUP BY 1),
+         |stt AS (SELECT from_type AS s FROM rt),
+         |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM stt),
+         |p0 AS (SELECT s, CAST(1.0 AS DOUBLE) / k AS pi
+         |  FROM stt CROSS JOIN kk),
+         |${stepSql("p0", "p1")},
+         |${stepSql("p1", "p2")},
+         |${stepSql("p2", "p3")}
+         |SELECT s AS state,
+         |  CAST(round(CAST(pi AS DECIMAL(20,10)), 6) AS DOUBLE) AS pi
+         |FROM p3""".stripMargin
+    },
 
     // Same exact µs lag algebra and inclusive-rank band rule.
     "q303_funnel_latency_bands" ->
