@@ -2495,6 +2495,47 @@ object SparkEntry {
             .as("design_effect"))
     }),
 
+    // Stats/profile: SKEWNESS + EXCESS KURTOSIS of log doc length
+    // per source — the distribution-SHAPE diagnostic the moment
+    // profiler stops short of (lognormal corpora read skew ≈ 0 here;
+    // heavy tails push kurtosis up). The n-powers cancel: with
+    // A2 = nΣx² − S², A3 = n²Σx³ − 3nSΣx² + 2S³, A4 = n³Σx⁴ −
+    // 4n²SΣx³ + 6nS²Σx² − 3S⁴ all EXACT DECIMAL(38,0) on ×1e3-
+    // snapped ln values, skew = A3/(A2√A2) and kurt = A4/A2² − 3
+    // need no n at all — two divisions, one sqrt. (The ×1e3 snap
+    // keeps n³Σx⁴ inside 38 digits for groups to ~10⁵ rows; larger
+    // groups lower the snap.)
+    "q307_shape_profile" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val rows = t(s, dir, "documents")
+        .select(col("source"),
+          round(log(col("n_chars").cast("double")) * 1e3)
+            .cast("long").as("x"))
+      val g = rows.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"), sum(d38(col("x"))).as("s1"),
+          sum(d38(col("x")) * col("x")).as("s2"),
+          sum(d38(col("x")) * col("x") * col("x")).as("s3"),
+          sum(d38(col("x")) * col("x") * col("x") * col("x")).as("s4"))
+      val a2 = d38(col("n")) * col("s2") - col("s1") * col("s1")
+      val a3 = d38(col("n")) * col("n") * col("s3") -
+        d38(lit(3L)) * col("n") * col("s1") * col("s2") +
+        d38(lit(2L)) * col("s1") * col("s1") * col("s1")
+      val a4 = d38(col("n")) * col("n") * col("n") * col("s4") -
+        d38(lit(4L)) * col("n") * col("n") * col("s1") * col("s3") +
+        d38(lit(6L)) * col("n") * col("s1") * col("s1") * col("s2") -
+        d38(lit(3L)) * col("s1") * col("s1") * col("s1") * col("s1")
+      g.select(col("source"), col("n"),
+        when(a2 === 0, lit(null)).otherwise(
+          round((a3.cast("double") /
+            (a2.cast("double") * sqrt(a2.cast("double"))))
+            .cast("decimal(20,10)"), 4).cast("double")).as("skewness"),
+        when(a2 === 0, lit(null)).otherwise(
+          round((a4.cast("double") /
+            (a2.cast("double") * a2.cast("double")) - lit(3.0))
+            .cast("decimal(20,10)"), 4).cast("double"))
+          .as("excess_kurtosis"))
+    }),
+
     // Text/provenance: WEIGHTED VOCAB CONTAINMENT — directional
     // C(A⊂B) = Σ_{t∈A∩B} idf_t / Σ_{t∈A} idf_t per source pair
     // (q168's Jaccard is symmetric and unweighted; containment says
@@ -10706,6 +10747,40 @@ object SparkEntry {
          |    / n_f / 1e12 * 1e9) AS BIGINT)) AS DOUBLE) / 1e9
          |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS brier
          |FROM jb JOIN nf USING (f) GROUP BY 1, 2""".stripMargin,
+
+    // Same ×1e3 ln snap and exact n-free moment identities.
+    "q307_shape_profile" ->
+      """WITH r AS (SELECT source,
+        |    CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1e3) AS BIGINT)
+        |      AS x
+        |  FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS s1,
+        |    sum(CAST(x AS HUGEINT) * x) AS s2,
+        |    sum(CAST(x AS HUGEINT) * x * x) AS s3,
+        |    sum(CAST(x AS HUGEINT) * x * x * x) AS s4
+        |  FROM r GROUP BY 1),
+        |aa AS (SELECT source, n,
+        |    CAST(n AS HUGEINT) * s2 - s1 * s1 AS a2,
+        |    CAST(n AS HUGEINT) * n * s3
+        |      - 3 * CAST(n AS HUGEINT) * s1 * s2
+        |      + 2 * s1 * s1 * s1 AS a3,
+        |    CAST(n AS HUGEINT) * n * n * s4
+        |      - 4 * CAST(n AS HUGEINT) * n * s1 * s3
+        |      + 6 * CAST(n AS HUGEINT) * s1 * s1 * s2
+        |      - 3 * s1 * s1 * s1 * s1 AS a4
+        |  FROM g)
+        |SELECT source, n,
+        |  CASE WHEN a2 = 0 THEN NULL ELSE
+        |    CAST(round(CAST(CAST(a3 AS DOUBLE)
+        |      / (CAST(a2 AS DOUBLE) * sqrt(CAST(a2 AS DOUBLE)))
+        |      AS DECIMAL(20,10)), 4) AS DOUBLE) END AS skewness,
+        |  CASE WHEN a2 = 0 THEN NULL ELSE
+        |    CAST(round(CAST(CAST(a4 AS DOUBLE)
+        |      / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE))
+        |      - CAST(3.0 AS DOUBLE) AS DECIMAL(20,10)), 4) AS DOUBLE)
+        |    END AS excess_kurtosis
+        |FROM aa""".stripMargin,
 
     // Same ×1e6 idf snaps and directional mass ratio.
     "q305_vocab_containment" ->
