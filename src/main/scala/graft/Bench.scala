@@ -68,19 +68,31 @@ object Bench {
     // calibration: one unrecorded run JITs the probe's own codegen,
     // then min of two spaced measurements (the per-query policy)
     calibrate(spark)
-    val calib = math.min(calibrate(spark), calibrate(spark))
+    val calibStart = math.min(calibrate(spark), calibrate(spark))
     // Two full passes, per-query MIN: the host carries background load
     // spikes that randomly slow single queries 3-10x (documented in
     // NOTES); the min of two spaced measurements is far closer to the
     // engine's actual cost than any single draw. Labeled in the JSON.
-    val passes = (1 to 2).map(_ => timeQueries(spark, sfDir, SparkEntry.queries))
-    val results = passes.head._1.map { case (name, t1) =>
-      name -> math.min(t1, passes(1)._1(name))
+    // Each pass is BRACKETED by its own calibration probe (r10 lesson:
+    // a single start-of-run calib cannot see host drift across a
+    // 30-minute sweep — the r10 "×2.6 regressions" were un-adjudicable
+    // because no probe ran NEAR the slow queries). All probes land in
+    // calib_passes; calib_s stays the min (best-case host speed).
+    val passes = (1 to 2).map { _ =>
+      val c0 = calibrate(spark)
+      val r = timeQueries(spark, sfDir, SparkEntry.queries)
+      val c1 = calibrate(spark)
+      (r, c0, c1)
+    }
+    val calibPasses = passes.flatMap(p => Seq(p._2, p._3))
+    val calib = (calibStart +: calibPasses).min
+    val results = passes.head._1._1.map { case (name, t1) =>
+      name -> math.min(t1, passes(1)._1._1(name))
     }
     // A failure in EITHER pass flags the query: deterministic breakage
     // fails both, and even a transient failure means the min time below
     // covers less than the query's real work.
-    val errors = passes.flatMap(_._2).distinct.sorted
+    val errors = passes.flatMap(_._1._2).distinct.sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -104,7 +116,8 @@ object Bench {
     errors.foreach(n => System.err.println(
       s"[graft] ERROR: $n FAILED during bench — its recorded time is " +
         "time-to-failure, not query cost"))
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","runs":2,"agg":"min","calib_s":$calib}"""
+    val calibJson = calibPasses.mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","runs":2,"agg":"min","calib_s":$calib,"calib_start":$calibStart,"calib_passes":$calibJson}"""
     // Parse contract (4 rounds of "parsed": null taught us the hard way):
     //  - the forked child inherits sbt's real stdout (StdoutOutput), so the
     //    line lands unprefixed; build.sbt sets showSuccess := false, so sbt

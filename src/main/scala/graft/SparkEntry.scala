@@ -2536,6 +2536,59 @@ object SparkEntry {
           .as("excess_kurtosis"))
     }),
 
+    // Storage: the SNAPSHOT layer inside the correctness gate — two
+    // MERGE batches (fresh table commit, then a partial overwrite)
+    // land in a real on-disk snapshot table, and the query reads the
+    // committed state back through Snapshot.read. The oracle replays
+    // the same keep-latest-by-version algebra in SQL, so a regression
+    // in commit/merge/read/manifest resolution now fails the round
+    // artifact, not just the spec suite (round-10 verdict gap).
+    "q308_snapshot_upsert" -> ((s, dir) => {
+      import graft.sources.Snapshot
+      val uniq = bars(s, dir).groupBy(col("symbol"), col("d"))
+        .agg(max(struct(col("ord"), col("px"), col("vol"))).as("w"))
+        .select(col("symbol"), col("d"),
+          col("w.px").as("px"), col("w.vol").as("vol"),
+          date_format(col("d"), "yyyy-MM").as("m"))
+      val b0 = uniq.withColumn("version", lit(0L))
+      val b1 = uniq.filter(col("symbol") % 3 === 0)
+        .withColumn("px", col("px") * 2)
+        .withColumn("version", lit(1L))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q308")
+        .toFile.getAbsolutePath + "/t"
+      Snapshot.merge(b0, tbl, Seq("symbol", "d"), "version", "m")
+      Snapshot.merge(b1, tbl, Seq("symbol", "d"), "version", "m")
+      Snapshot.read(s, tbl)
+        .groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n_rows"), round(sum(col("px")), 2)
+          .as("px_sum"))
+    }),
+
+    // Streaming: the foreachBatch → Snapshot pipeline inside the
+    // correctness gate — profileThinStream replays the documents
+    // table as an AvailableNow stream through the distribution-match
+    // thinning rule into a snapshot table; the oracle computes the
+    // batch kept-set (q251's kp algebra) per (source, bin). The
+    // stream/batch parity StreamingSpec pins is now also driver-
+    // visible: a silent streaming regression fails CORRECTNESS_rN.
+    "q309_stream_profile_thin" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val stats = Sampling.profileMatchStats(docs, col("source"),
+        col("n_chars"), 32)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q309")
+        .toFile.getAbsolutePath
+      docs.select(col("source").as("g"), col("n_chars").as("v"),
+          col("doc_id").cast("string").as("k"))
+        .write.parquet(tmp + "/in")
+      val schema = s.read.parquet(tmp + "/in").schema
+      graft.streaming.Streams.profileThinStream(
+        s.readStream.schema(schema).parquet(tmp + "/in"), stats, 32,
+        tmp + "/t", tmp + "/ck")
+      graft.sources.Snapshot.read(s, tmp + "/t")
+        .groupBy(col("g").as("source"), col("bin"))
+        .agg(count(lit(1)).as("n_kept"))
+    }),
+
     // Text/provenance: WEIGHTED VOCAB CONTAINMENT — directional
     // C(A⊂B) = Σ_{t∈A∩B} idf_t / Σ_{t∈A} idf_t per source pair
     // (q168's Jaccard is symmetric and unweighted; containment says
@@ -10358,17 +10411,22 @@ object SparkEntry {
          |  FROM cw JOIN nc USING (c) CROSS JOIN vv),
          |ho AS (SELECT id, tok FROM occ WHERE NOT is_train),
          |seen AS (SELECT ho.id, w.c, CAST(sum(w.w_m) AS BIGINT)
-         |    AS s_seen
+         |    AS s_seen, CAST(count(*) AS BIGINT) AS n_seen
          |  FROM ho JOIN w ON w.tok = ho.tok GROUP BY 1, 2),
+         |niv AS (SELECT ho.id, CAST(count(*) AS BIGINT) AS n_iv
+         |  FROM ho JOIN vd ON vd.tok = ho.tok GROUP BY 1),
          |uns AS (SELECT ho.id, CAST(count(*) AS BIGINT) AS n_unseen
          |  FROM ho LEFT JOIN vd ON vd.tok = ho.tok
          |  WHERE vd.tok IS NULL GROUP BY 1),
          |hd AS (SELECT id, y FROM tg WHERE NOT is_train),
          |sc AS (SELECT hd.id, hd.y, cls.c,
          |    cls.prior_m + coalesce(seen.s_seen, 0)
+         |      + (coalesce(niv.n_iv, 0) - coalesce(seen.n_seen, 0))
+         |        * cls.def_m
          |      + coalesce(uns.n_unseen, 0) * cls.def_m AS score
          |  FROM hd CROSS JOIN cls
          |  LEFT JOIN seen ON seen.id = hd.id AND seen.c = cls.c
+         |  LEFT JOIN niv ON niv.id = hd.id
          |  LEFT JOIN uns ON uns.id = hd.id),
          |pr AS (SELECT id, y, c AS pred FROM (SELECT id, y, c,
          |    row_number() OVER (PARTITION BY id
@@ -10781,6 +10839,53 @@ object SparkEntry {
         |      - CAST(3.0 AS DOUBLE) AS DECIMAL(20,10)), 4) AS DOUBLE)
         |    END AS excess_kurtosis
         |FROM aa""".stripMargin,
+
+    // The snapshot table's committed state replayed as SQL: the same
+    // per-key collapse, then version-1 rows overwrite version-0 rows.
+    "q308_snapshot_upsert" ->
+      s"""WITH uniq AS (SELECT symbol, d, px, vol FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY symbol, d
+         |      ORDER BY ord DESC, px DESC, vol DESC) AS rn
+         |    FROM ($barsSql)) WHERE rn = 1),
+         |u AS (
+         |  SELECT symbol, d, px, 0 AS version FROM uniq
+         |  UNION ALL
+         |  SELECT symbol, d, px * 2 AS px, 1 AS version FROM uniq
+         |  WHERE symbol % 3 = 0),
+         |f AS (SELECT * FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY symbol, d ORDER BY version DESC) AS rn
+         |  FROM u) WHERE rn = 1)
+         |SELECT symbol, CAST(count(*) AS BIGINT) AS n_rows,
+         |  round(sum(px), 2) AS px_sum
+         |FROM f GROUP BY symbol""".stripMargin,
+
+    // The streamed thinning's survivors per cell = q251's kp algebra
+    // (same integer cross-multiply draw, same md5 row key).
+    "q309_stream_profile_thin" ->
+      s"""WITH r AS (SELECT source AS g, n_chars AS v,
+         |    CAST(doc_id AS VARCHAR) AS k FROM documents),
+         |ext AS (SELECT min(v) AS vmin,
+         |    (max(v) - min(v)) // 32 + 1 AS w FROM r),
+         |b AS (SELECT g, k, (v - vmin) // w AS bin
+         |  FROM r CROSS JOIN ext),
+         |gb AS (SELECT g, bin, CAST(count(*) AS BIGINT) AS n_gb
+         |  FROM b GROUP BY 1, 2),
+         |bt AS (SELECT bin, CAST(sum(n_gb) AS BIGINT) AS n_b
+         |  FROM gb GROUP BY 1),
+         |gs AS (SELECT g, CAST(sum(n_gb) AS BIGINT) AS n_g
+         |  FROM gb GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_tot FROM gs),
+         |st AS (SELECT g, bin,
+         |    CAST(1000000 AS HUGEINT) * n_b * n_g AS num,
+         |    CAST(n_tot AS HUGEINT) * n_gb AS den
+         |  FROM gb JOIN bt USING (bin) JOIN gs USING (g)
+         |  CROSS JOIN tot)
+         |SELECT b.g AS source, CAST(b.bin AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n_kept
+         |FROM b JOIN st ON st.g = b.g AND st.bin = b.bin
+         |WHERE CAST(${h60("'dm' || k")} % 1000000 AS HUGEINT) * den
+         |  < num
+         |GROUP BY 1, 2""".stripMargin,
 
     // Same ×1e6 idf snaps and directional mass ratio.
     "q305_vocab_containment" ->

@@ -41,6 +41,15 @@ object TypedAggs {
     */
   final case class GramTri(d: Int, tri: Array[Long])
 
+  /** The d(d+1)/2-long triangle rides EVERY partial-aggregate buffer
+    * and the driver collects d² doubles for the local eigen-solve —
+    * tall-skinny PCA economics hold only while d is small. 2048 caps
+    * the buffer at ~16 MB; past that the right tool is a sketched or
+    * sharded-column method, so the aggregator fails fast on row one
+    * instead of OOMing an executor mid-job.
+    */
+  val MaxGramianDim: Int = 2048
+
   /** Exact fixed-point GRAMIAN partial aggregate — the scale path for
     * [[graft.ops.Similarity.gramianFixedPoint]]: each input row (a
     * snapped ×scale integer vector) folds its d(d+1)/2 upper-triangular
@@ -66,6 +75,10 @@ object TypedAggs {
       override def reduce(b: GramTri, c: Array[Long]): GramTri = {
         val d = c.length
         if (d == 0) return b
+        require(d <= MaxGramianDim,
+          s"gramian: vector width $d exceeds MaxGramianDim=$MaxGramianDim" +
+            " — the triangle buffer would ride every partial aggregate;" +
+            " use a sharded/sketched method for wide embeddings")
         val acc =
           if (b.d == 0) GramTri(d, new Array[Long](d * (d + 1) / 2)) else b
         require(acc.d == d,

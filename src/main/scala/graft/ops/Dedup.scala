@@ -768,8 +768,31 @@ object Dedup {
     * exact-dup clusters) is the invariant the q200 oracle pins.
     */
   def dedupWithWeights(docs: DataFrame, id: String, pairs: DataFrame): DataFrame = {
-    val clusters = duplicateClusters(pairs)
+    // Pairs referencing ids ABSENT from docs would silently drop
+    // cluster weight — and a foreign id that happens to be a cluster
+    // MINIMUM orphans its entire cluster (no canonical row to attach
+    // to). Fail fast instead of documenting "don't do that": member
+    // ids are pairs-sized, so the check is one distinct + anti-join
+    // with a short-circuit isEmpty — far cheaper than the label-prop
+    // it protects. Persist pairs FIRST so the guard and the label-prop
+    // share one materialization of the (expensive) pair generation;
+    // duplicateClusters sees the cache and leaves ownership here.
+    val callerCached =
+      pairs.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val p = if (callerCached) pairs else pairs.persist()
+    val foreign = p.select(col("id_a").as("__pid"))
+      .union(p.select(col("id_b").as("__pid"))).distinct()
+      .join(docs.select(col(id).as("__pid")).distinct(),
+        Seq("__pid"), "left_anti")
+    require(foreign.isEmpty,
+      s"dedupWithWeights: `pairs` references ids absent from docs.`$id`" +
+        " — weights count actual document rows; filter the pair stream" +
+        " to the corpus first")
+    val clusters = duplicateClusters(p)
       .select(col("id").as("__cid"), col("component"))
+    // the label-prop result is checkpoint-truncated (materialized), so
+    // the pair cache is no longer referenced by the returned plan
+    if (!callerCached) p.unpersist(): Unit
     val weights = docs.select(col(id))
       .join(clusters, col(id) === col("__cid"), "left")
       .select(coalesce(col("component"), col(id)).as(id))

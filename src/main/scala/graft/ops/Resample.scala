@@ -169,9 +169,11 @@ object Resample {
     * moment algebra of [[Profile.olsTrend]] (Σx, Σy, Σx², Σy², Σxy on
     * integer cents, one double chain per output row). The caller
     * pre-collapses to one row per (series, ord) — a ROWS-adjacent lag
-    * is only deterministic under a TOTAL order (q196's lesson).
-    * Output: (series, lag, n, acf); degenerate (constant) windows
-    * yield null.
+    * is only deterministic under a TOTAL order (q196's lesson) — and
+    * the contract is ENFORCED in-plan: a duplicate (series, ord) row
+    * raises at execution instead of silently returning order-dependent
+    * correlations. Output: (series, lag, n, acf); degenerate
+    * (constant) windows yield null.
     */
   def acf(df: DataFrame, series: Column, ord: Column, valueCents: Column,
           maxLag: Int): DataFrame = {
@@ -180,13 +182,24 @@ object Resample {
     val w = Window.partitionBy(col("__s")).orderBy(col("__o"))
     val rows = df.select(series.as("__s"), ord.as("__o"),
       valueCents.cast("long").as("__v"))
+    // The pre-collapse contract (one row per (series, ord) — q196's
+    // total-order lesson) enforced IN-PLAN, not by scaladoc: inside
+    // the ordered window a duplicate ord surfaces as lag(ord,1)=ord,
+    // and the guard rides the y column (+0 when clean) so column
+    // pruning can't drop it. Zero extra shuffle, zero extra action.
+    val dupGuard = when(lag(col("__o"), 1).over(w) === col("__o"),
+      raise_error(lit("acf: duplicate (series, ord) rows — collapse " +
+        "to one row per (series, ord) first; a ROWS-adjacent lag is " +
+        "only deterministic under a total order")).cast("long"))
+      .otherwise(lit(0L))
     val lagged = (1 to maxLag).foldLeft(rows)((d, k) =>
       d.withColumn(s"__l$k", lag(col("__v"), k).over(w)))
-    val pairs = lagged.select(col("__s"), col("__v"),
+      .withColumn("__g", dupGuard)
+    val pairs = lagged.select(col("__s"), col("__v"), col("__g"),
         explode(array((1 to maxLag).map(k =>
           struct(lit(k).as("lag"), col(s"__l$k").as("vl"))): _*)).as("p"))
       .select(col("__s"), col("p.lag").as("lag"),
-        col("p.vl").as("x"), col("__v").as("y"))
+        col("p.vl").as("x"), (col("__v") + col("__g")).as("y"))
       .filter(col("x").isNotNull)
     val m = pairs.groupBy(col("__s"), col("lag")).agg(
       count(lit(1)).as("n"),

@@ -377,6 +377,14 @@ object Sampling {
   def greedySetCover(df: DataFrame, group: Column, units: Column,
                      k: Int): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    // Each round is a driver-coordinated anti-join + aggregate +
+    // one-row collect: cost is k Spark jobs. The documented economics
+    // hold for SMALL panels — enforce the bound instead of leaving it
+    // as a scaladoc contract (a runaway k would serialize thousands of
+    // jobs through the driver).
+    require(k <= 1000,
+      s"greedySetCover runs k driver-coordinated rounds — k=$k exceeds" +
+        " the 1000-round bound; select a coarser group key instead")
     val spark = df.sparkSession
     val sv = df.select(group.cast("string").as("grp"),
       explode(units).as("u")).distinct().persist()

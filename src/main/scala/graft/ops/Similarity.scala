@@ -135,6 +135,18 @@ object Similarity {
                 maxQueries: Long = DefaultMaxQueries): DataFrame = {
     require(poolK >= k && k >= 1, "need poolK >= k >= 1")
     require(lamNum >= 0 && lamNum <= lamDen, "need 0 <= lamNum <= lamDen")
+    // Pool pairwise sims are |queries|·poolK² rows and each of the k
+    // greedy rounds is a driver-coordinated job — both bounds are the
+    // documented contract; enforce them instead of trusting callers
+    // (past 1000 the right tool is ivfSearch candidates + a smaller
+    // rerank pool, not a bigger quadratic panel).
+    require(poolK <= 1000,
+      s"mmrRerank pool pairwise cost is |queries|*poolK^2 — poolK=$poolK" +
+        " exceeds the 1000 bound; generate candidates with ivfSearch and" +
+        " rerank a smaller pool")
+    require(k <= 1000,
+      s"mmrRerank runs k driver-coordinated greedy rounds — k=$k exceeds" +
+        " the 1000-round bound")
     val spark = queries.sparkSession
     def snapMicro(c: Column): Column =
       round(c.cast("decimal(20,10)") * 1000000).cast("long")

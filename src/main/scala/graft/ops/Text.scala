@@ -160,7 +160,9 @@ object Text {
     * count; the term grid is vocabulary × sources (the KL precedent)
     * with the per-source totals broadcast. Each row's term snaps to
     * ×1e9 fixed point pre-sum; the two ln calls take exact-integer-
-    * ratio arguments. Output: (source, n_tokens, js).
+    * ratio arguments. A source that owns the ENTIRE pool has no rest
+    * to compare against — js is null for it (the wassersteinVsRest
+    * convention), never NaN. Output: (source, n_tokens, js).
     */
   def sourceJsVsRest(docs: DataFrame, source: Column,
                      text: Column): DataFrame = {
@@ -179,16 +181,22 @@ object Text {
         (col("ct") - coalesce(col("c"), lit(0L))).as("cr"),
         (col("n_tot") - col("n_g")).as("n_r"))
     val pa = col("cg").cast("double") / col("n_g").cast("double")
-    val qb = col("cr").cast("double") / col("n_r").cast("double")
+    // n_r = 0 means this source IS the whole pool — 0/0 would poison
+    // m with NaN; qb→0 keeps the row arithmetic clean and the final
+    // agg emits null js for that source (wassersteinVsRest convention).
+    val qb = when(col("n_r") > 0,
+      col("cr").cast("double") / col("n_r").cast("double"))
+      .otherwise(lit(0.0))
     val m = (pa + qb) / lit(2.0)
     grid
-      .select(col("source"), col("n_g"),
+      .select(col("source"), col("n_g"), col("n_r"),
         round((when(col("cg") > 0, pa * log(pa / m)).otherwise(lit(0.0))
           + when(col("cr") > 0, qb * log(qb / m)).otherwise(lit(0.0)))
           * lit(0.5) * lit(1e9)).cast("long").as("tf"))
       .groupBy(col("source"), col("n_g").as("n_tokens"))
-      .agg(round((sum(col("tf")).cast("double") / lit(1e9))
-        .cast("decimal(20,10)"), 4).cast("double").as("js"))
+      .agg(when(max(col("n_r")) === 0, lit(null).cast("double"))
+        .otherwise(round((sum(col("tf")).cast("double") / lit(1e9))
+          .cast("decimal(20,10)"), 4).cast("double")).as("js"))
   }
 
   /** DISTINGUISHING TERMS per source via log-odds with an informative
@@ -1600,8 +1608,10 @@ object Text {
     * Scale shape: training is one (class, token) hash aggregate;
     * scoring joins held-out token OCCURRENCES to the weight table on
     * the token key (|classes|× fan-out, map-side combinable to
-    * (doc, class) partials); unseen-token mass rides a per-doc count
-    * times the class default — no per-doc vocabulary scan. The
+    * (doc, class) partials); every token the class did NOT see —
+    * whether in-vocabulary-but-absent-from-c or out-of-vocabulary —
+    * rides a per-doc count times the class default ln(1/(n_c+V)), so
+    * no per-doc vocabulary scan is ever needed. The
     * doc×class score grid crosses a broadcast |classes|-row table.
     * Output: (y, pred, n) held-out confusion counts.
     */
@@ -1636,16 +1646,27 @@ object Text {
     val ho = occ.filter(!col("is_train"))
       .select(col("id"), col("tok"))
     val seen = ho.join(wts, "tok")
-      .groupBy(col("id"), col("c")).agg(sum(col("w_m")).as("s_seen"))
+      .groupBy(col("id"), col("c")).agg(sum(col("w_m")).as("s_seen"),
+        count(lit(1)).as("n_seen"))
+    // An IN-VOCAB token a class never saw still carries the smoothed
+    // default mass ln(1/(n_c+V)) — without it, absent tokens score 0,
+    // which BEATS the negative default and biases toward classes that
+    // never saw the token. n_iv counts in-vocab held-out occurrences;
+    // (n_iv - n_seen_c) of them fall back to def_m per class.
+    val niv = ho.join(vd, Seq("tok"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_iv"))
     val uns = ho.join(vd, Seq("tok"), "left_anti")
       .groupBy(col("id")).agg(count(lit(1)).as("n_unseen"))
     val hd = tg.filter(!col("is_train")).select(col("id"), col("y"))
     val sc = hd.crossJoin(broadcast(cls.select(col("c"),
         col("prior_m"), col("def_m"))))
       .join(seen, Seq("id", "c"), "left")
+      .join(niv, Seq("id"), "left")
       .join(uns, Seq("id"), "left")
       .select(col("id"), col("y"), col("c"),
         (col("prior_m") + coalesce(col("s_seen"), lit(0L)) +
+          (coalesce(col("n_iv"), lit(0L)) -
+            coalesce(col("n_seen"), lit(0L))) * col("def_m") +
           coalesce(col("n_unseen"), lit(0L)) * col("def_m"))
           .as("score"))
     sc.withColumn("rn", row_number().over(Window.partitionBy(col("id"))

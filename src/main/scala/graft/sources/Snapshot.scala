@@ -864,10 +864,17 @@ object Snapshot {
 
   private def tagDir(table: String): Path = Paths.get(table, "_tags")
 
-  private def checkTagName(name: String): Unit =
+  private def checkTagName(name: String): Unit = {
     require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
       c == '-' || c == '_' || c == '.'),
       s"tag name '$name' must be [A-Za-z0-9._-]+")
+    // A leading '.' would make the tag file invisible to tags() (which
+    // skips dot-files as temp artifacts) — the tag would "succeed" at
+    // write time yet never pin its version against vacuum, and '..'
+    // resolves OUTSIDE _tags/. '.' stays legal in interior positions.
+    require(name.head.isLetterOrDigit,
+      s"tag name '$name' must start with a letter or digit")
+  }
 
   /** Pin `name` to `version` (default: the latest committed). */
   def tag(table: String, name: String,

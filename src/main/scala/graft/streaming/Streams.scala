@@ -562,6 +562,13 @@ object Streams {
     import graft.sources.Snapshot
     val statRows = stats.select(col("g"), col("bin"), col("num"),
       col("den"), col("vmin"), col("w")).persist()
+    // An EMPTY stats table would make cfg (limit(1)) empty and the
+    // crossJoin below silently drop EVERY incoming row — the opposite
+    // of the pass-through contract. Fail fast at stream setup instead.
+    require(!statRows.isEmpty,
+      "profileThinStream: fitted stats table is empty — fit " +
+        "Sampling.profileMatchStats first (an empty profile would " +
+        "silently discard the whole stream)")
     val q = in.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)

@@ -569,6 +569,55 @@ class PhysicalPlanSpec extends SparkSpec {
       s"share 0.1 at parallelism 4 needs no salt:\n$plain")
   }
 
+  test("AQE: the auto-salted join and the density-guarded fuzzy join " +
+      "keep their guarded shapes in the FINAL adaptive plan (skew-join " +
+      "splitting active — the production config the static pins miss)") {
+    // The static pins above read the INITIAL plan; Spark 4 runs AQE by
+    // default, which re-plans at runtime (coalesce, skew-split, join
+    // demotion). Execute both guarded joins and assert the shape the
+    // cluster would actually run.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevSkew =
+      spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // q199's auto-salt shape at production parallelism
+      val big = Tables(spark, dir, "lineitem").select(
+        when(col("l_orderkey") % 10 === 0, 0L)
+          .otherwise(col("l_orderkey")).as("k"),
+        round(col("l_extendedprice") * 100).cast("long").as("pc"))
+      val small = spark.range(0, 2000)
+        .select(col("id").as("k"), (col("id") % 7).as("grp"))
+      val salted = graft.ops.Skew.autoSaltedJoin(big, small, Seq("k"), 32)
+      salted.collect(): Unit
+      val sp = salted.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(sp.contains("== Final Plan =="),
+        s"the assertion must read the FINAL adaptive plan:\n$sp")
+      assert(sp.contains("__salt"),
+        s"AQE must not strip the salt from the join key:\n$sp")
+      assert(!sp.contains("CartesianProduct"), sp)
+      // the fuzzy-join block-key spread must survive adaptive
+      // re-planning: REPARTITION_BY_COL is a user repartition AQE may
+      // rebalance but not merge into a nested loop
+      val fz = SparkEntry.queries("q102_entity_resolution")(spark, dir)
+      fz.collect(): Unit
+      val fp = fz.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(fp.contains("== Final Plan =="), fp)
+      assert(!fp.contains("CartesianProduct"), fp)
+      assert("\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(fp).size <= 1,
+        s"only the degenerate-short band join may nested-loop:\n$fp")
+      assert("hashpartitioning\\(bc".r.findAllIn(fp).size >= 2,
+        s"block-key spread must survive AQE:\n$fp")
+      assert(fp.contains("sig_bound") && fp.contains("lev_within"), fp)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", prevSkew)
+    }
+  }
+
   test("pareto frontier: the distinct-pair running max is BUCKET-" +
       "partitioned; only the tiny bucket-offset table rides an " +
       "unpartitioned window, and offsets come back broadcast") {

@@ -105,5 +105,12 @@ class ResampleSpec extends SparkSpec {
     assert(out(("B", 1)) == ((4L, None)),
       "constant series: zero variance, null not a division error")
     assert(out.size == 6)
+    // duplicate (series, ord) rows now RAISE in-plan instead of
+    // returning an order-dependent correlogram (pre-collapse contract)
+    intercept[Exception] {
+      Resample.acf(
+        Seq(("A", 1L, 100L), ("A", 1L, 200L), ("A", 2L, 150L))
+          .toDF("s", "o", "v"), $"s", $"o", $"v", 1).collect()
+    }
   }
 }

@@ -255,6 +255,10 @@ class SamplingPackSpec extends SparkSpec {
     assert(r.length == 2, s"got ${r.mkString(",")}")
     assert(r(0) == ((1, "a", 4L, 4L, 0.6667)))
     assert(r(1) == ((2, "c", 2L, 6L, 1.0)))
+    // the k driver-round bound is enforced, not just documented
+    intercept[IllegalArgumentException] {
+      Sampling.greedySetCover(rows.toDF("g", "us"), $"g", $"us", 1001)
+    }
   }
 
   test("neymanAllocation: budget follows N_h*sigma_h — a zero-variance " +

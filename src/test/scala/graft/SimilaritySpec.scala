@@ -746,5 +746,13 @@ class SimilaritySpec extends SparkSpec {
       (100L, 1, 1L, 1000000L, 3000000L),
       (100L, 2, 3L, 800000L, -3200000L),
       (100L, 3, 2L, 1000000L, -4000000L)))
+    // the |queries|*poolK^2 pool bound and the k driver-round bound
+    // are enforced, not just documented
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(qs, cands, 2000, 3, 3, 10)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(qs, cands, 1001, 1001, 3, 10)
+    }
   }
 }

@@ -111,6 +111,14 @@ class SnapshotSpec extends SparkSpec {
       // unknown version / bad names refuse
       intercept[IllegalArgumentException] { Snapshot.tag(t, "x", Some(99L)) }
       intercept[IllegalArgumentException] { Snapshot.tag(t, "a/b") }
+      // dot-PREFIXED names would be invisible to tags() (temp-file
+      // filter) and thus unpinned against vacuum — refuse at write
+      intercept[IllegalArgumentException] { Snapshot.tag(t, ".golden") }
+      intercept[IllegalArgumentException] { Snapshot.tag(t, ".") }
+      intercept[IllegalArgumentException] { Snapshot.tag(t, "..") }
+      // interior dots stay legal (release-style tags)
+      assert(Snapshot.tag(t, "v1.0") == 3L)
+      Snapshot.dropTag(t, "v1.0")
       intercept[IllegalArgumentException] {
         Snapshot.readTag(spark, t, "absent")
       }

@@ -442,6 +442,14 @@ class StreamingSpec extends SparkSpec {
       assert(replay.count() == replay.select($"k").distinct().count())
       assert(replay.select($"k").as[String].collect().toSet ==
         batchKept + "c1" + "c2")
+      // an EMPTY fitted profile must fail fast at setup — the broken
+      // alternative (empty cfg crossJoin) would silently discard the
+      // whole stream, the exact opposite of the pass-through contract
+      intercept[IllegalArgumentException] {
+        Streams.profileThinStream(
+          spark.readStream.schema(schema).parquet(in1),
+          stats.limit(0), 2, table, dir.getAbsolutePath + "/ck3")
+      }
     }
   }
 

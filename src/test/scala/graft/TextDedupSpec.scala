@@ -471,13 +471,12 @@ class TextDedupSpec extends SparkSpec {
   }
 
   test("dedupWithWeights: canonical per cluster carries the multiplicity, " +
-      "unpaired docs weigh 1, pair-only ids contribute nothing") {
+      "unpaired docs weigh 1, foreign pair ids refuse loudly") {
     val docs = Seq(
       (1L, "a"), (2L, "a"), (3L, "a"),   // one chained cluster of 3
       (10L, "b"), (11L, "b"),            // cluster of 2
       (99L, "lonely")).toDF("doc_id", "text")
-    // 77 appears only in pairs, not in docs — weights count doc ROWS
-    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 77L))
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
       .toDF("id_a", "id_b")
     val out = Dedup.dedupWithWeights(docs, "doc_id", pairs)
       .select($"doc_id", $"text", $"weight")
@@ -485,6 +484,13 @@ class TextDedupSpec extends SparkSpec {
     assert(out == Set((1L, "a", 3L), (10L, "b", 2L), (99L, "lonely", 1L)))
     // count preservation: weights sum back to the corpus size
     assert(out.toSeq.map(_._3).sum == 6L)
+    // 77 appears only in pairs, not in docs: silently dropping its
+    // cluster weight (or orphaning the cluster when the foreign id is
+    // the minimum) was a scaladoc "don't do that" — now a runtime guard
+    intercept[IllegalArgumentException] {
+      Dedup.dedupWithWeights(docs, "doc_id",
+        pairs.union(Seq((11L, 77L)).toDF("id_a", "id_b")))
+    }
   }
 
   test("cluster formation and keep-best work end-to-end with STRING doc ids") {
@@ -934,5 +940,26 @@ class TextDedupSpec extends SparkSpec {
       bruteAdj(k) = bruteAdj.getOrElse(k, 0L) + 1L
     }
     assert(w1 == bruteAdj.toMap)
+  }
+
+  test("sourceJsVsRest: identical split reads 0, disjoint vocab reads " +
+      "ln 2, a solo source reads null (never NaN)") {
+    // two sources, identical distributions -> JS = 0
+    val same = Seq(("a", "x y"), ("b", "x y")).toDF("src", "text")
+    val o0 = Text.sourceJsVsRest(same, $"src", $"text")
+      .as[(String, Long, Option[Double])].collect()
+    assert(o0.forall(_._3 == Some(0.0)), o0.mkString(","))
+    // disjoint vocabularies -> JS = ln 2 per side
+    val disj = Seq(("a", "x x"), ("b", "y y")).toDF("src", "text")
+    val oD = Text.sourceJsVsRest(disj, $"src", $"text")
+      .as[(String, Long, Option[Double])].collect()
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(oD.forall(_._3 == Some(ln2)), oD.mkString(","))
+    // a source that IS the whole pool has no rest: null, not NaN
+    val solo = Seq(("only", "x y z")).toDF("src", "text")
+    val oS = Text.sourceJsVsRest(solo, $"src", $"text")
+      .as[(String, Long, Option[Double])].head()
+    assert(oS == (("only", 3L, None)), s"got $oS")
   }
 }

@@ -58,5 +58,14 @@ class TypedAggsSpec extends SparkSpec {
         .repartition(1)
         .select(TypedAggs.gramian.toColumn).head()
     }
+    // width past MaxGramianDim fails fast on row ONE — the triangle
+    // buffer rides every partial aggregate, so an absurd d must not
+    // get as far as allocating executor memory per partition
+    intercept[Exception] {
+      spark.createDataset(
+          Seq(Array.fill(TypedAggs.MaxGramianDim + 1)(1L)))
+        .repartition(1)
+        .select(TypedAggs.gramian.toColumn).head()
+    }
   }
 }
