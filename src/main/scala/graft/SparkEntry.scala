@@ -2589,6 +2589,107 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"))
     }),
 
+    // Annotation QA: KRIPPENDORFF'S ALPHA (nominal) over three
+    // synthetic raters of the language label (rater 1 = the gold
+    // lang; raters 2/3 flip every 7th/11th doc to a noise code) —
+    // the multi-rater agreement gate a labeling pipeline runs before
+    // trusting a batch (q226's kappa stops at two raters). With
+    // m_u = 3 codings per unit the whole estimator is exact integer
+    // algebra: per-unit disagreeing ordered pairs D_u = 6 − Σ_c
+    // n_uc(n_uc−1), α = 1 − (n−1)·ΣD_u / (2·((Σn_c)² − Σn_c²)) —
+    // one (unit, code) aggregate + two tiny rollups, one double
+    // division at the end.
+    "q310_krippendorff" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val codes = d.select(col("doc_id").as("unit"),
+          col("lang").as("code"))
+        .unionByName(d.select(col("doc_id").as("unit"),
+          when(col("doc_id") % 7 === 0, lit("xx"))
+            .otherwise(col("lang")).as("code")))
+        .unionByName(d.select(col("doc_id").as("unit"),
+          when(col("doc_id") % 11 === 0, lit("xx"))
+            .otherwise(col("lang")).as("code")))
+      val nuc = codes.groupBy(col("unit"), col("code"))
+        .agg(count(lit(1)).as("m"))
+      val du = nuc.groupBy(col("unit"))
+        .agg((lit(6L) - sum(col("m") * (col("m") - 1))).as("d2"))
+        .agg(sum(col("d2")).as("d2"), count(lit(1)).as("nu"))
+      val marg = nuc.groupBy(col("code")).agg(sum(col("m")).as("nc"))
+        .agg(sum(col("nc")).as("ntot"),
+          sum(col("nc") * col("nc")).as("nc2"))
+      du.crossJoin(broadcast(marg))
+        .select(col("nu").as("n_units"), col("ntot").as("n_codings"),
+          round((lit(1.0) -
+            ((col("ntot") - 1) * col("d2")).cast("double") /
+            (lit(2L) * (col("ntot") * col("ntot") - col("nc2")))
+              .cast("double")).cast("decimal(20,10)"), 6)
+            .cast("double").as("alpha"))
+    }),
+
+    // Attribution: MARKOV REMOVAL EFFECT — the data-driven
+    // multi-touch model (vs q140 last-touch / q158 linear / q179
+    // decay, which are positional heuristics): session journeys →
+    // absorbing-chain transition counts → P(conv) from START with
+    // each channel's inbound edges cut; credit ∝ removal effect.
+    // Eight ×1e9-snapped unrolled value-iteration steps on
+    // |channels|·|states|-row frames (see Events.markovRemovalEffect).
+    "q311_removal_effect" -> ((s, dir) =>
+      Events.markovRemovalEffect(
+        Events.journeyTransitions(t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), 1800L, "purchase"))),
+
+    // Stats: TWO-REGRESSOR OLS by exact normal equations — the
+    // hedonic price model p_retailprice ~ p_size + len(p_name),
+    // solved by Cramer's rule on EXACT centered DECIMAL(38,0)
+    // moment sums (q152's single-regressor trend can't untangle
+    // correlated features; the centered 2×2 system stays inside 38
+    // digits where the raw 3×3 would overflow). Betas, intercept,
+    // and R² leave integerland in one deterministic double division
+    // each.
+    "q312_multi_ols" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val r = t(s, dir, "part").select(
+        round(col("p_retailprice") * 100).cast("long").as("y"),
+        col("p_size").cast("long").as("a"),
+        length(col("p_name")).cast("long").as("b"))
+      val g = r.agg(count(lit(1)).as("n"),
+        sum(d38(col("a"))).as("sa"), sum(d38(col("b"))).as("sb"),
+        sum(d38(col("y"))).as("sy"),
+        sum(d38(col("a")) * col("a")).as("saa"),
+        sum(d38(col("a")) * col("b")).as("sab"),
+        sum(d38(col("b")) * col("b")).as("sbb"),
+        sum(d38(col("a")) * col("y")).as("say"),
+        sum(d38(col("b")) * col("y")).as("sby"),
+        sum(d38(col("y")) * col("y")).as("syy"))
+      val c = g.select(col("n"), col("sa"), col("sb"), col("sy"),
+        (d38(col("n")) * col("saa") - col("sa") * col("sa")).as("caa"),
+        (d38(col("n")) * col("sab") - col("sa") * col("sb")).as("cab"),
+        (d38(col("n")) * col("sbb") - col("sb") * col("sb")).as("cbb"),
+        (d38(col("n")) * col("say") - col("sa") * col("sy")).as("cay"),
+        (d38(col("n")) * col("sby") - col("sb") * col("sy")).as("cby"),
+        (d38(col("n")) * col("syy") - col("sy") * col("sy")).as("cyy"))
+      val det = (col("caa") * col("cbb") - col("cab") * col("cab"))
+        .cast("double")
+      val ba = (col("cay") * col("cbb") - col("cby") * col("cab"))
+        .cast("double") / det
+      val bb = (col("cby") * col("caa") - col("cay") * col("cab"))
+        .cast("double") / det
+      c.select(col("n"),
+        round((ba / lit(100.0)).cast("decimal(20,10)"), 6)
+          .cast("double").as("beta_size"),
+        round((bb / lit(100.0)).cast("decimal(20,10)"), 6)
+          .cast("double").as("beta_namelen"),
+        round(((col("sy").cast("double") - ba * col("sa").cast("double")
+            - bb * col("sb").cast("double")) / col("n").cast("double")
+            / lit(100.0)).cast("decimal(20,10)"), 4)
+          .cast("double").as("intercept"),
+        round(((ba * col("cay").cast("double") +
+            bb * col("cby").cast("double")) / col("cyy").cast("double"))
+            .cast("decimal(20,10)"), 6)
+          .cast("double").as("r2"))
+    }),
+
     // Text/provenance: WEIGHTED VOCAB CONTAINMENT — directional
     // C(A⊂B) = Σ_{t∈A∩B} idf_t / Σ_{t∈A} idf_t per source pair
     // (q168's Jaccard is symmetric and unweighted; containment says
@@ -10886,6 +10987,166 @@ object SparkEntry {
          |WHERE CAST(${h60("'dm' || k")} % 1000000 AS HUGEINT) * den
          |  < num
          |GROUP BY 1, 2""".stripMargin,
+
+    // Same per-unit disagreeing-pair counts and exact integer alpha.
+    "q310_krippendorff" ->
+      """WITH codes AS (
+        |  SELECT doc_id AS unit, lang AS code FROM documents
+        |  UNION ALL SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END
+        |  FROM documents
+        |  UNION ALL SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN 'xx' ELSE lang END
+        |  FROM documents),
+        |nuc AS (SELECT unit, code, CAST(count(*) AS BIGINT) AS m
+        |  FROM codes GROUP BY 1, 2),
+        |du AS (SELECT CAST(sum(d2) AS BIGINT) AS d2,
+        |    CAST(count(*) AS BIGINT) AS nu FROM
+        |  (SELECT unit, 6 - sum(m * (m - 1)) AS d2
+        |   FROM nuc GROUP BY 1)),
+        |marg AS (SELECT CAST(sum(nc) AS BIGINT) AS ntot,
+        |    CAST(sum(nc * nc) AS BIGINT) AS nc2 FROM
+        |  (SELECT code, sum(m) AS nc FROM nuc GROUP BY 1))
+        |SELECT nu AS n_units, ntot AS n_codings,
+        |  CAST(round(CAST(1.0 - CAST((ntot - 1) * d2 AS DOUBLE)
+        |    / (2 * (ntot * ntot - nc2)) AS DECIMAL(20,10)), 6)
+        |    AS DOUBLE) AS alpha
+        |FROM du CROSS JOIN marg""".stripMargin,
+
+    // q306's sessionize chain; journeys cut at the first purchase,
+    // then the same 8 ×1e9-snapped value-iteration steps with each
+    // channel's inbound edges removed.
+    "q311_removal_effect" -> {
+      def stepSql(prev: String, tag: String): String =
+        s"""$tag AS (SELECT i.rm, i.st, i.pc9,
+           |  i.pc9 + coalesce(s.sc, 0) AS v9
+           |  FROM init i LEFT JOIN (
+           |    SELECT v.rm, e.from_s AS st,
+           |      CAST(sum(CAST(round(e.pd * v.v9) AS BIGINT))
+           |        AS BIGINT) AS sc
+           |    FROM edges e JOIN $prev v
+           |      ON v.st = e.to_s AND e.to_s <> v.rm
+           |    GROUP BY 1, 2) s ON s.rm = i.rm AND s.st = i.st)"""
+          .stripMargin
+      s"""WITH m AS (SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+         |        > 1800 * 1000000 THEN 1
+         |      WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+         |      ELSE 0 END AS new_s
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sx AS (SELECT user_id, ts, event_id, event_type,
+         |    sum(new_s) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS session_id
+         |  FROM m),
+         |fp AS (SELECT user_id, session_id, ts AS fts,
+         |    event_id AS fid FROM
+         |  (SELECT *, row_number() OVER (PARTITION BY user_id,
+         |      session_id ORDER BY ts, event_id) AS rn
+         |   FROM sx WHERE event_type = 'purchase') WHERE rn = 1),
+         |tch AS (SELECT s.user_id, s.session_id, s.ts, s.event_id,
+         |    s.event_type, fp.fts IS NOT NULL AS conv
+         |  FROM sx s LEFT JOIN fp USING (user_id, session_id)
+         |  WHERE s.event_type <> 'purchase'
+         |    AND (fp.fts IS NULL OR s.ts < fp.fts
+         |      OR (s.ts = fp.fts AND s.event_id < fp.fid))),
+         |sq AS (SELECT user_id, session_id, event_type, conv,
+         |    row_number() OVER wt AS rn, lead(event_type) OVER wt
+         |      AS nxt
+         |  FROM tch WINDOW wt AS (PARTITION BY user_id, session_id
+         |    ORDER BY ts, event_id)),
+         |tr AS (SELECT from_s, to_s, CAST(count(*) AS BIGINT) AS n
+         |  FROM (
+         |    SELECT event_type AS from_s, coalesce(nxt, CASE WHEN conv
+         |      THEN 'CONV' ELSE 'DROP' END) AS to_s FROM sq
+         |    UNION ALL SELECT 'START', event_type FROM sq WHERE rn = 1
+         |    UNION ALL SELECT 'START', 'CONV' FROM fp
+         |    WHERE NOT EXISTS (SELECT 1 FROM tch t
+         |      WHERE t.user_id = fp.user_id
+         |        AND t.session_id = fp.session_id))
+         |  GROUP BY 1, 2),
+         |rt AS (SELECT from_s, CAST(sum(n) AS BIGINT) AS rt
+         |  FROM tr GROUP BY 1),
+         |pc AS (SELECT r.from_s AS st,
+         |    CAST(round(CAST(coalesce(c.n, 0) AS DOUBLE) / r.rt * 1e9)
+         |      AS BIGINT) AS pc9
+         |  FROM rt r LEFT JOIN (SELECT from_s, n FROM tr
+         |    WHERE to_s = 'CONV') c USING (from_s)),
+         |edges AS (SELECT t.from_s, t.to_s,
+         |    CAST(t.n AS DOUBLE) / r.rt AS pd
+         |  FROM tr t JOIN rt r USING (from_s)
+         |  WHERE t.to_s NOT IN ('CONV', 'DROP')),
+         |rms AS (SELECT DISTINCT rm FROM (
+         |  SELECT from_s AS rm FROM tr WHERE from_s <> 'START'
+         |  UNION ALL SELECT to_s FROM tr
+         |    WHERE to_s NOT IN ('CONV', 'DROP')
+         |  UNION ALL SELECT '__none')),
+         |init AS (SELECT rm, st, pc9 FROM rms CROSS JOIN pc),
+         |v1 AS (SELECT rm, st, pc9, pc9 AS v9 FROM init),
+         |${stepSql("v1", "v2")},
+         |${stepSql("v2", "v3")},
+         |${stepSql("v3", "v4")},
+         |${stepSql("v4", "v5")},
+         |${stepSql("v5", "v6")},
+         |${stepSql("v6", "v7")},
+         |${stepSql("v7", "v8")},
+         |pst AS (SELECT rm, v9 AS p9 FROM v8 WHERE st = 'START'),
+         |base AS (SELECT p9 AS b9 FROM pst WHERE rm = '__none'),
+         |re AS (SELECT rm AS channel, greatest(0, b9 - p9) AS re9, b9
+         |  FROM pst CROSS JOIN base WHERE rm <> '__none'),
+         |tt AS (SELECT CAST(sum(re9) AS BIGINT) AS ret FROM re)
+         |SELECT channel,
+         |  CAST(round(CAST(CAST(re9 AS DOUBLE) / b9
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS removal_effect,
+         |  CASE WHEN ret = 0 THEN NULL ELSE
+         |    CAST(round(CAST(CAST(re9 AS DOUBLE) / ret
+         |      AS DECIMAL(20,10)), 4) AS DOUBLE) END
+         |    AS attribution_share
+         |FROM re CROSS JOIN tt""".stripMargin
+    },
+
+    // Same exact centered HUGEINT moments and Cramer solve.
+    "q312_multi_ols" ->
+      """WITH r AS (SELECT
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS y,
+        |    CAST(p_size AS BIGINT) AS a,
+        |    CAST(length(p_name) AS BIGINT) AS b FROM part),
+        |g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(a AS HUGEINT)) AS sa,
+        |    sum(CAST(b AS HUGEINT)) AS sb,
+        |    sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(a AS HUGEINT) * a) AS saa,
+        |    sum(CAST(a AS HUGEINT) * b) AS sab,
+        |    sum(CAST(b AS HUGEINT) * b) AS sbb,
+        |    sum(CAST(a AS HUGEINT) * y) AS say,
+        |    sum(CAST(b AS HUGEINT) * y) AS sby,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM r),
+        |c AS (SELECT n, sa, sb, sy,
+        |    n * saa - sa * sa AS caa, n * sab - sa * sb AS cab,
+        |    n * sbb - sb * sb AS cbb, n * say - sa * sy AS cay,
+        |    n * sby - sb * sy AS cby, n * syy - sy * sy AS cyy
+        |  FROM g),
+        |s AS (SELECT n, sa, sb, sy, cay, cby, cyy,
+        |    CAST(cay * cbb - cby * cab AS DOUBLE)
+        |      / CAST(caa * cbb - cab * cab AS DOUBLE) AS ba,
+        |    CAST(cby * caa - cay * cab AS DOUBLE)
+        |      / CAST(caa * cbb - cab * cab AS DOUBLE) AS bb
+        |  FROM c)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  CAST(round(CAST(ba / 100.0 AS DECIMAL(20,10)), 6) AS DOUBLE)
+        |    AS beta_size,
+        |  CAST(round(CAST(bb / 100.0 AS DECIMAL(20,10)), 6) AS DOUBLE)
+        |    AS beta_namelen,
+        |  CAST(round(CAST((CAST(sy AS DOUBLE) - ba * CAST(sa AS DOUBLE)
+        |    - bb * CAST(sb AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0
+        |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS intercept,
+        |  CAST(round(CAST((ba * CAST(cay AS DOUBLE)
+        |    + bb * CAST(cby AS DOUBLE)) / CAST(cyy AS DOUBLE)
+        |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS r2
+        |FROM s""".stripMargin,
 
     // Same ×1e6 idf snaps and directional mass ratio.
     "q305_vocab_containment" ->

@@ -382,4 +382,123 @@ object Events {
       .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
       .limit(k)
   }
+
+  /** Journey transitions for MARKOV ATTRIBUTION: per session, the
+    * channel-touch sequence BEFORE the first `convType` event becomes
+    * a START → touch… → CONV/DROP chain (CONV when the session
+    * converts, DROP when it ends untouched by a conversion; a session
+    * that converts with no prior touch contributes START → CONV).
+    * Output: (from_s, to_s, n) — the absorbing-chain transition counts
+    * [[markovRemovalEffect]] consumes.
+    *
+    * One shuffle on the user key (sessionize, the first-conversion
+    * aggregate, and the touch-sequence window all share it); the
+    * output is |types+2|² rows regardless of corpus size.
+    */
+  def journeyTransitions(events: DataFrame, user: Column, ts: Column,
+                         order: Column, etype: Column, gapSeconds: Long,
+                         convType: String): DataFrame = {
+    val sess = sessionize(events, user, ts, order, gapSeconds)
+      .select(user.as("u"), col("session_id").as("sid"),
+        ts.as("t"), order.as("o"), etype.as("et"))
+    val fp = sess.filter(col("et") === convType)
+      .groupBy(col("u"), col("sid"))
+      .agg(min(struct(col("t"), col("o"))).as("fp"))
+    val touches = sess.filter(col("et") =!= convType)
+      .join(fp, Seq("u", "sid"), "left")
+      .filter(col("fp").isNull || struct(col("t"), col("o")) < col("fp"))
+    val w = Window.partitionBy(col("u"), col("sid"))
+      .orderBy(col("t"), col("o"))
+    val seqd = touches.select(col("u"), col("sid"), col("et"),
+      col("fp").isNotNull.as("conv"),
+      row_number().over(w).as("rn"), lead(col("et"), 1).over(w).as("nxt"))
+    val mid = seqd.select(col("et").as("from_s"),
+      coalesce(col("nxt"),
+        when(col("conv"), lit("CONV")).otherwise(lit("DROP"))).as("to_s"))
+    val starts = seqd.filter(col("rn") === 1)
+      .select(lit("START").as("from_s"), col("et").as("to_s"))
+    // converted sessions whose journey has no touch: START -> CONV
+    val bare = fp.join(seqd.select(col("u"), col("sid")).distinct(),
+        Seq("u", "sid"), "left_anti")
+      .select(lit("START").as("from_s"), lit("CONV").as("to_s"))
+    mid.unionByName(starts).unionByName(bare)
+      .groupBy(col("from_s"), col("to_s"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** MARKOV REMOVAL-EFFECT attribution over [[journeyTransitions]]
+    * counts — the data-driven multi-touch model (Anderl et al. 2014):
+    * P(conv) of the absorbing chain is estimated from START, then
+    * re-estimated with each channel's inbound edges cut (its states
+    * become unreachable); removal_effect(c) = 1 − P₋c/P and channels
+    * split the credit ∝ their effects.
+    *
+    * Numerics: conversion values ride as ×1e9-snapped longs — each
+    * unrolled step (`steps` of them, default 8 — geometric tail ≤
+    * p_max^steps) computes round((n/rt)·v9) per edge so both engines
+    * (this and a SQL oracle) make identical IEEE double ops, and the
+    * per-state sums are exact integers. Removal can only lower the
+    * (snapped) conversion probability; the 0-clamp absorbs ±1-unit
+    * snap noise.
+    *
+    * Scale shape: everything after `transitions` operates on frames of
+    * at most |channels|·|states| rows — the unroll is `steps` joins of
+    * tiny aggregates, independent of corpus size; nothing collects.
+    */
+  def markovRemovalEffect(transitions: DataFrame,
+                          steps: Int = 8): DataFrame = {
+    require(steps >= 1 && steps <= 64, s"steps out of [1,64]: $steps")
+    // the transition frame is |types+2|² rows but its LINEAGE is the
+    // corpus-sized session pipeline, and every unrolled step below
+    // references it (edges, rt, pc, rms all derive from it) — eager
+    // localCheckpoint truncates the plan so the journey extraction
+    // runs exactly once (the q247 iterating-graph lesson, NOTES 86)
+    val tr = transitions.select(col("from_s"), col("to_s"), col("n"))
+      .localCheckpoint(true)
+    val rt = tr.groupBy(col("from_s")).agg(sum(col("n")).as("rt"))
+    val pc = rt.join(tr.filter(col("to_s") === "CONV")
+        .select(col("from_s"), col("n").as("ncv")), Seq("from_s"), "left")
+      .select(col("from_s").as("st"),
+        round(coalesce(col("ncv"), lit(0L)).cast("double") /
+          col("rt").cast("double") * 1e9).cast("long").as("pc9"))
+    val edges = tr.filter(col("to_s") =!= "CONV" && col("to_s") =!= "DROP")
+      .join(rt, "from_s")
+      .select(col("from_s"), col("to_s"),
+        (col("n").cast("double") / col("rt").cast("double")).as("pd"))
+    val rms = tr.filter(col("from_s") =!= "START")
+      .select(col("from_s").as("rm"))
+      .unionByName(edges.select(col("to_s").as("rm")))
+      .distinct()
+      .unionByName(tr.limit(1).select(lit("__none").as("rm")))
+    val init = rms.crossJoin(pc)
+    var v = init.withColumn("v9", col("pc9"))
+    for (_ <- 1 until steps) {
+      val sc = edges.join(
+          v.select(col("rm"), col("st").as("to_s"), col("v9")), "to_s")
+        .filter(col("to_s") =!= col("rm"))
+        .select(col("rm"), col("from_s").as("st"),
+          round(col("pd") * col("v9")).cast("long").as("c"))
+        .groupBy(col("rm"), col("st")).agg(sum(col("c")).as("sc"))
+      v = init.join(sc, Seq("rm", "st"), "left")
+        .select(col("rm"), col("st"), col("pc9"),
+          (col("pc9") + coalesce(col("sc"), lit(0L))).as("v9"))
+    }
+    val pst = v.filter(col("st") === "START")
+      .select(col("rm"), col("v9").as("p9"))
+    val base = pst.filter(col("rm") === "__none")
+      .select(col("p9").as("b9"))
+    val re = pst.filter(col("rm") =!= "__none")
+      .crossJoin(broadcast(base))
+      .select(col("rm").as("channel"),
+        greatest(lit(0L), col("b9") - col("p9")).as("re9"), col("b9"))
+    val tot = re.agg(sum(col("re9")).as("ret"))
+    re.crossJoin(broadcast(tot))
+      .select(col("channel"),
+        round((col("re9").cast("double") / col("b9").cast("double"))
+          .cast("decimal(20,10)"), 4).cast("double").as("removal_effect"),
+        when(col("ret") === 0, lit(null)).otherwise(
+          round((col("re9").cast("double") / col("ret").cast("double"))
+            .cast("decimal(20,10)"), 4).cast("double"))
+          .as("attribution_share"))
+  }
 }
