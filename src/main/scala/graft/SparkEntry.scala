@@ -2690,6 +2690,145 @@ object SparkEntry {
           .cast("double").as("r2"))
     }),
 
+    // Experimentation: CUPED variance reduction — the pre-period
+    // covariate adjustment every mature A/B platform applies before
+    // reading a metric (q165's z-test reads the raw delta). Users
+    // split at the time midpoint into pre (X) / post (Y) cent sums;
+    // θ = cov(X,Y)/var(X) from EXACT centered DECIMAL(38,0) moments,
+    // per-arm adjusted mean = (ΣY − θ(ΣX − n·mean X))/n, and the
+    // variance-reduction share θ·Sxy/Syy (= ρ²) — each leaving
+    // integerland in one deterministic double chain.
+    "q313_cuped" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val ev = t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("vc"))
+      val ext = ev.agg(floor((min(col("us")) + max(col("us"))) / 2)
+        .cast("long").as("mid"))
+      val pu = ev.crossJoin(broadcast(ext))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("us") <= col("mid"), col("vc"))
+            .otherwise(0L)).as("x"),
+          sum(when(col("us") > col("mid"), col("vc"))
+            .otherwise(0L)).as("y"))
+        .select((col("user_id") % 2).as("arm"), col("x"), col("y"))
+      val tot = pu.agg(count(lit(1)).as("n"),
+          sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+          sum(d38(col("x")) * col("x")).as("sxx"),
+          sum(d38(col("x")) * col("y")).as("sxy"),
+          sum(d38(col("y")) * col("y")).as("syy"))
+        .select(col("n"), col("sx"),
+          (d38(col("n")) * col("sxx") - col("sx") * col("sx"))
+            .as("cxx"),
+          (d38(col("n")) * col("sxy") - col("sx") * col("sy"))
+            .as("cxy"),
+          (d38(col("n")) * col("syy") - col("sy") * col("sy"))
+            .as("cyy"))
+      val arms = pu.groupBy(col("arm")).agg(count(lit(1)).as("ng"),
+        sum(d38(col("x"))).as("sxg"), sum(d38(col("y"))).as("syg"))
+      val theta = col("cxy").cast("double") / col("cxx").cast("double")
+      val meanx = col("sx").cast("double") / col("n").cast("double")
+      arms.crossJoin(broadcast(tot))
+        .select(col("arm"), col("ng").as("n_users"),
+          round((col("syg").cast("double") / col("ng").cast("double") /
+            lit(100.0)).cast("decimal(20,10)"), 4).cast("double")
+            .as("mean_y"),
+          when(col("cxx") === 0, lit(null)).otherwise(
+            round(((col("syg").cast("double") - theta *
+              (col("sxg").cast("double") -
+                col("ng").cast("double") * meanx)) /
+              col("ng").cast("double") / lit(100.0))
+              .cast("decimal(20,10)"), 4).cast("double"))
+            .as("mean_y_cuped"),
+          when(col("cxx") === 0 || col("cyy") === 0, lit(null))
+            .otherwise(round((theta * col("cxy").cast("double") /
+              col("cyy").cast("double")).cast("decimal(20,10)"), 6)
+              .cast("double")).as("var_reduction"))
+    }),
+
+    // PII audit: LUHN-VALID NUMBER GATE — candidate digit runs of
+    // 13–16 digits checked against the Luhn checksum (q69's regex
+    // redaction can't tell a card number from a tracking id; the
+    // checksum can). Deterministic plants (a known-valid and a
+    // known-invalid test number on every 37th/41st doc) give the gate
+    // known positives. The checksum is a per-row array fold — pure
+    // codegen, no UDF, no shuffle beyond the source-key rollup.
+    "q314_luhn_gate" -> ((s, dir) => {
+      val planted = t(s, dir, "documents").select(col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 37 === 0,
+            lit(" pay 4532015112830366")).otherwise(lit("")),
+          when(col("doc_id") % 41 === 0,
+            lit(" ref 4532015112830367")).otherwise(lit("")))
+          .as("text"))
+      val cands = planted.select(col("source"),
+          explode(expr("regexp_extract_all(text, '[0-9]+', 0)"))
+            .as("c"))
+        .filter(length(col("c")).between(13, 16))
+      val dsum = cands.withColumn("s",
+        aggregate(transform(sequence(lit(1), length(col("c"))),
+          j => {
+            val d = col("c").substr(j, lit(1)).cast("int")
+            when(pmod(length(col("c")) - j, lit(2)) === 1,
+              when(d > 4, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+          }),
+          lit(0), (acc, x) => acc + x))
+      dsum.groupBy(col("source")).agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(pmod(col("s"), lit(10)) === 0, 1L).otherwise(0L))
+          .as("n_luhn_valid"))
+        .withColumn("valid_share",
+          round((col("n_luhn_valid").cast("double") /
+            col("n_candidates").cast("double"))
+            .cast("decimal(20,10)"), 4).cast("double"))
+    }),
+
+    // Feature engineering: WEIGHT OF EVIDENCE + INFORMATION VALUE of
+    // order-value deciles against the urgent-priority label — the
+    // credit-scoring-style predictive-power read a feature store runs
+    // before training (q233's lift curve ranks by score; WoE/IV bins
+    // a FEATURE). Exact rank deciles via the two-level prefix kernel
+    // (no global sort), exact bin counts, one ln per bin.
+    "q315_woe_iv" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        round(col("o_totalprice") * 100).cast("long").as("v"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L).as("pos"))
+      val byV = o.groupBy(col("v"))
+        .agg(count(lit(1)).as("tot"), sum(col("pos")).as("p"))
+      val rk = Ranks.withRunningBelow(byV, "v", 1000000L, Seq("tot"))
+      val nn = byV.agg(sum(col("tot")).as("n"), sum(col("p"))
+        .as("npos"))
+      val t10 = col("tot_below") * 10
+      val bins = rk.crossJoin(broadcast(nn))
+        .select(((t10 - pmod(t10, col("n"))) / col("n")).cast("long")
+            .as("decile"), col("tot"), col("p"), col("n"), col("npos"))
+        .groupBy(col("decile"))
+        .agg(sum(col("tot")).as("n_d"), sum(col("p")).as("pos_d"),
+          max(col("n")).as("n"), max(col("npos")).as("npos"))
+        .select(col("decile"), col("n_d"), col("pos_d"),
+          (col("n_d") - col("pos_d")).as("neg_d"),
+          col("npos"), (col("n") - col("npos")).as("nneg"))
+      bins.select(col("decile"), col("n_d").as("n"),
+        col("pos_d").as("n_pos"),
+        when(col("pos_d") === 0 || col("neg_d") === 0 ||
+            col("npos") === 0 || col("nneg") === 0, lit(null))
+          .otherwise(round(log((col("pos_d") * col("nneg"))
+              .cast("double") / (col("neg_d") * col("npos"))
+              .cast("double")).cast("decimal(20,10)"), 4)
+            .cast("double")).as("woe"),
+        when(col("pos_d") === 0 || col("neg_d") === 0 ||
+            col("npos") === 0 || col("nneg") === 0, lit(null))
+          .otherwise(round(((col("pos_d").cast("double") /
+              col("npos").cast("double") -
+              col("neg_d").cast("double") /
+              col("nneg").cast("double")) *
+              log((col("pos_d") * col("nneg")).cast("double") /
+                (col("neg_d") * col("npos")).cast("double")))
+              .cast("decimal(20,10)"), 6).cast("double"))
+          .as("iv_term"))
+    }),
+
     // Text/provenance: WEIGHTED VOCAB CONTAINMENT — directional
     // C(A⊂B) = Σ_{t∈A∩B} idf_t / Σ_{t∈A} idf_t per source pair
     // (q168's Jaccard is symmetric and unweighted; containment says
@@ -10987,6 +11126,120 @@ object SparkEntry {
          |WHERE CAST(${h60("'dm' || k")} % 1000000 AS HUGEINT) * den
          |  < num
          |GROUP BY 1, 2""".stripMargin,
+
+    // Same midpoint split, exact centered HUGEINT moments, identical
+    // double chains for theta/means.
+    "q313_cuped" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(round(value * 100) AS BIGINT) AS vc FROM events),
+        |ext AS (SELECT CAST(floor((min(us) + max(us)) / 2) AS BIGINT)
+        |    AS mid FROM ev),
+        |pu AS (SELECT user_id % 2 AS arm,
+        |    CAST(sum(CASE WHEN us <= mid THEN vc ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN us > mid THEN vc ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM ev CROSS JOIN ext GROUP BY user_id, user_id % 2),
+        |g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT))
+        |      AS sy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM pu),
+        |c AS (SELECT n, sx, n * sxx - sx * sx AS cxx,
+        |    n * sxy - sx * sy AS cxy, n * syy - sy * sy AS cyy
+        |  FROM g),
+        |a AS (SELECT arm, CAST(count(*) AS BIGINT) AS ng,
+        |    sum(CAST(x AS HUGEINT)) AS sxg,
+        |    sum(CAST(y AS HUGEINT)) AS syg
+        |  FROM pu GROUP BY 1)
+        |SELECT arm, ng AS n_users,
+        |  CAST(round(CAST(CAST(syg AS DOUBLE) / CAST(ng AS DOUBLE)
+        |    / 100.0 AS DECIMAL(20,10)), 4) AS DOUBLE) AS mean_y,
+        |  CASE WHEN cxx = 0 THEN NULL ELSE
+        |    CAST(round(CAST((CAST(syg AS DOUBLE)
+        |      - (CAST(cxy AS DOUBLE) / CAST(cxx AS DOUBLE))
+        |        * (CAST(sxg AS DOUBLE) - CAST(ng AS DOUBLE)
+        |          * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))
+        |      / CAST(ng AS DOUBLE) / 100.0 AS DECIMAL(20,10)), 4)
+        |      AS DOUBLE) END AS mean_y_cuped,
+        |  CASE WHEN cxx = 0 OR cyy = 0 THEN NULL ELSE
+        |    CAST(round(CAST(CAST(cxy AS DOUBLE) / CAST(cxx AS DOUBLE)
+        |      * CAST(cxy AS DOUBLE) / CAST(cyy AS DOUBLE)
+        |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS var_reduction
+        |FROM a CROSS JOIN c""".stripMargin,
+
+    // Same plants, same digit-run extraction, same fold.
+    "q314_luhn_gate" ->
+      """WITH pl AS (SELECT source, text ||
+        |    CASE WHEN doc_id % 37 = 0 THEN ' pay 4532015112830366'
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 41 = 0 THEN ' ref 4532015112830367'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |cd AS (SELECT source,
+        |    unnest(regexp_extract_all(text, '[0-9]+')) AS c FROM pl),
+        |ok AS (SELECT source, c FROM cd
+        |  WHERE length(c) BETWEEN 13 AND 16),
+        |sc AS (SELECT source, CAST(list_sum([
+        |    CASE WHEN (length(c) - j) % 2 = 1 THEN
+        |      CASE WHEN CAST(c[j] AS INT) > 4
+        |        THEN CAST(c[j] AS INT) * 2 - 9
+        |        ELSE CAST(c[j] AS INT) * 2 END
+        |    ELSE CAST(c[j] AS INT) END
+        |    FOR j IN range(1, length(c) + 1)]) AS BIGINT) AS s
+        |  FROM ok)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_candidates,
+        |  CAST(sum(CASE WHEN s % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_luhn_valid,
+        |  CAST(round(CAST(CAST(sum(CASE WHEN s % 10 = 0 THEN 1
+        |    ELSE 0 END) AS DOUBLE) / count(*) AS DECIMAL(20,10)), 4)
+        |    AS DOUBLE) AS valid_share
+        |FROM sc GROUP BY 1""".stripMargin,
+
+    // Same exact rank deciles (running-below prefix), same single-ln
+    // WoE and iv-term double chain.
+    "q315_woe_iv" ->
+      """WITH r AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |      AS v,
+        |    CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END AS pos
+        |  FROM orders),
+        |bv AS (SELECT v, CAST(count(*) AS BIGINT) AS tot,
+        |    CAST(sum(pos) AS BIGINT) AS p FROM r GROUP BY 1),
+        |rk AS (SELECT v, tot, p,
+        |    CAST(coalesce(sum(tot) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS tot_below FROM bv),
+        |nn AS (SELECT CAST(sum(tot) AS BIGINT) AS n,
+        |    CAST(sum(p) AS BIGINT) AS npos FROM bv),
+        |bn AS (SELECT (tot_below * 10) // n AS decile, tot, p, n,
+        |    npos
+        |  FROM rk CROSS JOIN nn),
+        |ag AS (SELECT decile, CAST(sum(tot) AS BIGINT) AS n_d,
+        |    CAST(sum(p) AS BIGINT) AS pos_d,
+        |    CAST(max(n) AS BIGINT) AS n,
+        |    CAST(max(npos) AS BIGINT) AS npos
+        |  FROM bn GROUP BY 1),
+        |fn AS (SELECT decile, n_d, pos_d, n_d - pos_d AS neg_d,
+        |    npos, n - npos AS nneg FROM ag)
+        |SELECT CAST(decile AS BIGINT) AS decile, n_d AS n,
+        |  pos_d AS n_pos,
+        |  CASE WHEN pos_d = 0 OR neg_d = 0 OR npos = 0 OR nneg = 0
+        |    THEN NULL ELSE
+        |    CAST(round(CAST(ln(CAST(pos_d * nneg AS DOUBLE)
+        |      / CAST(neg_d * npos AS DOUBLE)) AS DECIMAL(20,10)), 4)
+        |      AS DOUBLE) END AS woe,
+        |  CASE WHEN pos_d = 0 OR neg_d = 0 OR npos = 0 OR nneg = 0
+        |    THEN NULL ELSE
+        |    CAST(round(CAST((CAST(pos_d AS DOUBLE)
+        |        / CAST(npos AS DOUBLE)
+        |      - CAST(neg_d AS DOUBLE) / CAST(nneg AS DOUBLE))
+        |      * ln(CAST(pos_d * nneg AS DOUBLE)
+        |        / CAST(neg_d * npos AS DOUBLE))
+        |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS iv_term
+        |FROM fn""".stripMargin,
 
     // Same per-unit disagreeing-pair counts and exact integer alpha.
     "q310_krippendorff" ->
