@@ -2829,6 +2829,128 @@ object SparkEntry {
           .as("iv_term"))
     }),
 
+    // Inequality: GINI CONCENTRATION of per-user activity by event
+    // type — how concentrated is each action in few power users (the
+    // bot/whale diagnostic; q284's cache curve reads the same skew
+    // but not as a single comparable index). Tie-invariant exact
+    // integer form on the value histogram: num = Σ_v v·cnt_v·
+    // (2·below_v + cnt_v − n), G = num/(n·Σvx) — ranks from the
+    // grouped two-level prefix kernel, no global sort, one division.
+    "q316_gini_activity" -> ((s, dir) => {
+      val pu = t(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("x"))
+      val byV = pu.groupBy(col("event_type"), col("x"))
+        .agg(count(lit(1)).as("cnt"))
+      val rk = Ranks.withRunningBelowBy(byV, "event_type", "x", 100L,
+        Seq("cnt"))
+      val tot = byV.groupBy(col("event_type"))
+        .agg(sum(col("cnt")).as("n"),
+          sum(col("x") * col("cnt")).as("sx"))
+      rk.join(tot, "event_type")
+        .groupBy(col("event_type"), col("n"), col("sx"))
+        .agg(sum(col("x") * col("cnt") *
+          (lit(2L) * col("cnt_below") + col("cnt") - col("n")))
+          .as("num"))
+        .select(col("event_type"), col("n").as("n_users"),
+          col("sx").as("n_events"),
+          round((col("num").cast("double") /
+            (col("n") * col("sx")).cast("double"))
+            .cast("decimal(20,10)"), 6).cast("double").as("gini"))
+    }),
+
+    // Inequality: THEIL T DECOMPOSITION of document length across
+    // sources — T = between + Σ share·within, the additive split a
+    // corpus-balance audit wants (is length inequality a few bloated
+    // SOURCES, or bloat inside each source?). Terms take one ln per
+    // DISTINCT (source, length) value, ×1e9-snapped pre-sum; the
+    // mass ratios stay exact integer products inside the ln.
+    "q317_theil_decomposition" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("source"), col("n_chars").as("x"))
+        .filter(col("x") >= 1)
+      val bySrcV = d.groupBy(col("source"), col("x"))
+        .agg(count(lit(1)).as("cnt"))
+      val grp = bySrcV.groupBy(col("source"))
+        .agg(sum(col("cnt")).as("ng"),
+          sum(col("x") * col("cnt")).as("sg"))
+      val glob = grp.agg(sum(col("ng")).as("nn"), sum(col("sg"))
+        .as("ss"))
+      val p = (col("x") * col("ng")).cast("double") /
+        col("sg").cast("double")
+      val within = bySrcV.join(grp, "source")
+        .select(col("source"), col("ng"), col("sg"),
+          (round(p * log(p) * 1e9).cast("long") * col("cnt")).as("t9"))
+        .groupBy(col("source"), col("ng"), col("sg"))
+        .agg(sum(col("t9")).as("t9"))
+      within.crossJoin(broadcast(glob))
+        .select(col("source"), col("ng").as("n_docs"),
+          round((col("sg").cast("double") / col("ss").cast("double"))
+            .cast("decimal(20,10)"), 6).cast("double")
+            .as("mass_share"),
+          round((col("t9").cast("double") / lit(1e9) /
+            col("ng").cast("double")).cast("decimal(20,10)"), 6)
+            .cast("double").as("t_within"),
+          round(((col("sg").cast("double") / col("ss").cast("double"))
+            * log((col("sg") * col("nn")).cast("double") /
+              (col("ss") * col("ng")).cast("double")))
+            .cast("decimal(20,10)"), 6).cast("double")
+            .as("between_term"))
+    }),
+
+    // Stylometry: BURROWS' DELTA between sources — mean |Δz| of the
+    // 30 corpus-wide most-frequent tokens' relative frequencies,
+    // z-scored across sources (the authorship/provenance distance;
+    // q305's containment reads vocabulary OVERLAP, Delta reads USAGE
+    // RATES). Frequencies snap ×1e9 before any cross-source moment,
+    // so variances are exact integers and |z_a−z_b| = k·|Δf9|/√V
+    // takes one sqrt per token; 20 closest pairs.
+    "q318_burrows_delta" -> ((s, dir) => {
+      val st = t(s, dir, "documents")
+        .select(col("source"), explode(Text.tokens(col("text")))
+          .as("tok"))
+      val cnts = st.groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).as("c"))
+      val stot = st.groupBy(col("source")).agg(count(lit(1)).as("tt"))
+      val top = cnts.groupBy(col("tok")).agg(sum(col("c")).as("gc"))
+        .orderBy(col("gc").desc, col("tok")).limit(30)
+      // 30·|sources| rows; checkpoint so the token explode runs in
+      // ONE job instead of once per downstream reference
+      val dense = stot.crossJoin(broadcast(top.select(col("tok"))))
+        .join(cnts, Seq("source", "tok"), "left")
+        .select(col("source"), col("tok"),
+          round(coalesce(col("c"), lit(0L)).cast("double") /
+            col("tt").cast("double") * 1e9).cast("long").as("f9"))
+        .localCheckpoint(true)
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val vt = dense.groupBy(col("tok"))
+        .agg(count(lit(1)).as("k"), sum(d38(col("f9"))).as("sf"),
+          sum(d38(col("f9")) * col("f9")).as("sff"))
+        .select(col("tok").as("vtok"), col("k"),
+          (d38(col("k")) * col("sff") - col("sf") * col("sf"))
+            .as("v"))
+      val diffs = dense.as("a").join(dense.as("b"),
+          col("a.tok") === col("b.tok") &&
+            col("a.source") < col("b.source"))
+        .select(col("a.source").as("source_a"),
+          col("b.source").as("source_b"), col("a.tok").as("tok"),
+          abs(col("a.f9") - col("b.f9")).as("adf"))
+      diffs.join(broadcast(vt), col("tok") === col("vtok"))
+        .select(col("source_a"), col("source_b"),
+          when(col("v") === 0, lit(0L)).otherwise(
+            round(col("adf").cast("double") * col("k").cast("double")
+              / sqrt(col("v").cast("double")) * 1e6).cast("long"))
+            .as("t6"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(sum(col("t6")).as("s6"), count(lit(1)).as("m"))
+        .select(col("source_a"), col("source_b"),
+          round((col("s6").cast("double") / lit(1e6) /
+            col("m").cast("double")).cast("decimal(20,10)"), 4)
+            .cast("double").as("delta"))
+        .orderBy(col("delta"), col("source_a"), col("source_b"))
+        .limit(20)
+    }),
+
     // Text/provenance: WEIGHTED VOCAB CONTAINMENT — directional
     // C(A⊂B) = Σ_{t∈A∩B} idf_t / Σ_{t∈A} idf_t per source pair
     // (q168's Jaccard is symmetric and unweighted; containment says
@@ -11240,6 +11362,92 @@ object SparkEntry {
         |        / CAST(neg_d * npos AS DOUBLE))
         |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS iv_term
         |FROM fn""".stripMargin,
+
+    // Same grouped running-below ranks and exact integer numerator.
+    "q316_gini_activity" ->
+      """WITH pu AS (SELECT event_type, user_id,
+        |    CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        |bv AS (SELECT event_type, x, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM pu GROUP BY 1, 2),
+        |rk AS (SELECT event_type, x, cnt,
+        |    CAST(coalesce(sum(cnt) OVER (PARTITION BY event_type
+        |      ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      1 PRECEDING), 0) AS BIGINT) AS cnt_below FROM bv),
+        |tot AS (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n,
+        |    CAST(sum(x * cnt) AS BIGINT) AS sx FROM bv GROUP BY 1)
+        |SELECT r.event_type, n AS n_users, sx AS n_events,
+        |  CAST(round(CAST(
+        |    CAST(sum(x * cnt * (2 * cnt_below + cnt - n)) AS DOUBLE)
+        |    / CAST(n * sx AS DOUBLE) AS DECIMAL(20,10)), 6)
+        |    AS DOUBLE) AS gini
+        |FROM rk r JOIN tot t USING (event_type)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // Same ×1e9 p·ln(p) snaps per distinct value and exact mass
+    // ratios inside the ln.
+    "q317_theil_decomposition" ->
+      """WITH d AS (SELECT source, n_chars AS x FROM documents
+        |  WHERE n_chars >= 1),
+        |bsv AS (SELECT source, x, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM d GROUP BY 1, 2),
+        |grp AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS ng,
+        |    CAST(sum(x * cnt) AS BIGINT) AS sg FROM bsv GROUP BY 1),
+        |gl AS (SELECT CAST(sum(ng) AS BIGINT) AS nn,
+        |    CAST(sum(sg) AS BIGINT) AS ss FROM grp),
+        |wi AS (SELECT b.source, g.ng, g.sg,
+        |    CAST(sum(CAST(round(
+        |      (CAST(b.x * g.ng AS DOUBLE) / g.sg)
+        |      * ln(CAST(b.x * g.ng AS DOUBLE) / g.sg) * 1e9)
+        |      AS BIGINT) * b.cnt) AS BIGINT) AS t9
+        |  FROM bsv b JOIN grp g USING (source) GROUP BY 1, 2, 3)
+        |SELECT source, ng AS n_docs,
+        |  CAST(round(CAST(CAST(sg AS DOUBLE) / ss
+        |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS mass_share,
+        |  CAST(round(CAST(CAST(t9 AS DOUBLE) / 1e9 / ng
+        |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS t_within,
+        |  CAST(round(CAST((CAST(sg AS DOUBLE) / ss)
+        |    * ln(CAST(sg * nn AS DOUBLE) / CAST(ss * ng AS DOUBLE))
+        |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS between_term
+        |FROM wi CROSS JOIN gl""".stripMargin,
+
+    // Same ×1e9 frequency snaps, exact HUGEINT variances, one sqrt
+    // per token, same 20-closest ordering.
+    "q318_burrows_delta" ->
+      s"""WITH st AS (SELECT source, unnest($tokSql) AS tok
+         |  FROM documents),
+         |cnts AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+         |  FROM st GROUP BY 1, 2),
+         |stot AS (SELECT source, CAST(count(*) AS BIGINT) AS tt
+         |  FROM st GROUP BY 1),
+         |top AS (SELECT tok FROM (SELECT tok,
+         |    CAST(sum(c) AS BIGINT) AS gc FROM cnts GROUP BY 1)
+         |  ORDER BY gc DESC, tok LIMIT 30),
+         |dense AS (SELECT s.source, t.tok,
+         |    CAST(round(CAST(coalesce(c.c, 0) AS DOUBLE) / s.tt * 1e9)
+         |      AS BIGINT) AS f9
+         |  FROM stot s CROSS JOIN top t
+         |  LEFT JOIN cnts c ON c.source = s.source AND c.tok = t.tok),
+         |vt AS (SELECT tok, CAST(count(*) AS BIGINT) AS k,
+         |    CAST(count(*) AS HUGEINT)
+         |      * sum(CAST(f9 AS HUGEINT) * f9)
+         |      - sum(CAST(f9 AS HUGEINT)) * sum(CAST(f9 AS HUGEINT))
+         |      AS v
+         |  FROM dense GROUP BY 1),
+         |df AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    a.tok, abs(a.f9 - b.f9) AS adf
+         |  FROM dense a JOIN dense b
+         |    ON a.tok = b.tok AND a.source < b.source),
+         |tm AS (SELECT source_a, source_b,
+         |    CASE WHEN v = 0 THEN 0 ELSE
+         |      CAST(round(CAST(adf AS DOUBLE) * CAST(k AS DOUBLE)
+         |        / sqrt(CAST(v AS DOUBLE)) * 1e6) AS BIGINT) END
+         |      AS t6
+         |  FROM df JOIN vt USING (tok))
+         |SELECT source_a, source_b,
+         |  CAST(round(CAST(CAST(sum(t6) AS DOUBLE) / 1e6 / count(*)
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS delta
+         |FROM tm GROUP BY 1, 2
+         |ORDER BY 3, 1, 2 LIMIT 20""".stripMargin,
 
     // Same per-unit disagreeing-pair counts and exact integer alpha.
     "q310_krippendorff" ->
