@@ -2951,6 +2951,101 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Recommender: ITEM-ITEM COLLABORATIVE SIMILARITY — cosine on
+    // the binary order×part matrix via the per-basket self-join
+    // (work bounded by Σ basket², the inverted-index shape — never
+    // items²): co(i,j)/√(n_i·n_j), support ≥ 3, top-20. The
+    // co-purchase neighborhood a retrieval/recs pipeline precomputes
+    // (q161's lift is directional confidence; cosine is symmetric
+    // degree-normalized).
+    "q319_item_cf" -> ((s, dir) => {
+      val bi = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("i"))
+        .distinct()
+      val ni = bi.groupBy(col("i")).agg(count(lit(1)).as("n"))
+      val co = bi.as("a").join(bi.as("b"),
+          col("a.o") === col("b.o") && col("a.i") < col("b.i"))
+        .groupBy(col("a.i").as("part_a"), col("b.i").as("part_b"))
+        .agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 3)
+      co.join(ni.select(col("i").as("part_a"), col("n").as("na")),
+          "part_a")
+        .join(ni.select(col("i").as("part_b"), col("n").as("nb")),
+          "part_b")
+        .select(col("part_a"), col("part_b"), col("co"),
+          round((col("co").cast("double") /
+            sqrt((col("na") * col("nb")).cast("double")))
+            .cast("decimal(20,10)"), 4).cast("double").as("cosine"))
+        .orderBy(col("cosine").desc, col("part_a"), col("part_b"))
+        .limit(20)
+    }),
+
+    // Finance: VWAP vs TWAP per symbol-month — the execution-quality
+    // pair every fills pipeline reports (q01's bars keep OHLC shape;
+    // VWAP weighs price by traded size, TWAP by time). Exact integer
+    // cent·unit numerators, two divisions per group at the end.
+    "q320_vwap" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      bars(s, dir)
+        .select(col("symbol"), date_format(col("d"), "yyyy-MM")
+            .as("m"),
+          round(col("px") * 100).cast("long").as("pxc"),
+          round(col("vol")).cast("long").as("q"))
+        .groupBy(col("symbol"), col("m"))
+        .agg(count(lit(1)).as("n_fills"), sum(col("q")).as("qty"),
+          sum(d38(col("pxc")) * col("q")).as("pv"),
+          sum(d38(col("pxc"))).as("sp"))
+        .select(col("symbol"), col("m"), col("n_fills"), col("qty"),
+          round((col("pv").cast("double") / col("qty").cast("double")
+            / lit(100.0)).cast("decimal(20,10)"), 4).cast("double")
+            .as("vwap"),
+          round((col("sp").cast("double") /
+            col("n_fills").cast("double") / lit(100.0))
+            .cast("decimal(20,10)"), 4).cast("double").as("twap"))
+    }),
+
+    // Series mining: SAX MOTIFS — weekly mean prices z-scored per
+    // symbol and mapped to a 4-letter alphabet at the N(0,1)
+    // quartile breakpoints, then 3-week words counted corpus-wide
+    // (the discretized shape vocabulary behind motif/novelty
+    // detection). The z comparison is cross-multiplied —
+    // m·v − Σv vs ±0.6745·√(mΣv²−(Σv)²) — so the only doubles are
+    // one sqrt per symbol and the comparison itself; ties and
+    // windows stay on the symbol key.
+    "q321_sax_motifs" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val wk = bars(s, dir)
+        .select(col("symbol"), date_trunc("week", col("d"))
+            .cast("date").as("w"),
+          round(col("px") * 100).cast("long").as("pxc"))
+        .groupBy(col("symbol"), col("w"))
+        .agg(round(sum(col("pxc")).cast("double") / count(lit(1)) *
+          1e4).cast("long").as("v9"))
+      val mom = wk.groupBy(col("symbol"))
+        .agg(count(lit(1)).as("mw"), sum(d38(col("v9"))).as("sv"),
+          sum(d38(col("v9")) * col("v9")).as("svv"))
+        .filter(col("mw") >= 8)
+        .select(col("symbol"), col("mw"), col("sv"),
+          (d38(col("mw")) * col("svv") - col("sv") * col("sv"))
+            .as("vm"))
+        .filter(col("vm") > 0)
+      val lhs = (d38(col("mw")) * col("v9") - col("sv"))
+        .cast("double")
+      val thr = lit(0.6745) * sqrt(col("vm").cast("double"))
+      val lettered = wk.join(mom, "symbol")
+        .select(col("symbol"), col("w"),
+          when(lhs < -thr, lit("a")).when(lhs < 0, lit("b"))
+            .when(lhs < thr, lit("c")).otherwise(lit("d")).as("cls"))
+      val ww = Window.partitionBy(col("symbol")).orderBy(col("w"))
+      lettered
+        .select(concat(col("cls"), lead(col("cls"), 1).over(ww),
+          lead(col("cls"), 2).over(ww)).as("word"))
+        .filter(col("word").isNotNull)
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)
+    }),
+
     // Text/provenance: WEIGHTED VOCAB CONTAINMENT — directional
     // C(A⊂B) = Σ_{t∈A∩B} idf_t / Σ_{t∈A} idf_t per source pair
     // (q168's Jaccard is symmetric and unweighted; containment says
@@ -11362,6 +11457,73 @@ object SparkEntry {
         |        / CAST(neg_d * npos AS DOUBLE))
         |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS iv_term
         |FROM fn""".stripMargin,
+
+    // Same distinct basket matrix, per-order pair join, support
+    // gate, one sqrt per surviving pair.
+    "q319_item_cf" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+        |  FROM lineitem),
+        |ni AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM bi
+        |  GROUP BY 1),
+        |co AS (SELECT a.i AS part_a, b.i AS part_b,
+        |    CAST(count(*) AS BIGINT) AS co
+        |  FROM bi a JOIN bi b ON a.o = b.o AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT part_a, part_b, co,
+        |  CAST(round(CAST(CAST(co AS DOUBLE)
+        |    / sqrt(CAST(na.n * nb.n AS DOUBLE)) AS DECIMAL(20,10)),
+        |    4) AS DOUBLE) AS cosine
+        |FROM co JOIN ni na ON na.i = part_a
+        |JOIN ni nb ON nb.i = part_b
+        |ORDER BY 4 DESC, 1, 2 LIMIT 20""".stripMargin,
+
+    // Same cent·unit integer numerators and per-group divisions.
+    "q320_vwap" -> {
+      s"""WITH b AS (SELECT symbol, strftime(d, '%Y-%m') AS m,
+         |    CAST(round(px * 100) AS BIGINT) AS pxc,
+         |    CAST(round(vol) AS BIGINT) AS q
+         |  FROM ($barsSql))
+         |SELECT symbol, m, CAST(count(*) AS BIGINT) AS n_fills,
+         |  CAST(sum(q) AS BIGINT) AS qty,
+         |  CAST(round(CAST(CAST(sum(CAST(pxc AS HUGEINT) * q)
+         |    AS DOUBLE) / CAST(sum(q) AS DOUBLE) / 100.0
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS vwap,
+         |  CAST(round(CAST(CAST(sum(CAST(pxc AS HUGEINT)) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) / 100.0
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS twap
+         |FROM b GROUP BY 1, 2""".stripMargin
+    },
+
+    // Same ×1e4 weekly snap, cross-multiplied z breakpoints, 3-week
+    // lead words.
+    "q321_sax_motifs" -> {
+      s"""WITH wk AS (SELECT symbol, date_trunc('week', d) AS w,
+         |    CAST(round(CAST(sum(CAST(round(px * 100) AS BIGINT))
+         |      AS DOUBLE) / count(*) * 1e4) AS BIGINT) AS v9
+         |  FROM ($barsSql) GROUP BY 1, 2),
+         |mom AS (SELECT symbol, mw, sv,
+         |    CAST(mw AS HUGEINT) * svv - sv * sv AS vm
+         |  FROM (SELECT symbol, CAST(count(*) AS BIGINT) AS mw,
+         |      sum(CAST(v9 AS HUGEINT)) AS sv,
+         |      sum(CAST(v9 AS HUGEINT) * v9) AS svv
+         |    FROM wk GROUP BY 1)
+         |  WHERE mw >= 8),
+         |lt AS (SELECT wk.symbol, wk.w,
+         |    CASE
+         |      WHEN CAST(mw * wk.v9 - sv AS DOUBLE)
+         |        < -(0.6745 * sqrt(CAST(vm AS DOUBLE))) THEN 'a'
+         |      WHEN CAST(mw * wk.v9 - sv AS DOUBLE) < 0 THEN 'b'
+         |      WHEN CAST(mw * wk.v9 - sv AS DOUBLE)
+         |        < 0.6745 * sqrt(CAST(vm AS DOUBLE)) THEN 'c'
+         |      ELSE 'd' END AS cls
+         |  FROM wk JOIN mom USING (symbol) WHERE vm > 0),
+         |wd AS (SELECT cls || lead(cls, 1) OVER ws
+         |      || lead(cls, 2) OVER ws AS word
+         |  FROM lt WINDOW ws AS (PARTITION BY symbol ORDER BY w))
+         |SELECT word, CAST(count(*) AS BIGINT) AS n FROM wd
+         |WHERE word IS NOT NULL
+         |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin
+    },
 
     // Same grouped running-below ranks and exact integer numerator.
     "q316_gini_activity" ->
