@@ -472,4 +472,51 @@ object Graph {
     if (big) e.unpersist(): Unit
     lab.select(col("id"), col("lbl").as("community"))
   }
+
+  /** Seed-KEYED [[shortestHops]]: per-(seed, node) hop distances, the
+    * input to per-seed centralities ([[harmonicCentrality]]) where the
+    * plain variant collapses to min-over-any-seed. Same frontier
+    * economics, state ≤ |seeds|·|nodes| rows — bounded by choosing few
+    * seeds, the landmark-centrality deployment shape.
+    */
+  def shortestHopsPerSeed(edges: DataFrame, seeds: DataFrame,
+                          maxHops: Int): DataFrame = {
+    require(maxHops >= 0, "maxHops must be >= 0")
+    val e = edges.select(col("src"), col("dst"))
+    var dist = seeds.select(col("id")).distinct()
+      .select(col("id").as("seed"), col("id"), lit(0).as("hops"))
+    for (h <- 1 to maxHops) {
+      val next = dist.filter(col("hops") === h - 1)
+        .join(e, col("id") === col("src"))
+        .select(col("seed"), col("dst").as("id"), lit(h).as("hops"))
+      dist = dist.unionByName(next)
+        .groupBy(col("seed"), col("id")).agg(min(col("hops")).as("hops"))
+    }
+    dist
+  }
+
+  /** HARMONIC CENTRALITY from landmark seeds, truncated at `maxHops`:
+    * C_H(s) = Σ_{v≠s, d(s,v)≤maxHops} 1/d(s,v) — the
+    * disconnected-graph-safe closeness (unreached nodes contribute 0,
+    * no infinite distances to special-case). The reciprocal sum runs
+    * in EXACT integers scaled by lcm(1..maxHops) — one double
+    * division per seed at the end. Output: (seed, n_reached,
+    * harmonic).
+    */
+  def harmonicCentrality(edges: DataFrame, seeds: DataFrame,
+                         maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 12,
+      s"maxHops out of [1,12]: $maxHops")
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmAll = (1L to maxHops.toLong)
+      .foldLeft(1L)((l, k) => l / gcd(l, k) * k)
+    shortestHopsPerSeed(edges, seeds, maxHops)
+      .filter(col("hops") >= 1)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(lit(lcmAll) / col("hops")).cast("long").as("hs"))
+      .select(col("seed"), col("n_reached"),
+        round((col("hs").cast("double") / lit(lcmAll.toDouble))
+          .cast("decimal(20,10)"), 4).cast("double").as("harmonic"))
+  }
 }
