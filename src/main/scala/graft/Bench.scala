@@ -31,9 +31,39 @@ object Bench {
   def timeQueries(spark: SparkSession, sfDir: String,
                   qs: Map[String, (SparkSession, String) => DataFrame])
       : (Map[String, Double], Set[String]) = {
+    val r = timeQueriesInstrumented(spark, sfDir, qs, probeEvery = 0)
+    (r.times, r.errors)
+  }
+
+  /** One pass's full drift context: per-query times, failures,
+    * per-query START offsets (seconds since pass start), and the
+    * interleaved calibration probes as (queries-completed, calib_s)
+    * pairs. The offsets + probes are what make a slow reading
+    * ATTRIBUTABLE after the fact (r11 verdict: the per-pass bracketing
+    * probes proved ×2 in-run host swings but couldn't say WHICH
+    * queries they hit — q67's 6.52 s vs its 3.96 s profiled floor was
+    * un-adjudicable; now the probe nearest its offset settles it).
+    */
+  final case class PassResult(times: Map[String, Double],
+                              errors: Set[String],
+                              startOffsets: Map[String, Double],
+                              probes: Seq[(Int, Double)])
+
+  def timeQueriesInstrumented(spark: SparkSession, sfDir: String,
+                              qs: Map[String, (SparkSession, String) => DataFrame],
+                              probeEvery: Int = 25): PassResult = {
     val errs = scala.collection.mutable.LinkedHashSet[String]()
+    val probes = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    val offsets = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val pass0 = System.nanoTime()
+    var done = 0
     val times = qs.map { case (name, fn) =>
+      // interleave a host probe every `probeEvery` completed queries
+      // (not timed into any query; clearCache ran before it)
+      if (probeEvery > 0 && done > 0 && done % probeEvery == 0)
+        probes += ((done, calibrate(spark)))
       val t0 = System.nanoTime()
+      offsets(name) = (t0 - pass0) / 1e9
       // toRdd.count() executes the query's OWN physical plan: a plain
       // df.count() wraps the plan in an aggregate and the optimizer
       // then PRUNES row-preserving final operators (a left join
@@ -46,9 +76,10 @@ object Bench {
       // release per-query persisted intermediates so queries don't pay
       // for each other's cache memory (cleanup is not timed)
       spark.catalog.clearCache()
+      done += 1
       name -> dt
     }
-    (times, errs.toSet)
+    PassResult(times, errs.toSet, offsets.toMap, probes.toSeq)
   }
 
   def main(args: Array[String]): Unit = {
@@ -80,19 +111,20 @@ object Bench {
     // calib_passes; calib_s stays the min (best-case host speed).
     val passes = (1 to 2).map { _ =>
       val c0 = calibrate(spark)
-      val r = timeQueries(spark, sfDir, SparkEntry.queries)
+      val r = timeQueriesInstrumented(spark, sfDir, SparkEntry.queries)
       val c1 = calibrate(spark)
       (r, c0, c1)
     }
-    val calibPasses = passes.flatMap(p => Seq(p._2, p._3))
+    val calibPasses = passes.flatMap(p =>
+      (p._2 +: p._1.probes.map(_._2)) :+ p._3)
     val calib = (calibStart +: calibPasses).min
-    val results = passes.head._1._1.map { case (name, t1) =>
-      name -> math.min(t1, passes(1)._1._1(name))
+    val results = passes.head._1.times.map { case (name, t1) =>
+      name -> math.min(t1, passes(1)._1.times(name))
     }
     // A failure in EITHER pass flags the query: deterministic breakage
     // fails both, and even a transient failure means the min time below
     // covers less than the query's real work.
-    val errors = passes.flatMap(_._1._2).distinct.sorted
+    val errors = passes.flatMap(_._1.errors).distinct.sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -117,7 +149,20 @@ object Bench {
       s"[graft] ERROR: $n FAILED during bench — its recorded time is " +
         "time-to-failure, not query cost"))
     val calibJson = calibPasses.mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","runs":2,"agg":"min","calib_s":$calib,"calib_start":$calibStart,"calib_passes":$calibJson}"""
+    // Per-pass drift context (disk-only json; stdout stays short):
+    // each pass records every query's own time and START offset plus
+    // the bracketing + interleaved (every-25-queries) host probes as
+    // [queries_completed, calib_s] — so any suspicious reading can be
+    // adjudicated against the probe measured NEAREST its offset, per
+    // query, after the fact.
+    def qmap(m: Map[String, Double]) =
+      m.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val passJson = passes.map { case (p, c0, c1) =>
+      val probeJson = ((0, c0) +: p.probes :+ (p.times.size, c1))
+        .map { case (i, c) => s"[$i,$c]" }.mkString("[", ",", "]")
+      s"""{"t":${qmap(p.times)},"ts":${qmap(p.startOffsets)},"probes":$probeJson}"""
+    }.mkString("[", ",", "]")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","runs":2,"agg":"min","calib_s":$calib,"calib_start":$calibStart,"calib_passes":$calibJson,"passes":$passJson}"""
     // Parse contract (4 rounds of "parsed": null taught us the hard way):
     //  - the forked child inherits sbt's real stdout (StdoutOutput), so the
     //    line lands unprefixed; build.sbt sets showSuccess := false, so sbt

@@ -38,8 +38,11 @@ object ProfileQ67 {
       val dup = spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("text"))
         .repartition(spark.sessionState.conf.numShufflePartitions)
+      // near-dup copy offset: far above any plausible doc_id (ADVICE
+      // r11: a hardcoded +10000 collides with real ids once the fixture
+      // exceeds 10k documents, silently skewing the pair stage)
       val corpus = dup.unionByName(dup.select(
-        (col("doc_id") + 10000).as("doc_id"),
+        (col("doc_id") + 1000000000L).as("doc_id"),
         concat(col("text"), lit(" zz9 qq8")).as("text"))).persist()
       time("stage0 corpus materialize")(corpus.count())
 

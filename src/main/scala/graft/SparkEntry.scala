@@ -2545,7 +2545,15 @@ object SparkEntry {
     // artifact, not just the spec suite (round-10 verdict gap).
     "q308_snapshot_upsert" -> ((s, dir) => {
       import graft.sources.Snapshot
-      val uniq = bars(s, dir).groupBy(col("symbol"), col("d"))
+      // gate on a 1/16 symbol slice: the merge/commit/read/manifest
+      // algebra is identical per partition, so the slice proves the
+      // same keep-latest-by-version semantics at a fraction of the
+      // I/O (r11 verdict: the unbounded version cost 28.5 s — 7.5% of
+      // the whole bench — moving full volume a gate doesn't need).
+      // The filter sits BEFORE the collapse groupBy, so the dedup
+      // shuffle shrinks with the slice too.
+      val uniq = bars(s, dir).filter(col("symbol") % 16 === 0)
+        .groupBy(col("symbol"), col("d"))
         .agg(max(struct(col("ord"), col("px"), col("vol"))).as("w"))
         .select(col("symbol"), col("d"),
           col("w.px").as("px"), col("w.vol").as("vol"),
@@ -2669,25 +2677,32 @@ object SparkEntry {
         (d38(col("n")) * col("say") - col("sa") * col("sy")).as("cay"),
         (d38(col("n")) * col("sby") - col("sb") * col("sy")).as("cby"),
         (d38(col("n")) * col("syy") - col("sy") * col("sy")).as("cyy"))
-      val det = (col("caa") * col("cbb") - col("cab") * col("cab"))
-        .cast("double")
+      // degenerate designs (constant regressor → det = 0; constant
+      // response → cyy = 0) yield null, never a NaN→null-by-cast
+      // divergence from the SQL oracle (ADVICE r11, the q313 guard)
+      val detX = col("caa") * col("cbb") - col("cab") * col("cab")
+      val det = detX.cast("double")
       val ba = (col("cay") * col("cbb") - col("cby") * col("cab"))
         .cast("double") / det
       val bb = (col("cby") * col("caa") - col("cay") * col("cab"))
         .cast("double") / det
       c.select(col("n"),
-        round((ba / lit(100.0)).cast("decimal(20,10)"), 6)
-          .cast("double").as("beta_size"),
-        round((bb / lit(100.0)).cast("decimal(20,10)"), 6)
-          .cast("double").as("beta_namelen"),
-        round(((col("sy").cast("double") - ba * col("sa").cast("double")
-            - bb * col("sb").cast("double")) / col("n").cast("double")
-            / lit(100.0)).cast("decimal(20,10)"), 4)
-          .cast("double").as("intercept"),
-        round(((ba * col("cay").cast("double") +
-            bb * col("cby").cast("double")) / col("cyy").cast("double"))
-            .cast("decimal(20,10)"), 6)
-          .cast("double").as("r2"))
+        when(detX === 0, lit(null)).otherwise(
+          round((ba / lit(100.0)).cast("decimal(20,10)"), 6)
+            .cast("double")).as("beta_size"),
+        when(detX === 0, lit(null)).otherwise(
+          round((bb / lit(100.0)).cast("decimal(20,10)"), 6)
+            .cast("double")).as("beta_namelen"),
+        when(detX === 0, lit(null)).otherwise(
+          round(((col("sy").cast("double") - ba * col("sa").cast("double")
+              - bb * col("sb").cast("double")) / col("n").cast("double")
+              / lit(100.0)).cast("decimal(20,10)"), 4)
+            .cast("double")).as("intercept"),
+        when(detX === 0 || col("cyy") === 0, lit(null)).otherwise(
+          round(((ba * col("cay").cast("double") +
+              bb * col("cby").cast("double")) / col("cyy").cast("double"))
+              .cast("decimal(20,10)"), 6)
+            .cast("double")).as("r2"))
     }),
 
     // Experimentation: CUPED variance reduction — the pre-period
@@ -2996,8 +3011,11 @@ object SparkEntry {
           sum(d38(col("pxc")) * col("q")).as("pv"),
           sum(d38(col("pxc"))).as("sp"))
         .select(col("symbol"), col("m"), col("n_fills"), col("qty"),
-          round((col("pv").cast("double") / col("qty").cast("double")
-            / lit(100.0)).cast("decimal(20,10)"), 4).cast("double")
+          // qty = 0 (an all-zero-volume month) yields null, not a
+          // NaN→null-by-cast oracle divergence (ADVICE r11)
+          when(col("qty") === 0, lit(null)).otherwise(
+            round((col("pv").cast("double") / col("qty").cast("double")
+              / lit(100.0)).cast("decimal(20,10)"), 4).cast("double"))
             .as("vwap"),
           round((col("sp").cast("double") /
             col("n_fills").cast("double") / lit(100.0))
@@ -11303,7 +11321,7 @@ object SparkEntry {
       s"""WITH uniq AS (SELECT symbol, d, px, vol FROM (
          |    SELECT *, row_number() OVER (PARTITION BY symbol, d
          |      ORDER BY ord DESC, px DESC, vol DESC) AS rn
-         |    FROM ($barsSql)) WHERE rn = 1),
+         |    FROM ($barsSql) WHERE symbol % 16 = 0) WHERE rn = 1),
          |u AS (
          |  SELECT symbol, d, px, 0 AS version FROM uniq
          |  UNION ALL
@@ -11485,9 +11503,10 @@ object SparkEntry {
          |  FROM ($barsSql))
          |SELECT symbol, m, CAST(count(*) AS BIGINT) AS n_fills,
          |  CAST(sum(q) AS BIGINT) AS qty,
-         |  CAST(round(CAST(CAST(sum(CAST(pxc AS HUGEINT) * q)
-         |    AS DOUBLE) / CAST(sum(q) AS DOUBLE) / 100.0
-         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS vwap,
+         |  CASE WHEN sum(q) = 0 THEN NULL ELSE
+         |    CAST(round(CAST(CAST(sum(CAST(pxc AS HUGEINT) * q)
+         |      AS DOUBLE) / CAST(sum(q) AS DOUBLE) / 100.0
+         |      AS DECIMAL(20,10)), 4) AS DOUBLE) END AS vwap,
          |  CAST(round(CAST(CAST(sum(CAST(pxc AS HUGEINT)) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE) / 100.0
          |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS twap
@@ -11721,8 +11740,9 @@ object SparkEntry {
          |  FROM pst CROSS JOIN base WHERE rm <> '__none'),
          |tt AS (SELECT CAST(sum(re9) AS BIGINT) AS ret FROM re)
          |SELECT channel,
-         |  CAST(round(CAST(CAST(re9 AS DOUBLE) / b9
-         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS removal_effect,
+         |  CASE WHEN b9 = 0 THEN NULL ELSE
+         |    CAST(round(CAST(CAST(re9 AS DOUBLE) / b9
+         |      AS DECIMAL(20,10)), 4) AS DOUBLE) END AS removal_effect,
          |  CASE WHEN ret = 0 THEN NULL ELSE
          |    CAST(round(CAST(CAST(re9 AS DOUBLE) / ret
          |      AS DECIMAL(20,10)), 4) AS DOUBLE) END
@@ -11753,22 +11773,27 @@ object SparkEntry {
         |    n * sby - sb * sy AS cby, n * syy - sy * sy AS cyy
         |  FROM g),
         |s AS (SELECT n, sa, sb, sy, cay, cby, cyy,
+        |    caa * cbb - cab * cab AS det,
         |    CAST(cay * cbb - cby * cab AS DOUBLE)
         |      / CAST(caa * cbb - cab * cab AS DOUBLE) AS ba,
         |    CAST(cby * caa - cay * cab AS DOUBLE)
         |      / CAST(caa * cbb - cab * cab AS DOUBLE) AS bb
         |  FROM c)
         |SELECT CAST(n AS BIGINT) AS n,
-        |  CAST(round(CAST(ba / 100.0 AS DECIMAL(20,10)), 6) AS DOUBLE)
-        |    AS beta_size,
-        |  CAST(round(CAST(bb / 100.0 AS DECIMAL(20,10)), 6) AS DOUBLE)
-        |    AS beta_namelen,
-        |  CAST(round(CAST((CAST(sy AS DOUBLE) - ba * CAST(sa AS DOUBLE)
-        |    - bb * CAST(sb AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0
-        |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS intercept,
-        |  CAST(round(CAST((ba * CAST(cay AS DOUBLE)
-        |    + bb * CAST(cby AS DOUBLE)) / CAST(cyy AS DOUBLE)
-        |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS r2
+        |  CASE WHEN det = 0 THEN NULL ELSE
+        |    CAST(round(CAST(ba / 100.0 AS DECIMAL(20,10)), 6) AS DOUBLE)
+        |    END AS beta_size,
+        |  CASE WHEN det = 0 THEN NULL ELSE
+        |    CAST(round(CAST(bb / 100.0 AS DECIMAL(20,10)), 6) AS DOUBLE)
+        |    END AS beta_namelen,
+        |  CASE WHEN det = 0 THEN NULL ELSE
+        |    CAST(round(CAST((CAST(sy AS DOUBLE) - ba * CAST(sa AS DOUBLE)
+        |      - bb * CAST(sb AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0
+        |      AS DECIMAL(20,10)), 4) AS DOUBLE) END AS intercept,
+        |  CASE WHEN det = 0 OR cyy = 0 THEN NULL ELSE
+        |    CAST(round(CAST((ba * CAST(cay AS DOUBLE)
+        |      + bb * CAST(cby AS DOUBLE)) / CAST(cyy AS DOUBLE)
+        |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS r2
         |FROM s""".stripMargin,
 
     // Same ×1e6 idf snaps and directional mass ratio.

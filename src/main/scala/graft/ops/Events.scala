@@ -492,10 +492,14 @@ object Events {
       .select(col("rm").as("channel"),
         greatest(lit(0L), col("b9") - col("p9")).as("re9"), col("b9"))
     val tot = re.agg(sum(col("re9")).as("ret"))
+    // b9 = 0 (a corpus with zero conversions) must yield null, not a
+    // NaN→null-by-cast divergence from the SQL oracle (ADVICE r11)
     re.crossJoin(broadcast(tot))
       .select(col("channel"),
-        round((col("re9").cast("double") / col("b9").cast("double"))
-          .cast("decimal(20,10)"), 4).cast("double").as("removal_effect"),
+        when(col("b9") === 0, lit(null)).otherwise(
+          round((col("re9").cast("double") / col("b9").cast("double"))
+            .cast("decimal(20,10)"), 4).cast("double"))
+          .as("removal_effect"),
         when(col("ret") === 0, lit(null)).otherwise(
           round((col("re9").cast("double") / col("ret").cast("double"))
             .cast("decimal(20,10)"), 4).cast("double"))

@@ -482,16 +482,23 @@ object Graph {
   def shortestHopsPerSeed(edges: DataFrame, seeds: DataFrame,
                           maxHops: Int): DataFrame = {
     require(maxHops >= 0, "maxHops must be >= 0")
-    val e = edges.select(col("src"), col("dst"))
+    val big = maxHops > ckptEvery
+    val e0 = edges.select(col("src"), col("dst"))
+    val e = if (big) e0.persist() else e0
     var dist = seeds.select(col("id")).distinct()
       .select(col("id").as("seed"), col("id"), lit(0).as("hops"))
+    var owned: Option[DataFrame] = None
     for (h <- 1 to maxHops) {
       val next = dist.filter(col("hops") === h - 1)
         .join(e, col("id") === col("src"))
         .select(col("seed"), col("dst").as("id"), lit(h).as("hops"))
       dist = dist.unionByName(next)
         .groupBy(col("seed"), col("id")).agg(min(col("hops")).as("hops"))
+      if (big && (h % ckptEvery == 0 || h == maxHops)) {
+        val (c, o) = truncate(dist, owned); dist = c; owned = o
+      }
     }
+    if (big) e.unpersist(): Unit
     dist
   }
 
