@@ -3206,6 +3206,88 @@ object SparkEntry {
         t(s, dir, "documents").filter(col("doc_id") % 100 === 0)
           .select(col("doc_id").as("id")), 4)),
 
+    // Streaming gate: EVENT-TIME WATERMARK late-data semantics — the
+    // first gate query where the WATERMARK ITSELF decides rows (q309/
+    // q322/q324 replay content-idempotent pipelines the watermark
+    // never touches). THREE micro-batches split at the time
+    // terciles; batch 2 re-delivers every 13th FIRST-TERCILE event
+    // as late data. Spark's contract, mirrored µs-exactly by the
+    // oracle: late events filter against the PREVIOUS batch's
+    // watermark while eviction uses the current one (SPARK-40925 —
+    // an empirical find: with only two batches nothing ever drops,
+    // because batch 1's late-filter watermark is still 0). So a
+    // batch-2 row drops iff its hour-window end ≤ (ms-truncated max
+    // batch-0 event time − 72h) — the watermark that was CURRENT
+    // during batch 1 — survivors double-count, and the final no-data
+    // flush emits exactly the windows whose end ≤ the final
+    // watermark.
+    "q326_stream_watermark" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("ts"), col("event_type"),
+        col("value"), col("event_id"), unix_micros(col("ts")).as("us"))
+      val ext = ev.agg(min(col("us")).as("t0"), max(col("us")).as("t3"))
+        .select(
+          (col("t0") + floor((col("t3") - col("t0")) / 3).cast("long"))
+            .as("t1"),
+          (col("t0") + floor((col("t3") - col("t0")) * 2 / 3)
+            .cast("long")).as("t2"))
+      val evm = ev.crossJoin(broadcast(ext))
+      val pick = (c: Column) => evm.filter(c)
+        .select(col("ts"), col("event_type"), col("value"))
+      val b0 = pick(col("us") <= col("t1"))
+      val b1 = pick(col("us") > col("t1") && col("us") <= col("t2"))
+      val b2 = pick(col("us") > col("t2"))
+        .unionByName(pick(col("us") <= col("t1") &&
+          col("event_id") % 13 === 0))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q326")
+        .toFile.getAbsolutePath
+      val in = writeStreamBatches(Seq(b0, b1, b2), tmp)
+      val schema = s.read.parquet(in).schema
+      graft.streaming.Streams.runAvailableNow(
+        graft.streaming.Streams.hourlyRollup(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in), watermark = "72 hours"),
+        tmp + "/out", tmp + "/ck")
+      s.read.parquet(tmp + "/out")
+    }),
+
+    // Storage gate: CONCURRENT WRITER CONTENTION — two threads merge
+    // key-disjoint updates into the SAME partitions of one snapshot
+    // table at once; optimistic concurrency gives exactly one of each
+    // racing pair the manifest, the loser re-merges on the winner via
+    // mergeRetrying (Snapshot.scala manifest CAS). The final state is
+    // commit-order-independent because the writers' key sets are
+    // disjoint, so the oracle replays both updates unconditionally —
+    // lost updates, double-applies, or a swallowed retry all fail the
+    // round artifact now (the race was spec-only before).
+    "q327_merge_contention" -> ((s, dir) => {
+      import graft.sources.Snapshot
+      val uniq = bars(s, dir).filter(col("symbol") % 64 === 2)
+        .groupBy(col("symbol"), col("d"))
+        .agg(max(struct(col("ord"), col("px"), col("vol"))).as("w"))
+        .select(col("symbol"), col("d"),
+          col("w.px").as("px"), col("w.vol").as("vol"),
+          date_format(col("d"), "yyyy").as("m"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q327")
+        .toFile.getAbsolutePath + "/t"
+      Snapshot.merge(uniq.withColumn("version", lit(0L)), tbl,
+        Seq("symbol", "d"), "version", "m")
+      val wA = uniq.filter(col("symbol") % 128 === 2)
+        .withColumn("px", col("px") * 2).withColumn("version", lit(1L))
+      val wB = uniq.filter(col("symbol") % 128 === 66)
+        .withColumn("px", col("px") * 3).withColumn("version", lit(1L))
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ths = Seq(wA, wB).map(df => new Thread(() =>
+        try { Snapshot.mergeRetrying(df, tbl,
+          Seq("symbol", "d"), "version", "m"); () }
+        catch { case e: Throwable => errs.add(e); () }))
+      ths.foreach(_.start()); ths.foreach(_.join())
+      if (!errs.isEmpty) throw errs.peek()
+      Snapshot.read(s, tbl).groupBy(col("m"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("px")), 2).as("px_sum"),
+          sum(col("version")).cast("long").as("version_sum"))
+    }),
+
     // Text/provenance: WEIGHTED VOCAB CONTAINMENT — directional
     // C(A⊂B) = Σ_{t∈A∩B} idf_t / Σ_{t∈A} idf_t per source pair
     // (q168's Jaccard is symmetric and unweighted; containment says
@@ -11822,6 +11904,66 @@ object SparkEntry {
          |    AS harmonic
          |FROM d4 WHERE hops >= 1 GROUP BY 1""".stripMargin
     },
+
+    // Spark's watermark algebra µs-exact: batch-2 rows drop iff their
+    // hour-window end ≤ the watermark that was CURRENT during batch 1
+    // = (ms-truncated max batch-0 event time − 72h)·1000 (late filter
+    // lags eviction by one batch, SPARK-40925); windows emit iff end
+    // ≤ the final watermark.
+    "q326_stream_watermark" ->
+      """WITH ev AS (SELECT ts, event_type, value, event_id,
+        |    epoch_us(ts) AS us FROM events),
+        |ext AS (SELECT
+        |    min(us) + CAST(floor((max(us) - min(us)) / 3) AS BIGINT)
+        |      AS t1,
+        |    min(us) + CAST(floor((max(us) - min(us)) * 2 / 3)
+        |      AS BIGINT) AS t2,
+        |    max(us) AS gmax FROM ev),
+        |b0 AS (SELECT ts, event_type, value, us FROM ev
+        |  CROSS JOIN ext WHERE us <= t1),
+        |w1 AS (SELECT (max(us) // 1000 - 259200000) * 1000 AS wm1
+        |  FROM b0),
+        |wf AS (SELECT (gmax // 1000 - 259200000) * 1000 AS wmf
+        |  FROM ext),
+        |b1 AS (SELECT ts, event_type, value FROM ev CROSS JOIN ext
+        |  WHERE us > t1 AND us <= t2),
+        |b2 AS (SELECT ts, event_type, value FROM ev CROSS JOIN ext
+        |    WHERE us > t2
+        |  UNION ALL SELECT ts, event_type, value FROM ev CROSS JOIN ext
+        |    WHERE us <= t1 AND event_id % 13 = 0),
+        |acc AS (SELECT ts, event_type, value FROM b0
+        |  UNION ALL SELECT ts, event_type, value FROM b1
+        |  UNION ALL SELECT b2.ts, b2.event_type, b2.value
+        |  FROM b2 CROSS JOIN w1
+        |  WHERE epoch_us(date_trunc('hour', b2.ts) + INTERVAL 1 HOUR)
+        |    > wm1),
+        |agg AS (SELECT date_trunc('hour', ts) AS hour_start,
+        |    event_type, CAST(count(*) AS BIGINT) AS n,
+        |    round(sum(value), 2) AS value_sum
+        |  FROM acc GROUP BY 1, 2)
+        |SELECT hour_start, event_type, n, value_sum
+        |FROM agg CROSS JOIN wf
+        |WHERE epoch_us(hour_start + INTERVAL 1 HOUR) <= wmf"""
+        .stripMargin,
+
+    // Both writers' key-disjoint updates apply unconditionally — the
+    // committed state is commit-order-independent by construction.
+    "q327_merge_contention" ->
+      s"""WITH uniq AS (SELECT symbol, d, px, vol FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY symbol, d
+         |      ORDER BY ord DESC, px DESC, vol DESC) AS rn
+         |    FROM ($barsSql) WHERE symbol % 64 = 2) WHERE rn = 1),
+         |f AS (SELECT symbol, d,
+         |    CASE WHEN symbol % 128 = 2 THEN px * 2
+         |      WHEN symbol % 128 = 66 THEN px * 3 ELSE px END AS px,
+         |    CASE WHEN symbol % 128 = 2 OR symbol % 128 = 66
+         |      THEN 1 ELSE 0 END AS version
+         |  FROM uniq)
+         |SELECT strftime(d, '%Y') AS m,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  round(sum(px), 2) AS px_sum,
+         |  CAST(sum(version) AS BIGINT) AS version_sum
+         |FROM f GROUP BY 1""".stripMargin,
 
     // Same grouped running-below ranks and exact integer numerator.
     "q316_gini_activity" ->
