@@ -3288,6 +3288,171 @@ object SparkEntry {
           sum(col("version")).cast("long").as("version_sum"))
     }),
 
+    // Streaming gate: CRAWL-FRONTIER URL dedup replayed over the
+    // even/odd two-batch split — batch 1 URLs whose canonical form the
+    // committed frontier already holds are absorbed; within a batch
+    // the smallest doc_id per canonical key wins. Canonicalization is
+    // the codegen'd q130 chain; the anti-join runs against the
+    // frontier SNAPSHOT (urlDedupStream was spec-only).
+    "q328_url_dedup_stream" -> ((s, dir) => {
+      val du = docUrls(s, dir).select(col("doc_id"), col("url"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q328")
+        .toFile.getAbsolutePath
+      val in = writeStreamBatches(Seq(
+        du.filter(col("doc_id") % 2 === 0),
+        du.filter(col("doc_id") % 2 === 1)), tmp)
+      val schema = s.read.parquet(in).schema
+      graft.streaming.Streams.urlDedupStream(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(in), tmp + "/t", tmp + "/ck")
+      graft.sources.Snapshot.read(s, tmp + "/t")
+        .groupBy(col("ingest_batch"))
+        .agg(count(lit(1)).as("n_urls"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+    }),
+
+    // Streaming gate: HLL REGISTER stream — per-batch registers fold
+    // into the running table via the crash-atomic two-rename swap;
+    // because per-bucket max is associative+commutative, the final
+    // registers (and so the estimate) must equal the single-pass batch
+    // sketch, which is exactly what the oracle computes (q56's SQL
+    // register machinery). Gates sketchStream's merge + swap protocol
+    // end-to-end (was spec-only).
+    "q329_sketch_stream" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), col("user_id"), col("event_id"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q329")
+        .toFile.getAbsolutePath
+      val in = writeStreamBatches(Seq(
+        ev.filter(col("event_id") % 2 === 0),
+        ev.filter(col("event_id") % 2 === 1)), tmp)
+      val schema = s.read.parquet(in).schema
+      graft.streaming.Streams.sketchStream(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(in), tmp + "/reg", tmp + "/ck",
+        Seq("event_type"), col("user_id"))
+      Sketch.hllEstimate(s.read.parquet(tmp + "/reg"),
+        Seq("event_type"))
+    }),
+
+    // Streaming gate: the CORPUS-GROWING prefix-kernel dedup stream
+    // (dedupStream — the recall-COMPLETE sibling of q322's LSH path):
+    // because the prefix index is exact, the oracle needs no banding —
+    // batch-0 drops are earlier-id own-batch Jaccard ≥ 0.5 matches,
+    // batch-1 drops match batch-0 SURVIVORS at any id order or
+    // earlier-id own-batch rows.
+    "q330_dedup_stream" -> ((s, dir) => {
+      // third-corpus subset keyed on the BASE id so each planted
+      // near-dup pair survives or drops atomically (q213's audit
+      // economics): the gate proves the same incremental contract at
+      // ~1/9 the pair-join cost
+      val dd = docsDup(s, dir).filter((col("doc_id") % 10000) % 3 === 0)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q330")
+        .toFile.getAbsolutePath
+      val in = writeStreamBatches(Seq(
+        dd.filter(col("doc_id") % 2 === 0),
+        dd.filter(col("doc_id") % 2 === 1)), tmp)
+      val schema = s.read.parquet(in).schema
+      graft.streaming.Streams.dedupStream(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(in), tmp + "/t", tmp + "/ck", threshold = 0.5)
+      graft.sources.Snapshot.read(s, tmp + "/t")
+        .groupBy(col("ingest_batch"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+    }),
+
+    // Streaming gate: the VECTOR-modality dedup stream over the frozen
+    // IVF coarse model (annDedupStream): the first batch's 16
+    // lowest-id vectors seed the centroids; candidates are same-cell
+    // members of the committed corpus (any id order) ∪ earlier-id
+    // own-batch; exact double cosine ≥ 0.99 verifies. The oracle
+    // replays the frozen-seed assignment and both batch rounds.
+    "q331_ann_dedup_stream" -> ((s, dir) => {
+      // base-id-keyed third subset: planted (base, perturbed) pairs
+      // stay atomic, same-cell pair cost drops ~9x (q213 economics)
+      val vecs = q123Vectors(s, dir)
+        .filter((col("id") % 10000) % 3 === 0)
+        .select(col("id").as("doc_id"),
+          transform(col("vec"), _.cast("float")).as("vec"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q331")
+        .toFile.getAbsolutePath
+      val in = writeStreamBatches(Seq(
+        vecs.filter(col("doc_id") % 2 === 0),
+        vecs.filter(col("doc_id") % 2 === 1)), tmp)
+      val schema = s.read.parquet(in).schema
+      graft.streaming.Streams.annDedupStream(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(in), tmp + "/t", tmp + "/model", tmp + "/ck",
+        threshold = 0.9, centroidsK = 16)
+      graft.sources.Snapshot.read(s, tmp + "/t")
+        .groupBy(col("ingest_batch"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+    }),
+
+    // Storage gate: TAG PINNING through VACUUM — v1 is tagged, two
+    // more versions commit, then vacuum(keep=1) deletes every
+    // untagged old version. The tagged snapshot must stay readable
+    // (its data dirs pinned), the dropped middle version must be
+    // GONE, and the live head must read correctly. Facets: the tag
+    // read-back, the live read, and the retained version count.
+    "q332_snapshot_tags_vacuum" -> ((s, dir) => {
+      import graft.sources.Snapshot
+      val uniq = bars(s, dir).filter(col("symbol") % 64 === 3)
+        .groupBy(col("symbol"), col("d"))
+        .agg(max(struct(col("ord"), col("px"), col("vol"))).as("w"))
+        .select(col("symbol"), col("d"),
+          col("w.px").as("px"), col("w.vol").as("vol"),
+          date_format(col("d"), "yyyy").as("m"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q332")
+        .toFile.getAbsolutePath + "/t"
+      Snapshot.merge(uniq.withColumn("version", lit(0L)), tbl,
+        Seq("symbol", "d"), "version", "m")
+      Snapshot.tag(tbl, "baseline")
+      Snapshot.merge(uniq.filter(col("symbol") % 3 === 0)
+          .withColumn("px", col("px") * 2)
+          .withColumn("version", lit(1L)),
+        tbl, Seq("symbol", "d"), "version", "m")
+      Snapshot.merge(uniq.filter(col("symbol") % 3 === 1)
+          .withColumn("px", col("px") * 3)
+          .withColumn("version", lit(2L)),
+        tbl, Seq("symbol", "d"), "version", "m")
+      Snapshot.vacuum(tbl, keepVersions = 1, orphanAgeMs = 0L)
+      val facet = (df: DataFrame, name: String) => df
+        .agg(count(lit(1)).as("n"), round(sum(col("px")), 2)
+          .as("px_sum"))
+        .select(lit(name).as("facet"), col("n"), col("px_sum"))
+      facet(Snapshot.readTag(s, tbl, "baseline"), "tagged")
+        .unionByName(facet(Snapshot.read(s, tbl), "live"))
+        .unionByName(s.range(1).toDF("i")
+          .select(lit("versions").as("facet"),
+            lit(Snapshot.versions(tbl).size.toLong).as("n"),
+            lit(null).cast("double").as("px_sum")))
+    }),
+
+    // Storage gate: POINT-LOOKUP reads through footer-stats pruning —
+    // the doc_id-clustered commit keeps per-file key ranges disjoint,
+    // readForKeys opens only files whose range can hold a probed key,
+    // and the result (exact-filtered) must equal a plain WHERE IN.
+    // Gates the stats harvest + range intersection logic that q322/
+    // q331's verification reads rely on (was spec-only).
+    "q333_point_lookup" -> ((s, dir) => {
+      import graft.sources.Snapshot
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q333")
+        .toFile.getAbsolutePath + "/t"
+      Snapshot.commit(docs, tbl, clusterBy = Some("doc_id"),
+        clusterFiles = 16)
+      val keys = (0L until 4000L by 97L).map(_.toString)
+      Snapshot.readForKeys(s, tbl, "doc_id", keys)
+        .filter(col("doc_id") % 97 === 0 && col("doc_id") < 4000)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("chars_sum"))
+    }),
+
     // Text/provenance: WEIGHTED VOCAB CONTAINMENT — directional
     // C(A⊂B) = Σ_{t∈A∩B} idf_t / Σ_{t∈A} idf_t per source pair
     // (q168's Jaccard is symmetric and unweighted; containment says
@@ -11945,6 +12110,158 @@ object SparkEntry {
         |FROM agg CROSS JOIN wf
         |WHERE epoch_us(hour_start + INTERVAL 1 HOUR) <= wmf"""
         .stripMargin,
+
+    // The frontier replay: smallest doc_id per canonical key within a
+    // batch, batch-1 keys already in batch 0's committed frontier are
+    // absorbed.
+    "q328_url_dedup_stream" -> {
+      s"""WITH ${urlChainSql("a",
+              s"""SELECT doc_id, text,
+                 |    ${urlSql("doc_id", "source")} AS url
+                 |  FROM documents""".stripMargin)},
+         |b0 AS (SELECT canonical_url, CAST(min(doc_id) AS BIGINT)
+         |    AS doc_id
+         |  FROM acu WHERE doc_id % 2 = 0 GROUP BY 1),
+         |b1 AS (SELECT canonical_url, CAST(min(doc_id) AS BIGINT)
+         |    AS doc_id
+         |  FROM acu WHERE doc_id % 2 = 1 GROUP BY 1),
+         |n1 AS (SELECT * FROM b1 WHERE canonical_url NOT IN
+         |  (SELECT canonical_url FROM b0))
+         |SELECT CAST(0 AS BIGINT) AS ingest_batch,
+         |  CAST(count(*) AS BIGINT) AS n_urls,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum FROM b0
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+         |  CAST(sum(doc_id) AS BIGINT) FROM n1""".stripMargin
+    },
+
+    // Max is associative+commutative, so the streamed per-batch
+    // register folds equal the single-pass batch sketch — q56's exact
+    // SQL register machinery over (event_type, user_id).
+    "q329_sketch_stream" ->
+      s"""WITH h AS (SELECT event_type,
+         |    md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+         |parts AS (SELECT event_type, hx, substr(hx, 4, 29) AS rest,
+         |    ltrim(substr(hx, 4, 29), '0') AS st FROM h),
+         |reg AS (SELECT event_type,
+         |    CAST('0x' || substr(hx, 1, 3) AS BIGINT) AS bucket,
+         |    max(CASE WHEN length(st) = 0 THEN 117
+         |        ELSE (length(rest) - length(st)) * 4 +
+         |          (CASE WHEN substr(st, 1, 1) = '1' THEN 3
+         |                WHEN substr(st, 1, 1) IN ('2','3') THEN 2
+         |                WHEN substr(st, 1, 1) IN ('4','5','6','7')
+         |                  THEN 1
+         |                ELSE 0 END) + 1 END) AS rho
+         |  FROM parts GROUP BY 1, 2),
+         |${hllEstSql("reg", "event_type", "est")}
+         |SELECT event_type, est AS n_approx FROM est""".stripMargin,
+
+    // Recall-complete prefix kernel ⇒ the oracle is the bare Jaccard
+    // predicate: batch-0 drops vs earlier-id own-batch, batch-1 drops
+    // vs batch-0 survivors (any id order) ∪ earlier-id own-batch.
+    "q330_dedup_stream" -> {
+      val jacGe =
+        """round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+          |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+          |    4) >= 0.5""".stripMargin
+      s"""WITH u AS (SELECT * FROM ($docsDupSql)
+         |  WHERE (doc_id % 10000) % 3 = 0),
+         |tk AS (SELECT doc_id, $tokSql AS tk FROM u),
+         |shl AS (SELECT doc_id, doc_id % 2 AS bt,
+         |    CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
+         |      ELSE $shingleSql END AS sh FROM tk),
+         |p0 AS (SELECT DISTINCT a.doc_id FROM shl a JOIN shl b
+         |  ON a.bt = 0 AND b.bt = 0 AND a.doc_id > b.doc_id
+         |  WHERE $jacGe),
+         |s0 AS (SELECT * FROM shl WHERE bt = 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM p0)),
+         |cand1 AS (SELECT doc_id, sh, FALSE AS isnew FROM s0
+         |  UNION ALL SELECT doc_id, sh, TRUE FROM shl WHERE bt = 1),
+         |p1 AS (SELECT DISTINCT a.doc_id FROM shl a JOIN cand1 b
+         |  ON a.bt = 1 AND a.doc_id <> b.doc_id
+         |  AND (NOT b.isnew OR a.doc_id > b.doc_id)
+         |  WHERE $jacGe),
+         |s1 AS (SELECT * FROM shl WHERE bt = 1
+         |  AND doc_id NOT IN (SELECT doc_id FROM p1))
+         |SELECT CAST(0 AS BIGINT) AS ingest_batch,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum FROM s0
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+         |  CAST(sum(doc_id) AS BIGINT) FROM s1""".stripMargin
+    },
+
+    // Frozen-seed IVF assignment (16 lowest EVEN ids — batch 0 seeds
+    // the model), same-cell candidates with the incremental id-order
+    // rule, exact double cosine ≥ 0.9 round 6.
+    "q331_ann_dedup_stream" -> {
+      val cell =
+        s"""SELECT v.id, v.vec, ct.cid AS cell,
+           |    row_number() OVER (PARTITION BY v.id
+           |      ORDER BY round(${sqdSql("v.vec", "ct.cvec")}, 6),
+           |        ct.cid) AS pr
+           |  FROM e v CROSS JOIN ct""".stripMargin
+      s"""WITH e AS (SELECT * FROM (
+         |  SELECT vec_id AS id, embedding AS vec FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 10000 AS id,
+         |    [CASE WHEN i = 1
+         |       THEN CAST(CAST(embedding[i] AS DOUBLE) + 0.5 AS FLOAT)
+         |       ELSE embedding[i] END
+         |     for i in range(1, len(embedding) + 1)] AS vec
+         |  FROM embeddings) WHERE (id % 10000) % 3 = 0),
+         |ct AS (SELECT id AS cid, vec AS cvec FROM e
+         |  WHERE id % 2 = 0 ORDER BY id LIMIT 16),
+         |asg AS (SELECT id, vec, cell FROM ($cell) WHERE pr = 1),
+         |p0 AS (SELECT DISTINCT a.id FROM asg a JOIN asg b
+         |  ON a.id % 2 = 0 AND b.id % 2 = 0 AND a.cell = b.cell
+         |  AND a.id > b.id
+         |  WHERE round(${cosSql("a.vec", "b.vec")}, 6) >= 0.9),
+         |s0 AS (SELECT * FROM asg WHERE id % 2 = 0
+         |  AND id NOT IN (SELECT id FROM p0)),
+         |cand1 AS (SELECT id, vec, cell, FALSE AS isnew FROM s0
+         |  UNION ALL SELECT id, vec, cell, TRUE FROM asg
+         |  WHERE id % 2 = 1),
+         |p1 AS (SELECT DISTINCT a.id FROM asg a JOIN cand1 b
+         |  ON a.id % 2 = 1 AND a.cell = b.cell AND a.id <> b.id
+         |  AND (NOT b.isnew OR a.id > b.id)
+         |  WHERE round(${cosSql("a.vec", "b.vec")}, 6) >= 0.9),
+         |s1 AS (SELECT * FROM asg WHERE id % 2 = 1
+         |  AND id NOT IN (SELECT id FROM p1))
+         |SELECT CAST(0 AS BIGINT) AS ingest_batch,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(id) AS BIGINT) AS id_sum FROM s0
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+         |  CAST(sum(id) AS BIGINT) FROM s1""".stripMargin
+    },
+
+    // The tagged v1 must survive vacuum(keep=1) untouched, the live
+    // head is the two-update keep-latest, and exactly two manifests
+    // remain (the pinned tag + the head).
+    "q332_snapshot_tags_vacuum" ->
+      s"""WITH uniq AS (SELECT symbol, d, px, vol FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY symbol, d
+         |      ORDER BY ord DESC, px DESC, vol DESC) AS rn
+         |    FROM ($barsSql) WHERE symbol % 64 = 3) WHERE rn = 1),
+         |live AS (SELECT symbol, d,
+         |    CASE WHEN symbol % 3 = 1 THEN px * 3
+         |      WHEN symbol % 3 = 0 THEN px * 2 ELSE px END AS px
+         |  FROM uniq)
+         |SELECT 'tagged' AS facet, CAST(count(*) AS BIGINT) AS n,
+         |  round(sum(px), 2) AS px_sum FROM uniq
+         |UNION ALL SELECT 'live', CAST(count(*) AS BIGINT),
+         |  round(sum(px), 2) FROM live
+         |UNION ALL SELECT 'versions', CAST(2 AS BIGINT),
+         |  CAST(NULL AS DOUBLE)""".stripMargin,
+
+    // Point lookups are semantically a plain key filter — the pruning
+    // must never lose a key.
+    "q333_point_lookup" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents WHERE doc_id % 97 = 0 AND doc_id < 4000
+        |GROUP BY 1""".stripMargin,
 
     // Both writers' key-disjoint updates apply unconditionally — the
     // committed state is commit-order-independent by construction.
