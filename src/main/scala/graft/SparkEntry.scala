@@ -3453,6 +3453,137 @@ object SparkEntry {
           sum(col("n_chars")).cast("long").as("chars_sum"))
     }),
 
+    // Generation eval: CORPUS BLEU-4 — candidate = each doc with every
+    // 7th token dropped, reference = the doc itself (known-overlap
+    // fixture; the brevity penalty branch c < r is always live). All
+    // clipped n-gram counts are EXACT integers (per-(doc, gram)
+    // min(cand, ref) summed corpus-wide); the only doubles are the
+    // four ln ratios in one FIXED association + the BP exp — both
+    // engines run the identical IEEE chain.
+    "q334_bleu_eval" -> ((s, dir) => {
+      val pair = t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("ref"))
+        .withColumn("cand",
+          filter(col("ref"), (_, i) => (i + 1) % 7 =!= 0))
+        .persist()
+      def grams(c: Column, n: Int): Column =
+        when(size(c) >= n,
+          transform(sequence(lit(1), size(c) - (n - 1)),
+            i => concat_ws(" ", slice(c, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))
+      def counts(side: String, n: Int, as: String) = pair
+        .select(col("doc_id"), explode(grams(col(side), n)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as(as))
+      val perN = (1 to 4).map { n =>
+        counts("cand", n, "cc")
+          .join(counts("ref", n, "rc"), Seq("doc_id", "g"), "left")
+          .agg(sum(col("cc")).cast("long").as("total"),
+            sum(least(col("cc"), coalesce(col("rc"), lit(0L))))
+              .cast("long").as("matched"))
+          .select(lit(n).as("n"), col("matched"), col("total"))
+      }.reduce(_ unionByName _)
+      val wide = perN.groupBy()
+        .pivot("n", Seq(1, 2, 3, 4))
+        .agg(first(col("matched")).as("m"), first(col("total")).as("t"))
+      val lens = pair.agg(sum(size(col("cand"))).cast("long").as("c_len"),
+        sum(size(col("ref"))).cast("long").as("r_len"))
+      val p = (x: Int) => log(col(s"${x}_m").cast("double") /
+        col(s"${x}_t").cast("double"))
+      wide.crossJoin(lens)
+        .select(col("c_len"), col("r_len"),
+          col("1_m").as("matched_1"), col("1_t").as("total_1"),
+          col("2_m").as("matched_2"), col("2_t").as("total_2"),
+          col("3_m").as("matched_3"), col("3_t").as("total_3"),
+          col("4_m").as("matched_4"), col("4_t").as("total_4"),
+          when(col("1_m") === 0 || col("2_m") === 0 ||
+              col("3_m") === 0 || col("4_m") === 0 ||
+              col("c_len") === 0, lit(null)).otherwise(
+            round((when(col("c_len") < col("r_len"),
+                exp(lit(1.0) - col("r_len").cast("double") /
+                  col("c_len").cast("double"))).otherwise(lit(1.0)) *
+              exp((p(1) + p(2) + p(3) + p(4)) / lit(4.0)))
+              .cast("decimal(20,10)"), 6).cast("double")).as("bleu"))
+    }),
+
+    // Storage gate: SCHEMA EVOLUTION through MERGE — the second batch
+    // carries a NEW column (src) and doubled px for symbol%3=0; rows
+    // predating the column must null-fill at read time (untouched
+    // dirs are never rewritten). Gates the evolved-manifest read path
+    // q308/q323 never exercise.
+    "q335_schema_evolution" -> ((s, dir) => {
+      import graft.sources.Snapshot
+      val uniq = bars(s, dir).filter(col("symbol") % 64 === 4)
+        .groupBy(col("symbol"), col("d"))
+        .agg(max(struct(col("ord"), col("px"), col("vol"))).as("w"))
+        .select(col("symbol"), col("d"),
+          col("w.px").as("px"), col("w.vol").as("vol"),
+          date_format(col("d"), "yyyy").as("m"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q335")
+        .toFile.getAbsolutePath + "/t"
+      Snapshot.merge(uniq.withColumn("version", lit(0L)), tbl,
+        Seq("symbol", "d"), "version", "m")
+      Snapshot.merge(uniq.filter(col("symbol") % 3 === 0)
+          .withColumn("px", col("px") * 2)
+          .withColumn("version", lit(1L))
+          .withColumn("src", lit("late")),
+        tbl, Seq("symbol", "d"), "version", "m")
+      Snapshot.read(s, tbl)
+        .groupBy(coalesce(col("src"), lit("base")).as("src"))
+        .agg(count(lit(1)).as("n"), round(sum(col("px")), 2)
+          .as("px_sum"))
+    }),
+
+    // Storage gate: COMPACTION — four ingest-tagged partition dirs
+    // collapse into ONE (compactInto, symbol-clustered) with content
+    // byte-identical; the manifest dir count rides along as a column
+    // so a compaction that silently keeps extra dirs fails the gate.
+    "q336_snapshot_compaction" -> ((s, dir) => {
+      import graft.sources.Snapshot
+      val uniq = bars(s, dir).filter(col("symbol") % 64 === 5)
+        .groupBy(col("symbol"), col("d"))
+        .agg(max(struct(col("ord"), col("px"), col("vol"))).as("w"))
+        .select(col("symbol"), col("d"),
+          col("w.px").as("px"), col("w.vol").as("vol"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q336")
+        .toFile.getAbsolutePath + "/t"
+      for (i <- 0 to 3)
+        Snapshot.merge(uniq.filter(col("symbol") % 4 === i)
+            .withColumn("p", lit(i.toLong))
+            .withColumn("version", lit(0L)),
+          tbl, Seq("symbol", "d"), "version", "p")
+      Snapshot.compactInto(s, tbl, lit(9L), targetFiles = 1,
+        clusterBy = Some("symbol"))
+      val nDirs = Snapshot.readManifest(tbl,
+        Snapshot.latestVersion(tbl).get).dirs.size.toLong
+      Snapshot.read(s, tbl).groupBy(col("p"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("px")), 2).as("px_sum"))
+        .withColumn("n_dirs", lit(nDirs))
+    }),
+
+    // Storage gate: Z-ORDER + stats-pruned scan — the Morton-key
+    // commit makes per-file [min,max] tight on BOTH doc_id and
+    // n_chars at once; readStatsPruned on the n_chars range must
+    // return a superset that exact-filters to the plain WHERE-BETWEEN
+    // answer (pruning must never lose a row).
+    "q337_zorder_pruning" -> ((s, dir) => {
+      import graft.sources.Snapshot
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q337")
+        .toFile.getAbsolutePath + "/t"
+      Snapshot.commit(docs, tbl,
+        clusterByKey = Some(Snapshot.zorderKey(
+          Seq(col("doc_id"), col("n_chars").cast("long")), 13)),
+        clusterFiles = 16)
+      Snapshot.readStatsPruned(s, tbl, "n_chars",
+          Some("150"), Some("300"))
+        .filter(col("n_chars").between(150, 300))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+    }),
+
     // Text/provenance: WEIGHTED VOCAB CONTAINMENT — directional
     // C(A⊂B) = Σ_{t∈A∩B} idf_t / Σ_{t∈A} idf_t per source pair
     // (q168's Jaccard is symmetric and unweighted; containment says
@@ -12261,6 +12392,98 @@ object SparkEntry {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
         |FROM documents WHERE doc_id % 97 = 0 AND doc_id < 4000
+        |GROUP BY 1""".stripMargin,
+
+    // Same exact clipped counts (per-(doc, gram) least summed
+    // corpus-wide) and the identical fixed-association double chain.
+    "q334_bleu_eval" -> {
+      def gramsSql(src: String, n: Int): String =
+        if (n == 1) src
+        else s"""CASE WHEN len($src) >= $n
+                |  THEN [array_to_string($src[i:i+${n - 1}], ' ')
+                |    for i in range(1, len($src) - ${n - 2})]
+                |  ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+      def cntSql(side: String, n: Int, out: String): String =
+        s"""$out AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT doc_id, unnest(${gramsSql(side, n)}) AS g
+           |    FROM pair) GROUP BY 1, 2)""".stripMargin
+      def nSql(n: Int): String =
+        s"""${cntSql("cand", n, s"c$n")},
+           |${cntSql("ref", n, s"r$n")},
+           |p$n AS (SELECT CAST(sum(c$n.c) AS BIGINT) AS total,
+           |    CAST(sum(least(c$n.c, coalesce(r$n.c, 0))) AS BIGINT)
+           |      AS matched
+           |  FROM c$n LEFT JOIN r$n USING (doc_id, g))""".stripMargin
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS ref FROM documents),
+         |pair AS (SELECT doc_id, ref,
+         |    [ref[i] for i in range(1, len(ref) + 1) if i % 7 != 0]
+         |      AS cand
+         |  FROM tk),
+         |${nSql(1)},
+         |${nSql(2)},
+         |${nSql(3)},
+         |${nSql(4)},
+         |lens AS (SELECT CAST(sum(len(cand)) AS BIGINT) AS c_len,
+         |    CAST(sum(len(ref)) AS BIGINT) AS r_len FROM pair)
+         |SELECT c_len, r_len,
+         |  p1.matched AS matched_1, p1.total AS total_1,
+         |  p2.matched AS matched_2, p2.total AS total_2,
+         |  p3.matched AS matched_3, p3.total AS total_3,
+         |  p4.matched AS matched_4, p4.total AS total_4,
+         |  CASE WHEN p1.matched = 0 OR p2.matched = 0
+         |      OR p3.matched = 0 OR p4.matched = 0 OR c_len = 0
+         |    THEN NULL ELSE
+         |    CAST(round(CAST(
+         |      (CASE WHEN c_len < r_len
+         |        THEN exp(CAST(1.0 AS DOUBLE)
+         |          - CAST(r_len AS DOUBLE) / CAST(c_len AS DOUBLE))
+         |        ELSE CAST(1.0 AS DOUBLE) END)
+         |      * exp((ln(CAST(p1.matched AS DOUBLE)
+         |            / CAST(p1.total AS DOUBLE))
+         |          + ln(CAST(p2.matched AS DOUBLE)
+         |            / CAST(p2.total AS DOUBLE))
+         |          + ln(CAST(p3.matched AS DOUBLE)
+         |            / CAST(p3.total AS DOUBLE))
+         |          + ln(CAST(p4.matched AS DOUBLE)
+         |            / CAST(p4.total AS DOUBLE)))
+         |        / CAST(4.0 AS DOUBLE))
+         |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS bleu
+         |FROM p1, p2, p3, p4, lens""".stripMargin
+    },
+
+    // Rows overwritten by the evolved batch carry src='late' and
+    // doubled px; every pre-evolution row null-fills to 'base'.
+    "q335_schema_evolution" ->
+      s"""WITH uniq AS (SELECT symbol, d, px, vol FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY symbol, d
+         |      ORDER BY ord DESC, px DESC, vol DESC) AS rn
+         |    FROM ($barsSql) WHERE symbol % 64 = 4) WHERE rn = 1),
+         |f AS (SELECT CASE WHEN symbol % 3 = 0 THEN 'late'
+         |      ELSE 'base' END AS src,
+         |    CASE WHEN symbol % 3 = 0 THEN px * 2 ELSE px END AS px
+         |  FROM uniq)
+         |SELECT src, CAST(count(*) AS BIGINT) AS n,
+         |  round(sum(px), 2) AS px_sum
+         |FROM f GROUP BY 1""".stripMargin,
+
+    // Content survives compaction byte-identically under the single
+    // retag partition value; exactly one dir remains.
+    "q336_snapshot_compaction" ->
+      s"""WITH uniq AS (SELECT symbol, d, px, vol FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY symbol, d
+         |      ORDER BY ord DESC, px DESC, vol DESC) AS rn
+         |    FROM ($barsSql) WHERE symbol % 64 = 5) WHERE rn = 1)
+         |SELECT CAST(9 AS BIGINT) AS p,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  round(sum(px), 2) AS px_sum,
+         |  CAST(1 AS BIGINT) AS n_dirs
+         |FROM uniq""".stripMargin,
+
+    // Pruned scan + exact filter ≡ plain WHERE BETWEEN.
+    "q337_zorder_pruning" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM documents WHERE n_chars BETWEEN 150 AND 300
         |GROUP BY 1""".stripMargin,
 
     // Both writers' key-disjoint updates apply unconditionally — the
