@@ -3584,6 +3584,61 @@ object SparkEntry {
           sum(col("doc_id")).cast("long").as("id_sum"))
     }),
 
+    // Streaming gate: the CORPUS-HYGIENE router — per-batch quality /
+    // repetition / contamination scoring against a static benchmark
+    // shingle set, first-failing-gate reason taxonomy (V5 order:
+    // quality → repetition → contamination), accepts and rejects
+    // appended to separate sinks. Routing is per-row, so the batch
+    // split cannot change the answer — the gate proves the streamed
+    // scoring chain and the reason precedence (hygieneStream was
+    // spec-only). minQuality=0.35 puts ~a quarter of the corpus in
+    // the low_quality facet so the precedence rule is exercised.
+    "q338_hygiene_stream" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q338")
+        .toFile.getAbsolutePath
+      val in = writeStreamBatches(Seq(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1)), tmp)
+      val schema = s.read.parquet(in).schema
+      graft.streaming.Streams.hygieneStream(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(in), bench, tmp + "/acc", tmp + "/rej", tmp + "/ck",
+        minQuality = 0.35)
+      s.read.parquet(tmp + "/rej")
+        .groupBy(col("reason").as("facet")).agg(count(lit(1)).as("n"))
+        .unionByName(s.read.parquet(tmp + "/acc")
+          .agg(count(lit(1)).as("n"))
+          .select(lit("accepted").as("facet"), col("n")))
+    }),
+
+    // Streaming gate: the DISTRIBUTION-DRIFT monitor — per-batch
+    // histograms commit to a snapshot keyed by (epoch, content
+    // fingerprint) and the CUMULATIVE histogram PSI-scores against a
+    // static reference after every batch; one alarm row per batch.
+    // The oracle replays both cumulative PSIs and the exact md5-sum
+    // batch fingerprints (values ride as cent-integers so the
+    // string-cast inside the fingerprint is engine-portable).
+    "q339_drift_stream" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        round(col("value") * 100).cast("long").as("v"))
+      val ref = ev.filter(col("event_id") % 2 === 0)
+        .groupBy(floor(col("v") / 500.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_r"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q339")
+        .toFile.getAbsolutePath
+      val in = writeStreamBatches(Seq(
+        ev.filter(col("event_id") % 4 === 1).select(col("v")),
+        ev.filter(col("event_id") % 4 === 3).select(col("v"))), tmp)
+      val schema = s.read.parquet(in).schema
+      graft.streaming.Streams.driftStream(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(in), col("v"), 500.0, ref,
+        tmp + "/reg", tmp + "/alarms", tmp + "/ck")
+      s.read.parquet(tmp + "/alarms")
+    }),
+
     // Text/provenance: WEIGHTED VOCAB CONTAINMENT — directional
     // C(A⊂B) = Σ_{t∈A∩B} idf_t / Σ_{t∈A} idf_t per source pair
     // (q168's Jaccard is symmetric and unweighted; containment says
@@ -12485,6 +12540,97 @@ object SparkEntry {
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM documents WHERE n_chars BETWEEN 150 AND 300
         |GROUP BY 1""".stripMargin,
+
+    // Routing is per-row: first failing gate wins in the q24/q71/q70
+    // expression algebra; batch split can't change the answer.
+    "q338_hygiene_stream" ->
+      s"""WITH tkd AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |sc AS (SELECT doc_id,
+         |    CAST(round(CAST(0.4 * least(1.0, len(tk) / 100.0)
+         |      + 0.3 * (CASE WHEN len(tk) = 0 THEN 0.0
+         |          ELSE len(list_filter(tk,
+         |            t -> t IN ('the','a','of','to','and'))) * 1.0
+         |            / len(tk) END)
+         |      + 0.3 * (CASE WHEN len(tk) = 0 THEN 0.0
+         |          ELSE len(list_distinct(tk)) * 1.0 / len(tk) END)
+         |      AS DECIMAL(20,10)), 4) AS DOUBLE) AS quality,
+         |    CASE WHEN len(tk) < 3 THEN 0.0
+         |      ELSE CAST(round(CAST(CAST(1.0 AS DOUBLE)
+         |        - CAST(len(list_distinct(
+         |            [array_to_string(tk[i:i+2], ' ')
+         |             for i in range(1, len(tk) - 1)])) AS DOUBLE)
+         |          / (len(tk) - 2) AS DECIMAL(20,10)), 4) AS DOUBLE)
+         |    END AS repetition
+         |  FROM tkd),
+         |shq AS (SELECT doc_id, unnest($shingleSql) AS s FROM tkd),
+         |bench AS (SELECT DISTINCT s FROM shq WHERE doc_id % 10 = 0),
+         |shared AS (SELECT doc_id, CAST(count(*) AS BIGINT)
+         |    AS n_shared
+         |  FROM shq JOIN bench USING (s) GROUP BY 1),
+         |r AS (SELECT sc.doc_id,
+         |    CASE WHEN quality < 0.35 THEN 'low_quality'
+         |      WHEN repetition > 0.5 THEN 'repetitive'
+         |      WHEN coalesce(n_shared, 0) > 0 THEN 'contaminated'
+         |      END AS reason
+         |  FROM sc LEFT JOIN shared USING (doc_id))
+         |SELECT reason AS facet, CAST(count(*) AS BIGINT) AS n
+         |FROM r WHERE reason IS NOT NULL GROUP BY 1
+         |UNION ALL
+         |SELECT 'accepted', CAST(count(*) AS BIGINT)
+         |FROM r WHERE reason IS NULL""".stripMargin,
+
+    // Two cumulative PSIs (q90's ×1e6 term snap) + the exact md5-sum
+    // batch fingerprints over cent-integer value strings.
+    "q339_drift_stream" -> {
+      def fpSql(pred: String): String =
+        s"""'_' || CAST(CAST(sum(CAST(${h60("CAST(v AS VARCHAR)")}
+           |  AS HUGEINT)) % 1152921504606846976 AS BIGINT) AS VARCHAR)"""
+          .stripMargin
+      def psiSql(curCte: String, out: String): String =
+        s"""${out}tc AS (SELECT CAST(sum(n_c) AS BIGINT) AS t_c
+           |  FROM $curCte),
+           |${out}terms AS (SELECT
+           |    CAST(round((CAST(n_r AS DOUBLE) / t_r
+           |        - CAST(n_c AS DOUBLE) / t_c)
+           |      * ln((CAST(n_r AS DOUBLE) / t_r)
+           |        / (CAST(n_c AS DOUBLE) / t_c))
+           |      * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS term_fp
+           |  FROM ref JOIN $curCte USING (bin)
+           |  CROSS JOIN tr CROSS JOIN ${out}tc),
+           |$out AS (SELECT CAST(count(*) AS BIGINT) AS n_bins,
+           |    CAST(round(CAST(CAST(sum(term_fp) AS DOUBLE)
+           |      / CAST(1000000.0 AS DOUBLE) AS DECIMAL(20,10)), 4)
+           |      AS DOUBLE) AS psi
+           |  FROM ${out}terms)""".stripMargin
+      s"""WITH ev AS (SELECT event_id,
+         |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+         |ref AS (SELECT CAST(floor(v / CAST(500 AS DOUBLE)) AS BIGINT)
+         |      AS bin, CAST(count(*) AS BIGINT) AS n_r
+         |  FROM ev WHERE event_id % 2 = 0 GROUP BY 1),
+         |tr AS (SELECT CAST(sum(n_r) AS BIGINT) AS t_r FROM ref),
+         |b1 AS (SELECT v FROM ev WHERE event_id % 4 = 1),
+         |b2 AS (SELECT v FROM ev WHERE event_id % 4 = 3),
+         |h1 AS (SELECT CAST(floor(v / CAST(500 AS DOUBLE)) AS BIGINT)
+         |      AS bin, CAST(count(*) AS BIGINT) AS n_c
+         |  FROM b1 GROUP BY 1),
+         |h12 AS (SELECT CAST(floor(v / CAST(500 AS DOUBLE)) AS BIGINT)
+         |      AS bin, CAST(count(*) AS BIGINT) AS n_c
+         |  FROM (SELECT v FROM b1 UNION ALL SELECT v FROM b2)
+         |  GROUP BY 1),
+         |${psiSql("h1", "s1")},
+         |${psiSql("h12", "s2")},
+         |f1 AS (SELECT 'b0' || ${fpSql("")} AS batch_fp,
+         |    CAST(count(*) AS BIGINT) AS n_rows FROM b1),
+         |f2 AS (SELECT 'b1' || ${fpSql("")} AS batch_fp,
+         |    CAST(count(*) AS BIGINT) AS n_rows FROM b2)
+         |SELECT batch_fp, n_rows, n_bins, psi,
+         |  (n_bins = 0 OR psi >= CAST(0.2 AS DOUBLE)) AS alarm
+         |FROM f1 CROSS JOIN s1
+         |UNION ALL
+         |SELECT batch_fp, n_rows, n_bins, psi,
+         |  (n_bins = 0 OR psi >= CAST(0.2 AS DOUBLE)) AS alarm
+         |FROM f2 CROSS JOIN s2""".stripMargin
+    },
 
     // Both writers' key-disjoint updates apply unconditionally — the
     // committed state is commit-order-independent by construction.
