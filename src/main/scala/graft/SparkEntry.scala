@@ -3639,6 +3639,60 @@ object SparkEntry {
       s.read.parquet(tmp + "/alarms")
     }),
 
+    // Streaming gate: the PLAIN-PARQUET upsert stream (mergeStream →
+    // Merge.upsertIntoPath with dynamic partition overwrite — the
+    // non-transactional warehouse writer, vs q308/q309's snapshot
+    // path): batch 1's version-1 rows overwrite batch 0's committed
+    // version-0 rows per (symbol, d) key, touched partitions only.
+    "q340_merge_stream" -> ((s, dir) => {
+      val uniq = bars(s, dir).filter(col("symbol") % 64 === 6)
+        .groupBy(col("symbol"), col("d"))
+        .agg(max(struct(col("ord"), col("px"), col("vol"))).as("w"))
+        .select(col("symbol"), col("d"),
+          col("w.px").as("px"), col("w.vol").as("vol"),
+          date_format(col("d"), "yyyy").as("m"))
+      val b0 = uniq.withColumn("version", lit(0L))
+      val b1 = uniq.filter(col("symbol") % 3 === 0)
+        .withColumn("px", col("px") * 2).withColumn("version", lit(1L))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q340")
+        .toFile.getAbsolutePath
+      val in = writeStreamBatches(Seq(b0, b1), tmp)
+      val schema = s.read.parquet(in).schema
+      graft.streaming.Streams.mergeStream(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(in), tmp + "/t", tmp + "/ck",
+        Seq("symbol", "d"), "version", "m")
+      s.read.parquet(tmp + "/t").groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("px")), 2).as("px_sum"))
+    }),
+
+    // Generation eval: DISTINCT-N DIVERSITY — corpus-wide distinct
+    // n-gram counts and ratios for n=1..4 (the mode-collapse screen
+    // run beside q334's BLEU; a self-repetitive generator shows low
+    // distinct-2/3 long before quality scores move). Exact integer
+    // counts, one double ratio each.
+    "q341_distinct_ngrams" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+        .persist()
+      def grams(n: Int): Column =
+        when(size(col("tk")) >= n,
+          transform(sequence(lit(1), size(col("tk")) - (n - 1)),
+            i => concat_ws(" ", slice(col("tk"), i, lit(n)))))
+          .otherwise(array().cast("array<string>"))
+      (1 to 4).map { n =>
+        toks.select(explode(grams(n)).as("g"))
+          .agg(count(lit(1)).as("total"),
+            countDistinct(col("g")).as("distinct"))
+          .select(lit(n).as("n"), col("total"), col("distinct"),
+            when(col("total") === 0, lit(null)).otherwise(
+              round((col("distinct").cast("double") /
+                col("total").cast("double")).cast("decimal(20,10)"), 6)
+                .cast("double")).as("distinct_ratio"))
+      }.reduce(_ unionByName _)
+    }),
+
     // Text/provenance: WEIGHTED VOCAB CONTAINMENT — directional
     // C(A⊂B) = Σ_{t∈A∩B} idf_t / Σ_{t∈A} idf_t per source pair
     // (q168's Jaccard is symmetric and unweighted; containment says
@@ -12630,6 +12684,46 @@ object SparkEntry {
          |SELECT batch_fp, n_rows, n_bins, psi,
          |  (n_bins = 0 OR psi >= CAST(0.2 AS DOUBLE)) AS alarm
          |FROM f2 CROSS JOIN s2""".stripMargin
+    },
+
+    // q308's keep-latest-by-version algebra on the %64=6 slice.
+    "q340_merge_stream" ->
+      s"""WITH uniq AS (SELECT symbol, d, px, vol FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY symbol, d
+         |      ORDER BY ord DESC, px DESC, vol DESC) AS rn
+         |    FROM ($barsSql) WHERE symbol % 64 = 6) WHERE rn = 1),
+         |u AS (SELECT symbol, d, px, 0 AS version FROM uniq
+         |  UNION ALL SELECT symbol, d, px * 2, 1 FROM uniq
+         |  WHERE symbol % 3 = 0),
+         |f AS (SELECT * FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY symbol, d ORDER BY version DESC) AS rn
+         |  FROM u) WHERE rn = 1)
+         |SELECT symbol, CAST(count(*) AS BIGINT) AS n_rows,
+         |  round(sum(px), 2) AS px_sum
+         |FROM f GROUP BY 1""".stripMargin,
+
+    // Same per-n corpus gram totals and one double ratio each.
+    "q341_distinct_ngrams" -> {
+      def nSql(n: Int): String = {
+        val g = if (n == 1) "tk"
+        else s"""CASE WHEN len(tk) >= $n
+                |  THEN [array_to_string(tk[i:i+${n - 1}], ' ')
+                |    for i in range(1, len(tk) - ${n - 2})]
+                |  ELSE CAST([] AS VARCHAR[]) END""".stripMargin
+        s"""SELECT CAST($n AS INT) AS n,
+           |  CAST(count(*) AS BIGINT) AS total,
+           |  CAST(count(DISTINCT g) AS BIGINT) AS "distinct",
+           |  CASE WHEN count(*) = 0 THEN NULL ELSE
+           |    CAST(round(CAST(CAST(count(DISTINCT g) AS DOUBLE)
+           |      / CAST(count(*) AS DOUBLE) AS DECIMAL(20,10)), 6)
+           |      AS DOUBLE) END AS distinct_ratio
+           |FROM (SELECT unnest($g) AS g
+           |  FROM (SELECT $tokSql AS tk FROM documents))""".stripMargin
+      }
+      s"""${nSql(1)}
+         |UNION ALL ${nSql(2)}
+         |UNION ALL ${nSql(3)}
+         |UNION ALL ${nSql(4)}""".stripMargin
     },
 
     // Both writers' key-disjoint updates apply unconditionally — the
