@@ -37,6 +37,30 @@ class BenchSpec extends SparkSpec {
     assert(c > 0.0)
   }
 
+  test("instrumented pass records a start offset per query and " +
+      "interleaves probes at the requested cadence") {
+    val ok: (SparkSession, String) => DataFrame =
+      (s, _) => { import s.implicits._; Seq(1).toDF("x") }
+    val qs = (1 to 5).map(i => s"q$i" -> ok).toMap
+    val r = Bench.timeQueriesInstrumented(spark, "/nonexistent", qs,
+      probeEvery = 2)
+    assert(r.times.keySet == qs.keySet)
+    assert(r.startOffsets.keySet == qs.keySet)
+    // offsets are measured from pass start and strictly increase in
+    // execution order
+    val ordered = r.startOffsets.values.toSeq.sorted
+    assert(ordered.head >= 0.0 && ordered == ordered.distinct,
+      "start offsets must be distinct and non-negative")
+    // 5 queries at cadence 2 → probes after queries 2 and 4
+    assert(r.probes.map(_._1) == Seq(2, 4),
+      s"probe positions: ${r.probes.map(_._1)}")
+    assert(r.probes.forall(_._2 > 0.0))
+    // cadence 0 disables probing (the plain timeQueries path)
+    val r0 = Bench.timeQueriesInstrumented(spark, "/nonexistent", qs,
+      probeEvery = 0)
+    assert(r0.probes.isEmpty)
+  }
+
   test("a query whose plan fails at construction is also flagged") {
     val explodes: (SparkSession, String) => DataFrame =
       (_, _) => throw new IllegalStateException("bad query builder")
