@@ -3667,6 +3667,90 @@ object SparkEntry {
           round(sum(col("px")), 2).as("px_sum"))
     }),
 
+    // Storage gate: CHANGE DATA FEED with VALUES (the Delta-CDF
+    // semantic q323's key-only diff can't serve): inserts/deletes
+    // carry their rows, every changed key emits update_preimage (v1
+    // values) + update_postimage (v2 values). The same three-version
+    // fixture as q323 on its own slice; the oracle replays all four
+    // change classes with their px payloads.
+    "q342_cdc_feed" -> ((s, dir) => {
+      import graft.sources.Snapshot
+      val uniq = bars(s, dir).filter(col("symbol") % 64 === 7)
+        .groupBy(col("symbol"), col("d"))
+        .agg(max(struct(col("ord"), col("px"), col("vol"))).as("w"))
+        .select(col("symbol"), col("d"),
+          col("w.px").as("px"), col("w.vol").as("vol"),
+          date_format(col("d"), "yyyy").as("m"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q342")
+        .toFile.getAbsolutePath + "/t"
+      val v1 = Snapshot.merge(uniq.withColumn("version", lit(0L)), tbl,
+        Seq("symbol", "d"), "version", "m")
+      Snapshot.merge(
+        uniq.filter(col("symbol") % 3 === 0)
+          .withColumn("px", col("px") * 2)
+          .withColumn("version", lit(1L))
+          .unionByName(uniq.filter(col("symbol") % 7 === 0)
+            .select((-col("symbol")).as("symbol"), col("d"), col("px"),
+              col("vol"), col("m")).withColumn("version", lit(1L))),
+        tbl, Seq("symbol", "d"), "version", "m")
+      val v3 = Snapshot.deleteWhere(s, tbl, col("symbol") % 5 === 0)
+      Snapshot.cdf(s, tbl, v1, v3, Seq("symbol", "d"))
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("px")), 2)
+          .as("px_sum"))
+    }),
+
+    // Storage gate: INCREMENTAL VIEW MAINTENANCE off the change feed —
+    // the 100 TB pattern CDC exists for: the v1 per-symbol aggregate
+    // plus the CDF deltas (postimage/insert add, preimage/delete
+    // retract, exact integer cents so retraction can't drift) must
+    // equal the direct v3 aggregate, which is what the oracle
+    // computes. History is never rescanned; only the feed is.
+    "q343_cdc_view_maintenance" -> ((s, dir) => {
+      import graft.sources.Snapshot
+      val uniq = bars(s, dir).filter(col("symbol") % 64 === 8)
+        .groupBy(col("symbol"), col("d"))
+        .agg(max(struct(col("ord"), col("px"), col("vol"))).as("w"))
+        .select(col("symbol"), col("d"),
+          col("w.px").as("px"), col("w.vol").as("vol"),
+          date_format(col("d"), "yyyy").as("m"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q343")
+        .toFile.getAbsolutePath + "/t"
+      val v1 = Snapshot.merge(uniq.withColumn("version", lit(0L)), tbl,
+        Seq("symbol", "d"), "version", "m")
+      Snapshot.merge(
+        uniq.filter(col("symbol") % 3 === 0)
+          .withColumn("px", col("px") * 2)
+          .withColumn("version", lit(1L))
+          .unionByName(uniq.filter(col("symbol") % 7 === 0)
+            .select((-col("symbol")).as("symbol"), col("d"), col("px"),
+              col("vol"), col("m")).withColumn("version", lit(1L))),
+        tbl, Seq("symbol", "d"), "version", "m")
+      val v3 = Snapshot.deleteWhere(s, tbl, col("symbol") % 5 === 0)
+      val aggV1 = Snapshot.read(s, tbl, Some(v1))
+        .groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("px") * 100).cast("long")).as("pxc"))
+      val deltas = Snapshot.cdf(s, tbl, v1, v3, Seq("symbol", "d"))
+        .select(col("symbol"),
+          when(col("_change_type").isin("insert", "update_postimage"),
+            lit(1L)).otherwise(lit(-1L)).as("sgn"),
+          round(col("px") * 100).cast("long").as("pxc"))
+        .groupBy(col("symbol"))
+        .agg(sum(col("sgn")).as("dn"),
+          sum(col("sgn") * col("pxc")).as("dpxc"))
+      aggV1.join(deltas, Seq("symbol"), "full_outer")
+        .select(col("symbol"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_rows"),
+          (coalesce(col("pxc"), lit(0L)) +
+            coalesce(col("dpxc"), lit(0L))).as("pxc"))
+        .filter(col("n_rows") > 0)
+        .select(col("symbol"), col("n_rows"),
+          round((col("pxc").cast("double") / 100.0)
+            .cast("decimal(20,10)"), 2).cast("double").as("px_sum"))
+    }),
+
     // Generation eval: DISTINCT-N DIVERSITY — corpus-wide distinct
     // n-gram counts and ratios for n=1..4 (the mode-collapse screen
     // run beside q334's BLEU; a self-repetitive generator shows low
@@ -12701,6 +12785,57 @@ object SparkEntry {
          |SELECT symbol, CAST(count(*) AS BIGINT) AS n_rows,
          |  round(sum(px), 2) AS px_sum
          |FROM f GROUP BY 1""".stripMargin,
+
+    // All four change classes replayed with px payloads: inserts are
+    // the surviving mirrored keys (original px), deletes the %5 keys
+    // at v1 values, updates emit v1 and v2 rows per changed key.
+    "q342_cdc_feed" ->
+      s"""WITH uniq AS (SELECT symbol, d, px, vol FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY symbol, d
+         |      ORDER BY ord DESC, px DESC, vol DESC) AS rn
+         |    FROM ($barsSql) WHERE symbol % 64 = 7) WHERE rn = 1)
+         |SELECT 'insert' AS _change_type, CAST(count(*) AS BIGINT)
+         |    AS n, round(sum(px), 2) AS px_sum
+         |  FROM uniq WHERE symbol % 7 = 0 AND symbol % 5 <> 0
+         |  HAVING count(*) > 0
+         |UNION ALL
+         |SELECT 'delete', CAST(count(*) AS BIGINT), round(sum(px), 2)
+         |  FROM uniq WHERE symbol % 5 = 0 HAVING count(*) > 0
+         |UNION ALL
+         |SELECT 'update_preimage', CAST(count(*) AS BIGINT),
+         |    round(sum(px), 2)
+         |  FROM uniq WHERE symbol % 3 = 0 AND symbol % 5 <> 0
+         |  HAVING count(*) > 0
+         |UNION ALL
+         |SELECT 'update_postimage', CAST(count(*) AS BIGINT),
+         |    round(sum(px * 2), 2)
+         |  FROM uniq WHERE symbol % 3 = 0 AND symbol % 5 <> 0
+         |  HAVING count(*) > 0"""
+        .stripMargin,
+
+    // The maintained view must equal the direct v3 aggregate (cent
+    // integers end-to-end, one double division at the end).
+    "q343_cdc_view_maintenance" ->
+      s"""WITH uniq AS (SELECT symbol, d, px, vol FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY symbol, d
+         |      ORDER BY ord DESC, px DESC, vol DESC) AS rn
+         |    FROM ($barsSql) WHERE symbol % 64 = 8) WHERE rn = 1),
+         |u AS (SELECT symbol, d, px, 0 AS version FROM uniq
+         |  UNION ALL SELECT symbol, d, px * 2, 1 FROM uniq
+         |    WHERE symbol % 3 = 0
+         |  UNION ALL SELECT -symbol, d, px, 1 FROM uniq
+         |    WHERE symbol % 7 = 0),
+         |v2 AS (SELECT symbol, d, px FROM (
+         |    SELECT symbol, d, px, row_number() OVER (
+         |      PARTITION BY symbol, d ORDER BY version DESC) AS rn
+         |    FROM u)
+         |  WHERE rn = 1),
+         |v3 AS (SELECT * FROM v2 WHERE symbol % 5 <> 0)
+         |SELECT symbol, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(round(CAST(CAST(sum(CAST(round(px * 100) AS BIGINT))
+         |    AS DOUBLE) / 100.0 AS DECIMAL(20,10)), 2) AS DOUBLE)
+         |    AS px_sum
+         |FROM v3 GROUP BY 1""".stripMargin,
 
     // Same per-n corpus gram totals and one double ratio each.
     "q341_distinct_ngrams" -> {

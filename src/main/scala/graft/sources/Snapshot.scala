@@ -589,6 +589,57 @@ object Snapshot {
       .select(keys.map(col) :+ col("change_type"): _*)
   }
 
+  /** CHANGE DATA FEED between two retained versions — [[diff]] with the
+    * row VALUES (the Delta CDF semantic): inserts and deletes carry
+    * their full row; a changed key emits TWO rows, `update_preimage`
+    * (the v1 values) and `update_postimage` (the v2 values), so a
+    * downstream incremental view can retract the old contribution and
+    * apply the new one without rescanning either snapshot. Change
+    * detection fingerprints the columns COMMON to both versions (the
+    * [[diff]] rule — schema evolution can't flag rows that predate a
+    * column); emitted rows carry the union of both versions' columns,
+    * null-filled where a side lacks one. Output: keys ++ value columns
+    * ++ `_change_type` ∈ insert | delete | update_preimage |
+    * update_postimage.
+    *
+    * One shuffle on the key columns; values travel as structs beside
+    * the codegen'd md5 fingerprint, so the feed costs two scans + one
+    * full-outer join at any column count.
+    */
+  def cdf(spark: SparkSession, table: String, v1: Long, v2: Long,
+          keys: Seq[String]): DataFrame = {
+    val a = read(spark, table, Some(v1))
+    val b = read(spark, table, Some(v2))
+    val common = a.columns.toSet.intersect(b.columns.toSet)
+      .diff(keys.toSet).toSeq.sorted
+    val vals = (a.columns ++ b.columns).distinct.filterNot(keys.contains)
+    def side(df: DataFrame, tag: String) = {
+      val withAll = vals.foldLeft(df)((d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null)))
+      withAll.select(keys.map(col) ++ Seq(
+        md5(concat_ws("\u0001",
+          common.map(c => coalesce(col(c).cast("string"),
+            lit("\u0002"))): _*))
+          .as(s"__f$tag"),
+        struct(vals.map(col): _*).as(s"__v$tag")): _*)
+    }
+    val joined = side(a, "a").join(side(b, "b"), keys, "full_outer")
+    def emit(ct: String, v: String) =
+      joined.filter(ct match {
+        case "insert" => col("__fa").isNull
+        case "delete" => col("__fb").isNull
+        case _ => col("__fa").isNotNull && col("__fb").isNotNull &&
+          col("__fa") =!= col("__fb")
+      }).select(keys.map(col) ++
+        vals.map(c => col(s"$v.$c").as(c)) :+
+        lit(ct).as("_change_type"): _*)
+    emit("insert", "__vb")
+      .unionByName(emit("delete", "__va"))
+      .unionByName(emit("update_preimage", "__va"))
+      .unionByName(emit("update_postimage", "__vb"))
+  }
+
   /** Re-inject the partition column from the directory name on the scan —
     * one codegen'd regexp + percent-decode, no join, no shuffle. The
     * suffix extracted from input_file_name() carries TWO escape layers:

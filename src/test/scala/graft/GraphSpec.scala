@@ -288,6 +288,39 @@ class GraphSpec extends SparkSpec {
     assert((1L to 4L).forall(i => st(i) == ((1L, 3L))))
   }
 
+  test("shortestHopsPerSeed: per-seed BFS distances on a path + branch " +
+      "graph; deep runs return a checkpoint-truncated plan") {
+    // 0 -> 1 -> 2 -> 3 -> 4 and a shortcut 1 -> 3: min-hops must win
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L, 3L).toDF("id")
+    val got = Graph.shortestHopsPerSeed(edges, seeds, 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set(
+      (0L, 0L, 0), (0L, 1L, 1), (0L, 2L, 2), (0L, 3L, 2), (0L, 4L, 3),
+      (3L, 3L, 0), (3L, 4L, 1)), s"got $got")
+    // maxHops = 4 > ckptEvery: the ADVICE-r11 truncation must apply
+    val logical = Graph.shortestHopsPerSeed(edges, seeds, 4)
+      .queryExecution.logical.toString()
+    assert(logical.contains("LogicalRDD"),
+      s"expected checkpoint-truncated lineage, got:\n$logical")
+  }
+
+  test("harmonicCentrality: exact reciprocal sums on a known graph; " +
+      "unreached nodes contribute zero") {
+    // star out of 0 (0->1,0->2,0->3) plus 1->4: from 0, dists are
+    // 1,1,1,2 -> C_H = 3 + 1/2 = 3.5 over 4 reached; from 4, nothing
+    // is reachable -> no output row (count over empty group)
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 4L))
+      .toDF("src", "dst")
+    val got = Graph.harmonicCentrality(edges,
+        Seq(0L, 4L).toDF("id"), 4)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0L) == ((4L, 3.5)), s"got $got")
+    assert(!got.contains(4L), "an all-unreached seed emits no row")
+  }
+
   test("long iteration runs keep lineage bounded: a 12-round pageRank " +
       "returns a checkpoint-truncated plan with reference-exact values") {
     def ref(edges: Seq[(Long, Long)], iters: Int): Map[Long, Double] = {

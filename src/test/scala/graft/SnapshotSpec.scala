@@ -653,6 +653,58 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("cdf emits insert/delete rows with values and preimage+postimage " +
+      "pairs for changed keys") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      Snapshot.commit(
+        batch(("A", "2024-01-01", 10.0, 0L), ("B", "2024-01-01", 20.0, 0L),
+          ("C", "2024-01-02", 30.0, 0L)), t, Some("date"))
+      Snapshot.commit(
+        batch(("B", "2024-01-01", 21.0, 1L), ("C", "2024-01-02", 30.0, 0L),
+          ("D", "2024-01-03", 40.0, 0L)), t, Some("date"))
+      val rows = Snapshot.cdf(spark, t, 1L, 2L, Seq("symbol", "date"))
+        .select($"symbol", $"_change_type", $"close")
+        .as[(String, String, Double)].collect().toSet
+      assert(rows == Set(
+        ("D", "insert", 40.0),
+        ("A", "delete", 10.0),
+        ("B", "update_preimage", 20.0),
+        ("B", "update_postimage", 21.0)), s"got $rows")
+      // retraction algebra: v1 aggregate + signed deltas == v2 aggregate
+      val v1Sum = Snapshot.read(spark, t, Some(1L))
+        .agg(sum($"close")).as[Double].head()
+      val delta = Snapshot.cdf(spark, t, 1L, 2L, Seq("symbol", "date"))
+        .select(when($"_change_type".isin("insert", "update_postimage"),
+          $"close").otherwise(-$"close").as("d"))
+        .agg(sum($"d")).as[Double].head()
+      val v2Sum = Snapshot.read(spark, t, Some(2L))
+        .agg(sum($"close")).as[Double].head()
+      assert(math.abs(v1Sum + delta - v2Sum) < 1e-9)
+    }
+  }
+
+  test("cdf across a schema evolution: rows predating the new column " +
+      "null-fill; change detection ignores the one-sided column") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      Snapshot.merge(batch(("A", "2024-01-01", 10.0, 0L),
+        ("B", "2024-01-02", 20.0, 0L)), t,
+        Seq("symbol", "date"), "version", "date")
+      // evolved batch: B overwritten with a NEW column present
+      Snapshot.merge(
+        batch(("B", "2024-01-02", 22.0, 1L)).withColumn("src", lit("x")),
+        t, Seq("symbol", "date"), "version", "date")
+      val rows = Snapshot.cdf(spark, t, 1L, 2L, Seq("symbol", "date"))
+        .select($"symbol", $"_change_type", $"close", $"src")
+        .as[(String, String, Double, Option[String])].collect().toSet
+      // A unchanged (the v2-only src column cannot flag it); B changed
+      assert(rows == Set(
+        ("B", "update_preimage", 20.0, None),
+        ("B", "update_postimage", 22.0, Some("x"))), s"got $rows")
+    }
+  }
+
   test("merge carries untouched dirs' per-file stats by reference") {
     withTempDir { dir =>
       val t = dir.getAbsolutePath + "/t"
