@@ -118,6 +118,16 @@ object Bench {
     val calibPasses = passes.flatMap(p =>
       (p._2 +: p._1.probes.map(_._2)) :+ p._3)
     val calib = (calibStart +: calibPasses).min
+    // calib_s (the min) is "best-case host speed" and kept for
+    // round-over-round continuity, but a single anomalously fast probe
+    // poisons it (observed: one 0.103 among thirty 0.23-0.41 readings
+    // halved the apparent host cost). calib_med is the outlier-robust
+    // summary — use IT for cross-round normalization.
+    val calibMed = {
+      val s = (calibStart +: calibPasses).sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val results = passes.head._1.times.map { case (name, t1) =>
       name -> math.min(t1, passes(1)._1.times(name))
     }
@@ -162,7 +172,7 @@ object Bench {
         .map { case (i, c) => s"[$i,$c]" }.mkString("[", ",", "]")
       s"""{"t":${qmap(p.times)},"ts":${qmap(p.startOffsets)},"probes":$probeJson}"""
     }.mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","runs":2,"agg":"min","calib_s":$calib,"calib_start":$calibStart,"calib_passes":$calibJson,"passes":$passJson}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","runs":2,"agg":"min","calib_s":$calib,"calib_med":$calibMed,"calib_start":$calibStart,"calib_passes":$calibJson,"passes":$passJson}"""
     // Parse contract (4 rounds of "parsed": null taught us the hard way):
     //  - the forked child inherits sbt's real stdout (StdoutOutput), so the
     //    line lands unprefixed; build.sbt sets showSuccess := false, so sbt
@@ -195,7 +205,7 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case _: java.io.IOException => () }
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"runs":2,"agg":"min","calib_s":$calib,"queries_file":"target/bench.json"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"runs":2,"agg":"min","calib_s":$calib,"calib_med":$calibMed,"queries_file":"target/bench.json"}"""
     println(summary)
     System.out.flush()
   }

@@ -28,7 +28,10 @@ with open(args.bench) as f:
 passes = d.get("passes")
 if not passes:
     raise SystemExit("no `passes` field — run a Bench built after r12")
-best = min(min(c for _, c in ps["probes"]) for ps in passes)
+# median across all probes: a single anomalously fast probe must not
+# rescale every local_norm (observed 0.103 among thirty 0.23-0.41)
+allp = sorted(c for ps in passes for _, c in ps["probes"])
+best = allp[len(allp) // 2]
 
 def local_calib(ps, name):
     # position of the query within the pass = rank of its start offset
@@ -51,7 +54,7 @@ for name in passes[0]["t"]:
 
 sel = [r for r in rows if r[0] in args.query] if args.query else \
     sorted(rows, key=lambda r: -r[1])[:args.top]
-print(f"best calib {best:.3f}s; per-pass (time@calib):")
+print(f"median calib {best:.3f}s; per-pass (time@calib):")
 for name, raw_min, norm_min, per in sel:
     detail = "  ".join(f"{t:7.2f}s@{c:.3f}" for t, c in per)
     print(f"{name:34s} min={raw_min:7.2f}  local_norm={norm_min:7.2f}  {detail}")
