@@ -3751,6 +3751,95 @@ object SparkEntry {
             .cast("decimal(20,10)"), 2).cast("double").as("px_sum"))
     }),
 
+    // Streaming gate: PER-KEY RUNNING STATE (mapGroupsWithState,
+    // NoTimeout) — each micro-batch emits the UPDATED cumulative state
+    // for exactly the symbols that received data in it, so the sink
+    // holds one row per (batch, active symbol) with counts/max-date/
+    // min-close over everything seen SO FAR. Gates custom-state
+    // persistence across batches (symbolRunningState was spec-only);
+    // all three state fields are order-free (count, max, min), so the
+    // unsorted per-group iterator cannot perturb the result.
+    "q344_running_state_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.OutputMode
+      val b = bars(s, dir).filter(col("symbol") % 64 === 9)
+        .select(col("symbol").cast("string").as("symbol"),
+          col("d").as("date"), col("px").as("close"),
+          unix_date(col("d")).as("dd"))
+      val ext = b.agg(floor((min(col("dd")) + max(col("dd"))) / 2)
+        .cast("long").as("mid"))
+      val bm = b.crossJoin(broadcast(ext))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q344")
+        .toFile.getAbsolutePath
+      val in = writeStreamBatches(Seq(
+        bm.filter(col("dd") <= col("mid"))
+          .select(col("symbol"), col("date"), col("close")),
+        bm.filter(col("dd") > col("mid"))
+          .select(col("symbol"), col("date"), col("close"))), tmp)
+      val schema = s.read.parquet(in).schema
+      val states = graft.streaming.Streams.symbolRunningState(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(in)
+          .as[graft.streaming.Streams.BarEvent](
+            org.apache.spark.sql.Encoders.product[
+              graft.streaming.Streams.BarEvent]))
+      val q = states.toDF().writeStream
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", tmp + "/ck")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) =>
+            batch.write.mode("append").parquet(tmp + "/out")
+        }.start()
+      q.awaitTermination()
+      s.read.parquet(tmp + "/out")
+        .groupBy(col("symbol").cast("long").as("symbol"))
+        .agg(count(lit(1)).as("n_updates"),
+          max(col("nRows")).as("n_rows_final"),
+          max(col("lastDate")).cast("string").as("last_date"),
+          round(min(col("minClose")), 2).as("min_close"))
+    }),
+
+    // Streaming gate: EVENT-TIME-TIMEOUT sessions
+    // (flatMapGroupsWithState + Append) — a session row EXISTS only
+    // because a state timeout fired, so a broken timeout path empties
+    // the output. Two ts-ordered batches (no late data, so only the
+    // timeout machinery is under test): users going quiet before the
+    // first tercile emit mid-stream, the rest at the final no-data
+    // flush — and the OUTPUT collapses to a split-independent rule
+    // (emit iff last-event-ms + gap < final watermark, with cumulative
+    // stats), which is exactly what the oracle computes. Values ride
+    // as integer-valued doubles so the unsorted per-group fold stays
+    // exact.
+    "q345_expiring_sessions" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id").as("userId"),
+        col("ts"), round(col("value")).as("value"),
+        unix_micros(col("ts")).as("us"))
+      val ext = ev.agg(floor((min(col("us")) + max(col("us"))) / 2)
+        .cast("long").as("mid"))
+      val em = ev.crossJoin(broadcast(ext))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q345")
+        .toFile.getAbsolutePath
+      val in = writeStreamBatches(Seq(
+        em.filter(col("us") <= col("mid"))
+          .select(col("userId"), col("ts"), col("value")),
+        em.filter(col("us") > col("mid"))
+          .select(col("userId"), col("ts"), col("value"))), tmp)
+      val schema = s.read.parquet(in).schema
+      val out = graft.streaming.Streams.expiringSessions(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(in)
+          .as[graft.streaming.Streams.SessionEvent](
+            org.apache.spark.sql.Encoders.product[
+              graft.streaming.Streams.SessionEvent]),
+        watermark = "0 seconds", gapMs = 1800000L)
+      graft.streaming.Streams.runAvailableNow(out.toDF(),
+        tmp + "/out", tmp + "/ck")
+      s.read.parquet(tmp + "/out")
+        .select(col("userId").as("user_id"), col("n"),
+          col("valueSum").cast("long").as("value_sum"))
+    }),
+
     // Generation eval: DISTINCT-N DIVERSITY — corpus-wide distinct
     // n-gram counts and ratios for n=1..4 (the mode-collapse screen
     // run beside q334's BLEU; a self-repetitive generator shows low
@@ -12836,6 +12925,40 @@ object SparkEntry {
          |    AS DOUBLE) / 100.0 AS DECIMAL(20,10)), 2) AS DOUBLE)
          |    AS px_sum
          |FROM v3 GROUP BY 1""".stripMargin,
+
+    // Per-batch cumulative states for exactly the symbols active in
+    // each batch: n_updates = batches with data, finals = cumulative
+    // count/max/min (the last update carries the totals).
+    "q344_running_state_stream" ->
+      s"""WITH b AS (SELECT symbol, d, px,
+         |    date_diff('day', DATE '1970-01-01', d) AS dd
+         |  FROM ($barsSql) WHERE symbol % 64 = 9),
+         |ext AS (SELECT CAST(floor((min(dd) + max(dd)) / 2) AS BIGINT)
+         |    AS mid FROM b),
+         |g AS (SELECT symbol,
+         |    CAST(max(CASE WHEN dd <= mid THEN 1 ELSE 0 END)
+         |      + max(CASE WHEN dd > mid THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_updates,
+         |    CAST(count(*) AS BIGINT) AS n_rows_final,
+         |    CAST(max(d) AS VARCHAR) AS last_date,
+         |    round(min(px), 2) AS min_close
+         |  FROM b CROSS JOIN ext GROUP BY 1)
+         |SELECT symbol, n_updates, n_rows_final, last_date, min_close
+         |FROM g""".stripMargin,
+
+    // Split-independent emission rule: a session row exists iff the
+    // user's last-event millisecond + 30 min gap sits strictly below
+    // the final watermark; stats are cumulative over all their events.
+    "q345_expiring_sessions" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(round(value) AS BIGINT) AS v FROM events),
+        |g AS (SELECT user_id, max(us) // 1000 AS lms,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS value_sum
+        |  FROM ev GROUP BY 1),
+        |wmf AS (SELECT max(us) // 1000 AS w FROM ev)
+        |SELECT user_id, n, value_sum FROM g CROSS JOIN wmf
+        |WHERE lms + 1800000 < w""".stripMargin,
 
     // Same per-n corpus gram totals and one double ratio each.
     "q341_distinct_ngrams" -> {
