@@ -147,6 +147,19 @@ object SparkEntry {
     in.getPath
   }
 
+  /** Run `body` with spark.sql.shuffle.partitions scoped to `n`,
+    * restoring the previous value after. Stateful streaming queries
+    * keep state-store instances PER shuffle partition per micro-batch;
+    * at the session's 32 partitions the state machinery (not data)
+    * dominates a small gate query's cost — measured 13 s -> 5 s on
+    * q346 at 8 partitions. Batch queries never use this.
+    */
+  private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** DuckDB rendering of the same projection (kept in lockstep with bars). */
   private val barsSql =
     """SELECT l_partkey AS symbol, CAST(l_shipdate AS DATE) AS d,
@@ -3242,11 +3255,13 @@ object SparkEntry {
         .toFile.getAbsolutePath
       val in = writeStreamBatches(Seq(b0, b1, b2), tmp)
       val schema = s.read.parquet(in).schema
-      graft.streaming.Streams.runAvailableNow(
-        graft.streaming.Streams.hourlyRollup(
-          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-            .parquet(in), watermark = "72 hours"),
-        tmp + "/out", tmp + "/ck")
+      withShufflePartitions(s, 8) {
+        graft.streaming.Streams.runAvailableNow(
+          graft.streaming.Streams.hourlyRollup(
+            s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+              .parquet(in), watermark = "72 hours"),
+          tmp + "/out", tmp + "/ck")
+      }
       s.read.parquet(tmp + "/out")
     }),
 
@@ -3782,16 +3797,18 @@ object SparkEntry {
           .as[graft.streaming.Streams.BarEvent](
             org.apache.spark.sql.Encoders.product[
               graft.streaming.Streams.BarEvent]))
-      val q = states.toDF().writeStream
-        .outputMode(OutputMode.Update)
-        .option("checkpointLocation", tmp + "/ck")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .foreachBatch {
-          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-           _: Long) =>
-            batch.write.mode("append").parquet(tmp + "/out")
-        }.start()
-      q.awaitTermination()
+      withShufflePartitions(s, 8) {
+        val q = states.toDF().writeStream
+          .outputMode(OutputMode.Update)
+          .option("checkpointLocation", tmp + "/ck")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             _: Long) =>
+              batch.write.mode("append").parquet(tmp + "/out")
+          }.start()
+        q.awaitTermination()
+      }
       s.read.parquet(tmp + "/out")
         .groupBy(col("symbol").cast("long").as("symbol"))
         .agg(count(lit(1)).as("n_updates"),
@@ -3833,11 +3850,128 @@ object SparkEntry {
             org.apache.spark.sql.Encoders.product[
               graft.streaming.Streams.SessionEvent]),
         watermark = "0 seconds", gapMs = 1800000L)
-      graft.streaming.Streams.runAvailableNow(out.toDF(),
-        tmp + "/out", tmp + "/ck")
+      withShufflePartitions(s, 8) {
+        graft.streaming.Streams.runAvailableNow(out.toDF(),
+          tmp + "/out", tmp + "/ck")
+      }
       s.read.parquet(tmp + "/out")
         .select(col("userId").as("user_id"), col("n"),
           col("valueSum").cast("long").as("value_sum"))
+    }),
+
+    // Streaming gate: STREAM-STREAM INTERVAL JOIN — both sides replay
+    // as midpoint-aligned two-batch file streams; with in-order data
+    // the inner interval join's state retention (derived by Spark from
+    // the join bounds + watermark) must find EVERY cross-batch pair,
+    // so the streamed result equals the batch join (q48's shape on its
+    // own slice), which is what the oracle computes.
+    "q346_stream_interval_join" -> ((s, dir) => {
+      val e = t(s, dir, "events").filter(col("user_id") % 16 === 0)
+        .select(col("user_id"), col("ts"), col("value"),
+          unix_micros(col("ts")).as("us"))
+      val ext = e.agg(floor((min(col("us")) + max(col("us"))) / 2)
+        .cast("long").as("mid"))
+      val em = e.crossJoin(broadcast(ext))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q346")
+        .toFile.getAbsolutePath
+      val inL = writeStreamBatches(Seq(
+        em.filter(col("us") <= col("mid"))
+          .select(col("user_id"), col("ts").as("lts")),
+        em.filter(col("us") > col("mid"))
+          .select(col("user_id"), col("ts").as("lts"))), tmp + "/L")
+      val inR = writeStreamBatches(Seq(
+        em.filter(col("us") <= col("mid"))
+          .select(col("user_id"), col("ts").as("rts"), col("value")),
+        em.filter(col("us") > col("mid"))
+          .select(col("user_id"), col("ts").as("rts"), col("value"))),
+        tmp + "/R")
+      val l = s.readStream.schema(s.read.parquet(inL).schema)
+        .option("maxFilesPerTrigger", 1).parquet(inL)
+      val r = s.readStream.schema(s.read.parquet(inR).schema)
+        .option("maxFilesPerTrigger", 1).parquet(inR)
+      val joined = graft.streaming.Streams.intervalJoin(l, r, "user_id",
+          "lts", "rts", watermark = "0 seconds", within = "10 minutes")
+        .filter(col("rts") < col("lts"))
+        .select(col("l.user_id").as("user_id"), col("value"))
+      withShufflePartitions(s, 8) {
+        graft.streaming.Streams.runAvailableNow(joined,
+          tmp + "/out", tmp + "/ck")
+      }
+      s.read.parquet(tmp + "/out").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("value")), 2).as("pred_value_sum"))
+    }),
+
+    // Streaming gate: BUILT-IN SESSION WINDOWS with a watermark —
+    // sessions merge across the two batches in state and emit once the
+    // watermark passes the session end (last event + gap), so the
+    // output is the q43 gaps-and-islands session set FILTERED to
+    // sessions ending at or below the final watermark (ms-truncated
+    // max event time) — the still-open tail stays in state forever.
+    "q347_stream_session_windows" -> ((s, dir) => {
+      val e = t(s, dir, "events").filter(col("user_id") % 4 === 1)
+        .select(col("user_id"), col("ts"), col("value"),
+          unix_micros(col("ts")).as("us"))
+      val ext = e.agg(floor((min(col("us")) + max(col("us"))) / 2)
+        .cast("long").as("mid"))
+      val em = e.crossJoin(broadcast(ext))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q347")
+        .toFile.getAbsolutePath
+      val in = writeStreamBatches(Seq(
+        em.filter(col("us") <= col("mid"))
+          .select(col("user_id"), col("ts"), col("value")),
+        em.filter(col("us") > col("mid"))
+          .select(col("user_id"), col("ts"), col("value"))), tmp)
+      val schema = s.read.parquet(in).schema
+      val sess = graft.streaming.Streams.sessionRollup(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(in), "user_id", "30 minutes",
+        watermark = Some("0 seconds"))
+      withShufflePartitions(s, 8) {
+        graft.streaming.Streams.runAvailableNow(sess,
+          tmp + "/out", tmp + "/ck")
+      }
+      s.read.parquet(tmp + "/out").select(
+        unix_timestamp(col("session_start")).as("s_start"),
+        unix_timestamp(col("session_end")).as("s_end"),
+        col("user_id"), col("n"), col("value_sum"))
+    }),
+
+    // Streaming gate: WATERMARKED EXACTLY-ONCE KEY DEDUP — batch 1
+    // re-delivers every 13th batch-0 event byte-identically; the
+    // (event_id, ts) state must absorb all of them (the keys are still
+    // live: eviction uses the current watermark, and re-deliveries
+    // arrive one batch after the originals), so the output equals the
+    // plain one-copy aggregate.
+    "q348_stream_dedup_keys" -> ((s, dir) => {
+      val e = t(s, dir, "events").filter(col("user_id") % 4 === 2)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          round(col("value")).as("value"),
+          unix_micros(col("ts")).as("us"))
+      val ext = e.agg(floor((min(col("us")) + max(col("us"))) / 2)
+        .cast("long").as("mid"))
+      val em = e.crossJoin(broadcast(ext))
+      val pick = (c: Column) => em.filter(c)
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q348")
+        .toFile.getAbsolutePath
+      val in = writeStreamBatches(Seq(
+        pick(col("us") <= col("mid")),
+        pick(col("us") > col("mid"))
+          .unionByName(pick(col("us") <= col("mid") &&
+            col("event_id") % 13 === 0))), tmp)
+      val schema = s.read.parquet(in).schema
+      val deduped = graft.streaming.Streams.dedupByKey(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(in), "ts", "0 seconds", Seq("event_id"))
+      withShufflePartitions(s, 8) {
+        graft.streaming.Streams.runAvailableNow(deduped,
+          tmp + "/out", tmp + "/ck")
+      }
+      s.read.parquet(tmp + "/out")
+        .groupBy((col("user_id") % 10).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value")).cast("long").as("value_sum"))
     }),
 
     // Generation eval: DISTINCT-N DIVERSITY — corpus-wide distinct
@@ -12945,6 +13079,51 @@ object SparkEntry {
          |  FROM b CROSS JOIN ext GROUP BY 1)
          |SELECT symbol, n_updates, n_rows_final, last_date, min_close
          |FROM g""".stripMargin,
+
+    // The streamed inner interval join equals the batch join (q48's
+    // algebra on the %4=0 slice).
+    "q346_stream_interval_join" ->
+      """SELECT l.user_id AS user_id, count(*) AS n_pairs,
+        |  round(sum(r.value), 2) AS pred_value_sum
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        |  AND r.ts >= l.ts - INTERVAL 10 MINUTE
+        |  AND r.ts < l.ts
+        |WHERE l.user_id % 16 = 0 AND r.user_id % 16 = 0
+        |GROUP BY 1""".stripMargin,
+
+    // q43's gaps-and-islands sessions filtered to those whose end
+    // (last event + 30 min) is at or below the ms-truncated final
+    // watermark.
+    "q347_stream_session_windows" ->
+      """WITH ev AS (SELECT user_id, ts, value FROM events
+        |  WHERE user_id % 4 = 1),
+        |wm AS (SELECT (max(epoch_us(ts)) // 1000) * 1000 AS wmf
+        |  FROM ev),
+        |m AS (SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        |g AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS s_start,
+        |    CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT)
+        |      AS s_end,
+        |    epoch_us(max(ts) + INTERVAL 30 MINUTE) AS end_us,
+        |    user_id, CAST(count(*) AS BIGINT) AS n,
+        |    round(sum(value), 2) AS value_sum
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT s_start, s_end, user_id, n, value_sum
+        |FROM g CROSS JOIN wm WHERE end_us <= wmf""".stripMargin,
+
+    // Re-deliveries absorb to exactly one copy: the plain aggregate.
+    "q348_stream_dedup_keys" ->
+      """SELECT user_id % 10 AS bucket, CAST(count(*) AS BIGINT)
+        |    AS n_rows,
+        |  CAST(sum(CAST(round(value) AS BIGINT)) AS BIGINT)
+        |    AS value_sum
+        |FROM events WHERE user_id % 4 = 2 GROUP BY 1""".stripMargin,
 
     // Split-independent emission rule: a session row exists iff the
     // user's last-event millisecond + 30 min gap sits strictly below
