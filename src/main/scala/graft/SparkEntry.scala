@@ -3974,6 +3974,46 @@ object SparkEntry {
           sum(col("value")).cast("long").as("value_sum"))
     }),
 
+    // Sampling: WEIGHTED sampling WITHOUT replacement (Efraimidis-
+    // Spirakis A-ES) — the reservoir that q126's independent Bernoulli
+    // rates can't express (exactly k rows, inclusion ∝ weight): each
+    // item draws the deterministic md5-uniform u ∈ (0,1] and ranks by
+    // ln(u)/weight (the monotone log form of u^(1/w)); the top-k by
+    // that key IS the weighted sample. Zero RNG — the draw is the
+    // repo's md5 convention, the ln snaps ×1e6 (q72's proven-portable
+    // pattern) before the order, ties break on doc_id.
+    "q349_weighted_reservoir" -> ((s, dir) => {
+      val h = Dedup.hashLong(concat(lit("ws"),
+        col("doc_id").cast("string")))
+      val u = (h + 1).cast("double") /
+        lit(1152921504606846976L).cast("double")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          round(log(u) / col("n_chars").cast("double") * 1e6)
+            .cast("long").as("key6"))
+        .orderBy(col("key6").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // Storage gate: MANIFEST-ONLY count(*) — countStar answers from
+    // footer row counts without opening a data file; it must equal
+    // the scanned count, and both ride in the output so a stats
+    // harvest bug fails the round artifact (countStar was spec-only).
+    "q350_manifest_count" -> ((s, dir) => {
+      import graft.sources.Snapshot
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q350")
+        .toFile.getAbsolutePath + "/t"
+      Snapshot.commit(docs, tbl, Some("lang"))
+      val fromManifest = Snapshot.countStar(tbl).getOrElse(-1L)
+      Snapshot.read(s, tbl)
+        .agg(count(lit(1)).as("n_scanned"),
+          sum(col("n_chars")).cast("long").as("chars_sum"))
+        .select(lit(fromManifest).as("n_manifest"), col("n_scanned"),
+          col("chars_sum"))
+    }),
+
     // Generation eval: DISTINCT-N DIVERSITY — corpus-wide distinct
     // n-gram counts and ratios for n=1..4 (the mode-collapse screen
     // run beside q334's BLEU; a self-repetitive generator shows low
@@ -13138,6 +13178,23 @@ object SparkEntry {
         |wmf AS (SELECT max(us) // 1000 AS w FROM ev)
         |SELECT user_id, n, value_sum FROM g CROSS JOIN wmf
         |WHERE lms + 1800000 < w""".stripMargin,
+
+    // Same md5-uniform draw, same ×1e6 ln snap, same tie order.
+    "q349_weighted_reservoir" ->
+      s"""SELECT doc_id, n_chars,
+         |  CAST(round(ln(CAST(${h60("'ws' || CAST(doc_id AS VARCHAR)")}
+         |      + 1 AS DOUBLE)
+         |      / CAST(1152921504606846976 AS DOUBLE))
+         |    / CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS key6
+         |FROM documents
+         |ORDER BY key6 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Both counts are the plain scan truth.
+    "q350_manifest_count" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_manifest,
+        |  CAST(count(*) AS BIGINT) AS n_scanned,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents""".stripMargin,
 
     // Same per-n corpus gram totals and one double ratio each.
     "q341_distinct_ngrams" -> {
