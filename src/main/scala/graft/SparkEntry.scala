@@ -4014,6 +4014,24 @@ object SparkEntry {
           col("chars_sum"))
     }),
 
+    // Storage gate: MANIFEST-SIDE PARTITION PRUNING — readPruned keeps
+    // only the directories whose partition value passes the predicate
+    // (the scan never opens the rest), and because the partition
+    // column IS the filter column the pruned read is exactly the
+    // WHERE-IN answer (readPruned was spec-only).
+    "q351_partition_pruned_read" -> ((s, dir) => {
+      import graft.sources.Snapshot
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tbl = java.nio.file.Files.createTempDirectory("graft-q351")
+        .toFile.getAbsolutePath + "/t"
+      Snapshot.commit(docs, tbl, Some("lang"))
+      Snapshot.readPruned(s, tbl, v => v == "en" || v == "de")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("long").as("chars_sum"))
+    }),
+
     // Generation eval: DISTINCT-N DIVERSITY — corpus-wide distinct
     // n-gram counts and ratios for n=1..4 (the mode-collapse screen
     // run beside q334's BLEU; a self-repetitive generator shows low
@@ -13188,6 +13206,13 @@ object SparkEntry {
          |    / CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS key6
          |FROM documents
          |ORDER BY key6 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Partition pruning on the partition column IS the filter.
+    "q351_partition_pruned_read" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY 1""".stripMargin,
 
     // Both counts are the plain scan truth.
     "q350_manifest_count" ->
