@@ -55,7 +55,7 @@ object SparkEntry {
     */
   private[graft] def incUrls(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .select((col("doc_id") + 10000).as("nid"),
+      .select((col("doc_id") + 1000000000).as("nid"),
         when(col("doc_id") % 4 === 0, concat(col("source"), lit("x")))
           .otherwise(col("source")).as("src"))
       .select(crawlUrl(col("nid"), col("src")).as("url"))
@@ -85,7 +85,7 @@ object SparkEntry {
   private[graft] def q123Vectors(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id").as("id"),
       transform(col("embedding"), x => x.cast("double")).as("vec"))
-    val pert = t(s, dir, "embeddings").select((col("vec_id") + 10000).as("id"),
+    val pert = t(s, dir, "embeddings").select((col("vec_id") + 1000000000).as("id"),
       transform(col("embedding"), (x, i) =>
         when(i === 0, x.cast("double") + 0.5).otherwise(x.cast("double"))).as("vec"))
     e.unionByName(pert)
@@ -130,18 +130,52 @@ object SparkEntry {
     * oracle-checkable: the batch split is part of the query definition,
     * so the SQL oracle can replay batch 0's survivors before batch 1.
     */
+  /** Run-scoped root for the stream/storage gate queries' scratch
+    * tables and checkpoints: every gate allocates under ONE directory
+    * that a JVM shutdown hook deletes recursively, so repeated
+    * bench/verify runs don't accumulate /tmp data and a re-run never
+    * resumes from a stale checkpoint (r12 advisor finding — the ~30
+    * gate queries leaked ~2 dirs per pass each).
+    */
+  private lazy val gateTmpRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-gates-")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val fs = f.listFiles(); if (fs != null) fs.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root.toFile)
+    }))
+    root
+  }
+
+  /** A fresh scratch directory under [[gateTmpRoot]] (absolute path). */
+  private def gateTempDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(gateTmpRoot, tag)
+      .toFile.getAbsolutePath
+
   private def writeStreamBatches(batches: Seq[DataFrame],
                                  base: String): String = {
     val in = new java.io.File(base, "in"); in.mkdirs()
     batches.zipWithIndex.foreach { case (b, i) =>
       val tmp = new java.io.File(base, s"b$i")
       b.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      // batch ordering is LOAD-BEARING (FileStreamSource replays by
+      // mtime): name the missing part file instead of an opaque
+      // NoSuchElementException, and fail loudly if the filesystem
+      // refuses the mtime (Files.setLastModifiedTime throws; the
+      // boolean-returning File.setLastModified would fall back to
+      // incidental creation mtimes silently) — r12 advisor finding.
       val part = tmp.listFiles()
         .find(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet")).get
+          f.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(
+          s"writeStreamBatches: no part-*.parquet under ${tmp.getPath}; " +
+            s"found ${tmp.listFiles().map(_.getName).mkString(", ")}"))
       val dst = new java.io.File(in, f"$i%04d.parquet")
       java.nio.file.Files.move(part.toPath, dst.toPath)
-      dst.setLastModified(1000000L * (i + 1))
+      java.nio.file.Files.setLastModifiedTime(dst.toPath,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L * (i + 1)))
       tmp.listFiles().foreach(_.delete()); tmp.delete()
     }
     in.getPath
@@ -189,13 +223,13 @@ object SparkEntry {
     // ~-30% on the prefix-join family).
     val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       .repartition(s.sessionState.conf.numShufflePartitions)
-    d.unionByName(d.select((col("doc_id") + 10000).as("doc_id"),
+    d.unionByName(d.select((col("doc_id") + 1000000000).as("doc_id"),
       concat(col("text"), lit(" zz9 qq8")).as("text")))
   }
 
   private val docsDupSql =
     """SELECT doc_id, text FROM documents
-      |UNION ALL SELECT doc_id + 10000 AS doc_id, text || ' zz9 qq8' AS text
+      |UNION ALL SELECT doc_id + 1000000000 AS doc_id, text || ' zz9 qq8' AS text
       |FROM documents""".stripMargin
 
   /** DuckDB tokenization in lockstep with Text.tokens. */
@@ -967,7 +1001,7 @@ object SparkEntry {
         }
         val base = (id, Multimodal.bmpBytes(8, 7, px(perturb = false)))
         if (id % 5 == 0)
-          Seq(base, (id + 20000, Multimodal.bmpBytes(8, 7, px(perturb = true))))
+          Seq(base, (id + 2000000000, Multimodal.bmpBytes(8, 7, px(perturb = true))))
         else Seq(base)
       }
       // the hash table feeds both sides of the banded self-join (q29)
@@ -1747,9 +1781,9 @@ object SparkEntry {
       // re-attach) re-derive the tripled corpus — cache it once (q67's
       // convention)
       val dup = d
-        .unionByName(d.select((col("doc_id") + 10000).as("doc_id"),
+        .unionByName(d.select((col("doc_id") + 1000000000).as("doc_id"),
           col("text"), col("lang")))
-        .unionByName(d.select((col("doc_id") + 20000).as("doc_id"),
+        .unionByName(d.select((col("doc_id") + 2000000000).as("doc_id"),
           col("text"), col("lang")))
         .persist()
       val fp = dup.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
@@ -1837,9 +1871,9 @@ object SparkEntry {
         Dedup.hashedShingles(Text.tokens(col("text")), 3).as("hs"))
         .filter(size(col("hs")) > 0)
         .persist() // three consumers: base, planted probe, neighbor probe
-      val base = d.filter(col("id") < 10000)
-      val planted = d.filter(col("id") >= 10000)
-        .select((col("id") - 10000).as("id"), col("hs").as("hs_b"))
+      val base = d.filter(col("id") < 1000000000)
+      val planted = d.filter(col("id") >= 1000000000)
+        .select((col("id") - 1000000000).as("id"), col("hs").as("hs_b"))
       val neigh = base.select((col("id") - 1).as("id"),
         col("hs").as("hs_b"))
       val truePairs = base.join(planted, Seq("id"))
@@ -2097,13 +2131,13 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       val c0 = d.select(col("doc_id"), col("text"), col("lang"),
         col("source"), col("n_chars"))
-      val c1 = d.select((col("doc_id") + 10000).as("doc_id"),
+      val c1 = d.select((col("doc_id") + 1000000000).as("doc_id"),
         col("text"),
         when(col("doc_id") % 3 === 0, lit("yy")).otherwise(col("lang"))
           .as("lang"),
         lit("mirror").as("source"),
         (col("n_chars") + 2).as("n_chars"))
-      val c2 = d.select((col("doc_id") + 20000).as("doc_id"),
+      val c2 = d.select((col("doc_id") + 2000000000).as("doc_id"),
         col("text"),
         when(col("doc_id") % 5 === 0, lit("xx")).otherwise(col("lang"))
           .as("lang"),
@@ -2602,8 +2636,7 @@ object SparkEntry {
       val b1 = uniq.filter(col("symbol") % 3 === 0)
         .withColumn("px", col("px") * 2)
         .withColumn("version", lit(1L))
-      val tbl = java.nio.file.Files.createTempDirectory("graft-q308")
-        .toFile.getAbsolutePath + "/t"
+      val tbl = gateTempDir("q308") + "/t"
       Snapshot.merge(b0, tbl, Seq("symbol", "d"), "version", "m")
       Snapshot.merge(b1, tbl, Seq("symbol", "d"), "version", "m")
       Snapshot.read(s, tbl)
@@ -2623,8 +2656,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val stats = Sampling.profileMatchStats(docs, col("source"),
         col("n_chars"), 32)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q309")
-        .toFile.getAbsolutePath
+      val tmp = gateTempDir("q309")
       docs.select(col("source").as("g"), col("n_chars").as("v"),
           col("doc_id").cast("string").as("k"))
         .write.parquet(tmp + "/in")
@@ -3117,8 +3149,7 @@ object SparkEntry {
     // asymmetry now fails CORRECTNESS_rN, not just StreamingSpec.
     "q322_lsh_dedup_stream" -> ((s, dir) => {
       val dd = docsDup(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q322")
-        .toFile.getAbsolutePath
+      val tmp = gateTempDir("q322")
       val in = writeStreamBatches(Seq(
         dd.filter(col("doc_id") % 2 === 0),
         dd.filter(col("doc_id") % 2 === 1)), tmp)
@@ -3155,8 +3186,7 @@ object SparkEntry {
         .select(col("symbol"), col("d"),
           col("w.px").as("px"), col("w.vol").as("vol"),
           date_format(col("d"), "yyyy").as("m"))
-      val tbl = java.nio.file.Files.createTempDirectory("graft-q323")
-        .toFile.getAbsolutePath + "/t"
+      val tbl = gateTempDir("q323") + "/t"
       val v1 = Snapshot.merge(uniq.withColumn("version", lit(0L)),
         tbl, Seq("symbol", "d"), "version", "m")
       val upd = uniq.filter(col("symbol") % 3 === 0)
@@ -3190,11 +3220,10 @@ object SparkEntry {
         .select(col("p_partkey").as("rec_id"), col("p_name").as("name"))
       val len = length(col("name"))
       val k = (col("rec_id") % len).cast("int")
-      val variants = base.select((col("rec_id") + 20000).as("rec_id"),
+      val variants = base.select((col("rec_id") + 2000000000).as("rec_id"),
         concat(col("name").substr(lit(1), k),
           col("name").substr(k + 2, len)).as("name"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q324")
-        .toFile.getAbsolutePath
+      val tmp = gateTempDir("q324")
       val in = writeStreamBatches(Seq(base, variants), tmp)
       val schema = s.read.parquet(in).schema
       graft.streaming.Streams.erStream(
@@ -3251,8 +3280,7 @@ object SparkEntry {
       val b2 = pick(col("us") > col("t2"))
         .unionByName(pick(col("us") <= col("t1") &&
           col("event_id") % 13 === 0))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q326")
-        .toFile.getAbsolutePath
+      val tmp = gateTempDir("q326")
       val in = writeStreamBatches(Seq(b0, b1, b2), tmp)
       val schema = s.read.parquet(in).schema
       withShufflePartitions(s, 8) {
@@ -3282,8 +3310,7 @@ object SparkEntry {
         .select(col("symbol"), col("d"),
           col("w.px").as("px"), col("w.vol").as("vol"),
           date_format(col("d"), "yyyy").as("m"))
-      val tbl = java.nio.file.Files.createTempDirectory("graft-q327")
-        .toFile.getAbsolutePath + "/t"
+      val tbl = gateTempDir("q327") + "/t"
       Snapshot.merge(uniq.withColumn("version", lit(0L)), tbl,
         Seq("symbol", "d"), "version", "m")
       val wA = uniq.filter(col("symbol") % 128 === 2)
@@ -3311,8 +3338,7 @@ object SparkEntry {
     // frontier SNAPSHOT (urlDedupStream was spec-only).
     "q328_url_dedup_stream" -> ((s, dir) => {
       val du = docUrls(s, dir).select(col("doc_id"), col("url"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q328")
-        .toFile.getAbsolutePath
+      val tmp = gateTempDir("q328")
       val in = writeStreamBatches(Seq(
         du.filter(col("doc_id") % 2 === 0),
         du.filter(col("doc_id") % 2 === 1)), tmp)
@@ -3336,8 +3362,7 @@ object SparkEntry {
     "q329_sketch_stream" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("event_type"), col("user_id"), col("event_id"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q329")
-        .toFile.getAbsolutePath
+      val tmp = gateTempDir("q329")
       val in = writeStreamBatches(Seq(
         ev.filter(col("event_id") % 2 === 0),
         ev.filter(col("event_id") % 2 === 1)), tmp)
@@ -3361,9 +3386,8 @@ object SparkEntry {
       // near-dup pair survives or drops atomically (q213's audit
       // economics): the gate proves the same incremental contract at
       // ~1/9 the pair-join cost
-      val dd = docsDup(s, dir).filter((col("doc_id") % 10000) % 3 === 0)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q330")
-        .toFile.getAbsolutePath
+      val dd = docsDup(s, dir).filter((col("doc_id") % 1000000000) % 3 === 0)
+      val tmp = gateTempDir("q330")
       val in = writeStreamBatches(Seq(
         dd.filter(col("doc_id") % 2 === 0),
         dd.filter(col("doc_id") % 2 === 1)), tmp)
@@ -3387,11 +3411,10 @@ object SparkEntry {
       // base-id-keyed third subset: planted (base, perturbed) pairs
       // stay atomic, same-cell pair cost drops ~9x (q213 economics)
       val vecs = q123Vectors(s, dir)
-        .filter((col("id") % 10000) % 3 === 0)
+        .filter((col("id") % 1000000000) % 3 === 0)
         .select(col("id").as("doc_id"),
           transform(col("vec"), _.cast("float")).as("vec"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q331")
-        .toFile.getAbsolutePath
+      val tmp = gateTempDir("q331")
       val in = writeStreamBatches(Seq(
         vecs.filter(col("doc_id") % 2 === 0),
         vecs.filter(col("doc_id") % 2 === 1)), tmp)
@@ -3420,8 +3443,7 @@ object SparkEntry {
         .select(col("symbol"), col("d"),
           col("w.px").as("px"), col("w.vol").as("vol"),
           date_format(col("d"), "yyyy").as("m"))
-      val tbl = java.nio.file.Files.createTempDirectory("graft-q332")
-        .toFile.getAbsolutePath + "/t"
+      val tbl = gateTempDir("q332") + "/t"
       Snapshot.merge(uniq.withColumn("version", lit(0L)), tbl,
         Seq("symbol", "d"), "version", "m")
       Snapshot.tag(tbl, "baseline")
@@ -3456,8 +3478,7 @@ object SparkEntry {
       import graft.sources.Snapshot
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
-      val tbl = java.nio.file.Files.createTempDirectory("graft-q333")
-        .toFile.getAbsolutePath + "/t"
+      val tbl = gateTempDir("q333") + "/t"
       Snapshot.commit(docs, tbl, clusterBy = Some("doc_id"),
         clusterFiles = 16)
       val keys = (0L until 4000L by 97L).map(_.toString)
@@ -3533,8 +3554,7 @@ object SparkEntry {
         .select(col("symbol"), col("d"),
           col("w.px").as("px"), col("w.vol").as("vol"),
           date_format(col("d"), "yyyy").as("m"))
-      val tbl = java.nio.file.Files.createTempDirectory("graft-q335")
-        .toFile.getAbsolutePath + "/t"
+      val tbl = gateTempDir("q335") + "/t"
       Snapshot.merge(uniq.withColumn("version", lit(0L)), tbl,
         Seq("symbol", "d"), "version", "m")
       Snapshot.merge(uniq.filter(col("symbol") % 3 === 0)
@@ -3559,8 +3579,7 @@ object SparkEntry {
         .agg(max(struct(col("ord"), col("px"), col("vol"))).as("w"))
         .select(col("symbol"), col("d"),
           col("w.px").as("px"), col("w.vol").as("vol"))
-      val tbl = java.nio.file.Files.createTempDirectory("graft-q336")
-        .toFile.getAbsolutePath + "/t"
+      val tbl = gateTempDir("q336") + "/t"
       for (i <- 0 to 3)
         Snapshot.merge(uniq.filter(col("symbol") % 4 === i)
             .withColumn("p", lit(i.toLong))
@@ -3585,8 +3604,7 @@ object SparkEntry {
       import graft.sources.Snapshot
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
-      val tbl = java.nio.file.Files.createTempDirectory("graft-q337")
-        .toFile.getAbsolutePath + "/t"
+      val tbl = gateTempDir("q337") + "/t"
       Snapshot.commit(docs, tbl,
         clusterByKey = Some(Snapshot.zorderKey(
           Seq(col("doc_id"), col("n_chars").cast("long")), 13)),
@@ -3611,8 +3629,7 @@ object SparkEntry {
     "q338_hygiene_stream" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val bench = docs.filter(col("doc_id") % 10 === 0)
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q338")
-        .toFile.getAbsolutePath
+      val tmp = gateTempDir("q338")
       val in = writeStreamBatches(Seq(
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1)), tmp)
@@ -3641,8 +3658,7 @@ object SparkEntry {
       val ref = ev.filter(col("event_id") % 2 === 0)
         .groupBy(floor(col("v") / 500.0).cast("long").as("bin"))
         .agg(count(lit(1)).as("n_r"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q339")
-        .toFile.getAbsolutePath
+      val tmp = gateTempDir("q339")
       val in = writeStreamBatches(Seq(
         ev.filter(col("event_id") % 4 === 1).select(col("v")),
         ev.filter(col("event_id") % 4 === 3).select(col("v"))), tmp)
@@ -3669,8 +3685,7 @@ object SparkEntry {
       val b0 = uniq.withColumn("version", lit(0L))
       val b1 = uniq.filter(col("symbol") % 3 === 0)
         .withColumn("px", col("px") * 2).withColumn("version", lit(1L))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q340")
-        .toFile.getAbsolutePath
+      val tmp = gateTempDir("q340")
       val in = writeStreamBatches(Seq(b0, b1), tmp)
       val schema = s.read.parquet(in).schema
       graft.streaming.Streams.mergeStream(
@@ -3696,8 +3711,7 @@ object SparkEntry {
         .select(col("symbol"), col("d"),
           col("w.px").as("px"), col("w.vol").as("vol"),
           date_format(col("d"), "yyyy").as("m"))
-      val tbl = java.nio.file.Files.createTempDirectory("graft-q342")
-        .toFile.getAbsolutePath + "/t"
+      val tbl = gateTempDir("q342") + "/t"
       val v1 = Snapshot.merge(uniq.withColumn("version", lit(0L)), tbl,
         Seq("symbol", "d"), "version", "m")
       Snapshot.merge(
@@ -3729,8 +3743,7 @@ object SparkEntry {
         .select(col("symbol"), col("d"),
           col("w.px").as("px"), col("w.vol").as("vol"),
           date_format(col("d"), "yyyy").as("m"))
-      val tbl = java.nio.file.Files.createTempDirectory("graft-q343")
-        .toFile.getAbsolutePath + "/t"
+      val tbl = gateTempDir("q343") + "/t"
       val v1 = Snapshot.merge(uniq.withColumn("version", lit(0L)), tbl,
         Seq("symbol", "d"), "version", "m")
       Snapshot.merge(
@@ -3783,8 +3796,7 @@ object SparkEntry {
       val ext = b.agg(floor((min(col("dd")) + max(col("dd"))) / 2)
         .cast("long").as("mid"))
       val bm = b.crossJoin(broadcast(ext))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q344")
-        .toFile.getAbsolutePath
+      val tmp = gateTempDir("q344")
       val in = writeStreamBatches(Seq(
         bm.filter(col("dd") <= col("mid"))
           .select(col("symbol"), col("date"), col("close")),
@@ -3835,8 +3847,7 @@ object SparkEntry {
       val ext = ev.agg(floor((min(col("us")) + max(col("us"))) / 2)
         .cast("long").as("mid"))
       val em = ev.crossJoin(broadcast(ext))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q345")
-        .toFile.getAbsolutePath
+      val tmp = gateTempDir("q345")
       val in = writeStreamBatches(Seq(
         em.filter(col("us") <= col("mid"))
           .select(col("userId"), col("ts"), col("value")),
@@ -3872,8 +3883,7 @@ object SparkEntry {
       val ext = e.agg(floor((min(col("us")) + max(col("us"))) / 2)
         .cast("long").as("mid"))
       val em = e.crossJoin(broadcast(ext))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q346")
-        .toFile.getAbsolutePath
+      val tmp = gateTempDir("q346")
       val inL = writeStreamBatches(Seq(
         em.filter(col("us") <= col("mid"))
           .select(col("user_id"), col("ts").as("lts")),
@@ -3915,8 +3925,7 @@ object SparkEntry {
       val ext = e.agg(floor((min(col("us")) + max(col("us"))) / 2)
         .cast("long").as("mid"))
       val em = e.crossJoin(broadcast(ext))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q347")
-        .toFile.getAbsolutePath
+      val tmp = gateTempDir("q347")
       val in = writeStreamBatches(Seq(
         em.filter(col("us") <= col("mid"))
           .select(col("user_id"), col("ts"), col("value")),
@@ -3953,8 +3962,7 @@ object SparkEntry {
       val em = e.crossJoin(broadcast(ext))
       val pick = (c: Column) => em.filter(c)
         .select(col("event_id"), col("ts"), col("user_id"), col("value"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-q348")
-        .toFile.getAbsolutePath
+      val tmp = gateTempDir("q348")
       val in = writeStreamBatches(Seq(
         pick(col("us") <= col("mid")),
         pick(col("us") > col("mid"))
@@ -3988,6 +3996,10 @@ object SparkEntry {
       val u = (h + 1).cast("double") /
         lit(1152921504606846976L).cast("double")
       t(s, dir, "documents")
+        // positivity guard (r12 advisor): a zero-length doc would put
+        // -Inf/0 into the key — engines disagree on the cast; weight
+        // needs n_chars >= 1, identical filter in the oracle
+        .filter(col("n_chars") > 0)
         .select(col("doc_id"), col("n_chars"),
           round(log(u) / col("n_chars").cast("double") * 1e6)
             .cast("long").as("key6"))
@@ -4003,8 +4015,7 @@ object SparkEntry {
       import graft.sources.Snapshot
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
-      val tbl = java.nio.file.Files.createTempDirectory("graft-q350")
-        .toFile.getAbsolutePath + "/t"
+      val tbl = gateTempDir("q350") + "/t"
       Snapshot.commit(docs, tbl, Some("lang"))
       val fromManifest = Snapshot.countStar(tbl).getOrElse(-1L)
       Snapshot.read(s, tbl)
@@ -4023,8 +4034,7 @@ object SparkEntry {
       import graft.sources.Snapshot
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
-      val tbl = java.nio.file.Files.createTempDirectory("graft-q351")
-        .toFile.getAbsolutePath + "/t"
+      val tbl = gateTempDir("q351") + "/t"
       Snapshot.commit(docs, tbl, Some("lang"))
       Snapshot.readPruned(s, tbl, v => v == "en" || v == "de")
         .groupBy(col("lang"))
@@ -4313,10 +4323,10 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("text"))
       val corpus = base
         .unionByName(base.filter(col("doc_id") % 3 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"),
+          .select((col("doc_id") + 3000000000L).as("doc_id"),
             lit("mirror1").as("source"), col("text")))
         .unionByName(base.filter(col("doc_id") % 7 === 0)
-          .select((col("doc_id") + 200000).as("doc_id"),
+          .select((col("doc_id") + 4000000000L).as("doc_id"),
             lit("mirror2").as("source"), col("text")))
         .select(col("doc_id"), col("source"),
           Text.fingerprint(col("text")).as("fp"))
@@ -5370,7 +5380,7 @@ object SparkEntry {
       // join yields ~7M pairs at sf0.1 — real work, wrong question)
       val probes = parts.filter(col("p_partkey") % 10 === 0)
         .select(
-          (col("p_partkey") + 20000).as("probe_id"),
+          (col("p_partkey") + 2000000000).as("probe_id"),
           concat(col("p_name").substr(lit(1), k),
             col("p_name").substr(k + 2, len)).as("pn"))
         .withColumn("sg", graft.functions.NativeFunctions
@@ -6295,7 +6305,7 @@ object SparkEntry {
       val docs = base.select(col("doc_id"),
           concat(col("text"), lit(" order 123 total 45")).as("t"))
         .unionByName(base.filter(col("doc_id") % 3 === 0)
-          .select((col("doc_id") + 20000).as("doc_id"),
+          .select((col("doc_id") + 2000000000).as("doc_id"),
             concat(col("text"), lit(" order 999 total 7")).as("t")))
       docs.groupBy(md5(Dedup.templateSkeleton(col("t"))).as("fp"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("kept_id"))
@@ -6397,7 +6407,7 @@ object SparkEntry {
       // (docsDup's fan-out lesson; both derived sides inherit it)
       val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .repartition(s.sessionState.conf.numShufflePartitions)
-      val inc = base.select((col("doc_id") + 10000).as("doc_id"),
+      val inc = base.select((col("doc_id") + 1000000000).as("doc_id"),
         when(col("doc_id") % 2 === 0, col("text"))
           .otherwise(array_join(sort_array(Text.tokens(col("text"))), " "))
           .as("text"))
@@ -6586,7 +6596,7 @@ object SparkEntry {
         .select(col("p_partkey").as("id"), col("p_name").as("name"))
       val len = length(col("name"))
       val k = (col("id") % len).cast("int")
-      val variants = parts.select((col("id") + 20000).as("id"),
+      val variants = parts.select((col("id") + 2000000000).as("id"),
         concat(col("name").substr(lit(1), k),
           col("name").substr(k + 2, len)).as("name"))
       // fused resolve-to-best: the per-probe lexicographic min runs at
@@ -6613,7 +6623,7 @@ object SparkEntry {
       val d = t(s, dir, "documents")
       val tgt = d.select(col("doc_id"),
         Dedup.hashedShingles(Text.tokens(col("text")), 3).as("hs"))
-      val probes = d.select((col("doc_id") + 20000).as("pid"),
+      val probes = d.select((col("doc_id") + 2000000000).as("pid"),
         Dedup.hashedShingles(slice(Text.tokens(col("text")), 1, 12), 3)
           .as("hs"))
       Dedup.containmentJoin(probes, "pid", "hs", tgt, "doc_id", "hs", 0.8)
@@ -6655,7 +6665,7 @@ object SparkEntry {
     "q105_fuzzy_multiblock" -> ((s, dir) => {
       val parts = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
       val len = length(col("p_name"))
-      val probes = parts.select((col("p_partkey") + 20000).as("probe_id"),
+      val probes = parts.select((col("p_partkey") + 2000000000).as("probe_id"),
         when(pmod(col("p_partkey"), lit(2)) === 0,
             col("p_name").substr(lit(2), len))
           .otherwise(col("p_name").substr(lit(1), len - 1)).as("pn"))
@@ -6684,14 +6694,14 @@ object SparkEntry {
         .select(col("p_partkey").as("id"), col("p_name").as("name"))
       val len = length(col("name"))
       val k = (col("id") % len).cast("int")
-      val batch = parts.select((col("id") + 20000).as("id"),
+      val batch = parts.select((col("id") + 2000000000).as("id"),
         concat(col("name").substr(lit(1), k),
           col("name").substr(k + 2, len)).as("name"))
       val inc = Text.fuzzyJoinIncremental(parts, batch, "id", col("name"), 1)
       batch.select(col("id").as("probe_id"))
         .join(inc.groupBy(col("probe_id")).agg(
-            sum(when(col("ref_id") < 20000, 1L).otherwise(0L)).as("n_old"),
-            sum(when(col("ref_id") >= 20000, 1L).otherwise(0L)).as("n_new"),
+            sum(when(col("ref_id") < 2000000000, 1L).otherwise(0L)).as("n_old"),
+            sum(when(col("ref_id") >= 2000000000, 1L).otherwise(0L)).as("n_new"),
             min(struct(col("dist").cast("long").as("d"),
               col("ref_id").cast("long").as("r"))).as("bk")),
           Seq("probe_id"), "left")
@@ -6722,7 +6732,7 @@ object SparkEntry {
         .select(col("id"), col("name"))
       val len = length(col("name"))
       val k = (col("id") % len).cast("int")
-      val probes = sample.select((col("id") + 20000).as("id"),
+      val probes = sample.select((col("id") + 2000000000).as("id"),
         concat(col("name").substr(lit(1), k),
           col("name").substr(k + 2, len)).as("name"))
       val blocked = Text.fuzzyJoin(probes, sample, "id", col("name"),
@@ -6749,7 +6759,7 @@ object SparkEntry {
         .select(col("p_partkey").as("id"), col("p_name").as("name"))
       val len = length(col("name"))
       val k1 = (col("id") % len).cast("int")
-      val probes = parts.select((col("id") + 20000).as("probe_id"),
+      val probes = parts.select((col("id") + 2000000000).as("probe_id"),
         concat(col("name").substr(lit(1), k1),
           col("name").substr(k1 + 2, len)).as("pn"))
       // fused resolve-to-best (see q102): n_matches is still the
@@ -7297,7 +7307,7 @@ object SparkEntry {
     "q119_incremental_cosine" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val inc = e.select((col("id") + 10000).as("id"),
+      val inc = e.select((col("id") + 1000000000).as("id"),
         when(pmod(col("id"), lit(2)) === 0, col("vec"))
           .otherwise(reverse(col("vec"))).as("vec"))
       Similarity.cosineNearDupPairsIncremental(e, inc, 0.95, 16)
@@ -7311,7 +7321,7 @@ object SparkEntry {
     "q114_incremental_lsh" -> ((s, dir) => {
       val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
         .repartition(s.sessionState.conf.numShufflePartitions)
-      val inc = base.select((col("doc_id") + 10000).as("doc_id"),
+      val inc = base.select((col("doc_id") + 1000000000).as("doc_id"),
         when(col("doc_id") % 2 === 0, col("text"))
           .otherwise(array_join(sort_array(Text.tokens(col("text"))), " "))
           .as("text"))
@@ -7527,7 +7537,7 @@ object SparkEntry {
       val parts = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
       val len = length(col("p_name"))
       val k = (col("p_partkey") % len).cast("int")
-      val probes = parts.select((col("p_partkey") + 20000).as("probe_id"),
+      val probes = parts.select((col("p_partkey") + 2000000000).as("probe_id"),
         concat(col("p_name").substr(lit(1), k),
           col("p_name").substr(k + 2, len)).as("pn"))
       val m = Text.fuzzyJoin(probes, parts, "probe_id", col("pn"),
@@ -7626,7 +7636,7 @@ object SparkEntry {
     "q26_exact_dedup" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val dup = d.unionByName(
-        d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        d.select((col("doc_id") + 1000000000).as("doc_id"), col("text")))
       dup.groupBy(Text.fingerprint(col("text")).as("fp"))
         .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
     }),
@@ -7662,7 +7672,7 @@ object SparkEntry {
     // corpus scales where exact truth over everything is unaffordable.
     "q213_lsh_audit" -> ((s, dir) => {
       val d = docsDup(s, dir)
-        .filter((col("doc_id") % 10000) % 4 === 0)
+        .filter((col("doc_id") % 1000000000) % 4 === 0)
         .select(col("doc_id").as("id"),
           Dedup.hashedShingles(Text.tokens(col("text")), 3).as("hs"))
         .filter(size(col("hs")) > 0)
@@ -7750,7 +7760,7 @@ object SparkEntry {
     "q30_embed_neardup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      val pert = e.select((col("id") + 10000).as("id"),
+      val pert = e.select((col("id") + 1000000000).as("id"),
         transform(col("vec"), (x, i) =>
           when(i === 0, x.cast("double") + 0.5).otherwise(x.cast("double"))).as("vec"))
       Similarity.cosineNearDupPairsExact(
@@ -7769,7 +7779,7 @@ object SparkEntry {
     "q73_semantic_dedup" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id").as("id"),
         transform(col("embedding"), x => x.cast("double")).as("vec"))
-      val pert = t(s, dir, "embeddings").select((col("vec_id") + 10000).as("id"),
+      val pert = t(s, dir, "embeddings").select((col("vec_id") + 1000000000).as("id"),
         transform(col("embedding"), (x, i) =>
           when(i === 0, x.cast("double") + 0.5).otherwise(x.cast("double"))).as("vec"))
       val all = e.unionByName(pert)
@@ -7971,8 +7981,8 @@ object SparkEntry {
     "q50_dup_clusters" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val dup = d
-        .unionByName(d.select((col("doc_id") + 10000).as("doc_id"), col("text")))
-        .unionByName(d.select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        .unionByName(d.select((col("doc_id") + 1000000000).as("doc_id"), col("text")))
+        .unionByName(d.select((col("doc_id") + 2000000000).as("doc_id"), col("text")))
       val fp = dup.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("fp").orderBy("doc_id")
@@ -8114,9 +8124,9 @@ object SparkEntry {
     "q60_dedup_pipeline" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
       val dup = d
-        .unionByName(d.select((col("doc_id") + 10000).as("doc_id"),
+        .unionByName(d.select((col("doc_id") + 1000000000).as("doc_id"),
           col("text"), col("lang")))
-        .unionByName(d.select((col("doc_id") + 20000).as("doc_id"),
+        .unionByName(d.select((col("doc_id") + 2000000000).as("doc_id"),
           col("text"), col("lang")))
       val fp = dup.select(col("doc_id"), Text.fingerprint(col("text")).as("fp"))
       val w = org.apache.spark.sql.expressions.Window
@@ -8622,7 +8632,7 @@ object SparkEntry {
       s"""WITH tk AS (SELECT doc_id, $tokSql AS tk FROM documents),
          |oldsh AS (SELECT doc_id, CASE WHEN len(tk) < 3
          |    THEN CAST([] AS VARCHAR[]) ELSE $shingleSql END AS sh FROM tk),
-         |newtk AS (SELECT doc_id + 10000 AS doc_id,
+         |newtk AS (SELECT doc_id + 1000000000 AS doc_id,
          |    CASE WHEN doc_id % 2 = 0 THEN tk ELSE list_sort(tk) END AS tk
          |  FROM tk),
          |newsh AS (SELECT doc_id, CASE WHEN len(tk) < 3
@@ -8740,7 +8750,7 @@ object SparkEntry {
     // predicates (pair-deduped); same ±1 band, thresholded verify,
     // BIGINT best-key packing as q85.
     "q105_fuzzy_multiblock" ->
-      """WITH probes AS (SELECT p_partkey + 20000 AS probe_id,
+      """WITH probes AS (SELECT p_partkey + 2000000000 AS probe_id,
         |    CASE WHEN p_partkey % 2 = 0 THEN substr(p_name, 2)
         |      ELSE substr(p_name, 1, length(p_name) - 1) END AS pn
         |  FROM part),
@@ -8761,10 +8771,10 @@ object SparkEntry {
         |FROM probes p LEFT JOIN m ON p.probe_id = m.probe_id""".stripMargin,
 
     // Batch probes snapshot ∪ earlier-batch rows: the ref side is old
-    // (id < 20000) OR a smaller batch id — old×old pairs never form.
+    // (id < 2000000000) OR a smaller batch id — old×old pairs never form.
     "q106_incremental_er" ->
       """WITH p0 AS (SELECT p_partkey AS id, p_name AS name FROM part),
-        |b AS (SELECT id + 20000 AS id,
+        |b AS (SELECT id + 2000000000 AS id,
         |    substr(name, 1, CAST(id % length(name) AS INT))
         |      || substr(name, CAST(id % length(name) AS INT) + 2) AS name
         |  FROM p0),
@@ -8774,10 +8784,10 @@ object SparkEntry {
         |  FROM b JOIN u ON substr(b.name, 1, 1) = substr(u.name, 1, 1)
         |    AND abs(length(b.name) - length(u.name)) <= 1
         |    AND levenshtein(b.name, u.name) <= 1
-        |    AND (u.id < 20000 OR u.id < b.id)),
+        |    AND (u.id < 2000000000 OR u.id < b.id)),
         |m AS (SELECT probe_id,
-        |    sum(CASE WHEN ref_id < 20000 THEN 1 ELSE 0 END) AS n_old,
-        |    sum(CASE WHEN ref_id >= 20000 THEN 1 ELSE 0 END) AS n_new,
+        |    sum(CASE WHEN ref_id < 2000000000 THEN 1 ELSE 0 END) AS n_old,
+        |    sum(CASE WHEN ref_id >= 2000000000 THEN 1 ELSE 0 END) AS n_new,
         |    min({'d': CAST(dist AS BIGINT), 'r': CAST(ref_id AS BIGINT)}) AS bk
         |  FROM pairs GROUP BY 1)
         |SELECT b.id AS probe_id,
@@ -8792,7 +8802,7 @@ object SparkEntry {
       s"""WITH s AS (SELECT p_partkey AS id, p_name AS name FROM part
         |           ORDER BY ${h60("CAST(p_partkey AS VARCHAR)")}, p_partkey
         |           LIMIT 500),
-        |pr AS (SELECT id + 20000 AS id,
+        |pr AS (SELECT id + 2000000000 AS id,
         |    substr(name, 1, CAST(id % length(name) AS INT))
         |      || substr(name, CAST(id % length(name) AS INT) + 2) AS name
         |  FROM s),
@@ -8812,7 +8822,7 @@ object SparkEntry {
     // blocking means the engine's blocked result must equal it exactly.
     "q109_fuzzy_segments" ->
       """WITH p0 AS (SELECT p_partkey AS id, p_name AS name FROM part),
-        |probes AS (SELECT id + 20000 AS probe_id,
+        |probes AS (SELECT id + 2000000000 AS probe_id,
         |    substr(name, 1, CAST(id % length(name) AS INT))
         |      || substr(name, CAST(id % length(name) AS INT) + 2) AS pn
         |  FROM p0),
@@ -9503,7 +9513,7 @@ object SparkEntry {
     // (id_new < id_match); same double cosine and round-to-6 filter.
     "q119_incremental_cosine" ->
       s"""WITH o AS (SELECT vec_id AS id, embedding AS vec FROM embeddings),
-         |n AS (SELECT vec_id + 10000 AS id,
+         |n AS (SELECT vec_id + 1000000000 AS id,
          |    CASE WHEN vec_id % 2 = 0 THEN embedding
          |         ELSE list_reverse(embedding) END AS vec
          |  FROM embeddings),
@@ -9612,7 +9622,7 @@ object SparkEntry {
       s"""WITH tk AS (SELECT doc_id, $tokSql AS tk FROM documents),
          |oldsh AS (SELECT doc_id, CASE WHEN len(tk) < 3
          |    THEN CAST([] AS VARCHAR[]) ELSE $shingleSql END AS sh FROM tk),
-         |newtk AS (SELECT doc_id + 10000 AS doc_id,
+         |newtk AS (SELECT doc_id + 1000000000 AS doc_id,
          |    CASE WHEN doc_id % 2 = 0 THEN tk ELSE list_sort(tk) END AS tk
          |  FROM tk),
          |newsh AS (SELECT doc_id, CASE WHEN len(tk) < 3
@@ -9758,7 +9768,7 @@ object SparkEntry {
     // struct-min best match, singletons via the left join.
     "q102_entity_resolution" ->
       """WITH p0 AS (SELECT p_partkey AS id, p_name AS name FROM part),
-        |pr AS (SELECT id + 20000 AS id,
+        |pr AS (SELECT id + 2000000000 AS id,
         |    substr(name, 1, CAST(id % length(name) AS INT))
         |      || substr(name, CAST(id % length(name) AS INT) + 2) AS name
         |  FROM p0),
@@ -9783,7 +9793,7 @@ object SparkEntry {
       s"""WITH tk AS (SELECT doc_id, $tokSql AS tk FROM documents),
          |tgt AS (SELECT doc_id AS id_t, CASE WHEN len(tk) < 3
          |    THEN CAST([] AS VARCHAR[]) ELSE $shingleSql END AS sh FROM tk),
-         |ptk AS (SELECT doc_id + 20000 AS id_p, tk[1 : 12] AS tk FROM tk),
+         |ptk AS (SELECT doc_id + 2000000000 AS id_p, tk[1 : 12] AS tk FROM tk),
          |prb AS (SELECT id_p, CASE WHEN len(tk) < 3
          |    THEN CAST([] AS VARCHAR[]) ELSE $shingleSql END AS sh FROM ptk)
          |SELECT id_p, id_t, cont FROM (
@@ -9976,7 +9986,7 @@ object SparkEntry {
          |${urlChainSql("i",
               s"""SELECT nid AS doc_id, text,
                  |    ${urlSql("nid", "src")} AS url
-                 |  FROM (SELECT doc_id + 10000 AS nid, text,
+                 |  FROM (SELECT doc_id + 1000000000 AS nid, text,
                  |      CASE WHEN doc_id % 4 = 0 THEN source || 'x'
                  |        ELSE source END AS src
                  |    FROM documents)""".stripMargin)},
@@ -10103,7 +10113,7 @@ object SparkEntry {
          |      ((c % 256) + ((c * 7) % 256) + ((c * 13) % 256)) // 3) AS g
          |  FROM cps
          |  UNION ALL
-         |  SELECT doc_id + 20000 AS doc_id,
+         |  SELECT doc_id + 2000000000 AS doc_id,
          |    [((xor(cp[1] % 256, 7)) + ((cp[1] * 7) % 256)
          |       + ((cp[1] * 13) % 256)) // 3] ||
          |      list_transform(cp[2:56], c ->
@@ -11224,8 +11234,8 @@ object SparkEntry {
     "q200_dedup_weights" ->
       s"""WITH dup AS (
          |  SELECT doc_id, text, lang FROM documents
-         |  UNION ALL SELECT doc_id + 10000, text, lang FROM documents
-         |  UNION ALL SELECT doc_id + 20000, text, lang FROM documents),
+         |  UNION ALL SELECT doc_id + 1000000000, text, lang FROM documents
+         |  UNION ALL SELECT doc_id + 2000000000, text, lang FROM documents),
          |fp AS (SELECT doc_id, lang, text,
          |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
          |  FROM dup),
@@ -11387,11 +11397,11 @@ object SparkEntry {
          |    list_transform(sh, s -> ${h60("s")}) AS hs
          |  FROM shl WHERE len(sh) > 0),
          |tp AS (SELECT a.hs AS ha, b.hs AS hb, TRUE AS tp
-         |  FROM hs a JOIN hs b ON b.doc_id = a.doc_id + 10000
-         |  WHERE a.doc_id < 10000),
+         |  FROM hs a JOIN hs b ON b.doc_id = a.doc_id + 1000000000
+         |  WHERE a.doc_id < 1000000000),
          |fp AS (SELECT a.hs AS ha, b.hs AS hb, FALSE AS tp
          |  FROM hs a JOIN hs b ON b.doc_id = a.doc_id + 1
-         |  WHERE a.doc_id < 10000 AND b.doc_id < 10000),
+         |  WHERE a.doc_id < 1000000000 AND b.doc_id < 1000000000),
          |prs AS (SELECT CAST(len(list_intersect(ha, hb)) AS BIGINT)
          |    AS inter, CAST(len(ha) AS BIGINT) AS la,
          |    CAST(len(hb) AS BIGINT) AS lb, tp
@@ -11770,9 +11780,9 @@ object SparkEntry {
         |    source, n_chars FROM documents),
         |dup AS (
         |  SELECT doc_id, text, lang, source, n_chars FROM documents
-        |  UNION ALL SELECT doc_id + 10000, text, lang2, 'mirror',
+        |  UNION ALL SELECT doc_id + 1000000000, text, lang2, 'mirror',
         |    n_chars + 2 FROM c1s
-        |  UNION ALL SELECT doc_id + 20000, text, lang2, source,
+        |  UNION ALL SELECT doc_id + 2000000000, text, lang2, source,
         |    n_chars FROM c2s),
         |cl AS (SELECT doc_id, lang, source, n_chars,
         |    min(doc_id) OVER (PARTITION BY fp) AS cluster
@@ -12622,7 +12632,7 @@ object SparkEntry {
     "q324_er_stream" ->
       """WITH b0 AS (SELECT p_partkey AS rec_id, p_name AS name
         |  FROM part WHERE p_partkey % 4 = 0),
-        |b1 AS (SELECT rec_id + 20000 AS rec_id,
+        |b1 AS (SELECT rec_id + 2000000000 AS rec_id,
         |    substr(name, 1, CAST(rec_id % length(name) AS INT))
         |      || substr(name, CAST(rec_id % length(name) AS INT) + 2)
         |      AS name
@@ -12770,7 +12780,7 @@ object SparkEntry {
           |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
           |    4) >= 0.5""".stripMargin
       s"""WITH u AS (SELECT * FROM ($docsDupSql)
-         |  WHERE (doc_id % 10000) % 3 = 0),
+         |  WHERE (doc_id % 1000000000) % 3 = 0),
          |tk AS (SELECT doc_id, $tokSql AS tk FROM u),
          |shl AS (SELECT doc_id, doc_id % 2 AS bt,
          |    CASE WHEN len(tk) < 3 THEN CAST([] AS VARCHAR[])
@@ -12809,12 +12819,12 @@ object SparkEntry {
       s"""WITH e AS (SELECT * FROM (
          |  SELECT vec_id AS id, embedding AS vec FROM embeddings
          |  UNION ALL
-         |  SELECT vec_id + 10000 AS id,
+         |  SELECT vec_id + 1000000000 AS id,
          |    [CASE WHEN i = 1
          |       THEN CAST(CAST(embedding[i] AS DOUBLE) + 0.5 AS FLOAT)
          |       ELSE embedding[i] END
          |     for i in range(1, len(embedding) + 1)] AS vec
-         |  FROM embeddings) WHERE (id % 10000) % 3 = 0),
+         |  FROM embeddings) WHERE (id % 1000000000) % 3 = 0),
          |ct AS (SELECT id AS cid, vec AS cvec FROM e
          |  WHERE id % 2 = 0 ORDER BY id LIMIT 16),
          |asg AS (SELECT id, vec, cell FROM ($cell) WHERE pr = 1),
@@ -13204,7 +13214,7 @@ object SparkEntry {
          |      + 1 AS DOUBLE)
          |      / CAST(1152921504606846976 AS DOUBLE))
          |    / CAST(n_chars AS DOUBLE) * 1e6) AS BIGINT) AS key6
-         |FROM documents
+         |FROM documents WHERE n_chars > 0
          |ORDER BY key6 DESC, doc_id LIMIT 20""".stripMargin,
 
     // Partition pruning on the partition column IS the filter.
@@ -13729,9 +13739,9 @@ object SparkEntry {
     "q298_dedup_bias" ->
       """WITH corpus AS (
         |  SELECT doc_id, source, text FROM documents
-        |  UNION ALL SELECT doc_id + 100000, 'mirror1', text
+        |  UNION ALL SELECT doc_id + 3000000000, 'mirror1', text
         |    FROM documents WHERE doc_id % 3 = 0
-        |  UNION ALL SELECT doc_id + 200000, 'mirror2', text
+        |  UNION ALL SELECT doc_id + 4000000000, 'mirror2', text
         |    FROM documents WHERE doc_id % 7 = 0),
         |f0 AS (SELECT doc_id, source,
         |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
@@ -14530,7 +14540,7 @@ object SparkEntry {
     // engine's expression — same blocking, snap, gate and best-match
     // struct-min.
     "q267_jaro_winkler" ->
-      """WITH probes AS (SELECT p_partkey + 20000 AS probe_id,
+      """WITH probes AS (SELECT p_partkey + 2000000000 AS probe_id,
         |    substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
         |      || substr(p_name,
         |        CAST(p_partkey % length(p_name) AS INT) + 2) AS pn
@@ -15975,7 +15985,7 @@ object SparkEntry {
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
          |  FROM embeddings
          |  UNION ALL
-         |  SELECT vec_id + 10000 AS id,
+         |  SELECT vec_id + 1000000000 AS id,
          |    [CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 0.5
          |      ELSE CAST(embedding[i] AS DOUBLE) END
          |     for i in range(1, len(embedding) + 1)] AS v
@@ -15998,7 +16008,7 @@ object SparkEntry {
         |  SELECT doc_id, text || ' order 123 total 45' AS t
         |  FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 20000 AS doc_id, text || ' order 999 total 7'
+        |  SELECT doc_id + 2000000000 AS doc_id, text || ' order 999 total 7'
         |    AS t
         |  FROM documents WHERE doc_id % 3 = 0),
         |s AS (SELECT doc_id,
@@ -16072,7 +16082,7 @@ object SparkEntry {
          |${urlChainSql("i",
               s"""SELECT nid AS doc_id, text,
                  |    ${urlSql("nid", "src")} AS url
-                 |  FROM (SELECT doc_id + 10000 AS nid, text,
+                 |  FROM (SELECT doc_id + 1000000000 AS nid, text,
                  |      CASE WHEN doc_id % 4 = 0 THEN source || 'x'
                  |        ELSE source END AS src
                  |    FROM documents)""".stripMargin)},
@@ -16250,7 +16260,7 @@ object SparkEntry {
     // Identical corruption, blocking predicate (first char + |Δlen|≤2
     // == the exploded length band), levenshtein, and BIGINT best-key.
     "q85_fuzzy_match" ->
-      """WITH probes AS (SELECT p_partkey + 20000 AS probe_id,
+      """WITH probes AS (SELECT p_partkey + 2000000000 AS probe_id,
         |    substr(p_name, 1, CAST(p_partkey % length(p_name) AS INT))
         |      || substr(p_name,
         |        CAST(p_partkey % length(p_name) AS INT) + 2) AS pn
@@ -16424,7 +16434,7 @@ object SparkEntry {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
         |  count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM (SELECT doc_id, text FROM documents
-        |      UNION ALL SELECT doc_id + 10000, text FROM documents)
+        |      UNION ALL SELECT doc_id + 1000000000, text FROM documents)
         |GROUP BY 1""".stripMargin,
 
     "q27_minhash_lsh" ->
@@ -16444,7 +16454,7 @@ object SparkEntry {
     // candidate rule, exact integer counts and the two snapped ratios.
     "q213_lsh_audit" ->
       s"""WITH u AS (SELECT * FROM ($docsDupSql)
-         |  WHERE (doc_id % 10000) % 4 = 0),
+         |  WHERE (doc_id % 1000000000) % 4 = 0),
          |tk AS (SELECT doc_id, $tokSql AS tk FROM u),
          |shl AS (SELECT doc_id, CASE WHEN len(tk) < 3
          |    THEN CAST([] AS VARCHAR[]) ELSE $shingleSql END AS sh
@@ -16564,7 +16574,7 @@ object SparkEntry {
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
          |  FROM embeddings
          |  UNION ALL
-         |  SELECT vec_id + 10000 AS id,
+         |  SELECT vec_id + 1000000000 AS id,
          |    [CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 0.5
          |      ELSE CAST(embedding[i] AS DOUBLE) END
          |     for i in range(1, len(embedding) + 1)] AS embedding
@@ -16583,7 +16593,7 @@ object SparkEntry {
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
          |  FROM embeddings
          |  UNION ALL
-         |  SELECT vec_id + 10000 AS id,
+         |  SELECT vec_id + 1000000000 AS id,
          |    [CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 0.5
          |      ELSE CAST(embedding[i] AS DOUBLE) END
          |     for i in range(1, len(embedding) + 1)] AS embedding
@@ -16620,7 +16630,7 @@ object SparkEntry {
          |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
          |  FROM embeddings
          |  UNION ALL
-         |  SELECT vec_id + 10000 AS id,
+         |  SELECT vec_id + 1000000000 AS id,
          |    [CASE WHEN i = 1 THEN CAST(embedding[i] AS DOUBLE) + 0.5
          |      ELSE CAST(embedding[i] AS DOUBLE) END
          |     for i in range(1, len(embedding) + 1)] AS embedding
@@ -16792,8 +16802,8 @@ object SparkEntry {
     "q50_dup_clusters" ->
       """WITH dup AS (
         |  SELECT doc_id, text FROM documents
-        |  UNION ALL SELECT doc_id + 10000, text FROM documents
-        |  UNION ALL SELECT doc_id + 20000, text FROM documents),
+        |  UNION ALL SELECT doc_id + 1000000000, text FROM documents
+        |  UNION ALL SELECT doc_id + 2000000000, text FROM documents),
         |fp AS (SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |  FROM dup)
@@ -16924,8 +16934,8 @@ object SparkEntry {
     "q60_dedup_pipeline" ->
       s"""WITH dup AS (
          |  SELECT doc_id, text, lang FROM documents
-         |  UNION ALL SELECT doc_id + 10000, text, lang FROM documents
-         |  UNION ALL SELECT doc_id + 20000, text, lang FROM documents),
+         |  UNION ALL SELECT doc_id + 1000000000, text, lang FROM documents
+         |  UNION ALL SELECT doc_id + 2000000000, text, lang FROM documents),
          |fp AS (SELECT doc_id, lang, text,
          |  md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
          |  FROM dup),

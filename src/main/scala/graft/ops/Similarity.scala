@@ -639,6 +639,35 @@ object Similarity {
       .agg(count(lit(1)).as("n_members"),
         sum(round(col("csim") * 1e6).cast("long")).as("obj_fp"))
 
+  /** IVF cell-count chooser — the scale contract the frozen-k gate
+    * queries pin only by constant (NOTES 100): k = ⌈c·√n⌉ clamped to
+    * [kMin, kMax]. √n is the COST-balanced point of the two phases of
+    * every cell-blocked kernel: assignment work is n·k (each vector
+    * scores every centroid) and same-cell verify work is Σ occupancy²
+    * ≈ n²/k for balanced cells — equal at k = √n, total Θ(n^1.5).
+    * A frozen k degrades to Θ(n²/k) verify as the corpus grows; a k
+    * proportional to n explodes the assignment side. Deterministic
+    * (pure arithmetic on a count the caller supplies — at scale the
+    * count comes from a manifest stat, never a full scan).
+    */
+  def chooseK(n: Long, c: Double = 1.0, kMin: Int = 4,
+              kMax: Int = 65536): Int = {
+    require(n >= 0, "n must be >= 0")
+    math.max(kMin, math.min(kMax,
+      math.ceil(c * math.sqrt(n.toDouble)).toInt))
+  }
+
+  /** Probe-count companion of [[chooseK]]: recall under a √n-grown k
+    * is restored by probing a few nearest cells, not by freezing k.
+    * Measured on the planted-near-dup corpus (NOTES r13): at k=√n,
+    * nprobe=2 reads 0.83–0.95 pair recall across 1×/10× scales while
+    * nprobe=4 reads 0.995–0.996 at BOTH — flat in n because the
+    * planted-pair geometry is scale-free once k tracks √n. 4 is the
+    * measured knee; recall is monotone in nprobe (ivfProbeCells
+    * contract) so callers needing more can raise it.
+    */
+  def chooseNProbe(k: Int): Int = math.min(k, 4)
+
   /** IVF approximate nearest neighbors (nprobe=1): compare only vectors
     * sharing a centroid cell, then rank as in brute force. The inverted
     * file IS the shuffle key — per-cell brute force, so cost scales with

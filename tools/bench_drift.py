@@ -9,8 +9,19 @@ reading can be attributed to host load vs plan change after the fact.
 For each query prints: min-across-passes time, each pass's time, and
 each pass's local calib (linear interpolation between the bracketing
 probes by queries-completed index). The `local_norm` column is the
-min over passes of (time * best_calib / local_calib) — the reading
-re-expressed at the run's best host speed.
+min over passes of (time * median_calib / local_calib) — the reading
+re-expressed at the run's MEDIAN host speed (not the best/min: a
+single anomalously fast probe must not rescale every ratio).
+
+Both calib uses are outlier-guarded (VERDICT r12 what's-wrong #2):
+the reference speed is the median across all probes, and each pass's
+probes are Tukey-fenced (outside Q1-1.5*IQR..Q3+1.5*IQR dropped)
+BEFORE interpolating, with the interpolated value further clamped to
+[0.5x, 2x] of the pass median as a backstop — one bad probe in the
+denominator otherwise mints fake outliers (q326 read 7.84s local_norm
+purely off the run-edge probes at positions 0/351, which measure the
+cold JVM at 0.10-0.20 vs the pass's 0.27-0.43 body, while its raw
+readings were ordinary).
 
 Usage: bench_drift.py [bench.json] [--top N | --query NAME ...]
 """
@@ -31,30 +42,56 @@ if not passes:
 # median across all probes: a single anomalously fast probe must not
 # rescale every local_norm (observed 0.103 among thirty 0.23-0.41)
 allp = sorted(c for ps in passes for _, c in ps["probes"])
-best = allp[len(allp) // 2]
+median_calib = allp[len(allp) // 2]
+
+
+def pass_median(ps):
+    cs = sorted(c for _, c in ps["probes"])
+    return cs[len(cs) // 2]
+
+
+def fenced_probes(ps):
+    # Tukey fence on the pass's probe VALUES: the run-edge probes
+    # (positions 0 and n) systematically read the cold/torn-down JVM
+    # 1.5-3x faster than the body and would drag every nearby query's
+    # local calib with them. Keep all probes if the fence leaves < 2.
+    probes = sorted(ps["probes"])
+    vals = sorted(c for _, c in probes)
+    q1 = vals[len(vals) // 4]
+    q3 = vals[(3 * len(vals)) // 4]
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    kept = [p for p in probes if lo <= p[1] <= hi]
+    return kept if len(kept) >= 2 else probes
+
 
 def local_calib(ps, name):
     # position of the query within the pass = rank of its start offset
     order = sorted(ps["ts"], key=lambda k: ps["ts"][k])
     idx = order.index(name)
-    probes = sorted(ps["probes"])
+    probes = fenced_probes(ps)
     lo = max((p for p in probes if p[0] <= idx), default=probes[0])
     hi = min((p for p in probes if p[0] >= idx), default=probes[-1])
     if hi[0] == lo[0]:
-        return lo[1]
-    w = (idx - lo[0]) / (hi[0] - lo[0])
-    return lo[1] + w * (hi[1] - lo[1])
+        raw = lo[1]
+    else:
+        w = (idx - lo[0]) / (hi[0] - lo[0])
+        raw = lo[1] + w * (hi[1] - lo[1])
+    # clamp: a single anomalous neighboring probe must not rescale the
+    # queries nearest it (the denominator-side twin of the median guard)
+    med = pass_median(ps)
+    return max(0.5 * med, min(2.0 * med, raw))
+
 
 rows = []
 for name in passes[0]["t"]:
     per = [(ps["t"][name], local_calib(ps, name)) for ps in passes]
     raw_min = min(t for t, _ in per)
-    norm_min = min(t * best / c for t, c in per)
+    norm_min = min(t * median_calib / c for t, c in per)
     rows.append((name, raw_min, norm_min, per))
 
 sel = [r for r in rows if r[0] in args.query] if args.query else \
     sorted(rows, key=lambda r: -r[1])[:args.top]
-print(f"median calib {best:.3f}s; per-pass (time@calib):")
+print(f"median calib {median_calib:.3f}s; per-pass (time@calib):")
 for name, raw_min, norm_min, per in sel:
     detail = "  ".join(f"{t:7.2f}s@{c:.3f}" for t, c in per)
     print(f"{name:34s} min={raw_min:7.2f}  local_norm={norm_min:7.2f}  {detail}")
