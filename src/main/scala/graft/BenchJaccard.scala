@@ -35,7 +35,7 @@ object BenchJaccard {
         else d0.select(col("doc_id"), concat(col("text"),
           lit(" subscribe to our newsletter terms of service apply " +
             "all rights reserved")).as("text"))
-      d.unionByName(d.select((col("doc_id") + 10000).as("doc_id"),
+      d.unionByName(d.select((col("doc_id") + 1000000000L).as("doc_id"),
           concat(col("text"), lit(" zz9 qq8")).as("text")))
         .select(col("doc_id").as("id"),
           Dedup.hashedShingles(Text.tokens(col("text")), 3).as("hs"))

@@ -154,8 +154,8 @@ object SparkEntry {
     java.nio.file.Files.createTempDirectory(gateTmpRoot, tag)
       .toFile.getAbsolutePath
 
-  private def writeStreamBatches(batches: Seq[DataFrame],
-                                 base: String): String = {
+  private[graft] def writeStreamBatches(batches: Seq[DataFrame],
+                                        base: String): String = {
     val in = new java.io.File(base, "in"); in.mkdirs()
     batches.zipWithIndex.foreach { case (b, i) =>
       val tmp = new java.io.File(base, s"b$i")
@@ -2661,9 +2661,11 @@ object SparkEntry {
           col("doc_id").cast("string").as("k"))
         .write.parquet(tmp + "/in")
       val schema = s.read.parquet(tmp + "/in").schema
-      graft.streaming.Streams.profileThinStream(
-        s.readStream.schema(schema).parquet(tmp + "/in"), stats, 32,
-        tmp + "/t", tmp + "/ck")
+      withShufflePartitions(s, 8) {
+        graft.streaming.Streams.profileThinStream(
+          s.readStream.schema(schema).parquet(tmp + "/in"), stats, 32,
+          tmp + "/t", tmp + "/ck")
+      }
       graft.sources.Snapshot.read(s, tmp + "/t")
         .groupBy(col("g").as("source"), col("bin"))
         .agg(count(lit(1)).as("n_kept"))
@@ -3154,11 +3156,13 @@ object SparkEntry {
         dd.filter(col("doc_id") % 2 === 0),
         dd.filter(col("doc_id") % 2 === 1)), tmp)
       val schema = s.read.parquet(in).schema
-      graft.streaming.Streams.lshDedupStream(
-        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-          .parquet(in),
-        tmp + "/t", tmp + "/idx", tmp + "/ck", threshold = 0.5,
-        bands = 4, rowsPerBand = 4)
+      withShufflePartitions(s, 8) {
+        graft.streaming.Streams.lshDedupStream(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in),
+          tmp + "/t", tmp + "/idx", tmp + "/ck", threshold = 0.5,
+          bands = 4, rowsPerBand = 4)
+      }
       graft.sources.Snapshot.read(s, tmp + "/t")
         .groupBy(col("ingest_batch"))
         .agg(count(lit(1)).as("n_docs"),
@@ -3226,10 +3230,12 @@ object SparkEntry {
       val tmp = gateTempDir("q324")
       val in = writeStreamBatches(Seq(base, variants), tmp)
       val schema = s.read.parquet(in).schema
-      graft.streaming.Streams.erStream(
-        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-          .parquet(in),
-        tmp + "/t", tmp + "/ck", maxDist = 1)
+      withShufflePartitions(s, 8) {
+        graft.streaming.Streams.erStream(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in),
+          tmp + "/t", tmp + "/ck", maxDist = 1)
+      }
       graft.sources.Snapshot.read(s, tmp + "/t")
         .groupBy(col("ingest_batch"))
         .agg(count(lit(1)).as("n_entities"),
@@ -3343,9 +3349,11 @@ object SparkEntry {
         du.filter(col("doc_id") % 2 === 0),
         du.filter(col("doc_id") % 2 === 1)), tmp)
       val schema = s.read.parquet(in).schema
-      graft.streaming.Streams.urlDedupStream(
-        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-          .parquet(in), tmp + "/t", tmp + "/ck")
+      withShufflePartitions(s, 8) {
+        graft.streaming.Streams.urlDedupStream(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in), tmp + "/t", tmp + "/ck")
+      }
       graft.sources.Snapshot.read(s, tmp + "/t")
         .groupBy(col("ingest_batch"))
         .agg(count(lit(1)).as("n_urls"),
@@ -3367,10 +3375,12 @@ object SparkEntry {
         ev.filter(col("event_id") % 2 === 0),
         ev.filter(col("event_id") % 2 === 1)), tmp)
       val schema = s.read.parquet(in).schema
-      graft.streaming.Streams.sketchStream(
-        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-          .parquet(in), tmp + "/reg", tmp + "/ck",
-        Seq("event_type"), col("user_id"))
+      withShufflePartitions(s, 8) {
+        graft.streaming.Streams.sketchStream(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in), tmp + "/reg", tmp + "/ck",
+          Seq("event_type"), col("user_id"))
+      }
       Sketch.hllEstimate(s.read.parquet(tmp + "/reg"),
         Seq("event_type"))
     }),
@@ -3392,9 +3402,11 @@ object SparkEntry {
         dd.filter(col("doc_id") % 2 === 0),
         dd.filter(col("doc_id") % 2 === 1)), tmp)
       val schema = s.read.parquet(in).schema
-      graft.streaming.Streams.dedupStream(
-        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-          .parquet(in), tmp + "/t", tmp + "/ck", threshold = 0.5)
+      withShufflePartitions(s, 8) {
+        graft.streaming.Streams.dedupStream(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in), tmp + "/t", tmp + "/ck", threshold = 0.5)
+      }
       graft.sources.Snapshot.read(s, tmp + "/t")
         .groupBy(col("ingest_batch"))
         .agg(count(lit(1)).as("n_docs"),
@@ -3419,10 +3431,12 @@ object SparkEntry {
         vecs.filter(col("doc_id") % 2 === 0),
         vecs.filter(col("doc_id") % 2 === 1)), tmp)
       val schema = s.read.parquet(in).schema
-      graft.streaming.Streams.annDedupStream(
-        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-          .parquet(in), tmp + "/t", tmp + "/model", tmp + "/ck",
-        threshold = 0.9, centroidsK = 16)
+      withShufflePartitions(s, 8) {
+        graft.streaming.Streams.annDedupStream(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in), tmp + "/t", tmp + "/model", tmp + "/ck",
+          threshold = 0.9, centroidsK = 16)
+      }
       graft.sources.Snapshot.read(s, tmp + "/t")
         .groupBy(col("ingest_batch"))
         .agg(count(lit(1)).as("n_docs"),
@@ -3634,10 +3648,12 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 0),
         docs.filter(col("doc_id") % 2 === 1)), tmp)
       val schema = s.read.parquet(in).schema
-      graft.streaming.Streams.hygieneStream(
-        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-          .parquet(in), bench, tmp + "/acc", tmp + "/rej", tmp + "/ck",
-        minQuality = 0.35)
+      withShufflePartitions(s, 8) {
+        graft.streaming.Streams.hygieneStream(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in), bench, tmp + "/acc", tmp + "/rej", tmp + "/ck",
+          minQuality = 0.35)
+      }
       s.read.parquet(tmp + "/rej")
         .groupBy(col("reason").as("facet")).agg(count(lit(1)).as("n"))
         .unionByName(s.read.parquet(tmp + "/acc")
@@ -3663,10 +3679,12 @@ object SparkEntry {
         ev.filter(col("event_id") % 4 === 1).select(col("v")),
         ev.filter(col("event_id") % 4 === 3).select(col("v"))), tmp)
       val schema = s.read.parquet(in).schema
-      graft.streaming.Streams.driftStream(
-        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-          .parquet(in), col("v"), 500.0, ref,
-        tmp + "/reg", tmp + "/alarms", tmp + "/ck")
+      withShufflePartitions(s, 8) {
+        graft.streaming.Streams.driftStream(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in), col("v"), 500.0, ref,
+          tmp + "/reg", tmp + "/alarms", tmp + "/ck")
+      }
       s.read.parquet(tmp + "/alarms")
     }),
 
@@ -3688,10 +3706,12 @@ object SparkEntry {
       val tmp = gateTempDir("q340")
       val in = writeStreamBatches(Seq(b0, b1), tmp)
       val schema = s.read.parquet(in).schema
-      graft.streaming.Streams.mergeStream(
-        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
-          .parquet(in), tmp + "/t", tmp + "/ck",
-        Seq("symbol", "d"), "version", "m")
+      withShufflePartitions(s, 8) {
+        graft.streaming.Streams.mergeStream(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in), tmp + "/t", tmp + "/ck",
+          Seq("symbol", "d"), "version", "m")
+      }
       s.read.parquet(tmp + "/t").groupBy(col("symbol"))
         .agg(count(lit(1)).as("n_rows"),
           round(sum(col("px")), 2).as("px_sum"))
@@ -4040,6 +4060,178 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n"),
           sum(col("n_chars")).cast("long").as("chars_sum"))
+    }),
+
+    // ANN scale-contract gate (r12 verdict task 1): the k-CHOOSER.
+    // The cell-blocked ANN family pins k only for oracle determinism
+    // (q123's 16); this gate runs Similarity.chooseK (k = ceil sqrt n,
+    // the cost-balanced point of assignment n*k vs verify n^2/k) and
+    // chooseNProbe (4, the measured recall knee) on the SAME
+    // planted-near-dup corpus at scale 1 and a 10x in-query verbatim
+    // replication (copy ids offset by i*1e8, perturbed twins at +1e9 —
+    // collision-free by construction), emitting the planted-pair
+    // recall at both scales: the contract is recall stays FLAT when k
+    // grows with the corpus. (The r11/r12 10x probe's "frozen-k recall
+    // 0.93->0.77" adjudicated as the +10000 id-collision artifact —
+    // NOTES r13; with clean ids the chooser's real job is cost, and
+    // nprobe=4 is what holds recall once k grows.)
+    "q352_ann_k_chooser" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), transform(col("embedding"),
+          x => x.cast("double")).as("vec"))
+      val nEmb = e.count()
+      def scaleRow(scale: Int): DataFrame = {
+        val copies = s.range(scale).select(col("id").as("copy"))
+        val base = e.crossJoin(broadcast(copies))
+          .select((col("vec_id") + col("copy") * 100000000L).as("id"),
+            col("vec"))
+        val all = base.unionByName(base.select(
+          (col("id") + 1000000000L).as("id"),
+          transform(col("vec"), (x, i) =>
+            when(i === 0, x + 0.5).otherwise(x)).as("vec")))
+        val n = 2L * scale * nEmb
+        val k = Similarity.chooseK(n)
+        val npb = Similarity.chooseNProbe(k)
+        // vec_id is contiguous from 0, so the k lowest ids are the
+        // copy-0 ids < k — the same deterministic seed rule the
+        // streaming refresh uses (lowest-id corpus vectors)
+        val centroids = all.filter(col("id") < k)
+          .select(col("id").as("cid"), col("vec").as("cvec"))
+        val planted = all.filter(col("id") < 1000000000L)
+          .select(col("id"), col("vec").as("va"))
+          .join(all.select((col("id") - 1000000000L).as("id"),
+            col("vec").as("vb")), Seq("id"))
+          .filter(round(Similarity.cosine(col("va"), col("vb")), 6)
+            >= 0.9)
+          .select(col("id"))
+          .persist()
+        // recall only consults the PLANTED pairs' probe cells, so the
+        // probe pass runs on those ids (base + twin), not the whole
+        // corpus — ~3x less probe work at the 10x scale, same result
+        // by construction (found ⊆ planted; oracle restricts alike)
+        val probeIds = planted
+          .unionByName(planted.select((col("id") + 1000000000L)
+            .as("id")))
+        val probes = Similarity.ivfProbeCells(
+            all.join(probeIds, Seq("id")), centroids, npb)
+          .select(col("qid"), col("cell"))
+        val found = planted
+          .join(probes.select(col("qid").as("id"), col("cell")),
+            Seq("id"))
+          .join(probes.select((col("qid") - 1000000000L).as("id"),
+            col("cell")), Seq("id", "cell"))
+          .select(col("id")).distinct()
+        planted.agg(count(lit(1)).as("n_planted"))
+          .crossJoin(found.agg(count(lit(1)).as("n_found")))
+          .select(lit(scale).as("scale"), lit(n).as("n_vecs"),
+            lit(k).as("k"), lit(npb).as("nprobe"),
+            col("n_planted"), col("n_found"),
+            round((col("n_found").cast("double") /
+              col("n_planted").cast("double"))
+              .cast("decimal(20,10)"), 4).cast("double").as("recall"))
+      }
+      scaleRow(1).unionByName(scaleRow(10))
+    }),
+
+    // Streaming gate: ANN dedup model REFRESH (the k-chooser's
+    // streaming half — annDedupStream froze its first-batch centroids
+    // forever, the r12 verdict's one live scale defect). Three batches
+    // sized so the trigger fires exactly once: batch 0 (8 vecs) seeds
+    // k = chooseK(8) = 4; batch 1 (192) grows the corpus past the
+    // refreshFactor=2 bound; before batch 2 the model retrains to
+    // chooseK(|corpus|) lowest-id corpus vectors and the stored cells
+    // re-assign in one clustered rewrite; batch 2 (the rest + planted
+    // +1e9 near-dup twins of batch-1 members) dedups against the
+    // REFRESHED cells. The oracle replays seed, trigger arithmetic,
+    // refresh, and all three candidate rounds; the -1 facet pins the
+    // refreshed model itself (k and centroid-id sum).
+    "q353_ann_refresh_stream" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"),
+          col("embedding").cast("array<float>").as("vec"))
+      val twins = vecs.filter(col("doc_id") >= 8 && col("doc_id") < 200)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
+          transform(col("vec"), (x, i) =>
+            when(i === 0, (x.cast("double") + 0.5).cast("float"))
+              .otherwise(x)).as("vec"))
+      val tmp = gateTempDir("q353")
+      val in = writeStreamBatches(Seq(
+        vecs.filter(col("doc_id") < 8),
+        vecs.filter(col("doc_id") >= 8 && col("doc_id") < 200),
+        vecs.filter(col("doc_id") >= 200).unionByName(twins)), tmp)
+      val schema = s.read.parquet(in).schema
+      withShufflePartitions(s, 8) {
+        graft.streaming.Streams.annDedupStream(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in), tmp + "/t", tmp + "/model", tmp + "/ck",
+          threshold = 0.9, refreshFactor = 2.0)
+      }
+      graft.sources.Snapshot.read(s, tmp + "/t")
+        .groupBy(col("ingest_batch"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).cast("long").as("id_sum"))
+        .unionByName(graft.sources.Snapshot.read(s, tmp + "/model")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("cid")).cast("long").as("id_sum"))
+          .select(lit(-1L).as("ingest_batch"), col("n_docs"),
+            col("id_sum")))
+    }),
+
+    // Storage gate: HASH-BUCKETED snapshot layout — both join sides
+    // commit through Snapshot.commitBucketed (Spark-native bucketed
+    // parquet under the manifest), the join reads them back as
+    // bucketed catalog tables, and the big×big equi-join runs with
+    // ZERO shuffle exchange on either side (SnapshotSpec pins the
+    // plan; this gate pins the rows). Revenue rides as exact cents.
+    "q354_bucketed_join" -> ((s, dir) => {
+      import graft.sources.Snapshot
+      val li = t(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0)
+        .select(col("l_partkey").as("k"),
+          round(col("l_extendedprice") *
+            (lit(1).cast("double") - col("l_discount")) * 100)
+            .cast("long").as("rev_cents"))
+      val pt = t(s, dir, "part").filter(col("p_partkey") % 4 === 0)
+        .select(col("p_partkey").as("k"), col("p_brand"))
+      val base = gateTempDir("q354")
+      Snapshot.commitBucketed(li, base + "/fact", "k", 8)
+      Snapshot.commitBucketed(pt, base + "/dim", "k", 8)
+      val f = Snapshot.readBucketed(s, base + "/fact", "graft_q354_fact")
+      val d = Snapshot.readBucketed(s, base + "/dim", "graft_q354_dim")
+      f.join(d, Seq("k"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("rev_cents")).cast("long").as("rev_sum_cents"))
+    }),
+
+    // Similarity: the declarative IVF COST/OCCUPANCY ADVISOR (r12
+    // verdict next #6b) — for k in {kStar/2, kStar, 2·kStar} around
+    // the chooser's pick, one row of the quantities the k decision
+    // trades: used-cell count, max occupancy (the skew/straggler
+    // signal), Σ occupancy² (same-cell verify cost), n·k (assignment
+    // cost), and their total — advised marks chooseK's balance point.
+    // Exact integer arithmetic end to end.
+    "q355_ivf_cost_advisor" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("vec"))
+      val n = e.count()
+      val kStar = Similarity.chooseK(n)
+      val cands = Seq(math.max(4, kStar / 2), kStar,
+        math.min(65536, kStar * 2)).distinct
+      cands.map { k =>
+        val cen = e.filter(col("id") < k)
+          .select(col("id").as("cid"), col("vec").as("cvec"))
+        Similarity.ivfAssign(e, cen)
+          .groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+          .agg(count(lit(1)).as("n_cells"),
+            max(col("occ")).as("max_occ"),
+            sum(col("occ") * col("occ")).cast("long").as("occ_sq_sum"))
+          .select(lit(k).as("k_cand"), col("n_cells"), col("max_occ"),
+            col("occ_sq_sum"),
+            lit(n * k).as("assign_cost"),
+            (col("occ_sq_sum") + lit(n * k)).cast("long")
+              .as("total_cost"),
+            lit(k == kStar).as("advised"))
+      }.reduce(_ unionByName _)
     }),
 
     // Generation eval: DISTINCT-N DIVERSITY — corpus-wide distinct
@@ -13223,6 +13415,184 @@ object SparkEntry {
         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
         |FROM documents WHERE lang IN ('en', 'de')
         |GROUP BY 1""".stripMargin,
+
+    // The chooser replayed in SQL: k = clamp(ceil(sqrt n)) from the
+    // corpus count, centroids = the k lowest ids, nprobe=4 probe
+    // ranking mirrors ivfProbeCells (rounded-cos desc, cid), a planted
+    // pair counts as found when its two sides share a probed cell.
+    "q352_ann_k_chooser" ->
+      s"""WITH e0 AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+         |  FROM embeddings),
+         |sc AS (SELECT unnest([1, 10]) AS scale),
+         |base AS (SELECT s.scale, e.vec_id + i.i * 100000000 AS id,
+         |    e.vec
+         |  FROM e0 e CROSS JOIN sc s
+         |  JOIN (SELECT unnest(range(10)) AS i) i ON i.i < s.scale),
+         |allv AS (SELECT scale, id, vec FROM base
+         |  UNION ALL
+         |  SELECT scale, id + 1000000000,
+         |    [CASE WHEN j = 1 THEN vec[j] + CAST(0.5 AS DOUBLE)
+         |      ELSE vec[j] END for j in range(1, len(vec) + 1)]
+         |  FROM base),
+         |params AS (SELECT scale, CAST(count(*) AS BIGINT) AS n,
+         |    GREATEST(4, LEAST(65536,
+         |      CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS INT))) AS k
+         |  FROM allv GROUP BY 1),
+         |ct AS (SELECT a.scale, a.id AS cid, a.vec AS cvec
+         |  FROM allv a JOIN params p
+         |    ON a.scale = p.scale AND a.id < p.k),
+         |planted AS (SELECT a.scale, a.id
+         |  FROM allv a JOIN allv b ON a.scale = b.scale
+         |    AND b.id = a.id + 1000000000
+         |  WHERE a.id < 1000000000
+         |    AND round(${cosSql("a.vec", "b.vec")}, 6)
+         |      >= CAST(0.9 AS DOUBLE)),
+         |pids AS (SELECT scale, id FROM planted
+         |  UNION ALL SELECT scale, id + 1000000000 FROM planted),
+         |pc AS (SELECT scale, qid, cell FROM (
+         |  SELECT v.scale, v.id AS qid, c.cid AS cell,
+         |    row_number() OVER (PARTITION BY v.scale, v.id
+         |      ORDER BY round(${cosSql("v.vec", "c.cvec")}, 6) DESC,
+         |        c.cid) AS pr
+         |  FROM (SELECT a.* FROM allv a JOIN pids
+         |    ON a.scale = pids.scale AND a.id = pids.id) v
+         |  JOIN ct c ON v.scale = c.scale) WHERE pr <= 4),
+         |found AS (SELECT DISTINCT pl.scale, pl.id
+         |  FROM planted pl
+         |  JOIN pc x ON x.scale = pl.scale AND x.qid = pl.id
+         |  JOIN pc y ON y.scale = pl.scale
+         |    AND y.qid = pl.id + 1000000000 AND y.cell = x.cell),
+         |pagg AS (SELECT scale, CAST(count(*) AS BIGINT) AS n_planted
+         |  FROM planted GROUP BY 1),
+         |fagg AS (SELECT scale, CAST(count(*) AS BIGINT) AS n_found
+         |  FROM found GROUP BY 1)
+         |SELECT CAST(pa.scale AS INT) AS scale, pr.n AS n_vecs,
+         |  CAST(pr.k AS INT) AS k, CAST(4 AS INT) AS nprobe,
+         |  pa.n_planted,
+         |  CAST(coalesce(fa.n_found, 0) AS BIGINT) AS n_found,
+         |  CAST(round(CAST(CAST(coalesce(fa.n_found, 0) AS DOUBLE)
+         |    / CAST(pa.n_planted AS DOUBLE) AS DECIMAL(20,10)), 4)
+         |    AS DOUBLE) AS recall
+         |FROM pagg pa JOIN params pr ON pa.scale = pr.scale
+         |LEFT JOIN fagg fa ON fa.scale = pa.scale""".stripMargin,
+
+    // The refresh replayed in SQL: seed = 4 lowest ids of batch 0
+    // (chooseK(8)=4), batches 0/1 dedup under those cells, then the
+    // retrained centroid set = chooseK(|survivors|) lowest-id
+    // survivors, corpus re-assigned, and batch 2 dedups under the new
+    // cells. The -1 row is the refreshed model itself.
+    "q353_ann_refresh_stream" -> {
+      def asg(src: String, ct: String): String =
+        s"""SELECT id, vec, cell FROM (
+           |  SELECT x.id, x.vec, c.cid AS cell,
+           |    row_number() OVER (PARTITION BY x.id
+           |      ORDER BY round(${sqdSql("x.vec", "c.cvec")}, 6),
+           |        c.cid) AS pr
+           |  FROM ($src) x CROSS JOIN $ct c) WHERE pr = 1""".stripMargin
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS vec
+         |  FROM embeddings),
+         |tw AS (SELECT id + 1000000000 AS id,
+         |    [CASE WHEN j = 1
+         |       THEN CAST(CAST(vec[j] AS DOUBLE) + 0.5 AS FLOAT)
+         |       ELSE vec[j] END for j in range(1, len(vec) + 1)] AS vec
+         |  FROM v WHERE id >= 8 AND id < 200),
+         |b01 AS (SELECT id, vec FROM v WHERE id < 200),
+         |b2 AS (SELECT id, vec FROM v WHERE id >= 200
+         |  UNION ALL SELECT id, vec FROM tw),
+         |ct0 AS (SELECT id AS cid, vec AS cvec FROM v
+         |  WHERE id < 8 ORDER BY id LIMIT 4),
+         |a01 AS (${asg("SELECT * FROM b01", "ct0")}),
+         |p0 AS (SELECT DISTINCT a.id FROM a01 a JOIN a01 b
+         |  ON a.id < 8 AND b.id < 8 AND a.cell = b.cell AND a.id > b.id
+         |  WHERE round(${cosSql("a.vec", "b.vec")}, 6)
+         |    >= CAST(0.9 AS DOUBLE)),
+         |s0 AS (SELECT id, vec FROM a01 WHERE id < 8
+         |  AND id NOT IN (SELECT id FROM p0)),
+         |cand1 AS (SELECT id, vec, cell, FALSE AS isnew FROM a01
+         |    WHERE id < 8 AND id NOT IN (SELECT id FROM p0)
+         |  UNION ALL SELECT id, vec, cell, TRUE FROM a01 WHERE id >= 8),
+         |p1 AS (SELECT DISTINCT a.id FROM a01 a JOIN cand1 b
+         |  ON a.id >= 8 AND a.cell = b.cell AND a.id <> b.id
+         |  AND (NOT b.isnew OR a.id > b.id)
+         |  WHERE round(${cosSql("a.vec", "b.vec")}, 6)
+         |    >= CAST(0.9 AS DOUBLE)),
+         |s1 AS (SELECT id, vec FROM a01 WHERE id >= 8 AND id < 200
+         |  AND id NOT IN (SELECT id FROM p1)),
+         |surv01 AS (SELECT id, vec FROM s0
+         |  UNION ALL SELECT id, vec FROM s1),
+         |kk AS (SELECT GREATEST(4, LEAST(65536,
+         |    CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS INT))) AS k
+         |  FROM surv01),
+         |ct1 AS (SELECT cid, cvec FROM (
+         |  SELECT id AS cid, vec AS cvec,
+         |    row_number() OVER (ORDER BY id) AS rn FROM surv01)
+         |  WHERE rn <= (SELECT k FROM kk)),
+         |a2 AS (${asg("SELECT id, vec FROM surv01" +
+             " UNION ALL SELECT id, vec FROM b2", "ct1")}),
+         |cand2 AS (SELECT a2.id, a2.vec, a2.cell,
+         |    a2.id IN (SELECT id FROM b2) AS isnew FROM a2),
+         |p2 AS (SELECT DISTINCT a.id FROM cand2 a JOIN cand2 b
+         |  ON a.isnew AND a.cell = b.cell AND a.id <> b.id
+         |  AND (NOT b.isnew OR a.id > b.id)
+         |  WHERE round(${cosSql("a.vec", "b.vec")}, 6)
+         |    >= CAST(0.9 AS DOUBLE)),
+         |s2 AS (SELECT id FROM b2 WHERE id NOT IN (SELECT id FROM p2))
+         |SELECT CAST(0 AS BIGINT) AS ingest_batch,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(id) AS BIGINT) AS id_sum FROM s0
+         |UNION ALL SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT),
+         |  CAST(sum(id) AS BIGINT) FROM s1
+         |UNION ALL SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+         |  CAST(sum(id) AS BIGINT) FROM s2
+         |UNION ALL SELECT CAST(-1 AS BIGINT),
+         |  (SELECT CAST(count(*) AS BIGINT) FROM ct1),
+         |  (SELECT CAST(sum(cid) AS BIGINT) FROM ct1)""".stripMargin
+    },
+
+    // The bucketed layout changes the PLAN, never the rows: a plain
+    // equi-join + group is the whole truth.
+    "q354_bucketed_join" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice
+        |    * (CAST(1 AS DOUBLE) - l_discount) * 100) AS BIGINT))
+        |    AS BIGINT) AS rev_sum_cents
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_partkey % 4 = 0
+        |GROUP BY 1""".stripMargin,
+
+    // The advisor replayed: same chooser arithmetic, same argmax
+    // assignment (rounded-cos desc, cid), exact integer costs.
+    "q355_ivf_cost_advisor" ->
+      s"""WITH e AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+         |  FROM embeddings),
+         |p AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    GREATEST(4, LEAST(65536,
+         |      CAST(ceil(sqrt(CAST(count(*) AS DOUBLE))) AS INT))) AS k
+         |  FROM e),
+         |cands AS (SELECT DISTINCT kc FROM (SELECT unnest([
+         |    GREATEST(4, k // 2), k, LEAST(65536, k * 2)]) AS kc
+         |  FROM p)),
+         |asg AS (SELECT kc, id, cell FROM (
+         |  SELECT c.kc, v.id, ct.cid AS cell,
+         |    row_number() OVER (PARTITION BY c.kc, v.id
+         |      ORDER BY round(${cosSql("v.vec", "ct.cvec")}, 6) DESC,
+         |        ct.cid) AS pr
+         |  FROM e v CROSS JOIN cands c
+         |  JOIN (SELECT id AS cid, vec AS cvec FROM e) ct
+         |    ON ct.cid < c.kc) WHERE pr = 1),
+         |occ AS (SELECT kc, cell, CAST(count(*) AS BIGINT) AS o
+         |  FROM asg GROUP BY 1, 2),
+         |st AS (SELECT kc, CAST(count(*) AS BIGINT) AS n_cells,
+         |    CAST(max(o) AS BIGINT) AS max_occ,
+         |    CAST(sum(o * o) AS BIGINT) AS occ_sq_sum
+         |  FROM occ GROUP BY 1)
+         |SELECT CAST(st.kc AS INT) AS k_cand, st.n_cells, st.max_occ,
+         |  st.occ_sq_sum, CAST(p.n * st.kc AS BIGINT) AS assign_cost,
+         |  CAST(st.occ_sq_sum + p.n * st.kc AS BIGINT) AS total_cost,
+         |  st.kc = p.k AS advised
+         |FROM st, p""".stripMargin,
 
     // Both counts are the plain scan truth.
     "q350_manifest_count" ->

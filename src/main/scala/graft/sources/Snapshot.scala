@@ -538,6 +538,76 @@ object Snapshot {
     next
   }
 
+  /** HASH-BUCKETED commit — the co-located-join layout (SURVEY q354):
+    * rows write through Spark's native bucketed parquet format
+    * (`bucketBy(buckets, key).sortBy(key)` — bucket id = Murmur3 hash
+    * of the key, recorded in each file NAME), one data directory per
+    * version, the bucket spec in a `_bucketing` sidecar the plain
+    * scan ignores (leading underscore). Versioning, time travel, tags
+    * and vacuum all work unchanged — the manifest lists the dir like
+    * any commit. The payoff is [[readBucketed]]: repeated big×big
+    * equi-joins on the bucket key run with ZERO shuffle exchange on
+    * either side (both scans report the same hash partitioning), the
+    * lever beside range-clustering when neither join side fits a
+    * broadcast — at 100 TB the shuffle this removes is the join's
+    * dominant cost. Bucketed snapshots are full-rewrite tables (no
+    * keyed merge — re-commit to change), matching Spark's own
+    * bucketed-table contract; footer-stat pruning is not harvested
+    * (bucket files answer key lookups by hash instead).
+    */
+  def commitBucketed(df: DataFrame, table: String, bucketKey: String,
+                     buckets: Int): Long = {
+    require(buckets > 0, "buckets must be > 0")
+    val spark = df.sparkSession
+    val commitId = java.util.UUID.randomUUID().toString
+    val dataRoot = Paths.get(table, "data", commitId)
+    // write through a throwaway EXTERNAL catalog entry: only
+    // saveAsTable produces the bucketed file layout, and dropping an
+    // external table keeps its files — the catalog entry is never the
+    // source of truth, the manifest is
+    val tmpName = "graft_bkt_" + commitId.replace("-", "")
+    df.write.format("parquet")
+      .bucketBy(buckets, bucketKey).sortBy(bucketKey)
+      .option("path", dataRoot.toString)
+      .saveAsTable(tmpName)
+    spark.sql(s"DROP TABLE `$tmpName`")
+    Files.writeString(dataRoot.resolve("_bucketing"),
+      s"${enc(bucketKey)}\t$buckets")
+    val next = latestVersion(table).getOrElse(0L) + 1
+    writeManifest(table, Manifest(next, "", "", df.schema.json,
+      Seq(dataRoot.toString)))
+    next
+  }
+
+  /** Read a [[commitBucketed]] snapshot AS a bucketed table: registers
+    * an external catalog table over the version's data directory with
+    * the recorded CLUSTERED BY spec, so Catalyst plans scans with the
+    * bucket hash partitioning and EnsureRequirements inserts no
+    * shuffle under an equi-join on the bucket key (SnapshotSpec pins
+    * the plan). `catalogName` must be caller-unique; re-reads replace
+    * it (DROP + CREATE are metadata-only on an external table).
+    */
+  def readBucketed(spark: SparkSession, table: String,
+                   catalogName: String,
+                   version: Option[Long] = None): DataFrame = {
+    val v = version.orElse(latestVersion(table)).getOrElse(
+      sys.error(s"no committed version at $table"))
+    val m = readManifest(table, v)
+    require(m.dirs.size == 1,
+      s"bucketed snapshots are single-dir; found ${m.dirs.size}")
+    val dir = m.dirs.head
+    val spec = Files.readString(Paths.get(dir, "_bucketing")).trim
+      .split('\t')
+    val (key, buckets) = (dec(spec(0)), spec(1).toInt)
+    spark.sql(s"DROP TABLE IF EXISTS `$catalogName`")
+    spark.sql(
+      s"""CREATE TABLE `$catalogName` (${m.dataSchema.toDDL})
+         |USING PARQUET
+         |CLUSTERED BY (`$key`) SORTED BY (`$key`) INTO $buckets BUCKETS
+         |LOCATION '$dir'""".stripMargin)
+    spark.table(catalogName)
+  }
+
   /** Read a snapshot (latest by default; any retained version for time
     * travel). The partition column is re-injected from the directory
     * names on the scan — one codegen'd regexp, no join, no shuffle.

@@ -437,7 +437,8 @@ object Streams {
     */
   def dedupStream(in: DataFrame, table: String, checkpoint: String,
                   threshold: Double = 0.5, compactEvery: Int = 16,
-                  vacuumKeep: Int = 0): Unit = {
+                  vacuumKeep: Int = 0,
+                  onBatch: (Long, Double) => Unit = (_, _) => ()): Unit = {
     import graft.ops.{Dedup, Text}
     import graft.sources.Snapshot
     val q = in.writeStream
@@ -445,6 +446,7 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val probeT0 = System.nanoTime
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val fresh = batch.toDF().select(col("doc_id"), col("text"))
@@ -485,6 +487,7 @@ object Streams {
           fresh.unpersist()
           created.foreach(_.unpersist(): Unit)
         }
+        onBatch(batchId, (System.nanoTime - probeT0) / 1e9)
       }
       .start()
     q.awaitTermination()
@@ -633,7 +636,8 @@ object Streams {
   def lshDedupStream(in: DataFrame, table: String, indexTable: String,
                      checkpoint: String, threshold: Double = 0.5,
                      bands: Int = 4, rowsPerBand: Int = 4,
-                     compactEvery: Int = 16, vacuumKeep: Int = 0): Unit = {
+                     compactEvery: Int = 16, vacuumKeep: Int = 0,
+                     onBatch: (Long, Double) => Unit = (_, _) => ()): Unit = {
     import graft.ops.{Dedup, Text}
     import graft.sources.Snapshot
     val q = in.writeStream
@@ -641,6 +645,7 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val probeT0 = System.nanoTime
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val fresh = batch.toDF().select(col("doc_id"), col("text"))
@@ -743,6 +748,7 @@ object Streams {
           candsP.unpersist()
           fresh.unpersist(): Unit
         }
+        onBatch(batchId, (System.nanoTime - probeT0) / 1e9)
       }
       .start()
     q.awaitTermination()
@@ -759,25 +765,49 @@ object Streams {
     * footer pruning; full-scan fallback past 64k), so per-batch cost
     * tracks cell occupancy of the increment, not corpus age.
     *
-    * The coarse model trains ONCE, on first contact: the first batch's
-    * `centroidsK` lowest-id vectors seed `modelTable`, frozen
-    * thereafter (deterministic ⇒ a replayed first batch re-derives the
-    * identical seed and the keyed merge converges). Like LSH banding
-    * this path is approximate — a cross-cell near-dup pair can slip —
-    * but assignment is deterministic, so an EXACT duplicate always
-    * lands in its copy's cell and always drops.
+    * The coarse model trains on first contact: the first batch's
+    * lowest-id vectors seed `modelTable` (`centroidsK` of them, or
+    * `chooseK(|batch|)` when `refreshFactor > 0`); deterministic ⇒ a
+    * replayed first batch re-derives the identical seed and the keyed
+    * merge converges. Like LSH banding this path is approximate — a
+    * cross-cell near-dup pair can slip — but assignment is
+    * deterministic, so an EXACT duplicate always lands in its copy's
+    * cell and always drops.
+    *
+    * MODEL REFRESH (`refreshFactor > 0`): a frozen k under-partitions
+    * a growing corpus — same-cell candidate cost is Σ occupancy² ≈
+    * n²/k, so at 100× the per-batch probe degrades quadratically
+    * while [[graft.ops.Similarity.chooseK]]'s √n contract keeps it
+    * Θ(n^1.5) (NOTES 100/r13). Before processing a batch, if
+    * `chooseK(corpusCount) >= refreshFactor · currentK` (corpus count
+    * from the manifest stat — no scan), the model RETRAINS and swaps
+    * atomically: new centroids = the `chooseK(n)` lowest-id corpus
+    * vectors committed as a NEW `modelTable` version, and the corpus
+    * re-assigns its stored cells against them in one clustered
+    * rewrite. The rewrite is O(n), but k grows geometrically (factor
+    * ≥ `refreshFactor` per refresh) so a stream pays O(log n)
+    * refreshes — amortized O(n log n), dominated by the O(n^1.5)
+    * probe work it bounds. Crash-safe: the swap is two ordinary
+    * manifest commits BEFORE the batch's own merge; a replayed batch
+    * re-evaluates the trigger against the already-swapped model
+    * (kTarget ≈ currentK ⇒ no double refresh) and re-processes
+    * against the same centroids it saw pre-crash.
     *
     * Tables (each an atomic per-batch snapshot merge):
-    *  - `modelTable`: (cid, cvec) — the frozen L2 centroids
+    *  - `modelTable`: (cid, cvec) — the L2 centroids (frozen, or
+    *    refresh-swapped as above)
     *  - `table`: (doc_id, vec, cell, ingest_batch) — survivors, with
-    *    their cell stored so history is never re-assigned
+    *    their cell stored so history is never re-assigned between
+    *    refreshes
     * Compaction/retention: [[lshDedupStream]]'s policy, corpus
     * range-clustered on doc_id to keep point lookups pruned.
     */
   def annDedupStream(in: DataFrame, table: String, modelTable: String,
                      checkpoint: String, threshold: Double = 0.99,
                      centroidsK: Int = 16, compactEvery: Int = 16,
-                     vacuumKeep: Int = 0): Unit = {
+                     vacuumKeep: Int = 0,
+                     refreshFactor: Double = 0.0,
+                     onBatch: (Long, Double) => Unit = (_, _) => ()): Unit = {
     import graft.ops.Similarity
     import graft.sources.Snapshot
     val q = in.writeStream
@@ -785,16 +815,44 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val probeT0 = System.nanoTime
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val fresh0 = batch.toDF()
             .select(col("doc_id"), col("vec").cast("array<float>"))
           if (Snapshot.latestVersion(modelTable).isEmpty) {
-            val seed = fresh0.orderBy(col("doc_id")).limit(centroidsK)
+            val k0 = if (refreshFactor > 0)
+              Similarity.chooseK(fresh0.count()) else centroidsK
+            val seed = fresh0.orderBy(col("doc_id")).limit(k0)
               .select(col("doc_id").as("cid"), col("vec").as("cvec"),
                 lit(0L).as("ingest_batch"))
             Snapshot.merge(seed, modelTable, Seq("cid"), "cid",
               "ingest_batch"): Unit
+          } else if (refreshFactor > 0 &&
+              Snapshot.latestVersion(table).nonEmpty) {
+            val n = Snapshot.countStar(table).getOrElse(0L)
+            val kTarget = Similarity.chooseK(n)
+            val kNow = Snapshot.read(spark, modelTable).count()
+            if (kTarget >= refreshFactor * kNow) {
+              val corpus = Snapshot.read(spark, table)
+                .select(col("doc_id"), col("vec"), col("ingest_batch"))
+                .persist()
+              val newCen = corpus.orderBy(col("doc_id")).limit(kTarget)
+                .select(col("doc_id").as("cid"), col("vec").as("cvec"),
+                  lit(batchId).as("ingest_batch"))
+              Snapshot.commit(newCen, modelTable,
+                Some("ingest_batch")): Unit
+              val reassigned = Similarity.ivfAssignL2(
+                  corpus.select(col("doc_id").as("id"), col("vec")),
+                  newCen.select(col("cid"), col("cvec")))
+                .select(col("id").as("doc_id"),
+                  col("vec").cast("array<float>").as("vec"), col("cell"))
+                .join(corpus.select(col("doc_id"), col("ingest_batch")),
+                  Seq("doc_id"))
+              Snapshot.commit(reassigned, table, Some("ingest_batch"),
+                clusterBy = Some("doc_id")): Unit
+              corpus.unpersist(): Unit
+            }
           }
           val centroids = Snapshot.read(spark, modelTable)
             .select(col("cid"), col("cvec"))
@@ -861,6 +919,7 @@ object Streams {
           candsP.unpersist()
           fresh.unpersist(): Unit
         }
+        onBatch(batchId, (System.nanoTime - probeT0) / 1e9)
       }
       .start()
     q.awaitTermination()

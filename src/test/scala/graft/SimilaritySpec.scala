@@ -755,4 +755,34 @@ class SimilaritySpec extends SparkSpec {
       Similarity.mmrRerank(qs, cands, 1001, 1001, 3, 10)
     }
   }
+
+  test("chooseK: sqrt-n contract with clamps; chooseNProbe: the " +
+      "measured recall knee, never above k") {
+    assert(Similarity.chooseK(0) == 4) // kMin floor
+    assert(Similarity.chooseK(8) == 4) // ceil(sqrt 8)=3 -> floor
+    assert(Similarity.chooseK(1000) == 32)
+    assert(Similarity.chooseK(10000) == 100)
+    assert(Similarity.chooseK(40000) == 200)
+    assert(Similarity.chooseK(1L << 40) == 65536) // kMax cap
+    assert(Similarity.chooseK(100, c = 2.0) == 20)
+    intercept[IllegalArgumentException](Similarity.chooseK(-1))
+    assert(Similarity.chooseNProbe(200) == 4)
+    assert(Similarity.chooseNProbe(2) == 2) // never more probes than cells
+  }
+
+  test("q352 recall parity: the k-chooser holds planted-pair recall " +
+      "flat across a 10x corpus growth (the frozen-k scale contract)") {
+    // the gate query itself at sf0.001: two rows (scale 1 and 10),
+    // recall at 10x must stay within eps of the 1x reading and both
+    // must clear the absolute floor
+    val rows = SparkEntry.queries("q352_ann_k_chooser")(
+        spark, "/root/testdata/sf0.001")
+      .select("scale", "k", "recall").as[(Int, Int, Double)]
+      .collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 10))
+    val Array((_, k1, r1), (_, k10, r10)) = rows
+    assert(k10 > k1, s"chooser froze k: $k1 -> $k10")
+    assert(r1 >= 0.95 && r10 >= 0.95, s"recall floor broken: $r1 / $r10")
+    assert(r10 >= r1 - 0.05, s"recall decayed past eps at 10x: $r1 -> $r10")
+  }
 }

@@ -737,4 +737,35 @@ class SnapshotSpec extends SparkSpec {
       assert(files.forall(f => !f.contains("2024-01-01")))
     }
   }
+
+  test("bucketed snapshots: the equi-join on the bucket key plans " +
+      "with ZERO shuffle exchange, rows match the plain join, and " +
+      "versioning still works") {
+    withTempDir { dir =>
+      val n = 4000
+      val facts = spark.range(n)
+        .select(($"id" % 500).as("k"), ($"id" * 2).as("v"))
+      val dims = spark.range(500)
+        .select($"id".as("k"), concat(lit("d"), $"id").as("name"))
+      val ft = dir.getAbsolutePath + "/fact"
+      val dt = dir.getAbsolutePath + "/dim"
+      Snapshot.commitBucketed(facts, ft, "k", 8)
+      Snapshot.commitBucketed(dims, dt, "k", 8)
+      val j = Snapshot.readBucketed(spark, ft, "graft_spec_fact")
+        .join(Snapshot.readBucketed(spark, dt, "graft_spec_dim"),
+          Seq("k"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed snapshot join must not shuffle either side:\n$plan")
+      assert(j.count() == n)
+      assert(j.agg(sum($"v")).as[Long].head() ==
+        facts.agg(sum($"v")).as[Long].head())
+      // a second commit is a new version; time travel reads the old one
+      Snapshot.commitBucketed(facts.filter($"k" < 100), ft, "k", 8)
+      assert(Snapshot.readBucketed(spark, ft, "graft_spec_fact2")
+        .count() < n)
+      assert(Snapshot.readBucketed(spark, ft, "graft_spec_fact1",
+        version = Some(1L)).count() == n)
+    }
+  }
 }
