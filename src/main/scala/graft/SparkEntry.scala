@@ -186,7 +186,11 @@ object SparkEntry {
     * keep state-store instances PER shuffle partition per micro-batch;
     * at the session's 32 partitions the state machinery (not data)
     * dominates a small gate query's cost — measured 13 s -> 5 s on
-    * q346 at 8 partitions. Batch queries never use this.
+    * q346 at 8 partitions. The suffix-array gates (q356–q358) scope
+    * too: ~50 tiny shuffle stages across 7 doubling rounds + the LCP
+    * descent pay per-task overhead, not data — a gate-economics knob
+    * that reverses at production scale exactly like the streaming
+    * one. Other batch queries never use this.
     */
   private def withShufflePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
@@ -235,6 +239,42 @@ object SparkEntry {
   /** DuckDB tokenization in lockstep with Text.tokens. */
   private val tokSql =
     """list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')"""
+
+  /** DuckDB CTE chain replaying the suffix-array semantics for the
+    * q356–q358 oracles: the SA order over sentinel-terminated docs
+    * equals sorting chr(1)-joined doc-local suffix strings (chr(1)
+    * sorts below every corpus char) with doc_id as the exact-tie
+    * break; adjacent-pair LCP is the first token mismatch over the
+    * exploded token table (doc-local by the same sentinel argument).
+    * Terminal CTEs: sa(doc_id, p, l, r), lc(doc_a, pos_a, doc_b,
+    * pos_b, lcp). `docFilter` is a WHERE tail on documents.
+    */
+  private def saCteSql(docFilter: String): String =
+    s"""tk AS (SELECT doc_id, $tokSql AS tk
+       |  FROM documents WHERE $docFilter),
+       |pos AS (SELECT doc_id, tk, unnest(range(len(tk))) AS p FROM tk),
+       |sfx AS (SELECT doc_id, p, len(tk) AS l,
+       |    array_to_string(list_slice(tk, p + 1, len(tk)), chr(1)) AS s
+       |  FROM pos),
+       |sa AS (SELECT doc_id, p, l,
+       |    row_number() OVER (ORDER BY s, doc_id) - 1 AS r FROM sfx),
+       |et AS (SELECT doc_id, generate_subscripts(tk, 1) AS i,
+       |    unnest(tk) AS tok FROM tk),
+       |adj AS (SELECT a.doc_id AS doc_a, a.p AS pos_a,
+       |    b.doc_id AS doc_b, b.p AS pos_b,
+       |    least(a.l - a.p, b.l - b.p) AS mx
+       |  FROM sa a JOIN sa b ON b.r = a.r + 1),
+       |mm AS (SELECT adj.doc_a, adj.pos_a, adj.doc_b, adj.pos_b,
+       |    min(ea.i - adj.pos_a) AS fm
+       |  FROM adj
+       |  JOIN et ea ON ea.doc_id = adj.doc_a AND ea.i > adj.pos_a
+       |    AND ea.i <= adj.pos_a + adj.mx
+       |  JOIN et eb ON eb.doc_id = adj.doc_b
+       |    AND eb.i = adj.pos_b + (ea.i - adj.pos_a)
+       |  WHERE ea.tok <> eb.tok GROUP BY 1, 2, 3, 4),
+       |lc AS (SELECT adj.doc_a, adj.pos_a, adj.doc_b, adj.pos_b,
+       |    CAST(coalesce(mm.fm - 1, adj.mx) AS BIGINT) AS lcp
+       |  FROM adj LEFT JOIN mm USING (doc_a, pos_a, doc_b, pos_b))""".stripMargin
 
   /** DuckDB crawl-URL expression — SparkEntry.crawlUrl parity over an
     * id expression and a source expression.
@@ -4232,6 +4272,68 @@ object SparkEntry {
               .as("total_cost"),
             lit(k == kStar).as("advised"))
       }.reduce(_ unionByName _)
+    }),
+
+    // Dedup/exact: distributed token SUFFIX ARRAY (prefix doubling,
+    // Manber–Myers; the Lee et al. 2022 exact-substring-dedup kernel)
+    // — gated on a 1/4 doc slice. Per-doc rank aggregates verify the
+    // COMPLETE array through exact integer sums: any single rank
+    // off-by-one shifts its doc's sum. Round count is ⌈log₂ max doc
+    // slots⌉ (sentinel-uniqueness bound), not log₂ corpus — the scale
+    // contract that keeps the shuffle-round count flat at 100 TB.
+    "q356_suffix_array" -> ((s, dir) => withShufflePartitions(s, 8) {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 4 === 0)
+      val c = SuffixArray.corpus(docs, col("doc_id"), col("text"))
+      val b = SuffixArray.build(c)
+      b.sa.filter(!col("sent"))
+        .select(col("doc_id"), (col("rank") - c.numDocs).as("r"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("r")).as("sum_rank"),
+          min(col("r")).as("min_rank"), max(col("r")).as("max_rank"))
+    }),
+
+    // Dedup/exact: SA-adjacent LCP — every repeated token run ≥ 8
+    // PROVEN with its exact length and both locations (winnowing
+    // q221 only bounds these probabilistically), top-40 by length.
+    // LCP via rank-table descent: O(log maxDoc) join rounds over the
+    // N−1 adjacent pairs, never a quadratic compare.
+    "q357_repeated_spans" -> ((s, dir) => withShufflePartitions(s, 8) {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 2 === 0)
+      val c = SuffixArray.corpus(docs, col("doc_id"), col("text"))
+      val b = SuffixArray.build(c)
+      // materialize the descent INSIDE the partition scope (the gate
+      // queries' deferred action would otherwise run it at the
+      // session's 32)
+      val lcps = SuffixArray.adjacentLcp(b, c.numDocs)
+        .filter(col("lcp") >= 8).localCheckpoint(true)
+      val tk = docs.select(col("doc_id").as("doc_a"),
+        Text.tokens(col("text")).as("tk"))
+      lcps.join(tk, "doc_a")
+        .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
+          col("lcp"), concat_ws(" ", slice(col("tk"),
+            (col("pos_a") + 1).cast("int"), col("lcp").cast("int")))
+            .as("span_text"))
+        .orderBy(col("lcp").desc, col("doc_a"), col("pos_a"),
+          col("doc_b"))
+        .limit(40)
+    }),
+
+    // Dedup/exact: Lee et al.'s DEDUP-MASS statistic — per doc, how
+    // many suffix positions start a repeated run ≥ 8 (max of the two
+    // SA-neighbor LCPs = longest match anywhere else in the corpus)
+    // and the token coverage of the UNION of those runs: the number
+    // that decides how aggressive span-level dedup should be before
+    // anyone deletes a byte. Interval union per doc, never global.
+    "q358_dup_span_coverage" -> ((s, dir) => withShufflePartitions(s, 8) {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+      val c = SuffixArray.corpus(docs, col("doc_id"), col("text"))
+      val b = SuffixArray.build(c)
+      // descent materialized inside the partition scope (see q357)
+      val lcps = SuffixArray.adjacentLcp(b, c.numDocs)
+        .localCheckpoint(true)
+      val nTok = docs.select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      SuffixArray.dupSpanCoverage(lcps, nTok, 8L)
     }),
 
     // Generation eval: DISTINCT-N DIVERSITY — corpus-wide distinct
@@ -13593,6 +13695,58 @@ object SparkEntry {
          |  CAST(st.occ_sq_sum + p.n * st.kc AS BIGINT) AS total_cost,
          |  st.kc = p.k AS advised
          |FROM st, p""".stripMargin,
+
+    // The SA replayed as a sort of chr(1)-joined doc-local suffix
+    // strings (sentinel semantics — see saCteSql), same slice, same
+    // per-doc exact rank sums.
+    "q356_suffix_array" ->
+      s"""WITH ${saCteSql("doc_id % 4 = 0")}
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(r) AS BIGINT) AS sum_rank,
+         |  CAST(min(r) AS BIGINT) AS min_rank,
+         |  CAST(max(r) AS BIGINT) AS max_rank
+         |FROM sa GROUP BY 1""".stripMargin,
+
+    // Adjacent-pair LCP via the exploded first-mismatch, same ≥ 8
+    // floor, same (lcp desc, doc_a, pos_a, doc_b) top-40 cut, span
+    // text sliced from the left doc's tokens.
+    "q357_repeated_spans" ->
+      s"""WITH ${saCteSql("doc_id % 2 = 0")}
+         |SELECT lc.doc_a, lc.pos_a, lc.doc_b, lc.pos_b, lc.lcp,
+         |  array_to_string(list_slice(tk.tk, lc.pos_a + 1,
+         |    lc.pos_a + lc.lcp), ' ') AS span_text
+         |FROM lc JOIN tk ON tk.doc_id = lc.doc_a
+         |WHERE lc.lcp >= 8
+         |ORDER BY lc.lcp DESC, lc.doc_a, lc.pos_a, lc.doc_b
+         |LIMIT 40""".stripMargin,
+
+    // Same per-position max-neighbor-LCP spans, same per-doc interval
+    // union via the running max of previous span ends.
+    "q358_dup_span_coverage" ->
+      s"""WITH ${saCteSql("doc_id % 3 = 0")},
+         |sp0 AS (SELECT doc_a AS doc_id, pos_a AS pos, lcp
+         |    FROM lc WHERE lcp >= 8
+         |  UNION ALL SELECT doc_b, pos_b, lcp FROM lc WHERE lcp >= 8),
+         |sp AS (SELECT doc_id, pos, max(lcp) AS l
+         |  FROM sp0 GROUP BY 1, 2),
+         |cv AS (SELECT doc_id, pos, l,
+         |    max(pos + l) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      AS prev_end FROM sp),
+         |ag AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_starts,
+         |    CAST(sum(greatest(0, pos + l
+         |      - greatest(coalesce(prev_end, pos), pos))) AS BIGINT)
+         |      AS covered_tokens
+         |  FROM cv GROUP BY 1)
+         |SELECT tk.doc_id, CAST(len(tk.tk) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(ag.dup_starts, 0) AS BIGINT) AS dup_starts,
+         |  CAST(coalesce(ag.covered_tokens, 0) AS BIGINT)
+         |    AS covered_tokens,
+         |  CASE WHEN len(tk.tk) = 0 THEN NULL ELSE
+         |    CAST(round(CAST(CAST(coalesce(ag.covered_tokens, 0)
+         |      AS DOUBLE) / CAST(len(tk.tk) AS DOUBLE)
+         |      AS DECIMAL(20,10)), 4) AS DOUBLE) END AS covered_ratio
+         |FROM tk LEFT JOIN ag ON ag.doc_id = tk.doc_id""".stripMargin,
 
     // Both counts are the plain scan truth.
     "q350_manifest_count" ->

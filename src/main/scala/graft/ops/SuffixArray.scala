@@ -1,0 +1,337 @@
+package graft.ops
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT substring deduplication kernel: a distributed token-level
+  * SUFFIX ARRAY over the whole corpus via prefix doubling
+  * (Manber–Myers 1990), plus LCP of SA-adjacent suffixes via
+  * rank-table descent — the Lee et al. 2022 ("Deduplicating Training
+  * Data Makes Language Models Better") machinery, re-expressed as
+  * DataFrame rounds. Reference analog: none; this is the
+  * beyond-reference EXACT span family next to the approximate ones
+  * (winnowing [[Text.winnowingFingerprints]], shingle LSH
+  * [[Dedup.lshCandidatePairs]]): those BOUND span overlap
+  * probabilistically, the suffix array PROVES every repeated token
+  * run and its exact length.
+  *
+  * Construction: docs concatenate (doc_id ascending) into one global
+  * token sequence with ONE UNIQUE SENTINEL slot per document
+  * appended after its last token. Sentinels rank below every real
+  * token and ascend in doc order, so (a) no common prefix ever
+  * crosses a document boundary (any window containing a sentinel is
+  * globally unique), and (b) the SA order restricted to real
+  * positions equals "sort doc-local suffixes lexicographically,
+  * end-of-doc smallest, ties by doc order" — which is exactly what a
+  * SQL oracle can replay by sorting separator-joined suffix strings.
+  * Sentinel-start suffixes occupy the bottom `numDocs` ranks, so the
+  * real-position SA index is simply `rank - numDocs`.
+  *
+  * Rank semantics are COUNT-BELOW, not dense: rank_j(i) = |{i' :
+  * window_j(i') < window_j(i)}| — tied windows share their group's
+  * start. That choice is the scale lever of the whole construction:
+  * a position whose window is UNIQUE at round j keeps the exact same
+  * count-below rank at every later round (extending a strictly
+  * ordered window pair never reorders it, and i's tie set is empty),
+  * so resolved positions FREEZE and each doubling round touches only
+  * the still-tied groups — per-round work tracks the corpus's actual
+  * remaining ambiguity (duplicated mass), not its size. Within a
+  * tied group the refreshed rank is group-start + rows-below by the
+  * successor rank, one windowed count PARTITIONED BY GROUP — never a
+  * global window, never a corpus-wide re-rank, no join-back.
+  *
+  * Round ceiling: ⌈log₂(max doc slots)⌉, NOT log₂(corpus) — once the
+  * window length covers the longest document every window contains a
+  * sentinel and all ranks are provably distinct. A 100 TB corpus of
+  * ≤64 Ki-token documents pays at most 16 rounds regardless of row
+  * count, and the early-exit usually stops far sooner.
+  */
+object SuffixArray {
+
+  /** Global position layout: one row per token slot plus one sentinel
+    * slot per doc. `rank` is the round-0 count-below rank (sentinels:
+    * their doc order index; real tokens: numDocs + occurrences of
+    * strictly smaller tokens), `cnt` the tie-group size (1 = already
+    * resolved).
+    */
+  final case class Corpus(positions: DataFrame, numDocs: Long,
+                          numSlots: Long, maxSlots: Long)
+
+  /** `sa` is the final positions frame (every rank distinct = the SA
+    * index); `tables` holds (windowLen, frame(gpos, rank)) for every
+    * power of two reached — the LCP descent's witness set, each the
+    * EXACT count-below rank at its window length. `owned` are the
+    * eagerly localCheckpointed frames backing them; call
+    * [[Built.unpersistAll]] when the caller owns the lifecycle (gate
+    * queries leave release to the ContextCleaner, the repo's
+    * iterative-op convention).
+    */
+  final case class Built(sa: DataFrame, tables: Seq[(Long, DataFrame)],
+                         owned: Seq[DataFrame]) {
+    def unpersistAll(): Unit = owned.foreach(_.unpersist())
+  }
+
+  /** Tokenize + lay out the global sequence. `docs` must carry one row
+    * per distinct id. One docs-sized aggregate action computes the
+    * corpus stats; slot offsets come from the two-level prefix kernel
+    * (counts ordered by id) and initial token ranks from a
+    * vocabulary-sized occurrence prefix sum — never a global window
+    * over data rows.
+    */
+  def corpus(docs: DataFrame, idCol: Column, textCol: Column): Corpus = {
+    val toks = docs.select(idCol.cast("long").as("doc_id"),
+      Text.tokens(textCol).as("tk"))
+    val counts = toks.select(col("doc_id"),
+      (size(col("tk")) + 1).cast("long").as("slots"), lit(1L).as("one"))
+    val st = counts.agg(count(lit(1)).as("d"),
+      coalesce(sum(col("slots")), lit(0L)).as("n"),
+      coalesce(max(col("slots")), lit(1L)).as("m")).head()
+    val (numDocs, numSlots, maxSlots) =
+      (st.getLong(0), st.getLong(1), st.getLong(2))
+    val offs = Ranks.withRunningBelow(counts, "doc_id", 1024L,
+        Seq("slots", "one"))
+      .select(col("doc_id"), (col("slots") - 1).as("n"),
+        col("slots_below").as("goff"), col("one_below").as("doc_idx"))
+    // vocab occurrence prefix sum: a vocabulary-sized single-partition
+    // window (the accepted bounded walk — distinct tokens, never data
+    // rows); count-below rank = numDocs + occurrences strictly below
+    val wv = Window.partitionBy(Cols.onePartitionKey(col("token")))
+      .orderBy(col("token"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val vr = toks.select(explode(col("tk")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .select(col("token"), col("cnt"),
+        (coalesce(sum(col("cnt")).over(wv), lit(0L)) + numDocs)
+          .as("rank"))
+    val real = toks.join(offs, "doc_id")
+      .select(col("doc_id"), col("goff"),
+        posexplode(col("tk")).as(Seq("pos", "token")))
+      .join(vr, "token")
+      .select((col("goff") + col("pos")).as("gpos"), col("doc_id"),
+        col("pos").cast("long").as("pos"), lit(false).as("sent"),
+        col("rank"), col("cnt"))
+    val sents = offs.select((col("goff") + col("n")).as("gpos"),
+      col("doc_id"), col("n").as("pos"), lit(true).as("sent"),
+      col("doc_idx").as("rank"), lit(1L).as("cnt"))
+    Corpus(real.unionByName(sents), numDocs, numSlots, maxSlots)
+  }
+
+  /** Prefix doubling to full rank distinctness (see object scaladoc
+    * for the count-below/freeze mechanics). Exits as soon as no tied
+    * group remains (tracked by the per-round checkpoint's resolved
+    * flags — a memory-scan count, no extra shuffle); distinctness at
+    * window L also bounds every LCP < L so the descent set stays
+    * sufficient. Each round eagerly localCheckpoints (the measured
+    * iterative-op convention: unbounded lineage re-analysis is
+    * super-linear).
+    */
+  def build(c: Corpus): Built = {
+    val rounds = math.max(1,
+      math.ceil(math.log(c.maxSlots.toDouble) / math.log(2.0)).toInt)
+    var cur = c.positions.localCheckpoint(true)
+    val owned = ArrayBuffer[DataFrame](cur)
+    val tables = ArrayBuffer[(Long, DataFrame)](
+      (1L, cur.select(col("gpos"), col("rank"))))
+    var len = 1L
+    var round = 0
+    var unresolved = cur.filter(col("cnt") > 1).count()
+    while (round < rounds && unresolved > 0) {
+      round += 1
+      // successor ranks live on the FULL frame (frozen ranks are exact
+      // at every later round); only tied rows pair and re-rank. AQE
+      // broadcasts the tied side once it shrinks under the threshold.
+      val nxt = cur.select((col("gpos") - len).as("gpos"),
+        col("rank").as("r2"))
+      val un = cur.filter(col("cnt") > 1)
+        .join(nxt, Seq("gpos"), "left")
+        .withColumn("r2f", coalesce(col("r2"), lit(-1L)))
+      val wg = Window.partitionBy(col("rank")).orderBy(col("r2f"))
+      val upd = un
+        .withColumn("below", count(lit(1)).over(
+          wg.rangeBetween(Window.unboundedPreceding, -1)))
+        .withColumn("ties", count(lit(1)).over(wg.rangeBetween(0, 0)))
+        .select(col("gpos"), col("doc_id"), col("pos"), col("sent"),
+          (col("rank") + col("below")).as("rank"),
+          col("ties").as("cnt"))
+      cur = cur.filter(col("cnt") === 1).unionByName(upd)
+        .localCheckpoint(true)
+      owned += cur
+      len *= 2
+      tables += ((len, cur.select(col("gpos"), col("rank"))))
+      unresolved = cur.filter(col("cnt") > 1).count()
+    }
+    // the sentinel bound proves this: at window len ≥ maxSlots every
+    // window holds a unique sentinel
+    require(unresolved == 0,
+      s"suffix ranks not distinct after $round rounds ($unresolved tied)")
+    Built(cur, tables.toSeq, owned.toSeq)
+  }
+
+  /** LCP between SA-adjacent REAL suffixes via rank-table descent:
+    * walk window lengths 2^(rounds−1)…1 high-to-low, advancing both
+    * cursors whenever the two windows' ranks match (count-below rank
+    * equality ⟺ window equality, and any window containing a sentinel
+    * is unique, so matches never cross a doc end — the LCP is
+    * doc-local by construction). O(log maxDoc) join rounds over the
+    * N−1 pairs, never a quadratic compare. Output: (rank_sa, doc_a,
+    * pos_a, doc_b, pos_b, lcp) where the `a` suffix holds SA index
+    * rank_sa and `b` is its successor.
+    */
+  def adjacentLcp(b: Built, numDocs: Long): DataFrame = {
+    val real = b.sa.filter(!col("sent"))
+      .select((col("rank") - numDocs).as("rank_sa"), col("gpos"),
+        col("doc_id"), col("pos"))
+    val right = real.select((col("rank_sa") - 1).as("rank_sa"),
+      col("gpos").as("gpos_b"), col("doc_id").as("doc_b"),
+      col("pos").as("pos_b"))
+    var p = real.join(right, "rank_sa")
+      .select(col("rank_sa"), col("gpos").as("gpos_a"),
+        col("doc_id").as("doc_a"), col("pos").as("pos_a"),
+        col("gpos_b"), col("doc_b"), col("pos_b"))
+      .withColumn("lcp", lit(0L))
+    val descent = b.tables.dropRight(1).reverse
+    for (((len, tbl), i) <- descent.zipWithIndex) {
+      val ra = tbl.select(col("gpos").as("qa"), col("rank").as("rka"))
+      val rb = tbl.select(col("gpos").as("qb"), col("rank").as("rkb"))
+      p = p.withColumn("qa", col("gpos_a") + col("lcp"))
+        .withColumn("qb", col("gpos_b") + col("lcp"))
+        .join(ra, Seq("qa"), "left")
+        .join(rb, Seq("qb"), "left")
+        .withColumn("lcp", when(col("rka") === col("rkb"),
+          col("lcp") + len).otherwise(col("lcp")))
+        .drop("qa", "qb", "rka", "rkb")
+      if ((i + 1) % 3 == 0 && i != descent.size - 1)
+        p = p.localCheckpoint(true)
+    }
+    p
+  }
+
+  /** REPEATED n-GRAM FAMILIES: a maximal run of consecutive SA ranks
+    * whose adjacent LCPs all reach `minLen` is exactly the equivalence
+    * class of positions sharing one minLen-token gram (the boundary
+    * pairs share < minLen by maximality), so the block size is the
+    * gram's EXACT corpus occurrence count — the "most duplicated
+    * substrings" table of Lee et al., derived from N−1 adjacent LCPs
+    * instead of enumerating every n-gram. Island ids come from the
+    * two-level prefix kernel over the qualifying pairs' ranks (island
+    * = rank − #qualifying-below; never a global window); members are
+    * the pairs' endpoints (the a-side of rank r and b-side of rank
+    * r+1 coincide, so the distinct covers the whole block). Output:
+    * one row per family — (occurrences, n_docs, rep_doc, rep_pos)
+    * with the representative being the SA-first member (callers slice
+    * its tokens for the gram text).
+    */
+  def repeatFamilies(lcps: DataFrame, minLen: Long): DataFrame = {
+    val qual = lcps.filter(col("lcp") >= minLen)
+      .select(col("rank_sa"), col("doc_a"), col("pos_a"),
+        col("doc_b"), col("pos_b"))
+    val isl = Ranks.withRunningBelow(qual.withColumn("one", lit(1L)),
+        "rank_sa", 4096L, Seq("one"))
+      .withColumn("island", col("rank_sa") - col("one_below"))
+    val members = isl.select(col("island"), col("doc_a").as("doc_id"),
+        col("pos_a").as("pos"), col("rank_sa").as("r"))
+      .unionByName(isl.select(col("island"), col("doc_b").as("doc_id"),
+        col("pos_b").as("pos"), (col("rank_sa") + 1).as("r")))
+      .distinct()
+    members.groupBy(col("island"))
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min_by(col("doc_id"), col("r")).as("rep_doc"),
+        min_by(col("pos"), col("r")).as("rep_pos"))
+      .drop("island")
+  }
+
+  /** EXACT-SPAN DECONTAMINATION: for every EVAL suffix position, the
+    * length of its longest exact token match against the TRAIN side
+    * of the corpus — max of the LCPs with the nearest train suffix
+    * above and below in SA order (the standard identity: LCP is the
+    * interval min of adjacent LCPs, maximized at the nearest
+    * same-side neighbor). Computed with two SEGMENTED running mins:
+    * segment ids are train-counts from the two-level prefix kernel
+    * (left segments [Tᵢ, Tᵢ₊₁) carry the train at their START and
+    * scan prev-pair LCPs forward; right segments (Tᵢ, Tᵢ₊₁] carry it
+    * at their END and scan next-pair LCPs backward) — windows
+    * partition by segment, never globally, and a segment with no
+    * train (before the first / after the last) yields null on that
+    * side. Output: (doc_id, pos, train_match) for every eval
+    * position, train_match null when no train suffix exists on
+    * either side. `isTrain` maps the doc_id column to the split
+    * predicate (the caller's leakage-safe hash split).
+    */
+  def longestCrossMatch(b: Built, numDocs: Long,
+                        isTrain: Column => Column): DataFrame = {
+    val pairs = adjacentLcp(b, numDocs).select(col("rank_sa"), col("lcp"))
+    val real = b.sa.filter(!col("sent"))
+      .select((col("rank") - numDocs).as("rank_sa"), col("doc_id"),
+        col("pos"))
+      .withColumn("tr", isTrain(col("doc_id")).cast("long"))
+    val withL = real
+      .join(pairs.select((col("rank_sa") + 1).as("rank_sa"),
+        col("lcp").as("prev_lcp")), Seq("rank_sa"), "left")
+      .join(pairs.select(col("rank_sa"), col("lcp").as("next_lcp")),
+        Seq("rank_sa"), "left")
+    val seg = Ranks.withRunningBelow(withL, "rank_sa", 16384L, Seq("tr"))
+      .withColumn("seg_l", col("tr_below") + col("tr"))
+      .withColumn("seg_r", col("tr_below"))
+    val wl = Window.partitionBy(col("seg_l")).orderBy(col("rank_sa"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wr = Window.partitionBy(col("seg_r"))
+      .orderBy(col("rank_sa").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // the segment's own train contributes no pair (its prev/next pair
+    // lies outside the interval) — nulled out of the min
+    val scanned = seg
+      .withColumn("lmin", min(when(col("tr") === 1, lit(null))
+        .otherwise(col("prev_lcp"))).over(wl))
+      .withColumn("l_ok",
+        max(col("tr")).over(Window.partitionBy(col("seg_l"))) === 1)
+      .withColumn("rmin", min(when(col("tr") === 1, lit(null))
+        .otherwise(col("next_lcp"))).over(wr))
+      .withColumn("r_ok",
+        max(col("tr")).over(Window.partitionBy(col("seg_r"))) === 1)
+    scanned.filter(col("tr") === 0)
+      .select(col("doc_id"), col("pos"),
+        greatest(when(col("l_ok"), col("lmin")),
+          when(col("r_ok"), col("rmin"))).as("train_match"))
+  }
+
+  /** Lee et al.'s dedup-mass read: per doc, how many suffix positions
+    * START a repeated run of ≥ `minLen` tokens (max of the two
+    * SA-neighbor LCPs — the standard "longest match anywhere else in
+    * the corpus" identity) and how many TOKENS lie inside the union
+    * of those runs. Interval union via a per-doc running max of span
+    * ends — partitioned by doc, never global. `docTokens` must be
+    * (doc_id, n_tokens); docs with no repeated run report zeros.
+    */
+  def dupSpanCoverage(lcps: DataFrame, docTokens: DataFrame,
+                      minLen: Long): DataFrame = {
+    val hits = lcps.filter(col("lcp") >= minLen)
+    val spans = hits
+      .select(col("doc_a").as("doc_id"), col("pos_a").as("pos"),
+        col("lcp"))
+      .unionByName(hits.select(col("doc_b").as("doc_id"),
+        col("pos_b").as("pos"), col("lcp")))
+      .groupBy(col("doc_id"), col("pos")).agg(max(col("lcp")).as("l"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = spans
+      .withColumn("prev_end", max(col("pos") + col("l")).over(w))
+      .withColumn("add", greatest(lit(0L), col("pos") + col("l") -
+        greatest(coalesce(col("prev_end"), col("pos")), col("pos"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_starts"),
+        sum(col("add")).as("covered_tokens"))
+    docTokens.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_starts"), lit(0L)).as("dup_starts"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        when(col("n_tokens") === 0, lit(null)).otherwise(
+          round((coalesce(col("covered_tokens"), lit(0L))
+            .cast("double") / col("n_tokens").cast("double"))
+            .cast("decimal(20,10)"), 4).cast("double"))
+          .as("covered_ratio"))
+  }
+}

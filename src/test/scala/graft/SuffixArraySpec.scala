@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.SuffixArray
+
+class SuffixArraySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent reference: doc-local suffix sort. Token sequences
+    * compare lexicographically with shorter-prefix-first (= the
+    * sentinel semantics), exact ties break by doc_id ascending.
+    */
+  private def tok(s: String): Vector[String] =
+    s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toVector
+
+  private def seqLt(a: Vector[String], b: Vector[String]): Boolean = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      if (a(i) != b(i)) return a(i) < b(i)
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  private def refSa(docs: Seq[(Long, String)]): Vector[(Long, Long)] =
+    docs.flatMap { case (id, txt) =>
+      val w = tok(txt)
+      w.indices.map(p => (id, p.toLong, w.drop(p)))
+    }.sortWith { (x, y) =>
+      if (x._3 == y._3) x._1 < y._1 else seqLt(x._3, y._3)
+    }.map(t => (t._1, t._2)).toVector
+
+  private def refLcp(a: Vector[String], b: Vector[String]): Long = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n && a(i) == b(i)) i += 1
+    i.toLong
+  }
+
+  // planted structure: 20/21 identical; 22 a strict prefix of 20;
+  // 23 internally repetitive; 24 shares an interior run with 20;
+  // 25 empty; 26 ends where 27 begins (a cross-boundary trap for a
+  // naive concatenation without sentinels)
+  private val docs: Seq[(Long, String)] = Seq(
+    20L -> "the quick brown fox jumps over the lazy dog today",
+    21L -> "the quick brown fox jumps over the lazy dog today",
+    22L -> "the quick brown fox",
+    23L -> "a a a a a a b a a",
+    24L -> "big brown fox jumps over the lazy cat instead",
+    25L -> "",
+    26L -> "stream merge sort",
+    27L -> "sort stream merge the quick brown")
+
+  private def buildAll() = {
+    val c = SuffixArray.corpus(docs.toDF("doc_id", "text"),
+      col("doc_id"), col("text"))
+    (c, SuffixArray.build(c))
+  }
+
+  test("suffix array equals the doc-local brute-force sort, " +
+      "sentinels occupy the bottom numDocs ranks, ranks are dense") {
+    val (c, b) = buildAll()
+    val ref = refSa(docs)
+    val sents = b.sa.filter(col("sent"))
+      .select(col("rank"), col("doc_id")).as[(Long, Long)]
+      .collect().sortBy(_._1)
+    // sentinel-start suffixes sort below all real ones, in doc order
+    assert(sents.map(_._1).toSeq == (0L until c.numDocs).toSeq)
+    assert(sents.map(_._2).toSeq == docs.map(_._1).sorted)
+    val got = b.sa.filter(!col("sent"))
+      .select((col("rank") - c.numDocs).as("r"), col("doc_id"),
+        col("pos"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == ref.indices.map(_.toLong))
+    assert(got.map(t => (t._2, t._3)).toVector == ref)
+    b.unpersistAll()
+  }
+
+  test("adjacentLcp matches brute force on every adjacent pair and " +
+      "never crosses a document boundary") {
+    val (c, b) = buildAll()
+    val ref = refSa(docs)
+    val byDoc = docs.toMap.map { case (k, v) => k -> tok(v) }
+    val expect = ref.sliding(2).zipWithIndex.map {
+      case (Seq((da, pa), (db, pb)), i) =>
+        (i.toLong, da, pa, db, pb,
+          refLcp(byDoc(da).drop(pa.toInt), byDoc(db).drop(pb.toInt)))
+    }.toSet
+    val got = SuffixArray.adjacentLcp(b, c.numDocs)
+      .select(col("rank_sa"), col("doc_a"), col("pos_a"),
+        col("doc_b"), col("pos_b"), col("lcp"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == expect)
+    // the identical docs 20/21 are adjacent with full-length LCP
+    assert(got.exists(t => t._2 == 20L && t._4 == 21L && t._3 == 0L &&
+      t._6 == 10L))
+    // doc 26 ends with "sort" where 27 begins: no LCP may claim the
+    // run continues across the boundary (max possible = doc-local)
+    got.filter(t => t._2 == 26L || t._4 == 26L).foreach { t =>
+      val la = byDoc(t._2).length - t._3
+      val lb = byDoc(t._4).length - t._5
+      assert(t._6 <= math.min(la, lb))
+    }
+    b.unpersistAll()
+  }
+
+  test("repeatFamilies: island occurrence counts equal the brute " +
+      "n-gram census (two unrelated algorithms, identical output)") {
+    val (c, b) = buildAll()
+    val lcps = SuffixArray.adjacentLcp(b, c.numDocs)
+    val byDoc = docs.toMap.map { case (k, v) => k -> tok(v) }
+    val got = SuffixArray.repeatFamilies(lcps, 3L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (occ, nd, rd, rp) =>
+        byDoc(rd).slice(rp.toInt, rp.toInt + 3).mkString(" ") ->
+          ((occ, nd))
+      }.toMap
+    // brute: every 3-gram with >= 2 occurrences
+    val ref = docs.flatMap { case (id, txt) =>
+      val w = tok(txt)
+      (0 to w.length - 3).map(i => (w.slice(i, i + 3).mkString(" "), id))
+    }.groupBy(_._1).collect {
+      case (g, occs) if occs.size >= 2 =>
+        g -> ((occs.size.toLong, occs.map(_._2).distinct.size.toLong))
+    }
+    assert(got == ref)
+    // the identical docs force at least the full-doc gram chain
+    assert(got.nonEmpty)
+  }
+
+  test("longestCrossMatch: per eval position equals the brute max " +
+      "LCP against every train suffix, including matches that pass " +
+      "through intervening eval suffixes") {
+    val (c, b) = buildAll()
+    val byDoc = docs.toMap.map { case (k, v) => k -> tok(v) }
+    val trains = docs.map(_._1).filter(_ % 2 == 0)
+    val got = SuffixArray.longestCrossMatch(b, c.numDocs,
+        d => d % 2 === 0)
+      .as[(Long, Long, Option[Long])].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val ref = docs.filter(_._1 % 2 == 1).flatMap { case (id, txt) =>
+      val w = tok(txt)
+      w.indices.map { p =>
+        val best = trains.flatMap(td => byDoc(td).indices.map(tp =>
+          refLcp(w.drop(p), byDoc(td).drop(tp)))).max
+        (id, p.toLong) -> Some(best)
+      }
+    }.toMap
+    assert(got == ref)
+    // doc 21 is an exact copy of train doc 20: full-suffix matches
+    assert(got((21L, 0L)).contains(10L))
+    b.unpersistAll()
+  }
+
+  test("dupSpanCoverage: interval union per doc matches a brute " +
+      "reference; overlap-heavy repetitive docs never overcount") {
+    val (c, b) = buildAll()
+    val lcps = SuffixArray.adjacentLcp(b, c.numDocs)
+    val nTok = docs.map { case (id, t) => (id, tok(t).length.toLong) }
+    val minLen = 3L
+    // brute: per position the max LCP with either SA neighbor, spans
+    // >= minLen union per doc
+    val ref = refSa(docs)
+    val byDoc = docs.toMap.map { case (k, v) => k -> tok(v) }
+    val nbr = scala.collection.mutable.Map[(Long, Long), Long]()
+      .withDefaultValue(0L)
+    ref.sliding(2).foreach { case Seq((da, pa), (db, pb)) =>
+      val l = refLcp(byDoc(da).drop(pa.toInt), byDoc(db).drop(pb.toInt))
+      nbr((da, pa)) = math.max(nbr((da, pa)), l)
+      nbr((db, pb)) = math.max(nbr((db, pb)), l)
+    }
+    val expect = nTok.map { case (id, n) =>
+      val spans = nbr.collect {
+        case ((d, p), l) if d == id && l >= minLen => (p, p + l)
+      }.toSeq.sorted
+      var end = -1L
+      var covered = 0L
+      spans.foreach { case (s, e) =>
+        covered += math.max(0L, e - math.max(s, end))
+        end = math.max(end, e)
+      }
+      (id, n, spans.size.toLong, covered)
+    }.toSet
+    val got = SuffixArray.dupSpanCoverage(lcps,
+        nTok.toDF("doc_id", "n_tokens"), minLen)
+      .select(col("doc_id"), col("n_tokens"), col("dup_starts"),
+        col("covered_tokens"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == expect)
+    // the empty doc reports zeros, identical docs cover fully
+    assert(got.contains((25L, 0L, 0L, 0L)))
+    assert(got.contains((20L, 10L, 8L, 10L)))
+    b.unpersistAll()
+  }
+}
