@@ -4336,6 +4336,182 @@ object SparkEntry {
       SuffixArray.dupSpanCoverage(lcps, nTok, 8L)
     }),
 
+    // Dedup/exact: REPEATED n-GRAM FAMILIES — the "most duplicated
+    // substrings" census. Maximal SA runs with adjacent LCP ≥ 8 ARE
+    // the 8-gram equivalence classes, so block size = exact corpus
+    // occurrence count — derived from N−1 adjacent LCPs, never an
+    // n-gram explosion. The ORACLE counts grams brute-force: two
+    // unrelated algorithms must emit identical rows.
+    "q359_repeat_families" -> ((s, dir) => withShufflePartitions(s, 8) {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+      val c = SuffixArray.corpus(docs, col("doc_id"), col("text"))
+      val b = SuffixArray.build(c)
+      val lcps = SuffixArray.adjacentLcp(b, c.numDocs)
+        .localCheckpoint(true)
+      val fams = SuffixArray.repeatFamilies(lcps, 8L)
+      val tk = docs.select(col("doc_id").as("rep_doc"),
+        Text.tokens(col("text")).as("tk"))
+      fams.join(tk, "rep_doc")
+        .select(concat_ws(" ", slice(col("tk"),
+          (col("rep_pos") + 1).cast("int"), lit(8))).as("gram"),
+          col("occurrences"), col("n_docs"))
+        .orderBy(col("occurrences").desc, col("gram"))
+        .limit(30)
+    }),
+
+    // Dedup/exact: EXACT-SPAN DECONTAMINATION of an eval split
+    // against a train split (the 13-gram-style screen frontier labs
+    // run, with exact maximal span lengths instead of a fixed-L hash
+    // hit): longest train-side token match per eval position via the
+    // nearest-train-neighbor segmented scans, rolled up per eval doc.
+    // Full corpus, leakage-safe parity split.
+    "q360_decontaminate" -> ((s, dir) => withShufflePartitions(s, 8) {
+      val docs = t(s, dir, "documents")
+      val c = SuffixArray.corpus(docs, col("doc_id"), col("text"))
+      val b = SuffixArray.build(c)
+      val m = SuffixArray.longestCrossMatch(b, c.numDocs,
+        d => d % 2 === 0).localCheckpoint(true)
+      val nTok = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+      m.groupBy(col("doc_id"))
+        .agg(max(col("train_match")).as("longest_train_match"),
+          sum(when(col("train_match") >= 8, lit(1L)).otherwise(lit(0L)))
+            .as("contaminated_starts"))
+        .join(nTok, "doc_id")
+        .filter(col("longest_train_match") >= 8)
+        .select(col("doc_id"), col("n_tokens"),
+          col("longest_train_match"), col("contaminated_starts"))
+        .orderBy(col("longest_train_match").desc, col("doc_id"))
+        .limit(50)
+    }),
+
+    // ML/curation: LOGISTIC-REGRESSION quality classifier TRAINED in
+    // the engine — 3 full-batch gradient steps over the embedding
+    // corpus (y = label 0 one-vs-rest), the supervised tier above
+    // Naive Bayes q255 and kNN q295. Every margin/gradient is an
+    // exact ×1e6/×1e12 integer sum, the sigmoid snaps ×1e6 at
+    // evaluation, updates round half-away-from-zero — so the oracle
+    // replays the ENTIRE training trajectory with the iterations
+    // unrolled and the output pins all 65 final weights exactly.
+    "q361_logistic_gd" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      LinearModel.logisticGd(
+        e.select(col("vec_id").as("id"), col("embedding").as("x")),
+        e.select(col("vec_id").as("id"),
+          when(col("label") === 0, 1L).otherwise(0L).as("y")),
+        3)
+    }),
+
+    // Storage: WRITE–AUDIT–PUBLISH (the Iceberg wap.id pattern) —
+    // the missing piece between commit and merge for a pipeline that
+    // must QUARANTINE a batch until its audit passes: stage a batch
+    // with planted bad rows (invisible to main readers — proven by
+    // reading main mid-audit), fail the audit, discard; re-stage the
+    // clean batch, audit 0 bad, publish atomically as the next
+    // version. Every emitted count is a pure function of the fixture,
+    // so the oracle needs no storage at all.
+    "q362_wap_publish" -> ((s, dir) => {
+      import graft.sources.Snapshot
+      val tbl = gateTempDir("q362") + "/t"
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val bad = col("doc_id") % 10 === 1
+      Snapshot.commit(docs.filter(col("doc_id") % 2 === 0), tbl)
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+      Snapshot.commitStaged(incoming, tbl, "wap1")
+      val auditBad = Snapshot.readStaged(s, tbl, "wap1")
+        .filter(bad).count()
+      val mainDuring = Snapshot.read(s, tbl).count()
+      // audit rejects (planted bad rows exist) -> discard, re-stage
+      Snapshot.discardStaged(tbl, "wap1")
+      Snapshot.commitStaged(incoming.filter(!bad), tbl, "wap2")
+      val auditBad2 = Snapshot.readStaged(s, tbl, "wap2")
+        .filter(bad).count()
+      val v = Snapshot.publish(tbl, "wap2")
+      val stagedLeft = Snapshot.stagedNames(tbl).size
+      Snapshot.read(s, tbl)
+        .agg(count(lit(1)).as("final_rows"),
+          sum(when(bad, lit(1L)).otherwise(lit(0L))).as("final_bad"))
+        .select(lit(mainDuring).as("main_rows_during_audit"),
+          lit(auditBad).as("staged_bad_rows"),
+          lit(auditBad2).as("clean_stage_bad_rows"),
+          lit(v).as("published_version"),
+          col("final_rows"), col("final_bad"),
+          lit(stagedLeft.toLong).as("staged_left"))
+    }),
+
+    // Packing: CONCAT-AND-CHUNK sequence layout (the GPT-style
+    // zero-padding packer): docs concatenate in id order, the stream
+    // cuts into 512-token sequences, docs may straddle cuts. Pure
+    // prefix-sum arithmetic — offsets from the two-level kernel —
+    // so the layout is exact and embarrassingly parallel at 100 TB.
+    "q363_sequence_packing" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n"))
+      Packing.sequencePacking(docs, 512L)
+    }),
+
+    // Packing: WHOLE-DOC striped bin packing — (len desc, id) rank
+    // striped mod ⌈total/cap⌉ bins, the deterministic shuffle-free
+    // stand-in for first-fit-decreasing (inherently sequential); the
+    // overflow column MEASURES the heuristic's waste instead of
+    // hiding it.
+    "q364_striped_packing" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        Text.tokenCount(col("text")).cast("long").as("n"))
+      Packing.stripedBinPacking(docs, 512L)
+    }),
+
+    // Similarity/training: HARD-NEGATIVE TRIPLET MINING for embedding
+    // model training — per anchor (a bounded id%50 panel, the
+    // bruteForceTopK broadcast contract) the nearest SAME-label
+    // neighbor (positive) and nearest DIFFERENT-label neighbor (the
+    // hard negative), cosine ×1e6 micro ints so the margin is an
+    // exact integer; ties (cos desc, id).
+    "q365_triplet_mining" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"),
+        col("embedding").as("vec"), col("label"))
+      val a = e.filter(col("id") % 50 === 0)
+        .select(col("id").as("aid"), col("vec").as("av"),
+          col("label").as("al"))
+      val joined = broadcast(a)
+        .join(e.select(col("id").as("cid"), col("vec").as("cv"),
+          col("label").as("cl")), col("aid") =!= col("cid"))
+        .withColumn("same", col("al") === col("cl"))
+        .withColumn("cm", round(Similarity.cosine(col("av"), col("cv"))
+          * 1e6).cast("long"))
+      val w = Window.partitionBy(col("aid"), col("same"))
+        .orderBy(col("cm").desc, col("cid"))
+      val best = joined.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      best.filter(col("same"))
+        .select(col("aid"), col("al").as("label"),
+          col("cid").as("pos_id"), col("cm").as("pos_cos_micro"))
+        .join(best.filter(!col("same")).select(col("aid"),
+          col("cid").as("neg_id"), col("cm").as("neg_cos_micro")),
+          "aid")
+        .select(col("aid").as("anchor_id"), col("label"),
+          col("pos_id"), col("pos_cos_micro"), col("neg_id"),
+          col("neg_cos_micro"),
+          (col("pos_cos_micro") - col("neg_cos_micro"))
+            .as("margin_micro"))
+    }),
+
+    // Governance: K-ANONYMITY + L-DIVERSITY audit over the
+    // quasi-identifier (source, length-bucket) with lang as the
+    // sensitive attribute — the release screen run before any corpus
+    // leaves the warehouse. One groupBy; exact counts.
+    "q366_k_anonymity" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("source"),
+          expr("n_chars DIV 100").as("len_bucket"))
+        .agg(count(lit(1)).as("group_n"),
+          countDistinct(col("lang")).as("l_diversity"))
+        .select(col("source"), col("len_bucket"), col("group_n"),
+          (col("group_n") >= 5).as("k_anonymous"),
+          col("l_diversity"))),
+
     // Generation eval: DISTINCT-N DIVERSITY — corpus-wide distinct
     // n-gram counts and ratios for n=1..4 (the mode-collapse screen
     // run beside q334's BLEU; a self-repetitive generator shows low
@@ -13747,6 +13923,190 @@ object SparkEntry {
          |      AS DOUBLE) / CAST(len(tk.tk) AS DOUBLE)
          |      AS DECIMAL(20,10)), 4) AS DOUBLE) END AS covered_ratio
          |FROM tk LEFT JOIN ag ON ag.doc_id = tk.doc_id""".stripMargin,
+
+    // INDEPENDENT verification: the engine derives families from SA
+    // islands; the oracle brute-counts every 8-gram — identical rows
+    // only if the suffix array is right everywhere.
+    "q359_repeat_families" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS tk
+         |  FROM documents WHERE doc_id % 3 = 0),
+         |g AS (SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS gram
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk) - 6)) AS i
+         |    FROM tk))
+         |SELECT gram, CAST(count(*) AS BIGINT) AS occurrences,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |FROM g GROUP BY 1 HAVING count(*) >= 2
+         |ORDER BY occurrences DESC, gram LIMIT 30""".stripMargin,
+
+    // Nearest-train-neighbor replay: prev/next train suffix by SA
+    // order (aggregate-as-window max/min skips the eval rows), direct
+    // LCP against those two via the exploded first-mismatch, same
+    // per-doc rollup and ≥ 8 floor.
+    "q360_decontaminate" ->
+      s"""WITH ${saCteSql("1 = 1")},
+         |sa2 AS (SELECT doc_id, p, l, r, (doc_id % 2 = 0) AS is_tr
+         |  FROM sa),
+         |nb AS (SELECT doc_id, p, l, r, is_tr,
+         |    max(CASE WHEN is_tr THEN r END) OVER (ORDER BY r
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+         |    min(CASE WHEN is_tr THEN r END) OVER (ORDER BY r
+         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+         |  FROM sa2),
+         |ev AS (SELECT * FROM nb WHERE NOT is_tr),
+         |pr AS (SELECT e.doc_id AS doc_a, e.p AS pos_a,
+         |    s2.doc_id AS doc_b, s2.p AS pos_b, e.r AS er, 'p' AS side,
+         |    least(e.l - e.p, s2.l - s2.p) AS mx
+         |  FROM ev e JOIN sa s2 ON s2.r = e.pt
+         |  UNION ALL SELECT e.doc_id, e.p, s3.doc_id, s3.p, e.r, 'n',
+         |    least(e.l - e.p, s3.l - s3.p)
+         |  FROM ev e JOIN sa s3 ON s3.r = e.nt),
+         |mm2 AS (SELECT pr.er, pr.side, min(ea.i - pr.pos_a) AS fm
+         |  FROM pr
+         |  JOIN et ea ON ea.doc_id = pr.doc_a AND ea.i > pr.pos_a
+         |    AND ea.i <= pr.pos_a + pr.mx
+         |  JOIN et eb ON eb.doc_id = pr.doc_b
+         |    AND eb.i = pr.pos_b + (ea.i - pr.pos_a)
+         |  WHERE ea.tok <> eb.tok GROUP BY 1, 2),
+         |bp AS (SELECT pr.doc_a AS doc_id, pr.pos_a AS pos, pr.er,
+         |    CAST(coalesce(mm2.fm - 1, pr.mx) AS BIGINT) AS lcp
+         |  FROM pr LEFT JOIN mm2 ON mm2.er = pr.er
+         |    AND mm2.side = pr.side),
+         |bst AS (SELECT doc_id, pos, max(lcp) AS best
+         |  FROM bp GROUP BY 1, 2),
+         |ag AS (SELECT doc_id,
+         |    CAST(max(best) AS BIGINT) AS longest_train_match,
+         |    CAST(count(*) FILTER (best >= 8) AS BIGINT)
+         |      AS contaminated_starts
+         |  FROM bst GROUP BY 1)
+         |SELECT ag.doc_id, CAST(len(tk.tk) AS BIGINT) AS n_tokens,
+         |  ag.longest_train_match, ag.contaminated_starts
+         |FROM ag JOIN tk ON tk.doc_id = ag.doc_id
+         |WHERE ag.longest_train_match >= 8
+         |ORDER BY ag.longest_train_match DESC, ag.doc_id
+         |LIMIT 50""".stripMargin,
+
+    // The full training trajectory replayed with iterations unrolled:
+    // same ×1e6 feature/bias snap, exact integer margins/gradients,
+    // sigmoid snapped ×1e6 (iteration 1's p is exactly 500000 — w=0),
+    // same round-half-away-from-zero updates.
+    "q361_logistic_gd" -> {
+      def iter(i: Int): String =
+        s"""m$i AS (SELECT x.id, sum(CAST(x.xi AS HUGEINT) * w${i - 1}.w)
+           |    AS m12 FROM x JOIN w${i - 1} USING (dim) GROUP BY 1),
+           |p$i AS (SELECT id, CAST(round(1e6 / (1 + exp(
+           |    -(CAST(m12 AS DOUBLE) / 1e12)))) AS BIGINT) AS pmu
+           |  FROM m$i),
+           |g$i AS (SELECT x.dim, sum(CAST(x.xi AS HUGEINT)
+           |    * (y.ymu - p$i.pmu)) AS g
+           |  FROM x JOIN y USING (id) JOIN p$i USING (id) GROUP BY 1),
+           |w$i AS (SELECT w${i - 1}.dim, w${i - 1}.w
+           |    + CAST(round(CAST(g$i.g AS DOUBLE) / (nn.n * 1e6))
+           |      AS BIGINT) AS w
+           |  FROM w${i - 1} JOIN g$i USING (dim), nn)""".stripMargin
+      s"""WITH x AS (SELECT vec_id AS id,
+         |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+         |      AS BIGINT) AS xi FROM embeddings
+         |  UNION ALL SELECT vec_id, CAST(-1 AS INT),
+         |    CAST(1000000 AS BIGINT) FROM embeddings),
+         |y AS (SELECT vec_id AS id, CAST(CASE WHEN label = 0
+         |    THEN 1000000 ELSE 0 END AS BIGINT) AS ymu
+         |  FROM embeddings),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+         |g1 AS (SELECT x.dim, sum(CAST(x.xi AS HUGEINT)
+         |    * (y.ymu - 500000)) AS g
+         |  FROM x JOIN y USING (id) GROUP BY 1),
+         |w1 AS (SELECT dim, CAST(round(CAST(g AS DOUBLE)
+         |    / (nn.n * 1e6)) AS BIGINT) AS w FROM g1, nn),
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT dim, w AS w_micro FROM w3""".stripMargin
+    },
+
+    // Every count is a pure function of the fixture: the base (even
+    // ids) is what main readers must see mid-audit, the staged batch
+    // (odd ids) plants doc_id%10=1 bad rows, the publish lands the
+    // clean remainder as version 2 on top of the base commit.
+    "q362_wap_publish" ->
+      """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS c
+        |    FROM documents WHERE doc_id % 2 = 0),
+        |i AS (SELECT CAST(count(*) AS BIGINT) AS c
+        |    FROM documents WHERE doc_id % 2 = 1),
+        |ib AS (SELECT CAST(count(*) AS BIGINT) AS c
+        |    FROM documents WHERE doc_id % 2 = 1 AND doc_id % 10 = 1)
+        |SELECT b.c AS main_rows_during_audit,
+        |  ib.c AS staged_bad_rows,
+        |  CAST(0 AS BIGINT) AS clean_stage_bad_rows,
+        |  CAST(2 AS BIGINT) AS published_version,
+        |  i.c - ib.c AS final_rows,
+        |  CAST(0 AS BIGINT) AS final_bad,
+        |  CAST(0 AS BIGINT) AS staged_left
+        |FROM b, i, ib""".stripMargin,
+
+    // Same concat-and-chunk arithmetic from a window cumsum.
+    "q363_sequence_packing" ->
+      s"""WITH tk AS (SELECT doc_id, len($tokSql) AS n FROM documents),
+         |o AS (SELECT doc_id, n,
+         |    CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS off FROM tk),
+         |l AS (SELECT doc_id, n, off, off // 512 AS s,
+         |    (off + n - 1) // 512 AS e FROM o WHERE n > 0),
+         |tt AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM tk),
+         |tc AS (SELECT doc_id, s AS start_seq,
+         |    unnest(range(s, e + 1)) AS seq_id FROM l)
+         |SELECT CAST(seq_id AS BIGINT) AS seq_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(*) FILTER (start_seq = seq_id) AS BIGINT)
+         |    AS n_docs_starting,
+         |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+         |  CAST(least(512, tt.total - seq_id * 512) AS BIGINT)
+         |    AS tokens_filled
+         |FROM tc, tt GROUP BY seq_id, tt.total""".stripMargin,
+
+    // Same (len desc, id) striping replayed with row_number.
+    "q364_striped_packing" ->
+      s"""WITH tk AS (SELECT doc_id, len($tokSql) AS n FROM documents),
+         |r AS (SELECT doc_id, n,
+         |    row_number() OVER (ORDER BY n DESC, doc_id) - 1 AS r
+         |  FROM tk),
+         |b AS (SELECT CAST(ceil(CAST(sum(n) AS DOUBLE) / 512)
+         |    AS BIGINT) AS nb FROM tk)
+         |SELECT CAST(r.r % b.nb AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS tokens,
+         |  CAST(greatest(0, sum(n) - 512) AS BIGINT) AS overflow
+         |FROM r, b GROUP BY 1""".stripMargin,
+
+    // Same panel, same ×1e6 cosine micro ints, same (cos desc, id)
+    // argmax per side.
+    "q365_triplet_mining" ->
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS v, label
+         |    FROM embeddings),
+         |a AS (SELECT * FROM e WHERE id % 50 = 0),
+         |p AS (SELECT a.id AS aid, a.label AS al, c.id AS cid,
+         |    (a.label = c.label) AS same,
+         |    CAST(round(${cosSql("a.v", "c.v")} * 1e6) AS BIGINT) AS cm
+         |  FROM a JOIN e c ON c.id <> a.id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY aid, same
+         |    ORDER BY cm DESC, cid) AS rn FROM p),
+         |pos AS (SELECT aid, al, cid AS pos_id, cm AS pos_cos_micro
+         |  FROM r WHERE same AND rn = 1),
+         |neg AS (SELECT aid, cid AS neg_id, cm AS neg_cos_micro
+         |  FROM r WHERE NOT same AND rn = 1)
+         |SELECT pos.aid AS anchor_id, CAST(pos.al AS INT) AS label,
+         |  pos.pos_id, pos.pos_cos_micro, neg.neg_id,
+         |  neg.neg_cos_micro,
+         |  pos.pos_cos_micro - neg.neg_cos_micro AS margin_micro
+         |FROM pos JOIN neg USING (aid)""".stripMargin,
+
+    // Same quasi-identifier grouping, exact counts.
+    "q366_k_anonymity" ->
+      """SELECT source, CAST(n_chars // 100 AS BIGINT) AS len_bucket,
+        |  CAST(count(*) AS BIGINT) AS group_n,
+        |  count(*) >= 5 AS k_anonymous,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS l_diversity
+        |FROM documents GROUP BY 1, 2""".stripMargin,
 
     // Both counts are the plain scan truth.
     "q350_manifest_count" ->

@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Gradient-trained linear models INSIDE the engine — the supervised
+  * tier above [[Text.naiveBayesEval]]'s closed-form counts and the
+  * q295 kNN zero-training baseline (reference analog: none; the
+  * quality-classifier training step a curation pipeline runs over its
+  * own feature/embedding tables without leaving the warehouse).
+  *
+  * Determinism contract (the repo's fixed-point convention, extended
+  * to a training LOOP): features snap to ×1e6 integers once; every
+  * margin and gradient is an exact integer sum; the only
+  * transcendental (the sigmoid) snaps to ×1e6 immediately after
+  * evaluation; weight updates round half-away-from-zero on the
+  * driver (matching both engines' round()). The entire training
+  * trajectory is therefore replayable bit-for-bit by a SQL oracle
+  * with the iterations unrolled.
+  *
+  * Scale shape: one posexplode lays the corpus out as (id, dim, xi)
+  * rows — data-sized but map-side combinable in both per-iteration
+  * aggregates (margins collapse to ids, gradients to dims). The
+  * weight vector itself is dims+1 rows: it broadcasts into the
+  * margin join and COLLECTS to the driver each iteration (the
+  * mmrRerank bounded-collect precedent — the collect is
+  * dimensionality-sized, never data-sized). Iterations are full-batch
+  * passes: iters × 2 shuffles total, no per-row driver loop anywhere.
+  */
+object LinearModel {
+
+  private def roundAway(d: Double): Long =
+    if (d >= 0) math.floor(d + 0.5).toLong else math.ceil(d - 0.5).toLong
+
+  /** `iters` full-batch gradient steps of logistic regression from
+    * w = 0 with learning rate 1: wᵗ⁺¹_µ = wᵗ_µ + round(Σᵢ xiᵢ·(yµᵢ −
+    * pµᵢ) / (n·1e6)) where pµ = round(1e6·σ(m12/1e12)) and m12 =
+    * Σ_d xi·w_µ exactly. `vecs` is (id, x: array&lt;numeric&gt;),
+    * `labels` is (id, y ∈ {0,1}); every id in `vecs` must appear in
+    * `labels`. Returns the trained weights (dim, w_micro) with
+    * dim = −1 the bias — the full trajectory pin, not a lossy score.
+    */
+  def logisticGd(vecs: DataFrame, labels: DataFrame,
+                 iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val x = vecs
+      .select(col("id"), posexplode(col("x")).as(Seq("dim", "xv")))
+      .select(col("id"), col("dim").cast("int").as("dim"),
+        round(col("xv").cast("double") * 1e6).cast("long").as("xi"))
+      .unionByName(vecs.select(col("id"), lit(-1).as("dim"),
+        lit(1000000L).as("xi")))
+    val xy = x.join(labels.select(col("id"),
+      (col("y").cast("long") * 1000000L).as("ymu")), "id")
+      .persist() // cross-action reuse: every iteration aggregates it
+    val n = labels.count()
+    require(n > 0, "logisticGd needs at least one labeled row")
+    val dims = x.select(col("dim")).distinct().as[Int].collect().sorted
+    var w = dims.map(_ -> 0L).toMap
+    for (_ <- 1 to iters) {
+      val wDf = w.toSeq.toDF("dim", "w")
+      val p = xy.join(broadcast(wDf), "dim")
+        .groupBy(col("id"), col("ymu"))
+        .agg(sum(col("xi") * col("w")).as("m12"))
+        .select(col("id"), col("ymu"),
+          round(lit(1e6) / (lit(1.0) +
+            exp(-(col("m12").cast("double") / lit(1e12)))))
+            .cast("long").as("pmu"))
+      val grad = xy.join(p.select(col("id"), col("pmu")), "id")
+        .groupBy(col("dim"))
+        .agg(sum(col("xi") * (col("ymu") - col("pmu"))).as("g12"))
+        .as[(Int, Long)].collect() // dims+1 rows — dimensionality-sized
+      w = w ++ grad.map { case (d, g) =>
+        d -> (w(d) + roundAway(g.toDouble / (n.toDouble * 1e6)))
+      }
+    }
+    xy.unpersist()
+    w.toSeq.sortBy(_._1).toDF("dim", "w_micro")
+  }
+}

@@ -138,10 +138,16 @@ object Snapshot {
     * unchanged with empty fileStats.
     */
   def readManifest(table: String, v: Long): Manifest = {
-    val lines = Files.readAllLines(manifestPath(table, v), UTF_8).asScala.toSeq
+    val m = parseManifest(
+      Files.readAllLines(manifestPath(table, v), UTF_8).asScala.toSeq)
+    require(m.version == v, s"corrupt manifest v$v: claims ${m.version}")
+    m
+  }
+
+  private def parseManifest(lines: Seq[String]): Manifest = {
     val header = lines.head.split("\t", -1)
-    require(header.length == 3 && header(0).toLong == v,
-      s"corrupt manifest v$v: ${lines.head}")
+    require(header.length == 3, s"corrupt manifest header: ${lines.head}")
+    val v = header(0).toLong
     def triples(fields: Seq[String]) = fields.grouped(3).collect {
       case Seq(c, mn, mx) => (dec(c), dec(mn), dec(mx))
     }.toSeq
@@ -164,8 +170,7 @@ object Snapshot {
       parsed.collect { case (d, Some(st)) => d -> st }.toMap, fstats)
   }
 
-  private def writeManifest(table: String, m: Manifest): Unit = {
-    Files.createDirectories(manifestDir(table))
+  private def manifestBody(m: Manifest): String = {
     def statFields(st: DirStats): Seq[String] =
       st.rows.toString +: st.mins.keys.toSeq.sorted.flatMap(c =>
         Seq(enc(c), enc(st.mins(c)), enc(st.maxs(c))))
@@ -178,8 +183,13 @@ object Snapshot {
     val fileLines = m.fileStats.toSeq.sortBy(_._1).map { case (f, st) =>
       (Seq("F", f) ++ statFields(st)).mkString("\t")
     }
-    val body = (Seq(s"${m.version}\t${m.partitionCol}\t${m.partitionType}",
+    (Seq(s"${m.version}\t${m.partitionCol}\t${m.partitionType}",
       m.dataSchemaJson) ++ dirLines ++ fileLines).mkString("", "\n", "\n")
+  }
+
+  private def writeManifest(table: String, m: Manifest): Unit = {
+    Files.createDirectories(manifestDir(table))
+    val body = manifestBody(m)
     val tmp = manifestDir(table).resolve(
       s".tmp-${java.util.UUID.randomUUID().toString}")
     Files.write(tmp, body.getBytes(UTF_8))
@@ -616,9 +626,13 @@ object Snapshot {
            version: Option[Long] = None): DataFrame = {
     val v = version.orElse(latestVersion(table)).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed snapshot"))
-    val m = readManifest(table, v)
-    if (m.dirs.isEmpty)
-      throw new IllegalArgumentException(s"$table v$v is an empty snapshot")
+    loadManifest(spark, readManifest(table, v),
+      s"$table v$v is an empty snapshot")
+  }
+
+  private def loadManifest(spark: SparkSession, m: Manifest,
+                           emptyMsg: String): DataFrame = {
+    if (m.dirs.isEmpty) throw new IllegalArgumentException(emptyMsg)
     // explicit schema: directories predating a schema evolution
     // null-fill the columns they lack
     val df = spark.read.schema(m.dataSchema).parquet(m.dirs: _*)
@@ -1038,6 +1052,96 @@ object Snapshot {
     Files.deleteIfExists(tagDir(table).resolve(name)): Unit
   }
 
+  // ---- WRITE–AUDIT–PUBLISH staging (the Iceberg wap.id pattern) ----
+  //
+  // A staged snapshot is a fully-written data-dir set whose manifest
+  // is parked under _staged/<name> instead of the version sequence:
+  // read()/latestVersion/time travel/CDC never see it, so an audit
+  // query can interrogate the candidate rows while main readers keep
+  // the previous snapshot. publish() assigns the next version with
+  // the SAME link(2) one-writer-wins atomicity as any commit;
+  // discardStaged() drops the manifest and leaves the data dirs to
+  // vacuum's age-gated orphan sweep. Staged dirs count as LIVE in
+  // vacuum until published or discarded.
+
+  private def stagedDir(table: String): Path = Paths.get(table, "_staged")
+
+  /** Stage a full snapshot under `name` (replacing any previous stage
+    * of that name — its dirs become vacuum orphans). Names share the
+    * tag charset.
+    */
+  def commitStaged(df: DataFrame, table: String, name: String,
+                   partitionCol: Option[String] = None): Unit = {
+    checkTagName(name)
+    val (pcName, pcType) = partitionCol match {
+      case Some(pc) => (pc, df.schema(pc).dataType.catalogString)
+      case None => ("", "")
+    }
+    val dataSchema = StructType(df.schema.filterNot(_.name == pcName))
+    val (dirs, stats, fstats) = writeData(df, table, partitionCol)
+    // version 0 is a placeholder — publish() assigns the real one
+    val body = manifestBody(
+      Manifest(0L, pcName, pcType, dataSchema.json, dirs, stats, fstats))
+    Files.createDirectories(stagedDir(table))
+    val tmp = Files.createTempFile(stagedDir(table), s".$name", ".tmp")
+    Files.write(tmp, body.getBytes(UTF_8))
+    Files.move(tmp, stagedDir(table).resolve(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** Currently staged (unpublished) snapshot names. */
+  def stagedNames(table: String): Seq[String] = {
+    val d = stagedDir(table)
+    if (!Files.isDirectory(d)) Seq.empty
+    else listDir(d).map(_.getFileName.toString)
+      .filterNot(_.startsWith(".")).sorted
+  }
+
+  private def readStagedManifest(table: String, name: String): Manifest = {
+    val p = stagedDir(table).resolve(name)
+    require(Files.exists(p), s"$table has no staged snapshot '$name'")
+    parseManifest(Files.readAllLines(p, UTF_8).asScala.toSeq)
+  }
+
+  /** The audit face: read a staged snapshot's rows (invisible to every
+    * other read path).
+    */
+  def readStaged(spark: SparkSession, table: String,
+                 name: String): DataFrame =
+    loadManifest(spark, readStagedManifest(table, name),
+      s"staged snapshot '$name' of $table is empty")
+
+  /** Promote a staged snapshot to the next version (atomic: the same
+    * hard-link winner semantics as commit; retries the version race
+    * like mergeRetrying) and un-stage it. Returns the published
+    * version.
+    */
+  def publish(table: String, name: String, maxRetries: Int = 20): Long = {
+    val m = readStagedManifest(table, name)
+    var attempts = 0
+    var v = -1L
+    while (v < 0) {
+      val next = latestVersion(table).getOrElse(0L) + 1
+      try { writeManifest(table, m.copy(version = next)); v = next }
+      catch {
+        case e: ConcurrentCommitException =>
+          attempts += 1
+          if (attempts > maxRetries) throw e
+      }
+    }
+    Files.deleteIfExists(stagedDir(table).resolve(name))
+    v
+  }
+
+  /** Reject a staged snapshot: drop its manifest; the data dirs age
+    * out via vacuum's orphan sweep.
+    */
+  def discardStaged(table: String, name: String): Unit = {
+    checkTagName(name)
+    Files.deleteIfExists(stagedDir(table).resolve(name)): Unit
+  }
+
   def vacuum(table: String, keepVersions: Int = 1,
              orphanAgeMs: Long = 3600000L): Unit = {
     def rm(p: Path): Unit = {
@@ -1057,7 +1161,11 @@ object Snapshot {
     val pinned = tags(table).values.toSet
     val keep = keepRaw ++ dropRaw.filter(pinned)
     val drop = dropRaw.filterNot(pinned)
-    val live = keep.flatMap(readManifest(table, _).dirs).toSet
+    // staged (write-audit-publish) dirs are live until published or
+    // discarded — an audit window must survive any vacuum cadence
+    val stagedLive = stagedNames(table)
+      .flatMap(n => readStagedManifest(table, n).dirs).toSet
+    val live = keep.flatMap(readManifest(table, _).dirs).toSet ++ stagedLive
     val dead = drop.flatMap(readManifest(table, _).dirs).toSet -- live
     dead.foreach(d => rm(Paths.get(d)))
     drop.foreach(v => Files.deleteIfExists(manifestPath(table, v)))

@@ -768,4 +768,61 @@ class SnapshotSpec extends SparkSpec {
         version = Some(1L)).count() == n)
     }
   }
+
+  test("write-audit-publish: staged snapshots are invisible to main " +
+      "readers, survive vacuum, publish atomically, discard orphans") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      Snapshot.commit(batch(("A", "2024-01-01", 10.0, 0L)), t)
+      // stage a candidate with a bad row; main readers see nothing
+      Snapshot.commitStaged(
+        batch(("B", "2024-01-02", 20.0, 0L), ("X", "2024-01-03", -5.0, 0L)),
+        t, "wap1")
+      assert(Snapshot.latestVersion(t).contains(1L))
+      assert(content(t) == Set(("A", "2024-01-01", 10.0)))
+      assert(Snapshot.stagedNames(t) == Seq("wap1"))
+      // the audit face reads the staged rows
+      val staged = Snapshot.readStaged(spark, t, "wap1")
+        .select($"symbol").as[String].collect().toSet
+      assert(staged == Set("B", "X"))
+      // vacuum with zero orphan age must NOT touch the staged dirs
+      Snapshot.vacuum(t, keepVersions = 5, orphanAgeMs = 0L)
+      assert(Snapshot.readStaged(spark, t, "wap1")
+        .count() == 2)
+      // audit fails -> discard; dirs become orphans and age out
+      Snapshot.discardStaged(t, "wap1")
+      assert(Snapshot.stagedNames(t).isEmpty)
+      Snapshot.vacuum(t, keepVersions = 5, orphanAgeMs = 0L)
+      // re-stage the clean batch and publish: next version, readable
+      Snapshot.commitStaged(batch(("B", "2024-01-02", 20.0, 0L)), t, "wap2")
+      val v = Snapshot.publish(t, "wap2")
+      assert(v == 2L)
+      assert(Snapshot.stagedNames(t).isEmpty)
+      assert(content(t) == Set(("B", "2024-01-02", 20.0)))
+      // time travel still has the pre-publish state
+      assert(Snapshot.read(spark, t, Some(1L)).count() == 1)
+      // publishing a missing stage fails loudly
+      intercept[IllegalArgumentException](Snapshot.publish(t, "nope"))
+    }
+  }
+
+  test("write-audit-publish: re-staging a name replaces it and " +
+      "partitioned staging restores the partition column") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      Snapshot.commit(batch(("A", "2024-01-01", 10.0, 0L)), t, Some("date"))
+      Snapshot.commitStaged(batch(("B", "2024-01-02", 20.0, 0L)), t,
+        "wap", Some("date"))
+      Snapshot.commitStaged(
+        batch(("C", "2024-01-03", 30.0, 0L), ("D", "2024-01-04", 40.0, 0L)),
+        t, "wap", Some("date"))
+      val staged = Snapshot.readStaged(spark, t, "wap")
+      assert(staged.schema("date").dataType.typeName == "date")
+      assert(staged.select($"symbol").as[String].collect().toSet ==
+        Set("C", "D"))
+      Snapshot.publish(t, "wap")
+      assert(content(t) == Set(("C", "2024-01-03", 30.0),
+        ("D", "2024-01-04", 40.0)))
+    }
+  }
 }
