@@ -4512,6 +4512,46 @@ object SparkEntry {
           (col("group_n") >= 5).as("k_anonymous"),
           col("l_diversity"))),
 
+    // Text/filtering: BLOCKLIST PHRASE SPANS — multi-token phrase
+    // matching against a broadcast blocklist (the profanity/banned-
+    // content screen): grams of each blocklist length equi-join the
+    // tiny phrase set, per (doc, phrase) hit counts + first position.
+    // One gram explosion per phrase LENGTH (2 here), never per
+    // phrase — a 10⁵-phrase list still costs two gram streams.
+    "q367_blocklist_spans" -> ((s, dir) => {
+      import s.implicits._
+      val phrases = Seq("merge sort", "batch batch batch",
+        "spark join stream")
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      val grams = phrases.map(_.split(" ").length).distinct.sorted
+        .map { l =>
+          toks.filter(size(col("tk")) >= l)
+            .select(col("doc_id"), posexplode(
+              transform(sequence(lit(1), size(col("tk")) - (l - 1)),
+                i => concat_ws(" ", slice(col("tk"), i, lit(l)))))
+              .as(Seq("p0", "gram")))
+            .select(col("doc_id"), col("p0").cast("long").as("pos"),
+              col("gram"))
+        }.reduce(_ unionByName _)
+      grams.join(broadcast(phrases.toDF("gram")), "gram")
+        .groupBy(col("doc_id"), col("gram"))
+        .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
+        .select(col("doc_id"), col("gram").as("phrase"), col("n_hits"),
+          col("first_pos"))
+    }),
+
+    // Provenance: MERKLE-ROOT dataset attestation — one tamper-
+    // evident hash over the whole table (leaves = canonical row md5,
+    // sorted; ⌈log₂ n⌉ pairwise levels, work 2n, shuffle halving per
+    // level). Any consumer re-derives the root; membership of any
+    // row is provable with a log-depth path. The sequential chain
+    // hash this replaces cannot be parallelized at all.
+    "q368_merkle_root" -> ((s, dir) =>
+      Provenance.merkleRoot(t(s, dir, "documents"),
+        Seq(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars")))),
+
     // Generation eval: DISTINCT-N DIVERSITY — corpus-wide distinct
     // n-gram counts and ratios for n=1..4 (the mode-collapse screen
     // run beside q334's BLEU; a self-repetitive generator shows low
@@ -14107,6 +14147,49 @@ object SparkEntry {
         |  count(*) >= 5 AS k_anonymous,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS l_diversity
         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    // Same per-length gram streams (q221's 0-based struct
+    // comprehension), VALUES blocklist, same per-(doc, phrase)
+    // rollup.
+    "q367_blocklist_spans" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |g AS (SELECT doc_id, r['p'] AS pos, r['g'] AS gram FROM (
+         |    SELECT doc_id, unnest([{'p': i,
+         |        'g': array_to_string(tk[i+1:i+2], ' ')}
+         |        for i in range(0, len(tk) - 1)]) AS r FROM tk)
+         |  UNION ALL SELECT doc_id, r['p'], r['g'] FROM (
+         |    SELECT doc_id, unnest([{'p': i,
+         |        'g': array_to_string(tk[i+1:i+3], ' ')}
+         |        for i in range(0, len(tk) - 2)]) AS r FROM tk)),
+         |bl(phrase) AS (VALUES ('merge sort'), ('batch batch batch'),
+         |  ('spark join stream'))
+         |SELECT doc_id, bl.phrase, CAST(count(*) AS BIGINT) AS n_hits,
+         |  CAST(min(pos) AS BIGINT) AS first_pos
+         |FROM g JOIN bl ON g.gram = bl.phrase GROUP BY 1, 2""".stripMargin,
+
+    // The tree replayed with 16 unrolled halving levels (valid to
+    // 2^16 leaves; sf0.01 has 500 — 9 real levels, the rest pass the
+    // root through unchanged, the same 1-node rule as odd tails).
+    "q368_merkle_root" -> {
+      def lvl(k: Int): String =
+        s"""t$k AS (SELECT r // 2 AS r, CASE WHEN count(*) = 2
+           |  THEN md5(arg_min(h, r) || arg_max(h, r))
+           |  ELSE arg_min(h, r) END AS h FROM t${k - 1} GROUP BY 1)"""
+          .stripMargin
+      s"""WITH l0 AS (SELECT md5(CAST(doc_id AS VARCHAR) || chr(1)
+         |    || text || chr(1) || lang || chr(1) || source || chr(1)
+         |    || CAST(n_chars AS VARCHAR)) AS h FROM documents),
+         |t0 AS (SELECT h, row_number() OVER (ORDER BY h) - 1 AS r
+         |  FROM l0),
+         |${(1 to 16).map(lvl).mkString(",\n")},
+         |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_leaves FROM l0)
+         |SELECT nl.n_leaves,
+         |  CAST(CASE WHEN nl.n_leaves <= 1 THEN 0 ELSE
+         |    ceil(log2(CAST(nl.n_leaves AS DOUBLE))) END AS BIGINT)
+         |    AS levels,
+         |  (SELECT h FROM t16 WHERE r = 0) AS root
+         |FROM nl""".stripMargin
+    },
 
     // Both counts are the plain scan truth.
     "q350_manifest_count" ->

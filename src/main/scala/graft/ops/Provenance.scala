@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset ATTESTATION: a Merkle tree over a table's canonical row
+  * hashes (reference analog: none; the tamper-evidence a dataset
+  * release ships so any consumer can re-derive one root hash and a
+  * producer can later prove membership of any row with a log-depth
+  * path). The sequential alternative — a fold/chain hash — is
+  * order-serial by construction; the Merkle shape is the DISTRIBUTED
+  * one: leaves rank once, then ⌈log₂ n⌉ pairwise-md5 levels, each a
+  * halving groupBy — total work 2n hashes, shuffle volume halving
+  * every level.
+  *
+  * Determinism: leaves sort by their md5 hex (ASCII — Spark and any
+  * SQL engine agree on the order); duplicate rows hash identically so
+  * their relative order cannot change the tree. Leaf ranks come from
+  * the two-level prefix kernel over the hash's leading-60-bit integer
+  * plus a per-prefix window ordered by the full hex (prefix
+  * collisions are ~n²/2⁶⁰ — the window groups stay tiny) and
+  * duplicate multiplicities expand through exact count prefix sums —
+  * never a global window over data rows. Odd tails and the post-root
+  * fixed point share one rule: a 1-node group passes its hash up
+  * unchanged.
+  */
+object Provenance {
+
+  /** Canonical row hash: md5 over the selected columns cast to string
+    * and joined with \u0001 (nulls render as \u0002, distinct from
+    * empty — the Snapshot.diff convention).
+    */
+  def rowHash(cols: Seq[Column]): Column =
+    md5(concat_ws("\u0001",
+      cols.map(c => coalesce(c.cast("string"), lit("\u0002"))): _*))
+
+  /** The Merkle root of `df`'s rows hashed over `cols`. Returns a
+    * one-row frame (n_leaves, levels, root). levels = ⌈log₂ n⌉;
+    * empty input yields (0, 0, null).
+    */
+  def merkleRoot(df: DataFrame, cols: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val byHash = df.select(rowHash(cols).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
+      .withColumn("p60",
+        conv(substring(col("h"), 1, 15), 16, 10).cast("long"))
+    // exact leaf rank = leaves below by (hash asc): kernel over the
+    // 60-bit prefix + a tiny per-prefix window + dup expansion
+    val wIntra = Window.partitionBy(col("p60")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = Ranks.withRunningBelow(byHash, "p60",
+        math.max(1L, (1L << 60) / 4096), Seq("cnt"))
+      .withColumn("intra",
+        coalesce(sum(col("cnt")).over(wIntra), lit(0L)))
+      .select(col("h"),
+        (col("cnt_below") + col("intra")).as("start"), col("cnt"))
+    var cur = ranked
+      .select(col("h"), col("start"),
+        explode(sequence(lit(0L), col("cnt") - 1)).as("i"))
+      .select(col("h"), (col("start") + col("i")).as("r"))
+      .localCheckpoint(true)
+    var n = cur.count()
+    val leaves = n
+    var levels = 0L
+    while (n > 1) {
+      levels += 1
+      cur = cur.groupBy(expr("r DIV 2").as("r"))
+        .agg(count(lit(1)).as("c"), min_by(col("h"), col("r")).as("l"),
+          max_by(col("h"), col("r")).as("x"))
+        .select(col("r"), when(col("c") === 2,
+          md5(concat(col("l"), col("x")))).otherwise(col("l")).as("h"))
+        .localCheckpoint(true)
+      n = cur.count()
+    }
+    val root: Option[String] =
+      if (leaves == 0) None else Some(cur.select(col("h")).head().getString(0))
+    Seq((leaves, levels, root)).toDF("n_leaves", "levels", "root")
+  }
+}

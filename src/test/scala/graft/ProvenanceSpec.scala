@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Provenance
+
+class ProvenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def refRoot(rows: Seq[String]): (Long, Long, Option[String]) = {
+    var level = rows.map(md5hex).sorted
+    var levels = 0L
+    while (level.size > 1) {
+      levels += 1
+      level = level.grouped(2).map {
+        case Seq(a, b) => md5hex(a + b)
+        case Seq(a) => a
+      }.toSeq
+    }
+    (rows.size.toLong, levels, level.headOption)
+  }
+
+  private def got(rows: Seq[(Long, String)]) =
+    Provenance.merkleRoot(rows.toDF("id", "v"),
+        Seq(col("id"), col("v")))
+      .as[(Long, Long, Option[String])].head()
+
+  test("merkleRoot equals a sequential sorted-pairwise reference " +
+      "for every size 1..9 (odd tails at multiple levels)") {
+    for (n <- 1 to 9) {
+      val rows = (1 to n).map(i => (i.toLong, s"v$i"))
+      assert(got(rows) == refRoot(rows.map(r => s"${r._1}\u0001${r._2}")),
+        s"size $n")
+    }
+  }
+
+  test("merkleRoot: duplicate rows keep their multiplicity, row order " +
+      "never matters, any value change moves the root") {
+    val rows = Seq((1L, "a"), (2L, "b"), (1L, "a"), (3L, "c"))
+    val base = got(rows)
+    assert(base == refRoot(rows.map(r => s"${r._1}\u0001${r._2}")))
+    assert(got(rows.reverse) == base)
+    assert(got(rows.updated(3, (3L, "C"))) != base)
+    assert(got(rows.take(3)) != base) // dropping one dup copy shows
+  }
+
+  test("merkleRoot: empty input and null columns are canonical") {
+    val empty = Provenance.merkleRoot(
+      Seq.empty[(Long, String)].toDF("id", "v"),
+      Seq(col("id"), col("v")))
+      .as[(Long, Long, Option[String])].head()
+    assert(empty == ((0L, 0L, None)))
+    // null and empty-string values hash differently (\u0002 sentinel)
+    val withNull = got(Seq((1L, null.asInstanceOf[String])))
+    assert(withNull != got(Seq((1L, ""))))
+    assert(withNull._3.contains(md5hex("1\u0001\u0002")))
+  }
+}
