@@ -4552,6 +4552,16 @@ object SparkEntry {
         Seq(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars")))),
 
+    // Provenance: MERKLE INCLUSION PROOF — the log-depth membership
+    // path for one row (doc 42), each level's (side, sibling, running
+    // digest), the digest RE-FOLDED on the driver exactly as a
+    // consumer would verify it; the last acc equals the tree root.
+    // Completes q368: root = attestation, proof = row membership.
+    "q369_merkle_proof" -> ((s, dir) =>
+      Provenance.merkleProof(t(s, dir, "documents"),
+        Seq(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars")), col("doc_id") === 42)),
+
     // Generation eval: DISTINCT-N DIVERSITY — corpus-wide distinct
     // n-gram counts and ratios for n=1..4 (the mode-collapse screen
     // run beside q334's BLEU; a self-repetitive generator shows low
@@ -14189,6 +14199,50 @@ object SparkEntry {
          |    AS levels,
          |  (SELECT h FROM t16 WHERE r = 0) AS root
          |FROM nl""".stripMargin
+    },
+
+    // The path replayed: target rank chains through the same 16
+    // unrolled levels, sibling = the other member of the rank pair,
+    // acc folds by side; emit only the real levels.
+    "q369_merkle_proof" -> {
+      def lvl(k: Int): String =
+        s"""t$k AS (SELECT r // 2 AS r, CASE WHEN count(*) = 2
+           |  THEN md5(arg_min(h, r) || arg_max(h, r))
+           |  ELSE arg_min(h, r) END AS h FROM t${k - 1} GROUP BY 1)"""
+          .stripMargin
+      def stp(k: Int): String =
+        s"""s$k AS (SELECT CAST($k AS BIGINT) AS level,
+           |    CAST(tg.r % 2 AS BIGINT) AS side, sib.h AS sibling,
+           |    CASE WHEN sib.h IS NULL THEN tg.acc
+           |      WHEN tg.r % 2 = 0 THEN md5(tg.acc || sib.h)
+           |      ELSE md5(sib.h || tg.acc) END AS acc,
+           |    tg.r // 2 AS r
+           |  FROM s${k - 1} tg LEFT JOIN t${k - 1} sib
+           |    ON sib.r // 2 = tg.r // 2 AND sib.r <> tg.r)"""
+          .stripMargin
+      s"""WITH l0 AS (SELECT md5(CAST(doc_id AS VARCHAR) || chr(1)
+         |    || text || chr(1) || lang || chr(1) || source || chr(1)
+         |    || CAST(n_chars AS VARCHAR)) AS h FROM documents),
+         |t0 AS (SELECT h, row_number() OVER (ORDER BY h) - 1 AS r
+         |  FROM l0),
+         |${(1 to 16).map(lvl).mkString(",\n")},
+         |nl AS (SELECT CAST(count(*) AS BIGINT) AS n FROM l0),
+         |lv AS (SELECT CAST(CASE WHEN nl.n <= 1 THEN 0 ELSE
+         |    ceil(log2(CAST(nl.n AS DOUBLE))) END AS BIGINT) AS levels
+         |  FROM nl),
+         |th AS (SELECT md5(CAST(doc_id AS VARCHAR) || chr(1) || text
+         |    || chr(1) || lang || chr(1) || source || chr(1)
+         |    || CAST(n_chars AS VARCHAR)) AS h
+         |  FROM documents WHERE doc_id = 42),
+         |s0 AS (SELECT min(t0.r) AS r, th.h AS acc FROM t0, th
+         |  WHERE t0.h = th.h GROUP BY th.h),
+         |${(1 to 16).map(stp).mkString(",\n")},
+         |rt AS (SELECT h AS root FROM t16 WHERE r = 0)
+         |SELECT u.level, u.side, u.sibling, u.acc, rt.root
+         |FROM (${(1 to 16).map(k =>
+                s"SELECT level, side, sibling, acc FROM s$k")
+                .mkString(" UNION ALL ")}) u, rt, lv
+         |WHERE u.level <= lv.levels""".stripMargin
     },
 
     // Both counts are the plain scan truth.

@@ -35,13 +35,10 @@ object Provenance {
     md5(concat_ws("\u0001",
       cols.map(c => coalesce(c.cast("string"), lit("\u0002"))): _*))
 
-  /** The Merkle root of `df`'s rows hashed over `cols`. Returns a
-    * one-row frame (n_leaves, levels, root). levels = ⌈log₂ n⌉;
-    * empty input yields (0, 0, null).
+  /** Leaves ranked by hash: (h, r) with r the exact 0-based position
+    * in (hash asc) order — eagerly checkpointed.
     */
-  def merkleRoot(df: DataFrame, cols: Seq[Column]): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
+  private def rankedLeaves(df: DataFrame, cols: Seq[Column]): DataFrame = {
     val byHash = df.select(rowHash(cols).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .withColumn("p60",
@@ -50,32 +47,97 @@ object Provenance {
     // 60-bit prefix + a tiny per-prefix window + dup expansion
     val wIntra = Window.partitionBy(col("p60")).orderBy(col("h"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = Ranks.withRunningBelow(byHash, "p60",
+    Ranks.withRunningBelow(byHash, "p60",
         math.max(1L, (1L << 60) / 4096), Seq("cnt"))
       .withColumn("intra",
         coalesce(sum(col("cnt")).over(wIntra), lit(0L)))
       .select(col("h"),
         (col("cnt_below") + col("intra")).as("start"), col("cnt"))
-    var cur = ranked
       .select(col("h"), col("start"),
         explode(sequence(lit(0L), col("cnt") - 1)).as("i"))
       .select(col("h"), (col("start") + col("i")).as("r"))
       .localCheckpoint(true)
+  }
+
+  /** One halving level: pair ranks by DIV 2, md5 the ordered pair, a
+    * 1-node group (odd tail / post-root) passes through.
+    */
+  private def collapse(cur: DataFrame): DataFrame =
+    cur.groupBy(expr("r DIV 2").as("r"))
+      .agg(count(lit(1)).as("c"), min_by(col("h"), col("r")).as("l"),
+        max_by(col("h"), col("r")).as("x"))
+      .select(col("r"), when(col("c") === 2,
+        md5(concat(col("l"), col("x")))).otherwise(col("l")).as("h"))
+      .localCheckpoint(true)
+
+  /** The Merkle root of `df`'s rows hashed over `cols`. Returns a
+    * one-row frame (n_leaves, levels, root). levels = ⌈log₂ n⌉;
+    * empty input yields (0, 0, null).
+    */
+  def merkleRoot(df: DataFrame, cols: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var cur = rankedLeaves(df, cols)
     var n = cur.count()
     val leaves = n
     var levels = 0L
     while (n > 1) {
       levels += 1
-      cur = cur.groupBy(expr("r DIV 2").as("r"))
-        .agg(count(lit(1)).as("c"), min_by(col("h"), col("r")).as("l"),
-          max_by(col("h"), col("r")).as("x"))
-        .select(col("r"), when(col("c") === 2,
-          md5(concat(col("l"), col("x")))).otherwise(col("l")).as("h"))
-        .localCheckpoint(true)
+      cur = collapse(cur)
       n = cur.count()
     }
     val root: Option[String] =
       if (leaves == 0) None else Some(cur.select(col("h")).head().getString(0))
     Seq((leaves, levels, root)).toDF("n_leaves", "levels", "root")
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** INCLUSION PROOF for the single row matching `targetPred`: one
+    * row per level — (level, side, sibling, acc, root) where side is
+    * the target's position in its pair (0 = left), sibling the hash
+    * md5-combined in (null when the node rides an odd tail up
+    * unchanged) and acc the running digest; at the last level acc ==
+    * root BY RE-DERIVATION (the driver folds the path with its own
+    * md5 — the verification a consumer would run, not a copy of the
+    * engine's root). Driver work is ⌈log₂ n⌉ one-row lookups (the
+    * LinearModel bounded-collect discipline); everything data-sized
+    * stays distributed.
+    */
+  def merkleProof(df: DataFrame, cols: Seq[Column],
+                  targetPred: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val hT = df.filter(targetPred).select(rowHash(cols).as("h"))
+      .head().getString(0)
+    var cur = rankedLeaves(df, cols)
+    var n = cur.count()
+    // duplicates share a hash; the proof tracks the first copy
+    var rT = cur.filter(col("h") === hT)
+      .agg(min(col("r"))).head().getLong(0)
+    var acc = hT
+    var level = 0L
+    val path = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Option[String], String)]
+    while (n > 1) {
+      level += 1
+      val sib = cur.filter(expr("r DIV 2") === rT / 2 &&
+          col("r") =!= rT)
+        .select(col("h")).collect().headOption.map(_.getString(0))
+      val side = rT % 2
+      acc = sib match {
+        case None => acc
+        case Some(s) => if (side == 0) md5hex(acc + s) else md5hex(s + acc)
+      }
+      path += ((level, side, sib, acc))
+      cur = collapse(cur)
+      rT /= 2
+      n = cur.count()
+    }
+    val root = cur.select(col("h")).head().getString(0)
+    path.toSeq.toDF("level", "side", "sibling", "acc")
+      .withColumn("root", lit(root))
   }
 }

@@ -47,6 +47,26 @@ class ProvenanceSpec extends SparkSpec {
     assert(got(rows.take(3)) != base) // dropping one dup copy shows
   }
 
+  test("merkleProof: every row's independently-folded path reaches " +
+      "the root; odd tails ride through as null siblings") {
+    val rows = (1 to 5).map(i => (i.toLong, s"v$i"))
+    val root = got(rows)._3.get
+    val paths = (1 to 5).map { i =>
+      Provenance.merkleProof(rows.toDF("id", "v"),
+          Seq(col("id"), col("v")), col("id") === i)
+        .as[(Long, Long, Option[String], String, String)]
+        .collect().sortBy(_._1)
+    }
+    paths.foreach { p =>
+      assert(p.map(_._1).toSeq == (1L to p.length)) // levels 1..L
+      assert(p.last._4 == root)     // driver-refolded acc == root
+      assert(p.forall(_._5 == root))
+      assert(p.forall(t => t._2 == 0L || t._2 == 1L))
+    }
+    // with 5 leaves some path must ride an odd tail (null sibling)
+    assert(paths.exists(_.exists(_._3.isEmpty)))
+  }
+
   test("merkleRoot: empty input and null columns are canonical") {
     val empty = Provenance.merkleRoot(
       Seq.empty[(Long, String)].toDF("id", "v"),
