@@ -4562,6 +4562,38 @@ object SparkEntry {
         Seq(col("doc_id"), col("text"), col("lang"), col("source"),
           col("n_chars")), col("doc_id") === 42)),
 
+    // Streaming gate: WRITE–AUDIT–PUBLISH per micro-batch — batch 2
+    // carries the planted bad rows and vanishes WHOLE (its candidate
+    // stages, audits dirty through the staged read face, discards);
+    // batches 1/3 publish atomically as versions 1/2. Main readers
+    // never see an unaudited row; every emitted count is fixture
+    // arithmetic.
+    "q370_wap_stream" -> ((s, dir) => {
+      import graft.sources.Snapshot
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val bad = col("doc_id") % 10 === 1
+      val tmp = gateTempDir("q370")
+      val tbl = tmp + "/t"
+      val in = writeStreamBatches(Seq(
+        docs.filter(col("doc_id") % 3 === 0 && !bad),
+        docs.filter(col("doc_id") % 3 === 1),
+        docs.filter(col("doc_id") % 3 === 2 && !bad)), tmp)
+      val schema = s.read.parquet(in).schema
+      withShufflePartitions(s, 8) {
+        graft.streaming.Streams.wapStream(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in), tbl, tmp + "/ck", bad)
+      }
+      Snapshot.read(s, tbl)
+        .agg(count(lit(1)).as("published_rows"),
+          sum(when(bad, lit(1L)).otherwise(lit(0L)))
+            .as("published_bad"))
+        .select(col("published_rows"), col("published_bad"),
+          lit(Snapshot.latestVersion(tbl).getOrElse(0L)).as("versions"),
+          lit(Snapshot.stagedNames(tbl).size.toLong).as("staged_left"))
+    }),
+
     // Generation eval: DISTINCT-N DIVERSITY — corpus-wide distinct
     // n-gram counts and ratios for n=1..4 (the mode-collapse screen
     // run beside q334's BLEU; a self-repetitive generator shows low
@@ -14244,6 +14276,20 @@ object SparkEntry {
                 .mkString(" UNION ALL ")}) u, rt, lv
          |WHERE u.level <= lv.levels""".stripMargin
     },
+
+    // Fixture arithmetic: batches 1/3 publish their clean rows,
+    // batch 2 (ids ≡ 1 mod 3, which contains every id ≡ 1 mod 30)
+    // discards whole.
+    "q370_wap_stream" ->
+      """WITH p AS (SELECT CAST(count(*) AS BIGINT) AS c
+        |    FROM documents WHERE doc_id % 3 = 0 AND doc_id % 10 <> 1),
+        |q AS (SELECT CAST(count(*) AS BIGINT) AS c
+        |    FROM documents WHERE doc_id % 3 = 2 AND doc_id % 10 <> 1)
+        |SELECT p.c + q.c AS published_rows,
+        |  CAST(0 AS BIGINT) AS published_bad,
+        |  CAST(2 AS BIGINT) AS versions,
+        |  CAST(0 AS BIGINT) AS staged_left
+        |FROM p, q""".stripMargin,
 
     // Both counts are the plain scan truth.
     "q350_manifest_count" ->

@@ -288,6 +288,56 @@ object Streams {
     * replays re-append the same rows; downstream consumers dedup by
     * doc id exactly as the warehouse absorbs re-deliveries.
     */
+  /** Streaming WRITE–AUDIT–PUBLISH: every micro-batch stages a FULL
+    * candidate snapshot (currently published rows ∪ the batch) under a
+    * batch-derived wap id, audits the candidate THROUGH the staged
+    * read face, and atomically publishes it — or discards the whole
+    * batch when any audited row is bad. Batch-level quarantine with
+    * the q362 isolation guarantee: main readers never see an
+    * unaudited row, and a poisoned batch vanishes without a trace
+    * (its data dirs age out via vacuum's orphan sweep).
+    *
+    * Replay-idempotent WITHOUT a checkpoint: the candidate carries
+    * CONTENT-SET semantics (published ∪ batch, exact-duplicate rows
+    * collapsed), so re-running the whole stream over the same batch
+    * sequence re-derives the same decisions and converges to the
+    * same published content (versions append, content converges —
+    * the dedupStream/snapshot convention). Per-batch cost: one audit
+    * scan + one candidate write; the published side re-writes per
+    * publish under full-snapshot semantics — at production scale the
+    * candidate would stage ONLY the batch and publish through
+    * [[graft.sources.Snapshot.merge]]; the gate keeps full-snapshot
+    * candidates so the audit face provably sees base ∪ batch.
+    */
+  def wapStream(in: DataFrame, table: String, checkpoint: String,
+                badPred: org.apache.spark.sql.Column): Unit = {
+    import graft.sources.Snapshot
+    val q = in.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val b = batch.toDF()
+          val name = f"wap-$bid%06d"
+          val candidate = (Snapshot.latestVersion(table) match {
+            case Some(_) => Snapshot.read(spark, table).unionByName(b)
+            case None => b
+          }).dropDuplicates()
+          Snapshot.commitStaged(candidate, table, name)
+          // the audit runs against the STAGED face — exactly what
+          // would publish, never the raw batch frame
+          val bad = Snapshot.readStaged(spark, table, name)
+            .filter(badPred).count()
+          if (bad == 0) { Snapshot.publish(table, name); () }
+          else Snapshot.discardStaged(table, name)
+        }
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   def hygieneStream(in: DataFrame, benchDocs: DataFrame,
                     acceptPath: String, rejectPath: String,
                     checkpoint: String, minQuality: Double = 0.2,

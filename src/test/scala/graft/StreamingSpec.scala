@@ -660,6 +660,39 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("wapStream: a poisoned micro-batch is quarantined atomically, " +
+      "clean batches publish, checkpoint-free replay converges") {
+    import graft.sources.Snapshot
+    withTempDir { dir =>
+      val tbl = dir.getAbsolutePath + "/t"
+      val b0 = Seq((1L, 10L), (2L, 20L)).toDF("id", "v")
+      val b1 = Seq((3L, -5L), (4L, 40L)).toDF("id", "v") // poisoned
+      val b2 = Seq((5L, 50L)).toDF("id", "v")
+      val in = SparkEntry.writeStreamBatches(Seq(b0, b1, b2),
+        dir.getAbsolutePath)
+      val schema = spark.read.parquet(in).schema
+      def run(ck: String): Unit = Streams.wapStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(in),
+        tbl, dir.getAbsolutePath + ck, col("v") < 0)
+      run("/ck")
+      val got = Snapshot.read(spark, tbl)
+        .select($"id").as[Long].collect().toSet
+      assert(got == Set(1L, 2L, 5L)) // batch 1 vanished whole
+      assert(Snapshot.latestVersion(tbl).contains(2L)) // two publishes
+      assert(Snapshot.stagedNames(tbl).isEmpty)
+      // time travel: v1 is the first clean batch alone
+      assert(Snapshot.read(spark, tbl, Some(1L))
+        .select($"id").as[Long].collect().toSet == Set(1L, 2L))
+      // replay without checkpoint: decisions re-derive, content
+      // converges (content-set candidate semantics)
+      run("/ck2")
+      assert(Snapshot.read(spark, tbl)
+        .select($"id").as[Long].collect().toSet == Set(1L, 2L, 5L))
+      assert(Snapshot.stagedNames(tbl).isEmpty)
+    }
+  }
+
   test("hygieneStream routes documents by the gate-order reason taxonomy") {
     withTempDir { dir =>
       val in = dir.getAbsolutePath + "/in"
