@@ -4594,6 +4594,23 @@ object SparkEntry {
           lit(Snapshot.stagedNames(tbl).size.toLong).as("staged_left"))
     }),
 
+    // Storage: DESCRIBE HISTORY — the version-audit table (who/what
+    // per retained snapshot: dir count, manifest-stat row counts, tag
+    // pins, latest flag) over a 3-commit + tag lifecycle; every value
+    // is fixture arithmetic for the oracle, and n_rows comes from
+    // manifest stats ALONE (the countStar identity — no data scan).
+    "q371_describe_history" -> ((s, dir) => {
+      import graft.sources.Snapshot
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val tbl = gateTempDir("q371") + "/t"
+      Snapshot.commit(docs.filter(col("doc_id") % 3 === 0), tbl)
+      Snapshot.commit(docs.filter(col("doc_id") % 3 <= 1), tbl)
+      Snapshot.tag(tbl, "audited", Some(2L))
+      Snapshot.commit(docs, tbl)
+      Snapshot.history(s, tbl)
+    }),
+
     // Generation eval: DISTINCT-N DIVERSITY — corpus-wide distinct
     // n-gram counts and ratios for n=1..4 (the mode-collapse screen
     // run beside q334's BLEU; a self-repetitive generator shows low
@@ -14290,6 +14307,21 @@ object SparkEntry {
         |  CAST(2 AS BIGINT) AS versions,
         |  CAST(0 AS BIGINT) AS staged_left
         |FROM p, q""".stripMargin,
+
+    // The three-version lifecycle replayed as arithmetic: slice
+    // counts per version, tag on v2, latest on v3, one dir each.
+    "q371_describe_history" ->
+      """WITH c1 AS (SELECT CAST(count(*) AS BIGINT) AS c
+        |    FROM documents WHERE doc_id % 3 = 0),
+        |c2 AS (SELECT CAST(count(*) AS BIGINT) AS c
+        |    FROM documents WHERE doc_id % 3 <= 1),
+        |c3 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents)
+        |SELECT CAST(1 AS BIGINT) AS version, CAST(1 AS INT) AS n_dirs,
+        |  c1.c AS n_rows, '' AS tags, FALSE AS is_latest FROM c1
+        |UNION ALL SELECT CAST(2 AS BIGINT), CAST(1 AS INT), c2.c,
+        |  'audited', FALSE FROM c2
+        |UNION ALL SELECT CAST(3 AS BIGINT), CAST(1 AS INT), c3.c,
+        |  '', TRUE FROM c3""".stripMargin,
 
     // Both counts are the plain scan truth.
     "q350_manifest_count" ->

@@ -1142,6 +1142,31 @@ object Snapshot {
     Files.deleteIfExists(stagedDir(table).resolve(name)): Unit
   }
 
+  /** DESCRIBE HISTORY: one row per retained version — (version,
+    * n_dirs, n_rows, tags, is_latest). n_rows comes from manifest
+    * footer stats alone (the countStar identity; null when any dir
+    * predates stats harvesting), tags is the sorted comma-joined pin
+    * list. Driver work is version-count-sized (a manifest walk), the
+    * returned frame is a local table — the introspection face next to
+    * time travel/diff/cdf.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val byVersion = tags(table).toSeq.groupBy(_._2)
+      .map { case (v, ns) => v -> ns.map(_._1).sorted.mkString(",") }
+    val vs = versions(table)
+    val latest = vs.lastOption
+    vs.map { v =>
+      val m = readManifest(table, v)
+      val rows =
+        if (m.dirs.forall(m.stats.contains))
+          Some(m.dirs.map(m.stats(_).rows).sum)
+        else None
+      (v, m.dirs.size, rows, byVersion.getOrElse(v, ""),
+        latest.contains(v))
+    }.toDF("version", "n_dirs", "n_rows", "tags", "is_latest")
+  }
+
   def vacuum(table: String, keepVersions: Int = 1,
              orphanAgeMs: Long = 3600000L): Unit = {
     def rm(p: Path): Unit = {

@@ -806,6 +806,30 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("history: one row per retained version with stat-derived " +
+      "rows, tag pins, and the latest flag; vacuum shrinks it") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      Snapshot.commit(batch(("A", "2024-01-01", 10.0, 0L)), t)
+      Snapshot.commit(batch(("A", "2024-01-01", 10.0, 0L),
+        ("B", "2024-01-02", 20.0, 0L)), t)
+      Snapshot.tag(t, "keep", Some(1L))
+      val h = Snapshot.history(spark, t)
+        .as[(Long, Int, Option[Long], String, Boolean)]
+        .collect().sortBy(_._1)
+      assert(h.toSeq == Seq((1L, 1, Some(1L), "keep", false),
+        (2L, 1, Some(2L), "", true)))
+      // vacuum keeps only the latest + the pinned v1
+      Snapshot.commit(batch(("C", "2024-01-03", 30.0, 0L)), t)
+      Snapshot.dropTag(t, "keep")
+      Snapshot.vacuum(t, keepVersions = 1, orphanAgeMs = 0L)
+      val h2 = Snapshot.history(spark, t)
+        .as[(Long, Int, Option[Long], String, Boolean)]
+        .collect().sortBy(_._1)
+      assert(h2.toSeq == Seq((3L, 1, Some(1L), "", true)))
+    }
+  }
+
   test("write-audit-publish: re-staging a name replaces it and " +
       "partitioned staging restores the partition column") {
     withTempDir { dir =>
