@@ -11,7 +11,11 @@ import org.apache.spark.sql.functions._
   *
   * Determinism contract (the repo's fixed-point convention, extended
   * to a training LOOP): features snap to ×1e6 integers once; every
-  * margin and gradient is an exact integer sum; the only
+  * margin and gradient is an exact integer sum ACCUMULATED AS
+  * decimal(38,0) — the oracle's HUGEINT semantics. Per-row gradient
+  * terms are ~2e12, so a LongType sum would silently wrap past
+  * ~4.6M labeled rows (the r13 advisor finding); decimal(38,0)
+  * headroom is ~1e25 rows at that term size, unreachable; the only
   * transcendental (the sigmoid) snaps to ×1e6 immediately after
   * evaluation; weight updates round half-away-from-zero on the
   * driver (matching both engines' round()). The entire training
@@ -62,17 +66,20 @@ object LinearModel {
       val wDf = w.toSeq.toDF("dim", "w")
       val p = xy.join(broadcast(wDf), "dim")
         .groupBy(col("id"), col("ymu"))
-        .agg(sum(col("xi") * col("w")).as("m12"))
+        .agg(sum(col("xi").cast("decimal(38,0)") * col("w")).as("m12"))
         .select(col("id"), col("ymu"),
           round(lit(1e6) / (lit(1.0) +
             exp(-(col("m12").cast("double") / lit(1e12)))))
             .cast("long").as("pmu"))
       val grad = xy.join(p.select(col("id"), col("pmu")), "id")
         .groupBy(col("dim"))
-        .agg(sum(col("xi") * (col("ymu") - col("pmu"))).as("g12"))
-        .as[(Int, Long)].collect() // dims+1 rows — dimensionality-sized
-      w = w ++ grad.map { case (d, g) =>
-        d -> (w(d) + roundAway(g.toDouble / (n.toDouble * 1e6)))
+        .agg(sum(col("xi").cast("decimal(38,0)") *
+          (col("ymu") - col("pmu"))).as("g12"))
+        .collect() // dims+1 rows — dimensionality-sized
+      w = w ++ grad.map { r =>
+        val d = r.getInt(0)
+        val g = r.getDecimal(1).doubleValue()
+        d -> (w(d) + roundAway(g / (n.toDouble * 1e6)))
       }
     }
     xy.unpersist()

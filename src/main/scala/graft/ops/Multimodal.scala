@@ -269,6 +269,53 @@ object Multimodal {
     Some(BmpPixels(width, height, pixels))
   }
 
+  /** Canonical PNG writer over TOP-DOWN row-major 0xRRGGBB pixels,
+    * via `javax.imageio` (JVM-public, zero native dependencies, and
+    * headless-safe for PNG). The emitted bytes are REAL PNG files any
+    * viewer accepts. NOTE: the compressed byte LENGTH is an encoder
+    * implementation detail — deterministic within one JVM but not a
+    * cross-engine contract, so oracles must pin features of the
+    * DECODED pixels, never of the container bytes (unlike
+    * [[bmpBytes]], whose layout is arithmetic).
+    */
+  def pngBytes(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
+    require(pixels.length == width * height, "pixels must be width*height")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, width, height, pixels, 0, width)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private val pngMagic: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Real PNG decoder (the third format tier beside [[parseWav]] and
+    * [[parseBmp]] — the "user hits it on day one" format): sniff the
+    * 8-byte PNG signature FIRST (non-PNG payloads skip the codec at
+    * the cost of one byte compare, never an exception), then decode
+    * through `javax.imageio.ImageIO` and normalize to TOP-DOWN
+    * row-major 0xRRGGBB (alpha discarded). None on anything the
+    * reader rejects — callers fall back, per the decoder convention.
+    */
+  def parsePng(bytes: Array[Byte]): Option[BmpPixels] = {
+    if (bytes.length < 8 ||
+        !java.util.Arrays.equals(
+          java.util.Arrays.copyOfRange(bytes, 0, 8), pngMagic)) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+          .map(_ & 0xffffff)
+        Some(BmpPixels(w, h, px))
+      }
+    } catch { case _: Exception => None }
+  }
+
   /** Nearest-neighbor resample to `outW`×`outH` (pure pixel function):
     * output (x,y) reads source (x·W/outW, y·H/outH) — integer floor, the
     * standard nearest-neighbor index map, exact in integer arithmetic so
@@ -583,15 +630,26 @@ object Multimodal {
   /** The DEFAULT decoder: per-payload magic-number sniffing. A payload
     * that parses as RIFF/WAVE PCM16 is REALLY decoded — checksum is the
     * sum of the decoded sample VALUES (signed) and first_byte the first
-    * decoded sample; one that parses as 24-bit BMP decodes to pixels —
+    * decoded sample; one that parses as 24-bit BMP or as PNG (the
+    * `javax.imageio` tier — [[parsePng]]) decodes to pixels —
     * checksum is the sum of all decoded R+G+B channel values (pad bytes
-    * excluded, rows un-flipped) and first_byte the TOP-LEFT pixel's red
-    * channel. Features of the media, not of its container bytes.
+    * excluded, rows un-flipped, PNG inflate included) and first_byte
+    * the TOP-LEFT pixel's red channel: the two image formats share one
+    * feature contract, so a pipeline is format-blind downstream.
+    * Features of the media, not of its container bytes.
     * Anything else (and any malformed/unsupported payload) falls back
     * to the stub byte arithmetic, so mixed-modality columns and corrupt
     * rows flow through the same pipeline without a crash.
     */
   final class FormatDecoder private () extends Decoder {
+    private def imageFeatures(id: Long, nBytes: Int,
+                              b: BmpPixels): MediaFeatures = {
+      val checksum = b.pixels.foldLeft(0L)((a, p) =>
+        a + ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff))
+      val first =
+        if (b.pixels.nonEmpty) (b.pixels(0) >> 16) & 0xff else -1
+      MediaFeatures(id, nBytes, checksum, first)
+    }
     def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[MediaFeatures] =
       batch.map { case (id, bytes) =>
         parseWav(bytes) match {
@@ -599,13 +657,8 @@ object Multimodal {
             val checksum = w.samples.foldLeft(0L)((a, s) => a + s)
             val first = if (w.samples.nonEmpty) w.samples(0).toInt else -1
             MediaFeatures(id, bytes.length, checksum, first)
-          case None => parseBmp(bytes) match {
-            case Some(b) =>
-              val checksum = b.pixels.foldLeft(0L)((a, p) =>
-                a + ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff))
-              val first =
-                if (b.pixels.nonEmpty) (b.pixels(0) >> 16) & 0xff else -1
-              MediaFeatures(id, bytes.length, checksum, first)
+          case None => parseBmp(bytes).orElse(parsePng(bytes)) match {
+            case Some(b) => imageFeatures(id, bytes.length, b)
             case None =>
               val checksum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
               val first = if (bytes.nonEmpty) bytes(0) & 0xff else -1

@@ -18,8 +18,11 @@ import org.apache.spark.sql.functions._
   * SQL engine agree on the order); duplicate rows hash identically so
   * their relative order cannot change the tree. Leaf ranks come from
   * the two-level prefix kernel over the hash's leading-60-bit integer
-  * plus a per-prefix window ordered by the full hex (prefix
-  * collisions are ~n²/2⁶⁰ — the window groups stay tiny) and
+  * — counts aggregated per DISTINCT prefix first, so two hashes
+  * sharing a prefix (vanishingly rare on a fixture, birthday-bound
+  * certain at billions of leaves) still rank exactly — plus a
+  * per-prefix window ordered by the full hex (collision groups stay
+  * tiny) and
   * duplicate multiplicities expand through exact count prefix sums —
   * never a global window over data rows. Odd tails and the post-root
   * fixed point share one rule: a 1-node group passes its hash up
@@ -35,6 +38,33 @@ object Provenance {
     md5(concat_ws("\u0001",
       cols.map(c => coalesce(c.cast("string"), lit("\u0002"))): _*))
 
+  /** Exact 0-based START offset in (hash asc) order for every row of a
+    * (h, cnt, p60) frame — one row per DISTINCT hash, p60 the hash's
+    * leading-60-bit integer. [[Ranks.withRunningBelow]]'s contract is
+    * one row per distinct valueCol, and distinct hashes CAN share a
+    * 60-bit prefix (~n²/2⁶¹ — vanishingly rare on a fixture, expected
+    * at billions of leaves by the birthday bound), so the counts
+    * aggregate per distinct p60 FIRST; the kernel ranks the prefix
+    * buckets and the offset joins back on p60 (the window below
+    * re-uses that hash partitioning — no extra exchange), with the
+    * intra-prefix term from a per-prefix window ordered by the FULL
+    * hex. Seam extracted so ProvenanceSpec can feed synthetic
+    * colliding prefixes without mining a real 60-bit md5 collision.
+    */
+  private[graft] def leafStarts(byHash: DataFrame): DataFrame = {
+    val perPrefix = byHash.groupBy(col("p60")).agg(sum(col("cnt")).as("cnt"))
+    val offs = Ranks.withRunningBelow(perPrefix, "p60",
+        math.max(1L, (1L << 60) / 4096), Seq("cnt"))
+      .select(col("p60"), col("cnt_below"))
+    val wIntra = Window.partitionBy(col("p60")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byHash.join(offs, "p60")
+      .withColumn("intra",
+        coalesce(sum(col("cnt")).over(wIntra), lit(0L)))
+      .select(col("h"),
+        (col("cnt_below") + col("intra")).as("start"), col("cnt"))
+  }
+
   /** Leaves ranked by hash: (h, r) with r the exact 0-based position
     * in (hash asc) order — eagerly checkpointed.
     */
@@ -43,16 +73,7 @@ object Provenance {
       .groupBy(col("h")).agg(count(lit(1)).as("cnt"))
       .withColumn("p60",
         conv(substring(col("h"), 1, 15), 16, 10).cast("long"))
-    // exact leaf rank = leaves below by (hash asc): kernel over the
-    // 60-bit prefix + a tiny per-prefix window + dup expansion
-    val wIntra = Window.partitionBy(col("p60")).orderBy(col("h"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    Ranks.withRunningBelow(byHash, "p60",
-        math.max(1L, (1L << 60) / 4096), Seq("cnt"))
-      .withColumn("intra",
-        coalesce(sum(col("cnt")).over(wIntra), lit(0L)))
-      .select(col("h"),
-        (col("cnt_below") + col("intra")).as("start"), col("cnt"))
+    leafStarts(byHash)
       .select(col("h"), col("start"),
         explode(sequence(lit(0L), col("cnt") - 1)).as("i"))
       .select(col("h"), (col("start") + col("i")).as("r"))

@@ -334,4 +334,78 @@ object SuffixArray {
             .cast("decimal(20,10)"), 4).cast("double"))
           .as("covered_ratio"))
   }
+
+  /** EXACT duplicate-span EXCISION — the step a dedup user actually
+    * runs after the census: REWRITE every document with each token
+    * that lies inside a repeated run of ≥ `minLen` tokens (a span
+    * that also occurs somewhere else in the corpus, same doc
+    * included) removed, the Lee et al. 2022 cut applied corpus-wide.
+    * Spans per position come from the SA-neighbor max-LCP identity
+    * ([[dupSpanCoverage]]); OVERLAPPING spans COALESCE before any
+    * token is cut — coverage is the per-doc running max of span ends
+    * interleaved with the token stream in ONE ordered pass (a span
+    * row sorts before the token at its own start), never an exploded
+    * position set, so a span of length L costs one row, not L.
+    *
+    * The removed set provably equals "every token inside some
+    * duplicated minLen-gram": a duplicated gram at s forces
+    * maxNeighborLcp(s) ≥ minLen, and a span (pos, l) is itself a
+    * repeat, so each of its minLen-grams occurs elsewhere and
+    * together they tile [pos, pos+l) — which is what lets a
+    * brute-force gram-count oracle verify the rewrite byte-exactly.
+    *
+    * Output one row per doc: (doc_id, n_tokens, n_removed, clean_fp)
+    * — clean_fp the md5 of the kept tokens space-joined in original
+    * order (the [[Dedup.scrubBoilerplateLines]] clean_fp convention;
+    * zero-token and fully-excised docs hash the empty string).
+    * `docToks` is (doc_id, tk: array&lt;string&gt;) — the same
+    * tokenization the corpus was built from.
+    *
+    * Scale shape: the span rollup shuffles on (doc_id, pos); the
+    * coverage window partitions by doc (doc-sized partitions, the
+    * interval-union convention); reassembly is one
+    * sort_array(collect_list) per doc — a doc-sized array, the same
+    * bound as the text itself. Nothing corpus-global, nothing
+    * collected.
+    */
+  def exciseDuplicateSpans(lcps: DataFrame, docToks: DataFrame,
+                           minLen: Long): DataFrame = {
+    val hits = lcps.filter(col("lcp") >= minLen)
+    val spans = hits
+      .select(col("doc_a").as("doc_id"), col("pos_a").as("pos"),
+        col("lcp"))
+      .unionByName(hits.select(col("doc_b").as("doc_id"),
+        col("pos_b").as("pos"), col("lcp")))
+      .groupBy(col("doc_id"), col("pos")).agg(max(col("lcp")).as("l"))
+    val toks = docToks
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "token")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("token"), lit(0).as("is_span"),
+        lit(null).cast("long").as("end"))
+    val spanRows = spans.select(col("doc_id"), col("pos"),
+      lit(null).cast("string").as("token"), lit(1).as("is_span"),
+      (col("pos") + col("l")).as("end"))
+    // span rows sort BEFORE the token at their own start (is_span
+    // desc), so a span covers its first token; running max of ends =
+    // the coalesced interval union
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("pos"), col("is_span").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val flagged = toks.unionByName(spanRows)
+      .withColumn("cum_end", max(col("end")).over(w))
+      .filter(col("is_span") === 0)
+      .withColumn("covered",
+        coalesce(col("cum_end") > col("pos"), lit(false)))
+    val agg = flagged.groupBy(col("doc_id"))
+      .agg(sum(when(col("covered"), 1L).otherwise(0L)).as("n_removed"),
+        md5(array_join(transform(sort_array(collect_list(
+            when(!col("covered"), struct(col("pos"), col("token"))))),
+          x => x.getField("token")), " ")).as("clean_fp"))
+    docToks
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("clean_fp"), md5(lit(""))).as("clean_fp"))
+  }
 }

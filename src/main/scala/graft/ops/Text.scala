@@ -382,6 +382,37 @@ object Text {
     rows.reduce(_.unionByName(_))
   }
 
+  /** APPLY a learned merge table to the distinct word table — the
+    * tokenize step every packing/perplexity consumer needs upstream
+    * of [[bpeLearnMerges]]'s training loop: fuse each (sym_a, sym_b)
+    * pair in ROUND ORDER into every framed word, then unframe.
+    * `merges` is (round, sym_a, sym_b) — [[bpeLearnMerges]]'s output
+    * shape; it COLLECTS to the driver (vocabulary-rounds-sized, the
+    * LinearModel bounded-collect discipline — a merge table is model
+    * state, never data) and the application is `rounds` literal
+    * replaces over the vocabulary-sized word table, each a codegen'd
+    * string pass: corpus-scale cost is |vocab|·rounds, and the
+    * corpus itself only ever joins the result by word. Same framing
+    * contract as the learner (symbols match ^[a-z0-9]+$). Output one
+    * row per distinct word: (w, cnt, symbols, n_symbols).
+    */
+  def bpeApplyMerges(wordCounts: DataFrame, merges: DataFrame): DataFrame = {
+    val ms = merges.select(col("round"), col("sym_a"), col("sym_b"))
+      .orderBy(col("round")).collect()
+    val start = wordCounts.select(col("w"),
+      regexp_replace(col("w"), "(.)", "($1)").as("fw"), col("cnt"))
+    val done = ms.foldLeft(start)((df, r) =>
+      df.withColumn("fw", replace(col("fw"),
+        lit("(" + r.getString(1) + ")(" + r.getString(2) + ")"),
+        lit("(" + r.getString(1) + r.getString(2) + ")"))))
+    done
+      .select(col("w"), col("cnt"),
+        split(expr("substring(fw, 2, length(fw) - 2)"), "\\)\\(")
+          .as("symbols"))
+      .select(col("w"), col("cnt"), col("symbols"),
+        size(col("symbols")).cast("long").as("n_symbols"))
+  }
+
   /** Frame every symbol in parens: "ab" → "(a)(b)" (see
     * [[bpeLearnMerges]] for why this framing makes merges exact).
     */

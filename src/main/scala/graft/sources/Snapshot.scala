@@ -96,7 +96,8 @@ object Snapshot {
                             partitionType: String, dataSchemaJson: String,
                             dirs: Seq[String],
                             stats: Map[String, DirStats] = Map.empty,
-                            fileStats: Map[String, DirStats] = Map.empty) {
+                            fileStats: Map[String, DirStats] = Map.empty,
+                            wapId: String = "") {
     def dataSchema: StructType =
       DataType.fromJson(dataSchemaJson).asInstanceOf[StructType]
     /** Per-file stats grouped under their parent directory. */
@@ -146,7 +147,11 @@ object Snapshot {
 
   private def parseManifest(lines: Seq[String]): Manifest = {
     val header = lines.head.split("\t", -1)
-    require(header.length == 3, s"corrupt manifest header: ${lines.head}")
+    // 3 fields = pre-wap manifests (parse unchanged); an optional 4th
+    // carries the write-audit-publish id the version was published from
+    require(header.length == 3 || header.length == 4,
+      s"corrupt manifest header: ${lines.head}")
+    val wapId = if (header.length == 4) dec(header(3)) else ""
     val v = header(0).toLong
     def triples(fields: Seq[String]) = fields.grouped(3).collect {
       case Seq(c, mn, mx) => (dec(c), dec(mn), dec(mx))
@@ -167,7 +172,8 @@ object Snapshot {
       f(1) -> statsOf(f(2), f.drop(3).toSeq)
     }.toMap
     Manifest(v, header(1), header(2), lines(1), parsed.map(_._1),
-      parsed.collect { case (d, Some(st)) => d -> st }.toMap, fstats)
+      parsed.collect { case (d, Some(st)) => d -> st }.toMap, fstats,
+      wapId)
   }
 
   private def manifestBody(m: Manifest): String = {
@@ -183,7 +189,9 @@ object Snapshot {
     val fileLines = m.fileStats.toSeq.sortBy(_._1).map { case (f, st) =>
       (Seq("F", f) ++ statFields(st)).mkString("\t")
     }
-    (Seq(s"${m.version}\t${m.partitionCol}\t${m.partitionType}",
+    val header = s"${m.version}\t${m.partitionCol}\t${m.partitionType}" +
+      (if (m.wapId.isEmpty) "" else s"\t${enc(m.wapId)}")
+    (Seq(header,
       m.dataSchemaJson) ++ dirLines ++ fileLines).mkString("", "\n", "\n")
   }
 
@@ -1123,7 +1131,9 @@ object Snapshot {
     var v = -1L
     while (v < 0) {
       val next = latestVersion(table).getOrElse(0L) + 1
-      try { writeManifest(table, m.copy(version = next)); v = next }
+      // the published manifest RECORDS the wap id it came from — the
+      // provenance that makes publishIdempotent's replay check work
+      try { writeManifest(table, m.copy(version = next, wapId = name)); v = next }
       catch {
         case e: ConcurrentCommitException =>
           attempts += 1
@@ -1133,6 +1143,30 @@ object Snapshot {
     Files.deleteIfExists(stagedDir(table).resolve(name))
     v
   }
+
+  /** The version already published from staged name `wapId`, if any —
+    * a version-count-sized manifest walk (the history() discipline).
+    */
+  def publishedWap(table: String, wapId: String): Option[Long] =
+    versions(table).find(v => readManifest(table, v).wapId == wapId)
+
+  /** Replay-idempotent [[publish]]: when some retained version was
+    * already published from `name` (a crash landed between publish
+    * and the caller's own commit point — e.g. a streaming checkpoint
+    * — and the batch replayed), return THAT version and drop any
+    * re-staged leftover instead of minting a duplicate. The record is
+    * the published manifest itself (an optional 4th header field), so
+    * the check survives any crash window — publish IS the marker.
+    * Vacuumed-away versions forget their wap id with their manifest;
+    * callers that vacuum mid-stream keep the content-convergence
+    * guarantee only (the wapStream contract before this face existed).
+    */
+  def publishIdempotent(table: String, name: String,
+                        maxRetries: Int = 20): Long =
+    publishedWap(table, name) match {
+      case Some(v) => discardStaged(table, name); v
+      case None => publish(table, name, maxRetries)
+    }
 
   /** Reject a staged snapshot: drop its manifest; the data dirs age
     * out via vacuum's orphan sweep.

@@ -297,12 +297,19 @@ object Streams {
     * unaudited row, and a poisoned batch vanishes without a trace
     * (its data dirs age out via vacuum's orphan sweep).
     *
-    * Replay-idempotent WITHOUT a checkpoint: the candidate carries
+    * Replay-idempotent on BOTH axes. Content: the candidate carries
     * CONTENT-SET semantics (published ∪ batch, exact-duplicate rows
     * collapsed), so re-running the whole stream over the same batch
     * sequence re-derives the same decisions and converges to the
-    * same published content (versions append, content converges —
-    * the dedupStream/snapshot convention). Per-batch cost: one audit
+    * same published content. Version arithmetic: each publish goes
+    * through [[graft.sources.Snapshot.publishIdempotent]] under the
+    * batch-derived wap id, which the published manifest itself
+    * records — a crash after publish but before the checkpoint
+    * commit replays the batch, finds its id already published, and
+    * skips (staging included), so version COUNTS converge too (the
+    * r13 advisor gap: publish and checkpoint commit are not atomic,
+    * and q370's `versions` output pins the count, not just the
+    * content). Per-batch cost: one audit
     * scan + one candidate write; the published side re-writes per
     * publish under full-snapshot semantics — at production scale the
     * candidate would stage ONLY the batch and publish through
@@ -321,17 +328,22 @@ object Streams {
           val spark = batch.sparkSession
           val b = batch.toDF()
           val name = f"wap-$bid%06d"
-          val candidate = (Snapshot.latestVersion(table) match {
-            case Some(_) => Snapshot.read(spark, table).unionByName(b)
-            case None => b
-          }).dropDuplicates()
-          Snapshot.commitStaged(candidate, table, name)
-          // the audit runs against the STAGED face — exactly what
-          // would publish, never the raw batch frame
-          val bad = Snapshot.readStaged(spark, table, name)
-            .filter(badPred).count()
-          if (bad == 0) { Snapshot.publish(table, name); () }
-          else Snapshot.discardStaged(table, name)
+          // replay short-circuit: a version already published from
+          // this batch's wap id means the crash window landed between
+          // publish and the checkpoint commit — skip staging entirely
+          if (Snapshot.publishedWap(table, name).isEmpty) {
+            val candidate = (Snapshot.latestVersion(table) match {
+              case Some(_) => Snapshot.read(spark, table).unionByName(b)
+              case None => b
+            }).dropDuplicates()
+            Snapshot.commitStaged(candidate, table, name)
+            // the audit runs against the STAGED face — exactly what
+            // would publish, never the raw batch frame
+            val bad = Snapshot.readStaged(spark, table, name)
+              .filter(badPred).count()
+            if (bad == 0) { Snapshot.publishIdempotent(table, name); () }
+            else Snapshot.discardStaged(table, name)
+          }
         }
       }
       .start()

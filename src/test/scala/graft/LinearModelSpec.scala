@@ -69,6 +69,23 @@ class LinearModelSpec extends SparkSpec {
     assert(train(1) != w3)  // iterations matter
   }
 
+  test("logisticGd gradient sums accumulate as decimal(38,0) and " +
+      "never wrap past Long (the r13 advisor bound)") {
+    // per-row gradient term = xi·(ymu−pmu) = 1e13·5e5 = 5e18; two
+    // same-sign rows sum to 1e19 > Long.MaxValue (9.22e18) — a
+    // LongType sum wraps negative and flips the learned direction
+    val bigXs = Seq(0L -> Seq(1.0e7), 1L -> Seq(1.0e7))
+    val bigYs = Seq(0L -> 1L, 1L -> 1L)
+    val got = LinearModel.logisticGd(bigXs.toDF("id", "x"),
+      bigYs.toDF("id", "y"), 1).as[(Int, Long)].collect().toMap
+    // exact BigInt replay of iteration 1: w=0 → m12=0 → pmu=500000
+    val g0 = BigInt("10000000000000") * 500000L * 2 // 1e19, > Long.Max
+    assert(g0 > BigInt(Long.MaxValue))
+    assert(got(0) == away(g0.toDouble / (2.0 * 1e6)) && got(0) > 0)
+    val gb = BigInt(1000000L) * 500000L * 2
+    assert(got(-1) == away(gb.toDouble / (2.0 * 1e6)))
+  }
+
   test("logisticGd under a one-class corpus pushes every weight " +
       "toward that class and stays exact") {
     val allOne = ys.map { case (k, _) => k -> 1L }

@@ -154,6 +154,47 @@ class MultimodalSpec extends SparkSpec {
     assert(r.n_bytes == bmp.length)
   }
 
+  test("pngBytes → parsePng round-trips dimensions and every pixel") {
+    // distinct channel values per pixel catch channel-order or
+    // scanline-filter confusion through the real zlib codec
+    val px = Array.tabulate(5 * 3)(i => ((i * 17) % 256) << 16 |
+      ((i * 31) % 256) << 8 | ((i * 59) % 256))
+    val p = Multimodal.parsePng(Multimodal.pngBytes(5, 3, px))
+    assert(p.isDefined)
+    assert(p.get.width == 5 && p.get.height == 3)
+    assert(p.get.pixels.toSeq == px.toSeq)
+  }
+
+  test("parsePng rejects malformed payloads and non-PNG magic cheaply") {
+    assert(Multimodal.parsePng("not a png at all".getBytes("UTF-8")).isEmpty)
+    val good = Multimodal.pngBytes(3, 2, Array.fill(6)(0x808080))
+    // cut INSIDE the header/IDAT — the reader throws, the seam maps it
+    // to None (ImageIO tolerates a merely-missing IEND, so a tail trim
+    // is not a malformation to this codec)
+    assert(Multimodal.parsePng(good.take(20)).isEmpty)
+    val badSig = good.clone(); badSig(0) = 0x42
+    assert(Multimodal.parsePng(badSig).isEmpty)
+    // a BMP payload never enters the PNG codec (magic mismatch)
+    assert(Multimodal.parsePng(
+      Multimodal.bmpBytes(1, 1, Array(0xffffff))).isEmpty)
+  }
+
+  test("FormatDecoder decodes PNG pixel features through javax.imageio; " +
+      "BMP and PNG of the same pixels emit the same features") {
+    val px = Array(0x010203, 0x0A0B0C, 0x202122, 0x303132)
+    val png = Multimodal.pngBytes(2, 2, px)
+    val bmp = Multimodal.bmpBytes(2, 2, px)
+    val media = Seq((1L, png), (2L, bmp)).toDS().repartition(1)
+    val r = Multimodal.decodeFeaturesBatched(media)
+      .collect().map(f => f.doc_id -> f).toMap
+    val want = px.map(p =>
+      ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).sum.toLong
+    // pixel-feature checksum, NOT the byte checksum of the container
+    assert(r(1L).checksum == want && r(1L).first_byte == 0x01)
+    assert(r(2L).checksum == want && r(2L).first_byte == 0x01)
+    assert(r(1L).n_bytes == png.length) // container length still typed
+  }
+
   test("FormatDecoder really decodes WAV features, stub-falls-back otherwise") {
     val samples = Array[Short](1000, -2000, 500)
     val wav = Multimodal.wavBytes(samples)

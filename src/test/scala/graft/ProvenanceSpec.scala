@@ -67,6 +67,26 @@ class ProvenanceSpec extends SparkSpec {
     assert(paths.exists(_.exists(_._3.isEmpty)))
   }
 
+  test("leafStarts: distinct hashes SHARING a 60-bit prefix rank " +
+      "exactly (the r13 advisor's birthday-bound case at scale)") {
+    // synthetic (h, cnt, p60): two pairs of colliding prefixes, one
+    // with duplicate multiplicities, interleaved with singletons —
+    // expected starts are the exclusive running counts in (h asc)
+    // order, which any ROWS-frame tie leak would double/under-count
+    val byHash = Seq(
+      ("aa01", 1L, 10L), ("aa02", 2L, 10L), // collision pair, dup cnt
+      ("bb01", 3L, 20L),
+      ("cc01", 1L, 30L), ("cc02", 1L, 30L), ("cc03", 2L, 30L), // triple
+      ("dd01", 4L, 40L)
+    ).toDF("h", "cnt", "p60")
+    val got = Provenance.leafStarts(byHash)
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    val exp = Seq(("aa01", 0L, 1L), ("aa02", 1L, 2L), ("bb01", 3L, 3L),
+      ("cc01", 6L, 1L), ("cc02", 7L, 1L), ("cc03", 8L, 2L),
+      ("dd01", 10L, 4L))
+    assert(got == exp)
+  }
+
   test("merkleRoot: empty input and null columns are canonical") {
     val empty = Provenance.merkleRoot(
       Seq.empty[(Long, String)].toDF("id", "v"),

@@ -830,6 +830,32 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("write-audit-publish: publishIdempotent replays to the SAME " +
+      "version; the published manifest records its wap id") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      Snapshot.commitStaged(batch(("A", "2024-01-01", 10.0, 0L)), t, "w1")
+      val v1 = Snapshot.publishIdempotent(t, "w1")
+      assert(v1 == 1L)
+      assert(Snapshot.publishedWap(t, "w1").contains(1L))
+      assert(Snapshot.publishedWap(t, "w2").isEmpty)
+      // replay: the batch re-stages under the same wap id (the crash
+      // window landed after publish) — no duplicate version, and the
+      // re-staged leftover is dropped
+      Snapshot.commitStaged(batch(("A", "2024-01-01", 10.0, 0L)), t, "w1")
+      assert(Snapshot.publishIdempotent(t, "w1") == 1L)
+      assert(Snapshot.latestVersion(t).contains(1L))
+      assert(Snapshot.stagedNames(t).isEmpty)
+      // a NEW wap id still publishes the next version; a plain commit
+      // (no wap id) never collides with the lookup
+      Snapshot.commitStaged(batch(("B", "2024-01-02", 20.0, 0L)), t, "w2")
+      assert(Snapshot.publishIdempotent(t, "w2") == 2L)
+      Snapshot.commit(batch(("C", "2024-01-03", 30.0, 0L)), t)
+      assert(Snapshot.publishedWap(t, "w2").contains(2L))
+      assert(content(t) == Set(("C", "2024-01-03", 30.0)))
+    }
+  }
+
   test("write-audit-publish: re-staging a name replaces it and " +
       "partitioned staging restores the partition column") {
     withTempDir { dir =>

@@ -684,12 +684,18 @@ class StreamingSpec extends SparkSpec {
       // time travel: v1 is the first clean batch alone
       assert(Snapshot.read(spark, tbl, Some(1L))
         .select($"id").as[Long].collect().toSet == Set(1L, 2L))
-      // replay without checkpoint: decisions re-derive, content
-      // converges (content-set candidate semantics)
+      // replay without checkpoint (the crash-after-publish window):
+      // each batch's wap id is already recorded in a published
+      // manifest, so the replay skips whole — VERSION COUNT converges
+      // (the r13 advisor gap), not just content
       run("/ck2")
       assert(Snapshot.read(spark, tbl)
         .select($"id").as[Long].collect().toSet == Set(1L, 2L, 5L))
       assert(Snapshot.stagedNames(tbl).isEmpty)
+      assert(Snapshot.latestVersion(tbl).contains(2L)) // no extra versions
+      assert(Snapshot.publishedWap(tbl, "wap-000000").contains(1L))
+      assert(Snapshot.publishedWap(tbl, "wap-000002").contains(2L))
+      assert(Snapshot.publishedWap(tbl, "wap-000001").isEmpty) // poisoned
     }
   }
 

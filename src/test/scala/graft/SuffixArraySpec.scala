@@ -193,4 +193,52 @@ class SuffixArraySpec extends SparkSpec {
     assert(got.contains((20L, 10L, 8L, 10L)))
     b.unpersistAll()
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("exciseDuplicateSpans: rewrites equal a brute interval-union " +
+      "reference byte-exactly; OVERLAPPING spans coalesce before " +
+      "cutting; zero-token and fully-excised docs hash empty") {
+    val (c, b) = buildAll()
+    val lcps = SuffixArray.adjacentLcp(b, c.numDocs)
+    val byDoc = docs.toMap.map { case (k, v) => k -> tok(v) }
+    val minLen = 3L
+    // brute: per position the max neighbor LCP (= longest match with
+    // any other suffix), spans >= minLen, covered = interval union
+    val ref = refSa(docs)
+    val nbr = scala.collection.mutable.Map[(Long, Long), Long]()
+      .withDefaultValue(0L)
+    ref.sliding(2).foreach { case Seq((da, pa), (db, pb)) =>
+      val l = refLcp(byDoc(da).drop(pa.toInt), byDoc(db).drop(pb.toInt))
+      nbr((da, pa)) = math.max(nbr((da, pa)), l)
+      nbr((db, pb)) = math.max(nbr((db, pb)), l)
+    }
+    val expect = docs.map { case (id, txt) =>
+      val w = tok(txt)
+      val covered = w.indices.filter { p =>
+        nbr.exists { case ((d, s), l) =>
+          d == id && l >= minLen && s <= p && p < s + l }
+      }.toSet
+      val kept = w.indices.filterNot(covered).map(w)
+      (id, w.length.toLong, covered.size.toLong,
+        md5hex(kept.mkString(" ")))
+    }.toSet
+    val toks = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), graft.ops.Text.tokens(col("text")).as("tk"))
+    val got = SuffixArray.exciseDuplicateSpans(lcps, toks, minLen)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == expect)
+    // doc 20/21 are identical -> fully excised, empty-string hash
+    assert(got.contains((20L, 10L, 10L, md5hex(""))))
+    // doc 24 shares "brown fox jumps over the lazy" with 20: spans
+    // (1,6),(2,5),(3,4),(4,3) all OVERLAP and must coalesce to cover
+    // pos 1..6 exactly once — 6 removed of 9, never a double count
+    val d24 = got.find(_._1 == 24L).get
+    assert(d24._2 == 9L && d24._3 == 6L)
+    // the empty doc flows through with the canonical empty hash
+    assert(got.contains((25L, 0L, 0L, md5hex(""))))
+    b.unpersistAll()
+  }
 }

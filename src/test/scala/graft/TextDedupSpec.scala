@@ -809,6 +809,34 @@ class TextDedupSpec extends SparkSpec {
     assert(r.toSeq == Seq((0, 4L), (1, 2L)))
   }
 
+  test("bpeApplyMerges: application reproduces the learner's own end " +
+      "state (compression-curve identity) and segments by hand") {
+    val wc = Seq(("abc", 3L), ("xab", 2L), ("aaaa", 1L)).toDF("w", "cnt")
+    val merges = Text.bpeLearnMerges(wc, 2)
+    val applied = Text.bpeApplyMerges(wc, merges)
+      .as[(String, Long, Seq[String], Long)].collect()
+      .map(t => t._1 -> ((t._3, t._4))).toMap
+    // round 1 merges (a,b) w5; round 2 ties (ab,c)=3 vs (a,a)=3 and
+    // resolves lexicographically to (a,a) — hand segmentation
+    assert(applied("abc") == ((Seq("ab", "c"), 2L)))
+    assert(applied("xab") == ((Seq("x", "ab"), 2L)))
+    assert(applied("aaaa") == ((Seq("aa", "aa"), 2L)))
+    // invariant: Σ cnt·n_symbols after applying N learned rounds ==
+    // the compression curve's round-N total (two code paths, one
+    // number) — for every prefix of the table
+    val curve = Text.bpeCompressionCurve(wc, 2)
+      .as[(Int, Long)].collect().toMap
+    for (r <- 1 to 2) {
+      val tot = Text.bpeApplyMerges(wc,
+          merges.filter($"round" <= r))
+        .agg(sum($"cnt" * $"n_symbols")).as[Long].head()
+      assert(tot == curve(r), s"round $r")
+    }
+    // an empty merge table is the character baseline
+    assert(Text.bpeApplyMerges(wc, merges.filter($"round" > 99))
+      .agg(sum($"cnt" * $"n_symbols")).as[Long].head() == curve(0))
+  }
+
   test("lshPlan: S-curve endpoints pin recall 1/0, hand value at " +
       "s=0.5, every divisor config present") {
     import graft.ops.Dedup
