@@ -82,6 +82,61 @@ object Bench {
     PassResult(times, errs.toSet, offsets.toMap, probes.toSeq)
   }
 
+  /** bench_drift.py's `local_norm`, computed IN-RUN so the round
+    * artifact carries raw AND drift-adjudicated numbers side by side
+    * (r13 verdict task 1: the final invocation's in-run host spike
+    * read q200/q320/q369 at ~2× their stable cost and the raw-only
+    * bench.json could not say so). Per query and pass: estimate the
+    * host speed in effect WHEN IT RAN — linear interpolation between
+    * the bracketing probes by queries-completed rank, probes
+    * Tukey-fenced first (run-edge probes measure the cold JVM 1.5–3×
+    * fast) and the interpolated value clamped to [0.5×, 2×] of the
+    * pass median — then re-express the reading at the run's MEDIAN
+    * host speed. local_norm = min over passes. Kept in exact lockstep
+    * with tools/bench_drift.py (same fences, same upper-median).
+    * `passes` carries each pass with its FULL probe list (bracket +
+    * interleaved) as (queries_completed, calib_s).
+    */
+  def localNorms(passes: Seq[(PassResult, Seq[(Int, Double)])])
+      : Map[String, Double] = {
+    val allP = passes.flatMap(_._2.map(_._2)).sorted
+    val medianCalib = allP(allP.size / 2)
+    def passMedian(probes: Seq[(Int, Double)]): Double = {
+      val cs = probes.map(_._2).sorted
+      cs(cs.size / 2)
+    }
+    def fenced(probes: Seq[(Int, Double)]): Seq[(Int, Double)] = {
+      val sortedP = probes.sorted
+      val vals = probes.map(_._2).sorted
+      val q1 = vals(vals.size / 4)
+      val q3 = vals((3 * vals.size) / 4)
+      val (lo, hi) = (q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1))
+      val kept = sortedP.filter(p => p._2 >= lo && p._2 <= hi)
+      if (kept.size >= 2) kept else sortedP
+    }
+    def localCalib(r: PassResult, probes: Seq[(Int, Double)],
+                   name: String): Double = {
+      val order = r.startOffsets.toSeq.sortBy(_._2).map(_._1)
+      val idx = order.indexOf(name)
+      val ps = fenced(probes)
+      val lo = ps.filter(_._1 <= idx).maxOption.getOrElse(ps.head)
+      val hi = ps.filter(_._1 >= idx).minOption.getOrElse(ps.last)
+      val raw =
+        if (hi._1 == lo._1) lo._2
+        else {
+          val w = (idx - lo._1).toDouble / (hi._1 - lo._1)
+          lo._2 + w * (hi._2 - lo._2)
+        }
+      val med = passMedian(probes)
+      math.max(0.5 * med, math.min(2.0 * med, raw))
+    }
+    passes.head._1.times.keys.map { name =>
+      name -> passes.map { case (r, probes) =>
+        r.times(name) * medianCalib / localCalib(r, probes, name)
+      }.min
+    }.toMap
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -172,7 +227,15 @@ object Bench {
         .map { case (i, c) => s"[$i,$c]" }.mkString("[", ",", "]")
       s"""{"t":${qmap(p.times)},"ts":${qmap(p.startOffsets)},"probes":$probeJson}"""
     }.mkString("[", ",", "]")
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","runs":2,"agg":"min","calib_s":$calib,"calib_med":$calibMed,"calib_start":$calibStart,"calib_passes":$calibJson,"passes":$passJson}"""
+    // raw AND drift-adjudicated per-query numbers land side by side in
+    // the round artifact (r13 verdict task: a one-invocation host
+    // spike must never masquerade as a plan regression) — queries_norm
+    // is bench_drift.py's local_norm computed in-run.
+    val norms = localNorms(passes.map { case (p, c0, c1) =>
+      (p, (0, c0) +: p.probes :+ (p.times.size, c1))
+    })
+    val normTotal = if (norms.nonEmpty) norms.values.sum else 0.0
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_norm":${qmap(norms)},"norm_total":$normTotal,"errors":$errJson,"sf":"$sfDir","runs":2,"agg":"min","calib_s":$calib,"calib_med":$calibMed,"calib_start":$calibStart,"calib_passes":$calibJson,"passes":$passJson}"""
     // Parse contract (4 rounds of "parsed": null taught us the hard way):
     //  - the forked child inherits sbt's real stdout (StdoutOutput), so the
     //    line lands unprefixed; build.sbt sets showSuccess := false, so sbt
@@ -205,7 +268,7 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case _: java.io.IOException => () }
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"runs":2,"agg":"min","calib_s":$calib,"calib_med":$calibMed,"queries_file":"target/bench.json"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"runs":2,"agg":"min","calib_s":$calib,"calib_med":$calibMed,"norm_total":$normTotal,"queries_file":"target/bench.json"}"""
     println(summary)
     System.out.flush()
   }

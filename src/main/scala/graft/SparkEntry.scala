@@ -260,9 +260,100 @@ object SparkEntry {
     * Terminal CTEs: sa(doc_id, p, l, r), lc(doc_a, pos_a, doc_b,
     * pos_b, lcp). `docFilter` is a WHERE tail on documents.
     */
+  /** DuckDB CTE chain replaying LinearModel.logisticGd's 3-iteration
+    * trajectory over embeddings with the iterations unrolled (same
+    * ×1e6 feature/bias snap, exact HUGEINT margins/gradients, sigmoid
+    * snapped ×1e6 — iteration 1's p is exactly 500000 at w = 0 — and
+    * round-half-away-from-zero updates). Terminal CTEs: x (id, dim,
+    * xi), y (id, ymu), nn, w3 (dim, w) — shared by the q361 weight
+    * pin and the q379 calibration scorer.
+    */
+  private val logisticGdCtes: String = {
+    def iter(i: Int): String =
+      s"""m$i AS (SELECT x.id, sum(CAST(x.xi AS HUGEINT) * w${i - 1}.w)
+         |    AS m12 FROM x JOIN w${i - 1} USING (dim) GROUP BY 1),
+         |p$i AS (SELECT id, CAST(round(1e6 / (1 + exp(
+         |    -(CAST(m12 AS DOUBLE) / 1e12)))) AS BIGINT) AS pmu
+         |  FROM m$i),
+         |g$i AS (SELECT x.dim, sum(CAST(x.xi AS HUGEINT)
+         |    * (y.ymu - p$i.pmu)) AS g
+         |  FROM x JOIN y USING (id) JOIN p$i USING (id) GROUP BY 1),
+         |w$i AS (SELECT w${i - 1}.dim, w${i - 1}.w
+         |    + CAST(round(CAST(g$i.g AS DOUBLE) / (nn.n * 1e6))
+         |      AS BIGINT) AS w
+         |  FROM w${i - 1} JOIN g$i USING (dim), nn)""".stripMargin
+    s"""x AS (SELECT vec_id AS id,
+       |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+       |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6)
+       |      AS BIGINT) AS xi FROM embeddings
+       |  UNION ALL SELECT vec_id, CAST(-1 AS INT),
+       |    CAST(1000000 AS BIGINT) FROM embeddings),
+       |y AS (SELECT vec_id AS id, CAST(CASE WHEN label = 0
+       |    THEN 1000000 ELSE 0 END AS BIGINT) AS ymu
+       |  FROM embeddings),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+       |g1 AS (SELECT x.dim, sum(CAST(x.xi AS HUGEINT)
+       |    * (y.ymu - 500000)) AS g
+       |  FROM x JOIN y USING (id) GROUP BY 1),
+       |w1 AS (SELECT dim, CAST(round(CAST(g AS DOUBLE)
+       |    / (nn.n * 1e6)) AS BIGINT) AS w FROM g1, nn),
+       |${iter(2)},
+       |${iter(3)}""".stripMargin
+  }
+
   private def saCteSql(docFilter: String): String =
+    saCteSqlFrom(s"SELECT doc_id, text FROM documents WHERE $docFilter")
+
+  /** The nearest-train-neighbor replay shared by the decontamination
+    * oracles (q360/q373/q380): on top of [[saCteSqlFrom]]'s `sa`/`et`
+    * CTEs, split by `isTrSql` (a boolean over doc_id), walk each eval
+    * suffix to its nearest train suffix above/below in SA order,
+    * compute both LCPs via the exploded first-mismatch, and roll up
+    * per eval doc. Terminal CTE: ag(doc_id, longest_train_match,
+    * contaminated_starts ≥ 8).
+    */
+  private def saCrossMatchCtes(isTrSql: String): String =
+    s"""sa2 AS (SELECT doc_id, p, l, r, ($isTrSql) AS is_tr
+       |  FROM sa),
+       |nb AS (SELECT doc_id, p, l, r, is_tr,
+       |    max(CASE WHEN is_tr THEN r END) OVER (ORDER BY r
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
+       |    min(CASE WHEN is_tr THEN r END) OVER (ORDER BY r
+       |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
+       |  FROM sa2),
+       |ev AS (SELECT * FROM nb WHERE NOT is_tr),
+       |pr AS (SELECT e.doc_id AS doc_a, e.p AS pos_a,
+       |    s2.doc_id AS doc_b, s2.p AS pos_b, e.r AS er, 'p' AS side,
+       |    least(e.l - e.p, s2.l - s2.p) AS mx
+       |  FROM ev e JOIN sa s2 ON s2.r = e.pt
+       |  UNION ALL SELECT e.doc_id, e.p, s3.doc_id, s3.p, e.r, 'n',
+       |    least(e.l - e.p, s3.l - s3.p)
+       |  FROM ev e JOIN sa s3 ON s3.r = e.nt),
+       |mm2 AS (SELECT pr.er, pr.side, min(ea.i - pr.pos_a) AS fm
+       |  FROM pr
+       |  JOIN et ea ON ea.doc_id = pr.doc_a AND ea.i > pr.pos_a
+       |    AND ea.i <= pr.pos_a + pr.mx
+       |  JOIN et eb ON eb.doc_id = pr.doc_b
+       |    AND eb.i = pr.pos_b + (ea.i - pr.pos_a)
+       |  WHERE ea.tok <> eb.tok GROUP BY 1, 2),
+       |bp AS (SELECT pr.doc_a AS doc_id, pr.pos_a AS pos, pr.er,
+       |    CAST(coalesce(mm2.fm - 1, pr.mx) AS BIGINT) AS lcp
+       |  FROM pr LEFT JOIN mm2 ON mm2.er = pr.er
+       |    AND mm2.side = pr.side),
+       |bst AS (SELECT doc_id, pos, max(lcp) AS best
+       |  FROM bp GROUP BY 1, 2),
+       |ag AS (SELECT doc_id,
+       |    CAST(max(best) AS BIGINT) AS longest_train_match,
+       |    CAST(count(*) FILTER (best >= 8) AS BIGINT)
+       |      AS contaminated_starts
+       |  FROM bst GROUP BY 1)""".stripMargin
+
+  /** [[saCteSql]] over an arbitrary (doc_id, text) source SQL — the
+    * incremental gates corpus train ∪ planted-increment unions.
+    */
+  private def saCteSqlFrom(src: String): String =
     s"""tk AS (SELECT doc_id, $tokSql AS tk
-       |  FROM documents WHERE $docFilter),
+       |  FROM ($src)),
        |pos AS (SELECT doc_id, tk, unnest(range(len(tk))) AS p FROM tk),
        |sfx AS (SELECT doc_id, p, len(tk) AS l,
        |    array_to_string(list_slice(tk, p + 1, len(tk)), chr(1)) AS s
@@ -4622,6 +4713,144 @@ object SparkEntry {
       Snapshot.history(s, tbl)
     }),
 
+    // Storage: RETENTION by AGE — the policy face next to q371's
+    // DESCRIBE HISTORY: "expire everything older than 7 days, keep
+    // every tagged release and the latest". Three commits with
+    // planted manifest stamps (v1/v2 ten days old, v3 one hour);
+    // expiry drops v1 ONLY — v2 survives via its tag pin, v3 as
+    // latest — and v2 stays time-travel readable afterwards. Every
+    // emitted value is fixture arithmetic for the oracle.
+    "q376_retention_expire" -> ((s, dir) => {
+      import graft.sources.Snapshot
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val tbl = gateTempDir("q376") + "/t"
+      Snapshot.commit(docs.filter(col("doc_id") % 3 === 0), tbl)
+      Snapshot.commit(docs.filter(col("doc_id") % 3 <= 1), tbl)
+      Snapshot.tag(tbl, "audited", Some(2L))
+      Snapshot.commit(docs, tbl)
+      val now = 1700000000000L
+      Snapshot.stampVersion(tbl, 1L, now - 10L * 86400000L)
+      Snapshot.stampVersion(tbl, 2L, now - 10L * 86400000L)
+      Snapshot.stampVersion(tbl, 3L, now - 3600000L)
+      val dropped = Snapshot.expireByAge(tbl, 7L * 86400000L, now)
+      val v2rows = Snapshot.read(s, tbl, Some(2L)).count()
+      Snapshot.history(s, tbl)
+        .select(col("version"), col("n_rows"), col("tags"),
+          col("is_latest"),
+          lit(dropped.mkString(",")).as("dropped_versions"),
+          lit(v2rows).as("v2_readable_rows"))
+    }),
+
+    // Storage: ROLLBACK — the undo face next to q376's retention: a
+    // bad commit (doubled n_chars) restores to the prior content as a
+    // NEW version by manifest reference (zero copy), the bad version
+    // stays time-travel inspectable, and the content checksum proves
+    // v3 ≡ v1 byte-for-byte while v2 still reads as the bad state.
+    "q378_rollback" -> ((s, dir) => {
+      import graft.sources.Snapshot
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val tbl = gateTempDir("q378") + "/t"
+      Snapshot.commit(docs, tbl)
+      Snapshot.commit(docs.withColumn("n_chars", col("n_chars") * 2), tbl)
+      val restored = Snapshot.rollback(tbl, 1L)
+      val v1 = Snapshot.read(s, tbl, Some(1L))
+        .agg(sum(col("n_chars")).as("s")).head().getLong(0)
+      val v2 = Snapshot.read(s, tbl, Some(2L))
+        .agg(sum(col("n_chars")).as("s")).head().getLong(0)
+      Snapshot.read(s, tbl)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("restored_chars"))
+        .select(lit(restored).as("restored_version"), col("n_rows"),
+          col("restored_chars"), lit(v1).as("v1_chars"),
+          lit(v2).as("v2_chars"))
+    }),
+
+    // Text: UNICODE NORMALIZATION (native codegen'd expression; Spark
+    // ships none) — the step exact dedup needs FIRST: composed é
+    // (U+00E9) and decomposed e+U+0301 are different bytes with
+    // identical rendering, so a mirror crawl in NFD never fingerprint-
+    // matches its NFC twin until normalized. Plant an NFD twin per
+    // doc: raw md5 groups match nothing, NFC-normalized groups pair
+    // every doc with its twin; DuckDB's nfc_normalize is the oracle.
+    "q377_unicode_nfc_dedup" -> ((s, dir) => {
+      import graft.functions.NativeFunctions
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val all = base
+        .select(col("doc_id"),
+          concat(col("text"), lit(" caf\u00e9 na\u00efve")).as("text"))
+        .unionByName(base.select(
+          (col("doc_id") + 1000000000L).as("doc_id"),
+          concat(col("text"), lit(" cafe\u0301 nai\u0308ve")).as("text")))
+      val scored = all.select(col("doc_id"), col("text"),
+        NativeFunctions.unicodeNorm(col("text"), "NFC").as("nfc"))
+        .localCheckpoint(true)
+      val rawG = scored.groupBy(md5(col("text"))).count()
+        .filter(col("count") >= 2).count()
+      val nfcG = scored.groupBy(md5(col("nfc"))).count()
+        .filter(col("count") >= 2).count()
+      scored.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("nfc") =!= col("text"), 1L).otherwise(0L))
+          .as("docs_rewritten"))
+        .select(col("n_docs"), col("docs_rewritten"),
+          lit(rawG).as("raw_dup_groups"), lit(nfcG).as("nfc_dup_groups"))
+    }),
+
+    // Streaming gate: CONTINUOUS decontamination against a FIXED
+    // train index — q373's increment contract as a stream: the train
+    // SA probe faces persist once, then three micro-batches of
+    // planted near-copies (1-in-10 of train, id lanes by batch) each
+    // rank-descend + diagonal-chain and MERGE their per-doc verdicts
+    // (replay-idempotent by key). The index never rebuilds mid-stream;
+    // per-batch cost tracks the batch. The oracle rebuilds the full
+    // combined SA — the stream must land exactly the batch-rebuild
+    // truth.
+    "q380_decontamination_stream" -> ((s, dir) => {
+      val train = t(s, dir, "documents").filter(col("doc_id") % 6 === 0)
+        .select(col("doc_id"), col("text"))
+      def inc(b: Int): DataFrame = train
+        .filter(col("doc_id") % 180 === b * 60)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
+          concat(col("text"), lit(" zz9 qq8")).as("text"))
+      val tmp = gateTempDir("q380")
+      val idx = tmp + "/sa_index"
+      withShufflePartitions(s, 8) {
+        val c = SuffixArray.corpus(train, col("doc_id"), col("text"))
+        val b = SuffixArray.build(c)
+        SuffixArray.persistProbeIndex(c, b, idx, 8L)
+        val in = writeStreamBatches(Seq(inc(0), inc(1), inc(2)), tmp)
+        val schema = s.read.parquet(in).schema
+        graft.streaming.Streams.decontaminationStream(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in), idx, tmp + "/t", tmp + "/ck", 8L)
+      }
+      graft.sources.Snapshot.read(s, tmp + "/t")
+        .select(col("doc_id"), col("n_tokens"),
+          col("longest_train_match"), col("contaminated_starts"),
+          col("ingest_batch"))
+    }),
+
+    // ML/curation: CALIBRATION of the trained quality classifier —
+    // before q361's scores gate any data, the reliability masses:
+    // train the same 3-step trajectory, score every row with the
+    // final weights (same snapped forward pass), bin by predicted
+    // probability (1000 equal widths — per-mille, because a 3-step
+    // model's scores cluster tightly around σ(0); top edge clamped)
+    // and emit EXACT integer masses per bin — row count, positives,
+    // ×1e6 predicted mass. The oracle replays training AND scoring
+    // AND binning.
+    "q379_calibration_bins" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val vecs = e.select(col("vec_id").as("id"), col("embedding").as("x"))
+      val labels = e.select(col("vec_id").as("id"),
+        when(col("label") === 0, 1L).otherwise(0L).as("y"))
+      val w = LinearModel.logisticGd(vecs, labels, 3)
+      LinearModel.calibrationBins(
+        LinearModel.scoreLogistic(vecs, w), labels, 1000)
+    }),
+
     // Dedup/exact: duplicate-span EXCISION — the rewrite a dedup user
     // actually runs after the q357/q358 census: every token inside a
     // repeated run ≥ 8 (also occurring elsewhere in the corpus) is
@@ -4641,6 +4870,47 @@ object SparkEntry {
         Text.tokens(col("text")).as("tk"))
       SuffixArray.exciseDuplicateSpans(lcps, toks, 8L)
     }),
+
+    // Dedup/exact: INCREMENTAL decontamination — the q114/q119
+    // increment contract at the exact-substring tier. The TRAIN
+    // corpus's suffix-array probe faces (vocab + doubling maps + the
+    // 8-window occurrence table) persist through Snapshot ONCE; a new
+    // batch (planted near-copies of 1-in-10 train docs, the docsDup
+    // convention) rank-descends its 8-grams against them (3 inner
+    // joins; an absent pair proves the window never occurs in train)
+    // and DIAGONAL-CHAINS the hits: consecutive positions hitting one
+    // (train doc, alignment) diagonal are ONE contiguous match of
+    // exactly run+8 tokens — the full-rebuild longestCrossMatch value
+    // for every match ≥ 8, with NO rebuild and cost tracking the
+    // increment, never the corpus. The oracle rebuilds the FULL
+    // combined SA, so the gate IS that equality.
+    "q373_decontaminate_increment" -> ((s, dir) =>
+      withShufflePartitions(s, 8) {
+        val train = t(s, dir, "documents")
+          .filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("text"))
+        val inc = train.filter(col("doc_id") % 30 === 0)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            concat(col("text"), lit(" zz9 qq8")).as("text"))
+        val idx = gateTempDir("q373") + "/sa_index"
+        val c = SuffixArray.corpus(train, col("doc_id"), col("text"))
+        val b = SuffixArray.build(c)
+        SuffixArray.persistProbeIndex(c, b, idx, 8L)
+        val m = SuffixArray.decontaminateIncrement(s, idx, inc, 8L)
+          .localCheckpoint(true)
+        val nTok = inc.select(col("doc_id"),
+          Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+        m.groupBy(col("doc_id"))
+          .agg(max(col("train_match")).as("longest_train_match"),
+            sum(when(col("train_match") >= 8, lit(1L)).otherwise(lit(0L)))
+              .as("contaminated_starts"))
+          .join(nTok, "doc_id")
+          .filter(col("longest_train_match") >= 8)
+          .select(col("doc_id"), col("n_tokens"),
+            col("longest_train_match"), col("contaminated_starts"))
+          .orderBy(col("longest_train_match").desc, col("doc_id"))
+          .limit(50)
+      }),
 
     // Multimodal: REAL PNG decode through the javax.imageio tier —
     // each doc's text paints a 5×5 TYPE_INT_RGB image written as an
@@ -14121,40 +14391,7 @@ object SparkEntry {
     // per-doc rollup and ≥ 8 floor.
     "q360_decontaminate" ->
       s"""WITH ${saCteSql("1 = 1")},
-         |sa2 AS (SELECT doc_id, p, l, r, (doc_id % 2 = 0) AS is_tr
-         |  FROM sa),
-         |nb AS (SELECT doc_id, p, l, r, is_tr,
-         |    max(CASE WHEN is_tr THEN r END) OVER (ORDER BY r
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pt,
-         |    min(CASE WHEN is_tr THEN r END) OVER (ORDER BY r
-         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nt
-         |  FROM sa2),
-         |ev AS (SELECT * FROM nb WHERE NOT is_tr),
-         |pr AS (SELECT e.doc_id AS doc_a, e.p AS pos_a,
-         |    s2.doc_id AS doc_b, s2.p AS pos_b, e.r AS er, 'p' AS side,
-         |    least(e.l - e.p, s2.l - s2.p) AS mx
-         |  FROM ev e JOIN sa s2 ON s2.r = e.pt
-         |  UNION ALL SELECT e.doc_id, e.p, s3.doc_id, s3.p, e.r, 'n',
-         |    least(e.l - e.p, s3.l - s3.p)
-         |  FROM ev e JOIN sa s3 ON s3.r = e.nt),
-         |mm2 AS (SELECT pr.er, pr.side, min(ea.i - pr.pos_a) AS fm
-         |  FROM pr
-         |  JOIN et ea ON ea.doc_id = pr.doc_a AND ea.i > pr.pos_a
-         |    AND ea.i <= pr.pos_a + pr.mx
-         |  JOIN et eb ON eb.doc_id = pr.doc_b
-         |    AND eb.i = pr.pos_b + (ea.i - pr.pos_a)
-         |  WHERE ea.tok <> eb.tok GROUP BY 1, 2),
-         |bp AS (SELECT pr.doc_a AS doc_id, pr.pos_a AS pos, pr.er,
-         |    CAST(coalesce(mm2.fm - 1, pr.mx) AS BIGINT) AS lcp
-         |  FROM pr LEFT JOIN mm2 ON mm2.er = pr.er
-         |    AND mm2.side = pr.side),
-         |bst AS (SELECT doc_id, pos, max(lcp) AS best
-         |  FROM bp GROUP BY 1, 2),
-         |ag AS (SELECT doc_id,
-         |    CAST(max(best) AS BIGINT) AS longest_train_match,
-         |    CAST(count(*) FILTER (best >= 8) AS BIGINT)
-         |      AS contaminated_starts
-         |  FROM bst GROUP BY 1)
+         |${saCrossMatchCtes("doc_id % 2 = 0")}
          |SELECT ag.doc_id, CAST(len(tk.tk) AS BIGINT) AS n_tokens,
          |  ag.longest_train_match, ag.contaminated_starts
          |FROM ag JOIN tk ON tk.doc_id = ag.doc_id
@@ -14166,39 +14403,27 @@ object SparkEntry {
     // same ×1e6 feature/bias snap, exact integer margins/gradients,
     // sigmoid snapped ×1e6 (iteration 1's p is exactly 500000 — w=0),
     // same round-half-away-from-zero updates.
-    "q361_logistic_gd" -> {
-      def iter(i: Int): String =
-        s"""m$i AS (SELECT x.id, sum(CAST(x.xi AS HUGEINT) * w${i - 1}.w)
-           |    AS m12 FROM x JOIN w${i - 1} USING (dim) GROUP BY 1),
-           |p$i AS (SELECT id, CAST(round(1e6 / (1 + exp(
-           |    -(CAST(m12 AS DOUBLE) / 1e12)))) AS BIGINT) AS pmu
-           |  FROM m$i),
-           |g$i AS (SELECT x.dim, sum(CAST(x.xi AS HUGEINT)
-           |    * (y.ymu - p$i.pmu)) AS g
-           |  FROM x JOIN y USING (id) JOIN p$i USING (id) GROUP BY 1),
-           |w$i AS (SELECT w${i - 1}.dim, w${i - 1}.w
-           |    + CAST(round(CAST(g$i.g AS DOUBLE) / (nn.n * 1e6))
-           |      AS BIGINT) AS w
-           |  FROM w${i - 1} JOIN g$i USING (dim), nn)""".stripMargin
-      s"""WITH x AS (SELECT vec_id AS id,
-         |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
-         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6)
-         |      AS BIGINT) AS xi FROM embeddings
-         |  UNION ALL SELECT vec_id, CAST(-1 AS INT),
-         |    CAST(1000000 AS BIGINT) FROM embeddings),
-         |y AS (SELECT vec_id AS id, CAST(CASE WHEN label = 0
-         |    THEN 1000000 ELSE 0 END AS BIGINT) AS ymu
-         |  FROM embeddings),
-         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
-         |g1 AS (SELECT x.dim, sum(CAST(x.xi AS HUGEINT)
-         |    * (y.ymu - 500000)) AS g
-         |  FROM x JOIN y USING (id) GROUP BY 1),
-         |w1 AS (SELECT dim, CAST(round(CAST(g AS DOUBLE)
-         |    / (nn.n * 1e6)) AS BIGINT) AS w FROM g1, nn),
-         |${iter(2)},
-         |${iter(3)}
-         |SELECT dim, w AS w_micro FROM w3""".stripMargin
-    },
+    "q361_logistic_gd" ->
+      s"""WITH $logisticGdCtes
+         |SELECT dim, w AS w_micro FROM w3""".stripMargin,
+
+    // Scoring replays the forward pass with w3 (one more m/p stage),
+    // bins by integer floor with the top edge clamped, and the masses
+    // are exact integer sums — train, score, AND bin must all agree.
+    "q379_calibration_bins" ->
+      s"""WITH $logisticGdCtes,
+         |m4 AS (SELECT x.id, sum(CAST(x.xi AS HUGEINT) * w3.w) AS m12
+         |  FROM x JOIN w3 USING (dim) GROUP BY 1),
+         |p4 AS (SELECT id, CAST(round(1e6 / (1 + exp(
+         |    -(CAST(m12 AS DOUBLE) / 1e12)))) AS BIGINT) AS pmu
+         |  FROM m4),
+         |b AS (SELECT least((p4.pmu * 1000) // 1000000, 999) AS bin,
+         |    p4.pmu, y.ymu
+         |  FROM p4 JOIN y USING (id))
+         |SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(*) FILTER (ymu = 1000000) AS BIGINT) AS positives,
+         |  CAST(sum(pmu) AS BIGINT) AS pmu_mass
+         |FROM b GROUP BY 1""".stripMargin,
 
     // Every count is a pure function of the fixture: the base (even
     // ids) is what main readers must see mid-audit, the staged batch
@@ -14401,6 +14626,52 @@ object SparkEntry {
         |UNION ALL SELECT CAST(3 AS BIGINT), CAST(1 AS INT), c3.c,
         |  '', TRUE FROM c3""".stripMargin,
 
+    // Retention is pure fixture arithmetic: v1 alone crosses the 7-day
+    // fence unpinned; the tag saves v2, latest saves v3, and the
+    // surviving history (with v2 still readable) is exactly q371's
+    // tail two rows.
+    "q376_retention_expire" ->
+      """WITH c2 AS (SELECT CAST(count(*) AS BIGINT) AS c
+        |    FROM documents WHERE doc_id % 3 <= 1),
+        |c3 AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents)
+        |SELECT CAST(2 AS BIGINT) AS version, c2.c AS n_rows,
+        |  'audited' AS tags, FALSE AS is_latest,
+        |  '1' AS dropped_versions, c2.c AS v2_readable_rows FROM c2
+        |UNION ALL SELECT CAST(3 AS BIGINT), c3.c, '', TRUE, '1', c2.c
+        |FROM c3, c2""".stripMargin,
+
+    // Rollback is pure fixture arithmetic: v3 re-references v1's
+    // files, so the restored sum is the plain scan sum while v2 (the
+    // doubled commit) still time-travels to exactly 2×.
+    "q378_rollback" ->
+      """WITH s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS c FROM documents)
+        |SELECT CAST(3 AS BIGINT) AS restored_version, s.n AS n_rows,
+        |  s.c AS restored_chars, s.c AS v1_chars,
+        |  s.c * 2 AS v2_chars FROM s""".stripMargin,
+
+    // The oracle runs DuckDB's OWN nfc_normalize over the same
+    // composed/decomposed twins — two independent Unicode
+    // implementations must agree on every rewrite and every
+    // fingerprint group.
+    "q377_unicode_nfc_dedup" ->
+      """WITH a AS (SELECT doc_id,
+        |    text || ' caf' || chr(233) || ' na' || chr(239) || 've'
+        |      AS text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000000,
+        |    text || ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+        |  FROM documents),
+        |s AS (SELECT doc_id, text, nfc_normalize(text) AS nfc FROM a),
+        |rg AS (SELECT CAST(count(*) AS BIGINT) AS c FROM
+        |  (SELECT md5(text) FROM s GROUP BY 1 HAVING count(*) >= 2)),
+        |ng AS (SELECT CAST(count(*) AS BIGINT) AS c FROM
+        |  (SELECT md5(nfc) FROM s GROUP BY 1 HAVING count(*) >= 2))
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (nfc <> text) AS BIGINT)
+        |    AS docs_rewritten,
+        |  rg.c AS raw_dup_groups, ng.c AS nfc_dup_groups
+        |FROM s, rg, ng GROUP BY rg.c, ng.c""".stripMargin,
+
     // INDEPENDENT verification of the rewrite: the engine cuts the
     // interval union of SA max-neighbor-LCP spans; the oracle removes
     // every token inside some duplicated 8-gram (brute counts) and
@@ -14434,6 +14705,41 @@ object SparkEntry {
          |  coalesce(fp.clean_fp, md5('')) AS clean_fp
          |FROM tk LEFT JOIN rm ON rm.doc_id = tk.doc_id
          |LEFT JOIN fp ON fp.doc_id = tk.doc_id""".stripMargin,
+
+    // The q360 nearest-train-neighbor replay over train ∪ increment:
+    // the oracle knows nothing about the index/probe split — it
+    // rebuilds the FULL combined suffix array, so the gate is exactly
+    // the claim "increment-probe ≡ full rebuild at the ≥ 8 threshold".
+    "q373_decontaminate_increment" ->
+      s"""WITH ${saCteSqlFrom(
+             """SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+               |    UNION ALL SELECT doc_id + 1000000000 AS doc_id,
+               |      text || ' zz9 qq8' AS text
+               |    FROM documents WHERE doc_id % 30 = 0""".stripMargin)},
+         |${saCrossMatchCtes("doc_id < 1000000000")}
+         |SELECT ag.doc_id, CAST(len(tk.tk) AS BIGINT) AS n_tokens,
+         |  ag.longest_train_match, ag.contaminated_starts
+         |FROM ag JOIN tk ON tk.doc_id = ag.doc_id
+         |WHERE ag.longest_train_match >= 8
+         |ORDER BY ag.longest_train_match DESC, ag.doc_id
+         |LIMIT 50""".stripMargin,
+
+    // The streaming face replays identically: the oracle rebuilds the
+    // FULL combined SA over train ∪ every batch's increments; the
+    // batch id is arithmetic on the planted id lanes.
+    "q380_decontamination_stream" ->
+      s"""WITH ${saCteSqlFrom(
+             """SELECT doc_id, text FROM documents WHERE doc_id % 6 = 0
+               |    UNION ALL SELECT doc_id + 1000000000 AS doc_id,
+               |      text || ' zz9 qq8' AS text
+               |    FROM documents WHERE doc_id % 60 = 0""".stripMargin)},
+         |${saCrossMatchCtes("doc_id < 1000000000")}
+         |SELECT ag.doc_id, CAST(len(tk.tk) AS BIGINT) AS n_tokens,
+         |  ag.longest_train_match, ag.contaminated_starts,
+         |  CAST(((ag.doc_id - 1000000000) % 180) // 60 AS BIGINT)
+         |    AS ingest_batch
+         |FROM ag JOIN tk ON tk.doc_id = ag.doc_id
+         |WHERE ag.longest_train_match >= 8""".stripMargin,
 
     // The decoded-pixel features recomputed from the construction
     // arithmetic — a decode that misreads any scanline, filter byte,

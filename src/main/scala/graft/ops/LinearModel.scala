@@ -85,4 +85,54 @@ object LinearModel {
     xy.unpersist()
     w.toSeq.sortBy(_._1).toDF("dim", "w_micro")
   }
+
+  /** Forward pass with a trained (dim, w_micro) table: (id, pmu) with
+    * the exact ×1e6-snapped sigmoid of the training loop — the same
+    * feature snap, the same decimal(38,0) margin sum, so a score is
+    * bit-reproducible wherever the weights travel. Weights broadcast
+    * (dims+1 rows); the margin aggregate collapses map-side.
+    */
+  def scoreLogistic(vecs: DataFrame, weights: DataFrame): DataFrame = {
+    val x = vecs
+      .select(col("id"), posexplode(col("x")).as(Seq("dim", "xv")))
+      .select(col("id"), col("dim").cast("int").as("dim"),
+        round(col("xv").cast("double") * 1e6).cast("long").as("xi"))
+      .unionByName(vecs.select(col("id"), lit(-1).as("dim"),
+        lit(1000000L).as("xi")))
+    x.join(broadcast(weights.select(col("dim"),
+        col("w_micro").as("w"))), "dim")
+      .groupBy(col("id"))
+      .agg(sum(col("xi").cast("decimal(38,0)") * col("w")).as("m12"))
+      .select(col("id"),
+        round(lit(1e6) / (lit(1.0) +
+          exp(-(col("m12").cast("double") / lit(1e12)))))
+          .cast("long").as("pmu"))
+  }
+
+  /** RELIABILITY DIAGRAM masses — the calibration read every trained
+    * quality classifier needs before its scores gate data ("do docs
+    * scored 0.7 actually pass review 70% of the time?"): equal-width
+    * probability bins over the ×1e6-snapped scores, per bin the row
+    * count, positive-label count, and predicted-probability mass —
+    * EXACT integers (consumers divide for observed/expected rates;
+    * the engine never emits a lossy ratio). bin = ⌊pmu·bins/1e6⌋
+    * clamped so pmu = 1e6 lands in the top bin; integer floor via the
+    * pmod identity, never a double division. pmu_mass is a long sum
+    * of ≤ 1e6 terms — ~9e12 labeled rows of headroom; past that,
+    * lift to decimal like the gradient sums. `scored` is (id, pmu),
+    * `labels` (id, y ∈ {0,1}).
+    */
+  def calibrationBins(scored: DataFrame, labels: DataFrame,
+                      bins: Int): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val pb = col("pmu") * bins
+    scored
+      .join(labels.select(col("id"), col("y").cast("long").as("y")), "id")
+      .select(least(((pb - pmod(pb, lit(1000000L))) / lit(1000000L))
+          .cast("long"), lit(bins - 1L)).cast("int").as("bin"),
+        col("pmu"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("positives"),
+        sum(col("pmu")).as("pmu_mass"))
+  }
 }

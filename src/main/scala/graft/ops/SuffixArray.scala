@@ -55,10 +55,13 @@ object SuffixArray {
     * slot per doc. `rank` is the round-0 count-below rank (sentinels:
     * their doc order index; real tokens: numDocs + occurrences of
     * strictly smaller tokens), `cnt` the tie-group size (1 = already
-    * resolved).
+    * resolved). `vocab` is the (token, cnt, rank) frame those initial
+    * ranks came from — the level-0 face an increment rank-descends
+    * against ([[persistProbeIndex]]).
     */
   final case class Corpus(positions: DataFrame, numDocs: Long,
-                          numSlots: Long, maxSlots: Long)
+                          numSlots: Long, maxSlots: Long,
+                          vocab: DataFrame)
 
   /** `sa` is the final positions frame (every rank distinct = the SA
     * index); `tables` holds (windowLen, frame(gpos, rank)) for every
@@ -116,7 +119,7 @@ object SuffixArray {
     val sents = offs.select((col("goff") + col("n")).as("gpos"),
       col("doc_id"), col("n").as("pos"), lit(true).as("sent"),
       col("doc_idx").as("rank"), lit(1L).as("cnt"))
-    Corpus(real.unionByName(sents), numDocs, numSlots, maxSlots)
+    Corpus(real.unionByName(sents), numDocs, numSlots, maxSlots, vr)
   }
 
   /** Prefix doubling to full rank distinctness (see object scaladoc
@@ -407,5 +410,191 @@ object SuffixArray {
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         coalesce(col("clean_fp"), md5(lit(""))).as("clean_fp"))
+  }
+
+  /** The level table valid at window length `len` (exactly the stored
+    * frame, or — past the last doubling round — the final frame: once
+    * every rank is distinct a longer window can never reorder or tie,
+    * so the frozen ranks stay exact count-below ranks at every length).
+    */
+  private def tableAt(b: Built, len: Long): DataFrame =
+    b.tables.find(_._1 == len).map(_._2).getOrElse {
+      require(b.tables.last._1 <= len,
+        s"no rank table at or below window length $len")
+      b.tables.last._2
+    }
+
+  /** Persist the PROBE-FACING slice of a built train index through
+    * [[graft.sources.Snapshot]] — the incremental contract at the
+    * exact-substring tier (the jaccard/LSH/fuzzy/cosine convention:
+    * an increment probes the persisted structure; old×old is never
+    * recomputed). A later increment needs exactly three faces to
+    * rank-descend a NEW document against the train corpus up to
+    * window length `g` (the decontamination threshold, a power of
+    * two):
+    *
+    *   - `vocab`   (token, rank): level-0 count-below ranks.
+    *   - `pairs_k` (r1, r2, rank), k = 1..log2(g): the DOUBLING MAPS
+    *     — rank at window 2^k as a function of the two half-window
+    *     ranks. Count-below ranks are injective on window values
+    *     (w1 < w2 forces below(w2) ≥ below(w1) + occ(w1)), so the
+    *     pair (r1, r2) identifies the 2^k-window exactly and a
+    *     missing pair PROVES the window never occurs in train.
+    *   - `occ`     (rank, doc_id, pos): every in-document train
+    *     g-window occurrence (windows crossing a document end are
+    *     dropped — they can never equal an increment window) — the
+    *     occurrence face diagonal chaining and candidate retrieval
+    *     read.
+    *
+    * Each face commits range-clustered on its probe key, so a point
+    * probe prunes to few files ([[graft.sources.Snapshot.commit]]
+    * clusterBy stats pruning); the tables are corpus-sized but
+    * written ONCE per (re)build, amortized over every increment.
+    */
+  def persistProbeIndex(c: Corpus, b: Built, dir: String,
+                        g: Long = 8L): Unit = {
+    require(g >= 2 && (g & (g - 1)) == 0, s"g must be a power of two ≥ 2, got $g")
+    val levels = (math.log(g.toDouble) / math.log(2.0)).round.toInt
+    graft.sources.Snapshot.commit(
+      c.vocab.select(col("token"), col("rank")), s"$dir/vocab",
+      clusterBy = Some("token"))
+    for (k <- 1 to levels) {
+      val half = 1L << (k - 1)
+      val prev = tableAt(b, half)
+      val next = tableAt(b, 1L << k)
+      val shifted = prev.select((col("gpos") - half).as("gpos"),
+        col("rank").as("r2"))
+      // windows whose second half falls off the corpus end can never
+      // match an increment window (both increment halves are real);
+      // the inner joins drop them
+      val pk = prev.select(col("gpos"), col("rank").as("r1"))
+        .join(shifted, Seq("gpos"))
+        .join(next.select(col("gpos"), col("rank")), Seq("gpos"))
+        .select(col("r1"), col("r2"), col("rank")).distinct()
+      graft.sources.Snapshot.commit(pk, s"$dir/pairs_$k",
+        clusterBy = Some("r1"))
+    }
+    val nTok = b.sa.filter(col("sent"))
+      .select(col("doc_id"), col("pos").as("n_tok"))
+    val occ = tableAt(b, g)
+      .join(b.sa.filter(!col("sent"))
+        .select(col("gpos"), col("doc_id"), col("pos")), Seq("gpos"))
+      .join(nTok, Seq("doc_id"))
+      .filter(col("pos") + g <= col("n_tok"))
+      .select(col("rank"), col("doc_id"), col("pos"))
+    graft.sources.Snapshot.commit(occ, s"$dir/occ",
+      clusterBy = Some("rank"))
+  }
+
+  /** Rank-descend an increment against a persisted probe index: for
+    * every g-gram of every increment document, the train corpus's
+    * count-below rank of that window at length g — log2(g) equi-joins
+    * of the increment's position frame against the persisted doubling
+    * maps, each join INNER so an absent token/pair (a window with no
+    * train occurrence) drops the position immediately and never pays
+    * another round. Output (doc_id, pos, rank): exactly the increment
+    * positions whose g-window occurs somewhere in train, with the
+    * train rank identifying WHICH window. Cost is increment-sized:
+    * the big sides are the persisted faces, clustered on the join key.
+    */
+  def probeGramRanks(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String, docs: DataFrame,
+                     idCol: Column, textCol: Column,
+                     g: Long = 8L): DataFrame = {
+    require(g >= 2 && (g & (g - 1)) == 0, s"g must be a power of two ≥ 2, got $g")
+    val levels = (math.log(g.toDouble) / math.log(2.0)).round.toInt
+    val vocab = graft.sources.Snapshot.read(spark, s"$indexDir/vocab")
+    var cur = docs
+      .select(idCol.cast("long").as("doc_id"),
+        posexplode(Text.tokens(textCol)).as(Seq("pos", "token")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("token"))
+      .join(vocab, Seq("token"))
+      .select(col("doc_id"), col("pos"), col("rank"))
+    for (k <- 1 to levels) {
+      val half = 1L << (k - 1)
+      val pk = graft.sources.Snapshot.read(spark, s"$indexDir/pairs_$k")
+      val right = cur.select(col("doc_id"), (col("pos") - half).as("pos"),
+        col("rank").as("r2"))
+      cur = cur.withColumnRenamed("rank", "r1")
+        .join(right, Seq("doc_id", "pos"))
+        .join(pk, Seq("r1", "r2"))
+        .select(col("doc_id"), col("pos"), col("rank"))
+    }
+    cur
+  }
+
+  /** The train documents an increment could share a g-token span with:
+    * distinct docs holding any g-window the probe matched. Any train
+    * match of length ≥ g tiles into aligned g-grams inside ONE train
+    * doc, so the candidate set provably contains every doc a ≥ g
+    * span lives in — retrieval by rank equality, never similarity.
+    */
+  def probeCandidateDocs(spark: org.apache.spark.sql.SparkSession,
+                         indexDir: String,
+                         gramRanks: DataFrame): DataFrame =
+    graft.sources.Snapshot.read(spark, s"$indexDir/occ")
+      .join(gramRanks.select(col("rank")).distinct(), Seq("rank"))
+      .select(col("doc_id")).distinct()
+
+  /** INCREMENTAL exact-span decontamination: score a NEW eval batch
+    * against an existing train corpus WITHOUT rebuilding any suffix
+    * array — probe, then DIAGONAL RUN CHAINING:
+    *
+    *   1. PROBE (increment-sized): [[probeGramRanks]] rank-descends
+    *      every eval g-gram against the persisted doubling maps —
+    *      hits carry the train rank identifying WHICH g-window.
+    *   2. CHAIN: join hits to the occurrence face (rank → train doc,
+    *      train pos) and group by the alignment DIAGONAL
+    *      (eval doc, train doc, train_pos − eval_pos). Consecutive
+    *      eval positions hitting one diagonal are overlapping aligned
+    *      g-grams, i.e. ONE contiguous match: a maximal run p..q
+    *      proves tokens [p, q+g) match [t, t+q−p+g) and the very next
+    *      token mismatches (positions q+1..q+g−1 are already covered
+    *      by the gram at q, so the first difference sits exactly at
+    *      q+g — or the text ends). So the longest train match from
+    *      position p via that diagonal is run_end(p) − p + g, and
+    *      train_match(p) is the max over diagonals — EXACTLY the
+    *      full-rebuild [[longestCrossMatch]] value whenever it is
+    *      ≥ g, with no rebuild, no corpus-sized shuffle: the runs
+    *      window partitions by diagonal (doc-bounded), never globally.
+    *
+    * Positions with no gram hit have NO train match of length ≥ g
+    * (a ≥ g match tiles into aligned g-grams, so its first gram hits)
+    * and report null — by construction exactly the positions a
+    * threshold-g decontamination ignores. Cost tracks
+    * Σ_eval-gram freq(gram): the increment and its grams' train
+    * frequencies, independent of train corpus SIZE — boilerplate-hot
+    * grams cost occurrence rows, never whole candidate documents.
+    *
+    * `evalDocs` carries (doc_id, text), ids disjoint from train.
+    * Returns (doc_id, pos, train_match) for every eval position, the
+    * [[longestCrossMatch]] shape thresholded at g.
+    */
+  def decontaminateIncrement(spark: org.apache.spark.sql.SparkSession,
+                             indexDir: String, evalDocs: DataFrame,
+                             g: Long): DataFrame = {
+    val hits = probeGramRanks(spark, indexDir, evalDocs,
+      col("doc_id"), col("text"), g)
+    val occ = graft.sources.Snapshot.read(spark, s"$indexDir/occ")
+    val pairs = hits.join(occ.select(col("rank"),
+        col("doc_id").as("t_doc"), col("pos").as("t_pos")), Seq("rank"))
+      .select(col("doc_id"), col("pos"), col("t_doc"),
+        (col("t_pos") - col("pos")).as("diag"))
+    val wd = Window.partitionBy(col("doc_id"), col("t_doc"), col("diag"))
+      .orderBy(col("pos"))
+    val runs = pairs
+      .withColumn("island", col("pos") - row_number().over(wd))
+      .withColumn("run_end", max(col("pos")).over(
+        Window.partitionBy(col("doc_id"), col("t_doc"), col("diag"),
+          col("island"))))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(max(col("run_end") - col("pos") + g).as("m"))
+    evalDocs
+      .select(col("doc_id").cast("long").as("doc_id"),
+        posexplode(Text.tokens(col("text"))).as(Seq("pos", "token")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+      .join(runs, Seq("doc_id", "pos"), "left")
+      .select(col("doc_id"), col("pos"), col("m").as("train_match"))
   }
 }

@@ -1244,4 +1244,72 @@ object Snapshot {
         .foreach(rm)
     }
   }
+
+  /** Fixture clock injection for [[expireByAge]]: stamp a version's
+    * manifest with an explicit commit time (file mtime — the same
+    * filesystem clock the vacuum orphan sweep trusts). Gates and specs
+    * use it to plant deterministic ages; production commits simply
+    * carry their real write time.
+    */
+  def stampVersion(table: String, v: Long, ms: Long): Unit =
+    Files.setLastModifiedTime(manifestPath(table, v),
+      java.nio.file.attribute.FileTime.fromMillis(ms))
+
+  /** ROLLBACK: restore the table to version `v`'s exact content as a
+    * NEW latest version — the undo face of the version chain (Delta's
+    * RESTORE, Iceberg's rollback_to_snapshot). Zero data copy: the new
+    * manifest re-references `v`'s directories, stats and schema, so
+    * the bad version stays inspectable through time travel and the
+    * restore is O(manifest) whatever the table size. History keeps
+    * every version (the rollback is itself an auditable commit);
+    * [[vacuum]]/[[expireByAge]] retire the bad one on their own
+    * schedule — and because the restored version shares `v`'s dirs,
+    * retiring the bad version can never tear files out from under it.
+    */
+  def rollback(table: String, v: Long): Long = {
+    val m = readManifest(table, v)
+    val next = latestVersion(table).getOrElse(0L) + 1
+    writeManifest(table, Manifest(next, m.partitionCol, m.partitionType,
+      m.dataSchemaJson, m.dirs, m.stats, m.fileStats))
+    next
+  }
+
+  /** Expire-by-AGE retention — the DESCRIBE-HISTORY-adjacent policy
+    * [[vacuum]]'s keep-COUNT window cannot express ("keep 30 days,
+    * plus every tagged release"): drop every version whose manifest
+    * commit stamp is older than `maxAgeMs` before `nowMs`, EXCEPT
+    * tag-pinned versions and the current latest (the table must stay
+    * readable whatever the policy). Data directories are removed only
+    * when no surviving manifest (or live staged write) references
+    * them — merge/compaction chains share dirs across versions and an
+    * expired version must never tear files out from under a retained
+    * one. Returns the dropped versions, oldest first.
+    *
+    * Commit time = the manifest file's mtime (the write stamp this
+    * store already has; an embedded manifest field would dodge clock
+    * skew on a multi-writer filesystem — documented trade, same
+    * exposure as the orphan sweep). `nowMs` is explicit so policy
+    * runs are replayable; callers pass their own clock.
+    */
+  def expireByAge(table: String, maxAgeMs: Long,
+                  nowMs: Long = System.currentTimeMillis()): Seq[Long] = {
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) listDir(p).foreach(rm)
+      Files.deleteIfExists(p)
+    }
+    val vs = versions(table)
+    val latest = vs.lastOption.toSet
+    val pinned = tags(table).values.toSet
+    val cutoff = nowMs - maxAgeMs
+    val drop = vs.filter(v => !pinned(v) && !latest(v) &&
+      Files.getLastModifiedTime(manifestPath(table, v)).toMillis < cutoff)
+    val keep = vs.filterNot(drop.contains)
+    val stagedLive = stagedNames(table)
+      .flatMap(n => readStagedManifest(table, n).dirs).toSet
+    val live = keep.flatMap(readManifest(table, _).dirs).toSet ++ stagedLive
+    val dead = drop.flatMap(readManifest(table, _).dirs).toSet -- live
+    dead.foreach(d => rm(Paths.get(d)))
+    drop.foreach(v => Files.deleteIfExists(manifestPath(table, v)))
+    drop
+  }
 }

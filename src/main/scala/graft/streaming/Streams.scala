@@ -1072,6 +1072,62 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** STREAMING eval-suite decontamination against a FIXED train index
+    * — the continuous face of the exact-substring increment contract
+    * (q373): each micro-batch of NEW eval documents rank-descends its
+    * g-grams against the train suffix array's PERSISTED probe faces
+    * ([[graft.ops.SuffixArray.persistProbeIndex]] — built once before
+    * the stream starts, never rebuilt mid-stream) and diagonal-chains
+    * the hits into exact longest-train-match lengths; per-doc verdicts
+    * with a match ≥ g append to `table` through the keyed snapshot
+    * merge, so crash-replays of a batch converge on one verdict row
+    * per doc. Per-batch cost tracks the BATCH and its grams' train
+    * frequencies (the q373 measurement: flat per batch, ~1/8 of a
+    * full rebuild), the streaming analog of the q322 banded-index
+    * contract at the exact tier. Emits (doc_id, n_tokens,
+    * longest_train_match, contaminated_starts, ingest_batch).
+    */
+  def decontaminationStream(in: DataFrame, indexDir: String,
+                            table: String, checkpoint: String,
+                            g: Long = 8L,
+                            onBatch: (Long, Double) => Unit = (_, _) => ())
+      : Unit = {
+    import graft.ops.{SuffixArray, Text}
+    import graft.sources.Snapshot
+    val q = in.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val t0 = System.nanoTime
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val docs = batch.toDF().select(col("doc_id"), col("text"))
+            .persist()
+          val m = SuffixArray.decontaminateIncrement(spark, indexDir,
+            docs, g)
+          val nTok = docs.select(col("doc_id"),
+            Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+          val verdicts = m.groupBy(col("doc_id"))
+            .agg(max(col("train_match")).as("longest_train_match"),
+              sum(when(col("train_match") >= g, lit(1L)).otherwise(lit(0L)))
+                .as("contaminated_starts"))
+            .filter(col("longest_train_match") >= g)
+            .join(nTok, "doc_id")
+            .select(col("doc_id"), col("n_tokens"),
+              col("longest_train_match"), col("contaminated_starts"))
+            .withColumn("ingest_batch", lit(batchId))
+          if (!verdicts.isEmpty)
+            Snapshot.merge(verdicts, table, Seq("doc_id"), "doc_id",
+              "ingest_batch"): Unit
+          docs.unpersist(): Unit
+        }
+        onBatch(batchId, (System.nanoTime - t0) / 1e9)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Drive any streaming DataFrame to a parquet sink with AvailableNow:
     * processes everything pending, then stops — the scheduled-batch
     * deployment mode (replaces the reference's GitHub Actions cron with

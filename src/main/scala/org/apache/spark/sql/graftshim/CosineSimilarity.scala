@@ -168,6 +168,12 @@ object NativeFunctions {
     ExpressionUtils.column(JaroWinklerSim(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Column-facing wrapper for the native Unicode normalizer
+    * (form ∈ NFC/NFD/NFKC/NFKD).
+    */
+  def unicodeNorm(s: Column, form: String): Column =
+    ExpressionUtils.column(UnicodeNorm(ExpressionUtils.expression(s), form))
+
   /** The expression builders, shared by the session-local `register`
     * and the `spark.sql.extensions` injector (`graft.GraftExtensions`).
     */
@@ -181,10 +187,14 @@ object NativeFunctions {
     "fuzzy_sig" -> (exprs => FuzzySig(exprs.head)),
     "sig_bound" -> (exprs => SigBound(exprs.head, exprs(1))),
     "lev_within" -> (exprs => LevWithin(exprs.head, exprs(1), intArg(exprs, 2))),
-    "jaro_winkler_sim" -> (exprs => JaroWinklerSim(exprs.head, exprs(1))))
+    "jaro_winkler_sim" -> (exprs => JaroWinklerSim(exprs.head, exprs(1))),
+    "unicode_norm" -> (exprs => UnicodeNorm(exprs.head, strArg(exprs, 1))))
 
   private def intArg(exprs: Seq[Expression], i: Int): Int =
     exprs(i).eval().asInstanceOf[Number].intValue()
+
+  private def strArg(exprs: Seq[Expression], i: Int): String =
+    exprs(i).eval().toString
 
   /** Expose the expressions to the SQL surface of an EXISTING session:
     * `SELECT cosine_similarity(a, b)`, `simhash(tokens, 32)`,

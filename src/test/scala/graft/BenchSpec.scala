@@ -69,4 +69,39 @@ class BenchSpec extends SparkSpec {
     assert(errs == Set("q_boom"))
     assert(times.contains("q_boom"))
   }
+
+  test("localNorms re-expresses a host-spiked reading at the median " +
+      "host speed and leaves steady readings untouched (the r13 " +
+      "one-invocation-spike adjudication, in-run)") {
+    // two synthetic passes of 10 queries; pass 1 carries a SUSTAINED
+    // 2× host spike across the probes at indexes 5 and 7 (calib 0.6
+    // vs the 0.3 body — sustained, because an ISOLATED spiked probe
+    // is deliberately Tukey-fenced out: one bad probe must not mint
+    // fake outliers; a real spike elevates neighboring probes too).
+    def pass(times: Map[String, Double], spikeMid: Boolean) = {
+      val offsets = (0 until 10).map(i => s"q$i" -> i * 1.0).toMap
+      val mid = if (spikeMid) 0.6 else 0.3
+      val probes = Seq((0, 0.3), (3, 0.3), (5, mid), (7, mid), (10, 0.3))
+      (Bench.PassResult(times, Set.empty, offsets, Seq.empty), probes)
+    }
+    val base = (0 until 10).map(i => s"q$i" -> 1.0).toMap
+    // during the spike, q5 read 2× its steady cost in pass 1; pass 2
+    // is the same host speed throughout but q5 reads 2.2 raw (so the
+    // raw min, 2.0, is the SPIKED reading — exactly the r13 trap)
+    val p1 = pass(base + ("q5" -> 2.0), spikeMid = true)
+    val p2 = pass(base + ("q5" -> 2.2), spikeMid = false)
+    val norms = Bench.localNorms(Seq(p1, p2))
+    // q5's pass-1 reading normalizes by 0.3/0.6 → 1.0; the pass-2 raw
+    // 2.2 stays 2.2; min = the adjudicated 1.0, not the raw-min 2.0
+    assert(math.abs(norms("q5") - 1.0) < 1e-9,
+      s"q5 local_norm ${norms("q5")} != 1.0")
+    // a steady query neighboring the spike normalizes by its own
+    // INTERPOLATED local calib: q4 sits between probes (3, 0.3) and
+    // (5, 0.6) → local 0.45, pass-1 norm 2/3; pass 2 gives 1.0; min
+    // keeps the smaller (attribution is per-position, never blanket)
+    assert(math.abs(norms("q4") - 2.0 / 3.0) < 1e-9)
+    // queries bracketed by steady probes are untouched in both passes
+    assert(math.abs(norms("q0") - 1.0) < 1e-9)
+    assert(math.abs(norms("q1") - 1.0) < 1e-9)
+  }
 }

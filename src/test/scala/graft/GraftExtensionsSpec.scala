@@ -27,6 +27,49 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(ic.getInt(0) == 2) // {2, 3} — duplicates count once
   }
 
+  test("unicode_norm matches java.text.Normalizer on every form, " +
+      "keeps nulls, and is idempotent; SQL registration works") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.NativeFunctions
+    // composed, decomposed, compat (ﬁ ligature U+FB01, ² U+00B2),
+    // mixed marks, plain ascii, empty, null
+    val rows = Seq("caf\u00e9", "cafe\u0301", "nai\u0308ve na\u00efve",
+      "\ufb01le x\u00b2", "plain ascii", "",
+      "a\u0300\u0316 stacked", null)
+    val df = rows.toDF("s")
+    for (form <- Seq("NFC", "NFD", "NFKC", "NFKD")) {
+      val got = df.select(NativeFunctions.unicodeNorm($"s", form))
+        .as[Option[String]].collect()
+      val want = rows.map(s => Option(s).map(
+        java.text.Normalizer.normalize(_,
+          java.text.Normalizer.Form.valueOf(form))))
+      assert(got.toSeq == want, s"form $form")
+      // idempotence: normalizing twice is the identity
+      val twice = df.select(NativeFunctions.unicodeNorm(
+        NativeFunctions.unicodeNorm($"s", form), form))
+        .as[Option[String]].collect()
+      assert(twice.toSeq == got.toSeq, s"$form not idempotent")
+    }
+    // the dedup property the gate leans on: NFC folds the composed
+    // and decomposed spellings to one byte string
+    val folded = Seq(("caf\u00e9", "cafe\u0301")).toDF("a", "b")
+      .select(NativeFunctions.unicodeNorm($"a", "NFC") ===
+        NativeFunctions.unicodeNorm($"b", "NFC")).as[Boolean].head()
+    assert(folded)
+    // SQL face via the extensions injector
+    val session = spark.newSession()
+    org.apache.spark.sql.graftshim.GraftExtensionsShim.applyTo(session)
+    val viaSql = session.sql(
+      "SELECT unicode_norm('cafe\u0301', 'NFC') = 'caf\u00e9'")
+      .collect()(0).getBoolean(0)
+    assert(viaSql)
+    // unknown form fails loudly at construction
+    intercept[IllegalArgumentException] {
+      df.select(NativeFunctions.unicodeNorm($"s", "NFX")).collect()
+    }
+  }
+
   test("intersect_count equals size(array_intersect) on random long " +
       "arrays with duplicates, empties and disjoint sets") {
     import org.apache.spark.sql.functions._

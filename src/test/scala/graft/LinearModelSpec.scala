@@ -86,6 +86,40 @@ class LinearModelSpec extends SparkSpec {
     assert(got(-1) == away(gb.toDouble / (2.0 * 1e6)))
   }
 
+  test("scoreLogistic replays the forward pass bit-for-bit and " +
+      "calibrationBins emits exact per-bin masses with the top edge " +
+      "clamped") {
+    val wMap = ref(xs, ys, 3)
+    val wDf = wMap.toSeq.toDF("dim", "w_micro")
+    val scored = LinearModel.scoreLogistic(xs.toDF("id", "x"), wDf)
+      .as[(Long, Long)].collect().toMap
+    // independent forward pass on the reference weights
+    val want = xs.map { case (id, v) =>
+      val m = v.zipWithIndex.map { case (x, d) =>
+        away(x * 1e6) * wMap(d) }.sum + 1000000L * wMap(-1)
+      id -> away(1e6 / (1.0 + math.exp(-(m.toDouble / 1e12))))
+    }.toMap
+    assert(scored == want)
+    // bins: replay the clamped integer floor, compare whole rows
+    val got = LinearModel.calibrationBins(
+        LinearModel.scoreLogistic(xs.toDF("id", "x"), wDf),
+        ys.toSeq.toDF("id", "y"), 10)
+      .as[(Int, Long, Long, Long)].collect().toSet
+    val expect = want.toSeq.groupBy { case (_, pmu) =>
+      math.min(pmu * 10 / 1000000, 9).toInt
+    }.map { case (b, rows) =>
+      (b, rows.size.toLong, rows.map(r => ys(r._1)).sum,
+        rows.map(_._2).sum)
+    }.toSet
+    assert(got == expect)
+    // a perfect 1e6 score lands in bin 9, never a phantom bin 10
+    val sure = LinearModel.calibrationBins(
+        Seq((0L, 1000000L), (1L, 0L)).toDF("id", "pmu"),
+        Seq((0L, 1L), (1L, 0L)).toDF("id", "y"), 10)
+      .as[(Int, Long, Long, Long)].collect().toSet
+    assert(sure == Set((9, 1L, 1L, 1000000L), (0, 1L, 0L, 0L)))
+  }
+
   test("logisticGd under a one-class corpus pushes every weight " +
       "toward that class and stays exact") {
     val allOne = ys.map { case (k, _) => k -> 1L }

@@ -830,6 +830,71 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("rollback restores a prior version's content as a NEW latest " +
+      "by manifest reference; the bad version stays inspectable and " +
+      "expiring it never tears files from the restore") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      Snapshot.commit(batch(("A", "2024-01-01", 10.0, 0L)), t)
+      Snapshot.commit(batch(("A", "2024-01-01", 99.0, 1L)), t) // bad
+      val v = Snapshot.rollback(t, 1L)
+      assert(v == 3L)
+      assert(content(t) == Set(("A", "2024-01-01", 10.0)))
+      // zero copy: v3 references v1's directories
+      assert(Snapshot.readManifest(t, 3L).dirs ==
+        Snapshot.readManifest(t, 1L).dirs)
+      // the bad version still time-travels
+      assert(Snapshot.read(spark, t, Some(2L))
+        .select($"close").as[Double].head() == 99.0)
+      // retiring BOTH old versions leaves the restore byte-complete
+      val now = 1700000000000L
+      Snapshot.stampVersion(t, 1L, now - 10 * 86400000L)
+      Snapshot.stampVersion(t, 2L, now - 10 * 86400000L)
+      Snapshot.stampVersion(t, 3L, now)
+      assert(Snapshot.expireByAge(t, 86400000L, now) == Seq(1L, 2L))
+      assert(content(t) == Set(("A", "2024-01-01", 10.0)))
+    }
+  }
+
+  test("expireByAge drops only unpinned versions past the fence; " +
+      "tag pins and the latest survive any age; shared merge dirs " +
+      "stay readable from the retained version") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      // v1: two partitions; v2: merge touching ONE day (shares the
+      // untouched day's dir with v1); v3: fresh commit day
+      Snapshot.commit(
+        batch(("A", "2024-01-01", 10.0, 0L), ("A", "2024-01-02", 11.0, 0L)),
+        t, Some("date"))
+      Snapshot.merge(batch(("A", "2024-01-02", 99.0, 1L)), t,
+        Seq("symbol", "date"), "version", "date")
+      Snapshot.merge(batch(("B", "2024-01-03", 30.0, 0L)), t,
+        Seq("symbol", "date"), "version", "date")
+      val now = 1700000000000L
+      val day = 86400000L
+      Snapshot.stampVersion(t, 1L, now - 10 * day)
+      Snapshot.stampVersion(t, 2L, now - 9 * day)
+      Snapshot.stampVersion(t, 3L, now - 1 * day)
+      // nothing crosses a 30-day fence
+      assert(Snapshot.expireByAge(t, 30 * day, now).isEmpty)
+      // 7-day fence: v1 AND v2 are too old, but a tag pins v2
+      Snapshot.tag(t, "release", Some(2L))
+      assert(Snapshot.expireByAge(t, 7 * day, now) == Seq(1L))
+      // v1's untouched-day dir is SHARED with v2 and must survive:
+      // v2 stays byte-complete through time travel
+      assert(Snapshot.read(spark, t, Some(2L))
+        .select("symbol", "close").as[(String, Double)].collect().toSet ==
+        Set(("A", 10.0), ("A", 99.0)))
+      assert(Snapshot.versions(t) == Seq(2L, 3L))
+      // tag dropped -> the next run expires v2; latest never expires
+      Snapshot.dropTag(t, "release")
+      assert(Snapshot.expireByAge(t, 7 * day, now) == Seq(2L))
+      assert(Snapshot.expireByAge(t, 0L, now).isEmpty,
+        "the latest version survives even a zero-age policy")
+      assert(Snapshot.read(spark, t).count() == 3)
+    }
+  }
+
   test("write-audit-publish: publishIdempotent replays to the SAME " +
       "version; the published manifest records its wap id") {
     withTempDir { dir =>

@@ -358,6 +358,55 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("decontaminationStream scores batches against the FIXED train " +
+      "index (exact lengths, sub-threshold docs never land); replays " +
+      "converge on one verdict row per doc") {
+    import graft.sources.Snapshot
+    import graft.ops.SuffixArray
+    withTempDir { dir =>
+      val in1 = dir.getAbsolutePath + "/in1"
+      val in2 = dir.getAbsolutePath + "/in2"
+      val table = dir.getAbsolutePath + "/verdicts"
+      val idx = dir.getAbsolutePath + "/sa_index"
+      val train = Seq(
+        (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (102L, "one two three four five six seven eight"))
+        .toDF("doc_id", "text")
+      val c = SuffixArray.corpus(train, col("doc_id"), col("text"))
+      val b = SuffixArray.build(c)
+      SuffixArray.persistProbeIndex(c, b, idx, 4L)
+      b.unpersistAll()
+      // batch 1: a 6-token span of train 100 (>= 4 threshold) and a
+      // clean doc; batch 2: a full copy of train 102
+      Seq((201L, "xx alpha beta gamma delta epsilon zeta yy"),
+        (203L, "totally novel words qq ww ee rr tt"))
+        .toDF("doc_id", "text").write.parquet(in1)
+      val schema = spark.read.parquet(in1).schema
+      Streams.decontaminationStream(
+        spark.readStream.schema(schema).parquet(in1), idx, table,
+        dir.getAbsolutePath + "/ck1", 4L)
+      val one = Snapshot.read(spark, table)
+        .select($"doc_id", $"longest_train_match", $"ingest_batch")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(one == Set((201L, 6L, 0L)))
+      Seq((205L, "one two three four five six seven eight"))
+        .toDF("doc_id", "text").write.parquet(in2)
+      Streams.decontaminationStream(
+        spark.readStream.schema(schema).parquet(in2), idx, table,
+        dir.getAbsolutePath + "/ck2", 4L)
+      val two = Snapshot.read(spark, table)
+        .select($"doc_id", $"longest_train_match", $"n_tokens")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(two == Set((201L, 6L, 8L), (205L, 8L, 8L)))
+      // replay batch 2 under a fresh checkpoint: the keyed merge
+      // absorbs the duplicate verdicts — no row count growth
+      Streams.decontaminationStream(
+        spark.readStream.schema(schema).parquet(in2), idx, table,
+        dir.getAbsolutePath + "/ck3", 4L)
+      assert(Snapshot.read(spark, table).count() == 2)
+    }
+  }
+
   test("urlDedupStream keeps one fetch per canonical key across batches " +
       "and replays") {
     withTempDir { dir =>

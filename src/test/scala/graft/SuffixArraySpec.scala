@@ -241,4 +241,102 @@ class SuffixArraySpec extends SparkSpec {
     assert(got.contains((25L, 0L, 0L, md5hex(""))))
     b.unpersistAll()
   }
+
+  // ---- incremental tier: persisted probe index ----
+
+  private val trainDocs: Seq[(Long, String)] = Seq(
+    100L -> "alpha beta gamma delta epsilon zeta eta theta",
+    102L -> "one two three four five six",
+    104L -> "isolated unrelated words nothing shared here at all",
+    106L -> "")
+  private val evalDocs: Seq[(Long, String)] = Seq(
+    201L -> "xx alpha beta gamma delta epsilon yy",
+    203L -> "one two three nine five six",
+    205L -> "completely novel tokens qqq www eee rrr ttt",
+    207L -> "four five six one two three four five six zz")
+
+  test("probeGramRanks: increment positions found are exactly the " +
+      "g-grams occurring in train, ranks identify window equality, " +
+      "candidate docs are exactly the docs holding a hit gram") {
+    withTempDir { dir =>
+      val g = 4L
+      val idx = new java.io.File(dir, "sa_index").getAbsolutePath
+      val c = SuffixArray.corpus(trainDocs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      val b = SuffixArray.build(c)
+      SuffixArray.persistProbeIndex(c, b, idx, g)
+      val ranks = SuffixArray.probeGramRanks(spark, idx,
+        evalDocs.toDF("doc_id", "text"), col("doc_id"), col("text"), g)
+        .as[(Long, Long, Long)].collect()
+      val byDoc = (trainDocs ++ evalDocs).toMap
+        .map { case (k, v) => k -> tok(v) }
+      val trainGrams = trainDocs.flatMap { case (id, txt) =>
+        val w = tok(txt)
+        (0 to w.length - g.toInt)
+          .map(i => w.slice(i, i + g.toInt).mkString(" ") -> id)
+      }
+      def evalGram(d: Long, p: Long): String =
+        byDoc(d).slice(p.toInt, p.toInt + g.toInt).mkString(" ")
+      val expectPos = evalDocs.flatMap { case (id, txt) =>
+        val w = tok(txt)
+        (0 to w.length - g.toInt).map(i => (id, i.toLong))
+      }.filter { case (d, p) =>
+        trainGrams.exists(_._1 == evalGram(d, p))
+      }.toSet
+      assert(ranks.map(t => (t._1, t._2)).toSet == expectPos)
+      // equal ranks <=> equal grams across all hit positions
+      ranks.foreach { a => ranks.foreach { bb =>
+        assert((a._3 == bb._3) ==
+          (evalGram(a._1, a._2) == evalGram(bb._1, bb._2)))
+      }}
+      // candidate retrieval: exactly the train docs holding a hit gram,
+      // never the unrelated doc 104 or the empty doc 106
+      val cand = SuffixArray.probeCandidateDocs(spark, idx,
+          ranks.toSeq.toDF("doc_id", "pos", "rank"))
+        .as[Long].collect().toSet
+      val expectCand = trainGrams.filter { case (gr, _) =>
+        expectPos.exists { case (d, p) => evalGram(d, p) == gr }
+      }.map(_._2).toSet
+      assert(cand == expectCand)
+      assert(!cand.contains(104L) && !cand.contains(106L))
+      b.unpersistAll()
+    }
+  }
+
+  test("decontaminateIncrement: equal to the full train∪eval rebuild " +
+      "at the threshold (same positions >= g with identical exact " +
+      "lengths; sub-threshold positions stay sub-threshold)") {
+    withTempDir { dir =>
+      val g = 4L
+      val idx = new java.io.File(dir, "sa_index").getAbsolutePath
+      val train = trainDocs.toDF("doc_id", "text")
+      val ev = evalDocs.toDF("doc_id", "text")
+      val c = SuffixArray.corpus(train, col("doc_id"), col("text"))
+      val b = SuffixArray.build(c)
+      SuffixArray.persistProbeIndex(c, b, idx, g)
+      val inc = SuffixArray.decontaminateIncrement(spark, idx, ev, g)
+        .as[(Long, Long, Option[Long])].collect()
+        .map(t => (t._1, t._2) -> t._3.getOrElse(0L)).toMap
+      val cf = SuffixArray.corpus(
+        (trainDocs ++ evalDocs).toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      val bf = SuffixArray.build(cf)
+      val full = SuffixArray.longestCrossMatch(bf, cf.numDocs,
+          d => d % 2 === 0)
+        .as[(Long, Long, Option[Long])].collect()
+        .map(t => (t._1, t._2) -> t._3.getOrElse(0L)).toMap
+      assert(inc.keySet == full.keySet)
+      inc.foreach { case (k, v) =>
+        assert(v <= full(k), s"$k: increment $v above full ${full(k)}")
+        assert((v >= g) == (full(k) >= g), s"$k: threshold flip")
+        if (full(k) >= g)
+          assert(v == full(k), s"$k: $v != exact ${full(k)}")
+      }
+      // the planted spans land exactly: 201 carries a 5-token run of
+      // train 100; 207 carries train 102 whole (6 tokens)
+      assert(full((201L, 1L)) == 5L && inc((201L, 1L)) == 5L)
+      assert(full((207L, 3L)) == 6L && inc((207L, 3L)) == 6L)
+      b.unpersistAll(); bf.unpersistAll()
+    }
+  }
 }
