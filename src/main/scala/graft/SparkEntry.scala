@@ -301,6 +301,37 @@ object SparkEntry {
        |${iter(3)}""".stripMargin
   }
 
+  /** DuckDB CTE chain replaying gramianFixedPoint(scale 1e3) +
+    * topEigenFixedPoint over embeddings: exact HUGEINT Gramian cells,
+    * `iters` unrolled power steps (u = G·v exact; us = u // 1e9 floor;
+    * norm = sqrt(double(Σus²)); v′ = round(double(us)/norm·1e6)) —
+    * every double op correctly rounded in the same order the engine
+    * applies it. Terminal CTEs: g0(i, j, g) and v$iters(dim, vm).
+    */
+  private def powerIterCtes(iters: Int): String = {
+    def step(k: Int): String =
+      s"""u$k AS (SELECT g0.i, sum(g0.g * v${k - 1}.vm) AS u
+         |  FROM g0 JOIN v${k - 1} ON v${k - 1}.dim = g0.j GROUP BY 1),
+         |us$k AS (SELECT i, u // 1000000000 AS us FROM u$k),
+         |n$k AS (SELECT sqrt(CAST(sum(us * us) AS DOUBLE)) AS nrm
+         |  FROM us$k),
+         |v$k AS (SELECT i AS dim, CAST(round(CAST(us AS DOUBLE)
+         |    / nrm * 1e6) AS BIGINT) AS vm FROM us$k, n$k)""".stripMargin
+    s"""c AS (SELECT list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS c
+       |  FROM embeddings),
+       |ii AS (SELECT c, unnest(range(1, len(c) + 1)) AS i FROM c),
+       |pp AS (SELECT i, c[i] AS ci, unnest(range(1, len(c) + 1)) AS j, c
+       |  FROM ii),
+       |g0 AS (SELECT CAST(i - 1 AS INTEGER) AS i,
+       |    CAST(j - 1 AS INTEGER) AS j,
+       |    CAST(sum(ci * c[j]) AS HUGEINT) AS g
+       |  FROM pp GROUP BY 1, 2),
+       |v0 AS (SELECT i AS dim, CAST(1000000 AS BIGINT) AS vm
+       |  FROM (SELECT DISTINCT i FROM g0)),
+       |${(1 to iters).map(step).mkString(",\n")}""".stripMargin
+  }
+
   private def saCteSql(docFilter: String): String =
     saCteSqlFrom(s"SELECT doc_id, text FROM documents WHERE $docFilter")
 
@@ -4796,6 +4827,49 @@ object SparkEntry {
           .as("docs_rewritten"))
         .select(col("n_docs"), col("docs_rewritten"),
           lit(rawG).as("raw_dup_groups"), lit(nfcG).as("nfc_dup_groups"))
+    }),
+
+    // Sampling/mixture: TARGET-WEIGHTED MIXTURE PLAN — the arithmetic
+    // run before any sampling: per weighted source the exact target
+    // (⌊budget·w/Σw⌋ at an odd budget to exercise every floor),
+    // whole-pass upsample epochs, per-pass inclusion rate, planned
+    // mass and shortfall; a weighted-but-absent source surfaces with
+    // zero availability and its whole target as shortfall (the
+    // full-outer contract), unweighted sources plan to zero.
+    "q381_mixture_plan" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.mixturePlan(docs, col("source"),
+        Text.tokenCount(col("text")),
+        Seq("src1" -> 500000L, "src3" -> 300000L, "src5" -> 150000L,
+          "synthetic_src" -> 50000L),
+        777777L)
+    }),
+
+    // Similarity/PCA: TOP EIGENVECTOR of the corpus Gramian by
+    // fixed-point power iteration — the local eigen-solve of the
+    // tall-skinny PCA split made ORACLE-REPLAYABLE: exact decimal
+    // matrix-vector products, floor shifts, one correctly-rounded
+    // sqrt/divide per step (the logisticGd determinism contract
+    // applied to PCA). Four iterations from all-ones; the output pins
+    // the entire trajectory, all 64 micro components.
+    "q382_top_eigenvector" -> ((s, dir) => {
+      val g = Similarity.gramianFixedPoint(t(s, dir, "embeddings"),
+        col("embedding"), 1000)
+      Similarity.topEigenFixedPoint(g, 4)
+    }),
+
+    // Similarity/PCA: TOP-COMPONENT ENERGY per label — the
+    // "all-but-the-top" (Arora et al.) decision read: how much of
+    // each class's embedding energy lies along the corpus-dominant
+    // direction, as EXACT integer masses (projection in the ×1e3
+    // snap space, floor via the pmod identity). The oracle replays
+    // gramian + 4 power steps + the mass rollup end to end.
+    "q383_top_component_mass" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val g = Similarity.gramianFixedPoint(e, col("embedding"), 1000)
+      val v = Similarity.topEigenFixedPoint(g, 4)
+      Similarity.topComponentMass(e, col("embedding"), col("label"),
+        v, 1000)
     }),
 
     // Streaming gate: CONTINUOUS decontamination against a FIXED
@@ -14723,6 +14797,64 @@ object SparkEntry {
          |WHERE ag.longest_train_match >= 8
          |ORDER BY ag.longest_train_match DESC, ag.doc_id
          |LIMIT 50""".stripMargin,
+
+    // Same floors on HUGEINT (all quantities nonnegative, so // ≡ the
+    // engine's pmod floor), same full-outer weight join.
+    "q381_mixture_plan" ->
+      s"""WITH tk AS (SELECT source, CAST(len($tokSql) AS BIGINT) AS n
+         |  FROM documents),
+         |av AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n) AS BIGINT) AS avail FROM tk GROUP BY 1),
+         |w(wsource, wm) AS (VALUES ('src1', 500000), ('src3', 300000),
+         |  ('src5', 150000), ('synthetic_src', 50000)),
+         |j AS (SELECT coalesce(av.source, w.wsource) AS source,
+         |    coalesce(n_docs, 0) AS n_docs,
+         |    coalesce(avail, 0) AS avail,
+         |    CAST(coalesce(wm, 0) AS BIGINT) AS weight_micro
+         |  FROM av FULL OUTER JOIN w ON av.source = w.wsource),
+         |tt AS (SELECT *, CAST((CAST(777777 AS HUGEINT) * weight_micro)
+         |    // 1000000 AS BIGINT) AS target FROM j),
+         |e AS (SELECT *, CASE WHEN avail > 0 AND target > 0
+         |    THEN (target + avail - 1) // avail ELSE 0 END AS epochs
+         |  FROM tt),
+         |r AS (SELECT *, CASE WHEN epochs > 0
+         |    THEN CAST((CAST(target AS HUGEINT) * 1000000)
+         |      // (CAST(avail AS HUGEINT) * epochs) AS BIGINT)
+         |    ELSE 0 END AS rate FROM e)
+         |SELECT source, n_docs, avail AS available_tokens,
+         |  weight_micro, target AS target_tokens,
+         |  CAST(epochs AS BIGINT) AS repeat_epochs,
+         |  rate AS sample_rate_micro,
+         |  CAST((CAST(rate AS HUGEINT) * avail * epochs) // 1000000
+         |    AS BIGINT) AS planned_tokens,
+         |  target - CAST((CAST(rate AS HUGEINT) * avail * epochs)
+         |    // 1000000 AS BIGINT) AS shortfall
+         |FROM r""".stripMargin,
+
+    // Four power steps replayed exactly: HUGEINT matrix-vector
+    // products, floor shifts, the same correctly-rounded
+    // sqrt/divide/round chain per step.
+    "q382_top_eigenvector" ->
+      s"""WITH ${powerIterCtes(4)}
+         |SELECT CAST(dim AS INT) AS dim, vm AS v_micro FROM v4""".stripMargin,
+
+    // Same chain + the projection masses: p = (Σ x₃·vm) // 1e6 per
+    // vector (floor ≡ the engine's pmod identity), exact integer
+    // energy sums per label.
+    "q383_top_component_mass" ->
+      s"""WITH ${powerIterCtes(4)},
+         |x3 AS (SELECT label, vec_id,
+         |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000)
+         |      AS BIGINT) AS x3 FROM embeddings),
+         |pv AS (SELECT label, vec_id, sum(x3.x3 * v4.vm) AS pn,
+         |    sum(x3.x3 * x3.x3) AS tot
+         |  FROM x3 JOIN v4 ON v4.dim = x3.dim GROUP BY 1, 2),
+         |pf AS (SELECT label, pn // 1000000 AS p, tot FROM pv)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(p * p) AS BIGINT) AS explained_mass,
+         |  CAST(sum(tot) AS BIGINT) AS total_mass
+         |FROM pf GROUP BY 1""".stripMargin,
 
     // The streaming face replays identically: the oracle rebuilds the
     // FULL combined SA over train ∪ every batch's increments; the

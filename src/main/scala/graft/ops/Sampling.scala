@@ -506,6 +506,70 @@ object Sampling {
   private def pmFloorDiv(a: Column, b: Column): Column =
     ((a - pmod(a, b)) / b).cast("long")
 
+  /** TARGET-WEIGHTED MIXTURE PLAN — the arithmetic a training run does
+    * before any sampling happens (the DoReMi/Llama-style domain-weight
+    * recipe): given per-source available tokens and target
+    * micro-weights, the EXACT integer plan per source:
+    * target = ⌊budget·w/Σw⌋; repeat_epochs = ⌈target/available⌉
+    * (upsampling is whole extra passes over the source);
+    * sample_rate_micro = ⌊target·1e6/(available·epochs)⌋, the
+    * per-pass inclusion rate that lands the target in expectation;
+    * planned = ⌊rate·available·epochs/1e6⌋ and the rounding/feasibility
+    * shortfall (an unavailable source carries its whole target as
+    * shortfall). Every division is the exact pmod floor on
+    * decimal(38,0) — all quantities nonnegative, so floor ≡ SQL
+    * integer division and a DuckDB oracle replays bit-for-bit.
+    * Weights name sources explicitly: a corpus source with no weight
+    * plans to zero; a weighted source missing from the corpus
+    * surfaces with zero availability (the full-outer contract — a
+    * typo'd weight must never vanish silently).
+    */
+  def mixturePlan(docs: DataFrame, source: Column, tokens: Column,
+                  weights: Seq[(String, Long)],
+                  budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, "budget must be >= 0")
+    require(weights.nonEmpty && weights.forall(_._2 >= 0),
+      "weights must be nonempty and nonnegative")
+    val wSum = weights.map(_._2).sum
+    require(wSum > 0, "weights must not all be zero")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val avail = docs
+      .select(source.as("source"), tokens.cast("long").as("tk"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("tk")), lit(0L)).as("available_tokens"))
+    // no broadcast hint: Spark cannot broadcast a full-outer side (the
+    // unmatched-row contract needs both sides complete); the weight
+    // list is a handful of rows, the exchange is trivial
+    val j = avail
+      .join(weights.toDF("source", "weight_micro"),
+        Seq("source"), "full_outer")
+      .na.fill(0L, Seq("n_docs", "available_tokens", "weight_micro"))
+    val withT = j.withColumn("target_tokens",
+      pmFloorDiv(dec(lit(budgetTokens)) * dec(col("weight_micro")),
+        dec(lit(wSum))))
+    val withE = withT.withColumn("repeat_epochs",
+      when(col("available_tokens") > 0 && col("target_tokens") > 0,
+        pmFloorDiv(dec(col("target_tokens"))
+          + dec(col("available_tokens")) - lit(1),
+          dec(col("available_tokens"))))
+        .otherwise(lit(0L)))
+    val withR = withE.withColumn("sample_rate_micro",
+      when(col("repeat_epochs") > 0,
+        pmFloorDiv(dec(col("target_tokens")) * lit(1000000L),
+          dec(col("available_tokens")) * dec(col("repeat_epochs"))))
+        .otherwise(lit(0L)))
+    withR
+      .withColumn("planned_tokens",
+        pmFloorDiv(dec(col("sample_rate_micro"))
+          * dec(col("available_tokens")) * dec(col("repeat_epochs")),
+          dec(lit(1000000L))))
+      .withColumn("shortfall",
+        col("target_tokens") - col("planned_tokens"))
+  }
+
   /** Shared grid builder for the profile-match family: (binned rows
     * (g, k, bin), stats (g, bin, n_gb, num, den, vmin, w)). vmin/w
     * are the exact integer binning constants carried on every stats

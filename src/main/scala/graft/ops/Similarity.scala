@@ -1460,4 +1460,89 @@ object Similarity {
     val lambda = (0 until d).map(i => v(i) * gv(i)).sum
     (v, lambda)
   }
+
+  /** FIXED-POINT power iteration for the Gramian's top eigenvector —
+    * [[topEigen]]'s determinism-contract sibling: every step is either
+    * an exact integer operation or one IEEE-correctly-rounded double
+    * op in a pinned order, so a SQL oracle replays the whole
+    * trajectory bit-for-bit (the [[graft.ops.LinearModel.logisticGd]]
+    * convention applied to PCA). Per iteration from v = all-1e6
+    * micro: u_i = Σ_j g(i,j)·v_j EXACT as decimal(38,0) (one join of
+    * the d² Gramian against the broadcast d-row vector, one map-side
+    * aggregate); us = u/1e9 TRUNCATED toward zero (BigInteger's and
+    * SQL integer division's shared semantics — note DuckDB's `//`
+    * truncates on negatives, unlike the pmod floor identity — and
+    * keeping us < 2^53 so its double image is exact); norm =
+    * sqrt(double(Σ us²)) with the square-sum exact in BigInt first;
+    * v′_i = roundAway(double(us_i)/norm·1e6). The d-row collect per
+    * iteration is dimensionality-sized (the bounded-collect
+    * discipline). Returns (dim, v_micro).
+    */
+  def topEigenFixedPoint(gram: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val spark = gram.sparkSession
+    import spark.implicits._
+    def roundAway(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    val dims = gram.select(col("i")).distinct().as[Int].collect().sorted
+    var v: Seq[(Int, Long)] = dims.map(_ -> 1000000L).toSeq
+    for (_ <- 1 to iters) {
+      val vDf = v.toDF("j", "vj")
+      val u = gram.join(broadcast(vDf), "j")
+        .groupBy(col("i"))
+        .agg(sum(col("g") * col("vj")).as("u"))
+        .select(col("i"), col("u").cast("decimal(38,0)").as("u"))
+        .as[(Int, java.math.BigDecimal)].collect() // d rows
+      val us = u.map { case (i, bd) =>
+        i -> BigInt(bd.toBigInteger) / 1000000000L
+      }
+      val norm = math.sqrt(
+        us.map { case (_, x) => x * x }.sum.doubleValue)
+      if (norm > 0)
+        v = us.sortBy(_._1).map { case (i, x) =>
+          i -> roundAway(x.doubleValue / norm * 1e6)
+        }.toSeq
+    }
+    v.toDF("dim", "v_micro")
+  }
+
+  /** TOP-COMPONENT ENERGY diagnostic — the read behind "all-but-the-
+    * top" embedding postprocessing (Arora et al. 2017: a corpus-wide
+    * dominant direction carries frequency artifacts, not meaning; you
+    * measure its mass before deciding to remove it). Per `label`
+    * group: vector count, the EXACT integer energy along the top
+    * component (Σ ((x₃·v_micro)/1e6 truncated)² in the ×`scale` snap
+    * space — truncation toward zero, the SQL integer-division
+    * semantics) and
+    * the exact total energy (Σ‖x₃‖²) — consumers divide for the
+    * explained-variance share; the engine never emits a lossy ratio.
+    * Long sums: mass terms ≤ ~1e9, so ~9e9 rows of headroom per
+    * group; past that lift to decimal like the gradient sums.
+    */
+  def topComponentMass(vecs: DataFrame, vec: Column, label: Column,
+                       vDf: DataFrame, scale: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    // the vector is dimensionality-sized: collect it once and fold it
+    // into the row expressions as a literal array — no explode, no
+    // per-row join, one pass over the corpus (the bounded-collect
+    // discipline; lambdas reference only their own args)
+    val vArr = vDf.select(col("dim").cast("int"), col("v_micro")
+        .cast("long")).as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    val vl = typedLit(vArr.toSeq)
+    val x3 = transform(vec, x =>
+      round(x.cast("double") * scale).cast("long"))
+    val pn = aggregate(zip_with(x3, vl, (a, b) => a * b),
+      lit(0L), (acc, t) => acc + t)
+    val tot = aggregate(x3, lit(0L), (acc, x) => acc + x * x)
+    // |pn| < 2^53, so the double quotient is exact and the long cast
+    // truncates toward zero — DuckDB's `//` semantics
+    vecs.select(label.as("label"), pn.as("pn"), tot.as("tot"))
+      .select(col("label"), col("tot"),
+        (col("pn") / lit(1000000L)).cast("long").as("p"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("p") * col("p")).as("explained_mass"),
+        sum(col("tot")).as("total_mass"))
+  }
 }

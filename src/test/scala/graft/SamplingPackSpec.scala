@@ -315,4 +315,38 @@ class SamplingPackSpec extends SparkSpec {
       .map(x => (x._1, x._2) -> x).toMap
     assert(r2 == r3)
   }
+
+  test("mixturePlan: exact floors, minimal whole-pass epochs, absent " +
+      "weighted source carries its target as shortfall, unweighted " +
+      "source plans to zero") {
+    val docs = Seq(
+      (1L, "a", "w1 w2 w3 w4 w5"), (2L, "a", "x1 x2 x3"),
+      (3L, "b", "y1 y2 y3 y4 y5 y6 y7"),
+      (4L, "c", "z1 z2")).toDF("doc_id", "source", "text")
+    val weights = Seq("a" -> 600000L, "b" -> 300000L, "ghost" -> 100000L)
+    val budget = 101L
+    val got = Sampling.mixturePlan(docs, col("source"),
+        graft.ops.Text.tokenCount(col("text")), weights, budget)
+      .select(col("source"), col("n_docs"), col("available_tokens"),
+        col("weight_micro"), col("target_tokens"), col("repeat_epochs"),
+        col("sample_rate_micro"), col("planned_tokens"), col("shortfall"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // a: avail 8, target ⌊101·0.6⌋ = 60, epochs ⌈60/8⌉ = 8,
+    //    rate ⌊60e6/64⌋ = 937500, planned ⌊937500·64/1e6⌋ = 60
+    assert(got("a") == (("a", 2L, 8L, 600000L, 60L, 8L, 937500L, 60L, 0L)))
+    // b: avail 7, target 30, epochs 5, rate ⌊30e6/35⌋ = 857142,
+    //    planned ⌊857142·35/1e6⌋ = 29 → shortfall 1 (the floor's cost)
+    assert(got("b") == (("b", 1L, 7L, 300000L, 30L, 5L, 857142L, 29L, 1L)))
+    // c: in the corpus, unweighted → plans to zero
+    assert(got("c") == (("c", 1L, 2L, 0L, 0L, 0L, 0L, 0L, 0L)))
+    // ghost: weighted, absent → zero availability, full shortfall
+    assert(got("ghost") ==
+      (("ghost", 0L, 0L, 100000L, 10L, 0L, 0L, 0L, 10L)))
+    // epoch minimality: one fewer pass cannot reach the target
+    got.values.filter(r => r._6 > 0).foreach { r =>
+      assert((r._6 - 1) * r._3 < r._5, s"${r._1}: epochs not minimal")
+      assert(r._7 <= 1000000L)
+    }
+  }
 }

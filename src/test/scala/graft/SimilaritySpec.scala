@@ -704,6 +704,69 @@ class SimilaritySpec extends SparkSpec {
     assert(resid < 1e-6, s"eigen residual $resid")
   }
 
+  test("topEigenFixedPoint tracks topEigen's direction on a planted " +
+      "axis, matches an independent exact replay, and is " +
+      "deterministic; topComponentMass equals the brute energies") {
+    val rnd = new scala.util.Random(43)
+    val d = 8
+    val u = {
+      val raw = Array.fill(d)(rnd.nextGaussian())
+      val n = math.sqrt(raw.map(x => x * x).sum); raw.map(_ / n)
+    }
+    val data = (0 until 200).map { k =>
+      val a = rnd.nextGaussian() * 5.0
+      (k % 3,
+        Array.tabulate(d)(i => (a * u(i) + rnd.nextGaussian() * 0.1).toFloat))
+    }
+    val df = data.map { case (l, v) => (l, v.toSeq) }
+      .toDF("label", "embedding")
+    val gram = Similarity.gramianFixedPoint(df, col("embedding"), 1000)
+    val got = Similarity.topEigenFixedPoint(gram, 6)
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    // independent exact replay in BigInt/double (the oracle's shape)
+    val snapped = data.map(_._2.map(x => math.round(x.toDouble * 1000)))
+    val g = Array.tabulate(d, d)((i, j) =>
+      BigInt(snapped.map(r => r(i) * r(j)).sum))
+    def away(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    // truncation toward zero — BigInt / and SQL integer division
+    def fd(a: BigInt, b: Long): BigInt = a / b
+    var vv = Array.fill(d)(1000000L)
+    for (_ <- 1 to 6) {
+      val uu = Array.tabulate(d)(i =>
+        (0 until d).map(j => g(i)(j) * vv(j)).sum)
+      val us = uu.map(fd(_, 1000000000L))
+      val nrm = math.sqrt(us.map(x => x * x).sum.doubleValue)
+      if (nrm > 0) vv = us.map(x => away(x.doubleValue / nrm * 1e6))
+    }
+    assert(got.toSeq == vv.toSeq)
+    // direction agrees with the double-precision solver
+    val (vd, _) = Similarity.topEigen(
+      Array.tabulate(d, d)((i, j) => g(i)(j).toDouble), 50)
+    val align = math.abs((0 until d)
+      .map(i => vd(i) * got(i).toDouble / 1e6).sum)
+    assert(align > 0.99, s"fixed-point alignment $align")
+    // determinism: a second run is bit-identical
+    val again = Similarity.topEigenFixedPoint(gram, 6)
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    assert(again.toSeq == got.toSeq)
+    // masses: brute replay of projection/total energies per label
+    val vDf = got.zipWithIndex.map { case (vm, i) => (i, vm) }
+      .toSeq.toDF("dim", "v_micro")
+    val masses = Similarity.topComponentMass(df, col("embedding"),
+        col("label"), vDf, 1000)
+      .as[(Int, Long, Long, Long)].collect().toSet
+    val want = data.zip(snapped).groupBy(_._1._1).map { case (l, rows) =>
+      val ps = rows.map { case (_, r) =>
+        val pn = (0 until d).map(i => r(i) * got(i)).sum
+        fd(BigInt(pn), 1000000L).toLong
+      }
+      (l, rows.size.toLong, ps.map(p => p * p).sum,
+        rows.map(_._2.map(x => x * x).sum).sum)
+    }.toSet
+    assert(masses == want)
+  }
+
   test("q224 mutual-kNN reciprocity on a planted two-pair geometry") {
     // A,B mutually closest; C's nearest is D but D's nearest is B:
     // with k=1 exactly half the directed edges are mutual
