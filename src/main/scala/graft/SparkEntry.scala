@@ -4829,6 +4829,77 @@ object SparkEntry {
           lit(rawG).as("raw_dup_groups"), lit(nfcG).as("nfc_dup_groups"))
     }),
 
+    // Stats/eval: DETERMINISTIC BOOTSTRAP CI on the mean doc length —
+    // the error bar an eval report carries, with no RNG state: every
+    // draw is md5(rep:j) mod n (the hashLong convention), 200
+    // resamples, exact ×1e6 floored means, CI = order statistics at
+    // 2.5/97.5% basis-point indexes. Two engines replay the identical
+    // resample universe.
+    "q386_bootstrap_ci" -> ((s, dir) =>
+      Sampling.bootstrapCiMean(
+        t(s, dir, "documents")
+          .select(col("doc_id"), Text.tokenCount(col("text")).as("v")),
+        col("doc_id"), col("v"), 200, 250, 9750)),
+
+    // Quality/labels: COHEN'S KAPPA between the annotator (label 0)
+    // and the trained classifier at a fixed operating point — the
+    // chance-corrected agreement behind any "model matches the
+    // labeler" claim, exact fixed-point (kappa can be negative;
+    // truncation matches SQL integer division). The oracle replays
+    // training, scoring, thresholding AND the kappa arithmetic.
+    "q385_cohen_kappa" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val vecs = e.select(col("vec_id").as("id"), col("embedding").as("x"))
+      val labels = e.select(col("vec_id").as("id"),
+        when(col("label") === 0, 1L).otherwise(0L).as("y"))
+      val w = LinearModel.logisticGd(vecs, labels, 3)
+      val scored = LinearModel.scoreLogistic(vecs, w)
+        .join(labels, "id")
+      Quality.cohenKappa(scored, col("y") === 1L,
+        col("pmu") >= 282000L)
+    }),
+
+    // Text/dedup: the full crawl CANONICALIZER — NFC + invisible
+    // strip + whitespace collapse + lowercase, the chain that turns
+    // two renders of one page (NFD, zero-width-injected, re-wrapped,
+    // case-shifted) into ONE dedup key. Twins planted per doc differ
+    // in all four ways; raw md5 pairs nothing, canonical md5 pairs
+    // every twin. Per-stage rewrite counts localize which class of
+    // mangling the corpus actually carries.
+    "q384_canonical_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val all = base
+        .select(col("doc_id"),
+          concat(lit(" "), col("text"), lit(" Caf\u00e9 X")).as("text"))
+        .unionByName(base.select(
+          (col("doc_id") + 1000000000L).as("doc_id"),
+          concat(lit(" \u200B"), col("text"),
+            lit("  cafe\u0301  x")).as("text")))
+      val st = all
+        .select(col("doc_id"), col("text"),
+          graft.functions.NativeFunctions.unicodeNorm(col("text"), "NFC")
+            .as("s1"))
+        .withColumn("s2", Text.stripInvisible(col("s1")))
+        .withColumn("s3", Text.collapseWhitespace(col("s2")))
+        .withColumn("canon", lower(col("s3")))
+        .localCheckpoint(true)
+      val groups = st.groupBy(md5(col("canon"))).count()
+        .filter(col("count") >= 2).count()
+      val rawGroups = st.groupBy(md5(col("text"))).count()
+        .filter(col("count") >= 2).count()
+      st.agg(count(lit(1)).as("n_docs"),
+          sum(when(col("s1") =!= col("text"), 1L).otherwise(0L))
+            .as("changed_nfc"),
+          sum(when(col("s2") =!= col("s1"), 1L).otherwise(0L))
+            .as("changed_invisible"),
+          sum(when(col("s3") =!= col("s2"), 1L).otherwise(0L))
+            .as("changed_ws"))
+        .select(col("n_docs"), col("changed_nfc"),
+          col("changed_invisible"), col("changed_ws"),
+          lit(rawGroups).as("raw_dup_groups"),
+          lit(groups).as("canonical_dup_groups"))
+    }),
+
     // Sampling/mixture: TARGET-WEIGHTED MIXTURE PLAN — the arithmetic
     // run before any sampling: per weighted source the exact target
     // (⌊budget·w/Σw⌋ at an odd budget to exercise every floor),
@@ -14797,6 +14868,96 @@ object SparkEntry {
          |WHERE ag.longest_train_match >= 8
          |ORDER BY ag.longest_train_match DESC, ag.doc_id
          |LIMIT 50""".stripMargin,
+
+    // The identical resample universe: md5(rep:j) mod n draws, exact
+    // floored means, the same order-statistic indexes.
+    "q386_bootstrap_ci" -> {
+      val (bb, loIdx, hiIdx) = (200L, (250L * 199) / 10000,
+        (9750L * 199) / 10000)
+      s"""WITH tk AS (SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS v
+         |  FROM documents),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tk),
+         |rk AS (SELECT v, row_number() OVER (ORDER BY doc_id) - 1
+         |    AS idx FROM tk),
+         |dr AS (SELECT CAST(r.range AS BIGINT) AS rep,
+         |    CAST('0x' || substr(md5(CAST(r.range AS VARCHAR) || ':' ||
+         |      CAST(rk.idx AS VARCHAR)), 1, 15) AS BIGINT) % nn.n
+         |      AS idx
+         |  FROM range($bb) r CROSS JOIN rk, nn),
+         |mm AS (SELECT dr.rep,
+         |    CAST((CAST(sum(rv.v) AS HUGEINT) * 1000000) // nn.n
+         |      AS BIGINT) AS m
+         |  FROM dr JOIN rk rv ON rv.idx = dr.idx, nn
+         |  GROUP BY dr.rep, nn.n),
+         |o AS (SELECT m, row_number() OVER (ORDER BY m) - 1 AS r
+         |  FROM mm),
+         |ci AS (SELECT max(CASE WHEN r = $loIdx THEN m END)
+         |    AS ci_lo_micro,
+         |  max(CASE WHEN r = $hiIdx THEN m END) AS ci_hi_micro FROM o),
+         |pt AS (SELECT CAST((CAST(sum(v) AS HUGEINT) * 1000000) // nn.n
+         |    AS BIGINT) AS mean_micro FROM tk, nn GROUP BY nn.n)
+         |SELECT nn.n, CAST($bb AS BIGINT) AS b, pt.mean_micro,
+         |  ci.ci_lo_micro, ci.ci_hi_micro
+         |FROM nn, pt, ci""".stripMargin
+    },
+
+    // Training + scoring via the shared chain, then the same
+    // fixed-point kappa with // truncation on the signed step.
+    "q385_cohen_kappa" ->
+      s"""WITH $logisticGdCtes,
+         |m4 AS (SELECT x.id, sum(CAST(x.xi AS HUGEINT) * w3.w) AS m12
+         |  FROM x JOIN w3 USING (dim) GROUP BY 1),
+         |p4 AS (SELECT id, CAST(round(1e6 / (1 + exp(
+         |    -(CAST(m12 AS DOUBLE) / 1e12)))) AS BIGINT) AS pmu
+         |  FROM m4),
+         |r AS (SELECT (y.ymu = 1000000) AS a, (p4.pmu >= 282000) AS b
+         |  FROM p4 JOIN y USING (id)),
+         |cts AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(*) FILTER (a) AS BIGINT) AS a_yes,
+         |    CAST(count(*) FILTER (b) AS BIGINT) AS b_yes,
+         |    CAST(count(*) FILTER (a = b) AS BIGINT) AS agree
+         |  FROM r),
+         |p AS (SELECT *,
+         |    CAST((CAST(agree AS HUGEINT) * 1000000) // n AS BIGINT)
+         |      AS po_micro,
+         |    CAST((CAST(a_yes AS HUGEINT) * b_yes * 1000000
+         |      + CAST(n - a_yes AS HUGEINT) * (n - b_yes) * 1000000)
+         |      // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_micro
+         |  FROM cts)
+         |SELECT n, a_yes, b_yes, agree, po_micro, pe_micro,
+         |  CASE WHEN pe_micro = 1000000 THEN NULL
+         |    ELSE CAST((CAST(po_micro - pe_micro AS HUGEINT) * 1000000)
+         |      // (1000000 - pe_micro) AS BIGINT) END AS kappa_micro
+         |FROM p""".stripMargin,
+
+    // DuckDB replays the chain with its OWN Unicode machinery
+    // (nfc_normalize + RE2 with explicit \x classes — \s differs
+    // between Java and RE2 on vertical tab, so neither side uses it).
+    "q384_canonical_dedup" ->
+      """WITH a AS (SELECT doc_id,
+        |    ' ' || text || ' Caf' || chr(233) || ' X' AS text
+        |  FROM documents
+        |  UNION ALL SELECT doc_id + 1000000000,
+        |    ' ' || chr(8203) || text || '  cafe' || chr(769) || '  x'
+        |  FROM documents),
+        |st AS (SELECT doc_id, text, nfc_normalize(text) AS s1 FROM a),
+        |s2t AS (SELECT *, regexp_replace(s1,
+        |    '[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00AD}]', '', 'g')
+        |    AS s2 FROM st),
+        |s3t AS (SELECT *, trim(regexp_replace(s2,
+        |    '[ \t\n\r\f]+', ' ', 'g')) AS s3 FROM s2t),
+        |c AS (SELECT *, lower(s3) AS canon FROM s3t),
+        |rg AS (SELECT CAST(count(*) AS BIGINT) AS c FROM
+        |  (SELECT md5(text) FROM c GROUP BY 1 HAVING count(*) >= 2)),
+        |cg AS (SELECT CAST(count(*) AS BIGINT) AS c FROM
+        |  (SELECT md5(canon) FROM c GROUP BY 1 HAVING count(*) >= 2))
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (s1 <> text) AS BIGINT) AS changed_nfc,
+        |  CAST(count(*) FILTER (s2 <> s1) AS BIGINT)
+        |    AS changed_invisible,
+        |  CAST(count(*) FILTER (s3 <> s2) AS BIGINT) AS changed_ws,
+        |  rg.c AS raw_dup_groups, cg.c AS canonical_dup_groups
+        |FROM c, rg, cg GROUP BY rg.c, cg.c""".stripMargin,
 
     // Same floors on HUGEINT (all quantities nonnegative, so // ≡ the
     // engine's pmod floor), same full-outer weight join.

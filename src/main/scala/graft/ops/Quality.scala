@@ -244,4 +244,43 @@ object Quality {
         (col("n1").cast("double") * col("n2").cast("double")))
         .cast("decimal(20,10)"), 6).cast("double").as("ks"))
   }
+
+  /** COHEN'S KAPPA between two binary raters — the label-QA read
+    * behind every "model agrees with the annotator" claim: raw
+    * agreement corrected for the agreement two independent raters
+    * with these marginals would reach by chance. All fixed-point:
+    * po = ⌊agree·1e6/n⌋, pe = ⌊(aʸbʸ + aⁿbⁿ)·1e6/n²⌋,
+    * kappa = (po−pe)·1e6/(1e6−pe) TRUNCATED toward zero (kappa can be
+    * negative — worse than chance — and SQL integer division
+    * truncates; the engine splits the sign around the nonneg pmod
+    * floor to match). n up to ~9e12 before the decimal(38,0) n² term
+    * would need widening; perfect-chance marginals (pe = 1e6) yield
+    * null kappa. One exact aggregate; `a`/`b` are boolean columns.
+    * Output one row: (n, a_yes, b_yes, agree, po_micro, pe_micro,
+    * kappa_micro).
+    */
+  def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(x: Column, y: Column): Column =
+      ((x - pmod(x, y)) / y).cast("long")
+    val counts = df.agg(count(lit(1)).as("n"),
+      sum(when(a, 1L).otherwise(0L)).as("a_yes"),
+      sum(when(b, 1L).otherwise(0L)).as("b_yes"),
+      sum(when(a === b, 1L).otherwise(0L)).as("agree"))
+    val withP = counts
+      .withColumn("po_micro",
+        fdiv(dec(col("agree")) * lit(1000000L), dec(col("n"))))
+      .withColumn("pe_micro",
+        fdiv(dec(col("a_yes")) * dec(col("b_yes")) * lit(1000000L)
+          + (dec(col("n")) - col("a_yes"))
+            * (dec(col("n")) - col("b_yes")) * lit(1000000L),
+          dec(col("n")) * dec(col("n"))))
+    val num = (col("po_micro") - col("pe_micro"))
+      .cast("decimal(38,0)") * lit(1000000L)
+    val den = dec(lit(1000000L) - col("pe_micro"))
+    withP.withColumn("kappa_micro",
+      when(col("pe_micro") === 1000000L, lit(null).cast("long"))
+        .otherwise(when(num < 0, lit(-1L)).otherwise(lit(1L))
+          * fdiv(abs(num), den)))
+  }
 }

@@ -506,6 +506,57 @@ object Sampling {
   private def pmFloorDiv(a: Column, b: Column): Column =
     ((a - pmod(a, b)) / b).cast("long")
 
+  /** DETERMINISTIC BOOTSTRAP CI for a mean — the error bar every eval
+    * report needs, with the repo's no-randomness contract: resample
+    * draw (rep, j) picks document ⌊md5(rep:j) mod n⌋ (the 60-bit
+    * hashLong convention), so B·n draws are a pure function of the
+    * corpus and both engines replay them. Per resample the EXACT
+    * ×1e6 floored mean; the CI bounds are order statistics of the B
+    * means at 0-based index ⌊bp·(B−1)/10000⌋ (basis points — the
+    * documented convention, no interpolation). Scale shape: draws are
+    * a `spark.range(B·n)` join against the id-ranked corpus (dense
+    * ranks from the two-level prefix kernel, never a global window);
+    * the B means sort in one B-sized bounded window. `id` must be
+    * distinct per row; `value` integral.
+    */
+  def bootstrapCiMean(df: DataFrame, id: Column, value: Column,
+                      b: Int, loBp: Int, hiBp: Int): DataFrame = {
+    require(b >= 2, "need at least 2 resamples")
+    require(loBp >= 0 && hiBp <= 10000 && loBp <= hiBp,
+      "basis points must satisfy 0 <= lo <= hi <= 10000")
+    val spark = df.sparkSession
+    val base = df.select(id.cast("long").as("id"),
+      value.cast("long").as("v"), lit(1L).as("one"))
+    val n = base.count()
+    require(n > 0, "bootstrapCiMean needs rows")
+    val ranked = Ranks.withRunningBelow(base, "id", 4096L, Seq("one"))
+      .select(col("one_below").as("idx"), col("v"))
+    val draws = spark.range(b.toLong * n)
+      .select((col("id") / n).cast("long").as("rep"),
+        pmod(graft.ops.Dedup.hashLong(
+          concat((col("id") / n).cast("long").cast("string"), lit(":"),
+            pmod(col("id"), lit(n)).cast("string"))), lit(n)).as("idx"))
+    val means = draws.join(ranked, "idx")
+      .groupBy(col("rep"))
+      .agg(sum(col("v")).as("s"))
+      .select(pmFloorDiv(col("s").cast("decimal(38,0)") * lit(1000000L),
+        lit(n).cast("decimal(38,0)")).as("m"))
+    val w = Window.partitionBy(Cols.onePartitionKey(col("m")))
+      .orderBy(col("m"))
+    val ord = means.withColumn("r", row_number().over(w) - 1)
+    val loIdx = (loBp.toLong * (b - 1)) / 10000
+    val hiIdx = (hiBp.toLong * (b - 1)) / 10000
+    val ci = ord.agg(
+      max(when(col("r") === loIdx, col("m"))).as("ci_lo_micro"),
+      max(when(col("r") === hiIdx, col("m"))).as("ci_hi_micro"))
+    val point = base.agg(
+      pmFloorDiv(sum(col("v")).cast("decimal(38,0)") * lit(1000000L),
+        lit(n).cast("decimal(38,0)")).as("mean_micro"))
+    point.crossJoin(ci)
+      .select(lit(n).as("n"), lit(b.toLong).as("b"), col("mean_micro"),
+        col("ci_lo_micro"), col("ci_hi_micro"))
+  }
+
   /** TARGET-WEIGHTED MIXTURE PLAN — the arithmetic a training run does
     * before any sampling happens (the DoReMi/Llama-style domain-weight
     * recipe): given per-source available tokens and target

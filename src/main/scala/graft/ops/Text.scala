@@ -93,6 +93,34 @@ object Text {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(trim(lower(text)), "\\s+", " "))
 
+  /** Strip INVISIBLE characters — zero-width space/non-joiner/joiner,
+    * BOM, soft hyphen: bytes that render as nothing and break every
+    * byte-level dedup key while leaving the text looking identical
+    * (the classic crawl-mirror false-negative next to NFC, q377).
+    */
+  def stripInvisible(text: Column): Column =
+    regexp_replace(text,
+      "[\\u200B\\u200C\\u200D\\uFEFF\\u00AD]", "")
+
+  /** Collapse whitespace runs to single spaces and trim — with an
+    * EXPLICIT class, not \s: Java's \s includes vertical tab, RE2's
+    * (DuckDB's) does not, so \s-based canonicalization diverges
+    * cross-engine on exotic whitespace.
+    */
+  def collapseWhitespace(text: Column): Column =
+    trim(regexp_replace(text, "[ \t\n\r\f]+", " "))
+
+  /** The full crawl CANONICALIZER for dedup keys: NFC (composed
+    * bytes), invisible strip, whitespace collapse, lowercase — in
+    * that order (NFC first so stripped/collapsed offsets see composed
+    * code points). Two renders of the same page — NFD vs NFC, zero-
+    * width-injected, re-wrapped — canonicalize to one byte string;
+    * [[fingerprint]] on raw text misses all three classes.
+    */
+  def canonicalizeForDedup(text: Column): Column =
+    lower(collapseWhitespace(stripInvisible(
+      graft.functions.NativeFunctions.unicodeNorm(text, "NFC"))))
+
   /** BPE-ish subword tokenization: letter runs, digit runs, and single
     * non-alphanumeric marks — the shape of a byte-pair pre-tokenizer's
     * split pattern, engine-portable (no lookarounds). Feeds token-count

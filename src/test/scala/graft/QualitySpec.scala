@@ -118,4 +118,30 @@ class QualitySpec extends SparkSpec {
     assert(doubled._2 == base._2 && doubled._1 == base._1 + 2,
       "even-count duplication is invisible to XOR; n_rows must differ")
   }
+
+  test("cohenKappa: textbook cell counts give the textbook kappa; " +
+      "perfect disagreement is −1e6; aligned-degenerate marginals " +
+      "yield null") {
+    import graft.ops.Quality
+    def mk(tt: Int, tf: Int, ft: Int, ff: Int) =
+      (Seq.fill(tt)((true, true)) ++ Seq.fill(tf)((true, false)) ++
+        Seq.fill(ft)((false, true)) ++ Seq.fill(ff)((false, false)))
+        .toDF("a", "b")
+    // po = 35/50 = 0.70, pe = (25·30 + 25·20)/2500 = 0.50 → κ = 0.40
+    val k = Quality.cohenKappa(mk(20, 5, 10, 15), $"a", $"b")
+      .as[(Long, Long, Long, Long, Long, Long, Option[Long])].head()
+    assert(k == ((50L, 25L, 30L, 35L, 700000L, 500000L, Some(400000L))))
+    // perfect disagreement with symmetric marginals: κ = −1
+    val neg = Quality.cohenKappa(mk(0, 25, 25, 0), $"a", $"b")
+      .select($"kappa_micro").as[Option[Long]].head()
+    assert(neg.contains(-1000000L))
+    // both raters constant-true: pe = 1e6, chance correction undefined
+    val degen = Quality.cohenKappa(mk(9, 0, 0, 0), $"a", $"b")
+      .select($"kappa_micro").as[Option[Long]].head()
+    assert(degen.isEmpty)
+    // floors are exact, not rounded: po = ⌊2/3·1e6⌋ = 666666
+    val f = Quality.cohenKappa(mk(1, 1, 0, 1), $"a", $"b")
+      .select($"po_micro").as[Long].head()
+    assert(f == 666666L)
+  }
 }

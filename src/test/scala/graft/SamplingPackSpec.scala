@@ -316,6 +316,35 @@ class SamplingPackSpec extends SparkSpec {
     assert(r2 == r3)
   }
 
+  test("bootstrapCiMean: the md5 resample universe replays exactly in " +
+      "a local brute force; CI bounds bracket the point estimate") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hashLong(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val vals = Seq(3L, 8L, 5L, 13L, 2L, 21L, 1L)
+    val rows = vals.zipWithIndex.map { case (v, i) => (i * 10L, v) }
+    val df = rows.toDF("id", "v")
+    val (b, lo, hi) = (9, 1000, 9000)
+    val got = Sampling.bootstrapCiMean(df, col("id"), col("v"), b, lo, hi)
+      .as[(Long, Long, Long, Long, Long)].head()
+    // brute: ids rank densely by id; draw (rep, j) -> hash mod n
+    val n = vals.size
+    val byIdx = rows.sortBy(_._1).map(_._2)
+    val means = (0 until b).map { rep =>
+      val s = (0 until n)
+        .map(j => byIdx((hashLong(s"$rep:$j") % n).toInt)).sum
+      s * 1000000L / n
+    }.sorted
+    val loIdx = (lo.toLong * (b - 1) / 10000).toInt
+    val hiIdx = (hi.toLong * (b - 1) / 10000).toInt
+    val mean = vals.sum * 1000000L / n
+    assert(got == ((n.toLong, b.toLong, mean,
+      means(loIdx), means(hiIdx))))
+    assert(got._4 <= got._5)
+  }
+
   test("mixturePlan: exact floors, minimal whole-pass epochs, absent " +
       "weighted source carries its target as shortfall, unweighted " +
       "source plans to zero") {
