@@ -4829,6 +4829,51 @@ object SparkEntry {
           lit(rawG).as("raw_dup_groups"), lit(nfcG).as("nfc_dup_groups"))
     }),
 
+    // Similarity/PCA: ALL-BUT-THE-TOP rewrite — the step after q383
+    // says yes: subtract each vector's top-component projection in
+    // the exact snap space and pin the REWRITE by its invariants per
+    // label: Σ r·v (orthogonality witness, ≈ 0 up to truncation),
+    // Σ‖r‖², and the projection range. The oracle replays gramian +
+    // power steps + the per-dim subtraction.
+    "q387_remove_top_component" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val g = Similarity.gramianFixedPoint(e, col("embedding"), 1000)
+      val v = Similarity.topEigenFixedPoint(g, 4)
+      Similarity.removeTopComponent(e, col("vec_id"), col("embedding"),
+          v, 1000)
+        .join(e.select(col("vec_id").as("id"), col("label")), "id")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("r_dot_v")).as("r_dot_v_sum"),
+          sum(col("r_energy")).as("r_energy_sum"),
+          min(col("p")).as("p_min"), max(col("p")).as("p_max"))
+    }),
+
+    // Text/format: FILL-IN-THE-MIDDLE transform — the infill training
+    // format: per doc two deterministic hash cuts (no RNG state),
+    // prefix/middle/suffix re-rendered as <PRE>/<SUF>/<MID>, the PSM
+    // string pinned byte-exactly by md5. Degenerate docs flow through
+    // with empty segments.
+    "q388_fim_split" -> ((s, dir) =>
+      Text.fimSplit(t(s, dir, "documents"), col("doc_id"), col("text"))),
+
+    // Sampling/mixture: EXPONENTIATED-GRADIENT domain reweighting —
+    // the DoReMi-style update from per-source losses (here: exact
+    // floored mean tokens per doc) to the next mixture: snapped exp
+    // factors, floor + largest-remainder normalization summing to
+    // EXACTLY 1e6 micro.
+    "q389_eg_reweight" -> ((s, dir) => {
+      val losses = t(s, dir, "documents")
+        .select(col("source"),
+          Text.tokenCount(col("text")).cast("long").as("n"))
+        .groupBy(col("source"))
+        .agg(sum(col("n")).as("sn"), count(lit(1)).as("c"))
+        .select(col("source"),
+          ((col("sn") * 1000000L - pmod(col("sn") * 1000000L, col("c")))
+            / col("c")).cast("long").as("loss_micro"))
+      Sampling.egReweight(losses, 100000L)
+    }),
+
     // Stats/eval: DETERMINISTIC BOOTSTRAP CI on the mean doc length —
     // the error bar an eval report carries, with no RNG state: every
     // draw is md5(rep:j) mod n (the hashLong convention), 200
@@ -14868,6 +14913,84 @@ object SparkEntry {
          |WHERE ag.longest_train_match >= 8
          |ORDER BY ag.longest_train_match DESC, ag.doc_id
          |LIMIT 50""".stripMargin,
+
+    // Gramian + power steps + the per-dim subtraction with the same
+    // truncating integer divisions; invariants roll up per label.
+    "q387_remove_top_component" ->
+      s"""WITH ${powerIterCtes(4)},
+         |x3 AS (SELECT label, vec_id,
+         |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000)
+         |      AS BIGINT) AS x3 FROM embeddings),
+         |pv AS (SELECT label, vec_id, sum(x3.x3 * v4.vm) AS pn
+         |  FROM x3 JOIN v4 ON v4.dim = x3.dim GROUP BY 1, 2),
+         |pq AS (SELECT label, vec_id, pn // 1000000 AS p FROM pv),
+         |rr AS (SELECT x3.label, x3.vec_id, pq.p,
+         |    x3.x3 - (pq.p * v4.vm) // 1000000 AS r, v4.vm
+         |  FROM x3 JOIN v4 ON v4.dim = x3.dim
+         |  JOIN pq ON pq.vec_id = x3.vec_id),
+         |pv2 AS (SELECT label, vec_id, any_value(p) AS p,
+         |    sum(r * vm) AS rdv, sum(r * r) AS ren
+         |  FROM rr GROUP BY 1, 2)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(rdv) AS BIGINT) AS r_dot_v_sum,
+         |  CAST(sum(ren) AS BIGINT) AS r_energy_sum,
+         |  CAST(min(p) AS BIGINT) AS p_min,
+         |  CAST(max(p) AS BIGINT) AS p_max
+         |FROM pv2 GROUP BY 1""".stripMargin,
+
+    // Same hash cuts, 1-based-inclusive list slices, byte-identical
+    // PSM render.
+    "q388_fim_split" ->
+      s"""WITH tk AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |b AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':a'),
+         |      1, 15) AS BIGINT) % (len(tk) + 1) AS c1,
+         |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':b'),
+         |      1, 15) AS BIGINT) % (len(tk) + 1) AS c2
+         |  FROM tk),
+         |s AS (SELECT doc_id, tk, n,
+         |    CAST(least(c1, c2) AS BIGINT) AS lo,
+         |    CAST(greatest(c1, c2) AS BIGINT) AS hi FROM b)
+         |SELECT doc_id, n AS n_tokens, lo, hi,
+         |  md5('<PRE> '
+         |    || coalesce(array_to_string(tk[1:CAST(lo AS INT)], ' '), '')
+         |    || ' <SUF> '
+         |    || coalesce(array_to_string(
+         |      tk[CAST(hi + 1 AS INT):CAST(n AS INT)], ' '), '')
+         |    || ' <MID> '
+         |    || coalesce(array_to_string(
+         |      tk[CAST(lo + 1 AS INT):CAST(hi AS INT)], ' '), ''))
+         |    AS psm_fp
+         |FROM s""".stripMargin,
+
+    // Losses, the snapped exp factors, and the floor +
+    // largest-remainder normalization replayed with // truncation.
+    "q389_eg_reweight" ->
+      s"""WITH tk AS (SELECT source, CAST(len($tokSql) AS BIGINT) AS n
+         |  FROM documents),
+         |ls AS (SELECT source, CAST((sum(n) * 1000000) // count(*)
+         |    AS BIGINT) AS loss_micro FROM tk GROUP BY 1),
+         |mn AS (SELECT CAST(sum(loss_micro) // count(*) AS BIGINT)
+         |    AS m FROM ls),
+         |fz AS (SELECT source, loss_micro,
+         |    CAST(round(1e6 * exp(CAST((loss_micro - mn.m) * 100000
+         |      AS DOUBLE) / 1e12)) AS BIGINT) AS factor_micro
+         |  FROM ls, mn),
+         |dn AS (SELECT CAST(sum(factor_micro) AS BIGINT) AS den FROM fz),
+         |pb AS (SELECT source, loss_micro, factor_micro,
+         |    CAST((CAST(factor_micro AS HUGEINT) * 1000000) // dn.den
+         |      AS BIGINT) AS w_base,
+         |    CAST((CAST(factor_micro AS HUGEINT) * 1000000) % dn.den
+         |      AS BIGINT) AS rem FROM fz, dn),
+         |df AS (SELECT CAST(1000000 - sum(w_base) AS BIGINT)
+         |    AS deficit FROM pb),
+         |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source)
+         |    AS rnk FROM pb)
+         |SELECT source, loss_micro, factor_micro,
+         |  w_base + CASE WHEN rnk <= df.deficit THEN 1 ELSE 0 END
+         |    AS weight_micro
+         |FROM rk, df""".stripMargin,
 
     // The identical resample universe: md5(rep:j) mod n draws, exact
     // floored means, the same order-statistic indexes.

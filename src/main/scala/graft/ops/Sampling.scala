@@ -557,6 +557,48 @@ object Sampling {
         col("ci_lo_micro"), col("ci_hi_micro"))
   }
 
+  /** EXPONENTIATED-GRADIENT domain REWEIGHTING — the DoReMi-style
+    * update that turns per-domain losses into the next round's
+    * mixture: from a uniform prior, factor_s = round(1e6·exp(η·
+    * (loss_s − mean)/1e12)) (the snapped-transcendental convention —
+    * exp evaluates once and snaps ×1e6, every other step exact
+    * integer), then weights normalize to exactly 1e6 micro by floor +
+    * LARGEST-REMAINDER (remainder desc, source asc ties), so the
+    * emitted mixture always sums to one and the rounding is
+    * deterministic. `losses` is (source, loss_micro ≥ 0); η in micro
+    * (100000 = 0.1). Domain count is small by nature — the remainder
+    * rank runs in one bounded window.
+    */
+  def egReweight(losses: DataFrame, etaMicro: Long): DataFrame = {
+    require(etaMicro >= 0, "eta must be >= 0")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val base = losses.select(col("source"),
+      col("loss_micro").cast("long").as("loss_micro"))
+    val mean = base.agg(pmFloorDiv(dec(sum(col("loss_micro"))),
+      dec(count(lit(1)))).as("mean_loss"))
+    val f = base.crossJoin(mean)
+      .withColumn("factor_micro",
+        round(lit(1e6) * exp(((col("loss_micro") - col("mean_loss"))
+          * etaMicro).cast("double") / lit(1e12))).cast("long"))
+    val den = f.agg(sum(col("factor_micro")).as("den"),
+      count(lit(1)).as("k"))
+    val parts = f.crossJoin(den)
+      .withColumn("w_base",
+        pmFloorDiv(dec(col("factor_micro")) * lit(1000000L),
+          dec(col("den"))))
+      .withColumn("rem", pmod(dec(col("factor_micro")) * lit(1000000L),
+        dec(col("den"))))
+    val deficit = parts.agg((lit(1000000L) - sum(col("w_base")))
+      .as("deficit"))
+    val wr = Window.partitionBy(Cols.onePartitionKey(col("source")))
+      .orderBy(col("rem").desc, col("source"))
+    parts.crossJoin(deficit)
+      .withColumn("rnk", row_number().over(wr))
+      .select(col("source"), col("loss_micro"), col("factor_micro"),
+        (col("w_base") + when(col("rnk") <= col("deficit"), 1L)
+          .otherwise(0L)).as("weight_micro"))
+  }
+
   /** TARGET-WEIGHTED MIXTURE PLAN — the arithmetic a training run does
     * before any sampling happens (the DoReMi/Llama-style domain-weight
     * recipe): given per-source available tokens and target

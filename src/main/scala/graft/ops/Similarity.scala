@@ -1545,4 +1545,39 @@ object Similarity {
         sum(col("p") * col("p")).as("explained_mass"),
         sum(col("tot")).as("total_mass"))
   }
+
+  /** ALL-BUT-THE-TOP rewrite (Arora et al. 2017, the step after
+    * [[topComponentMass]] says yes): subtract each vector's top-
+    * component projection in the EXACT snap space — p = (Σ x₃·vm)/1e6
+    * truncated, r_d = x₃(d) − (p·vm_d)/1e6 truncated (truncation ≡
+    * SQL integer division throughout, every intermediate < 2^53 so
+    * the double quotients are exact). Emits per vector the projection
+    * and two exact residual invariants — r·v (≈ 0 up to truncation,
+    * THE orthogonality witness) and ‖r‖² — rather than the raw array:
+    * the invariants are what a consumer audits, and they pin the
+    * rewrite as hard as the array would. Same HOF-fold shape as
+    * [[topComponentMass]]: no explode, no per-row join.
+    */
+  def removeTopComponent(vecs: DataFrame, id: Column, vec: Column,
+                         vDf: DataFrame, scale: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val vArr = vDf.select(col("dim").cast("int"), col("v_micro")
+        .cast("long")).as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    val vl = typedLit(vArr.toSeq)
+    val x3 = transform(vec, x =>
+      round(x.cast("double") * scale).cast("long"))
+    val withP = vecs.select(id.as("id"), x3.as("x3"))
+      .withColumn("pn", aggregate(zip_with(col("x3"), vl,
+        (a, b) => a * b), lit(0L), (acc, t) => acc + t))
+      .withColumn("p", (col("pn") / lit(1000000L)).cast("long"))
+    withP
+      .withColumn("r", zip_with(col("x3"), vl, (x, vm) =>
+        x - (col("p") * vm / lit(1000000L)).cast("long")))
+      .select(col("id"), col("p"),
+        aggregate(zip_with(col("r"), vl, (a, b) => a * b), lit(0L),
+          (acc, t) => acc + t).as("r_dot_v"),
+        aggregate(transform(col("r"), x => x * x), lit(0L),
+          (acc, t) => acc + t).as("r_energy"))
+  }
 }

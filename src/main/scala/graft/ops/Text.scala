@@ -1734,4 +1734,39 @@ object Text {
       .groupBy(col("y"), col("c").as("pred"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** FILL-IN-THE-MIDDLE transform (Bavarian et al. 2022 — the infill
+    * training format code models ship on): per document, two
+    * DETERMINISTIC cut points c = hashLong(id:salt) mod (n+1) (the
+    * no-RNG sampling convention; the same doc cuts identically on
+    * every run and engine), the token stream splits prefix/middle/
+    * suffix at [lo, hi), and the PSM render re-orders them behind
+    * sentinel markers: `<PRE> prefix <SUF> suffix <MID> middle` —
+    * the model learns to produce the middle conditioned on both
+    * sides. Degenerate docs (empty, or cuts collapsing) flow through
+    * with empty segments — the render is total. Output: (doc_id,
+    * n_tokens, lo, hi, psm_fp) with psm_fp the md5 of the rendered
+    * string (byte-exact cross-engine).
+    */
+  def fimSplit(docs: DataFrame, id: Column, text: Column): DataFrame = {
+    def cut(salt: String, n: Column): Column =
+      pmod(Dedup.hashLong(concat(id.cast("string"), lit(":" + salt))),
+        n + 1)
+    val tk = tokens(text)
+    docs.select(id.cast("long").as("doc_id"), tk.as("tk"))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+      .withColumn("c1", cut("a", col("n_tokens")))
+      .withColumn("c2", cut("b", col("n_tokens")))
+      .withColumn("lo", least(col("c1"), col("c2")))
+      .withColumn("hi", greatest(col("c1"), col("c2")))
+      .select(col("doc_id"), col("n_tokens"), col("lo"), col("hi"),
+        md5(concat(lit("<PRE> "),
+          concat_ws(" ", slice(col("tk"), lit(1), col("lo").cast("int"))),
+          lit(" <SUF> "),
+          concat_ws(" ", slice(col("tk"), (col("hi") + 1).cast("int"),
+            (col("n_tokens") - col("hi")).cast("int"))),
+          lit(" <MID> "),
+          concat_ws(" ", slice(col("tk"), (col("lo") + 1).cast("int"),
+            (col("hi") - col("lo")).cast("int"))))).as("psm_fp"))
+  }
 }

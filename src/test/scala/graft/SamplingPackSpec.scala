@@ -316,6 +316,39 @@ class SamplingPackSpec extends SparkSpec {
     assert(r2 == r3)
   }
 
+  test("egReweight: weights sum to EXACTLY 1e6, factors are monotone " +
+      "in loss, uniform losses stay uniform, remainder distribution " +
+      "is deterministic") {
+    val losses = Seq(("a", 50000000L), ("b", 55000000L),
+      ("c", 60000000L), ("d", 52000000L), ("e", 52000000L))
+      .toDF("source", "loss_micro")
+    val got = Sampling.egReweight(losses, 100000L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.values.map(_._4).sum == 1000000L, "weights must sum to 1e6")
+    // higher loss -> strictly higher factor (exp is monotone)
+    val byLoss = got.values.toSeq.sortBy(_._2).map(_._3)
+    assert(byLoss == byLoss.sorted && byLoss.distinct.size >= 4)
+    // equal losses get equal factors; their weights differ by at most
+    // the largest-remainder unit
+    assert(got("d")._3 == got("e")._3)
+    assert(math.abs(got("d")._4 - got("e")._4) <= 1)
+    // uniform losses: every factor 1e6, weights split 1e6 as evenly
+    // as integers allow
+    val uni = Sampling.egReweight(
+        Seq(("x", 7L), ("y", 7L), ("z", 7L)).toDF("source", "loss_micro"),
+        100000L)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(uni.forall(_._3 == 1000000L))
+    assert(uni.map(_._4).sum == 1000000L)
+    assert(uni.map(_._4).toSet == Set(333333L, 333334L))
+    // determinism
+    val again = Sampling.egReweight(losses, 100000L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(again == got)
+  }
+
   test("bootstrapCiMean: the md5 resample universe replays exactly in " +
       "a local brute force; CI bounds bracket the point estimate") {
     def md5hex(s: String): String =

@@ -765,6 +765,30 @@ class SimilaritySpec extends SparkSpec {
         rows.map(_._2.map(x => x * x).sum).sum)
     }.toSet
     assert(masses == want)
+    // all-but-the-top: residuals replay in brute force, the r·v
+    // invariant is truncation-bounded (≈ orthogonal), and removing
+    // the top component kills most of the planted-axis energy
+    val withId = data.zipWithIndex.map { case ((l, v), i) =>
+      (i.toLong, v.toSeq) }.toDF("id", "embedding")
+    val rem = Similarity.removeTopComponent(withId, col("id"),
+        col("embedding"), vDf, 1000)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    data.zipWithIndex.foreach { case ((_, _), i) =>
+      val r0 = snapped(i)
+      val pn = (0 until d).map(k => r0(k) * got(k)).sum
+      val p = pn / 1000000L
+      val res = Array.tabulate(d)(k => r0(k) - (p * got(k)) / 1000000L)
+      val rdv = (0 until d).map(k => res(k) * got(k)).sum
+      val ren = (0 until d).map(k => res(k) * res(k)).sum
+      assert(rem(i.toLong) == ((i.toLong, p, rdv, ren)), s"vec $i")
+      // |r·v| ≤ (d+1)·1e6: each truncation loses < 1 snap unit ×
+      // |v_micro| ≤ 1e6, d per-dim cuts + the projection's own cut
+      assert(math.abs(rdv) <= (d + 1) * 1000000L, s"vec $i not ~orthogonal")
+    }
+    val totalEnergy = snapped.map(_.map(x => x * x).sum).sum
+    val residEnergy = rem.values.map(_._4).sum
+    assert(residEnergy < totalEnergy / 2,
+      "the dominant planted axis must carry most of the energy")
   }
 
   test("q224 mutual-kNN reciprocity on a planted two-pair geometry") {

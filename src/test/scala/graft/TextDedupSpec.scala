@@ -1,4 +1,5 @@
 package graft
+// (fimSplit + canonicalizer specs live at the bottom of this suite)
 
 import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Text}
@@ -989,5 +990,55 @@ class TextDedupSpec extends SparkSpec {
     val oS = Text.sourceJsVsRest(solo, $"src", $"text")
       .as[(String, Long, Option[Double])].head()
     assert(oS == (("only", 3L, None)), s"got $oS")
+  }
+
+  test("fimSplit: hash cuts and the PSM render replay in a local " +
+      "brute force; degenerate docs flow through; deterministic") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hashLong(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a"), (3L, ""), (4L, "alpha beta gamma delta"))
+    val got = Text.fimSplit(docs.toDF("doc_id", "text"),
+        col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    docs.foreach { case (id, txt) =>
+      val tk = txt.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val n = tk.length
+      val c1 = hashLong(s"$id:a") % (n + 1)
+      val c2 = hashLong(s"$id:b") % (n + 1)
+      val (lo, hi) = (math.min(c1, c2).toInt, math.max(c1, c2).toInt)
+      val psm = "<PRE> " + tk.slice(0, lo).mkString(" ") +
+        " <SUF> " + tk.slice(hi, n).mkString(" ") +
+        " <MID> " + tk.slice(lo, hi).mkString(" ")
+      assert(got(id) ==
+        ((id, n.toLong, lo.toLong, hi.toLong, md5hex(psm))), s"doc $id")
+    }
+    // the empty doc renders the all-empty PSM
+    assert(got(3L)._5 == md5hex("<PRE>  <SUF>  <MID> "))
+  }
+
+  test("canonicalizeForDedup folds NFD/zero-width/whitespace/case " +
+      "variants of one page to a single dedup key; fingerprint on " +
+      "raw text does not") {
+    val base = "Some Page Content here"
+    val variants = Seq(
+      base + " Caf\u00e9",                      // NFC composed
+      base + " Cafe\u0301",                     // NFD decomposed
+      "\u200B" + base + " Caf\u00e9\uFEFF",     // zero-width injected
+      " " + base.toLowerCase + "  caf\u00e9  ",  // case + wrapping
+      base + "\tCaf\u00e9\n")                   // exotic whitespace
+    val df = variants.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val canon = df.select(Text.canonicalizeForDedup($"text"))
+      .as[String].collect().toSet
+    assert(canon.size == 1, s"canonical keys diverged: $canon")
+    val raw = df.select(Text.fingerprint($"text"))
+      .as[String].collect().toSet
+    assert(raw.size > 1, "raw fingerprint must NOT fold these")
   }
 }
