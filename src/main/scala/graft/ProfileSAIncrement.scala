@@ -57,15 +57,16 @@ object ProfileSAIncrement {
       m.groupBy(col("doc_id"))
         .agg(max(col("train_match")).as("lm"))
         .filter(col("lm") >= 8).count()
+    // the production shape: faces load + pin once, every batch reuses
+    val index = SuffixArray.loadProbeIndex(spark, idx, 8L)
     for (i <- 0 until batches) {
       val (n, tb) = timed {
-        rollup(SuffixArray.decontaminateIncrement(spark, idx,
-          batch(i), 8L))
+        rollup(SuffixArray.decontaminateIncrement(index, batch(i)))
       }
       println(f"[sa-inc] batch $i probe+chain ${tb}%7.2f s " +
         s"(contaminated_docs=$n)")
-      spark.catalog.clearCache()
     }
+    index.unpersistAll()
     val (n, tFull) = timed {
       val all = train.unionByName(batch(batches - 1))
       val c = SuffixArray.corpus(all, col("doc_id"), col("text"))

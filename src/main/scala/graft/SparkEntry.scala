@@ -4998,19 +4998,19 @@ object SparkEntry {
     // combined SA — the stream must land exactly the batch-rebuild
     // truth.
     "q380_decontamination_stream" -> ((s, dir) => {
-      val train = t(s, dir, "documents").filter(col("doc_id") % 6 === 0)
+      val train = t(s, dir, "documents").filter(col("doc_id") % 24 === 0)
         .select(col("doc_id"), col("text"))
       def inc(b: Int): DataFrame = train
-        .filter(col("doc_id") % 180 === b * 60)
+        .filter(col("doc_id") % 240 === b * 120)
         .select((col("doc_id") + 1000000000L).as("doc_id"),
           concat(col("text"), lit(" zz9 qq8")).as("text"))
       val tmp = gateTempDir("q380")
       val idx = tmp + "/sa_index"
       withShufflePartitions(s, 8) {
         val c = SuffixArray.corpus(train, col("doc_id"), col("text"))
-        val b = SuffixArray.build(c)
+        val b = SuffixArray.buildTo(c, 8L)
         SuffixArray.persistProbeIndex(c, b, idx, 8L)
-        val in = writeStreamBatches(Seq(inc(0), inc(1), inc(2)), tmp)
+        val in = writeStreamBatches(Seq(inc(0), inc(1)), tmp)
         val schema = s.read.parquet(in).schema
         graft.streaming.Streams.decontaminationStream(
           s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
@@ -5077,14 +5077,14 @@ object SparkEntry {
     "q373_decontaminate_increment" -> ((s, dir) =>
       withShufflePartitions(s, 8) {
         val train = t(s, dir, "documents")
-          .filter(col("doc_id") % 3 === 0)
+          .filter(col("doc_id") % 6 === 0)
           .select(col("doc_id"), col("text"))
-        val inc = train.filter(col("doc_id") % 30 === 0)
+        val inc = train.filter(col("doc_id") % 60 === 0)
           .select((col("doc_id") + 1000000000L).as("doc_id"),
             concat(col("text"), lit(" zz9 qq8")).as("text"))
         val idx = gateTempDir("q373") + "/sa_index"
         val c = SuffixArray.corpus(train, col("doc_id"), col("text"))
-        val b = SuffixArray.build(c)
+        val b = SuffixArray.buildTo(c, 8L)
         SuffixArray.persistProbeIndex(c, b, idx, 8L)
         val m = SuffixArray.decontaminateIncrement(s, idx, inc, 8L)
           .localCheckpoint(true)
@@ -14902,10 +14902,10 @@ object SparkEntry {
     // the claim "increment-probe ≡ full rebuild at the ≥ 8 threshold".
     "q373_decontaminate_increment" ->
       s"""WITH ${saCteSqlFrom(
-             """SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+             """SELECT doc_id, text FROM documents WHERE doc_id % 6 = 0
                |    UNION ALL SELECT doc_id + 1000000000 AS doc_id,
                |      text || ' zz9 qq8' AS text
-               |    FROM documents WHERE doc_id % 30 = 0""".stripMargin)},
+               |    FROM documents WHERE doc_id % 60 = 0""".stripMargin)},
          |${saCrossMatchCtes("doc_id < 1000000000")}
          |SELECT ag.doc_id, CAST(len(tk.tk) AS BIGINT) AS n_tokens,
          |  ag.longest_train_match, ag.contaminated_starts
@@ -15145,14 +15145,14 @@ object SparkEntry {
     // batch id is arithmetic on the planted id lanes.
     "q380_decontamination_stream" ->
       s"""WITH ${saCteSqlFrom(
-             """SELECT doc_id, text FROM documents WHERE doc_id % 6 = 0
+             """SELECT doc_id, text FROM documents WHERE doc_id % 24 = 0
                |    UNION ALL SELECT doc_id + 1000000000 AS doc_id,
                |      text || ' zz9 qq8' AS text
-               |    FROM documents WHERE doc_id % 60 = 0""".stripMargin)},
+               |    FROM documents WHERE doc_id % 120 = 0""".stripMargin)},
          |${saCrossMatchCtes("doc_id < 1000000000")}
          |SELECT ag.doc_id, CAST(len(tk.tk) AS BIGINT) AS n_tokens,
          |  ag.longest_train_match, ag.contaminated_starts,
-         |  CAST(((ag.doc_id - 1000000000) % 180) // 60 AS BIGINT)
+         |  CAST(((ag.doc_id - 1000000000) % 240) // 120 AS BIGINT)
          |    AS ingest_batch
          |FROM ag JOIN tk ON tk.doc_id = ag.doc_id
          |WHERE ag.longest_train_match >= 8""".stripMargin,

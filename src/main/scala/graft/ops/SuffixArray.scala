@@ -173,6 +173,51 @@ object SuffixArray {
     Built(cur, tables.toSeq, owned.toSeq)
   }
 
+  /** Prefix doubling to a FIXED window length, WITHOUT requiring full
+    * rank distinctness — all a threshold-g probe index needs: the
+    * count-below rank at window w is the same value whether or not
+    * longer windows still tie, so stopping at w = `windowLen` yields
+    * tables bit-identical to [[build]]'s first log₂ w rounds at a
+    * fraction of the rounds (an 8-token threshold pays 3 rounds
+    * whatever the corpus's longest repeat — measured as the dominant
+    * cost of the increment gates against [[build]]'s full ceiling).
+    * Early-exits when ranks resolve sooner; `sa` is the last frame
+    * (NOT necessarily distinct — callers needing the full array use
+    * [[build]]).
+    */
+  def buildTo(c: Corpus, windowLen: Long): Built = {
+    require(windowLen >= 1 && (windowLen & (windowLen - 1)) == 0,
+      s"windowLen must be a power of two, got $windowLen")
+    var cur = c.positions.localCheckpoint(true)
+    val owned = ArrayBuffer[DataFrame](cur)
+    val tables = ArrayBuffer[(Long, DataFrame)](
+      (1L, cur.select(col("gpos"), col("rank"))))
+    var len = 1L
+    var unresolved = cur.filter(col("cnt") > 1).count()
+    while (len < windowLen && unresolved > 0) {
+      val nxt = cur.select((col("gpos") - len).as("gpos"),
+        col("rank").as("r2"))
+      val un = cur.filter(col("cnt") > 1)
+        .join(nxt, Seq("gpos"), "left")
+        .withColumn("r2f", coalesce(col("r2"), lit(-1L)))
+      val wg = Window.partitionBy(col("rank")).orderBy(col("r2f"))
+      val upd = un
+        .withColumn("below", count(lit(1)).over(
+          wg.rangeBetween(Window.unboundedPreceding, -1)))
+        .withColumn("ties", count(lit(1)).over(wg.rangeBetween(0, 0)))
+        .select(col("gpos"), col("doc_id"), col("pos"), col("sent"),
+          (col("rank") + col("below")).as("rank"),
+          col("ties").as("cnt"))
+      cur = cur.filter(col("cnt") === 1).unionByName(upd)
+        .localCheckpoint(true)
+      owned += cur
+      len *= 2
+      tables += ((len, cur.select(col("gpos"), col("rank"))))
+      unresolved = cur.filter(col("cnt") > 1).count()
+    }
+    Built(cur, tables.toSeq, owned.toSeq)
+  }
+
   /** LCP between SA-adjacent REAL suffixes via rank-table descent:
     * walk window lengths 2^(rounds−1)…1 high-to-low, advancing both
     * cursors whenever the two windows' ranks match (count-below rank
@@ -458,7 +503,11 @@ object SuffixArray {
     graft.sources.Snapshot.commit(
       c.vocab.select(col("token"), col("rank")), s"$dir/vocab",
       clusterBy = Some("token"))
-    for (k <- 1 to levels) {
+    // all doubling maps land in ONE table partitioned by level — one
+    // commit, and a probe prunes its level's dirs from the manifest
+    // (5 snapshot round-trips per probe measured as the q380 gate's
+    // dominant fixed cost before this)
+    val pairs = (1 to levels).map { k =>
       val half = 1L << (k - 1)
       val prev = tableAt(b, half)
       val next = tableAt(b, 1L << k)
@@ -467,13 +516,14 @@ object SuffixArray {
       // windows whose second half falls off the corpus end can never
       // match an increment window (both increment halves are real);
       // the inner joins drop them
-      val pk = prev.select(col("gpos"), col("rank").as("r1"))
+      prev.select(col("gpos"), col("rank").as("r1"))
         .join(shifted, Seq("gpos"))
         .join(next.select(col("gpos"), col("rank")), Seq("gpos"))
         .select(col("r1"), col("r2"), col("rank")).distinct()
-      graft.sources.Snapshot.commit(pk, s"$dir/pairs_$k",
-        clusterBy = Some("r1"))
-    }
+        .withColumn("k", lit(k))
+    }.reduce(_ unionByName _)
+    graft.sources.Snapshot.commit(pairs, s"$dir/pairs",
+      partitionCol = Some("k"), clusterBy = Some("r1"))
     val nTok = b.sa.filter(col("sent"))
       .select(col("doc_id"), col("pos").as("n_tok"))
     val occ = tableAt(b, g)
@@ -484,6 +534,37 @@ object SuffixArray {
       .select(col("rank"), col("doc_id"), col("pos"))
     graft.sources.Snapshot.commit(occ, s"$dir/occ",
       clusterBy = Some("rank"))
+  }
+
+  /** The probe faces loaded ONCE and pinned in memory — what every
+    * repeated consumer (a stream's batches, a probe loop) should hold
+    * instead of re-reading the snapshot per call. `unpersistAll`
+    * releases the pins.
+    */
+  final case class ProbeIndex(vocab: DataFrame, pairs: Seq[DataFrame],
+                              occ: DataFrame, g: Long) {
+    def unpersistAll(): Unit = {
+      vocab.unpersist(); pairs.foreach(_.unpersist())
+      occ.unpersist(): Unit
+    }
+  }
+
+  /** Load + persist the probe faces (level dirs pruned from the
+    * manifest, one read per face).
+    */
+  def loadProbeIndex(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, g: Long = 8L): ProbeIndex = {
+    require(g >= 2 && (g & (g - 1)) == 0, s"g must be a power of two ≥ 2, got $g")
+    val levels = (math.log(g.toDouble) / math.log(2.0)).round.toInt
+    val vocab = graft.sources.Snapshot.read(spark, s"$dir/vocab")
+      .persist()
+    val pairs = (1 to levels).map { k =>
+      graft.sources.Snapshot.readPruned(spark, s"$dir/pairs",
+        _ == k.toString).select(col("r1"), col("r2"), col("rank"))
+        .persist()
+    }
+    val occ = graft.sources.Snapshot.read(spark, s"$dir/occ").persist()
+    ProbeIndex(vocab, pairs, occ, g)
   }
 
   /** Rank-descend an increment against a persisted probe index: for
@@ -497,23 +578,17 @@ object SuffixArray {
     * train rank identifying WHICH window. Cost is increment-sized:
     * the big sides are the persisted faces, clustered on the join key.
     */
-  def probeGramRanks(spark: org.apache.spark.sql.SparkSession,
-                     indexDir: String, docs: DataFrame,
-                     idCol: Column, textCol: Column,
-                     g: Long = 8L): DataFrame = {
-    require(g >= 2 && (g & (g - 1)) == 0, s"g must be a power of two ≥ 2, got $g")
-    val levels = (math.log(g.toDouble) / math.log(2.0)).round.toInt
-    val vocab = graft.sources.Snapshot.read(spark, s"$indexDir/vocab")
+  def probeGramRanks(index: ProbeIndex, docs: DataFrame,
+                     idCol: Column, textCol: Column): DataFrame = {
     var cur = docs
       .select(idCol.cast("long").as("doc_id"),
         posexplode(Text.tokens(textCol)).as(Seq("pos", "token")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         col("token"))
-      .join(vocab, Seq("token"))
+      .join(index.vocab.select(col("token"), col("rank")), Seq("token"))
       .select(col("doc_id"), col("pos"), col("rank"))
-    for (k <- 1 to levels) {
-      val half = 1L << (k - 1)
-      val pk = graft.sources.Snapshot.read(spark, s"$indexDir/pairs_$k")
+    for ((pk, i) <- index.pairs.zipWithIndex) {
+      val half = 1L << i
       val right = cur.select(col("doc_id"), (col("pos") - half).as("pos"),
         col("rank").as("r2"))
       cur = cur.withColumnRenamed("rank", "r1")
@@ -524,18 +599,34 @@ object SuffixArray {
     cur
   }
 
+  /** Dir-based convenience: load the faces, probe once. Repeated
+    * consumers should [[loadProbeIndex]] themselves and reuse it.
+    */
+  def probeGramRanks(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String, docs: DataFrame,
+                     idCol: Column, textCol: Column,
+                     g: Long = 8L): DataFrame =
+    probeGramRanks(loadProbeIndex(spark, indexDir, g), docs, idCol,
+      textCol)
+
   /** The train documents an increment could share a g-token span with:
     * distinct docs holding any g-window the probe matched. Any train
     * match of length ≥ g tiles into aligned g-grams inside ONE train
     * doc, so the candidate set provably contains every doc a ≥ g
     * span lives in — retrieval by rank equality, never similarity.
     */
+  def probeCandidateDocs(index: ProbeIndex,
+                         gramRanks: DataFrame): DataFrame =
+    index.occ
+      .join(gramRanks.select(col("rank")).distinct(), Seq("rank"))
+      .select(col("doc_id")).distinct()
+
+  /** Dir-based convenience (see [[probeGramRanks]]). */
   def probeCandidateDocs(spark: org.apache.spark.sql.SparkSession,
                          indexDir: String,
                          gramRanks: DataFrame): DataFrame =
-    graft.sources.Snapshot.read(spark, s"$indexDir/occ")
-      .join(gramRanks.select(col("rank")).distinct(), Seq("rank"))
-      .select(col("doc_id")).distinct()
+    probeCandidateDocs(
+      loadProbeIndex(spark, indexDir), gramRanks)
 
   /** INCREMENTAL exact-span decontamination: score a NEW eval batch
     * against an existing train corpus WITHOUT rebuilding any suffix
@@ -571,12 +662,12 @@ object SuffixArray {
     * Returns (doc_id, pos, train_match) for every eval position, the
     * [[longestCrossMatch]] shape thresholded at g.
     */
-  def decontaminateIncrement(spark: org.apache.spark.sql.SparkSession,
-                             indexDir: String, evalDocs: DataFrame,
-                             g: Long): DataFrame = {
-    val hits = probeGramRanks(spark, indexDir, evalDocs,
-      col("doc_id"), col("text"), g)
-    val occ = graft.sources.Snapshot.read(spark, s"$indexDir/occ")
+  def decontaminateIncrement(index: ProbeIndex,
+                             evalDocs: DataFrame): DataFrame = {
+    val g = index.g
+    val hits = probeGramRanks(index, evalDocs, col("doc_id"),
+      col("text"))
+    val occ = index.occ
     val pairs = hits.join(occ.select(col("rank"),
         col("doc_id").as("t_doc"), col("pos").as("t_pos")), Seq("rank"))
       .select(col("doc_id"), col("pos"), col("t_doc"),
@@ -597,4 +688,10 @@ object SuffixArray {
       .join(runs, Seq("doc_id", "pos"), "left")
       .select(col("doc_id"), col("pos"), col("m").as("train_match"))
   }
+
+  /** Dir-based convenience (see [[probeGramRanks]]): load, probe once. */
+  def decontaminateIncrement(spark: org.apache.spark.sql.SparkSession,
+                             indexDir: String, evalDocs: DataFrame,
+                             g: Long): DataFrame =
+    decontaminateIncrement(loadProbeIndex(spark, indexDir, g), evalDocs)
 }

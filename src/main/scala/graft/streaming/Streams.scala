@@ -1094,6 +1094,10 @@ object Streams {
       : Unit = {
     import graft.ops.{SuffixArray, Text}
     import graft.sources.Snapshot
+    // the index is FIXED for the stream's lifetime: load + pin the
+    // probe faces ONCE; per-batch snapshot re-reads were the gate's
+    // dominant fixed cost (measured, NOTES 123)
+    val index = SuffixArray.loadProbeIndex(in.sparkSession, indexDir, g)
     val q = in.writeStream
       .outputMode(OutputMode.Append)
       .option("checkpointLocation", checkpoint)
@@ -1104,10 +1108,12 @@ object Streams {
           val spark = batch.sparkSession
           val docs = batch.toDF().select(col("doc_id"), col("text"))
             .persist()
-          val m = SuffixArray.decontaminateIncrement(spark, indexDir,
-            docs, g)
+          val m = SuffixArray.decontaminateIncrement(index, docs)
           val nTok = docs.select(col("doc_id"),
             Text.tokenCount(col("text")).cast("long").as("n_tokens"))
+          // eager checkpoint: the emptiness probe AND the merge both
+          // consume verdicts — without it each re-runs the whole
+          // probe/chain cascade (measured 2× per batch)
           val verdicts = m.groupBy(col("doc_id"))
             .agg(max(col("train_match")).as("longest_train_match"),
               sum(when(col("train_match") >= g, lit(1L)).otherwise(lit(0L)))
@@ -1117,6 +1123,7 @@ object Streams {
             .select(col("doc_id"), col("n_tokens"),
               col("longest_train_match"), col("contaminated_starts"))
             .withColumn("ingest_batch", lit(batchId))
+            .localCheckpoint(true)
           if (!verdicts.isEmpty)
             Snapshot.merge(verdicts, table, Seq("doc_id"), "doc_id",
               "ingest_batch"): Unit
@@ -1125,7 +1132,8 @@ object Streams {
         onBatch(batchId, (System.nanoTime - t0) / 1e9)
       }
       .start()
-    q.awaitTermination()
+    try q.awaitTermination()
+    finally index.unpersistAll()
   }
 
   /** Drive any streaming DataFrame to a parquet sink with AvailableNow:

@@ -255,6 +255,20 @@ class SuffixArraySpec extends SparkSpec {
     205L -> "completely novel tokens qqq www eee rrr ttt",
     207L -> "four five six one two three four five six zz")
 
+  test("buildTo stops at the requested window with tables " +
+      "bit-identical to build()'s first rounds (count-below ranks at " +
+      "window w don't depend on later rounds)") {
+    val (c, bFull) = buildAll()
+    val bTo = SuffixArray.buildTo(c, 4L)
+    assert(bTo.tables.map(_._1) == Seq(1L, 2L, 4L))
+    for (((len, t1), (_, t2)) <- bTo.tables.zip(bFull.tables.take(3))) {
+      val a = t1.as[(Long, Long)].collect().toSet
+      val b = t2.as[(Long, Long)].collect().toSet
+      assert(a == b, s"window $len tables diverge")
+    }
+    bTo.unpersistAll(); bFull.unpersistAll()
+  }
+
   test("probeGramRanks: increment positions found are exactly the " +
       "g-grams occurring in train, ranks identify window equality, " +
       "candidate docs are exactly the docs holding a hit gram") {
