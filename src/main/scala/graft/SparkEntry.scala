@@ -4829,6 +4829,48 @@ object SparkEntry {
           lit(rawG).as("raw_dup_groups"), lit(nfcG).as("nfc_dup_groups"))
     }),
 
+    // Storage: SHALLOW CLONE — the dev/test sandbox face (Delta's
+    // CLONE): a new table whose v1 re-references the source's files
+    // (zero copy, plan-pinned by manifest-dir equality), then
+    // DIVERGES with its own commit while the source stays intact.
+    "q390_shallow_clone" -> ((s, dir) => {
+      import graft.sources.Snapshot
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val base = gateTempDir("q390")
+      val (src, dst) = (base + "/src", base + "/clone")
+      Snapshot.commit(docs, src)
+      val v = Snapshot.cloneTable(src, dst)
+      Snapshot.commit(Snapshot.read(s, dst)
+        .withColumn("n_chars", col("n_chars") * 2), dst)
+      val zeroCopy = Snapshot.readManifest(dst, 1L).dirs ==
+        Snapshot.readManifest(src, 1L).dirs
+      val srcChars = Snapshot.read(s, src)
+        .agg(sum(col("n_chars"))).head().getLong(0)
+      val cloneV1 = Snapshot.read(s, dst, Some(1L))
+        .agg(sum(col("n_chars"))).head().getLong(0)
+      Snapshot.read(s, dst)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("clone_v2_chars"))
+        .select(lit(v).as("clone_version"), lit(zeroCopy).as("zero_copy"),
+          col("n_rows"), lit(srcChars).as("src_chars"),
+          lit(cloneV1).as("clone_v1_chars"), col("clone_v2_chars"))
+    }),
+
+    // Text/quality: LANGUAGE CONSISTENCY — the mixed-language screen
+    // doc-level langid can't see: 16-token segments classify
+    // independently; planted German tails on 1-in-7 docs force mixed
+    // documents whose dominant language and segment splits the oracle
+    // recomputes with its own stopword ratios.
+    "q391_lang_consistency" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"),
+          lit(" der die das und ein der die das und ein" +
+            " der die das und ein")))
+          .otherwise(col("text")).as("text"))
+      Text.langConsistency(docs, col("doc_id"), col("text"), 16)
+    }),
+
     // Similarity/PCA: ALL-BUT-THE-TOP rewrite — the step after q383
     // says yes: subtract each vector's top-component projection in
     // the exact snap space and pin the REWRITE by its invariants per
@@ -14913,6 +14955,59 @@ object SparkEntry {
          |WHERE ag.longest_train_match >= 8
          |ORDER BY ag.longest_train_match DESC, ag.doc_id
          |LIMIT 50""".stripMargin,
+
+    // Every value is fixture arithmetic: the clone re-references the
+    // source's bytes (zero_copy pinned engine-side by manifest-dir
+    // equality) and the divergence doubles exactly.
+    "q390_shallow_clone" ->
+      """SELECT CAST(1 AS BIGINT) AS clone_version, TRUE AS zero_copy,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(n_chars) AS BIGINT) AS src_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS clone_v1_chars,
+        |  CAST(sum(n_chars) AS BIGINT) * 2 AS clone_v2_chars
+        |FROM documents""".stripMargin,
+
+    // Segment starts, stopword-family ratios, the same tie rules, the
+    // same (count desc, lang) mode — replayed per 16-token window.
+    "q391_lang_consistency" -> {
+      val de = "' der die das und ein der die das und ein" +
+        " der die das und ein'"
+      s"""WITH t0 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0
+         |    THEN text || $de ELSE text END AS text FROM documents),
+         |t2 AS (SELECT doc_id, $tokSql AS tk FROM t0),
+         |sg AS (SELECT doc_id, tk,
+         |    unnest(range(1, len(tk) + 1, 16)) AS st
+         |  FROM t2 WHERE len(tk) > 0),
+         |seg AS (SELECT doc_id, tk[CAST(st AS INT):CAST(st + 15 AS INT)]
+         |    AS s FROM sg),
+         |sc AS (SELECT doc_id,
+         |    len(list_filter(s, t -> t IN ('the','a','of','to','and')))
+         |      * 1.0 / len(s) AS s_en,
+         |    len(list_filter(s, t -> t IN ('der','die','das','und','ein')))
+         |      * 1.0 / len(s) AS s_de,
+         |    len(list_filter(s, t -> t IN ('el','la','de','y','que')))
+         |      * 1.0 / len(s) AS s_es,
+         |    len(list_filter(s, t -> t IN ('le','la','de','et','les')))
+         |      * 1.0 / len(s) AS s_fr
+         |  FROM seg),
+         |lg AS (SELECT doc_id,
+         |    CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+         |      WHEN s_en = greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+         |      WHEN s_de = greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+         |      WHEN s_es = greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+         |      ELSE 'fr' END AS lang
+         |  FROM sc),
+         |cnt AS (SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS c
+         |  FROM lg GROUP BY 1, 2),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY c DESC, lang) AS rn FROM cnt)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_segments,
+         |  max(CASE WHEN rn = 1 THEN lang END) AS dominant_lang,
+         |  CAST(max(CASE WHEN rn = 1 THEN c END) AS BIGINT)
+         |    AS dominant_segments,
+         |  CAST(count(*) AS BIGINT) AS distinct_langs
+         |FROM rk GROUP BY 1""".stripMargin
+    },
 
     // Gramian + power steps + the per-dim subtraction with the same
     // truncating integer divisions; invariants roll up per label.

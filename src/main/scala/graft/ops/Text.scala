@@ -73,18 +73,60 @@ object Text {
     * fallback "und" (undetermined). One pass, no shuffle.
     */
   def langId(text: Column): Column =
-    Cols.bound(tokens(text)) { toks =>
-      val en = wordListRatio(toks, StopwordsEn)
-      val de = wordListRatio(toks, StopwordsDe)
-      val es = wordListRatio(toks, StopwordsEs)
-      val fr = wordListRatio(toks, StopwordsFr)
-      val top = greatest(en, de, es, fr)
-      when(top === 0.0, lit("und"))
-        .when(en === top, lit("en"))
-        .when(de === top, lit("de"))
-        .when(es === top, lit("es"))
-        .otherwise(lit("fr"))
-    }
+    Cols.bound(tokens(text))(langIdFromTokens)
+
+  /** [[langId]] over a pre-tokenized array — the segment-level face
+    * ([[langConsistency]] scores windows of one doc's tokens).
+    */
+  def langIdFromTokens(toks: Column): Column = {
+    val en = wordListRatio(toks, StopwordsEn)
+    val de = wordListRatio(toks, StopwordsDe)
+    val es = wordListRatio(toks, StopwordsEs)
+    val fr = wordListRatio(toks, StopwordsFr)
+    val top = greatest(en, de, es, fr)
+    when(top === 0.0, lit("und"))
+      .when(en === top, lit("en"))
+      .when(de === top, lit("de"))
+      .when(es === top, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** LANGUAGE CONSISTENCY per document — the mixed-language screen
+    * doc-level langid (q25) cannot see: a document that opens in one
+    * language and drifts into another scores as its dominant family
+    * at the doc level while poisoning monolingual training slices.
+    * Non-overlapping `segTokens`-token windows each classify
+    * independently; per doc: segment count, the DOMINANT language
+    * (max segments, lexicographic tie), its segment count, and the
+    * distinct-language count (> 1 = mixed). Empty docs emit nothing
+    * (no segments to classify — the q25 convention). Scale shape:
+    * one generator over per-doc window starts, doc-bounded windows
+    * for the mode.
+    */
+  def langConsistency(docs: DataFrame, id: Column, text: Column,
+                      segTokens: Int): DataFrame = {
+    require(segTokens >= 1, "segTokens must be >= 1")
+    val segs = docs
+      .select(id.cast("long").as("doc_id"), tokens(text).as("tk"))
+      .select(col("doc_id"), col("tk"),
+        posexplode(when(size(col("tk")) === 0,
+            array().cast("array<int>"))
+          .otherwise(sequence(lit(1), size(col("tk")), lit(segTokens))))
+          .as(Seq("seg_id", "start")))
+      .select(col("doc_id"),
+        langIdFromTokens(slice(col("tk"), col("start"), lit(segTokens)))
+          .as("lang"))
+    val cnt = segs.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("c").desc, col("lang"))
+    cnt.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_segments"),
+        max(when(col("rn") === 1, col("lang"))).as("dominant_lang"),
+        max(when(col("rn") === 1, col("c"))).as("dominant_segments"),
+        count(lit(1)).as("distinct_langs"))
+  }
 
   /** Content fingerprint: md5 over whitespace-normalized lowercase text.
     * The exact-dedup key — identical logical content hashes identically

@@ -1274,6 +1274,28 @@ object Snapshot {
     next
   }
 
+  /** SHALLOW CLONE (Delta's CLONE, zero copy): create a NEW table
+    * whose v1 manifest re-references the source's current data
+    * directories — the dev/test-sandbox face: experiments commit new
+    * versions to the clone without touching the source, and the clone
+    * pays manifest bytes, not data bytes. Lifecycle coupling is the
+    * documented trade (same as Delta shallow clones): the clone's v1
+    * reads through the SOURCE's files, so vacuum/expireByAge on the
+    * source can tear a clone that still pins them — clone for
+    * sandboxes and short-lived branches, [[rollback]] for in-table
+    * undo, full commits for archival copies.
+    */
+  def cloneTable(src: String, dst: String,
+                 version: Option[Long] = None): Long = {
+    require(latestVersion(dst).isEmpty, s"$dst already exists")
+    val v = version.orElse(latestVersion(src)).getOrElse(
+      throw new IllegalArgumentException(s"$src has no committed snapshot"))
+    val m = readManifest(src, v)
+    writeManifest(dst, Manifest(1L, m.partitionCol, m.partitionType,
+      m.dataSchemaJson, m.dirs, m.stats, m.fileStats))
+    1L
+  }
+
   /** Expire-by-AGE retention — the DESCRIBE-HISTORY-adjacent policy
     * [[vacuum]]'s keep-COUNT window cannot express ("keep 30 days,
     * plus every tagged release"): drop every version whose manifest

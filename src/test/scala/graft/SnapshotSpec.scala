@@ -830,6 +830,35 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("cloneTable: zero-copy v1 shares the source's dirs; the clone " +
+      "diverges independently; the source never moves; an existing " +
+      "destination is refused") {
+    withTempDir { dir =>
+      val src = dir.getAbsolutePath + "/src"
+      val dst = dir.getAbsolutePath + "/clone"
+      Snapshot.commit(
+        batch(("A", "2024-01-01", 10.0, 0L), ("B", "2024-01-02", 20.0, 0L)),
+        src, Some("date"))
+      assert(Snapshot.cloneTable(src, dst) == 1L)
+      assert(Snapshot.readManifest(dst, 1L).dirs ==
+        Snapshot.readManifest(src, 1L).dirs, "v1 must be zero-copy")
+      assert(Snapshot.read(spark, dst).count() == 2)
+      // diverge the clone; the source is untouched
+      Snapshot.merge(batch(("A", "2024-01-01", 99.0, 1L)), dst,
+        Seq("symbol", "date"), "version", "date")
+      assert(content(src) ==
+        Set(("A", "2024-01-01", 10.0), ("B", "2024-01-02", 20.0)))
+      assert(content(dst) ==
+        Set(("A", "2024-01-01", 99.0), ("B", "2024-01-02", 20.0)))
+      // a later source commit is invisible to the clone
+      Snapshot.commit(batch(("C", "2024-01-03", 30.0, 0L)), src)
+      assert(!content(dst).exists(_._1 == "C"))
+      intercept[IllegalArgumentException] {
+        Snapshot.cloneTable(src, dst)
+      }
+    }
+  }
+
   test("rollback restores a prior version's content as a NEW latest " +
       "by manifest reference; the bad version stays inspectable and " +
       "expiring it never tears files from the restore") {

@@ -992,6 +992,29 @@ class TextDedupSpec extends SparkSpec {
     assert(oS == (("only", 3L, None)), s"got $oS")
   }
 
+  test("langConsistency: a language drift is visible at segment level " +
+      "while doc-level langid hides it; ties break lexicographically; " +
+      "empty docs emit nothing") {
+    val en8 = "the cat a dog of it to go"            // 8 en tokens
+    val de8 = "der hund und das ein der die das"     // 8 de tokens
+    val docs = Seq(
+      (1L, en8 + " " + en8 + " " + de8),  // 3 segments of 8: en,en,de
+      (2L, de8),                          // pure de
+      (3L, en8 + " " + de8),              // 1-1 tie -> 'de' < 'en' wins
+      (4L, "")).toDF("doc_id", "text")
+    val got = Text.langConsistency(docs, col("doc_id"), col("text"), 8)
+      .as[(Long, Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, "en", 2L, 2L)))
+    assert(got(2L) == ((2L, 1L, "de", 1L, 1L)))
+    assert(got(3L) == ((3L, 2L, "de", 1L, 2L)), "tie must break to 'de'")
+    assert(!got.contains(4L), "empty docs have no segments")
+    // doc-level langid on doc 1 reports the dominant family only
+    val docLevel = docs.filter($"doc_id" === 1L)
+      .select(Text.langId($"text")).as[String].head()
+    assert(docLevel == "en")
+  }
+
   test("fimSplit: hash cuts and the PSM render replay in a local " +
       "brute force; degenerate docs flow through; deterministic") {
     def md5hex(s: String): String =
