@@ -4829,6 +4829,34 @@ object SparkEntry {
           lit(rawG).as("raw_dup_groups"), lit(nfcG).as("nfc_dup_groups"))
     }),
 
+    // ML/curation: EXPECTED CALIBRATION ERROR — the model-card number
+    // over q379's exact bin masses: one floored division over exact
+    // gap sums (no lossy per-bin rates), plus the worst bin's gap.
+    "q392_calibration_ece" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val vecs = e.select(col("vec_id").as("id"), col("embedding").as("x"))
+      val labels = e.select(col("vec_id").as("id"),
+        when(col("label") === 0, 1L).otherwise(0L).as("y"))
+      val w = LinearModel.logisticGd(vecs, labels, 3)
+      LinearModel.expectedCalibrationError(
+        LinearModel.calibrationBins(
+          LinearModel.scoreLogistic(vecs, w), labels, 1000))
+    }),
+
+    // Storage: SCHEMA HISTORY — the DDL audit beside q371's DESCRIBE
+    // HISTORY: per version the columns added/removed vs the previous
+    // one, manifest-only. Three commits evolve add→remove.
+    "q393_schema_history" -> ((s, dir) => {
+      import graft.sources.Snapshot
+      val docs = t(s, dir, "documents")
+      val tbl = gateTempDir("q393") + "/t"
+      Snapshot.commit(docs.select(col("doc_id"), col("n_chars")), tbl)
+      Snapshot.commit(docs.select(col("doc_id"), col("n_chars"),
+        col("lang")), tbl)
+      Snapshot.commit(docs.select(col("doc_id"), col("lang")), tbl)
+      Snapshot.schemaHistory(s, tbl)
+    }),
+
     // Storage: SHALLOW CLONE — the dev/test sandbox face (Delta's
     // CLONE): a new table whose v1 re-references the source's files
     // (zero copy, plan-pinned by manifest-dir equality), then
@@ -14955,6 +14983,35 @@ object SparkEntry {
          |WHERE ag.longest_train_match >= 8
          |ORDER BY ag.longest_train_match DESC, ag.doc_id
          |LIMIT 50""".stripMargin,
+
+    // Training + scoring + binning via the shared chain, then the
+    // same exact gap sums and floored divisions.
+    "q392_calibration_ece" ->
+      s"""WITH $logisticGdCtes,
+         |m4 AS (SELECT x.id, sum(CAST(x.xi AS HUGEINT) * w3.w) AS m12
+         |  FROM x JOIN w3 USING (dim) GROUP BY 1),
+         |p4 AS (SELECT id, CAST(round(1e6 / (1 + exp(
+         |    -(CAST(m12 AS DOUBLE) / 1e12)))) AS BIGINT) AS pmu
+         |  FROM m4),
+         |b AS (SELECT least((p4.pmu * 1000) // 1000000, 999) AS bin,
+         |    p4.pmu, y.ymu
+         |  FROM p4 JOIN y USING (id)),
+         |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |    abs(CAST(count(*) FILTER (ymu = 1000000) AS HUGEINT)
+         |      * 1000000 - sum(pmu)) AS gap12
+         |  FROM b GROUP BY 1)
+         |SELECT CAST(sum(n) AS BIGINT) AS n,
+         |  CAST(count(*) AS BIGINT) AS n_bins,
+         |  CAST(sum(gap12) // sum(n) AS BIGINT) AS ece_micro,
+         |  CAST(max(gap12 // n) AS BIGINT) AS max_bin_gap_micro
+         |FROM g""".stripMargin,
+
+    // Pure fixture arithmetic over the three planted schemas.
+    "q393_schema_history" ->
+      """SELECT CAST(1 AS BIGINT) AS version, CAST(2 AS INT) AS n_cols,
+        |  'doc_id,n_chars' AS added_cols, '' AS removed_cols
+        |UNION ALL SELECT 2, 3, 'lang', ''
+        |UNION ALL SELECT 3, 2, '', 'n_chars'""".stripMargin,
 
     // Every value is fixture arithmetic: the clone re-references the
     // source's bytes (zero_copy pinned engine-side by manifest-dir

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Gradient-trained linear models INSIDE the engine — the supervised
@@ -122,6 +122,27 @@ object LinearModel {
     * lift to decimal like the gradient sums. `scored` is (id, pmu),
     * `labels` (id, y ∈ {0,1}).
     */
+  /** EXPECTED CALIBRATION ERROR from [[calibrationBins]] masses — the
+    * one-number summary a model card prints: ECE = Σ_b (n_b/N)·
+    * |acc_b − conf_b|, which over the exact integer masses is
+    * Σ_b |positives_b·1e6 − pmu_mass_b| / (N·1e6) — so ece_micro is
+    * ONE exact floored division over exact sums, no per-bin rates
+    * ever materialize lossily. Also emits the worst single bin's gap
+    * (⌊|…|/n_b⌋ micro, the "where is it miscalibrated" pointer).
+    */
+  def expectedCalibrationError(bins: DataFrame): DataFrame = {
+    def fdiv(x: Column, y: Column): Column =
+      ((x - pmod(x, y)) / y).cast("long")
+    bins
+      .select(col("n"), abs(col("positives").cast("decimal(38,0)")
+        * lit(1000000L) - col("pmu_mass")).as("gap12"))
+      .agg(sum(col("n")).as("n"), count(lit(1)).as("n_bins"),
+        fdiv(sum(col("gap12")).cast("decimal(38,0)"),
+          sum(col("n")).cast("decimal(38,0)")).as("ece_micro"),
+        max(fdiv(col("gap12").cast("decimal(38,0)"),
+          col("n").cast("decimal(38,0)"))).as("max_bin_gap_micro"))
+  }
+
   def calibrationBins(scored: DataFrame, labels: DataFrame,
                       bins: Int): DataFrame = {
     require(bins >= 1, "bins must be >= 1")

@@ -1201,6 +1201,27 @@ object Snapshot {
     }.toDF("version", "n_dirs", "n_rows", "tags", "is_latest")
   }
 
+  /** SCHEMA HISTORY — the DDL audit face beside [[history]]: per
+    * retained version, the column count and the columns ADDED/REMOVED
+    * versus the previous retained version (comma-joined, sorted; the
+    * first version lists all its columns as added). Manifest-only —
+    * a versions-sized driver walk, no data scan.
+    */
+  def schemaHistory(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val vs = versions(table)
+    val rows = vs.foldLeft(
+      (Option.empty[Set[String]], Seq.empty[(Long, Int, String, String)])) {
+      case ((prev, acc), v) =>
+        val cols = readManifest(table, v).dataSchema.fieldNames.toSet
+        val added = (cols -- prev.getOrElse(Set.empty)).toSeq.sorted
+        val removed = (prev.getOrElse(Set.empty) -- cols).toSeq.sorted
+        (Some(cols), acc :+ ((v, cols.size, added.mkString(","),
+          removed.mkString(","))))
+    }._2
+    rows.toDF("version", "n_cols", "added_cols", "removed_cols")
+  }
+
   def vacuum(table: String, keepVersions: Int = 1,
              orphanAgeMs: Long = 3600000L): Unit = {
     def rm(p: Path): Unit = {

@@ -120,6 +120,24 @@ class LinearModelSpec extends SparkSpec {
     assert(sure == Set((9, 1L, 1L, 1000000L), (0, 1L, 0L, 0L)))
   }
 
+  test("expectedCalibrationError: exact gap arithmetic on hand-built " +
+      "bins; a perfectly calibrated table scores 0") {
+    // bin A: 4 rows, 3 positives, predicted mass 2.0e6 → gap12 = 1e6
+    // bin B: 6 rows, 1 positive, predicted mass 2.5e6 → gap12 = 1.5e6
+    // ECE = (1e6 + 1.5e6)/10 = 250000; worst bin gap = 1.5e6/6 = 250000
+    val bins = Seq((0, 4L, 3L, 2000000L), (1, 6L, 1L, 2500000L))
+      .toDF("bin", "n", "positives", "pmu_mass")
+    val got = LinearModel.expectedCalibrationError(bins)
+      .as[(Long, Long, Long, Long)].head()
+    assert(got == ((10L, 2L, 250000L, 250000L)))
+    // perfect calibration: every bin's mass equals its positives ×1e6
+    val perfect = Seq((0, 5L, 2L, 2000000L), (1, 5L, 5L, 5000000L))
+      .toDF("bin", "n", "positives", "pmu_mass")
+    val z = LinearModel.expectedCalibrationError(perfect)
+      .as[(Long, Long, Long, Long)].head()
+    assert(z._3 == 0L && z._4 == 0L)
+  }
+
   test("logisticGd under a one-class corpus pushes every weight " +
       "toward that class and stays exact") {
     val allOne = ys.map { case (k, _) => k -> 1L }

@@ -830,6 +830,25 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("schemaHistory reports per-version added/removed columns; " +
+      "vacuumed versions drop out and the diff re-bases") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      Snapshot.commit(Seq((1L, 10.0)).toDF("id", "a"), t)
+      Snapshot.commit(Seq((1L, 10.0, "x")).toDF("id", "a", "b"), t)
+      Snapshot.commit(Seq((1L, "x")).toDF("id", "b"), t)
+      val h = Snapshot.schemaHistory(spark, t)
+        .as[(Long, Int, String, String)].collect().sortBy(_._1)
+      assert(h.toSeq == Seq((1L, 2, "a,id", ""), (2L, 3, "b", ""),
+        (3L, 2, "", "a")))
+      // after vacuum the walk re-bases on the oldest RETAINED version
+      Snapshot.vacuum(t, keepVersions = 2, orphanAgeMs = 0L)
+      val h2 = Snapshot.schemaHistory(spark, t)
+        .as[(Long, Int, String, String)].collect().sortBy(_._1)
+      assert(h2.toSeq == Seq((2L, 3, "a,b,id", ""), (3L, 2, "", "a")))
+    }
+  }
+
   test("cloneTable: zero-copy v1 shares the source's dirs; the clone " +
       "diverges independently; the source never moves; an existing " +
       "destination is refused") {
