@@ -47,7 +47,9 @@ object ProfileSAIncrement {
         concat(col("text"), lit(" zz9 qq8")).as("text"))
     val (_, tBuild) = timed {
       val c = SuffixArray.corpus(train, col("doc_id"), col("text"))
-      val b = SuffixArray.build(c)
+      // a threshold-8 probe index needs 3 doubling rounds, not the
+      // full distinctness ceiling (buildTo; NOTES 123)
+      val b = SuffixArray.buildTo(c, 8L)
       SuffixArray.persistProbeIndex(c, b, idx, 8L)
       b.unpersistAll()
     }

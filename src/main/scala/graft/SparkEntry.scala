@@ -4829,6 +4829,36 @@ object SparkEntry {
           lit(rawG).as("raw_dup_groups"), lit(nfcG).as("nfc_dup_groups"))
     }),
 
+    // Dedup/graph: DUP-GRAPH HEALTH — the read before any cluster
+    // collapse ships: the component-SIZE distribution and the giant
+    // component's corpus share. A giant component is the classic
+    // over-aggressive-threshold symptom (one transitive blob swallows
+    // the corpus and "keep one per cluster" deletes it); the oracle
+    // recomputes components by recursive closure.
+    "q394_dup_graph_health" -> ((s, dir) => withShufflePartitions(s, 8) {
+      val dd0 = docsDup(s, dir)
+        .filter((col("doc_id") % 1000000000) % 5 === 0)
+      // a SECOND variant for 1-in-25 base docs: transitive size-3
+      // components next to the pair floor — the distribution must
+      // show real structure, not one size
+      val dd = dd0.unionByName(dd0
+        .filter(col("doc_id") < 1000000000L && col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 2000000000L).as("doc_id"),
+          concat(col("text"), lit(" qq7 vv6")).as("text")))
+      val hs = dd.select(col("doc_id").as("id"),
+        Dedup.hashedShingles(Text.tokens(col("text")), 3).as("hs"))
+      val pairs = Dedup.jaccardPairsHashed(hs, "id", "hs", 0.5)
+      val cl = Dedup.duplicateClusters(pairs)
+      val n = dd.count()
+      val sizes = cl.groupBy(col("component"))
+        .agg(count(lit(1)).as("size")).localCheckpoint(true)
+      val giant = sizes.agg(max(col("size"))).head().getLong(0)
+      sizes.groupBy(col("size")).agg(count(lit(1)).as("n_components"))
+        .select(col("size"), col("n_components"),
+          lit(giant).as("giant_size"),
+          lit(giant * 1000000L / n).as("giant_share_micro"))
+    }),
+
     // ML/curation: EXPECTED CALIBRATION ERROR — the model-card number
     // over q379's exact bin masses: one floored division over exact
     // gap sums (no lossy per-bin rates), plus the worst bin's gap.
@@ -14983,6 +15013,48 @@ object SparkEntry {
          |WHERE ag.longest_train_match >= 8
          |ORDER BY ag.longest_train_match DESC, ag.doc_id
          |LIMIT 50""".stripMargin,
+
+    // Components by recursive closure (the q67 convention), sizes per
+    // component, the same floored giant share.
+    "q394_dup_graph_health" ->
+      s"""WITH RECURSIVE
+         |u0 AS (SELECT * FROM ($docsDupSql)
+         |  WHERE (doc_id % 1000000000) % 5 = 0),
+         |u AS (SELECT * FROM u0
+         |  UNION ALL SELECT doc_id + 2000000000, text || ' qq7 vv6'
+         |  FROM u0 WHERE doc_id < 1000000000 AND doc_id % 25 = 0),
+         |tk AS (SELECT doc_id, $tokSql AS tk FROM u),
+         |sh AS (SELECT doc_id, CASE WHEN len(tk) < 3
+         |    THEN CAST([] AS VARCHAR[])
+         |    ELSE $shingleSql END AS sh FROM tk),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+         |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+         |        4) AS jac
+         |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |  WHERE jac >= 0.5),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |          UNION SELECT id_b, id_a FROM pairs),
+         |reach(s, d) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+         |comp AS (
+         |  SELECT v.s AS doc_id, least(v.s, mn.mn) AS c
+         |  FROM (SELECT DISTINCT s FROM edges) v
+         |  JOIN (SELECT s, min(d) AS mn FROM reach GROUP BY 1) mn
+         |    USING (s)),
+         |sz AS (SELECT c, CAST(count(*) AS BIGINT) AS size
+         |  FROM comp GROUP BY 1),
+         |g AS (SELECT max(size) AS giant FROM sz),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM u)
+         |SELECT sz.size, CAST(count(*) AS BIGINT) AS n_components,
+         |  g.giant AS giant_size,
+         |  CAST((CAST(g.giant AS HUGEINT) * 1000000) // nn.n AS BIGINT)
+         |    AS giant_share_micro
+         |FROM sz, g, nn GROUP BY sz.size, g.giant, nn.n""".stripMargin,
 
     // Training + scoring + binning via the shared chain, then the
     // same exact gap sums and floored divisions.
