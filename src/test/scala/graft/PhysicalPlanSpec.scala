@@ -106,6 +106,38 @@ class PhysicalPlanSpec extends SparkSpec {
     }
   }
 
+  test("unicode_norm is codegen'd: the canonicalizer projection stays " +
+      "inside WholeStageCodegen with no fallback to interpreted eval") {
+    import graft.ops.Text
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+      .select(Text.canonicalizeForDedup(col("text")).as("canon"))
+    val p = df.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // formatted mode marks codegen'd operators with a * prefix in the
+    // tree and "[codegen id : N]" in the details — the Project hosting
+    // unicode_norm must carry BOTH (a non-codegen Expression would
+    // strip them and fall back to interpreted eval)
+    assert("(?m)^\\s*\\* Project".r.findAllIn(p).hasNext,
+      s"canonicalizer Project must compile into a codegen stage:\n$p")
+    assert("(?m)^\\s*\\(\\d+\\) Project \\[codegen id".r
+      .findAllIn(p).hasNext,
+      s"Project details must carry a codegen id:\n$p")
+    assert(!"(?m)^\\s*\\(\\d+\\) Exchange".r.findAllIn(p).hasNext,
+      s"a per-row rewrite must not shuffle:\n$p")
+  }
+
+  test("mixture plan: the corpus aggregates BEFORE the weight join — " +
+      "per-source rows, never per-doc rows, reach the full-outer join") {
+    val p = plan("q381_mixture_plan")
+    // the aggregate must sit under the join: exactly one partial/final
+    // hash-aggregate pair feeding a source-count-sized join input
+    assert(p.contains("SortMergeJoin FullOuter") ||
+      p.contains("ShuffledHashJoin FullOuter"),
+      s"full-outer weight join missing:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"per-source reduction must happen before the join:\n$p")
+  }
+
   test("unigram surprisal never shuffles the posting stream on the token key") {
     val p = plan("q72_unigram_surprisal")
     assert(p.contains("BroadcastHashJoin"),
