@@ -332,6 +332,58 @@ object SparkEntry {
        |${(1 to iters).map(step).mkString(",\n")}""".stripMargin
   }
 
+  /** DuckDB CTE chain replaying Text.naiveBayesEval (train/holdout
+    * split, +1-smoothed log weights snapped *1e6, argmax with
+    * deterministic class ties) — terminal CTE pr(id, y, pred).
+    * Shared by the q255 confusion pin and the q396 macro-F1.
+    */
+  private val naiveBayesCtes: String =
+    s"""tg AS (SELECT doc_id AS id, lang AS y, $tokSql AS tk,
+       |    ${h60("CAST(doc_id AS VARCHAR)")} % 4 <> 0 AS is_train
+       |  FROM documents),
+       |occ AS (SELECT id, y, is_train, unnest(tk) AS tok FROM tg),
+       |cw AS (SELECT y AS c, tok, CAST(count(*) AS BIGINT) AS cnt
+       |  FROM occ WHERE is_train GROUP BY 1, 2),
+       |nc AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS n_c
+       |  FROM cw GROUP BY 1),
+       |vd AS (SELECT DISTINCT tok FROM cw),
+       |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vd),
+       |dc AS (SELECT y AS c, CAST(count(*) AS BIGINT) AS nd_c
+       |  FROM tg WHERE is_train GROUP BY 1),
+       |nd AS (SELECT CAST(sum(nd_c) AS BIGINT) AS nd FROM dc),
+       |cls AS (SELECT c,
+       |    CAST(round(ln(CAST(nd_c AS DOUBLE) / nd) * 1000000)
+       |      AS BIGINT) AS prior_m,
+       |    CAST(round(ln(CAST(1.0 AS DOUBLE) / (n_c + v)) * 1000000)
+       |      AS BIGINT) AS def_m
+       |  FROM nc JOIN dc USING (c) CROSS JOIN nd CROSS JOIN vv),
+       |w AS (SELECT cw.c, cw.tok,
+       |    CAST(round(ln(CAST(cnt + 1 AS DOUBLE) / (n_c + v))
+       |      * 1000000) AS BIGINT) AS w_m
+       |  FROM cw JOIN nc USING (c) CROSS JOIN vv),
+       |ho AS (SELECT id, tok FROM occ WHERE NOT is_train),
+       |seen AS (SELECT ho.id, w.c, CAST(sum(w.w_m) AS BIGINT)
+       |    AS s_seen, CAST(count(*) AS BIGINT) AS n_seen
+       |  FROM ho JOIN w ON w.tok = ho.tok GROUP BY 1, 2),
+       |niv AS (SELECT ho.id, CAST(count(*) AS BIGINT) AS n_iv
+       |  FROM ho JOIN vd ON vd.tok = ho.tok GROUP BY 1),
+       |uns AS (SELECT ho.id, CAST(count(*) AS BIGINT) AS n_unseen
+       |  FROM ho LEFT JOIN vd ON vd.tok = ho.tok
+       |  WHERE vd.tok IS NULL GROUP BY 1),
+       |hd AS (SELECT id, y FROM tg WHERE NOT is_train),
+       |sc AS (SELECT hd.id, hd.y, cls.c,
+       |    cls.prior_m + coalesce(seen.s_seen, 0)
+       |      + (coalesce(niv.n_iv, 0) - coalesce(seen.n_seen, 0))
+       |        * cls.def_m
+       |      + coalesce(uns.n_unseen, 0) * cls.def_m AS score
+       |  FROM hd CROSS JOIN cls
+       |  LEFT JOIN seen ON seen.id = hd.id AND seen.c = cls.c
+       |  LEFT JOIN niv ON niv.id = hd.id
+       |  LEFT JOIN uns ON uns.id = hd.id),
+       |pr AS (SELECT id, y, c AS pred FROM (SELECT id, y, c,
+       |    row_number() OVER (PARTITION BY id
+       |      ORDER BY score DESC, c) AS rn FROM sc) WHERE rn = 1)""".stripMargin
+
   private def saCteSql(docFilter: String): String =
     saCteSqlFrom(s"SELECT doc_id, text FROM documents WHERE $docFilter")
 
@@ -4827,6 +4879,26 @@ object SparkEntry {
           .as("docs_rewritten"))
         .select(col("n_docs"), col("docs_rewritten"),
           lit(rawG).as("raw_dup_groups"), lit(nfcG).as("nfc_dup_groups"))
+    }),
+
+    // Similarity/eval: HUBNESS — the kNN-graph health read: exact
+    // k-occurrence (in-degree) moments, max hub, anti-hub count over
+    // the brute k=5 graph; Σd = n·k is the built-in invariant. The
+    // %2 slice bounds the B² kernel at bench scale.
+    "q395_hubness" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+        .filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.hubnessStats(vecs, 5)
+    }),
+
+    // Quality/eval: MACRO-F1 over the Naive-Bayes confusion (q255's
+    // table): per true class one exact floored F1 (2tp/(2tp+fp+fn) —
+    // never a precision/recall chain), macro over true classes.
+    "q396_macro_f1" -> ((s, dir) => {
+      val conf = Text.naiveBayesEval(t(s, dir, "documents"), "doc_id",
+        col("lang"), col("text"))
+      Quality.macroF1(conf, col("y"), col("pred"), col("n"))
     }),
 
     // Dedup/graph: DUP-GRAPH HEALTH — the read before any cluster
@@ -13072,51 +13144,7 @@ object SparkEntry {
     // Same 3:1 md5 split, same add-one ×1e6 integer log-weights,
     // same seen/unseen score decomposition and (score desc, c) argmax.
     "q255_naive_bayes" ->
-      s"""WITH tg AS (SELECT doc_id AS id, lang AS y, $tokSql AS tk,
-         |    ${h60("CAST(doc_id AS VARCHAR)")} % 4 <> 0 AS is_train
-         |  FROM documents),
-         |occ AS (SELECT id, y, is_train, unnest(tk) AS tok FROM tg),
-         |cw AS (SELECT y AS c, tok, CAST(count(*) AS BIGINT) AS cnt
-         |  FROM occ WHERE is_train GROUP BY 1, 2),
-         |nc AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS n_c
-         |  FROM cw GROUP BY 1),
-         |vd AS (SELECT DISTINCT tok FROM cw),
-         |vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vd),
-         |dc AS (SELECT y AS c, CAST(count(*) AS BIGINT) AS nd_c
-         |  FROM tg WHERE is_train GROUP BY 1),
-         |nd AS (SELECT CAST(sum(nd_c) AS BIGINT) AS nd FROM dc),
-         |cls AS (SELECT c,
-         |    CAST(round(ln(CAST(nd_c AS DOUBLE) / nd) * 1000000)
-         |      AS BIGINT) AS prior_m,
-         |    CAST(round(ln(CAST(1.0 AS DOUBLE) / (n_c + v)) * 1000000)
-         |      AS BIGINT) AS def_m
-         |  FROM nc JOIN dc USING (c) CROSS JOIN nd CROSS JOIN vv),
-         |w AS (SELECT cw.c, cw.tok,
-         |    CAST(round(ln(CAST(cnt + 1 AS DOUBLE) / (n_c + v))
-         |      * 1000000) AS BIGINT) AS w_m
-         |  FROM cw JOIN nc USING (c) CROSS JOIN vv),
-         |ho AS (SELECT id, tok FROM occ WHERE NOT is_train),
-         |seen AS (SELECT ho.id, w.c, CAST(sum(w.w_m) AS BIGINT)
-         |    AS s_seen, CAST(count(*) AS BIGINT) AS n_seen
-         |  FROM ho JOIN w ON w.tok = ho.tok GROUP BY 1, 2),
-         |niv AS (SELECT ho.id, CAST(count(*) AS BIGINT) AS n_iv
-         |  FROM ho JOIN vd ON vd.tok = ho.tok GROUP BY 1),
-         |uns AS (SELECT ho.id, CAST(count(*) AS BIGINT) AS n_unseen
-         |  FROM ho LEFT JOIN vd ON vd.tok = ho.tok
-         |  WHERE vd.tok IS NULL GROUP BY 1),
-         |hd AS (SELECT id, y FROM tg WHERE NOT is_train),
-         |sc AS (SELECT hd.id, hd.y, cls.c,
-         |    cls.prior_m + coalesce(seen.s_seen, 0)
-         |      + (coalesce(niv.n_iv, 0) - coalesce(seen.n_seen, 0))
-         |        * cls.def_m
-         |      + coalesce(uns.n_unseen, 0) * cls.def_m AS score
-         |  FROM hd CROSS JOIN cls
-         |  LEFT JOIN seen ON seen.id = hd.id AND seen.c = cls.c
-         |  LEFT JOIN niv ON niv.id = hd.id
-         |  LEFT JOIN uns ON uns.id = hd.id),
-         |pr AS (SELECT id, y, c AS pred FROM (SELECT id, y, c,
-         |    row_number() OVER (PARTITION BY id
-         |      ORDER BY score DESC, c) AS rn FROM sc) WHERE rn = 1)
+      s"""WITH $naiveBayesCtes
          |SELECT y AS lang, pred, CAST(count(*) AS BIGINT) AS n
          |FROM pr GROUP BY 1, 2""".stripMargin,
 
@@ -15013,6 +15041,57 @@ object SparkEntry {
          |WHERE ag.longest_train_match >= 8
          |ORDER BY ag.longest_train_match DESC, ag.doc_id
          |LIMIT 50""".stripMargin,
+
+    // The same rounded-cosine rank order (ties by neighbor id), the
+    // same exact integer moments; zero-degree vectors re-enter via
+    // the left join.
+    "q395_hubness" -> {
+      val cos = cosSql("q.embedding", "c.embedding")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 2 = 0),
+         |tk AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round($cos, 6) DESC, c.vec_id) AS rnk
+         |  FROM e q JOIN e c ON q.vec_id <> c.vec_id)
+         |  WHERE rnk <= 5),
+         |ind AS (SELECT e.vec_id,
+         |    CAST(coalesce(d.d, 0) AS BIGINT) AS d
+         |  FROM e LEFT JOIN (SELECT neighbor_id, count(*) AS d
+         |    FROM tk GROUP BY 1) d ON d.neighbor_id = e.vec_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n, CAST(5 AS BIGINT) AS k,
+         |  CAST(max(d) AS BIGINT) AS max_in_degree,
+         |  CAST(count(*) FILTER (d = 0) AS BIGINT) AS n_antihubs,
+         |  CAST(sum(d) AS BIGINT) AS sum_d,
+         |  CAST(sum(d * d) AS BIGINT) AS sum_d2,
+         |  CAST(sum(d * d * d) AS BIGINT) AS sum_d3
+         |FROM ind""".stripMargin
+    },
+
+    // The NB chain's confusion feeds the same one-division F1s and
+    // the floored macro mean.
+    "q396_macro_f1" ->
+      s"""WITH $naiveBayesCtes,
+         |cf AS (SELECT y, pred, CAST(count(*) AS BIGINT) AS n
+         |  FROM pr GROUP BY 1, 2),
+         |sup AS (SELECT y AS cls, CAST(sum(n) AS BIGINT) AS support
+         |  FROM cf GROUP BY 1),
+         |pp AS (SELECT pred AS cls, CAST(sum(n) AS BIGINT) AS predicted
+         |  FROM cf GROUP BY 1),
+         |tp AS (SELECT y AS cls, CAST(n AS BIGINT) AS tp FROM cf
+         |  WHERE y = pred),
+         |per AS (SELECT sup.cls, sup.support,
+         |    coalesce(tp.tp, 0) AS tp,
+         |    coalesce(pp.predicted, 0) - coalesce(tp.tp, 0) AS fp,
+         |    sup.support - coalesce(tp.tp, 0) AS fn
+         |  FROM sup LEFT JOIN tp USING (cls) LEFT JOIN pp USING (cls)),
+         |f AS (SELECT *, CAST((CAST(tp AS HUGEINT) * 2000000)
+         |    // (tp * 2 + fp + fn) AS BIGINT) AS f1_micro FROM per),
+         |m AS (SELECT CAST(sum(f1_micro) // count(*) AS BIGINT)
+         |    AS macro_f1_micro FROM f)
+         |SELECT f.cls, f.support, f.tp, f.fp, f.fn, f.f1_micro,
+         |  m.macro_f1_micro
+         |FROM f, m""".stripMargin,
 
     // Components by recursive closure (the q67 convention), sizes per
     // component, the same floored giant share.

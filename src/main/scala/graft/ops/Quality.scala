@@ -245,6 +245,45 @@ object Quality {
         .cast("decimal(20,10)"), 6).cast("double").as("ks"))
   }
 
+  /** MACRO-F1 from a confusion table (y, pred, n) — the multi-class
+    * eval summary beside [[cohenKappa]]'s agreement: per TRUE class,
+    * F1 in ONE exact floored division (F1 = 2tp/(2tp+fp+fn) — never
+    * the lossy precision/recall chain), macro = the floored mean over
+    * true classes. A class the model never predicts scores its honest
+    * 0 (support>0 forces 2tp+fp+fn>0); predicted-only phantom classes
+    * affect other classes' fp, not the macro denominator (the
+    * standard macro-over-true-classes convention). Output one row per
+    * true class (cls, support, tp, fp, fn, f1_micro) + the constant
+    * macro_f1_micro.
+    */
+  def macroF1(confusion: DataFrame, y: Column, pred: Column,
+              n: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val base = confusion.select(y.as("y"), pred.as("pred"),
+      n.cast("long").as("n"))
+    val tp = base.filter(col("y") === col("pred"))
+      .select(col("y").as("cls"), col("n").as("tp"))
+    val support = base.groupBy(col("y").as("cls"))
+      .agg(sum(col("n")).as("support"))
+    val predicted = base.groupBy(col("pred").as("cls"))
+      .agg(sum(col("n")).as("predicted"))
+    val per = support
+      .join(tp, Seq("cls"), "left")
+      .join(predicted, Seq("cls"), "left")
+      .na.fill(0L, Seq("tp", "predicted"))
+      .select(col("cls"), col("support"), col("tp"),
+        (col("predicted") - col("tp")).as("fp"),
+        (col("support") - col("tp")).as("fn"))
+      .withColumn("f1_micro",
+        fdiv(dec(col("tp")) * lit(2000000L),
+          dec(col("tp") * 2 + col("fp") + col("fn"))))
+    val macroRow = per.agg(fdiv(dec(sum(col("f1_micro"))),
+      dec(count(lit(1)))).as("macro_f1_micro"))
+    per.crossJoin(macroRow)
+  }
+
   /** COHEN'S KAPPA between two binary raters — the label-QA read
     * behind every "model agrees with the annotator" claim: raw
     * agreement corrected for the agreement two independent raters

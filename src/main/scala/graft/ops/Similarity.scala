@@ -1546,6 +1546,35 @@ object Similarity {
         sum(col("tot")).as("total_mass"))
   }
 
+  /** HUBNESS diagnostic — the kNN-graph health read for an embedding
+    * space (Radovanović et al. 2010): in high dimensions a few
+    * vectors ("hubs") appear in a disproportionate share of other
+    * vectors' top-k lists while "anti-hubs" appear in none, and both
+    * poison retrieval and kNN labeling. One exact summary row over
+    * the k-occurrence (in-degree) distribution: max in-degree,
+    * anti-hub count, and the RAW integer moments Σd/Σd²/Σd³
+    * (consumers derive skewness; the engine never emits a lossy
+    * ratio). Invariant: Σd = n·k exactly (every query contributes k
+    * edges). Brute-force kNN — the exact read; sample `vecs` upstream
+    * at corpus scale (the B² guard applies).
+    */
+  def hubnessStats(vecs: DataFrame, k: Int,
+                   maxQueries: Long = DefaultMaxQueries): DataFrame = {
+    val tk = bruteForceTopK(vecs, vecs, k, maxQueries)
+    val indeg = vecs.select(col("id"))
+      .join(tk.groupBy(col("neighbor_id").as("id"))
+        .agg(count(lit(1)).as("d")), Seq("id"), "left")
+      .na.fill(0L, Seq("d"))
+    indeg.agg(count(lit(1)).as("n"),
+        max(col("d")).as("max_in_degree"),
+        sum(when(col("d") === 0, 1L).otherwise(0L)).as("n_antihubs"),
+        sum(col("d")).as("sum_d"),
+        sum(col("d") * col("d")).as("sum_d2"),
+        sum(col("d") * col("d") * col("d")).as("sum_d3"))
+      .select(col("n"), lit(k.toLong).as("k"), col("max_in_degree"),
+        col("n_antihubs"), col("sum_d"), col("sum_d2"), col("sum_d3"))
+  }
+
   /** ALL-BUT-THE-TOP rewrite (Arora et al. 2017, the step after
     * [[topComponentMass]] says yes): subtract each vector's top-
     * component projection in the EXACT snap space — p = (Σ x₃·vm)/1e6

@@ -119,6 +119,46 @@ class QualitySpec extends SparkSpec {
       "even-count duplication is invisible to XOR; n_rows must differ")
   }
 
+  test("macroF1: one-division F1s on a textbook confusion; a " +
+      "never-predicted class scores 0; phantom predicted classes " +
+      "hit fp but not the macro denominator") {
+    import graft.ops.Quality
+    // classes a,b,c with: a tp=4 fp=1 fn=1 (F1 = 8/10);
+    // b tp=2 fp=3 fn=2 (F1 = 4/9); c never predicted tp=0 fn=2;
+    // phantom class x predicted 3 times, never true
+    val conf = Seq(
+      ("a", "a", 4L), ("a", "b", 1L), ("b", "a", 1L), ("b", "b", 2L),
+      ("b", "x", 2L), ("c", "b", 2L), ("a", "x", 1L))
+      .toDF("y", "pred", "n")
+    val got = Quality.macroF1(conf, col("y"), col("pred"), col("n"))
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("a", "b", "c"), "macro over TRUE classes")
+    assert(got("a") == (("a", 6L, 4L, 1L, 2L, 727272L, got("a")._7)))
+    assert(got("b") == (("b", 5L, 2L, 3L, 3L, 400000L, got("b")._7)))
+    assert(got("c") == (("c", 2L, 0L, 0L, 2L, 0L, got("c")._7)))
+    // macro = ⌊(727272 + 400000 + 0)/3⌋
+    assert(got.values.map(_._7).toSet == Set(375757L))
+  }
+
+  test("hubnessStats: planted line geometry gives the expected " +
+      "in-degree moments; sum_d = n·k always") {
+    import graft.ops.Similarity
+    def at(deg: Double) = Seq(math.cos(math.toRadians(deg)),
+      math.sin(math.toRadians(deg)))
+    // 0°,10°,20°,90°, k=1: 0°→10°, 10°→0° (tie on rounded cosine,
+    // smaller id), 20°→10°, 90°→20° ⇒ degrees 1,2,1,0
+    val vecs = Seq((0L, at(0)), (1L, at(10)), (2L, at(20)),
+      (3L, at(90))).toDF("id", "vec")
+    val got = Similarity.hubnessStats(vecs, 1)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(got == ((4L, 1L, 2L, 1L, 4L, 6L, 10L)))
+    // invariant holds at any k: every query emits exactly k edges
+    val g2 = Similarity.hubnessStats(vecs, 2)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(g2._5 == 4L * 2L, s"sum_d must be n·k, got ${g2._5}")
+  }
+
   test("cohenKappa: textbook cell counts give the textbook kappa; " +
       "perfect disagreement is −1e6; aligned-degenerate marginals " +
       "yield null") {
