@@ -4892,6 +4892,135 @@ object SparkEntry {
       Similarity.hubnessStats(vecs, 5)
     }),
 
+    // Similarity/compression: JL SIGNED RANDOM PROJECTION distortion
+    // audit — 64→16 dims via the md5-derived ±1 matrix, every pair of
+    // a %10 probe slice scored in both spaces (micro cosines, exact
+    // integer projections). The read before a pipeline swaps its
+    // embedding column for the sketch.
+    "q401_random_projection" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+        .filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.projectionDistortion(vecs, col("id"), col("vec"),
+        16, 64, 1000)
+    }),
+
+    // Dedup/linkage: FELLEGI–SUNTER match weights — m/u estimated
+    // from labeled pairs (planted near-copies = matches, id-adjacent
+    // docs = non-matches), per-field ln weights snapped per term,
+    // pair scores exact integer sums banded match/possible/nonmatch.
+    "q402_fellegi_sunter" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val a = d.select(col("doc_id").as("id_a"), col("lang").as("la"),
+        col("source").as("sa"), col("n_chars").as("ca"))
+      val mp = a.select(col("id_a"),
+        (col("id_a") + 1000000000L).as("id_b"), lit(true).as("y"),
+        (col("la") === when(col("id_a") % 5 === 0, lit("xx"))
+          .otherwise(col("la"))).as("ag_lang"),
+        lit(true).as("ag_src"),
+        (abs(lit(-8L)) <= 10).as("ag_len"))
+      val b = d.select((col("doc_id") - 1).as("id_a"),
+        col("doc_id").as("id_b"), col("lang").as("lb"),
+        col("source").as("sb"), col("n_chars").as("cb"))
+      val np = a.join(b, Seq("id_a"))
+        .select(col("id_a"), col("id_b"), lit(false).as("y"),
+          (col("la") === col("lb")).as("ag_lang"),
+          (col("sa") === col("sb")).as("ag_src"),
+          (abs(col("ca") - col("cb")) <= 10).as("ag_len"))
+      Dedup.fellegiSunter(mp.unionByName(np), col("id_a"), col("id_b"),
+        col("y"), Seq("lang" -> col("ag_lang"), "src" -> col("ag_src"),
+          "len" -> col("ag_len")), 3000000L, -1000000L)
+    }),
+
+    // Similarity/mining: MARGIN-BASED BITEXT MINING (the LASER
+    // criterion) — parity-split the embedding corpus into two "sides",
+    // per left vector its best right candidate rescaled by both k-NN
+    // neighborhoods; exact micro cosines, DuckDB-`//`-parity division.
+    "q403_bitext_margin" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val left = e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val right = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      Similarity.marginMining(left, right, 4)
+    }),
+
+    // Text/tokenizer: FERTILITY per language — tokens-per-word and
+    // bytes-per-token under the BPE-ish regex tokenizer; the
+    // vocabulary-equity read of a multilingual corpus.
+    "q404_token_fertility" -> ((s, dir) =>
+      Text.tokenFertility(t(s, dir, "documents"), col("lang"),
+        col("text"))),
+
+    // Text/curation: CCNet PERPLEXITY BUCKETS (Wenzek et al. 2020) —
+    // per language, its OWN bigram-LM score ranks docs into
+    // head/middle/tail thirds (rank-within-language — the portable
+    // criterion; cross-language perplexities don't compare). Exact
+    // integer NLLs and rank arithmetic; the oracle replays per-lang.
+    "q398_ccnet_buckets" -> ((s, dir) => withShufflePartitions(s, 8) {
+      Text.perplexityBuckets(t(s, dir, "documents"), col("doc_id"),
+        col("text"), col("lang"), 3)
+    }),
+
+    // Text/curation: the GOPHER rule set (Rae et al. 2021) — the named
+    // MassiveText heuristic screen, every rule a cross-multiplied
+    // integer comparison (never a float ratio). Planted tails exercise
+    // the bullet/ellipsis/symbol/stopword rules the base fixture
+    // wouldn't touch.
+    "q399_gopher_rules" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 13 === 0,
+            lit("\n- buy one\n- buy two\nplain tail...")).otherwise(lit("")),
+          when(col("doc_id") % 17 === 0,
+            lit(" ## ... ## end")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0,
+            lit(" be to of and that have with")).otherwise(lit("")))
+          .as("text"))
+      Text.gopherRules(d, col("doc_id"), col("text"))
+    }),
+
+    // Storage: DELETION VECTORS — the zero-rewrite row-level delete
+    // (Delta DVs / Iceberg equality-deletes): the delete publishes a
+    // key sidecar, data dirs carry unchanged (pinned), readers
+    // anti-join it, countStar admits it doesn't know, and compact
+    // materializes back to a DV-free snapshot with the same content.
+    "q400_delete_vectors" -> ((s, dir) => {
+      import graft.sources.Snapshot
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val tbl = gateTempDir("q400") + "/t"
+      Snapshot.commit(docs, tbl)
+      val m1 = Snapshot.readManifest(tbl, 1L)
+      val v2 = Snapshot.deleteVectored(s, tbl, "doc_id",
+        col("lang") === "de")
+      val m2 = Snapshot.readManifest(tbl, v2)
+      val zeroRewrite = m2.dirs == m1.dirs && m2.dvDirs.nonEmpty
+      val unknownCount = Snapshot.countStar(tbl).isEmpty
+      val v1Rows = Snapshot.read(s, tbl, Some(1L)).count()
+      val v3 = Snapshot.compact(s, tbl)
+      val materialized = Snapshot.readManifest(tbl, v3).dvDirs.isEmpty
+      Snapshot.read(s, tbl)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("sum_chars"),
+          countDistinct(col("lang")).as("n_langs"))
+        .select(lit(v2).as("dv_version"),
+          lit(zeroRewrite).as("zero_rewrite"),
+          lit(unknownCount).as("count_unknown"),
+          lit(materialized).as("materialized"),
+          lit(v1Rows).as("v1_rows"), col("n_rows"), col("sum_chars"),
+          col("n_langs"))
+    }),
+
+    // Sampling/curation: DSIR importance selection (Xie et al. 2023) —
+    // score raw-pool docs by the hashed-n-gram log-likelihood ratio
+    // against a target corpus (here: the English slice) and keep the
+    // top-100. Per-bucket λ snaps per term; doc weights are exact
+    // integer sums; the top-k is TakeOrdered, never a global sort.
+    "q397_dsir_select" -> ((s, dir) =>
+      Sampling.dsirSelect(t(s, dir, "documents"), col("doc_id"),
+        col("text"), col("lang") === "en", 4096, 100)),
+
     // Quality/eval: MACRO-F1 over the Naive-Bayes confusion (q255's
     // table): per true class one exact floored F1 (2tp/(2tp+fp+fn) —
     // never a precision/recall chain), macro over true classes.
@@ -15070,6 +15199,265 @@ object SparkEntry {
 
     // The NB chain's confusion feeds the same one-division F1s and
     // the floored macro mean.
+    // The same md5 ±1 sign matrix, exact integer projections, the
+    // same 6dp→decimal→micro cosine snap in both spaces.
+    "q401_random_projection" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding FROM embeddings
+         |  WHERE vec_id % 10 = 0),
+         |x AS (SELECT id, generate_subscripts(embedding, 1) - 1 AS d,
+         |    unnest(list_transform(embedding,
+         |      e -> CAST(round(CAST(e AS DOUBLE) * 1000) AS BIGINT)))
+         |      AS xv FROM v),
+         |jj AS (SELECT unnest([j for j in range(0, 16)]) AS j),
+         |sg AS (SELECT dd.d, jj.j,
+         |    CASE WHEN CAST('0x' || substr(md5('rp:' || dd.d || ':'
+         |        || jj.j), 1, 15) AS BIGINT) % 2 = 0
+         |      THEN 1 ELSE -1 END AS s
+         |  FROM (SELECT DISTINCT d FROM x) dd CROSS JOIN jj),
+         |y AS (SELECT x.id, sg.j, CAST(sum(x.xv * sg.s) AS BIGINT) AS yv
+         |  FROM x JOIN sg USING (d) GROUP BY 1, 2),
+         |n2 AS (SELECT id, CAST(sum(yv * yv) AS BIGINT) AS nn
+         |  FROM y GROUP BY 1),
+         |pd AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    CAST(sum(a.yv * b.yv) AS BIGINT) AS dot
+         |  FROM y a JOIN y b ON a.j = b.j AND a.id < b.id GROUP BY 1, 2),
+         |pc AS (SELECT pd.id_a, pd.id_b,
+         |    CAST(round(CAST(round(CAST(pd.dot AS DOUBLE)
+         |      / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))),
+         |      6) AS DECIMAL(20,10)) * 1000000) AS BIGINT)
+         |      AS cos_proj_micro
+         |  FROM pd JOIN n2 na ON na.id = pd.id_a
+         |    JOIN n2 nb ON nb.id = pd.id_b),
+         |oc AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    CAST(round(CAST(round(
+         |      ${cosSql("a.embedding", "b.embedding")}, 6)
+         |      AS DECIMAL(20,10)) * 1000000) AS BIGINT) AS cos_orig_micro
+         |  FROM v a JOIN v b ON a.id < b.id)
+         |SELECT oc.id_a, oc.id_b, oc.cos_orig_micro, pc.cos_proj_micro,
+         |  abs(oc.cos_orig_micro - pc.cos_proj_micro) AS err_micro
+         |FROM oc JOIN pc ON oc.id_a = pc.id_a AND oc.id_b = pc.id_b"""
+        .stripMargin,
+
+    // Same planted pair construction, the same add-1/add-2 smoothed
+    // m/u counts, per-term ln snaps, integer score sums and bands.
+    "q402_fellegi_sunter" -> {
+      def snp(n: String, d: String): String =
+        s"CAST(round(ln(CAST($n AS DOUBLE) / CAST($d AS DOUBLE)) " +
+          s"* 1e6) AS BIGINT)"
+      def w(f: String): String =
+        s"""CASE WHEN ag_$f
+           |  THEN ${snp(s"am_$f + 1", "nm + 2")} - ${snp(s"au_$f + 1", "nu + 2")}
+           |  ELSE ${snp(s"nm - am_$f + 1", "nm + 2")} - ${snp(s"nu - au_$f + 1", "nu + 2")}
+           |END""".stripMargin
+      s"""WITH a AS (SELECT doc_id AS id_a, lang AS la, source AS sa,
+         |    n_chars AS ca FROM documents),
+         |mp AS (SELECT id_a, id_a + 1000000000 AS id_b, true AS y,
+         |    la = (CASE WHEN id_a % 5 = 0 THEN 'xx' ELSE la END)
+         |      AS ag_lang,
+         |    true AS ag_src, abs(-8) <= 10 AS ag_len
+         |  FROM a),
+         |np AS (SELECT a.id_a, b.doc_id AS id_b, false AS y,
+         |    a.la = b.lang AS ag_lang, a.sa = b.source AS ag_src,
+         |    abs(a.ca - b.n_chars) <= 10 AS ag_len
+         |  FROM a JOIN documents b ON b.doc_id = a.id_a + 1),
+         |p AS (SELECT * FROM mp UNION ALL SELECT * FROM np),
+         |st AS (SELECT
+         |    count(*) FILTER (y) AS nm, count(*) FILTER (NOT y) AS nu,
+         |    count(*) FILTER (y AND ag_lang) AS am_lang,
+         |    count(*) FILTER (NOT y AND ag_lang) AS au_lang,
+         |    count(*) FILTER (y AND ag_src) AS am_src,
+         |    count(*) FILTER (NOT y AND ag_src) AS au_src,
+         |    count(*) FILTER (y AND ag_len) AS am_len,
+         |    count(*) FILTER (NOT y AND ag_len) AS au_len FROM p),
+         |sc AS (SELECT p.id_a, p.id_b, p.y,
+         |    (${w("lang")}) + (${w("src")}) + (${w("len")})
+         |      AS score_micro
+         |  FROM p, st)
+         |SELECT id_a, id_b, y, score_micro,
+         |  CASE WHEN score_micro >= 3000000 THEN 'match'
+         |    WHEN score_micro <= -1000000 THEN 'nonmatch'
+         |    ELSE 'possible' END AS band
+         |FROM sc""".stripMargin
+    },
+
+    // Brute-force k-NN on each side, micro-snapped sims, truncating
+    // `//` means and margin (the engine divides double-then-casts —
+    // the documented `//` parity).
+    "q403_bitext_margin" ->
+      s"""WITH l AS (SELECT vec_id AS id, embedding AS vec
+         |  FROM embeddings WHERE vec_id % 2 = 0),
+         |r AS (SELECT vec_id AS id, embedding AS vec
+         |  FROM embeddings WHERE vec_id % 2 = 1),
+         |lr AS (SELECT l.id AS ql, r.id AS nr,
+         |    round(${cosSql("l.vec", "r.vec")}, 6) AS sim
+         |  FROM l CROSS JOIN r),
+         |lrk AS (SELECT *, row_number() OVER (PARTITION BY ql
+         |    ORDER BY sim DESC, nr) AS rk FROM lr),
+         |rl AS (SELECT r.id AS qr, l.id AS nl,
+         |    round(${cosSql("r.vec", "l.vec")}, 6) AS sim
+         |  FROM r CROSS JOIN l),
+         |rlk AS (SELECT *, row_number() OVER (PARTITION BY qr
+         |    ORDER BY sim DESC, nl) AS rk FROM rl),
+         |ml AS (SELECT ql AS id_l,
+         |    CAST(sum(CAST(round(CAST(sim AS DECIMAL(20,10)) * 1000000)
+         |      AS BIGINT)) // count(*) AS BIGINT) AS ml
+         |  FROM lrk WHERE rk <= 4 GROUP BY 1),
+         |mr AS (SELECT qr AS id_r,
+         |    CAST(sum(CAST(round(CAST(sim AS DECIMAL(20,10)) * 1000000)
+         |      AS BIGINT)) // count(*) AS BIGINT) AS mr
+         |  FROM rlk WHERE rk <= 4 GROUP BY 1),
+         |best AS (SELECT ql AS id_l, nr AS id_r,
+         |    CAST(round(CAST(sim AS DECIMAL(20,10)) * 1000000) AS BIGINT)
+         |      AS cos_micro
+         |  FROM lrk WHERE rk = 1)
+         |SELECT b.id_l, b.id_r, b.cos_micro,
+         |  CAST((b.cos_micro * 2000000) // (ml.ml + mr.mr) AS BIGINT)
+         |    AS margin_micro
+         |FROM best b JOIN ml ON ml.id_l = b.id_l
+         |  JOIN mr ON mr.id_r = b.id_r""".stripMargin,
+
+    // The q38 tokenizers (whitespace + BPE-ish regex), byte lengths,
+    // two floored micro ratios.
+    "q404_token_fertility" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nw) AS BIGINT) AS total_words,
+         |  CAST(sum(nb) AS BIGINT) AS total_bpe,
+         |  CAST(sum(nby) AS BIGINT) AS total_bytes,
+         |  CAST((CAST(sum(nb) AS HUGEINT) * 1000000) // sum(nw)
+         |    AS BIGINT) AS fertility_micro,
+         |  CAST((CAST(sum(nby) AS HUGEINT) * 1000000) // sum(nb)
+         |    AS BIGINT) AS bytes_per_token_micro
+         |FROM (SELECT lang, len($tokSql) AS nw,
+         |    len(regexp_extract_all(lower(text),
+         |      '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS nb,
+         |    strlen(text) AS nby FROM documents)
+         |GROUP BY 1""".stripMargin,
+
+    // Per-language bigram model (the q138 chain keyed by lang), the
+    // same per-term ln snap and floored mean, rank/band arithmetic in
+    // plain window functions.
+    "q398_ccnet_buckets" ->
+      s"""WITH tk AS (SELECT doc_id, lang, $tokSql AS tk FROM documents),
+         |bg AS (SELECT doc_id, lang, r['a'] AS a, r['b'] AS b FROM (
+         |  SELECT doc_id, lang, unnest([{'a': tk[i + 1], 'b': tk[i + 2]}
+         |      for i in range(0, len(tk) - 1)]) AS r FROM tk)),
+         |cb AS (SELECT lang, a, b, count(*) AS cab FROM bg
+         |  GROUP BY 1, 2, 3),
+         |ca AS (SELECT lang, a, count(*) AS ca FROM bg GROUP BY 1, 2),
+         |v AS (SELECT lang, count(DISTINCT w) AS v FROM
+         |  (SELECT lang, unnest(tk) AS w FROM tk) GROUP BY 1),
+         |d AS (SELECT bg.doc_id, bg.lang,
+         |    CAST(sum(CAST(round(-ln(CAST(cab + 1 AS DOUBLE)
+         |        / CAST(ca + v AS DOUBLE)) * 1e6) AS BIGINT))
+         |      // count(*) AS BIGINT) AS nll_micro
+         |  FROM bg JOIN cb USING (lang, a, b) JOIN ca USING (lang, a)
+         |    JOIN v USING (lang)
+         |  GROUP BY 1, 2),
+         |r AS (SELECT lang, nll_micro,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY nll_micro, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS nl FROM d)
+         |SELECT lang, CAST(((rn - 1) * 3) // nl AS INT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(nll_micro) AS nll_min_micro,
+         |  max(nll_micro) AS nll_max_micro
+         |FROM r GROUP BY 1, 2""".stripMargin,
+
+    // The same planted tails, every rule the same cross-multiplied
+    // integer comparison over the same token/line counts.
+    "q399_gopher_rules" ->
+      s"""WITH d AS (SELECT doc_id, text
+         |    || CASE WHEN doc_id % 13 = 0 THEN chr(10) || '- buy one'
+         |        || chr(10) || '- buy two' || chr(10) || 'plain tail...'
+         |      ELSE '' END
+         |    || CASE WHEN doc_id % 17 = 0 THEN ' ## ... ## end'
+         |      ELSE '' END
+         |    || CASE WHEN doc_id % 7 = 0
+         |      THEN ' be to of and that have with' ELSE '' END AS text
+         |  FROM documents),
+         |x AS (SELECT doc_id, text AS t, $tokSql AS tk,
+         |    string_split(text, chr(10)) AS ls FROM d),
+         |y AS (SELECT doc_id,
+         |    CAST(len(tk) AS BIGINT) AS nw,
+         |    CAST(coalesce(list_sum(list_transform(tk, s -> len(s))), 0)
+         |      AS BIGINT) AS sum_len,
+         |    CAST(len(t) - len(replace(t, '#', ''))
+         |      + (len(t) - len(replace(t, '...', ''))) // 3
+         |      AS BIGINT) AS symbols,
+         |    CAST(len(list_filter(ls,
+         |      s -> regexp_matches(ltrim(s), '^[-*•]'))) AS BIGINT)
+         |      AS bullets,
+         |    CAST(len(ls) AS BIGINT) AS nl,
+         |    CAST(len(list_filter(ls,
+         |      s -> regexp_matches(rtrim(s), '\\.\\.\\.$$'))) AS BIGINT)
+         |      AS ell,
+         |    CAST(len(list_filter(tk,
+         |      s -> regexp_matches(s, '[a-z]'))) AS BIGINT) AS alpha_words,
+         |    CAST(len(list_intersect(list_distinct(tk),
+         |      ['the','be','to','of','and','that','have','with']))
+         |      AS BIGINT) AS stop_hits
+         |  FROM x)
+         |SELECT doc_id AS id, nw AS n_words,
+         |  nw >= 50 AND nw <= 100000 AS r_word_count,
+         |  3 * nw <= sum_len AND sum_len <= 10 * nw AS r_mean_word_len,
+         |  10 * symbols <= nw AS r_symbol_ratio,
+         |  10 * bullets <= nl AS r_bullet_lines,
+         |  10 * ell <= 3 * nl AS r_ellipsis_lines,
+         |  5 * alpha_words >= 4 * nw AS r_alpha_words,
+         |  stop_hits >= 2 AS r_stopwords,
+         |  (nw >= 50 AND nw <= 100000)
+         |    AND (3 * nw <= sum_len AND sum_len <= 10 * nw)
+         |    AND 10 * symbols <= nw AND 10 * bullets <= nl
+         |    AND 10 * ell <= 3 * nl AND 5 * alpha_words >= 4 * nw
+         |    AND stop_hits >= 2 AS pass
+         |FROM y""".stripMargin,
+
+    // The storage flags are pinned by the engine (zero-rewrite,
+    // unknown count, materialization); content arithmetic replays as
+    // a plain DELETE.
+    "q400_delete_vectors" ->
+      """SELECT CAST(2 AS BIGINT) AS dv_version, true AS zero_rewrite,
+        |  true AS count_unknown, true AS materialized,
+        |  (SELECT count(*) FROM documents) AS v1_rows,
+        |  count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        |FROM documents WHERE lang <> 'de'""".stripMargin,
+
+    // Same hashed unigram∪bigram buckets (60-bit md5 mod 4096), the
+    // same per-term ln snap, exact integer doc weights, the same
+    // (w desc, id) top-100.
+    "q397_dsir_select" ->
+      s"""WITH d AS (SELECT doc_id, lang = 'en' AS is_target,
+         |    $tokSql AS tk FROM documents),
+         |f0 AS (SELECT doc_id, is_target, unnest(tk) AS f FROM d
+         |  UNION ALL
+         |  SELECT doc_id, is_target,
+         |    unnest([tk[i + 1] || ' ' || tk[i + 2]
+         |      for i in range(0, len(tk) - 1)]) AS f FROM d),
+         |fb AS (SELECT doc_id, is_target,
+         |    CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 4096 AS b
+         |  FROM f0),
+         |c AS (SELECT b, count(*) FILTER (is_target) AS ct,
+         |    count(*) FILTER (NOT is_target) AS cr FROM fb GROUP BY 1),
+         |tt AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM c),
+         |lam AS (SELECT b,
+         |    CAST(round(ln(CAST(ct + 1 AS DOUBLE)
+         |      / CAST(nt + 4096 AS DOUBLE)) * 1e6) AS BIGINT)
+         |    - CAST(round(ln(CAST(cr + 1 AS DOUBLE)
+         |      / CAST(nr + 4096 AS DOUBLE)) * 1e6) AS BIGINT) AS lam
+         |  FROM c CROSS JOIN tt),
+         |w AS (SELECT fb.doc_id, count(*) AS n_feats,
+         |    sum(lam.lam) AS w FROM fb JOIN lam USING (b) GROUP BY 1),
+         |aw AS (SELECT d.doc_id AS id, d.is_target,
+         |    CAST(coalesce(w.n_feats, 0) AS BIGINT) AS n_feats,
+         |    CAST(coalesce(w.w, 0) AS BIGINT) AS w_micro
+         |  FROM d LEFT JOIN w ON d.doc_id = w.doc_id),
+         |top AS (SELECT id FROM aw WHERE NOT is_target
+         |  ORDER BY w_micro DESC, id LIMIT 100)
+         |SELECT a.id, a.is_target, a.n_feats, a.w_micro,
+         |  a.id IN (SELECT id FROM top) AS selected
+         |FROM aw a""".stripMargin,
+
     "q396_macro_f1" ->
       s"""WITH $naiveBayesCtes,
          |cf AS (SELECT y, pred, CAST(count(*) AS BIGINT) AS n

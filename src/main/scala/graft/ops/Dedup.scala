@@ -1008,4 +1008,64 @@ object Dedup {
     regexp_replace(
       regexp_replace(trim(lower(text)), "\\s+", " "),
       "[0-9]+", "#")
+
+  /** FELLEGI–SUNTER record linkage (1969) — the probabilistic
+    * match/possible/nonmatch decision rule every serious ER system
+    * still runs on: per comparison field f, m_f = P(agree | match)
+    * and u_f = P(agree | non-match) estimated from `label`ed pairs
+    * (add-1/add-2 smoothed so a perfectly-discriminating field can't
+    * blow up to ±∞), agreement weight ln(m/u) and disagreement weight
+    * ln((1−m)/(1−u)); a pair's score is the sum over fields of
+    * whichever applies, banded by the caller's thresholds.
+    *
+    * Exactness: each ln snaps ×10⁶ PER TERM (the q72 convention —
+    * w = snap ln(num/den) − snap ln(num'/den') on exact integer
+    * ratios), so scores are exact integer sums and a SQL oracle
+    * replays them bit-for-bit.
+    *
+    * Scale shape: the m/u table is ONE aggregate row (2+2·|fields|
+    * longs) broadcast back over the pairs — a single pass however
+    * many pairs the blocking stage emits; candidate generation stays
+    * upstream (LSH/blocking), exactly where Fellegi–Sunter sits in a
+    * production linkage stack. Output: (id_a, id_b, y, score_micro,
+    * band).
+    */
+  def fellegiSunter(pairs: DataFrame, idA: Column, idB: Column,
+                    label: Column, agrees: Seq[(String, Column)],
+                    upperMicro: Long, lowerMicro: Long): DataFrame = {
+    require(agrees.nonEmpty, "need at least one comparison field")
+    require(lowerMicro <= upperMicro, "lower band must not exceed upper")
+    def snapLn(num: Column, den: Column): Column =
+      round(log(num.cast("double") / den.cast("double")) * lit(1e6))
+        .cast("long")
+    val base = pairs.select(
+      Seq(idA.as("id_a"), idB.as("id_b"),
+        label.cast("boolean").as("y")) ++
+        agrees.map { case (n, c) => c.cast("boolean").as(s"ag_$n") }: _*)
+    val aggs =
+      Seq(sum(when(col("y"), 1L).otherwise(0L)).as("nm"),
+        sum(when(!col("y"), 1L).otherwise(0L)).as("nu")) ++
+        agrees.flatMap { case (n, _) =>
+          Seq(sum(when(col("y") && col(s"ag_$n"), 1L).otherwise(0L))
+            .as(s"am_$n"),
+            sum(when(!col("y") && col(s"ag_$n"), 1L).otherwise(0L))
+              .as(s"au_$n"))
+        }
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    val score = agrees.map { case (n, _) =>
+      val wa = snapLn(col(s"am_$n") + 1, col("nm") + 2) -
+        snapLn(col(s"au_$n") + 1, col("nu") + 2)
+      val wd = snapLn(col("nm") - col(s"am_$n") + 1, col("nm") + 2) -
+        snapLn(col("nu") - col(s"au_$n") + 1, col("nu") + 2)
+      when(col(s"ag_$n"), wa).otherwise(wd)
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .withColumn("score_micro", score)
+      .withColumn("band",
+        when(col("score_micro") >= upperMicro, lit("match"))
+          .when(col("score_micro") <= lowerMicro, lit("nonmatch"))
+          .otherwise(lit("possible")))
+      .select(col("id_a"), col("id_b"), col("y"), col("score_micro"),
+        col("band"))
+  }
 }

@@ -743,4 +743,83 @@ object Sampling {
       .select(col("g"), col("bin"), col("n_gb"), col("a_micro"),
         col("n_kept"))
   }
+
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every raw-pool document by how much its
+    * hashed-n-gram profile looks like a TARGET corpus, then keep the
+    * top-k raw docs. The standard "make CommonCrawl look like
+    * Wikipedia" pretraining-data selection step.
+    *
+    * Features are unigrams ∪ adjacent bigrams, hashed into `buckets`
+    * via the portable 60-bit md5 ([[Dedup.hashLong]] — identical in
+    * any SQL engine). Two add-1-smoothed bag-of-buckets models fit in
+    * one aggregate: p_t(b) = (ct_b+1)/(nt+B) over target docs,
+    * p_r(b) likewise over the raw pool. Each bucket's log-likelihood
+    * ratio snaps PER TERM (λ_b = round(ln p_t·1e6) − round(ln p_r·1e6),
+    * the q72 pre-sum convention — every later step is exact integer
+    * arithmetic, so the doc weight Σ λ_b is order-free and
+    * engine-portable). Docs with no features carry weight 0.
+    *
+    * Scale shape: one explode + one groupBy(bucket) fit (bucket
+    * cardinality ≤ B regardless of corpus size — the model is a
+    * bounded table), one hash-join of feature occurrences against the
+    * B-row λ table (broadcast), one per-doc sum. No window over data
+    * rows, no collect; exactly the passes a 100 TB selection job
+    * needs.
+    *
+    * Returns (id, is_target, n_feats, w_micro).
+    */
+  def dsirWeights(docs: DataFrame, id: Column, text: Column,
+                  isTarget: Column, buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be > 0")
+    val base = docs.select(id.as("id"),
+      isTarget.cast("boolean").as("is_target"),
+      Text.tokens(text).as("tk"))
+    val feats = base.select(col("id"), col("is_target"),
+      explode(Cols.bound(col("tk")) { t =>
+        concat(t, when(size(t) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(t) - 1),
+            i => concat(element_at(t, i), lit(" "),
+              element_at(t, i + 1)))))
+      }).as("f"))
+      .select(col("id"), col("is_target"),
+        pmod(Dedup.hashLong(col("f")), lit(buckets.toLong)).as("b"))
+    val cnt = feats.groupBy(col("b")).agg(
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
+      sum(when(col("is_target"), 0L).otherwise(1L)).as("cr"))
+    val tot = cnt.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val lam = cnt.crossJoin(broadcast(tot)).select(col("b"),
+      (round(log((col("ct") + 1).cast("double") /
+        (col("nt") + buckets).cast("double")) * lit(1e6)).cast("long")
+        - round(log((col("cr") + 1).cast("double") /
+          (col("nr") + buckets).cast("double")) * lit(1e6)).cast("long"))
+        .as("lam"))
+    val perDoc = feats.join(broadcast(lam), Seq("b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lam")).as("w_micro"))
+    base.select(col("id"), col("is_target"))
+      .join(perDoc, Seq("id"), "left")
+      .na.fill(0L, Seq("n_feats", "w_micro"))
+  }
+
+  /** The selection on top of [[dsirWeights]]: the k raw-pool docs with
+    * the highest importance weight (ties by id — deterministic), every
+    * doc returned with its `selected` flag. The top-k is an
+    * orderBy+limit (TakeOrdered — a per-partition heap then a k-row
+    * merge, never a global sort), so the plan holds at any corpus
+    * size; target docs are never selected (they're the reference, not
+    * the pool).
+    */
+  def dsirSelect(docs: DataFrame, id: Column, text: Column,
+                 isTarget: Column, buckets: Int, k: Int): DataFrame = {
+    val w = dsirWeights(docs, id, text, isTarget, buckets)
+    val top = w.filter(!col("is_target"))
+      .orderBy(col("w_micro").desc, col("id"))
+      .limit(k)
+      .select(col("id"), lit(true).as("selected"))
+    w.join(top, Seq("id"), "left")
+      .select(col("id"), col("is_target"), col("n_feats"),
+        col("w_micro"), coalesce(col("selected"), lit(false))
+          .as("selected"))
+  }
 }

@@ -1609,4 +1609,119 @@ object Similarity {
         aggregate(transform(col("r"), x => x * x), lit(0L),
           (acc, t) => acc + t).as("r_energy"))
   }
+
+  private def md5hex60(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .take(15), 16)
+
+  /** JOHNSON–LINDENSTRAUSS SIGNED RANDOM PROJECTION (Achlioptas 2003's
+    * ±1 variant) — the embedding-COMPRESSION rewrite d→k: y_j =
+    * Σ_d x₃(d)·s(d,j) with s(d,j) ∈ {+1,−1} a pure function of
+    * (d, j) via the portable 60-bit md5 (no RNG state — the same
+    * matrix on every run, cluster layout, and engine). Components
+    * snap ×`scale` first, so every y_j is an exact integer.
+    *
+    * Scale shape: the k×d sign matrix is a driver-computed LITERAL
+    * (k·d entries — dims-sized, the LinearModel bounded-collect
+    * discipline) folded per row by HOFs: ONE projection over the
+    * scan, no explode, no join, no shuffle — the rewrite a 100 TB
+    * embedding column pays exactly one pass for. Output: (id, y).
+    */
+  def signedProjection(vecs: DataFrame, id: Column, vec: Column,
+                       k: Int, d: Int, scale: Int): DataFrame = {
+    require(k >= 1 && d >= 1 && k.toLong * d <= 4000000L,
+      "sign matrix must stay literal-sized (k*d <= 4e6)")
+    val signs: Seq[Seq[Long]] = (0 until k).map(j =>
+      (0 until d).map(dd =>
+        if (md5hex60(s"rp:$dd:$j") % 2 == 0) 1L else -1L))
+    val sl = typedLit(signs)
+    val x3 = transform(vec, x =>
+      round(x.cast("double") * scale).cast("long"))
+    vecs.select(id.as("id"), x3.as("x3"))
+      .select(col("id"), Cols.bound(col("x3")) { xb =>
+        transform(sequence(lit(1), lit(k)), j =>
+          aggregate(zip_with(xb, element_at(sl, j.cast("int")),
+            (a, b) => a * b), lit(0L), (acc, t) => acc + t))
+      }.as("y"))
+  }
+
+  /** The DISTORTION AUDIT for [[signedProjection]] — the read before a
+    * pipeline swaps its d-dim column for the k-dim sketch: for every
+    * pair of a bounded probe slice, the original-space and
+    * projected-space cosines side by side with the absolute error
+    * (all ×10⁶ micro via the decimal snap). The JL guarantee is a
+    * DISTRIBUTION statement, so the deliverable is the per-pair table
+    * a consumer aggregates into its own error budget. The probe slice
+    * must be bounded (B² pairs — the documented blocked-kernel
+    * convention); production audits sample, they never all-pair.
+    */
+  def projectionDistortion(vecs: DataFrame, id: Column, vec: Column,
+                           k: Int, d: Int, scale: Int): DataFrame = {
+    def snapMicro(c: Column): Column =
+      round(c.cast("decimal(20,10)") * 1000000).cast("long")
+    def dotL(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (p, q) => p * q), lit(0L),
+        (acc, t) => acc + t)
+    val proj = signedProjection(vecs, id, vec, k, d, scale)
+    val base = vecs.select(id.as("id"), vec.as("v")).join(proj, Seq("id"))
+    val a = base.select(col("id").as("id_a"), col("v").as("va"),
+      col("y").as("ya"))
+    val b = base.select(col("id").as("id_b"), col("v").as("vb"),
+      col("y").as("yb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        snapMicro(round(cosine(col("va"), col("vb")), 6))
+          .as("cos_orig_micro"),
+        snapMicro(round(dotL(col("ya"), col("yb")).cast("double") /
+          (sqrt(dotL(col("ya"), col("ya")).cast("double")) *
+            sqrt(dotL(col("yb"), col("yb")).cast("double"))), 6))
+          .as("cos_proj_micro"))
+      .withColumn("err_micro",
+        abs(col("cos_orig_micro") - col("cos_proj_micro")))
+  }
+
+  /** MARGIN-BASED BITEXT MINING (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix criterion): a raw cosine threshold can't mine
+    * parallel pairs because hubs score high against EVERYTHING; the
+    * margin rescales each candidate pair by both endpoints' k-NN
+    * neighborhoods — margin(x,y) = 2·cos(x,y) / (meanₖ(x→R) +
+    * meanₖ(y→L)) — so only pairs that stand OUT of their
+    * neighborhoods survive. Emits each left vector's best right candidate
+    * with its cos and margin (×10⁶ micro); the caller thresholds.
+    *
+    * Determinism: pair cosines snap ×10⁶ (6dp → decimal → int); the
+    * k-NN means and the final ratio divide by DOUBLE-then-truncate —
+    * the documented DuckDB `//` parity for SIGNED fixed-point (every
+    * |operand| < 2^53 and true quotients sit ≥1/denominator away from
+    * integers, so the rounded double truncates identically).
+    *
+    * Scale shape: both k-NN passes ride [[bruteForceTopK]]'s
+    * broadcast-query contract (swap in ivfSearch for corpus-scale
+    * candidate generation — the margin composes unchanged on any
+    * (cos, rank) candidate table).
+    */
+  def marginMining(left: DataFrame, right: DataFrame, k: Int,
+                   maxQueries: Long = DefaultMaxQueries): DataFrame = {
+    def snapMicro(c: Column): Column =
+      round(c.cast("decimal(20,10)") * 1000000).cast("long")
+    def tdiv(a: Column, b: Column): Column =
+      (a.cast("double") / b.cast("double")).cast("long")
+    val lr = bruteForceTopK(left, right, k, maxQueries)
+    val rl = bruteForceTopK(right, left, k, maxQueries)
+    val ml = lr.groupBy(col("query_id").as("id_l"))
+      .agg(tdiv(sum(snapMicro(col("sim"))), count(lit(1))).as("ml"))
+    val mr = rl.groupBy(col("query_id").as("id_r"))
+      .agg(tdiv(sum(snapMicro(col("sim"))), count(lit(1))).as("mr"))
+    lr.filter(col("rank") === 1)
+      .select(col("query_id").as("id_l"),
+        col("neighbor_id").as("id_r"),
+        snapMicro(col("sim")).as("cos_micro"))
+      .join(ml, Seq("id_l"))
+      .join(mr, Seq("id_r"))
+      .select(col("id_l"), col("id_r"), col("cos_micro"),
+        tdiv(col("cos_micro") * lit(2000000L), col("ml") + col("mr"))
+          .as("margin_micro"))
+  }
 }

@@ -1419,6 +1419,165 @@ object Text {
           .cast("double").as("avg_nll"))
   }
 
+  /** CCNet-style PERPLEXITY BUCKETS (Wenzek et al. 2020): per
+    * LANGUAGE, score every document with that language's own add-1
+    * bigram LM ([[bigramNll]]'s model keyed by lang) and split the
+    * language's documents into `nBuckets` equal-rank bands — head
+    * (lowest perplexity, the "keep" band), middle, tail. The classic
+    * CommonCrawl curation cut: one global threshold can't work because
+    * perplexity scales differ per language; rank-within-language is
+    * the portable criterion.
+    *
+    * Exactness: each bigram's −ln term snaps ×1e6 pre-sum (the q72
+    * convention), the per-doc mean is one floored division of exact
+    * integers, and the band is pure rank arithmetic
+    * (⌊(rank−1)·nBuckets/n_lang⌋) — no lossy percentile estimate, so
+    * a SQL oracle replays bit-for-bit. Docs with <2 tokens have no
+    * bigrams and drop (CCNet discards them upstream).
+    *
+    * Scale shape: bigram/context counts are hash aggregates keyed by
+    * (lang, gram); the per-language rank is one range-partitioned sort
+    * per language — the same cost any percentile cut pays, and the
+    * only order-sensitive step. Output: (lang, bucket, n_docs,
+    * nll_min_micro, nll_max_micro).
+    */
+  def perplexityBuckets(docs: DataFrame, id: Column, text: Column,
+                        lang: Column, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 1, "nBuckets must be >= 1")
+    def floorDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val toks = docs.select(id.as("id"), lang.as("lang"),
+      tokens(text).as("tk"))
+    val bigrams = toks
+      .select(col("id"), col("lang"), explode(Cols.bound(col("tk")) { t =>
+        when(size(t) < 2,
+          array().cast("array<struct<a:string,b:string>>"))
+          .otherwise(transform(sequence(lit(1), size(t) - 1),
+            i => struct(element_at(t, i).as("a"),
+              element_at(t, i + 1).as("b"))))
+      }).as("bg"))
+      .select(col("id"), col("lang"), col("bg.a").as("a"),
+        col("bg.b").as("b"))
+    val cb = bigrams.groupBy(col("lang"), col("a"), col("b"))
+      .agg(count(lit(1)).as("cab"))
+    val ca = bigrams.groupBy(col("lang"), col("a"))
+      .agg(count(lit(1)).as("ca"))
+    val v = toks.select(col("lang"), explode(col("tk")).as("w"))
+      .groupBy(col("lang")).agg(countDistinct(col("w")).as("v"))
+    val perDoc = bigrams
+      .join(cb, Seq("lang", "a", "b"))
+      .join(ca, Seq("lang", "a"))
+      .join(broadcast(v), Seq("lang"))
+      .select(col("id"), col("lang"),
+        round(-log((col("cab") + 1).cast("double") /
+          (col("ca") + col("v")).cast("double")) * lit(1e6))
+          .cast("long").as("tfp"))
+      .groupBy(col("id"), col("lang"))
+      .agg(floorDiv(sum(col("tfp")), count(lit(1))).as("nll_micro"))
+    val nPerLang = perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("nll_micro"), col("id"))
+    perDoc
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(nPerLang), Seq("lang"))
+      .withColumn("bucket",
+        floorDiv((col("rn") - 1) * nBuckets, col("n_lang")).cast("int"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("nll_micro")).as("nll_min_micro"),
+        max(col("nll_micro")).as("nll_max_micro"))
+  }
+
+  /** The GOPHER quality rules (Rae et al. 2021, MassiveText, App. A) —
+    * the named heuristic filter set a pretraining corpus is screened
+    * with before any model-based scoring. Every rule is EXACT integer
+    * arithmetic on counts (cross-multiplied thresholds — never a float
+    * ratio), so a SQL oracle replays it bit-for-bit and the same doc
+    * passes identically on any engine:
+    *   r_word_count    — minWords ≤ words ≤ maxWords
+    *   r_mean_word_len — 3·words ≤ Σ token length ≤ 10·words
+    *   r_symbol_ratio  — 10·(# '#' + # '…'-as-'...') ≤ words
+    *   r_bullet_lines  — 10·(lines starting - * •) ≤ lines
+    *   r_ellipsis_lines— 10·(lines ending '...') ≤ 3·lines
+    *   r_alpha_words   — 5·(words containing [a-z]) ≥ 4·words
+    *   r_stopwords     — ≥2 distinct of {the be to of and that have with}
+    * `pass` is their conjunction. One projection over the scan — no
+    * shuffle, no join; the filter a 100 TB screen wants pushed into
+    * the first read. Output: (id, n_words, the 7 rule booleans, pass).
+    */
+  def gopherRules(docs: DataFrame, id: Column, text: Column,
+                  minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that",
+      "have", "with")
+    docs.select(id.as("id"), text.as("t"), tokens(text).as("tk"))
+      .select(col("id"), col("t"), col("tk"),
+        size(col("tk")).cast("long").as("nw"),
+        aggregate(col("tk"), lit(0L), (acc, x) => acc + length(x))
+          .as("sum_len"),
+        (length(col("t")) - length(regexp_replace(col("t"), "#", "")) +
+          (length(col("t")) - length(regexp_replace(col("t"), "\\.\\.\\.",
+            ""))) / 3).cast("long").as("symbols"),
+        split(col("t"), "\n").as("ls"),
+        size(filter(col("tk"), x => x.rlike("[a-z]"))).cast("long")
+          .as("alpha_words"),
+        size(array_intersect(array_distinct(col("tk")),
+          array(gopherStops.map(lit): _*))).cast("long").as("stop_hits"))
+      .select(col("id"), col("nw").as("n_words"),
+        (col("nw") >= minWords && col("nw") <= maxWords)
+          .as("r_word_count"),
+        (lit(3L) * col("nw") <= col("sum_len") &&
+          col("sum_len") <= lit(10L) * col("nw")).as("r_mean_word_len"),
+        (lit(10L) * col("symbols") <= col("nw")).as("r_symbol_ratio"),
+        (lit(10L) * size(filter(col("ls"),
+          l => ltrim(l).rlike("^[-*•]"))).cast("long") <=
+          size(col("ls")).cast("long")).as("r_bullet_lines"),
+        (lit(10L) * size(filter(col("ls"),
+          l => rtrim(l).rlike("\\.\\.\\.$"))).cast("long") <=
+          lit(3L) * size(col("ls")).cast("long")).as("r_ellipsis_lines"),
+        (lit(5L) * col("alpha_words") >= lit(4L) * col("nw"))
+          .as("r_alpha_words"),
+        (col("stop_hits") >= 2L).as("r_stopwords"))
+      .withColumn("pass",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_symbol_ratio") && col("r_bullet_lines") &&
+          col("r_ellipsis_lines") && col("r_alpha_words") &&
+          col("r_stopwords"))
+  }
+
+  /** TOKENIZER FERTILITY per language — the tokenizer-evaluation
+    * numbers a multilingual pipeline reads before committing to a
+    * vocabulary: tokens-per-word (fertility — how many subword pieces
+    * a whitespace word shatters into) and bytes-per-token, per
+    * language, under the BPE-ish regex tokenizer ([[bpeTokenCount]]).
+    * High fertility = the language is under-served by the vocabulary
+    * (its documents cost more sequence length per word). Exact
+    * integer arithmetic: raw count sums and two floored micro ratios
+    * (counts nonnegative, so the pmod floor ≡ SQL `//`). One
+    * aggregate over the scan. Output: (lang, n_docs, total_words,
+    * total_bpe, total_bytes, fertility_micro, bytes_per_token_micro).
+    */
+  def tokenFertility(docs: DataFrame, lang: Column,
+                     text: Column): DataFrame = {
+    def floorDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    docs.select(lang.as("lang"),
+        tokenCount(text).cast("long").as("nw"),
+        bpeTokenCount(text).cast("long").as("nb"),
+        octet_length(text).cast("long").as("nby"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("total_words"),
+        sum(col("nb")).as("total_bpe"),
+        sum(col("nby")).as("total_bytes"))
+      .select(col("lang"), col("n_docs"), col("total_words"),
+        col("total_bpe"), col("total_bytes"),
+        floorDiv(col("total_bpe") * 1000000L, col("total_words"))
+          .as("fertility_micro"),
+        floorDiv(col("total_bytes") * 1000000L, col("total_bpe"))
+          .as("bytes_per_token_micro"))
+  }
+
   /** HELD-OUT bigram perplexity with interpolated back-off — the
     * language-model quality score as it is actually used in a data
     * pipeline: the model TRAINS on one deterministic hash half of the

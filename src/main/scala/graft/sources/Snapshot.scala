@@ -97,7 +97,8 @@ object Snapshot {
                             dirs: Seq[String],
                             stats: Map[String, DirStats] = Map.empty,
                             fileStats: Map[String, DirStats] = Map.empty,
-                            wapId: String = "") {
+                            wapId: String = "",
+                            dvDirs: Seq[String] = Seq.empty) {
     def dataSchema: StructType =
       DataType.fromJson(dataSchemaJson).asInstanceOf[StructType]
     /** Per-file stats grouped under their parent directory. */
@@ -161,7 +162,11 @@ object Snapshot {
       DirStats(rows.toLong, t.map(x => x._1 -> x._2).toMap,
         t.map(x => x._1 -> x._3).toMap)
     }
-    val (fileLines, dirLines) = lines.drop(2).partition(_.startsWith("F\t"))
+    val (fileLines, rest) = lines.drop(2).partition(_.startsWith("F\t"))
+    // `D TAB path` lines carry deletion-vector directories (parquet of
+    // deleted key values, applied as an anti-join at read time);
+    // pre-DV manifests have none and parse unchanged
+    val (dvLines, dirLines) = rest.partition(_.startsWith("D\t"))
     val parsed = dirLines.map { line =>
       val f = line.split("\t", -1)
       if (f.length < 2) (f(0), None)
@@ -173,7 +178,7 @@ object Snapshot {
     }.toMap
     Manifest(v, header(1), header(2), lines(1), parsed.map(_._1),
       parsed.collect { case (d, Some(st)) => d -> st }.toMap, fstats,
-      wapId)
+      wapId, dvLines.map(_.split("\t", -1)(1)))
   }
 
   private def manifestBody(m: Manifest): String = {
@@ -189,10 +194,11 @@ object Snapshot {
     val fileLines = m.fileStats.toSeq.sortBy(_._1).map { case (f, st) =>
       (Seq("F", f) ++ statFields(st)).mkString("\t")
     }
+    val dvLines = m.dvDirs.map(d => s"D\t$d")
     val header = s"${m.version}\t${m.partitionCol}\t${m.partitionType}" +
       (if (m.wapId.isEmpty) "" else s"\t${enc(m.wapId)}")
-    (Seq(header,
-      m.dataSchemaJson) ++ dirLines ++ fileLines).mkString("", "\n", "\n")
+    (Seq(header, m.dataSchemaJson) ++ dirLines ++ fileLines ++ dvLines)
+      .mkString("", "\n", "\n")
   }
 
   private def writeManifest(table: String, m: Manifest): Unit = {
@@ -375,7 +381,9 @@ object Snapshot {
     val v = version.orElse(latestVersion(table)).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed snapshot"))
     val m = readManifest(table, v)
-    if (m.dirs.forall(m.stats.contains))
+    // outstanding deletion vectors make the manifest row counts an
+    // overcount (how many DV keys actually hit rows is data-dependent)
+    if (m.dvDirs.isEmpty && m.dirs.forall(m.stats.contains))
       Some(m.dirs.map(m.stats(_).rows).sum)
     else None
   }
@@ -416,8 +424,9 @@ object Snapshot {
         read(spark, table, Some(v)).schema)
     else {
       val df = spark.read.schema(m.dataSchema).parquet(scanPaths: _*)
-      if (m.partitionCol.isEmpty) df
-      else injectPartitionCol(df, m.partitionCol, m.partitionType)
+      applyDv(spark, m,
+        if (m.partitionCol.isEmpty) df
+        else injectPartitionCol(df, m.partitionCol, m.partitionType))
     }
   }
 
@@ -463,8 +472,9 @@ object Snapshot {
         read(spark, table, Some(v)).schema)
     else {
       val df = spark.read.schema(m.dataSchema).parquet(scanPaths: _*)
-      if (m.partitionCol.isEmpty) df
-      else injectPartitionCol(df, m.partitionCol, m.partitionType)
+      applyDv(spark, m,
+        if (m.partitionCol.isEmpty) df
+        else injectPartitionCol(df, m.partitionCol, m.partitionType))
     }
   }
 
@@ -613,6 +623,8 @@ object Snapshot {
     val m = readManifest(table, v)
     require(m.dirs.size == 1,
       s"bucketed snapshots are single-dir; found ${m.dirs.size}")
+    require(m.dvDirs.isEmpty,
+      s"$table has outstanding deletion vectors — compact() first")
     val dir = m.dirs.head
     val spec = Files.readString(Paths.get(dir, "_bucketing")).trim
       .split('\t')
@@ -644,8 +656,33 @@ object Snapshot {
     // explicit schema: directories predating a schema evolution
     // null-fill the columns they lack
     val df = spark.read.schema(m.dataSchema).parquet(m.dirs: _*)
-    if (m.partitionCol.isEmpty) df
-    else injectPartitionCol(df, m.partitionCol, m.partitionType)
+    applyDv(spark, m,
+      if (m.partitionCol.isEmpty) df
+      else injectPartitionCol(df, m.partitionCol, m.partitionType))
+  }
+
+  /** Apply a manifest's deletion vectors: one LEFT ANTI join against
+    * the union of the referenced DV directories (each a parquet of
+    * deleted key values; the single column's NAME is the key column).
+    * Row-level deletes therefore cost O(|deleted|) at write time and
+    * one anti-join at read time — never a data rewrite; [[compact]]
+    * materializes them (it reads through this and publishes a DV-free
+    * manifest). No broadcast hint: AQE broadcasts the DV side when it
+    * is small (the common case) and falls back to a shuffled anti-join
+    * when an accumulated DV set grows past the driver's comfort.
+    */
+  private def applyDv(spark: SparkSession, m: Manifest,
+                      df: DataFrame): DataFrame = {
+    if (m.dvDirs.isEmpty) df
+    else {
+      val dv = spark.read.parquet(m.dvDirs: _*)
+      require(dv.schema.length == 1,
+        s"deletion vectors must be single-column; found ${dv.schema}")
+      val key = dv.schema.head.name
+      require(df.columns.contains(key),
+        s"deletion-vector key '$key' is not a table column")
+      df.join(dv.distinct(), df(key) === dv(key), "left_anti")
+    }
   }
 
   /** Version-to-version semantic diff (the CDC face of time travel):
@@ -767,8 +804,9 @@ object Snapshot {
     if (kept.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         read(spark, table, Some(v)).schema)
-    else injectPartitionCol(spark.read.schema(m.dataSchema).parquet(kept: _*),
-      m.partitionCol, m.partitionType)
+    else applyDv(spark, m,
+      injectPartitionCol(spark.read.schema(m.dataSchema).parquet(kept: _*),
+        m.partitionCol, m.partitionType))
   }
 
   /** The UNESCAPED partition value a directory holds (null for the
@@ -797,6 +835,11 @@ object Snapshot {
         val m = readManifest(table, v)
         require(m.partitionCol == partitionCol,
           s"partition mismatch: table has '${m.partitionCol}', merge got '$partitionCol'")
+        // merge rewrites touched partitions from the RAW directories;
+        // outstanding row-level deletes would silently resurrect there
+        // (and a re-inserted key would stay hidden) — materialize first
+        require(m.dvDirs.isEmpty,
+          s"$table has outstanding deletion vectors — compact() first")
         val incomingData = StructType(
           incoming.schema.filterNot(_.name == partitionCol))
         val evolved = StructType(m.dataSchema.fields ++
@@ -880,6 +923,11 @@ object Snapshot {
     val v = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed snapshot"))
     val m = readManifest(table, v)
+    // the partitioned branch rewrites touched dirs from the RAW
+    // parquet — outstanding DVs would resurrect there; materialize
+    // first (the [[deleteVectored]] face handles the no-rewrite case)
+    require(m.dvDirs.isEmpty,
+      s"$table has outstanding deletion vectors — compact() first")
     val drop = coalesce(predicate, lit(false))
     Option(m.partitionCol).filter(_.nonEmpty) match {
       case None =>
@@ -914,6 +962,51 @@ object Snapshot {
               .toMap ++ newFStats))
           v + 1
         }
+    }
+  }
+
+  /** DELETION-VECTOR delete (Delta DVs / Iceberg equality-deletes):
+    * publish a new version that hides the rows matching `predicate`
+    * WITHOUT rewriting any data file — the write-cheap delete an
+    * append-heavy 100 TB corpus needs (GDPR erasure, bad-batch
+    * retraction) where [[deleteWhere]]'s rewrite would churn whole
+    * partitions for a handful of rows.
+    *
+    * Mechanics: the matching rows' `keyCol` values land in a small
+    * sidecar parquet (the "vector"); the new manifest re-references
+    * every data directory unchanged and adds a `D` line per sidecar.
+    * Every reader ([[read]], the stats/key/partition-pruned variants)
+    * applies the union of outstanding DVs as one anti-join. Deletes
+    * stack (each call appends a sidecar); [[compact]] materializes
+    * them back to a DV-free snapshot; [[countStar]] reports unknown
+    * while DVs are outstanding; [[merge]]/[[deleteWhere]] refuse until
+    * materialized (their partition rewrites would resurrect hidden
+    * rows — the same conflict Delta resolves by DV rewrite). `keyCol`
+    * must identify rows (all rows sharing a matched key value hide
+    * together — equality-delete semantics). Returns the new version,
+    * or the current one when nothing matches.
+    */
+  def deleteVectored(spark: SparkSession, table: String, keyCol: String,
+                     predicate: Column): Long = {
+    val v = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed snapshot"))
+    val m = readManifest(table, v)
+    if (m.dvDirs.nonEmpty) {
+      val prior = spark.read.parquet(m.dvDirs: _*)
+      require(prior.schema.length == 1 && prior.schema.head.name == keyCol,
+        s"outstanding deletion vectors key on " +
+          s"'${prior.schema.head.name}', not '$keyCol'")
+    }
+    val keys = read(spark, table, Some(v))
+      .filter(coalesce(predicate, lit(false)))
+      .select(col(keyCol)).distinct()
+    if (keys.isEmpty) v
+    else {
+      val (dvDir, _, _) = writeData(keys, table, None)
+      writeManifest(table, Manifest(v + 1, m.partitionCol,
+        m.partitionType, m.dataSchemaJson, m.dirs, m.stats, m.fileStats,
+        dvDirs = m.dvDirs ++ dvDir))
+      v + 1
     }
   }
 
@@ -1245,8 +1338,13 @@ object Snapshot {
     // discarded — an audit window must survive any vacuum cadence
     val stagedLive = stagedNames(table)
       .flatMap(n => readStagedManifest(table, n).dirs).toSet
-    val live = keep.flatMap(readManifest(table, _).dirs).toSet ++ stagedLive
-    val dead = drop.flatMap(readManifest(table, _).dirs).toSet -- live
+    // deletion-vector dirs are references too: a retained manifest's
+    // DVs must survive exactly like its data dirs
+    def refs(v: Long): Seq[String] = {
+      val mm = readManifest(table, v); mm.dirs ++ mm.dvDirs
+    }
+    val live = keep.flatMap(refs).toSet ++ stagedLive
+    val dead = drop.flatMap(refs).toSet -- live
     dead.foreach(d => rm(Paths.get(d)))
     drop.foreach(v => Files.deleteIfExists(manifestPath(table, v)))
     // orphan sweep: a commit dir is live iff some retained manifest
@@ -1291,7 +1389,8 @@ object Snapshot {
     val m = readManifest(table, v)
     val next = latestVersion(table).getOrElse(0L) + 1
     writeManifest(table, Manifest(next, m.partitionCol, m.partitionType,
-      m.dataSchemaJson, m.dirs, m.stats, m.fileStats))
+      m.dataSchemaJson, m.dirs, m.stats, m.fileStats,
+      dvDirs = m.dvDirs))
     next
   }
 
@@ -1313,7 +1412,8 @@ object Snapshot {
       throw new IllegalArgumentException(s"$src has no committed snapshot"))
     val m = readManifest(src, v)
     writeManifest(dst, Manifest(1L, m.partitionCol, m.partitionType,
-      m.dataSchemaJson, m.dirs, m.stats, m.fileStats))
+      m.dataSchemaJson, m.dirs, m.stats, m.fileStats,
+      dvDirs = m.dvDirs))
     1L
   }
 
@@ -1349,8 +1449,13 @@ object Snapshot {
     val keep = vs.filterNot(drop.contains)
     val stagedLive = stagedNames(table)
       .flatMap(n => readStagedManifest(table, n).dirs).toSet
-    val live = keep.flatMap(readManifest(table, _).dirs).toSet ++ stagedLive
-    val dead = drop.flatMap(readManifest(table, _).dirs).toSet -- live
+    // deletion-vector dirs are references too: a retained manifest's
+    // DVs must survive exactly like its data dirs
+    def refs(v: Long): Seq[String] = {
+      val mm = readManifest(table, v); mm.dirs ++ mm.dvDirs
+    }
+    val live = keep.flatMap(refs).toSet ++ stagedLive
+    val dead = drop.flatMap(refs).toSet -- live
     dead.foreach(d => rm(Paths.get(d)))
     drop.foreach(v => Files.deleteIfExists(manifestPath(table, v)))
     drop

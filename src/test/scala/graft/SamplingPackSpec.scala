@@ -411,4 +411,55 @@ class SamplingPackSpec extends SparkSpec {
       assert(r._7 <= 1000000L)
     }
   }
+
+  test("dsirSelect: weights replay in a local brute force, target-like " +
+      "raw docs outrank dissimilar ones, targets never selected, empty " +
+      "docs carry zero weight") {
+    val docs = Seq(
+      // target corpus: a distinctive vocabulary
+      (1L, "wiki facts wiki facts history", true),
+      (2L, "facts history wiki archive", true),
+      // raw pool: one target-like, one alien, one empty
+      (10L, "wiki facts archive history", false),
+      (11L, "buy now spam deal spam", false),
+      (12L, "   ", false))
+      .toDF("doc_id", "text", "tgt")
+    val B = 64
+    val got = Sampling.dsirSelect(docs, $"doc_id", $"text", $"tgt", B, 1)
+      .as[(Long, Boolean, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // local brute-force replay of the exact arithmetic
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).take(15), 16) % B
+    def feats(text: String): Seq[Long] = {
+      val tk = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val bg = tk.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      (tk ++ bg).map(bucket)
+    }
+    val all = docs.as[(Long, String, Boolean)].collect()
+    val tFeats = all.filter(_._3).flatMap(r => feats(r._2))
+    val rFeats = all.filter(!_._3).flatMap(r => feats(r._2))
+    val (nt, nr) = (tFeats.length.toLong, rFeats.length.toLong)
+    def lam(b: Long): Long = {
+      val ct = tFeats.count(_ == b).toLong
+      val cr = rFeats.count(_ == b).toLong
+      math.round(math.log((ct + 1).toDouble / (nt + B)) * 1e6) -
+        math.round(math.log((cr + 1).toDouble / (nr + B)) * 1e6)
+    }
+    all.foreach { case (id, text, _) =>
+      val fs = feats(text)
+      assert(got(id)._3 == fs.length.toLong, s"n_feats of $id")
+      assert(got(id)._4 == fs.map(lam).sum, s"w_micro of $id")
+    }
+    // the target-like raw doc outranks the alien one and wins the top-1
+    assert(got(10L)._4 > got(11L)._4)
+    assert(got(10L)._5 && !got(11L)._5)
+    // targets are the reference, never the selection
+    assert(all.filter(_._3).forall(r => !got(r._1)._5))
+    // the empty doc: zero features, zero weight, not selected
+    assert(got(12L)._3 == 0L && got(12L)._4 == 0L && !got(12L)._5)
+  }
 }

@@ -872,4 +872,79 @@ class SimilaritySpec extends SparkSpec {
     assert(r1 >= 0.95 && r10 >= 0.95, s"recall floor broken: $r1 / $r10")
     assert(r10 >= r1 - 0.05, s"recall decayed past eps at 10x: $r1 -> $r10")
   }
+
+  test("signedProjection: the md5 sign matrix replays locally; identical " +
+      "vectors project identically and pair at zero distortion") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sign(d: Int, j: Int): Long =
+      if (java.lang.Long.parseLong(md5hex(s"rp:$d:$j").take(15), 16)
+        % 2 == 0) 1L else -1L
+    val va = Seq(0.5f, -1.0f, 0.25f)
+    val vb = Seq(1.0f, 0.5f, -0.75f)
+    val vecs = Seq((1L, va), (2L, vb), (3L, va))
+      .toDF("id", "vec")
+    val got = Similarity.signedProjection(vecs, $"id", $"vec", 4, 3, 1000)
+      .as[(Long, Seq[Long])].collect().map(r => r._1 -> r._2).toMap
+    def proj(v: Seq[Float]): Seq[Long] = {
+      val x3 = v.map(x => math.round(x.toDouble * 1000))
+      (0 until 4).map(j => x3.indices.map(d => x3(d) * sign(d, j)).sum)
+    }
+    assert(got(1L) == proj(va) && got(2L) == proj(vb))
+    assert(got(3L) == got(1L), "identical vectors must project identically")
+    val dist = Similarity.projectionDistortion(vecs, $"id", $"vec",
+        4, 3, 1000)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // the identical pair: both cosines exactly 1e6, zero error
+    assert(dist((1L, 3L))._3 == 1000000L)
+    assert(dist((1L, 3L))._4 == 1000000L && dist((1L, 3L))._5 == 0L)
+    // every err is the abs difference of the two snapped cosines
+    dist.values.foreach(r => assert(r._5 == math.abs(r._3 - r._4)))
+    assert(dist.size == 3)
+  }
+
+  test("marginMining: cosines, k-NN means and margins replay a local " +
+      "BigInt brute force on a planted geometry") {
+    import spark.implicits._
+    val left = Seq((0L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("id", "vec")
+    val right = Seq((1L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)),
+      (5L, Seq(1.0f, 1.0f))).toDF("id", "vec")
+    val got = Similarity.marginMining(left, right, 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    def cosM(a: Seq[Float], b: Seq[Float]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      (BigDecimal(dot / (na * nb)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP) * 1000000).toLong
+    }
+    val l = Map(0L -> Seq(1.0f, 0.0f), 2L -> Seq(0.0f, 1.0f))
+    val r = Map(1L -> Seq(1.0f, 0.0f), 3L -> Seq(0.0f, 1.0f),
+      5L -> Seq(1.0f, 1.0f))
+    def topMean(q: Seq[Float], cands: Map[Long, Seq[Float]]): Long = {
+      val top = cands.toSeq.map { case (cid, cv) => (cosM(q, cv), cid) }
+        .sortBy { case (s, cid) => (-s, cid) }.take(2)
+      top.map(_._1).sum / top.size // truncating, both operands replay //
+    }
+    l.foreach { case (lid, lv) =>
+      val (bestCos, bestId) = r.toSeq
+        .map { case (rid, rv) => (cosM(lv, rv), rid) }
+        .sortBy { case (s, rid) => (-s, rid) }.head
+      val ml = topMean(lv, r)
+      val mr = topMean(r(bestId), l)
+      val margin = (BigInt(bestCos) * 2000000 / BigInt(ml + mr)).toLong
+      val g = got(lid)
+      assert(g._2 == bestId && g._3 == bestCos && g._4 == margin,
+        s"left $lid: got $g expected ($bestId, $bestCos, $margin)")
+    }
+    // the aligned pair's margin beats the diagonal hub's reach
+    assert(got(0L)._2 == 1L && got(2L)._2 == 3L)
+    assert(got.values.forall(_._4 > 1000000L),
+      "planted aligned pairs must clear margin 1.0")
+  }
 }

@@ -988,4 +988,89 @@ class SnapshotSpec extends SparkSpec {
         ("D", "2024-01-04", 40.0)))
     }
   }
+
+  test("deletion vectors: zero-rewrite delete, stacking, time travel, " +
+      "compact materializes, rewrites guarded until then") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      Snapshot.commit(
+        batch(("A", "2024-01-01", 10.0, 0L), ("B", "2024-01-01", 20.0, 0L),
+          ("C", "2024-01-02", 30.0, 0L)), t, Some("date"))
+      val m1 = Snapshot.readManifest(t, 1)
+      val v2 = Snapshot.deleteVectored(spark, t, "symbol",
+        $"close" === 20.0)
+      assert(v2 == 2)
+      val m2 = Snapshot.readManifest(t, 2)
+      assert(m2.dirs == m1.dirs, "data dirs must carry unchanged")
+      assert(m2.dvDirs.size == 1)
+      assert(content(t) == Set(("A", "2024-01-01", 10.0),
+        ("C", "2024-01-02", 30.0)))
+      // the pre-delete version stays fully readable
+      assert(Snapshot.read(spark, t, Some(1L)).count() == 3)
+      // manifest counts are an overcount while DVs are outstanding
+      assert(Snapshot.countStar(t).isEmpty)
+      // a no-match predicate publishes nothing
+      assert(Snapshot.deleteVectored(spark, t, "symbol",
+        $"close" === 999.0) == 2)
+      // deletes stack; a second sidecar appends
+      val v3 = Snapshot.deleteVectored(spark, t, "symbol",
+        $"symbol" === "C")
+      assert(v3 == 3 && Snapshot.readManifest(t, 3).dvDirs.size == 2)
+      assert(content(t) == Set(("A", "2024-01-01", 10.0)))
+      // every reader face applies DVs: partition-, stats-, key-pruned
+      assert(Snapshot.readPruned(spark, t, _ == "2024-01-02").count() == 0)
+      assert(Snapshot.readStatsPruned(spark, t, "symbol",
+        Some("C"), Some("C")).count() == 0)
+      assert(Snapshot.readForKeys(spark, t, "symbol", Seq("B", "C"))
+        .count() == 0)
+      // a mismatched key column is refused while vectors are out
+      intercept[IllegalArgumentException] {
+        Snapshot.deleteVectored(spark, t, "date", $"symbol" === "A")
+      }
+      // partition rewrites refuse until materialized
+      intercept[IllegalArgumentException] {
+        Snapshot.merge(batch(("D", "2024-01-03", 1.0, 1L)), t,
+          Seq("symbol", "date"), "version", "date")
+      }
+      intercept[IllegalArgumentException] {
+        Snapshot.deleteWhere(spark, t, $"symbol" === "A")
+      }
+      // rollback to a DV'd version carries its vectors
+      Snapshot.rollback(t, 2)
+      assert(content(t) == Set(("A", "2024-01-01", 10.0),
+        ("C", "2024-01-02", 30.0)))
+      // compact materializes: DV-free manifest, content preserved,
+      // counts known again, rewrites unblocked
+      val v5 = Snapshot.compact(spark, t)
+      assert(Snapshot.readManifest(t, v5).dvDirs.isEmpty)
+      assert(content(t) == Set(("A", "2024-01-01", 10.0),
+        ("C", "2024-01-02", 30.0)))
+      assert(Snapshot.countStar(t).contains(2L))
+      Snapshot.merge(batch(("D", "2024-01-03", 1.0, 1L)), t,
+        Seq("symbol", "date"), "version", "date")
+      assert(content(t).size == 3)
+    }
+  }
+
+  test("deletion vectors survive vacuum while referenced and retire " +
+      "with their manifest") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      Snapshot.commit(
+        batch(("A", "2024-01-01", 10.0, 0L), ("B", "2024-01-02", 20.0, 0L)),
+        t, Some("date"))
+      Snapshot.deleteVectored(spark, t, "symbol", $"symbol" === "B")
+      val dvDir = Snapshot.readManifest(t, 2).dvDirs.head
+      Snapshot.vacuum(t, keepVersions = 1, orphanAgeMs = 0L)
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dvDir)),
+        "a retained manifest's DV sidecar must survive vacuum")
+      assert(content(t) == Set(("A", "2024-01-01", 10.0)))
+      // materialize, then vacuum: the sidecar is unreferenced and goes
+      Snapshot.compact(spark, t)
+      Snapshot.vacuum(t, keepVersions = 1, orphanAgeMs = 0L)
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dvDir)),
+        "an unreferenced DV sidecar must be reclaimed")
+      assert(content(t) == Set(("A", "2024-01-01", 10.0)))
+    }
+  }
 }

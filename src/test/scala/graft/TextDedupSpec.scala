@@ -1064,4 +1064,106 @@ class TextDedupSpec extends SparkSpec {
       .as[String].collect().toSet
     assert(raw.size > 1, "raw fingerprint must NOT fold these")
   }
+
+  test("gopherRules: each rule fires on its planted violator and the " +
+      "clean doc passes") {
+    val good = (1 to 60).map(i => s"word$i").mkString(" ") +
+      " the be to of and"
+    val docs = Seq(
+      (1L, good),                                   // passes everything
+      (2L, "too short the be"),                     // word count
+      (3L, good + "\n- b1\n- b2\n- b3\n- b4\n- b5\n- b6\n- b7\n- b8"),
+      (4L, good + " ### #### ##### ###### #######"),
+      (5L, (1 to 60).map(_ => "a").mkString(" ") + " the be"),
+      (6L, (1 to 60).map(i => s"w$i").mkString(" ")) // no stopwords
+    ).toDF("doc_id", "text")
+    val got = Text.gopherRules(docs, $"doc_id", $"text")
+      .as[(Long, Long, Boolean, Boolean, Boolean, Boolean, Boolean,
+        Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._10, "the clean doc must pass")
+    assert(!got(2L)._3 && !got(2L)._10, "short doc fails word count")
+    assert(!got(3L)._6 && !got(3L)._10, "bullet doc fails bullet rule")
+    assert(!got(4L)._5 && !got(4L)._10, "symbol doc fails symbol ratio")
+    assert(!got(5L)._4 && !got(5L)._10, "single-char doc fails mean len")
+    assert(!got(6L)._9 && !got(6L)._10, "stopword-free doc fails")
+    // n_words is the plain token count
+    assert(got(1L)._2 == 65L)
+  }
+
+  test("perplexityBuckets: per-language bands are rank-exact (sizes " +
+      "from the floor formula, band ranges ordered)") {
+    // lang A: 6 docs with 3 distinct repetition levels (bigram NLL
+    // separates them); lang B: 4 docs -> band sizes (2, 1, 1)
+    val rep = (s: String, n: Int) => Seq.fill(n)(s).mkString(" ")
+    val docs = (
+      (1 to 6).map(i => (i.toLong, "A",
+        rep(if (i <= 2) "x y" else if (i <= 4) "p q" else s"r$i s$i t u v w", 4))) ++
+      (11 to 14).map(i => (i.toLong, "B", rep(s"m$i n$i", 3)))
+    ).toDF("doc_id", "lang", "text")
+    val got = Text.perplexityBuckets(docs, $"doc_id", $"text", $"lang", 3)
+      .as[(String, Int, Long, Long, Long)].collect()
+    val a = got.filter(_._1 == "A").sortBy(_._2)
+    val b = got.filter(_._1 == "B").sortBy(_._2)
+    assert(a.map(r => r._2 -> r._3).toSeq == Seq(0 -> 2L, 1 -> 2L, 2 -> 2L))
+    assert(b.map(r => r._2 -> r._3).toSeq == Seq(0 -> 2L, 1 -> 1L, 2 -> 1L))
+    // bands are rank bands: ranges must be ordered and non-overlapping
+    a.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._5 <= hi._4, s"band ranges overlap: $lo vs $hi")
+    case _ => ()
+    }
+  }
+
+  test("tokenFertility: hand-computed counts and floored micro ratios") {
+    val docs = Seq(
+      ("aa", "ab cd"),        // 2 words, 2 bpe, 5 bytes
+      ("aa", "a1! x"),        // 2 words, 4 bpe (a,1,!,x), 5 bytes
+      ("bb", "zz zz zz")      // 3 words, 3 bpe, 8 bytes
+    ).toDF("lang", "text")
+    val got = Text.tokenFertility(docs, $"lang", $"text")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("aa") == (("aa", 2L, 4L, 6L, 10L,
+      6L * 1000000L / 4L, 10L * 1000000L / 6L)))
+    assert(got("bb") == (("bb", 1L, 3L, 3L, 8L, 1000000L,
+      8L * 1000000L / 3L)))
+  }
+
+  test("fellegiSunter: m/u weights replay locally; banding splits the " +
+      "planted pairs; a constant-true field stays finite") {
+    val pairs = Seq(
+      // matches: both agree f1; one disagrees f2
+      (1L, 101L, true, true, true),
+      (2L, 102L, true, true, false),
+      // non-matches: one agrees f1; none agree f2
+      (3L, 103L, false, true, false),
+      (4L, 104L, false, false, false),
+      (5L, 105L, false, false, false)
+    ).toDF("id_a", "id_b", "y", "f1", "f2")
+    val got = Dedup.fellegiSunter(pairs, $"id_a", $"id_b", $"y",
+        Seq("f1" -> $"f1", "f2" -> $"f2"), 900000L, -900000L)
+      .as[(Long, Long, Boolean, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    def snp(n: Long, d: Long): Long = {
+      val x = math.log(n.toDouble / d.toDouble) * 1e6
+      // Spark round() is half-away-from-zero (the roundAway caveat)
+      if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    }
+    val (nm, nu) = (2L, 3L)
+    val (amF1, auF1, amF2, auF2) = (2L, 1L, 1L, 0L)
+    def w(agree: Boolean, am: Long, au: Long): Long =
+      if (agree) snp(am + 1, nm + 2) - snp(au + 1, nu + 2)
+      else snp(nm - am + 1, nm + 2) - snp(nu - au + 1, nu + 2)
+    Seq((1L, true, true), (2L, true, false), (3L, true, false),
+      (4L, false, false), (5L, false, false)).foreach {
+      case (id, a1, a2) =>
+        val exp = w(a1, amF1, auF1) + w(a2, amF2, auF2)
+        assert(got(id)._4 == exp, s"pair $id: ${got(id)._4} != $exp")
+    }
+    // agreeing-everything matches band as matches; all-disagree as non
+    assert(got(1L)._5 == "match")
+    assert(got(4L)._5 == "nonmatch" && got(5L)._5 == "nonmatch")
+    // scores are finite even where u would be zero unsmoothed (f2)
+    assert(got.values.forall(r => math.abs(r._4) < 10000000L))
+  }
 }
