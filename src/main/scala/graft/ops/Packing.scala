@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-sequence PACKING — the layout step between a curated
@@ -90,5 +91,55 @@ object Packing {
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tokens"))
       .select(col("bin"), col("n_docs"), col("tokens"),
         greatest(lit(0L), col("tokens") - lit(cap)).as("overflow"))
+  }
+
+  /** PADDING-WASTE audit: sorted vs shuffled batching — the dataloader
+    * decision every fine-tune makes (length-bucketed batching cuts pad
+    * tokens massively; the audit quantifies by how much on THIS
+    * corpus). Sequences batch `batchSize` at a time in two orders:
+    * `sorted` (by length, id ties) and `shuffled` (by the portable
+    * 60-bit md5 of the id — deterministic, no RNG); each batch pads
+    * every member to its max length; waste = padded−real over padded,
+    * floored micro.
+    *
+    * Exact global row numbers come from the two-level prefix kernel
+    * ([[Ranks.withRunningBelow]] on the order value + an intra-value
+    * window) — never one global window over data rows. The order-value
+    * bucket widths differ per strategy (lengths are small, hashes span
+    * 2^60) so the level-2 bucket walk stays tiny in both. Output: one
+    * row per strategy (strategy, n_seqs, n_batches, total_tokens,
+    * padded_tokens, waste_micro).
+    */
+  def paddingWaste(docs: DataFrame, id: Column, nTokens: Column,
+                   batchSize: Int): DataFrame = {
+    require(batchSize >= 1, "batchSize must be >= 1")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val base = docs.select(id.as("id"),
+      nTokens.cast("long").as("len")).localCheckpoint(true)
+    def strat(name: String, orderVal: Column, width: Long): DataFrame = {
+      val v = base.select(col("id"), col("len"),
+        orderVal.cast("long").as("v"))
+      val counts = v.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      val ranked = Ranks.withRunningBelow(counts, "v", width, Seq("cnt"))
+      val w = Window.partitionBy(col("v")).orderBy(col("id"))
+      v.join(ranked.select(col("v"), col("cnt_below")), Seq("v"))
+        .withColumn("rn", col("cnt_below") + row_number().over(w))
+        .withColumn("batch", fdiv(col("rn") - 1, lit(batchSize.toLong)))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("bn"), max(col("len")).as("mx"),
+          sum(col("len")).as("tot"))
+        .agg(sum(col("bn")).as("n_seqs"),
+          count(lit(1)).as("n_batches"),
+          sum(col("tot")).as("total_tokens"),
+          sum(col("mx") * col("bn")).as("padded_tokens"))
+        .select(lit(name).as("strategy"), col("n_seqs"),
+          col("n_batches"), col("total_tokens"), col("padded_tokens"),
+          fdiv((col("padded_tokens") - col("total_tokens"))
+            * 1000000L, col("padded_tokens")).as("waste_micro"))
+    }
+    strat("sorted", col("len"), 1024L)
+      .unionByName(strat("shuffled",
+        Dedup.hashLong(col("id").cast("string")), 1L << 48))
   }
 }

@@ -322,4 +322,38 @@ object Quality {
         .otherwise(when(num < 0, lit(-1L)).otherwise(lit(1L))
           * fdiv(abs(num), den)))
   }
+
+  /** UNBIASED pass@k (Chen et al. 2021, the HumanEval estimator) —
+    * the eval number a code/reasoning benchmark reports: per task
+    * with n samples of which c are correct, pass@k = 1 −
+    * C(n−c,k)/C(n,k) = 1 − Π_{i<k}(n−c−i)/(n−i). Computed EXACTLY:
+    * the two k-term products are integer products in decimal(38,0)
+    * (n^k must fit — enforced k ≤ 10; cap n upstream by sampling per
+    * task if a task has millions of rows), the failure ratio is one
+    * floored division, pass@1 comes as the plain floored c/n.
+    * Tasks with n < k drop (the estimator is undefined there — the
+    * paper's rule); n−c < k short-circuits to exactly 1e6. One
+    * groupBy over the scan. Output: (task, n, c, pass_at_1_micro,
+    * pass_at_k_micro).
+    */
+  def passAtK(df: DataFrame, task: Column, correct: Column,
+              k: Int): DataFrame = {
+    require(k >= 1 && k <= 10, "k must be in [1, 10]")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val agg = df.groupBy(task.as("task"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(correct, 1L).otherwise(0L)).as("c"))
+    val num = (0 until k).map(i => dec(col("n") - col("c") - i))
+      .reduce(_ * _)
+    val den = (0 until k).map(i => dec(col("n") - i)).reduce(_ * _)
+    agg.filter(col("n") >= k)
+      .select(col("task"), col("n"), col("c"),
+        fdiv(dec(col("c")) * lit(1000000L), dec(col("n")))
+          .as("pass_at_1_micro"),
+        when(col("n") - col("c") < k, lit(1000000L))
+          .otherwise(lit(1000000L) - fdiv(num * lit(1000000L), den))
+          .as("pass_at_k_micro"))
+  }
 }

@@ -1545,6 +1545,44 @@ object Text {
           col("r_stopwords"))
   }
 
+  /** GREEN-LIST WATERMARK DETECTION (Kirchenbauer et al. 2023) — the
+    * screen a pretraining pipeline runs to keep watermarked
+    * MODEL-GENERATED text out of its corpus: under the soft watermark,
+    * each token is biased toward the "green" half of the vocabulary
+    * seeded by its predecessor; a detector recounts. Green(prev, tok)
+    * = portable 60-bit md5(salt:prev:tok) even — a pure function, so
+    * the same transition is green on every engine. Per doc: the
+    * transition count n, green count g, the EXACT excess 2g−n (the
+    * un-normalized z-score numerator: 0-mean under no watermark,
+    * z = excess/√n if a consumer wants it) and the floored micro
+    * green fraction. Docs with <2 tokens have no transitions and
+    * drop. One explode + hash aggregate — corpus-linear.
+    */
+  def watermarkGreens(docs: DataFrame, idCol: Column, text: Column,
+                      salt: String): DataFrame = {
+    def floorDiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val toks = docs.select(idCol.as("id"), tokens(text).as("tk"))
+    toks
+      .select(col("id"), explode(Cols.bound(col("tk")) { t =>
+        when(size(t) < 2, array().cast("array<struct<a:string,b:string>>"))
+          .otherwise(transform(sequence(lit(1), size(t) - 1),
+            i => struct(element_at(t, i).as("a"),
+              element_at(t, i + 1).as("b"))))
+      }).as("bg"))
+      .select(col("id"),
+        when(pmod(Dedup.hashLong(concat(lit(salt), lit(":"),
+          col("bg.a"), lit(":"), col("bg.b"))), lit(2L)) === 0, 1L)
+          .otherwise(0L).as("green"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_transitions"),
+        sum(col("green")).as("n_green"))
+      .select(col("id"), col("n_transitions"), col("n_green"),
+        (col("n_green") * 2 - col("n_transitions")).as("excess"),
+        floorDiv(col("n_green") * 1000000L, col("n_transitions"))
+          .as("green_micro"))
+  }
+
   /** TOKENIZER FERTILITY per language — the tokenizer-evaluation
     * numbers a multilingual pipeline reads before committing to a
     * vocabulary: tokens-per-word (fertility — how many subword pieces

@@ -48,4 +48,36 @@ class PackingSpec extends SparkSpec {
     }.toSet
     assert(got == expect)
   }
+
+  test("paddingWaste: both strategies replay a local brute force; " +
+      "sorted batching never wastes more than shuffled here") {
+    import graft.ops.Packing
+    val lens = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 40L)
+    val docs = lens.zipWithIndex.map { case (l, i) => (i * 7L, l) }
+      .toDF("id", "len")
+    val got = Packing.paddingWaste(docs, $"id", $"len", 4)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h(id: Long): Long =
+      java.lang.Long.parseLong(md5hex(id.toString).take(15), 16)
+    def replay(order: Seq[(Long, Long)]): (Long, Long, Long, Long, Long) = {
+      val batches = order.grouped(4).toSeq
+      val tot = order.map(_._2).sum
+      val padded = batches.map(b => b.map(_._2).max * b.size).sum
+      (order.size.toLong, batches.size.toLong, tot, padded,
+        (padded - tot) * 1000000L / padded)
+    }
+    val rows = lens.zipWithIndex.map { case (l, i) => (i * 7L, l) }
+    val sortedExp = replay(rows.sortBy { case (id, l) => (l, id) })
+    val shufExp = replay(rows.sortBy { case (id, _) => (h(id), id) })
+    assert(got("sorted") == (("sorted", sortedExp._1, sortedExp._2,
+      sortedExp._3, sortedExp._4, sortedExp._5)))
+    assert(got("shuffled") == (("shuffled", shufExp._1, shufExp._2,
+      shufExp._3, shufExp._4, shufExp._5)))
+    assert(got("sorted")._6 <= got("shuffled")._6,
+      "the length-40 outlier must hurt shuffled batching more")
+  }
 }

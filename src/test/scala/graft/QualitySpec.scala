@@ -184,4 +184,28 @@ class QualitySpec extends SparkSpec {
       .select($"po_micro").as[Long].head()
     assert(f == 666666L)
   }
+
+  test("passAtK: textbook values, the n-c<k short-circuit, and the " +
+      "n<k drop") {
+    val rows =
+      (1 to 6).map(i => ("t1", i <= 2)) ++ // n=6, c=2
+        (1 to 3).map(_ => ("t2", true)) ++ // n=3, c=3 -> certain pass
+        Seq(("t3", false))                 // n=1 < k -> dropped
+    val df = rows.toDF("task", "ok")
+    val got = Quality.passAtK(df, $"task", $"ok", 2)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // pass@2(t1) = 1 - C(4,2)/C(6,2) = 1 - 6/15 = 0.6
+    assert(got("t1") == (("t1", 6L, 2L, 333333L, 600000L)))
+    assert(got("t2") == (("t2", 3L, 3L, 1000000L, 1000000L)))
+    assert(!got.contains("t3"), "tasks with n < k are undefined")
+    // monotone in c at fixed n: more correct samples, higher pass@k
+    val mono = Quality.passAtK(
+        ((1 to 6).map(i => ("a", i <= 1)) ++
+          (1 to 6).map(i => ("b", i <= 4))).toDF("task", "ok"),
+        $"task", $"ok", 3)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._5).toMap
+    assert(mono("b") > mono("a"))
+  }
 }

@@ -1166,4 +1166,38 @@ class TextDedupSpec extends SparkSpec {
     // scores are finite even where u would be zero unsmoothed (f2)
     assert(got.values.forall(r => math.abs(r._4) < 10000000L))
   }
+
+  test("watermarkGreens: the salted green list replays locally; " +
+      "excess arithmetic exact; short docs drop") {
+    val docs = Seq(
+      (1L, "a b a b a"),  // 4 transitions, alternating pair
+      (2L, "one two three four"),
+      (3L, "solo"), (4L, " ")).toDF("doc_id", "text")
+    val got = Text.watermarkGreens(docs, $"doc_id", $"text", "wm7")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def green(a: String, b: String): Long =
+      if (java.lang.Long.parseLong(md5hex(s"wm7:$a:$b").take(15), 16)
+        % 2 == 0) 1L else 0L
+    def replay(text: String): (Long, Long) = {
+      val tk = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val gs = tk.sliding(2).filter(_.length == 2)
+        .map(p => green(p(0), p(1))).toSeq
+      (gs.size.toLong, gs.sum)
+    }
+    Seq(1L -> "a b a b a", 2L -> "one two three four").foreach {
+      case (id, text) =>
+        val (n, g) = replay(text)
+        assert(got(id) == ((id, n, g, 2 * g - n, g * 1000000L / n)),
+          s"doc $id mismatch: ${got(id)}")
+    }
+    // doc 1 alternates one pair both ways: its greens are 2+2 or 0+4
+    // of the two transition types — n is exactly 4 either way
+    assert(got(1L)._2 == 4L)
+    assert(!got.contains(3L) && !got.contains(4L),
+      "docs without transitions must drop")
+  }
 }
