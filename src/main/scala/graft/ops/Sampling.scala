@@ -769,37 +769,72 @@ object Sampling {
     *
     * Returns (id, is_target, n_feats, w_micro).
     */
-  def dsirWeights(docs: DataFrame, id: Column, text: Column,
-                  isTarget: Column, buckets: Int): DataFrame = {
+  /** The hashed unigram∪bigram feature-bucket stream of a doc set —
+    * shared by model fit and scoring so both sides see the identical
+    * feature space.
+    */
+  private def dsirFeatures(docs: DataFrame, id: Column, text: Column,
+                           extra: Seq[(String, Column)],
+                           buckets: Int): DataFrame =
+    docs.select((Seq(id.as("id")) ++
+        extra.map { case (n, c) => c.as(n) } :+
+        Text.tokens(text).as("tk")): _*)
+      .select((Seq(col("id")) ++ extra.map { case (n, _) => col(n) } :+
+        explode(Cols.bound(col("tk")) { t =>
+          concat(t, when(size(t) < 2, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(1), size(t) - 1),
+              i => concat(element_at(t, i), lit(" "),
+                element_at(t, i + 1)))))
+        }).as("f")): _*)
+      .withColumn("b", pmod(Dedup.hashLong(col("f")),
+        lit(buckets.toLong)))
+      .drop("f")
+
+  /** Fit the DSIR importance model alone: the per-bucket λ table
+    * (b, lam) — the FROZEN artifact a streaming scorer broadcasts per
+    * batch ([[graft.streaming.Streams.dsirStream]]). Bounded by
+    * `buckets` rows whatever the corpus size.
+    */
+  def dsirModel(docs: DataFrame, id: Column, text: Column,
+                isTarget: Column, buckets: Int): DataFrame = {
     require(buckets > 0, "buckets must be > 0")
-    val base = docs.select(id.as("id"),
-      isTarget.cast("boolean").as("is_target"),
-      Text.tokens(text).as("tk"))
-    val feats = base.select(col("id"), col("is_target"),
-      explode(Cols.bound(col("tk")) { t =>
-        concat(t, when(size(t) < 2, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), size(t) - 1),
-            i => concat(element_at(t, i), lit(" "),
-              element_at(t, i + 1)))))
-      }).as("f"))
-      .select(col("id"), col("is_target"),
-        pmod(Dedup.hashLong(col("f")), lit(buckets.toLong)).as("b"))
+    val feats = dsirFeatures(docs, id, text,
+      Seq("is_target" -> isTarget.cast("boolean")), buckets)
     val cnt = feats.groupBy(col("b")).agg(
       sum(when(col("is_target"), 1L).otherwise(0L)).as("ct"),
       sum(when(col("is_target"), 0L).otherwise(1L)).as("cr"))
     val tot = cnt.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
-    val lam = cnt.crossJoin(broadcast(tot)).select(col("b"),
+    cnt.crossJoin(broadcast(tot)).select(col("b"),
       (round(log((col("ct") + 1).cast("double") /
         (col("nt") + buckets).cast("double")) * lit(1e6)).cast("long")
         - round(log((col("cr") + 1).cast("double") /
           (col("nr") + buckets).cast("double")) * lit(1e6)).cast("long"))
         .as("lam"))
-    val perDoc = feats.join(broadcast(lam), Seq("b"))
+  }
+
+  /** Score any doc set against a fitted λ `model`: exact integer
+    * weights, zero-feature docs carry weight 0. One explode + one
+    * broadcast join + one per-doc sum — the per-batch cost of the
+    * streaming face.
+    */
+  def dsirScore(docs: DataFrame, id: Column, text: Column,
+                model: DataFrame, buckets: Int): DataFrame = {
+    val perDoc = dsirFeatures(docs, id, text, Seq.empty, buckets)
+      .join(broadcast(model), Seq("b"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_feats"), sum(col("lam")).as("w_micro"))
-    base.select(col("id"), col("is_target"))
+    docs.select(id.as("id"))
       .join(perDoc, Seq("id"), "left")
       .na.fill(0L, Seq("n_feats", "w_micro"))
+  }
+
+  def dsirWeights(docs: DataFrame, id: Column, text: Column,
+                  isTarget: Column, buckets: Int): DataFrame = {
+    val model = dsirModel(docs, id, text, isTarget, buckets)
+    docs.select(id.as("id"), isTarget.cast("boolean").as("is_target"))
+      .join(dsirScore(docs, id, text, model, buckets), Seq("id"))
+      .select(col("id"), col("is_target"), col("n_feats"),
+        col("w_micro"))
   }
 
   /** The selection on top of [[dsirWeights]]: the k raw-pool docs with

@@ -396,6 +396,47 @@ object Streams {
     bench.unpersist(): Unit
   }
 
+  /** Streaming DSIR gate — the continuous face of
+    * [[graft.ops.Sampling.dsirScore]] (q397): a FROZEN importance
+    * model (the bucket→λ table, fit once upstream on target+raw
+    * corpora) scores every incoming document and routes it
+    * keep/drop by the weight threshold. The model persists ONCE and
+    * broadcasts per batch (bucket-table-sized — never re-fit in the
+    * hot path; re-fitting on a cadence is a snapshot swap upstream,
+    * the q353 pattern), so per-batch cost is one explode + one
+    * broadcast join + one per-doc sum over the BATCH alone. Routed
+    * rows carry (doc_id, n_feats, w_micro) to `keepPath`/`dropPath`.
+    */
+  def dsirStream(in: DataFrame, model: DataFrame, buckets: Int,
+                 keepPath: String, dropPath: String, checkpoint: String,
+                 thresholdMicro: Long): Unit = {
+    import graft.ops.Sampling
+    val m = model.persist()
+    val q = in.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val scored = Sampling.dsirScore(batch.toDF(), col("doc_id"),
+            col("text"), m, buckets)
+            .select(col("id").as("doc_id"), col("n_feats"),
+              col("w_micro"))
+            .persist()
+          scored.filter(col("w_micro") >= thresholdMicro)
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(keepPath)
+          scored.filter(col("w_micro") < thresholdMicro)
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(dropPath)
+          scored.unpersist(): Unit
+        }
+      }
+      .start()
+    q.awaitTermination()
+    m.unpersist(): Unit
+  }
+
   /** Streaming distribution-drift monitor — the continuous face of
     * [[graft.ops.Quality.psiBetween]] (q90): each micro-batch's value
     * histogram lands in a snapshot table PARTITIONED BY a

@@ -787,6 +787,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("dsirStream: frozen-model streaming scores equal the batch " +
+      "scorer; routing partitions the corpus at the threshold") {
+    import graft.ops.Sampling
+    withTempDir { dir =>
+      val in = dir.getAbsolutePath + "/in"
+      val docs = Seq(
+        (1L, "wiki facts wiki archive history", true),
+        (2L, "facts history archive wiki", true),
+        (10L, "wiki facts archive", false),
+        (11L, "buy spam now deal spam buy", false),
+        (12L, "facts about the wiki archive", false))
+        .toDF("doc_id", "text", "tgt")
+      val model = Sampling.dsirModel(docs, $"doc_id", $"text", $"tgt", 64)
+      docs.filter($"doc_id" < 10).select($"doc_id", $"text")
+        .write.parquet(in)
+      docs.filter($"doc_id" >= 10).select($"doc_id", $"text")
+        .write.mode("append").parquet(in)
+      val schema = docs.select($"doc_id", $"text").schema
+      Streams.dsirStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(in), model, 64,
+        dir.getAbsolutePath + "/keep", dir.getAbsolutePath + "/drop",
+        dir.getAbsolutePath + "/ck", 0L)
+      val keep = spark.read.parquet(dir.getAbsolutePath + "/keep")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+      val drop = spark.read.parquet(dir.getAbsolutePath + "/drop")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+      // every doc routed exactly once, split exactly at the threshold
+      assert(keep.keySet.intersect(drop.keySet).isEmpty)
+      assert(keep.keySet ++ drop.keySet ==
+        Set(1L, 2L, 10L, 11L, 12L))
+      assert(keep.values.forall(_ >= 0L) && drop.values.forall(_ < 0L))
+      // stream scores == the batch scorer's (frozen model, same space)
+      val batchW = Sampling.dsirScore(docs, $"doc_id", $"text", model, 64)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+      (keep ++ drop).foreach { case (id, w) =>
+        assert(w == batchW(id), s"doc $id: stream $w vs batch ${batchW(id)}")
+      }
+      // the target-like raw doc keeps, the spam doc drops
+      assert(keep.contains(10L) && drop.contains(11L))
+    }
+  }
+
   test("stream-stream interval join pairs keys within the time bound, drops the rest") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
