@@ -98,7 +98,9 @@ object Snapshot {
                             stats: Map[String, DirStats] = Map.empty,
                             fileStats: Map[String, DirStats] = Map.empty,
                             wapId: String = "",
-                            dvDirs: Seq[String] = Seq.empty) {
+                            dvDirs: Seq[String] = Seq.empty,
+                            uvDirs: Seq[String] = Seq.empty,
+                            uvKey: String = "") {
     def dataSchema: StructType =
       DataType.fromJson(dataSchemaJson).asInstanceOf[StructType]
     /** Per-file stats grouped under their parent directory. */
@@ -165,8 +167,11 @@ object Snapshot {
     val (fileLines, rest) = lines.drop(2).partition(_.startsWith("F\t"))
     // `D TAB path` lines carry deletion-vector directories (parquet of
     // deleted key values, applied as an anti-join at read time);
-    // pre-DV manifests have none and parse unchanged
-    val (dvLines, dirLines) = rest.partition(_.startsWith("D\t"))
+    // `U TAB path TAB key` lines carry merge-on-read UPSERT sidecars
+    // (full rows; later sidecars win per key). Pre-MoR manifests have
+    // neither and parse unchanged.
+    val (dvLines, rest2) = rest.partition(_.startsWith("D\t"))
+    val (uvLines, dirLines) = rest2.partition(_.startsWith("U\t"))
     val parsed = dirLines.map { line =>
       val f = line.split("\t", -1)
       if (f.length < 2) (f(0), None)
@@ -176,9 +181,13 @@ object Snapshot {
       val f = line.split("\t", -1)
       f(1) -> statsOf(f(2), f.drop(3).toSeq)
     }.toMap
+    val uvKeys = uvLines.map(l => dec(l.split("\t", -1)(2))).distinct
+    require(uvKeys.size <= 1,
+      s"upsert sidecars must share one key; found $uvKeys")
     Manifest(v, header(1), header(2), lines(1), parsed.map(_._1),
       parsed.collect { case (d, Some(st)) => d -> st }.toMap, fstats,
-      wapId, dvLines.map(_.split("\t", -1)(1)))
+      wapId, dvLines.map(_.split("\t", -1)(1)),
+      uvLines.map(_.split("\t", -1)(1)), uvKeys.headOption.getOrElse(""))
   }
 
   private def manifestBody(m: Manifest): String = {
@@ -195,10 +204,11 @@ object Snapshot {
       (Seq("F", f) ++ statFields(st)).mkString("\t")
     }
     val dvLines = m.dvDirs.map(d => s"D\t$d")
+    val uvLines = m.uvDirs.map(d => s"U\t$d\t${enc(m.uvKey)}")
     val header = s"${m.version}\t${m.partitionCol}\t${m.partitionType}" +
       (if (m.wapId.isEmpty) "" else s"\t${enc(m.wapId)}")
-    (Seq(header, m.dataSchemaJson) ++ dirLines ++ fileLines ++ dvLines)
-      .mkString("", "\n", "\n")
+    (Seq(header, m.dataSchemaJson) ++ dirLines ++ fileLines ++ dvLines
+      ++ uvLines).mkString("", "\n", "\n")
   }
 
   private def writeManifest(table: String, m: Manifest): Unit = {
@@ -383,7 +393,8 @@ object Snapshot {
     val m = readManifest(table, v)
     // outstanding deletion vectors make the manifest row counts an
     // overcount (how many DV keys actually hit rows is data-dependent)
-    if (m.dvDirs.isEmpty && m.dirs.forall(m.stats.contains))
+    if (m.dvDirs.isEmpty && m.uvDirs.isEmpty &&
+      m.dirs.forall(m.stats.contains))
       Some(m.dirs.map(m.stats(_).rows).sum)
     else None
   }
@@ -424,9 +435,9 @@ object Snapshot {
         read(spark, table, Some(v)).schema)
     else {
       val df = spark.read.schema(m.dataSchema).parquet(scanPaths: _*)
-      applyDv(spark, m,
+      applyUv(spark, m, applyDv(spark, m,
         if (m.partitionCol.isEmpty) df
-        else injectPartitionCol(df, m.partitionCol, m.partitionType))
+        else injectPartitionCol(df, m.partitionCol, m.partitionType)))
     }
   }
 
@@ -472,9 +483,9 @@ object Snapshot {
         read(spark, table, Some(v)).schema)
     else {
       val df = spark.read.schema(m.dataSchema).parquet(scanPaths: _*)
-      applyDv(spark, m,
+      applyUv(spark, m, applyDv(spark, m,
         if (m.partitionCol.isEmpty) df
-        else injectPartitionCol(df, m.partitionCol, m.partitionType))
+        else injectPartitionCol(df, m.partitionCol, m.partitionType)))
     }
   }
 
@@ -623,8 +634,8 @@ object Snapshot {
     val m = readManifest(table, v)
     require(m.dirs.size == 1,
       s"bucketed snapshots are single-dir; found ${m.dirs.size}")
-    require(m.dvDirs.isEmpty,
-      s"$table has outstanding deletion vectors — compact() first")
+    require(m.dvDirs.isEmpty && m.uvDirs.isEmpty,
+      s"$table has outstanding row-level sidecars — compact() first")
     val dir = m.dirs.head
     val spec = Files.readString(Paths.get(dir, "_bucketing")).trim
       .split('\t')
@@ -656,9 +667,9 @@ object Snapshot {
     // explicit schema: directories predating a schema evolution
     // null-fill the columns they lack
     val df = spark.read.schema(m.dataSchema).parquet(m.dirs: _*)
-    applyDv(spark, m,
+    applyUv(spark, m, applyDv(spark, m,
       if (m.partitionCol.isEmpty) df
-      else injectPartitionCol(df, m.partitionCol, m.partitionType))
+      else injectPartitionCol(df, m.partitionCol, m.partitionType)))
   }
 
   /** Apply a manifest's deletion vectors: one LEFT ANTI join against
@@ -682,6 +693,33 @@ object Snapshot {
       require(df.columns.contains(key),
         s"deletion-vector key '$key' is not a table column")
       df.join(dv.distinct(), df(key) === dv(key), "left_anti")
+    }
+  }
+
+  /** Apply a manifest's merge-on-read UPSERT sidecars: keys present in
+    * any sidecar read from the sidecars (later sidecars win per key —
+    * one window over the DELTA rows only, never the base), everything
+    * else from the base scan. The write-cheap upsert for an
+    * unpartitioned corpus table; [[compact]] materializes.
+    */
+  private def applyUv(spark: SparkSession, m: Manifest,
+                      df: DataFrame): DataFrame = {
+    if (m.uvDirs.isEmpty) df
+    else {
+      val sides = m.uvDirs.zipWithIndex.map { case (d, i) =>
+        spark.read.schema(m.dataSchema).parquet(d)
+          .withColumn("__uv_seq", lit(i))
+      }
+      val delta = sides.reduce(_.unionByName(_))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(m.uvKey)).orderBy(col("__uv_seq").desc)
+      val latest = delta
+        .withColumn("__uv_rn", row_number().over(w))
+        .filter(col("__uv_rn") === 1)
+        .drop("__uv_seq", "__uv_rn")
+      val keys = latest.select(col(m.uvKey)).distinct()
+      df.join(keys, df(m.uvKey) === keys(m.uvKey), "left_anti")
+        .unionByName(latest)
     }
   }
 
@@ -838,8 +876,8 @@ object Snapshot {
         // merge rewrites touched partitions from the RAW directories;
         // outstanding row-level deletes would silently resurrect there
         // (and a re-inserted key would stay hidden) — materialize first
-        require(m.dvDirs.isEmpty,
-          s"$table has outstanding deletion vectors — compact() first")
+        require(m.dvDirs.isEmpty && m.uvDirs.isEmpty,
+          s"$table has outstanding row-level sidecars — compact() first")
         val incomingData = StructType(
           incoming.schema.filterNot(_.name == partitionCol))
         val evolved = StructType(m.dataSchema.fields ++
@@ -926,8 +964,8 @@ object Snapshot {
     // the partitioned branch rewrites touched dirs from the RAW
     // parquet — outstanding DVs would resurrect there; materialize
     // first (the [[deleteVectored]] face handles the no-rewrite case)
-    require(m.dvDirs.isEmpty,
-      s"$table has outstanding deletion vectors — compact() first")
+    require(m.dvDirs.isEmpty && m.uvDirs.isEmpty,
+      s"$table has outstanding row-level sidecars — compact() first")
     val drop = coalesce(predicate, lit(false))
     Option(m.partitionCol).filter(_.nonEmpty) match {
       case None =>
@@ -991,6 +1029,9 @@ object Snapshot {
     val v = latestVersion(table).getOrElse(
       throw new IllegalArgumentException(s"$table has no committed snapshot"))
     val m = readManifest(table, v)
+    require(m.uvDirs.isEmpty,
+      s"$table has outstanding upsert sidecars — compact() first " +
+        "(one merge-on-read kind may be outstanding at a time)")
     if (m.dvDirs.nonEmpty) {
       val prior = spark.read.parquet(m.dvDirs: _*)
       require(prior.schema.length == 1 && prior.schema.head.name == keyCol,
@@ -1006,6 +1047,51 @@ object Snapshot {
       writeManifest(table, Manifest(v + 1, m.partitionCol,
         m.partitionType, m.dataSchemaJson, m.dirs, m.stats, m.fileStats,
         dvDirs = m.dvDirs ++ dvDir))
+      v + 1
+    }
+  }
+
+  /** MERGE-ON-READ UPSERT (Iceberg MoR / Hudi MOR deltas): publish a
+    * new version whose manifest re-references every data directory
+    * unchanged and adds a `U`-line SIDECAR holding the incoming rows —
+    * the write-cheap upsert for an UNPARTITIONED corpus table, where
+    * [[merge]]'s copy-on-write rewrite would churn the whole table for
+    * a small delta. Readers overlay: keys present in any sidecar read
+    * from the LATEST sidecar holding them (one window over delta rows
+    * only), everything else from the base scan. Sidecars stack;
+    * [[compact]] materializes back to a plain snapshot; [[countStar]]
+    * reports unknown while outstanding; [[merge]]/[[deleteWhere]]/
+    * [[deleteVectored]] refuse until materialized (one merge-on-read
+    * kind at a time — the same conflict discipline as DVs). Incoming
+    * must be key-unique and schema-compatible (reconciled to the table
+    * schema). Returns the new version.
+    */
+  def upsertVectored(incoming: DataFrame, table: String,
+                     keyCol: String): Long = {
+    val spark = incoming.sparkSession
+    val v = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed snapshot"))
+    val m = readManifest(table, v)
+    require(m.partitionCol.isEmpty,
+      s"$table is partitioned — use merge() (partition-scoped " +
+        "copy-on-write is already delta-sized there)")
+    require(m.dvDirs.isEmpty,
+      s"$table has outstanding deletion vectors — compact() first " +
+        "(one merge-on-read kind may be outstanding at a time)")
+    require(m.uvKey.isEmpty || m.uvKey == keyCol,
+      s"outstanding upsert sidecars key on '${m.uvKey}', not '$keyCol'")
+    require(m.dataSchema.fieldNames.contains(keyCol),
+      s"$table has no data column '$keyCol'")
+    val rows = Pipeline.reconcileSchema(incoming, m.dataSchema)
+    require(rows.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).isEmpty,
+      s"incoming upsert batch has duplicate '$keyCol' values")
+    if (rows.isEmpty) v
+    else {
+      val (uvDir, _, _) = writeData(rows, table, None)
+      writeManifest(table, Manifest(v + 1, m.partitionCol,
+        m.partitionType, m.dataSchemaJson, m.dirs, m.stats, m.fileStats,
+        uvDirs = m.uvDirs ++ uvDir, uvKey = keyCol))
       v + 1
     }
   }
@@ -1341,7 +1427,7 @@ object Snapshot {
     // deletion-vector dirs are references too: a retained manifest's
     // DVs must survive exactly like its data dirs
     def refs(v: Long): Seq[String] = {
-      val mm = readManifest(table, v); mm.dirs ++ mm.dvDirs
+      val mm = readManifest(table, v); mm.dirs ++ mm.dvDirs ++ mm.uvDirs
     }
     val live = keep.flatMap(refs).toSet ++ stagedLive
     val dead = drop.flatMap(refs).toSet -- live
@@ -1390,7 +1476,7 @@ object Snapshot {
     val next = latestVersion(table).getOrElse(0L) + 1
     writeManifest(table, Manifest(next, m.partitionCol, m.partitionType,
       m.dataSchemaJson, m.dirs, m.stats, m.fileStats,
-      dvDirs = m.dvDirs))
+      dvDirs = m.dvDirs, uvDirs = m.uvDirs, uvKey = m.uvKey))
     next
   }
 
@@ -1413,7 +1499,7 @@ object Snapshot {
     val m = readManifest(src, v)
     writeManifest(dst, Manifest(1L, m.partitionCol, m.partitionType,
       m.dataSchemaJson, m.dirs, m.stats, m.fileStats,
-      dvDirs = m.dvDirs))
+      dvDirs = m.dvDirs, uvDirs = m.uvDirs, uvKey = m.uvKey))
     1L
   }
 
@@ -1452,7 +1538,7 @@ object Snapshot {
     // deletion-vector dirs are references too: a retained manifest's
     // DVs must survive exactly like its data dirs
     def refs(v: Long): Seq[String] = {
-      val mm = readManifest(table, v); mm.dirs ++ mm.dvDirs
+      val mm = readManifest(table, v); mm.dirs ++ mm.dvDirs ++ mm.uvDirs
     }
     val live = keep.flatMap(refs).toSet ++ stagedLive
     val dead = drop.flatMap(refs).toSet -- live

@@ -1052,6 +1052,79 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("upsert sidecars (merge-on-read): zero-rewrite upserts stack " +
+      "with latest-wins, guards hold, compact materializes") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      val base = Seq(("A", 10.0), ("B", 20.0), ("C", 30.0))
+        .toDF("symbol", "close")
+      Snapshot.commit(base, t)
+      val m1 = Snapshot.readManifest(t, 1)
+      // sidecar 1: update B, insert D
+      val v2 = Snapshot.upsertVectored(
+        Seq(("B", 21.0), ("D", 40.0)).toDF("symbol", "close"), t, "symbol")
+      assert(v2 == 2)
+      val m2 = Snapshot.readManifest(t, 2)
+      assert(m2.dirs == m1.dirs && m2.uvDirs.size == 1 &&
+        m2.uvKey == "symbol")
+      def snap(): Set[(String, Double)] = Snapshot.read(spark, t)
+        .as[(String, Double)].collect().toSet
+      assert(snap() == Set(("A", 10.0), ("B", 21.0), ("C", 30.0),
+        ("D", 40.0)))
+      // sidecar 2 overrides sidecar 1 per key (latest wins)
+      val v3 = Snapshot.upsertVectored(
+        Seq(("B", 22.0)).toDF("symbol", "close"), t, "symbol")
+      assert(v3 == 3 && Snapshot.readManifest(t, 3).uvDirs.size == 2)
+      assert(snap() == Set(("A", 10.0), ("B", 22.0), ("C", 30.0),
+        ("D", 40.0)))
+      // time travel sees each overlay stage
+      assert(Snapshot.read(spark, t, Some(1L)).count() == 3)
+      assert(Snapshot.read(spark, t, Some(2L))
+        .filter($"symbol" === "B").as[(String, Double)].head()._2 == 21.0)
+      // stats/key-pruned readers overlay too
+      assert(Snapshot.readForKeys(spark, t, "symbol", Seq("B"))
+        .filter($"symbol" === "B").as[(String, Double)].head()._2 == 22.0)
+      // counts unknown while outstanding
+      assert(Snapshot.countStar(t).isEmpty)
+      // guards: dup keys, key mismatch, DV-vs-UV exclusivity, rewrites
+      intercept[IllegalArgumentException] {
+        Snapshot.upsertVectored(
+          Seq(("E", 1.0), ("E", 2.0)).toDF("symbol", "close"), t, "symbol")
+      }
+      intercept[IllegalArgumentException] {
+        Snapshot.upsertVectored(
+          Seq(("E", 1.0)).toDF("symbol", "close"), t, "close")
+      }
+      intercept[IllegalArgumentException] {
+        Snapshot.deleteVectored(spark, t, "symbol", $"symbol" === "A")
+      }
+      intercept[IllegalArgumentException] {
+        Snapshot.deleteWhere(spark, t, $"symbol" === "A")
+      }
+      // rollback carries the overlay
+      Snapshot.rollback(t, 2)
+      assert(snap() == Set(("A", 10.0), ("B", 21.0), ("C", 30.0),
+        ("D", 40.0)))
+      // compact materializes: fresh dirs, overlay gone, counts back
+      val v5 = Snapshot.compact(spark, t)
+      val m5 = Snapshot.readManifest(t, v5)
+      assert(m5.uvDirs.isEmpty && m5.uvKey.isEmpty)
+      assert(snap() == Set(("A", 10.0), ("B", 21.0), ("C", 30.0),
+        ("D", 40.0)))
+      assert(Snapshot.countStar(t).contains(4L))
+      // and a DV is allowed again after materialization
+      Snapshot.deleteVectored(spark, t, "symbol", $"symbol" === "D")
+      assert(snap() == Set(("A", 10.0), ("B", 21.0), ("C", 30.0)))
+      // a partitioned table refuses merge-on-read upserts
+      val tp = dir.getAbsolutePath + "/tp"
+      Snapshot.commit(batch(("A", "2024-01-01", 1.0, 0L)), tp, Some("date"))
+      intercept[IllegalArgumentException] {
+        Snapshot.upsertVectored(
+          Seq(("A", 2.0)).toDF("symbol", "close"), tp, "symbol")
+      }
+    }
+  }
+
   test("deletion vectors survive vacuum while referenced and retire " +
       "with their manifest") {
     withTempDir { dir =>
