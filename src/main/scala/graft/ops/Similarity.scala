@@ -1702,6 +1702,63 @@ object Similarity {
     * candidate generation — the margin composes unchanged on any
     * (cos, rank) candidate table).
     */
+  /** EXACT kNN-SHAPLEY data valuation (Jia et al. 2019): the Shapley
+    * value of every candidate training point for a single test probe
+    * under the kNN-classifier utility — the closed form that makes
+    * per-example data valuation tractable (no retraining, no Monte
+    * Carlo): with candidates ranked by similarity to the probe
+    * (rank 1 nearest), s_N = 1[y_N = y]/N and
+    * s_i = s_{i+1} + (1[y_i=y] − 1[y_{i+1}=y])·min(K,i)/(K·i) —
+    * i.e. each s_i is a SUFFIX SUM of per-rank terms.
+    *
+    * Exactness: similarities snap ×10⁶ (ties break by id), each
+    * term's magnitude is one nonneg floored division ×10⁹ with the
+    * sign applied after (symmetric truncation ≡ SQL), and the suffix
+    * sum is exact integer arithmetic — a SQL oracle replays
+    * bit-for-bit.
+    *
+    * Scale shape: candidates are a BOUNDED valuation pool by contract
+    * (the mmrRerank discipline — the formula touches every candidate,
+    * so pool size IS the work); the rank and suffix sum run in one
+    * bounded window. Production valuations sample the pool per probe.
+    * Output: (id, rank, y_match, sim_micro, shapley_nano).
+    */
+  def knnShapley(probeVec: DataFrame, candidates: DataFrame, k: Int,
+                 maxCandidates: Long = 100000L): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    guardBoundedQueries(candidates, maxCandidates, "knnShapley")
+    def snapMicro(c: Column): Column =
+      round(c.cast("decimal(20,10)") * 1000000).cast("long")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val p = probeVec.select(col("vec").as("pv"), col("y").as("py"))
+    val scored = candidates.crossJoin(broadcast(p))
+      .select(col("id"),
+        when(col("y") === col("py"), 1L).otherwise(0L).as("a"),
+        snapMicro(round(cosine(col("vec"), col("pv")), 6)).as("sim"))
+    val one = Cols.onePartitionKey(col("id"))
+    val wRank = Window.partitionBy(one)
+      .orderBy(col("sim").desc, col("id"))
+    val wLead = Window.partitionBy(one).orderBy(col("rk"))
+    val wSuffix = Window.partitionBy(one).orderBy(col("rk").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy(one)))
+      .withColumn("a_next", lead(col("a"), 1).over(wLead))
+      .withColumn("term",
+        when(col("rk") === col("n"),
+          fdiv(col("a") * lit(1000000000L), col("n")))
+          .otherwise((col("a") - coalesce(col("a_next"), lit(0L)))
+            * fdiv(least(lit(k.toLong), col("rk")) * lit(1000000000L),
+              lit(k.toLong) * col("rk"))))
+      .withColumn("shapley_nano", sum(col("term")).over(wSuffix))
+      .select(col("id"), col("rk").as("rank"),
+        (col("a") === 1L).as("y_match"), col("sim").as("sim_micro"),
+        col("shapley_nano"))
+  }
+
   def marginMining(left: DataFrame, right: DataFrame, k: Int,
                    maxQueries: Long = DefaultMaxQueries): DataFrame = {
     def snapMicro(c: Column): Column =

@@ -1450,6 +1450,60 @@ object Snapshot {
     }
   }
 
+  /** TIMESTAMP AS OF time travel (Delta's `TIMESTAMP AS OF`, Iceberg's
+    * snapshot-at-timestamp): resolve the LATEST version whose commit
+    * stamp is ≤ `tsMs` — "what did the table look like when the job
+    * ran at T". Commit time = the manifest file's mtime (the same
+    * clock [[expireByAge]] and the orphan sweep trust; gates plant
+    * deterministic stamps via [[stampVersion]]). Throws when the
+    * table has no version that old — reading "before the table
+    * existed" is a caller bug, not an empty frame.
+    */
+  def versionAsOf(table: String, tsMs: Long): Long = {
+    val vs = versions(table).filter(v =>
+      Files.getLastModifiedTime(manifestPath(table, v)).toMillis <= tsMs)
+    require(vs.nonEmpty,
+      s"$table has no version committed at or before $tsMs")
+    vs.max
+  }
+
+  def readAsOf(spark: SparkSession, table: String, tsMs: Long): DataFrame =
+    read(spark, table, Some(versionAsOf(table, tsMs)))
+
+  /** FSCK — manifest/data integrity audit of a retained version (the
+    * ops tool run before trusting a restored or hand-migrated table):
+    * per referenced data/DV/UV directory, flag `missing_dir`; per
+    * manifest-listed file, `missing_file`; per directory carrying row
+    * stats, recount and flag `row_count_mismatch` (recount ≠ stat).
+    * Healthy table ⇒ zero rows. Driver work is directory-listing
+    * sized; the recount is one spark count per flagged... per
+    * stats-carrying dir (columnar count-star, no row materialization).
+    * Output: (path, issue).
+    */
+  def fsck(spark: SparkSession, table: String,
+           version: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val v = version.orElse(latestVersion(table)).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed snapshot"))
+    val m = readManifest(table, v)
+    val issues = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    (m.dirs ++ m.dvDirs ++ m.uvDirs).foreach { d =>
+      if (!Files.isDirectory(Paths.get(d))) issues += d -> "missing_dir"
+    }
+    m.fileStats.keys.foreach { f =>
+      if (!Files.exists(Paths.get(f))) issues += f -> "missing_file"
+    }
+    m.dirs.filter(d => Files.isDirectory(Paths.get(d))).foreach { d =>
+      m.stats.get(d).foreach { st =>
+        val actual =
+          try spark.read.schema(m.dataSchema).parquet(d).count()
+          catch { case _: Exception => -1L }
+        if (actual != st.rows) issues += d -> "row_count_mismatch"
+      }
+    }
+    issues.toSeq.toDF("path", "issue")
+  }
+
   /** Fixture clock injection for [[expireByAge]]: stamp a version's
     * manifest with an explicit commit time (file mtime — the same
     * filesystem clock the vacuum orphan sweep trusts). Gates and specs

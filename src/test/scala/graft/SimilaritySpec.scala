@@ -906,6 +906,59 @@ class SimilaritySpec extends SparkSpec {
     assert(dist.size == 3)
   }
 
+  test("knnShapley: suffix-sum values replay the Jia et al. recursion " +
+      "locally; matching neighbors are valued above mismatches nearby") {
+    import spark.implicits._
+    // probe at (1,0), label 1; candidates at varying angles/labels
+    val probe = Seq((Seq(1.0f, 0.0f), 1)).toDF("vec", "y")
+    val cands = Seq(
+      (1L, Seq(1.0f, 0.1f), 1),   // near, match
+      (2L, Seq(1.0f, 0.3f), 0),   // near, mismatch
+      (3L, Seq(0.5f, 1.0f), 1),   // far, match
+      (4L, Seq(0.0f, 1.0f), 0),   // farthest, mismatch
+      (5L, Seq(1.0f, 0.2f), 1))   // near, match
+      .toDF("id", "vec", "y")
+    val k = 2
+    val got = Similarity.knnShapley(probe, cands, k)
+      .as[(Long, Int, Boolean, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // local replay in exact integers
+    def cosM(a: Seq[Float], b: Seq[Float]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val n = math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum)
+      (BigDecimal(dot / n).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP) * 1000000).toLong
+    }
+    val pv = Seq(1.0f, 0.0f)
+    val rows = Seq((1L, Seq(1.0f, 0.1f), 1), (2L, Seq(1.0f, 0.3f), 0),
+      (3L, Seq(0.5f, 1.0f), 1), (4L, Seq(0.0f, 1.0f), 0),
+      (5L, Seq(1.0f, 0.2f), 1))
+      .map { case (id, v, y) => (id, cosM(v, pv), if (y == 1) 1L else 0L) }
+      .sortBy { case (id, sim, _) => (-sim, id) }
+    val n = rows.size
+    val terms = rows.zipWithIndex.map { case ((_, _, a), i0) =>
+      val i = i0 + 1
+      if (i == n) a * 1000000000L / n
+      else {
+        val aNext = rows(i0 + 1)._3
+        (a - aNext) * (math.min(k.toLong, i) * 1000000000L / (k * i))
+      }
+    }
+    val suffix = terms.scanRight(0L)(_ + _).init
+    rows.zipWithIndex.foreach { case ((id, sim, a), i0) =>
+      val g = got(id)
+      assert(g._2 == i0 + 1 && g._3 == (a == 1L) && g._4 == sim,
+        s"rank/match/sim of $id: $g")
+      assert(g._5 == suffix(i0),
+        s"shapley of $id: ${g._5} != ${suffix(i0)}")
+    }
+    // the nearest matching candidate is the most valuable
+    assert(got(1L)._5 == got.values.map(_._5).max)
+    // a mismatching near neighbor is worth less than a matching one
+    assert(got(2L)._5 < got(1L)._5)
+  }
+
   test("marginMining: cosines, k-NN means and margins replay a local " +
       "BigInt brute force on a planted geometry") {
     import spark.implicits._

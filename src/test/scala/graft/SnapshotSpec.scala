@@ -1125,6 +1125,42 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("readAsOf resolves the inclusive stamp boundary; before-first " +
+      "throws; fsck flags planted corruption and nothing else") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      Snapshot.commit(batch(("A", "2024-01-01", 1.0, 0L)), t, Some("date"))
+      Snapshot.stampVersion(t, 1L, 1000L)
+      Snapshot.commit(batch(("A", "2024-01-01", 1.0, 0L),
+        ("B", "2024-01-02", 2.0, 0L)), t, Some("date"))
+      Snapshot.stampVersion(t, 2L, 2000L)
+      assert(Snapshot.versionAsOf(t, 1000L) == 1L) // inclusive
+      assert(Snapshot.versionAsOf(t, 1999L) == 1L)
+      assert(Snapshot.versionAsOf(t, 2000L) == 2L)
+      assert(Snapshot.readAsOf(spark, t, 1500L).count() == 1L)
+      assert(Snapshot.readAsOf(spark, t, 99999L).count() == 2L)
+      intercept[IllegalArgumentException] {
+        Snapshot.versionAsOf(t, 999L)
+      }
+      // fsck: clean, then flag a vanished data dir
+      assert(Snapshot.fsck(spark, t).count() == 0L)
+      val goneDir = Snapshot.readManifest(t, 2L).dirs.head
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.list(p).forEach(c => rm(c))
+        java.nio.file.Files.deleteIfExists(p): Unit
+      }
+      rm(java.nio.file.Paths.get(goneDir))
+      val issues = Snapshot.fsck(spark, t)
+        .as[(String, String)].collect().toSet
+      assert(issues.exists(i => i._1 == goneDir && i._2 == "missing_dir"),
+        s"expected missing_dir for $goneDir in $issues")
+      // the manifest-listed files under that dir are flagged too
+      assert(issues.forall(i =>
+        i._2 == "missing_dir" || i._2 == "missing_file"))
+    }
+  }
+
   test("deletion vectors survive vacuum while referenced and retire " +
       "with their manifest") {
     withTempDir { dir =>
