@@ -729,4 +729,35 @@ class PhysicalPlanSpec extends SparkSpec {
     // codegen'd operators carry the "*(stageId)" marker in simple mode
     assert(p.contains("*(1) Project"), p)
   }
+
+  test("brute-force top-k ranks through WindowGroupLimit — the rank " +
+      "filter prunes per-partition before the shuffle, never a full sort") {
+    import spark.implicits._
+    val vecs = (0L until 64L).map(i =>
+      (i, Seq(i.toFloat, (i % 7).toFloat, 1.0f))).toDF("id", "vec")
+    val p = graft.ops.Similarity.bruteForceTopK(vecs, vecs, 3)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k must push into WindowGroupLimit:\n$p")
+  }
+
+  test("deletion-vector read: the anti-join broadcasts the DV side in " +
+      "the final adaptive plan — the base scan never shuffles") {
+    import graft.sources.Snapshot
+    withTempDir { d =>
+      val t = d.getAbsolutePath + "/t"
+      Snapshot.commit(Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("k"), col("l_quantity").as("q")), t)
+      Snapshot.deleteVectored(spark, t, "k", col("q") > 49)
+      val df = Snapshot.read(spark, t)
+      df.collect(): Unit
+      val p = df.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("== Final Plan =="), p)
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+        s"DV application must be a broadcast anti-join:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"the base side must not sort-shuffle for a small DV:\n$p")
+    }
+  }
 }
