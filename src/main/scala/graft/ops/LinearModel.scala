@@ -143,6 +143,77 @@ object LinearModel {
           col("n").cast("decimal(38,0)"))).as("max_bin_gap_micro"))
   }
 
+  /** TracIn-style data valuation (Pruthi et al. 2020, "Estimating
+    * Training Data Influence by Tracing Gradient Descent"), the
+    * single-checkpoint form over the trained logistic weights:
+    * influence(train i → probe t) = ∇ℓ(i)·∇ℓ(t), and for logistic
+    * loss ∇ℓ = (p − y)·x, so the dot collapses to
+    * rᵢ·r_t·(xᵢ·x_t) with r = pmu − ymu — three EXACT integer
+    * factors (the ×1e6 sigmoid snap, the ×1e6 feature snap), no
+    * gradient vector ever materializes. Positive influence =
+    * "training on i pushes the model the way probe t's own gradient
+    * points" (a proponent); large-magnitude influencers on a
+    * mislabeled probe are the classic label-noise suspects —
+    * [[Similarity.knnShapley]]'s model-aware sibling.
+    *
+    * Scale shape: the probe pool is BOUNDED (the knnShapley probe
+    * contract — probes are the rows under audit, never the corpus):
+    * probe features/residuals broadcast; the train side computes
+    * dots via one dim-join aggregate (map-side combinable, train
+    * rows × probe count partial products, never train²); top-k per
+    * probe via the rank window on the probe-count-partition.
+    * influence18 ≈ r·r·dot12 ≤ ~1e26 accumulates as decimal(38,0);
+    * the emitted infl_micro = influence18 with the ×1e12 residual
+    * scale divided back out, truncated toward zero (DuckDB `//`
+    * parity). Probes are excluded from the train side. Output:
+    * (probe_id, train_id, rank, infl_micro).
+    */
+  def tracInfluence(vecs: DataFrame, labels: DataFrame,
+                    weights: DataFrame, probeIds: DataFrame,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def tdiv(a: Column, b: Column): Column = {
+      val q = (abs(a) - pmod(abs(a), b)) / b
+      (when(a < 0, -q).otherwise(q)).cast("long")
+    }
+    val pid = probeIds.select(col("id"))
+    val resid = scoreLogistic(vecs, weights)
+      .join(labels.select(col("id"),
+        (col("y").cast("long") * 1000000L).as("ymu")), "id")
+      .select(col("id"), (col("pmu") - col("ymu")).as("r"))
+    val x = vecs
+      .select(col("id"), posexplode(col("x")).as(Seq("dim", "xv")))
+      .select(col("id"), col("dim").cast("int").as("dim"),
+        round(col("xv").cast("double") * 1e6).cast("long").as("xi"))
+      .unionByName(vecs.select(col("id"), lit(-1).as("dim"),
+        lit(1000000L).as("xi")))
+    val px = x.join(broadcast(pid), Seq("id"))
+      .select(col("id").as("probe_id"),
+      col("dim"), col("xi").as("pxi"))
+    val tx = x.join(broadcast(pid), Seq("id"), "left_anti")
+    val dots = tx.join(broadcast(px), Seq("dim"))
+      .groupBy(col("id").as("train_id"), col("probe_id"))
+      .agg(sum(dec(col("xi")) * col("pxi")).as("dot12"))
+    val infl = dots
+      .join(resid.select(col("id").as("train_id"), col("r").as("rt")),
+        "train_id")
+      .join(broadcast(resid.join(pid, "id")
+        .select(col("id").as("probe_id"), col("r").as("rp"))),
+        "probe_id")
+      .select(col("probe_id"), col("train_id"),
+        tdiv(dec(col("rt")) * col("rp") * col("dot12"),
+          dec(lit(1000000000000L))).as("infl_micro"))
+    infl
+      .withColumn("rank", row_number().over(Window
+        .partitionBy(col("probe_id"))
+        .orderBy(col("infl_micro").desc, col("train_id"))))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("train_id"),
+        col("rank").cast("int").as("rank"), col("infl_micro"))
+  }
+
   def calibrationBins(scored: DataFrame, labels: DataFrame,
                       bins: Int): DataFrame = {
     require(bins >= 1, "bins must be >= 1")

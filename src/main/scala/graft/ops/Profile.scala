@@ -711,6 +711,38 @@ object Profile {
       .withColumn("meets_k", col("n_risky_rows") === 0L)
   }
 
+  /** L-DIVERSITY ladder — [[kAnonymityLadder]]'s sibling for the
+    * attack k-anonymity misses: an equivalence class can be large
+    * (k-anonymous) yet carry ONE sensitive value, so membership alone
+    * discloses it. Per quasi-identifier class, l = distinct sensitive
+    * values; for each rung 1..`maxL` the ladder reports how many
+    * classes (and rows) fall BELOW that diversity, plus the corpus
+    * min/max l. One grouped aggregate to class level, then every rung
+    * reads the tiny class table — the ladder explode never touches
+    * data-sized rows. Output one row per rung: (l, n_groups_below,
+    * n_rows_below, min_l, max_l, meets_l).
+    */
+  def lDiversity(df: DataFrame, qi: Seq[Column], sensitive: Column,
+                 maxL: Int): DataFrame = {
+    require(qi.nonEmpty && maxL >= 1)
+    val classes = df
+      .groupBy(qi: _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(sensitive).as("ldist"))
+    val bounds = classes.agg(min(col("ldist")).as("min_l"),
+      max(col("ldist")).as("max_l"))
+    classes
+      .select(col("n"), col("ldist"),
+        explode(array((1 to maxL).map(lit): _*)).as("rung"))
+      .groupBy(col("rung").as("l"))
+      .agg(sum(when(col("ldist") < col("rung"), 1L).otherwise(0L))
+          .as("n_groups_below"),
+        sum(when(col("ldist") < col("rung"), col("n")).otherwise(0L))
+          .as("n_rows_below"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("meets_l", col("n_rows_below") === 0L)
+  }
+
   /** DECILE LIFT / cumulative-gains table for a score against a
     * binary label — the campaign-targeting companion to [[aucExact]]
     * (AUC summarizes ranking quality in one number; the lift table

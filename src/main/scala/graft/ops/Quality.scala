@@ -356,4 +356,57 @@ object Quality {
           .otherwise(lit(1000000L) - fdiv(num * lit(1000000L), den))
           .as("pass_at_k_micro"))
   }
+
+  /** CONFIDENT-LEARNING label-noise audit (Northcutt et al. 2021,
+    * "Confident Learning") — the curation step that finds MISLABELED
+    * rows before a classifier trains on them: a row whose predicted
+    * class-j score clears class j's self-confidence threshold is
+    * "confidently" class j; rows confidently in a class OTHER than
+    * their given label are the label-issue candidates. All exact:
+    * threshold t_j is the MEAN score of class j over rows GIVEN
+    * label j, and the compare is cross-multiplied (p·n_j ≥ Σp_j) so
+    * no lossy mean ever materializes; the confident pick is argmax
+    * score over clearing classes with ties to the smallest class.
+    *
+    * Scale shape: one K×data explode, one K-row threshold aggregate
+    * broadcast back, one per-row argmax aggregate, one K²-row joint
+    * aggregate — two data-sized shuffles, map-side combinable, no
+    * windows, no collect. `probs` is array&lt;long&gt; micro scores
+    * (need not be normalized — thresholds are per-class). Output one
+    * row per non-empty (given, predicted) cell: (given, predicted,
+    * n, n_flagged, n_unconfident, n_rows) where n_flagged = total
+    * off-diagonal mass and n_unconfident = rows clearing no
+    * threshold (counted in no cell).
+    */
+  def confidentJoint(df: DataFrame, id: Column, given: Column,
+                     probs: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val base = df
+      .select(id.as("id"), given.cast("int").as("y"),
+        posexplode(probs).as(Seq("j", "p")))
+      .select(col("id"), col("y"), col("j").cast("int").as("j"),
+        col("p").cast("long").as("p"))
+    val th = base.filter(col("j") === col("y"))
+      .groupBy(col("j"))
+      .agg(sum(col("p")).as("sp"), count(lit(1)).as("nj"))
+    val pick = base.join(broadcast(th), Seq("j"))
+      .filter(dec(col("p")) * col("nj") >= dec(col("sp")))
+      .groupBy(col("id"), col("y"))
+      .agg(max(struct(col("p"), (-col("j")).as("nj"),
+        col("j").as("j"))).as("m"))
+      .select(col("id"), col("y"), col("m.j").as("pred"))
+    val joint = pick.groupBy(col("y").as("given"),
+        col("pred").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val totals = df.agg(count(lit(1)).as("n_rows"))
+      .crossJoin(joint.agg(
+        coalesce(sum(when(col("given") =!= col("predicted"),
+          col("n"))), lit(0L)).as("n_flagged"),
+        coalesce(sum(col("n")), lit(0L)).as("n_confident")))
+      .select(col("n_rows"), col("n_flagged"),
+        (col("n_rows") - col("n_confident")).as("n_unconfident"))
+    joint.crossJoin(broadcast(totals))
+      .select(col("given"), col("predicted"), col("n"),
+        col("n_flagged"), col("n_unconfident"), col("n_rows"))
+  }
 }

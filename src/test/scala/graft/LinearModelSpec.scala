@@ -148,4 +148,28 @@ class LinearModelSpec extends SparkSpec {
     assert(got == ref(xs, allOne, 2))
     assert(got(-1) > 0) // bias climbs when every label is 1
   }
+
+  test("tracInfluence: exact three-factor products, trunc-toward-zero " +
+    "micro scale, probe excluded from the train side") {
+    import org.apache.spark.sql.functions.col
+    val vecs = Seq((100L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0)),
+      (2L, Seq(-1.0, 0.0)), (3L, Seq(0.5, 0.0)))
+      .toDF("id", "x")
+    val labels = Seq((100L, 1L), (1L, 0L), (2L, 1L), (3L, 0L))
+      .toDF("id", "y")
+    val w = Seq((-1, 0L), (0, 1000000L), (1, 0L))
+      .toDF("dim", "w_micro")
+    val probes = Seq(Tuple1(100L)).toDF("id")
+    val out = LinearModel.tracInfluence(vecs, labels, w, probes, 5)
+      .as[(Long, Long, Int, Long)].collect().sortBy(_._3)
+    assert(out.map(_._2).toSeq == Seq(2L, 3L, 1L),
+      "zero-dot train ranks first, then the less-negative influencer")
+    assert(!out.map(_._2).contains(100L), "probe never self-influences")
+    // pmu: sigma(1) = 731059, sigma(-1) = 268941, sigma(.5) = 622459
+    def trunc(a: BigInt): Long = (a / BigInt(1000000000000L)).toLong
+    val rp = BigInt(731059 - 1000000)
+    assert(out.map(_._4).toSeq == Seq(0L,
+      trunc(BigInt(622459) * rp * BigInt(1500000000000L)),
+      trunc(BigInt(731059) * rp * BigInt(2000000000000L))))
+  }
 }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.ops.Preference
+
+class PreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bradleyTerry: two-item duel reaches the exact MM fixed point") {
+    // A beats B 3x, B beats A 1x. Round 1: denom = 4e12//2e6 = 2e6,
+    // piA = 3e12//2e6 = 1.5e6, piB = 1e12//2e6 = 0.5e6; the pair sum
+    // stays 2e6 so every later round reproduces the same ratings.
+    val duels = (Seq.fill(3)(("A", "B")) ++ Seq(("B", "A")))
+      .toDF("w", "l")
+    val out = Preference.bradleyTerry(duels, col("w"), col("l"), 3)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("A") == (("A", 3L, 4L, 1500000L)))
+    assert(out("B") == (("B", 1L, 4L, 500000L)))
+  }
+
+  test("bradleyTerry: a winless item rates 0 and skill order follows " +
+    "the planted gradient") {
+    val duels = (Seq.fill(4)(("A", "B")) ++ Seq.fill(2)(("B", "A")) ++
+      Seq.fill(3)(("A", "C")) ++ Seq.fill(3)(("B", "C")))
+      .toDF("w", "l")
+    val out = Preference.bradleyTerry(duels, col("w"), col("l"), 3)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("C")._4 == 0L, "winless C pins to 0")
+    assert(out("C")._2 == 0L && out("C")._3 == 6L)
+    assert(out("A")._4 > out("B")._4, "A dominates the duel record")
+    assert(out("A")._2 == 7L && out("A")._3 == 9L)
+  }
+
+  test("duelMatrix collapses raw duels map-side to the directed matrix") {
+    val duels = Seq(("A", "B"), ("A", "B"), ("B", "A")).toDF("w", "l")
+    val m = Preference.duelMatrix(duels, col("w"), col("l"))
+      .as[(String, String, Long)].collect().toSet
+    assert(m == Set(("A", "B", 2L), ("B", "A", 1L)))
+  }
+}

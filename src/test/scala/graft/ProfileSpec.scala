@@ -696,4 +696,18 @@ class ProfileSpec extends SparkSpec {
     assert(math.abs(r1._5 - (r1._4 + 1).toDouble / 65.0) < 5e-5,
       "p is the 4dp-rounded add-one share")
   }
+
+  test("lDiversity: ladder counts classes/rows strictly below each rung") {
+    import org.apache.spark.sql.functions.col
+    // dept A: 3 rows, 1 sensitive value; B: 2 rows, 2; C: 3 rows, 3
+    val df = Seq(("A", "x"), ("A", "x"), ("A", "x"), ("B", "x"),
+      ("B", "y"), ("C", "x"), ("C", "y"), ("C", "z"))
+      .toDF("dept", "s")
+    val out = Profile.lDiversity(df, Seq(col("dept")), col("s"), 3)
+      .as[(Int, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1) == ((1, 0L, 0L, 1L, 3L, true)))
+    assert(out(2) == ((2, 1L, 3L, 1L, 3L, false)))
+    assert(out(3) == ((3, 2L, 5L, 1L, 3L, false)))
+  }
 }

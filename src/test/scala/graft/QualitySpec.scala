@@ -208,4 +208,28 @@ class QualitySpec extends SparkSpec {
       .map(r => r._1 -> r._5).toMap
     assert(mono("b") > mono("a"))
   }
+
+  test("confidentJoint: planted flip lands off-diagonal, threshold is " +
+    "an exact cross-multiplied mean, argmax ties to the smallest class") {
+    import org.apache.spark.sql.functions.col
+    // thresholds from given labels: t0 = (900+800)/2 = 850,
+    // t1 = (900+800+900)/3 = 866.67 (exact via p*3 >= 2600),
+    // t2 = (200+900)/2 = 550
+    val rows = Seq(
+      (1L, 0, Seq(900L, 100L, 100L)), // pred 0 (diagonal)
+      (2L, 0, Seq(800L, 200L, 100L)), // clears nothing -> unconfident
+      (3L, 1, Seq(100L, 900L, 100L)), // pred 1 (diagonal)
+      (4L, 1, Seq(200L, 800L, 150L)), // 800*3 < 2600 -> unconfident
+      (5L, 2, Seq(850L, 100L, 200L)), // 850*2 >= 1700 -> pred 0: FLIP
+      (6L, 2, Seq(100L, 100L, 900L)), // pred 2 (diagonal)
+      (7L, 1, Seq(900L, 900L, 100L))) // cands {0,1} tie -> pred 0: FLIP
+      .toDF("id", "y", "probs")
+    val out = Quality.confidentJoint(rows, col("id"), col("y"),
+      col("probs"))
+      .as[(Int, Int, Long, Long, Long, Long)].collect()
+    val cells = out.map(r => (r._1, r._2) -> r._3).toMap
+    assert(cells == Map((0, 0) -> 1L, (1, 1) -> 1L, (2, 2) -> 1L,
+      (2, 0) -> 1L, (1, 0) -> 1L))
+    assert(out.forall(r => r._4 == 2L && r._5 == 2L && r._6 == 7L))
+  }
 }
