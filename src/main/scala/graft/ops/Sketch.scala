@@ -240,4 +240,98 @@ object Sketch {
     }
     cum.groupBy(groups.map(col): _*).agg(qCols.head, qCols.tail: _*)
   }
+
+  // ----- KMV / theta sketch: SET-OPERATION distinct estimation --------------
+
+  private val KmvMax = 1L << 60 // exclusive upper bound of the 60-bit hash
+
+  /** K-MINIMUM-VALUES (theta) sketch registers — the sketch family HLL
+    * can't replace: because a KMV sketch is an actual SAMPLE of hashes
+    * (the k smallest 60-bit md5 values per group), two sketches
+    * support INTERSECTION and Jaccard estimates ([[kmvOverlap]]), the
+    * "how much does corpus A overlap corpus B" read that would
+    * otherwise cost a full distinct join of two 100 TB scans. Fully
+    * deterministic: same values → same hashes → same registers on any
+    * engine (the Beyer et al. 2007 estimator over the portable hash).
+    *
+    * Scale shape: one distinct aggregate on (groups, hash) — map-side
+    * combinable — then the per-group k smallest via the rank window
+    * (WindowGroupLimit pushes the top-k below the shuffle, so only
+    * ~k rows per group ever reach the sort). Register tables are
+    * groups × k tiny rows; everything downstream is sketch-sized.
+    */
+  def kmvRegisters(df: DataFrame, groups: Seq[String], value: Column,
+                   k: Int): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groups.map(col): _*).orderBy(col("h"))
+    df.select(groups.map(col) :+
+        Dedup.hashLong(value.cast("string")).as("h"): _*)
+      .distinct()
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= k)
+  }
+
+  /** Distinct estimate from KMV registers: a sketch holding fewer than
+    * k hashes saw the WHOLE set (estimate = exact count); a full one
+    * estimates (k−1)·2⁶⁰ / θ with θ = the k-th smallest hash — one
+    * exact integer floor division per group.
+    */
+  def kmvEstimate(registers: DataFrame, groups: Seq[String],
+                  k: Int): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    registers.groupBy(groups.map(col): _*)
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("theta"))
+      .select(groups.map(col) ++ Seq(col("n_kept"), col("theta"),
+        when(col("n_kept") < k, col("n_kept"))
+          .otherwise(fdiv(dec(lit(KmvMax)) * lit(k - 1L),
+            dec(col("theta")))).as("n_est")): _*)
+  }
+
+  /** Theta-sketch OVERLAP of two ungrouped register sets: hashes below
+    * θcut = min of the two sketch thresholds (2⁶⁰ when a sketch isn't
+    * full — it saw everything) are a uniform sample of A∪B restricted
+    * to [0, θcut); matches present in BOTH register sets estimate the
+    * intersection as matched·2⁶⁰/θcut, the union sketch (k smallest of
+    * the merged registers) estimates |A∪B|, and Jaccard is their
+    * floored micro ratio. Every operand is sketch-sized — the whole
+    * overlap read runs on ≤ 4k rows regardless of corpus size. Output
+    * one row: (n_a_est, n_b_est, matched, inter_est, union_est,
+    * jaccard_micro).
+    */
+  def kmvOverlap(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(x: Column, y: Column): Column =
+      ((x - pmod(x, y)) / y).cast("long")
+    def est(r: DataFrame, name: String): DataFrame =
+      kmvEstimate(r, Nil, k).select(col("n_est").as(name),
+        when(col("n_kept") < k, lit(KmvMax)).otherwise(col("theta"))
+          .as(s"cut_$name"))
+    val ea = est(a, "n_a_est")
+    val eb = est(b, "n_b_est")
+    val matched = a.select(col("h")).join(b.select(col("h")), "h")
+      .crossJoin(broadcast(ea)).crossJoin(broadcast(eb))
+      .filter(col("h") < least(col("cut_n_a_est"), col("cut_n_b_est")))
+      .agg(count(lit(1)).as("matched"),
+        min(least(col("cut_n_a_est"), col("cut_n_b_est"))).as("cut"))
+    val union = kmvEstimate(
+      a.select(col("h")).unionByName(b.select(col("h"))).distinct()
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("h"))))
+        .filter(col("pos") <= k), Nil, k)
+      .select(col("n_est").as("union_est"))
+    ea.crossJoin(eb).crossJoin(matched).crossJoin(union)
+      .select(col("n_a_est"), col("n_b_est"), col("matched"),
+        when(col("matched") === 0L, lit(0L))
+          .when(col("cut") === KmvMax, col("matched"))
+          .otherwise(fdiv(dec(col("matched")) * lit(KmvMax),
+            dec(col("cut")))).as("inter_est"),
+        col("union_est"))
+      .withColumn("jaccard_micro",
+        when(col("union_est") === 0L, lit(0L))
+          .otherwise(fdiv(dec(col("inter_est")) * lit(1000000L),
+            dec(col("union_est")))))
+  }
 }

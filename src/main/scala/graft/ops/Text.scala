@@ -2008,4 +2008,94 @@ object Text {
           concat_ws(" ", slice(col("tk"), (col("lo") + 1).cast("int"),
             (col("hi") - col("lo")).cast("int"))))).as("psm_fp"))
   }
+
+  /** RHO-LOSS selection (Mindermann et al. 2022, "Prioritized
+    * Training on Points that are Learnable, Worth Learning, and Not
+    * Yet Learnt") — rank candidate docs by REDUCIBLE loss: training
+    * loss minus the irreducible loss a reference model (trained on
+    * clean held-out data) assigns. High training loss alone surfaces
+    * noise; subtracting the reference loss keeps only points the
+    * model can still LEARN — the curation tier above plain
+    * perplexity filtering ([[heldoutBigramNll]]).
+    *
+    * Concretely: hash-split the corpus into thirds — bucket 0 trains
+    * the main interpolated-bigram model, bucket 1 the reference
+    * model, bucket 2 is the candidate pool. Each pool bigram scores
+    * −ln(λ·p₂ + (1−λ)·p₁) under BOTH models, snapped ×1e6 pre-sum
+    * (the −ln convention), so a doc's two NLL sums are exact
+    * integers; score = (nll_main − nll_ref) // n_bigrams truncated
+    * toward zero (DuckDB `//` parity — the diff can be negative).
+    * Top-k by (score desc, id) via sort+limit (TakeOrdered, never a
+    * global sort). Pool docs with <2 tokens have no bigrams and
+    * drop out — they carry no trainable signal for a bigram LM.
+    *
+    * Scale shape: both models are count tables off one shared bigram
+    * explode (map-side combinable); the pool side left-joins the
+    * count tables on their natural keys and aggregates per doc —
+    * the same join economics as [[heldoutBigramNll]] at twice the
+    * model width, no new shuffle class.
+    */
+  def rhoLossSelect(docs: DataFrame, idCol: String, text: Column,
+                    lam: Double, k: Int): DataFrame = {
+    require(lam > 0.0 && lam < 1.0, "lam must be in (0, 1)")
+    require(k >= 1, "k must be >= 1")
+    val tagged = docs.select(col(idCol).as("id"), tokens(text).as("tk"),
+      Sampling.hashBucket(col(idCol), 3).as("bkt"))
+    val bg = tagged
+      .select(col("id"), col("bkt"), explode(Cols.bound(col("tk")) {
+        t =>
+          when(size(t) < 2,
+            array().cast("array<struct<a:string,b:string>>"))
+            .otherwise(transform(sequence(lit(1), size(t) - 1),
+              i => struct(element_at(t, i).as("a"),
+                element_at(t, i + 1).as("b"))))
+      }).as("bgp"))
+      .select(col("id"), col("bkt"),
+        col("bgp.a").as("a"), col("bgp.b").as("b"))
+    def uniOf(bkt: Int, tag: String) =
+      tagged.filter(col("bkt") === bkt)
+        .select(explode(col("tk")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as(s"cw_$tag"))
+    def term(tag: String): Column = {
+      val p2 = when(col(s"cab_$tag").isNull || col(s"ca_$tag").isNull,
+        lit(0.0))
+        .otherwise(col(s"cab_$tag").cast("double") /
+          col(s"ca_$tag").cast("double"))
+      val p1 = (coalesce(col(s"cb1_$tag"), lit(0L)) + 1).cast("double") /
+        (col(s"tt_$tag") + col(s"v_$tag")).cast("double")
+      round(-log(lit(lam) * p2 + lit(1.0 - lam) * p1) * lit(1e6))
+        .cast("long")
+    }
+    def joined(pool: DataFrame, bkt: Int, tag: String): DataFrame = {
+      val uni = uniOf(bkt, tag)
+      val tv = uni.agg(sum(col(s"cw_$tag")).as(s"tt_$tag"),
+        count(lit(1)).as(s"v_$tag"))
+      val cb = bg.filter(col("bkt") === bkt).groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as(s"cab_$tag"))
+      val ca = cb.groupBy(col("a")).agg(sum(col(s"cab_$tag"))
+        .as(s"ca_$tag"))
+      pool.join(cb, Seq("a", "b"), "left")
+        .join(ca, Seq("a"), "left")
+        .join(uni.select(col("w").as("b"), col(s"cw_$tag")
+          .as(s"cb1_$tag")), Seq("b"), "left")
+        .crossJoin(broadcast(tv))
+    }
+    def tdiv(a: Column, b: Column): Column = {
+      val q = (abs(a) - pmod(abs(a), b)) / b
+      (when(a < 0, -q).otherwise(q)).cast("long")
+    }
+    val scored = joined(joined(bg.filter(col("bkt") === 2), 0, "m"),
+      1, "r")
+      .select(col("id"), term("m").as("tm"), term("r").as("tr"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("tm")).as("nll_main_micro"),
+        sum(col("tr")).as("nll_ref_micro"))
+    scored
+      .select(col("id"), col("n_bigrams"), col("nll_main_micro"),
+        col("nll_ref_micro"),
+        tdiv(col("nll_main_micro") - col("nll_ref_micro"),
+          col("n_bigrams")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("id")).limit(k)
+  }
 }

@@ -175,4 +175,40 @@ class SketchSpec extends SparkSpec {
     assert(u2 == s2("C") && u2 == s2("D"),
       "identical register sets must union to themselves")
   }
+
+  test("kmv: not-full sketches are exact; overlap reports exact " +
+    "intersection/union/jaccard below capacity") {
+    import org.apache.spark.sql.functions.col
+    val a = (1 to 10).map(i => s"v$i").toDF("x")
+    val b = (6 to 15).map(i => s"v$i").toDF("x")
+    val ra = Sketch.kmvRegisters(a, Nil, col("x"), 64)
+    val rb = Sketch.kmvRegisters(b, Nil, col("x"), 64)
+    assert(ra.count() == 10 && rb.count() == 10)
+    val est = Sketch.kmvEstimate(ra, Nil, 64)
+      .as[(Long, Long, Long)].head()
+    assert(est._1 == 10L && est._3 == 10L, "below k the estimate is exact")
+    val ov = Sketch.kmvOverlap(ra, rb, 64)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(ov == ((10L, 10L, 5L, 5L, 15L, 5000000L / 15L)),
+      "exact 5-in-15 overlap; jaccard floors to 333333")
+  }
+
+  test("kmv: a full sketch estimates (k-1)*2^60/theta and keeps only " +
+    "the k smallest hashes") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Dedup
+    val vals = (1 to 40).map(i => s"w$i")
+    val df = vals.toDF("x")
+    val reg = Sketch.kmvRegisters(df, Nil, col("x"), 8)
+    val kept = reg.orderBy(col("pos")).as[(Long, Int)].collect()
+    val allH = df.select(Dedup.hashLong(col("x").cast("string")))
+      .as[Long].collect().sorted
+    assert(kept.map(_._1).toSeq == allH.take(8).toSeq,
+      "registers are exactly the 8 smallest distinct hashes")
+    val est = Sketch.kmvEstimate(reg, Nil, 8)
+      .as[(Long, Long, Long)].head()
+    val expected = (BigInt(7) * BigInt(1L << 60) / BigInt(allH(7)))
+      .toLong
+    assert(est == ((8L, allH(7), expected)))
+  }
 }

@@ -1200,4 +1200,35 @@ class TextDedupSpec extends SparkSpec {
     assert(!got.contains(3L) && !got.contains(4L),
       "docs without transitions must drop")
   }
+
+  test("rhoLossSelect: ref-known docs rank above main-known docs, " +
+    "per-doc sums are exact and short docs drop") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.{Sampling, Text}
+    // hashBucket(id, 3) decides the split — discover ids per bucket
+    val bk = spark.range(1, 120)
+      .select(col("id"), Sampling.hashBucket(col("id"), 3).as("b"))
+      .as[(Long, Long)].collect().groupBy(_._2)
+      .map { case (b, xs) => b -> xs.map(_._1).toSeq }
+    val docs = Seq(
+      (bk(0L).head, "alpha beta gamma delta"),     // main-train corpus
+      (bk(1L).head, "epsilon zeta eta theta"),     // reference corpus
+      (bk(2L).head, "epsilon zeta eta theta"),     // pool: ref knows it
+      (bk(2L)(1), "alpha beta gamma delta"),       // pool: main knows it
+      (bk(2L)(2), "solo"))                         // pool: no bigrams
+      .toDF("doc_id", "text")
+    val out = Text.rhoLossSelect(docs, "doc_id", col("text"), 0.5, 10)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 2, "the single-token pool doc drops")
+    assert(out.map(_._2).forall(_ == 3L), "3 bigrams per 4-token doc")
+    val byId = out.map(r => r._1 -> r).toMap
+    val refKnown = byId(bk(2L).head)
+    val mainKnown = byId(bk(2L)(1))
+    assert(refKnown._5 > 0 && mainKnown._5 < 0,
+      "reducible loss positive iff the reference model explains it")
+    assert(out.head._1 == bk(2L).head, "top-1 is the learnable doc")
+    assert(refKnown._5 ==
+      (refKnown._3 - refKnown._4) / refKnown._2,
+      "score is the exact floored per-bigram diff")
+  }
 }
