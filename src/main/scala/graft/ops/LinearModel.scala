@@ -214,6 +214,26 @@ object LinearModel {
         col("rank").cast("int").as("rank"), col("infl_micro"))
   }
 
+  /** EL2N "data diet" scores (Paul et al. 2021, "Deep Learning on a
+    * Data Diet") — the cheap sibling of [[tracInfluence]]: rank
+    * training examples by error-vector norm, which for the binary
+    * logistic model is exactly |pmu − ymu| (already a ×1e6 integer —
+    * no new arithmetic enters). High scorers are the hard/mislabeled
+    * candidates; pruning low scorers is the classic data-diet move.
+    * Top-k by (el2n desc, id) via sort+limit (TakeOrdered — never a
+    * global sort). Output: (id, pmu, ymu, el2n_micro).
+    */
+  def el2nScores(vecs: DataFrame, labels: DataFrame,
+                 weights: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    scoreLogistic(vecs, weights)
+      .join(labels.select(col("id"),
+        (col("y").cast("long") * 1000000L).as("ymu")), "id")
+      .select(col("id"), col("pmu"), col("ymu"),
+        abs(col("pmu") - col("ymu")).as("el2n_micro"))
+      .orderBy(col("el2n_micro").desc, col("id")).limit(k)
+  }
+
   def calibrationBins(scored: DataFrame, labels: DataFrame,
                       bins: Int): DataFrame = {
     require(bins >= 1, "bins must be >= 1")

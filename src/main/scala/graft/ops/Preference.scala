@@ -45,13 +45,21 @@ object Preference {
     * Output: (item, wins, duels, rating_micro) after `rounds`.
     */
   def bradleyTerry(duels: DataFrame, winner: Column, loser: Column,
-                   rounds: Int): DataFrame = {
+                   rounds: Int): DataFrame =
+    bradleyTerryFromMatrix(duelMatrix(duels, winner, loser), rounds)
+
+  /** [[bradleyTerry]] over a pre-aggregated (i, j, wins) matrix — the
+    * entry point streaming ingestion uses (the matrix is additive, so
+    * per-batch partials sum to the corpus matrix in any order).
+    */
+  def bradleyTerryFromMatrix(matrix: DataFrame,
+                             rounds: Int): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
-    val spark = duels.sparkSession
+    val spark = matrix.sparkSession
     import spark.implicits._
-    val wm = duelMatrix(duels, winner, loser)
+    val wm = matrix
       .select(col("i").cast("string"), col("j").cast("string"),
-        col("wins"))
+        col("wins").cast("long"))
       .as[(String, String, Long)].collect()
     val undirected = wm.map { case (i, j, w) =>
       (if (i <= j) (i, j) else (j, i)) -> w
@@ -79,5 +87,45 @@ object Preference {
     items.map { it =>
       (it, winsOf.getOrElse(it, 0L), duelsOf(it), pi(it))
     }.toDF("item", "wins", "duels", "rating_micro")
+  }
+
+  /** POSITION-BIAS audit — the preference-data hygiene read a reward
+    * model needs before trusting its duels: annotators (and LLM
+    * judges) systematically favor the FIRST-presented response, and a
+    * biased duel table poisons every downstream rating. Per item: win
+    * rate when presented first vs when presented second (exact micro
+    * floors), bias = the truncated difference; plus the corpus-level
+    * first-slot win rate every row carries. One data-sized aggregate
+    * per slot role, joined on the item-sized tables — map-side
+    * combinable, no windows. `first`/`second` are the presented
+    * items, `firstWon` whether slot one won the duel.
+    */
+  def positionBias(duels: DataFrame, first: Column, second: Column,
+                   firstWon: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val base = duels.select(first.cast("string").as("f"),
+      second.cast("string").as("s"),
+      when(firstWon, 1L).otherwise(0L).as("fw"))
+    val asFirst = base.groupBy(col("f").as("item"))
+      .agg(count(lit(1)).as("n_first"), sum(col("fw")).as("w_first"))
+    val asSecond = base.groupBy(col("s").as("item"))
+      .agg(count(lit(1)).as("n_second"),
+        sum(lit(1L) - col("fw")).as("w_second"))
+    val overall = base.agg(count(lit(1)).as("n_duels"),
+      fdiv(dec(sum(col("fw"))) * lit(1000000L), dec(count(lit(1))))
+        .as("first_rate_micro"))
+    asFirst.join(asSecond, Seq("item"), "full_outer")
+      .na.fill(0L, Seq("n_first", "w_first", "n_second", "w_second"))
+      .select(col("item"), col("n_first"), col("w_first"),
+        col("n_second"), col("w_second"),
+        (when(col("n_first") === 0L, lit(0L))
+          .otherwise(fdiv(dec(col("w_first")) * lit(1000000L),
+            dec(col("n_first")))) -
+         when(col("n_second") === 0L, lit(0L))
+          .otherwise(fdiv(dec(col("w_second")) * lit(1000000L),
+            dec(col("n_second"))))).as("bias_micro"))
+      .crossJoin(broadcast(overall))
   }
 }

@@ -857,4 +857,56 @@ object Sampling {
         col("w_micro"), coalesce(col("selected"), lit(false))
           .as("selected"))
   }
+
+  /** DATA-CONSTRAINED SCALING repeat-value curve (Muennighoff et al.
+    * 2023, "Scaling Data-Constrained Language Models") — the "how
+    * many epochs is this source still worth" read a 100 TB mixture
+    * planner needs: repeating data decays in value, and the paper's
+    * fit says k epochs over U unique tokens are worth
+    * E(k) = U·(1 + R*·(1 − e^{−(k−1)/R*})) effective tokens (k = 1 is
+    * full value; R* ≈ 15 is the fitted repeat half-life). Emits one
+    * row per (source, epoch ≤ maxEpochs): effective tokens, the
+    * marginal value of that epoch, and value_ratio_micro =
+    * ⌊E·1e6/(k·U)⌋ — the fraction of naively-counted tokens that
+    * still carries signal.
+    *
+    * Determinism: U is an exact integer sum; the only transcendental
+    * e^{−(k−1)/R*} takes a DRIVER-LITERAL argument (k, R* are plan
+    * constants — the engine never exponentiates data), and the decay
+    * factor snaps ×1e6 immediately (f_k = round(1e6·R*·(1−e^…))), so
+    * eff = U + ⌊U·f_k/1e6⌋ and every emitted number is an exact
+    * integer. Scale shape: one map-side-combinable aggregate to
+    * source level, then a maxEpochs-wide explode on the tiny source
+    * table.
+    */
+  def repeatValueCurve(docs: DataFrame, source: Column, tokens: Column,
+                       maxEpochs: Int, rStar: Double): DataFrame = {
+    require(maxEpochs >= 1 && rStar > 0.0)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val u = docs.groupBy(source.as("source"))
+      .agg(sum(tokens.cast("long")).as("unique_tokens"))
+    // decay factors as engine expressions (exp parity, the q361
+    // convention), snapped *1e6 before touching U
+    def f(k: Int): Column =
+      round(lit(1e6) * lit(rStar) *
+        (lit(1.0) - exp(lit(-(k - 1).toDouble / rStar)))).cast("long")
+    def eff(k: Int): Column =
+      col("unique_tokens") +
+        fdiv(dec(col("unique_tokens")) * f(k), dec(lit(1000000L)))
+    val rows = (1 to maxEpochs).map { k =>
+      struct(lit(k).as("epoch"), eff(k).as("eff_tokens"),
+        (eff(k) - (if (k == 1) lit(0L) else eff(k - 1)))
+          .as("marginal_tokens"))
+    }
+    u.select(col("source"), col("unique_tokens"),
+        explode(array(rows: _*)).as("r"))
+      .select(col("source"), col("unique_tokens"),
+        col("r.epoch").as("epoch"), col("r.eff_tokens").as("eff_tokens"),
+        col("r.marginal_tokens").as("marginal_tokens"),
+        fdiv(dec(col("r.eff_tokens")) * lit(1000000L),
+          dec(col("r.epoch") * col("unique_tokens")))
+          .as("value_ratio_micro"))
+  }
 }

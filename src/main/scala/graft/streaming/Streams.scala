@@ -437,6 +437,50 @@ object Streams {
     m.unpersist(): Unit
   }
 
+  /** Streaming PREFERENCE-DUEL ingestion — the RLHF data tier's
+    * continuous face ([[graft.ops.Preference]]): each micro-batch of
+    * (winner, loser) duels collapses map-side to its partial duel
+    * matrix and lands under `matrixPath/batch=<id>` with OVERWRITE —
+    * the batchId is Structured Streaming's replay key, so a crash
+    * replay rewrites the SAME directory with the SAME partial counts
+    * (sum-fold replay safety WITHOUT max-merge tricks, the
+    * driftStream convention; an additive matrix must never re-add a
+    * replayed batch). Ratings are computed from the accumulated
+    * matrix AFTER ingestion ([[streamedRatings]]): the matrix is
+    * additive and the MM rounds run on the final totals, so the
+    * result is batch-order independent and equals the corpus-at-once
+    * [[graft.ops.Preference.bradleyTerry]] exactly.
+    */
+  def preferenceStream(in: DataFrame, winner: org.apache.spark.sql.Column,
+                       loser: org.apache.spark.sql.Column,
+                       matrixPath: String, checkpoint: String): Unit = {
+    val q = in.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        if (!batch.isEmpty)
+          graft.ops.Preference.duelMatrix(batch.toDF(), winner, loser)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$matrixPath/batch=$bid")
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Fold the per-batch duel-matrix partials written by
+    * [[preferenceStream]] and run the fixed-point MM rounds on the
+    * totals. One sum aggregate over batch-partition files, then the
+    * model-sized rating iteration.
+    */
+  def streamedRatings(spark: org.apache.spark.sql.SparkSession,
+                      matrixPath: String, rounds: Int): DataFrame = {
+    val matrix = spark.read.parquet(matrixPath)
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("wins")).as("wins"))
+    graft.ops.Preference.bradleyTerryFromMatrix(matrix, rounds)
+  }
+
   /** Streaming distribution-drift monitor — the continuous face of
     * [[graft.ops.Quality.psiBetween]] (q90): each micro-batch's value
     * histogram lands in a snapshot table PARTITIONED BY a

@@ -172,4 +172,21 @@ class LinearModelSpec extends SparkSpec {
       trunc(BigInt(622459) * rp * BigInt(1500000000000L)),
       trunc(BigInt(731059) * rp * BigInt(2000000000000L))))
   }
+
+  test("el2nScores: |pmu - ymu| ranks hardest examples, ties break on id") {
+    import org.apache.spark.sql.functions.col
+    val vecs = Seq((100L, Seq(1.0, 0.0)), (1L, Seq(1.0, 0.0)),
+      (2L, Seq(-1.0, 0.0)), (3L, Seq(0.5, 0.0)))
+      .toDF("id", "x")
+    val labels = Seq((100L, 1L), (1L, 0L), (2L, 1L), (3L, 0L))
+      .toDF("id", "y")
+    val w = Seq((-1, 0L), (0, 1000000L), (1, 0L))
+      .toDF("dim", "w_micro")
+    val out = LinearModel.el2nScores(vecs, labels, w, 2)
+      .as[(Long, Long, Long, Long)].collect()
+    // errors: id1 = 731059, id2 = |268941-1e6| = 731059 (tie -> id asc),
+    // id3 = 622459, id100 = 268941
+    assert(out.map(r => (r._1, r._4)).toSeq ==
+      Seq((1L, 731059L), (2L, 731059L)))
+  }
 }

@@ -39,4 +39,16 @@ class PreferenceSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSet
     assert(m == Set(("A", "B", 2L), ("B", "A", 1L)))
   }
+
+  test("positionBias: exact per-slot counts, floored micro rates, " +
+    "corpus first-slot rate on every row") {
+    val duels = Seq(("A", "B", true), ("A", "B", true), ("A", "B", true),
+      ("A", "B", false), ("B", "A", true)).toDF("f", "s", "fw")
+    val out = Preference.positionBias(duels, col("f"), col("s"),
+      col("fw"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("A") == (("A", 4L, 3L, 1L, 0L, 750000L, 5L, 800000L)))
+    assert(out("B") == (("B", 1L, 1L, 4L, 1L, 750000L, 5L, 800000L)))
+  }
 }

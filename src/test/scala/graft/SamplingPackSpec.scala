@@ -462,4 +462,29 @@ class SamplingPackSpec extends SparkSpec {
     // the empty doc: zero features, zero weight, not selected
     assert(got(12L)._3 == 0L && got(12L)._4 == 0L && !got(12L)._5)
   }
+
+  test("repeatValueCurve: epoch 1 is full value, later epochs decay " +
+    "by the exact snapped factor, marginals telescope") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(("a", 10L), ("a", 30L), ("b", 100L))
+      .toDF("src", "n")
+    val out = Sampling.repeatValueCurve(docs, col("src"), col("n"),
+      4, 15.0)
+      .as[(String, Long, Int, Long, Long, Long)].collect()
+    val a = out.filter(_._1 == "a").sortBy(_._3)
+    assert(a.head == (("a", 40L, 1, 40L, 40L, 1000000L)),
+      "first epoch carries full value")
+    def f(k: Int): Long =
+      math.round(1e6 * 15.0 * (1.0 - math.exp(-(k - 1).toDouble / 15.0)))
+    val expectedEff = (1 to 4).map(k => 40L + 40L * f(k) / 1000000L)
+    assert(a.map(_._4).toSeq == expectedEff)
+    assert(a.map(_._5).sum == a.last._4, "marginals telescope to eff")
+    assert(a.map(_._6).toSeq ==
+      expectedEff.zipWithIndex.map { case (e, i) =>
+        e * 1000000L / ((i + 1) * 40L)
+      })
+    val b = out.filter(_._1 == "b").sortBy(_._3)
+    assert(b.map(_._4).toSeq ==
+      (1 to 4).map(k => 100L + 100L * f(k) / 1000000L))
+  }
 }

@@ -941,4 +941,55 @@ class StreamingSpec extends SparkSpec {
       assert(st("B") == (("B", 1L, "2024-01-02", 5.0)))
     } finally q.stop()
   }
+
+  test("preferenceStream: batch-keyed partial matrices accumulate to " +
+      "the corpus ratings, batch order immaterial, replay-idempotent") {
+    import graft.ops.Preference
+    val b0 = (Seq.fill(3)(("A", "B")) ++ Seq(("B", "A"))).toDF("w", "l")
+    val b1 = (Seq.fill(2)(("A", "C")) ++ Seq(("C", "B"))).toDF("w", "l")
+    def ratings(batches: Seq[org.apache.spark.sql.DataFrame],
+                tag: String): Map[String, (String, Long, Long, Long)] = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"prefstream$tag").toFile
+      val in = SparkEntry.writeStreamBatches(batches,
+        dir.getAbsolutePath)
+      val schema = spark.read.parquet(in).schema
+      Streams.preferenceStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(in),
+        col("w"), col("l"), dir.getAbsolutePath + "/matrix",
+        dir.getAbsolutePath + "/ck")
+      Streams.streamedRatings(spark, dir.getAbsolutePath + "/matrix", 3)
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> r).toMap
+    }
+    val fwd = ratings(Seq(b0, b1), "f")
+    val batch = Preference.bradleyTerry(b0.unionByName(b1),
+      col("w"), col("l"), 3)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(fwd == batch, "streamed ratings equal corpus-at-once BT")
+    assert(ratings(Seq(b1, b0), "r") == batch, "batch order immaterial")
+    // replay safety: re-writing a batch's partition (what a crash
+    // replay does) leaves the accumulated matrix unchanged
+    val dir = java.nio.file.Files
+      .createTempDirectory("prefstreamreplay").toFile
+    val in = SparkEntry.writeStreamBatches(Seq(b0, b1),
+      dir.getAbsolutePath)
+    val schema = spark.read.parquet(in).schema
+    Streams.preferenceStream(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(in),
+      col("w"), col("l"), dir.getAbsolutePath + "/matrix",
+      dir.getAbsolutePath + "/ck")
+    val p1 = dir.getAbsolutePath + "/matrix/batch=1"
+    val replayRows = spark.read.parquet(p1)
+      .as[(String, String, Long)].collect().toSeq
+    replayRows.toDF("i", "j", "wins")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p1)
+    assert(Streams.streamedRatings(spark,
+      dir.getAbsolutePath + "/matrix", 3)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap == batch)
+  }
 }
