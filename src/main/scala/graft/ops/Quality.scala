@@ -357,6 +357,53 @@ object Quality {
           .as("pass_at_k_micro"))
   }
 
+  /** KRIPPENDORFF'S ALPHA for binary ratings with a CONSTANT rater
+    * count per unit — the multi-rater generalization of
+    * [[cohenKappa]] every labeling campaign needs (kappa only
+    * compares two raters). With R raters per unit, o_u positive votes
+    * on unit u, N = units·R total ratings, n₁/n₀ the pooled vote
+    * margins, the nominal-data coincidence algebra collapses to
+    *   α = 1 − (N−1)·Σ_u o_u(R−o_u) / ((R−1)·n₁·n₀)
+    * — every factor an EXACT integer, α_micro one truncated division
+    * (α can be negative — worse than chance). Degenerate margins
+    * (n₁·n₀ = 0: all raters unanimous everywhere) yield null α, the
+    * cohenKappa convention. The constant-R contract is enforced with
+    * one model-sized aggregate (distinct rater counts), never a
+    * data-sized collect. Output one row: (n_units, n_ratings, n_pos,
+    * disagreement, alpha_micro).
+    */
+  def krippendorffAlpha(df: DataFrame, unit: Column,
+                        vote: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def tdiv(a: Column, b: Column): Column = {
+      val q = (abs(a) - pmod(abs(a), b)) / b
+      (when(a < 0, -q).otherwise(q)).cast("long")
+    }
+    val perUnit = df
+      .select(unit.as("u"), when(vote, 1L).otherwise(0L).as("v"))
+      .groupBy(col("u"))
+      .agg(count(lit(1)).as("r"), sum(col("v")).as("o"))
+    val rr = perUnit.agg(countDistinct(col("r")).as("nr"),
+      min(col("r")).as("r")).head()
+    require(rr.getLong(0) == 1L && rr.getLong(1) >= 2L,
+      "krippendorffAlpha requires a constant rater count >= 2 per unit")
+    val r = rr.getLong(1)
+    perUnit
+      .agg(count(lit(1)).as("n_units"),
+        sum(col("o")).as("n_pos"),
+        sum(col("o") * (lit(r) - col("o"))).as("disagreement"))
+      .select(col("n_units"), (col("n_units") * r).as("n_ratings"),
+        col("n_pos"), col("disagreement"),
+        when(col("n_pos") === 0L ||
+          col("n_pos") === col("n_units") * r, lit(null).cast("long"))
+          .otherwise(lit(1000000L) - tdiv(
+            dec(col("n_units") * r - 1) * col("disagreement") *
+              lit(1000000L),
+            dec(lit(r - 1)) * col("n_pos") *
+              (col("n_units") * r - col("n_pos"))))
+          .as("alpha_micro"))
+  }
+
   /** CONFIDENT-LEARNING label-noise audit (Northcutt et al. 2021,
     * "Confident Learning") — the curation step that finds MISLABELED
     * rows before a classifier trains on them: a row whose predicted

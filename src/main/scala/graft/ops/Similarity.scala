@@ -1781,4 +1781,58 @@ object Similarity {
         tdiv(col("cos_micro") * lit(2000000L), col("ml") + col("mr"))
           .as("margin_micro"))
   }
+
+  /** K-CENTER GREEDY coreset selection (Sener & Savarese 2018) — the
+    * geometry-coverage sampler: repeatedly pick the point FARTHEST
+    * from every already-chosen center (2-approximation of the
+    * optimal k-center cover). The diversity-first complement to
+    * density samplers: a coreset chosen this way bounds every
+    * point's distance to its nearest representative — the guarantee
+    * active-learning/data-pruning consumers actually want.
+    *
+    * Determinism: vectors snap to ×1e3 integers once (the gramian
+    * convention); every distance is an exact integer Σ(aᵢ−bᵢ)²; the
+    * seed is the SMALLEST id and every argmax breaks ties (dist
+    * desc, id). Scale shape: k driver rounds, each ONE distributed
+    * min-fold against the single new center (the incremental-min
+    * trick — never recompute against all centers) and ONE
+    * sort+limit(1) argmax (TakeOrdered); the only collects are one
+    * center row per round (bounded by k — the mmrRerank precedent).
+    * k is required small (≤ 64): the loop cost is k scans, not k².
+    * Output one row per center: (round, center_id, sel_dist_sq,
+    * final_radius_sq) — sel_dist_sq is the max-min distance at
+    * selection time (0 for the seed), final_radius_sq the coverage
+    * radius after all k.
+    */
+  def kCenterGreedy(vecs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, "k must be in [1, 64]")
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val snapped = vecs.select(col("id").cast("long").as("id"),
+      transform(col("vec"), x =>
+        round(x.cast("double") * 1000).cast("long")).as("q"))
+      .persist()
+    def distTo(center: Seq[Long]): Column =
+      aggregate(zip_with(col("q"), typedLit(center),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+    val first = snapped.orderBy(col("id")).limit(1)
+      .as[(Long, Seq[Long])].head()
+    var centers = Vector((1, first._1, 0L))
+    var d = snapped.select(col("id"), col("q"),
+      distTo(first._2).as("d")).persist()
+    for (r <- 2 to k) {
+      val nxt = d.orderBy(col("d").desc, col("id")).limit(1)
+        .as[(Long, Seq[Long], Long)].head()
+      centers :+= ((r, nxt._1, nxt._3))
+      val nd = d.select(col("id"), col("q"),
+        least(col("d"), distTo(nxt._2)).as("d")).persist()
+      d.unpersist()
+      d = nd
+    }
+    val radius = d.agg(max(col("d"))).as[Long].head()
+    d.unpersist()
+    snapped.unpersist()
+    centers.toDF("round", "center_id", "sel_dist_sq")
+      .withColumn("final_radius_sq", lit(radius))
+  }
 }

@@ -2009,6 +2009,115 @@ object Text {
             (col("hi") - col("lo")).cast("int"))))).as("psm_fp"))
   }
 
+  /** N-GRAM NOVELTY CURVE — the "creativity index" family read (Lu
+    * et al. 2024): for each n ≤ maxN, the fraction of candidate-side
+    * n-gram occurrences NOT present anywhere in the reference slice.
+    * The inverse of [[graft.ops.Dedup.contaminationOverlap]]'s
+    * single-n containment: sweeping n shows WHERE text stops being
+    * recombination (high novelty at large n, low at small n is
+    * healthy; low everywhere means verbatim copying). Grams hash to
+    * the portable 60-bit md5 before they shuffle (narrow rows); the
+    * reference set is distinct per (n, hash); novelty counts OCCUR-
+    * RENCES (a repeated novel gram is repeated novelty). Exact
+    * integers + one micro floor per n. Output one row per n:
+    * (n, cand_grams, novel_grams, novelty_micro).
+    */
+  def ngramNoveltyCurve(docs: DataFrame, id: Column, text: Column,
+                        isRef: Column, maxN: Int): DataFrame = {
+    require(maxN >= 1 && maxN <= 16, "maxN must be in [1, 16]")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    def grams(c: Column, n: Int): Column =
+      when(size(c) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(c) - (n - 1)),
+          i => concat_ws(" ", slice(c, i, lit(n)))))
+    val base = docs
+      .select(id.as("id"), tokens(text).as("tk"), isRef.as("is_ref"))
+      .select(col("is_ref"),
+        explode(array((1 to maxN).map(n =>
+          struct(lit(n).as("n"), grams(col("tk"), n).as("gs"))): _*))
+          .as("r"))
+      .select(col("is_ref"), col("r.n").as("n"),
+        explode(col("r.gs")).as("g"))
+      .select(col("is_ref"), col("n"),
+        Dedup.hashLong(col("g")).as("h"))
+    val ref = base.filter(col("is_ref"))
+      .select(col("n"), col("h")).distinct()
+    base.filter(!col("is_ref"))
+      .join(ref.withColumn("seen", lit(true)), Seq("n", "h"), "left")
+      .groupBy(col("n"))
+      .agg(count(lit(1)).as("cand_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L))
+          .as("novel_grams"))
+      .select(col("n"), col("cand_grams"), col("novel_grams"),
+        fdiv(dec(col("novel_grams")) * lit(1000000L),
+          dec(col("cand_grams"))).as("novelty_micro"))
+  }
+
+  /** Corpus-level BLEU-4 (Papineni et al. 2002) — the canonical MT /
+    * generation eval, computed as pure relational algebra: per doc
+    * and per n ∈ 1..4 the CLIPPED n-gram matches (min of hypothesis
+    * and reference counts per distinct gram — one join + least, the
+    * textbook clipping), summed corpus-wide; precisions are exact
+    * integer ratios; the only transcendentals (the brevity penalty's
+    * exp and the geometric mean's ln/exp) run on corpus-level
+    * integer totals and the final score snaps ×1e6 — bit-replayable
+    * like every −ln convention op. Zero matches at any order → BLEU
+    * 0 (the standard corpus-BLEU degenerate case, no smoothing).
+    * `pairs` is (id, hyp: array&lt;string&gt;, ref: array&lt;string&gt;).
+    * Output one row: (hyp_len, ref_len, m1..m4, t1..t4, bleu_micro).
+    *
+    * Scale shape: one explode per side per order (8 narrow explodes
+    * over token-sized data), every aggregate map-side combinable,
+    * the join on (id, n, gram) natural keys; nothing after the
+    * per-order totals is data-sized.
+    */
+  def corpusBleu(pairs: DataFrame): DataFrame = {
+    def grams(c: Column, n: Int): Column =
+      when(size(c) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(c) - (n - 1)),
+          i => concat_ws(" ", slice(c, i, lit(n)))))
+    def side(name: String): DataFrame =
+      pairs.select(col("id"),
+          explode(array((1 to 4).map(n =>
+            struct(lit(n).as("n"), grams(col(name), n).as("gs"))): _*))
+            .as("r"))
+        .select(col("id"), col("r.n").as("n"),
+          explode(col("r.gs")).as("g"))
+        .groupBy(col("id"), col("n"), col("g"))
+        .agg(count(lit(1)).as(s"c_$name"))
+    val clipped = side("hyp")
+      .join(side("ref"), Seq("id", "n", "g"), "left")
+      .groupBy(col("n"))
+      .agg(sum(least(col("c_hyp"), coalesce(col("c_ref"), lit(0L))))
+          .as("m"),
+        sum(col("c_hyp")).as("t"))
+    val lens = pairs.agg(
+      sum(size(col("hyp")).cast("long")).as("hyp_len"),
+      sum(size(col("ref")).cast("long")).as("ref_len"))
+    val wide = clipped.groupBy()
+      .pivot("n", Seq(1, 2, 3, 4))
+      .agg(first(col("m")).as("m"), first(col("t")).as("t"))
+      .select((1 to 4).flatMap(n => Seq(
+        coalesce(col(s"${n}_m"), lit(0L)).as(s"m$n"),
+        coalesce(col(s"${n}_t"), lit(0L)).as(s"t$n"))): _*)
+    val logPrecisions = (1 to 4).map(n =>
+      log(col(s"m$n").cast("double") / col(s"t$n").cast("double")))
+    val bp = when(col("hyp_len") >= col("ref_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) - col("ref_len").cast("double") /
+        col("hyp_len").cast("double")))
+    lens.crossJoin(broadcast(wide))
+      .select(col("hyp_len"), col("ref_len"),
+        col("m1"), col("m2"), col("m3"), col("m4"),
+        col("t1"), col("t2"), col("t3"), col("t4"),
+        when((1 to 4).map(n => col(s"m$n") === 0L).reduce(_ || _),
+          lit(0L))
+          .otherwise(round(lit(1e6) * bp *
+            exp(logPrecisions.reduce(_ + _) / lit(4.0))).cast("long"))
+          .as("bleu_micro"))
+  }
+
   /** RHO-LOSS selection (Mindermann et al. 2022, "Prioritized
     * Training on Points that are Learnable, Worth Learning, and Not
     * Yet Learnt") — rank candidate docs by REDUCIBLE loss: training

@@ -232,4 +232,32 @@ class QualitySpec extends SparkSpec {
       (2, 0) -> 1L, (1, 0) -> 1L))
     assert(out.forall(r => r._4 == 2L && r._5 == 2L && r._6 == 7L))
   }
+
+  test("krippendorffAlpha: hand case, perfect agreement, unanimous " +
+    "degenerate, constant-R contract") {
+    import org.apache.spark.sql.functions.col
+    // R = 2; units (1,0) (1,1) (0,0): S = 1, n1 = n0 = 3, N = 6
+    // alpha = 1e6 - 5*1*1e6 // (1*3*3) = 1e6 - 555555 = 444445
+    val hand = Seq(("u1", true), ("u1", false), ("u2", true),
+      ("u2", true), ("u3", false), ("u3", false)).toDF("u", "v")
+    val r = Quality.krippendorffAlpha(hand, col("u"), col("v"))
+      .as[(Long, Long, Long, Long, Option[Long])].head()
+    assert(r == ((3L, 6L, 3L, 1L, Some(444445L))))
+    // zero disagreement with mixed margins -> alpha exactly 1e6
+    val perfect = Seq(("u1", true), ("u1", true), ("u2", false),
+      ("u2", false)).toDF("u", "v")
+    assert(Quality.krippendorffAlpha(perfect, col("u"), col("v"))
+      .as[(Long, Long, Long, Long, Option[Long])].head()._5 ==
+      Some(1000000L))
+    // unanimous corpus: margins degenerate -> null alpha
+    val unan = Seq(("u1", true), ("u1", true)).toDF("u", "v")
+    assert(Quality.krippendorffAlpha(unan, col("u"), col("v"))
+      .as[(Long, Long, Long, Long, Option[Long])].head()._5.isEmpty)
+    // varying rater count is a contract violation
+    val uneven = Seq(("u1", true), ("u1", false), ("u2", true))
+      .toDF("u", "v")
+    intercept[IllegalArgumentException] {
+      Quality.krippendorffAlpha(uneven, col("u"), col("v"))
+    }
+  }
 }

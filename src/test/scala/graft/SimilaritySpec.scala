@@ -1000,4 +1000,18 @@ class SimilaritySpec extends SparkSpec {
     assert(got.values.forall(_._4 > 1000000L),
       "planted aligned pairs must clear margin 1.0")
   }
+
+  test("kCenterGreedy: farthest-point rounds with exact snapped L2, " +
+    "smallest-id seed, deterministic ties, coverage radius") {
+    import org.apache.spark.sql.functions.col
+    val vecs = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 0.0)),
+      (3L, Seq(10.0, 0.0)), (4L, Seq(11.0, 0.0)), (5L, Seq(30.0, 0.0)))
+      .toDF("id", "vec")
+    val out = Similarity.kCenterGreedy(vecs, 3)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1, 1L, 0L), (2, 5L, 900000000L), (3, 4L, 121000000L)))
+    assert(out.forall(_._4 == 1000000L),
+      "after 3 centers every point sits within 1000^2 of one")
+  }
 }

@@ -1231,4 +1231,39 @@ class TextDedupSpec extends SparkSpec {
       (refKnown._3 - refKnown._4) / refKnown._2,
       "score is the exact floored per-bigram diff")
   }
+
+  test("corpusBleu: identical pair scores exactly 1e6; clipped " +
+    "matches per order; any zero order pins BLEU to 0") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Text
+    val same = Seq((1L, Seq("a", "b", "c", "d", "e"),
+      Seq("a", "b", "c", "d", "e"))).toDF("id", "hyp", "ref")
+    val perfect = Text.corpusBleu(same).collect().head
+    assert(perfect.getAs[Long]("bleu_micro") == 1000000L)
+    val sub = Seq((1L, Seq("a", "b", "c", "x", "e"),
+      Seq("a", "b", "c", "d", "e"))).toDF("id", "hyp", "ref")
+    val r = Text.corpusBleu(sub).collect().head
+    assert((r.getAs[Long]("hyp_len"), r.getAs[Long]("ref_len")) ==
+      ((5L, 5L)))
+    assert((1 to 4).map(n => r.getAs[Long](s"m$n")) ==
+      Seq(4L, 2L, 1L, 0L))
+    assert((1 to 4).map(n => r.getAs[Long](s"t$n")) ==
+      Seq(5L, 4L, 3L, 2L))
+    assert(r.getAs[Long]("bleu_micro") == 0L,
+      "a zero-match order pins corpus BLEU to 0 (no smoothing)")
+  }
+
+  test("ngramNoveltyCurve: exact occurrence-counted novelty per n") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Text
+    val docs = Seq((1L, "a b c"), (2L, "a b x"))
+      .toDF("doc_id", "text")
+    val out = Text.ngramNoveltyCurve(docs, col("doc_id"), col("text"),
+      col("doc_id") === 1L, 3)
+      .as[(Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1) == ((1, 3L, 1L, 333333L)))
+    assert(out(2) == ((2, 2L, 1L, 500000L)))
+    assert(out(3) == ((3, 1L, 1L, 1000000L)))
+  }
 }
