@@ -858,6 +858,44 @@ object Sampling {
           .as("selected"))
   }
 
+  /** IN-BATCH FALSE-NEGATIVE audit for contrastive training — when a
+    * dataloader hash-shards the corpus into batches and trains with
+    * in-batch negatives, a NEAR-DUPLICATE pair landing in the same
+    * batch becomes a false negative (the loss pushes apart two things
+    * that are the same). Given the near-dup pair table and candidate
+    * batch sizes: per size, the exact count of pairs whose two sides
+    * share a [[hashBucket]] batch, the observed collision rate, and
+    * the uniform-hash expectation 1/n_batches — both micro floors.
+    * One narrow pass over the pair table per size; no new shuffles
+    * (the audit is a projection + one aggregate).
+    */
+  def inBatchCollisionAudit(pairs: DataFrame, a: Column, b: Column,
+                            nRows: Long,
+                            batchSizes: Seq[Int]): DataFrame = {
+    require(nRows >= 1 && batchSizes.nonEmpty &&
+      batchSizes.forall(_ >= 2), "need nRows >= 1, batch sizes >= 2")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(x: Column, y: Column): Column =
+      ((x - pmod(x, y)) / y).cast("long")
+    batchSizes.map { bs =>
+      val nb = math.max(1L, (nRows + bs - 1) / bs).toInt
+      pairs
+        .select(when(hashBucket(a, nb) === hashBucket(b, nb), 1L)
+          .otherwise(0L).as("c"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("c"))
+          .as("collisions"))
+        .select(lit(bs).as("batch_size"), lit(nb.toLong).as("n_batches"),
+          col("n_pairs"), coalesce(col("collisions"), lit(0L))
+            .as("collisions"),
+          when(col("n_pairs") === 0L, lit(0L))
+            .otherwise(fdiv(dec(coalesce(col("collisions"), lit(0L))) *
+              lit(1000000L), dec(col("n_pairs"))))
+            .as("collision_micro"),
+          fdiv(dec(lit(1000000L)), dec(lit(nb.toLong)))
+            .as("expected_micro"))
+    }.reduce(_ unionByName _)
+  }
+
   /** DATA-CONSTRAINED SCALING repeat-value curve (Muennighoff et al.
     * 2023, "Scaling Data-Constrained Language Models") — the "how
     * many epochs is this source still worth" read a 100 TB mixture

@@ -2118,6 +2118,57 @@ object Text {
           .as("bleu_micro"))
   }
 
+  /** chrF (Popović 2015) with β = 2 — the character-level generation
+    * eval beside [[corpusBleu]] (robust to tokenization and
+    * morphology, the WMT default alongside BLEU). ENTIRELY integer:
+    * with tp_n the clipped char-n-gram matches, th_n/tr_n the
+    * hypothesis/reference gram totals, the β = 2 F-score collapses to
+    * F2_n = 5·tp_n/(4·tr_n + th_n) — one micro floor per order, no
+    * transcendental anywhere (unlike BLEU's geometric mean); chrF =
+    * the floored mean of the per-order F2s (orders with no grams on
+    * either side contribute 0). `pairs` is (id, hyp, ref) STRINGS —
+    * callers strip whitespace first (the tokens-joined convention);
+    * char grams come from substr sweeps, clipping from one
+    * (id, n, gram) join + least, all aggregates map-side combinable.
+    * Output one row per order (n, tp, hyp_grams, ref_grams, f2_micro)
+    * with the constant chrf_micro on every row.
+    */
+  def chrF(pairs: DataFrame, maxN: Int): DataFrame = {
+    require(maxN >= 1 && maxN <= 10, "maxN must be in [1, 10]")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    def grams(c: Column, n: Int): Column =
+      when(length(c) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(c) - (n - 1)),
+          i => c.substr(i, lit(n))))
+    def side(name: String): DataFrame =
+      pairs.select(col("id"),
+          explode(array((1 to maxN).map(n =>
+            struct(lit(n).as("n"), grams(col(name), n).as("gs"))): _*))
+            .as("r"))
+        .select(col("id"), col("r.n").as("n"),
+          explode(col("r.gs")).as("g"))
+        .groupBy(col("id"), col("n"), col("g"))
+        .agg(count(lit(1)).as(s"c_$name"))
+    val perOrder = side("hyp")
+      .join(side("ref"), Seq("id", "n", "g"), "full_outer")
+      .groupBy(col("n"))
+      .agg(sum(when(col("c_hyp").isNotNull && col("c_ref").isNotNull,
+          least(col("c_hyp"), col("c_ref"))).otherwise(0L)).as("tp"),
+        sum(coalesce(col("c_hyp"), lit(0L))).as("hyp_grams"),
+        sum(coalesce(col("c_ref"), lit(0L))).as("ref_grams"))
+      .select(col("n"), col("tp"), col("hyp_grams"), col("ref_grams"),
+        when(col("ref_grams") * 4 + col("hyp_grams") === 0L, lit(0L))
+          .otherwise(fdiv(dec(col("tp")) * lit(5000000L),
+            dec(col("ref_grams") * 4 + col("hyp_grams"))))
+          .as("f2_micro"))
+    val overall = perOrder
+      .agg(fdiv(dec(coalesce(sum(col("f2_micro")), lit(0L))),
+        dec(lit(maxN.toLong))).as("chrf_micro"))
+    perOrder.crossJoin(broadcast(overall))
+  }
+
   /** RHO-LOSS selection (Mindermann et al. 2022, "Prioritized
     * Training on Points that are Learnable, Worth Learning, and Not
     * Yet Learnt") — rank candidate docs by REDUCIBLE loss: training

@@ -1096,6 +1096,56 @@ object Snapshot {
     }
   }
 
+  /** MERGE-ON-READ vs COPY-ON-WRITE cost advisor — the table-property
+    * decision (Iceberg's write.update.mode) quantified from THIS
+    * table's manifest stats and an incoming update batch, per
+    * partition: CoW pays a one-time rewrite of every touched
+    * partition (cow_rewrite_rows = the partition's manifest row
+    * count); MoR pays the sidecar write plus, on each of the next
+    * `readsBetweenCompactions` reads, a sidecar-sized scan/probe
+    * (mor_total_rows = upd_rows·(1 + reads)). Exact integers from
+    * stats already in the manifest — the advisor never scans data;
+    * the per-partition table is manifest-sized. Output one row per
+    * partition (pval, dir_rows, upd_rows, cow_rewrite_rows,
+    * mor_total_rows, advise_mor) plus constant table-level totals
+    * (total_cow_rows, total_mor_rows, table_advise_mor).
+    */
+  def morCowAdvisor(spark: SparkSession, table: String,
+                    updates: DataFrame,
+                    readsBetweenCompactions: Long): DataFrame = {
+    require(readsBetweenCompactions >= 1,
+      "readsBetweenCompactions must be >= 1")
+    val m = readManifest(table, latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"no versions in $table")))
+    require(m.partitionCol.nonEmpty,
+      "morCowAdvisor needs a partitioned table")
+    val dirRows = m.dirs.map { d =>
+      val base = Paths.get(d).getFileName.toString
+      (unescapeValue(base.substring(base.indexOf('=') + 1)),
+        m.stats.get(d).map(_.rows).getOrElse(0L))
+    }
+    import spark.implicits._
+    val base = dirRows.toDF("pval", "dir_rows")
+    val upd = updates
+      .groupBy(col(m.partitionCol).cast("string").as("pval"))
+      .agg(count(lit(1)).as("upd_rows"))
+    val perDir = base.join(upd, Seq("pval"), "left")
+      .na.fill(0L, Seq("upd_rows"))
+      .select(col("pval"), col("dir_rows"), col("upd_rows"),
+        when(col("upd_rows") > 0, col("dir_rows")).otherwise(0L)
+          .as("cow_rewrite_rows"),
+        (col("upd_rows") * (1L + readsBetweenCompactions))
+          .as("mor_total_rows"))
+      .withColumn("advise_mor",
+        col("mor_total_rows") < col("cow_rewrite_rows"))
+    val totals = perDir.agg(
+      sum(col("cow_rewrite_rows")).as("total_cow_rows"),
+      sum(col("mor_total_rows")).as("total_mor_rows"))
+      .withColumn("table_advise_mor",
+        col("total_mor_rows") < col("total_cow_rows"))
+    perDir.crossJoin(broadcast(totals))
+  }
+
   def compact(spark: SparkSession, table: String,
               targetFiles: Int = 1): Long = {
     val v = latestVersion(table).getOrElse(

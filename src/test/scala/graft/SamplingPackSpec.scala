@@ -487,4 +487,24 @@ class SamplingPackSpec extends SparkSpec {
     assert(b.map(_._4).toSeq ==
       (1 to 4).map(k => 100L + 100L * f(k) / 1000000L))
   }
+
+  test("inBatchCollisionAudit: collisions match the hash-bucket " +
+    "replay; one batch collides everything") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq((1L, 2L), (3L, 400L), (7L, 9L)).toDF("a", "b")
+    val out = Sampling.inBatchCollisionAudit(pairs, col("a"), col("b"),
+      400L, Seq(200, 1024))
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // replay the op's own bucket assignment for nb = 2
+    val buckets = Seq(1L, 2L, 3L, 400L, 7L, 9L).toDF("id")
+      .select(col("id"), Sampling.hashBucket(col("id"), 2).as("bk"))
+      .as[(Long, Long)].collect().toMap
+    val expected = Seq((1L, 2L), (3L, 400L), (7L, 9L))
+      .count(p => buckets(p._1) == buckets(p._2)).toLong
+    assert(out(200) == ((200, 2L, 3L, expected,
+      expected * 1000000L / 3L, 500000L)))
+    assert(out(1024) == ((1024, 1L, 3L, 3L, 1000000L, 1000000L)),
+      "a single batch makes every near-dup pair a false negative")
+  }
 }

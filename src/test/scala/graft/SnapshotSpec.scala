@@ -1182,4 +1182,27 @@ class SnapshotSpec extends SparkSpec {
       assert(content(t) == Set(("A", "2024-01-01", 10.0)))
     }
   }
+
+  test("morCowAdvisor: manifest-stat costs per partition, dense " +
+    "updates advise CoW, sparse advise MoR, untouched dirs cost 0") {
+    import org.apache.spark.sql.functions.col
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      val rows = (1 to 10).map(i => (i.toLong, "A")) ++
+        (11 to 15).map(i => (i.toLong, "B")) ++
+        (16 to 115).map(i => (i.toLong, "C"))
+      Snapshot.commit(rows.toDF("id", "p"), t, partitionCol = Some("p"))
+      val updates = ((1 to 8).map(i => (i.toLong, "A")) ++
+        Seq((16L, "C"))).toDF("id", "p")
+      val out = Snapshot.morCowAdvisor(spark, t, updates, 3L)
+        .as[(String, Long, Long, Long, Long, Boolean, Long, Long,
+          Boolean)].collect().map(r => r._1 -> r).toMap
+      assert(out("A") == (("A", 10L, 8L, 10L, 32L, false, 110L, 36L,
+        true)), "dense partition: rewrite beats sidecar churn")
+      assert(out("B") == (("B", 5L, 0L, 0L, 0L, false, 110L, 36L,
+        true)), "untouched partition costs nothing either way")
+      assert(out("C") == (("C", 100L, 1L, 100L, 4L, true, 110L, 36L,
+        true)), "sparse update on a big partition advises MoR")
+    }
+  }
 }

@@ -1266,4 +1266,23 @@ class TextDedupSpec extends SparkSpec {
     assert(out(2) == ((2, 2L, 1L, 500000L)))
     assert(out(3) == ((3, 1L, 1L, 1000000L)))
   }
+
+  test("chrF: beta=2 F collapses to 5tp/(4tr+th); missing orders " +
+    "still divide the mean; identical strings score the order count") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Text
+    val same = Seq((1L, "abc", "abc")).toDF("id", "hyp", "ref")
+    val s = Text.chrF(same, 6)
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+    assert(s.length == 3, "orders beyond both lengths emit no row")
+    assert(s.forall(_._5 == 1000000L))
+    assert(s.forall(_._6 == 500000L), "3 perfect orders of 6 -> 0.5")
+    val diff = Seq((1L, "abd", "abc")).toDF("id", "hyp", "ref")
+    val d = Text.chrF(diff, 6)
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(d(1) == ((1, 2L, 3L, 3L, 666666L, 194444L)))
+    assert(d(2) == ((2, 1L, 2L, 2L, 500000L, 194444L)))
+    assert(d(3) == ((3, 0L, 1L, 1L, 0L, 194444L)))
+  }
 }
