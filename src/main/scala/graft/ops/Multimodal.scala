@@ -691,4 +691,88 @@ object Multimodal {
       it.grouped(batchSize).flatMap(batch => decoder.decodeBatch(batch.toSeq))
     }
   }
+
+  /** One frame-to-frame transition of a decoded video: the SAD (sum of
+    * absolute per-channel pixel differences) against the previous
+    * frame — the classic hard-cut detector's statistic.
+    */
+  final case class FrameTransition(doc_id: Long, frame: Int,
+                                   sad: Long, is_cut: Boolean)
+
+  /** SCENE-CUT detection over MBMP containers — the video-curation
+    * stage after [[videoFrameSampleBatched]]'s sampling: decode EVERY
+    * frame (cuts live between frames; sampling would miss them),
+    * compute each transition's sum of absolute per-channel
+    * differences, flag transitions with SAD > `thresh`. SAD, not a
+    * brightness delta: modular pixel arithmetic makes mean shifts
+    * cancel, absolute differences don't. Frames decode inside ONE
+    * mapPartitions chain (payloads never shuffle); mismatched frame
+    * sizes and malformed frames end the container's transition walk
+    * (emitting nothing further) rather than comparing garbage.
+    */
+  def sceneCutsBatched(media: Dataset[(Long, Array[Byte])],
+                       thresh: Long,
+                       batchSize: Int = 64): Dataset[FrameTransition] = {
+    require(thresh > 0, "thresh must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.flatMap { case (id, bytes) =>
+        parseMbmp(bytes).iterator.flatMap { frames =>
+          val decoded = frames.iterator.map(parseBmp)
+            .takeWhile(_.isDefined).map(_.get).toSeq
+          decoded.sliding(2).zipWithIndex.collect {
+            case (Seq(a, b), i)
+              if a.width == b.width && a.height == b.height =>
+              var sad = 0L
+              var p = 0
+              while (p < a.pixels.length) {
+                val x = a.pixels(p); val y = b.pixels(p)
+                sad += math.abs(((x >> 16) & 0xff) - ((y >> 16) & 0xff)) +
+                  math.abs(((x >> 8) & 0xff) - ((y >> 8) & 0xff)) +
+                  math.abs((x & 0xff) - (y & 0xff))
+                p += 1
+              }
+              FrameTransition(id, i + 1, sad, sad > thresh)
+          }
+        }
+      })
+    }
+  }
+
+  /** SILENCE-TRIM audit for PCM16 audio — the dataloader read before
+    * speech data is packed: per clip, the first and last sample whose
+    * |amplitude| clears `thresh`, the implied leading/trailing
+    * silence, and the trimmed length (0 when the whole clip is below
+    * threshold). Decode and scan in one mapPartitions chain; clips
+    * that fail the WAV parse emit nothing (the decoder's fall-back
+    * convention).
+    */
+  final case class TrimAudit(doc_id: Long, n_samples: Int,
+                             lead_silence: Int, trail_silence: Int,
+                             trimmed_len: Int)
+
+  def wavTrimSilenceBatched(media: Dataset[(Long, Array[Byte])],
+                            thresh: Int,
+                            batchSize: Int = 64): Dataset[TrimAudit] = {
+    require(thresh >= 0, "thresh must be >= 0")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.flatMap { case (id, bytes) =>
+        parseWav(bytes).map { w =>
+          val s = w.samples
+          var first = 0
+          while (first < s.length && math.abs(s(first).toInt) < thresh)
+            first += 1
+          if (first == s.length) TrimAudit(id, s.length, s.length, 0, 0)
+          else {
+            var last = s.length - 1
+            while (last >= 0 && math.abs(s(last).toInt) < thresh)
+              last -= 1
+            TrimAudit(id, s.length, first, s.length - 1 - last,
+              last - first + 1)
+          }
+        }
+      })
+    }
+  }
 }

@@ -1096,6 +1096,39 @@ object Snapshot {
     }
   }
 
+  /** Row-level CHECK constraints (Delta's ADD CONSTRAINT semantics):
+    * one pass over the batch counts each named predicate's violations
+    * — (rule, n_violations), all rules in ONE aggregate (a struct
+    * explode over the single result row, never a pass per rule).
+    */
+  def checkConstraints(df: DataFrame,
+                       constraints: Seq[(String, Column)]): DataFrame = {
+    require(constraints.nonEmpty, "need at least one constraint")
+    val aggs = constraints.map { case (name, pred) =>
+      sum(when(!pred, 1L).otherwise(0L)).as(name)
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(constraints.map { case (name, _) =>
+        struct(lit(name).as("rule"),
+          coalesce(col(name), lit(0L)).as("n_violations"))
+      }: _*)).as("r"))
+      .select(col("r.rule").as("rule"), col("r.n_violations")
+        .as("n_violations"))
+  }
+
+  /** Commit gated on [[checkConstraints]]: any violation REFUSES the
+    * commit atomically (no version, no files — the table is exactly
+    * as before), mirroring an engine that enforces CHECK constraints
+    * at write time. Returns the new version, or None when refused.
+    */
+  def commitChecked(df: DataFrame, table: String,
+                    constraints: Seq[(String, Column)],
+                    partitionCol: Option[String] = None): Option[Long] = {
+    val bad = checkConstraints(df, constraints)
+      .agg(sum(col("n_violations"))).head().getLong(0)
+    if (bad > 0) None else Some(commit(df, table, partitionCol))
+  }
+
   /** MERGE-ON-READ vs COPY-ON-WRITE cost advisor — the table-property
     * decision (Iceberg's write.update.mode) quantified from THIS
     * table's manifest stats and an incoming update batch, per

@@ -391,4 +391,35 @@ class MultimodalSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 0, 0, want)),
       s"one surviving tile with the exact sum: ${out.toSeq}")
   }
+
+  test("sceneCutsBatched: exact SAD per transition, threshold flags, " +
+    "mismatched frame sizes end the walk") {
+    import spark.implicits._
+    val f0 = Multimodal.bmpBytes(2, 1, Array(0x000000, 0x0A0A0A))
+    val f1 = Multimodal.bmpBytes(2, 1, Array(0x000000, 0x0A0A0A))
+    val f2 = Multimodal.bmpBytes(2, 1, Array(0xFFFFFF, 0xF5F5F5))
+    val f3 = Multimodal.bmpBytes(1, 1, Array(0x000000)) // size break
+    val media = Seq((7L, Multimodal.mbmpBytes(Seq(f0, f1, f2, f3))))
+      .toDS()
+    val out = Multimodal.sceneCutsBatched(media, 1000L)
+      .collect().sortBy(_.frame)
+    assert(out.map(t => (t.frame, t.sad, t.is_cut)).toSeq ==
+      Seq((1, 0L, false), (2, 765L + 705L, true)),
+      "transition 3 is suppressed by the size mismatch")
+  }
+
+  test("wavTrimSilenceBatched: first/last |sample| >= thresh bounds " +
+    "the trim; an all-silent clip trims to zero") {
+    import spark.implicits._
+    val loud = Multimodal.wavBytes(
+      Array[Short](0, 0, 100, -5, 200, 0))
+    val quiet = Multimodal.wavBytes(Array[Short](0, 0))
+    val out = Multimodal.wavTrimSilenceBatched(
+      Seq((1L, loud), (2L, quiet)).toDS(), 64)
+      .collect().map(t => t.doc_id -> t).toMap
+    assert(out(1L).n_samples == 6 && out(1L).lead_silence == 2 &&
+      out(1L).trail_silence == 1 && out(1L).trimmed_len == 3)
+    assert(out(2L).n_samples == 2 && out(2L).lead_silence == 2 &&
+      out(2L).trail_silence == 0 && out(2L).trimmed_len == 0)
+  }
 }

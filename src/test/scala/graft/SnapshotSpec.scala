@@ -1205,4 +1205,23 @@ class SnapshotSpec extends SparkSpec {
         true)), "sparse update on a big partition advises MoR")
     }
   }
+
+  test("commitChecked: a violating batch is refused atomically, the " +
+    "clean batch commits, per-rule counts come from one pass") {
+    import org.apache.spark.sql.functions.col
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      val bad = Seq((1L, 10L), (2L, -3L), (3L, 7L)).toDF("id", "v")
+      val rules = Seq("v_positive" -> (col("v") > 0),
+        "id_small" -> (col("id") < 100))
+      assert(Snapshot.commitChecked(bad, t, rules).isEmpty)
+      assert(Snapshot.versions(t).isEmpty, "refusal leaves no version")
+      val viol = Snapshot.checkConstraints(bad, rules)
+        .as[(String, Long)].collect().toMap
+      assert(viol == Map("v_positive" -> 1L, "id_small" -> 0L))
+      assert(Snapshot.commitChecked(bad.filter(col("v") > 0), t,
+        rules) == Some(1L))
+      assert(Snapshot.read(spark, t).count() == 2L)
+    }
+  }
 }
