@@ -2078,20 +2078,25 @@ object Text {
       when(size(c) < n, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(1), size(c) - (n - 1)),
           i => concat_ws(" ", slice(c, i, lit(n)))))
-    def side(name: String): DataFrame =
-      pairs.select(col("id"),
-          explode(array((1 to 4).map(n =>
-            struct(lit(n).as("n"), grams(col(name), n).as("gs"))): _*))
-            .as("r"))
-        .select(col("id"), col("r.n").as("n"),
-          explode(col("r.gs")).as("g"))
-        .groupBy(col("id"), col("n"), col("g"))
-        .agg(count(lit(1)).as(s"c_$name"))
-    val clipped = side("hyp")
-      .join(side("ref"), Seq("id", "n", "g"), "left")
+    // ONE shuffle on the gram key: side-tagged union, clip inside a
+    // single aggregate (see chrF for the shape rationale)
+    val tagged = pairs
+      .select(col("id"), lit(1L).as("hs"), col("hyp").as("s"))
+      .unionByName(pairs
+        .select(col("id"), lit(0L).as("hs"), col("ref").as("s")))
+    val clipped = tagged
+      .select(col("id"), col("hs"),
+        explode(array((1 to 4).map(n =>
+          struct(lit(n).as("n"), grams(col("s"), n).as("gs"))): _*))
+          .as("r"))
+      .select(col("id"), col("hs"), col("r.n").as("n"),
+        explode(col("r.gs")).as("g"))
+      .groupBy(col("id"), col("n"), col("g"))
+      .agg(sum(col("hs")).as("c_hyp"), sum(lit(1L) - col("hs"))
+        .as("c_ref"))
+      .filter(col("c_hyp") > 0L)
       .groupBy(col("n"))
-      .agg(sum(least(col("c_hyp"), coalesce(col("c_ref"), lit(0L))))
-          .as("m"),
+      .agg(sum(least(col("c_hyp"), col("c_ref"))).as("m"),
         sum(col("c_hyp")).as("t"))
     val lens = pairs.agg(
       sum(size(col("hyp")).cast("long")).as("hyp_len"),
@@ -2142,22 +2147,29 @@ object Text {
       when(length(c) < n, array().cast("array<string>"))
         .otherwise(transform(sequence(lit(1), length(c) - (n - 1)),
           i => c.substr(i, lit(n))))
-    def side(name: String): DataFrame =
-      pairs.select(col("id"),
-          explode(array((1 to maxN).map(n =>
-            struct(lit(n).as("n"), grams(col(name), n).as("gs"))): _*))
-            .as("r"))
-        .select(col("id"), col("r.n").as("n"),
-          explode(col("r.gs")).as("g"))
-        .groupBy(col("id"), col("n"), col("g"))
-        .agg(count(lit(1)).as(s"c_$name"))
-    val perOrder = side("hyp")
-      .join(side("ref"), Seq("id", "n", "g"), "full_outer")
+    // ONE shuffle on the gram key: both sides union side-tagged and
+    // clip inside a single aggregate (the q360 max-over-unpivot
+    // convention) — a per-side groupBy + full-outer join would pay
+    // the (id, n, gram) exchange twice plus a join.
+    val tagged = pairs
+      .select(col("id"), lit(1L).as("hs"), col("hyp").as("s"))
+      .unionByName(pairs
+        .select(col("id"), lit(0L).as("hs"), col("ref").as("s")))
+    val perOrder = tagged
+      .select(col("id"), col("hs"),
+        explode(array((1 to maxN).map(n =>
+          struct(lit(n).as("n"), grams(col("s"), n).as("gs"))): _*))
+          .as("r"))
+      .select(col("id"), col("hs"), col("r.n").as("n"),
+        explode(col("r.gs")).as("g"))
+      .groupBy(col("id"), col("n"), col("g"))
+      .agg(sum(col("hs")).as("c_hyp"),
+        sum(lit(1L) - col("hs")).as("c_ref"))
       .groupBy(col("n"))
-      .agg(sum(when(col("c_hyp").isNotNull && col("c_ref").isNotNull,
+      .agg(sum(when(col("c_hyp") > 0L && col("c_ref") > 0L,
           least(col("c_hyp"), col("c_ref"))).otherwise(0L)).as("tp"),
-        sum(coalesce(col("c_hyp"), lit(0L))).as("hyp_grams"),
-        sum(coalesce(col("c_ref"), lit(0L))).as("ref_grams"))
+        sum(col("c_hyp")).as("hyp_grams"),
+        sum(col("c_ref")).as("ref_grams"))
       .select(col("n"), col("tp"), col("hyp_grams"), col("ref_grams"),
         when(col("ref_grams") * 4 + col("hyp_grams") === 0L, lit(0L))
           .otherwise(fdiv(dec(col("tp")) * lit(5000000L),
