@@ -743,6 +743,49 @@ object Profile {
       .withColumn("meets_l", col("n_rows_below") === 0L)
   }
 
+  /** AVERAGE PRECISION (the PR-curve area, interpolation-free form) —
+    * the ranking eval that matters when positives are rare and
+    * [[aucExact]]'s symmetric view flatters: AP = mean over positives
+    * of precision@their-rank, ranks by (score desc, id). House
+    * determinism: each positive's precision snaps ×1e6 before the
+    * sum (the −ln-terms convention — harmonic denominators admit no
+    * single rational), the final mean is one more floor. Global ranks
+    * come from the two-level prefix kernel ([[Ranks.withRunningBelow]]
+    * on distinct scores — never a data-sized global window); the
+    * within-tie walk partitions by score value. Output one row:
+    * (n, n_pos, sum_prec_micro, ap_micro — null when no positives).
+    */
+  def averagePrecision(df: DataFrame, id: Column, score: Column,
+                       label: Column, bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be >= 1")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val rows = df.select(id.as("id"), score.cast("long").as("v"),
+      when(label, 1L).otherwise(0L).as("y"))
+    val byV = rows.groupBy(col("v"))
+      .agg(count(lit(1)).as("cnt"), sum(col("y")).as("pos"))
+      .withColumn("nv", -col("v"))
+    val below = Ranks.withRunningBelow(byV, "nv", bucketWidth,
+      Seq("cnt", "pos"))
+      .select(col("v"), col("cnt_below"), col("pos_below"))
+    val wTie = Window.partitionBy(col("v")).orderBy(col("id"))
+    val ranked = rows.join(below, "v")
+      .withColumn("k", col("cnt_below") + row_number().over(wTie))
+      .withColumn("posK", col("pos_below") + sum(col("y"))
+        .over(wTie.rowsBetween(Window.unboundedPreceding, 0)))
+    val totals = rows.agg(count(lit(1)).as("n"),
+      sum(col("y")).as("n_pos"))
+    val apAgg = ranked.filter(col("y") === 1L)
+      .agg(coalesce(sum(fdiv(dec(col("posK")) * lit(1000000L),
+        dec(col("k")))), lit(0L)).as("sum_prec_micro"))
+    totals.crossJoin(broadcast(apAgg))
+      .select(col("n"), col("n_pos"), col("sum_prec_micro"),
+        when(col("n_pos") === 0L, lit(null).cast("long"))
+          .otherwise(fdiv(dec(col("sum_prec_micro")),
+            dec(col("n_pos")))).as("ap_micro"))
+  }
+
   /** DECILE LIFT / cumulative-gains table for a score against a
     * binary label — the campaign-targeting companion to [[aucExact]]
     * (AUC summarizes ranking quality in one number; the lift table

@@ -357,6 +357,24 @@ object Quality {
           .as("pass_at_k_micro"))
   }
 
+  /** QUERY-BY-COMMITTEE disagreement (Seung et al. 1992) — the
+    * active-learning read over any set of binary classifiers: union
+    * the per-model (id, pred ∈ {0,1}) frames, one aggregate per id
+    * counts positive votes; DISPUTED ids (not unanimous) are where
+    * labeling budget buys the most. Pure counting — the committee's
+    * members carry all the model arithmetic.
+    */
+  def committeeVotes(preds: Seq[DataFrame]): DataFrame = {
+    require(preds.nonEmpty, "need at least one committee member")
+    preds.map(_.select(col("id"), col("pred").cast("long").as("pred")))
+      .reduce(_ unionByName _)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_models"), sum(col("pred"))
+        .as("votes_pos"))
+      .withColumn("disputed",
+        col("votes_pos") > 0L && col("votes_pos") < col("n_models"))
+  }
+
   /** KRIPPENDORFF'S ALPHA for binary ratings with a CONSTANT rater
     * count per unit — the multi-rater generalization of
     * [[cohenKappa]] every labeling campaign needs (kappa only

@@ -1782,6 +1782,63 @@ object Similarity {
           .as("margin_micro"))
   }
 
+  /** ROCCHIO query expansion (the classic relevance-feedback rewrite):
+    * q′ = α·q + β·mean(relevant) − γ·mean(non-relevant), then rank
+    * candidates by the expanded query — the retrieval loop's "the
+    * user marked these, search again" step. Fixed point end to end:
+    * vectors snap ×1e6 once; each mean is one truncated division of
+    * exact per-dim sums; q′ combines the three ×1e6 weights and
+    * truncates back to micro; candidate scores are exact integer
+    * dots, top-k by (dot desc, id) via sort+limit. `query` is ONE
+    * row (id, vec); rel/nonrel are bounded feedback sets (relevance
+    * judgments are human-sized); empty feedback sets contribute 0.
+    * Scale shape: feedback/query explode to dim-sized frames that
+    * broadcast; candidates stream once through a dim join + one
+    * map-side-combinable dot aggregate (the scoreLogistic shape).
+    * Output: (neighbor_id, rank, score_micro = dot12 // 1e6).
+    */
+  def rocchioTopK(query: DataFrame, rel: DataFrame, nonrel: DataFrame,
+                  cands: DataFrame, alphaMicro: Long, betaMicro: Long,
+                  gammaMicro: Long, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def tdiv(a: Column, b: Column): Column = {
+      val q = (abs(a) - pmod(abs(a), b)) / b
+      (when(a < 0, -q).otherwise(q)).cast("long")
+    }
+    def x12(df: DataFrame): DataFrame = df
+      .select(col("id"), posexplode(col("vec")).as(Seq("dim", "xv")))
+      .select(col("id"), col("dim").cast("int").as("dim"),
+        round(col("xv").cast("double") * 1e6).cast("long").as("xi"))
+    def meanOf(df: DataFrame, name: String): DataFrame = {
+      val n = df.count()
+      x12(df).groupBy(col("dim"))
+        .agg(sum(col("xi")).as("s"))
+        .select(col("dim"), tdiv(col("s"), lit(math.max(n, 1L)))
+          .as(name))
+    }
+    require(query.count() == 1L, "query must be exactly one row")
+    val qd = x12(query).select(col("dim"), col("xi").as("q"))
+    val qp = qd
+      .join(meanOf(rel, "mr"), Seq("dim"), "left")
+      .join(meanOf(nonrel, "mn"), Seq("dim"), "left")
+      .select(col("dim"), tdiv(
+        dec(lit(alphaMicro)) * col("q") +
+          dec(lit(betaMicro)) * coalesce(col("mr"), lit(0L)) -
+          dec(lit(gammaMicro)) * coalesce(col("mn"), lit(0L)),
+        dec(lit(1000000L))).as("qe"))
+    x12(cands)
+      .join(broadcast(qp), Seq("dim"))
+      .groupBy(col("id").as("neighbor_id"))
+      .agg(sum(dec(col("xi")) * col("qe")).as("dot12"))
+      .orderBy(col("dot12").desc, col("neighbor_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(Cols.onePartitionKey(col("neighbor_id")))
+          .orderBy(col("dot12").desc, col("neighbor_id"))))
+      .select(col("neighbor_id"), col("rank"),
+        tdiv(col("dot12"), dec(lit(1000000L))).as("score_micro"))
+  }
+
   /** K-CENTER GREEDY coreset selection (Sener & Savarese 2018) — the
     * geometry-coverage sampler: repeatedly pick the point FARTHEST
     * from every already-chosen center (2-approximation of the

@@ -710,4 +710,25 @@ class ProfileSpec extends SparkSpec {
     assert(out(2) == ((2, 1L, 3L, 1L, 3L, false)))
     assert(out(3) == ((3, 2L, 5L, 1L, 3L, false)))
   }
+
+  test("averagePrecision: per-positive snapped precision, id ties, " +
+    "null on an all-negative corpus") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq((1L, 100L, true), (2L, 90L, false), (3L, 80L, true),
+      (4L, 70L, false)).toDF("id", "sc", "rel")
+    val r = Profile.averagePrecision(d, col("id"), col("sc"),
+      col("rel"), 16L).as[(Long, Long, Long, Option[Long])].head()
+    assert(r == ((4L, 2L, 1666666L, Some(833333L))),
+      "prec@1 = 1e6, prec@3 = 666666, mean floors to 833333")
+    val tie = Seq((5L, 100L, false), (6L, 100L, true), (7L, 50L, true))
+      .toDF("id", "sc", "rel")
+    val rt = Profile.averagePrecision(tie, col("id"), col("sc"),
+      col("rel"), 16L).as[(Long, Long, Long, Option[Long])].head()
+    assert(rt == ((3L, 2L, 1166666L, Some(583333L))),
+      "the tied negative with the smaller id ranks first")
+    val neg = Seq((1L, 10L, false)).toDF("id", "sc", "rel")
+    assert(Profile.averagePrecision(neg, col("id"), col("sc"),
+      col("rel"), 16L).as[(Long, Long, Long, Option[Long])]
+      .head()._4.isEmpty)
+  }
 }

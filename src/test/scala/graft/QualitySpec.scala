@@ -260,4 +260,19 @@ class QualitySpec extends SparkSpec {
       Quality.krippendorffAlpha(uneven, col("u"), col("v"))
     }
   }
+
+  test("committeeVotes: disputed iff not unanimous") {
+    import org.apache.spark.sql.functions.col
+    def m(ps: (Long, Long)*) = ps.toSeq.toDF("id", "pred")
+    val out = Quality.committeeVotes(Seq(
+      m(1L -> 1L, 2L -> 0L, 3L -> 1L, 4L -> 0L),
+      m(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 0L),
+      m(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L)))
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3L, 2L, true)))
+    assert(out(2L) == ((2L, 3L, 2L, true)))
+    assert(out(3L) == ((3L, 3L, 3L, false)))
+    assert(out(4L) == ((4L, 3L, 0L, false)))
+  }
 }

@@ -1014,4 +1014,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_._4 == 1000000L),
       "after 3 centers every point sits within 1000^2 of one")
   }
+
+  test("rocchioTopK: exact fixed-point expansion and dot ranking") {
+    import org.apache.spark.sql.functions.col
+    val q = Seq((0L, Seq(1.0, 0.0))).toDF("id", "vec")
+    val rel = Seq((1L, Seq(0.0, 1.0))).toDF("id", "vec")
+    val non = Seq((2L, Seq(1.0, 0.0))).toDF("id", "vec")
+    val cands = Seq((10L, Seq(1.0, 0.0)), (11L, Seq(0.0, 1.0)),
+      (12L, Seq(1.0, 1.0))).toDF("id", "vec")
+    // q' = (1*q + 0.75*[0,1e6] - 0.15*[1e6,0]) -> [850000, 750000]
+    val out = Similarity.rocchioTopK(q, rel, non, cands,
+      1000000L, 750000L, 150000L, 3)
+      .as[(Long, Int, Long)].collect().sortBy(_._2)
+    assert(out.toSeq == Seq((12L, 1, 1600000L), (10L, 2, 850000L),
+      (11L, 3, 750000L)))
+  }
 }
