@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link-analysis operators over an edge list — the web-graph side of a
@@ -525,5 +525,41 @@ object Graph {
       .select(col("seed"), col("n_reached"),
         round((col("hs").cast("double") / lit(lcmAll.toDouble))
           .cast("decimal(20,10)"), 4).cast("double").as("harmonic"))
+  }
+
+  /** BIPARTITE PROJECTION with a degree cap — the co-engagement graph
+    * (user×item interactions → item–item edges) that powers
+    * related-items, topic affinity, and co-crawl analyses. Per
+    * surviving user the item pairs project with weight
+    * Σᵤ min(cnt_ua, cnt_ub) (shared engagement, not mere
+    * co-presence). The cap is the SCALE CONTRACT: a hub user
+    * contributes O(degree²) pairs, so users with more than
+    * `maxDegree` distinct items are EXCLUDED and counted — at 100 TB
+    * the cap bounds the self-join exactly like LSH banding bounds
+    * candidate pairs; silent inclusion of one 1e6-degree user would
+    * emit 5·10¹¹ pairs. Output one row per item pair (item_a,
+    * item_b, n_users, weight) with the constant kept/dropped user
+    * counts.
+    */
+  def bipartiteProject(edges: DataFrame, u: Column, v: Column,
+                       maxDegree: Int): DataFrame = {
+    require(maxDegree >= 2, "maxDegree must be >= 2")
+    val cnt = edges.groupBy(u.as("u"), v.as("v"))
+      .agg(count(lit(1)).as("w"))
+    val deg = cnt.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+    val kept = cnt.join(deg.filter(col("deg") <= maxDegree)
+      .select(col("u")), "u")
+    val l = kept.select(col("u"), col("v").as("va"), col("w").as("wa"))
+    val r = kept.select(col("u"), col("v").as("vb"), col("w").as("wb"))
+    val pairs = l.join(r, "u").filter(col("va") < col("vb"))
+      .groupBy(col("va").as("item_a"), col("vb").as("item_b"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(least(col("wa"), col("wb"))).as("weight"))
+    val stats = deg.agg(
+      sum(when(col("deg") <= maxDegree, 1L).otherwise(0L))
+        .as("n_users_kept"),
+      sum(when(col("deg") > maxDegree, 1L).otherwise(0L))
+        .as("n_users_dropped"))
+    pairs.crossJoin(broadcast(stats))
   }
 }

@@ -119,4 +119,33 @@ object Merge {
     */
   def compact(df: DataFrame, targetFiles: Int, outPath: String): Unit =
     df.coalesce(targetFiles).write.mode(SaveMode.Overwrite).parquet(outPath)
+
+  /** RECONCILIATION between two keyed value tables — the migration /
+    * dual-write / vendor-feed read: one full-outer join classifies
+    * every key as equal, within_tol (|Δ| ≤ tolCents), mismatch,
+    * missing_in_a, or missing_in_b, and sums the absolute drift of
+    * compared keys. Values compare as exact integer cents (the house
+    * money convention — a double compare would manufacture phantom
+    * mismatches). One shuffle on the key; output one row per
+    * non-empty status: (status, n, drift_cents).
+    */
+  def reconcile(a: DataFrame, b: DataFrame, keyCols: Seq[String],
+                valueCol: String, tolCents: Long): DataFrame = {
+    require(keyCols.nonEmpty && tolCents >= 0)
+    val aa = a.select((keyCols.map(col) :+
+      col(valueCol).cast("long").as("__va")): _*)
+    val bb = b.select((keyCols.map(col) :+
+      col(valueCol).cast("long").as("__vb")): _*)
+    aa.join(bb, keyCols, "full_outer")
+      .select(
+        when(col("__vb").isNull, "missing_in_b")
+          .when(col("__va").isNull, "missing_in_a")
+          .when(col("__va") === col("__vb"), "equal")
+          .when(abs(col("__va") - col("__vb")) <= tolCents,
+            "within_tol")
+          .otherwise("mismatch").as("status"),
+        coalesce(abs(col("__va") - col("__vb")), lit(0L)).as("__d"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"), sum(col("__d")).as("drift_cents"))
+  }
 }

@@ -191,4 +191,34 @@ object Web {
         (col("qsum").cast("double") <
           lit(minMeanQuality) * col("n_docs").cast("double") * 1e6)
           .as("flagged"))
+
+  /** MIRROR / RECRAWL-DRIFT matrix — the two crawl pathologies URL
+    * and content dedup each miss alone: the SAME canonical URL
+    * carrying DIFFERENT content fingerprints (recrawl drift — the
+    * page changed between fetches) and the SAME fingerprint served
+    * from MULTIPLE registered domains (mirrors — content dedup finds
+    * them, URL dedup never will). One canonicalization pass, two
+    * grouped aggregates, one summary row: (n_docs, n_canon,
+    * drift_groups, drift_docs, mirror_fps, mirror_docs). `fp` is the
+    * caller's content fingerprint column.
+    */
+  def mirrorMatrix(docs: DataFrame, id: Column, url: Column,
+                   fp: Column): DataFrame = {
+    val base = docs.select(id.as("id"),
+      canonicalizeUrl(url).as("cu"),
+      registeredDomain(url).as("dom"), fp.as("fp"))
+    val byUrl = base.groupBy(col("cu"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("fp")).as("nf"))
+    val byFp = base.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("dom")).as("nd"))
+    base.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(byUrl.agg(count(lit(1)).as("n_canon"),
+        sum(when(col("nf") > 1, 1L).otherwise(0L)).as("drift_groups"),
+        sum(when(col("nf") > 1, col("n")).otherwise(0L))
+          .as("drift_docs"))))
+      .crossJoin(broadcast(byFp.agg(
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("mirror_fps"),
+        sum(when(col("nd") > 1, col("n")).otherwise(0L))
+          .as("mirror_docs"))))
+  }
 }

@@ -1096,6 +1096,32 @@ object Snapshot {
     }
   }
 
+  /** ERASURE (right-to-be-forgotten) audit — the governance read a
+    * time-traveling table makes necessary: deleting rows from the
+    * HEAD does nothing to historical versions, so "is this user
+    * gone" must sweep EVERY retained version. One bounded driver
+    * loop over the version list (model-sized — retention policies
+    * keep dozens, not millions), each iteration one pruned count.
+    * Output one row per version (version, matching_rows) with the
+    * constant verdict columns: head_clean (the latest version holds
+    * no match) and retained_versions (HISTORICAL versions that still
+    * do — the set [[expireByAge]]/[[vacuum]] must reap before the
+    * erasure is real).
+    */
+  def erasureAudit(spark: SparkSession, table: String,
+                   predicate: Column): DataFrame = {
+    import spark.implicits._
+    val vs = versions(table)
+    require(vs.nonEmpty, s"$table has no committed snapshot")
+    val rows = vs.map(v =>
+      (v, read(spark, table, Some(v)).filter(predicate).count()))
+    val headClean = rows.last._2 == 0L
+    val retained = rows.dropRight(1).count(_._2 > 0L).toLong
+    rows.toDF("version", "matching_rows")
+      .withColumn("head_clean", lit(headClean))
+      .withColumn("retained_versions", lit(retained))
+  }
+
   /** Row-level CHECK constraints (Delta's ADD CONSTRAINT semantics):
     * one pass over the batch counts each named predicate's violations
     * — (rule, n_violations), all rules in ONE aggregate (a struct

@@ -354,4 +354,19 @@ class GraphSpec extends SparkSpec {
     assert(pr12.as[(Long, Double)].collect().toMap == ref(es, 12),
       "checkpointed pageRank diverged from the exact reference")
   }
+
+  test("bipartiteProject: min-count weights, hub users excluded by the degree cap") {
+    import org.apache.spark.sql.functions.col
+    val edges = (Seq.fill(2)(("u1", "a")) ++ Seq(("u1", "b")) ++
+      Seq(("u2", "a")) ++ Seq.fill(3)(("u2", "b")) ++ Seq(("u2", "c")) ++
+      Seq(("hub", "a"), ("hub", "b"), ("hub", "c"), ("hub", "d")))
+      .toDF("u", "v")
+    val out = Graph.bipartiteProject(edges, col("u"), col("v"), 3)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out(("a", "b")) == (("a", "b", 2L, 2L, 2L, 1L)))
+    assert(out(("a", "c")) == (("a", "c", 1L, 1L, 2L, 1L)))
+    assert(out(("b", "c")) == (("b", "c", 1L, 1L, 2L, 1L)))
+    assert(!out.contains(("a", "d")), "hub-only pairs never project")
+  }
 }

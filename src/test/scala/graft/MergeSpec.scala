@@ -114,4 +114,19 @@ class MergeSpec extends SparkSpec {
       assert(part.listFiles().exists(_.getName.endsWith(".parquet")))
     }
   }
+
+  test("reconcile: exact cent classification with tolerance, missing keys both ways") {
+    val a = Seq((1L, 100L), (2L, 200L), (3L, 300L), (4L, 400L))
+      .toDF("k", "cents")
+    val b = Seq((1L, 100L), (2L, 203L), (3L, 400L), (5L, 7L))
+      .toDF("k", "cents")
+    val out = Merge.reconcile(a, b, Seq("k"), "cents", 5L)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out == Map(
+      "equal" -> (("equal", 1L, 0L)),
+      "within_tol" -> (("within_tol", 1L, 3L)),
+      "mismatch" -> (("mismatch", 1L, 100L)),
+      "missing_in_b" -> (("missing_in_b", 1L, 0L)),
+      "missing_in_a" -> (("missing_in_a", 1L, 0L))))
+  }
 }

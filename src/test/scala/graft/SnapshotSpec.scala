@@ -1206,6 +1206,25 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+  test("erasureAudit: head deletion leaves history retaining until " +
+    "expiry reaps it") {
+    import org.apache.spark.sql.functions.col
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      Snapshot.commit(Seq((1L, "x"), (2L, "y"), (3L, "z"))
+        .toDF("id", "v"), t)
+      Snapshot.deleteWhere(spark, t, col("id") === 1L)
+      val before = Snapshot.erasureAudit(spark, t, col("id") === 1L)
+        .as[(Long, Long, Boolean, Long)].collect().sortBy(_._1)
+      assert(before.toSeq == Seq((1L, 1L, true, 1L), (2L, 0L, true, 1L)))
+      Snapshot.expireByAge(t, 0L, System.currentTimeMillis() + 60000L)
+      val after = Snapshot.erasureAudit(spark, t, col("id") === 1L)
+        .as[(Long, Long, Boolean, Long)].collect()
+      assert(after.toSeq == Seq((2L, 0L, true, 0L)),
+        "only the clean head survives; nothing retains")
+    }
+  }
+
   test("commitChecked: a violating batch is refused atomically, the " +
     "clean batch commits, per-rule counts come from one pass") {
     import org.apache.spark.sql.functions.col

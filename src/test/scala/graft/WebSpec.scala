@@ -105,4 +105,17 @@ class WebSpec extends SparkSpec {
       .as[(String, Long, Double, Boolean)].collect().toSeq
     assert(r == Seq(("bad.com", 2L, 0.25, true), ("good.com", 2L, 0.8, false)))
   }
+
+  test("mirrorMatrix: drift = same canon different fp; mirror = same fp across domains") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "http://a.com/x", "F1"),
+      (2L, "https://A.COM/x/", "F2"),   // same canonical as d1
+      (3L, "http://b.com/y", "F3"),
+      (4L, "http://c.com/z", "F3"))     // F3 spans b.com and c.com
+      .toDF("id", "url", "fp")
+    val r = Web.mirrorMatrix(docs, col("id"), col("url"), col("fp"))
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(r == ((4L, 3L, 1L, 2L, 1L, 2L)))
+  }
 }
