@@ -760,4 +760,31 @@ class PhysicalPlanSpec extends SparkSpec {
         s"the base side must not sort-shuffle for a small DV:\n$p")
     }
   }
+
+  test("kmv registers (grouped — the scale path): the k-smallest " +
+      "filter pushes into WindowGroupLimit, never a full sort") {
+    import spark.implicits._
+    val df = (0 until 200).map(i => (s"g${i % 4}", s"v$i"))
+      .toDF("g", "x")
+    val p = graft.ops.Sketch.kmvRegisters(df, Seq("g"), col("x"), 16)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("WindowGroupLimit"),
+      s"pos<=k must push into WindowGroupLimit:\n$p")
+  }
+
+  test("tracInfluence: the probe-side dim join broadcasts — the " +
+      "train explode streams once, never sort-merges") {
+    import spark.implicits._
+    val vecs = (0L until 64L).map(i =>
+      (i, Seq(i.toDouble / 64, 1.0))).toDF("id", "x")
+    val labels = (0L until 64L).map(i => (i, i % 2)).toDF("id", "y")
+    val w = Seq((-1, 0L), (0, 500000L), (1, 100000L))
+      .toDF("dim", "w_micro")
+    val probes = Seq(Tuple1(0L), Tuple1(7L)).toDF("id")
+    val p = graft.ops.LinearModel
+      .tracInfluence(vecs, labels, w, probes, 3)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe features must broadcast into the dot join:\n$p")
+  }
 }
