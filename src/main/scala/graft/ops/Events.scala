@@ -133,6 +133,33 @@ object Events {
       .drop("__new")
   }
 
+  /** PEAK CONCURRENCY over inclusive [start, end] µs intervals — the
+    * capacity read (max simultaneous sessions/streams/licenses): the
+    * classic sweep — +1 at start, −1 at end+1, depth = running sum
+    * over distinct change points. The running sum is the two-level
+    * prefix kernel ([[Ranks.withRunningBelow]]), never a data-sized
+    * global window; depth at a point = exclusive-below + the point's
+    * own delta. Output one row: (peak_depth, first_peak_us,
+    * n_peak_points).
+    */
+  def peakConcurrency(intervals: DataFrame, startUs: Column,
+                      endUs: Column): DataFrame = {
+    val deltas = intervals
+      .select(startUs.cast("long").as("t"), lit(1L).as("d"))
+      .unionByName(intervals
+        .select((endUs.cast("long") + 1L).as("t"), lit(-1L).as("d")))
+      .groupBy(col("t")).agg(sum(col("d")).as("d"))
+    val run = Ranks.withRunningBelow(deltas, "t", 3600000000L,
+      Seq("d"))
+      .select(col("t"), (col("d_below") + col("d")).as("depth"))
+    val peak = run.agg(max(col("depth")).as("peak_depth"))
+    run.crossJoin(broadcast(peak))
+      .filter(col("depth") === col("peak_depth"))
+      .groupBy(col("peak_depth"))
+      .agg(min(col("t")).as("first_peak_us"),
+        count(lit(1)).as("n_peak_points"))
+  }
+
   /** Weekly cohort retention: users cohorted by the ISO week of their
     * first event; for each (cohort_week, week_offset), the distinct
     * users active that week. The first-event timestamp comes from an

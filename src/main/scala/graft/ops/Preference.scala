@@ -89,6 +89,36 @@ object Preference {
     }.toDF("item", "wins", "duels", "rating_micro")
   }
 
+  /** LENGTH-BIAS audit — RLHF's best-documented annotation artifact:
+    * raters (and LLM judges) favor the LONGER response, and a reward
+    * model trained on length-biased duels optimizes verbosity. One
+    * exact aggregate over (winner_len, loser_len): how often the
+    * longer side won (ties excluded from the rate), and the raw
+    * winner-minus-loser length mass. Output one row: (n_duels,
+    * n_longer_won, n_ties, len_diff_sum, longer_wins_micro — null
+    * when every duel tied).
+    */
+  def lengthBias(duels: DataFrame, winLen: Column,
+                 loseLen: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    duels
+      .select(winLen.cast("long").as("lw"), loseLen.cast("long")
+        .as("ll"))
+      .agg(count(lit(1)).as("n_duels"),
+        sum(when(col("lw") > col("ll"), 1L).otherwise(0L))
+          .as("n_longer_won"),
+        sum(when(col("lw") === col("ll"), 1L).otherwise(0L))
+          .as("n_ties"),
+        sum(col("lw") - col("ll")).as("len_diff_sum"))
+      .withColumn("longer_wins_micro",
+        when(col("n_duels") === col("n_ties"),
+          lit(null).cast("long"))
+          .otherwise(fdiv(dec(col("n_longer_won")) * lit(1000000L),
+            dec(col("n_duels") - col("n_ties")))))
+  }
+
   /** POSITION-BIAS audit — the preference-data hygiene read a reward
     * model needs before trusting its duels: annotators (and LLM
     * judges) systematically favor the FIRST-presented response, and a

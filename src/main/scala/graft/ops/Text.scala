@@ -2009,6 +2009,31 @@ object Text {
             (col("hi") - col("lo")).cast("int"))))).as("psm_fp"))
   }
 
+  /** GOOD–TURING unseen-mass estimate per group — the "how much
+    * vocabulary have we NOT seen yet" read behind corpus-growth
+    * planning (the probabilistic complement of [[heapsFit]]'s
+    * type-growth curve): the Good–Turing estimator puts probability
+    * N₁/N on unseen types (N₁ = singleton count). Exact integers off
+    * one token-frequency aggregate: (grp, n_tokens, n_types,
+    * singletons, doubletons, p_unseen_micro = ⌊N₁·1e6/N⌋). Two
+    * map-side-combinable aggregates, no windows.
+    */
+  def goodTuringUnseen(docs: DataFrame, group: Column,
+                       text: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    docs.select(group.as("grp"), explode(tokens(text)).as("w"))
+      .groupBy(col("grp"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("singletons"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("doubletons"))
+      .withColumn("p_unseen_micro",
+        fdiv(dec(col("singletons")) * lit(1000000L),
+          dec(col("n_tokens"))))
+  }
+
   /** N-GRAM NOVELTY CURVE — the "creativity index" family read (Lu
     * et al. 2024): for each n ≤ maxN, the fraction of candidate-side
     * n-gram occurrences NOT present anywhere in the reference slice.

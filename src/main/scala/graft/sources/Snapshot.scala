@@ -1096,6 +1096,37 @@ object Snapshot {
     }
   }
 
+  /** WRITE-AMPLIFICATION accounting across the version chain — the
+    * storage-ops read behind "why is this table churning": per
+    * version, total rows, rows physically WRITTEN (rows of data dirs
+    * that did not exist in the previous manifest — sidecars excluded,
+    * they have their own MoR accounting), the net row change, and
+    * amp = ⌊written·1e6 / max(|net|, 1)⌋ — an upsert that rewrites a
+    * million rows to change ten has amp 100 000×1e6, the signal to
+    * move that table to MoR ([[morCowAdvisor]]). Manifest metadata
+    * only — no data is scanned; the loop is version-count bounded.
+    */
+  def writeAmplification(spark: SparkSession,
+                         table: String): DataFrame = {
+    import spark.implicits._
+    val vs = versions(table)
+    require(vs.nonEmpty, s"$table has no committed snapshot")
+    val ms = vs.map(v => (v, readManifest(table, v)))
+    val rows = ms.map { case (v, m) =>
+      (v, m, m.dirs.flatMap(m.stats.get).map(_.rows).sum)
+    }
+    rows.zipWithIndex.map { case ((v, m, total), i) =>
+      val prevDirs =
+        if (i == 0) Set.empty[String] else rows(i - 1)._2.dirs.toSet
+      val written = m.dirs.filterNot(prevDirs)
+        .flatMap(m.stats.get).map(_.rows).sum
+      val net = total - (if (i == 0) 0L else rows(i - 1)._3)
+      (v, total, written, net,
+        written * 1000000L / math.max(math.abs(net), 1L))
+    }.toDF("version", "rows_total", "rows_written", "net_rows",
+      "amp_micro")
+  }
+
   /** ERASURE (right-to-be-forgotten) audit — the governance read a
     * time-traveling table makes necessary: deleting rows from the
     * HEAD does nothing to historical versions, so "is this user

@@ -306,4 +306,14 @@ class EventsSpec extends SparkSpec {
     assert(out("a") == ((10.0, 0.0, 10L, 1L)))
     assert(out("b") == ((5.0, 0.0, 4L, 0L)))
   }
+
+  test("peakConcurrency: sweep depth, inclusive ends, first peak point") {
+    import org.apache.spark.sql.functions.col
+    val iv = Seq((0L, 10L), (5L, 20L), (15L, 30L), (100L, 110L))
+      .toDF("s", "e")
+    val r = Events.peakConcurrency(iv, col("s"), col("e"))
+      .as[(Long, Long, Long)].head()
+    assert(r == ((2L, 5L, 2L)), "peak 2 first at t=5, hit twice")
+  }
+
 }

@@ -51,4 +51,15 @@ class PreferenceSpec extends SparkSpec {
     assert(out("A") == (("A", 4L, 3L, 1L, 0L, 750000L, 5L, 800000L)))
     assert(out("B") == (("B", 1L, 1L, 4L, 1L, 750000L, 5L, 800000L)))
   }
+
+  test("lengthBias: exact longer-wins rate excluding ties; all-tie corpus yields null") {
+    val duels = Seq((10L, 5L), (8L, 8L), (3L, 7L)).toDF("lw", "ll")
+    val r = Preference.lengthBias(duels, col("lw"), col("ll"))
+      .as[(Long, Long, Long, Long, Option[Long])].head()
+    assert(r == ((3L, 1L, 1L, 1L, Some(500000L))))
+    val ties = Seq((4L, 4L)).toDF("lw", "ll")
+    assert(Preference.lengthBias(ties, col("lw"), col("ll"))
+      .as[(Long, Long, Long, Long, Option[Long])].head()._5.isEmpty)
+  }
+
 }

@@ -1243,4 +1243,19 @@ class SnapshotSpec extends SparkSpec {
       assert(Snapshot.read(spark, t).count() == 2L)
     }
   }
+
+  test("writeAmplification: per-version written/net/amp from manifest stats") {
+    import org.apache.spark.sql.functions.col
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      Snapshot.commit(Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L))
+        .toDF("id", "v"), t)
+      Snapshot.deleteWhere(spark, t, col("id") === 4L)
+      val out = Snapshot.writeAmplification(spark, t)
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+      assert(out.toSeq == Seq((1L, 4L, 4L, 4L, 1000000L),
+        (2L, 3L, 3L, -1L, 3000000L)))
+    }
+  }
+
 }

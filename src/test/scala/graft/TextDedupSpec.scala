@@ -1285,4 +1285,14 @@ class TextDedupSpec extends SparkSpec {
     assert(d(2) == ((2, 1L, 2L, 2L, 500000L, 194444L)))
     assert(d(3) == ((3, 0L, 1L, 1L, 0L, 194444L)))
   }
+
+  test("goodTuringUnseen: singleton mass is the unseen estimate") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Text
+    val docs = Seq(("g", "a a b c")).toDF("src", "text")
+    val r = Text.goodTuringUnseen(docs, col("src"), col("text"))
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    assert(r == (("g", 4L, 3L, 2L, 1L, 500000L)))
+  }
+
 }
