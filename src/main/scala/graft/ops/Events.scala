@@ -133,6 +133,42 @@ object Events {
       .drop("__new")
   }
 
+  /** INTER-ARRIVAL BURSTINESS (Fano factor of the gap distribution) —
+    * the traffic-shape read: Fano = var/mean of consecutive per-user
+    * event gaps; ≈mean (Fano→mean ratio 1) is Poisson-like, ≫ is
+    * bursty. Exact: gaps are integer µs; with S = Σd, Q = Σd², the
+    * estimator var/mean = (n·Q − S²)/(n·S) is ONE floored division of
+    * exact decimal sums — no double variance ever materializes.
+    * Output one row: (n_gaps, sum_gap_us, mean_gap_us, fano_micro —
+    * null when no gaps or zero mean).
+    */
+  def interArrivalBurstiness(events: DataFrame, user: Column,
+                             ts: Column, order: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val w = Window.partitionBy(user).orderBy(ts, order)
+    val gaps = events
+      .select((unix_micros(ts) - lag(unix_micros(ts), 1).over(w))
+        .as("d"))
+      .filter(col("d").isNotNull)
+    gaps.agg(count(lit(1)).as("n_gaps"), sum(col("d"))
+        .as("sum_gap_us"),
+      sum(dec(col("d")) * col("d")).as("q"))
+      .select(col("n_gaps"), col("sum_gap_us"),
+        when(col("n_gaps") === 0L, lit(null).cast("long"))
+          .otherwise(fdiv(dec(col("sum_gap_us")), dec(col("n_gaps"))))
+          .as("mean_gap_us"),
+        when(col("n_gaps") === 0L || col("sum_gap_us") === 0L,
+          lit(null).cast("long"))
+          .otherwise(fdiv(
+            (dec(col("n_gaps")) * col("q") -
+              dec(col("sum_gap_us")) * col("sum_gap_us")) *
+              lit(1000000L),
+            dec(col("n_gaps")) * col("sum_gap_us")))
+          .as("fano_micro"))
+  }
+
   /** PEAK CONCURRENCY over inclusive [start, end] µs intervals — the
     * capacity read (max simultaneous sessions/streams/licenses): the
     * classic sweep — +1 at start, −1 at end+1, depth = running sum

@@ -743,6 +743,40 @@ object Profile {
       .withColumn("meets_l", col("n_rows_below") === 0L)
   }
 
+  /** DATA-CONTRACT INFERENCE (the Deequ-style profiler): per column
+    * one exact pass suggests the constraints the data already
+    * satisfies — not_null when zero nulls, unique when the non-null
+    * values are all distinct. These are the rules a pipeline then
+    * ENFORCES via [[graft.sources.Snapshot.commitChecked]]; inferring
+    * them from a healthy snapshot is how contracts get written in
+    * practice. One aggregate carrying every column's count/distinct
+    * (the distinct expansion is Spark's standard multi-distinct
+    * rewrite); output one row per column: (column, n_rows, n_nulls,
+    * n_distinct, null_micro, suggest_not_null, suggest_unique).
+    */
+  def inferContract(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"))) :+
+      count(lit(1)).as("__n")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"nn_$c")).as("n_nulls"),
+        col(s"nd_$c").as("n_distinct"),
+        fdiv(dec(col("__n") - col(s"nn_$c")) * lit(1000000L),
+          dec(greatest(col("__n"), lit(1L)))).as("null_micro"),
+        (col("__n") === col(s"nn_$c")).as("suggest_not_null"),
+        (col(s"nd_$c") === col(s"nn_$c")).as("suggest_unique"))): _*))
+        .as("r"))
+      .select(col("r.*"))
+  }
+
   /** AVERAGE PRECISION (the PR-curve area, interpolation-free form) —
     * the ranking eval that matters when positives are rare and
     * [[aucExact]]'s symmetric view flatters: AP = mean over positives

@@ -2148,6 +2148,50 @@ object Text {
           .as("bleu_micro"))
   }
 
+  /** ROUGE-N (Lin 2004) corpus-level — the summarization eval:
+    * recall-oriented n-gram overlap with the reference. ENTIRELY
+    * integer: with m the clipped matches, h/r the hypothesis/
+    * reference gram totals, recall = m/r, precision = m/h, and F1
+    * collapses to 2m/(h + r) — three micro floors, no
+    * transcendental. Same side-tagged single-aggregate clip shape as
+    * [[corpusBleu]]/[[chrF]]. Output one row: (n, matches,
+    * hyp_grams, ref_grams, recall_micro, precision_micro, f1_micro).
+    */
+  def rougeN(pairs: DataFrame, n: Int): DataFrame = {
+    require(n >= 1 && n <= 8, "n must be in [1, 8]")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    def grams(c: Column): Column =
+      when(size(c) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(c) - (n - 1)),
+          i => concat_ws(" ", slice(c, i, lit(n)))))
+    def rate(num: Column, den: Column): Column =
+      when(den === 0L, lit(0L))
+        .otherwise(fdiv(dec(num) * lit(1000000L), dec(den)))
+    pairs
+      .select(col("id"), lit(1L).as("hs"), col("hyp").as("s"))
+      .unionByName(pairs
+        .select(col("id"), lit(0L).as("hs"), col("ref").as("s")))
+      .select(col("id"), col("hs"), explode(grams(col("s"))).as("g"))
+      .groupBy(col("id"), col("g"))
+      .agg(sum(col("hs")).as("ch"), sum(lit(1L) - col("hs")).as("cr"))
+      .agg(sum(when(col("ch") > 0L && col("cr") > 0L,
+          least(col("ch"), col("cr"))).otherwise(0L)).as("matches"),
+        sum(col("ch")).as("hyp_grams"),
+        sum(col("cr")).as("ref_grams"))
+      .select(lit(n).as("n"), coalesce(col("matches"), lit(0L))
+          .as("matches"),
+        coalesce(col("hyp_grams"), lit(0L)).as("hyp_grams"),
+        coalesce(col("ref_grams"), lit(0L)).as("ref_grams"))
+      .withColumn("recall_micro", rate(col("matches"),
+        col("ref_grams")))
+      .withColumn("precision_micro", rate(col("matches"),
+        col("hyp_grams")))
+      .withColumn("f1_micro", rate(col("matches") * 2,
+        col("hyp_grams") + col("ref_grams")))
+  }
+
   /** chrF (Popović 2015) with β = 2 — the character-level generation
     * eval beside [[corpusBleu]] (robust to tokenization and
     * morphology, the WMT default alongside BLEU). ENTIRELY integer:

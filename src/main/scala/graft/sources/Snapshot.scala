@@ -1096,6 +1096,29 @@ object Snapshot {
     }
   }
 
+  /** SMALL-FILE report for the LATEST version — the other classic
+    * storage-ops read ([[writeAmplification]]'s sibling): tiny
+    * parquet files multiply open/footer costs and starve scans; this
+    * counts files under `minRows` from the manifest's per-file stats
+    * (no data scan) and advises compaction when more than half the
+    * files are small. Output one row: (n_files, n_small, rows_total,
+    * small_share_micro, advise_compact).
+    */
+  def smallFileReport(spark: SparkSession, table: String,
+                      minRows: Long): DataFrame = {
+    import spark.implicits._
+    val v = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no snapshot"))
+    val m = readManifest(table, v)
+    val files = m.dirs.flatMap(d => m.filesUnder(d).values.map(_.rows))
+    val nf = files.size.toLong
+    val small = files.count(_ < minRows).toLong
+    val share = if (nf == 0) 0L else small * 1000000L / nf
+    Seq((nf, small, files.sum, share, share > 500000L))
+      .toDF("n_files", "n_small", "rows_total", "small_share_micro",
+        "advise_compact")
+  }
+
   /** WRITE-AMPLIFICATION accounting across the version chain — the
     * storage-ops read behind "why is this table churning": per
     * version, total rows, rows physically WRITTEN (rows of data dirs

@@ -316,4 +316,21 @@ class EventsSpec extends SparkSpec {
     assert(r == ((2L, 5L, 2L)), "peak 2 first at t=5, hit twice")
   }
 
+
+  test("interArrivalBurstiness: Fano = (nQ - S^2)/(nS) on exact gap sums") {
+    import org.apache.spark.sql.functions.col
+    import java.sql.Timestamp
+    def t(us: Long) = new Timestamp(us / 1000).toInstant
+      .plusNanos((us % 1000) * 1000)
+    // one user, events at 0, 10, 40 us -> gaps 10, 30:
+    // S=40, Q=1000, n=2: fano = (2000-1600)*1e6 // 80 = 5_000_000
+    val ev = Seq((1L, 0L), (1L, 10L), (1L, 40L))
+      .toDF("u", "us")
+      .select(col("u"), org.apache.spark.sql.functions
+        .timestamp_micros(col("us")).as("ts"), col("us").as("ord"))
+    val r = Events.interArrivalBurstiness(ev, col("u"), col("ts"),
+      col("ord")).as[(Long, Long, Option[Long], Option[Long])].head()
+    assert(r == ((2L, 40L, Some(20L), Some(5000000L))))
+  }
+
 }

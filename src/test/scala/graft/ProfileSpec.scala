@@ -731,4 +731,15 @@ class ProfileSpec extends SparkSpec {
       col("rel"), 16L).as[(Long, Long, Long, Option[Long])]
       .head()._4.isEmpty)
   }
+
+  test("inferContract: null/distinct profile suggests the rules the data satisfies") {
+    val d = Seq((1L, Some("a")), (2L, Some("a")), (3L, None))
+      .toDF("id", "s")
+    val out = Profile.inferContract(d, Seq("id", "s"))
+      .as[(String, Long, Long, Long, Long, Boolean, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("id") == (("id", 3L, 0L, 3L, 0L, true, true)))
+    assert(out("s") == (("s", 3L, 1L, 1L, 333333L, false, false)))
+  }
+
 }

@@ -1295,4 +1295,16 @@ class TextDedupSpec extends SparkSpec {
     assert(r == (("g", 4L, 3L, 2L, 1L, 500000L)))
   }
 
+
+  test("rougeN: clipped overlap recall/precision/F1 as exact floors") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Text
+    val pairs = Seq((1L, Seq("a", "b", "c"), Seq("a", "b", "d", "c")))
+      .toDF("id", "hyp", "ref")
+    // hyp bigrams {ab, bc}; ref bigrams {ab, bd, dc}; clipped m=1
+    val r = Text.rougeN(pairs, 2)
+      .as[(Int, Long, Long, Long, Long, Long, Long)].head()
+    assert(r == ((2, 1L, 2L, 3L, 333333L, 500000L, 400000L)))
+  }
+
 }
