@@ -357,6 +357,51 @@ object Quality {
           .as("pass_at_k_micro"))
   }
 
+  /** BENFORD'S-LAW first-digit audit — the classic forensic screen
+    * for fabricated or unit-mangled numeric feeds: naturally-grown
+    * magnitudes put ~30.1% of leading digits on 1, and a feed that
+    * deviates hard earns a look. `expectedMicro` carries the nine
+    * ⌊1e6·log₁₀(1+1/d)⌋ constants as DRIVER literals (both engines
+    * see the same numbers — no cross-engine log₁₀ at all). Exact
+    * counts, floored micro shares, per-digit absolute deviation, and
+    * the total-variation distance constant on every row. Output one
+    * row per digit 1..9: (digit, n_obs, obs_micro, expected_micro,
+    * dev_micro, tvd_micro). Non-positive values are excluded (they
+    * have no Benford digit).
+    */
+  def benfordAudit(df: DataFrame, valueCents: Column,
+                   expectedMicro: Seq[Long]): DataFrame = {
+    require(expectedMicro.length == 9, "need 9 digit expectations")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val exp = expectedMicro.zipWithIndex.map { case (e, i) =>
+      (i + 1, e)
+    }
+    val obs = df.select(valueCents.cast("long").as("c"))
+      .filter(col("c") > 0L)
+      .select(substring(col("c").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spine = exp.toDF("digit", "expected_micro")
+    val total = obs.agg(sum(col("n_obs")).as("n_total"))
+    spine.join(obs, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(total))
+      .withColumn("obs_micro", fdiv(dec(col("n_obs")) * lit(1000000L),
+        dec(greatest(col("n_total"), lit(1L)))))
+      .withColumn("dev_micro",
+        abs(col("obs_micro") - col("expected_micro")))
+      .withColumn("tvd_micro", sum(col("dev_micro")).over(
+        Window.partitionBy(graft.ops.Cols.onePartitionKey(col("digit"))))
+        / lit(2))
+      .withColumn("tvd_micro", col("tvd_micro").cast("long"))
+      .select(col("digit"), col("n_obs"), col("obs_micro"),
+        col("expected_micro"), col("dev_micro"), col("tvd_micro"))
+  }
+
   /** QUERY-BY-COMMITTEE disagreement (Seung et al. 1992) — the
     * active-learning read over any set of binary classifiers: union
     * the per-model (id, pred ∈ {0,1}) frames, one aggregate per id

@@ -122,6 +122,63 @@ object Resample {
       round(col(close) / lag(col(close), 1).over(w) - lit(1.0), 4))
   }
 
+  /** MAXIMUM DRAWDOWN per series — the canonical risk read: the
+    * deepest peak-to-trough fall of the running maximum. Exact cents
+    * end to end: running max over the (partitioned, totally-ordered)
+    * series window, drawdown = runmax − price, one grouped aggregate.
+    * `ord` must be a TOTAL order (include content tiebreaks — the
+    * synthetic lineitem carries duplicate natural keys); rel_micro =
+    * ⌊maxdd·1e6/max_cents⌋. Output per series: (k, n_bars,
+    * max_cents, max_drawdown_cents, rel_micro).
+    */
+  def maxDrawdown(bars: DataFrame, key: Column, ord: Column,
+                  priceCents: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val w = Window.partitionBy(key).orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    bars.select(key.as("k"), ord.as("o"),
+        priceCents.cast("long").as("c"))
+      .withColumn("dd", max(col("c")).over(w) - col("c"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_bars"), max(col("c")).as("max_cents"),
+        max(col("dd")).as("max_drawdown_cents"))
+      .withColumn("rel_micro",
+        fdiv(dec(col("max_drawdown_cents")) * lit(1000000L),
+          dec(greatest(col("max_cents"), lit(1L)))))
+  }
+
+  /** ROLLING VARIANCE of a cent series (window of `w` rows) — the
+    * volatility read with NO double variance: per full window,
+    * var = ⌊(n·Q − S²)/n²⌋ over exact integer sums, reported in
+    * CENTS² (no micro scaling — cent-scale prices square to ~1e14,
+    * and another ×1e6 would overflow the long range). Summarized per
+    * series (the full rolling table is data-sized):
+    * (k, n_windows, max_var_cents2) — the volatility peak.
+    */
+  def rollingVariance(bars: DataFrame, key: Column, ord: Column,
+                      priceCents: Column, w: Int): DataFrame = {
+    require(w >= 2, "window must be >= 2")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val win = Window.partitionBy(key).orderBy(ord)
+      .rowsBetween(-(w - 1), 0)
+    bars.select(key.as("k"), ord.as("o"),
+        priceCents.cast("long").as("c"))
+      .withColumn("nw", count(lit(1)).over(win))
+      .withColumn("s", sum(col("c")).over(win))
+      .withColumn("q", sum(dec(col("c")) * col("c")).over(win))
+      .filter(col("nw") === w.toLong)
+      .select(col("k"),
+        fdiv(dec(col("nw")) * col("q") - dec(col("s")) * col("s"),
+          dec(lit(w.toLong * w))).as("var_cents2"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_windows"),
+        max(col("var_cents2")).as("max_var_cents2"))
+  }
+
   /** Calendar densification + forward fill: expand each series to every
     * day of its own [min, max] date span and carry the last observed
     * value across the gaps — the trading-calendar alignment step

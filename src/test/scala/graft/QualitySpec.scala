@@ -275,4 +275,22 @@ class QualitySpec extends SparkSpec {
     assert(out(3L) == ((3L, 3L, 3L, false)))
     assert(out(4L) == ((4L, 3L, 0L, false)))
   }
+
+  test("benfordAudit: exact digit shares, deviation, and TVD") {
+    import org.apache.spark.sql.functions.col
+    val exp = (1 to 9).map(d => math.round(1e6 * math.log10(1 + 1.0 / d)))
+    // 10 values: leading digits 1x5, 2x3, 9x2 (zeros excluded)
+    val vals = (Seq(10L, 11L, 199L, 1L, 150L) ++ Seq(2L, 25L, 299L) ++
+      Seq(9L, 90L) ++ Seq(0L, -5L)).toDF("c")
+    val out = Quality.benfordAudit(vals, col("c"), exp)
+      .as[(Int, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1)._2 == 5L && out(1)._3 == 500000L)
+    assert(out(2)._2 == 3L && out(2)._3 == 300000L)
+    assert(out(9)._2 == 2L && out(9)._3 == 200000L)
+    assert(out(3)._2 == 0L && out(3)._3 == 0L)
+    val tvd = out.values.map(_._5).sum / 2
+    assert(out.values.forall(_._6 == tvd))
+  }
+
 }

@@ -113,4 +113,27 @@ class ResampleSpec extends SparkSpec {
           .toDF("s", "o", "v"), $"s", $"o", $"v", 1).collect()
     }
   }
+
+  test("maxDrawdown: deepest running-max fall in exact cents") {
+    import org.apache.spark.sql.functions.col
+    // series: 100, 120, 80, 110, 60 -> runmax 100,120,120,120,120;
+    // dd 0,0,40,10,60 -> maxdd 60, rel = 60e6 // 120 = 500000
+    val bars = Seq(("A", 1L, 100L), ("A", 2L, 120L), ("A", 3L, 80L),
+      ("A", 4L, 110L), ("A", 5L, 60L)).toDF("k", "o", "c")
+    val r = Resample.maxDrawdown(bars, col("k"), col("o"), col("c"))
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(r == (("A", 5L, 120L, 60L, 500000L)))
+  }
+
+  test("rollingVariance: full windows only, exact (nQ-S^2)/n^2 floor") {
+    import org.apache.spark.sql.functions.col
+    // w=2 over 10, 10, 16: windows (10,10) var 0; (10,16) var 9
+    val bars = Seq(("A", 1L, 10L), ("A", 2L, 10L), ("A", 3L, 16L))
+      .toDF("k", "o", "c")
+    val r = Resample.rollingVariance(bars, col("k"), col("o"),
+      col("c"), 2).as[(String, Long, Long)].head()
+    assert(r == (("A", 2L, 9L)),
+      "(2*356 - 26^2)/4 = 9 cents^2 exactly at the peak window")
+  }
+
 }
