@@ -917,6 +917,43 @@ object Sampling {
     * source level, then a maxEpochs-wide explode on the tiny source
     * table.
     */
+  /** REPEAT-AWARE token allocation — [[repeatValueCurve]] turned into
+    * a PLANNER: spend a raw-token `budget` across sources where each
+    * source may repeat up to `maxEpochs` times and the k-th epoch of
+    * source s costs U_s raw tokens but is worth U_s·(f_k − f_{k−1})
+    * effective tokens (the snapped Muennighoff decay). Because the
+    * marginal VALUE PER RAW TOKEN depends only on k, the greedy
+    * optimum is epoch-level round-robin: order candidate epochs by
+    * (k, source) and take every full epoch that still fits. The
+    * candidate table is sources×maxEpochs (model-sized); the
+    * cumulative-cost walk is one ordered window over it. Output per
+    * source: (source, unique_tokens, epochs_alloc, raw_tokens,
+    * eff_tokens) — eff from the allocated epoch's curve value, 0 rows
+    * never drop (epochs_alloc may be 0).
+    */
+  def repeatAwareAllocation(docs: DataFrame, source: Column,
+                            tokens: Column, maxEpochs: Int,
+                            rStar: Double, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be >= 0")
+    val curve = repeatValueCurve(docs, source, tokens, maxEpochs,
+      rStar)
+    // model-sized frame (sources × maxEpochs); constant partition key
+    // keeps the one real data-sized-global-window warning meaningful
+    val w = Window.partitionBy(Cols.onePartitionKey(col("source")))
+      .orderBy(col("epoch"), col("source"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val taken = curve
+      .withColumn("cum_cost", sum(col("unique_tokens")).over(w))
+      .withColumn("take", col("cum_cost") <= budget)
+    taken.groupBy(col("source"))
+      .agg(first(col("unique_tokens")).as("unique_tokens"),
+        sum(when(col("take"), 1L).otherwise(0L)).as("epochs_alloc"),
+        sum(when(col("take"), col("unique_tokens")).otherwise(0L))
+          .as("raw_tokens"),
+        coalesce(max(when(col("take"), col("eff_tokens"))), lit(0L))
+          .as("eff_tokens"))
+  }
+
   def repeatValueCurve(docs: DataFrame, source: Column, tokens: Column,
                        maxEpochs: Int, rStar: Double): DataFrame = {
     require(maxEpochs >= 1 && rStar > 0.0)

@@ -468,6 +468,37 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming ERASURE propagation — the GDPR/right-to-be-forgotten
+    * pipeline: erasure REQUESTS arrive as a stream of keys and each
+    * micro-batch lands one deletion-vector version on the governed
+    * table ([[graft.sources.Snapshot.deleteVectored]] — zero data
+    * rewrite, the DV anti-join hides the rows immediately). Requests
+    * are HUMAN-SIZED (the per-batch key set collects to the driver to
+    * form the predicate — bounded by contract, like relevance
+    * judgments); content is idempotent under replay (re-deleting
+    * deleted keys is a no-op read-wise) and batch-order independent;
+    * the version count is a clean-run observable. History still
+    * retains until expiry — [[graft.sources.Snapshot.erasureAudit]]
+    * is the companion read; the stream makes rows unreadable NOW,
+    * retention policy makes the erasure real.
+    */
+  def erasureStream(in: DataFrame, table: String, keyCol: String,
+                    checkpoint: String): Unit = {
+    val q = in.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val keys = batch.select(col(keyCol)).distinct().collect()
+          .map(_.get(0))
+        if (keys.nonEmpty)
+          graft.sources.Snapshot.deleteVectored(batch.sparkSession,
+            table, keyCol, col(keyCol).isin(keys.toSeq: _*)): Unit
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Fold the per-batch duel-matrix partials written by
     * [[preferenceStream]] and run the fixed-point MM rounds on the
     * totals. One sum aggregate over batch-partition files, then the

@@ -507,4 +507,25 @@ class SamplingPackSpec extends SparkSpec {
     assert(out(1024) == ((1024, 1L, 3L, 3L, 1000000L, 1000000L)),
       "a single batch makes every near-dup pair a false negative")
   }
+
+  test("repeatAwareAllocation: epoch-level round-robin greedy under the budget") {
+    import org.apache.spark.sql.functions.col
+    // sources a (40 tokens), b (100); budget 180 -> a:2 epochs, b:1
+    val docs = Seq(("a", 40L), ("b", 60L), ("b", 40L)).toDF("src", "n")
+    val out = Sampling.repeatAwareAllocation(docs, col("src"),
+      col("n"), 2, 15.0, 180L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    val f2 = math.round(1e6 * 15.0 * (1.0 - math.exp(-1.0 / 15.0)))
+    assert(out("a") == (("a", 40L, 2L, 80L, 40L + 40L * f2 / 1000000L)))
+    assert(out("b") == (("b", 100L, 1L, 100L, 100L)))
+    // zero budget: rows survive with zero allocation
+    val zero = Sampling.repeatAwareAllocation(docs, col("src"),
+      col("n"), 2, 15.0, 0L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(zero("a") == (("a", 40L, 0L, 0L, 0L)))
+    assert(zero("b") == (("b", 100L, 0L, 0L, 0L)))
+  }
+
 }

@@ -992,4 +992,30 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long, Long, Long)].collect()
       .map(r => r._1 -> r).toMap == batch)
   }
+
+  test("erasureStream: per-batch deletion vectors, content converges " +
+      "regardless of batch order, history retains") {
+    import graft.sources.Snapshot
+    def run(batches: Seq[Seq[Long]], tag: String): (Set[Long], Int) = {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"erasure$tag").toFile
+      val t = dir.getAbsolutePath + "/t"
+      Snapshot.commit((1L to 6L).map(i => (i, s"v$i")).toDF("id", "v"), t)
+      val in = SparkEntry.writeStreamBatches(
+        batches.map(b => b.map(Tuple1(_)).toDF("id")),
+        dir.getAbsolutePath)
+      val schema = spark.read.parquet(in).schema
+      Streams.erasureStream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(in),
+        t, "id", dir.getAbsolutePath + "/ck")
+      (Snapshot.read(spark, t).select($"id").as[Long].collect().toSet,
+        Snapshot.versions(t).size)
+    }
+    val (a, va) = run(Seq(Seq(2L), Seq(4L, 6L)), "f")
+    assert(a == Set(1L, 3L, 5L) && va == 3)
+    val (b, _) = run(Seq(Seq(4L, 6L), Seq(2L)), "r")
+    assert(b == Set(1L, 3L, 5L), "batch order immaterial for content")
+  }
+
 }
