@@ -133,6 +133,49 @@ object Events {
       .drop("__new")
   }
 
+  /** TWO-PROPORTION Z-TEST for a binary conversion between exactly
+    * two variants — the A/B readout ([[funnelCounts]]' significance
+    * companion; [[graft.ops.Profile.chiSquareIndependence]] gives the
+    * same verdict asymptotically, this one reports the SIGNED z).
+    * All inputs are exact integer counts; the single double chain
+    * (rates, pooled variance, one sqrt) runs in a fixed expression
+    * order and the z snaps ×1e6 — the sigmoid convention. Degenerate
+    * pools (p̂ ∈ {0, 1}: nobody or everybody converts) yield null z.
+    * `variant` must take exactly two values; rows pivot by the
+    * SMALLER variant label as side A. Output one row: (variant_a,
+    * variant_b, n_a, conv_a, n_b, conv_b, z_micro, significant —
+    * |z| ≥ 1.96).
+    */
+  def conversionZTest(df: DataFrame, variant: Column,
+                      converted: Column): DataFrame = {
+    val agg = df
+      .groupBy(variant.cast("string").as("v"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(converted, 1L).otherwise(0L)).as("c"))
+    val two = agg.agg(count(lit(1)).as("k")).head().getLong(0)
+    require(two == 2L, s"conversionZTest needs exactly 2 variants, got $two")
+    val a = agg.select(col("v").as("variant_a"), col("n").as("n_a"),
+      col("c").as("conv_a"))
+    val b = agg.select(col("v").as("variant_b"), col("n").as("n_b"),
+      col("c").as("conv_b"))
+    val wide = a.crossJoin(b).filter(col("variant_a") < col("variant_b"))
+    def d(c: Column): Column = c.cast("double")
+    val p1 = d(col("conv_a")) / d(col("n_a"))
+    val p2 = d(col("conv_b")) / d(col("n_b"))
+    val pp = d(col("conv_a") + col("conv_b")) /
+      d(col("n_a") + col("n_b"))
+    val z = (p1 - p2) / sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / d(col("n_a")) + lit(1.0) / d(col("n_b"))))
+    wide.select(col("variant_a"), col("variant_b"), col("n_a"),
+        col("conv_a"), col("n_b"), col("conv_b"),
+        when(col("conv_a") + col("conv_b") === 0L ||
+          col("conv_a") + col("conv_b") === col("n_a") + col("n_b"),
+          lit(null).cast("long"))
+          .otherwise(round(z * lit(1e6)).cast("long")).as("z_micro"))
+      .withColumn("significant",
+        abs(col("z_micro")) >= 1960000L)
+  }
+
   /** INTER-ARRIVAL BURSTINESS (Fano factor of the gap distribution) —
     * the traffic-shape read: Fano = var/mean of consecutive per-user
     * event gaps; ≈mean (Fano→mean ratio 1) is Poisson-like, ≫ is

@@ -1782,6 +1782,43 @@ object Similarity {
           .as("margin_micro"))
   }
 
+  /** CENTROID DRIFT between two embedding snapshots per class — the
+    * model-refresh QA read: after re-embedding a corpus, how far did
+    * each class's mean vector move? Exact despite the rational
+    * means: dist²(mean_a, mean_b) = Σ_d (s_a·n_b − s_b·n_a)² /
+    * (n_a·n_b)² over ×1e6-snapped integer sums — one cross-
+    * multiplied decimal numerator per class, one floored division;
+    * no double mean ever materializes. drift_e12 is the squared
+    * distance in micro² units. `a`/`b` are (label, vec) frames; a
+    * class absent from one side is dropped (inner join — no mean to
+    * compare). Two dim-explode aggregates, one label-sized join.
+    */
+  def centroidDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(x: Column, y: Column): Column =
+      ((x - pmod(x, y)) / y).cast("long")
+    def side(df: DataFrame, tag: String): DataFrame = df
+      .select(col("label"), posexplode(col("vec"))
+        .as(Seq("dim", "xv")))
+      .select(col("label"), col("dim"),
+        round(col("xv").cast("double") * 1e6).cast("long").as("xi"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("xi")).as(s"s_$tag"),
+        count(lit(1)).as(s"n_$tag"))
+    side(a, "a").join(side(b, "b"), Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        sum({
+          val t = dec(col("s_a")) * col("n_b") -
+            dec(col("s_b")) * col("n_a")
+          t * t
+        }).as("num"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        fdiv(col("num"),
+          dec(col("n_a")) * col("n_a") * col("n_b") * col("n_b"))
+          .as("drift_e12"))
+  }
+
   /** ROCCHIO query expansion (the classic relevance-feedback rewrite):
     * q′ = α·q + β·mean(relevant) − γ·mean(non-relevant), then rank
     * candidates by the expanded query — the retrieval loop's "the

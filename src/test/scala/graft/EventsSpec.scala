@@ -333,4 +333,28 @@ class EventsSpec extends SparkSpec {
     assert(r == ((2L, 40L, Some(20L), Some(5000000L))))
   }
 
+
+  test("conversionZTest: hand z-value, degenerate pool null, 2-variant contract") {
+    import org.apache.spark.sql.functions.col
+    val rows = (1 to 100).map(i => ("a", i <= 30)) ++
+      (1 to 100).map(i => ("b", i <= 50))
+    val df = rows.toDF("v", "c")
+    val r = Events.conversionZTest(df, col("v"), col("c"))
+      .as[(String, String, Long, Long, Long, Long, Option[Long], Option[Boolean])]
+      .head()
+    val z = (0.3 - 0.5) / math.sqrt(0.4 * (1.0 - 0.4) * (1.0 / 100 + 1.0 / 100))
+    assert((r._1, r._2, r._3, r._4, r._5, r._6) ==
+      (("a", "b", 100L, 30L, 100L, 50L)))
+    assert(r._7 == Some(math.round(z * 1e6)))
+    assert(r._8 == Some(true), "|z| ~ 2.89 clears 1.96")
+    val allConv = Seq(("a", true), ("b", true)).toDF("v", "c")
+    assert(Events.conversionZTest(allConv, col("v"), col("c"))
+      .as[(String, String, Long, Long, Long, Long, Option[Long], Option[Boolean])]
+      .head()._7.isEmpty)
+    intercept[IllegalArgumentException] {
+      Events.conversionZTest(Seq(("a", true), ("b", true), ("c", true))
+        .toDF("v", "c"), col("v"), col("c"))
+    }
+  }
+
 }

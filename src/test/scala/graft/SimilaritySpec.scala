@@ -1029,4 +1029,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((12L, 1, 1600000L), (10L, 2, 850000L),
       (11L, 3, 750000L)))
   }
+
+  test("centroidDrift: zero for matching means, exact micro^2 for a unit shift") {
+    import org.apache.spark.sql.functions.col
+    val a = Seq((0, Seq(1.0, 0.0)), (0, Seq(3.0, 0.0)), (1, Seq(0.0, 0.0)))
+      .toDF("label", "vec")
+    val b = Seq((0, Seq(2.0, 0.0)), (1, Seq(1.0, 0.0)))
+      .toDF("label", "vec")
+    val out = Similarity.centroidDrift(a, b)
+      .as[(Int, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(0) == ((0, 2L, 1L, 0L)), "equal means drift 0")
+    assert(out(1) == ((1, 1L, 1L, 1000000000000L)),
+      "a unit mean shift is 1e12 in micro^2")
+  }
+
 }
