@@ -49,6 +49,45 @@ object Dedup {
         (a, i) => least(a, pmod((lit(2) * i + 1) * h + lit(7) + lit(13) * i, lit(P)))))
 
   /** Convenience one-shot signature. */
+  /** ONE-PERMUTATION HASHING with rotation densification (Li et al.
+    * 2012; Shrivastava & Li 2014) — the k×-cheaper MinHash: instead
+    * of k independent hashes PER ELEMENT, each element is hashed
+    * ONCE and binned into slot h mod k; the signature is the per-slot
+    * minimum, and an EMPTY slot borrows the value of the nearest
+    * non-empty slot to its right (cyclic — the densification that
+    * restores the unbiased collision probability). P(slot match) ≈
+    * Jaccard exactly like classic MinHash, at 1/k the hashing cost —
+    * the scale path when signatures dominate the dedup bill.
+    * `elems` is (id, h) element hashes (one row per element
+    * OCCURRENCE is fine — min absorbs duplicates); ids with no
+    * elements emit nothing. Output: (id, slot, sig) — k rows per id.
+    *
+    * Shape: one (id, slot) min aggregate (map-side combinable), then
+    * the k-slot densification runs per id on a MAP column (k² HOF
+    * steps worst case, k is the signature width — a constant).
+    */
+  def ophDensifiedSignature(elems: DataFrame, id: Column, h: Column,
+                            k: Int): DataFrame = {
+    require(k >= 2 && k <= 512, "k must be in [2, 512]")
+    val mins = elems
+      .select(id.as("id"), pmod(h, lit(k)).cast("int").as("slot"),
+        h.as("hv"))
+      .groupBy(col("id"), col("slot")).agg(min(col("hv")).as("v"))
+    val asMap = mins.groupBy(col("id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("slot"), col("v")))).as("m"))
+    asMap
+      .select(col("id"), posexplode(
+        transform(sequence(lit(0), lit(k - 1)), j => {
+          val tmin = element_at(filter(sequence(lit(0), lit(k - 1)),
+            t => element_at(col("m"),
+              pmod(j + t, lit(k)).cast("int")).isNotNull), 1)
+          element_at(col("m"), pmod(j + tmin, lit(k)).cast("int"))
+        })).as(Seq("slot", "sig")))
+      .select(col("id"), col("slot").cast("int").as("slot"),
+        col("sig"))
+  }
+
   def minhashSignature(shingles: Column, k: Int): Column =
     minhashFromHashes(elementHashes(shingles), k)
 

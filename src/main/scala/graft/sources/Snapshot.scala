@@ -1096,6 +1096,47 @@ object Snapshot {
     }
   }
 
+  /** CHANGELOG across a version range — [[diff]] unrolled into the
+    * Delta `table_changes` shape: one (keys…, change_type, version)
+    * row for every row added/removed/changed by each version in
+    * (fromV, toV]. Version-count-bounded loop of pairwise diffs;
+    * each diff is one full-outer join on the keys.
+    */
+  def changelog(spark: SparkSession, table: String, fromV: Long,
+                toV: Long, keys: Seq[String]): DataFrame = {
+    require(fromV < toV, "need fromV < toV")
+    (fromV + 1 to toV).map(v =>
+      diff(spark, table, v - 1, v, keys).withColumn("version", lit(v)))
+      .reduce(_ unionByName _)
+  }
+
+  /** DESCRIBE EXTENDED — the one-call operational summary a human
+    * (or a catalog UI) reads first: current version, row/dir/file
+    * counts from manifest stats, partition spec, outstanding MoR
+    * sidecars, tags, staged WAP batches, retained version count.
+    * Pure metadata; output (section, key, value) string rows.
+    */
+  def describeTable(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val vs = versions(table)
+    require(vs.nonEmpty, s"$table has no committed snapshot")
+    val m = readManifest(table, vs.last)
+    val rows = Seq(
+      ("version", "current", vs.last.toString),
+      ("version", "retained", vs.size.toString),
+      ("data", "rows",
+        m.dirs.flatMap(m.stats.get).map(_.rows).sum.toString),
+      ("data", "dirs", m.dirs.size.toString),
+      ("data", "files", m.fileStats.size.toString),
+      ("spec", "partition_col",
+        if (m.partitionCol.isEmpty) "(none)" else m.partitionCol),
+      ("mor", "dv_dirs", m.dvDirs.size.toString),
+      ("mor", "uv_dirs", m.uvDirs.size.toString),
+      ("refs", "tags", tags(table).size.toString),
+      ("refs", "staged", stagedNames(table).size.toString))
+    rows.toDF("section", "key", "value")
+  }
+
   /** SMALL-FILE report for the LATEST version — the other classic
     * storage-ops read ([[writeAmplification]]'s sibling): tiny
     * parquet files multiply open/footer costs and starve scans; this

@@ -1258,4 +1258,35 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+
+  test("changelog: per-version added/removed/changed rows") {
+    import org.apache.spark.sql.functions.col
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      Snapshot.commit(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"), t)
+      Snapshot.commit(Seq((1L, 10L), (2L, 99L), (3L, 30L))
+        .toDF("id", "v"), t)
+      Snapshot.commit(Seq((1L, 10L), (3L, 30L)).toDF("id", "v"), t)
+      val out = Snapshot.changelog(spark, t, 1L, 3L, Seq("id"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(out == Set((2L, "changed", 2L), (3L, "added", 2L),
+        (2L, "removed", 3L)))
+    }
+  }
+
+  test("describeTable: manifest-only operational summary") {
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      Snapshot.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)
+      val m = Snapshot.describeTable(spark, t)
+        .as[(String, String, String)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(m(("version", "current")) == "1")
+      assert(m(("data", "rows")) == "2")
+      assert(m(("spec", "partition_col")) == "(none)")
+      assert(m(("mor", "dv_dirs")) == "0")
+      assert(m(("refs", "tags")) == "0")
+    }
+  }
+
 }

@@ -1307,4 +1307,27 @@ class TextDedupSpec extends SparkSpec {
     assert(r == ((2, 1L, 2L, 3L, 333333L, 500000L, 400000L)))
   }
 
+
+  test("ophDensifiedSignature: k rows per id, no empty slots, identical " +
+    "element sets share every slot, values come from the elements") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Dedup
+    val elems = Seq((1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"), (2L, "c"), (3L, "x"))
+      .toDF("id", "tok")
+      .select(col("id"), Dedup.hashLong(col("tok")).as("h"))
+    val sig = Dedup.ophDensifiedSignature(elems, col("id"),
+      col("h"), 8).as[(Long, Int, Long)].collect()
+    assert(sig.groupBy(_._1).forall(_._2.length == 8))
+    val hashes = elems.as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    assert(sig.forall(r => hashes(r._1).contains(r._3)),
+      "every densified slot carries a real element hash")
+    val s1 = sig.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    val s2 = sig.filter(_._1 == 2L).sortBy(_._2).map(_._3).toSeq
+    assert(s1 == s2, "identical element sets -> identical signatures")
+    // the single-element doc densifies every slot to that element
+    assert(sig.filter(_._1 == 3L).forall(_._3 == hashes(3L).head))
+  }
+
 }
