@@ -88,6 +88,33 @@ object Dedup {
         col("sig"))
   }
 
+  /** Banded candidate pairs over [[ophDensifiedSignature]] tables —
+    * the OPH scale path end to end: k slots split into `bands`
+    * equal bands, a band's key is the md5 of its slot values in slot
+    * order, ids sharing any (band, key) bucket become candidates.
+    * Identical banding economics to [[lshCandidatePairs]] at 1/k the
+    * signature cost. `sig` is (id, slot, sig) with slots 0..k−1.
+    */
+  def ophCandidatePairs(sig: DataFrame, k: Int,
+                        bands: Int): DataFrame = {
+    require(bands >= 1 && k % bands == 0,
+      "bands must divide the signature width")
+    val bw = k / bands
+    val keys = sig
+      .withColumn("band", (col("slot") - pmod(col("slot"), lit(bw)))
+        .cast("long") / bw)
+      .groupBy(col("id"), col("band").cast("int").as("band"))
+      .agg(md5(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("slot"),
+          col("sig")))), x => x.getField("sig").cast("string"))))
+        .as("bkey"))
+    keys.select(col("band"), col("bkey"), col("id").as("id_a"))
+      .join(keys.select(col("band"), col("bkey"),
+        col("id").as("id_b")), Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
   def minhashSignature(shingles: Column, k: Int): Column =
     minhashFromHashes(elementHashes(shingles), k)
 

@@ -1782,6 +1782,42 @@ object Similarity {
           .as("margin_micro"))
   }
 
+  /** NEIGHBOR-SET STABILITY between two embedding spaces — the
+    * instance-level model-refresh QA beside [[centroidDrift]]'s
+    * class-level read: for each bounded probe, the Jaccard of its
+    * top-k neighbor-ID sets under space A vs space B. THE acceptance
+    * gate before swapping an index to quantized/re-embedded vectors:
+    * centroids can hold still while neighborhoods churn. Two
+    * [[bruteForceTopK]] passes (probe pools are bounded by that
+    * contract), one join on (query, neighbor), exact set arithmetic:
+    * jaccard = inter·1e6/(2k − inter) floored. Output per probe
+    * (query_id, n_common, jaccard_micro) with the constant
+    * mean_jaccard_micro.
+    */
+  def neighborStability(queriesA: DataFrame, candsA: DataFrame,
+                        queriesB: DataFrame, candsB: DataFrame,
+                        k: Int): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val ta = bruteForceTopK(queriesA, candsA, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val tb = bruteForceTopK(queriesB, candsB, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val per = ta.join(tb, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_common"))
+    val spine = ta.select(col("query_id")).distinct()
+    val rows = spine.join(per, Seq("query_id"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .select(col("query_id"), col("n_common"),
+        fdiv(dec(col("n_common")) * lit(1000000L),
+          dec(lit(2L * k) - col("n_common"))).as("jaccard_micro"))
+    rows.crossJoin(broadcast(rows.agg(
+      fdiv(dec(coalesce(sum(col("jaccard_micro")), lit(0L))),
+        dec(greatest(count(lit(1)), lit(1L))))
+        .as("mean_jaccard_micro"))))
+  }
+
   /** CENTROID DRIFT between two embedding snapshots per class — the
     * model-refresh QA read: after re-embedding a corpus, how far did
     * each class's mean vector move? Exact despite the rational

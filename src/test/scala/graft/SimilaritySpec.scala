@@ -1043,4 +1043,22 @@ class SimilaritySpec extends SparkSpec {
       "a unit mean shift is 1e12 in micro^2")
   }
 
+
+  test("neighborStability: identical spaces score 1e6; a fully churned " +
+    "neighborhood scores 0") {
+    import org.apache.spark.sql.functions.col
+    val q = Seq((0L, Seq(1.0, 0.0))).toDF("id", "vec")
+    val ca = Seq((1L, Seq(1.0, 0.01)), (2L, Seq(0.9, 0.1)),
+      (3L, Seq(0.0, 1.0))).toDF("id", "vec")
+    val same = Similarity.neighborStability(q, ca, q, ca, 1)
+      .as[(Long, Long, Long, Long)].head()
+    assert(same == ((0L, 1L, 1000000L, 1000000L)))
+    val cb = Seq((1L, Seq(0.0, 1.0)), (2L, Seq(0.1, 0.9)),
+      (3L, Seq(1.0, 0.0))).toDF("id", "vec")
+    val churn = Similarity.neighborStability(q, ca, q, cb, 1)
+      .as[(Long, Long, Long, Long)].head()
+    assert(churn == ((0L, 0L, 0L, 0L)),
+      "nearest flips from 1 to 3 -> zero overlap")
+  }
+
 }

@@ -1330,4 +1330,18 @@ class TextDedupSpec extends SparkSpec {
     assert(sig.filter(_._1 == 3L).forall(_._3 == hashes(3L).head))
   }
 
+
+  test("ophCandidatePairs: bucket joins pair identical bands, distinct output") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Dedup
+    // k=8, bands=4 (width 2): ids 1,2 share every slot value; id 3
+    // differs everywhere
+    val sig = ((0 until 8).flatMap(s0 => Seq((1L, s0, 100L + s0),
+      (2L, s0, 100L + s0), (3L, s0, 900L + s0))))
+      .toDF("id", "slot", "sig")
+    val pairs = Dedup.ophCandidatePairs(sig, 8, 4)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
 }
