@@ -120,6 +120,30 @@ object Merge {
   def compact(df: DataFrame, targetFiles: Int, outPath: String): Unit =
     df.coalesce(targetFiles).write.mode(SaveMode.Overwrite).parquet(outPath)
 
+  /** SCHEMA DIFF between two frames — the evolution linter a CI
+    * contract check runs before a write lands: per column union,
+    * status ∈ {added, removed, type_changed, unchanged} with both
+    * catalog types. Pure metadata (driver-side schema walk).
+    */
+  def schemaDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val ta = a.schema.map(f => f.name -> f.dataType.catalogString).toMap
+    val tb = b.schema.map(f => f.name -> f.dataType.catalogString).toMap
+    val names = (a.schema.map(_.name) ++
+      b.schema.map(_.name).filterNot(ta.contains)).toSeq
+    names.map { n =>
+      val (x, y) = (ta.get(n), tb.get(n))
+      val status = (x, y) match {
+        case (Some(_), None) => "removed"
+        case (None, Some(_)) => "added"
+        case (Some(p), Some(q)) if p != q => "type_changed"
+        case _ => "unchanged"
+      }
+      (n, status, x.getOrElse(""), y.getOrElse(""))
+    }.toDF("column", "status", "type_a", "type_b")
+  }
+
   /** RECONCILIATION between two keyed value tables — the migration /
     * dual-write / vendor-feed read: one full-outer join classifies
     * every key as equal, within_tol (|Δ| ≤ tolCents), mismatch,

@@ -917,6 +917,26 @@ object Sampling {
     * source level, then a maxEpochs-wide explode on the tiny source
     * table.
     */
+  /** SHARD-BALANCE audit over a [[packByBudget]] layout — the
+    * dataloader evenness read: per-shard token totals, min/max, and
+    * imbalance = (max − min)·1e6/max. One aggregate to shard level
+    * (shard count is output-file-sized), one summary row:
+    * (n_shards, min_tokens, max_tokens, imbalance_micro).
+    */
+  def shardBalanceAudit(shards: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    shards.groupBy(col("shard"))
+      .agg(sum(col("weight")).as("tokens"))
+      .agg(count(lit(1)).as("n_shards"),
+        min(col("tokens")).as("min_tokens"),
+        max(col("tokens")).as("max_tokens"))
+      .withColumn("imbalance_micro",
+        fdiv(dec(col("max_tokens") - col("min_tokens")) *
+          lit(1000000L), dec(greatest(col("max_tokens"), lit(1L)))))
+  }
+
   /** REPEAT-AWARE token allocation — [[repeatValueCurve]] turned into
     * a PLANNER: spend a raw-token `budget` across sources where each
     * source may repeat up to `maxEpochs` times and the k-th epoch of

@@ -2009,6 +2009,49 @@ object Text {
             (col("hi") - col("lo")).cast("int"))))).as("psm_fp"))
   }
 
+  /** VOCABULARY-COVERAGE plan — the tokenizer-budget read: if the
+    * vocab keeps only the top-V types (by corpus frequency), what
+    * share of the TOKEN mass is covered (the rest falls back to
+    * bytes/UNK)? Exact: the frequency SPECTRUM (freq → type count)
+    * is tiny; descending-frequency type ranks come from the prefix
+    * kernel over the spectrum; coverage(V) = Σ over frequency
+    * classes of min(n_types, max(0, V − types_above)) · freq — ties
+    * inside the boundary class take the partial count, so coverage
+    * is a pure function of V (no per-type ordering needed). Output
+    * one row per V: (vocab_size, covered_tokens, total_tokens,
+    * coverage_micro).
+    */
+  def vocabCoveragePlan(docs: DataFrame, text: Column,
+                        vs: Seq[Int]): DataFrame = {
+    require(vs.nonEmpty && vs.forall(_ >= 1))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val spectrum = docs.select(explode(tokens(text)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .groupBy(col("freq")).agg(count(lit(1)).as("n_types"))
+    val ranked = Ranks.withRunningBelow(
+      spectrum.withColumn("nf", -col("freq")), "nf", 1000000L,
+      Seq("n_types"))
+      .select(col("freq"), col("n_types"),
+        col("n_types_below").as("types_above"))
+    val tot = spectrum
+      .agg(sum(dec(col("freq")) * col("n_types")).cast("long")
+        .as("total_tokens"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val spine = vs.map(_.toLong).toDF("v")
+    ranked
+      .crossJoin(broadcast(spine))
+      .groupBy(col("v").as("vocab_size"))
+      .agg(sum(dec(col("freq")) * least(col("n_types"),
+        greatest(col("v") - col("types_above"), lit(0L))))
+        .cast("long").as("covered_tokens"))
+      .crossJoin(broadcast(tot))
+      .withColumn("coverage_micro",
+        fdiv(dec(col("covered_tokens")) * lit(1000000L),
+          dec(greatest(col("total_tokens"), lit(1L)))))
+  }
   /** GOOD–TURING unseen-mass estimate per group — the "how much
     * vocabulary have we NOT seen yet" read behind corpus-growth
     * planning (the probabilistic complement of [[heapsFit]]'s

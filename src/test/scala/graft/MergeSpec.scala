@@ -129,4 +129,19 @@ class MergeSpec extends SparkSpec {
       "missing_in_b" -> (("missing_in_b", 1L, 0L)),
       "missing_in_a" -> (("missing_in_a", 1L, 0L))))
   }
+
+  test("schemaDiff: added/removed/type_changed/unchanged classification") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val a = Seq((1L, "x", 2.0)).toDF("id", "s", "v")
+    val b = a.drop("s").withColumn("v", col("v").cast("float"))
+      .withColumn("extra", lit(true))
+    val out = Merge.schemaDiff(a, b)
+      .as[(String, String, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("id") == (("id", "unchanged", "bigint", "bigint")))
+    assert(out("s") == (("s", "removed", "string", "")))
+    assert(out("v") == (("v", "type_changed", "double", "float")))
+    assert(out("extra") == (("extra", "added", "", "boolean")))
+  }
+
 }

@@ -528,4 +528,13 @@ class SamplingPackSpec extends SparkSpec {
     assert(zero("b") == (("b", 100L, 0L, 0L, 0L)))
   }
 
+
+  test("shardBalanceAudit: min/max shard tokens and imbalance floor") {
+    val shards = Seq((1L, 10L, 0L), (2L, 5L, 0L), (3L, 12L, 1L),
+      (4L, 3L, 2L)).toDF("id", "weight", "shard")
+    val r = Sampling.shardBalanceAudit(shards)
+      .as[(Long, Long, Long, Long)].head()
+    assert(r == ((3L, 3L, 15L, 800000L)), "(15-3)*1e6//15 = 800000")
+  }
+
 }

@@ -1344,4 +1344,19 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+
+  test("vocabCoveragePlan: partial boundary class, exact token shares") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Text
+    // freqs: a x4, b x2, c x2, d x1, e x1 -> total 10 tokens, 5 types
+    val docs = Seq((1L, "a a a a b b c c d e")).toDF("id", "text")
+    val out = Text.vocabCoveragePlan(docs, col("text"), Seq(1, 2, 3, 5))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 4L, 10L, 400000L)))
+    // V=2: top type (4 tokens) + ONE of the two freq-2 types
+    assert(out(2L) == ((2L, 6L, 10L, 600000L)))
+    assert(out(3L) == ((3L, 8L, 10L, 800000L)))
+    assert(out(5L) == ((5L, 10L, 10L, 1000000L)))
+  }
+
 }
