@@ -357,6 +357,34 @@ object Quality {
           .as("pass_at_k_micro"))
   }
 
+  /** p-CHART control limits (Shewhart SPC) for a per-group defect
+    * rate — the ops read behind "is today's reject rate just noise":
+    * a group is out of control when |p_g − p̄| exceeds 3σ of the
+    * pooled binomial. ENTIRELY integer: with e_g/n_g the group and
+    * E/N the pooled counts, the 3σ test squares to
+    * (e_g·N − n_g·E)² > 9·E·(N−E)·n_g — cross-multiplied exact
+    * decimals, the square root never evaluates. Output one row per
+    * group: (grp, n, defects, out_of_control) plus the pooled
+    * (total_n, total_defects) constants.
+    */
+  def pChart(df: DataFrame, group: Column, isDefect: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    val per = df.groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(isDefect, 1L).otherwise(0L)).as("defects"))
+    val tot = per.agg(sum(col("n")).as("total_n"),
+      sum(col("defects")).as("total_defects"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("out_of_control", {
+        val t = dec(col("defects")) * col("total_n") -
+          dec(col("n")) * col("total_defects")
+        t * t > dec(lit(9L)) * col("total_defects") *
+          (col("total_n") - col("total_defects")) * col("n")
+      })
+      .select(col("grp"), col("n"), col("defects"),
+        col("out_of_control"), col("total_n"), col("total_defects"))
+  }
+
   /** BENFORD'S-LAW first-digit audit — the classic forensic screen
     * for fabricated or unit-mangled numeric feeds: naturally-grown
     * magnitudes put ~30.1% of leading digits on 1, and a feed that

@@ -409,6 +409,38 @@ object Snapshot {
     * caller still applies the real filter — this only shrinks the scan.
     * Pair with a `clusterBy` commit to make the per-file ranges tight.
     */
+  /** PRUNING-EFFECTIVENESS report for a [lo, hi] predicate on one
+    * column — the data-skipping observability read: before running a
+    * pruned scan, how many files/rows would the zone maps actually
+    * skip? Same intersects logic as [[readStatsPruned]], evaluated
+    * over the manifest's file stats only. Output one row:
+    * (n_files, files_scanned, files_skipped, rows_total,
+    * rows_scanned, skip_micro).
+    */
+  def pruningReport(spark: SparkSession, table: String, column: String,
+                    lo: Option[String], hi: Option[String]): DataFrame = {
+    import spark.implicits._
+    val v = latestVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"$table has no committed snapshot"))
+    val m = readManifest(table, v)
+    val dt = m.dataSchema.find(_.name == column).map(_.dataType).getOrElse(
+      throw new IllegalArgumentException(s"$table has no data column '$column'"))
+    def intersects(st: DirStats): Boolean =
+      if (!st.mins.contains(column)) true
+      else lo.forall(l => statCompare(dt, st.maxs(column), l) >= 0) &&
+        hi.forall(h => statCompare(dt, st.mins(column), h) <= 0)
+    val files = m.dirs.flatMap(d => m.filesUnder(d).values)
+    val scanned = files.filter(intersects)
+    val nf = files.size.toLong
+    val ns = scanned.size.toLong
+    val rt = files.map(_.rows).sum
+    val rs = scanned.map(_.rows).sum
+    Seq((nf, ns, nf - ns, rt, rs,
+      if (rt == 0) 0L else (rt - rs) * 1000000L / rt))
+      .toDF("n_files", "files_scanned", "files_skipped", "rows_total",
+        "rows_scanned", "skip_micro")
+  }
+
   def readStatsPruned(spark: SparkSession, table: String, column: String,
                       lo: Option[String], hi: Option[String]): DataFrame = {
     val v = latestVersion(table).getOrElse(

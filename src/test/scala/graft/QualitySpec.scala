@@ -293,4 +293,18 @@ class QualitySpec extends SparkSpec {
     assert(out.values.forall(_._6 == tvd))
   }
 
+
+  test("pChart: the squared 3-sigma inequality flags only the spike day") {
+    import org.apache.spark.sql.functions.col
+    // three groups of 100 with 10 defects, one group of 100 with 40
+    val rows = (1 to 3).flatMap(g => (1 to 100).map(i =>
+      (s"d$g", i <= 10))) ++ (1 to 100).map(i => ("d4", i <= 40))
+    val out = Quality.pChart(rows.toDF("g", "bad"), col("g"),
+      col("bad")).as[(String, Long, Long, Boolean, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("d4")._4, "the 40% day must trip the band")
+    assert(!out("d1")._4 && !out("d2")._4 && !out("d3")._4)
+    assert(out.values.forall(r => r._5 == 400L && r._6 == 70L))
+  }
+
 }

@@ -1289,4 +1289,20 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+
+  test("pruningReport: per-file zone maps count scanned vs skipped") {
+    import org.apache.spark.sql.functions.col
+    withTempDir { dir =>
+      val t = dir.getAbsolutePath + "/t"
+      val rows = (0L until 30L).map(i => (i, i / 10)).toDF("id", "band")
+      Snapshot.commit(rows.repartition(1), t,
+        partitionCol = Some("band"))
+      val r = Snapshot.pruningReport(spark, t, "id",
+        Some("0"), Some("12"))
+        .as[(Long, Long, Long, Long, Long, Long)].head()
+      assert(r == ((3L, 2L, 1L, 30L, 20L, 333333L)),
+        "bands 0 and 1 intersect [0, 12]; band 2 skips whole")
+    }
+  }
+
 }
