@@ -112,4 +112,31 @@ object Joins {
         col("__cell") === cellOf(greatest(col(loACol), col(loBCol))))
       .drop("__cell", "__cellb")
   }
+
+  /** BROADCAST-vs-SHUFFLE join advisor from SNAPSHOT manifests — the
+    * planning read a pipeline makes before joining two governed
+    * tables: row counts come from manifest stats (no scan), the
+    * smaller side broadcasts when it fits under `thresholdRows`,
+    * otherwise both sides shuffle. Output one row: (rows_a, rows_b,
+    * shuffle_rows — what the shuffle strategy would move — and
+    * strategy ∈ {broadcast_a, broadcast_b, shuffle}).
+    */
+  def broadcastAdvisor(spark: org.apache.spark.sql.SparkSession,
+                       tableA: String, tableB: String,
+                       thresholdRows: Long): DataFrame = {
+    import spark.implicits._
+    def rowsOf(t: String): Long = {
+      val v = graft.sources.Snapshot.latestVersion(t).getOrElse(
+        throw new IllegalArgumentException(s"$t has no snapshot"))
+      val m = graft.sources.Snapshot.readManifest(t, v)
+      m.dirs.flatMap(m.stats.get).map(_.rows).sum
+    }
+    val (ra, rb) = (rowsOf(tableA), rowsOf(tableB))
+    val strategy =
+      if (ra <= thresholdRows && ra <= rb) "broadcast_a"
+      else if (rb <= thresholdRows) "broadcast_b"
+      else "shuffle"
+    Seq((ra, rb, ra + rb, strategy))
+      .toDF("rows_a", "rows_b", "shuffle_rows", "strategy")
+  }
 }

@@ -1782,6 +1782,43 @@ object Similarity {
           .as("margin_micro"))
   }
 
+  /** LATE-INTERACTION (ColBERT-style MaxSim) top-k — multi-vector
+    * retrieval as pure relational algebra: both sides split into m
+    * subvectors ([[subVectors]]), score(q, d) = Σ over query slots
+    * of max over doc slots of the 6dp-snapped cosine (micro). The
+    * shape that makes late interaction tractable at scale: queries
+    * are BOUNDED and broadcast; docs stream once through the slot
+    * cross (m² rows per (q, d) — m is a small constant), two
+    * map-side-combinable aggregates (max per query slot, sum per
+    * pair), top-k per query via the rank window. Output:
+    * (query_id, neighbor_id, rank, maxsim_micro).
+    */
+  def lateInteractionTopK(queries: DataFrame, docs: DataFrame,
+                          m: Int, k: Int,
+                          maxQueries: Long = DefaultMaxQueries): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    guardBoundedQueries(queries, maxQueries, "lateInteractionTopK")
+    def snapMicro(c: Column): Column =
+      round(c.cast("decimal(20,10)") * 1000000).cast("long")
+    val qs = subVectors(queries, m).select(col("id").as("qid"),
+      col("sub").as("qsub"), col("svec").as("qv"))
+    val ds = subVectors(docs, m).select(col("id").as("did"),
+      col("sub").as("dsub"), col("svec").as("dv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("maxsim_micro").desc, col("did"))
+    broadcast(qs).join(ds, col("qid") =!= col("did"))
+      .select(col("qid"), col("did"), col("qsub"),
+        snapMicro(round(cosine(col("qv"), col("dv")), 6)).as("sm"))
+      .groupBy(col("qid"), col("did"), col("qsub"))
+      .agg(max(col("sm")).as("mx"))
+      .groupBy(col("qid"), col("did"))
+      .agg(sum(col("mx")).as("maxsim_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("query_id"), col("did").as("neighbor_id"),
+        col("rank"), col("maxsim_micro"))
+  }
+
   /** NEIGHBOR-SET STABILITY between two embedding spaces — the
     * instance-level model-refresh QA beside [[centroidDrift]]'s
     * class-level read: for each bounded probe, the Jaccard of its

@@ -1061,4 +1061,23 @@ class SimilaritySpec extends SparkSpec {
       "nearest flips from 1 to 3 -> zero overlap")
   }
 
+
+  test("lateInteractionTopK: MaxSim takes each query slot's best DOC " +
+    "slot — late interaction matches content in any position") {
+    import org.apache.spark.sql.functions.col
+    // m=2 over 4 dims. Query slots: [1,0] and [0,1].
+    val q = Seq((100L, Seq(1.0, 0.0, 0.0, 1.0))).toDF("id", "vec")
+    val docs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 1.0)),   // aligned slots -> 2e6
+      (2L, Seq(1.0, 0.0, 1.0, 0.0)),   // only [1,0] content -> 1e6
+      (3L, Seq(0.0, 1.0, 1.0, 0.0)))   // both contents, SWAPPED slots
+      .toDF("id", "vec")
+    val out = Similarity.lateInteractionTopK(q, docs, 2, 3)
+      .as[(Long, Long, Int, Long)].collect().sortBy(_._3)
+    // doc 3 still scores 2e6: max runs over doc slots, so position
+    // doesn't matter (the ColBERT property); tie breaks to doc 1
+    assert(out.map(r => (r._2, r._4)).toSeq ==
+      Seq((1L, 2000000L), (3L, 2000000L), (2L, 1000000L)))
+  }
+
 }
