@@ -133,6 +133,32 @@ object Events {
       .drop("__new")
   }
 
+  /** DAU/WAU/MAU ENGAGEMENT ladder — the product-metrics staple:
+    * distinct users per day, joined to the containing week's and
+    * calendar month's distinct counts, stickiness = ⌊DAU·1e6/MAU⌋.
+    * Three distinct-aggregates (each one shuffle, map-side partial
+    * distinct), two small joins on the calendar keys. Output one row
+    * per active day: (day, dau, wau, mau, stickiness_micro).
+    */
+  def engagement(df: DataFrame, user: Column, ts: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val base = df.select(to_date(ts).as("day"), user.as("u"))
+    val dau = base.groupBy(col("day"))
+      .agg(countDistinct(col("u")).as("dau"))
+    val wau = base.groupBy(trunc(col("day"), "week").as("wk"))
+      .agg(countDistinct(col("u")).as("wau"))
+    val mau = base.groupBy(trunc(col("day"), "month").as("mo"))
+      .agg(countDistinct(col("u")).as("mau"))
+    dau
+      .join(wau, trunc(col("day"), "week") === col("wk"))
+      .join(mau, trunc(col("day"), "month") === col("mo"))
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        fdiv(dec(col("dau")) * lit(1000000L), dec(col("mau")))
+          .as("stickiness_micro"))
+  }
+
   /** TWO-PROPORTION Z-TEST for a binary conversion between exactly
     * two variants — the A/B readout ([[funnelCounts]]' significance
     * companion; [[graft.ops.Profile.chiSquareIndependence]] gives the

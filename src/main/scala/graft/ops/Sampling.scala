@@ -917,6 +917,45 @@ object Sampling {
     * source level, then a maxEpochs-wide explode on the tiny source
     * table.
     */
+  /** INTERLEAVE-FAIRNESS audit — the dataloader read behind "is the
+    * shuffled training order actually mixed, or does one source
+    * clump at the front": rows take the deterministic md5 shuffle
+    * order, and for each prefix size P the audit reports every
+    * source's share of the first P rows against its overall share.
+    * Global ranks come from the two-level prefix kernel over the
+    * (already near-unique) 60-bit order keys — never a data-sized
+    * global window. Output one row per (prefix, source):
+    * (prefix, src, n_in_prefix, share_micro, overall_share_micro).
+    */
+  def interleaveAudit(docs: DataFrame, source: Column, key: Column,
+                      prefixes: Seq[Long]): DataFrame = {
+    require(prefixes.nonEmpty && prefixes.forall(_ >= 1))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = docs.select(source.as("src"),
+      Dedup.hashLong(concat(lit("il"), key.cast("string"))).as("ord"))
+    val byV = rows.groupBy(col("ord")).agg(count(lit(1)).as("cnt"))
+    val ranked = rows.join(
+      Ranks.withRunningBelow(byV, "ord", 1L << 50, Seq("cnt"))
+        .select(col("ord"), col("cnt_below")), "ord")
+    val totals = rows.groupBy(col("src")).agg(count(lit(1)).as("tot"))
+      .crossJoin(broadcast(rows.agg(count(lit(1)).as("n"))))
+    val spine = prefixes.toDF("prefix")
+    ranked.crossJoin(broadcast(spine))
+      .filter(col("cnt_below") < col("prefix"))
+      .groupBy(col("prefix"), col("src"))
+      .agg(count(lit(1)).as("n_in_prefix"))
+      .join(totals, Seq("src"))
+      .select(col("prefix"), col("src"), col("n_in_prefix"),
+        fdiv(dec(col("n_in_prefix")) * lit(1000000L),
+          dec(least(col("prefix"), col("n")))).as("share_micro"),
+        fdiv(dec(col("tot")) * lit(1000000L), dec(col("n")))
+          .as("overall_share_micro"))
+  }
+
   /** SHARD-BALANCE audit over a [[packByBudget]] layout — the
     * dataloader evenness read: per-shard token totals, min/max, and
     * imbalance = (max − min)·1e6/max. One aggregate to shard level

@@ -357,4 +357,22 @@ class EventsSpec extends SparkSpec {
     }
   }
 
+
+  test("engagement: DAU/WAU/MAU joins and stickiness floor") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // Mon 2024-01-01 and Tue 2024-01-02 (same ISO week/month):
+    // users {1,2} Mon, {2,3,4} Tue -> dau 2/3, wau 4, mau 4
+    val ev = Seq((1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 11:00:00"),
+      (2L, "2024-01-02 10:00:00"), (3L, "2024-01-02 11:00:00"),
+      (4L, "2024-01-02 12:00:00"))
+      .toDF("u", "s").select(col("u"), to_timestamp(col("s")).as("ts"))
+    val out = Events.engagement(ev, col("u"), col("ts"))
+      .select(col("day").cast("string"), col("dau"), col("wau"),
+        col("mau"), col("stickiness_micro"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("2024-01-01") == (("2024-01-01", 2L, 4L, 4L, 500000L)))
+    assert(out("2024-01-02") == (("2024-01-02", 3L, 4L, 4L, 750000L)))
+  }
+
 }

@@ -537,4 +537,21 @@ class SamplingPackSpec extends SparkSpec {
     assert(r == ((3L, 3L, 15L, 800000L)), "(15-3)*1e6//15 = 800000")
   }
 
+
+  test("interleaveAudit: prefix shares sum to the prefix, short corpus clamps") {
+    import org.apache.spark.sql.functions.col
+    val docs = ((1L to 30L).map(i => (i, "a")) ++
+      (31L to 40L).map(i => (i, "b"))).toDF("id", "src")
+    val out = Sampling.interleaveAudit(docs, col("src"), col("id"),
+      Seq(10L, 1000L))
+      .as[(Long, String, Long, Long, Long)].collect()
+    val p10 = out.filter(_._1 == 10L)
+    assert(p10.map(_._3).sum == 10L, "first-10 counts partition the prefix")
+    assert(p10.forall(r => r._4 == r._3 * 1000000L / 10L))
+    val pAll = out.filter(_._1 == 1000L).map(r => r._2 -> r).toMap
+    assert(pAll("a")._3 == 30L && pAll("a")._4 == 750000L,
+      "prefix beyond the corpus clamps to n")
+    assert(pAll("a")._5 == 750000L && pAll("b")._5 == 250000L)
+  }
+
 }
