@@ -743,6 +743,42 @@ object Profile {
       .withColumn("meets_l", col("n_rows_below") === 0L)
   }
 
+  /** GINI COEFFICIENT of a nonnegative value column — the corpus-
+    * concentration read ("do 1% of domains hold 90% of the
+    * tokens?"): G = (2·Σᵢ i·xᵢ − (n+1)·S) / (n·S) over values sorted
+    * ascending. EXACT despite the rank weighting: equal values make
+    * Σ i·xᵢ invariant under tie order, so the sum collapses onto the
+    * distinct-value spectrum — a block of cnt copies of v starting
+    * above `below` contributes v·(cnt·below + cnt(cnt+1)/2) — and
+    * ranks come from the two-level prefix kernel, never a global
+    * sort. One floored division at the end. Output one row:
+    * (n, value_sum, gini_micro — null on an all-zero or empty
+    * column).
+    */
+  def giniCoefficient(df: DataFrame, value: Column,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1)
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val byV = df.select(value.cast("long").as("v"))
+      .filter(col("v") >= 0L)
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val ranked = Ranks.withRunningBelow(byV, "v", bucketWidth,
+      Seq("cnt"))
+    val agg = ranked.agg(
+      sum(col("cnt")).as("n"),
+      sum(dec(col("v")) * col("cnt")).as("s"),
+      sum(dec(col("v")) * (dec(col("cnt")) * col("cnt_below") +
+        (col("cnt") * (col("cnt") + 1) / 2).cast("long"))).as("iw"))
+    agg.select(col("n"), col("s").cast("long").as("value_sum"),
+      when(col("s") === 0, lit(null).cast("long"))
+        .otherwise(fdiv(
+          (dec(lit(2L)) * col("iw") - (dec(col("n")) + 1) * col("s"))
+            * lit(1000000L),
+          dec(col("n")) * col("s"))).as("gini_micro"))
+  }
+
   /** DATA-CONTRACT INFERENCE (the Deequ-style profiler): per column
     * one exact pass suggests the constraints the data already
     * satisfies — not_null when zero nulls, unique when the non-null

@@ -357,6 +357,36 @@ object Quality {
           .as("pass_at_k_micro"))
   }
 
+  /** MATTHEWS CORRELATION COEFFICIENT for a binary classifier — the
+    * single-number confusion summary that survives class imbalance
+    * (accuracy and F1 both flatter a majority-class guesser; MCC of
+    * one is 0). Counts are one exact aggregate; the only doubles are
+    * the final (tp·tn − fp·fn)/√(…) evaluated once on exact longs
+    * and snapped ×1e6 (the z-test convention). Null when any
+    * marginal is empty (the denominator vanishes). Output one row:
+    * (tp, fp, fn, tn, mcc_micro).
+    */
+  def matthewsCorrelation(df: DataFrame, pred: Column,
+                          label: Column): DataFrame = {
+    val counts = df.agg(
+      sum(when(pred && label, 1L).otherwise(0L)).as("tp"),
+      sum(when(pred && !label, 1L).otherwise(0L)).as("fp"),
+      sum(when(!pred && label, 1L).otherwise(0L)).as("fn"),
+      sum(when(!pred && !label, 1L).otherwise(0L)).as("tn"))
+    def d(c: Column): Column = c.cast("double")
+    val den = sqrt(d(col("tp") + col("fp")) * d(col("tp") + col("fn"))
+      * d(col("tn") + col("fp")) * d(col("tn") + col("fn")))
+    counts.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      when(col("tp") + col("fp") === 0L ||
+        col("tp") + col("fn") === 0L ||
+        col("tn") + col("fp") === 0L ||
+        col("tn") + col("fn") === 0L,
+        lit(null).cast("long"))
+        .otherwise(round((d(col("tp")) * d(col("tn")) -
+          d(col("fp")) * d(col("fn"))) / den * lit(1e6)).cast("long"))
+        .as("mcc_micro"))
+  }
+
   /** p-CHART control limits (Shewhart SPC) for a per-group defect
     * rate — the ops read behind "is today's reject rate just noise":
     * a group is out of control when |p_g − p̄| exceeds 3σ of the

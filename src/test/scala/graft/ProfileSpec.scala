@@ -742,4 +742,28 @@ class ProfileSpec extends SparkSpec {
     assert(out("s") == (("s", 3L, 1L, 1L, 333333L, false, false)))
   }
 
+
+  test("giniCoefficient: equality is 0, extreme concentration nears 1, " +
+    "ties collapse exactly, bucket width immaterial") {
+    import org.apache.spark.sql.functions.col
+    val equal = Seq.fill(5)(10L).toDF("v")
+    val ge = Profile.giniCoefficient(equal, col("v"), 4L)
+      .as[(Long, Long, Option[Long])].head()
+    assert(ge == ((5L, 50L, Some(0L))))
+    // one holder of everything: G = (n-1)/n = 0.8
+    val conc = (Seq.fill(4)(0L) :+ 100L).toDF("v")
+    assert(Profile.giniCoefficient(conc, col("v"), 4L)
+      .as[(Long, Long, Option[Long])].head()._3 == Some(800000L))
+    // hand case with ties: values 1,1,2 -> sorted ranks 1,2,3;
+    // iw = 1*1 + 1*2 + 2*3 = 9; G = (18 - 4*4)/(3*4) = 2/12
+    for (w <- Seq(1L, 1000L)) {
+      val r = Profile.giniCoefficient(Seq(1L, 1L, 2L).toDF("v"),
+        col("v"), w).as[(Long, Long, Option[Long])].head()
+      assert(r == ((3L, 4L, Some(166666L))), s"w=$w")
+    }
+    // all zeros -> null
+    assert(Profile.giniCoefficient(Seq(0L, 0L).toDF("v"), col("v"),
+      4L).as[(Long, Long, Option[Long])].head()._3.isEmpty)
+  }
+
 }

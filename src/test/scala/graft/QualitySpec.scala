@@ -307,4 +307,22 @@ class QualitySpec extends SparkSpec {
     assert(out.values.forall(r => r._5 == 400L && r._6 == 70L))
   }
 
+
+  test("matthewsCorrelation: perfect/inverted/degenerate cases") {
+    import org.apache.spark.sql.functions.col
+    def mk(rows: Seq[(Boolean, Boolean)]) = rows.toDF("p", "l")
+    val perfect = mk(Seq((true, true), (true, true), (false, false)))
+    assert(Quality.matthewsCorrelation(perfect, col("p"), col("l"))
+      .as[(Long, Long, Long, Long, Option[Long])].head()._5 ==
+      Some(1000000L))
+    val inverted = mk(Seq((true, false), (false, true)))
+    assert(Quality.matthewsCorrelation(inverted, col("p"), col("l"))
+      .as[(Long, Long, Long, Long, Option[Long])].head()._5 ==
+      Some(-1000000L))
+    val onlyPos = mk(Seq((true, true), (false, true)))
+    assert(Quality.matthewsCorrelation(onlyPos, col("p"), col("l"))
+      .as[(Long, Long, Long, Long, Option[Long])].head()._5.isEmpty,
+      "an empty marginal nulls MCC")
+  }
+
 }
