@@ -751,6 +751,42 @@ object Multimodal {
                              lead_silence: Int, trail_silence: Int,
                              trimmed_len: Int)
 
+  /** CLIPPING detection for PCM16 audio — the other dataloader gate
+    * beside [[wavTrimSilenceBatched]]: clips whose samples saturate
+    * near full scale were recorded or normalized badly and poison
+    * training. Per clip: sample count, samples with |v| ≥ `thresh`,
+    * the absolute peak, and the ×1e6 clip rate. Same one-chain
+    * decode contract (unparseable payloads emit nothing).
+    */
+  final case class ClipAudit(doc_id: Long, n_samples: Int,
+                             n_clipped: Int, max_abs: Int,
+                             clip_micro: Long)
+
+  def wavClippingBatched(media: Dataset[(Long, Array[Byte])],
+                         thresh: Int,
+                         batchSize: Int = 64): Dataset[ClipAudit] = {
+    require(thresh > 0, "thresh must be positive")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.iterator.flatMap { case (id, bytes) =>
+        parseWav(bytes).map { wv =>
+          var clipped = 0
+          var peak = 0
+          var i = 0
+          while (i < wv.samples.length) {
+            val a = math.abs(wv.samples(i).toInt)
+            if (a >= thresh) clipped += 1
+            if (a > peak) peak = a
+            i += 1
+          }
+          val n = wv.samples.length
+          ClipAudit(id, n, clipped, peak,
+            if (n == 0) 0L else clipped.toLong * 1000000L / n)
+        }
+      })
+    }
+  }
+
   def wavTrimSilenceBatched(media: Dataset[(Long, Array[Byte])],
                             thresh: Int,
                             batchSize: Int = 64): Dataset[TrimAudit] = {

@@ -89,6 +89,51 @@ object Preference {
     }.toDF("item", "wins", "duels", "rating_micro")
   }
 
+  /** INTRANSITIVITY audit — the preference-data consistency read: a
+    * Bradley–Terry (or any scalar reward) model ASSUMES a total
+    * order, but raw duels often contain majority cycles (A beats B
+    * beats C beats A); a high cycle rate means a scalar reward
+    * cannot fit this data. Majority edges come from the duel matrix
+    * (pair dueled, not tied); cycles are counted over triples whose
+    * three pairs all carry edges. Items are a BOUNDED model-sized
+    * set (the bradleyTerry collect contract) — the matrix collapses
+    * map-side, the triple walk runs on the driver. Output one row:
+    * (n_items, n_pairs_dueled, n_ties, n_triangles, n_cycles,
+    * cycle_rate_micro = ⌊cycles·1e6/max(triangles, 1)⌋).
+    */
+  def intransitivityAudit(duels: DataFrame, winner: Column,
+                          loser: Column): DataFrame = {
+    val spark = duels.sparkSession
+    import spark.implicits._
+    val wm = duelMatrix(duels, winner, loser)
+      .select(col("i").cast("string"), col("j").cast("string"),
+        col("wins")).as[(String, String, Long)].collect()
+    val w = wm.map { case (i, j, n) => (i, j) -> n }.toMap
+      .withDefaultValue(0L)
+    val items = wm.flatMap(r => Seq(r._1, r._2)).distinct.sorted.toSeq
+    val pairs = items.combinations(2).map { case Seq(a, b) =>
+      (a, b, w((a, b)), w((b, a)))
+    }.filter(p => p._3 + p._4 > 0).toSeq
+    val ties = pairs.count(p => p._3 == p._4).toLong
+    val edge = pairs.filter(p => p._3 != p._4)
+      .map(p => if (p._3 > p._4) (p._1, p._2) else (p._2, p._1)).toSet
+    def dir(a: String, b: String): Int =
+      if (edge((a, b))) 1 else if (edge((b, a))) -1 else 0
+    var triangles = 0L
+    var cycles = 0L
+    for (Seq(a, b, c) <- items.combinations(3)) {
+      val (ab, bc, ca) = (dir(a, b), dir(b, c), dir(c, a))
+      if (ab != 0 && bc != 0 && ca != 0) {
+        triangles += 1
+        if (ab == bc && bc == ca) cycles += 1
+      }
+    }
+    Seq((items.size.toLong, pairs.size.toLong, ties, triangles,
+      cycles, cycles * 1000000L / math.max(triangles, 1L)))
+      .toDF("n_items", "n_pairs_dueled", "n_ties", "n_triangles",
+        "n_cycles", "cycle_rate_micro")
+  }
+
   /** LENGTH-BIAS audit — RLHF's best-documented annotation artifact:
     * raters (and LLM judges) favor the LONGER response, and a reward
     * model trained on length-biased duels optimizes verbosity. One

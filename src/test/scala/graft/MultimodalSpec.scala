@@ -422,4 +422,19 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).n_samples == 2 && out(2L).lead_silence == 2 &&
       out(2L).trail_silence == 0 && out(2L).trimmed_len == 0)
   }
+
+  test("wavClippingBatched: exact clip counts, peak, and rate") {
+    import spark.implicits._
+    val loud = Multimodal.wavBytes(
+      Array[Short](100, 32700, -32768, 5, 32760))
+    val quiet = Multimodal.wavBytes(Array[Short](1, -2, 3))
+    val out = Multimodal.wavClippingBatched(
+      Seq((1L, loud), (2L, quiet)).toDS(), 32700)
+      .collect().map(c => c.doc_id -> c).toMap
+    assert(out(1L).n_samples == 5 && out(1L).n_clipped == 3)
+    assert(out(1L).max_abs == 32768)
+    assert(out(1L).clip_micro == 600000L)
+    assert(out(2L).n_clipped == 0 && out(2L).max_abs == 3)
+  }
+
 }

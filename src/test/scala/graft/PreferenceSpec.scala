@@ -62,4 +62,18 @@ class PreferenceSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Option[Long])].head()._5.isEmpty)
   }
 
+
+  test("intransitivityAudit: a planted rock-paper-scissors cycle is " +
+    "counted once; transitive triples are not") {
+    // A>B (2-0), B>C (2-0), C>A (2-0): pure cycle. D loses to all:
+    // triples with D are transitive.
+    val duels = (Seq.fill(2)(("A", "B")) ++ Seq.fill(2)(("B", "C")) ++
+      Seq.fill(2)(("C", "A")) ++
+      Seq(("A", "D"), ("B", "D"), ("C", "D"))).toDF("w", "l")
+    val r = Preference.intransitivityAudit(duels, col("w"), col("l"))
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(r == ((4L, 6L, 0L, 4L, 1L, 250000L)),
+      "four triangles, exactly the ABC one cycles")
+  }
+
 }
