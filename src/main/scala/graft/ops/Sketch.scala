@@ -263,8 +263,12 @@ object Sketch {
   def kmvRegisters(df: DataFrame, groups: Seq[String], value: Column,
                    k: Int): DataFrame = {
     require(k >= 2, "k must be >= 2")
+    // empty groups: a constant partition key keeps WindowExec's
+    // "No Partition Defined" warning meaningful (the Ranks convention)
+    val parts = if (groups.isEmpty) Seq(Cols.onePartitionKey(col("h")))
+      else groups.map(col)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(groups.map(col): _*).orderBy(col("h"))
+      .partitionBy(parts: _*).orderBy(col("h"))
     df.select(groups.map(col) :+
         Dedup.hashLong(value.cast("string")).as("h"): _*)
       .distinct()
@@ -319,7 +323,9 @@ object Sketch {
     val union = kmvEstimate(
       a.select(col("h")).unionByName(b.select(col("h"))).distinct()
         .withColumn("pos", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("h"))))
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(Cols.onePartitionKey(col("h")))
+            .orderBy(col("h"))))
         .filter(col("pos") <= k), Nil, k)
       .select(col("n_est").as("union_est"))
     ea.crossJoin(eb).crossJoin(matched).crossJoin(union)
