@@ -1793,6 +1793,35 @@ object Snapshot {
     1L
   }
 
+  /** FAST-FORWARD a branch back onto its source table — the
+    * Nessie/Iceberg-branch workflow over [[cloneTable]] branches:
+    * work lands on the (shallow) branch; when it's ready, the source
+    * adopts the branch HEAD as its next version — iff the source has
+    * not moved past `baseVersion` since the branch was cut (a moved
+    * source means divergence: fast-forward would silently drop its
+    * commits, so this throws [[ConcurrentCommitException]] and the
+    * caller rebases — re-clones — instead). Shallow like clone: the
+    * adopted manifest references the branch's data dirs; no data
+    * copies. Returns the source's new version.
+    */
+  def fastForward(src: String, branch: String,
+                  baseVersion: Long): Long = {
+    val head = latestVersion(src).getOrElse(
+      throw new IllegalArgumentException(s"$src has no snapshot"))
+    if (head != baseVersion)
+      throw new ConcurrentCommitException(
+        s"$src moved $baseVersion -> $head since the branch was cut; " +
+          "rebase the branch instead of fast-forwarding")
+    val bv = latestVersion(branch).getOrElse(
+      throw new IllegalArgumentException(s"$branch has no snapshot"))
+    val bm = readManifest(branch, bv)
+    writeManifest(src, Manifest(head + 1, bm.partitionCol,
+      bm.partitionType, bm.dataSchemaJson, bm.dirs, bm.stats,
+      bm.fileStats, dvDirs = bm.dvDirs, uvDirs = bm.uvDirs,
+      uvKey = bm.uvKey))
+    head + 1
+  }
+
   /** Expire-by-AGE retention — the DESCRIBE-HISTORY-adjacent policy
     * [[vacuum]]'s keep-COUNT window cannot express ("keep 30 days,
     * plus every tagged release"): drop every version whose manifest

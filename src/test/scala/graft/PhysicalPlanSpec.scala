@@ -787,4 +787,31 @@ class PhysicalPlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"probe features must broadcast into the dot join:\n$p")
   }
+
+  test("lateInteractionTopK: the bounded query side broadcasts into " +
+      "the slot cross — docs never shuffle for the non-equi join") {
+    import spark.implicits._
+    val q = Seq((0L, Seq(1.0, 0.0, 0.0, 1.0))).toDF("id", "vec")
+    val d = (1L to 40L).map(i =>
+      (i, Seq(i.toDouble, 1.0, 2.0, 3.0))).toDF("id", "vec")
+    val p = graft.ops.Similarity.lateInteractionTopK(q, d, 2, 3)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query slots must broadcast into the id-inequality join:\n$p")
+  }
+
+  test("rocchioTopK: the expanded query broadcasts into the candidate " +
+      "dim join") {
+    import spark.implicits._
+    val q = Seq((0L, Seq(1.0, 0.0))).toDF("id", "vec")
+    val rel = Seq((1L, Seq(0.0, 1.0))).toDF("id", "vec")
+    val non = Seq((2L, Seq(1.0, 0.0))).toDF("id", "vec")
+    val cands = (10L to 60L).map(i =>
+      (i, Seq(i.toDouble, 1.0))).toDF("id", "vec")
+    val p = graft.ops.Similarity.rocchioTopK(q, rel, non, cands,
+      1000000L, 750000L, 150000L, 5)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"q' must broadcast into the dim join:\n$p")
+  }
 }

@@ -1305,4 +1305,26 @@ class SnapshotSpec extends SparkSpec {
     }
   }
 
+
+  test("fastForward: adopts the branch head shallowly; a moved source " +
+    "refuses instead of dropping commits") {
+    withTempDir { dir =>
+      val main = dir.getAbsolutePath + "/m"
+      val br = dir.getAbsolutePath + "/b"
+      Snapshot.commit(Seq((1L, "a")).toDF("id", "v"), main)
+      Snapshot.cloneTable(main, br)
+      Snapshot.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), br)
+      assert(Snapshot.fastForward(main, br, 1L) == 2L)
+      assert(Snapshot.read(spark, main).count() == 2L)
+      // divergence: main moves, the stale-base fast-forward refuses
+      Snapshot.commit(Seq((9L, "z")).toDF("id", "v"), main)
+      intercept[Snapshot.ConcurrentCommitException] {
+        Snapshot.fastForward(main, br, 2L)
+      }
+      assert(Snapshot.read(spark, main).select($"id")
+        .as[Long].collect().toSet == Set(9L),
+        "the refused fast-forward changed nothing")
+    }
+  }
+
 }
