@@ -133,6 +133,38 @@ object Events {
       .drop("__new")
   }
 
+  /** BOUNDED-DAY RETENTION (the D1/D7/D30 read) — for each first-seen
+    * cohort day, the share of its users active again EXACTLY `d`
+    * days later, for each offset in `offsets`. Sharper than
+    * [[cohortRetention]]'s week buckets when launch analysis needs
+    * day granularity. One shuffle to per-user first days, one
+    * distinct activity table, one join per offset spine row (the
+    * offsets explode on the small cohort side). Output one row per
+    * (cohort_day, offset): (cohort_day, d, cohort_users, retained,
+    * retention_micro).
+    */
+  def dayRetention(df: DataFrame, user: Column, ts: Column,
+                   offsets: Seq[Int]): DataFrame = {
+    require(offsets.nonEmpty && offsets.forall(_ >= 1))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val act = df.select(user.as("u"), to_date(ts).as("day")).distinct()
+    val first = act.groupBy(col("u")).agg(min(col("day")).as("c0"))
+    val spine = explode(array(offsets.map(lit): _*)).as("d")
+    val probes = first.select(col("u"), col("c0"), spine)
+      .withColumn("target", date_add(col("c0"), col("d")))
+    probes
+      .join(act.select(col("u"), col("day").as("target"))
+        .withColumn("hit", lit(1L)), Seq("u", "target"), "left")
+      .groupBy(col("c0").as("cohort_day"), col("d"))
+      .agg(count(lit(1)).as("cohort_users"),
+        coalesce(sum(col("hit")), lit(0L)).as("retained"))
+      .withColumn("retention_micro",
+        fdiv(dec(col("retained")) * lit(1000000L),
+          dec(col("cohort_users"))))
+  }
+
   /** DAU/WAU/MAU ENGAGEMENT ladder — the product-metrics staple:
     * distinct users per day, joined to the containing week's and
     * calendar month's distinct counts, stickiness = ⌊DAU·1e6/MAU⌋.

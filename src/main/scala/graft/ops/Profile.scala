@@ -743,6 +743,29 @@ object Profile {
       .withColumn("meets_l", col("n_rows_below") === 0L)
   }
 
+  /** HERFINDAHL–HIRSCHMAN INDEX per group — [[giniCoefficient]]'s
+    * antitrust sibling, the square-of-shares concentration read
+    * (HHI of 1e6 = a monopoly domain; ≤ ~1500 "unconcentrated" in
+    * the classic scale ×1e4, here ×1e6): per group,
+    * hhi = Σ_member (count/total)² = ⌊Σ count²·1e6 / total²⌋ — exact
+    * integers, two map-side-combinable aggregates. Output one row
+    * per group: (grp, n_members, total, hhi_micro).
+    */
+  def hhiConcentration(df: DataFrame, group: Column,
+                       member: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    df.groupBy(group.as("grp"), member.as("m"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_members"), sum(col("c")).as("total"),
+        sum(dec(col("c")) * col("c")).as("sq"))
+      .select(col("grp"), col("n_members"), col("total"),
+        fdiv(col("sq") * lit(1000000L),
+          dec(col("total")) * col("total")).as("hhi_micro"))
+  }
+
   /** GINI COEFFICIENT of a nonnegative value column — the corpus-
     * concentration read ("do 1% of domains hold 90% of the
     * tokens?"): G = (2·Σᵢ i·xᵢ − (n+1)·S) / (n·S) over values sorted

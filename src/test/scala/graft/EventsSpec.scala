@@ -375,4 +375,29 @@ class EventsSpec extends SparkSpec {
     assert(out("2024-01-02") == (("2024-01-02", 3L, 4L, 4L, 750000L)))
   }
 
+
+  test("dayRetention: exact-offset hits per first-seen cohort") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    // u1 first 01-01, returns 01-02 (D1) and 01-08 (D7);
+    // u2 first 01-01, never returns; u3 first 01-02, returns 01-03
+    val ev = Seq((1L, "2024-01-01"), (1L, "2024-01-02"),
+      (1L, "2024-01-08"), (2L, "2024-01-01"), (3L, "2024-01-02"),
+      (3L, "2024-01-03"))
+      .toDF("u", "s")
+      .select(col("u"), to_timestamp(col("s")).as("ts"))
+    val out = Events.dayRetention(ev, col("u"), col("ts"), Seq(1, 7))
+      .select(col("cohort_day").cast("string"), col("d"),
+        col("cohort_users"), col("retained"), col("retention_micro"))
+      .as[(String, Int, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out(("2024-01-01", 1)) ==
+      (("2024-01-01", 1, 2L, 1L, 500000L)))
+    assert(out(("2024-01-01", 7)) ==
+      (("2024-01-01", 7, 2L, 1L, 500000L)))
+    assert(out(("2024-01-02", 1)) ==
+      (("2024-01-02", 1, 1L, 1L, 1000000L)))
+    assert(out(("2024-01-02", 7)) ==
+      (("2024-01-02", 7, 1L, 0L, 0L)))
+  }
+
 }

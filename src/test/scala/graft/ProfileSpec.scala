@@ -766,4 +766,17 @@ class ProfileSpec extends SparkSpec {
       4L).as[(Long, Long, Option[Long])].head()._3.isEmpty)
   }
 
+
+  test("hhiConcentration: monopoly 1e6, even split 1/k") {
+    import org.apache.spark.sql.functions.col
+    val df = (Seq.fill(4)(("mono", "x")) ++
+      Seq(("even", "a"), ("even", "b"), ("even", "c"), ("even", "d")))
+      .toDF("g", "m")
+    val out = Profile.hhiConcentration(df, col("g"), col("m"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r)
+      .toMap
+    assert(out("mono") == (("mono", 1L, 4L, 1000000L)))
+    assert(out("even") == (("even", 4L, 4L, 250000L)))
+  }
+
 }
