@@ -527,6 +527,30 @@ object Graph {
           .cast("decimal(20,10)"), 4).cast("double").as("harmonic"))
   }
 
+  /** RECIPROCITY of a directed graph — the share of directed edges
+    * whose reverse also exists (follows-back rate, mutual-link share
+    * of a crawl graph). Distinct edges, self-loops excluded; mutual
+    * detection is ONE self-join on the swapped key. Output one row:
+    * (n_edges, n_mutual_edges, reciprocity_micro).
+    */
+  def reciprocity(edges: DataFrame, src: Column,
+                  dst: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val e = edges.select(src.as("u"), dst.as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val mutual = e.join(e.select(col("v").as("u"), col("u").as("v")),
+      Seq("u", "v"))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(mutual.agg(count(lit(1))
+        .as("n_mutual_edges"))))
+      .withColumn("reciprocity_micro",
+        when(col("n_edges") === 0L, lit(0L))
+          .otherwise(fdiv(dec(col("n_mutual_edges")) * lit(1000000L),
+            dec(col("n_edges")))))
+  }
+
   /** BIPARTITE PROJECTION with a degree cap — the co-engagement graph
     * (user×item interactions → item–item edges) that powers
     * related-items, topic affinity, and co-crawl analyses. Per

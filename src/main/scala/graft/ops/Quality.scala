@@ -357,6 +357,48 @@ object Quality {
           .as("pass_at_k_micro"))
   }
 
+  /** ONE-STEP DAWID–SKENE label aggregation (Dawid & Skene 1979) —
+    * the crowdsourcing upgrade over majority vote: workers are
+    * weighted by their estimated reliability (agreement with the
+    * majority, add-1 smoothed) and items re-labeled by the weighted
+    * log-odds vote — one EM half-step, which already flips items
+    * where a reliable minority disagrees with an unreliable crowd.
+    * Exact: majority via cross-multiplied counts (ties to 0), worker
+    * weight = round(1e6·ln((a+1)/(t−a+1))) (the per-term ln-snap
+    * convention; a weight is NEGATIVE for worse-than-chance
+    * workers), DS label = sign of Σ w·(2v−1) with ties falling back
+    * to the majority. Two grouped aggregates + one broadcast-sized
+    * worker table join. Output per item: (item, n_votes, majority,
+    * ds_label, flipped).
+    */
+  def dawidSkeneStep(votes: DataFrame, item: Column, worker: Column,
+                     vote: Column): DataFrame = {
+    val base = votes.select(item.as("item"), worker.as("wk"),
+      when(vote, 1L).otherwise(0L).as("v"))
+    val maj = base.groupBy(col("item"))
+      .agg(count(lit(1)).as("n_votes"), sum(col("v")).as("pos"))
+      .withColumn("majority",
+        when(col("pos") * 2 > col("n_votes"), 1L).otherwise(0L))
+    val wstats = base.join(maj.select(col("item"), col("majority")),
+        "item")
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("t"),
+        sum(when(col("v") === col("majority"), 1L).otherwise(0L))
+          .as("a"))
+      .select(col("wk"),
+        round(log((col("a") + 1).cast("double") /
+          (col("t") - col("a") + 1).cast("double")) * lit(1e6))
+          .cast("long").as("w"))
+    val score = base.join(broadcast(wstats), "wk")
+      .groupBy(col("item"))
+      .agg(sum(col("w") * (col("v") * 2 - 1)).as("s"))
+    maj.join(score, "item")
+      .select(col("item"), col("n_votes"), col("majority"),
+        when(col("s") > 0, 1L).when(col("s") < 0, 0L)
+          .otherwise(col("majority")).as("ds_label"))
+      .withColumn("flipped", col("ds_label") =!= col("majority"))
+  }
+
   /** MATTHEWS CORRELATION COEFFICIENT for a binary classifier — the
     * single-number confusion summary that survives class imbalance
     * (accuracy and F1 both flatter a majority-class guesser; MCC of

@@ -369,4 +369,14 @@ class GraphSpec extends SparkSpec {
     assert(out(("b", "c")) == (("b", "c", 1L, 1L, 2L, 1L)))
     assert(!out.contains(("a", "d")), "hub-only pairs never project")
   }
+
+  test("reciprocity: mutual share over distinct directed edges") {
+    import org.apache.spark.sql.functions.col
+    val e = Seq((1, 2), (2, 1), (1, 3), (3, 3), (1, 2)).toDF("s", "d")
+    val r = Graph.reciprocity(e, col("s"), col("d"))
+      .as[(Long, Long, Long)].head()
+    // distinct non-self edges: (1,2),(2,1),(1,3); mutual: both of 1<->2
+    assert(r == ((3L, 2L, 666666L)))
+  }
+
 }

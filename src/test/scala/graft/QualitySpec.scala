@@ -325,4 +325,25 @@ class QualitySpec extends SparkSpec {
       "an empty marginal nulls MCC")
   }
 
+
+  test("dawidSkeneStep: a reliable minority flips an unreliable crowd") {
+    import org.apache.spark.sql.functions.col
+    // items 1..10 establish reliability: g1..g3 vote true everywhere,
+    // b1,b2 vote false on 1..6 (earning NEGATIVE log-odds weights).
+    // Item 11 is voted only by g1 (true) vs b1,b2 (false): majority
+    // goes false, but the weighted vote must flip it to true.
+    val rows = (1L to 10L).flatMap { i =>
+      Seq(("g1", i, true), ("g2", i, true), ("g3", i, true),
+        ("b1", i, i > 6), ("b2", i, i > 6))
+    } ++ Seq(("g1", 11L, true), ("b1", 11L, false), ("b2", 11L, false))
+    val out = Quality.dawidSkeneStep(rows.toDF("wk", "item", "v"),
+      col("item"), col("wk"), col("v"))
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(11L)._3 == 0L, "majority follows the two bad workers")
+    assert(out(11L)._4 == 1L && out(11L)._5,
+      "the reliable worker's weight flips item 11")
+    assert((1L to 10L).forall(i => !out(i)._5), "agreeing items hold")
+  }
+
 }
