@@ -48,7 +48,6 @@ object Dedup {
       (acc, h) => transform(acc,
         (a, i) => least(a, pmod((lit(2) * i + 1) * h + lit(7) + lit(13) * i, lit(P)))))
 
-  /** Convenience one-shot signature. */
   /** ONE-PERMUTATION HASHING with rotation densification (Li et al.
     * 2012; Shrivastava & Li 2014) — the k×-cheaper MinHash: instead
     * of k independent hashes PER ELEMENT, each element is hashed
@@ -115,6 +114,7 @@ object Dedup {
       .select(col("id_a"), col("id_b")).distinct()
   }
 
+  /** Convenience one-shot signature. */
   def minhashSignature(shingles: Column, k: Int): Column =
     minhashFromHashes(elementHashes(shingles), k)
 

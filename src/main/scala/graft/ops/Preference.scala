@@ -24,6 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object Preference {
 
+  /** Hard ceiling on collected duel-matrix rows (≤ items², so it
+    * bounds the item set too) — the repo's bounded-collect convention
+    * (cf. `limit(65537)` point-lookups in Streams): a caller passing
+    * a document-keyed duel table fails fast, never OOMs the driver.
+    */
+  val MaxMatrixRows: Int = 1 << 20
+
+  /** Hard ceiling on distinct items for the O(items³) driver triple
+    * walk in [[intransitivityAudit]] (512³/6 ≈ 2.2e7 triples — driver
+    * milliseconds; model identifiers, never documents).
+    */
+  val MaxTripleItems: Int = 512
+
   /** Collapse raw duels (winner, loser) to the directed win matrix
     * (i, j, wins) — the one data-sized pass every consumer shares.
     */
@@ -60,7 +73,12 @@ object Preference {
     val wm = matrix
       .select(col("i").cast("string"), col("j").cast("string"),
         col("wins").cast("long"))
+      .limit(MaxMatrixRows + 1)
       .as[(String, String, Long)].collect()
+    require(wm.length <= MaxMatrixRows,
+      s"duel matrix exceeds $MaxMatrixRows rows — items must be a " +
+        "bounded model-sized set (identifiers, not documents); " +
+        "pre-aggregate or re-key before rating")
     val undirected = wm.map { case (i, j, w) =>
       (if (i <= j) (i, j) else (j, i)) -> w
     }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
@@ -77,7 +95,11 @@ object Preference {
         val denom = undirected.iterator.collect {
           case ((a, b), n) if a == it || b == it =>
             val other = if (a == it) b else a
-            BigInt(n) * BigInt(1000000000000L) / (pi(it) + pi(other))
+            // Clamp: two floor-to-zero ratings sharing a pair would
+            // make pi(it)+pi(other) == 0 (rating floors to 0 when
+            // 2e6·wins < duels); max(1) keeps the term finite.
+            BigInt(n) * BigInt(1000000000000L) /
+              (pi(it) + pi(other)).max(1L)
         }.sum
         val w = winsOf.getOrElse(it, 0L)
         it -> (if (denom == 0) 1000000L
@@ -107,10 +129,18 @@ object Preference {
     import spark.implicits._
     val wm = duelMatrix(duels, winner, loser)
       .select(col("i").cast("string"), col("j").cast("string"),
-        col("wins")).as[(String, String, Long)].collect()
+        col("wins")).limit(MaxMatrixRows + 1)
+      .as[(String, String, Long)].collect()
+    require(wm.length <= MaxMatrixRows,
+      s"duel matrix exceeds $MaxMatrixRows rows — items must be a " +
+        "bounded model-sized set (identifiers, not documents)")
     val w = wm.map { case (i, j, n) => (i, j) -> n }.toMap
       .withDefaultValue(0L)
     val items = wm.flatMap(r => Seq(r._1, r._2)).distinct.sorted.toSeq
+    require(items.size <= MaxTripleItems,
+      s"${items.size} items exceeds $MaxTripleItems — the triple " +
+        "walk is O(items³); intransitivity is a model-panel audit, " +
+        "not a document-scale one")
     val pairs = items.combinations(2).map { case Seq(a, b) =>
       (a, b, w((a, b)), w((b, a)))
     }.filter(p => p._3 + p._4 > 0).toSeq

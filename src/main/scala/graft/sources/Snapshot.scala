@@ -1803,6 +1803,15 @@ object Snapshot {
     * caller rebases — re-clones — instead). Shallow like clone: the
     * adopted manifest references the branch's data dirs; no data
     * copies. Returns the source's new version.
+    *
+    * LIFETIME HAZARD (inverse of [[cloneTable]]'s): after
+    * fast-forward the SOURCE head physically depends on the BRANCH
+    * table's directories — vacuuming or deleting the branch tears
+    * files out from under the adopted source version. Keep the
+    * branch until the source commits past the adopted head (or its
+    * retention drops that version); [[vacuum]] only protects dirs
+    * referenced within ONE table's manifest chain, not across
+    * tables.
     */
   def fastForward(src: String, branch: String,
                   baseVersion: Long): Long = {

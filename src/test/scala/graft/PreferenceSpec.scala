@@ -76,4 +76,39 @@ class PreferenceSpec extends SparkSpec {
       "four triangles, exactly the ABC one cycles")
   }
 
+  test("bradleyTerryFromMatrix: two floor-to-zero items sharing a " +
+    "pair converge instead of dividing by zero") {
+    // Z crushes X and Y (3e6 wins each — one matrix row, not 3e6
+    // duels), so round 1 floors both their ratings to 0 (2e6·wins <
+    // duels); the X–Y pair then has pi(X)+pi(Y) == 0 in round 2 and
+    // only the max(1) clamp keeps the MM term finite.
+    val m = Seq(("Z", "X", 3000000L), ("Z", "Y", 3000000L),
+      ("X", "Y", 1L), ("Y", "X", 1L)).toDF("i", "j", "wins")
+    val out = Preference.bradleyTerryFromMatrix(m, 3)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out("Z") > 0L && out.contains("X") && out.contains("Y"))
+  }
+
+  test("bradleyTerryFromMatrix: an over-limit matrix fails fast with " +
+    "the bounded-items message, never an OOM") {
+    val big = spark.range(Preference.MaxMatrixRows + 1L)
+      .select(col("id").as("i"), (col("id") + 1L).as("j"),
+        org.apache.spark.sql.functions.lit(1L).as("wins"))
+    val e = intercept[IllegalArgumentException] {
+      Preference.bradleyTerryFromMatrix(big, 1)
+    }
+    assert(e.getMessage.contains("bounded model-sized set"))
+  }
+
+  test("intransitivityAudit: an over-limit item panel fails fast " +
+    "before the O(items³) walk") {
+    val duels = (0 to Preference.MaxTripleItems)
+      .map(i => (s"i$i", "t")).toDF("w", "l")
+    val e = intercept[IllegalArgumentException] {
+      Preference.intransitivityAudit(duels, col("w"), col("l"))
+    }
+    assert(e.getMessage.contains("O(items³)"))
+  }
+
 }
