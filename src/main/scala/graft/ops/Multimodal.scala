@@ -316,6 +316,97 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** JPEG fixture encoder at EXPLICIT quality 1.0 (the `ImageIO.write`
+    * one-arg path defaults to 0.75, which quantizes everything): any
+    * image whose 8×8 DCT blocks are each a uniform GRAY (R=G=B) value
+    * round-trips EXACTLY — gray makes the chroma planes constant 128
+    * (so 4:2:0 subsampling averages a constant), a uniform block is
+    * DC-only, and the quality-1.0 quantization table is all ones, so
+    * decode reproduces every pixel bit-for-bit (measured: q=1.0 and
+    * 0.95 both exact on gray 8×8 tiles; COLOR tiles err up to ±84 per
+    * channel — lossy as expected). This is what makes a lossy codec
+    * oracle-checkable: construct inside the lossless subset.
+    */
+  def jpegBytes(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
+    require(pixels.length == width * height, "pixels must be width*height")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, width, height, pixels, 0, width)
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); w.dispose()
+    bos.toByteArray
+  }
+
+  /** JPEG dimensions + component count via a MARKER WALK — metadata
+    * without entropy-decode, the cheap scan path a 100 TB image
+    * pipeline runs before deciding what to really decode: skip SOI
+    * (0xFFD8), then hop segment lengths (2-byte big-endian, length
+    * includes itself) until a start-of-frame marker (SOF0/1/2 —
+    * baseline, extended-sequential, progressive), whose payload is
+    * precision(1) height(2) width(2) ncomponents(1). None on bad
+    * magic, truncation, or reaching SOS/EOI without a SOF — callers
+    * fall back, per the decoder convention.
+    */
+  def jpegDims(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff ||
+        (bytes(1) & 0xff) != 0xd8) return None
+    var off = 2
+    while (off + 4 <= bytes.length) {
+      if ((bytes(off) & 0xff) != 0xff) return None
+      var marker = bytes(off + 1) & 0xff
+      while (marker == 0xff && off + 2 < bytes.length) {
+        off += 1; marker = bytes(off + 1) & 0xff // fill bytes
+      }
+      if (marker == 0xd9 || marker == 0xda) return None // EOI/SOS: no SOF seen
+      val len = ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+      if (len < 2 || off + 2 + len > bytes.length) return None
+      if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2) {
+        if (len < 8) return None
+        val h = ((bytes(off + 5) & 0xff) << 8) | (bytes(off + 6) & 0xff)
+        val w = ((bytes(off + 7) & 0xff) << 8) | (bytes(off + 8) & 0xff)
+        val nc = bytes(off + 9) & 0xff
+        return if (w > 0 && h > 0) Some((w, h, nc)) else None
+      }
+      off += 2 + len
+    }
+    None
+  }
+
+  /** Real JPEG decoder — the FOURTH format tier beside [[parseWav]],
+    * [[parseBmp]] and [[parsePng]], and the single most common crawl
+    * image format: sniff the 3-byte SOI+marker prefix 0xFFD8FF first
+    * (non-JPEG payloads skip the codec at the cost of one compare,
+    * never an exception), then decode through `javax.imageio.ImageIO`
+    * and normalize to top-down row-major 0xRRGGBB exactly like
+    * [[parsePng]]. Decode is LOSSY in general — only fixtures built
+    * inside [[jpegBytes]]'s lossless subset are byte-exact; real-world
+    * payloads get real (approximate) pixels, which is what every
+    * consumer of a lossy codec gets. None on anything the reader
+    * rejects — callers fall back, per the decoder convention.
+    */
+  def parseJpeg(bytes: Array[Byte]): Option[BmpPixels] = {
+    if (bytes.length < 3 || (bytes(0) & 0xff) != 0xff ||
+        (bytes(1) & 0xff) != 0xd8 || (bytes(2) & 0xff) != 0xff) return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+          .map(_ & 0xffffff)
+        Some(BmpPixels(w, h, px))
+      }
+    } catch { case _: Exception => None }
+  }
+
   /** Nearest-neighbor resample to `outW`×`outH` (pure pixel function):
     * output (x,y) reads source (x·W/outW, y·H/outH) — integer floor, the
     * standard nearest-neighbor index map, exact in integer arithmetic so
@@ -630,8 +721,9 @@ object Multimodal {
   /** The DEFAULT decoder: per-payload magic-number sniffing. A payload
     * that parses as RIFF/WAVE PCM16 is REALLY decoded — checksum is the
     * sum of the decoded sample VALUES (signed) and first_byte the first
-    * decoded sample; one that parses as 24-bit BMP or as PNG (the
-    * `javax.imageio` tier — [[parsePng]]) decodes to pixels —
+    * decoded sample; one that parses as 24-bit BMP, as PNG, or as
+    * JPEG (the `javax.imageio` tier — [[parsePng]]/[[parseJpeg]])
+    * decodes to pixels —
     * checksum is the sum of all decoded R+G+B channel values (pad bytes
     * excluded, rows un-flipped, PNG inflate included) and first_byte
     * the TOP-LEFT pixel's red channel: the two image formats share one
@@ -657,7 +749,8 @@ object Multimodal {
             val checksum = w.samples.foldLeft(0L)((a, s) => a + s)
             val first = if (w.samples.nonEmpty) w.samples(0).toInt else -1
             MediaFeatures(id, bytes.length, checksum, first)
-          case None => parseBmp(bytes).orElse(parsePng(bytes)) match {
+          case None => parseBmp(bytes).orElse(parsePng(bytes))
+              .orElse(parseJpeg(bytes)) match {
             case Some(b) => imageFeatures(id, bytes.length, b)
             case None =>
               val checksum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))

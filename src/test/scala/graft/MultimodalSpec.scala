@@ -195,6 +195,48 @@ class MultimodalSpec extends SparkSpec {
     assert(r(1L).n_bytes == png.length) // container length still typed
   }
 
+  test("jpegBytes → parseJpeg round-trips EXACTLY inside the lossless " +
+      "subset (gray 8×8-uniform blocks at quality 1.0)") {
+    val (bw, bh) = (3, 2)
+    val grays = Array(0, 37, 91, 200, 255, 17)
+    val px = Array.tabulate(8 * bw * 8 * bh) { i =>
+      val g = grays((i / (8 * bw) / 8) * bw + (i % (8 * bw) / 8))
+      (g << 16) | (g << 8) | g
+    }
+    val p = Multimodal.parseJpeg(Multimodal.jpegBytes(8 * bw, 8 * bh, px))
+    assert(p.isDefined)
+    assert(p.get.width == 24 && p.get.height == 16)
+    assert(p.get.pixels.toSeq == px.toSeq,
+      "gray DC-only blocks must survive the lossy codec bit-for-bit")
+  }
+
+  test("jpegDims marker-walks dimensions + components without decoding; " +
+      "malformed and non-JPEG payloads are rejected cheaply") {
+    val jpg = Multimodal.jpegBytes(16, 8, Array.fill(128)(0x505050))
+    assert(Multimodal.jpegDims(jpg).contains((16, 8, 3)))
+    assert(Multimodal.jpegDims("no".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.jpegDims(jpg.take(6)).isEmpty, "truncated walk")
+    assert(Multimodal.jpegDims(
+      Multimodal.pngBytes(2, 2, Array.fill(4)(0))).isEmpty)
+    assert(Multimodal.parseJpeg(jpg.take(6)).isEmpty)
+    assert(Multimodal.parseJpeg(
+      Multimodal.bmpBytes(1, 1, Array(0xffffff))).isEmpty)
+  }
+
+  test("FormatDecoder routes JPEG through the imageio tier: JPEG, PNG " +
+      "and BMP of the same gray pixels emit identical features") {
+    val px = Array.fill(64)(0x2A2A2A)
+    val media = Seq((1L, Multimodal.jpegBytes(8, 8, px)),
+      (2L, Multimodal.pngBytes(8, 8, px)),
+      (3L, Multimodal.bmpBytes(8, 8, px))).toDS().repartition(1)
+    val r = Multimodal.decodeFeaturesBatched(media)
+      .collect().map(f => f.doc_id -> f).toMap
+    val want = 64L * 3 * 0x2A
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(r(id).checksum == want && r(id).first_byte == 0x2A)
+    }
+  }
+
   test("FormatDecoder really decodes WAV features, stub-falls-back otherwise") {
     val samples = Array[Short](1000, -2000, 500)
     val wav = Multimodal.wavBytes(samples)
