@@ -1610,6 +1610,82 @@ object Similarity {
           (acc, t) => acc + t).as("r_energy"))
   }
 
+  /** TOP-K PCA BY DEFLATION — the multi-component completion of the
+    * [[topEigenFixedPoint]] → [[removeTopComponent]] pair (Arora et
+    * al. 2017 remove the top k≈d/100 components, not one): after the
+    * ONE distributed [[gramianFixedPoint]] pass, the d²-sized Gramian
+    * collects to the driver (dims-sized — the bounded-collect
+    * discipline) and each component c = 1..k runs the SAME fixed-point
+    * power trajectory as [[topEigenFixedPoint]] (exact BigInt
+    * mat-vec; us = u/1e9 truncated toward zero — BigInt `/` ≡ SQL
+    * `//`; one correctly-rounded sqrt/divide/round per step), then
+    * DEFLATES in exact integers:
+    *   λ_c  = ⌊vᵀGv / vᵀv⌋                   (Gram units, Rayleigh)
+    *   G'ᵢⱼ = Gᵢⱼ − ⌊λ_c·vᵢ·vⱼ / 10¹²⌋        (micro² projector)
+    * so a SQL oracle replays every component bit-for-bit. Emits per
+    * (component, dim): the component vector, its eigenvalue, and the
+    * ORTHOGONALITY WITNESS ortho_prev = Σ_d v_c(d)·v_{c−1}(d)
+    * (micro², ≈0 up to truncation; 0 for c = 1) — successive
+    * components of a symmetric matrix must be orthogonal, and the
+    * witness pins the whole deflation chain. λ stays within long for
+    * any Gramian trace < 2⁶³ (×1e3 snaps: ~9e12 unit-norm rows — the
+    * gramian aggregator's own overflow bound throws first).
+    */
+  def topKComponentsFixedPoint(gram: DataFrame, k: Int,
+                               iters: Int): DataFrame = {
+    require(k >= 1 && k <= 8, "k must be in [1, 8] — deflation is for" +
+      " the top few artifact directions, not a full eigendecomposition")
+    require(iters >= 1, "iters must be >= 1")
+    val spark = gram.sparkSession
+    import spark.implicits._
+    def roundAway(x: Double): Long =
+      if (x >= 0) math.floor(x + 0.5).toLong else math.ceil(x - 0.5).toLong
+    val cells = gram.select(col("i").cast("int"), col("j").cast("int"),
+        col("g").cast("decimal(38,0)"))
+      .as[(Int, Int, java.math.BigDecimal)].collect() // d² rows
+    val dims = cells.map(_._1).distinct.sorted
+    require(dims.length <= 512, "Gramian side exceeds 512 dims — the " +
+      "driver deflation is for embedding-sized matrices")
+    require(k <= math.max(dims.length, 1),
+      "k cannot exceed the dimensionality")
+    val d = dims.length
+    val pos = dims.zipWithIndex.toMap
+    val g = Array.fill(d, d)(BigInt(0))
+    cells.foreach { case (i, j, bd) =>
+      g(pos(i))(pos(j)) = BigInt(bd.toBigInteger)
+    }
+    val out = Seq.newBuilder[(Int, Int, Long, Long, Long)]
+    var prev: Array[Long] = null
+    for (c <- 1 to k) {
+      var v = Array.fill(d)(1000000L)
+      for (_ <- 1 to iters) {
+        val us = Array.tabulate(d) { i =>
+          (0 until d).foldLeft(BigInt(0))((a, j) =>
+            a + g(i)(j) * v(j)) / 1000000000L
+        }
+        val norm = math.sqrt(us.map(x => (x * x).doubleValue).sum)
+        if (norm > 0)
+          v = us.map(x => roundAway(x.doubleValue / norm * 1e6))
+      }
+      val num = (0 until d).foldLeft(BigInt(0)) { (a, i) =>
+        a + (0 until d).foldLeft(BigInt(0))((b, j) =>
+          b + g(i)(j) * v(j)) * v(i)
+      }
+      val den = v.foldLeft(BigInt(0))((a, x) => a + BigInt(x) * x)
+      val lam = if (den == 0) BigInt(0) else num / den
+      val ortho = if (prev == null) 0L
+        else (0 until d).foldLeft(0L)((a, i) => a + v(i) * prev(i))
+      dims.indices.foreach { i =>
+        out += ((c, dims(i), v(i), lam.toLong, ortho))
+      }
+      for (i <- 0 until d; j <- 0 until d)
+        g(i)(j) -= lam * v(i) * v(j) / 1000000000000L
+      prev = v
+    }
+    out.result()
+      .toDF("component", "dim", "v_micro", "eigval", "ortho_prev")
+  }
+
   private def md5hex60(s: String): Long =
     java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")

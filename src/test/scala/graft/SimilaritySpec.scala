@@ -791,6 +791,56 @@ class SimilaritySpec extends SparkSpec {
       "the dominant planted axis must carry most of the energy")
   }
 
+  test("topKComponentsFixedPoint: component 1 IS the single-component " +
+      "trajectory, eigenvalues descend, successive components are " +
+      "orthogonal up to truncation, and the run is deterministic") {
+    val rnd = new scala.util.Random(47)
+    val d = 8
+    // two planted orthogonal axes with well-separated strengths
+    val u1 = Array.tabulate(d)(i => if (i < 4) 0.5 else 0.0)
+    val u2 = Array.tabulate(d)(i => if (i >= 4) 0.5 else 0.0)
+    val data = (0 until 300).map { _ =>
+      val (a, b) = (rnd.nextGaussian() * 6.0, rnd.nextGaussian() * 2.0)
+      Array.tabulate(d)(i =>
+        (a * u1(i) + b * u2(i) + rnd.nextGaussian() * 0.05).toFloat)
+    }
+    val df = data.map(v => Tuple1(v.toSeq)).toDF("embedding")
+    val gram = Similarity.gramianFixedPoint(df, col("embedding"), 1000)
+    val got = Similarity.topKComponentsFixedPoint(gram, 3, 5)
+      .as[(Int, Int, Long, Long, Long)].collect()
+    assert(got.length == 3 * d)
+    val byComp = got.groupBy(_._1)
+    // component 1 replays the single-eigenvector trajectory exactly
+    val single = Similarity.topEigenFixedPoint(gram, 5)
+      .as[(Int, Long)].collect().sortBy(_._1).map(_._2)
+    assert(byComp(1).sortBy(_._2).map(_._3).toSeq == single.toSeq)
+    // eigenvalues descend and stay positive on a PSD Gramian
+    val eig = (1 to 3).map(c => byComp(c).head._4)
+    assert(eig(0) > eig(1) && eig(1) > eig(2) && eig(2) >= 0, eig)
+    // orthogonality witness: 0 for c=1; |Σ v_c·v_{c-1}| tiny vs the
+    // ~1e12 self-product for c>1 (truncation-level, not direction)
+    assert(byComp(1).head._5 == 0L)
+    (2 to 3).foreach { c =>
+      assert(math.abs(byComp(c).head._5) < 2e9.toLong,
+        s"component $c not orthogonal: ${byComp(c).head._5}")
+    }
+    // component 2 aligns with the second planted axis
+    val v2 = byComp(2).sortBy(_._2).map(_._3)
+    // u2 is unit-norm (4 entries of 0.5), v2 is unit in micro
+    val align2 = math.abs((0 until d)
+      .map(i => u2(i) * v2(i).toDouble / 1e6).sum)
+    assert(align2 > 0.98, s"component-2 alignment $align2")
+    // determinism
+    val again = Similarity.topKComponentsFixedPoint(gram, 3, 5)
+      .as[(Int, Int, Long, Long, Long)].collect()
+    assert(again.sortBy(r => (r._1, r._2)).toSeq ==
+      got.sortBy(r => (r._1, r._2)).toSeq)
+    // guards fail fast
+    intercept[IllegalArgumentException] {
+      Similarity.topKComponentsFixedPoint(gram, 9, 1)
+    }
+  }
+
   test("q224 mutual-kNN reciprocity on a planted two-pair geometry") {
     // A,B mutually closest; C's nearest is D but D's nearest is B:
     // with k=1 exactly half the directed edges are mutual
