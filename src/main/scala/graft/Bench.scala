@@ -137,6 +137,43 @@ object Bench {
     }.toMap
   }
 
+  /** CROSS-ROUND normalization (r14 verdict task 5): `norm_total`
+    * adjudicates intra-run drift only, so a round whose CLOSING host
+    * ran 22% slow still published a raw total that read as a 38%
+    * regression against the previous round (r14: ×1.38 raw vs ×1.02
+    * like-for-like). The calib probe is identical work every round,
+    * so expressing this run's total AT THE PREVIOUS ROUND'S host
+    * speed is one ratio: total · (calib_med_prev / calib_med_now).
+    * None when no prior run exists to anchor against.
+    */
+  def xroundTotal(normTotal: Double, calibMedNow: Double,
+                  calibMedPrev: Option[Double]): Option[Double] =
+    calibMedPrev.collect {
+      case p if p > 0 && calibMedNow > 0 => normTotal * p / calibMedNow
+    }
+
+  /** The previous run's `calib_med` for the same sf dir, from the
+    * committed bench history (last matching line wins — the most
+    * recent prior run). Regex extraction, not a JSON parser: each
+    * history line is written by this file with both fields in fixed
+    * form. None on no file / no match / malformed.
+    */
+  def lastHistoryCalibMed(historyPath: String, sfDir: String)
+      : Option[Double] = {
+    val path = java.nio.file.Paths.get(historyPath)
+    if (!java.nio.file.Files.exists(path)) return None
+    val sfRe = ("\"sf\":\"" + java.util.regex.Pattern.quote(sfDir) +
+      "\"").r
+    val cmRe = "\"calib_med\":([0-9.Ee+-]+)".r
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(path).asScala.reverseIterator
+        .filter(l => sfRe.findFirstIn(l).isDefined)
+        .flatMap(l => cmRe.findFirstMatchIn(l).map(_.group(1).toDouble))
+        .find(_ > 0)
+    } catch { case _: Exception => None }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -235,7 +272,19 @@ object Bench {
       (p, (0, c0) +: p.probes :+ (p.times.size, c1))
     })
     val normTotal = if (norms.nonEmpty) norms.values.sum else 0.0
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_norm":${qmap(norms)},"norm_total":$normTotal,"errors":$errJson,"sf":"$sfDir","runs":2,"agg":"min","calib_s":$calib,"calib_med":$calibMed,"calib_start":$calibStart,"calib_passes":$calibJson,"passes":$passJson}"""
+    // cross-round anchor: the previous run's calib_med for this sf,
+    // read BEFORE this run appends itself to the history. Both the
+    // anchor and the re-expressed totals land in the artifact so a
+    // loaded closing host can never masquerade as a regression.
+    val prevCalibMed = lastHistoryCalibMed("bench_history.jsonl", sfDir)
+    val xTotal = xroundTotal(total, calibMed, prevCalibMed)
+    val xNormTotal = xroundTotal(normTotal, calibMed, prevCalibMed)
+    def optJson(o: Option[Double]): String = o.map(_.toString)
+      .getOrElse("null")
+    val xJson = s""""calib_med_prev":${optJson(prevCalibMed)},""" +
+      s""""xround_total":${optJson(xTotal)},""" +
+      s""""xround_norm_total":${optJson(xNormTotal)}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_norm":${qmap(norms)},"norm_total":$normTotal,$xJson,"errors":$errJson,"sf":"$sfDir","runs":2,"agg":"min","calib_s":$calib,"calib_med":$calibMed,"calib_start":$calibStart,"calib_passes":$calibJson,"passes":$passJson}"""
     // Parse contract (4 rounds of "parsed": null taught us the hard way):
     //  - the forked child inherits sbt's real stdout (StdoutOutput), so the
     //    line lands unprefixed; build.sbt sets showSuccess := false, so sbt
@@ -268,7 +317,7 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case _: java.io.IOException => () }
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"runs":2,"agg":"min","calib_s":$calib,"calib_med":$calibMed,"norm_total":$normTotal,"queries_file":"target/bench.json"}"""
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"runs":2,"agg":"min","calib_s":$calib,"calib_med":$calibMed,"norm_total":$normTotal,$xJson,"queries_file":"target/bench.json"}"""
     println(summary)
     System.out.flush()
   }

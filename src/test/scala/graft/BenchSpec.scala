@@ -104,4 +104,33 @@ class BenchSpec extends SparkSpec {
     assert(math.abs(norms("q0") - 1.0) < 1e-9)
     assert(math.abs(norms("q1") - 1.0) < 1e-9)
   }
+
+  test("cross-round normalization: a 22% slower closing host reads at " +
+      "the previous round's speed via the calib_med ratio (r14's ×1.38 " +
+      "raw vs ×1.02 true); missing/degenerate anchors yield None") {
+    // r14's actual shape: prev calib 0.306, closing host 0.374
+    val x = Bench.xroundTotal(774.4, 0.374, Some(0.306))
+    assert(x.isDefined && math.abs(x.get - 774.4 * 0.306 / 0.374) < 1e-9)
+    assert(x.get < 774.4 * 0.85, "the host inflation must come OFF")
+    assert(Bench.xroundTotal(100.0, 0.3, None).isEmpty)
+    assert(Bench.xroundTotal(100.0, 0.0, Some(0.3)).isEmpty)
+    assert(Bench.xroundTotal(100.0, 0.3, Some(0.0)).isEmpty)
+  }
+
+  test("lastHistoryCalibMed finds the LAST entry for the requested sf " +
+      "dir only, and survives a missing or malformed history") {
+    val dir = java.nio.file.Files.createTempDirectory("benchhist")
+    val f = dir.resolve("h.jsonl")
+    java.nio.file.Files.write(f, Seq(
+      """{"ts":"t1","calib_med":0.25,"sf":"/data/sf0.1","x":1}""",
+      """not json at all""",
+      """{"ts":"t2","calib_med":0.31,"sf":"/data/sf0.1"}""",
+      """{"ts":"t3","calib_med":0.99,"sf":"/data/sf0.01"}"""
+    ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    assert(Bench.lastHistoryCalibMed(f.toString, "/data/sf0.1")
+      .contains(0.31), "last sf0.1 entry wins, sf0.01 ignored")
+    assert(Bench.lastHistoryCalibMed(f.toString, "/data/sf9").isEmpty)
+    assert(Bench.lastHistoryCalibMed(
+      dir.resolve("absent.jsonl").toString, "/data/sf0.1").isEmpty)
+  }
 }

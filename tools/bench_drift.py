@@ -32,10 +32,30 @@ p = argparse.ArgumentParser()
 p.add_argument("bench", nargs="?", default="target/bench.json")
 p.add_argument("--top", type=int, default=15)
 p.add_argument("--query", action="append", default=[])
+p.add_argument("--xround", help="previous round's bench.json: print "
+               "calib_med-ratio cross-round normalized totals over the "
+               "shared query set (r14 verdict task 5)")
 args = p.parse_args()
 
 with open(args.bench) as f:
     d = json.load(f)
+
+if args.xround:
+    with open(args.xround) as f:
+        prev = json.load(f)
+    shared = sorted(set(d["queries"]) & set(prev["queries"]))
+    cur_t = sum(d["queries"][q] for q in shared)
+    prev_t = sum(prev["queries"][q] for q in shared)
+    cm, pm = d.get("calib_med"), prev.get("calib_med")
+    print(f"shared queries: {len(shared)}  raw: {cur_t:.1f}s vs "
+          f"{prev_t:.1f}s = x{cur_t / prev_t:.3f}")
+    if cm and pm:
+        # identical probe work each round: re-express this run at the
+        # previous round's host speed before calling anything a regression
+        xn = cur_t * pm / cm
+        print(f"calib_med: {cm:.3f} vs {pm:.3f} (host x{cm / pm:.3f}); "
+              f"host-normalized: {xn:.1f}s = x{xn / prev_t:.3f}")
+    raise SystemExit(0)
 passes = d.get("passes")
 if not passes:
     raise SystemExit("no `passes` field — run a Bench built after r12")
