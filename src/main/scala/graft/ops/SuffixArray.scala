@@ -425,6 +425,19 @@ object SuffixArray {
       .unionByName(hits.select(col("doc_b").as("doc_id"),
         col("pos_b").as("pos"), col("lcp")))
       .groupBy(col("doc_id"), col("pos")).agg(max(col("lcp")).as("l"))
+    cutSpans(spans, docToks)
+  }
+
+  /** The coalesce-and-cut pass shared by the batch
+    * ([[exciseDuplicateSpans]]) and incremental
+    * ([[exciseAgainstIndex]]) excision faces: `spans` is
+    * (doc_id, pos, l) token intervals to remove; overlaps coalesce
+    * via the running end-max before any token is cut (one row per
+    * span, never an exploded position set). Output per doc:
+    * (doc_id, n_tokens, n_removed, clean_fp).
+    */
+  private[graft] def cutSpans(spans: DataFrame,
+                              docToks: DataFrame): DataFrame = {
     val toks = docToks
       .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "token")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
@@ -455,6 +468,28 @@ object SuffixArray {
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         coalesce(col("clean_fp"), md5(lit(""))).as("clean_fp"))
+  }
+
+  /** INCREMENTAL span excision against a persisted train index — the
+    * q372 rewrite at the q373 increment contract (the last batch-only
+    * member of the exact tier made incremental): every token of an
+    * increment document that lies inside a g-gram OCCURRING IN TRAIN
+    * is removed — a train match of length L ≥ g is tiled by its
+    * g-grams, so the coalesced cover equals the Lee et al. cut at
+    * minLen = g against the train corpus, with NO rebuild and cost
+    * tracking the increment ([[probeGramRanks]]: log₂ g inner joins
+    * against the persisted doubling maps; an absent window drops
+    * immediately). Each hit position is one (pos, g) span row into
+    * the shared [[cutSpans]] pass. Output per increment doc:
+    * (doc_id, n_tokens, n_removed, clean_fp).
+    */
+  def exciseAgainstIndex(index: ProbeIndex, docs: DataFrame,
+                         idCol: Column, textCol: Column): DataFrame = {
+    val spans = probeGramRanks(index, docs, idCol, textCol)
+      .select(col("doc_id"), col("pos"), lit(index.g).as("l"))
+    val docToks = docs.select(idCol.cast("long").as("doc_id"),
+      Text.tokens(textCol).as("tk"))
+    cutSpans(spans, docToks)
   }
 
   /** The level table valid at window length `len` (exactly the stored

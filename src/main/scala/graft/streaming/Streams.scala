@@ -1252,6 +1252,52 @@ object Streams {
     finally index.unpersistAll()
   }
 
+  /** STREAMING span EXCISION against a FIXED train index — the
+    * [[decontaminationStream]] contract upgraded from verdicts to the
+    * REWRITE (q372's cut, incremental): each micro-batch of new
+    * documents probes its g-grams against the persisted train suffix
+    * array ([[graft.ops.SuffixArray.exciseAgainstIndex]]) and lands
+    * one excision row PER BATCH DOC — n_removed, and the clean_fp of
+    * the kept tokens — through the keyed snapshot merge (replay-
+    * idempotent). The index never rebuilds mid-stream; per-batch cost
+    * tracks the batch (log₂ g inner joins, absent windows drop at
+    * their first level). Emits (doc_id, n_tokens, n_removed,
+    * clean_fp, ingest_batch).
+    */
+  def excisionStream(in: DataFrame, indexDir: String, table: String,
+                     checkpoint: String, g: Long = 8L,
+                     onBatch: (Long, Double) => Unit = (_, _) => ())
+      : Unit = {
+    import graft.ops.SuffixArray
+    import graft.sources.Snapshot
+    val index = SuffixArray.loadProbeIndex(in.sparkSession, indexDir, g)
+    val q = in.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val t0 = System.nanoTime
+        if (!batch.isEmpty) {
+          val docs = batch.toDF().select(col("doc_id"), col("text"))
+            .persist()
+          // eager checkpoint: the emptiness probe AND the merge both
+          // consume the rewrite (the decontaminationStream lesson)
+          val cut = SuffixArray.exciseAgainstIndex(index, docs,
+              col("doc_id"), col("text"))
+            .withColumn("ingest_batch", lit(batchId))
+            .localCheckpoint(true)
+          if (!cut.isEmpty)
+            Snapshot.merge(cut, table, Seq("doc_id"), "doc_id",
+              "ingest_batch"): Unit
+          docs.unpersist(): Unit
+        }
+        onBatch(batchId, (System.nanoTime - t0) / 1e9)
+      }
+      .start()
+    try q.awaitTermination()
+    finally index.unpersistAll()
+  }
+
   /** Drive any streaming DataFrame to a parquet sink with AvailableNow:
     * processes everything pending, then stops — the scheduled-batch
     * deployment mode (replaces the reference's GitHub Actions cron with

@@ -353,4 +353,52 @@ class SuffixArraySpec extends SparkSpec {
       b.unpersistAll(); bf.unpersistAll()
     }
   }
+
+  test("exciseAgainstIndex: rewrites equal a brute train-gram " +
+      "interval union per doc (kept bytes, not just counts)") {
+    withTempDir { dir =>
+      val g = 4L
+      val idx = new java.io.File(dir, "sa_index").getAbsolutePath
+      val train = trainDocs.toDF("doc_id", "text")
+      val ev = evalDocs.toDF("doc_id", "text")
+      val c = SuffixArray.corpus(train, col("doc_id"), col("text"))
+      val b = SuffixArray.build(c)
+      SuffixArray.persistProbeIndex(c, b, idx, g)
+      val index = SuffixArray.loadProbeIndex(spark, idx, g)
+      val got = SuffixArray.exciseAgainstIndex(index, ev,
+          col("doc_id"), col("text"))
+        .as[(Long, Long, Long, String)].collect()
+        .map(r => r._1 -> r).toMap
+      index.unpersistAll()
+      // brute force: every train g-gram string; covered = union of
+      // [p, p+g) over hit windows; clean_fp = md5 of kept tokens
+      val trainGrams = trainDocs.flatMap { case (_, txt) =>
+        val w = tok(txt)
+        (0 to w.length - g.toInt).map(i =>
+          w.slice(i, i + g.toInt).mkString(" "))
+      }.toSet
+      def md5hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      evalDocs.foreach { case (id, txt) =>
+        val w = tok(txt)
+        val covered = (0 to w.length - g.toInt)
+          .filter(p => trainGrams(w.slice(p, p + g.toInt).mkString(" ")))
+          .flatMap(p => p until p + g.toInt).toSet
+        val kept = w.indices.filterNot(covered).map(w)
+        assert(got(id) == ((id, w.length.toLong, covered.size.toLong,
+          md5hex(kept.mkString(" ")))), s"doc $id")
+      }
+      // planted expectations: 201 loses its 5-token train run (the
+      // two overlapping 4-grams tile it), 205 is untouched, 207 keeps
+      // its leading rotation (no train 4-gram wraps the seam) and the
+      // trailing novel zz while the embedded whole train doc goes
+      assert(got(201L)._3 == 5L &&
+        got(201L)._4 == md5hex("xx yy"))
+      assert(got(205L)._3 == 0L)
+      assert(got(207L)._3 == 6L &&
+        got(207L)._4 == md5hex("four five six zz"))
+      b.unpersistAll()
+    }
+  }
 }
