@@ -1,0 +1,1230 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Query surface + DuckDB oracles: event/session/funnel/product analytics.
+  *
+  * Split from the SparkEntry monolith (r14 verdict: 22.9k lines,
+  * +25% per round) — entries and their oracles move TOGETHER, are
+  * aggregated into the driver contract by [[SparkEntry.queries]] /
+  * [[SparkEntry.oracleSql]], and EntrySpec pins key parity across
+  * the family objects. Shared fixtures/CTE builders stay on
+  * [[SparkEntry]] (private[graft]).
+  */
+private[graft] object EntriesEventsProduct {
+  import SparkEntry._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Events: within-session event-type TRANSITION MATRIX (the Markov
+    // summary a behavior-sequence pipeline trains on) — consecutive
+    // pairs inside 30-min sessions, session boundaries hard (last event
+    // of a session never pairs into the next), per-from-type
+    // probability on the aggregated |types|² matrix, not the events.
+    "q132_session_transitions" -> ((s, dir) =>
+      Events.sessionTransitions(t(s, dir, "events"), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"), 1800L)),
+    // Events: LAST-TOUCH ATTRIBUTION — every purchase credits the
+    // user's most recent preceding click/view (ts then event_id
+    // tiebreak via a struct-max running window — deterministic, no
+    // join back); purchases with no preceding touch land in 'none'.
+    // One shuffle on the user key; the rollup runs on the 3-row
+    // attributed_type domain.
+    "q140_last_touch_attribution" -> ((s, dir) =>
+      Events.lastTouchAttribution(t(s, dir, "events"), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"), col("value"),
+        Seq("click", "view"), "purchase")),
+    // Events: TIME-TO-CONVERSION percentiles per weekly cohort — first
+    // view → first at-or-after purchase lag, exact integer micros until
+    // the final seconds division; the percentile sort-agg runs on one
+    // row per CONVERTED user, never on raw events.
+    "q145_conversion_lag" -> ((s, dir) =>
+      Events.conversionLag(t(s, dir, "events"), col("user_id"), col("ts"),
+        col("event_type"), "view", "purchase")),
+    // Resample: calendar densification + forward fill over the daily
+    // bar series (symbols ≤ 50) — per-symbol day grid from sequence(),
+    // fill via last(ignoreNulls) in the series window; the rollup
+    // checksums the filled values so every carried cell is verified
+    // without shipping span-many rows.
+    "q149_gap_fill" -> ((s, dir) => {
+      val daily = bars(s, dir).filter(col("symbol") <= 50)
+        .groupBy(col("symbol"), col("d"))
+        .agg(max(round(col("px") * 100).cast("long")).as("px_c"))
+      Resample.gapFillForward(daily, col("symbol"), col("d"), col("px_c"))
+        .groupBy(col("s").as("symbol"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(when(col("is_filled"), 1L).otherwise(0L)).as("n_filled"),
+          round(sum(col("value_c")).cast("double") / 100.0, 2)
+            .as("filled_sum"))
+    }),
+    // Join: interval×interval OVERLAP join — urgent-order windows
+    // [d, d+3] × high-priority windows [d, d+2] on the 4-day grid;
+    // each true pair meets once in the cell of max(lo_a, lo_b), so no
+    // post-join dedup shuffle exists. Rolled up per urgent order.
+    "q150_interval_overlap" -> ((s, dir) => {
+      val epoch = lit("1970-01-01").cast("date")
+      val o = t(s, dir, "orders")
+      def iv(prio: String, span: Int, p: String) =
+        o.filter(col("o_orderpriority") === prio)
+          .select(col("o_orderkey").as(s"${p}_key"),
+            datediff(to_date(col("o_orderdate")), epoch).as(s"${p}_lo"),
+            (datediff(to_date(col("o_orderdate")), epoch) + span)
+              .as(s"${p}_hi"))
+      Joins.intervalOverlapJoin(iv("1-URGENT", 3, "a"), "a_lo", "a_hi",
+          iv("2-HIGH", 2, "b"), "b_lo", "b_hi", 4L)
+        .groupBy(col("a_key").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_overlaps"),
+          min(col("b_key")).as("first_b"))
+    }),
+    // Events: TIME-DECAY attribution — completes the attribution
+    // family (last-touch q140, linear q158): per-pair 2^(−Δt/7d)
+    // weights snapped ×1e6 pre-sum, bounded per-user pair join.
+    "q179_decay_attribution" -> ((s, dir) =>
+      Events.timeDecayAttribution(t(s, dir, "events"), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"), col("value"),
+        Seq("click", "view"), "purchase", 7.0)),
+    // Series: LEAD-LAG cross-correlation — Pearson r between the
+    // daily view series and the purchase series shifted by −3..+3
+    // days; the argmax lag says which stream LEADS (q83 correlates
+    // only at lag 0). One data-sized (day, type) aggregate; the lag
+    // sweep is a 7-way shifted equi-join on the tiny day grid, exact
+    // DECIMAL(38,0) moment algebra, one sqrt + one division per lag.
+    "q258_lead_lag" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val dd = t(s, dir, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val v = dd.filter(col("event_type") === "view")
+        .select(col("d"), col("n").as("x"))
+      val p = dd.filter(col("event_type") === "purchase")
+        .select(col("d").as("pd"), col("n").as("y"))
+      val lags = s.range(-3, 4).toDF("lag")
+        .select(col("lag").cast("int").as("lag"))
+      v.crossJoin(broadcast(lags))
+        .join(p, expr("pd = date_add(d, lag)"))
+        .groupBy(col("lag"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(d38(col("x"))).as("sx"), sum(d38(col("y"))).as("sy"),
+          sum(d38(col("x")) * col("y")).as("sxy"),
+          sum(d38(col("x")) * col("x")).as("sxx"),
+          sum(d38(col("y")) * col("y")).as("syy"))
+        .select(col("lag"), col("n_days"),
+          when(d38(col("n_days")) * col("sxx") === col("sx") * col("sx")
+            || d38(col("n_days")) * col("syy") === col("sy") * col("sy"),
+            lit(null))
+            .otherwise(round(
+              ((d38(col("n_days")) * col("sxy") - col("sx") * col("sy"))
+                .cast("double") /
+                (sqrt((d38(col("n_days")) * col("sxx") -
+                  col("sx") * col("sx")).cast("double")) *
+                 sqrt((d38(col("n_days")) * col("syy") -
+                  col("sy") * col("sy")).cast("double"))))
+              .cast("decimal(20,10)"), 4).cast("double")).as("r"))
+    }),
+    // Finance: VWAP vs TWAP per symbol-month — the execution-quality
+    // pair every fills pipeline reports (q01's bars keep OHLC shape;
+    // VWAP weighs price by traded size, TWAP by time). Exact integer
+    // cent·unit numerators, two divisions per group at the end.
+    "q320_vwap" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      bars(s, dir)
+        .select(col("symbol"), date_format(col("d"), "yyyy-MM")
+            .as("m"),
+          round(col("px") * 100).cast("long").as("pxc"),
+          round(col("vol")).cast("long").as("q"))
+        .groupBy(col("symbol"), col("m"))
+        .agg(count(lit(1)).as("n_fills"), sum(col("q")).as("qty"),
+          sum(d38(col("pxc")) * col("q")).as("pv"),
+          sum(d38(col("pxc"))).as("sp"))
+        .select(col("symbol"), col("m"), col("n_fills"), col("qty"),
+          // qty = 0 (an all-zero-volume month) yields null, not a
+          // NaN→null-by-cast oracle divergence (ADVICE r11)
+          when(col("qty") === 0, lit(null)).otherwise(
+            round((col("pv").cast("double") / col("qty").cast("double")
+              / lit(100.0)).cast("decimal(20,10)"), 4).cast("double"))
+            .as("vwap"),
+          round((col("sp").cast("double") /
+            col("n_fills").cast("double") / lit(100.0))
+            .cast("decimal(20,10)"), 4).cast("double").as("twap"))
+    }),
+    // Series mining: SAX MOTIFS — weekly mean prices z-scored per
+    // symbol and mapped to a 4-letter alphabet at the N(0,1)
+    // quartile breakpoints, then 3-week words counted corpus-wide
+    // (the discretized shape vocabulary behind motif/novelty
+    // detection). The z comparison is cross-multiplied —
+    // m·v − Σv vs ±0.6745·√(mΣv²−(Σv)²) — so the only doubles are
+    // one sqrt per symbol and the comparison itself; ties and
+    // windows stay on the symbol key.
+    "q321_sax_motifs" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val wk = bars(s, dir)
+        .select(col("symbol"), date_trunc("week", col("d"))
+            .cast("date").as("w"),
+          round(col("px") * 100).cast("long").as("pxc"))
+        .groupBy(col("symbol"), col("w"))
+        .agg(round(sum(col("pxc")).cast("double") / count(lit(1)) *
+          1e4).cast("long").as("v9"))
+      val mom = wk.groupBy(col("symbol"))
+        .agg(count(lit(1)).as("mw"), sum(d38(col("v9"))).as("sv"),
+          sum(d38(col("v9")) * col("v9")).as("svv"))
+        .filter(col("mw") >= 8)
+        .select(col("symbol"), col("mw"), col("sv"),
+          (d38(col("mw")) * col("svv") - col("sv") * col("sv"))
+            .as("vm"))
+        .filter(col("vm") > 0)
+      val lhs = (d38(col("mw")) * col("v9") - col("sv"))
+        .cast("double")
+      val thr = lit(0.6745) * sqrt(col("vm").cast("double"))
+      val lettered = wk.join(mom, "symbol")
+        .select(col("symbol"), col("w"),
+          when(lhs < -thr, lit("a")).when(lhs < 0, lit("b"))
+            .when(lhs < thr, lit("c")).otherwise(lit("d")).as("cls"))
+      val ww = Window.partitionBy(col("symbol")).orderBy(col("w"))
+      lettered
+        .select(concat(col("cls"), lead(col("cls"), 1).over(ww),
+          lead(col("cls"), 2).over(ww)).as("word"))
+        .filter(col("word").isNotNull)
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)
+    }),
+    // Streaming gate: EVENT-TIME-TIMEOUT sessions
+    // (flatMapGroupsWithState + Append) — a session row EXISTS only
+    // because a state timeout fired, so a broken timeout path empties
+    // the output. Two ts-ordered batches (no late data, so only the
+    // timeout machinery is under test): users going quiet before the
+    // first tercile emit mid-stream, the rest at the final no-data
+    // flush — and the OUTPUT collapses to a split-independent rule
+    // (emit iff last-event-ms + gap < final watermark, with cumulative
+    // stats), which is exactly what the oracle computes. Values ride
+    // as integer-valued doubles so the unsorted per-group fold stays
+    // exact.
+    "q345_expiring_sessions" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id").as("userId"),
+        col("ts"), round(col("value")).as("value"),
+        unix_micros(col("ts")).as("us"))
+      val ext = ev.agg(floor((min(col("us")) + max(col("us"))) / 2)
+        .cast("long").as("mid"))
+      val em = ev.crossJoin(broadcast(ext))
+      val tmp = gateTempDir("q345")
+      val in = writeStreamBatches(Seq(
+        em.filter(col("us") <= col("mid"))
+          .select(col("userId"), col("ts"), col("value")),
+        em.filter(col("us") > col("mid"))
+          .select(col("userId"), col("ts"), col("value"))), tmp)
+      val schema = s.read.parquet(in).schema
+      val out = graft.streaming.Streams.expiringSessions(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+          .parquet(in)
+          .as[graft.streaming.Streams.SessionEvent](
+            org.apache.spark.sql.Encoders.product[
+              graft.streaming.Streams.SessionEvent]),
+        watermark = "0 seconds", gapMs = 1800000L)
+      withShufflePartitions(s, 8) {
+        graft.streaming.Streams.runAvailableNow(out.toDF(),
+          tmp + "/out", tmp + "/ck")
+      }
+      s.read.parquet(tmp + "/out")
+        .select(col("userId").as("user_id"), col("n"),
+          col("valueSum").cast("long").as("value_sum"))
+    }),
+    // Product: D1/D7 retention per first-seen cohort day.
+    "q475_day_retention" -> ((s, dir) =>
+      Events.dayRetention(t(s, dir, "events"), col("user_id"),
+        col("ts"), Seq(1, 7))),
+    // Product: DAU/WAU/MAU ladder with per-day stickiness.
+    "q468_engagement" -> ((s, dir) =>
+      Events.engagement(t(s, dir, "events"), col("user_id"),
+        col("ts"))),
+    // A/B: TWO-PROPORTION Z-TEST — md5 conversions with a planted
+    // +6pt lift on variant v1; signed z snapped ×1e6, |z| ≥ 1.96.
+    "q453_conversion_ztest" -> ((s, dir) => {
+      import graft.ops.Dedup.hashLong
+      val ev = t(s, dir, "events")
+      Events.conversionZTest(ev,
+        concat(lit("v"), col("user_id") % 2),
+        hashLong(concat(lit("cv"), col("event_id"))) % 100 <
+          lit(30) + (col("user_id") % 2) * 6)
+    }),
+    // Finance/risk: MAXIMUM DRAWDOWN per symbol — running-max cents
+    // over a TOTAL order (content tiebreaks included — the synthetic
+    // lineitem duplicates natural keys), deepest fall + rel share.
+    "q448_max_drawdown" -> ((s, dir) => {
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_partkey") % 5 === 0)
+        .select(col("l_partkey").as("k"),
+          struct(col("l_shipdate"), col("l_orderkey"),
+            col("l_linenumber"), cents.as("c")).as("o"),
+          cents.as("cents"))
+      Resample.maxDrawdown(li, col("k"), col("o"), col("cents"))
+    }),
+    // Traffic: INTER-ARRIVAL BURSTINESS — the Fano factor of
+    // per-user event gaps as one floored division of exact sums.
+    "q446_burstiness" -> ((s, dir) =>
+      Events.interArrivalBurstiness(t(s, dir, "events"),
+        col("user_id"), col("ts"), col("event_id"))),
+    // Capacity: PEAK CONCURRENCY of user sessions — the ±1 sweep
+    // over session intervals through the prefix kernel; max
+    // simultaneous sessions and the first time it happens.
+    "q443_peak_concurrency" -> ((s, dir) => {
+      val sess = Events.sessionize(t(s, dir, "events"),
+        col("user_id"), col("ts"), col("event_id"), 1800L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(unix_micros(col("ts"))).as("s"),
+          max(unix_micros(col("ts"))).as("e"))
+      Events.peakConcurrency(sess, col("s"), col("e"))
+    }),
+    // Events/LM: MARKOV STATIONARY MIX — three power-iteration steps
+    // of the session transition matrix from the uniform start (the
+    // "where do sessions settle" long-run read over q132's
+    // transitions; q237 predicts one step, this iterates): per-step
+    // contributions snap ×1e9 pre-sum (the q135 discipline), the
+    // |Σ|-row distribution joins the |Σ|²-cell matrix per step.
+    "q306_markov_stationary" -> ((s, dir) => {
+      val tr = Events.sessionTransitions(t(s, dir, "events"),
+          col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), 1800L)
+        .select(col("from_type"), col("to_type"), col("n"))
+      val rowTot = tr.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("rt"))
+      val p = tr.join(rowTot, "from_type")
+      val states = rowTot.select(col("from_type").as("st"))
+      val n0 = states.crossJoin(broadcast(
+        states.agg(count(lit(1)).as("k"))))
+        .select(col("st"), (lit(1.0) / col("k").cast("double"))
+          .as("pi"))
+      def step(cur: DataFrame): DataFrame =
+        p.join(cur.select(col("st").as("from_type"), col("pi")),
+            "from_type")
+          .select(col("to_type").as("st"),
+            round(col("pi") * (col("n").cast("double") /
+              col("rt").cast("double")) * lit(1e9)).cast("long")
+              .as("c"))
+          .groupBy(col("st")).agg((sum(col("c")).cast("double") /
+            lit(1e9)).as("pi"))
+      val pi3 = step(step(step(n0)))
+      pi3.select(col("st").as("state"),
+        round(col("pi").cast("decimal(20,10)"), 6).cast("double")
+          .as("pi"))
+    }),
+    // Events/robust: FUNNEL LATENCY BANDS — p25/p50/p75 of each
+    // user's first-view → first-subsequent-purchase lag (q145's mean
+    // hides the skew; the robust read is the quartile spread): one
+    // user-key aggregate pairs the firsts, the ungrouped prefix
+    // kernel ranks the exact second-valued lags, band = smallest lag
+    // at ⌈q·n⌉ inclusive rank.
+    "q303_funnel_latency_bands" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val fv = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("tv"))
+      val lags = ev.filter(col("event_type") === "purchase")
+        .join(fv, "user_id")
+        .filter(col("ts") >= col("tv"))
+        .groupBy(col("user_id"))
+        // exact MICROSECOND lags: per-second truncation before the
+        // subtract would disagree cross-engine on sub-second stamps
+        .agg(min(unix_micros(col("ts")) -
+          unix_micros(col("tv"))).as("lag_us"))
+      val byV = lags.groupBy(col("lag_us").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val rk = Ranks.withRunningBelow(byV, "v", 1000000000000L,
+        Seq("cnt"))
+      val nn = byV.agg(sum(col("cnt")).as("n"))
+      def band(q: Int): Column =
+        round((min(when((col("cnt_below") + col("cnt")) * 100 >=
+          col("n") * q, col("v"))).cast("double") / lit(1e6))
+          .cast("decimal(20,10)"), 2).cast("double")
+      rk.crossJoin(broadcast(nn))
+        .groupBy(col("n").as("n_users"))
+        .agg(band(25).as("p25_s"), band(50).as("p50_s"),
+          band(75).as("p75_s"))
+    }),
+    // Events/product: DAU / trailing-7-day WAU stickiness per day —
+    // the engagement-intensity ratio every product dashboard tracks:
+    // exact sliding DISTINCT via the (user, day) pair stream fanned
+    // ×7 onto its covered window days (q166 solves the same shape
+    // with mergeable HLL registers at scale; this is the exact
+    // small-window face). One distinct + one ×7 aggregate.
+    "q283_dau_wau" -> ((s, dir) => {
+      val ud = t(s, dir, "events")
+        .select(col("user_id").as("u"), to_date(col("ts")).as("d"))
+        .distinct()
+      val dau = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+      val cover = ud.select(col("u"),
+          explode(sequence(lit(0), lit(6))).as("k"), col("d"))
+        .select(col("u"), date_add(col("d"), col("k")).as("d"))
+        .distinct()
+      val wau = cover.groupBy(col("d")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, "d")
+        .select(col("d"), col("dau"), col("wau"),
+          round((col("dau").cast("double") / col("wau").cast("double"))
+            .cast("decimal(20,10)"), 4).cast("double")
+            .as("stickiness"))
+    }),
+    // Events/eval: HELD-OUT next-event prediction — the full
+    // train/fit/eval protocol natively: users hash-split 3:1, the
+    // train side fits the majority-next-state Markov table (q132's
+    // transition kernel), the held-out side scores it. Per state:
+    // weighted accuracy of the argmax rule; states unseen in
+    // training stay null — the coverage-vs-accuracy read any
+    // sequence-model baseline quotes.
+    "q237_markov_eval" -> ((s, dir) => {
+      val split = pmod(Dedup.hashLong(
+        concat(lit("m"), col("user_id").cast("string"))), lit(4L))
+      def trans(df: DataFrame) =
+        Events.sessionTransitions(df, col("user_id"), col("ts"),
+          col("event_id"), col("event_type"), 1800L)
+          .select(col("from_type"), col("to_type"), col("n"))
+      val ev = t(s, dir, "events")
+      val model = trans(ev.filter(split =!= 0))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("from_type"))
+            .orderBy(col("n").desc, col("to_type"))))
+        .filter(col("rn") === 1)
+        .select(col("from_type"), col("to_type").as("pred"))
+      trans(ev.filter(split === 0))
+        .join(model, Seq("from_type"), "left")
+        .groupBy(col("from_type"))
+        .agg(max(col("pred")).as("pred"),
+          sum(col("n")).as("n_test"),
+          sum(when(col("to_type") === col("pred"), col("n"))
+            .otherwise(0L)).as("n_correct"))
+        .select(col("from_type"), col("pred"), col("n_test"),
+          col("n_correct"),
+          when(col("pred").isNull, lit(null)).otherwise(
+            round((col("n_correct").cast("double") /
+              col("n_test").cast("double")).cast("decimal(20,10)"), 4)
+              .cast("double")).as("accuracy"))
+    }),
+    // Events: BURSTINESS of inter-event times per user (Goh–Barabási
+    // B = (σ−μ)/(σ+μ)): −1 = metronome, 0 = Poisson, →1 = heavy
+    // bursts — the temporal signature separating scripted/bot traffic
+    // from organic sessions. Gaps are exact integer µs off ONE
+    // user-key window; n cancels, so B = (√(nΣg²−(Σg)²) − Σg) /
+    // (√(nΣg²−(Σg)²) + Σg) on exact DECIMAL moments with one sqrt.
+    // Users need ≥ 4 gaps; an all-zero-gap user is null (declared).
+    "q231_burstiness" -> ((s, dir) => {
+      val d38 = (c: Column) => c.cast("decimal(38,0)")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val um = unix_micros(col("ts"))
+      val gaps = t(s, dir, "events")
+        .select(col("user_id"), (um - lag(um, 1).over(w)).as("g"))
+        .filter(col("g").isNotNull)
+      val r = sqrt((d38(col("n_gaps")) * col("sxx") -
+        col("sx") * col("sx")).cast("double"))
+      gaps.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_gaps"), sum(d38(col("g"))).as("sx"),
+          sum(d38(col("g")) * col("g")).as("sxx"))
+        .filter(col("n_gaps") >= 4)
+        .select(col("user_id"), col("n_gaps"),
+          when(r + col("sx").cast("double") === 0.0, lit(null))
+            .otherwise(round(((r - col("sx").cast("double")) /
+              (r + col("sx").cast("double"))).cast("decimal(20,10)"), 4)
+              .cast("double")).as("b"))
+    }),
+    // Events: TRANSITION ENTROPY per state — how predictable is the
+    // next action given the current one? H(next|cur) per from-state
+    // over the session transition counts (q132's kernel reused, same
+    // one user-key shuffle); ×1e9 ln snaps pre-sum. States with
+    // entropy near ln(|types|) are noise, near-0 states are script
+    // steps — the sequence-mining read behind curriculum/session
+    // filtering.
+    "q230_transition_entropy" -> ((s, dir) => {
+      val tr = Events.sessionTransitions(t(s, dir, "events"),
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        1800L)
+      val nf = tr.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("n_out"), count(lit(1)).as("n_next"))
+      tr.join(nf, "from_type")
+        .select(col("from_type"), col("n_out"), col("n_next"),
+          round(col("n").cast("double") / col("n_out").cast("double") *
+            log(col("n").cast("double") / col("n_out").cast("double")) *
+            lit(1e9)).cast("long").as("tfp"))
+        .groupBy(col("from_type"), col("n_out"), col("n_next"))
+        .agg((-sum(col("tfp"))).as("efp"))
+        .select(col("from_type"), col("n_out"), col("n_next"),
+          round((col("efp").cast("double") / lit(1e9))
+            .cast("decimal(20,10)"), 6).cast("double").as("entropy"))
+    }),
+    // Events: LINEAR multi-touch attribution — each purchase splits its
+    // value equally across ALL preceding touches (vs q140's last-touch
+    // winner-take-all): per-conversion share snapped ×1e6, distributed
+    // via the per-user suffix-sum window; no-touch purchases report as
+    // 'none'. Two windows, one user shuffle.
+    "q158_linear_attribution" -> ((s, dir) =>
+      Events.linearAttribution(t(s, dir, "events"), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"), col("value"),
+        Seq("click", "view"), "purchase")),
+    // Events: strict ordered funnel view → click → purchase — deepest
+    // step per user via a fold over the time-sorted encoded sequence;
+    // one shuffle on user, histogram-then-join for the cumulative.
+    "q77_funnel" -> ((s, dir) =>
+      Events.funnelCounts(t(s, dir, "events"), col("user_id"), col("ts"),
+        col("event_type"), Seq("view", "click", "purchase"))),
+    // Events: conversion-window funnel — steps count only within 24h
+    // of the user's first view (first-touch anchor); the fold packs
+    // (anchor_us, reached) into one BIGINT decoded by bit shifts, so
+    // the recursion is exact integer arithmetic on both engines.
+    "q89_windowed_funnel" -> ((s, dir) =>
+      Events.funnelCountsWithin(t(s, dir, "events"), col("user_id"),
+        col("ts"), col("event_type"), Seq("view", "click", "purchase"),
+        86400L)),
+    // Events: 30-minute-gap sessionization (lag marker + running sum
+    // sharing one window spec → one exchange, one sort), aggregated per
+    // session. Session extent is reported via exact event ids, NOT raw
+    // epoch micros: the testdata's ns timestamps truncate to µs
+    // differently per engine (±1µs), which is harmless against the
+    // 1800s gap but would leak into a duration column.
+    "q78_sessionize" -> ((s, dir) =>
+      Events.sessionize(t(s, dir, "events"), col("user_id"), col("ts"),
+        col("event_id"), 1800L)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("value_sum"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"))),
+    // Events: weekly cohort retention triangle — first-event cohort via
+    // an unordered min window (no join back), distinct activity weeks.
+    "q79_cohort_retention" -> ((s, dir) =>
+      Events.cohortRetention(t(s, dir, "events"), col("user_id"), col("ts"))),
+    // Streaming surface in batch clothing: session windows (30-minute
+    // inactivity gap) over the event feed — the same sessionRollup the
+    // streaming deployment runs, goldened against gaps-and-islands SQL.
+    "q43_session_windows" -> ((s, dir) => {
+      val sess = graft.streaming.Streams.sessionRollup(
+        t(s, dir, "events"), "user_id", "30 minutes")
+      sess.select(
+        unix_timestamp(col("session_start")).as("s_start"),
+        unix_timestamp(col("session_end")).as("s_end"),
+        col("user_id"), col("n"), col("value_sum"))
+    }),
+    // Beyond-reference: pivot the event feed to one column per event
+    // type (explicit value list — a single pass, no values-discovery
+    // job; each cell a rounded sum).
+    "q54_event_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(round(sum(col("value")), 2))),
+    // Stream-stream interval join in batch clothing: for every event,
+    // count same-user events in the preceding 10 minutes (exclusive of
+    // self) — the same intervalJoin the streaming deployment runs.
+    "q48_interval_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val l = e.select(col("user_id"), col("ts").as("lts"))
+      val r = e.select(col("user_id"), col("ts").as("rts"), col("value"))
+      graft.streaming.Streams.intervalJoin(l, r, "user_id", "lts", "rts",
+          watermark = "0 seconds", within = "10 minutes")
+        .filter(col("rts") < col("lts")) // strict predecessors only
+        .groupBy(col("l.user_id").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("value")), 2).as("pred_value_sum"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    // q78's session CTE + a lead within (user, session): boundaries are
+    // hard because the lead window partitions on the session id; the
+    // probability normalizes on the aggregated matrix.
+    "q132_session_transitions" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |        > 1800 * 1000000 THEN 1
+        |      WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |      ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, event_id, event_type,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM m),
+        |pr AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id, session_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM s),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  CAST(round(CAST(CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
+        |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS p
+        |FROM c""".stripMargin,
+    // The same struct-max running window (ROWS … 1 PRECEDING) — DuckDB
+    // struct comparison is field-order lexicographic like Spark's.
+    "q140_last_touch_attribution" ->
+      """WITH m AS (SELECT event_type, value,
+        |    max(CASE WHEN event_type IN ('click', 'view')
+        |      THEN {'tts': ts, 'tid': event_id, 'ttype': event_type}
+        |      END) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS touch
+        |  FROM events)
+        |SELECT coalesce((touch).ttype, 'none') AS attributed_type,
+        |  CAST(count(*) AS BIGINT) AS n_purchases,
+        |  round(sum(value), 2) AS value_sum
+        |FROM m WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
+    // Same unordered-min first-view anchor, same at-or-after first
+    // purchase, quantile_cont over exact integer micros.
+    "q145_conversion_lag" ->
+      """WITH a AS (SELECT user_id, event_type, epoch_us(ts) AS tus,
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id) AS first_from
+        |  FROM events),
+        |pu AS (SELECT user_id, first_from, min(tus) AS first_to
+        |  FROM a WHERE event_type = 'purchase'
+        |    AND first_from IS NOT NULL AND tus >= first_from
+        |  GROUP BY 1, 2),
+        |l AS (SELECT make_timestamp(first_from) AS ft,
+        |    first_to - first_from AS lag_us FROM pu)
+        |SELECT CAST(date_trunc('week', ft) AS DATE) AS cohort_week,
+        |  CAST(count(*) AS BIGINT) AS n_converted,
+        |  CAST(round(CAST(quantile_cont(lag_us, CAST(0.5 AS DOUBLE))
+        |    / 1e6 AS DECIMAL(20,10)), 4) AS DOUBLE) AS p50_s,
+        |  CAST(round(CAST(quantile_cont(lag_us, CAST(0.9 AS DOUBLE))
+        |    / 1e6 AS DECIMAL(20,10)), 4) AS DOUBLE) AS p90_s
+        |FROM l GROUP BY 1""".stripMargin,
+    // Same per-symbol grid (generate_series ≙ sequence) and the same
+    // IGNORE NULLS forward-fill window; the checksum divides the exact
+    // cent sum once.
+    "q149_gap_fill" ->
+      s"""WITH obs AS (SELECT symbol, d,
+         |    max(CAST(round(px * 100) AS BIGINT)) AS vc
+         |  FROM ($barsSql) WHERE symbol <= 50 GROUP BY 1, 2),
+         |span AS (SELECT symbol, min(d) AS d0, max(d) AS d1
+         |  FROM obs GROUP BY 1),
+         |grid AS (SELECT symbol,
+         |    CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+         |      CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+         |  FROM span),
+         |f AS (SELECT g.symbol, g.d, o.vc,
+         |    last_value(o.vc IGNORE NULLS) OVER (PARTITION BY g.symbol
+         |      ORDER BY g.d ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS value_c
+         |  FROM grid g LEFT JOIN obs o
+         |    ON o.symbol = g.symbol AND o.d = g.d)
+         |SELECT symbol, CAST(count(*) AS BIGINT) AS n_days,
+         |  CAST(sum(CASE WHEN vc IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_filled,
+         |  round(CAST(sum(value_c) AS DOUBLE) / 100.0, 2) AS filled_sum
+         |FROM f GROUP BY 1""".stripMargin,
+    // Truth is the plain inequality join (DuckDB's IEJoin handles it);
+    // the engine's grid blocking + canonical-cell dedup must reproduce
+    // the pair set exactly.
+    "q150_interval_overlap" ->
+      """WITH a AS (SELECT o_orderkey AS a_key,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS a_lo,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      + 3 AS a_hi
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |b AS (SELECT o_orderkey AS b_key,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      AS b_lo,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |      + 2 AS b_hi
+        |  FROM orders WHERE o_orderpriority = '2-HIGH')
+        |SELECT a_key AS o_orderkey, CAST(count(*) AS BIGINT) AS n_overlaps,
+        |  min(b_key) AS first_b
+        |FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
+        |GROUP BY 1""".stripMargin,
+    // Same pair join (strict (ts, id) order), same ×1e6 weight snap
+    // before the per-conversion total, same ×1e4 per-pair credit snap.
+    "q179_decay_attribution" ->
+      """WITH tch AS (SELECT user_id AS u, event_type AS tt,
+        |    epoch_us(ts) AS tus, event_id AS tord
+        |  FROM events WHERE event_type IN ('click', 'view')),
+        |cv AS (SELECT user_id AS u, epoch_us(ts) AS cus,
+        |    event_id AS cord, CAST(round(value * 100) AS BIGINT) AS vc
+        |  FROM events WHERE event_type = 'purchase'),
+        |pr AS (SELECT cv.u, cv.cus, cv.cord, cv.vc, tch.tt, tch.tus
+        |  FROM cv JOIN tch ON cv.u = tch.u
+        |  WHERE tch.tus < cv.cus
+        |    OR (tch.tus = cv.cus AND tch.tord < cv.cord)),
+        |pw AS (SELECT *, greatest(CAST(round(pow(CAST(0.5 AS DOUBLE),
+        |      CAST(cus - tus AS DOUBLE) / CAST(86400000000 AS DOUBLE)
+        |        / CAST(7.0 AS DOUBLE)) * 1e6) AS BIGINT), 1) AS w_fp
+        |  FROM pr),
+        |sw AS (SELECT u, cus, cord, CAST(sum(w_fp) AS BIGINT) AS sw_fp
+        |  FROM pw GROUP BY 1, 2, 3),
+        |cr AS (SELECT pw.tt,
+        |    CAST(round(CAST(vc AS DOUBLE) * CAST(w_fp AS DOUBLE)
+        |      / CAST(sw_fp AS DOUBLE) * 1e4) AS BIGINT) AS credit_fp
+        |  FROM pw JOIN sw ON pw.u = sw.u AND pw.cus = sw.cus
+        |    AND pw.cord = sw.cord),
+        |bt AS (SELECT tt AS touch_type,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(round(CAST(CAST(sum(credit_fp) AS DOUBLE) / 1e6
+        |      AS DECIMAL(20,10)), 2) AS DOUBLE) AS credit
+        |  FROM cr GROUP BY 1),
+        |orp AS (SELECT 'none' AS touch_type,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    coalesce(CAST(round(CAST(CAST(sum(vc) AS DOUBLE)
+        |      / CAST(100.0 AS DOUBLE) AS DECIMAL(20,10)), 2) AS DOUBLE),
+        |      CAST(0.0 AS DOUBLE)) AS credit
+        |  FROM cv WHERE NOT EXISTS (SELECT 1 FROM pr
+        |    WHERE pr.u = cv.u AND pr.cus = cv.cus AND pr.cord = cv.cord))
+        |SELECT * FROM bt UNION ALL SELECT * FROM orp""".stripMargin,
+    // DuckDB date + integer adds days; same exact HUGEINT moment
+    // algebra per lag, same degenerate-variance null guard.
+    "q258_lead_lag" ->
+      """WITH dd AS (SELECT CAST(ts AS DATE) AS d, event_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1, 2),
+        |v AS (SELECT d, n AS x FROM dd WHERE event_type = 'view'),
+        |p AS (SELECT d AS pd, n AS y FROM dd
+        |  WHERE event_type = 'purchase'),
+        |j AS (SELECT lag, x, y FROM v
+        |  CROSS JOIN (SELECT CAST(unnest(range(-3, 4)) AS INT) AS lag)
+        |  JOIN p ON pd = d + lag),
+        |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_days,
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM j GROUP BY 1)
+        |SELECT lag, n_days,
+        |  CASE WHEN n_days * sxx = sx * sx OR n_days * syy = sy * sy
+        |    THEN NULL ELSE
+        |    CAST(round(CAST(CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+        |        * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)))
+        |      AS DECIMAL(20,10)), 4) AS DOUBLE) END AS r
+        |FROM m""".stripMargin,
+    // Same cent·unit integer numerators and per-group divisions.
+    "q320_vwap" -> {
+      s"""WITH b AS (SELECT symbol, strftime(d, '%Y-%m') AS m,
+         |    CAST(round(px * 100) AS BIGINT) AS pxc,
+         |    CAST(round(vol) AS BIGINT) AS q
+         |  FROM ($barsSql))
+         |SELECT symbol, m, CAST(count(*) AS BIGINT) AS n_fills,
+         |  CAST(sum(q) AS BIGINT) AS qty,
+         |  CASE WHEN sum(q) = 0 THEN NULL ELSE
+         |    CAST(round(CAST(CAST(sum(CAST(pxc AS HUGEINT) * q)
+         |      AS DOUBLE) / CAST(sum(q) AS DOUBLE) / 100.0
+         |      AS DECIMAL(20,10)), 4) AS DOUBLE) END AS vwap,
+         |  CAST(round(CAST(CAST(sum(CAST(pxc AS HUGEINT)) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) / 100.0
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS twap
+         |FROM b GROUP BY 1, 2""".stripMargin
+    },
+    // Same ×1e4 weekly snap, cross-multiplied z breakpoints, 3-week
+    // lead words.
+    "q321_sax_motifs" -> {
+      s"""WITH wk AS (SELECT symbol, date_trunc('week', d) AS w,
+         |    CAST(round(CAST(sum(CAST(round(px * 100) AS BIGINT))
+         |      AS DOUBLE) / count(*) * 1e4) AS BIGINT) AS v9
+         |  FROM ($barsSql) GROUP BY 1, 2),
+         |mom AS (SELECT symbol, mw, sv,
+         |    CAST(mw AS HUGEINT) * svv - sv * sv AS vm
+         |  FROM (SELECT symbol, CAST(count(*) AS BIGINT) AS mw,
+         |      sum(CAST(v9 AS HUGEINT)) AS sv,
+         |      sum(CAST(v9 AS HUGEINT) * v9) AS svv
+         |    FROM wk GROUP BY 1)
+         |  WHERE mw >= 8),
+         |lt AS (SELECT wk.symbol, wk.w,
+         |    CASE
+         |      WHEN CAST(mw * wk.v9 - sv AS DOUBLE)
+         |        < -(0.6745 * sqrt(CAST(vm AS DOUBLE))) THEN 'a'
+         |      WHEN CAST(mw * wk.v9 - sv AS DOUBLE) < 0 THEN 'b'
+         |      WHEN CAST(mw * wk.v9 - sv AS DOUBLE)
+         |        < 0.6745 * sqrt(CAST(vm AS DOUBLE)) THEN 'c'
+         |      ELSE 'd' END AS cls
+         |  FROM wk JOIN mom USING (symbol) WHERE vm > 0),
+         |wd AS (SELECT cls || lead(cls, 1) OVER ws
+         |      || lead(cls, 2) OVER ws AS word
+         |  FROM lt WINDOW ws AS (PARTITION BY symbol ORDER BY w))
+         |SELECT word, CAST(count(*) AS BIGINT) AS n FROM wd
+         |WHERE word IS NOT NULL
+         |GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 20""".stripMargin
+    },
+    // Split-independent emission rule: a session row exists iff the
+    // user's last-event millisecond + 30 min gap sits strictly below
+    // the final watermark; stats are cumulative over all their events.
+    "q345_expiring_sessions" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(round(value) AS BIGINT) AS v FROM events),
+        |g AS (SELECT user_id, max(us) // 1000 AS lms,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(v) AS BIGINT) AS value_sum
+        |  FROM ev GROUP BY 1),
+        |wmf AS (SELECT max(us) // 1000 AS w FROM ev)
+        |SELECT user_id, n, value_sum FROM g CROSS JOIN wmf
+        |WHERE lms + 1800000 < w""".stripMargin,
+    // Distinct (user, day) activity; exact-offset hits per cohort.
+    "q475_day_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id AS u,
+        |    CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT u, min(day) AS c0 FROM act GROUP BY 1),
+        |p AS (SELECT f.u, f.c0, d.d, f.c0 + d.d AS target
+        |  FROM f CROSS JOIN (SELECT unnest([1, 7]) AS d) d)
+        |SELECT p.c0 AS cohort_day, CAST(p.d AS INT) AS d,
+        |  CAST(count(*) AS BIGINT) AS cohort_users,
+        |  CAST(count(a.u) AS BIGINT) AS retained,
+        |  CAST((count(a.u) * 1000000) // count(*) AS BIGINT)
+        |    AS retention_micro
+        |FROM p LEFT JOIN act a ON a.u = p.u AND a.day = p.target
+        |GROUP BY 1, 2""".stripMargin,
+    // Calendar joins over three distinct counts; DuckDB
+    // date_trunc('week') is Monday-start like Spark trunc 'week'.
+    "q468_engagement" ->
+      """WITH b AS (SELECT CAST(ts AS DATE) AS day, user_id AS u
+        |  FROM events),
+        |d AS (SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS dau
+        |  FROM b GROUP BY 1),
+        |w AS (SELECT CAST(date_trunc('week', day) AS DATE) AS wk,
+        |    CAST(count(DISTINCT u) AS BIGINT) AS wau
+        |  FROM b GROUP BY 1),
+        |m AS (SELECT CAST(date_trunc('month', day) AS DATE) AS mo,
+        |    CAST(count(DISTINCT u) AS BIGINT) AS mau
+        |  FROM b GROUP BY 1)
+        |SELECT d.day, d.dau, w.wau, m.mau,
+        |  CAST((d.dau * 1000000) // m.mau AS BIGINT)
+        |    AS stickiness_micro
+        |FROM d
+        |JOIN w ON w.wk = CAST(date_trunc('week', d.day) AS DATE)
+        |JOIN m ON m.mo = CAST(date_trunc('month', d.day) AS DATE)""".stripMargin,
+    // Same md5 conversions; the double chain runs in the engine's
+    // expression order and snaps once.
+    "q453_conversion_ztest" ->
+      s"""WITH e AS (SELECT 'v' || CAST(user_id % 2 AS VARCHAR) AS v,
+         |    CASE WHEN ${h60("'cv'||CAST(event_id AS VARCHAR)")}
+         |      % 100 < 30 + (user_id % 2) * 6 THEN 1 ELSE 0 END AS c
+         |  FROM events),
+         |g AS (SELECT v, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(c) AS BIGINT) AS c FROM e GROUP BY 1),
+         |w AS (SELECT a.v AS variant_a, b.v AS variant_b,
+         |    a.n AS n_a, a.c AS conv_a, b.n AS n_b, b.c AS conv_b
+         |  FROM g a JOIN g b ON a.v < b.v),
+         |z AS (SELECT *, CASE WHEN conv_a + conv_b = 0
+         |    OR conv_a + conv_b = n_a + n_b THEN NULL
+         |    ELSE CAST(round(((CAST(conv_a AS DOUBLE)
+         |        / CAST(n_a AS DOUBLE)
+         |      - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+         |      / sqrt(CAST(conv_a + conv_b AS DOUBLE)
+         |          / CAST(n_a + n_b AS DOUBLE)
+         |        * (CAST(1.0 AS DOUBLE)
+         |          - CAST(conv_a + conv_b AS DOUBLE)
+         |            / CAST(n_a + n_b AS DOUBLE))
+         |        * (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE)
+         |          + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE))))
+         |      * 1e6) AS BIGINT) END AS z_micro
+         |  FROM w)
+         |SELECT variant_a, variant_b, n_a, conv_a, n_b, conv_b,
+         |  z_micro, abs(z_micro) >= 1960000 AS significant
+         |FROM z""".stripMargin,
+    // The same total order (date, orderkey, linenumber, cents) and
+    // running-max window; one grouped rollup.
+    "q448_max_drawdown" ->
+      """WITH b AS (SELECT l_partkey AS k, l_shipdate, l_orderkey,
+        |    l_linenumber,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_partkey % 5 = 0),
+        |r AS (SELECT k, c, max(c) OVER (PARTITION BY k
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+        |    AS dd FROM b)
+        |SELECT k, CAST(count(*) AS BIGINT) AS n_bars,
+        |  CAST(max(c) AS BIGINT) AS max_cents,
+        |  CAST(max(dd) AS BIGINT) AS max_drawdown_cents,
+        |  CAST((max(dd) * 1000000) // greatest(max(c), 1) AS BIGINT)
+        |    AS rel_micro
+        |FROM r GROUP BY 1""".stripMargin,
+    // The same per-user gap chain; Fano = (nQ − S²)/(nS) exactly.
+    "q446_burstiness" ->
+      """WITH g AS (SELECT epoch_us(ts) - lag(epoch_us(ts))
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+        |  FROM events),
+        |f AS (SELECT d FROM g WHERE d IS NOT NULL)
+        |SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(sum(d) AS BIGINT) AS sum_gap_us,
+        |  CAST(sum(d) // count(*) AS BIGINT) AS mean_gap_us,
+        |  CAST(((count(*) * sum(CAST(d AS HUGEINT) * d)
+        |    - CAST(sum(d) AS HUGEINT) * sum(d)) * 1000000)
+        |    // (count(*) * CAST(sum(d) AS HUGEINT)) AS BIGINT)
+        |    AS fano_micro
+        |FROM f""".stripMargin,
+    // The q78 session chain to intervals, then the ±1 sweep.
+    "q443_peak_concurrency" ->
+      """WITH m AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |        > 1800 * 1000000 THEN 1
+        |      WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |      ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts,
+        |      event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        |      ROW) AS session_id
+        |  FROM m),
+        |iv AS (SELECT user_id, session_id,
+        |    min(epoch_us(ts)) AS st, max(epoch_us(ts)) AS en
+        |  FROM s GROUP BY 1, 2),
+        |dl AS (SELECT t, CAST(sum(d) AS BIGINT) AS d FROM (
+        |    SELECT st AS t, 1 AS d FROM iv
+        |    UNION ALL SELECT en + 1, -1 FROM iv) GROUP BY 1),
+        |rn AS (SELECT t, sum(d) OVER (ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS depth FROM dl),
+        |pk AS (SELECT CAST(max(depth) AS BIGINT) AS peak_depth
+        |  FROM rn)
+        |SELECT pk.peak_depth, CAST(min(t) AS BIGINT)
+        |    AS first_peak_us,
+        |  CAST(count(*) AS BIGINT) AS n_peak_points
+        |FROM rn, pk WHERE rn.depth = pk.peak_depth
+        |GROUP BY pk.peak_depth""".stripMargin,
+    // q132's transition chain + three unrolled ×1e9-snapped power
+    // steps from the uniform start.
+    "q306_markov_stationary" -> {
+      def stepSql(prev: String, tag: String): String =
+        s"""$tag AS (SELECT c.to_type AS s,
+           |  CAST(sum(CAST(round($prev.pi
+           |    * (CAST(c.n AS DOUBLE) / rt.rt) * 1e9) AS BIGINT))
+           |    AS DOUBLE) / 1e9 AS pi
+           |  FROM ctr c JOIN rt ON rt.from_type = c.from_type
+           |  JOIN $prev ON $prev.s = c.from_type GROUP BY 1)""".stripMargin
+      s"""WITH m AS (SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+         |        > 1800 * 1000000 THEN 1
+         |      WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+         |      ELSE 0 END AS new_s
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sx AS (SELECT user_id, ts, event_id, event_type,
+         |    sum(new_s) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS session_id
+         |  FROM m),
+         |pr AS (SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id, session_id
+         |      ORDER BY ts, event_id) AS to_type
+         |  FROM sx),
+         |ctr AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT)
+         |    AS n
+         |  FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |rt AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS rt
+         |  FROM ctr GROUP BY 1),
+         |stt AS (SELECT from_type AS s FROM rt),
+         |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM stt),
+         |p0 AS (SELECT s, CAST(1.0 AS DOUBLE) / k AS pi
+         |  FROM stt CROSS JOIN kk),
+         |${stepSql("p0", "p1")},
+         |${stepSql("p1", "p2")},
+         |${stepSql("p2", "p3")}
+         |SELECT s AS state,
+         |  CAST(round(CAST(pi AS DECIMAL(20,10)), 6) AS DOUBLE) AS pi
+         |FROM p3""".stripMargin
+    },
+    // Same exact µs lag algebra and inclusive-rank band rule.
+    "q303_funnel_latency_bands" ->
+      """WITH fv AS (SELECT user_id, min(ts) AS tv FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |lg AS (SELECT e.user_id,
+        |    CAST(min(epoch_us(e.ts) - epoch_us(fv.tv)) AS BIGINT)
+        |      AS lag_us
+        |  FROM events e JOIN fv ON fv.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= fv.tv
+        |  GROUP BY 1),
+        |byv AS (SELECT lag_us AS v, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lg GROUP BY 1),
+        |rk AS (SELECT v, cnt, CAST(coalesce(sum(cnt) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cnt_below FROM byv),
+        |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM byv)
+        |SELECT n AS n_users,
+        |  CAST(round(CAST(CAST(min(CASE WHEN (cnt_below + cnt) * 100
+        |      >= n * 25 THEN v END) AS DOUBLE) / 1e6
+        |    AS DECIMAL(20,10)), 2) AS DOUBLE) AS p25_s,
+        |  CAST(round(CAST(CAST(min(CASE WHEN (cnt_below + cnt) * 100
+        |      >= n * 50 THEN v END) AS DOUBLE) / 1e6
+        |    AS DECIMAL(20,10)), 2) AS DOUBLE) AS p50_s,
+        |  CAST(round(CAST(CAST(min(CASE WHEN (cnt_below + cnt) * 100
+        |      >= n * 75 THEN v END) AS DOUBLE) / 1e6
+        |    AS DECIMAL(20,10)), 2) AS DOUBLE) AS p75_s
+        |FROM rk CROSS JOIN nn GROUP BY n""".stripMargin,
+    // Same (user, day) distinct and ×7 cover fan.
+    "q283_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE)
+        |    AS d FROM events),
+        |dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau
+        |  FROM ud GROUP BY 1),
+        |cover AS (SELECT DISTINCT u, d + CAST(k AS INT) AS d FROM ud
+        |  CROSS JOIN (SELECT unnest(range(0, 7)) AS k)),
+        |wau AS (SELECT d, CAST(count(*) AS BIGINT) AS wau
+        |  FROM cover GROUP BY 1)
+        |SELECT d, dau, wau,
+        |  CAST(round(CAST(CAST(dau AS DOUBLE) / wau
+        |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau USING (d)""".stripMargin,
+    // q132's sessionize chain on each hash-split half, the same
+    // (n desc, to_type) majority rule and weighted-accuracy snap.
+    "q237_markov_eval" ->
+      s"""WITH ev AS (SELECT user_id, ts, event_id, event_type,
+         |    ${h60("'m' || CAST(user_id AS VARCHAR)")} % 4 AS sp
+         |  FROM events),
+         |mtr AS (SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+         |        > 1800 * 1000000 THEN 1
+         |      WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+         |      ELSE 0 END AS new_s
+         |  FROM ev WHERE sp <> 0
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |str AS (SELECT user_id, ts, event_id, event_type,
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS session_id
+         |  FROM mtr),
+         |ptr AS (SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id, session_id
+         |      ORDER BY ts, event_id) AS to_type
+         |  FROM str),
+         |ctr AS (SELECT from_type, to_type,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM ptr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |model AS (SELECT from_type, to_type AS pred FROM (
+         |  SELECT from_type, to_type, row_number() OVER (
+         |      PARTITION BY from_type ORDER BY n DESC, to_type) AS rn
+         |  FROM ctr) WHERE rn = 1),
+         |mte AS (SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+         |        > 1800 * 1000000 THEN 1
+         |      WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+         |      ELSE 0 END AS new_s
+         |  FROM ev WHERE sp = 0
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |ste AS (SELECT user_id, ts, event_id, event_type,
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS session_id
+         |  FROM mte),
+         |pte AS (SELECT event_type AS from_type,
+         |    lead(event_type) OVER (PARTITION BY user_id, session_id
+         |      ORDER BY ts, event_id) AS to_type
+         |  FROM ste),
+         |cte_ AS (SELECT from_type, to_type,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM pte WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT c.from_type, max(m.pred) AS pred,
+         |  CAST(sum(c.n) AS BIGINT) AS n_test,
+         |  CAST(sum(CASE WHEN c.to_type = m.pred THEN c.n ELSE 0 END)
+         |    AS BIGINT) AS n_correct,
+         |  CASE WHEN max(m.pred) IS NULL THEN NULL ELSE
+         |    CAST(round(CAST(
+         |      CAST(sum(CASE WHEN c.to_type = m.pred THEN c.n ELSE 0
+         |        END) AS DOUBLE) / CAST(sum(c.n) AS DOUBLE)
+         |      AS DECIMAL(20,10)), 4) AS DOUBLE) END AS accuracy
+         |FROM cte_ c LEFT JOIN model m ON m.from_type = c.from_type
+         |GROUP BY 1""".stripMargin,
+    // Same (ts, event_id)-ordered µs gaps, HUGEINT moments, the same
+    // n-cancelled B expression with one sqrt, same 4dp snap.
+    "q231_burstiness" ->
+      """WITH g AS (SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS g
+        |  FROM events),
+        |mm AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    sum(CAST(g AS HUGEINT)) AS sx,
+        |    sum(CAST(g AS HUGEINT) * g) AS sxx
+        |  FROM g WHERE g IS NOT NULL GROUP BY 1
+        |  HAVING count(*) >= 4)
+        |SELECT user_id, n_gaps,
+        |  CASE WHEN sqrt(CAST(n_gaps * sxx - sx * sx AS DOUBLE))
+        |      + CAST(sx AS DOUBLE) = 0 THEN NULL
+        |    ELSE CAST(round(CAST(
+        |      (sqrt(CAST(n_gaps * sxx - sx * sx AS DOUBLE))
+        |        - CAST(sx AS DOUBLE))
+        |      / (sqrt(CAST(n_gaps * sxx - sx * sx AS DOUBLE))
+        |        + CAST(sx AS DOUBLE))
+        |      AS DECIMAL(20,10)), 4) AS DOUBLE) END AS b
+        |FROM mm""".stripMargin,
+    // q132's sessionize/lead chain verbatim, then the ×1e9 entropy
+    // snap per (from, to) cell and the per-state aggregate.
+    "q230_transition_entropy" ->
+      """WITH m AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |        > 1800 * 1000000 THEN 1
+        |      WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |      ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, event_id, event_type,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS session_id
+        |  FROM m),
+        |pr AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id, session_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM s),
+        |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |nf AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_out,
+        |    CAST(count(*) AS BIGINT) AS n_next FROM c GROUP BY 1),
+        |tm AS (SELECT c.from_type, nf.n_out, nf.n_next,
+        |    CAST(round(CAST(n AS DOUBLE) / CAST(n_out AS DOUBLE)
+        |      * ln(CAST(n AS DOUBLE) / CAST(n_out AS DOUBLE)) * 1e9)
+        |      AS BIGINT) AS tfp
+        |  FROM c JOIN nf USING (from_type))
+        |SELECT from_type, n_out, n_next,
+        |  CAST(round(CAST(CAST(-sum(tfp) AS DOUBLE) / 1e9
+        |    AS DECIMAL(20,10)), 6) AS DOUBLE) AS entropy
+        |FROM tm GROUP BY 1, 2, 3""".stripMargin,
+    // Same two windows: rows-to-−1 touch count, ×1e6 share snap per
+    // conversion, rows +1-to-∞ suffix sum per touch.
+    "q158_linear_attribution" ->
+      """WITH w AS (SELECT user_id, ts, event_id, event_type, value,
+        |    count(CASE WHEN event_type IN ('click', 'view') THEN 1 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS nprior
+        |  FROM events),
+        |c AS (SELECT *,
+        |    CASE WHEN event_type = 'purchase' AND nprior > 0
+        |      THEN CAST(round(value / nprior * 1e6) AS BIGINT)
+        |      ELSE 0 END AS share_fp
+        |  FROM w),
+        |s AS (SELECT *,
+        |    sum(share_fp) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |      AS credit_fp
+        |  FROM c)
+        |SELECT event_type AS touch_type,
+        |  CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(round(CAST(CAST(sum(credit_fp) AS DOUBLE) / 1e6
+        |    AS DECIMAL(20,10)), 2) AS DOUBLE) AS credit
+        |FROM s WHERE event_type IN ('click', 'view') GROUP BY 1
+        |UNION ALL
+        |SELECT 'none' AS touch_type,
+        |  CAST(count(*) AS BIGINT) AS n_touches,
+        |  coalesce(round(sum(value), 2), CAST(0.0 AS DOUBLE)) AS credit
+        |FROM c WHERE event_type = 'purchase' AND nprior = 0""".stripMargin,
+    // Same BIGINT encoding (epoch_us·8 + step index) and the same fold;
+    // list_prepend supplies the explicit 0 init Spark's aggregate() has.
+    "q77_funnel" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(ts) * 8 + CASE event_type WHEN 'view' THEN 1
+        |      WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 ELSE 0 END AS enc,
+        |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |      WHEN 'purchase' THEN 3 ELSE 0 END AS si
+        |  FROM events),
+        |u AS (SELECT user_id, list_sort(list(enc)) AS seq
+        |      FROM e WHERE si > 0 GROUP BY 1),
+        |r AS (SELECT user_id,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT), seq),
+        |          (acc, x) -> CASE WHEN x % 8 = acc + 1 THEN acc + 1
+        |            ELSE acc END) AS reached
+        |      FROM u)
+        |SELECT s.step, s.step_name,
+        |  CAST(coalesce(sum(CASE WHEN r.reached >= s.step THEN 1 ELSE 0 END),
+        |    0) AS BIGINT) AS n_users
+        |FROM (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+        |  s(step, step_name)
+        |LEFT JOIN r ON true
+        |GROUP BY 1, 2""".stripMargin,
+    // Same packed (anchor·8+reached) state; >> and % are the exact
+    // integer decode on BIGINT.
+    "q89_windowed_funnel" ->
+      """WITH e AS (SELECT user_id,
+        |    epoch_us(ts) * 8 + CASE event_type WHEN 'view' THEN 1
+        |      WHEN 'click' THEN 2 WHEN 'purchase' THEN 3 ELSE 0 END AS enc,
+        |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |      WHEN 'purchase' THEN 3 ELSE 0 END AS si
+        |  FROM events),
+        |u AS (SELECT user_id, list_sort(list(enc)) AS seq
+        |      FROM e WHERE si > 0 GROUP BY 1),
+        |r AS (SELECT user_id,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT), seq),
+        |          (acc, x) -> CASE
+        |            WHEN acc % 8 = 0 AND x % 8 = 1
+        |              THEN (x >> 3) * 8 + 1
+        |            WHEN acc % 8 > 0 AND x % 8 = acc % 8 + 1
+        |              AND (x >> 3) - (acc >> 3) <= 86400000000
+        |              THEN (acc >> 3) * 8 + acc % 8 + 1
+        |            ELSE acc END) % 8 AS reached
+        |      FROM u)
+        |SELECT s.step, s.step_name,
+        |  CAST(coalesce(sum(CASE WHEN r.reached >= s.step THEN 1 ELSE 0 END),
+        |    0) AS BIGINT) AS n_users
+        |FROM (VALUES (1, 'view'), (2, 'click'), (3, 'purchase'))
+        |  s(step, step_name)
+        |LEFT JOIN r ON true
+        |GROUP BY 1, 2""".stripMargin,
+    // Gaps-and-islands with the STRICT > gap rule (SessionBoundarySpec
+    // semantics); same (ts, event_id) tiebreak on both engines.
+    "q78_sessionize" ->
+      """WITH m AS (SELECT user_id, ts, event_id, value,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |        > 1800 * 1000000 THEN 1
+        |      WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+        |      ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, value, event_id,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM m)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS value_sum,
+        |  min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM s GROUP BY 1, 2""".stripMargin,
+    // DuckDB date_trunc('week') is already a DATE; datediff between
+    // week starts is an exact multiple of 7.
+    "q79_cohort_retention" ->
+      """WITH f AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |    min(ts) OVER (PARTITION BY user_id) AS first_ts
+        |  FROM events),
+        |a AS (SELECT DISTINCT user_id, wk,
+        |    CAST(date_trunc('week', first_ts) AS DATE) AS cohort_week
+        |  FROM f)
+        |SELECT cohort_week,
+        |  CAST(floor(datediff('day', cohort_week, wk) / 7) AS INT)
+        |    AS week_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM a GROUP BY 1, 2""".stripMargin,
+    // gaps-and-islands rendering of the 30-minute session window:
+    // session start = first event, end = last event + gap; Spark's
+    // unix_timestamp truncates to whole seconds, hence the floor.
+    "q43_session_windows" ->
+      """WITH m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS s_start,
+        |  CAST(floor(epoch(max(ts) + INTERVAL 30 MINUTE)) AS BIGINT) AS s_end,
+        |  user_id, count(*) AS n, round(sum(value), 2) AS value_sum
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
+    "q54_event_pivot" ->
+      """SELECT user_id,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+        |  round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS "view",
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+        |  round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+        |  round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS "error"
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q48_interval_join" ->
+      """SELECT l.user_id AS user_id, count(*) AS n_pairs,
+        |  round(sum(r.value), 2) AS pred_value_sum
+        |FROM events l JOIN events r
+        |  ON l.user_id = r.user_id
+        |  AND r.ts >= l.ts - INTERVAL 10 MINUTE
+        |  AND r.ts < l.ts
+        |GROUP BY 1""".stripMargin
+  )
+}
