@@ -428,6 +428,19 @@ private[graft] object EntriesSimilarityAnn {
         col("embedding"), 1000)
       Similarity.topKComponentsFixedPoint(g, 3, 4)
     }),
+    // Similarity/PCA: ALL-BUT-THE-TOP-K — the rewrite q479's
+    // components exist FOR (Arora et al.): every vector sheds its
+    // top-3 projections sequentially in the exact snap space; the
+    // gate pins per vector all three projections, three final-
+    // residual orthogonality witnesses, and the exact residual
+    // energy — the full deflation→removal chain replayed end to end.
+    "q481_remove_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val g = Similarity.gramianFixedPoint(e, col("embedding"), 1000)
+      val comps = Similarity.topKComponentsFixedPoint(g, 3, 4)
+      Similarity.removeTopKComponents(e, col("vec_id"),
+        col("embedding"), comps, 1000)
+    }),
     // Similarity/eval: EMBEDDING-QUALITY AUC — over a 200-vector hash
     // panel's pairs, can COSINE separate same-label from diff-label?
     // The metric-learning eval in one number (q232/q295 ask it via
@@ -1641,6 +1654,40 @@ private[graft] object EntriesSimilarityAnn {
       }
       s"""WITH ${deflationCtes(3, 4)}
          |${(1 to 3).map(sel).mkString("\nUNION ALL\n")}""".stripMargin
+    },
+    // The deflation chain feeds a per-vector sequential-removal
+    // replay: r0 = snap, p_c = (r_{c-1}·v_c) // 1e6, r_c = r_{c-1} −
+    // (p_c·vm) // 1e6 per dim — every residual MATERIALIZED (each is
+    // read by the next projection, the next residual, and the final
+    // witnesses; plain CTEs would inline the chain exponentially).
+    "q481_remove_topk" -> {
+      def rstep(c: Int): String =
+        s"""pr$c AS MATERIALIZED (SELECT r.vec_id,
+           |    sum(r.x * v.vm) // 1000000 AS p
+           |  FROM r${c - 1} r JOIN vf$c v ON v.dim = r.dim
+           |  GROUP BY 1),
+           |r$c AS MATERIALIZED (SELECT r.vec_id, r.dim,
+           |    r.x - (pr$c.p * v.vm) // 1000000 AS x
+           |  FROM r${c - 1} r JOIN vf$c v ON v.dim = r.dim
+           |  JOIN pr$c ON pr$c.vec_id = r.vec_id)""".stripMargin
+      def wsel(c: Int): String =
+        s"""SELECT r3.vec_id AS id, CAST($c AS INT) AS component,
+           |  (SELECT p FROM pr$c p WHERE p.vec_id = r3.vec_id) AS p,
+           |  CAST(sum(r3.x * v.vm) AS BIGINT) AS r_dot_v
+           |FROM r3 JOIN vf$c v ON v.dim = r3.dim GROUP BY 1""".stripMargin
+      s"""WITH ${deflationCtes(3, 4)},
+         |r0 AS MATERIALIZED (SELECT vec_id,
+         |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000)
+         |      AS BIGINT) AS x FROM embeddings),
+         |${(1 to 3).map(rstep).mkString(",\n")},
+         |en AS MATERIALIZED (SELECT vec_id,
+         |    CAST(sum(x * x) AS BIGINT) AS r_energy
+         |  FROM r3 GROUP BY 1),
+         |wz AS (${(1 to 3).map(wsel).mkString("\nUNION ALL\n")})
+         |SELECT wz.id, wz.component, CAST(wz.p AS BIGINT) AS p,
+         |  wz.r_dot_v, en.r_energy
+         |FROM wz JOIN en ON en.vec_id = wz.id""".stripMargin
     },
     // Same 200-vector panel pairs, same micro-cosine scores, q170's
     // exact AUC algebra.

@@ -1686,6 +1686,65 @@ object Similarity {
       .toDF("component", "dim", "v_micro", "eigval", "ortho_prev")
   }
 
+  /** ALL-BUT-THE-TOP-K rewrite — [[removeTopComponent]] generalized to
+    * the [[topKComponentsFixedPoint]] output (Arora et al. 2017 remove
+    * the top k≈d/100 directions, not one): per vector the k
+    * projections are subtracted SEQUENTIALLY in the exact snap space
+    * (p_c = ⌊r_{c−1}·v_c / 10⁶⌋, r_c = r_{c−1} − ⌊p_c·v_c / 10⁶⌋
+    * per dim — truncation ≡ SQL integer division throughout, every
+    * intermediate < 2⁵³), and the deliverable is the invariants, not
+    * the raw array: one row per (vector, component) carrying the
+    * projection and the FINAL residual's dot with that component
+    * (≈ 0 up to truncation — k orthogonality witnesses per vector),
+    * plus the exact residual energy. Components are dims-sized
+    * (collected once, folded as literals); the per-row work is HOF
+    * folds with every residual LET-BOUND ([[Cols.bound]]) so
+    * projection collapse cannot re-evaluate the chain per consumer.
+    */
+  def removeTopKComponents(vecs: DataFrame, id: Column, vec: Column,
+                           compDf: DataFrame, scale: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val comps = compDf.select(col("component").cast("int"),
+        col("dim").cast("int"), col("v_micro").cast("long"))
+      .as[(Int, Int, Long)].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (c, rows) => c -> rows.sortBy(_._2).map(_._3).toSeq }
+    require(comps.nonEmpty && comps.size <= 8,
+      "component count must be in [1, 8]")
+    val vls = comps.map { case (_, v) => typedLit(v) }
+    def dot(a: Column, vl: Column): Column =
+      aggregate(zip_with(a, vl, (x, y) => x * y), lit(0L),
+        (acc, t) => acc + t)
+    // recurse: bind each residual once, thread the projections down
+    def step(r: Column, rest: List[Column],
+             ps: Seq[Column]): Column = rest match {
+      case Nil =>
+        Cols.bound(r) { rb =>
+          struct(array(ps: _*).as("p"),
+            array(vls.map(vl => dot(rb, vl)): _*).as("w"),
+            aggregate(transform(rb, x => x * x), lit(0L),
+              (acc, t) => acc + t).as("e"))
+        }
+      case vl :: tail =>
+        Cols.bound(r) { rb =>
+          Cols.bound((dot(rb, vl) / lit(1000000L)).cast("long")) { p =>
+            step(zip_with(rb, vl,
+              (x, vm) => x - (p * vm / lit(1000000L)).cast("long")),
+              tail, ps :+ p)
+          }
+        }
+    }
+    val x3 = transform(vec, x =>
+      round(x.cast("double") * scale).cast("long"))
+    vecs.select(id.as("id"), step(x3, vls.toList, Nil).as("s"))
+      .select(col("id"), col("s.e").as("r_energy"),
+        posexplode(arrays_zip(col("s.p").as("p"), col("s.w").as("w"))))
+      .select(col("id"), (col("pos") + 1).cast("int").as("component"),
+        col("col.p").as("p"), col("col.w").as("r_dot_v"),
+        col("r_energy"))
+  }
+
   private def md5hex60(s: String): Long =
     java.lang.Long.parseLong(
       java.security.MessageDigest.getInstance("MD5")

@@ -839,6 +839,47 @@ class SimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.topKComponentsFixedPoint(gram, 9, 1)
     }
+
+    // all-but-the-top-k: a brute sequential replay per vector must
+    // match every projection, witness, and energy exactly, and the
+    // residual energy must be far below the raw energy (both planted
+    // axes removed)
+    val comps = Similarity.topKComponentsFixedPoint(gram, 2, 5)
+    val withId = data.zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.toSeq) }.toDF("id", "embedding")
+    val rem = Similarity.removeTopKComponents(withId, col("id"),
+        col("embedding"), comps, 1000)
+      .as[(Long, Int, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (k, rs) =>
+        k -> rs.sortBy(_._2)
+      }
+    val vArrs = comps.as[(Int, Int, Long, Long, Long)].collect()
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+    val snapped = data.map(_.map(x => math.round(x.toDouble * 1000)))
+    data.indices.foreach { i =>
+      var r = snapped(i).clone()
+      val expected = vArrs.zipWithIndex.map { case (v, ci) =>
+        val pn = r.indices.map(k => r(k) * v(k)).sum
+        val p = pn / 1000000L
+        r = Array.tabulate(d)(k => r(k) - (p * v(k)) / 1000000L)
+        (ci + 1, p)
+      }
+      val got = rem(i.toLong)
+      expected.foreach { case (c, p) =>
+        assert(got(c - 1)._3 == p, s"vec $i comp $c projection")
+        val w = r.indices.map(k => r(k) * vArrs(c - 1)(k)).sum
+        assert(got(c - 1)._4 == w, s"vec $i comp $c witness")
+        assert(math.abs(w) <= (d + 1) * 1000000L,
+          s"vec $i comp $c not ~orthogonal")
+      }
+      val en = r.map(x => x * x).sum
+      assert(got.forall(_._5 == en), s"vec $i energy")
+    }
+    val rawEnergy = snapped.map(_.map(x => x * x).sum).sum
+    val residEnergy = rem.values.map(_.head._5).sum
+    assert(residEnergy < rawEnergy / 10,
+      "both planted axes must be gone from the residuals")
   }
 
   test("q224 mutual-kNN reciprocity on a planted two-pair geometry") {
