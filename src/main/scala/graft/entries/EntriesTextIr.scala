@@ -419,6 +419,25 @@ private[graft] object EntriesTextIr {
     // precisions, snapped brevity penalty × geometric mean.
     "q424_corpus_bleu" -> ((s, dir) =>
       Text.corpusBleu(bleuPairs(s, dir))),
+    // Generation eval: SPECULATIVE-DECODING ACCEPTANCE — the draft
+    // disagrees at md5-irregular positions (≈1 in 5, skipping tokens
+    // that already read "xx"), window 4; the whole sequential
+    // speculation loop collapses to the lag formula over the
+    // mismatch array, and the oracle replays it with a window LAG —
+    // two formulations of the round count must agree per doc.
+    "q482_spec_decode_audit" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        Text.tokens(col("text")).as("ref"))
+      val hyp = when(size(col("ref")) === 0,
+        array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(col("ref"))), i =>
+          when(pmod(graft.ops.Dedup.hashLong(concat(lit("sd"),
+              col("doc_id").cast("string"), lit(":"),
+              (i - 1).cast("string"))), lit(5L)) === 0, lit("xx"))
+            .otherwise(element_at(col("ref"), i))))
+      Text.speculativeAcceptance(d.withColumn("hyp", hyp),
+        col("doc_id"), col("hyp"), col("ref"), 4)
+    }),
     // Provenance: N-GRAM NOVELTY CURVE — candidate-side n-gram
     // occurrences absent from the even-doc reference slice, n = 1..8;
     // the creativity-index sweep over hashed grams.
@@ -1455,6 +1474,40 @@ private[graft] object EntriesTextIr {
          |        + ln(CAST(m4 AS DOUBLE) / CAST(t4 AS DOUBLE)))
          |        / CAST(4.0 AS DOUBLE))) AS BIGINT) END AS bleu_micro
          |FROM lens, wide""".stripMargin,
+
+    // The mismatch set replayed from the same md5 coins (skipping
+    // positions whose original token is already 'xx'), rounds via a
+    // per-doc LAG window — an independent formulation of the gap
+    // arithmetic the engine computes with an array fold.
+    "q482_spec_decode_audit" ->
+      s"""WITH d AS (SELECT doc_id, $tokSql AS tk FROM documents),
+         |mm AS (SELECT doc_id, unnest(
+         |    [i for i in range(0, len(tk))
+         |     if ${h60("'sd' || CAST(doc_id AS VARCHAR) || ':' " +
+                  "|| CAST(i AS VARCHAR)")} % 5 = 0
+         |        and tk[CAST(i + 1 AS INT)] <> 'xx']) AS m FROM d),
+         |lg AS (SELECT doc_id, m,
+         |    lag(m, 1, -1) OVER (PARTITION BY doc_id ORDER BY m) AS pm
+         |  FROM mm),
+         |rm AS (SELECT doc_id,
+         |    CAST(sum((m - pm - 1) // 4 + 1) AS BIGINT) AS r,
+         |    max(m) AS lastm, CAST(count(*) AS BIGINT) AS nm
+         |  FROM lg GROUP BY 1),
+         |rr AS (SELECT d.doc_id AS id,
+         |    CAST(len(d.tk) AS BIGINT) AS n_tokens,
+         |    coalesce(rm.nm, 0) AS n_mismatch,
+         |    CAST(coalesce(rm.r, 0)
+         |      + (len(d.tk) - coalesce(rm.lastm, -1) - 1 + 3) // 4
+         |      AS BIGINT) AS n_rounds
+         |  FROM d LEFT JOIN rm ON rm.doc_id = d.doc_id)
+         |SELECT id, n_tokens, n_mismatch, n_rounds,
+         |  CASE WHEN n_tokens = 0 THEN NULL ELSE
+         |    CAST((CAST(n_tokens - n_mismatch AS HUGEINT) * 1000000)
+         |      // n_tokens AS BIGINT) END AS accept_rate_micro,
+         |  CASE WHEN n_rounds = 0 THEN NULL ELSE
+         |    CAST((CAST(n_tokens AS HUGEINT) * 1000000)
+         |      // n_rounds AS BIGINT) END AS speedup_micro
+         |FROM rr""".stripMargin,
     // Rolling-fold gram keys over per-token 60-bit hashes (the
     // acc·3 + h mod 2⁶¹−1 chain), reference distinct per (n, hash),
     // occurrence-counted novelty with one micro floor.

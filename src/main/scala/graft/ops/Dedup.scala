@@ -93,11 +93,23 @@ object Dedup {
     * order, ids sharing any (band, key) bucket become candidates.
     * Identical banding economics to [[lshCandidatePairs]] at 1/k the
     * signature cost. `sig` is (id, slot, sig) with slots 0..k−1.
+    *
+    * DENSITY GUARD (the q102 convention, found by the r15 scale
+    * probe): a bucket of b members emits b² pair rows, and on a
+    * near-dup-saturated corpus the boilerplate mega-bucket alone goes
+    * quadratic — measured 3× corpus → 8.5× pairs but 167× join cost
+    * (one skewed bucket's self-join). `maxBucket` drops buckets
+    * larger than the cap BEFORE the self-join (a giant bucket is a
+    * mega-cluster signal, not useful pair candidates — its members
+    * still pair through their other, smaller bands when genuinely
+    * similar). Default unlimited preserves exact banding semantics;
+    * at corpus scale SET THE CAP.
     */
-  def ophCandidatePairs(sig: DataFrame, k: Int,
-                        bands: Int): DataFrame = {
+  def ophCandidatePairs(sig: DataFrame, k: Int, bands: Int,
+                        maxBucket: Long = Long.MaxValue): DataFrame = {
     require(bands >= 1 && k % bands == 0,
       "bands must divide the signature width")
+    require(maxBucket >= 2, "maxBucket must be >= 2")
     val bw = k / bands
     val keys = sig
       .withColumn("band", (col("slot") - pmod(col("slot"), lit(bw)))
@@ -107,8 +119,14 @@ object Dedup {
         transform(array_sort(collect_list(struct(col("slot"),
           col("sig")))), x => x.getField("sig").cast("string"))))
         .as("bkey"))
-    keys.select(col("band"), col("bkey"), col("id").as("id_a"))
-      .join(keys.select(col("band"), col("bkey"),
+    val bounded =
+      if (maxBucket == Long.MaxValue) keys
+      else keys.withColumn("__n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("bkey"))))
+        .filter(col("__n") <= maxBucket).drop("__n")
+    bounded.select(col("band"), col("bkey"), col("id").as("id_a"))
+      .join(bounded.select(col("band"), col("bkey"),
         col("id").as("id_b")), Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()

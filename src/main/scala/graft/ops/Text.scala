@@ -2130,6 +2130,67 @@ object Text {
           dec(col("cand_grams"))).as("novelty_micro"))
   }
 
+  /** SPECULATIVE-DECODING ACCEPTANCE AUDIT (Leviathan et al. 2023;
+    * Chen et al. 2023, greedy variant) — the data-side read before
+    * deploying a draft model: given per doc the draft (`hyp`) and
+    * target (`ref`) token sequences, replay the speculation loop with
+    * window W exactly: each round proposes W draft tokens from the
+    * current position, the accepted prefix runs to the first
+    * disagreement, then ONE corrected target token advances past it.
+    * A mismatch at i (i ≥ |hyp| or hyp[i] ≠ ref[i]) therefore ends
+    * its round at i+1, and the rounds BETWEEN mismatches are pure
+    * gap arithmetic: gap g of agreeing tokens costs ⌈g/W⌉ full-
+    * accept rounds. So per doc, with sorted mismatch positions m_k:
+    *   rounds = Σ_k (⌊(m_k − m_{k−1} − 1)/W⌋ + 1)  (m_{−1} = −1)
+    *          + ⌈(n − m_last − 1)/W⌉               (the match tail)
+    * — the whole sequential loop collapses to one lag formula over
+    * the mismatch array (HOF fold, no window, no explode; the
+    * mismatch array is doc-sized like the tokens themselves).
+    * Output per doc: (id, n_tokens, n_mismatch, n_rounds,
+    * accept_rate_micro, speedup_micro = ⌊n·10⁶/rounds⌋ — the target-
+    * model-calls saving; null on empty docs). Exact integers only.
+    */
+  def speculativeAcceptance(pairs: DataFrame, id: Column, hyp: Column,
+                            ref: Column, window: Int): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val w = lit(window.toLong)
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val n = size(ref).cast("long")
+    // mismatch positions, 0-based (CaseWhen guards the OOB read)
+    val mm = when(n === 0, array().cast("array<long>"))
+      .otherwise(filter(sequence(lit(0L), n - 1), i =>
+        when(i < size(hyp),
+          element_at(hyp, (i + 1).cast("int")) =!=
+            element_at(ref, (i + 1).cast("int"))).otherwise(lit(true))))
+    val out = pairs.select(id.as("id"), n.as("n_tokens"),
+        Cols.bound(mm) { m =>
+          struct(size(m).cast("long").as("nm"),
+            (aggregate(zip_with(m,
+                slice(concat(array(lit(-1L)), m), lit(1), size(m)),
+                (cur, prev) => fdiv(cur - prev - 1, w) + 1),
+              lit(0L), (acc, r) => acc + r) +
+             Cols.bound(when(size(m) === 0, lit(-1L))
+               .otherwise(element_at(m, -1))) { lastm =>
+               fdiv(size(ref).cast("long") - lastm - 1 + w - 1, w)
+             }).as("rounds"))
+        }.as("s"))
+      .select(col("id"), col("n_tokens"),
+        col("s.nm").as("n_mismatch"), col("s.rounds").as("n_rounds"))
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdivL(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    out.select(col("id"), col("n_tokens"), col("n_mismatch"),
+      col("n_rounds"),
+      when(col("n_tokens") === 0, lit(null).cast("long"))
+        .otherwise(fdivL(dec(col("n_tokens") - col("n_mismatch")) *
+          lit(1000000L), dec(col("n_tokens"))))
+        .as("accept_rate_micro"),
+      when(col("n_rounds") === 0, lit(null).cast("long"))
+        .otherwise(fdivL(dec(col("n_tokens")) * lit(1000000L),
+          dec(col("n_rounds")))).as("speedup_micro"))
+  }
+
   /** Corpus-level BLEU-4 (Papineni et al. 2002) — the canonical MT /
     * generation eval, computed as pure relational algebra: per doc
     * and per n ∈ 1..4 the CLIPPED n-gram matches (min of hypothesis

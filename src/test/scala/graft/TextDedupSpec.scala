@@ -1344,6 +1344,29 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("ophCandidatePairs density guard: an over-cap mega-bucket emits " +
+      "nothing while smaller buckets still pair") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Dedup
+    // k=4, bands=2: ids 1..5 identical in band 0 (bucket of 5, the
+    // boilerplate shape); only 1,2 also share band 1 (bucket of 2)
+    val sig = ((1L to 5L).flatMap { id =>
+      Seq((id, 0, 10L), (id, 1, 11L)) ++
+        Seq((id, 2, if (id <= 2) 20L else 200L + id),
+          (id, 3, if (id <= 2) 21L else 300L + id))
+    }).toDF("id", "slot", "sig")
+    val uncapped = Dedup.ophCandidatePairs(sig, 4, 2)
+      .as[(Long, Long)].collect().toSet
+    assert(uncapped.size == 10, "band 0 pairs everyone")
+    val capped = Dedup.ophCandidatePairs(sig, 4, 2, maxBucket = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L)),
+      "the 5-member bucket is dropped; the 2-member bucket survives")
+    intercept[IllegalArgumentException] {
+      Dedup.ophCandidatePairs(sig, 4, 2, maxBucket = 1)
+    }
+  }
+
 
   test("vocabCoveragePlan: partial boundary class, exact token shares") {
     import org.apache.spark.sql.functions.col
@@ -1359,4 +1382,33 @@ class TextDedupSpec extends SparkSpec {
     assert(out(5L) == ((5L, 10L, 10L, 1000000L)))
   }
 
+
+  test("speculativeAcceptance: rounds equal the hand-replayed " +
+      "speculation loop on planted mismatch shapes") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Text
+    // doc 1: mismatches at 0-based 2 and 7 in a 10-token ref, W=4:
+    //   round 1 accepts [0,1], corrects 2; round 2 accepts [3..6]
+    //   (full window); round 3 corrects 7 after 0 accepts... replay:
+    //   gaps: (2-(-1)-1)=2 -> 1 round; (7-2-1)=4 -> 4//4+1=2 rounds;
+    //   tail 10-8=2 -> 1 round; total 4. accepted 8.
+    // doc 2: identical 5-token streams, W=4 -> ceil(5/4)=2 rounds.
+    // doc 3: hyp shorter (1 vs 3): positions 1,2 mismatch -> 2 rounds.
+    // doc 4: empty ref -> 0 rounds, null rates.
+    val rows = Seq(
+      (1L, Seq("a","b","X","d","e","f","g","Y","i","j"),
+        Seq("a","b","c","d","e","f","g","h","i","j")),
+      (2L, Seq("p","q","r","s","t"), Seq("p","q","r","s","t")),
+      (3L, Seq("a"), Seq("a","b","c")),
+      (4L, Seq.empty[String], Seq.empty[String]))
+      .toDF("id", "hyp", "ref")
+    val got = Text.speculativeAcceptance(rows, col("id"), col("hyp"),
+        col("ref"), 4)
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 10L, 2L, 4L, Some(800000L), Some(2500000L))))
+    assert(got(2L) == ((2L, 5L, 0L, 2L, Some(1000000L), Some(2500000L))))
+    assert(got(3L) == ((3L, 3L, 2L, 2L, Some(333333L), Some(1500000L))))
+    assert(got(4L) == ((4L, 0L, 0L, 0L, None, None)))
+  }
 }
