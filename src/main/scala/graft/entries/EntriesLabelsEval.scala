@@ -146,6 +146,36 @@ private[graft] object EntriesLabelsEval {
     "q415_bradley_terry" -> ((s, dir) =>
       Preference.bradleyTerry(duelFixture(s, dir),
         col("winner"), col("loser"), 3)),
+    // RLHF planning: BEST-OF-N REWARD CURVE — exact E[max reward of a
+    // random n-subset] per prompt for n = 1..4 via the order-
+    // statistics identity (pass@k's sampling-without-replacement
+    // algebra applied to rejection sampling): rank window per prompt,
+    // closed-form consecutive-product combinations, one floored
+    // division per (prompt, n).
+    "q483_best_of_n" -> ((s, dir) =>
+      Preference.bestOfNCurve(
+        t(s, dir, "events").select(
+          concat(lit("p"), (col("user_id") % 40).cast("string"))
+            .as("p"),
+          pmod(graft.ops.Dedup.hashLong(concat(lit("bon"),
+            col("event_id").cast("string"))), lit(1000000L)).as("sc"),
+          col("event_id").as("o")),
+        col("p"), col("sc"), col("o"), 4)),
+    // Eval/calibration: SPLIT-CONFORMAL coverage audit — per language
+    // the exact ⌈(n+1)(1−α)⌉-th-smallest calibration threshold for
+    // α ∈ {10%, 5%, 1%} and the holdout coverage it actually
+    // achieves; the distribution-free guarantee is ≥ 1−α, and the
+    // md5-uniform fixture should land near it.
+    "q484_conformal_coverage" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("lang").as("grp"),
+        col("doc_id").as("o"),
+        pmod(graft.ops.Dedup.hashLong(concat(lit("cp"),
+          col("doc_id").cast("string"))), lit(1000000L)).as("score"))
+      Quality.conformalCalibration(
+        d.filter(col("o") % 2 === 0),
+        d.filter(col("o") % 2 =!= 0).select(col("grp"), col("score")),
+        Seq(10, 5, 1))
+    }),
     // RLHF hygiene: POSITION-BIAS audit — the same duels with the
     // md5 parity deciding presentation order; per-item first-vs-
     // second win rates and the corpus first-slot rate.
@@ -830,6 +860,75 @@ private[graft] object EntriesLabelsEval {
     // Duel matrix from the same md5 coins, then three MM rounds
     // unrolled — every term an exact HUGEINT floor division.
     "q415_bradley_terry" -> btOracleSql,
+
+    // Same md5 rewards, rank + count windows per prompt, the CASE
+    // ladder of closed-form combination products (consecutive-integer
+    // products divide exactly), one HUGEINT floor per (prompt, n).
+    "q483_best_of_n" ->
+      s"""WITH s AS (SELECT 'p' || CAST(user_id % 40 AS VARCHAR)
+         |      AS prompt,
+         |    ${h60("'bon' || CAST(event_id AS VARCHAR)")} % 1000000
+         |      AS sc, event_id AS o FROM events),
+         |r AS (SELECT prompt, sc,
+         |    CAST(row_number() OVER (PARTITION BY prompt
+         |      ORDER BY sc, o) AS HUGEINT) AS rk,
+         |    count(*) OVER (PARTITION BY prompt) AS nn FROM s),
+         |e AS (SELECT prompt, sc, rk, nn, unnest([1, 2, 3, 4]) AS n
+         |  FROM r)
+         |SELECT prompt, CAST(n AS INT) AS n,
+         |  CAST(count(*) AS BIGINT) AS n_samples,
+         |  CASE WHEN n > max(nn) THEN NULL ELSE CAST(
+         |    sum(CASE WHEN rk >= n THEN CAST(sc AS HUGEINT) *
+         |      (CASE n WHEN 1 THEN 1 WHEN 2 THEN rk - 1
+         |        WHEN 3 THEN ((rk - 1) * (rk - 2)) // 2
+         |        ELSE ((rk - 1) * (rk - 2) * (rk - 3)) // 6 END)
+         |      ELSE 0 END)
+         |    // (CASE n WHEN 1 THEN CAST(max(nn) AS HUGEINT)
+         |      WHEN 2 THEN (CAST(max(nn) AS HUGEINT) * (max(nn) - 1))
+         |        // 2
+         |      WHEN 3 THEN (CAST(max(nn) AS HUGEINT) * (max(nn) - 1)
+         |        * (max(nn) - 2)) // 6
+         |      ELSE (CAST(max(nn) AS HUGEINT) * (max(nn) - 1)
+         |        * (max(nn) - 2) * (max(nn) - 3)) // 24 END)
+         |    AS BIGINT) END AS emax_micro
+         |FROM e GROUP BY prompt, n""".stripMargin,
+
+    // Same md5 scores, rank + count windows on the even half, the
+    // exact ceil index, coverage counted on the odd half.
+    "q484_conformal_coverage" ->
+      s"""WITH s AS (SELECT lang AS grp, doc_id,
+         |    ${h60("'cp' || CAST(doc_id AS VARCHAR)")} % 1000000
+         |      AS score FROM documents),
+         |c AS (SELECT grp, score,
+         |    CAST(row_number() OVER (PARTITION BY grp
+         |      ORDER BY score, doc_id) AS BIGINT) AS r
+         |  FROM s WHERE doc_id % 2 = 0),
+         |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_cal
+         |  FROM c GROUP BY 1),
+         |a AS (SELECT grp, n_cal, unnest([10, 5, 1]) AS alpha_pct
+         |  FROM n),
+         |q AS (SELECT a.grp, a.alpha_pct, a.n_cal,
+         |    ((a.n_cal + 1) * (100 - a.alpha_pct) + 99) // 100
+         |      AS q_rank FROM a),
+         |qq AS (SELECT q.grp, q.alpha_pct, q.n_cal, q.q_rank,
+         |    c.score AS q_score
+         |  FROM q LEFT JOIN c ON c.grp = q.grp AND c.r = q.q_rank),
+         |h AS (SELECT grp, score AS hs FROM s WHERE doc_id % 2 <> 0)
+         |SELECT qq.grp, CAST(qq.alpha_pct AS INT) AS alpha_pct,
+         |  qq.n_cal, CAST(qq.q_rank AS BIGINT) AS q_rank,
+         |  CAST(qq.q_score AS BIGINT) AS q_score,
+         |  CAST(count(h.hs) AS BIGINT) AS n_holdout,
+         |  CAST(sum(CASE WHEN h.hs IS NOT NULL AND (qq.q_score IS NULL
+         |      OR h.hs <= qq.q_score) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_covered,
+         |  CASE WHEN count(h.hs) = 0 THEN NULL ELSE
+         |    CAST((CAST(sum(CASE WHEN h.hs IS NOT NULL
+         |        AND (qq.q_score IS NULL OR h.hs <= qq.q_score)
+         |        THEN 1 ELSE 0 END) AS HUGEINT) * 1000000)
+         |      // count(h.hs) AS BIGINT) END AS coverage_micro
+         |FROM qq LEFT JOIN h ON h.grp = qq.grp
+         |GROUP BY qq.grp, qq.alpha_pct, qq.n_cal, qq.q_rank,
+         |  qq.q_score""".stripMargin,
     // The same duels with md5 parity deciding presentation order;
     // exact per-slot counts, floored micro rates, truncated bias.
     "q421_position_bias" ->

@@ -164,6 +164,64 @@ object Preference {
         "n_cycles", "cycle_rate_micro")
   }
 
+  /** BEST-OF-N REWARD CURVE — the rejection-sampling planning read
+    * (pass@k's RLHF sibling, same unbiased-order-statistics idea as
+    * Chen et al. 2021): given per prompt N sampled completions with
+    * reward scores, the EXACT expected maximum reward of a uniformly
+    * random n-subset, for n = 1..maxN, via the order-statistics
+    * identity  E[max_n] = Σ_r s_(r) · C(r−1, n−1) / C(N, n)
+    * (s_(r) the r-th SMALLEST score; a subset's max is s_(r) iff its
+    * other n−1 members come from the r−1 below it). Deterministic
+    * ranks (score, then `ord`), combination counts as closed-form
+    * consecutive-integer products (n ≤ 8, so no factorial tables),
+    * every term an exact decimal(38,0) product with ONE floored
+    * division per (prompt, n) — the passAtK determinism contract.
+    * Output: (prompt, n, n_samples, emax_micro) — null emax when
+    * n > N. One rank window per prompt (prompt-sized partitions) and
+    * one map-side aggregate per n; nothing corpus-global.
+    */
+  def bestOfNCurve(samples: DataFrame, prompt: Column, scoreMicro: Column,
+                   ord: Column, maxN: Int): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, "maxN must be in [1, 8]")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    // C(x, j) for a LITERAL j: product of j consecutive terms / j!
+    // (consecutive-integer products are exactly divisible, so the
+    // division is exact in decimal)
+    def chooseLit(x: Column, j: Int): Column =
+      if (j == 0) dec(lit(1L))
+      else dec((0 until j).map(i => dec(x - i)).reduce(_ * _) /
+        dec(lit((1 to j).product.toLong)))
+    // C(x, j) with j a COLUMN ranging over 0..maxN: a when-chain over
+    // the (tiny, literal) j domain
+    def chooseCol(x: Column, j: Column, jMax: Int): Column =
+      (0 to jMax).foldLeft(lit(null).cast("decimal(38,0)")) {
+        (acc, jj) => when(j === jj, chooseLit(x, jj)).otherwise(acc)
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prompt")).orderBy(col("s"), col("o"))
+    val ranked = samples
+      .select(prompt.as("prompt"), scoreMicro.cast("long").as("s"),
+        ord.as("o"))
+      .withColumn("r", row_number().over(w).cast("long"))
+    ranked
+      .select(col("prompt"), col("s"), col("r"),
+        explode(sequence(lit(1L), lit(maxN.toLong))).as("n"))
+      .groupBy(col("prompt"), col("n"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(when(col("r") >= col("n"),
+            dec(col("s")) * chooseCol(col("r") - 1, col("n") - 1,
+              maxN - 1))
+          .otherwise(dec(lit(0L)))).as("num"))
+      .select(col("prompt"), col("n").cast("int").as("n"),
+        col("n_samples"),
+        when(col("n") > col("n_samples"), lit(null).cast("long"))
+          .otherwise(fdiv(dec(col("num")),
+            chooseCol(col("n_samples"), col("n"), maxN)))
+          .as("emax_micro"))
+  }
+
   /** LENGTH-BIAS audit — RLHF's best-documented annotation artifact:
     * raters (and LLM judges) favor the LONGER response, and a reward
     * model trained on length-biased duels optimizes verbosity. One

@@ -619,4 +619,61 @@ object Quality {
       .select(col("given"), col("predicted"), col("n"),
         col("n_flagged"), col("n_unconfident"), col("n_rows"))
   }
+
+  /** SPLIT-CONFORMAL CALIBRATION audit (Vovk's conformal prediction;
+    * Angelopoulos & Bates 2021) — the distribution-free coverage
+    * check a quality/reward scorer ships with: per group, the
+    * conformal threshold at miscoverage α is the
+    * ⌈(n_cal+1)(1−α)⌉-th SMALLEST calibration nonconformity score
+    * (exact integer index arithmetic: idx = ((n+1)(100−a)+99)//100
+    * for α = a%), and the audit measures the EMPIRICAL holdout
+    * coverage P(score ≤ q̂) that the theory lower-bounds by 1−α.
+    * An index past n_cal means the threshold is +∞ (q_score null,
+    * full coverage) — the standard small-n degenerate case. Ranks
+    * come from one row_number per group (group-sized partitions, the
+    * perplexityBuckets sort precedent); the α grid is a literal
+    * explode. Output per (grp, alpha_pct): (n_cal, q_rank, q_score,
+    * n_holdout, n_covered, coverage_micro — null when the holdout is
+    * empty). Exact integers throughout.
+    */
+  def conformalCalibration(cal: DataFrame, holdout: DataFrame,
+                           alphaPcts: Seq[Int]): DataFrame = {
+    require(alphaPcts.nonEmpty && alphaPcts.forall(a => a >= 1 && a <= 99),
+      "alpha percents must be in [1, 99]")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("score"), col("o"))
+    val ranked = cal
+      .select(col("grp"), col("score").cast("long").as("score"),
+        col("o"))
+      .withColumn("r", row_number().over(w).cast("long"))
+    val grid = ranked.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_cal"))
+      .select(col("grp"), col("n_cal"),
+        explode(typedLit(alphaPcts.map(_.toLong))).as("alpha_pct"))
+      .withColumn("q_rank",
+        fdiv((col("n_cal") + 1) * (lit(100L) - col("alpha_pct"))
+          + 99, lit(100L)))
+    val withQ = grid.join(
+      ranked.select(col("grp"), col("r").as("q_rank"),
+        col("score").as("q_score")),
+      Seq("grp", "q_rank"), "left")
+    val hold = holdout
+      .select(col("grp"), col("score").cast("long").as("hs"))
+    withQ.join(hold, Seq("grp"), "left")
+      .groupBy(col("grp"), col("alpha_pct"), col("n_cal"),
+        col("q_rank"), col("q_score"))
+      .agg(count(col("hs")).as("n_holdout"),
+        sum(when(col("hs").isNotNull &&
+            (col("q_score").isNull || col("hs") <= col("q_score")),
+          1L).otherwise(0L)).as("n_covered"))
+      .select(col("grp"), col("alpha_pct").cast("int").as("alpha_pct"),
+        col("n_cal"), col("q_rank"), col("q_score"), col("n_holdout"),
+        col("n_covered"),
+        when(col("n_holdout") === 0, lit(null).cast("long"))
+          .otherwise(fdiv(dec(col("n_covered")) * lit(1000000L),
+            dec(col("n_holdout")))).as("coverage_micro"))
+  }
 }

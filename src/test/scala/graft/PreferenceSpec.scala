@@ -101,6 +101,39 @@ class PreferenceSpec extends SparkSpec {
     assert(e.getMessage.contains("bounded model-sized set"))
   }
 
+  test("bestOfNCurve: exact order-statistics E[max] on a hand case, " +
+    "brute-force subset equality, n > N null") {
+    // prompt A scores {10, 20, 30}: E[max_1] = 20, E[max_2] = 80/3
+    // (subset maxes 20, 30, 30), E[max_3] = 30, n=4 > N -> null
+    val df = Seq(("A", 10L, 1L), ("A", 20L, 2L), ("A", 30L, 3L),
+      ("B", 5L, 1L)).toDF("p", "s", "o")
+    val out = Preference.bestOfNCurve(df, col("p"), col("s"),
+        col("o"), 4)
+      .as[(String, Int, Long, Option[Long])].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out(("A", 1)) == (("A", 1, 3L, Some(20L))))
+    assert(out(("A", 2)) == (("A", 2, 3L, Some(26L)))) // floor(80/3)
+    assert(out(("A", 3)) == (("A", 3, 3L, Some(30L))))
+    assert(out(("A", 4)) == (("A", 4, 3L, None)))
+    assert(out(("B", 1)) == (("B", 1, 1L, Some(5L))))
+    assert(out(("B", 2))._4.isEmpty)
+    // brute force on a bigger random set: E[max_n] floored must equal
+    // the subset enumeration exactly
+    val rnd = new scala.util.Random(7)
+    val scores = Seq.fill(7)(rnd.nextInt(1000000).toLong)
+    val big = scores.zipWithIndex
+      .map { case (s, i) => ("C", s, i.toLong) }.toDF("p", "s", "o")
+    val got = Preference.bestOfNCurve(big, col("p"), col("s"),
+        col("o"), 4)
+      .as[(String, Int, Long, Option[Long])].collect()
+      .map(r => r._2 -> r._4.get).toMap
+    (1 to 4).foreach { n =>
+      val subsets = scores.indices.combinations(n).toSeq
+      val sum = subsets.map(ix => BigInt(ix.map(scores).max)).sum
+      assert(got(n) == (sum / subsets.size).toLong, s"n=$n")
+    }
+  }
+
   test("intransitivityAudit: an over-limit item panel fails fast " +
     "before the O(items³) walk") {
     val duels = (0 to Preference.MaxTripleItems)

@@ -346,4 +346,38 @@ class QualitySpec extends SparkSpec {
     assert((1L to 10L).forall(i => !out(i)._5), "agreeing items hold")
   }
 
+
+  test("conformalCalibration: exact ceil-index thresholds, holdout " +
+      "coverage, +inf degenerate case, empty holdout null") {
+    import org.apache.spark.sql.functions.col
+    // cal scores 1..9 in group g: alpha=10% -> idx ceil(10*0.9)=9 ->
+    // q=9; alpha=1% -> idx 10 > n_cal -> q null (+inf). Group h has
+    // cal but NO holdout rows.
+    val cal = ((1 to 9).map(i => ("g", i.toLong, i.toLong)) ++
+      Seq(("h", 7L, 1L))).toDF("grp", "score", "o")
+    val hold = Seq(("g", 5L), ("g", 10L)).toDF("grp", "score")
+    val out = graft.ops.Quality.conformalCalibration(cal, hold,
+        Seq(10, 1))
+      .as[(String, Int, Long, Long, Option[Long], Long, Long,
+        Option[Long])].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out(("g", 10)) ==
+      (("g", 10, 9L, 9L, Some(9L), 2L, 1L, Some(500000L))))
+    assert(out(("g", 1)) ==
+      (("g", 1, 9L, 10L, None, 2L, 2L, Some(1000000L))))
+    // n_cal = 1: idx = ceil(2·0.9) = 2 > n_cal -> +inf threshold
+    assert(out(("h", 10)) == (("h", 10, 1L, 2L, None, 0L, 0L, None)))
+    // uniform random fixture: empirical coverage must sit at or above
+    // 1 - alpha within sampling noise (the conformal guarantee)
+    val rnd = new scala.util.Random(11)
+    val scores = Seq.fill(2000)(rnd.nextInt(1000000).toLong)
+    val big = scores.zipWithIndex
+      .map { case (sc, i) => ("u", sc, i.toLong) }.toDF("grp", "score", "o")
+    val bc = big.filter(col("o") % 2 === 0)
+    val bh = big.filter(col("o") % 2 =!= 0).select(col("grp"), col("score"))
+    val cov = graft.ops.Quality.conformalCalibration(bc, bh, Seq(10))
+      .as[(String, Int, Long, Long, Option[Long], Long, Long,
+        Option[Long])].head()._8.get
+    assert(cov > 850000L && cov < 960000L, s"coverage $cov")
+  }
 }
