@@ -200,6 +200,13 @@ private[graft] object EntriesProfileGov {
         Seq(col("lang"),
           (floor(col("n_chars") / 500) * 500).cast("long").as("band")),
         col("source"), 5)),
+    // Privacy: t-CLOSENESS — the third rung of the ladder: per lang
+    // class, the exact unit-ground EMD between its 500-char-band
+    // distribution and the corpus's, in pure integer cross products
+    // (one floor per class).
+    "q485_t_closeness" -> ((s, dir) =>
+      Profile.tCloseness(t(s, dir, "documents"), col("lang"),
+        floor(col("n_chars") / 500).cast("long"))),
     // Curation/provenance: LICENSE PROPAGATION through duplicate
     // clusters — a document inherits the MOST RESTRICTIVE tier in
     // its exact-dup cluster (the license-contamination rule: one
@@ -562,6 +569,36 @@ private[graft] object EntriesProfileGov {
         |    = 0 AS meets_l
         |FROM r CROSS JOIN cls CROSS JOIN b
         |GROUP BY 1, b.min_l, b.max_l""".stripMargin,
+    // The full lang × band grid (absent cells 0), per-group window
+    // cumsums, the same integer cross-product gaps and one floor.
+    "q485_t_closeness" ->
+      """WITH b AS (SELECT lang AS grp, n_chars // 500 AS v
+        |  FROM documents),
+        |gv AS (SELECT grp, v, CAST(count(*) AS HUGEINT) AS c
+        |  FROM b GROUP BY 1, 2),
+        |va AS (SELECT v, CAST(count(*) AS HUGEINT) AS c_all
+        |  FROM b GROUP BY 1),
+        |g AS (SELECT grp, sum(c) AS t_g FROM gv GROUP BY 1),
+        |mt AS (SELECT CAST(count(*) AS BIGINT) AS m,
+        |    sum(c_all) AS t FROM va),
+        |grid AS (SELECT g.grp, g.t_g, va.v, va.c_all,
+        |    coalesce(gv.c, 0) AS c
+        |  FROM g CROSS JOIN va
+        |  LEFT JOIN gv ON gv.grp = g.grp AND gv.v = va.v),
+        |cm AS (SELECT grp, t_g,
+        |    sum(c) OVER (PARTITION BY grp ORDER BY v) AS cum_g,
+        |    sum(c_all) OVER (PARTITION BY grp ORDER BY v) AS cum_all
+        |  FROM grid),
+        |gp AS (SELECT grp, t_g,
+        |    sum(abs(cum_g * t - cum_all * t_g)) AS gap, max(m) AS m,
+        |    max(t) AS t
+        |  FROM cm CROSS JOIN mt GROUP BY 1, 2)
+        |SELECT grp, CAST(t_g AS BIGINT) AS n_rows, m AS m_values,
+        |  CASE WHEN m <= 1 THEN NULL ELSE
+        |    CAST((gap * 1000000) // ((m - 1) * t_g * t) AS BIGINT)
+        |  END AS emd_micro
+        |FROM gp""".stripMargin,
+
     // Same deterministic policy tiers and cluster-max inheritance.
     "q294_license_propagation" ->
       s"""WITH d AS (SELECT doc_id, source,

@@ -743,6 +743,68 @@ object Profile {
       .withColumn("meets_l", col("n_rows_below") === 0L)
   }
 
+  /** t-CLOSENESS audit (Li, Li & Venkatasubramanian 2007) — the third
+    * rung of the privacy ladder after k-anonymity (q171/q366) and
+    * [[lDiversity]] (q416): a quasi-identifier class leaks when its
+    * SENSITIVE-value distribution sits far from the corpus's, and for
+    * an ORDERED sensitive attribute the paper's distance is the
+    * earth-mover's distance with unit ground distance between
+    * adjacent values:
+    *   EMD(g) = (1/(m−1)) · Σ_{i<m} |CumP_g(vᵢ) − CumP_all(vᵢ)|
+    * over the m GLOBAL ordered distinct values. Exact rational
+    * arithmetic: each cumulative gap is (cum_g·T − cum_all·T_g) over
+    * the common denominator T_g·T, so
+    *   emd_micro = ⌊Σ|cum_g·T − cum_all·T_g| · 10⁶ / ((m−1)·T_g·T)⌋
+    * — one integer floor per group, no doubles anywhere. The value
+    * grid is groups × m rows (bucket a high-cardinality sensitive
+    * column upstream — the audit's m is a policy choice, not data-
+    * sized); cumulative sums run per group over the m-value frame.
+    * Output per class: (grp, n_rows, m_values, emd_micro — null when
+    * m = 1, where t-closeness is vacuous).
+    */
+  def tCloseness(df: DataFrame, quasi: Column,
+                 sensitive: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val base = df.select(quasi.as("grp"), sensitive.as("v"))
+    val gv = base.groupBy(col("grp"), col("v"))
+      .agg(count(lit(1)).as("c"))
+    val vall = base.groupBy(col("v")).agg(count(lit(1)).as("c_all"))
+    val groups = gv.groupBy(col("grp")).agg(sum(col("c")).as("t_g"))
+    val mT = vall.agg(count(lit(1)).as("m"),
+      sum(col("c_all")).as("t"))
+    // the full groups × values grid: absent cells count 0 but still
+    // carry the cumulative gap forward
+    val grid = groups.crossJoin(broadcast(vall))
+      .join(gv, Seq("grp", "v"), "left")
+      .na.fill(0L, Seq("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    grid
+      .withColumn("cum_g", sum(col("c")).over(w))
+      // the grid carries every value once per group, so cumulating
+      // the global per-value counts inside the group frame IS the
+      // global cumulative at each value
+      .withColumn("cum_all", sum(col("c_all")).over(w))
+      .crossJoin(broadcast(mT))
+      // the last value's cumulative gap is 0 by construction; summing
+      // over ALL m rows instead of m−1 adds exactly nothing
+      .select(col("grp"), col("t_g"), col("m"), col("t"),
+        abs(dec(col("cum_g")) * dec(col("t")) -
+          dec(col("cum_all")) * dec(col("t_g"))).as("gap"))
+      .groupBy(col("grp"), col("t_g"), col("m"), col("t"))
+      .agg(sum(col("gap")).as("gap_sum"))
+      .select(col("grp"), col("t_g").as("n_rows"),
+        col("m").as("m_values"),
+        when(col("m") <= 1, lit(null).cast("long"))
+          .otherwise(fdiv(dec(col("gap_sum")) * lit(1000000L),
+            dec(col("m") - 1) * dec(col("t_g")) * dec(col("t"))))
+          .as("emd_micro"))
+  }
+
   /** HERFINDAHL–HIRSCHMAN INDEX per group — [[giniCoefficient]]'s
     * antitrust sibling, the square-of-shares concentration read
     * (HHI of 1e6 = a monopoly domain; ≤ ~1500 "unconcentrated" in

@@ -779,4 +779,29 @@ class ProfileSpec extends SparkSpec {
     assert(out("even") == (("even", 4L, 4L, 250000L)))
   }
 
+
+  test("tCloseness: exact unit-ground EMD against hand-computed " +
+      "cumulative gaps; single-value corpus is vacuous") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Profile
+    // A holds values [1,1,2], B holds [2,3]; global P = [2/5,2/5,1/5]
+    // EMD(A) = (|2/3-2/5| + |1-4/5|)/2 = 7/30; EMD(B) = 0.35
+    val df = Seq(("A", 1L), ("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L))
+      .toDF("grp", "v")
+    val out = Profile.tCloseness(df, col("grp"), col("v"))
+      .as[(String, Long, Long, Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("A") == (("A", 3L, 3L, Some(233333L))))
+    assert(out("B") == (("B", 2L, 3L, Some(350000L))))
+    val one = Seq(("A", 9L), ("B", 9L)).toDF("grp", "v")
+    assert(Profile.tCloseness(one, col("grp"), col("v"))
+      .as[(String, Long, Long, Option[Long])].collect()
+      .forall(r => r._3 == 1L && r._4.isEmpty), "m=1 vacuous")
+    // a group identical to the corpus has EMD exactly 0
+    val same = Seq(("X", 1L), ("X", 2L), ("Y", 1L), ("Y", 2L))
+      .toDF("grp", "v")
+    assert(Profile.tCloseness(same, col("grp"), col("v"))
+      .as[(String, Long, Long, Option[Long])].collect()
+      .forall(_._4.contains(0L)))
+  }
 }
