@@ -161,6 +161,40 @@ private[graft] object EntriesLabelsEval {
             col("event_id").cast("string"))), lit(1000000L)).as("sc"),
           col("event_id").as("o")),
         col("p"), col("sc"), col("o"), 4)),
+    // RLHF curation: DPO PAIR MINING — per prompt the best/worst
+    // md5-scored completions become the (chosen, rejected) training
+    // pair, deterministic ord tiebreaks, 0.2-margin floor; sparse
+    // sampling (every 25th event over 200 prompts) exercises both
+    // the single-sample drop and the margin filter.
+    "q486_dpo_pairs" -> ((s, dir) =>
+      Preference.dpoPairs(
+        t(s, dir, "events").filter(col("event_id") % 25 === 0)
+          .select(
+            concat(lit("p"), (col("user_id") % 200).cast("string"))
+              .as("p"),
+            pmod(graft.ops.Dedup.hashLong(concat(lit("dpo"),
+              col("event_id").cast("string"))), lit(1000000L))
+              .as("sc"),
+            col("event_id").as("o")),
+        col("p"), col("sc"), col("o"), 200000L)),
+    // RLHF: Dr-GRPO GROUP-RELATIVE ADVANTAGE + KL audit — md5
+    // rewards and policy/ref log-probs per prompt panel; exact
+    // mean-centered advantages (tdiv — signed dividends), group
+    // variance, Schulman k1/k2 KL estimators, one partition-only
+    // window.
+    "q487_grpo_advantage" -> ((s, dir) => {
+      import graft.ops.Dedup.hashLong
+      def h(tag: String): Column =
+        pmod(hashLong(concat(lit(tag),
+          col("event_id").cast("string"))), lit(1000000L))
+      Preference.grpoAdvantage(
+        t(s, dir, "events").select(
+          concat(lit("p"), (col("user_id") % 40).cast("string"))
+            .as("p"),
+          col("event_id").as("o"), h("gr").as("r"),
+          h("lp").as("lp"), h("lr").as("lr")),
+        col("p"), col("o"), col("r"), col("lp"), col("lr"))
+    }),
     // Eval/calibration: SPLIT-CONFORMAL coverage audit — per language
     // the exact ⌈(n+1)(1−α)⌉-th-smallest calibration threshold for
     // α ∈ {10%, 5%, 1%} and the holdout coverage it actually
@@ -892,6 +926,67 @@ private[graft] object EntriesLabelsEval {
          |        * (max(nn) - 2) * (max(nn) - 3)) // 24 END)
          |    AS BIGINT) END AS emax_micro
          |FROM e GROUP BY prompt, n""".stripMargin,
+
+    // Same md5 scores, two rank windows per prompt, conditional
+    // max picks the rank-1 rows; margin + pair-exists filters last.
+    "q486_dpo_pairs" ->
+      s"""WITH s AS (SELECT 'p' || CAST(user_id % 200 AS VARCHAR)
+         |      AS prompt,
+         |    ${h60("'dpo' || CAST(event_id AS VARCHAR)")} % 1000000
+         |      AS sc, event_id AS o
+         |  FROM events WHERE event_id % 25 = 0),
+         |r AS (SELECT prompt, sc, o,
+         |    row_number() OVER (PARTITION BY prompt
+         |      ORDER BY sc DESC, o) AS rc,
+         |    row_number() OVER (PARTITION BY prompt
+         |      ORDER BY sc ASC, o) AS rr FROM s),
+         |g AS (SELECT prompt, CAST(count(*) AS BIGINT) AS n_samples,
+         |    CAST(max(CASE WHEN rc = 1 THEN o END) AS BIGINT)
+         |      AS chosen_ord,
+         |    CAST(max(CASE WHEN rc = 1 THEN sc END) AS BIGINT)
+         |      AS chosen_micro,
+         |    CAST(max(CASE WHEN rr = 1 THEN o END) AS BIGINT)
+         |      AS rejected_ord,
+         |    CAST(max(CASE WHEN rr = 1 THEN sc END) AS BIGINT)
+         |      AS rejected_micro
+         |  FROM r GROUP BY prompt)
+         |SELECT prompt, n_samples, chosen_ord, chosen_micro,
+         |  rejected_ord, rejected_micro,
+         |  chosen_micro - rejected_micro AS margin_micro
+         |FROM g WHERE n_samples >= 2
+         |  AND chosen_micro - rejected_micro >= 200000""".stripMargin,
+
+    // Same md5 rewards/log-probs; HUGEINT window sums per prompt,
+    // truncating // divisions (signed dividends — DuckDB // and the
+    // engine's tdiv both truncate toward zero).
+    "q487_grpo_advantage" ->
+      s"""WITH s AS (SELECT 'p' || CAST(user_id % 40 AS VARCHAR)
+         |      AS prompt, event_id AS o,
+         |    CAST(${h60("'gr' || CAST(event_id AS VARCHAR)")} % 1000000
+         |      AS BIGINT) AS r,
+         |    CAST(${h60("'lp' || CAST(event_id AS VARCHAR)")} % 1000000
+         |        AS BIGINT)
+         |      - CAST(${h60("'lr' || CAST(event_id AS VARCHAR)")}
+         |        % 1000000 AS BIGINT) AS d FROM events),
+         |g AS (SELECT prompt, o, r, d,
+         |    CAST(count(*) OVER (PARTITION BY prompt) AS HUGEINT)
+         |      AS n,
+         |    sum(CAST(r AS HUGEINT)) OVER (PARTITION BY prompt)
+         |      AS sr,
+         |    sum(CAST(r AS HUGEINT) * r) OVER (PARTITION BY prompt)
+         |      AS sr2,
+         |    sum(CAST(d AS HUGEINT)) OVER (PARTITION BY prompt)
+         |      AS sd,
+         |    sum(CAST(d AS HUGEINT) * d) OVER (PARTITION BY prompt)
+         |      AS sd2 FROM s)
+         |SELECT prompt, o AS ord, r AS reward_micro,
+         |  CAST((n * r - sr) // n AS BIGINT) AS adv_micro,
+         |  CAST(n AS BIGINT) AS n_samples,
+         |  CAST((n * sr2 - sr * sr) // (n * n) AS BIGINT)
+         |    AS var_micro2,
+         |  CAST(sd // n AS BIGINT) AS kl_k1_micro,
+         |  CAST(sd2 // (2 * n * 1000000) AS BIGINT) AS kl_k2_micro
+         |FROM g""".stripMargin,
 
     // Same md5 scores, rank + count windows on the even half, the
     // exact ceil index, coverage counted on the odd half.

@@ -222,6 +222,96 @@ object Preference {
           .as("emax_micro"))
   }
 
+  /** DPO PAIR MINING — turn per-prompt scored completions into the
+    * (chosen, rejected) training pairs direct preference optimization
+    * (Rafailov et al. 2023) consumes: per prompt, chosen = the
+    * highest-reward sample, rejected = the lowest, with deterministic
+    * tiebreaks (equal scores resolve by smallest `ord` on BOTH
+    * sides — the repo's rank-window convention), and pairs whose
+    * margin (chosen − rejected, micro) falls under `minMarginMicro`
+    * are dropped, as are single-sample prompts (no pair exists).
+    * Scale shape: two rank windows sharing ONE prompt partitioning
+    * (prompt-sized partitions — sample panels, never corpus-global),
+    * then a per-prompt conditional aggregate; nothing collects.
+    * Output: (prompt, n_samples, chosen_ord, chosen_micro,
+    * rejected_ord, rejected_micro, margin_micro).
+    */
+  def dpoPairs(samples: DataFrame, prompt: Column, scoreMicro: Column,
+               ord: Column, minMarginMicro: Long): DataFrame = {
+    require(minMarginMicro >= 0, "minMarginMicro must be >= 0")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prompt"))
+    val base = samples.select(prompt.as("prompt"),
+      scoreMicro.cast("long").as("s"), ord.cast("long").as("o"))
+    base
+      .withColumn("rc",
+        row_number().over(w.orderBy(col("s").desc, col("o"))))
+      .withColumn("rr",
+        row_number().over(w.orderBy(col("s").asc, col("o"))))
+      .groupBy(col("prompt"))
+      .agg(count(lit(1)).as("n_samples"),
+        max(when(col("rc") === 1, struct(col("o"), col("s"))))
+          .as("ch"),
+        max(when(col("rr") === 1, struct(col("o"), col("s"))))
+          .as("rj"))
+      .filter(col("n_samples") >= 2)
+      .select(col("prompt"), col("n_samples"),
+        col("ch.o").as("chosen_ord"), col("ch.s").as("chosen_micro"),
+        col("rj.o").as("rejected_ord"),
+        col("rj.s").as("rejected_micro"),
+        (col("ch.s") - col("rj.s")).as("margin_micro"))
+      .filter(col("margin_micro") >= minMarginMicro)
+  }
+
+  /** GROUP-RELATIVE ADVANTAGE + KL-PENALTY audit — the GRPO data
+    * read (Shao et al. 2024), in the bias-corrected Dr. GRPO form
+    * (Liu et al. 2025: drop the per-group std division, which
+    * up-weights low-variance groups): per sample the mean-centered
+    * advantage  adv = r − mean(group), exact as ⌊(n·r − Σr)/n⌋
+    * truncated toward zero (the tdiv convention — one division per
+    * row, no intermediate mean rounding), plus the per-group
+    * diagnostics every RLHF run watches: reward variance (exact
+    * numerator n·Σr² − (Σr)², one truncated division, micro² units)
+    * and Schulman's k1/k2 KL estimators between policy and reference
+    * log-probs (k1 = mean(lp − lr), k2 = mean((lp − lr)²)/2, micro).
+    * Scale shape: ONE prompt-partitioned window (partition-only, no
+    * sort) carries every group sum — the per-sample pass stays
+    * data-sized and nothing collects.
+    * Output one row per sample: (prompt, ord, reward_micro,
+    * adv_micro, n_samples, var_micro2, kl_k1_micro, kl_k2_micro).
+    */
+  def grpoAdvantage(samples: DataFrame, prompt: Column, ord: Column,
+                    rewardMicro: Column, logpPolicyMicro: Column,
+                    logpRefMicro: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def tdiv(a: Column, b: Column): Column = {
+      val q = (abs(a) - pmod(abs(a), b)) / b
+      (when(a < 0, -q).otherwise(q)).cast("long")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("prompt"))
+    samples
+      .select(prompt.as("prompt"), ord.cast("long").as("o"),
+        rewardMicro.cast("long").as("r"),
+        (logpPolicyMicro.cast("long") - logpRefMicro.cast("long"))
+          .as("d"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sr", sum(dec(col("r"))).over(w))
+      .withColumn("sr2", sum(dec(col("r")) * col("r")).over(w))
+      .withColumn("sd", sum(dec(col("d"))).over(w))
+      .withColumn("sd2", sum(dec(col("d")) * col("d")).over(w))
+      .select(col("prompt"), col("o").as("ord"),
+        col("r").as("reward_micro"),
+        tdiv(dec(col("n")) * col("r") - col("sr"), dec(col("n")))
+          .as("adv_micro"),
+        col("n").as("n_samples"),
+        tdiv(dec(col("n")) * col("sr2") - col("sr") * col("sr"),
+          dec(col("n")) * col("n")).as("var_micro2"),
+        tdiv(col("sd"), dec(col("n"))).as("kl_k1_micro"),
+        tdiv(col("sd2"), dec(lit(2L)) * col("n") * lit(1000000L))
+          .as("kl_k2_micro"))
+  }
+
   /** LENGTH-BIAS audit — RLHF's best-documented annotation artifact:
     * raters (and LLM judges) favor the LONGER response, and a reward
     * model trained on length-biased duels optimizes verbosity. One

@@ -134,6 +134,65 @@ class PreferenceSpec extends SparkSpec {
     }
   }
 
+  test("dpoPairs: best/worst per prompt with ord tiebreaks, margin " +
+    "and single-sample filters") {
+    val samples = Seq(
+      // p1: clear pair, margin 700000
+      ("p1", 900000L, 10L), ("p1", 200000L, 11L), ("p1", 500000L, 12L),
+      // p2: tied maxima AND tied minima — smallest ord wins both slots
+      ("p2", 800000L, 21L), ("p2", 800000L, 20L),
+      ("p2", 100000L, 23L), ("p2", 100000L, 22L),
+      // p3: margin 100000 — under the floor, dropped
+      ("p3", 300000L, 30L), ("p3", 200000L, 31L),
+      // p4: single sample — no pair exists
+      ("p4", 999999L, 40L)).toDF("p", "s", "o")
+    val out = Preference.dpoPairs(samples, col("p"), col("s"),
+        col("o"), 200000L)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.keySet == Set("p1", "p2"))
+    assert(out("p1") == (("p1", 3L, 10L, 900000L, 11L, 200000L,
+      700000L)))
+    assert(out("p2") == (("p2", 4L, 20L, 800000L, 22L, 100000L,
+      700000L)))
+  }
+
+  test("grpoAdvantage: exact mean-centered advantages, group " +
+    "variance, and k1/k2 KL estimators with signed truncation") {
+    // one prompt, rewards 100, 400, 1000 (micro): mean 500, adv
+    // -400, -100, 500; d = lp - lr: 300000, -600000, 0
+    val samples = Seq(
+      ("p", 1L, 100L, 300000L, 0L),
+      ("p", 2L, 400L, 0L, 600000L),
+      ("p", 3L, 1000L, 250000L, 250000L)).toDF("p", "o", "r", "lp",
+      "lr")
+    val out = Preference.grpoAdvantage(samples, col("p"), col("o"),
+        col("r"), col("lp"), col("lr"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._2 -> r).toMap
+    assert(out(1L)._4 == -400L && out(2L)._4 == -100L &&
+      out(3L)._4 == 500L)
+    // var num = 3*(100^2+400^2+1000^2) - 1500^2 = 3*1170000 -
+    // 2250000 = 1260000; // 9 = 140000
+    assert(out(1L)._6 == 140000L)
+    // k1 = (300000 - 600000 + 0) / 3 = -100000 exactly
+    assert(out(1L)._7 == -100000L)
+    // k2 = (9e10 + 36e10 + 0) // (2*3*1e6) = 45e10 // 6e6 = 75000
+    assert(out(1L)._8 == 75000L)
+    // truncation toward zero on a signed dividend: d sums to -300000,
+    // adv of r=100 vs mean 500 is exactly -400 (no floor drift)
+    val neg = Seq(("q", 1L, 0L, 0L, 1L), ("q", 2L, 1L, 0L, 0L))
+      .toDF("p", "o", "r", "lp", "lr")
+    val nout = Preference.grpoAdvantage(neg, col("p"), col("o"),
+        col("r"), col("lp"), col("lr"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => r._2 -> r).toMap
+    // adv(r=0): (2*0 - 1) tdiv 2 = 0 (truncates toward zero, DuckDB
+    // // semantics), NOT -1 (floor)
+    assert(nout(1L)._4 == 0L)
+    assert(nout(1L)._7 == 0L, "k1 = -1 tdiv 2 truncates to 0")
+  }
+
   test("intransitivityAudit: an over-limit item panel fails fast " +
     "before the O(items³) walk") {
     val duels = (0 to Preference.MaxTripleItems)
