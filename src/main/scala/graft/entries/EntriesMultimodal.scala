@@ -149,6 +149,37 @@ private[graft] object EntriesMultimodal {
           .select(col("doc_id"), col("checksum"), col("first_byte")),
         "doc_id")
     }),
+    // Multimodal: REAL (animated) GIF decode — the fifth format
+    // tier. Each doc's text paints 1 + id%3 frames of 6×3 grays
+    // written through an explicit 256-gray palette (palette-indexed
+    // LZW is lossless BY CONSTRUCTION — no DCT subset needed); dims
+    // + frame census come from the block-walk scan (no LZW decode,
+    // the 100 TB triage pass that separates animations from
+    // stills), checksum/first_byte from the real first-frame decode
+    // through the FormatDecoder seam.
+    "q488_gif_decode" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sessionState.conf.numShufflePartitions)
+        .as[(Long, String)]
+      def media = docs.map { case (id, text) =>
+        val nf = (1 + id % 3).toInt
+        val frames = (0 until nf).map(f => Array.tabulate(18) { i =>
+          val g = (text.charAt(i).toInt * 13 + f * 7 + i * 3) % 256
+          (g << 16) | (g << 8) | g
+        })
+        (id, Multimodal.gifBytes(6, 3, frames))
+      }
+      val scan = media.map { case (id, b) =>
+        val (w, h, _, nf) =
+          Multimodal.gifScan(b).getOrElse((-1, -1, -1, -1))
+        (id, w, h, nf)
+      }.toDF("doc_id", "width", "height", "n_frames")
+      scan.join(Multimodal.decodeFeaturesBatched(media).toDF()
+          .select(col("doc_id"), col("checksum"), col("first_byte")),
+        "doc_id")
+    }),
     // Audio QA: CLIPPING detection — the q111 samples scaled ×16
     // saturate near full scale; exact per-clip counts and peak
     // through the real RIFF parse.
@@ -468,6 +499,22 @@ private[graft] object EntriesMultimodal {
         |SELECT doc_id, CAST(8 * bw AS INT) AS width,
         |  CAST(8 * bh AS INT) AS height, CAST(3 AS INT) AS n_components,
         |  CAST(192 * list_sum(grays) AS BIGINT) AS checksum,
+        |  CAST(grays[1] AS INT) AS first_byte
+        |FROM g""".stripMargin,
+    // Palette-indexed LZW is lossless, so the oracle recomputes
+    // first-frame pixel features straight from the construction
+    // arithmetic; the frame census must equal the construction's
+    // 1 + id%3 (a scan that missed an image descriptor, or counted
+    // an extension block as one, hash-fails).
+    "q488_gif_decode" ->
+      """WITH g AS (SELECT doc_id,
+        |    [ (unicode(substr(text, CAST(i + 1 AS INT), 1)) * 13
+        |       + i * 3) % 256
+        |      for i in range(0, 18) ] AS grays FROM documents)
+        |SELECT doc_id, CAST(6 AS INT) AS width,
+        |  CAST(3 AS INT) AS height,
+        |  CAST(1 + doc_id % 3 AS INT) AS n_frames,
+        |  CAST(3 * list_sum(grays) AS BIGINT) AS checksum,
         |  CAST(grays[1] AS INT) AS first_byte
         |FROM g""".stripMargin,
     // The scaled q111 samples replayed as a list; counts and peak

@@ -407,6 +407,134 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
+  /** GIF fixture encoder — the LOSSLESS path through a palette codec:
+    * pixels are written through an EXPLICIT 256-entry grayscale
+    * `IndexColorModel` (every gray has its own palette slot, so the
+    * writer never quantizes) and GIF's LZW is lossless, so any
+    * gray-valued (R=G=B) image round-trips bit-for-bit — the q478
+    * lossless-subset trick, here by palette construction instead of
+    * DCT arithmetic. `frames` ≥ 2 writes a real ANIMATED GIF via the
+    * writer's sequence API (one image descriptor per frame).
+    */
+  def gifBytes(width: Int, height: Int,
+               frames: Seq[Array[Int]]): Array[Byte] = {
+    require(frames.nonEmpty, "at least one frame")
+    require(frames.forall(_.length == width * height),
+      "each frame must be width*height")
+    val gray = Array.tabulate(256)(_.toByte)
+    val cm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    def img(px: Array[Int]): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(width, height,
+        java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+      var i = 0
+      while (i < px.length) {
+        im.getRaster.setSample(i % width, i / width, 0, px(i) & 0xff)
+        i += 1
+      }
+      im
+    }
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    // The JDK GIF writer interlaces by default, and its READER
+    // mis-reassembles interlaced images only a few rows tall (later
+    // passes come back zero) — write sequential scan order always.
+    val p = w.getDefaultWriteParam
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    if (frames.size == 1)
+      w.write(null, new javax.imageio.IIOImage(img(frames.head), null,
+        null), p)
+    else {
+      w.prepareWriteSequence(null)
+      frames.foreach(f => w.writeToSequence(
+        new javax.imageio.IIOImage(img(f), null, null), p))
+      w.endWriteSequence()
+    }
+    ios.close(); w.dispose()
+    bos.toByteArray
+  }
+
+  /** GIF container scan — dims + FRAME CENSUS without LZW decode, the
+    * jpegDims analog (the cheap 100 TB triage pass: an animated GIF is
+    * a different downstream object than a static one): check the
+    * GIF87a/GIF89a magic, read the logical-screen width/height
+    * (little-endian u16) and global-color-table size arithmetically,
+    * then hop the block stream — extensions (0x21) and image
+    * descriptors (0x2C, one per frame; local color tables and LZW
+    * data skipped by their own length bytes) to the trailer (0x3B).
+    * Sub-block lengths make the walk pure pointer arithmetic; no
+    * decompression. None on bad magic/truncation — callers fall back,
+    * per the decoder convention. Output (width, height, gct_entries,
+    * n_frames).
+    */
+  def gifScan(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    if (bytes.length < 14 || u8(0) != 'G' || u8(1) != 'I' ||
+        u8(2) != 'F' || u8(3) != '8' ||
+        (u8(4) != '7' && u8(4) != '9') || u8(5) != 'a') return None
+    val (w, h) = (u16(6), u16(8))
+    if (w <= 0 || h <= 0) return None
+    val packed = u8(10)
+    val gct = if ((packed & 0x80) != 0) 2 << (packed & 0x07) else 0
+    var off = 13 + 3 * gct
+    var frames = 0
+    // skip a chain of length-prefixed sub-blocks; -1 on truncation
+    def skipSubBlocks(start: Int): Int = {
+      var o = start
+      while (o < bytes.length && u8(o) != 0) o += 1 + u8(o)
+      if (o < bytes.length) o + 1 else -1
+    }
+    while (off < bytes.length) {
+      u8(off) match {
+        case 0x3b => return Some((w, h, gct, frames))
+        case 0x21 =>
+          if (off + 2 >= bytes.length) return None
+          off = skipSubBlocks(off + 2)
+          if (off < 0) return None
+        case 0x2c =>
+          if (off + 10 >= bytes.length) return None
+          val p = u8(off + 9)
+          val lct = if ((p & 0x80) != 0) 2 << (p & 0x07) else 0
+          val dataOff = off + 10 + 3 * lct + 1 // + LZW min-code byte
+          if (dataOff > bytes.length) return None
+          off = skipSubBlocks(dataOff)
+          if (off < 0) return None
+          frames += 1
+        case _ => return None
+      }
+    }
+    None // ran off the end without a trailer
+  }
+
+  /** Real GIF decoder — the FIFTH format tier (the web's other
+    * ubiquitous image container; palette-indexed, LZW, lossless):
+    * sniff the 4-byte 'GIF8' prefix first, then decode the FIRST
+    * frame through `javax.imageio.ImageIO` (its GIF reader returns
+    * frame 0 from `read`) and normalize to top-down row-major
+    * 0xRRGGBB exactly like [[parsePng]]. Unlike JPEG, GIF decode is
+    * exact for ANY payload the palette admits — the fixture trick in
+    * [[gifBytes]] is palette construction, not codec arithmetic.
+    * None on anything the reader rejects — callers fall back.
+    */
+  def parseGif(bytes: Array[Byte]): Option[BmpPixels] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 'G' ||
+        (bytes(1) & 0xff) != 'I' || (bytes(2) & 0xff) != 'F' ||
+        (bytes(3) & 0xff) != '8') return None
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+          .map(_ & 0xffffff)
+        Some(BmpPixels(w, h, px))
+      }
+    } catch { case _: Exception => None }
+  }
+
   /** Nearest-neighbor resample to `outW`×`outH` (pure pixel function):
     * output (x,y) reads source (x·W/outW, y·H/outH) — integer floor, the
     * standard nearest-neighbor index map, exact in integer arithmetic so
@@ -750,7 +878,7 @@ object Multimodal {
             val first = if (w.samples.nonEmpty) w.samples(0).toInt else -1
             MediaFeatures(id, bytes.length, checksum, first)
           case None => parseBmp(bytes).orElse(parsePng(bytes))
-              .orElse(parseJpeg(bytes)) match {
+              .orElse(parseJpeg(bytes)).orElse(parseGif(bytes)) match {
             case Some(b) => imageFeatures(id, bytes.length, b)
             case None =>
               val checksum = bytes.foldLeft(0L)((a, b) => a + (b & 0xff))

@@ -479,4 +479,46 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2L).n_clipped == 0 && out(2L).max_abs == 3)
   }
 
+  test("gifBytes → parseGif: gray pixels round-trip bit-for-bit " +
+    "through the real palette codec") {
+    val px = Array.tabulate(6 * 3)(i => {
+      val g = (i * 37 + 5) % 256
+      (g << 16) | (g << 8) | g
+    })
+    val bytes = Multimodal.gifBytes(6, 3, Seq(px))
+    assert(bytes.take(4).map(_.toChar).mkString == "GIF8")
+    val d = Multimodal.parseGif(bytes).get
+    assert(d.width == 6 && d.height == 3)
+    assert(d.pixels.toSeq == px.toSeq, "palette write is lossless")
+    // decoder-seam integration: FormatDecoder routes GIF payloads
+    // through the real codec (checksum = sum of r+g+b)
+    val feats = Multimodal.FormatDecoder.open()
+      .decodeBatch(Seq((7L, bytes))).head
+    assert(feats.checksum == px.map(p => 3L * ((p >> 16) & 0xff)).sum)
+    assert(feats.first_byte == ((px(0) >> 16) & 0xff))
+  }
+
+  test("gifScan: dims + frame census via block walk, no decode; " +
+    "animated sequences count every image descriptor") {
+    def grays(seed: Int) = Array.tabulate(8)(i => {
+      val g = (seed * 11 + i * 29) % 256
+      (g << 16) | (g << 8) | g
+    })
+    val single = Multimodal.gifBytes(4, 2, Seq(grays(1)))
+    val (w, h, gct, nf) = Multimodal.gifScan(single).get
+    assert(w == 4 && h == 2 && nf == 1)
+    assert(gct == 0 || gct == 256, s"palette placement, got $gct")
+    val anim = Multimodal.gifBytes(4, 2,
+      Seq(grays(1), grays(2), grays(3)))
+    val (_, _, _, nf3) = Multimodal.gifScan(anim).get
+    assert(nf3 == 3, "one image descriptor per frame")
+    // the first frame is what parseGif decodes
+    assert(Multimodal.parseGif(anim).get.pixels.toSeq ==
+      grays(1).toSeq)
+    // malformed payloads fall back, never throw
+    assert(Multimodal.gifScan("GIF8".getBytes).isEmpty)
+    assert(Multimodal.gifScan(single.take(20).toArray).isEmpty)
+    assert(Multimodal.parseGif(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
 }
