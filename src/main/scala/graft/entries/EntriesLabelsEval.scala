@@ -210,6 +210,20 @@ private[graft] object EntriesLabelsEval {
         d.filter(col("o") % 2 =!= 0).select(col("grp"), col("score")),
         Seq(10, 5, 1))
     }),
+    // Eval/calibration: ISOTONIC CALIBRATION (PAV) — md5 scores with
+    // Bernoulli(score) md5 labels per language; the minimax closed
+    // form repairs the empirical bin-rate wiggles into the monotone
+    // fit, 8 bins, nano snaps before every compare.
+    "q489_isotonic" -> ((s, dir) => {
+      import graft.ops.Dedup.hashLong
+      def h(tag: String): Column =
+        pmod(hashLong(concat(lit(tag),
+          col("doc_id").cast("string"))), lit(1000000L))
+      Quality.isotonicCalibration(
+        t(s, dir, "documents").select(col("lang").as("g"),
+          h("iso").as("sc"), (h("lb") < h("iso")).as("y")),
+        col("g"), col("sc"), col("y"), 8)
+    }),
     // RLHF hygiene: POSITION-BIAS audit — the same duels with the
     // md5 parity deciding presentation order; per-item first-vs-
     // second win rates and the corpus first-slot rate.
@@ -987,6 +1001,43 @@ private[graft] object EntriesLabelsEval {
          |  CAST(sd // n AS BIGINT) AS kl_k1_micro,
          |  CAST(sd2 // (2 * n * 1000000) AS BIGINT) AS kl_k2_micro
          |FROM g""".stripMargin,
+
+    // Same md5 scores/labels; cumulative windows per language, the
+    // B² segment join with HUGEINT nano floors, min-then-max over
+    // the covering segments — the PAV minimax verbatim.
+    "q489_isotonic" ->
+      s"""WITH s AS (SELECT lang AS grp,
+         |    ${h60("'iso' || CAST(doc_id AS VARCHAR)")} % 1000000
+         |      AS sc,
+         |    CASE WHEN ${h60("'lb' || CAST(doc_id AS VARCHAR)")}
+         |        % 1000000 <
+         |      ${h60("'iso' || CAST(doc_id AS VARCHAR)")} % 1000000
+         |      THEN 1 ELSE 0 END AS y FROM documents),
+         |c AS (SELECT grp,
+         |    CAST(least(7, (sc * 8) // 1000000) AS BIGINT) AS bin,
+         |    CAST(sum(y) AS BIGINT) AS n_pos,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM s GROUP BY 1, 2),
+         |cum AS (SELECT grp, bin, n_pos, n,
+         |    sum(n_pos) OVER (PARTITION BY grp ORDER BY bin) AS cp,
+         |    sum(n) OVER (PARTITION BY grp ORDER BY bin) AS ct
+         |  FROM c),
+         |seg AS (SELECT a.grp, a.bin AS jbin, b.bin AS kbin,
+         |    CAST((CAST(b.cp - (a.cp - a.n_pos) AS HUGEINT)
+         |        * 1000000000)
+         |      // (b.ct - (a.ct - a.n)) AS BIGINT) AS rate
+         |  FROM cum a JOIN cum b ON a.grp = b.grp
+         |    AND a.bin <= b.bin),
+         |mn AS (SELECT c.grp, c.bin, c.n, c.n_pos, seg.jbin,
+         |    min(seg.rate) AS minr
+         |  FROM c JOIN seg ON seg.grp = c.grp
+         |    AND seg.jbin <= c.bin AND c.bin <= seg.kbin
+         |  GROUP BY 1, 2, 3, 4, 5)
+         |SELECT grp, bin, n, n_pos,
+         |  CAST((CAST(n_pos AS HUGEINT) * 1000000000) // n
+         |    AS BIGINT) AS raw_nano,
+         |  CAST(max(minr) AS BIGINT) AS iso_nano
+         |FROM mn GROUP BY grp, bin, n, n_pos""".stripMargin,
 
     // Same md5 scores, rank + count windows on the even half, the
     // exact ceil index, coverage counted on the odd half.

@@ -676,4 +676,69 @@ object Quality {
           .otherwise(fdiv(dec(col("n_covered")) * lit(1000000L),
             dec(col("n_holdout")))).as("coverage_micro"))
   }
+
+  /** ISOTONIC CALIBRATION over score bins — the pool-adjacent-
+    * violators fit (Ayer et al. 1955; Zadrozny & Elkan 2002 for
+    * classifier calibration) via the minimax identity
+    *   f_i = max_{j ≤ i} min_{k ≥ i} rate(j..k),
+    * the closed form of the PAV solution (no sequential pooling
+    * loop). Scores bin into `bins` equal-width buckets of the micro
+    * domain [0, 1e6); per (group, bin) the empirical positive rate
+    * and its isotonic (monotone non-decreasing) repair. Segment
+    * rates snap to nano (one nonneg floor division per (j, k)
+    * segment) BEFORE the minimax, so both engines compare identical
+    * integers — the repo's snap-then-compare convention.
+    *
+    * Scale shape: ONE data-sized hash aggregate to (grp, bin)
+    * cells; everything after is bin-bounded — prefix sums over ≤
+    * `bins` rows per group, a B² segment self-join, and the B³
+    * minimax expansion (64³ = 262k rows per group at the cap,
+    * map-side arithmetic). The guard is structural: `bins ≤ 64`, so
+    * a caller cannot smuggle a data-sized domain into the cube.
+    * Output per non-empty (grp, bin): (grp, bin, n, n_pos,
+    * raw_nano, iso_nano) — iso_nano is monotone in bin within every
+    * group.
+    */
+  def isotonicCalibration(df: DataFrame, grp: Column,
+                          scoreMicro: Column, label: Column,
+                          bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 64, "bins must be in [2, 64]")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val cells = df
+      .select(grp.as("grp"),
+        least(lit(bins - 1L),
+          fdiv(scoreMicro.cast("long") * bins, lit(1000000L)))
+          .as("bin"),
+        when(label, 1L).otherwise(0L).as("y"))
+      .groupBy(col("grp"), col("bin"))
+      .agg(sum(col("y")).as("n_pos"), count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("bin"))
+    val cum = cells
+      .withColumn("cp", sum(col("n_pos")).over(w))
+      .withColumn("ct", sum(col("n")).over(w))
+    val seg = cum
+      .select(col("grp"), col("bin").as("jbin"),
+        (col("cp") - col("n_pos")).as("cp0"),
+        (col("ct") - col("n")).as("ct0"))
+      .join(cum.select(col("grp"), col("bin").as("kbin"),
+        col("cp").as("cpk"), col("ct").as("ctk")), Seq("grp"))
+      .filter(col("jbin") <= col("kbin"))
+      .select(col("grp"), col("jbin"), col("kbin"),
+        fdiv(dec(col("cpk") - col("cp0")) * lit(1000000000L),
+          dec(col("ctk") - col("ct0"))).as("rate"))
+    cells
+      .join(seg, Seq("grp"))
+      .filter(col("jbin") <= col("bin") && col("bin") <= col("kbin"))
+      .groupBy(col("grp"), col("bin"), col("n"), col("n_pos"),
+        col("jbin"))
+      .agg(min(col("rate")).as("minr"))
+      .groupBy(col("grp"), col("bin"), col("n"), col("n_pos"))
+      .agg(max(col("minr")).as("iso_nano"))
+      .select(col("grp"), col("bin"), col("n"), col("n_pos"),
+        fdiv(dec(col("n_pos")) * lit(1000000000L), dec(col("n")))
+          .as("raw_nano"),
+        col("iso_nano"))
+  }
 }

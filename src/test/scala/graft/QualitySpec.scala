@@ -380,4 +380,31 @@ class QualitySpec extends SparkSpec {
         Option[Long])].head()._8.get
     assert(cov > 850000L && cov < 960000L, s"coverage $cov")
   }
+
+  test("isotonicCalibration: the minimax closed form pools the " +
+    "adjacent violator and leaves monotone bins alone") {
+    // bins (width 250000): bin0 rate 0/2, bin1 2/2, bin2 0/2 —
+    // PAV pools bins 1,2 to 1/2; bin0 stays 0
+    val rows = Seq(
+      ("g", 10000L, false), ("g", 20000L, false),
+      ("g", 300000L, true), ("g", 310000L, true),
+      ("g", 600000L, false), ("g", 610000L, false)).toDF("g", "s", "y")
+    val out = Quality.isotonicCalibration(rows, col("g"), col("s"),
+        col("y"), 4)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> r).toMap
+    assert(out(0L) == (("g", 0L, 2L, 0L, 0L, 0L)))
+    assert(out(1L) == (("g", 1L, 2L, 2L, 1000000000L, 500000000L)))
+    assert(out(2L) == (("g", 2L, 2L, 0L, 0L, 500000000L)))
+    // already-monotone input is a fixed point
+    val mono = Seq(("m", 10000L, false), ("m", 300000L, true),
+      ("m", 310000L, false), ("m", 600000L, true),
+      ("m", 610000L, true)).toDF("g", "s", "y")
+    val fit = Quality.isotonicCalibration(mono, col("g"), col("s"),
+        col("y"), 4)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .sortBy(_._2)
+    assert(fit.map(_._6).toSeq == Seq(0L, 500000000L, 1000000000L))
+    assert(fit.forall(r => r._5 == r._6), "monotone input unchanged")
+  }
 }
