@@ -210,6 +210,23 @@ private[graft] object EntriesLabelsEval {
         d.filter(col("o") % 2 =!= 0).select(col("grp"), col("score")),
         Seq(10, 5, 1))
     }),
+    // Clustering eval: B-CUBED precision/recall/F1 — gold clusters
+    // of five consecutive doc_ids, predictions with an md5 ~20% of
+    // items shifted one group over; the per-item score collapses to
+    // contingency cells (never item pairs). Completes the
+    // purity (q228) / ARI (q232) panel with the ER-standard metric.
+    "q490_bcubed" -> ((s, dir) => {
+      import graft.ops.Dedup.hashLong
+      val shifted = col("doc_id") +
+        when(pmod(hashLong(concat(lit("bc"),
+          col("doc_id").cast("string"))), lit(10L)) < 2, 3L)
+          .otherwise(0L)
+      Quality.bCubed(
+        t(s, dir, "documents").select(col("doc_id"),
+          floor(shifted / 5).as("p"),
+          floor(col("doc_id") / 5).as("g")),
+        col("doc_id"), col("p"), col("g"))
+    }),
     // Eval/calibration: ISOTONIC CALIBRATION (PAV) — md5 scores with
     // Bernoulli(score) md5 labels per language; the minimax closed
     // form repairs the empirical bin-rate wiggles into the monotone
@@ -1001,6 +1018,39 @@ private[graft] object EntriesLabelsEval {
          |  CAST(sd // n AS BIGINT) AS kl_k1_micro,
          |  CAST(sd2 // (2 * n * 1000000) AS BIGINT) AS kl_k2_micro
          |FROM g""".stripMargin,
+
+    // Same construction clusters; cell counts, cluster sizes, the
+    // Σ npg²/n_p (resp. /n_g) HUGEINT floors, harmonic-mean F1.
+    "q490_bcubed" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    (doc_id + CASE WHEN
+         |        ${h60("'bc' || CAST(doc_id AS VARCHAR)")} % 10 < 2
+         |      THEN 3 ELSE 0 END) // 5 AS p,
+         |    doc_id // 5 AS g FROM documents),
+         |c AS (SELECT p, g, CAST(count(*) AS BIGINT) AS npg
+         |  FROM s GROUP BY 1, 2),
+         |ps AS (SELECT p, sum(npg) AS np FROM c GROUP BY 1),
+         |gs AS (SELECT g, sum(npg) AS ng FROM c GROUP BY 1),
+         |t AS (SELECT CAST(sum(npg) AS BIGINT) AS n_items,
+         |    sum((CAST(npg AS HUGEINT) * npg * 1000000) // np)
+         |      AS psum,
+         |    sum((CAST(npg AS HUGEINT) * npg * 1000000) // ng)
+         |      AS rsum
+         |  FROM c JOIN ps USING (p) JOIN gs USING (g)),
+         |k AS (SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ps)
+         |      AS n_pred_clusters,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM gs)
+         |      AS n_gold_clusters)
+         |SELECT n_items, n_pred_clusters, n_gold_clusters,
+         |  CAST(psum // n_items AS BIGINT) AS precision_micro,
+         |  CAST(rsum // n_items AS BIGINT) AS recall_micro,
+         |  CAST(CASE WHEN psum // n_items + rsum // n_items = 0
+         |    THEN NULL
+         |    ELSE (2 * (psum // n_items) * (rsum // n_items))
+         |      // ((psum // n_items) + (rsum // n_items)) END
+         |    AS BIGINT) AS f1_micro
+         |FROM t CROSS JOIN k""".stripMargin,
 
     // Same md5 scores/labels; cumulative windows per language, the
     // B² segment join with HUGEINT nano floors, min-then-max over

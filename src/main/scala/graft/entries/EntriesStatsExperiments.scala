@@ -19,6 +19,33 @@ private[graft] object EntriesStatsExperiments {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Robust stats: MEDIAN-OF-MEANS per source — md5 bucket blocks,
+    // truncated bucket means, lower median; the %101 planted 80-unit
+    // outliers drag the mean while MoM holds the clean level.
+    "q491_median_of_means" -> ((s, dir) => {
+      import graft.ops.Dedup.hashLong
+      Profile.medianOfMeans(
+        t(s, dir, "documents").select(col("source").as("grp"),
+          (pmod(hashLong(concat(lit("mm"),
+            col("doc_id").cast("string"))), lit(1000000L)) +
+            when(col("doc_id") % 101 === 0, 80000000L).otherwise(0L))
+            .as("v"),
+          col("doc_id").as("k")),
+        col("grp"), col("v"), col("k"), 9)
+    }),
+    // Forecast eval: PINBALL LOSS + quantile coverage — md5-uniform
+    // actuals against the constant true quantile forecast q·1e4 per
+    // τ ∈ {10%, 50%, 90%}; exact percent arithmetic, coverage ≈ τ.
+    "q492_pinball" -> ((s, dir) => {
+      import graft.ops.Dedup.hashLong
+      Profile.pinballLoss(
+        t(s, dir, "documents").select(col("source").as("grp"),
+            pmod(hashLong(concat(lit("pb"),
+              col("doc_id").cast("string"))), lit(1000000L)).as("a"))
+          .select(col("grp"), col("a"),
+            explode(typedLit(Seq(10L, 50L, 90L))).as("q")),
+        col("grp"), col("q"), col("a"), col("q") * lit(10000L))
+    }),
     // Profiling: per-group WINSORIZED stats — exact interpolated
     // p01/p99 bounds rounded to the cents fixed point, clamp + count +
     // mean all in exact integer arithmetic (the winsorized mean is a
@@ -1483,6 +1510,51 @@ private[graft] object EntriesStatsExperiments {
 
     // Same cents fixed point: percentile bounds round to cents, clamp
     // and sum in exact integers, mean through the DECIMAL snap.
+    // Same md5 buckets/outliers; HUGEINT bucket sums, truncating //
+    // means, lower-median pick by (mean, bucket) rank.
+    "q491_median_of_means" ->
+      s"""WITH s AS (SELECT source AS grp,
+         |    CAST(${h60("'mm' || CAST(doc_id AS VARCHAR)")} % 1000000
+         |        AS BIGINT)
+         |      + CASE WHEN doc_id % 101 = 0 THEN 80000000 ELSE 0 END
+         |      AS v,
+         |    ${h60("CAST(doc_id AS VARCHAR)")} % 9 AS b
+         |  FROM documents),
+         |pb AS (SELECT grp, b, CAST(count(*) AS BIGINT) AS nb,
+         |    sum(CAST(v AS HUGEINT)) AS sb FROM s GROUP BY 1, 2),
+         |pm AS (SELECT grp, b, nb, sb,
+         |    CAST(sb // nb AS BIGINT) AS mb FROM pb),
+         |r AS (SELECT grp, nb, mb,
+         |    row_number() OVER (PARTITION BY grp
+         |      ORDER BY mb, b) AS rn,
+         |    sum(nb) OVER (PARTITION BY grp) AS n,
+         |    sum(sb) OVER (PARTITION BY grp) AS ssum,
+         |    count(*) OVER (PARTITION BY grp) AS nbk FROM pm)
+         |SELECT grp, CAST(n AS BIGINT) AS n,
+         |  CAST(nbk AS BIGINT) AS n_buckets,
+         |  CAST(ssum // n AS BIGINT) AS mean_micro,
+         |  mb AS mom_micro
+         |FROM r WHERE rn = (nbk + 1) // 2""".stripMargin,
+
+    // Same md5 actuals, grid unnest, exact percent terms, one
+    // HUGEINT floor per (grp, q) for mean and coverage.
+    "q492_pinball" ->
+      s"""WITH s AS (SELECT source AS grp,
+         |    CAST(${h60("'pb' || CAST(doc_id AS VARCHAR)")} % 1000000
+         |      AS BIGINT) AS a,
+         |    unnest([10, 50, 90]) AS q FROM documents)
+         |SELECT grp, CAST(q AS INT) AS q_pct,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN a >= q * 10000
+         |      THEN CAST(q AS HUGEINT) * (a - q * 10000)
+         |      ELSE CAST(100 - q AS HUGEINT) * (q * 10000 - a) END)
+         |    // (CAST(count(*) AS HUGEINT) * 100) AS BIGINT)
+         |    AS pinball_micro,
+         |  CAST((CAST(sum(CASE WHEN a <= q * 10000 THEN 1 ELSE 0 END)
+         |      AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+         |    AS coverage_micro
+         |FROM s GROUP BY grp, q""".stripMargin,
+
     "q147_winsorized_stats" ->
       """WITH r AS (SELECT l_returnflag AS g,
         |    CAST(round(l_extendedprice * 100) AS BIGINT) AS vc

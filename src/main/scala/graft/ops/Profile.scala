@@ -1512,4 +1512,90 @@ object Profile {
           (col("m") + 1L).cast("double")).cast("decimal(20,10)"), 4)
           .cast("double").as("p_value"))
   }
+
+  /** MEDIAN-OF-MEANS robust mean per group (Nemirovsky & Yudin 1983;
+    * the heavy-tail-safe estimator behind robust mean estimation at
+    * scale) — [[winsorizedStats]] clips by quantile, the jackknife
+    * reports spread; MoM is the estimator that stays accurate when a
+    * vanishing fraction of rows is adversarially large: rows hash
+    * into `k` deterministic buckets (the blockJackknifeMean block
+    * trick — no RNG), each bucket's mean snaps to micro with one
+    * truncated division (signed values welcome, the tdiv/`//`
+    * contract), and the estimate is the LOWER MEDIAN of the bucket
+    * means (deterministic ties: mean, then bucket id).
+    *
+    * Scale shape: one data-sized map-side-combinable aggregate to
+    * (grp, bucket); the median rank walks ≤ k rows per group — a
+    * k-bounded window, never data-sized. Output per group:
+    * (grp, n, n_buckets, mean_micro, mom_micro).
+    */
+  def medianOfMeans(df: DataFrame, group: Column, valueMicro: Column,
+                    key: Column, k: Int): DataFrame = {
+    require(k >= 3 && k <= 99, "k must be in [3, 99]")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def tdiv(a: Column, b: Column): Column = {
+      val q = (abs(a) - pmod(abs(a), b)) / b
+      (when(a < 0, -q).otherwise(q)).cast("long")
+    }
+    val perB = df
+      .select(group.as("grp"), valueMicro.cast("long").as("v"),
+        Sampling.hashBucket(key, k).as("b"))
+      .groupBy(col("grp"), col("b"))
+      .agg(count(lit(1)).as("nb"), sum(dec(col("v"))).as("sb"))
+      .select(col("grp"), col("b"), col("nb"),
+        tdiv(col("sb"), dec(col("nb"))).as("mb"), col("sb"))
+    val w = Window.partitionBy(col("grp"))
+    val ranked = perB
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("mb"), col("b"))))
+      .withColumn("nb_sum", sum(col("nb")).over(w))
+      .withColumn("s_sum", sum(col("sb")).over(w))
+      .withColumn("n_buckets", count(lit(1)).over(w))
+    ranked
+      // floor((nbk+1)/2): Spark column `/` is double division — the
+      // floor keeps the EVEN-bucket-count case on the lower median
+      // (DuckDB (nbk+1)//2 parity) instead of a never-matching x.5
+      .filter(col("rn") === floor((col("n_buckets") + 1) / 2))
+      .select(col("grp"), col("nb_sum").as("n"), col("n_buckets"),
+        tdiv(col("s_sum"), dec(col("nb_sum"))).as("mean_micro"),
+        col("mb").as("mom_micro"))
+  }
+
+  /** PINBALL (quantile) LOSS + quantile coverage per group — the
+    * eval every quantile forecast ships with ([[brierDecomposition]]
+    * scores probabilities; this scores quantile predictions): for a
+    * τ-quantile forecast f of actual a, loss = τ·(a−f) when a ≥ f
+    * else (1−τ)·(f−a), here in exact integer percent arithmetic
+    * (τ = q/100, per-row term = q·(a−f) or (100−q)·(f−a), both
+    * nonneg), with ONE floor per (grp, q) for the mean and one for
+    * the empirical coverage P(a ≤ f) — a calibrated τ-forecast
+    * covers ≈ τ. Input one row per (unit, quantile): `qPct` the
+    * integer percent quantile the forecast targets. One hash
+    * aggregate, map-side combinable, nothing collects. Output per
+    * (grp, q_pct): (n, pinball_micro, coverage_micro).
+    */
+  def pinballLoss(df: DataFrame, group: Column, qPct: Column,
+                  actualMicro: Column,
+                  forecastMicro: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    df
+      .select(group.as("grp"), qPct.cast("long").as("q"),
+        actualMicro.cast("long").as("a"),
+        forecastMicro.cast("long").as("f"))
+      .select(col("grp"), col("q"),
+        when(col("a") >= col("f"),
+          dec(col("q")) * (col("a") - col("f")))
+          .otherwise(dec(lit(100L) - col("q")) *
+            (col("f") - col("a"))).as("term"),
+        when(col("a") <= col("f"), 1L).otherwise(0L).as("cov"))
+      .groupBy(col("grp"), col("q"))
+      .agg(count(lit(1)).as("n"), sum(col("term")).as("ts"),
+        sum(col("cov")).as("cs"))
+      .select(col("grp"), col("q").cast("int").as("q_pct"), col("n"),
+        fdiv(col("ts"), dec(col("n")) * lit(100L)).as("pinball_micro"),
+        fdiv(dec(col("cs")) * lit(1000000L), dec(col("n")))
+          .as("coverage_micro"))
+  }
 }

@@ -741,4 +741,65 @@ object Quality {
           .as("raw_nano"),
         col("iso_nano"))
   }
+
+  /** B-CUBED precision/recall/F1 (Bagga & Baldwin 1998; the standard
+    * entity-resolution / coreference clustering score) — judges a
+    * PREDICTED clustering against gold per ITEM: an item's precision
+    * is the share of its predicted cluster sharing its gold cluster,
+    * recall the share of its gold cluster it was clustered with;
+    * corpus scores are the item means. Complements q232's ARI
+    * (chance-corrected pair agreement) and q228's purity
+    * (majority-label share): B³ is the one that punishes both
+    * over-merging AND over-splitting per item, the dedup-pipeline
+    * acceptance metric.
+    *
+    * The per-item definition collapses to contingency algebra — an
+    * item in cell (p, g) contributes n_pg/n_p to precision and
+    * n_pg/n_g to recall, so the item sum is Σ_cells n_pg²/n_p
+    * (resp. /n_g): never the n² item pairs, ONE data-sized cell
+    * aggregate plus cluster-sized size joins. Per-cell terms snap
+    * ×1e6 with one floor each (nonneg), one floor per corpus score,
+    * F1 the harmonic mean of the snapped scores. Output one row:
+    * (n_items, n_pred_clusters, n_gold_clusters, precision_micro,
+    * recall_micro, f1_micro) — empty input yields the zero row with
+    * nulls.
+    */
+  def bCubed(df: DataFrame, item: Column, pred: Column,
+             gold: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val cells = df
+      .select(item.as("id"), pred.cast("string").as("p"),
+        gold.cast("string").as("g"))
+      .groupBy(col("p"), col("g")).agg(count(lit(1)).as("npg"))
+    val psz = cells.groupBy(col("p")).agg(sum(col("npg")).as("np"))
+    val gsz = cells.groupBy(col("g")).agg(sum(col("npg")).as("ng"))
+    val sums = cells.join(psz, Seq("p")).join(gsz, Seq("g"))
+      .agg(coalesce(sum(col("npg")), lit(0L)).as("n_items"),
+        sum(fdiv(dec(col("npg")) * col("npg") * lit(1000000L),
+          dec(col("np")))).as("psum"),
+        sum(fdiv(dec(col("npg")) * col("npg") * lit(1000000L),
+          dec(col("ng")))).as("rsum"))
+    val kp = psz.agg(count(lit(1)).as("n_pred_clusters"))
+    val kg = gsz.agg(count(lit(1)).as("n_gold_clusters"))
+    sums.crossJoin(broadcast(kp)).crossJoin(broadcast(kg))
+      .withColumn("precision_micro",
+        when(col("n_items") === 0, lit(null).cast("long"))
+          .otherwise(fdiv(dec(col("psum")), dec(col("n_items")))))
+      .withColumn("recall_micro",
+        when(col("n_items") === 0, lit(null).cast("long"))
+          .otherwise(fdiv(dec(col("rsum")), dec(col("n_items")))))
+      .select(col("n_items"), col("n_pred_clusters"),
+        col("n_gold_clusters"), col("precision_micro"),
+        col("recall_micro"),
+        when(col("n_items") === 0 ||
+            col("precision_micro") + col("recall_micro") === 0,
+          lit(null).cast("long"))
+          .otherwise(fdiv(
+            dec(lit(2L)) * col("precision_micro") *
+              col("recall_micro"),
+            dec(col("precision_micro") + col("recall_micro"))))
+          .as("f1_micro"))
+  }
 }

@@ -804,4 +804,52 @@ class ProfileSpec extends SparkSpec {
       .as[(String, Long, Long, Option[Long])].collect()
       .forall(_._4.contains(0L)))
   }
+
+  test("medianOfMeans: shrugs off the outlier the mean swallows; " +
+    "median pick matches a hand recomputation of the same buckets") {
+    import org.apache.spark.sql.functions.col
+    val vals = (0 until 90).map(i => (i.toLong, 1000L + i)) :+
+      (90L, 90000000L) // one adversarial row
+    val df = vals.toDF("k", "v")
+    val r = Profile.medianOfMeans(df.selectExpr("'g' AS grp", "v",
+        "k"), col("grp"), col("v"), col("k"), 9)
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(r._2 == 91L && r._3 == 9L)
+    assert(r._4 > 980000L, s"mean dragged to ${r._4}")
+    assert(r._5 < 2000L, s"MoM stays in the clean range: ${r._5}")
+    // exact lower-median parity with a driver-side recomputation of
+    // the op's own deterministic bucket assignment
+    def bucketOf(k: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.take(15)
+      (BigInt(hex, 16) % 9).toLong
+    }
+    val buckets = vals.groupBy { case (k, _) => bucketOf(k) }
+    val means = buckets.toSeq.map { case (b, vs) =>
+      (BigInt(vs.map(_._2).sum) / vs.size, b)
+    }.sorted
+    assert(r._5 == means((means.size + 1) / 2 - 1)._1.toLong)
+    // single-row group: one bucket, MoM == mean
+    val one = Seq(("h", 7L, 1L)).toDF("grp", "v", "k")
+    val ro = Profile.medianOfMeans(one, col("grp"), col("v"),
+        col("k"), 9)
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(ro._3 == 1L && ro._4 == 7L && ro._5 == 7L)
+  }
+
+  test("pinballLoss: exact percent arithmetic and quantile coverage") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(("g", 50L, 0L, 500000L), ("g", 50L, 1000000L,
+      500000L), ("g", 90L, 0L, 500000L), ("g", 90L, 1000000L,
+      500000L)).toDF("grp", "q", "a", "f")
+    val out = Profile.pinballLoss(rows, col("grp"), col("q"),
+        col("a"), col("f"))
+      .as[(String, Int, Long, Long, Long)].collect()
+      .map(r => r._2 -> r).toMap
+    // q50: terms 50*500000 + 50*500000 = 5e7 -> //(2*100) = 250000
+    assert(out(50) == (("g", 50, 2L, 250000L, 500000L)))
+    // q90: 10*500000 + 90*500000 = 5e7 -> same mean, same coverage
+    assert(out(90) == (("g", 90, 2L, 250000L, 500000L)))
+  }
 }

@@ -407,4 +407,27 @@ class QualitySpec extends SparkSpec {
     assert(fit.map(_._6).toSeq == Seq(0L, 500000000L, 1000000000L))
     assert(fit.forall(r => r._5 == r._6), "monotone input unchanged")
   }
+
+  test("bCubed: contingency algebra equals the per-item definition") {
+    // gold {a,b,c},{d,e}; pred {a,b},{c,d,e}:
+    // precision items = 1,1,1/3,2/3,2/3 -> mean 11/15; recall items
+    // = 2/3,2/3,1/3,1,1 -> same mean; per-cell micro floors first
+    val rows = Seq(("a", "P1", "G1"), ("b", "P1", "G1"),
+      ("c", "P2", "G1"), ("d", "P2", "G2"), ("e", "P2", "G2"))
+      .toDF("id", "p", "g")
+    val r = Quality.bCubed(rows, col("id"), col("p"), col("g"))
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .head()
+    assert(r._1 == 5L && r._2 == 2L && r._3 == 2L)
+    assert(r._4.get == 733333L && r._5.get == 733333L)
+    assert(r._6.get == 733333L)
+    // perfect clustering scores exactly 1e6 on all three
+    val perfect = Quality.bCubed(
+      rows.select(col("id"), col("g").as("p"), col("g")),
+      col("id"), col("p"), col("g"))
+      .as[(Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .head()
+    assert(perfect._4.get == 1000000L && perfect._5.get == 1000000L &&
+      perfect._6.get == 1000000L)
+  }
 }
