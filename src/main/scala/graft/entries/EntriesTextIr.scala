@@ -56,6 +56,26 @@ private[graft] object EntriesTextIr {
         Text.piiPhoneCount(col("text")).as("n_phones"),
         Text.fingerprint(Text.piiRedact(col("text"))).as("clean_fp"))
     }),
+    // PII hygiene: PAYMENT-CARD audit with the LUHN CHECKSUM — card
+    // PANs planted by doc_id residue (two valid test PANs, one
+    // checksum-broken, one 12-digit non-candidate, plus a 20-digit
+    // run that maximal-run extraction must NOT carve cards out of);
+    // the oracle recomputes the checksum independently per extracted
+    // run, so a wrong double position or digit-sum fold hash-fails.
+    "q493_luhn_audit" -> ((s, dir) => {
+      val seeded = t(s, dir, "documents").select(
+        col("source").as("grp"),
+        concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit(" 4111111111111111"))
+            .when(col("doc_id") % 5 === 1, lit(" 5500005555555559"))
+            .when(col("doc_id") % 5 === 2, lit(" 4111111111111112"))
+            .when(col("doc_id") % 5 === 3, lit(" 123456789012"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 10 === 9,
+            lit(" 12345678901234567890")).otherwise(lit("")))
+          .as("text"))
+      Text.ccLuhnAudit(seeded, col("grp"), col("text"))
+    }),
     // Text: in-document repetition (Gopher-style quality gate) —
     // 1 − distinct/total 3-grams per doc.
     "q71_repetition" -> ((s, dir) =>
@@ -860,6 +880,44 @@ private[graft] object EntriesTextIr {
          |    ELSE 'fr' END AS predicted,
          |  count(*) AS n
          |FROM sc GROUP BY 1, 2""".stripMargin,
+    // Same planted PANs; maximal digit runs by greedy regex (no
+    // lookaround — RE2), the Luhn fold as a nested comprehension,
+    // exact counts and one floor per group.
+    "q493_luhn_audit" ->
+      """WITH seeded AS (SELECT source AS grp,
+        |    text ||
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN ' 4111111111111111'
+        |      WHEN 1 THEN ' 5500005555555559'
+        |      WHEN 2 THEN ' 4111111111111112'
+        |      WHEN 3 THEN ' 123456789012' ELSE '' END ||
+        |    CASE WHEN doc_id % 10 = 9
+        |      THEN ' 12345678901234567890' ELSE '' END AS text
+        |  FROM documents),
+        |c AS (SELECT grp,
+        |    [x for x in regexp_extract_all(text, '[0-9]+')
+        |      if length(x) BETWEEN 13 AND 16] AS cands
+        |  FROM seeded),
+        |v AS (SELECT grp, len(cands) AS nc,
+        |    len([x for x in cands if
+        |      list_sum([CASE WHEN (length(x) - i) % 2 = 1
+        |          THEN (ascii(substr(x, CAST(i AS INT), 1)) - 48) * 2
+        |            - CASE WHEN ascii(substr(x, CAST(i AS INT), 1))
+        |              - 48 >= 5 THEN 9 ELSE 0 END
+        |          ELSE ascii(substr(x, CAST(i AS INT), 1)) - 48 END
+        |        for i in range(1, length(x) + 1)]) % 10 = 0])
+        |      AS nv
+        |  FROM c)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS n_candidates,
+        |  CAST(sum(nv) AS BIGINT) AS n_luhn_valid,
+        |  CAST(sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_flagged,
+        |  CAST((CAST(sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END)
+        |      AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+        |    AS flag_micro
+        |FROM v GROUP BY grp""".stripMargin,
+
     // Same seeded PII, same patterns (portable Java-regex/RE2 subset),
     // same redact-then-count order; the fingerprint of the redacted
     // text pins the rewrite byte-exact.

@@ -118,6 +118,23 @@ class TextDedupSpec extends SparkSpec {
     assert(got(4L) == ((4L, 0, 0, "no pii here at all")))
   }
 
+  test("ccLuhnAudit: maximal-run extraction, Luhn checksum on the " +
+    "canonical vectors, exact flag rate") {
+    val docs = Seq(
+      (1L, "pay 4111111111111111 now"), // valid Visa test PAN
+      (2L, "ref 5500005555555559 due"), // valid MC test PAN
+      (3L, "num 4111111111111112 bad"), // checksum off by one
+      (4L, "id 123456789012 short"), // 12 digits: not card-shaped
+      (5L, "blob 12345678901234567890 long"), // 20-run: maximal, out
+      (6L, "cards 4111111111111111 and 4111111111111112"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.Text.ccLuhnAudit(
+        docs.selectExpr("'g' AS g", "text"), $"g", $"text")
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    // candidates: docs 1,2,3 one each + doc 6 two = 5; valid: 1,2,6a
+    assert(r == (("g", 6L, 5L, 3L, 3L, 500000L)))
+  }
+
   test("repetitionScore: 0 for novel/short text, rises toward 1 on loops") {
     val docs = Seq(
       (1L, "all tokens here are fully distinct words"),
