@@ -146,6 +146,18 @@ private[graft] object EntriesDedupLinkage {
             col("p_name").substr(k + 2, len)).as("nm")))
       Text.sortedNeighborhoodPairs(names, col("nm"), 8, 2)
     }),
+    // ER blocking: PHONETIC (Soundex) blocks over the part-name
+    // first words — the fourth blocking family (q205 is rank-window,
+    // the fuzzy joins are char/segment blocks): per code the block
+    // size, candidate pairs, and lev≤2 verified matches. The oracle
+    // implements American Soundex INDEPENDENTLY in SQL (char-map
+    // comprehension, per-digit run collapse — RE2 has no
+    // backreferences — zero-drop, H/W bridge by empty mapping).
+    "q494_phonetic_blocking" -> ((s, dir) =>
+      Text.phoneticBlocking(
+        t(s, dir, "part").select(
+          upper(element_at(split(col("p_name"), " "), 1)).as("nm")),
+        col("nm"), 2)),
     // Dedup/planning: MinHash-LSH PARAMETER PLANNER — every (b, r)
     // split of a 16-hash signature scored on an observed LABELED pair
     // sample (planted near-dups = true, shifted-neighbor pairs =
@@ -1364,6 +1376,52 @@ private[graft] object EntriesDedupLinkage {
         |  FROM rk a JOIN rk b ON b.rk > a.rk AND b.rk - a.rk <= 7)
         |SELECT name_a, name_b, rank_gap, dist FROM c
         |WHERE dist <= 2""".stripMargin,
+    // Independent US-Census Soundex in SQL: per-char code map (H/W →
+    // empty string = the bridge rule), per-digit run collapse (seven
+    // regexp passes — runs of one digit never merge across another,
+    // so the order is immaterial and RE2 needs no backreference),
+    // zero-drop, consonant-first-letter strip, 0-pad; then the same
+    // block/pair/levenshtein algebra.
+    "q494_phonetic_blocking" ->
+      """WITH nm AS (SELECT DISTINCT
+        |    upper(split_part(p_name, ' ', 1)) AS n FROM part),
+        |cs AS (SELECT n,
+        |    array_to_string([CASE
+        |      WHEN c IN ('B','F','P','V') THEN '1'
+        |      WHEN c IN ('C','G','J','K','Q','S','X','Z') THEN '2'
+        |      WHEN c IN ('D','T') THEN '3'
+        |      WHEN c = 'L' THEN '4'
+        |      WHEN c IN ('M','N') THEN '5'
+        |      WHEN c = 'R' THEN '6'
+        |      WHEN c IN ('A','E','I','O','U','Y') THEN '0'
+        |      ELSE '' END
+        |      for c in [substr(n, CAST(i AS INT), 1)
+        |        for i in range(1, length(n) + 1)]], '') AS cd
+        |  FROM nm),
+        |col AS (SELECT n, replace(
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(
+        |        regexp_replace(cd, '0+', '0', 'g'),
+        |        '1+', '1', 'g'), '2+', '2', 'g'), '3+', '3', 'g'),
+        |      '4+', '4', 'g'), '5+', '5', 'g'), '6+', '6', 'g'),
+        |    '0', '') AS body FROM cs),
+        |sdx AS (SELECT n, substr(n, 1, 1) || substr(
+        |    CASE WHEN substr(n, 1, 1) IN
+        |        ('A','E','I','O','U','Y','H','W')
+        |      THEN body ELSE substr(body, 2) END || '000', 1, 3)
+        |    AS code FROM col),
+        |blocks AS (SELECT code, CAST(count(*) AS BIGINT) AS n_names
+        |  FROM sdx GROUP BY 1),
+        |p AS (SELECT a.code,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(CASE WHEN levenshtein(a.n, b.n) <= 2
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+        |  FROM sdx a JOIN sdx b ON a.code = b.code AND a.n < b.n
+        |  GROUP BY 1)
+        |SELECT blocks.code, blocks.n_names,
+        |  coalesce(p.n_pairs, 0) AS n_pairs,
+        |  coalesce(p.n_matched, 0) AS n_matched
+        |FROM blocks LEFT JOIN p USING (code)""".stripMargin,
     // Same labeled pair population (planted +10000 near-dups true,
     // +1-neighbor pairs false), exact |∩|/|∪| over the same 60-bit
     // hashed shingles, same S-curve and ×1e6 snap.

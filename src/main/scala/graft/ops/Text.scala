@@ -1381,6 +1381,46 @@ object Text {
         (col("rb") - col("ra")).as("rank_gap"), col("dist"))
   }
 
+  /** PHONETIC (Soundex) blocking — the fourth classic ER blocking
+    * family beside first-char equi-blocks, PassJoin segments and the
+    * sorted neighborhood: block the name vocabulary by its American
+    * Soundex code (Spark's codegen'd `soundex` — the US-Census
+    * algorithm with the H/W bridge rule, pinned against the
+    * canonical Ashcraft/Pfister/Tymczak vectors in TextDedupSpec),
+    * pair within blocks, verify with the banded early-exit
+    * Levenshtein kernel. Phonetic blocks keep together what the
+    * other families drop: same-sounding different-spelling variants
+    * whose FIRST letters differ in rank (KNUTH/KANT → K530) never
+    * share a prefix block.
+    *
+    * Scale shape: vocabulary-sized (distinct names), and the code
+    * domain is structurally bounded (letter × 7³ ≤ 26·343 codes), so
+    * blocks hold |vocab|/Σcodes names on average; Σblock² work, the
+    * same economics as first-char blocking one granularity finer. A
+    * pathological single-name-flood vocabulary is the q102/OPH
+    * density case — pre-thin or salt there. Output per code:
+    * (code, n_names, n_pairs, n_matched ≤ maxDist).
+    */
+  def phoneticBlocking(names: DataFrame, name: Column,
+                       maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    import graft.functions.NativeFunctions.levWithin
+    val dn = names.select(name.as("n")).distinct()
+      .withColumn("code", soundex(col("n")))
+    val pairs = dn.select(col("code"), col("n").as("name_a"))
+      .join(dn.select(col("code"), col("n").as("name_b")), Seq("code"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist",
+        levWithin(col("name_a"), col("name_b"), maxDist).cast("long"))
+    dn.groupBy(col("code")).agg(count(lit(1)).as("n_names"))
+      .join(pairs.groupBy(col("code"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("dist").between(0, maxDist), 1L)
+              .otherwise(0L)).as("n_matched")),
+        Seq("code"), "left")
+      .na.fill(0L, Seq("n_pairs", "n_matched"))
+  }
+
   /** Word n-gram shingles (distinct), the MinHash/Jaccard input unit.
     * Documents shorter than n shingle to an empty array.
     *

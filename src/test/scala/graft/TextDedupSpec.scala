@@ -135,6 +135,24 @@ class TextDedupSpec extends SparkSpec {
     assert(r == (("g", 6L, 5L, 3L, 3L, 500000L)))
   }
 
+  test("phoneticBlocking: canonical soundex vectors share blocks, " +
+    "lev verification counts inside blocks only") {
+    val names = Seq("ROBERT", "RUPERT", "RUBIN", "ASHCRAFT",
+      "ASHCROFT", "KNUTH", "KANT", "LEE").toDF("n")
+    val out = graft.ops.Text.phoneticBlocking(names, $"n", 2)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // R163 = {ROBERT, RUPERT} (lev dist 2: O→U, B→P — matched);
+    // RUBIN codes R150 alone
+    assert(out("R163") == (("R163", 2L, 1L, 1L)))
+    assert(out("R150")._2 == 1L && out("R150")._3 == 0L)
+    // the H/W bridge: ASHCRAFT + ASHCROFT both A261, lev dist 1
+    assert(out("A261") == (("A261", 2L, 1L, 1L)))
+    // first-letter-preserving phonetic merge prefix blocking misses
+    assert(out("K530")._2 == 2L)
+    assert(out("L000")._2 == 1L)
+  }
+
   test("repetitionScore: 0 for novel/short text, rises toward 1 on loops") {
     val docs = Seq(
       (1L, "all tokens here are fully distinct words"),
