@@ -45,6 +45,25 @@ private[graft] object EntriesProfileGov {
           col("n_rows"), col("c.n_violations").as("n_violations"),
           (col("c.n_violations") === 0).as("passed"))
     }),
+    // Privacy governance: DP BUDGET ACCOUNTANT — md5 (ε, δ) ledger
+    // over 7 analysts × 12 disjoint partitions; exact sequential
+    // sums, parallel (max-over-partitions) composition, caps chosen
+    // so both flag axes fire on some analysts and not others.
+    "q495_dp_accountant" -> ((s, dir) => {
+      import graft.ops.Dedup.hashLong
+      def h(tag: String, m: Long): Column =
+        pmod(hashLong(concat(lit(tag),
+          col("event_id").cast("string"))), lit(m))
+      Profile.dpBudgetAccountant(
+        t(s, dir, "events").select(
+          concat(lit("a"), (col("user_id") % 7).cast("string"))
+            .as("an"),
+          (col("event_id") % 12).as("pt"),
+          (lit(1000L) + h("dp", 9000L)).as("e"),
+          h("dd", 1000L).as("d")),
+        col("an"), col("pt"), col("e"), col("d"),
+        8000000L, 800000L)
+    }),
     // Privacy: K-ANONYMITY generalization ladder over customer
     // quasi-identifiers (nation, segment, balance bucket) — for each
     // balance generalization width (cents; 0 drops the column), the
@@ -569,6 +588,30 @@ private[graft] object EntriesProfileGov {
         |    = 0 AS meets_l
         |FROM r CROSS JOIN cls CROSS JOIN b
         |GROUP BY 1, b.min_l, b.max_l""".stripMargin,
+    // Same md5 ledger; exact sums per (analyst, partition), the
+    // analyst rollup with max-over-partitions, cap compares.
+    "q495_dp_accountant" ->
+      s"""WITH l AS (SELECT
+         |    'a' || CAST(user_id % 7 AS VARCHAR) AS analyst,
+         |    event_id % 12 AS part,
+         |    1000 + ${h60("'dp' || CAST(event_id AS VARCHAR)")}
+         |      % 9000 AS e,
+         |    ${h60("'dd' || CAST(event_id AS VARCHAR)")} % 1000 AS d
+         |  FROM events),
+         |pp AS (SELECT analyst, part,
+         |    CAST(count(*) AS BIGINT) AS nq,
+         |    CAST(sum(e) AS BIGINT) AS se,
+         |    CAST(sum(d) AS BIGINT) AS sd
+         |  FROM l GROUP BY 1, 2)
+         |SELECT analyst, CAST(sum(nq) AS BIGINT) AS n_queries,
+         |  CAST(count(*) AS BIGINT) AS n_partitions,
+         |  CAST(sum(se) AS BIGINT) AS eps_seq_micro,
+         |  CAST(sum(sd) AS BIGINT) AS delta_seq_nano,
+         |  CAST(max(se) AS BIGINT) AS eps_parallel_micro,
+         |  CAST(8000000 - sum(se) AS BIGINT) AS eps_remaining_micro,
+         |  (sum(se) > 8000000 OR sum(sd) > 800000) AS over_budget
+         |FROM pp GROUP BY analyst""".stripMargin,
+
     // The full lang × band grid (absent cells 0), per-group window
     // cumsums, the same integer cross-product gaps and one floor.
     "q485_t_closeness" ->

@@ -1513,6 +1513,53 @@ object Profile {
           .cast("double").as("p_value"))
   }
 
+  /** DIFFERENTIAL-PRIVACY BUDGET ACCOUNTANT — the governance ledger
+    * read that completes the privacy tier's release side (the
+    * k-anon/l-div/t-closeness ladder audits the DATA; this audits
+    * the QUERIES): per analyst, basic sequential composition
+    * (Dwork–Roth Thm 3.14: ε and δ ADD over queries) and parallel
+    * composition (McSherry's PINQ rule: queries over DISJOINT
+    * partitions compose as the MAX of the per-partition sequential
+    * sums), against a per-analyst (ε, δ) cap. Everything is exact
+    * integer arithmetic on the micro/nano fixed-point ledger — a
+    * budget gate must never owe its verdict to float summation
+    * order. Advanced (√k ln(1/δ')) composition is deliberately out:
+    * it is irrational, and the basic bound is the CONSERVATIVE one
+    * a gate should enforce.
+    *
+    * Scale shape: one (analyst, partition) hash aggregate, one
+    * analyst rollup — both map-side combinable, nothing collects.
+    * Output per analyst: (analyst, n_queries, n_partitions,
+    * eps_seq_micro, delta_seq_nano, eps_parallel_micro,
+    * eps_remaining_micro = cap − sequential (negative = overdrawn),
+    * over_budget on the sequential ε OR δ cap).
+    */
+  def dpBudgetAccountant(ledger: DataFrame, analyst: Column,
+                         partition: Column, epsMicro: Column,
+                         deltaNano: Column, epsCapMicro: Long,
+                         deltaCapNano: Long): DataFrame = {
+    require(epsCapMicro > 0 && deltaCapNano >= 0, "caps must be positive")
+    val perPart = ledger
+      .select(analyst.as("analyst"), partition.as("part"),
+        epsMicro.cast("long").as("e"), deltaNano.cast("long").as("d"))
+      .groupBy(col("analyst"), col("part"))
+      .agg(count(lit(1)).as("nq"), sum(col("e")).as("se"),
+        sum(col("d")).as("sd"))
+    perPart.groupBy(col("analyst"))
+      .agg(sum(col("nq")).as("n_queries"),
+        count(lit(1)).as("n_partitions"),
+        sum(col("se")).as("eps_seq_micro"),
+        sum(col("sd")).as("delta_seq_nano"),
+        max(col("se")).as("eps_parallel_micro"))
+      .select(col("analyst"), col("n_queries"), col("n_partitions"),
+        col("eps_seq_micro"), col("delta_seq_nano"),
+        col("eps_parallel_micro"),
+        (lit(epsCapMicro) - col("eps_seq_micro"))
+          .as("eps_remaining_micro"),
+        (col("eps_seq_micro") > epsCapMicro ||
+          col("delta_seq_nano") > deltaCapNano).as("over_budget"))
+  }
+
   /** MEDIAN-OF-MEANS robust mean per group (Nemirovsky & Yudin 1983;
     * the heavy-tail-safe estimator behind robust mean estimation at
     * scale) — [[winsorizedStats]] clips by quantile, the jackknife

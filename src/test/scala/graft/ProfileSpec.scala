@@ -838,6 +838,29 @@ class ProfileSpec extends SparkSpec {
     assert(ro._3 == 1L && ro._4 == 7L && ro._5 == 7L)
   }
 
+  test("dpBudgetAccountant: sequential sums, parallel max over " +
+    "disjoint partitions, cap flags on either axis") {
+    import org.apache.spark.sql.functions.col
+    val ledger = Seq(
+      // a: two partitions, seq 900k over the 800k cap
+      ("a", "p1", 400000L, 10L), ("a", "p1", 200000L, 10L),
+      ("a", "p2", 300000L, 10L),
+      // b: under eps cap but over delta cap
+      ("b", "p1", 100000L, 600L), ("b", "p2", 100000L, 500L),
+      // c: comfortably inside
+      ("c", "p1", 50000L, 1L)).toDF("an", "pt", "e", "d")
+    val out = Profile.dpBudgetAccountant(ledger, col("an"), col("pt"),
+        col("e"), col("d"), 800000L, 1000L)
+      .as[(String, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out("a") == (("a", 3L, 2L, 900000L, 30L, 600000L,
+      -100000L, true)))
+    assert(out("b") == (("b", 2L, 2L, 200000L, 1100L, 100000L,
+      600000L, true)))
+    assert(out("c") == (("c", 1L, 1L, 50000L, 1L, 50000L, 750000L,
+      false)))
+  }
+
   test("pinballLoss: exact percent arithmetic and quantile coverage") {
     import org.apache.spark.sql.functions.col
     val rows = Seq(("g", 50L, 0L, 500000L), ("g", 50L, 1000000L,
