@@ -406,6 +406,47 @@ object SparkEntry {
     * streamed matrix is additive and batch-keyed, so both end at the
     * same totals.
     */
+  /** Shared split-conformal oracle (rank formulation over the even-
+    * doc_id calibration half, coverage on the odd half) — gates both
+    * the batch query (q484, row-rank algebra) and the streaming
+    * histogram query (q496, running-count algebra): the accumulated
+    * histogram is additive, so both end at the same thresholds.
+    */
+  private[graft] val conformalOracleSql: String =
+    s"""WITH s AS (SELECT lang AS grp, doc_id,
+       |    ${h60("'cp' || CAST(doc_id AS VARCHAR)")} % 1000000
+       |      AS score FROM documents),
+       |c AS (SELECT grp, score,
+       |    CAST(row_number() OVER (PARTITION BY grp
+       |      ORDER BY score, doc_id) AS BIGINT) AS r
+       |  FROM s WHERE doc_id % 2 = 0),
+       |n AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_cal
+       |  FROM c GROUP BY 1),
+       |a AS (SELECT grp, n_cal, unnest([10, 5, 1]) AS alpha_pct
+       |  FROM n),
+       |q AS (SELECT a.grp, a.alpha_pct, a.n_cal,
+       |    ((a.n_cal + 1) * (100 - a.alpha_pct) + 99) // 100
+       |      AS q_rank FROM a),
+       |qq AS (SELECT q.grp, q.alpha_pct, q.n_cal, q.q_rank,
+       |    c.score AS q_score
+       |  FROM q LEFT JOIN c ON c.grp = q.grp AND c.r = q.q_rank),
+       |h AS (SELECT grp, score AS hs FROM s WHERE doc_id % 2 <> 0)
+       |SELECT qq.grp, CAST(qq.alpha_pct AS INT) AS alpha_pct,
+       |  qq.n_cal, CAST(qq.q_rank AS BIGINT) AS q_rank,
+       |  CAST(qq.q_score AS BIGINT) AS q_score,
+       |  CAST(count(h.hs) AS BIGINT) AS n_holdout,
+       |  CAST(sum(CASE WHEN h.hs IS NOT NULL AND (qq.q_score IS NULL
+       |      OR h.hs <= qq.q_score) THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_covered,
+       |  CASE WHEN count(h.hs) = 0 THEN NULL ELSE
+       |    CAST((CAST(sum(CASE WHEN h.hs IS NOT NULL
+       |        AND (qq.q_score IS NULL OR h.hs <= qq.q_score)
+       |        THEN 1 ELSE 0 END) AS HUGEINT) * 1000000)
+       |      // count(h.hs) AS BIGINT) END AS coverage_micro
+       |FROM qq LEFT JOIN h ON h.grp = qq.grp
+       |GROUP BY qq.grp, qq.alpha_pct, qq.n_cal, qq.q_rank,
+       |  qq.q_score""".stripMargin
+
   private[graft] val btOracleSql: String = {
     def mmRound(k: Int): String =
       s"""t$k AS (SELECT nd.i AS item,

@@ -588,6 +588,38 @@ private[graft] object EntriesStreaming {
       }
       Streams.streamedRatings(s, tmp + "/matrix", 3)
     }),
+    // Streaming gate: CONFORMAL CALIBRATION ingestion (15th
+    // pipeline) — the q484 calibration half streamed as THREE
+    // micro-batches of additive (grp, score, c) histogram partials
+    // (batch-keyed overwrite = replay-idempotent); thresholds from
+    // the accumulated running counts must equal the corpus-at-once
+    // rank formulation the shared oracle replays.
+    "q496_conformal_stream" -> ((s, dir) => {
+      import graft.streaming.Streams
+      import graft.ops.Dedup.hashLong
+      val scored = t(s, dir, "documents").select(
+        col("lang").as("grp"), col("doc_id"),
+        pmod(hashLong(concat(lit("cp"),
+          col("doc_id").cast("string"))), lit(1000000L)).as("score"))
+      val cal = scored.filter(col("doc_id") % 2 === 0)
+        .select(col("grp"), col("doc_id"), col("score"))
+      val tmp = gateTempDir("q496")
+      val in = writeStreamBatches(Seq(
+        cal.filter(col("doc_id") % 6 === 0),
+        cal.filter(col("doc_id") % 6 === 2),
+        cal.filter(col("doc_id") % 6 === 4)), tmp)
+      val schema = s.read.parquet(in).schema
+      withShufflePartitions(s, 8) {
+        Streams.conformalStream(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in),
+          col("grp"), col("score"), tmp + "/cal", tmp + "/ck")
+      }
+      Streams.streamedConformal(s, tmp + "/cal",
+        scored.filter(col("doc_id") % 2 =!= 0)
+          .select(col("grp"), col("score")),
+        Seq(10, 5, 1))
+    }),
     // Streaming gate: ERASURE PROPAGATION (14th pipeline) — erasure
     // requests in two micro-batches, one DV version each, zero data
     // rewrite; content converges, history retains until expiry.
@@ -1238,6 +1270,10 @@ private[graft] object EntriesStreaming {
     // and therefore the MM ratings — equal the corpus-at-once q415
     // arithmetic exactly.
     "q419_preference_stream" -> btOracleSql,
+    // The shared q484 rank-formulation oracle — the streamed
+    // histogram is additive, so running-count thresholds equal the
+    // corpus-at-once ranks exactly.
+    "q496_conformal_stream" -> conformalOracleSql,
     // v1 retains everything, v2 (after the first DV batch) still
     // retains the odd-multiple half — TWO retaining versions under
     // the clean v3 head; reads anti-join the DVs.

@@ -677,6 +677,64 @@ object Quality {
             dec(col("n_holdout")))).as("coverage_micro"))
   }
 
+  /** [[conformalCalibration]] from an ADDITIVE (grp, score, c)
+    * histogram instead of raw rows — the incremental/streaming form:
+    * per-batch partial histograms merge by summation in any order,
+    * and the ⌈(n+1)(1−α)⌉-th smallest score falls out of the RUNNING
+    * count (q̂ = min score with cum ≥ q_rank) instead of a
+    * row_number rank — a genuinely different algebra from the rank
+    * formulation, which is what lets the batch oracle check the
+    * streaming path. Same output contract as
+    * [[conformalCalibration]]; q_rank past n_cal means +∞ (q_score
+    * null, full coverage). The running count rides one per-group
+    * ordered window over DISTINCT scores (≤ group size, usually far
+    * fewer rows than the corpus); the α grid join is a 3n-row pass
+    * through one conditional-min aggregate.
+    */
+  def conformalFromHistogram(hist: DataFrame, holdout: DataFrame,
+                             alphaPcts: Seq[Int]): DataFrame = {
+    require(alphaPcts.nonEmpty && alphaPcts.forall(a => a >= 1 && a <= 99),
+      "alpha percents must be in [1, 99]")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val w = Window.partitionBy(col("grp")).orderBy(col("score"))
+    val cum = hist
+      .select(col("grp"), col("score").cast("long").as("score"),
+        col("c").cast("long").as("c"))
+      .groupBy(col("grp"), col("score"))
+      .agg(sum(col("c")).as("c")) // merge replayed batch partials
+      .withColumn("cumc", sum(col("c")).over(w))
+    val grid = cum.groupBy(col("grp")).agg(sum(col("c")).as("n_cal"))
+      .select(col("grp"), col("n_cal"),
+        explode(typedLit(alphaPcts.map(_.toLong))).as("alpha_pct"))
+      .withColumn("q_rank",
+        fdiv((col("n_cal") + 1) * (lit(100L) - col("alpha_pct"))
+          + 99, lit(100L)))
+    val withQ = grid
+      .join(cum.select(col("grp"), col("score"), col("cumc")),
+        Seq("grp"), "left")
+      .groupBy(col("grp"), col("alpha_pct"), col("n_cal"),
+        col("q_rank"))
+      .agg(min(when(col("cumc") >= col("q_rank"), col("score")))
+        .as("q_score"))
+    val hold = holdout
+      .select(col("grp"), col("score").cast("long").as("hs"))
+    withQ.join(hold, Seq("grp"), "left")
+      .groupBy(col("grp"), col("alpha_pct"), col("n_cal"),
+        col("q_rank"), col("q_score"))
+      .agg(count(col("hs")).as("n_holdout"),
+        sum(when(col("hs").isNotNull &&
+            (col("q_score").isNull || col("hs") <= col("q_score")),
+          1L).otherwise(0L)).as("n_covered"))
+      .select(col("grp"), col("alpha_pct").cast("int").as("alpha_pct"),
+        col("n_cal"), col("q_rank"), col("q_score"), col("n_holdout"),
+        col("n_covered"),
+        when(col("n_holdout") === 0, lit(null).cast("long"))
+          .otherwise(fdiv(dec(col("n_covered")) * lit(1000000L),
+            dec(col("n_holdout")))).as("coverage_micro"))
+  }
+
   /** ISOTONIC CALIBRATION over score bins — the pool-adjacent-
     * violators fit (Ayer et al. 1955; Zadrozny & Elkan 2002 for
     * classifier calibration) via the minimax identity

@@ -468,6 +468,47 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Streaming CONFORMAL calibration ingestion (15th pipeline) — the
+    * continuous face of [[graft.ops.Quality.conformalCalibration]]:
+    * calibration scores arrive in micro-batches, each batch collapses
+    * map-side to its ADDITIVE (grp, score, count) partial histogram
+    * and lands under `calPath/batch=<id>` with OVERWRITE (batchId =
+    * the replay key, the preferenceStream convention: a crash replay
+    * rewrites the same directory with the same partial counts). The
+    * accumulated histogram is order-free, so
+    * [[streamedConformal]]'s thresholds equal the corpus-at-once
+    * rank formulation exactly — which is how the batch oracle gates
+    * this stream.
+    */
+  def conformalStream(in: DataFrame, grp: org.apache.spark.sql.Column,
+                      score: org.apache.spark.sql.Column,
+                      calPath: String, checkpoint: String): Unit = {
+    val q = in.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        if (!batch.isEmpty)
+          batch.toDF()
+            .groupBy(grp.as("grp"), score.cast("long").as("score"))
+            .agg(count(lit(1)).as("c"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$calPath/batch=$bid")
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Read back [[conformalStream]]'s accumulated histogram and audit
+    * coverage against a static holdout — the running-count threshold
+    * algebra of [[graft.ops.Quality.conformalFromHistogram]].
+    */
+  def streamedConformal(spark: org.apache.spark.sql.SparkSession,
+                        calPath: String, holdout: DataFrame,
+                        alphaPcts: Seq[Int]): DataFrame =
+    graft.ops.Quality.conformalFromHistogram(
+      spark.read.parquet(calPath), holdout, alphaPcts)
+
   /** Streaming ERASURE propagation — the GDPR/right-to-be-forgotten
     * pipeline: erasure REQUESTS arrive as a stream of keys and each
     * micro-batch lands one deletion-vector version on the governed

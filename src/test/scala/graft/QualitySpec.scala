@@ -408,6 +408,30 @@ class QualitySpec extends SparkSpec {
     assert(fit.forall(r => r._5 == r._6), "monotone input unchanged")
   }
 
+  test("conformalFromHistogram: running-count thresholds equal the " +
+    "rank formulation, including ties and the +inf degenerate case") {
+    val rnd = new scala.util.Random(11)
+    val cal = (1 to 60).map(i =>
+      ("g", rnd.nextInt(20).toLong, i.toLong)) ++ // heavy ties
+      Seq(("tiny", 5L, 1L)) // n_cal = 1: alpha 1% -> q_rank 2 > n
+    val calDf = cal.toDF("grp", "score", "o")
+    val hold = (1 to 30).map(i => ("g", rnd.nextInt(20).toLong)) ++
+      Seq(("tiny", 99L))
+    val holdDf = hold.toDF("grp", "score")
+    val hist = calDf.groupBy($"grp", $"score")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("c"))
+    val a = Quality.conformalCalibration(calDf, holdDf, Seq(10, 5, 1))
+      .as[(String, Int, Long, Long, Option[Long], Long, Long,
+        Option[Long])].collect().toSet
+    val b = Quality.conformalFromHistogram(hist, holdDf, Seq(10, 5, 1))
+      .as[(String, Int, Long, Long, Option[Long], Long, Long,
+        Option[Long])].collect().toSet
+    assert(a == b)
+    assert(a.exists(r => r._1 == "tiny" && r._5.isEmpty &&
+      r._8.contains(1000000L)), "+inf threshold covers everything")
+  }
+
   test("bCubed: contingency algebra equals the per-item definition") {
     // gold {a,b,c},{d,e}; pred {a,b},{c,d,e}:
     // precision items = 1,1,1/3,2/3,2/3 -> mean 11/15; recall items
