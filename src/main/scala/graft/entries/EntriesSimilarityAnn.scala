@@ -866,6 +866,36 @@ private[graft] object EntriesSimilarityAnn {
     // sample ranks corpus rows by exact-query-vs-reconstruction squared
     // L2 — the scan touches only the codes plus the one stats row.
     // Output: recall@5 of the SQ8 scan vs exact-L2 truth.
+    // Similarity: BINARY (1-bit/dim) quantization recall — the 128×
+    // compression tier below SQ8: micro-snapped mean thresholds, 32-bit
+    // word packing, hamming shortlist (40) + exact cosine rerank,
+    // recall@5 vs the exact cosine truth. The quantization ladder
+    // (PQ / SQ8 / matryoshka / binary) is now complete.
+    "q497_binary_ann" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val thr = Similarity.binaryThresholds(e)
+      val codes = Similarity.binaryEncode(e, thr)
+      val qs = e.select(col("id"), col("vec"),
+          Dedup.hashLong(col("id").cast("string")).as("h"))
+        .orderBy(col("h"), col("id")).limit(100)
+        .select(col("id"), col("vec"))
+      val cand = Similarity.binaryTopC(
+        Similarity.binaryEncode(qs, thr), codes, 40)
+      val approx = Similarity.rerankExact(qs, e, cand, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val truth = Similarity.bruteForceTopK(qs, e, 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = truth.join(approx, Seq("query_id", "neighbor_id"),
+          "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      qs.select(col("id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round((coalesce(col("n_hit"), lit(0L)).cast("double") / 5)
+            .cast("decimal(20,10)"), 4).cast("double").as("recall_at_5"))
+    }),
     "q128_sq8_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -2429,6 +2459,64 @@ private[graft] object EntriesSimilarityAnn {
     // fixed-association ((x−mn)/(mx−mn))·255 snap, reconstruction
     // mn + (code/255)·(mx−mn), rank by rounded squared L2 to the
     // reconstruction (asc, id) against brute-force L2 truth.
+    // Same micro-snap thresholds (// truncation = tdiv), the same
+    // Σ bit·2^j word integers by comprehension, hamming by
+    // bit_count(xor) per word, identical rerank/truth/recall algebra.
+    "q497_binary_ann" ->
+      s"""WITH thr AS (SELECT list(m ORDER BY pos) AS thr FROM (
+         |  SELECT pos, CAST(sum(CAST(round(CAST(x AS DOUBLE)
+         |      * 1000000) AS HUGEINT)) // count(*) AS BIGINT) AS m
+         |  FROM (SELECT generate_subscripts(embedding, 1) AS pos,
+         |      unnest(embedding) AS x FROM embeddings)
+         |  GROUP BY 1)),
+         |bits AS (SELECT e.vec_id AS id,
+         |    [CASE WHEN CAST(round(CAST(q[1] AS DOUBLE) * 1000000)
+         |        AS BIGINT) > q[2] THEN CAST(1 AS BIGINT)
+         |      ELSE CAST(0 AS BIGINT) END
+         |      for q in list_zip(e.embedding, thr.thr)] AS b
+         |  FROM embeddings e CROSS JOIN thr),
+         |wd AS (SELECT id,
+         |    [list_sum([b[w * 32 + j + 1] * (CAST(1 AS BIGINT) << j)
+         |        for j in range(0, 32)])
+         |      for w in range(0, len(b) // 32)] AS words
+         |  FROM bits),
+         |q AS (SELECT vec_id AS id, embedding AS vec FROM embeddings
+         |      ORDER BY ${h60("CAST(vec_id AS VARCHAR)")}, vec_id
+         |      LIMIT 100),
+         |qw AS (SELECT q.id, wd.words FROM q JOIN wd ON wd.id = q.id),
+         |cand AS (SELECT qid, nid FROM (
+         |  SELECT qw.id AS qid, c.id AS nid,
+         |    row_number() OVER (PARTITION BY qw.id
+         |      ORDER BY list_sum([bit_count(xor(qw.words[i],
+         |          c.words[i]))
+         |        for i in range(1, len(qw.words) + 1)]), c.id)
+         |      AS prank
+         |  FROM qw JOIN wd c ON qw.id != c.id)
+         |  WHERE prank <= 40),
+         |approx AS (SELECT qid, nid FROM (
+         |  SELECT cand.qid, cand.nid,
+         |    row_number() OVER (PARTITION BY cand.qid
+         |      ORDER BY round(${cosSql("q.vec", "e.embedding")}, 6)
+         |        DESC, cand.nid) AS rnk
+         |  FROM cand JOIN q ON q.id = cand.qid
+         |    JOIN embeddings e ON e.vec_id = cand.nid)
+         |  WHERE rnk <= 5),
+         |truth AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.id AS query_id, c2.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.id
+         |      ORDER BY round(${cosSql("q.vec", "c2.embedding")}, 6)
+         |        DESC, c2.vec_id) AS rnk
+         |  FROM q JOIN embeddings c2 ON q.id != c2.vec_id)
+         |  WHERE rnk <= 5),
+         |h AS (SELECT t.query_id, count(*) AS n_hit
+         |  FROM truth t JOIN approx a
+         |    ON t.query_id = a.qid AND t.neighbor_id = a.nid
+         |  GROUP BY 1)
+         |SELECT q.id AS query_id,
+         |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+         |  CAST(round(CAST(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / 5
+         |    AS DECIMAL(20,10)), 4) AS DOUBLE) AS recall_at_5
+         |FROM q LEFT JOIN h ON q.id = h.query_id""".stripMargin,
     "q128_sq8_recall" ->
       s"""WITH st AS (
          |  SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs

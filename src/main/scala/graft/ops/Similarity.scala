@@ -1280,6 +1280,85 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "dist")
   }
 
+  // ---- binary (1-bit/dim) quantization -----------------------------------
+
+  /** Per-dimension ×1e6-snapped corpus MEAN thresholds — the
+    * binarization pivot (raw sign would saturate any dimension whose
+    * mass sits off zero; centering on the mean splits every dim
+    * ~half/half, the standard binary-quantization recipe). Exact:
+    * components snap to micro longs BEFORE the mean (no
+    * order-dependent float sum), one truncated division per dim.
+    * One broadcast-sized row: (thr: array&lt;long&gt;).
+    */
+  def binaryThresholds(vecs: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def tdiv(a: Column, b: Column): Column = {
+      val q = (abs(a) - pmod(abs(a), b)) / b
+      (when(a < 0, -q).otherwise(q)).cast("long")
+    }
+    vecs.select(posexplode(col("vec")))
+      .select(col("pos"),
+        round(col("col").cast("double") * 1e6).cast("long").as("xm"))
+      .groupBy(col("pos"))
+      .agg(tdiv(sum(dec(col("xm"))), dec(count(lit(1)))).as("m"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+        .as("pm"))
+      .select(transform(col("pm"), x => x.getField("m")).as("thr"))
+  }
+
+  /** BINARY-encode: bit_i = (x_i snapped micro) &gt; thr_i, packed
+    * into 32-bit words (d/32 longs — a 128× resident-index
+    * compression below SQ8's 4×, the 1-bit tier of the
+    * PQ/SQ8/matryoshka quantization ladder). Packing is a high-to-low
+    * acc·2+bit fold per word (shift-free: Spark's `shiftleft` wants a
+    * literal count), so word w = Σ_j bit(32w+j)·2ʲ exactly — the
+    * integer any engine reproduces. Requires dim % 32 == 0 (pad
+    * upstream otherwise). Output (id, words: array&lt;long&gt;).
+    */
+  def binaryEncode(vecs: DataFrame, thresholds: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(thresholds))
+      .select(col("id"), Cols.bound(
+        transform(arrays_zip(col("vec"), col("thr")), q =>
+          when(round(q.getField("vec").cast("double") * 1e6)
+            .cast("long") > q.getField("thr"), 1L).otherwise(0L))) {
+        bits =>
+          transform(sequence(lit(0),
+            floor(size(bits) / 32).cast("int") - 1), w =>
+            aggregate(sequence(lit(31), lit(0), lit(-1)), lit(0L),
+              (acc, j) => acc * 2 +
+                element_at(bits, (w * 32 + j + 1).cast("int"))))
+      }.as("words"))
+
+  /** Stage-1 HAMMING shortlist over packed binary codes: rank the
+    * corpus per query by Σ_w popcount(qw XOR cw) (asc, id tiebreak),
+    * keep the top `shortlist` — (qid, id, prank), composing with
+    * [[rerankExact]] exactly like [[truncatedCandidates]]. The scan
+    * reads d/8 BYTES per corpus vector and the distance is two
+    * machine ops per word — the cheapest coarse tier there is; recall
+    * comes back in the exact rerank. Queries bounded (broadcast),
+    * the [[bruteForceTopK]] contract.
+    */
+  def binaryTopC(queryCodes: DataFrame, codes: DataFrame,
+                 shortlist: Int,
+                 maxQueries: Long = DefaultMaxQueries): DataFrame = {
+    guardBoundedQueries(queryCodes, maxQueries, "binaryTopC")
+    val q = queryCodes.select(col("id").as("qid"),
+      col("words").as("qw"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("ham"), col("id"))
+    broadcast(q)
+      .join(codes.select(col("id"), col("words").as("cw")),
+        col("qid") =!= col("id"))
+      .withColumn("ham",
+        aggregate(zip_with(col("qw"), col("cw"),
+          (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("prank", row_number().over(w))
+      .filter(col("prank") <= shortlist)
+      .select("qid", "id", "prank")
+  }
+
   // ---- truncated-dimension (matryoshka) retrieval -----------------------
 
   /** Stage-1 shortlist of a truncated-dimension retrieval cascade: rank

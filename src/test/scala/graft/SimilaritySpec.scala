@@ -1171,4 +1171,32 @@ class SimilaritySpec extends SparkSpec {
       Seq((1L, 2000000L), (3L, 2000000L), (2L, 1000000L)))
   }
 
+  test("binary quantization: mean thresholds, word packing, and " +
+    "hamming shortlist match a bit-level hand model") {
+    // 32 dims: vec A = +1 everywhere, vec B = -1 everywhere, vec C =
+    // +1 on dims 0..15, -1 on 16..31. Mean thresholds are 1/3 µ > 0
+    // for dims 0..15 and -1/3 µ < 0 for 16..31.
+    val mk = (f: Int => Float) => Array.tabulate(32)(f)
+    val vecs = Seq(
+      (1L, mk(_ => 1f)), (2L, mk(_ => -1f)),
+      (3L, mk(i => if (i < 16) 1f else -1f))).toDF("id", "vec")
+    val thr = Similarity.binaryThresholds(vecs)
+    val t = thr.as[Seq[Long]].head()
+    assert(t.take(16).forall(_ == 333333L) &&
+      t.drop(16).forall(_ == -333333L))
+    val codes = Similarity.binaryEncode(vecs, thr)
+    val w = codes.as[(Long, Seq[Long])].collect().toMap
+    // A: bits 0..15 = 1 (1e6 > 333333), 16..31 = 1 (1e6 > -333333)
+    assert(w(1L) == Seq(0xffffffffL))
+    // B: all bits 0
+    assert(w(2L) == Seq(0L))
+    // C: bits 0..15 = 1, 16..31 = 0 -> low half set
+    assert(w(3L) == Seq(0x0000ffffL))
+    // hamming shortlist: from A, C is 16 bits away, B is 32
+    val cand = Similarity.binaryTopC(codes.filter($"id" === 1L),
+        codes, 2)
+      .as[(Long, Long, Int)].collect().sortBy(_._3)
+    assert(cand.map(c => (c._2, c._3)).toSeq == Seq((3L, 1), (2L, 2)))
+  }
+
 }
