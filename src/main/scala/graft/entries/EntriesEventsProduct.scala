@@ -19,6 +19,26 @@ private[graft] object EntriesEventsProduct {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Bandit/off-policy: REPLAY + IPS + SNIPS evaluation of a
+    // deterministic target policy over md5-logged arms with
+    // arm-dependent (non-uniform) logging propensities — the three
+    // estimators every offline policy report ships; exact per-row
+    // floored weights, one aggregate.
+    "q500_ips_eval" -> ((s, dir) => {
+      import graft.ops.Dedup.hashLong
+      val la = pmod(hashLong(concat(lit("la"),
+        col("event_id").cast("string"))), lit(4L))
+      Events.ipsPolicyEval(
+        t(s, dir, "events").select(
+          concat(lit("arm"), la.cast("string")).as("la"),
+          concat(lit("arm"), (col("user_id") % 4).cast("string"))
+            .as("ta"),
+          pmod(hashLong(concat(lit("rw"),
+            col("event_id").cast("string"))), lit(1000000L))
+            .as("r"),
+          (lit(200000L) + la * 150000L).as("p")),
+        col("la"), col("ta"), col("r"), col("p"))
+    }),
     // Events: within-session event-type TRANSITION MATRIX (the Markov
     // summary a behavior-sequence pipeline trains on) — consecutive
     // pairs inside 30-min sessions, session boundaries hard (last event
@@ -529,6 +549,38 @@ private[graft] object EntriesEventsProduct {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // Same md5 arms/rewards/propensities; HUGEINT floored weights
+    // per matching row, three one-floor estimators.
+    "q500_ips_eval" ->
+      s"""WITH r AS (SELECT
+         |    ${h60("'la' || CAST(event_id AS VARCHAR)")} % 4 AS lai,
+         |    user_id % 4 AS tai,
+         |    CAST(${h60("'rw' || CAST(event_id AS VARCHAR)")}
+         |      % 1000000 AS BIGINT) AS rw
+         |  FROM events),
+         |s AS (SELECT (lai = tai) AS hit, rw,
+         |    CASE WHEN lai = tai THEN
+         |      CAST(CAST(1000000000000 AS HUGEINT)
+         |        // (200000 + lai * 150000) AS BIGINT)
+         |      ELSE 0 END AS w
+         |  FROM r),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_match,
+         |    sum(CASE WHEN hit THEN rw ELSE 0 END) AS rsum,
+         |    sum(CAST(rw AS HUGEINT) * w // 1000000) AS rwsum,
+         |    sum(CAST(w AS HUGEINT)) AS wsum
+         |  FROM s)
+         |SELECT n, n_match,
+         |  CASE WHEN n_match = 0 THEN NULL ELSE
+         |    CAST(rsum // n_match AS BIGINT) END AS replay_micro,
+         |  CASE WHEN n = 0 THEN NULL ELSE
+         |    CAST(rwsum // n AS BIGINT) END AS ips_micro,
+         |  CASE WHEN wsum = 0 THEN NULL ELSE
+         |    CAST(rwsum * 1000000 // wsum AS BIGINT) END
+         |    AS snips_micro
+         |FROM a""".stripMargin,
 
     // q78's session CTE + a lead within (user, session): boundaries are
     // hard because the lead window partitions on the session id; the

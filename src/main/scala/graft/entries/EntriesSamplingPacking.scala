@@ -19,6 +19,13 @@ private[graft] object EntriesSamplingPacking {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Denoising planning: T5 SPAN-CORRUPTION yield — per source the
+    // exact encoder/decoder token budgets at rate 15% / mean span 3,
+    // floors and min-one-span guarantees per doc, one aggregate.
+    "q498_span_corruption" -> ((s, dir) =>
+      Text.spanCorruptionPlan(t(s, dir, "documents"), col("source"),
+        col("text"), 15, 3)),
+
     // Sampling: sequential token-budget shard packing — a global
     // running sum realized as the two-level distributed prefix sum
     // (bucketed window + broadcast per-bucket offsets); no stage runs
@@ -496,6 +503,33 @@ private[graft] object EntriesSamplingPacking {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // Same whitespace tokens; the per-doc floor/greatest chain
+    // replayed row-wise, one rollup per source.
+    "q498_span_corruption" ->
+      s"""WITH d AS (SELECT source AS grp,
+         |    CAST(len($tokSql) AS BIGINT) AS n FROM documents),
+         |c AS (SELECT grp, n,
+         |    CASE WHEN n = 0 THEN 0
+         |      ELSE greatest(1, (n * 15) // 100) END AS nc
+         |  FROM d),
+         |s AS (SELECT grp, n, nc,
+         |    CASE WHEN n = 0 THEN 0
+         |      ELSE greatest(1, nc // 3) END AS ns
+         |  FROM c)
+         |SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  CAST(sum(nc) AS BIGINT) AS n_corrupt,
+         |  CAST(sum(ns) AS BIGINT) AS n_spans,
+         |  CAST(sum(n - nc + ns) AS BIGINT) AS input_tokens,
+         |  CAST(sum(CASE WHEN n = 0 THEN 0 ELSE nc + ns + 1 END)
+         |    AS BIGINT) AS target_tokens,
+         |  CASE WHEN sum(n) = 0 THEN NULL ELSE
+         |    CAST((CAST(sum(n - nc + ns)
+         |        + sum(CASE WHEN n = 0 THEN 0 ELSE nc + ns + 1 END)
+         |        AS HUGEINT) * 1000000) // sum(n) AS BIGINT) END
+         |    AS blowup_micro
+         |FROM s GROUP BY grp""".stripMargin,
 
     // The oracle is the textbook single-window prefix sum; the engine
     // path's two-level decomposition must agree exactly (BIGINT token

@@ -19,6 +19,21 @@ private[graft] object EntriesStatsExperiments {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Causal: DIFFERENCE-IN-DIFFERENCES — md5 signed outcomes with a
+    // +0.25 effect planted ONLY in the treated×post cell; the double
+    // difference recovers it net of the level gap and common shock.
+    "q499_diff_in_diff" -> ((s, dir) => {
+      import graft.ops.Dedup.hashLong
+      val treated = col("user_id") % 2 === 0
+      val post = col("event_id") % 2 === 1
+      Events.diffInDiff(
+        t(s, dir, "events").select(treated.as("t"), post.as("p"),
+          (pmod(hashLong(concat(lit("dd2"),
+            col("event_id").cast("string"))), lit(2000000L))
+            - 1000000L +
+            when(treated && post, 250000L).otherwise(0L)).as("y")),
+        col("t"), col("p"), col("y"))
+    }),
     // Robust stats: MEDIAN-OF-MEANS per source — md5 bucket blocks,
     // truncated bucket means, lower median; the %101 planted 80-unit
     // outliers drag the mean while MoM holds the clean level.
@@ -1510,6 +1525,46 @@ private[graft] object EntriesStatsExperiments {
 
     // Same cents fixed point: percentile bounds round to cents, clamp
     // and sum in exact integers, mean through the DECIMAL snap.
+    // Same md5 outcomes/cells; HUGEINT cell sums, truncating //
+    // means, conditional-max pivot, null on any empty cell.
+    "q499_diff_in_diff" ->
+      s"""WITH r AS (SELECT
+         |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+         |    CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS p,
+         |    CAST(${h60("'dd2' || CAST(event_id AS VARCHAR)")}
+         |        % 2000000 AS BIGINT) - 1000000
+         |      + CASE WHEN user_id % 2 = 0 AND event_id % 2 = 1
+         |        THEN 250000 ELSE 0 END AS y
+         |  FROM events),
+         |c AS (SELECT t, p, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CAST(y AS HUGEINT)) // count(*) AS BIGINT)
+         |      AS m
+         |  FROM r GROUP BY 1, 2)
+         |SELECT
+         |  coalesce(max(CASE WHEN t = 1 AND p = 0 THEN n END), 0)
+         |    AS n_t_pre,
+         |  coalesce(max(CASE WHEN t = 1 AND p = 1 THEN n END), 0)
+         |    AS n_t_post,
+         |  coalesce(max(CASE WHEN t = 0 AND p = 0 THEN n END), 0)
+         |    AS n_c_pre,
+         |  coalesce(max(CASE WHEN t = 0 AND p = 1 THEN n END), 0)
+         |    AS n_c_post,
+         |  max(CASE WHEN t = 1 AND p = 0 THEN m END)
+         |    AS mean_t_pre_micro,
+         |  max(CASE WHEN t = 1 AND p = 1 THEN m END)
+         |    AS mean_t_post_micro,
+         |  max(CASE WHEN t = 0 AND p = 0 THEN m END)
+         |    AS mean_c_pre_micro,
+         |  max(CASE WHEN t = 0 AND p = 1 THEN m END)
+         |    AS mean_c_post_micro,
+         |  CASE WHEN count(*) < 4 THEN NULL ELSE
+         |    (max(CASE WHEN t = 1 AND p = 1 THEN m END)
+         |     - max(CASE WHEN t = 1 AND p = 0 THEN m END))
+         |    - (max(CASE WHEN t = 0 AND p = 1 THEN m END)
+         |       - max(CASE WHEN t = 0 AND p = 0 THEN m END)) END
+         |    AS did_micro
+         |FROM c""".stripMargin,
+
     // Same md5 buckets/outliers; HUGEINT bucket sums, truncating //
     // means, lower-median pick by (mean, bucket) rank.
     "q491_median_of_means" ->

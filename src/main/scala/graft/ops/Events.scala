@@ -234,6 +234,102 @@ object Events {
         abs(col("z_micro")) >= 1960000L)
   }
 
+  /** DIFFERENCE-IN-DIFFERENCES — [[conversionZTest]]'s observational
+    * sibling (Card–Krueger's workhorse): with a treated and a
+    * control group observed pre and post, the effect estimate is
+    * (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre) — parallel trends
+    * difference out the level gap AND the common shock. Exact: one
+    * hash aggregate to the four (treated, post) cells, cell means as
+    * single truncated divisions (signed metrics welcome — the
+    * tdiv/`//` contract), the DiD a difference of those snapped
+    * means. Output one row: (n_t_pre, n_t_post, n_c_pre, n_c_post,
+    * the four mean_micro cells, did_micro — null if any cell is
+    * empty, the design's hard requirement).
+    */
+  def diffInDiff(df: DataFrame, treated: Column, post: Column,
+                 yMicro: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def tdiv(a: Column, b: Column): Column = {
+      val q = (abs(a) - pmod(abs(a), b)) / b
+      (when(a < 0, -q).otherwise(q)).cast("long")
+    }
+    val cells = df
+      .select(when(treated, 1L).otherwise(0L).as("t"),
+        when(post, 1L).otherwise(0L).as("p"),
+        yMicro.cast("long").as("y"))
+      .groupBy(col("t"), col("p"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("y"))).as("s"))
+      .select(col("t"), col("p"), col("n"),
+        tdiv(col("s"), dec(col("n"))).as("m"))
+    def cell(t: Int, p: Int, c: String) =
+      max(when(col("t") === t && col("p") === p, col(c)))
+    cells.agg(
+        coalesce(cell(1, 0, "n"), lit(0L)).as("n_t_pre"),
+        coalesce(cell(1, 1, "n"), lit(0L)).as("n_t_post"),
+        coalesce(cell(0, 0, "n"), lit(0L)).as("n_c_pre"),
+        coalesce(cell(0, 1, "n"), lit(0L)).as("n_c_post"),
+        cell(1, 0, "m").as("mean_t_pre_micro"),
+        cell(1, 1, "m").as("mean_t_post_micro"),
+        cell(0, 0, "m").as("mean_c_pre_micro"),
+        cell(0, 1, "m").as("mean_c_post_micro"))
+      .withColumn("did_micro",
+        when(col("n_t_pre") === 0 || col("n_t_post") === 0 ||
+          col("n_c_pre") === 0 || col("n_c_post") === 0,
+          lit(null).cast("long"))
+          .otherwise((col("mean_t_post_micro") -
+            col("mean_t_pre_micro")) -
+            (col("mean_c_post_micro") - col("mean_c_pre_micro"))))
+  }
+
+  /** OFF-POLICY EVALUATION of a deterministic target policy over
+    * logged bandit feedback (Li et al. 2011's replay method + the
+    * inverse-propensity family): per logged row (arm, reward,
+    * logging propensity) and the target policy's arm for the same
+    * context, three estimators of the target's value — REPLAY (mean
+    * reward over matching rows: unbiased under uniform logging),
+    * IPS (mean of reward·1[match]·1e6/propensity — unbiased under
+    * ANY logged propensity, high variance when propensities are
+    * small) and SNIPS (the self-normalized ratio Σr·w/Σw — biased
+    * O(1/n), far lower variance). Exact: per-row weights are single
+    * floored divisions of micro integers, estimator numerators and
+    * denominators are exact integer sums with ONE final floor each.
+    * One data-sized aggregate; nothing collects. Output one row:
+    * (n, n_match, replay_micro, ips_micro, snips_micro — nulls when
+    * the denominators are empty).
+    */
+  def ipsPolicyEval(df: DataFrame, loggedArm: Column, targetArm: Column,
+                    rewardMicro: Column,
+                    propensityMicro: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    df
+      .select(
+        (loggedArm.cast("string") === targetArm.cast("string"))
+          .as("hit"),
+        rewardMicro.cast("long").as("r"),
+        propensityMicro.cast("long").as("p"))
+      .select(col("hit"), col("r"),
+        when(col("hit"), fdiv(dec(lit(1000000L)) * lit(1000000L),
+          dec(col("p")))).otherwise(0L).as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_match"),
+        sum(when(col("hit"), col("r")).otherwise(0L)).as("rsum"),
+        sum(fdiv(dec(col("r")) * col("w"), dec(lit(1000000L))))
+          .as("rw"),
+        sum(col("w")).as("wsum"))
+      .select(col("n"), col("n_match"),
+        when(col("n_match") === 0, lit(null).cast("long"))
+          .otherwise(fdiv(dec(col("rsum")), dec(col("n_match"))))
+          .as("replay_micro"),
+        when(col("n") === 0, lit(null).cast("long"))
+          .otherwise(fdiv(dec(col("rw")), dec(col("n"))))
+          .as("ips_micro"),
+        when(col("wsum") === 0, lit(null).cast("long"))
+          .otherwise(fdiv(dec(col("rw")) * lit(1000000L),
+            dec(col("wsum")))).as("snips_micro"))
+  }
+
   /** INTER-ARRIVAL BURSTINESS (Fano factor of the gap distribution) —
     * the traffic-shape read: Fano = var/mean of consecutive per-user
     * event gaps; ≈mean (Fano→mean ratio 1) is Poisson-like, ≫ is

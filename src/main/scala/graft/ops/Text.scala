@@ -2106,6 +2106,50 @@ object Text {
             (col("hi") - col("lo")).cast("int"))))).as("psm_fp"))
   }
 
+  /** SPAN-CORRUPTION yield plan (T5, Raffel et al. 2020 §3.1.4 —
+    * [[fimSplit]]'s denoising sibling): for corruption rate r% with
+    * mean span length L, a doc of n tokens yields
+    * n_corrupt = max(1, ⌊n·r/100⌋) masked tokens in
+    * n_spans = max(1, ⌊n_corrupt/L⌋) spans; the encoder input is
+    * n − n_corrupt + n_spans tokens (one sentinel per span) and the
+    * decoder target n_corrupt + n_spans + 1 (sentinels + EOS) — the
+    * exact token-budget arithmetic that sizes a denoising dataset
+    * BEFORE it is built (the mixturePlan convention: plan on
+    * counts, not materialized examples). Zero-token docs yield
+    * nothing on either side. One scan, one per-group aggregate.
+    * Output per group: (grp, n_docs, n_tokens, n_corrupt, n_spans,
+    * input_tokens, target_tokens, blowup_micro = (input+target)/raw).
+    */
+  def spanCorruptionPlan(docs: DataFrame, group: Column, text: Column,
+                         ratePct: Int, meanSpan: Int): DataFrame = {
+    require(ratePct >= 1 && ratePct <= 99, "rate must be in [1, 99]")
+    require(meanSpan >= 1, "meanSpan must be >= 1")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    docs
+      .select(group.as("grp"), tokenCount(text).cast("long").as("n"))
+      .select(col("grp"), col("n"),
+        when(col("n") === 0, 0L).otherwise(
+          greatest(lit(1L), fdiv(col("n") * ratePct, lit(100L))))
+          .as("nc"))
+      .select(col("grp"), col("n"), col("nc"),
+        when(col("n") === 0, 0L).otherwise(
+          greatest(lit(1L), fdiv(col("nc"), lit(meanSpan.toLong))))
+          .as("ns"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+        sum(col("nc")).as("n_corrupt"), sum(col("ns")).as("n_spans"),
+        sum(col("n") - col("nc") + col("ns")).as("input_tokens"),
+        sum(when(col("n") === 0, 0L)
+          .otherwise(col("nc") + col("ns") + 1)).as("target_tokens"))
+      .withColumn("blowup_micro",
+        when(col("n_tokens") === 0, lit(null).cast("long"))
+          .otherwise(fdiv(
+            dec(col("input_tokens") + col("target_tokens")) *
+              lit(1000000L), dec(col("n_tokens")))))
+  }
+
   /** VOCABULARY-COVERAGE plan — the tokenizer-budget read: if the
     * vocab keeps only the top-V types (by corpus frequency), what
     * share of the TOKEN mass is covered (the rest falls back to

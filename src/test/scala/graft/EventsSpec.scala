@@ -400,4 +400,43 @@ class EventsSpec extends SparkSpec {
       (("2024-01-02", 7, 1L, 0L, 0L)))
   }
 
+  test("diffInDiff: exact cell means and the double difference; " +
+    "an empty cell nulls the estimate") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (true, false, 10L), (true, false, 20L), (true, true, 40L),
+      (false, false, 0L), (false, false, 10L), (false, true, 20L))
+      .toDF("t", "p", "y")
+    val r = graft.ops.Events.diffInDiff(rows, col("t"), col("p"),
+        col("y"))
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long], Option[Long], Option[Long])].head()
+    assert(r._1 == 2L && r._2 == 1L && r._3 == 2L && r._4 == 1L)
+    assert(r._5.get == 15L && r._6.get == 40L && r._7.get == 5L &&
+      r._8.get == 20L)
+    assert(r._9.get == 10L, "(40-15) - (20-5)")
+    val missing = rows.filter(!(col("t") && col("p")))
+    assert(graft.ops.Events.diffInDiff(missing, col("t"), col("p"),
+        col("y"))
+      .as[(Long, Long, Long, Long, Option[Long], Option[Long],
+        Option[Long], Option[Long], Option[Long])].head()._9.isEmpty)
+  }
+
+  test("ipsPolicyEval: replay, IPS and SNIPS match hand arithmetic") {
+    import org.apache.spark.sql.functions.col
+    val logs = Seq(
+      ("a", "a", 600000L, 500000L), // hit, w = 2e6
+      ("b", "a", 900000L, 500000L), // miss
+      ("a", "a", 0L, 250000L)) // hit, w = 4e6, zero reward
+      .toDF("la", "ta", "r", "p")
+    val r = graft.ops.Events.ipsPolicyEval(logs, col("la"), col("ta"),
+        col("r"), col("p"))
+      .as[(Long, Long, Option[Long], Option[Long], Option[Long])]
+      .head()
+    assert(r._1 == 3L && r._2 == 2L)
+    assert(r._3.get == 300000L, "replay = 600000/2")
+    assert(r._4.get == 400000L, "IPS = 1.2/3")
+    assert(r._5.get == 200000L, "SNIPS = 1.2/6")
+  }
+
 }

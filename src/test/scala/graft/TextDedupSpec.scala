@@ -153,6 +153,21 @@ class TextDedupSpec extends SparkSpec {
     assert(out("L000")._2 == 1L)
   }
 
+  test("spanCorruptionPlan: T5 yield arithmetic, floors and the " +
+    "min-one-span guarantee, empty docs contribute nothing") {
+    val docs = Seq(
+      ("g", ("w " * 20).trim), // n=20: nc=3, ns=1, in=18, tgt=5
+      ("g", "a b c d"), // n=4: nc=max(1,0)=1, ns=1, in=4, tgt=3
+      ("g", "")) // n=0: zero rows on both sides
+      .toDF("grp", "text")
+    val r = graft.ops.Text.spanCorruptionPlan(docs, $"grp", $"text",
+        15, 3)
+      .as[(String, Long, Long, Long, Long, Long, Long, Option[Long])]
+      .head()
+    assert(r == (("g", 3L, 24L, 4L, 2L, 22L, 8L,
+      Some(30L * 1000000L / 24L))))
+  }
+
   test("repetitionScore: 0 for novel/short text, rises toward 1 on loops") {
     val docs = Seq(
       (1L, "all tokens here are fully distinct words"),
