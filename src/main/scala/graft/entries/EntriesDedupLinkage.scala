@@ -1420,7 +1420,8 @@ private[graft] object EntriesDedupLinkage {
         |  GROUP BY 1)
         |SELECT blocks.code, blocks.n_names,
         |  coalesce(p.n_pairs, 0) AS n_pairs,
-        |  coalesce(p.n_matched, 0) AS n_matched
+        |  coalesce(p.n_matched, 0) AS n_matched,
+        |  false AS capped
         |FROM blocks LEFT JOIN p USING (code)""".stripMargin,
     // Same labeled pair population (planted +10000 near-dups true,
     // +1-neighbor pairs false), exact |∩|/|∪| over the same 60-bit

@@ -19,6 +19,21 @@ private[graft] object EntriesStatsExperiments {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Survival: LOG-RANK TEST — md5 event flags with +15pt hazard
+    // planted on the treated arm over 50 distinct durations; exact
+    // nano O/E/V terms through the two-level prefix kernel, one
+    // snapped z.
+    "q501_log_rank" -> ((s, dir) => {
+      import graft.ops.Dedup.hashLong
+      val g1 = col("user_id") % 2 === 0
+      Profile.logRankTest(
+        t(s, dir, "events").select(g1.as("g"),
+          (lit(1L) + col("event_id") % 50).as("t"),
+          (pmod(hashLong(concat(lit("lr"),
+            col("event_id").cast("string"))), lit(100L)) <
+            lit(60L) + when(g1, 15L).otherwise(0L)).as("e")),
+        col("g"), col("t"), col("e"), 8)
+    }),
     // Causal: DIFFERENCE-IN-DIFFERENCES — md5 signed outcomes with a
     // +0.25 effect planted ONLY in the treated×post cell; the double
     // difference recovers it net of the level gap and common shock.
@@ -1525,6 +1540,56 @@ private[graft] object EntriesStatsExperiments {
 
     // Same cents fixed point: percentile bounds round to cents, clamp
     // and sum in exact integers, mean through the DECIMAL snap.
+    // Same md5 hazards; single-window cumulative at-risk counts (the
+    // engine's two-level kernel must equal them), HUGEINT nano
+    // floors per event time, the same final double chain.
+    "q501_log_rank" ->
+      s"""WITH s AS (SELECT
+         |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g1,
+         |    1 + event_id % 50 AS t,
+         |    CASE WHEN ${h60("'lr' || CAST(event_id AS VARCHAR)")}
+         |        % 100 < 60 + CASE WHEN user_id % 2 = 0 THEN 15
+         |        ELSE 0 END
+         |      THEN 1 ELSE 0 END AS e FROM events),
+         |byt AS (SELECT t, sum(g1) AS c1, sum(1 - g1) AS c2,
+         |    sum(g1 * e) AS d1, sum((1 - g1) * e) AS d2
+         |  FROM s GROUP BY 1),
+         |tot AS (SELECT CAST(sum(g1) AS BIGINT) AS n1t,
+         |    CAST(sum(1 - g1) AS BIGINT) AS n2t FROM s),
+         |cum AS (SELECT t, d1, d2,
+         |    coalesce(sum(c1) OVER (ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS c1b,
+         |    coalesce(sum(c2) OVER (ORDER BY t
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS c2b FROM byt),
+         |t2 AS (SELECT d1, d1 + d2 AS d,
+         |    n1t - c1b AS n1, n2t - c2b AS n2,
+         |    (n1t - c1b) + (n2t - c2b) AS nr
+         |  FROM cum CROSS JOIN tot WHERE d1 + d2 > 0),
+         |agg AS (SELECT CAST(sum(d1) AS BIGINT) AS o1,
+         |    CAST(sum((CAST(d AS HUGEINT) * n1 * 1000000000) // nr)
+         |      AS BIGINT) AS e1_nano,
+         |    CAST(sum(CASE WHEN nr <= 1 THEN 0 ELSE
+         |      (CAST(d AS HUGEINT) * n1 * n2 * (nr - d)
+         |        * 1000000000)
+         |      // (CAST(nr AS HUGEINT) * nr * (nr - 1)) END)
+         |      AS BIGINT) AS v_nano FROM t2),
+         |z AS (SELECT tot.n1t AS n_1, tot.n2t AS n_2, agg.o1,
+         |    agg.e1_nano, agg.v_nano,
+         |    CASE WHEN agg.v_nano = 0 THEN NULL ELSE
+         |      CAST(round((CAST(agg.o1 AS DOUBLE)
+         |          - CAST(agg.e1_nano AS DOUBLE)
+         |            / CAST(1000000000 AS DOUBLE))
+         |        / sqrt(CAST(agg.v_nano AS DOUBLE)
+         |            / CAST(1000000000 AS DOUBLE))
+         |        * CAST(1000000 AS DOUBLE)) AS BIGINT) END
+         |      AS z_micro
+         |  FROM agg CROSS JOIN tot)
+         |SELECT n_1, n_2, o1, e1_nano, v_nano, z_micro,
+         |  coalesce(abs(z_micro) >= 1960000, false) AS significant
+         |FROM z""".stripMargin,
+
     // Same md5 outcomes/cells; HUGEINT cell sums, truncating //
     // means, conditional-max pivot, null on any empty cell.
     "q499_diff_in_diff" ->

@@ -76,6 +76,17 @@ private[graft] object EntriesTextIr {
           .as("text"))
       Text.ccLuhnAudit(seeded, col("grp"), col("text"))
     }),
+    // Unicode hygiene: MIXED-SCRIPT (homoglyph-spoof) audit — every
+    // 9th doc gets its a/e transliterated to the Cyrillic
+    // lookalikes, so most of its tokens carry both scripts; per
+    // source the mixed-token counts and flagged-doc rate.
+    "q502_mixed_script" -> ((s, dir) =>
+      Text.mixedScriptAudit(
+        t(s, dir, "documents").select(col("source").as("grp"),
+          when(col("doc_id") % 9 === 0,
+            translate(col("text"), "ae", "\u0430\u0435"))
+            .otherwise(col("text")).as("text")),
+        col("grp"), col("text"))),
     // Text: in-document repetition (Gopher-style quality gate) —
     // 1 − distinct/total 3-grams per doc.
     "q71_repetition" -> ((s, dir) =>
@@ -880,6 +891,31 @@ private[graft] object EntriesTextIr {
          |    ELSE 'fr' END AS predicted,
          |  count(*) AS n
          |FROM sc GROUP BY 1, 2""".stripMargin,
+    // Same transliteration via chr() (no raw non-ASCII in the
+    // oracle either); RE2 \x{...} classes, token comprehension.
+    "q502_mixed_script" ->
+      """WITH seeded AS (SELECT source AS grp,
+        |    CASE WHEN doc_id % 9 = 0
+        |      THEN translate(text, 'ae', chr(1072) || chr(1077))
+        |      ELSE text END AS text FROM documents),
+        |tk AS (SELECT grp,
+        |    list_filter(string_split_regex(lower(trim(text)),
+        |      '\s+'), t -> t <> '') AS tk FROM seeded),
+        |v AS (SELECT grp, len(tk) AS nt,
+        |    len([x for x in tk
+        |      if regexp_matches(x, '[A-Za-z]')
+        |      AND regexp_matches(x, '[\x{0400}-\x{04FF}]')]) AS nm
+        |  FROM tk)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  CAST(sum(nm) AS BIGINT) AS n_mixed_tokens,
+        |  CAST(sum(CASE WHEN nm > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_docs_flagged,
+        |  CAST((CAST(sum(CASE WHEN nm > 0 THEN 1 ELSE 0 END)
+        |      AS HUGEINT) * 1000000) // count(*) AS BIGINT)
+        |    AS flag_micro
+        |FROM v GROUP BY grp""".stripMargin,
+
     // Same planted PANs; maximal digit runs by greedy regex (no
     // lookaround — RE2), the Luhn fold as a nested comprehension,
     // exact counts and one floor per group.

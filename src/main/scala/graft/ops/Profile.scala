@@ -678,6 +678,67 @@ object Profile {
           .cast("double").as("survival"))
   }
 
+  /** LOG-RANK TEST (Mantel–Haenszel) — [[kaplanMeier]]'s two-sample
+    * significance companion: do two survival curves differ, or is
+    * the gap censoring noise? At each distinct event time the 2×2
+    * table contributes O/E/V terms (E₁ = d·n₁/n,
+    * V = d·n₁·n₂·(n−d)/(n²·(n−1))); z = (O₁ − E₁)/√V. Same
+    * no-single-partition discipline as KM: both groups' subject and
+    * event counts ride ONE [[Ranks.withRunningBelow]] pass over the
+    * pooled distinct times (at-risk = total − strictly-below), the
+    * rational E/V terms snap ×1e9 per time (one floor each, exact
+    * integers in DECIMAL), and the single double chain is the final
+    * z (micro snap, the conversionZTest convention). A time where
+    * n ≤ 1 contributes zero variance by definition. Output one row:
+    * (n_1, n_2, o1, e1_nano, v_nano, z_micro — null when V = 0,
+    * significant = |z| ≥ 1.96).
+    */
+  def logRankTest(df: DataFrame, group1: Column, duration: Column,
+                  event: Column, bucketWidth: Long): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val rows = df.select(duration.cast("long").as("__t"),
+      when(group1, 1L).otherwise(0L).as("g1"),
+      when(event, 1L).otherwise(0L).as("e"))
+    val byT = rows.groupBy(col("__t"))
+      .agg(sum(col("g1")).as("c1"),
+        sum(lit(1L) - col("g1")).as("c2"),
+        sum(col("g1") * col("e")).as("d1"),
+        sum((lit(1L) - col("g1")) * col("e")).as("d2"))
+    val tot = rows.agg(sum(col("g1")).as("n1t"),
+      sum(lit(1L) - col("g1")).as("n2t"))
+    val terms = Ranks.withRunningBelow(byT, "__t", bucketWidth,
+        Seq("c1", "c2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("n1", col("n1t") - col("c1_below"))
+      .withColumn("n2", col("n2t") - col("c2_below"))
+      .withColumn("nr", col("n1") + col("n2"))
+      .withColumn("d", col("d1") + col("d2"))
+      .filter(col("d") > 0)
+      .withColumn("e_fp",
+        fdiv(dec(col("d")) * col("n1") * lit(1000000000L),
+          dec(col("nr"))))
+      .withColumn("v_fp",
+        when(col("nr") <= 1, 0L).otherwise(
+          fdiv(dec(col("d")) * col("n1") * col("n2") *
+            (col("nr") - col("d")) * lit(1000000000L),
+            dec(col("nr")) * col("nr") * (col("nr") - 1))))
+    terms
+      .agg(max(col("n1t")).as("n_1"), max(col("n2t")).as("n_2"),
+        sum(col("d1")).as("o1"), sum(col("e_fp")).as("e1_nano"),
+        sum(col("v_fp")).as("v_nano"))
+      .withColumn("z_micro",
+        when(col("v_nano") === 0, lit(null).cast("long"))
+          .otherwise(round(
+            (col("o1").cast("double") -
+              col("e1_nano").cast("double") / lit(1e9)) /
+              sqrt(col("v_nano").cast("double") / lit(1e9)) *
+              lit(1e6)).cast("long")))
+      .withColumn("significant",
+        coalesce(abs(col("z_micro")) >= 1960000L, lit(false)))
+  }
+
   /** K-anonymity generalization ladder — the privacy gate a
     * training-data release needs: for each candidate generalization of
     * the numeric quasi-identifier (bucket width w; w = 0 drops the

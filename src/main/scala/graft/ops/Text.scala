@@ -657,6 +657,39 @@ object Text {
           dec(col("n_docs"))))
   }
 
+  /** MIXED-SCRIPT (confusable/spoofing) audit per group — the Unicode
+    * hygiene read beside [[stripInvisible]] and the NFC
+    * canonicalizer: a token carrying BOTH Latin and Cyrillic letters
+    * is the classic homoglyph-spoof / mojibake signal (а and a are
+    * different code points that render identically; mixed tokens
+    * defeat exact dedup and poison vocabularies). Counts tokens
+    * matching both `[A-Za-z]` and `[Ѐ-ӿ]` (an RE2-portable
+    * class pair — no properties, no lookaround), docs flagged, one
+    * floor per group. One scan, map-side counts; text never
+    * shuffles. Output per group: (grp, n_docs, n_tokens,
+    * n_mixed_tokens, n_docs_flagged, flag_micro).
+    */
+  def mixedScriptAudit(df: DataFrame, group: Column,
+                       text: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    df
+      .select(group.as("grp"), tokens(text).as("tk"))
+      .select(col("grp"), size(col("tk")).cast("long").as("nt"),
+        size(filter(col("tk"), t =>
+          t.rlike("[A-Za-z]") && t.rlike("[\\u0400-\\u04FF]")))
+          .cast("long").as("nm"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        sum(col("nm")).as("n_mixed_tokens"),
+        sum(when(col("nm") > 0, 1L).otherwise(0L))
+          .as("n_docs_flagged"))
+      .withColumn("flag_micro",
+        fdiv(dec(col("n_docs_flagged")) * lit(1000000L),
+          dec(col("n_docs"))))
+  }
+
   /** In-document repetition score (the Gopher/RefinedWeb-style quality
     * gate): 1 − distinct n-grams / total n-grams ∈ [0,1] — 0 for fully
     * novel text, → 1 for degenerate repetition; 0 for docs shorter than
@@ -1401,24 +1434,37 @@ object Text {
     * density case — pre-thin or salt there. Output per code:
     * (code, n_names, n_pairs, n_matched ≤ maxDist).
     */
-  def phoneticBlocking(names: DataFrame, name: Column,
-                       maxDist: Int): DataFrame = {
+  def phoneticBlocking(names: DataFrame, name: Column, maxDist: Int,
+                       maxBlock: Long = 0L): DataFrame = {
     require(maxDist >= 0, "maxDist must be >= 0")
     import graft.functions.NativeFunctions.levWithin
     val dn = names.select(name.as("n")).distinct()
       .withColumn("code", soundex(col("n")))
-    val pairs = dn.select(col("code"), col("n").as("name_a"))
-      .join(dn.select(col("code"), col("n").as("name_b")), Seq("code"))
+    val sizes = dn.groupBy(col("code")).agg(count(lit(1)).as("n_names"))
+      // the q102/OPH density-guard convention: a hot code (SMITH at
+      // population scale) would make its block self-join quadratic in
+      // one task — over-cap blocks skip pairing (capped = true) and
+      // the caller salts or pre-thins them; 0 = unlimited (gate
+      // fixtures are code-domain-sparse by construction)
+      .withColumn("capped",
+        lit(maxBlock) > 0 && col("n_names") > maxBlock)
+    val keep = dn.join(sizes.filter(!col("capped"))
+      .select(col("code")), Seq("code"))
+    val pairs = keep.select(col("code"), col("n").as("name_a"))
+      .join(keep.select(col("code"), col("n").as("name_b")),
+        Seq("code"))
       .filter(col("name_a") < col("name_b"))
       .withColumn("dist",
         levWithin(col("name_a"), col("name_b"), maxDist).cast("long"))
-    dn.groupBy(col("code")).agg(count(lit(1)).as("n_names"))
+    sizes
       .join(pairs.groupBy(col("code"))
           .agg(count(lit(1)).as("n_pairs"),
             sum(when(col("dist").between(0, maxDist), 1L)
               .otherwise(0L)).as("n_matched")),
         Seq("code"), "left")
       .na.fill(0L, Seq("n_pairs", "n_matched"))
+      .select(col("code"), col("n_names"), col("n_pairs"),
+        col("n_matched"), col("capped"))
   }
 
   /** Word n-gram shingles (distinct), the MinHash/Jaccard input unit.

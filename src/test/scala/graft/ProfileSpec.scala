@@ -838,6 +838,31 @@ class ProfileSpec extends SparkSpec {
     assert(ro._3 == 1L && ro._4 == 7L && ro._5 == 7L)
   }
 
+  test("logRankTest: hand-worked 2x2 tables per event time, exact " +
+    "nano terms, z from the snapped chain") {
+    import org.apache.spark.sql.functions.col
+    // g1: die at 1, die at 2; g2: die at 2, censored at 3
+    val subj = Seq((true, 1L, true), (true, 2L, true),
+      (false, 2L, true), (false, 3L, false)).toDF("g", "t", "e")
+    val r = Profile.logRankTest(subj, col("g"), col("t"), col("e"), 4)
+      .as[(Long, Long, Long, Long, Long, Option[Long], Boolean)]
+      .head()
+    assert(r._1 == 2L && r._2 == 2L && r._3 == 2L)
+    // t=1: E=1*2/4=0.5, V=1*2*2*3/(16*3)=0.25
+    // t=2: n1=1,n2=2: E=2*1/3, V=2*1*2*1/(9*2)
+    assert(r._4 == 500000000L + 666666666L)
+    assert(r._5 == 250000000L + 222222222L)
+    val z = math.round((2.0 - r._4 / 1e9) / math.sqrt(r._5 / 1e9)
+      * 1e6)
+    assert(r._6.contains(z) && !r._7)
+    // identical groups: O ~ E, z small; single-subject times with
+    // nr=1 contribute zero variance (no crash)
+    val one = Seq((true, 5L, true)).toDF("g", "t", "e")
+    assert(Profile.logRankTest(one, col("g"), col("t"), col("e"), 4)
+      .as[(Long, Long, Long, Long, Long, Option[Long], Boolean)]
+      .head()._6.isEmpty, "V = 0 yields null z")
+  }
+
   test("dpBudgetAccountant: sequential sums, parallel max over " +
     "disjoint partitions, cap flags on either axis") {
     import org.apache.spark.sql.functions.col

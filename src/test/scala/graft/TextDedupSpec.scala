@@ -140,17 +140,40 @@ class TextDedupSpec extends SparkSpec {
     val names = Seq("ROBERT", "RUPERT", "RUBIN", "ASHCRAFT",
       "ASHCROFT", "KNUTH", "KANT", "LEE").toDF("n")
     val out = graft.ops.Text.phoneticBlocking(names, $"n", 2)
-      .as[(String, Long, Long, Long)].collect()
+      .as[(String, Long, Long, Long, Boolean)].collect()
       .map(r => r._1 -> r).toMap
     // R163 = {ROBERT, RUPERT} (lev dist 2: O→U, B→P — matched);
     // RUBIN codes R150 alone
-    assert(out("R163") == (("R163", 2L, 1L, 1L)))
+    assert(out("R163") == (("R163", 2L, 1L, 1L, false)))
     assert(out("R150")._2 == 1L && out("R150")._3 == 0L)
     // the H/W bridge: ASHCRAFT + ASHCROFT both A261, lev dist 1
-    assert(out("A261") == (("A261", 2L, 1L, 1L)))
+    assert(out("A261") == (("A261", 2L, 1L, 1L, false)))
     // first-letter-preserving phonetic merge prefix blocking misses
     assert(out("K530")._2 == 2L)
     assert(out("L000")._2 == 1L)
+    // density guard: cap 1 drops the multi-name blocks from pairing
+    // (capped = true, zero pairs) while singletons still report
+    val capped = graft.ops.Text.phoneticBlocking(names, $"n", 2, 1L)
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(capped("R163") == (("R163", 2L, 0L, 0L, true)))
+    assert(capped("A261")._5 && capped("A261")._3 == 0L)
+    assert(capped("R150") == (("R150", 1L, 0L, 0L, false)))
+  }
+
+  test("mixedScriptAudit: Latin+Cyrillic tokens flagged, pure-script " +
+    "tokens pass, exact rate") {
+    // non-ASCII as \uXXXX escapes (repo convention: a channel can
+    // silently recompose raw literals)
+    val mixed = "w\u043erld" // w + CYRILLIC SMALL O + rld
+    val cyr = "\u043f\u0440\u0438\u0432\u0435\u0442" // privet
+    val docs = Seq(
+      ("g", s"hello $mixed plain"),
+      ("g", s"$cyr pure cyrillic"),
+      ("g", "all ascii here")).toDF("grp", "text")
+    val r = graft.ops.Text.mixedScriptAudit(docs, $"grp", $"text")
+      .as[(String, Long, Long, Long, Long, Long)].head()
+    assert(r == (("g", 3L, 9L, 1L, 1L, 333333L)))
   }
 
   test("spanCorruptionPlan: T5 yield arithmetic, floors and the " +
