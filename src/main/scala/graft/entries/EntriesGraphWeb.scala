@@ -267,6 +267,12 @@ private[graft] object EntriesGraphWeb {
         .orderBy(col("arrival"), col("id")).limit(25)
         .select(col("id").as("doc_id"), col("arrival"))
     }),
+    // Graph: LINK-PREDICTION scores — common neighbors, Jaccard and
+    // resource allocation over the non-adjacent 2-hop pairs of the
+    // doc-link graph (wedge economics, RA instead of Adamic-Adar so
+    // every term stays exactly rational).
+    "q504_link_prediction" -> ((s, dir) =>
+      Graph.linkPredictionScores(docLinkEdges(s, dir))),
     // Graph: degree ASSORTATIVITY — do hubs link to hubs? Pearson r of
     // endpoint degrees over the symmetrized edge list, on olsTrend's
     // exact moment algebra.
@@ -729,6 +735,36 @@ private[graft] object EntriesGraphWeb {
          |        * CAST(n * syy - sy * sy AS DOUBLE))
          |      AS DECIMAL(20,10)), 6) AS DOUBLE) END AS r
          |FROM m""".stripMargin,
+    // Same generated symmetric adjacency; wedge join a–z–b (a < b),
+    // per-z floored RA terms, NOT EXISTS edge exclusion, exact
+    // Jaccard cross-multiplication.
+    "q504_link_prediction" ->
+      """WITH docs AS (SELECT doc_id FROM documents),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM docs),
+        |e AS (SELECT doc_id AS src, (doc_id * 7 + k * 13) % nn AS dst
+        |  FROM docs CROSS JOIN nc
+        |  CROSS JOIN (SELECT unnest([1, 2, 3]) AS k)),
+        |sym AS (SELECT DISTINCT src, dst FROM (
+        |  SELECT src, dst FROM e WHERE src <> dst
+        |  UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+        |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+        |  FROM sym GROUP BY 1),
+        |w AS (SELECT l.src AS a, r.dst AS b, l.dst AS z
+        |  FROM sym l JOIN sym r
+        |    ON l.dst = r.src AND l.src < r.dst),
+        |g AS (SELECT a, b, CAST(count(*) AS BIGINT) AS common,
+        |    CAST(sum(1000000 // dz.deg) AS BIGINT) AS ra_micro
+        |  FROM w JOIN deg dz ON dz.id = w.z GROUP BY 1, 2),
+        |cand AS (SELECT * FROM g WHERE NOT EXISTS (
+        |  SELECT 1 FROM sym WHERE sym.src = g.a AND sym.dst = g.b))
+        |SELECT c.a, c.b, c.common,
+        |  CAST((CAST(c.common AS HUGEINT) * 1000000)
+        |    // (da.deg + db.deg - c.common) AS BIGINT)
+        |    AS jaccard_micro,
+        |  c.ra_micro
+        |FROM cand c JOIN deg da ON da.id = c.a
+        |  JOIN deg db ON db.id = c.b""".stripMargin,
+
     // Two unrolled LPA sweeps over the same generated edge set (both
     // directions, self-loops out), same (size desc, community) cutoff.
     // q174's LPA CTEs verbatim; canonical distinct pairs, exact

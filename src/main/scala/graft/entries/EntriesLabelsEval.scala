@@ -210,6 +210,21 @@ private[graft] object EntriesLabelsEval {
         d.filter(col("o") % 2 =!= 0).select(col("grp"), col("score")),
         Seq(10, 5, 1))
     }),
+    // Governance: GROUP-FAIRNESS audit — the q469 planted classifier
+    // (%3 positives, +40pt accuracy) read per language: selection
+    // rate / TPR / FPR / PPV per group and the gaps against the
+    // broadcast overall row.
+    "q505_fairness" -> ((s, dir) => {
+      import graft.ops.Dedup.hashLong
+      val label = col("doc_id") % 3 === 0
+      Quality.fairnessAudit(
+        t(s, dir, "documents").select(col("lang").as("g"),
+          label.as("y"),
+          (pmod(hashLong(concat(lit("fa"),
+            col("doc_id").cast("string"))), lit(100L)) <
+            lit(30L) + when(label, 40L).otherwise(0L)).as("p")),
+        col("g"), col("y"), col("p"))
+    }),
     // Clustering eval: B-CUBED precision/recall/F1 — gold clusters
     // of five consecutive doc_ids, predictions with an md5 ~20% of
     // items shifted one group over; the per-item score collapses to
@@ -1018,6 +1033,51 @@ private[graft] object EntriesLabelsEval {
          |  CAST(sd // n AS BIGINT) AS kl_k1_micro,
          |  CAST(sd2 // (2 * n * 1000000) AS BIGINT) AS kl_k2_micro
          |FROM g""".stripMargin,
+
+    // Same md5 classifier; per-group and overall count panels, one
+    // HUGEINT floor per rate, gap differences.
+    "q505_fairness" ->
+      s"""WITH s AS (SELECT lang AS g,
+         |    (doc_id % 3 = 0) AS y,
+         |    ${h60("'fa' || CAST(doc_id AS VARCHAR)")} % 100 <
+         |      30 + CASE WHEN doc_id % 3 = 0 THEN 40 ELSE 0 END
+         |      AS p FROM documents),
+         |c AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS np,
+         |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS ny,
+         |    CAST(sum(CASE WHEN y AND p THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN NOT y AND p THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS fp
+         |  FROM s GROUP BY 1),
+         |r AS (SELECT g, n,
+         |    (CAST(np AS HUGEINT) * 1000000) // n AS sel,
+         |    CASE WHEN ny = 0 THEN NULL ELSE
+         |      (CAST(tp AS HUGEINT) * 1000000) // ny END AS tpr,
+         |    CASE WHEN n - ny = 0 THEN NULL ELSE
+         |      (CAST(fp AS HUGEINT) * 1000000) // (n - ny) END
+         |      AS fpr,
+         |    CASE WHEN np = 0 THEN NULL ELSE
+         |      (CAST(tp AS HUGEINT) * 1000000) // np END AS ppv
+         |  FROM c),
+         |o AS (SELECT
+         |    (CAST(sum(np) AS HUGEINT) * 1000000) // sum(n)
+         |      AS sel_all,
+         |    (CAST(sum(tp) AS HUGEINT) * 1000000) // sum(ny)
+         |      AS tpr_all,
+         |    (CAST(sum(fp) AS HUGEINT) * 1000000)
+         |      // (sum(n) - sum(ny)) AS fpr_all FROM c)
+         |SELECT g AS grp, n,
+         |  CAST(sel AS BIGINT) AS sel_micro,
+         |  CAST(tpr AS BIGINT) AS tpr_micro,
+         |  CAST(fpr AS BIGINT) AS fpr_micro,
+         |  CAST(ppv AS BIGINT) AS ppv_micro,
+         |  CAST(sel - sel_all AS BIGINT) AS sel_gap_micro,
+         |  CAST(tpr - tpr_all AS BIGINT) AS tpr_gap_micro,
+         |  CAST(fpr - fpr_all AS BIGINT) AS fpr_gap_micro
+         |FROM r CROSS JOIN o""".stripMargin,
 
     // Same construction clusters; cell counts, cluster sizes, the
     // Σ npg²/n_p (resp. /n_g) HUGEINT floors, harmonic-mean F1.

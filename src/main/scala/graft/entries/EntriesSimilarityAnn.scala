@@ -866,6 +866,26 @@ private[graft] object EntriesSimilarityAnn {
     // sample ranks corpus rows by exact-query-vs-reconstruction squared
     // L2 — the scan touches only the codes plus the one stats row.
     // Output: recall@5 of the SQ8 scan vs exact-L2 truth.
+    // Retrieval: RECIPROCAL-RANK FUSION — three md5 retriever lists
+    // (top 8 each) over a shared candidate pool, fused at k0=60 into
+    // a top-5 per query; floored reciprocal contributions, doc-id
+    // tiebreaks.
+    "q503_rrf_fusion" -> ((s, dir) => {
+      import graft.ops.Dedup.hashLong
+      val w = Window.partitionBy(col("l"), col("q"))
+        .orderBy(col("h"), col("doc_id"))
+      val rows = t(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 0).select(col("doc_id"))
+        .crossJoin(s.range(3).select(col("id").as("l")))
+        .crossJoin(s.range(10).select(col("id").as("q")))
+        .withColumn("h", hashLong(concat(lit("rrf"), col("l"),
+          lit(":"), col("q"), lit(":"), col("doc_id"))))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= 8)
+      Similarity.rrfFusion(rows,
+        concat(lit("q"), col("q").cast("string")), col("doc_id"),
+        col("r"), 60, 5)
+    }),
     // Similarity: BINARY (1-bit/dim) quantization recall — the 128×
     // compression tier below SQ8: micro-snapped mean thresholds, 32-bit
     // word packing, hamming shortlist (40) + exact cosine rerank,
@@ -2459,6 +2479,31 @@ private[graft] object EntriesSimilarityAnn {
     // fixed-association ((x−mn)/(mx−mn))·255 snap, reconstruction
     // mn + (code/255)·(mx−mn), rank by rounded squared L2 to the
     // reconstruction (asc, id) against brute-force L2 truth.
+    // Same md5 lists via windows; integer // reciprocal terms,
+    // identical fuse/tiebreak/top-5.
+    "q503_rrf_fusion" ->
+      s"""WITH pool AS (SELECT doc_id FROM documents
+         |  WHERE doc_id % 7 = 0),
+         |rows_ AS (SELECT p.doc_id, l.l, q.q,
+         |    ${h60("'rrf' || CAST(l.l AS VARCHAR) || ':' || " +
+           "CAST(q.q AS VARCHAR) || ':' || CAST(p.doc_id AS VARCHAR)")}
+         |      AS h
+         |  FROM pool p
+         |  CROSS JOIN (SELECT unnest([0, 1, 2]) AS l) l
+         |  CROSS JOIN (SELECT unnest(range(0, 10)) AS q) q),
+         |rk AS (SELECT doc_id, l, q,
+         |    row_number() OVER (PARTITION BY l, q
+         |      ORDER BY h, doc_id) AS r FROM rows_),
+         |f AS (SELECT 'q' || CAST(q AS VARCHAR) AS query_id, doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_lists,
+         |    CAST(sum(1000000 // (r + 60)) AS BIGINT) AS score_micro
+         |  FROM rk WHERE r <= 8 GROUP BY 1, 2),
+         |o AS (SELECT query_id, doc_id, n_lists, score_micro,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score_micro DESC, doc_id) AS INT)
+         |      AS fused_rank FROM f)
+         |SELECT * FROM o WHERE fused_rank <= 5""".stripMargin,
+
     // Same micro-snap thresholds (// truncation = tdiv), the same
     // Σ bit·2^j word integers by comprehension, hamming by
     // bit_count(xor) per word, identical rerank/truth/recall algebra.

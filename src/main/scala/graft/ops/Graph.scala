@@ -446,6 +446,53 @@ object Graph {
       .withColumn("n_2hop", coalesce(col("n_2hop"), lit(0L)))
   }
 
+  /** LINK-PREDICTION scores over the non-adjacent 2-hop pairs — the
+    * classic neighborhood family (Liben-Nowell & Kleinberg 2003):
+    * common-neighbor count, Jaccard overlap of the neighborhoods,
+    * and the resource-allocation index Σ_z 1/deg(z) (Zhou et al.
+    * 2009 — Adamic-Adar's exactly-rational sibling: RA's 1/deg
+    * needs no logarithm, so every score here is exact integer
+    * arithmetic with one ×1e6 floor per term). Candidate pairs come
+    * from the wedge join a–z–b (a < b) minus existing edges — the
+    * triangle-counting Σdeg² economics, never all pairs; per-score
+    * floors: jaccard = ⌊cn·1e6/(|Γa|+|Γb|−cn)⌋, ra = Σ⌊1e6/deg z⌋.
+    * Output per candidate pair: (a, b, common, jaccard_micro,
+    * ra_micro).
+    */
+  def linkPredictionScores(edges: DataFrame): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val ue = edges.filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val sym = ue.unionByName(
+        ue.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = sym.groupBy(col("src").as("id"))
+      .agg(count(lit(1)).as("deg"))
+    val wedges = sym.as("l").join(sym.as("r"),
+        col("l.dst") === col("r.src") && col("l.src") < col("r.dst"))
+      .select(col("l.src").as("a"), col("r.dst").as("b"),
+        col("l.dst").as("z"))
+      .join(deg.select(col("id").as("z"), col("deg").as("dz")),
+        Seq("z"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common"),
+        sum(fdiv(dec(lit(1000000L)), dec(col("dz")))).as("ra_micro"))
+      .join(sym.select(col("src").as("a"), col("dst").as("b")),
+        Seq("a", "b"), "left_anti") // drop already-linked pairs
+    wedges
+      .join(deg.select(col("id").as("a"), col("deg").as("da")),
+        Seq("a"))
+      .join(deg.select(col("id").as("b"), col("deg").as("db")),
+        Seq("b"))
+      .select(col("a"), col("b"), col("common"),
+        fdiv(dec(col("common")) * lit(1000000L),
+          dec(col("da") + col("db") - col("common")))
+          .as("jaccard_micro"),
+        col("ra_micro"))
+  }
+
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     val big = iters > ckptEvery

@@ -800,6 +800,53 @@ object Quality {
         col("iso_nano"))
   }
 
+  /** GROUP-FAIRNESS audit of a binary classifier (Hardt et al. 2016's
+    * metric panel) — the governance read beside the privacy ladder:
+    * per protected group the selection rate (demographic parity),
+    * TPR/FPR (equalized odds) and PPV (predictive parity), plus the
+    * GAP of each against the corpus-overall rate — the four numbers
+    * every model card reports, and mathematically not all equalizable
+    * at once (the impossibility theorem), which is why the audit
+    * reports them all. Exact counts, one ×1e6 floor per rate, null
+    * where a denominator is empty; the overall row broadcasts onto
+    * every group (the positionBias shape). One hash aggregate.
+    * Output per group: (grp, n, sel_micro, tpr_micro, fpr_micro,
+    * ppv_micro, sel_gap_micro, tpr_gap_micro, fpr_gap_micro).
+    */
+  def fairnessAudit(df: DataFrame, group: Column, label: Column,
+                    pred: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    def rate(num: Column, den: Column): Column =
+      when(den === 0, lit(null).cast("long"))
+        .otherwise(fdiv(dec(num) * lit(1000000L), dec(den)))
+    def counts(d: DataFrame): DataFrame = d
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("p"), 1L).otherwise(0L)).as("np"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("ny"),
+        sum(when(col("y") && col("p"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("y") && col("p"), 1L).otherwise(0L)).as("fp"))
+      .select(col("grp"), col("n"),
+        rate(col("np"), col("n")).as("sel"),
+        rate(col("tp"), col("ny")).as("tpr"),
+        rate(col("fp"), col("n") - col("ny")).as("fpr"),
+        rate(col("tp"), col("np")).as("ppv"))
+    val base = df.select(group.as("grp"), label.as("y"), pred.as("p"))
+    val per = counts(base)
+    val overall = counts(base.withColumn("grp", lit("__all__")))
+      .select(col("n").as("n_all"), col("sel").as("sel_all"),
+        col("tpr").as("tpr_all"), col("fpr").as("fpr_all"))
+    per.crossJoin(broadcast(overall))
+      .select(col("grp"), col("n"), col("sel").as("sel_micro"),
+        col("tpr").as("tpr_micro"), col("fpr").as("fpr_micro"),
+        col("ppv").as("ppv_micro"),
+        (col("sel") - col("sel_all")).as("sel_gap_micro"),
+        (col("tpr") - col("tpr_all")).as("tpr_gap_micro"),
+        (col("fpr") - col("fpr_all")).as("fpr_gap_micro"))
+  }
+
   /** B-CUBED precision/recall/F1 (Bagga & Baldwin 1998; the standard
     * entity-resolution / coreference clustering score) — judges a
     * PREDICTED clustering against gold per ITEM: an item's precision

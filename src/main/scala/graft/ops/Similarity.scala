@@ -1280,6 +1280,37 @@ object Similarity {
       .select("query_id", "neighbor_id", "rank", "dist")
   }
 
+  /** RECIPROCAL-RANK FUSION (Cormack et al. 2009) — the hybrid-search
+    * combiner every sparse+dense retrieval stack ships: given per
+    * (list, query) rankings from independent retrievers, each
+    * appearance contributes 1/(k₀ + rank) and the fused order is the
+    * per-query score sum. RRF needs no score calibration across
+    * retrievers — only ranks — which is exactly why it wins in
+    * practice. Exact: each contribution is one ×1e6 floor
+    * (fdiv(1e6, k₀+rank)), sums are integers, fused ties break by
+    * doc id. One hash aggregate over the (already small) candidate
+    * lists + one per-query rank window. Output per (query_id,
+    * doc_id): (n_lists, score_micro, fused_rank ≤ topK).
+    */
+  def rrfFusion(lists: DataFrame, queryId: Column, docId: Column,
+                rank: Column, k0: Int, topK: Int): DataFrame = {
+    require(k0 >= 1 && topK >= 1, "k0 and topK must be >= 1")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+    lists
+      .select(queryId.as("query_id"), docId.as("doc_id"),
+        rank.cast("long").as("r"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_lists"),
+        sum(fdiv(dec(lit(1000000L)), dec(col("r") + k0)))
+          .as("score_micro"))
+      .withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= topK)
+  }
+
   // ---- binary (1-bit/dim) quantization -----------------------------------
 
   /** Per-dimension ×1e6-snapped corpus MEAN thresholds — the

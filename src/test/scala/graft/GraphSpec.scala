@@ -379,4 +379,18 @@ class GraphSpec extends SparkSpec {
     assert(r == ((3L, 2L, 666666L)))
   }
 
+  test("linkPredictionScores: wedge candidates minus existing edges, " +
+    "exact common/jaccard/RA terms") {
+    // path 1-2-3-4 plus chord 1-3: candidates are (1,4) and (2,4),
+    // both through z=3 (deg 3); the wedge (1,3) is an edge - excluded
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L))
+      .toDF("src", "dst")
+    val out = Graph.linkPredictionScores(edges)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(out.keySet == Set((1L, 4L), (2L, 4L)))
+    assert(out((1L, 4L)) == ((1L, 4L, 1L, 500000L, 333333L)))
+    assert(out((2L, 4L)) == ((2L, 4L, 1L, 500000L, 333333L)))
+  }
+
 }

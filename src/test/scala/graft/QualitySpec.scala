@@ -432,6 +432,25 @@ class QualitySpec extends SparkSpec {
       r._8.contains(1000000L)), "+inf threshold covers everything")
   }
 
+  test("fairnessAudit: per-group panel rates and gaps against the " +
+    "broadcast overall row") {
+    val rows = Seq(
+      ("A", true, true), ("A", true, false), ("A", false, true),
+      ("A", false, false),
+      ("B", true, true), ("B", false, false)).toDF("g", "y", "p")
+    val out = Quality.fairnessAudit(rows, col("g"), col("y"), col("p"))
+      .as[(String, Long, Option[Long], Option[Long], Option[Long],
+        Option[Long], Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> r).toMap
+    // overall: sel 3/6, tpr 2/3, fpr 1/3
+    assert(out("A") == (("A", 4L, Some(500000L), Some(500000L),
+      Some(500000L), Some(500000L), Some(0L), Some(-166666L),
+      Some(166667L))))
+    assert(out("B") == (("B", 2L, Some(500000L), Some(1000000L),
+      Some(0L), Some(1000000L), Some(0L), Some(333334L),
+      Some(-333333L))))
+  }
+
   test("bCubed: contingency algebra equals the per-item definition") {
     // gold {a,b,c},{d,e}; pred {a,b},{c,d,e}:
     // precision items = 1,1,1/3,2/3,2/3 -> mean 11/15; recall items

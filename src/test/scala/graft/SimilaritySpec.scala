@@ -1171,6 +1171,22 @@ class SimilaritySpec extends SparkSpec {
       Seq((1L, 2000000L), (3L, 2000000L), (2L, 1000000L)))
   }
 
+  test("rrfFusion: floored reciprocal contributions sum and fuse " +
+    "with deterministic tiebreaks") {
+    val lists = Seq(
+      ("A", "q1", "d1", 1L), ("A", "q1", "d2", 2L),
+      ("B", "q1", "d2", 1L), ("B", "q1", "d3", 2L))
+      .toDF("l", "q", "d", "r")
+    val out = Similarity.rrfFusion(lists, col("q"), col("d"),
+        col("r"), 60, 2)
+      .as[(String, String, Long, Long, Int)].collect()
+      .map(x => x._2 -> x).toMap
+    // d2: 1e6//61 + 1e6//62 = 16393 + 16129
+    assert(out("d2") == (("q1", "d2", 2L, 32522L, 1)))
+    assert(out("d1") == (("q1", "d1", 1L, 16393L, 2)))
+    assert(!out.contains("d3"), "topK = 2 cuts the tail")
+  }
+
   test("binary quantization: mean thresholds, word packing, and " +
     "hamming shortlist match a bit-level hand model") {
     // 32 dims: vec A = +1 everywhere, vec B = -1 everywhere, vec C =
