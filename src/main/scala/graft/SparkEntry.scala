@@ -406,6 +406,32 @@ object SparkEntry {
     * streamed matrix is additive and batch-keyed, so both end at the
     * same totals.
     */
+  /** Shared DP-accountant oracle — gates the batch query (q495) and
+    * the streaming ledger (q510): the (analyst, part) partials are
+    * additive, so both end at the same sequential/parallel sums.
+    */
+  private[graft] val dpOracleSql: String =
+    s"""WITH l AS (SELECT
+       |    'a' || CAST(user_id % 7 AS VARCHAR) AS analyst,
+       |    event_id % 12 AS part,
+       |    1000 + ${h60("'dp' || CAST(event_id AS VARCHAR)")}
+       |      % 9000 AS e,
+       |    ${h60("'dd' || CAST(event_id AS VARCHAR)")} % 1000 AS d
+       |  FROM events),
+       |pp AS (SELECT analyst, part,
+       |    CAST(count(*) AS BIGINT) AS nq,
+       |    CAST(sum(e) AS BIGINT) AS se,
+       |    CAST(sum(d) AS BIGINT) AS sd
+       |  FROM l GROUP BY 1, 2)
+       |SELECT analyst, CAST(sum(nq) AS BIGINT) AS n_queries,
+       |  CAST(count(*) AS BIGINT) AS n_partitions,
+       |  CAST(sum(se) AS BIGINT) AS eps_seq_micro,
+       |  CAST(sum(sd) AS BIGINT) AS delta_seq_nano,
+       |  CAST(max(se) AS BIGINT) AS eps_parallel_micro,
+       |  CAST(8000000 - sum(se) AS BIGINT) AS eps_remaining_micro,
+       |  (sum(se) > 8000000 OR sum(sd) > 800000) AS over_budget
+       |FROM pp GROUP BY analyst""".stripMargin
+
   /** Shared split-conformal oracle (rank formulation over the even-
     * doc_id calibration half, coverage on the odd half) — gates both
     * the batch query (q484, row-rank algebra) and the streaming

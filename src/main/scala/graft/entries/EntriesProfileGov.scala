@@ -589,28 +589,9 @@ private[graft] object EntriesProfileGov {
         |FROM r CROSS JOIN cls CROSS JOIN b
         |GROUP BY 1, b.min_l, b.max_l""".stripMargin,
     // Same md5 ledger; exact sums per (analyst, partition), the
-    // analyst rollup with max-over-partitions, cap compares.
-    "q495_dp_accountant" ->
-      s"""WITH l AS (SELECT
-         |    'a' || CAST(user_id % 7 AS VARCHAR) AS analyst,
-         |    event_id % 12 AS part,
-         |    1000 + ${h60("'dp' || CAST(event_id AS VARCHAR)")}
-         |      % 9000 AS e,
-         |    ${h60("'dd' || CAST(event_id AS VARCHAR)")} % 1000 AS d
-         |  FROM events),
-         |pp AS (SELECT analyst, part,
-         |    CAST(count(*) AS BIGINT) AS nq,
-         |    CAST(sum(e) AS BIGINT) AS se,
-         |    CAST(sum(d) AS BIGINT) AS sd
-         |  FROM l GROUP BY 1, 2)
-         |SELECT analyst, CAST(sum(nq) AS BIGINT) AS n_queries,
-         |  CAST(count(*) AS BIGINT) AS n_partitions,
-         |  CAST(sum(se) AS BIGINT) AS eps_seq_micro,
-         |  CAST(sum(sd) AS BIGINT) AS delta_seq_nano,
-         |  CAST(max(se) AS BIGINT) AS eps_parallel_micro,
-         |  CAST(8000000 - sum(se) AS BIGINT) AS eps_remaining_micro,
-         |  (sum(se) > 8000000 OR sum(sd) > 800000) AS over_budget
-         |FROM pp GROUP BY analyst""".stripMargin,
+    // analyst rollup with max-over-partitions, cap compares (shared
+    // with the q510 streaming-ledger gate — SparkEntry val).
+    "q495_dp_accountant" -> dpOracleSql,
 
     // The full lang × band grid (absent cells 0), per-group window
     // cumsums, the same integer cross-product gaps and one floor.

@@ -19,6 +19,50 @@ private[graft] object EntriesStatsExperiments {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Causal hygiene: COVARIATE BALANCE (SMD) — one md5 covariate
+    // shifted +0.15 on the treated arm, one balanced; exact moment
+    // numerators, one double chain per covariate, the 0.1 bar.
+    "q506_smd_balance" -> ((s, dir) => {
+      import graft.ops.Dedup.hashLong
+      def h(tag: String): Column =
+        pmod(hashLong(concat(lit(tag),
+          col("event_id").cast("string"))), lit(1000000L))
+      val treated = col("user_id") % 2 === 0
+      Events.smdBalance(
+        t(s, dir, "events").select(treated.as("tr"),
+          (h("c1") + when(treated, 150000L).otherwise(0L)).as("c1"),
+          h("c2").as("c2")),
+        col("tr"), Seq("age" -> col("c1"), "income" -> col("c2")))
+    }),
+    // Forecast eval: MASE BACKTEST — the q06 keep-latest bar series
+    // per symbol (unique dates, deterministic), naive-1 MAE scaled
+    // by the seasonal-5 naive MAE, one cross-multiplied floor.
+    "q507_mase" -> ((s, dir) => {
+      val w = Window.partitionBy(col("symbol"), col("d"))
+        .orderBy(col("ord").desc, col("px").desc, col("vol").desc)
+      val series = bars(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+      Resample.maseBacktest(series, col("symbol"), col("d"),
+        round(col("px") * 100).cast("long"), 5)
+    }),
+    // Causal: PROPENSITY-STRATIFIED ATE — treatment confounded by
+    // the md5 score (P(treat) = score), outcome score-driven with a
+    // +0.1 planted effect; the raw contrast overstates it, the
+    // within-bin weighting recovers it.
+    "q508_ps_ate" -> ((s, dir) => {
+      import graft.ops.Dedup.hashLong
+      def h(tag: String): Column =
+        pmod(hashLong(concat(lit(tag),
+          col("event_id").cast("string"))), lit(1000000L))
+      val sc = h("ps")
+      val tr = h("tr") < sc
+      Events.psStratifiedAte(
+        t(s, dir, "events").select(tr.as("tr"), sc.as("sc"),
+          (floor(sc / 2).cast("long") +
+            when(tr, 100000L).otherwise(0L)).as("y")),
+        col("tr"), col("sc"), col("y"), 5)
+    }),
     // Survival: LOG-RANK TEST — md5 event flags with +15pt hazard
     // planted on the treated arm over 50 distinct durations; exact
     // nano O/E/V terms through the two-level prefix kernel, one
@@ -1540,6 +1584,111 @@ private[graft] object EntriesStatsExperiments {
 
     // Same cents fixed point: percentile bounds round to cents, clamp
     // and sum in exact integers, mean through the DECIMAL snap.
+    // Same md5 covariates; UNION-melted arms, HUGEINT moment
+    // numerators, one double chain and micro snap per covariate.
+    "q506_smd_balance" ->
+      s"""WITH s AS (SELECT
+         |    CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t,
+         |    CAST(${h60("'c1' || CAST(event_id AS VARCHAR)")}
+         |        % 1000000 AS BIGINT)
+         |      + CASE WHEN user_id % 2 = 0 THEN 150000 ELSE 0 END
+         |      AS c1,
+         |    CAST(${h60("'c2' || CAST(event_id AS VARCHAR)")}
+         |      % 1000000 AS BIGINT) AS c2 FROM events),
+         |m AS (SELECT t, 'age' AS cov, c1 AS x FROM s
+         |  UNION ALL SELECT t, 'income', c2 FROM s),
+         |a AS (SELECT cov, t, CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(x AS HUGEINT)) AS s1,
+         |    sum(CAST(x AS HUGEINT) * x) AS s2
+         |  FROM m GROUP BY 1, 2),
+         |w AS (SELECT cov, t, n, CAST(s1 // n AS BIGINT) AS m,
+         |    CAST(n AS HUGEINT) * s2 - s1 * s1 AS vnum,
+         |    CAST(n AS HUGEINT) * (n - 1) AS vden FROM a),
+         |j AS (SELECT tt.cov, tt.n AS n_t, cc.n AS n_c,
+         |    tt.m AS mean_t_micro, cc.m AS mean_c_micro,
+         |    (CAST(tt.vnum AS DOUBLE) / CAST(tt.vden AS DOUBLE)
+         |      + CAST(cc.vnum AS DOUBLE) / CAST(cc.vden AS DOUBLE))
+         |      / CAST(2 AS DOUBLE) AS pooled
+         |  FROM w tt JOIN w cc
+         |    ON tt.cov = cc.cov AND tt.t = 1 AND cc.t = 0)
+         |SELECT cov, n_t, n_c, mean_t_micro, mean_c_micro,
+         |  CASE WHEN pooled <= 0 THEN NULL ELSE
+         |    CAST(round(CAST(mean_t_micro - mean_c_micro AS DOUBLE)
+         |      / sqrt(pooled) * CAST(1000000 AS DOUBLE)) AS BIGINT)
+         |    END AS smd_micro,
+         |  coalesce(abs(CASE WHEN pooled <= 0 THEN NULL ELSE
+         |    CAST(round(CAST(mean_t_micro - mean_c_micro AS DOUBLE)
+         |      / sqrt(pooled) * CAST(1000000 AS DOUBLE)) AS BIGINT)
+         |    END) < 100000, false) AS balanced
+         |FROM j""".stripMargin,
+
+    // The q06 keep-latest series, two lag windows, the single
+    // cross-multiplied HUGEINT floor.
+    "q507_mase" ->
+      s"""WITH b AS (SELECT * FROM (SELECT *, row_number() OVER (
+         |    PARTITION BY symbol, d
+         |    ORDER BY ord DESC, px DESC, vol DESC) AS rn
+         |  FROM ($barsSql)) WHERE rn = 1),
+         |v AS (SELECT symbol, d,
+         |    CAST(round(px * 100) AS BIGINT) AS v FROM b),
+         |e AS (SELECT symbol,
+         |    abs(v - lag(v, 1) OVER w) AS e1,
+         |    abs(v - lag(v, 5) OVER w) AS es
+         |  FROM v WINDOW w AS (PARTITION BY symbol ORDER BY d))
+         |SELECT symbol AS series,
+         |  CAST(count(e1) AS BIGINT) AS n_naive,
+         |  CAST(count(es) AS BIGINT) AS n_seasonal,
+         |  CAST(coalesce(sum(e1), 0) AS BIGINT) AS sum_abs_naive,
+         |  CAST(coalesce(sum(es), 0) AS BIGINT) AS sum_abs_seasonal,
+         |  CASE WHEN coalesce(sum(es), 0) = 0 OR count(e1) = 0
+         |    THEN NULL ELSE
+         |    CAST((CAST(sum(e1) AS HUGEINT) * count(es) * 1000000)
+         |      // (CAST(sum(es) AS HUGEINT) * count(e1)) AS BIGINT)
+         |    END AS mase_micro
+         |FROM e GROUP BY symbol""".stripMargin,
+
+    // Same md5 confounding; bucket cell means by truncating //, the
+    // arms=2 common-support trim, one weighted floor.
+    "q508_ps_ate" ->
+      s"""WITH s AS (SELECT
+         |    CAST(${h60("'ps' || CAST(event_id AS VARCHAR)")}
+         |      % 1000000 AS BIGINT) AS sc,
+         |    ${h60("'tr' || CAST(event_id AS VARCHAR)")} % 1000000 <
+         |      ${h60("'ps' || CAST(event_id AS VARCHAR)")} % 1000000
+         |      AS tr FROM events),
+         |r AS (SELECT CASE WHEN tr THEN 1 ELSE 0 END AS t,
+         |    least(4, (sc * 5) // 1000000) AS b,
+         |    sc // 2 + CASE WHEN tr THEN 100000 ELSE 0 END AS y
+         |  FROM s),
+         |cells AS (SELECT b, t, CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(y AS HUGEINT)) AS sy FROM r GROUP BY 1, 2),
+         |cm AS (SELECT b, t, n, CAST(sy // n AS BIGINT) AS m
+         |  FROM cells),
+         |bins AS (SELECT b, sum(n) AS nb, count(*) AS arms,
+         |    max(CASE WHEN t = 1 THEN m END) AS mt,
+         |    max(CASE WHEN t = 0 THEN m END) AS mc
+         |  FROM cm GROUP BY 1),
+         |raw AS (SELECT CAST(sum(n) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN t = 1 THEN sy END)
+         |        // sum(CASE WHEN t = 1 THEN n END) AS BIGINT)
+         |      - CAST(sum(CASE WHEN t = 0 THEN sy END)
+         |        // sum(CASE WHEN t = 0 THEN n END) AS BIGINT)
+         |      AS raw_diff_micro
+         |  FROM cells),
+         |agg AS (SELECT
+         |    CAST(coalesce(sum(CASE WHEN arms = 2 THEN nb END), 0)
+         |      AS BIGINT) AS n_used,
+         |    CAST(coalesce(sum(CASE WHEN arms = 2 THEN 1 END), 0)
+         |      AS BIGINT) AS n_bins_used,
+         |    coalesce(sum(CASE WHEN arms = 2
+         |      THEN CAST(nb AS HUGEINT) * (mt - mc) END), 0) AS ws
+         |  FROM bins)
+         |SELECT raw.n, agg.n_used, agg.n_bins_used,
+         |  CASE WHEN agg.n_used = 0 THEN NULL ELSE
+         |    CAST(agg.ws // agg.n_used AS BIGINT) END AS ate_micro,
+         |  raw.raw_diff_micro
+         |FROM agg CROSS JOIN raw""".stripMargin,
+
     // Same md5 hazards; single-window cumulative at-risk counts (the
     // engine's two-level kernel must equal them), HUGEINT nano
     // floors per event time, the same final double chain.

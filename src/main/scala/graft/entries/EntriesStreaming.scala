@@ -588,6 +588,39 @@ private[graft] object EntriesStreaming {
       }
       Streams.streamedRatings(s, tmp + "/matrix", 3)
     }),
+    // Streaming gate: DP-LEDGER ingestion (16th pipeline) — the
+    // q495 (ε, δ) charges split into two micro-batches of additive
+    // (analyst, part) partials; the accountant over the accumulated
+    // ledger must equal the corpus-at-once composition the shared
+    // oracle replays.
+    "q510_dp_stream" -> ((s, dir) => {
+      import graft.streaming.Streams
+      import graft.ops.Dedup.hashLong
+      def h(tag: String, m: Long): Column =
+        pmod(hashLong(concat(lit(tag),
+          col("event_id").cast("string"))), lit(m))
+      val ledger = t(s, dir, "events").select(
+        col("event_id"),
+        concat(lit("a"), (col("user_id") % 7).cast("string"))
+          .as("an"),
+        (col("event_id") % 12).as("pt"),
+        (lit(1000L) + h("dp", 9000L)).as("e"),
+        h("dd", 1000L).as("d"))
+      val tmp = gateTempDir("q510")
+      val in = writeStreamBatches(Seq(
+        ledger.filter(col("event_id") % 2 === 0),
+        ledger.filter(col("event_id") % 2 === 1)), tmp)
+      val schema = s.read.parquet(in).schema
+      withShufflePartitions(s, 8) {
+        Streams.dpLedgerStream(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+            .parquet(in),
+          col("an"), col("pt"), col("e"), col("d"),
+          tmp + "/ledger", tmp + "/ck")
+      }
+      Streams.streamedDpAccountant(s, tmp + "/ledger",
+        8000000L, 800000L)
+    }),
     // Streaming gate: CONFORMAL CALIBRATION ingestion (15th
     // pipeline) — the q484 calibration half streamed as THREE
     // micro-batches of additive (grp, score, c) histogram partials
@@ -1274,6 +1307,10 @@ private[graft] object EntriesStreaming {
     // histogram is additive, so running-count thresholds equal the
     // corpus-at-once ranks exactly.
     "q496_conformal_stream" -> conformalOracleSql,
+    // The shared q495 composition oracle — the streamed ledger
+    // partials are additive, so the accountant's sums/max match
+    // corpus-at-once.
+    "q510_dp_stream" -> dpOracleSql,
     // v1 retains everything, v2 (after the first DV batch) still
     // retains the odd-multiple half — TWO retaining versions under
     // the clean v3 head; reads anti-join the DVs.

@@ -76,6 +76,12 @@ private[graft] object EntriesTextIr {
           .as("text"))
       Text.ccLuhnAudit(seeded, col("grp"), col("text"))
     }),
+    // Text quality: FLESCH–KINCAID readability grade per source —
+    // vowel-group syllables, terminal-punctuation sentences, the
+    // exact micro-constant formula, per-doc snapped grades averaged.
+    "q509_readability" -> ((s, dir) =>
+      Text.readabilityGrade(t(s, dir, "documents"),
+        col("source"), col("text"))),
     // Unicode hygiene: MIXED-SCRIPT (homoglyph-spoof) audit — every
     // 9th doc gets its a/e transliterated to the Cyrillic
     // lookalikes, so most of its tokens carry both scripts; per
@@ -891,6 +897,29 @@ private[graft] object EntriesTextIr {
          |    ELSE 'fr' END AS predicted,
          |  count(*) AS n
          |FROM sc GROUP BY 1, 2""".stripMargin,
+    // Same vowel-group/sentence regexes; per-doc integer grades
+    // (negative grades welcome — // truncation = tdiv), one rollup.
+    "q509_readability" ->
+      s"""WITH d AS (SELECT source AS grp,
+         |    CAST(len($tokSql) AS BIGINT) AS w,
+         |    greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+         |      AS s2,
+         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+         |      AS BIGINT) AS sy
+         |  FROM documents),
+         |g AS (SELECT grp, w, s2, sy,
+         |    CASE WHEN w = 0 THEN NULL ELSE
+         |      (390000 * w) // s2 + (11800000 * sy) // w
+         |        - 15590000 END AS grade FROM d)
+         |SELECT grp, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(w) AS BIGINT) AS n_words,
+         |  CAST(sum(s2) AS BIGINT) AS n_sentences,
+         |  CAST(sum(sy) AS BIGINT) AS n_syllables,
+         |  CASE WHEN count(grade) = 0 THEN NULL ELSE
+         |    CAST(sum(CAST(grade AS HUGEINT)) // count(grade)
+         |      AS BIGINT) END AS grade_micro_avg
+         |FROM g GROUP BY grp""".stripMargin,
+
     // Same transliteration via chr() (no raw non-ASCII in the
     // oracle either); RE2 \x{...} classes, token comprehension.
     "q502_mixed_script" ->

@@ -281,6 +281,123 @@ object Events {
             (col("mean_c_post_micro") - col("mean_c_pre_micro"))))
   }
 
+  /** COVARIATE-BALANCE audit (standardized mean differences — the
+    * Table-1 column every observational study prints): per covariate
+    * the treated/control means and SMD = (m_T − m_C)/√((v_T+v_C)/2)
+    * (Cohen's d with the pooled-variance convention of the matching
+    * literature). |SMD| < 0.1 is the conventional balance bar. Means
+    * are exact truncated divisions of micro sums; sample variances
+    * ride the exact moment numerators (n·Σx² − S², DECIMAL) and only
+    * the final SMD runs one double chain with a micro snap (the
+    * conversionZTest convention). Input melts to (cov, treated, x);
+    * one hash aggregate over (cov, arm). Output per covariate:
+    * (cov, n_t, n_c, mean_t_micro, mean_c_micro, smd_micro — null
+    * when both variances are 0, balanced).
+    */
+  def smdBalance(df: DataFrame, treated: Column,
+                 covs: Seq[(String, Column)]): DataFrame = {
+    require(covs.nonEmpty, "need at least one covariate")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def tdiv(a: Column, b: Column): Column = {
+      val q = (abs(a) - pmod(abs(a), b)) / b
+      (when(a < 0, -q).otherwise(q)).cast("long")
+    }
+    val melted = df
+      .select(when(treated, 1L).otherwise(0L).as("t"),
+        explode(array(covs.map { case (nm, c) =>
+          struct(lit(nm).as("cov"), c.cast("long").as("x"))
+        }: _*)).as("m"))
+      .select(col("t"), col("m.cov").as("cov"), col("m.x").as("x"))
+    val byArm = melted.groupBy(col("cov"), col("t"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("x"))).as("s"),
+        sum(dec(col("x")) * col("x")).as("s2"))
+      .withColumn("m", tdiv(col("s"), dec(col("n"))))
+      // sample variance numerator/denominator kept exact; the double
+      // division happens once inside the final chain
+      .withColumn("vnum", dec(col("n")) * col("s2") -
+        col("s") * col("s"))
+      .withColumn("vden", dec(col("n")) * (col("n") - 1))
+    val tArm = byArm.filter(col("t") === 1)
+      .select(col("cov"), col("n").as("n_t"), col("m").as("m_t"),
+        col("vnum").as("vn_t"), col("vden").as("vd_t"))
+    val cArm = byArm.filter(col("t") === 0)
+      .select(col("cov"), col("n").as("n_c"), col("m").as("m_c"),
+        col("vnum").as("vn_c"), col("vden").as("vd_c"))
+    tArm.join(cArm, Seq("cov"))
+      .withColumn("pooled",
+        (col("vn_t").cast("double") / col("vd_t").cast("double") +
+          col("vn_c").cast("double") / col("vd_c").cast("double")) /
+          lit(2.0))
+      .select(col("cov"), col("n_t"), col("n_c"),
+        col("m_t").as("mean_t_micro"), col("m_c").as("mean_c_micro"),
+        when(col("pooled") <= 0, lit(null).cast("long"))
+          .otherwise(round(
+            (col("m_t") - col("m_c")).cast("double") /
+              sqrt(col("pooled")) * lit(1e6)).cast("long"))
+          .as("smd_micro"))
+      .withColumn("balanced",
+        coalesce(abs(col("smd_micro")) < 100000L, lit(false)))
+  }
+
+  /** PROPENSITY-STRATIFIED ATE — the adjustment between the raw
+    * difference and [[ipsPolicyEval]]'s weighting (Rosenbaum–Rubin
+    * subclassification): rows stratify into `buckets` equal-width
+    * bins of a propensity-like micro score, the treated−control mean
+    * difference is taken WITHIN each bin (confounding that the score
+    * captures cancels there), and the ATE is the bin-size-weighted
+    * average. Exact: bin means are truncated divisions, the combined
+    * ATE is one more truncated division of the exact
+    * Σ n_b·diff_b cross-product (bins missing an arm are excluded
+    * from the weighting — the standard common-support trim, reported
+    * via n_used vs n). Output one row plus per-bin detail columns
+    * folded map-side: (n, n_used, n_bins_used, ate_micro,
+    * raw_diff_micro — the unadjusted contrast for comparison).
+    */
+  def psStratifiedAte(df: DataFrame, treated: Column,
+                      scoreMicro: Column, yMicro: Column,
+                      buckets: Int): DataFrame = {
+    require(buckets >= 2 && buckets <= 64, "buckets must be in [2, 64]")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def tdiv(a: Column, b: Column): Column = {
+      val q = (abs(a) - pmod(abs(a), b)) / b
+      (when(a < 0, -q).otherwise(q)).cast("long")
+    }
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val base = df.select(when(treated, 1L).otherwise(0L).as("t"),
+      least(lit(buckets - 1L),
+        fdiv(scoreMicro.cast("long") * buckets, lit(1000000L)))
+        .as("b"),
+      yMicro.cast("long").as("y"))
+    val cells = base.groupBy(col("b"), col("t"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("y"))).as("s"))
+      .withColumn("m", tdiv(col("s"), dec(col("n"))))
+    val bins = cells.groupBy(col("b"))
+      .agg(sum(col("n")).as("nb"), count(lit(1)).as("arms"),
+        max(when(col("t") === 1, col("m"))).as("mt"),
+        max(when(col("t") === 0, col("m"))).as("mc"))
+    val raw = cells.groupBy(col("t"))
+      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+      .withColumn("m", tdiv(col("s"), dec(col("n"))))
+      .agg(sum(col("n")).as("n"),
+        (max(when(col("t") === 1, col("m"))) -
+          max(when(col("t") === 0, col("m")))).as("raw_diff_micro"))
+    bins
+      .agg(coalesce(sum(when(col("arms") === 2, col("nb"))), lit(0L))
+          .as("n_used"),
+        coalesce(sum(when(col("arms") === 2, 1L)), lit(0L))
+          .as("n_bins_used"),
+        coalesce(sum(when(col("arms") === 2,
+          dec(col("nb")) * (col("mt") - col("mc")))), dec(lit(0L)))
+          .as("wsum"))
+      .crossJoin(broadcast(raw))
+      .select(col("n"), col("n_used"), col("n_bins_used"),
+        when(col("n_used") === 0, lit(null).cast("long"))
+          .otherwise(tdiv(col("wsum"), dec(col("n_used"))))
+          .as("ate_micro"),
+        col("raw_diff_micro"))
+  }
+
   /** OFF-POLICY EVALUATION of a deterministic target policy over
     * logged bandit feedback (Li et al. 2011's replay method + the
     * inverse-propensity family): per logged row (arm, reward,

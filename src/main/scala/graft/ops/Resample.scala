@@ -273,4 +273,46 @@ object Resample {
           sqrt(denx.cast("double") * deny.cast("double")))
           .cast("decimal(20,10)"), 6).cast("double")).as("acf"))
   }
+
+  /** MASE forecast backtest (Hyndman & Koehler 2006) — the
+    * scale-free point-forecast score ([[graft.ops.Profile.pinballLoss]]
+    * scores quantiles; this scores levels): the naive one-step
+    * forecast's MAE scaled by the in-sample SEASONAL-naive MAE, so
+    * MASE < 1 beats "repeat last season" and the score compares
+    * across series of different scale. Exact: absolute errors are
+    * integer cents from two lag windows sharing ONE series
+    * partitioning, and the ratio is a single cross-multiplied floor
+    * ⌊Σ|e₁|·n_s·1e6 / (Σ|e_s|·n₁)⌋ — no intermediate means. Output
+    * per series: (series, n_1, n_s, mae1_cents_micro…) —
+    * (series, n_naive, n_seasonal, sum_abs_naive, sum_abs_seasonal,
+    * mase_micro — null when the seasonal error mass is 0).
+    */
+  def maseBacktest(bars: DataFrame, key: Column, ord: Column,
+                   valueCents: Column, season: Int): DataFrame = {
+    require(season >= 2, "season must be >= 2 (1 is the naive lag)")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val w = Window.partitionBy(col("__k")).orderBy(col("__o"))
+    val e = bars
+      .select(key.as("__k"), ord.as("__o"),
+        valueCents.cast("long").as("v"))
+      .withColumn("e1", abs(col("v") - lag(col("v"), 1).over(w)))
+      .withColumn("es", abs(col("v") - lag(col("v"), season).over(w)))
+    e.groupBy(col("__k"))
+      .agg(count(col("e1")).as("n_naive"),
+        count(col("es")).as("n_seasonal"),
+        coalesce(sum(col("e1")), lit(0L)).as("sum_abs_naive"),
+        coalesce(sum(col("es")), lit(0L)).as("sum_abs_seasonal"))
+      .select(col("__k").as("series"), col("n_naive"),
+        col("n_seasonal"), col("sum_abs_naive"),
+        col("sum_abs_seasonal"),
+        when(col("sum_abs_seasonal") === 0 || col("n_naive") === 0,
+          lit(null).cast("long"))
+          .otherwise(fdiv(
+            dec(col("sum_abs_naive")) * col("n_seasonal") *
+              lit(1000000L),
+            dec(col("sum_abs_seasonal")) * col("n_naive")))
+          .as("mase_micro"))
+  }
 }

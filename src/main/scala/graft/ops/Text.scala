@@ -657,6 +657,51 @@ object Text {
           dec(col("n_docs"))))
   }
 
+  /** FLESCH–KINCAID grade level per group (Kincaid 1975) — the
+    * classic readability score beside [[qualityScore]]'s
+    * structural ratios: grade = 0.39·(words/sentences) +
+    * 11.8·(syllables/words) − 15.59, with syllables approximated by
+    * VOWEL GROUPS (`[aeiouy]+` runs — the standard cheap estimator;
+    * word boundaries split groups for free) and sentences by
+    * terminal-punctuation runs (`[.!?]+`, floor 1). All-integer
+    * micro arithmetic: the two ratios are single floors, the
+    * constants are exact micro literals — the grade is reproducible
+    * to the digit on any engine, which a float Flesch never is.
+    * One scan, one per-group aggregate averaging the per-doc snapped
+    * grades. Output per group: (grp, n_docs, n_words, n_sentences,
+    * n_syllables, grade_micro_avg).
+    */
+  def readabilityGrade(df: DataFrame, group: Column,
+                       text: Column): DataFrame = {
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def tdiv(a: Column, b: Column): Column = {
+      val q = (abs(a) - pmod(abs(a), b)) / b
+      (when(a < 0, -q).otherwise(q)).cast("long")
+    }
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val perDoc = df
+      .select(group.as("grp"),
+        tokenCount(text).cast("long").as("w"),
+        greatest(lit(1L),
+          size(regexp_extract_all(text, lit("[.!?]+"), lit(0)))
+            .cast("long")).as("s"),
+        size(regexp_extract_all(lower(text), lit("[aeiouy]+"),
+          lit(0))).cast("long").as("sy"))
+      .withColumn("grade",
+        when(col("w") === 0, lit(null).cast("long"))
+          .otherwise(fdiv(lit(390000L) * col("w"), col("s")) +
+            fdiv(lit(11800000L) * col("sy"), col("w")) -
+            15590000L))
+    perDoc.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_words"),
+        sum(col("s")).as("n_sentences"),
+        sum(col("sy")).as("n_syllables"),
+        when(count(col("grade")) === 0, lit(null).cast("long"))
+          .otherwise(tdiv(sum(dec(col("grade"))),
+            dec(count(col("grade"))))).as("grade_micro_avg"))
+  }
+
   /** MIXED-SCRIPT (confusable/spoofing) audit per group — the Unicode
     * hygiene read beside [[stripInvisible]] and the NFC
     * canonicalizer: a token carrying BOTH Latin and Cyrillic letters

@@ -509,6 +509,65 @@ object Streams {
     graft.ops.Quality.conformalFromHistogram(
       spark.read.parquet(calPath), holdout, alphaPcts)
 
+  /** Streaming DP-LEDGER ingestion (16th pipeline) — the continuous
+    * face of [[graft.ops.Profile.dpBudgetAccountant]]: (ε, δ) query
+    * charges arrive in micro-batches, each collapses map-side to its
+    * additive (analyst, part, nq, se, sd) partial and lands under
+    * `ledgerPath/batch=<id>` with OVERWRITE (the preferenceStream
+    * replay convention). Budget composition is pure summation/max,
+    * so [[streamedDpAccountant]] over the accumulated partials
+    * equals the corpus-at-once accountant — a budget gate that can
+    * run against the live ledger between batches.
+    */
+  def dpLedgerStream(in: DataFrame, analyst: org.apache.spark.sql.Column,
+                     partition: org.apache.spark.sql.Column,
+                     epsMicro: org.apache.spark.sql.Column,
+                     deltaNano: org.apache.spark.sql.Column,
+                     ledgerPath: String, checkpoint: String): Unit = {
+    val q = in.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        if (!batch.isEmpty)
+          batch.toDF()
+            .groupBy(analyst.as("analyst"), partition.as("part"))
+            .agg(count(lit(1)).as("nq"),
+              sum(epsMicro.cast("long")).as("se"),
+              sum(deltaNano.cast("long")).as("sd"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$ledgerPath/batch=$bid")
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Read back [[dpLedgerStream]]'s accumulated partials and apply
+    * the cap verdicts — the dpBudgetAccountant algebra over the
+    * merged (analyst, part) sums.
+    */
+  def streamedDpAccountant(spark: org.apache.spark.sql.SparkSession,
+                           ledgerPath: String, epsCapMicro: Long,
+                           deltaCapNano: Long): DataFrame = {
+    val merged = spark.read.parquet(ledgerPath)
+      .groupBy(col("analyst"), col("part"))
+      .agg(sum(col("nq")).as("nq"), sum(col("se")).as("se"),
+        sum(col("sd")).as("sd"))
+    merged.groupBy(col("analyst"))
+      .agg(sum(col("nq")).as("n_queries"),
+        count(lit(1)).as("n_partitions"),
+        sum(col("se")).as("eps_seq_micro"),
+        sum(col("sd")).as("delta_seq_nano"),
+        max(col("se")).as("eps_parallel_micro"))
+      .select(col("analyst"), col("n_queries"), col("n_partitions"),
+        col("eps_seq_micro"), col("delta_seq_nano"),
+        col("eps_parallel_micro"),
+        (lit(epsCapMicro) - col("eps_seq_micro"))
+          .as("eps_remaining_micro"),
+        (col("eps_seq_micro") > epsCapMicro ||
+          col("delta_seq_nano") > deltaCapNano).as("over_budget"))
+  }
+
   /** Streaming ERASURE propagation — the GDPR/right-to-be-forgotten
     * pipeline: erasure REQUESTS arrive as a stream of keys and each
     * micro-batch lands one deletion-vector version on the governed

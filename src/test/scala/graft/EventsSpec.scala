@@ -422,6 +422,39 @@ class EventsSpec extends SparkSpec {
         Option[Long], Option[Long], Option[Long])].head()._9.isEmpty)
   }
 
+  test("smdBalance: exact means, pooled-variance SMD, the 0.1 bar") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (true, 0L, 7L), (true, 2L, 9L),
+      (false, 10L, 7L), (false, 12L, 9L)).toDF("t", "c1", "c2")
+    val out = graft.ops.Events.smdBalance(rows, col("t"),
+        Seq("shifted" -> col("c1"), "same" -> col("c2")))
+      .as[(String, Long, Long, Long, Long, Option[Long], Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    // both arms var 2; smd = (1 - 11)/sqrt(2) = -7.0710678
+    assert(out("shifted") == (("shifted", 2L, 2L, 1L, 11L,
+      Some(-7071068L), false)))
+    assert(out("same")._6.contains(0L) && out("same")._7)
+  }
+
+  test("psStratifiedAte: within-bin contrasts, common-support trim, " +
+    "weighted combine vs the confounded raw diff") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (true, 100000L, 10L), (false, 200000L, 4L),
+      (false, 240000L, 6L), // b0: diff 5
+      (true, 300000L, 20L), (true, 430000L, 22L),
+      (false, 270000L, 15L), // b1: diff 6
+      (false, 990000L, 100L)) // b3: control only - trimmed
+      .toDF("tr", "sc", "y")
+    val r = graft.ops.Events.psStratifiedAte(rows, col("tr"),
+        col("sc"), col("y"), 4)
+      .as[(Long, Long, Long, Option[Long], Long)].head()
+    assert(r._1 == 7L && r._2 == 6L && r._3 == 2L)
+    assert(r._4.get == 5L, "(3*5 + 3*6) tdiv 6")
+    assert(r._5 == 17L - 31L, "raw contrast swallows the outlier bin")
+  }
+
   test("ipsPolicyEval: replay, IPS and SNIPS match hand arithmetic") {
     import org.apache.spark.sql.functions.col
     val logs = Seq(

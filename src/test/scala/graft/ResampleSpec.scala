@@ -136,4 +136,21 @@ class ResampleSpec extends SparkSpec {
       "(2*356 - 26^2)/4 = 9 cents^2 exactly at the peak window")
   }
 
+  test("maseBacktest: naive-1 MAE over seasonal MAE as one " +
+    "cross-multiplied floor") {
+    val series = Seq(10L, 12L, 11L, 15L, 13L, 14L).zipWithIndex
+      .map { case (v, i) => ("s", i.toLong, v) }.toDF("k", "o", "v")
+    val r = Resample.maseBacktest(series, col("k"), col("o"),
+        col("v"), 2)
+      .as[(String, Long, Long, Long, Long, Option[Long])].head()
+    // e1 = 2,1,4,2,1 (n 5, sum 10); e2 = 1,3,2,1 (n 4, sum 7)
+    assert(r == (("s", 5L, 4L, 10L, 7L, Some(40000000L / 35L))))
+    // constant series: zero seasonal mass -> null MASE, not a crash
+    val const = Seq.fill(6)(5L).zipWithIndex
+      .map { case (v, i) => ("c", i.toLong, v) }.toDF("k", "o", "v")
+    assert(Resample.maseBacktest(const, col("k"), col("o"), col("v"),
+      2).as[(String, Long, Long, Long, Long, Option[Long])]
+      .head()._6.isEmpty)
+  }
+
 }

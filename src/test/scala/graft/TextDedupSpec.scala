@@ -161,6 +161,18 @@ class TextDedupSpec extends SparkSpec {
     assert(capped("R150") == (("R150", 1L, 0L, 0L, false)))
   }
 
+  test("readabilityGrade: vowel-group syllables, punctuation-run " +
+    "sentences, exact micro formula; empty docs excluded from the " +
+    "average") {
+    val docs = Seq(("g", "the cat sat. it ran!"), ("g", ""))
+      .toDF("grp", "text")
+    val r = graft.ops.Text.readabilityGrade(docs, $"grp", $"text")
+      .as[(String, Long, Long, Long, Long, Option[Long])].head()
+    // w=5, sentences=2, syllables=5:
+    // (390000*5)//2 + (11800000*5)//5 - 15590000 = -2815000
+    assert(r == (("g", 2L, 5L, 3L, 5L, Some(-2815000L))))
+  }
+
   test("mixedScriptAudit: Latin+Cyrillic tokens flagged, pure-script " +
     "tokens pass, exact rate") {
     // non-ASCII as \uXXXX escapes (repo convention: a channel can
