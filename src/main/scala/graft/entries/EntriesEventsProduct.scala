@@ -19,6 +19,13 @@ private[graft] object EntriesEventsProduct {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Product analytics: MARKET-BASKET association rules — orders as
+    // baskets, parts as items; support/confidence/lift for pairs
+    // co-bought in ≥ 2 orders, the Σ|basket|² pair join (baskets
+    // bounded by the order, never an item cross).
+    "q511_market_basket" -> ((s, dir) =>
+      Events.marketBasket(t(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_partkey"), 2L)),
     // Bandit/off-policy: REPLAY + IPS + SNIPS evaluation of a
     // deterministic target policy over md5-logged arms with
     // arm-dependent (non-uniform) logging propensities — the three
@@ -549,6 +556,33 @@ private[graft] object EntriesEventsProduct {
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    // Distinct basket lines, within-order pair join, HAVING support
+    // trim BEFORE the marginal joins, HUGEINT floors.
+    "q511_market_basket" ->
+      """WITH bi AS (SELECT DISTINCT l_orderkey AS bk,
+        |    l_partkey AS it FROM lineitem),
+        |nb AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n
+        |  FROM bi),
+        |m AS (SELECT it, CAST(count(*) AS BIGINT) AS n_it
+        |  FROM bi GROUP BY 1),
+        |p AS (SELECT a.it AS item_a, b.it AS item_b,
+        |    CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM bi a JOIN bi b ON a.bk = b.bk AND a.it < b.it
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.item_a, p.item_b, p.n_ab,
+        |  ma.n_it AS n_a, mb.n_it AS n_b,
+        |  CAST((CAST(p.n_ab AS HUGEINT) * 1000000) // nb.n
+        |    AS BIGINT) AS support_micro,
+        |  CAST((CAST(p.n_ab AS HUGEINT) * 1000000) // ma.n_it
+        |    AS BIGINT) AS conf_a_to_b_micro,
+        |  CAST((CAST(p.n_ab AS HUGEINT) * 1000000) // mb.n_it
+        |    AS BIGINT) AS conf_b_to_a_micro,
+        |  CAST((CAST(p.n_ab AS HUGEINT) * nb.n * 1000000)
+        |    // (CAST(ma.n_it AS HUGEINT) * mb.n_it) AS BIGINT)
+        |    AS lift_micro
+        |FROM p JOIN m ma ON ma.it = p.item_a
+        |  JOIN m mb ON mb.it = p.item_b CROSS JOIN nb""".stripMargin,
 
     // Same md5 arms/rewards/propensities; HUGEINT floored weights
     // per matching row, three one-floor estimators.

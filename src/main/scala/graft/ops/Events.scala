@@ -281,6 +281,56 @@ object Events {
             (col("mean_c_post_micro") - col("mean_c_pre_micro"))))
   }
 
+  /** MARKET-BASKET association rules (Agrawal–Srikant's
+    * support/confidence/lift, pairs tier) — the co-occurrence read
+    * over (basket, item) rows: for item pairs appearing in ≥
+    * `minCount` baskets, exact support, both directional
+    * confidences, and lift, each ONE ×1e6 floor of exact integer
+    * counts. Scale shape: distinct (basket, item) first, then the
+    * within-basket self-join — Σ|basket|² work with |basket| bounded
+    * by the domain (an order, a session), never an item-domain
+    * cross; item marginals are an item-sized table joined back onto
+    * the (already support-filtered) pair table. The minCount filter
+    * applies BEFORE the marginal joins, so the long tail of
+    * singleton pairs never reaches a shuffle join. Output per
+    * canonical pair (a < b): (item_a, item_b, n_ab, n_a, n_b,
+    * support_micro, conf_a_to_b_micro, conf_b_to_a_micro,
+    * lift_micro).
+    */
+  def marketBasket(df: DataFrame, basket: Column, item: Column,
+                   minCount: Long): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    def dec(c: Column): Column = c.cast("decimal(38,0)")
+    def fdiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val bi = df.select(basket.as("bk"), item.as("it")).distinct()
+    val nB = bi.select(col("bk")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val marg = bi.groupBy(col("it")).agg(count(lit(1)).as("n_it"))
+    val pairs = bi.select(col("bk"), col("it").as("item_a"))
+      .join(bi.select(col("bk"), col("it").as("item_b")), Seq("bk"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    pairs
+      .join(marg.select(col("it").as("item_a"), col("n_it").as("n_a")),
+        Seq("item_a"))
+      .join(marg.select(col("it").as("item_b"), col("n_it").as("n_b")),
+        Seq("item_b"))
+      .crossJoin(broadcast(nB))
+      .select(col("item_a"), col("item_b"), col("n_ab"), col("n_a"),
+        col("n_b"),
+        fdiv(dec(col("n_ab")) * lit(1000000L), dec(col("n_baskets")))
+          .as("support_micro"),
+        fdiv(dec(col("n_ab")) * lit(1000000L), dec(col("n_a")))
+          .as("conf_a_to_b_micro"),
+        fdiv(dec(col("n_ab")) * lit(1000000L), dec(col("n_b")))
+          .as("conf_b_to_a_micro"),
+        fdiv(dec(col("n_ab")) * col("n_baskets") * lit(1000000L),
+          dec(col("n_a")) * col("n_b")).as("lift_micro"))
+  }
+
   /** COVARIATE-BALANCE audit (standardized mean differences — the
     * Table-1 column every observational study prints): per covariate
     * the treated/control means and SMD = (m_T − m_C)/√((v_T+v_C)/2)

@@ -44,6 +44,6 @@ class EntrySpec extends SparkSpec {
       s"queries without oracle: ${(q -- o).toSeq.sorted.mkString(", ")}")
     assert((o -- q).isEmpty,
       s"orphan oracles: ${(o -- q).toSeq.sorted.mkString(", ")}")
-    assert(q.size >= 510, s"query surface shrank: ${q.size}")
+    assert(q.size >= 511, s"query surface shrank: ${q.size}")
   }
 }

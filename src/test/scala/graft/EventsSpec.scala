@@ -422,6 +422,26 @@ class EventsSpec extends SparkSpec {
         Option[Long], Option[Long], Option[Long])].head()._9.isEmpty)
   }
 
+  test("marketBasket: support/confidence/lift on a hand corpus; " +
+    "duplicate basket lines collapse; minCount trims the tail") {
+    import org.apache.spark.sql.functions.col
+    val rows = Seq(
+      (1L, "x"), (1L, "y"), (1L, "y"), // dup line collapses
+      (2L, "x"), (2L, "y"), (2L, "z"),
+      (3L, "x"), (3L, "z"),
+      (4L, "y")).toDF("bk", "it")
+    val out = graft.ops.Events.marketBasket(rows, col("bk"),
+        col("it"), 2L)
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // n_baskets 4; x: 3, y: 3, z: 2; xy: 2, xz: 2, yz: 1 (trimmed)
+    assert(out.keySet == Set(("x", "y"), ("x", "z")))
+    assert(out(("x", "y")) == (("x", "y", 2L, 3L, 3L,
+      500000L, 666666L, 666666L, 888888L)))
+    assert(out(("x", "z")) == (("x", "z", 2L, 3L, 2L,
+      500000L, 666666L, 1000000L, 1333333L)))
+  }
+
   test("smdBalance: exact means, pooled-variance SMD, the 0.1 bar") {
     import org.apache.spark.sql.functions.col
     val rows = Seq(

@@ -814,4 +814,34 @@ class PhysicalPlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       s"q' must broadcast into the dim join:\n$p")
   }
+
+  test("binaryTopC: the bounded query codes broadcast into the " +
+      "hamming scan — the corpus never shuffles for the coarse tier") {
+    val p = plan("q497_binary_ann")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query codes must broadcast into the id-inequality scan:\n$p")
+  }
+
+  test("fairnessAudit: two hash aggregates with map-side partials, " +
+      "the overall row broadcast — no window anywhere") {
+    val p = plan("q505_fairness")
+    assert(p.contains("partial_count"),
+      "group counts must combine map-side")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"),
+      s"the overall row must broadcast onto groups:\n$p")
+    assert(!p.contains("Window"), s"no window expected:\n$p")
+  }
+
+  test("marketBasket: the support trim runs before the marginal " +
+      "joins (filter under the join, not above it)") {
+    val p = plan("q511_market_basket")
+    // the n_ab >= minCount filter must sit on the aggregate BELOW the
+    // two marginal joins: no Join node may appear before (= shallower
+    // than) the HAVING filter in the formatted tree order
+    val havingIdx = p.indexOf("(n_ab")
+    assert(havingIdx >= 0, s"support filter missing:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      "marginal joins present")
+  }
 }
