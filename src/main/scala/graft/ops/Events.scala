@@ -298,15 +298,25 @@ object Events {
     * lift_micro).
     */
   def marketBasket(df: DataFrame, basket: Column, item: Column,
-                   minCount: Long): DataFrame = {
+                   minCount: Long, maxBasket: Long = 0L): DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     def fdiv(a: Column, b: Column): Column =
       ((a - pmod(a, b)) / b).cast("long")
-    val bi = df.select(basket.as("bk"), item.as("it")).distinct()
-    val nB = bi.select(col("bk")).distinct()
+    val bi0 = df.select(basket.as("bk"), item.as("it")).distinct()
+    // q102/OPH density guard: one mega-basket of m items yields m²
+    // pairs in a single join task. Over-cap baskets are dropped from
+    // PAIRING only (they still count in n_baskets and the item
+    // marginals — support semantics stay corpus-wide); 0 = unlimited.
+    val bi =
+      if (maxBasket <= 0) bi0
+      else bi0.join(bi0.groupBy(col("bk"))
+          .agg(count(lit(1)).as("sz"))
+          .filter(col("sz") <= maxBasket).select(col("bk")),
+        Seq("bk"), "left_semi")
+    val nB = bi0.select(col("bk")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
-    val marg = bi.groupBy(col("it")).agg(count(lit(1)).as("n_it"))
+    val marg = bi0.groupBy(col("it")).agg(count(lit(1)).as("n_it"))
     val pairs = bi.select(col("bk"), col("it").as("item_a"))
       .join(bi.select(col("bk"), col("it").as("item_b")), Seq("bk"))
       .filter(col("item_a") < col("item_b"))

@@ -459,18 +459,29 @@ object Graph {
     * Output per candidate pair: (a, b, common, jaccard_micro,
     * ra_micro).
     */
-  def linkPredictionScores(edges: DataFrame): DataFrame = {
+  def linkPredictionScores(edges: DataFrame,
+                           maxDegree: Long = 0L): DataFrame = {
     def dec(c: Column): Column = c.cast("decimal(38,0)")
     def fdiv(a: Column, b: Column): Column =
       ((a - pmod(a, b)) / b).cast("long")
     val ue = edges.filter(col("src") =!= col("dst"))
       .select(col("src"), col("dst"))
-    val sym = ue.unionByName(
+    val sym0 = ue.unionByName(
         ue.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-    val deg = sym.groupBy(col("src").as("id"))
+    val deg = sym0.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("deg"))
-    val wedges = sym.as("l").join(sym.as("r"),
+    // q102/OPH density guard: a hub of degree h contributes h² wedges
+    // through its middle — at population scale one celebrity node
+    // makes the join quadratic IN ONE TASK. Capping the MIDDLE node's
+    // degree (the left side's dst IS the wedge middle) drops almost
+    // no signal — RA weights a hub's wedge 1/h anyway; 0 = unlimited.
+    val sym =
+      if (maxDegree <= 0) sym0
+      else sym0.join(
+        deg.filter(col("deg") <= maxDegree)
+          .select(col("id").as("dst")), Seq("dst"), "left_semi")
+    val wedges = sym.as("l").join(sym0.as("r"),
         col("l.dst") === col("r.src") && col("l.src") < col("r.dst"))
       .select(col("l.src").as("a"), col("r.dst").as("b"),
         col("l.dst").as("z"))
@@ -479,7 +490,7 @@ object Graph {
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common"),
         sum(fdiv(dec(lit(1000000L)), dec(col("dz")))).as("ra_micro"))
-      .join(sym.select(col("src").as("a"), col("dst").as("b")),
+      .join(sym0.select(col("src").as("a"), col("dst").as("b")),
         Seq("a", "b"), "left_anti") // drop already-linked pairs
     wedges
       .join(deg.select(col("id").as("a"), col("deg").as("da")),

@@ -442,6 +442,23 @@ class EventsSpec extends SparkSpec {
       500000L, 666666L, 1000000L, 1333333L)))
   }
 
+  test("marketBasket: the mega-basket guard skips pairing but keeps " +
+    "corpus-wide support/marginal semantics") {
+    import org.apache.spark.sql.functions.col
+    val rows = (Seq((1L, "x"), (1L, "y"), (2L, "x"), (2L, "y")) ++
+      Seq("x", "y", "z", "w", "v").map(i => (3L, i)))
+      .toDF("bk", "it")
+    val out = graft.ops.Events.marketBasket(rows, col("bk"),
+        col("it"), 2L, 4L)
+      .as[(String, String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // basket 3 (5 items > cap 4) never pairs; x/y marginals and the
+    // basket denominator still count it
+    assert(out.keySet == Set(("x", "y")))
+    assert(out(("x", "y"))._3 == 2L && out(("x", "y"))._4 == 3L)
+    assert(out(("x", "y"))._6 == 666666L, "support over ALL 3 baskets")
+  }
+
   test("smdBalance: exact means, pooled-variance SMD, the 0.1 bar") {
     import org.apache.spark.sql.functions.col
     val rows = Seq(

@@ -393,4 +393,14 @@ class GraphSpec extends SparkSpec {
     assert(out((2L, 4L)) == ((2L, 4L, 1L, 500000L, 333333L)))
   }
 
+  test("linkPredictionScores: the hub-degree guard drops wedges " +
+    "through over-cap middles") {
+    // star 0-(1..5) plus 1-2: all 9 candidates go through the hub
+    val edges = ((1L to 5L).map(i => (0L, i)) :+ (1L, 2L))
+      .toDF("src", "dst")
+    assert(Graph.linkPredictionScores(edges).count() == 9)
+    // cap 4 excludes the degree-5 hub as a wedge middle
+    assert(Graph.linkPredictionScores(edges, 4L).count() == 0)
+  }
+
 }
