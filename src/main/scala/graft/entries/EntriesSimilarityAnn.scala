@@ -231,15 +231,21 @@ private[graft] object EntriesSimilarityAnn {
     "q365_triplet_mining" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id").as("id"),
         col("embedding").as("vec"), col("label"))
+      // anchor/candidate norms hoisted out of the |a|·|e| pair block
+      // (Similarity.cosineHoisted — bit-identical to the fused cosine)
       val a = e.filter(col("id") % 50 === 0)
-        .select(col("id").as("aid"), col("vec").as("av"),
-          col("label").as("al"))
+        .select(col("id").as("aid"),
+          col("vec").cast("array<double>").as("av"),
+          col("label").as("al"), Similarity.normHoisted(col("vec")).as("an"))
       val joined = broadcast(a)
-        .join(e.select(col("id").as("cid"), col("vec").as("cv"),
-          col("label").as("cl")), col("aid") =!= col("cid"))
+        .join(e.select(col("id").as("cid"),
+          col("vec").cast("array<double>").as("cv"),
+          col("label").as("cl"),
+          Similarity.normHoisted(col("vec")).as("cn")),
+          col("aid") =!= col("cid"))
         .withColumn("same", col("al") === col("cl"))
-        .withColumn("cm", round(Similarity.cosine(col("av"), col("cv"))
-          * 1e6).cast("long"))
+        .withColumn("cm", round(Similarity.cosineHoisted(col("av"),
+          col("cv"), col("an"), col("cn")) * 1e6).cast("long"))
       val w = Window.partitionBy(col("aid"), col("same"))
         .orderBy(col("cm").desc, col("cid"))
       val best = joined.withColumn("rn", row_number().over(w))
@@ -455,11 +461,13 @@ private[graft] object EntriesSimilarityAnn {
           Dedup.hashLong(concat(lit("ea"),
             col("vec_id").cast("string"))).as("h"))
         .orderBy(col("h"), col("id")).limit(200)
-        .select(col("id"), col("vec"), col("lb"))
+        .select(col("id"), col("vec").cast("array<double>").as("vec"),
+          col("lb"), Similarity.normHoisted(col("vec")).as("vn"))
       val pairs = panel.as("a").join(panel.as("b"),
           col("a.id") < col("b.id"))
         .select((col("a.lb") === col("b.lb")).as("y"),
-          round(round(Similarity.cosine(col("a.vec"), col("b.vec")), 6)
+          round(round(Similarity.cosineHoisted(col("a.vec"), col("b.vec"),
+            col("a.vn"), col("b.vn")), 6)
             .cast("decimal(20,10)") * 1000000).cast("long").as("sm"))
       Profile.aucExact(pairs, col("y"), col("sm"), 1000000L)
     }),
@@ -793,10 +801,16 @@ private[graft] object EntriesSimilarityAnn {
       val assign = Similarity.ivfAssignL2Scored(e,
           Similarity.kmeansTrainL2(e, c0, 1))
         .select(col("id"), col("vec"), col("cell"))
-      val knn = assign.as("a").join(assign.as("b"),
+      val knn = assign
+        .withColumn("vn", Similarity.normHoisted(col("vec")))
+        .withColumn("vecd", col("vec").cast("array<double>"))
+        .as("a").join(assign
+          .withColumn("vn", Similarity.normHoisted(col("vec")))
+          .withColumn("vecd", col("vec").cast("array<double>")).as("b"),
           col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
         .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"),
-          round(Similarity.cosine(col("a.vec"), col("b.vec")), 6)
+          round(Similarity.cosineHoisted(col("a.vecd"), col("b.vecd"),
+            col("a.vn"), col("b.vn")), 6)
             .as("sim"))
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("query_id"))

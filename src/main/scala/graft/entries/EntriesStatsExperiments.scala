@@ -591,8 +591,11 @@ private[graft] object EntriesStatsExperiments {
     // decay, which are positional heuristics): session journeys →
     // absorbing-chain transition counts → P(conv) from START with
     // each channel's inbound edges cut; credit ∝ removal effect.
-    // Eight ×1e9-snapped unrolled value-iteration steps on
-    // |channels|·|states|-row frames (see Events.markovRemovalEffect).
+    // Eight ×1e9-snapped value-iteration steps solved DRIVER-side on
+    // the collected |states|²-bounded matrix (r15: the former
+    // unrolled-DataFrame chain was a 528 KB physical plan and ~30
+    // scheduler rounds of tiny shuffles — see
+    // Events.markovRemovalEffect; oracle pins arithmetic equality).
     "q311_removal_effect" -> ((s, dir) =>
       Events.markovRemovalEffect(
         Events.journeyTransitions(t(s, dir, "events"),

@@ -878,68 +878,99 @@ object Events {
     * (snapped) conversion probability; the 0-clamp absorbs ±1-unit
     * snap noise.
     *
-    * Scale shape: everything after `transitions` operates on frames of
-    * at most |channels|·|states| rows — the unroll is `steps` joins of
-    * tiny aggregates, independent of corpus size; nothing collects.
+    * Scale shape: only `transitions` is corpus-sized; the frame it
+    * yields is ≤ |types+2|² rows — a MODEL matrix, not data — so the
+    * `steps`-round value iteration runs DRIVER-SIDE on the collected
+    * matrix (the LinearModel.logisticGd / Preference Bradley-Terry
+    * bounded-domain precedent, guarded by the limit-collect
+    * convention). The former unrolled-DataFrame formulation spent
+    * ~30 scheduler rounds on |channels|·|states|-row shuffles — pure
+    * per-stage overhead at every scale (r15 optimization: 6.6 s →
+    * the cost of the journey extraction alone at sf0.1); the driver
+    * chain replays the identical arithmetic (same IEEE divisions,
+    * same HALF_UP rounds via BigDecimal — Spark's own Round
+    * semantics — same exact long sums), and the q311 oracle gate
+    * pins the equality.
     */
   def markovRemovalEffect(transitions: DataFrame,
                           steps: Int = 8): DataFrame = {
     require(steps >= 1 && steps <= 64, s"steps out of [1,64]: $steps")
-    // the transition frame is |types+2|² rows but its LINEAGE is the
-    // corpus-sized session pipeline, and every unrolled step below
-    // references it (edges, rt, pc, rms all derive from it) — eager
-    // localCheckpoint truncates the plan so the journey extraction
-    // runs exactly once (the q247 iterating-graph lesson, NOTES 86)
-    val tr = transitions.select(col("from_s"), col("to_s"), col("n"))
-      .localCheckpoint(true)
-    val rt = tr.groupBy(col("from_s")).agg(sum(col("n")).as("rt"))
-    val pc = rt.join(tr.filter(col("to_s") === "CONV")
-        .select(col("from_s"), col("n").as("ncv")), Seq("from_s"), "left")
-      .select(col("from_s").as("st"),
-        round(coalesce(col("ncv"), lit(0L)).cast("double") /
-          col("rt").cast("double") * 1e9).cast("long").as("pc9"))
-    val edges = tr.filter(col("to_s") =!= "CONV" && col("to_s") =!= "DROP")
-      .join(rt, "from_s")
-      .select(col("from_s"), col("to_s"),
-        (col("n").cast("double") / col("rt").cast("double")).as("pd"))
-    val rms = tr.filter(col("from_s") =!= "START")
-      .select(col("from_s").as("rm"))
-      .unionByName(edges.select(col("to_s").as("rm")))
-      .distinct()
-      .unionByName(tr.limit(1).select(lit("__none").as("rm")))
-    val init = rms.crossJoin(pc)
-    var v = init.withColumn("v9", col("pc9"))
-    for (_ <- 1 until steps) {
-      val sc = edges.join(
-          v.select(col("rm"), col("st").as("to_s"), col("v9")), "to_s")
-        .filter(col("to_s") =!= col("rm"))
-        .select(col("rm"), col("from_s").as("st"),
-          round(col("pd") * col("v9")).cast("long").as("c"))
-        .groupBy(col("rm"), col("st")).agg(sum(col("c")).as("sc"))
-      v = init.join(sc, Seq("rm", "st"), "left")
-        .select(col("rm"), col("st"), col("pc9"),
-          (col("pc9") + coalesce(col("sc"), lit(0L))).as("v9"))
+    val spark = transitions.sparkSession
+    // Spark round(double) semantics: BigDecimal.valueOf (canonical
+    // shortest decimal) then setScale(HALF_UP) — NOT math.round, whose
+    // floor(x+0.5) drifts on halfway-adjacent doubles
+    def rnd9(x: Double): Long =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact
+    // round((x)::decimal(20,10), 4)::double — the engine's exact
+    // double→decimal→round→double chain
+    def dec4(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(10, java.math.RoundingMode.HALF_UP)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
+    // bounded-domain guard (the limit(65537) convention): the matrix
+    // is keyed by event types, not documents — fail fast, never OOM
+    val rows = transitions.select(col("from_s"), col("to_s"), col("n"))
+      .limit(65537).collect()
+    require(rows.length < 65537,
+      "markovRemovalEffect: transition matrix exceeds the bounded-domain " +
+        "contract (>=65537 rows) — states must be an event-type " +
+        "vocabulary, not data rows")
+    val tr = rows.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("channel",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("removal_effect",
+        org.apache.spark.sql.types.DoubleType, nullable = true),
+      org.apache.spark.sql.types.StructField("attribution_share",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    def emit(out: Seq[(String, Option[Double], Option[Double])]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(out.map { case (c, re, as) =>
+          org.apache.spark.sql.Row(c, re.orNull, as.orNull)
+        }, math.max(1, math.min(out.size, 4))), schema)
+    if (tr.isEmpty) return emit(Nil)
+    val rt = tr.groupBy(_._1).map { case (k, g) => k -> g.map(_._3).sum }
+    // pc9: ×1e9-snapped P(conv) per state with outgoing mass
+    val convN = tr.filter(_._2 == "CONV").map(t => t._1 -> t._3).toMap
+    val pc9 = rt.map { case (st, t) =>
+      st -> rnd9(convN.getOrElse(st, 0L).toDouble / t.toDouble * 1e9)
     }
-    val pst = v.filter(col("st") === "START")
-      .select(col("rm"), col("v9").as("p9"))
-    val base = pst.filter(col("rm") === "__none")
-      .select(col("p9").as("b9"))
-    val re = pst.filter(col("rm") =!= "__none")
-      .crossJoin(broadcast(base))
-      .select(col("rm").as("channel"),
-        greatest(lit(0L), col("b9") - col("p9")).as("re9"), col("b9"))
-    val tot = re.agg(sum(col("re9")).as("ret"))
-    // b9 = 0 (a corpus with zero conversions) must yield null, not a
-    // NaN→null-by-cast divergence from the SQL oracle (ADVICE r11)
-    re.crossJoin(broadcast(tot))
-      .select(col("channel"),
-        when(col("b9") === 0, lit(null)).otherwise(
-          round((col("re9").cast("double") / col("b9").cast("double"))
-            .cast("decimal(20,10)"), 4).cast("double"))
-          .as("removal_effect"),
-        when(col("ret") === 0, lit(null)).otherwise(
-          round((col("re9").cast("double") / col("ret").cast("double"))
-            .cast("decimal(20,10)"), 4).cast("double"))
-          .as("attribution_share"))
+    val edges = tr.filter(t => t._2 != "CONV" && t._2 != "DROP")
+      .map(t => (t._1, t._2, t._3.toDouble / rt(t._1).toDouble))
+    val channels = (tr.filter(_._1 != "START").map(_._1) ++
+      edges.map(_._2)).distinct.sorted
+    val rms = channels :+ "__none"
+    // value iteration per removal variant: v9(st) = pc9(st) + Σ over
+    // edges st→to (to != removed, to in pc domain) round(pd · v9(to))
+    val states = pc9.keys.toVector
+    val pst = rms.map { rm =>
+      var v: Map[String, Long] = pc9
+      for (_ <- 1 until steps) {
+        val sc = edges.iterator
+          .filter(e => e._2 != rm && v.contains(e._2))
+          .map(e => e._1 -> rnd9(e._3 * v(e._2).toDouble))
+          .toSeq.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).sum }
+        v = states.map(st => st -> (pc9(st) + sc.getOrElse(st, 0L))).toMap
+      }
+      rm -> v.getOrElse("START", 0L)
+    }.toMap
+    // a variant with no START row contributes p9 = 0 exactly like the
+    // former frame (its (rm, START) row was absent from the v filter)
+    val hasStart = pc9.contains("START")
+    def p9(rm: String): Option[Long] =
+      if (hasStart) Some(pst(rm)) else None
+    val b9 = p9("__none")
+    val out = for {
+      ch <- channels
+      b <- b9.toSeq
+      p <- p9(ch).toSeq
+    } yield (ch, math.max(0L, b - p), b)
+    val ret = out.map(_._2).sum
+    emit(out.map { case (ch, re9, b) =>
+      (ch,
+        if (b == 0L) None else Some(dec4(re9.toDouble / b.toDouble)),
+        if (ret == 0L) None else Some(dec4(re9.toDouble / ret.toDouble)))
+    })
   }
 }

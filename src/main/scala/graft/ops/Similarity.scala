@@ -80,6 +80,27 @@ object Similarity {
   def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Per-ROW norm for the hoisted pair-kernel form: √dot(v,v) with the
+    * native sequential ascending accumulation — the exact value the
+    * fused [[cosine]] loop computes for each side internally.
+    */
+  private[graft] def normHoisted(v: Column): Column =
+    sqrt(graft.functions.NativeFunctions.dotProduct(v, v))
+
+  /** Pair-side of the hoisted cosine: dot(a,b)/(na·nb) where na/nb are
+    * [[normHoisted]] values carried on each row. BIT-IDENTICAL to
+    * [[cosine]] (same IEEE ops in the same order — the fused loop's
+    * three accumulators never interact until the final divide;
+    * NativeExprSpec pins the equality), but a |Q|·|C| pair block pays
+    * one multiply-add per element instead of three and no per-pair
+    * sqrt (guide §1.2 step 2: per-task work). Precondition: both
+    * sides' vectors share one dimensionality (the fused loop norms
+    * only min-length prefixes).
+    */
+  private[graft] def cosineHoisted(a: Column, b: Column,
+                                   na: Column, nb: Column): Column =
+    graft.functions.NativeFunctions.dotProduct(a, b) / (na * nb)
+
   /** Brute-force cosine top-k: every query row (`queries`: id, vec)
     * against every candidate row (`candidates`: id, vec), keep the k
     * nearest per query. Queries are broadcast — the big side streams once
@@ -96,12 +117,31 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int,
                      maxQueries: Long = DefaultMaxQueries): DataFrame = {
     guardBoundedQueries(queries, maxQueries, "bruteForceTopK")
-    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
-    val c = candidates.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+    // Per-pair work is the whole cost of this kernel (|Q|·|C| pairs):
+    // hoist each side's norm out of the pair loop — one √dot(v,v) per
+    // ROW instead of two per PAIR, so the pair stage runs one
+    // multiply-add per element instead of three (guide §1.2 step 2).
+    // dot/(√na·√nb) recomposes the fused cosine expression's exact
+    // IEEE sequence (same ascending accumulation, same final ops), so
+    // `sim` is BIT-IDENTICAL to cosine() — NativeExprSpec pins it.
+    // Precondition (held by every caller): both sides' vectors share
+    // one dimensionality, as the fused loop norms only min-length
+    // prefixes.
+    // the float→double cast is hoisted with the norm: otherwise the
+    // implicit array<float>→array<double> cast re-allocates per PAIR
+    // (measured as the dominant per-pair cost at dim 64 — the cast is
+    // exact, so hoisting it is bit-identical)
+    val q = queries.select(col("id").as("query_id"),
+      col("vec").cast("array<double>").as("qv"),
+      normHoisted(col("vec")).as("qn"))
+    val c = candidates.select(col("id").as("neighbor_id"),
+      col("vec").cast("array<double>").as("cv"),
+      normHoisted(col("vec")).as("cn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim", round(cosineHoisted(col("qv"), col("cv"),
+        col("qn"), col("cn")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")
@@ -156,13 +196,15 @@ object Similarity {
         snapMicro(col("sim")).as("rel_m"))
       .persist()
     val cv = candidates.select(col("id").cast("long").as("cid"),
-      col("vec").as("cvec"))
+      col("vec").cast("array<double>").as("cvec"),
+      normHoisted(col("vec")).as("cvn"))
     val pool = rel.select(col("qid"), col("cid")).join(cv, "cid")
     val sims = pool.as("x").join(pool.as("y"),
         col("x.qid") === col("y.qid") && col("x.cid") =!= col("y.cid"))
       .select(col("x.qid").as("sqid"), col("x.cid").as("a"),
         col("y.cid").as("b"),
-        snapMicro(round(cosine(col("x.cvec"), col("y.cvec")), 6))
+        snapMicro(round(cosineHoisted(col("x.cvec"), col("y.cvec"),
+          col("x.cvn"), col("y.cvn")), 6))
           .as("sim_m"))
       .persist()
     val mu = lamDen - lamNum
@@ -218,12 +260,18 @@ object Similarity {
                     dupThreshold: Double, k: Int,
                     maxQueries: Long = DefaultMaxQueries): DataFrame = {
     guardBoundedQueries(queries, maxQueries, "hardNegatives")
-    val q = queries.select(col("id").as("query_id"), col("vec").as("qv"))
-    val c = candidates.select(col("id").as("neighbor_id"), col("vec").as("cv"))
+    // per-row norm hoist — see cosineHoisted (bit-identical recompose)
+    val q = queries.select(col("id").as("query_id"),
+      col("vec").cast("array<double>").as("qv"),
+      normHoisted(col("vec")).as("qn"))
+    val c = candidates.select(col("id").as("neighbor_id"),
+      col("vec").cast("array<double>").as("cv"),
+      normHoisted(col("vec")).as("cn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("sim", round(cosineHoisted(col("qv"), col("cv"),
+        col("qn"), col("cn")), 6))
       .filter(col("sim") < dupThreshold)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -236,10 +284,15 @@ object Similarity {
     * (use cosineNearDupPairsExact for that).
     */
   def cosineNearDupPairs(vecs: DataFrame, threshold: Double): DataFrame =
-    vecs.select(col("id").as("id_a"), col("vec").as("va")).as("a")
-      .join(vecs.select(col("id").as("id_b"), col("vec").as("vb")).as("b"),
+    vecs.select(col("id").as("id_a"),
+        col("vec").cast("array<double>").as("va"),
+        normHoisted(col("vec")).as("na")).as("a")
+      .join(vecs.select(col("id").as("id_b"),
+          col("vec").cast("array<double>").as("vb"),
+          normHoisted(col("vec")).as("nb")).as("b"),
         col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .withColumn("cos", round(cosineHoisted(col("va"), col("vb"),
+        col("na"), col("nb")), 6))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
 
@@ -442,14 +495,18 @@ object Similarity {
                                     threshold: Double,
                                     nprobe: Int = 2): DataFrame = {
     val probed = ivfProbeCells(vecs, centroids, nprobe)
-      .select(col("qid").as("id"), col("cell"), col("qv"))
+      .select(col("qid").as("id"), col("cell"),
+        col("qv").cast("array<double>").as("qv"),
+        normHoisted(col("qv")).as("nq"))
     sameCellCandidates(
-        probed.select(col("id"), col("cell"), col("qv").as("va")),
+        probed.select(col("id"), col("cell"), col("qv").as("va"),
+          col("nq").as("na")),
         probed.select(col("id"), col("cell"), col("qv").as("vb"),
-          lit(true).as("is_new")),
-        probeCarry = Seq("va"), indexCarry = Seq("vb"))
+          col("nq").as("nb"), lit(true).as("is_new")),
+        probeCarry = Seq("va", "na"), indexCarry = Seq("vb", "nb"))
       .select(col("id_match").as("id_a"), col("id_new").as("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cos"))
+        round(cosineHoisted(col("va"), col("vb"),
+          col("na"), col("nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
       .distinct()
   }
@@ -524,8 +581,15 @@ object Similarity {
     // aggregation collapses to ONE row per id before the exchange —
     // n rows shuffle instead of n×centroids rows shuffled AND sorted.
     // first(vec) is safe: all rows of a group carry the identical vec.
-    vecs.crossJoin(broadcast(centroids))
-      .withColumn("csim", round(cosine(col("vec"), col("cvec")), 6))
+    // norms hoisted out of the |vecs|·|centroids| pair block: one per
+    // row/centroid instead of per pair (cosineHoisted — bit-identical)
+    vecs.withColumn("vn", normHoisted(col("vec")))
+      .withColumn("vecd", col("vec").cast("array<double>"))
+      .crossJoin(broadcast(centroids
+        .withColumn("cn", normHoisted(col("cvec")))
+        .withColumn("cvecd", col("cvec").cast("array<double>"))))
+      .withColumn("csim", round(cosineHoisted(col("vecd"), col("cvecd"),
+        col("vn"), col("cn")), 6))
       .groupBy(col("id"))
       .agg(
         first(col("vec")).as("vec"),
@@ -681,12 +745,15 @@ object Similarity {
     // identical exchange once per execution — persisting here measured
     // ~25% SLOWER (columnar caching of the vector column, lesson 23)
     val assigned = ivfAssign(vecs, centroids)
+      .withColumn("vn", normHoisted(col("vec")))
+      .withColumn("vecd", col("vec").cast("array<double>"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"),
-        round(cosine(col("a.vec"), col("b.vec")), 6).as("sim"))
+        round(cosineHoisted(col("a.vecd"), col("b.vecd"),
+          col("a.vn"), col("b.vn")), 6).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -702,9 +769,15 @@ object Similarity {
     require(nprobe >= 1, "nprobe must be >= 1")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("csim").desc, col("cid"))
-    queries.select(col("id").as("qid"), col("vec").as("qv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("csim", round(cosine(col("qv"), col("cvec")), 6))
+    // norm hoist as in ivfAssignScored; output schema unchanged
+    queries.select(col("id").as("qid"), col("vec").as("qv"),
+        col("vec").cast("array<double>").as("qvd"),
+        normHoisted(col("vec")).as("qn"))
+      .crossJoin(broadcast(centroids
+        .withColumn("cn", normHoisted(col("cvec")))
+        .withColumn("cvecd", col("cvec").cast("array<double>"))))
+      .withColumn("csim", round(cosineHoisted(col("qvd"), col("cvecd"),
+        col("qn"), col("cn")), 6))
       .withColumn("pr", row_number().over(w))
       .filter(col("pr") <= nprobe)
       .select(col("qid"), col("qv"), col("cid").as("cell"), col("pr"))
@@ -732,14 +805,19 @@ object Similarity {
                 k: Int, nprobe: Int = 1,
                 preAssigned: Boolean = false): DataFrame = {
     val assigned =
-      if (preAssigned) corpus else ivfAssign(corpus, centroids)
+      (if (preAssigned) corpus else ivfAssign(corpus, centroids))
+        .withColumn("vn", normHoisted(col("vec")))
+        .withColumn("vecd", col("vec").cast("array<double>"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     ivfProbeCells(queries, centroids, nprobe)
+      .withColumn("qn", normHoisted(col("qv")))
+      .withColumn("qvd", col("qv").cast("array<double>"))
       .join(assigned, Seq("cell"))
       .filter(col("qid") =!= col("id"))
       .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
-        round(cosine(col("qv"), col("vec")), 6).as("sim"))
+        round(cosineHoisted(col("qvd"), col("vecd"),
+          col("qn"), col("vn")), 6).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")
@@ -1408,13 +1486,16 @@ object Similarity {
                           maxQueries: Long = DefaultMaxQueries): DataFrame = {
     guardBoundedQueries(queries, maxQueries, "truncatedCandidates")
     val q = queries.select(col("id").as("qid"),
-      slice(col("vec"), 1, prefixDims).as("qp"))
+        slice(col("vec"), 1, prefixDims).cast("array<double>").as("qp"))
+      .withColumn("qpn", normHoisted(col("qp")))
     val c = corpus.select(col("id"),
-      slice(col("vec"), 1, prefixDims).as("vp"))
+        slice(col("vec"), 1, prefixDims).cast("array<double>").as("vp"))
+      .withColumn("vpn", normHoisted(col("vp")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("psim").desc, col("id"))
     broadcast(q).join(c, col("qid") =!= col("id"))
-      .withColumn("psim", round(cosine(col("qp"), col("vp")), 6))
+      .withColumn("psim", round(cosineHoisted(col("qp"), col("vp"),
+        col("qpn"), col("vpn")), 6))
       .withColumn("prank", row_number().over(w))
       .filter(col("prank") <= shortlist)
       .select("qid", "id", "prank")
@@ -1429,13 +1510,18 @@ object Similarity {
     */
   def rerankExact(queries: DataFrame, corpus: DataFrame,
                   candidates: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("id").as("qid"), col("vec").as("qv"))
+    val q = queries.select(col("id").as("qid"),
+      col("vec").cast("array<double>").as("qv"),
+      normHoisted(col("vec")).as("qn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    candidates.join(corpus.select(col("id"), col("vec").as("cv")), Seq("id"))
+    candidates.join(corpus.select(col("id"),
+        col("vec").cast("array<double>").as("cv"),
+        normHoisted(col("vec")).as("cn")), Seq("id"))
       .join(broadcast(q), Seq("qid"))
       .select(col("qid").as("query_id"), col("id").as("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("sim"))
+        round(cosineHoisted(col("qv"), col("cv"),
+          col("qn"), col("cn")), 6).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "rank", "sim")
@@ -1486,14 +1572,17 @@ object Similarity {
     * bucket occupancy, not n².
     */
   def lshTopK(vecs: DataFrame, planes: Array[Array[Long]], k: Int): DataFrame = {
-    val b = vecs.select(col("id"), col("vec"),
-      lshBucket(col("vec"), planes).as("bucket"))
+    val b = vecs.select(col("id"),
+      col("vec").cast("array<double>").as("vec"),
+      lshBucket(col("vec"), planes).as("bucket"),
+      normHoisted(col("vec")).as("vn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"),
-        round(cosine(col("a.vec"), col("b.vec")), 6).as("sim"))
+        round(cosineHoisted(col("a.vec"), col("b.vec"),
+          col("a.vn"), col("b.vn")), 6).as("sim"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -1910,18 +1999,26 @@ object Similarity {
       aggregate(zip_with(a, b, (p, q) => p * q), lit(0L),
         (acc, t) => acc + t)
     val proj = signedProjection(vecs, id, vec, k, d, scale)
-    val base = vecs.select(id.as("id"), vec.as("v")).join(proj, Seq("id"))
+    // both sides' norms (original vector AND projected long vector)
+    // hoisted out of the B² pair block — per row, not per pair; the
+    // projected self-dots are exact long sums so the hoist is
+    // arithmetic-identical, the original-vector side rides
+    // cosineHoisted's bit-identity contract
+    val base = vecs.select(id.as("id"),
+        vec.cast("array<double>").as("v")).join(proj, Seq("id"))
+      .withColumn("vn", normHoisted(col("v")))
+      .withColumn("yn", sqrt(dotL(col("y"), col("y")).cast("double")))
     val a = base.select(col("id").as("id_a"), col("v").as("va"),
-      col("y").as("ya"))
+      col("y").as("ya"), col("vn").as("na"), col("yn").as("pna"))
     val b = base.select(col("id").as("id_b"), col("v").as("vb"),
-      col("y").as("yb"))
+      col("y").as("yb"), col("vn").as("nb"), col("yn").as("pnb"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        snapMicro(round(cosine(col("va"), col("vb")), 6))
+        snapMicro(round(cosineHoisted(col("va"), col("vb"),
+          col("na"), col("nb")), 6))
           .as("cos_orig_micro"),
         snapMicro(round(dotL(col("ya"), col("yb")).cast("double") /
-          (sqrt(dotL(col("ya"), col("ya")).cast("double")) *
-            sqrt(dotL(col("yb"), col("yb")).cast("double"))), 6))
+          (col("pna") * col("pnb")), 6))
           .as("cos_proj_micro"))
       .withColumn("err_micro",
         abs(col("cos_orig_micro") - col("cos_proj_micro")))
@@ -2045,15 +2142,23 @@ object Similarity {
     guardBoundedQueries(queries, maxQueries, "lateInteractionTopK")
     def snapMicro(c: Column): Column =
       round(c.cast("decimal(20,10)") * 1000000).cast("long")
+    // slot norms hoisted out of the m²·|Q|·|D| pair block (subVectors
+    // enforces equal slot lengths, so cosineHoisted's equal-dim
+    // precondition holds across every slot pair)
     val qs = subVectors(queries, m).select(col("id").as("qid"),
-      col("sub").as("qsub"), col("svec").as("qv"))
+      col("sub").as("qsub"),
+      col("svec").cast("array<double>").as("qv"),
+      normHoisted(col("svec")).as("qvn"))
     val ds = subVectors(docs, m).select(col("id").as("did"),
-      col("sub").as("dsub"), col("svec").as("dv"))
+      col("sub").as("dsub"),
+      col("svec").cast("array<double>").as("dv"),
+      normHoisted(col("svec")).as("dvn"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("maxsim_micro").desc, col("did"))
     broadcast(qs).join(ds, col("qid") =!= col("did"))
       .select(col("qid"), col("did"), col("qsub"),
-        snapMicro(round(cosine(col("qv"), col("dv")), 6)).as("sm"))
+        snapMicro(round(cosineHoisted(col("qv"), col("dv"),
+          col("qvn"), col("dvn")), 6)).as("sm"))
       .groupBy(col("qid"), col("did"), col("qsub"))
       .agg(max(col("sm")).as("mx"))
       .groupBy(col("qid"), col("did"))

@@ -1175,11 +1175,16 @@ object Streams {
           val matchVecs = corpusVecs
             .unionByName(fresh.select(col("doc_id"), col("vec")))
           val dropIds = candsP
-            .join(fresh.select(col("doc_id"), col("vec").as("va")),
+            .join(fresh.select(col("doc_id"),
+              col("vec").cast("array<double>").as("va"),
+              Similarity.normHoisted(col("vec")).as("na")),
               Seq("doc_id"))
             .join(matchVecs.select(col("doc_id").as("id_match"),
-              col("vec").as("vb")), Seq("id_match"))
-            .filter(round(Similarity.cosine(col("va"), col("vb")), 6)
+              col("vec").cast("array<double>").as("vb"),
+              Similarity.normHoisted(col("vec")).as("nb")),
+              Seq("id_match"))
+            .filter(round(Similarity.cosineHoisted(col("va"), col("vb"),
+              col("na"), col("nb")), 6)
               >= threshold)
             .select(col("doc_id")).distinct()
           val survivors = fresh.join(dropIds, Seq("doc_id"), "left_anti")

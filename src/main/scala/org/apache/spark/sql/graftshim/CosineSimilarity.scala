@@ -70,6 +70,61 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Catalyst expression for the raw DOT PRODUCT over two double
+  * arrays — the pair-kernel face of [[CosineSimilarity]] for hot paths
+  * where one side's norm can be PRECOMPUTED per row instead of per
+  * pair: cosine(a, b) = dot(a, b) / (√dot(a,a) · √dot(b,b)), and
+  * because this expression accumulates in the exact same ascending
+  * index order as CosineSimilarity's fused loop, the recomposed value
+  * is BIT-IDENTICAL to the fused expression (same IEEE ops in the same
+  * order: the three accumulators never interact until the final
+  * divide). A brute-force block of |Q|·|C| pairs then does one
+  * multiply-add per element per pair instead of three, with the two
+  * norm loops paid |Q|+|C| times instead of |Q|·|C| (guide §1.2 step 2:
+  * per-task work, measured on the q403/q224 cross kernels).
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression with ImplicitCastInputTypes
+  with Serializable {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData].toDoubleArray()
+    val y = b.asInstanceOf[ArrayData].toDoubleArray()
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var i = 0
+    while (i < n) { dot += x(i) * y(i); i += 1 }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |double[] $x = $a.toDoubleArray();
+         |double[] $y = $b.toDoubleArray();
+         |int $n = Math.min($x.length, $y.length);
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $x[$i] * $y[$i];
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Native Catalyst expression for SQUARED L2 distance over two double
   * arrays ([[CosineSimilarity]]'s Euclidean sibling, same codegen
   * rationale — the PQ/IVF-PQ hot path evaluates it per candidate
@@ -127,6 +182,11 @@ object NativeFunctions {
     ExpressionUtils.column(CosineSimilarity(
       ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Column-facing wrapper for the native dot-product expression. */
+  def dotProduct(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   /** Column-facing wrapper for the native squared-L2 expression. */
   def squaredL2(a: Column, b: Column): Column =
     ExpressionUtils.column(SquaredL2(
@@ -179,6 +239,7 @@ object NativeFunctions {
     */
   private[graftshim] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_similarity" -> (exprs => CosineSimilarity(exprs.head, exprs(1))),
+    "dot_product" -> (exprs => DotProduct(exprs.head, exprs(1))),
     "squared_l2" -> (exprs => SquaredL2(exprs.head, exprs(1))),
     "intersect_count" -> (exprs => IntersectCountLong(exprs.head, exprs(1))),
     "simhash" -> (exprs => SimHash(exprs.head, intArg(exprs, 1))),

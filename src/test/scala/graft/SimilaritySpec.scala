@@ -20,6 +20,25 @@ class SimilaritySpec extends SparkSpec {
     assert(native.toSeq == hof.toSeq) // exact equality, not approximate
   }
 
+  test("hoisted-norm cosine recomposes the fused expression bit-for-bit") {
+    // the r15 pair-kernel optimization: dot(a,b)/(√dot(a,a)·√dot(b,b))
+    // with per-row hoisted norms must be EXACTLY the fused cosine — any
+    // reassociation would shift rounded micro sims and break oracle
+    // gates downstream
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 500).map(_ =>
+      (Seq.fill(64)(rnd.nextGaussian()),
+        Seq.fill(64)(rnd.nextGaussian()))).toDF("a", "b")
+    val fused = df.select(Similarity.cosine($"a", $"b"))
+      .as[Double].collect()
+    val hoisted = df
+      .withColumn("na", Similarity.normHoisted($"a"))
+      .withColumn("nb", Similarity.normHoisted($"b"))
+      .select(Similarity.cosineHoisted($"a", $"b", $"na", $"nb"))
+      .as[Double].collect()
+    assert(fused.toSeq == hoisted.toSeq) // exact equality, not approximate
+  }
+
   test("cosine_similarity is callable from the SQL surface after registration") {
     graft.functions.NativeFunctions.register(spark)
     val r = spark.sql(
