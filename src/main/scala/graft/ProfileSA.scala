@@ -67,6 +67,11 @@ object ProfileSA {
       }
       cur.unpersist()
     }
+    // A/B knob for the stage-overhead hypothesis: the doubling rounds
+    // are tiny-stage bound at gate scale — AQE's per-exchange replan
+    // adds latency per round. Dev-tool only; the library never sets it.
+    if (sys.env.contains("SPARK_GRAFT_SA_NOAQE"))
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
     for (pass <- 1 to 2) {
       println(s"--- pass $pass (mod=$mod, parts=$parts) ---")
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")

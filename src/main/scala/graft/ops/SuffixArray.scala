@@ -122,26 +122,51 @@ object SuffixArray {
     Corpus(real.unionByName(sents), numDocs, numSlots, maxSlots, vr)
   }
 
-  /** Prefix doubling to full rank distinctness (see object scaladoc
-    * for the count-below/freeze mechanics). Exits as soon as no tied
-    * group remains (tracked by the per-round checkpoint's resolved
-    * flags — a memory-scan count, no extra shuffle); distinctness at
-    * window L also bounds every LCP < L so the descent set stays
-    * sufficient. Each round eagerly localCheckpoints (the measured
-    * iterative-op convention: unbounded lineage re-analysis is
-    * super-linear).
+  /** The doubling loop shared by [[build]] and [[buildTo]] (see the
+    * object scaladoc for the count-below/freeze mechanics; exits as
+    * soon as no tied group remains, and each round eagerly
+    * localCheckpoints — the measured iterative-op convention). The
+    * per-round unresolved count rides a Dataset.observe metric
+    * collected DURING the checkpoint's own materialization action —
+    * no separate count job per round (r15: at gate scale that was one
+    * extra scheduler round per doubling round; at 100 TB one extra
+    * full pass over the rank frame per round). A narrow
+    * (gpos, rank, cnt)-only variant with an end join-back for the
+    * identity columns was ALSO measured this round and REJECTED: the
+    * re-attach join's own exchange+checkpoint cost more than the
+    * narrower tied-side shuffles saved (BenchSome q356–q373 sum 61.0 s
+    * vs 52.2 s at HEAD), and the geometric tie shrinkage means round 1
+    * is the only wide shuffle that matters.
     */
-  def build(c: Corpus): Built = {
-    val rounds = math.max(1,
-      math.ceil(math.log(c.maxSlots.toDouble) / math.log(2.0)).toInt)
-    var cur = c.positions.localCheckpoint(true)
+  private def unresolvedOf(obs: org.apache.spark.sql.Observation): Long =
+    obs.get.get("unresolved").map(_.asInstanceOf[Long]).getOrElse(0L)
+
+  /** The corpus layout checkpointed once, with the round-0 unresolved
+    * count observed during that same materialization.
+    */
+  private def checkpointFull(positions: DataFrame)
+      : (DataFrame, Long) = {
+    val obs0 = org.apache.spark.sql.Observation()
+    val full = positions
+      .observe(obs0, sum(when(col("cnt") > 1, 1L).otherwise(0L))
+        .as("unresolved"))
+      .localCheckpoint(true)
+    (full, unresolvedOf(obs0))
+  }
+
+  private def doublingRounds(full: DataFrame, unresolved0: Long,
+                             maxLen: Long,
+                             rounds: Int): (DataFrame, Long,
+                               ArrayBuffer[(Long, DataFrame)],
+                               ArrayBuffer[DataFrame], Int) = {
+    var cur = full
     val owned = ArrayBuffer[DataFrame](cur)
     val tables = ArrayBuffer[(Long, DataFrame)](
       (1L, cur.select(col("gpos"), col("rank"))))
     var len = 1L
     var round = 0
-    var unresolved = cur.filter(col("cnt") > 1).count()
-    while (round < rounds && unresolved > 0) {
+    var unresolved = unresolved0
+    while (round < rounds && len < maxLen && unresolved > 0) {
       round += 1
       // successor ranks live on the FULL frame (frozen ranks are exact
       // at every later round); only tied rows pair and re-rank. AQE
@@ -159,13 +184,25 @@ object SuffixArray {
         .select(col("gpos"), col("doc_id"), col("pos"), col("sent"),
           (col("rank") + col("below")).as("rank"),
           col("ties").as("cnt"))
+      val obs = org.apache.spark.sql.Observation()
       cur = cur.filter(col("cnt") === 1).unionByName(upd)
+        .observe(obs, sum(when(col("cnt") > 1, 1L).otherwise(0L))
+          .as("unresolved"))
         .localCheckpoint(true)
       owned += cur
       len *= 2
       tables += ((len, cur.select(col("gpos"), col("rank"))))
-      unresolved = cur.filter(col("cnt") > 1).count()
+      unresolved = unresolvedOf(obs)
     }
+    (cur, unresolved, tables, owned, round)
+  }
+
+  def build(c: Corpus): Built = {
+    val rounds = math.max(1,
+      math.ceil(math.log(c.maxSlots.toDouble) / math.log(2.0)).toInt)
+    val (full, unresolved0) = checkpointFull(c.positions)
+    val (cur, unresolved, tables, owned, round) =
+      doublingRounds(full, unresolved0, Long.MaxValue, rounds)
     // the sentinel bound proves this: at window len ≥ maxSlots every
     // window holds a unique sentinel
     require(unresolved == 0,
@@ -188,33 +225,9 @@ object SuffixArray {
   def buildTo(c: Corpus, windowLen: Long): Built = {
     require(windowLen >= 1 && (windowLen & (windowLen - 1)) == 0,
       s"windowLen must be a power of two, got $windowLen")
-    var cur = c.positions.localCheckpoint(true)
-    val owned = ArrayBuffer[DataFrame](cur)
-    val tables = ArrayBuffer[(Long, DataFrame)](
-      (1L, cur.select(col("gpos"), col("rank"))))
-    var len = 1L
-    var unresolved = cur.filter(col("cnt") > 1).count()
-    while (len < windowLen && unresolved > 0) {
-      val nxt = cur.select((col("gpos") - len).as("gpos"),
-        col("rank").as("r2"))
-      val un = cur.filter(col("cnt") > 1)
-        .join(nxt, Seq("gpos"), "left")
-        .withColumn("r2f", coalesce(col("r2"), lit(-1L)))
-      val wg = Window.partitionBy(col("rank")).orderBy(col("r2f"))
-      val upd = un
-        .withColumn("below", count(lit(1)).over(
-          wg.rangeBetween(Window.unboundedPreceding, -1)))
-        .withColumn("ties", count(lit(1)).over(wg.rangeBetween(0, 0)))
-        .select(col("gpos"), col("doc_id"), col("pos"), col("sent"),
-          (col("rank") + col("below")).as("rank"),
-          col("ties").as("cnt"))
-      cur = cur.filter(col("cnt") === 1).unionByName(upd)
-        .localCheckpoint(true)
-      owned += cur
-      len *= 2
-      tables += ((len, cur.select(col("gpos"), col("rank"))))
-      unresolved = cur.filter(col("cnt") > 1).count()
-    }
+    val (full, unresolved0) = checkpointFull(c.positions)
+    val (cur, _, tables, owned, _) =
+      doublingRounds(full, unresolved0, windowLen, Int.MaxValue)
     Built(cur, tables.toSeq, owned.toSeq)
   }
 
