@@ -152,6 +152,34 @@ object Bench {
       case p if p > 0 && calibMedNow > 0 => normTotal * p / calibMedNow
     }
 
+  /** Greedy top-cost inline per-query map (r15 verdict task 1: the
+    * driver's PERF per_query/scaling machinery reads ONLY the parsed
+    * stdout line, and the stdout tail it captures is a hard 2,000
+    * chars — measured: every BENCH_rN.json tail is exactly 2000 chars,
+    * and rounds 1–4, which printed the full 511-entry map (≥12.9 KB
+    * minified), all landed `parsed: null` because the captured tail
+    * started mid-object). The full map cannot fit, so the stdout line
+    * carries the TOP-COST entries that fit in `budget` serialized
+    * chars (3-decimal seconds, Locale.ROOT), descending by time — the
+    * queries that matter for perf adjudication — while the COMPLETE
+    * map stays in target/bench.json / bench_history.jsonl exactly as
+    * before. Returns (jsonObject, nInlined).
+    */
+  def topQueriesJson(times: Map[String, Double], budget: Int)
+      : (String, Int) = {
+    val parts = times.toSeq.sortBy { case (k, v) => (-v, k) }.map {
+      case (k, v) =>
+        "\"" + k + "\":" + "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    }
+    var len = 2 // the braces
+    val kept = scala.collection.mutable.ArrayBuffer[String]()
+    parts.foreach { p =>
+      val add = p.length + (if (kept.nonEmpty) 1 else 0)
+      if (len + add <= budget) { len += add; kept += p }
+    }
+    (kept.mkString("{", ",", "}"), kept.size)
+  }
+
   /** The previous run's `calib_med` for the same sf dir, from the
     * committed bench history (last matching line wins — the most
     * recent prior run). Regex extraction, not a JSON parser: each
@@ -317,7 +345,21 @@ object Bench {
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     } catch { case _: java.io.IOException => () }
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"runs":2,"agg":"min","calib_s":$calib,"calib_med":$calibMed,"norm_total":$normTotal,$xJson,"queries_file":"target/bench.json"}"""
+    // Parse contract addendum (r15 verdict task 1): the summary line
+    // now also carries an INLINE per-query map — the top-cost entries
+    // that fit — so the driver's per_query/scaling machinery has real
+    // data without following queries_file. The line must stay inside
+    // the captured 2,000-char stdout tail or NOTHING parses (rounds
+    // 1–4), so the map is filled greedily to a fixed total-line budget;
+    // queries_inline says how many of n_queries made it. queries_file
+    // is absolute so a pointer-following driver finds it from any cwd.
+    val qFileAbs = new java.io.File("target/bench.json").getAbsolutePath
+    val summaryBase = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"n_errors":${errors.size},"runs":2,"agg":"min","calib_s":$calib,"calib_med":$calibMed,"norm_total":$normTotal,$xJson,"queries_file":"$qFileAbs","queries_inline":NNN,"queries":QQQ}"""
+    val (inlineQs, nInline) = topQueriesJson(results,
+      1900 - (summaryBase.length - "NNNQQQ".length) - 4)
+    val summary = summaryBase
+      .replace("\"queries_inline\":NNN", s""""queries_inline":$nInline""")
+      .replace("\"queries\":QQQ", s""""queries":$inlineQs""")
     println(summary)
     System.out.flush()
   }

@@ -117,6 +117,31 @@ class BenchSpec extends SparkSpec {
     assert(Bench.xroundTotal(100.0, 0.3, Some(0.0)).isEmpty)
   }
 
+  test("topQueriesJson inlines the top-cost queries first, stays inside " +
+      "the serialized budget, and emits locale-safe 3-decimal JSON " +
+      "(the r15 verdict's driver-visibility fix under the hard " +
+      "2000-char stdout-tail cap)") {
+    val times = Map("q_slowest" -> 9.87654, "q_mid" -> 1.5,
+      "q_fast" -> 0.01, "q_tiny" -> 0.001)
+    // budget fits exactly the two most expensive entries
+    val two = "{\"q_slowest\":9.877,\"q_mid\":1.500}"
+    val (j2, n2) = Bench.topQueriesJson(times, two.length)
+    assert(j2 == two && n2 == 2, s"got $j2 ($n2)")
+    // a huge budget keeps everything, descending by time
+    val (jAll, nAll) = Bench.topQueriesJson(times, 10000)
+    assert(nAll == 4)
+    assert(jAll.indexOf("q_slowest") < jAll.indexOf("q_mid") &&
+      jAll.indexOf("q_mid") < jAll.indexOf("q_fast"))
+    // decimal separator is a dot regardless of default locale
+    assert(jAll.contains("\"q_tiny\":0.001"))
+    // a budget below any entry yields a valid empty object
+    val (j0, n0) = Bench.topQueriesJson(times, 5)
+    assert(j0 == "{}" && n0 == 0)
+    // deterministic tie-break on equal times: name order
+    val (jt, _) = Bench.topQueriesJson(Map("qb" -> 1.0, "qa" -> 1.0), 100)
+    assert(jt.indexOf("\"qa\"") < jt.indexOf("\"qb\""))
+  }
+
   test("lastHistoryCalibMed finds the LAST entry for the requested sf " +
       "dir only, and survives a missing or malformed history") {
     val dir = java.nio.file.Files.createTempDirectory("benchhist")
