@@ -19,15 +19,31 @@ object Tables {
     * references). The memo returns the SAME logical plan, which is
     * pure metadata: every action still scans the parquet files (no
     * data or result is cached — the bench's no-precomputation contract
-    * is untouched). Keyed WEAKLY on the session so a stopped session's
-    * plans never leak into a new one (tests spin up many sessions).
+    * is untouched).
+    *
+    * Eviction is EXPLICIT, not weak (r15 advice): a memoized DataFrame
+    * strongly references its SparkSession, and a WeakHashMap holds
+    * strong refs to its values, so weak keys never collected — every
+    * stopped test session's plans and file indexes leaked. Each
+    * apply() instead purges entries whose SparkContext is stopped
+    * (the map holds a handful of sessions at most, so the sweep is
+    * O(sessions)).
+    *
+    * SNAPSHOT SEMANTICS: the memo pins the file listing and schema
+    * resolved by the FIRST call per (dir, name) for the session's
+    * lifetime — parquet files added/replaced under the same path later
+    * are invisible to that session (exactly like Spark's own
+    * catalog/file-index caching). A same-session writer-then-reader
+    * must call [[invalidate]] after rewriting table files.
     */
   private val resolved =
-    new java.util.WeakHashMap[SparkSession,
+    new java.util.HashMap[SparkSession,
       scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val memo = resolved.synchronized {
+      val it = resolved.keySet().iterator()
+      while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
       var m = resolved.get(spark)
       if (m == null) {
         m = scala.collection.concurrent.TrieMap.empty
@@ -37,6 +53,13 @@ object Tables {
     }
     memo.getOrElseUpdate((dir, name), load(spark, dir, name))
   }
+
+  /** Drop this session's memoized plans (all tables), forcing the next
+    * apply() to re-resolve schemas and file listings — required after
+    * rewriting files under a (dir, name) the session already read.
+    */
+  def invalidate(spark: SparkSession): Unit =
+    resolved.synchronized { resolved.remove(spark): Unit }
 
   private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {

@@ -72,6 +72,26 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("memo: stopped sessions are evicted from the cache and " +
+      "invalidate() forces a re-resolve (r15 advice — the WeakHashMap " +
+      "values pinned their own keys, so nothing ever collected)") {
+    withTempDir { dir =>
+      Seq((1L, 2L)).toDF("a", "b")
+        .write.parquet(s"${dir.getAbsolutePath}/part.parquet")
+      val s2 = spark.newSession()
+      val df1 = Tables(s2, dir.getAbsolutePath, "part")
+      // memo hit: the SAME resolved plan object comes back
+      assert(Tables(s2, dir.getAbsolutePath, "part") eq df1)
+      // invalidate drops the session's entries → fresh plan object,
+      // re-resolved against the CURRENT files (the writer-then-reader
+      // path the snapshot-semantics note documents)
+      Tables.invalidate(s2)
+      val df2 = Tables(s2, dir.getAbsolutePath, "part")
+      assert(!(df2 eq df1))
+      assert(df2.count() == 1)
+    }
+  }
+
   test("real testdata events table loads with a timestamp ts column") {
     val sf = "/root/testdata/sf0.001"
     if (new java.io.File(s"$sf/events.parquet").exists()) {
