@@ -883,7 +883,17 @@ object Events {
     * `steps`-round value iteration runs DRIVER-SIDE on the collected
     * matrix (the LinearModel.logisticGd / Preference Bradley-Terry
     * bounded-domain precedent, guarded by the limit-collect
-    * convention). The former unrolled-DataFrame formulation spent
+    * convention).
+    *
+    * DECLARED INPUT CONTRACT (r15 verdict/advice): `transitions` must
+    * be (a) PRE-AGGREGATED — one row per (from_s, to_s) with summed n,
+    * which is what [[journeyTransitions]] emits — and (b) a model-
+    * sized matrix: < 65537 rows, i.e. ≲255 distinct states. A larger
+    * event-type vocabulary fails fast (require below) rather than
+    * collecting data-sized input to the driver; callers with a
+    * pathological vocabulary should bucket types upstream. This is a
+    * deliberate semantics change from the pre-r15 unrolled-DataFrame
+    * form, which was slow-but-total. The former unrolled-DataFrame formulation spent
     * ~30 scheduler rounds on |channels|·|states|-row shuffles — pure
     * per-stage overhead at every scale (r15 optimization: 6.6 s →
     * the cost of the journey extraction alone at sf0.1); the driver
@@ -931,8 +941,14 @@ object Events {
         }, math.max(1, math.min(out.size, 4))), schema)
     if (tr.isEmpty) return emit(Nil)
     val rt = tr.groupBy(_._1).map { case (k, g) => k -> g.map(_._3).sum }
-    // pc9: ×1e9-snapped P(conv) per state with outgoing mass
-    val convN = tr.filter(_._2 == "CONV").map(t => t._1 -> t._3).toMap
+    // pc9: ×1e9-snapped P(conv) per state with outgoing mass. CONV
+    // counts aggregate defensively like rt (r15 advice: a bare toMap
+    // kept only the LAST of duplicate (from_s, CONV) rows — silent
+    // divergence from the old join semantics on unaggregated input;
+    // journeyTransitions pre-aggregates, so in-repo callers see no
+    // behavior change).
+    val convN = tr.filter(_._2 == "CONV").groupBy(_._1)
+      .map { case (k, g) => k -> g.map(_._3).sum }
     val pc9 = rt.map { case (st, t) =>
       st -> rnd9(convN.getOrElse(st, 0L).toDouble / t.toDouble * 1e9)
     }
