@@ -138,8 +138,27 @@ object SuffixArray {
     * vs 52.2 s at HEAD), and the geometric tie shrinkage means round 1
     * is the only wide shuffle that matters.
     */
-  private def unresolvedOf(obs: org.apache.spark.sql.Observation): Long =
-    obs.get.get("unresolved").map(_.asInstanceOf[Long]).getOrElse(0L)
+  /** Bounded read of the observed unresolved count. `obs.get` blocks
+    * INDEFINITELY; it was safe only because the eager localCheckpoint
+    * routes through withAction and fires the metric listener (r15
+    * advice: a lazy-checkpoint refactor or a Spark listener change
+    * would hang the build loop forever). The listener is async, so
+    * poll getOrEmpty briefly; past the deadline fall back to counting
+    * the checkpointed frame directly — one extra job in a pathological
+    * case, never a hang.
+    */
+  private def unresolvedOf(obs: org.apache.spark.sql.Observation,
+                           fallback: => Long): Long = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.DurationInt
+    import scala.concurrent.ExecutionContext.Implicits.global
+    try {
+      val m = Await.result(Future(obs.get), 30.seconds)
+      m.get("unresolved").map(_.asInstanceOf[Long]).getOrElse(fallback)
+    } catch {
+      case _: java.util.concurrent.TimeoutException => fallback
+    }
+  }
 
   /** The corpus layout checkpointed once, with the round-0 unresolved
     * count observed during that same materialization.
@@ -151,7 +170,7 @@ object SuffixArray {
       .observe(obs0, sum(when(col("cnt") > 1, 1L).otherwise(0L))
         .as("unresolved"))
       .localCheckpoint(true)
-    (full, unresolvedOf(obs0))
+    (full, unresolvedOf(obs0, full.filter(col("cnt") > 1).count()))
   }
 
   private def doublingRounds(full: DataFrame, unresolved0: Long,
@@ -192,7 +211,7 @@ object SuffixArray {
       owned += cur
       len *= 2
       tables += ((len, cur.select(col("gpos"), col("rank"))))
-      unresolved = unresolvedOf(obs)
+      unresolved = unresolvedOf(obs, cur.filter(col("cnt") > 1).count())
     }
     (cur, unresolved, tables, owned, round)
   }
@@ -555,33 +574,67 @@ object SuffixArray {
     // commit, and a probe prunes its level's dirs from the manifest
     // (5 snapshot round-trips per probe measured as the q380 gate's
     // dominant fixed cost before this)
-    val pairs = (1 to levels).map { k =>
-      val half = 1L << (k - 1)
-      val prev = tableAt(b, half)
-      val next = tableAt(b, 1L << k)
-      val shifted = prev.select((col("gpos") - half).as("gpos"),
-        col("rank").as("r2"))
-      // windows whose second half falls off the corpus end can never
-      // match an increment window (both increment halves are real);
-      // the inner joins drop them
-      prev.select(col("gpos"), col("rank").as("r1"))
-        .join(shifted, Seq("gpos"))
-        .join(next.select(col("gpos"), col("rank")), Seq("gpos"))
-        .select(col("r1"), col("r2"), col("rank")).distinct()
-        .withColumn("k", lit(k))
-    }.reduce(_ unionByName _)
+    val pairs = (1 to levels).map(k =>
+      pairFace(b, k).withColumn("k", lit(k)))
+      .reduce(_ unionByName _)
     graft.sources.Snapshot.commit(pairs, s"$dir/pairs",
       partitionCol = Some("k"), clusterBy = Some("r1"))
+    graft.sources.Snapshot.commit(occFace(b, g), s"$dir/occ",
+      clusterBy = Some("rank"))
+  }
+
+  /** The level-k doubling map (r1, r2, rank): rank at window 2^k as a
+    * function of the two half-window ranks — injective on window
+    * values, so a missing pair PROVES the window never occurs in the
+    * indexed corpus. Windows whose second half falls off the corpus
+    * end can never match a probe window (both probe halves are real);
+    * the inner joins drop them.
+    */
+  private def pairFace(b: Built, k: Int): DataFrame = {
+    val half = 1L << (k - 1)
+    val prev = tableAt(b, half)
+    val next = tableAt(b, 1L << k)
+    val shifted = prev.select((col("gpos") - half).as("gpos"),
+      col("rank").as("r2"))
+    prev.select(col("gpos"), col("rank").as("r1"))
+      .join(shifted, Seq("gpos"))
+      .join(next.select(col("gpos"), col("rank")), Seq("gpos"))
+      .select(col("r1"), col("r2"), col("rank")).distinct()
+  }
+
+  /** The occurrence face (rank, doc_id, pos): every in-document
+    * g-window occurrence of the indexed corpus (windows crossing a
+    * document end dropped — they can never equal a probe window).
+    */
+  private def occFace(b: Built, g: Long): DataFrame = {
     val nTok = b.sa.filter(col("sent"))
       .select(col("doc_id"), col("pos").as("n_tok"))
-    val occ = tableAt(b, g)
+    tableAt(b, g)
       .join(b.sa.filter(!col("sent"))
         .select(col("gpos"), col("doc_id"), col("pos")), Seq("gpos"))
       .join(nTok, Seq("doc_id"))
       .filter(col("pos") + g <= col("n_tok"))
       .select(col("rank"), col("doc_id"), col("pos"))
-    graft.sources.Snapshot.commit(occ, s"$dir/occ",
-      clusterBy = Some("rank"))
+  }
+
+  /** The probe faces computed IN MEMORY from a built train index — the
+    * [[persistProbeIndex]] tables WITHOUT the snapshot write+read
+    * round-trip, for a same-session single consumer (q360's gate
+    * screen probes the train half once and discards the index; three
+    * table commits + reads were pure I/O there). Faces stay LAZY: each
+    * is consumed exactly once by a single [[decontaminateIncrement]] /
+    * [[exciseAgainstIndex]] pass (the probe cascade materializes its
+    * own levels), and they sit on the build's already-checkpointed
+    * rank tables, so no extra materialization is warranted. Repeated
+    * consumers (streams) should use [[persistProbeIndex]] +
+    * [[loadProbeIndex]], which pin the faces. Same frames
+    * byte-for-byte as a persist+load pair.
+    */
+  def probeFaces(c: Corpus, b: Built, g: Long = 8L): ProbeIndex = {
+    require(g >= 2 && (g & (g - 1)) == 0, s"g must be a power of two ≥ 2, got $g")
+    val levels = (math.log(g.toDouble) / math.log(2.0)).round.toInt
+    ProbeIndex(c.vocab.select(col("token"), col("rank")),
+      (1 to levels).map(k => pairFace(b, k)), occFace(b, g), g)
   }
 
   /** The probe faces loaded ONCE and pinned in memory — what every
@@ -627,7 +680,17 @@ object SuffixArray {
     * the big sides are the persisted faces, clustered on the join key.
     */
   def probeGramRanks(index: ProbeIndex, docs: DataFrame,
-                     idCol: Column, textCol: Column): DataFrame = {
+                     idCol: Column, textCol: Column): DataFrame =
+    probeGramRanks(index, docs, idCol, textCol,
+      materializeLevels = false)
+
+  /** As above; `materializeLevels` checkpoints each descent level (see
+    * the loop comment). No default — the dir-based overload already
+    * carries one and Scala forbids defaults on both.
+    */
+  def probeGramRanks(index: ProbeIndex, docs: DataFrame,
+                     idCol: Column, textCol: Column,
+                     materializeLevels: Boolean): DataFrame = {
     var cur = docs
       .select(idCol.cast("long").as("doc_id"),
         posexplode(Text.tokens(textCol)).as(Seq("pos", "token")))
@@ -637,9 +700,18 @@ object SuffixArray {
       .select(col("doc_id"), col("pos"), col("rank"))
     for ((pk, i) <- index.pairs.zipWithIndex) {
       val half = 1L << i
-      val right = cur.select(col("doc_id"), (col("pos") - half).as("pos"),
+      // each level SELF-JOINS cur on (doc_id, pos ± half); the shifted
+      // side's pre-exchange projection differs, so ReusedExchange never
+      // fires and a lazy cur recomputes its whole cascade on both
+      // sides — 2^levels copies of the token→vocab join by the last
+      // level. `materializeLevels` checkpoints each level once: worth
+      // it when the PROBE side is corpus-sized (q360's eval half);
+      // pure overhead (3 extra actions) when the probe is a small
+      // increment or a stream batch, so the default stays lazy.
+      val curM = if (materializeLevels) cur.localCheckpoint(true) else cur
+      val right = curM.select(col("doc_id"), (col("pos") - half).as("pos"),
         col("rank").as("r2"))
-      cur = cur.withColumnRenamed("rank", "r1")
+      cur = curM.withColumnRenamed("rank", "r1")
         .join(right, Seq("doc_id", "pos"))
         .join(pk, Seq("r1", "r2"))
         .select(col("doc_id"), col("pos"), col("rank"))
@@ -710,11 +782,12 @@ object SuffixArray {
     * Returns (doc_id, pos, train_match) for every eval position, the
     * [[longestCrossMatch]] shape thresholded at g.
     */
-  def decontaminateIncrement(index: ProbeIndex,
-                             evalDocs: DataFrame): DataFrame = {
+  def decontaminateIncrement(index: ProbeIndex, evalDocs: DataFrame,
+                             materializeLevels: Boolean = false)
+      : DataFrame = {
     val g = index.g
     val hits = probeGramRanks(index, evalDocs, col("doc_id"),
-      col("text"))
+      col("text"), materializeLevels)
     val occ = index.occ
     val pairs = hits.join(occ.select(col("rank"),
         col("doc_id").as("t_doc"), col("pos").as("t_pos")), Seq("rank"))

@@ -354,6 +354,30 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  test("probeFaces: the in-memory faces give byte-identical " +
+      "decontamination to the persisted+loaded index, off a buildTo " +
+      "index (the r16 q360 screen path — no snapshot round-trip)") {
+    withTempDir { dir =>
+      val g = 4L
+      val idx = new java.io.File(dir, "sa_index").getAbsolutePath
+      val train = trainDocs.toDF("doc_id", "text")
+      val ev = evalDocs.toDF("doc_id", "text")
+      val c = SuffixArray.corpus(train, col("doc_id"), col("text"))
+      val b = SuffixArray.buildTo(c, g)
+      SuffixArray.persistProbeIndex(c, b, idx, g)
+      val viaDisk = SuffixArray.decontaminateIncrement(spark, idx, ev, g)
+        .as[(Long, Long, Option[Long])].collect().toSet
+      val viaMem = SuffixArray.decontaminateIncrement(
+          SuffixArray.probeFaces(c, b, g), ev)
+        .as[(Long, Long, Option[Long])].collect().toSet
+      assert(viaMem == viaDisk)
+      // and the planted exact lengths survive the buildTo(g) index
+      val m = viaMem.map(t => (t._1, t._2) -> t._3.getOrElse(0L)).toMap
+      assert(m((201L, 1L)) == 5L && m((207L, 3L)) == 6L)
+      b.unpersistAll()
+    }
+  }
+
   test("exciseAgainstIndex: rewrites equal a brute train-gram " +
       "interval union per doc (kept bytes, not just counts)") {
     withTempDir { dir =>
