@@ -751,8 +751,12 @@ object Streams {
               fresh.select(col("doc_id").as("id"), col("hs")),
               "id", "hs", threshold, registerCache = created += _)
             .select(col("id_new").as("doc_id")).distinct()
+          // eager checkpoint: emptiness probe + merge (collect + upsert)
+          // each re-ran the candidate/verify cascade past the op's own
+          // internal persists (r16: the decontaminationStream lesson)
           val survivors = fresh.join(dropIds, Seq("doc_id"), "left_anti")
             .withColumn("ingest_batch", lit(batchId))
+            .localCheckpoint(true)
           if (!survivors.isEmpty)
             Snapshot.merge(survivors, table, Seq("doc_id"), "doc_id",
               "ingest_batch"): Unit
@@ -802,6 +806,8 @@ object Streams {
             .groupBy(col("canonical_url"))
             .agg(min(col("doc_id")).as("doc_id"),
               min_by(col("url"), col("doc_id")).as("url"))
+          // eager checkpoint: emptiness probe + merge each re-ran the
+          // canonicalize + frontier anti-join (r16)
           val survivors = (Snapshot.latestVersion(table) match {
             case Some(_) =>
               fresh.join(Snapshot.read(spark, table)
@@ -809,6 +815,7 @@ object Streams {
                 Seq("canonical_url"), "left_anti")
             case None => fresh
           }).withColumn("ingest_batch", lit(batchId))
+            .localCheckpoint(true)
           if (!survivors.isEmpty)
             Snapshot.merge(survivors, table, Seq("canonical_url"),
               "doc_id", "ingest_batch"): Unit
@@ -875,6 +882,9 @@ object Streams {
                 < col("num"))
             .select(col("k"), col("g"), col("bin"))
             .withColumn("ingest_batch", lit(batchId))
+            // eager checkpoint: emptiness probe + merge each re-ran the
+            // bin + thin cascade (r16)
+            .localCheckpoint(true)
           if (!kept.isEmpty)
             Snapshot.merge(kept, table, Seq("k"), "bin",
               "ingest_batch"): Unit
@@ -1110,7 +1120,11 @@ object Streams {
               Snapshot.latestVersion(table).nonEmpty) {
             val n = Snapshot.countStar(table).getOrElse(0L)
             val kTarget = Similarity.chooseK(n)
-            val kNow = Snapshot.read(spark, modelTable).count()
+            // manifest row-count stat — the model table commits through
+            // writeData's footer harvest, so a scan job per batch here
+            // was pure overhead (r16)
+            val kNow = Snapshot.countStar(modelTable).getOrElse(
+              Snapshot.read(spark, modelTable).count())
             if (kTarget >= refreshFactor * kNow) {
               val corpus = Snapshot.read(spark, table)
                 .select(col("doc_id"), col("vec"), col("ingest_batch"))
@@ -1187,8 +1201,12 @@ object Streams {
               col("na"), col("nb")), 6)
               >= threshold)
             .select(col("doc_id")).distinct()
+          // eager checkpoint: emptiness probe + merge each re-ran the
+          // point-lookup verify join (r16: the decontaminationStream
+          // lesson applied to the vector stream)
           val survivors = fresh.join(dropIds, Seq("doc_id"), "left_anti")
             .withColumn("ingest_batch", lit(batchId))
+            .localCheckpoint(true)
           if (!survivors.isEmpty)
             Snapshot.merge(survivors, table, Seq("doc_id"), "doc_id",
               "ingest_batch"): Unit
@@ -1272,8 +1290,13 @@ object Streams {
               fresh.withColumnRenamed("rec_id", "id"),
               "id", col("name"), maxDist)
             .select(col("probe_id").as("rec_id")).distinct()
+          // eager checkpoint: the emptiness probe, the merge's
+          // touched-partition collect AND its upsert all consume the
+          // novel set — lazy, each re-ran the whole segment fuzzy join
+          // (the decontaminationStream lesson, r16: q324 measured)
           val novel = fresh.join(matched, Seq("rec_id"), "left_anti")
             .withColumn("ingest_batch", lit(batchId))
+            .localCheckpoint(true)
           if (!novel.isEmpty)
             Snapshot.merge(novel, table, Seq("rec_id"), "rec_id",
               "ingest_batch"): Unit
