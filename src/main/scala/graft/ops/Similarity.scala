@@ -83,6 +83,13 @@ object Similarity {
   /** Per-ROW norm for the hoisted pair-kernel form: √dot(v,v) with the
     * native sequential ascending accumulation — the exact value the
     * fused [[cosine]] loop computes for each side internally.
+    *
+    * PRECONDITION (repeated from [[cosineHoisted]], r15 advice): the
+    * hoisted recomposition dot/(na·nb) is bit-identical to the fused
+    * [[cosine]] only when both sides share ONE dimensionality —
+    * DotProduct dots over the min-length prefix while this norms the
+    * FULL vector; ragged inputs would silently diverge instead of
+    * failing.
     */
   private[graft] def normHoisted(v: Column): Column =
     sqrt(graft.functions.NativeFunctions.dotProduct(v, v))

@@ -82,6 +82,15 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * multiply-add per element per pair instead of three, with the two
   * norm loops paid |Q|+|C| times instead of |Q|·|C| (guide §1.2 step 2:
   * per-task work, measured on the q403/q224 cross kernels).
+  *
+  * CALLER PRECONDITION (r15 advice): this dots over the MIN-length
+  * prefix, while the hoisted per-row norms (Similarity.normHoisted)
+  * norm each FULL vector — the recomposition is bit-identical to the
+  * fused cosine only when both sides share one dimensionality. Every
+  * current caller (the Similarity pair kernels, EntriesSimilarityAnn /
+  * EntriesStatsExperiments pair blocks, Streams.annDedupStream) holds
+  * it via the fixed-dim embedding model; a future ragged-vector caller
+  * gets silently wrong similarities, not an error.
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression with ImplicitCastInputTypes
