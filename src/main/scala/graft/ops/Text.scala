@@ -2108,9 +2108,17 @@ object Text {
       (Sampling.hashBucket(col(idCol), 4) =!= 0).as("is_train"))
     val occ = tg.select(col("id"), col("y"), col("is_train"),
       explode(col("tk")).as("tok"))
+    // cw fans out 5 ways (nc, vd→vv, wts, and vd again via niv/uns)
+    // and ho 3 ways (seen, niv, uns) — lazy, every consumer re-ran the
+    // tokenize→explode→aggregate chain and the q396/q255 plan carried
+    // 78 parquet scans (r16 plan audit). Materialize each once: cw is
+    // model-sized (class × vocab), ho is the held-out quarter's token
+    // stream — both far below the 5 repeated full-corpus passes they
+    // replace. Results unchanged (pure materialization).
     val cw = occ.filter(col("is_train"))
       .groupBy(col("y").as("c"), col("tok"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
     val nc = cw.groupBy(col("c")).agg(sum(col("cnt")).as("n_c"))
     val vd = cw.select(col("tok")).distinct()
     val vv = vd.agg(count(lit(1)).as("v"))
@@ -2131,6 +2139,7 @@ object Text {
           .as("w_m"))
     val ho = occ.filter(!col("is_train"))
       .select(col("id"), col("tok"))
+      .localCheckpoint(true)
     val seen = ho.join(wts, "tok")
       .groupBy(col("id"), col("c")).agg(sum(col("w_m")).as("s_seen"),
         count(lit(1)).as("n_seen"))
@@ -2587,10 +2596,18 @@ object Text {
           .otherwise(fdiv(dec(col("tp")) * lit(5000000L),
             dec(col("ref_grams") * 4 + col("hyp_grams"))))
           .as("f2_micro"))
-    val overall = perOrder
-      .agg(fdiv(dec(coalesce(sum(col("f2_micro")), lit(0L))),
-        dec(lit(maxN.toLong))).as("chrf_micro"))
-    perOrder.crossJoin(broadcast(overall))
+    // overall chrF rides a GLOBAL WINDOW over the maxN-row per-order
+    // frame, not a crossJoin(broadcast(agg)): the broadcast side was a
+    // separate subtree, so the whole gram explode + both exchanges ran
+    // TWICE per action (r16 plan audit: nodes 19-40 duplicated 1-18;
+    // q429 5.0 -> 2.6 s). A single-partition window is fine here — the
+    // frame is ≤ maxN ≤ 10 rows, never data (the onePartitionKey rule
+    // targets data-sized frames). Same integer arithmetic, same rows.
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    perOrder.withColumn("chrf_micro",
+      fdiv(dec(coalesce(sum(col("f2_micro")).over(wAll), lit(0L))),
+        dec(lit(maxN.toLong))))
   }
 
   /** RHO-LOSS selection (Mindermann et al. 2022, "Prioritized
